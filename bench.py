@@ -1,0 +1,91 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "throughput_docs_per_sec": ...}
+
+The headline is the end-to-end parse -> enrich -> route -> aggregate
+pipeline (BASELINE.json metric: docs/sec) over natively-generated
+web_pages scaled to the SF (sf0.1 -> 2M docs), plus the per-operator
+queries over the driver tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def infer_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = infer_sf(sf_dir)
+    # 20M docs/sf-unit: sf0.1 -> 2M pipeline docs, sf0.01 -> 200k
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(20_000_000 * sf))))
+
+    from opentelemetry_collector_contrib_spark import queries as Q
+    from opentelemetry_collector_contrib_spark.datagen import generate_web_pages
+    from opentelemetry_collector_contrib_spark.pipeline import (
+        run_pipeline,
+        sink_counts,
+    )
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- headline: e2e pipeline over n_docs generated web pages -------
+    t0 = time.perf_counter()
+    web = generate_web_pages(spark, n_docs, num_partitions=cpus * 2)
+    res = run_pipeline(spark, web)
+    counts = sink_counts(res.sinks)
+    n_out = counts.count()
+    e2e_sec = time.perf_counter() - t0
+    timings["pipeline_e2e"] = round(e2e_sec, 3)
+    assert n_out > 0
+
+    # --- per-operator queries over the driver tables ------------------
+    bench_queries = [
+        "pipeline_e2e_counts",
+        "pipeline_routed_rows",
+        "count_connector_events",
+        "sum_connector_events",
+        "filter_processor_events",
+        "logdedup_events",
+        "delta_to_cumulative_events",
+        "cumulative_to_delta_events",
+    ]
+    all_q = Q.queries()
+    for name in bench_queries:
+        if name not in all_q:
+            continue
+        t0 = time.perf_counter()
+        df = all_q[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "e2e_parse_enrich_route_aggregate",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "throughput_docs_per_sec": round(n_docs / e2e_sec, 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,27 @@
+"""PySpark-native analytics engine with the query/data-processing
+capabilities of the OpenTelemetry Collector Contrib.
+
+Brand-new Spark-first design (NOT a port): the collector's
+receive -> parse -> transform -> filter -> route -> aggregate -> export
+topology is expressed as declarative DataFrame pipelines so Catalyst
+owns optimization (pushdown, pruning, codegen, AQE) and Tungsten owns
+execution. Reference semantics are documented per-operator with
+``path:line`` citations into /root/reference.
+
+Layout
+------
+- :mod:`.session`    tuned SparkSession builders (local + cluster confs)
+- :mod:`.datagen`    deterministic synthetic web_pages / host_lookup /
+                     route_table / log_records generators (seed=42)
+- :mod:`.functions`  OTTL converter library as Column builders
+- :mod:`.ottl`       OTTL-subset string -> Column compiler
+- :mod:`.operators`  stanza parsers/transformers, processors, connectors
+- :mod:`.pipeline`   config-driven end-to-end pipeline (the "collector")
+- :mod:`.training`   web-scale training-data ops (dedup, ANN, text QA)
+- :mod:`.streaming`  Structured Streaming variants
+- :mod:`.obs`        obsreport-style accepted/refused/dropped counters
+- :mod:`.skew`       salting + AQE helpers for skewed keys
+- :mod:`.checkpoint` snapshot-watermark resume manifest
+"""
+
+__version__ = "0.1.0"

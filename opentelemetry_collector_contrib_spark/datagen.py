@@ -1,0 +1,224 @@
+"""Deterministic synthetic data (seed-free arithmetic, reproducible).
+
+Mirrors the reference's synthetic sources: ``generate_input``
+(pkg/stanza/operator/input/generate) and the testbed load generator
+(testbed/tests/log_test.go:258-266 -- ~100-byte log lines), plus the
+graft input contract from BASELINE.json: ``web_pages(url, warc_ts,
+html, text, lang)``.
+
+Two generation paths that agree row-for-row:
+
+1. :func:`web_pages_select_sql` -- a PORTABLE SQL fragment (runs
+   unchanged on Spark SQL and DuckDB) deriving ``web_pages`` from the
+   driver's ``documents`` table. This is what makes the end-to-end
+   pipeline oracle-checkable: the DuckDB oracle synthesizes the exact
+   same input.
+2. :func:`generate_web_pages` -- a ``spark.range``-native generator for
+   arbitrary row counts (bench path; no per-row Python, no RNG --
+   multiplicative-hash arithmetic only, so it scales linearly across
+   executors).
+
+Determinism rules (FIXTURES.md §7): pure integer arithmetic of the row
+id; adding a column never reshuffles others; no wall clock, no uuid4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Fixed base event time: 2020-02-11T20:26:12Z (FIXTURES.md pins a
+# constant; reference pins test times in pkg/ottl/e2e/e2e_test.go:27-31).
+BASE_EPOCH = 1581452772
+# Event times spread over 4 hours -> friendly to 10-minute windows.
+TS_SPREAD = 14400
+
+N_HOSTS = 40  # host0..host39; host0 is the Zipf mega-host (skew test)
+
+# ---------------------------------------------------------------------------
+# Portable SQL fragment (Spark SQL == DuckDB). Only uses: * % || CASE
+# CAST(..AS STRING) -- the shared ANSI subset of both engines.
+# ---------------------------------------------------------------------------
+
+_WEB_PAGES_EXPRS = """
+  CAST(doc_id AS BIGINT)                                         AS page_id,
+  'https://host' || CAST(
+      CASE WHEN (doc_id * 2654435761) % 1000 < 300 THEN 0
+           WHEN (doc_id * 2654435761) % 1000 < 450 THEN 1
+           WHEN (doc_id * 2654435761) % 1000 < 550 THEN 2
+           ELSE 3 + ((doc_id * 2654435761) % 1000) % 37
+      END AS STRING)
+    || '.example.com/p' || CAST((doc_id * 97) % 20 AS STRING)
+    || CASE (doc_id * 97) % 4 WHEN 0 THEN '.html' WHEN 1 THEN '.php'
+            WHEN 2 THEN '.asp' ELSE '.js' END
+    || '?id=' || CAST(doc_id AS STRING)                          AS url,
+  CAST({base} + (doc_id * 37) % {spread} AS BIGINT)              AS warc_ts_epoch,
+  'ts=' || CAST({base} + (doc_id * 37) % {spread} AS STRING)
+    || ' status=' || CASE WHEN (doc_id * 31) % 100 < 70 THEN '200'
+                          WHEN (doc_id * 31) % 100 < 80 THEN '404'
+                          WHEN (doc_id * 31) % 100 < 90 THEN '500'
+                          ELSE '503' END
+    || ' sev=' || CASE WHEN (doc_id * 17) % 100 < 50 THEN 'info'
+                       WHEN (doc_id * 17) % 100 < 70 THEN 'debug'
+                       WHEN (doc_id * 17) % 100 < 85 THEN 'warn'
+                       WHEN (doc_id * 17) % 100 < 95 THEN 'error'
+                       ELSE 'fatal' END
+    || ' ip=10.' || CAST((doc_id * 13) % 256 AS STRING)
+    || '.' || CAST((doc_id * 7) % 256 AS STRING)
+    || '.' || CAST(doc_id % 256 AS STRING)
+    || ' bytes=' || CAST((doc_id * 211) % 5000 AS STRING)
+    || ' method=' || CASE WHEN (doc_id * 53) % 10 < 8 THEN 'GET'
+                          WHEN (doc_id * 53) % 10 < 9 THEN 'POST'
+                          ELSE 'PUT' END
+    || ' msg=req_p' || CAST((doc_id * 97) % 20 AS STRING)        AS text,
+  CASE WHEN (doc_id * 11) % 10 < 5 THEN 'en'
+       WHEN (doc_id * 11) % 10 < 7 THEN 'de'
+       WHEN (doc_id * 11) % 10 < 8 THEN 'fr'
+       WHEN (doc_id * 11) % 10 < 9 THEN 'es'
+       ELSE 'zh' END                                             AS lang
+"""
+
+
+def web_pages_select_sql(documents_table: str = "documents") -> str:
+    """Portable SELECT synthesizing web_pages rows from ``documents``.
+
+    Columns: page_id bigint, url string, warc_ts_epoch bigint,
+    text string, lang string. (``html``/``warc_ts timestamp`` are added
+    engine-side by :func:`attach_binary_columns`; epoch-bigint keeps the
+    fragment portable and the oracle hash stable.)
+    """
+    exprs = _WEB_PAGES_EXPRS.format(base=BASE_EPOCH, spread=TS_SPREAD)
+    return f"SELECT {exprs} FROM {documents_table}"
+
+
+_HOST_LOOKUP_ROW = """
+  SELECT 'host' || CAST(host_id AS STRING) || '.example.com' AS host,
+         CASE host_id % 5 WHEN 0 THEN 'news' WHEN 1 THEN 'shop'
+              WHEN 2 THEN 'blog' WHEN 3 THEN 'docs' ELSE 'spam' END AS category,
+         CASE host_id % 7 WHEN 0 THEN 'US' WHEN 1 THEN 'DE' WHEN 2 THEN 'FR'
+              WHEN 3 THEN 'CN' WHEN 4 THEN 'GB' WHEN 5 THEN 'BR'
+              ELSE 'IN' END AS geo_country,
+         CAST(1 + host_id % 3 AS INT) AS tier
+  FROM {ids}
+  WHERE host_id % 5 <> 4 OR host_id % 2 = 0
+"""
+
+
+def host_lookup_select_sql() -> str:
+    """Portable host_lookup table (FIXTURES.md §2): 32 of the 40 hosts
+    (left join must leave nulls -- uncovered hosts exercise the
+    missing-dim exclusion of countconnector counter.go:64-67)."""
+    # range() differs between engines; inline a VALUES id list instead.
+    ids = ", ".join(f"({i})" for i in range(N_HOSTS))
+    return _HOST_LOOKUP_ROW.format(ids=f"(VALUES {ids}) AS t(host_id)")
+
+
+def host_lookup_df(spark: SparkSession) -> DataFrame:
+    return spark.sql(host_lookup_select_sql())
+
+
+def web_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """web_pages derived from the driver's documents parquet (the
+    oracle-checkable path)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(web_pages_select_sql("documents"))
+
+
+# ---------------------------------------------------------------------------
+# Native arbitrary-scale generator (bench path)
+# ---------------------------------------------------------------------------
+
+
+def generate_web_pages(
+    spark: SparkSession, n_rows: int, num_partitions: int | None = None
+) -> DataFrame:
+    """``spark.range``-native web_pages at any scale.
+
+    Same arithmetic as the portable fragment (id == doc_id), plus the
+    full input_hint schema: ``warc_ts timestamp`` and ``html binary``.
+    Entirely JVM-side expressions -> whole-stage codegen, linear scan
+    scaling, zero Python in the data path.
+    """
+    rng = (
+        spark.range(0, n_rows, 1, num_partitions)
+        if num_partitions
+        else spark.range(n_rows)
+    )
+    rng.createOrReplaceTempView("__gen_ids")
+    df = spark.sql(web_pages_select_sql("(SELECT id AS doc_id FROM __gen_ids)"))
+    return attach_binary_columns(df)
+
+
+def attach_binary_columns(web_pages: DataFrame) -> DataFrame:
+    """Add the input_hint's ``warc_ts timestamp`` + ``html binary``
+    columns (engine-specific types kept out of the portable fragment)."""
+    from pyspark.sql import functions as F
+
+    return web_pages.withColumns(
+        {
+            "warc_ts": F.timestamp_seconds("warc_ts_epoch"),
+            "html": F.encode(
+                F.concat(
+                    F.lit("<html><head><title>"),
+                    F.col("url"),
+                    F.lit("</title></head><body><p>"),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# OTLP-log-shaped fixture (FIXTURES.md §4) for operator unit tests.
+# Shape mirrors pkg/ottl/contexts/internal/ctxlog/log.go:27-78.
+# ---------------------------------------------------------------------------
+
+
+def log_records_df(spark: SparkSession, n: int = 100) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    sev_num = (F.col("id") * 7 % 24 + 1).cast("int")
+    return df.select(
+        ((F.lit(BASE_EPOCH) + F.col("id") % 3600) * 1_000_000_000).alias(
+            "time_unix_nano"
+        ),
+        ((F.lit(BASE_EPOCH) + F.col("id") % 3600 + 2) * 1_000_000_000).alias(
+            "observed_time_unix_nano"
+        ),
+        sev_num.alias("severity_number"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")]),
+            ((sev_num - 1) / F.lit(4) + 1).cast("int"),
+        ).cast("string").alias("severity_text"),
+        F.concat(
+            F.lit("operationA id="), F.col("id").cast("string"),
+            F.lit(" flags=A|B|C total.duration="), (F.col("id") % 100).cast("string"),
+        ).alias("body"),
+        F.map_from_arrays(
+            F.array(F.lit("http.method"), F.lit("http.path"), F.lit("http.url"), F.lit("flags")),
+            F.array(
+                F.when(F.col("id") % 3 == 0, F.lit("get")).when(F.col("id") % 3 == 1, F.lit("post")).otherwise(F.lit("put")),
+                F.concat(F.lit("/health_"), (F.col("id") % 5).cast("string")),
+                F.concat(F.lit("http://localhost/health_"), (F.col("id") % 5).cast("string")),
+                F.lit("A|B|C"),
+            ),
+        ).alias("attributes"),
+        F.lit(1).alias("dropped_attributes_count"),
+        (F.col("id") % 4).cast("int").alias("flags"),
+        F.unhex(F.lpad(F.hex(F.col("id") + 1), 32, "0")).alias("trace_id"),
+        F.unhex(F.lpad(F.hex(F.col("id") + 1), 16, "0")).alias("span_id"),
+        F.lit("ev").alias("event_name"),
+        F.map_from_arrays(
+            F.array(F.lit("host.name"), F.lit("service.name")),
+            F.array(
+                F.concat(F.lit("node-"), (F.col("id") % 4).cast("string")),
+                F.when(F.col("id") % 2 == 0, F.lit("cart")).otherwise(F.lit("auth")),
+            ),
+        ).alias("resource_attributes"),
+        F.lit("scope").alias("scope_name"),
+    )

@@ -1,0 +1,8 @@
+"""Operator library: stanza parsers/transformers, processors, connectors.
+
+Each module documents the reference semantics it re-expresses with
+``path:line`` citations into /root/reference. The implementations are
+Spark-first: declarative Column expressions wherever possible so
+Catalyst can push down / prune / codegen; pandas UDFs only where the
+built-ins genuinely cannot express the semantics.
+"""

@@ -1,0 +1,330 @@
+"""Connector analogs (SURVEY.md §2.7): aggregate/route between pipelines.
+
+Spark-first: routing is ONE route-index projection (no N-pass
+filtering); aggregations are hash aggregates with map-side partials;
+windows are event-time tumbling (deterministic) instead of the
+reference's wall-clock tickers -- a documented semantics choice
+(SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# routingconnector -- first-match-wins MOVE / pass-through COPY
+# (connector/routingconnector/logs.go:62-157; config config.go:15-67)
+# ---------------------------------------------------------------------------
+
+DEFAULT_ROUTE = "__default__"
+
+
+@dataclass
+class Route:
+    """One routing-table entry (routingconnector config.go:15-67)."""
+
+    name: str
+    condition: Column | str
+    action: str = "move"  # "move" (first-match removes row) | "copy"
+
+    def cond(self) -> Column:
+        return F.expr(self.condition) if isinstance(self.condition, str) else self.condition
+
+
+@dataclass
+class RoutingResult:
+    """Routed output: one DataFrame per sink + the default sink.
+
+    ``routed`` holds disjoint MOVE ownership plus COPY duplicates,
+    exactly mirroring logs.go:65-148: a row moved by an earlier route
+    is invisible to later routes; a copied row stays in flight and can
+    land in later sinks and/or the default.
+    """
+
+    sinks: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def route(df: DataFrame, routes: list[Route],
+          default_name: str = DEFAULT_ROUTE) -> RoutingResult:
+    """Evaluate the ordered routing table.
+
+    Encoding (single projection, evaluated once per row):
+    - ``moved_before_i`` = OR of MOVE conditions with index < i. Because
+      first-match collapses the nesting, this is a plain prefix-OR.
+    - MOVE route i owns rows where ``cond_i AND NOT moved_before_i``.
+    - COPY route i duplicates rows where ``cond_i AND NOT moved_before_i``
+      (it sees only rows still in flight, logs.go:65-76) without
+      removing them.
+    - default gets rows where no MOVE condition matched
+      (logs.go:147-148).
+
+    MOVE ownership is computed as one chained ``when()`` route-index
+    column so the plan is a single scan + a cheap filter per sink --
+    at 100 TB this matters: N filter-passes over the fact table would
+    be N scans; this is one.
+    """
+    move_routes = [r for r in routes if r.action == "move"]
+    idx_col: Column = F.lit(None).cast("int")
+    expr = None
+    for i, r in enumerate(move_routes):
+        expr = F.when(r.cond(), F.lit(i)) if expr is None else expr.when(r.cond(), F.lit(i))
+    idx_col = expr.otherwise(F.lit(-1)) if expr is not None else F.lit(-1)
+
+    tagged = df.withColumn("__route_idx", idx_col)
+    result = RoutingResult()
+    for i, r in enumerate(move_routes):
+        result.sinks[r.name] = tagged.filter(F.col("__route_idx") == i).drop("__route_idx")
+    result.sinks[default_name] = tagged.filter(F.col("__route_idx") == -1).drop("__route_idx")
+
+    # COPY routes: rows still in flight at their position. moved_before
+    # for a copy at table position p = OR of move conds before p.
+    for pos, r in enumerate(routes):
+        if r.action != "copy":
+            continue
+        moved_before = F.lit(False)
+        for q in routes[:pos]:
+            if q.action == "move":
+                moved_before = moved_before | q.cond()
+        copied = df.filter(r.cond() & ~moved_before)
+        if r.name in result.sinks:
+            result.sinks[r.name] = result.sinks[r.name].unionByName(copied)
+        else:
+            result.sinks[r.name] = copied
+    return result
+
+
+def route_index_column(routes: list[Route]) -> Column:
+    """The MOVE ownership index as a bare Column (for fan-out writes
+    via ``.write.partitionBy`` -- one job writes every sink)."""
+    expr = None
+    for i, r in enumerate(routes):
+        if r.action != "move":
+            continue
+        expr = F.when(r.cond(), F.lit(i)) if expr is None else expr.when(r.cond(), F.lit(i))
+    return (expr.otherwise(F.lit(-1)) if expr is not None else F.lit(-1)).alias("route_idx")
+
+
+def route_name_column(routes: list[Route], default_name: str = DEFAULT_ROUTE) -> Column:
+    expr = None
+    for r in routes:
+        if r.action != "move":
+            continue
+        expr = F.when(r.cond(), F.lit(r.name)) if expr is None else expr.when(r.cond(), F.lit(r.name))
+    return (expr.otherwise(F.lit(default_name)) if expr is not None else F.lit(default_name)).alias("route_name")
+
+
+# ---------------------------------------------------------------------------
+# countconnector (connector/countconnector/counter.go:39-149)
+# ---------------------------------------------------------------------------
+
+
+def count_connector(
+    df: DataFrame,
+    dims: list[str],
+    condition: Column | None = None,
+    ts_col: str = "warc_ts",
+    metric_name: str = "log.record.count",
+    defaults: dict[str, str] | None = None,
+) -> DataFrame:
+    """Count records matching ``condition`` grouped by attribute dims.
+
+    Reference semantics:
+    - rows missing a required dim (NULL, no default) are NOT counted
+      (counter.go:64-67);
+    - a configured default fills missing values (counter.go:57-62);
+    - output carries min/max event time as start/end (counter.go:84-99)
+      and a delta monotonic sum (counter.go:136-147).
+
+    Spark plan: filter -> hash aggregate (map-side partial combine is
+    automatic) -- one shuffle on the dims.
+    """
+    out = df
+    if condition is not None:
+        out = out.filter(condition)
+    defaults = defaults or {}
+    keep = F.lit(True)
+    sel: list[Column] = []
+    for d in dims:
+        c = F.col(d)
+        if d in defaults:
+            c = F.coalesce(c, F.lit(defaults[d]))
+        else:
+            keep = keep & c.isNotNull()
+        sel.append(c.alias(d))
+    out = out.filter(keep)
+    return (
+        out.groupBy(*sel)
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("ts"),
+        )
+        .withColumn("metric_name", F.lit(metric_name))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sumconnector (connector/sumconnector -- README.md:26-73)
+# ---------------------------------------------------------------------------
+
+
+def sum_connector(
+    df: DataFrame,
+    source_attribute: str,
+    dims: list[str],
+    condition: Column | None = None,
+    metric_name: str = "log.record.sum",
+) -> DataFrame:
+    """Sum a numeric attribute by dims; non-numeric/NULL source values
+    are dropped (the reference casts-to-float and skips failures)."""
+    out = df if condition is None else df.filter(condition)
+    val = F.col(source_attribute).cast("double")
+    out = out.filter(val.isNotNull())
+    keep = F.lit(True)
+    for d in dims:
+        keep = keep & F.col(d).isNotNull()
+    return (
+        out.filter(keep)
+        .groupBy(*dims)
+        .agg(F.sum(val).alias("sum"))
+        .withColumn("metric_name", F.lit(metric_name))
+    )
+
+
+# ---------------------------------------------------------------------------
+# spanmetricsconnector -- windowed count + explicit-bucket histogram
+# (connector/spanmetricsconnector/connector.go:381-470; default explicit
+# bounds config.go:23: 2ms..15s -- here parameterized since our "latency"
+# is an arbitrary numeric column)
+# ---------------------------------------------------------------------------
+
+DEFAULT_BOUNDS = [0.002, 0.004, 0.006, 0.008, 0.01, 0.05, 0.1, 0.2, 0.4,
+                  0.8, 1.0, 1.4, 2.0, 5.0, 10.0, 15.0]
+
+
+def explicit_bucket_index(value: Column, bounds: list[float]) -> Column:
+    """OTel explicit-bucket rule: bucket i <=> value <= bounds[i];
+    overflow bucket = len(bounds) (metrics.go:263-294 uses
+    sort.SearchFloat64s upper-bound semantics)."""
+    expr = None
+    for i, b in enumerate(bounds):
+        cond = value <= F.lit(b)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    return expr.otherwise(F.lit(len(bounds)))
+
+
+def span_metrics(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    ts_col: str = "warc_ts",
+    window_duration: str = "10 minutes",
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """Per (window, dims): calls count + explicit-bucket histogram
+    + sum, mirroring the calls-Sum / duration-Histogram pair
+    (connector.go:420-470).
+
+    Plan: ONE hash aggregate producing count/sum/min/max and the
+    bucket_counts array via count-by-bucket pivot (sum of indicator
+    casts) -- single shuffle, no pandas.
+    """
+    bounds = bounds if bounds is not None else DEFAULT_BOUNDS
+    v = F.col(value_col).cast("double")
+    bucket = explicit_bucket_index(v, bounds)
+    win = F.window(F.col(ts_col), window_duration)
+    aggs: list[Column] = [
+        F.count(F.lit(1)).alias("calls"),
+        F.sum(v).alias("sum"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    ]
+    # indicator-sum per bucket: stays inside one codegen'd aggregate
+    for i in range(len(bounds) + 1):
+        aggs.append(
+            F.sum((bucket == i).cast("long")).alias(f"__b{i}")
+        )
+    grouped = df.groupBy(win.alias("window"), *dims).agg(*aggs)
+    bucket_cols = [F.col(f"__b{i}") for i in range(len(bounds) + 1)]
+    return (
+        grouped.withColumn("bucket_counts", F.array(*bucket_cols))
+        .withColumn("bucket_bounds", F.array(*[F.lit(b) for b in bounds]))
+        .drop(*[f"__b{i}" for i in range(len(bounds) + 1)])
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *dims, "calls", "sum", "min", "max", "bucket_counts", "bucket_bounds",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exceptionsconnector (connector/exceptionsconnector): filter + count
+# ---------------------------------------------------------------------------
+
+
+def exceptions_connector(df: DataFrame, is_exception: Column,
+                         dims: list[str]) -> DataFrame:
+    return (
+        df.filter(is_exception)
+        .groupBy(*dims)
+        .agg(F.count(F.lit(1)).alias("exception_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# servicegraphconnector (connector/servicegraphconnector/connector.go:
+# 160-231): pair client/server spans of one trace -> edge metrics.
+# Spark: self equi-join on (trace_id, parent_span_id = span_id) -- a
+# shuffle join on trace_id; at scale both sides partition on trace_id
+# so AQE can convert to a local join after the first shuffle.
+# ---------------------------------------------------------------------------
+
+
+def service_graph(
+    spans: DataFrame,
+    trace_id: str = "trace_id",
+    span_id: str = "span_id",
+    parent_span_id: str = "parent_span_id",
+    service: str = "service",
+    latency: str | None = None,
+) -> DataFrame:
+    # parent span calls child: edge client = parent's service,
+    # server = child's service (connector.go pairs CLIENT/SERVER kinds).
+    child = spans.select(
+        F.col(trace_id).alias("t"),
+        F.col(parent_span_id).alias("p"),
+        F.col(service).alias("child_service"),
+        *( [F.col(latency).alias("lat")] if latency else [] ),
+    )
+    parent = spans.select(
+        F.col(trace_id).alias("t"),
+        F.col(span_id).alias("s"),
+        F.col(service).alias("parent_service"),
+    )
+    edges = child.join(
+        parent, (child.t == parent.t) & (child.p == parent.s), "inner"
+    )
+    aggs = [F.count(F.lit(1)).alias("request_count")]
+    if latency:
+        aggs += [F.sum("lat").alias("latency_sum"),
+                 F.max("lat").alias("latency_max")]
+    return (
+        edges.groupBy(
+            F.col("parent_service").alias("client"),
+            F.col("child_service").alias("server"),
+        ).agg(*aggs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# roundrobinconnector: deterministic rotation (we key on a stable id,
+# not an arrival counter, so the split is cluster-size independent)
+# ---------------------------------------------------------------------------
+
+
+def round_robin(df: DataFrame, n: int, key: str) -> Column:
+    return F.pmod(F.col(key), F.lit(n)).alias("rr_route")

@@ -1,0 +1,325 @@
+"""Stanza parser operators (SURVEY.md §2.3), Spark-first.
+
+Reference semantics (pkg/stanza/operator/helper/parser.go:21-52): read
+``parse_from`` (default body/text), write the parsed map to
+``parse_to`` (default attributes), with ``on_error`` routing
+(send | drop) from helper/transformer.go:25-49.
+
+Design choice vs the reference: the Go engine runs one compiled regex
+per record in a per-record closure (pkg/stanza/operator/parser/regex/
+parser.go:16-66). Here every parser is a Column expression battery --
+JVM-side, whole-stage-codegen'd, vectorized by Tungsten -- which is
+strictly faster than shipping rows to Python. A pandas-UDF grok
+battery (:func:`grok_battery`) exists for patterns Spark's RE dialect
+cannot express; it is Arrow-batched, never per-row Python.
+"""
+
+from __future__ import annotations
+
+import re as _pyre
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# regex_parser -- named capture groups -> one typed column per group
+# (pkg/stanza/operator/parser/regex/parser.go:16-66)
+# ---------------------------------------------------------------------------
+
+
+def named_groups(pattern: str) -> list[str]:
+    """Capture-group names in order of their group index."""
+    compiled = _pyre.compile(pattern)
+    by_index = sorted(compiled.groupindex.items(), key=lambda kv: kv[1])
+    return [name for name, _ in by_index]
+
+
+def to_java_regex(pattern: str) -> str:
+    """Canonical patterns are Python/RE2 style ``(?P<name>...)``; Java
+    restricts group names to ``[A-Za-z][A-Za-z0-9]*``, so strip names
+    entirely -- extraction goes by group INDEX, which is unchanged.
+    Restricting patterns to the common Python/RE2/Java subset keeps
+    extraction byte-identical across the grok battery (Python),
+    regexp_extract (JVM), and the DuckDB oracle (RE2) -- the
+    SURVEY.md §7 "hard part 1" mitigation."""
+    return _pyre.sub(r"\(\?P<[^>]+>", "(", pattern)
+
+
+def regex_parser(
+    df: DataFrame,
+    pattern: str,
+    parse_from: str = "text",
+    prefix: str = "",
+    on_error: str = "send",
+) -> DataFrame:
+    """Extract every named group of ``pattern`` into its own column.
+
+    Runs N ``regexp_extract`` expressions over the same input column --
+    Catalyst collapses them into one projection and the common
+    subexpression (the match) stays in codegen. Non-matching rows yield
+    empty strings (normalized to NULL, matching stanza's "field absent"
+    rather than Go's empty-string); ``on_error='drop'`` removes rows
+    where the pattern does not match at all (transformer.go:148-166).
+    """
+    compiled = _pyre.compile(pattern)
+    jpattern = to_java_regex(pattern)
+    out = df
+    for name in named_groups(pattern):
+        idx = compiled.groupindex[name]
+        col = F.regexp_extract(F.col(parse_from), jpattern, idx)
+        out = out.withColumn(prefix + name, F.nullif(col, F.lit("")))
+    if on_error == "drop":
+        out = out.filter(F.col(parse_from).rlike(jpattern))
+    return out
+
+
+def extracted_text(df: DataFrame, pattern: str, parse_from: str = "text",
+                   to: str = "extracted_text") -> DataFrame:
+    """Whole-match capture (group 0) -- the byte-identical-per-url
+    invariant column required by BASELINE.json input_hint."""
+    return df.withColumn(
+        to, F.regexp_extract(F.col(parse_from), to_java_regex(pattern), 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# json / csv / key_value parsers
+# ---------------------------------------------------------------------------
+
+
+def json_parser(df: DataFrame, schema: str, parse_from: str = "body",
+                parse_to: str = "attributes") -> DataFrame:
+    """pkg/stanza/operator/parser/json -> F.from_json with an explicit
+    schema (promote-on-extract policy from SURVEY.md §1.3)."""
+    return df.withColumn(parse_to, F.from_json(F.col(parse_from), schema))
+
+
+def csv_parser(df: DataFrame, schema: str, parse_from: str = "body",
+               parse_to: str = "attributes", sep: str = ",") -> DataFrame:
+    """pkg/stanza/operator/parser/csv (engine
+    internal/coreinternal/parseutils/csv.go) -> F.from_csv."""
+    return df.withColumn(
+        parse_to, F.from_csv(F.col(parse_from), schema, {"sep": sep})
+    )
+
+
+def key_value_parser(
+    df: DataFrame,
+    parse_from: str = "text",
+    parse_to: str = "attributes",
+    pair_delimiter: str = " ",
+    kv_delimiter: str = "=",
+) -> DataFrame:
+    """pkg/stanza/operator/parser/keyvalue
+    (internal/coreinternal/parseutils/parser.go:14-65) -> str_to_map."""
+    return df.withColumn(
+        parse_to,
+        F.str_to_map(F.col(parse_from), F.lit(pair_delimiter), F.lit(kv_delimiter)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# uri_parser -- semconv url.* keys
+# (internal/coreinternal/parseutils/uri.go:22-152, semconv keys :56-93)
+# ---------------------------------------------------------------------------
+
+_URI_PARTS = {
+    "url_scheme": "PROTOCOL",
+    "url_domain": "HOST",
+    "url_path": "PATH",
+    "url_query": "QUERY",
+}
+
+
+def uri_parser(df: DataFrame, parse_from: str = "url") -> DataFrame:
+    """URL -> semconv-style columns via the native ``parse_url``
+    (kept JVM-side; the reference calls net/url.Parse per record).
+
+    Adds: url_scheme, url_domain, url_path, url_query, url_extension
+    (uri.go:86-93 derives extension from the last path segment).
+    """
+    out = df
+    for col_name, part in _URI_PARTS.items():
+        out = out.withColumn(col_name, F.parse_url(F.col(parse_from), F.lit(part)))
+    return out.withColumn(
+        "url_extension",
+        F.nullif(F.regexp_extract(F.col("url_path"), r"\.([A-Za-z0-9]+)$", 1), F.lit("")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time_parser -- strptime layout translation
+# (pkg/stanza/operator/helper/time.go:20-30,139-205)
+# ---------------------------------------------------------------------------
+
+# C strptime directive -> Spark datetime pattern. Covers the directives
+# the reference's ctimefmt supports for log timestamps.
+_STRPTIME_TO_SPARK = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%L": "SSS",
+    "%j": "DDD", "%p": "a", "%z": "xx", "%Z": "zzz", "%b": "MMM",
+    "%B": "MMMM", "%a": "EEE", "%A": "EEEE", "%%": "%",
+}
+
+
+def strptime_to_spark(layout: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(layout):
+        if layout[i] == "%" and i + 1 < len(layout):
+            d = layout[i : i + 2]
+            if d not in _STRPTIME_TO_SPARK:
+                raise ValueError(f"unsupported strptime directive {d!r}")
+            out.append(_STRPTIME_TO_SPARK[d])
+            i += 2
+        else:
+            ch = layout[i]
+            # quote literal letters for Spark's pattern syntax
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+def time_parser(
+    df: DataFrame,
+    parse_from: str,
+    layout: str,
+    layout_type: str = "strptime",
+    parse_to: str = "event_ts",
+) -> DataFrame:
+    """helper/time.go:139-205: strptime / epoch layouts -> timestamp."""
+    col = F.col(parse_from)
+    if layout_type == "strptime":
+        ts = F.to_timestamp(col, strptime_to_spark(layout))
+    elif layout_type == "epoch":
+        unit = layout  # "s" | "ms" | "us" | "ns"
+        as_long = col.cast("long")
+        ts = {
+            "s": F.timestamp_seconds(as_long),
+            "ms": F.timestamp_millis(as_long),
+            "us": F.timestamp_micros(as_long),
+            "ns": F.timestamp_micros((as_long / 1000).cast("long")),
+        }[unit]
+    else:
+        raise ValueError(f"unknown layout_type {layout_type!r}")
+    return df.withColumn(parse_to, ts)
+
+
+# ---------------------------------------------------------------------------
+# severity_parser (pkg/stanza/operator/helper/severity.go:23-60)
+# ---------------------------------------------------------------------------
+
+# Default alias table mirroring severity.go's severityMap (trace..fatal
+# with 4 sub-levels each; OTel severity numbers 1..24).
+DEFAULT_SEVERITY_MAP: dict[str, int] = {
+    "trace": 1, "trace2": 2, "trace3": 3, "trace4": 4,
+    "debug": 5, "debug2": 6, "debug3": 7, "debug4": 8,
+    "info": 9, "info2": 10, "info3": 11, "info4": 12,
+    "notice": 10, "warn": 13, "warning": 13, "warn2": 14,
+    "warn3": 15, "warn4": 16, "error": 17, "err": 17, "error2": 18,
+    "error3": 19, "error4": 20, "fatal": 21, "crit": 21, "critical": 21,
+    "alert": 22, "emerg": 23, "emergency": 23, "catastrophe": 24,
+}
+
+
+def severity_parser(
+    df: DataFrame,
+    parse_from: str = "severity_text",
+    parse_to: str = "severity_number",
+    mapping: dict[str, int] | None = None,
+) -> DataFrame:
+    """Alias -> severity enum via a map literal looked up with
+    element_at (one codegen'd expression; 0 = unknown like the Go
+    Severity default)."""
+    m = mapping or DEFAULT_SEVERITY_MAP
+    pairs: list[Column] = []
+    for k, v in m.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    lookup = F.create_map(*pairs)
+    return df.withColumn(
+        parse_to,
+        F.coalesce(
+            F.element_at(lookup, F.lower(F.col(parse_from))), F.lit(0)
+        ).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grok battery -- Arrow-batched pandas UDF for multi-pattern extraction
+# (ExtractGrokPatterns func_extract_grok_patterns.go:39-80; patterns are
+# precompiled once per executor in the closure, mirroring the literal-
+# pattern precompilation at :70-80)
+# ---------------------------------------------------------------------------
+
+GROK_PRIMITIVES = {
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "NUMBER": r"-?\d+(?:\.\d+)?",
+    "INT": r"-?\d+",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "GREEDYDATA": r".*",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "LOGLEVEL": r"(?:trace|debug|info|notice|warn(?:ing)?|err(?:or)?|crit(?:ical)?|alert|fatal|emerg(?:ency)?)",
+}
+
+_GROK_REF = _pyre.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def grok_to_regex(pattern: str) -> str:
+    """Expand ``%{PRIMITIVE:name}`` references into named groups."""
+
+    def _sub(m: _pyre.Match) -> str:
+        prim, name = m.group(1), m.group(2)
+        body = GROK_PRIMITIVES[prim]
+        return f"(?P<{name}>{body})" if name else f"(?:{body})"
+
+    return _GROK_REF.sub(_sub, pattern)
+
+
+def grok_battery(
+    df: DataFrame,
+    patterns: Iterable[str],
+    parse_from: str = "text",
+    prefix: str = "",
+) -> DataFrame:
+    """Run a battery of grok patterns, first-match-wins per field.
+
+    Implemented as ONE Arrow-batched pandas UDF returning a struct --
+    a single Python round-trip regardless of pattern count (vs one
+    JVM<->Python hop per pattern). Patterns are compiled once per
+    executor process (module-level via closure), mirroring the
+    reference's literal-pattern precompilation.
+    """
+    import pandas as pd  # noqa: PLC0415 (executor-side import)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    regexes = [grok_to_regex(p) for p in patterns]
+    fields: list[str] = []
+    for rx in regexes:
+        for name in named_groups(rx):
+            if name not in fields:
+                fields.append(name)
+    out_schema = StructType([StructField(f, StringType()) for f in fields])
+
+    @F.pandas_udf(out_schema)
+    def _extract(s: pd.Series) -> pd.DataFrame:
+        compiled = [_pyre.compile(rx) for rx in regexes]
+        cols: dict[str, list] = {f: [None] * len(s) for f in fields}
+        vals = s.to_numpy()
+        for i, text in enumerate(vals):
+            if text is None:
+                continue
+            for c in compiled:
+                m = c.search(text)
+                if m:
+                    for k, v in m.groupdict().items():
+                        if v is not None and cols[k][i] is None:
+                            cols[k][i] = v
+        return pd.DataFrame(cols)
+
+    struct_col = "_grok"
+    out = df.withColumn(struct_col, _extract(F.col(parse_from)))
+    for f in fields:
+        out = out.withColumn(prefix + f, F.col(f"{struct_col}.{f}"))
+    return out.drop(struct_col)

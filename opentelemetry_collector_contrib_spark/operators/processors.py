@@ -1,0 +1,384 @@
+"""Processor analogs (SURVEY.md §2.6): batch-to-batch rewrites.
+
+Every processor is ``DataFrame -> DataFrame`` built from declarative
+Column expressions. Stateful reference processors (interval, delta*)
+become window aggregations on event time -- deterministic and
+shuffle-partitioned by stream identity, which is exactly how they'd
+scale on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# filterprocessor (processor/filterprocessor/logs.go:78-131):
+# conditions are "drop if any matches"
+# ---------------------------------------------------------------------------
+
+
+def filter_processor(df: DataFrame, drop_conditions: list[Column]) -> DataFrame:
+    """Drop rows where ANY condition matches (OR short-circuit,
+    pkg/ottl/parser.go:470-503). NULL-valued conditions keep the row,
+    matching OTTL's cross-type/missing-value -> false comparison rule
+    (pkg/ottl/compare.go:48-52)."""
+    drop = F.lit(False)
+    for c in drop_conditions:
+        drop = drop | F.coalesce(c, F.lit(False))
+    return df.filter(~drop)
+
+
+# ---------------------------------------------------------------------------
+# attributesprocessor / resourceprocessor actions
+# (internal/coreinternal/attraction/attraction.go:108-141,287-350)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class AttrAction:
+    action: str          # insert | update | upsert | delete | hash | extract | convert
+    key: str
+    value: Column | None = None      # for insert/update/upsert
+    pattern: str | None = None       # for extract (named groups)
+    to_type: str | None = None       # for convert
+
+
+def attributes_processor(df: DataFrame, actions: list[AttrAction],
+                         condition: Column | None = None) -> DataFrame:
+    """Ordered attraction actions on promoted attribute COLUMNS.
+
+    Semantics (attraction.go:287-350): INSERT only if absent (NULL),
+    UPDATE only if present, UPSERT always, DELETE drops, HASH sha256's
+    the value, EXTRACT splats regex named groups into new columns,
+    CONVERT casts. ``condition`` gates every action row-wise
+    (include/exclude matcher analog); unconditioned rows keep their
+    original value.
+    """
+    from .parse import named_groups
+
+    out = df
+    for a in actions:
+        guard = condition if condition is not None else F.lit(True)
+        if a.action == "insert":
+            has = a.key in out.columns
+            base = F.col(a.key) if has else F.lit(None)
+            new = F.when(guard & base.isNull(), a.value).otherwise(base)
+            out = out.withColumn(a.key, new)
+        elif a.action == "update":
+            if a.key not in out.columns:
+                continue
+            out = out.withColumn(
+                a.key,
+                F.when(guard & F.col(a.key).isNotNull(), a.value).otherwise(F.col(a.key)),
+            )
+        elif a.action == "upsert":
+            base = F.col(a.key) if a.key in out.columns else F.lit(None)
+            out = out.withColumn(a.key, F.when(guard, a.value).otherwise(base))
+        elif a.action == "delete":
+            if a.key in out.columns:
+                out = out.drop(a.key) if condition is None else out.withColumn(
+                    a.key, F.when(guard, F.lit(None)).otherwise(F.col(a.key))
+                )
+        elif a.action == "hash":
+            out = out.withColumn(
+                a.key,
+                F.when(guard, F.sha2(F.col(a.key).cast("string"), 256)).otherwise(
+                    F.col(a.key).cast("string")
+                ),
+            )
+        elif a.action == "extract":
+            assert a.pattern is not None
+            from .parse import to_java_regex
+
+            for name in named_groups(a.pattern):
+                import re as _re
+
+                idx = _re.compile(a.pattern).groupindex[name]
+                val = F.nullif(
+                    F.regexp_extract(F.col(a.key), to_java_regex(a.pattern), idx),
+                    F.lit(""),
+                )
+                out = out.withColumn(name, F.when(guard, val))
+        elif a.action == "convert":
+            assert a.to_type is not None
+            out = out.withColumn(
+                a.key,
+                F.when(guard, F.col(a.key).cast(a.to_type)).otherwise(
+                    F.col(a.key).cast(a.to_type)
+                ),
+            )
+        else:
+            raise ValueError(f"unknown action {a.action!r}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lookupprocessor / geoipprocessor / dnslookup (processor/lookupprocessor
+# /processor.go:21-40): enrich from a small keyed table.
+# Spark: BROADCAST left join -- no shuffle of the fact table.
+# ---------------------------------------------------------------------------
+
+
+def lookup_processor(df: DataFrame, lookup: DataFrame, on: list[str],
+                     how: str = "left") -> DataFrame:
+    return df.join(F.broadcast(lookup), on=on, how=how)
+
+
+# ---------------------------------------------------------------------------
+# logdedupprocessor (processor/logdedupprocessor/counter.go:27-97,
+# 158-226; default interval config.go:18-19): per tumbling interval,
+# one representative row per dedup key + log_count + first/last ts.
+# ---------------------------------------------------------------------------
+
+
+def log_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    interval: str = "10 seconds",
+    condition: Column | None = None,
+) -> DataFrame:
+    """Tumbling-window dedup. ``condition`` selects eligible rows (OTTL
+    `conditions` in config); ineligible rows pass through unchanged in
+    the reference -- callers union them back if needed.
+
+    One hash aggregate; representative = the earliest row (min_by ts),
+    deterministic unlike the reference's arrival order.
+    """
+    src = df if condition is None else df.filter(condition)
+    win = F.window(F.col(ts_col), interval)
+    return (
+        src.groupBy(win.alias("window"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min(ts_col).alias("first_observed_timestamp"),
+            F.max(ts_col).alias("last_observed_timestamp"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *key_cols,
+            "log_count",
+            "first_observed_timestamp",
+            "last_observed_timestamp",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# intervalprocessor (processor/intervalprocessor/processor.go:97-231):
+# last value per stream identity per interval.
+# ---------------------------------------------------------------------------
+
+
+def interval_processor(
+    df: DataFrame,
+    stream_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    interval: str = "60 seconds",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Last-value aggregation: ``max_by(value, order)`` per
+    (window, stream). ``order_col`` defaults to the timestamp; pass a
+    unique id for deterministic tie-breaks."""
+    order = order_col or ts_col
+    win = F.window(F.col(ts_col), interval)
+    return (
+        df.groupBy(win.alias("window"), *stream_cols)
+        .agg(
+            F.max_by(F.col(value_col), F.col(order)).alias("last_value"),
+            F.max(ts_col).alias("ts"),
+        )
+        .select(F.col("window.start").alias("window_start"), *stream_cols,
+                "last_value", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deltatocumulative / cumulativetodelta / deltatorate
+# (internal/delta/delta.go:15-77; processor/cumulativetodeltaprocessor;
+# processor/deltatorateprocessor)
+# ---------------------------------------------------------------------------
+
+
+def delta_to_cumulative(df: DataFrame, stream_cols: list[str], ts_col: str,
+                        value_col: str, out_col: str = "cumulative") -> DataFrame:
+    """Running sum per stream ordered by event time.
+
+    delta.go:15-31 rejects out-of-order points; a sorted window makes
+    order explicit instead. Partitioned by stream identity -> each
+    stream's state lives on one task, the Spark analog of the
+    reference's per-stream map.
+    """
+    w = (
+        Window.partitionBy(*stream_cols)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(F.col(value_col)).over(w))
+
+
+def cumulative_to_delta(df: DataFrame, stream_cols: list[str], ts_col: str,
+                        value_col: str, out_col: str = "delta") -> DataFrame:
+    """value - lag(value) per stream; first point yields NULL (the
+    reference drops the first point as it has no baseline)."""
+    w = Window.partitionBy(*stream_cols).orderBy(ts_col)
+    return df.withColumn(
+        out_col, F.col(value_col) - F.lag(value_col).over(w)
+    )
+
+
+def delta_to_rate(df: DataFrame, value_col: str, start_ts: str, end_ts: str,
+                  out_col: str = "rate") -> DataFrame:
+    """delta sum -> gauge rate = value / interval-seconds
+    (processor/deltatorateprocessor/README)."""
+    secs = F.col(end_ts).cast("double") - F.col(start_ts).cast("double")
+    return df.withColumn(
+        out_col, F.when(secs > 0, F.col(value_col) / secs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# metricstransformprocessor aggregation
+# (internal/coreinternal/aggregateutil/aggregate.go:60-225)
+# ---------------------------------------------------------------------------
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def metrics_transform_aggregate(
+    df: DataFrame, group_cols: list[str], value_col: str, agg: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Aggregate across dropped label dimensions with
+    Sum/Mean/Min/Max/Median/Count (aggregate.go:60-225)."""
+    out_col = out_col or f"{agg}_{value_col}"
+    if agg == "median":
+        col = F.expr(f"percentile({value_col}, 0.5)")
+    elif agg == "count":
+        col = F.count(F.col(value_col))
+    else:
+        col = _AGG_FNS[agg](F.col(value_col))
+    return df.groupBy(*group_cols).agg(col.alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# probabilisticsamplerprocessor (config.go:39-66): deterministic
+# hash-based sampling -- same rows sampled at any cluster size.
+# ---------------------------------------------------------------------------
+
+
+def probabilistic_sampler(df: DataFrame, key: str, percent: float,
+                          hash_seed: int = 22) -> DataFrame:
+    """hash_seed mode: FNV-like hash of the key vs threshold. We use
+    xxhash64 (stable across Spark versions and cluster sizes); the
+    invariant that matters is determinism-per-key, not the exact hash
+    fn (the reference itself offers multiple modes)."""
+    threshold = int(percent * (1 << 32) / 100.0)
+    bucket = F.pmod(F.xxhash64(F.col(key), F.lit(hash_seed)), F.lit(1 << 32))
+    return df.filter(bucket < threshold)
+
+
+# ---------------------------------------------------------------------------
+# tailsamplingprocessor (config.go:12-53): whole-trace decisions.
+# Batch form: aggregate policy verdicts per trace, semi-join survivors.
+# ---------------------------------------------------------------------------
+
+
+def tail_sampling(
+    df: DataFrame,
+    trace_col: str,
+    keep_policies: list[Column],
+) -> DataFrame:
+    """Keep ALL rows of a trace if ANY policy matches ANY of its rows
+    (OR-combination, the default composite). Plan: aggregate verdict
+    per trace (tiny) -> broadcast-ready semi join back."""
+    verdict = F.lit(False)
+    for p in keep_policies:
+        verdict = verdict | F.coalesce(p, F.lit(False))
+    keep = (
+        df.groupBy(trace_col)
+        .agg(F.max(verdict.cast("int")).alias("__keep"))
+        .filter(F.col("__keep") == 1)
+        .select(trace_col)
+    )
+    return df.join(keep, on=trace_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# redactionprocessor (README.md:20-65): allowlist + mask value patterns
+# ---------------------------------------------------------------------------
+
+
+def redaction_processor(
+    df: DataFrame,
+    target_cols: list[str],
+    blocked_value_patterns: list[str],
+    mask: str = "****",
+) -> DataFrame:
+    """Mask any substring matching a blocked pattern in the target
+    string columns; adds a redacted-count summary column per the
+    reference's summary attrs."""
+    out = df
+    combined = "|".join(f"(?:{p})" for p in blocked_value_patterns)
+    total = F.lit(0)
+    for c in target_cols:
+        cnt = F.when(
+            F.col(c).isNotNull(), F.size(F.regexp_extract_all(F.col(c), F.lit(combined)))
+        ).otherwise(F.lit(0))
+        total = total + cnt
+        out = out.withColumn(c, F.regexp_replace(F.col(c), combined, mask))
+    return out.withColumn("redacted_count", total)
+
+
+# ---------------------------------------------------------------------------
+# unrollprocessor (processor/unrollprocessor/processor.go:31-69)
+# ---------------------------------------------------------------------------
+
+
+def unroll_processor(df: DataFrame, array_col: str,
+                     out_col: str = "body") -> DataFrame:
+    """Explode a slice-valued body into one record per element. The
+    reference skips non-slice bodies (keeps the row) -- mirrored by
+    treating NULL/empty arrays as pass-through with NULL element."""
+    return df.withColumn(
+        out_col,
+        F.explode_outer(F.col(array_col)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# groupbyattrsprocessor (processor/groupbyattrsprocessor/processor.go:
+# 63-99): promote record attrs to resource identity. With denormalized
+# columns this is a namespace move; grouping happens at aggregation.
+# ---------------------------------------------------------------------------
+
+
+def group_by_attrs(df: DataFrame, promote: list[str],
+                   resource_prefix: str = "resource_") -> DataFrame:
+    out = df
+    for a in promote:
+        out = out.withColumnRenamed(a, f"{resource_prefix}{a}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# schemaprocessor (processor/schemaprocessor): semconv version renames
+# ---------------------------------------------------------------------------
+
+
+def schema_processor(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+    out = df
+    for old, new in renames.items():
+        if old in out.columns:
+            out = out.withColumnRenamed(old, new)
+    return out

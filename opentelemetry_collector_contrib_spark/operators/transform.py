@@ -1,0 +1,114 @@
+"""Stanza transformer operators (SURVEY.md §2.4): row-level rewrites.
+
+Field edits are projections (free under Catalyst's CollapseProject);
+``recombine`` -- the one genuinely stateful operator -- becomes a
+window-function sessionization, the deterministic batch equivalent of
+the reference's per-source in-memory batching
+(pkg/stanza/operator/transformer/recombine/transformer.go:26-115).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- field edits (transformer/{add,copy,move,remove,retain}) --------------
+
+
+def add(df: DataFrame, field: str, value: Column) -> DataFrame:
+    return df.withColumn(field, value)
+
+
+def copy(df: DataFrame, src: str, dst: str) -> DataFrame:
+    return df.withColumn(dst, F.col(src))
+
+
+def move(df: DataFrame, src: str, dst: str) -> DataFrame:
+    return df.withColumn(dst, F.col(src)).drop(src)
+
+
+def remove(df: DataFrame, *fields: str) -> DataFrame:
+    return df.drop(*fields)
+
+
+def retain(df: DataFrame, *fields: str) -> DataFrame:
+    return df.select(*fields)
+
+
+def flatten(df: DataFrame, struct_col: str) -> DataFrame:
+    """transformer/flatten: lift a nested struct one level up."""
+    others = [c for c in df.columns if c != struct_col]
+    return df.select(*others, f"{struct_col}.*")
+
+
+def filter_transformer(df: DataFrame, drop_condition: Column) -> DataFrame:
+    """transformer/filter: drop entries matching the expression."""
+    return df.filter(~F.coalesce(drop_condition, F.lit(False)))
+
+
+# --- scalar cleanups -------------------------------------------------------
+
+
+def regex_replace(df: DataFrame, col: str, pattern: str, repl: str) -> DataFrame:
+    return df.withColumn(col, F.regexp_replace(F.col(col), pattern, repl))
+
+
+def unquote(df: DataFrame, col: str) -> DataFrame:
+    """transformer/unquote: strip one matching pair of quotes."""
+    c = F.col(col)
+    quoted = (
+        (c.startswith('"') & c.endswith('"')) | (c.startswith("'") & c.endswith("'"))
+    ) & (F.length(c) >= 2)
+    return df.withColumn(
+        col, F.when(quoted, F.substring(c, 2, F.length(c) - F.lit(2))).otherwise(c)
+    )
+
+
+def sanitize_utf8(df: DataFrame, col: str) -> DataFrame:
+    """transformer/sanitize_utf8: drop invalid sequences. Spark strings
+    are already valid UTF-8 post-decode; scrub replacement chars."""
+    return df.withColumn(col, F.regexp_replace(F.col(col), "�", ""))
+
+
+# --- recombine: multiline merge as sessionization --------------------------
+
+
+def recombine(
+    df: DataFrame,
+    source_cols: list[str],
+    order_col: str,
+    is_first_entry: Column,
+    combine_field: str = "body",
+    combine_with: str = "\n",
+) -> DataFrame:
+    """Merge consecutive entries per source into one, starting a new
+    group whenever ``is_first_entry`` matches (transformer.go:216-307).
+
+    session_id = running count of first-entry markers per source
+    (window cumsum), then one groupBy concatenates bodies in order.
+    Two shuffles on the source key -- at scale both land on the same
+    partitioning so the second is a local aggregation after AQE.
+    """
+    w = (
+        Window.partitionBy(*source_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = df.withColumn(
+        "__session", F.sum(is_first_entry.cast("long")).over(w)
+    )
+    return (
+        sess.groupBy(*source_cols, "__session")
+        .agg(
+            F.concat_ws(
+                combine_with,
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                            F.col(combine_field).alias("v")))
+                ).getField("v"),
+            ).alias(combine_field),
+            F.min(order_col).alias(order_col),
+            F.count(F.lit(1)).alias("recombined_count"),
+        )
+        .drop("__session")
+    )

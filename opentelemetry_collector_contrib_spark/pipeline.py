@@ -1,0 +1,166 @@
+"""The flagship collector pipeline: receive -> parse -> enrich -> route
+-> aggregate -> export, over ``web_pages(url, warc_ts, html, text,
+lang)`` (BASELINE.json input_hint).
+
+Composition of the operator library that mirrors a full collector
+config: filelogreceiver + regex_parser (stanza) + lookupprocessor +
+routingconnector + countconnector/spanmetrics, as ONE declarative
+DataFrame plan:
+
+- parse: JVM-side regexp battery + kv-map + URI split (codegen; no
+  Python in the hot path);
+- enrich: broadcast hash join on host (fact table never shuffles);
+- route: single route-index projection, first-match-move semantics
+  (routingconnector/logs.go:62-157);
+- aggregate: hash aggregates with map-side partials; event-time
+  tumbling windows instead of wall-clock tickers (SURVEY.md §2.9).
+
+Scale notes (100 TB): the only shuffles are the final groupBys on
+(sink, dims) -- low-cardinality keys after map-side combine, so the
+shuffle is tiny regardless of input size. The parse+enrich+route
+prefix is shuffle-free. Skewed hosts do not skew this plan because
+partial aggregation collapses the mega-host's rows on the map side;
+see skew.py for the salting path used when a downstream op genuinely
+keys on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import attach_binary_columns, host_lookup_df, web_pages_from_documents
+from .operators import parse as P
+from .operators.connectors import (
+    DEFAULT_ROUTE,
+    Route,
+    count_connector,
+    route,
+    route_name_column,
+    span_metrics,
+)
+from .operators.processors import lookup_processor
+
+# The parse battery for the synthetic access-log-style text payload.
+# One combined pattern so group 0 doubles as the byte-identical
+# `extracted_text` invariant column (BASELINE.json input_hint).
+TEXT_PATTERN = (
+    r"ts=(?P<ts_epoch>\d+) status=(?P<status>\d+) sev=(?P<sev>[a-z]+) "
+    r"ip=(?P<ip>[\d.]+) bytes=(?P<bytes>\d+) method=(?P<method>[A-Z]+) "
+    r"msg=(?P<msg>\S+)"
+)
+
+
+def default_routes() -> list[Route]:
+    """FIXTURES.md §3 routing table. Order matters (first-match-move)."""
+    return [
+        Route("errors", (F.col("status") == "500") | (F.col("sev") == "error"), "move"),
+        Route("spam", F.col("category") == "spam", "move"),
+        Route("high_tier", F.col("tier") == 1, "copy"),
+    ]
+
+
+@dataclass
+class PipelineResult:
+    parsed: DataFrame
+    enriched: DataFrame
+    sinks: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def parse_stage(web_pages: DataFrame) -> DataFrame:
+    """stanza regex_parser + uri_parser + key_value_parser + time_parser
+    + severity_parser composed over the raw page rows."""
+    df = P.regex_parser(web_pages, TEXT_PATTERN, parse_from="text")
+    df = P.extracted_text(df, TEXT_PATTERN, parse_from="text")
+    df = P.uri_parser(df, parse_from="url")
+    df = df.withColumn("host", F.col("url_domain"))
+    df = P.key_value_parser(df, parse_from="text", parse_to="attributes")
+    df = P.time_parser(df, parse_from="ts_epoch", layout="s",
+                       layout_type="epoch", parse_to="event_ts")
+    df = P.severity_parser(df, parse_from="sev", parse_to="severity_number")
+    return df.withColumn("bytes", F.col("bytes").cast("long"))
+
+
+def enrich_stage(parsed: DataFrame, lookup: DataFrame) -> DataFrame:
+    """lookupprocessor analog: broadcast left join on host."""
+    return lookup_processor(parsed, lookup, on=["host"], how="left")
+
+
+def route_stage(enriched: DataFrame) -> dict[str, DataFrame]:
+    return route(enriched, default_routes()).sinks
+
+
+def sink_counts(sinks: dict[str, DataFrame]) -> DataFrame:
+    """countconnector per sink, dims=(host,category): rows with NULL
+    category (host not in lookup) are excluded per counter.go:64-67."""
+    outs = []
+    for name, sdf in sinks.items():
+        c = count_connector(
+            sdf, dims=["host", "category"], ts_col="event_ts",
+            metric_name="page.count",
+        ).withColumn("sink", F.lit(name))
+        outs.append(c)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def sink_histograms(sinks: dict[str, DataFrame],
+                    bounds: list[float] | None = None) -> DataFrame:
+    """spanmetrics analog per sink: windowed explicit-bucket histogram
+    over the bytes column (stand-in for span latency)."""
+    bounds = bounds or [500.0, 1000.0, 2000.0, 4000.0]
+    outs = []
+    for name, sdf in sinks.items():
+        h = span_metrics(
+            sdf, dims=["host"], value_col="bytes", ts_col="event_ts",
+            window_duration="10 minutes", bounds=bounds,
+        ).withColumn("sink", F.lit(name))
+        outs.append(h)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def run_pipeline(spark: SparkSession, web_pages: DataFrame) -> PipelineResult:
+    lookup = host_lookup_df(spark)
+    parsed = parse_stage(web_pages)
+    enriched = enrich_stage(parsed, lookup)
+    sinks = route_stage(enriched)
+    return PipelineResult(parsed=parsed, enriched=enriched, sinks=sinks)
+
+
+def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's flagship query: full pipeline -> per-sink counts.
+
+    Timestamps are surfaced as epoch bigints so the DuckDB oracle
+    compares hash-stably across engines.
+    """
+    web = web_pages_from_documents(spark, sf_dir)
+    web = attach_binary_columns(web)
+    res = run_pipeline(spark, web)
+    counts = sink_counts(res.sinks)
+    return counts.select(
+        "sink",
+        "host",
+        "category",
+        F.col("count").alias("page_count"),
+        F.unix_timestamp("start_ts").alias("start_epoch"),
+        F.unix_timestamp("ts").alias("end_epoch"),
+    ).orderBy("sink", "host", "category")
+
+
+def routed_flat(spark: SparkSession, web_pages: DataFrame) -> DataFrame:
+    """Single-pass route tagging (MOVE ownership only) for fan-out
+    writes: ``df.write.partitionBy('route_name')`` writes every sink in
+    one job -- the scale path; per-sink DataFrames are the semantic
+    path."""
+    lookup = host_lookup_df(spark)
+    enriched = enrich_stage(parse_stage(web_pages), lookup)
+    return enriched.withColumn(
+        "route_name", route_name_column(default_routes())
+    )

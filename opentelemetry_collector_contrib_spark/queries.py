@@ -1,0 +1,333 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+One entry per implemented operator from SURVEY.md §2, each a
+``(spark, sf_dir) -> DataFrame`` callable with a matching ANSI-SQL
+oracle string. Column names/aliases match EXACTLY between the Spark
+result and the oracle (the driver hashes values after sorting columns
+by name).
+
+The end-to-end pipeline queries synthesize ``web_pages`` from the
+driver's ``documents`` table via the PORTABLE fragment in datagen.py,
+so the DuckDB oracle reproduces the identical input -- giving a full
+parse -> enrich -> route -> aggregate equivalence check (the
+"golden output" discipline of pkg/golden, SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import datagen
+from .operators import connectors as C
+from .operators import parse as P
+from .operators import processors as PR
+from .pipeline import default_routes, enrich_stage, parse_stage, run_flagship
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTEs for the web_pages pipeline
+# ---------------------------------------------------------------------------
+
+_WEB_CTE = f"""
+WITH web AS ({{web_sql}}),
+lookup AS ({datagen.host_lookup_select_sql()}),
+parsed AS (
+  SELECT web.*,
+         regexp_extract(url, 'https://([^/]+)/', 1)           AS host,
+         regexp_extract(text, 'status=(\\d+)', 1)              AS status,
+         regexp_extract(text, 'sev=([a-z]+)', 1)               AS sev,
+         CAST(regexp_extract(text, 'ts=(\\d+)', 1) AS BIGINT)  AS ts_epoch,
+         CAST(regexp_extract(text, 'bytes=(\\d+)', 1) AS BIGINT) AS bytes
+  FROM web),
+enriched AS (
+  SELECT p.*, l.category, l.geo_country, l.tier
+  FROM parsed p LEFT JOIN lookup l USING (host)),
+routed AS (
+  SELECT *,
+         CASE WHEN status = '500' OR sev = 'error' THEN 'errors'
+              WHEN category = 'spam' THEN 'spam'
+              ELSE '__default__' END AS sink
+  FROM enriched)
+"""
+
+
+def _web_cte() -> str:
+    return _WEB_CTE.format(web_sql=datagen.web_pages_select_sql("documents"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship: full pipeline -> per-sink countconnector output
+# (receiver+regex_parser+lookupprocessor+routingconnector+countconnector)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_ORACLE = (
+    _web_cte()
+    + """
+, moved AS (
+  SELECT sink, host, category, ts_epoch FROM routed
+  UNION ALL
+  SELECT 'high_tier' AS sink, host, category, ts_epoch
+  FROM routed WHERE sink = '__default__' AND tier = 1)
+SELECT sink, host, category,
+       COUNT(*)      AS page_count,
+       MIN(ts_epoch) AS start_epoch,
+       MAX(ts_epoch) AS end_epoch
+FROM moved
+WHERE category IS NOT NULL
+GROUP BY sink, host, category
+ORDER BY sink, host, category
+"""
+)
+
+
+@register("pipeline_e2e_counts", _FLAGSHIP_ORACLE)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_flagship(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Routed-row equality (the BASELINE.json routed-row invariant): every
+# page's MOVE ownership, exactly (routingconnector/logs.go:62-157).
+# ---------------------------------------------------------------------------
+
+_ROUTED_ORACLE = (
+    _web_cte()
+    + """
+SELECT page_id, sink AS route_name, host, status, sev
+FROM routed ORDER BY page_id
+"""
+)
+
+
+@register("pipeline_routed_rows", _ROUTED_ORACLE)
+def q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import route_name_column
+
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    lookup = datagen.host_lookup_df(spark)
+    enriched = enrich_stage(parse_stage(web), lookup)
+    return enriched.select(
+        "page_id",
+        route_name_column(default_routes()),
+        "host",
+        "status",
+        "sev",
+    ).orderBy("page_id")
+
+
+# ---------------------------------------------------------------------------
+# Byte-identical extracted text per url (input_hint invariant)
+# ---------------------------------------------------------------------------
+
+_EXTRACT_ORACLE = (
+    "WITH web AS ("
+    + datagen.web_pages_select_sql("documents")
+    + """)
+SELECT url,
+       regexp_extract(text,
+  'ts=(\\d+) status=(\\d+) sev=([a-z]+) ip=([\\d.]+) bytes=(\\d+) method=([A-Z]+) msg=(\\S+)',
+  0) AS extracted_text
+FROM web ORDER BY url
+"""
+)
+
+
+@register("parse_extracted_text", _EXTRACT_ORACLE)
+def q_extracted_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import TEXT_PATTERN
+
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    return (
+        P.extracted_text(web, TEXT_PATTERN, parse_from="text")
+        .select("url", "extracted_text")
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# countconnector over the driver's events table
+# (connector/countconnector/counter.go:39-149)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "count_connector_events",
+    """
+SELECT event_type,
+       COUNT(*) AS count,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_epoch,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_epoch
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_count_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = C.count_connector(ev, dims=["event_type"], ts_col="ts")
+    return out.select(
+        "event_type",
+        "count",
+        F.unix_timestamp("start_ts").alias("start_epoch"),
+        F.unix_timestamp("ts").alias("end_epoch"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# sumconnector (connector/sumconnector README.md:26-73)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sum_connector_events",
+    """
+SELECT event_type, ROUND(SUM(value), 4) AS sum
+FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_sum_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROUND(.,4) on both sides: double summation order differs between
+    # engines; 1e-4 absolute tolerance vs ~1e-9 real roundoff.
+    ev = _read(spark, sf_dir, "events")
+    return (
+        C.sum_connector(ev, "value", ["event_type"])
+        .select("event_type", F.round("sum", 4).alias("sum"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filterprocessor (processor/filterprocessor/logs.go:78-131)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_processor_events",
+    """
+SELECT event_id, event_type, value FROM events
+WHERE NOT (event_type = 'error' OR value > 180.0)
+ORDER BY event_id
+""",
+)
+def q_filter_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = PR.filter_processor(
+        ev, [F.col("event_type") == "error", F.col("value") > 180.0]
+    )
+    return out.select("event_id", "event_type", "value").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# logdedupprocessor (processor/logdedupprocessor/counter.go:27-97):
+# tumbling 10-minute interval, key=(user_id, event_type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "logdedup_events",
+    """
+SELECT CAST(FLOOR(epoch(time_bucket(INTERVAL '10 minutes', ts))) AS BIGINT) AS window_epoch,
+       user_id, event_type,
+       COUNT(*) AS log_count,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS first_epoch,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS last_epoch
+FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def q_logdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = PR.log_dedup(ev, ["user_id", "event_type"], "ts", "10 minutes")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "user_id",
+        "event_type",
+        "log_count",
+        F.unix_timestamp("first_observed_timestamp").alias("first_epoch"),
+        F.unix_timestamp("last_observed_timestamp").alias("last_epoch"),
+    ).orderBy("window_epoch", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# deltatocumulative (internal/delta/delta.go:15-77): running sum per
+# stream (user_id) in event-time order (ties broken by event_id).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_to_cumulative_events",
+    """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS cumulative
+FROM events ORDER BY event_id
+""",
+)
+def q_delta_to_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("cumulative", F.round(F.sum("value").over(w), 4))
+        .select("event_id", "user_id", "cumulative")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cumulativetodelta (processor/cumulativetodeltaprocessor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_to_delta_events",
+    """
+SELECT event_id, user_id,
+       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events ORDER BY event_id
+""",
+)
+def q_cumulative_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("delta", F.col("value") - F.lag("value").over(w))
+        .select("event_id", "user_id", "delta")
+        .orderBy("event_id")
+    )

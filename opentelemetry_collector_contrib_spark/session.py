@@ -1,0 +1,71 @@
+"""SparkSession builders tuned for the pipeline.
+
+Local sessions mirror the confs we would ship to a 1000-executor
+cluster: AQE on (runtime re-plan + skew-join splitting), broadcast
+threshold sized for lookup tables, Arrow enabled for the vectorized
+pandas-UDF stages, and shuffle partitions sized to the parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs we would set identically on a real cluster. Everything else
+# (executor sizing, dynamic allocation) is deploy-time, not code-time.
+ENGINE_CONFS: dict[str, str] = {
+    # AQE: runtime coalescing of small shuffle partitions and skew-join
+    # splitting -- the first line of defense for skewed hosts at scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast lookup tables (host_lookup / geoip analogs) freely; they
+    # are tiny relative to the fact table by design.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow transfer for the pandas-UDF parse battery.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Timestamps are event-time UTC everywhere; never local-zone.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scans: keep row groups aligned with task splits at scale.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+def get_spark(
+    app_name: str = "otel-contrib-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session with the engine confs applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count so small-SF
+    runs don't pay 200-partition scheduling overhead; on a real cluster
+    this is deploy-time tuned (or left to AQE coalescing).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    b = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    b = b.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    if extra_confs:
+        for k, v in extra_confs.items():
+            b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Fully stop the active session (used by the scaling bench to
+    re-launch at a different parallelism)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

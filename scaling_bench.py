@@ -1,0 +1,74 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+Runs the identical e2e pipeline job on the SAME input at local[N] and
+local[4N] (sandbox stand-in for N vs 4N executors; each run in a fresh
+subprocess so the JVM parallelism is really different), and reports
+throughput at both plus scaling efficiency = (T_N / T_4N) / 4.
+
+Usage: python scaling_bench.py [--n 8] [--docs 2000000]
+Prints one JSON line; also meant to be copied into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = """
+import json, sys, time
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+from opentelemetry_collector_contrib_spark.session import get_spark
+from opentelemetry_collector_contrib_spark.datagen import generate_web_pages
+from opentelemetry_collector_contrib_spark.pipeline import run_pipeline, sink_counts
+
+spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+# warm-up: JIT + codegen caches, small run
+w = generate_web_pages(spark, 50_000, cpus)
+sink_counts(run_pipeline(spark, w).sinks).count()
+t0 = time.perf_counter()
+web = generate_web_pages(spark, n_docs, num_partitions=cpus * 2)
+res = run_pipeline(spark, web)
+n = sink_counts(res.sinks).count()
+sec = time.perf_counter() - t0
+spark.stop()
+print(json.dumps({"cpus": cpus, "sec": sec, "docs_per_sec": n_docs / sec}))
+"""
+
+
+def run_at(cpus: int, n_docs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(cpus), str(n_docs)],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=1800,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--docs", type=int, default=2_000_000)
+    args = ap.parse_args()
+
+    small = run_at(args.n, args.docs)
+    large = run_at(args.n * 4, args.docs)
+    efficiency = (small["sec"] / large["sec"]) / 4.0
+    print(json.dumps({
+        "n_docs": args.docs,
+        f"local[{args.n}]": {"sec": round(small["sec"], 2),
+                             "docs_per_sec": round(small["docs_per_sec"], 1)},
+        f"local[{args.n * 4}]": {"sec": round(large["sec"], 2),
+                                 "docs_per_sec": round(large["docs_per_sec"], 1)},
+        "scaling_efficiency_Nto4N": round(efficiency, 3),
+        "target": ">=0.8",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Shared fixtures: one local SparkSession per test session + a DuckDB
+connection with the driver's table views pre-registered (mirrors the
+driver's correctness harness)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from opentelemetry_collector_contrib_spark.session import get_spark
+
+SF_UNIT = "/root/testdata/sf0.001"   # smoke/unit scale
+SF_ORACLE = "/root/testdata/sf0.01"  # driver's correctness scale
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck_oracle():
+    con = make_duck(SF_ORACLE)
+    yield con
+    con.close()

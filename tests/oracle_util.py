@@ -1,0 +1,61 @@
+"""Order-insensitive Spark-vs-DuckDB result comparison, mirroring the
+driver's CORRECTNESS harness (row count + schema + sorted value
+equality)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype("float64")  # unify int32/int64
+        elif out[c].dtype == object:
+            out[c] = out[c].astype(str)
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def assert_equivalent(spark_df, duck_con, oracle: str, name: str = "?") -> None:
+    got = normalize(spark_df.toPandas())
+    want = normalize(duck_con.execute(oracle).df())
+    assert len(got) == len(want), (
+        f"{name}: row count {len(got)} != oracle {len(want)}"
+    )
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != oracle {list(want.columns)}"
+    )
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            ga = pd.to_numeric(g, errors="coerce")
+            wa = pd.to_numeric(w, errors="coerce")
+            both_nan = ga.isna() & wa.isna()
+            close = pd.Series(
+                [
+                    (bn or (not math.isnan(x) and not math.isnan(y)
+                            and abs(x - y) <= 1e-6 + 1e-9 * abs(y)))
+                    for x, y, bn in zip(
+                        ga.fillna(float("nan")), wa.fillna(float("nan")), both_nan
+                    )
+                ]
+            )
+            bad = (~close).to_numpy().nonzero()[0]
+            assert len(bad) == 0, (
+                f"{name}.{c}: {len(bad)} mismatches, first at row {bad[0]}: "
+                f"{ga.iloc[bad[0]]} vs {wa.iloc[bad[0]]}"
+            )
+        else:
+            neq = (g != w) & ~(g.isna() & w.isna())
+            bad = neq.to_numpy().nonzero()[0]
+            assert len(bad) == 0, (
+                f"{name}.{c}: {len(bad)} mismatches, first at row {bad[0]}: "
+                f"{g.iloc[bad[0]]!r} vs {w.iloc[bad[0]]!r}"
+            )

@@ -1,0 +1,26 @@
+"""Every registered query must match its DuckDB oracle at sf0.01 --
+the same check the driver runs for CORRECTNESS_r{N}.json."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark import queries as Q
+
+from .conftest import SF_ORACLE
+from .oracle_util import assert_equivalent
+
+_cases = sorted(Q.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _cases)
+def test_query_matches_oracle(spark, duck_oracle, name):
+    df = Q.queries()[name](spark, SF_ORACLE)
+    assert_equivalent(df, duck_oracle, Q.oracle_sql()[name], name)
+
+
+def test_all_queries_run(spark):
+    """Queries without an oracle still must run and return a schema."""
+    for name, fn in Q.queries().items():
+        df = fn(spark, SF_ORACLE)
+        assert df.columns, name
