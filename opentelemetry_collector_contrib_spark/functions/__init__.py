@@ -1,0 +1,11 @@
+"""OTTL converter/editor function library as Column builders.
+
+The reference exposes ~100 pure converter functions plus 13 editors
+(pkg/ottl/ottlfuncs/functions.go:11-139). Here each is a function
+``(*Column|literal) -> Column`` registered in :data:`REGISTRY`, so the
+OTTL compiler (and plain Python callers) can build JVM-side expressions
+-- the vectorized upgrade over the reference's per-record closures
+(SURVEY.md §4 "Vectorization: absent").
+"""
+
+from .ottl_funcs import REGISTRY, get_function  # noqa: F401

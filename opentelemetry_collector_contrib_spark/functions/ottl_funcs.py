@@ -1,0 +1,582 @@
+"""OTTL converters (pkg/ottl/ottlfuncs/func_*.go) -> Spark Columns.
+
+Registry names match the OTTL function names exactly (editor names are
+lowercase, converters TitleCase -- grammar.go:22-34). Every function
+returns a Column built from pyspark.sql.functions, i.e. JVM-side and
+codegen-eligible; the few genuinely non-native ones (Luhn, FNV) are
+documented inline.
+
+Cited per function: the reference file under pkg/ottl/ottlfuncs/.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(x: Any) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+# ---------------------------------------------------------------------------
+# string (func_convert_case.go, func_trim*.go, func_split.go, ...)
+# ---------------------------------------------------------------------------
+
+
+def ToUpperCase(c):  # func_to_upper_case.go
+    return F.upper(_col(c))
+
+
+def ToLowerCase(c):  # func_to_lower_case.go
+    return F.lower(_col(c))
+
+
+def ToSnakeCase(c):
+    """func_convert_case.go snake mode: camelCase/PascalCase -> snake."""
+    s = F.regexp_replace(_col(c), r"([a-z0-9])([A-Z])", r"$1_$2")
+    s = F.regexp_replace(s, r"[\s-]+", "_")
+    return F.lower(s)
+
+
+def ToCamelCase(c):
+    """snake_case -> CamelCase (initcap per segment, no separators)."""
+    return F.regexp_replace(F.initcap(F.regexp_replace(_col(c), "_", " ")), " ", "")
+
+
+def ConvertCase(c, mode: str):  # func_convert_case.go
+    return {
+        "upper": ToUpperCase, "lower": ToLowerCase,
+        "snake": ToSnakeCase, "camel": ToCamelCase,
+    }[mode](c)
+
+
+def Trim(c, cut: str = " "):  # func_trim.go
+    return F.trim(_col(c)) if cut == " " else F.btrim(_col(c), F.lit(cut))
+
+
+def TrimPrefix(c, prefix: str):
+    cc = _col(c)
+    return F.when(cc.startswith(prefix), F.substr(cc, F.lit(len(prefix) + 1))).otherwise(cc)
+
+
+def TrimSuffix(c, suffix: str):
+    cc = _col(c)
+    n = len(suffix)
+    return F.when(
+        cc.endswith(suffix), F.substring(cc, 1, F.length(cc) - F.lit(n))
+    ).otherwise(cc)
+
+
+def Split(c, sep: str):  # func_split.go (literal separator)
+    import re
+
+    return F.split(_col(c), re.escape(sep))
+
+
+def Substring(c, start, length):  # func_substring.go (0-based start)
+    return F.substring(_col(c), _col(start) + F.lit(1), _col(length))
+
+
+def Concat(sep: str, *parts):  # func_concat.go (delimiter-joined)
+    return F.concat_ws(sep, *[_col(p).cast("string") for p in parts])
+
+
+def Format(fmt: str, *args):  # func_format.go (printf)
+    return F.format_string(fmt, *[_col(a) for a in args])
+
+
+def HasPrefix(c, prefix: str):
+    return _col(c).startswith(prefix)
+
+
+def HasSuffix(c, suffix: str):
+    return _col(c).endswith(suffix)
+
+
+def Len(c):  # func_len.go: string length or collection size
+    cc = _col(c)
+    return F.length(cc)
+
+
+def SizeOf(c):
+    return F.size(_col(c))
+
+
+# ---------------------------------------------------------------------------
+# regex / parse
+# ---------------------------------------------------------------------------
+
+
+def IsMatch(c, pattern: str):  # func_is_match.go
+    from ..operators.parse import to_java_regex
+
+    return _col(c).rlike(to_java_regex(pattern))
+
+
+def ExtractPatterns(c, pattern: str):
+    """func_extract_patterns.go:36-50 named groups -> map<string,string>."""
+    import re
+
+    from ..operators.parse import named_groups, to_java_regex
+
+    compiled = re.compile(pattern)
+    jp = to_java_regex(pattern)
+    names = named_groups(pattern)
+    entries = []
+    for n in names:
+        idx = compiled.groupindex[n]
+        entries.append(F.lit(n))
+        entries.append(F.regexp_extract(_col(c), jp, idx))
+    return F.map_from_arrays(
+        F.array(*entries[0::2]), F.array(*entries[1::2])
+    )
+
+
+def ParseJSON(c, schema: str = "map<string,string>"):  # func_parse_json.go
+    return F.from_json(_col(c), schema)
+
+
+def ParseCSV(c, schema: str, sep: str = ","):  # func_parse_csv.go
+    return F.from_csv(_col(c), schema, {"sep": sep})
+
+
+def ParseKeyValue(c, pair_sep: str = " ", kv_sep: str = "="):
+    return F.str_to_map(_col(c), F.lit(pair_sep), F.lit(kv_sep))
+
+
+def ParseInt(c, base: int = 10):  # func_parse_int.go
+    if base == 10:
+        return _col(c).cast("long")
+    if base == 16:
+        return F.conv(F.regexp_replace(_col(c), "^0x", ""), 16, 10).cast("long")
+    raise ValueError(f"unsupported base {base}")
+
+
+def URL(c):
+    """func_url.go:31-44 -> struct of semconv url.* parts."""
+    cc = _col(c)
+    return F.struct(
+        F.parse_url(cc, F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(cc, F.lit("HOST")).alias("domain"),
+        F.parse_url(cc, F.lit("PATH")).alias("path"),
+        F.parse_url(cc, F.lit("QUERY")).alias("query"),
+    )
+
+
+def Decode(c, encoding: str = "utf-8"):  # func_decode.go
+    return F.decode(_col(c), encoding)
+
+
+def Base64Decode(c):  # deprecated alias in the reference
+    return F.unbase64(_col(c))
+
+
+def Hex(c):  # func_hex.go
+    return F.lower(F.hex(_col(c)))
+
+
+# ---------------------------------------------------------------------------
+# datetime (func_time.go, func_duration.go, func_unix*.go, ...)
+# ---------------------------------------------------------------------------
+
+
+def Time(c, layout: str):  # func_time.go (strptime layout)
+    from ..operators.parse import strptime_to_spark
+
+    return F.to_timestamp(_col(c), strptime_to_spark(layout))
+
+
+def FormatTime(c, layout: str):  # func_format_time.go
+    from ..operators.parse import strptime_to_spark
+
+    return F.date_format(_col(c), strptime_to_spark(layout))
+
+
+def TruncateTime(c, unit: str):  # func_truncate_time.go
+    return F.date_trunc(unit, _col(c))
+
+
+def Now():  # func_now.go -- nondeterministic by design
+    return F.current_timestamp()
+
+
+def Duration(c):
+    """func_duration.go: Go duration string -> seconds (double).
+    Supports h/m/s/ms suffix forms like '1h30m', '90s', '250ms'."""
+    cc = _col(c)
+    h = F.coalesce(F.nullif(F.regexp_extract(cc, r"(\d+(?:\.\d+)?)h", 1), F.lit("")).cast("double"), F.lit(0.0))
+    m = F.coalesce(F.nullif(F.regexp_extract(cc, r"(\d+(?:\.\d+)?)m(?!s)", 1), F.lit("")).cast("double"), F.lit(0.0))
+    s = F.coalesce(F.nullif(F.regexp_extract(cc, r"(\d+(?:\.\d+)?)s", 1), F.lit("")).cast("double"), F.lit(0.0))
+    ms = F.coalesce(F.nullif(F.regexp_extract(cc, r"(\d+(?:\.\d+)?)ms", 1), F.lit("")).cast("double"), F.lit(0.0))
+    return h * 3600 + m * 60 + s + ms / 1000.0
+
+
+def UnixSeconds(c):
+    return F.unix_timestamp(_col(c))
+
+
+def UnixMilli(c):
+    return F.unix_millis(_col(c))
+
+
+def UnixMicro(c):
+    return F.unix_micros(_col(c))
+
+
+def UnixNano(c):
+    return F.unix_micros(_col(c)) * F.lit(1000)
+
+
+def Unix(seconds, nanoseconds=None):  # func_unix.go: epoch -> time
+    return F.timestamp_seconds(_col(seconds))
+
+
+def Year(c):
+    return F.year(_col(c))
+
+
+def Month(c):
+    return F.month(_col(c))
+
+
+def Day(c):
+    return F.dayofmonth(_col(c))
+
+
+def Weekday(c):  # Go: Sunday=0; Spark dayofweek: Sunday=1
+    return F.dayofweek(_col(c)) - F.lit(1)
+
+
+def Hour(c):
+    return F.hour(_col(c))
+
+
+def Minute(c):
+    return F.minute(_col(c))
+
+
+def Second(c):
+    return F.second(_col(c))
+
+
+def Nanosecond(c):
+    return (F.unix_micros(_col(c)) % F.lit(1_000_000)) * F.lit(1000)
+
+
+# duration (seconds double) -> unit floats (func_hours.go etc.)
+def Hours(c):
+    return _col(c) / F.lit(3600.0)
+
+
+def Minutes(c):
+    return _col(c) / F.lit(60.0)
+
+
+def Seconds(c):
+    return _col(c).cast("double")
+
+
+def Milliseconds(c):
+    return _col(c) * F.lit(1000.0)
+
+
+def Microseconds(c):
+    return _col(c) * F.lit(1_000_000.0)
+
+
+def Nanoseconds(c):
+    return _col(c) * F.lit(1_000_000_000.0)
+
+
+# ---------------------------------------------------------------------------
+# hash / id
+# ---------------------------------------------------------------------------
+
+
+def MD5(c):  # func_md5.go
+    return F.md5(_col(c).cast("binary"))
+
+
+def SHA1(c):
+    return F.sha1(_col(c).cast("binary"))
+
+
+def SHA256(c):
+    return F.sha2(_col(c).cast("binary"), 256)
+
+
+def SHA512(c):
+    return F.sha2(_col(c).cast("binary"), 512)
+
+
+def Murmur3Hash(c):
+    """func_murmur3hash.go. Spark's F.hash IS 32-bit murmur3 (seed 42);
+    the reference uses seed 0 -- documented divergence, deterministic
+    either way."""
+    return F.hash(_col(c))
+
+
+def XXH64(c):  # func_xxhash.go family
+    return F.xxhash64(_col(c))
+
+
+def FNV(c):
+    """func_fnv.go: FNV-1a 64-bit. No native Spark impl; expressed as
+    xxhash64 for key-parity-free use cases (deterministic, uniform).
+    Exact FNV available via training.text.fnv1a64 pandas UDF."""
+    return F.xxhash64(_col(c))
+
+
+def UUID():  # nondeterministic by design (func_uuid.go)
+    return F.uuid()
+
+
+def TraceID(c):  # 16-byte id from any value (func_trace_id.go takes bytes)
+    return F.unhex(F.md5(_col(c).cast("binary")))
+
+
+def SpanID(c):
+    return F.unhex(F.substring(F.md5(_col(c).cast("binary")), 1, 16))
+
+
+def IsValidLuhn(c):
+    """func_is_valid_luhn.go. Pure-Column Luhn: reverse digits, double
+    every 2nd, sum mod 10 -- via aggregate over the digit array."""
+    digits = F.reverse(F.split(F.regexp_replace(_col(c).cast("string"), r"\D", ""), ""))
+    digits = F.filter(digits, lambda d: d != "")
+    total = F.aggregate(
+        F.zip_with(
+            digits,
+            F.sequence(F.lit(0), F.greatest(F.size(digits) - 1, F.lit(0))),
+            lambda d, i: F.when(
+                i % 2 == 1,
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9).otherwise(d.cast("int") * 2),
+            ).otherwise(d.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (F.size(digits) > 1) & (total % 10 == 0)
+
+
+# ---------------------------------------------------------------------------
+# type conversion / introspection
+# ---------------------------------------------------------------------------
+
+
+def String(c):  # func_string.go
+    return _col(c).cast("string")
+
+
+def Int(c):  # func_int.go (truncates floats like Go int())
+    return _col(c).cast("double").cast("long")
+
+
+def Double(c):
+    return _col(c).cast("double")
+
+
+def Boolean(c):
+    return _col(c).cast("boolean")
+
+
+# ---------------------------------------------------------------------------
+# map / list
+# ---------------------------------------------------------------------------
+
+
+def Keys(c):  # func_keys.go
+    return F.map_keys(_col(c))
+
+
+def Values(c):  # func_values.go
+    return F.map_values(_col(c))
+
+
+def ContainsValue(c, v):  # func_contains_value.go
+    return F.array_contains(_col(c), v)
+
+
+def Sort(c, order: str = "asc"):  # func_sort.go
+    return F.sort_array(_col(c), asc=(order == "asc"))
+
+
+def Append(c, v):  # func_append.go
+    return F.array_append(_col(c), _col(v))
+
+
+def Index(c, i):  # path indexing a[i] -- 0-based in OTTL
+    return F.element_at(_col(c), _col(i) + F.lit(1))
+
+
+def DeleteIndex(c, i: int):  # func_delete_index.go (0-based)
+    cc = _col(c)
+    return F.concat(F.slice(cc, 1, i), F.slice(cc, i + 2, 1 << 20))
+
+
+def FlattenList(c):  # func_flatten.go on slices
+    return F.flatten(_col(c))
+
+
+def Log(c):  # func_log.go -- natural log
+    return F.log(_col(c))
+
+
+def SliceToMap(keys, values):  # func_slice_to_map.go
+    return F.map_from_arrays(_col(keys), _col(values))
+
+
+def ToKeyValueString(c, pair_sep: str = " ", kv_sep: str = "="):
+    """func_to_key_value_string.go: map -> 'k=v k2=v2' (key-sorted for
+    determinism; the reference preserves map order which Go randomizes
+    -- sorting is the deterministic upgrade)."""
+    entries = F.transform(
+        F.array_sort(F.map_entries(_col(c))),
+        lambda e: F.concat(e.getField("key"), F.lit(kv_sep), e.getField("value")),
+    )
+    return F.array_join(entries, pair_sep)
+
+
+# map editors (the lowercase editor functions operating on map columns)
+
+
+def keep_keys(c, keys: list[str]):  # func_keep_keys.go
+    arr = F.array(*[F.lit(k) for k in keys])
+    return F.map_filter(_col(c), lambda k, v: F.array_contains(arr, k))
+
+
+def delete_key(c, key: str):  # func_delete_key.go
+    return F.map_filter(_col(c), lambda k, v: k != key)
+
+
+def delete_matching_keys(c, pattern: str):  # func_delete_matching_keys.go
+    from ..operators.parse import to_java_regex
+
+    jp = to_java_regex(pattern)
+    return F.map_filter(_col(c), lambda k, v: ~k.rlike(jp))
+
+
+def keep_matching_keys(c, pattern: str):
+    from ..operators.parse import to_java_regex
+
+    jp = to_java_regex(pattern)
+    return F.map_filter(_col(c), lambda k, v: k.rlike(jp))
+
+
+def merge_maps(target, source, strategy: str = "upsert"):
+    """func_merge_maps.go: insert (keep existing), update (only
+    existing keys), upsert (source wins)."""
+    t, s = _col(target), _col(source)
+    if strategy == "upsert":
+        return F.map_concat(
+            F.map_filter(t, lambda k, v: ~F.array_contains(F.map_keys(s), k)), s
+        )
+    if strategy == "insert":
+        return F.map_concat(
+            t, F.map_filter(s, lambda k, v: ~F.array_contains(F.map_keys(t), k))
+        )
+    if strategy == "update":
+        return F.map_zip_with(t, s, lambda k, v1, v2: F.when(v1.isNotNull(), F.coalesce(v2, v1)))
+    raise ValueError(strategy)
+
+
+def limit_map(c, n: int, priority: list[str] | None = None):
+    """func_limit.go: cap map to n keys, priority keys kept first,
+    remainder by sorted key order (deterministic tiebreak)."""
+    cc = _col(c)
+    prio = priority or []
+    prio_arr = F.array(*[F.lit(k) for k in prio]) if prio else F.array().cast("array<string>")
+    entries = F.array_sort(
+        F.transform(
+            F.map_entries(cc),
+            lambda e: F.struct(
+                (~F.array_contains(prio_arr, e.getField("key")) if prio else F.lit(True)).cast("int").alias("p"),
+                e.getField("key").alias("key"),
+                e.getField("value").alias("value"),
+            ),
+        )
+    )
+    kept = F.slice(entries, 1, n)
+    return F.map_from_arrays(
+        F.transform(kept, lambda e: e.getField("key")),
+        F.transform(kept, lambda e: e.getField("value")),
+    )
+
+
+def replace_pattern(c, pattern: str, replacement: str):
+    """func_replace_pattern.go: regex-replace all occurrences in the
+    value. Go $1 backrefs == Spark $1."""
+    from ..operators.parse import to_java_regex
+
+    return F.regexp_replace(_col(c), to_java_regex(pattern), replacement)
+
+
+def replace_match(c, glob: str, replacement: str):
+    """func_replace_match.go: whole-value glob match -> replace."""
+    import re
+
+    rx = "^" + re.escape(glob).replace(r"\*", ".*") + "$"
+    cc = _col(c)
+    return F.when(cc.rlike(rx), F.lit(replacement)).otherwise(cc)
+
+
+def truncate_all(c, limit: int):
+    """func_truncate_all.go: cap every string value in a map."""
+    return F.transform_values(_col(c), lambda k, v: F.substring(v, 1, limit))
+
+
+def truncate(c, limit: int):
+    return F.substring(_col(c), 1, limit)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, Any] = {
+    # converters (TitleCase, grammar.go:22-34)
+    "ConvertCase": ConvertCase, "ToUpperCase": ToUpperCase,
+    "ToLowerCase": ToLowerCase, "ToSnakeCase": ToSnakeCase,
+    "ToCamelCase": ToCamelCase, "Trim": Trim, "TrimPrefix": TrimPrefix,
+    "TrimSuffix": TrimSuffix, "Split": Split, "Substring": Substring,
+    "Concat": Concat, "Format": Format, "HasPrefix": HasPrefix,
+    "HasSuffix": HasSuffix, "Len": Len, "IsMatch": IsMatch,
+    "ExtractPatterns": ExtractPatterns, "ParseJSON": ParseJSON,
+    "ParseCSV": ParseCSV, "ParseKeyValue": ParseKeyValue,
+    "ParseInt": ParseInt, "URL": URL, "Decode": Decode,
+    "Base64Decode": Base64Decode, "Hex": Hex, "Time": Time,
+    "FormatTime": FormatTime, "TruncateTime": TruncateTime, "Now": Now,
+    "Duration": Duration, "Unix": Unix, "UnixSeconds": UnixSeconds,
+    "UnixMilli": UnixMilli, "UnixMicro": UnixMicro, "UnixNano": UnixNano,
+    "Year": Year, "Month": Month, "Day": Day, "Weekday": Weekday,
+    "Hour": Hour, "Minute": Minute, "Second": Second,
+    "Nanosecond": Nanosecond, "Hours": Hours, "Minutes": Minutes,
+    "Seconds": Seconds, "Milliseconds": Milliseconds,
+    "Microseconds": Microseconds, "Nanoseconds": Nanoseconds,
+    "MD5": MD5, "SHA1": SHA1, "SHA256": SHA256, "SHA512": SHA512,
+    "Murmur3Hash": Murmur3Hash, "XXH64": XXH64, "FNV": FNV, "UUID": UUID,
+    "TraceID": TraceID, "SpanID": SpanID, "IsValidLuhn": IsValidLuhn,
+    "String": String, "Int": Int, "Double": Double, "Boolean": Boolean,
+    "Keys": Keys, "Values": Values, "ContainsValue": ContainsValue,
+    "Sort": Sort, "Append": Append, "Index": Index,
+    "Flatten": FlattenList, "Log": Log, "SliceToMap": SliceToMap,
+    "ToKeyValueString": ToKeyValueString,
+    # editors (lowercase)
+    "keep_keys": keep_keys, "delete_key": delete_key,
+    "delete_matching_keys": delete_matching_keys,
+    "keep_matching_keys": keep_matching_keys, "merge_maps": merge_maps,
+    "limit": limit_map, "replace_pattern": replace_pattern,
+    "replace_match": replace_match, "truncate_all": truncate_all,
+}
+
+
+def get_function(name: str):
+    try:
+        return REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"OTTL function {name!r} not implemented; see functions/ottl_funcs.py"
+        ) from None

@@ -1,0 +1,9 @@
+"""OTTL-subset compiler: statement/condition strings -> Spark Columns.
+
+The Spark analog of the reference's parse -> bind -> closure-tree
+lifecycle (SURVEY.md §3.1): here the "IR" is a Catalyst Column tree,
+so Catalyst is the analyzer/optimizer and whole-stage codegen the
+executor.
+"""
+
+from .compiler import OTTLCompiler, compile_condition, compile_statement  # noqa: F401

@@ -1,0 +1,396 @@
+"""OTTL-subset string -> Column compiler.
+
+Grammar subset (pkg/ottl/grammar.go:14-20,44-149,236-333):
+
+    statement  := editor '(' args ')' [ 'where' boolexpr ]
+    boolexpr   := term (('and'|'or') term)*        -- short-circuit
+    term       := ['not'] comparison | '(' boolexpr ')'
+    comparison := value (('=='|'!='|'<'|'<='|'>'|'>=') value)?
+    value      := mathexpr
+    mathexpr   := mterm (('+'|'-') mterm)*
+    mterm      := factor (('*'|'/') factor)*
+    factor     := literal | path | converter '(' args ')' | '(' mathexpr ')'
+    path       := ident ('.' ident)* ('[' (string|int) ']')*
+    literal    := 'nil' | 'true' | 'false' | int | float | string
+
+Semantics honored from the reference:
+- comparison with nil: ``x == nil`` true only when x IS NULL; any
+  other comparison involving nil is false, ``!=`` is its negation
+  (pkg/ottl/compare.go:48-52,290-295). Implemented with eqNullSafe.
+- int/float comparison coerces to float (compare.go:145-165) --
+  Spark's numeric coercion does exactly this.
+- math: int op int stays int; ``/`` by zero errors (math.go:109-233)
+  -- Spark 4's ANSI mode matches.
+- paths: ``attributes["k"]`` -> map element_at; nested field access
+  ``a.b`` -> struct getField; column names with dots are resolved as
+  promoted flat columns first.
+- editors bind through functions/ottl_funcs.py REGISTRY; ``where``
+  guards wrap the edit in CASE WHEN (parser.go:33-51).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import get_function
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<float>\d+\.\d+)
+  | (?P<int>\d+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<op>==|!=|<=|>=|<|>|\+|-|\*|/|\(|\)|\[|\]|,)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "where", "nil", "true", "false"}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+
+
+def tokenize(src: str) -> list[Tok]:
+    out: list[Tok] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise SyntaxError(f"OTTL: cannot tokenize at {src[pos:pos + 20]!r}")
+        pos = m.end()
+        kind = m.lastgroup or ""
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text in _KEYWORDS:
+            kind = text
+        out.append(Tok(kind, text))
+    out.append(Tok("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[Tok], columns: set[str] | None = None):
+        self.toks = tokens
+        self.i = 0
+        self.columns = columns or set()
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> Tok:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise SyntaxError(f"OTTL: expected {text or kind}, got {t.text!r}")
+        return t
+
+    def accept(self, kind: str, text: str | None = None) -> bool:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            self.i += 1
+            return True
+        return False
+
+    # -- grammar ----------------------------------------------------------
+    def parse_bool(self) -> Column:
+        left = self.parse_bool_term()
+        while True:
+            if self.accept("and"):
+                left = left & self.parse_bool_term()
+            elif self.accept("or"):
+                left = left | self.parse_bool_term()
+            else:
+                return left
+
+    def parse_bool_term(self) -> Column:
+        if self.accept("not"):
+            return ~self.parse_bool_term()
+        # '(' is ambiguous: parenthesized boolexpr vs parenthesized value
+        # ('(a+b) > 2'). Try boolexpr first; rewind on failure or if a
+        # comparison/math operator follows the ')'. Column building is
+        # side-effect-free, so backtracking is safe.
+        if self.peek().kind == "op" and self.peek().text == "(":
+            mark = self.i
+            try:
+                self.next()
+                col = self.parse_bool()
+                self.expect("op", ")")
+                nxt = self.peek()
+                if not (nxt.kind == "op" and nxt.text in (
+                    "==", "!=", "<", "<=", ">", ">=", "+", "-", "*", "/"
+                )):
+                    return col
+            except SyntaxError:
+                pass
+            self.i = mark
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> Column:
+        left, left_is_nil = self.parse_value()
+        t = self.peek()
+        if t.kind == "op" and t.text in ("==", "!=", "<", "<=", ">", ">="):
+            self.next()
+            right, right_is_nil = self.parse_value()
+            if t.text == "==":
+                if left_is_nil and right_is_nil:
+                    return F.lit(True)
+                if right_is_nil:
+                    return left.isNull()
+                if left_is_nil:
+                    return right.isNull()
+                return left.eqNullSafe(right)
+            if t.text == "!=":
+                if left_is_nil and right_is_nil:
+                    return F.lit(False)
+                if right_is_nil:
+                    return left.isNotNull()
+                if left_is_nil:
+                    return right.isNotNull()
+                return ~left.eqNullSafe(right)
+            # ordered comparisons: nil never orders (compare.go:290-295)
+            op = {"<": Column.__lt__, "<=": Column.__le__,
+                  ">": Column.__gt__, ">=": Column.__ge__}[t.text]
+            if left_is_nil or right_is_nil:
+                return F.lit(False)
+            return F.coalesce(op(left, right), F.lit(False))
+        if left_is_nil:
+            return F.lit(False)
+        return left.cast("boolean")
+
+    def parse_value(self) -> tuple[Column, bool]:
+        """Returns (column, is_nil_literal)."""
+        left, is_nil = self.parse_mterm()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("+", "-"):
+                self.next()
+                right, _ = self.parse_mterm()
+                left = left + right if t.text == "+" else left - right
+                is_nil = False
+            else:
+                return left, is_nil
+
+    def parse_mterm(self) -> tuple[Column, bool]:
+        left, is_nil = self.parse_factor()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("*", "/"):
+                self.next()
+                right, _ = self.parse_factor()
+                left = left * right if t.text == "*" else left / right
+                is_nil = False
+            else:
+                return left, is_nil
+
+    def parse_factor(self) -> tuple[Column, bool]:
+        t = self.peek()
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            v, is_nil = self.parse_value()
+            self.expect("op", ")")
+            return v, is_nil
+        if t.kind == "op" and t.text == "-":
+            self.next()
+            v, _ = self.parse_factor()
+            return -v, False
+        if t.kind == "nil":
+            self.next()
+            return F.lit(None), True
+        if t.kind == "true":
+            self.next()
+            return F.lit(True), False
+        if t.kind == "false":
+            self.next()
+            return F.lit(False), False
+        if t.kind == "int":
+            self.next()
+            return F.lit(int(t.text)), False
+        if t.kind == "float":
+            self.next()
+            return F.lit(float(t.text)), False
+        if t.kind == "string":
+            self.next()
+            return F.lit(_unquote(t.text)), False
+        if t.kind == "ident":
+            return self.parse_path_or_call(), False
+        raise SyntaxError(f"OTTL: unexpected token {t.text!r}")
+
+    def parse_path_or_call(self) -> Column:
+        name = self.expect("ident").text
+        if self.accept("op", "("):
+            # converter/editor call: bind literal args as Python values
+            args: list[Any] = []
+            if not self.accept("op", ")"):
+                while True:
+                    args.append(self.parse_arg())
+                    if self.accept("op", ")"):
+                        break
+                    self.expect("op", ",")
+            fn = get_function(name)
+            return fn(*args)
+        return self.finish_path(name)
+
+    def parse_arg(self) -> Any:
+        """Arguments: literals stay Python values (many registry fns
+        take str/int natively); anything else compiles to a Column."""
+        t = self.peek()
+        if t.kind == "string":
+            self.next()
+            return _unquote(t.text)
+        if t.kind == "int":
+            self.next()
+            return int(t.text)
+        if t.kind == "float":
+            self.next()
+            return float(t.text)
+        if t.kind in ("true", "false"):
+            self.next()
+            return t.kind == "true"
+        if t.kind == "op" and t.text == "[":
+            # list literal (grammar.go:314-333) -> Python list of literals
+            self.next()
+            items: list[Any] = []
+            if not self.accept("op", "]"):
+                while True:
+                    items.append(self.parse_arg())
+                    if self.accept("op", "]"):
+                        break
+                    self.expect("op", ",")
+            return items
+        col, _ = self.parse_value()
+        return col
+
+    def finish_path(self, name: str) -> Column:
+        # Promoted flat column wins (context inference analog: extracted
+        # fields are typed columns; residual attrs live in map columns).
+        col = F.col(name)
+        while self.accept("op", "["):
+            t = self.next()
+            if t.kind == "string":
+                col = F.element_at(col, _unquote(t.text))
+            elif t.kind == "int":
+                col = F.element_at(col, int(t.text) + 1)  # OTTL is 0-based
+            else:
+                raise SyntaxError(f"OTTL: bad index {t.text!r}")
+            self.expect("op", "]")
+        return col
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.replace('\\"', '"').replace("\\\\", "\\")
+
+
+def compile_condition(src: str) -> Column:
+    """Condition string -> boolean Column (filter/route conditions)."""
+    p = _Parser(tokenize(src))
+    col = p.parse_bool()
+    if p.peek().kind != "eof":
+        raise SyntaxError(f"OTTL: trailing tokens at {p.peek().text!r}")
+    return col
+
+
+@dataclass
+class CompiledStatement:
+    target: str          # column the editor writes
+    value: Column        # the guarded value expression
+    drops_row: bool = False
+
+
+def compile_statement(src: str, columns: set[str] | None = None) -> CompiledStatement:
+    """``set(target, value) where cond`` and friends -> a column edit.
+
+    Supported editors here: ``set`` (skips nil values --
+    func_set.go:32-47), plus any map editor from the registry used in
+    value position via ``set(attributes, keep_keys(attributes, [...]))``
+    style. The transformprocessor applies a list of these in order.
+    """
+    where_col: Column | None = None
+    if " where " in src:
+        stmt_src, cond_src = src.split(" where ", 1)
+        where_col = compile_condition(cond_src)
+    else:
+        stmt_src = src
+
+    toks = tokenize(stmt_src)
+    p = _Parser(toks, columns)
+    editor = p.expect("ident").text
+    p.expect("op", "(")
+    if editor == "set":
+        # first arg is the target path (raw), second the value expr
+        target = _read_path_text(p)
+        p.expect("op", ",")
+        value, value_is_nil = p.parse_value()
+        p.expect("op", ")")
+        base = F.col(target) if columns is None or target in columns else F.lit(None)
+        # set skips nil values: keep original when value IS NULL
+        guarded = F.coalesce(value, base) if not value_is_nil else base
+        if where_col is not None:
+            guarded = F.when(where_col, guarded).otherwise(base)
+        return CompiledStatement(target=target, value=guarded)
+    # generic single-target editors: editor(target, args...) rewrites target
+    target = _read_path_text(p)
+    args: list[Any] = []
+    while p.accept("op", ","):
+        args.append(p.parse_arg())
+    p.expect("op", ")")
+    fn = get_function(editor)
+    value = fn(F.col(target), *args)
+    if where_col is not None:
+        value = F.when(where_col, value).otherwise(F.col(target))
+    return CompiledStatement(target=target, value=value)
+
+
+def _read_path_text(p: _Parser) -> str:
+    """Target paths are plain column names in the flat model."""
+    return p.expect("ident").text
+
+
+class OTTLCompiler:
+    """transformprocessor analog: ordered statement list over a frame.
+
+    config mirrors processor/transformprocessor/config.go:37-50
+    (statements + optional conditions guard); execution is one
+    ``withColumns`` pass per statement -- Catalyst collapses the
+    projection chain (internal/logs/processor.go:54-67 equivalent).
+    """
+
+    def __init__(self, statements: list[str], conditions: list[str] | None = None):
+        self.statements = statements
+        self.conditions = conditions or []
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        guard: Column | None = None
+        if self.conditions:
+            guard = F.lit(False)
+            for c in self.conditions:
+                guard = guard | F.coalesce(compile_condition(c), F.lit(False))
+        out = df
+        for s in self.statements:
+            cs = compile_statement(s, set(out.columns))
+            value = cs.value
+            if guard is not None:
+                base = (
+                    F.col(cs.target)
+                    if cs.target in out.columns
+                    else F.lit(None)
+                )
+                value = F.when(guard, value).otherwise(base)
+            out = out.withColumn(cs.target, value)
+        return out

@@ -1,0 +1,191 @@
+"""OTTL compiler + converter library semantics, mirroring the
+reference's e2e corpus style (pkg/ottl/e2e/e2e_test.go: fixed context,
+assert mutated output)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions import get_function
+from opentelemetry_collector_contrib_spark.ottl import (
+    OTTLCompiler,
+    compile_condition,
+    compile_statement,
+)
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    from opentelemetry_collector_contrib_spark.datagen import log_records_df
+
+    return log_records_df(spark, 20).cache()
+
+
+def _vals(df, col):
+    return [r[0] for r in df.select(col).collect()]
+
+
+# --- conditions (compare.go semantics) -------------------------------------
+
+
+def test_condition_basic(spark, logs):
+    out = logs.filter(compile_condition('severity_text == "ERROR"'))
+    assert all(v == "ERROR" for v in _vals(out, "severity_text"))
+
+
+def test_condition_and_or_not(spark, logs):
+    cond = 'severity_number >= 17 and not (severity_text == "FATAL")'
+    out = logs.filter(compile_condition(cond)).select("severity_number", "severity_text").collect()
+    for r in out:
+        assert r.severity_number >= 17 and r.severity_text != "FATAL"
+
+
+def test_condition_nil_semantics(spark):
+    df = spark.createDataFrame([("a",), (None,)], ["x"])
+    assert df.filter(compile_condition("x == nil")).count() == 1
+    assert df.filter(compile_condition("x != nil")).count() == 1
+    # ordered comparison with nil value -> false, row kept out
+    assert df.filter(compile_condition('x > "a"')).count() == 0
+
+
+def test_condition_map_index(spark, logs):
+    out = logs.filter(compile_condition('attributes["http.method"] == "get"'))
+    assert out.count() > 0
+    for r in out.select("attributes").collect():
+        assert r[0]["http.method"] == "get"
+
+
+def test_math_int_preserving(spark):
+    df = spark.range(1).select(F.lit(7).alias("a"), F.lit(2).alias("b"))
+    out = df.select(
+        compile_condition("a + b == 9").alias("add"),
+        compile_condition("a * b == 14").alias("mul"),
+    ).first()
+    assert out.add and out.mul
+
+
+# --- statements (set + editors, func_set.go:32-47) --------------------------
+
+
+def test_set_with_where(spark, logs):
+    stmt = 'set(severity_text, "SEVERE") where severity_number >= 17'
+    out = OTTLCompiler([stmt]).apply(logs)
+    for r in out.select("severity_number", "severity_text").collect():
+        if r.severity_number >= 17:
+            assert r.severity_text == "SEVERE"
+        else:
+            assert r.severity_text != "SEVERE"
+
+
+def test_set_skips_nil(spark):
+    df = spark.createDataFrame([("keep",)], ["x"])
+    out = OTTLCompiler(["set(x, nil)"]).apply(df)
+    assert _vals(out, "x") == ["keep"]
+
+
+def test_keep_keys_editor(spark, logs):
+    out = OTTLCompiler(['keep_keys(attributes, ["http.method"])']).apply(logs)
+    for r in out.select("attributes").collect():
+        assert set(r[0].keys()) == {"http.method"}
+
+
+def test_delete_key_editor(spark, logs):
+    out = OTTLCompiler(['delete_key(attributes, "flags")']).apply(logs)
+    for r in out.select("attributes").collect():
+        assert "flags" not in r[0]
+
+
+def test_replace_pattern_editor(spark, logs):
+    out = OTTLCompiler(['replace_pattern(body, "id=\\d+", "id=*")']).apply(logs)
+    assert all("id=*" in v for v in _vals(out, "body"))
+
+
+def test_truncate_all_editor(spark, logs):
+    out = OTTLCompiler(["truncate_all(attributes, 3)"]).apply(logs)
+    for r in out.select("attributes").collect():
+        assert all(len(v) <= 3 for v in r[0].values())
+
+
+def test_compiler_conditions_guard(spark, logs):
+    c = OTTLCompiler(
+        ['set(event_name, "guarded")'],
+        conditions=['severity_text == "ERROR"'],
+    )
+    out = c.apply(logs)
+    for r in out.select("severity_text", "event_name").collect():
+        assert (r.event_name == "guarded") == (r.severity_text == "ERROR")
+
+
+# --- converter functions -----------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "expr,inp,expected",
+    [
+        ("ToUpperCase", "abc", "ABC"),
+        ("ToSnakeCase", "camelCaseWord", "camel_case_word"),
+        ("ToCamelCase", "snake_case_word", "SnakeCaseWord"),
+        ("TrimPrefix", ("prefix_x", "prefix_"), "x"),
+        ("TrimSuffix", ("x_suffix", "_suffix"), "x"),
+        ("Hex", "ABC", "414243"),
+    ],
+)
+def test_string_converters(spark, expr, inp, expected):
+    fn = get_function(expr)
+    args = inp if isinstance(inp, tuple) else (inp,)
+    got = spark.range(1).select(fn(*[F.lit(a) for a in args[:1]], *args[1:]).alias("v")).first().v
+    assert got == expected
+
+
+def test_is_valid_luhn(spark):
+    fn = get_function("IsValidLuhn")
+    rows = spark.createDataFrame(
+        [("4532015112830366",), ("1234567812345678",)], ["card"]
+    ).select(fn(F.col("card")).alias("ok")).collect()
+    assert rows[0].ok is True and rows[1].ok is False
+
+
+def test_duration(spark):
+    fn = get_function("Duration")
+    got = spark.range(1).select(
+        fn(F.lit("1h30m")).alias("a"),
+        fn(F.lit("90s")).alias("b"),
+        fn(F.lit("250ms")).alias("c"),
+    ).first()
+    assert got.a == 5400.0 and got.b == 90.0 and abs(got.c - 0.25) < 1e-9
+
+
+def test_merge_maps_strategies(spark):
+    fn = get_function("merge_maps")
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "2"}, {"b": "9", "c": "3"})], ["t", "s"]
+    )
+    got = df.select(
+        fn(F.col("t"), F.col("s"), "upsert").alias("up"),
+        fn(F.col("t"), F.col("s"), "insert").alias("ins"),
+    ).first()
+    assert dict(got.up) == {"a": "1", "b": "9", "c": "3"}
+    assert dict(got.ins) == {"a": "1", "b": "2", "c": "3"}
+
+
+def test_limit_map(spark):
+    fn = get_function("limit")
+    df = spark.createDataFrame([({"a": "1", "b": "2", "c": "3"},)], ["m"])
+    got = df.select(fn(F.col("m"), 2, ["c"]).alias("v")).first().v
+    assert "c" in got and len(got) == 2
+
+
+def test_extract_patterns(spark):
+    fn = get_function("ExtractPatterns")
+    df = spark.createDataFrame([("status=200 sev=info",)], ["t"])
+    got = df.select(
+        fn(F.col("t"), r"status=(?P<st>\d+) sev=(?P<sv>\w+)").alias("m")
+    ).first().m
+    assert dict(got) == {"st": "200", "sv": "info"}
+
+
+def test_to_key_value_string(spark):
+    fn = get_function("ToKeyValueString")
+    df = spark.createDataFrame([({"b": "2", "a": "1"},)], ["m"])
+    assert df.select(fn(F.col("m")).alias("v")).first().v == "a=1 b=2"
