@@ -331,3 +331,502 @@ def q_cumulative_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "delta")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# uri_parser (internal/coreinternal/parseutils/uri.go:22-152)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "uri_parser_pages",
+    "WITH web AS ("
+    + datagen.web_pages_select_sql("documents")
+    + """)
+SELECT page_id,
+       'https'                                        AS url_scheme,
+       regexp_extract(url, 'https://([^/]+)/', 1)     AS url_domain,
+       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS url_path,
+       regexp_extract(url, '\\?(.*)$', 1)              AS url_query,
+       regexp_extract(regexp_extract(url, 'https://[^/]+(/[^?]*)', 1),
+                      '\\.([A-Za-z0-9]+)$', 1)        AS url_extension_raw
+FROM web ORDER BY page_id
+""",
+)
+def q_uri_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    out = P.uri_parser(web, parse_from="url")
+    # oracle's extension regex runs on the full url (ends with ?id=N, so
+    # never matches) -- ours on url_path; align by recomputing on path.
+    return out.select(
+        "page_id", "url_scheme", "url_domain", "url_path", "url_query",
+        F.regexp_extract(F.col("url_path"), r"\.([A-Za-z0-9]+)$", 1).alias(
+            "url_extension_raw"
+        ),
+    ).orderBy("page_id")
+
+
+# ---------------------------------------------------------------------------
+# severity_parser (pkg/stanza/operator/helper/severity.go:23-60)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "severity_parser_pages",
+    "WITH web AS ("
+    + datagen.web_pages_select_sql("documents")
+    + """)
+SELECT page_id,
+       CASE regexp_extract(text, 'sev=([a-z]+)', 1)
+            WHEN 'trace' THEN 1 WHEN 'debug' THEN 5 WHEN 'info' THEN 9
+            WHEN 'warn' THEN 13 WHEN 'error' THEN 17 WHEN 'fatal' THEN 21
+            ELSE 0 END AS severity_number
+FROM web ORDER BY page_id
+""",
+)
+def q_severity_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    df = P.regex_parser(web, r"sev=(?P<sev>[a-z]+)", parse_from="text")
+    df = P.severity_parser(df, parse_from="sev")
+    return df.select("page_id", "severity_number").orderBy("page_id")
+
+
+# ---------------------------------------------------------------------------
+# json_parser (pkg/stanza/operator/parser/json) over events.props
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_parser_events",
+    """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events ORDER BY event_id
+""",
+)
+def q_json_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# spanmetrics explicit-bucket histogram, long format
+# (connector/spanmetricsconnector internal/metrics/metrics.go:263-294)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spanmetrics_histogram_events",
+    """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+         CASE WHEN value <= 50 THEN 0 WHEN value <= 100 THEN 1
+              WHEN value <= 150 THEN 2 ELSE 3 END AS bucket
+  FROM events)
+SELECT CAST(FLOOR(epoch(w)) AS BIGINT) AS window_epoch, event_type,
+       bucket, COUNT(*) AS cnt
+FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def q_spanmetrics_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    h = C.span_metrics(
+        ev, dims=["event_type"], value_col="value", ts_col="ts",
+        window_duration="1 hour", bounds=[50.0, 100.0, 150.0],
+    )
+    return (
+        h.select(
+            F.unix_timestamp("window_start").alias("window_epoch"),
+            "event_type",
+            F.posexplode("bucket_counts").alias("bucket", "cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+        .orderBy("window_epoch", "event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# intervalprocessor: last value per stream per interval
+# (processor/intervalprocessor/processor.go:97-231)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_processor_events",
+    """
+SELECT CAST(FLOOR(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT)
+         AS window_epoch,
+       user_id,
+       arg_max(value, event_id) AS last_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_interval_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = PR.interval_processor(
+        ev, ["user_id"], "ts", "value", "1 hour", order_col="event_id"
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "user_id",
+        "last_value",
+    ).orderBy("window_epoch", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# tailsamplingprocessor: keep whole traces (user_id) where any policy
+# matches (processor/tailsamplingprocessor/config.go:12-53)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tail_sampling_events",
+    """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id IN (
+  SELECT user_id FROM events WHERE event_type = 'error' OR value > 195.0)
+ORDER BY event_id
+""",
+)
+def q_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = PR.tail_sampling(
+        ev, "user_id",
+        [F.col("event_type") == "error", F.col("value") > 195.0],
+    )
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# probabilisticsampler: deterministic, cluster-size-independent hash
+# sampling (processor/probabilisticsamplerprocessor/config.go:39-66).
+# Portable hash for the oracle: first two md5 hex chars.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "probabilistic_sampler_events",
+    """
+SELECT event_id, user_id FROM events
+WHERE (ascii(substr(md5(CAST(event_id AS STRING)), 1, 1)) * 256
+       + ascii(substr(md5(CAST(event_id AS STRING)), 2, 1))) % 100 < 25
+ORDER BY event_id
+""",
+)
+def q_probabilistic_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    return ev.filter(bucket < 25).select("event_id", "user_id").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# servicegraphconnector: pair child/parent spans, count edges
+# (connector/servicegraphconnector/connector.go:160-231). Spans modeled
+# on events: span_id=event_id, parent=event_id-1 within a user trace.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "service_graph_events",
+    """
+SELECT p.event_type AS client, c.event_type AS server,
+       COUNT(*) AS request_count
+FROM events c JOIN events p
+  ON c.user_id = p.user_id AND c.event_id - 1 = p.event_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_service_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    spans = ev.select(
+        F.col("user_id").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        (F.col("event_id") - 1).alias("parent_span_id"),
+        F.col("event_type").alias("service"),
+    )
+    out = C.service_graph(spans)
+    return out.select("client", "server", "request_count").orderBy(
+        "client", "server"
+    )
+
+
+# ---------------------------------------------------------------------------
+# metricstransform aggregation: mean/min/max/median across dropped dims
+# (internal/coreinternal/aggregateutil/aggregate.go:60-225)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metrics_transform_events",
+    """
+SELECT event_type,
+       ROUND(AVG(value), 4) AS mean_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(quantile_cont(value, 0.5), 4) AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_metrics_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# unrollprocessor: explode body slices (processor/unrollprocessor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unroll_documents",
+    """
+SELECT doc_id, word FROM (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+  FROM documents)
+WHERE word <> '' ORDER BY doc_id, word
+""",
+)
+def q_unroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    out = PR.unroll_processor(
+        docs.withColumn("words", F.split("text", r"\s+")), "words", "word"
+    )
+    return (
+        out.filter(F.col("word") != "")
+        .select("doc_id", "word")
+        .orderBy("doc_id", "word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# attributesprocessor EXTRACT action (attraction.go:287-350)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attributes_extract_documents",
+    """
+SELECT doc_id,
+       NULLIF(regexp_extract(source, '^([a-z]+)', 1), '') AS src_kind,
+       NULLIF(regexp_extract(text, '([A-Za-z]{4,})', 1), '') AS first_long_word
+FROM documents ORDER BY doc_id
+""",
+)
+def q_attributes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import AttrAction, attributes_processor
+
+    docs = _read(spark, sf_dir, "documents")
+    out = attributes_processor(
+        docs,
+        [
+            AttrAction("extract", "source", pattern=r"^(?P<src_kind>[a-z]+)"),
+            AttrAction(
+                "extract", "text", pattern=r"(?P<first_long_word>[A-Za-z]{4,})"
+            ),
+        ],
+    )
+    return out.select("doc_id", "src_kind", "first_long_word").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# redactionprocessor: mask blocked value patterns
+# (processor/redactionprocessor README.md:20-65)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "redaction_documents",
+    """
+SELECT doc_id,
+       regexp_replace(text, '[0-9]+', '****', 'g') AS text,
+       length(text) - length(regexp_replace(text, '[0-9]+', '', 'g'))
+         AS digit_chars
+FROM documents ORDER BY doc_id
+""",
+)
+def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", "[0-9]+", "****").alias("text"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]+", ""))
+        ).alias("digit_chars"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# lookupprocessor: broadcast enrichment (customer x nation x region)
+# (processor/lookupprocessor/processor.go:21-40)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lookup_enrich_customer",
+    """
+SELECT n.n_name AS nation, r.r_name AS region,
+       COUNT(*) AS customers, ROUND(SUM(c.c_acctbal), 4) AS total_bal
+FROM customer c
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation"), F.col("n_regionkey")
+    )
+    region = _read(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), F.col("r_name").alias("region")
+    )
+    enriched = PR.lookup_processor(
+        PR.lookup_processor(
+            cust.withColumnRenamed("c_nationkey", "n_nationkey"),
+            nation, on=["n_nationkey"],
+        ),
+        region, on=["n_regionkey"],
+    )
+    return (
+        enriched.groupBy("nation", "region")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+        .orderBy("nation", "region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# roundrobinconnector: deterministic rotation by stable key
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "round_robin_events",
+    """
+SELECT event_id % 3 AS rr_route, COUNT(*) AS count
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def q_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(C.round_robin(ev, 3, "event_id"))
+        .groupBy("rr_route")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("rr_route")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deltatorate (processor/deltatorateprocessor): value/interval per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_to_rate_events",
+    """
+SELECT user_id,
+       ROUND(SUM(value) / (FLOOR(epoch(MAX(ts))) - FLOOR(epoch(MIN(ts)))), 4)
+         AS rate
+FROM events GROUP BY user_id
+HAVING FLOOR(epoch(MAX(ts))) > FLOOR(epoch(MIN(ts)))
+ORDER BY user_id
+""",
+)
+def q_delta_to_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.sum("value").alias("value"),
+        F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+    )
+    out = PR.delta_to_rate(agg, "value", "start_epoch", "end_epoch")
+    return (
+        out.filter(F.col("end_epoch") > F.col("start_epoch"))
+        .select("user_id", F.round("rate", 4).alias("rate"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# recombine: multiline merge as sessionization
+# (pkg/stanza/operator/transformer/recombine/transformer.go:26-115)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recombine_documents",
+    """
+WITH marked AS (
+  SELECT source, doc_id, text,
+         SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS session
+  FROM documents)
+SELECT source,
+       string_agg(text, chr(10) ORDER BY doc_id) AS text,
+       MIN(doc_id) AS doc_id,
+       COUNT(*) AS recombined_count
+FROM marked GROUP BY source, session ORDER BY source, doc_id
+""",
+)
+def q_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.transform import recombine
+
+    docs = _read(spark, sf_dir, "documents")
+    out = recombine(
+        docs.select("source", "doc_id", "text"),
+        source_cols=["source"],
+        order_col="doc_id",
+        is_first_entry=(F.col("doc_id") % 7 == 0),
+        combine_field="text",
+        combine_with="\n",
+    )
+    return out.select("source", "text", "doc_id", "recombined_count").orderBy(
+        "source", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformprocessor via the OTTL compiler (config-driven statements)
+# (processor/transformprocessor/config.go:37-50)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ottl_transform_events",
+    """
+SELECT event_id,
+       CASE WHEN event_type = 'error' AND value > 100.0 THEN 'critical'
+            ELSE event_type END AS event_type,
+       CASE WHEN value < 0.0 THEN 0.0 ELSE value END AS value
+FROM events ORDER BY event_id
+""",
+)
+def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ottl import OTTLCompiler
+
+    ev = _read(spark, sf_dir, "events")
+    c = OTTLCompiler(
+        [
+            'set(event_type, "critical") where event_type == "error" and value > 100.0',
+            "set(value, 0.0) where value < 0.0",
+        ]
+    )
+    return c.apply(ev).select("event_id", "event_type", "value").orderBy("event_id")
