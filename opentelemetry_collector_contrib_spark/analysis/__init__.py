@@ -1,0 +1,10 @@
+"""Training-data pipeline analysis operators.
+
+Large-scale web-text curation ops layered on the same engine:
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding cosine), similarity search (brute-force + LSH ANN), text
+analysis (lang-id, quality, tokens, fingerprints), and multimodal
+binary-column plumbing. All deterministic, all oracle-checkable: the
+hash primitives in :mod:`.hashing` are defined so a DuckDB oracle can
+replicate every signature bit-for-bit.
+"""

@@ -1,0 +1,375 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Five dedup families, all deterministic and DuckDB-oracle-replicable
+(shared md5 primitives from :mod:`.hashing`):
+
+- exact:        content-fingerprint groupBy (hash, not raw text, as the
+                shuffle key — short fixed-width keys at 100 TB)
+- n-gram Jaccard: exact set similarity over token shingles, blocked
+- MinHash+LSH:  k-permutation signatures -> banded candidate
+                generation -> exact-Jaccard verification
+- SimHash:      frequency-weighted 32-bit fingerprint; banded pair
+                search that is provably lossless for small Hamming
+                radius (pigeonhole: d diff bits touch <= d bands)
+- embedding cosine: see similarity.py
+
+Scale notes: every candidate-generation step is a shuffle on a SHORT
+key (band hash / fingerprint), never on document text; verification
+joins carry only shingle arrays for the candidate pairs (a tiny
+fraction of all pairs). All-pairs variants exist only as oracle-scale
+cross-checks of the banded algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, seeded_hash, seeded_hash_sql
+from .textstats import content_fingerprint, ws_tokens, ws_tokens_sql
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, n: int = 2) -> Column:
+    """Distinct n-gram (word) shingles of the text."""
+    toks = ws_tokens(col)
+    cnt = F.size(toks)
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def shingles_cte_sql(n: int = 2, table: str = "documents",
+                     id_col: str = "doc_id", text_col: str = "text") -> str:
+    """CTE body producing (id, s) with the same shingle sets."""
+    toks = ws_tokens_sql(text_col)
+    return f"""
+  SELECT {id_col} AS id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {n - 2}, 1)),
+           i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS s
+  FROM (SELECT {id_col}, {toks} AS toks FROM {table})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per identical (normalized) content.
+
+    Shuffles on the 32-hex fingerprint, never the document body; the
+    min-id representative is a map-side-combinable aggregate, so the
+    mega-cluster of a viral duplicated page costs one combine per
+    partition, not a skewed sort.
+    """
+    fp = content_fingerprint(F.col(text_col)).alias("_fp")
+    keep = (
+        df.select(fp, F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_fp")
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact set similarity)
+# ---------------------------------------------------------------------------
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.7,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard >= threshold, optionally within a
+    blocking column (all-pairs within block). The unblocked form is the
+    oracle-scale cross-check; at scale use minhash_lsh_pairs (same
+    verification predicate, LSH candidate generation)."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s"))
+    if block_col is not None:
+        sh = sh.withColumn("_blk", df[block_col])
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col is not None:
+        cond = cond & (F.col("a._blk") == F.col("b._blk"))
+    jac = jaccard(F.col("a.s"), F.col("b.s"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("_jac"),
+        )
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs_sql(n: int = 2, threshold: float = 0.7,
+                            table: str = "documents") -> str:
+    return f"""
+WITH sh AS ({shingles_cte_sql(n, table)}),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+  FROM sh a JOIN sh b ON a.id < b.id)
+SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+FROM p WHERE jac >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(sh: Column, k: int = 16) -> Column:
+    """k-hash MinHash signature of a shingle array (null-free input)."""
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: seeded_hash(s, i)))
+          for i in range(k)]
+    )
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> list[Column]:
+    """One md5 key per band of `rows` consecutive signature values."""
+    return [
+        F.md5(F.concat_ws(",", F.slice(sig, b * rows + 1, rows).cast("array<string>")))
+        for b in range(bands)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 16,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signature -> banded buckets ->
+    candidate pairs (same bucket in ANY band) -> exact-Jaccard verify.
+
+    Scale shape: the only wide ops are (1) a shuffle on (band, key) —
+    32-hex keys, collision groups are tiny by construction — and
+    (2) the verification join on candidate ids. Document text never
+    shuffles; signatures are k longs per doc.
+    """
+    rows = k // bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
+    )
+    sig = base.withColumn("sig", minhash_signature(F.col("s"), k))
+    bandrows = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), key.alias("key"))
+                for b, key in enumerate(band_keys(F.col("sig"), bands, rows))
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b = bandrows.alias("a"), bandrows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    jac = jaccard(F.col("sa"), F.col("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_jac", jac)
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs_sql(n: int = 2, k: int = 16, bands: int = 8,
+                          threshold: float = 0.7,
+                          table: str = "documents") -> str:
+    rows = k // bands
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(s, x -> {seeded_hash_sql('x', i)}))"
+        for i in range(k)
+    )
+    band_exprs = ", ".join(
+        "md5(array_to_string(list_transform(sig[{lo}:{hi}], "
+        "v -> CAST(v AS VARCHAR)), ','))".format(lo=b * rows + 1, hi=(b + 1) * rows)
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({shingles_cte_sql(n, table)}),
+sig AS (SELECT id, s, [{sig_exprs}] AS sig FROM sh),
+bk AS (
+  SELECT id, b - 1 AS band, ([{band_exprs}])[b] AS key
+  FROM sig, (SELECT unnest(range(1, {bands + 1})) AS b) bs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+v AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+  FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b)
+SELECT id_a, id_b, ROUND(jac, 4) AS jaccard
+FROM v WHERE jac >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_agg(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, simhash): frequency-weighted 32-bit SimHash per document.
+
+    explode -> hash -> groupBy(id) with 32 conditional sums: the
+    aggregation is map-side combinable, so the shuffle carries 32
+    partial counters per doc, not the token stream.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("tk"),
+    ).withColumn("hv", md5_int32(F.col("tk")))
+    sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = sums
+    expr = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        expr = expr + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return fp.select("id", expr.alias("simhash"))
+
+
+def simhash_cte_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    from .hashing import md5_int32_sql
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+  SELECT id, {fp} AS simhash FROM (
+    SELECT id, {bit_sums} FROM (
+      SELECT {id_col} AS id, {md5_int32_sql('tk')} AS hv FROM (
+        SELECT {id_col}, unnest({ws_tokens_sql(text_col)}) AS tk
+        FROM {table}))
+    GROUP BY id)
+"""
+
+
+def simhash_band(fp: Column, band: int, band_bits: int) -> Column:
+    return F.shiftrightunsigned(fp, band * band_bits).bitwiseAND(
+        (1 << band_bits) - 1
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_distance via banded
+    search. LOSSLESS for max_distance < bands (pigeonhole: d
+    differing bits can dirty at most d bands, so some band is equal),
+    hence exactly equal to the all-pairs scan the oracle runs.
+    """
+    assert max_distance < bands, "banded search only lossless for d < bands"
+    band_bits = SIMHASH_BITS // bands
+    fp = simhash_agg(df, id_col, text_col)
+    bandrows = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    simhash_band(F.col("simhash"), b, band_bits).alias("key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.key")
+    a, b = bandrows.alias("a"), bandrows.alias("b")
+    dist = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def simhash_pairs_allpairs_sql(max_distance: int = 3,
+                               table: str = "documents") -> str:
+    """Oracle: brute-force all-pairs Hamming scan — intentionally a
+    DIFFERENT algorithm than the banded Spark path; equality of the two
+    outputs proves the banding lossless."""
+    return f"""
+WITH fp AS ({simhash_cte_sql(table)})
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
+ORDER BY id_a, id_b
+"""

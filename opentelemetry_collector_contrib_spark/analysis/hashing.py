@@ -1,0 +1,77 @@
+"""Portable deterministic hash primitives (Spark Column + DuckDB SQL).
+
+Every sketch in the dedup/similarity modules (MinHash, SimHash, LSH
+bands, rolling fingerprints) is built on ONE primitive:
+
+    md5_int32(expr) = first 8 hex digits of md5(expr), as an unsigned
+                      32-bit integer in a BIGINT
+
+which both engines compute identically (md5 is md5; hex->int is
+base-16 positional arithmetic). This is what makes the whole analysis
+layer oracle-checkable: the DuckDB oracle re-derives the exact same
+signatures, candidate pairs, and verdicts — the golden-output
+discipline of the reference's pkg/golden tests (SURVEY.md §5.3)
+applied to sketching algorithms.
+
+The reference's own aggregation keys use a 128-bit xxhash MapHash
+(pkg/pdatautil/hash.go:76-115); we keep md5 here purely because both
+Spark and DuckDB expose it natively — the role (stable content
+addressing) is the same. At 100 TB the per-row cost is one md5 per
+token/shingle inside whole-stage codegen; no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Spark side
+# ---------------------------------------------------------------------------
+
+
+def md5_int32(col: Column) -> Column:
+    """First 32 bits of md5(col) as a non-negative BIGINT (JVM-side)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def seeded_hash(col: Column, seed: int) -> Column:
+    """Family of independent hash functions h_seed(x) = md5(seed|x)."""
+    return md5_int32(F.concat(F.lit(f"{seed}|"), col))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-SQL side (string builders — the oracle embeds these verbatim)
+# ---------------------------------------------------------------------------
+
+
+def md5_int32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def seeded_hash_sql(expr: str, seed: int) -> str:
+    return md5_int32_sql(f"'{seed}|' || {expr}")
+
+
+# ---------------------------------------------------------------------------
+# Python side (plan-time constants, e.g. LSH hyperplanes) — same digits
+# ---------------------------------------------------------------------------
+
+
+def md5_int32_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+
+def hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1]^dim.
+
+    Derived from md5 digits only (no RNG — FIXTURES.md determinism
+    rule), generated at plan-build time and embedded as literals in
+    BOTH the Spark plan and the oracle SQL, so sign bits agree exactly.
+    """
+    return [
+        (md5_int32_py(f"hp{seed}_{d}") % 2001 - 1000) / 1000.0
+        for d in range(dim)
+    ]

@@ -1,0 +1,264 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. Corpus side is
+  broadcast when small; at 100 TB corpus the same code becomes a
+  shuffle-partitioned block-nested-loop — still the right baseline for
+  recall measurement.
+- LSH-bucketed ANN: deterministic random-hyperplane signs (hyperplanes
+  derived from md5 digits at plan time, embedded as literals in both
+  the Spark plan and the DuckDB oracle) bucket the corpus; search only
+  collides buckets. The scale path: candidate generation is an
+  equi-join on a small int bucket key.
+- cosine near-dup pairs: the embedding analog of MinHash dedup.
+
+All dot products are JVM-side ``zip_with``/``aggregate`` expressions —
+no Python in the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import hyperplane
+
+# ---------------------------------------------------------------------------
+# Cosine primitives
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double(a: Column) -> Column:
+    """float32 parquet -> double, BEFORE any arithmetic (so Spark and
+    the DuckDB oracle accumulate in identical precision)."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+_E_CTE = (
+    "SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM {table}"
+)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force top-k
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-match excluded).
+
+    Rank on ROUND(cos, 6) with id tie-break: deterministic and
+    engine-portable (raw float ordering could flip on 1-ulp noise).
+    Corpus is broadcast — at web scale replace with a bucketed join
+    (see lsh_ann_topk) and keep this as the recall oracle on samples.
+    """
+    from pyspark.sql import Window
+
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def cosine_topk_sql(query_pred: str, k: int = 5,
+                    table: str = "embeddings") -> str:
+    e = _E_CTE.format(table=table)
+    return f"""
+WITH e AS ({e}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({cosine_sql('q.qv', 'e.v')}, 6) AS cos
+  FROM q JOIN e ON q.query_id <> e.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN
+# ---------------------------------------------------------------------------
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane sign bucket (0..2^n_planes-1) as an int
+    Column. Hyperplane literals come from hashing.hyperplane — the
+    oracle embeds the identical constants."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        hp = hyperplane(p, dim)
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in hp]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_bucket_sql(vec_expr: str, dim: int, n_planes: int = 8) -> str:
+    terms = []
+    for p in range(n_planes):
+        hp = hyperplane(p, dim)
+        lits = ", ".join(repr(x) for x in hp)
+        d = f"list_dot_product({vec_expr}, [{lits}])"
+        terms.append(f"CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_ann_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: compare only within the query's hyperplane-sign bucket.
+
+    Scale shape: corpus bucketing is a map-only pass; the search is an
+    equi-join on the int bucket (2^n_planes partitions — choose
+    n_planes so buckets fit executors; skewed buckets split fine under
+    AQE because the key is synthetic and uniform-ish).
+    """
+    from pyspark.sql import Window
+
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, n_planes))
+    c = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cos", "rank")
+    )
+
+
+def lsh_ann_topk_sql(query_pred: str, dim: int, k: int = 5,
+                     n_planes: int = 4, table: str = "embeddings") -> str:
+    e = _E_CTE.format(table=table)
+    b = lsh_bucket_sql("v", dim, n_planes)
+    return f"""
+WITH e AS ({e}),
+be AS (SELECT vec_id, v, {b} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM be WHERE {query_pred}),
+scored AS (
+  SELECT q.query_id, q.bucket, be.vec_id AS neighbor_id,
+         ROUND({cosine_sql('q.qv', 'be.v')}, 6) AS cos
+  FROM q JOIN be ON q.bucket = be.bucket AND q.query_id <> be.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, bucket, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def cosine_near_dup_pairs(
+    emb_df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (all-pairs form — the
+    oracle-scale cross-check; the scale path blocks by lsh_bucket
+    first, identical verification predicate)."""
+    e = emb_df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("_cos", 4).alias("cos"),
+        )
+    )
+
+
+def cosine_near_dup_pairs_sql(threshold: float = 0.45,
+                              table: str = "embeddings") -> str:
+    e = _E_CTE.format(table=table)
+    return f"""
+WITH e AS ({e}),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cosine_sql('a.v', 'b.v')} AS c
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(c, 4) AS cos FROM p WHERE c >= {threshold}
+ORDER BY id_a, id_b
+"""

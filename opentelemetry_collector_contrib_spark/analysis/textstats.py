@@ -1,0 +1,238 @@
+"""Text analysis for training-data curation: tokenization, language
+ID, quality scoring, document fingerprinting.
+
+All four ops are pure Column expressions (whole-stage codegen, no
+Python, no shuffle) — each scales as a map-only pass over the corpus.
+Each has a DuckDB-oracle SQL builder alongside so the driver can
+verify values exactly (dialect differences — regexp_replace 'g' flag,
+list vs array functions — are isolated here).
+
+Design references: the reference engine's text layer is the stanza
+parser/transformer set (SURVEY.md §2.3-2.4); these curation ops extend
+it with the operations a Common-Crawl-style pipeline needs (lang-id /
+quality filtering before routing, fingerprints as dedup keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, md5_int32_sql
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+# (The common pre-tokenization split used before byte-pair merging.)
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Minimal per-language stopword lists for the n-gram/stopword-hit
+# language heuristic. Order = tie-break priority.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "les", "et", "est", "pas", "pour", "dans", "une", "que", "ne"],
+    "es": ["el", "los", "y", "es", "no", "con", "una", "para", "por", "como"],
+}
+
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def ws_tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex(trim({expr}), '\\s+'), t -> t <> '')"
+
+
+def token_count(col: Column) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens (letters/digits/punct runs)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{TOKEN_REGEX}'))"
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, F.lower(t))))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = ws_tokens(col)
+    return {lang: _stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """argmax of stopword hits; 'und' (undetermined) when all zero.
+    First language in STOPWORDS order wins ties."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def _hits_sql(expr: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter({ws_tokens_sql(expr)}, "
+        f"t -> list_contains([{lst}], lower(t))))"
+    )
+
+
+def lang_id_sql(expr: str) -> str:
+    hits = {lang: _hits_sql(expr, ws) for lang, ws in STOPWORDS.items()}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    out = "'und'"
+    for lang in reversed(list(STOPWORDS)):
+        out = (
+            f"CASE WHEN {hits[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {out} END"
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_components(col: Column) -> dict[str, Column]:
+    n_chars = F.length(col).cast("double")
+    alpha = F.length(F.regexp_replace(col, "[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(col, "[^0-9]", "")).cast("double")
+    n_tok = token_count(col).cast("double")
+    en_hits = _stopword_hits(ws_tokens(col), STOPWORDS["en"]).cast("double")
+    return {
+        "n_chars": n_chars,
+        "alpha_ratio": alpha / n_chars,
+        "digit_ratio": digit / n_chars,
+        "n_tokens": n_tok,
+        "stopword_ratio": en_hits / n_tok,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Weighted heuristic in [0,1]: alphabetic density + low digit
+    noise + adequate length + natural-language stopword density."""
+    c = quality_components(col)
+    return F.round(
+        0.4 * c["alpha_ratio"]
+        + 0.2 * (1.0 - c["digit_ratio"])
+        + 0.2 * F.least(F.lit(1.0), c["n_tokens"] / 100.0)
+        + 0.2 * F.least(F.lit(1.0), 5.0 * c["stopword_ratio"]),
+        4,
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    n_chars = f"CAST(length({expr}) AS DOUBLE)"
+    alpha = f"CAST(length(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    digit = f"CAST(length(regexp_replace({expr}, '[^0-9]', '', 'g')) AS DOUBLE)"
+    n_tok = f"CAST(len({ws_tokens_sql(expr)}) AS DOUBLE)"
+    hits = f"CAST({_hits_sql(expr, STOPWORDS['en'])} AS DOUBLE)"
+    return (
+        f"ROUND(0.4 * ({alpha} / {n_chars}) "
+        f"+ 0.2 * (1.0 - {digit} / {n_chars}) "
+        f"+ 0.2 * least(1.0, {n_tok} / 100.0) "
+        f"+ 0.2 * least(1.0, 5.0 * {hits} / {n_tok}), 4)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form: lowercase, strip non-alnum, collapse whitespace."""
+    t = F.lower(col)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def normalized_text_sql(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), "
+        f"'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def content_fingerprint(col: Column) -> Column:
+    """md5 of the normalized text — the exact-dedup content address.
+    Analog of the filelog fingerprint (first-1000-bytes identity,
+    pkg/stanza/fileconsumer/design.md:11-33) applied to documents."""
+    return F.md5(normalized_text(col))
+
+
+def content_fingerprint_sql(expr: str) -> str:
+    return f"md5({normalized_text_sql(expr)})"
+
+
+# Rolling (polynomial) hash over token-trigram windows, Rabin-Karp
+# style: h = h1*31^2 + h2*31 + h3 over per-token md5_int32 values.
+ROLL_BASE = 31
+
+
+def rolling_trigram_hashes(col: Column) -> Column:
+    """Array of rolling-hash values, one per consecutive 3-token
+    window. Pure array expressions: tokens -> per-token hash ->
+    windowed polynomial combine."""
+    toks = ws_tokens(col)
+    th = F.transform(toks, lambda t: md5_int32(t))
+    n = F.size(th)
+    # sequence(1, 0) would count DOWN in Spark; guard short docs.
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: (
+            F.element_at(th, i) * (ROLL_BASE * ROLL_BASE)
+            + F.element_at(th, i + 1) * ROLL_BASE
+            + F.element_at(th, i + 2)
+        )
+        % F.lit(2147483647),
+    )
+
+
+def rolling_trigram_hashes_sql(expr: str) -> str:
+    toks = ws_tokens_sql(expr)
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - 1, 1)), i -> "
+        f"({md5_int32_sql(f'({toks})[i]')} * {ROLL_BASE * ROLL_BASE} "
+        f"+ {md5_int32_sql(f'({toks})[i+1]')} * {ROLL_BASE} "
+        f"+ {md5_int32_sql(f'({toks})[i+2]')}) % 2147483647)"
+    )
+
+
+def bottom_k_sketch(col: Column, k: int = 8) -> Column:
+    """Bottom-k sketch of the rolling-hash set: the k smallest distinct
+    window hashes, as a comma-joined string (winnowing-style document
+    signature usable as a near-dup blocking key)."""
+    hashes = F.array_sort(F.array_distinct(rolling_trigram_hashes(col)))
+    return F.concat_ws(",", F.slice(hashes, 1, k).cast("array<string>"))
+
+
+def bottom_k_sketch_sql(expr: str, k: int = 8) -> str:
+    hashes = f"list_sort(list_distinct({rolling_trigram_hashes_sql(expr)}))"
+    return (
+        f"array_to_string(list_transform(({hashes})[1:{k}], "
+        f"h -> CAST(h AS VARCHAR)), ',')"
+    )

@@ -150,6 +150,20 @@ def generate_web_pages(
     return attach_binary_columns(df)
 
 
+# html synthesis fragments — shared by attach_binary_columns (Spark,
+# bytes) and html_string_sql (oracle, string; ASCII so chars == bytes).
+HTML_PRE = "<html><head><title>"
+HTML_MID = "</title></head><body><p>"
+HTML_SUF = "</p></body></html>"
+
+
+def html_string_sql(url_expr: str = "url", text_expr: str = "text") -> str:
+    return (
+        f"('{HTML_PRE}' || {url_expr} || '{HTML_MID}' || {text_expr} "
+        f"|| '{HTML_SUF}')"
+    )
+
+
 def attach_binary_columns(web_pages: DataFrame) -> DataFrame:
     """Add the input_hint's ``warc_ts timestamp`` + ``html binary``
     columns (engine-specific types kept out of the portable fragment)."""
@@ -160,11 +174,11 @@ def attach_binary_columns(web_pages: DataFrame) -> DataFrame:
             "warc_ts": F.timestamp_seconds("warc_ts_epoch"),
             "html": F.encode(
                 F.concat(
-                    F.lit("<html><head><title>"),
+                    F.lit(HTML_PRE),
                     F.col("url"),
-                    F.lit("</title></head><body><p>"),
+                    F.lit(HTML_MID),
                     F.col("text"),
-                    F.lit("</p></body></html>"),
+                    F.lit(HTML_SUF),
                 ),
                 "UTF-8",
             ),

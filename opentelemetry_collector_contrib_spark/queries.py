@@ -43,11 +43,21 @@ def register(name: str, oracle: str | None = None):
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_analysis()
     return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_analysis()
     return dict(_ORACLES)
+
+
+def _load_analysis() -> None:
+    """Merge the analysis-layer registry (lazy: avoids import cycle)."""
+    from . import queries_analysis as QA
+
+    _QUERIES.update(QA.QUERIES)
+    _ORACLES.update(QA.ORACLES)
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

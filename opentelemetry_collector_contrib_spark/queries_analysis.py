@@ -1,0 +1,276 @@
+"""Driver-contract queries for the training-data analysis layer
+(dedup / similarity / text analysis / multimodal), each with a DuckDB
+oracle that replicates the deterministic algorithm exactly (same md5
+hash primitives — see analysis/hashing.py).
+
+Registered into the main registry by queries.py at import time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analysis import dedup as DD
+from .analysis import similarity as SIM
+from .analysis import textstats as TS
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_counts",
+    f"""
+SELECT doc_id,
+       len({TS.ws_tokens_sql('text')}) AS ws_tokens,
+       {TS.bpe_token_count_sql('text')} AS bpe_tokens
+FROM documents ORDER BY doc_id
+""",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            TS.token_count(F.col("text")).alias("ws_tokens"),
+            TS.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_lang_id",
+    f"""
+SELECT doc_id, {TS.lang_id_sql('text')} AS lang_pred
+FROM documents ORDER BY doc_id
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TS.lang_id(F.col("text")).alias("lang_pred"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_quality_scores",
+    f"""
+SELECT doc_id, {TS.quality_score_sql('text')} AS quality
+FROM documents ORDER BY doc_id
+""",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TS.quality_score(F.col("text")).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_fingerprints",
+    f"""
+SELECT doc_id,
+       {TS.content_fingerprint_sql('text')} AS fingerprint,
+       {TS.bottom_k_sketch_sql('text', 8)} AS sketch
+FROM documents ORDER BY doc_id
+""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            TS.content_fingerprint(F.col("text")).alias("fingerprint"),
+            TS.bottom_k_sketch(F.col("text"), 8).alias("sketch"),
+        )
+        .orderBy("doc_id")
+    )
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+# Exact dedup over a self-unioned table (documents has no exact dupes;
+# the +100000-id copy plants one duplicate per doc — dedup must return
+# exactly the original ids).
+_EXACT_DEDUP_ORACLE = f"""
+WITH dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents),
+fp AS (SELECT doc_id, {TS.content_fingerprint_sql('text')} AS f FROM dup)
+SELECT min(doc_id) AS doc_id FROM fp GROUP BY f ORDER BY doc_id
+"""
+
+
+@register("dedup_exact", _EXACT_DEDUP_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 100000))
+    return DD.exact_dedup(dup).select("doc_id").orderBy("doc_id")
+
+
+@register("dedup_ngram_jaccard", DD.ngram_jaccard_pairs_sql(n=2, threshold=0.7))
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=2, threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_minhash_lsh",
+    DD.minhash_lsh_pairs_sql(n=2, k=16, bands=8, threshold=0.7),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=2, k=16, bands=8, threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    # oracle = brute-force all-pairs; Spark = banded (lossless for d<bands)
+    DD.simhash_pairs_allpairs_sql(max_distance=1),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(
+        _docs(spark, sf_dir), max_distance=1, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+@register("dedup_embedding_cosine", SIM.cosine_near_dup_pairs_sql(threshold=0.45))
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+
+@register(
+    "ann_cosine_topk",
+    SIM.cosine_topk_sql(query_pred="vec_id % 25 = 0", k=5),
+)
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return SIM.cosine_topk(
+        emb.filter(F.col("vec_id") % 25 == 0), emb, k=5
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "ann_lsh_topk",
+    SIM.lsh_ann_topk_sql(query_pred="vec_id % 25 = 0", dim=EMB_DIM, k=5,
+                         n_planes=4),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return SIM.lsh_ann_topk(
+        emb.filter(F.col("vec_id") % 25 == 0), emb, dim=EMB_DIM, k=5,
+        n_planes=4,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (decode kernels stubbed; plumbing real —
+# analysis/multimodal.py)
+# ---------------------------------------------------------------------------
+
+from . import datagen  # noqa: E402
+from .analysis import multimodal as MM  # noqa: E402
+
+
+def _web_with_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return datagen.attach_binary_columns(
+        datagen.web_pages_from_documents(spark, sf_dir)
+    )
+
+
+_MM_HTML = datagen.html_string_sql()
+
+_IMAGE_META_ORACLE = f"""
+WITH web AS ({{web}}),
+h AS (SELECT page_id, {_MM_HTML} AS s FROM web)
+SELECT page_id,
+       CAST(strlen(s) AS BIGINT) AS n_bytes,
+       md5(s) AS content_md5,
+       {MM.fake_image_meta_sql('s')}
+FROM h ORDER BY page_id
+"""
+
+
+def _register_multimodal() -> None:
+    oracle = _IMAGE_META_ORACLE.format(
+        web=datagen.web_pages_select_sql("documents")
+    )
+
+    @register("multimodal_image_meta", oracle)
+    def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        web = _web_with_html(spark, sf_dir)
+        meta = MM.binary_metadata(F.col("html"))
+        df = web.withColumns(meta)
+        df = MM.decode_images(df, "html")
+        return df.select(
+            "page_id", "n_bytes", "content_md5",
+            "img_format", "img_width", "img_height",
+        ).orderBy("page_id")
+
+    frame_oracle = (
+        "WITH web AS ({web}),\n"
+        f"h AS (SELECT page_id, {_MM_HTML} AS s FROM web)\n"
+        f"SELECT page_id, {MM.sample_frames_sql('s')}\n"
+        "FROM h ORDER BY page_id"
+    ).format(web=datagen.web_pages_select_sql("documents"))
+
+    @register("multimodal_frame_sample", frame_oracle)
+    def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        web = _web_with_html(spark, sf_dir)
+        df = MM.sample_frames(web, "html")
+        return df.select("page_id", "n_frames", "frame_md5s").orderBy("page_id")
+
+    # audio stub: rows-only check (no byte-level DSP oracle in SQL)
+    @register("multimodal_audio_features", None)
+    def q_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+        web = _web_with_html(spark, sf_dir)
+        df = MM.audio_features(web, "html")
+        return df.select("page_id", "n_samples", "mean_amplitude").orderBy(
+            "page_id"
+        )
+
+
+_register_multimodal()
