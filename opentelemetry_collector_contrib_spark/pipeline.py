@@ -134,6 +134,35 @@ def run_pipeline(spark: SparkSession, web_pages: DataFrame) -> PipelineResult:
     return PipelineResult(parsed=parsed, enriched=enriched, sinks=sinks)
 
 
+def run_pipeline_observed(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    snapshot_id: str | None = None,
+):
+    """Flagship pipeline with the obsreport counter + lineage layer
+    attached (obs.py): returns (PipelineResult, StageMetrics). Counters
+    ride the job (df.observe) — read metrics.get() after any sink
+    action. The collector's accepted/refused/dropped surface
+    (adapter/receiver.go:54-63, filterprocessor/telemetry.go:24-53).
+    """
+    from .obs import StageMetrics, with_lineage
+
+    metrics = StageMetrics()
+    lookup = host_lookup_df(spark)
+    received = with_lineage(web_pages, "receive", snapshot_id)
+    received = metrics.observe_stage(received, "receive")
+    parsed = parse_stage(received)
+    parsed = metrics.observe_stage(
+        parsed, "parse", refused=F.col("status").isNull()
+    )
+    enriched = enrich_stage(parsed, lookup)
+    enriched = metrics.observe_stage(
+        enriched, "enrich", refused=F.col("category").isNull()
+    )
+    sinks = route_stage(enriched)
+    return PipelineResult(parsed=parsed, enriched=enriched, sinks=sinks), metrics
+
+
 def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's flagship query: full pipeline -> per-sink counts.
 

@@ -1,0 +1,92 @@
+"""Skew handling: salted repartition / aggregation / join.
+
+The reference is a single process and has no skew concept (SURVEY.md
+§4); at 10^12 docs a Zipf host distribution (host0 carries 30% of
+traffic in our generator) turns any host-keyed shuffle into one
+straggler task. Three defenses, used in this order:
+
+1. **AQE** (session.py turns on skew-join splitting + partition
+   coalescing) — free, runtime, but only helps sort-merge joins.
+2. **Map-side partial aggregation** — groupBy(host).count() is NOT
+   actually skewed in Spark because partial combine collapses the
+   mega-host per input partition before the shuffle. Don't salt what
+   hash-aggregate already fixes.
+3. **Explicit salting** (this module) — for the cases partials don't
+   cover: high-cardinality aggregates per hot key (collect_list,
+   exact distinct), and shuffle joins where one side's key is hot.
+
+Salts are DETERMINISTIC (hash of a high-entropy sibling column, not
+rand()) so re-runs and retries of a failed task produce identical
+partitioning — required for the checkpoint/resume contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(entropy_col: str, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): xxhash of a per-row unique
+    column (page_id / url), never rand() (retry-stable)."""
+    return F.pmod(F.xxhash64(F.col(entropy_col)), F.lit(buckets)).alias("_salt")
+
+
+def salted_repartition(df: DataFrame, key: str, entropy_col: str,
+                       buckets: int, num_partitions: int | None = None) -> DataFrame:
+    """Repartition on (key, salt): the mega-key spreads over `buckets`
+    partitions instead of one. Use before a per-host mapInPandas stage
+    (SURVEY.md §7 risk 6: salt before the pandas stage, not only
+    before joins)."""
+    out = df.withColumn("_salt", salt_col(entropy_col, buckets))
+    cols = [F.col(key), F.col("_salt")]
+    return (
+        out.repartition(num_partitions, *cols)
+        if num_partitions
+        else out.repartition(*cols)
+    )
+
+
+def salted_count(df: DataFrame, keys: list[str], entropy_col: str,
+                 buckets: int = 16) -> DataFrame:
+    """Two-phase count: groupBy(keys+salt) partial -> groupBy(keys)
+    final. Equivalent to plain groupBy().count() (tested), but the
+    first shuffle spreads each hot key over `buckets` reducers."""
+    partial = (
+        df.withColumn("_salt", salt_col(entropy_col, buckets))
+        .groupBy(*keys, "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return partial.groupBy(*keys).agg(F.sum("_c").alias("count"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    entropy_col: str,
+    buckets: int = 16,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, EXPLODE the small side
+    across all salt values, join on (key, salt). The small side grows
+    ×buckets — only worth it when broadcast is impossible and AQE's
+    skew split isn't kicking in (e.g. bucketed tables pinning the
+    partitioning)."""
+    salted_big = big.withColumn("_salt", salt_col(entropy_col, buckets))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    out = salted_big.join(salted_small, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def key_histogram(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Observed key-frequency histogram — how salting factors get
+    chosen from data instead of guessed (SURVEY.md §7 risk 6)."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .orderBy(F.col("rows").desc())
+        .limit(top_n)
+    )

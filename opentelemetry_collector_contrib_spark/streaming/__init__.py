@@ -1,0 +1,2 @@
+"""Structured Streaming mode: the same operator library run
+continuously (SURVEY.md §2.9)."""

@@ -1,0 +1,137 @@
+"""Streaming flagship: the parse→enrich→route→aggregate pipeline as a
+Structured Streaming job.
+
+The reference runs continuously — receivers tail files/sockets and
+ticker goroutines flush aggregates (spanmetrics connector.go:215-232).
+The Spark-first equivalents:
+
+- file tailing        -> ``readStream`` file source (new-file
+  discovery = the fingerprint/offset tracking of
+  pkg/stanza/fileconsumer, handled by the source's file index)
+- ticker flush        -> event-time tumbling window + WATERMARK
+  (deterministic on replay, unlike wall-clock tickers — the
+  semantics choice documented in SURVEY.md §7 risk 4)
+- exporter fan-out    -> ``foreachBatch``: route once per micro-batch,
+  append each sink's rows to its table — Spark's checkpoint makes the
+  batch ids exactly-once, so sink writes are idempotent per batch
+- collector restart   -> ``checkpointLocation`` (offsets + state store)
+
+Because every batch operator here is a plain DataFrame transform, the
+SAME parse/enrich/route functions run in both modes — one operator
+library, two execution modes, which is precisely the
+receiver-vs-processor symmetry of the reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datagen import host_lookup_df
+from ..operators.connectors import route
+from ..pipeline import default_routes, enrich_stage, parse_stage
+
+WEB_PAGES_DDL = (
+    "page_id BIGINT, url STRING, warc_ts_epoch BIGINT, text STRING, "
+    "lang STRING, warc_ts TIMESTAMP, html BINARY"
+)
+
+
+def read_web_pages_stream(spark: SparkSession, input_dir: str,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = (
+        spark.readStream.schema(WEB_PAGES_DDL)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def streaming_sink_counts(parsed_enriched: DataFrame,
+                          window_duration: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Windowed per-(sink, host) counts with late-data watermark — the
+    countconnector under event time. Append-mode emits each window
+    once the watermark passes it: the deterministic analog of the
+    reference's interval flush."""
+    from ..operators.connectors import route_name_column
+
+    tagged = parsed_enriched.withColumn(
+        "route_name", route_name_column(default_routes())
+    )
+    return (
+        tagged.withWatermark("event_ts", watermark)
+        .groupBy(
+            F.window("event_ts", window_duration).alias("window"),
+            "route_name",
+            "host",
+        )
+        .agg(F.count(F.lit(1)).alias("page_count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "route_name", "host", "page_count",
+        )
+    )
+
+
+def start_routed_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuous parse→enrich→route with per-sink parquet appends.
+
+    foreachBatch gets (batch_df, batch_id); batch_id is stable across
+    restarts (recorded in the stream checkpoint), so a re-run after a
+    crash re-delivers the same batch and the per-sink write stays
+    idempotent per directory.
+    """
+    lookup = host_lookup_df(spark)
+    stream = read_web_pages_stream(spark, input_dir)
+    enriched = enrich_stage(parse_stage(stream), lookup)
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        result = route(batch_df, default_routes())
+        for name, sdf in result.sinks.items():
+            (
+                sdf.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(os.path.join(output_dir, name))
+            )
+
+    writer = (
+        enriched.writeStream.foreachBatch(_emit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_windowed_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+):
+    """Continuous windowed countconnector to a parquet sink (append
+    mode — only watermark-complete windows are written)."""
+    lookup = host_lookup_df(spark)
+    stream = read_web_pages_stream(spark, input_dir)
+    enriched = enrich_stage(parse_stage(stream), lookup)
+    counts = streaming_sink_counts(enriched)
+    writer = (
+        counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,201 @@
+"""obs counters, lineage, checkpoint/resume, skew salting, and the
+streaming mode — the north-rule infrastructure contracts."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark import checkpoint as CK
+from opentelemetry_collector_contrib_spark import obs as OBS
+from opentelemetry_collector_contrib_spark import skew as SK
+from opentelemetry_collector_contrib_spark.datagen import (
+    attach_binary_columns,
+    generate_web_pages,
+    host_lookup_df,
+    web_pages_from_documents,
+)
+from opentelemetry_collector_contrib_spark.pipeline import (
+    default_routes,
+    enrich_stage,
+    parse_stage,
+)
+
+from .conftest import SF_UNIT
+
+
+# ---------------------------------------------------------------------------
+# obs: accepted/refused/dropped counters (obsreport analog)
+# ---------------------------------------------------------------------------
+
+
+def test_stage_metrics_counts(spark):
+    web = generate_web_pages(spark, 1000, 4)
+    m = OBS.StageMetrics()
+    parsed = parse_stage(web)
+    observed = m.observe_stage(
+        parsed,
+        "parse",
+        refused=F.col("status").isNull(),
+        dropped=F.col("sev") == "fatal",
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = m.get()["parse"]
+    assert got["accepted"] == 1000
+    assert got["refused"] == 0  # generator always matches the pattern
+    assert got["dropped"] > 0  # ~5% fatal
+
+
+def test_lineage_summary(spark):
+    web = generate_web_pages(spark, 200, 4)
+    df = OBS.with_lineage(web, "receive", snapshot_id="snap-1")
+    rows = OBS.lineage_summary(df).collect()
+    assert sum(r["rows"] for r in rows) == 200
+    assert all(r["stage"] == "receive" for r in rows)
+    assert len(rows) == 4  # one per input partition
+
+
+# ---------------------------------------------------------------------------
+# checkpoint: idempotent incremental runs
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_resume(spark, tmp_path):
+    man = CK.Manifest(str(tmp_path), "parse")
+    calls: list[str] = []
+
+    def snap(n: int):
+        return lambda: generate_web_pages(spark, 10 * (n + 1), 2)
+
+    def process(snap_id, df):
+        calls.append(snap_id)
+        return {"rows": df.count()}
+
+    snapshots = {f"s{i}": snap(i) for i in range(3)}
+    first = CK.run_incremental(man, snapshots, process)
+    assert set(first) == {"s0", "s1", "s2"}
+    assert first["s1"]["rows"] == 20
+
+    # crash-free rerun: everything committed, nothing reprocessed
+    second = CK.run_incremental(man, snapshots, process)
+    assert second == {} and calls == ["s0", "s1", "s2"]
+
+    # new snapshot arrives: only it runs
+    snapshots["s3"] = snap(3)
+    third = CK.run_incremental(man, snapshots, process)
+    assert set(third) == {"s3"}
+    assert man.read("s3")["rows"] == 40
+
+
+# ---------------------------------------------------------------------------
+# skew: salted ops equal their plain counterparts
+# ---------------------------------------------------------------------------
+
+
+def test_salted_count_equals_plain(spark):
+    web = parse_stage(generate_web_pages(spark, 2000, 8))
+    plain = {
+        (r["host"],): r["count"]
+        for r in web.groupBy("host").agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    salted = {
+        (r["host"],): r["count"]
+        for r in SK.salted_count(web, ["host"], "page_id", buckets=8).collect()
+    }
+    assert salted == plain
+    # the generator's Zipf head exists (host0 ~30%)
+    top = SK.key_histogram(web, "host", 1).collect()[0]
+    assert top["host"] == "host0.example.com"
+
+
+def test_salted_join_equals_plain(spark):
+    web = parse_stage(generate_web_pages(spark, 1000, 4))
+    lookup = host_lookup_df(spark)
+    plain = enrich_stage(web, lookup)
+    salted = SK.salted_join(web, lookup, "host", "page_id", buckets=4)
+    a = {r["page_id"]: r["category"] for r in plain.select("page_id", "category").collect()}
+    b = {r["page_id"]: r["category"] for r in salted.select("page_id", "category").collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# streaming: availableNow run matches the batch pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_routed_matches_batch(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.operators.connectors import route
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        start_routed_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    web = attach_binary_columns(web_pages_from_documents(spark, SF_UNIT))
+    web.repartition(3).write.parquet(in_dir)
+
+    q = start_routed_stream(spark, in_dir, out_dir, ck_dir, available_now=True)
+    q.awaitTermination(120)
+
+    batch = route(
+        enrich_stage(parse_stage(web), host_lookup_df(spark)), default_routes()
+    )
+    for name, sdf in batch.sinks.items():
+        want = sorted(r["page_id"] for r in sdf.select("page_id").collect())
+        got_df = spark.read.parquet(os.path.join(out_dir, name))
+        got = sorted(r["page_id"] for r in got_df.select("page_id").collect())
+        assert got == want, f"sink {name}: streaming != batch"
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        start_windowed_counts_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    web = attach_binary_columns(web_pages_from_documents(spark, SF_UNIT))
+    web.write.parquet(in_dir)
+
+    q = start_windowed_counts_stream(spark, in_dir, out_dir, ck_dir,
+                                     available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    # append mode emits only watermark-closed windows (the last ~30min
+    # of event time stays in state) — every emitted window must equal
+    # the batch computation exactly
+    assert got.count() > 0
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        streaming_sink_counts,
+    )
+
+    batch = streaming_sink_counts(
+        enrich_stage(parse_stage(web), host_lookup_df(spark))
+    )
+    want = {
+        (r["window_start"], r["route_name"], r["host"]): r["page_count"]
+        for r in batch.collect()
+    }
+    for r in got.collect():
+        key = (r["window_start"], r["route_name"], r["host"])
+        assert want[key] == r["page_count"], key
+
+
+def test_observed_pipeline_end_to_end(spark):
+    from opentelemetry_collector_contrib_spark.pipeline import (
+        run_pipeline_observed,
+        sink_counts,
+    )
+
+    web = generate_web_pages(spark, 1000, 4)
+    res, metrics = run_pipeline_observed(spark, web, snapshot_id="s1")
+    # one action over the union of all sinks triggers every observation
+    sink_counts(res.sinks).write.format("noop").mode("overwrite").save()
+    got = metrics.get()
+    assert got["receive"]["accepted"] == 1000
+    assert got["parse"]["accepted"] == 1000 and got["parse"]["refused"] == 0
+    # ~20% of hosts are uncovered by the lookup -> refused-at-enrich > 0
+    assert got["enrich"]["refused"] > 0
