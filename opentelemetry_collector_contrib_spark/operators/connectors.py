@@ -328,3 +328,138 @@ def service_graph(
 
 def round_robin(df: DataFrame, n: int, key: str) -> Column:
     return F.pmod(F.col(key), F.lit(n)).alias("rr_route")
+
+
+# ---------------------------------------------------------------------------
+# loadbalancingexporter -- consistent hash ring
+# (exporter/loadbalancingexporter/consistent_hashing.go:29-123: virtual
+# nodes on a ring, binary-search the first position >= hash(key))
+# ---------------------------------------------------------------------------
+
+
+def build_hash_ring(endpoints: list[str], virtual_nodes: int = 16) -> list[tuple[int, str]]:
+    """Deterministic ring: md5-derived positions for endpoint:vnode,
+    sorted ascending. Plan-time Python, embedded as literals."""
+    from ..analysis.hashing import md5_int32_py
+
+    ring = [
+        (md5_int32_py(f"{ep}:{v}"), ep)
+        for ep in endpoints
+        for v in range(virtual_nodes)
+    ]
+    return sorted(ring)
+
+
+def consistent_hash_route(key: Column, ring: list[tuple[int, str]]) -> Column:
+    """Ring lookup as a pure Column expression: h = md5_int32(key);
+    owner = first ring position >= h, wrapping to ring[0].
+
+    The ring is a literal array (a few hundred entries); the "binary
+    search" is size(filter(pos < h)) -- O(ring) inside codegen, fine
+    because the ring is tiny and per-row work is branch-free.
+    """
+    from ..analysis.hashing import md5_int32
+
+    positions = F.array(*[F.lit(p) for p, _ in ring])
+    owners = F.array(*[F.lit(e) for _, e in ring])
+    h = md5_int32(key)
+    idx = F.size(F.filter(positions, lambda p: p < h))  # 0-based insertion pt
+    wrapped = F.when(idx >= F.lit(len(ring)), F.lit(0)).otherwise(idx)
+    return F.element_at(owners, wrapped + 1)
+
+
+def consistent_hash_route_sql(key_expr: str, ring: list[tuple[int, str]]) -> str:
+    from ..analysis.hashing import md5_int32_sql
+
+    positions = "[" + ", ".join(str(p) for p, _ in ring) + "]"
+    owners = "[" + ", ".join(f"'{e}'" for _, e in ring) + "]"
+    h = md5_int32_sql(key_expr)
+    idx = f"len(list_filter({positions}, p -> p < {h}))"
+    wrapped = f"(CASE WHEN {idx} >= {len(ring)} THEN 0 ELSE {idx} END)"
+    return f"({owners})[{wrapped} + 1]"
+
+
+# ---------------------------------------------------------------------------
+# signaltometricsconnector (connector/signaltometricsconnector):
+# generic OTTL-driven signal -> sum/count/histogram metric
+# ---------------------------------------------------------------------------
+
+
+def signal_to_metrics(
+    df: DataFrame,
+    kind: str,
+    dims: list[str],
+    value_col: str | None = None,
+    condition: Column | None = None,
+    ts_col: str = "warc_ts",
+    window_duration: str = "1 hour",
+    bounds: list[float] | None = None,
+    metric_name: str = "signal.metric",
+) -> DataFrame:
+    """Dispatcher over the count/sum/histogram primitives -- the
+    generalization the reference builds count/sum/spanmetrics from."""
+    if kind == "count":
+        return count_connector(df, dims, condition, ts_col, metric_name)
+    if kind == "sum":
+        assert value_col is not None
+        return sum_connector(df, value_col, dims, condition, metric_name)
+    if kind == "histogram":
+        assert value_col is not None
+        out = df if condition is None else df.filter(condition)
+        return span_metrics(out, dims, value_col, ts_col, window_duration, bounds)
+    raise ValueError(f"unknown metric kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# failoverconnector (connector/failoverconnector): route to the first
+# healthy downstream; health is config/runtime state, not data
+# ---------------------------------------------------------------------------
+
+
+def failover_route(priorities: list[str], healthy: set[str]) -> Column:
+    """Constant route column = first healthy pipeline (the reference
+    retries levels in priority order; a batch engine evaluates health
+    once per job). Raises when nothing is healthy (reference blocks)."""
+    for p in priorities:
+        if p in healthy:
+            return F.lit(p).alias("failover_route")
+    raise RuntimeError("failoverconnector: no healthy downstream")
+
+
+# ---------------------------------------------------------------------------
+# groupbytraceprocessor (processor/groupbytraceprocessor): buffer spans
+# until the trace is complete, emit whole traces. Batch analog: groupBy
+# trace after the watermark has passed -- here a plain aggregate with
+# deterministic intra-trace ordering.
+# ---------------------------------------------------------------------------
+
+
+def group_by_trace(
+    spans: DataFrame,
+    trace_col: str = "trace_id",
+    order_col: str = "span_id",
+    label_col: str | None = None,
+) -> DataFrame:
+    """(trace_id, span_count, first/last span id, ordered label path).
+
+    The shuffle keys on trace_id; span payloads stay distributed. The
+    label path uses sort_array(collect_list(struct)) so ordering is
+    deterministic regardless of partitioning (cluster-size independent).
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("span_count"),
+        F.min(order_col).alias("first_span"),
+        F.max(order_col).alias("last_span"),
+    ]
+    if label_col is not None:
+        path = F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(order_col), F.col(label_col)))
+                ),
+                lambda s: s[label_col],
+            ),
+        )
+        aggs.append(path.alias("trace_path"))
+    return spans.groupBy(F.col(trace_col)).agg(*aggs)

@@ -1,0 +1,71 @@
+"""Vectorized pandas/Arrow parse battery — the north-star parse stand-in.
+
+BASELINE.json's input_hint mandates "vectorized pandas/Arrow UDFs (no
+per-row Python)" for the transform layer. This module is the
+Arrow-batched twin of operators/parse.py's JVM regexp battery:
+``pandas.Series.str.extract`` runs the compiled regex in pandas'
+C loop over each Arrow batch — one Python round-trip per ~10k rows,
+zero per-row Python in our code.
+
+Two parse paths, one contract: `tests/test_parse_parity.py` asserts
+BYTE-IDENTICAL output between this battery and the JVM
+`regexp_extract` battery for every extracted field (SURVEY.md §7
+hard-part-1: patterns restricted to the shared Python/Java/RE2
+dialect; group extraction by index on the JVM side).
+
+When to use which at 100 TB: the JVM battery stays inside whole-stage
+codegen — default. The pandas battery wins when patterns exceed
+Java's RE dialect (grok libraries, possessive-free backtracking
+differences) or when the parse needs Python-only libraries; its cost
+is one Arrow serialization of the projected columns, so PROJECT
+BEFORE PARSING (only ship `parse_from` + keys through Arrow).
+"""
+
+from __future__ import annotations
+
+import re as _pyre
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .parse import named_groups, to_java_regex
+
+
+def regex_parser_pandas(
+    df: DataFrame,
+    pattern: str,
+    parse_from: str = "text",
+    include_extracted_text: bool = True,
+    prefix: str = "",
+) -> DataFrame:
+    """Named-group extraction via one mapInPandas battery.
+
+    Output contract (identical to parse.regex_parser + extracted_text):
+    - one string column per named group, NULL where the group missed;
+    - ``extracted_text`` = whole match, '' where the pattern missed.
+    """
+    fields = [prefix + g for g in named_groups(pattern)]
+    new_fields = [StructField(f, StringType()) for f in fields]
+    if include_extracted_text:
+        new_fields.append(StructField("extracted_text", StringType()))
+    out_schema = StructType(list(df.schema.fields) + new_fields)
+    group_names = named_groups(pattern)
+    # whole-match pattern: inner groups anonymized, one outer group
+    whole = "(" + to_java_regex(pattern) + ")"
+
+    def _battery(batches: Iterator) -> Iterator:
+        rx = _pyre.compile(pattern)          # compiled once per task
+        rx_whole = _pyre.compile(whole)
+        for pdf in batches:
+            s = pdf[parse_from].astype("string")
+            ext = s.str.extract(rx)          # vectorized C loop
+            out = pdf.copy()
+            for g, f in zip(group_names, fields):
+                out[f] = ext[g].astype(object).where(ext[g].notna(), None)
+            if include_extracted_text:
+                whole_match = s.str.extract(rx_whole)[0]
+                out["extracted_text"] = whole_match.fillna("")
+            yield out
+
+    return df.mapInPandas(_battery, out_schema)

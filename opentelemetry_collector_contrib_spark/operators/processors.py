@@ -382,3 +382,56 @@ def schema_processor(df: DataFrame, renames: dict[str, str]) -> DataFrame:
         if old in out.columns:
             out = out.withColumnRenamed(old, new)
     return out
+
+
+# ---------------------------------------------------------------------------
+# metricsgenerationprocessor (processor/metricsgenerationprocessor
+# README.md:20-56): new metric = metric1 (op) metric2 over matching
+# dims, or scale by constant. Long-format input (dims..., name, value).
+# ---------------------------------------------------------------------------
+
+
+def metrics_generation(
+    metrics: DataFrame,
+    name1: str,
+    name2: str,
+    op: str,
+    new_name: str,
+    dims: list[str],
+    name_col: str = "metric_name",
+    value_col: str = "value",
+) -> DataFrame:
+    """calculate mode: join the two metric series on dims, apply op.
+    Both sides are pre-aggregated per dims, so the join is small; the
+    reference requires metric2 != 0 for divide/percent (rows dropped)."""
+    m1 = metrics.filter(F.col(name_col) == name1).select(
+        *dims, F.col(value_col).alias("_v1")
+    )
+    m2 = metrics.filter(F.col(name_col) == name2).select(
+        *dims, F.col(value_col).alias("_v2")
+    )
+    joined = m1.join(m2, dims, "inner")
+    v1, v2 = F.col("_v1"), F.col("_v2")
+    if op in ("divide", "percent"):
+        joined = joined.filter(v2 != 0)
+    value = {
+        "add": v1 + v2,
+        "subtract": v1 - v2,
+        "multiply": v1 * v2,
+        "divide": v1 / v2,
+        "percent": v1 / v2 * 100.0,
+    }[op]
+    return joined.select(
+        *dims,
+        F.lit(new_name).alias(name_col),
+        value.alias(value_col),
+    )
+
+
+def metrics_scale(metrics: DataFrame, name: str, factor: float,
+                  new_name: str, name_col: str = "metric_name",
+                  value_col: str = "value") -> DataFrame:
+    """scale mode: one metric times a constant."""
+    return metrics.filter(F.col(name_col) == name).withColumns(
+        {name_col: F.lit(new_name), value_col: F.col(value_col) * factor}
+    )

@@ -840,3 +840,173 @@ def q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return c.apply(ev).select("event_id", "event_type", "value").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Vectorized pandas parse battery (operators/parse_pandas.py) -- same
+# oracle discipline as the JVM battery, exercised through Arrow.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parse_vectorized_battery",
+    "WITH web AS ("
+    + datagen.web_pages_select_sql("documents")
+    + """)
+SELECT page_id,
+       regexp_extract(text, 'status=(\\d+)', 1) AS status,
+       regexp_extract(text, 'sev=([a-z]+)', 1)  AS sev,
+       regexp_extract(text,
+  'ts=(\\d+) status=(\\d+) sev=([a-z]+) ip=([\\d.]+) bytes=(\\d+) method=([A-Z]+) msg=(\\S+)',
+  0) AS extracted_text
+FROM web ORDER BY page_id
+""",
+)
+def q_parse_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse_pandas import regex_parser_pandas
+    from .pipeline import TEXT_PATTERN
+
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    out = regex_parser_pandas(web, TEXT_PATTERN, parse_from="text")
+    return out.select("page_id", "status", "sev", "extracted_text").orderBy(
+        "page_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# loadbalancingexporter consistent-hash ring
+# (exporter/loadbalancingexporter/consistent_hashing.go:29-123)
+# ---------------------------------------------------------------------------
+
+_LB_ENDPOINTS = ["backend-a", "backend-b", "backend-c", "backend-d"]
+
+
+def _lb_oracle() -> str:
+    from .operators.connectors import build_hash_ring, consistent_hash_route_sql
+
+    ring = build_hash_ring(_LB_ENDPOINTS, virtual_nodes=16)
+    route = consistent_hash_route_sql("CAST(user_id AS VARCHAR)", ring)
+    return f"""
+SELECT {route} AS endpoint, COUNT(*) AS events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("consistent_hash_events", _lb_oracle())
+def q_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import build_hash_ring, consistent_hash_route
+
+    ring = build_hash_ring(_LB_ENDPOINTS, virtual_nodes=16)
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "endpoint",
+            consistent_hash_route(F.col("user_id").cast("string"), ring),
+        )
+        .groupBy("endpoint")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .orderBy("endpoint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# metricsgenerationprocessor: error_rate_percent = errors / clicks * 100
+# per user bucket (processor/metricsgenerationprocessor README.md:20-56)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metrics_generation_events",
+    """
+WITH m AS (
+  SELECT user_id % 10 AS bucket, event_type AS metric_name,
+         ROUND(SUM(value), 4) AS value
+  FROM events WHERE event_type IN ('error', 'click')
+  GROUP BY 1, 2),
+m1 AS (SELECT bucket, value AS v1 FROM m WHERE metric_name = 'error'),
+m2 AS (SELECT bucket, value AS v2 FROM m WHERE metric_name = 'click')
+SELECT m1.bucket, 'error_vs_click_percent' AS metric_name,
+       ROUND(v1 / v2 * 100.0, 4) AS value
+FROM m1 JOIN m2 ON m1.bucket = m2.bucket AND v2 <> 0
+ORDER BY m1.bucket
+""",
+)
+def q_metrics_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import metrics_generation
+
+    ev = _read(spark, sf_dir, "events")
+    long = (
+        ev.filter(F.col("event_type").isin("error", "click"))
+        .groupBy(
+            F.pmod("user_id", F.lit(10)).alias("bucket"),
+            F.col("event_type").alias("metric_name"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("value"))
+    )
+    out = metrics_generation(
+        long, "error", "click", "percent", "error_vs_click_percent",
+        dims=["bucket"],
+    )
+    return out.select(
+        "bucket", "metric_name", F.round("value", 4).alias("value")
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# signaltometricsconnector: generic sum over a condition
+# (connector/signaltometricsconnector)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "signal_to_metrics_events",
+    """
+SELECT event_type, ROUND(SUM(value), 4) AS sum
+FROM events WHERE value > 50.0 AND event_type IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_signal_to_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import signal_to_metrics
+
+    ev = _read(spark, sf_dir, "events")
+    out = signal_to_metrics(
+        ev, kind="sum", dims=["event_type"], value_col="value",
+        condition=F.col("value") > 50.0,
+    )
+    return out.select(
+        "event_type", F.round("sum", 4).alias("sum")
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# groupbytraceprocessor: whole-trace assembly with deterministic
+# intra-trace order (processor/groupbytraceprocessor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_by_trace_events",
+    """
+SELECT user_id AS trace_id,
+       COUNT(*) AS span_count,
+       MIN(event_id) AS first_span,
+       MAX(event_id) AS last_span,
+       string_agg(event_type, '>' ORDER BY event_id) AS trace_path
+FROM events GROUP BY user_id ORDER BY trace_id
+""",
+)
+def q_group_by_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import group_by_trace
+
+    ev = _read(spark, sf_dir, "events")
+    spans = ev.select(
+        F.col("user_id").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.col("event_type").alias("service"),
+    )
+    return group_by_trace(
+        spans, "trace_id", "span_id", label_col="service"
+    ).select(
+        "trace_id", "span_count", "first_span", "last_span", "trace_path"
+    ).orderBy("trace_id")

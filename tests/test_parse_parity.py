@@ -1,0 +1,48 @@
+"""Byte-identity between the JVM regexp battery and the vectorized
+pandas battery — the input_hint's per-row invariant, cross-engine."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.datagen import generate_web_pages
+from opentelemetry_collector_contrib_spark.operators import parse as P
+from opentelemetry_collector_contrib_spark.operators.parse_pandas import (
+    regex_parser_pandas,
+)
+from opentelemetry_collector_contrib_spark.pipeline import TEXT_PATTERN
+
+FIELDS = ["ts_epoch", "status", "sev", "ip", "bytes", "method", "msg",
+          "extracted_text"]
+
+
+def _rows(df):
+    return {
+        r["page_id"]: tuple(r[f] for f in FIELDS)
+        for r in df.select("page_id", *FIELDS).collect()
+    }
+
+
+def test_jvm_and_pandas_batteries_byte_identical(spark):
+    web = generate_web_pages(spark, 5000, 8)
+    jvm = P.extracted_text(
+        P.regex_parser(web, TEXT_PATTERN, parse_from="text"),
+        TEXT_PATTERN, parse_from="text",
+    )
+    pnd = regex_parser_pandas(web, TEXT_PATTERN, parse_from="text")
+    assert _rows(jvm) == _rows(pnd)
+
+
+def test_non_matching_rows_agree(spark):
+    # rows whose text does NOT match: groups NULL both sides, whole ''
+    from pyspark.sql import functions as F
+
+    web = generate_web_pages(spark, 100, 2).withColumn(
+        "text", F.lit("no structured payload here")
+    )
+    jvm = P.extracted_text(
+        P.regex_parser(web, TEXT_PATTERN, parse_from="text"),
+        TEXT_PATTERN, parse_from="text",
+    )
+    pnd = regex_parser_pandas(web, TEXT_PATTERN, parse_from="text")
+    assert _rows(jvm) == _rows(pnd)
+    one = jvm.select(*FIELDS).first()
+    assert one["extracted_text"] == "" and one["status"] is None
