@@ -63,6 +63,9 @@ def main() -> None:
         "logdedup_events",
         "delta_to_cumulative_events",
         "cumulative_to_delta_events",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "text_quality_scores",
     ]
     all_q = Q.queries()
     for name in bench_queries:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import md5_int32, seeded_hash, seeded_hash_sql
+from .hashing import md5_int32
 from .textstats import content_fingerprint, ws_tokens, ws_tokens_sql
 
 # ---------------------------------------------------------------------------
@@ -145,11 +145,36 @@ ORDER BY id_a, id_b
 # ---------------------------------------------------------------------------
 
 
+# Universal-hash family over the Mersenne prime 2^31-1: one md5 per
+# shingle, then k multiply-add-mod permutations — the classic MinHash
+# construction. Keeps the codegen'd expression tree small (k arithmetic
+# transforms instead of k md5 batteries) and the constants replicate
+# into the oracle.
+MINHASH_PRIME = 2147483647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    from .hashing import md5_int32_py
+
+    return [
+        (
+            1 + md5_int32_py(f"mh_a_{i}") % (MINHASH_PRIME - 1),
+            md5_int32_py(f"mh_b_{i}") % MINHASH_PRIME,
+        )
+        for i in range(k)
+    ]
+
+
 def minhash_signature(sh: Column, k: int = 16) -> Column:
-    """k-hash MinHash signature of a shingle array (null-free input)."""
+    """k-permutation MinHash signature of a shingle array."""
+    hs = F.transform(sh, lambda s: md5_int32(s) % MINHASH_PRIME)
+
+    def perm(a: int, b: int):
+        # closure, not default-args: pyspark counts lambda params
+        return lambda h: (a * h + b) % MINHASH_PRIME
+
     return F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: seeded_hash(s, i)))
-          for i in range(k)]
+        *[F.array_min(F.transform(hs, perm(a, b))) for a, b in minhash_params(k)]
     )
 
 
@@ -218,10 +243,14 @@ def minhash_lsh_pairs(
 def minhash_lsh_pairs_sql(n: int = 2, k: int = 16, bands: int = 8,
                           threshold: float = 0.7,
                           table: str = "documents") -> str:
+    from .hashing import md5_int32_sql
+
     rows = k // bands
+    p = MINHASH_PRIME
+    md5_int32_sql_mod = f"{md5_int32_sql('x')} % {p}"
     sig_exprs = ", ".join(
-        f"list_min(list_transform(s, x -> {seeded_hash_sql('x', i)}))"
-        for i in range(k)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {p}))"
+        for a, b in minhash_params(k)
     )
     band_exprs = ", ".join(
         "md5(array_to_string(list_transform(sig[{lo}:{hi}], "
@@ -230,7 +259,9 @@ def minhash_lsh_pairs_sql(n: int = 2, k: int = 16, bands: int = 8,
     )
     return f"""
 WITH sh AS ({shingles_cte_sql(n, table)}),
-sig AS (SELECT id, s, [{sig_exprs}] AS sig FROM sh),
+sig AS (
+  SELECT id, s, [{sig_exprs}] AS sig FROM (
+    SELECT id, s, list_transform(s, x -> {md5_int32_sql_mod}) AS hs FROM sh)),
 bk AS (
   SELECT id, b - 1 AS band, ([{band_exprs}])[b] AS key
   FROM sig, (SELECT unnest(range(1, {bands + 1})) AS b) bs),
