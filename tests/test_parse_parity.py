@@ -46,3 +46,32 @@ def test_non_matching_rows_agree(spark):
     assert _rows(jvm) == _rows(pnd)
     one = jvm.select(*FIELDS).first()
     assert one["extracted_text"] == "" and one["status"] is None
+
+
+def test_parse_stage_fast_equals_regex_battery(spark):
+    """The single-regex-pass kv variant must equal the per-field
+    regex battery column-for-column (incl. uri parts + event_ts)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.pipeline import (
+        parse_stage,
+        parse_stage_kv,
+    )
+
+    web = generate_web_pages(spark, 3000, 4)
+    cols = FIELDS + ["host", "url_scheme", "url_domain", "url_path",
+                     "url_query", "severity_number"]
+
+    def rows(df):
+        return {
+            r["page_id"]: tuple(r[c] for c in cols) + (str(r["event_ts"]),)
+            for r in df.select("page_id", *cols, "event_ts").collect()
+        }
+
+    fast, ref = rows(parse_stage_kv(web)), rows(parse_stage(web))
+    assert fast == ref
+
+    # non-matching text: both paths yield NULL fields / '' extracted
+    bad = web.withColumn("text", F.lit("unstructured line"))
+    fast_b, ref_b = rows(parse_stage_kv(bad)), rows(parse_stage(bad))
+    assert fast_b == ref_b
