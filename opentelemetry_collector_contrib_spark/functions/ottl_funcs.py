@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import pandas as pd  # noqa: F401 -- pandas_udf type-hint resolution
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -580,3 +581,132 @@ def get_function(name: str):
         raise KeyError(
             f"OTTL function {name!r} not implemented; see functions/ottl_funcs.py"
         ) from None
+
+
+# ---------------------------------------------------------------------------
+# UserAgent (func_useragent.go:48-56 -> user_agent.* / os.* semconv
+# keys). Vectorized pandas battery of precompiled regexes (the
+# reference embeds the uap-core database; this is the common-browser
+# subset, clearly extensible by swapping in ua-parser when available).
+# ---------------------------------------------------------------------------
+
+_UA_RULES = [
+    # (family, ua_regex with version groups)
+    ("Edge", r"Edg(?:e|A|iOS)?/(\d+)\.(\d+)"),
+    ("Chrome", r"Chrome/(\d+)\.(\d+)"),
+    ("Firefox", r"Firefox/(\d+)\.(\d+)"),
+    ("Safari", r"Version/(\d+)\.(\d+).*Safari/"),
+    ("Opera", r"OPR/(\d+)\.(\d+)"),
+    ("curl", r"curl/(\d+)\.(\d+)"),
+]
+_OS_RULES = [
+    ("Windows", r"Windows NT (\d+)\.(\d+)"),
+    ("Android", r"Android (\d+)"),
+    ("iOS", r"iPhone OS (\d+)_(\d+)"),
+    ("Mac OS X", r"Mac OS X (\d+)[._](\d+)"),
+    ("Linux", r"Linux"),
+]
+
+
+def UserAgent(c):
+    """UA string -> struct(user_agent_name, user_agent_version,
+    os_name, os_version). One Arrow round-trip, regexes compiled per
+    executor."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("user_agent_name", StringType()),
+        StructField("user_agent_version", StringType()),
+        StructField("os_name", StringType()),
+        StructField("os_version", StringType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _parse(s: pd.Series) -> pd.DataFrame:
+        import re as _re
+
+        ua_rules = [(n, _re.compile(rx)) for n, rx in _UA_RULES]
+        os_rules = [(n, _re.compile(rx)) for n, rx in _OS_RULES]
+        out = {k: [] for k in ("user_agent_name", "user_agent_version",
+                               "os_name", "os_version")}
+        for ua in s:
+            name = ver = osn = osv = None
+            if ua:
+                for n, rx in ua_rules:
+                    m = rx.search(ua)
+                    if m:
+                        name = n
+                        g = m.groups()
+                        ver = ".".join(x for x in g if x) if g else None
+                        break
+                for n, rx in os_rules:
+                    m = rx.search(ua)
+                    if m:
+                        osn = n
+                        g = m.groups()
+                        osv = ".".join(x for x in g if x) if g else None
+                        break
+            out["user_agent_name"].append(name)
+            out["user_agent_version"].append(ver)
+            out["os_name"].append(osn)
+            out["os_version"].append(osv)
+        return pd.DataFrame(out)
+
+    return _parse(_col(c))
+
+
+def IsValidLuhn(c):
+    """func_is_valid_luhn.go: Luhn checksum over a digit string.
+    Pure Column arithmetic: reversed digit positions, double every
+    second, sum mod 10 == 0."""
+    digits = F.reverse(F.regexp_replace(_col(c).cast("string"), r"\D", ""))
+    arr = F.split(digits, "")
+    arr = F.filter(arr, lambda d: d != "")
+    total = F.aggregate(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(0), F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda d, i: F.when(
+                i % 2 == 1,
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+                 .otherwise(d.cast("int") * 2),
+            ).otherwise(d.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (F.size(arr) > 1) & (total % 10 == 0)
+
+
+def CommunityID(src_ip, dst_ip, src_port, dst_port, proto: int = 6, seed: int = 0):
+    """func_community_id.go: v1 network-flow hash
+    '1:' + base64(sha1(seed . ip1 . ip2 . proto . 0 . port1 . port2))
+    with the (ip,port) pair ordered. IPv4 only (the fixture scope);
+    pure Column expression: conditional ordering + sha1 + base64."""
+    s_ip, d_ip = _col(src_ip), _col(dst_ip)
+    s_pt = _col(src_port).cast("int")
+    d_pt = _col(dst_port).cast("int")
+
+    def ip_bytes(ip):
+        parts = F.split(ip, r"\.")
+        return F.concat(*[
+            F.unhex(F.lpad(F.hex(F.element_at(parts, i).cast("int")), 2, "0"))
+            for i in (1, 2, 3, 4)
+        ])
+
+    def port_bytes(p):
+        return F.unhex(F.lpad(F.hex(p), 4, "0"))
+
+    flip = (s_ip > d_ip) | ((s_ip == d_ip) & (s_pt > d_pt))
+    ip1 = F.when(flip, ip_bytes(d_ip)).otherwise(ip_bytes(s_ip))
+    ip2 = F.when(flip, ip_bytes(s_ip)).otherwise(ip_bytes(d_ip))
+    p1 = F.when(flip, port_bytes(d_pt)).otherwise(port_bytes(s_pt))
+    p2 = F.when(flip, port_bytes(s_pt)).otherwise(port_bytes(d_pt))
+    payload = F.concat(
+        F.unhex(F.lpad(F.hex(F.lit(seed)), 4, "0")),
+        ip1, ip2,
+        F.unhex(F.lpad(F.hex(F.lit(proto)), 2, "0")),
+        F.unhex(F.lit("00")),
+        p1, p2,
+    )
+    return F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(payload))))

@@ -323,3 +323,86 @@ def grok_battery(
     for f in fields:
         out = out.withColumn(prefix + f, F.col(f"{struct_col}.{f}"))
     return out.drop(struct_col)
+
+
+# ---------------------------------------------------------------------------
+# syslog_parser (pkg/stanza/operator/parser/syslog): RFC 3164/5424
+# composite over regex_parser + time_parser + severity mapping
+# ---------------------------------------------------------------------------
+
+# RFC 3164: <PRI>Mmm dd hh:mm:ss HOST TAG: MSG
+SYSLOG_RFC3164 = (
+    r"<(?P<priority>\d{1,3})>"
+    r"(?P<timestamp>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+    r"(?P<hostname>\S+) (?P<appname>[^:\[]+)(?:\[(?P<proc_id>\d+)\])?: "
+    r"(?P<message>.*)"
+)
+# RFC 5424: <PRI>VERSION TIMESTAMP HOST APP PROCID MSGID SD MSG
+SYSLOG_RFC5424 = (
+    r"<(?P<priority>\d{1,3})>(?P<version>\d) "
+    r"(?P<timestamp>\S+) (?P<hostname>\S+) (?P<appname>\S+) "
+    r"(?P<proc_id>\S+) (?P<msg_id>\S+) (?P<structured_data>-|\[.*\]) "
+    r"(?P<message>.*)"
+)
+
+
+def syslog_parser(df: DataFrame, parse_from: str = "body",
+                  protocol: str = "rfc5424") -> DataFrame:
+    """Syslog composite: regex fields + severity from PRI (pri % 8 ->
+    syslog level, mapped onto OTel severity numbers like the
+    reference's severity mapping does)."""
+    pattern = SYSLOG_RFC5424 if protocol == "rfc5424" else SYSLOG_RFC3164
+    out = regex_parser(df, pattern, parse_from=parse_from)
+    sev_level = F.col("priority").cast("int") % 8
+    # syslog 0..7 (emerg..debug) -> OTel severity (severity.go scale)
+    otel = F.element_at(
+        F.array(*[F.lit(v) for v in (23, 22, 21, 17, 13, 10, 9, 5)]),
+        sev_level + 1,
+    )
+    out = out.withColumn("facility", (F.col("priority").cast("int") / 8).cast("int"))
+    return out.withColumn("severity_number", otel)
+
+
+# ---------------------------------------------------------------------------
+# container parser (pkg/stanza/operator/parser/container): docker JSON
+# and CRI (containerd/cri-o) log line formats, auto-detected
+# ---------------------------------------------------------------------------
+
+# group INDEXES: 1=time 2=stream 3=logtag 4=log (Java regex: no named
+# groups with our naming; extraction by index like regex_parser)
+_CRI_PATTERN = r"(\S+) (stdout|stderr) ([PF]) (.*)"
+
+
+def container_parser(df: DataFrame, parse_from: str = "body") -> DataFrame:
+    """Docker-JSON ({"log":..,"stream":..,"time":..}) or CRI text
+    format, detected per row; emits (log, stream, container_time,
+    is_partial). Pure Column CASE — no per-row Python."""
+    src = F.col(parse_from)
+    is_json = src.startswith("{")
+    j = F.from_json(src, "log STRING, stream STRING, time STRING")
+    return (
+        df.withColumn(
+            "log",
+            F.when(is_json, j["log"]).otherwise(
+                F.regexp_extract(src, _CRI_PATTERN, 4)
+            ),
+        )
+        .withColumn(
+            "stream",
+            F.when(is_json, j["stream"]).otherwise(
+                F.regexp_extract(src, _CRI_PATTERN, 2)
+            ),
+        )
+        .withColumn(
+            "container_time",
+            F.when(is_json, j["time"]).otherwise(
+                F.regexp_extract(src, _CRI_PATTERN, 1)
+            ),
+        )
+        .withColumn(
+            "is_partial",
+            F.when(is_json, F.lit(False)).otherwise(
+                F.regexp_extract(src, _CRI_PATTERN, 3) == "P"
+            ),
+        )
+    )

@@ -1,0 +1,1 @@
+"""Sources (receivers) and sinks (exporters) — SURVEY.md §2.1/2.2."""

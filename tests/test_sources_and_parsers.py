@@ -1,0 +1,163 @@
+"""Receivers/exporters + syslog/container parsers + UA/Luhn/CommunityID."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions import ottl_funcs as FN
+from opentelemetry_collector_contrib_spark.operators.parse import (
+    container_parser,
+    syslog_parser,
+)
+from opentelemetry_collector_contrib_spark.sources.exporters import (
+    file_exporter,
+    routed_fanout_write,
+)
+from opentelemetry_collector_contrib_spark.sources.receivers import (
+    file_input,
+    otlp_json_file_input,
+)
+
+
+def test_file_input_lines(spark, tmp_path):
+    p = tmp_path / "logs"
+    p.mkdir()
+    (p / "a.log").write_text("line1\nline2\n")
+    (p / "b.log").write_text("ERROR boom\n  at frame\n")
+    df = file_input(spark, str(p / "*.log"), multiline_first=r"^\S")
+    rows = df.collect()
+    assert len(rows) == 4
+    assert all(r["source_file"].endswith(".log") for r in rows)
+    firsts = {r["body"]: r["is_first"] for r in rows}
+    assert firsts["ERROR boom"] is True and firsts["  at frame"] is False
+
+
+def test_otlp_json_file_input(spark, tmp_path):
+    payload = {
+        "resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "cart"}}]},
+            "scopeLogs": [{
+                "scope": {"name": "s1", "version": "1"},
+                "logRecords": [
+                    {"timeUnixNano": "1581452772000000000",
+                     "severityNumber": 9, "severityText": "INFO",
+                     "body": {"stringValue": "hello"},
+                     "attributes": [{"key": "k", "value": {"stringValue": "v"}}],
+                     "traceId": "0102030405060708090a0b0c0d0e0f10",
+                     "spanId": "0102030405060708"},
+                    {"timeUnixNano": "1581452773000000000",
+                     "severityNumber": 17, "severityText": "ERROR",
+                     "body": {"stringValue": "boom"},
+                     "attributes": [],
+                     "traceId": "", "spanId": ""},
+                ]}]}]
+    }
+    f = tmp_path / "otlp.json"
+    f.write_text(json.dumps(payload) + "\n")
+    df = otlp_json_file_input(spark, str(f))
+    rows = {r["body"]: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows["hello"]["severity_number"] == 9
+    assert rows["hello"]["attributes"] == {"k": "v"}
+    assert rows["hello"]["resource_attributes"] == {"service.name": "cart"}
+    assert rows["hello"]["trace_id"].hex() == "0102030405060708090a0b0c0d0e0f10"
+    assert rows["boom"]["severity_text"] == "ERROR"
+
+
+def test_file_exporter_and_fanout(spark, tmp_path):
+    df = spark.range(100).withColumn(
+        "route_name",
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd"),
+    )
+    routed_fanout_write(df, str(tmp_path / "fan"))
+    back = spark.read.parquet(str(tmp_path / "fan"))
+    assert back.count() == 100
+    assert back.filter(F.col("route_name") == "even").count() == 50
+
+    file_exporter(df, str(tmp_path / "jsonl"), fmt="jsonl",
+                  compression="gzip", max_file_rows=30)
+    jl = spark.read.json(str(tmp_path / "jsonl"))
+    assert jl.count() == 100
+
+
+def test_syslog_parser_rfc5424(spark):
+    line = ("<165>1 2020-02-11T20:26:12Z host1 app 1234 ID47 - "
+            "something happened")
+    df = spark.createDataFrame([(line,)], "body STRING")
+    r = syslog_parser(df, protocol="rfc5424").collect()[0]
+    assert r["hostname"] == "host1" and r["appname"] == "app"
+    assert r["message"] == "something happened"
+    assert r["facility"] == 20  # 165 / 8
+    assert r["severity_number"] == 10  # 165 % 8 = 5 (notice)
+
+
+def test_syslog_parser_rfc3164(spark):
+    line = "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed"
+    df = spark.createDataFrame([(line,)], "body STRING")
+    r = syslog_parser(df, protocol="rfc3164").collect()[0]
+    assert r["hostname"] == "mymachine"
+    assert r["appname"] == "su" and r["proc_id"] == "230"
+    assert r["severity_number"] == 21  # 34 % 8 = 2 (crit)
+
+
+def test_container_parser_both_formats(spark):
+    docker = json.dumps(
+        {"log": "hello\n", "stream": "stdout",
+         "time": "2020-02-11T20:26:12.000Z"}
+    )
+    cri = "2020-02-11T20:26:12.000Z stderr P partial chunk"
+    df = spark.createDataFrame([(docker,), (cri,)], "body STRING")
+    rows = container_parser(df).collect()
+    by_stream = {r["stream"]: r for r in rows}
+    assert by_stream["stdout"]["log"] == "hello\n"
+    assert by_stream["stdout"]["is_partial"] is False
+    assert by_stream["stderr"]["log"] == "partial chunk"
+    assert by_stream["stderr"]["is_partial"] is True
+
+
+def test_useragent_parser(spark):
+    uas = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 "
+         "Firefox/115.0",),
+        ("curl/8.4.0",),
+        (None,),
+    ]
+    df = spark.createDataFrame(uas, "ua STRING")
+    out = df.select(FN.UserAgent(F.col("ua")).alias("p")).select("p.*").collect()
+    assert out[0]["user_agent_name"] == "Chrome"
+    assert out[0]["user_agent_version"] == "120.0"
+    assert out[0]["os_name"] == "Windows"
+    assert out[1]["user_agent_name"] == "Firefox"
+    assert out[1]["os_name"] == "Linux"
+    assert out[2]["user_agent_name"] == "curl"
+    assert out[3]["user_agent_name"] is None
+
+
+def test_luhn(spark):
+    df = spark.createDataFrame(
+        [("4532015112830366",), ("79927398713",), ("79927398714",), ("1",)],
+        "num STRING",
+    )
+    got = [r[0] for r in df.select(FN.IsValidLuhn(F.col("num"))).collect()]
+    assert got == [True, True, False, False]
+
+
+def test_community_id_ordering(spark):
+    # flow hash must be direction-independent
+    df = spark.createDataFrame(
+        [("10.0.0.1", "10.0.0.2", 1234, 80),
+         ("10.0.0.2", "10.0.0.1", 80, 1234)],
+        "sip STRING, dip STRING, sport INT, dport INT",
+    )
+    ids = [
+        r[0]
+        for r in df.select(
+            FN.CommunityID(F.col("sip"), F.col("dip"), F.col("sport"), F.col("dport"))
+        ).collect()
+    ]
+    assert ids[0] == ids[1] and ids[0].startswith("1:")
