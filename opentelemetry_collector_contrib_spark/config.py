@@ -1,0 +1,168 @@
+"""Config-driven pipeline builder — the collector's YAML surface.
+
+The reference is configured, not programmed: a YAML file declares
+receivers → processors → connectors → exporters and the service wires
+them (processor/transformprocessor/config.go:37-50, routingconnector
+config.go:15-67). This module gives the Spark engine the same
+config-first surface: a plain dict (load it from YAML/JSON upstream)
+declaring the pipeline, with all conditions/statements written in the
+OTTL subset and compiled to Column expressions.
+
+Example::
+
+    cfg = {
+      "receiver": {"type": "parquet", "path": ".../web_pages"},
+      "processors": [
+        {"type": "transform",
+         "statements": ['set(sev, "error") where status == "500"']},
+        {"type": "filter", "drop_conditions": ['sev == "debug"']},
+        {"type": "lookup", "on": ["host"]},     # table passed at build
+      ],
+      "routes": [
+        {"name": "errors",
+         "condition": 'status == "500" or sev == "error"'},
+        {"name": "spam", "condition": 'category == "spam"'},
+        {"name": "high_tier", "condition": "tier == 1",
+         "action": "copy"},
+      ],
+      "connectors": [
+        {"type": "count", "name": "per_sink",
+         "dims": ["host", "category"], "ts_col": "event_ts"},
+      ],
+    }
+    outs = build_pipeline(spark, cfg, lookups={"lookup": host_lookup})
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.connectors import (
+    Route,
+    count_connector,
+    route,
+    span_metrics,
+    sum_connector,
+)
+from .operators.processors import filter_processor, lookup_processor
+from .ottl import OTTLCompiler, compile_condition
+
+
+def _build_receiver(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    t = cfg["type"]
+    if t == "parquet":
+        return spark.read.parquet(cfg["path"])
+    if t == "json":
+        reader = spark.read
+        if "schema" in cfg:
+            reader = reader.schema(cfg["schema"])
+        return reader.json(cfg["path"])
+    if t == "text":
+        from .sources.receivers import file_input
+
+        return file_input(spark, cfg["path"])
+    if t == "otlpjson":
+        from .sources.receivers import otlp_json_file_input
+
+        return otlp_json_file_input(spark, cfg["path"])
+    raise ValueError(f"unknown receiver type {t!r}")
+
+
+def _apply_processor(df: DataFrame, cfg: dict[str, Any],
+                     lookups: dict[str, DataFrame]) -> DataFrame:
+    t = cfg["type"]
+    if t == "transform":
+        return OTTLCompiler(
+            cfg.get("statements", []), cfg.get("conditions")
+        ).apply(df)
+    if t == "filter":
+        conds = [compile_condition(c) for c in cfg["drop_conditions"]]
+        return filter_processor(df, conds)
+    if t == "lookup":
+        table = lookups[cfg.get("table", "lookup")]
+        return lookup_processor(df, table, on=cfg["on"],
+                                how=cfg.get("how", "left"))
+    if t == "regex_parser":
+        from .operators.parse import regex_parser
+
+        return regex_parser(df, cfg["pattern"],
+                            parse_from=cfg.get("parse_from", "body"),
+                            on_error=cfg.get("on_error", "send"))
+    if t == "severity_parser":
+        from .operators.parse import severity_parser
+
+        return severity_parser(df, parse_from=cfg.get("parse_from", "sev"))
+    if t == "time_parser":
+        from .operators.parse import time_parser
+
+        return time_parser(df, cfg["parse_from"], cfg["layout"],
+                           cfg.get("layout_type", "strptime"),
+                           cfg.get("parse_to", "event_ts"))
+    raise ValueError(f"unknown processor type {t!r}")
+
+
+def _routes_from_cfg(route_cfgs: list[dict[str, Any]]) -> list[Route]:
+    return [
+        Route(
+            r["name"],
+            compile_condition(r["condition"]),
+            r.get("action", "move"),
+        )
+        for r in route_cfgs
+    ]
+
+
+def _apply_connector(sinks: dict[str, DataFrame],
+                     cfg: dict[str, Any]) -> DataFrame:
+    t = cfg["type"]
+    outs = []
+    for sink_name, sdf in sinks.items():
+        if t == "count":
+            out = count_connector(
+                sdf, dims=cfg["dims"], ts_col=cfg.get("ts_col", "warc_ts")
+            )
+        elif t == "sum":
+            out = sum_connector(sdf, cfg["source_attribute"], cfg["dims"])
+        elif t == "spanmetrics":
+            out = span_metrics(
+                sdf, dims=cfg["dims"], value_col=cfg["value_col"],
+                ts_col=cfg.get("ts_col", "warc_ts"),
+                window_duration=cfg.get("window", "10 minutes"),
+                bounds=cfg.get("bounds"),
+            )
+        else:
+            raise ValueError(f"unknown connector type {t!r}")
+        from pyspark.sql import functions as F
+
+        outs.append(out.withColumn("sink", F.lit(sink_name)))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def build_pipeline(
+    spark: SparkSession,
+    cfg: dict[str, Any],
+    lookups: dict[str, DataFrame] | None = None,
+    source: DataFrame | None = None,
+) -> dict[str, Any]:
+    """Wire a declared pipeline; returns
+    ``{"sinks": {name: DataFrame}, "connectors": {name: DataFrame}}``.
+
+    ``source`` overrides the receiver (for tests / composition);
+    ``lookups`` provides enrichment tables by name.
+    """
+    lookups = lookups or {}
+    df = source if source is not None else _build_receiver(spark, cfg["receiver"])
+    for p in cfg.get("processors", []):
+        df = _apply_processor(df, p, lookups)
+    sinks: dict[str, DataFrame] = {"__all__": df}
+    if cfg.get("routes"):
+        sinks = route(df, _routes_from_cfg(cfg["routes"])).sinks
+    connectors: dict[str, DataFrame] = {}
+    for c in cfg.get("connectors", []):
+        connectors[c.get("name", c["type"])] = _apply_connector(sinks, c)
+    return {"sinks": sinks, "connectors": connectors}

@@ -1,0 +1,81 @@
+"""Config-driven pipeline == hand-built pipeline (the YAML surface)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.config import build_pipeline
+from opentelemetry_collector_contrib_spark.datagen import (
+    generate_web_pages,
+    host_lookup_df,
+)
+from opentelemetry_collector_contrib_spark.pipeline import (
+    default_routes,
+    enrich_stage,
+    parse_stage,
+)
+from opentelemetry_collector_contrib_spark.operators.connectors import route
+
+CFG = {
+    "receiver": {"type": "parquet", "path": "<unused — source injected>"},
+    "processors": [
+        {"type": "regex_parser", "parse_from": "text",
+         "pattern": (r"ts=(?P<ts_epoch>\d+) status=(?P<status>\d+) "
+                     r"sev=(?P<sev>[a-z]+)")},
+        {"type": "time_parser", "parse_from": "ts_epoch", "layout": "s",
+         "layout_type": "epoch"},
+        {"type": "lookup", "on": ["host"]},
+    ],
+    "routes": [
+        {"name": "errors",
+         "condition": 'status == "500" or sev == "error"'},
+        {"name": "spam", "condition": 'category == "spam"'},
+        {"name": "high_tier", "condition": "tier == 1", "action": "copy"},
+    ],
+    "connectors": [
+        {"type": "count", "name": "per_sink",
+         "dims": ["host", "category"], "ts_col": "event_ts"},
+    ],
+}
+
+
+def test_config_pipeline_matches_handbuilt(spark):
+    from pyspark.sql import functions as F
+
+    web = generate_web_pages(spark, 2000, 4).withColumn(
+        "host",
+        F.substring_index(F.substring_index("url", "://", -1), "/", 1),
+    )
+    out = build_pipeline(
+        spark, CFG, lookups={"lookup": host_lookup_df(spark)}, source=web
+    )
+    hand = route(
+        enrich_stage(parse_stage(generate_web_pages(spark, 2000, 4)),
+                     host_lookup_df(spark)),
+        default_routes(),
+    )
+    assert set(out["sinks"]) == set(hand.sinks)
+    for name in out["sinks"]:
+        got = sorted(r["page_id"] for r in out["sinks"][name].select("page_id").collect())
+        want = sorted(r["page_id"] for r in hand.sinks[name].select("page_id").collect())
+        assert got == want, f"sink {name}"
+
+    counts = out["connectors"]["per_sink"]
+    rows = counts.collect()
+    assert len(rows) > 0
+    assert {"sink", "host", "category", "count"} <= set(counts.columns)
+
+
+def test_config_filter_and_transform(spark):
+    web = generate_web_pages(spark, 500, 2)
+    cfg = {
+        "receiver": {"type": "parquet", "path": "x"},
+        "processors": [
+            {"type": "regex_parser", "parse_from": "text",
+             "pattern": r"sev=(?P<sev>[a-z]+)"},
+            {"type": "transform",
+             "statements": ['set(sev, "muted") where sev == "debug"']},
+            {"type": "filter", "drop_conditions": ['sev == "fatal"']},
+        ],
+    }
+    out = build_pipeline(spark, cfg, source=web)["sinks"]["__all__"]
+    sevs = {r["sev"] for r in out.select("sev").distinct().collect()}
+    assert "fatal" not in sevs and "debug" not in sevs and "muted" in sevs
