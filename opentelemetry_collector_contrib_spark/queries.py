@@ -1010,3 +1010,149 @@ def q_group_by_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "trace_id", "span_count", "first_span", "last_span", "trace_path"
     ).orderBy("trace_id")
+
+
+# ---------------------------------------------------------------------------
+# syslog_parser over synthetic RFC5424 lines derived portably from
+# events (pkg/stanza/operator/parser/syslog)
+# ---------------------------------------------------------------------------
+
+_SYSLOG_LINE_SQL = (
+    "'<' || CAST(event_id % 192 AS STRING) || '>1 T host' || "
+    "CAST(user_id % 10 AS STRING) || ' app' || CAST(event_id % 5 AS STRING)"
+    " || ' ' || CAST(event_id AS STRING) || ' ID1 - msg_' || event_type"
+)
+
+
+@register(
+    "syslog_parser_events",
+    f"""
+WITH lines AS (SELECT event_id, {_SYSLOG_LINE_SQL} AS body FROM events)
+SELECT event_id,
+       regexp_extract(body, '<(\\d+)>', 1) AS priority,
+       regexp_extract(body, '<\\d+>\\d \\S+ (\\S+)', 1) AS hostname,
+       regexp_extract(body, '<\\d+>\\d \\S+ \\S+ (\\S+)', 1) AS appname,
+       CAST(CAST(regexp_extract(body, '<(\\d+)>', 1) AS BIGINT) // 8 AS INT)
+         AS facility,
+       CAST(([23,22,21,17,13,10,9,5])[1 +
+         CAST(regexp_extract(body, '<(\\d+)>', 1) AS BIGINT) % 8] AS INT)
+         AS severity_number
+FROM lines ORDER BY event_id
+""",
+)
+def q_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import syslog_parser
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.expr(_SYSLOG_LINE_SQL).alias("body"),
+    )
+    out = syslog_parser(lines, protocol="rfc5424")
+    return out.select(
+        "event_id", "priority", "hostname", "appname", "facility",
+        F.col("severity_number").cast("int").alias("severity_number"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# groupbyattrsprocessor: promote record attrs to resource identity and
+# compact (processor/groupbyattrsprocessor/processor.go:63-99)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_by_attrs_events",
+    """
+SELECT user_id, event_type, COUNT(*) AS records,
+       COUNT(DISTINCT event_id) AS distinct_records
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_group_by_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import group_by_attrs
+
+    ev = _read(spark, sf_dir, "events")
+    # promote attrs to resource identity, then compact under it
+    promoted = group_by_attrs(ev, promote=["user_id", "event_type"])
+    return (
+        promoted.groupBy(
+            F.col("resource_user_id").alias("user_id"),
+            F.col("resource_event_type").alias("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.countDistinct("event_id").alias("distinct_records"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# attributesprocessor HASH + CONVERT actions (attraction.go:108-141)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attributes_hash_convert_events",
+    """
+SELECT event_id,
+       sha256(CAST(user_id AS STRING)) AS user_id_hashed,
+       CAST(value AS STRING) AS value_str
+FROM events ORDER BY event_id
+""",
+)
+def q_attributes_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import AttrAction, attributes_processor
+
+    ev = _read(spark, sf_dir, "events")
+    from .operators import transform as T
+
+    ev = T.copy(ev, "user_id", "user_id_hashed")
+    ev = T.copy(ev, "value", "value_str")
+    out = attributes_processor(
+        ev,
+        [
+            AttrAction("hash", "user_id_hashed"),
+            AttrAction("convert", "value_str", to_type="string"),
+        ],
+    )
+    return out.select("event_id", "user_id_hashed", "value_str").orderBy(
+        "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# OTTL converter expressions end-to-end through the compiler
+# (pkg/ottl/ottlfuncs: ConvertCase/Substring/SHA256/Concat/Len)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ottl_converters_documents",
+    """
+SELECT doc_id,
+       upper(source) AS src_upper,
+       substr(text, 1, 12) AS head,
+       sha256(lang) AS lang_hash,
+       source || '-' || lang AS src_lang,
+       length(text) AS text_len
+FROM documents ORDER BY doc_id
+""",
+)
+def q_ottl_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ottl import OTTLCompiler
+
+    docs = _read(spark, sf_dir, "documents")
+    c = OTTLCompiler(
+        [
+            "set(src_upper, ToUpperCase(source))",
+            "set(head, Substring(text, 0, 12))",
+            "set(lang_hash, SHA256(lang))",
+            'set(src_lang, Concat("-", source, lang))',
+            "set(text_len, Len(text))",
+        ]
+    )
+    return c.apply(docs).select(
+        "doc_id", "src_upper", "head", "lang_hash", "src_lang", "text_len"
+    ).orderBy("doc_id")
