@@ -1,0 +1,125 @@
+"""Stateful streaming operators (applyInPandasWithState).
+
+The one reference operator that truly needs cross-batch state is
+stanza's ``recombine`` — merge consecutive multiline log entries per
+source until the next first-line marker, flushing on timeout
+(pkg/stanza/operator/transformer/recombine/transformer.go:26-115,
+216-307). The batch analog (operators/transform.recombine) covers
+deterministic reprocessing; this module is the continuous form: state
+= the currently-open entry per source, carried across micro-batches
+in the state store, flushed when the next entry starts or on
+processing-time timeout (the reference's force_flush_period).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RECOMBINED_SCHEMA = StructType([
+    StructField("source", StringType()),
+    StructField("first_offset", LongType()),
+    StructField("body", StringType()),
+    StructField("line_count", LongType()),
+])
+
+# state: the open (unflushed) entry for this source
+_STATE_SCHEMA = StructType([
+    StructField("first_offset", LongType()),
+    StructField("body", StringType()),
+    StructField("line_count", LongType()),
+])
+
+
+def _recombine_fn(timeout_ms: int, combine_with: str = "\n"):
+    import pandas as pd
+
+    def emit(rows: list[dict]) -> pd.DataFrame:
+        # explicit dtypes even when empty: Arrow conversion of an
+        # all-object empty frame crashes the python worker
+        return pd.DataFrame(
+            {
+                "source": pd.Series([r["source"] for r in rows], dtype=object),
+                "first_offset": pd.Series(
+                    [r["first_offset"] for r in rows], dtype="int64"
+                ),
+                "body": pd.Series([r["body"] for r in rows], dtype=object),
+                "line_count": pd.Series(
+                    [r["line_count"] for r in rows], dtype="int64"
+                ),
+            }
+        )
+
+    def fn(key: tuple, pdfs: Iterator[Any], state: GroupState):
+        source = key[0]
+        out_rows: list[dict] = []
+
+        if state.hasTimedOut:
+            # force_flush_period elapsed: emit the open entry
+            if state.exists:
+                fo, body, n = state.get
+                out_rows.append({"source": source, "first_offset": int(fo),
+                                 "body": body, "line_count": int(n)})
+                state.remove()
+            yield emit(out_rows)
+            return
+
+        frames = [p for p in pdfs if len(p)]
+        open_entry = list(state.get) if state.exists else None
+        if frames:
+            rows = pd.concat(frames).sort_values("offset")
+            for _, r in rows.iterrows():
+                if bool(r["is_first"]) or open_entry is None:
+                    if open_entry is not None:
+                        out_rows.append({
+                            "source": source,
+                            "first_offset": int(open_entry[0]),
+                            "body": open_entry[1],
+                            "line_count": int(open_entry[2]),
+                        })
+                    open_entry = [int(r["offset"]), str(r["body"]), 1]
+                else:
+                    open_entry[1] += combine_with + str(r["body"])
+                    open_entry[2] += 1
+        if open_entry is not None:
+            state.update((int(open_entry[0]), str(open_entry[1]),
+                          int(open_entry[2])))
+            state.setTimeoutDuration(timeout_ms)
+        yield emit(out_rows)
+
+    return fn
+
+
+def recombine_stream(
+    lines: DataFrame,
+    timeout_ms: int = 5000,
+    combine_with: str = "\n",
+) -> DataFrame:
+    """Continuous multiline merge. ``lines`` must be a streaming
+    DataFrame with columns (source, offset, body, is_first).
+
+    State is one open entry per source (bounded: O(sources)); the
+    shuffle keys on source — the same per-file serialization the
+    reference gets from its per-reader goroutine, here as a keyed
+    state partition. Entries spanning micro-batch boundaries merge
+    correctly because the open entry persists in the state store.
+    """
+    return (
+        lines.groupBy("source")
+        .applyInPandasWithState(
+            _recombine_fn(timeout_ms, combine_with),
+            outputStructType=RECOMBINED_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

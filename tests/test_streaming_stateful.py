@@ -1,0 +1,60 @@
+"""recombine_stream: cross-micro-batch multiline merge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_recombine_stream_merges_across_batches(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        recombine_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+
+    # batch 1 file: entry A complete, entry B OPEN at end of file
+    spark.createDataFrame(
+        [("s1", 0, "A start", True),
+         ("s1", 1, "  a cont", False),
+         ("s1", 2, "B start", True),
+         ("s1", 3, "  b cont 1", False)],
+        "source STRING, offset LONG, body STRING, is_first BOOLEAN",
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    # batch 2 file: continuation of B, then entry C
+    spark.createDataFrame(
+        [("s1", 4, "  b cont 2", False),
+         ("s1", 5, "C start", True)],
+        "source STRING, offset LONG, body STRING, is_first BOOLEAN",
+    ).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(
+            "source STRING, offset LONG, body STRING, is_first BOOLEAN"
+        )
+        .option("maxFilesPerTrigger", 1)  # force 2+ micro-batches
+        .parquet(str(in_dir / "*"))
+    )
+    q = (
+        recombine_stream(stream, timeout_ms=1000)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r["first_offset"]: r for r in spark.read.parquet(out_dir).collect()}
+    # A flushed when B started (same batch); B flushed when C started
+    # (NEXT batch — state crossed the boundary); C either still open in
+    # state or force-flushed by the processing-time timeout
+    assert rows[0]["body"] == "A start\n  a cont"
+    assert rows[0]["line_count"] == 2
+    assert rows[2]["body"] == "B start\n  b cont 1\n  b cont 2"
+    assert rows[2]["line_count"] == 3
+    if 5 in rows:  # timeout flush (force_flush_period semantics)
+        assert rows[5]["body"] == "C start" and rows[5]["line_count"] == 1
