@@ -655,27 +655,6 @@ def UserAgent(c):
     return _parse(_col(c))
 
 
-def IsValidLuhn(c):
-    """func_is_valid_luhn.go: Luhn checksum over a digit string.
-    Pure Column arithmetic: reversed digit positions, double every
-    second, sum mod 10 == 0."""
-    digits = F.reverse(F.regexp_replace(_col(c).cast("string"), r"\D", ""))
-    arr = F.split(digits, "")
-    arr = F.filter(arr, lambda d: d != "")
-    total = F.aggregate(
-        F.zip_with(
-            arr,
-            F.sequence(F.lit(0), F.greatest(F.size(arr) - 1, F.lit(0))),
-            lambda d, i: F.when(
-                i % 2 == 1,
-                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
-                 .otherwise(d.cast("int") * 2),
-            ).otherwise(d.cast("int")),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return (F.size(arr) > 1) & (total % 10 == 0)
 
 
 def CommunityID(src_ip, dst_ip, src_port, dst_port, proto: int = 6, seed: int = 0):
@@ -710,3 +689,76 @@ def CommunityID(src_ip, dst_ip, src_port, dst_port, proto: int = 6, seed: int = 
         p1, p2,
     )
     return F.concat(F.lit("1:"), F.base64(F.unhex(F.sha1(payload))))
+
+
+REGISTRY.update({"UserAgent": UserAgent, "CommunityID": CommunityID})
+
+
+# ---------------------------------------------------------------------------
+# XML converters (func_parse_xml.go / func_parse_simplified_xml.go /
+# func_get_xml.go). stdlib ElementTree inside an Arrow-batched pandas
+# UDF; XPath subset = ElementTree's.
+# ---------------------------------------------------------------------------
+
+
+def ParseSimplifiedXML(c):
+    """XML -> JSON string of the simplified structure (tag -> children
+    map / text), the func_parse_simplified_xml.go shape. Returned as a
+    JSON string column (parse further with from_json as needed)."""
+
+    @F.pandas_udf("string")
+    def _parse(s: pd.Series) -> pd.Series:
+        import json as _json
+        import xml.etree.ElementTree as ET
+
+        def simplify(el):
+            kids = list(el)
+            if not kids:
+                return el.text or ""
+            out: dict = {}
+            for k in kids:
+                v = simplify(k)
+                if k.tag in out:
+                    prev = out[k.tag]
+                    out[k.tag] = prev + [v] if isinstance(prev, list) else [prev, v]
+                else:
+                    out[k.tag] = v
+            return out
+
+        def one(x):
+            if x is None:
+                return None
+            try:
+                root = ET.fromstring(x)
+            except ET.ParseError:
+                return None
+            return _json.dumps({root.tag: simplify(root)}, sort_keys=True)
+
+        return s.map(one)
+
+    return _parse(_col(c))
+
+
+def GetXML(c, xpath: str):
+    """func_get_xml.go: first text value at an ElementTree xpath."""
+
+    @F.pandas_udf("string")
+    def _get(s: pd.Series) -> pd.Series:
+        import xml.etree.ElementTree as ET
+
+        def one(x):
+            if x is None:
+                return None
+            try:
+                root = ET.fromstring(x)
+            except ET.ParseError:
+                return None
+            el = root.find(xpath)
+            return None if el is None else (el.text or "")
+
+        return s.map(one)
+
+    return _get(_col(c))
+
+
+REGISTRY.update({"ParseSimplifiedXML": ParseSimplifiedXML, "GetXML": GetXML})

@@ -161,3 +161,19 @@ def test_community_id_ordering(spark):
         ).collect()
     ]
     assert ids[0] == ids[1] and ids[0].startswith("1:")
+
+
+def test_xml_converters(spark):
+    xml = "<root><a>1</a><b><c>x</c><c>y</c></b></root>"
+    df = spark.createDataFrame([(xml,), ("not xml",), (None,)], "x STRING")
+    out = df.select(
+        FN.ParseSimplifiedXML(F.col("x")).alias("simplified"),
+        FN.GetXML(F.col("x"), "b/c").alias("first_c"),
+    ).collect()
+    import json as j
+
+    assert j.loads(out[0]["simplified"]) == {
+        "root": {"a": "1", "b": {"c": ["x", "y"]}}
+    }
+    assert out[0]["first_c"] == "x"
+    assert out[1]["simplified"] is None and out[2]["first_c"] is None
