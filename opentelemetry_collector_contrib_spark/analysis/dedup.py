@@ -207,6 +207,14 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
     )
+    # the (id, shingles) relation feeds three plan branches (signature,
+    # verify-left, verify-right); persist it so tokenize+distinct runs
+    # once. At the 100 TB tier this is the materialized signature table
+    # every production MinHash pipeline keeps anyway (size ~ n-gram'd
+    # corpus; spill-to-disk storage level).
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     sig = base.withColumn("sig", minhash_signature(F.col("s"), k))
     bandrows = sig.select(
         "id",
