@@ -1156,3 +1156,53 @@ def q_ottl_converters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.apply(docs).select(
         "doc_id", "src_upper", "head", "lang_hash", "src_lang", "text_len"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# exceptionsconnector (connector/exceptionsconnector): count exception
+# events by dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exceptions_connector_events",
+    """
+SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS exception_count
+FROM events WHERE event_type = 'error'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import exceptions_connector
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "bucket", F.pmod("user_id", F.lit(10))
+    )
+    out = exceptions_connector(
+        ev, F.col("event_type") == "error", dims=["event_type", "bucket"]
+    )
+    return out.orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# schemaprocessor (processor/schemaprocessor): semconv version renames
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "schema_processor_events",
+    """
+SELECT event_id, event_type AS event_name, value AS metric_value
+FROM events ORDER BY event_id
+""",
+)
+def q_schema_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import schema_processor
+
+    ev = _read(spark, sf_dir, "events")
+    out = schema_processor(
+        ev, {"event_type": "event_name", "value": "metric_value"}
+    )
+    return out.select("event_id", "event_name", "metric_value").orderBy(
+        "event_id"
+    )

@@ -216,3 +216,18 @@ def test_sink_counts_one_pass_equals_per_sink(spark):
     a = {key(r): (r["count"], r["start_ts"], r["ts"]) for r in per_sink.collect()}
     b = {key(r): (r["count"], r["start_ts"], r["ts"]) for r in one_pass.collect()}
     assert a == b
+
+
+def test_failover_route(spark):
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        failover_route,
+    )
+
+    col = failover_route(["primary", "secondary", "dlq"],
+                         healthy={"secondary", "dlq"})
+    got = spark.range(3).select(col).collect()
+    assert all(r["failover_route"] == "secondary" for r in got)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        failover_route(["primary"], healthy=set())
