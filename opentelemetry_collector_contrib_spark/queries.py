@@ -1206,3 +1206,36 @@ def q_schema_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_name", "metric_value").orderBy(
         "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# exponential histogram (spanmetrics exponential mode; OTel base-2
+# scale buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exponential_histogram_events",
+    """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+         CAST(ceil(log2(value) * 8) - 1 AS BIGINT) AS bucket_index
+  FROM events WHERE value > 0)
+SELECT CAST(FLOOR(epoch(w)) AS BIGINT) AS window_epoch, event_type,
+       bucket_index, COUNT(*) AS bucket_count, 3 AS scale
+FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def q_exponential_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import exponential_histogram
+
+    ev = _read(spark, sf_dir, "events")
+    out = exponential_histogram(
+        ev, dims=["event_type"], value_col="value", scale=3, ts_col="ts",
+        window_duration="1 hour",
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type", "bucket_index", "bucket_count",
+        F.col("scale").cast("int").alias("scale"),
+    ).orderBy("window_epoch", "event_type", "bucket_index")
