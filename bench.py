@@ -30,6 +30,7 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(20_000_000 * sf))))
 
     from opentelemetry_collector_contrib_spark import queries as Q
+    from opentelemetry_collector_contrib_spark.analysis import dedup as DD
     from opentelemetry_collector_contrib_spark.datagen import (
         generate_web_pages,
         host_lookup_df,
@@ -79,6 +80,7 @@ def main() -> None:
         df = all_q[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        DD.release_caches()  # dedup operators persist; caller owns lifecycle
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -28,6 +28,22 @@ from pyspark.sql import functions as F
 from .hashing import md5_int32
 from .textstats import content_fingerprint, ws_tokens, ws_tokens_sql
 
+# Relations persisted by dedup operators (caller-owned lifecycle: the
+# returned DataFrames are lazy, so the operator cannot unpersist before
+# the consuming action -- call release_caches() after materializing).
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every relation persisted by dedup operators. Call
+    after the consuming action (bench.py does, between queries)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
+
 # ---------------------------------------------------------------------------
 # Shingles
 # ---------------------------------------------------------------------------
@@ -215,6 +231,7 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(base)
     sig = base.withColumn("sig", minhash_signature(F.col("s"), k))
     bandrows = sig.select(
         "id",

@@ -6,12 +6,13 @@ Arrow-batched ``mapInPandas`` stages (one Python round-trip per batch,
 never per-row UDF calls).
 
 The actual codec libraries (PIL / torchaudio / ffmpeg) are NOT in this
-container, so the decode kernel is stubbed: if a real decoder import
-succeeds it is used, otherwise a clearly-marked DETERMINISTIC FAKE
-derives pseudo-metadata from the md5 of the bytes. Everything that
-matters for the engine — schema, batch shape, partitioning, UDF
-signature, oracle checkability — is real and tested; swapping the
-kernel for a real decoder changes no plan shape.
+container, so the DEFAULT decode kernel is a clearly-marked
+DETERMINISTIC FAKE that derives pseudo-metadata from the md5 of the
+bytes (keeping oracle-checked queries stable regardless of what gets
+installed). A real PIL path exists behind ``use_real_decoder=True``.
+Everything that matters for the engine — schema, batch shape,
+partitioning, UDF signature, oracle checkability — is real and tested;
+swapping the kernel changes no plan shape.
 
 Scale notes: media bytes never shuffle (all stages are map-only);
 `spark.sql.files.maxPartitionBytes` governs batch memory, and the
@@ -67,24 +68,28 @@ def _fake_image_meta(md5hex: str) -> tuple[str, int, int]:
     return fmt, width, height
 
 
-def decode_images(df: DataFrame, binary_col: str = "html") -> DataFrame:
+def decode_images(df: DataFrame, binary_col: str = "html",
+                  use_real_decoder: bool = False) -> DataFrame:
     """Attach (img_format, img_width, img_height) via mapInPandas.
 
-    With PIL installed the real decoder runs; here the deterministic
-    fake is used (see module docstring). The plumbing — Arrow batch
-    iteration, schema append, null passthrough — is the real thing.
+    ``use_real_decoder=False`` (default) runs the DETERMINISTIC FAKE
+    regardless of what is installed, so oracle-checked queries stay
+    stable even if Pillow appears in the environment.
+    ``use_real_decoder=True`` decodes with PIL (ImportError up front on
+    the driver if Pillow is absent); undecodable blobs yield NULL
+    metadata, mirroring a lenient decode stage.
     """
     out_schema = StructType(list(df.schema.fields) + IMAGE_META_FIELDS)
+    if use_real_decoder:
+        import PIL  # noqa: F401 -- fail fast on the driver, not in tasks
 
     def _decode(batches: Iterator) -> Iterator:
         import hashlib
 
-        try:  # real decoder if the container ever has it
-            from PIL import Image  # noqa: F401
+        if use_real_decoder:
+            import io
 
-            have_pil = True
-        except ImportError:
-            have_pil = False
+            from PIL import Image
 
         for pdf in batches:
             fmts, ws, hs = [], [], []
@@ -92,13 +97,17 @@ def decode_images(df: DataFrame, binary_col: str = "html") -> DataFrame:
                 if raw is None:
                     fmts.append(None), ws.append(None), hs.append(None)
                     continue
-                if have_pil:
-                    raise NotImplementedError(
-                        "real image decode: wire PIL.Image.open(BytesIO(raw))"
+                if use_real_decoder:
+                    try:
+                        with Image.open(io.BytesIO(bytes(raw))) as im:
+                            f = (im.format or "").lower()
+                            w, h = im.size
+                    except Exception:
+                        f = w = h = None
+                else:
+                    f, w, h = _fake_image_meta(
+                        hashlib.md5(bytes(raw)).hexdigest()
                     )
-                f, w, h = _fake_image_meta(
-                    hashlib.md5(bytes(raw)).hexdigest()
-                )
                 fmts.append(f), ws.append(w), hs.append(h)
             pdf = pdf.copy()
             pdf["img_format"], pdf["img_width"], pdf["img_height"] = fmts, ws, hs

@@ -661,7 +661,11 @@ def CommunityID(src_ip, dst_ip, src_port, dst_port, proto: int = 6, seed: int = 
     """func_community_id.go: v1 network-flow hash
     '1:' + base64(sha1(seed . ip1 . ip2 . proto . 0 . port1 . port2))
     with the (ip,port) pair ordered. IPv4 only (the fixture scope);
-    pure Column expression: conditional ordering + sha1 + base64."""
+    pure Column expression: conditional ordering + sha1 + base64.
+
+    Ordering compares the PACKED IP BYTES (func_community_id.go
+    normalize() uses bytes.Compare), not the dotted-quad strings --
+    Spark compares binary columns bytewise-unsigned, matching Go."""
     s_ip, d_ip = _col(src_ip), _col(dst_ip)
     s_pt = _col(src_port).cast("int")
     d_pt = _col(dst_port).cast("int")
@@ -676,9 +680,10 @@ def CommunityID(src_ip, dst_ip, src_port, dst_port, proto: int = 6, seed: int = 
     def port_bytes(p):
         return F.unhex(F.lpad(F.hex(p), 4, "0"))
 
-    flip = (s_ip > d_ip) | ((s_ip == d_ip) & (s_pt > d_pt))
-    ip1 = F.when(flip, ip_bytes(d_ip)).otherwise(ip_bytes(s_ip))
-    ip2 = F.when(flip, ip_bytes(s_ip)).otherwise(ip_bytes(d_ip))
+    sb, db = ip_bytes(s_ip), ip_bytes(d_ip)
+    flip = (sb > db) | ((sb == db) & (s_pt > d_pt))
+    ip1 = F.when(flip, db).otherwise(sb)
+    ip2 = F.when(flip, sb).otherwise(db)
     p1 = F.when(flip, port_bytes(d_pt)).otherwise(port_bytes(s_pt))
     p2 = F.when(flip, port_bytes(s_pt)).otherwise(port_bytes(d_pt))
     payload = F.concat(

@@ -516,19 +516,32 @@ def exponential_histogram(
     window_duration: str = "1 hour",
 ) -> DataFrame:
     """Per (window, dims): sparse exponential histogram as
-    (bucket_index, count) rows (long format -- the dense
+    (sign, bucket_index, count) rows (long format -- the dense
     positive-bucket array is a pivot away; sparse keeps the shuffle
     payload proportional to OCCUPIED buckets, which is what matters at
-    high cardinality). Zero/negative values counted separately in
-    ``zero_count`` per the data model.
+    high cardinality).
+
+    Full OTel data model (internal/metrics/metrics.go:19-113 exponential
+    path; opentelemetry-proto ExponentialHistogramDataPoint):
+    - positive values  -> sign = 1,  bucket_index over v
+    - negative values  -> sign = -1, bucket_index over -v (the negative
+      bucket array indexes magnitudes)
+    - zeros            -> sign = 0, bucket_index NULL; the row's count
+      is the data point's ``zero_count``.
+    ONE hash aggregate -- sign/index are plain derived grouping columns,
+    no extra pass over the data.
     """
     v = F.col(value_col).cast("double")
     win = F.window(F.col(ts_col), window_duration)
-    pos = df.filter(v > 0).groupBy(
+    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    idx = F.when(
+        v > 0, exponential_bucket_index(v, scale)
+    ).when(v < 0, exponential_bucket_index(-v, scale))
+    out = df.groupBy(
         win.alias("window"), *dims,
-        exponential_bucket_index(v, scale).alias("bucket_index"),
+        sign.alias("sign"), idx.alias("bucket_index"),
     ).agg(F.count(F.lit(1)).alias("bucket_count"))
-    return pos.select(
+    return out.select(
         F.col("window.start").alias("window_start"),
-        *dims, "bucket_index", "bucket_count",
+        *dims, "sign", "bucket_index", "bucket_count",
     ).withColumn("scale", F.lit(scale))

@@ -354,9 +354,13 @@ def syslog_parser(df: DataFrame, parse_from: str = "body",
     pattern = SYSLOG_RFC5424 if protocol == "rfc5424" else SYSLOG_RFC3164
     out = regex_parser(df, pattern, parse_from=parse_from)
     sev_level = F.col("priority").cast("int") % 8
-    # syslog 0..7 (emerg..debug) -> OTel severity (severity.go scale)
+    # syslog 0..7 (emerg..debug) -> OTel severity per the reference's
+    # severityMapping (pkg/stanza/operator/parser/syslog/parser.go):
+    # 0 emerg->Fatal=21, 1 alert->Error3=19, 2 crit->Error2=18,
+    # 3 err->Error=17, 4 warning->Warn=13, 5 notice->Info2=10,
+    # 6 info->Info=9, 7 debug->Debug=5.
     otel = F.element_at(
-        F.array(*[F.lit(v) for v in (23, 22, 21, 17, 13, 10, 9, 5)]),
+        F.array(*[F.lit(v) for v in (21, 19, 18, 17, 13, 10, 9, 5)]),
         sev_level + 1,
     )
     out = out.withColumn("facility", (F.col("priority").cast("int") / 8).cast("int"))

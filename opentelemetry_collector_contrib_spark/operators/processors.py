@@ -83,6 +83,10 @@ def attributes_processor(df: DataFrame, actions: list[AttrAction],
                     a.key, F.when(guard, F.lit(None)).otherwise(F.col(a.key))
                 )
         elif a.action == "hash":
+            # A column has one static type, so unguarded rows keep their
+            # original VALUE rendered as string (the hash output type) --
+            # the closest a typed-column model gets to the reference's
+            # per-row dynamic attrs.
             out = out.withColumn(
                 a.key,
                 F.when(guard, F.sha2(F.col(a.key).cast("string"), 256)).otherwise(
@@ -104,12 +108,19 @@ def attributes_processor(df: DataFrame, actions: list[AttrAction],
                 out = out.withColumn(name, F.when(guard, val))
         elif a.action == "convert":
             assert a.to_type is not None
-            out = out.withColumn(
-                a.key,
-                F.when(guard, F.col(a.key).cast(a.to_type)).otherwise(
-                    F.col(a.key).cast(a.to_type)
-                ),
-            )
+            if condition is None:
+                out = out.withColumn(a.key, F.col(a.key).cast(a.to_type))
+            else:
+                # guarded convert: unguarded rows keep the original value;
+                # Catalyst widens the column to the common supertype of
+                # (to_type, original) -- value-preserving, unlike casting
+                # both branches (which made the guard a no-op).
+                out = out.withColumn(
+                    a.key,
+                    F.when(guard, F.col(a.key).cast(a.to_type)).otherwise(
+                        F.col(a.key)
+                    ),
+                )
         else:
             raise ValueError(f"unknown action {a.action!r}")
     return out

@@ -1034,7 +1034,7 @@ SELECT event_id,
        regexp_extract(body, '<\\d+>\\d \\S+ \\S+ (\\S+)', 1) AS appname,
        CAST(CAST(regexp_extract(body, '<(\\d+)>', 1) AS BIGINT) // 8 AS INT)
          AS facility,
-       CAST(([23,22,21,17,13,10,9,5])[1 +
+       CAST(([21,19,18,17,13,10,9,5])[1 +
          CAST(regexp_extract(body, '<(\\d+)>', 1) AS BIGINT) % 8] AS INT)
          AS severity_number
 FROM lines ORDER BY event_id
@@ -1216,26 +1216,39 @@ def q_schema_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "exponential_histogram_events",
+    # shifted value (round(value)-100) exercises all three regions of
+    # the data model: positive buckets, negative buckets, zero_count
     """
 WITH b AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
-         CAST(ceil(log2(value) * 8) - 1 AS BIGINT) AS bucket_index
-  FROM events WHERE value > 0)
+         round(value) - 100 AS v
+  FROM events),
+s AS (
+  SELECT w, event_type,
+         CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+         CASE WHEN v > 0 THEN CAST(ceil(log2(v) * 8) - 1 AS BIGINT)
+              WHEN v < 0 THEN CAST(ceil(log2(-v) * 8) - 1 AS BIGINT)
+         END AS bucket_index
+  FROM b)
 SELECT CAST(FLOOR(epoch(w)) AS BIGINT) AS window_epoch, event_type,
-       bucket_index, COUNT(*) AS bucket_count, 3 AS scale
-FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+       sign, bucket_index, COUNT(*) AS bucket_count, 3 AS scale
+FROM s GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
 """,
 )
 def q_exponential_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.connectors import exponential_histogram
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value", F.round("value") - 100
+    )
     out = exponential_histogram(
         ev, dims=["event_type"], value_col="value", scale=3, ts_col="ts",
         window_duration="1 hour",
     )
     return out.select(
         F.unix_timestamp("window_start").alias("window_epoch"),
-        "event_type", "bucket_index", "bucket_count",
+        "event_type",
+        F.col("sign").cast("int").alias("sign"),
+        "bucket_index", "bucket_count",
         F.col("scale").cast("int").alias("scale"),
-    ).orderBy("window_epoch", "event_type", "bucket_index")
+    ).orderBy("window_epoch", "event_type", "sign", "bucket_index")

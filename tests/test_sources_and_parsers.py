@@ -100,7 +100,8 @@ def test_syslog_parser_rfc3164(spark):
     r = syslog_parser(df, protocol="rfc3164").collect()[0]
     assert r["hostname"] == "mymachine"
     assert r["appname"] == "su" and r["proc_id"] == "230"
-    assert r["severity_number"] == 21  # 34 % 8 = 2 (crit)
+    # 34 % 8 = 2 (crit) -> Error2=18 per the reference severityMapping
+    assert r["severity_number"] == 18
 
 
 def test_container_parser_both_formats(spark):
@@ -148,10 +149,15 @@ def test_luhn(spark):
 
 
 def test_community_id_ordering(spark):
-    # flow hash must be direction-independent
+    # Direction-independence AND canonical values: the ordering must
+    # compare packed IP BYTES (func_community_id.go normalize() uses
+    # bytes.Compare), not dotted-quad strings -- '9.0.0.1' vs
+    # '10.0.0.1' flips under string compare but not byte compare.
+    # First row is the published Community ID v1 spec test vector.
     df = spark.createDataFrame(
-        [("10.0.0.1", "10.0.0.2", 1234, 80),
-         ("10.0.0.2", "10.0.0.1", 80, 1234)],
+        [("1.2.3.4", "5.6.7.8", 1122, 3344),
+         ("9.0.0.1", "10.0.0.1", 1234, 80),
+         ("10.0.0.1", "9.0.0.1", 80, 1234)],
         "sip STRING, dip STRING, sport INT, dport INT",
     )
     ids = [
@@ -160,7 +166,8 @@ def test_community_id_ordering(spark):
             FN.CommunityID(F.col("sip"), F.col("dip"), F.col("sport"), F.col("dport"))
         ).collect()
     ]
-    assert ids[0] == ids[1] and ids[0].startswith("1:")
+    assert ids[0] == "1:wCb3OG7yAFWelaUydu0D+125CLM="
+    assert ids[1] == ids[2] == "1:BJ8yel09zqutmYia1s+b9TCPl8o="
 
 
 def test_xml_converters(spark):
