@@ -141,6 +141,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING -- the lossless
+    scale-shape of :func:`ngram_jaccard_pairs` (output provably
+    identical to the all-pairs scan, which stays as the oracle).
+
+    Prefix-filter principle (Chaudhuri/Ganti/Kaushik SSJoin'06; Bayardo
+    et al. WWW'07 "Scaling Up All Pairs Similarity Search"): order every
+    shingle set by one GLOBAL total order and keep each set's first
+    ``|s| - ceil(t*|s|) + 1`` elements as its prefix. Any pair with
+    ``jaccard >= t`` has ``|a ∩ b| >= ceil(t*max(|a|,|b|))`` common
+    elements, and two sets whose prefixes are disjoint can share at most
+    ``(|a|-pa) + (|b|-pb) - overlap``... i.e. fewer than the required
+    overlap -- so every qualifying pair shares >= 1 PREFIX token.
+    Candidate generation is therefore an equi-join on single prefix
+    tokens: shuffle keys are short strings, cost ~ sum of prefix sizes,
+    never O(n^2). Exact Jaccard verification then removes false
+    candidates, so the output equals the all-pairs scan exactly.
+
+    The global order here is (md5_int32(shingle), shingle) -- a proxy
+    for rare-first frequency ordering; any fixed total order preserves
+    correctness, frequency ordering only shrinks candidate counts.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
+    )
+    # sort shingles by the global (hash, value) order, take the prefix
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("s"),
+                lambda x: F.struct(md5_int32(x).alias("h"), x.alias("v")),
+            )
+        ),
+        lambda e: e["v"],
+    )
+    t = threshold
+    prefix_len = F.greatest(
+        F.size(F.col("s"))
+        - F.ceil(F.size(F.col("s")) * F.lit(t)).cast("int")
+        + F.lit(1),
+        F.lit(1),
+    )
+    pref = sh.withColumn("_pref", F.slice(ordered, 1, prefix_len))
+    tokens = pref.select(
+        "id", F.explode("_pref").alias("tok")
+    )
+    a, b = tokens.alias("a"), tokens.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    jac = jaccard(F.col("sa"), F.col("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_jac", jac)
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs_sql(n: int = 2, threshold: float = 0.7,
                             table: str = "documents") -> str:
     return f"""

@@ -250,6 +250,134 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_banded(
+    emb_df: DataFrame,
+    dim: int,
+    threshold: float = 0.45,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs via BANDED hyperplane LSH -- the scale-shape of
+    :func:`cosine_near_dup_pairs`: candidates are pairs sharing a
+    sign-bucket in ANY band (equi-join on (band, small-int bucket)),
+    then exact-cosine verification. No O(n^2) self-join anywhere.
+
+    Unlike simhash banding, this is NOT lossless at low thresholds
+    (P[collide | cos=t] = 1-(1-p^planes)^bands with
+    p = 1 - arccos(t)/pi) -- so the DuckDB oracle replicates THIS
+    algorithm literally (identical hyperplane literals, the
+    minhash_lsh/lsh_ann pattern), and the all-pairs scan remains the
+    small-scale recall cross-check (tests/test_analysis know the
+    expected recall). Verification guarantees precision = 1 either way.
+    """
+    from pyspark.sql import functions as _F
+
+    e = emb_df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    band_cols = [
+        lsh_bucket_offset(F.col("v"), dim, planes_per_band, b * planes_per_band)
+        .alias(f"_b{b}")
+        for b in range(bands)
+    ]
+    bucketed = e.select("id", "v", *band_cols)
+    bandrows = bucketed.select(
+        "id",
+        _F.explode(
+            _F.array(*[
+                _F.struct(_F.lit(b).alias("band"),
+                          _F.col(f"_b{b}").alias("key"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    a, b_ = bandrows.alias("a"), bandrows.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))
+    )
+
+
+def lsh_bucket_offset(vec: Column, dim: int, n_planes: int,
+                      plane_offset: int) -> Column:
+    """lsh_bucket with an index offset so each band gets independent
+    hyperplanes (hyperplane(plane_offset + p))."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        hp = hyperplane(plane_offset + p, dim)
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in hp]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_bucket_offset_sql(vec_expr: str, dim: int, n_planes: int,
+                          plane_offset: int) -> str:
+    terms = []
+    for p in range(n_planes):
+        hp = hyperplane(plane_offset + p, dim)
+        lits = ", ".join(repr(x) for x in hp)
+        d = f"list_dot_product({vec_expr}, [{lits}])"
+        terms.append(f"CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def cosine_near_dup_pairs_banded_sql(
+    dim: int,
+    threshold: float = 0.45,
+    bands: int = 8,
+    planes_per_band: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """Oracle replicating the banded algorithm literally (identical
+    hyperplane constants)."""
+    e = _E_CTE.format(table=table)
+    band_exprs = ", ".join(
+        lsh_bucket_offset_sql("v", dim, planes_per_band, b * planes_per_band)
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS ({e}),
+bk AS (
+  SELECT vec_id AS id, v, b - 1 AS band, ([{band_exprs}])[b] AS key
+  FROM e, (SELECT unnest(range(1, {bands + 1})) AS b) bs),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+v AS (
+  SELECT id_a, id_b, {cosine_sql('ea.v', 'eb.v')} AS c
+  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+            JOIN e eb ON eb.vec_id = cand.id_b)
+SELECT id_a, id_b, ROUND(c, 4) AS cos FROM v WHERE c >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def cosine_near_dup_pairs_sql(threshold: float = 0.45,
                               table: str = "embeddings") -> str:
     e = _E_CTE.format(table=table)

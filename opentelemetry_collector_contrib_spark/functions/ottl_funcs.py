@@ -767,3 +767,533 @@ def GetXML(c, xpath: str):
 
 
 REGISTRY.update({"ParseSimplifiedXML": ParseSimplifiedXML, "GetXML": GetXML})
+
+
+# ---------------------------------------------------------------------------
+# Type predicates (func_is_string.go / func_is_int.go / func_is_double.go /
+# func_is_bool.go / func_is_list.go / func_is_map.go). The reference
+# checks the DYNAMIC type of the getter result; in the typed-column
+# model the type is static, so the predicate is (static type matches)
+# AND (value is non-null) -- a nil value makes the reference's typed
+# getter error -> false (func_is_string.go:35-44).
+#
+# The OTTL compiler threads each path's Spark DataType in as ``dtype``;
+# calling without it is a hard error (there is no runtime type tag to
+# inspect).
+# ---------------------------------------------------------------------------
+
+# accepts both Spark simpleString names and the compiler's type tags
+_TYPE_FAMILIES = {
+    "IsString": ("string",),
+    "IsInt": ("int", "integer", "bigint", "smallint", "tinyint", "long"),
+    "IsDouble": ("double", "float"),
+    "IsBool": ("boolean", "bool"),
+    "IsList": ("array", "list"),
+    "IsMap": ("map", "struct"),
+}
+
+
+def _is_type(fn_name: str, c, dtype: str | None = None):
+    if dtype is None:
+        raise ValueError(
+            f"{fn_name} needs the operand's Spark type; use it inside an "
+            "OTTL statement (the compiler threads column types), or pass "
+            "dtype= explicitly"
+        )
+    base = dtype.split("<")[0].lower()
+    matches = base in _TYPE_FAMILIES[fn_name]
+    return _col(c).isNotNull() & F.lit(matches) if matches else F.lit(False)
+
+
+def IsString(c, dtype: str | None = None):
+    return _is_type("IsString", c, dtype)
+
+
+def IsInt(c, dtype: str | None = None):
+    return _is_type("IsInt", c, dtype)
+
+
+def IsDouble(c, dtype: str | None = None):
+    return _is_type("IsDouble", c, dtype)
+
+
+def IsBool(c, dtype: str | None = None):
+    return _is_type("IsBool", c, dtype)
+
+
+def IsList(c, dtype: str | None = None):
+    return _is_type("IsList", c, dtype)
+
+
+def IsMap(c, dtype: str | None = None):
+    return _is_type("IsMap", c, dtype)
+
+
+def IsRootSpan(parent_span_id):
+    """func_is_root_span.go:32-35: ParentSpanID().IsEmpty() -- true when
+    the parent span id is absent, empty, or all-zero (pcommon's empty
+    id). Accepts a hex-string id column (all-'0' string) or a binary id
+    column (all-zero bytes, whose hex rendering is all '0')."""
+    c = _col(parent_span_id)
+    as_str = c.cast("string")
+    as_hex = F.lower(F.hex(c.cast("binary")))
+    return (
+        c.isNull()
+        | (F.length(as_str) == 0)
+        | F.coalesce(as_str.rlike("^0+$"), F.lit(False))
+        | F.coalesce(as_hex.rlike("^0+$"), F.lit(False))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact murmur3 (func_murmur3_hash.go / func_murmur3_hash128.go):
+# hex(little-endian bytes) of murmur3 seed 0. Spark's F.hash is
+# murmur3-32 with seed 42 and different output shape, so exact parity
+# needs the real algorithm: an Arrow-batched pandas UDF (converter
+# path, not the hot parse path). Verified against the reference test
+# vectors (func_murmur3_hash_test.go:27, func_murmur3_hash128_test.go:27).
+# ---------------------------------------------------------------------------
+
+_M32 = (1 << 32) - 1
+_M64 = (1 << 64) - 1
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def murmur3_32_py(data: bytes, seed: int = 0) -> int:
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[n:]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_128_py(data: bytes, seed: int = 0) -> tuple[int, int]:
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed
+    n = len(data) // 16
+    for i in range(n):
+        k1 = int.from_bytes(data[i * 16:i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8:i * 16 + 16], "little")
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[n * 16:]
+    ln = len(tail)
+    k1 = k2 = 0
+    for i in range(ln - 1, 7, -1):
+        k2 ^= tail[i] << ((i - 8) * 8)
+    if ln > 8:
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+    for i in range(min(ln, 8) - 1, -1, -1):
+        k1 ^= tail[i] << (i * 8)
+    if ln > 0:
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+    h1 ^= len(data)
+    h2 ^= len(data)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2
+
+
+def Murmur3HashExact(c):
+    """Exact func_murmur3_hash.go: hex(LE bytes of sum32 seed 0)."""
+
+    @F.pandas_udf("string")
+    def _h(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None if v is None
+            else murmur3_32_py(v.encode()).to_bytes(4, "little").hex()
+        )
+
+    return _h(_col(c).cast("string"))
+
+
+def Murmur3Hash128(c):
+    """Exact func_murmur3_hash128.go: hex(LE(h1) . LE(h2)) of
+    murmur3 x64 128, seed 0."""
+
+    @F.pandas_udf("string")
+    def _h(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            h1, h2 = murmur3_128_py(v.encode())
+            return (h1.to_bytes(8, "little") + h2.to_bytes(8, "little")).hex()
+
+        return s.map(one)
+
+    return _h(_col(c).cast("string"))
+
+
+def XXH3(c):
+    """func_xxh3.go: hex of the 64-bit XXH3 digest. Exact when the
+    ``xxhash`` package is importable; otherwise a DOCUMENTED
+    SUBSTITUTION: hex of Spark's native xxhash64 (the XXH64 algorithm,
+    seed 42) -- deterministic and uniform, but NOT byte-equal to XXH3
+    (this container has no xxhash and pure-Python XXH3 requires the
+    192-byte kSecret constant)."""
+    try:
+        import xxhash  # noqa: F401
+    except ImportError:
+        return F.lower(F.hex(F.xxhash64(_col(c).cast("string"))))
+
+    @F.pandas_udf("string")
+    def _h(s: pd.Series) -> pd.Series:
+        import xxhash as _x
+
+        return s.map(
+            lambda v: None if v is None else _x.xxh3_64_hexdigest(v.encode())
+        )
+
+    return _h(_col(c).cast("string"))
+
+
+def XXH128(c):
+    """func_xxh128.go: hex of the 128-bit XXH3 digest; same gating and
+    substitution policy as :func:`XXH3` (fallback doubles xxhash64 with
+    two seeds for 128 deterministic bits)."""
+    try:
+        import xxhash  # noqa: F401
+    except ImportError:
+        cc = _col(c).cast("string")
+        return F.lower(
+            F.concat(F.hex(F.xxhash64(cc)), F.hex(F.xxhash64(cc, F.lit(1))))
+        )
+
+    @F.pandas_udf("string")
+    def _h(s: pd.Series) -> pd.Series:
+        import xxhash as _x
+
+        return s.map(
+            lambda v: None if v is None else _x.xxh3_128_hexdigest(v.encode())
+        )
+
+    return _h(_col(c).cast("string"))
+
+
+def UUIDv7():
+    """func_uuidv7.go: RFC 9562 v7 -- 48-bit unix-ms timestamp, version
+    7, variant 10, 74 random bits. Nondeterministic by design (like
+    UUID/Now). Built as a pure Column expression."""
+    ms = F.unix_millis(F.current_timestamp())
+    ts_hex = F.lpad(F.lower(F.hex(ms)), 12, "0")
+    # F.randn/rand are per-row nondeterministic; derive 16 hex chars of
+    # randomness from two independent rand() draws
+    r1 = F.lpad(F.lower(F.hex((F.rand() * F.lit(float(1 << 48))).cast("long"))), 12, "0")
+    r2 = F.lpad(F.lower(F.hex((F.rand() * F.lit(float(1 << 30))).cast("long"))), 8, "0")
+    # variant nibble in {8,9,a,b}
+    var_nibble = F.element_at(
+        F.array(F.lit("8"), F.lit("9"), F.lit("a"), F.lit("b")),
+        ((F.rand() * 4).cast("int") + 1),
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(ts_hex, 1, 8),
+        F.substring(ts_hex, 9, 4),
+        F.concat(F.lit("7"), F.substring(r1, 1, 3)),
+        F.concat(var_nibble, F.substring(r1, 4, 3)),
+        F.concat(F.substring(r1, 7, 4), F.substring(r2, 1, 8)),
+    )
+
+
+def ProfileID(c):
+    """func_profile_id.go: 32-hex string -> 16-byte binary id; invalid
+    length/characters -> NULL (the reference errors; null is the
+    row-wise analog under error_mode=ignore)."""
+    cc = _col(c).cast("string")
+    return F.when(cc.rlike("^[0-9a-fA-F]{32}$"), F.unhex(cc))
+
+
+# ---------------------------------------------------------------------------
+# ParseSeverity (func_parse_severity.go): map a numeric or string value
+# onto a log level via criteria: {"level": [{"range": {"min": m,
+# "max": M}}, {"equals": [...]}, "4xx", ...]}. Compiled to ONE CASE
+# chain (JVM-side). Levels are evaluated in INSERTION order -- a
+# deterministic upgrade over Go's randomized map iteration.
+# ---------------------------------------------------------------------------
+
+_HTTP_RANGES = {"1xx": (100, 199), "2xx": (200, 299), "3xx": (300, 399),
+                "4xx": (400, 499), "5xx": (500, 599)}
+
+
+def ParseSeverity(c, mapping: dict):
+    cc = _col(c)
+    # try_cast: non-numeric values fall through range criteria (the
+    # reference's criteria.evaluate dispatches on the dynamic type)
+    num = cc.cast("string").try_cast("long")
+    expr = None
+    for level, criteria_list in mapping.items():
+        cond = F.lit(False)
+        for crit in criteria_list:
+            if isinstance(crit, str):
+                lo, hi = _HTTP_RANGES[crit]
+                cond = cond | num.between(lo, hi)
+                continue
+            if "range" in crit:
+                r = crit["range"]
+                cond = cond | num.between(r["min"], r["max"])
+            if "equals" in crit:
+                eq = F.lit(False)
+                for v in crit["equals"]:
+                    eq = eq | (cc.cast("string") == v)
+                cond = cond | eq
+        expr = F.when(cond, F.lit(level)) if expr is None else expr.when(cond, F.lit(level))
+    # no match -> NULL (reference errors; null == "unparsed" row-wise)
+    return expr
+
+
+def ExtractGrokPatterns(c, pattern: str):
+    """func_extract_grok_patterns.go:39-80 -- single grok pattern ->
+    map<string,string> of named captures, entirely JVM-side (the grok
+    reference expansion happens at plan time; the battery form for
+    multi-pattern first-match-wins lives in operators/parse.py)."""
+    from ..operators.parse import grok_to_regex
+
+    return ExtractPatterns(c, grok_to_regex(pattern))
+
+
+# ---------------------------------------------------------------------------
+# replace_all_matches / replace_all_patterns -- the 2 remaining editors
+# (functions.go:21-22). Operate on map columns: every value (or key)
+# rewritten.
+# ---------------------------------------------------------------------------
+
+
+def replace_all_matches(c, glob: str, replacement: str):
+    """func_replace_all_matches.go: whole-value GLOB match on every map
+    value -> replacement."""
+    import re
+
+    rx = "^" + re.escape(glob).replace(r"\*", ".*") + "$"
+    return F.transform_values(
+        _col(c),
+        lambda k, v: F.when(v.rlike(rx), F.lit(replacement)).otherwise(v),
+    )
+
+
+def replace_all_patterns(c, mode: str, pattern: str, replacement: str):
+    """func_replace_all_patterns.go: regex-replace within every value
+    (mode='value') or every key (mode='key') of a map. Key collisions
+    after a key rewrite error (Spark duplicate-map-key), matching the
+    reference's last-write-wins only under spark.sql.mapKeyDedupPolicy
+    =LAST_WIN."""
+    from ..operators.parse import to_java_regex
+
+    jp = to_java_regex(pattern)
+    if mode == "value":
+        return F.transform_values(
+            _col(c), lambda k, v: F.regexp_replace(v, jp, replacement)
+        )
+    if mode == "key":
+        return F.transform_keys(
+            _col(c), lambda k, v: F.regexp_replace(k, jp, replacement)
+        )
+    raise ValueError(f"replace_all_patterns: invalid mode {mode!r}")
+
+
+REGISTRY.update({
+    "IsString": IsString, "IsInt": IsInt, "IsDouble": IsDouble,
+    "IsBool": IsBool, "IsList": IsList, "IsMap": IsMap,
+    "IsRootSpan": IsRootSpan,
+    "Murmur3Hash128": Murmur3Hash128, "XXH3": XXH3, "XXH128": XXH128,
+    "UUIDv7": UUIDv7, "ProfileID": ProfileID,
+    "ParseSeverity": ParseSeverity,
+    "ExtractGrokPatterns": ExtractGrokPatterns,
+    "replace_all_matches": replace_all_matches,
+    "replace_all_patterns": replace_all_patterns,
+})
+
+
+# ---------------------------------------------------------------------------
+# Full XML surface (func_parse_xml.go / func_insert_xml.go /
+# func_remove_xml.go / func_convert_attributes_to_elements_xml.go /
+# func_convert_text_to_elements_xml.go). stdlib ElementTree in
+# Arrow-batched pandas UDFs; XPath subset = ElementTree's. Child
+# ordering on rewrite follows documented prose (new elements appended
+# last); exact serialization parity with xmlquery is not a goal.
+# ---------------------------------------------------------------------------
+
+
+def _xml_udf(fn):
+    """string -> string ElementTree transform as a pandas UDF; parse
+    failures -> NULL."""
+
+    @F.pandas_udf("string")
+    def _u(s: pd.Series) -> pd.Series:
+        import xml.etree.ElementTree as ET
+
+        def one(x):
+            if x is None:
+                return None
+            try:
+                root = ET.fromstring(x)
+            except ET.ParseError:
+                return None
+            return fn(ET, root)
+
+        return s.map(one)
+
+    return _u
+
+
+def ParseXML(c):
+    """func_parse_xml.go:60-135: XML -> the {tag, content?, attributes?,
+    children?} tree, returned as a JSON string (parse further with
+    from_json; a Variant-ready shape)."""
+
+    def conv(ET, root):
+        import json as _json
+
+        def node(el):
+            out: dict = {"tag": el.tag}
+            text = (el.text or "").strip()
+            if text:
+                out["content"] = text
+            if el.attrib:
+                out["attributes"] = dict(el.attrib)
+            kids = [node(k) for k in el]
+            if kids:
+                out["children"] = kids
+            return out
+
+        return _json.dumps(node(root), sort_keys=True)
+
+    return _xml_udf(conv)(_col(c))
+
+
+def InsertXML(c, xpath: str, subdocument):
+    """func_insert_xml.go:42-76: insert the sub-document as the last
+    child of every element matched by xpath. ``subdocument`` must be a
+    literal XML string (the common reference usage)."""
+    sub_xml = subdocument
+
+    def conv(ET, root):
+        try:
+            sub = ET.fromstring(sub_xml)
+        except ET.ParseError:
+            return None
+        targets = [root] if xpath in (".", "/") else root.findall(xpath)
+        for t in targets:
+            import copy as _copy
+
+            t.append(_copy.deepcopy(sub))
+        return ET.tostring(root, encoding="unicode")
+
+    return _xml_udf(conv)(_col(c))
+
+
+def RemoveXML(c, xpath: str):
+    """func_remove_xml.go: delete every element matched by xpath."""
+
+    def conv(ET, root):
+        # ElementTree removal needs the parent: walk and filter
+        parent_of = {child: p for p in root.iter() for child in p}
+        for victim in root.findall(xpath):
+            p = parent_of.get(victim)
+            if p is not None:
+                p.remove(victim)
+        return ET.tostring(root, encoding="unicode")
+
+    return _xml_udf(conv)(_col(c))
+
+
+def ConvertAttributesToElementsXML(c, xpath: str = "//@*"):
+    """func_convert_attributes_to_elements_xml.go:43-70: turn
+    attributes into child elements (appended last), remove the
+    attribute. Default scope: every element."""
+
+    def conv(ET, root):
+        for el in root.iter():
+            for k in sorted(el.attrib):  # deterministic order
+                child = ET.SubElement(el, k)
+                child.text = el.attrib[k]
+            el.attrib.clear()
+        return ET.tostring(root, encoding="unicode")
+
+    return _xml_udf(conv)(_col(c))
+
+
+def ConvertTextToElementsXML(c, element_name: str = "value"):
+    """func_convert_text_to_elements_xml.go: wrap dangling text content
+    of mixed-content elements into a dedicated child element."""
+
+    def conv(ET, root):
+        for el in root.iter():
+            text = (el.text or "").strip()
+            if text and len(el) > 0:  # mixed content only
+                wrapper = ET.Element(element_name)
+                wrapper.text = text
+                el.insert(0, wrapper)
+                el.text = None
+        return ET.tostring(root, encoding="unicode")
+
+    return _xml_udf(conv)(_col(c))
+
+
+REGISTRY.update({
+    "ParseXML": ParseXML, "InsertXML": InsertXML, "RemoveXML": RemoveXML,
+    "ConvertAttributesToElementsXML": ConvertAttributesToElementsXML,
+    "ConvertTextToElementsXML": ConvertTextToElementsXML,
+})

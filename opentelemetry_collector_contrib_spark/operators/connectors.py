@@ -545,3 +545,144 @@ def exponential_histogram(
         F.col("window.start").alias("window_start"),
         *dims, "sign", "bucket_index", "bucket_count",
     ).withColumn("scale", F.lit(scale))
+
+
+# ---------------------------------------------------------------------------
+# otlpjsonconnector (connector/otlpjsonconnector/logs.go:40-80): log
+# bodies carrying OTLP-JSON payloads are detected by signal regex and
+# re-emitted as decoded telemetry. Spark-first: from_json with the
+# OTLP-JSON schema subset + a 3-level explode (resourceLogs ->
+# scopeLogs -> logRecords) -- the pdata tree flattened to rows, no
+# Python in the path.
+# ---------------------------------------------------------------------------
+
+OTLP_LOGS_JSON_SCHEMA = (
+    "resourceLogs ARRAY<STRUCT<"
+    "  resource: STRUCT<attributes: ARRAY<STRUCT<"
+    "    key: STRING, value: STRUCT<stringValue: STRING>>>>,"
+    "  scopeLogs: ARRAY<STRUCT<"
+    "    scope: STRUCT<name: STRING>,"
+    "    logRecords: ARRAY<STRUCT<"
+    "      timeUnixNano: STRING, severityNumber: INT,"
+    "      severityText: STRING, body: STRUCT<stringValue: STRING>,"
+    "      traceId: STRING, spanId: STRING>>>>>>"
+)
+
+
+def otlpjson_logs(df: DataFrame, body_col: str = "body") -> DataFrame:
+    """Decode OTLP-JSON log payloads out of a body column.
+
+    Emits one row per LogRecord with resource attributes flattened to a
+    map -- the connector's re-emission, shaped for the flat model.
+    Non-OTLP bodies (regex gate, logs.go:47-56) are dropped like the
+    reference's `default` branch logs-and-continues.
+    """
+    src = F.col(body_col)
+    parsed = F.from_json(src, OTLP_LOGS_JSON_SCHEMA)
+    out = (
+        df.filter(src.rlike('"resourceLogs"'))
+        .withColumn("_p", parsed)
+        .select(F.explode("_p.resourceLogs").alias("_rl"))
+        .select(
+            F.map_from_entries(
+                F.transform(
+                    F.col("_rl.resource.attributes"),
+                    lambda e: F.struct(
+                        e["key"].alias("key"),
+                        e["value"]["stringValue"].alias("value"),
+                    ),
+                )
+            ).alias("resource_attributes"),
+            F.explode("_rl.scopeLogs").alias("_sl"),
+        )
+        .select(
+            "resource_attributes",
+            F.col("_sl.scope.name").alias("scope_name"),
+            F.explode("_sl.logRecords").alias("_lr"),
+        )
+        .select(
+            "resource_attributes",
+            "scope_name",
+            F.col("_lr.timeUnixNano").cast("long").alias("time_unix_nano"),
+            F.col("_lr.severityNumber").alias("severity_number"),
+            F.col("_lr.severityText").alias("severity_text"),
+            F.col("_lr.body.stringValue").alias("body"),
+            F.col("_lr.traceId").alias("trace_id"),
+            F.col("_lr.spanId").alias("span_id"),
+        )
+    )
+    return out
+
+
+def otlpjson_encode_logs(
+    df: DataFrame,
+    body_col: str = "body",
+    ts_col: str = "time_unix_nano",
+    severity_col: str = "severity_number",
+) -> Column:
+    """Render rows AS an OTLP-JSON resourceLogs payload (one record per
+    row -- the exporter-side encoder). Deterministic field order via
+    explicit JSON construction (to_json of a fixed struct)."""
+    return F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.array(
+                                F.struct(
+                                    F.col(ts_col).cast("string").alias("timeUnixNano"),
+                                    F.col(severity_col).cast("int").alias("severityNumber"),
+                                    F.struct(
+                                        F.col(body_col).cast("string").alias("stringValue")
+                                    ).alias("body"),
+                                )
+                            ).alias("logRecords"),
+                        )
+                    ).alias("scopeLogs"),
+                )
+            ).alias("resourceLogs")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# metricsaslogsconnector (connector/metricsaslogsconnector/connector.go):
+# each metric datapoint -> one log record whose body is a JSON
+# rendering of the datapoint. JSON built by explicit concat so the
+# DuckDB oracle reproduces it byte-for-byte.
+# ---------------------------------------------------------------------------
+
+
+def metrics_as_logs(
+    metrics: DataFrame,
+    name_col: str = "metric_name",
+    value_col: str = "value",
+    ts_col: str | None = None,
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Metric rows -> log rows: body = '{"metric":"<name>","value":<v>,
+    "attributes":{"k":"v",...}}' with attribute keys in the given
+    order; severity defaults to Info=9 (the connector emits plain
+    info-level records)."""
+    attr_cols = attr_cols or []
+    parts: list[Column] = [
+        F.lit('{"metric":"'), F.col(name_col).cast("string"),
+        F.lit('","value":'), F.col(value_col).cast("string"),
+    ]
+    if attr_cols:
+        parts.append(F.lit(',"attributes":{'))
+        for i, a in enumerate(attr_cols):
+            if i:
+                parts.append(F.lit(","))
+            parts.append(F.lit(f'"{a}":"'))
+            parts.append(F.col(a).cast("string"))
+            parts.append(F.lit('"'))
+        parts.append(F.lit("}"))
+    parts.append(F.lit("}"))
+    out = metrics.withColumn("body", F.concat(*parts)).withColumn(
+        "severity_number", F.lit(9)
+    )
+    if ts_col is not None:
+        out = out.withColumn("observed_ts", F.col(ts_col))
+    return out

@@ -62,6 +62,8 @@ def regex_parser(
     rather than Go's empty-string); ``on_error='drop'`` removes rows
     where the pattern does not match at all (transformer.go:148-166).
     """
+    if on_error not in ("send", "send_quiet", "drop", "drop_quiet"):
+        raise ValueError(f"unknown on_error {on_error!r}")
     compiled = _pyre.compile(pattern)
     jpattern = to_java_regex(pattern)
     out = df
@@ -69,7 +71,9 @@ def regex_parser(
         idx = compiled.groupindex[name]
         col = F.regexp_extract(F.col(parse_from), jpattern, idx)
         out = out.withColumn(prefix + name, F.nullif(col, F.lit("")))
-    if on_error == "drop":
+    if on_error.startswith("drop"):
+        # *_quiet variants (transformer.go:25-49) differ only in log
+        # level -- identical routing, so drop_quiet == drop here
         out = out.filter(F.col(parse_from).rlike(jpattern))
     return out
 

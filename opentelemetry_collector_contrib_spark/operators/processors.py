@@ -446,3 +446,341 @@ def metrics_scale(metrics: DataFrame, name: str, factor: float,
     return metrics.filter(F.col(name_col) == name).withColumns(
         {name_col: F.lit(new_name), value_col: F.col(value_col) * factor}
     )
+
+
+# ---------------------------------------------------------------------------
+# spanprocessor (processor/spanprocessor/span.go:99-234): rename a span
+# from attribute values, extract attributes from the span name by
+# regex (rewriting the matched groups to {attr} placeholders), and set
+# span status.
+# ---------------------------------------------------------------------------
+
+
+def _split_named_groups(pattern: str) -> list:
+    """Split a regex into [text, (name, body), text, ...] segments at
+    its TOP-LEVEL named groups ``(?P<name>body)`` -- the pieces needed
+    to rebuild span.go:190-204's "replace matched groups with {name}"
+    rewrite as a single regexp_replace."""
+    import re as _re
+
+    segs: list = []
+    buf = []
+    i = 0
+    while i < len(pattern):
+        m = _re.compile(r"\(\?P<(\w+)>").match(pattern, i)
+        if m:
+            depth = 1
+            j = m.end()
+            while j < len(pattern) and depth:
+                if pattern[j] == "\\":
+                    j += 2
+                    continue
+                if pattern[j] == "(":
+                    depth += 1
+                elif pattern[j] == ")":
+                    depth -= 1
+                j += 1
+            segs.append("".join(buf))
+            buf = []
+            segs.append((m.group(1), pattern[m.end():j - 1]))
+            i = j
+        else:
+            buf.append(pattern[i])
+            i += 1
+    segs.append("".join(buf))
+    return segs
+
+
+def span_to_attributes(
+    df: DataFrame,
+    rules: list[str],
+    name_col: str = "span_name",
+    keep_original_name: bool = False,
+    break_after_match: bool = False,
+) -> DataFrame:
+    """Rename.ToAttributes (span.go:152-216): per rule, extract every
+    named group of the pattern into an attribute column and rewrite the
+    span name with each matched group replaced by ``{group_name}``.
+    Rules chain: rule i sees the name produced by rule i-1;
+    ``break_after_match`` stops at the first matching rule
+    (span.go:211-214).
+
+    Divergence note: regexp_replace rewrites EVERY occurrence of the
+    pattern in the name; the reference rewrites only the first match
+    (span.go:173). Identical for anchored or single-occurrence
+    patterns, which is the documented usage.
+    """
+    from .parse import to_java_regex
+
+    out = df.withColumn("__tsp_matched", F.lit(False))
+    name = F.col(name_col)
+    for pattern in rules:
+        segs = _split_named_groups(pattern)
+        # java pattern with ALL segments wrapped in sequential groups:
+        # (text)(body)(text)... -> replacement rebuilds text and swaps
+        # group bodies for {attr}
+        jparts: list[str] = []
+        repl_parts: list[str] = []
+        gi = 0
+        extract_idx: dict[str, int] = {}
+        for seg in segs:
+            gi += 1
+            if isinstance(seg, tuple):
+                gname, body = seg
+                jparts.append(f"({to_java_regex(body)})")
+                repl_parts.append("{" + gname + "}")
+                extract_idx[gname] = gi
+            else:
+                jparts.append(f"({to_java_regex(seg)})")
+                repl_parts.append(f"${gi}")
+        jp = "".join(jparts)
+        repl = "".join(repl_parts)
+        # F.col references bind to the CURRENT projection, so the match
+        # flag must be materialized before the name rewrite -- otherwise
+        # rule i+1's "matched before" would re-evaluate rule i's pattern
+        # against the rewritten name.
+        this_match = name.rlike(jp)
+        out = out.withColumn("__tsp_this", this_match)
+        is_match = (
+            F.col("__tsp_this") & ~F.col("__tsp_matched")
+            if break_after_match else F.col("__tsp_this")
+        )
+        for gname, idx in extract_idx.items():
+            out = out.withColumn(
+                gname, F.when(is_match, F.regexp_extract(name, jp, idx))
+            )
+        if not keep_original_name:
+            new_name = F.when(is_match, F.regexp_replace(name, jp, repl)).otherwise(name)
+            out = out.withColumn(name_col, new_name)
+            name = F.col(name_col)
+        out = out.withColumn(
+            "__tsp_matched", F.col("__tsp_matched") | F.col("__tsp_this")
+        )
+    return out.drop("__tsp_matched", "__tsp_this")
+
+
+def span_from_attributes(
+    df: DataFrame,
+    from_attributes: list[str],
+    separator: str = "",
+    name_col: str = "span_name",
+) -> DataFrame:
+    """Rename.FromAttributes (span.go:99-150): span name = attribute
+    values joined by separator; if ANY key is missing/null the name is
+    left unchanged (span.go:119-121). Value rendering: Spark
+    cast-to-string (bools "true"/"false" like Go; doubles render
+    "1.0" where Go prints "1" -- documented divergence)."""
+    all_present = F.lit(True)
+    for k in from_attributes:
+        all_present = all_present & F.col(k).isNotNull()
+    new_name = F.concat_ws(
+        separator, *[F.col(k).cast("string") for k in from_attributes]
+    )
+    base = F.col(name_col) if name_col in df.columns else F.lit(None).cast("string")
+    return df.withColumn(
+        name_col, F.when(all_present, new_name).otherwise(base)
+    )
+
+
+def span_set_status(df: DataFrame, code: str, description: str = "",
+                    status_col: str = "status_code",
+                    message_col: str = "status_message") -> DataFrame:
+    """SetStatus (span.go:218-234): Ok/Unset clear the message; Error
+    carries the description."""
+    codes = {"Unset": 0, "Ok": 1, "Error": 2}
+    msg = description if code == "Error" else ""
+    return df.withColumn(status_col, F.lit(codes[code])).withColumn(
+        message_col, F.lit(msg)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tail-sampling policy battery (processor/tailsamplingprocessor/
+# config.go:12-53; policy evaluators under internal/sampling/).
+# Batch shape: ONE aggregate builds a per-trace summary (span_count,
+# time bounds, max of each row-level predicate); policies are Columns
+# over that summary; combinators are plain boolean algebra; the final
+# decision semi-joins back. The summary is tiny (one row per trace) so
+# every policy evaluation after the single shuffle is free.
+# ---------------------------------------------------------------------------
+
+
+def trace_summary(
+    df: DataFrame,
+    trace_col: str,
+    ts_col: str | None = None,
+    row_flags: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-trace summary: span_count, first/last timestamp, and the
+    OR-aggregate of each named row-level predicate (numeric_attribute /
+    string_attribute / boolean_attribute / status_code / ottl_condition
+    policies are all "ANY span matches" -> max of an int cast)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("span_count")]
+    if ts_col is not None:
+        aggs += [F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")]
+    for name, flag in (row_flags or {}).items():
+        aggs.append(
+            (F.max(F.coalesce(flag, F.lit(False)).cast("int")) == 1).alias(name)
+        )
+    return df.groupBy(trace_col).agg(*aggs)
+
+
+def policy_span_count(min_spans: int, max_spans: int | None = None) -> Column:
+    """span_count policy (internal/sampling/span_count_sampler.go):
+    min <= trace span count (<= max if configured)."""
+    c = F.col("span_count") >= min_spans
+    if max_spans is not None:
+        c = c & (F.col("span_count") <= max_spans)
+    return c
+
+
+def policy_latency(threshold_ms: int) -> Column:
+    """latency policy: trace duration (last-first) > threshold
+    (internal/sampling/latency.go uses span end-start bounds)."""
+    # TIMESTAMP_NTZ has no direct numeric cast; go through unix_micros
+    # (session TZ is UTC, so NTZ->TZ cast is identity here)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp")).cast("double")  # noqa: E731
+    dur_ms = (us("last_ts") - us("first_ts")) / 1000.0
+    return dur_ms > F.lit(float(threshold_ms))
+
+
+def policy_probabilistic(trace_col: str, percent: float,
+                         salt: str = "default-hash-seed") -> Column:
+    """probabilistic policy (internal/sampling/probabilistic.go:14-40:
+    hash(salt + trace id) scaled vs percentage). md5-derived uniform in
+    [0,1) -- deterministic, cluster-size independent, and replicable in
+    the DuckDB oracle via the same md5 arithmetic."""
+    from ..analysis.hashing import md5_int32
+
+    bucket = F.pmod(md5_int32(F.concat(F.lit(salt), F.col(trace_col))),
+                    F.lit(1_000_000))
+    return bucket < F.lit(int(percent * 10_000))
+
+
+def policy_rate_limiting(spans_per_window: int,
+                         trace_col: str = "trace_id",
+                         per: str = "second") -> Column:
+    """rate_limiting policy (internal/sampling/rate_limiting.go:25-45:
+    allow while the current interval's span budget lasts; the reference
+    meters per second). The reference decides in nondeterministic
+    arrival order; the batch analog admits traces in DETERMINISTIC
+    (interval, first_ts, trace_id) order until the interval's span
+    budget is spent -- same admitted volume, reproducible row set.
+    Window cumsum over the per-trace summary (tiny relation); ``per``
+    picks the metering interval (second/minute/hour/day).
+    """
+    unit = F.date_trunc(per, F.col("first_ts"))
+    w = (
+        Window.partitionBy(unit)
+        .orderBy(F.col("first_ts"), F.col(trace_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("span_count").over(w)
+    return running <= F.lit(spans_per_window)
+
+
+def policy_and(*decisions: Column) -> Column:
+    """and policy (internal/sampling/and.go): all sub-policies sample."""
+    out = F.lit(True)
+    for d in decisions:
+        out = out & d
+    return out
+
+
+def policy_not(decision: Column) -> Column:
+    """not policy: inverted decision."""
+    return ~decision
+
+
+def policy_drop(drop_decision: Column, keep_decision: Column) -> Column:
+    """drop policy (config.go Drop): if any drop sub-policy matches the
+    trace is dropped regardless of other keep decisions."""
+    return keep_decision & ~drop_decision
+
+
+def tail_sampling_apply(df: DataFrame, trace_col: str,
+                        decisions: DataFrame,
+                        final_col: str = "keep") -> DataFrame:
+    """Keep all rows of traces whose final decision is true -- the
+    semi-join back from the summary relation (broadcast-sized in
+    practice: one short row per trace)."""
+    keep = decisions.filter(F.col(final_col)).select(trace_col)
+    return df.join(keep, on=trace_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# OTel-consistent probabilistic sampling (processor/
+# probabilisticsamplerprocessor/config.go:39-66 modes; W3C trace-context
+# randomness R-value / threshold T-value arithmetic from
+# sampler_mode.go). 56-bit domain: R = low 56 bits of the trace id;
+# keep iff R >= T where T = round((1-p) * 2^56). Composable:
+# equalizing takes max(T_in, T_cfg); proportional multiplies the pass
+# ratios. All pure Column arithmetic, replicable in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_TVALUE_DOMAIN = 1 << 56
+
+
+def consistent_threshold(percent: float) -> int:
+    """T-value for a sampling percentage: reject region size in the
+    56-bit randomness domain."""
+    ratio = min(max(percent / 100.0, 0.0), 1.0)
+    return round((1.0 - ratio) * _TVALUE_DOMAIN)
+
+
+def trace_randomness(trace_col: str) -> Column:
+    """R-value: lowest 56 bits (14 hex digits) of the 32-hex trace id
+    (the W3C default randomness source)."""
+    return F.conv(F.substring(F.col(trace_col), 19, 14), 16, 10).cast("long")
+
+
+def probabilistic_sampler_consistent(
+    df: DataFrame,
+    trace_col: str,
+    percent: float,
+    mode: str = "equalizing",
+    incoming_threshold_col: str | None = None,
+    priority_col: str | None = None,
+) -> DataFrame:
+    """equalizing / proportional modes.
+
+    - equalizing: final T = max(T_in, T_cfg) -- spans already sampled
+      at a lower probability pass through; spans at higher probability
+      get reduced to exactly `percent`.
+    - proportional: pass ratio multiplies: (2^56 - T_out) =
+      (2^56 - T_in) * (2^56 - T_cfg) / 2^56.
+    - sampling.priority override (config.go:94-96): priority == 0
+      forces drop, priority > 0 forces keep, NULL defers to the
+      threshold decision.
+
+    Without an incoming threshold column T_in = 0 (head-sampled at
+    100%), making both modes equal to plain consistent sampling.
+    """
+    # equalizing stays in exact 64-bit integers (T-values are up to
+    # 2^56 > 2^53, where doubles lose ulps); proportional needs the
+    # product and runs in IEEE double on both engines identically.
+    t_cfg_i = consistent_threshold(percent)
+    t_in = (
+        F.coalesce(F.col(incoming_threshold_col).cast("long"), F.lit(0))
+        if incoming_threshold_col is not None
+        else F.lit(0).cast("long")
+    )
+    rv = trace_randomness(trace_col)
+    if mode == "equalizing":
+        t_final = F.greatest(t_in, F.lit(t_cfg_i))
+        keep = rv >= t_final
+    elif mode == "proportional":
+        dom = F.lit(float(_TVALUE_DOMAIN))
+        t_final_d = dom - (
+            (dom - t_in.cast("double"))
+            * (dom - F.lit(float(t_cfg_i))) / dom
+        )
+        keep = rv.cast("double") >= t_final_d
+    else:
+        raise ValueError(f"unknown consistent mode {mode!r}")
+    if priority_col is not None:
+        pr = F.col(priority_col)
+        keep = F.when(pr.isNotNull() & (pr == 0), F.lit(False)).when(
+            pr.isNotNull() & (pr > 0), F.lit(True)
+        ).otherwise(keep)
+    return df.filter(keep)

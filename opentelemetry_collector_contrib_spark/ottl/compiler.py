@@ -12,15 +12,31 @@ Grammar subset (pkg/ottl/grammar.go:14-20,44-149,236-333):
     factor     := literal | path | converter '(' args ')' | '(' mathexpr ')'
     path       := ident ('.' ident)* ('[' (string|int) ']')*
     literal    := 'nil' | 'true' | 'false' | int | float | string
+                | hexbytes | ENUM | '[' list ']' | '{' map '}'
 
 Semantics honored from the reference:
 - comparison with nil: ``x == nil`` true only when x IS NULL; any
   other comparison involving nil is false, ``!=`` is its negation
   (pkg/ottl/compare.go:48-52,290-295). Implemented with eqNullSafe.
-- int/float comparison coerces to float (compare.go:145-165) --
-  Spark's numeric coercion does exactly this.
-- math: int op int stays int; ``/`` by zero errors (math.go:109-233)
-  -- Spark 4's ANSI mode matches.
+- CROSS-TYPE comparison is false (``!=`` true) except int<->float,
+  which coerces to float (compare.go:48-52,144-165). Implemented by
+  tracking a static type TAG per operand: literals carry their own,
+  paths resolve through the DataFrame schema, converters through a
+  return-type table. Where a tag is unknown the comparison falls back
+  to Spark's coercion (documented residual divergence).
+- math: int op int stays int, / truncates toward zero like Go
+  (math.go:109-233); div-by-zero errors under error_mode=propagate
+  (Spark ANSI) and yields nil under ignore/silent (try_divide).
+- error modes (parser.go:394-415): ``propagate`` -> runtime errors
+  fail the job (ANSI); ``ignore``/``silent`` -> erroring expressions
+  yield NULL, so ``set`` keeps the original value (statement skipped
+  for that row, the reference's continue-on-error). ignore vs silent
+  differ only in logging, an observability concern outside the plan.
+- enums (grammar.go:314-333): ALL-CAPS identifiers resolved through
+  the context symbol tables (ctxlog/symbols.go:12-38,
+  ctxspan/symbols.go:13-24) to int literals.
+- hex byte-slice literals 0xDEADBEEF -> binary literal
+  (grammar.go:336-345); map literals {"k": v} (grammar.go:318-327).
 - paths: ``attributes["k"]`` -> map element_at; nested field access
   ``a.b`` -> struct getField; column names with dots are resolved as
   promoted flat columns first.
@@ -42,16 +58,101 @@ from ..functions import get_function
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<hex>0x[0-9a-fA-F]+)
   | (?P<float>\d+\.\d+)
   | (?P<int>\d+)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<op>==|!=|<=|>=|<|>|\+|-|\*|/|\(|\)|\[|\]|,)
+  | (?P<op>==|!=|<=|>=|<|>|\+|-|\*|/|\(|\)|\[|\]|\{|\}|:|,)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
 """,
     re.VERBOSE,
 )
 
 _KEYWORDS = {"and", "or", "not", "where", "nil", "true", "false"}
+
+# Context enum symbol tables (ctxlog/symbols.go:12-38 severity enums;
+# ctxspan/symbols.go:13-24 span kind + status code).
+ENUMS: dict[str, int] = {}
+_SEV_BASE = {"TRACE": 1, "DEBUG": 5, "INFO": 9, "WARN": 13, "ERROR": 17,
+             "FATAL": 21}
+ENUMS["SEVERITY_NUMBER_UNSPECIFIED"] = 0
+for _name, _base in _SEV_BASE.items():
+    ENUMS[f"SEVERITY_NUMBER_{_name}"] = _base
+    for _i in (2, 3, 4):
+        ENUMS[f"SEVERITY_NUMBER_{_name}{_i}"] = _base + _i - 1
+ENUMS.update({
+    "SPAN_KIND_UNSPECIFIED": 0, "SPAN_KIND_INTERNAL": 1,
+    "SPAN_KIND_SERVER": 2, "SPAN_KIND_CLIENT": 3,
+    "SPAN_KIND_PRODUCER": 4, "SPAN_KIND_CONSUMER": 5,
+    "STATUS_CODE_UNSET": 0, "STATUS_CODE_OK": 1, "STATUS_CODE_ERROR": 2,
+})
+
+_ENUM_RE = re.compile(r"^[A-Z][A-Z0-9_]*$")
+
+# Static return-type tags for converters (used by the compare.go
+# cross-type rule). Unknown converters -> None (fall back to coercion).
+CONVERTER_TAGS: dict[str, str | None] = {
+    "String": "string", "Int": "int", "Double": "double",
+    "Boolean": "bool", "Len": "int", "SizeOf": "int", "ParseInt": "int",
+    "UnixSeconds": "int", "UnixMilli": "int", "UnixMicro": "int",
+    "UnixNano": "int", "Year": "int", "Month": "int", "Day": "int",
+    "Weekday": "int", "Hour": "int", "Minute": "int", "Second": "int",
+    "Nanosecond": "int", "Hours": "double", "Minutes": "double",
+    "Seconds": "double", "Milliseconds": "double",
+    "Microseconds": "double", "Nanoseconds": "double",
+    "Duration": "double", "Log": "double",
+    "MD5": "string", "SHA1": "string", "SHA256": "string",
+    "SHA512": "string", "Hex": "string", "ToUpperCase": "string",
+    "ToLowerCase": "string", "ToSnakeCase": "string",
+    "ToCamelCase": "string", "ConvertCase": "string", "Trim": "string",
+    "TrimPrefix": "string", "TrimSuffix": "string", "Concat": "string",
+    "Format": "string", "Substring": "string", "Decode": "string",
+    "FormatTime": "string", "ToKeyValueString": "string",
+    "UUID": "string", "UUIDv7": "string", "Murmur3Hash": "string",
+    "Murmur3Hash128": "string", "XXH3": "string", "XXH128": "string",
+    "IsMatch": "bool", "IsValidLuhn": "bool", "HasPrefix": "bool",
+    "HasSuffix": "bool", "IsString": "bool", "IsInt": "bool",
+    "IsDouble": "bool", "IsBool": "bool", "IsList": "bool",
+    "IsMap": "bool", "IsRootSpan": "bool", "ContainsValue": "bool",
+    "Time": "timestamp", "TruncateTime": "timestamp", "Now": "timestamp",
+    "Unix": "timestamp",
+    "Split": "list", "Keys": "list", "Values": "list", "Sort": "list",
+    "Append": "list", "Flatten": "list",
+    "ParseKeyValue": "map", "ExtractPatterns": "map",
+    "ExtractGrokPatterns": "map", "SliceToMap": "map", "ParseJSON": "map",
+    "TraceID": "bytes", "SpanID": "bytes", "ProfileID": "bytes",
+}
+
+_TYPE_PREDICATES = {"IsString", "IsInt", "IsDouble", "IsBool", "IsList",
+                    "IsMap"}
+
+_NUMERIC = {"int", "double"}
+
+
+def _dtype_tag(simple: str) -> str | None:
+    """Spark simpleString -> compare.go type tag."""
+    base = simple.split("<")[0].lower()
+    return {
+        "string": "string", "varchar": "string", "char": "string",
+        "tinyint": "int", "smallint": "int", "int": "int",
+        "integer": "int", "bigint": "int", "long": "int",
+        "float": "double", "double": "double", "decimal": "double",
+        "boolean": "bool", "binary": "bytes",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+        "date": "timestamp",
+        "array": "list", "map": "map", "struct": "map",
+    }.get(base)
+
+
+def _element_tag(simple: str) -> str | None:
+    """Value-type tag after indexing into map<...>/array<...>."""
+    m = re.match(r"^map<\s*[^,]+,\s*(.+)>$", simple)
+    if m:
+        return _dtype_tag(m.group(1).strip())
+    m = re.match(r"^array<\s*(.+)>$", simple)
+    if m:
+        return _dtype_tag(m.group(1).strip())
+    return None
 
 
 @dataclass
@@ -80,10 +181,16 @@ def tokenize(src: str) -> list[Tok]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[Tok], columns: set[str] | None = None):
+    def __init__(self, tokens: list[Tok], columns: set[str] | None = None,
+                 dtypes: dict[str, str] | None = None,
+                 error_mode: str = "propagate"):
         self.toks = tokens
         self.i = 0
         self.columns = columns or set()
+        self.dtypes = dtypes or {}
+        if error_mode not in ("propagate", "ignore", "silent"):
+            raise ValueError(f"OTTL: unknown error_mode {error_mode!r}")
+        self.lenient = error_mode != "propagate"
 
     # -- token helpers ----------------------------------------------------
     def peek(self) -> Tok:
@@ -142,11 +249,12 @@ class _Parser:
         return self.parse_comparison()
 
     def parse_comparison(self) -> Column:
-        left, left_is_nil = self.parse_value()
+        left, ltag = self.parse_value()
         t = self.peek()
         if t.kind == "op" and t.text in ("==", "!=", "<", "<=", ">", ">="):
             self.next()
-            right, right_is_nil = self.parse_value()
+            right, rtag = self.parse_value()
+            left_is_nil, right_is_nil = ltag == "nil", rtag == "nil"
             if t.text == "==":
                 if left_is_nil and right_is_nil:
                     return F.lit(True)
@@ -154,6 +262,8 @@ class _Parser:
                     return left.isNull()
                 if left_is_nil:
                     return right.isNull()
+                if self._cross_type(ltag, rtag):
+                    return F.lit(False)
                 return left.eqNullSafe(right)
             if t.text == "!=":
                 if left_is_nil and right_is_nil:
@@ -162,124 +272,224 @@ class _Parser:
                     return left.isNotNull()
                 if left_is_nil:
                     return right.isNotNull()
+                if self._cross_type(ltag, rtag):
+                    return F.lit(True)
                 return ~left.eqNullSafe(right)
-            # ordered comparisons: nil never orders (compare.go:290-295)
+            # ordered comparisons: nil never orders (compare.go:290-295);
+            # cross-type never orders (invalidComparison -> false)
             op = {"<": Column.__lt__, "<=": Column.__le__,
                   ">": Column.__gt__, ">=": Column.__ge__}[t.text]
-            if left_is_nil or right_is_nil:
+            if left_is_nil or right_is_nil or self._cross_type(ltag, rtag):
                 return F.lit(False)
             return F.coalesce(op(left, right), F.lit(False))
-        if left_is_nil:
+        if ltag == "nil":
             return F.lit(False)
         return left.cast("boolean")
 
-    def parse_value(self) -> tuple[Column, bool]:
-        """Returns (column, is_nil_literal)."""
-        left, is_nil = self.parse_mterm()
+    @staticmethod
+    def _cross_type(ltag: str | None, rtag: str | None) -> bool:
+        """compare.go:48-52 invalid comparison: types differ AND it is
+        not the int<->float coercion pair. Unknown tags -> assume
+        compatible (Spark coercion fallback)."""
+        if ltag is None or rtag is None:
+            return False
+        if ltag == rtag:
+            return False
+        return not (ltag in _NUMERIC and rtag in _NUMERIC)
+
+    def parse_value(self) -> tuple[Column, str | None]:
+        """Returns (column, type_tag); tag 'nil' marks the nil literal."""
+        left, tag = self.parse_mterm()
         while True:
             t = self.peek()
             if t.kind == "op" and t.text in ("+", "-"):
                 self.next()
-                right, _ = self.parse_mterm()
-                left = left + right if t.text == "+" else left - right
-                is_nil = False
+                right, rtag = self.parse_mterm()
+                if self.lenient:
+                    left = (F.try_add(left, right) if t.text == "+"
+                            else F.try_subtract(left, right))
+                else:
+                    left = left + right if t.text == "+" else left - right
+                tag = self._math_tag(tag, rtag)
             else:
-                return left, is_nil
+                return left, tag
 
-    def parse_mterm(self) -> tuple[Column, bool]:
-        left, is_nil = self.parse_factor()
+    def parse_mterm(self) -> tuple[Column, str | None]:
+        left, tag = self.parse_factor()
         while True:
             t = self.peek()
             if t.kind == "op" and t.text in ("*", "/"):
                 self.next()
-                right, _ = self.parse_factor()
-                left = left * right if t.text == "*" else left / right
-                is_nil = False
+                right, rtag = self.parse_factor()
+                if t.text == "*":
+                    left = (F.try_multiply(left, right) if self.lenient
+                            else left * right)
+                else:
+                    div = (F.try_divide(left, right) if self.lenient
+                           else left / right)
+                    # math.go: int / int stays int (Go truncation toward
+                    # zero == Spark cast long)
+                    if tag == "int" and rtag == "int":
+                        div = div.cast("long")
+                    left = div
+                tag = self._math_tag(tag, rtag)
             else:
-                return left, is_nil
+                return left, tag
 
-    def parse_factor(self) -> tuple[Column, bool]:
+    @staticmethod
+    def _math_tag(a: str | None, b: str | None) -> str | None:
+        if a == "int" and b == "int":
+            return "int"
+        if a in _NUMERIC and b in _NUMERIC:
+            return "double"
+        return None
+
+    def parse_factor(self) -> tuple[Column, str | None]:
         t = self.peek()
         if t.kind == "op" and t.text == "(":
             self.next()
-            v, is_nil = self.parse_value()
+            v, tag = self.parse_value()
             self.expect("op", ")")
-            return v, is_nil
+            return v, tag
         if t.kind == "op" and t.text == "-":
             self.next()
-            v, _ = self.parse_factor()
-            return -v, False
+            v, tag = self.parse_factor()
+            return -v, tag
+        if t.kind == "op" and t.text == "[":
+            items, _ = self._parse_list_literal()
+            return F.array(*[_to_col(i) for i in items]), "list"
+        if t.kind == "op" and t.text == "{":
+            d = self._parse_map_literal()
+            entries: list[Column] = []
+            for k, v in d.items():
+                entries.append(F.lit(k))
+                entries.append(_to_col(v))
+            return F.create_map(*entries), "map"
+        if t.kind == "hex":
+            self.next()
+            return F.lit(bytearray.fromhex(t.text[2:])), "bytes"
         if t.kind == "nil":
             self.next()
-            return F.lit(None), True
+            return F.lit(None), "nil"
         if t.kind == "true":
             self.next()
-            return F.lit(True), False
+            return F.lit(True), "bool"
         if t.kind == "false":
             self.next()
-            return F.lit(False), False
+            return F.lit(False), "bool"
         if t.kind == "int":
             self.next()
-            return F.lit(int(t.text)), False
+            return F.lit(int(t.text)), "int"
         if t.kind == "float":
             self.next()
-            return F.lit(float(t.text)), False
+            return F.lit(float(t.text)), "double"
         if t.kind == "string":
             self.next()
-            return F.lit(_unquote(t.text)), False
+            return F.lit(_unquote(t.text)), "string"
         if t.kind == "ident":
-            return self.parse_path_or_call(), False
+            return self.parse_path_or_call()
         raise SyntaxError(f"OTTL: unexpected token {t.text!r}")
 
-    def parse_path_or_call(self) -> Column:
+    def parse_path_or_call(self) -> tuple[Column, str | None]:
         name = self.expect("ident").text
         if self.accept("op", "("):
             # converter/editor call: bind literal args as Python values
             args: list[Any] = []
+            tags: list[str | None] = []
             if not self.accept("op", ")"):
                 while True:
-                    args.append(self.parse_arg())
+                    a, atag = self.parse_arg()
+                    args.append(a)
+                    tags.append(atag)
                     if self.accept("op", ")"):
                         break
                     self.expect("op", ",")
             fn = get_function(name)
-            return fn(*args)
+            if name in _TYPE_PREDICATES:
+                # thread the operand's static type tag (see
+                # functions/ottl_funcs.py Is* docstring)
+                return fn(args[0], dtype=tags[0] or "unknown"), "bool"
+            return fn(*args), CONVERTER_TAGS.get(name)
+        if _ENUM_RE.match(name) and name in ENUMS:
+            # enum symbol (grammar.go:314-333 Enum production)
+            return F.lit(ENUMS[name]), "int"
         return self.finish_path(name)
 
-    def parse_arg(self) -> Any:
+    def parse_arg(self) -> tuple[Any, str | None]:
         """Arguments: literals stay Python values (many registry fns
         take str/int natively); anything else compiles to a Column."""
         t = self.peek()
         if t.kind == "string":
             self.next()
-            return _unquote(t.text)
+            return _unquote(t.text), "string"
         if t.kind == "int":
             self.next()
-            return int(t.text)
+            return int(t.text), "int"
         if t.kind == "float":
             self.next()
-            return float(t.text)
+            return float(t.text), "double"
+        if t.kind == "hex":
+            self.next()
+            return bytes.fromhex(t.text[2:]), "bytes"
         if t.kind in ("true", "false"):
             self.next()
-            return t.kind == "true"
+            return t.kind == "true", "bool"
         if t.kind == "op" and t.text == "[":
-            # list literal (grammar.go:314-333) -> Python list of literals
-            self.next()
-            items: list[Any] = []
-            if not self.accept("op", "]"):
-                while True:
-                    items.append(self.parse_arg())
-                    if self.accept("op", "]"):
-                        break
-                    self.expect("op", ",")
-            return items
-        col, _ = self.parse_value()
-        return col
+            items, tags = self._parse_list_literal()
+            return items, "list"
+        if t.kind == "op" and t.text == "{":
+            d = self._parse_map_literal()
+            # pure-literal maps stay Python dicts (ParseSeverity-style
+            # config args); maps with path/converter values become a
+            # create_map Column
+            if any(isinstance(v, Column) for v in d.values()):
+                entries: list[Column] = []
+                for k, v in d.items():
+                    entries.append(F.lit(k))
+                    entries.append(_to_col(v))
+                return F.create_map(*entries), "map"
+            return d, "map"
+        col, tag = self.parse_value()
+        return col, tag
 
-    def finish_path(self, name: str) -> Column:
+    def _parse_list_literal(self) -> tuple[list[Any], list[str | None]]:
+        """'[' already peeked: list literal -> Python list of values
+        (grammar.go:314-317)."""
+        self.expect("op", "[")
+        items: list[Any] = []
+        tags: list[str | None] = []
+        if not self.accept("op", "]"):
+            while True:
+                a, atag = self.parse_arg()
+                items.append(a)
+                tags.append(atag)
+                if self.accept("op", "]"):
+                    break
+                self.expect("op", ",")
+        return items, tags
+
+    def _parse_map_literal(self) -> dict[str, Any]:
+        """'{' already peeked: {"key": value, ...} -> Python dict
+        (grammar.go:318-327: keys are string literals)."""
+        self.expect("op", "{")
+        out: dict[str, Any] = {}
+        if not self.accept("op", "}"):
+            while True:
+                k = self.expect("string").text
+                self.expect("op", ":")
+                v, _ = self.parse_arg()
+                out[_unquote(k)] = v
+                if self.accept("op", "}"):
+                    break
+                self.expect("op", ",")
+        return out
+
+    def finish_path(self, name: str) -> tuple[Column, str | None]:
         # Promoted flat column wins (context inference analog: extracted
         # fields are typed columns; residual attrs live in map columns).
         col = F.col(name)
+        simple = self.dtypes.get(name)
+        tag = _dtype_tag(simple) if simple else None
         while self.accept("op", "["):
             t = self.next()
             if t.kind == "string":
@@ -289,7 +499,13 @@ class _Parser:
             else:
                 raise SyntaxError(f"OTTL: bad index {t.text!r}")
             self.expect("op", "]")
-        return col
+            tag = _element_tag(simple) if simple else None
+            simple = None  # nested indexing: tag only one level deep
+        return col, tag
+
+
+def _to_col(x: Any) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
 
 
 def _unquote(s: str) -> str:
@@ -297,9 +513,10 @@ def _unquote(s: str) -> str:
     return body.replace('\\"', '"').replace("\\\\", "\\")
 
 
-def compile_condition(src: str) -> Column:
+def compile_condition(src: str, dtypes: dict[str, str] | None = None,
+                      error_mode: str = "propagate") -> Column:
     """Condition string -> boolean Column (filter/route conditions)."""
-    p = _Parser(tokenize(src))
+    p = _Parser(tokenize(src), dtypes=dtypes, error_mode=error_mode)
     col = p.parse_bool()
     if p.peek().kind != "eof":
         raise SyntaxError(f"OTTL: trailing tokens at {p.peek().text!r}")
@@ -313,34 +530,53 @@ class CompiledStatement:
     drops_row: bool = False
 
 
-def compile_statement(src: str, columns: set[str] | None = None) -> CompiledStatement:
+def compile_statement(src: str, columns: set[str] | None = None,
+                      dtypes: dict[str, str] | None = None,
+                      error_mode: str = "propagate") -> CompiledStatement:
     """``set(target, value) where cond`` and friends -> a column edit.
 
     Supported editors here: ``set`` (skips nil values --
     func_set.go:32-47), plus any map editor from the registry used in
     value position via ``set(attributes, keep_keys(attributes, [...]))``
     style. The transformprocessor applies a list of these in order.
+
+    Under error_mode ignore/silent an erroring value expression yields
+    NULL, and because ``set`` skips nil the original value survives --
+    exactly the reference's continue-on-error per record
+    (parser.go:394-415).
     """
+    if columns is not None and dtypes is None:
+        dtypes = {}
     where_col: Column | None = None
     if " where " in src:
         stmt_src, cond_src = src.split(" where ", 1)
-        where_col = compile_condition(cond_src)
+        where_col = compile_condition(cond_src, dtypes, error_mode)
     else:
         stmt_src = src
 
     toks = tokenize(stmt_src)
-    p = _Parser(toks, columns)
+    p = _Parser(toks, columns, dtypes, error_mode)
     editor = p.expect("ident").text
     p.expect("op", "(")
     if editor == "set":
-        # first arg is the target path (raw), second the value expr
+        # first arg is the target path (raw), second the value expr.
+        # A boolean expression is allowed in value position
+        # (``set(x, a == b)``): try the math-value parse, and if a
+        # comparison/logical operator follows, reparse as boolexpr --
+        # backtracking is safe (Column building is side-effect-free).
         target = _read_path_text(p)
         p.expect("op", ",")
-        value, value_is_nil = p.parse_value()
+        mark = p.i
+        value, vtag = p.parse_value()
+        nxt = p.peek()
+        if (nxt.kind == "op" and nxt.text in ("==", "!=", "<", "<=", ">", ">=")) \
+                or nxt.kind in ("and", "or"):
+            p.i = mark
+            value, vtag = p.parse_bool(), "bool"
         p.expect("op", ")")
         base = F.col(target) if columns is None or target in columns else F.lit(None)
         # set skips nil values: keep original when value IS NULL
-        guarded = F.coalesce(value, base) if not value_is_nil else base
+        guarded = F.coalesce(value, base) if vtag != "nil" else base
         if where_col is not None:
             guarded = F.when(where_col, guarded).otherwise(base)
         return CompiledStatement(target=target, value=guarded)
@@ -348,7 +584,8 @@ def compile_statement(src: str, columns: set[str] | None = None) -> CompiledStat
     target = _read_path_text(p)
     args: list[Any] = []
     while p.accept("op", ","):
-        args.append(p.parse_arg())
+        a, _ = p.parse_arg()
+        args.append(a)
     p.expect("op", ")")
     fn = get_function(editor)
     value = fn(F.col(target), *args)
@@ -366,24 +603,33 @@ class OTTLCompiler:
     """transformprocessor analog: ordered statement list over a frame.
 
     config mirrors processor/transformprocessor/config.go:37-50
-    (statements + optional conditions guard); execution is one
-    ``withColumns`` pass per statement -- Catalyst collapses the
+    (statements + optional conditions guard + error_mode); execution is
+    one ``withColumns`` pass per statement -- Catalyst collapses the
     projection chain (internal/logs/processor.go:54-67 equivalent).
     """
 
-    def __init__(self, statements: list[str], conditions: list[str] | None = None):
+    def __init__(self, statements: list[str],
+                 conditions: list[str] | None = None,
+                 error_mode: str = "propagate"):
         self.statements = statements
         self.conditions = conditions or []
+        self.error_mode = error_mode
 
     def apply(self, df: DataFrame) -> DataFrame:
+        dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         guard: Column | None = None
         if self.conditions:
             guard = F.lit(False)
             for c in self.conditions:
-                guard = guard | F.coalesce(compile_condition(c), F.lit(False))
+                guard = guard | F.coalesce(
+                    compile_condition(c, dtypes, self.error_mode), F.lit(False)
+                )
         out = df
         for s in self.statements:
-            cs = compile_statement(s, set(out.columns))
+            dtypes = {f.name: f.dataType.simpleString()
+                      for f in out.schema.fields}
+            cs = compile_statement(s, set(out.columns), dtypes,
+                                   self.error_mode)
             value = cs.value
             if guard is not None:
                 base = (

@@ -1252,3 +1252,372 @@ def q_exponential_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_index", "bucket_count",
         F.col("scale").cast("int").alias("scale"),
     ).orderBy("window_epoch", "event_type", "sign", "bucket_index")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 OTTL surface end-to-end: new converters (ParseSeverity,
+# ExtractGrokPatterns, ProfileID, IsRootSpan, Is* predicates), grammar
+# features (map literals, enum symbols, boolean values, where-clauses),
+# and error_mode=ignore lenient math -- all through the OTTL compiler
+# (pkg/ottl/ottlfuncs/functions.go:38-139; grammar.go:236-333;
+# parser.go:394-415). Murmur3/XXH/XML functions are vector-verified in
+# tests/test_ottl_extended.py (no SQL analog).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ottl_funcs_round2_documents",
+    r"""
+WITH base AS (
+  SELECT doc_id, text, lang, source,
+         CAST(doc_id % 600 AS VARCHAR) AS code,
+         CASE WHEN doc_id % 5 = 0 THEN '' ELSE substr(md5(text), 1, 16) END
+           AS parent,
+         'lang=' || lang || ' src=' || source AS kv,
+         CAST(doc_id % 25 AS INT) AS sevnum,
+         doc_id % 7 AS mod7
+  FROM documents)
+SELECT doc_id,
+       lower(regexp_replace(regexp_replace(source, '([a-z0-9])([A-Z])',
+         '\1_\2', 'g'), '[\s-]+', '_', 'g')) AS src_snake,
+       upper(lang) AS lang_up,
+       lang = 'en' AS is_en,
+       CASE WHEN CAST(code AS BIGINT) BETWEEN 500 AND 599 THEN 'error'
+            WHEN CAST(code AS BIGINT) BETWEEN 400 AND 499 THEN 'warn'
+            WHEN CAST(code AS BIGINT) BETWEEN 200 AND 299 THEN 'info'
+       END AS sev,
+       'firstword=' || regexp_extract(text, '(\w+)', 1) AS grok_kv,
+       md5(text) AS pid_hex,
+       (parent = '' OR regexp_matches(parent, '^0+$')) AS is_root,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE doc_id // (doc_id % 7) END AS ratio,
+       '00ff' AS magic,
+       sevnum >= 17 AS is_err_sev,
+       'a=' || lang || ' b=' || source AS mtags,
+       'lang=' || lang || ' src=' || regexp_replace(source, '\d+', 'N', 'g')
+         AS kv_masked
+FROM base ORDER BY doc_id
+""",
+)
+def q_ottl_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ottl import OTTLCompiler
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source",
+        (F.col("doc_id") % 600).cast("string").alias("code"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 16)
+        ).alias("parent"),
+        F.concat(F.lit("lang="), "lang", F.lit(" src="), "source").alias("kv"),
+        (F.col("doc_id") % 25).cast("int").alias("sevnum"),
+        (F.col("doc_id") % 7).alias("mod7"),
+    )
+    c = OTTLCompiler(
+        [
+            "set(src_snake, ToSnakeCase(source))",
+            "set(lang_up, ToUpperCase(lang)) where IsString(lang)",
+            'set(is_en, lang == "en")',
+            'set(sev, ParseSeverity(code, {"error": ["5xx"], '
+            '"warn": ["4xx"], "info": [{"range": {"min": 200, "max": 299}}]}))',
+            'set(grok_kv, ToKeyValueString(ExtractGrokPatterns(text, '
+            '"%{WORD:firstword}"), " ", "="))',
+            "set(pid_hex, Hex(ProfileID(MD5(text))))",
+            "set(is_root, IsRootSpan(parent))",
+            "set(ratio, doc_id / mod7)",  # OTTL has no %: mod7 precomputed
+            "set(magic, Hex(0x00FF))",
+            "set(is_err_sev, sevnum >= SEVERITY_NUMBER_ERROR)",
+            'set(mtags, ToKeyValueString({"a": lang, "b": source}, " ", "="))',
+            'set(attrs, ParseKeyValue(kv, " ", "="))',
+            'set(attrs, replace_all_patterns(attrs, "value", "\\d+", "N")) '
+            'where IsMap(attrs)',
+            'set(kv_masked, ToKeyValueString(attrs, " ", "="))',
+        ],
+        error_mode="ignore",  # doc_id % 7 == 0 -> div-by-zero -> nil ratio
+    )
+    out = c.apply(docs)
+    return out.select(
+        "doc_id", "src_snake", "lang_up", "is_en", "sev", "grok_kv",
+        "pid_hex", "is_root", "ratio", "magic", "is_err_sev", "mtags",
+        "kv_masked",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# spanprocessor (processor/spanprocessor/span.go:99-234): name <-
+# attributes in both directions + status
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "span_processor_events",
+    r"""
+WITH spans AS (
+  SELECT event_id, user_id, event_type,
+         '/api/v1/doc/' || CAST(event_id % 500 AS VARCHAR) || '/update'
+           AS span_name
+  FROM events)
+SELECT event_id,
+       regexp_replace(span_name, '(/api/v1/doc/)(\d+)(/update)',
+                      '\1{documentId}\3') AS span_name,
+       regexp_extract(span_name, '/api/v1/doc/(\d+)/update', 1)
+         AS documentId,
+       event_type || '::' || CAST(user_id AS VARCHAR) AS span_name_from_attrs,
+       2 AS status_code, 'policy violation' AS status_message
+FROM spans ORDER BY event_id
+""",
+)
+def q_span_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import (
+        span_from_attributes,
+        span_set_status,
+        span_to_attributes,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.concat(
+            F.lit("/api/v1/doc/"), (F.col("event_id") % 500).cast("string"),
+            F.lit("/update"),
+        ).alias("span_name"),
+    )
+    # to_attributes: extract documentId, rewrite name with {documentId}
+    out = span_to_attributes(
+        ev, [r"/api/v1/doc/(?P<documentId>\d+)/update"]
+    )
+    # from_attributes into a second name column (rename direction)
+    out = out.withColumn("_orig", F.col("span_name"))
+    out = span_from_attributes(
+        out.withColumnRenamed("span_name", "span_name_from_attrs")
+        .withColumn("span_name_from_attrs", F.lit(None).cast("string")),
+        ["event_type", "user_id"], separator="::",
+        name_col="span_name_from_attrs",
+    ).withColumnRenamed("_orig", "span_name_rewritten")
+    out = span_set_status(out, "Error", "policy violation")
+    return out.select(
+        "event_id",
+        F.col("span_name_rewritten").alias("span_name"),
+        "documentId", "span_name_from_attrs",
+        "status_code", "status_message",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# tailsampling policy battery (config.go:12-53): span_count + latency +
+# probabilistic + rate_limiting + string/numeric attribute policies,
+# composed with and/not/drop -- one aggregate, pure-Column policies
+# ---------------------------------------------------------------------------
+
+
+def _tail_policy_oracle() -> str:
+    from .analysis.hashing import md5_int32_sql
+
+    prob = md5_int32_sql("'tsp-salt' || CAST(trace_id AS VARCHAR)")
+    return f"""
+WITH summary AS (
+  SELECT user_id AS trace_id,
+         COUNT(*) AS span_count,
+         MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+           AS has_error,
+         MAX(CASE WHEN value >= 400 AND value <= 999 THEN 1 ELSE 0 END) = 1
+           AS high_value
+  FROM events GROUP BY user_id),
+policies AS (
+  SELECT *,
+         span_count >= 50 AS p_span_count,
+         (epoch(last_ts) - epoch(first_ts)) * 1000.0 > 86400000.0
+           AS p_latency,
+         ({prob}) % 1000000 < 250000 AS p_prob,
+         SUM(span_count) OVER (
+           PARTITION BY date_trunc('day', first_ts)
+           ORDER BY first_ts, trace_id
+           ROWS UNBOUNDED PRECEDING) <= 2000 AS p_rate
+  FROM summary)
+SELECT trace_id, span_count, has_error, high_value,
+       p_span_count, p_latency, p_prob, p_rate,
+       ((has_error AND p_span_count) OR (p_prob AND p_latency))
+         AND p_rate AND NOT (high_value AND NOT has_error) AS keep
+FROM policies ORDER BY trace_id
+"""
+
+
+@register("tail_sampling_policies_events", _tail_policy_oracle())
+def q_tail_sampling_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import (
+        policy_and,
+        policy_drop,
+        policy_latency,
+        policy_not,
+        policy_probabilistic,
+        policy_rate_limiting,
+        policy_span_count,
+        trace_summary,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    summary = trace_summary(
+        ev.withColumnRenamed("user_id", "trace_id"),
+        "trace_id",
+        ts_col="ts",
+        row_flags={
+            "has_error": F.col("event_type") == "error",
+            "high_value": F.col("value").between(400, 999),
+        },
+    )
+    p_span_count = policy_span_count(50)
+    p_latency = policy_latency(86_400_000)  # > 1 day span spread
+    p_prob = policy_probabilistic("trace_id", 25.0, salt="tsp-salt")
+    p_rate = policy_rate_limiting(2000, "trace_id", per="day")
+    keep = policy_drop(
+        F.col("high_value") & policy_not(F.col("has_error")),
+        policy_and(
+            (F.col("has_error") & p_span_count) | (p_prob & p_latency),
+            p_rate,
+        ),
+    )
+    out = summary.select(
+        "trace_id", "span_count", "has_error", "high_value",
+        p_span_count.alias("p_span_count"),
+        p_latency.alias("p_latency"),
+        p_prob.alias("p_prob"),
+        p_rate.alias("p_rate"),
+        keep.alias("keep"),
+    )
+    return out.orderBy("trace_id")
+
+
+# ---------------------------------------------------------------------------
+# OTel-consistent probabilistic sampling: equalizing + proportional
+# T-value modes with sampling.priority override
+# (probabilisticsamplerprocessor/config.go:39-66)
+# ---------------------------------------------------------------------------
+
+_CONSISTENT_ORACLE = """
+WITH spans AS (
+  SELECT event_id,
+         md5(CAST(event_id AS VARCHAR)) AS trace_id,
+         CASE WHEN user_id % 2 = 0 THEN 0
+              ELSE 36028797018963968 END AS t_in,  -- head-sampled @50%
+         CASE WHEN event_type = 'error' THEN 1
+              WHEN event_type = 'purchase' THEN 0 END AS sampling_priority
+  FROM events),
+rv AS (
+  SELECT *, CAST(('0x' || substr(trace_id, 19, 14)) AS BIGINT) AS r
+  FROM spans),
+dec AS (
+  SELECT event_id, trace_id, sampling_priority, r, t_in,
+         greatest(t_in, 54043195528445952) AS t_eq,
+         72057594037927936.0 - ((72057594037927936.0 - CAST(t_in AS DOUBLE))
+           * (72057594037927936.0 - 54043195528445952.0)
+           / 72057594037927936.0) AS t_prop
+  FROM rv)
+SELECT 'equalizing' AS mode, event_id FROM dec
+WHERE CASE WHEN sampling_priority = 0 THEN FALSE
+           WHEN sampling_priority > 0 THEN TRUE
+           ELSE r >= t_eq END
+UNION ALL
+SELECT 'proportional' AS mode, event_id FROM dec
+WHERE CASE WHEN sampling_priority = 0 THEN FALSE
+           WHEN sampling_priority > 0 THEN TRUE
+           ELSE CAST(r AS DOUBLE) >= t_prop END
+ORDER BY mode, event_id
+"""
+
+
+@register("probabilistic_consistent_events", _CONSISTENT_ORACLE)
+def q_probabilistic_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import (
+        consistent_threshold,
+        probabilistic_sampler_consistent,
+    )
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("trace_id"),
+        F.when(F.col("user_id") % 2 == 0, F.lit(0))
+        .otherwise(F.lit(consistent_threshold(50.0)))
+        .cast("long")
+        .alias("t_in"),
+        F.when(F.col("event_type") == "error", F.lit(1))
+        .when(F.col("event_type") == "purchase", F.lit(0))
+        .alias("sampling_priority"),
+    )
+    outs = []
+    for mode in ("equalizing", "proportional"):
+        kept = probabilistic_sampler_consistent(
+            ev, "trace_id", 25.0, mode=mode,
+            incoming_threshold_col="t_in",
+            priority_col="sampling_priority",
+        )
+        outs.append(kept.select(F.lit(mode).alias("mode"), "event_id"))
+    return outs[0].unionByName(outs[1]).orderBy("mode", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# otlpjsonconnector round-trip (connector/otlpjsonconnector/logs.go:
+# 40-80): encode rows as OTLP-JSON log payloads, re-detect + decode,
+# flatten back to rows. Oracle = identity over the source rows, which
+# checks BOTH coders at once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "otlpjson_roundtrip_events",
+    """
+SELECT CAST(epoch_us(ts) * 1000 AS BIGINT) AS time_unix_nano,
+       CASE WHEN event_type = 'error' THEN 17 ELSE 9 END AS severity_number,
+       'evt-' || CAST(event_id AS VARCHAR) AS body
+FROM events ORDER BY body
+""",
+)
+def q_otlpjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import otlpjson_encode_logs, otlpjson_logs
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).alias(
+            "time_unix_nano"
+        ),
+        F.when(F.col("event_type") == "error", 17).otherwise(9).alias(
+            "severity_number"
+        ),
+        F.concat(F.lit("evt-"), F.col("event_id").cast("string")).alias("body"),
+    )
+    encoded = ev.select(otlpjson_encode_logs(ev).alias("body"))
+    decoded = otlpjson_logs(encoded)
+    return decoded.select(
+        "time_unix_nano", "severity_number", "body"
+    ).orderBy("body")
+
+
+# ---------------------------------------------------------------------------
+# metricsaslogsconnector (connector/metricsaslogsconnector): metric
+# datapoints re-emitted as info-level log records with a JSON body
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metrics_as_logs_events",
+    """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS cnt FROM events
+  WHERE event_type IS NOT NULL GROUP BY event_type)
+SELECT '{"metric":"log.record.count","value":' || CAST(cnt AS VARCHAR)
+         || ',"attributes":{"event_type":"' || event_type || '"}}' AS body,
+       9 AS severity_number
+FROM m ORDER BY body
+""",
+)
+def q_metrics_as_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import count_connector, metrics_as_logs
+
+    ev = _read(spark, sf_dir, "events")
+    metrics = count_connector(ev, dims=["event_type"], ts_col="ts").select(
+        "metric_name", "event_type", F.col("count").alias("value")
+    )
+    logs = metrics_as_logs(
+        metrics, name_col="metric_name", value_col="value",
+        attr_cols=["event_type"],
+    )
+    return logs.select(
+        "body", F.col("severity_number").cast("int").alias("severity_number")
+    ).orderBy("body")

@@ -140,9 +140,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(dup).select("doc_id").orderBy("doc_id")
 
 
+# Spark side: lossless prefix-filter blocking (equi-join on prefix
+# tokens, no O(n^2) self-join); oracle: the all-pairs scan -- equality
+# proves the blocking lossless (the simhash dual-algorithm pattern).
 @register("dedup_ngram_jaccard", DD.ngram_jaccard_pairs_sql(n=2, threshold=0.7))
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.ngram_jaccard_pairs(
+    return DD.ngram_jaccard_prefix_pairs(
         _docs(spark, sf_dir), n=2, threshold=0.7
     ).orderBy("id_a", "id_b")
 
@@ -168,10 +171,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("dedup_embedding_cosine", SIM.cosine_near_dup_pairs_sql(threshold=0.45))
+# Spark side: banded hyperplane-LSH blocking (equi-join on (band,
+# bucket), no O(n^2) self-join); oracle replicates the SAME algorithm
+# with identical hyperplane literals (the minhash_lsh pattern -- the
+# blocking is not lossless at cos>=0.45, so the oracle must be the
+# same algorithm; the all-pairs form remains the recall cross-check in
+# tests/test_analysis_scale.py).
+@register(
+    "dedup_embedding_cosine",
+    SIM.cosine_near_dup_pairs_banded_sql(dim=64, threshold=0.45),
+)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SIM.cosine_near_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.45
+    return SIM.cosine_near_dup_pairs_banded(
+        _emb(spark, sf_dir), dim=64, threshold=0.45
     ).orderBy("id_a", "id_b")
 
 

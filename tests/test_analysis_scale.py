@@ -1,0 +1,76 @@
+"""Scale-shape guarantees for the dedup/ANN layer.
+
+1. The prefix-filter Jaccard blocking is LOSSLESS: identical output to
+   the all-pairs scan (prefix-filter principle, dedup.py docstring).
+2. The banded cosine blocking has precision 1 (subset of all-pairs)
+   and high recall at the configured threshold.
+3. No registered driver query compiles to a cartesian/broadcast-
+   nested-loop plan -- except the documented brute-force recall
+   baseline ``ann_cosine_topk``.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark import queries as Q
+from opentelemetry_collector_contrib_spark.analysis import dedup as DD
+from opentelemetry_collector_contrib_spark.analysis import similarity as SIM
+
+from .conftest import SF_UNIT
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_UNIT}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+
+
+def test_prefix_filter_jaccard_lossless(spark):
+    allpairs = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in DD.ngram_jaccard_pairs(_docs(spark), n=2, threshold=0.7).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in DD.ngram_jaccard_prefix_pairs(
+            _docs(spark), n=2, threshold=0.7
+        ).collect()
+    }
+    assert blocked == allpairs
+    assert allpairs, "fixture should contain at least one near-dup pair"
+
+
+def test_banded_cosine_precision_and_recall(spark):
+    allpairs = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_pairs(_emb(spark), threshold=0.45).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_pairs_banded(
+            _emb(spark), dim=64, threshold=0.45
+        ).collect()
+    }
+    # exact verification => precision 1
+    assert banded <= allpairs
+    if allpairs:
+        recall = len(banded) / len(allpairs)
+        assert recall >= 0.5, f"banded recall {recall:.2f} too low"
+
+
+# The one documented exception: brute-force recall baseline.
+_BNLJ_ALLOWED = {"ann_cosine_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(Q.queries().keys()))
+def test_no_cartesian_or_bnlj_plans(spark, name):
+    df = Q.queries()[name](spark, SF_UNIT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if name in _BNLJ_ALLOWED:
+        pytest.skip("documented brute-force recall baseline")
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name

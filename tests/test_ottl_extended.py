@@ -1,0 +1,344 @@
+"""Round-2 OTTL surface: new converters/editors, grammar literals
+(map/hex/enum), error modes, and compare.go type-checked comparisons.
+
+Reference parity points cited inline; hash vectors come from
+pkg/ottl/ottlfuncs/func_murmur3_hash_test.go / func_murmur3_hash128_test.go.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+from opentelemetry_collector_contrib_spark.functions import ottl_funcs as FN
+from opentelemetry_collector_contrib_spark.ottl import OTTLCompiler
+from opentelemetry_collector_contrib_spark.ottl.compiler import (
+    ENUMS,
+    compile_condition,
+    compile_statement,
+)
+
+# ---------------------------------------------------------------------------
+# exact hashes
+# ---------------------------------------------------------------------------
+
+
+def test_murmur3_exact_vectors(spark):
+    df = spark.createDataFrame([("Hello World",), ("",), (None,)], "s STRING")
+    rows = df.select(
+        FN.Murmur3HashExact(F.col("s")).alias("h32"),
+        FN.Murmur3Hash128(F.col("s")).alias("h128"),
+    ).collect()
+    # func_murmur3_hash_test.go:27 / func_murmur3_hash128_test.go:27
+    assert rows[0]["h32"] == "ce837619"
+    assert rows[0]["h128"] == "dbc2a0c1ab26631a27b4c09fcf1fe683"
+    assert rows[1]["h32"] == "00000000"
+    assert rows[1]["h128"] == "00000000000000000000000000000000"
+    assert rows[2]["h32"] is None and rows[2]["h128"] is None
+
+
+def test_xxh_fallback_deterministic(spark):
+    # without the xxhash package these are the documented substitution;
+    # either way: deterministic, hex, non-null
+    df = spark.createDataFrame([("hello world",)], "s STRING")
+    r1 = df.select(FN.XXH3(F.col("s")).alias("a"),
+                   FN.XXH128(F.col("s")).alias("b")).collect()[0]
+    r2 = df.select(FN.XXH3(F.col("s")).alias("a"),
+                   FN.XXH128(F.col("s")).alias("b")).collect()[0]
+    assert r1["a"] == r2["a"] and r1["b"] == r2["b"]
+    assert all(c in "0123456789abcdef" for c in r1["a"] + r1["b"])
+
+
+def test_uuidv7_shape(spark):
+    df = spark.range(3)
+    vals = [r[0] for r in df.select(FN.UUIDv7().alias("u")).collect()]
+    import re
+
+    for v in vals:
+        assert re.match(
+            r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$",
+            v,
+        ), v
+    assert len(set(vals)) == 3  # random bits differ per row
+
+
+def test_profile_id(spark):
+    df = spark.createDataFrame(
+        [("00112233445566778899aabbccddeeff",), ("nope",), (None,)],
+        "s STRING",
+    )
+    got = [r[0] for r in df.select(FN.ProfileID(F.col("s"))).collect()]
+    assert bytes(got[0]).hex() == "00112233445566778899aabbccddeeff"
+    assert got[1] is None and got[2] is None
+
+
+def test_is_root_span(spark):
+    df = spark.createDataFrame(
+        [("abc123",), ("",), ("0000000000000000",), (None,)], "p STRING"
+    )
+    got = [r[0] for r in df.select(FN.IsRootSpan(F.col("p"))).collect()]
+    assert got == [False, True, True, True]
+
+
+# ---------------------------------------------------------------------------
+# ParseSeverity (func_parse_severity.go criteria)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_severity_ranges_and_equals(spark):
+    mapping = {
+        "error": ["5xx", {"equals": ["fail", "fatal"]}],
+        "info": [{"range": {"min": 200, "max": 299}}],
+    }
+    df = spark.createDataFrame(
+        [("503",), ("204",), ("fail",), ("100",)], "v STRING"
+    )
+    got = [r[0] for r in df.select(FN.ParseSeverity(F.col("v"), mapping)).collect()]
+    assert got == ["error", "info", "error", None]
+
+
+def test_extract_grok_patterns_registry(spark):
+    df = spark.createDataFrame([("ip=10.1.2.3 code 503",)], "t STRING")
+    out = df.select(
+        FN.ExtractGrokPatterns(
+            F.col("t"), r"ip=%{IP:ip} code %{INT:code}"
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert out == {"ip": "10.1.2.3", "code": "503"}
+
+
+# ---------------------------------------------------------------------------
+# replace_all_matches / replace_all_patterns editors
+# ---------------------------------------------------------------------------
+
+
+def test_replace_all_matches(spark):
+    df = spark.createDataFrame(
+        [({"a": "hello world", "b": "nope"},)], "m MAP<STRING,STRING>"
+    )
+    got = df.select(
+        FN.replace_all_matches(F.col("m"), "hello*", "replaced").alias("m")
+    ).collect()[0]["m"]
+    assert got == {"a": "replaced", "b": "nope"}
+
+
+def test_replace_all_patterns_value_and_key(spark):
+    df = spark.createDataFrame(
+        [({"user.id": "id-123", "other": "x-9"},)], "m MAP<STRING,STRING>"
+    )
+    vals = df.select(
+        FN.replace_all_patterns(F.col("m"), "value", r"\d+", "N").alias("m")
+    ).collect()[0]["m"]
+    assert vals == {"user.id": "id-N", "other": "x-N"}
+    keys = df.select(
+        FN.replace_all_patterns(F.col("m"), "key", r"\.", "_").alias("m")
+    ).collect()[0]["m"]
+    assert set(keys) == {"user_id", "other"}
+
+
+# ---------------------------------------------------------------------------
+# XML converters
+# ---------------------------------------------------------------------------
+
+
+def test_parse_xml_shape(spark):
+    xml = '<log level="warn">msg<detail code="5"/></log>'
+    df = spark.createDataFrame([(xml,)], "x STRING")
+    got = json.loads(
+        df.select(FN.ParseXML(F.col("x")).alias("j")).collect()[0]["j"]
+    )
+    assert got == {
+        "tag": "log",
+        "content": "msg",
+        "attributes": {"level": "warn"},
+        "children": [{"tag": "detail", "attributes": {"code": "5"}}],
+    }
+
+
+def test_insert_remove_xml(spark):
+    df = spark.createDataFrame([("<a><b/></a>",)], "x STRING")
+    ins = df.select(
+        FN.InsertXML(F.col("x"), ".", "<c>new</c>").alias("x")
+    ).collect()[0]["x"]
+    assert "<c>new</c>" in ins
+    rem = df.select(FN.RemoveXML(F.col("x"), "b").alias("x")).collect()[0]["x"]
+    assert "<b" not in rem
+
+
+def test_convert_attributes_and_text_xml(spark):
+    df = spark.createDataFrame(
+        [('<a foo="bar" hello="world"><b/></a>',)], "x STRING"
+    )
+    got = df.select(
+        FN.ConvertAttributesToElementsXML(F.col("x")).alias("x")
+    ).collect()[0]["x"]
+    assert "<foo>bar</foo>" in got and "<hello>world</hello>" in got
+    assert 'foo="bar"' not in got
+
+    df2 = spark.createDataFrame([("<a>text<b/></a>",)], "x STRING")
+    got2 = df2.select(
+        FN.ConvertTextToElementsXML(F.col("x")).alias("x")
+    ).collect()[0]["x"]
+    assert "<value>text</value>" in got2
+
+
+# ---------------------------------------------------------------------------
+# grammar: map/hex/enum literals
+# ---------------------------------------------------------------------------
+
+
+def test_enum_symbols_resolve(spark):
+    df = spark.createDataFrame([(17,), (9,)], "severity_number INT")
+    out = OTTLCompiler(
+        ["set(is_err, severity_number >= SEVERITY_NUMBER_ERROR)"]
+    ).apply(df)
+    got = [r["is_err"] for r in out.orderBy(F.desc("severity_number")).collect()]
+    assert got == [True, False]
+    assert ENUMS["SEVERITY_NUMBER_FATAL4"] == 24  # ctxlog/symbols.go:38
+
+
+def test_hex_byte_literal(spark):
+    df = spark.createDataFrame([(bytearray(b"\xde\xad\xbe\xef"),)], "b BINARY")
+    out = OTTLCompiler(["set(is_magic, b == 0xDEADBEEF)"]).apply(df)
+    assert out.collect()[0]["is_magic"] is True
+
+
+def test_map_literal_in_converter_arg(spark):
+    df = spark.createDataFrame([("503",)], "code STRING")
+    out = OTTLCompiler(
+        ['set(level, ParseSeverity(code, {"error": ["5xx"]}))']
+    ).apply(df)
+    assert out.collect()[0]["level"] == "error"
+
+
+def test_map_literal_value_position(spark):
+    df = spark.createDataFrame([(1,)], "x INT")
+    out = OTTLCompiler(['set(m, {"k": "v"})']).apply(df)
+    assert out.collect()[0]["m"] == {"k": "v"}
+
+
+# ---------------------------------------------------------------------------
+# error modes (parser.go:394-415)
+# ---------------------------------------------------------------------------
+
+
+def test_error_mode_propagate_raises(spark):
+    df = spark.createDataFrame([(1, 0)], "a INT, b INT")
+    c = OTTLCompiler(["set(r, a / b)"], error_mode="propagate")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|ArithmeticException"):
+        c.apply(df).collect()
+
+
+@pytest.mark.parametrize("mode", ["ignore", "silent"])
+def test_error_mode_lenient_keeps_original(spark, mode):
+    df = spark.createDataFrame([(1, 0, 99)], "a INT, b INT, r INT")
+    out = OTTLCompiler(["set(r, a / b)"], error_mode=mode).apply(df)
+    # division error -> nil -> set skips nil -> original r survives
+    assert out.collect()[0]["r"] == 99
+
+
+def test_error_mode_lenient_normal_path_still_works(spark):
+    df = spark.createDataFrame([(10, 4)], "a INT, b INT")
+    out = OTTLCompiler(["set(r, a / b)"], error_mode="ignore").apply(df)
+    assert out.collect()[0]["r"] == 2  # int/int truncates like Go
+
+
+# ---------------------------------------------------------------------------
+# compare.go type-checked comparisons
+# ---------------------------------------------------------------------------
+
+
+def _eval_cond(spark, df, cond: str):
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return df.select(
+        compile_condition(cond, dtypes).alias("v")
+    ).collect()[0]["v"]
+
+
+def test_cross_type_compare_is_false(spark):
+    # compare.go:48-52: string column vs int literal -> false (ne -> true)
+    df = spark.createDataFrame([("1",)], "s STRING")
+    assert _eval_cond(spark, df, "s == 1") is False
+    assert _eval_cond(spark, df, "s != 1") is True
+    assert _eval_cond(spark, df, "s < 2") is False
+    assert _eval_cond(spark, df, "s >= 0") is False
+
+
+def test_int_float_coercion_still_compares(spark):
+    # compare.go:144-165: int<->float coerce
+    df = spark.createDataFrame([(1,)], "i INT")
+    assert _eval_cond(spark, df, "i == 1.0") is True
+    assert _eval_cond(spark, df, "i < 1.5") is True
+
+
+def test_same_type_compare_unaffected(spark):
+    df = spark.createDataFrame([("abc",)], "s STRING")
+    assert _eval_cond(spark, df, 's == "abc"') is True
+    assert _eval_cond(spark, df, 's < "abd"') is True
+
+
+def test_map_element_compares_as_string(spark):
+    # attributes["n"] on map<string,string> has tag string: == 1 false
+    df = spark.createDataFrame([({"n": "1"},)], "attributes MAP<STRING,STRING>")
+    assert _eval_cond(spark, df, 'attributes["n"] == 1') is False
+    assert _eval_cond(spark, df, 'attributes["n"] == "1"') is True
+
+
+def test_bool_ordering_matches_comparebools(spark):
+    # compare.go:76-90: lt = !a && b => false < true
+    df = spark.createDataFrame([(False, True)], "a BOOLEAN, b BOOLEAN")
+    assert _eval_cond(spark, df, "a < b") is True
+    assert _eval_cond(spark, df, "b < a") is False
+
+
+# ---------------------------------------------------------------------------
+# Is* predicates through the compiler
+# ---------------------------------------------------------------------------
+
+
+def test_is_predicates(spark):
+    df = spark.createDataFrame(
+        [("x", 1, 2.5, True, None)],
+        "s STRING, i INT, d DOUBLE, b BOOLEAN, ns STRING",
+    )
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    cases = {
+        "IsString(s)": True, "IsString(i)": False,
+        "IsInt(i)": True, "IsInt(d)": False,
+        "IsDouble(d)": True, "IsDouble(i)": False,
+        "IsBool(b)": True, "IsBool(s)": False,
+        "IsString(ns)": False,  # nil value -> getter TypeError -> false
+    }
+    for cond, want in cases.items():
+        got = df.select(compile_condition(cond, dtypes).alias("v")).collect()[0]["v"]
+        assert got is want, cond
+
+
+def test_is_list_map(spark):
+    df = spark.createDataFrame(
+        [([1, 2], {"a": "b"})], "arr ARRAY<INT>, m MAP<STRING,STRING>"
+    )
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert df.select(compile_condition("IsList(arr)", dtypes).alias("v")).collect()[0]["v"] is True
+    assert df.select(compile_condition("IsMap(m)", dtypes).alias("v")).collect()[0]["v"] is True
+    assert df.select(compile_condition("IsMap(arr)", dtypes).alias("v")).collect()[0]["v"] is False
+
+
+# ---------------------------------------------------------------------------
+# editors via statements (replace_all_* reachable from OTTL text)
+# ---------------------------------------------------------------------------
+
+
+def test_replace_all_patterns_statement(spark):
+    df = spark.createDataFrame(
+        [({"a": "v1", "b": "v2"},)], "attributes MAP<STRING,STRING>"
+    )
+    cs = compile_statement(
+        'replace_all_patterns(attributes, "value", "v", "x")',
+        set(df.columns),
+    )
+    got = df.withColumn(cs.target, cs.value).collect()[0]["attributes"]
+    assert got == {"a": "x1", "b": "x2"}

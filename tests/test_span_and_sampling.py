@@ -1,0 +1,148 @@
+"""spanprocessor + tail-sampling policy battery + OTel-consistent
+probabilistic sampler unit tests (reference cases cited inline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.processors import (
+    consistent_threshold,
+    policy_and,
+    policy_drop,
+    policy_not,
+    policy_rate_limiting,
+    policy_span_count,
+    probabilistic_sampler_consistent,
+    span_from_attributes,
+    span_set_status,
+    span_to_attributes,
+    tail_sampling_apply,
+    trace_summary,
+)
+
+
+def test_span_to_attributes_readme_case(spark):
+    # processor/spanprocessor README: /api/v1/document/12345678/update
+    # -> name /api/v1/document/{documentId}/update + attr documentId
+    df = spark.createDataFrame(
+        [("/api/v1/document/12345678/update",), ("/other",)],
+        "span_name STRING",
+    )
+    out = span_to_attributes(
+        df, [r"/api/v1/document/(?P<documentId>.*)/update"]
+    ).collect()
+    assert out[0]["span_name"] == "/api/v1/document/{documentId}/update"
+    assert out[0]["documentId"] == "12345678"
+    assert out[1]["span_name"] == "/other" and out[1]["documentId"] is None
+
+
+def test_span_to_attributes_break_after_match(spark):
+    df = spark.createDataFrame([("a-1 b-2",)], "span_name STRING")
+    out = span_to_attributes(
+        df,
+        [r"a-(?P<x>\d)", r"b-(?P<y>\d)"],
+        break_after_match=True,
+    ).collect()[0]
+    assert out["x"] == "1"
+    assert out["y"] is None  # second rule skipped after first match
+
+
+def test_span_from_attributes_missing_key_keeps_name(spark):
+    # span.go:119-121: any missing key -> name unchanged
+    df = spark.createDataFrame(
+        [("old", "GET", "us"), ("old2", None, "eu")],
+        "span_name STRING, method STRING, region STRING",
+    )
+    out = span_from_attributes(
+        df, ["method", "region"], separator="::"
+    ).collect()
+    assert out[0]["span_name"] == "GET::us"
+    assert out[1]["span_name"] == "old2"
+
+
+def test_span_set_status(spark):
+    df = spark.createDataFrame([(1,)], "x INT")
+    r = span_set_status(df, "Error", "boom").collect()[0]
+    assert r["status_code"] == 2 and r["status_message"] == "boom"
+    r = span_set_status(df, "Ok", "ignored").collect()[0]
+    assert r["status_code"] == 1 and r["status_message"] == ""
+
+
+def test_tail_sampling_policies_and_apply(spark):
+    spans = spark.createDataFrame(
+        [("t1", "2024-01-01 00:00:00", "error"),
+         ("t1", "2024-01-01 00:00:05", "view"),
+         ("t2", "2024-01-01 00:00:01", "view"),
+         ("t2", "2024-01-01 00:00:02", "view"),
+         ("t2", "2024-01-01 00:00:03", "view"),
+         ("t3", "2024-01-01 00:00:04", "view")],
+        "trace_id STRING, ts STRING, event_type STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    summary = trace_summary(
+        spans, "trace_id", ts_col="ts",
+        row_flags={"has_error": F.col("event_type") == "error"},
+    )
+    dec = summary.withColumn(
+        "keep",
+        policy_drop(
+            policy_not(policy_span_count(2)),          # drop single-span
+            policy_and(F.lit(True), F.col("has_error") | policy_span_count(3)),
+        ),
+    )
+    kept = tail_sampling_apply(spans, "trace_id", dec)
+    got = sorted({r["trace_id"] for r in kept.collect()})
+    # t1: error + 2 spans -> keep; t2: 3 spans -> keep; t3: 1 span -> drop
+    assert got == ["t1", "t2"]
+
+
+def test_rate_limiting_deterministic_budget(spark):
+    spans = spark.createDataFrame(
+        [(f"t{i}", "2024-01-01 00:00:00", i) for i in range(6)],
+        "trace_id STRING, ts STRING, i INT",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    summary = trace_summary(spans, "trace_id", ts_col="ts")
+    dec = summary.withColumn(
+        "keep", policy_rate_limiting(3, "trace_id", per="second")
+    )
+    kept = sorted(r["trace_id"] for r in dec.filter("keep").collect())
+    # 6 one-span traces, same second, budget 3 -> first 3 by trace id order
+    assert kept == ["t0", "t1", "t2"]
+
+
+def test_consistent_threshold_arithmetic():
+    # p=100% -> T=0 (keep all); p=0% -> T=2^56 (keep none);
+    # p=50% -> half the domain
+    assert consistent_threshold(100.0) == 0
+    assert consistent_threshold(0.0) == 1 << 56
+    assert consistent_threshold(50.0) == 1 << 55
+
+
+def test_consistent_sampler_modes(spark):
+    # R spread over the domain via crafted trace ids
+    rows = []
+    for i in range(16):
+        r = (i << 52) | 0x123  # randomness in the top nibble
+        rows.append((i, f"{'0'*18}{r:014x}"))
+    df = spark.createDataFrame(rows, "i INT, trace_id STRING")
+    kept_eq = probabilistic_sampler_consistent(
+        df, "trace_id", 25.0, mode="equalizing"
+    ).count()
+    # T(25%) = 0.75*2^56 -> top quarter of the domain: 4 of 16
+    assert kept_eq == 4
+    kept_prop = probabilistic_sampler_consistent(
+        df, "trace_id", 50.0, mode="proportional"
+    ).count()
+    assert kept_prop == 8
+
+
+def test_sampling_priority_override(spark):
+    df = spark.createDataFrame(
+        [("00000000000000000000000000000000", 1),   # R=0: would drop
+         ("000000000000000000ffffffffffffff", 0)],  # R=max: would keep
+        "trace_id STRING, prio INT",
+    )
+    kept = probabilistic_sampler_consistent(
+        df, "trace_id", 50.0, mode="equalizing", priority_col="prio"
+    ).collect()
+    # priority inverts both decisions (config.go sampling_priority)
+    assert len(kept) == 1 and kept[0]["prio"] == 1
