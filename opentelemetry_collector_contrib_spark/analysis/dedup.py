@@ -165,23 +165,53 @@ def ngram_jaccard_prefix_pairs(
     never O(n^2). Exact Jaccard verification then removes false
     candidates, so the output equals the all-pairs scan exactly.
 
-    The global order here is (md5_int32(shingle), shingle) -- a proxy
-    for rare-first frequency ordering; any fixed total order preserves
-    correctness, frequency ordering only shrinks candidate counts.
+    The global order is ASCENDING DOCUMENT FREQUENCY (ties broken by
+    shingle value) -- Bayardo et al.'s canonical ordering: prefixes
+    then hold each document's RAREST shingles, so the inverted-index
+    join collides only documents sharing rare features. Any fixed
+    total order preserves correctness; frequency ordering is what
+    makes the candidate count near-linear on heavy-tailed (real web)
+    vocabularies. Cost: one extra aggregation over the exploded shingle
+    relation (linear, map-side combinable) plus a same-key join.
+
+    The PPJoin length + positional filters below prune further, still
+    losslessly. Corpus caveat, measured on the synthetic fixture
+    (931-bigram vocabulary over 5000 docs -- adversarial: >47% of ALL
+    pairs share a prefix token): hash order 101k/125k candidate pairs
+    at 500 docs; df order + PPJoin filters cut sf0.1 wall time 37.7s ->
+    21.8s. On real web text the df-ordered prefix index is the
+    canonical exact algorithm and candidates stay near-linear; on
+    shared-vocabulary corpora exact all-pairs similarity has an
+    inherent candidate floor no lossless scheme avoids (use
+    minhash_lsh_pairs when approximate recall is acceptable).
     """
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
     )
-    # sort shingles by the global (hash, value) order, take the prefix
-    ordered = F.transform(
-        F.array_sort(
+    ex = sh.select("id", F.size("s").alias("sz"), F.explode("s").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # rebuild each doc's shingle array sorted by (df, tok); the shingle
+    # SET is unchanged (array_intersect is order-insensitive), only the
+    # prefix choice depends on the order
+    ranked = (
+        ex.join(freq, "tok")
+        .groupBy("id")
+        .agg(
             F.transform(
-                F.col("s"),
-                lambda x: F.struct(md5_int32(x).alias("h"), x.alias("v")),
-            )
-        ),
-        lambda e: e["v"],
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("df"), F.col("tok")))
+                ),
+                lambda e: e["tok"],
+            ).alias("s")
+        )
     )
+    # ranked feeds three plan branches (prefix explode, verify-left,
+    # verify-right): persist it, like minhash's shingle relation
+    # (caller releases via release_caches)
+    from pyspark import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(ranked)
     t = threshold
     prefix_len = F.greatest(
         F.size(F.col("s"))
@@ -189,19 +219,38 @@ def ngram_jaccard_prefix_pairs(
         + F.lit(1),
         F.lit(1),
     )
-    pref = sh.withColumn("_pref", F.slice(ordered, 1, prefix_len))
+    pref = ranked.withColumn("_pref", F.slice(F.col("s"), 1, prefix_len))
     tokens = pref.select(
-        "id", F.explode("_pref").alias("tok")
+        "id", F.size("s").alias("sz"),
+        F.posexplode("_pref").alias("pos", "tok"),  # pos: 0-based
     )
     a, b = tokens.alias("a"), tokens.alias("b")
+    # PPJoin filters (Xiao/Wang/Lin/Yu ICDE'08), both LOSSLESS:
+    # - length: jaccard >= t forces t*max(|a|,|b|) <= min(|a|,|b|)
+    # - positional: a shared token at (0-based) positions (i, j) caps
+    #   the overlap at 1 + min(|a|-i-1, |b|-j-1), which must reach
+    #   alpha = ceil(t/(1+t) * (|a|+|b|))
+    sa_, sb_ = F.col("a.sz"), F.col("b.sz")
+    alpha = F.ceil(F.lit(t / (1.0 + t)) * (sa_ + sb_))
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok"))
-               & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.least(sa_, sb_) >= F.lit(t) * F.greatest(sa_, sb_))
+            & (
+                F.lit(1)
+                + F.least(sa_ - F.col("a.pos") - 1, sb_ - F.col("b.pos") - 1)
+                >= alpha
+            ),
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    # verify against the ranked relation (same shingle SET; avoids a
+    # second tokenize+distinct pass over the raw text)
+    sa = ranked.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    sb = ranked.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
     jac = jaccard(F.col("sa"), F.col("sb"))
     return (
         cand.join(sa, "id_a")
