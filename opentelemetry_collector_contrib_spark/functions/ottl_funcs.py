@@ -81,8 +81,28 @@ def Substring(c, start, length):  # func_substring.go (0-based start)
     return F.substring(_col(c), _col(start) + F.lit(1), _col(length))
 
 
-def Concat(sep: str, *parts):  # func_concat.go (delimiter-joined)
-    return F.concat_ws(sep, *[_col(p).cast("string") for p in parts])
+def Concat(first, *rest):
+    """func_concat.go: Concat([vals...], delimiter) -- list first,
+    delimiter second (the reference argument order, e2e_test.go:605).
+    The legacy call shape Concat(sep, v1, v2, ...) is still accepted
+    for back-compat when the first arg is a string and 2+ values
+    follow."""
+    if isinstance(first, (list, tuple)):
+        (sep,) = rest or (" ",)
+        parts = first
+    else:
+        sep, parts = first, rest
+    cols = [_col(p).cast("string") for p in parts]
+    if isinstance(sep, Column):
+        # dynamic delimiter (e2e_test.go:611): interleave manually
+        # (concat_ws only takes a literal separator)
+        inter: list[Column] = []
+        for i, c in enumerate(cols):
+            if i:
+                inter.append(sep.cast("string"))
+            inter.append(c)
+        return F.concat(*inter)
+    return F.concat_ws(sep, *cols)
 
 
 def Format(fmt: str, *args):  # func_format.go (printf)
@@ -148,11 +168,17 @@ def ParseKeyValue(c, pair_sep: str = " ", kv_sep: str = "="):
     return F.str_to_map(_col(c), F.lit(pair_sep), F.lit(kv_sep))
 
 
-def ParseInt(c, base: int = 10):  # func_parse_int.go
+def ParseInt(c, base: int = 10):
+    """func_parse_int.go (strconv.ParseInt semantics): base 0 infers
+    from the prefix (0x -> 16, else 10)."""
+    cc = _col(c)
     if base == 10:
-        return _col(c).cast("long")
+        return cc.cast("long")
     if base == 16:
-        return F.conv(F.regexp_replace(_col(c), "^0x", ""), 16, 10).cast("long")
+        return F.conv(F.regexp_replace(cc, "^0[xX]", ""), 16, 10).cast("long")
+    if base == 0:
+        hexv = F.conv(F.regexp_replace(cc, "^0[xX]", ""), 16, 10).cast("long")
+        return F.when(cc.rlike("^0[xX]"), hexv).otherwise(cc.cast("long"))
     raise ValueError(f"unsupported base {base}")
 
 
@@ -167,12 +193,24 @@ def URL(c):
     )
 
 
-def Decode(c, encoding: str = "utf-8"):  # func_decode.go
-    return F.decode(_col(c), encoding)
+def Decode(c, encoding="utf-8"):
+    """func_decode.go: charset decode PLUS base64 (e2e_test.go:593).
+    A dynamic (Column) encoding supports the base64/utf-8 pair
+    (e2e_test.go:599); other charsets need a literal."""
+    cc = _col(c)
+    if isinstance(encoding, Column):
+        return F.when(
+            encoding == "base64", F.unbase64(cc.cast("string")).cast("string")
+        ).otherwise(cc.cast("string"))
+    if encoding == "base64":
+        return F.unbase64(cc.cast("string")).cast("string")
+    return F.decode(cc.cast("binary"), encoding)
 
 
-def Base64Decode(c):  # deprecated alias in the reference
-    return F.unbase64(_col(c))
+def Base64Decode(c):
+    """Deprecated alias in the reference; returns the decoded STRING
+    (func_base64decode.go decodes to a UTF-8 string, e2e_test.go:587)."""
+    return F.unbase64(_col(c)).cast("string")
 
 
 def Hex(c):  # func_hex.go
@@ -1152,6 +1190,13 @@ def replace_all_patterns(c, mode: str, pattern: str, replacement: str):
         )
     raise ValueError(f"replace_all_patterns: invalid mode {mode!r}")
 
+
+# Reference semantics for Murmur3Hash is the LE-hex string of the
+# exact algorithm -- bind the exact variant; the JVM int variant
+# (F.hash, seed 42) stays available under Murmur3HashJVM for hot paths
+# where only determinism matters.
+REGISTRY["Murmur3HashJVM"] = REGISTRY["Murmur3Hash"]
+REGISTRY["Murmur3Hash"] = Murmur3HashExact
 
 REGISTRY.update({
     "IsString": IsString, "IsInt": IsInt, "IsDouble": IsDouble,

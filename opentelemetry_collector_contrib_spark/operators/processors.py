@@ -784,3 +784,81 @@ def probabilistic_sampler_consistent(
             pr.isNotNull() & (pr > 0), F.lit(True)
         ).otherwise(keep)
     return df.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# k8sattributesprocessor (processor/k8sattributesprocessor): enrich
+# records with pod metadata keyed on the pod identity; and
+# resourcedetectionprocessor (processor/resourcedetectionprocessor):
+# attach environment-derived resource attributes. Both are the
+# broadcast-enrichment pattern: the pod table is a dimension relation
+# (a cluster has 10^3..10^5 pods -- broadcast-sized even at 100 TB of
+# telemetry), detectors are plan-time literals.
+# ---------------------------------------------------------------------------
+
+K8S_ATTR_COLUMNS = [
+    "k8s_namespace_name", "k8s_deployment_name", "k8s_node_name",
+    "k8s_pod_uid",
+]
+
+
+def k8s_attributes(
+    df: DataFrame,
+    pod_table: DataFrame,
+    pod_col: str = "k8s_pod_name",
+    how: str = "left",
+) -> DataFrame:
+    """Join pod metadata (namespace/deployment/node/uid -- the default
+    extract set of the reference's config) onto records by pod name.
+    Broadcast join: telemetry never shuffles."""
+    return df.join(F.broadcast(pod_table), on=pod_col, how=how)
+
+
+def resource_detection(df: DataFrame,
+                       detectors: dict[str, str]) -> DataFrame:
+    """resourcedetection: add detector-derived resource attributes as
+    literal columns (the reference queries env/system/cloud metadata
+    once at startup -- plan-time constants here, e.g.
+    {"host_name": "...", "os_type": "linux"})."""
+    out = df
+    for k, v in detectors.items():
+        out = out.withColumn(k, F.lit(v))
+    return out
+
+
+def policy_composite(
+    sub_decisions: list[Column],
+    rate_allocations: list[float],
+    max_spans_per_window: int,
+    trace_col: str = "trace_id",
+    per: str = "second",
+) -> Column:
+    """composite policy (tailsamplingprocessor composite config:
+    ordered sub-policies sharing a total span budget, each holding a
+    rate_allocation percentage). A trace is owned by the FIRST
+    sub-policy whose decision matches (the first-match semantics of
+    the composite evaluator); within each (interval, owner) group
+    traces are admitted in deterministic (first_ts, trace_id) order
+    until the owner's share of the budget is spent.
+
+    Evaluated over the per-trace summary relation like the other
+    policies -- one window cumsum on a tiny relation.
+    """
+    assert len(sub_decisions) == len(rate_allocations)
+    owner = None
+    for i, d in enumerate(sub_decisions):
+        owner = F.when(d, F.lit(i)) if owner is None else owner.when(d, F.lit(i))
+    owner = owner.otherwise(F.lit(-1)) if owner is not None else F.lit(-1)
+    unit = F.date_trunc(per, F.col("first_ts"))
+    w = (
+        Window.partitionBy(unit, owner)
+        .orderBy(F.col("first_ts"), F.col(trace_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum("span_count").over(w)
+    budget = None
+    for i, pct in enumerate(rate_allocations):
+        b = F.lit(int(max_spans_per_window * pct / 100.0))
+        budget = F.when(owner == i, b) if budget is None else budget.when(owner == i, b)
+    budget = budget.otherwise(F.lit(0))
+    return (owner >= 0) & (running <= budget)

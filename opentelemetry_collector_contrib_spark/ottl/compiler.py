@@ -491,13 +491,22 @@ class _Parser:
         simple = self.dtypes.get(name)
         tag = _dtype_tag(simple) if simple else None
         while self.accept("op", "["):
-            t = self.next()
+            t = self.peek()
             if t.kind == "string":
+                self.next()
                 col = F.element_at(col, _unquote(t.text))
             elif t.kind == "int":
+                self.next()
                 col = F.element_at(col, int(t.text) + 1)  # OTTL is 0-based
             else:
-                raise SyntaxError(f"OTTL: bad index {t.text!r}")
+                # dynamic key/index expression (grammar key production:
+                # mathExpression inside [] -- e2e_test.go:517-547):
+                # arrays are 0-based in OTTL, 1-based in element_at
+                idx, itag = self.parse_value()
+                if tag == "list" or itag == "int":
+                    col = F.element_at(col, (idx + F.lit(1)).cast("int"))
+                else:
+                    col = F.element_at(col, idx)
             self.expect("op", "]")
             tag = _element_tag(simple) if simple else None
             simple = None  # nested indexing: tag only one level deep
@@ -564,7 +573,7 @@ def compile_statement(src: str, columns: set[str] | None = None,
         # (``set(x, a == b)``): try the math-value parse, and if a
         # comparison/logical operator follows, reparse as boolexpr --
         # backtracking is safe (Column building is side-effect-free).
-        target = _read_path_text(p)
+        target, target_key = _read_target_path(p)
         p.expect("op", ",")
         mark = p.i
         value, vtag = p.parse_value()
@@ -575,6 +584,28 @@ def compile_statement(src: str, columns: set[str] | None = None,
             value, vtag = p.parse_bool(), "bool"
         p.expect("op", ")")
         base = F.col(target) if columns is None or target in columns else F.lit(None)
+        if target_key is not None:
+            # map-key target ``set(attributes["k"], v)`` (grammar key
+            # production; e2e_test.go:343-365): upsert the key into the
+            # map column. set-skips-nil => nil value leaves the map
+            # untouched (including NOT inserting the key).
+            if vtag == "nil":
+                guarded = base
+            else:
+                upserted = F.map_concat(
+                    F.map_filter(
+                        F.coalesce(
+                            base, F.create_map().cast("map<string,string>")
+                        ),
+                        lambda k, v: k != target_key,
+                    ),
+                    F.create_map(F.lit(target_key), value.cast("string")),
+                )
+                # value NULL at runtime -> keep original map row-wise
+                guarded = F.when(value.isNotNull(), upserted).otherwise(base)
+            if where_col is not None:
+                guarded = F.when(where_col, guarded).otherwise(base)
+            return CompiledStatement(target=target, value=guarded)
         # set skips nil values: keep original when value IS NULL
         guarded = F.coalesce(value, base) if vtag != "nil" else base
         if where_col is not None:
@@ -597,6 +628,29 @@ def compile_statement(src: str, columns: set[str] | None = None,
 def _read_path_text(p: _Parser) -> str:
     """Target paths are plain column names in the flat model."""
     return p.expect("ident").text
+
+
+def _read_target_path(p: _Parser) -> tuple[str, str | None]:
+    """Target path for ``set``: a column name, optionally with ONE
+    string key suffix (``attributes["k"]``). Deeper nesting is not
+    supported in the flat model (promote the field to a column
+    instead)."""
+    name = p.expect("ident").text
+    key: str | None = None
+    if p.accept("op", "["):
+        t = p.next()
+        if t.kind != "string":
+            raise SyntaxError(
+                f"OTTL: set target index must be a string literal, got {t.text!r}"
+            )
+        key = _unquote(t.text)
+        p.expect("op", "]")
+        if p.peek().kind == "op" and p.peek().text == "[":
+            raise SyntaxError(
+                "OTTL: nested map-key set targets are not supported in the "
+                "flat model; promote the inner map to its own column"
+            )
+    return name, key
 
 
 class OTTLCompiler:

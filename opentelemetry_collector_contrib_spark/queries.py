@@ -1621,3 +1621,115 @@ def q_metrics_as_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logs.select(
         "body", F.col("severity_number").cast("int").alias("severity_number")
     ).orderBy("body")
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-like snapshot table: bucketed append commits + snapshot-
+# incremental read (north rule surface; sources/iceberg_like.py). The
+# query writes events in two snapshots, reads INCREMENTALLY past the
+# first, and aggregates per bucket -- the oracle recomputes the same
+# increment + bucket transform straight from the events table.
+# ---------------------------------------------------------------------------
+
+
+def _iceberg_oracle() -> str:
+    from .sources.iceberg_like import bucket_expr_sql
+
+    b = bucket_expr_sql("user_id", 8)
+    return f"""
+SELECT {b} AS bucket, COUNT(*) AS events, ROUND(SUM(value), 4) AS value_sum
+FROM events WHERE event_id % 2 = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("iceberg_like_incremental_events", _iceberg_oracle())
+def q_iceberg_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.iceberg_like import IcebergLikeTable
+
+    ev = _read(spark, sf_dir, "events")
+    table = IcebergLikeTable(tempfile.mkdtemp(prefix="iceberg_like_"))
+    table.commit_append(
+        ev.filter(F.col("event_id") % 2 == 0), "s1", bucket_by=("user_id", 8)
+    )
+    table.commit_append(
+        ev.filter(F.col("event_id") % 2 == 1), "s2", bucket_by=("user_id", 8)
+    )
+    inc = table.read_incremental(spark, since="s1")
+    return (
+        inc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"), "events",
+                "value_sum")
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k8sattributes + resourcedetection (processor/k8sattributesprocessor,
+# processor/resourcedetectionprocessor): broadcast pod-metadata join +
+# detector literals. Pod table derived deterministically so the oracle
+# rebuilds the identical dimension relation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "k8s_attributes_events",
+    """
+WITH pods AS (
+  SELECT 'pod-' || CAST(r AS VARCHAR) AS k8s_pod_name,
+         'ns-' || CAST(r % 5 AS VARCHAR) AS k8s_namespace_name,
+         'deploy-' || CAST(r % 3 AS VARCHAR) AS k8s_deployment_name,
+         'node-' || CAST(r % 4 AS VARCHAR) AS k8s_node_name,
+         md5('pod-' || CAST(r AS VARCHAR)) AS k8s_pod_uid
+  FROM (SELECT unnest(range(0, 20)) AS r)),
+ev AS (
+  SELECT event_id, 'pod-' || CAST(user_id % 25 AS VARCHAR) AS k8s_pod_name
+  FROM events)
+SELECT ev.event_id, ev.k8s_pod_name, p.k8s_namespace_name,
+       p.k8s_deployment_name, p.k8s_node_name, p.k8s_pod_uid,
+       'bench-host' AS host_name, 'linux' AS os_type
+FROM ev LEFT JOIN pods p USING (k8s_pod_name)
+ORDER BY ev.event_id
+""",
+)
+def q_k8s_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import k8s_attributes, resource_detection
+
+    pods = spark.range(0, 20).select(
+        F.concat(F.lit("pod-"), F.col("id").cast("string")).alias(
+            "k8s_pod_name"
+        ),
+        F.concat(F.lit("ns-"), (F.col("id") % 5).cast("string")).alias(
+            "k8s_namespace_name"
+        ),
+        F.concat(F.lit("deploy-"), (F.col("id") % 3).cast("string")).alias(
+            "k8s_deployment_name"
+        ),
+        F.concat(F.lit("node-"), (F.col("id") % 4).cast("string")).alias(
+            "k8s_node_name"
+        ),
+        F.md5(
+            F.concat(F.lit("pod-"), F.col("id").cast("string")).cast("binary")
+        ).alias("k8s_pod_uid"),
+    )
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("pod-"), (F.col("user_id") % 25).cast("string")).alias(
+            "k8s_pod_name"
+        ),
+    )
+    out = k8s_attributes(ev, pods)
+    out = resource_detection(
+        out, {"host_name": "bench-host", "os_type": "linux"}
+    )
+    return out.select(
+        "event_id", "k8s_pod_name", "k8s_namespace_name",
+        "k8s_deployment_name", "k8s_node_name", "k8s_pod_uid",
+        "host_name", "os_type",
+    ).orderBy("event_id")

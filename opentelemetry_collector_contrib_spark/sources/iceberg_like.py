@@ -1,0 +1,240 @@
+"""Iceberg-like snapshot table layout over plain parquet.
+
+The north rule targets Iceberg tables (snapshot-incremental reads,
+bucket partitioning, atomic commits). The sandbox has no Iceberg
+catalog jar, so this module implements the SHAPE of that contract on
+the local filesystem -- the same shape checkpoint.py's manifest
+assumes:
+
+    <root>/metadata/version-hint.txt       current metadata version
+    <root>/metadata/v<N>.metadata.json     snapshot log + current id
+    <root>/metadata/snap-<id>.json         manifest: data files + stats
+    <root>/data/<snapshot_id>/[bucket=K/]part-*.parquet
+
+Contract parity with Iceberg:
+- APPEND commits are atomic: data files land first, then the snapshot
+  manifest, then the metadata pointer via POSIX rename (the
+  catalog-swap analog). A crash mid-commit leaves the previous
+  snapshot current; a re-run with the same snapshot id overwrites the
+  same data directory (idempotent, checkpoint.py's effectively-once).
+- Snapshot-incremental reads: ``read_incremental(since)`` returns only
+  the data files of snapshots APPENDED AFTER ``since`` by walking the
+  parent chain -- Iceberg's incremental-scan API.
+- Bucket partitioning: ``bucket_by=(col, n)`` adds a ``bucket``
+  partition column = pmod(md5_int32(value), n). Two tables bucketed
+  the same way co-locate joining rows so the join key can include
+  ``bucket``; single-key lookups prune to one directory
+  (``scan_bucket``). Note: Iceberg's spec transform is
+  murmur3_x86_32(value) & MaxInt % n -- md5_int32 is used here because
+  both Spark and the DuckDB oracle compute it natively
+  (analysis/hashing.py); swap `bucket_expr` for binary parity with
+  Iceberg files.
+
+At 100 TB: data files per snapshot are whatever the writing job's
+partitioning produces; manifests carry file-level row counts so
+planning never lists directories.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.hashing import md5_int32
+
+
+def bucket_expr(col: str, n: int):
+    """Bucket transform: uniform, deterministic, oracle-replicable."""
+    return F.pmod(md5_int32(F.col(col).cast("string")), F.lit(n))
+
+
+def bucket_expr_sql(expr: str, n: int) -> str:
+    from ..analysis.hashing import md5_int32_sql
+
+    return f"({md5_int32_sql(f'CAST({expr} AS VARCHAR)')}) % {n}"
+
+
+class IcebergLikeTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- metadata ---------------------------------------------------------
+    def _version(self) -> int:
+        hint = os.path.join(self.meta_dir, "version-hint.txt")
+        if not os.path.exists(hint):
+            return 0
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    def _metadata(self) -> dict:
+        v = self._version()
+        if v == 0:
+            return {"current_snapshot_id": None, "snapshots": []}
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+            return json.load(f)
+
+    def _write_atomic(self, path: str, payload: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, path)
+
+    def current_snapshot_id(self) -> str | None:
+        return self._metadata()["current_snapshot_id"]
+
+    def snapshots(self) -> list[str]:
+        return [s["id"] for s in self._metadata()["snapshots"]]
+
+    def manifest(self, snapshot_id: str) -> dict:
+        with open(os.path.join(self.meta_dir, f"snap-{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    # -- write ------------------------------------------------------------
+    def commit_append(
+        self,
+        df: DataFrame,
+        snapshot_id: str,
+        bucket_by: tuple[str, int] | None = None,
+    ) -> dict:
+        """Append one snapshot atomically. Idempotent on snapshot_id:
+        an already-committed id is a no-op (checkpoint re-run); a crash
+        after data-write but before commit re-runs safely because the
+        data directory is overwritten in place.
+        """
+        meta = self._metadata()
+        if any(s["id"] == snapshot_id for s in meta["snapshots"]):
+            return self.manifest(snapshot_id)
+
+        snap_dir = os.path.join(self.data_dir, snapshot_id)
+        out = df
+        writer = out.write.mode("overwrite")
+        if bucket_by is not None:
+            col, n = bucket_by
+            out = out.withColumn("bucket", bucket_expr(col, n))
+            writer = out.write.mode("overwrite").partitionBy("bucket")
+        writer.parquet(snap_dir)
+
+        files = [
+            p for p in glob.glob(os.path.join(snap_dir, "**", "*.parquet"),
+                                 recursive=True)
+        ]
+        manifest = {
+            "id": snapshot_id,
+            "parent": meta["current_snapshot_id"],
+            "operation": "append",
+            "data_files": sorted(os.path.relpath(p, self.root) for p in files),
+            "bucket_by": list(bucket_by) if bucket_by else None,
+        }
+        self._write_atomic(
+            os.path.join(self.meta_dir, f"snap-{snapshot_id}.json"), manifest
+        )
+        new_meta = {
+            "current_snapshot_id": snapshot_id,
+            "snapshots": meta["snapshots"] + [{"id": snapshot_id,
+                                              "parent": meta["current_snapshot_id"]}],
+        }
+        v = self._version() + 1
+        self._write_atomic(
+            os.path.join(self.meta_dir, f"v{v}.metadata.json"), new_meta
+        )
+        # pointer swap last -- the atomic catalog commit
+        fd, tmp = tempfile.mkstemp(dir=self.meta_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.meta_dir, "version-hint.txt"))
+        return manifest
+
+    # -- read -------------------------------------------------------------
+    def _files_of(self, snapshot_ids: list[str]) -> list[str]:
+        files: list[str] = []
+        for sid in snapshot_ids:
+            files += [
+                os.path.join(self.root, p)
+                for p in self.manifest(sid)["data_files"]
+            ]
+        return files
+
+    def _read_chain(self, spark: SparkSession,
+                    chain: list[str]) -> DataFrame:
+        """Union of the chain's snapshots. Each snapshot is read with
+        its own basePath so partition columns (bucket=K) survive; the
+        manifests' file lists pin exactly the committed files (stray
+        files from a crashed write are not visible because only
+        manifest-listed snapshots enter the chain)."""
+        out: DataFrame | None = None
+        for sid in chain:
+            snap_dir = os.path.join(self.data_dir, sid)
+            files = [os.path.join(self.root, p)
+                     for p in self.manifest(sid)["data_files"]]
+            if not files:  # empty append: no data files, nothing to add
+                continue
+            df = spark.read.option("basePath", snap_dir).parquet(*files)
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        if out is None:
+            raise ValueError("no data files in the requested snapshots")
+        return out
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Full-table scan of the CURRENT snapshot lineage (append-only
+        table: union of every committed snapshot's files, from the
+        manifests -- no directory listing)."""
+        chain = self._ancestry(self.current_snapshot_id())
+        return self._read_chain(spark, chain)
+
+    def read_incremental(self, spark: SparkSession,
+                         since: str | None) -> DataFrame | None:
+        """Files appended strictly AFTER snapshot ``since`` (None =
+        everything). Returns None when fully caught up."""
+        chain = self._ancestry(self.current_snapshot_id())
+        if since is not None:
+            if since not in chain:
+                raise ValueError(f"unknown snapshot {since!r}")
+            chain = chain[chain.index(since) + 1:]
+        if not chain:
+            return None
+        return self._read_chain(spark, chain)
+
+    def scan_bucket(self, spark: SparkSession, key_value: str) -> DataFrame:
+        """Single-key lookup pruned to ONE bucket directory per
+        snapshot -- the bucket-partitioning payoff (reads 1/n of the
+        data with no index)."""
+        meta = self._metadata()
+        sid = meta["current_snapshot_id"]
+        if sid is None:
+            raise ValueError("empty table")
+        bucket_by = self.manifest(sid)["bucket_by"]
+        if not bucket_by:
+            raise ValueError("table is not bucket-partitioned")
+        _, n = bucket_by
+        import hashlib
+
+        b = int(hashlib.md5(str(key_value).encode()).hexdigest()[:8], 16) % n
+        dirs = [
+            os.path.join(self.data_dir, s, f"bucket={b}")
+            for s in self._ancestry(sid)
+            if os.path.isdir(os.path.join(self.data_dir, s, f"bucket={b}"))
+        ]
+        return spark.read.parquet(*dirs)
+
+    def _ancestry(self, snapshot_id: str | None) -> list[str]:
+        """Parent chain oldest->newest ending at snapshot_id."""
+        if snapshot_id is None:
+            return []
+        parents = {s["id"]: s["parent"] for s in self._metadata()["snapshots"]}
+        chain: list[str] = []
+        cur: str | None = snapshot_id
+        while cur is not None:
+            chain.append(cur)
+            cur = parents.get(cur)
+        return list(reversed(chain))

@@ -1,0 +1,107 @@
+"""Iceberg-like snapshot table: atomic commits, idempotent re-commit,
+snapshot-incremental reads, bucket partitioning + pruning."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.sources.iceberg_like import (
+    IcebergLikeTable,
+    bucket_expr,
+)
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return IcebergLikeTable(str(tmp_path / "tbl"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+
+
+def test_append_and_read(spark, table):
+    table.commit_append(_df(spark, 0, 100), "s1")
+    table.commit_append(_df(spark, 100, 150), "s2")
+    assert table.current_snapshot_id() == "s2"
+    assert table.read(spark).count() == 150
+
+
+def test_idempotent_recommit(spark, table):
+    table.commit_append(_df(spark, 0, 10), "s1")
+    m1 = table.manifest("s1")
+    # checkpoint re-run: same id again is a no-op
+    m2 = table.commit_append(_df(spark, 0, 10), "s1")
+    assert m1 == m2
+    assert table.read(spark).count() == 10
+
+
+def test_incremental_read(spark, table):
+    table.commit_append(_df(spark, 0, 100), "s1")
+    table.commit_append(_df(spark, 100, 150), "s2")
+    table.commit_append(_df(spark, 150, 160), "s3")
+    inc = table.read_incremental(spark, since="s1")
+    got = sorted(r["id"] for r in inc.collect())
+    assert got == list(range(100, 160))
+    assert table.read_incremental(spark, since="s3") is None
+    with pytest.raises(ValueError):
+        table.read_incremental(spark, since="nope")
+
+
+def test_bucket_partitioning_layout_and_pruning(spark, table):
+    df = spark.range(0, 200).select(
+        F.col("id"), F.col("id").cast("string").alias("host")
+    )
+    table.commit_append(df, "s1", bucket_by=("host", 8))
+    # layout: data/s1/bucket=K/
+    dirs = glob.glob(os.path.join(table.data_dir, "s1", "bucket=*"))
+    assert len(dirs) == 8
+    # pruned lookup returns the right rows and reads one bucket only
+    hit = table.scan_bucket(spark, "42")
+    rows = {r["host"] for r in hit.collect()}
+    assert "42" in rows
+    expected_bucket = df.select(
+        bucket_expr("host", 8).alias("b")
+    ).filter(F.col("host") == "42").collect()[0]["b"]
+    all_in_bucket = df.withColumn("b", bucket_expr("host", 8)).filter(
+        F.col("b") == expected_bucket
+    ).count()
+    assert hit.count() == all_in_bucket  # exactly one bucket's rows
+
+
+def test_crash_before_pointer_swap_keeps_previous(spark, table):
+    table.commit_append(_df(spark, 0, 10), "s1")
+    # simulate a crash AFTER data write but BEFORE the metadata commit:
+    # write data files only
+    snap_dir = os.path.join(table.data_dir, "s2")
+    _df(spark, 10, 20).write.mode("overwrite").parquet(snap_dir)
+    # table still serves s1
+    assert table.current_snapshot_id() == "s1"
+    assert table.read(spark).count() == 10
+    # the re-run commits s2 idempotently over the same directory
+    table.commit_append(_df(spark, 10, 20), "s2")
+    assert table.read(spark).count() == 20
+
+
+def test_bucketed_colocated_join(spark, table, tmp_path):
+    """Two tables bucketed identically: the join can carry the bucket
+    column as an extra equi-key (co-location contract)."""
+    left = spark.range(0, 100).select(
+        F.col("id").cast("string").alias("host"), F.lit(1).alias("x")
+    )
+    right = spark.range(50, 150).select(
+        F.col("id").cast("string").alias("host"), F.lit(2).alias("y")
+    )
+    t2 = IcebergLikeTable(str(tmp_path / "tbl2"))
+    table.commit_append(left, "s1", bucket_by=("host", 4))
+    t2.commit_append(right, "s1", bucket_by=("host", 4))
+    lj = table.read(spark)
+    rj = t2.read(spark)
+    joined = lj.join(rj, ["host", "bucket"])
+    assert joined.count() == 50

@@ -146,3 +146,33 @@ def test_sampling_priority_override(spark):
     ).collect()
     # priority inverts both decisions (config.go sampling_priority)
     assert len(kept) == 1 and kept[0]["prio"] == 1
+
+
+def test_composite_policy_budget_allocation(spark):
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        policy_composite,
+    )
+
+    # 4 error traces + 4 view traces, one span each, same second.
+    rows = []
+    for i in range(4):
+        rows.append((f"e{i}", "2024-01-01 00:00:00", "error"))
+        rows.append((f"v{i}", "2024-01-01 00:00:00", "view"))
+    spans = spark.createDataFrame(
+        rows, "trace_id STRING, ts STRING, event_type STRING"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    summary = trace_summary(
+        spans, "trace_id", ts_col="ts",
+        row_flags={"is_error": F.col("event_type") == "error"},
+    )
+    dec = summary.withColumn(
+        "keep",
+        policy_composite(
+            [F.col("is_error"), F.lit(True)],   # errors first, rest after
+            [50.0, 50.0],                        # half the budget each
+            max_spans_per_window=4, per="second",
+        ),
+    )
+    kept = sorted(r["trace_id"] for r in dec.filter("keep").collect())
+    # each policy's share = 2 spans: first 2 error traces + first 2 views
+    assert kept == ["e0", "e1", "v0", "v1"]
