@@ -2,16 +2,16 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec",
  "queries": {name: sec}, "sf": ..., "throughput_docs_per_sec": ...,
- "throughput_small": {...}, "scaling_efficiency": ...}
+ "scaling": {"local[N/4]": docs/s, "local[N]": docs/s, "efficiency": e}}
 
 Methodology (round-2 hygiene):
 - the headline e2e pipeline is WARMED once (JIT + codegen + catalog)
   before timing; timed value = min of 2 runs (infra noise only ever
   adds time);
-- a second headline measurement runs at local[N/4] in a fresh
-  subprocess (JVM pools pinned via ActiveProcessorCount) so every
-  BENCH_r{N}.json carries the two-cluster-size scaling evidence the
-  north rule asks for;
+- the two-cluster-size scaling pair (north rule) runs local[N/4] and
+  local[N] in fresh subprocesses (JVM pools pinned via
+  ActiveProcessorCount) at 8x the headline docs, so both jobs run long
+  enough that fixed overhead cannot mask the parallelism ratio;
 - per-operator queries: 1 warm-up + min of 2 timed runs each, so
   round-over-round deltas are attributable to plan changes, not JVM
   warm-up order.
@@ -32,7 +32,7 @@ def infer_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-_SMALL_CHILD = """
+_SCALE_CHILD = """
 import json, sys, time
 cpus = int(sys.argv[1]); n_docs = int(sys.argv[2])
 from opentelemetry_collector_contrib_spark.session import get_spark
@@ -40,10 +40,10 @@ from opentelemetry_collector_contrib_spark.datagen import (
     generate_web_pages, host_lookup_df)
 from opentelemetry_collector_contrib_spark.pipeline import (
     enrich_stage, parse_stage, sink_counts_one_pass)
-spark = get_spark(app_name=f"bench-small-{cpus}", master=f"local[{cpus}]",
+spark = get_spark(app_name=f"bench-scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus,
                   extra_confs={"spark.driver.extraJavaOptions":
-                               f"-XX:ActiveProcessorCount={cpus}"})
+                               f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC"})
 spark.sparkContext.setLogLevel("ERROR")
 def job():
     web = generate_web_pages(spark, n_docs, num_partitions=cpus * 2)
@@ -99,17 +99,45 @@ def main() -> None:
     e2e_sec = min(e2e_secs)
     timings["pipeline_e2e"] = round(e2e_sec, 3)
 
-    # --- same headline at local[N/4] (fresh subprocess) ---------------
-    small = None
+    # --- two-cluster-size scaling pairs (fresh pinned subprocesses) ---
+    # Sizes {N/16, N/4, N} cover two 4x steps. Each size runs enough
+    # docs that fixed overhead cannot mask the parallelism ratio (a
+    # 2-second job cannot evidence a 4x core scale-up); taskset
+    # hard-pins so a small "cluster" cannot borrow machine cores for
+    # GC/JIT/shuffle threads. BASELINE.md records the full curve: the
+    # plan is ~linear while unsaturated and the single shared JVM
+    # saturates memory bandwidth near the top size -- on a real
+    # multi-node cluster each node brings its own bandwidth.
+    scaling: dict[str, object] = {}
     try:
-        out = subprocess.run(
-            [sys.executable, "-c", _SMALL_CHILD, str(small_cpus), str(n_docs)],
-            capture_output=True, text=True, timeout=900,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        small = json.loads(out.stdout.strip().splitlines()[-1])
+        import shutil
+
+        def run_at(c: int, docs: int) -> dict:
+            cmd = [sys.executable, "-c", _SCALE_CHILD, str(c), str(docs)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r["docs"] = docs
+            return r
+
+        sizes = sorted({max(cpus // 16, 2), max(cpus // 4, 2), cpus})
+        results = {
+            c: run_at(c, max(n_docs * 8 * c // cpus, n_docs)) for c in sizes
+        }
+        for c, r in results.items():
+            scaling[f"local[{c}]"] = round(r["docs"] / r["sec"], 1)
+        for a, b in zip(sizes, sizes[1:]):
+            ra, rb = results[a], results[b]
+            tp_a, tp_b = ra["docs"] / ra["sec"], rb["docs"] / rb["sec"]
+            scaling[f"efficiency_{a}to{b}"] = round(
+                (tp_b / tp_a) / (b / a), 3
+            )
     except Exception:
-        pass  # scaling evidence is best-effort inside the bench
+        scaling = {}  # scaling evidence is best-effort
 
     # --- per-operator queries over the driver tables ------------------
     bench_queries = [
@@ -155,15 +183,8 @@ def main() -> None:
         "throughput_docs_per_sec": round(n_docs / e2e_sec, 1),
         "timing": "min-of-2 after warm-up",
     }
-    if small is not None:
-        small_tp = round(n_docs / small["sec"], 1)
-        ratio = cpus / small["cpus"]
-        out["throughput_small"] = {
-            "cpus": small["cpus"], "docs_per_sec": small_tp,
-        }
-        out["scaling_efficiency"] = round(
-            (small["sec"] / e2e_sec) / ratio, 3
-        )
+    if scaling:
+        out["scaling"] = scaling
     spark.stop()
     print(json.dumps(out))
 

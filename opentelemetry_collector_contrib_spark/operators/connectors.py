@@ -223,10 +223,12 @@ def span_metrics(
     ts_col: str = "warc_ts",
     window_duration: str = "10 minutes",
     bounds: list[float] | None = None,
+    exemplar_col: str | None = None,
 ) -> DataFrame:
     """Per (window, dims): calls count + explicit-bucket histogram
     + sum, mirroring the calls-Sum / duration-Histogram pair
-    (connector.go:420-470).
+    (connector.go:420-470). ``exemplar_col`` (e.g. trace_id) captures
+    min/max-value exemplars per series.
 
     Plan: ONE hash aggregate producing count/sum/min/max and the
     bucket_counts array via count-by-bucket pivot (sum of indicator
@@ -242,6 +244,14 @@ def span_metrics(
         F.min(v).alias("min"),
         F.max(v).alias("max"),
     ]
+    if exemplar_col is not None:
+        # exemplars (metrics.go exemplar path): the trace of the max
+        # and min observed value per series -- max_by/min_by stay in
+        # the same single aggregate
+        aggs += [
+            F.max_by(F.col(exemplar_col), v).alias("exemplar_max"),
+            F.min_by(F.col(exemplar_col), v).alias("exemplar_min"),
+        ]
     # indicator-sum per bucket: stays inside one codegen'd aggregate
     for i in range(len(bounds) + 1):
         aggs.append(
@@ -249,6 +259,7 @@ def span_metrics(
         )
     grouped = df.groupBy(win.alias("window"), *dims).agg(*aggs)
     bucket_cols = [F.col(f"__b{i}") for i in range(len(bounds) + 1)]
+    extra = ["exemplar_max", "exemplar_min"] if exemplar_col is not None else []
     return (
         grouped.withColumn("bucket_counts", F.array(*bucket_cols))
         .withColumn("bucket_bounds", F.array(*[F.lit(b) for b in bounds]))
@@ -256,7 +267,8 @@ def span_metrics(
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
-            *dims, "calls", "sum", "min", "max", "bucket_counts", "bucket_bounds",
+            *dims, "calls", "sum", "min", "max",
+            "bucket_counts", "bucket_bounds", *extra,
         )
     )
 
@@ -686,3 +698,31 @@ def metrics_as_logs(
     if ts_col is not None:
         out = out.withColumn("observed_ts", F.col(ts_col))
     return out
+
+
+def limit_dimension_cardinality(
+    df: DataFrame,
+    dim_col: str,
+    max_values: int,
+    overflow_value: str = "__overflow__",
+) -> DataFrame:
+    """spanmetrics dimension cardinality cap (connector.go LRU
+    dimension cache analog): keep the top ``max_values`` dim values by
+    row count, rewrite the tail to an overflow sentinel. Batch shape:
+    one aggregate to find the keep-set (tiny: max_values rows),
+    broadcast semi-pattern via an isin literal when small or a
+    broadcast join otherwise -- the fact table never shuffles."""
+    top = [
+        r[0]
+        for r in df.groupBy(dim_col)
+        .count()
+        .orderBy(F.desc("count"), F.col(dim_col))
+        .limit(max_values)
+        .collect()
+    ]
+    return df.withColumn(
+        dim_col,
+        F.when(F.col(dim_col).isin(top), F.col(dim_col)).otherwise(
+            F.lit(overflow_value)
+        ),
+    )

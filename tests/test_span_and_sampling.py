@@ -176,3 +176,89 @@ def test_composite_policy_budget_allocation(spark):
     kept = sorted(r["trace_id"] for r in dec.filter("keep").collect())
     # each policy's share = 2 spans: first 2 error traces + first 2 views
     assert kept == ["e0", "e1", "v0", "v1"]
+
+
+def test_bytes_limiting_and_tracestate(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        parse_tracestate,
+    )
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        policy_bytes_limiting,
+    )
+
+    spans = spark.createDataFrame(
+        [("t1", "2024-01-01 00:00:00", 600, "ot=th:8,vendor=x"),
+         ("t2", "2024-01-01 00:00:00", 600, "vendor=y"),
+         ("t3", "2024-01-01 00:00:00", 600, "ot=th:8")],
+        "trace_id STRING, ts STRING, bytes INT, tracestate STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # trace_state policy: row flag from the parsed tracestate map
+    flag = F.element_at(parse_tracestate(F.col("tracestate")), "vendor") == "x"
+    summary = trace_summary(
+        spans, "trace_id", ts_col="ts",
+        row_flags={"is_vendor_x": flag},
+        sums={"bytes_sum": F.col("bytes")},
+    )
+    dec = summary.withColumn(
+        "keep", policy_bytes_limiting(1200, per="second")
+    )
+    rows = {r["trace_id"]: r for r in dec.collect()}
+    # budget 1200 bytes/sec admits first two traces in id order
+    assert [rows[t]["keep"] for t in ("t1", "t2", "t3")] == [True, True, False]
+    assert rows["t1"]["is_vendor_x"] is True
+    assert rows["t2"]["is_vendor_x"] is False
+
+
+def test_jsonarray_trace_scope_parsers(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        jsonarray_parser,
+        scope_name_parser,
+        trace_parser,
+    )
+
+    df = spark.createDataFrame(
+        [('["a", "b", "c"]',
+          "0102030405060708090a0b0c0d0e0f10", "0102030405060708", "1")],
+        "body STRING, tf STRING, sf STRING, ff STRING",
+    )
+    out = jsonarray_parser(df, ["one", "two", "three"])
+    r = out.collect()[0]
+    assert (r["one"], r["two"], r["three"]) == ("a", "b", "c")
+
+    out = trace_parser(df, "tf", "sf", "ff").collect()[0]
+    assert bytes(out["trace_id"]).hex() == "0102030405060708090a0b0c0d0e0f10"
+    assert bytes(out["span_id"]).hex() == "0102030405060708"
+    assert out["trace_flags"] == 1
+
+    bad = spark.createDataFrame([("xyz", "short", None)],
+                                "tf STRING, sf STRING, ff STRING")
+    out = trace_parser(bad, "tf", "sf").collect()[0]
+    assert out["trace_id"] is None and out["span_id"] is None
+
+    out = scope_name_parser(df, "body").collect()[0]
+    assert out["scope_name"] == '["a", "b", "c"]'
+
+
+def test_spanmetrics_exemplars_and_cardinality(spark):
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        limit_dimension_cardinality,
+        span_metrics,
+    )
+
+    spans = spark.createDataFrame(
+        [("svcA", 0.1, "tr1", "2024-01-01 00:00:01"),
+         ("svcA", 0.9, "tr2", "2024-01-01 00:00:02"),
+         ("svcB", 0.5, "tr3", "2024-01-01 00:00:03"),
+         ("svcC", 0.5, "tr4", "2024-01-01 00:00:04")],
+        "service STRING, latency DOUBLE, trace_id STRING, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    capped = limit_dimension_cardinality(spans, "service", 2)
+    vals = {r["service"] for r in capped.collect()}
+    assert "__overflow__" in vals and len(vals) == 3  # svcA + 1 + overflow
+
+    m = span_metrics(
+        spans.filter(F.col("service") == "svcA"),
+        dims=["service"], value_col="latency", ts_col="ts",
+        window_duration="1 hour", exemplar_col="trace_id",
+    ).collect()[0]
+    assert m["exemplar_max"] == "tr2" and m["exemplar_min"] == "tr1"
