@@ -301,9 +301,22 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(sh: Column, k: int = 16) -> Column:
-    """k-permutation MinHash signature of a shingle array."""
-    hs = F.transform(sh, lambda s: md5_int32(s) % MINHASH_PRIME)
+def shingle_hashes(sh: Column) -> Column:
+    """One md5 per shingle, reduced mod the Mersenne prime -- the
+    shared input of every MinHash permutation. Materialize this ONCE
+    (a stored column in the persisted signature relation): Catalyst's
+    subexpression elimination does not reach inside higher-order
+    lambda bodies, so k permutations over an inline expression re-ran
+    the md5 battery k times (measured: the dominant minhash cost)."""
+    return F.transform(sh, lambda s: md5_int32(s) % MINHASH_PRIME)
+
+
+def minhash_signature(sh: Column, k: int = 16,
+                      hashes: Column | None = None) -> Column:
+    """k-permutation MinHash signature of a shingle array. Pass
+    ``hashes`` (a materialized :func:`shingle_hashes` column) to avoid
+    re-hashing per permutation."""
+    hs = hashes if hashes is not None else shingle_hashes(sh)
 
     def perm(a: int, b: int):
         # closure, not default-args: pyspark counts lambda params
@@ -342,17 +355,21 @@ def minhash_lsh_pairs(
     rows = k // bands
     base = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
-    )
-    # the (id, shingles) relation feeds three plan branches (signature,
-    # verify-left, verify-right); persist it so tokenize+distinct runs
-    # once. At the 100 TB tier this is the materialized signature table
-    # every production MinHash pipeline keeps anyway (size ~ n-gram'd
-    # corpus; spill-to-disk storage level).
+    ).withColumn("hs", shingle_hashes(F.col("s")))
+    # the (id, shingles, shingle-hashes) relation feeds three plan
+    # branches (signature, verify-left, verify-right); persist it so
+    # tokenize+distinct+md5 run once -- the k permutations then read
+    # the STORED hash array instead of re-hashing (lambda bodies are
+    # outside codegen CSE). At the 100 TB tier this is the
+    # materialized signature table every production MinHash pipeline
+    # keeps anyway (size ~ n-gram'd corpus; spill-to-disk level).
     from pyspark import StorageLevel
 
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(base)
-    sig = base.withColumn("sig", minhash_signature(F.col("s"), k))
+    sig = base.withColumn(
+        "sig", minhash_signature(F.col("s"), k, hashes=F.col("hs"))
+    )
     bandrows = sig.select(
         "id",
         F.explode(

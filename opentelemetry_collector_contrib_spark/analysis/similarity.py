@@ -83,15 +83,23 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # norms are per-VECTOR, so compute them before the join: the
+    # pair-wise work drops from 3 array aggregations (dot + 2 norms)
+    # to 1 (cosine() inlined per pair would re-run both norms)
     q = queries_df.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus_df.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -178,15 +186,22 @@ def lsh_ann_topk(
     q = queries_df.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, n_planes))
+    ).withColumns({"bucket": lsh_bucket(F.col("qv"), dim, n_planes),
+                   "qn": norm(F.col("qv"))})
     c = corpus_df.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, n_planes))
+    ).withColumns({"bucket": lsh_bucket(F.col("cv"), dim, n_planes),
+                   "cn": norm(F.col("cv"))})
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -304,9 +319,12 @@ def cosine_near_dup_pairs_banded(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    cos = cosine(F.col("va"), F.col("vb"))
+    e_n = e.withColumn("nrm", norm(F.col("v")))
+    va = e_n.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    vb = e_n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
