@@ -566,3 +566,52 @@ FROM fp a JOIN fp b ON a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_distance}
 ORDER BY id_a, id_b
 """
+
+
+def ngram_jaccard_count_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via CO-OCCURRENCE COUNTING (the
+    sparse matrix-multiply formulation): shingles are distinct per
+    document, so ``|a n b|`` = the number of rows the token-level
+    self-equi-join produces for the pair -- no shingle ARRAY ever
+    ships or intersects. Jaccard then follows from the per-doc set
+    sizes: j = c / (sa + sb - c).
+
+    Plan: explode -> self-join on the token -> hash aggregate on
+    (id_a, id_b) with map-side partial combine -> broadcast-join the
+    tiny (id, size) relation -> filter. Cost is O(sum_t df(t)^2).
+
+    MEASURED on the sf0.1 fixture: 45s vs prefix-filter's ~20s -- the
+    70M-row pair aggregate loses to array verification here, and on
+    heavy-tailed web vocabularies hot tokens make df^2 strictly worse.
+    Kept as the exact cost-model alternative (some corpora with small
+    per-doc sets and no hot tokens do favor it); the REGISTERED driver
+    query uses :func:`ngram_jaccard_prefix_pairs`.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
+    )
+    sizes = sh.select("id", F.size("s").alias("sz"))
+    ex = sh.select("id", F.explode("s").alias("tok"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb"))
+    jac = F.col("c").cast("double") / (F.col("sa") + F.col("sb") - F.col("c"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("_jac", jac)
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
+    )
