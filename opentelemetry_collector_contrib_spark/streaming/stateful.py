@@ -123,3 +123,110 @@ def recombine_stream(
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming logdedup (processor/logdedupprocessor in continuous mode):
+# the batch operator's tumbling-window aggregate IS streaming-legal --
+# add the watermark and reuse the same declarative shape. No custom
+# state: Spark's windowed-aggregation state store handles it.
+# ---------------------------------------------------------------------------
+
+
+def log_dedup_stream(
+    lines: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    interval: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming form of operators/processors.log_dedup: one
+    representative row per (window, key) with log_count + first/last
+    timestamps; late rows beyond the watermark are dropped (the
+    reference's interval flush, with bounded state)."""
+    from pyspark.sql import functions as F
+
+    win = F.window(F.col(ts_col), interval)
+    return (
+        lines.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("log_count"),
+            F.min(ts_col).alias("first_observed_timestamp"),
+            F.max(ts_col).alias("last_observed_timestamp"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"), *key_cols,
+            "log_count", "first_observed_timestamp",
+            "last_observed_timestamp",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming deltatocumulative (processor/deltatocumulativeprocessor in
+# continuous mode): genuinely cross-batch state -- the running sum per
+# stream identity lives in the state store, exactly the reference's
+# per-stream map (internal/delta/delta.go:15-77).
+# ---------------------------------------------------------------------------
+
+CUMULATIVE_SCHEMA = StructType([
+    StructField("stream_id", StringType()),
+    StructField("ts_epoch", LongType()),
+    StructField("cumulative", LongType()),
+])
+
+_CUM_STATE_SCHEMA = StructType([
+    StructField("total", LongType()),
+    StructField("last_ts", LongType()),
+])
+
+
+def _cumulative_fn():
+    import pandas as pd
+
+    def fn(key: tuple, pdfs: Iterator[Any], state: GroupState):
+        stream_id = key[0]
+        total, last_ts = state.get if state.exists else (0, -1)
+        out: dict[str, list] = {"stream_id": [], "ts_epoch": [], "cumulative": []}
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            rows = pd.concat(frames).sort_values("ts_epoch")
+            for _, r in rows.iterrows():
+                ts = int(r["ts_epoch"])
+                if ts < last_ts:
+                    # delta.go ErrOutOfOrder: points older than the
+                    # accumulated state are rejected (dropped)
+                    continue
+                total += int(r["value"])
+                last_ts = ts
+                out["stream_id"].append(stream_id)
+                out["ts_epoch"].append(ts)
+                out["cumulative"].append(total)
+        state.update((int(total), int(last_ts)))
+        yield pd.DataFrame({
+            "stream_id": pd.Series(out["stream_id"], dtype=object),
+            "ts_epoch": pd.Series(out["ts_epoch"], dtype="int64"),
+            "cumulative": pd.Series(out["cumulative"], dtype="int64"),
+        })
+
+    return fn
+
+
+def delta_to_cumulative_stream(points: DataFrame) -> DataFrame:
+    """Continuous running sums. ``points`` must be a streaming
+    DataFrame with columns (stream_id, ts_epoch, value). State is two
+    longs per stream (bounded: O(streams)); within a micro-batch
+    points apply in event-time order, and out-of-order points older
+    than the accumulated state are dropped like the reference's
+    ErrOutOfOrder."""
+    return (
+        points.groupBy("stream_id")
+        .applyInPandasWithState(
+            _cumulative_fn(),
+            outputStructType=CUMULATIVE_SCHEMA,
+            stateStructType=_CUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -58,3 +58,89 @@ def test_recombine_stream_merges_across_batches(spark, tmp_path):
     assert rows[2]["line_count"] == 3
     if 5 in rows:  # timeout flush (force_flush_period semantics)
         assert rows[5]["body"] == "C start" and rows[5]["line_count"] == 1
+
+
+def test_delta_to_cumulative_stream_state_crosses_batches(spark, tmp_path):
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        delta_to_cumulative_stream,
+    )
+
+    in_dir = tmp_path / "cin"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "cout")
+    ck_dir = str(tmp_path / "cck")
+
+    spark.createDataFrame(
+        [("m1", 1, 10), ("m1", 2, 5), ("m2", 1, 7)],
+        "stream_id STRING, ts_epoch LONG, value LONG",
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    # batch 2: continues m1 (state 15 must carry over) + out-of-order row
+    spark.createDataFrame(
+        [("m1", 3, 2), ("m1", 1, 99), ("m2", 4, 3)],
+        "stream_id STRING, ts_epoch LONG, value LONG",
+    ).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema("stream_id STRING, ts_epoch LONG, value LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = (
+        delta_to_cumulative_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {(r["stream_id"], r["ts_epoch"]): r["cumulative"]
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows[("m1", 1)] == 10
+    assert rows[("m1", 2)] == 15
+    assert rows[("m1", 3)] == 17          # state crossed the batch boundary
+    assert ("m1", 1) not in {k for k, v in rows.items() if v == 99}
+    assert rows[("m2", 1)] == 7 and rows[("m2", 4)] == 10
+    # the out-of-order (m1, ts=1, 99) point was dropped entirely
+    assert len([k for k in rows if k[0] == "m1"]) == 3
+
+
+def test_log_dedup_stream_counts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.streaming.stateful import (
+        log_dedup_stream,
+    )
+
+    in_dir = tmp_path / "din"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [("e1", "2024-01-01 00:00:01"), ("e1", "2024-01-01 00:00:02"),
+         ("e2", "2024-01-01 00:00:03"), ("e1", "2024-01-01 00:00:59")],
+        "body STRING, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(in_dir / "f1")
+    )
+
+    stream = (
+        spark.readStream.schema("body STRING, ts TIMESTAMP")
+        .parquet(str(in_dir / "*"))
+    )
+    out = log_dedup_stream(stream, ["body"], "ts", interval="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (str(r["window_start"]), r["body"]): r["log_count"]
+        for r in spark.sql("select * from dedup_mem").collect()
+    }
+    assert rows[("2024-01-01 00:00:00", "e1")] == 2
+    assert rows[("2024-01-01 00:00:00", "e2")] == 1
+    assert rows[("2024-01-01 00:00:50", "e1")] == 1
