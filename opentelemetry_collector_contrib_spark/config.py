@@ -48,6 +48,7 @@ from .operators.connectors import (
 )
 from .operators.processors import filter_processor, lookup_processor
 from .ottl import OTTLCompiler, compile_condition
+from .ottl.compiler import compile_value
 
 
 def _build_receiver(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
@@ -75,7 +76,8 @@ def _apply_processor(df: DataFrame, cfg: dict[str, Any],
     t = cfg["type"]
     if t == "transform":
         return OTTLCompiler(
-            cfg.get("statements", []), cfg.get("conditions")
+            cfg.get("statements", []), cfg.get("conditions"),
+            error_mode=cfg.get("error_mode", "propagate"),
         ).apply(df)
     if t == "filter":
         conds = [compile_condition(c) for c in cfg["drop_conditions"]]
@@ -100,6 +102,102 @@ def _apply_processor(df: DataFrame, cfg: dict[str, Any],
         return time_parser(df, cfg["parse_from"], cfg["layout"],
                            cfg.get("layout_type", "strptime"),
                            cfg.get("parse_to", "event_ts"))
+    if t == "attributes":
+        from .operators.processors import AttrAction, attributes_processor
+
+        actions = [
+            AttrAction(
+                a["action"], a["key"],
+                value=(compile_value(a["value"])
+                       if isinstance(a.get("value"), str) else a.get("value")),
+                pattern=a.get("pattern"), to_type=a.get("to_type"),
+            )
+            for a in cfg["actions"]
+        ]
+        cond = (compile_condition(cfg["condition"])
+                if cfg.get("condition") else None)
+        return attributes_processor(df, actions, cond)
+    if t == "span":
+        from .operators.processors import (
+            span_from_attributes,
+            span_set_status,
+            span_to_attributes,
+        )
+
+        out = df
+        if cfg.get("from_attributes"):
+            out = span_from_attributes(
+                out, cfg["from_attributes"],
+                separator=cfg.get("separator", ""),
+                name_col=cfg.get("name_col", "span_name"),
+            )
+        if cfg.get("to_attributes"):
+            out = span_to_attributes(
+                out, cfg["to_attributes"],
+                name_col=cfg.get("name_col", "span_name"),
+                keep_original_name=cfg.get("keep_original_name", False),
+                break_after_match=cfg.get("break_after_match", False),
+            )
+        if cfg.get("set_status"):
+            out = span_set_status(out, cfg["set_status"]["code"],
+                                  cfg["set_status"].get("description", ""))
+        return out
+    if t == "probabilistic_sampler":
+        from .operators.processors import (
+            probabilistic_sampler,
+            probabilistic_sampler_consistent,
+        )
+
+        mode = cfg.get("mode", "hash_seed")
+        if mode == "hash_seed":
+            return probabilistic_sampler(
+                df, cfg["key"], cfg["percent"],
+                hash_seed=cfg.get("hash_seed", 22),
+            )
+        return probabilistic_sampler_consistent(
+            df, cfg["trace_col"], cfg["percent"], mode=mode,
+            incoming_threshold_col=cfg.get("incoming_threshold_col"),
+            priority_col=cfg.get("priority_col"),
+        )
+    if t == "tail_sampling":
+        from .operators.processors import tail_sampling
+
+        policies = [compile_condition(c) for c in cfg["keep_conditions"]]
+        return tail_sampling(df, cfg["trace_col"], policies)
+    if t == "redaction":
+        from .operators.processors import redaction_processor
+
+        return redaction_processor(
+            df, cfg["target_cols"], cfg["blocked_value_patterns"],
+            mask=cfg.get("mask", "****"),
+        )
+    if t == "logdedup":
+        from .operators.processors import log_dedup
+
+        return log_dedup(df, cfg["keys"], cfg["ts_col"],
+                         interval=cfg.get("interval", "10 seconds"))
+    if t == "schema":
+        from .operators.processors import schema_processor
+
+        return schema_processor(df, cfg["renames"])
+    if t == "unroll":
+        from .operators.processors import unroll_processor
+
+        return unroll_processor(df, cfg["array_col"],
+                                out_col=cfg.get("out_col", "body"))
+    if t == "groupbyattrs":
+        from .operators.processors import group_by_attrs
+
+        return group_by_attrs(df, cfg["promote"])
+    if t == "k8s_attributes":
+        from .operators.processors import k8s_attributes
+
+        return k8s_attributes(df, lookups[cfg.get("table", "pods")],
+                              pod_col=cfg.get("pod_col", "k8s_pod_name"))
+    if t == "resource_detection":
+        from .operators.processors import resource_detection
+
+        return resource_detection(df, cfg["detectors"])
     raise ValueError(f"unknown processor type {t!r}")
 
 
@@ -166,3 +264,33 @@ def build_pipeline(
     for c in cfg.get("connectors", []):
         connectors[c.get("name", c["type"])] = _apply_connector(sinks, c)
     return {"sinks": sinks, "connectors": connectors}
+
+
+def write_exports(outs: dict[str, Any], cfg: dict[str, Any]) -> None:
+    """Run the declared exporters (the eager, write-side step --
+    build_pipeline stays lazy). Each exporter picks a source by name:
+    a sink (``from: "sink:<name>"``) or a connector output
+    (``from: "connector:<name>"``)."""
+    for e in cfg.get("exporters", []):
+        kind, _, name = e["from"].partition(":")
+        df = outs["sinks" if kind == "sink" else "connectors"][name]
+        t = e["type"]
+        if t == "parquet":
+            from .sources.exporters import file_exporter
+
+            file_exporter(df, e["path"], fmt="parquet",
+                          compression=e.get("compression", "zstd"),
+                          partition_by=e.get("partition_by"))
+        elif t == "jsonl":
+            from .sources.exporters import file_exporter
+
+            file_exporter(df, e["path"], fmt="jsonl",
+                          compression=e.get("compression"))
+        elif t == "iceberg_like":
+            from .sources.iceberg_like import IcebergLikeTable
+
+            table = IcebergLikeTable(e["root"])
+            bucket_by = tuple(e["bucket_by"]) if e.get("bucket_by") else None
+            table.commit_append(df, e["snapshot_id"], bucket_by=bucket_by)
+        else:
+            raise ValueError(f"unknown exporter type {t!r}")

@@ -6,4 +6,9 @@ so Catalyst is the analyzer/optimizer and whole-stage codegen the
 executor.
 """
 
-from .compiler import OTTLCompiler, compile_condition, compile_statement  # noqa: F401
+from .compiler import (  # noqa: F401
+    OTTLCompiler,
+    compile_condition,
+    compile_statement,
+    compile_value,
+)

@@ -532,6 +532,18 @@ def compile_condition(src: str, dtypes: dict[str, str] | None = None,
     return col
 
 
+def compile_value(src: str, dtypes: dict[str, str] | None = None,
+                  error_mode: str = "propagate") -> Column:
+    """Value expression string -> Column (no boolean coercion) -- for
+    config fields that carry OTTL values rather than conditions (e.g.
+    attributesprocessor action values)."""
+    p = _Parser(tokenize(src), dtypes=dtypes, error_mode=error_mode)
+    col, _ = p.parse_value()
+    if p.peek().kind != "eof":
+        raise SyntaxError(f"OTTL: trailing tokens at {p.peek().text!r}")
+    return col
+
+
 @dataclass
 class CompiledStatement:
     target: str          # column the editor writes

@@ -79,3 +79,85 @@ def test_config_filter_and_transform(spark):
     out = build_pipeline(spark, cfg, source=web)["sinks"]["__all__"]
     sevs = {r["sev"] for r in out.select("sev").distinct().collect()}
     assert "fatal" not in sevs and "debug" not in sevs and "muted" in sevs
+
+
+def test_config_round2_processors(spark, tmp_path):
+    """Round-2 config surface: attributes actions, span rename,
+    probabilistic sampler, redaction, schema renames, error_mode, and
+    an iceberg_like exporter."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.config import (
+        build_pipeline,
+        write_exports,
+    )
+    from opentelemetry_collector_contrib_spark.sources.iceberg_like import (
+        IcebergLikeTable,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "GET", "/api/v1/doc/42/update", "card 4532015112830366", 0),
+         (2, "POST", "/other", "clean", 7)],
+        "id LONG, method STRING, span_name STRING, note STRING, denom LONG",
+    )
+    cfg = {
+        "receiver": {"type": "parquet", "path": "unused"},
+        "processors": [
+            {"type": "attributes", "actions": [
+                {"action": "upsert", "key": "env", "value": '"prod"'},
+                {"action": "hash", "key": "method"},
+            ]},
+            {"type": "span", "to_attributes": [
+                r"/api/v1/doc/(?P<docId>\d+)/update"]},
+            {"type": "redaction", "target_cols": ["note"],
+             "blocked_value_patterns": [r"\d{16}"]},
+            {"type": "schema", "renames": {"note": "message"}},
+            # error_mode=ignore: id/denom div-by-zero keeps original nil
+            {"type": "transform", "error_mode": "ignore",
+             "statements": ["set(ratio, id / denom)"]},
+        ],
+    }
+    outs = build_pipeline(spark, cfg, source=src)
+    rows = {r["id"]: r for r in outs["sinks"]["__all__"].collect()}
+    assert rows[1]["env"] == "prod"
+    assert len(rows[1]["method"]) == 64  # sha256 hex
+    assert rows[1]["docId"] == "42"
+    assert rows[1]["span_name"] == "/api/v1/doc/{docId}/update"
+    assert "****" in rows[1]["message"] and rows[2]["message"] == "clean"
+    assert rows[1]["ratio"] is None  # denom 0 under ignore -> nil kept
+    assert rows[2]["ratio"] == 0     # 2/7 int division
+
+    # exporter: iceberg_like snapshot commit from the config
+    root = str(tmp_path / "tbl")
+    write_exports(outs, {"exporters": [
+        {"type": "iceberg_like", "from": "sink:__all__",
+         "root": root, "snapshot_id": "s1", "bucket_by": ["id", 2]},
+    ]})
+    t = IcebergLikeTable(root)
+    assert t.current_snapshot_id() == "s1"
+    assert t.read(spark).count() == 2
+
+
+def test_config_consistent_sampler_and_tail_sampling(spark):
+    from opentelemetry_collector_contrib_spark.config import build_pipeline
+
+    src = spark.createDataFrame(
+        [("t1", "000000000000000000ffffffffffffff", "error"),
+         ("t2", "00000000000000000000000000000001", "view"),
+         ("t1", "000000000000000000ffffffffffffff", "view")],
+        "trace STRING, trace_id STRING, event_type STRING",
+    )
+    cfg = {
+        "receiver": {"type": "parquet", "path": "unused"},
+        "processors": [
+            {"type": "tail_sampling", "trace_col": "trace",
+             "keep_conditions": ['event_type == "error"']},
+            {"type": "probabilistic_sampler", "mode": "equalizing",
+             "trace_col": "trace_id", "percent": 50.0},
+        ],
+    }
+    outs = build_pipeline(spark, cfg, source=src)
+    rows = outs["sinks"]["__all__"].collect()
+    # tail sampling keeps both t1 rows (any-span error); the consistent
+    # sampler at 50% keeps R >= 2^55 (the ff... ids)
+    assert len(rows) == 2 and all(r["trace"] == "t1" for r in rows)
