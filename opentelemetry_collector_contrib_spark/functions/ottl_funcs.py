@@ -599,9 +599,11 @@ REGISTRY: dict[str, Any] = {
     "Murmur3Hash": Murmur3Hash, "XXH64": XXH64, "FNV": FNV, "UUID": UUID,
     "TraceID": TraceID, "SpanID": SpanID, "IsValidLuhn": IsValidLuhn,
     "String": String, "Int": Int, "Double": Double, "Boolean": Boolean,
+    "Bool": Boolean,  # reference factory name (func_bool.go)
     "Keys": Keys, "Values": Values, "ContainsValue": ContainsValue,
     "Sort": Sort, "Append": Append, "Index": Index,
-    "Flatten": FlattenList, "Log": Log, "SliceToMap": SliceToMap,
+    "Flatten": FlattenList, "DeleteIndex": DeleteIndex, "Log": Log,
+    "SliceToMap": SliceToMap,
     "ToKeyValueString": ToKeyValueString,
     # editors (lowercase)
     "keep_keys": keep_keys, "delete_key": delete_key,

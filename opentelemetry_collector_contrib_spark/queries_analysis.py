@@ -275,8 +275,23 @@ def _register_multimodal() -> None:
         df = MM.sample_frames(web, "html")
         return df.select("page_id", "n_frames", "frame_md5s").orderBy("page_id")
 
-    # audio stub: rows-only check (no byte-level DSP oracle in SQL)
-    @register("multimodal_audio_features", None)
+    # audio: the fake kernel reads the blob as unsigned 8-bit PCM; the
+    # html bytes are ASCII, so the oracle recomputes n_samples (byte
+    # length) and mean amplitude (floor of the byte-value mean --
+    # numpy's int(mean()) truncation) from the string twin.
+    audio_oracle = (
+        "WITH web AS ({web}),\n"
+        f"h AS (SELECT page_id, {_MM_HTML} AS s FROM web)\n"
+        "SELECT page_id, CAST(strlen(s) AS BIGINT) AS n_samples,\n"
+        "       CASE WHEN strlen(s) = 0 THEN 0\n"
+        "            ELSE CAST(FLOOR(list_avg(list_transform(\n"
+        "              range(1, strlen(s)+1),\n"
+        "              i -> ord(substr(s, CAST(i AS INT), 1))))) AS INT)\n"
+        "       END AS mean_amplitude\n"
+        "FROM h ORDER BY page_id"
+    ).format(web=datagen.web_pages_select_sql("documents"))
+
+    @register("multimodal_audio_features", audio_oracle)
     def q_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         web = _web_with_html(spark, sf_dir)
         df = MM.audio_features(web, "html")
