@@ -236,3 +236,72 @@ def bottom_k_sketch_sql(expr: str, k: int = 8) -> str:
         f"array_to_string(list_transform(({hashes})[1:{k}], "
         f"h -> CAST(h AS VARCHAR)), ',')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+# Models" -- the MassiveText filter family; public paper). Each rule is
+# a boolean flag column; `pass` is their conjunction. Pure Column
+# expressions, map-only.
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_flags(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """The Gopher rule battery as named flag columns."""
+    toks = ws_tokens(col)
+    n = F.size(toks)
+    nz = F.greatest(n, F.lit(1))
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda a, t: a + F.length(t)
+    ).cast("double") / nz
+    symbols = F.size(F.regexp_extract_all(col, F.lit(r"[#…]|\.{3}"), 0))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    sw = STOPWORDS["en"]
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, F.lower(t))))
+    return {
+        "word_count_ok": n.between(min_words, max_words),
+        "mean_word_len_ok": mean_len.between(min_mean_word_len,
+                                             max_mean_word_len),
+        "symbol_ratio_ok": symbols.cast("double") / nz
+        < F.lit(max_symbol_word_ratio),
+        "alpha_ratio_ok": alpha_words.cast("double") / nz
+        >= F.lit(min_alpha_word_ratio),
+        "stopword_ok": sw_hits >= F.lit(min_stopword_hits),
+    }
+
+
+def gopher_quality_flags_sql(expr: str, min_words: int = 50,
+                             max_words: int = 100_000,
+                             min_mean_word_len: float = 3.0,
+                             max_mean_word_len: float = 10.0,
+                             max_symbol_word_ratio: float = 0.1,
+                             min_alpha_word_ratio: float = 0.8,
+                             min_stopword_hits: int = 2) -> str:
+    # flag expressions reference a CTE providing ``txt`` (raw text)
+    # and ``toks`` (its ws_tokens_sql array); ``expr`` names that text
+    # column for the CTE builder
+    del expr
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+  len(toks) BETWEEN {min_words} AND {max_words} AS word_count_ok,
+  (CAST(list_sum(list_transform(toks, t -> strlen(t))) AS DOUBLE)
+     / greatest(len(toks), 1))
+    BETWEEN {min_mean_word_len} AND {max_mean_word_len} AS mean_word_len_ok,
+  CAST(len(regexp_extract_all(txt, '[#…]|\\.{{3}}')) AS DOUBLE)
+     / greatest(len(toks), 1) < {max_symbol_word_ratio} AS symbol_ratio_ok,
+  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+       AS DOUBLE) / greatest(len(toks), 1)
+    >= {min_alpha_word_ratio} AS alpha_ratio_ok,
+  len(list_filter(toks, t -> list_contains([{sw}], lower(t))))
+    >= {min_stopword_hits} AS stopword_ok
+""".strip()

@@ -1,0 +1,111 @@
+"""URL canonicalization + URL-level dedup -- the first dedup pass of
+every Common-Crawl-style pipeline (dedup by normalized URL before any
+content hashing).
+
+Normalization (the common canonical form):
+- scheme + host lowercased
+- default ports stripped (:80 http, :443 https)
+- tracking query params removed (utm_*, fbclid, gclid, ref)
+- remaining query params sorted by key (deterministic order)
+- trailing '/' stripped from non-root paths
+- fragment dropped
+
+Pure Column expressions (map-only); dedup shuffles on the normalized
+URL string (short key), keeping the lowest id -- the exact_dedup
+shape. The DuckDB twin reproduces every step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_TRACKING = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def normalize_url(col: Column) -> Column:
+    c = col
+    # drop fragment
+    c = F.regexp_replace(c, r"#.*$", "")
+    # lowercase scheme://host (up to the first '/')
+    scheme = F.lower(F.substring_index(c, "://", 1))
+    rest = F.substring_index(c, "://", -1)
+    hostport = F.lower(F.substring_index(rest, "/", 1))
+    tail = F.when(
+        F.locate("/", rest) > 0,
+        F.substring(rest, F.locate("/", rest), F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    # strip default ports
+    hostport = F.regexp_replace(hostport, r":80$", "")
+    hostport = F.regexp_replace(hostport, r":443$", "")
+    # split path vs query
+    path = F.substring_index(tail, "?", 1)
+    query = F.when(tail.contains("?"), F.substring_index(tail, "?", -1))
+    # remove tracking params, then sort remaining by key
+    query = F.regexp_replace(query, _TRACKING, "")
+    query = F.regexp_replace(query, r"&&+", "&")
+    query = F.regexp_replace(query, r"^&|&$", "")
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"
+    )
+    # strip trailing slash from non-root paths
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    out = F.concat(scheme, F.lit("://"), hostport, path)
+    return F.when(
+        F.coalesce(sorted_q, F.lit("")) != "",
+        F.concat(out, F.lit("?"), sorted_q),
+    ).otherwise(out)
+
+
+def _norm_sql(e: str) -> str:
+    """DuckDB twin of normalize_url, as a nested expression builder."""
+    nofrag = f"regexp_replace({e}, '#.*$', '')"
+    scheme = f"lower(split_part({nofrag}, '://', 1))"
+    rest = f"regexp_replace({nofrag}, '^[a-zA-Z]+://', '')"
+    hostport = (
+        f"regexp_replace(regexp_replace(lower(split_part({rest}, '/', 1)),"
+        f" ':80$', ''), ':443$', '')"
+    )
+    tail = (
+        f"CASE WHEN strpos({rest}, '/') > 0"
+        f" THEN substr({rest}, strpos({rest}, '/')) ELSE '' END"
+    )
+    path0 = f"split_part({tail}, '?', 1)"
+    path = (
+        f"CASE WHEN strlen({path0}) > 1 AND {path0} LIKE '%/'"
+        f" THEN substr({path0}, 1, strlen({path0}) - 1) ELSE {path0} END"
+    )
+    q0 = f"CASE WHEN strpos({tail}, '?') > 0 THEN substr({tail}, strpos({tail}, '?') + 1) ELSE NULL END"
+    q1 = f"regexp_replace({q0}, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')"
+    q2 = f"regexp_replace(regexp_replace({q1}, '&&+', '&', 'g'), '^&|&$', '', 'g')"
+    qs = (
+        f"array_to_string(list_sort(list_filter(string_split({q2}, '&'),"
+        f" p -> p <> '')), '&')"
+    )
+    base = f"({scheme} || '://' || {hostport} || {path})"
+    return (
+        f"CASE WHEN coalesce({qs}, '') <> ''"
+        f" THEN {base} || '?' || {qs} ELSE {base} END"
+    )
+
+
+def normalized_url_sql(expr: str) -> str:
+    return _norm_sql(expr)
+
+
+def dedup_by_url(df: DataFrame, url_col: str = "url",
+                 id_col: str = "page_id") -> DataFrame:
+    """Keep the lowest-id page per normalized URL (the exact_dedup
+    shape: shuffle key = the short normalized-URL string; min-id is
+    map-side combinable)."""
+    norm = normalize_url(F.col(url_col)).alias("_norm")
+    keep = (
+        df.select(norm, F.col(id_col))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_norm")
+    )
+    return df.join(keep, on=id_col, how="left_semi")

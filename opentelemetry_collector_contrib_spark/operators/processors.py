@@ -883,3 +883,47 @@ def policy_bytes_limiting(bytes_per_window: int,
     )
     running = F.sum(bytes_col).over(w)
     return running <= F.lit(bytes_per_window)
+
+
+# ---------------------------------------------------------------------------
+# Anomaly scoring (the isolationforestprocessor ROLE -- flag outlier
+# telemetry -- via a deterministic, oracle-replicable algorithm:
+# per-group robust z-score on median/MAD. The reference's isolation
+# forest is RNG-seeded tree sampling; a batch engine wants a
+# reproducible score, and median/MAD is the standard robust outlier
+# statistic. Documented algorithm substitution.)
+# ---------------------------------------------------------------------------
+
+
+def anomaly_mad(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per group: med = median(v), mad = median(|v - med|); modified
+    z-score = 0.6745 * (v - med) / mad (Iglewicz-Hoaglin). Adds
+    ``anomaly_score`` and ``is_anomaly`` (|z| > threshold; mad == 0 ->
+    score 0). Two hash aggregates on the group keys (tiny relations)
+    broadcast back -- the fact table never shuffles."""
+    med = (
+        df.groupBy(*group_cols)
+        .agg(F.expr(f"percentile({value_col}, 0.5)").alias("_med"))
+    )
+    with_med = df.join(F.broadcast(med), group_cols, "left")
+    mad = (
+        with_med.groupBy(*group_cols)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+        )
+    )
+    out = with_med.join(F.broadcast(mad), group_cols, "left")
+    z = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad"),
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("anomaly_score", F.round(z, 4))
+        .withColumn("is_anomaly", F.abs(z) > F.lit(threshold))
+        .drop("_med", "_mad")
+    )

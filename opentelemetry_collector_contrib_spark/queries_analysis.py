@@ -301,3 +301,123 @@ def _register_multimodal() -> None:
 
 
 _register_multimodal()
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (public MassiveText filter family)
+# ---------------------------------------------------------------------------
+
+from .analysis.textstats import (  # noqa: E402
+    gopher_quality_flags,
+    gopher_quality_flags_sql,
+    ws_tokens_sql,
+)
+
+
+@register(
+    "text_gopher_flags",
+    f"""
+WITH t AS (SELECT doc_id, text AS txt, {ws_tokens_sql('text')} AS toks
+           FROM documents)
+SELECT doc_id,
+{gopher_quality_flags_sql('text')},
+  word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+    AND alpha_ratio_ok AND stopword_ok AS pass
+FROM t ORDER BY doc_id
+""",
+)
+def q_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    flags = gopher_quality_flags(F.col("text"))
+    out = docs.withColumns(flags)
+    allf = F.lit(True)
+    for name in flags:
+        allf = allf & F.col(name)
+    return out.withColumn("pass", allf).select(
+        "doc_id", *flags.keys(), "pass"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (first pass of every
+# Common-Crawl pipeline). Noisy variants synthesized deterministically
+# from documents so the oracle rebuilds the identical input.
+# ---------------------------------------------------------------------------
+
+from .analysis import urls as UU  # noqa: E402
+
+_NOISY_URL_SQL = """
+CASE WHEN doc_id % 3 = 0 THEN
+       'https://SITE' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com:443/p/' || CAST(doc_id % 200 AS VARCHAR)
+         || '/?utm_source=x&b=2&a=1'
+     WHEN doc_id % 3 = 1 THEN
+       'https://site' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id % 200 AS VARCHAR)
+         || '?a=1&b=2#frag'
+     ELSE
+       'http://site' || CAST(doc_id % 50 AS VARCHAR)
+         || '.example.com:80/p/' || CAST(doc_id % 200 AS VARCHAR)
+END
+"""
+
+
+@register(
+    "url_normalize_dedup",
+    f"""
+WITH u AS (SELECT doc_id AS page_id, {_NOISY_URL_SQL} AS url FROM documents),
+n AS (SELECT page_id, {UU.normalized_url_sql('url')} AS norm_url FROM u)
+SELECT min(page_id) AS page_id, norm_url
+FROM n GROUP BY norm_url ORDER BY page_id
+""",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same expression, Spark dialect (STRING vs DuckDB's VARCHAR cast)
+    spark_url_sql = _NOISY_URL_SQL.replace("AS VARCHAR", "AS STRING")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("page_id"), F.expr(spark_url_sql).alias("url")
+    )
+    normed = docs.withColumn("norm_url", UU.normalize_url(F.col("url")))
+    return (
+        normed.groupBy("norm_url")
+        .agg(F.min("page_id").alias("page_id"))
+        .select("page_id", "norm_url")
+        .orderBy("page_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly scoring (median/MAD robust z -- the isolationforest ROLE via
+# a deterministic algorithm; documented substitution)
+# ---------------------------------------------------------------------------
+
+
+def _anomaly_oracle() -> str:
+    return """
+WITH stats AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+m AS (
+  SELECT e.event_type, median(abs(e.value - s.med)) AS mad
+  FROM events e JOIN stats s USING (event_type) GROUP BY e.event_type)
+SELECT e.event_id,
+       ROUND(CASE WHEN m.mad > 0
+                  THEN 0.6745 * (e.value - s.med) / m.mad
+                  ELSE 0.0 END, 4) AS anomaly_score,
+       CASE WHEN m.mad > 0
+            THEN abs(0.6745 * (e.value - s.med) / m.mad) > 3.5
+            ELSE FALSE END AS is_anomaly
+FROM events e JOIN stats s USING (event_type) JOIN m USING (event_type)
+ORDER BY e.event_id
+"""
+
+
+@register("anomaly_mad_events", _anomaly_oracle())
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import anomaly_mad
+    from pyspark.sql import SparkSession as _S  # noqa: F401
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = anomaly_mad(ev, ["event_type"], "value", threshold=3.5)
+    return out.select("event_id", "anomaly_score", "is_anomaly").orderBy(
+        "event_id"
+    )

@@ -74,3 +74,43 @@ def test_no_cartesian_or_bnlj_plans(spark, name):
         pytest.skip("documented brute-force recall baseline")
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_normalize_url_cases(spark):
+    from opentelemetry_collector_contrib_spark.analysis.urls import (
+        dedup_by_url,
+        normalize_url,
+    )
+
+    cases = [
+        ("https://EXample.com:443/path/?utm_source=a&b=2&a=1#frag",
+         "https://example.com/path?a=1&b=2"),
+        ("http://site.com:80/", "http://site.com/"),
+        ("https://x.com/p", "https://x.com/p"),
+        ("HTTPS://x.com/p/", "https://x.com/p"),
+        ("https://x.com/p?utm_campaign=z", "https://x.com/p"),
+        ("https://x.com/p?z=1&gclid=abc&a=2", "https://x.com/p?a=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url STRING")
+    got = [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+    assert got == [w for _, w in cases]
+
+    dup = spark.createDataFrame(
+        [(1, "https://A.com/x/"), (2, "https://a.com/x"),
+         (3, "https://a.com/y")],
+        "page_id LONG, url STRING",
+    )
+    kept = sorted(r["page_id"] for r in dedup_by_url(dup).collect())
+    assert kept == [1, 3]
+
+
+def test_anomaly_mad_flags_outliers(spark):
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        anomaly_mad,
+    )
+
+    rows = [("g", float(v)) for v in [10, 11, 9, 10, 12, 10, 11, 1000]]
+    df = spark.createDataFrame(rows, "grp STRING, v DOUBLE")
+    out = anomaly_mad(df, ["grp"], "v", threshold=3.5)
+    flagged = [r["v"] for r in out.filter("is_anomaly").collect()]
+    assert flagged == [1000.0]
