@@ -135,3 +135,41 @@ def start_windowed_counts_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_iceberg_like_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    bucket_by: tuple[str, int] | None = None,
+    available_now: bool = False,
+):
+    """Continuous parse→enrich into an Iceberg-like snapshot table --
+    END-TO-END EXACTLY-ONCE: the stream checkpoint makes batch ids
+    stable across restarts, and ``commit_append`` with snapshot id
+    ``batch-<id>`` is idempotent (an already-committed id is a no-op,
+    a crash between data-write and metadata-commit re-runs safely).
+    The composition is exactly Iceberg's streaming-sink contract:
+    source offsets in the stream checkpoint, one atomic table snapshot
+    per micro-batch.
+    """
+    from ..sources.iceberg_like import IcebergLikeTable
+
+    lookup = host_lookup_df(spark)
+    stream = read_web_pages_stream(spark, input_dir)
+    enriched = enrich_stage(parse_stage(stream), lookup)
+    table = IcebergLikeTable(table_root)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        table.commit_append(
+            batch_df, f"batch-{batch_id}", bucket_by=bucket_by
+        )
+
+    writer = (
+        enriched.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -144,3 +144,45 @@ def test_log_dedup_stream_counts(spark, tmp_path):
     assert rows[("2024-01-01 00:00:00", "e1")] == 2
     assert rows[("2024-01-01 00:00:00", "e2")] == 1
     assert rows[("2024-01-01 00:00:50", "e1")] == 1
+
+
+def test_iceberg_like_streaming_sink_exactly_once(spark, tmp_path):
+    """Micro-batches commit as idempotent snapshots; a restart with the
+    same checkpoint does not duplicate rows."""
+    from opentelemetry_collector_contrib_spark.datagen import (
+        generate_web_pages,
+    )
+    from opentelemetry_collector_contrib_spark.sources.iceberg_like import (
+        IcebergLikeTable,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        start_iceberg_like_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    root = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+
+    web = generate_web_pages(spark, 200, 2)
+    web.filter("page_id < 100").coalesce(1).write.parquet(str(in_dir / "f1"))
+    web.filter("page_id >= 100").coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    q = start_iceberg_like_stream(
+        spark, str(in_dir / "*"), root, ck,
+        bucket_by=("host", 4), available_now=True,
+    )
+    q.awaitTermination(120)
+
+    t = IcebergLikeTable(root)
+    assert t.read(spark).count() == 200
+    snaps = t.snapshots()
+    assert all(s.startswith("batch-") for s in snaps)
+
+    # restart with the same checkpoint: no new input -> no new rows
+    q2 = start_iceberg_like_stream(
+        spark, str(in_dir / "*"), root, ck,
+        bucket_by=("host", 4), available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert t.read(spark).count() == 200
