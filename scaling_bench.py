@@ -50,8 +50,15 @@ print(json.dumps({"cpus": cpus, "sec": sec, "docs_per_sec": n_docs / sec}))
 
 
 def run_at(cpus: int, n_docs: int, input_dir: str) -> dict:
+    import shutil
+
+    cmd = [sys.executable, "-c", _CHILD, str(cpus), str(n_docs), input_dir]
+    if shutil.which("taskset"):
+        # hard-pin: without it the small "cluster" borrows machine
+        # cores for GC/JIT/netty threads and efficiency understates
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(cpus), str(n_docs), input_dir],
+        cmd,
         capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         timeout=1800,
     )

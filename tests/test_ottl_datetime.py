@@ -1,0 +1,74 @@
+"""OTTL datetime/duration converter parity (func_time.go family).
+
+Representative cases with known values; strptime layouts go through
+the translation table in operators/parse.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.functions import ottl_funcs as FN
+
+
+def _one(df, col):
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_time_and_format_time_roundtrip(spark):
+    df = spark.createDataFrame([("2023-04-12 02:03:04",)], "s STRING")
+    ts = FN.Time(F.col("s"), "%Y-%m-%d %H:%M:%S")
+    assert str(_one(df, ts)) == "2023-04-12 02:03:04"
+    back = FN.FormatTime(ts, "%Y/%m/%d")
+    assert _one(df, back) == "2023/04/12"
+
+
+def test_truncate_time(spark):
+    df = spark.createDataFrame([("2023-04-12 02:03:04",)], "s STRING")
+    ts = FN.Time(F.col("s"), "%Y-%m-%d %H:%M:%S")
+    assert str(_one(df, FN.TruncateTime(ts, "hour"))) == "2023-04-12 02:00:00"
+    assert str(_one(df, FN.TruncateTime(ts, "day"))) == "2023-04-12 00:00:00"
+
+
+def test_unix_family(spark):
+    df = spark.createDataFrame([("2023-04-12 00:00:00",)], "s STRING")
+    ts = FN.Time(F.col("s"), "%Y-%m-%d %H:%M:%S")
+    secs = _one(df, FN.UnixSeconds(ts))
+    assert secs == 1681257600  # 2023-04-12T00:00:00Z (session TZ = UTC)
+    assert _one(df, FN.UnixMilli(ts)) == secs * 1000
+    assert _one(df, FN.UnixMicro(ts)) == secs * 1_000_000
+    assert _one(df, FN.UnixNano(ts)) == secs * 1_000_000_000
+    # Unix(epoch) -> timestamp roundtrip
+    back = FN.Unix(F.lit(secs))
+    assert str(_one(df, back)) == "2023-04-12 00:00:00"
+
+
+def test_date_parts(spark):
+    df = spark.createDataFrame([("2023-04-12 02:03:04",)], "s STRING")
+    ts = FN.Time(F.col("s"), "%Y-%m-%d %H:%M:%S")
+    parts = {
+        "Year": 2023, "Month": 4, "Day": 12, "Hour": 2, "Minute": 3,
+        "Second": 4,
+    }
+    for name, want in parts.items():
+        assert _one(df, getattr(FN, name)(ts)) == want, name
+    # 2023-04-12 is a Wednesday; Go Weekday: Sunday=0 -> Wed=3
+    assert _one(df, FN.Weekday(ts)) == 3
+
+
+def test_duration_forms(spark):
+    df = spark.createDataFrame(
+        [("1h30m",), ("90s",), ("250ms",), ("2h",)], "d STRING"
+    )
+    got = [r[0] for r in df.select(FN.Duration(F.col("d"))).collect()]
+    assert got == [5400.0, 90.0, 0.25, 7200.0]
+
+
+def test_duration_unit_views(spark):
+    df = spark.createDataFrame([(1.0,)], "x DOUBLE")  # 1 second
+    secs = F.col("x")
+    assert _one(df, FN.Hours(secs)) == 1 / 3600
+    assert _one(df, FN.Minutes(secs)) == 1 / 60
+    assert _one(df, FN.Milliseconds(secs)) == 1000.0
+    assert _one(df, FN.Microseconds(secs)) == 1_000_000.0
+    assert _one(df, FN.Nanoseconds(secs)) == 1_000_000_000.0
