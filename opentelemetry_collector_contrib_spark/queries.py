@@ -1733,3 +1733,108 @@ def q_k8s_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k8s_deployment_name", "k8s_node_name", "k8s_pod_uid",
         "host_name", "os_type",
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# csv_parser (pkg/stanza/operator/parser/csv) + container parser
+# (pkg/stanza/operator/parser/container) + failoverconnector, each over
+# deterministic lines synthesized from events -- flipping the last
+# pytest-only rows to oracle-checked.
+# ---------------------------------------------------------------------------
+
+_CSV_LINE_SQL = (
+    "CAST(event_id AS VARCHAR) || ',' || event_type || ',' || "
+    "CAST(user_id AS VARCHAR)"
+)
+
+
+@register(
+    "csv_parser_events",
+    f"""
+WITH lines AS (SELECT event_id, {_CSV_LINE_SQL} AS body FROM events)
+SELECT event_id,
+       CAST(split_part(body, ',', 1) AS BIGINT) AS id_field,
+       split_part(body, ',', 2) AS type_field,
+       CAST(split_part(body, ',', 3) AS BIGINT) AS user_field
+FROM lines ORDER BY event_id
+""",
+)
+def q_csv_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import csv_parser
+
+    ev = _read(spark, sf_dir, "events")
+    spark_line = _CSV_LINE_SQL.replace("AS VARCHAR", "AS STRING")
+    lines = ev.select("event_id", F.expr(spark_line).alias("body"))
+    out = csv_parser(
+        lines, "id_field BIGINT, type_field STRING, user_field BIGINT"
+    )
+    return out.select(
+        "event_id",
+        F.col("attributes.id_field").alias("id_field"),
+        F.col("attributes.type_field").alias("type_field"),
+        F.col("attributes.user_field").alias("user_field"),
+    ).orderBy("event_id")
+
+
+# docker-JSON for even ids, CRI text for odd ids -- the parser
+# auto-detects per row
+_CONTAINER_ORACLE = r"""
+WITH lines AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN
+           '{"log":"msg-' || CAST(event_id AS VARCHAR)
+             || '","stream":"stdout","time":"2024-01-01T00:00:00Z"}'
+         ELSE
+           '2024-01-01T00:00:01Z stderr P msg-' || CAST(event_id AS VARCHAR)
+         END AS body
+  FROM events)
+SELECT event_id,
+       'msg-' || CAST(event_id AS VARCHAR) AS log,
+       CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS stream,
+       CASE WHEN event_id % 2 = 0 THEN '2024-01-01T00:00:00Z'
+            ELSE '2024-01-01T00:00:01Z' END AS container_time,
+       event_id % 2 = 1 AS is_partial
+FROM lines ORDER BY event_id
+"""
+
+
+@register("container_parser_events", _CONTAINER_ORACLE)
+def q_container_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.parse import container_parser
+
+    ev = _read(spark, sf_dir, "events")
+    body = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(
+            F.lit('{"log":"msg-'), F.col("event_id").cast("string"),
+            F.lit('","stream":"stdout","time":"2024-01-01T00:00:00Z"}'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("2024-01-01T00:00:01Z stderr P msg-"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    lines = ev.select("event_id", body.alias("body"))
+    out = container_parser(lines)
+    return out.select(
+        "event_id", "log", "stream", "container_time", "is_partial"
+    ).orderBy("event_id")
+
+
+@register(
+    "failover_route_events",
+    """
+SELECT event_id, 'secondary' AS failover_route
+FROM events ORDER BY event_id
+""",
+)
+def q_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import failover_route
+
+    ev = _read(spark, sf_dir, "events")
+    # primary unhealthy this run: the connector resolves the first
+    # HEALTHY level in priority order (failoverconnector semantics)
+    col = failover_route(["primary", "secondary", "tertiary"],
+                         healthy={"secondary", "tertiary"})
+    return ev.select("event_id", col).orderBy("event_id")
