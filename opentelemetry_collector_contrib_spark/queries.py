@@ -1838,3 +1838,44 @@ def q_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
     col = failover_route(["primary", "secondary", "tertiary"],
                          healthy={"secondary", "tertiary"})
     return ev.select("event_id", col).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# fileexporter + filelogreceiver round-trip (exporter/fileexporter,
+# receiver/filelogreceiver): export events as zstd JSON-lines with
+# maxRecordsPerFile rotation, re-ingest through the file receiver
+# path, aggregate. Oracle = the same aggregate straight off the
+# table, so the identity checks BOTH the writer and the reader.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "file_exporter_roundtrip_events",
+    """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS value_sum
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.exporters import file_exporter
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type",
+                                               "value")
+    out_dir = tempfile.mkdtemp(prefix="fileexp_")
+    file_exporter(ev, out_dir, fmt="jsonl", compression="gzip",
+                  max_file_rows=2000)
+    back = spark.read.schema(
+        "event_id BIGINT, event_type STRING, value DOUBLE"
+    ).json(out_dir)
+    return (
+        back.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
