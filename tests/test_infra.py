@@ -231,3 +231,27 @@ def test_failover_route(spark):
 
     with pytest.raises(RuntimeError):
         failover_route(["primary"], healthy=set())
+
+
+def test_flagship_plan_shape_regression(spark):
+    """The flagship plan contract at scale: exactly one broadcast join,
+    no sort-merge join, and at most 2 Exchanges (one broadcast, one
+    shuffle for the final low-cardinality aggregate)."""
+    from opentelemetry_collector_contrib_spark.datagen import (
+        generate_web_pages,
+        host_lookup_df,
+    )
+    from opentelemetry_collector_contrib_spark.pipeline import (
+        enrich_stage,
+        parse_stage,
+        sink_counts_one_pass,
+    )
+
+    counts = sink_counts_one_pass(
+        enrich_stage(parse_stage(generate_web_pages(spark, 2000, 4)),
+                     host_lookup_df(spark))
+    )
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 2
