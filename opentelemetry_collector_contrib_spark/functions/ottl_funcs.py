@@ -545,12 +545,30 @@ def limit_map(c, n: int, priority: list[str] | None = None):
     )
 
 
-def replace_pattern(c, pattern: str, replacement: str):
+def replace_pattern(c, pattern: str, replacement: str, function=None):
     """func_replace_pattern.go: regex-replace all occurrences in the
-    value. Go $1 backrefs == Spark $1."""
+    value. Go $1 backrefs == Spark $1.
+
+    Optional ``function`` (the reference's FunctionGetter, e.g. SHA256
+    or a registry name): each matched substring is passed through it
+    and the RESULT substitutes the match -- the hash-the-credit-card
+    idiom. Implemented as a fold over the match array:
+    reduce(matches, text, (acc, m) -> replace(acc, m, fn(m))). Equal
+    match texts map to one value; overlapping matches cascade in match
+    order (documented divergence from Go's position-based rewrite).
+    """
     from ..operators.parse import to_java_regex
 
-    return F.regexp_replace(_col(c), to_java_regex(pattern), replacement)
+    jp = to_java_regex(pattern)
+    if function is None:
+        return F.regexp_replace(_col(c), jp, replacement)
+    fn = REGISTRY[function] if isinstance(function, str) else function
+    matches = F.array_distinct(F.regexp_extract_all(_col(c), F.lit(jp), 0))
+    return F.aggregate(
+        matches,
+        _col(c).cast("string"),
+        lambda acc, m: F.replace(acc, m, fn(m).cast("string")),
+    )
 
 
 def replace_match(c, glob: str, replacement: str):
@@ -1173,23 +1191,34 @@ def replace_all_matches(c, glob: str, replacement: str):
     )
 
 
-def replace_all_patterns(c, mode: str, pattern: str, replacement: str):
+def replace_all_patterns(c, mode: str, pattern: str, replacement: str,
+                         function=None):
     """func_replace_all_patterns.go: regex-replace within every value
-    (mode='value') or every key (mode='key') of a map. Key collisions
-    after a key rewrite error (Spark duplicate-map-key), matching the
-    reference's last-write-wins only under spark.sql.mapKeyDedupPolicy
-    =LAST_WIN."""
+    (mode='value') or every key (mode='key') of a map; optional
+    ``function`` applies to each matched substring like
+    :func:`replace_pattern`. Key collisions after a key rewrite error
+    (Spark duplicate-map-key), matching the reference's last-write-wins
+    only under spark.sql.mapKeyDedupPolicy=LAST_WIN."""
     from ..operators.parse import to_java_regex
 
     jp = to_java_regex(pattern)
+    if function is not None:
+        fn = REGISTRY[function] if isinstance(function, str) else function
+
+        def rewrite(v):
+            matches = F.array_distinct(F.regexp_extract_all(v, F.lit(jp), 0))
+            return F.aggregate(
+                matches, v.cast("string"),
+                lambda acc, m: F.replace(acc, m, fn(m).cast("string")),
+            )
+    else:
+        def rewrite(v):
+            return F.regexp_replace(v, jp, replacement)
+
     if mode == "value":
-        return F.transform_values(
-            _col(c), lambda k, v: F.regexp_replace(v, jp, replacement)
-        )
+        return F.transform_values(_col(c), lambda k, v: rewrite(v))
     if mode == "key":
-        return F.transform_keys(
-            _col(c), lambda k, v: F.regexp_replace(k, jp, replacement)
-        )
+        return F.transform_keys(_col(c), lambda k, v: rewrite(k))
     raise ValueError(f"replace_all_patterns: invalid mode {mode!r}")
 
 

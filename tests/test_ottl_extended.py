@@ -342,3 +342,37 @@ def test_replace_all_patterns_statement(spark):
     )
     got = df.withColumn(cs.target, cs.value).collect()[0]["attributes"]
     assert got == {"a": "x1", "b": "x2"}
+
+
+def test_replace_pattern_with_function(spark):
+    # the hash-the-match idiom (optional FunctionGetter in the
+    # reference's replace editors)
+    df = spark.createDataFrame(
+        [("card=4532015112830366 ok",), ("no digits",)], "s STRING"
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            FN.replace_pattern(F.col("s"), r"\d{16}", "", function="SHA256")
+        ).collect()
+    ]
+    import hashlib
+
+    digest = hashlib.sha256(b"4532015112830366").hexdigest()
+    assert out[0] == f"card={digest} ok"
+    assert out[1] == "no digits"
+
+
+def test_replace_all_patterns_with_function(spark):
+    df = spark.createDataFrame(
+        [({"a": "id 123", "b": "clean"},)], "m MAP<STRING,STRING>"
+    )
+    got = df.select(
+        FN.replace_all_patterns(
+            F.col("m"), "value", r"\d+", "", function="MD5"
+        ).alias("m")
+    ).collect()[0]["m"]
+    import hashlib
+
+    assert got["a"] == "id " + hashlib.md5(b"123").hexdigest()
+    assert got["b"] == "clean"
