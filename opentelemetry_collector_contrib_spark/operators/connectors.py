@@ -726,3 +726,59 @@ def limit_dimension_cardinality(
             F.lit(overflow_value)
         ),
     )
+
+
+def cumulative_temporality(
+    metrics: DataFrame,
+    dims: list[str],
+    window_col: str = "window_start",
+    scalar_cols: tuple[str, ...] = ("calls", "sum"),
+    bucket_col: str | None = "bucket_counts",
+) -> DataFrame:
+    """Convert span_metrics' per-window (DELTA) output to CUMULATIVE
+    temporality (spanmetricsconnector config temporality:
+    connector.go delta/cumulative switch): running totals across
+    windows per series.
+
+    Scalars are window running-sums; the bucket-count ARRAY is
+    cumulated element-wise via posexplode -> per-(series, bucket)
+    running sum -> re-collect ordered by position. Everything runs on
+    the already-aggregated metric relation (rows = series x windows --
+    tiny next to the fact table), so the extra shuffles are noise.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*dims)
+        .orderBy(window_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = metrics
+    for c in scalar_cols:
+        out = out.withColumn(c, F.sum(c).over(w))
+    if bucket_col is not None:
+        key_cols = [*dims, window_col]
+        exploded = metrics.select(
+            *key_cols, F.posexplode(bucket_col).alias("_pos", "_cnt")
+        )
+        wb = (
+            Window.partitionBy(*dims, "_pos")
+            .orderBy(window_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = (
+            exploded.withColumn("_cum", F.sum("_cnt").over(wb))
+            .groupBy(*key_cols)
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_cum")))
+                    ),
+                    lambda e: e["_cum"],
+                ).alias("_cum_buckets")
+            )
+        )
+        out = out.drop(bucket_col).join(cum, key_cols).withColumnRenamed(
+            "_cum_buckets", bucket_col
+        )
+    return out

@@ -1879,3 +1879,54 @@ def q_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# spanmetrics cumulative temporality (connector.go delta/cumulative
+# switch): running totals across windows per series, incl. element-
+# wise cumulative bucket arrays
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spanmetrics_cumulative_events",
+    """
+WITH m AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+         COUNT(*) AS calls, ROUND(SUM(value), 4) AS val_sum,
+         COUNT(*) FILTER (value <= 100) AS b0,
+         COUNT(*) FILTER (value > 100 AND value <= 300) AS b1,
+         COUNT(*) FILTER (value > 300) AS b2
+  FROM events GROUP BY 1, 2)
+SELECT CAST(FLOOR(epoch(w)) AS BIGINT) AS window_epoch, event_type,
+       SUM(calls) OVER win AS calls,
+       ROUND(SUM(val_sum) OVER win, 4) AS val_sum,
+       SUM(b0) OVER win AS cum_b0,
+       SUM(b1) OVER win AS cum_b1,
+       SUM(b2) OVER win AS cum_b2
+FROM m
+WINDOW win AS (PARTITION BY event_type ORDER BY w
+               ROWS UNBOUNDED PRECEDING)
+ORDER BY event_type, window_epoch
+""",
+)
+def q_spanmetrics_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.connectors import cumulative_temporality, span_metrics
+
+    ev = _read(spark, sf_dir, "events")
+    delta = span_metrics(
+        ev, dims=["event_type"], value_col="value", ts_col="ts",
+        window_duration="1 hour", bounds=[100.0, 300.0],
+    ).withColumn("sum", F.round("sum", 4))  # same rounding ORDER as the
+    # oracle (per-window round, then cumulate) -- keeps the driver's
+    # value-hash comparison exact, not tolerance-dependent
+    cum = cumulative_temporality(delta, ["event_type"])
+    return cum.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "calls",
+        F.round("sum", 4).alias("val_sum"),
+        F.element_at("bucket_counts", 1).alias("cum_b0"),
+        F.element_at("bucket_counts", 2).alias("cum_b1"),
+        F.element_at("bucket_counts", 3).alias("cum_b2"),
+    ).orderBy("event_type", "window_epoch")
