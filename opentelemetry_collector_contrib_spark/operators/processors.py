@@ -191,14 +191,19 @@ def interval_processor(
     value_col: str,
     interval: str = "60 seconds",
     order_col: str | None = None,
+    passthrough=None,
 ) -> DataFrame:
     """Last-value aggregation: ``max_by(value, order)`` per
     (window, stream). ``order_col`` defaults to the timestamp; pass a
-    unique id for deterministic tie-breaks."""
+    unique id for deterministic tie-breaks. Rows matching
+    ``passthrough`` (processor.go passthrough option for gauges/
+    summaries) are EXCLUDED here -- emit them unmodified via
+    :func:`interval_passthrough`."""
     order = order_col or ts_col
     win = F.window(F.col(ts_col), interval)
+    src = df if passthrough is None else df.filter(~F.coalesce(passthrough, F.lit(False)))
     return (
-        df.groupBy(win.alias("window"), *stream_cols)
+        src.groupBy(win.alias("window"), *stream_cols)
         .agg(
             F.max_by(F.col(value_col), F.col(order)).alias("last_value"),
             F.max(ts_col).alias("ts"),
@@ -206,6 +211,13 @@ def interval_processor(
         .select(F.col("window.start").alias("window_start"), *stream_cols,
                 "last_value", "ts")
     )
+
+
+def interval_passthrough(df: DataFrame, passthrough) -> DataFrame:
+    """The rows the interval processor passes through UNAGGREGATED
+    (processor.go passthrough option: gauges/summaries configured to
+    skip interval aggregation keep their original shape/stream)."""
+    return df.filter(F.coalesce(passthrough, F.lit(False)))
 
 
 # ---------------------------------------------------------------------------
@@ -745,6 +757,7 @@ def probabilistic_sampler_consistent(
     mode: str = "equalizing",
     incoming_threshold_col: str | None = None,
     priority_col: str | None = None,
+    fail_closed: bool = False,
 ) -> DataFrame:
     """equalizing / proportional modes.
 
@@ -782,6 +795,12 @@ def probabilistic_sampler_consistent(
         keep = rv.cast("double") >= t_final_d
     else:
         raise ValueError(f"unknown consistent mode {mode!r}")
+    # FailClosed (config.go:70-77): rows whose randomness cannot be
+    # derived (malformed trace id -> NULL R-value) are sampled when
+    # failing open (default) and dropped when failing closed; the
+    # sampling.priority override is applied AFTER FailClosed
+    # (config.go: "priority-based decisions are made after FailClosed")
+    keep = F.coalesce(keep, F.lit(not fail_closed))
     if priority_col is not None:
         pr = F.col(priority_col)
         keep = F.when(pr.isNotNull() & (pr == 0), F.lit(False)).when(

@@ -262,3 +262,39 @@ def test_spanmetrics_exemplars_and_cardinality(spark):
         window_duration="1 hour", exemplar_col="trace_id",
     ).collect()[0]
     assert m["exemplar_max"] == "tr2" and m["exemplar_min"] == "tr1"
+
+
+def test_fail_open_vs_closed(spark):
+    df = spark.createDataFrame(
+        [("not-a-trace-id",), ("000000000000000000ffffffffffffff",)],
+        "trace_id STRING",
+    )
+    open_kept = probabilistic_sampler_consistent(
+        df, "trace_id", 50.0, mode="equalizing"
+    ).count()
+    closed_kept = probabilistic_sampler_consistent(
+        df, "trace_id", 50.0, mode="equalizing", fail_closed=True
+    ).count()
+    # malformed id -> NULL randomness: kept when open, dropped when closed
+    assert open_kept == 2 and closed_kept == 1
+
+
+def test_interval_passthrough(spark):
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        interval_passthrough,
+        interval_processor,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "2024-01-01 00:00:01", 1.0, "sum"),
+         ("s1", "2024-01-01 00:00:02", 2.0, "sum"),
+         ("s2", "2024-01-01 00:00:03", 9.0, "gauge")],
+        "stream STRING, ts STRING, v DOUBLE, kind STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    is_gauge = F.col("kind") == "gauge"
+    agg = interval_processor(df, ["stream"], "ts", "v",
+                             interval="60 seconds", passthrough=is_gauge)
+    through = interval_passthrough(df, is_gauge)
+    assert {r["stream"] for r in agg.collect()} == {"s1"}
+    assert agg.collect()[0]["last_value"] == 2.0
+    assert through.count() == 1 and through.collect()[0]["v"] == 9.0
