@@ -50,11 +50,9 @@ def job():
     enriched = enrich_stage(parse_stage(web), host_lookup_df(spark))
     return sink_counts_one_pass(enriched).count()
 job()  # warm-up
-secs = []
-for _ in range(2):
-    t0 = time.perf_counter(); job(); secs.append(time.perf_counter() - t0)
+t0 = time.perf_counter(); job(); sec = time.perf_counter() - t0
 spark.stop()
-print(json.dumps({"cpus": cpus, "sec": min(secs)}))
+print(json.dumps({"cpus": cpus, "sec": sec}))
 """
 
 
@@ -81,6 +79,13 @@ def main() -> None:
     small_cpus = max(cpus // 4, 2)
     spark = get_spark(app_name="bench", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    bench_start = time.perf_counter()
+    # soft deadlines: on a contended shared box any single measurement
+    # can stall; degrade to fewer repetitions rather than overrun the
+    # driver's budget
+    scaling_deadline = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", "240"))
+    total_deadline = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
 
     timings: dict[str, float] = {}
 
@@ -131,6 +136,9 @@ def main() -> None:
         results: dict[int, dict] = {}
         for _round in range(2):
             for c in sizes:
+                if (results and len(results) == len(sizes)
+                        and time.perf_counter() - bench_start > scaling_deadline):
+                    break  # keep round-1 results; don't overrun
                 r = run_at(c, max(n_docs * 8 * c // cpus, n_docs))
                 if c not in results or r["sec"] < results[c]["sec"]:
                     results[c] = r
@@ -175,8 +183,18 @@ def main() -> None:
             DD.release_caches()
             return time.perf_counter() - t0
 
-        run_once()  # warm-up
-        timings[name] = round(min(run_once(), run_once()), 3)
+        warm = run_once()  # warm-up
+        if time.perf_counter() - bench_start > total_deadline:
+            timings[name] = round(warm, 3)  # budget spent: warm run IS the timing
+            continue
+        if warm > 15.0:
+            # very expensive query: the warm-up run IS the timing --
+            # one execution total keeps the bench in the driver budget
+            timings[name] = round(warm, 3)
+        elif warm > 5.0:
+            timings[name] = round(run_once(), 3)
+        else:
+            timings[name] = round(min(run_once(), run_once()), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
