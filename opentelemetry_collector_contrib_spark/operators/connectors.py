@@ -303,6 +303,7 @@ def service_graph(
     parent_span_id: str = "parent_span_id",
     service: str = "service",
     latency: str | None = None,
+    latency_bounds: list[float] | None = None,
 ) -> DataFrame:
     # parent span calls child: edge client = parent's service,
     # server = child's service (connector.go pairs CLIENT/SERVER kinds).
@@ -324,12 +325,24 @@ def service_graph(
     if latency:
         aggs += [F.sum("lat").alias("latency_sum"),
                  F.max("lat").alias("latency_max")]
-    return (
-        edges.groupBy(
-            F.col("parent_service").alias("client"),
-            F.col("child_service").alias("server"),
-        ).agg(*aggs)
-    )
+        if latency_bounds:
+            # per-edge latency histogram (the reference's edge metrics
+            # carry bucketed latency, connector.go histogram path) --
+            # indicator sums inside the same single aggregate
+            b = explicit_bucket_index(F.col("lat").cast("double"),
+                                      latency_bounds)
+            for i in range(len(latency_bounds) + 1):
+                aggs.append(F.sum((b == i).cast("long")).alias(f"__lb{i}"))
+    out = edges.groupBy(
+        F.col("parent_service").alias("client"),
+        F.col("child_service").alias("server"),
+    ).agg(*aggs)
+    if latency and latency_bounds:
+        cols = [F.col(f"__lb{i}") for i in range(len(latency_bounds) + 1)]
+        out = out.withColumn("latency_bucket_counts", F.array(*cols)).drop(
+            *[f"__lb{i}" for i in range(len(latency_bounds) + 1)]
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

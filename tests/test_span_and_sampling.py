@@ -298,3 +298,26 @@ def test_interval_passthrough(spark):
     assert {r["stream"] for r in agg.collect()} == {"s1"}
     assert agg.collect()[0]["last_value"] == 2.0
     assert through.count() == 1 and through.collect()[0]["v"] == 9.0
+
+
+def test_service_graph_latency_histogram(spark):
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        service_graph,
+    )
+
+    spans = spark.createDataFrame(
+        [("t1", "a", None, "frontend", 0.0),
+         ("t1", "b", "a", "backend", 0.05),
+         ("t1", "c", "a", "backend", 0.5),
+         ("t2", "d", None, "frontend", 0.0),
+         ("t2", "e", "d", "backend", 2.0)],
+        "trace_id STRING, span_id STRING, parent_span_id STRING, "
+        "service STRING, latency DOUBLE",
+    )
+    out = service_graph(
+        spans, latency="latency", latency_bounds=[0.1, 1.0]
+    ).collect()
+    edge = {(r["client"], r["server"]): r for r in out}[("frontend", "backend")]
+    assert edge["request_count"] == 3
+    assert edge["latency_bucket_counts"] == [1, 1, 1]  # 0.05 | 0.5 | 2.0
+    assert edge["latency_max"] == 2.0
