@@ -946,3 +946,46 @@ def anomaly_mad(
         .withColumn("is_anomaly", F.abs(z) > F.lit(threshold))
         .drop("_med", "_mad")
     )
+
+
+# ---------------------------------------------------------------------------
+# schemaprocessor version translation (processor/schemaprocessor: the
+# published-schema-file model -- each version carries attribute rename
+# maps; translating from version A to B applies the renames of every
+# version in (A, B] in order, or their inverses walking down).
+# ---------------------------------------------------------------------------
+
+
+def schema_translate(
+    df: DataFrame,
+    from_version: str,
+    to_version: str,
+    versions: dict[str, dict[str, str]],
+) -> DataFrame:
+    """Apply semconv renames between two schema versions.
+
+    ``versions`` maps version -> {old_name: new_name} (the changes
+    INTRODUCED by that version). Upgrading applies each intermediate
+    version's renames oldest-first; downgrading applies the inverted
+    maps newest-first -- the reference's bidirectional translation.
+    Version order is the lexicographic sort of the semver strings'
+    numeric fields.
+    """
+    def key(v: str) -> tuple[int, ...]:
+        return tuple(int(x) for x in v.split("."))
+
+    ordered = sorted(versions, key=key)
+    up = key(from_version) < key(to_version)
+    if up:
+        chain = [v for v in ordered
+                 if key(from_version) < key(v) <= key(to_version)]
+    else:
+        chain = [v for v in reversed(ordered)
+                 if key(to_version) < key(v) <= key(from_version)]
+    out = df
+    for v in chain:
+        renames = versions[v]
+        if not up:
+            renames = {new: old for old, new in renames.items()}
+        out = schema_processor(out, renames)
+    return out

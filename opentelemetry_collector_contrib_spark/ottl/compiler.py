@@ -126,6 +126,37 @@ CONVERTER_TAGS: dict[str, str | None] = {
 _TYPE_PREDICATES = {"IsString", "IsInt", "IsDouble", "IsBool", "IsList",
                     "IsMap"}
 
+# Context path prefixes (grammar.go path: optional lowercase context +
+# dotted fields; pkg/ottl/contexts/ottllog/log.go:112-119) -> the flat
+# model's column names. "attributes" with no context stays itself.
+PATH_ALIASES: dict[str, str] = {
+    "resource.attributes": "resource_attributes",
+    "resource.dropped_attributes_count": "resource_dropped_attributes_count",
+    "scope.name": "scope_name",
+    "scope.version": "scope_version",
+    "scope.attributes": "scope_attributes",
+    "instrumentation_scope.name": "scope_name",
+    "log.body": "body",
+    "log.attributes": "attributes",
+    "log.severity_number": "severity_number",
+    "log.severity_text": "severity_text",
+    "log.time": "event_ts",
+    "log.observed_time": "observed_ts",
+    "span.name": "span_name",
+    "span.trace_id": "trace_id",
+    "span.span_id": "span_id",
+    "span.parent_span_id": "parent_span_id",
+    "span.kind": "span_kind",
+    "span.status.code": "status_code",
+    "span.status.message": "status_message",
+}
+
+
+def resolve_path(name: str) -> str:
+    """OTTL dotted context path -> flat column name (identity for
+    plain/promoted columns)."""
+    return PATH_ALIASES.get(name, name)
+
 _NUMERIC = {"int", "double"}
 
 
@@ -487,6 +518,7 @@ class _Parser:
     def finish_path(self, name: str) -> tuple[Column, str | None]:
         # Promoted flat column wins (context inference analog: extracted
         # fields are typed columns; residual attrs live in map columns).
+        name = resolve_path(name)
         col = F.col(name)
         simple = self.dtypes.get(name)
         tag = _dtype_tag(simple) if simple else None
@@ -647,7 +679,7 @@ def _read_target_path(p: _Parser) -> tuple[str, str | None]:
     string key suffix (``attributes["k"]``). Deeper nesting is not
     supported in the flat model (promote the field to a column
     instead)."""
-    name = p.expect("ident").text
+    name = resolve_path(p.expect("ident").text)
     key: str | None = None
     if p.accept("op", "["):
         t = p.next()

@@ -376,3 +376,25 @@ def test_replace_all_patterns_with_function(spark):
 
     assert got["a"] == "id " + hashlib.md5(b"123").hexdigest()
     assert got["b"] == "clean"
+
+
+def test_context_path_aliases(spark):
+    # resource./scope./log. context prefixes resolve to flat columns
+    df = spark.createDataFrame(
+        [({"svc": "api"}, "sc1", "hello", 17)],
+        "resource_attributes MAP<STRING,STRING>, scope_name STRING, "
+        "body STRING, severity_number INT",
+    )
+    out = OTTLCompiler([
+        'set(svc, resource.attributes["svc"])',
+        "set(scope_copy, scope.name)",
+        "set(body_up, ToUpperCase(log.body))",
+        "set(is_err, log.severity_number >= SEVERITY_NUMBER_ERROR)",
+        'set(resource.attributes["env"], "prod")',
+    ]).apply(df)
+    r = out.collect()[0]
+    assert r["svc"] == "api"
+    assert r["scope_copy"] == "sc1"
+    assert r["body_up"] == "HELLO"
+    assert r["is_err"] is True
+    assert r["resource_attributes"]["env"] == "prod"

@@ -321,3 +321,24 @@ def test_service_graph_latency_histogram(spark):
     assert edge["request_count"] == 3
     assert edge["latency_bucket_counts"] == [1, 1, 1]  # 0.05 | 0.5 | 2.0
     assert edge["latency_max"] == 2.0
+
+
+def test_schema_translate_up_and_down(spark):
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        schema_translate,
+    )
+
+    versions = {
+        "1.1.0": {"http_method": "http_request_method"},
+        "1.2.0": {"http_request_method": "http_req_method",
+                  "net_peer": "server_address"},
+    }
+    df = spark.createDataFrame([("GET", "h1")],
+                               "http_method STRING, net_peer STRING")
+    up = schema_translate(df, "1.0.0", "1.2.0", versions)
+    assert set(up.columns) == {"http_req_method", "server_address"}
+    down = schema_translate(up, "1.2.0", "1.0.0", versions)
+    assert set(down.columns) == {"http_method", "net_peer"}
+    # partial upgrade stops at the target version
+    mid = schema_translate(df, "1.0.0", "1.1.0", versions)
+    assert set(mid.columns) == {"http_request_method", "net_peer"}
