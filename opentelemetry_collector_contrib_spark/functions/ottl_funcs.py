@@ -164,8 +164,13 @@ def ParseCSV(c, schema: str, sep: str = ","):  # func_parse_csv.go
     return F.from_csv(_col(c), schema, {"sep": sep})
 
 
-def ParseKeyValue(c, pair_sep: str = " ", kv_sep: str = "="):
-    return F.str_to_map(_col(c), F.lit(pair_sep), F.lit(kv_sep))
+def ParseKeyValue(c, delimiter: str = "=", pair_delimiter: str = " "):
+    """func_parse_key_value.go argument ORDER: (target, delimiter,
+    pair_delimiter) -- the k/v delimiter comes FIRST
+    (e2e_test.go:1002: ParseKeyValue("k1!v1_k2!v2", "!", "_")).
+    Quote-aware pair splitting (parseutils) is not implemented --
+    str_to_map splits naively; documented divergence."""
+    return F.str_to_map(_col(c), F.lit(pair_delimiter), F.lit(delimiter))
 
 
 def ParseInt(c, base: int = 10):
@@ -468,15 +473,19 @@ def SliceToMap(keys, values):  # func_slice_to_map.go
     return F.map_from_arrays(_col(keys), _col(values))
 
 
-def ToKeyValueString(c, pair_sep: str = " ", kv_sep: str = "="):
-    """func_to_key_value_string.go: map -> 'k=v k2=v2' (key-sorted for
-    determinism; the reference preserves map order which Go randomizes
-    -- sorting is the deterministic upgrade)."""
+def ToKeyValueString(c, delimiter: str = "=", pair_delimiter: str = " ",
+                     sort_output: bool = True):
+    """func_to_key_value_string.go argument ORDER: (target, delimiter,
+    pair_delimiter, sort_output) -- e2e_test.go:1018. Output is always
+    key-sorted here (sort_output=False would reproduce Go's randomized
+    map order, which a deterministic engine cannot and should not)."""
+    del sort_output
     entries = F.transform(
         F.array_sort(F.map_entries(_col(c))),
-        lambda e: F.concat(e.getField("key"), F.lit(kv_sep), e.getField("value")),
+        lambda e: F.concat(e.getField("key"), F.lit(delimiter),
+                           e.getField("value")),
     )
-    return F.array_join(entries, pair_sep)
+    return F.array_join(entries, pair_delimiter)
 
 
 # map editors (the lowercase editor functions operating on map columns)

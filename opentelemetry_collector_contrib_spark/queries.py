@@ -1320,17 +1320,17 @@ def q_ottl_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
             'set(sev, ParseSeverity(code, {"error": ["5xx"], '
             '"warn": ["4xx"], "info": [{"range": {"min": 200, "max": 299}}]}))',
             'set(grok_kv, ToKeyValueString(ExtractGrokPatterns(text, '
-            '"%{WORD:firstword}"), " ", "="))',
+            '"%{WORD:firstword}"), "=", " "))',
             "set(pid_hex, Hex(ProfileID(MD5(text))))",
             "set(is_root, IsRootSpan(parent))",
             "set(ratio, doc_id / mod7)",  # OTTL has no %: mod7 precomputed
             "set(magic, Hex(0x00FF))",
             "set(is_err_sev, sevnum >= SEVERITY_NUMBER_ERROR)",
-            'set(mtags, ToKeyValueString({"a": lang, "b": source}, " ", "="))',
-            'set(attrs, ParseKeyValue(kv, " ", "="))',
+            'set(mtags, ToKeyValueString({"a": lang, "b": source}, "=", " "))',
+            'set(attrs, ParseKeyValue(kv, "=", " "))',
             'set(attrs, replace_all_patterns(attrs, "value", "\\d+", "N")) '
             'where IsMap(attrs)',
-            'set(kv_masked, ToKeyValueString(attrs, " ", "="))',
+            'set(kv_masked, ToKeyValueString(attrs, "=", " "))',
         ],
         error_mode="ignore",  # doc_id % 7 == 0 -> div-by-zero -> nil ratio
     )

@@ -198,3 +198,17 @@ def test_decode_base64_variants(record):
         ['set(out, Decode("cGFzcw==", attributes["encoding"]))']
     ).apply(rec)
     assert out.collect()[0]["out"] == "pass"
+
+
+def test_parse_key_value_argument_order(spark):
+    # e2e_test.go:1002: ParseKeyValue(target, DELIMITER, PAIR_DELIMITER)
+    df = spark.createDataFrame([("k1!v1_k2!v2",)], "s STRING")
+    out = OTTLCompiler(
+        ['set(m, ParseKeyValue(s, "!", "_"))']
+    ).apply(df).collect()[0]["m"]
+    assert out == {"k1": "v1", "k2": "v2"}
+    # e2e_test.go:1018 roundtrip with the (delimiter, pair) order
+    out2 = OTTLCompiler(
+        ['set(r, ToKeyValueString(ParseKeyValue(s, "!", "_"), ":", ",", true))']
+    ).apply(df).collect()[0]["r"]
+    assert out2 == "k1:v1,k2:v2"
