@@ -105,7 +105,12 @@ def Concat(first, *rest):
     return F.concat_ws(sep, *cols)
 
 
-def Format(fmt: str, *args):  # func_format.go (printf)
+def Format(fmt: str, *args):
+    """func_format.go (printf). The reference passes the values as a
+    LIST (e2e_test.go:775: Format("%03d-%s", [7, "test"])); varargs
+    also accepted."""
+    if len(args) == 1 and isinstance(args[0], (list, tuple)):
+        args = tuple(args[0])
     return F.format_string(fmt, *[_col(a) for a in args])
 
 
@@ -160,8 +165,26 @@ def ParseJSON(c, schema: str = "map<string,string>"):  # func_parse_json.go
     return F.from_json(_col(c), schema)
 
 
-def ParseCSV(c, schema: str, sep: str = ","):  # func_parse_csv.go
-    return F.from_csv(_col(c), schema, {"sep": sep})
+def ParseCSV(c, header, delimiter: str = ",",
+             header_delimiter: str = ",", mode: str = "strict"):
+    """func_parse_csv.go: (target, header, delimiter, headerDelimiter,
+    mode) -> map of header name -> field (e2e_test.go:961). ``header``
+    may be a literal string of names or a Spark DDL schema string --
+    the DDL form routes to from_csv (the typed, schema-first variant
+    this engine prefers); the plain-names form returns
+    map<string,string>. strict mode nulls rows whose field count
+    differs from the header count (the reference errors per record)."""
+    import re as _re
+
+    if _re.search(r"\s(STRING|INT|BIGINT|DOUBLE|LONG|BOOLEAN|TIMESTAMP)",
+                  str(header), _re.I):
+        return F.from_csv(_col(c), header, {"sep": delimiter})
+    keys = F.split(F.lit(header), _re.escape(header_delimiter))
+    vals = F.split(_col(c), _re.escape(delimiter))
+    m = F.map_from_arrays(keys, vals)
+    if mode == "strict":
+        return F.when(F.size(keys) == F.size(vals), m)
+    return m
 
 
 def ParseKeyValue(c, delimiter: str = "=", pair_delimiter: str = " "):
@@ -1171,13 +1194,17 @@ def ParseSeverity(c, mapping: dict):
     return expr
 
 
-def ExtractGrokPatterns(c, pattern: str):
+def ExtractGrokPatterns(c, pattern: str, named_captures_only: bool = True):
     """func_extract_grok_patterns.go:39-80 -- single grok pattern ->
     map<string,string> of named captures, entirely JVM-side (the grok
     reference expansion happens at plan time; the battery form for
-    multi-pattern first-match-wins lives in operators/parse.py)."""
+    multi-pattern first-match-wins lives in operators/parse.py).
+    ``named_captures_only`` is accepted for signature parity; this
+    implementation only ever extracts named groups, which IS the
+    true-flag behavior."""
     from ..operators.parse import grok_to_regex
 
+    del named_captures_only
     return ExtractPatterns(c, grok_to_regex(pattern))
 
 

@@ -212,3 +212,36 @@ def test_parse_key_value_argument_order(spark):
         ['set(r, ToKeyValueString(ParseKeyValue(s, "!", "_"), ":", ",", true))']
     ).apply(df).collect()[0]["r"]
     assert out2 == "k1:v1,k2:v2"
+
+
+def test_parse_csv_reference_signature(spark):
+    # e2e_test.go:961: custom delimiters + header names -> map
+    df = spark.createDataFrame([("val1;val2;val3",), ("short;row",)],
+                               "s STRING")
+    out = [
+        r["m"]
+        for r in OTTLCompiler(
+            ['set(m, ParseCSV(s, "header1|header2|header3", ";", "|", '
+             '"strict"))']
+        ).apply(df).collect()
+    ]
+    assert out[0] == {"header1": "val1", "header2": "val2",
+                      "header3": "val3"}
+    assert out[1] is None  # strict: field count mismatch
+
+
+def test_format_list_form(spark):
+    # e2e_test.go:775
+    df = spark.createDataFrame([(7,)], "n INT")
+    out = OTTLCompiler(
+        ['set(r, Format("%03d-%s", [n, "test"]))']
+    ).apply(df).collect()[0]["r"]
+    assert out == "007-test"
+
+
+def test_extract_grok_named_captures_flag(spark):
+    df = spark.createDataFrame([("ip=1.2.3.4",)], "s STRING")
+    out = OTTLCompiler(
+        ['set(m, ExtractGrokPatterns(s, "ip=%{IP:ip}", true))']
+    ).apply(df).collect()[0]["m"]
+    assert out == {"ip": "1.2.3.4"}
