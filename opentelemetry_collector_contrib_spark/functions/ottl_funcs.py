@@ -122,8 +122,14 @@ def HasSuffix(c, suffix: str):
     return _col(c).endswith(suffix)
 
 
-def Len(c):  # func_len.go: string length or collection size
+def Len(c, dtype: str | None = None):
+    """func_len.go: character count for strings, ENTRY count for
+    maps/lists (e2e_test.go:889 Len(attributes["foo"]) counts map
+    keys). The OTTL compiler threads the operand's type tag; direct
+    callers can pass dtype='list'/'map' for collections."""
     cc = _col(c)
+    if dtype in ("list", "map", "array", "struct"):
+        return F.size(cc)
     return F.length(cc)
 
 

@@ -336,12 +336,24 @@ class _Parser:
             if t.kind == "op" and t.text in ("+", "-"):
                 self.next()
                 right, rtag = self.parse_mterm()
-                if self.lenient:
+                if t.text == "-" and tag == "timestamp" and rtag == "timestamp":
+                    # OTTL time math: Time - Time = Duration
+                    # (math.go duration arithmetic; e2e_test.go:725).
+                    # Durations are seconds-as-double in this engine
+                    # (functions/ottl_funcs.Duration), so the
+                    # difference lands in the same unit.
+                    left = (
+                        F.unix_micros(left.cast("timestamp"))
+                        - F.unix_micros(right.cast("timestamp"))
+                    ).cast("double") / F.lit(1_000_000.0)
+                    tag = "double"
+                elif self.lenient:
                     left = (F.try_add(left, right) if t.text == "+"
                             else F.try_subtract(left, right))
+                    tag = self._math_tag(tag, rtag)
                 else:
                     left = left + right if t.text == "+" else left - right
-                tag = self._math_tag(tag, rtag)
+                    tag = self._math_tag(tag, rtag)
             else:
                 return left, tag
 
@@ -440,6 +452,10 @@ class _Parser:
                 # thread the operand's static type tag (see
                 # functions/ottl_funcs.py Is* docstring)
                 return fn(args[0], dtype=tags[0] or "unknown"), "bool"
+            if name == "Len":
+                # func_len.go counts collection ENTRIES for maps/lists
+                # and characters for strings -- dispatch on the tag
+                return fn(args[0], dtype=tags[0]), "int"
             return fn(*args), CONVERTER_TAGS.get(name)
         if _ENUM_RE.match(name) and name in ENUMS:
             # enum symbol (grammar.go:314-333 Enum production)

@@ -245,3 +245,34 @@ def test_extract_grok_named_captures_flag(spark):
         ['set(m, ExtractGrokPatterns(s, "ip=%{IP:ip}", true))']
     ).apply(df).collect()[0]["m"]
     assert out == {"ip": "1.2.3.4"}
+
+
+def test_time_subtraction_vs_duration(spark):
+    # e2e_test.go:725: Time(...) - Time(...) < Duration("10m")
+    df = spark.createDataFrame([(1,)], "x INT")
+    out = OTTLCompiler([
+        'set(r, "pass") where '
+        'Time("2023-01-01 00:10:00", "%Y-%m-%d %H:%M:%S") '
+        '- Time("2023-01-01 00:01:00", "%Y-%m-%d %H:%M:%S") '
+        '< Duration("10m")'
+    ]).apply(df).collect()[0]["r"]
+    assert out == "pass"
+    out2 = OTTLCompiler([
+        'set(r, "pass") where '
+        'Time("2023-01-01 01:00:00", "%Y-%m-%d %H:%M:%S") '
+        '- Time("2023-01-01 00:01:00", "%Y-%m-%d %H:%M:%S") '
+        '< Duration("10m")'
+    ]).apply(df).collect()[0]["r"]
+    assert out2 is None
+
+
+def test_len_counts_collection_entries(spark):
+    # e2e_test.go:889: Len over a map counts entries
+    df = spark.createDataFrame(
+        [({"a": "1", "b": "2"}, ["x", "y", "z"], "hello")],
+        "m MAP<STRING,STRING>, arr ARRAY<STRING>, s STRING",
+    )
+    out = OTTLCompiler([
+        "set(lm, Len(m))", "set(la, Len(arr))", "set(ls, Len(s))"
+    ]).apply(df).collect()[0]
+    assert (out["lm"], out["la"], out["ls"]) == (2, 3, 5)
