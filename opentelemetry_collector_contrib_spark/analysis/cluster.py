@@ -1,0 +1,188 @@
+"""Duplicate clustering: connected components over near-dup pair
+edges, and cluster-representative selection.
+
+Pair generators (minhash_lsh_pairs, ngram_jaccard_prefix_pairs,
+simhash_pairs, cosine_near_dup_pairs_banded) emit EDGES; curation
+needs PARTITIONS — "these 17 pages are one document, keep one". That
+is connected components on the pair graph: transitive closure, so a
+chain a~b~c collapses even when jaccard(a, c) < threshold (the
+standard semantics of MinHash dedup in web-corpus pipelines; cf. the
+duplicate-cluster stage described in Lee et al., "Deduplicating
+Training Data Makes Language Models Better", arXiv:2107.06499 §4.1).
+
+Algorithm: iterative MIN-LABEL PROPAGATION with POINTER JUMPING.
+Each round every node takes the min label over {itself} ∪ neighbors
+(one shuffle on node id), then short-circuits label chains by reading
+its current label's label (a second self-join — Hash-to-Min style
+doubling, Rastogi et al. ICDE'13). Plain propagation needs
+O(diameter) rounds; the jumping step makes label depth collapse
+geometrically, so rounds ~ O(log d). Near-dup components have tiny
+diameters (dozens at most even for viral boilerplate), so this
+terminates in a handful of rounds.
+
+Scale shape per round: two shuffles keyed on LONG node ids (never
+text), both map-side combinable aggregates / equi-joins; the label
+relation is 2 longs per node. Lineage is truncated every round with
+``localCheckpoint`` (eager) — without it the plan doubles per
+iteration and the driver OOMs planning round 20. Convergence is
+detected by the monotone invariant sum(label): labels only ever
+decrease, so an unchanged sum IS the fixpoint — one lightweight agg
+action per round instead of a change-count join.
+
+Reference role parity: the collector has no graph operator; this is
+part of the training-data-curation extension (north rule). The
+e2e semantics (edges -> transitive closure -> min-id representative)
+are oracle-checked against a DuckDB recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, label) with label = min node id reachable from node.
+
+    ``edges`` is an undirected edge list (each pair once, either
+    orientation). Only nodes that appear in an edge are returned —
+    callers union in singletons (label = own id) if they need total
+    assignments, keeping the iteration's working set to the nodes
+    that can actually change.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("node"), F.col(dst).cast("long").alias("nbr")
+    ).union(
+        edges.select(
+            F.col(dst).cast("long").alias("node"), F.col(src).cast("long").alias("nbr")
+        )
+    )
+    # adjacency is reused every round: materialize once, lineage-free
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.groupBy("node")
+        .agg(F.least(F.min("nbr"), F.first("node")).alias("label"))
+        .withColumn("label", F.least(F.col("label"), F.col("node")))
+    ).localCheckpoint(eager=True)
+
+    prev_sum = None
+    for _ in range(max_iter):
+        # Dataset aliases + qualified names throughout: labels derives
+        # from sym and parent from stepped, so every join below is a
+        # self-join by exprId — unqualified columns trip Spark's
+        # failAmbiguousSelfJoin check even across localCheckpoint.
+        # 1) neighbor-min: label(v) <- min(label(v), min label(u), u~v)
+        nbr_min = (
+            sym.alias("s")
+            .join(labels.alias("l"), F.col("s.nbr") == F.col("l.node"))
+            .groupBy(F.col("s.node").alias("n"))
+            .agg(F.min(F.col("l.label")).alias("nbr_label"))
+        )
+        stepped = (
+            labels.alias("lb")
+            .join(nbr_min.alias("m"), F.col("lb.node") == F.col("m.n"), "left")
+            .select(
+                F.col("lb.node").alias("node"),
+                F.least(
+                    F.col("lb.label"),
+                    F.coalesce(F.col("m.nbr_label"), F.col("lb.label")),
+                ).alias("label"),
+            )
+        )
+        # 2) pointer jumping: label(v) <- label(label(v)) (labels are
+        # node ids, so the parent's label exists whenever the parent
+        # is a non-root; roots resolve to themselves via the left join)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.alias("st")
+            .join(parent.alias("pa"), F.col("st.label") == F.col("pa.p_node"), "left")
+            .select(
+                F.col("st.node").alias("node"),
+                F.least(
+                    F.col("st.label"),
+                    F.coalesce(F.col("pa.p_label"), F.col("st.label")),
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        cur = jumped.agg(F.sum("label")).collect()[0][0]
+        labels = jumped
+        if prev_sum is not None and cur == prev_sum:
+            break  # labels are monotone non-increasing: equal sum = fixpoint
+        prev_sum = cur
+    return labels
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Total cluster assignment: every doc -> (doc_id, cluster_id,
+    cluster_size, is_representative). Singletons form their own
+    cluster; the representative is the min-id member (the exact_dedup
+    convention)."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    assigned = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("label"), F.col("doc_id")))
+        .drop("label")
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        assigned.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+        )
+    )
+
+
+def keep_cluster_representatives(
+    docs: DataFrame, assignments: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The curated corpus: one representative row per duplicate
+    cluster (left_semi — document bodies never shuffle)."""
+    reps = assignments.filter(F.col("is_representative")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(reps, id_col, "left_semi")
+
+
+def transitive_closure_sql(pairs_cte: str, all_ids_from: str) -> str:
+    """DuckDB oracle: recursive min-label transitive closure over the
+    same pair set. ``pairs_cte`` must yield (id_a, id_b);
+    ``all_ids_from`` yields every doc id as column ``doc_id``."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_cte}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM ({all_ids_from}) d LEFT JOIN comp c ON c.node = d.doc_id),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM assigned GROUP BY cluster_id)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       a.doc_id = a.cluster_id AS is_representative
+FROM assigned a JOIN sizes s USING (cluster_id)
+ORDER BY a.doc_id
+"""

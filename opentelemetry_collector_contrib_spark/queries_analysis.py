@@ -187,6 +187,34 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Duplicate clustering: simhash near-dup EDGES -> connected components
+# (transitive closure) -> total cluster assignment with min-id
+# representative. Spark side iterates min-label propagation + pointer
+# jumping (analysis/cluster.py); oracle is a DuckDB recursive CTE over
+# the brute-force all-pairs edge set -- different algorithms on both
+# levels (banded vs all-pairs edges, iterative vs recursive closure).
+from .analysis import cluster as CL  # noqa: E402
+
+_CLUSTER_PAIRS_CTE = f"""
+SELECT a.id AS id_a, b.id AS id_b
+FROM ({DD.simhash_cte_sql('documents')}) a
+JOIN ({DD.simhash_cte_sql('documents')}) b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+"""
+
+
+@register(
+    "dedup_clusters",
+    CL.transitive_closure_sql(
+        _CLUSTER_PAIRS_CTE, "SELECT doc_id FROM documents"
+    ),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = DD.simhash_pairs(docs, max_distance=1, bands=4)
+    return CL.duplicate_clusters(docs, pairs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN)
 # ---------------------------------------------------------------------------

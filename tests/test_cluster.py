@@ -1,0 +1,70 @@
+"""Connected-components duplicate clustering (analysis/cluster.py):
+transitive closure over near-dup edges, total assignment, min-id
+representative selection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import cluster as CL
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_chain_collapses_transitively(spark):
+    # a~b, b~c, c~d: one component even though a and d share no edge
+    comp = CL.connected_components(_edges(spark, [(1, 2), (2, 3), (3, 4)]))
+    got = {r["node"]: r["label"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_and_orientation(spark):
+    # edges in either orientation; two separate components
+    comp = CL.connected_components(
+        _edges(spark, [(5, 2), (2, 9), (30, 10)])
+    )
+    got = {r["node"]: r["label"] for r in comp.collect()}
+    assert got == {2: 2, 5: 2, 9: 2, 10: 10, 30: 10}
+
+
+def test_long_path_converges_within_log_rounds(spark):
+    # path graph 0-1-2-...-40: plain propagation needs 40 rounds;
+    # pointer jumping must finish well under max_iter=12
+    n = 41
+    comp = CL.connected_components(
+        _edges(spark, [(i, i + 1) for i in range(n - 1)]), max_iter=12
+    )
+    got = {r["node"]: r["label"] for r in comp.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_total_assignment(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = _edges(spark, [(1, 3), (3, 5), (2, 6)])
+    out = CL.duplicate_clusters(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 8
+    # component {1,3,5} -> cluster 1 size 3; {2,6} -> cluster 2 size 2
+    for d in (1, 3, 5):
+        assert by_id[d]["cluster_id"] == 1 and by_id[d]["cluster_size"] == 3
+    for d in (2, 6):
+        assert by_id[d]["cluster_id"] == 2 and by_id[d]["cluster_size"] == 2
+    # singletons are their own size-1 cluster and representative
+    for d in (0, 4, 7):
+        assert by_id[d]["cluster_id"] == d and by_id[d]["cluster_size"] == 1
+        assert by_id[d]["is_representative"]
+    assert by_id[1]["is_representative"] and not by_id[3]["is_representative"]
+
+
+def test_keep_cluster_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = _edges(spark, [(0, 4), (1, 5)])
+    assign = CL.duplicate_clusters(docs, pairs)
+    kept = CL.keep_cluster_representatives(docs, assign)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3]
+    # left_semi: original schema untouched
+    assert kept.columns == ["doc_id", "text"]
