@@ -280,6 +280,153 @@ def gopher_quality_flags(
     }
 
 
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021 §A1.1; also the
+# RefinedWeb filter set): duplicate-line fractions and n-gram
+# repetition fractions. Map-only: each document's lines/n-grams are
+# SORTED IN-ARRAY (O(G log G) per doc) and duplicate runs are counted
+# with a single F.aggregate fold -- no explode, no shuffle, nothing
+# leaves the row. The relational formulation (explode -> groupBy(doc,
+# gram) -> count) is linear too but shuffles the full token stream at
+# corpus scale; it lives in the DuckDB oracle instead, so the driver
+# check doubles as a cross-algorithm validation.
+#
+# Definitional choices (documented, mirrored exactly in the oracle):
+# - empty lines are dropped before counting;
+# - "duplicate" fractions count occurrences BEYOND THE FIRST of each
+#   repeated line/gram (overlap chars are not de-duplicated -- the
+#   published no-double-count refinement needs positional interval
+#   merging, out of proportion to a filter signal);
+# - char fractions for n-grams are over length(text); line char
+#   fraction is over the summed line lengths.
+# ---------------------------------------------------------------------------
+
+
+def _doc_lines(col: Column) -> Column:
+    return F.filter(F.split(col, "\n"), lambda l: l != "")
+
+
+def _doc_ngrams(col: Column, n: int) -> Column:
+    toks = ws_tokens(col)
+    k = F.size(toks) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def _dup_run_stats(sorted_arr: Column) -> Column:
+    """Fold over a sorted array: struct(dups, dupchars, best) where
+    dups = elements beyond the first of each equal-run, dupchars =
+    their summed lengths, best = max over runs of run_len*elem_len
+    (chars covered by the most frequent element)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dups"),
+        F.lit(0).cast("long").alias("dupchars"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        is_dup = x == acc["prev"]
+        run = F.when(is_dup, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(is_dup, acc["dups"] + 1).otherwise(acc["dups"]).alias("dups"),
+            F.when(is_dup, acc["dupchars"] + F.length(x))
+            .otherwise(acc["dupchars"])
+            .alias("dupchars"),
+            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step)
+
+
+def repetition_signals(
+    col: Column, top_n: int = 2, dup_n: int = 3
+) -> dict[str, Column]:
+    """Named signal columns: dup_line_frac, dup_line_char_frac,
+    top_ngram_char_frac (n=top_n), dup_ngram_char_frac (n=dup_n)."""
+    lines = F.array_sort(_doc_lines(col))
+    lstat = _dup_run_stats(lines)
+    n_lines = F.size(lines).cast("double")
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    ).cast("double")
+    top_g = _dup_run_stats(F.array_sort(_doc_ngrams(col, top_n)))
+    dup_g = _dup_run_stats(F.array_sort(_doc_ngrams(col, dup_n)))
+    text_chars = F.length(col).cast("double")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(F.when(den > 0, num.cast("double") / den).otherwise(0.0), 4)
+
+    return {
+        "dup_line_frac": frac(lstat["dups"], n_lines),
+        "dup_line_char_frac": frac(lstat["dupchars"], line_chars),
+        "top_ngram_char_frac": frac(top_g["best"], text_chars),
+        "dup_ngram_char_frac": frac(dup_g["dupchars"], text_chars),
+    }
+
+
+def _ngrams_sql(toks: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+    )
+
+
+def repetition_signals_sql(table: str = "documents", id_col: str = "doc_id",
+                           text_col: str = "text", top_n: int = 2,
+                           dup_n: int = 3) -> str:
+    """Relational oracle: unnest -> per-(doc, elem) counts -> per-doc
+    aggregates -- deliberately a different algorithm than the Spark
+    sorted-run fold."""
+    toks = f"({ws_tokens_sql('txt')})"
+    return f"""
+WITH d AS (SELECT {id_col} AS doc_id, {text_col} AS txt FROM {table}),
+lines AS (
+  SELECT doc_id, unnest(list_filter(string_split(txt, chr(10)),
+                                    l -> l <> '')) AS line
+  FROM d),
+lc AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line),
+lstat AS (
+  SELECT doc_id,
+         SUM(c) AS n_lines,
+         SUM(c - 1) AS dups,
+         SUM(c * strlen(line)) AS line_chars,
+         SUM((c - 1) * strlen(line)) AS dupchars
+  FROM lc GROUP BY doc_id),
+tg AS (
+  SELECT doc_id, unnest({_ngrams_sql(toks, top_n)}) AS g
+  FROM d),
+tgc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g),
+tgstat AS (SELECT doc_id, MAX(c * strlen(g)) AS best FROM tgc GROUP BY doc_id),
+dg AS (
+  SELECT doc_id, unnest({_ngrams_sql(toks, dup_n)}) AS g
+  FROM d),
+dgc AS (SELECT doc_id, g, COUNT(*) AS c FROM dg GROUP BY doc_id, g),
+dgstat AS (
+  SELECT doc_id, SUM((c - 1) * strlen(g)) AS dupchars
+  FROM dgc GROUP BY doc_id)
+SELECT d.doc_id,
+  ROUND(COALESCE(CAST(l.dups AS DOUBLE) / nullif(l.n_lines, 0), 0.0), 4)
+    AS dup_line_frac,
+  ROUND(COALESCE(CAST(l.dupchars AS DOUBLE) / nullif(l.line_chars, 0), 0.0), 4)
+    AS dup_line_char_frac,
+  ROUND(COALESCE(CAST(t.best AS DOUBLE) / nullif(strlen(d.txt), 0), 0.0), 4)
+    AS top_ngram_char_frac,
+  ROUND(COALESCE(CAST(g.dupchars AS DOUBLE) / nullif(strlen(d.txt), 0), 0.0), 4)
+    AS dup_ngram_char_frac
+FROM d
+LEFT JOIN lstat l USING (doc_id)
+LEFT JOIN tgstat t USING (doc_id)
+LEFT JOIN dgstat g USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def gopher_quality_flags_sql(expr: str, min_words: int = 50,
                              max_words: int = 100_000,
                              min_mean_word_len: float = 3.0,

@@ -117,6 +117,16 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
+@register(
+    "text_repetition_signals",
+    TS.repetition_signals_sql("documents"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sig = TS.repetition_signals(F.col("text"))
+    return docs.withColumns(sig).select("doc_id", *sig.keys()).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

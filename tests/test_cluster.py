@@ -68,3 +68,30 @@ def test_keep_cluster_representatives(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 3]
     # left_semi: original schema untouched
     assert kept.columns == ["doc_id", "text"]
+
+
+def test_repetition_signals_hand_computed(spark):
+    from opentelemetry_collector_contrib_spark.analysis import textstats as TS
+    df = spark.createDataFrame(
+        [
+            (1, "aa\nbb\naa\ncc\naa"),      # 'aa' x3: 2 dup lines of 5
+            (2, "x y x y x y"),             # 'x y' bigram rich
+            (3, ""),                        # empty -> all zeros
+            (4, "unique words only here"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    sig = TS.repetition_signals(F.col("text"))
+    out = {r["doc_id"]: r for r in
+           df.withColumns(sig).select("doc_id", *sig.keys()).collect()}
+    # doc 1: 5 lines, 2 beyond-first dups -> 0.4; dupchars 4/10 = 0.4
+    assert out[1]["dup_line_frac"] == 0.4
+    assert out[1]["dup_line_char_frac"] == 0.4
+    # doc 3: zeros everywhere
+    assert all(out[3][k] == 0.0 for k in sig)
+    # doc 4: no dup lines/grams; top bigram occurs once
+    assert out[4]["dup_line_frac"] == 0.0
+    assert out[4]["dup_ngram_char_frac"] == 0.0
+    assert out[4]["top_ngram_char_frac"] > 0.0
+    # doc 2: "x y" appears 3x (sorted runs): best = 3*3 = 9 chars / 11
+    assert out[2]["top_ngram_char_frac"] == round(9 / 11, 4)
