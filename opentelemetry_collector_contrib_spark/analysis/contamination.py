@@ -1,0 +1,106 @@
+"""Benchmark decontamination: flag training documents that share an
+exact n-token window with any benchmark/eval document (the standard
+train-test overlap check -- cf. the 13-gram decontamination described
+in Brown et al. 2020 appendix C, and the n-gram overlap audits in
+Dodge et al. 2021 "Documenting Large Webtext Corpora").
+
+Scale shape: the benchmark side is SMALL by construction (eval suites
+are KBs-MBs, the corpus is TBs), so its distinct n-gram fingerprint
+set broadcasts; the corpus side is a map-only explode of per-doc
+distinct shingle fingerprints into a broadcast LEFT SEMI-style join +
+a map-side-combinable per-doc count. No corpus-wide shuffle of text,
+no shuffle keyed on n-grams at all -- the only exchange is the final
+per-doc aggregate on doc_id, and that can fold into whatever
+aggregation follows in the pipeline.
+
+Fingerprints are md5_int32 of the n-gram (analysis/hashing.py), the
+same portable primitive the dedup sketches use, so the DuckDB oracle
+re-derives identical match sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .hashing import md5_int32, md5_int32_sql
+from .textstats import ws_tokens_sql
+
+
+def benchmark_ngram_set(
+    benchmark: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct n-gram fingerprints of the benchmark corpus (one
+    column ``bfp``). Small: intended to be broadcast."""
+    return (
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), n)).alias("g")
+        )
+        .select(md5_int32(F.col("g")).alias("bfp"))
+        .distinct()
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_matches: int = 1,
+) -> DataFrame:
+    """Per-doc (doc_id, n_matched_ngrams, contaminated). A document is
+    contaminated when >= min_matches of its distinct n-grams appear in
+    the benchmark set."""
+    bset = benchmark_ngram_set(benchmark, text_col=text_col, n=n)
+    doc_grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(shingles(F.col(text_col), n)).alias("g"),
+    ).select("doc_id", md5_int32(F.col("g")).alias("fp"))
+    matched = (
+        doc_grams.join(F.broadcast(bset), doc_grams["fp"] == bset["bfp"],
+                       "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("bfp")).alias("n_matched_ngrams"),
+        )
+    )
+    return matched.select(
+        "doc_id",
+        "n_matched_ngrams",
+        (F.col("n_matched_ngrams") >= min_matches).alias("contaminated"),
+    )
+
+
+def ngrams_fp_sql(text_expr: str, n: int) -> str:
+    """DuckDB: list of md5_int32 fingerprints of DISTINCT n-gram
+    shingles of ``text_expr`` (mirrors dedup.shingles + hashing)."""
+    toks = f"({ws_tokens_sql(text_expr)})"
+    grams = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+    return f"list_transform({grams}, g -> {md5_int32_sql('g')})"
+
+
+def contamination_flags_sql(
+    docs_cte: str, benchmark_cte: str, n: int = 8, min_matches: int = 1
+) -> str:
+    """Oracle: relational formulation (unnest + IN-set join).
+    ``docs_cte`` and ``benchmark_cte`` must yield (doc_id, txt)."""
+    return f"""
+WITH d AS ({docs_cte}),
+b AS ({benchmark_cte}),
+bset AS (SELECT DISTINCT unnest({ngrams_fp_sql('txt', n)}) AS bfp FROM b),
+dg AS (SELECT doc_id, unnest({ngrams_fp_sql('txt', n)}) AS fp FROM d),
+m AS (SELECT dg.doc_id, COUNT(bset.bfp) AS hits
+      FROM dg LEFT JOIN bset ON dg.fp = bset.bfp
+      GROUP BY dg.doc_id)
+SELECT d.doc_id,
+       COALESCE(m.hits, 0) AS n_matched_ngrams,
+       COALESCE(m.hits, 0) >= {min_matches} AS contaminated
+FROM d LEFT JOIN m USING (doc_id)
+ORDER BY d.doc_id
+"""

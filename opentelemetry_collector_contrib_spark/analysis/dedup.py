@@ -615,3 +615,132 @@ def ngram_jaccard_count_pairs(
         .filter(F.col("_jac") >= threshold)
         .select("id_a", "id_b", F.round("_jac", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level paragraph dedup (CCNet, Wenzek et al. 2020 §3.1: hash
+# every paragraph, remove duplicated ones corpus-wide -- the standard
+# Common-Crawl preprocessing stage before document-level dedup).
+# ---------------------------------------------------------------------------
+
+# Occurrence order is encoded as doc_id*POS_STRIDE + pos so that
+# "first occurrence" has ONE portable definition (same arithmetic in
+# the DuckDB oracle); paragraphs-per-doc must stay below the stride.
+POS_STRIDE = 1_000
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    keep: str = "first",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup. Returns one row per input doc:
+    (doc_id, text [deduped], n_kept, n_dropped).
+
+    keep="first": every duplicated paragraph keeps exactly its first
+    occurrence (min doc_id, then min position -- CCNet's convention);
+    keep="none": duplicated paragraphs are removed everywhere.
+
+    Scale shape: paragraphs shuffle once on their md5 fingerprint (a
+    short fixed-width key). The per-fingerprint stats relation is a
+    map-side-combinable groupBy, so a viral boilerplate paragraph
+    (classic skew: cookie banners, footers) collapses in the combiner;
+    the stats join back to occurrences is an equi-join AQE can
+    skew-split. Reassembly shuffles kept paragraphs on doc_id --
+    unavoidable to rebuild documents, bounded by document size.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"paragraph_dedup: unknown keep={keep!r}")
+    paras = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(
+                F.filter(F.split(F.col(text_col), sep), lambda p: p != "")
+            ).alias("pos0", "para"),
+        )
+        # 1-based position, matching SQL array indexing in the oracle
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            "para",
+            F.md5(F.col("para")).alias("fp"),
+        )
+    )
+    stats = paras.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.col("doc_id") * POS_STRIDE + F.col("pos")).alias("first_key"),
+    )
+    keep_pred = (
+        (F.col("c") == 1)
+        | (F.col("doc_id") * POS_STRIDE + F.col("pos") == F.col("first_key"))
+        if keep == "first"
+        else F.col("c") == 1
+    )
+    kept = paras.join(stats, "fp").filter(keep_pred)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(
+            F.filter(F.split(F.col(text_col), sep), lambda p: p != "")
+        ).alias("n_paras"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+def paragraph_dedup_sql(docs_cte: str, sep_sql: str = "chr(10)||chr(10)",
+                        keep: str = "first") -> str:
+    """DuckDB oracle: relational formulation over the same synthetic
+    input. ``docs_cte`` must yield (doc_id, txt)."""
+    keep_pred = (
+        "g.c = 1 OR p.doc_id * 1000 + p.pos = g.first_key"
+        if keep == "first"
+        else "g.c = 1"
+    )
+    return f"""
+WITH d AS ({docs_cte}),
+ps AS (SELECT doc_id,
+              list_filter(string_split(txt, {sep_sql}), x -> x <> '') AS arr
+       FROM d),
+p AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(arr) + 1),
+                                   i -> {{'pos': i, 'para': arr[i]}}),
+                    recursive := true)
+      FROM ps),
+g AS (SELECT md5(para) AS fp, COUNT(*) AS c,
+             MIN(doc_id * 1000 + pos) AS first_key
+      FROM p GROUP BY fp),
+kept AS (SELECT p.doc_id, p.pos, p.para
+         FROM p JOIN g ON md5(p.para) = g.fp
+         WHERE {keep_pred}),
+rebuilt AS (SELECT doc_id,
+                   string_agg(para, {sep_sql} ORDER BY pos) AS text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+SELECT ps.doc_id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       len(ps.arr) - COALESCE(r.n_kept, 0) AS n_dropped
+FROM ps LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY ps.doc_id
+"""

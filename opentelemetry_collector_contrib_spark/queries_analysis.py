@@ -197,6 +197,54 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# CCNet-style corpus-level paragraph dedup. The documents fixture is
+# single-line, so the query synthesizes paragraph structure
+# deterministically: shared boilerplate paragraphs (footer doc_id%7,
+# copyright doc_id%3 -- heavy corpus-wide duplication) around the
+# doc's own unique text; the oracle rebuilds the identical input.
+_PARA_DOCS_CTE = """
+SELECT doc_id,
+       'footer ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || chr(10)
+       || text || chr(10) || chr(10)
+       || 'copyright ' || CAST(doc_id % 3 AS VARCHAR) AS txt
+FROM documents
+"""
+
+
+@register("dedup_paragraphs", DD.paragraph_dedup_sql(_PARA_DOCS_CTE))
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("footer "), (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n\n"), F.col("text"), F.lit("\n\n"),
+            F.lit("copyright "), (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    return DD.paragraph_dedup(docs).orderBy("doc_id")
+
+
+# Benchmark decontamination: the "benchmark" is a deterministic slice
+# of the corpus (doc_id % 97 = 0 -- small, broadcastable), so the
+# benchmark docs are trivially contaminated and any other doc sharing
+# an exact 8-token window is flagged too.
+from .analysis import contamination as CONT  # noqa: E402
+
+
+@register(
+    "contamination_flags",
+    CONT.contamination_flags_sql(
+        "SELECT doc_id, text AS txt FROM documents",
+        "SELECT doc_id, text AS txt FROM documents WHERE doc_id % 97 = 0",
+        n=8,
+    ),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return CONT.contamination_flags(docs, bench, n=8).orderBy("doc_id")
+
+
 # Duplicate clustering: simhash near-dup EDGES -> connected components
 # (transitive closure) -> total cluster assignment with min-id
 # representative. Spark side iterates min-label propagation + pointer

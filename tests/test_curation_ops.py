@@ -1,0 +1,84 @@
+"""Corpus-curation ops added in round 2: paragraph dedup (CCNet),
+benchmark contamination flagging."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import dedup as DD
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_dedup_keep_first(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "same\n\nunique one"),
+            (2, "same\n\nunique two"),
+            (3, "same\n\nsame"),  # intra-doc duplicate too
+        ],
+    )
+    out = {r["doc_id"]: r for r in DD.paragraph_dedup(df).collect()}
+    # 'same' kept only at its first occurrence: doc 1 pos 1
+    assert out[1]["text"] == "same\n\nunique one"
+    assert out[2]["text"] == "unique two"
+    assert out[2]["n_kept"] == 1 and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "" and out[3]["n_dropped"] == 2
+
+
+def test_paragraph_dedup_keep_none(spark):
+    df = _docs(spark, [(1, "dup\n\nsolo"), (2, "dup\n\nother")])
+    out = {r["doc_id"]: r
+           for r in DD.paragraph_dedup(df, keep="none").collect()}
+    assert out[1]["text"] == "solo"
+    assert out[2]["text"] == "other"
+
+
+def test_paragraph_dedup_empty_and_blank_paragraphs(spark):
+    df = _docs(spark, [(1, ""), (2, "a\n\n\n\nb")])  # blank para dropped
+    out = {r["doc_id"]: r for r in DD.paragraph_dedup(df).collect()}
+    assert out[1]["text"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["text"] == "a\n\nb" and out[2]["n_dropped"] == 0
+
+
+def test_contamination_flags(spark):
+    from opentelemetry_collector_contrib_spark.analysis import (
+        contamination as CONT,
+    )
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = _docs(
+        spark,
+        [
+            (1, base + " tail tail"),          # shares the 8-gram
+            (2, "a b c d e f g h i j"),        # clean
+            (3, "short doc"),                  # no 8-grams at all
+            (4, base + " x " + base),          # shares it (distinct: 1 match)
+        ],
+    )
+    bench = _docs(spark, [(100, "pre " + base + " post")])
+    out = {r["doc_id"]: r
+           for r in CONT.contamination_flags(docs, bench, n=8).collect()}
+    assert len(out) == 4
+    assert out[1]["contaminated"] and out[1]["n_matched_ngrams"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_matched_ngrams"] == 0
+    assert not out[3]["contaminated"] and out[3]["n_matched_ngrams"] == 0
+    assert out[4]["contaminated"]
+    # min_matches raises the bar: doc 1 shares only windows inside the
+    # single benchmark sentence
+    strict = {r["doc_id"]: r for r in CONT.contamination_flags(
+        docs, bench, n=8, min_matches=100).collect()}
+    assert not any(strict[d]["contaminated"] for d in strict)
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    from opentelemetry_collector_contrib_spark.analysis import (
+        contamination as CONT,
+    )
+    docs = _docs(spark, [(1, "a b c d e f g h")])
+    plan = CONT.contamination_flags(docs, docs, n=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
