@@ -1,0 +1,127 @@
+"""Deterministic corpus sampling / mixing: hash-gated Bernoulli
+sampling at per-stratum rates, and exact per-stratum top-k carve-outs.
+
+Training-data pipelines re-mix sources at fixed proportions (e.g. the
+per-source sampling weights in Gao et al. 2020 "The Pile" §1, Touvron
+et al. 2023 LLaMA table 1). Doing that with rand() is neither
+reproducible nor resumable; the standard fix is a HASH GATE:
+
+    keep(row) <=> md5_int32(seed|id) < floor(rate * 2^32)
+
+which is exact-integer (no float thresholds), stable across runs /
+retries / cluster sizes, and composable -- a row's fate depends only
+on (seed, id). Map-only: the gate is a Column predicate, no shuffle,
+pushdown-friendly. The same md5_int32 primitive (analysis/hashing.py)
+keeps every decision DuckDB-replicable.
+
+Per-stratum top-k (fixed eval carve-outs: "exactly 1000 docs per
+language") uses row_number over (hash, id) inside the stratum -- a
+deterministic "random" order. One shuffle on the stratum key; strata
+counts are corpus-level (few, large), so the window sort dominates --
+for small k at 100 TB, pre-gate with a generous hash-rate filter
+(rate >> k/N) first so the window only sorts survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, md5_int32_sql
+
+_2_32 = 1 << 32
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sampling rate out of [0,1]: {rate}")
+    return int(rate * _2_32)
+
+
+def sample_gate(id_col: Column, rate: float, seed: int = 0) -> Column:
+    """Boolean keep-gate at ``rate`` (exact integer threshold)."""
+    h = md5_int32(F.concat(F.lit(f"{seed}|"), id_col.cast("string")))
+    return h < F.lit(_threshold(rate))
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float,
+                seed: int = 0) -> DataFrame:
+    return df.filter(sample_gate(F.col(id_col), rate, seed))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row at its stratum's rate (unlisted strata use
+    ``default_rate``). Pure map-side predicate."""
+    thr: Column = F.lit(_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum,
+                     F.lit(_threshold(rate))).otherwise(thr)
+    h = md5_int32(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    return df.filter(h < thr)
+
+
+def stratified_topk(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by the
+    deterministic hash order (hash, id). Adds ``sample_rank``."""
+    h = md5_int32(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (same arithmetic, same md5 primitive)
+# ---------------------------------------------------------------------------
+
+
+def _hash_sql(id_expr: str, seed: int) -> str:
+    return md5_int32_sql(f"'{seed}|' || CAST({id_expr} AS VARCHAR)")
+
+
+def stratified_hash_sample_sql(
+    table: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    thr = str(_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = (f"CASE WHEN {stratum_col} = '{stratum}' "
+               f"THEN {_threshold(rate)} ELSE {thr} END")
+    return (f"SELECT * FROM {table} "
+            f"WHERE {_hash_sql(id_col, seed)} < ({thr})")
+
+
+def stratified_topk_sql(
+    table: str, stratum_col: str, k: int, id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    h = _hash_sql(id_col, seed)
+    return f"""
+SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY {stratum_col} ORDER BY {h}, {id_col}) AS sample_rank
+  FROM {table})
+WHERE sample_rank <= {k}
+"""

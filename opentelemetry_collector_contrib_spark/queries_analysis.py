@@ -224,6 +224,47 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.paragraph_dedup(docs).orderBy("doc_id")
 
 
+# Deterministic corpus mixing: per-language hash-gated rates + an
+# exact per-source top-k carve-out, both hash-order stable.
+from .analysis import sampling as SAMP  # noqa: E402
+
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
+
+
+@register(
+    "sample_stratified_lang",
+    SAMP.stratified_hash_sample_sql(
+        "documents", "lang", _MIX_RATES, default_rate=0.1, seed=7
+    ).replace("SELECT *", "SELECT doc_id, lang, source", 1)
+    + " ORDER BY doc_id",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        SAMP.stratified_hash_sample(
+            _docs(spark, sf_dir), "lang", _MIX_RATES,
+            default_rate=0.1, seed=7,
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_topk_per_source",
+    f"""
+SELECT doc_id, source, sample_rank FROM (
+{SAMP.stratified_topk_sql('documents', 'source', k=50, seed=11)}
+) ORDER BY doc_id
+""",
+)
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        SAMP.stratified_topk(_docs(spark, sf_dir), "source", k=50, seed=11)
+        .select("doc_id", "source", "sample_rank")
+        .orderBy("doc_id")
+    )
+
+
 # Benchmark decontamination: the "benchmark" is a deterministic slice
 # of the corpus (doc_id % 97 = 0 -- small, broadcastable), so the
 # benchmark docs are trivially contaminated and any other doc sharing

@@ -82,3 +82,36 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hash_sampling_determinism_and_rates(spark):
+    from opentelemetry_collector_contrib_spark.analysis import sampling as S
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    a = S.hash_sample(df, "doc_id", 0.3, seed=1).count()
+    b = S.hash_sample(df, "doc_id", 0.3, seed=1).count()
+    assert a == b                       # deterministic
+    assert abs(a / 20000 - 0.3) < 0.02  # near the target rate
+    # nested property: rate 0.1 sample is a subset of rate 0.3 sample
+    s1 = {r["doc_id"] for r in S.hash_sample(df, "doc_id", 0.1, 1).collect()}
+    s3 = {r["doc_id"] for r in S.hash_sample(df, "doc_id", 0.3, 1).collect()}
+    assert s1 <= s3
+    # rate bounds enforced
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        S.hash_sample(df, "doc_id", 1.5)
+
+
+def test_stratified_topk_exact_counts(spark):
+    from opentelemetry_collector_contrib_spark.analysis import sampling as S
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "tiny") for i in range(1000)],
+        "doc_id long, stratum string",
+    )
+    out = S.stratified_topk(df, "stratum", k=200)
+    counts = {r["stratum"]: r["c"] for r in
+              out.groupBy("stratum").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"big": 200, "tiny": 100}  # min(k, |stratum|)
+    # rank is 1..k and stable across invocations
+    again = {(r["doc_id"], r["sample_rank"]) for r in out.collect()}
+    assert {(r["doc_id"], r["sample_rank"])
+            for r in S.stratified_topk(df, "stratum", k=200).collect()} == again
