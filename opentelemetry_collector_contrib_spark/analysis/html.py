@@ -1,0 +1,211 @@
+"""HTML parsing over the ``html binary`` page column -- title, visible
+text, and outlink extraction, plus the host-level link graph.
+
+Role in the graft: BASELINE.json's input_hint fixes the table as
+Common-Crawl-style ``web_pages(url, warc_ts, html binary, text,
+lang)`` and the north star says parsing "extracts structured fields
+... from url/text/html byte columns via compiled vectorized regex
+batteries". The stanza parsers (reference
+pkg/stanza/operator/parser/regex) do promote-on-extract for log
+bodies; this module is the same promotion applied to page bytes.
+
+Scale shape: every extractor is a pure Column expression (JVM regex
+inside whole-stage codegen -- no Python in the data path), so a
+100 TB scan stays map-only with full predicate pushdown. The only
+wide operator is the link-graph aggregate, whose shuffle key is the
+short (src_host, dst_host) pair after map-side partial combine --
+shuffle payload is O(distinct host pairs), not O(pages).
+
+Every op has a DuckDB twin (the ``*_sql`` builders) restricted to the
+regex subset both engines accept (RE2 has no backreferences, so
+script/style blocks are stripped with two separate non-greedy
+patterns rather than ``</\\1>``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Rich synthetic html (portable SQL fragment, datagen-style).
+#
+# The driver testdata has no html bytes; datagen.attach_binary_columns
+# wraps url+text in a minimal page. For link/script/entity extraction
+# to be non-trivial, this richer deterministic twin adds a script
+# block, a style block, an HTML entity, one absolute cross-host
+# anchor, and one relative anchor -- all pure integer arithmetic of
+# the page id (FIXTURES.md determinism rules), expressed in the
+# Spark-SQL ∩ DuckDB dialect so the SAME string builds the Spark
+# column (via F.expr) and the oracle CTE.
+# ---------------------------------------------------------------------------
+
+
+def rich_html_sql(id_expr: str = "page_id", url_expr: str = "url",
+                  text_expr: str = "text") -> str:
+    return (
+        "('<html><head><title>' || " + url_expr + " || '</title>'\n"
+        " || '<meta charset=\"utf-8\"><script>var x = 1 < 2;</script>'\n"
+        " || '<style>p { color: red }</style></head><body>'\n"
+        " || '<h1>Page ' || CAST(" + id_expr + " AS STRING) || '</h1>'\n"
+        " || '<p>' || " + text_expr + " || ' &amp; more &lt;stuff&gt;</p>'\n"
+        " || '<a href=\"https://host' || CAST((" + id_expr + " * 7) % 40 AS STRING)\n"
+        " || '.example.com/p' || CAST((" + id_expr + " * 3) % 20 AS STRING)\n"
+        " || '.html\">out</a>'\n"
+        " || '<a href=\"/local/p' || CAST(" + id_expr + " % 20 AS STRING)\n"
+        " || '\">in</a></body></html>')"
+    )
+
+
+def rich_html_col(id_expr: str = "page_id", url_expr: str = "url",
+                  text_expr: str = "text") -> Column:
+    """The same page as a binary Spark column (UTF-8 bytes, matching
+    the input_hint's ``html binary``; the fragment is ASCII so the
+    oracle's string twin is byte-identical)."""
+    return F.encode(F.expr(rich_html_sql(id_expr, url_expr, text_expr)),
+                    "UTF-8")
+
+
+# ---------------------------------------------------------------------------
+# Extractors (Column + DuckDB twin). All run on the DECODED string;
+# callers pass F.decode(html, 'UTF-8') for binary input.
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+_TAG_RE = r"<[^>]*>"
+_HREF_RE = r"(?i)href=\"([^\"]*)\""
+# entity -> replacement, applied in order (amp last would double-decode;
+# the standard single-pass order decodes &amp; first so '&amp;lt;'
+# stays '&lt;' -- we match the simple chained-replace convention used
+# by lightweight extractors and mirror it exactly in the twin)
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def html_title(c: Column) -> Column:
+    return F.regexp_extract(c, _TITLE_RE, 1)
+
+
+def html_title_sql(e: str) -> str:
+    return f"regexp_extract({e}, '{_TITLE_RE}', 1)"
+
+
+def html_text(c: Column) -> Column:
+    """Visible text: drop script/style subtrees, strip tags, decode the
+    common entities, squeeze whitespace."""
+    s = F.regexp_replace(c, _SCRIPT_RE, " ")
+    s = F.regexp_replace(s, _STYLE_RE, " ")
+    s = F.regexp_replace(s, _TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_text_sql(e: str) -> str:
+    s = f"regexp_replace({e}, '{_SCRIPT_RE}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{_STYLE_RE}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{_TAG_RE}', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+
+def extract_links(c: Column) -> Column:
+    """All href targets, in document order (array<string>)."""
+    return F.regexp_extract_all(c, F.lit(_HREF_RE), 1)
+
+
+def extract_links_sql(e: str) -> str:
+    return f"regexp_extract_all({e}, '{_HREF_RE}', 1)"
+
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+
+
+def _link_host(link: Column, src_host: Column) -> Column:
+    """Target host of one href: absolute -> its authority (lowercased,
+    port stripped); scheme-relative '//h/p' likewise; anything else
+    (relative path) -> the linking page's own host."""
+    external = link.rlike(_SCHEME_RE) | link.startswith("//")
+    stripped = F.regexp_replace(
+        F.regexp_replace(link, _SCHEME_RE, ""), r"^//", ""
+    )
+    authority = F.lower(
+        F.substring_index(F.substring_index(stripped, "/", 1), ":", 1)
+    )
+    return F.when(external, authority).otherwise(src_host)
+
+
+def link_host_sql(link: str, src_host: str) -> str:
+    """DuckDB twin of :func:`_link_host`."""
+    stripped = (
+        f"regexp_replace(regexp_replace({link}, '{_SCHEME_RE}', ''),"
+        f" '^//', '')"
+    )
+    authority = (
+        f"lower(split_part(split_part({stripped}, '/', 1), ':', 1))"
+    )
+    return (
+        f"CASE WHEN regexp_matches({link}, '{_SCHEME_RE}')"
+        f" OR {link} LIKE '//%' THEN {authority} ELSE {src_host} END"
+    )
+
+
+def page_host(url: Column) -> Column:
+    return F.lower(
+        F.substring_index(
+            F.substring_index(F.substring_index(url, "://", -1), "/", 1),
+            ":", 1)
+    )
+
+
+def page_host_sql(e: str) -> str:
+    return (
+        f"lower(split_part(split_part(regexp_replace({e},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '/', 1), ':', 1))"
+    )
+
+
+def link_host_edges(df: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(src_host, dst_host, n_links) host-level link graph.
+
+    Plan: map-only decode+extract, explode the per-page link array
+    (bounded fan-out: links per page), then one hash aggregate on the
+    short host-pair key. At 100 TB the exploded relation never carries
+    page bytes -- only (src_host, link) -- and partial aggregation
+    collapses it map-side before the shuffle.
+    """
+    s = F.decode(F.col(html_col), "UTF-8")
+    pages = df.select(
+        page_host(F.col(url_col)).alias("src_host"),
+        F.explode(extract_links(s)).alias("link"),
+    )
+    edges = pages.select(
+        "src_host",
+        _link_host(F.col("link"), F.col("src_host")).alias("dst_host"),
+    )
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """Per-host out-degree and in-degree (distinct peer hosts + total
+    links) from the aggregated edge list -- the standard Common-Crawl
+    host-graph summary. Operates on the (already tiny) edge relation."""
+    out_deg = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_hosts"),
+        F.sum("n_links").alias("out_links"),
+    )
+    in_deg = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_hosts"),
+        F.sum("n_links").alias("in_links"),
+    )
+    return (
+        out_deg.join(in_deg, "host", "full_outer")
+        .fillna(0, ["out_hosts", "out_links", "in_hosts", "in_links"])
+    )

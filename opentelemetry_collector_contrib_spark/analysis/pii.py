@@ -1,0 +1,70 @@
+"""PII scrubbing for training-data curation -- detect and mask
+emails / IPv4 addresses / phone numbers / long card-like digit runs
+in document text, with per-category hit counts.
+
+Role: the reference's redactionprocessor masks attribute values that
+match blocked regexes (processor/redactionprocessor/config.go --
+``blocked_values`` + hash/mask functions); this is the corpus-level
+twin applied to page text, the pre-training PII pass every public
+web-corpus pipeline runs (C4/CCNet-style email+phone masking).
+
+Scale shape: a fixed chain of regexp_replace over the text column --
+pure Column expressions, map-only, no shuffle, whole-stage codegen.
+Counting uses regexp_count on the SAME patterns so flags and masks
+can't drift apart.
+
+Regex subset: Java (Spark) ∩ RE2 (DuckDB oracle) -- no lookbehind, no
+backreferences. Masking order matters and is part of the contract:
+EMAIL first (an address contains digits a later pass could eat), then
+IPV4 (dotted digits would otherwise match the phone run), then PHONE
+(requires a leading '+' so it can't swallow ordinary integers), then
+CARD (13-19 digit runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# category -> (pattern, replacement token), applied in order
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ().-]{6,}[0-9]", "<PHONE>"),
+    ("card", r"\b[0-9]{13,19}\b", "<CARD>"),
+]
+
+
+def scrub_pii(c: Column) -> Column:
+    for _, pat, tok in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tok)
+    return c
+
+
+def scrub_pii_sql(e: str) -> str:
+    for _, pat, tok in PII_PATTERNS:
+        e = f"regexp_replace({e}, '{pat}', '{tok}', 'g')"
+    return e
+
+
+def pii_counts(c: Column) -> dict[str, Column]:
+    """Per-category hit counts, evaluated with the same sequential
+    masking as scrub_pii (category N counts on text already masked by
+    categories < N, so counts sum to the number of masked spans)."""
+    out: dict[str, Column] = {}
+    for name, pat, tok in PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, tok)
+    return out
+
+
+def pii_counts_sql(e: str) -> list[str]:
+    """DuckDB twin: SELECT-list fragments (aliased n_<category>)."""
+    frags = []
+    for name, pat, tok in PII_PATTERNS:
+        frags.append(
+            f"CAST(len(regexp_extract_all({e}, '{pat}')) AS INT)"
+            f" AS n_{name}"
+        )
+        e = f"regexp_replace({e}, '{pat}', '{tok}', 'g')"
+    return frags

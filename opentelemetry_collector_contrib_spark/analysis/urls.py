@@ -109,3 +109,95 @@ def dedup_by_url(df: DataFrame, url_col: str = "url",
         .drop("_norm")
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist filtering (RefinedWeb/C4-style curation stage):
+# block a page when its host OR any registrable parent domain is
+# listed (suffix-at-label-boundary match, like adblock/public-suffix
+# matching -- NOT substring endswith, which would let "notspam.com"
+# match a "spam.com" entry).
+#
+# Scale shape: the host expands to its <=#labels dot-suffixes
+# (bounded fan-out), which BROADCAST-join the blocklist -- pages never
+# shuffle, so a 100 TB scan with a multi-million-domain blocklist is
+# one map-side hash join. For small literal lists the same semantics
+# collapse to arrays_overlap (the oracle twin; equality of both forms
+# is unit-tested).
+# ---------------------------------------------------------------------------
+
+
+def host_of(url: Column) -> Column:
+    return F.lower(
+        F.substring_index(
+            F.substring_index(F.substring_index(url, "://", -1), "/", 1),
+            ":", 1)
+    )
+
+
+def host_suffixes(host: Column) -> Column:
+    """['a.b.c', 'b.c', 'c'] for host 'a.b.c' (label-boundary
+    suffixes)."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."),
+    )
+
+
+def host_suffixes_sql(host: str) -> str:
+    parts = f"string_split({host}, '.')"
+    return (
+        f"list_transform(range(1, len({parts}) + 1),"
+        f" i -> array_to_string({parts}[CAST(i AS INT):], '.'))"
+    )
+
+
+def url_blocklist_flags(url: Column, blocked_domains: list[str]) -> Column:
+    """Literal-list form: true when any host suffix is blocked.
+    Map-only; right for short lists and the DuckDB twin."""
+    return F.arrays_overlap(
+        host_suffixes(host_of(url)),
+        F.array(*[F.lit(d.lower()) for d in blocked_domains]),
+    )
+
+
+def url_blocklist_flags_sql(url_host_expr: str,
+                            blocked_domains: list[str]) -> str:
+    lits = ", ".join(f"'{d.lower()}'" for d in blocked_domains)
+    return (
+        f"list_has_any({host_suffixes_sql(url_host_expr)}, [{lits}])"
+    )
+
+
+def url_blocklist_filter(df: DataFrame, blocklist: DataFrame,
+                         url_col: str = "url",
+                         keep_blocked: bool = False) -> DataFrame:
+    """Join form for real blocklists: ``blocklist(domain string)`` is
+    broadcast; a page is dropped when any host suffix hits. left_anti
+    (or left_semi with keep_blocked) on the exploded suffix relation,
+    then dedup back to pages via the original row -- implemented as a
+    semi/anti join of df against the matching suffix set, so page
+    payload columns are never exploded."""
+    hosts = df.select(host_of(F.col(url_col)).alias("_host")).distinct()
+    hit_hosts = (
+        hosts.select(
+            "_host", F.explode(host_suffixes(F.col("_host"))).alias("_sfx")
+        )
+        .join(
+            F.broadcast(blocklist.select(F.lower("domain").alias("_sfx"))),
+            "_sfx",
+        )
+        .select("_host")
+        .distinct()
+    )
+    how = "left_semi" if keep_blocked else "left_anti"
+    # hit_hosts is tiny (blocked hosts only): broadcast it so the
+    # page-side join is map-only -- total plan = one combinable
+    # distinct over short host strings + two broadcast joins.
+    return df.join(
+        F.broadcast(hit_hosts),
+        host_of(F.col(url_col)) == hit_hosts["_host"],
+        how,
+    )

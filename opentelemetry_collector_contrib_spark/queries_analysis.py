@@ -548,3 +548,163 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "anomaly_score", "is_anomaly").orderBy(
         "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML byte-column parsing (analysis/html.py): title/text/outlink
+# extraction over the input_hint's ``html binary``, plus the
+# host-level link graph. Rich html synthesized via the portable
+# SQL fragment so the oracle rebuilds identical bytes.
+# ---------------------------------------------------------------------------
+
+from .analysis import html as HT  # noqa: E402
+
+_WEB_SQL = datagen.web_pages_select_sql("documents")
+_RICH = HT.rich_html_sql("page_id", "url", "text")
+
+
+@register(
+    "html_extract_pages",
+    f"""
+WITH web AS ({_WEB_SQL}),
+h AS (SELECT page_id, {_RICH} AS s FROM web)
+SELECT page_id,
+       {HT.html_title_sql('s')} AS title,
+       md5({HT.html_text_sql('s')}) AS text_md5,
+       CAST(len({HT.extract_links_sql('s')}) AS INT) AS n_links
+FROM h ORDER BY page_id
+""",
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    df = web.withColumn("html", HT.rich_html_col())
+    s = F.decode(F.col("html"), "UTF-8")
+    return df.select(
+        "page_id",
+        HT.html_title(s).alias("title"),
+        F.md5(HT.html_text(s)).alias("text_md5"),
+        F.size(HT.extract_links(s)).alias("n_links"),
+    ).orderBy("page_id")
+
+
+_EDGES_SQL = f"""
+WITH web AS ({_WEB_SQL}),
+h AS (SELECT page_id, {HT.page_host_sql('url')} AS src_host,
+             {_RICH} AS s FROM web),
+l AS (SELECT src_host, unnest({HT.extract_links_sql('s')}) AS link FROM h),
+e AS (SELECT src_host, {HT.link_host_sql('link', 'src_host')} AS dst_host
+      FROM l)
+"""
+
+
+@register(
+    "html_link_hosts",
+    _EDGES_SQL
+    + """
+SELECT src_host, dst_host, count(*) AS n_links
+FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+""",
+)
+def q_html_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    df = web.withColumn("html", HT.rich_html_col())
+    return HT.link_host_edges(df).orderBy("src_host", "dst_host")
+
+
+@register(
+    "html_host_degrees",
+    _EDGES_SQL
+    + """
+, g AS (SELECT src_host, dst_host, count(*) AS n_links
+        FROM e GROUP BY src_host, dst_host),
+o AS (SELECT src_host AS host, count(*) AS out_hosts,
+             sum(n_links) AS out_links FROM g GROUP BY src_host),
+i AS (SELECT dst_host AS host, count(*) AS in_hosts,
+             sum(n_links) AS in_links FROM g GROUP BY dst_host)
+SELECT host,
+       coalesce(out_hosts, 0) AS out_hosts,
+       coalesce(out_links, 0) AS out_links,
+       coalesce(in_hosts, 0) AS in_hosts,
+       coalesce(in_links, 0) AS in_links
+FROM o FULL OUTER JOIN i USING (host) ORDER BY host
+""",
+)
+def q_html_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    df = web.withColumn("html", HT.rich_html_col())
+    edges = HT.link_host_edges(df)
+    return HT.host_degrees(edges).orderBy("host")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (analysis/pii.py). PII-laden text synthesized via a
+# portable fragment (Spark SQL == DuckDB) so the oracle rebuilds the
+# identical input; masks + per-category counts checked by value.
+# ---------------------------------------------------------------------------
+
+from .analysis import pii as PI  # noqa: E402
+
+_PII_TEXT_SQL = """(text
+ || ' contact user' || CAST(doc_id % 100 AS STRING) || '@mail.example.com'
+ || CASE WHEN doc_id % 3 = 0
+         THEN ' from 192.168.' || CAST(doc_id % 256 AS STRING)
+              || '.' || CAST((doc_id * 3) % 256 AS STRING)
+         ELSE '' END
+ || CASE WHEN doc_id % 5 = 0
+         THEN ' call +1 555 01' || CAST(doc_id % 90 + 10 AS STRING)
+         ELSE '' END
+ || CASE WHEN doc_id % 7 = 0
+         THEN ' card 411111111111' || CAST(1000 + doc_id % 9000 AS STRING)
+         ELSE '' END)"""
+
+
+@register(
+    "pii_scrub_documents",
+    f"""
+WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS txt FROM documents)
+SELECT doc_id,
+       md5({PI.scrub_pii_sql('txt')}) AS scrubbed_md5,
+       {', '.join(PI.pii_counts_sql('txt'))}
+FROM t ORDER BY doc_id
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    df = docs.withColumn("txt", F.expr(_PII_TEXT_SQL))
+    counts = PI.pii_counts(F.col("txt"))
+    return df.select(
+        "doc_id",
+        F.md5(PI.scrub_pii(F.col("txt"))).alias("scrubbed_md5"),
+        *[c.alias(k) for k, c in counts.items()],
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL blocklist filtering (analysis/urls.py): drop pages whose host or
+# any parent domain is listed. Driver query runs the broadcast-JOIN
+# scale path; the oracle is the literal suffix-overlap twin.
+# ---------------------------------------------------------------------------
+
+_BLOCKED_DOMAINS = ["host0.example.com", "host13.example.com",
+                    "bad.example.net"]
+
+
+@register(
+    "url_blocklist_pages",
+    f"""
+WITH web AS ({_WEB_SQL}),
+h AS (SELECT page_id, {HT.page_host_sql('url')} AS host FROM web)
+SELECT page_id, host FROM h
+WHERE NOT {UU.url_blocklist_flags_sql('host', _BLOCKED_DOMAINS)}
+ORDER BY page_id
+""",
+)
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [(d,) for d in _BLOCKED_DOMAINS], "domain string"
+    )
+    kept = UU.url_blocklist_filter(web, bl, url_col="url")
+    return kept.select(
+        "page_id", HT.page_host(F.col("url")).alias("host")
+    ).orderBy("page_id")

@@ -1,0 +1,84 @@
+"""HTML byte-column parsing (analysis/html.py): extraction semantics
++ the scale shape of the link-graph plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import html as HT
+
+_PAGE = (
+    '<html><head><title>My &amp; Title</title>'
+    "<script>var x = 1 < 2; if (x > 0) {}</script>"
+    "<style>p { color: red }</style></head><body>"
+    '<h1>Hello</h1><p>world &lt;tag&gt; &nbsp;ok</p>'
+    '<a href="https://Other.Example.com:8080/x">a</a>'
+    '<a href="//proto.example.com/y">b</a>'
+    '<a href="/relative/z">c</a></body></html>'
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [Row(url="https://src.example.com/p1", html=_PAGE.encode())]
+    )
+
+
+def test_title_and_text(spark):
+    df = _df(spark)
+    s = F.decode("html", "UTF-8")
+    row = df.select(
+        HT.html_title(s).alias("title"), HT.html_text(s).alias("txt")
+    ).first()
+    assert row["title"] == "My &amp; Title"
+    # script + style bodies gone, tags stripped, entities decoded,
+    # whitespace squeezed
+    assert row["txt"] == "My & Title Hello world <tag> ok a b c"
+    assert "var x" not in row["txt"] and "color" not in row["txt"]
+
+
+def test_extract_links_order(spark):
+    links = _df(spark).select(
+        HT.extract_links(F.decode("html", "UTF-8")).alias("l")
+    ).first()["l"]
+    assert links == [
+        "https://Other.Example.com:8080/x",
+        "//proto.example.com/y",
+        "/relative/z",
+    ]
+
+
+def test_link_host_edges_attribution(spark):
+    edges = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in HT.link_host_edges(_df(spark)).collect()
+    }
+    # absolute -> lowercased authority, port stripped; scheme-relative
+    # -> its own host; path-relative -> the linking page's host
+    assert edges == {
+        ("src.example.com", "other.example.com"): 1,
+        ("src.example.com", "proto.example.com"): 1,
+        ("src.example.com", "src.example.com"): 1,
+    }
+
+
+def test_link_graph_plan_single_shuffle(spark):
+    """100 TB shape: decode+extract+explode are map-side; exactly one
+    exchange (the host-pair hash aggregate) with a partial_count
+    before it."""
+    df = _df(spark)
+    plan = HT.link_host_edges(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+
+
+def test_host_degrees(spark):
+    edges = HT.link_host_edges(_df(spark))
+    d = {r["host"]: r for r in HT.host_degrees(edges).collect()}
+    src = d["src.example.com"]
+    assert (src["out_hosts"], src["out_links"]) == (3, 3)
+    assert (src["in_hosts"], src["in_links"]) == (1, 1)
+    other = d["other.example.com"]
+    assert (other["out_hosts"], other["out_links"]) == (0, 0)
+    assert (other["in_hosts"], other["in_links"]) == (1, 1)

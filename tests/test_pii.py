@@ -1,0 +1,50 @@
+"""PII scrubbing semantics (analysis/pii.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import pii as PI
+
+
+def _one(spark, text):
+    df = spark.createDataFrame([Row(t=text)])
+    counts = PI.pii_counts(F.col("t"))
+    row = df.select(
+        PI.scrub_pii(F.col("t")).alias("s"),
+        *[c.alias(k) for k, c in counts.items()],
+    ).first()
+    return row
+
+
+def test_masks_all_categories(spark):
+    row = _one(
+        spark,
+        "mail a.b+c@ex-ample.co.uk ip 10.0.255.7 tel +44 (0) 20-7946 0958 "
+        "cc 4111111111111111 done",
+    )
+    assert row["s"] == "mail <EMAIL> ip <IP> tel <PHONE> cc <CARD> done"
+    assert (row["n_email"], row["n_ipv4"], row["n_phone"], row["n_card"]) == (
+        1, 1, 1, 1,
+    )
+
+
+def test_ordering_email_protects_digits(spark):
+    # the email's host digits must not be counted as ipv4/card
+    row = _one(spark, "x 123@1.2.3.com y")
+    assert row["s"] == "x <EMAIL> y"
+    assert row["n_ipv4"] == 0 and row["n_card"] == 0
+
+
+def test_ip_not_double_counted_as_phone(spark):
+    row = _one(spark, "ip 192.168.0.1 only")
+    assert row["s"] == "ip <IP> only"
+    assert row["n_phone"] == 0
+
+
+def test_plain_integers_survive(spark):
+    row = _one(spark, "ts=1581452772 bytes=4999 status=200")
+    assert row["s"] == "ts=1581452772 bytes=4999 status=200"
+    assert sum(row[k] for k in
+               ("n_email", "n_ipv4", "n_phone", "n_card")) == 0

@@ -1,0 +1,59 @@
+"""URL blocklist suffix matching: label-boundary semantics + equality
+of the broadcast-join scale path with the literal-array twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import urls as UU
+
+_URLS = [
+    "https://spam.com/a",            # exact hit
+    "https://sub.spam.com/b",        # parent-domain hit
+    "https://notspam.com/c",         # NOT a hit (label boundary)
+    "https://ok.example.com/d",      # clean
+    "https://SPAM.com:8080/e",       # case + port normalized -> hit
+]
+_BLOCKED = ["spam.com"]
+
+
+def _df(spark):
+    return spark.createDataFrame([Row(page=i, url=u)
+                                  for i, u in enumerate(_URLS)])
+
+
+def test_label_boundary_semantics(spark):
+    df = _df(spark)
+    kept = UU.url_blocklist_filter(
+        df, spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
+    )
+    assert sorted(r["page"] for r in kept.collect()) == [2, 3]
+
+
+def test_join_form_equals_literal_form(spark):
+    df = _df(spark)
+    lit_kept = df.filter(
+        ~UU.url_blocklist_flags(F.col("url"), _BLOCKED)
+    )
+    join_kept = UU.url_blocklist_filter(
+        df, spark.createDataFrame([(d,) for d in _BLOCKED], "domain string")
+    )
+    assert (sorted(r["page"] for r in lit_kept.collect())
+            == sorted(r["page"] for r in join_kept.collect()))
+
+
+def test_host_suffixes(spark):
+    out = spark.createDataFrame([Row(h="a.b.c")]).select(
+        UU.host_suffixes(F.col("h")).alias("s")
+    ).first()["s"]
+    assert out == ["a.b.c", "b.c", "c"]
+
+
+def test_keep_blocked_side(spark):
+    df = _df(spark)
+    blocked = UU.url_blocklist_filter(
+        df, spark.createDataFrame([(d,) for d in _BLOCKED], "domain string"),
+        keep_blocked=True,
+    )
+    assert sorted(r["page"] for r in blocked.collect()) == [0, 1, 4]
