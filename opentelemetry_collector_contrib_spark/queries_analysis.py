@@ -708,3 +708,82 @@ def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "page_id", HT.page_host(F.col("url")).alias("host")
     ).orderBy("page_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (composite): Gopher quality gate ->
+# exact content dedup -> PII scrub -> per-language hash-gated mixing
+# -> per-language corpus stats. One driver query proving the curation
+# stages COMPOSE (the training-data twin of the flagship log
+# pipeline); the oracle chains each stage's SQL twin through CTEs.
+# Scale shape: quality gate + scrub + mix gate are map-only; the only
+# shuffles are the dedup fingerprint aggregate and the final tiny
+# per-lang aggregate.
+# ---------------------------------------------------------------------------
+
+from .analysis import sampling as SAM  # noqa: E402
+from .analysis.hashing import md5_int32, md5_int32_sql  # noqa: E402
+from .analysis.textstats import (  # noqa: E402
+    bpe_token_count,
+    bpe_token_count_sql,
+    content_fingerprint,
+    content_fingerprint_sql,
+)
+
+_MIX_RATES = {"en": 0.9, "de": 0.6, "fr": 0.6, "es": 0.4, "zh": 0.25}
+_MIX_SEED = 7
+_GOPHER_PASS = ("word_count_ok AND mean_word_len_ok AND symbol_ratio_ok"
+                " AND alpha_ratio_ok AND stopword_ok")
+
+
+def _curation_oracle() -> str:
+    from .analysis import pii as _PI
+    from .analysis.textstats import gopher_quality_flags_sql, ws_tokens_sql
+
+    mix = SAM.stratified_hash_sample_sql(
+        "s", "lang", _MIX_RATES, default_rate=0.0, id_col="doc_id",
+        seed=_MIX_SEED,
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, text AS txt,
+                  {ws_tokens_sql('text')} AS toks FROM documents),
+f AS (SELECT doc_id, lang, txt, {gopher_quality_flags_sql('text')} FROM t),
+q AS (SELECT doc_id, lang, txt FROM f WHERE {_GOPHER_PASS}),
+d AS (SELECT doc_id, lang, txt FROM q
+      QUALIFY doc_id = min(doc_id)
+        OVER (PARTITION BY {content_fingerprint_sql('txt')})),
+s AS (SELECT doc_id, lang, {_PI.scrub_pii_sql('txt')} AS sc FROM d),
+m AS ({mix})
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum({bpe_token_count_sql('sc')}) AS BIGINT) AS n_tokens,
+       CAST(sum({md5_int32_sql('sc')}) AS BIGINT) AS checksum
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+@register("curation_e2e_documents", _curation_oracle())
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analysis.textstats import gopher_quality_flags
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    flags = gopher_quality_flags(F.col("text"))
+    passed_pred = F.lit(True)
+    for c in flags.values():
+        passed_pred = passed_pred & c
+    q = docs.filter(passed_pred)
+    d = DD.exact_dedup(q)
+    s = d.withColumn("sc", PI.scrub_pii(F.col("text"))).drop("text")
+    m = SAM.stratified_hash_sample(
+        s, "lang", _MIX_RATES, default_rate=0.0, id_col="doc_id",
+        seed=_MIX_SEED,
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(bpe_token_count(F.col("sc"))).alias("n_tokens"),
+            F.sum(md5_int32(F.col("sc"))).alias("checksum"),
+        )
+        .orderBy("lang")
+    )
