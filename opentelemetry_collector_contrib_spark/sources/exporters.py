@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,3 +68,62 @@ def sink_path(base: str, sink: str, snapshot_id: str | None = None) -> str:
     the same directory (checkpoint.py's effectively-once contract)."""
     parts = [base, sink] + ([snapshot_id] if snapshot_id else [])
     return os.path.join(*parts)
+
+
+# ---------------------------------------------------------------------------
+# kafkaexporter default partitioner parity: the Java client's
+# murmur2-positive partition assignment (exporter/kafkaexporter uses
+# the client-default hash partitioner when partitioning by key;
+# Kafka's DefaultPartitioner = murmur2(keyBytes) & 0x7fffffff mod
+# numPartitions, org.apache.kafka.common.utils.Utils.murmur2).
+# Arrow-batched pandas UDF (keys are short; assignment happens once
+# per record at export, off the scan hot path).
+# ---------------------------------------------------------------------------
+
+_M2 = 0x5BD1E995
+
+
+def murmur2_py(data: bytes) -> int:
+    """Kafka's murmur2 (32-bit, little-endian chunks), returned as the
+    Java SIGNED int. Mirrors Utils.murmur2 exactly: seed 0x9747b28c ^
+    len, m=0x5bd1e995, r=24, 3-2-1 tail switch with fallthrough."""
+    h = (0x9747B28C ^ len(data)) & 0xFFFFFFFF
+    n4 = len(data) // 4
+    for i in range(n4):
+        k = int.from_bytes(data[i * 4:i * 4 + 4], "little")
+        k = (k * _M2) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * _M2) & 0xFFFFFFFF
+        h = (h * _M2) & 0xFFFFFFFF
+        h ^= k
+    rem, base = len(data) % 4, n4 * 4
+    if rem == 3:
+        h ^= data[base + 2] << 16
+    if rem >= 2:
+        h ^= data[base + 1] << 8
+    if rem >= 1:
+        h ^= data[base]
+        h = (h * _M2) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * _M2) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def kafka_partition_column(key, num_partitions: int):
+    """Partition index column for a string/binary key column --
+    byte-identical to the Java client's default partitioner, so a
+    Spark job writing `partition` explicitly co-locates records with
+    producers using keyed defaults."""
+
+    @F.pandas_udf("int")
+    def _part(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            b = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+            return (murmur2_py(b) & 0x7FFFFFFF) % num_partitions
+
+        return s.map(one)
+
+    return _part(key if not isinstance(key, str) else F.col(key))

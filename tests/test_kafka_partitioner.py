@@ -1,0 +1,51 @@
+"""kafkaexporter default-partitioner parity: Kafka's murmur2 and the
+positive-mod partition assignment (reference exporter/kafkaexporter
+delegates keyed partitioning to the client default)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.sources.exporters import (
+    kafka_partition_column,
+    murmur2_py,
+)
+
+# org.apache.kafka.common.utils.UtilsTest.testMurmur2 vectors
+_VECTORS = {
+    b"21": -973932308,
+    b"foobar": -790332482,
+    b"a-little-bit-long-string": -985981536,
+    b"a-little-bit-longer-string": -1486304829,
+    b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971,
+    bytes([97, 98, 99]): 479470107,
+}
+
+
+def test_murmur2_kafka_vectors():
+    for k, want in _VECTORS.items():
+        assert murmur2_py(k) == want, k
+
+
+def test_partition_assignment(spark):
+    df = spark.createDataFrame(
+        [Row(key=k.decode()) for k in _VECTORS if k != bytes([97, 98, 99])]
+    )
+    got = {
+        r["key"]: r["p"]
+        for r in df.select(
+            "key", kafka_partition_column("key", 12).alias("p")
+        ).collect()
+    }
+    for k, h in _VECTORS.items():
+        if k == bytes([97, 98, 99]):
+            continue
+        assert got[k.decode()] == (h & 0x7FFFFFFF) % 12
+
+
+def test_null_key_passthrough(spark):
+    df = spark.createDataFrame([Row(key=None), Row(key="x")],
+                               "key string")
+    rows = df.select(kafka_partition_column("key", 4).alias("p")).collect()
+    assert rows[0]["p"] is None and rows[1]["p"] is not None
