@@ -1,0 +1,155 @@
+"""C4-style line-level corpus cleaning (Raffel et al. 2020, §2.2) with
+Gopher/FineWeb line-shape signals — the web-curation twin of the
+collector's filterprocessor, applied at line granularity.
+
+Rules implemented (each documented against the published recipe):
+
+- keep a line only if its trimmed form ends in terminal punctuation
+  (``. ! ? "``), has >= ``min_words`` whitespace words, and does not
+  mention "javascript" (case-insensitive);
+- flag (drop) a page containing "lorem ipsum" or a curly brace;
+- page keep-verdict additionally requires >= ``min_kept_lines`` kept
+  lines (the paper's "at least 3 sentences", with kept lines as the
+  deterministic sentence proxy — no sentence splitter dependency);
+- Gopher line-shape fractions (Rae et al. 2021 §A1.1): fraction of
+  lines starting with a bullet glyph and fraction ending in an
+  ellipsis.
+
+Everything is a pure-Column expression over one ``split(text, '\\n')``
+array — map-only, whole-stage-codegen, nothing leaves the row, so the
+pass costs one scan at any corpus size. Each builder has a DuckDB
+``*_sql`` twin built from the same constants for the oracle.
+
+Reference-role parity: the stanza ``filter`` transformer drops whole
+records by expression (pkg/stanza/operator/transformer/filter/
+transformer.go); this module is the same drop-by-expression contract
+pushed down to line granularity inside a column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .textstats import ws_tokens, ws_tokens_sql
+
+# Shared constants — embedded verbatim in both engines.
+TERMINAL_RE = '[.!?"]$'
+BULLET_RE = "^[-*•]"
+ELLIPSIS_RE = "(\\.\\.\\.|…)$"
+MIN_WORDS = 5
+MIN_KEPT_LINES = 3
+
+
+def _lines(col: Column) -> Column:
+    return F.filter(F.split(col, "\n"), lambda l: F.trim(l) != "")
+
+
+def _lines_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split({expr}, chr(10)), l -> trim(l) <> '')"
+    )
+
+
+def _line_ok(l: Column, min_words: int) -> Column:
+    t = F.trim(l)
+    return (
+        t.rlike(TERMINAL_RE)
+        & (F.size(ws_tokens(l)) >= min_words)
+        & ~F.lower(l).contains("javascript")
+    )
+
+
+def _line_ok_sql(l: str, min_words: int) -> str:
+    return (
+        f"(regexp_matches(trim({l}), '{TERMINAL_RE}') "
+        f"AND len({ws_tokens_sql(l)}) >= {min_words} "
+        f"AND NOT contains(lower({l}), 'javascript'))"
+    )
+
+
+def c4_kept_lines(col: Column, min_words: int = MIN_WORDS) -> Column:
+    return F.filter(_lines(col), lambda l: _line_ok(l, min_words))
+
+
+def c4_kept_lines_sql(expr: str, min_words: int = MIN_WORDS) -> str:
+    return (
+        f"list_filter({_lines_sql(expr)}, "
+        f"l -> {_line_ok_sql('l', min_words)})"
+    )
+
+
+def c4_clean_text(col: Column, min_words: int = MIN_WORDS) -> Column:
+    """Kept lines re-joined with newlines (the cleaned page body)."""
+    return F.array_join(c4_kept_lines(col, min_words), "\n")
+
+
+def c4_clean_text_sql(expr: str, min_words: int = MIN_WORDS) -> str:
+    return f"array_to_string({c4_kept_lines_sql(expr, min_words)}, chr(10))"
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.round(
+        num.cast("double") / F.greatest(den, F.lit(1)).cast("double"), 6
+    )
+
+
+def c4_page_stats(
+    col: Column,
+    min_words: int = MIN_WORDS,
+    min_kept_lines: int = MIN_KEPT_LINES,
+) -> dict[str, Column]:
+    """The full battery as named columns (flags + fractions)."""
+    lines = _lines(col)
+    n_lines = F.size(lines)
+    kept = c4_kept_lines(col, min_words)
+    n_kept = F.size(kept)
+    lorem = F.lower(col).contains("lorem ipsum")
+    curly = col.contains("{")
+    bullets = F.size(F.filter(lines, lambda l: F.trim(l).rlike(BULLET_RE)))
+    ellipses = F.size(F.filter(lines, lambda l: F.trim(l).rlike(ELLIPSIS_RE)))
+    return {
+        "n_lines": n_lines,
+        "n_kept": n_kept,
+        "has_lorem_ipsum": lorem,
+        "has_curly": curly,
+        "bullet_frac": _frac(bullets, n_lines),
+        "ellipsis_frac": _frac(ellipses, n_lines),
+        "keep_page": ~lorem & ~curly & (n_kept >= min_kept_lines),
+    }
+
+
+def c4_page_stats_sql(
+    expr: str,
+    min_words: int = MIN_WORDS,
+    min_kept_lines: int = MIN_KEPT_LINES,
+) -> dict[str, str]:
+    lines = _lines_sql(expr)
+    kept = c4_kept_lines_sql(expr, min_words)
+    lorem = f"contains(lower({expr}), 'lorem ipsum')"
+    curly = f"contains({expr}, '{{')"
+    bullets = (
+        f"len(list_filter({lines}, l -> regexp_matches(trim(l), "
+        f"'{BULLET_RE}')))"
+    )
+    ellipses = (
+        f"len(list_filter({lines}, l -> regexp_matches(trim(l), "
+        f"'{ELLIPSIS_RE}')))"
+    )
+    n_lines = f"len({lines})"
+    frac = (
+        "ROUND(CAST({num} AS DOUBLE) "
+        "/ CAST(greatest({den}, 1) AS DOUBLE), 6)"
+    )
+    return {
+        "n_lines": f"CAST({n_lines} AS INT)",
+        "n_kept": f"CAST(len({kept}) AS INT)",
+        "has_lorem_ipsum": lorem,
+        "has_curly": curly,
+        "bullet_frac": frac.format(num=bullets, den=n_lines),
+        "ellipsis_frac": frac.format(num=ellipses, den=n_lines),
+        "keep_page": (
+            f"(NOT {lorem} AND NOT {curly} "
+            f"AND len({kept}) >= {min_kept_lines})"
+        ),
+    }

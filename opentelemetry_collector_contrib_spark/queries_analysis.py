@@ -787,3 +787,75 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (analysis/c4.py). The documents fixture is
+# single-line, so the query synthesizes a multi-line page around each
+# doc's text with deterministic boilerplate that exercises every rule:
+# a bullet line (doc_id%5), a javascript notice, a too-short line, an
+# ellipsis teaser, and page-level lorem-ipsum (doc_id%11) / curly
+# (doc_id%13) poison. The oracle rebuilds the identical page and runs
+# the *_sql twins built from the same constants.
+# ---------------------------------------------------------------------------
+from .analysis import c4 as C4  # noqa: E402
+
+_C4_PAGES_CTE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0
+            THEN '- bullet point' || chr(10) ELSE '' END
+       || 'Please enable javascript to continue.' || chr(10)
+       || text || '.' || chr(10)
+       || 'This sentence has exactly seven words total.' || chr(10)
+       || 'Read more...' || chr(10)
+       || 'short line' || chr(10)
+       || CASE WHEN doc_id % 11 = 0
+               THEN 'Lorem ipsum dolor sit amet, consectetur elit.'
+                    || chr(10) ELSE '' END
+       || CASE WHEN doc_id % 13 = 0
+               THEN 'var config = {1};' || chr(10) ELSE '' END
+       || 'A closing sentence with plenty of words here.' AS txt
+FROM documents
+"""
+
+_C4_STATS_SQL = C4.c4_page_stats_sql("txt")
+
+
+@register(
+    "c4_line_filter_documents",
+    "WITH pages AS (" + _C4_PAGES_CTE + ")\nSELECT doc_id,\n"
+    + ",\n".join(
+        f"       {sql} AS {name}" for name, sql in _C4_STATS_SQL.items()
+    )
+    + f",\n       md5({C4.c4_clean_text_sql('txt')}) AS clean_md5\n"
+    "FROM pages ORDER BY doc_id",
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    page = F.concat(
+        F.when(d % 5 == 0, F.lit("- bullet point\n")).otherwise(F.lit("")),
+        F.lit("Please enable javascript to continue.\n"),
+        F.col("text"), F.lit(".\n"),
+        F.lit("This sentence has exactly seven words total.\n"),
+        F.lit("Read more...\n"),
+        F.lit("short line\n"),
+        F.when(
+            d % 11 == 0,
+            F.lit("Lorem ipsum dolor sit amet, consectetur elit.\n"),
+        ).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("var config = {1};\n")).otherwise(
+            F.lit("")
+        ),
+        F.lit("A closing sentence with plenty of words here."),
+    )
+    stats = C4.c4_page_stats(F.col("txt"))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", page.alias("txt"))
+        .select(
+            "doc_id",
+            *[v.alias(k) for k, v in stats.items()],
+            F.md5(C4.c4_clean_text(F.col("txt"))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

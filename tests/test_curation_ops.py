@@ -115,3 +115,62 @@ def test_stratified_topk_exact_counts(spark):
     again = {(r["doc_id"], r["sample_rank"]) for r in out.collect()}
     assert {(r["doc_id"], r["sample_rank"])
             for r in S.stratified_topk(df, "stratum", k=200).collect()} == again
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level filters (analysis/c4.py)
+# ---------------------------------------------------------------------------
+from opentelemetry_collector_contrib_spark.analysis import c4 as C4
+
+
+def _c4_row(spark, txt):
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    stats = C4.c4_page_stats(F.col("text"))
+    cols = [v.alias(k) for k, v in stats.items()]
+    cols.append(C4.c4_clean_text(F.col("text")).alias("clean"))
+    return df.select(cols).collect()[0]
+
+
+def test_c4_line_rules(spark):
+    txt = (
+        "Good sentence with five words here.\n"
+        "- bullet\n"
+        "You must enable javascript to proceed now.\n"
+        "short.\n"
+        "Trailing thought...\n"
+        "Another proper sentence with enough words total."
+    )
+    row = _c4_row(spark, txt)
+    assert row["n_lines"] == 6
+    # kept: line 1 (terminal punct, >=5 words) and line 6; dropped:
+    # bullet (no terminal punct), javascript mention, <5 words, teaser
+    assert row["n_kept"] == 2
+    assert row["clean"] == (
+        "Good sentence with five words here.\n"
+        "Another proper sentence with enough words total."
+    )
+    assert row["bullet_frac"] == round(1 / 6, 6)
+    assert row["ellipsis_frac"] == round(1 / 6, 6)
+    # only 2 kept lines < MIN_KEPT_LINES
+    assert row["keep_page"] is False
+
+
+def test_c4_page_poison_and_keep(spark):
+    good = (
+        "First proper sentence with enough words here.\n"
+        "Second proper sentence with enough words here.\n"
+        "Third proper sentence with enough words here."
+    )
+    assert _c4_row(spark, good)["keep_page"] is True
+    assert _c4_row(spark, good + "\nLorem Ipsum filler.")[
+        "has_lorem_ipsum"
+    ]
+    assert _c4_row(spark, good + "\nLorem Ipsum filler.")["keep_page"] is False
+    assert _c4_row(spark, good + "\nif (x) { y }")["keep_page"] is False
+
+
+def test_c4_empty_text(spark):
+    row = _c4_row(spark, "")
+    assert row["n_lines"] == 0 and row["n_kept"] == 0
+    assert row["keep_page"] is False
+    assert row["clean"] == ""
