@@ -1,0 +1,102 @@
+"""Self-trained unigram LM scoring — the CCNet-style perplexity
+quality filter (Wenzek et al. 2020 §3.3: score pages by LM perplexity,
+keep the low-perplexity head). No external model artifacts are allowed
+here, so the model is trained on the corpus itself: unigram MLE with
+add-one smoothing, p(tok) = (c + 1) / (total + vocab).
+
+Determinism contract: each token's negative log-prob is rounded to
+integer **micro-nats** BEFORE the per-document sum, so the aggregate
+is a BIGINT sum — exact and aggregation-order-independent — and the
+DuckDB oracle matches hash-exactly. We report mean surprisal
+(cross-entropy, nats/token) instead of exp()-ing into perplexity: the
+ranking is identical and it avoids a second transcendental.
+
+Scale shape: token counting is a map-side-combinable groupBy; the
+model relation is (vocab) rows joined back to the exploded tokens on
+``tok`` — hot stopword keys are exactly the AQE skew-join case (the
+join is many-to-one, so salting is never required). At web scale the
+model is truncated to top-V tokens plus a constant OOV surprisal,
+making the join a broadcast; the full-vocab join below is the exact
+small-scale form of the same plan.
+
+Reference-role parity: this is the quality-scoring analog of the
+collector's filterprocessor severity/threshold gates
+(processor/filterprocessor/logs.go) — score, then drop by predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import ws_tokens, ws_tokens_sql
+
+MICRO = 1_000_000
+
+
+def unigram_cross_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc (n_tokens, nlp_micro_sum, cross_entropy) under the
+    corpus-trained add-one unigram model. Docs with zero tokens drop
+    out (no tokens to score — same as the oracle's inner join)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            -F.log(
+                (F.col("c") + F.lit(1.0))
+                / (F.col("total") + F.col("vocab"))
+            )
+            * MICRO
+        )
+        .cast("long")
+        .alias("nlp_micro"),
+    )
+    return (
+        toks.join(model, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nlp_micro").alias("nlp_micro_sum"),
+        )
+        .withColumn(
+            "cross_entropy",
+            F.round(
+                F.col("nlp_micro_sum").cast("double")
+                / MICRO
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+    )
+
+
+def unigram_cross_entropy_sql(
+    table: str = "documents", text_expr: str = "text"
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({ws_tokens_sql(text_expr)}) AS tok FROM {table}),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM counts),
+model AS (
+  SELECT tok,
+         CAST(ROUND(-ln((c + 1.0) / (total + vocab)) * {MICRO}) AS BIGINT)
+           AS nlp_micro
+  FROM counts, tot)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(nlp_micro) AS nlp_micro_sum,
+       ROUND(CAST(sum(nlp_micro) AS DOUBLE) / {MICRO} / count(*), 6)
+         AS cross_entropy
+FROM toks JOIN model USING (tok)
+GROUP BY doc_id
+"""

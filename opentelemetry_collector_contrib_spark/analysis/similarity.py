@@ -408,3 +408,228 @@ p AS (
 SELECT id_a, id_b, ROUND(c, 4) AS cos FROM p WHERE c >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN + SemDeDup-style cell dedup
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus_df: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer: the n_cells corpus vectors ranked first by
+    md5(id) — a seeded pick, NOT k-means, because float means are
+    aggregation-order-dependent and would break oracle exactness.
+    Returns (cell_id, centroid, cent_norm).
+
+    Scale note: ranking every id is fine at fixture scale; at web
+    scale gate first with a hash predicate (md5 % (n/K) = 0) so the
+    global row_number sorts a K-ish sample, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_h", "_sid")
+    return (
+        corpus_df.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_sid"),
+            as_double(F.col(vec_col)).alias("centroid"),
+        )
+        .withColumn("cell_id", F.row_number().over(w) - 1)
+        .filter(F.col("cell_id") < n_cells)
+        .select(
+            "cell_id", "centroid", norm(F.col("centroid")).alias("cent_norm")
+        )
+    )
+
+
+def _ivf_nearest_cells(
+    e: DataFrame, centroids: DataFrame, n_nearest: int
+) -> DataFrame:
+    """Rank the (broadcast, K-row) centroids per vector by
+    ROUND(cos, 6) with cell_id tie-break; keep the n_nearest. Input
+    must carry (id, v, nrm). Map-side only — no shuffle of vectors."""
+    from pyspark.sql import Window
+
+    scored = e.crossJoin(F.broadcast(centroids)).withColumn(
+        "_ccos",
+        F.round(
+            dot(F.col("v"), F.col("centroid"))
+            / (F.col("nrm") * F.col("cent_norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("_ccos").desc(), F.col("cell_id")
+    )
+    return (
+        scored.withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") <= n_nearest)
+        .select("id", "v", "nrm", "cell_id")
+    )
+
+
+def _ivf_cells_sql(query_pred: str, n_cells: int, nprobe: int,
+                   table: str = "embeddings") -> str:
+    """Shared CTE prefix: e (vectors+norms), seeds, assign (1 cell per
+    vector), probes (nprobe cells per query)."""
+    e = _E_CTE.format(table=table)
+    return f"""
+e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      FROM ({e})),
+seeds AS (
+  SELECT v AS centroid, nrm AS cent_norm,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+  FROM e QUALIFY cell_id < {n_cells}),
+cscore AS (
+  SELECT e.vec_id, e.v, e.nrm, s.cell_id,
+         ROUND(list_dot_product(e.v, s.centroid)
+               / (e.nrm * s.cent_norm), 6) AS ccos
+  FROM e CROSS JOIN seeds s),
+cranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC, cell_id) AS crn
+  FROM cscore),
+assign AS (SELECT vec_id, v, nrm, cell_id FROM cranked WHERE crn = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell_id
+           FROM cranked WHERE crn <= {nprobe} AND {query_pred})"""
+
+
+def ivf_ann_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign every corpus vector to its max-cosine cell
+    (the inverted list); a query probes its nprobe nearest cells and
+    brute-forces only those lists.
+
+    Scale shape: quantization is a map-only broadcast cross join with
+    K rows; the search is an equi-join on the small-int cell_id whose
+    fan-in is corpus/K per cell — pick K so a cell fits an executor,
+    same dial as lsh_ann_topk's n_planes but with data-adaptive
+    (corpus-seeded) cells instead of data-blind hyperplanes.
+    """
+    from pyspark.sql import Window
+
+    cent = ivf_centroids(corpus_df, n_cells, id_col, vec_col)
+    c = corpus_df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cells = _ivf_nearest_cells(c, cent, 1).withColumnsRenamed(
+        {"id": "neighbor_id", "v": "cv", "nrm": "cn"}
+    )
+    q = queries_df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    probes = _ivf_nearest_cells(q, cent, nprobe).withColumnsRenamed(
+        {"id": "query_id", "v": "qv", "nrm": "qn"}
+    )
+    scored = (
+        probes.join(cells, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_ann_topk_sql(query_pred: str, k: int = 5, n_cells: int = 8,
+                     nprobe: int = 2, table: str = "embeddings") -> str:
+    cells = _ivf_cells_sql(query_pred, n_cells, nprobe, table)
+    return f"""
+WITH {cells},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS cos
+  FROM probes p JOIN assign a USING (cell_id)
+  WHERE p.query_id <> a.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def semantic_dedup_ivf(
+    emb_df: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with the deterministic IVF
+    quantizer: cluster by cell, then within each cell drop every
+    vector that has a lower-id neighbor with cosine >= threshold
+    (min-id representative — the exact_dedup convention). Pairwise
+    work exists only inside a cell; no O(n^2) self-join.
+    Returns the kept vectors as (vec_id, cell_id)."""
+    cent = ivf_centroids(emb_df, n_cells, id_col, vec_col)
+    e = emb_df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cells = _ivf_nearest_cells(e, cent, 1)
+    a = cells.select(
+        "cell_id", F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cells.select(
+        "cell_id", F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "_cos",
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped, "id", "left_anti")
+        .select(F.col("id").alias("vec_id"), "cell_id")
+    )
+
+
+def semantic_dedup_ivf_sql(n_cells: int = 8, threshold: float = 0.45,
+                           table: str = "embeddings") -> str:
+    cells = _ivf_cells_sql("FALSE", n_cells, 0, table)
+    return f"""
+WITH {cells},
+dropped AS (
+  SELECT DISTINCT b.vec_id AS id
+  FROM assign a JOIN assign b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold})
+SELECT a.vec_id, a.cell_id
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.id
+WHERE d.id IS NULL
+ORDER BY a.vec_id
+"""

@@ -859,3 +859,50 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality scoring (analysis/lm.py): per-doc cross
+# entropy under a corpus-trained add-one unigram model, in exact
+# integer micro-nats so both engines hash-match.
+# ---------------------------------------------------------------------------
+from .analysis import lm as LM  # noqa: E402
+
+
+@register(
+    "lm_cross_entropy_documents",
+    LM.unigram_cross_entropy_sql("documents", "text") + " ORDER BY doc_id",
+)
+def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return LM.unigram_cross_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN + SemDeDup (analysis/similarity.py IVF section): the
+# data-adaptive counterpart of the LSH queries — corpus-seeded cells,
+# nprobe search, and within-cell semantic dedup. Oracle replicates the
+# identical quantizer (md5-ranked seeds, ROUND(cos,6) argmax).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_topk",
+    SIM.ivf_ann_topk_sql(query_pred="vec_id % 25 = 0", k=5, n_cells=8,
+                         nprobe=2),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    return SIM.ivf_ann_topk(qs, emb, k=5, n_cells=8, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "dedup_semantic_ivf",
+    SIM.semantic_dedup_ivf_sql(n_cells=8, threshold=0.45),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.semantic_dedup_ivf(
+        _emb(spark, sf_dir), n_cells=8, threshold=0.45
+    ).orderBy("vec_id")

@@ -6,7 +6,8 @@
    and high recall at the configured threshold.
 3. No registered driver query compiles to a cartesian/broadcast-
    nested-loop plan -- except the documented brute-force recall
-   baseline ``ann_cosine_topk``.
+   baseline ``ann_cosine_topk`` and the constant-size broadcast
+   cross joins in ``_CONST_BROADCAST``.
 """
 
 from __future__ import annotations
@@ -62,8 +63,18 @@ def test_banded_cosine_precision_and_recall(spark):
         assert recall >= 0.5, f"banded recall {recall:.2f} too low"
 
 
-# The one documented exception: brute-force recall baseline.
+# Documented exceptions:
+# - the brute-force recall baseline (true all-pairs; oracle-scale only)
 _BNLJ_ALLOWED = {"ann_cosine_topk"}
+# - constant-size broadcast sides (K centroid rows / the 1-row model
+#   totals): the "nested loop" is O(n*K) map-side work with K a plan
+#   constant, not a data-dependent self-join. Listed per-query so an
+#   accidental quadratic BNLJ anywhere else still fails.
+_CONST_BROADCAST = {
+    "ann_ivf_topk",
+    "dedup_semantic_ivf",
+    "lm_cross_entropy_documents",
+}
 
 
 @pytest.mark.parametrize("name", sorted(Q.queries().keys()))
@@ -73,7 +84,8 @@ def test_no_cartesian_or_bnlj_plans(spark, name):
     if name in _BNLJ_ALLOWED:
         pytest.skip("documented brute-force recall baseline")
     assert "CartesianProduct" not in plan, name
-    assert "BroadcastNestedLoopJoin" not in plan, name
+    if name not in _CONST_BROADCAST:
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_normalize_url_cases(spark):
@@ -114,3 +126,42 @@ def test_anomaly_mad_flags_outliers(spark):
     out = anomaly_mad(df, ["grp"], "v", threshold=3.5)
     flagged = [r["v"] for r in out.filter("is_anomaly").collect()]
     assert flagged == [1000.0]
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(qs, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_ann_topk(qs, emb, k=5, n_cells=8,
+                                  nprobe=2).collect()
+    }
+    # every approximate hit must be a real corpus pair with the right
+    # query; recall is bounded by cell coverage, assert a sane floor
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ivf recall {recall:.2f} too low"
+
+
+def test_semantic_dedup_keeps_min_id_per_near_dup_group(spark):
+    emb = _emb(spark)
+    kept = {r["vec_id"]
+            for r in SIM.semantic_dedup_ivf(emb, n_cells=8,
+                                            threshold=0.45).collect()}
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert kept <= all_ids and kept
+    # survivors must not contain a within-cell pair above threshold
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in SIM.semantic_dedup_ivf(
+            emb, n_cells=8, threshold=1.1  # keep everything
+        ).collect()
+    }
+    pairs = SIM.cosine_near_dup_pairs(emb, threshold=0.45).collect()
+    for p in pairs:
+        if cells[p["id_a"]] == cells[p["id_b"]]:
+            # the higher id of a same-cell near-dup pair must be gone
+            assert p["id_b"] not in kept or p["id_a"] not in all_ids

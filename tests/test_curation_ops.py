@@ -174,3 +174,29 @@ def test_c4_empty_text(spark):
     assert row["n_lines"] == 0 and row["n_kept"] == 0
     assert row["keep_page"] is False
     assert row["clean"] == ""
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM cross-entropy (analysis/lm.py)
+# ---------------------------------------------------------------------------
+from opentelemetry_collector_contrib_spark.analysis import lm as LM
+
+
+def test_lm_common_tokens_score_lower(spark):
+    rows = [(i, "the quick fox") for i in range(9)]
+    rows.append((100, "zyzzyva qoph xylem"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in LM.unigram_cross_entropy(df).collect()}
+    # every doc has 3 tokens; the rare-token doc must be the worst
+    assert all(r["n_tokens"] == 3 for r in out.values())
+    assert out[100]["cross_entropy"] > out[0]["cross_entropy"]
+    # repeated docs score identically (same tokens, same model)
+    assert out[0]["nlp_micro_sum"] == out[8]["nlp_micro_sum"]
+
+
+def test_lm_empty_doc_drops_out(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "   ")], "doc_id long, text string"
+    )
+    ids = {r["doc_id"] for r in LM.unigram_cross_entropy(df).collect()}
+    assert ids == {1}
