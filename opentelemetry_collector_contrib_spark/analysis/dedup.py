@@ -744,3 +744,97 @@ SELECT ps.doc_id,
 FROM ps LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY ps.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): a span of W consecutive tokens
+# appearing more than once in the corpus is a duplicated substring.
+# The paper builds a corpus-wide suffix array; the Spark-native
+# formulation is relational: every doc emits its (n_tokens - W + 1)
+# sliding-window hashes MAP-SIDE (one narrow int64 per window), the
+# only shuffles are a groupBy on the window hash and a left-semi join
+# back — no document text ever crosses the wire, so the plan holds at
+# 100 TB (shuffle payload ~= 8 bytes x windows).  Output is per-doc
+# duplication stats; the dedup ACTION (drop docs over a threshold, or
+# cut the span like the paper) composes downstream.
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_stats(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-window stats: ``n_windows`` (sliding W-token
+    windows in the doc), ``n_dup_windows`` (those whose exact token
+    span occurs >1 time corpus-wide, same-doc repeats included),
+    ``has_dup``. Docs shorter than W tokens have 0 windows."""
+    from .textstats import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
+    win_hashes = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - w + 1),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, w))), 1, 15
+                ), 16, 10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+    base = df.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - w + 1, F.lit(0)).alias("n_windows"),
+        win_hashes.alias("_wins"),
+    )
+    wins = base.select(id_col, F.explode("_wins").alias("h"))
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    per_doc = (
+        wins.join(dup_h, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        base.select(id_col, "n_windows")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            (F.coalesce("n_dup_windows", F.lit(0)) > 0).alias("has_dup"),
+        )
+    )
+
+
+def exact_substring_stats_sql(table: str, w: int = 8) -> str:
+    """DuckDB twin of exact_substring_stats (same md5-60bit window
+    hash, same count>1 criterion)."""
+    from .textstats import ws_tokens_sql
+
+    return f"""
+WITH toks AS (SELECT doc_id, {ws_tokens_sql('text')} AS t FROM {table}),
+base AS (SELECT doc_id, greatest(len(t) - {w} + 1, 0) AS n_windows, t
+         FROM toks),
+wins AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(t[i:i+{w}-1], ' ')),
+                              1, 15)) AS BIGINT) AS h
+  FROM base, UNNEST(generate_series(1, len(t) - {w} + 1)) AS u(i)),
+freq AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+pd AS (SELECT doc_id, COUNT(*) AS n_dup_windows
+       FROM wins JOIN freq USING (h) GROUP BY doc_id)
+SELECT b.doc_id, b.n_windows,
+       COALESCE(pd.n_dup_windows, 0) AS n_dup_windows,
+       COALESCE(pd.n_dup_windows, 0) > 0 AS has_dup
+FROM base b LEFT JOIN pd USING (doc_id)
+ORDER BY b.doc_id
+"""

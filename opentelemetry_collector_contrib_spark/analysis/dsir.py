@@ -1,0 +1,153 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+Selects corpus documents that look like a target domain by importance
+weighting over HASHED N-GRAM features: estimate bucketed unigram+bigram
+distributions p̂ (target slice) and q̂ (raw corpus), then score each doc
+log w(x) = Σ_b c_b(x) · (log p̂_b − log q̂_b) and keep the top-k.
+
+Spark shape (100 TB-safe):
+- features are emitted MAP-SIDE (explode of whitespace uni+bigrams,
+  bucketed to ``n_buckets`` ints via md5);
+- the two distribution fits are groupBy(bucket) aggregates — map-side
+  combine reduces each partition to ≤ n_buckets rows before the
+  shuffle;
+- the per-bucket log-ratio table (n_buckets rows) is BROADCAST back
+  onto the feature stream; per-doc scores are one more combinable
+  groupBy(doc_id) sum. No document text ever shuffles.
+
+Determinism: per-bucket log-ratios are rounded to integer MICRONATS
+(·1e6) before the per-doc sum, so doc scores are exact BIGINTs — the
+engine-vs-oracle comparison is exact-integer, not float-tolerance (the
+paper's Gumbel-top-k sampling is replaced by deterministic top-k on
+the score, ties broken by doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, md5_int32_sql
+from .textstats import ws_tokens, ws_tokens_sql
+
+
+def _feature_rows(df: DataFrame, text_col: str, id_col: str,
+                  n_buckets: int, extra_cols: list[str]) -> DataFrame:
+    """One row per hashed uni/bigram feature occurrence: (id, ..., b)."""
+    toks = ws_tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.explode(feats).alias("_f"),
+    ).select(
+        id_col, *extra_cols,
+        (md5_int32(F.col("_f")) % n_buckets).alias("b"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    top_k: int = 100,
+) -> DataFrame:
+    """Per-doc DSIR score (integer micronats) + top-k selection flag.
+
+    ``target_pred`` marks the in-domain rows used to fit p̂ (they are
+    scored and selectable like any other row). Laplace add-1 smoothing
+    on both distributions. Docs with no features score 0.
+    """
+    base = df.select(id_col, F.col(text_col),
+                     target_pred.alias("_is_target"))
+    feats = _feature_rows(base, text_col, id_col, n_buckets,
+                          ["_is_target"])
+
+    counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("nt"),
+    )
+    totals = counts.agg(
+        F.sum("nc").alias("c_total"), F.sum("nt").alias("t_total")
+    )
+    # constant-size cross join: 1 totals row against n_buckets rows
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.lit(1000000.0)
+            * (
+                F.log((F.col("nt") + F.lit(1.0))
+                      / (F.col("t_total") + F.lit(float(n_buckets))))
+                - F.log((F.col("nc") + F.lit(1.0))
+                        / (F.col("c_total") + F.lit(float(n_buckets))))
+            ),
+            0,
+        ).cast("long").alias("lr"),
+    )
+
+    scores = (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(F.sum("lr").alias("logw_micro"))
+    )
+    out = (
+        base.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("logw_micro", F.lit(0)).alias("logw_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("logw_micro"), F.col(id_col))
+    return out.withColumn(
+        "selected", F.row_number().over(w) <= top_k
+    )
+
+
+def dsir_scores_sql(
+    table: str,
+    target_pred_sql: str,
+    n_buckets: int = 1024,
+    top_k: int = 100,
+) -> str:
+    """DuckDB twin of dsir_scores (same hash, smoothing, micronat
+    rounding, top-k tie-break)."""
+    b_of = md5_int32_sql("f")
+    return f"""
+WITH toks AS (SELECT doc_id, ({target_pred_sql}) AS is_t,
+                     {ws_tokens_sql('text')} AS t FROM {table}),
+uni AS (SELECT doc_id, is_t, unnest(t) AS f FROM toks),
+bi AS (SELECT doc_id, is_t, t[i] || ' ' || t[i+1] AS f
+       FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+feats AS (SELECT doc_id, is_t, ({b_of}) % {n_buckets} AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+counts AS (SELECT b, COUNT(*) AS nc,
+                  SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt
+           FROM feats GROUP BY b),
+tot AS (SELECT SUM(nc) AS c_total, SUM(nt) AS t_total FROM counts),
+ratio AS (
+  SELECT b,
+         CAST(ROUND(1000000.0 * (
+             ln((nt + 1.0) / (t_total + {n_buckets}.0))
+           - ln((nc + 1.0) / (c_total + {n_buckets}.0)))) AS BIGINT)
+           AS lr
+  FROM counts, tot),
+scores AS (SELECT f.doc_id, SUM(lr) AS logw_micro
+           FROM feats f JOIN ratio USING (b) GROUP BY f.doc_id),
+out AS (SELECT d.doc_id, COALESCE(s.logw_micro, 0) AS logw_micro
+        FROM {table} d LEFT JOIN scores s USING (doc_id))
+SELECT doc_id, logw_micro,
+       (ROW_NUMBER() OVER (ORDER BY logw_micro DESC, doc_id)
+        <= {top_k}) AS selected
+FROM out ORDER BY doc_id
+"""

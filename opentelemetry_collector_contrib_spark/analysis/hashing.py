@@ -75,3 +75,14 @@ def hyperplane(seed: int, dim: int) -> list[float]:
         (md5_int32_py(f"hp{seed}_{d}") % 2001 - 1000) / 1000.0
         for d in range(dim)
     ]
+
+
+def md5_int60(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — the wide-corpus
+    variant of md5_int32 (32 bits collide at ~10^5 keys; 60 bits hold
+    to ~10^9, and the int key keeps shuffle payloads narrow)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_int60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"

@@ -1930,3 +1930,244 @@ def q_spanmetrics_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("bucket_counts", 2).alias("cum_b1"),
         F.element_at("bucket_counts", 3).alias("cum_b2"),
     ).orderBy("event_type", "window_epoch")
+
+
+# ---------------------------------------------------------------------------
+# kafkaexporter default-partitioner parity, oracle-checked by VALUE:
+# the DuckDB oracle re-implements Kafka's murmur2
+# (org.apache.kafka.common.utils.Utils.murmur2; exporter/kafkaexporter
+# delegates keyed partitioning to the client default) in pure SQL via
+# list_reduce over the 4-byte little-endian blocks.  ASCII keys only
+# (unicode(char) == byte); the fixture's event_type/user_id keys are.
+# ---------------------------------------------------------------------------
+
+_M2_SEED = 0x9747B28C  # Utils.murmur2 seed
+_M2_MULT = 0x5BD1E995
+
+_KAFKA_ORACLE = f"""
+WITH keys AS (
+  SELECT event_type || '-' || CAST(user_id AS VARCHAR) AS key,
+         COUNT(*) AS n
+  FROM events GROUP BY 1),
+folded AS (
+  SELECT key, n, strlen(key) AS len,
+    list_reduce(
+      list_prepend(CAST(xor({_M2_SEED}, strlen(key)) AS UBIGINT),
+        list_transform(range(0, strlen(key) // 4),
+          i -> CAST(unicode(key[i*4+1]) + 256*unicode(key[i*4+2])
+                  + 65536*unicode(key[i*4+3])
+                  + 16777216*unicode(key[i*4+4]) AS UBIGINT))),
+      (h, k) -> xor(
+        (h * {_M2_MULT}) % 4294967296,
+        (xor((k * {_M2_MULT}) % 4294967296,
+             ((k * {_M2_MULT}) % 4294967296) >> 24)
+         * {_M2_MULT}) % 4294967296
+      )) AS h0
+  FROM keys),
+tailed AS (
+  SELECT key, n,
+    CASE len % 4
+      WHEN 0 THEN h0
+      WHEN 1 THEN (xor(h0,
+          CAST(unicode(key[len - len % 4 + 1]) AS UBIGINT))
+          * {_M2_MULT}) % 4294967296
+      WHEN 2 THEN (xor(xor(h0,
+          256 * CAST(unicode(key[len - len % 4 + 2]) AS UBIGINT)),
+          CAST(unicode(key[len - len % 4 + 1]) AS UBIGINT))
+          * {_M2_MULT}) % 4294967296
+      ELSE (xor(xor(xor(h0,
+          65536 * CAST(unicode(key[len - len % 4 + 3]) AS UBIGINT)),
+          256 * CAST(unicode(key[len - len % 4 + 2]) AS UBIGINT)),
+          CAST(unicode(key[len - len % 4 + 1]) AS UBIGINT))
+          * {_M2_MULT}) % 4294967296
+    END AS h1
+  FROM folded),
+fin AS (
+  SELECT key, n,
+    xor((xor(h1, h1 >> 13) * {_M2_MULT}) % 4294967296,
+        ((xor(h1, h1 >> 13) * {_M2_MULT}) % 4294967296) >> 15) AS h
+  FROM tailed)
+SELECT key, n, CAST((h % 2147483648) % 12 AS INT) AS partition
+FROM fin ORDER BY key
+"""
+
+
+@register("kafka_partitioner_events", _KAFKA_ORACLE)
+def q_kafka_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.exporters import kafka_partition_column
+
+    ev = _read(spark, sf_dir, "events")
+    keys = ev.select(
+        F.concat_ws("-", "event_type", "user_id").alias("key")
+    )
+    agg = keys.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        agg.withColumn("partition",
+                       kafka_partition_column(F.col("key"), 12))
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# filelogreceiver batch round trip: rows rendered to text lines ->
+# written as a multi-file directory -> re-ingested line-per-row via
+# sources.receivers.file_input -> regex_parser -> aggregate; the
+# oracle computes the same aggregate from the original table, so the
+# render/tail/parse cycle must be lossless (pkg/stanza/fileconsumer).
+# ---------------------------------------------------------------------------
+
+_FILE_INPUT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS value_sum,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("file_input_roundtrip_events", _FILE_INPUT_ORACLE)
+def q_file_input_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.receivers import file_input
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("id="), F.col("event_id").cast("string"),
+            F.lit(" type="), F.col("event_type"),
+            F.lit(" value="), F.col("value").cast("string"),
+        ).alias("value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="filein_")
+    lines.repartition(4).write.mode("overwrite").text(out_dir)
+
+    back = file_input(spark, out_dir)
+    parsed = P.regex_parser(
+        back,
+        r"id=(?P<id>\d+) type=(?P<type>\w+) value=(?P<value>\S+)",
+        parse_from="body",
+        on_error="drop",
+    )
+    return (
+        parsed.filter(F.col("source_file").isNotNull())
+        .groupBy(F.col("type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("double")), 4)
+            .alias("value_sum"),
+            F.min(F.col("id").cast("long")).alias("min_id"),
+            F.max(F.col("id").cast("long")).alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# otlpjsonfilereceiver round trip: rows -> OTLP/JSON resourceLogs
+# payload lines (connectors.otlpjson_encode_logs) -> file -> decoded
+# one-row-per-LogRecord by sources.receivers.otlp_json_file_input;
+# the oracle reproduces the aggregate from the original rows, so the
+# pdata-tree encode/flatten cycle must be lossless.
+# ---------------------------------------------------------------------------
+
+_OTLP_FILE_ORACLE = """
+SELECT CASE WHEN event_type = 'error' THEN 17 ELSE 9 END
+         AS severity_number,
+       COUNT(*) AS n,
+       MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000) AS min_ns,
+       MAX(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000) AS max_ns,
+       MIN('evt-' || CAST(event_id AS VARCHAR)) AS min_body,
+       MAX('evt-' || CAST(event_id AS VARCHAR)) AS max_body
+FROM events GROUP BY 1 ORDER BY severity_number
+"""
+
+
+@register("otlp_file_roundtrip_events", _OTLP_FILE_ORACLE)
+def q_otlp_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.connectors import otlpjson_encode_logs
+    from .sources.receivers import otlp_json_file_input
+
+    ev = _read(spark, sf_dir, "events")
+    prepared = ev.select(
+        F.concat(F.lit("evt-"), F.col("event_id").cast("string"))
+        .alias("body"),
+        (F.unix_timestamp("ts").cast("long") * F.lit(1000000000))
+        .alias("time_unix_nano"),
+        F.when(F.col("event_type") == "error", F.lit(17))
+        .otherwise(F.lit(9)).alias("severity_number"),
+    )
+    payload = prepared.select(otlpjson_encode_logs(prepared).alias("value"))
+    out_dir = tempfile.mkdtemp(prefix="otlpfile_")
+    payload.repartition(4).write.mode("overwrite").text(out_dir)
+
+    back = otlp_json_file_input(spark, out_dir)
+    return (
+        back.groupBy("severity_number")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("time_unix_nano").alias("min_ns"),
+            F.max("time_unix_nano").alias("max_ns"),
+            F.min("body").alias("min_body"),
+            F.max("body").alias("max_body"),
+        )
+        .orderBy("severity_number")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining stanza parsers in one battery: jsonarray (body is a JSON
+# array, element i -> fields[i]), trace (hex-validated 16B/8B ids,
+# invalid -> NULL, flags), scope (field promotion).
+# pkg/stanza/operator/parser/{jsonarray,trace,scope}.
+# ---------------------------------------------------------------------------
+
+_STANZA_EXTRA_ORACLE = """
+SELECT event_id,
+       CAST(event_id AS VARCHAR) AS f_id,
+       event_type AS f_type,
+       md5(CAST(event_id AS VARCHAR)) AS trace_hex,
+       CASE WHEN event_type = 'click' THEN NULL
+            ELSE substr(md5(CAST(event_id AS VARCHAR)), 1, 16)
+       END AS span_hex,
+       CASE WHEN event_type = 'error' THEN 255 ELSE 1 END
+         AS trace_flags,
+       event_type AS scope_name
+FROM events ORDER BY event_id
+"""
+
+
+@register("stanza_parsers_events", _STANZA_EXTRA_ORACLE)
+def q_stanza_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    id_str = F.col("event_id").cast("string")
+    base = ev.select(
+        "event_id",
+        F.concat(F.lit('["'), id_str, F.lit('","'),
+                 F.col("event_type"), F.lit('"]')).alias("body"),
+        F.md5(id_str).alias("trace_id_field"),
+        # 'click' rows get a 15-hex-char span id -> invalid length ->
+        # NULL (parser.go drops invalid ids)
+        F.when(F.col("event_type") == "click",
+               F.substring(F.md5(id_str), 1, 15))
+        .otherwise(F.substring(F.md5(id_str), 1, 16))
+        .alias("span_id_field"),
+        F.when(F.col("event_type") == "error", F.lit("ff"))
+        .otherwise(F.lit("1")).alias("flags_field"),
+    )
+    parsed = P.jsonarray_parser(base, ["f_id", "f_type"],
+                                parse_from="body")
+    parsed = P.trace_parser(parsed, flags_from="flags_field")
+    parsed = P.scope_name_parser(parsed, "f_type", "scope_name")
+    return parsed.select(
+        "event_id",
+        "f_id",
+        "f_type",
+        F.lower(F.hex("trace_id")).alias("trace_hex"),
+        F.lower(F.hex("span_id")).alias("span_hex"),
+        F.col("trace_flags").cast("int").alias("trace_flags"),
+        "scope_name",
+    ).orderBy("event_id")

@@ -730,7 +730,7 @@ from .analysis.textstats import (  # noqa: E402
     content_fingerprint_sql,
 )
 
-_MIX_RATES = {"en": 0.9, "de": 0.6, "fr": 0.6, "es": 0.4, "zh": 0.25}
+_CURATION_MIX_RATES = {"en": 0.9, "de": 0.6, "fr": 0.6, "es": 0.4, "zh": 0.25}
 _MIX_SEED = 7
 _GOPHER_PASS = ("word_count_ok AND mean_word_len_ok AND symbol_ratio_ok"
                 " AND alpha_ratio_ok AND stopword_ok")
@@ -741,7 +741,7 @@ def _curation_oracle() -> str:
     from .analysis.textstats import gopher_quality_flags_sql, ws_tokens_sql
 
     mix = SAM.stratified_hash_sample_sql(
-        "s", "lang", _MIX_RATES, default_rate=0.0, id_col="doc_id",
+        "s", "lang", _CURATION_MIX_RATES, default_rate=0.0, id_col="doc_id",
         seed=_MIX_SEED,
     )
     return f"""
@@ -775,7 +775,7 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = DD.exact_dedup(q)
     s = d.withColumn("sc", PI.scrub_pii(F.col("text"))).drop("text")
     m = SAM.stratified_hash_sample(
-        s, "lang", _MIX_RATES, default_rate=0.0, id_col="doc_id",
+        s, "lang", _CURATION_MIX_RATES, default_rate=0.0, id_col="doc_id",
         seed=_MIX_SEED,
     )
     return (
@@ -906,3 +906,30 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup_ivf(
         _emb(spark, sf_dir), n_cells=8, threshold=0.45
     ).orderBy("vec_id")
+
+
+# Exact-substring duplication stats (Lee et al. 2022 W-token window
+# criterion; relational suffix-array substitute — see
+# analysis/dedup.exact_substring_stats).
+@register("dedup_exact_substring", DD.exact_substring_stats_sql("documents", w=8))
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_substring_stats(
+        _docs(spark, sf_dir), w=8
+    ).orderBy("doc_id")
+
+
+# DSIR importance resampling (hashed uni+bigram features, integer
+# micronat scores — analysis/dsir.py). Target domain = lang='en'.
+from .analysis import dsir as DSIR  # noqa: E402
+
+
+@register(
+    "dsir_scores_documents",
+    DSIR.dsir_scores_sql("documents", "lang = 'en'",
+                         n_buckets=1024, top_k=100),
+)
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DSIR.dsir_scores(
+        _docs(spark, sf_dir), F.col("lang") == "en",
+        n_buckets=1024, top_k=100,
+    ).orderBy("doc_id")

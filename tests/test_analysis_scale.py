@@ -74,6 +74,7 @@ _CONST_BROADCAST = {
     "ann_ivf_topk",
     "dedup_semantic_ivf",
     "lm_cross_entropy_documents",
+    "dsir_scores_documents",  # 1-row distribution-totals broadcast
 }
 
 

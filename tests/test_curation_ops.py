@@ -200,3 +200,58 @@ def test_lm_empty_doc_drops_out(spark):
     )
     ids = {r["doc_id"] for r in LM.unigram_cross_entropy(df).collect()}
     assert ids == {1}
+
+
+def test_exact_substring_stats_semantics(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),        # windows(3): abc bcd cde def
+            (2, "x a b c d y"),        # shares 'a b c' and 'b c d'
+            (3, "p q"),                # shorter than w -> 0 windows
+            (4, "r r r r"),            # 'r r r' twice (same doc)
+        ],
+    )
+    out = {r["doc_id"]: r
+           for r in DD.exact_substring_stats(df, w=3).collect()}
+    assert out[1]["n_windows"] == 4 and out[1]["n_dup_windows"] == 2
+    assert out[2]["n_windows"] == 4 and out[2]["n_dup_windows"] == 2
+    assert out[3]["n_windows"] == 0 and not out[3]["has_dup"]
+    # same-doc repetition counts (corpus-wide count > 1)
+    assert out[4]["n_windows"] == 2 and out[4]["n_dup_windows"] == 2
+
+
+def test_dsir_scores_target_affinity(spark):
+    from opentelemetry_collector_contrib_spark.analysis import dsir
+
+    rows = [
+        (i, "alpha beta gamma delta", "en") for i in range(5)
+    ] + [
+        (10 + i, "uno dos tres cuatro", "es") for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    out = {r["doc_id"]: r for r in dsir.dsir_scores(
+        df, F.col("lang") == "en", top_k=5
+    ).collect()}
+    en = [out[i]["logw_micro"] for i in range(5)]
+    es = [out[10 + i]["logw_micro"] for i in range(5)]
+    # target-domain docs must outscore off-domain docs
+    assert min(en) > max(es)
+    assert all(out[i]["selected"] for i in range(5))
+    assert not any(out[10 + i]["selected"] for i in range(5))
+
+
+def test_dsir_no_target_smoothing(spark):
+    from opentelemetry_collector_contrib_spark.analysis import dsir
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dsir.dsir_scores(
+        df, F.lit(False), top_k=1
+    ).collect()}
+    # empty target: add-1 smoothing keeps scores finite; empty doc -> 0
+    assert out[2]["logw_micro"] == 0
+    assert out[1]["logw_micro"] is not None
