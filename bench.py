@@ -170,6 +170,8 @@ def main() -> None:
         "text_quality_scores",
         "ottl_funcs_round2_documents",
         "tail_sampling_policies_events",
+        "dedup_exact_substring",
+        "dsir_scores_documents",
     ]
     all_q = Q.queries()
     for name in bench_queries:

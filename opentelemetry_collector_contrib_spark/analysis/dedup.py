@@ -774,15 +774,16 @@ def exact_substring_stats(
     from .textstats import ws_tokens
 
     toks = ws_tokens(F.col(text_col))
+    # xxhash64, not md5: the window hash never leaves this query (the
+    # output is doc-level counts), so the engine and the oracle are
+    # free to hash differently — the native 64-bit hash keeps the
+    # per-window cost one codegen'd call instead of an interpreted
+    # md5/substr/conv chain.
     win_hashes = F.when(
         F.size(toks) >= w,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - w + 1),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(toks, i, w))), 1, 15
-                ), 16, 10,
-            ).cast("long"),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, w))),
         ),
     ).otherwise(F.array().cast("array<long>"))
 
@@ -791,7 +792,14 @@ def exact_substring_stats(
         F.greatest(F.size(toks) - w + 1, F.lit(0)).alias("n_windows"),
         win_hashes.alias("_wins"),
     )
+    # the exploded relation feeds two branches (corpus-wide frequency +
+    # per-doc recount): persist so the window hashing runs once
+    # (caller releases via release_caches, like minhash's shingles)
+    from pyspark import StorageLevel
+
     wins = base.select(id_col, F.explode("_wins").alias("h"))
+    wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(wins)
     dup_h = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -816,8 +824,9 @@ def exact_substring_stats(
 
 
 def exact_substring_stats_sql(table: str, w: int = 8) -> str:
-    """DuckDB twin of exact_substring_stats (same md5-60bit window
-    hash, same count>1 criterion)."""
+    """DuckDB twin of exact_substring_stats (same window/count>1
+    criterion; hashes with md5 since the window hash is internal to
+    each engine — only the doc-level counts must agree)."""
     from .textstats import ws_tokens_sql
 
     return f"""

@@ -68,10 +68,19 @@ def dsir_scores(
     scored and selectable like any other row). Laplace add-1 smoothing
     on both distributions. Docs with no features score 0.
     """
+    from pyspark import StorageLevel
+
+    from .dedup import _PERSISTED
+
     base = df.select(id_col, F.col(text_col),
                      target_pred.alias("_is_target"))
+    # the feature stream feeds two branches (distribution fit + per-doc
+    # scoring): persist so tokenize/hash runs once (caller releases via
+    # dedup.release_caches, the shared cache registry)
     feats = _feature_rows(base, text_col, id_col, n_buckets,
                           ["_is_target"])
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(feats)
 
     counts = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("nc"),

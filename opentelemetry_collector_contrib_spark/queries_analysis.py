@@ -37,6 +37,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-parallelized read for the explode-heavy ops: the sandbox
+    documents table is a single parquet row-group (one input split ->
+    one task would do ALL the hashing), so fan the narrow (id, text)
+    relation across the default parallelism first. A production-scale
+    table arrives in thousands of splits and would skip this."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -155,6 +166,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proves the blocking lossless (the simhash dual-algorithm pattern).
 @register("dedup_ngram_jaccard", DD.ngram_jaccard_pairs_sql(n=2, threshold=0.7))
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: _docs (not _docs_par) -- measured at sf0.1/local[8]: the
+    # up-front repartition makes this query 3x SLOWER (120s vs 39s),
+    # unlike the other explode-heavy ops; the candidate self-join
+    # dominates, not the tokenize stage the repartition parallelizes.
     return DD.ngram_jaccard_prefix_pairs(
         _docs(spark, sf_dir), n=2, threshold=0.7
     ).orderBy("id_a", "id_b")
@@ -166,7 +181,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(
-        _docs(spark, sf_dir), n=2, k=16, bands=8, threshold=0.7
+        _docs_par(spark, sf_dir), n=2, k=16, bands=8, threshold=0.7
     ).orderBy("id_a", "id_b")
 
 
@@ -914,7 +929,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_exact_substring", DD.exact_substring_stats_sql("documents", w=8))
 def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_substring_stats(
-        _docs(spark, sf_dir), w=8
+        _docs_par(spark, sf_dir), w=8
     ).orderBy("doc_id")
 
 
@@ -930,6 +945,6 @@ from .analysis import dsir as DSIR  # noqa: E402
 )
 def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DSIR.dsir_scores(
-        _docs(spark, sf_dir), F.col("lang") == "en",
+        _docs_par(spark, sf_dir), F.col("lang") == "en",
         n_buckets=1024, top_k=100,
     ).orderBy("doc_id")
