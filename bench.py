@@ -76,9 +76,6 @@ def main() -> None:
     from opentelemetry_collector_contrib_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    small_cpus = max(cpus // 4, 2)
-    spark = get_spark(app_name="bench", shuffle_partitions=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
 
     bench_start = time.perf_counter()
     # soft deadlines: on a contended shared box any single measurement
@@ -89,30 +86,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # --- headline: e2e pipeline over n_docs generated web pages -------
-    def headline_job() -> int:
-        web = generate_web_pages(spark, n_docs, num_partitions=cpus * 2)
-        enriched = enrich_stage(parse_stage(web), host_lookup_df(spark))
-        return sink_counts_one_pass(enriched).count()
-
-    assert headline_job() > 0  # warm-up: JIT + codegen + catalog
-    e2e_secs = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        headline_job()
-        e2e_secs.append(time.perf_counter() - t0)
-    e2e_sec = min(e2e_secs)
-    timings["pipeline_e2e"] = round(e2e_sec, 3)
-
-    # --- two-cluster-size scaling pairs (fresh pinned subprocesses) ---
-    # Sizes {N/16, N/4, N} cover two 4x steps. Each size runs enough
-    # docs that fixed overhead cannot mask the parallelism ratio (a
-    # 2-second job cannot evidence a 4x core scale-up); taskset
-    # hard-pins so a small "cluster" cannot borrow machine cores for
-    # GC/JIT/shuffle threads. BASELINE.md records the full curve: the
-    # plan is ~linear while unsaturated and the single shared JVM
-    # saturates memory bandwidth near the top size -- on a real
-    # multi-node cluster each node brings its own bandwidth.
+    # --- two-cluster-size scaling pair (north rule: N vs 4N) ----------
+    # Runs FIRST, before any parent SparkSession exists, so the only
+    # JVM on the box during a measurement is the pinned child under
+    # test (an idle 32-thread parent JVM still wakes GC/netty threads
+    # on the child's cores). Each size runs enough docs that fixed
+    # overhead cannot mask the parallelism ratio (a 2-second job cannot
+    # evidence a 4x core scale-up); taskset hard-pins so a small
+    # "cluster" cannot borrow machine cores for GC/JIT/shuffle threads.
+    # 3 interleaved rounds, min per size: the box is shared, and
+    # contention bursts only ever ADD time, so min() of interleaved
+    # rounds is the noise-robust estimator (full curve incl. N/16 in
+    # BASELINE.md via scaling_bench.py).
     scaling: dict[str, object] = {}
     try:
         import shutil
@@ -129,16 +114,13 @@ def main() -> None:
             r["docs"] = docs
             return r
 
-        sizes = sorted({max(cpus // 16, 2), max(cpus // 4, 2), cpus})
-        # interleave two rounds per size so an infra-noise burst cannot
-        # hit only one side of a ratio; keep the min per size (noise
-        # only ever adds time)
+        sizes = sorted({max(cpus // 4, 2), cpus})
         results: dict[int, dict] = {}
-        for _round in range(2):
+        for _round in range(3):
             for c in sizes:
                 if (results and len(results) == len(sizes)
                         and time.perf_counter() - bench_start > scaling_deadline):
-                    break  # keep round-1 results; don't overrun
+                    break  # keep earlier-round results; don't overrun
                 r = run_at(c, max(n_docs * 8 * c // cpus, n_docs))
                 if c not in results or r["sec"] < results[c]["sec"]:
                     results[c] = r
@@ -152,6 +134,24 @@ def main() -> None:
             )
     except Exception:
         scaling = {}  # scaling evidence is best-effort
+
+    spark = get_spark(app_name="bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # --- headline: e2e pipeline over n_docs generated web pages -------
+    def headline_job() -> int:
+        web = generate_web_pages(spark, n_docs, num_partitions=cpus * 2)
+        enriched = enrich_stage(parse_stage(web), host_lookup_df(spark))
+        return sink_counts_one_pass(enriched).count()
+
+    assert headline_job() > 0  # warm-up: JIT + codegen + catalog
+    e2e_secs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        headline_job()
+        e2e_secs.append(time.perf_counter() - t0)
+    e2e_sec = min(e2e_secs)
+    timings["pipeline_e2e"] = round(e2e_sec, 3)
 
     # --- per-operator queries over the driver tables ------------------
     bench_queries = [

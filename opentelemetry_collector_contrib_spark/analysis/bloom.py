@@ -1,0 +1,119 @@
+"""Bloom-filter membership gate — the constant-memory "have I seen
+this fingerprint" primitive a 100 TB ingest uses to drop exact
+duplicates against an already-ingested corpus WITHOUT joining against
+it (the role the reference's logdedupprocessor plays per-batch,
+`processor/logdedupprocessor/processor.go`, lifted to corpus scale).
+
+Spark shape (100 TB-safe):
+- the BUILD side reduces to a set of ≤ m_bits distinct bit positions
+  (ints) — a combinable explode→distinct whose result is tiny and
+  BROADCAST; the build corpus text never shuffles.
+- the PROBE side is map-only per document (k hash positions) plus one
+  broadcast-hash-join + combinable groupBy(doc) count — no
+  probe-corpus shuffle of anything wider than (id, int).
+- positions come from the shared md5 family (analysis/hashing.py), so
+  the DuckDB oracle reproduces the filter bit-for-bit.
+
+Semantics (classic Bloom): `bloom_hit` has NO false negatives — every
+probe document whose fingerprint occurs in the build corpus is
+flagged; false positives are possible and the query exposes them by
+also emitting the exact membership bit (`exact_hit`), so the
+false-positive rate is measurable per run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import seeded_hash, seeded_hash_sql
+
+
+def _fingerprint(text_col: str) -> Column:
+    return F.md5(F.col(text_col))
+
+
+def bloom_membership_flags(
+    df: DataFrame,
+    build_pred: Column,
+    m_bits: int = 4096,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag every NON-build document against a Bloom filter built from
+    the ``build_pred`` slice.
+
+    Returns (id, bloom_hit, exact_hit) for probe docs: ``bloom_hit`` =
+    all k bit positions set; ``exact_hit`` = fingerprint literally
+    present in the build slice (ground truth, so bloom_hit AND NOT
+    exact_hit is a false positive).
+    """
+    fp = _fingerprint(text_col)
+    pos = [
+        (seeded_hash(fp, i) % m_bits).alias(f"p{i}") for i in range(k)
+    ]
+    base = df.select(F.col(id_col), fp.alias("_fp"), *pos,
+                     build_pred.alias("_build"))
+
+    build = base.filter("_build")
+    bits = (
+        build.select(
+            F.explode(F.array(*[f"p{i}" for i in range(k)])).alias("bit")
+        )
+        .distinct()
+    )
+    build_fps = build.select(F.col("_fp").alias("bfp")).distinct()
+
+    probe = base.filter(~F.col("_build"))
+    probe_bits = probe.select(
+        id_col, F.explode(F.array(*[f"p{i}" for i in range(k)])).alias("bit")
+    )
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit", "left")
+        .groupBy(id_col)
+        .agg((F.count(bits["bit"]) == F.lit(k)).alias("bloom_hit"))
+    )
+    exact = probe.join(
+        F.broadcast(build_fps), probe["_fp"] == F.col("bfp"), "left"
+    ).select(id_col, F.col("bfp").isNotNull().alias("exact_hit"))
+    return hits.join(exact, id_col)
+
+
+def bloom_membership_flags_sql(
+    table: str,
+    build_pred_sql: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: identical seeded-md5 positions, identical k-of-k
+    membership test, identical exact-hit ground truth."""
+    pos_exprs = ", ".join(
+        f"{seeded_hash_sql(f'md5({text_col})', i)} % {m_bits} AS p{i}"
+        for i in range(k)
+    )
+    pos_list = ", ".join(f"p{i}" for i in range(k))
+    return f"""
+WITH base AS (
+  SELECT {id_col}, md5({text_col}) AS fp, {pos_exprs},
+         ({build_pred_sql}) AS is_build
+  FROM {table}
+), bits AS (
+  SELECT DISTINCT bit
+  FROM base, UNNEST([{pos_list}]) AS t(bit)
+  WHERE is_build
+), build_fps AS (
+  SELECT DISTINCT fp FROM base WHERE is_build
+), probe AS (
+  SELECT * FROM base WHERE NOT is_build
+)
+SELECT p.{id_col},
+       (SELECT COUNT(*)
+        FROM UNNEST([{', '.join(f'p.p{i}' for i in range(k))}]) AS u(b)
+        WHERE b IN (SELECT bit FROM bits)) = {k} AS bloom_hit,
+       p.fp IN (SELECT fp FROM build_fps) AS exact_hit
+FROM probe p
+ORDER BY p.{id_col}
+"""

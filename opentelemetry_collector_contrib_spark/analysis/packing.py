@@ -1,0 +1,130 @@
+"""Sequence packing — concat-and-chunk assignment of documents into
+fixed-length training context windows (the GPT-style pretraining
+dataloader op: tokenize, concatenate per shard, slice into ctx_len
+windows; documents cross window boundaries rather than being padded).
+
+Spark shape (100 TB-safe):
+- the corpus is SHARDED up front (`shard = pmod(doc_id, n_shards)`);
+  each shard is an independent token stream, exactly like the
+  per-dataloader-worker file shards of a real training pipeline. The
+  shard is the unit of parallelism AND of output file layout.
+- within a shard the assignment is ONE window cumsum over
+  (partition by shard, order by doc_id) — a single shuffle on the
+  shard key carrying only (id, token_count); document text never
+  shuffles. Per-shard state is two longs, so a 1000-executor run sets
+  n_shards to O(total_tokens / tokens_per_output_file) and every
+  shard's scan is independent.
+- the window-index arithmetic (`floor(offset / ctx_len)`) is pure
+  integer Column math inside whole-stage codegen.
+
+Determinism: shard and in-shard order derive from doc_id only, so the
+pack layout is byte-stable across runs/cluster sizes — the property a
+resumable training job needs (step N always sees the same window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import token_count, ws_tokens_sql
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document pack assignment: which ctx_len windows of its
+    shard's concatenated token stream the document occupies.
+
+    Returns (id, shard, tok_count, start_off, pack_first, pack_last,
+    packs_spanned); empty documents occupy no window (NULL packs,
+    0 spanned) but keep their row so the output is a total function of
+    the corpus.
+    """
+    tok = token_count(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+        tok.cast("long").alias("tok_count"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("tok_count").over(w)
+    start = (cum - F.col("tok_count")).alias("start_off")
+    out = base.select(
+        id_col, "shard", "tok_count", start,
+        (cum - F.col("tok_count")).alias("_s"),
+        cum.alias("_e"),
+    )
+    nonempty = F.col("tok_count") > 0
+    return out.select(
+        id_col, "shard", "tok_count", "start_off",
+        F.when(nonempty, F.floor(F.col("_s") / ctx_len)).alias("pack_first"),
+        F.when(nonempty, F.floor((F.col("_e") - 1) / ctx_len)).alias(
+            "pack_last"
+        ),
+        F.when(
+            nonempty,
+            F.floor((F.col("_e") - 1) / ctx_len)
+            - F.floor(F.col("_s") / ctx_len)
+            + 1,
+        ).otherwise(F.lit(0)).alias("packs_spanned"),
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    ctx_len: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: same shard key, same running-sum window, same
+    integer window-index arithmetic."""
+    toks = ws_tokens_sql(text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         CAST({id_col} % {n_shards} AS INTEGER) AS shard,
+         CAST(len({toks}) AS BIGINT) AS tok_count
+  FROM {table}
+), cum AS (
+  SELECT *,
+         SUM(tok_count) OVER (PARTITION BY shard ORDER BY {id_col}
+                              ROWS UNBOUNDED PRECEDING) AS e
+  FROM base
+)
+SELECT {id_col}, shard, tok_count,
+       e - tok_count AS start_off,
+       CASE WHEN tok_count > 0
+            THEN CAST(floor((e - tok_count) / {ctx_len}) AS BIGINT) END
+         AS pack_first,
+       CASE WHEN tok_count > 0
+            THEN CAST(floor((e - 1) / {ctx_len}) AS BIGINT) END
+         AS pack_last,
+       CASE WHEN tok_count > 0
+            THEN CAST(floor((e - 1) / {ctx_len})
+                      - floor((e - tok_count) / {ctx_len}) + 1 AS BIGINT)
+            ELSE 0 END AS packs_spanned
+FROM cum
+ORDER BY {id_col}
+"""
+
+
+def pack_summary(packed: DataFrame, ctx_len: int = 256) -> DataFrame:
+    """Shard-level layout summary from :func:`pack_sequences` output:
+    total tokens, number of ctx_len windows, trailing-window fill.
+    One combinable aggregate on the (already tiny) per-doc relation."""
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_count").alias("total_tokens"),
+        F.ceil(F.sum("tok_count") / ctx_len).alias("n_packs"),
+        (F.sum("tok_count") % ctx_len).alias("tail_fill_tokens"),
+    )

@@ -1,0 +1,106 @@
+"""TF-IDF top-terms — per-document salient-term extraction, the
+classic corpus-statistics op behind keyword indexing, near-dup triage,
+and topic-drift monitoring over a web corpus.
+
+Spark shape (100 TB-safe):
+- term frequencies: explode → ONE combinable groupBy(doc, term) count
+  (map-side combine collapses each partition's repeats pre-shuffle);
+- document frequencies: groupBy(term) over the already-distinct
+  (doc, term) relation — second combinable aggregate, carries only
+  (term, count);
+- the per-term IDF table is orders of magnitude smaller than the
+  corpus (vocabulary vs tokens) and is JOINED BACK broadcast-style;
+  at true web scale the vocabulary may exceed broadcast limits, in
+  which case Catalyst/AQE falls back to a shuffled hash join on the
+  short (term) key — still never shuffling document text;
+- top-k per doc: row_number window partitioned by doc — the window
+  key is the aggregation key, so AQE reuses the partitioning.
+
+Determinism: IDF is fixed to integer MICRONATS (round(1e6·ln(N/df)))
+before scoring, the dsir.py trick — scores are exact BIGINTs, so the
+engine-vs-oracle comparison is exact-integer, never float-tolerance.
+Ties break by term ascending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import ws_tokens, ws_tokens_sql
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (integer-micronat idf).
+
+    Returns (id, rank, term, tf, df_docs, score) — ``score`` =
+    tf · round(1e6·ln(N/df)) as BIGINT.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    idf = dfreq.select(
+        "term", "df_docs",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df_docs")) * 1e6)
+        .cast("long")
+        .alias("_idf_micro"),
+    )
+    scored = tf.join(idf, "term").select(
+        id_col, "term", "tf", "df_docs",
+        (F.col("tf") * F.col("_idf_micro")).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "rank", "term", "tf", "df_docs", "score")
+    )
+
+
+def tfidf_top_terms_sql(
+    table: str,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: same tokenization, same integer-micronat idf, same
+    (score desc, term asc) tie-break."""
+    toks = ws_tokens_sql(text_col)
+    return f"""
+WITH terms AS (
+  SELECT {id_col}, t.term
+  FROM {table}, UNNEST({toks}) AS t(term)
+), tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf
+  FROM terms GROUP BY {id_col}, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_docs,
+         CAST(round(ln((SELECT COUNT(DISTINCT {id_col}) FROM {table})
+                        / COUNT(*)) * 1e6) AS BIGINT) AS idf_micro
+  FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, dfreq.df_docs,
+         tf.tf * dfreq.idf_micro AS score,
+         row_number() OVER (PARTITION BY tf.{id_col}
+                            ORDER BY tf.tf * dfreq.idf_micro DESC,
+                                     tf.term ASC) AS rank
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT {id_col}, rank, term, tf, df_docs, score
+FROM scored WHERE rank <= {top_k}
+ORDER BY {id_col}, rank
+"""

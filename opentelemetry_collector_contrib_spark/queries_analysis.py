@@ -948,3 +948,48 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_par(spark, sf_dir), F.col("lang") == "en",
         n_buckets=1024, top_k=100,
     ).orderBy("doc_id")
+
+
+# Sequence packing: concat-and-chunk window assignment per shard
+# (analysis/packing.py) -- the GPT-style pretraining dataloader op.
+from .analysis import bloom as BLOOM  # noqa: E402
+from .analysis import packing as PACK  # noqa: E402
+from .analysis import tfidf as TFIDF  # noqa: E402
+
+
+@register(
+    "pack_sequences_documents",
+    PACK.pack_sequences_sql("documents", ctx_len=256, n_shards=8),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PACK.pack_sequences(
+        _docs(spark, sf_dir), ctx_len=256, n_shards=8
+    ).orderBy("doc_id")
+
+
+# Bloom-filter membership gate: probe the corpus against a filter
+# built from the source='src0' slice (analysis/bloom.py); bloom_hit
+# has no false negatives, exact_hit exposes the false positives.
+@register(
+    "bloom_membership_documents",
+    BLOOM.bloom_membership_flags_sql(
+        "documents", "source = 'src0'", m_bits=4096, k=3
+    ),
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BLOOM.bloom_membership_flags(
+        _docs(spark, sf_dir), F.col("source") == "src0",
+        m_bits=4096, k=3,
+    ).orderBy("doc_id")
+
+
+# TF-IDF top terms per document (integer-micronat idf, exact-BIGINT
+# scores -- analysis/tfidf.py).
+@register(
+    "tfidf_top_terms_documents",
+    TFIDF.tfidf_top_terms_sql("documents", top_k=3),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TFIDF.tfidf_top_terms(
+        _docs(spark, sf_dir), top_k=3
+    ).orderBy("doc_id", "rank")

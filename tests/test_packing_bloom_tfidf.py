@@ -1,0 +1,125 @@
+"""Round-2 corpus ops: sequence packing, Bloom membership gate,
+TF-IDF top terms — semantic invariants beyond the driver oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import bloom as BLOOM
+from opentelemetry_collector_contrib_spark.analysis import packing as PACK
+from opentelemetry_collector_contrib_spark.analysis import tfidf as TFIDF
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_sequences_stream_is_gapless_per_shard(spark):
+    # 1 shard so the whole corpus is one token stream
+    df = _docs(spark, [(i, " ".join(["w"] * (7 + i))) for i in range(10)])
+    out = (
+        PACK.pack_sequences(df, ctx_len=16, n_shards=1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # offsets are a gapless prefix-sum: start of doc i = start + tok of i-1
+    for prev, cur in zip(out, out[1:]):
+        assert cur["start_off"] == prev["start_off"] + prev["tok_count"]
+    # window indices derive from offsets exactly
+    for r in out:
+        assert r["pack_first"] == r["start_off"] // 16
+        assert r["pack_last"] == (r["start_off"] + r["tok_count"] - 1) // 16
+        assert r["packs_spanned"] == r["pack_last"] - r["pack_first"] + 1
+
+
+def test_pack_sequences_empty_doc_and_sharding(spark):
+    df = _docs(spark, [(0, "a b c"), (1, ""), (2, "d e"), (3, "   ")])
+    out = {r["doc_id"]: r
+           for r in PACK.pack_sequences(df, ctx_len=4, n_shards=2).collect()}
+    assert out[1]["tok_count"] == 0 and out[1]["packs_spanned"] == 0
+    assert out[1]["pack_first"] is None and out[1]["pack_last"] is None
+    # shard = doc_id % 2; shard streams are independent
+    assert out[0]["shard"] == 0 and out[1]["shard"] == 1
+    assert out[2]["start_off"] == 3  # after doc 0's three tokens (shard 0)
+    assert out[3]["start_off"] == 0  # blank doc 1 added nothing (shard 1)
+
+
+def test_pack_summary_matches_per_doc_rows(spark):
+    df = _docs(spark, [(i, " ".join(["t"] * 10)) for i in range(8)])
+    packed = PACK.pack_sequences(df, ctx_len=16, n_shards=2)
+    s = {r["shard"]: r for r in PACK.pack_summary(packed, 16).collect()}
+    for shard in (0, 1):
+        assert s[shard]["n_docs"] == 4
+        assert s[shard]["total_tokens"] == 40
+        assert s[shard]["n_packs"] == 3  # ceil(40/16)
+        assert s[shard]["tail_fill_tokens"] == 8
+
+
+# ------------------------------------------------------------------ bloom
+
+def test_bloom_no_false_negatives_and_exposes_fps(spark):
+    # build slice = first 20 docs; 5 probe docs duplicate build text
+    rows = [(i, f"build text {i}") for i in range(20)]
+    rows += [(100 + i, f"build text {i}") for i in range(5)]  # exact dups
+    rows += [(200 + i, f"fresh text {i}") for i in range(30)]
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in BLOOM.bloom_membership_flags(
+            df, F.col("doc_id") < 20, m_bits=512, k=3
+        ).collect()
+    }
+    assert set(out) == {100 + i for i in range(5)} | {
+        200 + i for i in range(30)
+    }
+    # no false negatives: every exact duplicate is a bloom hit
+    for i in range(5):
+        assert out[100 + i]["exact_hit"] and out[100 + i]["bloom_hit"]
+    # false positives are possible but must be one-directional
+    for r in out.values():
+        if r["exact_hit"]:
+            assert r["bloom_hit"]
+
+
+def test_bloom_tiny_filter_saturates_to_all_hits(spark):
+    # m_bits=1: every position collides -> everything bloom-hits,
+    # exact_hit still discriminates (the FP mechanism, made extreme)
+    df = _docs(spark, [(0, "x"), (1, "x"), (2, "y")])
+    out = {
+        r["doc_id"]: r
+        for r in BLOOM.bloom_membership_flags(
+            df, F.col("doc_id") == 0, m_bits=1, k=2
+        ).collect()
+    }
+    assert out[1]["bloom_hit"] and out[1]["exact_hit"]
+    assert out[2]["bloom_hit"] and not out[2]["exact_hit"]
+
+
+# ------------------------------------------------------------------ tfidf
+
+def test_tfidf_ranks_rare_terms_above_ubiquitous(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "common rare common"),
+            (1, "common other"),
+            (2, "common thing"),
+        ],
+    )
+    out = TFIDF.tfidf_top_terms(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in all docs -> idf = ln(1) = 0 -> score 0;
+    # doc 0's top term is 'rare' despite tf(common)=2
+    top0 = sorted(by_doc[0], key=lambda r: r["rank"])[0]
+    assert top0["term"] == "rare" and top0["score"] > 0
+    common = [r for r in by_doc[0] if r["term"] == "common"]
+    assert common and common[0]["score"] == 0
+    # ranks are 1..k dense per doc
+    for rows in by_doc.values():
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
