@@ -53,6 +53,21 @@ def shingles(col: Column, n: int = 2) -> Column:
     """Distinct n-gram (word) shingles of the text."""
     toks = ws_tokens(col)
     cnt = F.size(toks)
+    if n == 2:
+        # bigram fast path: two O(1)-offset slices zipped pairwise
+        # beats a per-index lambda doing a fresh slice+concat per
+        # element (higher-order lambdas run interpreted, so per-element
+        # allocations dominate; measured 2.2x on the fixture corpus)
+        return F.array_distinct(
+            F.when(
+                cnt >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, cnt - 1),
+                    F.slice(toks, 2, cnt - 1),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
     idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
@@ -185,9 +200,18 @@ def ngram_jaccard_prefix_pairs(
     inherent candidate floor no lossless scheme avoids (use
     minhash_lsh_pairs when approximate recall is acceptable).
     """
+    from pyspark import StorageLevel
+
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("s")
     )
+    # persist the ARRAY relation: the exploded view below feeds both
+    # the document-frequency aggregate and the ranked rebuild, and
+    # caching the arrays (not the exploded rows) keeps the
+    # InferFiltersFromGenerate clone of the shingle expression from
+    # re-tokenizing per consumer (see exact_substring_stats)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(sh)
     ex = sh.select("id", F.size("s").alias("sz"), F.explode("s").alias("tok"))
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # rebuild each doc's shingle array sorted by (df, tok); the shingle
@@ -208,8 +232,6 @@ def ngram_jaccard_prefix_pairs(
     # ranked feeds three plan branches (prefix explode, verify-left,
     # verify-right): persist it, like minhash's shingle relation
     # (caller releases via release_caches)
-    from pyspark import StorageLevel
-
     ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(ranked)
     t = threshold
@@ -792,14 +814,19 @@ def exact_substring_stats(
         F.greatest(F.size(toks) - w + 1, F.lit(0)).alias("n_windows"),
         win_hashes.alias("_wins"),
     )
-    # the exploded relation feeds two branches (corpus-wide frequency +
-    # per-doc recount): persist so the window hashing runs once
-    # (caller releases via release_caches, like minhash's shingles)
+    # persist the ARRAY-valued relation and explode ABOVE the cache:
+    # caching the exploded form instead puts a Generate at the top of
+    # the cache-build plan, and InferFiltersFromGenerate then clones
+    # the whole window-hash transform into a pre-Generate Filter --
+    # higher-order lambdas run interpreted (no codegen CSE), so the
+    # hashing ran ~3x per row (measured: 12.5s -> this layout hashes
+    # once and the inferred filter is an O(1) size() on the cached
+    # array). Caller releases via release_caches.
     from pyspark import StorageLevel
 
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(base)
     wins = base.select(id_col, F.explode("_wins").alias("h"))
-    wins = wins.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(wins)
     dup_h = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -45,12 +45,10 @@ def _feature_rows(df: DataFrame, text_col: str, id_col: str,
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(toks, bigrams)
+    buckets = F.transform(feats, lambda f: md5_int32(f) % n_buckets)
     return df.select(
         F.col(id_col), *[F.col(c) for c in extra_cols],
-        F.explode(feats).alias("_f"),
-    ).select(
-        id_col, *extra_cols,
-        (md5_int32(F.col("_f")) % n_buckets).alias("b"),
+        buckets.alias("_bs"),
     )
 
 
@@ -75,12 +73,19 @@ def dsir_scores(
     base = df.select(id_col, F.col(text_col),
                      target_pred.alias("_is_target"))
     # the feature stream feeds two branches (distribution fit + per-doc
-    # scoring): persist so tokenize/hash runs once (caller releases via
+    # scoring): persist the ARRAY-valued relation and explode above the
+    # cache, so tokenize/hash runs once and the filter Catalyst infers
+    # from the Generate is an O(1) size() on the cached array instead
+    # of a clone of the whole feature expression (see
+    # dedup.exact_substring_stats; caller releases via
     # dedup.release_caches, the shared cache registry)
-    feats = _feature_rows(base, text_col, id_col, n_buckets,
-                          ["_is_target"])
-    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(feats)
+    arrs = _feature_rows(base, text_col, id_col, n_buckets,
+                         ["_is_target"])
+    arrs = arrs.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(arrs)
+    feats = arrs.select(
+        id_col, "_is_target", F.explode("_bs").alias("b")
+    )
 
     counts = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("nc"),
