@@ -11,6 +11,7 @@ Cited per function: the reference file under pkg/ottl/ottlfuncs/.
 
 from __future__ import annotations
 
+from decimal import Decimal
 from typing import Any
 
 import pandas as pd  # noqa: F401 -- pandas_udf type-hint resolution
@@ -217,13 +218,33 @@ def ParseInt(c, base: int = 10):
 
 
 def URL(c):
-    """func_url.go:31-44 -> struct of semconv url.* parts."""
+    """func_url.go:31-44 -> struct of the semconv url.* parts emitted
+    by parseutils.urlToSemconvMap (uri.go:56-97): original, scheme,
+    domain (host sans port), path, port (int), fragment, user_info /
+    username / password, query, and extension = everything after the
+    LAST '.' in the path (Go's ``Path[LastIndex+1:]``). Keys the
+    reference omits when empty are NULL here — struct fields are
+    fixed-schema columns."""
     cc = _col(c)
+    path = F.parse_url(cc, F.lit("PATH"))
+    auth = F.parse_url(cc, F.lit("AUTHORITY"))
+    uinfo = F.parse_url(cc, F.lit("USERINFO"))
     return F.struct(
+        cc.alias("original"),
         F.parse_url(cc, F.lit("PROTOCOL")).alias("scheme"),
         F.parse_url(cc, F.lit("HOST")).alias("domain"),
-        F.parse_url(cc, F.lit("PATH")).alias("path"),
+        path.alias("path"),
+        F.nullif(F.regexp_extract(auth, r":(\d+)$", 1), F.lit(""))
+        .cast("int").alias("port"),
+        F.parse_url(cc, F.lit("REF")).alias("fragment"),
+        uinfo.alias("user_info"),
+        F.nullif(F.regexp_extract(uinfo, r"^([^:]*)", 1), F.lit(""))
+        .alias("username"),
+        F.when(uinfo.contains(":"),
+               F.regexp_extract(uinfo, r":(.*)$", 1)).alias("password"),
         F.parse_url(cc, F.lit("QUERY")).alias("query"),
+        F.nullif(F.regexp_extract(path, r"\.([^.]*)$", 1), F.lit(""))
+        .alias("extension"),
     )
 
 
@@ -276,15 +297,43 @@ def Now():  # func_now.go -- nondeterministic by design
     return F.current_timestamp()
 
 
+_GO_DURATION_UNITS: list[tuple[str, float]] = [
+    # (regex tail after the number, seconds multiplier) — the unit set
+    # of Go time.ParseDuration (time/format.go unitMap), longest-match
+    # guards so "ms"/"ns"/"us" never feed the bare-"s"/"m" buckets
+    (r"ns", 1e-9),
+    (r"(?:us|µs|μs)", 1e-6),
+    (r"ms", 1e-3),
+    (r"s", 1.0),       # digits directly before 's' can't be *s units
+    (r"m(?!s)", 60.0),
+    (r"h", 3600.0),
+]
+
+
 def Duration(c):
-    """func_duration.go: Go duration string -> seconds (double).
-    Supports h/m/s/ms suffix forms like '1h30m', '90s', '250ms'."""
+    """func_duration.go -> time.ParseDuration semantics, represented
+    as SECONDS (double) — this engine's duration carrier, which
+    Hours/.../Nanoseconds below convert back out of (the reference
+    carries int64 nanoseconds; doubles are ns-exact to ~104 days).
+
+    Full Go unit set (ns us/µs ms s m h), optional sign, repeated
+    units sum ("1h1h" == "2h" like Go), and MALFORMED input -> NULL
+    (the reference errors; with error_mode ignore/silent the statement
+    skips, which is exactly a null-guarded set here). "0" alone is the
+    one unitless form Go accepts."""
     cc = _col(c)
-    h = F.coalesce(F.nullif(F.regexp_extract(cc, r"(\d+(?:\.\d+)?)h", 1), F.lit("")).cast("double"), F.lit(0.0))
-    m = F.coalesce(F.nullif(F.regexp_extract(cc, r"(\d+(?:\.\d+)?)m(?!s)", 1), F.lit("")).cast("double"), F.lit(0.0))
-    s = F.coalesce(F.nullif(F.regexp_extract(cc, r"(\d+(?:\.\d+)?)s", 1), F.lit("")).cast("double"), F.lit(0.0))
-    ms = F.coalesce(F.nullif(F.regexp_extract(cc, r"(\d+(?:\.\d+)?)ms", 1), F.lit("")).cast("double"), F.lit(0.0))
-    return h * 3600 + m * 60 + s + ms / 1000.0
+    num = r"\d+(?:\.\d+)?"
+    valid = cc.rlike(
+        r"^[-+]?(?:\d+(?:\.\d+)?(?:ns|us|µs|μs|ms|s|m|h))+$"
+    ) | cc.rlike(r"^[-+]?0$")
+    sign = F.when(cc.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    total = F.lit(0.0)
+    for tail, mult in _GO_DURATION_UNITS:
+        matches = F.regexp_extract_all(cc, F.lit(f"({num}){tail}"), 1)
+        total = total + F.aggregate(
+            matches, F.lit(0.0), lambda a, x: a + x.cast("double")
+        ) * F.lit(mult)
+    return F.when(valid, sign * total)
 
 
 def UnixSeconds(c):
@@ -339,7 +388,20 @@ def Nanosecond(c):
     return (F.unix_micros(_col(c)) % F.lit(1_000_000)) * F.lit(1000)
 
 
-# duration (seconds double) -> unit floats (func_hours.go etc.)
+# duration (seconds double) -> units. Hours/Minutes/Seconds are
+# float64 in the reference (func_hours.go etc.); Milliseconds/
+# Microseconds/Nanoseconds are TRUNCATED int64 (time.Duration
+# methods). The seconds-double carrier leaves ~1-ulp error on exact
+# unit boundaries ("290ms" -> 0.29*1000 = 289.99999999999997), so the
+# int64 conversions nudge by a sign-aware 1e-6-of-a-unit epsilon
+# before truncating toward zero — recovers boundary values without
+# rounding genuine sub-unit remainders ("1500us".Milliseconds() == 1).
+def _dur_int64(c, mult: float):
+    scaled = _col(c) * F.lit(mult)
+    eps = F.when(scaled < 0, F.lit(-1e-6)).otherwise(F.lit(1e-6))
+    return (scaled + eps).cast("long")
+
+
 def Hours(c):
     return _col(c) / F.lit(3600.0)
 
@@ -353,15 +415,15 @@ def Seconds(c):
 
 
 def Milliseconds(c):
-    return _col(c) * F.lit(1000.0)
+    return _dur_int64(c, 1000.0)
 
 
 def Microseconds(c):
-    return _col(c) * F.lit(1_000_000.0)
+    return _dur_int64(c, 1_000_000.0)
 
 
 def Nanoseconds(c):
-    return _col(c) * F.lit(1_000_000_000.0)
+    return _dur_int64(c, 1_000_000_000.0)
 
 
 # ---------------------------------------------------------------------------
@@ -397,10 +459,44 @@ def XXH64(c):  # func_xxhash.go family
 
 
 def FNV(c):
-    """func_fnv.go: FNV-1a 64-bit. No native Spark impl; expressed as
-    xxhash64 for key-parity-free use cases (deterministic, uniform).
-    Exact FNV available via training.text.fnv1a64 pandas UDF."""
-    return F.xxhash64(_col(c))
+    """func_fnv.go:38-44: EXACT FNV-1a 64 over the UTF-8 bytes,
+    reinterpreted as int64 like Go's ``int64(hash.Sum64())``.
+
+    Column-native byte fold: hex() exposes the bytes, aggregate()
+    folds them. The accumulator lives in unsigned DECIMAL(20,0)
+    (2^64 < 10^20) because ANSI bigint arithmetic traps on the
+    deliberate mod-2^64 wraparound; the per-byte XOR only touches
+    the low 8 bits, so it drops to a bigint bitwiseXOR on
+    ``acc % 256`` and back. acc*prime <= 2^64 * 2^41 < 10^33 fits
+    the intermediate decimal exactly, then ``% 2^64`` renormalizes.
+    """
+    b = _col(c).cast("binary")
+    hx = F.hex(b)  # 2 hex chars per byte
+    n_bytes = (F.length(hx) / 2).cast("int")
+    idx = (
+        F.when(hx.isNull(), F.lit(None).cast("array<int>"))  # null in, null out
+        .when(n_bytes > 0, F.sequence(F.lit(1), n_bytes))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    byte_at = lambda i: F.conv(  # noqa: E731
+        F.substring(hx, i * 2 - 1, 2), 16, 10
+    ).cast("long")
+    two64 = F.lit(Decimal(2**64)).cast("decimal(21,0)")
+    init = F.lit(Decimal(0xCBF29CE484222325)).cast("decimal(20,0)")
+
+    def step(acc, i):
+        low = (acc % 256).cast("long")
+        xored = acc - low.cast("decimal(20,0)") + (
+            low.bitwiseXOR(byte_at(i))
+        ).cast("decimal(20,0)")
+        return ((xored * F.lit(Decimal(0x100000001B3)).cast("decimal(13,0)"))
+                % two64).cast("decimal(20,0)")
+
+    acc = F.aggregate(idx, init, step)
+    signed = F.when(
+        acc >= F.lit(Decimal(2**63)).cast("decimal(20,0)"), acc - two64
+    ).otherwise(acc.cast("decimal(21,0)"))
+    return signed.cast("long")
 
 
 def UUID():  # nondeterministic by design (func_uuid.go)
@@ -705,13 +801,19 @@ _OS_RULES = [
 
 
 def UserAgent(c):
-    """UA string -> struct(user_agent_name, user_agent_version,
-    os_name, os_version). One Arrow round-trip, regexes compiled per
+    """UA string -> struct(user_agent_name, user_agent_original,
+    user_agent_version, os_name, os_version) — the semconv key set of
+    func_useragent.go:42-57 (dots -> underscores, columns being
+    columns). The reference parses with the full uap-core regex
+    database; that DB is external data, so this carries a compact
+    rule battery covering the major families (documented
+    substitution). One Arrow round-trip, regexes compiled per
     executor."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     schema = StructType([
         StructField("user_agent_name", StringType()),
+        StructField("user_agent_original", StringType()),
         StructField("user_agent_version", StringType()),
         StructField("os_name", StringType()),
         StructField("os_version", StringType()),
@@ -723,8 +825,9 @@ def UserAgent(c):
 
         ua_rules = [(n, _re.compile(rx)) for n, rx in _UA_RULES]
         os_rules = [(n, _re.compile(rx)) for n, rx in _OS_RULES]
-        out = {k: [] for k in ("user_agent_name", "user_agent_version",
-                               "os_name", "os_version")}
+        out = {k: [] for k in ("user_agent_name", "user_agent_original",
+                               "user_agent_version", "os_name",
+                               "os_version")}
         for ua in s:
             name = ver = osn = osv = None
             if ua:
@@ -743,6 +846,7 @@ def UserAgent(c):
                         osv = ".".join(x for x in g if x) if g else None
                         break
             out["user_agent_name"].append(name)
+            out["user_agent_original"].append(ua if ua else None)
             out["user_agent_version"].append(ver)
             out["os_name"].append(osn)
             out["os_version"].append(osv)

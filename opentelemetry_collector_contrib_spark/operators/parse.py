@@ -140,15 +140,18 @@ def uri_parser(df: DataFrame, parse_from: str = "url") -> DataFrame:
     """URL -> semconv-style columns via the native ``parse_url``
     (kept JVM-side; the reference calls net/url.Parse per record).
 
-    Adds: url_scheme, url_domain, url_path, url_query, url_extension
-    (uri.go:86-93 derives extension from the last path segment).
+    Adds: url_scheme, url_domain, url_path, url_query, url_extension.
+    Extension follows uri.go:90-95 exactly: everything after the LAST
+    '.' anywhere in the path (so "/a.b/c" -> "b/c", like Go's
+    ``Path[LastIndex+1:]``), absent when the path has no '.' or ends
+    with one.
     """
     out = df
     for col_name, part in _URI_PARTS.items():
         out = out.withColumn(col_name, F.parse_url(F.col(parse_from), F.lit(part)))
     return out.withColumn(
         "url_extension",
-        F.nullif(F.regexp_extract(F.col("url_path"), r"\.([A-Za-z0-9]+)$", 1), F.lit("")),
+        F.nullif(F.regexp_extract(F.col("url_path"), r"\.([^.]*)$", 1), F.lit("")),
     )
 
 
@@ -214,16 +217,24 @@ def time_parser(
 # severity_parser (pkg/stanza/operator/helper/severity.go:23-60)
 # ---------------------------------------------------------------------------
 
-# Default alias table mirroring severity.go's severityMap (trace..fatal
-# with 4 sub-levels each; OTel severity numbers 1..24).
+# Default alias table mirroring getBuiltinMapping's DEFAULT preset
+# (pkg/stanza/operator/helper/severity_builder.go:18-87): the
+# "aliases" table (trace..fatal4 + numeric strings "1".."24") plus the
+# default-only extras warning/warning2-4 -> Warn* and err/err2-4 ->
+# Error*. Aliases like notice/crit/alert/emerg are NOT in the
+# reference default (they parse to 0/Default); syslog PRI severities
+# have their own mapping in syslog_parser below.
 DEFAULT_SEVERITY_MAP: dict[str, int] = {
-    "trace": 1, "trace2": 2, "trace3": 3, "trace4": 4,
-    "debug": 5, "debug2": 6, "debug3": 7, "debug4": 8,
-    "info": 9, "info2": 10, "info3": 11, "info4": 12,
-    "notice": 10, "warn": 13, "warning": 13, "warn2": 14,
-    "warn3": 15, "warn4": 16, "error": 17, "err": 17, "error2": 18,
-    "error3": 19, "error4": 20, "fatal": 21, "crit": 21, "critical": 21,
-    "alert": 22, "emerg": 23, "emergency": 23, "catastrophe": 24,
+    **{
+        f"{name}{suffix}": base + i
+        for name, base in (("trace", 1), ("debug", 5), ("info", 9),
+                           ("warn", 13), ("error", 17), ("fatal", 21))
+        for i, suffix in enumerate(("", "2", "3", "4"))
+    },
+    **{str(i): i for i in range(1, 25)},
+    **{f"warning{s}": 13 + i
+       for i, s in enumerate(("", "2", "3", "4"))},
+    **{f"err{s}": 17 + i for i, s in enumerate(("", "2", "3", "4"))},
 }
 
 

@@ -98,8 +98,8 @@ CONVERTER_TAGS: dict[str, str | None] = {
     "UnixNano": "int", "Year": "int", "Month": "int", "Day": "int",
     "Weekday": "int", "Hour": "int", "Minute": "int", "Second": "int",
     "Nanosecond": "int", "Hours": "double", "Minutes": "double",
-    "Seconds": "double", "Milliseconds": "double",
-    "Microseconds": "double", "Nanoseconds": "double",
+    "Seconds": "double", "Milliseconds": "int",
+    "Microseconds": "int", "Nanoseconds": "int",
     "Duration": "double", "Log": "double",
     "MD5": "string", "SHA1": "string", "SHA256": "string",
     "SHA512": "string", "Hex": "string", "ToUpperCase": "string",

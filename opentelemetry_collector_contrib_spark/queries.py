@@ -359,7 +359,7 @@ SELECT page_id,
        regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS url_path,
        regexp_extract(url, '\\?(.*)$', 1)              AS url_query,
        regexp_extract(regexp_extract(url, 'https://[^/]+(/[^?]*)', 1),
-                      '\\.([A-Za-z0-9]+)$', 1)        AS url_extension_raw
+                      '\\.([^.]*)$', 1)               AS url_extension_raw
 FROM web ORDER BY page_id
 """,
 )

@@ -6,6 +6,7 @@ the translation table in operators/parse.py.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from opentelemetry_collector_contrib_spark.functions import ottl_funcs as FN
@@ -57,11 +58,24 @@ def test_date_parts(spark):
 
 
 def test_duration_forms(spark):
+    # time.ParseDuration parity: full unit set (ns us µs ms s m h),
+    # signs, repeated units summing, unitless "0", malformed -> NULL
+    cases = [
+        ("1h30m", 5400.0), ("90s", 90.0), ("250ms", 0.25),
+        ("2h", 7200.0), ("100ns", 1e-7), ("1.5us", 1.5e-6),
+        ("3µs", 3e-6), ("-1h30m", -5400.0), ("1h1h", 7200.0),
+        ("0", 0.0), ("100", None), ("abc", None), ("1x", None),
+    ]
     df = spark.createDataFrame(
-        [("1h30m",), ("90s",), ("250ms",), ("2h",)], "d STRING"
+        [(i, d) for i, (d, _) in enumerate(cases)], "i INT, d STRING"
     )
-    got = [r[0] for r in df.select(FN.Duration(F.col("d"))).collect()]
-    assert got == [5400.0, 90.0, 0.25, 7200.0]
+    got = {r["i"]: r["v"] for r in
+           df.select("i", FN.Duration(F.col("d")).alias("v")).collect()}
+    for i, (d, want) in enumerate(cases):
+        if want is None:
+            assert got[i] is None, d
+        else:
+            assert got[i] == pytest.approx(want), d
 
 
 def test_duration_unit_views(spark):
@@ -69,6 +83,10 @@ def test_duration_unit_views(spark):
     secs = F.col("x")
     assert _one(df, FN.Hours(secs)) == 1 / 3600
     assert _one(df, FN.Minutes(secs)) == 1 / 60
-    assert _one(df, FN.Milliseconds(secs)) == 1000.0
-    assert _one(df, FN.Microseconds(secs)) == 1_000_000.0
-    assert _one(df, FN.Nanoseconds(secs)) == 1_000_000_000.0
+    # int64 + truncation toward zero, like time.Duration methods
+    assert _one(df, FN.Milliseconds(secs)) == 1000
+    assert _one(df, FN.Microseconds(secs)) == 1_000_000
+    assert _one(df, FN.Nanoseconds(secs)) == 1_000_000_000
+    frac = spark.createDataFrame([(0.29,), (0.0015,), (-0.29,)], "x DOUBLE")
+    ms = [r[0] for r in frac.select(FN.Milliseconds(F.col("x"))).collect()]
+    assert ms == [290, 1, -290]  # boundary recovered, sub-ms truncated

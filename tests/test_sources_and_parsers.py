@@ -137,6 +137,9 @@ def test_useragent_parser(spark):
     assert out[1]["os_name"] == "Linux"
     assert out[2]["user_agent_name"] == "curl"
     assert out[3]["user_agent_name"] is None
+    # func_useragent.go:44 always carries the original string
+    assert out[0]["user_agent_original"] == uas[0][0]
+    assert out[3]["user_agent_original"] is None
 
 
 def test_luhn(spark):
