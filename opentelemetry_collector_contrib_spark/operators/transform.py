@@ -77,26 +77,47 @@ def recombine(
     df: DataFrame,
     source_cols: list[str],
     order_col: str,
-    is_first_entry: Column,
+    is_first_entry: Column | None = None,
     combine_field: str = "body",
     combine_with: str = "\n",
+    is_last_entry: Column | None = None,
 ) -> DataFrame:
-    """Merge consecutive entries per source into one, starting a new
-    group whenever ``is_first_entry`` matches (transformer.go:216-307).
+    """Merge consecutive entries per source into one group
+    (transformer.go:216-307) — a new group starts at every
+    ``is_first_entry`` match, or (exactly like the reference's other
+    mode) ends at every ``is_last_entry`` match; exactly one of the
+    two predicates must be given. The last-entry mode is what the
+    container operator's CRI partial-line recombination uses
+    (parser/container: partial "P" lines accumulate until the "F"
+    line closes the entry).
 
-    session_id = running count of first-entry markers per source
-    (window cumsum), then one groupBy concatenates bodies in order.
-    Two shuffles on the source key -- at scale both land on the same
-    partitioning so the second is a local aggregation after AQE.
+    session_id = running count of boundary markers per source (window
+    cumsum — EXCLUSIVE of the current row for last-entry mode, so the
+    closing row still belongs to its group), then one groupBy
+    concatenates bodies in order. Two shuffles on the source key --
+    at scale both land on the same partitioning so the second is a
+    local aggregation after AQE.
     """
-    w = (
-        Window.partitionBy(*source_cols)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sess = df.withColumn(
-        "__session", F.sum(is_first_entry.cast("long")).over(w)
-    )
+    if (is_first_entry is None) == (is_last_entry is None):
+        raise ValueError("recombine: exactly one of is_first_entry / "
+                         "is_last_entry")
+    if is_first_entry is not None:
+        w = (
+            Window.partitionBy(*source_cols)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        marker = F.sum(is_first_entry.cast("long")).over(w)
+    else:
+        w = (
+            Window.partitionBy(*source_cols)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        marker = F.coalesce(
+            F.sum(is_last_entry.cast("long")).over(w), F.lit(0)
+        )
+    sess = df.withColumn("__session", marker)
     return (
         sess.groupBy(*source_cols, "__session")
         .agg(

@@ -119,6 +119,36 @@ def test_container_parser_both_formats(spark):
     assert by_stream["stderr"]["is_partial"] is True
 
 
+def test_container_cri_partial_recombine(spark):
+    # parser/container semantics: CRI "P" lines accumulate until the
+    # "F" line closes the entry (no separator between chunks) — the
+    # is_last_entry recombine mode composed with container_parser.
+    from opentelemetry_collector_contrib_spark.operators.transform import (
+        recombine,
+    )
+
+    lines = [
+        (1, "2020-02-11T20:26:12.000Z stdout P chunk-a "),
+        (2, "2020-02-11T20:26:12.100Z stdout P chunk-b "),
+        (3, "2020-02-11T20:26:12.200Z stdout F chunk-c"),
+        (4, "2020-02-11T20:26:13.000Z stdout F whole line"),
+    ]
+    df = spark.createDataFrame(lines, "seq INT, body STRING")
+    parsed = container_parser(df)
+    out = recombine(
+        parsed.withColumn("src", F.col("stream")),
+        source_cols=["src"],
+        order_col="seq",
+        is_last_entry=~F.col("is_partial"),
+        combine_field="log",
+        combine_with="",
+    ).orderBy("seq").collect()
+    assert [r["log"] for r in out] == [
+        "chunk-a chunk-b chunk-c", "whole line"
+    ]
+    assert [r["recombined_count"] for r in out] == [3, 1]
+
+
 def test_useragent_parser(spark):
     uas = [
         ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
