@@ -166,12 +166,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # proves the blocking lossless (the simhash dual-algorithm pattern).
 @register("dedup_ngram_jaccard", DD.ngram_jaccard_pairs_sql(n=2, threshold=0.7))
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOTE: _docs (not _docs_par) -- measured at sf0.1/local[8]: the
-    # up-front repartition makes this query 3x SLOWER (120s vs 39s),
-    # unlike the other explode-heavy ops; the candidate self-join
-    # dominates, not the tokenize stage the repartition parallelizes.
+    # _docs_par: the window-based prefix stream builds the persisted
+    # shingle cache in the scan stage, so the single-row-group fixture
+    # must fan out BEFORE tokenize (sf0.1: 8s -> 2.4s). The old
+    # array-rebuild plan was join-dominated and preferred the
+    # unrepartitioned scan; that note is obsolete.
     return DD.ngram_jaccard_prefix_pairs(
-        _docs(spark, sf_dir), n=2, threshold=0.7
+        _docs_par(spark, sf_dir), n=2, threshold=0.7
     ).orderBy("id_a", "id_b")
 
 
