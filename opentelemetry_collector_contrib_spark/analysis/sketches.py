@@ -1,0 +1,105 @@
+"""Mergeable sketch summaries — the 100 TB cardinality / quantile
+path.
+
+At fixture scale every distinct-count or percentile can be exact; at
+10^12 documents, per-host cardinalities and corpus quantiles are kept
+as MERGEABLE sketches (Apache DataSketches, built into Spark 4):
+per-partition sketches combine map-side, roll up across
+shards/snapshots without rescanning, and a saved sketch table answers
+"distinct URLs per host last month" by union, not by re-reading a
+month of data. Merging never widens the error bound — a union of
+per-shard sketches answers within the same guarantee as one sketch
+over the raw rows (it is NOT bit-identical to the direct sketch: the
+DataSketches HLL union runs through an HLL_8 gadget, so estimates can
+differ by a few registers' worth — measured 493 vs 500 at fixture
+scale, both within the 1.6% RSE). The tests assert the error bounds
+for both the direct and the rolled-up paths.
+
+No driver-contract oracle entries: DuckDB's approx_count_distinct is
+a different sketch with different registers, so cross-engine VALUE
+equality is impossible by construction (unlike every other op in this
+repo, whose oracles replicate the algorithm). These ops are verified
+by the in-engine invariants in tests/test_sketches.py instead.
+
+Reference role parity: the collector keeps no sketches (obsreport
+counters are exact int64 adds, obs.py covers those); this module is
+part of the training-data curation extension (north rule), where
+cardinality estimation over web-scale key spaces is a first-class
+operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# lgConfigK=12 -> 4096 HLL registers, ~1.6% relative standard error;
+# the Spark/DataSketches default. Fixed here so sketches written by
+# different jobs stay mergeable (HLL unions require compatible K).
+HLL_LG_K = 12
+
+
+def cardinality_sketches(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Per-group HLL sketch + estimate of distinct ``key_col``.
+
+    One map-side-combinable aggregate; the sketch column is the
+    mergeable artifact a production pipeline persists (per partition /
+    per snapshot), the estimate is the human-facing number.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(HLL_LG_K)).alias("hll"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(key_col), F.lit(HLL_LG_K))
+        ).cast("long").alias("distinct_est"),
+    )
+
+
+def rollup_cardinality(
+    sketch_df: DataFrame, group_cols: list[str], sketch_col: str = "hll"
+) -> DataFrame:
+    """Merge finer-grained sketches up a hierarchy (e.g. per
+    (host, lang) -> per host) WITHOUT touching the raw data — the
+    whole point of keeping sketches. The rolled-up estimate carries
+    the same error guarantee a full rescan at the coarser grain
+    would (see module docstring on HLL_8 union non-bit-identity)."""
+    return sketch_df.groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col(sketch_col)).alias("hll"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col)))
+        .cast("long").alias("distinct_est"),
+    )
+
+
+def theta_overlap(
+    df: DataFrame, part_col: str, key_col: str
+) -> DataFrame:
+    """Theta sketches per partition value — unlike HLL they support
+    set OPERATIONS downstream (intersection / a-not-b cardinality in
+    the DataSketches toolkit), the standard way to ask "how many URLs
+    do these two crawls share" without a join at corpus scale. Emits
+    (part, theta sketch, distinct_est)."""
+    return df.groupBy(part_col).agg(
+        F.theta_sketch_agg(F.col(key_col)).alias("theta"),
+        F.theta_sketch_estimate(F.theta_sketch_agg(F.col(key_col)))
+        .cast("long").alias("distinct_est"),
+    )
+
+
+def length_quantile_sketch(
+    df: DataFrame, value_col: Column | str, quantiles: list[float]
+) -> DataFrame:
+    """KLL quantile sketch over a BIGINT measure (doc length, token
+    count): one pass, mergeable across partitions, rank error ~1.7%
+    at the default k=200. Returns a single row with the sketch and
+    the requested quantile estimates."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    agg = F.kll_sketch_agg_bigint(v.cast("bigint"))
+    return df.agg(
+        agg.alias("kll"),
+        *[
+            F.kll_sketch_get_quantile_bigint(agg, F.lit(q))
+            .alias(f"q{int(q * 100)}")
+            for q in quantiles
+        ],
+    )

@@ -1,0 +1,53 @@
+"""Partition-invariance of the correctness surface.
+
+The driver's CORRECTNESS gate hashes query VALUES; a float aggregate
+whose 4th decimal depends on accumulation order would pass at one
+partitioning and flake at another (a 1000-executor cluster shuffles
+into different groupings than local[32]). This suite re-runs the
+float-aggregating queries under different shuffle-partition counts
+and asserts bit-identical collected results — evidencing that the
+round(x, 4) margins hold regardless of how Spark parallelizes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark import queries as Q
+
+from .conftest import SF_ORACLE
+
+# every query whose output contains a sum/avg over DOUBLE values (the
+# order-sensitive aggregates) plus the float-emitting analysis ops
+FLOAT_QUERIES = [
+    "sum_connector_events",
+    "metrics_transform_events",
+    "signal_to_metrics_events",
+    "lookup_enrich_customer",
+    "delta_to_cumulative_events",
+    "anomaly_mad_events",
+    "dedup_ngram_jaccard",
+    "text_quality_scores",
+]
+
+
+def _rows(spark, name):
+    df = Q.queries()[name](spark, SF_ORACLE)
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("name", FLOAT_QUERIES)
+def test_partition_invariant(spark, name):
+    from opentelemetry_collector_contrib_spark.analysis import dedup as DD
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = _rows(spark, name)
+        DD.release_caches()
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        b = _rows(spark, name)
+        DD.release_caches()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert a == b, f"{name}: results differ across partitionings"

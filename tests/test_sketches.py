@@ -1,0 +1,96 @@
+"""Mergeable-sketch invariants (analysis/sketches.py).
+
+Assertions are ERROR BOUNDS vs exact answers at fixture scale — no
+cross-engine oracle can exist for sketch values (DuckDB's
+approximators use different registers), and even in-engine the HLL
+union path is not bit-identical to a direct sketch (HLL_8 gadget;
+493 vs 500 measured), so every path — direct, rolled-up, differently
+sharded — is asserted within the documented error (HLL lgK=12 ~1.6%
+RSE, KLL k=200 ~1.7% rank error; 5x headroom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import sketches as SK
+
+SF = "/root/testdata/sf0.01"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hll_estimate_within_error(spark):
+    docs = _docs(spark)
+    exact = docs.select("source").distinct().count()
+    est = SK.cardinality_sketches(
+        docs.withColumn("g", F.lit(1)), ["g"], "source"
+    ).collect()[0]["distinct_est"]
+    assert abs(est - exact) <= max(3, 0.08 * exact), (est, exact)
+
+
+def test_hll_rollup_equals_global(spark):
+    docs = _docs(spark)
+    per_lang = SK.cardinality_sketches(docs, ["lang"], "doc_id")
+    rolled = SK.rollup_cardinality(
+        per_lang.withColumn("g", F.lit(1)), ["g"]
+    ).collect()[0]["distinct_est"]
+    global_est = SK.cardinality_sketches(
+        docs.withColumn("g", F.lit(1)), ["g"], "doc_id"
+    ).collect()[0]["distinct_est"]
+    exact = docs.select("doc_id").distinct().count()
+    # union is NOT bit-identical to the direct sketch (HLL_8 gadget),
+    # but both must carry the same error guarantee
+    assert abs(rolled - exact) <= max(3, 0.08 * exact), (rolled, exact)
+    assert abs(global_est - exact) <= max(3, 0.08 * exact)
+
+
+def test_hll_rollup_sharding_within_error(spark):
+    # however the data was sharded before sketching, the rolled-up
+    # estimate must stay within the error bound — the property that
+    # lets per-snapshot sketches accumulate
+    docs = _docs(spark)
+    exact = docs.select("doc_id").distinct().count()
+    for shard_col in ("lang", "source"):
+        est = SK.rollup_cardinality(
+            SK.cardinality_sketches(docs, [shard_col], "doc_id")
+            .withColumn("g", F.lit(1)),
+            ["g"],
+        ).collect()[0]["distinct_est"]
+        assert abs(est - exact) <= max(3, 0.08 * exact), (shard_col, est)
+
+
+def test_theta_estimates(spark):
+    docs = _docs(spark)
+    rows = {
+        r["lang"]: r["distinct_est"]
+        for r in SK.theta_overlap(docs, "lang", "doc_id").collect()
+    }
+    exact = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("c"))
+        .collect()
+    }
+    for lang, c in exact.items():
+        assert abs(rows[lang] - c) <= max(3, 0.08 * c), lang
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    docs = _docs(spark).withColumn("len", F.length("text"))
+    out = SK.length_quantile_sketch(docs, "len", [0.5, 0.95]).collect()[0]
+    exact = docs.select(
+        F.percentile(F.col("len").cast("double"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("len").cast("double"), F.lit(0.95)).alias("p95"),
+    ).collect()[0]
+    n = docs.count()
+    lens = sorted(r["len"] for r in docs.select("len").collect())
+    # KLL guarantees rank error, not value error: the returned value's
+    # RANK must be within ~1.7% * n of the requested rank (5x headroom)
+    import bisect
+
+    for q, got in ((0.5, out["q50"]), (0.95, out["q95"])):
+        rank = bisect.bisect_left(lens, got)
+        assert abs(rank - q * n) <= 0.085 * n, (q, got, rank, exact)
