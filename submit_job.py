@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the flagship pipeline.
+
+The north rule's deploy contract is ``spark-submit --py-files`` on a
+multi-executor cluster, at two cluster sizes:
+
+    zip -r otel_contrib_spark.zip opentelemetry_collector_contrib_spark
+    spark-submit --master <cluster-N>  --py-files otel_contrib_spark.zip \
+        submit_job.py --sf-dir <input> --out <dir>
+    spark-submit --master <cluster-4N> --py-files otel_contrib_spark.zip \
+        submit_job.py --sf-dir <input> --out <dir>
+
+The session's master/executor sizing comes from spark-submit itself
+(deploy-time); this script only applies the code-level engine confs
+(AQE, Arrow, UTC — session.ENGINE_CONFS) and declares the job: read
+web pages → parse → broadcast-enrich → route → per-sink counts, plus
+the routed fan-out written as one ``partitionBy(route)`` job.
+
+Prints ONE JSON line: rows in/out, elapsed seconds, docs/s — the same
+throughput definition bench.py uses, so spark-submit runs at two
+masters are directly comparable (recorded in BASELINE.md).
+
+Tested end-to-end by tests/test_spark_submit.py, which packages the
+library into a zip and launches a real ``spark-submit --py-files``
+subprocess from OUTSIDE the repo directory, so imports must resolve
+from the zip exactly as they would on a cluster.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sf-dir", required=True, help="input table directory")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument(
+        "--skip-fanout",
+        action="store_true",
+        help="only write sink_counts (skip the routed fan-out job)",
+    )
+    p.add_argument(
+        "--gen-docs",
+        type=int,
+        default=0,
+        help="generate N synthetic web pages (spark.range-native, the "
+        "bench.py load) instead of reading --sf-dir; use for the "
+        "two-cluster-size throughput runs where the stored small-SF "
+        "table would be overhead-dominated",
+    )
+    p.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="time min-of-N aggregate runs after one untimed warm-up "
+        "(bench.py methodology); only the final run writes output",
+    )
+    args = p.parse_args(argv)
+
+    # Imports resolve from --py-files on the executors and driver; do
+    # them lazily so argparse errors don't need the zip.
+    from pyspark.sql import SparkSession
+
+    from opentelemetry_collector_contrib_spark.datagen import (
+        attach_binary_columns,
+        generate_web_pages,
+        host_lookup_df,
+        web_pages_from_documents,
+    )
+    from opentelemetry_collector_contrib_spark.pipeline import (
+        enrich_stage,
+        parse_stage,
+        routed_flat,
+        run_flagship,
+        sink_counts_one_pass,
+    )
+    from opentelemetry_collector_contrib_spark.session import ENGINE_CONFS
+
+    b = SparkSession.builder.appName("otel-contrib-spark-flagship")
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.gen_docs:
+        par = spark.sparkContext.defaultParallelism * 2
+        web = generate_web_pages(spark, args.gen_docs, num_partitions=par)
+        n_in = args.gen_docs
+        counts = sink_counts_one_pass(
+            enrich_stage(parse_stage(web), host_lookup_df(spark))
+        )
+    else:
+        web = attach_binary_columns(
+            web_pages_from_documents(spark, args.sf_dir)
+        )
+        n_in = web.count()
+        counts = run_flagship(spark, args.sf_dir)
+
+    def timed_count() -> float:
+        s = time.perf_counter()
+        counts.count()
+        return time.perf_counter() - s
+
+    agg_sec = None
+    if args.repeat > 1:
+        timed_count()  # untimed warm-up: JIT, codegen, broadcast build
+        agg_sec = min(timed_count() for _ in range(args.repeat))
+
+    t0 = time.perf_counter()
+    counts.write.mode("overwrite").parquet(f"{args.out}/sink_counts")
+    n_sinks = spark.read.parquet(f"{args.out}/sink_counts").count()
+    n_routed = 0
+    if not args.skip_fanout:
+        routed = routed_flat(spark, web)
+        (
+            routed.write.mode("overwrite")
+            .partitionBy("route_name")
+            .parquet(f"{args.out}/routed")
+        )
+        n_routed = spark.read.parquet(f"{args.out}/routed").count()
+    elapsed = time.perf_counter() - t0
+
+    # throughput definition: warm min-of-N aggregate time when --repeat
+    # is given (bench.py methodology, two-cluster-size comparable),
+    # otherwise the full cold write-inclusive elapsed.
+    rate_sec = agg_sec if agg_sec is not None else elapsed
+    summary = {
+        "master": spark.sparkContext.master,
+        "docs_in": n_in,
+        "sink_count_rows": n_sinks,
+        "routed_rows": n_routed,
+        "sec": round(rate_sec, 3),
+        "docs_per_sec": round(n_in / rate_sec, 1),
+        "timing": (
+            f"min-of-{args.repeat} warm aggregate"
+            if agg_sec is not None
+            else "cold single run incl. writes"
+        ),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

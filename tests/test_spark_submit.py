@@ -1,0 +1,95 @@
+"""Deploy-contract test: the north rule ships the job via
+``spark-submit --py-files <zip>``. This test packages the library into
+a zip, copies submit_job.py into a temp directory, and launches a REAL
+spark-submit subprocess with cwd OUTSIDE the repo and PYTHONPATH
+scrubbed — imports must resolve from the zip exactly as on a cluster.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import zipfile
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+PKG = "opentelemetry_collector_contrib_spark"
+
+
+def _spark_submit() -> str | None:
+    exe = shutil.which("spark-submit")
+    if exe:
+        return exe
+    try:
+        import pyspark
+
+        cand = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+        if cand.exists():
+            return str(cand)
+    except ImportError:
+        pass
+    return None
+
+
+def build_pyfiles_zip(dest: Path) -> Path:
+    """zip -r otel_contrib_spark.zip opentelemetry_collector_contrib_spark"""
+    zpath = dest / "otel_contrib_spark.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for f in sorted((REPO / PKG).rglob("*.py")):
+            z.write(f, f.relative_to(REPO))
+    return zpath
+
+
+@pytest.mark.skipif(_spark_submit() is None, reason="spark-submit not on PATH")
+def test_spark_submit_pyfiles_end_to_end(tmp_path):
+    zpath = build_pyfiles_zip(tmp_path)
+    job = tmp_path / "submit_job.py"
+    shutil.copyfile(REPO / "submit_job.py", job)
+    out_dir = tmp_path / "out"
+
+    env = os.environ.copy()
+    env.pop("PYTHONPATH", None)  # imports must come from --py-files
+    env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    proc = subprocess.run(
+        [
+            _spark_submit(),
+            "--master",
+            "local[4]",
+            "--conf",
+            "spark.sql.shuffle.partitions=4",
+            "--conf",
+            "spark.driver.memory=4g",
+            "--py-files",
+            str(zpath),
+            str(job),
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            str(out_dir),
+        ],
+        cwd=tmp_path,  # NOT the repo: the package dir is not importable
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    # last stdout line is the job's JSON summary
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, proc.stdout[-2000:]
+    summary = json.loads(lines[-1])
+    assert summary["docs_in"] > 0
+    assert summary["sink_count_rows"] > 0
+    # routed fan-out covers every input row exactly once (MOVE semantics)
+    assert summary["routed_rows"] == summary["docs_in"]
+
+    # the written tables are real parquet readable by another engine
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/sink_counts/*.parquet')"
+    ).fetchone()[0]
+    assert n == summary["sink_count_rows"]
