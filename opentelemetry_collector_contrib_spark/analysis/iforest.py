@@ -1,0 +1,283 @@
+"""Isolation-forest anomaly processor (isolationforestprocessor).
+
+Reference: processor/isolationforestprocessor/isolation_forest.go —
+traverseNode:499-510 (sample[dim] < split -> left, else right; leaf
+path = depth + estimateRemainingPath(count)), estimateRemainingPath:
+513-521 (0 for n<=1, else 2*(ln(n-1)+GAMMA) - 2*(n-1)/n),
+calculateAnomalyScore:232-259 (score = 2^(-avgPath/c(window)), clamped
+to [0,1]); processor.go:227-268 (iforest.anomaly_score /
+iforest.is_anomaly outputs, score >= threshold flags); README
+contamination_rate -> threshold = (1 - rate) quantile of scores.
+
+Spark-first shape
+-----------------
+The reference trains per-process on a sliding window of recent
+telemetry and scores in-flight points. Batch twin: the forest is
+TRAINED DRIVER-SIDE in pure Python on a small window (the training
+window is psi*T points — KBs, never big data), then COMPILED into the
+plan. Each tree becomes a nested ``when/otherwise`` chain whose leaf
+values are compile-time double literals (depth + expected remaining
+path), so scoring is a map-only, shuffle-free, whole-stage-codegen
+projection — no UDF, no Python in the data path, trivially correct at
+100 TB. The identical forest compiles to a SQL CASE expression
+(`forest_sql`) that DuckDB evaluates bit-identically: leaf literals
+round-trip exactly through repr(), and the per-row path sum is a
+fixed-order sum of literals, so even the float aggregation is
+engine-invariant.
+
+Anomaly flagging uses the contamination-rate mode: the threshold is
+the (1 - rate) empirical quantile of scores, realised as an exact rank
+(top ceil(rate * n) by path-sum ascending, event-id tiebreak) so both
+engines agree without interpolated-quantile float drift.
+"""
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Euler–Mascheroni constant, exactly as the reference spells it
+# (isolation_forest.go:518).
+GAMMA = 0.5772156649
+
+
+def remaining_path(n: int) -> float:
+    """estimateRemainingPath (isolation_forest.go:513-521)."""
+    if n <= 1:
+        return 0.0
+    return 2.0 * (math.log(n - 1) + GAMMA) - (2.0 * (n - 1) / n)
+
+
+def expected_path(n: int) -> float:
+    """getExpectedPathLength (isolation_forest.go:546-559): same
+    harmonic approximation, but 1.0 for degenerate windows."""
+    if n <= 1:
+        return 1.0
+    return 2.0 * (math.log(n - 1) + GAMMA) - (2.0 * (n - 1) / n)
+
+
+@dataclass
+class _Node:
+    leaf: bool
+    path: float = 0.0  # leaf: depth + remaining_path(sample count)
+    dim: int = 0
+    split: float = 0.0
+    left: "_Node | None" = None
+    right: "_Node | None" = None
+
+
+@dataclass
+class Forest:
+    trees: list[_Node]
+    psi: int  # subsample size per tree (normalisation constant input)
+
+
+def _build_tree(
+    rows: list[tuple[float, ...]],
+    rng: random.Random,
+    depth: int,
+    max_depth: int,
+) -> _Node:
+    n = len(rows)
+    if depth >= max_depth or n <= 1:
+        return _Node(leaf=True, path=depth + remaining_path(n))
+    n_dims = len(rows[0])
+    usable = [
+        d
+        for d in range(n_dims)
+        if min(r[d] for r in rows) < max(r[d] for r in rows)
+    ]
+    if not usable:
+        return _Node(leaf=True, path=depth + remaining_path(n))
+    dim = rng.choice(usable)
+    lo = min(r[dim] for r in rows)
+    hi = max(r[dim] for r in rows)
+    split = rng.uniform(lo, hi)
+    left = [r for r in rows if r[dim] < split]
+    right = [r for r in rows if not (r[dim] < split)]
+    return _Node(
+        leaf=False,
+        dim=dim,
+        split=split,
+        left=_build_tree(left, rng, depth + 1, max_depth),
+        right=_build_tree(right, rng, depth + 1, max_depth),
+    )
+
+
+def train_forest(
+    window: list[tuple[float, ...]],
+    n_trees: int = 16,
+    psi: int = 64,
+    seed: int = 7,
+    max_depth: int | None = None,
+) -> Forest:
+    """Liu et al. batch iForest over the training window (the
+    reference's sliding window, materialised). Deterministic: one
+    seeded PRNG drives subsampling, dimension choice, and split values
+    in a fixed order, so the same (window, config) always yields the
+    same forest — the property that lets queries() and oracle_sql()
+    compile the identical model."""
+    if not window:
+        raise ValueError("empty training window")
+    psi = min(psi, len(window))
+    if max_depth is None:
+        max_depth = math.ceil(math.log2(max(psi, 2)))
+    rng = random.Random(seed)
+    trees = []
+    for _ in range(n_trees):
+        sample = rng.sample(window, psi)
+        trees.append(_build_tree(sample, rng, 0, max_depth))
+    return Forest(trees=trees, psi=psi)
+
+
+# ---------------------------------------------------------------------------
+# Compilation: tree -> Column / SQL (identical traversal, literal leaves)
+# ---------------------------------------------------------------------------
+
+
+def _tree_column(node: _Node, feats: list[Column]) -> Column:
+    if node.leaf:
+        return F.lit(node.path)
+    # traverseNode: sample[dim] < split -> left, else (incl. NULL) right
+    return F.when(
+        feats[node.dim] < F.lit(node.split),
+        _tree_column(node.left, feats),
+    ).otherwise(_tree_column(node.right, feats))
+
+
+def _dlit(x: float) -> str:
+    """Double literal for DuckDB: bare decimals parse as DECIMAL (and
+    their sums overflow DECIMAL(18) / diverge from IEEE), so cast."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _tree_sql(node: _Node, feats: list[str]) -> str:
+    if node.leaf:
+        return _dlit(node.path)
+    return (
+        f"CASE WHEN {feats[node.dim]} < {_dlit(node.split)} "
+        f"THEN {_tree_sql(node.left, feats)} "
+        f"ELSE {_tree_sql(node.right, feats)} END"
+    )
+
+
+def path_sum_column(forest: Forest, feats: list[Column]) -> Column:
+    """Σ per-tree path lengths, summed left-to-right (fixed order =
+    engine-invariant double result)."""
+    total = _tree_column(forest.trees[0], feats)
+    for t in forest.trees[1:]:
+        total = total + _tree_column(t, feats)
+    return total
+
+
+def path_sum_sql(forest: Forest, feats: list[str]) -> str:
+    return "(" + " + ".join(
+        "(" + _tree_sql(t, feats) + ")" for t in forest.trees
+    ) + ")"
+
+
+def score_from_path_sum(path_sum: Column, forest: Forest) -> Column:
+    """calculateAnomalyScore:253-259 — 2^(-avg/c(psi)). avg and c are
+    exact (literal sums / python-computed divisor); the single runtime
+    pow is rounded to 4 decimals for cross-engine hash stability."""
+    c = expected_path(forest.psi)
+    avg = path_sum / F.lit(float(len(forest.trees)))
+    return F.round(F.pow(F.lit(2.0), -avg / F.lit(c)), 4)
+
+
+def score_sql(path_sum_expr: str, forest: Forest) -> str:
+    c = expected_path(forest.psi)
+    n = float(len(forest.trees))
+    return (
+        f"ROUND(POWER(CAST(2.0 AS DOUBLE), "
+        f"-({path_sum_expr} / {_dlit(n)}) / {_dlit(c)}), 4)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Processor wrapper
+# ---------------------------------------------------------------------------
+
+
+def isolation_forest_processor(
+    df: DataFrame,
+    features: list[Column],
+    forest: Forest,
+    contamination_rate: float = 0.1,
+    drop_anomalous: bool = False,
+) -> DataFrame:
+    """Score every row with the compiled forest and flag anomalies by
+    the README's contamination mode: threshold = the (1-rate) quantile
+    of scores; ``score >= threshold`` flags (ties included, exactly the
+    reference's comparison). ``drop_anomalous`` mirrors
+    drop_anomalous_data (flagged rows removed).
+
+    Plan shape: scoring is a map-only codegen'd CASE cascade. The
+    threshold is the k-th smallest path sum (score is monotone
+    decreasing in path sum, so the (1-rate) score quantile IS the
+    rate-quantile path sum), computed as orderBy().limit(k).agg(max) —
+    TakeOrderedAndProject, a per-partition top-k + tiny merge, never a
+    global sort — then broadcast back as a 1-row join. One extra count
+    job fixes k. No global window, no skew: 100 TB safe. For per-entity
+    models, group the threshold aggregate by the entity key instead.
+    """
+    psum = path_sum_column(forest, features)
+    scored = df.withColumn("_path_sum", psum).withColumn(
+        "iforest_anomaly_score",
+        score_from_path_sum(F.col("_path_sum"), forest),
+    )
+    n_total = df.count()
+    k = max(1, math.ceil(contamination_rate * n_total))
+    # k-th order statistic: max over the ordered first k — deterministic
+    # under ties (the k-th smallest value is well-defined).
+    thr = (
+        scored.select("_path_sum")
+        .orderBy(F.col("_path_sum").asc())
+        .limit(k)
+        .agg(F.max("_path_sum").alias("_thr"))
+    )
+    out = (
+        scored.crossJoin(F.broadcast(thr))
+        .withColumn(
+            "iforest_is_anomaly", F.col("_path_sum") <= F.col("_thr")
+        )
+        .drop("_path_sum", "_thr")
+    )
+    if drop_anomalous:
+        out = out.filter(~F.col("iforest_is_anomaly"))
+    return out
+
+
+def score_rows_python(
+    forest: Forest, rows: list[tuple[float, ...]]
+) -> list[float]:
+    """Pure-Python reference scorer (the test oracle): traverse each
+    tree exactly as traverseNode does and apply the same
+    normalisation."""
+    c = expected_path(forest.psi)
+    out = []
+    for r in rows:
+        total = 0.0
+        for t in forest.trees:
+            node = t
+            while not node.leaf:
+                node = node.left if r[node.dim] < node.split else node.right
+            total += node.path
+        avg = total / len(forest.trees)
+        out.append(2.0 ** (-avg / c))
+    return out
+
+
+def default_training_window(n: int = 256, seed: int = 99) -> list[tuple[float, float]]:
+    """Deterministic stand-in for the reference's sliding window of
+    recent normal telemetry: (value, props-k)-shaped points in the
+    events table's typical operating range. A fixed constant in both
+    queries() and oracle_sql(), so the compiled model is sf-independent
+    and the driver's value-hash gate stays exact."""
+    rng = random.Random(seed)
+    return [
+        (rng.uniform(0.0, 20.0), rng.uniform(0.0, 100.0)) for _ in range(n)
+    ]

@@ -994,3 +994,56 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TFIDF.tfidf_top_terms(
         _docs(spark, sf_dir), top_k=3
     ).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# isolationforestprocessor (analysis/iforest.py): the forest is trained
+# driver-side on a deterministic window and COMPILED into both plans,
+# so Spark's when/otherwise cascade and DuckDB's CASE cascade score
+# bit-identically (leaf path lengths are literals; the only runtime
+# transcendental is the final 2^x, rounded to 4). Flagging follows the
+# reference's contamination mode: threshold = (1-rate) score quantile,
+# score >= threshold (ties included).
+# ---------------------------------------------------------------------------
+
+from .analysis import iforest as IFOR  # noqa: E402
+
+_IFOREST = IFOR.train_forest(
+    IFOR.default_training_window(), n_trees=16, psi=64, seed=7
+)
+_IFOREST_RATE = 0.1
+
+
+def _iforest_oracle() -> str:
+    feats = ["value", "CAST(props::JSON ->> '$.k' AS DOUBLE)"]
+    ps = IFOR.path_sum_sql(_IFOREST, feats)
+    score = IFOR.score_sql("ps", _IFOREST)
+    return f"""
+WITH scored AS (
+  SELECT event_id, {ps} AS ps FROM events),
+thr AS (
+  SELECT ps AS thr FROM (
+    SELECT ps, row_number() OVER (ORDER BY ps) AS rn FROM scored)
+  WHERE rn = (SELECT GREATEST(1, CAST(CEIL(CAST({_IFOREST_RATE} AS DOUBLE)
+              * count(*)) AS BIGINT)) FROM scored))
+SELECT s.event_id,
+       {score} AS iforest_anomaly_score,
+       s.ps <= t.thr AS iforest_is_anomaly
+FROM scored s, thr t
+ORDER BY s.event_id
+"""
+
+
+@register("isolation_forest_events", _iforest_oracle())
+def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feats = [
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("double"),
+    ]
+    out = IFOR.isolation_forest_processor(
+        ev, feats, _IFOREST, contamination_rate=_IFOREST_RATE
+    )
+    return out.select(
+        "event_id", "iforest_anomaly_score", "iforest_is_anomaly"
+    ).orderBy("event_id")

@@ -1,0 +1,137 @@
+"""isolationforestprocessor twin: the compiled-plan scorer must equal
+the pure-Python traverseNode reference exactly, flag planted outliers,
+and keep the data path UDF-free."""
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis.iforest import (
+    Forest,
+    default_training_window,
+    expected_path,
+    isolation_forest_processor,
+    path_sum_column,
+    path_sum_sql,
+    remaining_path,
+    score_from_path_sum,
+    score_rows_python,
+    score_sql,
+    train_forest,
+)
+
+
+def test_harmonic_constants_match_reference():
+    # estimateRemainingPath / getExpectedPathLength guards
+    assert remaining_path(0) == 0.0
+    assert remaining_path(1) == 0.0
+    assert expected_path(1) == 1.0
+    # n=256: 2*(ln(255)+gamma) - 2*255/256
+    want = 2.0 * (math.log(255) + 0.5772156649) - 2.0 * 255 / 256
+    assert expected_path(256) == pytest.approx(want, abs=0)
+
+
+def test_training_is_deterministic():
+    win = default_training_window()
+    f1 = train_forest(win, n_trees=8, psi=32, seed=5)
+    f2 = train_forest(win, n_trees=8, psi=32, seed=5)
+    assert path_sum_sql(f1, ["a", "b"]) == path_sum_sql(f2, ["a", "b"])
+    f3 = train_forest(win, n_trees=8, psi=32, seed=6)
+    assert path_sum_sql(f1, ["a", "b"]) != path_sum_sql(f3, ["a", "b"])
+
+
+def test_spark_scores_equal_python_reference(spark):
+    rng = random.Random(3)
+    window = [(rng.gauss(10, 2), rng.gauss(50, 10)) for _ in range(200)]
+    forest = train_forest(window, n_trees=16, psi=64, seed=11)
+    # score a mix of inliers and wild points
+    rows = [(i, rng.gauss(10, 2), rng.gauss(50, 10)) for i in range(40)]
+    rows += [(100, 400.0, -900.0), (101, -50.0, 1e4), (102, 10.0, 50.0)]
+    df = spark.createDataFrame(rows, "id long, f0 double, f1 double")
+    feats = [F.col("f0"), F.col("f1")]
+    got = {
+        r["id"]: (r["ps"], r["score"])
+        for r in df.select(
+            "id",
+            path_sum_column(forest, feats).alias("ps"),
+            score_from_path_sum(
+                path_sum_column(forest, feats), forest
+            ).alias("score"),
+        ).collect()
+    }
+    want = score_rows_python(forest, [(r[1], r[2]) for r in rows])
+    for (rid, _, _), w in zip(rows, want):
+        assert got[rid][1] == pytest.approx(round(w, 4), abs=1e-9)
+    # planted outliers must outscore every inlier
+    inlier_max = max(got[r[0]][1] for r in rows[:40])
+    assert got[100][1] > inlier_max
+    assert got[101][1] > inlier_max
+
+
+def test_sql_and_column_compilations_agree(spark):
+    window = default_training_window(128, seed=42)
+    forest = train_forest(window, n_trees=8, psi=32, seed=9)
+    rows = [(float(i) * 1.7 % 25.0, float(i * 37 % 100)) for i in range(50)]
+    df = spark.createDataFrame(rows, "f0 double, f1 double")
+    feats = [F.col("f0"), F.col("f1")]
+    spark_scores = [
+        r[0]
+        for r in df.select(
+            score_from_path_sum(path_sum_column(forest, feats), forest)
+        ).collect()
+    ]
+    import duckdb
+
+    ps = path_sum_sql(forest, ["f0", "f1"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(f0 DOUBLE, f1 DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck_scores = [
+        r[0] for r in con.execute(f"SELECT {score_sql(ps, forest)} FROM t").fetchall()
+    ]
+    assert spark_scores == duck_scores  # bit-identical, not approx
+
+
+def test_processor_contamination_flags_and_drop(spark):
+    window = default_training_window(256, seed=1)
+    forest = train_forest(window, n_trees=16, psi=64, seed=2)
+    rows = [(i, 10.0 + (i % 7) * 0.5, 50.0 + (i % 11)) for i in range(95)]
+    rows += [(200 + j, 1e3 + j, -1e3) for j in range(5)]  # 5% wild
+    df = spark.createDataFrame(rows, "event_id long, f0 double, f1 double")
+    out = isolation_forest_processor(
+        df, [F.col("f0"), F.col("f1")], forest, contamination_rate=0.05
+    )
+    flagged = {r["event_id"] for r in out.filter("iforest_is_anomaly").collect()}
+    assert {200, 201, 202, 203, 204} <= flagged
+    # >= threshold semantics: ties may push count above ceil(rate*n)
+    assert len(flagged) >= 5
+    kept = isolation_forest_processor(
+        df,
+        [F.col("f0"), F.col("f1")],
+        forest,
+        contamination_rate=0.05,
+        drop_anomalous=True,
+    )
+    assert kept.count() == 100 - len(flagged)
+    assert "iforest_anomaly_score" in out.columns
+
+
+def test_scoring_plan_is_maponly_udf_free(spark):
+    window = default_training_window(64, seed=3)
+    forest = train_forest(window, n_trees=4, psi=16, seed=4)
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 13).cast("double").alias("f0"),
+        (F.col("id") % 29).cast("double").alias("f1"),
+    )
+    scored = df.select(
+        score_from_path_sum(
+            path_sum_column(forest, [F.col("f0"), F.col("f1")]), forest
+        ).alias("s")
+    )
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
