@@ -28,6 +28,9 @@ FLOAT_QUERIES = [
     "anomaly_mad_events",
     "dedup_ngram_jaccard",
     "text_quality_scores",
+    # map-only literal sums, but the contamination threshold is a
+    # distributed k-th order statistic (orderBy.limit(k).agg) — pin it
+    "isolation_forest_events",
 ]
 
 
