@@ -251,6 +251,50 @@ def isolation_forest_processor(
     return out
 
 
+def isolation_forest_grouped(
+    df: DataFrame,
+    features: list[Column],
+    forest: Forest,
+    group_cols: list[str],
+    contamination_rate: float = 0.1,
+) -> DataFrame:
+    """Per-entity modelling (README ``features`` config): one shared
+    forest, but the contamination threshold is derived WITHIN each
+    entity group, so a value that is normal for one service flags for
+    another. The reference trains a separate model per feature-group;
+    the batch twin shares the compiled forest (training per entity
+    would compile |entities| cascades) and localises the quantile —
+    the part of per-entity modelling that changes decisions.
+
+    Plan shape: map-only scoring + one partitioned window (rank within
+    the entity key — shuffles on the group key only, no global sort;
+    skewed entities split under AQE). Flag = path_sum <= the group's
+    k-th smallest (ties included, score >= threshold semantics).
+    """
+    from pyspark.sql import Window
+
+    psum = path_sum_column(forest, features)
+    scored = df.withColumn("_path_sum", psum).withColumn(
+        "iforest_anomaly_score",
+        score_from_path_sum(F.col("_path_sum"), forest),
+    )
+    w = Window.partitionBy(*group_cols)
+    rank_w = w.orderBy(F.col("_path_sum").asc())
+    # k-th order statistic per group: rank over path sum; the threshold
+    # is the _path_sum value at rank k = ceil(rate * group size)
+    ranked = scored.withColumn("_rn", F.row_number().over(rank_w)).withColumn(
+        "_n", F.count(F.lit(1)).over(w)
+    )
+    k = F.greatest(
+        F.lit(1), F.ceil(F.lit(contamination_rate) * F.col("_n"))
+    )
+    thr = F.max(F.when(F.col("_rn") <= k, F.col("_path_sum"))).over(w)
+    return (
+        ranked.withColumn("iforest_is_anomaly", F.col("_path_sum") <= thr)
+        .drop("_path_sum", "_rn", "_n")
+    )
+
+
 def score_rows_python(
     forest: Forest, rows: list[tuple[float, ...]]
 ) -> list[float]:

@@ -198,6 +198,42 @@ def _apply_processor(df: DataFrame, cfg: dict[str, Any],
         from .operators.processors import resource_detection
 
         return resource_detection(df, cfg["detectors"])
+    if t == "isolation_forest":
+        # processor/isolationforestprocessor config surface:
+        # forest_size/subsample_size/contamination_rate/features
+        # (entity grouping) /drop_anomalous_data; the training window
+        # is the deterministic stand-in for the sliding window.
+        from pyspark.sql import functions as F
+
+        from .analysis.iforest import (
+            default_training_window,
+            isolation_forest_grouped,
+            isolation_forest_processor,
+            train_forest,
+        )
+
+        forest = train_forest(
+            default_training_window(
+                cfg.get("window_size", 256),
+                seed=cfg.get("window_seed", 99),
+            ),
+            n_trees=cfg.get("forest_size", 16),
+            psi=cfg.get("subsample_size", 64),
+            seed=cfg.get("seed", 7),
+        )
+        feats = [F.col(c) for c in cfg["feature_cols"]]
+        rate = cfg.get("contamination_rate", 0.1)
+        if cfg.get("features"):  # entity-grouping keys
+            return isolation_forest_grouped(
+                df, feats, forest, cfg["features"], contamination_rate=rate
+            )
+        return isolation_forest_processor(
+            df,
+            feats,
+            forest,
+            contamination_rate=rate,
+            drop_anomalous=cfg.get("drop_anomalous_data", False),
+        )
     raise ValueError(f"unknown processor type {t!r}")
 
 

@@ -161,3 +161,40 @@ def test_config_consistent_sampler_and_tail_sampling(spark):
     # tail sampling keeps both t1 rows (any-span error); the consistent
     # sampler at 50% keeps R >= 2^55 (the ff... ids)
     assert len(rows) == 2 and all(r["trace"] == "t1" for r in rows)
+
+
+def test_config_isolation_forest_processor(spark):
+    """isolationforestprocessor from the config surface: global model
+    flags the planted wild row; the 'features' grouping key switches to
+    per-entity thresholds."""
+    rows = [(i, "svc-a", 10.0 + (i % 5) * 0.3, 50.0) for i in range(19)]
+    rows += [(19, "svc-a", 5e3, -4e3)]
+    src = spark.createDataFrame(
+        rows, "event_id LONG, svc STRING, value DOUBLE, aux DOUBLE"
+    )
+    cfg = {
+        "receiver": {"type": "parquet", "path": "unused"},
+        "processors": [
+            {"type": "isolation_forest",
+             "feature_cols": ["value", "aux"],
+             "forest_size": 16, "subsample_size": 64,
+             "contamination_rate": 0.05},
+        ],
+    }
+    outs = build_pipeline(spark, cfg, source=src)
+    flagged = [
+        r["event_id"]
+        for r in outs["sinks"]["__all__"].filter("iforest_is_anomaly").collect()
+    ]
+    assert 19 in flagged
+
+    cfg["processors"][0]["features"] = ["svc"]  # per-entity grouping
+    outs2 = build_pipeline(spark, cfg, source=src)
+    cols = outs2["sinks"]["__all__"].columns
+    assert "iforest_anomaly_score" in cols and "iforest_is_anomaly" in cols
+
+    cfg["processors"][0].pop("features")
+    cfg["processors"][0]["drop_anomalous_data"] = True
+    outs3 = build_pipeline(spark, cfg, source=src)
+    kept = outs3["sinks"]["__all__"]
+    assert kept.filter("event_id = 19").count() == 0

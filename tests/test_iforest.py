@@ -135,3 +135,41 @@ def test_scoring_plan_is_maponly_udf_free(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_grouped_contamination_is_per_entity(spark):
+    # bimodal window (clusters near 10 and 1000): both groups' normal
+    # modes are "known" to the model; the planted mid-gap points are
+    # isolated. Per-entity thresholds flag each group's own outlier
+    # even though group sizes and outlier magnitudes differ.
+    rng = random.Random(8)
+    win = [(rng.gauss(10.0, 2.0), rng.gauss(50.0, 10.0)) for _ in range(128)]
+    win += [(rng.gauss(1000.0, 2.0), rng.gauss(50.0, 10.0)) for _ in range(128)]
+    forest = train_forest(win, n_trees=32, psi=64, seed=12)
+    rows = [(i, "a", 10.0 + rng.gauss(0, 0.5), 50.0) for i in range(19)]
+    rows += [(19, "a", 500.0, -400.0)]  # isolated in both dims for "a"
+    rows += [(100 + i, "b", 1000.0 + rng.gauss(0, 0.5), 50.0) for i in range(19)]
+    rows += [(119, "b", 480.0, 900.0)]  # isolated in both dims for "b"
+    df = spark.createDataFrame(
+        rows, "event_id long, svc string, f0 double, f1 double"
+    )
+    from opentelemetry_collector_contrib_spark.analysis.iforest import (
+        isolation_forest_grouped,
+    )
+
+    out = isolation_forest_grouped(
+        df,
+        [F.col("f0"), F.col("f1")],
+        forest,
+        group_cols=["svc"],
+        contamination_rate=0.05,
+    )
+    flagged = {
+        (r["svc"], r["event_id"])
+        for r in out.filter("iforest_is_anomaly").collect()
+    }
+    assert ("a", 19) in flagged
+    assert ("b", 119) in flagged
+    # per-entity: at ceil(0.05*20)=1 flag per group modulo ties
+    assert len([f for f in flagged if f[0] == "a"]) <= 2
+    assert len([f for f in flagged if f[0] == "b"]) <= 2
