@@ -2171,3 +2171,169 @@ def q_stanza_parsers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trace_flags").cast("int").alias("trace_flags"),
         "scope_name",
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Stanza field-edit transformer battery (SURVEY.md §2.4): add / copy /
+# move / remove / retain / unquote / sanitize_utf8 / regex_replace /
+# filter in ONE chain — every edit is a projection, so Catalyst's
+# CollapseProject folds the whole battery into a single map stage
+# (pkg/stanza/operator/transformer/{add,copy,move,remove,retain,
+# filter}/transformer.go).
+# ---------------------------------------------------------------------------
+
+_STANZA_TRANSFORMERS_ORACLE = """
+SELECT doc_id,
+       source AS origin,
+       lang   AS lang_copy,
+       lang   AS qlang,
+       lang   AS cleaned,
+       regexp_replace(text, 'batch', 'b', 'g') AS text
+FROM documents
+WHERE NOT (n_chars % 7 = 0)
+ORDER BY doc_id
+"""
+
+
+@register("stanza_transformers_documents", _STANZA_TRANSFORMERS_ORACLE)
+def q_stanza_transformers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import transform as T
+
+    docs = _read(spark, sf_dir, "documents")
+    # add a quoted field, then unquote strips exactly one pair
+    out = T.add(docs, "qlang",
+                F.concat(F.lit('"'), F.col("lang"), F.lit('"')))
+    out = T.unquote(out, "qlang")
+    out = T.copy(out, "lang", "lang_copy")
+    out = T.move(out, "source", "origin")
+    # seed U+FFFD replacement chars, then sanitize_utf8 scrubs them
+    out = T.add(out, "cleaned",
+                F.concat(F.lit("�"), F.col("lang"), F.lit("�")))
+    out = T.sanitize_utf8(out, "cleaned")
+    out = T.regex_replace(out, "text", "batch", "b")
+    # filter transformer DROPS matching entries (transformer/filter)
+    out = T.filter_transformer(out, F.col("n_chars") % 7 == 0)
+    out = T.remove(out, "n_chars")
+    out = T.retain(out, "doc_id", "origin", "lang_copy", "qlang",
+                   "cleaned", "text")
+    return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# resourceprocessor: resourcedetection literals + the attributes
+# engine applied to resource-level columns (processor/resourceprocessor
+# applies attraction.go actions to the resource map; columns are
+# columns here, so the same engine serves both scopes).
+# insert on a present key is a no-op; upsert always wins; update
+# rewrites in place; convert casts; delete drops.
+# ---------------------------------------------------------------------------
+
+_RESOURCE_PROCESSOR_ORACLE = """
+SELECT event_id,
+       'linux'       AS os_type,
+       'cc-worker-1' AS host_name,
+       'web'         AS service_namespace,
+       upper(event_type)         AS event_type,
+       CAST(user_id AS VARCHAR)  AS user_id
+FROM events ORDER BY event_id
+"""
+
+
+@register("resource_processor_events", _RESOURCE_PROCESSOR_ORACLE)
+def q_resource_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.processors import AttrAction
+
+    ev = _read(spark, sf_dir, "events")
+    out = PR.resource_detection(
+        ev, {"os_type": "linux", "host_name": "cc-worker-1"}
+    )
+    out = PR.attributes_processor(
+        out,
+        [
+            AttrAction("upsert", "service_namespace", value=F.lit("web")),
+            # present + non-null -> INSERT must keep 'linux'
+            AttrAction("insert", "os_type", value=F.lit("windows")),
+            AttrAction("update", "event_type",
+                       value=F.upper(F.col("event_type"))),
+            AttrAction("convert", "user_id", to_type="string"),
+            AttrAction("delete", "props"),
+        ],
+    )
+    return out.select(
+        "event_id", "os_type", "host_name", "service_namespace",
+        "event_type", "user_id",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# logstransformprocessor: stanza operators embedded in a processor
+# chain (processor/logstransformprocessor runs a stanza sub-pipeline
+# per batch) — regex_parser -> severity_parser -> time_parser(epoch)
+# -> filter, composed over a rendered body column.
+# ---------------------------------------------------------------------------
+
+_LOGSTRANSFORM_ORACLE = """
+WITH lines AS (
+  SELECT event_id,
+         'ts=' || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR)
+           || ' sev=' || CASE event_type
+                WHEN 'error' THEN 'error' WHEN 'purchase' THEN 'warn'
+                WHEN 'signup' THEN 'info' WHEN 'view' THEN 'debug'
+                ELSE 'trace' END
+           || ' msg=' || event_type AS body
+  FROM events),
+parsed AS (
+  SELECT event_id,
+         regexp_extract(body, 'sev=([a-z]+)', 1) AS sev,
+         CAST(regexp_extract(body, 'ts=(\\d+)', 1) AS BIGINT) AS tsepoch,
+         regexp_extract(body, 'msg=([a-z]+)', 1) AS msg
+  FROM lines),
+sevnum AS (
+  SELECT *, CAST(CASE sev WHEN 'trace' THEN 1 WHEN 'debug' THEN 5
+                 WHEN 'info' THEN 9 WHEN 'warn' THEN 13
+                 WHEN 'error' THEN 17 ELSE 0 END AS INTEGER)
+           AS severity_number
+  FROM parsed)
+SELECT event_id, sev, severity_number, tsepoch AS event_ts_epoch, msg
+FROM sevnum
+WHERE NOT (severity_number < 9)
+ORDER BY event_id
+"""
+
+
+@register("logstransform_events", _LOGSTRANSFORM_ORACLE)
+def q_logstransform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import transform as T
+
+    ev = _read(spark, sf_dir, "events")
+    sev_alias = (
+        F.when(F.col("event_type") == "error", "error")
+        .when(F.col("event_type") == "purchase", "warn")
+        .when(F.col("event_type") == "signup", "info")
+        .when(F.col("event_type") == "view", "debug")
+        .otherwise("trace")
+    )
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("ts="), F.unix_timestamp("ts").cast("string"),
+            F.lit(" sev="), sev_alias,
+            F.lit(" msg="), F.col("event_type"),
+        ).alias("body"),
+    )
+    parsed = P.regex_parser(
+        lines, r"ts=(?P<tsepoch>\d+) sev=(?P<sev>[a-z]+) msg=(?P<msg>[a-z]+)",
+        parse_from="body",
+    )
+    parsed = parsed.withColumn(
+        "tsepoch", F.col("tsepoch").cast("long")
+    )
+    parsed = P.severity_parser(parsed, "sev", "severity_number")
+    parsed = P.time_parser(parsed, "tsepoch", "s", layout_type="epoch")
+    out = T.filter_transformer(parsed, F.col("severity_number") < 9)
+    return out.select(
+        "event_id", "sev",
+        F.col("severity_number").cast("int").alias("severity_number"),
+        F.unix_timestamp("event_ts").alias("event_ts_epoch"),
+        "msg",
+    ).orderBy("event_id")

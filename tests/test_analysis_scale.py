@@ -75,6 +75,7 @@ _CONST_BROADCAST = {
     "dedup_semantic_ivf",
     "lm_cross_entropy_documents",
     "dsir_scores_documents",  # 1-row distribution-totals broadcast
+    "isolation_forest_events",  # 1-row contamination-threshold broadcast
 }
 
 
