@@ -173,3 +173,76 @@ def start_iceberg_like_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming connector twins: the SAME single-aggregate column logic as
+# the batch connectors, under event-time windows + watermark (the
+# deterministic analog of the reference's ticker flush).
+# ---------------------------------------------------------------------------
+
+
+def span_metrics_stream(
+    points: DataFrame,
+    dims: list[str],
+    value_col: str,
+    ts_col: str = "warc_ts",
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+    bounds: list[float] | None = None,
+) -> DataFrame:
+    """spanmetricsconnector as a streaming aggregate
+    (connector.go:215-232 ticker -> watermarked tumbling window).
+
+    Reuses the batch ``span_metrics`` column logic verbatim — one hash
+    aggregate, count/sum/min/max + indicator-sum bucket pivot — so the
+    streaming output for a watermark-complete window is BIT-IDENTICAL
+    to the batch connector over the same rows (asserted in
+    test_streaming_stateful). Append mode emits each window exactly
+    once when the watermark passes it; state is bounded by
+    (windows in flight x series), the same cardinality the reference
+    caps with its LRU."""
+    from ..operators.connectors import span_metrics
+
+    return span_metrics(
+        points.withWatermark(ts_col, watermark),
+        dims,
+        value_col,
+        ts_col=ts_col,
+        window_duration=window_duration,
+        bounds=bounds,
+    )
+
+
+def interval_stream(
+    points: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    interval: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """intervalprocessor as a streaming aggregate: last point per
+    series per interval (processor/intervalprocessor/processor.go
+    keeps only the newest datapoint between ticker flushes).
+
+    ``max_by(value, ts)`` inside the windowed aggregate = the newest
+    point; ties on ts resolve to max(value) deterministically via the
+    (ts, value) struct ordering."""
+    win = F.window(F.col(ts_col), interval)
+    newest = F.max(
+        F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
+    )
+    return (
+        points.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), *keys)
+        .agg(
+            newest.getField("v").alias(value_col),
+            newest.getField("t").alias("last_ts"),
+            F.count(F.lit(1)).alias("points_seen"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys, value_col, "last_ts", "points_seen",
+        )
+    )

@@ -186,3 +186,109 @@ def test_iceberg_like_streaming_sink_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert t.read(spark).count() == 200
+
+
+def test_span_metrics_stream_equals_batch(spark, tmp_path):
+    """Streaming spanmetrics (watermarked window) emits windows
+    bit-identical to the batch connector over the same rows."""
+    from datetime import datetime
+
+    from opentelemetry_collector_contrib_spark.operators.connectors import (
+        span_metrics,
+    )
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        span_metrics_stream,
+    )
+
+    in_dir = tmp_path / "sin"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "sout")
+    ck_dir = str(tmp_path / "sck")
+
+    ddl = "service STRING, warc_ts TIMESTAMP, dur DOUBLE"
+    t = lambda m, s: datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    rows1 = [("a", t(0, 10), 5.0), ("a", t(0, 50), 120.0),
+             ("b", t(0, 20), 30.0), ("a", t(1, 5), 7.0)]
+    rows2 = [("b", t(1, 30), 800.0), ("a", t(1, 59), 11.0)]
+    sentinel = [("zz", t(59, 0), 1.0)]  # advances watermark past all
+    spark.createDataFrame(rows1, ddl).coalesce(1).write.parquet(
+        str(in_dir / "f1"))
+    spark.createDataFrame(rows2 + sentinel, ddl).coalesce(1).write.parquet(
+        str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = (
+        span_metrics_stream(
+            stream, ["service"], "dur",
+            window_duration="1 minute", watermark="1 second",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = span_metrics(
+        spark.createDataFrame(rows1 + rows2, ddl),
+        ["service"], "dur", window_duration="1 minute",
+    )
+    key = ["window_start", "service"]
+    g = {tuple(str(r[k]) for k in key): r.asDict() for r in got.collect()}
+    w = {tuple(str(r[k]) for k in key): r.asDict() for r in batch.collect()}
+    assert set(g) == set(w), (set(g), set(w))
+    for k in w:
+        for col in ("calls", "sum", "min", "max", "bucket_counts"):
+            assert g[k][col] == w[k][col], (k, col, g[k][col], w[k][col])
+
+
+def test_interval_stream_keeps_newest_per_window(spark, tmp_path):
+    from datetime import datetime
+
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        interval_stream,
+    )
+
+    in_dir = tmp_path / "iin"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "iout")
+    ck_dir = str(tmp_path / "ick")
+
+    ddl = "series STRING, ts TIMESTAMP, value DOUBLE"
+    t = lambda m, s: datetime(2024, 1, 1, 0, m, s)  # noqa: E731
+    spark.createDataFrame(
+        [("m1", t(0, 5), 1.0), ("m1", t(0, 40), 2.0),
+         ("m2", t(0, 30), 9.0)], ddl,
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    # newest m1 point for window 0 arrives in batch 2 (state carries)
+    spark.createDataFrame(
+        [("m1", t(0, 55), 3.0), ("zz", t(50, 0), 0.0)], ddl,
+    ).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = (
+        interval_stream(stream, ["series"], "ts", "value",
+                        interval="1 minute", watermark="1 second")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r["series"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows["m1"]["value"] == 3.0 and rows["m1"]["points_seen"] == 3
+    assert rows["m2"]["value"] == 9.0 and rows["m2"]["points_seen"] == 1
