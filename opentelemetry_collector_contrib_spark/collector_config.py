@@ -1,0 +1,325 @@
+"""Run a reference-shaped collector YAML on the Spark engine.
+
+The reference is driven by one YAML document declaring component
+instances (``receivers`` / ``processors`` / ``connectors`` /
+``exporters``) and wiring them into DAGs under ``service.pipelines``.
+This module translates that EXACT shape (the file a collector user
+already has) into the engine dialect consumed by
+:func:`config.build_pipeline`, so switching engines is "point your
+existing YAML at Spark", not "rewrite your config".
+
+Supported component subset (each cites the reference config struct it
+mirrors):
+
+- receivers: ``filelog`` (include + stanza ``operators`` chain —
+  receiver/filelogreceiver/config.go), ``otlpjsonfile``
+  (receiver/otlpjsonfilereceiver), plus the engine extension
+  ``parquet`` (table scans have no collector analog).
+- processors: ``transform`` (log_statements groups with
+  context/conditions/statements + error_mode —
+  processor/transformprocessor/config.go:37-50), ``filter``
+  (logs.log_record OTTL drop conditions —
+  processor/filterprocessor/config.go), ``attributes`` / ``resource``
+  (ordered actions, attraction.go: insert/update/upsert/delete/hash/
+  extract/convert; ``converted_type`` -> cast target,
+  ``from_attribute`` -> value path), ``redaction`` (blocked_values +
+  the engine-extension ``target_cols`` — the reference scans all
+  attribute values; columnar storage needs the column list),
+  ``probabilistic_sampler`` (sampling_percentage + hash_seed,
+  probabilisticsamplerprocessor/config.go:39-66; record key via the
+  engine-extension ``attribute``).
+- connectors: ``routing`` (table of OTTL conditions -> pipelines,
+  default_pipelines — connector/routingconnector/config.go:15-67;
+  a table entry fanning out to k pipelines becomes one MOVE route +
+  k-1 COPY routes on the same condition), ``count``
+  (logs.<metric>.attributes -> dims — connector/countconnector),
+  ``spanmetrics`` (dimensions + histogram buckets).
+- exporters: ``file`` (path + format json/parquet —
+  exporter/fileexporter/config.go), wired per downstream pipeline.
+
+Pipeline names map to engine sink names by their instance suffix:
+``logs/errors`` -> sink ``errors`` (matching how routing README
+examples name fan-out pipelines).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import yaml
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _suffix(pipeline_id: str) -> str:
+    """``logs/errors`` -> ``errors``; bare ``logs`` stays ``logs``."""
+    _, sep, tail = pipeline_id.partition("/")
+    return tail if sep else pipeline_id
+
+
+def _ctype(component_id: str) -> str:
+    """Component type = id up to the optional ``/name`` suffix."""
+    return component_id.split("/", 1)[0]
+
+
+def _last_field(stanza_path: str | None, default: str) -> str:
+    """Stanza ``parse_from: attributes.sev`` -> engine column ``sev``."""
+    if not stanza_path:
+        return default
+    return stanza_path.rsplit(".", 1)[-1]
+
+
+def _translate_stanza_op(op: dict[str, Any]) -> dict[str, Any]:
+    t = op["type"]
+    if t == "regex_parser":
+        return {
+            "type": "regex_parser",
+            "pattern": op["regex"],
+            "parse_from": _last_field(op.get("parse_from"), "body"),
+            "on_error": op.get("on_error", "send"),
+        }
+    if t == "severity_parser":
+        return {
+            "type": "severity_parser",
+            "parse_from": _last_field(op.get("parse_from"), "sev"),
+        }
+    if t == "time_parser":
+        return {
+            "type": "time_parser",
+            "parse_from": _last_field(op.get("parse_from"), "ts"),
+            "layout": op.get("layout", "s"),
+            "layout_type": op.get("layout_type", "strptime"),
+        }
+    raise ValueError(f"unsupported stanza operator {t!r} in filelog config")
+
+
+def _translate_receiver(rtype: str, rcfg: dict[str, Any]) -> tuple[
+    dict[str, Any], list[dict[str, Any]]
+]:
+    """-> (engine receiver cfg, prepended processor steps)."""
+    if rtype == "filelog":
+        ops = [_translate_stanza_op(o) for o in rcfg.get("operators", [])]
+        return {"type": "text", "path": rcfg["include"][0]}, ops
+    if rtype == "otlpjsonfile":
+        return {"type": "otlpjson", "path": rcfg["include"][0]}, []
+    if rtype == "parquet":  # engine extension
+        return {"type": "parquet", "path": rcfg["path"]}, []
+    raise ValueError(f"unsupported receiver type {rtype!r}")
+
+
+def _translate_processor(ptype: str, pcfg: dict[str, Any]) -> list[dict[str, Any]]:
+    if ptype == "transform":
+        steps = []
+        for group in pcfg.get("log_statements", []):
+            steps.append(
+                {
+                    "type": "transform",
+                    "statements": group.get("statements", []),
+                    "conditions": group.get("conditions"),
+                    "error_mode": pcfg.get("error_mode", "propagate"),
+                }
+            )
+        return steps
+    if ptype == "filter":
+        conds = (pcfg.get("logs") or {}).get("log_record", [])
+        return [{"type": "filter", "drop_conditions": list(conds)}]
+    if ptype in ("attributes", "resource"):
+        actions = []
+        for a in pcfg["actions"]:
+            actions.append(
+                {
+                    "action": a["action"],
+                    "key": a["key"],
+                    "value": (a.get("from_attribute")
+                              if a.get("from_attribute") is not None
+                              else a.get("value")),
+                    "pattern": a.get("pattern"),
+                    "to_type": a.get("converted_type"),
+                }
+            )
+        return [{"type": "attributes", "actions": actions}]
+    if ptype == "redaction":
+        return [
+            {
+                "type": "redaction",
+                "target_cols": pcfg["target_cols"],  # engine extension
+                "blocked_value_patterns": pcfg.get("blocked_values", []),
+            }
+        ]
+    if ptype == "probabilistic_sampler":
+        return [
+            {
+                "type": "probabilistic_sampler",
+                "key": pcfg.get("attribute", "trace_id"),
+                "percent": pcfg["sampling_percentage"],
+                "hash_seed": pcfg.get("hash_seed", 22),
+            }
+        ]
+    raise ValueError(f"unsupported processor type {ptype!r}")
+
+
+def _translate_routing(rcfg: dict[str, Any]) -> tuple[
+    list[dict[str, Any]], str | None
+]:
+    """routingconnector table -> engine routes + default sink name.
+
+    One table entry fanning out to k pipelines = MOVE to the first +
+    COPY to the rest (the connector delivers the same record to every
+    listed pipeline; engine MOVE ownership keeps first-match-move
+    semantics for the primary sink)."""
+    routes: list[dict[str, Any]] = []
+    for entry in rcfg.get("table", []):
+        cond = entry.get("condition")
+        if cond is None:
+            # `statement: route() where <cond>` form (README.md:38)
+            stmt = entry["statement"]
+            _, _, cond = stmt.partition(" where ")
+            cond = cond.strip()
+            if not cond:
+                raise ValueError(f"cannot extract condition from {stmt!r}")
+        pipelines = entry["pipelines"]
+        # COPY routes first: engine copy sees only rows still in
+        # flight, so the fan-out copies must precede their MOVE
+        for extra in pipelines[1:]:
+            routes.append(
+                {"name": _suffix(extra), "condition": cond,
+                 "action": "copy"}
+            )
+        routes.append(
+            {"name": _suffix(pipelines[0]), "condition": cond,
+             "action": "move"}
+        )
+    default = rcfg.get("default_pipelines")
+    default_sink = _suffix(default[0]) if default else None
+    return routes, default_sink
+
+
+def _translate_connector(ctype: str, ccfg: dict[str, Any],
+                         name: str) -> dict[str, Any]:
+    if ctype == "count":
+        logs = ccfg.get("logs") or {}
+        dims: list[str] = []
+        for spec in logs.values():
+            dims = [a["key"] for a in spec.get("attributes", [])]
+            break  # engine emits one counts relation per connector
+        # ts_col: None when the input carries no event-time column
+        # (counter.go stamps observed time in that case)
+        return {"type": "count", "name": name, "dims": dims,
+                "ts_col": ccfg.get("ts_col")}
+    if ctype == "spanmetrics":
+        return {
+            "type": "spanmetrics",
+            "name": name,
+            "dims": [d["name"] for d in ccfg.get("dimensions", [])],
+            "value_col": ccfg.get("value_col", "duration"),
+            "bounds": ccfg.get("histogram", {}).get("explicit", {}).get(
+                "buckets"
+            ),
+        }
+    raise ValueError(f"unsupported connector type {ctype!r}")
+
+
+def translate_collector_config(conf: dict[str, Any]) -> dict[str, Any]:
+    """Collector-shaped config dict -> engine dialect for
+    :func:`config.build_pipeline` / :func:`config.write_exports`."""
+    pipelines: dict[str, dict] = conf["service"]["pipelines"]
+    connector_ids = set(conf.get("connectors", {}) or {})
+
+    # entry pipeline: the one fed by a real receiver (not a connector)
+    entry_id = entry = None
+    for pid, p in pipelines.items():
+        if any(r not in connector_ids for r in p.get("receivers", [])):
+            entry_id, entry = pid, p
+            break
+    if entry is None:
+        raise ValueError("no pipeline with a non-connector receiver")
+
+    rid = next(r for r in entry["receivers"] if r not in connector_ids)
+    receiver_cfg, steps = _translate_receiver(
+        _ctype(rid), (conf.get("receivers") or {}).get(rid, {})
+    )
+    for pid_ in entry.get("processors", []):
+        steps.extend(
+            _translate_processor(_ctype(pid_), conf["processors"][pid_])
+        )
+
+    engine: dict[str, Any] = {
+        "receiver": receiver_cfg,
+        "processors": steps,
+    }
+
+    # connectors used as exporters anywhere in the graph; routing is
+    # wired specially, every other connector is translated ONCE (the
+    # engine's _apply_connector already fans it over every sink)
+    routing_id = None
+    seen_connectors: list[str] = []
+    for p in pipelines.values():
+        for eid in p.get("exporters", []):
+            if eid not in connector_ids:
+                continue
+            if _ctype(eid) == "routing":
+                routing_id = eid
+            elif eid not in seen_connectors:
+                seen_connectors.append(eid)
+    connector_cfgs = [
+        _translate_connector(_ctype(eid), conf["connectors"][eid],
+                             _suffix(eid))
+        for eid in seen_connectors
+    ]
+
+    exporters: list[dict[str, Any]] = []
+    if routing_id is not None:
+        routes, default_sink = _translate_routing(
+            conf["connectors"][routing_id]
+        )
+        engine["routes"] = routes
+        if default_sink:
+            engine["default_sink"] = default_sink
+        # downstream pipelines fed by the routing connector: their
+        # exporters attach to the sink named by the pipeline suffix
+        for pid, p in pipelines.items():
+            if routing_id not in p.get("receivers", []):
+                continue
+            sink = _suffix(pid)
+            for eid in p.get("exporters", []):
+                if eid in connector_ids:
+                    continue  # translated once above
+                ecfg = conf["exporters"][eid]
+                if _ctype(eid) == "file":
+                    fmt = ecfg.get("format", "json")
+                    exporters.append(
+                        {
+                            "type": "parquet" if fmt == "parquet" else "jsonl",
+                            "path": ecfg["path"],
+                            "from": f"sink:{sink}",
+                        }
+                    )
+                else:
+                    raise ValueError(f"unsupported exporter {eid!r}")
+
+    if connector_cfgs:
+        engine["connectors"] = connector_cfgs
+    if exporters:
+        engine["exporters"] = exporters
+    return engine
+
+
+def load_collector_yaml(text: str) -> dict[str, Any]:
+    return translate_collector_config(yaml.safe_load(text))
+
+
+def run_collector_yaml(
+    spark: SparkSession,
+    text: str,
+    source: DataFrame | None = None,
+    lookups: dict[str, DataFrame] | None = None,
+    write: bool = False,
+) -> dict[str, Any]:
+    """Parse + translate + build. ``write=True`` also runs the
+    declared file exporters (the eager step)."""
+    from .config import build_pipeline, write_exports
+
+    engine = load_collector_yaml(text)
+    outs = build_pipeline(spark, engine, lookups=lookups, source=source)
+    if write and engine.get("exporters"):
+        write_exports(outs, engine)
+    return outs

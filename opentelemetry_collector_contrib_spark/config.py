@@ -295,7 +295,12 @@ def build_pipeline(
         df = _apply_processor(df, p, lookups)
     sinks: dict[str, DataFrame] = {"__all__": df}
     if cfg.get("routes"):
-        sinks = route(df, _routes_from_cfg(cfg["routes"])).sinks
+        from .operators.connectors import DEFAULT_ROUTE
+
+        sinks = route(
+            df, _routes_from_cfg(cfg["routes"]),
+            default_name=cfg.get("default_sink", DEFAULT_ROUTE),
+        ).sinks
     connectors: dict[str, DataFrame] = {}
     for c in cfg.get("connectors", []):
         connectors[c.get("name", c["type"])] = _apply_connector(sinks, c)

@@ -125,7 +125,7 @@ def count_connector(
     df: DataFrame,
     dims: list[str],
     condition: Column | None = None,
-    ts_col: str = "warc_ts",
+    ts_col: str | None = "warc_ts",
     metric_name: str = "log.record.count",
     defaults: dict[str, str] | None = None,
 ) -> DataFrame:
@@ -155,13 +155,15 @@ def count_connector(
             keep = keep & c.isNotNull()
         sel.append(c.alias(d))
     out = out.filter(keep)
+    aggs = [F.count(F.lit(1)).alias("count")]
+    if ts_col is not None:
+        # counter.go:84-99 stamps event time when the input carries it;
+        # ts_col=None = stamp-at-observation inputs (no event column)
+        aggs += [F.min(ts_col).alias("start_ts"),
+                 F.max(ts_col).alias("ts")]
     return (
         out.groupBy(*sel)
-        .agg(
-            F.count(F.lit(1)).alias("count"),
-            F.min(ts_col).alias("start_ts"),
-            F.max(ts_col).alias("ts"),
-        )
+        .agg(*aggs)
         .withColumn("metric_name", F.lit(metric_name))
     )
 

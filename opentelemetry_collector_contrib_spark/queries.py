@@ -2337,3 +2337,90 @@ def q_logstransform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("event_ts").alias("event_ts_epoch"),
         "msg",
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Collector-YAML-driven pipeline (collector_config.py): a reference-
+# shaped YAML document (service.pipelines + receivers/processors/
+# connectors) translated and executed — the "switch your existing
+# config to Spark" path, oracle-checked end to end.
+# ---------------------------------------------------------------------------
+
+_COLLECTOR_YAML = """
+receivers:
+  parquet:
+    path: {events_path}
+
+processors:
+  transform:
+    log_statements:
+      - context: log
+        statements:
+          - set(value_band, "high") where value >= 100.0
+          - set(value_band, "low") where value < 100.0
+  filter:
+    logs:
+      log_record:
+        - 'event_type == "view"'
+
+connectors:
+  routing:
+    default_pipelines: [logs/other]
+    table:
+      - context: log
+        condition: event_type == "error"
+        pipelines: [logs/errors]
+      - context: log
+        condition: value_band == "high"
+        pipelines: [logs/high]
+  count:
+    logs:
+      event.count:
+        attributes:
+          - key: event_type
+          - key: value_band
+
+service:
+  pipelines:
+    logs/in:
+      receivers: [parquet]
+      processors: [transform, filter]
+      exporters: [routing, count]
+    logs/errors:
+      receivers: [routing]
+      exporters: []
+    logs/high:
+      receivers: [routing]
+      exporters: []
+    logs/other:
+      receivers: [routing]
+      exporters: []
+"""
+
+_COLLECTOR_YAML_ORACLE = """
+WITH banded AS (
+  SELECT *, CASE WHEN value >= 100.0 THEN 'high' ELSE 'low' END
+           AS value_band
+  FROM events WHERE NOT (event_type = 'view')),
+routed AS (
+  SELECT *, CASE WHEN event_type = 'error' THEN 'errors'
+                 WHEN value_band = 'high' THEN 'high'
+                 ELSE 'other' END AS sink
+  FROM banded)
+SELECT sink, event_type, value_band, COUNT(*) AS count
+FROM routed GROUP BY sink, event_type, value_band
+ORDER BY sink, event_type, value_band
+"""
+
+
+@register("collector_yaml_events", _COLLECTOR_YAML_ORACLE)
+def q_collector_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .collector_config import run_collector_yaml
+
+    outs = run_collector_yaml(
+        spark, _COLLECTOR_YAML.format(events_path=f"{sf_dir}/events.parquet")
+    )
+    counts = outs["connectors"]["count"]
+    return counts.select(
+        "sink", "event_type", "value_band", "count"
+    ).orderBy("sink", "event_type", "value_band")

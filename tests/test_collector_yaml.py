@@ -1,0 +1,160 @@
+"""collector_config: a reference-shaped YAML (receivers/processors/
+connectors/exporters + service.pipelines) runs end-to-end on the
+engine — the 'point your existing collector config at Spark' path."""
+
+from __future__ import annotations
+
+import textwrap
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.collector_config import (
+    load_collector_yaml,
+    run_collector_yaml,
+)
+
+_YAML = """
+receivers:
+  filelog:
+    include: [ {log_dir}/*.log ]
+    operators:
+      - type: regex_parser
+        regex: 'lvl=(?P<sev>[a-z]+) svc=(?P<svc>[a-z0-9]+) msg=(?P<msg>\\S+)'
+        parse_from: body
+      - type: severity_parser
+        parse_from: attributes.sev
+
+processors:
+  transform:
+    error_mode: ignore
+    log_statements:
+      - context: log
+        statements:
+          - set(env, "prod")
+          - set(svc, Concat(["svc-", svc], "")) where sev == "error"
+  filter:
+    logs:
+      log_record:
+        - 'sev == "debug"'
+
+connectors:
+  routing:
+    default_pipelines: [logs/other]
+    table:
+      - context: log
+        condition: sev == "error"
+        pipelines: [logs/errors, logs/audit]
+      - context: log
+        condition: svc == "spamd"
+        pipelines: [logs/spam]
+  count:
+    logs:
+      page.count:
+        attributes:
+          - key: svc
+
+exporters:
+  file/errors:
+    path: {out_dir}/errors
+    format: parquet
+  file/other:
+    path: {out_dir}/other
+    format: parquet
+
+service:
+  pipelines:
+    logs/in:
+      receivers: [filelog]
+      processors: [transform, filter]
+      exporters: [routing, count]
+    logs/errors:
+      receivers: [routing]
+      exporters: [file/errors]
+    logs/audit:
+      receivers: [routing]
+      exporters: []
+    logs/spam:
+      receivers: [routing]
+      exporters: []
+    logs/other:
+      receivers: [routing]
+      exporters: [file/other]
+"""
+
+_LINES = [
+    "lvl=error svc=api msg=boom",
+    "lvl=info svc=api msg=ok",
+    "lvl=debug svc=api msg=noise",
+    "lvl=warn svc=spamd msg=meh",
+    "lvl=error svc=spamd msg=bad",
+    "lvl=info svc=web msg=fine",
+]
+
+
+def _write_logs(tmp_path) -> str:
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("\n".join(_LINES) + "\n")
+    return str(d)
+
+
+def test_translate_shape(tmp_path):
+    text = _YAML.format(log_dir="/x", out_dir="/y")
+    engine = load_collector_yaml(textwrap.dedent(text))
+    assert engine["receiver"]["type"] == "text"
+    # stanza operators prepend, then the pipeline's processors in order
+    kinds = [p["type"] for p in engine["processors"]]
+    assert kinds == ["regex_parser", "severity_parser", "transform",
+                     "filter"]
+    # routing: fan-out entry = move + copy on the same condition
+    names = [(r["name"], r["action"]) for r in engine["routes"]]
+    assert names == [("audit", "copy"), ("errors", "move"),
+                     ("spam", "move")]
+    assert engine["default_sink"] == "other"
+    assert engine["connectors"][0] == {
+        "type": "count", "name": "count", "dims": ["svc"],
+        "ts_col": None}
+    assert {e["from"] for e in engine["exporters"]} == {
+        "sink:errors", "sink:other"}
+
+
+def test_collector_yaml_end_to_end(spark, tmp_path):
+    log_dir = _write_logs(tmp_path)
+    out_dir = tmp_path / "out"
+    text = _YAML.format(log_dir=log_dir, out_dir=out_dir)
+
+    outs = run_collector_yaml(spark, textwrap.dedent(text), write=True)
+
+    sinks = {k: v for k, v in outs["sinks"].items()}
+    assert set(sinks) == {"errors", "audit", "spam", "other"}
+
+    def msgs(name):
+        return sorted(r["msg"] for r in sinks[name].collect())
+
+    # debug row dropped by filter; error rows MOVE to errors (and COPY
+    # to audit); spamd's error row was moved first, so only the warn
+    # row is left for the spam route; the rest default to other
+    assert msgs("errors") == ["bad", "boom"]
+    assert msgs("audit") == ["bad", "boom"]
+    assert msgs("spam") == ["meh"]
+    assert msgs("other") == ["fine", "ok"]
+
+    # transform statements applied: env literal + conditional Concat
+    err = {r["msg"]: r for r in sinks["errors"].collect()}
+    assert err["boom"]["env"] == "prod"
+    assert err["boom"]["svc"] == "svc-api"
+    ok = {r["msg"]: r for r in sinks["other"].collect()}
+    assert ok["ok"]["svc"] == "api"  # condition false -> untouched
+
+    # count connector ran per sink
+    counts = outs["connectors"]["count"]
+    got = {(r["sink"], r["svc"]): r["count"]
+           for r in counts.collect()}
+    assert got[("errors", "svc-api")] == 1
+    assert got[("errors", "svc-spamd")] == 1
+    assert got[("other", "api")] == 1
+
+    # file exporters wrote the routed rows
+    written = spark.read.parquet(str(out_dir / "errors"))
+    assert sorted(r["msg"] for r in written.collect()) == ["bad", "boom"]
+    assert spark.read.parquet(str(out_dir / "other")).count() == 2
