@@ -46,6 +46,7 @@ from .operators.connectors import (
     span_metrics,
     sum_connector,
 )
+from .obs import StageMetrics
 from .operators.processors import filter_processor, lookup_processor
 from .ottl import OTTLCompiler, compile_condition
 from .ottl.compiler import compile_value
@@ -282,16 +283,35 @@ def build_pipeline(
     cfg: dict[str, Any],
     lookups: dict[str, DataFrame] | None = None,
     source: DataFrame | None = None,
+    metrics: "StageMetrics | None" = None,
 ) -> dict[str, Any]:
     """Wire a declared pipeline; returns
     ``{"sinks": {name: DataFrame}, "connectors": {name: DataFrame}}``.
 
     ``source`` overrides the receiver (for tests / composition);
     ``lookups`` provides enrichment tables by name.
+
+    ``metrics``: a :class:`obs.StageMetrics` — when given, every
+    processor stage gets an obsreport-style observe point
+    (``p<i>_<type>``: accepted = rows entering the stage; dropped =
+    rows a filter stage removes), exactly the per-processor
+    accepted/refused/dropped counters the collector's obsReport wraps
+    around each consume call (processor/processorhelper/logs.go) —
+    counted inside the existing job, no extra scan.
     """
     lookups = lookups or {}
     df = source if source is not None else _build_receiver(spark, cfg["receiver"])
-    for p in cfg.get("processors", []):
+    for i, p in enumerate(cfg.get("processors", [])):
+        if metrics is not None:
+            dropped = None
+            if p["type"] == "filter":
+                conds = [compile_condition(c) for c in p["drop_conditions"]]
+                dropped = conds[0]
+                for c in conds[1:]:
+                    dropped = dropped | c
+            df = metrics.observe_stage(
+                df, f"p{i}_{p['type']}", dropped=dropped
+            )
         df = _apply_processor(df, p, lookups)
     sinks: dict[str, DataFrame] = {"__all__": df}
     if cfg.get("routes"):

@@ -104,18 +104,24 @@ class IcebergLikeTable:
         df: DataFrame,
         snapshot_id: str,
         bucket_by: tuple[str, int] | None = None,
+        operation: str = "append",
+        num_files: int | None = None,
     ) -> dict:
         """Append one snapshot atomically. Idempotent on snapshot_id:
         an already-committed id is a no-op (checkpoint re-run); a crash
         after data-write but before commit re-runs safely because the
         data directory is overwritten in place.
+
+        ``operation="replace"`` marks a compaction snapshot (its files
+        supersede the parent chain — see :meth:`compact`);
+        ``num_files`` coalesces the write for file-size control.
         """
         meta = self._metadata()
         if any(s["id"] == snapshot_id for s in meta["snapshots"]):
             return self.manifest(snapshot_id)
 
         snap_dir = os.path.join(self.data_dir, snapshot_id)
-        out = df
+        out = df if num_files is None else df.coalesce(num_files)
         writer = out.write.mode("overwrite")
         if bucket_by is not None:
             col, n = bucket_by
@@ -130,7 +136,7 @@ class IcebergLikeTable:
         manifest = {
             "id": snapshot_id,
             "parent": meta["current_snapshot_id"],
-            "operation": "append",
+            "operation": operation,
             "data_files": sorted(os.path.relpath(p, self.root) for p in files),
             "bucket_by": list(bucket_by) if bucket_by else None,
         }
@@ -195,15 +201,52 @@ class IcebergLikeTable:
     def read_incremental(self, spark: SparkSession,
                          since: str | None) -> DataFrame | None:
         """Files appended strictly AFTER snapshot ``since`` (None =
-        everything). Returns None when fully caught up."""
+        everything). Returns None when fully caught up.
+
+        An incremental scan cannot cross a compaction: a ``replace``
+        snapshot's files re-state already-delivered rows, so crossing
+        it would double-deliver (Iceberg's incremental append scan
+        raises on overwrite/replace snapshots the same way). Consumers
+        restart from the replace snapshot id."""
         chain = self._ancestry(self.current_snapshot_id())
         if since is not None:
             if since not in chain:
-                raise ValueError(f"unknown snapshot {since!r}")
+                raise ValueError(
+                    f"unknown or compacted-away snapshot {since!r}: "
+                    "restart the scan from the replace snapshot"
+                )
             chain = chain[chain.index(since) + 1:]
+        for sid in chain:
+            if self.manifest(sid).get("operation") == "replace":
+                raise ValueError(
+                    f"incremental scan would cross replace snapshot "
+                    f"{sid!r}; restart from it"
+                )
         if not chain:
             return None
         return self._read_chain(spark, chain)
+
+    def compact(self, spark: SparkSession, snapshot_id: str,
+                num_files: int = 1) -> dict:
+        """Maintenance: rewrite the live chain into one right-sized
+        ``replace`` snapshot (Iceberg's rewrite_data_files). Readers
+        see identical rows before/after; the small per-append files
+        stop being live (but remain for older-snapshot reads). At
+        10^12-doc scale this is what keeps an hourly-append log table
+        scannable: scan cost tracks live bytes, not commit count.
+        Idempotent on snapshot_id like any commit."""
+        cur = self.current_snapshot_id()
+        if cur is None:
+            raise ValueError("empty table")
+        bucket_by = self.manifest(cur).get("bucket_by")
+        df = self.read(spark)
+        if bucket_by and "bucket" in df.columns:
+            df = df.drop("bucket")  # re-derived by the bucketed write
+        return self.commit_append(
+            df, snapshot_id,
+            bucket_by=tuple(bucket_by) if bucket_by else None,
+            operation="replace", num_files=num_files,
+        )
 
     def scan_bucket(self, spark: SparkSession, key_value: str) -> DataFrame:
         """Single-key lookup pruned to ONE bucket directory per
@@ -228,7 +271,12 @@ class IcebergLikeTable:
         return spark.read.parquet(*dirs)
 
     def _ancestry(self, snapshot_id: str | None) -> list[str]:
-        """Parent chain oldest->newest ending at snapshot_id."""
+        """Parent chain oldest->newest ending at snapshot_id. A
+        ``replace`` snapshot (compaction) carries the FULL table
+        contents, so the chain is truncated to start at the newest
+        replace — older appends' files are no longer live (exactly
+        Iceberg's rewrite_data_files: old files leave the current
+        snapshot's manifest list but stay on disk for time travel)."""
         if snapshot_id is None:
             return []
         parents = {s["id"]: s["parent"] for s in self._metadata()["snapshots"]}
@@ -236,5 +284,7 @@ class IcebergLikeTable:
         cur: str | None = snapshot_id
         while cur is not None:
             chain.append(cur)
+            if self.manifest(cur).get("operation") == "replace":
+                break  # full contents live here; parents superseded
             cur = parents.get(cur)
         return list(reversed(chain))

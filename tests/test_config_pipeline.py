@@ -198,3 +198,30 @@ def test_config_isolation_forest_processor(spark):
     outs3 = build_pipeline(spark, cfg, source=src)
     kept = outs3["sinks"]["__all__"]
     assert kept.filter("event_id = 19").count() == 0
+
+
+def test_config_pipeline_obs_counters(spark):
+    """StageMetrics wired through build_pipeline: per-processor
+    accepted/dropped counters ride the job (obsreport analog)."""
+    from opentelemetry_collector_contrib_spark.obs import StageMetrics
+
+    src = spark.createDataFrame(
+        [(i, "debug" if i % 4 == 0 else "info") for i in range(20)],
+        "event_id LONG, sev STRING",
+    )
+    cfg = {
+        "receiver": {"type": "parquet", "path": "unused"},
+        "processors": [
+            {"type": "transform", "statements": ['set(env, "prod")']},
+            {"type": "filter", "drop_conditions": ['sev == "debug"']},
+        ],
+    }
+    m = StageMetrics()
+    outs = build_pipeline(spark, cfg, source=src, metrics=m)
+    out = outs["sinks"]["__all__"]
+    assert out.count() == 15  # 5 debug rows dropped
+    got = m.get()
+    assert got["p0_transform"] == {
+        "accepted": 20, "refused": 0, "dropped": 0}
+    assert got["p1_filter"] == {
+        "accepted": 20, "refused": 0, "dropped": 5}

@@ -105,3 +105,48 @@ def test_bucketed_colocated_join(spark, table, tmp_path):
     rj = t2.read(spark)
     joined = lj.join(rj, ["host", "bucket"])
     assert joined.count() == 50
+
+
+def test_compact_replaces_chain(spark, table):
+    """rewrite_data_files maintenance: identical rows, fewer live
+    files, incremental scans fenced at the replace snapshot."""
+    table.commit_append(_df(spark, 0, 100), "s1")
+    table.commit_append(_df(spark, 100, 150), "s2")
+    table.commit_append(_df(spark, 150, 160), "s3")
+    live_before = sum(
+        len(table.manifest(s)["data_files"])
+        for s in ("s1", "s2", "s3")
+    )
+
+    m = table.compact(spark, "c1", num_files=1)
+    assert m["operation"] == "replace"
+    assert table.current_snapshot_id() == "c1"
+    # same rows, one live file
+    got = sorted(r["id"] for r in table.read(spark).collect())
+    assert got == list(range(160))
+    assert len(m["data_files"]) == 1 < live_before
+
+    # appends continue on top of the compaction
+    table.commit_append(_df(spark, 160, 170), "s4")
+    assert table.read(spark).count() == 170
+
+    # incremental: from the replace snapshot -> only the new append
+    inc = table.read_incremental(spark, since="c1")
+    assert sorted(r["id"] for r in inc.collect()) == list(range(160, 170))
+    # from a pre-compaction snapshot -> refuses (would double-deliver)
+    with pytest.raises(ValueError, match="replace"):
+        table.read_incremental(spark, since="s2")
+
+    # idempotent re-commit of the compaction id
+    assert table.compact(spark, "c1")["id"] == "c1"
+
+
+def test_compact_preserves_bucketing(spark, table):
+    table.commit_append(_df(spark, 0, 100), "s1", bucket_by=("k", 4))
+    table.commit_append(_df(spark, 100, 140), "s2", bucket_by=("k", 4))
+    table.compact(spark, "c1", num_files=2)
+    assert table.manifest("c1")["bucket_by"] == ["k", 4]
+    assert table.read(spark).count() == 140
+    # pruned single-bucket lookup still works post-compaction
+    hit = table.scan_bucket(spark, "3")
+    assert hit.filter(F.col("k") == 3).count() == hit.count() > 0
