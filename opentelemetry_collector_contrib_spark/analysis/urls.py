@@ -201,3 +201,65 @@ def url_blocklist_filter(df: DataFrame, blocklist: DataFrame,
         host_of(F.col(url_col)) == hit_hosts["_host"],
         how,
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality filtering (web-curation stage: drop entire
+# low-quality domains, not just documents — the host-aggregate analog
+# of RefinedWeb's domain heuristics). Two scale-shaped passes: one
+# combinable aggregate keyed on the short host string, then a semi
+# join back. All comparisons are exact-integer cross-multiplications
+# (mean >= thr  ⟺  sum_q4 >= thr4 * count), so the decision hashes
+# identically cross-engine — no float-mean ties.
+# ---------------------------------------------------------------------------
+
+
+def domain_quality_stats(
+    df: DataFrame, host: Column, text: Column
+) -> DataFrame:
+    """Per-host (doc_count, sum of 1e4-scaled quality scores)."""
+    from .textstats import quality_score
+
+    q4 = F.round(quality_score(text) * 10000).cast("long")
+    return (
+        df.select(host.alias("host"), q4.alias("_q4"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("_q4").alias("sum_q4"),
+        )
+    )
+
+
+def domain_quality_filter(
+    df: DataFrame,
+    host: Column,
+    text: Column,
+    min_mean_quality: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Keep only rows whose HOST clears the mean-quality + volume bar.
+
+    Plan: hash aggregate on host (map-side combinable) -> filter ->
+    left_semi join back on host. At 10^12 docs both shuffles hash the
+    same short host key; co-bucketing the corpus by host makes the
+    semi join storage-partitioned (see sources/iceberg_like bucket_by).
+    """
+    thr4 = int(round(min_mean_quality * 10000))
+    stats = domain_quality_stats(df, host, text)
+    good = stats.filter(
+        (F.col("doc_count") >= min_docs)
+        & (F.col("sum_q4") >= F.lit(thr4) * F.col("doc_count"))
+    ).select("host")
+    return df.join(good, host == good["host"], "left_semi")
+
+
+def domain_quality_stats_sql(host_expr: str, text_expr: str,
+                             src: str) -> str:
+    from .textstats import quality_score_sql
+
+    q4 = f"CAST(ROUND({quality_score_sql(text_expr)} * 10000) AS BIGINT)"
+    return (
+        f"SELECT {host_expr} AS host, COUNT(*) AS doc_count, "
+        f"SUM({q4}) AS sum_q4 FROM {src} GROUP BY 1"
+    )

@@ -1047,3 +1047,40 @@ def q_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "iforest_anomaly_score", "iforest_is_anomaly"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality filter (analysis/urls.domain_quality_filter):
+# drop whole low-quality domains — host aggregate + exact-integer
+# mean threshold + semi join back.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_Q_THR = 0.3312
+
+
+@register(
+    "domain_quality_pages",
+    f"""
+WITH web AS ({_WEB_SQL}),
+h AS (SELECT page_id, {HT.page_host_sql('url')} AS host, text FROM web),
+stats AS ({UU.domain_quality_stats_sql('host', 'text', 'h')}),
+good AS (
+  SELECT host FROM stats
+  WHERE doc_count >= 2
+    AND sum_q4 >= {int(_DOMAIN_Q_THR * 10000)} * doc_count)
+SELECT h.page_id, h.host
+FROM h JOIN good USING (host)
+ORDER BY h.page_id
+""",
+)
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir).select(
+        "page_id", "url", "text"
+    )
+    kept = UU.domain_quality_filter(
+        web, HT.page_host(F.col("url")), F.col("text"),
+        min_mean_quality=_DOMAIN_Q_THR, min_docs=2,
+    )
+    return kept.select(
+        "page_id", HT.page_host(F.col("url")).alias("host")
+    ).orderBy("page_id")
