@@ -191,11 +191,23 @@ class IcebergLikeTable:
             raise ValueError("no data files in the requested snapshots")
         return out
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Full-table scan of the CURRENT snapshot lineage (append-only
-        table: union of every committed snapshot's files, from the
-        manifests -- no directory listing)."""
-        chain = self._ancestry(self.current_snapshot_id())
+    def read(self, spark: SparkSession,
+             at: str | None = None) -> DataFrame:
+        """Full-table scan of a snapshot lineage (append-only table:
+        union of the chain's files, from the manifests -- no directory
+        listing). ``at`` = time travel: read the table AS OF that
+        snapshot id (Iceberg's snapshot-id-as-of scan); default is the
+        current snapshot."""
+        sid = at if at is not None else self.current_snapshot_id()
+        if at is not None and at not in self.snapshots():
+            raise ValueError(f"unknown snapshot {at!r}")
+        chain = self._ancestry(sid)
+        gone = [s for s in chain if self.manifest(s).get("expired")]
+        if gone:
+            raise ValueError(
+                f"snapshots {gone} were expired; time travel past "
+                "expire_snapshots is not possible"
+            )
         return self._read_chain(spark, chain)
 
     def read_incremental(self, spark: SparkSession,
@@ -269,6 +281,34 @@ class IcebergLikeTable:
             if os.path.isdir(os.path.join(self.data_dir, s, f"bucket={b}"))
         ]
         return spark.read.parquet(*dirs)
+
+    def expire_snapshots(self) -> list[str]:
+        """Maintenance twin of compaction: delete the data files of
+        snapshots no longer reachable from the CURRENT chain (those
+        superseded by a replace). Metadata stays (the ids remain
+        listed, with their manifests marked expired) so idempotent
+        re-commits still no-op; time travel to an expired snapshot
+        raises. Returns the expired snapshot ids."""
+        import shutil
+
+        live = set(self._ancestry(self.current_snapshot_id()))
+        expired: list[str] = []
+        for sid in self.snapshots():
+            if sid in live:
+                continue
+            man = self.manifest(sid)
+            if man.get("expired"):
+                continue
+            snap_dir = os.path.join(self.data_dir, sid)
+            if os.path.isdir(snap_dir):
+                shutil.rmtree(snap_dir)
+            man["expired"] = True
+            man["data_files"] = []
+            self._write_atomic(
+                os.path.join(self.meta_dir, f"snap-{sid}.json"), man
+            )
+            expired.append(sid)
+        return expired
 
     def _ancestry(self, snapshot_id: str | None) -> list[str]:
         """Parent chain oldest->newest ending at snapshot_id. A

@@ -150,3 +150,30 @@ def test_compact_preserves_bucketing(spark, table):
     # pruned single-bucket lookup still works post-compaction
     hit = table.scan_bucket(spark, "3")
     assert hit.filter(F.col("k") == 3).count() == hit.count() > 0
+
+
+def test_time_travel_and_expire(spark, table):
+    table.commit_append(_df(spark, 0, 100), "s1")
+    table.commit_append(_df(spark, 100, 150), "s2")
+    # time travel: as-of s1 sees only the first append
+    assert table.read(spark, at="s1").count() == 100
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        table.read(spark, at="nope")
+
+    table.compact(spark, "c1")
+    table.commit_append(_df(spark, 150, 160), "s3")
+    # pre-compaction snapshots still readable before expiry
+    assert table.read(spark, at="s2").count() == 150
+
+    expired = table.expire_snapshots()
+    assert set(expired) == {"s1", "s2"}
+    # current chain unaffected; expiry is idempotent
+    assert table.read(spark).count() == 160
+    assert table.expire_snapshots() == []
+    # time travel to an expired snapshot now refuses loudly
+    with pytest.raises(ValueError, match="expired"):
+        table.read(spark, at="s2")
+    # idempotent re-commit of an expired id still no-ops
+    m = table.commit_append(_df(spark, 0, 100), "s1")
+    assert m.get("expired") is True
+    assert table.read(spark).count() == 160
