@@ -1,0 +1,131 @@
+"""Hashed linear quality-classifier scoring (fastText / DCLM-style).
+
+Modern web-corpus curation gates documents with a cheap linear
+classifier over hashed bag-of-n-gram features (fastText's model, used
+by CCNet/LLaMA "Wikipedia-reference" filtering and DCLM's quality
+classifier): score(x) = w · f(x) where f buckets uni+bigrams into B
+hash buckets. Training happens offline; at corpus scale only the
+APPLY pass matters, and it must be map-only.
+
+Spark shape (100 TB-safe): features are built per-row as an array
+(no explode), bucket weights are a pure function of the bucket id, and
+the dot product is one ``F.aggregate`` fold — zero shuffles, zero
+Python, whole-stage codegen end to end. A production model would
+instead broadcast a (bucket → weight) table and ``F.aggregate`` over a
+map literal or join; the md5-derived weights here are the FIXTURES.md
+determinism substitute for shipped trained weights (same role as the
+md5 hyperplanes in analysis/hashing.py), so the DuckDB oracle can
+re-derive the identical model.
+
+Determinism: weights are integer MILLI-units in [-1000, 1000]
+(md5_int32("w<seed>|<bucket>") % 2001 - 1000) and scores are exact
+BIGINT sums — engine-vs-oracle comparison is exact-integer. The keep
+decision compares the sum against ``threshold_milli ·
+n_features`` (cross-multiplied mean test: no division, no floats).
+
+Reference framing: this is the corpus twin of the collector's
+filterprocessor (SURVEY.md §2.6) with a learned score instead of an
+OTTL condition — drop-if-below, counted like dropped records.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, md5_int32_sql
+from .textstats import ws_tokens, ws_tokens_sql
+
+
+def _hashed_features(col: Column, n_buckets: int) -> Column:
+    """Array of uni+bigram hash buckets for one document (map-only)."""
+    toks = ws_tokens(col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bigrams), lambda f: md5_int32(f) % n_buckets
+    )
+
+
+def _bucket_weight(b: Column, seed: int) -> Column:
+    """Deterministic milli-unit weight for a bucket id (stand-in for a
+    trained weight vector; both engines derive the same value)."""
+    return (
+        md5_int32(F.concat(F.lit(f"w{seed}|"), b.cast("string")))
+        % 2001
+        - 1000
+    )
+
+
+def classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: int = 7,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Per-doc linear score over hashed uni+bigram features.
+
+    Returns (id, n_features, score_milli, keep) where ``score_milli``
+    is the exact BIGINT dot product and ``keep`` is the mean-score
+    gate ``score_milli > threshold_milli * n_features`` (docs with no
+    features are dropped, like fastText's empty-input behavior).
+    Map-only: the whole op is one projection, no shuffle.
+    """
+    feats = _hashed_features(F.col(text_col), n_buckets)
+    weights = F.transform(feats, lambda b: _bucket_weight(b, seed))
+    score = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, w: acc + w
+    )
+    n = F.size(weights)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_features"),
+        score.alias("score_milli"),
+        (
+            (n > 0)
+            & (score > F.lit(threshold_milli) * n.cast("long"))
+        ).alias("keep"),
+    )
+
+
+def classifier_scores_sql(
+    table: str,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    seed: int = 7,
+    threshold_milli: int = 0,
+) -> str:
+    """DuckDB twin of classifier_scores (same hash, weights, gate)."""
+    b_of = md5_int32_sql("f")
+    w_of = md5_int32_sql(f"'w{seed}|' || CAST(b AS VARCHAR)")
+    return f"""
+WITH toks AS (SELECT {id_col}, {ws_tokens_sql(text_expr)} AS t
+              FROM {table}),
+feats AS (
+  SELECT {id_col},
+         list_transform(
+           t || list_transform(
+                  generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]),
+           f -> ({b_of}) % {n_buckets}) AS bs
+  FROM toks),
+scored AS (
+  SELECT {id_col}, len(bs) AS n_features,
+         CAST(COALESCE(list_sum(list_transform(
+             bs, b -> ({w_of}) % 2001 - 1000)), 0) AS BIGINT)
+           AS score_milli
+  FROM feats)
+SELECT {id_col}, n_features, score_milli,
+       (n_features > 0 AND
+        score_milli > {threshold_milli} * n_features) AS keep
+FROM scored ORDER BY {id_col}
+"""

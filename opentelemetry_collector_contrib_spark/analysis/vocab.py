@@ -1,0 +1,163 @@
+"""Tokenizer vocabulary fit + apply with byte fallback (the two-pass
+shape of real subword tokenization at corpus scale).
+
+Training-data pipelines tokenize with a FIXED vocabulary (BPE /
+SentencePiece); corpus-side the work splits into (a) an offline
+frequency pass that picks the vocab and (b) the apply pass that maps
+pre-tokens to ids, falling back to UTF-8 bytes for out-of-vocabulary
+tokens (byte-fallback, à la SentencePiece/GPT-2). Both passes are
+relational:
+
+- FIT: explode pre-tokens → combinable ``groupBy(token).count`` (map-
+  side combine collapses each partition to its distinct tokens before
+  the shuffle) → top-V by (count DESC, token) via ``orderBy().limit``
+  — Spark plans TakeOrderedAndProject (parallel per-partition partial
+  top-V), never a global sort; ids are ranks over the V-row result.
+- APPLY: posexplode → **broadcast** join against the V-row vocab →
+  one combinable ``groupBy(doc_id)``. Only (doc_id, pos, token) rows
+  ever shuffle; a trained production vocab drops pass (a) and ships
+  the same broadcast table.
+
+Outputs are exact integers (counts, byte lengths, id ranks) so the
+DuckDB oracle matches bit-for-bit. ``head_ids`` (the first 8 token
+ids, OOV → -1) pins the actual id assignment, not just the counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import TOKEN_REGEX
+
+
+def _pretokens(col):
+    return F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)
+
+
+def fit_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1024,
+) -> DataFrame:
+    """(token, token_id, cnt) for the top-``vocab_size`` pre-tokens by
+    (count DESC, token ASC) — deterministic boundary ties."""
+    counts = (
+        df.select(F.explode(_pretokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.withColumn("token_id", F.row_number().over(w) - 1)
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    head_n: int = 8,
+) -> DataFrame:
+    """Per-doc encoding stats against a (token, token_id) vocab.
+
+    Returns (id, n_pretokens, n_oov, encoded_len, head_ids):
+    ``encoded_len`` counts 1 id per in-vocab token plus one id per
+    UTF-8 byte of each OOV token (byte fallback); ``head_ids`` is the
+    id sequence of the first ``head_n`` pre-tokens, -1 for OOV.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(_pretokens(F.col(text_col))).alias("pos", "token"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    )
+    per_tok = joined.select(
+        id_col,
+        "pos",
+        F.when(F.col("pos").isNull(), None)
+        .otherwise(F.coalesce("token_id", F.lit(-1)))
+        .cast("long")
+        .alias("tid"),
+        F.when(
+            F.col("pos").isNull(), F.lit(0)
+        )
+        .when(F.col("token_id").isNotNull(), F.lit(1))
+        .otherwise(F.octet_length("token"))
+        .cast("long")
+        .alias("id_cost"),
+    )
+    return per_tok.groupBy(id_col).agg(
+        F.count("pos").alias("n_pretokens"),
+        F.sum(F.when(F.col("tid") == -1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.sum("id_cost").alias("encoded_len"),
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        # null-pos rows come from posexplode_outer on
+                        # empty docs: the when() yields NULL, which
+                        # collect_list skips, so empty docs get []
+                        F.when(
+                            F.col("pos").isNotNull(),
+                            F.struct(F.col("pos"), F.col("tid")),
+                        )
+                    )
+                ),
+                1,
+                head_n,
+            ),
+            lambda s: s.getField("tid"),
+        ).alias("head_ids"),
+    )
+
+
+def encode_with_vocab_sql(
+    table: str,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1024,
+    head_n: int = 8,
+) -> str:
+    """DuckDB twin of fit_vocab + encode_with_vocab over one table."""
+    return f"""
+WITH pre AS (
+  SELECT {id_col},
+         regexp_extract_all({text_expr}, '{TOKEN_REGEX}') AS t
+  FROM {table}),
+tok AS (
+  SELECT {id_col}, i - 1 AS pos, t[i] AS token
+  FROM pre, UNNEST(generate_series(1, len(t))) AS u(i)),
+vocab AS (
+  SELECT token,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) - 1
+           AS token_id
+  FROM tok GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT {vocab_size}),
+per_tok AS (
+  SELECT t.{id_col}, t.pos,
+         COALESCE(v.token_id, -1) AS tid,
+         CAST(CASE WHEN v.token_id IS NOT NULL THEN 1
+                   ELSE octet_length(encode(t.token)) END AS BIGINT)
+           AS id_cost
+  FROM tok t LEFT JOIN vocab v USING (token)),
+agg AS (
+  SELECT {id_col},
+         COUNT(*) AS n_pretokens,
+         CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         SUM(id_cost) AS encoded_len,
+         (list(tid ORDER BY pos))[1:{head_n}] AS head_ids
+  FROM per_tok GROUP BY {id_col})
+SELECT p.{id_col},
+       COALESCE(a.n_pretokens, 0) AS n_pretokens,
+       COALESCE(a.n_oov, 0) AS n_oov,
+       COALESCE(a.encoded_len, 0) AS encoded_len,
+       COALESCE(a.head_ids, []) AS head_ids
+FROM pre p LEFT JOIN agg a USING ({id_col})
+ORDER BY p.{id_col}
+"""

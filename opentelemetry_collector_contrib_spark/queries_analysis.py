@@ -1084,3 +1084,39 @@ def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "page_id", HT.page_host(F.col("url")).alias("host")
     ).orderBy("page_id")
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (analysis/classifier.py): the
+# fastText/DCLM-style gate, map-only apply pass.
+# ---------------------------------------------------------------------------
+
+from .analysis import classifier as CLF  # noqa: E402
+
+
+@register(
+    "classifier_quality_documents",
+    CLF.classifier_scores_sql("documents", n_buckets=4096, seed=7),
+)
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CLF.classifier_scores(
+        _docs(spark, sf_dir), n_buckets=4096, seed=7
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocab fit + byte-fallback encode (analysis/vocab.py):
+# combinable frequency fit, TakeOrdered top-V, broadcast apply join.
+# ---------------------------------------------------------------------------
+
+from .analysis import vocab as VOC  # noqa: E402
+
+
+@register(
+    "vocab_encode_documents",
+    VOC.encode_with_vocab_sql("documents", vocab_size=512, head_n=8),
+)
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    vocab = VOC.fit_vocab(docs, vocab_size=512)
+    return VOC.encode_with_vocab(docs, vocab, head_n=8).orderBy("doc_id")

@@ -1,0 +1,110 @@
+"""Hashed linear classifier scoring (analysis/classifier.py) and
+tokenizer vocab fit/encode with byte fallback (analysis/vocab.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from opentelemetry_collector_contrib_spark.analysis import classifier as CLF
+from opentelemetry_collector_contrib_spark.analysis import vocab as VOC
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_score(text: str, n_buckets: int, seed: int) -> tuple[int, int]:
+    toks = text.split()
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    bs = [_h(f) % n_buckets for f in feats]
+    return len(bs), sum(_h(f"w{seed}|{b}") % 2001 - 1000 for b in bs)
+
+
+def test_classifier_matches_pure_python(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "lorem ipsum dolor sit amet consectetur"),
+        (3, "a"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in CLF.classifier_scores(
+            _docs(spark, rows), n_buckets=64, seed=3
+        ).collect()
+    }
+    for doc_id, text in rows:
+        n, s = _py_score(text, 64, 3)
+        assert out[doc_id]["n_features"] == n
+        assert out[doc_id]["score_milli"] == s
+        assert out[doc_id]["keep"] == (n > 0 and s > 0)
+
+
+def test_classifier_empty_doc_dropped(spark):
+    out = CLF.classifier_scores(_docs(spark, [(1, ""), (2, "   ")])).collect()
+    for r in out:
+        assert r["n_features"] == 0
+        assert r["score_milli"] == 0
+        assert r["keep"] is False
+
+
+def test_classifier_threshold_cross_multiplied(spark):
+    # mean gate uses exact integers: score > thr * n, no division
+    df = _docs(spark, [(1, "x y z")])
+    n, s = _py_score("x y z", 4096, 7)
+    lo = CLF.classifier_scores(df, threshold_milli=-1001).collect()[0]
+    hi = CLF.classifier_scores(df, threshold_milli=1000).collect()[0]
+    assert lo["keep"] is True  # every weight > -1001
+    assert hi["keep"] == (s > 1000 * n)
+
+
+def test_classifier_plan_is_map_only(spark):
+    plan = CLF.classifier_scores(
+        _docs(spark, [(1, "a b")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_vocab_fit_rank_and_ties(spark):
+    df = _docs(spark, [(1, "b b a a c"), (2, "b d")])
+    vocab = {r["token"]: r["token_id"]
+             for r in VOC.fit_vocab(df, vocab_size=3).collect()}
+    # counts: b=3, a=2, c=1, d=1 -> top3 = b, a, c (tie c<d by token)
+    assert vocab == {"b": 0, "a": 1, "c": 2}
+
+
+def test_vocab_encode_byte_fallback_and_head_ids(spark):
+    df = _docs(spark, [(1, "aa bb aa"), (2, "aa zzé")])
+    vocab = VOC.fit_vocab(df, vocab_size=1)  # only 'aa' (count 3)
+    out = {
+        r["doc_id"]: r
+        for r in VOC.encode_with_vocab(df, vocab, head_n=2).collect()
+    }
+    assert out[1]["n_pretokens"] == 3
+    assert out[1]["n_oov"] == 1  # 'bb'
+    assert out[1]["encoded_len"] == 1 + 2 + 1  # aa + bb bytes + aa
+    assert out[1]["head_ids"] == [0, -1]
+    # 'zzé' is 4 UTF-8 bytes
+    assert out[2]["encoded_len"] == 1 + 4
+    assert out[2]["head_ids"] == [0, -1]
+
+
+def test_vocab_encode_empty_doc(spark):
+    df = _docs(spark, [(1, "tok"), (2, "")])
+    vocab = VOC.fit_vocab(df, vocab_size=8)
+    out = {r["doc_id"]: r for r in VOC.encode_with_vocab(df, vocab).collect()}
+    assert out[2]["n_pretokens"] == 0
+    assert out[2]["encoded_len"] == 0
+    assert out[2]["head_ids"] == []
+
+
+def test_vocab_apply_join_is_broadcast(spark):
+    df = _docs(spark, [(1, "a b c")])
+    plan = VOC.encode_with_vocab(
+        df, VOC.fit_vocab(df, vocab_size=4)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
