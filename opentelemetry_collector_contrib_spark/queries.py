@@ -1671,6 +1671,71 @@ def q_iceberg_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iceberg-like MERGE INTO (copy-on-write upsert with bucket-pruned
+# file reuse; sources/iceberg_like.merge_into). Base snapshot = even
+# event_ids; source = updates for event_id % 10 == 0 (value + 1000)
+# plus inserts of odd event_ids divisible by 7. The oracle replicates
+# the upsert relationally (anti-join + union) and aggregates per
+# bucket, so per-sink counts AND the merged values are pinned.
+# ---------------------------------------------------------------------------
+
+
+def _iceberg_merge_oracle() -> str:
+    from .sources.iceberg_like import bucket_expr_sql
+
+    b = bucket_expr_sql("event_id", 8)
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0),
+src AS (
+  SELECT event_id, user_id, value + 1000 AS value FROM events
+  WHERE event_id % 10 = 0
+  UNION ALL
+  SELECT event_id, user_id, value FROM events
+  WHERE event_id % 2 = 1 AND event_id % 7 = 0),
+merged AS (
+  SELECT * FROM base
+  WHERE event_id NOT IN (SELECT event_id FROM src)
+  UNION ALL SELECT * FROM src)
+SELECT {b} AS bucket, COUNT(*) AS rows_after,
+       SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS value_micro
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("iceberg_like_merge_events", _iceberg_merge_oracle())
+def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.iceberg_like import IcebergLikeTable
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    table = IcebergLikeTable(tempfile.mkdtemp(prefix="iceberg_merge_"))
+    table.commit_append(
+        ev.filter(F.col("event_id") % 2 == 0), "base",
+        bucket_by=("event_id", 8),
+    )
+    src = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 1000
+    ).unionByName(
+        ev.filter((F.col("event_id") % 2 == 1) & (F.col("event_id") % 7 == 0))
+    )
+    table.merge_into(spark, src, on="event_id", snapshot_id="m1")
+    return (
+        table.read(spark)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows_after"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long"))
+            .alias("value_micro"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"),
+                "rows_after", "value_micro")
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # k8sattributes + resourcedetection (processor/k8sattributesprocessor,
 # processor/resourcedetectionprocessor): broadcast pod-metadata join +
 # detector literals. Pod table derived deterministically so the oracle

@@ -140,6 +140,14 @@ class IcebergLikeTable:
             "data_files": sorted(os.path.relpath(p, self.root) for p in files),
             "bucket_by": list(bucket_by) if bucket_by else None,
         }
+        return self._commit_manifest(manifest)
+
+    def _commit_manifest(self, manifest: dict) -> dict:
+        """Commit tail shared by append/merge: manifest first, then
+        metadata, then the version pointer via POSIX rename (the
+        atomic catalog swap)."""
+        meta = self._metadata()
+        snapshot_id = manifest["id"]
         self._write_atomic(
             os.path.join(self.meta_dir, f"snap-{snapshot_id}.json"), manifest
         )
@@ -159,6 +167,131 @@ class IcebergLikeTable:
         os.replace(tmp, os.path.join(self.meta_dir, "version-hint.txt"))
         return manifest
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: str,
+        snapshot_id: str,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        num_files: int | None = None,
+    ) -> dict:
+        """MERGE INTO (copy-on-write upsert), Iceberg's
+        ``WHEN MATCHED THEN UPDATE/DELETE`` + ``WHEN NOT MATCHED THEN
+        INSERT`` over a single equality key ``on``.
+
+        When the table is bucket-partitioned ON the merge key, only
+        the buckets containing source keys are rewritten — untouched
+        buckets' files are carried into the new snapshot BY REFERENCE
+        (exactly Iceberg COW's file-level write amplification: cost
+        tracks touched files, not table size). A 10^12-row table
+        bucketed 4096 ways absorbs a small upsert by rewriting a
+        handful of bucket directories. Unbucketed tables fall back to
+        a full rewrite.
+
+        The committed snapshot has ``operation="merge"``: it carries
+        the full table contents, truncates the ancestry chain like a
+        compaction, and fences incremental scans (rows changed, so an
+        append-only incremental consumer must restart).
+        Idempotent on snapshot_id like any commit.
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        meta = self._metadata()
+        if any(s["id"] == snapshot_id for s in meta["snapshots"]):
+            return self.manifest(snapshot_id)
+        cur = meta["current_snapshot_id"]
+        if cur is None:
+            raise ValueError("empty table: use commit_append")
+        bucket_by = self.manifest(cur).get("bucket_by")
+        chain = self._ancestry(cur)
+        live_files = []
+        for sid in chain:
+            live_files += self.manifest(sid)["data_files"]
+
+        pruned = bool(bucket_by) and bucket_by[0] == on
+        if pruned:
+            col, n = bucket_by
+            src_buckets = sorted(
+                r[0]
+                for r in source.select(
+                    bucket_expr(on, n).alias("b")
+                ).distinct().collect()
+            )
+            touched_dirs = {f"bucket={b}" for b in src_buckets}
+            untouched = [
+                p for p in live_files
+                if not any(d in p.split(os.sep) for d in touched_dirs)
+            ]
+            touched = [p for p in live_files if p not in set(untouched)]
+            target = (
+                self._read_files(spark, touched).drop("bucket")
+                if touched else None
+            )
+        else:
+            untouched = []
+            target = self.read(spark)
+            if bucket_by and "bucket" in target.columns:
+                target = target.drop("bucket")
+
+        src = source
+        if target is not None:
+            cols = [c for c in target.columns]
+            if sorted(src.columns) != sorted(cols):
+                raise ValueError(
+                    f"source columns {sorted(src.columns)} != table "
+                    f"columns {sorted(cols)}"
+                )
+            kept = target.join(src.select(on), on, "left_anti")
+            parts = [kept.select(*cols)]
+            if when_matched == "update":
+                # matched rows take the source version; plus inserts
+                matched_or_new = (
+                    src if when_not_matched == "insert"
+                    else src.join(target.select(on), on, "left_semi")
+                )
+                parts.append(matched_or_new.select(*cols))
+            elif when_not_matched == "insert":
+                parts.append(
+                    src.join(target.select(on), on, "left_anti")
+                    .select(*cols)
+                )
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+        else:  # all source buckets are new: pure insert
+            merged = src if when_not_matched == "insert" else None
+
+        snap_dir = os.path.join(self.data_dir, snapshot_id)
+        new_files: list[str] = []
+        if merged is not None:
+            out = merged if num_files is None else merged.coalesce(num_files)
+            if bucket_by:
+                col, n = bucket_by
+                out = out.withColumn("bucket", bucket_expr(col, n))
+                out.write.mode("overwrite").partitionBy("bucket").parquet(
+                    snap_dir
+                )
+            else:
+                out.write.mode("overwrite").parquet(snap_dir)
+            new_files = sorted(
+                os.path.relpath(p, self.root)
+                for p in glob.glob(
+                    os.path.join(snap_dir, "**", "*.parquet"), recursive=True
+                )
+            )
+        manifest = {
+            "id": snapshot_id,
+            "parent": cur,
+            "operation": "merge",
+            "data_files": sorted(untouched) + new_files,
+            "bucket_by": list(bucket_by) if bucket_by else None,
+        }
+        return self._commit_manifest(manifest)
+
     # -- read -------------------------------------------------------------
     def _files_of(self, snapshot_ids: list[str]) -> list[str]:
         files: list[str] = []
@@ -169,27 +302,37 @@ class IcebergLikeTable:
             ]
         return files
 
-    def _read_chain(self, spark: SparkSession,
-                    chain: list[str]) -> DataFrame:
-        """Union of the chain's snapshots. Each snapshot is read with
-        its own basePath so partition columns (bucket=K) survive; the
-        manifests' file lists pin exactly the committed files (stray
-        files from a crashed write are not visible because only
-        manifest-listed snapshots enter the chain)."""
+    def _read_files(self, spark: SparkSession,
+                    rel_files: list[str]) -> DataFrame:
+        """Read a manifest file list. A ``merge`` manifest may carry
+        files OWNED by older snapshots (untouched-bucket reuse), so
+        files are grouped by their owning data/<sid>/ directory and
+        each group is read with that directory as basePath — partition
+        columns (bucket=K) survive regardless of owner."""
+        groups: dict[str, list[str]] = {}
+        for p in rel_files:
+            parts = p.split(os.sep)
+            owner = os.path.join(self.root, parts[0], parts[1])
+            groups.setdefault(owner, []).append(os.path.join(self.root, p))
         out: DataFrame | None = None
-        for sid in chain:
-            snap_dir = os.path.join(self.data_dir, sid)
-            files = [os.path.join(self.root, p)
-                     for p in self.manifest(sid)["data_files"]]
-            if not files:  # empty append: no data files, nothing to add
-                continue
-            df = spark.read.option("basePath", snap_dir).parquet(*files)
+        for owner in sorted(groups):
+            df = spark.read.option("basePath", owner).parquet(*groups[owner])
             out = df if out is None else out.unionByName(
                 df, allowMissingColumns=True
             )
         if out is None:
             raise ValueError("no data files in the requested snapshots")
         return out
+
+    def _read_chain(self, spark: SparkSession,
+                    chain: list[str]) -> DataFrame:
+        """Union of the chain's snapshots, from the manifests' file
+        lists (stray files from a crashed write are not visible
+        because only manifest-listed snapshots enter the chain)."""
+        files: list[str] = []
+        for sid in chain:
+            files += self.manifest(sid)["data_files"]
+        return self._read_files(spark, files)
 
     def read(self, spark: SparkSession,
              at: str | None = None) -> DataFrame:
@@ -229,9 +372,10 @@ class IcebergLikeTable:
                 )
             chain = chain[chain.index(since) + 1:]
         for sid in chain:
-            if self.manifest(sid).get("operation") == "replace":
+            if self.manifest(sid).get("operation") in ("replace", "merge"):
                 raise ValueError(
-                    f"incremental scan would cross replace snapshot "
+                    f"incremental scan would cross "
+                    f"{self.manifest(sid)['operation']} snapshot "
                     f"{sid!r}; restart from it"
                 )
         if not chain:
@@ -275,12 +419,13 @@ class IcebergLikeTable:
         import hashlib
 
         b = int(hashlib.md5(str(key_value).encode()).hexdigest()[:8], 16) % n
-        dirs = [
-            os.path.join(self.data_dir, s, f"bucket={b}")
+        files = [
+            p
             for s in self._ancestry(sid)
-            if os.path.isdir(os.path.join(self.data_dir, s, f"bucket={b}"))
+            for p in self.manifest(s)["data_files"]
+            if f"bucket={b}" in p.split(os.sep)
         ]
-        return spark.read.parquet(*dirs)
+        return self._read_files(spark, files)
 
     def expire_snapshots(self) -> list[str]:
         """Maintenance twin of compaction: delete the data files of
@@ -289,9 +434,13 @@ class IcebergLikeTable:
         listed, with their manifests marked expired) so idempotent
         re-commits still no-op; time travel to an expired snapshot
         raises. Returns the expired snapshot ids."""
-        import shutil
-
         live = set(self._ancestry(self.current_snapshot_id()))
+        # files referenced by ANY live manifest stay, even when they
+        # physically live in an expired snapshot's directory (a merge
+        # snapshot carries untouched-bucket files by reference)
+        live_files = {
+            p for s in live for p in self.manifest(s)["data_files"]
+        }
         expired: list[str] = []
         for sid in self.snapshots():
             if sid in live:
@@ -300,8 +449,11 @@ class IcebergLikeTable:
             if man.get("expired"):
                 continue
             snap_dir = os.path.join(self.data_dir, sid)
-            if os.path.isdir(snap_dir):
-                shutil.rmtree(snap_dir)
+            for p in glob.glob(
+                os.path.join(snap_dir, "**", "*.parquet"), recursive=True
+            ):
+                if os.path.relpath(p, self.root) not in live_files:
+                    os.remove(p)
             man["expired"] = True
             man["data_files"] = []
             self._write_atomic(
@@ -324,7 +476,7 @@ class IcebergLikeTable:
         cur: str | None = snapshot_id
         while cur is not None:
             chain.append(cur)
-            if self.manifest(cur).get("operation") == "replace":
+            if self.manifest(cur).get("operation") in ("replace", "merge"):
                 break  # full contents live here; parents superseded
             cur = parents.get(cur)
         return list(reversed(chain))

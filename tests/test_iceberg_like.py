@@ -177,3 +177,92 @@ def test_time_travel_and_expire(spark, table):
     m = table.commit_append(_df(spark, 0, 100), "s1")
     assert m.get("expired") is True
     assert table.read(spark).count() == 160
+
+
+# -- MERGE INTO (copy-on-write upsert) --------------------------------------
+
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "host string, v long")
+
+
+@pytest.fixture()
+def merged_table(spark, table):
+    base = _kv(spark, [(f"h{i}", i) for i in range(8)])
+    table.commit_append(base, "s1", bucket_by=("host", 4))
+    # h0/h2/hB all hash to bucket 0 -> buckets 1 and 3 untouched
+    src = _kv(spark, [("h0", 100), ("h2", 102), ("hB", 999)])
+    table.merge_into(spark, src, on="host", snapshot_id="m1")
+    return table
+
+
+def test_merge_upsert_values(spark, merged_table):
+    got = {r["host"]: r["v"]
+           for r in merged_table.read(spark).collect()}
+    want = {f"h{i}": i for i in range(8)}
+    want.update({"h0": 100, "h2": 102, "hB": 999})
+    assert got == want
+
+
+def test_merge_is_idempotent(spark, merged_table):
+    src = _kv(spark, [("h0", 100), ("h2", 102), ("hB", 999)])
+    m1 = merged_table.manifest("m1")
+    m2 = merged_table.merge_into(spark, src, on="host", snapshot_id="m1")
+    assert m1 == m2
+
+
+def test_merge_bucket_pruning_reuses_untouched_files(spark, merged_table):
+    man = merged_table.manifest("m1")
+    borrowed = [p for p in man["data_files"] if p.startswith("data/s1")]
+    rewritten = [p for p in man["data_files"] if p.startswith("data/m1")]
+    # some buckets were untouched by the 3 source keys -> carried by
+    # reference from s1; the touched buckets live under m1
+    assert borrowed and rewritten
+    src_buckets = {
+        int(h.split("=")[1])
+        for p in rewritten
+        for h in p.split(os.sep)
+        if h.startswith("bucket=")
+    }
+    for p in borrowed:  # no borrowed file sits in a rewritten bucket
+        b = next(int(h.split("=")[1]) for h in p.split(os.sep)
+                 if h.startswith("bucket="))
+        assert b not in src_buckets
+
+
+def test_merge_scan_bucket_covers_borrowed_and_rewritten(spark, merged_table):
+    for key, want_v in [("h0", 100), ("h1", 1), ("hB", 999)]:
+        rows = merged_table.scan_bucket(spark, key).collect()
+        assert {r["host"]: r["v"] for r in rows}[key] == want_v
+
+
+def test_merge_fences_incremental_scan(spark, merged_table):
+    # s1 left the live chain (the merge supersedes it): the consumer
+    # is told to restart rather than silently double-delivering
+    with pytest.raises(ValueError, match="restart"):
+        merged_table.read_incremental(spark, since="s1")
+    merged_table.commit_append(
+        _kv(spark, [("hY", 7)]), "s2", bucket_by=("host", 4)
+    )
+    inc = merged_table.read_incremental(spark, since="m1")
+    assert [r["host"] for r in inc.collect()] == ["hY"]
+
+
+def test_merge_delete_mode(spark, table):
+    table.commit_append(_kv(spark, [("a", 1), ("b", 2), ("c", 3)]), "s1")
+    table.merge_into(
+        spark, _kv(spark, [("b", 0), ("z", 9)]), on="host",
+        snapshot_id="m1", when_matched="delete", when_not_matched="ignore",
+    )
+    got = {r["host"]: r["v"] for r in table.read(spark).collect()}
+    assert got == {"a": 1, "c": 3}
+
+
+def test_expire_keeps_files_borrowed_by_live_merge(spark, merged_table):
+    expired = merged_table.expire_snapshots()
+    assert expired == ["s1"]
+    # the merge snapshot's borrowed s1 files survive the expiry
+    got = {r["host"]: r["v"] for r in merged_table.read(spark).collect()}
+    assert got["h1"] == 1 and got["h0"] == 100
+    with pytest.raises(ValueError, match="expired"):
+        merged_table.read(spark, at="s1")
