@@ -1736,6 +1736,70 @@ def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Iceberg-like merge-on-read equality deletes (sources/iceberg_like.
+# commit_equality_delete): delete files instead of rewrites, applied
+# at read time with sequence-number semantics (later re-appends of a
+# deleted key are visible). The oracle replicates delete + re-insert
+# relationally and aggregates per bucket.
+# ---------------------------------------------------------------------------
+
+
+def _iceberg_mor_oracle() -> str:
+    from .sources.iceberg_like import bucket_expr_sql
+
+    b = bucket_expr_sql("event_id", 8)
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0),
+after_del AS (
+  SELECT * FROM base WHERE event_id % 10 <> 0),
+reinserted AS (
+  SELECT event_id, user_id, value + 5000 AS value FROM events
+  WHERE event_id % 20 = 0),
+merged AS (
+  SELECT * FROM after_del UNION ALL SELECT * FROM reinserted)
+SELECT {b} AS bucket, COUNT(*) AS rows_after,
+       SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS value_micro
+FROM merged GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("iceberg_like_mor_delete_events", _iceberg_mor_oracle())
+def q_iceberg_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.iceberg_like import IcebergLikeTable
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    table = IcebergLikeTable(tempfile.mkdtemp(prefix="iceberg_mor_"))
+    table.commit_append(
+        ev.filter(F.col("event_id") % 2 == 0), "base",
+        bucket_by=("event_id", 8),
+    )
+    table.commit_equality_delete(
+        ev.filter(F.col("event_id") % 10 == 0).select("event_id"),
+        on="event_id", snapshot_id="d1",
+    )
+    table.commit_append(
+        ev.filter(F.col("event_id") % 20 == 0)
+        .withColumn("value", F.col("value") + 5000),
+        "s2", bucket_by=("event_id", 8),
+    )
+    return (
+        table.read(spark)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows_after"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long"))
+            .alias("value_micro"),
+        )
+        .select(F.col("bucket").cast("long").alias("bucket"),
+                "rows_after", "value_micro")
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # k8sattributes + resourcedetection (processor/k8sattributesprocessor,
 # processor/resourcedetectionprocessor): broadcast pod-metadata join +
 # detector literals. Pod table derived deterministically so the oracle

@@ -167,6 +167,48 @@ class IcebergLikeTable:
         os.replace(tmp, os.path.join(self.meta_dir, "version-hint.txt"))
         return manifest
 
+    def commit_equality_delete(
+        self,
+        keys: DataFrame,
+        on: str,
+        snapshot_id: str,
+    ) -> dict:
+        """Merge-on-read DELETE (Iceberg v2 equality-delete files):
+        commit a small file of key values instead of rewriting data.
+        Reads anti-join the keys against all data appended before this
+        snapshot; a later append of the same key is visible again
+        (sequence-number semantics). ``compact()`` folds outstanding
+        deletes into a clean ``replace`` snapshot — the maintenance
+        path that keeps read cost flat. Write cost is O(|keys|): the
+        right trade when upserts are rare but deletes (GDPR purges,
+        retraction feeds) are frequent; ``merge_into`` is the
+        copy-on-write alternative.
+        Idempotent on snapshot_id like any commit."""
+        meta = self._metadata()
+        if any(s["id"] == snapshot_id for s in meta["snapshots"]):
+            return self.manifest(snapshot_id)
+        cur = meta["current_snapshot_id"]
+        if cur is None:
+            raise ValueError("empty table: nothing to delete from")
+        snap_dir = os.path.join(self.data_dir, snapshot_id)
+        keys.select(on).distinct().coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(snap_dir)
+        delete_files = sorted(
+            os.path.relpath(p, self.root)
+            for p in glob.glob(os.path.join(snap_dir, "*.parquet"))
+        )
+        manifest = {
+            "id": snapshot_id,
+            "parent": cur,
+            "operation": "equality_delete",
+            "delete_on": on,
+            "data_files": [],
+            "delete_files": delete_files,
+            "bucket_by": self.manifest(cur).get("bucket_by"),
+        }
+        return self._commit_manifest(manifest)
+
     def merge_into(
         self,
         spark: SparkSession,
@@ -211,8 +253,16 @@ class IcebergLikeTable:
         live_files = []
         for sid in chain:
             live_files += self.manifest(sid)["data_files"]
+        has_deletes = any(
+            self.manifest(sid).get("operation") == "equality_delete"
+            for sid in chain
+        )
 
-        pruned = bool(bucket_by) and bucket_by[0] == on
+        # outstanding merge-on-read deletes make raw file lists lie
+        # about table contents -> fold them via a full COW rewrite
+        # (or run compact() first to keep merges bucket-pruned)
+        pruned = (bool(bucket_by) and bucket_by[0] == on
+                  and not has_deletes)
         if pruned:
             col, n = bucket_by
             src_buckets = sorted(
@@ -326,13 +376,45 @@ class IcebergLikeTable:
 
     def _read_chain(self, spark: SparkSession,
                     chain: list[str]) -> DataFrame:
-        """Union of the chain's snapshots, from the manifests' file
-        lists (stray files from a crashed write are not visible
-        because only manifest-listed snapshots enter the chain)."""
-        files: list[str] = []
+        """Union of the chain's snapshots in commit order, from the
+        manifests' file lists (stray files from a crashed write are
+        not visible because only manifest-listed snapshots enter the
+        chain). An ``equality_delete`` snapshot (merge-on-read)
+        anti-joins its key files against everything appended BEFORE
+        it — Iceberg's sequence-number rule: deletes apply only to
+        older data files, so a later re-insert of the same key
+        survives. Delete keys are broadcast (delete files are small
+        relative to data; compaction folds them away entirely)."""
+        return self._read_chain_filtered(spark, chain, None)
+
+    def _read_chain_filtered(
+        self,
+        spark: SparkSession,
+        chain: list[str],
+        file_filter,
+    ) -> DataFrame:
+        out: DataFrame | None = None
         for sid in chain:
-            files += self.manifest(sid)["data_files"]
-        return self._read_files(spark, files)
+            man = self.manifest(sid)
+            if man.get("operation") == "equality_delete":
+                if out is not None and man["delete_files"]:
+                    keys = self._read_files(spark, man["delete_files"])
+                    out = out.join(
+                        F.broadcast(keys), man["delete_on"], "left_anti"
+                    )
+                continue
+            files = man["data_files"]
+            if file_filter is not None:
+                files = [p for p in files if file_filter(p)]
+            if not files:  # empty append / fully pruned snapshot
+                continue
+            df = self._read_files(spark, files)
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        if out is None:
+            raise ValueError("no data files in the requested snapshots")
+        return out
 
     def read(self, spark: SparkSession,
              at: str | None = None) -> DataFrame:
@@ -372,10 +454,10 @@ class IcebergLikeTable:
                 )
             chain = chain[chain.index(since) + 1:]
         for sid in chain:
-            if self.manifest(sid).get("operation") in ("replace", "merge"):
+            op = self.manifest(sid).get("operation")
+            if op in ("replace", "merge", "equality_delete"):
                 raise ValueError(
-                    f"incremental scan would cross "
-                    f"{self.manifest(sid)['operation']} snapshot "
+                    f"incremental scan would cross {op} snapshot "
                     f"{sid!r}; restart from it"
                 )
         if not chain:
@@ -419,13 +501,11 @@ class IcebergLikeTable:
         import hashlib
 
         b = int(hashlib.md5(str(key_value).encode()).hexdigest()[:8], 16) % n
-        files = [
-            p
-            for s in self._ancestry(sid)
-            for p in self.manifest(s)["data_files"]
-            if f"bucket={b}" in p.split(os.sep)
-        ]
-        return self._read_files(spark, files)
+        return self._read_chain_filtered(
+            spark,
+            self._ancestry(sid),
+            lambda p: f"bucket={b}" in p.split(os.sep),
+        )
 
     def expire_snapshots(self) -> list[str]:
         """Maintenance twin of compaction: delete the data files of
@@ -439,7 +519,10 @@ class IcebergLikeTable:
         # physically live in an expired snapshot's directory (a merge
         # snapshot carries untouched-bucket files by reference)
         live_files = {
-            p for s in live for p in self.manifest(s)["data_files"]
+            p
+            for s in live
+            for p in (self.manifest(s)["data_files"]
+                      + self.manifest(s).get("delete_files", []))
         }
         expired: list[str] = []
         for sid in self.snapshots():

@@ -266,3 +266,74 @@ def test_expire_keeps_files_borrowed_by_live_merge(spark, merged_table):
     assert got["h1"] == 1 and got["h0"] == 100
     with pytest.raises(ValueError, match="expired"):
         merged_table.read(spark, at="s1")
+
+
+# -- equality deletes (merge-on-read) ----------------------------------------
+
+
+def test_equality_delete_and_reinsert(spark, table):
+    table.commit_append(_kv(spark, [("a", 1), ("b", 2), ("c", 3)]), "s1")
+    table.commit_equality_delete(
+        spark.createDataFrame([("b",)], "host string"), on="host",
+        snapshot_id="d1",
+    )
+    got = {r["host"]: r["v"] for r in table.read(spark).collect()}
+    assert got == {"a": 1, "c": 3}
+    # sequence-number semantics: a LATER append of the key is visible
+    table.commit_append(_kv(spark, [("b", 20)]), "s2")
+    got = {r["host"]: r["v"] for r in table.read(spark).collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+    # time travel to before the delete still sees the original row
+    got = {r["host"]: r["v"] for r in table.read(spark, at="s1").collect()}
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+
+def test_equality_delete_fences_incremental(spark, table):
+    table.commit_append(_kv(spark, [("a", 1)]), "s1")
+    table.commit_equality_delete(
+        spark.createDataFrame([("a",)], "host string"), on="host",
+        snapshot_id="d1",
+    )
+    with pytest.raises(ValueError, match="equality_delete"):
+        table.read_incremental(spark, since="s1")
+
+
+def test_compact_folds_deletes(spark, table):
+    table.commit_append(_kv(spark, [("a", 1), ("b", 2)]), "s1")
+    table.commit_equality_delete(
+        spark.createDataFrame([("a",)], "host string"), on="host",
+        snapshot_id="d1",
+    )
+    table.compact(spark, "c1")
+    assert {r["host"] for r in table.read(spark).collect()} == {"b"}
+    # the compacted chain is one replace snapshot: incremental
+    # consumers restart from it and see appends after it only
+    table.commit_append(_kv(spark, [("z", 9)]), "s2")
+    inc = table.read_incremental(spark, since="c1")
+    assert [r["host"] for r in inc.collect()] == ["z"]
+
+
+def test_scan_bucket_applies_deletes(spark, table):
+    base = _kv(spark, [(f"h{i}", i) for i in range(8)])
+    table.commit_append(base, "s1", bucket_by=("host", 4))
+    table.commit_equality_delete(
+        spark.createDataFrame([("h1",)], "host string"), on="host",
+        snapshot_id="d1",
+    )
+    assert table.scan_bucket(spark, "h1").filter("host = 'h1'").count() == 0
+    assert table.scan_bucket(spark, "h0").filter("host = 'h0'").count() == 1
+
+
+def test_merge_into_folds_outstanding_deletes(spark, table):
+    table.commit_append(
+        _kv(spark, [("h0", 0), ("h1", 1)]), "s1", bucket_by=("host", 4)
+    )
+    table.commit_equality_delete(
+        spark.createDataFrame([("h1",)], "host string"), on="host",
+        snapshot_id="d1",
+    )
+    table.merge_into(
+        spark, _kv(spark, [("h0", 100)]), on="host", snapshot_id="m1"
+    )
+    got = {r["host"]: r["v"] for r in table.read(spark).collect()}
+    assert got == {"h0": 100}  # h1 stays deleted through the merge
