@@ -633,3 +633,241 @@ FROM assign a LEFT JOIN dropped d ON a.vec_id = d.id
 WHERE d.id IS NULL
 ORDER BY a.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ADC search inside IVF cells
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(
+    corpus_df: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook: split the vector into ``m_sub``
+    subspaces; per subspace the codewords are the sub-slices of the
+    ``k_codes`` md5-ranked corpus seed vectors (the same seeded pick
+    as ivf_centroids — data-adaptive, deterministic, no k-means whose
+    float means would be accumulation-order-dependent).
+    Returns (m, code, c_sub, c_norm2): m_sub * k_codes rows, always
+    broadcastable."""
+    from pyspark.sql import Window
+
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    w = Window.orderBy("_h", "_sid")
+    seeds = (
+        corpus_df.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_sid"),
+            as_double(F.col(vec_col)).alias("centroid"),
+        )
+        .withColumn("code", F.row_number().over(w) - 1)
+        .filter(F.col("code") < k_codes)
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(m_sub)])).alias("m")
+    return seeds.select("code", "centroid").select(
+        ms, "code", "centroid"
+    ).select(
+        "m",
+        "code",
+        F.slice(
+            F.col("centroid"), F.col("m") * sub + 1, F.lit(sub)
+        ).alias("c_sub"),
+    ).withColumn("c_norm2", dot(F.col("c_sub"), F.col("c_sub")))
+
+
+def pq_encode(
+    corpus_df: DataFrame,
+    codebook: DataFrame,
+    m_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m_sub`` codes: per subspace, the
+    codeword minimizing ROUND(L2², 6) (ties -> lowest code). The
+    argmin is a combinable ``min_by`` aggregate (map-side combine, no
+    window), so encoding shuffles only (id, m, tiny struct) rows.
+    The codes relation is the PQ payoff: 1 small int per subspace
+    instead of ``dim`` floats — downstream joins shuffle ~m_sub bytes
+    per vector."""
+    sub = dim // m_sub
+    x = corpus_df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    )
+    paired = x.crossJoin(F.broadcast(codebook)).select(
+        "id",
+        "m",
+        "code",
+        F.slice(F.col("v"), F.col("m") * sub + 1, F.lit(sub)).alias("x_sub"),
+        "c_sub",
+        "c_norm2",
+    )
+    d2 = F.round(
+        dot(F.col("x_sub"), F.col("x_sub"))
+        - 2.0 * dot(F.col("x_sub"), F.col("c_sub"))
+        + F.col("c_norm2"),
+        6,
+    )
+    return (
+        paired.withColumn("_d2", d2)
+        .groupBy("id", "m")
+        .agg(
+            F.min_by(
+                F.col("code"), F.struct(F.col("_d2"), F.col("code"))
+            ).alias("code")
+        )
+    )
+
+
+def ivfpq_ann_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN with asymmetric distance computation (ADC):
+    corpus vectors live as (cell_id, m_sub codes); a query probes its
+    nprobe cells and scores candidates by the PQ-approximate dot
+    product — the sum over subspaces of dot(query_sub, codeword) —
+    looked up from a per-query distance table, never touching the
+    original corpus vectors.
+
+    Scale shape: the search joins CODES (a few bytes/vector), not
+    embeddings — at 10^9+ vectors this is the memory/shuffle win that
+    makes ANN feasible where even LSH/IVF over raw vectors is not.
+    Partial dots are floored to integer MICROUNITS before the
+    per-pair sum, so the groupBy accumulation is exact-integer and
+    partition-order-invariant (the engine-vs-oracle hash gate holds
+    on any cluster shape).
+    """
+    cent = ivf_centroids(corpus_df, n_cells, id_col, vec_col)
+    c = corpus_df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cells = _ivf_nearest_cells(c, cent, 1).select(
+        F.col("id").alias("neighbor_id"), "cell_id"
+    )
+    cb = pq_codebook(corpus_df, m_sub, k_codes, dim, id_col, vec_col)
+    codes = pq_encode(corpus_df, cb, m_sub, dim, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "m", "code"
+    )
+    q = queries_df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    probes = _ivf_nearest_cells(q, cent, nprobe).select(
+        F.col("id").alias("query_id"), "cell_id"
+    )
+    sub = dim // m_sub
+    pdots = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "m",
+        "code",
+        F.floor(
+            dot(
+                F.slice(F.col("qv"), F.col("m") * sub + 1, F.lit(sub)),
+                F.col("c_sub"),
+            )
+            * 1000000.0
+        ).cast("long").alias("pd_micro"),
+    )
+    cand = probes.join(cells, "cell_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id")
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(pdots, ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd_micro").alias("adc_micro"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_micro").desc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_micro", "rank")
+    )
+
+
+def ivfpq_ann_topk_sql(
+    query_pred: str,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ivfpq_ann_topk (same seeds, codes, micro-ADC)."""
+    sub = dim // m_sub
+    cells = _ivf_cells_sql(query_pred, n_cells, nprobe, table)
+    return f"""
+WITH {cells},
+cb_seeds AS (
+  SELECT v AS centroid,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code
+  FROM e QUALIFY code < {k_codes}),
+cb AS (
+  SELECT u.m, code,
+         list_slice(centroid, u.m * {sub} + 1, u.m * {sub} + {sub})
+           AS c_sub
+  FROM cb_seeds, UNNEST(generate_series(0, {m_sub - 1})) AS u(m)),
+enc AS (
+  SELECT e.vec_id AS neighbor_id, cb.m, cb.code,
+         ROUND(
+           list_dot_product(
+             list_slice(e.v, cb.m * {sub} + 1, cb.m * {sub} + {sub}),
+             list_slice(e.v, cb.m * {sub} + 1, cb.m * {sub} + {sub}))
+           - 2 * list_dot_product(
+             list_slice(e.v, cb.m * {sub} + 1, cb.m * {sub} + {sub}),
+             cb.c_sub)
+           + list_dot_product(cb.c_sub, cb.c_sub), 6) AS d2
+  FROM e CROSS JOIN cb),
+codes AS (
+  SELECT neighbor_id, m, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY neighbor_id, m ORDER BY d2, code) AS rn FROM enc)
+  WHERE rn = 1),
+pdots AS (
+  SELECT e.vec_id AS query_id, cb.m, cb.code,
+         CAST(FLOOR(list_dot_product(
+           list_slice(e.v, cb.m * {sub} + 1, cb.m * {sub} + {sub}),
+           cb.c_sub) * 1000000) AS BIGINT) AS pd_micro
+  FROM e CROSS JOIN cb WHERE {query_pred}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (cell_id)
+  WHERE p.query_id <> a.vec_id),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, SUM(pd_micro) AS adc_micro
+  FROM cand c
+  JOIN codes USING (neighbor_id)
+  JOIN pdots USING (query_id, m, code)
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_micro DESC, neighbor_id) AS rank
+  FROM adc)
+SELECT query_id, neighbor_id, adc_micro, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""

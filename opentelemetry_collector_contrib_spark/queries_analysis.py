@@ -1120,3 +1120,23 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     vocab = VOC.fit_vocab(docs, vocab_size=512)
     return VOC.encode_with_vocab(docs, vocab, head_n=8).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (analysis/similarity.ivfpq_ann_topk): product-quantized
+# codes + integer-micro ADC inside IVF cells — the memory-compressed
+# scale path (search joins codes, never raw vectors).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivfpq_topk",
+    SIM.ivfpq_ann_topk_sql(query_pred="vec_id % 25 = 0", k=5, n_cells=8,
+                           nprobe=2, m_sub=8, k_codes=16, dim=64),
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    return SIM.ivfpq_ann_topk(
+        qs, emb, k=5, n_cells=8, nprobe=2, m_sub=8, k_codes=16, dim=64
+    ).orderBy("query_id", "rank")

@@ -108,3 +108,57 @@ def test_vocab_apply_join_is_broadcast(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- IVF-PQ (analysis/similarity.py) -----------------------------------------
+
+
+def test_pq_seed_vectors_encode_to_their_own_code(spark):
+    """A codebook seed's sub-slices ARE codewords: d2 = 0, so each
+    seed must encode to its own code id in every subspace."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.analysis import (
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = SIM.pq_codebook(emb, m_sub=8, k_codes=4, dim=64)
+    assert cb.count() == 8 * 4
+    # recover the seed ids the same way the codebook ranks them
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    seeds = {
+        r["vec_id"]: r["code"]
+        for r in emb.select(
+            "vec_id", (F.row_number().over(w) - 1).alias("code")
+        ).filter(F.col("code") < 4).collect()
+    }
+    codes = SIM.pq_encode(
+        emb.filter(F.col("vec_id").isin(*seeds)), cb, m_sub=8, dim=64
+    ).collect()
+    assert len(codes) == 4 * 8
+    for r in codes:
+        assert r["code"] == seeds[r["id"]]
+
+
+def test_ivfpq_rank_shape_and_code_compression(spark):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.analysis import (
+        similarity as SIM,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    out = SIM.ivfpq_ann_topk(qs, emb, k=3, n_cells=4, nprobe=2).collect()
+    per_q: dict[int, list] = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        micro = [r["adc_micro"] for r in rows]
+        assert micro == sorted(micro, reverse=True)
