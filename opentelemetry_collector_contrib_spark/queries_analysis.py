@@ -1140,3 +1140,63 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_ann_topk(
         qs, emb, k=5, n_cells=8, nprobe=2, m_sub=8, k_codes=16, dim=64
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# WARC record codec (sources/warc.py): encode web pages as WARC/1.0
+# records and parse them back — the Common-Crawl-native receiver
+# round-trip (same identity discipline as the fileexporter/otlpjson
+# round-trip queries).
+# ---------------------------------------------------------------------------
+
+from .sources import warc as WARC  # noqa: E402
+
+
+def _warc_oracle() -> str:
+    rec = WARC.warc_encode_sql(
+        "url", "to_timestamp(warc_ts_epoch)", "text"
+    )
+    f = WARC.warc_parse_sql_fields("rec")
+    return f"""
+WITH web AS ({datagen.web_pages_select_sql('documents')}),
+enc AS (SELECT page_id, url, warc_ts_epoch, ({rec}) AS rec FROM web)
+SELECT page_id,
+       {f['version']} AS version,
+       {f['warc_type']} AS warc_type,
+       {f['uri']} AS uri,
+       CAST(FLOOR(epoch({f['date']})) AS BIGINT) AS date_epoch,
+       {f['content_length']} AS content_length,
+       {f['length_ok']} AS length_ok,
+       ({f['uri']} = url) AS uri_ok,
+       (CAST(FLOOR(epoch({f['date']})) AS BIGINT) = warc_ts_epoch)
+         AS ts_ok,
+       md5({f['payload']}) AS payload_md5
+FROM enc ORDER BY page_id
+"""
+
+
+@register("warc_roundtrip_pages", _warc_oracle())
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    rec = WARC.warc_encode(
+        F.col("url"),
+        F.timestamp_seconds(F.col("warc_ts_epoch")),
+        F.col("text"),
+    )
+    p = WARC.warc_parse(rec)
+    return web.select(
+        "page_id", "url", "warc_ts_epoch", p.alias("p")
+    ).select(
+        "page_id",
+        F.col("p.version").alias("version"),
+        F.col("p.warc_type").alias("warc_type"),
+        F.col("p.uri").alias("uri"),
+        F.unix_timestamp("p.date").alias("date_epoch"),
+        F.col("p.content_length").alias("content_length"),
+        F.col("p.length_ok").alias("length_ok"),
+        (F.col("p.uri") == F.col("url")).alias("uri_ok"),
+        (F.unix_timestamp("p.date") == F.col("warc_ts_epoch")).alias(
+            "ts_ok"
+        ),
+        F.md5(F.col("p.payload")).alias("payload_md5"),
+    ).orderBy("page_id")

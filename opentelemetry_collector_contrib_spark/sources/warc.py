@@ -1,0 +1,153 @@
+"""WARC (Web ARChive, ISO 28500) record encode/parse — the native
+container of Common-Crawl-style corpora (the graft's input per
+BASELINE.json).
+
+A WARC record is a header block of ``Name: value`` lines separated
+from the payload by a blank line:
+
+    WARC/1.0\\r\\n
+    WARC-Type: response\\r\\n
+    WARC-Target-URI: <url>\\r\\n
+    WARC-Date: <ISO-8601>\\r\\n
+    Content-Length: <payload bytes>\\r\\n
+    \\r\\n
+    <payload>
+
+The parse is a pure-Column regex battery over the decoded record —
+the same stanza-parser shape as syslog/container parsing (SURVEY.md
+§2.3): map-only, whole-stage codegen, no Python. At 100 TB each WARC
+member is one row of a binary column (the segmentation into members
+is the file-format layer's job — Common Crawl ships one gzip member
+per record precisely so splitters don't need to parse WARC); this
+module is the record-level codec.
+
+Round-trip discipline: ``warc_encode`` builds records
+deterministically from table rows, ``warc_parse`` recovers the exact
+fields — the encode→parse identity is the oracle (the pattern used
+for fileexporter/otlpjson round-trips).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_CRLF = "\r\n"
+
+
+def warc_encode(
+    uri: Column,
+    date: Column,
+    payload: Column,
+    warc_type: str = "response",
+) -> Column:
+    """One WARC/1.0 record (string column) per row. ``date`` is a
+    timestamp column, rendered as ISO-8601 Zulu with second
+    precision; Content-Length counts payload UTF-8 bytes like the
+    spec's octet count."""
+    header = F.concat_ws(
+        _CRLF,
+        F.lit("WARC/1.0"),
+        F.lit(f"WARC-Type: {warc_type}"),
+        F.concat(F.lit("WARC-Target-URI: "), uri),
+        F.concat(
+            F.lit("WARC-Date: "),
+            F.date_format(date, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        ),
+        F.concat(
+            F.lit("Content-Length: "),
+            F.octet_length(payload).cast("string"),
+        ),
+    )
+    return F.concat(header, F.lit(_CRLF + _CRLF), payload)
+
+
+def warc_encode_sql(uri: str, date: str, payload: str,
+                    warc_type: str = "response") -> str:
+    crlf = "chr(13) || chr(10)"
+    return (
+        f"'WARC/1.0' || {crlf} || "
+        f"'WARC-Type: {warc_type}' || {crlf} || "
+        f"'WARC-Target-URI: ' || {uri} || {crlf} || "
+        f"'WARC-Date: ' || strftime({date}, '%Y-%m-%dT%H:%M:%SZ') "
+        f"|| {crlf} || "
+        f"'Content-Length: ' || CAST(octet_length(encode({payload})) "
+        f"AS VARCHAR) || {crlf} || {crlf} || {payload}"
+    )
+
+
+_HDR = r"(?m)^{name}:[ \t]*([^\r\n]*)\r?$"
+
+
+def warc_header(record: Column, name: str) -> Column:
+    """Value of one WARC header (NULL when absent). Multiline mode:
+    headers end at the first blank line, but header names are unique
+    per record so a global line-anchored search is equivalent and
+    stays in codegen."""
+    got = F.regexp_extract(record, _HDR.format(name=name), 1)
+    return F.when(got != "", got)
+
+
+def warc_header_sql(expr: str, name: str) -> str:
+    return (
+        f"NULLIF(regexp_extract({expr}, "
+        f"'(?m)^{name}:[ \\t]*([^\\r\\n]*)\\r?$', 1), '')"
+    )
+
+
+def warc_parse(record: Column) -> Column:
+    """Parse one WARC record into a struct: version, warc_type, uri,
+    date (timestamp), declared content_length, and the payload (the
+    octets after the first blank line). Malformed records (no WARC/
+    magic) parse to a NULL struct, the on_error=send contract of the
+    stanza parsers."""
+    payload = F.regexp_replace(
+        record, r"(?s)\A.*?\r\n\r\n", ""
+    )
+    parsed = F.struct(
+        F.regexp_extract(record, r"\AWARC/(\d+\.\d+)\r\n", 1).alias(
+            "version"
+        ),
+        warc_header(record, "WARC-Type").alias("warc_type"),
+        warc_header(record, "WARC-Target-URI").alias("uri"),
+        F.to_timestamp(
+            warc_header(record, "WARC-Date"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ).alias("date"),
+        warc_header(record, "Content-Length").cast("long").alias(
+            "content_length"
+        ),
+        payload.alias("payload"),
+        (
+            F.octet_length(payload)
+            == warc_header(record, "Content-Length").cast("long")
+        ).alias("length_ok"),
+    )
+    return F.when(record.startswith("WARC/"), parsed)
+
+
+def warc_parse_sql_fields(expr: str) -> dict[str, str]:
+    """DuckDB twins of warc_parse's fields, as a name -> SQL map (flat
+    columns instead of a struct: easier to embed in oracle SELECTs).
+    Callers must guard with ``warc_magic_sql`` for the NULL-on-
+    malformed contract."""
+    payload = (
+        f"regexp_replace({expr}, '(?s)^.*?\\r\\n\\r\\n', '', 's')"
+    )
+    return {
+        "version": f"regexp_extract({expr}, '^WARC/(\\d+\\.\\d+)', 1)",
+        "warc_type": warc_header_sql(expr, "WARC-Type"),
+        "uri": warc_header_sql(expr, "WARC-Target-URI"),
+        "date": (
+            f"strptime({warc_header_sql(expr, 'WARC-Date')}, "
+            f"'%Y-%m-%dT%H:%M:%SZ')"
+        ),
+        "content_length": (
+            f"CAST({warc_header_sql(expr, 'Content-Length')} AS BIGINT)"
+        ),
+        "payload": payload,
+        "length_ok": (
+            f"octet_length(encode({payload})) = "
+            f"CAST({warc_header_sql(expr, 'Content-Length')} AS BIGINT)"
+        ),
+    }

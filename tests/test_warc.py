@@ -1,0 +1,66 @@
+"""WARC record codec (sources/warc.py): encode/parse round-trip,
+malformed-record NULL contract, payload boundary handling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.sources import warc as WARC
+
+
+def _parse(spark, records):
+    df = spark.createDataFrame([(r,) for r in records], "rec string")
+    return df.select(WARC.warc_parse(F.col("rec")).alias("p")).collect()
+
+
+def test_warc_roundtrip_fields(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.example/x", "hello world")],
+        "id long, url string, text string",
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1700000000)))
+    rec = df.select(
+        WARC.warc_encode(F.col("url"), F.col("ts"), F.col("text")).alias("r")
+    ).collect()[0]["r"]
+    assert rec.startswith("WARC/1.0\r\nWARC-Type: response\r\n")
+    p = _parse(spark, [rec])[0]["p"]
+    assert p["version"] == "1.0"
+    assert p["warc_type"] == "response"
+    assert p["uri"] == "https://a.example/x"
+    assert p["content_length"] == 11
+    assert p["payload"] == "hello world"
+    assert p["length_ok"] is True
+
+
+def test_warc_payload_with_blank_lines_and_crlf(spark):
+    payload = "line1\r\n\r\nline2 after blank"
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: u\r\n"
+        "WARC-Date: 2023-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(payload.encode())}\r\n\r\n" + payload
+    )
+    p = _parse(spark, [rec])[0]["p"]
+    # the parse splits at the FIRST blank line only
+    assert p["payload"] == payload
+    assert p["length_ok"] is True
+
+
+def test_warc_malformed_record_is_null(spark):
+    out = _parse(spark, ["not a warc record", "WARC/1.0\r\nnope"])
+    assert out[0]["p"] is None  # no magic -> NULL struct
+    p = out[1]["p"]  # magic but no headers: fields NULL
+    assert p is not None
+    assert p["uri"] is None and p["warc_type"] is None
+    assert p["content_length"] is None
+
+
+def test_warc_multibyte_content_length(spark):
+    df = spark.createDataFrame([("u", "héllo")], "url string, text string")
+    rec = df.select(
+        WARC.warc_encode(
+            F.col("url"), F.timestamp_seconds(F.lit(0)), F.col("text")
+        ).alias("r")
+    ).collect()[0]["r"]
+    assert "Content-Length: 6" in rec  # é is 2 UTF-8 bytes
+    p = _parse(spark, [rec])[0]["p"]
+    assert p["length_ok"] is True
