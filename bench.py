@@ -178,6 +178,12 @@ def main() -> None:
         "tail_sampling_policies_events",
         "dedup_exact_substring",
         "dsir_scores_documents",
+        # round-2 late additions (BASELINE.md notes the list growth:
+        # r01/r02 totals are not comparable row-for-row, throughput is)
+        "classifier_quality_documents",
+        "vocab_encode_documents",
+        "ann_ivfpq_topk",
+        "warc_roundtrip_pages",
     ]
     all_q = Q.queries()
     for name in bench_queries:

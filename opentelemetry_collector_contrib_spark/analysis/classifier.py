@@ -7,15 +7,18 @@ classifier): score(x) = w · f(x) where f buckets uni+bigrams into B
 hash buckets. Training happens offline; at corpus scale only the
 APPLY pass matters, and it must be map-only.
 
-Spark shape (100 TB-safe): features are built per-row as an array
-(no explode), bucket weights are a pure function of the bucket id, and
-the dot product is one ``F.aggregate`` fold — zero shuffles, zero
-Python, whole-stage codegen end to end. A production model would
-instead broadcast a (bucket → weight) table and ``F.aggregate`` over a
-map literal or join; the md5-derived weights here are the FIXTURES.md
-determinism substitute for shipped trained weights (same role as the
-md5 hyperplanes in analysis/hashing.py), so the DuckDB oracle can
-re-derive the identical model.
+Spark shape (100 TB-safe): features explode to (doc, bucket) rows so
+the md5 arithmetic runs INSIDE whole-stage codegen (a transform/
+aggregate lambda form computes identical values but evaluates the
+hash interpreted, ~10x slower per element — measured, see git
+history), and the dot product is a combinable ``groupBy(id).sum`` —
+map-side combine reduces each partition to one row per doc before the
+only shuffle, which carries (id, long) pairs. Zero Python. A
+production model would broadcast a (bucket → weight) table onto the
+same exploded stream; the md5-derived weights here are the
+FIXTURES.md determinism substitute for shipped trained weights (same
+role as the md5 hyperplanes in analysis/hashing.py), so the DuckDB
+oracle can re-derive the identical model.
 
 Determinism: weights are integer MILLI-units in [-1000, 1000]
 (md5_int32("w<seed>|<bucket>") % 2001 - 1000) and scores are exact
@@ -78,18 +81,25 @@ def classifier_scores(
     is the exact BIGINT dot product and ``keep`` is the mean-score
     gate ``score_milli > threshold_milli * n_features`` (docs with no
     features are dropped, like fastText's empty-input behavior).
-    Map-only: the whole op is one projection, no shuffle.
+    One combinable shuffle of (id, long) rows; hashing is codegen'd
+    on the exploded feature stream.
     """
     feats = _hashed_features(F.col(text_col), n_buckets)
-    weights = F.transform(feats, lambda b: _bucket_weight(b, seed))
-    score = F.aggregate(
-        weights, F.lit(0).cast("long"), lambda acc, w: acc + w
+    rows = df.select(
+        F.col(id_col), F.explode_outer(feats).alias("_b")
     )
-    n = F.size(weights)
-    return df.select(
-        F.col(id_col),
-        n.alias("n_features"),
-        score.alias("score_milli"),
+    w = F.when(
+        F.col("_b").isNotNull(), _bucket_weight(F.col("_b"), seed)
+    ).otherwise(0).cast("long")
+    agg = rows.groupBy(id_col).agg(
+        F.count("_b").cast("int").alias("n_features"),
+        F.sum(w).alias("score_milli"),
+    )
+    n, score = F.col("n_features"), F.col("score_milli")
+    return agg.select(
+        id_col,
+        "n_features",
+        "score_milli",
         (
             (n > 0)
             & (score > F.lit(threshold_milli) * n.cast("long"))

@@ -1100,7 +1100,7 @@ from .analysis import classifier as CLF  # noqa: E402
 )
 def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CLF.classifier_scores(
-        _docs(spark, sf_dir), n_buckets=4096, seed=7
+        _docs_par(spark, sf_dir), n_buckets=4096, seed=7
     ).orderBy("doc_id")
 
 
@@ -1117,7 +1117,7 @@ from .analysis import vocab as VOC  # noqa: E402
     VOC.encode_with_vocab_sql("documents", vocab_size=512, head_n=8),
 )
 def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     vocab = VOC.fit_vocab(docs, vocab_size=512)
     return VOC.encode_with_vocab(docs, vocab, head_n=8).orderBy("doc_id")
 

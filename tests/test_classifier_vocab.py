@@ -61,11 +61,14 @@ def test_classifier_threshold_cross_multiplied(spark):
     assert hi["keep"] == (s > 1000 * n)
 
 
-def test_classifier_plan_is_map_only(spark):
+def test_classifier_plan_one_combinable_shuffle(spark):
     plan = CLF.classifier_scores(
         _docs(spark, [(1, "a b")])
     )._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    # exactly one exchange, fed by a map-side partial aggregate (the
+    # shuffle carries one (id, long) row per doc per partition)
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
 
 
 def test_vocab_fit_rank_and_ties(spark):
