@@ -1,0 +1,206 @@
+"""Host-graph analytics over the Common-Crawl-style link graph:
+PageRank (the canonical web-corpus authority signal, used by
+quality-weighted sampling and crawl prioritization) and an anchor-text
+index (the classic "what the web calls this page" relation used for
+retrieval/eval corpora).
+
+Both operate on the aggregated (src_host, dst_host, n_links) edge
+relation from analysis/html.link_host_edges — O(distinct host pairs),
+never O(pages).
+
+PageRank shape: a fixed-iteration power loop; every iteration is one
+equi-join of the rank relation with the weighted edge list plus one
+combinable groupBy(dst).sum. At 10^8 hosts both relations shuffle on
+`host` — co-partitioning ranks and edges (repartition both by the
+join key once, or bucket the edge table) makes iterations 2..N
+exchange-free on the edge side. Rank values are integer MICRO-units
+with truncating integer division (`div`), so every iteration is
+exact-integer and the DuckDB oracle (same unrolled arithmetic)
+matches bit-for-bit — no float accumulation-order flake across
+cluster shapes. Dangling hosts (no out-links) contribute nothing (a
+documented simplification of the redistribute-to-all convention;
+both engines implement the same variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .html import _ENTITIES, _TAG_RE, _link_host, link_host_sql, page_host
+
+INIT_MICRO = 1_000_000
+BASE_MICRO = 150_000  # (1 - d) * 1e6 at d = 0.85
+
+
+def pagerank_hosts(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(host, rank_micro) after ``iterations`` exact-integer power
+    steps over the weighted host graph: contribution of u to v is
+    (rank(u) * n_links(u→v)) div out_links(u), and
+    rank'(v) = BASE + (d_pct * Σ contribs) div 100."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    out_tot = edges.groupBy("src_host").agg(
+        F.sum("n_links").alias("out_links")
+    )
+    ew = edges.join(out_tot, "src_host")
+    ranks = nodes.withColumn(
+        "rank_micro", F.lit(INIT_MICRO).cast("long")
+    )
+    for _ in range(iterations):
+        contrib = ew.join(
+            ranks, ew["src_host"] == ranks["host"]
+        ).select(
+            F.col("dst_host").alias("host"),
+            F.expr("(rank_micro * n_links) div out_links").alias("c"),
+        )
+        sums = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "host", "left").select(
+            "host",
+            (
+                F.lit(BASE_MICRO)
+                + F.expr(f"(coalesce(s, 0) * {damping_pct}) div 100")
+            ).cast("long").alias("rank_micro"),
+        )
+    return ranks
+
+
+def pagerank_hosts_sql(
+    edges_cte: str,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin: the power loop unrolled into chained CTEs (one per
+    iteration, same integer arithmetic). ``edges_cte`` must name a CTE
+    with (src_host, dst_host, n_links). Returns the CTE-chain fragment
+    ending in ``pr{iterations}``; embed inside a WITH list."""
+    parts = [
+        f"""nodes AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM {edges_cte}
+    UNION ALL SELECT dst_host FROM {edges_cte})),
+ew AS (
+  SELECT e.*, o.out_links
+  FROM {edges_cte} e JOIN (
+    SELECT src_host, SUM(n_links) AS out_links
+    FROM {edges_cte} GROUP BY src_host) o USING (src_host)),
+pr0 AS (SELECT host, CAST({INIT_MICRO} AS BIGINT) AS rank_micro
+        FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""pr{i} AS (
+  SELECT n.host,
+         CAST({BASE_MICRO} + ((COALESCE(SUM(
+             (p.rank_micro * e.n_links) // e.out_links), 0)
+           * {damping_pct}) // 100) AS BIGINT) AS rank_micro
+  FROM nodes n
+  LEFT JOIN ew e ON e.dst_host = n.host
+  LEFT JOIN pr{i - 1} p ON p.host = e.src_host
+  GROUP BY n.host)""")
+    return ",\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text index
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = r'(?is)<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def _clean_fragment(c: Column) -> Column:
+    s = F.regexp_replace(c, _TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def _clean_fragment_sql(e: str) -> str:
+    s = f"regexp_replace({e}, '{_TAG_RE}', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{rep_sql}')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+
+def anchor_text_index(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` anchor texts pointing at each host:
+    (dst_host, anchor, n, rank). Anchors are the cleaned inner text of
+    ``<a href=...>`` elements; the target host resolves like
+    link_host_edges (relative links -> the page's own host). Map-only
+    extract + explode, one combinable (dst_host, anchor) aggregate,
+    then a per-host top-k window — shuffle payload is host/anchor
+    strings, never page bytes."""
+    from pyspark.sql import Window
+
+    s = F.decode(F.col(html_col), "UTF-8")
+    els = df.select(
+        page_host(F.col(url_col)).alias("src_host"),
+        F.explode(F.regexp_extract_all(s, F.lit(_ANCHOR_RE), 0)).alias(
+            "el"
+        ),
+    )
+    pairs = els.select(
+        _link_host(
+            F.regexp_extract(F.col("el"), _ANCHOR_RE, 1),
+            F.col("src_host"),
+        ).alias("dst_host"),
+        _clean_fragment(F.regexp_extract(F.col("el"), _ANCHOR_RE, 2)).alias(
+            "anchor"
+        ),
+    ).filter(F.col("anchor") != "")
+    counts = pairs.groupBy("dst_host", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n"), F.asc("anchor")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dst_host", "anchor", "n", F.col("rank").cast("int"))
+    )
+
+
+def anchor_text_index_sql(
+    pages_cte: str,
+    url_expr: str = "url",
+    html_expr: str = "html_str",
+    k: int = 3,
+) -> str:
+    """DuckDB twin over a CTE with (url, decoded html string)."""
+    from .html import page_host_sql
+
+    href = "regexp_extract(el, '" + _ANCHOR_RE + "', 1)"
+    inner = "regexp_extract(el, '" + _ANCHOR_RE + "', 2)"
+    return f"""
+els AS (
+  SELECT {page_host_sql(url_expr)} AS src_host,
+         unnest(regexp_extract_all({html_expr},
+                '{_ANCHOR_RE}', 0)) AS el
+  FROM {pages_cte}),
+pairs AS (
+  SELECT {link_host_sql(href, 'src_host')} AS dst_host,
+         {_clean_fragment_sql(inner)} AS anchor
+  FROM els),
+counts AS (
+  SELECT dst_host, anchor, COUNT(*) AS n
+  FROM pairs WHERE anchor <> '' GROUP BY 1, 2),
+ranked AS (
+  SELECT dst_host, anchor, n,
+         CAST(row_number() OVER (
+           PARTITION BY dst_host ORDER BY n DESC, anchor) AS INT)
+           AS rank
+  FROM counts)
+"""

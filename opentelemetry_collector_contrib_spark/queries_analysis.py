@@ -1200,3 +1200,46 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.col("p.payload")).alias("payload_md5"),
     ).orderBy("page_id")
+
+
+# ---------------------------------------------------------------------------
+# Host-graph analytics (analysis/graph.py): exact-integer PageRank
+# power iteration + anchor-text index over the link graph.
+# ---------------------------------------------------------------------------
+
+from .analysis import graph as GR  # noqa: E402
+
+
+@register(
+    "html_host_pagerank",
+    _EDGES_SQL
+    + """
+, g AS (SELECT src_host, dst_host, count(*) AS n_links
+        FROM e GROUP BY src_host, dst_host),
+"""
+    + GR.pagerank_hosts_sql("g", iterations=5)
+    + """
+SELECT host, rank_micro FROM pr5 ORDER BY host
+""",
+)
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    df = web.withColumn("html", HT.rich_html_col())
+    edges = HT.link_host_edges(df)
+    return GR.pagerank_hosts(edges, iterations=5).orderBy("host")
+
+
+@register(
+    "html_anchor_text",
+    f"""
+WITH web AS ({_WEB_SQL}),
+h AS (SELECT url, {_RICH} AS html_str FROM web),
+{GR.anchor_text_index_sql('h', 'url', 'html_str', k=3).strip().rstrip()}
+SELECT dst_host, anchor, n, rank FROM ranked WHERE rank <= 3
+ORDER BY dst_host, rank
+""",
+)
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    df = web.withColumn("html", HT.rich_html_col())
+    return GR.anchor_text_index(df, k=3).orderBy("dst_host", "rank")

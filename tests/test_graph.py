@@ -1,0 +1,74 @@
+"""Host-graph analytics (analysis/graph.py): exact-integer PageRank
+and the anchor-text index."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.analysis import graph as GR
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(
+        rows, "src_host string, dst_host string, n_links long"
+    )
+
+
+def _py_pagerank(edges, iterations):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    out = {}
+    for s, _, n in edges:
+        out[s] = out.get(s, 0) + n
+    r = {h: GR.INIT_MICRO for h in nodes}
+    for _ in range(iterations):
+        s = {h: 0 for h in nodes}
+        for u, v, n in edges:
+            s[v] += (r[u] * n) // out[u]
+        r = {h: GR.BASE_MICRO + (s[h] * 85) // 100 for h in nodes}
+    return r
+
+
+def test_pagerank_matches_pure_python(spark):
+    rows = [
+        ("a", "b", 1), ("b", "a", 1), ("c", "a", 1),
+        ("a", "c", 3), ("c", "b", 2),
+    ]
+    for iters in (1, 3, 5):
+        got = {
+            r["host"]: r["rank_micro"]
+            for r in GR.pagerank_hosts(
+                _edges(spark, rows), iterations=iters
+            ).collect()
+        }
+        assert got == _py_pagerank(rows, iters)
+
+
+def test_pagerank_sink_host_gets_base_rank(spark):
+    # host with no in-links converges to the teleport base
+    rows = [("a", "b", 1)]
+    got = {
+        r["host"]: r["rank_micro"]
+        for r in GR.pagerank_hosts(_edges(spark, rows), 2).collect()
+    }
+    assert got["a"] == GR.BASE_MICRO
+
+
+def test_anchor_text_index(spark):
+    html = (
+        '<p><a href="https://x.example/a">Good <b>Site</b></a>'
+        '<a href="https://x.example/b">Good &amp; Site</a>'
+        '<a href="/rel">Self Link</a>'
+        '<a href="https://y.example/">Other</a>'
+        '<a href="https://y.example/z"> </a></p>'
+    )
+    df = spark.createDataFrame(
+        [("https://me.example/p", html.encode())],
+        "url string, html binary",
+    )
+    out = GR.anchor_text_index(df, k=2).collect()
+    got = {(r["dst_host"], r["anchor"]): (r["n"], r["rank"]) for r in out}
+    # count tie -> anchor-asc tie-break: '&' < 'S'
+    assert got[("x.example", "Good & Site")] == (1, 1)  # entity decoded
+    assert got[("x.example", "Good Site")] == (1, 2)  # tag stripped
+    assert got[("me.example", "Self Link")] == (1, 1)  # relative -> self
+    assert got[("y.example", "Other")] == (1, 1)
+    # whitespace-only anchor filtered
+    assert not any(a == "" for (_, a) in got)
