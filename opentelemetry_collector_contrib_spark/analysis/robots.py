@@ -1,0 +1,110 @@
+"""robots.txt parsing + longest-match allow/deny evaluation — the
+crawl-policy gate every Common-Crawl-style pipeline applies before a
+page enters the corpus (CC itself honors robots at fetch time; corpus
+rebuilds re-apply it when policies change).
+
+Model (the de-facto Google/RFC 9309 subset for the ``*`` group):
+``Disallow:``/``Allow:`` path-prefix rules; the MOST SPECIFIC
+(longest) matching rule decides; on equal length Allow wins; no
+matching rule means allowed. No wildcards (the RFC makes ``*``/``$``
+optional extensions).
+
+Spark shape: rules are per-host arrays in a small policy relation —
+**broadcast** onto the page stream (the lookupprocessor pattern,
+SURVEY.md §2.6) — and the verdict is a pure-Column fold over the
+rule arrays (bounded: rules per host, typically dozens). Map-only
+after the broadcast join; no Python, no shuffle of pages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_RULE_RE = r"(?im)^(Allow|Disallow):[ \t]*(\S*)[ \t]*\r?$"
+
+
+def parse_robots(txt: Column, directive: str) -> Column:
+    """Array of path prefixes for one directive (Allow/Disallow) in a
+    robots.txt body. Empty-path rules (``Disallow:`` = allow all) are
+    dropped — an empty prefix matches everything at length 0, which
+    the longest-match rule already treats as 'no opinion'."""
+    lines = F.regexp_extract_all(
+        txt, F.lit(_RULE_RE), 0
+    )
+    wanted = F.filter(
+        lines,
+        lambda ln: F.lower(ln).startswith(directive.lower() + ":"),
+    )
+    paths = F.transform(
+        wanted,
+        lambda ln: F.regexp_extract(ln, _RULE_RE, 2),
+    )
+    return F.filter(paths, lambda p: p != "")
+
+
+def parse_robots_sql(expr: str, directive: str) -> str:
+    return (
+        f"list_filter(list_transform("
+        f"  list_filter(regexp_extract_all({expr}, '{_RULE_RE}', 0),"
+        f"    ln -> lower(ln) LIKE '{directive.lower()}:%'),"
+        f"  ln -> regexp_extract(ln, '{_RULE_RE}', 2)),"
+        f" p -> p <> '')"
+    )
+
+
+def _best_len(path: Column, rules: Column) -> Column:
+    """Length of the longest rule prefixing ``path`` (0 if none)."""
+    return F.aggregate(
+        F.filter(rules, lambda r: path.startswith(r)),
+        F.lit(0),
+        lambda acc, r: F.greatest(acc, F.length(r)),
+    )
+
+
+def robots_allowed(
+    path: Column, allow_rules: Column, disallow_rules: Column
+) -> Column:
+    """Longest-match verdict: allowed unless the longest matching
+    Disallow is strictly longer than the longest matching Allow."""
+    return _best_len(path, allow_rules) >= _best_len(
+        path, disallow_rules
+    )
+
+
+def _best_len_sql(path: str, rules: str) -> str:
+    return (
+        f"COALESCE(list_max(list_transform("
+        f"  list_filter({rules}, r -> starts_with({path}, r)),"
+        f"  r -> length(r))), 0)"
+    )
+
+
+def robots_allowed_sql(path: str, allow_rules: str,
+                       disallow_rules: str) -> str:
+    return (
+        f"({_best_len_sql(path, allow_rules)} >= "
+        f"{_best_len_sql(path, disallow_rules)})"
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Path component of a URL (leading '/', query stripped) — the
+    robots match target per RFC 9309."""
+    after = F.substring_index(F.substring_index(url, "://", -1), "?", 1)
+    slash = F.instr(after, "/")
+    return F.when(slash > 0, F.substring(after, slash, 1 << 30)).otherwise(
+        F.lit("/")
+    )
+
+
+def url_path_sql(e: str) -> str:
+    after = (
+        f"split_part(regexp_replace({e},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '?', 1)"
+    )
+    return (
+        f"CASE WHEN strpos({after}, '/') > 0"
+        f" THEN substr({after}, strpos({after}, '/'))"
+        f" ELSE '/' END"
+    )

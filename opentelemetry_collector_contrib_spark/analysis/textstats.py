@@ -452,3 +452,52 @@ def gopher_quality_flags_sql(expr: str, min_words: int = 50,
   len(list_filter(toks, t -> list_contains([{sw}], lower(t))))
     >= {min_stopword_hits} AS stopword_ok
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading ease, integer-division variant)
+# ---------------------------------------------------------------------------
+
+_VOWEL_RUN = r"[aeiouyAEIOUY]+"
+_SENT_RE = r"[.!?]+"
+
+
+def readability_flesch_milli(col: Column) -> Column:
+    """Flesch reading ease in exact integer MILLI-points:
+
+        206835 - (1015 * words) div sentences - (84600 * syllables) div words
+
+    with syllables ≈ vowel runs (the standard cheap approximation)
+    and sentences = terminal-punctuation runs (min 1). Truncating
+    integer division replaces the float ratios so the score is
+    bit-identical across engines and partitionings (all operands are
+    positive and < 2^40, so floor(a/b) over doubles is exact); the
+    milli-point truncation is irrelevant at the 0-100-point scale
+    readability gates threshold on. Empty/wordless text -> NULL (no
+    readability claim). Map-only.
+    """
+    words = token_count(col).cast("long")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(col, F.lit(_SENT_RE), 0)), F.lit(1)
+    ).cast("long")
+    syll = F.size(
+        F.regexp_extract_all(col, F.lit(_VOWEL_RUN), 0)
+    ).cast("long")
+    return F.when(
+        words > 0,
+        F.lit(206835)
+        - F.floor((1015 * words) / sents)
+        - F.floor((84600 * syll) / words),
+    ).cast("long")
+
+
+def readability_flesch_milli_sql(expr: str) -> str:
+    w = f"len({ws_tokens_sql(expr)})"
+    s = f"GREATEST(len(regexp_extract_all({expr}, '{_SENT_RE}')), 1)"
+    y = f"len(regexp_extract_all({expr}, '{_VOWEL_RUN}'))"
+    return (
+        f"CASE WHEN {w} > 0 THEN CAST(206835"
+        f" - (1015 * CAST({w} AS BIGINT)) // {s}"
+        f" - (84600 * CAST({y} AS BIGINT)) // {w} AS BIGINT)"
+        f" ELSE NULL END"
+    )

@@ -1243,3 +1243,91 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     web = datagen.web_pages_from_documents(spark, sf_dir)
     df = web.withColumn("html", HT.rich_html_col())
     return GR.anchor_text_index(df, k=3).orderBy("dst_host", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Readability (textstats.readability_flesch_milli) + robots.txt
+# crawl-policy gate (analysis/robots.py).
+# ---------------------------------------------------------------------------
+
+from .analysis import robots as RB  # noqa: E402
+from .analysis.textstats import (  # noqa: E402
+    readability_flesch_milli,
+    readability_flesch_milli_sql,
+)
+
+
+@register(
+    "text_readability_documents",
+    f"""
+SELECT doc_id, {readability_flesch_milli_sql('text')} AS flesch_milli
+FROM documents ORDER BY doc_id
+""",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            readability_flesch_milli(F.col("text")).alias("flesch_milli"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Deterministic per-host robots.txt (portable Spark-SQL ∩ DuckDB
+# fragment, datagen-style): hosts 0 mod 3 disallow the /p1 prefix but
+# re-allow /p1. (longest-match exercise: /p1.html allowed, /p12.php
+# blocked); hosts 1 mod 3 disallow everything; the rest allow all.
+def _robots_body_sql(host_expr: str) -> str:
+    return (
+        f"CASE CAST(regexp_extract({host_expr}, 'host([0-9]+)', 1)"
+        " AS INT) % 3"
+        " WHEN 0 THEN 'User-agent: *\nDisallow: /p1\nAllow: /p1.'"
+        " WHEN 1 THEN 'User-agent: *\nDisallow: /'"
+        " ELSE 'User-agent: *\nDisallow:' END"
+    )
+
+
+@register(
+    "robots_policy_pages",
+    f"""
+WITH web AS ({_WEB_SQL}),
+p AS (SELECT page_id, {HT.page_host_sql('url')} AS host,
+             {RB.url_path_sql('url')} AS path FROM web),
+hosts AS (SELECT DISTINCT host FROM p),
+pol AS (
+  SELECT host,
+         {RB.parse_robots_sql('txt', 'Allow')} AS al,
+         {RB.parse_robots_sql('txt', 'Disallow')} AS dis
+  FROM (SELECT host, {_robots_body_sql('host')} AS txt FROM hosts))
+SELECT page_id, host, path,
+       {RB.robots_allowed_sql('path', 'al', 'dis')} AS allowed
+FROM p JOIN pol USING (host) ORDER BY page_id
+""",
+)
+def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    pages = web.select(
+        "page_id",
+        HT.page_host(F.col("url")).alias("host"),
+        RB.url_path(F.col("url")).alias("path"),
+    )
+    hosts = pages.select("host").distinct()
+    policy = hosts.withColumn(
+        "txt", F.expr(_robots_body_sql("host"))
+    ).select(
+        "host",
+        RB.parse_robots(F.col("txt"), "Allow").alias("al"),
+        RB.parse_robots(F.col("txt"), "Disallow").alias("dis"),
+    )
+    return (
+        pages.join(F.broadcast(policy), "host")
+        .select(
+            "page_id", "host", "path",
+            RB.robots_allowed(
+                F.col("path"), F.col("al"), F.col("dis")
+            ).alias("allowed"),
+        )
+        .orderBy("page_id")
+    )

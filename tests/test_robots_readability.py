@@ -1,0 +1,93 @@
+"""robots.txt longest-match policy (analysis/robots.py) and Flesch
+readability (textstats.readability_flesch_milli)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import robots as RB
+from opentelemetry_collector_contrib_spark.analysis.textstats import (
+    readability_flesch_milli,
+)
+
+ROBOTS = (
+    "User-agent: *\r\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow:\n"          # empty path -> dropped (no opinion)
+    "Allow: /tmp\n"
+)
+
+
+def _verdicts(spark, paths):
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    al = RB.parse_robots(F.lit(ROBOTS), "Allow")
+    dis = RB.parse_robots(F.lit(ROBOTS), "Disallow")
+    return {
+        r["path"]: r["ok"]
+        for r in df.select(
+            "path",
+            RB.robots_allowed(F.col("path"), al, dis).alias("ok"),
+        ).collect()
+    }
+
+
+def test_robots_longest_match(spark):
+    got = _verdicts(
+        spark,
+        [
+            "/",                 # no rule matches -> allowed
+            "/private",          # Disallow /private
+            "/private/x",        # Disallow
+            "/private/ok",       # Allow (longer) wins
+            "/private/ok/deep",  # Allow still longest
+            "/tmp/x",            # Allow only
+        ],
+    )
+    assert got == {
+        "/": True,
+        "/private": False,
+        "/private/x": False,
+        "/private/ok": True,
+        "/private/ok/deep": True,
+        "/tmp/x": True,
+    }
+
+
+def test_robots_parse_rules(spark):
+    df = spark.range(1).select(
+        RB.parse_robots(F.lit(ROBOTS), "Allow").alias("al"),
+        RB.parse_robots(F.lit(ROBOTS), "Disallow").alias("dis"),
+    ).collect()[0]
+    assert df["al"] == ["/private/ok", "/tmp"]
+    assert df["dis"] == ["/private"]  # empty-path rule dropped
+
+
+def test_url_path(spark):
+    df = spark.createDataFrame(
+        [("https://h.example/p/x.html?id=9",), ("https://h.example",)],
+        "url string",
+    )
+    got = [r["p"] for r in df.select(
+        RB.url_path(F.col("url")).alias("p")).collect()]
+    assert got == ["/p/x.html", "/"]
+
+
+def test_flesch_values(spark):
+    rows = [
+        (1, "The cat sat. The dog ran!"),   # 6 words, 2 sents, 6 syll runs
+        (2, ""),                            # no words -> NULL
+        (3, "zzz zzz"),                     # no vowels: syll = 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            readability_flesch_milli(F.col("text")).alias("f"),
+        ).collect()
+    }
+    # doc 1: 206835 - (1015*6)//2 - (84600*6)//6 = 206835 - 3045 - 84600
+    assert got[1] == 206835 - 3045 - 84600
+    assert got[2] is None
+    assert got[3] == 206835 - (1015 * 2) // 1 - 0
