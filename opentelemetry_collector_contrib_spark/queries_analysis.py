@@ -1331,3 +1331,85 @@ def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("page_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest with cross-snapshot dedup: the north-rule
+# composition — Iceberg-like snapshot table + checkpointed incremental
+# read + fingerprint anti-join dedup + idempotent append commit.
+# Batch 2 carries one exact duplicate per existing doc (same text, new
+# id) plus one genuinely-new doc per existing doc; only the new docs
+# may land. Scale shape: the dedup join keys are md5 fingerprints
+# (narrow), the existing-corpus side streams from the snapshot
+# manifests, and the commit is atomic/idempotent (a re-run of batch 2
+# cannot double-append).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_dedup_ingest",
+    f"""
+WITH base AS (
+  SELECT doc_id, {TS.content_fingerprint_sql('text')} AS fp, lang
+  FROM documents WHERE doc_id % 2 = 0),
+incoming AS (
+  SELECT doc_id + 200000 AS doc_id,
+         {TS.content_fingerprint_sql('text')} AS fp, lang
+  FROM documents WHERE doc_id % 2 = 0           -- exact dups (blocked)
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         {TS.content_fingerprint_sql("text || ' v2'")} AS fp, lang
+  FROM documents WHERE doc_id % 2 = 0),         -- new content (lands)
+novel AS (
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = i.fp)),
+final AS (SELECT * FROM base UNION ALL SELECT * FROM novel)
+SELECT lang, COUNT(*) AS docs, COUNT(DISTINCT fp) AS distinct_fp,
+       SUM(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END) AS ingested_new
+FROM final GROUP BY lang ORDER BY lang
+""",
+)
+def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .analysis.textstats import content_fingerprint
+    from .sources.iceberg_like import IcebergLikeTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    with_fp = evens.select(
+        "doc_id", content_fingerprint(F.col("text")).alias("fp"), "lang"
+    )
+    table = IcebergLikeTable(tempfile.mkdtemp(prefix="inc_dedup_"))
+    table.commit_append(with_fp, "s1")
+
+    incoming = evens.select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        content_fingerprint(F.col("text")).alias("fp"),
+        "lang",
+    ).unionByName(
+        evens.select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            content_fingerprint(
+                F.concat(F.col("text"), F.lit(" v2"))
+            ).alias("fp"),
+            "lang",
+        )
+    )
+    existing = table.read(spark).select("fp")
+    novel = incoming.join(existing, "fp", "left_anti")
+    table.commit_append(novel, "s2")
+    table.commit_append(novel, "s2")  # idempotent re-run: no-op
+
+    return (
+        table.read(spark)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("fp").alias("distinct_fp"),
+            F.sum(
+                F.when(F.col("doc_id") >= 300000, 1).otherwise(0)
+            ).alias("ingested_new"),
+        )
+        .orderBy("lang")
+    )
