@@ -1,0 +1,70 @@
+"""Exact heavy hitters over unbounded-cardinality keys — the two-pass
+production pattern for "top terms / hot hosts / hot trace ids" when a
+plain groupBy would materialize billions of groups:
+
+1. CANDIDATES: one bounded-memory streaming pass with
+   ``df.stat.freqItems`` (Spark's built-in Karp/Misra-Gries variant,
+   JVM-side, one counter map of ~1/support entries per partition,
+   merged associatively). Guarantee: every key with frequency >
+   support·N is in the candidate set — no false negatives, possible
+   false positives, candidate-set contents may vary with partition
+   merge order.
+2. EXACT RECOUNT: broadcast the (≤ 1/support) candidates back as a
+   semi-join filter, one combinable groupBy count over the filtered
+   stream, keep keys with ``count · k > N``.
+
+The FINAL output is exact and deterministic regardless of how pass 1
+merged — false positives are filtered by the exact threshold, false
+negatives cannot exist — so the DuckDB oracle is simply
+``GROUP BY ... HAVING count * k > N``. This is the Misra-Gries
+summary made oracle-checkable: the sketch is an optimization detail,
+the answer is exact. At 100 TB pass 1 reads once with O(k) memory per
+partition and pass 2 re-reads with a broadcast filter; nothing
+shuffles except the candidate counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Keys of ``col`` with frequency strictly greater than N/k, with
+    exact counts: (key, cnt, n_total). ``k`` is the heavy-hitter
+    denominator (support = 1/k)."""
+    total = df.count()
+    if total == 0:
+        schema = f"{col} string, cnt long, n_total long"
+        return df.sparkSession.createDataFrame([], schema)
+    candidates = df.stat.freqItems([col], support=1.0 / k).collect()[0][
+        f"{col}_freqItems"
+    ]
+    if not candidates:
+        schema = f"{col} string, cnt long, n_total long"
+        return df.sparkSession.createDataFrame([], schema)
+    counts = (
+        df.filter(F.col(col).isin(list(candidates)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.filter(
+        F.col("cnt") * k > F.lit(total)
+    ).withColumn("n_total", F.lit(total).cast("long"))
+
+
+def heavy_hitters_exact_sql(
+    source_cte: str, col: str, k: int = 50
+) -> str:
+    """DuckDB twin: the exact definition the two-pass plan computes."""
+    return f"""
+tot AS (SELECT COUNT(*) AS n_total FROM {source_cte}),
+hh AS (
+  SELECT {col}, COUNT(*) AS cnt FROM {source_cte}
+  GROUP BY {col} HAVING COUNT(*) * {k} > (SELECT n_total FROM tot))
+SELECT {col}, cnt, (SELECT n_total FROM tot) AS n_total FROM hh
+"""

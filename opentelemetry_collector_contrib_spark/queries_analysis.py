@@ -1413,3 +1413,28 @@ def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters (analysis/heavyhitters.py): bounded-memory
+# freqItems candidates + exact recount (two-pass; final answer exact).
+# ---------------------------------------------------------------------------
+
+from .analysis import heavyhitters as HH  # noqa: E402
+from .analysis.textstats import ws_tokens, ws_tokens_sql  # noqa: E402
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+WITH toks AS (
+  SELECT unnest({ws_tokens_sql('text')}) AS token FROM documents),
+{HH.heavy_hitters_exact_sql('toks', 'token', k=50).strip()}
+ORDER BY token
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs_par(spark, sf_dir).select(
+        F.explode(ws_tokens(F.col("text"))).alias("token")
+    )
+    return HH.heavy_hitters_exact(toks, "token", k=50).orderBy("token")

@@ -1,0 +1,67 @@
+"""Two-pass exact heavy hitters (analysis/heavyhitters.py)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import (
+    heavyhitters as HH,
+)
+
+
+def _toks(spark, tokens, parts=4):
+    return spark.createDataFrame(
+        [(t,) for t in tokens], "token string"
+    ).repartition(parts)
+
+
+def test_heavy_hitters_exact_threshold(spark):
+    # 100 tokens: 'a' x 40, 'b' x 25, 'c' x 20, rest unique
+    toks = ["a"] * 40 + ["b"] * 25 + ["c"] * 20 + [f"u{i}" for i in range(15)]
+    out = {
+        r["token"]: (r["cnt"], r["n_total"])
+        for r in HH.heavy_hitters_exact(
+            _toks(spark, toks), "token", k=4
+        ).collect()
+    }
+    # threshold: cnt * 4 > 100  <=>  cnt > 25 (strict)
+    assert out == {"a": (40, 100)}
+    out8 = {
+        r["token"]: r["cnt"]
+        for r in HH.heavy_hitters_exact(
+            _toks(spark, toks), "token", k=8
+        ).collect()
+    }
+    # cnt > 12.5 -> a, b, c
+    assert out8 == {"a": 40, "b": 25, "c": 20}
+
+
+def test_heavy_hitters_partition_invariant(spark):
+    toks = (["x"] * 30 + ["y"] * 20 + [f"u{i}" for i in range(50)]) * 3
+    want = None
+    for parts in (1, 3, 16):
+        got = sorted(
+            (r["token"], r["cnt"])
+            for r in HH.heavy_hitters_exact(
+                _toks(spark, toks, parts), "token", k=6
+            ).collect()
+        )
+        want = got if want is None else want
+        assert got == want
+    # cross-check against a pure-Python count
+    c = Counter(toks)
+    n = len(toks)
+    exact = sorted((t, m) for t, m in c.items() if m * 6 > n)
+    assert want == exact
+
+
+def test_heavy_hitters_empty_and_no_hitters(spark):
+    assert HH.heavy_hitters_exact(
+        _toks(spark, []), "token", k=4
+    ).count() == 0
+    # all unique: nothing exceeds N/2
+    assert HH.heavy_hitters_exact(
+        _toks(spark, [f"u{i}" for i in range(40)]), "token", k=2
+    ).count() == 0
