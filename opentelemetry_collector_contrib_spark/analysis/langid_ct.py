@@ -1,0 +1,227 @@
+"""Cavnar-Trenkle (1994) n-gram rank-order language ID — the classic
+text-categorization algorithm behind most lightweight langid tools,
+upgrading the stopword-argmax heuristic in textstats.lang_id (which
+round-1 review flagged as weak for curation use).
+
+Method: a document's profile is its top-N character trigrams ranked
+by frequency; a language's profile likewise (trained offline). The
+language with the smallest "out-of-place" distance wins:
+Σ |rank_doc(t) - rank_lang(t)| over the doc's top-N trigrams, with a
+fixed penalty N for trigrams absent from the language profile.
+
+Determinism: language profiles are derived AT PLAN TIME from the
+module's stopword lists (pure Python, no RNG) and embedded as
+LITERALS in both the Spark plan and the DuckDB oracle — the
+FIXTURES.md rule, same as the LSH hyperplanes. Ranks and distances
+are exact integers; ties break by (count desc, trigram asc) for doc
+ranks and by language order for the final argmin.
+
+Scale shape: trigram extraction is map-only; doc profiles are one
+combinable (doc, tri) count + a per-doc top-N window; scoring joins
+the BROADCAST profile table (|langs|·N rows) and folds with one more
+combinable aggregate. Shuffles carry (doc_id, trigram, int) — never
+text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import STOPWORDS
+
+TOP_N = 20
+PENALTY = TOP_N  # out-of-place cost for trigrams absent from a profile
+
+# Profile training text: per-language stopwords + UDHR Article 1
+# (public domain, the conventional langid seed corpus) — enough real
+# trigram structure that profiles capture function-word morphology
+# ('_th'/'the' for en, 'und'/'der' for de, ...), not just 10 words.
+SEED_TEXT: dict[str, str] = {
+    "en": ("All human beings are born free and equal in dignity and "
+           "rights. They are endowed with reason and conscience and "
+           "should act towards one another in a spirit of brotherhood."),
+    "de": ("Alle Menschen sind frei und gleich an Würde und Rechten "
+           "geboren. Sie sind mit Vernunft und Gewissen begabt und "
+           "sollen einander im Geist der Brüderlichkeit begegnen."),
+    "fr": ("Tous les êtres humains naissent libres et égaux en dignité "
+           "et en droits. Ils sont doués de raison et de conscience et "
+           "doivent agir les uns envers les autres dans un esprit de "
+           "fraternité."),
+    "es": ("Todos los seres humanos nacen libres e iguales en dignidad "
+           "y derechos y, dotados como están de razón y conciencia, "
+           "deben comportarse fraternalmente los unos con los otros."),
+}
+
+
+def _py_trigrams(text: str) -> list[str]:
+    """Padded word trigrams ('_wo', 'wor', 'rd_') of normalized text —
+    the plan-time (profile-building) twin of :func:`doc_trigrams`."""
+    import re
+
+    words = re.sub(r"[^a-z ]", " ", text.lower()).split()
+    out: list[str] = []
+    for w in words:
+        p = f"_{w}_"
+        out += [p[i:i + 3] for i in range(len(p) - 2)]
+    return out
+
+
+def language_profiles() -> dict[str, list[str]]:
+    """lang -> top-N trigram list (rank = index+1), derived from the
+    stopword corpus. A production deployment would train on real
+    monolingual text; the derivation rule (count desc, trigram asc,
+    top N) is what matters for engine-vs-oracle parity."""
+    profs: dict[str, list[str]] = {}
+    for lang, words in STOPWORDS.items():
+        counts: dict[str, int] = {}
+        corpus = " ".join(words) + " " + SEED_TEXT.get(lang, "")
+        for t in _py_trigrams(corpus):
+            counts[t] = counts.get(t, 0) + 1
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        profs[lang] = [t for t, _ in ranked[:TOP_N]]
+    return profs
+
+
+def doc_trigrams(col: Column) -> Column:
+    """Array of padded word trigrams (engine twin of _py_trigrams)."""
+    norm = F.regexp_replace(F.lower(col), r"[^a-z ]", " ")
+    words = F.filter(F.split(norm, r" +"), lambda w: w != "")
+    padded = F.transform(words, lambda w: F.concat(F.lit("_"), w, F.lit("_")))
+    return F.flatten(
+        F.transform(
+            padded,
+            lambda p: F.transform(
+                F.sequence(F.lit(1), F.length(p) - 2),
+                lambda i: F.substring(p, i, 3),
+            ),
+        )
+    )
+
+
+def doc_trigrams_sql(expr: str) -> str:
+    norm = f"regexp_replace(lower({expr}), '[^a-z ]', ' ', 'g')"
+    words = f"list_filter(string_split_regex({norm}, ' +'), w -> w <> '')"
+    return (
+        f"flatten(list_transform({words}, w -> "
+        f"list_transform(generate_series(1, length('_' || w || '_') - 2), "
+        f"i -> substr('_' || w || '_', i, 3))))"
+    )
+
+
+def lang_id_ct(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, lang_pred, best_dist): Cavnar-Trenkle rank-order match
+    against the module profiles; 'und' for docs with no trigrams.
+    ``best_dist`` is the exact out-of-place distance of the winner."""
+    spark = df.sparkSession
+    profs = language_profiles()
+    langs = list(profs)  # STOPWORDS order = tie-break priority
+    prof_rows = [
+        (lang, t, r + 1, p)
+        for p, lang in enumerate(langs)
+        for r, t in enumerate(profs[lang])
+    ]
+    prof = spark.createDataFrame(
+        prof_rows, "lang string, tri string, lang_rank int, lang_pri int"
+    )
+    lang_dim = spark.createDataFrame(
+        [(lang, p) for p, lang in enumerate(langs)],
+        "lang string, lang_pri int",
+    )
+
+    from pyspark.sql import Window
+
+    tris = df.select(
+        F.col(id_col), F.explode(doc_trigrams(F.col(text_col))).alias("tri")
+    )
+    counts = tris.groupBy(id_col, "tri").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.asc("tri"))
+    top = (
+        counts.withColumn("doc_rank", F.row_number().over(w))
+        .filter(F.col("doc_rank") <= TOP_N)
+        .select(id_col, "tri", "doc_rank")
+    )
+    scored = (
+        top.crossJoin(F.broadcast(lang_dim))
+        .join(
+            F.broadcast(prof),
+            ["lang", "tri", "lang_pri"],
+            "left",
+        )
+        .groupBy(id_col, "lang", "lang_pri")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("doc_rank")
+                    - F.coalesce("lang_rank", F.lit(TOP_N + PENALTY))
+                )
+            ).alias("dist")
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min_by(
+            F.struct(F.col("lang"), F.col("dist")),
+            F.struct(F.col("dist"), F.col("lang_pri")),
+        ).alias("b")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("b.lang"), F.lit("und")).alias("lang_pred"),
+            F.col("b.dist").alias("best_dist"),
+        )
+    )
+
+
+def lang_id_ct_sql(table: str, text_expr: str = "text",
+                   id_col: str = "doc_id") -> str:
+    profs = language_profiles()
+    langs = list(profs)
+    prof_values = ", ".join(
+        f"('{lang}', '{t}', {r + 1}, {p})"
+        for p, lang in enumerate(langs)
+        for r, t in enumerate(profs[lang])
+    )
+    lang_values = ", ".join(
+        f"('{lang}', {p})" for p, lang in enumerate(langs)
+    )
+    return f"""
+WITH tris AS (
+  SELECT {id_col}, unnest({doc_trigrams_sql(text_expr)}) AS tri
+  FROM {table}),
+counts AS (SELECT {id_col}, tri, COUNT(*) AS c
+           FROM tris GROUP BY 1, 2),
+top AS (
+  SELECT {id_col}, tri, doc_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {id_col} ORDER BY c DESC, tri) AS doc_rank
+    FROM counts) WHERE doc_rank <= {TOP_N}),
+prof(lang, tri, lang_rank, lang_pri) AS (VALUES {prof_values}),
+lang_dim(lang, lang_pri) AS (VALUES {lang_values}),
+scored AS (
+  SELECT t.{id_col}, l.lang, l.lang_pri,
+         SUM(ABS(t.doc_rank
+                 - COALESCE(p.lang_rank, {TOP_N + PENALTY}))) AS dist
+  FROM top t CROSS JOIN lang_dim l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.tri = t.tri
+    AND p.lang_pri = l.lang_pri
+  GROUP BY 1, 2, 3),
+best AS (
+  SELECT {id_col}, lang, dist FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {id_col} ORDER BY dist, lang_pri) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT d.{id_col},
+       COALESCE(b.lang, 'und') AS lang_pred,
+       b.dist AS best_dist
+FROM {table} d LEFT JOIN best b USING ({id_col})
+ORDER BY d.{id_col}
+"""

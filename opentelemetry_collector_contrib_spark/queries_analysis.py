@@ -1438,3 +1438,16 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(ws_tokens(F.col("text"))).alias("token")
     )
     return HH.heavy_hitters_exact(toks, "token", k=50).orderBy("token")
+
+
+# ---------------------------------------------------------------------------
+# Cavnar-Trenkle rank-order language ID (analysis/langid_ct.py): the
+# published-algorithm upgrade of the stopword heuristic.
+# ---------------------------------------------------------------------------
+
+from .analysis import langid_ct as LCT  # noqa: E402
+
+
+@register("text_lang_id_ct", LCT.lang_id_ct_sql("documents"))
+def q_lang_id_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return LCT.lang_id_ct(_docs_par(spark, sf_dir)).orderBy("doc_id")

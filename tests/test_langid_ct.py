@@ -1,0 +1,48 @@
+"""Cavnar-Trenkle rank-order language ID (analysis/langid_ct.py)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.analysis import langid_ct as LCT
+
+
+def test_profiles_deterministic_and_sized():
+    p1, p2 = LCT.language_profiles(), LCT.language_profiles()
+    assert p1 == p2
+    for lang, tris in p1.items():
+        assert len(tris) == LCT.TOP_N
+        assert all(len(t) == 3 for t in tris)
+
+
+def test_seed_sentences_classify_as_their_language(spark):
+    rows = [
+        (i, txt) for i, (_, txt) in enumerate(sorted(LCT.SEED_TEXT.items()))
+    ]
+    langs = [lang for lang, _ in sorted(LCT.SEED_TEXT.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in LCT.lang_id_ct(df).collect()
+    }
+    assert [got[i] for i in range(len(langs))] == langs
+
+
+def test_empty_doc_is_und(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "1234 !!!"), (3, "the cat and the dog and the bird")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in LCT.lang_id_ct(df).collect()}
+    assert got[1]["lang_pred"] == "und" and got[1]["best_dist"] is None
+    assert got[2]["lang_pred"] == "und"  # digits/punct normalize away
+    assert got[3]["lang_pred"] == "en"
+
+
+def test_trigram_extraction_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    txt = "The quick brown fox! 123 él"
+    df = spark.createDataFrame([(txt,)], "text string")
+    got = df.select(
+        LCT.doc_trigrams(F.col("text")).alias("t")
+    ).collect()[0]["t"]
+    assert got == LCT._py_trigrams(txt)
