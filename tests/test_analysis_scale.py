@@ -72,6 +72,8 @@ _BNLJ_ALLOWED = {"ann_cosine_topk"}
 #   accidental quadratic BNLJ anywhere else still fails.
 _CONST_BROADCAST = {
     "ann_ivf_topk",
+    "ann_ivfpq_topk",  # m_sub*k_codes codebook rows (plan constant)
+    "text_lang_id_ct",  # |langs| profile-dimension rows (plan constant)
     "dedup_semantic_ivf",
     "lm_cross_entropy_documents",
     "dsir_scores_documents",  # 1-row distribution-totals broadcast
