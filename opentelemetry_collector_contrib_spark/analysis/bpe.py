@@ -1,0 +1,257 @@
+"""BPE merge learning + apply (Sennrich et al. 2016, ACL) — the
+subword-tokenizer TRAINING pass of a data pipeline, expressed in the
+shape real corpus-scale BPE trainers use.
+
+The key scale property of BPE-on-words: after ONE corpus pass that
+builds the distinct-word frequency table (explode + combinable
+``groupBy(word).count`` — the only job that touches document text),
+every merge iteration runs over the *word table*, whose size is the
+corpus VOCABULARY (millions of rows at web scale, never the corpus).
+Each iteration is (a) one combinable pair-count aggregate over the
+word table and (b) a map-only ``replace`` that rewrites the word
+symbolizations — so learning K merges costs K tiny jobs after a
+single full scan, exactly like Sennrich's ``learn_bpe`` where the
+Counter is built once over the word dict.
+
+Determinism / oracle design: a word is symbolized as a delimited
+string ``|t||h||e|`` (symbols are ``[a-z]+`` so ``|`` cannot occur
+inside one; the fully-delimited form makes substring merge-rewrites
+exact — a pair pattern ``|a||b|`` can only match at symbol
+boundaries). Pair counts follow the reference algorithm: adjacent
+pairs WITH overlap multiplicity (``zip(syms, syms[1:])``), weighted by
+word frequency; ties on count break by (left, right) ascending; the
+merge rewrite is left-to-right non-overlapping (both Spark's and
+DuckDB's ``replace`` semantics, and Sennrich's scan). All counts are
+exact integers, so the DuckDB oracle — the same K iterations unrolled
+as a CTE chain, one (pairs → top-1 → rewrite) block per step, the
+same construction as the PageRank oracle — matches bit-for-bit.
+
+The learned top pair per step is a MODEL PARAMETER (like the PQ
+codebook in similarity.py): a 1-row ``collect`` per iteration is the
+legitimate driver-side step of an iterative algorithm, not a
+distributed-op smell; the per-iteration aggregate itself is map-side
+combinable and never moves document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textstats import TOKEN_REGEX
+
+# Only lowercase-alphabetic pre-tokens are BPE-merged (the classic
+# BPE-on-words setting); digit/punctuation tokens pass through as
+# single tokens. This also guarantees the '|' delimiter is symbol-safe.
+WORD_RE = "^[a-z]+$"
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct-word frequency table — the one corpus-scale pass."""
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0)
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike(WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _sym_init(col):
+    """'the' -> '|t||h||e|' (every char its own delimited symbol)."""
+    return F.regexp_replace(col, "(.)", "|$1|")
+
+
+def _sym_tokens(sym):
+    """Delimited symbol string -> array of symbols."""
+    return F.split(F.substr(sym, F.lit(2), F.length(sym) - 2), "\\|\\|")
+
+
+def _pair_counts(words: DataFrame, sym_col) -> DataFrame:
+    """(left, right, pair_count): adjacent-pair totals over the word
+    table, overlap multiplicity, weighted by word frequency."""
+    toks = words.select("cnt", _sym_tokens(sym_col).alias("t"))
+    n = F.size("t")
+    pairs = toks.filter(n >= 2).select(
+        "cnt",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("l"),
+                F.slice("t", 2, n - 1).alias("r"),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("pair_left"), F.col("p.r").alias("pair_right")
+    ).agg(F.sum("cnt").alias("pair_count"))
+
+
+def fit_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    k_merges: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn ``k_merges`` BPE merges over the corpus.
+
+    Returns ``(merges, words)``: ``merges`` is a K-row DataFrame
+    (step, left, right, merged, pair_count) built from the learned
+    parameters; ``words`` is the distinct-word table with the final
+    symbolization (word, cnt, sym) — the lazily-chained K rewrites, so
+    downstream encode jobs re-run only ``replace`` chains, never the
+    learning loop.
+    """
+    spark = df.sparkSession
+    words = _words(df, text_col)
+    # the word table feeds every iteration: materialize it once
+    words = words.persist()
+    words.count()
+    sym = _sym_init(F.col("word"))
+    merges: list[tuple] = []
+    for step in range(1, k_merges + 1):
+        top = (
+            _pair_counts(words, sym)
+            .orderBy(
+                F.desc("pair_count"), F.asc("pair_left"), F.asc("pair_right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:  # every word fully merged — stop early
+            break
+        lft, rgt, cnt = (
+            top[0]["pair_left"], top[0]["pair_right"], top[0]["pair_count"]
+        )
+        merges.append((step, lft, rgt, lft + rgt, int(cnt)))
+        sym = F.replace(
+            sym, F.lit(f"|{lft}||{rgt}|"), F.lit(f"|{lft}{rgt}|")
+        )
+    merges_df = spark.createDataFrame(
+        merges,
+        "step int, pair_left string, pair_right string, "
+        "merged string, pair_count bigint",
+    )
+    final_words = words.select("word", "cnt", sym.alias("sym"))
+    words.unpersist()
+    return merges_df, final_words
+
+
+def bpe_encode(
+    df: DataFrame,
+    final_words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc BPE token stats under the learned merges.
+
+    (id, n_words, n_tokens): alphabetic pre-token count and total BPE
+    symbol count after merges (non-alphabetic pre-tokens would add 1
+    each; they are excluded here so the columns isolate BPE behavior).
+    Apply = explode + **broadcast** join on the word table + one
+    combinable groupBy — the vocabulary table is the broadcast side,
+    document text never shuffles.
+    """
+    word_tok = final_words.select(
+        "word", F.size(_sym_tokens(F.col("sym"))).cast("long").alias("n_sym")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0),
+                lambda w: w.rlike(WORD_RE),
+            )
+        ).alias("word"),
+    )
+    joined = toks.join(F.broadcast(word_tok), "word", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("word").alias("n_words"),
+        F.coalesce(F.sum("n_sym"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins: the same K iterations unrolled as a CTE chain
+# ---------------------------------------------------------------------------
+
+
+def _chain_cte_sql(table: str, text_expr: str, k_merges: int) -> str:
+    """CTE blocks w0..w<K> (word table after k merges) + m1..mK (the
+    step-k merge row). Each block: pair counts from w_{k-1}, top-1 by
+    (count DESC, left, right), rewrite via delimited-string replace."""
+    parts = [
+        f"""w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+         regexp_replace(word, '(.)', '|\\1|', 'g') AS sym
+  FROM (
+    SELECT unnest(regexp_extract_all({text_expr}, '{TOKEN_REGEX}')) AS word
+    FROM {table})
+  WHERE regexp_matches(word, '{WORD_RE}')
+  GROUP BY word)"""
+    ]
+    for k in range(1, k_merges + 1):
+        prev = f"w{k - 1}"
+        parts.append(
+            f"""p{k} AS (
+  SELECT t[i] AS lft, t[i + 1] AS rgt, SUM(cnt) AS pair_count
+  FROM (SELECT cnt,
+               string_split(trim(sym, '|'), '||') AS t
+        FROM {prev}),
+       UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1, 2),
+m{k} AS (
+  SELECT {k} AS step, lft, rgt, lft || rgt AS merged, pair_count
+  FROM p{k} ORDER BY pair_count DESC, lft, rgt LIMIT 1),
+w{k} AS (
+  SELECT w.word, w.cnt,
+         replace(w.sym, '|' || m.lft || '||' || m.rgt || '|',
+                 '|' || m.merged || '|') AS sym
+  FROM {prev} w CROSS JOIN m{k} m)"""
+        )
+    return ",\n".join(parts)
+
+
+def bpe_merges_sql(
+    table: str = "documents", text_expr: str = "text", k_merges: int = 6
+) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{k}" for k in range(1, k_merges + 1)
+    )
+    return f"""
+WITH {_chain_cte_sql(table, text_expr, k_merges)}
+SELECT CAST(step AS INTEGER) AS step, lft AS pair_left, rgt AS pair_right,
+       merged, CAST(pair_count AS BIGINT) AS pair_count
+FROM ({unions}) ORDER BY step
+"""
+
+
+def bpe_encode_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    k_merges: int = 6,
+) -> str:
+    return f"""
+WITH {_chain_cte_sql(table, text_expr, k_merges)},
+wtok AS (
+  SELECT word,
+         CAST(len(string_split(trim(sym, '|'), '||')) AS BIGINT) AS n_sym
+  FROM w{k_merges}),
+doc_words AS (
+  SELECT {id_col},
+         unnest(list_filter(regexp_extract_all({text_expr}, '{TOKEN_REGEX}'),
+                            w -> regexp_matches(w, '{WORD_RE}'))) AS word
+  FROM {table}),
+agg AS (
+  SELECT d.{id_col}, COUNT(*) AS n_words,
+         CAST(SUM(t.n_sym) AS BIGINT) AS n_tokens
+  FROM doc_words d JOIN wtok t USING (word)
+  GROUP BY d.{id_col})
+SELECT b.{id_col},
+       CAST(COALESCE(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM {table} b LEFT JOIN agg a USING ({id_col})
+ORDER BY b.{id_col}
+"""

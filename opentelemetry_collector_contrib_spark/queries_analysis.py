@@ -1451,3 +1451,27 @@ from .analysis import langid_ct as LCT  # noqa: E402
 @register("text_lang_id_ct", LCT.lang_id_ct_sql("documents"))
 def q_lang_id_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LCT.lang_id_ct(_docs_par(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning + apply (analysis/bpe.py): one corpus-scale word
+# count, then K iterations over the vocabulary table only. The oracle
+# unrolls the same K (pair-count -> top-1 -> rewrite) steps as a CTE
+# chain, so the learned merges and the per-doc encodings match
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from .analysis import bpe as BPE  # noqa: E402
+
+
+@register("bpe_merges_documents", BPE.bpe_merges_sql("documents", k_merges=6))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = BPE.fit_bpe_merges(_docs_par(spark, sf_dir), k_merges=6)
+    return merges.orderBy("step")
+
+
+@register("bpe_encode_documents", BPE.bpe_encode_sql("documents", k_merges=6))
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_par(spark, sf_dir)
+    _, words = BPE.fit_bpe_merges(docs, k_merges=6)
+    return BPE.bpe_encode(docs, words).orderBy("doc_id")

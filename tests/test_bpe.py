@@ -1,0 +1,65 @@
+"""BPE merge learning: hand-computed merges on a tiny corpus
+(Sennrich et al. 2016 semantics — frequency-weighted adjacent pair
+counts, (count DESC, left, right) tie-break, non-overlapping rewrite)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.analysis import bpe as BPE
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id int, text string"
+    )
+
+
+def test_merges_hand_computed(spark):
+    # words: low x5, lower x2, newest x6, widest x3  (Sennrich's example)
+    docs = _corpus(
+        spark,
+        ["low " * 5 + "lower " * 2, "newest " * 6 + "widest " * 3],
+    )
+    merges, words = BPE.fit_bpe_merges(docs, k_merges=4)
+    got = [
+        (r["step"], r["pair_left"], r["pair_right"], r["pair_count"])
+        for r in merges.orderBy("step").collect()
+    ]
+    # e+s=9 ('newest','widest'), es+t=9, lo+? : l+o=7, then lo+w=7
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+    ]
+    syms = {r["word"]: r["sym"] for r in words.collect()}
+    assert syms["newest"] == "|n||e||w||est|"
+    assert syms["low"] == "|low|"
+
+
+def test_overlap_multiplicity_and_tiebreak(spark):
+    # 'aaa' x2 -> pair (a,a) counted twice per word (overlap
+    # multiplicity), total 4; 'bc' x3 -> (b,c)=3. Top pair is (a,a).
+    docs = _corpus(spark, ["aaa aaa bc bc bc"])
+    merges, _ = BPE.fit_bpe_merges(docs, k_merges=1)
+    r = merges.collect()[0]
+    assert (r["pair_left"], r["pair_right"], r["pair_count"]) == ("a", "a", 4)
+
+
+def test_early_stop_when_fully_merged(spark):
+    # single-char words only: no adjacent pairs ever, zero merges
+    docs = _corpus(spark, ["a b c a b"])
+    merges, words = BPE.fit_bpe_merges(docs, k_merges=5)
+    assert merges.count() == 0
+    assert {r["sym"] for r in words.collect()} == {"|a|", "|b|", "|c|"}
+
+
+def test_encode_counts(spark):
+    docs = _corpus(spark, ["low lower", "newest", "42 !!"])
+    merges, words = BPE.fit_bpe_merges(docs, k_merges=4)
+    enc = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in BPE.bpe_encode(docs, words).collect()}
+    # this corpus (all cnt=1) learns (l,o)(lo,w)(e,r)(e,s):
+    # low=|low| 1 sym, lower=|low||er| 2, newest=|n||e||w||es||t| 5
+    assert enc[0] == (2, 3)
+    assert enc[1] == (1, 5)
+    assert enc[2] == (0, 0)  # no alphabetic pre-tokens
