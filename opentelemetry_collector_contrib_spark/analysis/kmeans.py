@@ -1,0 +1,266 @@
+"""Exact-integer k-means (Lloyd 1982) over the embedding corpus — the
+centroid-TRAINING pass that ``similarity.ivf_centroids`` deliberately
+skipped ("float means are aggregation-order-dependent and would break
+oracle exactness"). This module removes that objection: all arithmetic
+runs in integer MICROUNITS (component -> floor(x * 1e6) as BIGINT), so
+per-cell component sums are exact integers (partition-invariant under
+any aggregation order) and the centroid update is exact floor division
+— the whole fit is bit-identical across cluster shapes and across
+engines, like the PageRank/BPE loops.
+
+Scale shape per iteration:
+- ASSIGN is map-only whole-stage codegen: the K centroids are model
+  parameters embedded as literal arrays (K*dim longs — a plan
+  constant), so nearest-centroid is a zip_with/aggregate expression
+  per row. No join, no broadcast, nothing shuffles.
+- UPDATE is ONE combinable groupBy(cell) producing K rows of
+  (count, dim component sums) — map-side partial aggregation does
+  almost all the work; the shuffle moves K*(dim+1) longs per task.
+- The K-row collect per iteration is the legitimate driver-side step
+  of an iterative algorithm (the model parameters), exactly like the
+  BPE top-pair and the PQ codebook.
+
+Seeding: the K corpus vectors ranked first by (md5(vec_id), vec_id) —
+the same seeded pick as ``similarity.ivf_centroids``; at web scale
+gate the rank with a hash predicate (md5 % (n/K) = 0) so the global
+row_number sorts a K-ish sample, not the corpus.
+
+Determinism details shared with the DuckDB oracle (the same T
+iterations unrolled as a CTE chain): float32 -> double is exact, the
+1e6 multiply and floor are IEEE-identical, distance ties break by
+cell_id ascending, empty cells keep their previous centroid, and the
+centroid update is floor division implemented as
+``(s - ((s % n + n) % n)) / n`` (exact BIGINT in both engines; the
+final divide is exact because the adjusted numerator is divisible).
+
+Overflow bounds (ANSI mode would error, not wrap): per-pair squared
+distance <= dim * (2e6)^2 ~ 2.6e14; per-cell inertia sums stay inside
+int64 up to ~3e4 * 1e12 members per cell — pre-scale distances before
+summing if a single cell can exceed that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def to_micro(col):
+    """float32 embedding -> exact integer microunits (array<bigint>)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(float(MICRO)))
+    )
+
+
+def _seed_centroids(e: DataFrame, k: int) -> list[list[int]]:
+    w = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    rows = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .orderBy("_rn")
+        .select("vm")
+        .collect()
+    )
+    return [list(r["vm"]) for r in rows]
+
+
+def _lit_vec(c: list[int]):
+    return F.array(*[F.lit(int(v)).cast("long") for v in c])
+
+
+def _assign(e: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """(vec_id, vm, cell_id, d): nearest centroid by squared-L2 in
+    micro^2 units, ties to the lowest cell_id. Pure map — the
+    centroids are literals, so this is one codegen stage."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("vm"), _lit_vec(c), lambda x, y: x - y
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v * v,
+                ).alias("d"),
+                F.lit(i).alias("cell_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(cands)
+    return e.select(
+        "vec_id",
+        "vm",
+        best["cell_id"].alias("cell_id"),
+        best["d"].alias("d"),
+    )
+
+
+def fit_kmeans(
+    emb_df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], DataFrame]:
+    """Run ``iters`` Lloyd iterations; return (centroids, assign_df).
+
+    ``centroids`` is the trained K x dim integer-micro codebook;
+    ``assign_df`` is the corpus assignment UNDER THE FINAL CENTROIDS
+    (one extra map-only pass): (vec_id, cell_id, d).
+    """
+    e = emb_df.select(
+        F.col(id_col).alias("vec_id"), to_micro(F.col(vec_col)).alias("vm")
+    )
+    e = e.persist()
+    try:
+        centroids = _seed_centroids(e, k)
+        for _ in range(iters):
+            stats = (
+                _assign(e, centroids)
+                .groupBy("cell_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.col("vm")[i]).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            by_cell = {r["cell_id"]: r for r in stats}
+            centroids = [
+                (
+                    [
+                        int(by_cell[c][f"s{i}"]) // int(by_cell[c]["n"])
+                        for i in range(dim)
+                    ]
+                    if c in by_cell
+                    else centroids[c]  # empty cell keeps its centroid
+                )
+                for c in range(k)
+            ]
+    finally:
+        e.unpersist()
+    e_fresh = emb_df.select(
+        F.col(id_col).alias("vec_id"), to_micro(F.col(vec_col)).alias("vm")
+    )
+    assign = _assign(e_fresh, centroids).select("vec_id", "cell_id", "d")
+    return centroids, assign
+
+
+def kmeans_cells(
+    emb_df: DataFrame, k: int = 8, iters: int = 3, dim: int = 64
+) -> DataFrame:
+    """(cell_id, n_members, inertia): per-cell size + exact squared-
+    distance sum (micro^2) under the trained centroids."""
+    _, assign = fit_kmeans(emb_df, k=k, iters=iters, dim=dim)
+    return assign.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d").alias("inertia"),
+    )
+
+
+def kmeans_centroids(
+    emb_df: DataFrame, k: int = 8, iters: int = 3, dim: int = 64
+) -> DataFrame:
+    """(cell_id, dim_pos, c_val): the trained codebook, exploded to
+    scalar rows so the driver's value-hash compare applies."""
+    centroids, assign = fit_kmeans(emb_df, k=k, iters=iters, dim=dim)
+    spark = emb_df.sparkSession
+    rows = [
+        (c, i, int(v))
+        for c, vec in enumerate(centroids)
+        for i, v in enumerate(vec)
+    ]
+    df = spark.createDataFrame(
+        rows, "cell_id int, dim_pos int, c_val bigint"
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twin: the same T iterations unrolled as a CTE chain
+# ---------------------------------------------------------------------------
+
+_DIST = (
+    "CAST(list_sum(list_transform(range(1, {dimp1}), "
+    "i -> (vm[i] - cv[i]) * (vm[i] - cv[i]))) AS BIGINT)"
+)
+
+
+def _kmeans_cte_sql(table: str, k: int, iters: int, dim: int) -> str:
+    """CTE blocks: e (micro vectors), c0 (seeds), then per iteration
+    a{t} (assignment under c{t-1}) and c{t} (floor-division update,
+    empty cells keep the old centroid). aF = assignment under c{T}."""
+    dist = _DIST.format(dimp1=dim + 1)
+    parts = [
+        f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT)) AS vm
+  FROM {table}),
+c0 AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id,
+         vm AS cv
+  FROM e QUALIFY cell_id < {k})"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, vm, cell_id, {dist} AS d
+  FROM e CROSS JOIN {prev}
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY d, cell_id) = 1),
+s{t} AS (
+  SELECT cell_id, i, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vm[i]) AS BIGINT) AS s
+  FROM a{t} CROSS JOIN UNNEST(range(1, {dim + 1})) AS u(i)
+  GROUP BY cell_id, i),
+c{t} AS (
+  SELECT p.cell_id,
+         CASE WHEN g.cv2 IS NULL THEN p.cv ELSE g.cv2 END AS cv
+  FROM {prev} p LEFT JOIN (
+    SELECT cell_id,
+           list(CAST((s - ((s % n + n) % n)) / n AS BIGINT)
+                ORDER BY i) AS cv2
+    FROM s{t} GROUP BY cell_id) g USING (cell_id))"""
+        )
+    parts.append(
+        f"""aF AS (
+  SELECT vec_id, vm, cell_id, {dist} AS d
+  FROM e CROSS JOIN c{iters}
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY d, cell_id) = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+def kmeans_cells_sql(
+    table: str = "embeddings", k: int = 8, iters: int = 3, dim: int = 64
+) -> str:
+    return f"""
+WITH {_kmeans_cte_sql(table, k, iters, dim)}
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(d) AS BIGINT) AS inertia
+FROM aF GROUP BY cell_id ORDER BY cell_id
+"""
+
+
+def kmeans_centroids_sql(
+    table: str = "embeddings", k: int = 8, iters: int = 3, dim: int = 64
+) -> str:
+    return f"""
+WITH {_kmeans_cte_sql(table, k, iters, dim)}
+SELECT CAST(cell_id AS INTEGER) AS cell_id,
+       CAST(i - 1 AS INTEGER) AS dim_pos,
+       CAST(cv[i] AS BIGINT) AS c_val
+FROM c{iters} CROSS JOIN UNNEST(range(1, {dim + 1})) AS u(i)
+ORDER BY cell_id, dim_pos
+"""

@@ -1475,3 +1475,25 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_par(spark, sf_dir)
     _, words = BPE.fit_bpe_merges(docs, k_merges=6)
     return BPE.bpe_encode(docs, words).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer k-means (analysis/kmeans.py): Lloyd iterations in
+# integer microunits, so centroid training is partition-invariant and
+# bit-identical across engines; the oracle unrolls the same T
+# (assign -> floor-division update) steps as a CTE chain.
+# ---------------------------------------------------------------------------
+
+from .analysis import kmeans as KM  # noqa: E402
+
+
+@register("kmeans_cells_embeddings", KM.kmeans_cells_sql("embeddings"))
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.kmeans_cells(_emb(spark, sf_dir)).orderBy("cell_id")
+
+
+@register("kmeans_centroids_embeddings", KM.kmeans_centroids_sql("embeddings"))
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return KM.kmeans_centroids(_emb(spark, sf_dir)).orderBy(
+        "cell_id", "dim_pos"
+    )

@@ -1,0 +1,55 @@
+"""Exact-integer k-means: partition invariance, empty-cell handling,
+and Lloyd improvement over the seeded start."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import kmeans as KM
+
+from .conftest import SF_UNIT
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_UNIT}/embeddings.parquet")
+
+
+def test_partition_invariance(spark):
+    """Integer sums + floor division => identical centroids whatever
+    the input partitioning (the property float k-means lacks)."""
+    emb = _emb(spark)
+    c1, _ = KM.fit_kmeans(emb.repartition(1), k=4, iters=2)
+    c2, _ = KM.fit_kmeans(emb.repartition(13), k=4, iters=2)
+    assert c1 == c2
+
+
+def test_inertia_improves_over_seeds(spark):
+    """T Lloyd iterations must not be worse than the raw seeding
+    (floor rounding can nudge a step, but 3 iterations on real data
+    strictly improve a seeded start)."""
+    emb = _emb(spark)
+    c0, a0 = KM.fit_kmeans(emb, k=8, iters=0)
+    c3, a3 = KM.fit_kmeans(emb, k=8, iters=3)
+    i0 = a0.agg(F.sum("d")).collect()[0][0]
+    i3 = a3.agg(F.sum("d")).collect()[0][0]
+    assert i3 < i0
+
+
+def test_assignment_covers_corpus(spark):
+    emb = _emb(spark)
+    _, assign = KM.fit_kmeans(emb, k=8, iters=2)
+    n = emb.count()
+    assert assign.count() == n
+    assert assign.select("vec_id").distinct().count() == n
+    cells = {r["cell_id"] for r in assign.select("cell_id").distinct().collect()}
+    assert cells <= set(range(8))
+
+
+def test_empty_cell_keeps_centroid(spark):
+    """With k == n every vector is its own seed; after an iteration
+    each non-empty cell's centroid is its own member and any empty
+    cell keeps its seed — fit must not error and stays total."""
+    emb = _emb(spark).limit(3)
+    cents, assign = KM.fit_kmeans(emb, k=3, iters=2)
+    assert len(cents) == 3
+    assert assign.count() == 3
