@@ -1,0 +1,152 @@
+"""Crawl-frontier scheduling — the politeness pass of a web-scale
+fetch pipeline (the upstream producer of Common-Crawl-style page
+tables; cf. the reference testbed's load-generator role,
+testbed/testbed/load_generator.go, repurposed for the web domain).
+
+Semantics (the classic Mercator/Heritrix frontier contract):
+- every URL belongs to its HOST's queue; fetches within a host are
+  strictly serialized and spaced by the host's crawl delay
+  (politeness; the per-host delay here is a deterministic seeded-hash
+  stand-in for a robots.txt Crawl-delay lookup — compose with
+  analysis/robots.parse_robots for the real directive);
+- hosts are sharded across N fetch workers by a stable hash, so no
+  host ever spans two workers (the invariant that makes per-host
+  rate-limiting local, i.e. coordination-free).
+
+Scale shape: ONE shuffle on host (the window that sequences a host's
+queue), everything else map-only. A giant host serializes inside its
+partition — that is the *semantics* (politeness forbids parallel
+fetches of one host), not a skew bug; worker sharding spreads distinct
+hosts evenly, which is what bounds makespan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, md5_int32_sql, seeded_hash, seeded_hash_sql
+
+HOST_RE = "https://([^/]+)/"
+
+
+def crawl_schedule(
+    pages: DataFrame,
+    n_workers: int = 8,
+    t0: int = 1_700_000_000,
+    min_delay: int = 1,
+    delay_mod: int = 5,
+) -> DataFrame:
+    """(page_id, host, worker, slot, delay_s, scheduled_epoch).
+
+    slot = position in the host's fetch queue ordered by
+    (warc_ts_epoch, page_id); scheduled_epoch = t0 + slot * delay_s.
+    """
+    host = F.regexp_extract("url", HOST_RE, 1)
+    w = Window.partitionBy("host").orderBy("warc_ts_epoch", "page_id")
+    return (
+        pages.select("page_id", "warc_ts_epoch", host.alias("host"))
+        .withColumn(
+            "delay_s",
+            F.lit(min_delay) + md5_int32(F.col("host")) % delay_mod,
+        )
+        .withColumn(
+            "worker", seeded_hash(F.col("host"), 7) % n_workers
+        )
+        .withColumn("slot", F.row_number().over(w) - 1)
+        .select(
+            "page_id",
+            "host",
+            F.col("worker").cast("int").alias("worker"),
+            F.col("slot").cast("long").alias("slot"),
+            F.col("delay_s").cast("int").alias("delay_s"),
+            (F.lit(t0) + F.col("slot") * F.col("delay_s"))
+            .cast("long")
+            .alias("scheduled_epoch"),
+        )
+    )
+
+
+def frontier_load(
+    pages: DataFrame,
+    n_workers: int = 8,
+    t0: int = 1_700_000_000,
+    min_delay: int = 1,
+    delay_mod: int = 5,
+) -> DataFrame:
+    """Per-worker frontier balance: (worker, n_hosts, n_pages,
+    makespan_s) where makespan is the worker's last scheduled fetch
+    minus t0 — the quantity worker sharding is supposed to bound."""
+    sched = crawl_schedule(pages, n_workers, t0, min_delay, delay_mod)
+    return sched.groupBy("worker").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.count(F.lit(1)).alias("n_pages"),
+        (F.max("scheduled_epoch") - F.lit(t0))
+        .cast("long")
+        .alias("makespan_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+
+def _schedule_cte_sql(
+    web_cte: str,
+    n_workers: int,
+    t0: int,
+    min_delay: int,
+    delay_mod: int,
+) -> str:
+    return f"""
+web AS ({web_cte}),
+hosted AS (
+  SELECT page_id, warc_ts_epoch,
+         regexp_extract(url, '{HOST_RE}', 1) AS host
+  FROM web),
+sched AS (
+  SELECT page_id, host,
+         CAST({seeded_hash_sql("host", 7)} % {n_workers} AS INTEGER)
+           AS worker,
+         CAST(row_number() OVER (
+           PARTITION BY host ORDER BY warc_ts_epoch, page_id) - 1
+           AS BIGINT) AS slot,
+         CAST({min_delay} + {md5_int32_sql("host")} % {delay_mod}
+           AS INTEGER) AS delay_s
+  FROM hosted)
+"""
+
+
+def crawl_schedule_sql(
+    web_cte: str,
+    n_workers: int = 8,
+    t0: int = 1_700_000_000,
+    min_delay: int = 1,
+    delay_mod: int = 5,
+) -> str:
+    cte = _schedule_cte_sql(web_cte, n_workers, t0, min_delay, delay_mod)
+    return f"""
+WITH {cte}
+SELECT page_id, host, worker, slot, delay_s,
+       CAST({t0} + slot * delay_s AS BIGINT) AS scheduled_epoch
+FROM sched ORDER BY page_id
+"""
+
+
+def frontier_load_sql(
+    web_cte: str,
+    n_workers: int = 8,
+    t0: int = 1_700_000_000,
+    min_delay: int = 1,
+    delay_mod: int = 5,
+) -> str:
+    cte = _schedule_cte_sql(web_cte, n_workers, t0, min_delay, delay_mod)
+    return f"""
+WITH {cte}
+SELECT worker,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(MAX(slot * delay_s) AS BIGINT) AS makespan_s
+FROM sched GROUP BY worker ORDER BY worker
+"""

@@ -1497,3 +1497,32 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KM.kmeans_centroids(_emb(spark, sf_dir)).orderBy(
         "cell_id", "dim_pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier scheduling (analysis/frontier.py): per-host politeness
+# queues + stable worker sharding — one shuffle on host, map-only
+# otherwise; the DuckDB twin re-derives the identical seeded-hash
+# delays and worker assignments.
+# ---------------------------------------------------------------------------
+
+from . import datagen as DG  # noqa: E402
+from .analysis import frontier as FR  # noqa: E402
+
+
+@register(
+    "crawl_schedule_pages",
+    FR.crawl_schedule_sql(DG.web_pages_select_sql("documents")),
+)
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = DG.web_pages_from_documents(spark, sf_dir)
+    return FR.crawl_schedule(web).orderBy("page_id")
+
+
+@register(
+    "frontier_load_workers",
+    FR.frontier_load_sql(DG.web_pages_select_sql("documents")),
+)
+def q_frontier_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = DG.web_pages_from_documents(spark, sf_dir)
+    return FR.frontier_load(web).orderBy("worker")

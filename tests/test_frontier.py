@@ -1,0 +1,55 @@
+"""Crawl-frontier invariants: politeness spacing, host-worker
+locality, full coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark import datagen as DG
+from opentelemetry_collector_contrib_spark.analysis import frontier as FR
+
+from .conftest import SF_UNIT
+
+
+def _sched(spark):
+    web = DG.web_pages_from_documents(spark, SF_UNIT)
+    return FR.crawl_schedule(web), web
+
+
+def test_host_never_spans_workers(spark):
+    sched, _ = _sched(spark)
+    multi = (
+        sched.groupBy("host")
+        .agg(F.countDistinct("worker").alias("w"))
+        .filter(F.col("w") > 1)
+    )
+    assert multi.count() == 0
+
+
+def test_politeness_spacing(spark):
+    """Within a host, consecutive fetches are exactly delay_s apart
+    and slots are a gapless 0..n-1 sequence."""
+    sched, _ = _sched(spark)
+    rows = sched.orderBy("host", "slot").collect()
+    by_host: dict = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) > 1
+    for host, hr in by_host.items():
+        assert [r["slot"] for r in hr] == list(range(len(hr))), host
+        for a, b in zip(hr, hr[1:]):
+            assert b["scheduled_epoch"] - a["scheduled_epoch"] == a["delay_s"]
+            assert a["delay_s"] == b["delay_s"]
+
+
+def test_schedule_covers_all_pages(spark):
+    sched, web = _sched(spark)
+    assert sched.count() == web.count()
+    assert sched.select("page_id").distinct().count() == web.count()
+
+
+def test_worker_range_and_load(spark):
+    _, web = _sched(spark)
+    load = FR.frontier_load(web, n_workers=4).collect()
+    assert {r["worker"] for r in load} <= set(range(4))
+    assert sum(r["n_pages"] for r in load) == web.count()
