@@ -192,52 +192,63 @@ _DIST = (
 )
 
 
-def _kmeans_cte_sql(table: str, k: int, iters: int, dim: int) -> str:
+def _kmeans_cte_sql(
+    table: str,
+    k: int,
+    iters: int,
+    dim: int,
+    prefix: str = "",
+    final_assign: bool = True,
+) -> str:
     """CTE blocks: e (micro vectors), c0 (seeds), then per iteration
     a{t} (assignment under c{t-1}) and c{t} (floor-division update,
-    empty cells keep the old centroid). aF = assignment under c{T}."""
+    empty cells keep the old centroid). aF = assignment under c{T}.
+    ``prefix`` renames every block (composition into other WITH
+    chains, e.g. the IVF search twin)."""
     dist = _DIST.format(dimp1=dim + 1)
+    p = prefix
     parts = [
-        f"""e AS (
+        f"""{p}e AS (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {MICRO}) AS BIGINT)) AS vm
   FROM {table}),
-c0 AS (
+{p}c0 AS (
   SELECT row_number() OVER (
            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id,
          vm AS cv
-  FROM e QUALIFY cell_id < {k})"""
+  FROM {p}e QUALIFY cell_id < {k})"""
     ]
     for t in range(1, iters + 1):
-        prev = f"c{t - 1}"
+        prev = f"{p}c{t - 1}"
         parts.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
   SELECT vec_id, vm, cell_id, {dist} AS d
-  FROM e CROSS JOIN {prev}
+  FROM {p}e CROSS JOIN {prev}
   QUALIFY row_number() OVER (
     PARTITION BY vec_id ORDER BY d, cell_id) = 1),
-s{t} AS (
+{p}s{t} AS (
   SELECT cell_id, i, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(vm[i]) AS BIGINT) AS s
-  FROM a{t} CROSS JOIN UNNEST(range(1, {dim + 1})) AS u(i)
+  FROM {p}a{t} CROSS JOIN UNNEST(range(1, {dim + 1})) AS u(i)
   GROUP BY cell_id, i),
-c{t} AS (
+{p}c{t} AS (
   SELECT p.cell_id,
          CASE WHEN g.cv2 IS NULL THEN p.cv ELSE g.cv2 END AS cv
   FROM {prev} p LEFT JOIN (
     SELECT cell_id,
            list(CAST((s - ((s % n + n) % n)) / n AS BIGINT)
                 ORDER BY i) AS cv2
-    FROM s{t} GROUP BY cell_id) g USING (cell_id))"""
+    FROM {p}s{t} GROUP BY cell_id) g USING (cell_id))"""
         )
-    parts.append(
-        f"""aF AS (
+    if final_assign:
+        parts.append(
+            f"""{p}aF AS (
   SELECT vec_id, vm, cell_id, {dist} AS d
-  FROM e CROSS JOIN c{iters}
+  FROM {p}e CROSS JOIN {p}c{iters}
   QUALIFY row_number() OVER (
     PARTITION BY vec_id ORDER BY d, cell_id) = 1)"""
-    )
+        )
     return ",\n".join(parts)
 
 
@@ -264,3 +275,78 @@ SELECT CAST(cell_id AS INTEGER) AS cell_id,
 FROM c{iters} CROSS JOIN UNNEST(range(1, {dim + 1})) AS u(i)
 ORDER BY cell_id, dim_pos
 """
+
+
+# ---------------------------------------------------------------------------
+# Bridge into the IVF search (similarity.ivf_ann_search): the trained
+# codebook as a (cell_id, centroid double, cent_norm) quantizer table.
+# ---------------------------------------------------------------------------
+
+
+def trained_centroids(
+    emb_df: DataFrame, k: int = 8, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """Trained quantizer for :func:`similarity.ivf_ann_search`.
+
+    micro -> double via x / 1e6 (one IEEE divide — identical in both
+    engines); cent_norm computed engine-side with the same sequential
+    accumulation as the corpus norms."""
+    from .similarity import norm
+
+    cents, _ = fit_kmeans(emb_df, k=k, iters=iters, dim=dim)
+    spark = emb_df.sparkSession
+    base = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell_id int, cm array<bigint>",
+    )
+    centroid = F.transform(
+        "cm", lambda x: x.cast("double") / F.lit(float(MICRO))
+    )
+    return base.select(
+        "cell_id",
+        centroid.alias("centroid"),
+    ).withColumn("cent_norm", norm(F.col("centroid")))
+
+
+def kmeans_seeds_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    prefix: str = "km_",
+) -> str:
+    """CTE block(s) ending in seeds(cell_id, centroid, cent_norm) —
+    the trained-quantizer drop-in for similarity.ivf_search_sql."""
+    chain = _kmeans_cte_sql(
+        table, k, iters, dim, prefix=prefix, final_assign=False
+    )
+    return f"""{chain},
+seeds AS (
+  SELECT cell_id, centroid,
+         sqrt(list_dot_product(centroid, centroid)) AS cent_norm
+  FROM (
+    SELECT cell_id,
+           list_transform(cv, x -> CAST(x AS DOUBLE) / {MICRO}.0)
+             AS centroid
+    FROM {prefix}c{iters}))"""
+
+
+def ivf_kmeans_ann_topk_sql(
+    query_pred: str,
+    k: int = 5,
+    n_cells: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    table: str = "embeddings",
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of IVF ANN over the k-means-trained quantizer."""
+    from .similarity import ivf_search_sql
+
+    return ivf_search_sql(
+        kmeans_seeds_sql(table, n_cells, iters, dim),
+        query_pred,
+        k,
+        nprobe,
+        table,
+    )

@@ -473,19 +473,18 @@ def _ivf_nearest_cells(
     )
 
 
-def _ivf_cells_sql(query_pred: str, n_cells: int, nprobe: int,
-                   table: str = "embeddings") -> str:
-    """Shared CTE prefix: e (vectors+norms), seeds, assign (1 cell per
-    vector), probes (nprobe cells per query)."""
+def _ivf_cells_from_seeds_sql(seeds_sql: str, query_pred: str,
+                              nprobe: int,
+                              table: str = "embeddings") -> str:
+    """Shared CTE prefix against ANY quantizer: e (vectors+norms),
+    ``seeds_sql`` (CTE block(s) ending in seeds(cell_id, centroid,
+    cent_norm)), assign (1 cell per vector), probes (nprobe cells per
+    query)."""
     e = _E_CTE.format(table=table)
     return f"""
 e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
       FROM ({e})),
-seeds AS (
-  SELECT v AS centroid, nrm AS cent_norm,
-         row_number() OVER (
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
-  FROM e QUALIFY cell_id < {n_cells}),
+{seeds_sql},
 cscore AS (
   SELECT e.vec_id, e.v, e.nrm, s.cell_id,
          ROUND(list_dot_product(e.v, s.centroid)
@@ -498,6 +497,42 @@ cranked AS (
 assign AS (SELECT vec_id, v, nrm, cell_id FROM cranked WHERE crn = 1),
 probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell_id
            FROM cranked WHERE crn <= {nprobe} AND {query_pred})"""
+
+
+def _ranked_seeds_sql(n_cells: int) -> str:
+    """The md5-ranked seeded quantizer (the ivf_centroids twin)."""
+    return f"""seeds AS (
+  SELECT v AS centroid, nrm AS cent_norm,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+  FROM e QUALIFY cell_id < {n_cells})"""
+
+
+def _ivf_cells_sql(query_pred: str, n_cells: int, nprobe: int,
+                   table: str = "embeddings") -> str:
+    return _ivf_cells_from_seeds_sql(
+        _ranked_seeds_sql(n_cells), query_pred, nprobe, table
+    )
+
+
+def ivf_search_sql(seeds_sql: str, query_pred: str, k: int = 5,
+                   nprobe: int = 2, table: str = "embeddings") -> str:
+    """Full IVF ANN twin against ANY quantizer CTE block(s)."""
+    cells = _ivf_cells_from_seeds_sql(seeds_sql, query_pred, nprobe, table)
+    return f"""
+WITH {cells},
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS cos
+  FROM probes p JOIN assign a USING (cell_id)
+  WHERE p.query_id <> a.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
 
 
 def ivf_ann_topk(
@@ -519,9 +554,27 @@ def ivf_ann_topk(
     same dial as lsh_ann_topk's n_planes but with data-adaptive
     (corpus-seeded) cells instead of data-blind hyperplanes.
     """
+    cent = ivf_centroids(corpus_df, n_cells, id_col, vec_col)
+    return ivf_ann_search(
+        queries_df, corpus_df, cent, k, nprobe, id_col, vec_col
+    )
+
+
+def ivf_ann_search(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    cent: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF search against ANY quantizer: ``cent`` is a K-row
+    (cell_id, centroid, cent_norm) table — seeded picks
+    (:func:`ivf_centroids`) or a trained codebook
+    (``analysis.kmeans.trained_centroids``)."""
     from pyspark.sql import Window
 
-    cent = ivf_centroids(corpus_df, n_cells, id_col, vec_col)
     c = corpus_df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
@@ -558,21 +611,9 @@ def ivf_ann_topk(
 
 def ivf_ann_topk_sql(query_pred: str, k: int = 5, n_cells: int = 8,
                      nprobe: int = 2, table: str = "embeddings") -> str:
-    cells = _ivf_cells_sql(query_pred, n_cells, nprobe, table)
-    return f"""
-WITH {cells},
-scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         ROUND(list_dot_product(p.qv, a.v) / (p.qn * a.nrm), 6) AS cos
-  FROM probes p JOIN assign a USING (cell_id)
-  WHERE p.query_id <> a.vec_id),
-ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
-ORDER BY query_id, rank
-"""
+    return ivf_search_sql(
+        _ranked_seeds_sql(n_cells), query_pred, k, nprobe, table
+    )
 
 
 def semantic_dedup_ivf(

@@ -1526,3 +1526,21 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frontier_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     web = DG.web_pages_from_documents(spark, sf_dir)
     return FR.frontier_load(web).orderBy("worker")
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    KM.ivf_kmeans_ann_topk_sql("vec_id % 25 = 0", k=5, n_cells=8,
+                               iters=2, nprobe=2),
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over the k-means-TRAINED quantizer (vs ann_ivf_topk's
+    seeded picks): same map-only broadcast quantization + cell_id
+    equi-join search, but the cells are Lloyd-optimized so lists are
+    tighter at the same K."""
+    emb = _emb(spark, sf_dir)
+    cent = KM.trained_centroids(emb, k=8, iters=2)
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    return SIM.ivf_ann_search(qs, emb, cent, k=5, nprobe=2).orderBy(
+        "query_id", "rank"
+    )

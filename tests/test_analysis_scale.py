@@ -72,6 +72,7 @@ _BNLJ_ALLOWED = {"ann_cosine_topk"}
 #   accidental quadratic BNLJ anywhere else still fails.
 _CONST_BROADCAST = {
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",  # K trained-centroid rows (plan constant)
     "ann_ivfpq_topk",  # m_sub*k_codes codebook rows (plan constant)
     "text_lang_id_ct",  # |langs| profile-dimension rows (plan constant)
     "dedup_semantic_ivf",

@@ -53,3 +53,30 @@ def test_empty_cell_keeps_centroid(spark):
     cents, assign = KM.fit_kmeans(emb, k=3, iters=2)
     assert len(cents) == 3
     assert assign.count() == 3
+
+
+def test_trained_quantizer_recall_not_worse_than_seeded(spark):
+    """IVF over Lloyd-trained cells must match or beat the seeded
+    quantizer's recall@5 vs brute force (deterministic fixture, both
+    quantizers deterministic, so this comparison is stable)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.analysis import (
+        similarity as SIM,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.cosine_topk(qs, emb, k=5).collect()}
+    seeded = {(r["query_id"], r["neighbor_id"])
+              for r in SIM.ivf_ann_topk(
+                  qs, emb, k=5, n_cells=8, nprobe=2).collect()}
+    cent = KM.trained_centroids(emb, k=8, iters=2)
+    trained = {(r["query_id"], r["neighbor_id"])
+               for r in SIM.ivf_ann_search(
+                   qs, emb, cent, k=5, nprobe=2).collect()}
+    r_seeded = len(seeded & truth) / len(truth)
+    r_trained = len(trained & truth) / len(truth)
+    assert r_trained >= r_seeded
+    assert r_trained >= 0.4
