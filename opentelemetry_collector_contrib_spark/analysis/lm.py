@@ -79,6 +79,155 @@ def unigram_cross_entropy(
     )
 
 
+#: Jelinek-Mercer interpolation weight on the bigram ML term. CCNet's
+#: real filter is a 5-gram KenLM; a corpus-trained interpolated bigram
+#: is the same shape (backoff mass to a smoothed unigram) at the
+#: largest order whose count tables stay relational.
+LAMBDA = 0.9
+
+#: begin-of-sentence sentinel for the position-1 bigram context.
+#: chr(2) (STX) cannot appear in a whitespace token stream.
+BOS = "\x02"
+
+
+def _bigram_events(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per predicted token: (doc_id, prev, cur) with prev=BOS
+    at position 1 — map-only (array transform, no shuffle)."""
+    toks = ws_tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.struct(
+                F.when(i == F.lit(1), F.lit(BOS))
+                .otherwise(F.element_at(toks, F.greatest(i - 1, F.lit(1))))
+                .alias("prev"),
+                F.element_at(toks, i).alias("cur"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<prev:string,cur:string>>")
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), pairs.alias("_ev"))
+
+
+def bigram_cross_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc cross-entropy under a corpus-trained INTERPOLATED bigram
+    model — the KenLM-shaped upgrade of :func:`unigram_cross_entropy`
+    (Wenzek et al. 2020 §3.3 score pages by LM perplexity; reference
+    quality-gate role: processor/filterprocessor/logs.go).
+
+    p(cur|prev) = LAMBDA·c(prev,cur)/c(prev·) + (1−LAMBDA)·p_add1(cur),
+    every token predicted exactly once (position 1 from the BOS
+    context), so n_tokens matches the unigram scorer. Per-token
+    surprisal is rounded to integer micro-nats BEFORE the per-doc sum:
+    the aggregate is an exact BIGINT, aggregation-order-independent,
+    and the DuckDB oracle matches hash-exactly.
+
+    Scale shape: the event stream shuffles only short token-pair keys;
+    the bigram fit is one map-side-combinable groupBy(prev, cur) whose
+    context totals c(prev·) are a reaggregation of the SAME relation
+    (no second corpus pass); unigram totals ride the identical stream.
+    The model joins back many-to-one on (prev, cur) — the AQE skew-join
+    case for hot stopword contexts. At web scale the model truncates to
+    top-V contexts plus a constant OOV surprisal and broadcasts; the
+    full-vocab join below is the exact small-scale form of that plan.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import _PERSISTED
+
+    # the event stream feeds the model fit AND the scoring join:
+    # persist the array-valued relation and explode above the cache
+    # (see dsir.dsir_scores for why the cache sits above the Generate)
+    arrs = _bigram_events(docs, text_col, id_col)
+    arrs = arrs.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(arrs)
+    ev = arrs.select("doc_id", F.explode("_ev").alias("e")).select(
+        "doc_id", F.col("e.prev").alias("prev"), F.col("e.cur").alias("cur")
+    )
+
+    c2 = ev.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    cu = c2.groupBy("cur").agg(F.sum("c2").alias("cu"))
+    tot = cu.agg(
+        F.sum("cu").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    model = (
+        c2.join(c1, "prev")
+        .join(cu, "cur")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                -F.log(
+                    F.lit(LAMBDA) * (F.col("c2") * F.lit(1.0) / F.col("c1"))
+                    + F.lit(1.0 - LAMBDA)
+                    * ((F.col("cu") + F.lit(1.0))
+                       / (F.col("total") + F.col("vocab")))
+                )
+                * MICRO
+            )
+            .cast("long")
+            .alias("nlp_micro"),
+        )
+    )
+    return (
+        ev.join(model, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nlp_micro").alias("nlp_micro_sum"),
+        )
+        .withColumn(
+            "cross_entropy",
+            F.round(
+                F.col("nlp_micro_sum").cast("double")
+                / MICRO
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+    )
+
+
+def bigram_cross_entropy_sql(
+    table: str = "documents", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of bigram_cross_entropy (same BOS sentinel,
+    interpolation arithmetic, and micro-nat rounding)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {ws_tokens_sql(text_expr)} AS t FROM {table}),
+ev AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN chr(2) ELSE t[i-1] END AS prev,
+         t[i] AS cur
+  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+c2 AS (SELECT prev, cur, count(*) AS c2 FROM ev GROUP BY prev, cur),
+c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev),
+cu AS (SELECT cur, sum(c2) AS cu FROM c2 GROUP BY cur),
+tot AS (SELECT sum(cu) AS total, count(*) AS vocab FROM cu),
+model AS (
+  SELECT prev, cur,
+         CAST(ROUND(-ln({LAMBDA} * (c2 * 1.0 / c1)
+                        + {1.0 - LAMBDA}
+                          * ((cu + 1.0) / (total + vocab)))
+                    * {MICRO}) AS BIGINT) AS nlp_micro
+  FROM c2 JOIN c1 USING (prev) JOIN cu USING (cur), tot)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(nlp_micro) AS nlp_micro_sum,
+       ROUND(CAST(sum(nlp_micro) AS DOUBLE) / {MICRO} / count(*), 6)
+         AS cross_entropy
+FROM ev JOIN model USING (prev, cur)
+GROUP BY doc_id
+"""
+
+
 def unigram_cross_entropy_sql(
     table: str = "documents", text_expr: str = "text"
 ) -> str:

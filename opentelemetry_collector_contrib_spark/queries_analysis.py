@@ -893,6 +893,19 @@ def q_lm_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.unigram_cross_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+@register(
+    "lm_bigram_cross_entropy_documents",
+    LM.bigram_cross_entropy_sql("documents", "text") + " ORDER BY doc_id",
+)
+def q_lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM perplexity filter — the KenLM-shaped
+    CCNet quality gate (Wenzek et al. 2020 §3.3) at the largest order
+    whose count tables stay relational."""
+    return LM.bigram_cross_entropy(_docs_par(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN + SemDeDup (analysis/similarity.py IVF section): the
 # data-adaptive counterpart of the LSH queries — corpus-seeded cells,

@@ -77,6 +77,7 @@ _CONST_BROADCAST = {
     "text_lang_id_ct",  # |langs| profile-dimension rows (plan constant)
     "dedup_semantic_ivf",
     "lm_cross_entropy_documents",
+    "lm_bigram_cross_entropy_documents",  # 1-row totals broadcast
     "dsir_scores_documents",  # 1-row distribution-totals broadcast
     "isolation_forest_events",  # 1-row contamination-threshold broadcast
 }

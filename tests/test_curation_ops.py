@@ -202,6 +202,29 @@ def test_lm_empty_doc_drops_out(spark):
     assert ids == {1}
 
 
+def test_lm_bigram_orders_fluency(spark):
+    # seen bigram sequences score lower than the same tokens shuffled
+    # into unseen contexts; every token predicted once (BOS at pos 1)
+    rows = [(i, "the quick brown fox jumps") for i in range(9)]
+    rows.append((100, "fox the jumps quick brown"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in LM.bigram_cross_entropy(df).collect()}
+    assert all(r["n_tokens"] == 5 for r in out.values())
+    assert out[100]["cross_entropy"] > out[0]["cross_entropy"]
+    assert out[0]["nlp_micro_sum"] == out[8]["nlp_micro_sum"]
+    # unigram scorer can NOT separate these (same bag of tokens)
+    uni = {r["doc_id"]: r for r in LM.unigram_cross_entropy(df).collect()}
+    assert uni[100]["nlp_micro_sum"] == uni[0]["nlp_micro_sum"]
+
+
+def test_lm_bigram_empty_doc_drops_out(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "   ")], "doc_id long, text string"
+    )
+    ids = {r["doc_id"] for r in LM.bigram_cross_entropy(df).collect()}
+    assert ids == {1}
+
+
 def test_exact_substring_stats_semantics(spark):
     df = _docs(
         spark,
