@@ -249,3 +249,87 @@ SELECT doc_id,
 FROM toks JOIN model USING (tok)
 GROUP BY doc_id
 """
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020
+    §4.3): per language, the lowest-perplexity third of documents is
+    ``head``, then ``middle``, then ``tail`` — the standard corpus
+    partitioning for quality-weighted sampling.
+
+    Buckets are assigned BY CROSS-ENTROPY VALUE, not per-doc rank: a
+    distinct (lang, ce) value gets the bucket where its value run
+    STARTS in the per-lang cumulative count ((cum−cnt)·3 < n → head,
+    < 2n → middle, else tail), so equal scores always share a bucket
+    and the rule is exact-integer.
+
+    Scale shape — no per-doc window: the cumulative pass runs on the
+    DISTINCT (lang, ce) relation (one combinable groupBy away from the
+    doc stream, bounded by value cardinality, windowed per lang over
+    that small relation); docs get buckets back via an equi-join on
+    (lang, ce). A per-lang rank over raw docs would sort each whole
+    language on one task — that is the shape this avoids.
+    """
+    from pyspark.sql import Window
+
+    ce = unigram_cross_entropy(docs, text_col, id_col)
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")
+    ).join(ce.select("doc_id", "cross_entropy"), "doc_id")
+    vals = scored.groupBy("lang", "cross_entropy").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("cross_entropy")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    marks = (
+        vals.withColumn("cum", F.sum("cnt").over(w))
+        .join(n, "lang")
+        .select(
+            "lang",
+            "cross_entropy",
+            F.when((F.col("cum") - F.col("cnt")) * 3 < F.col("n"), "head")
+            .when((F.col("cum") - F.col("cnt")) * 3 < 2 * F.col("n"),
+                  "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )
+    return scored.join(marks, ["lang", "cross_entropy"]).select(
+        "doc_id", "lang", "cross_entropy", "bucket"
+    )
+
+
+def ccnet_buckets_sql(table: str = "documents",
+                      text_expr: str = "text") -> str:
+    """DuckDB twin of ccnet_buckets (same value-start bucket rule)."""
+    ce = unigram_cross_entropy_sql(table, text_expr)
+    return f"""
+WITH ce AS ({ce}),
+scored AS (
+  SELECT d.doc_id, d.lang, ce.cross_entropy
+  FROM {table} d JOIN ce USING (doc_id)),
+vals AS (
+  SELECT lang, cross_entropy, count(*) AS cnt
+  FROM scored GROUP BY lang, cross_entropy),
+n AS (SELECT lang, count(*) AS n FROM scored GROUP BY lang),
+marks AS (
+  SELECT v.lang, v.cross_entropy,
+         CASE WHEN (cum - cnt) * 3 < n THEN 'head'
+              WHEN (cum - cnt) * 3 < 2 * n THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM (SELECT lang, cross_entropy, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY cross_entropy
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vals) v JOIN n USING (lang))
+SELECT s.doc_id, s.lang, s.cross_entropy, m.bucket
+FROM scored s JOIN marks m USING (lang, cross_entropy)
+"""

@@ -906,6 +906,16 @@ def q_lm_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lm_ccnet_buckets_documents",
+    LM.ccnet_buckets_sql("documents", "text") + " ORDER BY doc_id",
+)
+def q_lm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus partitioning by per-lang LM
+    perplexity thirds (value-start bucket rule, no per-doc window)."""
+    return LM.ccnet_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN + SemDeDup (analysis/similarity.py IVF section): the
 # data-adaptive counterpart of the LSH queries — corpus-seeded cells,

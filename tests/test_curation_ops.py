@@ -217,6 +217,30 @@ def test_lm_bigram_orders_fluency(spark):
     assert uni[100]["nlp_micro_sum"] == uni[0]["nlp_micro_sum"]
 
 
+def test_ccnet_buckets_thirds_and_value_consistency(spark):
+    # 30 distinct scores: more common-token mass -> lower cross-entropy
+    rows = [
+        (i, "en", ("the " * (i + 1)) + f"x{i}") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = LM.ccnet_buckets(df).collect()
+    assert len(out) == 30
+    by_bucket = {}
+    by_ce = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+        by_ce.setdefault(r["cross_entropy"], set()).add(r["bucket"])
+    # equal scores always share a bucket (value-start rule)
+    assert all(len(bs) == 1 for bs in by_ce.values())
+    # roughly thirds (value runs can straddle a boundary)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # head holds the LOWEST cross-entropy docs
+    ce = {r["doc_id"]: r["cross_entropy"] for r in out}
+    assert max(ce[i] for i in by_bucket["head"]) <= min(
+        ce[i] for i in by_bucket["tail"]
+    )
+
+
 def test_lm_bigram_empty_doc_drops_out(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "   ")], "doc_id long, text string"
