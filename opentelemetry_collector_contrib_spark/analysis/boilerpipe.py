@@ -1,0 +1,256 @@
+"""Boilerplate detection over the ``html binary`` page column —
+Kohlschütter, Fankhauser & Nejdl, "Boilerplate Detection using Shallow
+Text Features" (WSDM 2010), the NumWordsRulesClassifier decision tree
+from the published boilerpipe library: classify each text BLOCK as
+content vs boilerplate from (words, link-density) of the block and its
+neighbors. This is the main-content extraction step between
+``html.html_text`` (strip everything) and a real DOM pipeline — the
+standard first stage of a Common-Crawl curation pipeline.
+
+Decision tree (published constants 0.333333 / 0.555556 are the
+C4.5-printed decimals of 1/3 and 5/9 — we use the EXACT rationals as
+integer cross-multiplications, so the rule is engine-portable with no
+float division; link density is anchor-words / words, word-based as in
+boilerpipe's TextBlock):
+
+    curr.linkDensity <= 1/3
+    | prev.linkDensity <= 5/9
+    | | curr.numWords <= 16
+    | | | next.numWords <= 15
+    | | | | prev.numWords <= 4 -> BOILERPLATE else CONTENT
+    | | | next.numWords > 15 -> CONTENT
+    | | curr.numWords > 16 -> CONTENT
+    | prev.linkDensity > 5/9
+    | | curr.numWords <= 40
+    | | | next.numWords <= 17 -> BOILERPLATE else CONTENT
+    | | curr.numWords > 40 -> CONTENT
+    curr.linkDensity > 1/3 -> BOILERPLATE
+
+Scale shape: everything is a pure Column expression per page (strip →
+regex block split → per-block features → array-domain prev/next
+classification) — map-only, whole-stage codegen, no shuffle, no
+Python. The missing prev/next at document edges count as an empty
+block (0 words, 0 density), matching boilerpipe's sentinel blocks.
+
+Reference-role parity: the stanza parse layer promotes fields out of
+log bodies (pkg/stanza/operator/parser/regex); this promotes the
+content region out of page bytes — same promote-on-extract stage, the
+web-corpus analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .html import _ENTITIES, _SCRIPT_RE, _STYLE_RE, _TAG_RE
+from .textstats import ws_tokens, ws_tokens_sql
+
+# block-LEVEL tags split the page into text blocks; inline tags
+# (<a>, <b>, <span>, ...) stay inside a block so link density survives
+_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|td|tr|table|body|html|head"
+    r"|title|meta|article|section|footer|nav)[^>]*>"
+)
+_ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
+
+
+def boiler_html_sql(id_expr: str = "page_id",
+                    text_expr: str = "text") -> str:
+    """Deterministic multi-block page (Spark-SQL ∩ DuckDB dialect, like
+    html.rich_html_sql) that exercises every branch of the tree: a
+    nav block (link density 1 → boilerplate), a short heading after a
+    dense block, a long body paragraph (length varies with id), a
+    short trailing note, and a link-heavy footer (density 3/7 > 1/3)."""
+    return (
+        "('<html><body><div><a href=\"/\">Home</a> "
+        "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>"
+        "</div>'\n"
+        " || '<h1>Post ' || CAST(" + id_expr + " AS STRING)"
+        " || ' overview</h1>'\n"
+        " || '<p>' || " + text_expr
+        + " || repeat(' lorem ipsum dolor sit amet', "
+        + id_expr + " % 4) || '</p>'\n"
+        " || '<p>Short note ' || CAST(" + id_expr + " % 7 AS STRING)"
+        " || ' here.</p>'\n"
+        " || '<div>Copyright <a href=\"/legal\">legal terms</a> and "
+        "<a href=\"/privacy\">privacy</a> notice</div></body></html>')"
+    )
+
+
+def _visible(c: Column) -> Column:
+    s = F.regexp_replace(c, _TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return s
+
+
+def _visible_sql(e: str) -> str:
+    s = f"regexp_replace({e}, '{_TAG_RE}', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        s = f"replace({s}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    return s
+
+
+def block_features(html_str: Column) -> Column:
+    """array<struct<nw,aw,txt>> of NON-EMPTY text blocks: visible word
+    count, anchor word count, squeezed visible text."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(html_str, _SCRIPT_RE, " "), _STYLE_RE, " "
+    )
+    blocks = F.split(stripped, _BLOCK_SPLIT_RE)
+    feats = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.size(ws_tokens(_visible(b))).alias("nw"),
+            F.size(
+                ws_tokens(
+                    _visible(
+                        F.array_join(
+                            F.regexp_extract_all(b, F.lit(_ANCHOR_RE), 1),
+                            " ",
+                        )
+                    )
+                )
+            ).alias("aw"),
+            F.trim(F.regexp_replace(_visible(b), r"\s+", " ")).alias("txt"),
+        ),
+    )
+    return F.filter(feats, lambda s: s.getField("nw") > 0)
+
+
+def block_features_sql(e: str) -> str:
+    stripped = (
+        f"regexp_replace(regexp_replace({e}, '{_SCRIPT_RE}', ' ', 'g'),"
+        f" '{_STYLE_RE}', ' ', 'g')"
+    )
+    vis = _visible_sql("b")
+    avis = _visible_sql(
+        f"list_aggregate(regexp_extract_all(b, '{_ANCHOR_RE}', 1),"
+        f" 'string_agg', ' ')"
+    )
+    return f"""
+list_filter(
+  list_transform(
+    regexp_split_to_array({stripped}, '{_BLOCK_SPLIT_RE}'),
+    b -> struct_pack(
+      nw := len({ws_tokens_sql(vis)}),
+      aw := len({ws_tokens_sql(avis)}),
+      txt := trim(regexp_replace({vis}, '\\s+', ' ', 'g')))),
+  blk -> blk.nw > 0)"""
+
+
+def _classify(feats: Column) -> Column:
+    """array<boolean> content flags via the NumWordsRules tree; edge
+    neighbors are the 0-word/0-density sentinel."""
+
+    def nw(s):  # words (0 for the edge sentinel NULL)
+        return F.coalesce(s.getField("nw"), F.lit(0))
+
+    def aw(s):
+        return F.coalesce(s.getField("aw"), F.lit(0))
+
+    def flag(i):
+        cur = F.element_at(feats, i)
+        prv = F.when(i > 1, F.element_at(feats, i - 1))
+        nxt = F.when(i < F.size(feats), F.element_at(feats, i + 1))
+        # exact rationals: ld <= 1/3 <=> 3*aw <= nw ; <= 5/9 <=> 9*aw <= 5*nw
+        cur_ld_lo = 3 * aw(cur) <= nw(cur)
+        prv_ld_lo = 9 * aw(prv) <= 5 * nw(prv)
+        return F.when(
+            ~cur_ld_lo, F.lit(False)
+        ).otherwise(
+            F.when(
+                prv_ld_lo,
+                F.when(
+                    nw(cur) <= 16,
+                    F.when(
+                        nw(nxt) <= 15, nw(prv) > 4
+                    ).otherwise(F.lit(True)),
+                ).otherwise(F.lit(True)),
+            ).otherwise(
+                F.when(
+                    nw(cur) <= 40, nw(nxt) > 17
+                ).otherwise(F.lit(True))
+            )
+        )
+
+    # guard: Spark sequence(1, 0) DESCENDS ([1,0]) — an all-empty page
+    # must yield an empty flag array, not an out-of-bounds element_at
+    return F.when(
+        F.size(feats) >= 1,
+        F.transform(F.sequence(F.lit(1), F.size(feats)), lambda i: flag(i)),
+    ).otherwise(F.array().cast("array<boolean>"))
+
+
+def _classify_sql(feats: str) -> str:
+    cur_nw, cur_aw = f"{feats}[i].nw", f"{feats}[i].aw"
+    prv_nw = f"coalesce({feats}[i-1].nw, 0)"
+    prv_aw = f"coalesce({feats}[i-1].aw, 0)"
+    nxt_nw = f"coalesce({feats}[i+1].nw, 0)"
+    return f"""
+list_transform(generate_series(1, len({feats})), i ->
+  CASE WHEN 3 * {cur_aw} > {cur_nw} THEN FALSE
+       WHEN 9 * {prv_aw} <= 5 * {prv_nw} THEN
+         CASE WHEN {cur_nw} <= 16 THEN
+                CASE WHEN {nxt_nw} <= 15 THEN {prv_nw} > 4
+                     ELSE TRUE END
+              ELSE TRUE END
+       ELSE CASE WHEN {cur_nw} <= 40 THEN {nxt_nw} > 17
+                 ELSE TRUE END
+  END)"""
+
+
+def boilerpipe_extract(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-page block classification summary: (doc_id, n_blocks,
+    n_content, content_words, content_text). ``html_col`` is the
+    input_hint's binary column; content_text is the space-joined
+    visible text of the CONTENT blocks (document order)."""
+    feats = block_features(F.decode(F.col(html_col), "UTF-8"))
+    base = df.select(F.col(id_col).alias("doc_id"), feats.alias("_f"))
+    flags = _classify(F.col("_f"))
+    zipped = F.zip_with(
+        F.col("_f"), flags,
+        lambda s, keep: F.struct(
+            s.getField("nw").alias("nw"),
+            s.getField("txt").alias("txt"),
+            keep.alias("keep"),
+        ),
+    )
+    kept = F.filter(zipped, lambda z: z.getField("keep"))
+    return base.select(
+        "doc_id",
+        F.size(F.col("_f")).alias("n_blocks"),
+        F.size(kept).alias("n_content"),
+        F.aggregate(
+            kept, F.lit(0),
+            lambda acc, z: acc + z.getField("nw"),
+        ).alias("content_words"),
+        F.array_join(
+            F.transform(kept, lambda z: z.getField("txt")), " "
+        ).alias("content_text"),
+    )
+
+
+def boilerpipe_extract_sql(html_expr: str, table: str,
+                           id_expr: str = "doc_id") -> str:
+    feats = block_features_sql(html_expr)
+    flags = _classify_sql("_f")
+    return f"""
+WITH base AS (SELECT {id_expr} AS doc_id, ({feats}) AS _f FROM {table}),
+flagged AS (
+  SELECT doc_id, _f, ({flags}) AS _k FROM base),
+kept AS (
+  SELECT doc_id, len(_f) AS n_blocks,
+         [_f[i] FOR i IN generate_series(1, len(_f)) IF _k[i]] AS _c
+  FROM flagged)
+SELECT doc_id, n_blocks,
+       len(_c) AS n_content,
+       coalesce(list_sum(list_transform(_c, st -> st.nw)), 0)
+         AS content_words,
+       coalesce(list_aggregate(list_transform(_c, st -> st.txt),
+                               'string_agg', ' '), '') AS content_text
+FROM kept
+"""

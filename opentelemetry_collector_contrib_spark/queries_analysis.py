@@ -917,6 +917,42 @@ def q_lm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Boilerpipe main-content extraction (analysis/boilerpipe.py):
+# Kohlschütter WSDM 2010 NumWordsRules tree over text blocks of the
+# html byte column — map-only, exact-rational link densities.
+# ---------------------------------------------------------------------------
+from .analysis import boilerpipe as BP  # noqa: E402
+
+
+@register(
+    "boilerpipe_pages",
+    f"""
+WITH web AS ({datagen.web_pages_select_sql("documents")}),
+h AS (SELECT page_id, {BP.boiler_html_sql("page_id", "text")} AS s
+      FROM web),
+res AS ({BP.boilerpipe_extract_sql("s", "h", "page_id")})
+SELECT doc_id AS page_id, n_blocks, n_content, content_words,
+       md5(content_text) AS content_md5
+FROM res ORDER BY page_id
+""",
+)
+def q_boilerpipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    web = datagen.web_pages_from_documents(spark, sf_dir)
+    df = web.withColumn(
+        "html",
+        F.encode(F.expr(BP.boiler_html_sql("page_id", "text")), "UTF-8"),
+    )
+    out = BP.boilerpipe_extract(df, "html", "page_id")
+    return out.select(
+        F.col("doc_id").alias("page_id"),
+        "n_blocks",
+        "n_content",
+        "content_words",
+        F.md5("content_text").alias("content_md5"),
+    ).orderBy("page_id")
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN + SemDeDup (analysis/similarity.py IVF section): the
 # data-adaptive counterpart of the LSH queries — corpus-seeded cells,
 # nprobe search, and within-cell semantic dedup. Oracle replicates the

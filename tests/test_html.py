@@ -82,3 +82,58 @@ def test_host_degrees(spark):
     other = d["other.example.com"]
     assert (other["out_hosts"], other["out_links"]) == (0, 0)
     assert (other["in_hosts"], other["in_links"]) == (1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Boilerpipe block classification (analysis/boilerpipe.py)
+# ---------------------------------------------------------------------------
+from opentelemetry_collector_contrib_spark.analysis import boilerpipe as BP
+from pyspark.sql import functions as F
+
+
+def _bp_row(spark, html: str):
+    df = spark.createDataFrame([(1, html)], "doc_id long, page string")
+    df = df.withColumn("html", F.encode(F.col("page"), "UTF-8"))
+    return BP.boilerpipe_extract(df, "html", "doc_id").collect()[0]
+
+
+def test_boilerpipe_nav_dropped_body_kept(spark):
+    # 45 words: content even after a link-dense nav (the > 40 branch;
+    # 17-40 words between a dense nav and a short footer is classified
+    # boilerplate by the published tree)
+    body = " ".join(f"word{i}" for i in range(45))
+    html = (
+        '<html><body>'
+        '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        f"<p>{body}</p>"
+        '<div>Copyright <a href="/l">legal terms</a> and '
+        '<a href="/p">privacy</a> notice</div>'
+        "</body></html>"
+    )
+    r = _bp_row(spark, html)
+    # nav (link density 1) and footer (3/7 > 1/3) are boilerplate;
+    # the 45-word body is content
+    assert r["n_blocks"] == 3
+    assert r["n_content"] == 1
+    assert r["content_words"] == 45
+    assert r["content_text"] == body
+
+
+def test_boilerpipe_short_block_rescued_by_neighbors(spark):
+    long1 = " ".join(f"a{i}" for i in range(20))
+    long2 = " ".join(f"b{i}" for i in range(20))
+    html = (
+        f"<p>{long1}</p><p>short middle note here</p><p>{long2}</p>"
+    )
+    r = _bp_row(spark, html)
+    # curr<=16 words but next>15 -> CONTENT (tree branch), so all 3 kept
+    assert (r["n_blocks"], r["n_content"]) == (3, 3)
+    # ...whereas the same short block with short neighbors is dropped
+    r2 = _bp_row(spark, "<p>tiny</p><p>short middle note here</p><p>end</p>")
+    assert r2["n_content"] == 0
+
+
+def test_boilerpipe_empty_page(spark):
+    r = _bp_row(spark, "<html><body></body></html>")
+    assert (r["n_blocks"], r["n_content"], r["content_words"]) == (0, 0, 0)
+    assert r["content_text"] == ""
