@@ -184,6 +184,8 @@ def main() -> None:
         "vocab_encode_documents",
         "ann_ivfpq_topk",
         "warc_roundtrip_pages",
+        "lm_bigram_cross_entropy_documents",
+        "boilerpipe_pages",
     ]
     all_q = Q.queries()
     for name in bench_queries:

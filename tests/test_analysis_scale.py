@@ -78,6 +78,7 @@ _CONST_BROADCAST = {
     "dedup_semantic_ivf",
     "lm_cross_entropy_documents",
     "lm_bigram_cross_entropy_documents",  # 1-row totals broadcast
+    "lm_ccnet_buckets_documents",  # same 1-row LM totals broadcast
     "dsir_scores_documents",  # 1-row distribution-totals broadcast
     "isolation_forest_events",  # 1-row contamination-threshold broadcast
 }
