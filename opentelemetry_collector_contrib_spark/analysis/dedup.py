@@ -901,3 +901,138 @@ SELECT b.doc_id, b.n_windows,
 FROM base b LEFT JOIN pd USING (doc_id)
 ORDER BY b.doc_id
 """
+
+
+def exact_substring_remove(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Lee et al. 2022 dedup ACTION that exact_substring_stats
+    only measures: every corpus-wide duplicated W-token window keeps
+    its FIRST occurrence (global (doc_id, pos) order) and the tokens
+    of every later occurrence are CUT from their documents; docs are
+    rebuilt from the surviving tokens. Overlapping duplicate windows
+    union their positions, so a long repeated span is removed once
+    whole, not per-window.
+
+    The window key here is md5 (the shared oracle primitive,
+    analysis/hashing.py) — unlike the stats op the key DECIDES the
+    rewrite, so both engines must derive identical keys. first-ness
+    is min(doc_id * 1_000_000 + pos), the paragraph_dedup keying
+    convention (assumes < 1e6 tokens/doc; at larger docs switch the
+    key to a (doc_id, pos) struct-min).
+
+    Scale shape: windows shuffle as (16-byte md5, doc_id, pos) rows —
+    never text; the duplicate-occurrence set shrinks to duplicated
+    windows only; marked positions come back as one combinable
+    collect_set per doc; the rebuild is a map-only array filter.
+    """
+    from pyspark import StorageLevel
+
+    from .textstats import ws_tokens
+
+    toks = ws_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(base)
+
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_t") >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - w + 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("_t", i, w))
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<pos:int,h:string>>")
+            )
+        ).alias("_w"),
+    ).select("doc_id", F.col("_w.pos").alias("pos"), F.col("_w.h").alias("h"))
+
+    firsts = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.col("doc_id") * 1_000_000 + F.col("pos")).alias("first_key"),
+    )
+    removed = (
+        wins.join(firsts, "h")
+        .filter(
+            (F.col("c") > 1)
+            & (F.col("doc_id") * 1_000_000 + F.col("pos")
+               != F.col("first_key"))
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + w - 1)
+            ).alias("tpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tpos").alias("_marked"))
+    )
+    joined = base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "_t",
+        F.coalesce("_marked", F.array().cast("array<int>")).alias("_m"),
+    )
+    kept = F.filter(
+        F.when(
+            F.size("_t") >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t")),
+                lambda i: F.when(
+                    ~F.array_contains("_m", i.cast("int")),
+                    F.element_at("_t", i),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_t").alias("n_tokens"),
+        F.size("_m").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_dedup"),
+    )
+
+
+def exact_substring_remove_sql(table: str, w: int = 8) -> str:
+    """DuckDB twin of exact_substring_remove (same md5 window keys,
+    first-key rule, position-union rebuild)."""
+    from .textstats import ws_tokens_sql
+
+    return f"""
+WITH base AS (SELECT doc_id, {ws_tokens_sql('text')} AS t FROM {table}),
+wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i:i+{w}-1], ' ')) AS h
+  FROM base, UNNEST(generate_series(1, len(t) - {w} + 1)) AS u(i)),
+firsts AS (
+  SELECT h, COUNT(*) AS c,
+         MIN(doc_id * 1000000 + pos) AS first_key
+  FROM wins GROUP BY h),
+removed AS (
+  SELECT doc_id, unnest(generate_series(pos, pos + {w} - 1)) AS tpos
+  FROM wins JOIN firsts USING (h)
+  WHERE c > 1 AND doc_id * 1000000 + pos <> first_key),
+marked AS (
+  SELECT doc_id, list(DISTINCT tpos) AS m FROM removed GROUP BY doc_id)
+SELECT b.doc_id,
+       len(b.t) AS n_tokens,
+       COALESCE(len(m.m), 0) AS n_removed,
+       COALESCE(array_to_string(
+         [b.t[i] FOR i IN generate_series(1, len(b.t))
+          IF m.m IS NULL OR NOT list_contains(m.m, i)], ' '), '')
+         AS text_dedup
+FROM base b LEFT JOIN marked m USING (doc_id)
+ORDER BY b.doc_id
+"""

@@ -993,6 +993,19 @@ def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ...and the dedup ACTION: cut every non-first occurrence of a
+# duplicated 8-token window and rebuild the documents (Lee et al.
+# 2022's rewrite, not just the measurement).
+@register(
+    "dedup_substring_rewrite",
+    DD.exact_substring_remove_sql("documents", w=8),
+)
+def q_exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_substring_remove(
+        _docs_par(spark, sf_dir), w=8
+    ).orderBy("doc_id")
+
+
 # DSIR importance resampling (hashed uni+bigram features, integer
 # micronat scores — analysis/dsir.py). Target domain = lang='en'.
 from .analysis import dsir as DSIR  # noqa: E402

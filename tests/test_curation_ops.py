@@ -302,3 +302,45 @@ def test_dsir_no_target_smoothing(spark):
     # empty target: add-1 smoothing keeps scores finite; empty doc -> 0
     assert out[2]["logw_micro"] == 0
     assert out[1]["logw_micro"] is not None
+
+
+def test_exact_substring_remove_keeps_first_occurrence(spark):
+    span = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {span} tail one"),
+            (2, f"other beginning {span} different end"),
+            (3, "completely unrelated short text"),
+        ],
+        "doc_id long, text string",
+    )
+    from opentelemetry_collector_contrib_spark.analysis import dedup as DD
+
+    out = {r["doc_id"]: r for r in
+           DD.exact_substring_remove(df, w=8).collect()}
+    DD.release_caches()
+    # doc 1 (lowest global key) keeps the span; doc 2 loses exactly
+    # the duplicated window's tokens; doc 3 untouched
+    assert span in out[1]["text_dedup"] and out[1]["n_removed"] == 0
+    assert span not in out[2]["text_dedup"] and out[2]["n_removed"] == 8
+    assert out[2]["text_dedup"] == "other beginning different end"
+    assert out[3]["n_removed"] == 0
+    # the span survives exactly once corpus-wide
+    assert sum(r["text_dedup"].count(span) for r in out.values()) == 1
+
+
+def test_exact_substring_remove_in_doc_repeat_and_short_docs(spark):
+    span = " ".join(f"r{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"{span} bridge words in middle {span}"), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    from opentelemetry_collector_contrib_spark.analysis import dedup as DD
+
+    out = {r["doc_id"]: r for r in
+           DD.exact_substring_remove(df, w=8).collect()}
+    DD.release_caches()
+    # the SECOND in-doc occurrence is cut; doc < w tokens is untouched
+    assert out[1]["text_dedup"].count(span) == 1
+    assert out[1]["n_removed"] == 8
+    assert out[2] ["n_removed"] == 0 and out[2]["text_dedup"] == "tiny doc"
