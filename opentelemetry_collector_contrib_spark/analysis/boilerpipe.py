@@ -248,8 +248,8 @@ kept AS (
   FROM flagged)
 SELECT doc_id, n_blocks,
        len(_c) AS n_content,
-       coalesce(list_sum(list_transform(_c, st -> st.nw)), 0)
-         AS content_words,
+       CAST(coalesce(list_sum(list_transform(_c, st -> st.nw)), 0)
+            AS INTEGER) AS content_words,
        coalesce(list_aggregate(list_transform(_c, st -> st.txt),
                                'string_agg', ' '), '') AS content_text
 FROM kept

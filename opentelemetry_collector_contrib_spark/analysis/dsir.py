@@ -156,7 +156,7 @@ ratio AS (
            - ln((nc + 1.0) / (c_total + {n_buckets}.0)))) AS BIGINT)
            AS lr
   FROM counts, tot),
-scores AS (SELECT f.doc_id, SUM(lr) AS logw_micro
+scores AS (SELECT f.doc_id, CAST(SUM(lr) AS BIGINT) AS logw_micro
            FROM feats f JOIN ratio USING (b) GROUP BY f.doc_id),
 out AS (SELECT d.doc_id, COALESCE(s.logw_micro, 0) AS logw_micro
         FROM {table} d LEFT JOIN scores s USING (doc_id))

@@ -208,8 +208,9 @@ prof(lang, tri, lang_rank, lang_pri) AS (VALUES {prof_values}),
 lang_dim(lang, lang_pri) AS (VALUES {lang_values}),
 scored AS (
   SELECT t.{id_col}, l.lang, l.lang_pri,
-         SUM(ABS(t.doc_rank
-                 - COALESCE(p.lang_rank, {TOP_N + PENALTY}))) AS dist
+         CAST(SUM(ABS(t.doc_rank
+                 - COALESCE(p.lang_rank, {TOP_N + PENALTY})))
+              AS BIGINT) AS dist
   FROM top t CROSS JOIN lang_dim l
   LEFT JOIN prof p ON p.lang = l.lang AND p.tri = t.tri
     AND p.lang_pri = l.lang_pri

@@ -220,7 +220,7 @@ model AS (
   FROM c2 JOIN c1 USING (prev) JOIN cu USING (cur), tot)
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(nlp_micro) AS nlp_micro_sum,
+       CAST(sum(nlp_micro) AS BIGINT) AS nlp_micro_sum,
        ROUND(CAST(sum(nlp_micro) AS DOUBLE) / {MICRO} / count(*), 6)
          AS cross_entropy
 FROM ev JOIN model USING (prev, cur)
@@ -243,7 +243,7 @@ model AS (
   FROM counts, tot)
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(nlp_micro) AS nlp_micro_sum,
+       CAST(sum(nlp_micro) AS BIGINT) AS nlp_micro_sum,
        ROUND(CAST(sum(nlp_micro) AS DOUBLE) / {MICRO} / count(*), 6)
          AS cross_entropy
 FROM toks JOIN model USING (tok)

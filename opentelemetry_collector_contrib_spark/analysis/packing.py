@@ -102,7 +102,7 @@ WITH base AS (
   FROM base
 )
 SELECT {id_col}, shard, tok_count,
-       e - tok_count AS start_off,
+       CAST(e - tok_count AS BIGINT) AS start_off,
        CASE WHEN tok_count > 0
             THEN CAST(floor((e - tok_count) / {ctx_len}) AS BIGINT) END
          AS pack_first,

@@ -900,7 +900,8 @@ cand AS (
   FROM probes p JOIN assign a USING (cell_id)
   WHERE p.query_id <> a.vec_id),
 adc AS (
-  SELECT c.query_id, c.neighbor_id, SUM(pd_micro) AS adc_micro
+  SELECT c.query_id, c.neighbor_id,
+         CAST(SUM(pd_micro) AS BIGINT) AS adc_micro
   FROM cand c
   JOIN codes USING (neighbor_id)
   JOIN pdots USING (query_id, m, code)

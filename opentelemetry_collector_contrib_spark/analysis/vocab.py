@@ -150,7 +150,7 @@ agg AS (
          COUNT(*) AS n_pretokens,
          CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_oov,
-         SUM(id_cost) AS encoded_len,
+         CAST(SUM(id_cost) AS BIGINT) AS encoded_len,
          (list(tid ORDER BY pos))[1:{head_n}] AS head_ids
   FROM per_tok GROUP BY {id_col})
 SELECT p.{id_col},

@@ -634,9 +634,9 @@ def q_html_link_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 , g AS (SELECT src_host, dst_host, count(*) AS n_links
         FROM e GROUP BY src_host, dst_host),
 o AS (SELECT src_host AS host, count(*) AS out_hosts,
-             sum(n_links) AS out_links FROM g GROUP BY src_host),
+             CAST(sum(n_links) AS BIGINT) AS out_links FROM g GROUP BY src_host),
 i AS (SELECT dst_host AS host, count(*) AS in_hosts,
-             sum(n_links) AS in_links FROM g GROUP BY dst_host)
+             CAST(sum(n_links) AS BIGINT) AS in_links FROM g GROUP BY dst_host)
 SELECT host,
        coalesce(out_hosts, 0) AS out_hosts,
        coalesce(out_links, 0) AS out_links,
@@ -1437,7 +1437,8 @@ novel AS (
   WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = i.fp)),
 final AS (SELECT * FROM base UNION ALL SELECT * FROM novel)
 SELECT lang, COUNT(*) AS docs, COUNT(DISTINCT fp) AS distinct_fp,
-       SUM(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END) AS ingested_new
+       CAST(SUM(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS ingested_new
 FROM final GROUP BY lang ORDER BY lang
 """,
 )

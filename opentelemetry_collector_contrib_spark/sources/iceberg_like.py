@@ -272,11 +272,12 @@ class IcebergLikeTable:
                 ).distinct().collect()
             )
             touched_dirs = {f"bucket={b}" for b in src_buckets}
-            untouched = [
+            untouched_set = {
                 p for p in live_files
                 if not any(d in p.split(os.sep) for d in touched_dirs)
-            ]
-            touched = [p for p in live_files if p not in set(untouched)]
+            }
+            untouched = [p for p in live_files if p in untouched_set]
+            touched = [p for p in live_files if p not in untouched_set]
             target = (
                 self._read_files(spark, touched).drop("bucket")
                 if touched else None

@@ -1,0 +1,103 @@
+"""DuckDB oracle result *types* must match the Spark schema kind-for-kind.
+
+The driver's CORRECTNESS hasher serializes raw engine values; DuckDB
+silently widens integer aggregates (SUM(BIGINT) -> HUGEINT/int128),
+which its client serializes as float even when every value equals the
+Spark BIGINT -- the exact cause of round 2's two red rows
+(iceberg_like_merge_events / iceberg_like_mor_delete_events).
+``oracle_util.normalize`` unifies int widths to float64, so the value
+suite can't catch it; this sweep compares declared types instead.
+
+Numeric columns are strict (no HUGEINT/UBIGINT/DECIMAL where Spark says
+an integral type; no DECIMAL where Spark says floating); nested and
+temporal types are checked by kind only.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark import queries as Q
+
+from .conftest import SF_UNIT, make_duck
+
+_cases = sorted(Q.oracle_sql().keys())
+
+_INTEGRAL_DUCK = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+                  "UINTEGER", "USMALLINT", "UTINYINT"}
+_FLOAT_DUCK = {"DOUBLE", "FLOAT", "REAL"}
+
+
+@pytest.fixture(scope="module")
+def duck_unit():
+    con = make_duck(SF_UNIT)
+    yield con
+    con.close()
+
+
+def _spark_kind(spark_type: str) -> str:
+    t = spark_type.lower()
+    if t in ("bigint", "int", "smallint", "tinyint", "long", "integer"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t == "binary":
+        return "binary"
+    if t.startswith("array"):
+        return "array"
+    if t.startswith(("struct", "map")):
+        return "nested"
+    if t.startswith("decimal"):
+        return "decimal"
+    return t
+
+
+def _duck_ok(kind: str, duck_type: str) -> bool:
+    d = duck_type.upper()
+    if kind == "int":
+        return d in _INTEGRAL_DUCK  # HUGEINT/UBIGINT/DECIMAL all fail
+    if kind == "float":
+        return d in _FLOAT_DUCK
+    if kind == "str":
+        return d.startswith("VARCHAR")
+    if kind == "bool":
+        return d == "BOOLEAN"
+    if kind == "timestamp":
+        return d.startswith("TIMESTAMP")
+    if kind == "date":
+        return d == "DATE"
+    if kind == "binary":
+        return d == "BLOB"
+    if kind == "array":
+        return d.endswith("]") or d.startswith("LIST")
+    if kind == "nested":
+        return d.startswith(("STRUCT", "MAP"))
+    if kind == "decimal":
+        return d.startswith("DECIMAL")
+    return True
+
+
+@pytest.mark.parametrize("name", _cases)
+def test_oracle_dtypes_match_spark_schema(spark, duck_unit, name):
+    df = Q.queries()[name](spark, SF_UNIT)
+    spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    desc = duck_unit.execute("DESCRIBE " + Q.oracle_sql()[name]).fetchall()
+    duck_types = {row[0]: row[1] for row in desc}
+    assert set(duck_types) == set(spark_types), (
+        f"{name}: oracle columns {sorted(duck_types)} != "
+        f"spark columns {sorted(spark_types)}"
+    )
+    bad = {
+        c: (spark_types[c], duck_types[c])
+        for c in spark_types
+        if not _duck_ok(_spark_kind(spark_types[c]), duck_types[c])
+    }
+    assert not bad, f"{name}: oracle/spark type kind mismatches: {bad}"
