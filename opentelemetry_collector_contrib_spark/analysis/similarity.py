@@ -111,6 +111,94 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blocked(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine top-k per query, shaped for a 10^9-row corpus.
+
+    The scale-correct dual of ``cosine_topk``: the bounded QUERY set is
+    collected and broadcast (like the K centroids in the IVF paths);
+    the corpus is scanned exactly once with ``mapInPandas`` doing a
+    blocked float64 matmul per Arrow batch and keeping a per-partition
+    partial top-k. Only ``partitions x |Q| x k`` candidate rows reach
+    the final window — there is no corpus broadcast, no N x Q joined
+    relation, and no N x Q shuffle. Global top-k over the candidate
+    union equals the global top-k, so results match ``cosine_topk``
+    (and the brute-force DuckDB oracle) row-for-row.
+
+    Ranking key matches the brute-force path: ROUND(cos, 6) descending
+    (half-away-from-zero, as Spark's F.round/DuckDB ROUND) with
+    neighbor_id tie-break; self-matches excluded.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qrows = (
+        queries_df.select(F.col(id_col), as_double(F.col(vec_col)))
+        .collect()
+    )  # bounded driver-side collect: the query set, like K centroids
+    spark = corpus_df.sparkSession
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat.T, q_norm))
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qt, qn = bc.value
+        cands: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cid = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            cn = np.sqrt((cmat * cmat).sum(axis=1))
+            s = (cmat @ qt) / np.outer(cn, qn)
+            # ROUND half away from zero, matching F.round / DuckDB ROUND
+            s = np.trunc(s * 1e6 + np.copysign(0.5, s)) / 1e6
+            s[cid[:, None] == ids[None, :]] = -np.inf  # self-match
+            kk = min(k, len(cid))
+            top = np.argpartition(-s, kk - 1, axis=0)[:kk, :]
+            cands.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids[None, :], kk, 0).ravel(),
+                        "neighbor_id": cid[top].ravel(),
+                        "cos": np.take_along_axis(s, top, axis=0).ravel(),
+                    }
+                )
+            )
+        if not cands:
+            return
+        allc = pd.concat(cands, ignore_index=True)
+        allc = allc[np.isfinite(allc["cos"])]
+        allc = allc.sort_values(
+            ["query_id", "cos", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        yield allc.groupby("query_id", sort=False).head(k)
+
+    cand = corpus_df.select(id_col, vec_col).mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def cosine_topk_sql(query_pred: str, k: int = 5,
                     table: str = "embeddings") -> str:
     e = _E_CTE.format(table=table)

@@ -341,9 +341,14 @@ EMB_DIM = 64
     "ann_cosine_topk",
     SIM.cosine_topk_sql(query_pred="vec_id % 25 = 0", k=5),
 )
-def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-k on the scale path: broadcast query set + blocked
+    matmul scan with per-partition partial top-k (no corpus broadcast,
+    no N x Q shuffle). The brute-force all-pairs form survives only as
+    the DuckDB oracle and the in-Spark recall cross-check
+    (SIM.cosine_topk, oracle-scale tests)."""
     emb = _emb(spark, sf_dir)
-    return SIM.cosine_topk(
+    return SIM.cosine_topk_blocked(
         emb.filter(F.col("vec_id") % 25 == 0), emb, k=5
     ).orderBy("query_id", "rank")
 

@@ -5,9 +5,10 @@
 2. The banded cosine blocking has precision 1 (subset of all-pairs)
    and high recall at the configured threshold.
 3. No registered driver query compiles to a cartesian/broadcast-
-   nested-loop plan -- except the documented brute-force recall
-   baseline ``ann_cosine_topk`` and the constant-size broadcast
-   cross joins in ``_CONST_BROADCAST``.
+   nested-loop plan -- except the constant-size broadcast cross joins
+   in ``_CONST_BROADCAST``. The brute-force ``SIM.cosine_topk`` is no
+   longer registered anywhere: the headline ``ann_cosine_topk`` runs
+   the blocked-matmul EXACT path and must be join-free.
 """
 
 from __future__ import annotations
@@ -64,8 +65,9 @@ def test_banded_cosine_precision_and_recall(spark):
 
 
 # Documented exceptions:
-# - the brute-force recall baseline (true all-pairs; oracle-scale only)
-_BNLJ_ALLOWED = {"ann_cosine_topk"}
+# (none currently -- the brute-force all-pairs baseline is oracle/
+#  cross-check only, not a registered query)
+_BNLJ_ALLOWED: set[str] = set()
 # - constant-size broadcast sides (K centroid rows / the 1-row model
 #   totals): the "nested loop" is O(n*K) map-side work with K a plan
 #   constant, not a data-dependent self-join. Listed per-query so an
@@ -93,6 +95,30 @@ def test_no_cartesian_or_bnlj_plans(spark, name):
     assert "CartesianProduct" not in plan, name
     if name not in _CONST_BROADCAST:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_blocked_topk_equals_bruteforce_and_is_join_free(spark):
+    """The registered exact-ANN path (broadcast query set + blocked
+    matmul + per-partition partial top-k) must match the all-pairs
+    brute force row-for-row AND compile without any join or corpus
+    broadcast -- the 10^9-corpus shape."""
+    emb = _emb(spark).repartition(7)  # multiple partitions: exercise
+    qs = emb.filter(F.col("vec_id") % 25 == 0)  # the partial-topk merge
+    brute = {
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in SIM.cosine_topk(qs, emb, k=5).collect()
+    }
+    blocked_df = SIM.cosine_topk_blocked(qs, emb, k=5)
+    blocked = {
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in blocked_df.collect()
+    }
+    assert blocked == brute
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                 "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan, node
 
 
 def test_normalize_url_cases(spark):
