@@ -205,10 +205,15 @@ m{k} AS (
   SELECT {k} AS step, lft, rgt, lft || rgt AS merged, pair_count
   FROM p{k} ORDER BY pair_count DESC, lft, rgt LIMIT 1),
 w{k} AS (
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: when pair counts run dry
+  -- before k_merges (every word fully merged), m{k} is empty and a
+  -- cross join would collapse the word table to zero rows while the
+  -- Spark path early-breaks and keeps its symbolizations
   SELECT w.word, w.cnt,
-         replace(w.sym, '|' || m.lft || '||' || m.rgt || '|',
-                 '|' || m.merged || '|') AS sym
-  FROM {prev} w CROSS JOIN m{k} m)"""
+         CASE WHEN m.lft IS NULL THEN w.sym
+              ELSE replace(w.sym, '|' || m.lft || '||' || m.rgt || '|',
+                           '|' || m.merged || '|') END AS sym
+  FROM {prev} w LEFT JOIN m{k} m ON TRUE)"""
         )
     return ",\n".join(parts)
 

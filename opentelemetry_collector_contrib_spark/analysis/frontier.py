@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from .hashing import md5_int32, md5_int32_sql, seeded_hash, seeded_hash_sql
 
-HOST_RE = "https://([^/]+)/"
+HOST_RE = "https?://([^/]+)"  # no trailing-slash requirement
 
 
 def crawl_schedule(

@@ -237,7 +237,7 @@ def _kmeans_cte_sql(
          CASE WHEN g.cv2 IS NULL THEN p.cv ELSE g.cv2 END AS cv
   FROM {prev} p LEFT JOIN (
     SELECT cell_id,
-           list(CAST((s - ((s % n + n) % n)) / n AS BIGINT)
+           list(CAST((s - ((s % n + n) % n)) // n AS BIGINT)
                 ORDER BY i) AS cv2
     FROM {p}s{t} GROUP BY cell_id) g USING (cell_id))"""
         )

@@ -63,3 +63,27 @@ def test_encode_counts(spark):
     assert enc[0] == (2, 3)
     assert enc[1] == (1, 5)
     assert enc[2] == (0, 0)  # no alphabetic pre-tokens
+
+
+def test_oracle_survives_exhausted_merge_chain(spark):
+    """When pair counts run dry before k_merges, the unrolled DuckDB
+    chain must keep the word table (LEFT JOIN ON TRUE) instead of
+    collapsing it through an empty m{k} cross join -- the Spark path
+    early-breaks and keeps real symbolizations."""
+    import duckdb
+
+    docs = _corpus(spark, ["ab ab cd", "ab"])  # 2 learnable merges max
+    merges, words = BPE.fit_bpe_merges(docs, k_merges=6)
+    assert merges.count() < 6  # the chain really does run dry
+    enc = {r["doc_id"]: r["n_tokens"]
+           for r in BPE.bpe_encode(docs, words).collect()}
+    assert enc == {0: 3, 1: 1}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    got = {r[0]: r[1] for r in con.execute(
+        "SELECT doc_id, n_tokens FROM (" +
+        BPE.bpe_encode_sql(k_merges=6) + ") ORDER BY doc_id"
+    ).fetchall()}
+    assert got == enc
+    con.close()
