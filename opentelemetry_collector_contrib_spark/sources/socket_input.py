@@ -1,0 +1,181 @@
+"""Socket input stand-in: tcp/udp stanza input semantics over Spark.
+
+The reference's tcp_input (pkg/stanza/operator/input/tcp/input.go:174,
+config.go:64) accepts stream chunks per connection, reassembles them,
+splits entries with a bufio.SplitFunc (default: newline, ScanLines
+semantics), and optionally stamps net.peer.*/net.host.* attributes.
+udp_input (pkg/stanza/operator/input/udp/config.go:70) is the same
+with per-packet framing (``one_log_per_packet``) and no reassembly.
+
+No sockets exist in a batch engine, so the contract is factored the
+way the reference factors it internally: the protocol listener only
+produces (connection, sequence, payload) frames; everything that
+defines the operator's OBSERVABLE semantics -- reassembly order,
+split, trailing-token handling, attribute stamping -- runs here as
+DataFrame ops and is what the oracle checks. Live-socket ingestion
+uses Spark's socket streaming source feeding the same DAG
+(``socket_input_stream``; exercised against a real TCP server in
+tests/test_socket_input.py).
+
+Scale shape: one shuffle keyed by connection id (a TCP connection's
+buffer is inherently a single collector's state -- same locality the
+reference needs); payload bytes move once; split/attribute stamping
+is map-only after reassembly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FRAME_COLUMNS = ("conn_id", "seq", "payload")
+
+
+def reassemble_tcp(
+    frames: DataFrame,
+    add_attributes: bool = False,
+) -> DataFrame:
+    """tcp_input: reassemble per-connection byte streams in sequence
+    order and split entries on newline (bufio.ScanLines semantics: a
+    final token NOT terminated by a newline is still emitted at EOF;
+    interior empty lines are real entries; the empty string after a
+    terminating final newline is not).
+
+    Input columns: conn_id, seq, payload (string chunks; arbitrary
+    chunk boundaries -- entries may span frames), and, when
+    ``add_attributes``, peer_ip/peer_port/host_ip/host_port.
+    Output: one row per log entry with body, conn_id, entry_seq.
+    """
+    stream = (
+        frames.groupBy("conn_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq", "payload"))
+                    ),
+                    lambda s: s["payload"],
+                ),
+            ).alias("stream"),
+            *(
+                [
+                    F.first("peer_ip").alias("peer_ip"),
+                    F.first("peer_port").alias("peer_port"),
+                    F.first("host_ip").alias("host_ip"),
+                    F.first("host_port").alias("host_port"),
+                ]
+                if add_attributes
+                else []
+            ),
+        )
+    )
+    parts = F.split(F.col("stream"), "\n", -1)
+    entries = stream.select(
+        "conn_id",
+        *(
+            ["peer_ip", "peer_port", "host_ip", "host_port"]
+            if add_attributes
+            else []
+        ),
+        F.posexplode(parts).alias("entry_seq", "body"),
+        F.size(parts).alias("_n"),
+    ).filter(
+        # ScanLines: drop ONLY the empty trailing token created by a
+        # terminating final newline; interior empties are entries
+        ~((F.col("entry_seq") == F.col("_n") - 1) & (F.col("body") == ""))
+    ).drop("_n")
+    if add_attributes:
+        # input.go:178-187 semconv names; GetHostFromIP substituted by
+        # the ip itself (no resolver in the engine; deterministic)
+        entries = entries.select(
+            "conn_id",
+            "entry_seq",
+            "body",
+            F.col("peer_ip").alias("net_peer_ip"),
+            F.col("peer_port").cast("string").alias("net_peer_port"),
+            F.col("peer_ip").alias("net_peer_name"),
+            F.col("host_ip").alias("net_host_ip"),
+            F.col("host_port").cast("string").alias("net_host_port"),
+            F.col("host_ip").alias("net_host_name"),
+        )
+    return entries
+
+
+def reassemble_udp(
+    packets: DataFrame,
+    one_log_per_packet: bool = False,
+) -> DataFrame:
+    """udp_input: no cross-packet reassembly. ``one_log_per_packet``
+    emits each payload as one entry (trailing newline trimmed, as the
+    reference's trim of the split token); otherwise each packet is
+    split on newline independently (ScanLines, as tcp)."""
+    if one_log_per_packet:
+        return packets.select(
+            "conn_id",
+            F.lit(0).alias("entry_seq"),
+            F.regexp_replace("payload", "\n$", "").alias("body"),
+        )
+    parts = F.split(F.col("payload"), "\n", -1)
+    return packets.select(
+        "conn_id",
+        F.posexplode(parts).alias("entry_seq", "body"),
+        F.size(parts).alias("_n"),
+    ).filter(
+        ~((F.col("entry_seq") == F.col("_n") - 1) & (F.col("body") == ""))
+    ).drop("_n")
+
+
+def socket_input_stream(
+    spark: SparkSession, host: str, port: int
+) -> DataFrame:
+    """Live-socket ingestion: Spark's socket streaming source (one row
+    per newline-delimited record -- the source performs the ScanLines
+    split, matching reassemble_tcp's batch contract) renamed to the
+    stanza entry shape so the same downstream parse DAG applies."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .withColumnRenamed("value", "body")
+    )
+
+
+def chop_into_frames(
+    lines: DataFrame,
+    conn_col: str = "conn_id",
+    order_col: str = "line_seq",
+    body_col: str = "body",
+    chunk_size: int = 37,
+) -> DataFrame:
+    """Test/bench helper: serialize lines per connection into one
+    newline-terminated byte stream and chop it into fixed-size frames
+    (deliberately NOT line-aligned), producing the recorded frame
+    table a protocol listener would have captured. chunk_size=37 is
+    coprime with typical line lengths so entries straddle frames."""
+    stream = lines.groupBy(conn_col).agg(
+        F.concat(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(order_col, body_col))
+                    ),
+                    lambda s: s[body_col],
+                ),
+            ),
+            F.lit("\n"),
+        ).alias("stream")
+    )
+    n_chunks = F.ceil(F.length("stream") / chunk_size).cast("int")
+    return stream.select(
+        F.col(conn_col).alias("conn_id"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("seq"),
+        F.col("stream"),
+    ).select(
+        "conn_id",
+        "seq",
+        F.expr(f"substring(stream, seq * {chunk_size} + 1, {chunk_size})")
+        .alias("payload"),
+    )

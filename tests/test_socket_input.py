@@ -1,0 +1,138 @@
+"""tcp/udp socket-input stand-in: framing contract + live socket.
+
+The batch contract (reassemble in seq order, ScanLines split,
+attribute stamping) mirrors pkg/stanza/operator/input/tcp; the live
+path runs Spark's socket streaming source against a real local TCP
+server and must produce the same entries as the batch reassembly of
+the same byte stream.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.sources.socket_input import (
+    chop_into_frames,
+    reassemble_tcp,
+    reassemble_udp,
+    socket_input_stream,
+)
+
+
+def _frames(spark, rows):
+    return spark.createDataFrame(
+        rows, "conn_id long, seq int, payload string"
+    )
+
+
+def test_entries_straddling_frames(spark):
+    # one connection, entries split at arbitrary byte boundaries
+    frames = _frames(
+        spark,
+        [(1, 0, "hel"), (1, 1, "lo\nwor"), (1, 2, "ld\n"), (1, 3, "tail")],
+    )
+    got = [
+        (r["entry_seq"], r["body"])
+        for r in reassemble_tcp(frames).orderBy("entry_seq").collect()
+    ]
+    # ScanLines: final token without trailing newline IS emitted
+    assert got == [(0, "hello"), (1, "world"), (2, "tail")]
+
+
+def test_out_of_order_frames_and_interior_empty_lines(spark):
+    frames = _frames(
+        spark, [(7, 2, "c\n"), (7, 0, "a\n"), (7, 1, "\n")]
+    )
+    got = [
+        (r["entry_seq"], r["body"])
+        for r in reassemble_tcp(frames).orderBy("entry_seq").collect()
+    ]
+    # interior empty line is a real entry; trailing "" after the
+    # terminating final newline is not
+    assert got == [(0, "a"), (1, ""), (2, "c")]
+
+
+def test_add_attributes_semconv(spark):
+    frames = spark.createDataFrame(
+        [(1, 0, "x\n", "1.2.3.4", 555, "0.0.0.0", 5140)],
+        "conn_id long, seq int, payload string, peer_ip string, "
+        "peer_port int, host_ip string, host_port int",
+    )
+    r = reassemble_tcp(frames, add_attributes=True).collect()[0]
+    assert r["net_peer_ip"] == "1.2.3.4"
+    assert r["net_peer_port"] == "555"  # stamped as string (input.go:179)
+    assert r["net_host_ip"] == "0.0.0.0"
+    assert r["net_host_port"] == "5140"
+
+
+def test_udp_one_log_per_packet_vs_split(spark):
+    pk = _frames(spark, [(1, 0, "a\nb\n"), (2, 0, "c")])
+    one = {(r["conn_id"], r["body"])
+           for r in reassemble_udp(pk, one_log_per_packet=True).collect()}
+    assert one == {(1, "a\nb"), (2, "c")}  # only the trailing \n trimmed
+    split = {(r["conn_id"], r["entry_seq"], r["body"])
+             for r in reassemble_udp(pk).collect()}
+    assert split == {(1, 0, "a"), (1, 1, "b"), (2, 0, "c")}
+
+
+def test_chop_roundtrip_is_lossless_for_any_chunk_size(spark):
+    lines = spark.createDataFrame(
+        [(1, i, f"line-{i}-" + "x" * (i % 11)) for i in range(40)]
+        + [(2, i, f"other-{i}") for i in range(7)],
+        "conn_id long, line_seq int, body string",
+    )
+    want = {(r["conn_id"], r["line_seq"], r["body"])
+            for r in lines.collect()}
+    for chunk in (1, 3, 37, 1000):
+        frames = chop_into_frames(lines, chunk_size=chunk)
+        got = {(r["conn_id"], r["entry_seq"], r["body"])
+               for r in reassemble_tcp(frames).collect()}
+        assert got == want, f"chunk_size={chunk}"
+
+
+def test_live_socket_stream_matches_batch_contract(spark, tmp_path):
+    """Spark's socket streaming source against a real TCP server must
+    yield the same entries as batch reassembly of the same bytes."""
+    payload = b"alpha\nbeta\n\ngamma\n"
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = socket_input_stream(spark, "127.0.0.1", port)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sock_entries")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        got: list[str] = []
+        for _ in range(50):
+            got = [r["body"] for r in
+                   spark.sql("SELECT body FROM sock_entries").collect()]
+            if len(got) >= 4:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        srv.close()
+
+    batch = _frames(spark, [(1, 0, payload.decode())])
+    want = [r["body"]
+            for r in reassemble_tcp(batch).orderBy("entry_seq").collect()]
+    assert sorted(got) == sorted(want) == sorted(["alpha", "beta", "", "gamma"])
