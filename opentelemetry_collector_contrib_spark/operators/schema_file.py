@@ -1,0 +1,181 @@
+"""Published OTel schema-file parsing + version translation.
+
+The reference's schemaprocessor (processor/schemaprocessor, 2,168 LoC)
+parses telemetry-schema files in the PUBLISHED file format 1.0.0
+(processor/schemaprocessor/internal/translation/testdata/schema.yaml
+is its fixture; the format itself is the public OpenTelemetry schema
+spec) and translates signals between any two versions of the family:
+upgrading applies each intermediate version's changes in file order,
+downgrading applies the inverted changes in reverse order
+(internal/changelist/changelist.go:22 -- Apply iterates migrators
+forward, Rollback backward).
+
+Sections and transforms of format 1.0.0, all supported here:
+  all          rename_attributes (applies to every signal)
+  resources    rename_attributes
+  spans        rename_attributes (+ apply_to_spans name filter)
+  span_events  rename_events, rename_attributes (+ apply_to_events)
+  metrics      rename_metrics, rename_attributes (+ apply_to_metrics)
+  logs         rename_attributes
+
+The Spark data shape is long-format telemetry: a ``metric_name`` (or
+span/event name) column plus an attribute MAP column. Every transform
+compiles to Column expressions (literal-map lookups and
+``transform_keys``) -- map-only at any scale, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SECTIONS = ("all", "resources", "spans", "span_events", "metrics", "logs")
+
+
+@dataclass(frozen=True)
+class Change:
+    """One transform within a version's section, in file order."""
+
+    kind: str  # rename_attributes | rename_metrics | rename_events
+    mapping: tuple[tuple[str, str], ...]
+    apply_to: tuple[str, ...] = field(default=())  # empty = all signals
+
+    def inverted(self) -> "Change":
+        # NOTE: apply_to names are matched on the side where the
+        # rename's condition is evaluated; rename filters in the
+        # published format reference the names current BEFORE the
+        # change in the upgrade direction, so a rollback keeps the
+        # same filter (the reference's conditional migrators do the
+        # same -- migrate/conditional.go keys the match set once).
+        return Change(
+            self.kind,
+            tuple((new, old) for old, new in self.mapping),
+            self.apply_to,
+        )
+
+
+def _semver_key(v: str) -> tuple[int, ...]:
+    return tuple(int(x) for x in v.split("."))
+
+
+def parse_schema_file(text: str) -> dict:
+    """Parse a schema file (file_format 1.x) into
+    {version: {section: [Change, ...]}} preserving file order of the
+    changes inside each section."""
+    import yaml
+
+    data = yaml.safe_load(text)
+    fmt = str(data.get("file_format", ""))
+    if not fmt.startswith("1."):
+        raise ValueError(f"unsupported file_format {fmt!r} (need 1.x)")
+    if "schema_url" not in data:
+        raise ValueError("missing schema_url")
+    out: dict[str, dict[str, list[Change]]] = {}
+    for version, body in (data.get("versions") or {}).items():
+        sections: dict[str, list[Change]] = {}
+        for section, sbody in (body or {}).items():
+            if section not in _SECTIONS:
+                raise ValueError(f"unknown section {section!r}")
+            changes: list[Change] = []
+            for change in (sbody or {}).get("changes", []):
+                (kind, cbody), = change.items()
+                if kind == "rename_attributes":
+                    mapping = cbody["attribute_map"]
+                    apply_to = (
+                        cbody.get("apply_to_metrics")
+                        or cbody.get("apply_to_spans")
+                        or cbody.get("apply_to_events")
+                        or []
+                    )
+                elif kind == "rename_metrics":
+                    mapping, apply_to = cbody, []
+                elif kind == "rename_events":
+                    mapping, apply_to = cbody["name_map"], []
+                else:
+                    raise ValueError(f"unknown change {kind!r}")
+                changes.append(
+                    Change(kind, tuple(mapping.items()), tuple(apply_to))
+                )
+            sections[section] = changes
+        out[str(version)] = sections
+    return out
+
+
+def changes_between(
+    schema: dict,
+    from_version: str,
+    to_version: str,
+    section: str,
+) -> list[Change]:
+    """Ordered change list translating ``section`` (with the ``all``
+    section folded in) from one version to another. Upgrade: versions
+    ascending, within each version ``all`` changes then section
+    changes, each in file order. Downgrade: everything reversed and
+    each change inverted (changelist.go rollback order)."""
+    lo, hi = _semver_key(from_version), _semver_key(to_version)
+    up = lo < hi
+    if not up:
+        lo, hi = hi, lo
+    chain = [
+        v for v in sorted(schema, key=_semver_key)
+        if lo < _semver_key(v) <= hi
+    ]
+    out: list[Change] = []
+    for v in chain:
+        sections = schema[v]
+        out.extend(sections.get("all", []))
+        out.extend(sections.get(section, []))
+    if not up:
+        out = [c.inverted() for c in reversed(out)]
+    return out
+
+
+def _lit_map(mapping: tuple[tuple[str, str], ...]) -> Column:
+    pairs: list[Column] = []
+    for old, new in mapping:
+        pairs.extend([F.lit(old), F.lit(new)])
+    return F.create_map(*pairs)
+
+
+def apply_changes(
+    df: DataFrame,
+    changes: list[Change],
+    name_col: str = "metric_name",
+    attrs_col: str = "attrs",
+) -> DataFrame:
+    """Compile the change list onto a long-format telemetry frame."""
+    out = df
+    for ch in changes:
+        if ch.kind in ("rename_metrics", "rename_events"):
+            m = _lit_map(ch.mapping)
+            out = out.withColumn(
+                name_col,
+                F.coalesce(m[F.col(name_col)], F.col(name_col)),
+            )
+        elif ch.kind == "rename_attributes":
+            m = _lit_map(ch.mapping)
+            renamed = F.transform_keys(
+                F.col(attrs_col), lambda k, _v: F.coalesce(m[k], k)
+            )
+            if ch.apply_to:
+                cond = F.col(name_col).isin(*ch.apply_to)
+                renamed = F.when(cond, renamed).otherwise(F.col(attrs_col))
+            out = out.withColumn(attrs_col, renamed)
+    return out
+
+
+def translate(
+    df: DataFrame,
+    schema_text: str,
+    from_version: str,
+    to_version: str,
+    section: str = "metrics",
+    name_col: str = "metric_name",
+    attrs_col: str = "attrs",
+) -> DataFrame:
+    """Parse + translate in one step (the processor's user surface)."""
+    schema = parse_schema_file(schema_text)
+    chs = changes_between(schema, from_version, to_version, section)
+    return apply_changes(df, chs, name_col=name_col, attrs_col=attrs_col)

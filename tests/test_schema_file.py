@@ -1,0 +1,96 @@
+"""Published schema-file (file_format 1.0.0) parsing + translation:
+upgrade applies changes in file order, downgrade applies inverted
+changes in reverse order (changelist.go Apply/Rollback), and an
+upgrade->downgrade roundtrip is the identity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.schema_file import (
+    apply_changes,
+    changes_between,
+    parse_schema_file,
+    translate,
+)
+from opentelemetry_collector_contrib_spark.queries import _SCHEMA_FILE_YAML
+
+
+def test_parse_shape_and_order():
+    schema = parse_schema_file(_SCHEMA_FILE_YAML)
+    assert set(schema) == {"1.0.0", "1.1.0", "1.2.0"}
+    m11 = schema["1.1.0"]["metrics"]
+    # file order preserved: rename_metrics BEFORE the conditional
+    # rename_attributes, so the apply_to filter sees new names
+    assert [c.kind for c in m11] == ["rename_metrics", "rename_attributes"]
+    assert m11[1].apply_to == ("cpu.ticks", "system.fault.count")
+
+
+def test_parse_rejects_bad_files():
+    with pytest.raises(ValueError):
+        parse_schema_file("file_format: 2.0.0\nschema_url: x\nversions:\n")
+    with pytest.raises(ValueError):
+        parse_schema_file("file_format: 1.0.0\nversions:\n")
+
+
+def test_chain_up_and_down_are_inverses():
+    schema = parse_schema_file(_SCHEMA_FILE_YAML)
+    up = changes_between(schema, "1.0.0", "1.2.0", "metrics")
+    down = changes_between(schema, "1.2.0", "1.0.0", "metrics")
+    assert [c.kind for c in down] == [c.kind for c in reversed(up)]
+    assert all(
+        dict(d.mapping) == {v: k for k, v in u.mapping}
+        for d, u in zip(down, reversed(up))
+    )
+
+
+def _metrics_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "container.cpu.ticks", {"status": "hot", "host": "h1",
+                                        "k": "5"}),
+            (2, "container.mem.pages", {"status": "cold", "host": "h2",
+                                        "k": "6"}),
+            (3, "system.fault.count", {"status": "hot", "k": "7"}),
+        ],
+        "event_id long, metric_name string, attrs map<string,string>",
+    )
+
+
+def test_translate_upgrade_semantics(spark):
+    out = translate(_metrics_df(spark), _SCHEMA_FILE_YAML, "1.0.0", "1.2.0")
+    rows = {r["event_id"]: (r["metric_name"], dict(r["attrs"]))
+            for r in out.collect()}
+    assert rows[1] == ("cpu.usage.ticks",
+                       {"state": "hot", "host.name": "h1", "payload.k": "5"})
+    # memory.pages is NOT in apply_to_metrics: status survives
+    assert rows[2] == ("memory.pages",
+                       {"status": "cold", "host.name": "h2",
+                        "payload.k": "6"})
+    assert rows[3] == ("system.fault.count",
+                       {"state": "hot", "payload.k": "7"})
+
+
+def test_roundtrip_identity(spark):
+    df = _metrics_df(spark)
+    up = translate(df, _SCHEMA_FILE_YAML, "1.0.0", "1.2.0")
+    back = translate(up, _SCHEMA_FILE_YAML, "1.2.0", "1.0.0")
+    want = {(r["event_id"], r["metric_name"], tuple(sorted(r["attrs"].items())))
+            for r in df.collect()}
+    got = {(r["event_id"], r["metric_name"], tuple(sorted(r["attrs"].items())))
+           for r in back.collect()}
+    assert got == want
+
+
+def test_all_section_applies_to_every_signal_section(spark):
+    schema = parse_schema_file(_SCHEMA_FILE_YAML)
+    logs = changes_between(schema, "1.0.0", "1.2.0", "logs")
+    # only the 1.1.0 all-section rename lands on logs
+    assert [dict(c.mapping) for c in logs] == [{"host": "host.name"}]
+    df = spark.createDataFrame(
+        [(1, "evt", {"host": "a"})],
+        "event_id long, metric_name string, attrs map<string,string>",
+    )
+    out = apply_changes(df, logs)
+    assert dict(out.collect()[0]["attrs"]) == {"host.name": "a"}
