@@ -1188,47 +1188,34 @@ def Murmur3Hash128(c):
 
 
 def XXH3(c):
-    """func_xxh3.go: hex of the 64-bit XXH3 digest. Exact when the
-    ``xxhash`` package is importable; otherwise a DOCUMENTED
-    SUBSTITUTION: hex of Spark's native xxhash64 (the XXH64 algorithm,
-    seed 42) -- deterministic and uniform, but NOT byte-equal to XXH3
-    (this container has no xxhash and pure-Python XXH3 requires the
-    192-byte kSecret constant)."""
+    """func_xxh3.go: hex of the 64-bit XXH3 digest -- EXACT in all
+    environments. Uses the C ``xxhash`` binding when importable, else
+    the pure-Python port (functions/xxh3.py, verified against the
+    reference's own vectors, func_xxh3_test.go:26)."""
     try:
-        import xxhash  # noqa: F401
+        from xxhash import xxh3_64_hexdigest as _hd  # C binding
     except ImportError:
-        return F.lower(F.hex(F.xxhash64(_col(c).cast("string"))))
+        from .xxh3 import xxh3_64_hexdigest as _hd
 
     @F.pandas_udf("string")
     def _h(s: pd.Series) -> pd.Series:
-        import xxhash as _x
-
-        return s.map(
-            lambda v: None if v is None else _x.xxh3_64_hexdigest(v.encode())
-        )
+        return s.map(lambda v: None if v is None else _hd(v.encode()))
 
     return _h(_col(c).cast("string"))
 
 
 def XXH128(c):
-    """func_xxh128.go: hex of the 128-bit XXH3 digest; same gating and
-    substitution policy as :func:`XXH3` (fallback doubles xxhash64 with
-    two seeds for 128 deterministic bits)."""
+    """func_xxh128.go: hex of the 128-bit XXH3 digest -- EXACT in all
+    environments, same gating as :func:`XXH3` (pure-Python port
+    verified against func_xxh128_test.go:26)."""
     try:
-        import xxhash  # noqa: F401
+        from xxhash import xxh3_128_hexdigest as _hd  # C binding
     except ImportError:
-        cc = _col(c).cast("string")
-        return F.lower(
-            F.concat(F.hex(F.xxhash64(cc)), F.hex(F.xxhash64(cc, F.lit(1))))
-        )
+        from .xxh3 import xxh3_128_hexdigest as _hd
 
     @F.pandas_udf("string")
     def _h(s: pd.Series) -> pd.Series:
-        import xxhash as _x
-
-        return s.map(
-            lambda v: None if v is None else _x.xxh3_128_hexdigest(v.encode())
-        )
+        return s.map(lambda v: None if v is None else _hd(v.encode()))
 
     return _h(_col(c).cast("string"))
 

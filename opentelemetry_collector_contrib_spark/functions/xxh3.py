@@ -1,0 +1,387 @@
+"""Pure-Python XXH3-64 / XXH3-128 (seedless, default secret).
+
+Exact port of the PUBLIC xxHash reference implementation (BSD-2,
+Yann Collet; scalar path of xxhash.h as vendored by pyarrow at
+arrow/vendored/xxhash/xxhash.h) -- NOT ported from the reference
+collector repo, which merely calls the zeebo/xxh3 Go binding
+(pkg/ottl/ottlfuncs/func_xxh3.go:40, func_xxh128.go). Provides exact
+parity for the OTTL XXH3/XXH128 converters when the C ``xxhash``
+package is not installed; verified against the reference repo's own
+test vectors (func_xxh3_test.go:26, func_xxh128_test.go:26).
+
+Covers every input length class: 0, 1-3, 4-8, 9-16, 17-128, 129-240,
+and the striped accumulator path above 240 bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_M64 = (1 << 64) - 1
+
+P32_1 = 0x9E3779B1
+P32_2 = 0x85EBCA77
+P32_3 = 0xC2B2AE3D
+P64_1 = 0x9E3779B185EBCA87
+P64_2 = 0xC2B2AE3D27D4EB4F
+P64_3 = 0x165667B19E3779F9
+P64_4 = 0x85EBCA77C2B2AE63
+P64_5 = 0x27D4EB2F165667C5
+MX1 = 0x165667919E3779F9
+MX2 = 0x9FB21C651E98DF25
+
+KSECRET = bytes.fromhex(
+    "b8fe6c3923a44bbe7c01812cf721ad1cded46de9839097db7240a4a4b7b3671f"
+    "cb79e64eccc0e578825ad07dccff7221b8084674f743248ee03590e6813a264c"
+    "3c2852bb91c300cb88d0658b1b532ea371644897a20df94e3819ef46a9deacd8"
+    "a8fa763fe39c343ff9dcbbc7c70b4f1d8a51e04bcdb45931c89f7ec9d9787364"
+    "eac5ac8334d3ebc3c581a0fffa1363eb170ddd51b7f0da49d316552629d4689e"
+    "2b16be587d47a1fc8ff8b8d17ad031ce45cb3a8f95160428afd7fbcabb4b407e"
+)
+SECRET_SIZE_MIN = 136
+STRIPE_LEN = 64
+ACC_NB = 8
+MIDSIZE_STARTOFFSET = 3
+MIDSIZE_LASTOFFSET = 17
+MERGEACCS_START = 11
+LASTACC_START = 7
+
+
+def _rd32(b: bytes, off: int = 0) -> int:
+    return struct.unpack_from("<I", b, off)[0]
+
+
+def _rd64(b: bytes, off: int = 0) -> int:
+    return struct.unpack_from("<Q", b, off)[0]
+
+
+def _swap32(x: int) -> int:
+    return int.from_bytes((x & 0xFFFFFFFF).to_bytes(4, "little"), "big")
+
+
+def _swap64(x: int) -> int:
+    return int.from_bytes((x & _M64).to_bytes(8, "little"), "big")
+
+
+def _rotl32(x: int, r: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    x &= _M64
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _mult64to128(a: int, b: int) -> tuple[int, int]:
+    p = (a & _M64) * (b & _M64)
+    return p & _M64, (p >> 64) & _M64
+
+
+def _fold64(a: int, b: int) -> int:
+    lo, hi = _mult64to128(a, b)
+    return lo ^ hi
+
+
+def _xs(v: int, s: int) -> int:
+    return (v ^ (v >> s)) & _M64
+
+
+def _av64(h: int) -> int:  # XXH64_avalanche
+    h &= _M64
+    h ^= h >> 33
+    h = (h * P64_2) & _M64
+    h ^= h >> 29
+    h = (h * P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _av3(h: int) -> int:  # XXH3_avalanche
+    h = _xs(h, 37)
+    h = (h * MX1) & _M64
+    return _xs(h, 32)
+
+
+def _rrmxmx(h: int, length: int) -> int:
+    h &= _M64
+    h ^= _rotl64(h, 49) ^ _rotl64(h, 24)
+    h = (h * MX2) & _M64
+    h ^= ((h >> 35) + length) & _M64
+    h = (h * MX2) & _M64
+    return _xs(h, 28)
+
+
+def _mix16b(data: bytes, d_off: int, sec: bytes, s_off: int,
+            seed: int) -> int:
+    in_lo = _rd64(data, d_off)
+    in_hi = _rd64(data, d_off + 8)
+    return _fold64(
+        in_lo ^ ((_rd64(sec, s_off) + seed) & _M64),
+        in_hi ^ ((_rd64(sec, s_off + 8) - seed) & _M64),
+    )
+
+
+# --------------------------- 64-bit variant ---------------------------
+
+
+def _len_0to16_64(d: bytes, seed: int) -> int:
+    n = len(d)
+    if n > 8:
+        bf1 = (_rd64(KSECRET, 24) ^ _rd64(KSECRET, 32)) + seed & _M64
+        bf2 = (_rd64(KSECRET, 40) ^ _rd64(KSECRET, 48)) - seed & _M64
+        lo = _rd64(d, 0) ^ bf1
+        hi = _rd64(d, n - 8) ^ bf2
+        acc = (n + _swap64(lo) + hi + _fold64(lo, hi)) & _M64
+        return _av3(acc)
+    if n >= 4:
+        seed ^= (_swap32(seed) << 32) & _M64
+        i1 = _rd32(d, 0)
+        i2 = _rd32(d, n - 4)
+        bf = ((_rd64(KSECRET, 8) ^ _rd64(KSECRET, 16)) - seed) & _M64
+        keyed = (i2 + (i1 << 32)) ^ bf
+        return _rrmxmx(keyed, n)
+    if n:
+        c1, c2, c3 = d[0], d[n >> 1], d[n - 1]
+        combined = (c1 << 16) | (c2 << 24) | c3 | (n << 8)
+        bf = ((_rd32(KSECRET, 0) ^ _rd32(KSECRET, 4)) + seed) & _M64
+        return _av64(combined ^ bf)
+    return _av64(seed ^ _rd64(KSECRET, 56) ^ _rd64(KSECRET, 64))
+
+
+def _len_17to128_64(d: bytes, seed: int) -> int:
+    n = len(d)
+    acc = (n * P64_1) & _M64
+    if n > 32:
+        if n > 64:
+            if n > 96:
+                acc += _mix16b(d, 48, KSECRET, 96, seed)
+                acc += _mix16b(d, n - 64, KSECRET, 112, seed)
+            acc += _mix16b(d, 32, KSECRET, 64, seed)
+            acc += _mix16b(d, n - 48, KSECRET, 80, seed)
+        acc += _mix16b(d, 16, KSECRET, 32, seed)
+        acc += _mix16b(d, n - 32, KSECRET, 48, seed)
+    acc += _mix16b(d, 0, KSECRET, 0, seed)
+    acc += _mix16b(d, n - 16, KSECRET, 16, seed)
+    return _av3(acc & _M64)
+
+
+def _len_129to240_64(d: bytes, seed: int) -> int:
+    n = len(d)
+    acc = (n * P64_1) & _M64
+    for i in range(8):
+        acc += _mix16b(d, 16 * i, KSECRET, 16 * i, seed)
+    acc_end = _mix16b(
+        d, n - 16, KSECRET, SECRET_SIZE_MIN - MIDSIZE_LASTOFFSET, seed
+    )
+    acc = _av3(acc & _M64)
+    for i in range(8, n // 16):
+        acc_end += _mix16b(
+            d, 16 * i, KSECRET, 16 * (i - 8) + MIDSIZE_STARTOFFSET, seed
+        )
+    return _av3((acc + acc_end) & _M64)
+
+
+def _accumulate(acc: list[int], d: bytes, d_off: int, s_off: int,
+                nb_stripes: int) -> None:
+    for s in range(nb_stripes):
+        base = d_off + s * STRIPE_LEN
+        sec = s_off + s * 8
+        for lane in range(ACC_NB):
+            dv = _rd64(d, base + lane * 8)
+            dk = dv ^ _rd64(KSECRET, sec + lane * 8)
+            acc[lane ^ 1] = (acc[lane ^ 1] + dv) & _M64
+            acc[lane] = (
+                acc[lane] + (dk & 0xFFFFFFFF) * (dk >> 32)
+            ) & _M64
+
+
+def _scramble(acc: list[int]) -> None:
+    s_off = len(KSECRET) - STRIPE_LEN
+    for lane in range(ACC_NB):
+        v = _xs(acc[lane], 47)
+        v ^= _rd64(KSECRET, s_off + lane * 8)
+        acc[lane] = (v * P32_1) & _M64
+
+
+def _merge_accs(acc: list[int], s_off: int, start: int) -> int:
+    r = start & _M64
+    for i in range(4):
+        r += _fold64(
+            acc[2 * i] ^ _rd64(KSECRET, s_off + 16 * i),
+            acc[2 * i + 1] ^ _rd64(KSECRET, s_off + 16 * i + 8),
+        )
+    return _av3(r & _M64)
+
+
+def _hash_long_accs(d: bytes) -> list[int]:
+    acc = [P32_3, P64_1, P64_2, P64_3, P64_4, P32_2, P64_5, P32_1]
+    n = len(d)
+    nb_stripes_per_block = (len(KSECRET) - STRIPE_LEN) // 8
+    block_len = STRIPE_LEN * nb_stripes_per_block
+    nb_blocks = (n - 1) // block_len
+    for b in range(nb_blocks):
+        _accumulate(acc, d, b * block_len, 0, nb_stripes_per_block)
+        _scramble(acc)
+    nb_stripes = ((n - 1) - block_len * nb_blocks) // STRIPE_LEN
+    _accumulate(acc, d, nb_blocks * block_len, 0, nb_stripes)
+    # last stripe, distinct secret offset
+    last = d[n - STRIPE_LEN:]
+    s_off = len(KSECRET) - STRIPE_LEN - LASTACC_START
+    for lane in range(ACC_NB):
+        dv = _rd64(last, lane * 8)
+        dk = dv ^ _rd64(KSECRET, s_off + lane * 8)
+        acc[lane ^ 1] = (acc[lane ^ 1] + dv) & _M64
+        acc[lane] = (acc[lane] + (dk & 0xFFFFFFFF) * (dk >> 32)) & _M64
+    return acc
+
+
+def xxh3_64(data: bytes | str, seed: int = 0) -> int:
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    n = len(data)
+    if n <= 16:
+        return _len_0to16_64(data, seed)
+    if n <= 128:
+        return _len_17to128_64(data, seed)
+    if n <= 240:
+        return _len_129to240_64(data, seed)
+    acc = _hash_long_accs(data)
+    return _merge_accs(acc, MERGEACCS_START, (n * P64_1) & _M64)
+
+
+# --------------------------- 128-bit variant ---------------------------
+
+
+def _mix32b(acc_lo: int, acc_hi: int, d: bytes, off1: int, off2: int,
+            s_off: int, seed: int) -> tuple[int, int]:
+    acc_lo = (acc_lo + _mix16b(d, off1, KSECRET, s_off, seed)) & _M64
+    acc_lo ^= (_rd64(d, off2) + _rd64(d, off2 + 8)) & _M64
+    acc_hi = (acc_hi + _mix16b(d, off2, KSECRET, s_off + 16, seed)) & _M64
+    acc_hi ^= (_rd64(d, off1) + _rd64(d, off1 + 8)) & _M64
+    return acc_lo, acc_hi
+
+
+def _len_0to16_128(d: bytes, seed: int) -> tuple[int, int]:
+    n = len(d)
+    if n > 8:
+        bfl = ((_rd64(KSECRET, 32) ^ _rd64(KSECRET, 40)) - seed) & _M64
+        bfh = ((_rd64(KSECRET, 48) ^ _rd64(KSECRET, 56)) + seed) & _M64
+        in_lo = _rd64(d, 0)
+        in_hi = _rd64(d, n - 8)
+        m_lo, m_hi = _mult64to128(in_lo ^ in_hi ^ bfl, P64_1)
+        m_lo = (m_lo + ((n - 1) << 54)) & _M64
+        in_hi ^= bfh
+        m_hi = (
+            m_hi + in_hi + (in_hi & 0xFFFFFFFF) * (P32_2 - 1)
+        ) & _M64
+        m_lo ^= _swap64(m_hi)
+        h_lo, h_hi = _mult64to128(m_lo, P64_2)
+        h_hi = (h_hi + m_hi * P64_2) & _M64
+        return _av3(h_lo), _av3(h_hi)
+    if n >= 4:
+        seed ^= (_swap32(seed) << 32) & _M64
+        i_lo = _rd32(d, 0)
+        i_hi = _rd32(d, n - 4)
+        i64 = i_lo + (i_hi << 32)
+        bf = ((_rd64(KSECRET, 16) ^ _rd64(KSECRET, 24)) + seed) & _M64
+        lo, hi = _mult64to128(i64 ^ bf, (P64_1 + (n << 2)) & _M64)
+        hi = (hi + (lo << 1)) & _M64
+        lo ^= hi >> 3
+        lo = _xs(lo, 35)
+        lo = (lo * MX2) & _M64
+        lo = _xs(lo, 28)
+        return lo, _av3(hi)
+    if n:
+        c1, c2, c3 = d[0], d[n >> 1], d[n - 1]
+        comb_l = (c1 << 16) | (c2 << 24) | c3 | (n << 8)
+        comb_h = _rotl32(_swap32(comb_l), 13)
+        bfl = ((_rd32(KSECRET, 0) ^ _rd32(KSECRET, 4)) + seed) & _M64
+        bfh = ((_rd32(KSECRET, 8) ^ _rd32(KSECRET, 12)) - seed) & _M64
+        return _av64(comb_l ^ bfl), _av64(comb_h ^ bfh)
+    return (
+        _av64(seed ^ _rd64(KSECRET, 64) ^ _rd64(KSECRET, 72)),
+        _av64(seed ^ _rd64(KSECRET, 80) ^ _rd64(KSECRET, 88)),
+    )
+
+
+def _final_128(acc_lo: int, acc_hi: int, n: int,
+               seed: int) -> tuple[int, int]:
+    h_lo = (acc_lo + acc_hi) & _M64
+    h_hi = (
+        acc_lo * P64_1 + acc_hi * P64_4 + ((n - seed) & _M64) * P64_2
+    ) & _M64
+    return _av3(h_lo), (0 - _av3(h_hi)) & _M64
+
+
+def _len_17to128_128(d: bytes, seed: int) -> tuple[int, int]:
+    n = len(d)
+    lo, hi = (n * P64_1) & _M64, 0
+    if n > 32:
+        if n > 64:
+            if n > 96:
+                lo, hi = _mix32b(lo, hi, d, 48, n - 64, 96, seed)
+            lo, hi = _mix32b(lo, hi, d, 32, n - 48, 64, seed)
+        lo, hi = _mix32b(lo, hi, d, 16, n - 32, 32, seed)
+    lo, hi = _mix32b(lo, hi, d, 0, n - 16, 0, seed)
+    return _final_128(lo, hi, n, seed)
+
+
+def _len_129to240_128(d: bytes, seed: int) -> tuple[int, int]:
+    n = len(d)
+    lo, hi = (n * P64_1) & _M64, 0
+    for i in range(32, 160, 32):
+        lo, hi = _mix32b(lo, hi, d, i - 32, i - 16, i - 32, seed)
+    lo, hi = _av3(lo), _av3(hi)
+    i = 160
+    while i <= n:
+        lo, hi = _mix32b(
+            lo, hi, d, i - 32, i - 16,
+            MIDSIZE_STARTOFFSET + i - 160, seed,
+        )
+        i += 32
+    # last bytes, swapped inputs and negated seed
+    lo = (lo + _mix16b(
+        d, n - 16, KSECRET,
+        SECRET_SIZE_MIN - MIDSIZE_LASTOFFSET - 16, (0 - seed) & _M64)
+    ) & _M64
+    lo ^= (_rd64(d, n - 32) + _rd64(d, n - 24)) & _M64
+    hi = (hi + _mix16b(
+        d, n - 32, KSECRET,
+        SECRET_SIZE_MIN - MIDSIZE_LASTOFFSET, (0 - seed) & _M64)
+    ) & _M64
+    hi ^= (_rd64(d, n - 16) + _rd64(d, n - 8)) & _M64
+    return _final_128(lo, hi, n, seed)
+
+
+def xxh3_128(data: bytes | str, seed: int = 0) -> tuple[int, int]:
+    """Returns (low64, high64)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    n = len(data)
+    if n <= 16:
+        return _len_0to16_128(data, seed)
+    if n <= 128:
+        return _len_17to128_128(data, seed)
+    if n <= 240:
+        return _len_129to240_128(data, seed)
+    acc = _hash_long_accs(data)
+    lo = _merge_accs(acc, MERGEACCS_START, (n * P64_1) & _M64)
+    hi = _merge_accs(
+        acc,
+        len(KSECRET) - ACC_NB * 8 - MERGEACCS_START,
+        (~(n * P64_2)) & _M64,
+    )
+    return lo, hi
+
+
+def xxh3_64_hexdigest(data: bytes | str) -> str:
+    """Matches hex.EncodeToString(xxh3.New().Sum(nil)) -- big-endian."""
+    return f"{xxh3_64(data):016x}"
+
+
+def xxh3_128_hexdigest(data: bytes | str) -> str:
+    """Canonical XXH128 representation: high64 then low64, big-endian
+    (matches the reference's hex output, func_xxh128_test.go:26)."""
+    lo, hi = xxh3_128(data)
+    return f"{hi:016x}{lo:016x}"

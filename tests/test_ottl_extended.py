@@ -107,16 +107,39 @@ def test_severity_default_mapping_reference_parity(spark):
         assert r["severity_number"] == r["exp"], (r["sev"], r["severity_number"])
 
 
-def test_xxh_fallback_deterministic(spark):
-    # without the xxhash package these are the documented substitution;
-    # either way: deterministic, hex, non-null
-    df = spark.createDataFrame([("hello world",)], "s STRING")
-    r1 = df.select(FN.XXH3(F.col("s")).alias("a"),
-                   FN.XXH128(F.col("s")).alias("b")).collect()[0]
-    r2 = df.select(FN.XXH3(F.col("s")).alias("a"),
-                   FN.XXH128(F.col("s")).alias("b")).collect()[0]
-    assert r1["a"] == r2["a"] and r1["b"] == r2["b"]
-    assert all(c in "0123456789abcdef" for c in r1["a"] + r1["b"])
+def test_xxh_exact_reference_vectors(spark):
+    # EXACT parity with the reference's own test vectors
+    # (func_xxh3_test.go:26, func_xxh128_test.go:26) via the pure-
+    # Python port (or the C binding when installed -- same digests)
+    df = spark.createDataFrame([("hello world",), ("",)], "s STRING")
+    rows = {r["s"]: (r["a"], r["b"]) for r in df.select(
+        "s", FN.XXH3(F.col("s")).alias("a"),
+        FN.XXH128(F.col("s")).alias("b")).collect()}
+    assert rows["hello world"] == (
+        "d447b1ea40e6988b", "df8d09e93f874900a99b8775cc15b6c7")
+    assert rows[""] == (
+        "2d06800538d394c2", "99aa06d3014798d86001c324468d497f")
+
+
+def test_xxh3_port_length_classes():
+    # every dispatch class of the algorithm: 0, 1-3, 4-8, 9-16,
+    # 17-128, 129-240, >240 (striped accumulate, incl. multi-block)
+    from opentelemetry_collector_contrib_spark.functions.xxh3 import (
+        xxh3_64, xxh3_128, xxh3_64_hexdigest)
+    lens = [0, 1, 3, 4, 8, 9, 16, 17, 128, 129, 240, 241, 1024, 5000]
+    seen = set()
+    for n in lens:
+        data = bytes((i * 7 + n) % 256 for i in range(n))
+        h64 = xxh3_64(data)
+        lo, hi = xxh3_128(data)
+        seen.add(h64)
+        assert 0 <= h64 < 1 << 64 and 0 <= lo < 1 << 64 and 0 <= hi < 1 << 64
+        # XXH3 property: for 1-3 and >240 bytes the 128-bit low word
+        # equals the 64-bit hash (same kernel, same merge constants)
+        if 1 <= n <= 3 or n > 240:
+            assert lo == h64, n
+    assert len(seen) == len(lens)  # no accidental collisions/constants
+    assert len(xxh3_64_hexdigest(b"x" * 10)) == 16
 
 
 def test_uuidv7_shape(spark):
