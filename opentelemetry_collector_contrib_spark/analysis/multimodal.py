@@ -204,29 +204,56 @@ def sample_frames_sql(str_expr: str, frame_bytes: int = 64, stride: int = 3,
 AUDIO_FIELDS = [
     StructField("n_samples", LongType()),
     StructField("mean_amplitude", IntegerType()),
+    StructField("frame_count", IntegerType()),
+    StructField("energy", LongType()),
+    StructField("zero_crossings", LongType()),
 ]
+
+AUDIO_FRAME_LEN = 64  # samples per analysis frame
 
 
 def audio_features(df: DataFrame, binary_col: str = "html") -> DataFrame:
-    """Interpret the blob as unsigned 8-bit PCM; emit sample count and
-    mean amplitude. A real torchaudio kernel would replace the numpy
-    body; batch shape and schema are what the engine tests."""
+    """Interpret the blob as unsigned 8-bit PCM centered at 128 and
+    emit real (deterministic, exact-integer) DSP features:
+
+    - n_samples / mean_amplitude: size and truncated byte mean
+    - frame_count: full AUDIO_FRAME_LEN-sample frames
+    - energy: sum of squared centered samples over the full frames
+      (the integer core of frame-RMS -- kept unsquare-rooted so the
+      cross-engine oracle compares exact integers, not float sqrt)
+    - zero_crossings: sign changes between consecutive centered
+      samples over the whole signal
+
+    A torchaudio kernel would replace the numpy body; the Spark-side
+    plumbing (Arrow batches, schema, NULL passthrough) is identical.
+    """
     out_schema = StructType(list(df.schema.fields) + AUDIO_FIELDS)
 
     def _features(batches: Iterator) -> Iterator:
         import numpy as np
 
         for pdf in batches:
-            counts, means = [], []
+            counts, means, frames, energies, zcs = [], [], [], [], []
             for raw in pdf[binary_col]:
                 if raw is None:
-                    counts.append(None), means.append(None)
+                    for acc in (counts, means, frames, energies, zcs):
+                        acc.append(None)
                     continue
                 arr = np.frombuffer(bytes(raw), dtype=np.uint8)
-                counts.append(int(arr.size))
-                means.append(int(arr.mean()) if arr.size else 0)
+                c = arr.astype(np.int64) - 128
+                n = int(arr.size)
+                m = (n // AUDIO_FRAME_LEN) * AUDIO_FRAME_LEN
+                counts.append(n)
+                means.append(int(arr.mean()) if n else 0)
+                frames.append(n // AUDIO_FRAME_LEN)
+                energies.append(int((c[:m] * c[:m]).sum()) if m else 0)
+                zcs.append(
+                    int(((c[:-1] < 0) != (c[1:] < 0)).sum()) if n > 1 else 0
+                )
             pdf = pdf.copy()
             pdf["n_samples"], pdf["mean_amplitude"] = counts, means
+            pdf["frame_count"], pdf["energy"] = frames, energies
+            pdf["zero_crossings"] = zcs
             yield pdf
 
     return df.mapInPandas(_features, out_schema)

@@ -35,7 +35,10 @@ _ANALYSIS_NAMES: set[str] = set()
 # Queries added in the current round jump the rotation queue (right
 # after red rows) so each round's new surface gets a driver
 # CORRECTNESS row the same round it ships.
-_PRIORITY_NAMES: list[str] = []
+_PRIORITY_NAMES: list[str] = [
+    "socket_input_roundtrip_events",  # round 3: closes §2.1 tcp/udp row
+    "schema_file_translate_events",   # round 3: published schema-file depth
+]
 
 
 def register(name: str, oracle: str | None = None):
@@ -1798,6 +1801,170 @@ def q_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("long").alias("bucket"),
                 "rows_after", "value_micro")
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# schemaprocessor over a PUBLISHED-FORMAT schema file (file_format
+# 1.0.0, the format of processor/schemaprocessor/internal/translation/
+# testdata/schema.yaml): version chain 1.0.0 -> 1.2.0 with all-section
+# attribute renames, metric renames, and a conditional
+# apply_to_metrics rename whose filter matches names AFTER the
+# same-version rename_metrics ran (file order, changelist.go:22). The
+# oracle hand-applies the net effect; the Spark path derives it by
+# parsing the file -- independence of derivation is the check.
+# ---------------------------------------------------------------------------
+
+_SCHEMA_FILE_YAML = """
+file_format: 1.0.0
+schema_url: https://example.com/schemas/1.2.0
+versions:
+  1.2.0:
+    metrics:
+      changes:
+        - rename_metrics:
+            cpu.ticks: cpu.usage.ticks
+        - rename_attributes:
+            attribute_map:
+              k: payload.k
+  1.1.0:
+    all:
+      changes:
+        - rename_attributes:
+            attribute_map:
+              host: host.name
+    metrics:
+      changes:
+        - rename_metrics:
+            container.cpu.ticks: cpu.ticks
+            container.mem.pages: memory.pages
+        - rename_attributes:
+            attribute_map:
+              status: state
+            apply_to_metrics:
+              - cpu.ticks
+              - system.fault.count
+  1.0.0:
+"""
+
+_SCHEMA_FILE_ORACLE = """
+WITH base AS (
+  SELECT event_id,
+         event_type,
+         CASE event_type
+           WHEN 'click' THEN 'cpu.usage.ticks'
+           WHEN 'view' THEN 'memory.pages'
+           WHEN 'error' THEN 'system.fault.count'
+           WHEN 'purchase' THEN 'app.revenue.total'
+           ELSE 'app.user.count' END AS metric_name,
+         CASE WHEN value > 300 THEN 'hot' ELSE 'cold' END AS status_v,
+         'h' || CAST(user_id % 10 AS VARCHAR) AS host_v,
+         regexp_extract(props, '"k": (\\d+)', 1) AS k_v
+  FROM events)
+SELECT event_id, metric_name, attr_key, attr_value FROM (
+  SELECT event_id, metric_name,
+         CASE WHEN event_type IN ('click', 'error')
+              THEN 'state' ELSE 'status' END AS attr_key,
+         status_v AS attr_value
+  FROM base
+  UNION ALL
+  SELECT event_id, metric_name, 'host.name', host_v FROM base
+  UNION ALL
+  SELECT event_id, metric_name, 'payload.k', k_v FROM base)
+ORDER BY event_id, attr_key
+"""
+
+
+@register("schema_file_translate_events", _SCHEMA_FILE_ORACLE)
+def q_schema_file_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.schema_file import translate
+
+    ev = _read(spark, sf_dir, "events")
+    metrics = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "click", "container.cpu.ticks")
+        .when(F.col("event_type") == "view", "container.mem.pages")
+        .when(F.col("event_type") == "error", "system.fault.count")
+        .when(F.col("event_type") == "purchase", "app.revenue.total")
+        .otherwise("app.user.count")
+        .alias("metric_name"),
+        F.create_map(
+            F.lit("status"),
+            F.when(F.col("value") > 300, "hot").otherwise("cold"),
+            F.lit("host"),
+            F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+            F.lit("k"),
+            F.regexp_extract("props", '"k": (\\d+)', 1),
+        ).alias("attrs"),
+    )
+    out = translate(metrics, _SCHEMA_FILE_YAML, "1.0.0", "1.2.0")
+    return out.select(
+        "event_id",
+        "metric_name",
+        F.explode(F.map_entries("attrs")).alias("e"),
+    ).select(
+        "event_id",
+        "metric_name",
+        F.col("e.key").alias("attr_key"),
+        F.col("e.value").alias("attr_value"),
+    ).orderBy("event_id", "attr_key")
+
+
+# ---------------------------------------------------------------------------
+# Socket input stand-in (tcp_input contract: per-connection stream
+# reassembly in sequence order + ScanLines split + net.* attributes --
+# pkg/stanza/operator/input/tcp/input.go:174). The Spark side chops
+# newline-terminated syslog lines into 37-byte frames that straddle
+# entry boundaries, then reassembles; the oracle builds the SAME lines
+# directly -- equality proves the reassembly+split roundtrip is
+# byte-exact for arbitrary chunk boundaries.
+# ---------------------------------------------------------------------------
+
+_SOCKET_ORACLE = f"""
+WITH lines AS (
+  SELECT CAST(event_id % 50 AS BIGINT) AS conn_id, event_id,
+         {_SYSLOG_LINE_SQL} AS body
+  FROM events),
+entries AS (
+  SELECT conn_id,
+         CAST(row_number() OVER (PARTITION BY conn_id ORDER BY event_id)
+              - 1 AS INT) AS entry_seq,
+         body
+  FROM lines)
+SELECT conn_id, entry_seq, body,
+       '10.0.0.' || CAST(conn_id % 256 AS VARCHAR) AS net_peer_ip,
+       CAST(34512 + conn_id AS VARCHAR) AS net_peer_port,
+       '10.0.0.' || CAST(conn_id % 256 AS VARCHAR) AS net_peer_name,
+       '0.0.0.0' AS net_host_ip,
+       '5140' AS net_host_port,
+       '0.0.0.0' AS net_host_name
+FROM entries ORDER BY conn_id, entry_seq
+"""
+
+
+@register("socket_input_roundtrip_events", _SOCKET_ORACLE)
+def q_socket_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.socket_input import chop_into_frames, reassemble_tcp
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(
+        (F.col("event_id") % 50).alias("conn_id"),
+        F.col("event_id").alias("line_seq"),
+        F.expr(_SYSLOG_LINE_SQL).alias("body"),
+    )
+    frames = (
+        chop_into_frames(lines, chunk_size=37)
+        .withColumn(
+            "peer_ip",
+            F.concat(F.lit("10.0.0."),
+                     (F.col("conn_id") % 256).cast("string")),
+        )
+        .withColumn("peer_port", F.lit(34512) + F.col("conn_id"))
+        .withColumn("host_ip", F.lit("0.0.0.0"))
+        .withColumn("host_port", F.lit(5140))
+    )
+    return reassemble_tcp(frames, add_attributes=True).orderBy(
+        "conn_id", "entry_seq"
     )
 
 

@@ -423,29 +423,64 @@ def _register_multimodal() -> None:
         df = MM.sample_frames(web, "html")
         return df.select("page_id", "n_frames", "frame_md5s").orderBy("page_id")
 
-    # audio: the fake kernel reads the blob as unsigned 8-bit PCM; the
-    # html bytes are ASCII, so the oracle recomputes n_samples (byte
-    # length) and mean amplitude (floor of the byte-value mean --
-    # numpy's int(mean()) truncation) from the string twin.
+    # audio: the kernel reads the blob as unsigned 8-bit PCM centered
+    # at 128. The input blob is full-range pseudo-PCM (unhex of
+    # chained md5 of the page bytes -- deterministic, bytes span
+    # 0..255 so zero-crossings and energy are really exercised); the
+    # oracle recomputes every feature exactly from the hex string:
+    # byte length, truncated byte mean, full-frame count, summed
+    # squared centered samples over the full frames (integer core of
+    # frame-RMS), and sign-change count of consecutive centered
+    # samples.
+    fl = MM.AUDIO_FRAME_LEN
+    n_md5 = 8  # 8 x 16 bytes = 128 samples = 2 full frames of 64
+    hex_cat = " || ".join(
+        f"md5(s || '{i}')" for i in range(n_md5)
+    )
+    nb = 16 * n_md5
     audio_oracle = (
         "WITH web AS ({web}),\n"
-        f"h AS (SELECT page_id, {_MM_HTML} AS s FROM web)\n"
-        "SELECT page_id, CAST(strlen(s) AS BIGINT) AS n_samples,\n"
-        "       CASE WHEN strlen(s) = 0 THEN 0\n"
-        "            ELSE CAST(FLOOR(list_avg(list_transform(\n"
-        "              range(1, strlen(s)+1),\n"
-        "              i -> ord(substr(s, CAST(i AS INT), 1))))) AS INT)\n"
-        "       END AS mean_amplitude\n"
-        "FROM h ORDER BY page_id"
+        f"h AS (SELECT page_id, {_MM_HTML} AS s FROM web),\n"
+        f"hx AS (SELECT page_id, {hex_cat} AS hexs FROM h),\n"
+        "c AS (SELECT page_id,\n"
+        f"             list_transform(range(0, {nb}), j ->\n"
+        "               16 * (strpos('0123456789abcdef',\n"
+        "                     substr(hexs, CAST(2*j+1 AS INT), 1)) - 1)\n"
+        "               + (strpos('0123456789abcdef',\n"
+        "                  substr(hexs, CAST(2*j+2 AS INT), 1)) - 1))\n"
+        "               AS bs\n"
+        "      FROM hx)\n"
+        f"SELECT page_id, CAST({nb} AS BIGINT) AS n_samples,\n"
+        "       CAST(FLOOR(list_avg(bs)) AS INT) AS mean_amplitude,\n"
+        f"      CAST({nb // fl} AS INT) AS frame_count,\n"
+        "       CAST(list_sum(list_transform(\n"
+        f"         list_slice(bs, 1, {(nb // fl) * fl}),\n"
+        "          x -> CAST(x - 128 AS BIGINT) * (x - 128)))\n"
+        "         AS BIGINT) AS energy,\n"
+        f"      CAST(len(list_filter(range(2, {nb} + 1),\n"
+        "          i -> (bs[i-1] < 128) <> (bs[i] < 128))) AS BIGINT)\n"
+        "         AS zero_crossings\n"
+        "FROM c ORDER BY page_id"
     ).format(web=datagen.web_pages_select_sql("documents"))
 
     @register("multimodal_audio_features", audio_oracle)
     def q_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         web = _web_with_html(spark, sf_dir)
-        df = MM.audio_features(web, "html")
-        return df.select("page_id", "n_samples", "mean_amplitude").orderBy(
-            "page_id"
+        s = F.col("html").cast("string")
+        pcm = web.withColumn(
+            "audio",
+            F.unhex(
+                F.concat(
+                    *[F.md5(F.concat(s, F.lit(str(i))))
+                      for i in range(n_md5)]
+                )
+            ),
         )
+        df = MM.audio_features(pcm, "audio")
+        return df.select(
+            "page_id", "n_samples", "mean_amplitude", "frame_count",
+            "energy", "zero_crossings",
+        ).orderBy("page_id")
 
 
 _register_multimodal()
