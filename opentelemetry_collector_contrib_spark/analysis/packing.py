@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .textstats import token_count, ws_tokens_sql
+from .textstats import token_count, ws_tokens, ws_tokens_sql
 
 
 def pack_sequences(
@@ -128,3 +128,91 @@ def pack_summary(packed: DataFrame, ctx_len: int = 256) -> DataFrame:
         F.ceil(F.sum("tok_count") / ctx_len).alias("n_packs"),
         (F.sum("tok_count") % ctx_len).alias("tail_fill_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: split each document's whitespace token
+    stream into overlapping training/RAG windows of ``chunk_tokens``
+    tokens advancing by ``stride`` (overlap = chunk_tokens - stride).
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens
+    (the final window may be short but is never empty; empty documents
+    produce zero chunks). Output: (id, chunk_id, start_tok, end_tok,
+    n_chunk_tokens, chunk_text). Map-only plan -- tokenization,
+    window arithmetic, and slicing are all Column expressions inside
+    one projection; no shuffle, no UDF, so it composes with the parse
+    stage at any scale.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.floor((n - 1) / stride).cast("int") + 1
+    # guard the empty case explicitly: Spark's sequence(0, -1) counts
+    # DOWN (auto-negative step), it does not return an empty array
+    starts = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).cast("long").alias("start_tok"),
+            F.least(i * stride + chunk_tokens, n.cast("long"))
+            .alias("end_tok"),
+        ),
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks"),
+                     F.explode(chunks).alias("c"))
+    return base.select(
+        id_col,
+        F.col("c.chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.end_tok").alias("end_tok"),
+        (F.col("c.end_tok") - F.col("c.start_tok")).cast("int")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("_toks"),
+                (F.col("c.start_tok") + 1).cast("int"),
+                (F.col("c.end_tok") - F.col("c.start_tok")).cast("int"),
+            ),
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+) -> str:
+    toks = ws_tokens_sql(text_expr)
+    return f"""
+WITH t AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+n AS (SELECT {id_col}, toks, len(toks) AS nt FROM t),
+c AS (
+  SELECT {id_col}, toks, nt,
+         unnest(range(0, CAST(CASE WHEN nt > 0
+                  THEN (nt - 1) // {stride} + 1 ELSE 0 END AS BIGINT)))
+           AS chunk_id
+  FROM n)
+SELECT {id_col},
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(chunk_id * {stride} AS BIGINT) AS start_tok,
+       CAST(least(chunk_id * {stride} + {chunk_tokens}, nt) AS BIGINT)
+         AS end_tok,
+       CAST(least(chunk_id * {stride} + {chunk_tokens}, nt)
+            - chunk_id * {stride} AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, CAST(chunk_id * {stride} + 1 AS INT),
+         CAST(least(chunk_id * {stride} + {chunk_tokens}, nt) AS INT)), ' ')
+         AS chunk_text
+FROM c
+ORDER BY {id_col}, chunk_id
+"""

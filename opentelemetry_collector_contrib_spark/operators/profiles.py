@@ -1,0 +1,70 @@
+"""Profiles signal support: dictionary-resolved sample rows.
+
+The reference's profiles model (pprofile; consumed by OTTL via
+pkg/ottl/contexts/ottlprofile + ottlprofilesample) is dictionary-
+encoded: a ProfilesDictionary holds an attribute table, and each
+Sample carries ``attribute_indices`` into it; samples also carry
+``values``, ``timestamps_unix_nano`` and ``link_index``
+(contexts/internal/ctxprofilesample/profilesample.go:30-40), while the
+enclosing Profile contributes profile_id/time/duration/period/
+period_type/sample_type (ctxprofile/profile.go:27-60).
+
+The flat DataFrame model resolves the dictionary AT INGESTION -- the
+index->(key,value) table is small by construction (it exists to dedup
+attribute storage), so resolution is a broadcast join plus an
+index-ordered map rebuild, after which OTTL statements address
+``sample.attributes`` like any other signal's attributes. Shuffle
+shape: one hash aggregate keyed by the sample uid; the dictionary
+never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_sample_attributes(
+    samples: DataFrame,
+    attr_table: DataFrame,
+    uid_col: str = "sample_uid",
+    indices_col: str = "attribute_indices",
+    out_col: str = "attributes",
+) -> DataFrame:
+    """Resolve ``attribute_indices`` (array<int> into the profile
+    dictionary's attribute table) to a map<string,string> column.
+
+    ``attr_table`` columns: idx, key, value. Unknown indices are
+    dropped (the reference's pprofile accessors return an error the
+    engine's NULL-discipline maps to absence). Map entry order follows
+    the index order within each sample, matching the dictionary walk.
+    """
+    exploded = samples.select(
+        uid_col, F.explode_outer(F.col(indices_col)).alias("idx")
+    )
+    joined = exploded.join(F.broadcast(attr_table), "idx", "left")
+    resolved = (
+        joined.filter(F.col("key").isNotNull())
+        .groupBy(uid_col)
+        .agg(
+            F.map_from_entries(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "key", "value"))
+                    ),
+                    lambda s: F.struct(
+                        s["key"].alias("key"), s["value"].alias("value")
+                    ),
+                )
+            ).alias(out_col)
+        )
+    )
+    return samples.join(resolved, uid_col, "left").withColumn(
+        out_col,
+        F.coalesce(
+            F.col(out_col),
+            F.map_from_entries(
+                F.array().cast("array<struct<key:string,value:string>>")
+            ),
+        ),
+    )

@@ -149,6 +149,25 @@ PATH_ALIASES: dict[str, str] = {
     "span.kind": "span_kind",
     "span.status.code": "status_code",
     "span.status.message": "status_message",
+    # profiles signal (pkg/ottl/contexts/internal/ctxprofile/profile.go:27-60
+    # profile fields; ctxprofilesample/profilesample.go:30-40 sample
+    # fields). The flat model resolves dictionary indices at ingestion
+    # (operators/profiles.py), so attribute_indices become attributes.
+    "profile.profile_id": "profile_id",
+    "profile.string_profile_id": "profile_id",
+    "profile.time": "profile_time",
+    "profile.time_unix_nano": "profile_time_unix_nano",
+    "profile.duration_unix_nano": "profile_duration_unix_nano",
+    "profile.period": "period",
+    "profile.period_type": "period_type",
+    "profile.sample_type": "sample_type",
+    "profile.original_payload_format": "original_payload_format",
+    "profile.dropped_attributes_count": "profile_dropped_attributes_count",
+    "profile.attributes": "profile_attributes",
+    "sample.values": "values",
+    "sample.timestamps_unix_nano": "timestamps_unix_nano",
+    "sample.link_index": "link_index",
+    "sample.attributes": "attributes",
 }
 
 

@@ -38,6 +38,8 @@ _ANALYSIS_NAMES: set[str] = set()
 _PRIORITY_NAMES: list[str] = [
     "socket_input_roundtrip_events",  # round 3: closes §2.1 tcp/udp row
     "schema_file_translate_events",   # round 3: published schema-file depth
+    "ottl_profile_samples_events",    # round 3: profiles signal context
+    "chunk_documents_windows",        # round 3: sliding-window chunking
 ]
 
 
@@ -1905,6 +1907,99 @@ def q_schema_file_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id",
         "metric_name",
+        F.col("e.key").alias("attr_key"),
+        F.col("e.value").alias("attr_value"),
+    ).orderBy("event_id", "attr_key")
+
+
+# ---------------------------------------------------------------------------
+# Profiles signal context (pkg/ottl/contexts/ottlprofile +
+# ottlprofilesample): dictionary-encoded samples -- attribute_indices
+# resolved through the broadcast attribute table at ingestion
+# (operators/profiles.py), then OTTL statements address profile.* and
+# sample.* paths like any other signal. Index 99 is deliberately
+# absent from the dictionary and must drop.
+# ---------------------------------------------------------------------------
+
+_PROFILE_ATTR_ROWS = [(i, f"k{i}", f"val-{(i * 7) % 10}") for i in range(8)]
+
+_PROFILE_ORACLE = f"""
+WITH at(idx, key, value) AS (VALUES {", ".join(
+    f"({i}, '{k}', '{v}')" for i, k, v in _PROFILE_ATTR_ROWS)}),
+s AS (
+  SELECT event_id,
+         printf('%032x', user_id) AS profile_id,
+         CASE WHEN event_type IN ('click', 'view') THEN 'cpu'
+              ELSE 'wall' END AS period_type,
+         CASE WHEN event_id % 4 = 3 THEN 0
+              ELSE CAST(event_id % 4 AS BIGINT) END AS link_index,
+         CAST(FLOOR(value * 10000) AS BIGINT) + event_id % 7 AS value_sum,
+         CAST(event_id % 5 AS INT) AS i1,
+         CAST(5 + event_id % 3 AS INT) AS i2
+  FROM events),
+e AS (
+  SELECT s.*, a1.key AS key1, a1.value AS val1,
+         a2.key AS key2, a2.value AS val2
+  FROM s JOIN at a1 ON a1.idx = s.i1 JOIN at a2 ON a2.idx = s.i2)
+SELECT event_id, profile_id, period_type, link_index, value_sum,
+       (period_type = 'cpu') AS flagged, attr_key, attr_value
+FROM (
+  SELECT event_id, profile_id, period_type, link_index, value_sum,
+         key1 AS attr_key, val1 AS attr_value FROM e
+  UNION ALL
+  SELECT event_id, profile_id, period_type, link_index, value_sum,
+         key2, val2 FROM e)
+ORDER BY event_id, attr_key
+"""
+
+
+@register("ottl_profile_samples_events", _PROFILE_ORACLE)
+def q_ottl_profile_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.profiles import resolve_sample_attributes
+    from .ottl import OTTLCompiler
+
+    ev = _read(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("event_id").alias("sample_uid"),
+        F.format_string("%032x", F.col("user_id")).alias("profile_id"),
+        F.when(F.col("event_type").isin("click", "view"), "cpu")
+        .otherwise("wall")
+        .alias("period_type"),
+        (F.col("event_id") % 4).alias("link_index"),
+        F.array(
+            F.floor(F.col("value") * 10000).cast("long"),
+            (F.col("event_id") % 7).cast("long"),
+        ).alias("values"),
+        F.array(
+            (F.col("event_id") % 5).cast("int"),
+            (F.lit(5) + F.col("event_id") % 3).cast("int"),
+            F.lit(99).cast("int"),  # not in the dictionary -> dropped
+        ).alias("attribute_indices"),
+    )
+    attr_table = spark.createDataFrame(
+        _PROFILE_ATTR_ROWS, "idx int, key string, value string"
+    )
+    resolved = resolve_sample_attributes(samples, attr_table)
+    c = OTTLCompiler(
+        [
+            "set(flagged, false)",
+            'set(flagged, true) where profile.period_type == "cpu"',
+            "set(link_index, 0) where sample.link_index == 3",
+        ]
+    )
+    out = c.apply(resolved)
+    return out.select(
+        F.col("sample_uid").alias("event_id"),
+        "profile_id",
+        "period_type",
+        "link_index",
+        (F.element_at("values", 1) + F.element_at("values", 2))
+        .alias("value_sum"),
+        "flagged",
+        F.explode(F.map_entries("attributes")).alias("e"),
+    ).select(
+        "event_id", "profile_id", "period_type", "link_index", "value_sum",
+        "flagged",
         F.col("e.key").alias("attr_key"),
         F.col("e.value").alias("attr_value"),
     ).orderBy("event_id", "attr_key")

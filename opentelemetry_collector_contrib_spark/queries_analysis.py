@@ -1080,6 +1080,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Sliding-window chunking (training/RAG windows with overlap): map-only
+# token-window arithmetic, the per-document dual of pack_sequences'
+# cross-document stream packing.
+@register(
+    "chunk_documents_windows",
+    PACK.chunk_documents_sql("documents", chunk_tokens=64, stride=48),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return PACK.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=64, stride=48
+    ).orderBy("doc_id", "chunk_id")
+
+
 # Bloom-filter membership gate: probe the corpus against a filter
 # built from the source='src0' slice (analysis/bloom.py); bloom_hit
 # has no false negatives, exact_hit exposes the false positives.

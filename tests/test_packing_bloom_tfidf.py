@@ -123,3 +123,33 @@ def test_tfidf_ranks_rare_terms_above_ubiquitous(spark):
         assert sorted(r["rank"] for r in rows) == list(
             range(1, len(rows) + 1)
         )
+
+
+def test_chunk_documents_windows(spark):
+    from opentelemetry_collector_contrib_spark.analysis.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "x y z"),           # shorter than one chunk
+            (3, ""),                # empty -> no chunks
+            (4, "p q r s"),         # exactly chunk_tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, stride=3)
+    rows = {(r["doc_id"], r["chunk_id"]):
+            (r["start_tok"], r["end_tok"], r["chunk_text"])
+            for r in out.collect()}
+    # doc 1: starts 0,3,6 -> windows [0,4) [3,7) [6,7)
+    assert rows[(1, 0)] == (0, 4, "a b c d")
+    assert rows[(1, 1)] == (3, 7, "d e f g")   # overlap of 1 token
+    assert rows[(1, 2)] == (6, 7, "g")         # short tail window
+    assert rows[(2, 0)] == (0, 3, "x y z")
+    assert (2, 1) not in rows
+    # exact multiple: starts 0,3 -> [0,4) and the 1-token tail [3,4)
+    assert rows[(4, 0)] == (0, 4, "p q r s")
+    assert rows[(4, 1)] == (3, 4, "s")
+    assert not any(d == 3 for d, _ in rows)    # empty doc: zero chunks

@@ -1,0 +1,76 @@
+"""Profiles signal: dictionary-resolved sample attributes + OTTL
+profile/sample context paths (ctxprofile/ctxprofilesample analogs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.profiles import (
+    resolve_sample_attributes,
+)
+from opentelemetry_collector_contrib_spark.ottl import OTTLCompiler
+from opentelemetry_collector_contrib_spark.ottl.compiler import resolve_path
+
+
+def _attr_table(spark):
+    return spark.createDataFrame(
+        [(0, "host", "a"), (1, "proc", "b"), (2, "zone", "c")],
+        "idx int, key string, value string",
+    )
+
+
+def test_resolution_order_unknowns_and_empty(spark):
+    samples = spark.createDataFrame(
+        [
+            (1, [2, 0]),        # order follows INDEX order: host before zone
+            (2, [1, 99]),       # 99 not in dictionary -> dropped
+            (3, []),            # no indices -> empty map
+            (4, None),          # NULL indices -> empty map
+        ],
+        "sample_uid long, attribute_indices array<int>",
+    )
+    out = resolve_sample_attributes(samples, _attr_table(spark))
+    got = {r["sample_uid"]: list(r["attributes"].items())
+           for r in out.collect()}
+    assert got[1] == [("host", "a"), ("zone", "c")]
+    assert got[2] == [("proc", "b")]
+    assert got[3] == [] and got[4] == []
+
+
+def test_dictionary_is_broadcast(spark):
+    samples = spark.createDataFrame(
+        [(i, [i % 3]) for i in range(100)],
+        "sample_uid long, attribute_indices array<int>",
+    )
+    out = resolve_sample_attributes(samples, _attr_table(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index->key/value dictionary lookup must be a broadcast hash
+    # join (the dictionary never shuffles); the only other join is the
+    # uid-keyed re-attach of the built maps
+    assert "BroadcastHashJoin [idx" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profile_context_paths_resolve():
+    assert resolve_path("profile.period_type") == "period_type"
+    assert resolve_path("profile.profile_id") == "profile_id"
+    assert resolve_path("sample.link_index") == "link_index"
+    assert resolve_path("sample.attributes") == "attributes"
+
+
+def test_ottl_statements_over_profile_context(spark):
+    df = spark.createDataFrame(
+        [(1, "cpu", 3), (2, "wall", 1)],
+        "sample_uid long, period_type string, link_index long",
+    )
+    c = OTTLCompiler(
+        [
+            "set(flagged, false)",
+            'set(flagged, true) where profile.period_type == "cpu"',
+            "set(link_index, 0) where sample.link_index == 3",
+        ]
+    )
+    rows = {r["sample_uid"]: (r["flagged"], r["link_index"])
+            for r in c.apply(df).collect()}
+    assert rows == {1: (True, 0), 2: (False, 1)}
