@@ -157,7 +157,7 @@ SELECT p.{id_col},
        COALESCE(a.n_pretokens, 0) AS n_pretokens,
        COALESCE(a.n_oov, 0) AS n_oov,
        COALESCE(a.encoded_len, 0) AS encoded_len,
-       COALESCE(a.head_ids, []) AS head_ids
+       array_to_string(COALESCE(a.head_ids, []), ',') AS head_ids
 FROM pre p LEFT JOIN agg a USING ({id_col})
 ORDER BY p.{id_col}
 """

@@ -410,18 +410,26 @@ def _register_multimodal() -> None:
             "img_format", "img_width", "img_height",
         ).orderBy("page_id")
 
+    # frame_md5s is emitted as a pipe-joined STRING (not array<string>)
+    # so the driver hasher compares scalar values -- engine-specific
+    # array serialization can't flake the hash gate
     frame_oracle = (
         "WITH web AS ({web}),\n"
-        f"h AS (SELECT page_id, {_MM_HTML} AS s FROM web)\n"
-        f"SELECT page_id, {MM.sample_frames_sql('s')}\n"
-        "FROM h ORDER BY page_id"
+        f"h AS (SELECT page_id, {_MM_HTML} AS s FROM web),\n"
+        f"f AS (SELECT page_id, {MM.sample_frames_sql('s')} FROM h)\n"
+        "SELECT page_id, n_frames,\n"
+        "       array_to_string(frame_md5s, '|') AS frame_md5s\n"
+        "FROM f ORDER BY page_id"
     ).format(web=datagen.web_pages_select_sql("documents"))
 
     @register("multimodal_frame_sample", frame_oracle)
     def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         web = _web_with_html(spark, sf_dir)
         df = MM.sample_frames(web, "html")
-        return df.select("page_id", "n_frames", "frame_md5s").orderBy("page_id")
+        return df.select(
+            "page_id", "n_frames",
+            F.concat_ws("|", "frame_md5s").alias("frame_md5s"),
+        ).orderBy("page_id")
 
     # audio: the kernel reads the blob as unsigned 8-bit PCM centered
     # at 128. The input blob is full-range pseudo-PCM (unhex of
@@ -1242,9 +1250,14 @@ from .analysis import vocab as VOC  # noqa: E402
     VOC.encode_with_vocab_sql("documents", vocab_size=512, head_n=8),
 )
 def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # head_ids flattened to a comma-joined string for the same
+    # hash-gate reason as multimodal_frame_sample above
     docs = _docs_par(spark, sf_dir)
     vocab = VOC.fit_vocab(docs, vocab_size=512)
-    return VOC.encode_with_vocab(docs, vocab, head_n=8).orderBy("doc_id")
+    out = VOC.encode_with_vocab(docs, vocab, head_n=8)
+    return out.withColumn(
+        "head_ids", F.concat_ws(",", F.col("head_ids").cast("array<string>"))
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
