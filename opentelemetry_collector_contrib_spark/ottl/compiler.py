@@ -168,6 +168,31 @@ PATH_ALIASES: dict[str, str] = {
     "sample.timestamps_unix_nano": "timestamps_unix_nano",
     "sample.link_index": "link_index",
     "sample.attributes": "attributes",
+    # metric/datapoint contexts (contexts/internal/ctxmetric/
+    # metric.go:21-35, ctxdatapoint/datapoint.go:23-56) -> the flat
+    # long-format metric model used by the metrics processors
+    # (operators/processors.py: name_col="metric_name",
+    # value_col="value"/bucket columns).
+    "metric.name": "metric_name",
+    "metric.description": "metric_description",
+    "metric.unit": "metric_unit",
+    "metric.type": "metric_type",
+    "metric.aggregation_temporality": "aggregation_temporality",
+    "metric.is_monotonic": "is_monotonic",
+    "datapoint.attributes": "attributes",
+    "datapoint.time": "event_ts",
+    "datapoint.start_time": "start_ts",
+    "datapoint.time_unix_nano": "time_unix_nano",
+    "datapoint.start_time_unix_nano": "start_time_unix_nano",
+    "datapoint.value_double": "value",
+    "datapoint.value_int": "value_int",
+    "datapoint.flags": "flags",
+    "datapoint.count": "count",
+    "datapoint.sum": "sum",
+    "datapoint.bucket_counts": "bucket_counts",
+    "datapoint.explicit_bounds": "explicit_bounds",
+    "datapoint.scale": "scale",
+    "datapoint.zero_count": "zero_count",
 }
 
 

@@ -33,26 +33,38 @@ spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
                   extra_confs={"spark.driver.extraJavaOptions":
                                f"-XX:ActiveProcessorCount={cpus} -XX:+UseParallelGC"})
 spark.sparkContext.setLogLevel("ERROR")
-def job():
-    web = spark.read.parquet(input_dir)
+def job(path):
+    web = spark.read.parquet(path)
     enriched = enrich_stage(parse_stage(web), host_lookup_df(spark))
     return sink_counts_one_pass(enriched).count()
-job()  # warm-up: JIT + codegen + file-index caches
+lo_dir = sys.argv[4] if len(sys.argv) > 4 else None
+job(input_dir)  # warm-up: JIT + codegen + file-index caches
 secs = []
 for _ in range(3):
     t0 = time.perf_counter()
-    job()
+    job(input_dir)
     secs.append(time.perf_counter() - t0)
 sec = min(secs)  # capacity: noise (steal/thermal) only ever subtracts
+out = {"cpus": cpus, "sec": sec, "docs_per_sec": n_docs / sec}
+if lo_dir:
+    lo_secs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        job(lo_dir)
+        lo_secs.append(time.perf_counter() - t0)
+    out["sec_lo"] = min(lo_secs)
 spark.stop()
-print(json.dumps({"cpus": cpus, "sec": sec, "docs_per_sec": n_docs / sec}))
+print(json.dumps(out))
 """
 
 
-def run_at(cpus: int, n_docs: int, input_dir: str) -> dict:
+def run_at(cpus: int, n_docs: int, input_dir: str,
+           lo_dir: str | None = None) -> dict:
     import shutil
 
     cmd = [sys.executable, "-c", _CHILD, str(cpus), str(n_docs), input_dir]
+    if lo_dir:
+        cmd.append(lo_dir)
     if shutil.which("taskset"):
         # hard-pin: without it the small "cluster" borrows machine
         # cores for GC/JIT/netty threads and efficiency understates
@@ -101,22 +113,37 @@ def main() -> None:
     args = ap.parse_args()
 
     input_dir = materialize_input(args.docs)
+    lo_docs = max(args.docs // 6, 1)
+    lo_dir = materialize_input(lo_docs)
     # interleave size pairs so an infra-noise burst cannot hit only one
-    # side of the ratio; keep the best (min) per size
+    # side of the ratio; keep the best (min) per size. Each child also
+    # times the small input, giving a two-point slope per size whose
+    # per-job constant cost cancels (the marginal efficiency -- same
+    # estimator as bench.py; see BASELINE.md round-3 methodology).
     smalls, larges = [], []
     for _ in range(2):
-        smalls.append(run_at(args.n, args.docs, input_dir))
-        larges.append(run_at(args.n * 4, args.docs, input_dir))
+        smalls.append(run_at(args.n, args.docs, input_dir, lo_dir))
+        larges.append(run_at(args.n * 4, args.docs, input_dir, lo_dir))
     small = min(smalls, key=lambda r: r["sec"])
     large = min(larges, key=lambda r: r["sec"])
+    small_lo = min(r["sec_lo"] for r in smalls)
+    large_lo = min(r["sec_lo"] for r in larges)
     efficiency = (small["sec"] / large["sec"]) / 4.0
+    span = args.docs - lo_docs
+    m_small = span / (small["sec"] - small_lo)
+    m_large = span / (large["sec"] - large_lo)
+    marginal = (m_large / m_small) / 4.0
     print(json.dumps({
         "n_docs": args.docs,
+        "n_docs_lo": lo_docs,
         f"local[{args.n}]": {"sec": round(small["sec"], 2),
+                             "sec_lo": round(small_lo, 2),
                              "docs_per_sec": round(small["docs_per_sec"], 1)},
         f"local[{args.n * 4}]": {"sec": round(large["sec"], 2),
+                                 "sec_lo": round(large_lo, 2),
                                  "docs_per_sec": round(large["docs_per_sec"], 1)},
         "scaling_efficiency_Nto4N": round(efficiency, 3),
+        "scaling_efficiency_marginal_Nto4N": round(marginal, 3),
         "target": ">=0.8",
     }))
 

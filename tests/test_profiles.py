@@ -74,3 +74,20 @@ def test_ottl_statements_over_profile_context(spark):
     rows = {r["sample_uid"]: (r["flagged"], r["link_index"])
             for r in c.apply(df).collect()}
     assert rows == {1: (True, 0), 2: (False, 1)}
+
+
+def test_metric_and_datapoint_context_paths(spark):
+    # ctxmetric/ctxdatapoint analogs over the flat long-format model
+    assert resolve_path("metric.name") == "metric_name"
+    assert resolve_path("datapoint.value_double") == "value"
+    assert resolve_path("datapoint.bucket_counts") == "bucket_counts"
+    df = spark.createDataFrame(
+        [("requests", 10.0, "Sum"), ("latency", 0.5, "Histogram")],
+        "metric_name string, value double, metric_type string",
+    )
+    c = OTTLCompiler(
+        ['set(value, 0.0) where metric.type == "Sum" and '
+         "datapoint.value_double > 5.0"]
+    )
+    rows = {r["metric_name"]: r["value"] for r in c.apply(df).collect()}
+    assert rows == {"requests": 0.0, "latency": 0.5}
