@@ -53,7 +53,44 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def _verification_order(names: list[str]) -> list[str]:
+def _verification_state(
+    root: "str | None" = None,
+) -> tuple[set[str], dict[str, int]]:
+    """Read the committed CORRECTNESS_r*.json artifacts: returns
+    (names ever driver-checked, green-round count per name)."""
+    import json
+    from pathlib import Path
+
+    base = (
+        Path(root) if root is not None
+        else Path(__file__).resolve().parents[1]
+    )
+    green: dict[str, int] = {}
+    seen: set[str] = set()
+    for path in sorted(base.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            seen.add(name)
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green[name] = green.get(name, 0) + 1
+    return seen, green
+
+
+def _verification_order(
+    names: list[str],
+    state: "tuple[set[str], dict[str, int]] | None" = None,
+) -> list[str]:
     """Order queries so the driver's fixed CORRECTNESS budget (it hashes
     the first 50 registered queries each round) always lands on the
     least-verified entries.
@@ -71,30 +108,7 @@ def _verification_order(names: list[str]) -> list[str]:
     CORRECTNESS files present the order is untouched except for
     ``_PRIORITY_NAMES``.
     """
-    import json
-    from pathlib import Path
-
-    root = Path(__file__).resolve().parents[1]
-    green: dict[str, int] = {}
-    seen: set[str] = set()
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
-        try:
-            rows = json.loads(path.read_text())
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            seen.add(name)
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                green[name] = green.get(name, 0) + 1
-
+    seen, green = state if state is not None else _verification_state()
     prio = {n: i for i, n in enumerate(_PRIORITY_NAMES)}
 
     def key(item: tuple[int, str]):
