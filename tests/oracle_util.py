@@ -4,8 +4,6 @@ equality)."""
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 
 
@@ -35,22 +33,19 @@ def assert_equivalent(spark_df, duck_con, oracle: str, name: str = "?") -> None:
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            # EXACT equality (NaN==NaN), not a tolerance: the driver's
+            # CORRECTNESS gate hashes raw values, so a 1-ulp
+            # cross-engine drift that a tolerance would forgive still
+            # turns the driver row red. Every registered double output
+            # is integer-derived or identically-ordered arithmetic and
+            # verified bit-exact; keep it that way.
             ga = pd.to_numeric(g, errors="coerce")
             wa = pd.to_numeric(w, errors="coerce")
-            both_nan = ga.isna() & wa.isna()
-            close = pd.Series(
-                [
-                    (bn or (not math.isnan(x) and not math.isnan(y)
-                            and abs(x - y) <= 1e-6 + 1e-9 * abs(y)))
-                    for x, y, bn in zip(
-                        ga.fillna(float("nan")), wa.fillna(float("nan")), both_nan
-                    )
-                ]
-            )
-            bad = (~close).to_numpy().nonzero()[0]
+            eq = (ga == wa) | (ga.isna() & wa.isna())
+            bad = (~eq).to_numpy().nonzero()[0]
             assert len(bad) == 0, (
-                f"{name}.{c}: {len(bad)} mismatches, first at row {bad[0]}: "
-                f"{ga.iloc[bad[0]]} vs {wa.iloc[bad[0]]}"
+                f"{name}.{c}: {len(bad)} exact-float mismatches, first at "
+                f"row {bad[0]}: {ga.iloc[bad[0]]!r} vs {wa.iloc[bad[0]]!r}"
             )
         else:
             neq = (g != w) & ~(g.isna() & w.isna())
