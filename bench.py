@@ -300,6 +300,12 @@ def main() -> None:
         "warc_roundtrip_pages",
         "lm_bigram_cross_entropy_documents",
         "boilerpipe_pages",
+        # round-3 additions (list growth noted in BASELINE.md; totals
+        # are not comparable round-over-round, throughput is)
+        "socket_input_roundtrip_events",
+        "schema_file_translate_events",
+        "ottl_profile_samples_events",
+        "chunk_documents_windows",
     ]
     all_q = Q.queries()
     for name in bench_queries:
