@@ -989,3 +989,70 @@ def schema_translate(
             renames = {new: old for old, new in renames.items()}
         out = schema_processor(out, renames)
     return out
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-timeout session windows): the log-analytics dual
+# of groupbytraceprocessor's wait-then-emit grouping -- events of one
+# key belong to the same session while consecutive gaps stay AT OR
+# BELOW the timeout (inclusive boundary -- measured Spark
+# session_window behavior, pinned in tests); a session's end extends
+# ``gap`` past its last event. Built
+# on Spark's native session_window (batch + streaming, merge handled
+# by the engine); the DuckDB oracle is the classic gaps-and-islands
+# rewrite, so the window-merge semantics are cross-checked.
+# ---------------------------------------------------------------------------
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session aggregation: (keys..., session_start_epoch,
+    session_end_epoch, n_events). A new session starts when an event's
+    time is STRICTLY past the previous session end (prev ts + gap)
+    -- an event exactly at the boundary merges; session end =
+    last event + gap -- Spark session_window semantics."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(sw.alias("sw"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *key_cols,
+            F.unix_timestamp(F.col("sw.start")).alias("session_start_epoch"),
+            F.unix_timestamp(F.col("sw.end")).alias("session_end_epoch"),
+            "n_events",
+        )
+    )
+
+
+def sessionize_sql(
+    table: str = "events",
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+WITH m AS (
+  SELECT {keys}, {ts_col},
+         CASE WHEN lag({ts_col}) OVER w IS NULL
+                   OR {ts_col} - lag({ts_col}) OVER w
+                      > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM {table}
+  WINDOW w AS (PARTITION BY {keys} ORDER BY {ts_col})),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY {keys} ORDER BY {ts_col}
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT {keys},
+       CAST(FLOOR(epoch(MIN({ts_col}))) AS BIGINT) AS session_start_epoch,
+       CAST(FLOOR(epoch(MAX({ts_col}) + INTERVAL {gap_minutes} MINUTE))
+            AS BIGINT) AS session_end_epoch,
+       COUNT(*) AS n_events
+FROM s GROUP BY {keys}, sid
+ORDER BY {keys}, session_start_epoch
+"""

@@ -40,6 +40,7 @@ _PRIORITY_NAMES: list[str] = [
     "schema_file_translate_events",   # round 3: published schema-file depth
     "ottl_profile_samples_events",    # round 3: profiles signal context
     "chunk_documents_windows",        # round 3: sliding-window chunking
+    "session_window_events",          # round 3: gap-timeout sessions
 ]
 
 
@@ -1924,6 +1925,28 @@ def q_schema_file_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.key").alias("attr_key"),
         F.col("e.value").alias("attr_value"),
     ).orderBy("event_id", "attr_key")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (gap-timeout session windows; operators/processors.
+# sessionize): Spark's native session_window vs the gaps-and-islands
+# SQL rewrite -- the window-merge semantics themselves are what the
+# oracle checks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_events",
+    # 6h gap: at sf0.01 ~42% of sessions merge multiple events (up to
+    # 10), so the merge path is genuinely exercised, not just the
+    # one-event-per-session degenerate case
+    PR.sessionize_sql("events", ("user_id",), "ts", gap_minutes=360),
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return PR.sessionize(ev, ["user_id"], "ts", "360 minutes").orderBy(
+        "user_id", "session_start_epoch"
+    )
 
 
 # ---------------------------------------------------------------------------

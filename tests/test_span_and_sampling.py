@@ -342,3 +342,58 @@ def test_schema_translate_up_and_down(spark):
     # partial upgrade stops at the target version
     mid = schema_translate(df, "1.0.0", "1.1.0", versions)
     assert set(mid.columns) == {"http_request_method", "net_peer"}
+
+
+def test_sessionize_gap_boundary_semantics(spark):
+    """Session merge rule (measured Spark session_window behavior,
+    mirrored in the gaps-and-islands oracle): an event merges while
+    its time is <= the current session end INCLUSIVE -- an event
+    exactly at prev+gap still merges; only a strictly larger gap
+    starts a new session. Session end = last event + gap."""
+    from datetime import datetime
+
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        sessionize,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(mins, secs=0):
+        from datetime import timedelta
+
+        return t0 + timedelta(minutes=mins, seconds=secs)
+
+    rows = [
+        (1, at(0)),        # session A start
+        (1, at(29, 59)),   # 29:59 gap < 30m -> merges into A
+        (1, at(59, 59)),   # 30:00 exactly = A's current end -> MERGES
+        (1, at(90, 0)),    # 30:01 gap > 30m -> NEW session B
+        (2, at(0)),        # other key: independent session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (r["user_id"], r["session_start_epoch"], r["session_end_epoch"],
+         r["n_events"])
+        for r in sessionize(df, ["user_id"], "ts", "30 minutes").collect()
+    )
+    epoch = int(t0.timestamp())
+    assert got == [
+        (1, epoch, epoch + 59 * 60 + 59 + 1800, 3),
+        (1, epoch + 90 * 60, epoch + 90 * 60 + 1800, 1),
+        (2, epoch, epoch + 1800, 1),
+    ]
+
+    # the DuckDB oracle must pin the SAME inclusive-boundary rule
+    import duckdb
+
+    from opentelemetry_collector_contrib_spark.operators.processors import (
+        sessionize_sql,
+    )
+
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    want = con.execute(
+        sessionize_sql("events", ("user_id",), "ts", gap_minutes=30)
+    ).fetchall()
+    assert sorted(tuple(r) for r in want) == got
+    con.close()
