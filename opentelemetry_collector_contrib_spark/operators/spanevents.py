@@ -1,0 +1,68 @@
+"""Span-event context: one row per pdata SpanEvent.
+
+The reference exposes span events as a list hanging off each span
+(pdata ptrace SpanEvent: name / time_unix_nano / attributes /
+dropped_attributes_count) and gives OTTL an ``ottlspanevent`` context
+whose paths are the event fields plus the enclosing span/resource/
+scope (pkg/ottl/contexts/ottlspanevent/span_events.go:49-77;
+event_index added in ctxspanevent). Consumers iterate the list —
+e.g. exceptionsconnector scans span.Events() for
+``name == "exception"`` (connector/exceptionsconnector/
+connector_traces.go).
+
+Flat-model mapping: span events live in an ``array<struct>`` column
+on the span row; :func:`explode_span_events` posexplodes it so each
+event becomes its own row carrying the parent span's columns, with
+``event_index`` = position in the list (the reference's
+spanevent.event_index). OTTL's ``spanevent.*`` paths then resolve to
+these flat columns (ottl/compiler.py PATH_ALIASES).
+
+Scale shape: posexplode is a narrow map-side generator — no shuffle;
+per-span fan-out is bounded by the event-list length (the collector
+caps it upstream), so partition sizes grow by a small constant
+factor only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Struct fields expected inside the span-events array column; names
+# follow the traces proto (opentelemetry-proto trace.proto Span.Event).
+EVENT_FIELDS = (
+    "name", "time_unix_nano", "attributes", "dropped_attributes_count",
+)
+
+
+def explode_span_events(
+    df: DataFrame,
+    events_col: str = "span_events",
+    keep_empty: bool = False,
+) -> DataFrame:
+    """Span rows -> span-event rows (one per list entry).
+
+    Output columns: every span column except ``events_col``, plus
+    ``event_index`` (int, 0-based list position), ``event_name``,
+    ``time_unix_nano``, ``attributes`` and
+    ``spanevent_dropped_attributes_count``.
+
+    ``keep_empty=False`` (default) drops spans with no events —
+    the ottlspanevent context only ever sees existing events; pass
+    True to keep a NULL-event row per empty span (outer explode).
+    """
+    gen = F.posexplode_outer if keep_empty else F.posexplode
+    span_cols = [c for c in df.columns if c != events_col]
+    exploded = df.select(
+        *span_cols, gen(F.col(events_col)).alias("event_index", "_ev")
+    )
+    return exploded.select(
+        *span_cols,
+        "event_index",
+        F.col("_ev.name").alias("event_name"),
+        F.col("_ev.time_unix_nano").alias("time_unix_nano"),
+        F.col("_ev.attributes").alias("attributes"),
+        F.col("_ev.dropped_attributes_count").alias(
+            "spanevent_dropped_attributes_count"
+        ),
+    )

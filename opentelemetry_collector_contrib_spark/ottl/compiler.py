@@ -149,6 +149,18 @@ PATH_ALIASES: dict[str, str] = {
     "span.kind": "span_kind",
     "span.status.code": "status_code",
     "span.status.message": "status_message",
+    # span-event context (pkg/ottl/contexts/ottlspanevent/
+    # span_events.go:49-77: name/time/time_unix_nano/attributes/
+    # dropped_attributes_count/event_index; span.*/resource.* resolve
+    # through the enclosing contexts). Flat model: one row per event
+    # (operators/spanevents.py explode_span_events).
+    "spanevent.name": "event_name",
+    "spanevent.time": "event_ts",
+    "spanevent.time_unix_nano": "time_unix_nano",
+    "spanevent.attributes": "attributes",
+    "spanevent.dropped_attributes_count":
+        "spanevent_dropped_attributes_count",
+    "spanevent.event_index": "event_index",
     # profiles signal (pkg/ottl/contexts/internal/ctxprofile/profile.go:27-60
     # profile fields; ctxprofilesample/profilesample.go:30-40 sample
     # fields). The flat model resolves dictionary indices at ingestion

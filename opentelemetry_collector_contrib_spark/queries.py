@@ -41,6 +41,7 @@ _PRIORITY_NAMES: list[str] = [
     "ottl_profile_samples_events",    # round 3: profiles signal context
     "chunk_documents_windows",        # round 3: sliding-window chunking
     "session_window_events",          # round 3: gap-timeout sessions
+    "ottl_spanevent_events",          # round 3: spanevent OTTL context
 ]
 
 
@@ -2918,3 +2919,99 @@ def q_collector_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "sink", "event_type", "value_band", "count"
     ).orderBy("sink", "event_type", "value_band")
+
+
+# ---------------------------------------------------------------------------
+# Span-event OTTL context (pkg/ottl/contexts/ottlspanevent/
+# span_events.go:49-77): spanevent.name / .attributes[...] /
+# .time_unix_nano / .dropped_attributes_count / .event_index, with
+# span.* reachable as the enclosing context -- over rows produced by
+# explode_span_events (operators/spanevents.py). The synthesized
+# span carries two events (an exception-or-log marker and a
+# checkpoint), mirroring how exceptionsconnector walks
+# span.Events() for name == "exception".
+# ---------------------------------------------------------------------------
+
+_SPANEVENT_ORACLE = """
+WITH spans AS (
+  SELECT event_id AS span_id, event_type AS span_name,
+         CASE WHEN event_type = 'error' THEN 'exception'
+              ELSE 'log' END AS name0,
+         event_id * 1000 AS tun0,
+         'E' || CAST(event_id % 3 AS VARCHAR) AS exc0,
+         CAST(event_id % 4 AS BIGINT) AS drop0
+  FROM events),
+ev AS (
+  SELECT span_id, span_name, CAST(0 AS INTEGER) AS event_index,
+         name0 AS raw_name, tun0 AS time_unix_nano, drop0 AS dropped,
+         CASE WHEN name0 = 'exception' THEN exc0 END AS exc_type
+  FROM spans
+  UNION ALL
+  SELECT span_id, span_name, CAST(1 AS INTEGER), 'checkpoint',
+         tun0 + 1, CAST(0 AS BIGINT), NULL
+  FROM spans)
+SELECT span_id, event_index,
+       CASE WHEN event_index = 1 THEN span_name || '::' || raw_name
+            ELSE raw_name END AS event_name,
+       raw_name = 'exception' AS flagged,
+       exc_type,
+       time_unix_nano,
+       time_unix_nano + dropped AS tun_bumped,
+       dropped AS dropped_attributes_count
+FROM ev ORDER BY span_id, event_index
+"""
+
+
+@register("ottl_spanevent_events", _SPANEVENT_ORACLE)
+def q_ottl_spanevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spanevents import explode_span_events
+    from .ottl import OTTLCompiler
+
+    ev = _read(spark, sf_dir, "events")
+    attrs0 = F.map_from_entries(F.array(F.struct(
+        F.lit("exception.type").alias("key"),
+        F.concat(F.lit("E"), (F.col("event_id") % 3).cast("string"))
+        .alias("value"),
+    )))
+    attrs1 = F.map_from_entries(F.array(F.struct(
+        F.lit("stage").alias("key"),
+        F.concat(F.lit("s"), (F.col("user_id") % 5).cast("string"))
+        .alias("value"),
+    )))
+    spans = ev.select(
+        F.col("event_id").alias("span_id"),
+        F.col("event_type").alias("span_name"),
+        F.array(
+            F.struct(
+                F.when(F.col("event_type") == "error", "exception")
+                .otherwise("log").alias("name"),
+                (F.col("event_id") * 1000).alias("time_unix_nano"),
+                attrs0.alias("attributes"),
+                (F.col("event_id") % 4).alias("dropped_attributes_count"),
+            ),
+            F.struct(
+                F.lit("checkpoint").alias("name"),
+                (F.col("event_id") * 1000 + 1).alias("time_unix_nano"),
+                attrs1.alias("attributes"),
+                F.lit(0).cast("long").alias("dropped_attributes_count"),
+            ),
+        ).alias("span_events"),
+    )
+    rows = explode_span_events(spans)
+    c = OTTLCompiler([
+        "set(flagged, false)",
+        'set(flagged, true) where spanevent.name == "exception"',
+        'set(exc_type, spanevent.attributes["exception.type"]) '
+        'where spanevent.name == "exception"',
+        'set(event_name, Concat([span.name, spanevent.name], "::")) '
+        "where spanevent.event_index == 1",
+        "set(tun_bumped, spanevent.time_unix_nano + "
+        "spanevent.dropped_attributes_count)",
+    ])
+    out = c.apply(rows)
+    return out.select(
+        "span_id", "event_index", "event_name", "flagged", "exc_type",
+        "time_unix_nano", "tun_bumped",
+        F.col("spanevent_dropped_attributes_count")
+        .alias("dropped_attributes_count"),
+    ).orderBy("span_id", "event_index")

@@ -1,0 +1,74 @@
+"""Span-event context: explode semantics + OTTL spanevent.* paths
+(pkg/ottl/contexts/ottlspanevent/span_events.go:49-77)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.spanevents import (
+    explode_span_events,
+)
+from opentelemetry_collector_contrib_spark.ottl import OTTLCompiler
+from opentelemetry_collector_contrib_spark.ottl.compiler import resolve_path
+
+SCHEMA = (
+    "span_id long, span_name string, span_events "
+    "array<struct<name:string,time_unix_nano:long,"
+    "attributes:map<string,string>,dropped_attributes_count:long>>"
+)
+
+
+def _spans(spark):
+    return spark.createDataFrame(
+        [
+            (1, "GET /a",
+             [("exception", 100, {"exception.type": "IOError"}, 2),
+              ("retry", 101, {}, 0)]),
+            (2, "GET /b", []),  # no events
+        ],
+        SCHEMA,
+    )
+
+
+def test_explode_drops_empty_spans(spark):
+    rows = explode_span_events(_spans(spark)).collect()
+    assert [(r.span_id, r.event_index, r.event_name) for r in rows] == [
+        (1, 0, "exception"), (1, 1, "retry")
+    ]
+    first = rows[0]
+    assert first.time_unix_nano == 100
+    assert first.attributes["exception.type"] == "IOError"
+    assert first.spanevent_dropped_attributes_count == 2
+    assert first.span_name == "GET /a"  # parent span columns kept
+
+
+def test_explode_keep_empty_outer(spark):
+    rows = explode_span_events(_spans(spark), keep_empty=True).collect()
+    by_span = {(r.span_id, r.event_index) for r in rows}
+    assert (2, None) in by_span and len(rows) == 3
+
+
+def test_path_aliases():
+    assert resolve_path("spanevent.name") == "event_name"
+    assert resolve_path("spanevent.event_index") == "event_index"
+    assert resolve_path("spanevent.attributes") == "attributes"
+    assert (resolve_path("spanevent.dropped_attributes_count")
+            == "spanevent_dropped_attributes_count")
+
+
+def test_ottl_spanevent_statements(spark):
+    rows = explode_span_events(_spans(spark))
+    out = OTTLCompiler([
+        "set(flagged, false)",
+        'set(flagged, true) where spanevent.name == "exception"',
+        'set(exc, spanevent.attributes["exception.type"]) '
+        'where spanevent.name == "exception"',
+        'set(event_name, Concat([span.name, spanevent.name], "::")) '
+        "where spanevent.event_index == 1",
+        "set(bumped, spanevent.time_unix_nano + "
+        "spanevent.dropped_attributes_count)",
+    ]).apply(rows)
+    got = {r.event_index: r for r in out.collect()}
+    assert got[0].flagged and got[0].exc == "IOError" and got[0].bumped == 102
+    assert not got[1].flagged and got[1].exc is None
+    assert got[1].event_name == "GET /a::retry" and got[1].bumped == 101
