@@ -149,8 +149,20 @@ def chunk_documents(
     one projection; no shuffle, no UDF, so it composes with the parse
     stage at any scale.
     """
-    toks = ws_tokens(F.col(text_col))
-    n = F.size(toks)
+    # Two hazards make the naive form O(n_tokens^2/stride) per doc:
+    # (a) a non-generator sibling of explode() is re-evaluated once per
+    # GENERATED row, so an inline split would re-tokenize per chunk
+    # (the pattern measured at 52s->1.7s in sources/socket_input.py);
+    # (b) carrying the WHOLE token array through the Generate output —
+    # even as a plain column reference — materializes all n_tokens
+    # strings into every chunk row (measured 4x time at 2x doc length).
+    # So: tokenize in a projection below the generator, and slice each
+    # chunk's text INSIDE the transform that builds the generator
+    # input, so only O(chunk_tokens) strings ride each generated row.
+    staged = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size(F.col("_toks"))
     n_chunks = F.floor((n - 1) / stride).cast("int") + 1
     # guard the empty case explicitly: Spark's sequence(0, -1) counts
     # DOWN (auto-negative step), it does not return an empty array
@@ -164,10 +176,26 @@ def chunk_documents(
             (i * stride).cast("long").alias("start_tok"),
             F.least(i * stride + chunk_tokens, n.cast("long"))
             .alias("end_tok"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    i * stride + 1,
+                    F.least(F.lit(chunk_tokens), n - i * stride),
+                ),
+            ).alias("chunk_text"),
         ),
     )
-    base = df.select(F.col(id_col), toks.alias("_toks"),
-                     F.explode(chunks).alias("c"))
+    # explode_outer, NOT explode: a plain explode makes the optimizer
+    # infer a `size(_chunks) > 0` filter and push it below the staging
+    # projections with the aliases SUBSTITUTED BACK IN — the filter
+    # then re-evaluates the full tokenize inside every transform-lambda
+    # invocation (CSE does not reach lambda bodies), which is the same
+    # O(n^2) again. Outer generate infers no filter; the NULL row an
+    # empty document generates is dropped explicitly afterwards.
+    base = staged.select(id_col, chunks.alias("_chunks")).select(
+        F.col(id_col), F.explode_outer("_chunks").alias("c")
+    ).filter(F.col("c").isNotNull())
     return base.select(
         id_col,
         F.col("c.chunk_id").cast("int").alias("chunk_id"),
@@ -175,14 +203,7 @@ def chunk_documents(
         F.col("c.end_tok").alias("end_tok"),
         (F.col("c.end_tok") - F.col("c.start_tok")).cast("int")
         .alias("n_chunk_tokens"),
-        F.concat_ws(
-            " ",
-            F.slice(
-                F.col("_toks"),
-                (F.col("c.start_tok") + 1).cast("int"),
-                (F.col("c.end_tok") - F.col("c.start_tok")).cast("int"),
-            ),
-        ).alias("chunk_text"),
+        F.col("c.chunk_text").alias("chunk_text"),
     )
 
 

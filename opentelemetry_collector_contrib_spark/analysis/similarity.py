@@ -132,7 +132,17 @@ def cosine_topk_blocked(
 
     Ranking key matches the brute-force path: ROUND(cos, 6) descending
     (half-away-from-zero, as Spark's F.round/DuckDB ROUND) with
-    neighbor_id tie-break; self-matches excluded.
+    neighbor_id tie-break; self-matches excluded. Per-batch candidate
+    selection uses the SAME composite key (lexsort on score desc, id
+    asc), so tied scores at the k-th place keep the smallest ids —
+    identical to the global window whatever the partitioning.
+
+    Residual cross-engine caveat (documented, not observed): the
+    numpy rounding here (trunc(x*1e6 + copysign(0.5, x))/1e6) matches
+    DuckDB's double ROUND, while Spark's F.round is decimal-exact
+    HALF_UP; the two can differ only for a cosine within 1 ulp of a
+    x.xxxxxx5 decimal boundary, and the bit-exact oracle suite over
+    the shipped corpora shows none.
     """
     from collections.abc import Iterator
 
@@ -166,7 +176,17 @@ def cosine_topk_blocked(
             s = np.trunc(s * 1e6 + np.copysign(0.5, s)) / 1e6
             s[cid[:, None] == ids[None, :]] = -np.inf  # self-match
             kk = min(k, len(cid))
-            top = np.argpartition(-s, kk - 1, axis=0)[:kk, :]
+            # Per-batch selection must use the FINAL ranking key
+            # (cos desc, neighbor_id asc): an argpartition on score
+            # alone keeps an arbitrary member of a tie straddling the
+            # k-th place, which can discard the tied candidate with
+            # the smallest id -- the one the global window (and the
+            # brute-force oracle) would rank inside top-k. lexsort's
+            # last key is primary; axis=0 sorts each query column
+            # independently.
+            top = np.lexsort(
+                (np.broadcast_to(cid[:, None], s.shape), -s), axis=0
+            )[:kk, :]
             cands.append(
                 pd.DataFrame(
                     {

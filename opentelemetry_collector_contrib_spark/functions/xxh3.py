@@ -246,6 +246,15 @@ def xxh3_64(data: bytes | str, seed: int = 0) -> int:
         return _len_17to128_64(data, seed)
     if n <= 240:
         return _len_129to240_64(data, seed)
+    if seed != 0:
+        # The >240 path would need XXH3_initCustomSecret (the spec
+        # derives a per-seed secret); silently hashing with the
+        # default secret would return non-spec digests. No in-repo
+        # caller seeds (the OTTL converter is seedless,
+        # func_xxh3.go:31), so refuse rather than diverge.
+        raise ValueError(
+            "xxh3_64: nonzero seed unsupported for inputs > 240 bytes"
+        )
     acc = _hash_long_accs(data)
     return _merge_accs(acc, MERGEACCS_START, (n * P64_1) & _M64)
 
@@ -365,6 +374,11 @@ def xxh3_128(data: bytes | str, seed: int = 0) -> tuple[int, int]:
         return _len_17to128_128(data, seed)
     if n <= 240:
         return _len_129to240_128(data, seed)
+    if seed != 0:
+        # see xxh3_64: >240-byte seeding needs a derived secret
+        raise ValueError(
+            "xxh3_128: nonzero seed unsupported for inputs > 240 bytes"
+        )
     acc = _hash_long_accs(data)
     lo = _merge_accs(acc, MERGEACCS_START, (n * P64_1) & _M64)
     hi = _merge_accs(

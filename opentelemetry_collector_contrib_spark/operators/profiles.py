@@ -12,7 +12,7 @@ period_type/sample_type (ctxprofile/profile.go:27-60).
 The flat DataFrame model resolves the dictionary AT INGESTION -- the
 index->(key,value) table is small by construction (it exists to dedup
 attribute storage), so resolution is a broadcast join plus an
-index-ordered map rebuild, after which OTTL statements address
+index-ordered, key-deduplicated map rebuild, after which OTTL statements address
 ``sample.attributes`` like any other signal's attributes. Shuffle
 shape: one hash aggregate keyed by the sample uid; the dictionary
 never shuffles.
@@ -37,20 +37,33 @@ def resolve_sample_attributes(
     ``attr_table`` columns: idx, key, value. Unknown indices are
     dropped (the reference's pprofile accessors return an error the
     engine's NULL-discipline maps to absence). Map entry order follows
-    the index order within each sample, matching the dictionary walk.
+    the WALK order — the position within ``attribute_indices`` —
+    exactly as the reference Puts each resolved attribute in turn.
+
+    Repeated keys — a sample listing the same index twice, or two
+    indices resolving to the same key — follow pcommon.Map.PutStr
+    semantics: the entry keeps its FIRST position in the walk and the
+    LAST value wins. (Without the dedup, map_from_entries would abort
+    the job under Spark's default mapKeyDedupPolicy=EXCEPTION.)
     """
     exploded = samples.select(
-        uid_col, F.explode_outer(F.col(indices_col)).alias("idx")
+        uid_col,
+        F.posexplode_outer(F.col(indices_col)).alias("walk_pos", "idx"),
     )
     joined = exploded.join(F.broadcast(attr_table), "idx", "left")
     resolved = (
         joined.filter(F.col("key").isNotNull())
+        .groupBy(uid_col, "key")
+        .agg(
+            F.min("walk_pos").alias("pos"),      # first position kept
+            F.max_by("value", F.col("walk_pos")).alias("value"),
+        )
         .groupBy(uid_col)
         .agg(
             F.map_from_entries(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("idx", "key", "value"))
+                        F.collect_list(F.struct("pos", "key", "value"))
                     ),
                     lambda s: F.struct(
                         s["key"].alias("key"), s["value"].alias("value")

@@ -39,7 +39,10 @@ def reassemble_tcp(
     order and split entries on newline (bufio.ScanLines semantics: a
     final token NOT terminated by a newline is still emitted at EOF;
     interior empty lines are real entries; the empty string after a
-    terminating final newline is not).
+    terminating final newline is not; ScanLines' dropCR strips ONE
+    carriage return preceding each newline — and from the final
+    unterminated token — so CRLF producers yield the same entries as
+    LF producers, matching the live path's BufferedReader.readLine).
 
     Input columns: conn_id, seq, payload (string chunks; arbitrary
     chunk boundaries -- entries may span frames), and, when
@@ -96,7 +99,10 @@ def reassemble_tcp(
         # ScanLines: drop ONLY the empty trailing token created by a
         # terminating final newline; interior empties are entries
         ~((F.col("entry_seq") == F.col("_n") - 1) & (F.col("body") == ""))
-    ).drop("_n")
+    ).drop("_n").withColumn(
+        # ScanLines dropCR: exactly one trailing \r per token
+        "body", F.regexp_replace("body", "\r$", "")
+    )
     if add_attributes:
         # input.go:178-187 semconv names; GetHostFromIP substituted by
         # the ip itself (no resolver in the engine; deterministic)
@@ -126,16 +132,23 @@ def reassemble_udp(
         return packets.select(
             "conn_id",
             F.lit(0).alias("entry_seq"),
-            F.regexp_replace("payload", "\n$", "").alias("body"),
+            F.regexp_replace("payload", "\r?\n$", "").alias("body"),
         )
+    # stage split+size before the generator (same O(n^2)-per-payload
+    # hazard as the tcp path: generator siblings re-evaluate per row)
     parts = F.split(F.col("payload"), "\n", -1)
-    return packets.select(
+    staged = packets.select(
+        "conn_id", parts.alias("_parts"), F.size(parts).alias("_n")
+    )
+    return staged.select(
         "conn_id",
-        F.posexplode(parts).alias("entry_seq", "body"),
-        F.size(parts).alias("_n"),
+        F.posexplode("_parts").alias("entry_seq", "body"),
+        "_n",
     ).filter(
         ~((F.col("entry_seq") == F.col("_n") - 1) & (F.col("body") == ""))
-    ).drop("_n")
+    ).drop("_n").withColumn(
+        "body", F.regexp_replace("body", "\r$", "")
+    )
 
 
 def socket_input_stream(

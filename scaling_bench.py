@@ -129,10 +129,17 @@ def main() -> None:
     small_lo = min(r["sec_lo"] for r in smalls)
     large_lo = min(r["sec_lo"] for r in larges)
     efficiency = (small["sec"] / large["sec"]) / 4.0
+    # the two minima per size come from independent child runs: noise
+    # (or a tiny --docs) can give a zero/negative runtime span, which
+    # has no defined slope -- report null rather than crash or print a
+    # meaningless negative "efficiency"
     span = args.docs - lo_docs
-    m_small = span / (small["sec"] - small_lo)
-    m_large = span / (large["sec"] - large_lo)
-    marginal = (m_large / m_small) / 4.0
+    span_small = small["sec"] - small_lo
+    span_large = large["sec"] - large_lo
+    if span > 0 and span_small > 0 and span_large > 0:
+        marginal = ((span / span_large) / (span / span_small)) / 4.0
+    else:
+        marginal = None
     print(json.dumps({
         "n_docs": args.docs,
         "n_docs_lo": lo_docs,
@@ -143,7 +150,8 @@ def main() -> None:
                                  "sec_lo": round(large_lo, 2),
                                  "docs_per_sec": round(large["docs_per_sec"], 1)},
         "scaling_efficiency_Nto4N": round(efficiency, 3),
-        "scaling_efficiency_marginal_Nto4N": round(marginal, 3),
+        "scaling_efficiency_marginal_Nto4N":
+            None if marginal is None else round(marginal, 3),
         "target": ">=0.8",
     }))
 

@@ -198,3 +198,22 @@ def test_semantic_dedup_keeps_min_id_per_near_dup_group(spark):
         if cells[p["id_a"]] == cells[p["id_b"]]:
             # the higher id of a same-cell near-dup pair must be gone
             assert p["id_b"] not in kept or p["id_a"] not in all_ids
+
+
+def test_blocked_topk_tie_break_is_deterministic(spark):
+    """Duplicate embeddings make exact score ties straddle the k-th
+    place inside one Arrow batch; per-batch selection must keep the
+    smallest neighbor_ids (the global window's key), not an arbitrary
+    argpartition survivor."""
+    import pyspark.sql.functions as F
+    rows = [(0, [1.0, 0.0])] + [(i, [3.0, 4.0]) for i in range(1, 9)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1)  # one batch: all 8 tied candidates compete at once
+    qs = emb.filter(F.col("vec_id") == 0)
+    got = [
+        (r["neighbor_id"], r["rank"])
+        for r in SIM.cosine_topk_blocked(qs, emb, k=3)
+        .orderBy("rank").collect()
+    ]
+    assert got == [(1, 1), (2, 2), (3, 3)]

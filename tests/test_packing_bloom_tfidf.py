@@ -153,3 +153,37 @@ def test_chunk_documents_windows(spark):
     assert rows[(4, 0)] == (0, 4, "p q r s")
     assert rows[(4, 1)] == (3, 4, "s")
     assert not any(d == 3 for d, _ in rows)    # empty doc: zero chunks
+
+
+def test_chunk_documents_plan_is_linear(spark):
+    """Two generator hazards made chunking O(n_tokens^2/stride) per
+    document: (a) carrying the full token array through the Generate
+    output re-materializes it per chunk row; (b) plain explode() makes
+    the optimizer infer a size()>0 filter and push it below the
+    staging projections with aliases substituted, re-tokenizing inside
+    every transform-lambda call. Pin the fixed plan shape: the
+    tokenize lambda appears exactly once (in the staging projection),
+    the Generate is outer (no inferred filter), and the token array is
+    not a Generate output."""
+    from opentelemetry_collector_contrib_spark.analysis.packing import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=4, stride=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("lambdafunction(NOT") == 1, plan
+    gen_line = [ln for ln in plan.splitlines() if "Generate" in ln][0]
+    assert ", true, " in gen_line  # outer generate (no inferred filter)
+    for ln in plan.splitlines():   # the only Filter is the cheap
+        if "Filter" in ln:         # isnotnull(c) ABOVE the Generate;
+            assert "lambdafunction" not in ln, ln  # nothing re-tokenizes
+    assert "_toks" not in gen_line
+    # semantics unchanged: empty doc -> zero chunks; short doc chunks
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert [(r.chunk_id, r.chunk_text) for r in sorted(
+        rows, key=lambda r: r.chunk_id)] == [
+        (0, "a b c d"), (1, "c d e f"), (2, "e f")]

@@ -91,3 +91,31 @@ def test_metric_and_datapoint_context_paths(spark):
     )
     rows = {r["metric_name"]: r["value"] for r in c.apply(df).collect()}
     assert rows == {"requests": 0.0, "latency": 0.5}
+
+
+def test_repeated_keys_follow_putstr_semantics(spark):
+    """A repeated index, or two indices carrying the same key, must not
+    abort under mapKeyDedupPolicy=EXCEPTION: pcommon.Map.PutStr keeps
+    the FIRST position in the walk and the LAST value wins."""
+    from opentelemetry_collector_contrib_spark.operators.profiles import (
+        resolve_sample_attributes,
+    )
+
+    samples = spark.createDataFrame(
+        [(1, [0, 0, 1]),        # same index twice
+         (2, [2, 1, 3])],       # idx 2 and 3 share key "dup"
+        "sample_uid long, attribute_indices array<int>",
+    )
+    attrs = spark.createDataFrame(
+        [(0, "k0", "a"), (1, "k1", "b"), (2, "dup", "old"),
+         (3, "dup", "new")],
+        "idx int, key string, value string",
+    )
+    got = {
+        r.sample_uid: r.attributes
+        for r in resolve_sample_attributes(samples, attrs).collect()
+    }
+    assert got[1] == {"k0": "a", "k1": "b"}
+    assert got[2] == {"dup": "new", "k1": "b"}  # last value wins
+    # walk order: "dup" enters at walk position 0, before "k1"
+    assert list(got[2].keys()) == ["dup", "k1"]

@@ -136,3 +136,42 @@ def test_live_socket_stream_matches_batch_contract(spark, tmp_path):
     want = [r["body"]
             for r in reassemble_tcp(batch).orderBy("entry_seq").collect()]
     assert sorted(got) == sorted(want) == sorted(["alpha", "beta", "", "gamma"])
+
+
+def test_crlf_producers_match_lf_producers(spark):
+    """ScanLines dropCR: one \r before each \n (and on the final
+    unterminated token) is stripped, so CRLF and LF producers emit
+    identical entries — matching the live socket path's readLine."""
+    from opentelemetry_collector_contrib_spark.sources.socket_input import (
+        reassemble_tcp,
+        reassemble_udp,
+    )
+
+    frames = spark.createDataFrame(
+        [(1, 0, "alpha\r\nbe"), (1, 1, "ta\r\ngamma\r"),  # \r at EOF
+         (2, 0, "plain\nkeep\r\rinner\n")],  # only ONE trailing \r drops
+        "conn_id long, seq long, payload string",
+    )
+    got = {
+        (r.conn_id, r.entry_seq): r.body
+        for r in reassemble_tcp(frames).collect()
+    }
+    assert got == {
+        (1, 0): "alpha", (1, 1): "beta", (1, 2): "gamma",
+        (2, 0): "plain", (2, 1): "keep\r\rinner",
+    }
+
+    udp = spark.createDataFrame(
+        [(1, "a\r\nb\r"), (2, "one\r\n")],
+        "conn_id long, payload string",
+    )
+    split = {
+        (r.conn_id, r.entry_seq): r.body
+        for r in reassemble_udp(udp).collect()
+    }
+    assert split == {(1, 0): "a", (1, 1): "b", (2, 0): "one"}
+    one = {
+        r.conn_id: r.body
+        for r in reassemble_udp(udp, one_log_per_packet=True).collect()
+    }
+    assert one == {1: "a\r\nb\r", 2: "one"}
