@@ -1056,3 +1056,130 @@ SELECT {keys},
 FROM s GROUP BY {keys}, sid
 ORDER BY {keys}, session_start_epoch
 """
+
+
+# ---------------------------------------------------------------------------
+# metricstarttimeprocessor (processor/metricstarttimeprocessor): set the
+# start time of cumulative metric points. Three published strategies
+# (internal/truereset/adjuster.go, internal/subtractinitial/adjuster.go,
+# internal/starttimemetric/adjuster.go), each a per-series streaming
+# fold in the reference; here each is a gaps-and-islands window plan
+# partitioned by series identity -- one shuffle on the series key, then
+# local sorts, which is how per-series state scales on a real cluster.
+# ---------------------------------------------------------------------------
+
+
+def _reset_segments(
+    df: DataFrame,
+    stream_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tag each point with its reset segment: a new segment starts when
+    the value DECREASES vs the previous point of the same series
+    (datapointstorage/timeseries_map.go:250-252 IsResetSum). Adds
+    ``_seg`` (0-based segment id) and ``_seg_ts`` (timestamp of the
+    segment's first point)."""
+    order = order_cols or [ts_col]
+    w = Window.partitionBy(*stream_cols).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_reset = (
+        F.col(value_col) < F.lag(value_col).over(w)
+    ).cast("int")
+    out = df.withColumn("_rst", F.coalesce(is_reset, F.lit(0)))
+    out = out.withColumn("_seg", F.sum("_rst").over(wrun)).drop("_rst")
+    wseg = Window.partitionBy(*stream_cols, "_seg")
+    return out.withColumn("_seg_ts", F.min(ts_col).over(wseg))
+
+
+def metric_start_time_true_reset(
+    df: DataFrame,
+    stream_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    out_col: str = "start_ts",
+) -> DataFrame:
+    """true_reset_point (truereset/adjuster.go:190-240): the first point
+    of a series gets start = its own timestamp; later points inherit the
+    initial point's timestamp; when a counter reset is detected (value
+    decreased) the start becomes reset-point timestamp - 1ms and sticks
+    until the next reset."""
+    seg = _reset_segments(df, stream_cols, ts_col, value_col, order_cols)
+    start = F.when(
+        F.col("_seg") == 0, F.col("_seg_ts")
+    ).otherwise(F.col("_seg_ts") - F.expr("INTERVAL 1 MILLISECOND"))
+    return seg.withColumn(out_col, start).drop("_seg", "_seg_ts")
+
+
+def metric_start_time_subtract_initial(
+    df: DataFrame,
+    stream_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    out_value_col: str = "adj_value",
+    out_col: str = "start_ts",
+) -> DataFrame:
+    """subtract_initial_point (subtractinitial/adjuster.go:202-258):
+    DROP each series' first point and keep it as the reference; later
+    points report value - reference with start = reference timestamp.
+    After a reset the reference becomes 0 (points pass through
+    unchanged) and start = reset timestamp - 1ms."""
+    order = order_cols or [ts_col]
+    w = Window.partitionBy(*stream_cols).orderBy(*order)
+    seg = _reset_segments(df, stream_cols, ts_col, value_col, order_cols)
+    seg = seg.withColumn("_rn", F.row_number().over(w))
+    wall = Window.partitionBy(*stream_cols)
+    # reference value/timestamp = the series' first point in the sort
+    # order (min over an order-first struct; no second shuffle -- same
+    # partition key as the segment windows)
+    order_key = [
+        F.col(c).alias(f"_o{i}") for i, c in enumerate(order)
+    ]
+    seg = seg.withColumn("_first_val", F.min(F.struct(
+        *order_key, F.col(value_col).alias("_v")
+    )).over(wall)["_v"])
+    seg = seg.withColumn("_first_ts", F.min(F.struct(
+        *order_key, F.col(ts_col).alias("_v")
+    )).over(wall)["_v"])
+    adj_value = F.when(
+        F.col("_seg") == 0, F.col(value_col) - F.col("_first_val")
+    ).otherwise(F.col(value_col))
+    start = F.when(F.col("_seg") == 0, F.col("_first_ts")).otherwise(
+        F.col("_seg_ts") - F.expr("INTERVAL 1 MILLISECOND")
+    )
+    return (
+        seg.filter(F.col("_rn") > 1)
+        .withColumn(out_value_col, adj_value)
+        .withColumn(out_col, start)
+        .drop("_seg", "_seg_ts", "_rn", "_first_val", "_first_ts")
+    )
+
+
+def metric_start_time_from_metric(
+    df: DataFrame,
+    start_metric_filter: Column,
+    value_col: str,
+    ts_col: str,
+    order_cols: list[str],
+    out_col: str = "start_ts",
+) -> DataFrame:
+    """start_time_metric (starttimemetric/adjuster.go:58-66): one start
+    time for the whole batch, read from the first data point of the
+    start-time metric (default name process_start_time_seconds, value =
+    epoch seconds); every cumulative point gets that start. The batch
+    scalar is a 1-row aggregate broadcast onto the stream -- no
+    driver-side collect."""
+    first_match = (
+        df.filter(start_metric_filter)
+        .select(F.min(F.struct(
+            *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+            F.col(value_col).alias("_v"),
+        )).alias("_s"))
+        .select(F.timestamp_seconds(F.col("_s._v")).alias("_start"))
+    )
+    return df.crossJoin(F.broadcast(first_match)).withColumn(
+        out_col, F.col("_start")
+    ).drop("_start")

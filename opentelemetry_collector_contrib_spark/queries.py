@@ -431,6 +431,114 @@ def q_cumulative_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# metricstarttimeprocessor (processor/metricstarttimeprocessor): the three
+# published start-time strategies over (user_id, event_type) series.
+# ---------------------------------------------------------------------------
+
+_MST_SEGMENT_CTE = """
+WITH o AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         CASE WHEN value < LAG(value) OVER w THEN 1 ELSE 0 END AS rst
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(rst) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seg
+  FROM o),
+g AS (
+  SELECT *, MIN(ts) OVER (PARTITION BY user_id, event_type, seg) AS seg_ts
+  FROM s)
+"""
+
+
+@register(
+    "metric_start_time_true_reset_events",
+    _MST_SEGMENT_CTE
+    + """
+SELECT event_id, user_id, event_type,
+       epoch_ms(CASE WHEN seg = 0 THEN seg_ts
+                     ELSE seg_ts - INTERVAL 1 MILLISECOND END) AS start_ms
+FROM g ORDER BY event_id
+""",
+)
+def q_metric_start_time_true_reset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = PR.metric_start_time_true_reset(
+        ev, ["user_id", "event_type"], "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.unix_millis(F.col("start_ts").cast("timestamp"))
+        .alias("start_ms"),
+    ).orderBy("event_id")
+
+
+@register(
+    "metric_start_time_subtract_events",
+    _MST_SEGMENT_CTE
+    + """, f AS (
+  SELECT *,
+         ROW_NUMBER() OVER w2 AS rn,
+         FIRST_VALUE(value) OVER w2 AS first_val,
+         FIRST_VALUE(ts) OVER w2 AS first_ts
+  FROM g
+  WINDOW w2 AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+SELECT event_id, user_id, event_type,
+       CASE WHEN seg = 0 THEN value - first_val ELSE value END AS adj_value,
+       epoch_ms(CASE WHEN seg = 0 THEN first_ts
+                     ELSE seg_ts - INTERVAL 1 MILLISECOND END) AS start_ms
+FROM f WHERE rn > 1 ORDER BY event_id
+""",
+)
+def q_metric_start_time_subtract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    out = PR.metric_start_time_subtract_initial(
+        ev, ["user_id", "event_type"], "ts", "value",
+        order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "adj_value",
+        F.unix_millis(F.col("start_ts").cast("timestamp"))
+        .alias("start_ms"),
+    ).orderBy("event_id")
+
+
+@register(
+    "metric_start_time_metric_events",
+    """
+SELECT event_id,
+       (SELECT CAST(FLOOR(value) AS BIGINT) * 1000 FROM events
+        WHERE event_type = 'signup' ORDER BY ts, event_id LIMIT 1)
+         AS start_ms
+FROM events ORDER BY event_id
+""",
+)
+def q_metric_start_time_metric(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """start_time_metric strategy: 'signup' plays the
+    process_start_time_seconds metric; its first point's value (integral
+    epoch seconds) becomes every point's start time."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "start_val", F.floor("value").cast("double")
+    )
+    out = PR.metric_start_time_from_metric(
+        ev, F.col("event_type") == "signup", "start_val", "ts",
+        order_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id", F.unix_millis(F.col("start_ts").cast("timestamp"))
+        .alias("start_ms")
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # uri_parser (internal/coreinternal/parseutils/uri.go:22-152)
 # ---------------------------------------------------------------------------
 

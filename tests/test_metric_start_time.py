@@ -1,0 +1,67 @@
+"""metricstarttimeprocessor strategy semantics pinned on a hand-built
+counter series with two resets (processor/metricstarttimeprocessor/
+internal/{truereset,subtractinitial,starttimemetric}/adjuster.go)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import processors as PR
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1, 12, minute, 0)
+
+
+_MS = dt.timedelta(milliseconds=1)
+
+# one series, values 5 7 3 4 2: resets at t3 (3 < 7) and t5 (2 < 4)
+ROWS = [("s", _ts(i + 1), float(v)) for i, v in enumerate([5, 7, 3, 4, 2])]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "k string, ts timestamp, value double")
+
+
+def test_true_reset_point(spark):
+    out = PR.metric_start_time_true_reset(
+        _df(spark), ["k"], "ts", "value"
+    ).orderBy("ts").collect()
+    starts = [r.start_ts for r in out]
+    # initial point start = own ts; sticks until a reset; reset point
+    # start = its ts - 1ms and sticks
+    assert starts == [
+        _ts(1), _ts(1), _ts(3) - _MS, _ts(3) - _MS, _ts(5) - _MS,
+    ]
+
+
+def test_subtract_initial_point(spark):
+    out = PR.metric_start_time_subtract_initial(
+        _df(spark), ["k"], "ts", "value"
+    ).orderBy("ts").collect()
+    # first point dropped
+    assert [r.ts for r in out] == [_ts(2), _ts(3), _ts(4), _ts(5)]
+    # segment 0 subtracts the reference (initial value 5); post-reset
+    # reference is 0 so points pass through unchanged
+    assert [r.adj_value for r in out] == [2.0, 3.0, 4.0, 2.0]
+    assert [r.start_ts for r in out] == [
+        _ts(1), _ts(3) - _MS, _ts(3) - _MS, _ts(5) - _MS,
+    ]
+
+
+def test_start_time_metric(spark):
+    df = spark.createDataFrame(
+        [("process_start_time_seconds", _ts(1), 1000.0),
+         ("http_requests_total", _ts(2), 7.0),
+         ("http_requests_total", _ts(3), 9.0)],
+        "name string, ts timestamp, value double",
+    )
+    out = PR.metric_start_time_from_metric(
+        df, F.col("name") == "process_start_time_seconds", "value", "ts",
+        order_cols=["ts"],
+    ).collect()
+    assert len(out) == 3
+    epoch = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=1000)
+    assert all(r.start_ts == epoch for r in out)
