@@ -797,3 +797,62 @@ def cumulative_temporality(
             "_cum_buckets", bucket_col
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# slowsqlconnector (connector/slowsqlconnector/connector_logs.go:51-86):
+# traces -> logs. CLIENT-kind spans whose duration crosses the
+# configured threshold AND whose db system is in the allowlist become
+# SLOW log records carrying the span's identity and statement. A pure
+# map-side filter+project -- no shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+# config.go:26 default db_system allowlist
+SLOW_SQL_DEFAULT_DB_SYSTEMS = [
+    "h2", "mongodb", "mssql", "mysql", "oracle", "progress",
+    "postgresql", "mariadb",
+]
+
+
+def slow_sql_logs(
+    spans: DataFrame,
+    threshold_ns: int = 500_000_000,
+    db_systems: list[str] | None = None,
+    trace_id: str = "trace_id",
+    span_id: str = "span_id",
+    service: str = "service",
+    span_name: str = "span_name",
+    span_kind: str = "span_kind",
+    status_code: str = "status_code",
+    start_ts: str = "start_ts",
+    duration_ns: str = "duration_ns",
+    db_system: str = "db_system",
+    db_statement: str = "db_statement",
+) -> DataFrame:
+    """One log record per slow db client span (connector_logs.go:69-80:
+    kind == CLIENT, duration >= threshold, db system attribute present
+    and allowlisted; resource must carry service.name). Output columns
+    mirror attrToLogRecord (connector_logs.go:106-135): severity SLOW +
+    span identity + statement + duration in nanoseconds."""
+    allow = db_systems or SLOW_SQL_DEFAULT_DB_SYSTEMS
+    return (
+        spans.filter(
+            (F.col(span_kind) == "CLIENT")
+            & (F.col(duration_ns) >= F.lit(threshold_ns))
+            & F.col(db_system).isin(allow)
+            & F.col(service).isNotNull()
+        )
+        .select(
+            F.col(start_ts).alias("log_ts"),
+            F.lit("SLOW").alias("severity_text"),
+            F.col(trace_id),
+            F.col(span_id),
+            F.col(service).alias("service_name"),
+            F.col(span_name),
+            F.col(span_kind),
+            F.col(status_code),
+            F.col(db_system),
+            F.col(db_statement),
+            F.col(duration_ns).alias("db_client_operation_duration"),
+        )
+    )

@@ -539,6 +539,126 @@ def q_metric_start_time_metric(
 
 
 # ---------------------------------------------------------------------------
+# slowsqlconnector (connector/slowsqlconnector/connector_logs.go:51-86):
+# slow db client spans -> SLOW log records. Spans modeled on events:
+# kind from event_id, db system from props.k, duration = value ms.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "slow_sql_logs_events",
+    """
+WITH spans AS (
+  SELECT user_id AS trace_id, event_id AS span_id,
+         'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+         'query ' || event_type AS span_name,
+         CASE WHEN event_id % 3 = 0 THEN 'CLIENT' ELSE 'SERVER' END
+           AS span_kind,
+         CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'OK' END
+           AS status_code,
+         ts AS start_ts,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS duration_ns,
+         ['mysql', 'postgresql', 'redis', 'mongodb']
+           [1 + CAST(json_extract_string(props, '$.k') AS BIGINT) % 4]
+           AS db_system,
+         'SELECT * FROM ' || event_type AS db_statement
+  FROM events)
+SELECT start_ts AS log_ts, 'SLOW' AS severity_text, trace_id, span_id,
+       service AS service_name, span_name, span_kind, status_code,
+       db_system, db_statement,
+       duration_ns AS db_client_operation_duration
+FROM spans
+WHERE span_kind = 'CLIENT' AND duration_ns >= 100000000
+  AND db_system IN ('h2', 'mongodb', 'mssql', 'mysql', 'oracle',
+                    'progress', 'postgresql', 'mariadb')
+ORDER BY span_id
+""",
+)
+def q_slow_sql_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    systems = F.array(
+        *[F.lit(s) for s in ["mysql", "postgresql", "redis", "mongodb"]]
+    )
+    spans = ev.select(
+        F.col("user_id").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string"))
+        .alias("service"),
+        F.concat(F.lit("query "), F.col("event_type")).alias("span_name"),
+        F.when(F.col("event_id") % 3 == 0, "CLIENT").otherwise("SERVER")
+        .alias("span_kind"),
+        F.when(F.col("event_type") == "error", "ERROR").otherwise("OK")
+        .alias("status_code"),
+        F.col("ts").alias("start_ts"),
+        F.round(F.col("value") * 1000000).cast("long").alias("duration_ns"),
+        F.element_at(
+            systems,
+            (F.get_json_object("props", "$.k").cast("long") % 4 + 1)
+            .cast("int"),
+        ).alias("db_system"),
+        F.concat(F.lit("SELECT * FROM "), F.col("event_type"))
+        .alias("db_statement"),
+    )
+    out = C.slow_sql_logs(spans, threshold_ns=100_000_000)
+    return out.orderBy("span_id")
+
+
+# ---------------------------------------------------------------------------
+# coralogixprocessor transactions (internal/transactions/): nearest
+# SERVER/CONSUMER-or-root ancestor's name propagated to every reachable
+# span. Spans modeled as a per-user chain (parent = previous event), so
+# the oracle is a running last-boundary window; the Spark side runs the
+# generic pointer-doubling tree operator.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "transaction_attributes_events",
+    """
+WITH spans AS (
+  SELECT user_id AS trace_id, event_id AS span_id,
+         LAG(event_id) OVER w AS parent_span_id,
+         'op-' || event_type AS span_name,
+         ['SERVER','CONSUMER','CLIENT','INTERNAL','PRODUCER']
+           [1 + event_id % 5] AS span_kind,
+         ROW_NUMBER() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+b AS (
+  SELECT *, (rn = 1 OR span_kind IN ('SERVER', 'CONSUMER')) AS is_b
+  FROM spans)
+SELECT span_id, trace_id,
+       LAST_VALUE(CASE WHEN is_b THEN span_name END IGNORE NULLS)
+         OVER (PARTITION BY trace_id ORDER BY span_id
+               ROWS UNBOUNDED PRECEDING) AS cgx_transaction,
+       is_b AS cgx_transaction_root
+FROM b ORDER BY span_id
+""",
+)
+def q_transaction_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    kinds = F.array(
+        *[F.lit(k) for k in
+          ["SERVER", "CONSUMER", "CLIENT", "INTERNAL", "PRODUCER"]]
+    )
+    spans = ev.select(
+        F.col("user_id").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.lag("event_id").over(w).alias("parent_span_id"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("span_name"),
+        F.element_at(kinds, (F.col("event_id") % 5 + 1).cast("int"))
+        .alias("span_kind"),
+        F.col("ts").alias("start_ts"),
+    )
+    out = PR.transaction_attributes(spans)
+    return out.select(
+        "span_id", "trace_id", "cgx_transaction", "cgx_transaction_root"
+    ).orderBy("span_id")
+
+
+# ---------------------------------------------------------------------------
 # uri_parser (internal/coreinternal/parseutils/uri.go:22-152)
 # ---------------------------------------------------------------------------
 

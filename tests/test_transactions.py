@@ -1,0 +1,74 @@
+"""coralogixprocessor transaction attributes pinned on a hand-built
+span forest (processor/coralogixprocessor/internal/transactions/
+span_tree.go + trasactions.go): root election, SERVER/CONSUMER
+sub-roots, nearest-boundary inheritance, orphan subtrees untouched."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from opentelemetry_collector_contrib_spark.operators.processors import (
+    transaction_attributes,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2026, 1, 1, 12, minute, 0)
+
+
+# trace T1: rootA -> (srvB -> cliC -> intD, cliE); orphanF -> cliG;
+#           hangH's parent is missing entirely
+# trace T2: no parentless span; earliest span P elected root;
+#           Q (CONSUMER) sub-root; R inherits from Q
+ROWS = [
+    ("T1", "A", None, "rootA", "INTERNAL", _ts(1)),
+    ("T1", "B", "A", "srvB", "SERVER", _ts(2)),
+    ("T1", "C", "B", "cliC", "CLIENT", _ts(3)),
+    ("T1", "D", "C", "intD", "INTERNAL", _ts(4)),
+    ("T1", "E", "A", "cliE", "CLIENT", _ts(5)),
+    ("T1", "F", None, "orphanF", "SERVER", _ts(6)),
+    ("T1", "G", "F", "cliG", "CLIENT", _ts(7)),
+    ("T1", "H", "ZZ", "hangH", "CLIENT", _ts(8)),
+    ("T2", "P", "XX", "procP", "INTERNAL", _ts(1)),
+    ("T2", "Q", "P", "consQ", "CONSUMER", _ts(2)),
+    ("T2", "R", "Q", "prodR", "PRODUCER", _ts(3)),
+]
+
+SCHEMA = ("trace_id string, span_id string, parent_span_id string, "
+          "span_name string, span_kind string, start_ts timestamp")
+
+
+def test_transaction_attributes_forest(spark):
+    out = transaction_attributes(spark.createDataFrame(ROWS, SCHEMA))
+    got = {
+        r.span_id: (r.cgx_transaction, r.cgx_transaction_root)
+        for r in out.collect()
+    }
+    assert got == {
+        # elected root of T1 (earliest parentless span)
+        "A": ("rootA", True),
+        # SERVER child: new transaction root
+        "B": ("srvB", True),
+        # CLIENT/INTERNAL descendants inherit the nearest sub-root
+        "C": ("srvB", False),
+        "D": ("srvB", False),
+        "E": ("rootA", False),
+        # orphan parentless span + its subtree: walk never reaches them,
+        # even though F is SERVER-kind
+        "F": (None, False),
+        "G": (None, False),
+        # parent id points at a span missing from the trace
+        "H": (None, False),
+        # T2 has no parentless span: earliest span elected root
+        "P": ("procP", True),
+        "Q": ("consQ", True),
+        "R": ("consQ", False),
+    }
+
+
+def test_transaction_attributes_depth_one_round(spark):
+    # max_depth forced low still converges for a depth-1 trace
+    df = spark.createDataFrame(ROWS[:2], SCHEMA)
+    out = transaction_attributes(df, max_depth=1)
+    got = {r.span_id: r.cgx_transaction for r in out.collect()}
+    assert got == {"A": "rootA", "B": "srvB"}
