@@ -856,3 +856,38 @@ def slow_sql_logs(
             F.col(duration_ns).alias("db_client_operation_duration"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# grafanacloudconnector (connector/grafanacloudconnector/connector.go:
+# 72-88, host_metrics.go:43-70): per flush interval, one gauge
+# datapoint per distinct host id seen on trace resources
+# (metric traces_host_info, attr grafana.host.id, value 1). The host id
+# is the FIRST of the configured host_identifiers attributes present.
+# Batch analog: tumbling-window distinct -- one combinable aggregate.
+# ---------------------------------------------------------------------------
+
+
+def host_info_metrics(
+    df: DataFrame,
+    host_identifiers: list[str],
+    ts_col: str,
+    flush_interval: str = "1 minute",
+) -> DataFrame:
+    """(window_start, grafana_host_id, traces_host_info=1) rows per
+    interval; resources whose identifier attributes are all absent are
+    skipped (connector.go:78-85)."""
+    host = F.coalesce(
+        *[F.col(c) for c in host_identifiers], F.lit(None)
+    )
+    win = F.window(F.col(ts_col), flush_interval)
+    return (
+        df.withColumn("_h", host)
+        .filter(F.col("_h").isNotNull())
+        .groupBy(win.alias("window"), F.col("_h").alias("grafana_host_id"))
+        .agg(F.lit(1).alias("traces_host_info"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "grafana_host_id", "traces_host_info",
+        )
+    )

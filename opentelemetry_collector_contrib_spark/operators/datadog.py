@@ -1,0 +1,134 @@
+"""datadogsemanticsprocessor analog
+(processor/datadogsemanticsprocessor/processor.go:35-160): derive the
+Datadog-convention span fields from OTel semantic attributes.
+
+The reference delegates naming to the public datadog-agent mapping
+library (GetOTelOperationNameV2 / GetOTelSpanType / OTelSpanKindName);
+the core published rules are reproduced here as one CASE cascade per
+output -- all map-only Column expressions, no shuffle.
+
+``override=False`` mirrors insertAttrIfMissingOrShouldOverride
+(processor.go:21-33): an incoming ``datadog.*`` value wins unless the
+processor is configured to override.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# traceutil.GetOTelService fallback (processor.go:88 note)
+NO_SERVICE_NAME = "otlpresourcenoservicename"
+
+_KIND_NAMES = {
+    "SERVER": "server", "CLIENT": "client", "PRODUCER": "producer",
+    "CONSUMER": "consumer", "INTERNAL": "internal",
+}
+
+
+def _col_or_null(df: DataFrame, name: str) -> Column:
+    if name in df.columns:
+        return F.col(f"`{name}`") if "." in name else F.col(name)
+    return F.lit(None).cast("string")
+
+
+def strip_protocol(url_col: Column) -> Column:
+    """processor.go stripProtocolFromURL: drop the scheme:// prefix
+    from git.repository_url."""
+    return F.regexp_replace(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+
+
+def operation_name_v2(kind: Column, http_method: Column, db_system: Column,
+                      messaging_system: Column, messaging_op: Column,
+                      rpc_system: Column) -> Column:
+    """datadog-agent traceutil.GetOTelOperationNameV2 core rules, in
+    published precedence: HTTP > DB client > messaging > RPC > kind."""
+    kind_l = F.lower(kind)
+    return (
+        F.when(
+            http_method.isNotNull() & (kind == "SERVER"),
+            F.lit("http.server.request"),
+        )
+        .when(
+            http_method.isNotNull() & (kind == "CLIENT"),
+            F.lit("http.client.request"),
+        )
+        .when(
+            db_system.isNotNull() & (kind == "CLIENT"),
+            F.concat(F.lower(db_system), F.lit(".query")),
+        )
+        .when(
+            messaging_system.isNotNull() & messaging_op.isNotNull()
+            & kind.isin("PRODUCER", "CONSUMER", "CLIENT", "SERVER"),
+            F.concat(F.lower(messaging_system), F.lit("."),
+                     F.lower(messaging_op)),
+        )
+        .when(
+            rpc_system.isNotNull() & (kind == "CLIENT"),
+            F.concat(F.lower(rpc_system), F.lit(".client.request")),
+        )
+        .when(
+            rpc_system.isNotNull() & (kind == "SERVER"),
+            F.concat(F.lower(rpc_system), F.lit(".server.request")),
+        )
+        .otherwise(F.coalesce(kind_l, F.lit("internal")))
+    )
+
+
+def span_type(kind: Column, db_system: Column) -> Column:
+    """datadog-agent transform.GetOTelSpanType published mapping:
+    SERVER/CONSUMER -> web, CLIENT -> db when a db system is set else
+    http, PRODUCER -> queue, otherwise custom."""
+    return (
+        F.when(kind.isin("SERVER", "CONSUMER"), "web")
+        .when((kind == "CLIENT") & db_system.isNotNull(), "db")
+        .when(kind == "CLIENT", "http")
+        .when(kind == "PRODUCER", "queue")
+        .otherwise("custom")
+    )
+
+
+def datadog_semantics(
+    df: DataFrame,
+    kind_col: str = "span_kind",
+    override: bool = False,
+) -> DataFrame:
+    """Add datadog.service/env/version/name/resource-level git.* and
+    span-level datadog.name/type/span.kind columns from the OTel
+    attribute columns present in ``df`` (missing attributes behave as
+    absent keys). Existing ``datadog_*`` columns are kept unless
+    ``override`` (processor.go:21-33)."""
+    kind = F.col(kind_col)
+    service = _col_or_null(df, "service.name")
+    env = _col_or_null(df, "deployment.environment.name")
+    version = _col_or_null(df, "service.version")
+    http_method = _col_or_null(df, "http.request.method")
+    db_system = _col_or_null(df, "db.system.name")
+    msg_system = _col_or_null(df, "messaging.system")
+    msg_op = _col_or_null(df, "messaging.operation.type")
+    rpc_system = _col_or_null(df, "rpc.system")
+    vcs_sha = _col_or_null(df, "vcs.ref.head.revision")
+    vcs_url = _col_or_null(df, "vcs.repository.url.full")
+
+    derived = {
+        "datadog_service": F.coalesce(service, F.lit(NO_SERVICE_NAME)),
+        "datadog_env": F.coalesce(env, F.lit("default")),
+        "datadog_version": F.coalesce(version, F.lit("")),
+        "datadog_name": operation_name_v2(
+            kind, http_method, db_system, msg_system, msg_op, rpc_system
+        ),
+        "datadog_type": span_type(kind, db_system),
+        "datadog_span_kind": F.coalesce(
+            F.lower(kind), F.lit("unspecified")
+        ),
+        "git_commit_sha": vcs_sha,
+        "git_repository_url": F.when(
+            vcs_url.isNotNull(), strip_protocol(vcs_url)
+        ),
+    }
+    out = df
+    for name, expr in derived.items():
+        if name in df.columns and not override:
+            expr = F.coalesce(F.col(name), expr)
+        out = out.withColumn(name, expr)
+    return out

@@ -1293,3 +1293,31 @@ def transaction_attributes(
         (spans[trace_id] == F.col("_t")) & (spans[span_id] == F.col("_s")),
         "left",
     ).drop("_t", "_s")
+
+
+# ---------------------------------------------------------------------------
+# remotetapprocessor (processor/remotetapprocessor/processor.go,
+# config.go:18-20): a pass-through processor that mirrors up to
+# `limit` messages per second to attached observers. Batch analog: the
+# tap sample = the first `limit` rows of each wall-clock second in a
+# deterministic order; the stream itself is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def remote_tap_sample(
+    df: DataFrame,
+    ts_col: str,
+    limit_per_sec: int = 1,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows the tap would forward (rate.Limit tokens refill per
+    second). Deterministic stand-in for the reference's arrival-order
+    limiter: per-second row_number over ``order_cols``."""
+    order = order_cols or [ts_col]
+    sec = F.date_trunc("second", F.col(ts_col))
+    w = Window.partitionBy(sec).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= limit_per_sec)
+        .drop("_rn")
+    )

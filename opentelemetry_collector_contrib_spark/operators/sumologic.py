@@ -1,0 +1,201 @@
+"""sumologicprocessor analogs (processor/sumologicprocessor/): the
+vendor-neutral feature set -- cloud.namespace derivation, OTel->Sumo
+attribute-key translation, attribute nesting, prefix aggregation.
+
+The reference rewrites per-row dynamic attribute maps. This engine's
+attribute model is typed COLUMNS with a plan-time-known key set, so
+every feature compiles to static column/struct expressions: nesting
+builds a literal prefix tree over the column names and emits one nested
+``F.struct`` (pure JVM, no per-row key parsing), translation is column
+renames with the reference's collision-skip rules, aggregation is a
+plan-time prefix partition. All map-only -- no shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(name: str) -> Column:
+    """Column ref tolerant of dotted attribute keys."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+# translate_attributes_processor.go:19-42
+OTEL_TO_SUMO = {
+    "cloud.account.id": "AccountId",
+    "cloud.availability_zone": "AvailabilityZone",
+    "cloud.platform": "aws_service",
+    "cloud.region": "Region",
+    "host.id": "InstanceId",
+    "host.name": "host",
+    "host.type": "InstanceType",
+    "k8s.cluster.name": "Cluster",
+    "k8s.container.name": "container",
+    "k8s.daemonset.name": "daemonset",
+    "k8s.deployment.name": "deployment",
+    "k8s.namespace.name": "namespace",
+    "k8s.node.name": "node",
+    "k8s.service.name": "service",
+    "k8s.pod.hostname": "host",
+    "k8s.pod.name": "pod",
+    "k8s.pod.uid": "pod_id",
+    "k8s.replicaset.name": "replicaset",
+    "k8s.statefulset.name": "statefulset",
+    "service.name": "service",
+    "log.file.path_resolved": "_sourceName",
+}
+
+# cloud_namespace_processor.go:20-23
+CLOUD_PLATFORM_TO_NAMESPACE = {
+    "aws_ec2": "aws/ec2",
+    "aws_ecs": "ecs",
+    "aws_elastic_beanstalk": "ElasticBeanstalk",
+}
+
+
+def cloud_namespace(
+    df: DataFrame,
+    platform_col: str = "cloud_platform",
+    out_col: str = "cloud_namespace",
+) -> DataFrame:
+    """Add cloud.namespace from cloud.platform
+    (cloud_namespace_processor.go:45-76): unknown/missing platform adds
+    nothing (NULL here)."""
+    expr = F.lit(None).cast("string")
+    for plat, ns in CLOUD_PLATFORM_TO_NAMESPACE.items():
+        expr = F.when(F.col(platform_col) == plat, ns).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def translate_attributes(
+    df: DataFrame, mapping: dict[str, str] | None = None
+) -> DataFrame:
+    """Rename attribute columns OTel->Sumo
+    (translate_attributes_processor.go:86-112). A rename is skipped when
+    the target key already exists in the input; when two source keys map
+    to one target (host.name and k8s.pod.hostname -> host) the first
+    processed wins and the later source is dropped -- the reference
+    iterates its Go map (arbitrary order), here sorted source-key order
+    makes the winner deterministic."""
+    mapping = OTEL_TO_SUMO if mapping is None else mapping
+    cols = list(df.columns)
+    produced: set[str] = set()
+    out = df
+    for ot in sorted(mapping):
+        if ot not in cols:
+            continue
+        sumo = mapping[ot]
+        if sumo in cols:
+            continue            # target pre-exists: keep original key
+        if sumo in produced:
+            out = out.drop(ot)  # later duplicate-target source: dropped
+            continue
+        out = out.withColumnRenamed(ot, sumo)
+        produced.add(sumo)
+    return out
+
+
+def _should_nest(key: str, include: tuple[str, ...],
+                 exclude: tuple[str, ...]) -> bool:
+    # nesting_processor.go:197-220
+    if include and not any(key.startswith(p) for p in include):
+        return False
+    return not any(key.startswith(p) for p in exclude)
+
+
+def _squash(tree: dict, sep: str = ".") -> tuple[str, dict | str]:
+    """nesting_processor.go:224-280: a single-entry map merges into its
+    child, joining keys with the separator (applied plan-time)."""
+    items = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            suffix, sub = _squash(v, sep)
+            items[f"{k}{sep}{suffix}" if suffix else k] = sub
+        else:
+            items[k] = v
+    if len(items) == 1:
+        (k, v), = items.items()
+        if isinstance(v, dict):
+            return k, v
+    return "", items
+
+
+def nest_attributes(
+    attr_cols: list[str],
+    separator: str = ".",
+    include: tuple[str, ...] = (),
+    exclude: tuple[str, ...] = (),
+    squash_single_values: bool = False,
+    out_name: str = "attributes",
+) -> Column:
+    """Build the nested attribute struct
+    (nesting_processor.go:121-192): keys split on the separator become
+    nested maps; keys outside include/exclude stay flat; a key that is
+    both a leaf and a prefix path stores its leaf value under ``""``.
+    The key set is the plan-time column list, so the whole tree is one
+    static struct expression."""
+    tree: dict = {}
+    for key in attr_cols:
+        if not _should_nest(key, include, exclude):
+            tree[key] = key          # flat leaf (value = source column)
+            continue
+        parts = key.split(separator)
+        node = tree
+        for p in parts[:-1]:
+            nxt = node.get(p)
+            if not isinstance(nxt, dict):
+                # leaf in the path: demote it under "" (go:144-151)
+                nxt = {"": nxt} if p in node else {}
+                node[p] = nxt
+            node = nxt
+        last = parts[-1]
+        if isinstance(node.get(last), dict):
+            node[last][""] = key
+        else:
+            node[last] = key
+    if squash_single_values:
+        suffix, squashed = _squash(tree, separator)
+        tree = {suffix: squashed} if suffix else squashed
+
+    def build(node: dict | str) -> Column:
+        if isinstance(node, str):
+            return _c(node)
+        return F.struct(
+            *[build(v).alias(k) for k, v in sorted(node.items())]
+        )
+
+    return build(tree).alias(out_name)
+
+
+def aggregate_attributes(
+    df: DataFrame,
+    aggregations: list[tuple[str, list[str]]],
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Prefix aggregation (aggregate_attributes_processor.go:111-160):
+    for each (target, prefixes) pair in order, every attribute column
+    whose name starts with one of the prefixes moves under the target
+    struct with the prefix trimmed; the target is added only when at
+    least one key matched. Earlier aggregations consume keys first."""
+    remaining = list(attr_cols if attr_cols is not None else df.columns)
+    out = df
+    for target, prefixes in aggregations:
+        matched: list[tuple[str, str]] = []
+        for prefix in prefixes:
+            still = []
+            for key in remaining:
+                if key.startswith(prefix):
+                    matched.append((key[len(prefix):], key))
+                else:
+                    still.append(key)
+            remaining = still
+        if matched:
+            out = out.withColumn(
+                target,
+                F.struct(
+                    *[_c(src).alias(trimmed)
+                      for trimmed, src in matched]
+                ),
+            ).drop(*[src for _, src in matched])
+    return out

@@ -659,6 +659,264 @@ def q_transaction_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sumologicprocessor (processor/sumologicprocessor/): cloud.namespace
+# derivation + OTel->Sumo key translation (collision rules included) +
+# attribute nesting compiled to one static struct -> JSON.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sumologic_attributes_events",
+    """
+WITH a AS (
+  SELECT event_id,
+         event_type AS kcn,
+         'h' || CAST(user_id % 10 AS VARCHAR) AS khn,
+         '10.0.0.' || CAST(user_id % 256 AS VARCHAR) AS kha,
+         'ns' || CAST(event_id % 3 AS VARCHAR) AS knn,
+         CAST(event_id AS VARCHAR) AS another,
+         ['aws_ec2', 'aws_ecs', 'gcp_app_engine', 'aws_elastic_beanstalk']
+           [1 + event_id % 4] AS plat,
+         'r' || CAST(user_id % 3 AS VARCHAR) AS region,
+         'hn' || CAST(user_id AS VARCHAR) AS hostname,
+         'pod' || CAST(user_id AS VARCHAR) AS podname
+  FROM events)
+SELECT event_id,
+       CASE plat WHEN 'aws_ec2' THEN 'aws/ec2'
+                 WHEN 'aws_ecs' THEN 'ecs'
+                 WHEN 'aws_elastic_beanstalk' THEN 'ElasticBeanstalk'
+       END AS cloud_namespace,
+       to_json(struct_pack(
+         another_attr := another,
+         kubernetes := struct_pack(
+           container_name := kcn,
+           host := struct_pack(address := kha, name := khn),
+           namespace_name := knn)))::VARCHAR AS attrs_json,
+       region AS "Region", hostname AS host, podname AS pod
+FROM a ORDER BY event_id
+""",
+)
+def q_sumologic_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cloud_namespace + translate_attributes (host.name wins the
+    `host` target; k8s.pod.hostname dropped; k8s.pod.name -> pod) +
+    nest_attributes over the kubernetes.* keys."""
+    from .operators import sumologic as SU
+
+    ev = _read(spark, sf_dir, "events")
+    plats = F.array(
+        *[F.lit(p) for p in
+          ["aws_ec2", "aws_ecs", "gcp_app_engine",
+           "aws_elastic_beanstalk"]]
+    )
+    attrs = ev.select(
+        "event_id",
+        F.col("event_type").alias("kubernetes.container_name"),
+        F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string"))
+        .alias("kubernetes.host.name"),
+        F.concat(F.lit("10.0.0."), (F.col("user_id") % 256).cast("string"))
+        .alias("kubernetes.host.address"),
+        F.concat(F.lit("ns"), (F.col("event_id") % 3).cast("string"))
+        .alias("kubernetes.namespace_name"),
+        F.col("event_id").cast("string").alias("another_attr"),
+        F.element_at(plats, (F.col("event_id") % 4 + 1).cast("int"))
+        .alias("cloud_platform"),
+        F.concat(F.lit("r"), (F.col("user_id") % 3).cast("string"))
+        .alias("cloud.region"),
+        F.concat(F.lit("hn"), F.col("user_id").cast("string"))
+        .alias("host.name"),
+        F.concat(F.lit("ph"), F.col("user_id").cast("string"))
+        .alias("k8s.pod.hostname"),
+        F.concat(F.lit("pod"), F.col("user_id").cast("string"))
+        .alias("k8s.pod.name"),
+    )
+    out = SU.translate_attributes(SU.cloud_namespace(attrs))
+    nested = SU.nest_attributes([
+        "kubernetes.container_name", "kubernetes.host.name",
+        "kubernetes.host.address", "kubernetes.namespace_name",
+        "another_attr",
+    ])
+    return out.select(
+        "event_id", "cloud_namespace",
+        F.to_json(nested).alias("attrs_json"),
+        "Region", "host", "pod",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# datadogsemanticsprocessor (processor/datadogsemanticsprocessor/
+# processor.go:35-160): OTel attrs -> datadog.* span fields.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "datadog_semantics_events",
+    """
+WITH a AS (
+  SELECT event_id,
+         ['SERVER','CONSUMER','CLIENT','INTERNAL','PRODUCER']
+           [1 + event_id % 5] AS kind,
+         CASE WHEN user_id % 7 = 0 THEN NULL
+              ELSE 'svc' || CAST(user_id % 5 AS VARCHAR) END AS service,
+         CASE WHEN user_id % 2 = 0 THEN 'prod' END AS env,
+         '1.' || CAST(user_id % 3 AS VARCHAR) AS version,
+         CASE WHEN event_type = 'view' THEN 'GET' END AS http_method,
+         CASE WHEN event_type = 'purchase' THEN 'MySQL' END AS db_system,
+         CASE WHEN event_type = 'click' THEN 'kafka' END AS msg_system,
+         CASE WHEN event_type = 'click' THEN 'Process' END AS msg_op,
+         CASE WHEN event_type = 'signup' THEN 'gRPC' END AS rpc_system,
+         'sha' || CAST(event_id % 16 AS VARCHAR) AS vcs_sha,
+         'https://github.com/org/repo' AS vcs_url
+  FROM events)
+SELECT event_id,
+       COALESCE(service, 'otlpresourcenoservicename') AS datadog_service,
+       COALESCE(env, 'default') AS datadog_env,
+       version AS datadog_version,
+       CASE
+         WHEN http_method IS NOT NULL AND kind = 'SERVER'
+           THEN 'http.server.request'
+         WHEN http_method IS NOT NULL AND kind = 'CLIENT'
+           THEN 'http.client.request'
+         WHEN db_system IS NOT NULL AND kind = 'CLIENT'
+           THEN lower(db_system) || '.query'
+         WHEN msg_system IS NOT NULL AND msg_op IS NOT NULL
+              AND kind IN ('PRODUCER', 'CONSUMER', 'CLIENT', 'SERVER')
+           THEN lower(msg_system) || '.' || lower(msg_op)
+         WHEN rpc_system IS NOT NULL AND kind = 'CLIENT'
+           THEN lower(rpc_system) || '.client.request'
+         WHEN rpc_system IS NOT NULL AND kind = 'SERVER'
+           THEN lower(rpc_system) || '.server.request'
+         ELSE lower(kind)
+       END AS datadog_name,
+       CASE
+         WHEN kind IN ('SERVER', 'CONSUMER') THEN 'web'
+         WHEN kind = 'CLIENT' AND db_system IS NOT NULL THEN 'db'
+         WHEN kind = 'CLIENT' THEN 'http'
+         WHEN kind = 'PRODUCER' THEN 'queue'
+         ELSE 'custom'
+       END AS datadog_type,
+       lower(kind) AS datadog_span_kind,
+       vcs_sha AS git_commit_sha,
+       'github.com/org/repo' AS git_repository_url
+FROM a ORDER BY event_id
+""",
+)
+def q_datadog_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import datadog as DD
+
+    ev = _read(spark, sf_dir, "events")
+    kinds = F.array(
+        *[F.lit(k) for k in
+          ["SERVER", "CONSUMER", "CLIENT", "INTERNAL", "PRODUCER"]]
+    )
+    spans = ev.select(
+        "event_id",
+        F.element_at(kinds, (F.col("event_id") % 5 + 1).cast("int"))
+        .alias("span_kind"),
+        F.when(
+            F.col("user_id") % 7 != 0,
+            F.concat(F.lit("svc"), (F.col("user_id") % 5).cast("string")),
+        ).alias("service.name"),
+        F.when(F.col("user_id") % 2 == 0, "prod")
+        .alias("deployment.environment.name"),
+        F.concat(F.lit("1."), (F.col("user_id") % 3).cast("string"))
+        .alias("service.version"),
+        F.when(F.col("event_type") == "view", "GET")
+        .alias("http.request.method"),
+        F.when(F.col("event_type") == "purchase", "MySQL")
+        .alias("db.system.name"),
+        F.when(F.col("event_type") == "click", "kafka")
+        .alias("messaging.system"),
+        F.when(F.col("event_type") == "click", "Process")
+        .alias("messaging.operation.type"),
+        F.when(F.col("event_type") == "signup", "gRPC")
+        .alias("rpc.system"),
+        F.concat(F.lit("sha"), (F.col("event_id") % 16).cast("string"))
+        .alias("vcs.ref.head.revision"),
+        F.lit("https://github.com/org/repo")
+        .alias("vcs.repository.url.full"),
+    )
+    out = DD.datadog_semantics(spans)
+    return out.select(
+        "event_id", "datadog_service", "datadog_env", "datadog_version",
+        "datadog_name", "datadog_type", "datadog_span_kind",
+        "git_commit_sha", "git_repository_url",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# grafanacloudconnector (connector/grafanacloudconnector/): distinct
+# host-id gauge per flush interval. host.id present on ~half the
+# resources, host.name fallback on a quarter -- exercises the
+# first-present-identifier rule.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "host_info_metrics_events",
+    """
+WITH r AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+         COALESCE(CASE WHEN user_id % 2 = 0
+                       THEN 'hid-' || CAST(user_id % 20 AS VARCHAR) END,
+                  CASE WHEN user_id % 4 = 1
+                       THEN 'hn-' || CAST(user_id % 10 AS VARCHAR) END)
+           AS host
+  FROM events)
+SELECT CAST(FLOOR(epoch(w)) AS BIGINT) AS window_epoch,
+       host AS grafana_host_id, 1 AS traces_host_info
+FROM r WHERE host IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q_host_info_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    res = ev.select(
+        "ts",
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.concat(F.lit("hid-"), (F.col("user_id") % 20).cast("string")),
+        ).alias("host.id"),
+        F.when(
+            F.col("user_id") % 4 == 1,
+            F.concat(F.lit("hn-"), (F.col("user_id") % 10).cast("string")),
+        ).alias("host.name"),
+    )
+    out = C.host_info_metrics(
+        res, ["`host.id`", "`host.name`"], "ts", "1 hour"
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "grafana_host_id",
+        F.col("traces_host_info").cast("int").alias("traces_host_info"),
+    ).orderBy("window_epoch", "grafana_host_id")
+
+
+# ---------------------------------------------------------------------------
+# remotetapprocessor (processor/remotetapprocessor/): rate-limited tap
+# sample -- first `limit` rows per wall second in deterministic order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "remote_tap_sample_events",
+    """
+WITH r AS (
+  SELECT event_id, user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('second', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT event_id, user_id, ts FROM r WHERE rn <= 2 ORDER BY event_id
+""",
+)
+def q_remote_tap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = PR.remote_tap_sample(
+        ev, "ts", limit_per_sec=2, order_cols=["ts", "event_id"]
+    )
+    return out.orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # uri_parser (internal/coreinternal/parseutils/uri.go:22-152)
 # ---------------------------------------------------------------------------
 

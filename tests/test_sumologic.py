@@ -1,0 +1,119 @@
+"""sumologicprocessor feature semantics pinned on the reference's own
+README/test examples (processor/sumologicprocessor/)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import sumologic as S
+
+
+def _row(spark, data: dict):
+    df = spark.createDataFrame(
+        [tuple(data.values())],
+        ", ".join(f"`{k}` string" for k in data),
+    )
+    return df
+
+
+def test_cloud_namespace(spark):
+    df = spark.createDataFrame(
+        [("aws_ec2",), ("aws_ecs",), ("aws_elastic_beanstalk",),
+         ("gcp_app_engine",), (None,)],
+        "cloud_platform string",
+    )
+    got = [r.cloud_namespace for r in S.cloud_namespace(df).collect()]
+    assert got == ["aws/ec2", "ecs", "ElasticBeanstalk", None, None]
+
+
+def test_translate_attributes_renames_and_collisions(spark):
+    df = _row(spark, {
+        "cloud.region": "us-east-1",
+        "host.name": "h1",
+        "k8s.pod.hostname": "ph1",   # duplicate target `host`: dropped
+        "k8s.pod.name": "p1",
+        "k8s.service.name": "ks1",
+        "service": "pre",            # target exists: k8s.service.name
+                                     # keeps its original key
+        "other": "x",
+    })
+    out = S.translate_attributes(df)
+    assert sorted(out.columns) == sorted(
+        ["Region", "host", "pod", "k8s.service.name", "service", "other"]
+    )
+    row = out.collect()[0]
+    assert row["Region"] == "us-east-1"
+    assert row["host"] == "h1"          # host.name won (sorted first)
+    assert row["service"] == "pre"
+
+
+def test_nest_attributes_readme_example(spark):
+    data = {
+        "kubernetes.container_name": "xyz",
+        "kubernetes.host.name": "the host",
+        "kubernetes.host.address": "127.0.0.1",
+        "kubernetes.namespace_name": "sumologic",
+        "another_attr": "42",
+    }
+    df = _row(spark, data)
+    col = S.nest_attributes(list(data))
+    got = json.loads(
+        df.select(F.to_json(col).alias("j")).collect()[0].j
+    )
+    assert got == {
+        "another_attr": "42",
+        "kubernetes": {
+            "container_name": "xyz",
+            "namespace_name": "sumologic",
+            "host": {"name": "the host", "address": "127.0.0.1"},
+        },
+    }
+
+
+def test_nest_attributes_include_exclude(spark):
+    data = {
+        "kubernetes.container_name": "xyz",
+        "kubernetes.host.name": "the host",
+        "kubernetes.host.naming_convention": "random",
+        "kubernetes.host.address": "127.0.0.1",
+        "kubernetes.namespace_name": "sumologic",
+    }
+    df = _row(spark, data)
+    col = S.nest_attributes(
+        list(data), include=("kubernetes.host.",),
+        exclude=("kubernetes.host.naming",),
+    )
+    got = json.loads(
+        df.select(F.to_json(col).alias("j")).collect()[0].j
+    )
+    assert got == {
+        "kubernetes.container_name": "xyz",
+        "kubernetes": {
+            "host": {"name": "the host", "address": "127.0.0.1"}
+        },
+        "kubernetes.host.naming_convention": "random",
+        "kubernetes.namespace_name": "sumologic",
+    }
+
+
+def test_nest_attributes_squash(spark):
+    data = {"a.b.c": "C", "a.b.d": "D"}
+    df = _row(spark, data)
+    col = S.nest_attributes(list(data), squash_single_values=True)
+    got = json.loads(
+        df.select(F.to_json(col).alias("j")).collect()[0].j
+    )
+    # {"a": {"b": {...}}} squashes to {"a.b": {...}}
+    assert got == {"a.b": {"c": "C", "d": "D"}}
+
+
+def test_aggregate_attributes(spark):
+    data = {"pod_a": "x", "pod_b": "y", "pod_c": "z", "other": "w"}
+    df = _row(spark, data)
+    out = S.aggregate_attributes(df, [("pods", ["pod_"])])
+    row = out.collect()[0]
+    assert sorted(out.columns) == ["other", "pods"]
+    assert row["pods"].asDict() == {"a": "x", "b": "y", "c": "z"}
+    assert row["other"] == "w"
