@@ -40,12 +40,21 @@ def strip_protocol(url_col: Column) -> Column:
 
 def operation_name_v2(kind: Column, http_method: Column, db_system: Column,
                       messaging_system: Column, messaging_op: Column,
-                      rpc_system: Column) -> Column:
+                      rpc_system: Column,
+                      operation_name: Column | None = None) -> Column:
     """datadog-agent traceutil.GetOTelOperationNameV2 core rules, in
-    published precedence: HTTP > DB client > messaging > RPC > kind."""
-    kind_l = F.lower(kind)
+    published precedence: explicit operation.name > HTTP > DB client >
+    messaging > RPC > bare server/client ``*.request`` > Title-cased
+    kind. Fallbacks pinned by the reference's own expectations
+    (processor/datadogsemanticsprocessor/processor_test.go:319 bare
+    SERVER -> "server.request"; pkg/datadog/apmstats/
+    connector_test.go:371-396 INTERNAL -> "Internal",
+    bare CLIENT -> "client.request")."""
+    if operation_name is None:
+        operation_name = F.lit(None).cast("string")
     return (
-        F.when(
+        F.when(operation_name.isNotNull(), F.lower(operation_name))
+        .when(
             http_method.isNotNull() & (kind == "SERVER"),
             F.lit("http.server.request"),
         )
@@ -71,7 +80,11 @@ def operation_name_v2(kind: Column, http_method: Column, db_system: Column,
             rpc_system.isNotNull() & (kind == "SERVER"),
             F.concat(F.lower(rpc_system), F.lit(".server.request")),
         )
-        .otherwise(F.coalesce(kind_l, F.lit("internal")))
+        .when(kind == "SERVER", F.lit("server.request"))
+        .when(kind == "CLIENT", F.lit("client.request"))
+        .otherwise(
+            F.initcap(F.coalesce(F.lower(kind), F.lit("internal")))
+        )
     )
 
 
@@ -132,3 +145,196 @@ def datadog_semantics(
             expr = F.coalesce(F.col(name), expr)
         out = out.withColumn(name, expr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# datadogconnector traces->metrics (connector/datadogconnector/factory.go
+# -> pkg/datadog/apmstats/connector.go:75-163): the datadog-agent stats
+# Concentrator aggregated over Spark. Semantics pinned by the
+# reference's own expectations in pkg/datadog/apmstats/
+# connector_test.go:368-399 (eligibility: top-level = root OR kind
+# server/consumer when ComputeTopLevelBySpanKind; measured = kind
+# client/producer when ComputeStatsBySpanKind, or _dd.measured=1;
+# internal child spans produce NO stats) and :469-487 (IsTraceRoot,
+# peer tags on client spans). Buckets are BucketInterval-sized (default
+# 10s, factory.go:62) keyed on span END time. Duration distributions
+# are DDSketch bucket counts (gamma = (1+a)/(1-a), index =
+# ceil(ln(d)/ln(gamma)) -- the published DDSketch indexing, Masson et
+# al. VLDB'19), serialized canonically as "idx:count idx:count ..."
+# so a SQL oracle can reproduce them byte-for-byte.
+# ---------------------------------------------------------------------------
+
+
+def apm_stats(
+    df: DataFrame,
+    bucket_interval_ns: int = 10_000_000_000,
+    compute_top_level_by_span_kind: bool = True,
+    compute_stats_by_span_kind: bool = True,
+    peer_tag_cols: "list[str] | None" = None,
+    relative_accuracy: float = 0.01,
+    kind_col: str = "span_kind",
+) -> DataFrame:
+    """ClientGroupedStats rows: one per (stats bucket, env, service,
+    op name, resource, type, span kind, is_trace_root, peer_tags).
+
+    Expected input columns: trace_id, span_id, parent_span_id
+    (null = trace root), ``kind_col`` (upper-case OTel kind names),
+    env, resource, start_ns, duration_ns, is_error, plus the optional
+    OTel attribute columns consumed by :func:`operation_name_v2` /
+    :func:`span_type` and ``_dd.measured``.
+
+    When ``compute_top_level_by_span_kind`` is False the agent's
+    service-boundary rule applies instead (traceutil.ComputeTopLevel):
+    top-level = root OR parent span not found OR parent from a
+    different service -- implemented as a broadcast-eligible self-join
+    on (trace_id, parent_span_id).
+
+    Plan shape: map-only eligibility + key derivation, then two hash
+    aggregates (key+error+sketch-index, then key) -- both map-side
+    combinable; the sketch never materializes per-row lists wider than
+    the bucketed index space.
+    """
+    kind = F.col(kind_col)
+    service = F.coalesce(
+        _col_or_null(df, "service.name"), F.lit(NO_SERVICE_NAME)
+    )
+    op_name = operation_name_v2(
+        kind,
+        _col_or_null(df, "http.request.method"),
+        _col_or_null(df, "db.system.name"),
+        _col_or_null(df, "messaging.system"),
+        _col_or_null(df, "messaging.operation.type"),
+        _col_or_null(df, "rpc.system"),
+        operation_name=_col_or_null(df, "operation.name"),
+    )
+    stype = span_type(kind, _col_or_null(df, "db.system.name"))
+    measured_attr = (
+        F.col("`_dd.measured`") if "_dd.measured" in df.columns
+        else F.lit(None).cast("int")
+    )
+
+    is_root = F.col("parent_span_id").isNull()
+    if compute_top_level_by_span_kind:
+        is_top = is_root | kind.isin("SERVER", "CONSUMER")
+        spans = df
+    else:
+        parents = df.select(
+            F.col("trace_id").alias("_ptid"),
+            F.col("span_id").alias("_psid"),
+            F.coalesce(
+                _col_or_null(df, "service.name"), F.lit(NO_SERVICE_NAME)
+            ).alias("_psvc"),
+        )
+        spans = df.join(
+            parents,
+            (df["trace_id"] == F.col("_ptid"))
+            & (df["parent_span_id"] == F.col("_psid")),
+            "left",
+        )
+        is_top = (
+            is_root
+            | F.col("_psvc").isNull()          # parent not in payload
+            | (F.col("_psvc") != service)      # service boundary
+        )
+
+    measured = measured_attr == 1
+    if compute_stats_by_span_kind:
+        measured = measured | kind.isin("CLIENT", "PRODUCER")
+
+    peer_tag_cols = peer_tag_cols or []
+    peer_tags = F.when(
+        kind.isin("CLIENT", "PRODUCER"),
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.array(*[
+                        F.when(
+                            _col_or_null(spans, c).isNotNull(),
+                            F.concat(
+                                F.lit(c), F.lit(":"), _col_or_null(spans, c)
+                            ),
+                        )
+                        for c in peer_tag_cols
+                    ] or [F.lit(None).cast("string")]),
+                    lambda x: x.isNotNull(),
+                )
+            ),
+            " ",
+        ),
+    ).otherwise(F.lit(""))
+
+    gamma = (1.0 + relative_accuracy) / (1.0 - relative_accuracy)
+    d = F.col("duration_ns").cast("double")
+    sketch_idx = F.when(
+        F.col("duration_ns") > 0,
+        F.ceil(F.log(d) / F.lit(float(__import__("math").log(gamma)))),
+    ).otherwise(F.lit(0)).cast("long")
+
+    end_ns = F.col("start_ns") + F.col("duration_ns")
+    bucket = (end_ns - end_ns % F.lit(bucket_interval_ns)).alias(
+        "bucket_start"
+    )
+
+    eligible = (
+        spans.withColumn("_top", is_top)
+        .filter(F.col("_top") | measured)
+        .select(
+            bucket,
+            F.coalesce(_col_or_null(spans, "env"), F.lit("default"))
+            .alias("env"),
+            service.alias("service"),
+            op_name.alias("op_name"),
+            F.col("resource"),
+            stype.alias("span_type"),
+            F.lower(kind).alias("span_kind_l"),
+            is_root.alias("is_trace_root"),
+            peer_tags.alias("peer_tags"),
+            F.col("_top").cast("long").alias("_top_n"),
+            F.col("is_error").cast("long").alias("_err"),
+            F.col("duration_ns").cast("long").alias("_dur"),
+            sketch_idx.alias("_idx"),
+        )
+    )
+
+    key = [
+        "bucket_start", "env", "service", "op_name", "resource",
+        "span_type", "span_kind_l", "is_trace_root", "peer_tags",
+    ]
+    s1 = eligible.groupBy(*key, "_err", "_idx").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dur").alias("_ds"),
+        F.sum("_top_n").alias("_tn"),
+    )
+    entry = F.struct(
+        F.col("_err").alias("err"),
+        F.col("_idx").alias("idx"),
+        F.col("_n").alias("n"),
+    )
+
+    def _sketch(err_val: int):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.filter(
+                        F.collect_list(entry), lambda x: x.err == err_val
+                    )
+                ),
+                lambda x: F.concat_ws(
+                    ":", x.idx.cast("string"), x.n.cast("string")
+                ),
+            ),
+            " ",
+        )
+
+    return (
+        s1.groupBy(*key)
+        .agg(
+            F.sum("_n").alias("hits"),
+            F.sum(F.col("_err") * F.col("_n")).alias("errors"),
+            F.sum("_tn").alias("top_level_hits"),
+            F.sum("_ds").alias("duration_ns"),
+            _sketch(0).alias("ok_sketch"),
+            _sketch(1).alias("err_sketch"),
+        )
+        .withColumnRenamed("span_kind_l", "span_kind")
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import datagen
@@ -785,7 +785,9 @@ SELECT event_id,
            THEN lower(rpc_system) || '.client.request'
          WHEN rpc_system IS NOT NULL AND kind = 'SERVER'
            THEN lower(rpc_system) || '.server.request'
-         ELSE lower(kind)
+         WHEN kind = 'SERVER' THEN 'server.request'
+         WHEN kind = 'CLIENT' THEN 'client.request'
+         ELSE upper(kind[1]) || lower(kind[2:])
        END AS datadog_name,
        CASE
          WHEN kind IN ('SERVER', 'CONSUMER') THEN 'web'
@@ -841,6 +843,178 @@ def q_datadog_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "datadog_name", "datadog_type", "datadog_span_kind",
         "git_commit_sha", "git_repository_url",
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# datadogconnector traces->metrics (pkg/datadog/apmstats/connector.go):
+# the agent Concentrator's ClientGroupedStats over 10s buckets --
+# eligibility (top-level by span kind + measured client/producer +
+# _dd.measured), V2 operation names, DDSketch duration distributions
+# serialized canonically. Spans modeled on events; every rule row of
+# pkg/datadog/apmstats/connector_test.go:368-487 is exercised.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "datadog_apm_stats_events",
+    """
+WITH sp AS (
+  SELECT user_id AS trace_id, event_id AS span_id,
+         LAG(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS parent_span_id,
+         ['SERVER','CONSUMER','CLIENT','INTERNAL','PRODUCER']
+           [1 + event_id % 5] AS kind,
+         CASE WHEN user_id % 7 <> 0
+              THEN 'svc' || CAST(user_id % 5 AS VARCHAR) END AS service,
+         CASE WHEN user_id % 5 <> 0
+              THEN 'env' || CAST(user_id % 2 AS VARCHAR) END AS env,
+         event_type AS resource,
+         epoch_us(ts) * 1000 AS start_ns,
+         CAST(FLOOR(value * 1000000) AS BIGINT) + 1 AS dur,
+         event_type = 'error' AS is_err,
+         CASE WHEN event_id % 11 = 0 THEN 1 END AS measured,
+         CASE WHEN event_type = 'view' THEN 'GET' END AS http_method,
+         CASE WHEN event_type = 'purchase' THEN 'MySQL' END AS db_system,
+         CASE WHEN event_type = 'click' THEN 'kafka' END AS msg_system,
+         CASE WHEN event_type = 'click' THEN 'Process' END AS msg_op,
+         CASE WHEN event_type = 'signup' THEN 'gRPC' END AS rpc_system,
+         CASE WHEN event_type = 'error' THEN 'Custom-Op' END AS op_attr,
+         'peer' || CAST(user_id % 3 AS VARCHAR) AS peer_name
+  FROM events),
+el AS (
+  SELECT *,
+         (parent_span_id IS NULL OR kind IN ('SERVER','CONSUMER'))
+           AS is_top,
+         (parent_span_id IS NULL) AS is_root
+  FROM sp
+  WHERE (parent_span_id IS NULL OR kind IN ('SERVER','CONSUMER'))
+     OR measured = 1 OR kind IN ('CLIENT','PRODUCER')),
+k AS (
+  SELECT (start_ns + dur) - (start_ns + dur) % 10000000000
+           AS bucket_start,
+         COALESCE(env, 'default') AS env,
+         COALESCE(service, 'otlpresourcenoservicename') AS service,
+         CASE
+           WHEN op_attr IS NOT NULL THEN lower(op_attr)
+           WHEN http_method IS NOT NULL AND kind = 'SERVER'
+             THEN 'http.server.request'
+           WHEN http_method IS NOT NULL AND kind = 'CLIENT'
+             THEN 'http.client.request'
+           WHEN db_system IS NOT NULL AND kind = 'CLIENT'
+             THEN lower(db_system) || '.query'
+           WHEN msg_system IS NOT NULL AND msg_op IS NOT NULL
+                AND kind IN ('PRODUCER','CONSUMER','CLIENT','SERVER')
+             THEN lower(msg_system) || '.' || lower(msg_op)
+           WHEN rpc_system IS NOT NULL AND kind = 'CLIENT'
+             THEN lower(rpc_system) || '.client.request'
+           WHEN rpc_system IS NOT NULL AND kind = 'SERVER'
+             THEN lower(rpc_system) || '.server.request'
+           WHEN kind = 'SERVER' THEN 'server.request'
+           WHEN kind = 'CLIENT' THEN 'client.request'
+           ELSE upper(kind[1]) || lower(kind[2:])
+         END AS op_name,
+         resource,
+         CASE WHEN kind IN ('SERVER','CONSUMER') THEN 'web'
+              WHEN kind = 'CLIENT' AND db_system IS NOT NULL THEN 'db'
+              WHEN kind = 'CLIENT' THEN 'http'
+              WHEN kind = 'PRODUCER' THEN 'queue'
+              ELSE 'custom' END AS span_type,
+         lower(kind) AS span_kind,
+         CAST(is_root AS INT) AS is_trace_root,
+         CASE WHEN kind IN ('CLIENT','PRODUCER') THEN
+           CASE WHEN db_system IS NOT NULL
+                THEN 'db.system.name:' || db_system
+                     || ' net.peer.name:' || peer_name
+                ELSE 'net.peer.name:' || peer_name END
+         ELSE '' END AS peer_tags,
+         CAST(is_top AS INT) AS topn,
+         CAST(is_err AS INT) AS errn,
+         dur,
+         CASE WHEN dur > 0
+              THEN CAST(CEIL(LN(CAST(dur AS DOUBLE))
+                             / 0.020000666706669435) AS BIGINT)
+              ELSE 0 END AS idx
+  FROM el),
+s1 AS (
+  SELECT bucket_start, env, service, op_name, resource, span_type,
+         span_kind, is_trace_root, peer_tags, errn, idx,
+         COUNT(*) AS n, CAST(SUM(dur) AS BIGINT) AS ds,
+         CAST(SUM(topn) AS BIGINT) AS tn
+  FROM k GROUP BY ALL)
+SELECT bucket_start, env, service, op_name, resource, span_type,
+       span_kind, is_trace_root, peer_tags,
+       CAST(SUM(n) AS BIGINT) AS hits,
+       CAST(SUM(errn * n) AS BIGINT) AS errors,
+       CAST(SUM(tn) AS BIGINT) AS top_level_hits,
+       CAST(SUM(ds) AS BIGINT) AS duration_ns,
+       COALESCE(string_agg(CASE WHEN errn = 0 THEN
+           CAST(idx AS VARCHAR) || ':' || CAST(n AS VARCHAR) END,
+           ' ' ORDER BY idx), '') AS ok_sketch,
+       COALESCE(string_agg(CASE WHEN errn = 1 THEN
+           CAST(idx AS VARCHAR) || ':' || CAST(n AS VARCHAR) END,
+           ' ' ORDER BY idx), '') AS err_sketch
+FROM s1 GROUP BY 1,2,3,4,5,6,7,8,9
+ORDER BY 1,2,3,4,5,6,7,8,9
+""",
+)
+def q_datadog_apm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import datadog as DD
+
+    ev = _read(spark, sf_dir, "events")
+    kinds = F.array(
+        *[F.lit(k) for k in
+          ["SERVER", "CONSUMER", "CLIENT", "INTERNAL", "PRODUCER"]]
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    spans = ev.select(
+        F.col("user_id").alias("trace_id"),
+        F.col("event_id").alias("span_id"),
+        F.lag("event_id").over(w).alias("parent_span_id"),
+        F.element_at(kinds, (F.col("event_id") % 5 + 1).cast("int"))
+        .alias("span_kind"),
+        F.when(
+            F.col("user_id") % 7 != 0,
+            F.concat(F.lit("svc"), (F.col("user_id") % 5).cast("string")),
+        ).alias("service.name"),
+        F.when(
+            F.col("user_id") % 5 != 0,
+            F.concat(F.lit("env"), (F.col("user_id") % 2).cast("string")),
+        ).alias("env"),
+        F.col("event_type").alias("resource"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .alias("start_ns"),
+        (F.floor(F.col("value") * 1000000).cast("bigint") + 1)
+        .alias("duration_ns"),
+        (F.col("event_type") == "error").alias("is_error"),
+        F.when(F.col("event_id") % 11 == 0, 1).alias("_dd.measured"),
+        F.when(F.col("event_type") == "view", "GET")
+        .alias("http.request.method"),
+        F.when(F.col("event_type") == "purchase", "MySQL")
+        .alias("db.system.name"),
+        F.when(F.col("event_type") == "click", "kafka")
+        .alias("messaging.system"),
+        F.when(F.col("event_type") == "click", "Process")
+        .alias("messaging.operation.type"),
+        F.when(F.col("event_type") == "signup", "gRPC")
+        .alias("rpc.system"),
+        F.when(F.col("event_type") == "error", "Custom-Op")
+        .alias("operation.name"),
+        F.concat(F.lit("peer"), (F.col("user_id") % 3).cast("string"))
+        .alias("net.peer.name"),
+    )
+    out = DD.apm_stats(
+        spans, peer_tag_cols=["db.system.name", "net.peer.name"]
+    )
+    return out.select(
+        "bucket_start", "env", "service", "op_name", "resource",
+        "span_type", "span_kind",
+        F.col("is_trace_root").cast("int").alias("is_trace_root"),
+        "peer_tags", "hits", "errors", "top_level_hits", "duration_ns",
+        "ok_sketch", "err_sketch",
+    ).orderBy(
+        "bucket_start", "env", "service", "op_name", "resource",
+        "span_type", "span_kind", "is_trace_root", "peer_tags",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,7 @@ _CONST_BROADCAST = {
     "lm_ccnet_buckets_documents",  # same 1-row LM totals broadcast
     "dsir_scores_documents",  # 1-row distribution-totals broadcast
     "isolation_forest_events",  # 1-row contamination-threshold broadcast
+    "metric_start_time_metric_events",  # 1-row first-start-point broadcast
 }
 
 

@@ -33,6 +33,8 @@ _FULL_SCAN_ALLOWED = {
     ("lookup_enrich_customer", "nation"),
     ("lookup_enrich_customer", "region"),
     ("stanza_transformers_documents", "documents"),
+    # span fixture derives a field from every one of the 6 event cols
+    ("slow_sql_logs_events", "events"),
 }
 
 _SCAN_RE = re.compile(
