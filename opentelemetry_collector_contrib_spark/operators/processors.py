@@ -363,6 +363,202 @@ def redaction_processor(
     return out.withColumn("redacted_count", total)
 
 
+def _mask_full(value: Column, hash_function: str | None) -> Column:
+    """maskValue(value, /.*/): Go skips the empty match trailing a
+    non-empty one, so a full-value mask is ONE hash/mask of the whole
+    string (processor_test.go:481 expects exactly md5("apinize"))."""
+    if hash_function == "md5":
+        return F.md5(value)
+    if hash_function == "sha1":
+        return F.sha1(value)
+    if hash_function == "sha3":
+        # reference uses sha3-256 (processor.go:399); Spark has no
+        # builtin SHA-3 -- sha2-256 is NOT equivalent, so refuse loudly
+        # rather than silently substitute.
+        raise NotImplementedError(
+            "sha3 masking needs a pandas_udf over hashlib.sha3_256; "
+            "md5/sha1 are JVM-native"
+        )
+    return F.lit("****")
+
+
+def redaction_processor_full(
+    df: DataFrame,
+    attr_cols: list[str],
+    *,
+    allow_all_keys: bool = False,
+    allowed_keys: list[str] | None = None,
+    ignored_keys: list[str] | None = None,
+    ignored_key_patterns: list[str] | None = None,
+    blocked_key_patterns: list[str] | None = None,
+    blocked_values: list[str] | None = None,
+    allowed_values: list[str] | None = None,
+    hash_function: str | None = None,
+    url_sanitize_attrs: list[str] | None = None,
+    summary: str = "info",
+) -> DataFrame:
+    """redactionprocessor with the FULL published config surface
+    (processor/redactionprocessor/config.go:27-83, processor.go:337-433
+    processAttrs order):
+
+    per attribute key k (a column here; absent attr = NULL value):
+      1. ignored (exact key or ignored_key_patterns)  -> untouched;
+      2. redact-key (not allow_all_keys and k not in allowed_keys)
+         -> attribute DELETED (column dropped from the output);
+      3. allowed value (any allowed_values regex matches) -> untouched;
+      4. blocked key (any blocked_key_patterns matches k) -> the WHOLE
+         value masked: "****" or hex(hash(value)) per hash_function
+         (md5/sha1; the trailing-empty-match subtlety documented in
+         :func:`_mask_full`);
+      5. else every blocked_values regex: each matched substring is
+         replaced with "****"/hash(match) (ReplaceAllStringFunc,
+         processor.go:393-407); the key counts as masked iff the value
+         changed.
+
+    Summary attributes (processor.go:416-433 addMetaAttrs; constants
+    :567-573): summary="debug" adds redaction.<cat>.keys (sorted,
+    ","-joined; no keys attr for ignored) AND redaction.<cat>.count;
+    "info" adds counts only; "silent" neither. A count attr is only
+    present (non-NULL) when the count is nonzero.
+
+    All map-only Column expressions -- no shuffle, scale-free.
+    """
+    allowed_keys = allowed_keys or []
+    ignored_keys = ignored_keys or []
+    ignored_key_patterns = ignored_key_patterns or []
+    blocked_key_patterns = blocked_key_patterns or []
+    blocked_values = blocked_values or []
+    allowed_values = allowed_values or []
+    url_sanitize_attrs = url_sanitize_attrs or []
+
+    import re as _re
+
+    def key_ignored(k: str) -> bool:
+        return k in ignored_keys or any(
+            _re.search(p, k) for p in ignored_key_patterns
+        )
+
+    def key_redacted(k: str) -> bool:
+        return not allow_all_keys and k not in allowed_keys
+
+    def key_blocked(k: str) -> bool:
+        return any(_re.search(p, k) for p in blocked_key_patterns)
+
+    def _c(k: str) -> Column:
+        return F.col(f"`{k}`") if "." in k else F.col(k)
+
+    present = {k: _c(k).isNotNull() for k in attr_cols}
+    ignored_ks = [k for k in attr_cols if key_ignored(k)]
+    redacted_ks = [
+        k for k in attr_cols if not key_ignored(k) and key_redacted(k)
+    ]
+    live_ks = [
+        k for k in attr_cols
+        if not key_ignored(k) and not key_redacted(k)
+    ]
+
+    value_allowed = {}
+    for k in live_ks:
+        cond = F.lit(False)
+        for p in allowed_values:
+            cond = cond | F.coalesce(
+                _c(k).rlike(p), F.lit(False)
+            )
+        value_allowed[k] = cond
+
+    # everything below is ONE projection over the input columns: every
+    # expression (new values, masked flags, summary arrays) binds to
+    # the ORIGINAL column, never to a rewritten one
+    new_value: dict[str, Column] = {}
+    masked_flag: dict[str, Column] = {}
+    for k in live_ks:
+        old = _c(k)
+        if key_blocked(k):
+            new_value[k] = F.when(
+                present[k] & ~value_allowed[k],
+                _mask_full(old, hash_function),
+            ).otherwise(old)
+            masked_flag[k] = present[k] & ~value_allowed[k]
+        else:
+            new = old
+            for p in blocked_values:
+                if hash_function:
+                    # ReplaceAllStringFunc: each matched substring ->
+                    # hash(match). Identical substrings hash
+                    # identically, so replacing by literal is exact.
+                    matches = F.regexp_extract_all(
+                        new, F.lit(p), 0
+                    )
+                    new = F.aggregate(
+                        matches,
+                        new,
+                        lambda acc, m: F.replace(
+                            acc, m, _mask_full(m, hash_function)
+                        ),
+                    )
+                else:
+                    new = F.regexp_replace(new, p, "****")
+            if k in url_sanitize_attrs:
+                # url_sanitizer runs AFTER blocked values inside
+                # processStringValueForAttribute (processor.go:437-449)
+                # and counts the key as masked when the value changed
+                # (processor_test.go:1500-1528 expects masked_count=2)
+                from .url_sanitize import sanitize_url
+
+                new = sanitize_url(new)
+            gated = F.when(
+                present[k] & ~value_allowed[k], new
+            ).otherwise(old)
+            new_value[k] = gated
+            masked_flag[k] = (
+                present[k] & ~value_allowed[k] & (new != old)
+            )
+
+    def keys_arr(ks: list[str], flags: dict[str, Column] | None) -> Column:
+        entries = [
+            F.when(
+                flags[k] if flags is not None else present[k], F.lit(k)
+            )
+            for k in ks
+        ]
+        if not entries:
+            entries = [F.lit(None).cast("string")]
+        return F.array_sort(
+            F.filter(F.array(*entries), lambda x: x.isNotNull())
+        )
+
+    arrs = {
+        "redacted": keys_arr(redacted_ks, None),
+        "masked": keys_arr(live_ks, masked_flag),
+        "allowed": keys_arr(
+            live_ks, {k: present[k] & value_allowed[k] for k in live_ks}
+        ),
+        "ignored": keys_arr(ignored_ks, None),
+    }
+
+    cols: list[Column] = []
+    for k in df.columns:
+        if k in redacted_ks:
+            continue
+        if k in new_value:
+            cols.append(new_value[k].alias(k))
+        else:
+            cols.append(_c(k))
+    if summary in ("debug", "info"):
+        for name in ("redacted", "masked", "allowed", "ignored"):
+            n = F.size(arrs[name])
+            if summary == "debug" and name != "ignored":
+                cols.append(
+                    F.when(n > 0, F.array_join(arrs[name], ","))
+                    .alias(f"redaction.{name}.keys")
+                )
+            cols.append(
+                F.when(n > 0, n.cast("long"))
+                .alias(f"redaction.{name}.count")
+            )
+    return df.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # unrollprocessor (processor/unrollprocessor/processor.go:31-69)
 # ---------------------------------------------------------------------------

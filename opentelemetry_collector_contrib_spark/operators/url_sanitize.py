@@ -1,0 +1,69 @@
+"""URL sanitization (redactionprocessor url_sanitizer).
+
+The reference delegates to the published grafana clusterurl classifier
+(processor/redactionprocessor/internal/url/sanitizer.go:46-50) which
+replaces id-like path segments with ``*``. Its n-gram "gibberish"
+model is a trained artifact; this implementation substitutes the
+DETERMINISTIC published heuristics (documented substitution, same
+convention as the engine's other model-backed stand-ins) and pins the
+observable behavior to the reference's own expectations
+(processor_test.go:1426-1467: ``/users/2`` -> ``/users/*``,
+``/products/1/org/3`` -> ``/products/*/org/*``, ``/v1/products/22`` ->
+``/v1/products/*`` — version segments like ``v1`` survive).
+
+Segment rules (masked -> ``*``):
+- purely numeric;
+- UUID (8-4-4-4-12 hex);
+- hex string of >= 8 chars containing at least one digit;
+- mixed letters+digits of >= 3 chars that is NOT ``v<digits>``.
+
+Map-only higher-order-function transform over the split path — no
+UDF, no shuffle; the SQL twin is generated for DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_NUM = r"^[0-9]+$"
+_UUID = (
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+_HEX = r"^[0-9a-fA-F]{8,}$"
+_VERSION = r"^[vV][0-9]+$"
+_MIXED = r"^(?=.*[0-9])(?=.*[A-Za-z])[A-Za-z0-9]{3,}$"
+
+
+def sanitize_url(col: Column) -> Column:
+    """Replace id-like path segments with ``*``."""
+    def seg(x: Column) -> Column:
+        keep = x.rlike(_VERSION)
+        masked = (
+            x.rlike(_NUM)
+            | x.rlike(_UUID)
+            | (x.rlike(_HEX) & x.rlike("[0-9]"))
+            | x.rlike(_MIXED)
+        )
+        return F.when(~keep & masked, F.lit("*")).otherwise(x)
+
+    return F.array_join(F.transform(F.split(col, "/"), seg), "/")
+
+
+def sanitize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`sanitize_url` (RE2 has no lookahead, so
+    the mixed-letters+digits rule is spelled as two tests)."""
+    return (
+        "array_to_string(list_transform(string_split(" + expr + ", '/'),"
+        " x -> CASE WHEN regexp_matches(x, '^[vV][0-9]+$') THEN x"
+        " WHEN regexp_matches(x, '^[0-9]+$')"
+        " OR regexp_matches(x, '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-"
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')"
+        " OR (regexp_matches(x, '^[0-9a-fA-F]{8,}$')"
+        "     AND regexp_matches(x, '[0-9]'))"
+        " OR (regexp_matches(x, '^[A-Za-z0-9]{3,}$')"
+        "     AND regexp_matches(x, '[0-9]')"
+        "     AND regexp_matches(x, '[A-Za-z]'))"
+        " THEN '*' ELSE x END), '/')"
+    )

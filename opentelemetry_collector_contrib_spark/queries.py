@@ -1427,6 +1427,234 @@ def q_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# redactionprocessor FULL config surface (config.go:27-83,
+# processor.go:337-433): allowed/ignored/blocked keys, blocked/allowed
+# value regexes, md5 hashing, debug summary attrs. Fixture keeps at
+# most ONE blocked-value match per value so the oracle's
+# per-match hash is plain replace(s, m, md5(m)).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "redaction_full_events",
+    """
+WITH at AS (
+  SELECT event_id,
+         CAST(user_id AS VARCHAR) AS id,
+         'placeholder ' || CASE WHEN event_id % 3 = 0
+             THEN '4' || lpad(CAST(event_id % 1000000000000 AS VARCHAR),
+                              12, '0')
+             ELSE 'clean' END AS name,
+         CASE WHEN event_id % 2 = 0 THEN '4111111111111111'
+              END AS credit_card,
+         CASE WHEN event_id % 5 <> 1 THEN 'tok-' || event_type
+              END AS token_some,
+         'harmless 4111111111111112' AS safe_attribute,
+         'u' || CAST(user_id AS VARCHAR) ||
+           CASE WHEN event_id % 4 = 0 THEN '@mycompany.com'
+                ELSE '@other.org' END AS email
+  FROM events),
+m AS (
+  SELECT *,
+         regexp_extract(name, '4[0-9]{12}(?:[0-9]{3})?', 0) AS cc_m,
+         email LIKE '%@mycompany.com' AS email_ok
+  FROM at),
+r AS (
+  SELECT event_id, id,
+         CASE WHEN cc_m <> '' THEN replace(name, cc_m, md5(cc_m))
+              ELSE name END AS name,
+         CASE WHEN token_some IS NOT NULL THEN md5(token_some)
+              END AS token_some,
+         safe_attribute, email,
+         (credit_card IS NOT NULL) AS was_redacted,
+         (cc_m <> '') AS name_masked,
+         (token_some IS NOT NULL) AS token_masked,
+         email_ok
+  FROM m)
+SELECT event_id, id, name, token_some, safe_attribute, email,
+       CASE WHEN was_redacted THEN 'credit_card'
+            END AS "redaction.redacted.keys",
+       CASE WHEN was_redacted THEN CAST(1 AS BIGINT)
+            END AS "redaction.redacted.count",
+       CASE WHEN name_masked AND token_masked THEN 'name,token_some'
+            WHEN name_masked THEN 'name'
+            WHEN token_masked THEN 'token_some'
+            END AS "redaction.masked.keys",
+       CASE WHEN name_masked AND token_masked THEN CAST(2 AS BIGINT)
+            WHEN name_masked OR token_masked THEN CAST(1 AS BIGINT)
+            END AS "redaction.masked.count",
+       CASE WHEN email_ok THEN 'email'
+            END AS "redaction.allowed.keys",
+       CASE WHEN email_ok THEN CAST(1 AS BIGINT)
+            END AS "redaction.allowed.count",
+       CAST(1 AS BIGINT) AS "redaction.ignored.count"
+FROM r ORDER BY event_id
+""",
+)
+def q_redaction_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    attrs = ev.select(
+        "event_id",
+        F.col("user_id").cast("string").alias("id"),
+        F.concat(
+            F.lit("placeholder "),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.concat(
+                    F.lit("4"),
+                    F.lpad(
+                        (F.col("event_id") % 1000000000000)
+                        .cast("string"),
+                        12, "0",
+                    ),
+                ),
+            ).otherwise(F.lit("clean")),
+        ).alias("name"),
+        F.when(F.col("event_id") % 2 == 0, "4111111111111111")
+        .alias("credit_card"),
+        F.when(
+            F.col("event_id") % 5 != 1,
+            F.concat(F.lit("tok-"), F.col("event_type")),
+        ).alias("token_some"),
+        F.lit("harmless 4111111111111112").alias("safe_attribute"),
+        F.concat(
+            F.lit("u"), F.col("user_id").cast("string"),
+            F.when(F.col("event_id") % 4 == 0, "@mycompany.com")
+            .otherwise("@other.org"),
+        ).alias("email"),
+    )
+    out = PR.redaction_processor_full(
+        attrs,
+        ["id", "name", "credit_card", "token_some", "safe_attribute",
+         "email"],
+        allowed_keys=["id", "name", "token_some", "email"],
+        ignored_keys=["safe_attribute"],
+        blocked_key_patterns=[".*token.*"],
+        blocked_values=["4[0-9]{12}(?:[0-9]{3})?"],
+        allowed_values=[".+@mycompany\\.com"],
+        hash_function="md5",
+        summary="debug",
+    )
+    return out.orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# redactionprocessor db_sanitizer (internal/db/obfuscators.go -> the
+# published datadog-agent obfuscator): SQL / Redis / Memcached /
+# ES-JSON statement sanitization, semantics pinned by
+# internal/db/obfuscators_test.go vectors (test_db_obfuscate.py).
+# ---------------------------------------------------------------------------
+
+
+def _db_sanitizer_oracle() -> str:
+    from .operators import db_obfuscate as DBO
+
+    return f"""
+WITH st AS (
+  SELECT event_id,
+         'SELECT * FROM orders WHERE user_id = '
+           || CAST(user_id AS VARCHAR) || ' AND note = ''n'
+           || CAST(event_id % 100 AS VARCHAR) || '''' AS sql_stmt,
+         'SET session:' || CAST(user_id AS VARCHAR) || ' tok'
+           || CAST(event_id % 7 AS VARCHAR) AS redis_stmt,
+         'set k' || CAST(user_id AS VARCHAR) || ' 0 60 5' || chr(13)
+           || chr(10) || 'payload' || CAST(event_id AS VARCHAR)
+           AS memcached_stmt,
+         '{{"query": {{"match": {{"user": "u'
+           || CAST(user_id AS VARCHAR)
+           || '", "n": ' || CAST(event_id % 9 AS VARCHAR) || '}}}}}}'
+           AS es_stmt
+  FROM events)
+SELECT event_id,
+       {DBO.obfuscate_sql_sql('sql_stmt')} AS sql_sanitized,
+       {DBO.obfuscate_redis_sql('redis_stmt')} AS redis_sanitized,
+       {DBO.obfuscate_memcached_sql('memcached_stmt')}
+         AS memcached_sanitized,
+       {DBO.obfuscate_es_json_sql('es_stmt')} AS es_sanitized
+FROM st ORDER BY event_id
+"""
+
+
+def _url_sanitize_oracle() -> str:
+    from .operators import url_sanitize as US
+
+    return f"""
+WITH u AS (
+  SELECT event_id,
+         '/api/v' || CAST(1 + event_id % 3 AS VARCHAR)
+           || '/users/' || CAST(user_id AS VARCHAR)
+           || '/session/' || md5(CAST(event_id AS VARCHAR))
+           || '/' || event_type AS url
+  FROM events)
+SELECT event_id, url, {US.sanitize_url_sql('url')} AS url_sanitized
+FROM u ORDER BY event_id
+"""
+
+
+@register("url_sanitize_events", _url_sanitize_oracle())
+def q_url_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """redactionprocessor url_sanitizer (internal/url/sanitizer.go):
+    id-like path segments -> '*', version tags and words kept. md5 hex
+    segments exercise the hex rule; user ids the numeric rule."""
+    from .operators import url_sanitize as US
+
+    ev = _read(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("/api/v"), (1 + F.col("event_id") % 3).cast("string"),
+        F.lit("/users/"), F.col("user_id").cast("string"),
+        F.lit("/session/"), F.md5(F.col("event_id").cast("string")),
+        F.lit("/"), F.col("event_type"),
+    )
+    return (
+        ev.select("event_id", url.alias("url"))
+        .select(
+            "event_id", "url",
+            US.sanitize_url(F.col("url")).alias("url_sanitized"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register("db_sanitizer_events", _db_sanitizer_oracle())
+def q_db_sanitizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import db_obfuscate as DBO
+
+    ev = _read(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    eid = F.col("event_id")
+    st = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("SELECT * FROM orders WHERE user_id = "), uid,
+            F.lit(" AND note = 'n"), (eid % 100).cast("string"),
+            F.lit("'"),
+        ).alias("sql_stmt"),
+        F.concat(
+            F.lit("SET session:"), uid, F.lit(" tok"),
+            (eid % 7).cast("string"),
+        ).alias("redis_stmt"),
+        F.concat(
+            F.lit("set k"), uid, F.lit(" 0 60 5\r\npayload"),
+            eid.cast("string"),
+        ).alias("memcached_stmt"),
+        F.concat(
+            F.lit('{"query": {"match": {"user": "u'), uid,
+            F.lit('", "n": '), (eid % 9).cast("string"),
+            F.lit("}}}"),
+        ).alias("es_stmt"),
+    )
+    return st.select(
+        "event_id",
+        DBO.obfuscate_sql(F.col("sql_stmt")).alias("sql_sanitized"),
+        DBO.obfuscate_redis(F.col("redis_stmt"))
+        .alias("redis_sanitized"),
+        DBO.obfuscate_memcached(F.col("memcached_stmt"))
+        .alias("memcached_sanitized"),
+        DBO.obfuscate_es_json(F.col("es_stmt")).alias("es_sanitized"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # lookupprocessor: broadcast enrichment (customer x nation x region)
 # (processor/lookupprocessor/processor.go:21-40)
 # ---------------------------------------------------------------------------

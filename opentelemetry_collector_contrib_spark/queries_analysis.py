@@ -1683,3 +1683,53 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_ann_search(qs, emb, cent, k=5, nprobe=2).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy core case): UTF-8 decoded as latin-1/cp1252.
+# Fixture injects deterministic corruption (every 'e' UTF-8-as-latin-1
+# plus a punctuation-mojibake suffix); the repair chain and the SQL
+# twin are generated from the SAME derived table (analysis/mojibake.py)
+# so the oracle asserts byte-identical repaired text.
+# ---------------------------------------------------------------------------
+
+from .analysis import mojibake as MJ  # noqa: E402
+
+_MOJI_E = MJ._mojibake_of(0xE9)          # 'Ã©'
+_MOJI_SUFFIX = (
+    " caf" + _MOJI_E
+    + " " + MJ._mojibake_of(0x2014)      # em dash
+    + " " + MJ._mojibake_of(0x2026)      # ellipsis
+    + " " + MJ._mojibake_of(0x20AC) + "42"   # euro sign
+)
+
+_MOJIBAKE_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         replace(text, 'e', {MJ._sql_quote(_MOJI_E)})
+           || {MJ._sql_quote(_MOJI_SUFFIX)} AS corrupt
+  FROM documents),
+f AS (
+  SELECT doc_id, corrupt, {MJ.fix_sql('corrupt')} AS text_fixed
+  FROM c)
+SELECT doc_id, text_fixed,
+       CAST(length(corrupt) - length(text_fixed) AS BIGINT)
+         AS chars_repaired
+FROM f ORDER BY doc_id
+"""
+
+
+@register("mojibake_fix_documents", _MOJIBAKE_ORACLE)
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corrupt = F.concat(
+        F.replace(F.col("text"), F.lit("e"), F.lit(_MOJI_E)),
+        F.lit(_MOJI_SUFFIX),
+    )
+    fixed = MJ.fix_mojibake(corrupt)
+    return docs.select(
+        "doc_id",
+        fixed.alias("text_fixed"),
+        (F.length(corrupt) - F.length(fixed)).cast("long")
+        .alias("chars_repaired"),
+    ).orderBy("doc_id")

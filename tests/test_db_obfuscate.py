@@ -1,0 +1,82 @@
+"""DB-statement sanitization vs the reference's own expectations
+(processor/redactionprocessor/internal/db/obfuscators_test.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import db_obfuscate as DB
+
+
+def _apply(spark, fn, s):
+    df = spark.createDataFrame([Row(t=s)])
+    return df.select(fn(F.col("t")).alias("o")).first()["o"]
+
+
+# (obfuscator, input, expected) — each row cites the reference test
+_VECTORS = [
+    # obfuscators_test.go:50-51
+    (DB.obfuscate_sql, "SELECT * FROM users WHERE id = 123",
+     "SELECT * FROM users WHERE id = ?"),
+    # :58-59
+    (DB.obfuscate_sql, "INSERT INTO users (name, age) VALUES ('john', 25)",
+     "INSERT INTO users ( name, age ) VALUES ( ? )"),
+    # :66-67
+    (DB.obfuscate_sql, "SELECT * FROM users", "SELECT * FROM users"),
+    # :124-125
+    (DB.obfuscate_redis, "SET user:123 john", "SET user:123 ?"),
+    # :131-132
+    (DB.obfuscate_redis, "GET user:123", "GET user:123"),
+    # :192 (KeepCommand=true: command line survives)
+    (DB.obfuscate_memcached, "set mykey 0 60 5", "set mykey 0 60 5"),
+    # :199
+    (DB.obfuscate_memcached, "get mykey", "get mykey"),
+    # :319 (values masked AND compact re-serialization)
+    (DB.obfuscate_es_json, '{"query": {"match": {"title": "test"}}}',
+     '{"query":{"match":{"title":"?"}}}'),
+]
+
+
+@pytest.mark.parametrize("fn,inp,want", _VECTORS)
+def test_reference_vectors(spark, fn, inp, want):
+    assert _apply(spark, fn, inp) == want
+
+
+def test_memcached_payload_dropped(spark):
+    assert _apply(
+        spark, DB.obfuscate_memcached, "set mykey 0 60 5\r\nhello"
+    ) == "set mykey 0 60 5"
+
+
+def test_es_json_numbers_and_bools(spark):
+    assert _apply(
+        spark, DB.obfuscate_es_json,
+        '{"range": {"age": {"gte": 30, "active": true}}}',
+    ) == '{"range":{"age":{"gte":"?","active":"?"}}}'
+
+
+_SQL_FNS = {
+    "sql": (DB.obfuscate_sql, DB.obfuscate_sql_sql),
+    "redis": (DB.obfuscate_redis, DB.obfuscate_redis_sql),
+    "memcached": (DB.obfuscate_memcached, DB.obfuscate_memcached_sql),
+    "es": (DB.obfuscate_es_json, DB.obfuscate_es_json_sql),
+}
+
+
+@pytest.mark.parametrize("kind", list(_SQL_FNS))
+def test_sql_twin_matches_spark(spark, duck_oracle, kind):
+    fn, sql_fn = _SQL_FNS[kind]
+    samples = [inp for f, inp, _ in _VECTORS if f is fn] + [
+        "set mykey 0 60 5\r\npayload",
+        '{"a": "b", "n": -1.5e3, "z": null}',
+        "UPDATE t SET x = 'a''b' WHERE y IN (1, 2, 3)",
+        "DEL user:1 user:2 user:3",
+    ]
+    for s in samples:
+        got_spark = _apply(spark, fn, s)
+        got_duck = duck_oracle.execute(
+            f"SELECT {sql_fn('s')} FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert got_spark == got_duck, (kind, s)

@@ -1,0 +1,58 @@
+"""Mojibake repair semantics (analysis/mojibake.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.analysis import mojibake as MJ
+
+
+def _fix(spark, s: str) -> str:
+    df = spark.createDataFrame([Row(t=s)])
+    return df.select(MJ.fix_mojibake(F.col("t")).alias("f")).first()["f"]
+
+
+def test_table_is_derived_and_ordered():
+    # every entry round-trips: moji = UTF-8 bytes of fixed char read
+    # through cp1252-with-latin1-fallback
+    for moji, fixed in MJ.MOJIBAKE_TABLE:
+        assert moji == MJ._mojibake_of(ord(fixed))
+    # longest-first so 3-byte corruptions are never half-fixed
+    lens = [len(m) for m, _ in MJ.MOJIBAKE_TABLE]
+    assert lens == sorted(lens, reverse=True)
+    # latin-1 supplement (95 chars) + cp1252 upper region (27 chars)
+    assert len(MJ.MOJIBAKE_TABLE) == 95 + 27
+
+
+def test_classic_cases(spark):
+    assert _fix(spark, "cafÃ©") == "café"
+    assert _fix(spark, "dÃ©jÃ  vu") == "déjà vu"
+    # cp1252 punctuation: â€” is the em-dash mojibake
+    assert _fix(spark, "a â€” b") == "a — b"
+    assert _fix(spark, "waitâ€¦") == "wait…"
+
+
+def test_clean_ascii_is_fixed_point(spark):
+    s = "plain ASCII text 123 with no mojibake!"
+    assert _fix(spark, s) == s
+
+
+def test_every_entry_repairs_in_context(spark):
+    corrupted = "|".join(m for m, _ in MJ.MOJIBAKE_TABLE)
+    expected = "|".join(f for _, f in MJ.MOJIBAKE_TABLE)
+    assert _fix(spark, "x" + corrupted + "y") == "x" + expected + "y"
+
+
+def test_sql_twin_matches_spark(spark, duck_oracle):
+    samples = [
+        "cafÃ© â€” dÃ©jÃ ",
+        "clean",
+        "naÃ¯ve â€¦ â‚¬9",
+    ]
+    got_spark = [_fix(spark, s) for s in samples]
+    got_duck = [
+        duck_oracle.execute(f"SELECT {MJ.fix_sql('?')}", [s]).fetchone()[0]
+        for s in samples
+    ]
+    assert got_spark == got_duck

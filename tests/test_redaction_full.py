@@ -1,0 +1,188 @@
+"""redactionprocessor full config surface vs the reference's own
+expectations (processor/redactionprocessor/processor_test.go:381-487
+TestRedactSummaryDebugHashMD5): allowed keys, ignored keys + patterns,
+blocked key patterns (full-value md5), blocked values (per-match md5),
+allowed values, debug summary attrs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.processors import (
+    redaction_processor_full,
+)
+
+_CFG = dict(
+    allowed_keys=[
+        "id", "group", "name", "group.id", "member (id)",
+        "token_some", "api_key_some", "email",
+    ],
+    blocked_values=["4[0-9]{12}(?:[0-9]{3})?"],
+    hash_function="md5",
+    ignored_keys=["safe_attribute"],
+    ignored_key_patterns=["safeRE_attribute.*"],
+    blocked_key_patterns=[".*token.*", ".*api_key.*"],
+    summary="debug",
+)
+
+_ATTRS = [
+    "id", "group.id", "member (id)", "name", "safe_attribute",
+    "safeRE_attribute_id", "safeRE_attribute_source", "credit_card",
+    "token_some", "api_key_some", "email",
+]
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _run(spark):
+    df = spark.createDataFrame([Row(
+        **{
+            "id": "5",
+            "group.id": "some.valid.id",
+            "member (id)": "some other valid id",
+            "name": "placeholder 4111111111111111",
+            "safe_attribute": "harmless 4111111111111112",
+            "safeRE_attribute_id": "safe id",
+            "safeRE_attribute_source": "safe source",
+            "credit_card": "4111111111111111",
+            "token_some": "tokenize",
+            "api_key_some": "apinize",
+            "email": "user@mycompany.com",
+        }
+    )])
+    out = redaction_processor_full(
+        df, _ATTRS, allowed_values=[".+@mycompany.com"], **_CFG
+    )
+    return out.first().asDict()
+
+
+def test_reference_md5_expectations(spark):
+    row = _run(spark)
+    # redacted: credit_card deleted (processor_test.go:452-456)
+    assert "credit_card" not in row
+    assert row["redaction.redacted.keys"] == "credit_card"
+    assert row["redaction.redacted.count"] == 1
+    # ignored: 3 keys pass through untouched (:406-409, :466-468)
+    assert row["safe_attribute"] == "harmless 4111111111111112"
+    assert row["safeRE_attribute_id"] == "safe id"
+    assert row["redaction.ignored.count"] == 3
+    # masked: blocked-key full-value md5 + blocked-value per-match md5
+    # (:471-483 expects exactly these strings)
+    assert row["name"] == (
+        "placeholder " + _md5("4111111111111111")
+    )
+    assert row["token_some"] == _md5("tokenize")
+    assert row["api_key_some"] == _md5("apinize")
+    assert row["api_key_some"] == "93a699237950bde9eb9d25c7ead025f3"
+    assert row["redaction.masked.keys"] == "api_key_some,name,token_some"
+    assert row["redaction.masked.count"] == 3
+    # allowed value: email untouched (:412-414)
+    assert row["email"] == "user@mycompany.com"
+    assert row["redaction.allowed.keys"] == "email"
+    assert row["redaction.allowed.count"] == 1
+
+
+def test_default_mask_and_info_summary(spark):
+    df = spark.createDataFrame([Row(
+        **{"name": "cc 4111111111111111", "other": "clean",
+           "credit_card": "x"}
+    )])
+    out = redaction_processor_full(
+        df, ["name", "other", "credit_card"],
+        allowed_keys=["name", "other"],
+        blocked_values=["4[0-9]{12}(?:[0-9]{3})?"],
+        summary="info",
+    ).first().asDict()
+    assert out["name"] == "cc ****"
+    assert out["other"] == "clean"
+    assert "credit_card" not in out
+    assert "redaction.masked.keys" not in out      # info: counts only
+    assert out["redaction.masked.count"] == 1
+    assert out["redaction.redacted.count"] == 1
+    assert out["redaction.allowed.count"] is None  # zero -> absent
+    assert out["redaction.ignored.count"] is None
+
+
+def test_allow_all_keys_and_silent(spark):
+    df = spark.createDataFrame(
+        [Row(a="4111111111111111", b="safe")]
+    )
+    out = redaction_processor_full(
+        df, ["a", "b"], allow_all_keys=True,
+        blocked_values=["4[0-9]{12}"], summary="silent",
+    )
+    row = out.first().asDict()
+    # 4[0-9]{12} consumes 13 of the 16 digits; the tail survives,
+    # exactly as Go's ReplaceAllString would leave it
+    assert row == {"a": "****111", "b": "safe"}
+
+
+def test_null_attr_not_counted(spark):
+    df = spark.createDataFrame(
+        [Row(a="4111111111111111", b=None),
+         Row(a="clean", b="x")],
+        "a string, b string",
+    )
+    rows = {r["a"]: r for r in redaction_processor_full(
+        df, ["a", "b"], allowed_keys=["a"],
+        blocked_values=["4[0-9]{12}"], summary="info",
+    ).collect()}
+    # row 1: b absent -> redacted.count NULL (addMetaAttrs skips 0)
+    assert rows["****111"]["redaction.redacted.count"] is None
+    assert rows["****111"]["redaction.masked.count"] == 1
+    assert rows["clean"]["redaction.redacted.count"] == 1
+    assert rows["clean"]["redaction.masked.count"] is None
+
+
+def test_url_sanitization(spark):
+    # processor_test.go:1426-1467 expectations
+    from opentelemetry_collector_contrib_spark.operators.url_sanitize import (
+        sanitize_url,
+    )
+
+    df = spark.createDataFrame([Row(
+        **{"http.url": "/users/2", "url": "/products/1/org/3",
+           "request_url": "/v1/products/22",
+           "other_field": "/not/sanitized/123"}
+    )])
+    out = redaction_processor_full(
+        df, ["http.url", "url", "request_url", "other_field"],
+        allow_all_keys=True,
+        url_sanitize_attrs=["http.url", "url", "request_url"],
+        summary="debug",
+    ).first().asDict()
+    assert out["http.url"] == "/users/*"
+    assert out["url"] == "/products/*/org/*"
+    assert out["request_url"] == "/v1/products/*"
+    assert out["other_field"] == "/not/sanitized/123"
+    assert out["redaction.masked.keys"] == "http.url,request_url,url"
+    assert out["redaction.masked.count"] == 3
+    # standalone: uuid + hex + mixed segments masked, words kept
+    row = spark.createDataFrame([Row(t=(
+        "/a/123e4567-e89b-12d3-a456-426614174000/deadbeef01/item9x/ok"
+    ))]).select(sanitize_url(F.col("t")).alias("s")).first()
+    assert row["s"] == "/a/*/*/*/ok"
+
+
+def test_url_sanitization_with_blocked_values(spark):
+    # processor_test.go:1500-1528: masked count includes BOTH the
+    # blocked-value mask and the URL-sanitized key
+    df = spark.createDataFrame([Row(
+        **{"http.url": "/v1/products/2",
+           "credit_card": "4111111111111111"}
+    )])
+    out = redaction_processor_full(
+        df, ["http.url", "credit_card"],
+        allow_all_keys=True,
+        blocked_values=["4[0-9]{12}(?:[0-9]{3})?"],
+        url_sanitize_attrs=["http.url"],
+        summary="debug",
+    ).first().asDict()
+    assert out["http.url"] == "/v1/products/*"
+    assert out["credit_card"] == "****"
+    assert out["redaction.masked.count"] == 2
