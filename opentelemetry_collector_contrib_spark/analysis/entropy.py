@@ -1,0 +1,122 @@
+"""Character-entropy quality scoring (repetition / gibberish gate).
+
+Low character entropy flags degenerate web text (repeated characters,
+boilerplate runs); high entropy flags binary-ish gibberish. Both tails
+are dropped in published curation recipes (Gopher's repetition rules
+family, Rae et al. 2021 §A1.1; C4's heuristics) — this op supplies the
+underlying signal as one map-only pass.
+
+Design for cross-engine exactness (the engine's standard tricks):
+
+- counts are **alphabet-bucketed**: a fixed 70-symbol alphabet
+  (a-z A-Z 0-9 space . , ! ? ' -) counted via
+  ``length(text) - length(replace(text, ch))`` — O(|alphabet| x N)
+  inside whole-stage codegen, NO explode, NO shuffle; everything else
+  falls into one OTHER bucket, so the distribution always sums to N;
+- each Shannon term ``n_c * ln(n_c)`` is rounded to integer
+  **micro-nats** BEFORE the sum (same determinism contract as
+  analysis/lm.py), so the per-doc aggregate is exact and
+  partition-invariant; the final entropy
+  ``ln(N) - sum_micro/1e6/N`` is rounded to 6 dp only at the end;
+- the SQL twin is GENERATED from the same alphabet list so the two
+  engines cannot drift.
+
+Reference-role parity: quality-score-then-filter, the same shape as
+processor/filterprocessor (logs.go) gating on a computed attribute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# fixed bucket alphabet; everything else lands in OTHER
+ALPHABET: list[str] = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [chr(c) for c in range(ord("A"), ord("Z") + 1)]
+    + [chr(c) for c in range(ord("0"), ord("9") + 1)]
+    + [" ", ".", ",", "!", "?", "'", "-"]
+)
+
+_MICRO = 1_000_000
+
+
+def _nlogn_micro(n: Column) -> Column:
+    """round(1e6 * n * ln(n)) as BIGINT; 0 for n <= 1 (ln 1 = 0)."""
+    return F.when(
+        n > 1,
+        F.round(n.cast("double") * F.log(n.cast("double")) * _MICRO)
+        .cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def char_entropy(text: Column) -> dict[str, Column]:
+    """Columns: n_chars, n_buckets (distinct non-empty buckets incl.
+    OTHER), nlogn_micro_sum, entropy_nats (6 dp)."""
+    n = F.length(text)
+    counts = [
+        n - F.length(F.replace(text, F.lit(ch), F.lit("")))
+        for ch in ALPHABET
+    ]
+    other = n
+    for c in counts:
+        other = other - c
+    counts = counts + [other]
+    total_micro = None
+    n_buckets = None
+    for c in counts:
+        t = _nlogn_micro(c)
+        total_micro = t if total_micro is None else total_micro + t
+        b = F.when(c > 0, 1).otherwise(0)
+        n_buckets = b if n_buckets is None else n_buckets + b
+    entropy = F.when(
+        n > 0,
+        F.round(
+            F.log(n.cast("double"))
+            - total_micro.cast("double") / _MICRO / n.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n.cast("long"),
+        "n_buckets": n_buckets.cast("long"),
+        "nlogn_micro_sum": total_micro,
+        "entropy_nats": entropy,
+    }
+
+
+def _q(ch: str) -> str:
+    return "'" + ch.replace("'", "''") + "'"
+
+
+def char_entropy_sql(text: str) -> dict[str, str]:
+    """DuckDB twins, generated from the same ALPHABET."""
+    n = f"length({text})"
+    counts = [
+        f"({n} - length(replace({text}, {_q(ch)}, '')))"
+        for ch in ALPHABET
+    ]
+    other = n + " - (" + " + ".join(counts) + ")"
+    all_counts = counts + [f"({other})"]
+
+    def nlogn(c: str) -> str:
+        return (
+            f"CASE WHEN {c} > 1 THEN CAST(ROUND({c} * ln({c}) "
+            f"* {_MICRO}) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+
+    total = " + ".join(nlogn(c) for c in all_counts)
+    buckets = " + ".join(
+        f"CASE WHEN {c} > 0 THEN 1 ELSE 0 END" for c in all_counts
+    )
+    entropy = (
+        f"CASE WHEN {n} > 0 THEN ROUND(ln({n}) - "
+        f"(CAST(({total}) AS DOUBLE) / {_MICRO}) / {n}, 6) "
+        f"ELSE 0.0 END"
+    )
+    return {
+        "n_chars": f"CAST({n} AS BIGINT)",
+        "n_buckets": f"CAST(({buckets}) AS BIGINT)",
+        "nlogn_micro_sum": f"CAST(({total}) AS BIGINT)",
+        "entropy_nats": entropy,
+    }

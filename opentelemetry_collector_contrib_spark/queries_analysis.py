@@ -138,6 +138,29 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumns(sig).select("doc_id", *sig.keys()).orderBy("doc_id")
 
 
+def _entropy_oracle() -> str:
+    from .analysis import entropy as ENT
+
+    cols = ENT.char_entropy_sql("text")
+    sel = ",\n       ".join(f"{sql} AS {name}" for name, sql in cols.items())
+    return f"SELECT doc_id,\n       {sel}\nFROM documents ORDER BY doc_id"
+
+
+@register("text_char_entropy", _entropy_oracle())
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish/repetition gate (Rae et al. 2021
+    §A1.1 family) — map-only, exact integer micro-nat core."""
+    from .analysis import entropy as ENT
+
+    docs = _docs(spark, sf_dir)
+    cols = ENT.char_entropy(F.col("text"))
+    return (
+        docs.withColumns(cols)
+        .select("doc_id", *cols.keys())
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
