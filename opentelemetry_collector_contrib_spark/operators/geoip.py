@@ -1,0 +1,247 @@
+"""geoipprocessor: CIDR longest-prefix IP geolocation enrichment.
+
+Reference: processor/geoipprocessor/geoip_processor.go:44-121 --
+``parseIP`` rejects malformed and unspecified (0.0.0.0) addresses;
+``ipFromAttributes`` takes the FIRST valid IP over the configured
+attribute list (default [client.address, source.address],
+config.go); the provider (MaxMind, internal/provider/maxmindprovider)
+resolves the longest-prefix CIDR block containing the IP and the
+processor Put()s the resolved ``geo.*`` attributes (README attribute
+list); rows with no valid IP pass through unchanged (errIPNotFound
+-> nil).
+
+Spark-first shape: a MaxMind mmdb is a binary radix tree -- its blocks
+are DISJOINT by construction. We reproduce that property driver-side:
+``flatten_cidr_blocks`` sweeps the (small, config-sized) CIDR list
+into disjoint [lo, hi] intervals where the most-specific (longest
+prefix) block wins each overlap, exactly the radix tree's resolution
+order. Disjointness makes the lookup join produce AT MOST ONE match
+per input row, so the whole enrich is ONE broadcast hash join with a
+range residual -- map-only, zero shuffle, no per-row window/regroup.
+The equi-join key is the first octet (/8 bucket): intervals spanning
+several /8s are exploded per octet driver-side, which keeps Spark on
+BroadcastHashJoin instead of a nested-loop theta join at any corpus
+scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# netip.ParseAddr (Go) rejects leading zeros in octets; mirror that:
+# each octet is 0-255 with no leading zero.
+_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IPV4_RE = rf"^{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}$"
+
+GEO_COLUMNS = [
+    "geo_city_name",
+    "geo_country_iso_code",
+    "geo_country_name",
+    "geo_continent_code",
+    "geo_continent_name",
+    "geo_region_iso_code",
+    "geo_timezone",
+    "geo_location_lat",
+    "geo_location_lon",
+]
+
+
+@dataclass(frozen=True)
+class GeoBlock:
+    """One provider CIDR block (internal/provider: network -> record)."""
+
+    cidr: str
+    city_name: str | None = None
+    country_iso_code: str | None = None
+    country_name: str | None = None
+    continent_code: str | None = None
+    continent_name: str | None = None
+    region_iso_code: str | None = None
+    timezone: str | None = None
+    location_lat: float | None = None
+    location_lon: float | None = None
+
+    def attrs(self) -> tuple:
+        return (
+            self.city_name,
+            self.country_iso_code,
+            self.country_name,
+            self.continent_code,
+            self.continent_name,
+            self.region_iso_code,
+            self.timezone,
+            self.location_lat,
+            self.location_lon,
+        )
+
+
+def cidr_to_range(cidr: str) -> tuple[int, int, int]:
+    """'a.b.c.d/p' -> (lo, hi, prefix_len) as unsigned ints."""
+    net, _, plen_s = cidr.partition("/")
+    plen = int(plen_s) if plen_s else 32
+    if not 0 <= plen <= 32:
+        raise ValueError(f"bad prefix length in {cidr!r}")
+    parts = [int(x) for x in net.split(".")]
+    if len(parts) != 4 or any(not 0 <= p <= 255 for p in parts):
+        raise ValueError(f"bad IPv4 network in {cidr!r}")
+    base = (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+    mask = (0xFFFFFFFF << (32 - plen)) & 0xFFFFFFFF if plen else 0
+    lo = base & mask
+    hi = lo | (~mask & 0xFFFFFFFF)
+    return lo, hi, plen
+
+
+def flatten_cidr_blocks(
+    blocks: list[GeoBlock],
+) -> list[tuple[int, int, int, tuple]]:
+    """Sweep possibly-nested CIDR blocks into DISJOINT intervals.
+
+    Returns [(lo, hi, prefix_len, attrs)] sorted by lo, where every
+    address is covered by at most one interval and, where blocks
+    overlapped, the longest-prefix (most specific) block's attributes
+    win -- the MaxMind radix-tree resolution order. Driver-side over
+    the config-sized block list.
+    """
+    ranges = []
+    for b in blocks:
+        lo, hi, plen = cidr_to_range(b.cidr)
+        ranges.append((lo, hi, plen, b.attrs()))
+    # elementary-segment sweep over all boundary points
+    points: set[int] = set()
+    for lo, hi, _, _ in ranges:
+        points.add(lo)
+        points.add(hi + 1)
+    bounds = sorted(points)
+    out: list[tuple[int, int, int, tuple]] = []
+    for lo, hi_excl in zip(bounds, bounds[1:]):
+        best: tuple[int, tuple] | None = None
+        for rlo, rhi, plen, attrs in ranges:
+            if rlo <= lo and hi_excl - 1 <= rhi:
+                if best is None or plen > best[0]:
+                    best = (plen, attrs)
+        if best is None:
+            continue
+        # merge with previous segment when same winning block
+        if out and out[-1][1] == lo - 1 and out[-1][2:] == (best[0], best[1]):
+            out[-1] = (out[-1][0], hi_excl - 1, best[0], best[1])
+        else:
+            out.append((lo, hi_excl - 1, best[0], best[1]))
+    return out
+
+
+def _octet_rows(
+    flat: list[tuple[int, int, int, tuple]],
+) -> list[tuple]:
+    """Explode disjoint intervals per covered /8 octet bucket."""
+    rows = []
+    for lo, hi, plen, attrs in flat:
+        for octet in range(lo >> 24, (hi >> 24) + 1):
+            blo = max(lo, octet << 24)
+            bhi = min(hi, (octet << 24) | 0xFFFFFF)
+            rows.append((octet, blo, bhi, plen, *attrs))
+    return rows
+
+
+def geo_lookup_df(spark: SparkSession, blocks: list[GeoBlock]) -> DataFrame:
+    """The broadcastable disjoint lookup relation."""
+    rows = _octet_rows(flatten_cidr_blocks(blocks))
+    schema = (
+        "ip_octet INT, ip_lo BIGINT, ip_hi BIGINT, prefix_len INT, "
+        "geo_city_name STRING, geo_country_iso_code STRING, "
+        "geo_country_name STRING, geo_continent_code STRING, "
+        "geo_continent_name STRING, geo_region_iso_code STRING, "
+        "geo_timezone STRING, geo_location_lat DOUBLE, "
+        "geo_location_lon DOUBLE"
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def parse_ipv4(col: Column) -> Column:
+    """IP string -> uint32-as-long; NULL when malformed or unspecified
+    (geoip_processor.go:44-52 parseIP semantics, incl. Go netip's
+    no-leading-zero octets)."""
+    valid = col.rlike(IPV4_RE) & (col != F.lit("0.0.0.0"))
+    parts = F.split(col, r"\.")
+    as_long = (
+        parts.getItem(0).cast("long") * F.lit(16777216)
+        + parts.getItem(1).cast("long") * F.lit(65536)
+        + parts.getItem(2).cast("long") * F.lit(256)
+        + parts.getItem(3).cast("long")
+    )
+    return F.when(valid, as_long)
+
+
+def geoip_processor(
+    df: DataFrame,
+    lookup: DataFrame,
+    attributes: list[str] = ("client_address", "source_address"),
+) -> DataFrame:
+    """Add geo_* columns resolved from the first valid IP over
+    ``attributes`` (ipFromAttributes order). Rows with no valid IP (or
+    no covering block) keep NULL geo columns and pass through.
+
+    Plan: one BroadcastHashJoin on the /8 octet with the range
+    containment as residual; the lookup relation is disjoint so no
+    regroup is needed -- the enrich adds ZERO shuffles.
+    """
+    ip = F.coalesce(
+        *[parse_ipv4(F.col(a)) for a in attributes]
+    ) if attributes else F.lit(None).cast("long")
+    src = df.withColumn("_geo_ip", ip).withColumn(
+        "_geo_octet", F.floor(F.col("_geo_ip") / 16777216).cast("int")
+    )
+    joined = src.join(
+        F.broadcast(lookup),
+        on=(
+            (src["_geo_octet"] == lookup["ip_octet"])
+            & (src["_geo_ip"] >= lookup["ip_lo"])
+            & (src["_geo_ip"] <= lookup["ip_hi"])
+        ),
+        how="left",
+    )
+    return joined.drop(
+        "_geo_ip", "_geo_octet", "ip_octet", "ip_lo", "ip_hi", "prefix_len"
+    )
+
+
+def geo_lookup_values_sql(blocks: list[GeoBlock]) -> str:
+    """DuckDB literal twin of :func:`geo_lookup_df` (same flattened
+    rows, so the oracle exercises identical resolution data)."""
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            # a bare 37.751 literal is DECIMAL in DuckDB; the Spark
+            # relation is DOUBLE -- keep the driver's dtype check exact
+            return f"CAST({v!r} AS DOUBLE)"
+        return str(v)
+
+    rows = _octet_rows(flatten_cidr_blocks(blocks))
+    values = ",\n    ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n    " + values + "\n) AS t(ip_octet, ip_lo,"
+        " ip_hi, prefix_len, geo_city_name, geo_country_iso_code,"
+        " geo_country_name, geo_continent_code, geo_continent_name,"
+        " geo_region_iso_code, geo_timezone, geo_location_lat,"
+        " geo_location_lon)"
+    )
+
+
+def parse_ipv4_sql(expr: str) -> str:
+    """DuckDB twin of :func:`parse_ipv4` over a string expression."""
+    return (
+        f"CASE WHEN regexp_matches({expr}, '{IPV4_RE}') "
+        f"AND {expr} <> '0.0.0.0' THEN "
+        f"CAST(string_split({expr}, '.')[1] AS BIGINT) * 16777216 + "
+        f"CAST(string_split({expr}, '.')[2] AS BIGINT) * 65536 + "
+        f"CAST(string_split({expr}, '.')[3] AS BIGINT) * 256 + "
+        f"CAST(string_split({expr}, '.')[4] AS BIGINT) END"
+    )

@@ -42,6 +42,7 @@ _PRIORITY_NAMES: list[str] = [
     "chunk_documents_windows",        # round 3: sliding-window chunking
     "session_window_events",          # round 3: gap-timeout sessions
     "ottl_spanevent_events",          # round 3: spanevent OTTL context
+    "geoip_cidr_events",              # round 3: CIDR longest-prefix geoip
 ]
 
 
@@ -3903,3 +3904,124 @@ def q_ottl_spanevent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spanevent_dropped_attributes_count")
         .alias("dropped_attributes_count"),
     ).orderBy("span_id", "event_index")
+
+
+# ---------------------------------------------------------------------------
+# geoipprocessor (processor/geoipprocessor/geoip_processor.go:44-121):
+# first-valid-IP over [client.address, source.address], CIDR
+# longest-prefix resolution (MaxMind radix tree reproduced as a
+# driver-flattened DISJOINT interval table), geo.* attributes added,
+# no-IP rows pass through. The lookup literal twin is generated by the
+# same flattener in both engines.
+# ---------------------------------------------------------------------------
+
+_GEO_BLOCKS = None  # built lazily; module import must not need pyspark jobs
+
+
+def _geo_blocks():
+    global _GEO_BLOCKS
+    if _GEO_BLOCKS is None:
+        from .operators.geoip import GeoBlock
+
+        _GEO_BLOCKS = [
+            GeoBlock("10.0.0.0/8", country_iso_code="US",
+                     country_name="United States", continent_code="NA",
+                     continent_name="North America",
+                     timezone="America/Chicago",
+                     location_lat=37.751, location_lon=-97.822),
+            GeoBlock("10.1.0.0/16", city_name="Boxford",
+                     country_iso_code="US", country_name="United States",
+                     continent_code="NA", continent_name="North America",
+                     region_iso_code="US-MA", timezone="America/New_York",
+                     location_lat=42.6813, location_lon=-70.9773),
+            GeoBlock("10.1.2.0/24", city_name="Milton",
+                     country_iso_code="US", country_name="United States",
+                     continent_code="NA", continent_name="North America",
+                     region_iso_code="US-WA", timezone="America/Los_Angeles",
+                     location_lat=47.2513, location_lon=-122.3149),
+            GeoBlock("12.0.0.0/6", country_iso_code="GB",
+                     country_name="United Kingdom", continent_code="EU",
+                     continent_name="Europe", timezone="Europe/London",
+                     location_lat=51.5074, location_lon=-0.1278),
+            GeoBlock("192.168.0.0/16", country_iso_code="DE",
+                     country_name="Germany", continent_code="EU",
+                     continent_name="Europe", timezone="Europe/Berlin",
+                     location_lat=52.52, location_lon=13.405),
+            GeoBlock("203.0.113.0/24", city_name="Canberra",
+                     country_iso_code="AU", country_name="Australia",
+                     continent_code="OC", continent_name="Oceania",
+                     region_iso_code="AU-ACT",
+                     timezone="Australia/Sydney",
+                     location_lat=-35.2809, location_lon=149.13),
+            GeoBlock("198.51.100.0/24", country_iso_code="JP",
+                     country_name="Japan", continent_code="AS",
+                     continent_name="Asia", timezone="Asia/Tokyo",
+                     location_lat=35.6762, location_lon=139.6503),
+        ]
+    return _GEO_BLOCKS
+
+
+# client.address battery: valid nested-block hits, a multi-/8 block, an
+# uncovered IP, the unspecified address, malformed strings (leading
+# zero = Go netip reject), NULL -- the 0.0.0.0/malformed rows fall
+# through to source.address (ipFromAttributes first-valid order).
+_GEO_CLIENT_SQL = """CASE CAST(user_id % 10 AS INTEGER)
+  WHEN 0 THEN '10.' || CAST(user_id % 3 AS VARCHAR) || '.' || CAST(user_id % 5 AS VARCHAR) || '.7'
+  WHEN 1 THEN '1' || CAST(2 + user_id % 4 AS VARCHAR) || '.' || CAST(user_id % 200 AS VARCHAR) || '.9.1'
+  WHEN 2 THEN '192.168.' || CAST(user_id % 256 AS VARCHAR) || '.10'
+  WHEN 3 THEN '203.0.113.' || CAST(user_id % 256 AS VARCHAR)
+  WHEN 4 THEN '0.0.0.0'
+  WHEN 5 THEN 'not-an-ip'
+  WHEN 6 THEN '10.01.2.5'
+  WHEN 7 THEN '256.1.2.3'
+  WHEN 8 THEN '8.8.' || CAST(user_id % 256 AS VARCHAR) || '.8'
+  ELSE NULL END"""
+
+_GEO_SOURCE_SQL = """CASE WHEN user_id % 10 IN (4, 5, 6)
+  THEN '198.51.100.' || CAST(user_id % 250 AS VARCHAR)
+  WHEN user_id % 10 = 7 THEN 'still-not-an-ip' ELSE NULL END"""
+
+
+def _geoip_oracle() -> str:
+    from .operators.geoip import geo_lookup_values_sql, parse_ipv4_sql
+
+    return f"""
+WITH geo AS ({geo_lookup_values_sql(_geo_blocks())}),
+ev AS (
+  SELECT event_id,
+         {_GEO_CLIENT_SQL} AS client_address,
+         {_GEO_SOURCE_SQL} AS source_address
+  FROM events),
+ips AS (
+  SELECT event_id, client_address, source_address,
+         COALESCE({parse_ipv4_sql('client_address')},
+                  {parse_ipv4_sql('source_address')}) AS ip
+  FROM ev)
+SELECT i.event_id, i.client_address, i.source_address,
+       g.geo_city_name, g.geo_country_iso_code, g.geo_country_name,
+       g.geo_continent_code, g.geo_continent_name, g.geo_region_iso_code,
+       g.geo_timezone, g.geo_location_lat, g.geo_location_lon
+FROM ips i LEFT JOIN geo g
+  ON i.ip // 16777216 = g.ip_octet AND i.ip BETWEEN g.ip_lo AND g.ip_hi
+ORDER BY i.event_id
+"""
+
+
+@register("geoip_cidr_events", None)
+def q_geoip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geoip import GEO_COLUMNS, geo_lookup_df, geoip_processor
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(_GEO_CLIENT_SQL.replace("AS VARCHAR", "AS STRING"))
+        .alias("client_address"),
+        F.expr(_GEO_SOURCE_SQL.replace("AS VARCHAR", "AS STRING"))
+        .alias("source_address"),
+    )
+    out = geoip_processor(ev, geo_lookup_df(spark, _geo_blocks()))
+    return out.select(
+        "event_id", "client_address", "source_address", *GEO_COLUMNS
+    ).orderBy("event_id")
+
+
+_ORACLES["geoip_cidr_events"] = _geoip_oracle()

@@ -1,0 +1,118 @@
+"""geoipprocessor: CIDR flattening, Go-netip IP parsing, first-valid
+attribute order, pass-through, and the zero-shuffle broadcast plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.geoip import (
+    GEO_COLUMNS,
+    GeoBlock,
+    cidr_to_range,
+    flatten_cidr_blocks,
+    geo_lookup_df,
+    geoip_processor,
+    parse_ipv4,
+)
+
+
+def _ip(s: str) -> int:
+    a, b, c, d = (int(x) for x in s.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+BLOCKS = [
+    GeoBlock("10.0.0.0/8", country_iso_code="US"),
+    GeoBlock("10.1.0.0/16", country_iso_code="US", city_name="Boxford"),
+    GeoBlock("10.1.2.0/24", country_iso_code="US", city_name="Milton"),
+    GeoBlock("12.0.0.0/6", country_iso_code="GB"),
+]
+
+
+def test_cidr_to_range():
+    assert cidr_to_range("10.0.0.0/8") == (_ip("10.0.0.0"), _ip("10.255.255.255"), 8)
+    assert cidr_to_range("10.1.2.0/24") == (_ip("10.1.2.0"), _ip("10.1.2.255"), 24)
+    assert cidr_to_range("1.2.3.4/32") == (_ip("1.2.3.4"), _ip("1.2.3.4"), 32)
+    # /6 spans four /8 octets
+    lo, hi, p = cidr_to_range("12.0.0.0/6")
+    assert (lo >> 24, hi >> 24, p) == (12, 15, 6)
+
+
+def _resolve(flat, ip: int):
+    for lo, hi, _, attrs in flat:
+        if lo <= ip <= hi:
+            return attrs
+    return None
+
+
+def test_flatten_disjoint_longest_prefix_wins():
+    flat = flatten_cidr_blocks(BLOCKS)
+    # disjoint and sorted
+    for (al, ah, *_), (bl, _bh, *_) in zip(flat, flat[1:]):
+        assert al <= ah < bl
+    # most specific block wins inside overlaps (radix-tree order)
+    assert _resolve(flat, _ip("10.1.2.5"))[0] == "Milton"      # /24
+    assert _resolve(flat, _ip("10.1.3.5"))[0] == "Boxford"     # /16
+    assert _resolve(flat, _ip("10.2.0.1"))[0] is None          # /8 only
+    assert _resolve(flat, _ip("10.2.0.1"))[1] == "US"
+    assert _resolve(flat, _ip("14.200.1.1"))[1] == "GB"        # /6 span
+    assert _resolve(flat, _ip("8.8.8.8")) is None
+    # total covered address count equals the union of the inputs
+    covered = sum(hi - lo + 1 for lo, hi, _, _ in flat)
+    assert covered == 2**24 + 4 * 2**24  # 10.0.0.0/8 u 12.0.0.0/6
+
+
+def test_parse_ipv4_go_netip_semantics(spark):
+    rows = [
+        ("1.2.3.4",), ("255.255.255.255",), ("0.0.0.0",), ("10.01.2.5",),
+        ("256.1.2.3",), ("1.2.3",), ("a.b.c.d",), (None,), ("1.2.3.4.5",),
+    ]
+    df = spark.createDataFrame(rows, "s STRING").select(
+        "s", parse_ipv4(F.col("s")).alias("ip")
+    )
+    got = {r["s"]: r["ip"] for r in df.collect()}
+    assert got["1.2.3.4"] == _ip("1.2.3.4")
+    assert got["255.255.255.255"] == _ip("255.255.255.255")
+    assert got["0.0.0.0"] is None          # unspecified
+    assert got["10.01.2.5"] is None        # leading zero (Go netip)
+    assert got["256.1.2.3"] is None
+    assert got["1.2.3"] is None
+    assert got["a.b.c.d"] is None
+    assert got[None] is None
+    assert got["1.2.3.4.5"] is None
+
+
+def test_geoip_first_valid_and_passthrough(spark):
+    lookup = geo_lookup_df(spark, BLOCKS)
+    rows = [
+        (1, "10.1.2.9", "12.0.0.1"),    # client wins over source
+        (2, "0.0.0.0", "12.0.0.1"),     # unspecified -> source used
+        (3, "nope", "10.1.5.5"),        # malformed -> source used
+        (4, "nope", "also-nope"),       # no IP -> pass through, NULL geo
+        (5, "9.9.9.9", None),           # valid but uncovered -> NULL geo
+    ]
+    df = spark.createDataFrame(rows, "id INT, client STRING, src STRING")
+    out = geoip_processor(df, lookup, attributes=["client", "src"])
+    got = {r["id"]: r for r in out.collect()}
+    assert len(got) == 5                # no row lost or duplicated
+    assert got[1]["geo_city_name"] == "Milton"
+    assert got[2]["geo_country_iso_code"] == "GB"
+    assert got[3]["geo_city_name"] == "Boxford"
+    assert got[4]["geo_country_iso_code"] is None
+    assert got[5]["geo_country_iso_code"] is None
+    assert set(GEO_COLUMNS) <= set(out.columns)
+
+
+def test_geoip_plan_broadcast_zero_shuffle(spark):
+    lookup = geo_lookup_df(spark, BLOCKS)
+    df = spark.range(100).select(
+        F.col("id"),
+        F.concat(F.lit("10.1.2."), (F.col("id") % 200).cast("string"))
+        .alias("client"),
+    )
+    out = geoip_processor(df, lookup, attributes=["client"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # map-only enrich: the only exchange is the broadcast itself
+    assert plan.count("Exchange hashpartitioning") == 0
