@@ -1,0 +1,383 @@
+"""statsdreceiver: DogStatsD line-protocol parse + interval aggregation.
+
+Reference: receiver/statsdreceiver/internal/parser/statsd_parser.go --
+``parseMessageToMetric`` (line 454: name:value|type|@rate|#tags|c:id|T<ts>,
+empty-part loop termination, simple-tag gating, error strings) and
+``Aggregate``/``GetMetrics`` (line 342/257: counters sum truncated
+rate-scaled ints, gauges last-set-plus-deltas, timers to summary /
+explicit-bucket histogram per timer_histogram_mapping) plus
+metric_translator.go:185-211 (counterValue truncation, gaugeValue
+ignores rate, sampleValue weight = 1/rate) and the gonum
+``stat.Quantile(Empirical)`` percentile rule used by
+buildSummaryMetric (first sorted value whose cumulative weight reaches
+p * total_weight).
+
+Spark-first shape: the parser is a pure-Column battery (split + regex
++ higher-order array folds -- no UDF, whole-stage codegen); each
+aggregation kind is ONE combinable hash aggregate keyed on the metric
+description (name, type, canonical tag string [, client address]).
+Summary percentiles use a cumulative-weight window inside each
+description group -- the only sort is per-description, on already
+shuffled data, exactly the shape that scales by adding descriptions
+(cardinality) rather than rows.
+
+The reference's third timer mode (auto-scaling exponential histogram,
+go-expohisto) maps to the existing
+``operators/connectors.exponential_histogram`` (delta temporality) at
+a pinned scale; the auto-downscale is a stream-state concern the batch
+engine fixes per flush interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VALID_TYPES = ["c", "g", "h", "ms", "d"]
+TYPE_FULL_NAMES = {
+    "c": "counter",
+    "g": "gauge",
+    "h": "histogram",
+    "ms": "timing",
+    "d": "distribution",
+}
+DEFAULT_PERCENTILES = [0.0, 10.0, 50.0, 90.0, 95.0, 100.0]
+
+_ENTRY = "struct<k string, v string>"
+
+
+def _until_empty(arr: Column) -> Column:
+    """Go's ``for ; part != ""`` loop stops at the first empty element;
+    truncate the array the same way."""
+    pos = F.array_position(arr, "")
+    return F.when(pos > 0, F.slice(arr, 1, (pos - 1).cast("int"))).otherwise(
+        arr
+    )
+
+
+def statsd_parse(
+    df: DataFrame,
+    line_col: str = "line",
+    enable_metric_type: bool = False,
+    enable_simple_tags: bool = False,
+) -> DataFrame:
+    """Parse one DogStatsD line per row into typed columns.
+
+    Adds: name, metric_type, value (double), addition (gauge +/-
+    delta), sample_rate, tags (canonical sorted ``k:v,...`` string --
+    attribute.NewSet key order, duplicate keys keep the LAST
+    occurrence), container_id, timestamp_ns, and ``error`` (NULL when
+    the line parsed; reference error text otherwise -- callers drop or
+    count refused rows, receiver.go reporter semantics).
+    """
+    line = F.col(line_col)
+    parts = F.split(line, r"\|")
+    nv = parts.getItem(0)
+    colon = F.instr(nv, ":")
+    name = F.substring(nv, F.lit(1), (colon - 1).cast("int"))
+    value_str = F.expr(
+        f"substring(split({line_col}, '\\\\|')[0], "
+        f"instr(split({line_col}, '\\\\|')[0], ':') + 1)"
+    )
+    mtype = parts.getItem(1)
+    extras = _until_empty(
+        F.when(
+            F.size(parts) > 2,
+            F.slice(parts, 3, (F.size(parts) - 2).cast("int")),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+    # ---- per-part classification ---------------------------------------
+    rate_parts = F.filter(extras, lambda x: x.startswith("@"))
+    rate_str = F.try_element_at(rate_parts, F.lit(-1)).substr(F.lit(2), F.lit(64))
+    sample_rate = rate_str.try_cast("double")
+
+    tag_parts = F.filter(extras, lambda x: x.startswith("#"))
+    # each '#...' part: strip '#', split on ',', stop at first empty
+    # tag-set (Go's inner Cut loop), one (k, v) entry per tag set
+    tag_sets = F.flatten(
+        F.transform(
+            tag_parts,
+            lambda p: _until_empty(F.split(p.substr(F.lit(2), F.lit(8192)), ",")),
+        )
+    )
+    # one (k, v) entry per tag set; v = after the first ':' ('' when
+    # the tag has no value, the DogStatsD "simple tag" form)
+    entries = F.transform(
+        tag_sets,
+        lambda t: F.struct(
+            F.substring_index(t, ":", 1).alias("k"),
+            F.when(
+                F.instr(t, ":") > 0,
+                F.substring(t, F.instr(t, ":") + 1, F.lit(8192)),
+            )
+            .otherwise(F.lit(""))
+            .alias("v"),
+        ),
+    )
+    bad_tag = F.exists(
+        entries,
+        lambda e: (e.getField("k") == "")
+        | (F.lit(not enable_simple_tags) & (e.getField("v") == "")),
+    )
+
+    container_parts = F.filter(
+        extras, lambda x: x.startswith("c:") & (F.length(x) > 2)
+    )
+    container_id = F.try_element_at(container_parts, F.lit(-1)).substr(
+        F.lit(3), F.lit(8192)
+    )
+
+    ts_parts = F.filter(extras, lambda x: x.startswith("T"))
+    ts_str = F.try_element_at(ts_parts, F.lit(-1)).substr(F.lit(2), F.lit(64))
+    ts_valid = ts_str.rlike(r"^[0-9]+$")
+    timestamp_ns = F.when(ts_valid, ts_str.try_cast("long") * F.lit(1000000000))
+
+    unrecognized = F.exists(
+        extras,
+        lambda x: ~(
+            x.startswith("@")
+            | x.startswith("#")
+            | x.startswith("c:")
+            | x.startswith("T")
+        ),
+    )
+
+    # ---- error ladder (parseMessageToMetric order) ---------------------
+    error = (
+        F.when(F.size(parts) < 2, F.lit("invalid message format"))
+        .when(colon == 0, F.lit("invalid <name>:<value> format"))
+        .when(name == "", F.lit("empty metric name"))
+        .when(value_str == "", F.lit("empty metric value"))
+        .when(~mtype.isin(VALID_TYPES), F.lit("unsupported metric type"))
+        .when(
+            (F.size(rate_parts) > 0) & sample_rate.isNull(),
+            F.lit("parse sample rate"),
+        )
+        .when(bad_tag, F.lit("invalid tag format"))
+        .when(
+            (F.size(ts_parts) > 0) & ~mtype.isin(["c", "g"]),
+            F.lit("only GAUGE and COUNT metrics support a timestamp"),
+        )
+        .when((F.size(ts_parts) > 0) & ~ts_valid, F.lit("invalid timestamp"))
+        .when(unrecognized, F.lit("unrecognized message part"))
+        .when(value_str.try_cast("double").isNull(),
+              F.lit("parse metric value string"))
+    )
+
+    # container.id + optional metric_type join the attribute set
+    # (parseMessageToMetric lines 536-564)
+    entries = F.when(
+        container_id.isNotNull(),
+        F.array_append(
+            entries,
+            F.struct(
+                F.lit("container.id").alias("k"), container_id.alias("v")
+            ),
+        ),
+    ).otherwise(entries)
+    if enable_metric_type:
+        full = F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for kv in TYPE_FULL_NAMES.items()
+                    for x in (F.lit(kv[0]), F.lit(kv[1]))
+                ]
+            ),
+            mtype,
+        )
+        entries = F.array_append(
+            entries,
+            F.struct(F.lit("metric_type").alias("k"), full.alias("v")),
+        )
+
+    # attribute.NewSet: duplicate keys keep the LAST occurrence, sorted
+    # by key -- fold the reversed list keeping first-seen, then sort
+    dedup = F.aggregate(
+        F.reverse(entries),
+        F.array().cast(f"array<{_ENTRY}>"),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda a: a.getField("k") == e.getField("k")), acc
+        ).otherwise(F.array_append(acc, e)),
+    )
+    tags = F.array_join(
+        F.transform(
+            F.array_sort(dedup),
+            lambda e: F.concat(e.getField("k"), F.lit(":"), e.getField("v")),
+        ),
+        ",",
+    )
+
+    return df.select(
+        "*",
+        F.when(error.isNull(), name).alias("name"),
+        F.when(error.isNull(), mtype).alias("metric_type"),
+        F.when(error.isNull(), value_str.try_cast("double")).alias("value"),
+        F.when(
+            error.isNull(),
+            value_str.startswith("+") | value_str.startswith("-"),
+        ).alias("addition"),
+        F.when(error.isNull(), sample_rate).alias("sample_rate"),
+        F.when(error.isNull(), tags).alias("tags"),
+        F.when(error.isNull(), timestamp_ns).alias("timestamp_ns"),
+        error.alias("error"),
+    )
+
+
+def _weight() -> Column:
+    """1/rate when 0 < rate < 1, else 1 (sampleValue, translator:203)."""
+    r = F.col("sample_rate")
+    return F.when((r > 0) & (r < 1), F.lit(1.0) / r).otherwise(F.lit(1.0))
+
+
+def statsd_counters(
+    parsed: DataFrame,
+    group_cols: list[str] = (),
+    is_monotonic: bool = False,
+) -> DataFrame:
+    """Delta-sum counters: per line int64(value / rate) truncated
+    toward zero, summed per description (counterValue, Aggregate)."""
+    r = F.col("sample_rate")
+    scaled = F.when((r > 0) & (r < 1), F.col("value") / r).otherwise(
+        F.col("value")
+    )
+    return (
+        parsed.filter(F.col("error").isNull() & (F.col("metric_type") == "c"))
+        .groupBy(*group_cols, "name", "tags")
+        .agg(F.sum(scaled.cast("long")).alias("counter_value"))
+        .withColumn("is_monotonic", F.lit(is_monotonic))
+    )
+
+
+def statsd_gauges(
+    parsed: DataFrame,
+    order_col: str,
+    group_cols: list[str] = (),
+) -> DataFrame:
+    """Gauges: last plain set wins, '+'/'-' deltas after it accumulate;
+    a leading delta with no prior set seeds the gauge (Aggregate,
+    statsd_parser.go:360-371)."""
+    from pyspark.sql import Window
+
+    g = parsed.filter(
+        F.col("error").isNull() & (F.col("metric_type") == "g")
+    )
+    keys = [*group_cols, "name", "tags"]
+    # ONE shuffle: the window partitions on the same keys the final
+    # aggregate groups on, so Catalyst reuses the exchange. The last
+    # plain set per description rides a struct-max (ordered by arrival
+    # order, then its value comes along).
+    w = Window.partitionBy(*keys)
+    last_set = F.max(
+        F.when(
+            ~F.col("addition"),
+            F.struct(F.col(order_col).alias("o"), F.col("value").alias("v")),
+        )
+    ).over(w)
+    contrib = F.when(
+        F.col("addition")
+        & (last_set.isNull() | (F.col(order_col) > last_set.getField("o"))),
+        F.col("value"),
+    ).otherwise(F.lit(0.0))
+    return (
+        g.select(
+            *keys,
+            last_set.getField("v").alias("_set_value"),
+            contrib.alias("_contrib"),
+        )
+        .groupBy(*keys)
+        .agg(
+            (
+                F.coalesce(F.max("_set_value"), F.lit(0.0))
+                + F.sum("_contrib")
+            ).alias("gauge_value")
+        )
+    )
+
+
+def statsd_summaries(
+    parsed: DataFrame,
+    types: list[str] = ("ms", "h", "d"),
+    percentiles: list[float] = DEFAULT_PERCENTILES,
+    group_cols: list[str] = (),
+) -> DataFrame:
+    """Timer/histogram/distribution observations to one summary row
+    per description: count = trunc(sum of weights), sum = sum of
+    value*weight, plus one quantile column per requested percentile
+    using the gonum Empirical rule: the FIRST value (ascending) whose
+    cumulative weight >= p/100 * total weight (metric_translator.go:
+    buildSummaryMetric + stat.Quantile)."""
+    from pyspark.sql import Window
+
+    keys = [*group_cols, "name", "tags"]
+    obs = parsed.filter(
+        F.col("error").isNull() & F.col("metric_type").isin(list(types))
+    ).select(*keys, "value", _weight().alias("w"))
+    # cumulative weight over values sorted ascending; ties on value
+    # collapse to the same output value so the intra-tie order is
+    # irrelevant (dualSorter sorts by value only)
+    win = Window.partitionBy(*keys).orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*keys)
+    cum = obs.select(
+        *keys,
+        "value",
+        "w",
+        F.sum("w").over(win).alias("cw"),
+        F.sum("w").over(tot).alias("tw"),
+    )
+    aggs = [
+        F.sum("w").cast("long").alias("summary_count"),
+        F.sum(F.col("value") * F.col("w")).alias("summary_sum"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.min(
+                F.when(F.col("cw") >= F.lit(p / 100.0) * F.col("tw"),
+                       F.col("value"))
+            ).alias(f"q{p:g}".replace(".", "_"))
+        )
+    return cum.groupBy(*keys).agg(*aggs)
+
+
+def statsd_explicit_histogram(
+    parsed: DataFrame,
+    buckets: list[float],
+    types: list[str] = ("ms",),
+    group_cols: list[str] = (),
+) -> DataFrame:
+    """Explicit-bucket mode of timer_histogram_mapping: per
+    description count/sum/min/max plus one count per bound (value <=
+    bound, FIRST matching bound only -- explicitBucket.UpdateByIncr,
+    statsd_parser.go:132-160) and an overflow (+Inf) count. The
+    per-line weight uint64(1/rate) truncates like the Go conversion."""
+    keys = [*group_cols, "name", "tags"]
+    obs = parsed.filter(
+        F.col("error").isNull() & F.col("metric_type").isin(list(types))
+    ).select(*keys, "value", _weight().cast("long").alias("n"))
+    bounds = sorted(set(buckets))
+    aggs = [
+        F.sum("n").alias("hist_count"),
+        F.sum(F.col("value") * F.col("n")).alias("hist_sum"),
+        F.min("value").alias("hist_min"),
+        F.max("value").alias("hist_max"),
+    ]
+    prev = None
+    for i, b in enumerate(bounds):
+        in_bucket = F.col("value") <= F.lit(b)
+        if prev is not None:
+            in_bucket = in_bucket & (F.col("value") > F.lit(prev))
+        aggs.append(
+            F.coalesce(F.sum(F.when(in_bucket, F.col("n"))), F.lit(0))
+            .alias(f"bucket_{i}")
+        )
+        prev = b
+    aggs.append(
+        F.coalesce(
+            F.sum(F.when(F.col("value") > F.lit(bounds[-1]), F.col("n"))),
+            F.lit(0),
+        ).alias("bucket_inf")
+    )
+    return obs.groupBy(*keys).agg(*aggs)

@@ -43,6 +43,11 @@ _PRIORITY_NAMES: list[str] = [
     "session_window_events",          # round 3: gap-timeout sessions
     "ottl_spanevent_events",          # round 3: spanevent OTTL context
     "geoip_cidr_events",              # round 3: CIDR longest-prefix geoip
+    "statsd_parse_events",            # round 3: DogStatsD line parse
+    "statsd_counters_events",         # round 3: statsd counter aggregation
+    "statsd_gauges_events",           # round 3: statsd gauge set/delta
+    "statsd_timer_summary_events",    # round 3: timer summary quantiles
+    "statsd_explicit_histogram_events",  # round 3: timer explicit buckets
 ]
 
 
@@ -4025,3 +4030,223 @@ def q_geoip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["geoip_cidr_events"] = _geoip_oracle()
+
+
+# ---------------------------------------------------------------------------
+# statsdreceiver (receiver/statsdreceiver/internal/parser/
+# statsd_parser.go): DogStatsD line parse + interval aggregation.
+# Lines are synthesized deterministically from ``events`` with the
+# SAME SQL fragment in both engines; the Spark side must actually
+# parse the line text back apart (pure-Column battery, no UDF) while
+# the oracle derives the expected fields/aggregates relationally --
+# a full construct->parse->aggregate roundtrip.
+#
+# Mix per event_id % 10: 0-3 counter (rate 0.5 on %4=0, T timestamp
+# on %8=0, two tags), 4-6 gauge (plain set / +delta / -delta by %3),
+# 7-8 timer (rate 0.5 on %4=0), 9 unsupported type (error row).
+# Values are FLOOR(value*100) so every arithmetic path below is
+# exact-integer and the value hash cannot flake on float order.
+# ---------------------------------------------------------------------------
+
+_STATSD_LINE_SQL = """
+CASE
+  WHEN event_id % 10 = 9 THEN
+    'm.' || event_type || ':' ||
+    CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) || '|x'
+  WHEN event_id % 10 < 4 THEN
+    'm.' || event_type || ':' ||
+    CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) || '|c'
+    || CASE WHEN event_id % 4 = 0 THEN '|@0.5' ELSE '' END
+    || '|#host:h' || CAST(user_id % 5 AS STRING)
+    || ',env:e' || CAST(event_id % 3 AS STRING)
+    || CASE WHEN event_id % 8 = 0 THEN '|T1656581400' ELSE '' END
+  WHEN event_id % 10 < 7 THEN
+    'm.' || event_type || ':' ||
+    CASE WHEN event_id % 3 = 1 THEN '+'
+         WHEN event_id % 3 = 2 THEN '-' ELSE '' END ||
+    CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) || '|g'
+    || '|#host:h' || CAST(user_id % 5 AS STRING)
+  ELSE
+    'm.' || event_type || ':' ||
+    CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) || '|ms'
+    || CASE WHEN event_id % 4 = 0 THEN '|@0.5' ELSE '' END
+    || '|#host:h' || CAST(user_id % 5 AS STRING)
+END
+""".strip()
+
+
+def _statsd_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_STATSD_LINE_SQL).alias("line")
+    )
+
+
+_STATSD_PARSE_ORACLE = """
+WITH f AS (
+  SELECT event_id, event_id % 10 AS m, event_id % 3 AS m3,
+         'm.' || event_type AS mname,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v,
+         CAST(user_id % 5 AS STRING) AS h,
+         CAST(event_id % 3 AS STRING) AS e
+  FROM events)
+SELECT event_id,
+  CASE WHEN m = 9 THEN NULL ELSE mname END AS name,
+  CASE WHEN m = 9 THEN NULL WHEN m < 4 THEN 'c'
+       WHEN m < 7 THEN 'g' ELSE 'ms' END AS metric_type,
+  CASE WHEN m = 9 THEN NULL
+       WHEN m >= 4 AND m < 7 AND m3 = 2 THEN -CAST(v AS DOUBLE)
+       ELSE CAST(v AS DOUBLE) END AS value,
+  CASE WHEN m = 9 THEN NULL
+       WHEN m >= 4 AND m < 7 AND m3 <> 0 THEN 'true'
+       ELSE 'false' END AS addition,
+  CASE WHEN m <> 9 AND (m < 4 OR m >= 7) AND event_id % 4 = 0
+       THEN CAST(0.5 AS DOUBLE) END AS sample_rate,
+  CASE WHEN m = 9 THEN NULL
+       WHEN m < 4 THEN 'env:e' || e || ',host:h' || h
+       ELSE 'host:h' || h END AS tags,
+  CASE WHEN m < 4 AND event_id % 8 = 0
+       THEN CAST(1656581400000000000 AS BIGINT) END AS timestamp_ns,
+  CASE WHEN m = 9 THEN 'unsupported metric type' END AS error
+FROM f ORDER BY event_id
+"""
+
+
+@register("statsd_parse_events", _STATSD_PARSE_ORACLE)
+def q_statsd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.statsd import statsd_parse
+
+    # addition exposed as string: NULL booleans round-trip as float
+    # NaN through DuckDB's pandas bridge and break the value hash
+    return statsd_parse(_statsd_lines(spark, sf_dir)).select(
+        "event_id", "name", "metric_type", "value",
+        F.col("addition").cast("string").alias("addition"),
+        "sample_rate", "tags", "timestamp_ns", "error",
+    ).orderBy("event_id")
+
+
+_STATSD_COUNTER_ORACLE = """
+WITH f AS (
+  SELECT event_id, 'm.' || event_type AS name,
+         'env:e' || CAST(event_id % 3 AS STRING)
+         || ',host:h' || CAST(user_id % 5 AS STRING) AS tags,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_id % 10 < 4)
+SELECT name, tags,
+  CAST(SUM(CASE WHEN event_id % 4 = 0
+                THEN CAST(v / 0.5 AS BIGINT) ELSE v END) AS BIGINT)
+    AS counter_value,
+  FALSE AS is_monotonic
+FROM f GROUP BY name, tags ORDER BY name, tags
+"""
+
+
+@register("statsd_counters_events", _STATSD_COUNTER_ORACLE)
+def q_statsd_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.statsd import statsd_counters, statsd_parse
+
+    parsed = statsd_parse(_statsd_lines(spark, sf_dir))
+    return statsd_counters(parsed).orderBy("name", "tags")
+
+
+_STATSD_GAUGE_ORACLE = """
+WITH g AS (
+  SELECT event_id, 'm.' || event_type AS name,
+         'host:h' || CAST(user_id % 5 AS STRING) AS tags,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v,
+         event_id % 3 AS m3
+  FROM events WHERE event_id % 10 >= 4 AND event_id % 10 < 7),
+last_set AS (
+  SELECT name, tags, MAX(event_id) AS sid
+  FROM g WHERE m3 = 0 GROUP BY name, tags),
+set_val AS (
+  SELECT l.name, l.tags, l.sid, g.v AS set_v
+  FROM last_set l
+  JOIN g ON g.name = l.name AND g.tags = l.tags AND g.event_id = l.sid)
+SELECT g.name, g.tags,
+  CAST(COALESCE(MAX(s.set_v), 0) AS DOUBLE)
+  + CAST(SUM(CASE
+        WHEN g.m3 = 1 AND (s.sid IS NULL OR g.event_id > s.sid) THEN g.v
+        WHEN g.m3 = 2 AND (s.sid IS NULL OR g.event_id > s.sid) THEN -g.v
+        ELSE 0 END) AS DOUBLE) AS gauge_value
+FROM g LEFT JOIN set_val s ON g.name = s.name AND g.tags = s.tags
+GROUP BY g.name, g.tags ORDER BY g.name, g.tags
+"""
+
+
+@register("statsd_gauges_events", _STATSD_GAUGE_ORACLE)
+def q_statsd_gauges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.statsd import statsd_gauges, statsd_parse
+
+    parsed = statsd_parse(_statsd_lines(spark, sf_dir))
+    return statsd_gauges(parsed, order_col="event_id").orderBy(
+        "name", "tags"
+    )
+
+
+_STATSD_SUMMARY_ORACLE = """
+WITH t AS (
+  SELECT 'm.' || event_type AS name,
+         'host:h' || CAST(user_id % 5 AS STRING) AS tags,
+         CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DOUBLE) AS v,
+         CASE WHEN event_id % 4 = 0 THEN 2.0 ELSE 1.0 END AS w
+  FROM events WHERE event_id % 10 >= 7 AND event_id % 10 < 9),
+c AS (
+  SELECT name, tags, v, w,
+         SUM(w) OVER (PARTITION BY name, tags ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY name, tags) AS tw
+  FROM t)
+SELECT name, tags,
+  CAST(SUM(w) AS BIGINT) AS summary_count,
+  SUM(v * w) AS summary_sum,
+  MIN(CASE WHEN cw >= 0.0 * tw THEN v END) AS q0,
+  MIN(CASE WHEN cw >= 0.5 * tw THEN v END) AS q50,
+  MIN(CASE WHEN cw >= 0.9 * tw THEN v END) AS q90,
+  MIN(CASE WHEN cw >= 1.0 * tw THEN v END) AS q100
+FROM c GROUP BY name, tags ORDER BY name, tags
+"""
+
+
+@register("statsd_timer_summary_events", _STATSD_SUMMARY_ORACLE)
+def q_statsd_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.statsd import statsd_parse, statsd_summaries
+
+    parsed = statsd_parse(_statsd_lines(spark, sf_dir))
+    return statsd_summaries(
+        parsed, types=["ms"], percentiles=[0.0, 50.0, 90.0, 100.0]
+    ).orderBy("name", "tags")
+
+
+_STATSD_HIST_ORACLE = """
+WITH t AS (
+  SELECT 'm.' || event_type AS name,
+         'host:h' || CAST(user_id % 5 AS STRING) AS tags,
+         CAST(CAST(FLOOR(value * 100) AS BIGINT) AS DOUBLE) AS v,
+         CASE WHEN event_id % 4 = 0 THEN 2 ELSE 1 END AS n
+  FROM events WHERE event_id % 10 >= 7 AND event_id % 10 < 9)
+SELECT name, tags,
+  CAST(SUM(n) AS BIGINT) AS hist_count,
+  SUM(v * n) AS hist_sum,
+  MIN(v) AS hist_min,
+  MAX(v) AS hist_max,
+  CAST(COALESCE(SUM(CASE WHEN v <= 500 THEN n END), 0) AS BIGINT)
+    AS bucket_0,
+  CAST(COALESCE(SUM(CASE WHEN v > 500 AND v <= 5000 THEN n END), 0)
+       AS BIGINT) AS bucket_1,
+  CAST(COALESCE(SUM(CASE WHEN v > 5000 AND v <= 20000 THEN n END), 0)
+       AS BIGINT) AS bucket_2,
+  CAST(COALESCE(SUM(CASE WHEN v > 20000 THEN n END), 0) AS BIGINT)
+    AS bucket_inf
+FROM t GROUP BY name, tags ORDER BY name, tags
+"""
+
+
+@register("statsd_explicit_histogram_events", _STATSD_HIST_ORACLE)
+def q_statsd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.statsd import statsd_explicit_histogram, statsd_parse
+
+    parsed = statsd_parse(_statsd_lines(spark, sf_dir))
+    return statsd_explicit_histogram(
+        parsed, buckets=[500.0, 5000.0, 20000.0], types=["ms"]
+    ).orderBy("name", "tags")

@@ -1,0 +1,279 @@
+"""statsdreceiver parity: parse + aggregation pinned to the reference's
+own test vectors.
+
+Vectors copied from receiver/statsdreceiver/internal/parser/
+statsd_parser_test.go -- Test_ParseMessageToMetric (line 23),
+TestStatsDParser_Aggregate (659), AggregateTimerWithSummary (1356),
+HistogramExplicitBucket (1941) -- and the attribute/error semantics of
+parseMessageToMetric (statsd_parser.go:454).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.statsd import (
+    statsd_counters,
+    statsd_explicit_histogram,
+    statsd_gauges,
+    statsd_parse,
+    statsd_summaries,
+)
+
+
+def _lines(spark, lines):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lines)], "seq int, line string"
+    )
+
+
+# ---- Test_ParseMessageToMetric vectors ---------------------------------
+
+PARSE_ERR = [
+    ("", "invalid message format"),
+    ("test.metric|c", "invalid <name>:<value> format"),
+    (":42|c", "empty metric name"),
+    ("test.metric:|c", "empty metric value"),
+    ("test.metric:42|c|@1.0a", "parse sample rate"),
+    ("test.metric:42|c|#:val1", "invalid tag format"),
+    ("test.metric:42|c|$extra", "unrecognized message part"),
+    ("test.metric:42.abc|c", "parse metric value string"),
+    ("test.metric:42|unhandled_type", "unsupported metric type"),
+    ("test.metric:42|ms|T1656581400",
+     "only GAUGE and COUNT metrics support a timestamp"),
+    ("test.metric:42|c|T16565814a0", "invalid timestamp"),
+]
+
+PARSE_OK = [
+    # line -> (name, value, addition, type, rate, tags, ts_ns)
+    ("test.metric:42|c|#", ("test.metric", 42.0, False, "c", None, "", None)),
+    ("test.metric:42|c|#,,,",
+     ("test.metric", 42.0, False, "c", None, "", None)),
+    ("test.metric:42|c", ("test.metric", 42.0, False, "c", None, "", None)),
+    ("test.metric:42|c|@0.1|#key:value",
+     ("test.metric", 42.0, False, "c", 0.1, "key:value", None)),
+    ("test.metric:42|c|#key:value|c:abc123",
+     ("test.metric", 42.0, False, "c", None,
+      "container.id:abc123,key:value", None)),
+    ("test.metric:42|c|T1656581400",
+     ("test.metric", 42.0, False, "c", None, "", 1656581400000000000)),
+    ("test.metric:42|c|@0.8|#key:value,key2:value2",
+     ("test.metric", 42.0, False, "c", 0.8,
+      "key:value,key2:value2", None)),
+    ("test.metric:-42|g",
+     ("test.metric", -42.0, True, "g", None, "", None)),
+    ("test.metric:+42|g",
+     ("test.metric", 42.0, True, "g", None, "", None)),
+    ("test.metric:42|ms|@0.1|#key:value",
+     ("test.metric", 42.0, False, "ms", 0.1, "key:value", None)),
+    # empty part terminates the loop: the '#key:value' after '||' is
+    # never seen (Go `for ; part != ""`)
+    ("test.metric:42|c||#key:value",
+     ("test.metric", 42.0, False, "c", None, "", None)),
+]
+
+
+def test_parse_errors(spark):
+    df = statsd_parse(_lines(spark, [l for l, _ in PARSE_ERR]))
+    got = {r["line"]: r["error"] for r in df.collect()}
+    for line, want in PARSE_ERR:
+        assert got[line] == want, line
+
+
+def test_parse_ok_vectors(spark):
+    df = statsd_parse(_lines(spark, [l for l, _ in PARSE_OK]))
+    rows = {r["line"]: r for r in df.collect()}
+    for line, (name, value, addition, mtype, rate, tags, ts) in PARSE_OK:
+        r = rows[line]
+        assert r["error"] is None, (line, r["error"])
+        assert (
+            r["name"], r["value"], r["addition"], r["metric_type"],
+            r["sample_rate"], r["tags"], r["timestamp_ns"],
+        ) == (name, value, addition, mtype, rate, tags, ts), line
+
+
+def test_parse_simple_tags_and_metric_type(spark):
+    # Test_ParseMessageToMetricWithSimpleTags /
+    # ...WithMetricType: '#key' valueless tags gate on the flag;
+    # enable_metric_type appends metric_type:<full name>
+    df = statsd_parse(
+        _lines(spark, ["test.metric:42|ms|#key"]), enable_simple_tags=True,
+        enable_metric_type=True,
+    )
+    r = df.collect()[0]
+    assert r["error"] is None
+    assert r["tags"] == "key:,metric_type:timing"
+    df2 = statsd_parse(_lines(spark, ["test.metric:42|ms|#key"]))
+    assert df2.collect()[0]["error"] == "invalid tag format"
+
+
+def test_parse_duplicate_tag_keys_last_wins(spark):
+    # attribute.NewSet semantics: later duplicate key overwrites
+    df = statsd_parse(_lines(spark, ["m:1|c|#k:a,k:b,j:x"]))
+    assert df.collect()[0]["tags"] == "j:x,k:b"
+
+
+# ---- TestStatsDParser_Aggregate vectors --------------------------------
+
+GAUGE_CASES = [
+    # (input lines, {(name, tags): value})
+    (
+        [  # "gauge plus"
+            "statsdTestMetric1:1|g|#mykey:myvalue",
+            "statsdTestMetric2:2|g|#mykey:myvalue",
+            "statsdTestMetric1:+1|g|#mykey:myvalue",
+            "statsdTestMetric1:+100|g|#mykey:myvalue",
+            "statsdTestMetric1:+10000|g|#mykey:myvalue",
+            "statsdTestMetric2:+5|g|#mykey:myvalue",
+            "statsdTestMetric2:+500|g|#mykey:myvalue",
+        ],
+        {"statsdTestMetric1": 10102.0, "statsdTestMetric2": 507.0},
+    ),
+    (
+        [  # "gauge minus"
+            "statsdTestMetric1:5000|g|#mykey:myvalue",
+            "statsdTestMetric2:10|g|#mykey:myvalue",
+            "statsdTestMetric1:-1|g|#mykey:myvalue",
+            "statsdTestMetric2:-5|g|#mykey:myvalue",
+            "statsdTestMetric1:-1|g|#mykey:myvalue",
+            "statsdTestMetric1:-1|g|#mykey:myvalue",
+            "statsdTestMetric1:-10|g|#mykey:myvalue",
+            "statsdTestMetric1:-1|g|#mykey:myvalue",
+            "statsdTestMetric1:-100|g|#mykey:myvalue",
+            "statsdTestMetric1:-1|g|#mykey:myvalue",
+        ],
+        {"statsdTestMetric1": 4885.0, "statsdTestMetric2": 5.0},
+    ),
+    (
+        [  # "gauge plus and minus": later plain set resets
+            "statsdTestMetric1:5000|g|#mykey:myvalue",
+            "statsdTestMetric1:4000|g|#mykey:myvalue",
+            "statsdTestMetric1:+500|g|#mykey:myvalue",
+            "statsdTestMetric1:-400|g|#mykey:myvalue",
+            "statsdTestMetric1:+2|g|#mykey:myvalue",
+            "statsdTestMetric1:-1|g|#mykey:myvalue",
+            "statsdTestMetric2:365|g|#mykey:myvalue",
+            "statsdTestMetric2:+300|g|#mykey:myvalue",
+            "statsdTestMetric2:-200|g|#mykey:myvalue",
+            "statsdTestMetric2:200|g|#mykey:myvalue",
+        ],
+        {"statsdTestMetric1": 4101.0, "statsdTestMetric2": 200.0},
+    ),
+]
+
+
+@pytest.mark.parametrize("lines,want", GAUGE_CASES)
+def test_gauge_aggregation(spark, lines, want):
+    parsed = statsd_parse(_lines(spark, lines))
+    got = {
+        r["name"]: r["gauge_value"]
+        for r in statsd_gauges(parsed, order_col="seq").collect()
+    }
+    assert got == want
+
+
+def test_gauge_leading_delta_seeds_zero(spark):
+    # Aggregate: a delta with no prior set accumulates from 0
+    parsed = statsd_parse(_lines(spark, ["m:+5|g", "m:+3|g"]))
+    got = statsd_gauges(parsed, order_col="seq").collect()
+    assert got[0]["gauge_value"] == 8.0
+
+
+def test_counter_aggregation_with_sample_rate(spark):
+    lines = [
+        "statsdTestMetric1:3000|c|#mykey:myvalue",
+        "statsdTestMetric1:4000|c|#mykey:myvalue",
+        "statsdTestMetric2:20|c|@0.8|#mykey:myvalue",
+        "statsdTestMetric2:20|c|@0.8|#mykey:myvalue",
+    ]
+    parsed = statsd_parse(_lines(spark, lines))
+    got = {
+        r["name"]: r["counter_value"]
+        for r in statsd_counters(parsed).collect()
+    }
+    # 20/0.8 = 25 -> int64 truncation per line -> 50
+    assert got == {"statsdTestMetric1": 7000, "statsdTestMetric2": 50}
+
+
+def test_counter_truncation_per_line(spark):
+    # counterValue: int64(value / rate) truncates toward zero PER LINE
+    parsed = statsd_parse(_lines(spark, ["m:1|c|@0.3", "m:1|c|@0.3"]))
+    got = statsd_counters(parsed).collect()
+    # 1/0.3 = 3.333 -> 3 each -> 6 (not int(6.666) = 6 here, but the
+    # per-line rule differs from sum-then-truncate for e.g. 0.6)
+    assert got[0]["counter_value"] == 6
+    parsed2 = statsd_parse(_lines(spark, ["m:1|c|@0.6", "m:1|c|@0.6"]))
+    # per-line: int(1.666)=1 each -> 2 ; sum-then-trunc would give 3
+    assert statsd_counters(parsed2).collect()[0]["counter_value"] == 2
+
+
+# ---- timer/histogram summaries -----------------------------------------
+
+def test_timer_summary_points_and_quantiles(spark):
+    lines = [
+        "statsdTestMetric1:1|ms|#mykey:myvalue",
+        "statsdTestMetric2:2|ms|#mykey:myvalue",
+        "statsdTestMetric1:1|ms|#mykey:myvalue",
+        "statsdTestMetric1:10|ms|#mykey:myvalue",
+        "statsdTestMetric1:20|ms|#mykey:myvalue",
+        "statsdTestMetric2:5|ms|#mykey:myvalue",
+        "statsdTestMetric2:10|ms|#mykey:myvalue",
+        "statsdTestMetric1:20|ms|#mykey:myvalue",
+    ]
+    parsed = statsd_parse(_lines(spark, lines))
+    rows = {
+        r["name"]: r
+        for r in statsd_summaries(
+            parsed, percentiles=[0.0, 10.0, 50.0, 90.0, 95.0, 100.0]
+        ).collect()
+    }
+    m1 = rows["statsdTestMetric1"]  # points 1,1,10,20,20
+    assert (m1["summary_count"], m1["summary_sum"]) == (5, 52.0)
+    # gonum Empirical: first sorted value with cumweight >= p*total
+    assert (m1["q0"], m1["q10"], m1["q50"], m1["q90"], m1["q95"],
+            m1["q100"]) == (1.0, 1.0, 10.0, 20.0, 20.0, 20.0)
+    m2 = rows["statsdTestMetric2"]  # points 2,5,10
+    assert (m2["summary_count"], m2["summary_sum"]) == (3, 17.0)
+    assert (m2["q0"], m2["q50"], m2["q100"]) == (2.0, 5.0, 10.0)
+
+
+def test_summary_sampled_weights(spark):
+    # histogram_sampled: weights 10,20,10,100 (1/rate)
+    lines = [
+        "statsdTestMetric1:300|h|@0.1|#mykey:myvalue",
+        "statsdTestMetric1:100|h|@0.05|#mykey:myvalue",
+        "statsdTestMetric1:300|h|@0.1|#mykey:myvalue",
+        "statsdTestMetric1:200|h|@0.01|#mykey:myvalue",
+    ]
+    parsed = statsd_parse(_lines(spark, lines))
+    r = statsd_summaries(parsed, types=["h"],
+                         percentiles=[0.0, 50.0, 95.0, 100.0]).collect()[0]
+    assert r["summary_count"] == 140
+    assert r["summary_sum"] == 300 * 10 + 100 * 20 + 300 * 10 + 200 * 100
+    # sorted (value, weight): (100,20) cw20, (200,100) cw120, (300,20) cw140
+    assert (r["q0"], r["q50"], r["q95"], r["q100"]) == (
+        100.0, 200.0, 300.0, 300.0)
+
+
+def test_explicit_histogram_buckets(spark):
+    # HistogramExplicitBucket "foo matched pattern" + Inf-bucket case
+    parsed = statsd_parse(
+        _lines(spark, ["foo:0.1|h", "foo:0.3|h", "foo:0.6|h"])
+    )
+    r = statsd_explicit_histogram(
+        parsed, buckets=[0.1, 0.5, 1.0], types=["h"]
+    ).collect()[0]
+    assert (r["hist_count"], r["hist_sum"], r["hist_min"], r["hist_max"]) \
+        == (3, 1.0, 0.1, 0.6)
+    assert (r["bucket_0"], r["bucket_1"], r["bucket_2"], r["bucket_inf"]) \
+        == (1, 1, 1, 0)
+
+    parsed2 = statsd_parse(
+        _lines(spark, ["fb:0.1|h", "fb:0.3|h", "fb:3|h"])
+    )
+    r2 = statsd_explicit_histogram(
+        parsed2, buckets=[0.1, 0.5, 1.0], types=["h"]
+    ).collect()[0]
+    assert (r2["bucket_0"], r2["bucket_1"], r2["bucket_2"],
+            r2["bucket_inf"]) == (1, 1, 0, 1)
+    assert r2["hist_sum"] == pytest.approx(3.4)
