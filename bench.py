@@ -112,6 +112,22 @@ def main() -> None:
     try:
         import shutil
 
+        # Settle-wait: the driver invokes bench.py right after its own
+        # correctness harness, so the 1-min loadavg is usually still
+        # decaying from JVMs that have already exited. Waiting a
+        # bounded window for it to drop converts an "immediately
+        # contended" capture into a quiet one; if real external load
+        # persists, the wait expires and the contended flag below
+        # stays honest.
+        settle_budget = float(
+            os.environ.get("SPARK_GRAFT_SETTLE_BUDGET", "120"))
+        settle_start = time.perf_counter()
+        while (os.getloadavg()[0] > 1.5
+               and time.perf_counter() - settle_start < settle_budget):
+            time.sleep(10)
+        scaling["settle_wait_s"] = round(
+            time.perf_counter() - settle_start, 1)
+
         load_at_start = os.getloadavg()[0]  # BEFORE any JVM of ours:
         # the only uncontaminated external-load reading of the run
 
