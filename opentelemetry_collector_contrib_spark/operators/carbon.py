@@ -1,0 +1,133 @@
+"""carbonreceiver: Graphite plaintext protocol parse as a pure-Column
+battery (no UDF, map-only -- the 10^12-row shape is a projection).
+
+Reference semantics (receiver/carbonreceiver/protocol/):
+
+* ``path_parser_helper.go:92-146`` Parse: the line must split on single
+  spaces into EXACTLY three fields ``<path> <value> <timestamp>``
+  (``strings.SplitN(line, " ", 4)`` -- a 4th field or a doubled space
+  is an error); value tries int64 first, then float64 (typing the
+  datapoint int vs double); timestamp tries int64 seconds, then float
+  seconds whose fraction becomes nanoseconds (``math.Modf`` + truncate).
+* ``plaintext_parser.go:40-70`` parsePath: ``<name>[;tag0;...;tagN]``,
+  name terminates at the first ``;`` and must be non-empty; each tag is
+  ``key=value`` where the key is non-empty (separator index >= 1) and
+  the value may be empty or contain further ``=``; duplicate keys are
+  last-wins (pcommon.Map PutStr).
+* plaintext always emits gauges (``path_parser_helper.go:131-138``;
+  the cumulative branch is only reached by the regex path parser).
+
+Output ``tags`` is the canonical sorted ``k:v,k2:v2`` rendering so the
+result hashes stably across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INT_RE = r"^[+-]?[0-9]+$"
+_FLOAT_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+
+def _tag_entries(rest: Column) -> Column:
+    """Split the tag block on ';' into (key, value) structs, value =
+    everything after the FIRST '=' (may itself contain '=')."""
+    tags = F.split(rest, ";", -1)
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.substring_index(t, "=", 1).alias("key"),
+            F.when(
+                t.contains("="),
+                F.substring(t, F.instr(t, "=") + 1, F.length(t)),
+            ).otherwise(F.lit("")).alias("value"),
+        ),
+    )
+
+
+def _dedup_last_wins(entries: Column) -> Column:
+    """pcommon.Map PutStr: later duplicate keys overwrite earlier ones.
+    Keep entry i only if no entry after i shares its key."""
+    return F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+
+
+def carbon_parse(df: DataFrame, line: str = "line") -> DataFrame:
+    """Parse Carbon plaintext lines; keeps every input row, with the
+    reference's error ladder surfaced in an ``error`` column."""
+    c = F.col(line)
+    parts = F.split(c, " ", -1)
+    three = F.size(parts) == 3
+    path = F.element_at(parts, 1)
+    value_s = F.element_at(parts, 2)
+    ts_s = F.element_at(parts, 3)
+
+    name = F.substring_index(path, ";", 1)
+    has_tags = path.contains(";")
+    rest = F.substring(path, F.instr(path, ";") + 1, F.length(path))
+    entries = _tag_entries(rest)
+    bad_tag = has_tags & (rest != "") & F.exists(
+        entries, lambda e: e["key"] == ""
+    )
+    # "k" without '=' yields value "" and key "k" above; the reference
+    # errors when the separator index is < 1, i.e. no '=' at all or a
+    # leading '='. Detect no-'=' separately.
+    no_eq = has_tags & (rest != "") & F.exists(
+        F.split(rest, ";", -1), lambda t: ~t.contains("=")
+    )
+    tag_err = bad_tag | no_eq
+
+    deduped = _dedup_last_wins(entries)
+    tags_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                deduped, lambda e: F.concat(e["key"], F.lit(":"), e["value"])
+            )
+        ),
+        ",",
+    )
+    tags_final = F.when(has_tags & (rest != ""), tags_str).otherwise(F.lit(""))
+
+    is_int_ts = ts_s.rlike(_INT_RE)
+    is_float_ts = ts_s.rlike(_FLOAT_RE)
+    ts_sec = F.when(is_int_ts, ts_s.try_cast("long")).otherwise(
+        ts_s.try_cast("double").cast("long")  # trunc toward zero
+    )
+    ts_frac = F.when(
+        ~is_int_ts & is_float_ts,
+        ((ts_s.try_cast("double") - ts_s.try_cast("double").cast("long"))
+         * F.lit(1e9)).cast("long"),
+    ).otherwise(F.lit(0))
+    ts_ns = ts_sec * F.lit(1000000000) + ts_frac
+
+    is_int_v = value_s.rlike(_INT_RE)
+    is_float_v = value_s.rlike(_FLOAT_RE)
+    value_int = F.when(is_int_v, value_s.try_cast("long"))
+    value_double = F.when(~is_int_v & is_float_v, value_s.try_cast("double"))
+
+    # Error ladder in the reference's evaluation order
+    error = (
+        F.when(~three, F.lit("invalid carbon metric"))
+        .when(name == "", F.lit("empty metric name extracted from path"))
+        .when(tag_err, F.lit("incorrect key value separator"))
+        .when(~is_int_ts & ~is_float_ts, F.lit("invalid carbon metric time"))
+        .when(~is_int_v & ~is_float_v, F.lit("invalid carbon metric value"))
+    )
+    ok = error.isNull()
+
+    return df.select(
+        *[col for col in df.columns if col != line],
+        F.when(ok, name).alias("name"),
+        F.when(ok, tags_final).alias("tags"),
+        F.when(ok, value_int).alias("value_int"),
+        F.when(ok, value_double).alias("value_double"),
+        F.when(ok, ts_ns).alias("ts_ns"),
+        F.when(ok, F.lit("gauge")).alias("metric_type"),
+        error.alias("error"),
+    )

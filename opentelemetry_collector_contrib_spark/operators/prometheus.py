@@ -1,0 +1,318 @@
+"""Prometheus translator: metric-name/label/unit normalization and the
+text exposition format, as pure-Column batteries.
+
+Reference semantics (pkg/translator/prometheus/):
+
+* ``build_compliant_name`` -- normalize_name.go:57-103 ``normalizeName``:
+  tokenize the OTel metric name on non-alphanumeric runs, append the
+  Prometheus unit (main + ``per`` rate) when not already a token, append
+  ``_total`` for monotonic sums (normalize_name.go:76-78, removing any
+  pre-existing ``total`` token first), append ``_ratio`` for gauges with
+  unit ``"1"`` (normalize_name.go:85-87), join with ``_`` and prefix a
+  leading digit with ``_`` (normalize_name.go:96-101).
+* ``normalize_label`` -- normalize_label.go:27-45 ``NormalizeLabel``:
+  every non-alphanumeric rune becomes ``_``; a leading digit prepends
+  ``key_``; a single (non-double) leading underscore prepends ``key``.
+* ``build_compliant_prometheus_unit`` -- normalize_unit.go:64-74:
+  ``main_unit [_per_ per_unit]`` from the OTLP c/s unit, where each part
+  goes through the unit word map (normalize_unit.go:16-62) with
+  ``{annotation}``-carrying parts dropped, then ``CleanUpString``
+  (normalize_unit.go:127-129 -- same tokenize-and-join as names).
+* ``trim_prom_suffixes`` -- normalize_name.go:105-160 ``TrimPromSuffixes``
+  (the Prometheus->OTel direction): drop a trailing ``total`` for sums,
+  then drop the trailing unit-word tokens when the name has more tokens
+  than the unit.
+* exposition text format -- the prometheusexporter's output surface:
+  ``name{label="value",...} value timestamp_ms`` with labels sorted by
+  key and values escaped (``\\`` ``\"`` ``\n``), plus ``# HELP`` /
+  ``# TYPE`` comment lines; ``parse_exposition`` inverts it.
+
+Everything is JVM-side Column code over arrays -- no UDF, no shuffle;
+at 10^12 rows these are map-only projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# OTLP (UCUM c/s) unit -> Prometheus unit word (normalize_unit.go:16-50)
+UNIT_MAP: dict[str, str] = {
+    "d": "days", "h": "hours", "min": "minutes", "s": "seconds",
+    "ms": "milliseconds", "us": "microseconds", "ns": "nanoseconds",
+    "By": "bytes", "KiBy": "kibibytes", "MiBy": "mebibytes",
+    "GiBy": "gibibytes", "TiBy": "tibibytes", "KBy": "kilobytes",
+    "MBy": "megabytes", "GBy": "gigabytes", "TBy": "terabytes",
+    "m": "meters", "V": "volts", "A": "amperes", "J": "joules",
+    "W": "watts", "g": "grams", "Cel": "celsius", "Hz": "hertz",
+    "1": "", "%": "percent",
+}
+
+# "per"-unit map (normalize_unit.go:53-62)
+PER_UNIT_MAP: dict[str, str] = {
+    "s": "second", "m": "minute", "h": "hour", "d": "day",
+    "w": "week", "mo": "month", "y": "year",
+}
+
+_SEP = r"[^\p{L}\p{Nd}]+"  # Go FieldsFunc(!IsLetter && !IsDigit)
+
+
+def _tokens(s: Column) -> Column:
+    """strings.FieldsFunc: split on non-alphanumeric runs, drop empties."""
+    return F.filter(F.split(s, _SEP), lambda t: t != F.lit(""))
+
+
+def clean_up_string(s: Column) -> Column:
+    """normalize_unit.go:127-129 CleanUpString."""
+    return F.array_join(_tokens(s), "_")
+
+
+def _map_lookup(col: Column, mapping: dict[str, str]) -> Column:
+    """Map lookup with identity default (unitMapGetOrDefault)."""
+    if not mapping:
+        return col
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.coalesce(F.element_at(F.create_map(*pairs), col), col)
+
+
+def _trim_space(s: Column) -> Column:
+    """Go strings.TrimSpace: all Unicode whitespace, not just ' '."""
+    return F.regexp_replace(s, r"^\s+|\s+$", "")
+
+
+def _main_unit(unit: Column) -> Column:
+    """normalize_unit.go:78-90 buildCompliantMainUnit."""
+    u0 = _trim_space(F.split_part(unit, F.lit("/"), F.lit(1)))
+    cleaned = clean_up_string(_map_lookup(u0, UNIT_MAP))
+    ok = (u0 != "") & ~u0.contains("{") & ~u0.contains("}")
+    return F.when(ok, cleaned).otherwise(F.lit(""))
+
+
+def _per_unit(unit: Column) -> Column:
+    """normalize_unit.go:94-105 buildCompliantPerUnit."""
+    # SplitN(unit, "/", 2): everything after the FIRST slash.
+    rest = F.when(
+        unit.contains("/"),
+        F.substring(unit, F.instr(unit, "/") + 1, F.length(unit)),
+    ).otherwise(F.lit(""))
+    u1 = _trim_space(rest)
+    cleaned = clean_up_string(_map_lookup(u1, PER_UNIT_MAP))
+    ok = (u1 != "") & ~u1.contains("{") & ~u1.contains("}")
+    return F.when(ok, cleaned).otherwise(F.lit(""))
+
+
+def build_compliant_prometheus_unit(unit: Column) -> Column:
+    """normalize_unit.go:64-74 BuildCompliantPrometheusUnit."""
+    main, per = _main_unit(unit), _per_unit(unit)
+    return F.array_join(
+        F.filter(
+            F.array(main, F.when(per != "", F.concat(F.lit("per_"), per))
+                    .otherwise(F.lit(""))),
+            lambda t: t != F.lit(""),
+        ),
+        "_",
+    )
+
+
+def _drop_token(tokens: Column, word: str) -> Column:
+    """normalize_name.go removeItem: drop every occurrence of word."""
+    return F.filter(tokens, lambda t: t != F.lit(word))
+
+
+def build_compliant_name(
+    name: Column,
+    unit: Column,
+    metric_type: Column,
+    is_monotonic: Column,
+    namespace: str | None = None,
+    add_metric_suffixes: bool = True,
+) -> Column:
+    """normalize_name.go:32-103 BuildCompliantName.
+
+    ``metric_type`` is the lowercase type string (``gauge`` / ``sum`` /
+    ``histogram`` ...) matching pmetric.MetricType names.
+    """
+    if not add_metric_suffixes:
+        # Simple path: RemovePromForbiddenRunes keeps '_' and ':'.
+        simple = F.array_join(
+            F.filter(F.split(name, r"[^\p{L}\p{Nd}_:]+"),
+                     lambda t: t != F.lit("")),
+            "_",
+        )
+        if namespace:
+            return F.concat(F.lit(namespace + "_"), simple)
+        return F.when(
+            (simple != "") & simple.rlike(r"^\p{Nd}"),
+            F.concat(F.lit("_"), simple),
+        ).otherwise(simple)
+
+    tokens = _tokens(name)
+    main, per = _main_unit(unit), _per_unit(unit)
+    tokens = F.when(
+        (main != "") & ~F.array_contains(tokens, main),
+        F.array_append(tokens, main),
+    ).otherwise(tokens)
+    # per-unit: append "per" + unit unconditionally when present
+    tokens = F.when(
+        per != "",
+        F.concat(tokens, F.array(F.lit("per")), F.array(per)),
+    ).otherwise(tokens)
+    is_counter = (metric_type == "sum") & is_monotonic
+    tokens = F.when(
+        is_counter, F.array_append(_drop_token(tokens, "total"), "total")
+    ).otherwise(tokens)
+    # raw (untrimmed) unit == "1" check, gauges only
+    tokens = F.when(
+        (unit == "1") & (metric_type == "gauge"),
+        F.array_append(_drop_token(tokens, "ratio"), "ratio"),
+    ).otherwise(tokens)
+    if namespace:
+        tokens = F.concat(F.array(F.lit(namespace)), tokens)
+    joined = F.array_join(tokens, "_")
+    return F.when(
+        (joined != "") & joined.rlike(r"^\p{Nd}"),
+        F.concat(F.lit("_"), joined),
+    ).otherwise(joined)
+
+
+def normalize_label(label: Column) -> Column:
+    """normalize_label.go:27-45 NormalizeLabel."""
+    san = F.regexp_replace(label, r"[^\p{L}\p{Nd}]", "_")
+    return (
+        F.when(label == "", label)
+        .when(san.rlike(r"^\p{Nd}"), F.concat(F.lit("key_"), san))
+        .when(
+            san.startswith("_") & ~san.startswith("__"),
+            F.concat(F.lit("key"), san),
+        )
+        .otherwise(san)
+    )
+
+
+def trim_prom_suffixes(
+    prom_name: Column, metric_type: Column, unit: Column
+) -> Column:
+    """normalize_name.go:105-160 TrimPromSuffixes (prom -> OTel names)."""
+    toks = F.split(prom_name, "_")  # plain split, keeps empties (Go parity)
+    single = F.size(toks) == 1
+
+    # removeTypeSuffixes: sums drop ONE trailing "total"
+    toks = F.when(
+        (metric_type == "sum") & (F.element_at(toks, -1) == "total"),
+        F.slice(toks, 1, F.size(toks) - 1),
+    ).otherwise(toks)
+
+    # removeUnitSuffixes: drop the trailing unit tokens when the name is
+    # strictly longer than the unit and the suffix matches exactly
+    ut = F.split(unit, "_")
+    l, lu = F.size(toks), F.size(ut)
+    suffix_matches = (l > lu) & (F.slice(toks, l - lu + 1, lu) == ut)
+    toks = F.when(suffix_matches, F.slice(toks, 1, l - lu)).otherwise(toks)
+
+    return F.when(single, prom_name).otherwise(F.array_join(toks, "_"))
+
+
+# ---------------------------------------------------------------------------
+# Text exposition format (the prometheusexporter output surface)
+# ---------------------------------------------------------------------------
+
+def escape_label_value(v: Column) -> Column:
+    r"""Prometheus exposition label-value escaping: \ -> \\, " -> \",
+    newline -> \n (text format spec)."""
+    v = F.regexp_replace(v, r"\\", r"\\\\")
+    v = F.regexp_replace(v, '"', '\\\\"')
+    return F.regexp_replace(v, "\n", r"\\n")
+
+
+def unescape_label_value(v: Column) -> Column:
+    """Inverse of escape_label_value (single pass over escape pairs --
+    replace_all on a 2-char window via regexp with alternation)."""
+    # \\ -> \x00 sentinel, \n -> newline, \" -> ", sentinel -> backslash
+    v = F.regexp_replace(v, r"\\\\", "\x00")
+    v = F.regexp_replace(v, r"\\n", "\n")
+    v = F.regexp_replace(v, r'\\"', '"')
+    return F.regexp_replace(v, "\x00", r"\\")
+
+
+def exposition_lines(
+    df: DataFrame,
+    name: str = "name",
+    labels: str = "labels",
+    value: str = "value",
+    ts_ms: str = "ts_ms",
+) -> DataFrame:
+    """Render sample rows to exposition lines.
+
+    ``labels`` is ``map<string,string>``; label pairs are sorted by key
+    (the exporter emits a deterministic label order) and values escaped.
+    Output: one row per sample with column ``line``.
+    """
+    entries = F.array_sort(F.map_entries(F.col(labels)))
+    rendered = F.transform(
+        entries,
+        lambda e: F.concat(
+            e["key"], F.lit('="'), escape_label_value(e["value"]), F.lit('"')
+        ),
+    )
+    label_blk = F.when(
+        F.size(entries) > 0,
+        F.concat(F.lit("{"), F.array_join(rendered, ","), F.lit("}")),
+    ).otherwise(F.lit(""))
+    line = F.concat(
+        F.col(name), label_blk, F.lit(" "),
+        F.col(value).cast("string"), F.lit(" "),
+        F.col(ts_ms).cast("string"),
+    )
+    return df.select(line.alias("line"))
+
+
+_LINE_RE = r'^([A-Za-z_:][A-Za-z0-9_:]*)(?:\{(.*)\})? (-?[0-9.eE+]+)(?: ([0-9]+))?$'
+
+
+def parse_exposition(df: DataFrame, line: str = "line") -> DataFrame:
+    """Parse exposition lines back to samples.
+
+    Comment lines (``# HELP`` / ``# TYPE``) yield help/type rows; sample
+    lines yield (name, labels map, value, ts_ms). The label block is
+    split on commas OUTSIDE quoted values via a regex that consumes one
+    ``k="v"`` pair at a time (escaped quotes stay inside the value).
+    """
+    c = F.col(line)
+    is_comment = c.startswith("#")
+    help_m = F.regexp_extract(c, r"^# HELP (\S+) (.*)$", 1)
+    help_txt = F.regexp_extract(c, r"^# HELP (\S+) (.*)$", 2)
+    type_m = F.regexp_extract(c, r"^# TYPE (\S+) (\S+)$", 1)
+    type_v = F.regexp_extract(c, r"^# TYPE (\S+) (\S+)$", 2)
+
+    name = F.regexp_extract(c, _LINE_RE, 1)
+    label_blk = F.regexp_extract(c, _LINE_RE, 2)
+    val = F.regexp_extract(c, _LINE_RE, 3)
+    ts = F.regexp_extract(c, _LINE_RE, 4)
+
+    # one k="v" pair per element; value = any run of (\\. | [^"\\])
+    pair_re = r'([A-Za-z_][A-Za-z0-9_]*)="((?:\\.|[^"\\])*)"'
+    pairs = F.regexp_extract_all(label_blk, F.lit(pair_re), F.lit(0))
+    keys = F.transform(
+        pairs, lambda p: F.regexp_extract(p, pair_re, 1)
+    )
+    vals = F.transform(
+        pairs, lambda p: unescape_label_value(F.regexp_extract(p, pair_re, 2))
+    )
+    labels = F.map_from_arrays(keys, vals)
+
+    return df.select(
+        F.when(is_comment & (help_m != ""), F.lit("help"))
+        .when(is_comment & (type_m != ""), F.lit("type"))
+        .when(~is_comment & (name != ""), F.lit("sample"))
+        .otherwise(F.lit("error")).alias("kind"),
+        F.when(is_comment, F.coalesce(
+            F.nullif(help_m, F.lit("")), F.nullif(type_m, F.lit(""))
+        )).otherwise(F.nullif(name, F.lit(""))).alias("name"),
+        F.when(is_comment & (help_m != ""), help_txt).alias("help"),
+        F.when(is_comment & (type_m != ""), type_v).alias("type"),
+        F.when(~is_comment, labels).alias("labels"),
+        F.when(~is_comment, val.try_cast("double")).alias("value"),
+        F.when(~is_comment & (ts != ""), ts.try_cast("long")).alias("ts_ms"),
+    )

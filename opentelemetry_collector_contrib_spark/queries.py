@@ -48,6 +48,9 @@ _PRIORITY_NAMES: list[str] = [
     "statsd_gauges_events",           # round 3: statsd gauge set/delta
     "statsd_timer_summary_events",    # round 3: timer summary quantiles
     "statsd_explicit_histogram_events",  # round 3: timer explicit buckets
+    "prom_name_normalize_events",     # round 3: prometheus translator
+    "prom_exposition_roundtrip_events",  # round 3: exposition text format
+    "carbon_parse_events",            # round 3: graphite plaintext parse
 ]
 
 
@@ -4250,3 +4253,349 @@ def q_statsd_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return statsd_explicit_histogram(
         parsed, buckets=[500.0, 5000.0, 20000.0], types=["ms"]
     ).orderBy("name", "tags")
+
+
+# ---------------------------------------------------------------------------
+# Prometheus translator (pkg/translator/prometheus/): metric-name /
+# label / unit normalization and the text exposition format. The
+# oracle re-derives normalizeName/NormalizeLabel/TrimPromSuffixes
+# relationally in DuckDB from the same synthesized inputs; the unit
+# word maps are rendered into both engines from ONE Python dict so
+# they cannot drift.
+# ---------------------------------------------------------------------------
+
+_PROM_UNITS = [
+    "By", "s", "ms", "1", "%", "By/s", "{objects}", "{objects}/s",
+    "km/h", "", "MiBy", "GiBy/h",
+]
+
+_PROM_NAME_SQL = """CASE CAST(event_id % 5 AS INT)
+  WHEN 0 THEN 'otel.' || event_type || '.usage'
+  WHEN 1 THEN 'otel.' || event_type || '.operation_time'
+  WHEN 2 THEN 'otel.' || event_type || '.io.rate'
+  WHEN 3 THEN 'otel.' || event_type || '.total.events'
+  ELSE '2xx.' || event_type || '.count' END"""
+
+_PROM_LABEL_SQL = """CASE CAST(event_id % 4 AS INT)
+  WHEN 0 THEN 'app.' || event_type
+  WHEN 1 THEN '_internal'
+  WHEN 2 THEN '0' || event_type
+  ELSE '__meta.key' END"""
+
+_PROM_MTYPE_SQL = "CASE WHEN event_id % 2 = 0 THEN 'gauge' ELSE 'sum' END"
+_PROM_MONO_SQL = "event_id % 4 = 1"
+
+
+def _sql_case_map(expr: str, mapping: "dict[str, str]") -> str:
+    """Render a dict as a CASE lookup with identity default."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items()
+    )
+    return f"CASE {expr} {whens} ELSE {expr} END"
+
+
+def _prom_clean_sql(expr: str) -> str:
+    """DuckDB CleanUpString: tokenize on non-alnum runs, join with _."""
+    return (
+        "COALESCE(array_to_string(list_filter(regexp_split_to_array("
+        f"{expr}, '[^\\p{{L}}\\p{{Nd}}]+'), x -> x <> ''), '_'), '')"
+    )
+
+
+def _prom_name_oracle() -> str:
+    from .operators.prometheus import PER_UNIT_MAP, UNIT_MAP
+
+    main_map = _sql_case_map("u0", UNIT_MAP)
+    per_map = _sql_case_map("u1", PER_UNIT_MAP)
+    units = ", ".join(f"'{u}'" for u in _PROM_UNITS)
+    return f"""
+WITH base AS (
+  SELECT event_id,
+    {_PROM_NAME_SQL} AS name,
+    ([{units}])[CAST(event_id % 12 AS INT) + 1] AS unit,
+    {_PROM_MTYPE_SQL} AS mtype,
+    {_PROM_MONO_SQL} AS mono,
+    {_PROM_LABEL_SQL} AS lab
+  FROM events),
+sp AS (
+  SELECT *,
+    regexp_replace(CASE WHEN strpos(unit, '/') > 0
+      THEN substr(unit, 1, strpos(unit, '/') - 1) ELSE unit END,
+      '^\\s+|\\s+$', '', 'g') AS u0,
+    regexp_replace(CASE WHEN strpos(unit, '/') > 0
+      THEN substr(unit, strpos(unit, '/') + 1) ELSE '' END,
+      '^\\s+|\\s+$', '', 'g') AS u1
+  FROM base),
+un AS (
+  SELECT *,
+    CASE WHEN u0 = '' OR contains(u0, '{{') OR contains(u0, '}}')
+      THEN '' ELSE {_prom_clean_sql(main_map)} END AS main_u,
+    CASE WHEN u1 = '' OR contains(u1, '{{') OR contains(u1, '}}')
+      THEN '' ELSE {_prom_clean_sql(per_map)} END AS per_u
+  FROM sp),
+tk AS (
+  SELECT *, list_filter(regexp_split_to_array(
+      name, '[^\\p{{L}}\\p{{Nd}}]+'), x -> x <> '') AS t0
+  FROM un),
+tk2 AS (
+  SELECT *,
+    CASE WHEN main_u <> '' AND NOT list_contains(t0, main_u)
+      THEN list_append(t0, main_u) ELSE t0 END AS t1
+  FROM tk),
+tk3 AS (
+  SELECT *,
+    CASE WHEN per_u <> ''
+      THEN list_concat(t1, ['per', per_u]) ELSE t1 END AS t2
+  FROM tk2),
+tk4 AS (
+  SELECT *,
+    CASE WHEN mtype = 'sum' AND mono
+      THEN list_append(list_filter(t2, x -> x <> 'total'), 'total')
+      ELSE t2 END AS t3
+  FROM tk3),
+tk5 AS (
+  SELECT *,
+    CASE WHEN unit = '1' AND mtype = 'gauge'
+      THEN list_append(list_filter(t3, x -> x <> 'ratio'), 'ratio')
+      ELSE t3 END AS t4
+  FROM tk4),
+named AS (
+  SELECT *,
+    CASE WHEN COALESCE(array_to_string(t4, '_'), '') <> ''
+           AND regexp_matches(COALESCE(array_to_string(t4, '_'), ''), '^\\p{{Nd}}')
+      THEN '_' || COALESCE(array_to_string(t4, '_'), '')
+      ELSE COALESCE(array_to_string(t4, '_'), '') END AS prom_name,
+    CASE WHEN main_u <> '' AND per_u <> ''
+           THEN main_u || '_per_' || per_u
+         WHEN per_u <> '' THEN 'per_' || per_u
+         ELSE main_u END AS prom_unit,
+    CASE WHEN COALESCE(array_to_string(list_filter(regexp_split_to_array(
+             name, '[^\\p{{L}}\\p{{Nd}}_:]+'), x -> x <> ''), '_'), '') <> ''
+           AND regexp_matches(COALESCE(array_to_string(list_filter(
+             regexp_split_to_array(name, '[^\\p{{L}}\\p{{Nd}}_:]+'),
+             x -> x <> ''), '_'), ''), '^\\p{{Nd}}')
+      THEN '_' || COALESCE(array_to_string(list_filter(regexp_split_to_array(
+             name, '[^\\p{{L}}\\p{{Nd}}_:]+'), x -> x <> ''), '_'), '')
+      ELSE COALESCE(array_to_string(list_filter(regexp_split_to_array(
+             name, '[^\\p{{L}}\\p{{Nd}}_:]+'), x -> x <> ''), '_'), '')
+      END AS prom_simple,
+    CASE WHEN lab = '' THEN lab
+         WHEN regexp_matches(regexp_replace(
+             lab, '[^\\p{{L}}\\p{{Nd}}]', '_', 'g'), '^\\p{{Nd}}')
+           THEN 'key_' || regexp_replace(lab, '[^\\p{{L}}\\p{{Nd}}]', '_', 'g')
+         WHEN starts_with(regexp_replace(
+               lab, '[^\\p{{L}}\\p{{Nd}}]', '_', 'g'), '_')
+           AND NOT starts_with(regexp_replace(
+               lab, '[^\\p{{L}}\\p{{Nd}}]', '_', 'g'), '__')
+           THEN 'key' || regexp_replace(lab, '[^\\p{{L}}\\p{{Nd}}]', '_', 'g')
+         ELSE regexp_replace(lab, '[^\\p{{L}}\\p{{Nd}}]', '_', 'g')
+         END AS label_norm
+  FROM tk5),
+tr AS (
+  SELECT *, string_split(prom_name, '_') AS ta,
+            string_split(prom_unit, '_') AS ua
+  FROM named),
+tr2 AS (
+  SELECT *,
+    CASE WHEN mtype = 'sum' AND ta[-1] = 'total'
+      THEN ta[1:len(ta) - 1] ELSE ta END AS tb
+  FROM tr),
+tr3 AS (
+  SELECT *,
+    CASE WHEN len(tb) > len(ua) AND tb[len(tb) - len(ua) + 1:] = ua
+      THEN tb[1:len(tb) - len(ua)] ELSE tb END AS tc
+  FROM tr2)
+SELECT event_id, prom_name, prom_simple, prom_unit, label_norm,
+  CASE WHEN len(ta) = 1 THEN prom_name
+       ELSE COALESCE(array_to_string(tc, '_'), '') END AS otel_name
+FROM tr3 ORDER BY event_id
+"""
+
+
+_ORACLES["prom_name_normalize_events"] = _prom_name_oracle()
+
+
+def q_prom_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import prometheus as P
+
+    base = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(_PROM_NAME_SQL).alias("name"),
+        F.element_at(
+            F.array(*[F.lit(u) for u in _PROM_UNITS]),
+            (F.col("event_id") % 12).cast("int") + 1,
+        ).alias("unit"),
+        F.expr(_PROM_MTYPE_SQL).alias("mtype"),
+        F.expr(_PROM_MONO_SQL).alias("mono"),
+        F.expr(_PROM_LABEL_SQL).alias("lab"),
+    )
+    named = base.select(
+        "event_id", "mtype",
+        P.build_compliant_name(
+            F.col("name"), F.col("unit"), F.col("mtype"), F.col("mono")
+        ).alias("prom_name"),
+        P.build_compliant_name(
+            F.col("name"), F.col("unit"), F.col("mtype"), F.col("mono"),
+            add_metric_suffixes=False,
+        ).alias("prom_simple"),
+        P.build_compliant_prometheus_unit(F.col("unit")).alias("prom_unit"),
+        P.normalize_label(F.col("lab")).alias("label_norm"),
+    )
+    return named.select(
+        "event_id", "prom_name", "prom_simple", "prom_unit", "label_norm",
+        P.trim_prom_suffixes(
+            F.col("prom_name"), F.col("mtype"), F.col("prom_unit")
+        ).alias("otel_name"),
+    ).orderBy("event_id")
+
+
+_QUERIES["prom_name_normalize_events"] = q_prom_name_normalize
+
+
+_PROM_EXPO_ORACLE = """
+WITH s AS (
+  SELECT 'otel.' || event_type || '.count' AS mname,
+         'h' || CAST(user_id % 5 AS STRING) AS host,
+         CAST(COUNT(*) AS DOUBLE) AS value,
+         MAX(epoch_ms(ts)) AS ts_ms
+  FROM events GROUP BY 1, 2),
+n AS (
+  SELECT 'otel_' || mname[6:len(mname) - 6] || '_count_total' AS name,
+         '"' || mname[6:len(mname) - 6] || '\\' || chr(10) || 'q' AS note,
+         * FROM s),
+dn AS (SELECT DISTINCT name, mname FROM n)
+SELECT 'sample' AS kind, name, host, note, value, ts_ms,
+       NULL AS help, NULL AS type
+FROM n
+UNION ALL
+SELECT 'help', name, NULL, NULL, NULL, NULL,
+       'Count of ' || mname || '.', NULL FROM dn
+UNION ALL
+SELECT 'type', name, NULL, NULL, NULL, NULL, NULL, 'counter' FROM dn
+ORDER BY kind, name, host
+"""
+
+
+def q_prom_exposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter samples -> exposition text lines (sorted escaped labels,
+    HELP/TYPE headers) -> parse back. The oracle computes the expected
+    parse output directly from ``events``, so the hash equality proves
+    the full render->parse roundtrip including label-value escaping."""
+    from .operators import prometheus as P
+
+    ev = _read(spark, sf_dir, "events")
+    samples = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string"))
+            .alias("host"),
+        )
+        .agg(
+            F.count("*").cast("double").alias("value"),
+            F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("ts_ms"),
+        )
+        .select(
+            F.concat(
+                F.lit("otel_"), "event_type", F.lit("_count_total")
+            ).alias("name"),
+            F.create_map(
+                F.lit("host"), F.col("host"),
+                F.lit("note"),
+                F.concat(F.lit('"'), F.col("event_type"), F.lit("\\\nq")),
+            ).alias("labels"),
+            "value", "ts_ms", "event_type",
+        )
+    )
+    sample_lines = P.exposition_lines(samples)
+    heads = samples.select("name", "event_type").distinct()
+    head_lines = heads.select(
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("# HELP "), F.col("name"),
+                    F.lit(" Count of otel."), F.col("event_type"),
+                    F.lit(".count."),
+                ),
+                F.concat(F.lit("# TYPE "), F.col("name"), F.lit(" counter")),
+            )
+        ).alias("line")
+    )
+    parsed = P.parse_exposition(sample_lines.unionAll(head_lines))
+    return parsed.select(
+        "kind", "name",
+        F.element_at("labels", "host").alias("host"),
+        F.element_at("labels", "note").alias("note"),
+        "value", "ts_ms", "help", "type",
+    ).orderBy("kind", "name", "host")
+
+
+_QUERIES["prom_exposition_roundtrip_events"] = q_prom_exposition
+_ORACLES["prom_exposition_roundtrip_events"] = _PROM_EXPO_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# carbonreceiver: Graphite plaintext protocol
+# (receiver/carbonreceiver/protocol/plaintext_parser.go +
+# path_parser_helper.go). Lines are synthesized from ``events`` with
+# the same SQL fragment in both engines; the Spark side parses them
+# back apart while the oracle derives the expected fields and the
+# error ladder relationally.
+# ---------------------------------------------------------------------------
+
+_CARBON_LINE_SQL = """CASE CAST(event_id % 8 AS INT)
+  WHEN 0 THEN 'web.' || event_type || '.count 42 1656581400'
+  WHEN 1 THEN 'web.' || event_type || ';host=h' ||
+    CAST(user_id % 5 AS STRING) || ';env=e' ||
+    CAST(event_id % 3 AS STRING) || ';q=v=w ' ||
+    CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) || ' 1656581401'
+  WHEN 2 THEN 'web.' || event_type || ';dup=a;dup=b 3.5 1656581402.25'
+  WHEN 3 THEN 'web.' || event_type || '; 7 1656581403'
+  WHEN 4 THEN ';host=h1 1 1656581404'
+  WHEN 5 THEN 'web.' || event_type || ';badtag 1 1656581405'
+  WHEN 6 THEN 'web.' || event_type || ' 1 2 3'
+  ELSE 'web.' || event_type || ' abc 1656581407'
+END"""
+
+_CARBON_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 8 AS INT) AS m, event_type,
+         CAST(user_id % 5 AS STRING) AS h,
+         CAST(event_id % 3 AS STRING) AS e,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v
+  FROM events)
+SELECT event_id,
+  CASE WHEN m >= 4 THEN NULL
+       WHEN m = 0 THEN 'web.' || event_type || '.count'
+       ELSE 'web.' || event_type END AS name,
+  CASE WHEN m >= 4 THEN NULL
+       WHEN m = 1 THEN 'env:e' || e || ',host:h' || h || ',q:v=w'
+       WHEN m = 2 THEN 'dup:b'
+       ELSE '' END AS tags,
+  CASE WHEN m = 0 THEN 42
+       WHEN m = 1 THEN v
+       WHEN m = 3 THEN 7 END AS value_int,
+  CASE WHEN m = 2 THEN CAST(3.5 AS DOUBLE) END AS value_double,
+  CASE WHEN m = 0 THEN 1656581400000000000
+       WHEN m = 1 THEN 1656581401000000000
+       WHEN m = 2 THEN 1656581402250000000
+       WHEN m = 3 THEN 1656581403000000000 END AS ts_ns,
+  CASE WHEN m < 4 THEN 'gauge' END AS metric_type,
+  CASE WHEN m = 4 THEN 'empty metric name extracted from path'
+       WHEN m = 5 THEN 'incorrect key value separator'
+       WHEN m = 6 THEN 'invalid carbon metric'
+       WHEN m = 7 THEN 'invalid carbon metric value' END AS error
+FROM f ORDER BY event_id
+"""
+
+
+def q_carbon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.carbon import carbon_parse
+
+    lines = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_CARBON_LINE_SQL).alias("line")
+    )
+    return carbon_parse(lines).orderBy("event_id")
+
+
+_QUERIES["carbon_parse_events"] = q_carbon_parse
+_ORACLES["carbon_parse_events"] = _CARBON_ORACLE

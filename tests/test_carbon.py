@@ -1,0 +1,67 @@
+"""carbonreceiver plaintext parser parity: vectors from the
+reference's protocol/plaintext_parser_test.go (lines 25-110)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.carbon import carbon_parse
+
+# (line, name, tags, value_int, value_double, ts_ns, error?)
+VECTORS = [
+    ("tst.int 1 1582230020", "tst.int", "", 1, None,
+     1582230020_000000000, False),
+    ("tst.dbl 3.14 1582230020", "tst.dbl", "", None, 3.14,
+     1582230020_000000000, False),
+    ("tst.int.3tags;k0=v_0;k1=v_1;k2=v_2 128 1582230020",
+     "tst.int.3tags", "k0:v_0,k1:v_1,k2:v_2", 128, None,
+     1582230020_000000000, False),
+    ("tst.int.1tag;k0=v_0 1.23 1582230020", "tst.int.1tag", "k0:v_0",
+     None, 1.23, 1582230020_000000000, False),
+    # plaintext_parser_test.go:100 float timestamp (fraction -> ns)
+    ("tst.floattimestamp 3.14 1582230020.25", "tst.floattimestamp", "",
+     None, 3.14, 1582230020_250000000, False),
+    ("tst.floattimestampnofractionalpart 3.14 1582230020.",
+     "tst.floattimestampnofractionalpart", "", None, 3.14,
+     1582230020_000000000, False),
+    # error ladder
+    ("more.than.3.parts 1.23 1582230000 1582230020", None, None, None,
+     None, None, True),
+    ("nan.value xyz 1582230000", None, None, None, None, None, True),
+    (";invalid=path 1.23 1582230000", None, None, None, None, None, True),
+    ("invalid.timestamp 1.23 xyz", None, None, None, None, None, True),
+    # parsePath vectors (plaintext_parser_test.go:146-213)
+    ("no.tags 1 1582230020", "no.tags", "", 1, None,
+     1582230020_000000000, False),
+    ("void.tags; 1 1582230020", "void.tags", "", 1, None,
+     1582230020_000000000, False),
+    ("invalid.tag;k0=v0;k1_v1 1 1582230020", None, None, None, None,
+     None, True),
+    ("empty.tag.value.middle;k0=;k1=v1 1 1582230020",
+     "empty.tag.value.middle", "k0:,k1:v1", 1, None,
+     1582230020_000000000, False),
+    ("empty.tag.value.end;k0=v0;k1= 1 1582230020",
+     "empty.tag.value.end", "k0:v0,k1:", 1, None,
+     1582230020_000000000, False),
+    # dup keys: pcommon.Map PutStr last-wins
+    ("dup;k=a;k=b 1 1582230020", "dup", "k:b", 1, None,
+     1582230020_000000000, False),
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    df = spark.createDataFrame([(ln,) for ln, *_ in VECTORS], "line string")
+    return carbon_parse(df).collect()
+
+
+def test_carbon_vectors(parsed):
+    for row, (ln, name, tags, vi, vd, ts, is_err) in zip(parsed, VECTORS):
+        assert (row.error is not None) == is_err, ln
+        assert row.name == name, ln
+        assert row.tags == tags, ln
+        assert row.value_int == vi, ln
+        assert row.value_double == vd, ln
+        assert row.ts_ns == ts, ln
+        if not is_err:
+            assert row.metric_type == "gauge", ln

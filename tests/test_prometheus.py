@@ -1,0 +1,205 @@
+"""Prometheus translator parity: every vector below is copied from the
+reference's own test files (pkg/translator/prometheus/*_test.go)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators import prometheus as P
+
+# (name, unit, type, monotonic) -> expected  [normalize_name_test.go:15-100]
+NAME_VECTORS = [
+    ("system.filesystem.usage", "By", "gauge", False,
+     "system_filesystem_usage_bytes"),
+    ("system.io", "By", "sum", True, "system_io_bytes_total"),
+    ("network_transmitted_bytes_total", "By", "sum", True,
+     "network_transmitted_bytes_total"),
+    ("\t system.filesystem.usage       ", "  By\t", "gauge", False,
+     "system_filesystem_usage_bytes"),
+    ("system.network.dropped", "{packets}", "gauge", False,
+     "system_network_dropped"),
+    ("system.network.dropped", "{packets}", "sum", True,
+     "system_network_dropped_total"),
+    ("system.network.dropped", "packets", "gauge", False,
+     "system_network_dropped_packets"),
+    ("system.network.packets.dropped", "packets", "gauge", False,
+     "system_network_packets_dropped"),
+    ("system.network.packets", "packets", "gauge", False,
+     "system_network_packets"),
+    ("system.network.dropped", "packets", "sum", True,
+     "system_network_dropped_packets_total"),
+    ("system.network.packets", "packets", "sum", True,
+     "system_network_packets_total"),
+    ("hw.gpu.memory.utilization", "1", "gauge", False,
+     "hw_gpu_memory_utilization_ratio"),
+    ("hw.fan.speed_ratio", "1", "gauge", False, "hw_fan_speed_ratio"),
+    ("objects", "1", "sum", True, "objects_total"),
+    ("hw.cpu.speed_limit", "Hz", "gauge", False, "hw_cpu_speed_limit_hertz"),
+    ("broken.metric.speed", "km/h", "gauge", False,
+     "broken_metric_speed_km_per_hour"),
+    ("astro.light.speed_limit", "m/s", "gauge", False,
+     "astro_light_speed_limit_meters_per_second"),
+    ("broken.metric.success_ratio", "%", "gauge", False,
+     "broken_metric_success_ratio_percent"),
+    ("broken.metric.success_percent", "%", "gauge", False,
+     "broken_metric_success_percent"),
+    ("test.metric.no_unit", "", "gauge", False, "test_metric_no_unit"),
+    ("test.metric.spaces", "   \t  ", "gauge", False, "test_metric_spaces"),
+    ("unsupported.metric.temperature", "°F", "gauge", False,
+     "unsupported_metric_temperature_F"),
+    ("unsupported.metric.weird", "+=.:,!* & #", "gauge", False,
+     "unsupported_metric_weird"),
+    ("unsupported.metric.redundant", "__test $/°C", "gauge", False,
+     "unsupported_metric_redundant_test_per_C"),
+    ("active_directory.ds.replication.network.io", "By", "sum", True,
+     "active_directory_ds_replication_network_io_bytes_total"),
+    ("active_directory.ds.replication.object.rate", "{objects}/s", "gauge",
+     False, "active_directory_ds_replication_object_rate_per_second"),
+    ("apache.current_connections", "connections", "gauge", False,
+     "apache_current_connections"),
+    ("apache.workers", "connections", "gauge", False,
+     "apache_workers_connections"),
+    ("apache.requests", "1", "sum", True, "apache_requests_total"),
+    ("bigip.virtual_server.request.count", "{requests}", "sum", True,
+     "bigip_virtual_server_request_count_total"),
+    ("system.cpu.utilization", "1", "gauge", False,
+     "system_cpu_utilization_ratio"),
+    ("system.disk.operation_time", "s", "sum", True,
+     "system_disk_operation_time_seconds_total"),
+    ("system.cpu.load_average.15m", "1", "gauge", False,
+     "system_cpu_load_average_15m_ratio"),
+    ("memcached.operation_hit_ratio", "%", "gauge", False,
+     "memcached_operation_hit_ratio_percent"),
+    ("mongodbatlas.process.asserts", "{assertions}/s", "gauge", False,
+     "mongodbatlas_process_asserts_per_second"),
+    ("mongodbatlas.process.journaling.data_files", "MiBy", "gauge", False,
+     "mongodbatlas_process_journaling_data_files_mebibytes"),
+    ("mongodbatlas.process.network.io", "By/s", "gauge", False,
+     "mongodbatlas_process_network_io_bytes_per_second"),
+    ("mongodbatlas.process.oplog.rate", "GiBy/h", "gauge", False,
+     "mongodbatlas_process_oplog_rate_gibibytes_per_hour"),
+    ("mongodbatlas.process.db.query_targeting.scanned_per_returned",
+     "{scanned}/{returned}", "gauge", False,
+     "mongodbatlas_process_db_query_targeting_scanned_per_returned"),
+    ("nginx.requests", "requests", "gauge", False, "nginx_requests"),
+    ("nsxt.node.memory.usage", "KBy", "gauge", False,
+     "nsxt_node_memory_usage_kilobytes"),
+    ("redis.latest_fork", "us", "gauge", False,
+     "redis_latest_fork_microseconds"),
+]
+
+# normalize_label_test.go:17-22 (sanitization gate OFF = default)
+LABEL_VECTORS = [
+    ("", ""),
+    ("_test", "key_test"),
+    ("0test", "key_0test"),
+    ("test", "test"),
+    ("test_/", "test__"),
+    ("__test", "__test"),
+]
+
+# normalize_unit_test.go:13-21
+UNIT_VECTORS = [
+    ("By", "bytes"),
+    ("us", "microseconds"),
+    ("connections", "connections"),
+    ("GiBy/h", "gibibytes_per_hour"),
+    ("{objects}", ""),
+    ("{scanned}/{returned}", ""),
+    ("{objects}/s", "per_second"),
+    ("%", "percent"),
+    ("1", ""),
+]
+
+# normalize_name_test.go:104-118 TrimPromSuffixes
+TRIM_VECTORS = [
+    ("active_directory_ds_replication_network_io_bytes_total", "sum",
+     "bytes", "active_directory_ds_replication_network_io"),
+    ("active_directory_ds_name_cache_hit_rate_percent", "gauge", "percent",
+     "active_directory_ds_name_cache_hit_rate"),
+    ("apache_requests_total", "sum", "1", "apache_requests"),
+    ("system_cpu_utilization_ratio", "gauge", "ratio",
+     "system_cpu_utilization"),
+    ("mongodbatlas_process_network_io_bytes_per_second", "gauge",
+     "bytes_per_second", "mongodbatlas_process_network_io"),
+    ("up", "gauge", "", "up"),
+    ("active_directory_ds_replication_sync_object_pending_total", "sum",
+     "{objects}", "active_directory_ds_replication_sync_object_pending"),
+    ("apache_current_connections", "gauge", "connections", "apache_current"),
+]
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    def _run(rows, schema, col):
+        df = spark.createDataFrame(rows, schema)
+        return [r.out for r in df.select(col.alias("out")).collect()]
+
+    return _run
+
+
+def test_build_compliant_name(run):
+    rows = [(n, u, t, m) for n, u, t, m, _ in NAME_VECTORS]
+    got = run(
+        rows, "name string, unit string, mtype string, mono boolean",
+        P.build_compliant_name(
+            F.col("name"), F.col("unit"), F.col("mtype"), F.col("mono")
+        ),
+    )
+    want = [e for *_, e in NAME_VECTORS]
+    assert got == want
+
+
+def test_normalize_label(run):
+    got = run([(s,) for s, _ in LABEL_VECTORS], "lab string",
+              P.normalize_label(F.col("lab")))
+    assert got == [e for _, e in LABEL_VECTORS]
+
+
+def test_build_compliant_prometheus_unit(run):
+    got = run([(s,) for s, _ in UNIT_VECTORS], "unit string",
+              P.build_compliant_prometheus_unit(F.col("unit")))
+    assert got == [e for _, e in UNIT_VECTORS]
+
+
+def test_trim_prom_suffixes(run):
+    rows = [(n, t, u) for n, t, u, _ in TRIM_VECTORS]
+    got = run(
+        rows, "name string, mtype string, unit string",
+        P.trim_prom_suffixes(F.col("name"), F.col("mtype"), F.col("unit")),
+    )
+    assert got == [e for *_, e in TRIM_VECTORS]
+
+
+def test_exposition_roundtrip(spark):
+    rows = [
+        ("http_requests_total", {"code": "200", "path": '/a"b\\c\nd'},
+         12.0, 1656581400000),
+        ("up", {}, 1.0, 1656581401000),
+        ("queue_depth", {"q": "main", "zone": "eu-1"}, -3.5, 1656581402000),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, labels map<string,string>, value double, ts_ms long"
+    )
+    lines = P.exposition_lines(df)
+    back = P.parse_exposition(lines).orderBy("ts_ms").collect()
+    assert [r.kind for r in back] == ["sample"] * 3
+    assert [r.name for r in back] == ["http_requests_total", "up",
+                                      "queue_depth"]
+    assert back[0].labels == {"code": "200", "path": '/a"b\\c\nd'}
+    assert back[1].labels == {}
+    assert [r.value for r in back] == [12.0, 1.0, -3.5]
+
+
+def test_parse_exposition_comments(spark):
+    df = spark.createDataFrame(
+        [("# HELP http_requests_total Total requests.",),
+         ("# TYPE http_requests_total counter",),
+         ("garbage !!",)],
+        "line string",
+    )
+    rows = P.parse_exposition(df).collect()
+    assert rows[0].kind == "help" and rows[0].help == "Total requests."
+    assert rows[1].kind == "type" and rows[1].type == "counter"
+    assert rows[2].kind == "error"
