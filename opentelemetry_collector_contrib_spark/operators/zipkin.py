@@ -1,0 +1,379 @@
+"""Zipkin v2 JSON -> OTel span translation as a columnar battery.
+
+Reference: pkg/translator/zipkin/zipkinv2/to_translator.go. One input
+row = one Zipkin v2 JSON span object; output = one OTel span row with
+resource/scope fields denormalized onto the row (the reference's
+resource/scope regrouping -- to_translator.go:41-84 -- is a batching
+artifact of the pdata tree; in the columnar model a later ``groupBy``
+recovers it for free).
+
+Semantics reproduced:
+
+* IDs: trace/span hex strings; ``parentId == id`` is suppressed
+  (to_translator.go:227-230).
+* kind mapping incl. the ``span.kind=internal`` tag fallback and tag
+  consumption (to_translator.go:259-278).
+* status from ``otel.status_code`` (statusCodeValue map incl. legacy
+  ``Unset/Ok/Error`` aliases, to_translator.go:556-565) +
+  ``otel.status_description``; ``error`` tag forces ERROR and is
+  consumed only when exactly ``"true"`` (to_translator.go:243-257).
+* local service name -> resource ``service.name`` (or the key named by
+  ``otlp.service.name.source``), ``OTLPResourceNoServiceName``
+  fallback; nonSpanAttributes (semconv resource keys,
+  to_translator.go:86-170) move from tags to resource attributes;
+  ``otel.library.name/version`` move to scope (to_translator.go:480-494).
+* endpoint enrichment: net.host.ip/port from localEndpoint,
+  peer.service + net.peer.ip/port from remoteEndpoint
+  (to_translator.go:404-421).
+* timestamps: micros -> nanos; absent start time becomes unix zero +
+  ``otel.zipkin.absentField.startTime=true`` attr
+  (to_translator.go:516-531).
+* annotations -> span events: ``name|{attrs json}|dropped`` encoding
+  with '|' re-joining for JSON bodies (to_translator.go:339-373).
+* ``otlp.link.N`` tags -> span links, sequential from 0, stopping at
+  the first gap (to_translator.go:280-337).
+* parse_string_tags: DetermineValueType regex ladder (internal/zipkin/
+  attributes.go:19-49) exposed as an ``attr_types`` map.
+
+Pure Column code (from_json + array/map ops) -- map-only at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RESOURCE_NO_SERVICE_NAME = "OTLPResourceNoServiceName"
+TAG_SERVICE_NAME_SOURCE = "otlp.service.name.source"
+START_TIME_ABSENT = "otel.zipkin.absentField.startTime"
+
+# getResourceSemanticConventionAttributeNames (to_translator.go:86-170)
+# + the extra nonSpanAttributes entries (:174-184)
+NON_SPAN_ATTRIBUTES: list[str] = [
+    "cloud.provider", "cloud.account.id", "cloud.region",
+    "cloud.availability_zone", "cloud.platform",
+    "aws.ecs.container.arn", "aws.ecs.cluster.arn", "aws.ecs.launchtype",
+    "aws.ecs.task.arn", "aws.ecs.task.family", "aws.ecs.task.revision",
+    "aws.eks.cluster.arn", "aws.log.group.names", "aws.log.group.arns",
+    "aws.log.stream.names", "aws.log.stream.arns",
+    "container.name", "container.id", "container.runtime",
+    "container.image.name", "container.image.tag",
+    "deployment.environment", "device.id", "device.model.identifier",
+    "device.model.name", "device.manufacturer",
+    "faas.name", "faas.id", "faas.version", "faas.instance",
+    "faas.max_memory",
+    "host.id", "host.name", "host.type", "host.arch",
+    "host.image.name", "host.image.id", "host.image.version",
+    "k8s.cluster.name", "k8s.node.name", "k8s.node.uid",
+    "k8s.namespace.name", "k8s.pod.uid", "k8s.pod.name",
+    "k8s.container.name", "k8s.container.restart_count",
+    "k8s.replicaset.uid", "k8s.replicaset.name",
+    "k8s.deployment.uid", "k8s.deployment.name",
+    "k8s.statefulset.uid", "k8s.statefulset.name",
+    "k8s.daemonset.uid", "k8s.daemonset.name",
+    "k8s.job.uid", "k8s.job.name", "k8s.cronjob.uid", "k8s.cronjob.name",
+    "os.type", "os.description", "os.name", "os.version",
+    "process.pid", "process.executable.name", "process.executable.path",
+    "process.command", "process.command_line", "process.command_args",
+    "process.owner", "process.runtime.name", "process.runtime.version",
+    "process.runtime.description",
+    "service.name", "service.namespace", "service.instance.id",
+    "service.version",
+    "telemetry.sdk.name", "telemetry.sdk.language",
+    "telemetry.sdk.version", "telemetry.auto.version",
+    "webengine.name", "webengine.version", "webengine.description",
+    TAG_SERVICE_NAME_SOURCE,
+    "otel.library.name", "otel.library.version",
+    "opencensus.starttime", "opencensus.exporterversion",
+    "process.pid", "opencensus.resourcetype",
+]
+
+STATUS_CODE_VALUE = {
+    "STATUS_CODE_UNSET": 0, "STATUS_CODE_OK": 1, "STATUS_CODE_ERROR": 2,
+    "Unset": 0, "Ok": 1, "Error": 2,
+}
+
+ZIPKIN_JSON_SCHEMA = (
+    "traceId string, id string, parentId string, name string, kind string,"
+    " timestamp long, duration long, debug boolean, shared boolean,"
+    " localEndpoint struct<serviceName string, ipv4 string, ipv6 string,"
+    " port int>,"
+    " remoteEndpoint struct<serviceName string, ipv4 string, ipv6 string,"
+    " port int>,"
+    " tags map<string,string>,"
+    " annotations array<struct<timestamp long, value string>>"
+)
+
+# DetermineValueType regex ladder (internal/zipkin/attributes.go:19-26);
+# first match wins, default string.
+_VALUE_TYPE_LADDER: list[tuple[str, str]] = [
+    (r"^$", "empty"),
+    (r"^-?\d+$", "int"),
+    (r"^-?\d+\.\d+$", "double"),
+    (r"^(true|false)$", "bool"),
+    (r'^\{"\w+":.+\}$', "map"),
+    (r"^\[.*\]$", "slice"),
+]
+
+
+def determine_value_type(val: Column) -> Column:
+    out = F.lit("string")
+    for pattern, name in reversed(_VALUE_TYPE_LADDER):
+        out = F.when(val.rlike(pattern), F.lit(name)).otherwise(out)
+    return out
+
+
+def _norm_id(col: Column, width: int) -> Column:
+    return F.when(
+        col.isNotNull() & (col != ""), F.lpad(F.lower(col), width, "0")
+    )
+
+
+def _split_encoded(val: Column, min_parts: int) -> Column:
+    """The reference's `a|{json}|dropped` convention: first part is the
+    head, last is the dropped count, the middle (re-joined on '|') is a
+    JSON body. Returns struct(head, body, dropped)."""
+    parts = F.split(val, r"\|", -1)
+    n = F.size(parts)
+    body = F.when(
+        n >= min_parts,
+        F.array_join(F.slice(parts, 2, n - 2), "|"),
+    )
+    return F.struct(
+        F.element_at(parts, 1).alias("head"),
+        body.alias("body"),
+        F.when(n >= min_parts, F.element_at(parts, -1).try_cast("long"))
+        .alias("dropped"),
+    )
+
+
+def zipkin_json_to_spans(
+    df: DataFrame, json_col: str = "json", parse_string_tags: bool = False
+) -> DataFrame:
+    z = F.from_json(F.col(json_col), ZIPKIN_JSON_SCHEMA)
+    tags = F.coalesce(
+        z["tags"], F.create_map().cast("map<string,string>")
+    )
+
+    kind = (
+        F.when(F.upper(z["kind"]) == "CLIENT", F.lit("client"))
+        .when(F.upper(z["kind"]) == "SERVER", F.lit("server"))
+        .when(F.upper(z["kind"]) == "PRODUCER", F.lit("producer"))
+        .when(F.upper(z["kind"]) == "CONSUMER", F.lit("consumer"))
+        .when(
+            F.element_at(tags, "span.kind") == "internal", F.lit("internal")
+        )
+        .otherwise(F.lit("unspecified"))
+    )
+    kind_tag_consumed = (
+        F.upper(F.coalesce(z["kind"], F.lit(""))).isin(
+            "CLIENT", "SERVER", "PRODUCER", "CONSUMER"
+        )
+        == F.lit(False)
+    ) & F.map_contains_key(tags, "span.kind")
+
+    status_raw = F.element_at(tags, "otel.status_code")
+    code_pairs: list[Column] = []
+    for k, v in STATUS_CODE_VALUE.items():
+        code_pairs.extend([F.lit(k), F.lit(v)])
+    status_from_tag = F.when(
+        status_raw.isNotNull(),
+        F.coalesce(
+            F.element_at(F.create_map(*code_pairs), status_raw), F.lit(0)
+        ),
+    )
+    error_tag = F.element_at(tags, "error")
+    status_code = F.when(error_tag.isNotNull(), F.lit(2)).otherwise(
+        F.coalesce(status_from_tag, F.lit(0))
+    )
+    status_message = F.when(
+        status_raw.isNotNull(), F.element_at(tags, "otel.status_description")
+    )
+
+    local_service = F.coalesce(
+        F.nullif(z["localEndpoint"]["serviceName"], F.lit("")),
+        F.lit(RESOURCE_NO_SERVICE_NAME),
+    )
+    sn_source = F.coalesce(
+        F.nullif(F.element_at(tags, TAG_SERVICE_NAME_SOURCE), F.lit("")),
+        F.lit("service.name"),
+    )
+    # resource attrs: service-name entry + nonSpanAttributes found in
+    # tags (library name/version go to scope instead)
+    res_keys = [
+        k for k in dict.fromkeys(NON_SPAN_ATTRIBUTES)
+        if k not in ("otel.library.name", "otel.library.version",
+                     TAG_SERVICE_NAME_SOURCE)
+    ]
+    res_from_tags = F.map_filter(
+        tags, lambda k, _: k.isin(res_keys)
+    )
+    # populateResourceFromZipkinSpan (to_translator.go:451-479): with no
+    # service name the resource stays EMPTY (nonSpanAttributes tags are
+    # dropped entirely); a tag sharing the sn_source key overwrites the
+    # service-name entry (the copy loop runs after PutStr).
+    resource_attributes = F.when(
+        local_service == RESOURCE_NO_SERVICE_NAME,
+        F.create_map().cast("map<string,string>"),
+    ).when(
+        F.map_contains_key(res_from_tags, sn_source), res_from_tags
+    ).otherwise(
+        F.map_concat(
+            F.map_from_arrays(F.array(sn_source), F.array(local_service)),
+            res_from_tags,
+        )
+    )
+
+    scope_name = F.nullif(
+        F.element_at(tags, "otel.library.name"), F.lit("")
+    )
+    scope_version = F.when(
+        scope_name.isNotNull(), F.element_at(tags, "otel.library.version")
+    )
+
+    # otlp.link.N tags, sequential from 0, stop at the first gap --
+    # entries past the gap are NOT consumed and stay span attributes
+    link_idx = lambda e: (  # noqa: E731
+        F.regexp_extract(e["key"], r"(\d+)$", 1).cast("int")
+    )
+    link_entries = F.array_sort(
+        F.map_entries(
+            F.map_filter(tags, lambda k, _: k.rlike(r"^otlp\.link\.\d+$"))
+        ),
+        lambda a, b: link_idx(a) - link_idx(b),
+    )
+    link_entries = F.filter(link_entries, lambda e, i: link_idx(e) == i)
+    link_prefix_n = F.size(link_entries)
+
+    # span attributes: tags minus nonSpanAttributes minus consumed keys
+    # minus consumed otlp.link.N, plus endpoint-derived entries
+    non_span = list(dict.fromkeys(NON_SPAN_ATTRIBUTES))
+    consumed_always = ["w3c.tracestate", "otel.status_code"]
+    attrs = F.map_filter(
+        tags,
+        lambda k, v: ~k.isin(non_span + consumed_always)
+        & ~(
+            k.rlike(r"^otlp\.link\.\d+$")
+            & (F.regexp_extract(k, r"(\d+)$", 1).cast("int") < link_prefix_n)
+        )
+        & F.when(k == "span.kind", ~kind_tag_consumed).otherwise(F.lit(True))
+        & F.when(
+            k == "otel.status_description", status_raw.isNull()
+        ).otherwise(F.lit(True))
+        & F.when(k == "error", v != "true").otherwise(F.lit(True)),
+    )
+    le, re = z["localEndpoint"], z["remoteEndpoint"]
+    endpoint_entries = F.filter(
+        F.array(
+            F.struct(
+                F.lit("net.host.ip").alias("key"),
+                F.coalesce(le["ipv6"], le["ipv4"]).alias("value"),
+            ),
+            F.struct(
+                F.lit("net.host.port").alias("key"),
+                F.when(le["port"] > 0, le["port"].cast("string"))
+                .alias("value"),
+            ),
+            F.struct(
+                F.lit("peer.service").alias("key"),
+                F.nullif(re["serviceName"], F.lit("")).alias("value"),
+            ),
+            F.struct(
+                F.lit("net.peer.ip").alias("key"),
+                F.coalesce(re["ipv6"], re["ipv4"]).alias("value"),
+            ),
+            F.struct(
+                F.lit("net.peer.port").alias("key"),
+                F.when(re["port"] > 0, re["port"].cast("string"))
+                .alias("value"),
+            ),
+        ),
+        lambda e: e["value"].isNotNull(),
+    )
+    ts_absent = z["timestamp"].isNull() | (z["timestamp"] == 0)
+    attrs = F.map_concat(
+        attrs,
+        F.map_from_entries(endpoint_entries),
+        F.when(
+            ts_absent,
+            F.create_map(F.lit(START_TIME_ABSENT), F.lit("true")),
+        ).otherwise(F.create_map().cast("map<string,string>")),
+    )
+
+    start_ns = F.when(ts_absent, F.lit(0)).otherwise(
+        z["timestamp"] * 1000
+    )
+    end_ns = start_ns + F.coalesce(z["duration"], F.lit(0)) * 1000
+
+    events = F.transform(
+        F.coalesce(
+            z["annotations"],
+            F.array().cast("array<struct<timestamp long, value string>>"),
+        ),
+        lambda a: F.struct(
+            (a["timestamp"] * 1000).alias("ts_ns"),
+            _split_encoded(a["value"], 3)["head"].alias("name"),
+            _split_encoded(a["value"], 3)["body"].alias("attrs_json"),
+            _split_encoded(a["value"], 3)["dropped"].alias("dropped"),
+        ),
+    )
+
+    # partCnt < 5 links are consumed but skipped (to_translator.go:291-293)
+    link_entries = F.filter(
+        link_entries,
+        lambda e: F.size(F.split(e["value"], r"\|", -1)) >= 5,
+    )
+    links = F.transform(
+        link_entries,
+        lambda e: F.struct(
+            F.element_at(F.split(e["value"], r"\|", -1), 1)
+            .alias("trace_id"),
+            F.element_at(F.split(e["value"], r"\|", -1), 2).alias("span_id"),
+            F.element_at(F.split(e["value"], r"\|", -1), 3)
+            .alias("trace_state"),
+            F.when(
+                F.size(F.split(e["value"], r"\|", -1)) >= 5,
+                F.array_join(
+                    F.slice(
+                        F.split(e["value"], r"\|", -1), 4,
+                        F.size(F.split(e["value"], r"\|", -1)) - 4,
+                    ),
+                    "|",
+                ),
+            ).alias("attrs_json"),
+            F.element_at(F.split(e["value"], r"\|", -1), -1)
+            .try_cast("long").alias("dropped"),
+        ),
+    )
+
+    out = [
+        _norm_id(z["traceId"], 32).alias("trace_id"),
+        _norm_id(z["id"], 16).alias("span_id"),
+        F.when(
+            z["parentId"].isNotNull() & (z["parentId"] != z["id"]),
+            _norm_id(z["parentId"], 16),
+        ).alias("parent_span_id"),
+        F.element_at(tags, "w3c.tracestate").alias("trace_state"),
+        z["name"].alias("name"),
+        kind.alias("kind"),
+        status_code.alias("status_code"),
+        status_message.alias("status_message"),
+        local_service.alias("service_name"),
+        resource_attributes.alias("resource_attributes"),
+        scope_name.alias("scope_name"),
+        scope_version.alias("scope_version"),
+        attrs.alias("attributes"),
+        start_ns.alias("start_ts_ns"),
+        end_ns.alias("end_ts_ns"),
+        events.alias("events"),
+        links.alias("links"),
+    ]
+    if parse_string_tags:
+        out.append(
+            F.transform_values(
+                attrs, lambda _, v: determine_value_type(v)
+            ).alias("attr_types")
+        )
+    return df.select(
+        *[c for c in df.columns if c != json_col], *out
+    )

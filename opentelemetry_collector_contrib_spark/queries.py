@@ -51,6 +51,7 @@ _PRIORITY_NAMES: list[str] = [
     "prom_name_normalize_events",     # round 3: prometheus translator
     "prom_exposition_roundtrip_events",  # round 3: exposition text format
     "carbon_parse_events",            # round 3: graphite plaintext parse
+    "zipkin_spans_events",            # round 3: zipkin v2 JSON translator
 ]
 
 
@@ -4599,3 +4600,145 @@ def q_carbon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["carbon_parse_events"] = q_carbon_parse
 _ORACLES["carbon_parse_events"] = _CARBON_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Zipkin v2 JSON -> OTel spans (pkg/translator/zipkin/zipkinv2/
+# to_translator.go). The Spark side builds one Zipkin JSON object per
+# event with a Spark-SQL fragment, then must genuinely parse it back
+# apart (from_json + the tag-consumption ladder); the oracle derives
+# the expected span fields relationally from the same events columns.
+# ---------------------------------------------------------------------------
+
+_ZIPKIN_JSON_SQL = r"""
+CASE CAST(event_id % 6 AS INT)
+  WHEN 0 THEN concat(
+    '{"traceId":"', lower(hex(event_id)), '","id":"',
+    lower(hex(event_id + 1)), '","name":"op-', event_type,
+    '","kind":"CLIENT","timestamp":', CAST(1656581400000000 + event_id AS STRING),
+    ',"duration":', CAST(1000 + event_id % 500 AS STRING),
+    ',"localEndpoint":{"serviceName":"svc-', event_type,
+    '","ipv4":"10.0.0.', CAST(user_id % 200 AS STRING), '","port":8080}',
+    ',"tags":{"otel.status_code":"STATUS_CODE_OK",',
+    '"otel.status_description":"d-', event_type, '",',
+    '"http.path":"/p/', CAST(event_id % 10 AS STRING), '",',
+    '"w3c.tracestate":"x=', CAST(event_id % 7 AS STRING), '"}}')
+  WHEN 1 THEN concat(
+    '{"traceId":"', lower(hex(event_id)), '","id":"',
+    lower(hex(event_id + 1)), '","parentId":"', lower(hex(event_id)),
+    '","name":"in-', event_type, '","timestamp":',
+    CAST(1656581400000000 + event_id AS STRING), ',"duration":10,',
+    '"tags":{"span.kind":"internal","k1":"v1"}}')
+  WHEN 2 THEN concat(
+    '{"traceId":"', lower(hex(event_id)), '","id":"',
+    lower(hex(event_id + 1)), '","name":"er-', event_type,
+    '","timestamp":', CAST(1656581400000000 + event_id AS STRING),
+    ',"duration":10,"tags":{"error":"false","host.name":"node-',
+    CAST(user_id % 4 AS STRING), '"}}')
+  WHEN 3 THEN concat(
+    '{"traceId":"', lower(hex(event_id)), '","id":"',
+    lower(hex(event_id + 1)), '","name":"sv-', event_type,
+    '","kind":"SERVER","timestamp":',
+    CAST(1656581400000000 + event_id AS STRING), ',"duration":20,',
+    '"localEndpoint":{"serviceName":"db"},',
+    '"remoteEndpoint":{"serviceName":"caller","port":443},',
+    '"tags":{"otlp.service.name.source":"faas.name",',
+    '"otel.library.name":"lib","otel.library.version":"1.',
+    CAST(event_id % 3 AS STRING), '"}}')
+  WHEN 4 THEN concat(
+    '{"traceId":"', lower(hex(event_id)), '","id":"',
+    lower(hex(event_id + 1)), '","name":"ab-', event_type,
+    '","duration":2000,"annotations":[{"timestamp":1656581400000000,',
+    '"value":"anno-', event_type, '"}]}')
+  ELSE concat(
+    '{"traceId":"', lower(hex(event_id)), '","id":"',
+    lower(hex(event_id + 1)), '","parentId":"', lower(hex(event_id + 1)),
+    '","name":"pr-', event_type, '","kind":"PRODUCER","timestamp":',
+    CAST(1656581400000000 + event_id AS STRING), ',"duration":10}')
+END
+""".strip()
+
+_ZIPKIN_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 6 AS INT) AS m, event_type,
+         user_id, lpad(lower(hex(event_id)), 32, '0') AS tid,
+         lpad(lower(hex(event_id + 1)), 16, '0') AS sid,
+         lpad(lower(hex(event_id)), 16, '0') AS pid,
+         1656581400000000 + event_id AS ts_us
+  FROM events)
+SELECT event_id, tid AS trace_id, sid AS span_id,
+  CASE WHEN m = 1 THEN pid END AS parent_span_id,
+  CASE WHEN m = 0 THEN 'x=' || CAST(event_id % 7 AS STRING) END
+    AS trace_state,
+  CASE WHEN m = 0 THEN 'op-' WHEN m = 1 THEN 'in-' WHEN m = 2 THEN 'er-'
+       WHEN m = 3 THEN 'sv-' WHEN m = 4 THEN 'ab-' ELSE 'pr-' END
+    || event_type AS name,
+  CASE WHEN m = 0 THEN 'client' WHEN m = 1 THEN 'internal'
+       WHEN m = 3 THEN 'server' WHEN m = 5 THEN 'producer'
+       ELSE 'unspecified' END AS kind,
+  CASE WHEN m = 0 THEN 1 WHEN m = 2 THEN 2 ELSE 0 END AS status_code,
+  CASE WHEN m = 0 THEN 'd-' || event_type END AS status_message,
+  CASE WHEN m = 0 THEN 'svc-' || event_type
+       WHEN m = 3 THEN 'db'
+       ELSE 'OTLPResourceNoServiceName' END AS service_name,
+  CASE WHEN m = 0 THEN 'service.name=svc-' || event_type
+       WHEN m = 3 THEN 'faas.name=db'
+       ELSE '' END AS res_attrs,
+  CASE WHEN m = 3 THEN 'lib' END AS scope_name,
+  CASE WHEN m = 3 THEN '1.' || CAST(event_id % 3 AS STRING) END
+    AS scope_version,
+  CASE WHEN m = 0 THEN 'http.path=/p/' || CAST(event_id % 10 AS STRING)
+         || ',net.host.ip=10.0.0.' || CAST(user_id % 200 AS STRING)
+         || ',net.host.port=8080'
+       WHEN m = 1 THEN 'k1=v1'
+       WHEN m = 2 THEN 'error=false'
+       WHEN m = 3 THEN 'net.peer.port=443,peer.service=caller'
+       WHEN m = 4 THEN 'otel.zipkin.absentField.startTime=true'
+       ELSE '' END AS attrs_str,
+  CASE WHEN m = 4 THEN 0 ELSE ts_us * 1000 END AS start_ts_ns,
+  CASE WHEN m = 0 THEN (ts_us + 1000 + event_id % 500) * 1000
+       WHEN m = 1 OR m = 2 OR m = 5 THEN (ts_us + 10) * 1000
+       WHEN m = 3 THEN (ts_us + 20) * 1000
+       ELSE 2000 * 1000 END AS end_ts_ns,
+  CASE WHEN m = 4 THEN 1 ELSE 0 END AS n_events,
+  CASE WHEN m = 4 THEN 'anno-' || event_type END AS first_event_name
+FROM f ORDER BY event_id
+"""
+
+
+def q_zipkin_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.zipkin import zipkin_json_to_spans
+
+    lines = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_ZIPKIN_JSON_SQL).alias("json")
+    )
+    spans = zipkin_json_to_spans(lines)
+
+    def _map_str(col: str) -> F.Column:
+        return F.coalesce(
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        F.map_entries(F.col(col)),
+                        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                    )
+                ),
+                ",",
+            ),
+            F.lit(""),
+        )
+
+    return spans.select(
+        "event_id", "trace_id", "span_id", "parent_span_id", "trace_state",
+        "name", "kind", "status_code", "status_message", "service_name",
+        _map_str("resource_attributes").alias("res_attrs"),
+        "scope_name", "scope_version",
+        _map_str("attributes").alias("attrs_str"),
+        "start_ts_ns", "end_ts_ns",
+        F.size("events").alias("n_events"),
+        F.try_element_at(F.col("events"), F.lit(1))["name"].alias("first_event_name"),
+    ).orderBy("event_id")
+
+
+_QUERIES["zipkin_spans_events"] = q_zipkin_spans
+_ORACLES["zipkin_spans_events"] = _ZIPKIN_ORACLE

@@ -1,0 +1,165 @@
+"""Zipkin v2 JSON -> span translation parity
+(pkg/translator/zipkin/zipkinv2/to_translator.go semantics)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.zipkin import (
+    zipkin_json_to_spans,
+)
+
+
+def _run(spark, objs, **kw):
+    df = spark.createDataFrame(
+        [(json.dumps(o),) for o in objs], "json string"
+    )
+    return zipkin_json_to_spans(df, **kw).collect()
+
+
+def test_ids_kind_status(spark):
+    rows = _run(spark, [
+        {  # client span, parent==id suppressed, status from tag
+            "traceId": "0102030405060708090a0b0c0d0e0f10", "id": "ab",
+            "parentId": "ab", "name": "op", "kind": "CLIENT",
+            "timestamp": 1656581400000000, "duration": 1000,
+            "localEndpoint": {"serviceName": "svc-a"},
+            "tags": {"otel.status_code": "STATUS_CODE_OK",
+                     "otel.status_description": "fine",
+                     "w3c.tracestate": "a=b", "http.path": "/x"},
+        },
+        {  # default kind + span.kind=internal tag consumed
+            "traceId": "10", "id": "0b", "parentId": "0a", "name": "i",
+            "timestamp": 1, "duration": 1,
+            "tags": {"span.kind": "internal"},
+        },
+        {  # error tag "false" forces ERROR but STAYS an attribute
+            "traceId": "11", "id": "0c", "name": "e",
+            "timestamp": 1, "duration": 1,
+            "tags": {"error": "false"},
+        },
+        {  # error tag "true" forces ERROR and is consumed
+            "traceId": "12", "id": "0d", "name": "e2",
+            "timestamp": 1, "duration": 1,
+            "tags": {"error": "true", "otel.status_code": "Ok"},
+        },
+    ])
+    r = rows[0]
+    assert r.trace_id == "0102030405060708090a0b0c0d0e0f10"
+    assert r.span_id == "00000000000000ab"
+    assert r.parent_span_id is None  # parentId == id
+    assert r.kind == "client"
+    assert r.status_code == 1 and r.status_message == "fine"
+    assert r.trace_state == "a=b"
+    assert r.service_name == "svc-a"
+    assert r.resource_attributes == {"service.name": "svc-a"}
+    assert r.attributes == {"http.path": "/x"}
+    assert r.start_ts_ns == 1656581400000000000
+    assert r.end_ts_ns == 1656581400001000000  # +1000 us
+
+    assert rows[1].kind == "internal"
+    assert rows[1].parent_span_id == "000000000000000a"
+    assert rows[1].attributes == {}  # span.kind consumed
+    assert rows[1].service_name == "OTLPResourceNoServiceName"
+    assert rows[1].resource_attributes == {}
+
+    assert rows[2].status_code == 2
+    assert rows[2].attributes == {"error": "false"}  # kept (not "true")
+
+    assert rows[3].status_code == 2  # error overrides Ok
+    assert "error" not in rows[3].attributes
+
+
+def test_resource_scope_endpoints(spark):
+    rows = _run(spark, [
+        {
+            "traceId": "01", "id": "02", "name": "n", "kind": "SERVER",
+            "timestamp": 5, "duration": 2,
+            "localEndpoint": {"serviceName": "db-svc", "ipv4": "10.0.0.1",
+                              "port": 5432},
+            "remoteEndpoint": {"serviceName": "caller", "ipv6": "::1",
+                               "port": 443},
+            "tags": {
+                "otlp.service.name.source": "faas.name",
+                "host.name": "node-1",
+                "otel.library.name": "lib-x",
+                "otel.library.version": "1.2",
+                "custom": "v",
+            },
+        },
+    ])
+    r = rows[0]
+    # sn_source renames the resource service key (to_translator.go:462-467)
+    assert r.resource_attributes == {"faas.name": "db-svc",
+                                     "host.name": "node-1"}
+    assert r.scope_name == "lib-x" and r.scope_version == "1.2"
+    assert r.attributes == {
+        "custom": "v", "net.host.ip": "10.0.0.1", "net.host.port": "5432",
+        "peer.service": "caller", "net.peer.ip": "::1",
+        "net.peer.port": "443",
+    }
+
+
+def test_absent_timestamp_and_events(spark):
+    rows = _run(spark, [
+        {
+            "traceId": "01", "id": "02", "name": "n", "duration": 2000,
+            "annotations": [
+                {"timestamp": 1000, "value": "plain-event"},
+                {"timestamp": 2000,
+                 "value": 'ev|{"k":"v","n":3}|1'},
+                {"timestamp": 3000,
+                 "value": 'ev2|{"a":"x|y"}|0'},
+            ],
+        },
+    ])
+    r = rows[0]
+    assert r.start_ts_ns == 0 and r.end_ts_ns == 2000 * 1000
+    assert r.attributes["otel.zipkin.absentField.startTime"] == "true"
+    ev = r.events
+    assert ev[0].name == "plain-event" and ev[0].attrs_json is None
+    assert ev[1].name == "ev" and ev[1].dropped == 1
+    assert json.loads(ev[1].attrs_json) == {"k": "v", "n": 3}
+    # '|' inside the JSON body is re-joined (to_translator.go:356-361)
+    assert json.loads(ev[2].attrs_json) == {"a": "x|y"}
+    assert ev[0].ts_ns == 1000000
+
+
+def test_links_prefix_and_gap(spark):
+    link = "0102030405060708090a0b0c0d0e0f10|0102030405060708|s=1|{}|2"
+    rows = _run(spark, [
+        {
+            "traceId": "01", "id": "02", "name": "n",
+            "timestamp": 1, "duration": 1,
+            "tags": {
+                "otlp.link.0": link,
+                "otlp.link.1": "short|parts",  # consumed but skipped
+                # gap: otlp.link.2 missing
+                "otlp.link.3": link,  # NOT consumed -> stays attribute
+            },
+        },
+    ])
+    r = rows[0]
+    assert len(r.links) == 1
+    l0 = r.links[0]
+    assert l0.trace_id == "0102030405060708090a0b0c0d0e0f10"
+    assert l0.span_id == "0102030405060708"
+    assert l0.trace_state == "s=1" and l0.dropped == 2
+    assert l0.attrs_json == "{}"
+    assert set(r.attributes) == {"otlp.link.3"}
+
+
+def test_parse_string_tags_ladder(spark):
+    rows = _run(spark, [
+        {
+            "traceId": "01", "id": "02", "name": "n",
+            "timestamp": 1, "duration": 1,
+            "tags": {"i": "-42", "d": "3.14", "b": "true", "s": "x",
+                     "m": '{"k":1}', "l": "[1,2]", "e": ""},
+        },
+    ], parse_string_tags=True)
+    t = rows[0].attr_types
+    assert t == {"i": "int", "d": "double", "b": "bool", "s": "string",
+                 "m": "map", "l": "slice", "e": "empty"}
