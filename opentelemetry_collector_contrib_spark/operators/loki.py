@@ -1,0 +1,480 @@
+"""Loki translator: OTel log rows -> Loki push entries (labels + line)
+and label-set stream grouping, as pure-Column batteries.
+
+Reference: pkg/translator/loki/ (convert.go, logs_to_loki.go,
+encode.go, utils.go). Columnar model: one row = one LogRecord with
+``body string``, ``attributes``/``resource_attributes``
+``map<string,string>``, severity, trace/span ids, scope name/version.
+
+Semantics reproduced:
+
+* level attribute + hint injection from severity_number
+  (logs_to_loki.go:208-229 addLogLevelAttributeAndHint/addHint,
+  severityNumberToLevel table :231-257) -- only when severity is set,
+  never overwriting an existing ``level`` attribute.
+* format hint ``loki.format`` (resource first, then log,
+  logs_to_loki.go:168-178), formats json/logfmt/raw.
+* default labels: ``exporter=OTLP``, ``job`` =
+  service.namespace/service.name, ``instance`` = service.instance.id
+  (convert.go:61-81, utils.go:13-31), each gated by
+  ``default_labels_enabled``.
+* hint-driven label promotion: ``loki.resource.labels`` (from resource
+  attrs; the hint itself may live on the record), then
+  ``loki.attribute.labels`` from record attrs; comma-split + trim;
+  later merges overwrite (convert.go:37-59,83-96). Lookup is flat
+  (the reference's nested-map descent, convert.go:98-118, has no
+  analog in the flat string-map model).
+* promoted labels + all four hints are removed from attrs/resource
+  attrs (convert.go:139-149).
+* label-name normalization to Prometheus rules (logs_to_loki.go:150-159)
+  -- shared with operators.prometheus.normalize_label.
+* tenant from ``loki.tenant`` hint (logs_to_loki.go:181-198).
+* line encodings (encode.go): ``json`` reproduces Go json.Marshal of
+  lokiEntry (struct field order, omitempty, map keys sorted);
+  ``logfmt`` reproduces MarshalKeyvals incl. strconv.Quote-style value
+  quoting; ``raw`` is the body.
+
+Everything is map-only Column code; the stream grouping is one
+combinable hash aggregate on (tenant, labels).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .prometheus import normalize_label
+
+HINT_ATTRIBUTES = "loki.attribute.labels"
+HINT_RESOURCES = "loki.resource.labels"
+HINT_TENANT = "loki.tenant"
+HINT_FORMAT = "loki.format"
+_HINTS = [HINT_ATTRIBUTES, HINT_RESOURCES, HINT_TENANT, HINT_FORMAT]
+
+LEVEL_LABEL = "level"
+EXPORTER_LABEL = "exporter"
+
+# plog SeverityNumber -> level string (logs_to_loki.go:231-257)
+SEVERITY_TO_LEVEL = {
+    0: "UNSPECIFIED",
+    1: "TRACE", 2: "TRACE2", 3: "TRACE3", 4: "TRACE4",
+    5: "DEBUG", 6: "DEBUG2", 7: "DEBUG3", 8: "DEBUG4",
+    9: "INFO", 10: "INFO2", 11: "INFO3", 12: "INFO4",
+    13: "WARN", 14: "WARN2", 15: "WARN3", 16: "WARN4",
+    17: "ERROR", 18: "ERROR2", 19: "ERROR3", 20: "ERROR4",
+    21: "FATAL", 22: "FATAL2", 23: "FATAL3", 24: "FATAL4",
+}
+
+def _empty_map() -> Column:
+    return F.create_map().cast("map<string,string>")
+
+
+def _severity_level(sev: Column) -> Column:
+    pairs: list[Column] = []
+    for k, v in SEVERITY_TO_LEVEL.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.element_at(F.create_map(*pairs), sev.cast("int"))
+
+
+def _merge_last_wins(*entry_arrays: Column) -> Column:
+    """LabelSet.Merge: later sources overwrite earlier keys."""
+    allc = F.concat(*entry_arrays)
+    deduped = F.filter(
+        allc,
+        lambda e, i: ~F.exists(
+            F.slice(allc, i + 2, F.size(allc)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    return deduped
+
+
+def _selected_labels(source: Column, hint_val: Column) -> Column:
+    """convertAttributesToLabels: comma-split the hint, trim each name,
+    keep names present in the source map."""
+    names = F.split(F.coalesce(hint_val, F.lit("")), ",", -1)
+    return F.filter(
+        F.transform(
+            names,
+            lambda n: F.struct(
+                F.trim(n).alias("key"),
+                F.element_at(source, F.trim(n)).alias("value"),
+            ),
+        ),
+        lambda e: e["value"].isNotNull(),
+    )
+
+
+def _sorted_map(m: Column) -> Column:
+    return F.map_from_entries(F.array_sort(F.map_entries(m)))
+
+
+def _json_escape(v: Column) -> Column:
+    r"""Go json string escaping for the characters our fixtures can
+    produce: backslash, quote, newline, tab (Go also HTML-escapes <>&;
+    out of scope for the flat model)."""
+    v = F.regexp_replace(v, r"\\", r"\\\\")
+    v = F.regexp_replace(v, '"', '\\\\"')
+    v = F.regexp_replace(v, "\n", r"\\n")
+    return F.regexp_replace(v, "\t", r"\\t")
+
+
+def _json_map(m: Column) -> Column:
+    """Render map<string,string> as a Go-style JSON object: keys
+    sorted, string values."""
+    ents = F.array_sort(F.map_entries(m))
+    return F.when(
+        F.size(ents) > 0,
+        F.concat(
+            F.lit("{"),
+            F.array_join(
+                F.transform(
+                    ents,
+                    lambda e: F.concat(
+                        F.lit('"'), _json_escape(e["key"]), F.lit('":"'),
+                        _json_escape(e["value"]), F.lit('"'),
+                    ),
+                ),
+                ",",
+            ),
+            F.lit("}"),
+        ),
+    )
+
+
+def _logfmt_value(v: Column) -> Column:
+    """go-logfmt quotes a value containing space / '=' / '"' (and the
+    empty string renders as bare nothing -> Go emits `k=`)."""
+    needs_quote = v.rlike(r'[ ="]')
+    quoted = F.concat(
+        F.lit('"'),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(v, r"\\", r"\\\\"), '"', '\\\\"'
+            ),
+            "\n", r"\\n",
+        ),
+        F.lit('"'),
+    )
+    return F.when(needs_quote, quoted).otherwise(v)
+
+
+# Strict logfmt body detector: the reference first tries to parse the
+# body as logfmt and inlines its pairs (encode.go:143-149); a body that
+# doesn't parse falls back to msg=<body>. We accept the unambiguous
+# `k=v [k=v ...]` subset.
+_LOGFMT_BODY_RE = r'^[A-Za-z0-9_.\-/]+=[^\s"=]*( +[A-Za-z0-9_.\-/]+=[^\s"=]*)*$'
+
+
+def log_to_loki_entry(
+    df: DataFrame,
+    body: str = "body",
+    attributes: str = "attributes",
+    resource_attributes: str = "resource_attributes",
+    severity_number: str = "severity_number",
+    severity_text: str = "severity_text",
+    trace_id: str = "trace_id",
+    span_id: str = "span_id",
+    flags: str = "flags",
+    scope_name: str = "scope_name",
+    scope_version: str = "scope_version",
+    default_labels_enabled: "dict[str, bool] | None" = None,
+) -> DataFrame:
+    """LogToLokiEntry (logs_to_loki.go:122-165): returns the input plus
+    ``labels map<string,string>`` (normalized names), ``tenant`` and
+    ``line``."""
+    dle = default_labels_enabled or {}
+    attrs0 = F.coalesce(F.col(attributes), _empty_map())
+    res = F.coalesce(F.col(resource_attributes), _empty_map())
+    sev = F.coalesce(F.col(severity_number), F.lit(0))
+
+    # --- level attribute + hint (addLogLevelAttributeAndHint) ---
+    level_missing = ~F.map_contains_key(attrs0, LEVEL_LABEL)
+    hint_now = F.element_at(attrs0, HINT_ATTRIBUTES)
+    new_hint = F.when(
+        hint_now.isNotNull(), F.concat(hint_now, F.lit("," + LEVEL_LABEL))
+    ).otherwise(F.lit(LEVEL_LABEL))
+    with_level = F.map_concat(
+        F.map_filter(
+            attrs0, lambda k, _: ~k.isin(HINT_ATTRIBUTES, LEVEL_LABEL)
+        ),
+        F.create_map(F.lit(HINT_ATTRIBUTES), new_hint),
+        F.when(
+            level_missing,
+            F.create_map(F.lit(LEVEL_LABEL), _severity_level(sev)),
+        ).otherwise(_empty_map()),
+        F.when(
+            ~level_missing,
+            F.create_map(
+                F.lit(LEVEL_LABEL), F.element_at(attrs0, LEVEL_LABEL)
+            ),
+        ).otherwise(_empty_map()),
+    )
+    attrs = F.when(sev > 0, with_level).otherwise(attrs0)
+
+    # --- format hint: resource first, then log ---
+    fmt = F.coalesce(
+        F.element_at(res, HINT_FORMAT), F.element_at(attrs, HINT_FORMAT),
+        F.lit("json"),
+    )
+
+    # --- default labels ---
+    defaults = []
+    if dle.get(EXPORTER_LABEL, True):
+        defaults.append(
+            F.array(
+                F.struct(
+                    F.lit(EXPORTER_LABEL).alias("key"),
+                    F.lit("OTLP").alias("value"),
+                )
+            )
+        )
+    if dle.get("job", True):
+        svc = F.element_at(res, "service.name")
+        ns = F.element_at(res, "service.namespace")
+        job = F.when(
+            ns.isNotNull(), F.concat(ns, F.lit("/"), svc)
+        ).otherwise(svc)
+        defaults.append(
+            F.filter(
+                F.array(
+                    F.struct(F.lit("job").alias("key"), job.alias("value"))
+                ),
+                lambda e: e["value"].isNotNull(),
+            )
+        )
+    if dle.get("instance", True):
+        defaults.append(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit("instance").alias("key"),
+                        F.element_at(res, "service.instance.id")
+                        .alias("value"),
+                    )
+                ),
+                lambda e: e["value"].isNotNull(),
+            )
+        )
+    if not defaults:
+        defaults.append(
+            F.array().cast("array<struct<key string, value string>>")
+        )
+
+    merged_entries = _merge_last_wins(
+        *defaults,
+        _selected_labels(res, F.element_at(res, HINT_RESOURCES)),
+        _selected_labels(res, F.element_at(attrs, HINT_RESOURCES)),
+        _selected_labels(attrs, F.element_at(attrs, HINT_ATTRIBUTES)),
+    )
+    label_names = F.transform(merged_entries, lambda e: e["key"])
+
+    # --- strip hints + promoted labels from both maps ---
+    def _strip(m: Column) -> Column:
+        return F.map_filter(
+            m,
+            lambda k, _: ~k.isin(_HINTS)
+            & ~F.array_contains(label_names, k),
+        )
+
+    attrs_left = _strip(attrs)
+    res_left = _strip(res)
+
+    # --- normalized label names (Prometheus rules); two raw names may
+    # normalize to the same label -> last wins like LabelSet assignment
+    labels = F.map_from_entries(
+        F.array_sort(
+            _merge_last_wins(
+                F.transform(
+                    merged_entries,
+                    lambda e: F.struct(
+                        normalize_label(e["key"]).alias("key"),
+                        e["value"].alias("value"),
+                    ),
+                )
+            )
+        )
+    )
+
+    # --- tenant hint ---
+    tenant_attr = F.coalesce(
+        F.element_at(res, HINT_TENANT), F.element_at(attrs, HINT_TENANT)
+    )
+    tenant = F.when(
+        tenant_attr.isNotNull(),
+        F.coalesce(
+            F.element_at(res, tenant_attr),
+            F.element_at(attrs, tenant_attr),
+            F.lit(""),
+        ),
+    ).otherwise(F.lit(""))
+
+    # --- line: json / logfmt / raw ---
+    b = F.col(body)
+    json_fields = F.concat(
+        # struct order: body, traceid, spanid, severity, flags,
+        # attributes, resources, instrumentation_scope (omitempty)
+        F.when(
+            b.isNotNull(),
+            F.array(F.concat(F.lit('"body":"'), _json_escape(b), F.lit('"'))),
+        ).otherwise(F.array().cast("array<string>")),
+        _opt_json_str("traceid", F.col(trace_id)),
+        _opt_json_str("spanid", F.col(span_id)),
+        _opt_json_str("severity", F.col(severity_text)),
+        F.when(
+            F.coalesce(F.col(flags), F.lit(0)) != 0,
+            F.array(
+                F.concat(
+                    F.lit('"flags":'), F.col(flags).cast("string")
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+        _opt_json_obj("attributes", _json_map(attrs_left)),
+        _opt_json_obj("resources", _json_map(res_left)),
+        F.when(
+            F.coalesce(F.col(scope_name), F.lit("")) != "",
+            F.array(
+                F.concat(
+                    F.lit('"instrumentation_scope":{"name":"'),
+                    _json_escape(F.col(scope_name)),
+                    F.when(
+                        F.coalesce(F.col(scope_version), F.lit("")) != "",
+                        F.concat(
+                            F.lit('","version":"'),
+                            _json_escape(F.col(scope_version)),
+                        ),
+                    ).otherwise(F.lit("")),
+                    F.lit('"}'),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    json_line = F.concat(
+        F.lit("{"), F.array_join(json_fields, ","), F.lit("}")
+    )
+
+    body_kv = F.when(
+        b.rlike(_LOGFMT_BODY_RE), b
+    ).otherwise(
+        F.concat(F.lit("msg="), _logfmt_value(F.coalesce(b, F.lit(""))))
+    )
+    logfmt_parts = F.concat(
+        F.array(body_kv),
+        _opt_logfmt("traceID", F.col(trace_id)),
+        _opt_logfmt("spanID", F.col(span_id)),
+        _opt_logfmt("severity", F.col(severity_text)),
+        F.when(
+            F.coalesce(F.col(flags), F.lit(0)) != 0,
+            F.array(F.concat(F.lit("flags="), F.col(flags).cast("string"))),
+        ).otherwise(F.array().cast("array<string>")),
+        F.transform(
+            F.array_sort(F.map_entries(attrs_left)),
+            lambda e: F.concat(
+                F.lit("attribute_"), e["key"], F.lit("="),
+                _logfmt_value(e["value"]),
+            ),
+        ),
+        F.transform(
+            F.array_sort(F.map_entries(res_left)),
+            lambda e: F.concat(
+                F.lit("resource_"), e["key"], F.lit("="),
+                _logfmt_value(e["value"]),
+            ),
+        ),
+        F.when(
+            F.coalesce(F.col(scope_name), F.lit("")) != "",
+            F.concat(
+                F.array(
+                    F.concat(
+                        F.lit("instrumentation_scope_name="),
+                        _logfmt_value(F.col(scope_name)),
+                    )
+                ),
+                F.when(
+                    F.coalesce(F.col(scope_version), F.lit("")) != "",
+                    F.array(
+                        F.concat(
+                            F.lit("instrumentation_scope_version="),
+                            _logfmt_value(F.col(scope_version)),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    logfmt_line = F.array_join(logfmt_parts, " ")
+
+    line = (
+        F.when(fmt == "raw", b)
+        .when(fmt == "logfmt", logfmt_line)
+        .when(fmt == "json", json_line)
+    )
+    error = F.when(
+        ~fmt.isin("json", "logfmt", "raw"),
+        F.concat(F.lit("invalid format "), fmt),
+    )
+
+    return df.select(
+        "*",
+        labels.alias("labels"),
+        tenant.alias("tenant"),
+        line.alias("line"),
+        error.alias("loki_error"),
+    )
+
+
+def _opt_json_str(name: str, v: Column) -> Column:
+    return F.when(
+        v.isNotNull() & (v != ""),
+        F.array(
+            F.concat(
+                F.lit(f'"{name}":"'), _json_escape(v), F.lit('"')
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _opt_json_obj(name: str, rendered: Column) -> Column:
+    return F.when(
+        rendered.isNotNull(),
+        F.array(F.concat(F.lit(f'"{name}":'), rendered)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _opt_logfmt(name: str, v: Column) -> Column:
+    return F.when(
+        v.isNotNull() & (v != ""),
+        F.array(F.concat(F.lit(f"{name}="), _logfmt_value(v))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def loki_streams(
+    entries: DataFrame, ts_ns: str = "ts_ns"
+) -> DataFrame:
+    """logs_to_loki.go LogsToLokiRequests stream grouping: one stream
+    per (tenant, label set); entries are carried per stream. Rendered
+    label-set string is the canonical sorted ``{k="v",...}``."""
+    label_str = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(F.col("labels"))),
+                lambda e: F.concat(
+                    e["key"], F.lit('="'), e["value"], F.lit('"')
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    return (
+        entries.select(
+            "tenant", label_str.alias("stream"), F.col(ts_ns).alias("ts")
+        )
+        .groupBy("tenant", "stream")
+        .agg(
+            F.count("*").alias("n_entries"),
+            F.min("ts").alias("first_ts_ns"),
+            F.max("ts").alias("last_ts_ns"),
+        )
+    )

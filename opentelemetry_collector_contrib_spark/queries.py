@@ -52,6 +52,8 @@ _PRIORITY_NAMES: list[str] = [
     "prom_exposition_roundtrip_events",  # round 3: exposition text format
     "carbon_parse_events",            # round 3: graphite plaintext parse
     "zipkin_spans_events",            # round 3: zipkin v2 JSON translator
+    "loki_entries_events",            # round 3: loki translator lines/labels
+    "loki_streams_events",            # round 3: loki stream grouping
 ]
 
 
@@ -4742,3 +4744,144 @@ def q_zipkin_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["zipkin_spans_events"] = q_zipkin_spans
 _ORACLES["zipkin_spans_events"] = _ZIPKIN_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Loki translator (pkg/translator/loki): label promotion via
+# loki.attribute.labels / loki.resource.labels hints, level injection
+# from severity, tenant hint, json/logfmt/raw line encodings, and the
+# push-request stream grouping. The Spark side runs the real
+# translator over logs synthesized from ``events``; the oracle derives
+# the expected labels/tenant/line strings relationally.
+# ---------------------------------------------------------------------------
+
+_LOKI_LEVELS = [
+    "TRACE", "TRACE2", "TRACE3", "TRACE4", "DEBUG", "DEBUG2", "DEBUG3",
+    "DEBUG4", "INFO", "INFO2", "INFO3", "INFO4", "WARN", "WARN2",
+    "WARN3", "WARN4", "ERROR", "ERROR2", "ERROR3", "ERROR4", "FATAL",
+    "FATAL2", "FATAL3", "FATAL4",
+]
+
+
+def _loki_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.concat(F.lit("msg "), F.col("event_type"), F.lit(" #"),
+                 (F.col("event_id") % 100).cast("string")).alias("body"),
+        F.create_map(
+            F.lit("http.status"),
+            F.concat(F.lit("s"), (F.col("event_id") % 5).cast("string")),
+            F.lit("loki.attribute.labels"), F.lit("http.status"),
+            F.lit("tenant.key"),
+            F.concat(F.lit("t-"), (F.col("user_id") % 2).cast("string")),
+        ).alias("attributes"),
+        F.map_concat(
+            F.create_map(
+                F.lit("service.name"),
+                F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")),
+                F.lit("loki.tenant"), F.lit("tenant.key"),
+                F.lit("loki.format"),
+                F.element_at(
+                    F.array(F.lit("json"), F.lit("logfmt"), F.lit("raw")),
+                    (F.col("event_id") % 3).cast("int") + 1,
+                ),
+            ),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.create_map(F.lit("service.namespace"), F.lit("prod")),
+            ).otherwise(F.create_map().cast("map<string,string>")),
+        ).alias("resource_attributes"),
+        (1 + F.col("event_id") % 24).cast("int").alias("severity_number"),
+        F.concat(F.lit("sev"), (1 + F.col("event_id") % 24).cast("string"))
+        .alias("severity_text"),
+        F.lit(None).cast("string").alias("trace_id"),
+        F.lit(None).cast("string").alias("span_id"),
+        F.lit(0).alias("flags"),
+        F.lit(None).cast("string").alias("scope_name"),
+        F.lit(None).cast("string").alias("scope_version"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_ns"),
+    )
+
+
+def _loki_oracle_core() -> str:
+    levels = ", ".join(f"'{x}'" for x in _LOKI_LEVELS)
+    return f"""
+WITH f AS (
+  SELECT event_id, CAST(event_id % 3 AS INT) AS fm,
+         'msg ' || event_type || ' #' || CAST(event_id % 100 AS STRING)
+           AS body,
+         's' || CAST(event_id % 5 AS STRING) AS status,
+         't-' || CAST(user_id % 2 AS STRING) AS tenant,
+         'svc-' || CAST(user_id % 3 AS STRING) AS svc,
+         event_id % 2 = 0 AS has_ns,
+         ([{levels}])[CAST(1 + event_id % 24 AS INT)] AS level,
+         'sev' || CAST(1 + event_id % 24 AS STRING) AS sevtext,
+         epoch_us(ts) AS ts_ns
+  FROM events),
+g AS (
+  SELECT *,
+    '{{exporter="OTLP",http_status="' || status || '",job="'
+      || CASE WHEN has_ns THEN 'prod/' ELSE '' END || svc
+      || '",level="' || level || '"}}' AS stream,
+    CASE fm
+      WHEN 0 THEN '{{"body":"' || body || '","severity":"' || sevtext
+        || '","attributes":{{"tenant.key":"' || tenant
+        || '"}},"resources":{{"service.name":"' || svc || '"'
+        || CASE WHEN has_ns THEN ',"service.namespace":"prod"'
+                ELSE '' END || '}}}}'
+      WHEN 1 THEN 'msg="' || body || '" severity=' || sevtext
+        || ' attribute_tenant.key=' || tenant
+        || ' resource_service.name=' || svc
+        || CASE WHEN has_ns THEN ' resource_service.namespace=prod'
+                ELSE '' END
+      ELSE body END AS line
+  FROM f)
+"""
+
+
+def q_loki_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.loki import log_to_loki_entry
+
+    entries = log_to_loki_entry(_loki_logs(spark, sf_dir))
+    stream = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(F.col("labels"))),
+                lambda e: F.concat(
+                    e["key"], F.lit('="'), e["value"], F.lit('"')
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    return entries.select(
+        "event_id", "tenant", stream.alias("stream"), "line"
+    ).orderBy("event_id")
+
+
+_QUERIES["loki_entries_events"] = q_loki_entries
+_ORACLES["loki_entries_events"] = (
+    _loki_oracle_core()
+    + "SELECT event_id, tenant, stream, line FROM g ORDER BY event_id"
+)
+
+
+def q_loki_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.loki import log_to_loki_entry, loki_streams
+
+    entries = log_to_loki_entry(_loki_logs(spark, sf_dir))
+    return loki_streams(entries).orderBy("tenant", "stream")
+
+
+_QUERIES["loki_streams_events"] = q_loki_streams
+_ORACLES["loki_streams_events"] = (
+    _loki_oracle_core()
+    + """
+SELECT tenant, stream, COUNT(*) AS n_entries,
+       MIN(ts_ns) AS first_ts_ns, MAX(ts_ns) AS last_ts_ns
+FROM g GROUP BY tenant, stream ORDER BY tenant, stream
+"""
+)

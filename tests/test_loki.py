@@ -1,0 +1,113 @@
+"""Loki translator parity (pkg/translator/loki): labels, hints,
+tenant, and the three line encodings."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.loki import (
+    log_to_loki_entry,
+    loki_streams,
+)
+
+SCHEMA = (
+    "body string, attributes map<string,string>,"
+    " resource_attributes map<string,string>, severity_number int,"
+    " severity_text string, trace_id string, span_id string, flags int,"
+    " scope_name string, scope_version string, ts_ns long"
+)
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return log_to_loki_entry(df, **kw).collect()
+
+
+def _row(body="hello", attrs=None, res=None, sev=0, sevtext="",
+         trace=None, span=None, flags=0, scope=None, scopev=None, ts=1):
+    return (body, attrs or {}, res or {}, sev, sevtext, trace, span,
+            flags, scope, scopev, ts)
+
+
+def test_labels_hints_level(spark):
+    r = _run(spark, [_row(
+        attrs={"http.status": "200", "loki.attribute.labels": "http.status"},
+        res={"service.name": "api", "service.namespace": "prod"},
+        sev=9, sevtext="info", trace="0102030405060708090a0b0c0d0e0f10",
+    )])[0]
+    # level auto-added + hinted; names prometheus-normalized
+    assert r.labels == {"exporter": "OTLP", "job": "prod/api",
+                        "http_status": "200", "level": "INFO"}
+    parsed = json.loads(r.line)
+    # promoted attrs removed; resources keep service.* (job is derived,
+    # not a resource key)
+    assert parsed == {
+        "body": "hello",
+        "traceid": "0102030405060708090a0b0c0d0e0f10",
+        "severity": "info",
+        "resources": {"service.name": "api", "service.namespace": "prod"},
+    }
+
+
+def test_existing_level_not_overwritten(spark):
+    r = _run(spark, [_row(attrs={"level": "custom"}, sev=17)])[0]
+    assert r.labels["level"] == "custom"
+
+
+def test_default_labels_disabled(spark):
+    r = _run(
+        spark, [_row(res={"service.name": "api"})],
+        default_labels_enabled={"exporter": False, "job": False},
+    )[0]
+    assert r.labels == {}
+
+
+def test_resource_label_hint_and_merge_order(spark):
+    r = _run(spark, [_row(
+        attrs={"loki.resource.labels": "region",
+               "loki.attribute.labels": "exporter",
+               "exporter": "mine"},
+        res={"region": "eu", "service.name": "s"},
+    )])[0]
+    # attribute hint merges LAST and overwrites the default exporter
+    assert r.labels == {"exporter": "mine", "job": "s", "region": "eu"}
+
+
+def test_tenant_hint(spark):
+    r = _run(spark, [_row(
+        attrs={"tenant.key": "acme"},
+        res={"loki.tenant": "tenant.key"},
+    )])[0]
+    assert r.tenant == "acme"
+
+
+def test_logfmt_and_raw(spark):
+    rows = _run(spark, [
+        _row(body="key=val x=1", res={"loki.format": "logfmt"},
+             attrs={"a": "has space"}, sevtext="info"),
+        _row(body="plain text", res={"loki.format": "raw"}),
+        _row(body="oops", res={"loki.format": "nope"}),
+    ])
+    # logfmt body is inlined; spaced values are quoted
+    assert rows[0].line == (
+        'key=val x=1 severity=info attribute_a="has space"'
+    )
+    assert rows[1].line == "plain text"
+    assert rows[2].line is None
+    assert rows[2].loki_error == "invalid format nope"
+
+
+def test_streams_grouping(spark):
+    df = spark.createDataFrame([
+        _row(res={"service.name": "a"}, ts=10),
+        _row(res={"service.name": "a"}, ts=20),
+        _row(res={"service.name": "b"}, ts=30),
+    ], SCHEMA)
+    out = {
+        (r.tenant, r.stream): (r.n_entries, r.first_ts_ns, r.last_ts_ns)
+        for r in loki_streams(log_to_loki_entry(df)).collect()
+    }
+    assert out[("", '{exporter="OTLP",job="a"}')] == (2, 10, 20)
+    assert out[("", '{exporter="OTLP",job="b"}')] == (1, 30, 30)
