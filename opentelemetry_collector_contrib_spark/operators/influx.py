@@ -1,0 +1,150 @@
+"""influxdbreceiver: InfluxDB line protocol parse as a pure-Column
+battery (receiver/influxdbreceiver/receiver.go:106-198 drives the
+public line-protocol v2 decoder; the grammar here is the published
+spec the decoder implements).
+
+Line grammar::
+
+    measurement[,tag_key=tag_value...] field_key=field_value[,...] [ts]
+
+* measurement escapes ``,`` and space with a backslash; tag keys/values
+  and field keys additionally escape ``=``.
+* field values: float (bare), int (``42i``), uint (``42u``), bool
+  (``t/T/true/True/TRUE/f/F/false/False/FALSE``), string (double
+  quoted, ``\"`` and ``\\`` escapes).
+* trailing integer timestamp scaled by the request precision
+  (``ns``/``us``/``ms``/``s`` -- receiver.go:110-120, default ns).
+
+One output row per FIELD (the decoder's Measurement/NextTag/NextField
+walk flattened); rows that fail the grammar carry an ``error`` and
+NULL data columns, mirroring the receiver's per-line error handling
+(receiver.go:142-191 answers 400 with the first line error).
+
+Map-only Column code: regex tokenization + explode, no UDF, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PRECISION_NS = {"ns": 1, "n": 1, "us": 1000, "u": 1000,
+                "ms": 1000000, "s": 1000000000}
+
+_MEAS = r"(?:\\.|[^, ])+"
+_KEY = r"(?:\\.|[^,= ])+"
+_TAGV = r"(?:\\.|[^,= ])+"
+_FVAL = r'"(?:\\.|[^"\\])*"|[^," ]+'
+
+_LINE_RE = (
+    rf"^({_MEAS})"
+    rf"((?:,{_KEY}={_TAGV})*)"
+    rf" ({_KEY}=(?:{_FVAL})(?:,{_KEY}=(?:{_FVAL}))*)"
+    r"(?: (-?[0-9]+))?$"
+)
+_TAG_PAIR = rf"({_KEY})=({_TAGV})"
+_FIELD_PAIR = rf"({_KEY})=({_FVAL})"
+
+_BOOL_TRUE = ["t", "T", "true", "True", "TRUE"]
+_BOOL_FALSE = ["f", "F", "false", "False", "FALSE"]
+_FLOAT_RE = r"^-?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+
+def _unescape(s: Column) -> Column:
+    """Backslash-escaped ``, = space backslash`` -> literal."""
+    return F.regexp_replace(s, r"\\([,= \\])", "$1")
+
+
+def _unescape_str_val(s: Column) -> Column:
+    v = F.regexp_replace(s, r"\\\\", "\x00")
+    v = F.regexp_replace(v, r'\\"', '"')
+    return F.regexp_replace(v, "\x00", r"\\")
+
+
+def influx_lp_parse(
+    df: DataFrame, line: str = "line", precision: str = "ns"
+) -> DataFrame:
+    """Parse line-protocol rows into one row per field."""
+    factor = PRECISION_NS[precision]
+    c = F.col(line)
+    matched = c.rlike(_LINE_RE)
+    meas = F.regexp_extract(c, _LINE_RE, 1)
+    tag_blk = F.regexp_extract(c, _LINE_RE, 2)
+    field_blk = F.regexp_extract(c, _LINE_RE, 3)
+    ts_s = F.regexp_extract(c, _LINE_RE, 4)
+
+    tag_pairs = F.regexp_extract_all(tag_blk, F.lit(_TAG_PAIR), F.lit(0))
+    tags_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                tag_pairs,
+                lambda p: F.concat(
+                    _unescape(F.regexp_extract(p, _TAG_PAIR, 1)),
+                    F.lit(":"),
+                    _unescape(F.regexp_extract(p, _TAG_PAIR, 2)),
+                ),
+            )
+        ),
+        ",",
+    )
+
+    field_pairs = F.regexp_extract_all(
+        field_blk, F.lit(_FIELD_PAIR), F.lit(0)
+    )
+    ts_ns = F.when(
+        ts_s != "", ts_s.try_cast("long") * F.lit(factor)
+    )
+
+    base = df.select(
+        *[col for col in df.columns if col != line],
+        F.when(matched, _unescape(meas)).alias("measurement"),
+        F.when(matched, tags_str).alias("tags"),
+        F.when(matched, ts_ns).alias("ts_ns"),
+        F.when(matched, field_pairs).alias("_fields"),
+        F.when(~matched, F.lit("invalid line protocol")).alias("error"),
+    )
+
+    # one row per field; error rows survive with a NULL field
+    exploded = base.select(
+        "*",
+        F.explode_outer("_fields").alias("_pair"),
+    ).drop("_fields")
+
+    fkey = _unescape(F.regexp_extract(F.col("_pair"), _FIELD_PAIR, 1))
+    raw = F.regexp_extract(F.col("_pair"), _FIELD_PAIR, 2)
+    is_str = raw.startswith('"')
+    is_int = raw.rlike(r"^-?[0-9]+i$")
+    is_uint = raw.rlike(r"^[0-9]+u$")
+    is_bool = raw.isin(*(_BOOL_TRUE + _BOOL_FALSE))
+    is_float = raw.rlike(_FLOAT_RE)
+    vtype = (
+        F.when(is_str, F.lit("string"))
+        .when(is_int, F.lit("int"))
+        .when(is_uint, F.lit("uint"))
+        .when(is_bool, F.lit("bool"))
+        .when(is_float, F.lit("float"))
+    )
+    ok = F.col("error").isNull() & vtype.isNotNull()
+    error = F.coalesce(
+        F.col("error"),
+        F.when(vtype.isNull(), F.lit("invalid field value")),
+    )
+
+    return exploded.select(
+        *[col for col in exploded.columns if col not in ("_pair", "error")],
+        F.when(ok, fkey).alias("field_key"),
+        F.when(ok, vtype).alias("value_type"),
+        F.when(ok & is_float, raw.try_cast("double")).alias("value_double"),
+        F.when(
+            ok & (is_int | is_uint),
+            F.regexp_replace(raw, "[iu]$", "").try_cast("long"),
+        ).alias("value_int"),
+        F.when(ok & is_bool, raw.isin(*_BOOL_TRUE)).alias("value_bool"),
+        F.when(
+            ok & is_str,
+            _unescape_str_val(
+                F.regexp_extract(raw, r'^"((?:\\.|[^"\\])*)"$', 1)
+            ),
+        ).alias("value_str"),
+        error.alias("error"),
+    )

@@ -1,0 +1,143 @@
+"""Splunk HEC translator: OTel log rows -> HEC events
+(pkg/translator/splunk/logs_to_splunk.go) as a pure-Column battery.
+
+Semantics reproduced:
+
+* body-less records are rejected (logs_to_splunk.go:28-31 -> NULL row
+  with ``error``).
+* fields: span_id / trace_id hex, severity text/number under the
+  configurable HEC field names (defaults
+  ``otel.log.severity.text`` / ``otel.log.severity.number``,
+  internal/splunk/common.go:17-18).
+* resource attrs then record attrs route ``host.name`` -> host,
+  ``com.splunk.source`` -> source, ``com.splunk.sourcetype`` ->
+  sourcetype, ``com.splunk.index`` -> index (record wins -- it is
+  iterated second); ``com.splunk.hec.access_token`` is dropped;
+  everything else merges into fields (logs_to_splunk.go:48-79).
+  Host defaults to ``unknown`` (metrics_to_splunk.go:23).
+* time = timestamp (fallback observed) nanoseconds rounded to
+  milliseconds as epoch seconds float (logs_to_splunk.go:98-101 --
+  Go Duration.Round = half-away-from-zero banker-free rounding).
+
+Map-only Column code; the HEC JSON render keeps Go field order
+(time, host, source, sourcetype, index, event, fields) with
+omitempty and sorted field keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+UNKNOWN_HOST = "unknown"
+HEC_TOKEN_LABEL = "com.splunk.hec.access_token"
+DEFAULT_TO_OTEL = {
+    "host": "host.name",
+    "source": "com.splunk.source",
+    "sourcetype": "com.splunk.sourcetype",
+    "index": "com.splunk.index",
+}
+DEFAULT_SEVERITY_TEXT_FIELD = "otel.log.severity.text"
+DEFAULT_SEVERITY_NUMBER_FIELD = "otel.log.severity.number"
+
+
+def _empty_map() -> Column:
+    return F.create_map().cast("map<string,string>")
+
+
+def log_to_splunk_event(
+    df: DataFrame,
+    body: str = "body",
+    attributes: str = "attributes",
+    resource_attributes: str = "resource_attributes",
+    severity_number: str = "severity_number",
+    severity_text: str = "severity_text",
+    trace_id: str = "trace_id",
+    span_id: str = "span_id",
+    ts_ns: str = "ts_ns",
+    observed_ts_ns: "str | None" = None,
+    source: str = "",
+    sourcetype: str = "",
+    index: str = "",
+    to_otel_attrs: "dict[str, str] | None" = None,
+    severity_text_field: str = DEFAULT_SEVERITY_TEXT_FIELD,
+    severity_number_field: str = DEFAULT_SEVERITY_NUMBER_FIELD,
+) -> DataFrame:
+    m = {**DEFAULT_TO_OTEL, **(to_otel_attrs or {})}
+    routed = [m["host"], m["source"], m["sourcetype"], m["index"],
+              HEC_TOKEN_LABEL]
+    attrs = F.coalesce(F.col(attributes), _empty_map())
+    res = F.coalesce(F.col(resource_attributes), _empty_map())
+    b = F.col(body)
+    rejected = b.isNull() | (b == "")
+
+    def _route(key: str, default: Column) -> Column:
+        # resource first, record second -- record wins
+        return F.coalesce(
+            F.element_at(attrs, m[key]), F.element_at(res, m[key]), default
+        )
+
+    host = _route("host", F.lit(UNKNOWN_HOST))
+    src = _route("source", F.lit(source))
+    st = _route("sourcetype", F.lit(sourcetype))
+    idx = _route("index", F.lit(index))
+
+    sev = F.coalesce(F.col(severity_number), F.lit(0))
+    sevt = F.coalesce(F.col(severity_text), F.lit(""))
+    id_fields = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(
+                    F.lit("span_id").alias("key"),
+                    F.col(span_id).alias("value"),
+                ),
+                F.struct(
+                    F.lit("trace_id").alias("key"),
+                    F.col(trace_id).alias("value"),
+                ),
+                F.struct(
+                    F.lit(severity_text_field).alias("key"),
+                    F.when(sevt != "", sevt).alias("value"),
+                ),
+                F.struct(
+                    F.lit(severity_number_field).alias("key"),
+                    F.when(sev != 0, sev.cast("string")).alias("value"),
+                ),
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    # record attrs override resource attrs on key collision (record
+    # map is merged second, logs_to_splunk.go:65-79)
+    fields = F.map_concat(
+        F.map_filter(
+            res, lambda k, _: ~k.isin(routed) & ~F.map_contains_key(attrs, k)
+        ),
+        F.map_filter(attrs, lambda k, _: ~k.isin(routed)),
+        F.map_filter(
+            id_fields,
+            lambda k, _: ~F.map_contains_key(attrs, k)
+            & ~F.map_contains_key(res, k),
+        ),
+    )
+
+    t = F.col(ts_ns)
+    if observed_ts_ns:
+        t = F.when(t == 0, F.col(observed_ts_ns)).otherwise(t)
+    # round ns -> ms (half away from zero), then seconds float
+    t_ms = F.floor((t + F.lit(500000)) / F.lit(1000000)).cast("long")
+    time_sec = t_ms.cast("double") / F.lit(1000.0)
+
+    ok = ~rejected
+    return df.select(
+        *[c for c in df.columns],
+        F.when(ok, time_sec).alias("hec_time"),
+        F.when(ok, host).alias("hec_host"),
+        F.when(ok, src).alias("hec_source"),
+        F.when(ok, st).alias("hec_sourcetype"),
+        F.when(ok, idx).alias("hec_index"),
+        F.when(ok, b).alias("hec_event"),
+        F.when(ok, fields).alias("hec_fields"),
+        F.when(rejected, F.lit("event with no body rejected"))
+        .alias("error"),
+    )

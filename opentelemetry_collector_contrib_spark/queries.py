@@ -54,6 +54,8 @@ _PRIORITY_NAMES: list[str] = [
     "zipkin_spans_events",            # round 3: zipkin v2 JSON translator
     "loki_entries_events",            # round 3: loki translator lines/labels
     "loki_streams_events",            # round 3: loki stream grouping
+    "influx_lp_parse_events",         # round 3: influx line protocol
+    "splunk_hec_events",              # round 3: splunk HEC translator
 ]
 
 
@@ -4885,3 +4887,211 @@ SELECT tenant, stream, COUNT(*) AS n_entries,
 FROM g GROUP BY tenant, stream ORDER BY tenant, stream
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# influxdbreceiver: InfluxDB line protocol (public spec; the receiver
+# drives the line-protocol v2 decoder, receiver.go:106-198). Spark
+# builds protocol lines from ``events`` (exercising escapes, string
+# quoting, all five value types, precision scaling and the error
+# ladder) and must parse them back apart; the oracle unions the
+# expected per-field rows relationally.
+# ---------------------------------------------------------------------------
+
+def _influx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100).cast("long").cast("string")
+    h = (F.col("user_id") % 5).cast("string")
+    e = (F.col("event_id") % 3).cast("string")
+    m = (F.col("event_id") % 6).cast("int")
+    ts = F.lit("1656581400000000")  # microseconds (precision=us)
+    line = (
+        F.when(m == 0, F.concat(
+            F.lit("cpu,host=h"), h, F.lit(",region=eu"), e,
+            F.lit(" usage="), v, F.lit(".5,idle="), v, F.lit("i "), ts))
+        .when(m == 1, F.concat(
+            F.lit("disk\\ io,path=/a\\,b"), e, F.lit(" used="), v,
+            F.lit("u "), ts))
+        .when(m == 2, F.concat(
+            F.lit("weather,city=c"), h,
+            F.lit(' temp="sunny day '), e, F.lit('"')))
+        .when(m == 3, F.concat(
+            F.lit("gate,b=x"), e, F.lit(" up=t,down=false "), ts))
+        .when(m == 4, F.concat(F.lit("m "), v))
+        .otherwise(F.concat(F.lit("m f="), v, F.lit("zz "), ts))
+    )
+    return ev.select("event_id", line.alias("line"))
+
+
+_INFLUX_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 6 AS INT) AS m,
+         CAST(FLOOR(value * 100) AS BIGINT) AS v,
+         CAST(user_id % 5 AS STRING) AS h,
+         CAST(event_id % 3 AS STRING) AS e
+  FROM events),
+rows0 AS (  -- measurement/tags/ts per line
+  SELECT *,
+    CASE m WHEN 0 THEN 'cpu' WHEN 1 THEN 'disk io' WHEN 2 THEN 'weather'
+           WHEN 3 THEN 'gate' ELSE 'm' END AS meas,
+    CASE m WHEN 0 THEN 'host:h' || h || ',region:eu' || e
+           WHEN 1 THEN 'path:/a,b' || e
+           WHEN 2 THEN 'city:c' || h
+           WHEN 3 THEN 'b:x' || e
+           WHEN 5 THEN '' END AS tags,
+    CASE WHEN m IN (0, 1, 3, 5) THEN 1656581400000000 * 1000 END AS ts_ns
+  FROM f),
+u AS (
+  SELECT event_id, meas, tags, ts_ns, 'usage' AS field_key,
+         'float' AS value_type, v + 0.5 AS value_double,
+         NULL::BIGINT AS value_int, NULL::BOOLEAN AS value_bool,
+         NULL::VARCHAR AS value_str, NULL::VARCHAR AS error
+  FROM rows0 WHERE m = 0
+  UNION ALL
+  SELECT event_id, meas, tags, ts_ns, 'idle', 'int', NULL, v, NULL,
+         NULL, NULL FROM rows0 WHERE m = 0
+  UNION ALL
+  SELECT event_id, meas, tags, ts_ns, 'used', 'uint', NULL, v, NULL,
+         NULL, NULL FROM rows0 WHERE m = 1
+  UNION ALL
+  SELECT event_id, meas, tags, ts_ns, 'temp', 'string', NULL, NULL,
+         NULL, 'sunny day ' || e, NULL FROM rows0 WHERE m = 2
+  UNION ALL
+  SELECT event_id, meas, tags, ts_ns, 'up', 'bool', NULL, NULL, TRUE,
+         NULL, NULL FROM rows0 WHERE m = 3
+  UNION ALL
+  SELECT event_id, meas, tags, ts_ns, 'down', 'bool', NULL, NULL,
+         FALSE, NULL, NULL FROM rows0 WHERE m = 3
+  UNION ALL
+  SELECT event_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, 'invalid line protocol' FROM rows0 WHERE m = 4
+  UNION ALL
+  SELECT event_id, meas, tags, ts_ns, NULL, NULL, NULL, NULL, NULL,
+         NULL, 'invalid field value' FROM rows0 WHERE m = 5)
+SELECT event_id, meas AS measurement, tags, ts_ns, field_key,
+       value_type, value_double, value_int,
+       CAST(value_bool AS VARCHAR) AS value_bool, value_str, error
+FROM u ORDER BY event_id, field_key NULLS FIRST
+"""
+
+
+def q_influx_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.influx import influx_lp_parse
+
+    parsed = influx_lp_parse(
+        _influx_lines(spark, sf_dir), precision="us"
+    )
+    # value_bool as string: NULL booleans round-trip as float NaN
+    # through DuckDB's pandas bridge and break the value hash
+    return parsed.select(
+        "event_id", "measurement", "tags", "ts_ns", "field_key",
+        "value_type", "value_double", "value_int",
+        F.col("value_bool").cast("string").alias("value_bool"),
+        "value_str", "error",
+    ).orderBy("event_id", F.col("field_key").asc_nulls_first())
+
+
+_QUERIES["influx_lp_parse_events"] = q_influx_lp
+_ORACLES["influx_lp_parse_events"] = _INFLUX_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Splunk HEC translator (pkg/translator/splunk/logs_to_splunk.go):
+# body gate, com.splunk.* routing with record-over-resource
+# precedence, severity/id field merge, ns->ms-rounded epoch-seconds
+# time.
+# ---------------------------------------------------------------------------
+
+def _splunk_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0,
+               F.concat(F.lit("log "), F.col("event_type"))).alias("body"),
+        F.map_concat(
+            F.create_map(
+                F.lit("k"), F.lit("rec"),
+                F.lit("action"), F.col("event_type"),
+            ),
+            F.when(
+                F.col("event_id") % 3 == 0,
+                F.create_map(F.lit("com.splunk.source"), F.lit("rec-src")),
+            ).otherwise(F.create_map().cast("map<string,string>")),
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("host.name"),
+            F.concat(F.lit("h"), (F.col("user_id") % 5).cast("string")),
+            F.lit("com.splunk.sourcetype"), F.lit("otel"),
+            F.lit("com.splunk.hec.access_token"), F.lit("secret"),
+            F.lit("k"), F.lit("res"),
+            F.lit("region"),
+            F.concat(F.lit("r"), (F.col("event_id") % 3).cast("string")),
+        ).alias("resource_attributes"),
+        (1 + F.col("event_id") % 24).cast("int").alias("severity_number"),
+        F.concat(F.lit("sev"), (1 + F.col("event_id") % 24).cast("string"))
+        .alias("severity_text"),
+        F.lit(None).cast("string").alias("trace_id"),
+        F.lpad(F.lower(F.hex(F.col("event_id"))), 16, "0").alias("span_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+         + F.col("event_id") % 1000000).alias("ts_ns"),
+    )
+
+
+_SPLUNK_ORACLE = """
+WITH f AS (
+  SELECT event_id, event_id % 7 <> 0 AS has_body,
+         'log ' || event_type AS body, event_type,
+         'h' || CAST(user_id % 5 AS STRING) AS host,
+         event_id % 3 = 0 AS has_src,
+         'r' || CAST(event_id % 3 AS STRING) AS region,
+         CAST(1 + event_id % 24 AS INT) AS sev,
+         'sev' || CAST(1 + event_id % 24 AS STRING) AS sevt,
+         lpad(lower(hex(event_id)), 16, '0') AS sid,
+         epoch_us(ts) * 1000 + event_id % 1000000 AS tns
+  FROM events)
+SELECT event_id,
+  CASE WHEN has_body
+       THEN CAST(FLOOR((tns + 500000) / 1000000) AS BIGINT) / 1000.0
+       END AS hec_time,
+  CASE WHEN has_body THEN host END AS hec_host,
+  CASE WHEN has_body AND has_src THEN 'rec-src'
+       WHEN has_body THEN '' END AS hec_source,
+  CASE WHEN has_body THEN 'otel' END AS hec_sourcetype,
+  CASE WHEN has_body THEN body END AS hec_event,
+  CASE WHEN has_body THEN
+    'action=' || event_type
+    || ',k=rec'
+    || ',otel.log.severity.number=' || CAST(sev AS STRING)
+    || ',otel.log.severity.text=' || sevt
+    || ',region=' || region
+    || ',span_id=' || sid
+    END AS hec_fields,
+  CASE WHEN NOT has_body THEN 'event with no body rejected' END AS error
+FROM f ORDER BY event_id
+"""
+
+
+def q_splunk_hec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.splunk_hec import log_to_splunk_event
+
+    out = log_to_splunk_event(_splunk_logs(spark, sf_dir))
+    fields_str = F.when(
+        F.col("hec_fields").isNotNull(),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(F.col("hec_fields")),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            ",",
+        ),
+    )
+    return out.select(
+        "event_id", "hec_time", "hec_host", "hec_source", "hec_sourcetype",
+        "hec_event", fields_str.alias("hec_fields"), "error",
+    ).orderBy("event_id")
+
+
+_QUERIES["splunk_hec_events"] = q_splunk_hec
+_ORACLES["splunk_hec_events"] = _SPLUNK_ORACLE

@@ -1,0 +1,64 @@
+"""InfluxDB line-protocol parse parity (public spec exercised by
+receiver/influxdbreceiver)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators.influx import (
+    influx_lp_parse,
+)
+
+
+def _parse(spark, lines, **kw):
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    return influx_lp_parse(df, **kw).collect()
+
+
+def test_basic_types(spark):
+    rows = _parse(spark, [
+        "cpu,host=h1,region=eu usage=0.5,idle=12i 1656581400000000000",
+    ])
+    assert len(rows) == 2
+    u, i = rows
+    assert u.measurement == "cpu" and u.tags == "host:h1,region:eu"
+    assert u.field_key == "usage" and u.value_type == "float"
+    assert u.value_double == 0.5
+    assert u.ts_ns == 1656581400000000000
+    assert i.field_key == "idle" and i.value_type == "int"
+    assert i.value_int == 12
+
+
+def test_escapes_and_strings(spark):
+    rows = _parse(spark, [
+        r"disk\ io,path=/a\,b used=5u",
+        'weather,city=sf temp="sunny day",ok=t',
+        r'm note="say \"hi\" \\end"',
+    ])
+    assert rows[0].measurement == "disk io"
+    assert rows[0].tags == "path:/a,b"
+    assert rows[0].value_type == "uint" and rows[0].value_int == 5
+    assert rows[0].ts_ns is None
+    assert rows[1].value_str == "sunny day"
+    assert rows[2].value_bool is True or rows[1].field_key == "temp"
+    by_key = {r.field_key: r for r in rows[1:]}
+    assert by_key["ok"].value_type == "bool" and by_key["ok"].value_bool
+    assert by_key["note"].value_str == 'say "hi" \\end'
+
+
+def test_precision_and_negative(spark):
+    rows = _parse(spark, ["m f=-3.5 1656581400000"], precision="ms")
+    assert rows[0].value_double == -3.5
+    assert rows[0].ts_ns == 1656581400000 * 1000000
+
+
+def test_errors(spark):
+    rows = _parse(spark, [
+        "m 123",            # field block without '='
+        "m,host=h1 12x",    # ditto
+        "m f=12zz",         # bad field value
+    ])
+    assert rows[0].error == "invalid line protocol"
+    assert rows[1].error == "invalid line protocol"
+    assert rows[2].error == "invalid field value"
+    assert rows[2].measurement == "m"  # line matched, value didn't

@@ -1,0 +1,54 @@
+"""Splunk HEC translator parity (pkg/translator/splunk/logs_to_splunk.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.splunk_hec import (
+    log_to_splunk_event,
+)
+
+SCHEMA = (
+    "body string, attributes map<string,string>,"
+    " resource_attributes map<string,string>, severity_number int,"
+    " severity_text string, trace_id string, span_id string, ts_ns long"
+)
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return log_to_splunk_event(df, **kw).collect()
+
+
+def test_routing_and_fields(spark):
+    r = _run(spark, [(
+        "hello", {"com.splunk.source": "rec-src", "k": "rec"},
+        {"host.name": "h1", "com.splunk.sourcetype": "st",
+         "com.splunk.hec.access_token": "secret", "k": "res",
+         "other": "o"},
+        9, "info", "0102", "aa", 1656581400123400000,
+    )])[0]
+    assert r.hec_host == "h1"
+    assert r.hec_source == "rec-src"  # record overrides resource
+    assert r.hec_sourcetype == "st"
+    assert r.hec_event == "hello"
+    # record attr wins on collision; token dropped; severity+ids merged
+    assert r.hec_fields == {
+        "k": "rec", "other": "o", "span_id": "aa", "trace_id": "0102",
+        "otel.log.severity.text": "info",
+        "otel.log.severity.number": "9",
+    }
+    # ns -> rounded ms -> seconds float (logs_to_splunk.go:98-101)
+    assert r.hec_time == 1656581400.123
+
+
+def test_rejects_empty_body_and_rounding(spark):
+    rows = _run(spark, [
+        (None, {}, {}, 0, "", None, None, 1),
+        ("", {}, {}, 0, "", None, None, 1),
+        ("x", {}, {}, 0, "", None, None, 1656581400999500000),
+    ])
+    assert rows[0].error == "event with no body rejected"
+    assert rows[0].hec_event is None
+    assert rows[1].error is not None
+    assert rows[2].hec_host == "unknown"
+    assert rows[2].hec_fields == {}
+    assert rows[2].hec_time == 1656581401.0  # half rounds away from zero
