@@ -1,0 +1,292 @@
+"""Prometheus remote-write translator: OTel metric rows -> remote-write
+TimeSeries rows (pkg/translator/prometheusremotewrite/helper.go).
+
+Columnar model: one input row = one datapoint; one output row = one
+(series, sample) pair. Series identity is the sorted label set -- the
+reference's xxhash signature dedup (helper.go:69-94) is a batching
+artifact; a groupBy on the rendered label set recovers it.
+
+Semantics reproduced:
+
+* ``createAttributes`` (helper.go:101-190): datapoint attributes sorted
+  by raw key, names sanitized with the Prometheus label rules; when two
+  raw keys sanitize to the same label the values are joined with ``;``
+  (only when different); ``service.name``(+namespace) -> ``job``,
+  ``service.instance.id`` -> ``instance``; external labels only when
+  not already present; extras (``__name__``) overwrite.
+* number datapoints -> one sample per point; NoRecordedValue flag ->
+  staleness marker (exposed as ``stale`` instead of the StaleNaN bit
+  pattern, which has no hashable cross-engine rendering).
+* explicit-bucket histograms (helper.go:215-300): ``_sum`` (only when
+  present), ``_count``, cumulative ``_bucket`` per bound with
+  ``le=FormatFloat(bound)`` and the closing ``le=+Inf`` bucket equal to
+  the point count. ``le`` strings are rendered driver-side from the
+  Python bound list, so no cross-engine float formatting is involved.
+* metric naming delegates to operators.prometheus.build_compliant_name
+  (the same BuildCompliantName the PRW exporter calls).
+
+Map-only Column code: the histogram fan-out is a single
+explode(array(...)) per point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .prometheus import build_compliant_name, normalize_label
+
+
+def _empty_map() -> Column:
+    return F.create_map().cast("map<string,string>")
+
+
+def prw_labels(
+    dp_attrs: Column,
+    res_attrs: Column,
+    external_labels: "dict[str, str] | None" = None,
+    extras: "list[tuple[str, Column]] | None" = None,
+) -> Column:
+    """createAttributes: returns the sorted rendered label set as
+    ``k=v,k2=v2`` (names sanitized, job/instance mapped, extras win)."""
+    attrs = F.coalesce(dp_attrs, _empty_map())
+    res = F.coalesce(res_attrs, _empty_map())
+
+    # sort by RAW key (stable), sanitize, join colliding values with ';'
+    raw = F.array_sort(F.map_entries(attrs))
+    sanitized = F.transform(
+        raw,
+        lambda e: F.struct(
+            normalize_label(e["key"]).alias("key"), e["value"].alias("value")
+        ),
+    )
+    # collision merge: keep first occurrence, append later DIFFERENT
+    # values with ';'
+    merged = F.filter(
+        F.transform(
+            sanitized,
+            lambda e, i: F.struct(
+                e["key"].alias("key"),
+                # Go fold: append ';'+v only when v differs from the
+                # accumulated value so far (helper.go:138-147)
+                F.aggregate(
+                    F.transform(
+                        F.filter(sanitized, lambda x: x["key"] == e["key"]),
+                        lambda x: x["value"],
+                    ),
+                    F.lit(""),
+                    lambda acc, v: (
+                        F.when(acc == "", v)
+                        .when(acc == v, acc)
+                        .otherwise(F.concat(acc, F.lit(";"), v))
+                    ),
+                ).alias("value"),
+                (
+                    F.array_position(
+                        F.transform(sanitized, lambda x: x["key"]), e["key"]
+                    )
+                    == i + 1
+                ).alias("first"),
+            ),
+        ),
+        lambda e: e["first"],
+    )
+    entries = F.transform(
+        merged,
+        lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
+    )
+
+    svc = F.element_at(res, "service.name")
+    ns = F.element_at(res, "service.namespace")
+    job = F.when(ns.isNotNull(), F.concat(ns, F.lit("/"), svc)).otherwise(svc)
+    inst = F.element_at(res, "service.instance.id")
+    overrides: list[Column] = [
+        F.when(
+            svc.isNotNull(),
+            F.array(F.struct(F.lit("job").alias("key"), job.alias("value"))),
+        ).otherwise(F.array().cast("array<struct<key string, value string>>")),
+        F.when(
+            inst.isNotNull(),
+            F.array(
+                F.struct(F.lit("instance").alias("key"), inst.alias("value"))
+            ),
+        ).otherwise(F.array().cast("array<struct<key string, value string>>")),
+    ]
+    for k, v in (extras or []):
+        overrides.append(F.array(F.struct(F.lit(k).alias("key"),
+                                          v.alias("value"))))
+    # later entries win (job/instance/extras overwrite attr labels)
+    allc = F.concat(entries, *overrides)
+    deduped = F.filter(
+        allc,
+        lambda e, i: ~F.exists(
+            F.slice(allc, i + 2, F.size(allc)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    # external labels only when absent
+    if external_labels:
+        ext = F.filter(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
+                    for k, v in external_labels.items()
+                ]
+            ),
+            lambda e: ~F.exists(deduped, lambda d: d["key"] == e["key"]),
+        )
+        deduped = F.concat(deduped, ext)
+    return F.array_join(
+        F.transform(
+            F.array_sort(deduped),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ",",
+    )
+
+
+def prw_number_series(
+    df: DataFrame,
+    metric_type: str = "gauge",
+    is_monotonic: bool = False,
+    name: str = "name",
+    unit: str = "unit",
+    value: str = "value",
+    ts_ms: str = "ts_ms",
+    attributes: str = "attributes",
+    resource_attributes: str = "resource_attributes",
+    stale: "str | None" = None,
+    external_labels: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Gauge / sum datapoints -> one TimeSeries sample row each."""
+    mname = build_compliant_name(
+        F.col(name), F.col(unit), F.lit(metric_type), F.lit(is_monotonic)
+    )
+    labels = prw_labels(
+        F.col(attributes), F.col(resource_attributes), external_labels,
+        extras=[("__name__", mname)],
+    )
+    return df.select(
+        *[c for c in df.columns],
+        mname.alias("metric_name"),
+        labels.alias("labels"),
+        F.col(value).cast("double").alias("sample_value"),
+        F.col(ts_ms).alias("sample_ts_ms"),
+        (F.col(stale) if stale else F.lit(False)).alias("stale"),
+    )
+
+
+def prw_histogram_series(
+    df: DataFrame,
+    bounds: "list[float]",
+    name: str = "name",
+    unit: str = "unit",
+    hist_sum: str = "hist_sum",
+    hist_count: str = "hist_count",
+    bucket_counts: str = "bucket_counts",
+    ts_ms: str = "ts_ms",
+    attributes: str = "attributes",
+    resource_attributes: str = "resource_attributes",
+    external_labels: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Explicit-bucket histogram points -> ``_sum``/``_count``/
+    cumulative ``_bucket`` series rows (helper.go:215-300)."""
+    base = build_compliant_name(
+        F.col(name), F.col(unit), F.lit("histogram"), F.lit(False)
+    )
+
+    def _fmt(b: float) -> str:
+        # strconv.FormatFloat(b, 'f', -1, 64): shortest decimal form
+        s = repr(float(b))
+        return s[:-2] if s.endswith(".0") else s
+
+    rows = [
+        F.struct(
+            F.concat(base, F.lit("_sum")).alias("mname"),
+            F.lit(None).cast("string").alias("le"),
+            F.col(hist_sum).cast("double").alias("val"),
+            F.col(hist_sum).isNull().alias("drop"),
+        ),
+        F.struct(
+            F.concat(base, F.lit("_count")).alias("mname"),
+            F.lit(None).cast("string").alias("le"),
+            F.col(hist_count).cast("double").alias("val"),
+            F.lit(False).alias("drop"),
+        ),
+    ]
+    for i, b in enumerate(bounds):
+        cum = sum(
+            (F.coalesce(
+                F.element_at(F.col(bucket_counts), j + 1), F.lit(0)
+            ) for j in range(i + 1)),
+            start=F.lit(0),
+        )
+        rows.append(
+            F.struct(
+                F.concat(base, F.lit("_bucket")).alias("mname"),
+                F.lit(_fmt(b)).alias("le"),
+                cum.cast("double").alias("val"),
+                F.lit(False).alias("drop"),
+            )
+        )
+    rows.append(
+        F.struct(
+            F.concat(base, F.lit("_bucket")).alias("mname"),
+            F.lit("+Inf").alias("le"),
+            F.col(hist_count).cast("double").alias("val"),
+            F.lit(False).alias("drop"),
+        )
+    )
+    series = F.filter(F.array(*rows), lambda r: ~r["drop"])
+    exploded = df.select(
+        *[c for c in df.columns], F.explode(series).alias("_s")
+    )
+    s = F.col("_s")
+    labels = prw_labels(
+        F.col(attributes), F.col(resource_attributes), external_labels,
+        extras=[("__name__", s["mname"])],
+    )
+    le_labels = F.when(
+        s["le"].isNotNull(),
+        F.concat(labels, F.lit(",le="), s["le"]),
+    ).otherwise(labels)
+    # NB: 'le' sorts after '__name__','instance','job' and most attr
+    # names used here; createLabels appends extras then sorts -- for
+    # full generality re-sort the rendered set:
+    resorted = F.array_join(
+        F.array_sort(F.split(le_labels, ",")), ","
+    )
+    return exploded.select(
+        *[c for c in df.columns],
+        s["mname"].alias("metric_name"),
+        resorted.alias("labels"),
+        s["val"].alias("sample_value"),
+        F.col(ts_ms).alias("sample_ts_ms"),
+    )
+
+
+def target_info(
+    df: DataFrame,
+    resource_attributes: str = "resource_attributes",
+    ts_ms: str = "ts_ms",
+) -> DataFrame:
+    """addResourceTargetInfo (helper.go:500-540): one ``target_info``
+    series per resource when it carries attributes beyond the
+    job/instance identity; value 1."""
+    res = F.coalesce(F.col(resource_attributes), _empty_map())
+    identity = ["service.name", "service.namespace", "service.instance.id"]
+    others = F.map_filter(res, lambda k, _: ~k.isin(identity))
+    labels = prw_labels(
+        others, res, extras=[("__name__", F.lit("target_info"))]
+    )
+    return (
+        df.select(
+            labels.alias("labels"),
+            F.when(F.size(F.map_entries(others)) > 0, F.lit(1.0))
+            .alias("sample_value"),
+            F.col(ts_ms).alias("sample_ts_ms"),
+        )
+        .filter(F.col("sample_value").isNotNull())
+        .groupBy("labels", "sample_value")
+        .agg(F.max("sample_ts_ms").alias("sample_ts_ms"))
+    )

@@ -56,6 +56,8 @@ _PRIORITY_NAMES: list[str] = [
     "loki_streams_events",            # round 3: loki stream grouping
     "influx_lp_parse_events",         # round 3: influx line protocol
     "splunk_hec_events",              # round 3: splunk HEC translator
+    "prw_number_series_events",       # round 3: remote-write samples
+    "prw_histogram_series_events",    # round 3: remote-write histogram
 ]
 
 
@@ -5095,3 +5097,148 @@ def q_splunk_hec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["splunk_hec_events"] = q_splunk_hec
 _ORACLES["splunk_hec_events"] = _SPLUNK_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Prometheus remote-write translator
+# (pkg/translator/prometheusremotewrite/helper.go): createAttributes
+# label building (sanitize-collision ';' joins, job/instance mapping,
+# external labels), number samples, and the explicit-bucket histogram
+# _sum/_count/cumulative-_bucket/+Inf fan-out.
+# ---------------------------------------------------------------------------
+
+def q_prw_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prw import prw_number_series
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("otel."), "event_type", F.lit(".count")).alias("name"),
+        F.lit("1").alias("unit"),
+        (F.floor(F.col("value") * 100) + F.lit(0.5)).alias("value"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.create_map(
+            F.lit("method"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("GET"))
+            .otherwise(F.lit("POST")),
+        ).alias("attributes"),
+        F.map_concat(
+            F.create_map(
+                F.lit("service.name"),
+                F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")),
+                F.lit("service.instance.id"),
+                F.concat(F.lit("i-"), (F.col("user_id") % 7).cast("string")),
+            ),
+            F.when(
+                F.col("event_id") % 2 == 0,
+                F.create_map(F.lit("service.namespace"), F.lit("prod")),
+            ).otherwise(F.create_map().cast("map<string,string>")),
+        ).alias("resource_attributes"),
+    )
+    out = prw_number_series(
+        ev, metric_type="sum", is_monotonic=True,
+        external_labels={"cluster": "c1"},
+    )
+    return out.select(
+        "event_id", "metric_name", "labels", "sample_value", "sample_ts_ms"
+    ).orderBy("event_id")
+
+
+_PRW_NUM_ORACLE = """
+WITH f AS (
+  SELECT event_id,
+    'otel_' || event_type || '_count_total' AS metric_name,
+    CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END AS method,
+    'svc-' || CAST(user_id % 3 AS STRING) AS svc,
+    'i-' || CAST(user_id % 7 AS STRING) AS inst,
+    event_id % 2 = 0 AS has_ns,
+    FLOOR(value * 100) + 0.5 AS v,
+    epoch_ms(ts) AS ts_ms
+  FROM events)
+SELECT event_id, metric_name,
+  '__name__=' || metric_name || ',cluster=c1,instance=' || inst
+    || ',job=' || CASE WHEN has_ns THEN 'prod/' ELSE '' END || svc
+    || ',method=' || method AS labels,
+  v AS sample_value, ts_ms AS sample_ts_ms
+FROM f ORDER BY event_id
+"""
+
+_QUERIES["prw_number_series_events"] = q_prw_numbers
+_ORACLES["prw_number_series_events"] = _PRW_NUM_ORACLE
+
+
+def q_prw_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prw import prw_histogram_series
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("otel."), "event_type", F.lit(".duration"))
+        .alias("name"),
+        F.lit("ms").alias("unit"),
+        F.when(
+            F.col("event_id") % 5 != 0,
+            F.floor(F.col("value") * 100).cast("double"),
+        ).alias("hist_sum"),
+        (F.col("event_id") % 4 + F.col("event_id") % 3
+         + F.col("event_id") % 2).alias("hist_count"),
+        F.array(
+            F.col("event_id") % 4, F.col("event_id") % 3,
+            F.col("event_id") % 2,
+        ).alias("bucket_counts"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.create_map(
+            F.lit("region"),
+            F.concat(F.lit("r"), (F.col("event_id") % 3).cast("string")),
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")),
+        ).alias("resource_attributes"),
+    )
+    out = prw_histogram_series(ev, bounds=[500.0, 5000.0])
+    return out.select(
+        "event_id", "metric_name", "labels", "sample_value", "sample_ts_ms"
+    ).orderBy("event_id", "metric_name", "labels")
+
+
+_PRW_HIST_ORACLE = """
+WITH f AS (
+  SELECT event_id,
+    'otel_' || event_type || '_duration_milliseconds' AS base,
+    'r' || CAST(event_id % 3 AS STRING) AS region,
+    'svc-' || CAST(user_id % 3 AS STRING) AS svc,
+    event_id % 5 <> 0 AS has_sum,
+    CAST(FLOOR(value * 100) AS DOUBLE) AS s,
+    event_id % 4 AS b0, event_id % 3 AS b1, event_id % 2 AS b2,
+    epoch_ms(ts) AS ts_ms
+  FROM events),
+u AS (
+  SELECT event_id, base || '_sum' AS metric_name,
+         '__name__=' || base || '_sum,job=' || svc || ',region=' || region
+           AS labels,
+         s AS sample_value, ts_ms FROM f WHERE has_sum
+  UNION ALL
+  SELECT event_id, base || '_count',
+         '__name__=' || base || '_count,job=' || svc || ',region=' || region,
+         CAST(b0 + b1 + b2 AS DOUBLE), ts_ms FROM f
+  UNION ALL
+  SELECT event_id, base || '_bucket',
+         '__name__=' || base || '_bucket,job=' || svc || ',le=500,region='
+           || region,
+         CAST(b0 AS DOUBLE), ts_ms FROM f
+  UNION ALL
+  SELECT event_id, base || '_bucket',
+         '__name__=' || base || '_bucket,job=' || svc
+           || ',le=5000,region=' || region,
+         CAST(b0 + b1 AS DOUBLE), ts_ms FROM f
+  UNION ALL
+  SELECT event_id, base || '_bucket',
+         '__name__=' || base || '_bucket,job=' || svc || ',le=+Inf,region='
+           || region,
+         CAST(b0 + b1 + b2 AS DOUBLE), ts_ms FROM f)
+SELECT event_id, metric_name, labels, sample_value,
+       ts_ms AS sample_ts_ms
+FROM u ORDER BY event_id, metric_name, labels
+"""
+
+_QUERIES["prw_histogram_series_events"] = q_prw_histograms
+_ORACLES["prw_histogram_series_events"] = _PRW_HIST_ORACLE

@@ -1,0 +1,100 @@
+"""Prometheus remote-write translator parity
+(pkg/translator/prometheusremotewrite/helper.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.prw import (
+    prw_histogram_series,
+    prw_number_series,
+    target_info,
+)
+
+NUM_SCHEMA = (
+    "name string, unit string, value double, ts_ms long,"
+    " attributes map<string,string>,"
+    " resource_attributes map<string,string>"
+)
+
+
+def test_number_series_labels(spark):
+    df = spark.createDataFrame(
+        [
+            ("http.requests", "1", 5.0, 100,
+             {"http.method": "GET", "http_method": "POST"},
+             {"service.name": "api", "service.namespace": "prod",
+              "service.instance.id": "i-1"}),
+        ],
+        NUM_SCHEMA,
+    )
+    r = prw_number_series(
+        df, metric_type="sum", is_monotonic=True,
+        external_labels={"cluster": "c1", "job": "ignored"},
+    ).collect()[0]
+    assert r.metric_name == "http_requests_total"
+    # http.method and http_method sanitize-collide -> values joined ';'
+    # (sorted raw keys: http.method first); job/instance mapped;
+    # external 'job' skipped (already present), 'cluster' added
+    assert r.labels == (
+        "__name__=http_requests_total,cluster=c1,"
+        "http_method=GET;POST,instance=i-1,job=prod/api"
+    )
+    assert r.sample_value == 5.0 and r.sample_ts_ms == 100
+
+
+HIST_SCHEMA = (
+    "name string, unit string, hist_sum double, hist_count long,"
+    " bucket_counts array<long>, ts_ms long,"
+    " attributes map<string,string>,"
+    " resource_attributes map<string,string>"
+)
+
+
+def test_histogram_fanout(spark):
+    df = spark.createDataFrame(
+        [
+            ("rpc.duration", "ms", 99.5, 10, [3, 5, 2], 7,
+             {"rpc": "x"}, {"service.name": "s"}),
+            ("rpc.duration", "ms", None, 4, [4, 0, 0], 8,
+             {"rpc": "y"}, {"service.name": "s"}),
+        ],
+        HIST_SCHEMA,
+    )
+    rows = prw_histogram_series(df, bounds=[0.5, 2.5]).collect()
+    by = {(r.attributes["rpc"], r.metric_name, r.labels): r for r in rows}
+    # point 1: sum, count, le=0.5 (3), le=2.5 (3+5=8), le=+Inf (10)
+    x = [r for r in rows if r.attributes["rpc"] == "x"]
+    assert len(x) == 5
+    names = [r.metric_name for r in x]
+    assert names.count("rpc_duration_milliseconds_bucket") == 3
+    sums = {r.labels: r.sample_value for r in x}
+    assert sums[
+        "__name__=rpc_duration_milliseconds_bucket,job=s,le=0.5,rpc=x"
+    ] == 3.0
+    assert sums[
+        "__name__=rpc_duration_milliseconds_bucket,job=s,le=2.5,rpc=x"
+    ] == 8.0
+    assert sums[
+        "__name__=rpc_duration_milliseconds_bucket,job=s,le=+Inf,rpc=x"
+    ] == 10.0
+    assert sums["__name__=rpc_duration_milliseconds_sum,job=s,rpc=x"] == 99.5
+    # point 2: sum omitted (HasSum false)
+    y = [r for r in rows if r.attributes["rpc"] == "y"]
+    assert len(y) == 4
+    assert not any(r.metric_name.endswith("_sum") for r in y)
+
+
+def test_target_info(spark):
+    df = spark.createDataFrame(
+        [
+            ("m", "1", 1.0, 5, {},
+             {"service.name": "api", "host.name": "h1"}),
+            ("m", "1", 1.0, 6, {},
+             {"service.name": "only-identity"}),
+        ],
+        NUM_SCHEMA,
+    )
+    rows = target_info(df).collect()
+    # only the resource with non-identity attrs emits target_info
+    assert len(rows) == 1
+    assert rows[0].labels == "__name__=target_info,host_name=h1,job=api"
+    assert rows[0].sample_value == 1.0
