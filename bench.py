@@ -363,6 +363,12 @@ def main() -> None:
         "datadog_apm_stats_events",
         "redaction_full_events",
         "mojibake_fix_documents",
+        # round-3 translator layer (same list-growth note)
+        "zipkin_spans_events",
+        "influx_lp_parse_events",
+        "loki_entries_events",
+        "prw_histogram_series_events",
+        "prom_name_normalize_events",
     ]
     all_q = Q.queries()
     for name in bench_queries:

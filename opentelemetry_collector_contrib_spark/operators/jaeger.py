@@ -1,0 +1,379 @@
+"""Jaeger proto -> OTel span translation as a columnar battery.
+
+Reference: pkg/translator/jaeger/jaegerproto_to_traces.go. One input
+row = one Jaeger proto span (its JSON rendering: typed KeyValue tags,
+logs with typed fields, span references, per-span Process); output =
+one OTel span row with resource/scope fields denormalized onto the
+row (the reference's per-Process regroup -- jaegerproto_to_traces.go:
+49-96 -- is a batching artifact of the pdata tree; a later ``groupBy``
+on the resource columns recovers it for free in the columnar model).
+
+Semantics reproduced:
+
+* IDs: ``UInt64ToTraceID(high, low)`` / ``UInt64ToSpanID`` hex forms;
+  parent = first CHILD_OF reference with the span's own trace id
+  (jaeger-idl model.Span.ParentSpanID), 0 -> absent
+  (jaegerproto_to_traces.go:199-209).
+* typed tag ladder STRING/BOOL/INT64/FLOAT64/BINARY + the
+  ``<Unknown Jaeger TagType %q>`` default
+  (jaegerproto_to_traces.go:231-248).
+* ``span.kind`` tag -> kind (client/server/producer/consumer/internal,
+  else unspecified), consumed (jaegerproto_to_traces.go:214-217,
+  :370-382).
+* status ladder (jaegerproto_to_traces.go:250-311): bool ``error``
+  tag == true -> ERROR (tag consumed; message from
+  ``otel.status_description`` [consumed] else ``http.status_message``
+  [kept]); else ``otel.status_code`` OK/ERROR (case-insensitive;
+  always consumed, description consumed when used); else
+  ``http.status_code`` int-or-string fallback with the 4xx
+  client=ERROR / server=unset rule and StatusCodeFromHTTP
+  (>=100 && <399 -> unset, else error); http.* tags are NOT consumed.
+  A bool-false ``error`` tag stays an attribute.
+* ``w3c.tracestate`` -> trace state, consumed
+  (jaegerproto_to_traces.go:433-441).
+* ``otel.scope.name`` / ``otel.scope.version`` -> scope; version only
+  consumed when name is present (jaegerproto_to_traces.go:443-453).
+* Process -> resource: service name (``OTLPResourceNoServiceName`` or
+  nil process -> EMPTY resource), process tags, ``hostname`` ->
+  ``host.name`` when absent, ``jaeger.version`` ->
+  ``opencensus.exporterversion = "Jaeger-"+v`` when absent
+  (jaegerproto_to_traces.go:130-175).
+* logs -> span events: ts ns, typed fields, the ``event`` field
+  becomes the event name and is consumed
+  (jaegerproto_to_traces.go:384-412, constants.go:19).
+* references -> links: the single-parent CHILD_OF ref is dropped
+  (also when it is the only ref), others carry
+  ``opentracing.ref_type`` child_of/follows_from
+  (jaegerproto_to_traces.go:414-431, :465-470).
+
+Pure Column code (from_json + array/map ops) -- map-only at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RESOURCE_NO_SERVICE_NAME = "OTLPResourceNoServiceName"
+EVENT_NAME_ATTR = "event"
+
+_KV = (
+    "struct<key string, vType string, vStr string, vBool boolean,"
+    " vInt64 long, vFloat64 double, vBinary string>"
+)
+
+JAEGER_JSON_SCHEMA = (
+    f"traceIdHigh long, traceIdLow long, spanId long,"
+    f" operationName string, startTime long, duration long,"
+    f" tags array<{_KV}>,"
+    f" logs array<struct<timestamp long, fields array<{_KV}>>>,"
+    f" references array<struct<traceIdHigh long, traceIdLow long,"
+    f" spanId long, refType string>>,"
+    f" process struct<serviceName string, tags array<{_KV}>>"
+)
+
+_KIND_MAP = {
+    "client": "client",
+    "server": "server",
+    "producer": "producer",
+    "consumer": "consumer",
+    "internal": "internal",
+}
+
+
+def _render_tag_value(tag: Column) -> Column:
+    """jTagsToInternalAttributes' typed ladder, rendered to the
+    flattened string map (jaegerproto_to_traces.go:231-248)."""
+    vt = F.coalesce(tag["vType"], F.lit("STRING"))
+    return (
+        F.when(vt == "STRING", F.coalesce(tag["vStr"], F.lit("")))
+        .when(vt == "BOOL", F.coalesce(tag["vBool"], F.lit(False))
+              .cast("string"))
+        .when(vt == "INT64", F.coalesce(tag["vInt64"], F.lit(0))
+              .cast("string"))
+        .when(vt == "FLOAT64", F.coalesce(tag["vFloat64"], F.lit(0.0))
+              .cast("string"))
+        .when(vt == "BINARY", F.coalesce(tag["vBinary"], F.lit("")))
+        .otherwise(F.concat(F.lit('<Unknown Jaeger TagType "'), vt,
+                            F.lit('">')))
+    )
+
+
+def _tags_to_map(tags: Column) -> Column:
+    """Typed KeyValue array -> map<string,string> (last dup wins, like
+    pcommon.Map PutStr)."""
+    entries = F.transform(
+        F.coalesce(tags, F.array().cast(f"array<{_KV}>")),
+        lambda t: F.struct(t["key"].alias("key"),
+                           _render_tag_value(t).alias("value")),
+    )
+    return F.map_from_entries(entries)
+
+
+def _tag_typed(tags: Column, key: str) -> Column:
+    """First tag struct for ``key`` (jaeger keeps a list; Get scans)."""
+    hits = F.filter(
+        F.coalesce(tags, F.array().cast(f"array<{_KV}>")),
+        lambda t: t["key"] == key,
+    )
+    return F.try_element_at(hits, F.lit(1))
+
+
+def _hex64(col: Column) -> Column:
+    return F.lpad(F.lower(F.hex(col)), 16, "0")
+
+
+def jaeger_json_to_spans(df: DataFrame, json_col: str = "json") -> DataFrame:
+    j = F.from_json(F.col(json_col), JAEGER_JSON_SCHEMA)
+    tags = F.coalesce(j["tags"], F.array().cast(f"array<{_KV}>"))
+    tag_map = _tags_to_map(tags)
+
+    trace_id = F.concat(
+        _hex64(F.coalesce(j["traceIdHigh"], F.lit(0))),
+        _hex64(F.coalesce(j["traceIdLow"], F.lit(0))),
+    )
+    span_id = _hex64(F.coalesce(j["spanId"], F.lit(0)))
+
+    refs = F.coalesce(
+        j["references"],
+        F.array().cast(
+            "array<struct<traceIdHigh long, traceIdLow long,"
+            " spanId long, refType string>>"
+        ),
+    )
+    # model.Span.ParentSpanID(): first CHILD_OF ref carrying the
+    # span's own trace id.
+    parent_refs = F.filter(
+        refs,
+        lambda r: (F.coalesce(r["refType"], F.lit("CHILD_OF"))
+                   == "CHILD_OF")
+        & (F.coalesce(r["traceIdHigh"], F.lit(0))
+           == F.coalesce(j["traceIdHigh"], F.lit(0)))
+        & (F.coalesce(r["traceIdLow"], F.lit(0))
+           == F.coalesce(j["traceIdLow"], F.lit(0))),
+    )
+    parent_long = F.coalesce(
+        F.try_element_at(parent_refs, F.lit(1))["spanId"], F.lit(0)
+    )
+    parent_span_id = F.when(parent_long != 0, _hex64(parent_long))
+
+    # kind: span.kind tag consumed whenever present
+    kind_tag = F.element_at(tag_map, "span.kind")
+    kind = F.coalesce(kind_tag, F.lit(""))
+    kind_pairs: list[Column] = []
+    for k, v in _KIND_MAP.items():
+        kind_pairs.extend([F.lit(k), F.lit(v)])
+    kind_col = F.when(
+        kind_tag.isNotNull(),
+        F.coalesce(F.element_at(F.create_map(*kind_pairs), kind),
+                   F.lit("unspecified")),
+    ).otherwise(F.lit("unspecified"))
+
+    # --- status ladder (setInternalSpanStatus) ---
+    error_tag = _tag_typed(tags, "error")
+    error_is_bool_true = (
+        error_tag.isNotNull()
+        & (F.coalesce(error_tag["vType"], F.lit("STRING")) == "BOOL")
+        & F.coalesce(error_tag["vBool"], F.lit(False))
+    )
+    desc_tag = F.element_at(tag_map, "otel.status_description")
+    http_msg = F.element_at(tag_map, "http.status_message")
+    code_tag = F.element_at(tag_map, "otel.status_code")
+    http_code_tag = _tag_typed(tags, "http.status_code")
+    http_code = F.when(
+        http_code_tag.isNotNull(),
+        F.when(
+            F.coalesce(http_code_tag["vType"], F.lit("STRING")) == "INT64",
+            http_code_tag["vInt64"],
+        ).when(
+            F.coalesce(http_code_tag["vType"], F.lit("STRING")) == "STRING",
+            http_code_tag["vStr"].try_cast("long"),
+        ),
+    )
+    # StatusCodeFromHTTP + the 4xx kind rule; evaluated only when the
+    # error tag did not fire and no otel.status_code tag exists.
+    http_status = F.when(
+        http_code.isNotNull(),
+        F.when(
+            (http_code >= 400) & (http_code < 500),
+            F.when(kind_col == "client", F.lit(2))
+            .when(kind_col == "server", F.lit(0))
+            .otherwise(F.lit(2)),
+        ).when((http_code >= 100) & (http_code < 399), F.lit(0))
+        .otherwise(F.lit(2)),
+    )
+    from_code_tag = F.when(
+        code_tag.isNotNull(),
+        F.when(F.upper(code_tag) == "OK", F.lit(1))
+        .when(F.upper(code_tag) == "ERROR", F.lit(2))
+        .otherwise(F.lit(0)),
+    )
+    status_code = F.when(error_is_bool_true, F.lit(2)).otherwise(
+        F.coalesce(from_code_tag, http_status, F.lit(0))
+    )
+    status_message = (
+        F.when(error_is_bool_true, F.coalesce(desc_tag, http_msg, F.lit("")))
+        .when(code_tag.isNotNull(), F.coalesce(desc_tag, F.lit("")))
+        .when(
+            http_status.isNotNull() & (http_status != 0),
+            F.coalesce(http_msg, F.lit("")),
+        )
+    )
+    # statusExists gate: Unset code + empty message stays NULL-ish when
+    # nothing fired; the flattened columns encode "not set" as
+    # status_code=0 + NULL message, matching the pdata zero value.
+    status_code = F.when(
+        error_is_bool_true | code_tag.isNotNull()
+        | (http_status.isNotNull() & (http_status != 0)),
+        status_code,
+    ).otherwise(F.lit(0))
+
+    trace_state = F.coalesce(
+        F.element_at(tag_map, "w3c.tracestate"), F.lit("")
+    )
+
+    scope_name = F.element_at(tag_map, "otel.scope.name")
+    scope_version = F.when(
+        scope_name.isNotNull(), F.element_at(tag_map, "otel.scope.version")
+    )
+
+    # consumed span-tag keys -> the remainder is the attributes map
+    desc_consumed = error_is_bool_true | code_tag.isNotNull()
+    attrs = F.map_filter(
+        tag_map,
+        lambda k, _v: ~k.isin("span.kind", "w3c.tracestate",
+                              "otel.status_code", "otel.scope.name")
+        & F.when(k == "error", ~error_is_bool_true).otherwise(F.lit(True))
+        & F.when(k == "otel.status_description", ~desc_consumed)
+        .otherwise(F.lit(True))
+        & F.when(k == "otel.scope.version", scope_name.isNull())
+        .otherwise(F.lit(True)),
+    )
+
+    # --- resource from Process ---
+    proc = j["process"]
+    svc = proc["serviceName"]
+    proc_tags = _tags_to_map(proc["tags"])
+    has_resource = (
+        proc.isNotNull()
+        & (F.coalesce(svc, F.lit("")) != RESOURCE_NO_SERVICE_NAME)
+        & ((F.coalesce(svc, F.lit("")) != "") | (F.size(proc_tags) > 0))
+    )
+    # PutStr(service.name) runs BEFORE the tag copy loop, so a process
+    # tag named service.name overwrites it (jaegerproto_to_traces.go:
+    # 140-150); guarded to keep map_concat dup-free.
+    base_res = F.when(
+        (F.coalesce(svc, F.lit("")) != "")
+        & ~F.map_contains_key(proc_tags, "service.name"),
+        F.map_concat(
+            F.create_map(F.lit("service.name"), svc),
+            proc_tags,
+        ),
+    ).otherwise(proc_tags)
+    # translateHostnameAttr / translateJaegerVersionAttr
+    hostname = F.element_at(base_res, "hostname")
+    jv = F.element_at(base_res, "jaeger.version")
+    move_host = hostname.isNotNull() & ~F.map_contains_key(
+        base_res, "host.name"
+    )
+    move_jv = jv.isNotNull() & ~F.map_contains_key(
+        base_res, "opencensus.exporterversion"
+    )
+    translated = F.map_filter(
+        base_res,
+        lambda k, _v: F.when(k == "hostname", ~move_host)
+        .when(k == "jaeger.version", ~move_jv)
+        .otherwise(F.lit(True)),
+    )
+    translated = F.when(
+        move_host,
+        F.map_concat(translated,
+                     F.create_map(F.lit("host.name"), hostname)),
+    ).otherwise(translated)
+    translated = F.when(
+        move_jv,
+        F.map_concat(
+            translated,
+            F.create_map(F.lit("opencensus.exporterversion"),
+                         F.concat(F.lit("Jaeger-"), jv)),
+        ),
+    ).otherwise(translated)
+    resource_attributes = F.when(has_resource, translated).otherwise(
+        F.create_map().cast("map<string,string>")
+    )
+    service_name = F.when(
+        has_resource & (F.coalesce(svc, F.lit("")) != ""), svc
+    )
+
+    # --- logs -> events ---
+    logs = F.coalesce(
+        j["logs"],
+        F.array().cast(
+            f"array<struct<timestamp long, fields array<{_KV}>>>"
+        ),
+    )
+    events = F.transform(
+        logs,
+        lambda lg: F.struct(
+            (F.coalesce(lg["timestamp"], F.lit(0)) * 1000).alias("ts_ns"),
+            F.coalesce(
+                F.element_at(_tags_to_map(lg["fields"]), EVENT_NAME_ATTR),
+                F.lit(""),
+            ).alias("name"),
+            F.map_filter(
+                _tags_to_map(lg["fields"]),
+                lambda k, _v: k != EVENT_NAME_ATTR,
+            ).alias("attributes"),
+        ),
+    )
+
+    # --- references -> links (skip the parent CHILD_OF ref) ---
+    links = F.filter(
+        refs,
+        lambda r: ~(
+            (F.coalesce(r["refType"], F.lit("CHILD_OF")) == "CHILD_OF")
+            & (F.coalesce(r["spanId"], F.lit(0)) == parent_long)
+        ),
+    )
+    links = F.transform(
+        links,
+        lambda r: F.struct(
+            F.concat(
+                _hex64(F.coalesce(r["traceIdHigh"], F.lit(0))),
+                _hex64(F.coalesce(r["traceIdLow"], F.lit(0))),
+            ).alias("trace_id"),
+            _hex64(F.coalesce(r["spanId"], F.lit(0))).alias("span_id"),
+            F.when(
+                F.coalesce(r["refType"], F.lit("CHILD_OF")) == "CHILD_OF",
+                F.lit("child_of"),
+            ).otherwise(F.lit("follows_from")).alias("ref_type"),
+        ),
+    )
+
+    start_ns = F.coalesce(j["startTime"], F.lit(0)) * 1000
+    end_ns = (
+        F.coalesce(j["startTime"], F.lit(0))
+        + F.coalesce(j["duration"], F.lit(0))
+    ) * 1000
+
+    return df.withColumns(
+        {
+            "trace_id": trace_id,
+            "span_id": span_id,
+            "parent_span_id": parent_span_id,
+            "name": F.coalesce(j["operationName"], F.lit("")),
+            "kind": kind_col,
+            "start_ts_ns": start_ns,
+            "end_ts_ns": end_ns,
+            "status_code": status_code,
+            "status_message": status_message,
+            "trace_state": trace_state,
+            "scope_name": F.coalesce(scope_name, F.lit("")),
+            "scope_version": F.coalesce(scope_version, F.lit("")),
+            "service_name": service_name,
+            "resource_attributes": resource_attributes,
+            "attributes": attrs,
+            "events": events,
+            "links": links,
+        }
+    )

@@ -58,6 +58,7 @@ _PRIORITY_NAMES: list[str] = [
     "splunk_hec_events",              # round 3: splunk HEC translator
     "prw_number_series_events",       # round 3: remote-write samples
     "prw_histogram_series_events",    # round 3: remote-write histogram
+    "jaeger_spans_events",            # round 3: jaeger proto translator
 ]
 
 
@@ -4945,7 +4946,7 @@ rows0 AS (  -- measurement/tags/ts per line
   FROM f),
 u AS (
   SELECT event_id, meas, tags, ts_ns, 'usage' AS field_key,
-         'float' AS value_type, v + 0.5 AS value_double,
+         'float' AS value_type, CAST(v AS DOUBLE) + 0.5 AS value_double,
          NULL::BIGINT AS value_int, NULL::BOOLEAN AS value_bool,
          NULL::VARCHAR AS value_str, NULL::VARCHAR AS error
   FROM rows0 WHERE m = 0
@@ -5242,3 +5243,218 @@ FROM u ORDER BY event_id, metric_name, labels
 
 _QUERIES["prw_histogram_series_events"] = q_prw_histograms
 _ORACLES["prw_histogram_series_events"] = _PRW_HIST_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Jaeger proto -> OTel spans (pkg/translator/jaeger/
+# jaegerproto_to_traces.go). The Spark side builds one Jaeger
+# proto-JSON span per event with a Spark-SQL fragment, then the real
+# translator parses it apart (typed tag ladder, status precedence,
+# process->resource, logs->events, references->links); the oracle
+# derives the expected flattened span fields relationally.
+# ---------------------------------------------------------------------------
+
+_JAEGER_JSON_SQL = r"""
+CASE CAST(event_id % 6 AS INT)
+  WHEN 0 THEN concat(
+    '{"traceIdLow":', CAST(event_id + 11 AS STRING),
+    ',"spanId":', CAST(event_id + 3 AS STRING),
+    ',"operationName":"GET /api-', event_type, '"',
+    ',"startTime":', CAST(1656581400000000 + event_id AS STRING),
+    ',"duration":1500,"tags":[',
+    '{"key":"span.kind","vType":"STRING","vStr":"client"},',
+    '{"key":"error","vType":"BOOL","vBool":true},',
+    '{"key":"otel.status_description","vType":"STRING","vStr":"boom-',
+    event_type, '"},',
+    '{"key":"http.status_code","vType":"INT64","vInt64":500},',
+    '{"key":"custom.n","vType":"INT64","vInt64":',
+    CAST(event_id % 100 AS STRING), '}],',
+    '"references":[',
+    '{"traceIdLow":', CAST(event_id + 11 AS STRING),
+    ',"spanId":', CAST(event_id + 2 AS STRING), ',"refType":"CHILD_OF"},',
+    '{"traceIdLow":', CAST(event_id + 16 AS STRING),
+    ',"spanId":', CAST(event_id + 10 AS STRING),
+    ',"refType":"FOLLOWS_FROM"}],',
+    '"process":{"serviceName":"svc-', event_type, '","tags":[',
+    '{"key":"hostname","vType":"STRING","vStr":"node-',
+    CAST(user_id % 4 AS STRING), '"},',
+    '{"key":"jaeger.version","vType":"STRING","vStr":"1.2"}]}}')
+  WHEN 1 THEN concat(
+    '{"traceIdLow":', CAST(event_id + 11 AS STRING),
+    ',"spanId":', CAST(event_id + 3 AS STRING),
+    ',"operationName":"sv-', event_type, '"',
+    ',"startTime":', CAST(1656581400000000 + event_id AS STRING),
+    ',"duration":20,"tags":[',
+    '{"key":"span.kind","vType":"STRING","vStr":"server"},',
+    '{"key":"otel.status_code","vType":"STRING","vStr":"OK"},',
+    '{"key":"otel.scope.name","vType":"STRING","vStr":"lib"},',
+    '{"key":"otel.scope.version","vType":"STRING","vStr":"2.',
+    CAST(event_id % 3 AS STRING), '"},',
+    '{"key":"w3c.tracestate","vType":"STRING","vStr":"a=1"}],',
+    '"process":{"serviceName":"db"}}')
+  WHEN 2 THEN concat(
+    '{"traceIdHigh":1,"traceIdLow":', CAST(event_id + 11 AS STRING),
+    ',"spanId":', CAST(event_id + 3 AS STRING),
+    ',"operationName":"nf-', event_type, '"',
+    ',"startTime":', CAST(1656581400000000 + event_id AS STRING),
+    ',"duration":10,"tags":[',
+    '{"key":"span.kind","vType":"STRING","vStr":"client"},',
+    '{"key":"http.status_code","vType":"STRING","vStr":"404"},',
+    '{"key":"http.status_message","vType":"STRING","vStr":"NF"}]}')
+  WHEN 3 THEN concat(
+    '{"traceIdLow":', CAST(event_id + 11 AS STRING),
+    ',"spanId":', CAST(event_id + 3 AS STRING),
+    ',"operationName":"sr-', event_type, '"',
+    ',"startTime":', CAST(1656581400000000 + event_id AS STRING),
+    ',"duration":10,"tags":[',
+    '{"key":"span.kind","vType":"STRING","vStr":"server"},',
+    '{"key":"http.status_code","vType":"INT64","vInt64":404},',
+    '{"key":"ratio","vType":"FLOAT64","vFloat64":',
+    CAST(CAST(event_id % 4 AS DOUBLE) + 0.5 AS STRING), '},',
+    '{"key":"flag","vType":"BOOL","vBool":false}],',
+    '"process":{"serviceName":"","tags":[',
+    '{"key":"region","vType":"STRING","vStr":"r-',
+    CAST(user_id % 3 AS STRING), '"}]}}')
+  WHEN 4 THEN concat(
+    '{"traceIdLow":', CAST(event_id + 11 AS STRING),
+    ',"spanId":', CAST(event_id + 3 AS STRING),
+    ',"operationName":"lg-', event_type, '"',
+    ',"startTime":', CAST(1656581400000000 + event_id AS STRING),
+    ',"duration":50,"tags":[',
+    '{"key":"error","vType":"STRING","vStr":"true"}],',
+    '"logs":[',
+    '{"timestamp":', CAST(1656581400000000 + event_id AS STRING),
+    ',"fields":[{"key":"event","vType":"STRING","vStr":"retry"},',
+    '{"key":"attempt","vType":"INT64","vInt64":',
+    CAST(event_id % 5 AS STRING), '}]},',
+    '{"timestamp":', CAST(1656581400000010 + event_id AS STRING),
+    ',"fields":[{"key":"msg","vType":"STRING","vStr":"m-', event_type,
+    '"}]}]}')
+  ELSE concat(
+    '{"traceIdLow":', CAST(event_id + 11 AS STRING),
+    ',"spanId":', CAST(event_id + 3 AS STRING),
+    ',"operationName":"pr-', event_type, '"',
+    ',"startTime":', CAST(1656581400000000 + event_id AS STRING),
+    ',"duration":10,"tags":[',
+    '{"key":"span.kind","vType":"STRING","vStr":"producer"},',
+    '{"key":"otel.scope.version","vType":"STRING","vStr":"v9"}],',
+    '"references":[',
+    '{"traceIdLow":', CAST(event_id + 12 AS STRING),
+    ',"spanId":99,"refType":"CHILD_OF"}],',
+    '"process":{"serviceName":"OTLPResourceNoServiceName"}}')
+END
+""".strip()
+
+_JAEGER_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 6 AS INT) AS m, event_type, user_id,
+         lpad(lower(hex(event_id + 11)), 16, '0') AS tl,
+         lpad(lower(hex(event_id + 3)), 16, '0') AS sid,
+         1656581400000000 + event_id AS ts_us
+  FROM events)
+SELECT event_id,
+  CASE WHEN m = 2 THEN '0000000000000001' || tl
+       ELSE '0000000000000000' || tl END AS trace_id,
+  sid AS span_id,
+  CASE WHEN m = 0 THEN lpad(lower(hex(event_id + 2)), 16, '0') END
+    AS parent_span_id,
+  CASE WHEN m = 0 THEN 'GET /api-' WHEN m = 1 THEN 'sv-'
+       WHEN m = 2 THEN 'nf-' WHEN m = 3 THEN 'sr-'
+       WHEN m = 4 THEN 'lg-' ELSE 'pr-' END || event_type AS name,
+  CASE WHEN m IN (0, 2) THEN 'client' WHEN m IN (1, 3) THEN 'server'
+       WHEN m = 5 THEN 'producer' ELSE 'unspecified' END AS kind,
+  ts_us * 1000 AS start_ts_ns,
+  (ts_us + CASE WHEN m = 0 THEN 1500 WHEN m = 1 THEN 20
+                WHEN m = 4 THEN 50 ELSE 10 END) * 1000 AS end_ts_ns,
+  CASE WHEN m IN (0, 2) THEN 2 WHEN m = 1 THEN 1 ELSE 0 END
+    AS status_code,
+  CASE WHEN m = 0 THEN 'boom-' || event_type WHEN m = 1 THEN ''
+       WHEN m = 2 THEN 'NF' END AS status_message,
+  CASE WHEN m = 1 THEN 'a=1' ELSE '' END AS trace_state,
+  CASE WHEN m = 1 THEN 'lib' ELSE '' END AS scope_name,
+  CASE WHEN m = 1 THEN '2.' || CAST(event_id % 3 AS STRING)
+       ELSE '' END AS scope_version,
+  CASE WHEN m = 0 THEN 'svc-' || event_type
+       WHEN m = 1 THEN 'db' END AS service_name,
+  CASE WHEN m = 0 THEN 'host.name=node-' || CAST(user_id % 4 AS STRING)
+         || ',opencensus.exporterversion=Jaeger-1.2,service.name=svc-'
+         || event_type
+       WHEN m = 1 THEN 'service.name=db'
+       WHEN m = 3 THEN 'region=r-' || CAST(user_id % 3 AS STRING)
+       ELSE '' END AS res_attrs,
+  CASE WHEN m = 0 THEN 'custom.n=' || CAST(event_id % 100 AS STRING)
+         || ',http.status_code=500'
+       WHEN m = 2 THEN 'http.status_code=404,http.status_message=NF'
+       WHEN m = 3 THEN 'flag=false,http.status_code=404,ratio='
+         || CAST(CAST(event_id % 4 AS DOUBLE) + 0.5 AS STRING)
+       WHEN m = 4 THEN 'error=true'
+       WHEN m = 5 THEN 'otel.scope.version=v9'
+       ELSE '' END AS attrs_str,
+  CASE WHEN m = 4 THEN 2 ELSE 0 END AS n_events,
+  CASE WHEN m = 4 THEN 'retry' END AS first_event_name,
+  CASE WHEN m = 4 THEN 'attempt=' || CAST(event_id % 5 AS STRING) END
+    AS first_event_attrs,
+  CASE WHEN m = 0 THEN 'follows_from:0000000000000000'
+         || lpad(lower(hex(event_id + 16)), 16, '0') || ':'
+         || lpad(lower(hex(event_id + 10)), 16, '0')
+       WHEN m = 5 THEN 'child_of:0000000000000000'
+         || lpad(lower(hex(event_id + 12)), 16, '0')
+         || ':0000000000000063'
+       ELSE '' END AS links_str
+FROM f ORDER BY event_id
+"""
+
+
+def q_jaeger_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.jaeger import jaeger_json_to_spans
+
+    lines = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_JAEGER_JSON_SQL).alias("json")
+    )
+    spans = jaeger_json_to_spans(lines)
+
+    def _map_str(col: F.Column) -> F.Column:
+        return F.coalesce(
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        F.map_entries(col),
+                        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                    )
+                ),
+                ",",
+            ),
+            F.lit(""),
+        )
+
+    first_event = F.try_element_at(F.col("events"), F.lit(1))
+    return spans.select(
+        "event_id", "trace_id", "span_id", "parent_span_id", "name",
+        "kind", "start_ts_ns", "end_ts_ns", "status_code",
+        "status_message", "trace_state", "scope_name", "scope_version",
+        "service_name",
+        _map_str(F.col("resource_attributes")).alias("res_attrs"),
+        _map_str(F.col("attributes")).alias("attrs_str"),
+        F.size("events").alias("n_events"),
+        first_event["name"].alias("first_event_name"),
+        F.when(
+            first_event.isNotNull(), _map_str(first_event["attributes"])
+        ).alias("first_event_attrs"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.col("links"),
+                    lambda l: F.concat(
+                        l["ref_type"], F.lit(":"), l["trace_id"],
+                        F.lit(":"), l["span_id"],
+                    ),
+                ),
+                ";",
+            ),
+            F.lit(""),
+        ).alias("links_str"),
+    ).orderBy("event_id")
+
+
+_QUERIES["jaeger_spans_events"] = q_jaeger_spans
+_ORACLES["jaeger_spans_events"] = _JAEGER_ORACLE

@@ -1,0 +1,217 @@
+"""Jaeger proto -> span translation parity
+(pkg/translator/jaeger/jaegerproto_to_traces.go semantics)."""
+
+from __future__ import annotations
+
+import json
+
+from opentelemetry_collector_contrib_spark.operators.jaeger import (
+    jaeger_json_to_spans,
+)
+
+
+def _run(spark, objs):
+    df = spark.createDataFrame(
+        [(json.dumps(o),) for o in objs], "json string"
+    )
+    return jaeger_json_to_spans(df).collect()
+
+
+def _tag(key, **kw):
+    d = {"key": key}
+    d.update(kw)
+    return d
+
+
+def test_ids_parent_and_links(spark):
+    rows = _run(spark, [
+        {
+            "traceIdHigh": 1, "traceIdLow": 2, "spanId": 3,
+            "operationName": "op", "startTime": 10, "duration": 5,
+            "references": [
+                # parent: first CHILD_OF with the span's own trace id
+                {"traceIdLow": 2, "traceIdHigh": 1, "spanId": 7,
+                 "refType": "CHILD_OF"},
+                # same-trace FOLLOWS_FROM -> link
+                {"traceIdLow": 2, "traceIdHigh": 1, "spanId": 8,
+                 "refType": "FOLLOWS_FROM"},
+                # other-trace CHILD_OF -> link (not a parent candidate)
+                {"traceIdLow": 9, "spanId": 7, "refType": "CHILD_OF"},
+            ],
+        },
+    ])
+    r = rows[0]
+    assert r.trace_id == "0000000000000001" + "0000000000000002"
+    assert r.span_id == "0000000000000003"
+    assert r.parent_span_id == "0000000000000007"
+    assert r.start_ts_ns == 10_000 and r.end_ts_ns == 15_000
+    # jaegerproto_to_traces.go:414-431: EVERY CHILD_OF ref whose span
+    # id equals the parent id is dropped, even for another trace id
+    assert [(l.ref_type, l.span_id) for l in r.links] == [
+        ("follows_from", "0000000000000008"),
+    ]
+
+
+def test_single_parent_ref_yields_no_links(spark):
+    rows = _run(spark, [
+        {"traceIdLow": 2, "spanId": 3, "operationName": "x",
+         "references": [
+             {"traceIdLow": 2, "spanId": 4, "refType": "CHILD_OF"}]},
+    ])
+    assert rows[0].parent_span_id == "0000000000000004"
+    assert rows[0].links == []
+
+
+def test_typed_tags_and_kind(spark):
+    rows = _run(spark, [
+        {"traceIdLow": 1, "spanId": 1, "operationName": "t",
+         "tags": [
+             _tag("span.kind", vType="STRING", vStr="consumer"),
+             _tag("s", vType="STRING", vStr="v"),
+             _tag("b", vType="BOOL", vBool=True),
+             _tag("i", vType="INT64", vInt64=-7),
+             _tag("f", vType="FLOAT64", vFloat64=2.5),
+             _tag("u", vType="WAT"),
+         ]},
+        {"traceIdLow": 1, "spanId": 2, "operationName": "t2",
+         "tags": [_tag("span.kind", vType="STRING", vStr="nope")]},
+        {"traceIdLow": 1, "spanId": 3, "operationName": "t3"},
+    ])
+    r = rows[0]
+    assert r.kind == "consumer"
+    assert r.attributes == {
+        "s": "v", "b": "true", "i": "-7", "f": "2.5",
+        "u": '<Unknown Jaeger TagType "WAT">',
+    }
+    # unknown span.kind value -> unspecified, tag still consumed
+    assert rows[1].kind == "unspecified" and rows[1].attributes == {}
+    assert rows[2].kind == "unspecified"
+
+
+def test_status_ladder(spark):
+    rows = _run(spark, [
+        # bool error=true wins; desc consumed; code tag also consumed
+        {"traceIdLow": 1, "spanId": 1, "operationName": "a",
+         "tags": [_tag("error", vType="BOOL", vBool=True),
+                  _tag("otel.status_description", vType="STRING",
+                       vStr="boom"),
+                  _tag("otel.status_code", vType="STRING", vStr="OK")]},
+        # bool error=false: stays an attribute, no status
+        {"traceIdLow": 1, "spanId": 2, "operationName": "b",
+         "tags": [_tag("error", vType="BOOL", vBool=False)]},
+        # string error tag is NOT the bool ladder -> stays, no status
+        {"traceIdLow": 1, "spanId": 3, "operationName": "c",
+         "tags": [_tag("error", vType="STRING", vStr="true")]},
+        # otel.status_code=error (case-insensitive)
+        {"traceIdLow": 1, "spanId": 4, "operationName": "d",
+         "tags": [_tag("otel.status_code", vType="STRING",
+                       vStr="error")]},
+        # http 404 + client kind -> ERROR, message from
+        # http.status_message; http.* tags KEPT
+        {"traceIdLow": 1, "spanId": 5, "operationName": "e",
+         "tags": [_tag("span.kind", vType="STRING", vStr="client"),
+                  _tag("http.status_code", vType="STRING", vStr="404"),
+                  _tag("http.status_message", vType="STRING",
+                       vStr="NF")]},
+        # http 404 + server kind -> status NOT set
+        {"traceIdLow": 1, "spanId": 6, "operationName": "f",
+         "tags": [_tag("span.kind", vType="STRING", vStr="server"),
+                  _tag("http.status_code", vType="INT64", vInt64=404)]},
+        # http 200 -> unset
+        {"traceIdLow": 1, "spanId": 7, "operationName": "g",
+         "tags": [_tag("http.status_code", vType="INT64", vInt64=200)]},
+        # http 503, no kind -> ERROR
+        {"traceIdLow": 1, "spanId": 8, "operationName": "h",
+         "tags": [_tag("http.status_code", vType="INT64", vInt64=503)]},
+        # error=true with no desc falls back to http.status_message
+        {"traceIdLow": 1, "spanId": 9, "operationName": "i",
+         "tags": [_tag("error", vType="BOOL", vBool=True),
+                  _tag("http.status_message", vType="STRING",
+                       vStr="oops")]},
+    ])
+    assert (rows[0].status_code, rows[0].status_message) == (2, "boom")
+    assert rows[0].attributes == {}
+    assert (rows[1].status_code, rows[1].attributes) == (
+        0, {"error": "false"})
+    assert (rows[2].status_code, rows[2].attributes) == (
+        0, {"error": "true"})
+    assert rows[3].status_code == 2 and rows[3].status_message == ""
+    assert rows[4].status_code == 2 and rows[4].status_message == "NF"
+    assert rows[4].attributes == {
+        "http.status_code": "404", "http.status_message": "NF"}
+    assert rows[5].status_code == 0 and rows[5].status_message is None
+    assert rows[6].status_code == 0
+    assert rows[7].status_code == 2 and rows[7].status_message == ""
+    assert (rows[8].status_code, rows[8].status_message) == (2, "oops")
+
+
+def test_scope_tracestate(spark):
+    rows = _run(spark, [
+        {"traceIdLow": 1, "spanId": 1, "operationName": "a",
+         "tags": [_tag("otel.scope.name", vType="STRING", vStr="lib"),
+                  _tag("otel.scope.version", vType="STRING", vStr="9"),
+                  _tag("w3c.tracestate", vType="STRING", vStr="k=v")]},
+        # version without name stays an attribute
+        {"traceIdLow": 1, "spanId": 2, "operationName": "b",
+         "tags": [_tag("otel.scope.version", vType="STRING",
+                       vStr="9")]},
+    ])
+    r = rows[0]
+    assert (r.scope_name, r.scope_version, r.trace_state) == (
+        "lib", "9", "k=v")
+    assert r.attributes == {}
+    assert rows[1].scope_name == ""
+    assert rows[1].attributes == {"otel.scope.version": "9"}
+
+
+def test_process_resource(spark):
+    rows = _run(spark, [
+        {"traceIdLow": 1, "spanId": 1, "operationName": "a",
+         "process": {"serviceName": "svc", "tags": [
+             _tag("hostname", vType="STRING", vStr="n1"),
+             _tag("jaeger.version", vType="STRING", vStr="1.2")]}},
+        # hostname NOT moved when host.name already present
+        {"traceIdLow": 1, "spanId": 2, "operationName": "b",
+         "process": {"serviceName": "svc", "tags": [
+             _tag("hostname", vType="STRING", vStr="n1"),
+             _tag("host.name", vType="STRING", vStr="real")]}},
+        # OTLPResourceNoServiceName -> EMPTY resource
+        {"traceIdLow": 1, "spanId": 3, "operationName": "c",
+         "process": {"serviceName": "OTLPResourceNoServiceName",
+                     "tags": [_tag("x", vType="STRING", vStr="y")]}},
+        # empty name + tags -> tags only, no service.name
+        {"traceIdLow": 1, "spanId": 4, "operationName": "d",
+         "process": {"serviceName": "", "tags": [
+             _tag("region", vType="STRING", vStr="r1")]}},
+        # no process at all
+        {"traceIdLow": 1, "spanId": 5, "operationName": "e"},
+    ])
+    assert rows[0].resource_attributes == {
+        "service.name": "svc", "host.name": "n1",
+        "opencensus.exporterversion": "Jaeger-1.2"}
+    assert rows[0].service_name == "svc"
+    assert rows[1].resource_attributes == {
+        "service.name": "svc", "hostname": "n1", "host.name": "real"}
+    assert rows[2].resource_attributes == {}
+    assert rows[2].service_name is None
+    assert rows[3].resource_attributes == {"region": "r1"}
+    assert rows[3].service_name is None
+    assert rows[4].resource_attributes == {}
+
+
+def test_logs_to_events(spark):
+    rows = _run(spark, [
+        {"traceIdLow": 1, "spanId": 1, "operationName": "a",
+         "logs": [
+             {"timestamp": 5, "fields": [
+                 _tag("event", vType="STRING", vStr="retry"),
+                 _tag("attempt", vType="INT64", vInt64=2)]},
+             {"timestamp": 6, "fields": [
+                 _tag("msg", vType="STRING", vStr="m")]},
+         ]},
+    ])
+    ev = rows[0].events
+    assert len(ev) == 2
+    assert ev[0].ts_ns == 5000 and ev[0].name == "retry"
+    assert ev[0].attributes == {"attempt": "2"}
+    assert ev[1].name == "" and ev[1].attributes == {"msg": "m"}
