@@ -70,10 +70,10 @@ def _empty_map() -> Column:
 
 
 def _severity_level(sev: Column) -> Column:
-    pairs: list[Column] = []
-    for k, v in SEVERITY_TO_LEVEL.items():
-        pairs.extend([F.lit(k), F.lit(v)])
-    return F.element_at(F.create_map(*pairs), sev.cast("int"))
+    # Dense 0..24 table -> literal array indexing (1-based); out-of-range
+    # severities yield NULL exactly like the map lookup did.
+    arr = F.array(*[F.lit(SEVERITY_TO_LEVEL[i]) for i in range(25)])
+    return F.try_element_at(arr, sev.cast("int") + F.lit(1))
 
 
 def _merge_last_wins(*entry_arrays: Column) -> Column:
@@ -212,6 +212,20 @@ def log_to_loki_entry(
     )
     attrs = F.when(sev > 0, with_level).otherwise(attrs0)
 
+    # Materialize the level-injected attribute map (and the coalesced
+    # resource map) as named columns: every downstream consumer then
+    # references a cheap attribute instead of re-inlining this
+    # HOF-heavy subtree. Higher-order functions evaluate interpreted
+    # (no codegen CSE), so without the stage each of the ~10 use sites
+    # re-evaluated the whole map per row — 68s -> ~2s at sf0.01.
+    # CollapseProject keeps the stage because the producers are
+    # non-cheap and multi-referenced.
+    df = df.select(
+        "*", attrs.alias("__loki_attrs"), res.alias("__loki_res")
+    )
+    attrs = F.col("__loki_attrs")
+    res = F.col("__loki_res")
+
     # --- format hint: resource first, then log ---
     fmt = F.coalesce(
         F.element_at(res, HINT_FORMAT), F.element_at(attrs, HINT_FORMAT),
@@ -261,13 +275,22 @@ def log_to_loki_entry(
             F.array().cast("array<struct<key string, value string>>")
         )
 
-    merged_entries = _merge_last_wins(
+    merged = _merge_last_wins(
         *defaults,
         _selected_labels(res, F.element_at(res, HINT_RESOURCES)),
         _selected_labels(res, F.element_at(attrs, HINT_RESOURCES)),
         _selected_labels(attrs, F.element_at(attrs, HINT_ATTRIBUTES)),
     )
-    label_names = F.transform(merged_entries, lambda e: e["key"])
+    # Stage again: the merged entry array feeds the label map and (via
+    # its key list) both strip filters.
+    df = df.select("*", merged.alias("__loki_merged"))
+    merged_entries = F.col("__loki_merged")
+    df = df.select(
+        "*",
+        F.transform(merged_entries, lambda e: e["key"])
+        .alias("__loki_lnames"),
+    )
+    label_names = F.col("__loki_lnames")
 
     # --- strip hints + promoted labels from both maps ---
     def _strip(m: Column) -> Column:
@@ -308,6 +331,21 @@ def log_to_loki_entry(
             F.lit(""),
         ),
     ).otherwise(F.lit(""))
+
+    # Stage 3: stripped maps + final labels/tenant/format become named
+    # columns; the two line encodings below each consume the stripped
+    # maps, so this is the last multi-reference boundary.
+    df = df.select(
+        "*",
+        attrs_left.alias("__loki_attrs_left"),
+        res_left.alias("__loki_res_left"),
+        labels.alias("labels"),
+        tenant.alias("tenant"),
+        fmt.alias("__loki_fmt"),
+    )
+    attrs_left = F.col("__loki_attrs_left")
+    res_left = F.col("__loki_res_left")
+    fmt = F.col("__loki_fmt")
 
     # --- line: json / logfmt / raw ---
     b = F.col(body)
@@ -416,10 +454,11 @@ def log_to_loki_entry(
 
     return df.select(
         "*",
-        labels.alias("labels"),
-        tenant.alias("tenant"),
         line.alias("line"),
         error.alias("loki_error"),
+    ).drop(
+        "__loki_attrs", "__loki_res", "__loki_merged", "__loki_lnames",
+        "__loki_attrs_left", "__loki_res_left", "__loki_fmt",
     )
 
 

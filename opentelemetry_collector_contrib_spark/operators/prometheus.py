@@ -148,33 +148,64 @@ def build_compliant_name(
             F.concat(F.lit("_"), simple),
         ).otherwise(simple)
 
+    # Every step below references its expensive inputs exactly ONCE
+    # (binding them through array+lambda where a condition would
+    # otherwise duplicate them). The natural when/otherwise chain
+    # inlines the previous token array ~3x per step -- with four
+    # chained steps and interpreted HOF evaluation that re-computes
+    # the tokenizer ~3^4 times per row.
     tokens = _tokens(name)
     main, per = _main_unit(unit), _per_unit(unit)
-    tokens = F.when(
-        (main != "") & ~F.array_contains(tokens, main),
-        F.array_append(tokens, main),
-    ).otherwise(tokens)
+    # main unit: append when non-empty and not already a token
+    tokens = F.concat(
+        tokens,
+        F.filter(
+            F.array(main),
+            lambda m: (m != "") & ~F.array_contains(_tokens(name), m),
+        ),
+    )
     # per-unit: append "per" + unit unconditionally when present
-    tokens = F.when(
-        per != "",
-        F.concat(tokens, F.array(F.lit("per")), F.array(per)),
-    ).otherwise(tokens)
-    is_counter = (metric_type == "sum") & is_monotonic
-    tokens = F.when(
-        is_counter, F.array_append(_drop_token(tokens, "total"), "total")
-    ).otherwise(tokens)
-    # raw (untrimmed) unit == "1" check, gauges only
-    tokens = F.when(
-        (unit == "1") & (metric_type == "gauge"),
-        F.array_append(_drop_token(tokens, "ratio"), "ratio"),
-    ).otherwise(tokens)
+    tokens = F.concat(
+        tokens,
+        F.flatten(
+            F.transform(
+                F.filter(F.array(per), lambda p: p != ""),
+                lambda p: F.array(F.lit("per"), p),
+            )
+        ),
+    )
+    # coalesce: a NULL predicate must behave like the original
+    # when/otherwise chain (no change), not filter tokens out
+    is_counter = F.coalesce(
+        (metric_type == "sum") & is_monotonic, F.lit(False)
+    )
+    # counters: move/append "total" to the end
+    tokens = F.concat(
+        F.filter(tokens, lambda t: ~(is_counter & (t == "total"))),
+        F.when(is_counter, F.array(F.lit("total")))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    # raw (untrimmed) unit == "1" check, gauges only: "ratio" to the end
+    is_ratio = F.coalesce(
+        (unit == "1") & (metric_type == "gauge"), F.lit(False)
+    )
+    tokens = F.concat(
+        F.filter(tokens, lambda t: ~(is_ratio & (t == "ratio"))),
+        F.when(is_ratio, F.array(F.lit("ratio")))
+        .otherwise(F.array().cast("array<string>")),
+    )
     if namespace:
         tokens = F.concat(F.array(F.lit(namespace)), tokens)
-    joined = F.array_join(tokens, "_")
-    return F.when(
-        (joined != "") & joined.rlike(r"^\p{Nd}"),
-        F.concat(F.lit("_"), joined),
-    ).otherwise(joined)
+    # leading-digit guard without re-evaluating the joined string
+    return F.array_join(
+        F.transform(
+            F.array(F.array_join(tokens, "_")),
+            lambda j: F.when(
+                (j != "") & j.rlike(r"^\p{Nd}"), F.concat(F.lit("_"), j)
+            ).otherwise(j),
+        ),
+        "",
+    )
 
 
 def normalize_label(label: Column) -> Column:

@@ -41,14 +41,13 @@ def _empty_map() -> Column:
     return F.create_map().cast("map<string,string>")
 
 
-def prw_labels(
-    dp_attrs: Column,
-    res_attrs: Column,
-    external_labels: "dict[str, str] | None" = None,
-    extras: "list[tuple[str, Column]] | None" = None,
-) -> Column:
-    """createAttributes: returns the sorted rendered label set as
-    ``k=v,k2=v2`` (names sanitized, job/instance mapped, extras win)."""
+def prw_label_entries(dp_attrs: Column, res_attrs: Column) -> Column:
+    """createAttributes minus extras/external: the sanitized,
+    collision-merged datapoint labels with job/instance overrides
+    applied (later wins), as ``array<struct<key,value>>``. Split out so
+    callers can materialize it ONCE per input row (it is the expensive
+    O(n^2)-HOF part) and apply the cheap per-series extras with
+    :func:`render_labels`."""
     attrs = F.coalesce(dp_attrs, _empty_map())
     res = F.coalesce(res_attrs, _empty_map())
 
@@ -112,11 +111,31 @@ def prw_labels(
             ),
         ).otherwise(F.array().cast("array<struct<key string, value string>>")),
     ]
-    for k, v in (extras or []):
-        overrides.append(F.array(F.struct(F.lit(k).alias("key"),
-                                          v.alias("value"))))
-    # later entries win (job/instance/extras overwrite attr labels)
+    # later entries win (job/instance overwrite attr labels)
     allc = F.concat(entries, *overrides)
+    return F.filter(
+        allc,
+        lambda e, i: ~F.exists(
+            F.slice(allc, i + 2, F.size(allc)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+
+
+def render_labels(
+    entries: Column,
+    extras: "list[tuple[str, Column]] | None" = None,
+    external_labels: "dict[str, str] | None" = None,
+) -> Column:
+    """Apply the per-series extras (``__name__``, ...) last-wins over a
+    precomputed entry array, add absent external labels, and render the
+    sorted ``k=v,...`` string. Cheap per row: the arrays are small."""
+    allc = entries
+    for k, v in (extras or []):
+        allc = F.concat(
+            allc,
+            F.array(F.struct(F.lit(k).alias("key"), v.alias("value"))),
+        )
     deduped = F.filter(
         allc,
         lambda e, i: ~F.exists(
@@ -145,6 +164,20 @@ def prw_labels(
     )
 
 
+def prw_labels(
+    dp_attrs: Column,
+    res_attrs: Column,
+    external_labels: "dict[str, str] | None" = None,
+    extras: "list[tuple[str, Column]] | None" = None,
+) -> Column:
+    """createAttributes (helper.go:101-190): the sorted rendered label
+    set as ``k=v,k2=v2`` (names sanitized, job/instance mapped, extras
+    win, external labels fill absent keys)."""
+    return render_labels(
+        prw_label_entries(dp_attrs, res_attrs), extras, external_labels
+    )
+
+
 def prw_number_series(
     df: DataFrame,
     metric_type: str = "gauge",
@@ -159,16 +192,27 @@ def prw_number_series(
     external_labels: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Gauge / sum datapoints -> one TimeSeries sample row each."""
+    cols = list(df.columns)
     mname = build_compliant_name(
         F.col(name), F.col(unit), F.lit(metric_type), F.lit(is_monotonic)
     )
-    labels = prw_labels(
-        F.col(attributes), F.col(resource_attributes), external_labels,
-        extras=[("__name__", mname)],
+    # Stage the expensive pieces as named columns (evaluated once per
+    # row; the HOF battery has no codegen CSE when inlined repeatedly).
+    staged = df.select(
+        "*",
+        mname.alias("__prw_mname"),
+        prw_label_entries(
+            F.col(attributes), F.col(resource_attributes)
+        ).alias("__prw_ents"),
     )
-    return df.select(
-        *[c for c in df.columns],
-        mname.alias("metric_name"),
+    labels = render_labels(
+        F.col("__prw_ents"),
+        extras=[("__name__", F.col("__prw_mname"))],
+        external_labels=external_labels,
+    )
+    return staged.select(
+        *cols,
+        F.col("__prw_mname").alias("metric_name"),
         labels.alias("labels"),
         F.col(value).cast("double").alias("sample_value"),
         F.col(ts_ms).alias("sample_ts_ms"),
@@ -191,9 +235,22 @@ def prw_histogram_series(
 ) -> DataFrame:
     """Explicit-bucket histogram points -> ``_sum``/``_count``/
     cumulative ``_bucket`` series rows (helper.go:215-300)."""
-    base = build_compliant_name(
-        F.col(name), F.col(unit), F.lit("histogram"), F.lit(False)
+    cols = list(df.columns)
+    # Stage the compliant base name and the attr-derived label entries
+    # BEFORE the explode: they are identical for every series row
+    # fanned out of one histogram point, so computing them per input
+    # row instead of per exploded row cuts the per-row HOF cost ~5x
+    # (and keeps each subtree out of the repeated-inline trap).
+    df = df.select(
+        "*",
+        build_compliant_name(
+            F.col(name), F.col(unit), F.lit("histogram"), F.lit(False)
+        ).alias("__prw_base"),
+        prw_label_entries(
+            F.col(attributes), F.col(resource_attributes)
+        ).alias("__prw_ents"),
     )
+    base = F.col("__prw_base")
 
     def _fmt(b: float) -> str:
         # strconv.FormatFloat(b, 'f', -1, 64): shortest decimal form
@@ -238,14 +295,16 @@ def prw_histogram_series(
         )
     )
     series = F.filter(F.array(*rows), lambda r: ~r["drop"])
-    exploded = df.select(
-        *[c for c in df.columns], F.explode(series).alias("_s")
-    )
+    exploded = df.select("*", F.explode(series).alias("_s"))
     s = F.col("_s")
-    labels = prw_labels(
-        F.col(attributes), F.col(resource_attributes), external_labels,
+    labels = render_labels(
+        F.col("__prw_ents"),
         extras=[("__name__", s["mname"])],
+        external_labels=external_labels,
     )
+    # Stage the rendered label string (referenced twice below).
+    exploded = exploded.select("*", labels.alias("__prw_labels"))
+    labels = F.col("__prw_labels")
     le_labels = F.when(
         s["le"].isNotNull(),
         F.concat(labels, F.lit(",le="), s["le"]),
@@ -257,7 +316,7 @@ def prw_histogram_series(
         F.array_sort(F.split(le_labels, ",")), ","
     )
     return exploded.select(
-        *[c for c in df.columns],
+        *cols,
         s["mname"].alias("metric_name"),
         resorted.alias("labels"),
         s["val"].alias("sample_value"),
