@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..operators.colutil import let
+
 # fixed bucket alphabet; everything else lands in OTHER
 ALPHABET: list[str] = (
     [chr(c) for c in range(ord("a"), ord("z") + 1)]
@@ -50,39 +52,70 @@ def _nlogn_micro(n: Column) -> Column:
     ).otherwise(F.lit(0).cast("long"))
 
 
+FIELDS = ["n_chars", "n_buckets", "nlogn_micro_sum", "entropy_nats"]
+
+
+def char_entropy_packed(text: Column) -> Column:
+    """All four signals as ONE let-bound struct column: the 70-replace
+    count battery is bound once, so it evaluates once per row however
+    many fields the caller extracts (the additive form re-evaluated
+    every count ~4x: per nlogn term, per bucket flag, and inside the
+    OTHER bucket)."""
+    n = F.length(text)
+    counts = F.array(
+        *[
+            n - F.length(F.replace(text, F.lit(ch), F.lit("")))
+            for ch in ALPHABET
+        ]
+    )
+
+    def _with_counts(cs: Column) -> Column:
+        other = n - F.aggregate(cs, F.lit(0), lambda a, c: a + c)
+
+        def _with_all(all_cs: Column) -> Column:
+            total_micro = F.aggregate(
+                all_cs,
+                F.lit(0).cast("long"),
+                lambda a, c: a + _nlogn_micro(c),
+            )
+            n_buckets = F.aggregate(
+                all_cs,
+                F.lit(0),
+                lambda a, c: a + F.when(c > 0, 1).otherwise(0),
+            )
+
+            def _with_total(tm: Column) -> Column:
+                entropy = F.when(
+                    n > 0,
+                    F.round(
+                        F.log(n.cast("double"))
+                        - tm.cast("double") / _MICRO / n.cast("double"),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0))
+                return F.struct(
+                    n.cast("long").alias("n_chars"),
+                    n_buckets.cast("long").alias("n_buckets"),
+                    tm.alias("nlogn_micro_sum"),
+                    entropy.alias("entropy_nats"),
+                )
+
+            return let(total_micro, _with_total)
+
+        return let(F.concat(cs, F.array(other)), _with_all)
+
+    return let(counts, _with_counts)
+
+
 def char_entropy(text: Column) -> dict[str, Column]:
     """Columns: n_chars, n_buckets (distinct non-empty buckets incl.
-    OTHER), nlogn_micro_sum, entropy_nats (6 dp)."""
-    n = F.length(text)
-    counts = [
-        n - F.length(F.replace(text, F.lit(ch), F.lit("")))
-        for ch in ALPHABET
-    ]
-    other = n
-    for c in counts:
-        other = other - c
-    counts = counts + [other]
-    total_micro = None
-    n_buckets = None
-    for c in counts:
-        t = _nlogn_micro(c)
-        total_micro = t if total_micro is None else total_micro + t
-        b = F.when(c > 0, 1).otherwise(0)
-        n_buckets = b if n_buckets is None else n_buckets + b
-    entropy = F.when(
-        n > 0,
-        F.round(
-            F.log(n.cast("double"))
-            - total_micro.cast("double") / _MICRO / n.cast("double"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
-    return {
-        "n_chars": n.cast("long"),
-        "n_buckets": n_buckets.cast("long"),
-        "nlogn_micro_sum": total_micro,
-        "entropy_nats": entropy,
-    }
+    OTHER), nlogn_micro_sum, entropy_nats (6 dp).
+
+    Each value extracts a field from the packed struct; callers that
+    select several fields should stage ``char_entropy_packed`` as a
+    named column first so the battery runs once per row."""
+    packed = char_entropy_packed(text)
+    return {f: packed[f] for f in FIELDS}
 
 
 def _q(ch: str) -> str:

@@ -1,0 +1,31 @@
+"""Column-expression utilities shared by the operator batteries.
+
+``let`` is the load-bearing one: Spark evaluates higher-order
+functions interpreted (no codegen common-subexpression elimination),
+so a Column subtree referenced N times is re-evaluated N times per
+row. Staged ``df.select`` projections fix that within a plan, but the
+optimizer's predicate pushdown substitutes filter conditions *through*
+projections, re-inlining the whole tree into the condition. A
+let-binding survives both: the bound value becomes a lambda variable,
+so however the expression is copied or substituted, the subtree
+appears (and evaluates) exactly once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def let(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Single-evaluation let-binding: ``body`` receives ``value`` as a
+    lambda variable, so the result tree contains ``value`` once no
+    matter how many times the body references it.
+
+    Implemented as ``transform(array(value), body)[1]``; works for any
+    SQL type (including arrays/structs/maps) and is opaque to
+    SimplifyExtractValueOps, so the optimizer cannot re-inline it.
+    """
+    return F.try_element_at(F.transform(F.array(value), body), F.lit(1))

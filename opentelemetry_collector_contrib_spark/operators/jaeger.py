@@ -124,9 +124,32 @@ def _hex64(col: Column) -> Column:
 
 
 def jaeger_json_to_spans(df: DataFrame, json_col: str = "json") -> DataFrame:
-    j = F.from_json(F.col(json_col), JAEGER_JSON_SCHEMA)
-    tags = F.coalesce(j["tags"], F.array().cast(f"array<{_KV}>"))
-    tag_map = _tags_to_map(tags)
+    # Stage the from_json parse and the hot derived values as named
+    # columns: the span builder references the parsed struct ~40 times
+    # and the tag map ~10 times, and without the stages each reference
+    # re-inlines (and re-evaluates, interpreted) the whole JSON parse
+    # per row.
+    df = df.select(
+        "*",
+        F.from_json(F.col(json_col), JAEGER_JSON_SCHEMA).alias("__jg"),
+    )
+    j = F.col("__jg")
+    df = df.select(
+        "*",
+        F.coalesce(j["tags"], F.array().cast(f"array<{_KV}>"))
+        .alias("__jg_tags"),
+        F.coalesce(
+            j["references"],
+            F.array().cast(
+                "array<struct<traceIdHigh long, traceIdLow long,"
+                " spanId long, refType string>>"
+            ),
+        ).alias("__jg_refs"),
+        _tags_to_map(j["process"]["tags"]).alias("__jg_proctags"),
+    )
+    tags = F.col("__jg_tags")
+    df = df.select("*", _tags_to_map(tags).alias("__jg_tagmap"))
+    tag_map = F.col("__jg_tagmap")
 
     trace_id = F.concat(
         _hex64(F.coalesce(j["traceIdHigh"], F.lit(0))),
@@ -134,13 +157,7 @@ def jaeger_json_to_spans(df: DataFrame, json_col: str = "json") -> DataFrame:
     )
     span_id = _hex64(F.coalesce(j["spanId"], F.lit(0)))
 
-    refs = F.coalesce(
-        j["references"],
-        F.array().cast(
-            "array<struct<traceIdHigh long, traceIdLow long,"
-            " spanId long, refType string>>"
-        ),
-    )
+    refs = F.col("__jg_refs")
     # model.Span.ParentSpanID(): first CHILD_OF ref carrying the
     # span's own trace id.
     parent_refs = F.filter(
@@ -152,9 +169,13 @@ def jaeger_json_to_spans(df: DataFrame, json_col: str = "json") -> DataFrame:
         & (F.coalesce(r["traceIdLow"], F.lit(0))
            == F.coalesce(j["traceIdLow"], F.lit(0))),
     )
-    parent_long = F.coalesce(
-        F.try_element_at(parent_refs, F.lit(1))["spanId"], F.lit(0)
+    df = df.select(
+        "*",
+        F.coalesce(
+            F.try_element_at(parent_refs, F.lit(1))["spanId"], F.lit(0)
+        ).alias("__jg_parent"),
     )
+    parent_long = F.col("__jg_parent")
     parent_span_id = F.when(parent_long != 0, _hex64(parent_long))
 
     # kind: span.kind tag consumed whenever present
@@ -253,7 +274,7 @@ def jaeger_json_to_spans(df: DataFrame, json_col: str = "json") -> DataFrame:
     # --- resource from Process ---
     proc = j["process"]
     svc = proc["serviceName"]
-    proc_tags = _tags_to_map(proc["tags"])
+    proc_tags = F.col("__jg_proctags")
     has_resource = (
         proc.isNotNull()
         & (F.coalesce(svc, F.lit("")) != RESOURCE_NO_SERVICE_NAME)
@@ -376,4 +397,5 @@ def jaeger_json_to_spans(df: DataFrame, json_col: str = "json") -> DataFrame:
             "events": events,
             "links": links,
         }
-    )
+    ).drop("__jg", "__jg_tags", "__jg_refs", "__jg_proctags",
+           "__jg_tagmap", "__jg_parent")

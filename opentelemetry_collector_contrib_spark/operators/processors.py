@@ -1451,6 +1451,12 @@ def transaction_attributes(
             spans.groupBy(trace_id).count().agg(F.max("count")).first()[0]
             or 1
         )
+    # Eager localCheckpoint per doubling round: the self-join otherwise
+    # duplicates the whole prior plan on BOTH sides, growing it
+    # 2^rounds-fold (and re-executing the base that many times).
+    # Materializing each round keeps every round linear -- the same
+    # discipline as analysis/cluster.py's pointer-jumping CC.
+    state = state.localCheckpoint(eager=True)
     for _ in range(max(1, int(max_depth).bit_length())):
         nxt = state.select(
             F.col("_t").alias("_t2"), F.col("_s").alias("_s2"),
@@ -1475,7 +1481,7 @@ def transaction_attributes(
                 F.when(F.col("_st").isNotNull(), F.lit(None))
                 .otherwise(F.col("_ptr2")).alias("_ptr"),
             )
-        )
+        ).localCheckpoint(eager=True)
     attrs = state.select(
         F.col("_t"), F.col("_s"),
         F.when(F.col("_st") == "g", F.col("_fb"))

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .colutil import let
+
 VALID_TYPES = ["c", "g", "h", "ms", "d"]
 TYPE_FULL_NAMES = {
     "c": "counter",
@@ -69,159 +71,213 @@ def statsd_parse(
     occurrence), container_id, timestamp_ns, and ``error`` (NULL when
     the line parsed; reference error text otherwise -- callers drop or
     count refused rows, receiver.go reporter semantics).
+
+    Built as ONE let-bound struct column: the split, the extras slice,
+    the tag-entry array and the error ladder are each bound exactly
+    once, so the expression stays linear per row even after the
+    optimizer substitutes it into a pushed-down filter condition
+    (df-level staging alone does not survive predicate pushdown).
     """
-    line = F.col(line_col)
-    parts = F.split(line, r"\|")
-    nv = parts.getItem(0)
-    colon = F.instr(nv, ":")
-    name = F.substring(nv, F.lit(1), (colon - 1).cast("int"))
-    value_str = F.expr(
-        f"substring(split({line_col}, '\\\\|')[0], "
-        f"instr(split({line_col}, '\\\\|')[0], ':') + 1)"
-    )
-    mtype = parts.getItem(1)
-    extras = _until_empty(
-        F.when(
-            F.size(parts) > 2,
-            F.slice(parts, 3, (F.size(parts) - 2).cast("int")),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    in_cols = list(df.columns)
 
-    # ---- per-part classification ---------------------------------------
-    rate_parts = F.filter(extras, lambda x: x.startswith("@"))
-    rate_str = F.try_element_at(rate_parts, F.lit(-1)).substr(F.lit(2), F.lit(64))
-    sample_rate = rate_str.try_cast("double")
-
-    tag_parts = F.filter(extras, lambda x: x.startswith("#"))
-    # each '#...' part: strip '#', split on ',', stop at first empty
-    # tag-set (Go's inner Cut loop), one (k, v) entry per tag set
-    tag_sets = F.flatten(
-        F.transform(
-            tag_parts,
-            lambda p: _until_empty(F.split(p.substr(F.lit(2), F.lit(8192)), ",")),
-        )
-    )
-    # one (k, v) entry per tag set; v = after the first ':' ('' when
-    # the tag has no value, the DogStatsD "simple tag" form)
-    entries = F.transform(
-        tag_sets,
-        lambda t: F.struct(
-            F.substring_index(t, ":", 1).alias("k"),
+    def _build(parts: Column) -> Column:
+        nv = parts.getItem(0)  # lambda-var access: free per reference
+        mtype = parts.getItem(1)
+        colon = F.instr(nv, ":")
+        name = F.substring(nv, F.lit(1), (colon - 1).cast("int"))
+        # nv[colon+1:] -- for colon==0 this is the whole nv, matching
+        # the Go Cut fallback (the error ladder rejects those rows).
+        value_str = F.substring(nv, colon + F.lit(1), F.lit(65536))
+        extras0 = _until_empty(
             F.when(
-                F.instr(t, ":") > 0,
-                F.substring(t, F.instr(t, ":") + 1, F.lit(8192)),
+                F.size(parts) > 2,
+                F.slice(parts, 3, (F.size(parts) - 2).cast("int")),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+
+        def _with_extras(extras: Column) -> Column:
+            rate_parts = F.filter(extras, lambda x: x.startswith("@"))
+            rate_str = F.try_element_at(rate_parts, F.lit(-1)).substr(
+                F.lit(2), F.lit(64)
             )
-            .otherwise(F.lit(""))
-            .alias("v"),
-        ),
-    )
-    bad_tag = F.exists(
-        entries,
-        lambda e: (e.getField("k") == "")
-        | (F.lit(not enable_simple_tags) & (e.getField("v") == "")),
-    )
+            sample_rate = rate_str.try_cast("double")
 
-    container_parts = F.filter(
-        extras, lambda x: x.startswith("c:") & (F.length(x) > 2)
-    )
-    container_id = F.try_element_at(container_parts, F.lit(-1)).substr(
-        F.lit(3), F.lit(8192)
-    )
+            tag_parts = F.filter(extras, lambda x: x.startswith("#"))
+            # each '#...' part: strip '#', split on ',', stop at first
+            # empty tag-set (Go's inner Cut loop)
+            tag_sets = F.flatten(
+                F.transform(
+                    tag_parts,
+                    lambda p: _until_empty(
+                        F.split(p.substr(F.lit(2), F.lit(8192)), ",")
+                    ),
+                )
+            )
+            # one (k, v) entry per tag set; v = after the first ':'
+            # ('' when the tag has no value, the "simple tag" form)
+            entries0 = F.transform(
+                tag_sets,
+                lambda t: F.struct(
+                    F.substring_index(t, ":", 1).alias("k"),
+                    F.when(
+                        F.instr(t, ":") > 0,
+                        F.substring(t, F.instr(t, ":") + 1, F.lit(8192)),
+                    )
+                    .otherwise(F.lit(""))
+                    .alias("v"),
+                ),
+            )
 
-    ts_parts = F.filter(extras, lambda x: x.startswith("T"))
-    ts_str = F.try_element_at(ts_parts, F.lit(-1)).substr(F.lit(2), F.lit(64))
-    ts_valid = ts_str.rlike(r"^[0-9]+$")
-    timestamp_ns = F.when(ts_valid, ts_str.try_cast("long") * F.lit(1000000000))
+            container_parts = F.filter(
+                extras, lambda x: x.startswith("c:") & (F.length(x) > 2)
+            )
+            container_id = F.try_element_at(
+                container_parts, F.lit(-1)
+            ).substr(F.lit(3), F.lit(8192))
 
-    unrecognized = F.exists(
-        extras,
-        lambda x: ~(
-            x.startswith("@")
-            | x.startswith("#")
-            | x.startswith("c:")
-            | x.startswith("T")
-        ),
-    )
+            ts_parts = F.filter(extras, lambda x: x.startswith("T"))
+            ts_str = F.try_element_at(ts_parts, F.lit(-1)).substr(
+                F.lit(2), F.lit(64)
+            )
+            ts_valid = ts_str.rlike(r"^[0-9]+$")
+            timestamp_ns = F.when(
+                ts_valid, ts_str.try_cast("long") * F.lit(1000000000)
+            )
 
-    # ---- error ladder (parseMessageToMetric order) ---------------------
-    error = (
-        F.when(F.size(parts) < 2, F.lit("invalid message format"))
-        .when(colon == 0, F.lit("invalid <name>:<value> format"))
-        .when(name == "", F.lit("empty metric name"))
-        .when(value_str == "", F.lit("empty metric value"))
-        .when(~mtype.isin(VALID_TYPES), F.lit("unsupported metric type"))
-        .when(
-            (F.size(rate_parts) > 0) & sample_rate.isNull(),
-            F.lit("parse sample rate"),
-        )
-        .when(bad_tag, F.lit("invalid tag format"))
-        .when(
-            (F.size(ts_parts) > 0) & ~mtype.isin(["c", "g"]),
-            F.lit("only GAUGE and COUNT metrics support a timestamp"),
-        )
-        .when((F.size(ts_parts) > 0) & ~ts_valid, F.lit("invalid timestamp"))
-        .when(unrecognized, F.lit("unrecognized message part"))
-        .when(value_str.try_cast("double").isNull(),
-              F.lit("parse metric value string"))
-    )
+            unrecognized = F.exists(
+                extras,
+                lambda x: ~(
+                    x.startswith("@")
+                    | x.startswith("#")
+                    | x.startswith("c:")
+                    | x.startswith("T")
+                ),
+            )
 
-    # container.id + optional metric_type join the attribute set
-    # (parseMessageToMetric lines 536-564)
-    entries = F.when(
-        container_id.isNotNull(),
-        F.array_append(
-            entries,
-            F.struct(
-                F.lit("container.id").alias("k"), container_id.alias("v")
-            ),
-        ),
-    ).otherwise(entries)
-    if enable_metric_type:
-        full = F.element_at(
-            F.create_map(
-                *[
-                    x
-                    for kv in TYPE_FULL_NAMES.items()
-                    for x in (F.lit(kv[0]), F.lit(kv[1]))
-                ]
-            ),
-            mtype,
-        )
-        entries = F.array_append(
-            entries,
-            F.struct(F.lit("metric_type").alias("k"), full.alias("v")),
-        )
+            def _with_entries(entries: Column) -> Column:
+                bad_tag = F.exists(
+                    entries,
+                    lambda e: (e.getField("k") == "")
+                    | (
+                        F.lit(not enable_simple_tags)
+                        & (e.getField("v") == "")
+                    ),
+                )
 
-    # attribute.NewSet: duplicate keys keep the LAST occurrence, sorted
-    # by key -- fold the reversed list keeping first-seen, then sort
-    dedup = F.aggregate(
-        F.reverse(entries),
-        F.array().cast(f"array<{_ENTRY}>"),
-        lambda acc, e: F.when(
-            F.exists(acc, lambda a: a.getField("k") == e.getField("k")), acc
-        ).otherwise(F.array_append(acc, e)),
-    )
-    tags = F.array_join(
-        F.transform(
-            F.array_sort(dedup),
-            lambda e: F.concat(e.getField("k"), F.lit(":"), e.getField("v")),
-        ),
-        ",",
-    )
+                # ---- error ladder (parseMessageToMetric order) ----
+                error = (
+                    F.when(F.size(parts) < 2,
+                           F.lit("invalid message format"))
+                    .when(colon == 0,
+                          F.lit("invalid <name>:<value> format"))
+                    .when(name == "", F.lit("empty metric name"))
+                    .when(value_str == "", F.lit("empty metric value"))
+                    .when(~mtype.isin(VALID_TYPES),
+                          F.lit("unsupported metric type"))
+                    .when(
+                        (F.size(rate_parts) > 0) & sample_rate.isNull(),
+                        F.lit("parse sample rate"),
+                    )
+                    .when(bad_tag, F.lit("invalid tag format"))
+                    .when(
+                        (F.size(ts_parts) > 0) & ~mtype.isin(["c", "g"]),
+                        F.lit("only GAUGE and COUNT metrics support"
+                              " a timestamp"),
+                    )
+                    .when((F.size(ts_parts) > 0) & ~ts_valid,
+                          F.lit("invalid timestamp"))
+                    .when(unrecognized,
+                          F.lit("unrecognized message part"))
+                    .when(value_str.try_cast("double").isNull(),
+                          F.lit("parse metric value string"))
+                )
 
-    return df.select(
-        "*",
-        F.when(error.isNull(), name).alias("name"),
-        F.when(error.isNull(), mtype).alias("metric_type"),
-        F.when(error.isNull(), value_str.try_cast("double")).alias("value"),
-        F.when(
-            error.isNull(),
-            value_str.startswith("+") | value_str.startswith("-"),
-        ).alias("addition"),
-        F.when(error.isNull(), sample_rate).alias("sample_rate"),
-        F.when(error.isNull(), tags).alias("tags"),
-        F.when(error.isNull(), timestamp_ns).alias("timestamp_ns"),
-        error.alias("error"),
+                # container.id + optional metric_type join the
+                # attribute set (parseMessageToMetric lines 536-564)
+                aug = F.when(
+                    container_id.isNotNull(),
+                    F.array_append(
+                        entries,
+                        F.struct(
+                            F.lit("container.id").alias("k"),
+                            container_id.alias("v"),
+                        ),
+                    ),
+                ).otherwise(entries)
+                if enable_metric_type:
+                    full = F.element_at(
+                        F.create_map(
+                            *[
+                                x
+                                for kv in TYPE_FULL_NAMES.items()
+                                for x in (F.lit(kv[0]), F.lit(kv[1]))
+                            ]
+                        ),
+                        mtype,
+                    )
+                    aug = F.array_append(
+                        aug,
+                        F.struct(F.lit("metric_type").alias("k"),
+                                 full.alias("v")),
+                    )
+
+                # attribute.NewSet: duplicate keys keep the LAST
+                # occurrence, sorted by key -- fold the reversed list
+                # keeping first-seen, then sort
+                dedup = F.aggregate(
+                    F.reverse(aug),
+                    F.array().cast(f"array<{_ENTRY}>"),
+                    lambda acc, e: F.when(
+                        F.exists(
+                            acc,
+                            lambda a: a.getField("k") == e.getField("k"),
+                        ),
+                        acc,
+                    ).otherwise(F.array_append(acc, e)),
+                )
+                tags = F.array_join(
+                    F.transform(
+                        F.array_sort(dedup),
+                        lambda e: F.concat(e.getField("k"), F.lit(":"),
+                                           e.getField("v")),
+                    ),
+                    ",",
+                )
+
+                def _with_error(err: Column) -> Column:
+                    ok = err.isNull()
+                    return F.struct(
+                        F.when(ok, name).alias("name"),
+                        F.when(ok, mtype).alias("metric_type"),
+                        F.when(ok, value_str.try_cast("double"))
+                        .alias("value"),
+                        F.when(
+                            ok,
+                            value_str.startswith("+")
+                            | value_str.startswith("-"),
+                        ).alias("addition"),
+                        F.when(ok, sample_rate).alias("sample_rate"),
+                        F.when(ok, tags).alias("tags"),
+                        F.when(ok, timestamp_ns).alias("timestamp_ns"),
+                        err.alias("error"),
+                    )
+
+                return let(error, _with_error)
+
+            return let(entries0, _with_entries)
+
+        return let(extras0, _with_extras)
+
+    packed = let(F.split(F.col(line_col), r"\|"), _build)
+    staged = df.select("*", packed.alias("__sd"))
+    s = F.col("__sd")
+    return staged.select(
+        *in_cols,
+        *[
+            s[f].alias(f)
+            for f in ("name", "metric_type", "value", "addition",
+                      "sample_rate", "tags", "timestamp_ns", "error")
+        ],
     )
 
 

@@ -153,10 +153,13 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .analysis import entropy as ENT
 
     docs = _docs(spark, sf_dir)
-    cols = ENT.char_entropy(F.col("text"))
+    packed = ENT.char_entropy_packed(F.col("text"))
     return (
-        docs.withColumns(cols)
-        .select("doc_id", *cols.keys())
+        docs.select("doc_id", packed.alias("__e"))
+        .select(
+            "doc_id",
+            *[F.col("__e")[f].alias(f) for f in ENT.FIELDS],
+        )
         .orderBy("doc_id")
     )
 
