@@ -1,0 +1,323 @@
+"""SignalFx translator: OTel metric rows <-> SignalFx datapoint rows
+(pkg/translator/signalfx/from_metrics.go, to_metrics.go).
+
+Columnar model, same shape as the PRW translator: one input row = one
+OTLP datapoint; ``sfx_from_metrics`` fans each out to its SignalFx
+datapoints with ONE ``explode(array(...))`` per row (map-only, no
+shuffle); ``sfx_to_metrics`` is a pure per-row projection with the
+reference's error ladder.
+
+Semantics reproduced from the reference:
+
+* metric-type mapping (from_metrics.go:83-114): gauge -> GAUGE;
+  sum -> GAUGE when non-monotonic, COUNTER when delta, else
+  CUMULATIVE_COUNTER; histogram -> COUNTER when delta else
+  CUMULATIVE_COUNTER; summary/exp-histogram/empty -> nil (summary is
+  fanned out with explicit per-part types instead).
+* dimensions (from_metrics.go:260-275): resource attributes first,
+  then datapoint attributes, every value rendered with
+  ``Value.AsString``.  pdata map iteration order is not specified, so
+  the rendered ``k=v,...`` string here is SORTED -- a deterministic
+  refinement, not a semantic change (SignalFx dimension sets are
+  unordered).
+* histogram fan-out (from_metrics.go:136-219): ``_count`` (int),
+  ``_sum`` when present (double), ``_min``/``_max`` as GAUGE when
+  present, then CUMULATIVE ``le``-dimension buckets with the closing
+  ``le=+Inf`` -- skipped entirely when ``len(counts) > 0 and
+  len(counts) != len(bounds)+1`` (the spec-violation guard) or when
+  ``drop_histogram_buckets``; the whole histogram is skipped unless
+  ``process_histograms``.  Bound strings use Go's
+  ``float64ToDimValue`` ("0"/"1"/"+Inf" fast paths, else %g), rendered
+  driver-side from the Python bounds list exactly like prw.py.
+* summary fan-out (from_metrics.go:221-258): ``_count`` / ``_sum``
+  always as CUMULATIVE_COUNTER, one GAUGE ``_quantile`` per quantile
+  with dimension ``quantile=FormatFloat(q,'f',-1,64)``.
+* timestamps (timestamp.go): ns -> ms integer division on the way
+  out, ms -> ns multiplication on the way in.
+* to_metrics error ladder (to_metrics.go:47-104): nil datum value
+  first, then GAUGE -> gauge, COUNTER -> monotonic delta sum,
+  CUMULATIVE_COUNTER -> monotonic cumulative sum, ENUM -> unsupported,
+  anything else -> unknown, each with the reference's %q-quoted
+  message.  (The reference's name+type -> metric-slice index map is a
+  container packing artifact -- a groupBy on (metric, type) recovers
+  it -- and is not a per-row semantic.)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GAUGE = "GAUGE"
+COUNTER = "COUNTER"
+CUMULATIVE_COUNTER = "CUMULATIVE_COUNTER"
+ENUM = "ENUM"
+
+
+def float64_to_dim_value(f: float) -> str:
+    """from_metrics.go:302-318 -- strconv.FormatFloat(f, 'g', -1, 64)
+    with the 0/1/+Inf fast paths (driver-side; bounds are operator
+    parameters, never data)."""
+    if f == 0:
+        return "0"
+    if f == 1:
+        return "1"
+    if math.isinf(f) and f > 0:
+        return "+Inf"
+    s = repr(float(f))
+    if s.endswith(".0"):
+        s = s[:-2]
+    # Go 'g' uses e+NN for |exp| >= 21 / < -4; repr matches for the
+    # plain-decimal range used by real bucket bounds.
+    return s
+
+
+def _dim_entries(dp_attrs: Column, res_attrs: Column) -> Column:
+    """Rendered 'k=v' strings: resource dims then datapoint attrs
+    (attributesToDimensions), sorted for a deterministic rendering."""
+    def _ent(m: Column) -> Column:
+        return F.transform(
+            F.map_entries(F.coalesce(m, F.create_map().cast(
+                "map<string,string>"))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        )
+
+    return F.array_sort(F.concat(_ent(res_attrs), _ent(dp_attrs)))
+
+
+def _render(entries: Column, extra: Column | None = None) -> Column:
+    if extra is not None:
+        entries = F.array_sort(
+            F.concat(entries, F.array(extra))
+        )
+    return F.array_join(entries, ",")
+
+
+_DP = (
+    "struct<metric:string,mt:string,iv:bigint,dv:double,"
+    "extra:string>"
+)
+
+
+def _dp(metric: Column, mt: Column, iv: Column, dv: Column,
+        extra: Column | None = None) -> Column:
+    return F.struct(
+        metric.alias("metric"),
+        mt.cast("string").alias("mt"),
+        iv.cast("bigint").alias("iv"),
+        dv.cast("double").alias("dv"),
+        (extra if extra is not None else F.lit(None).cast("string"))
+        .alias("extra"),
+    )
+
+
+def _maybe(cond: Column, dp: Column) -> Column:
+    """Singleton array when cond else empty -- the HasSum()/HasMin()
+    conditional appends."""
+    return F.when(cond, F.array(dp)).otherwise(
+        F.array().cast(f"array<{_DP}>")
+    )
+
+
+def sfx_from_metrics(
+    df: DataFrame,
+    *,
+    name: str = "name",
+    mtype: str = "mtype",
+    monotonic: str = "monotonic",
+    temporality: str = "temporality",
+    ts_ns: str = "ts_ns",
+    int_value: str = "int_value",
+    double_value: str = "double_value",
+    hist_count: str = "hist_count",
+    hist_sum: str = "hist_sum",
+    hist_min: str = "hist_min",
+    hist_max: str = "hist_max",
+    bucket_counts: str = "bucket_counts",
+    bounds: list[float] | None = None,
+    sm_count: str = "sm_count",
+    sm_sum: str = "sm_sum",
+    quantiles: str = "quantiles",
+    attributes: str = "attributes",
+    resource_attributes: str = "resource_attributes",
+    drop_histogram_buckets: bool = False,
+    process_histograms: bool = True,
+) -> DataFrame:
+    """One input row per OTLP datapoint -> exploded SignalFx datapoint
+    rows (metric, metric_type, timestamp_ms, int_value, double_value,
+    dims).  ``mtype`` in {gauge, sum, histogram, summary,
+    exp_histogram, empty}; histogram rows carry ``bucket_counts``
+    against the shared ``bounds`` parameter; summary rows carry
+    ``quantiles`` as array<struct<q:double,v:double>>.
+    """
+    bounds = bounds or []
+    mty = F.col(mtype)
+    mono = F.coalesce(F.col(monotonic), F.lit(False))
+    delta = F.col(temporality) == "delta"
+
+    # fromMetricTypeToMetricType
+    mt = (
+        F.when(mty == "gauge", F.lit(GAUGE))
+        .when(
+            mty == "sum",
+            F.when(~mono, F.lit(GAUGE))
+            .when(delta, F.lit(COUNTER))
+            .otherwise(F.lit(CUMULATIVE_COUNTER)),
+        )
+        .when(
+            mty == "histogram",
+            F.when(delta, F.lit(COUNTER))
+            .otherwise(F.lit(CUMULATIVE_COUNTER)),
+        )
+    )
+
+    staged = df.select(
+        "*",
+        mt.alias("__sfx_mt"),
+        _dim_entries(F.col(attributes), F.col(resource_attributes))
+        .alias("__sfx_dims"),
+        (F.col(ts_ns).cast("bigint") / F.lit(1000000))
+        .cast("bigint").alias("__sfx_ts_ms"),
+    )
+
+    nm = F.col(name)
+    mtc = F.col("__sfx_mt")
+    empty = F.array().cast(f"array<{_DP}>")
+
+    number = F.array(
+        _dp(nm, mtc, F.col(int_value),
+            F.when(F.col(int_value).isNull(), F.col(double_value)))
+    )
+
+    # histogram: count, sum?, min?, max?, cumulative le-buckets
+    counts = F.col(bucket_counts)
+    hist_parts = [
+        F.array(_dp(F.concat(nm, F.lit("_count")), mtc,
+                    F.col(hist_count), F.lit(None))),
+        _maybe(F.col(hist_sum).isNotNull(),
+               _dp(F.concat(nm, F.lit("_sum")), mtc,
+                   F.lit(None), F.col(hist_sum))),
+        _maybe(F.col(hist_min).isNotNull(),
+               _dp(F.concat(nm, F.lit("_min")), F.lit(GAUGE),
+                   F.lit(None), F.col(hist_min))),
+        _maybe(F.col(hist_max).isNotNull(),
+               _dp(F.concat(nm, F.lit("_max")), F.lit(GAUGE),
+                   F.lit(None), F.col(hist_max))),
+    ]
+    if not drop_histogram_buckets:
+        # counts optional; when present it must be len(bounds)+1
+        # (from_metrics.go:194-196) -- else no bucket points at all.
+        buckets_ok = F.size(counts) == F.lit(len(bounds) + 1)
+        add = lambda a, c: a + c  # noqa: E731
+        for j in range(len(bounds) + 1):
+            bound = (
+                float64_to_dim_value(bounds[j])
+                if j < len(bounds) else "+Inf"
+            )
+            cum = F.aggregate(
+                F.slice(counts, 1, j + 1),
+                F.lit(0).cast("bigint"), add,
+            )
+            hist_parts.append(
+                _maybe(
+                    buckets_ok,
+                    _dp(F.concat(nm, F.lit("_bucket")), mtc, cum,
+                        F.lit(None), F.lit("le=" + bound)),
+                )
+            )
+    histogram = F.concat(*hist_parts) if process_histograms else empty
+
+    # summary: count + sum always, one GAUGE per quantile
+    summary = F.concat(
+        F.array(
+            _dp(F.concat(nm, F.lit("_count")),
+                F.lit(CUMULATIVE_COUNTER), F.col(sm_count),
+                F.lit(None)),
+            _dp(F.concat(nm, F.lit("_sum")),
+                F.lit(CUMULATIVE_COUNTER), F.lit(None),
+                F.col(sm_sum)),
+        ),
+        F.transform(
+            F.coalesce(F.col(quantiles),
+                       F.array().cast(
+                           "array<struct<q:double,v:double>>")),
+            lambda s: _dp(
+                F.concat(nm, F.lit("_quantile")), F.lit(GAUGE),
+                F.lit(None), s["v"],
+                F.concat(F.lit("quantile="),
+                         s["q"].cast("string")),
+            ),
+        ),
+    )
+
+    fan = (
+        F.when(mty.isin("gauge", "sum"), number)
+        .when(mty == "histogram", histogram)
+        .when(mty == "summary", summary)
+        .otherwise(empty)
+    )
+
+    out = staged.select(
+        "*", F.explode(fan).alias("__sfx_dp")
+    )
+    d = F.col("__sfx_dp")
+    keep = [c for c in df.columns if c not in {
+        name, mtype, monotonic, temporality, ts_ns, int_value,
+        double_value, hist_count, hist_sum, hist_min, hist_max,
+        bucket_counts, sm_count, sm_sum, quantiles, attributes,
+        resource_attributes,
+    }]
+    return out.select(
+        *keep,
+        d["metric"].alias("metric"),
+        d["mt"].alias("metric_type"),
+        F.col("__sfx_ts_ms").alias("timestamp_ms"),
+        d["iv"].alias("int_value"),
+        d["dv"].alias("double_value"),
+        _render(
+            F.col("__sfx_dims"),
+            F.when(d["extra"].isNotNull(), d["extra"]),
+        ).alias("dims"),
+    )
+
+
+def sfx_to_metrics(
+    df: DataFrame,
+    *,
+    metric: str = "metric",
+    metric_type: str = "metric_type",
+    timestamp_ms: str = "timestamp_ms",
+    int_value: str = "int_value",
+    double_value: str = "double_value",
+    dims: str = "dims",
+) -> DataFrame:
+    """SignalFx datapoint rows -> OTLP-shaped metric rows with the
+    to_metrics.go error ladder (error != NULL means the reference
+    would have multierr'd the point and produced nothing)."""
+    mt = F.col(metric_type)
+    nil_value = F.col(int_value).isNull() & F.col(double_value).isNull()
+    quoted = F.concat(F.lit('"'), F.col(metric), F.lit('"'))
+    err = (
+        F.when(nil_value, F.concat(
+            F.lit("nil datum value for data-point in metric "), quoted))
+        .when(mt == ENUM, F.concat(
+            F.lit("unsupported enum data-point (3) in metric "), quoted))
+        .when(~mt.isin(GAUGE, COUNTER, CUMULATIVE_COUNTER), F.concat(
+            F.lit("unknown data-point type in metric "), quoted))
+    )
+    ok = err.isNull()
+    return df.select(
+        "*",
+        err.alias("error"),
+        F.when(ok & (mt == GAUGE), F.lit("gauge"))
+        .when(ok, F.lit("sum")).alias("data_type"),
+        F.when(ok & (mt == COUNTER), F.lit("delta"))
+        .when(ok & (mt == CUMULATIVE_COUNTER), F.lit("cumulative"))
+        .alias("temporality"),
+        F.when(ok, mt.isin(COUNTER, CUMULATIVE_COUNTER))
+        .alias("monotonic"),
+        F.when(ok, F.col(timestamp_ms).cast("bigint")
+               * F.lit(1000000)).alias("ts_ns"),
+    )

@@ -5458,3 +5458,213 @@ def q_jaeger_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["jaeger_spans_events"] = q_jaeger_spans
 _ORACLES["jaeger_spans_events"] = _JAEGER_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# SignalFx translator (pkg/translator/signalfx/from_metrics.go,
+# to_metrics.go): metric-type mapping, dimension rendering, histogram
+# _count/_sum/_min/_max/le-bucket fan-out with the spec-violation
+# guard, summary _count/_sum/_quantile fan-out, ns<->ms timestamps,
+# and the to_metrics error ladder.
+# ---------------------------------------------------------------------------
+
+def q_sfx_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.signalfx import sfx_from_metrics
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    m = eid % 5
+    b0, b1, b2 = eid % 4, eid % 3, eid % 2
+    rows = ev.select(
+        "event_id",
+        F.concat(F.lit("mt."), "event_type").alias("name"),
+        F.when(m == 3, F.lit("histogram"))
+        .when(m == 4, F.lit("summary"))
+        .when(m == 0, F.lit("gauge"))
+        .otherwise(F.lit("sum")).alias("mtype"),
+        (m == 1).alias("monotonic"),
+        F.when(m == 1, F.lit("delta")).otherwise(F.lit("cumulative"))
+        .alias("temporality"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .alias("ts_ns"),
+        F.when((m == 0) & (eid % 11 != 0), eid % 100)
+        .when(m == 2, eid % 100).alias("int_value"),
+        F.when(m == 1, F.floor(F.col("value") * 100) + 0.25)
+        .alias("double_value"),
+        (b0 + b1 + b2).alias("hist_count"),
+        F.when(eid % 2 == 0, F.floor(F.col("value") * 100) + 0.5)
+        .alias("hist_sum"),
+        F.when(eid % 3 == 0, (eid % 7).cast("double")).alias("hist_min"),
+        F.when(eid % 3 == 1, (eid % 7 + 10).cast("double"))
+        .alias("hist_max"),
+        F.when(eid % 7 == 0, F.array(b0, b1))
+        .otherwise(F.array(b0, b1, b2)).alias("bucket_counts"),
+        (eid % 9).alias("sm_count"),
+        (F.floor(F.col("value") * 50) + 0.25).alias("sm_sum"),
+        F.array(
+            F.struct(F.lit(0.5).alias("q"),
+                     ((eid % 10).cast("double") + 0.5).alias("v")),
+            F.struct(F.lit(0.99).alias("q"),
+                     ((eid % 10).cast("double") + 0.75).alias("v")),
+        ).alias("quantiles"),
+        F.create_map(
+            F.lit("region"),
+            F.concat(F.lit("r"), (eid % 3).cast("string")),
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("service"),
+            F.concat(F.lit("svc-"), (F.col("user_id") % 3).cast("string")),
+        ).alias("resource_attributes"),
+    )
+    out = sfx_from_metrics(rows, bounds=[1.0, 5.0])
+    return out.select(
+        "event_id", "metric", "metric_type", "timestamp_ms",
+        "int_value", "double_value", "dims",
+    ).orderBy("event_id", "metric", "dims")
+
+
+_SFX_FANOUT_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 5 AS INT) AS m,
+    'mt.' || event_type AS nm,
+    'region=r' || CAST(event_id % 3 AS VARCHAR) AS rdim,
+    'service=svc-' || CAST(user_id % 3 AS VARCHAR) AS sdim,
+    epoch_ms(ts) AS ts_ms,
+    event_id % 4 AS c0, event_id % 3 AS c1, event_id % 2 AS c2,
+    FLOOR(value * 100) + 0.25 AS dv1,
+    FLOOR(value * 100) + 0.5 AS hs,
+    FLOOR(value * 50) + 0.25 AS ss,
+    CAST(event_id % 10 AS DOUBLE) AS qb,
+    event_id % 11 = 0 AS empty_val,
+    event_id % 2 = 0 AS has_sum,
+    event_id % 3 = 0 AS has_min,
+    event_id % 3 = 1 AS has_max,
+    event_id % 7 = 0 AS bad_buckets,
+    event_id % 100 AS iv100, event_id % 7 AS mn,
+    event_id % 9 AS smc
+  FROM events),
+u AS (
+  SELECT event_id, nm AS metric, 'GAUGE' AS metric_type, ts_ms,
+         CASE WHEN NOT empty_val THEN iv100 END AS iv,
+         CAST(NULL AS DOUBLE) AS dv, rdim || ',' || sdim AS dims
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, nm, 'COUNTER', ts_ms, NULL, dv1,
+         rdim || ',' || sdim FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, nm, 'GAUGE', ts_ms, iv100, NULL,
+         rdim || ',' || sdim FROM f WHERE m = 2
+  UNION ALL
+  SELECT event_id, nm || '_count', 'CUMULATIVE_COUNTER', ts_ms,
+         c0 + c1 + c2, NULL, rdim || ',' || sdim FROM f WHERE m = 3
+  UNION ALL
+  SELECT event_id, nm || '_sum', 'CUMULATIVE_COUNTER', ts_ms, NULL,
+         hs, rdim || ',' || sdim FROM f WHERE m = 3 AND has_sum
+  UNION ALL
+  SELECT event_id, nm || '_min', 'GAUGE', ts_ms, NULL,
+         CAST(mn AS DOUBLE), rdim || ',' || sdim
+  FROM f WHERE m = 3 AND has_min
+  UNION ALL
+  SELECT event_id, nm || '_max', 'GAUGE', ts_ms, NULL,
+         CAST(mn + 10 AS DOUBLE), rdim || ',' || sdim
+  FROM f WHERE m = 3 AND has_max
+  UNION ALL
+  SELECT event_id, nm || '_bucket', 'CUMULATIVE_COUNTER', ts_ms, c0,
+         NULL, 'le=1,' || rdim || ',' || sdim
+  FROM f WHERE m = 3 AND NOT bad_buckets
+  UNION ALL
+  SELECT event_id, nm || '_bucket', 'CUMULATIVE_COUNTER', ts_ms,
+         c0 + c1, NULL, 'le=5,' || rdim || ',' || sdim
+  FROM f WHERE m = 3 AND NOT bad_buckets
+  UNION ALL
+  SELECT event_id, nm || '_bucket', 'CUMULATIVE_COUNTER', ts_ms,
+         c0 + c1 + c2, NULL, 'le=+Inf,' || rdim || ',' || sdim
+  FROM f WHERE m = 3 AND NOT bad_buckets
+  UNION ALL
+  SELECT event_id, nm || '_count', 'CUMULATIVE_COUNTER', ts_ms, smc,
+         NULL, rdim || ',' || sdim FROM f WHERE m = 4
+  UNION ALL
+  SELECT event_id, nm || '_sum', 'CUMULATIVE_COUNTER', ts_ms, NULL,
+         ss, rdim || ',' || sdim FROM f WHERE m = 4
+  UNION ALL
+  SELECT event_id, nm || '_quantile', 'GAUGE', ts_ms, NULL, qb + 0.5,
+         'quantile=0.5,' || rdim || ',' || sdim FROM f WHERE m = 4
+  UNION ALL
+  SELECT event_id, nm || '_quantile', 'GAUGE', ts_ms, NULL, qb + 0.75,
+         'quantile=0.99,' || rdim || ',' || sdim FROM f WHERE m = 4)
+SELECT event_id, metric, metric_type, ts_ms AS timestamp_ms,
+       CAST(iv AS BIGINT) AS int_value, dv AS double_value, dims
+FROM u ORDER BY event_id, metric, dims
+"""
+
+_QUERIES["signalfx_dp_fanout_events"] = q_sfx_fanout
+_ORACLES["signalfx_dp_fanout_events"] = _SFX_FANOUT_ORACLE
+
+
+def q_sfx_to_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.signalfx import sfx_to_metrics
+
+    ev = _read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    m = eid % 5
+    rows = ev.select(
+        "event_id",
+        F.concat(F.lit("dp."), "event_type").alias("metric"),
+        F.when(m == 0, F.lit("GAUGE"))
+        .when(m == 1, F.lit("COUNTER"))
+        .when(m == 2, F.lit("CUMULATIVE_COUNTER"))
+        .when(m == 3, F.lit("ENUM"))
+        .otherwise(F.lit("UNKNOWN_9")).alias("metric_type"),
+        F.unix_millis(F.col("ts").cast("timestamp"))
+        .alias("timestamp_ms"),
+        F.when((eid % 2 == 0) & (eid % 13 != 0), eid % 50)
+        .alias("int_value"),
+        F.when((eid % 2 == 1) & (eid % 13 != 0),
+               F.floor(F.col("value") * 100) + 0.5)
+        .alias("double_value"),
+    )
+    out = sfx_to_metrics(rows)
+    return out.select(
+        "event_id", "metric", "error", "data_type", "temporality",
+        # string, not boolean: nullable-boolean null renders engine-
+        # specifically in the driver's hasher; 'true'/'false' doesn't
+        F.col("monotonic").cast("string").alias("monotonic"),
+        "ts_ns", "int_value", "double_value",
+    ).orderBy("event_id")
+
+
+_SFX_TOMETRICS_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 5 AS INT) AS m,
+    'dp.' || event_type AS nm,
+    epoch_ms(ts) AS ts_ms,
+    event_id % 13 = 0 AS nilval,
+    CASE WHEN event_id % 2 = 0 AND event_id % 13 <> 0
+         THEN event_id % 50 END AS iv,
+    CASE WHEN event_id % 2 = 1 AND event_id % 13 <> 0
+         THEN FLOOR(value * 100) + 0.5 END AS dv
+  FROM events),
+g AS (
+  SELECT *,
+    CASE WHEN nilval THEN
+           'nil datum value for data-point in metric "' || nm || '"'
+         WHEN m = 3 THEN
+           'unsupported enum data-point (3) in metric "' || nm || '"'
+         WHEN m = 4 THEN
+           'unknown data-point type in metric "' || nm || '"'
+    END AS err
+  FROM f)
+SELECT event_id, nm AS metric, err AS error,
+  CASE WHEN err IS NULL AND m = 0 THEN 'gauge'
+       WHEN err IS NULL THEN 'sum' END AS data_type,
+  CASE WHEN err IS NULL AND m = 1 THEN 'delta'
+       WHEN err IS NULL AND m = 2 THEN 'cumulative' END AS temporality,
+  CASE WHEN err IS NULL THEN CAST(m IN (1, 2) AS VARCHAR) END
+    AS monotonic,
+  CASE WHEN err IS NULL THEN ts_ms * 1000000 END AS ts_ns,
+  CAST(iv AS BIGINT) AS int_value, dv AS double_value
+FROM g ORDER BY event_id
+"""
+
+_QUERIES["signalfx_to_metrics_events"] = q_sfx_to_metrics
+_ORACLES["signalfx_to_metrics_events"] = _SFX_TOMETRICS_ORACLE

@@ -1,0 +1,164 @@
+"""SignalFx translator semantics pinned against the reference
+(pkg/translator/signalfx/from_metrics.go, to_metrics.go,
+from_metrics_test.go vectors)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.signalfx import (
+    float64_to_dim_value,
+    sfx_from_metrics,
+    sfx_to_metrics,
+)
+
+EMPTY = {
+    "monotonic": None, "temporality": None, "int_value": None,
+    "double_value": None, "hist_count": None, "hist_sum": None,
+    "hist_min": None, "hist_max": None, "bucket_counts": None,
+    "sm_count": None, "sm_sum": None, "quantiles": None,
+}
+
+SCHEMA = (
+    "id bigint, name string, mtype string, monotonic boolean,"
+    " temporality string, ts_ns bigint, int_value bigint,"
+    " double_value double, hist_count bigint, hist_sum double,"
+    " hist_min double, hist_max double, bucket_counts array<bigint>,"
+    " sm_count bigint, sm_sum double,"
+    " quantiles array<struct<q:double,v:double>>,"
+    " attributes map<string,string>,"
+    " resource_attributes map<string,string>"
+)
+
+
+def _row(id, name, mtype, **kw):
+    base = dict(EMPTY)
+    base.update(kw)
+    base.setdefault("ts_ns", 1_700_000_001_234_567_890)
+    base.setdefault("attributes", {"k0": "v0"})
+    base.setdefault("resource_attributes", {"k_r0": "v_r0"})
+    return {"id": id, "name": name, "mtype": mtype, **base}
+
+
+def _run(spark, rows, **opts):
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sfx_from_metrics(df, bounds=opts.pop("bounds", [1.0, 2.0, 4.0]),
+                           **opts)
+    return {
+        (r["id"], r["metric"], r["dims"]): r
+        for r in out.collect()
+    }, out
+
+
+def test_metric_type_mapping(spark):
+    rows = [
+        _row(1, "gauge_double_with_dims", "gauge", double_value=1234.5678),
+        _row(2, "gauge_int_with_dims", "gauge", int_value=123),
+        _row(3, "cumulative_double_with_dims", "sum", monotonic=True,
+             temporality="cumulative", double_value=1234.5678),
+        _row(4, "delta_double_with_dims", "sum", monotonic=True,
+             temporality="delta", double_value=1234.5678),
+        _row(5, "gauge_sum_double_with_dims", "sum", monotonic=False,
+             temporality="cumulative", double_value=1234.5678),
+    ]
+    got, _ = _run(spark, rows)
+    dims = "k0=v0,k_r0=v_r0"
+    assert got[(1, "gauge_double_with_dims", dims)]["metric_type"] == "GAUGE"
+    assert got[(2, "gauge_int_with_dims", dims)]["int_value"] == 123
+    assert (got[(3, "cumulative_double_with_dims", dims)]["metric_type"]
+            == "CUMULATIVE_COUNTER")
+    assert got[(4, "delta_double_with_dims", dims)]["metric_type"] == "COUNTER"
+    assert (got[(5, "gauge_sum_double_with_dims", dims)]["metric_type"]
+            == "GAUGE")
+    # ns -> ms truncation (timestamp.go)
+    assert got[(1, "gauge_double_with_dims", dims)]["timestamp_ms"] \
+        == 1_700_000_001_234
+
+
+def test_histogram_fanout_and_guard(spark):
+    rows = [
+        _row(1, "h", "histogram", temporality="cumulative", hist_count=16,
+             hist_sum=100.0, hist_min=0.1, hist_max=11.11,
+             bucket_counts=[4, 2, 3, 7]),
+        # counts present but != len(bounds)+1 -> buckets skipped,
+        # count/sum still emitted (from_metrics.go:194-196)
+        _row(2, "h", "histogram", temporality="delta", hist_count=5,
+             hist_sum=2.0, bucket_counts=[5]),
+    ]
+    got, out = _run(spark, rows)
+    d = "k0=v0,k_r0=v_r0"
+    assert got[(1, "h_count", d)]["int_value"] == 16
+    assert got[(1, "h_count", d)]["metric_type"] == "CUMULATIVE_COUNTER"
+    assert got[(1, "h_sum", d)]["double_value"] == 100.0
+    # min/max always GAUGE
+    assert got[(1, "h_min", d)]["metric_type"] == "GAUGE"
+    assert got[(1, "h_max", d)]["double_value"] == 11.11
+    # cumulative le buckets
+    assert got[(1, "h_bucket", f"k0=v0,k_r0=v_r0,le=1")]["int_value"] == 4
+    assert got[(1, "h_bucket", f"k0=v0,k_r0=v_r0,le=2")]["int_value"] == 6
+    assert got[(1, "h_bucket", f"k0=v0,k_r0=v_r0,le=4")]["int_value"] == 9
+    assert got[(1, "h_bucket", f"k0=v0,k_r0=v_r0,le=+Inf")]["int_value"] == 16
+    # spec-violation guard: no bucket rows for id=2, delta -> COUNTER
+    assert got[(2, "h_count", d)]["metric_type"] == "COUNTER"
+    assert not [k for k in got if k[0] == 2 and k[1] == "h_bucket"]
+
+
+def test_histogram_flags(spark):
+    rows = [_row(1, "h", "histogram", temporality="cumulative",
+                 hist_count=3, hist_sum=9.0, bucket_counts=[1, 1, 0, 1])]
+    got, _ = _run(spark, rows, drop_histogram_buckets=True)
+    assert {k[1] for k in got} == {"h_count", "h_sum"}
+    got, _ = _run(spark, rows, process_histograms=False)
+    assert not got
+
+
+def test_summary_fanout(spark):
+    rows = [_row(1, "s", "summary", sm_count=111, sm_sum=123.45,
+                 quantiles=[(0.25, 0.1), (0.5, 0.25), (0.75, 1.0)])]
+    got, _ = _run(spark, rows)
+    d = "k0=v0,k_r0=v_r0"
+    assert got[(1, "s_count", d)]["metric_type"] == "CUMULATIVE_COUNTER"
+    assert got[(1, "s_count", d)]["int_value"] == 111
+    assert got[(1, "s_sum", d)]["double_value"] == 123.45
+    assert got[(1, "s_quantile", "k0=v0,k_r0=v_r0,quantile=0.25")][
+        "double_value"] == 0.1
+    assert got[(1, "s_quantile", "k0=v0,k_r0=v_r0,quantile=0.5")][
+        "double_value"] == 0.25
+    # empty/exp-histogram produce nothing
+    got, _ = _run(spark, [_row(2, "e", "empty"),
+                          _row(3, "x", "exp_histogram")])
+    assert not got
+
+
+def test_float64_to_dim_value():
+    # from_metrics.go:302-318 fast paths + Prometheus 'g' formatting
+    assert float64_to_dim_value(0.0) == "0"
+    assert float64_to_dim_value(1.0) == "1"
+    assert float64_to_dim_value(float("inf")) == "+Inf"
+    assert float64_to_dim_value(2.0) == "2"
+    assert float64_to_dim_value(0.25) == "0.25"
+    assert float64_to_dim_value(100.0) == "100"
+
+
+def test_to_metrics_ladder(spark):
+    rows = [
+        (1, "m1", "GAUGE", 1700000000123, 13, None),
+        (2, "m2", "COUNTER", 1700000000123, None, 13.13),
+        (3, "m3", "CUMULATIVE_COUNTER", 1700000000123, 13, None),
+        (4, "m4", "ENUM", 1700000000123, 13, None),
+        (5, "m5", "WEIRD", 1700000000123, 13, None),
+        (6, "m6", "GAUGE", 1700000000123, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, metric string, metric_type string,"
+        " timestamp_ms bigint, int_value bigint, double_value double")
+    got = {r["id"]: r for r in sfx_to_metrics(df).collect()}
+    assert got[1]["data_type"] == "gauge" and got[1]["error"] is None
+    assert got[2]["data_type"] == "sum"
+    assert got[2]["temporality"] == "delta" and got[2]["monotonic"]
+    assert got[3]["temporality"] == "cumulative" and got[3]["monotonic"]
+    assert got[1]["ts_ns"] == 1700000000123000000  # ms -> ns
+    assert got[4]["error"] == 'unsupported enum data-point (3) in metric "m4"'
+    assert got[5]["error"] == 'unknown data-point type in metric "m5"'
+    # nil datum value checked BEFORE the type switch
+    assert got[6]["error"] == 'nil datum value for data-point in metric "m6"'
+    assert got[6]["data_type"] is None and got[6]["ts_ns"] is None
