@@ -1,0 +1,154 @@
+"""Azure Event Hub resource-log translator
+(pkg/translator/azure/resourcelogs_to_logs.go): the common-schema
+records array -> one OTel log row per record.
+
+Columnar model: one input row = one Event-Hub buffer
+(``{"records": [...]}``); the translator is ONE ``from_json`` +
+``posexplode`` + per-row projection -- map-only, no shuffle.  The
+reference's grouping of records into per-resourceID ResourceLogs
+slices (resourcelogs_to_logs.go:90-101) is container packing --
+``groupBy(resource_id)`` recovers it -- so the row model carries
+``resource_id`` (the ``azure.resource.id`` resource attribute) on
+every record instead.
+
+Semantics reproduced:
+
+* timestamp (getTimestamp): ``time`` first, else ``timeStamp``;
+  caller-supplied formats tried in order, then the ISO-8601 fallback;
+  unparseable / missing -> the record is DROPPED (the reference warns
+  and ``continue``s).
+* severity (asSeverity): Informational/Warning/Error/Critical ->
+  9/13/17/21; a JSON number > 0 -> its integer truncation with
+  ``FormatFloat(f,'f',-1,64)`` as the text; anything else ->
+  Unspecified(0) with the raw string as text.  JSON numbers reach the
+  string-typed schema in canonical form, so a digit-shaped value is
+  treated as the number case (the Go ``any`` distinction between
+  ``4`` and ``"4"`` is not representable after from_json coercion --
+  documented deviation, exercised with unambiguous fixtures).
+* attributes (extractRawAttributes): ``azure.category`` and
+  ``azure.operation.name`` always set; correlation id / operation
+  version / result type+signature+description / tenant id /
+  ``cloud.region`` (location) / ``network.peer.address``
+  (callerIpAddress) only when present and non-empty (setIf);
+  ``azure.duration`` only when durationMs parses as a base-10 int64;
+  ``azure.identity`` / ``azure.properties`` carried verbatim as
+  canonical JSON (the reference stores the decoded ``any``).
+* ``cloud.provider`` = "azure" on every record; scope name is the
+  translator package, scope version is the caller's Version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCOPE_NAME = (
+    "github.com/open-telemetry/opentelemetry-collector-contrib"
+    "/pkg/translator/azure"
+)
+
+# common-schema record; 'any'-typed fields land as canonical JSON
+# strings (Spark from_json string coercion).
+AZURE_RECORD = (
+    "time string, timeStamp string, resourceId string,"
+    " tenantId string, operationName string, operationVersion string,"
+    " category string, resultType string, resultSignature string,"
+    " resultDescription string, durationMs string,"
+    " callerIpAddress string, correlationId string, identity string,"
+    " Level string, location string, properties string"
+)
+AZURE_RECORDS_SCHEMA = f"records array<struct<{AZURE_RECORD}>>"
+
+_SEV_NAMES = {
+    "Informational": 9,   # plog.SeverityNumberInfo
+    "Warning": 13,
+    "Error": 17,
+    "Critical": 21,
+}
+
+_NUM_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
+
+def _parse_ts(s: Column, formats: list[str]) -> Column:
+    attempts = [F.try_to_timestamp(s, F.lit(f)) for f in formats]
+    attempts.append(s.try_cast("timestamp"))  # ISO-8601 fallback
+    ts = F.coalesce(*attempts)
+    return F.when(s.isNotNull() & (s != ""), ts)
+
+
+def _set_if(c: Column) -> Column:
+    """setIf: NULL unless present and non-empty."""
+    return F.when(c.isNotNull() & (c != ""), c)
+
+
+def azure_resource_logs(
+    df: DataFrame,
+    json_col: str = "json",
+    version: str = "v0.1.0",
+    time_formats: list[str] | None = None,
+) -> DataFrame:
+    """One buffer row -> one output row per parseable record."""
+    formats = time_formats or []
+    rec = F.col("__az_rec")
+    exploded = df.select(
+        "*",
+        F.posexplode(
+            F.coalesce(
+                F.from_json(F.col(json_col), AZURE_RECORDS_SCHEMA)
+                ["records"],
+                F.array().cast(f"array<struct<{AZURE_RECORD}>>"),
+            )
+        ).alias("rec_idx", "__az_rec"),
+    )
+
+    ts = F.coalesce(
+        _parse_ts(rec["time"], formats),
+        _parse_ts(rec["timeStamp"], formats),
+    )
+    kept = exploded.select(
+        "*", F.unix_micros(ts).alias("__az_us")
+    ).filter(F.col("__az_us").isNotNull())
+
+    level = rec["Level"]
+    is_num = level.rlike(_NUM_RE)
+    num = level.try_cast("double")
+    sev_expr = F.lit(None).cast("int")
+    for name, n in _SEV_NAMES.items():
+        sev_expr = F.when(level == name, F.lit(n)).otherwise(sev_expr)
+    severity_number = F.when(
+        level.isNotNull(),
+        F.when(is_num,
+               F.when(num > 0, num.cast("int")).otherwise(F.lit(0)))
+        .otherwise(F.coalesce(sev_expr, F.lit(0))),
+    )
+
+    duration = rec["durationMs"]
+    keep = [c for c in df.columns if c != json_col]
+    return kept.select(
+        *keep,
+        F.col("rec_idx"),
+        F.lit(SCOPE_NAME).alias("scope_name"),
+        F.lit(version).alias("scope_version"),
+        rec["resourceId"].alias("resource_id"),
+        (F.col("__az_us") * 1000).alias("timestamp_ns"),
+        severity_number.alias("severity_number"),
+        # string case -> raw; number case -> canonical JSON rendering
+        # == FormatFloat(f,'f',-1,64) for plain-decimal numbers
+        level.alias("severity_text"),
+        F.coalesce(rec["category"], F.lit("")).alias("category"),
+        _set_if(rec["correlationId"]).alias("correlation_id"),
+        F.when(duration.rlike(r"^-?[0-9]+$"),
+               duration.try_cast("bigint")).alias("duration_ms"),
+        rec["identity"].alias("identity_json"),
+        F.coalesce(rec["operationName"], F.lit(""))
+        .alias("operation_name"),
+        _set_if(rec["operationVersion"]).alias("operation_version"),
+        rec["properties"].alias("properties_json"),
+        _set_if(rec["resultType"]).alias("result_type"),
+        _set_if(rec["resultSignature"]).alias("result_signature"),
+        _set_if(rec["resultDescription"]).alias("result_description"),
+        _set_if(rec["tenantId"]).alias("tenant_id"),
+        F.lit("azure").alias("cloud_provider"),
+        _set_if(rec["location"]).alias("cloud_region"),
+        _set_if(rec["callerIpAddress"]).alias("caller_ip"),
+    )

@@ -5668,3 +5668,157 @@ FROM g ORDER BY event_id
 
 _QUERIES["signalfx_to_metrics_events"] = q_sfx_to_metrics
 _ORACLES["signalfx_to_metrics_events"] = _SFX_TOMETRICS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Azure Event Hub resource-log translator
+# (pkg/translator/azure/resourcelogs_to_logs.go): records-array
+# explode, time/timeStamp fallback with drop-on-missing, severity
+# name/number mapping, setIf attribute rules, integer-only
+# azure.duration, identity/properties carried as canonical JSON.
+# ---------------------------------------------------------------------------
+
+_AZURE_JSON_SQL = r"""
+concat(
+ '{"records":[',
+ -- record 0: variant by event_id % 5
+ CASE CAST(event_id % 5 AS INT)
+  WHEN 0 THEN concat(
+    '{"time":"', t0, '","resourceId":"', rid,
+    '","operationName":"Op', CAST(event_id % 4 AS STRING),
+    '","category":"Cat', CAST(event_id % 3 AS STRING),
+    '","Level":"Informational","durationMs":',
+    CAST(event_id % 1000 AS STRING),
+    ',"properties":{"code":', CAST(event_id % 7 AS STRING),
+    ',"msg":"ok"},"identity":{"user":"u',
+    CAST(event_id % 5 AS STRING),
+    '"},"resultType":"Succeeded","resultSignature":"OK",',
+    '"resultDescription":"desc-', CAST(event_id % 3 AS STRING),
+    '","tenantId":"t-', CAST(event_id % 2 AS STRING),
+    '","location":"westus","callerIpAddress":"10.0.0.',
+    CAST(event_id % 256 AS STRING),
+    '","correlationId":"c-', CAST(event_id AS STRING), '"}')
+  WHEN 1 THEN concat(
+    '{"timeStamp":"', t1, '","resourceId":"', rid,
+    '","operationName":"Op', CAST(event_id % 4 AS STRING),
+    '","category":"Cat', CAST(event_id % 3 AS STRING),
+    '","Level":"Warning","operationVersion":"2021-06-01"}')
+  WHEN 2 THEN concat(
+    '{"time":"', t0, '","resourceId":"', rid,
+    '","operationName":"Op', CAST(event_id % 4 AS STRING),
+    '","category":"Cat', CAST(event_id % 3 AS STRING),
+    '","Level":"Verbose","durationMs":12.5,"resultType":""}')
+  WHEN 3 THEN concat(
+    '{"time":"', t0, '","resourceId":"', rid,
+    '","operationName":"Op', CAST(event_id % 4 AS STRING),
+    '","category":"Cat', CAST(event_id % 3 AS STRING),
+    '","Level":"Critical","tenantId":"t-',
+    CAST(event_id % 2 AS STRING), '","location":"eastus"}')
+  ELSE concat(
+    '{"time":"', t0, '","resourceId":"', rid,
+    '","operationName":"Op', CAST(event_id % 4 AS STRING),
+    '","category":"Cat', CAST(event_id % 3 AS STRING),
+    '","Level":4.5}')
+ END,
+ ',',
+ -- record 1: minimal; every 7th event has no timestamp -> dropped
+ CASE WHEN event_id % 7 = 0
+  THEN concat('{"resourceId":"', rid,
+              '","operationName":"op2","category":"Admin"}')
+  ELSE concat('{"time":"', t1, '","resourceId":"', rid,
+              '","operationName":"op2","category":"Admin"}')
+ END,
+ ']}')
+""".strip()
+
+
+def q_azure_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.azure import azure_resource_logs
+
+    eid = F.col("event_id")
+    us0 = (F.lit(1656581400) + eid) * 1000000 + (eid * 131) % 1000000
+    buffers = (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_format(
+                F.timestamp_micros(us0),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+            ).alias("t0"),
+            F.date_format(
+                F.timestamp_seconds(F.lit(1656581400) + eid),
+                "yyyy-MM-dd'T'HH:mm:ss'Z'",
+            ).alias("t1"),
+            F.concat(
+                F.lit("/sub/s"), (F.col("user_id") % 3).cast("string"),
+                F.lit("/rg"), (eid % 2).cast("string"),
+            ).alias("rid"),
+        )
+        .select("event_id", F.expr(_AZURE_JSON_SQL).alias("json"))
+    )
+    out = azure_resource_logs(buffers, version="v0.1.0")
+    return out.select(
+        "event_id", "rec_idx", "resource_id", "timestamp_ns",
+        "severity_number", "severity_text", "category",
+        "correlation_id", "duration_ms", "identity_json",
+        "operation_name", "operation_version", "properties_json",
+        "result_type", "result_signature", "result_description",
+        "tenant_id", "cloud_region", "caller_ip",
+    ).orderBy("event_id", "rec_idx")
+
+
+_AZURE_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 5 AS INT) AS m,
+    '/sub/s' || CAST(user_id % 3 AS VARCHAR) || '/rg'
+      || CAST(event_id % 2 AS VARCHAR) AS rid,
+    (1656581400 + event_id) * 1000000000
+      + (event_id * 131) % 1000000 * 1000 AS ns0,
+    (1656581400 + event_id) * 1000000000 AS ns1,
+    'Op' || CAST(event_id % 4 AS VARCHAR) AS opname,
+    'Cat' || CAST(event_id % 3 AS VARCHAR) AS cat
+  FROM events),
+u AS (
+  SELECT event_id, 0 AS rec_idx, rid,
+    CASE WHEN m = 1 THEN ns1 ELSE ns0 END AS ts_ns,
+    CASE m WHEN 0 THEN 9 WHEN 1 THEN 13 WHEN 2 THEN 0 WHEN 3 THEN 21
+           ELSE 4 END AS sev_num,
+    CASE m WHEN 0 THEN 'Informational' WHEN 1 THEN 'Warning'
+           WHEN 2 THEN 'Verbose' WHEN 3 THEN 'Critical'
+           ELSE '4.5' END AS sev_text,
+    cat AS category,
+    CASE WHEN m = 0 THEN 'c-' || CAST(event_id AS VARCHAR) END
+      AS correlation_id,
+    CASE WHEN m = 0 THEN event_id % 1000 END AS duration_ms,
+    CASE WHEN m = 0 THEN '{"user":"u' || CAST(event_id % 5 AS VARCHAR)
+      || '"}' END AS identity_json,
+    opname AS operation_name,
+    CASE WHEN m = 1 THEN '2021-06-01' END AS operation_version,
+    CASE WHEN m = 0 THEN '{"code":' || CAST(event_id % 7 AS VARCHAR)
+      || ',"msg":"ok"}' END AS properties_json,
+    CASE WHEN m = 0 THEN 'Succeeded' END AS result_type,
+    CASE WHEN m = 0 THEN 'OK' END AS result_signature,
+    CASE WHEN m = 0 THEN 'desc-' || CAST(event_id % 3 AS VARCHAR) END
+      AS result_description,
+    CASE WHEN m IN (0, 3) THEN 't-' || CAST(event_id % 2 AS VARCHAR)
+      END AS tenant_id,
+    CASE WHEN m = 0 THEN 'westus' WHEN m = 3 THEN 'eastus' END
+      AS cloud_region,
+    CASE WHEN m = 0 THEN '10.0.0.' || CAST(event_id % 256 AS VARCHAR)
+      END AS caller_ip
+  FROM f
+  UNION ALL
+  SELECT event_id, 1, rid, ns1, NULL, NULL, 'Admin', NULL, NULL,
+         NULL, 'op2', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM f WHERE event_id % 7 <> 0)
+SELECT event_id, rec_idx, rid AS resource_id, ts_ns AS timestamp_ns,
+  CAST(sev_num AS INT) AS severity_number, sev_text AS severity_text,
+  category, correlation_id, CAST(duration_ms AS BIGINT) AS duration_ms,
+  identity_json, operation_name, operation_version, properties_json,
+  result_type, result_signature, result_description, tenant_id,
+  cloud_region, caller_ip
+FROM u ORDER BY event_id, rec_idx
+"""
+
+_QUERIES["azure_resource_logs_events"] = q_azure_logs
+_ORACLES["azure_resource_logs_events"] = _AZURE_ORACLE

@@ -1,0 +1,91 @@
+"""Azure resource-log translator semantics
+(pkg/translator/azure/resourcelogs_to_logs.go)."""
+
+from opentelemetry_collector_contrib_spark.operators.azure import (
+    azure_resource_logs,
+)
+
+
+def _run(spark, buffers, **kw):
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(buffers)],
+                               "id bigint, json string")
+    out = azure_resource_logs(df, **kw)
+    return [r.asDict() for r in out.orderBy("id", "rec_idx").collect()]
+
+
+def test_time_fallback_and_drop(spark):
+    rows = _run(spark, [
+        '{"records":['
+        '{"time":"2022-07-01T10:30:15.123456Z","resourceId":"r1",'
+        '"category":"C","operationName":"O"},'
+        '{"timeStamp":"2022-07-01T10:30:16Z","resourceId":"r1",'
+        '"category":"C","operationName":"O"},'
+        '{"resourceId":"r1","category":"C","operationName":"O"},'
+        '{"time":"not-a-time","resourceId":"r1","category":"C",'
+        '"operationName":"O"}]}',
+    ])
+    # records 2 (missing) and 3 (unparseable) are dropped
+    assert [r["rec_idx"] for r in rows] == [0, 1]
+    assert rows[0]["timestamp_ns"] == 1656671415123456000
+    assert rows[1]["timestamp_ns"] == 1656671416000000000
+
+
+def test_custom_time_formats(spark):
+    # getTimestamp tries caller formats before the ISO fallback
+    rows = _run(spark, [
+        '{"records":[{"time":"01/07/2022 10:30:15","resourceId":"r",'
+        '"category":"C","operationName":"O"}]}',
+    ], time_formats=["dd/MM/yyyy HH:mm:ss"])
+    assert rows[0]["timestamp_ns"] == 1656671415000000000
+
+
+def test_severity_mapping(spark):
+    recs = [
+        ("Informational", 9), ("Warning", 13), ("Error", 17),
+        ("Critical", 21), ("Verbose", 0),
+    ]
+    buf = '{"records":[' + ",".join(
+        f'{{"time":"2022-07-01T00:00:00Z","Level":"{s}",'
+        f'"resourceId":"r","category":"C","operationName":"O"}}'
+        for s, _ in recs
+    ) + "]}"
+    rows = _run(spark, [buf])
+    assert [r["severity_number"] for r in rows] == [n for _, n in recs]
+    assert [r["severity_text"] for r in rows] == [s for s, _ in recs]
+    # numeric levels: > 0 truncates, <= 0 -> Unspecified; absent -> null
+    buf2 = ('{"records":['
+            '{"time":"2022-07-01T00:00:00Z","Level":4.7,"resourceId":"r",'
+            '"category":"C","operationName":"O"},'
+            '{"time":"2022-07-01T00:00:00Z","Level":-3,"resourceId":"r",'
+            '"category":"C","operationName":"O"},'
+            '{"time":"2022-07-01T00:00:00Z","resourceId":"r",'
+            '"category":"C","operationName":"O"}]}')
+    rows = _run(spark, [buf2])
+    assert [(r["severity_number"], r["severity_text"]) for r in rows] == [
+        (4, "4.7"), (0, "-3"), (None, None)]
+
+
+def test_attribute_rules(spark):
+    buf = ('{"records":[{"time":"2022-07-01T00:00:00Z","resourceId":"r",'
+           '"category":"C","operationName":"O","durationMs":123,'
+           '"resultType":"","tenantId":"t1",'
+           '"properties":{"a":[1,2],"b":"x"},"identity":"sys",'
+           '"location":"westeurope","callerIpAddress":"1.2.3.4"},'
+           '{"time":"2022-07-01T00:00:00Z","resourceId":"r",'
+           '"category":"C","operationName":"O","durationMs":12.5}]}')
+    rows = _run(spark, [buf])
+    r0, r1 = rows
+    assert r0["duration_ms"] == 123
+    assert r1["duration_ms"] is None          # non-integer -> skipped
+    assert r0["result_type"] is None          # setIf: empty -> absent
+    assert r0["tenant_id"] == "t1"
+    assert r0["properties_json"] == '{"a":[1,2],"b":"x"}'
+    assert r0["identity_json"] == "sys"
+    assert r0["cloud_region"] == "westeurope"
+    assert r0["caller_ip"] == "1.2.3.4"
+    assert r0["cloud_provider"] == "azure"
+    assert r0["scope_version"] == "v0.1.0"
+
+
+def test_bad_buffer(spark):
+    assert _run(spark, ["not json", '{"other":1}']) == []
