@@ -1,0 +1,249 @@
+"""collectd write_http JSON receiver
+(receiver/collectdreceiver/collectd.go, internal/collectd/labels.go):
+record batches -> one OTel number datapoint per (record, dsname).
+
+Columnar model: one input row = one HTTP POST body (a JSON array of
+collectd records) plus its URL query string; the translator is ONE
+``from_json`` + two ``posexplode``s + per-row projection -- map-only.
+
+Semantics reproduced:
+
+* event records (time+severity+message all present, collectd.go:42-44)
+  are ignored.
+* per-dsname fan-out with the bounds guard (collectd.go:72-75): index
+  i is skipped when i >= len(dstypes) or i >= len(values) or
+  values[i] is null.
+* getReasonableMetricName (collectd.go:159-182): name =
+  type [ "." type_instance-stripped ] [ "." dsnames[i] when the
+  record has >1 dsnames and dsnames[i] non-empty -> usedDsName ],
+  each "." only when parts are already non-empty.
+* LabelsFromName (internal/collectd/labels.go): ``name[k=v,f=x]-rest``
+  -> "name-rest" + {k:v, f:x}; ANY malformed piece (no '=' or a
+  second '=') abandons extraction and returns the original string
+  with no labels; duplicate keys last-wins.
+* label precedence (collectd.go:69-88,216-231): receiver default
+  attributes (URL query params with the configured prefix), then
+  type_instance bracket labels (keep-existing), then ``plugin``
+  (overwrite), then plugin_instance bracket labels (keep-existing) +
+  ``plugin_instance`` (overwrite), then host bracket labels
+  (keep-existing) + ``host`` (overwrite), then ``dsname`` when the
+  name did not consume it.
+* dstype derive/counter -> monotonic sum, anything else gauge
+  (collectd.go:143-154); json.Number integer literal -> int datapoint
+  else double (collectd.go:132-138).
+* timestamp: float epoch seconds * 1e9 truncated toward zero; missing
+  time -> Unix epoch 0 (collectd.go:46-53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+COLLECTD_RECORD = (
+    "time double, host string, interval double, plugin string,"
+    " plugin_instance string, type string, type_instance string,"
+    " message string, severity string, dstypes array<string>,"
+    " dsnames array<string>, `values` array<string>"
+)
+COLLECTD_SCHEMA = f"array<struct<{COLLECTD_RECORD}>>"
+
+_ENTRIES = "array<struct<k:string,v:string>>"
+
+
+def _labels_from_name(s: Column) -> Column:
+    """labels.go LabelsFromName as one struct column
+    (name string, labels array<struct<k,v>>)."""
+    s = F.coalesce(s, F.lit(""))
+    lb = F.instr(s, "[")
+    left = F.substring(s, F.lit(1), (lb - 1).cast("int"))
+    rest = F.substring(s, lb + 1, F.lit(2147483640))
+    rb = F.instr(rest, "]")
+    dims = F.substring(rest, F.lit(1), (rb - 1).cast("int"))
+    after = F.substring(rest, rb + 1, F.lit(2147483640))
+    pieces = F.split(dims, ",", -1)
+    # Cut ok and no '=' in the remainder -> exactly one '='
+    all_valid = F.forall(
+        pieces, lambda p: p.rlike(r"^[^=]*=[^=]*$")
+    )
+    entries = F.transform(
+        pieces,
+        lambda p: F.named_struct(
+            F.lit("k"), F.substring_index(p, "=", 1),
+            F.lit("v"), F.substring_index(p, "=", -1),
+        ),
+    )
+    # duplicate keys: Go map semantics, last occurrence wins
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda e2: e2["k"] == e["k"],
+        ),
+    )
+    extracted = (lb > 0) & (rb > 0) & all_valid
+    return F.struct(
+        F.when(extracted, F.concat(left, after)).otherwise(s)
+        .alias("name"),
+        F.when(extracted, deduped)
+        .otherwise(F.array().cast(_ENTRIES)).alias("labels"),
+    )
+
+
+def _keep_existing(base: Column, extra: Column) -> Column:
+    """Append entries of ``extra`` whose key is not already in base
+    (the add-if-not-exists merges)."""
+    return F.concat(
+        base,
+        F.filter(
+            extra,
+            lambda e: ~F.exists(base, lambda b: b["k"] == e["k"]),
+        ),
+    )
+
+
+def _overwrite(base: Column, key: str, val: Column) -> Column:
+    """labels[key] = val when val is non-empty (addIfNotNullOrEmpty
+    after an unconditional map write)."""
+    present = val.isNotNull() & (val != "")
+    return F.when(
+        present,
+        F.concat(
+            F.filter(base, lambda e: e["k"] != key),
+            F.array(F.struct(F.lit(key).alias("k"), val.alias("v"))),
+        ),
+    ).otherwise(base)
+
+
+def collectd_metrics(
+    df: DataFrame,
+    json_col: str = "json",
+    query_col: str | None = None,
+    attrs_prefix: str = "sfxdim_",
+) -> DataFrame:
+    """One POST-body row -> one row per produced datapoint."""
+    # receiver default attributes from the URL query string
+    if query_col is not None:
+        qparams = F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(query_col), F.lit("")), "&"),
+                lambda p: F.named_struct(
+                    F.lit("k"), F.substring_index(p, "=", 1),
+                    F.lit("v"),
+                    F.when(F.instr(p, "=") > 0,
+                           F.substring_index(p, "=", -1))
+                    .otherwise(F.lit("")),
+                ),
+            ),
+            lambda e: e["k"].startswith(attrs_prefix) & (e["v"] != ""),
+        )
+        defaults = F.transform(
+            qparams,
+            lambda e: F.named_struct(
+                F.lit("k"),
+                F.substring(e["k"], len(attrs_prefix) + 1,
+                            F.lit(2147483640)),
+                F.lit("v"), e["v"],
+            ),
+        )
+    else:
+        defaults = F.array().cast(_ENTRIES)
+
+    rec = F.col("__cd_rec")
+    exploded = df.select(
+        "*",
+        defaults.alias("__cd_defaults"),
+        F.posexplode(
+            F.coalesce(
+                F.from_json(F.col(json_col), COLLECTD_SCHEMA),
+                F.array().cast(COLLECTD_SCHEMA),
+            )
+        ).alias("rec_idx", "__cd_rec"),
+    )
+
+    is_event = (
+        rec["time"].isNotNull()
+        & rec["severity"].isNotNull()
+        & rec["message"].isNotNull()
+    )
+    staged = exploded.filter(~is_event).select(
+        "*",
+        _labels_from_name(rec["type_instance"]).alias("__cd_ti"),
+        _labels_from_name(rec["plugin_instance"]).alias("__cd_pi"),
+        _labels_from_name(rec["host"]).alias("__cd_host"),
+        F.coalesce(
+            (rec["time"] * 1e9).cast("bigint"), F.lit(0)
+        ).alias("timestamp_ns"),
+    )
+
+    names = F.coalesce(rec["dsnames"],
+                       F.array().cast("array<string>"))
+    multi = F.size(names) > 1
+    ti_name = F.col("__cd_ti")["name"]
+    # per-i fan: keep valid indices only (collectd.go:72-75)
+    fan = F.filter(
+        F.transform(
+            names,
+            lambda n, i: F.named_struct(
+                F.lit("ds_idx"), i,
+                F.lit("dsname"), n,
+                F.lit("dstype"), F.try_element_at(rec["dstypes"], i + 1),
+                F.lit("val"), F.try_element_at(rec["values"], i + 1),
+                F.lit("used_dsname"),
+                multi & n.isNotNull() & (n != ""),
+            ),
+        ),
+        lambda s: (s["ds_idx"] < F.size(rec["dstypes"]))
+        & (s["ds_idx"] < F.size(rec["values"]))
+        & s["val"].isNotNull(),
+    )
+    out = staged.select("*", F.explode(fan).alias("__cd_dp"))
+    dp = F.col("__cd_dp")
+
+    # name = type . ti_name . dsname (dots only between parts)
+    base = F.coalesce(rec["type"], F.lit(""))
+    with_ti = F.when(
+        (ti_name != "") & (base != ""),
+        F.concat(base, F.lit("."), ti_name),
+    ).when(ti_name != "", ti_name).otherwise(base)
+    name = F.when(
+        dp["used_dsname"] & (with_ti != ""),
+        F.concat(with_ti, F.lit("."), dp["dsname"]),
+    ).when(dp["used_dsname"], dp["dsname"]).otherwise(with_ti)
+
+    labels = _keep_existing(F.col("__cd_defaults"),
+                            F.col("__cd_ti")["labels"])
+    labels = _overwrite(labels, "plugin", rec["plugin"])
+    labels = _keep_existing(labels, F.col("__cd_pi")["labels"])
+    labels = _overwrite(labels, "plugin_instance",
+                        F.col("__cd_pi")["name"])
+    labels = _keep_existing(labels, F.col("__cd_host")["labels"])
+    labels = _overwrite(labels, "host", F.col("__cd_host")["name"])
+    labels = F.when(
+        ~dp["used_dsname"], _overwrite(labels, "dsname", dp["dsname"])
+    ).otherwise(labels)
+
+    is_sum = dp["dstype"].isin("derive", "counter")
+    is_int = dp["val"].rlike(r"^-?[0-9]+$")
+    keep = [c for c in df.columns if c not in {json_col, query_col}]
+    return out.select(
+        *keep,
+        F.col("rec_idx"),
+        dp["ds_idx"].alias("ds_idx"),
+        name.alias("name"),
+        F.when(is_sum, F.lit("sum")).otherwise(F.lit("gauge"))
+        .alias("data_type"),
+        F.coalesce(is_sum, F.lit(False)).alias("monotonic"),
+        F.col("timestamp_ns"),
+        F.when(is_int, dp["val"].try_cast("bigint")).alias("int_value"),
+        F.when(~is_int, dp["val"].try_cast("double"))
+        .alias("double_value"),
+        F.array_join(
+            F.array_sort(
+                F.transform(labels,
+                            lambda e: F.concat(e["k"], F.lit("="),
+                                               e["v"]))
+            ),
+            ",",
+        ).alias("labels"),
+    )

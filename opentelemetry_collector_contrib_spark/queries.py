@@ -5822,3 +5822,122 @@ FROM u ORDER BY event_id, rec_idx
 
 _QUERIES["azure_resource_logs_events"] = q_azure_logs
 _ORACLES["azure_resource_logs_events"] = _AZURE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# collectd write_http receiver (receiver/collectdreceiver/collectd.go,
+# internal/collectd/labels.go): record fan-out per dsname, bracket
+# label extraction, label precedence, derive/counter -> monotonic sum,
+# integer-literal -> int datapoint, float-seconds timestamps, event
+# records ignored, URL-query default attributes.
+# ---------------------------------------------------------------------------
+
+_COLLECTD_JSON_SQL = r"""
+CASE CAST(event_id % 5 AS INT)
+ WHEN 0 THEN concat(
+  '[{"time":', tstr, ',"host":"h', CAST(event_id % 5 AS STRING),
+  '","plugin":"cpu","plugin_instance":"0","type":"cpu",',
+  '"type_instance":"idle","dsnames":["value"],"dstypes":["derive"],',
+  '"values":[', CAST(event_id % 1000 AS STRING), ']}]')
+ WHEN 1 THEN concat(
+  '[{"time":', tstr, ',"host":"server[env=prod,dc=us',
+  CAST(event_id % 2 AS STRING),
+  ']-1","plugin":"interface","plugin_instance":"eth0",',
+  '"type":"if_octets","dsnames":["rx","tx"],',
+  '"dstypes":["derive","derive"],"values":[',
+  CAST(event_id % 1000 AS STRING), ',',
+  CAST(event_id % 97 AS STRING), '.5]}]')
+ WHEN 2 THEN concat(
+  '[{"time":', tstr, ',"host":"h","plugin":"nginx",',
+  '"type":"requests","type_instance":"total[result=ok]",',
+  '"dsnames":["value"],"dstypes":["gauge"],"values":[',
+  CAST(event_id % 97 AS STRING), '.5]}]')
+ WHEN 3 THEN concat(
+  '[{"time":', tstr, ',"severity":"warning","message":"restart",',
+  '"host":"h","plugin":"sys"}]')
+ ELSE concat(
+  '[{"host":"h4","type":"","type_instance":"",',
+  '"dsnames":["a","b"],"dstypes":["gauge"],"values":[',
+  CAST(event_id % 1000 AS STRING), ',',
+  CAST(event_id % 7 AS STRING), ']}]')
+END
+""".strip()
+
+
+def q_collectd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.collectd import collectd_metrics
+
+    eid = F.col("event_id")
+    buffers = (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id",
+            F.concat(
+                (F.lit(1656581400) + eid % 1000).cast("string"),
+                F.lit(".25"),
+            ).alias("tstr"),
+        )
+        .select(
+            "event_id",
+            F.expr(_COLLECTD_JSON_SQL).alias("json"),
+            F.concat(
+                F.lit("sfxdim_site=s"),
+                (F.col("user_id") % 2).cast("string"),
+                F.lit("&foo=bar"),
+            ).alias("qs"),
+        )
+    )
+    out = collectd_metrics(buffers, json_col="json", query_col="qs")
+    return out.select(
+        "event_id", "rec_idx", "ds_idx", "name", "data_type",
+        F.col("monotonic").cast("string").alias("monotonic"),
+        "timestamp_ns", "int_value", "double_value", "labels",
+    ).orderBy("event_id", "rec_idx", "ds_idx")
+
+
+_COLLECTD_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 5 AS INT) AS m,
+    CAST(trunc((CAST(1656581400 + event_id % 1000 AS DOUBLE) + 0.25)
+               * 1e9) AS BIGINT) AS ts_ns,
+    's' || CAST(user_id % 2 AS VARCHAR) AS site,
+    event_id % 1000 AS iv, event_id % 97 AS fv, event_id % 7 AS iv7
+  FROM events),
+u AS (
+  SELECT event_id, 0 AS rec_idx, 0 AS ds_idx, 'cpu.idle' AS name,
+    'sum' AS data_type, 'true' AS monotonic, ts_ns,
+    iv AS int_value, CAST(NULL AS DOUBLE) AS double_value,
+    'dsname=value,host=h' || CAST(event_id % 5 AS VARCHAR)
+      || ',plugin=cpu,plugin_instance=0,site=' || site AS labels
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, 0, 0, 'if_octets.rx', 'sum', 'true', ts_ns, iv,
+    NULL,
+    'dc=us' || CAST(event_id % 2 AS VARCHAR)
+      || ',env=prod,host=server-1,plugin=interface,'
+      || 'plugin_instance=eth0,site=' || site
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, 0, 1, 'if_octets.tx', 'sum', 'true', ts_ns, NULL,
+    fv + 0.5,
+    'dc=us' || CAST(event_id % 2 AS VARCHAR)
+      || ',env=prod,host=server-1,plugin=interface,'
+      || 'plugin_instance=eth0,site=' || site
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, 0, 0, 'requests.total', 'gauge', 'false', ts_ns,
+    NULL, fv + 0.5,
+    'dsname=value,host=h,plugin=nginx,result=ok,site=' || site
+  FROM f WHERE m = 2
+  UNION ALL
+  SELECT event_id, 0, 0, 'a', 'gauge', 'false', 0, iv, NULL,
+    'host=h4,site=' || site
+  FROM f WHERE m = 4)
+SELECT event_id, rec_idx, ds_idx, name, data_type, monotonic,
+       ts_ns AS timestamp_ns, CAST(int_value AS BIGINT) AS int_value,
+       double_value, labels
+FROM u ORDER BY event_id, rec_idx, ds_idx
+"""
+
+_QUERIES["collectd_metrics_events"] = q_collectd
+_ORACLES["collectd_metrics_events"] = _COLLECTD_ORACLE

@@ -1,0 +1,97 @@
+"""collectd receiver semantics (receiver/collectdreceiver/collectd.go,
+internal/collectd/labels.go)."""
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.collectd import (
+    _labels_from_name,
+    collectd_metrics,
+)
+
+
+def _run(spark, bodies, qs=None):
+    rows = [(i, b, qs or "") for i, b in enumerate(bodies)]
+    df = spark.createDataFrame(rows, "id bigint, json string, qs string")
+    out = collectd_metrics(df, json_col="json",
+                           query_col="qs" if qs is not None else None)
+    return [r.asDict()
+            for r in out.orderBy("id", "rec_idx", "ds_idx").collect()]
+
+
+def test_labels_from_name(spark):
+    cases = [
+        # labels.go doc example
+        ("name[k=v,f=x]-more_name", "name-more_name",
+         [("k", "v"), ("f", "x")]),
+        ("plain", "plain", []),
+        # malformed piece -> original string, no labels
+        ("n[k=v,bad]x", "n[k=v,bad]x", []),
+        ("n[k=v=w]x", "n[k=v=w]x", []),
+        ("n[]x", "n[]x", []),          # empty piece has no '='
+        ("n[unclosed", "n[unclosed", []),
+        # duplicate key: last wins
+        ("n[a=1,a=2]", "n", [("a", "2")]),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "s string")
+    got = df.select(_labels_from_name(F.col("s")).alias("r")).collect()
+    for (s, name, labels), r in zip(cases, got):
+        assert r.r.name == name, s
+        assert [(e.k, e.v) for e in r.r.labels] == labels, s
+
+
+def test_single_dsname_becomes_dimension(spark):
+    rows = _run(spark, [
+        '[{"time":10.5,"host":"web1","plugin":"df","type":"df_complex",'
+        '"type_instance":"free","dsnames":["value"],"dstypes":["gauge"],'
+        '"values":[32.5]}]'
+    ])
+    (r,) = rows
+    assert r["name"] == "df_complex.free"
+    assert r["data_type"] == "gauge" and not r["monotonic"]
+    assert r["double_value"] == 32.5 and r["int_value"] is None
+    assert r["timestamp_ns"] == 10_500_000_000
+    assert "dsname=value" in r["labels"] and "host=web1" in r["labels"]
+
+
+def test_multi_dsname_in_name_and_bounds_guard(spark):
+    rows = _run(spark, [
+        '[{"host":"h","type":"if_octets","dsnames":["rx","tx","zz"],'
+        '"dstypes":["counter","derive"],"values":[1,2,3]}]'
+    ])
+    # zz dropped (no dstype); counter+derive both monotonic sums
+    assert [r["name"] for r in rows] == ["if_octets.rx", "if_octets.tx"]
+    assert all(r["data_type"] == "sum" and r["monotonic"] for r in rows)
+    assert all("dsname=" not in r["labels"] for r in rows)
+    assert rows[0]["int_value"] == 1
+    assert rows[0]["timestamp_ns"] == 0  # missing time -> epoch
+
+
+def test_event_record_ignored(spark):
+    assert _run(spark, [
+        '[{"time":1.0,"severity":"warn","message":"m","host":"h",'
+        '"type":"t","dsnames":["value"],"dstypes":["gauge"],'
+        '"values":[1]}]'
+    ]) == []
+
+
+def test_default_attrs_and_precedence(spark):
+    rows = _run(spark, [
+        '[{"time":1.0,"host":"server[env=prod]-1",'
+        '"plugin_instance":"eth0[env=dev,slot=2]","plugin":"net",'
+        '"type":"t","dsnames":["value"],"dstypes":["gauge"],'
+        '"values":[1]}]'
+    ], qs="sfxdim_site=us&sfxdim_empty=&other=x")
+    (r,) = rows
+    labels = dict(kv.split("=") for kv in r["labels"].split(","))
+    assert labels["site"] == "us"          # prefixed param kept
+    assert "empty" not in labels           # empty value skipped
+    assert "other" not in labels           # unprefixed skipped
+    # first bracket-extraction of a key wins (add-if-not-exists):
+    # plugin_instance's env=dev arrives after host's... order is
+    # ti -> plugin -> plugin_instance -> host, so env=dev (from
+    # plugin_instance) is set before host's env=prod is offered
+    assert labels["env"] == "dev"
+    assert labels["slot"] == "2"
+    assert labels["plugin_instance"] == "eth0"
+    assert labels["host"] == "server-1"
+    assert labels["plugin"] == "net"
