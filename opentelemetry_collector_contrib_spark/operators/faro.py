@@ -1,0 +1,538 @@
+"""Grafana Faro payload -> OTLP logs translator, Spark-first.
+
+Reference semantics (pkg/translator/faro/):
+
+* ``faro_to_logs.go:77-181`` (TranslateToLogs): one log record per
+  payload item (logs, exceptions, measurements, events -- in that
+  order), body = go-logfmt marshalling of an ORDERED key/value map:
+  the item's own keys first, then the payload meta keys appended
+  (``mergeKeyVal(i.kv, meta)``).  Record attributes carry ``kind`` and,
+  for exceptions, ``hash`` = decimal XXH3-64 of the DRAINED exception
+  value (``faro_to_logs.go:49-73``).  Resource attributes come from
+  ``Meta.App`` (service.name/version, deployment.environment, optional
+  service.namespace / app_bundle_id).  Trace/span ids are hex-decoded;
+  a bad SPAN id skips setting both ids but keeps the record
+  (``faro_to_logs.go:156-177`` -- ``continue`` fires after the record
+  was appended), a bad TRACE id keeps the span id already set.
+* ``keyval.go``: per-kind key order --
+  log:         timestamp kind level message context_* trace action
+  exception:   timestamp kind level type value stacktrace trace
+               context_* action
+  measurement: timestamp kind level type context_* <sorted raw value
+               keys, Go %f> trace value_<k> (float) action
+  event:       timestamp kind level event_name event_domain
+               event_data_* action trace        (action BEFORE trace)
+  meta order (``metaToKeyVal``): sdk app user session page browser k6
+  view geo; empty string values are dropped (``keyValAdd``) except
+  float measurement values and ``browser_mobile`` (rendered from a Go
+  bool, so always "true"/"false").
+* Timestamps use Faro's RFC3339Milli layout
+  ``2006-01-02T15:04:05.999Z07:00`` -- millisecond precision with
+  trailing zeros (and a bare dot) trimmed, e.g. ``.680`` -> ``.68``,
+  ``.000`` -> dropped (golden: testdata/actions-payload/plogs.yaml).
+* Stacktrace rendering (``keyval.go:118-136``): ``"Type: value"`` then
+  ``\\n  at <function> (<module>|<filename>:<line>:<col>)`` per frame.
+* logfmt value quoting matches go-logfmt: quote iff the value contains
+  space / ``=`` / ``"``; newline escapes to the two-char ``\\n``
+  (shared with the loki translator, loki.py).
+
+Float rendering: Go ``%f`` is ``%.6f``; go-logfmt renders float64 via
+``%v`` (shortest round-trip).  We render ``%v`` by stripping trailing
+fraction zeros from ``%.6f`` -- exact for values with <= 6 decimal
+digits and |v| < 1e15, which the engine documents as its supported
+domain (no exponent-notation values).
+
+Everything is JVM Column code except the XXH3-64 digest (exact
+pure-Python port behind an import-gated C binding, functions/xxh3.py),
+which runs as one Arrow-batched pandas UDF over the drained exception
+values only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .loki import _logfmt_value
+
+KIND_LOG = "log"
+KIND_EXCEPTION = "exception"
+KIND_MEASUREMENT = "measurement"
+KIND_EVENT = "event"
+
+_KV = "array<struct<k:string,v:string>>"
+
+
+def _s(k: str, v: Column) -> Column:
+    return F.struct(F.lit(k).alias("k"), v.cast("string").alias("v"))
+
+
+def _drop_empty(arr: Column) -> Column:
+    """keyValAdd skips empty-string values (keyval.go:59-63)."""
+    return F.filter(arr, lambda e: e["v"].isNotNull() & (e["v"] != ""))
+
+
+def _prefixed(m: Column, prefix: str) -> Column:
+    """keyValFromMap: sorted keys (keyval.go:27-33), prefix merged in
+    (keyval.go:52-56)."""
+    ents = F.array_sort(F.map_entries(F.coalesce(m, F.from_json(F.lit("{}"), "map<string,string>"))))
+    return _drop_empty(
+        F.transform(
+            ents,
+            lambda e: F.struct(
+                F.concat(F.lit(prefix), e["key"]).alias("k"),
+                e["value"].alias("v"),
+            ),
+        )
+    )
+
+
+def faro_timestamp(ts: Column) -> Column:
+    """RFC3339Milli with trailing-zero-trimmed millis (Go ``.999``)."""
+    ms = F.lpad((F.unix_millis(ts) % 1000).cast("string"), 3, "0")
+    frac = F.regexp_replace(ms, "0+$", "")
+    return F.concat(
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.when(frac == "", F.lit("")).otherwise(F.concat(F.lit("."), frac)),
+        F.lit("Z"),
+    )
+
+
+def go_float_f(v: Column) -> Column:
+    """Go ``fmt.Sprintf("%f", v)`` -- fixed 6 decimals."""
+    return F.format_string("%.6f", v)
+
+
+def go_float_v(v: Column) -> Column:
+    """Go ``%v`` of float64 for the supported domain (see module doc)."""
+    return F.regexp_replace(F.format_string("%.6f", v), r"\.?0+$", "")
+
+
+# --- exception drain + hash (faro_to_logs.go:34-73) ------------------------
+
+_DRAIN_STEPS = [
+    (r"Cannot read (property|properties) '[^']+'", "Cannot read $1 '<PROPERTY>'"),
+    (r"Cannot read (property|properties) '[^']+' of", "Cannot read $1 '<PROPERTY>' of"),
+    (r'https?://[^\s<>"{}|\\^`\[\]]+', "<URL>"),
+    (r"0x[0-9a-fA-F]+", "<ADDRESS>"),
+    (r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "<UUID>"),
+    (r"\b(id|ID|Id)\s*[:\s=]\s*\d+\b", "$1 <ID>"),
+    (r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}", "<TIMESTAMP>"),
+    (r"(?:[A-Za-z]:)?[/\\][\w\-._/\\]+\.(js|ts|jsx|tsx|css|html)\b", "<PATH>"),
+]
+
+
+def drain_exception_value(v: Column) -> Column:
+    """drainExceptionValue: the 8 regex replacements in source order."""
+    out = v
+    for pat, rep in _DRAIN_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def xxh3_64_decimal(c: Column) -> Column:
+    """strconv.FormatUint(xxh3.HashString(s), 10) -- exact (see XXH3 in
+    functions/ottl_funcs.py; same import gating)."""
+    try:
+        from xxhash import xxh3_64_intdigest as _d  # C binding
+    except ImportError:
+        from ..functions.xxh3 import xxh3_64 as _d  # exact pure-Python port
+
+    @F.pandas_udf("string")
+    def _h(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else str(_d(v.encode())))
+
+    return _h(c.cast("string"))
+
+
+# --- kv builders ------------------------------------------------------------
+
+
+def _trace_kv(item: Column) -> Column:
+    return _drop_empty(
+        F.array(_s("traceID", item["trace_id"]), _s("spanID", item["span_id"]))
+    )
+
+
+def _action_kv(item: Column) -> Column:
+    return _drop_empty(
+        F.array(
+            _s("action_id", item["action_id"]),
+            _s("action_name", item["action_name"]),
+            _s("action_parent_id", item["action_parent_id"]),
+        )
+    )
+
+
+def _stacktrace(item: Column) -> Column:
+    head = F.concat(item["type"], F.lit(": "), item["value"])
+    frames = F.coalesce(item["frames"], F.array().cast(
+        "array<struct<function:string,module:string,filename:string,lineno:bigint,colno:bigint>>"
+    ))
+    return F.concat(
+        head,
+        F.array_join(
+            F.transform(
+                frames,
+                lambda fr: F.concat(
+                    F.lit("\n  at "),
+                    F.coalesce(fr["function"], F.lit("")),
+                    F.lit(" ("),
+                    F.when(
+                        F.coalesce(fr["module"], F.lit("")) != "",
+                        F.concat(fr["module"], F.lit("|")),
+                    ).otherwise(F.lit("")),
+                    F.coalesce(fr["filename"], F.lit("")),
+                    F.lit(":"),
+                    fr["lineno"].cast("string"),
+                    F.lit(":"),
+                    fr["colno"].cast("string"),
+                    F.lit(")"),
+                ),
+            ),
+            "",
+        ),
+    )
+
+
+def _log_kv(it: Column) -> Column:
+    level = F.when(
+        F.coalesce(it["level"], F.lit("")) == "", F.lit("info")
+    ).otherwise(it["level"])
+    return F.concat(
+        _drop_empty(
+            F.array(
+                _s("timestamp", faro_timestamp(it["ts"])),
+                _s("kind", F.lit(KIND_LOG)),
+                _s("level", level),
+                _s("message", it["message"]),
+            )
+        ),
+        _prefixed(it["context"], "context_"),
+        _trace_kv(it),
+        _action_kv(it),
+    )
+
+
+def _exception_kv(it: Column) -> Column:
+    return F.concat(
+        _drop_empty(
+            F.array(
+                _s("timestamp", faro_timestamp(it["ts"])),
+                _s("kind", F.lit(KIND_EXCEPTION)),
+                _s("level", F.lit("error")),
+                _s("type", it["type"]),
+                _s("value", it["value"]),
+                _s("stacktrace", _stacktrace(it)),
+            )
+        ),
+        _trace_kv(it),
+        _prefixed(it["context"], "context_"),
+        _action_kv(it),
+    )
+
+
+def _measurement_kv(it: Column) -> Column:
+    vals = F.array_sort(
+        F.map_entries(
+            F.coalesce(it["values"], F.from_json(F.lit("{}"), "map<string,double>"))
+        )
+    )
+    raw = F.transform(
+        vals, lambda e: F.struct(e["key"].alias("k"), go_float_f(e["value"]).alias("v"))
+    )
+    prefixed = F.transform(
+        vals,
+        lambda e: F.struct(
+            F.concat(F.lit("value_"), e["key"]).alias("k"),
+            go_float_v(e["value"]).alias("v"),
+        ),
+    )
+    return F.concat(
+        _drop_empty(
+            F.array(
+                _s("timestamp", faro_timestamp(it["ts"])),
+                _s("kind", F.lit(KIND_MEASUREMENT)),
+                _s("level", F.lit("info")),
+                _s("type", it["type"]),
+            )
+        ),
+        _prefixed(it["context"], "context_"),
+        raw,
+        _trace_kv(it),
+        prefixed,
+        _action_kv(it),
+    )
+
+
+def _event_kv(it: Column) -> Column:
+    return F.concat(
+        _drop_empty(
+            F.array(
+                _s("timestamp", faro_timestamp(it["ts"])),
+                _s("kind", F.lit(KIND_EVENT)),
+                _s("level", F.lit("info")),
+                _s("event_name", it["name"]),
+                _s("event_domain", it["domain"]),
+            )
+        ),
+        _prefixed(it["attributes"], "event_data_"),
+        _action_kv(it),
+        _trace_kv(it),
+    )
+
+
+_META_FIELDS = [
+    # (kv key, payload column) in metaToKeyVal order: sdk app user
+    # session page browser(k6/view/geo after) -- browser_mobile handled
+    # separately because the Go bool always renders.
+    ("sdk_name", "sdk_name"),
+    ("sdk_version", "sdk_version"),
+    ("sdk_integrations", "sdk_integrations"),
+    ("app_name", "app_name"),
+    ("app_namespace", "app_namespace"),
+    ("app_release", "app_release"),
+    ("app_version", "app_version"),
+    ("app_environment", "app_environment"),
+    ("user_email", "user_email"),
+    ("user_id", "user_id"),
+    ("user_username", "user_username"),
+]
+_META_FIELDS_TAIL = [
+    ("session_id", "session_id"),
+]
+_META_PAGE = [("page_id", "page_id"), ("page_url", "page_url")]
+_META_BROWSER_HEAD = [
+    ("browser_name", "browser_name"),
+    ("browser_version", "browser_version"),
+    ("browser_os", "browser_os"),
+]
+_META_BROWSER_TAIL = [
+    ("browser_userAgent", "browser_user_agent"),
+    ("browser_language", "browser_language"),
+    ("browser_viewportWidth", "browser_viewport_width"),
+    ("browser_viewportHeight", "browser_viewport_height"),
+]
+_META_GEO = [
+    ("geo_continent_iso", "geo_continent_iso"),
+    ("geo_country_iso", "geo_country_iso"),
+    ("geo_subdivision_iso", "geo_subdivision_iso"),
+    ("geo_city", "geo_city"),
+    ("geo_asn_org", "geo_asn_org"),
+    ("geo_asn_id", "geo_asn_id"),
+]
+
+_OPTIONAL_META = (
+    [c for _, c in _META_FIELDS + _META_FIELDS_TAIL + _META_PAGE]
+    + [c for _, c in _META_BROWSER_HEAD + _META_BROWSER_TAIL + _META_GEO]
+    + [
+        "user_attributes",
+        "session_attributes",
+        "page_attributes",
+        "browser_mobile",
+        "browser_brands",
+        "browser_brands_string",
+        "k6_is_browser",
+        "view_name",
+        "app_bundle_id",
+    ]
+)
+
+
+def _meta_kv(df: DataFrame) -> Column:
+    cols = set(df.columns)
+
+    def col_or_empty(name: str, typ: str = "string") -> Column:
+        return F.col(name) if name in cols else F.lit(None).cast(typ)
+
+    def lits(pairs) -> list[Column]:
+        return [_s(k, col_or_empty(c)) for k, c in pairs]
+
+    brands = (
+        F.coalesce(
+            F.col("browser_brands"),
+            F.array().cast("array<struct<brand:string,version:string>>"),
+        )
+        if "browser_brands" in cols
+        else F.array().cast("array<struct<brand:string,version:string>>")
+    )
+    brand_kv = F.flatten(
+        F.transform(
+            brands,
+            lambda b, i: F.array(
+                F.struct(
+                    F.concat(F.lit("browser_brand_"), i.cast("string"), F.lit("_brand")).alias("k"),
+                    b["brand"].alias("v"),
+                ),
+                F.struct(
+                    F.concat(F.lit("browser_brand_"), i.cast("string"), F.lit("_version")).alias("k"),
+                    b["version"].alias("v"),
+                ),
+            ),
+        )
+    )
+    # AsBrandsArray wins; string form only when no array (keyval.go:283-295)
+    brands_str = _drop_empty(
+        F.when(
+            F.size(brands) > 0,
+            F.array().cast(_KV),
+        ).otherwise(F.array(_s("browser_brands", col_or_empty("browser_brands_string"))))
+    )
+    mobile = F.array(
+        _s(
+            "browser_mobile",
+            F.when(F.coalesce(col_or_empty("browser_mobile", "boolean"), F.lit(False)), "true").otherwise("false"),
+        )
+    )
+    k6 = (
+        F.when(
+            F.coalesce(col_or_empty("k6_is_browser", "boolean"), F.lit(False)),
+            F.array(_s("k6_isK6Browser", F.lit("true"))),
+        ).otherwise(F.array().cast(_KV))
+    )
+    return F.concat(
+        _drop_empty(F.array(*lits(_META_FIELDS))),
+        _prefixed(col_or_empty("user_attributes", "map<string,string>"), "user_attr_"),
+        _drop_empty(F.array(*lits(_META_FIELDS_TAIL))),
+        _prefixed(col_or_empty("session_attributes", "map<string,string>"), "session_attr_"),
+        _drop_empty(F.array(*lits(_META_PAGE))),
+        _prefixed(col_or_empty("page_attributes", "map<string,string>"), "page_attr_"),
+        _drop_empty(F.array(*lits(_META_BROWSER_HEAD))),
+        mobile,
+        _drop_empty(F.array(*lits(_META_BROWSER_TAIL))),
+        _drop_empty(brand_kv),
+        brands_str,
+        k6,
+        _drop_empty(F.array(_s("view_name", col_or_empty("view_name")))),
+        _drop_empty(F.array(*lits(_META_GEO))),
+    )
+
+
+_HEX = r"^([0-9a-fA-F]{2})+$"
+
+
+def payload_to_logs(df: DataFrame) -> DataFrame:
+    """TranslateToLogs over a payload DataFrame.
+
+    Expected columns: ``payload_id`` plus any of the meta columns (see
+    ``_OPTIONAL_META``) and the item arrays ``logs`` / ``exceptions`` /
+    ``measurements`` / ``events`` (each nullable; element schemas in
+    the module doc).  Returns one row per item with the logfmt
+    ``body``, ``kind``/``hash`` attributes, decoded ``trace_id`` /
+    ``span_id`` hex (zero-padded to 32/16 chars like the [16]byte /
+    [8]byte copy), and the Meta.App resource attributes.  Map-only.
+    """
+    cols = set(df.columns)
+
+    def arr(name: str, schema: str) -> Column:
+        c = F.col(name) if name in cols else F.lit(None)
+        return F.coalesce(c.cast(schema), F.array().cast(schema))
+
+    logs = arr(
+        "logs",
+        "array<struct<ts:timestamp,level:string,message:string,"
+        "context:map<string,string>,trace_id:string,span_id:string,"
+        "action_id:string,action_name:string,action_parent_id:string>>",
+    )
+    excs = arr(
+        "exceptions",
+        "array<struct<ts:timestamp,type:string,value:string,"
+        "frames:array<struct<function:string,module:string,filename:string,"
+        "lineno:bigint,colno:bigint>>,"
+        "context:map<string,string>,trace_id:string,span_id:string,"
+        "action_id:string,action_name:string,action_parent_id:string>>",
+    )
+    meas = arr(
+        "measurements",
+        "array<struct<ts:timestamp,type:string,values:map<string,double>,"
+        "context:map<string,string>,trace_id:string,span_id:string,"
+        "action_id:string,action_name:string,action_parent_id:string>>",
+    )
+    evs = arr(
+        "events",
+        "array<struct<ts:timestamp,name:string,domain:string,"
+        "attributes:map<string,string>,trace_id:string,span_id:string,"
+        "action_id:string,action_name:string,action_parent_id:string>>",
+    )
+
+    item_schema = (
+        "array<struct<kind:string,kv:array<struct<k:string,v:string>>,"
+        "exc_value:string,trace_id:string,span_id:string>>"
+    )
+
+    def pack(kind: str, kv_fn, a: Column, exc_value=None) -> Column:
+        return F.transform(
+            a,
+            lambda it: F.struct(
+                F.lit(kind).alias("kind"),
+                kv_fn(it).alias("kv"),
+                (exc_value(it) if exc_value else F.lit(None).cast("string")).alias("exc_value"),
+                it["trace_id"].alias("trace_id"),
+                it["span_id"].alias("span_id"),
+            ),
+        ).cast(item_schema)
+
+    items = F.concat(
+        pack(KIND_LOG, _log_kv, logs),
+        pack(KIND_EXCEPTION, _exception_kv, excs, lambda it: it["value"]),
+        pack(KIND_MEASUREMENT, _measurement_kv, meas),
+        pack(KIND_EVENT, _event_kv, evs),
+    )
+
+    meta = _meta_kv(df)
+
+    def res_attr(name: str) -> Column:
+        c = F.col(name) if name in cols else F.lit(None).cast("string")
+        return F.when(F.coalesce(c, F.lit("")) != "", c)
+
+    base = df.select(
+        "payload_id",
+        F.col("app_name").alias("service_name"),
+        F.col("app_version").alias("service_version"),
+        F.col("app_environment").alias("deployment_environment"),
+        res_attr("app_namespace").alias("service_namespace"),
+        res_attr("app_bundle_id").alias("app_bundle_id"),
+        meta.alias("_meta"),
+        F.posexplode(items).alias("item_idx", "it"),
+    )
+
+    it = F.col("it")
+    full_kv = F.concat(it["kv"], F.col("_meta"))
+    body = F.array_join(
+        F.transform(full_kv, lambda e: F.concat(e["k"], F.lit("="), _logfmt_value(e["v"]))),
+        " ",
+    )
+
+    span_raw = F.coalesce(it["span_id"], F.lit(""))
+    trace_raw = F.coalesce(it["trace_id"], F.lit(""))
+    span_ok = span_raw.rlike(_HEX)
+    trace_ok = trace_raw.rlike(_HEX)
+    # span decode error -> continue: NEITHER id set; trace error only
+    # drops the trace id (faro_to_logs.go:156-177).
+    span_out = F.when((span_raw != "") & span_ok, F.rpad(F.lower(span_raw), 16, "0"))
+    dead = (span_raw != "") & ~span_ok
+    trace_out = F.when(
+        ~dead & (trace_raw != "") & trace_ok, F.rpad(F.lower(trace_raw), 32, "0")
+    )
+    span_out = F.when(dead, F.lit(None).cast("string")).otherwise(span_out)
+
+    drained = drain_exception_value(it["exc_value"])
+    hash_col = F.when(
+        it["kind"] == KIND_EXCEPTION, xxh3_64_decimal(drained)
+    ).otherwise(F.lit(None).cast("string"))
+
+    return base.select(
+        "payload_id",
+        "item_idx",
+        it["kind"].alias("kind"),
+        body.alias("body"),
+        hash_col.alias("hash"),
+        trace_out.alias("trace_id"),
+        span_out.alias("span_id"),
+        "service_name",
+        "service_version",
+        "deployment_environment",
+        "service_namespace",
+        "app_bundle_id",
+    )

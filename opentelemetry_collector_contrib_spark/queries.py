@@ -59,6 +59,8 @@ _PRIORITY_NAMES: list[str] = [
     "prw_number_series_events",       # round 3: remote-write samples
     "prw_histogram_series_events",    # round 3: remote-write histogram
     "jaeger_spans_events",            # round 3: jaeger proto translator
+    "faro_logs_events",               # round 3: faro payload translator
+    "faro_exception_groups",          # round 3: drained-exception grouping
 ]
 
 
@@ -5941,3 +5943,318 @@ FROM u ORDER BY event_id, rec_idx, ds_idx
 
 _QUERIES["collectd_metrics_events"] = q_collectd
 _ORACLES["collectd_metrics_events"] = _COLLECTD_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Faro translator (pkg/translator/faro/faro_to_logs.go): payload
+# (logs/exceptions/measurements/events + meta) -> OTLP log records with
+# ordered-keyval logfmt bodies, drained-exception XXH3-64 hash
+# attribute, Meta.App resource attributes, and hex trace/span decode
+# with the reference's skip-on-bad-span semantics. Synthetic payloads
+# from ``events``; the oracle renders the identical logfmt lines
+# relationally and pins the drain+hash chain to decimal constants
+# precomputed with the same exact XXH3 port the Spark side runs.
+# ---------------------------------------------------------------------------
+
+
+def _faro_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    id_, uid = F.col("event_id"), F.col("user_id")
+
+    def s(c):
+        return c.cast("string")
+
+    h = F.md5(s(id_))
+    span16 = F.substring(h, 1, 16)
+    # one payload in 97 carries an undecodable span id (odd length /
+    # non-hex) to exercise faro_to_logs.go:156-163's continue path
+    span_raw = F.when(id_ % 97 == 13, F.lit("zz")).otherwise(span16)
+    kind = id_ % 4
+    m7 = id_ % 7
+
+    act_none = [
+        F.lit("").alias("action_id"),
+        F.lit("").alias("action_name"),
+        F.lit("").alias("action_parent_id"),
+    ]
+
+    log_struct = F.struct(
+        F.col("ts").alias("ts"),
+        F.element_at(
+            F.array(F.lit(""), F.lit("warn"), F.lit("error"),
+                    F.lit("debug"), F.lit("trace")),
+            (id_ % 5 + 1).cast("int"),
+        ).alias("level"),
+        F.concat(F.lit("loaded "), F.col("event_type"), F.lit(" #"),
+                 s(id_ % 100)).alias("message"),
+        F.create_map(F.lit("component"),
+                     F.concat(F.lit("App"), s(id_ % 3))).alias("context"),
+        h.alias("trace_id"), span_raw.alias("span_id"), *act_none,
+    )
+
+    evalue = (
+        F.when(m7 == 0, F.concat(F.lit("Cannot read property 'x"),
+                                 s(id_ % 9), F.lit("' of undefined")))
+        .when(m7 == 1, F.concat(
+            F.lit("failed to fetch https://api.example.com/v"),
+            s(id_ % 9), F.lit("/items after retry")))
+        .when(m7 == 2, F.concat(F.lit("crash at 0x"),
+                                F.substring(h, 1, 6), F.lit(" in worker")))
+        .when(m7 == 3, F.concat(
+            F.lit("session "), F.substring(h, 1, 8), F.lit("-"),
+            F.substring(h, 9, 4), F.lit("-"), F.substring(h, 13, 4),
+            F.lit("-"), F.substring(h, 17, 4), F.lit("-"),
+            F.substring(h, 21, 12), F.lit(" expired")))
+        .when(m7 == 4, F.concat(F.lit("user id: "), s(id_),
+                                F.lit(" missing")))
+        .when(m7 == 5, F.lit("failed at 2024-01-02T10:20:30 boom"))
+        .otherwise(F.concat(F.lit("error in /static/js/app"), s(id_ % 5),
+                            F.lit(".js load")))
+    )
+    exc_struct = F.struct(
+        F.col("ts").alias("ts"),
+        F.element_at(
+            F.array(F.lit("TypeError"), F.lit("Error"), F.lit("RangeError")),
+            (id_ % 3 + 1).cast("int"),
+        ).alias("type"),
+        evalue.alias("value"),
+        F.array(
+            F.struct(
+                F.lit("renderApp").alias("function"),
+                F.lit("").alias("module"),
+                F.lit("/static/js/main.js").alias("filename"),
+                (id_ % 900 + 1).alias("lineno"),
+                (id_ % 80 + 1).alias("colno"),
+            ),
+            F.struct(
+                F.lit("dispatch").alias("function"),
+                F.concat(F.lit("mod"), s(id_ % 2)).alias("module"),
+                F.lit("/static/js/vendor.js").alias("filename"),
+                F.lit(42).cast("bigint").alias("lineno"),
+                F.lit(7).cast("bigint").alias("colno"),
+            ),
+        ).alias("frames"),
+        F.create_map(F.lit("component"),
+                     F.concat(F.lit("Widget"), s(id_ % 2))).alias("context"),
+        h.alias("trace_id"), span_raw.alias("span_id"), *act_none,
+    )
+
+    meas_struct = F.struct(
+        F.col("ts").alias("ts"),
+        F.lit("web-vitals").alias("type"),
+        F.create_map(
+            F.lit("cls"), (id_ % 7) * 0.5,
+            F.lit("fcp"), (id_ % 5) + 0.25 * (id_ % 2),
+        ).alias("values"),
+        F.create_map(F.lit("stage"),
+                     F.concat(F.lit("m"), s(id_ % 2))).alias("context"),
+        h.alias("trace_id"), span_raw.alias("span_id"), *act_none,
+    )
+
+    event_struct = F.struct(
+        F.col("ts").alias("ts"),
+        F.concat(F.lit("click_"), F.col("event_type")).alias("name"),
+        F.lit("browser").alias("domain"),
+        F.create_map(F.lit("target"),
+                     F.concat(F.lit("btn-"), s(id_ % 4))).alias("attributes"),
+        h.alias("trace_id"), span_raw.alias("span_id"),
+        F.concat(F.lit("a"), s(id_ % 10)).alias("action_id"),
+        F.concat(F.lit("nav-"), s(id_ % 3)).alias("action_name"),
+        F.lit("").alias("action_parent_id"),
+    )
+
+    return ev.select(
+        id_.alias("payload_id"),
+        F.lit("web-app").alias("app_name"),
+        F.concat(F.lit("2."), s(uid % 3)).alias("app_version"),
+        F.element_at(F.array(F.lit("production"), F.lit("staging")),
+                     (uid % 2 + 1).cast("int")).alias("app_environment"),
+        F.when(id_ % 2 == 0, "prod").otherwise("").alias("app_namespace"),
+        F.concat(F.lit("r"), s(id_ % 5)).alias("app_release"),
+        F.when(id_ % 3 == 0, F.concat(F.lit("bnd."), s(uid % 2)))
+        .otherwise("").alias("app_bundle_id"),
+        F.lit("faro-web-sdk").alias("sdk_name"),
+        F.concat(F.lit("1."), s(id_ % 7)).alias("sdk_version"),
+        F.concat(F.lit("u"), s(uid), F.lit("@example.com")).alias("user_email"),
+        s(uid).alias("user_id"),
+        F.concat(F.lit("user"), s(uid)).alias("user_username"),
+        F.concat(F.lit("s-"), s(id_ % 50)).alias("session_id"),
+        F.concat(F.lit("https://site.example/p/"), s(id_ % 20)).alias("page_url"),
+        F.element_at(F.array(F.lit("chromium"), F.lit("firefox"),
+                             F.lit("safari")),
+                     (uid % 3 + 1).cast("int")).alias("browser_name"),
+        F.concat(F.lit("120."), s(id_ % 4)).alias("browser_version"),
+        F.element_at(F.array(F.lit("linux"), F.lit("macos")),
+                     (id_ % 2 + 1).cast("int")).alias("browser_os"),
+        (id_ % 2 == 1).alias("browser_mobile"),
+        F.lit("default").alias("view_name"),
+        F.when(kind == 0, F.array(log_struct)).alias("logs"),
+        F.when(kind == 1, F.array(exc_struct)).alias("exceptions"),
+        F.when(kind == 2, F.array(meas_struct)).alias("measurements"),
+        F.when(kind == 3, F.array(event_struct)).alias("events"),
+    )
+
+
+def q_faro_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.faro import payload_to_logs
+
+    return payload_to_logs(_faro_payloads(spark, sf_dir)).orderBy("payload_id")
+
+
+def q_faro_exception_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.faro import payload_to_logs
+
+    out = payload_to_logs(_faro_payloads(spark, sf_dir))
+    return (
+        out.filter(F.col("kind") == "exception")
+        .groupBy("hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_exceptions"),
+            F.min("payload_id").alias("first_payload"),
+        )
+        .orderBy("hash")
+    )
+
+
+def _faro_drained_hashes() -> list[str]:
+    """Decimal XXH3-64 of the 7 drained exception templates, computed
+    with the same import-gated implementation the Spark UDF uses."""
+    try:
+        from xxhash import xxh3_64_intdigest as d  # C binding
+    except ImportError:
+        from .functions.xxh3 import xxh3_64 as d
+    drained = [
+        "Cannot read property '<PROPERTY>' of undefined",
+        "failed to fetch <URL> after retry",
+        "crash at <ADDRESS> in worker",
+        "session <UUID> expired",
+        "user id <ID> missing",
+        "failed at <TIMESTAMP> boom",
+        "error in <PATH> load",
+    ]
+    return [str(d(x.encode())) for x in drained]
+
+
+_FH = _faro_drained_hashes()
+
+_FARO_CORE = rf"""
+WITH f AS (
+  SELECT event_id AS id, user_id AS uid, event_type AS ty, ts,
+         md5(CAST(event_id AS VARCHAR)) AS h,
+         CAST(event_id % 4 AS INT) AS k,
+         CAST(event_id % 7 AS INT) AS m7
+  FROM events),
+g AS (
+  SELECT *,
+    CASE WHEN id % 97 = 13 THEN 'zz' ELSE substr(h, 1, 16) END AS spraw,
+    strftime(ts, '%Y-%m-%dT%H:%M:%S')
+      || CASE WHEN rtrim(lpad(CAST(epoch_ms(ts) % 1000 AS VARCHAR), 3,
+                              '0'), '0') = ''
+         THEN '' ELSE '.' || rtrim(lpad(CAST(epoch_ms(ts) % 1000
+                                             AS VARCHAR), 3, '0'), '0')
+         END
+      || 'Z' AS fts,
+    (['TypeError','Error','RangeError'])[CAST(id % 3 AS INT) + 1] AS etype,
+    CASE m7
+      WHEN 0 THEN 'Cannot read property ''x' || (id % 9)
+        || ''' of undefined'
+      WHEN 1 THEN 'failed to fetch https://api.example.com/v'
+        || (id % 9) || '/items after retry'
+      WHEN 2 THEN 'crash at 0x' || substr(h, 1, 6) || ' in worker'
+      WHEN 3 THEN 'session ' || substr(h, 1, 8) || '-' || substr(h, 9, 4)
+        || '-' || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-'
+        || substr(h, 21, 12) || ' expired'
+      WHEN 4 THEN 'user id: ' || id || ' missing'
+      WHEN 5 THEN 'failed at 2024-01-02T10:20:30 boom'
+      ELSE 'error in /static/js/app' || (id % 5) || '.js load'
+    END AS evalue,
+    (id % 7) * 0.5 AS cls,
+    (id % 5) + 0.25 * (id % 2) AS fcp
+  FROM f),
+meta AS (
+  SELECT *,
+    'sdk_name=faro-web-sdk sdk_version=1.' || (id % 7)
+      || ' app_name=web-app'
+      || CASE WHEN id % 2 = 0 THEN ' app_namespace=prod' ELSE '' END
+      || ' app_release=r' || (id % 5)
+      || ' app_version=2.' || (uid % 3)
+      || ' app_environment='
+      || CASE WHEN uid % 2 = 0 THEN 'production' ELSE 'staging' END
+      || ' user_email=u' || uid || '@example.com'
+      || ' user_id=' || uid
+      || ' user_username=user' || uid
+      || ' session_id=s-' || (id % 50)
+      || ' page_url=https://site.example/p/' || (id % 20)
+      || ' browser_name='
+      || (['chromium','firefox','safari'])[CAST(uid % 3 AS INT) + 1]
+      || ' browser_version=120.' || (id % 4)
+      || ' browser_os=' || CASE WHEN id % 2 = 0 THEN 'linux'
+                                ELSE 'macos' END
+      || ' browser_mobile=' || CASE WHEN id % 2 = 1 THEN 'true'
+                                    ELSE 'false' END
+      || ' view_name=default' AS mstr
+  FROM g),
+body AS (
+  SELECT *,
+    CASE k
+      WHEN 0 THEN 'timestamp=' || fts || ' kind=log level='
+        || (['info','warn','error','debug','trace'])[CAST(id % 5 AS INT) + 1]
+        || ' message="loaded ' || ty || ' #' || (id % 100) || '"'
+        || ' context_component=App' || (id % 3)
+        || ' traceID=' || h || ' spanID=' || spraw
+      WHEN 1 THEN 'timestamp=' || fts
+        || ' kind=exception level=error type=' || etype
+        || ' value="' || evalue || '"'
+        || ' stacktrace="' || etype || ': ' || evalue
+        || '\n  at renderApp (/static/js/main.js:' || (id % 900 + 1)
+        || ':' || (id % 80 + 1) || ')'
+        || '\n  at dispatch (mod' || (id % 2)
+        || '|/static/js/vendor.js:42:7)"'
+        || ' traceID=' || h || ' spanID=' || spraw
+        || ' context_component=Widget' || (id % 2)
+      WHEN 2 THEN 'timestamp=' || fts
+        || ' kind=measurement level=info type=web-vitals'
+        || ' context_stage=m' || (id % 2)
+        || ' cls=' || printf('%.6f', cls)
+        || ' fcp=' || printf('%.6f', fcp)
+        || ' traceID=' || h || ' spanID=' || spraw
+        || ' value_cls=' || regexp_replace(printf('%.6f', cls),
+                                           '\.?0+$', '')
+        || ' value_fcp=' || regexp_replace(printf('%.6f', fcp),
+                                           '\.?0+$', '')
+      ELSE 'timestamp=' || fts
+        || ' kind=event level=info event_name=click_' || ty
+        || ' event_domain=browser event_data_target=btn-' || (id % 4)
+        || ' action_id=a' || (id % 10) || ' action_name=nav-' || (id % 3)
+        || ' traceID=' || h || ' spanID=' || spraw
+    END || ' ' || mstr AS body,
+    CASE WHEN k = 1 THEN
+      CASE m7 WHEN 0 THEN '{_FH[0]}' WHEN 1 THEN '{_FH[1]}'
+              WHEN 2 THEN '{_FH[2]}' WHEN 3 THEN '{_FH[3]}'
+              WHEN 4 THEN '{_FH[4]}' WHEN 5 THEN '{_FH[5]}'
+              ELSE '{_FH[6]}' END
+    END AS hash
+  FROM meta)
+"""
+
+_QUERIES["faro_logs_events"] = q_faro_logs
+_ORACLES["faro_logs_events"] = _FARO_CORE + r"""
+SELECT id AS payload_id, 0 AS item_idx,
+  (['log','exception','measurement','event'])[k + 1] AS kind,
+  body, hash,
+  CASE WHEN id % 97 = 13 THEN NULL ELSE h END AS trace_id,
+  CASE WHEN id % 97 = 13 THEN NULL ELSE substr(h, 1, 16) END AS span_id,
+  'web-app' AS service_name,
+  '2.' || (uid % 3) AS service_version,
+  CASE WHEN uid % 2 = 0 THEN 'production' ELSE 'staging' END
+    AS deployment_environment,
+  CASE WHEN id % 2 = 0 THEN 'prod' END AS service_namespace,
+  CASE WHEN id % 3 = 0 THEN 'bnd.' || (uid % 2) END AS app_bundle_id
+FROM body ORDER BY payload_id
+"""
+
+_QUERIES["faro_exception_groups"] = q_faro_exception_groups
+_ORACLES["faro_exception_groups"] = _FARO_CORE + r"""
+SELECT hash, COUNT(*) AS n_exceptions, MIN(id) AS first_payload
+FROM body WHERE k = 1 GROUP BY hash ORDER BY hash
+"""

@@ -1,0 +1,264 @@
+"""Faro translator semantics pinned against the reference.
+
+Vectors come from pkg/translator/faro: the drainExceptionValue test
+table (faro_to_logs_test.go:134-240) and the actions-payload golden
+body (testdata/actions-payload/plogs.yaml).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.faro import (
+    drain_exception_value,
+    faro_timestamp,
+    payload_to_logs,
+)
+
+DRAIN_VECTORS = [
+    ("Cannot read property 'find' of undefined",
+     "Cannot read property '<PROPERTY>' of undefined"),
+    ("Cannot read property 'data' of undefined",
+     "Cannot read property '<PROPERTY>' of undefined"),
+    ("Cannot read property 'name' of null",
+     "Cannot read property '<PROPERTY>' of null"),
+    ("Cannot read properties 'length' of undefined",
+     "Cannot read properties '<PROPERTY>' of undefined"),
+    ("Error at Object.0x1a2b3c4d in function",
+     "Error at Object.<ADDRESS> in function"),
+    ("Stack trace: 0xabc123 -> 0xdef456",
+     "Stack trace: <ADDRESS> -> <ADDRESS>"),
+    ("User 123e4567-e89b-12d3-a456-426614174000 not found",
+     "User <UUID> not found"),
+    ("Request failed for user id: 12345",
+     "Request failed for user id <ID>"),
+    ("Entity ID = 98765 does not exist",
+     "Entity ID <ID> does not exist"),
+    ("Event occurred at 2023-11-16T10:00:55",
+     "Event occurred at <TIMESTAMP>"),
+    ("Failed to load script from http://example.com/static/js/app.js",
+     "Failed to load script from <URL>"),
+    ("Request failed to https://api.example.com/users/123",
+     "Request failed to <URL>"),
+    ("Redirect from http://old.example.com to https://new.example.com "
+     "failed",
+     "Redirect from <URL> to <URL> failed"),
+    ("Error in /static/js/main.chunk.js at line 42",
+     "Error in <PATH> at line 42"),
+    ("Failed to load C:\\Users\\test\\app.js",
+     "Failed to load <PATH>"),
+    ("Error loading https://cdn.example.com/assets/main.js from server",
+     "Error loading <URL> from server"),
+    ("Response not ok. Status code: 500. Status text: ''. Url: "
+     "https://api.example.com/products?currencyCode=USD&productIds="
+     "1YMWWN1N4O&sessionId=6d8e094c-a708-4ef4-bf22-526d563ba5b6",
+     "Response not ok. Status code: 500. Status text: ''. Url: <URL>"),
+    ("Cannot read property 'data' of undefined at "
+     "/app/src/components/UserList.jsx:123 for user ID: 54321",
+     "Cannot read property '<PROPERTY>' of undefined at <PATH>:123 "
+     "for user ID <ID>"),
+    ("Generic error occurred", "Generic error occurred"),
+    ("", ""),
+]
+
+
+def test_drain_exception_value_vectors(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(DRAIN_VECTORS)], ["i", "v"]
+    )
+    rows = (
+        df.select("i", drain_exception_value(F.col("v")).alias("d"))
+        .orderBy("i")
+        .collect()
+    )
+    for row, (inp, want) in zip(rows, DRAIN_VECTORS):
+        assert row["d"] == want, f"drain({inp!r}) = {row['d']!r}"
+
+
+def test_faro_timestamp_millis_trimming(spark):
+    cases = [
+        (dt.datetime(2021, 9, 30, 10, 46, 17, 680000),
+         "2021-09-30T10:46:17.68Z"),
+        (dt.datetime(2021, 9, 30, 10, 46, 17, 0),
+         "2021-09-30T10:46:17Z"),
+        (dt.datetime(2021, 9, 30, 10, 46, 17, 80000),
+         "2021-09-30T10:46:17.08Z"),
+        (dt.datetime(2021, 9, 30, 10, 46, 17, 778549),
+         "2021-09-30T10:46:17.778Z"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)],
+                               ["i", "ts"])
+    rows = df.select("i", faro_timestamp(F.col("ts")).alias("f")) \
+             .orderBy("i").collect()
+    for row, (_, want) in zip(rows, cases):
+        assert row["f"] == want
+
+
+_ACTIONS_GOLDEN = (
+    "timestamp=2021-09-30T10:46:17.68Z kind=exception level=error "
+    "type=Error value=\"Exception related to user action\" "
+    "stacktrace=\"Error: Exception related to user action\\n  at ? "
+    "(http://fe:3002/static/js/vendors~main.chunk.js:8639:42)\" "
+    "traceID=46d38efbe623342af29992782992000a spanID=562474ddde25561b "
+    "action_name=click-checkout action_parent_id=123 "
+    "sdk_name=grafana-frontend-agent sdk_version=1.3.5 "
+    "app_name=testapp app_namespace=testnamespace app_release=0.8.2 "
+    "app_version=abcdefg app_environment=production "
+    "user_email=geralt@kaermorhen.org user_id=123 user_username=testuser "
+    "user_attr_foo=bar session_id=abcd session_attr_time_elapsed=100s "
+    "page_url=https://example.com/page browser_name=chrome "
+    "browser_version=88.12.1 browser_os=linux browser_mobile=false "
+    "view_name=foobar"
+)
+
+
+def _actions_payload(spark):
+    ts = dt.datetime(2021, 9, 30, 10, 46, 17, 680000)
+    row = {
+        "payload_id": 1,
+        "app_name": "testapp",
+        "app_namespace": "testnamespace",
+        "app_release": "0.8.2",
+        "app_version": "abcdefg",
+        "app_environment": "production",
+        "sdk_name": "grafana-frontend-agent",
+        "sdk_version": "1.3.5",
+        "user_email": "geralt@kaermorhen.org",
+        "user_id": "123",
+        "user_username": "testuser",
+        "user_attributes": {"foo": "bar"},
+        "session_id": "abcd",
+        "session_attributes": {"time_elapsed": "100s"},
+        "page_url": "https://example.com/page",
+        "browser_name": "chrome",
+        "browser_version": "88.12.1",
+        "browser_os": "linux",
+        "browser_mobile": False,
+        "view_name": "foobar",
+        "exceptions": [
+            {
+                "ts": ts,
+                "type": "Error",
+                "value": "Exception related to user action",
+                "frames": [
+                    {
+                        "function": "?",
+                        "module": "",
+                        "filename":
+                            "http://fe:3002/static/js/vendors~main.chunk.js",
+                        "lineno": 8639,
+                        "colno": 42,
+                    }
+                ],
+                "context": {},
+                "trace_id": "46d38efbe623342af29992782992000a",
+                "span_id": "562474ddde25561b",
+                "action_id": "",
+                "action_name": "click-checkout",
+                "action_parent_id": "123",
+            }
+        ],
+    }
+    schema = (
+        "payload_id bigint, app_name string, app_namespace string, "
+        "app_release string, app_version string, app_environment string, "
+        "sdk_name string, sdk_version string, user_email string, "
+        "user_id string, user_username string, "
+        "user_attributes map<string,string>, session_id string, "
+        "session_attributes map<string,string>, page_url string, "
+        "browser_name string, browser_version string, browser_os string, "
+        "browser_mobile boolean, view_name string, "
+        "exceptions array<struct<ts:timestamp,type:string,value:string,"
+        "frames:array<struct<function:string,module:string,"
+        "filename:string,lineno:bigint,colno:bigint>>,"
+        "context:map<string,string>,trace_id:string,span_id:string,"
+        "action_id:string,action_name:string,action_parent_id:string>>"
+    )
+    return spark.createDataFrame([row], schema)
+
+
+def test_actions_payload_golden_body(spark):
+    out = payload_to_logs(_actions_payload(spark)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["body"] == _ACTIONS_GOLDEN
+    assert r["kind"] == "exception"
+    assert r["trace_id"] == "46d38efbe623342af29992782992000a"
+    assert r["span_id"] == "562474ddde25561b"
+    assert r["service_name"] == "testapp"
+    assert r["service_namespace"] == "testnamespace"
+    assert r["app_bundle_id"] is None
+    # hash attribute: decimal XXH3-64 of the drained value
+    from opentelemetry_collector_contrib_spark.functions.xxh3 import xxh3_64
+    assert r["hash"] == str(xxh3_64(b"Exception related to user action"))
+
+
+def test_bad_span_id_skips_both_ids_but_keeps_record(spark):
+    df = _actions_payload(spark)
+    bad = df.withColumn(
+        "exceptions",
+        F.transform(
+            "exceptions",
+            lambda e: e.withField("span_id", F.lit("zzz")),
+        ),
+    )
+    r = payload_to_logs(bad).collect()[0]
+    assert r["span_id"] is None
+    assert r["trace_id"] is None  # continue skips the trace decode too
+    assert "spanID=zzz" in r["body"]  # the keyval body keeps the raw id
+
+    # a bad TRACE id keeps the already-set span id
+    bad2 = df.withColumn(
+        "exceptions",
+        F.transform(
+            "exceptions",
+            lambda e: e.withField("trace_id", F.lit("nothex!")),
+        ),
+    )
+    r2 = payload_to_logs(bad2).collect()[0]
+    assert r2["span_id"] == "562474ddde25561b"
+    assert r2["trace_id"] is None
+
+
+def test_brands_array_k6_geo_rendering(spark):
+    ts = dt.datetime(2021, 9, 30, 10, 46, 17, 680000)
+    schema = (
+        "payload_id bigint, app_name string, app_version string, "
+        "app_environment string, browser_brands "
+        "array<struct<brand:string,version:string>>, "
+        "k6_is_browser boolean, geo_country_iso string, "
+        "logs array<struct<ts:timestamp,level:string,message:string,"
+        "context:map<string,string>,trace_id:string,span_id:string,"
+        "action_id:string,action_name:string,action_parent_id:string>>"
+    )
+    row = {
+        "payload_id": 1,
+        "app_name": "a",
+        "app_version": "1",
+        "app_environment": "e",
+        "browser_brands": [
+            {"brand": "Chromium", "version": "90"},
+            {"brand": "Brave", "version": "1.2"},
+        ],
+        "k6_is_browser": True,
+        "geo_country_iso": "NO",
+        "logs": [
+            {
+                "ts": ts, "level": "", "message": "m", "context": {},
+                "trace_id": "", "span_id": "", "action_id": "",
+                "action_name": "", "action_parent_id": "",
+            }
+        ],
+    }
+    r = payload_to_logs(spark.createDataFrame([row], schema)).collect()[0]
+    # level defaults to info; brands indexed; k6 flag; geo after view
+    assert r["body"] == (
+        "timestamp=2021-09-30T10:46:17.68Z kind=log level=info message=m "
+        "app_name=a app_version=1 app_environment=e "
+        "browser_mobile=false "
+        "browser_brand_0_brand=Chromium browser_brand_0_version=90 "
+        "browser_brand_1_brand=Brave browser_brand_1_version=1.2 "
+        "k6_isK6Browser=true geo_country_iso=NO"
+    )
