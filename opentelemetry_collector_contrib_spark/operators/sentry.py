@@ -1,0 +1,301 @@
+"""Sentry exporter semantics (the fork's own exporter/sentryexporter):
+project routing by resource attribute and the relay rate-limit
+header algebra, re-expressed as pure Column batteries.
+
+Columnar model: one input row = one resource batch (routing) or one
+HTTP response (rate limits); both translators are map-only, and the
+cross-response merge is ONE combinable max-aggregate on (dsn,
+category) -- scale-safe at any fan-in.
+
+Semantics reproduced:
+
+* project routing (exporter/sentryexporter/sentry_exporter.go:715-743,
+  494-537, config.go:19-22,46-54): slug = resource attribute value for
+  ``project_from_attribute`` (default ``service.name``); missing /
+  non-string / empty values DROP the resource (the exporter counts the
+  dropped records and warns); a hit in
+  ``attribute_to_project_mapping`` overrides the raw value; platform
+  is always ``"other"`` (extractPlatform); grouping key is
+  (slug, platform).
+* slug validity (config.go:55-61 mirroring getsentry/sentry
+  utils/slug.py): ``^[a-z0-9_-]{1,50}$`` and not entirely numeric --
+  config-time validation for mapped slugs, exposed here as a
+  data-quality column for attribute-derived slugs headed to
+  CreateProject.
+* X-Sentry-Rate-Limits parsing (internal/ratelimit/rate_limits.go:
+  27-60): comma-split entries, trimmed, empty skipped; per entry the
+  FIRST colon field is the retry-after (float seconds; unparseable ->
+  entry skipped; negative/NaN clamped to 0; fractional rounded UP;
+  int64-Duration-overflowing values incl. +Inf -> 0 per relay) and
+  the SECOND colon field only (components[1], not the tail) is the
+  ``;``-separated category list, lower-trimmed, unknown categories
+  ignored; known categories are ``""`` (all), ``transaction``,
+  ``log_item`` (category.go:20-34); furthest-future deadline wins per
+  category within one header.
+* Retry-After fallback (internal/ratelimit/retry_after.go,
+  map.go:56-66): used only when the X-Sentry-Rate-Limits header is
+  empty AND the status is 429; non-negative integer seconds, else
+  RFC1123 date, else now + 60s default; always bound to the ALL
+  category.
+* Map.Deadline / Merge (internal/ratelimit/map.go:28-48): effective
+  deadline for a category is max(category, all); merging maps keeps
+  the furthest-future deadline per category.
+* X-Sentry-Rate-Limit-Reset (ratelimit.go:100-109): epoch-seconds
+  integer -> max(reset - now, 0), unparseable -> 60s default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .colutil import let
+
+#: DefaultAttributeForProject (config.go:21)
+DEFAULT_PROJECT_ATTRIBUTE = "service.name"
+
+#: knownCategories (internal/ratelimit/category.go:29-34); "" = all.
+KNOWN_CATEGORIES = ("", "transaction", "log_item")
+
+#: DefaultRetryAfter (internal/ratelimit/retry_after.go:12)
+DEFAULT_RETRY_AFTER_S = 60
+
+_SLUG_RE = "^[a-z0-9_-]{1,50}$"
+_NUMERIC_RE = "^[0-9]+$"
+
+_PAIRS = "array<struct<category:string,deadline_s:bigint>>"
+
+
+def is_valid_project_slug(slug: Column) -> Column:
+    """Sentry slug validation (config.go:55-61): charset/length regexp
+    AND not entirely numeric."""
+    return slug.rlike(_SLUG_RE) & ~slug.rlike(_NUMERIC_RE)
+
+
+def project_slug(attr_value: Column, mapping: dict[str, str] | None = None) -> Column:
+    """extractProjectSlug (sentry_exporter.go:715-737) over the routing
+    attribute's string value (NULL when absent or non-string): empty or
+    NULL -> NULL (the caller drops and counts); a mapping hit overrides
+    the raw value."""
+    raw = F.when(attr_value == "", F.lit(None)).otherwise(attr_value)
+    if not mapping:
+        return raw
+    items: list[Column] = []
+    for k, v in mapping.items():
+        items.append(F.lit(k))
+        items.append(F.lit(v))
+    return let(raw, lambda r: F.coalesce(F.element_at(F.create_map(*items), r), r))
+
+
+def sentry_project_route(
+    df: DataFrame,
+    attrs_col: str = "attrs",
+    attribute_key: str = DEFAULT_PROJECT_ATTRIBUTE,
+    mapping: dict[str, str] | None = None,
+) -> DataFrame:
+    """routeLogsByProject / routeTracesByProject
+    (sentry_exporter.go:164-208, 494-537): adds
+
+    * ``project_slug`` -- NULL means the resource is dropped,
+    * ``platform`` -- constant "other" for routed rows
+      (extractPlatform, sentry_exporter.go:739-743),
+    * ``slug_valid`` -- Sentry slug validity of the routed slug.
+
+    ``attrs_col`` is a map<string,string> resource-attribute column;
+    the pdata non-string type gate happens upstream of this model.
+    """
+    slug = project_slug(F.col(attrs_col).getItem(attribute_key), mapping)
+    return (
+        df.withColumn("project_slug", slug)
+        .withColumn(
+            "platform",
+            F.when(F.col("project_slug").isNotNull(), F.lit("other")),
+        )
+        .withColumn(
+            "slug_valid",
+            F.when(
+                F.col("project_slug").isNotNull(),
+                is_valid_project_slug(F.col("project_slug")),
+            ),
+        )
+    )
+
+
+def parse_x_sentry_rate_limits(header: Column, now_s: Column) -> Column:
+    """parseXSentryRateLimits (rate_limits.go:27-60) -> sorted
+    ``array<struct<category,deadline_s>>`` (epoch seconds), one row per
+    known category present, furthest deadline kept.
+
+    The retry-after field is Go ``strconv.ParseFloat``: unparseable
+    skips the whole entry; ``Ceil(Max(f, 0))`` seconds from now.
+    """
+    # NB: the callback must be a single-arg lambda -- passing F.trim
+    # directly makes PySpark hand it the element INDEX as trim's
+    # optional trimStr argument (entry i gets str(i) chars stripped).
+    entries = F.filter(
+        F.transform(
+            F.split(F.coalesce(header, F.lit("")), ",", -1),
+            lambda e: F.trim(e),
+        ),
+        lambda e: e != "",
+    )
+
+    # Go strconv.ParseFloat, then Duration(Ceil(Max(f, 0))) * Second with
+    # max(d, 0) (rate_limits.go:70-78): NULL (unparseable) skips the WHOLE
+    # entry; negative / NaN clamp to 0; values whose nanosecond Duration
+    # overflows int64 (> ~9.22e9 s, incl. +Inf) land at 0 per the relay
+    # spec ("overflows are treated like zero") and the reference's own
+    # 1e17 test vector. Spark's try_cast(double) accepts the same special
+    # spellings ParseFloat does (inf/Infinity/nan, signed, any case).
+    def _retry_after_s(f: Column) -> Column:
+        return F.when(
+            F.isnan(f) | (f <= 0) | (f > 9223372036.0), F.lit(0).cast("bigint")
+        ).otherwise(F.ceil(f).cast("bigint"))
+
+    # (deadline or NULL-when-invalid, category list) per entry
+    pairs = F.flatten(
+        F.transform(
+            entries,
+            lambda e: let(
+                let(
+                    F.trim(F.try_element_at(F.split(e, ":", -1), F.lit(1)))
+                    .try_cast("double"),
+                    lambda f: F.when(
+                        f.isNotNull(), _retry_after_s(f) + now_s.cast("bigint")
+                    ),
+                ),
+                lambda dl: F.transform(
+                    F.split(
+                        F.coalesce(
+                            F.try_element_at(F.split(e, ":", -1), F.lit(2)),
+                            F.lit(""),
+                        ),
+                        ";",
+                        -1,
+                    ),
+                    lambda c: F.struct(
+                        F.lower(F.trim(c)).alias("category"),
+                        dl.alias("deadline_s"),
+                    ),
+                ),
+            ),
+        )
+    )
+    valid = F.filter(
+        pairs,
+        lambda p: p["deadline_s"].isNotNull()
+        & p["category"].isin(*KNOWN_CATEGORIES),
+    )
+    per_cat = F.transform(
+        F.array_distinct(F.transform(valid, lambda p: p["category"])),
+        lambda c: F.struct(
+            c.alias("category"),
+            F.array_max(
+                F.transform(
+                    F.filter(valid, lambda p: p["category"] == c),
+                    lambda p: p["deadline_s"],
+                )
+            ).alias("deadline_s"),
+        ),
+    )
+    return F.array_sort(per_cat).cast(_PAIRS)
+
+
+def parse_retry_after(value: Column, now_s: Column) -> Column:
+    """parseRetryAfter (retry_after.go:27-43) -> deadline epoch
+    seconds: non-negative integer seconds, else RFC1123 date, else
+    now + 60s."""
+    # strconv.Atoi: optional sign, digits only (no float/space forms);
+    # out-of-range digits -> try_cast NULL -> falls through like Go's
+    # ErrRange (date parse then fails -> default).
+    n = F.coalesce(value, F.lit("")).try_cast("bigint")
+    as_int = F.when(
+        n.isNotNull() & value.rlike("^[+-]?[0-9]+$") & (n >= 0),
+        now_s.cast("bigint") + n,
+    )
+    # Spark >= 3.0 rejects day-of-week tokens (E) in *parsing* patterns,
+    # so validate the RFC1123 weekday with a regex (Go's time.Parse needs
+    # a valid weekday name but does not cross-check it against the date)
+    # and parse the remainder.
+    weekday = r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun), "
+    rfc1123 = F.when(
+        value.rlike(weekday),
+        F.unix_timestamp(
+            F.try_to_timestamp(
+                F.regexp_replace(value, weekday, ""),
+                F.lit("dd MMM yyyy HH:mm:ss zzz"),
+            )
+        ),
+    )
+    return F.coalesce(
+        as_int, rfc1123, now_s.cast("bigint") + F.lit(DEFAULT_RETRY_AFTER_S)
+    )
+
+
+def rate_limits_from_response(
+    xsrl_header: Column, retry_after_header: Column, status_code: Column, now_s: Column
+) -> Column:
+    """fromResponse (map.go:56-66): X-Sentry-Rate-Limits wins when
+    non-empty; else 429 + Retry-After -> ALL category; else empty."""
+    xsrl = F.coalesce(xsrl_header, F.lit(""))
+    return (
+        F.when(xsrl != "", parse_x_sentry_rate_limits(xsrl, now_s))
+        .when(
+            status_code == 429,
+            F.array(
+                F.struct(
+                    F.lit("").alias("category"),
+                    parse_retry_after(retry_after_header, now_s).alias("deadline_s"),
+                )
+            ).cast(_PAIRS),
+        )
+        .otherwise(F.array().cast(_PAIRS))
+    )
+
+
+def merge_rate_limits(
+    df: DataFrame, dsn_col: str = "dsn", limits_col: str = "limits"
+) -> DataFrame:
+    """Map.Merge across responses per DSN (map.go:39-48 +
+    rateLimiter.updateFromResponse): explode the per-response pairs and
+    keep the furthest-future deadline per (dsn, category). ONE
+    combinable hash aggregate -- partial max map-side, then a shuffle
+    on the tiny (dsn, category) key space."""
+    exploded = df.select(
+        dsn_col, F.explode(F.col(limits_col)).alias("pair")
+    ).select(
+        dsn_col,
+        F.col("pair.category").alias("category"),
+        F.col("pair.deadline_s").alias("deadline_s"),
+    )
+    return exploded.groupBy(dsn_col, "category").agg(
+        F.max("deadline_s").alias("deadline_s")
+    )
+
+
+def effective_deadline(
+    merged: DataFrame, category: str, dsn_col: str = "dsn"
+) -> DataFrame:
+    """Map.Deadline (map.go:28-37): per DSN, max(category deadline,
+    ALL deadline); NULL when neither is present."""
+    per_dsn = merged.groupBy(dsn_col).agg(
+        F.max(F.when(F.col("category") == category, F.col("deadline_s"))).alias(
+            "cat_deadline_s"
+        ),
+        F.max(F.when(F.col("category") == "", F.col("deadline_s"))).alias(
+            "all_deadline_s"
+        ),
+    )
+    return per_dsn.withColumn(
+        "deadline_s", F.greatest("cat_deadline_s", "all_deadline_s")
+    )
+
+
+def rate_limit_reset_backoff(reset: Column, now_s: Column) -> Column:
+    """parseXSentryRateLimitReset (ratelimit.go:100-109): integer epoch
+    seconds -> max(reset - now, 0); unparseable -> 60s default."""
+    n = reset.try_cast("bigint")
+    return F.when(
+        n.isNotNull() & reset.rlike("^-?[0-9]+$"),
+        F.greatest(n - now_s.cast("bigint"), F.lit(0)),
+    ).otherwise(F.lit(DEFAULT_RETRY_AFTER_S))

@@ -6258,3 +6258,145 @@ _ORACLES["faro_exception_groups"] = _FARO_CORE + r"""
 SELECT hash, COUNT(*) AS n_exceptions, MIN(id) AS first_payload
 FROM body WHERE k = 1 GROUP BY hash ORDER BY hash
 """
+
+
+# ---------------------------------------------------------------------------
+# sentry exporter (the fork's exporter/sentryexporter): resource-attribute
+# project routing (attribute_to_project_mapping override, empty/missing
+# drop-and-count, platform="other", Sentry slug validity) and the relay
+# rate-limit header algebra (X-Sentry-Rate-Limits entry/category parse
+# ladder, Retry-After 429 fallback, per-category furthest-deadline merge).
+# ---------------------------------------------------------------------------
+
+
+def q_sentry_project_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sentry import sentry_project_route
+
+    m = F.col("event_id") % 6
+    svc = (
+        F.when(m == 0, F.lit("frontend"))
+        .when(m == 1, F.lit("checkout-api"))
+        .when(m == 2, F.lit(""))
+        .when(m == 4, F.lit("My_Service"))
+        .when(m == 5, F.lit("12345"))
+    )
+    resources = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            svc.isNotNull(),
+            F.map_from_arrays(F.array(F.lit("service.name")), F.array(svc)),
+        )
+        .otherwise(
+            F.map_from_arrays(F.array(F.lit("host.name")), F.array(F.lit("h1")))
+        )
+        .alias("attrs"),
+    )
+    routed = sentry_project_route(
+        resources, mapping={"frontend": "web-app", "legacy": "old-app"}
+    )
+    return (
+        routed.groupBy("project_slug", "platform", "slug_valid")
+        .agg(F.count("*").alias("n_resources"))
+        .select(
+            "project_slug",
+            "platform",
+            F.col("slug_valid").cast("string").alias("slug_valid"),
+            "n_resources",
+        )
+        .orderBy(F.col("project_slug").asc_nulls_last())
+    )
+
+
+_SENTRY_ROUTE_ORACLE = """
+WITH f AS (
+  SELECT CAST(event_id % 6 AS INT) AS m FROM events),
+r AS (
+  SELECT CASE m
+           WHEN 0 THEN 'web-app'
+           WHEN 1 THEN 'checkout-api'
+           WHEN 4 THEN 'My_Service'
+           WHEN 5 THEN '12345'
+         END AS project_slug,
+         CASE WHEN m IN (0,1,4,5) THEN 'other' END AS platform,
+         CASE m
+           WHEN 0 THEN 'true' WHEN 1 THEN 'true'
+           WHEN 4 THEN 'false' WHEN 5 THEN 'false'
+         END AS slug_valid
+  FROM f)
+SELECT project_slug, platform, slug_valid,
+       COUNT(*) AS n_resources
+FROM r GROUP BY project_slug, platform, slug_valid
+ORDER BY project_slug
+"""
+
+
+def q_sentry_rate_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sentry import merge_rate_limits, rate_limits_from_response
+
+    m = F.col("event_id") % 6
+    xsrl = (
+        F.when(m == 0, F.lit("60:transaction, 2700:default;error;security"))
+        .when(m == 1, F.lit(" 120 : transaction ; log_item "))
+        .when(m == 2, F.lit("30"))
+        .when(m == 5, F.lit("bad:transaction,0.5:log_item,10:"))
+        .otherwise(F.lit(""))
+    )
+    responses = (
+        _read(spark, sf_dir, "events")
+        .select(
+            "event_id", "user_id",
+            (F.lit(1656581400) + F.col("event_id") % 50).alias("now_s"),
+        )
+        .select(
+            F.concat(F.lit("d"), (F.col("user_id") % 3).cast("string")).alias(
+                "dsn"
+            ),
+            rate_limits_from_response(
+                xsrl,
+                F.when(m == 3, F.lit("45")).when(m == 4, F.lit("oops")),
+                F.when(m.isin(3, 4), F.lit(429)).otherwise(F.lit(200)),
+                F.col("now_s"),
+            ).alias("limits"),
+        )
+    )
+    merged = merge_rate_limits(responses)
+    return merged.select(
+        "dsn",
+        F.when(F.col("category") == "", F.lit("all"))
+        .otherwise(F.col("category"))
+        .alias("category"),
+        "deadline_s",
+    ).orderBy("dsn", "category")
+
+
+_SENTRY_RL_ORACLE = """
+WITH f AS (
+  SELECT CAST(event_id % 6 AS INT) AS m,
+         'd' || CAST(user_id % 3 AS VARCHAR) AS dsn,
+         1656581400 + event_id % 50 AS now_s
+  FROM events),
+pairs AS (
+  SELECT dsn, 'transaction' AS category, now_s + 60 AS deadline_s
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT dsn, 'transaction', now_s + 120 FROM f WHERE m = 1
+  UNION ALL
+  SELECT dsn, 'log_item', now_s + 120 FROM f WHERE m = 1
+  UNION ALL
+  SELECT dsn, 'all', now_s + 30 FROM f WHERE m = 2
+  UNION ALL
+  SELECT dsn, 'all', now_s + 45 FROM f WHERE m = 3
+  UNION ALL
+  SELECT dsn, 'all', now_s + 60 FROM f WHERE m = 4
+  UNION ALL
+  SELECT dsn, 'log_item', now_s + 1 FROM f WHERE m = 5
+  UNION ALL
+  SELECT dsn, 'all', now_s + 10 FROM f WHERE m = 5)
+SELECT dsn, category, CAST(MAX(deadline_s) AS BIGINT) AS deadline_s
+FROM pairs GROUP BY dsn, category ORDER BY dsn, category
+"""
+
+_QUERIES["sentry_project_route_events"] = q_sentry_project_route
+_ORACLES["sentry_project_route_events"] = _SENTRY_ROUTE_ORACLE
+_QUERIES["sentry_rate_limit_events"] = q_sentry_rate_limits
+_ORACLES["sentry_rate_limit_events"] = _SENTRY_RL_ORACLE

@@ -1,0 +1,253 @@
+"""Sentry exporter semantics pinned against the reference.
+
+Vectors come from exporter/sentryexporter/internal/ratelimit/
+rate_limits_test.go (parseXSentryRateLimits + parseXSRLRetryAfter
+tables), retry_after_test.go, map_test.go (fromResponse precedence,
+Map.Deadline), and sentry_exporter.go:715-743 / config.go:55-61
+(extractProjectSlug, extractPlatform, slug validation).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.sentry import (
+    effective_deadline,
+    is_valid_project_slug,
+    merge_rate_limits,
+    parse_retry_after,
+    parse_x_sentry_rate_limits,
+    rate_limits_from_response,
+    sentry_project_route,
+)
+
+#: the ratelimit test package's fixed `now` (rate_limits_test.go:14)
+NOW = dt.datetime(2008, 5, 12, 16, 26, 19, tzinfo=dt.timezone.utc)
+NOW_S = int(NOW.timestamp())
+
+# (header, [(category, deadline_delta_s), ...]) —
+# rate_limits_test.go:16-80; "" is the ALL category.
+XSRL_VECTORS = [
+    ("", []),
+    (",", []),
+    (",,,,", []),
+    (",  ,   ,     ,", []),
+    (":", []),
+    (":::", []),
+    ("::,,:,", []),
+    (":,:;;;:", []),
+    ("1", [("", 1)]),
+    ("2::ignored_scope:ignored_reason", [("", 2)]),
+    ("4:log_item", [("log_item", 4)]),
+    ("5:log_item;transaction", [("log_item", 5), ("transaction", 5)]),
+    ("6:log_item, 7:transaction", [("log_item", 6), ("transaction", 7)]),
+    ("8:log_item;default;unknown", [("log_item", 8)]),
+    ("30:log_item:scope1, 20:log_item:scope2, 40:log_item",
+     [("log_item", 40)]),
+    ("30:log_item:scope1, 20:log_item:scope2, 40::",
+     [("", 40), ("log_item", 30)]),
+]
+
+# parseXSRLRetryAfter through a one-entry header
+# (rate_limits_test.go:92-127 + relay's overflow rule); None = entry
+# skipped entirely.
+XSRL_RETRY_VECTORS = [
+    ("0", 0),
+    ("1", 1),
+    ("60", 60),
+    ("+5", 5),
+    ("3.1", 4),
+    ("3.5", 4),
+    ("3.9", 4),
+    ("100000000000000000", 0),  # Duration overflow -> zero
+    ("-Inf", 0),
+    ("-0", 0),
+    ("-1", 0),
+    ("Inf", 0),
+    ("NaN", 0),
+    ("bad", None),
+    (" 2", 2),  # caller TrimSpaces components[0] (rate_limits.go:39)
+]
+
+# parseRetryAfter (retry_after_test.go): (value, absolute deadline_s)
+RETRY_AFTER_VECTORS = [
+    ("", NOW_S + 60),
+    ("x", NOW_S + 60),
+    ("-1", NOW_S + 60),
+    ("5.0", NOW_S + 60),  # Atoi only — floats are invalid
+    ("1337", NOW_S + 1337),
+    ("Fri, 08 Mar 2019 11:17:09 GMT",
+     int(dt.datetime(2019, 3, 8, 11, 17, 9,
+                     tzinfo=dt.timezone.utc).timestamp())),
+]
+
+# fromResponse precedence (map_test.go:14-100):
+# (status, retry_after, xsrl, [(category, deadline_delta_s), ...])
+FROM_RESPONSE_VECTORS = [
+    (200, None, None, []),
+    (200, "100", None, []),
+    (200, "100", "50:transaction", [("transaction", 50)]),
+    (200, None, "50:transaction", [("transaction", 50)]),
+    (429, None, None, [("", 60)]),
+    (429, "100", None, [("", 100)]),
+    (429, None, "50:log_item", [("log_item", 50)]),
+    (429, "100", "50:log_item", [("log_item", 50)]),
+]
+
+
+def _pairs(spark, col):
+    rows = (
+        spark.range(1)
+        .select(col.alias("p"))
+        .collect()[0]["p"]
+    )
+    return [(r["category"], r["deadline_s"]) for r in rows]
+
+
+@pytest.mark.parametrize("header,want", XSRL_VECTORS,
+                         ids=[repr(h) for h, _ in XSRL_VECTORS])
+def test_parse_x_sentry_rate_limits(spark, header, want):
+    got = _pairs(
+        spark, parse_x_sentry_rate_limits(F.lit(header), F.lit(NOW_S))
+    )
+    assert got == [(c, NOW_S + d) for c, d in sorted(want)]
+
+
+@pytest.mark.parametrize("value,delta", XSRL_RETRY_VECTORS,
+                         ids=[repr(v) for v, _ in XSRL_RETRY_VECTORS])
+def test_xsrl_retry_after_field(spark, value, delta):
+    got = _pairs(
+        spark,
+        parse_x_sentry_rate_limits(
+            F.lit(f"{value}:log_item"), F.lit(NOW_S)
+        ),
+    )
+    want = [] if delta is None else [("log_item", NOW_S + delta)]
+    assert got == want
+
+
+def test_parse_retry_after(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, (v, _) in enumerate(RETRY_AFTER_VECTORS)],
+        "id long, v string",
+    )
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", parse_retry_after(F.col("v"), F.lit(NOW_S)).alias("d")
+        ).collect()
+    }
+    for i, (v, want) in enumerate(RETRY_AFTER_VECTORS):
+        assert got[i] == want, v
+
+
+@pytest.mark.parametrize("status,ra,xsrl,want", FROM_RESPONSE_VECTORS)
+def test_rate_limits_from_response(spark, status, ra, xsrl, want):
+    got = _pairs(
+        spark,
+        rate_limits_from_response(
+            F.lit(xsrl), F.lit(ra), F.lit(status), F.lit(NOW_S)
+        ),
+    )
+    assert got == [(c, NOW_S + d) for c, d in sorted(want)]
+
+
+def test_merge_keeps_furthest_deadline(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", "10:transaction"),
+            ("d1", "30:transaction;log_item"),
+            ("d1", "20:"),
+            ("d2", "5:log_item"),
+        ],
+        "dsn string, h string",
+    ).select(
+        "dsn",
+        rate_limits_from_response(
+            F.col("h"), F.lit(None).cast("string"), F.lit(200), F.lit(NOW_S)
+        ).alias("limits"),
+    )
+    merged = {
+        (r["dsn"], r["category"]): r["deadline_s"]
+        for r in merge_rate_limits(df).collect()
+    }
+    assert merged == {
+        ("d1", "transaction"): NOW_S + 30,
+        ("d1", "log_item"): NOW_S + 30,
+        ("d1", ""): NOW_S + 20,
+        ("d2", "log_item"): NOW_S + 5,
+    }
+
+
+def test_effective_deadline_max_of_category_and_all(spark):
+    merged = spark.createDataFrame(
+        [
+            ("d1", "transaction", NOW_S + 5),
+            ("d1", "", NOW_S + 10),
+            ("d2", "transaction", NOW_S + 50),
+            ("d3", "log_item", NOW_S + 7),
+        ],
+        "dsn string, category string, deadline_s long",
+    )
+    got = {
+        r["dsn"]: r["deadline_s"]
+        for r in effective_deadline(merged, "transaction").collect()
+    }
+    # Map.Deadline: max(category, ALL); NULL when neither present
+    assert got == {"d1": NOW_S + 10, "d2": NOW_S + 50, "d3": None}
+
+
+def test_project_routing(spark):
+    df = spark.createDataFrame(
+        [
+            (1, {"service.name": "frontend"}),       # mapped override
+            (2, {"service.name": "checkout-api"}),   # raw slug
+            (3, {"service.name": ""}),               # empty -> dropped
+            (4, {"host.name": "h1"}),                # missing -> dropped
+            (5, {"service.name": "My_Service"}),     # invalid slug chars
+            (6, {"service.name": "12345"}),          # numeric-only slug
+        ],
+        "id long, attrs map<string,string>",
+    )
+    routed = sentry_project_route(
+        df, mapping={"frontend": "web-app", "legacy": "old-app"}
+    )
+    got = {
+        r["id"]: (r["project_slug"], r["platform"], r["slug_valid"])
+        for r in routed.collect()
+    }
+    assert got == {
+        1: ("web-app", "other", True),
+        2: ("checkout-api", "other", True),
+        3: (None, None, None),
+        4: (None, None, None),
+        5: ("My_Service", "other", False),
+        6: ("12345", "other", False),
+    }
+
+
+def test_slug_validation_vectors(spark):
+    vectors = [
+        ("web-app", True),
+        ("foo_bar-1", True),
+        ("a" * 50, True),
+        ("a" * 51, False),
+        ("", False),
+        ("My_Service", False),
+        ("12345", False),
+        ("über", False),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(vectors)], "id long, s string"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select(
+            "id", is_valid_project_slug(F.col("s")).alias("v")
+        ).collect()
+    }
+    for i, (s, want) in enumerate(vectors):
+        assert got[i] == want, s
