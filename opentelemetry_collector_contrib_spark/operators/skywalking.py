@@ -1,0 +1,404 @@
+"""SkyWalking segment -> OTel span translation as a columnar battery.
+
+Reference: pkg/translator/skywalking/skywalkingproto_to_traces.go. One
+input row = one SegmentObject (its JSON rendering: service /
+serviceInstance / traceId / traceSegmentId + spans with tags, logs,
+refs); output = one OTel span row per segment span, resource fields
+denormalized onto the row.
+
+Semantics reproduced:
+
+* ID algebra (skywalkingproto_to_traces.go:282-366):
+  - ``swTraceIDToTraceID``: <=36 chars parses as RFC-4122 UUID
+    (36-char dashed or 32-char plain hex; anything else -> zero trace
+    id); longer strings take the java-agent path ``swStringToUUID(s,
+    0)``.
+  - ``swStringToUUID(s, extra)``: first 32 chars hex-decode to the
+    base uid; a non-hex char keeps the PARTIALLY decoded prefix and
+    skips every XOR (hex.Decode stops at the first bad pair and the
+    function returns early). uid[0:4] ^= LE bytes of ``extra``
+    (uint32). A 32-char input stops there; otherwise the FIRST ``.``
+    must sit at index 32 and the LAST ``.`` splits ``mid``/``last``
+    (Go Atoi: optional sign, digits, int64 range -- any failure
+    returns the all-zero uid): uid[4:8] ^= LE(mid), uid[8:16] ^=
+    LE(last).
+  - ``segmentIDToSpanID``: segment ids shorter than 32 chars -> zero
+    span id; else ``uuidTo8Bytes`` folds the uid (byte i XOR byte
+    i+8).
+* parent (skywalkingproto_to_traces.go:110-117): ``parentSpanId !=
+  -1`` -> same-segment parent; else a SINGLE ref supplies
+  (parentTraceSegmentId, parentSpanId); else unset.
+* kind ladder (:135-151): MQ layer first (Entry -> consumer, Exit ->
+  producer, anything else on MQ stays unspecified), then Exit ->
+  client, Entry -> server, Local -> internal, default unspecified.
+* status (:207-215): isError -> (ERROR, "ERROR") else (OK,
+  "SUCCESS") -- always set.
+* attributes: every tag verbatim, then ``sw8.segment_id``,
+  ``sw8.span_id`` and (when != -1) ``sw8.parent_span_id``
+  (:119-131, :217-223); later keys overwrite (pcommon PutStr).
+* logs -> events named "logs" at UnixMilli(time) with the data kvs
+  (:225-249; empty data keeps the event, drops only the attrs).
+* refs -> links with the fixed 8-attribute set incl. ``refType``
+  enum name (:153-205).
+* resource (:45-88): mapped tags (url/status_code/db.type/
+  db.instance/mq.broker -> semconv) of the LAST span -- the
+  reference clears and rebuilds per span, so only the final span's
+  mapping survives -- plus service.name / service.instance.id /
+  sw8.trace_id.
+* timestamps: ``microsecondsToTimestamp`` actually treats values as
+  MILLIseconds (time.UnixMilli, :276-279) -- reproduced verbatim.
+
+Pure Column code (from_json + array/map/bit ops) -- map-only at any
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: otSpanTagsMapping (skywalkingproto_to_traces.go:34-40)
+RESOURCE_TAG_MAPPING = {
+    "url": "http.url",
+    "status_code": "http.status_code",
+    "db.type": "db.system",
+    "db.instance": "db.name",
+    "mq.broker": "net.peer.name",
+}
+
+_KV = "struct<key string, value string>"
+
+SEGMENT_JSON_SCHEMA = (
+    "service string, serviceInstance string, traceId string,"
+    " traceSegmentId string,"
+    " spans array<struct<"
+    "   spanId int, parentSpanId int, startTime long, endTime long,"
+    "   operationName string, spanType string, spanLayer string,"
+    "   isError boolean,"
+    f"  tags array<{_KV}>,"
+    f"  logs array<struct<time long, data array<{_KV}>>>,"
+    "   refs array<struct<traceId string, parentTraceSegmentId string,"
+    "     parentSpanId int, parentService string,"
+    "     parentServiceInstance string, parentEndpoint string,"
+    "     networkAddressUsedAtPeer string, refType string>>"
+    " >>"
+)
+
+_HEX32 = "^[0-9a-fA-F]{32}$"
+_UUID36 = (
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+_ZERO16 = "0" * 32
+_ZERO8 = "0" * 16
+
+
+def _rev32(x: Column) -> Column:
+    """Big-endian uint32 whose bytes are the little-endian rendering of
+    ``x``'s low 32 bits -- the XOR mask the per-byte Go loops apply to
+    a 4-byte uid chunk."""
+    x = x.cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))
+    return (
+        F.shiftleft(x.bitwiseAND(F.lit(255)), 24)
+        .bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(x, 8).bitwiseAND(F.lit(255)), 16)
+        )
+        .bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(x, 16).bitwiseAND(F.lit(255)), 8)
+        )
+        .bitwiseOR(F.shiftrightunsigned(x, 24).bitwiseAND(F.lit(255)))
+    )
+
+
+def _chunk(s32: Column, i: int) -> Column:
+    """uid bytes 4i..4i+3 as a big-endian uint32."""
+    return F.conv(F.substring(s32, 1 + 8 * i, 8), 16, 10).cast("bigint")
+
+
+def _hex8(x: Column) -> Column:
+    return F.lpad(F.lower(F.hex(x)), 8, "0")
+
+
+def _atoi(s: Column) -> Column:
+    """Go strconv.Atoi: optional sign + digits, int64 range; NULL on
+    any failure (incl. overflow, which try_cast maps to NULL like
+    ErrRange)."""
+    return F.when(s.rlike("^[+-]?[0-9]+$"), s.try_cast("bigint"))
+
+
+def sw_string_to_uuid_hex(s: Column, extra: Column) -> Column:
+    """swStringToUUID (skywalkingproto_to_traces.go:304-352) as a
+    32-char lowercase hex string."""
+    s = F.coalesce(s, F.lit(""))
+    s32 = F.substring(s, 1, 32)
+    # hex.Decode stops at the first invalid pair and the function
+    # returns the partial uid with NO XOR applied
+    partial = F.rpad(
+        F.lower(F.regexp_extract(s32, "^((?:[0-9a-fA-F]{2})*)", 1)),
+        32,
+        "0",
+    )
+    c0, c1, c2, c3 = (_chunk(F.lower(s32), i) for i in range(4))
+    x0 = c0.bitwiseXOR(_rev32(extra))
+
+    dot1 = F.instr(s, ".")
+    dot2 = F.length(s) - F.instr(F.reverse(s), ".") + 1
+    mid = _atoi(F.substr(s, F.lit(34), dot2 - F.lit(34)))
+    last = _atoi(F.substr(s, dot2 + 1, F.length(s) - dot2))
+
+    full = F.concat(
+        _hex8(x0),
+        _hex8(c1.bitwiseXOR(_rev32(mid))),
+        _hex8(c2.bitwiseXOR(_rev32(last))),
+        _hex8(c3.bitwiseXOR(_rev32(F.shiftrightunsigned(last, 32)))),
+    )
+    return (
+        F.when(F.length(s) < 32, F.lit(_ZERO16))
+        .when(~s32.rlike(_HEX32), partial)
+        .when(
+            F.length(s) == 32,
+            F.concat(_hex8(x0), _hex8(c1), _hex8(c2), _hex8(c3)),
+        )
+        .when((dot1 == 33) & mid.isNotNull() & last.isNotNull(), full)
+        .otherwise(F.lit(_ZERO16))
+    )
+
+
+def sw_trace_id_hex(trace_id: Column) -> Column:
+    """swTraceIDToTraceID (skywalkingproto_to_traces.go:282-294)."""
+    t = F.coalesce(trace_id, F.lit(""))
+    return F.when(
+        F.length(t) <= 36,
+        F.when(t.rlike(_UUID36), F.lower(F.regexp_replace(t, "-", "")))
+        .when(t.rlike(_HEX32), F.lower(t))
+        .otherwise(F.lit(_ZERO16)),
+    ).otherwise(sw_string_to_uuid_hex(t, F.lit(0)))
+
+
+def segment_id_to_span_id_hex(segment_id: Column, span_id: Column) -> Column:
+    """segmentIDToSpanID + uuidTo8Bytes
+    (skywalkingproto_to_traces.go:296-302, :354-362)."""
+    seg = F.coalesce(segment_id, F.lit(""))
+    uid = sw_string_to_uuid_hex(seg, span_id)
+    a = _chunk(uid, 0).bitwiseXOR(_chunk(uid, 2))
+    b = _chunk(uid, 1).bitwiseXOR(_chunk(uid, 3))
+    return F.when(F.length(seg) < 32, F.lit(_ZERO8)).otherwise(
+        F.concat(_hex8(a), _hex8(b))
+    )
+
+
+def _dedup_last_wins(entries: Column) -> Column:
+    """pcommon.Map PutStr: later duplicate keys overwrite earlier
+    ones. Keep entry i only if no entry after i shares its key."""
+    return F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+
+
+def _kv_map(entries: Column) -> Column:
+    return F.map_from_entries(_dedup_last_wins(entries))
+
+
+def _ms_to_ns(ms: Column) -> Column:
+    # microsecondsToTimestamp uses time.UnixMilli despite its name
+    return ms.cast("bigint") * F.lit(1_000_000)
+
+
+def _kind(span_type: Column, span_layer: Column) -> Column:
+    return (
+        F.when(
+            span_layer == "MQ",
+            F.when(span_type == "Entry", F.lit("consumer"))
+            .when(span_type == "Exit", F.lit("producer"))
+            .otherwise(F.lit("unspecified")),
+        )
+        .when(span_type == "Exit", F.lit("client"))
+        .when(span_type == "Entry", F.lit("server"))
+        .when(span_type == "Local", F.lit("internal"))
+        .otherwise(F.lit("unspecified"))
+    )
+
+
+def _resource_mapped_tags(spans: Column) -> Column:
+    """swTagsToInternalResource is invoked per span with a Clear() --
+    only the LAST span's mapped tags survive
+    (skywalkingproto_to_traces.go:54-56, :69-88)."""
+    last_tags = F.coalesce(
+        F.element_at(spans, -1)["tags"], F.array().cast(f"array<{_KV}>")
+    )
+    entries = F.transform(
+        F.filter(
+            last_tags,
+            lambda t: t["key"].isin(*RESOURCE_TAG_MAPPING.keys()),
+        ),
+        lambda t: F.struct(
+            _map_resource_key(t["key"]).alias("key"),
+            t["value"].alias("value"),
+        ),
+    )
+    return _kv_map(entries)
+
+
+def _map_resource_key(key: Column) -> Column:
+    out = None
+    for src, dst in RESOURCE_TAG_MAPPING.items():
+        out = (
+            F.when(key == src, F.lit(dst))
+            if out is None
+            else out.when(key == src, F.lit(dst))
+        )
+    return out.otherwise(key)
+
+
+def skywalking_segments_to_spans(
+    df: DataFrame, json_col: str = "json"
+) -> DataFrame:
+    """ProtoToTraces over one JSON-rendered SegmentObject per row;
+    output one row per segment span with resource columns
+    denormalized. Map-only (from_json + explode)."""
+    seg = F.from_json(F.col(json_col), SEGMENT_JSON_SCHEMA)
+    base = df.withColumn("_seg", seg).withColumn(
+        "_span", F.explode(F.col("_seg.spans"))
+    )
+    s = F.col("_span")
+    segment_id = F.coalesce(F.col("_seg.traceSegmentId"), F.lit(""))
+    trace_id = sw_trace_id_hex(F.col("_seg.traceId"))
+
+    parent = F.when(
+        s["parentSpanId"] != -1,
+        segment_id_to_span_id_hex(segment_id, s["parentSpanId"]),
+    ).when(
+        F.size(F.coalesce(s["refs"], F.array())) == 1,
+        segment_id_to_span_id_hex(
+            s["refs"][0]["parentTraceSegmentId"],
+            s["refs"][0]["parentSpanId"],
+        ),
+    )
+
+    tags = F.coalesce(s["tags"], F.array().cast(f"array<{_KV}>"))
+    sw8 = F.concat(
+        F.array(
+            F.struct(
+                F.lit("sw8.segment_id").alias("key"),
+                segment_id.alias("value"),
+            ),
+            F.struct(
+                F.lit("sw8.span_id").alias("key"),
+                s["spanId"].cast("string").alias("value"),
+            ),
+        ),
+        F.when(
+            s["parentSpanId"] != -1,
+            F.array(
+                F.struct(
+                    F.lit("sw8.parent_span_id").alias("key"),
+                    s["parentSpanId"].cast("string").alias("value"),
+                )
+            ),
+        ).otherwise(F.array().cast(f"array<{_KV}>")),
+    )
+
+    events = F.transform(
+        F.coalesce(s["logs"], F.array()),
+        lambda lg: F.struct(
+            F.lit("logs").alias("name"),
+            _ms_to_ns(lg["time"]).alias("ts_ns"),
+            F.when(
+                F.size(F.coalesce(lg["data"], F.array())) > 0,
+                _kv_map(lg["data"]),
+            )
+            .otherwise(F.map_from_entries(F.array().cast(f"array<{_KV}>")))
+            .alias("attributes"),
+        ),
+    )
+
+    links = F.transform(
+        F.coalesce(s["refs"], F.array()),
+        lambda r: F.struct(
+            sw_trace_id_hex(r["traceId"]).alias("trace_id"),
+            segment_id_to_span_id_hex(
+                r["parentTraceSegmentId"], r["parentSpanId"]
+            ).alias("span_id"),
+            F.lit("").alias("trace_state"),
+            F.map_from_entries(
+                F.array(
+                    F.struct(
+                        F.lit("parent.service").alias("key"),
+                        F.coalesce(r["parentService"], F.lit("")).alias(
+                            "value"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("parent.service.instance").alias("key"),
+                        F.coalesce(
+                            r["parentServiceInstance"], F.lit("")
+                        ).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("parent.endpoint").alias("key"),
+                        F.coalesce(r["parentEndpoint"], F.lit("")).alias(
+                            "value"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("network.AddressUsedAtPeer").alias("key"),
+                        F.coalesce(
+                            r["networkAddressUsedAtPeer"], F.lit("")
+                        ).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("refType").alias("key"),
+                        F.coalesce(r["refType"], F.lit("CrossProcess")).alias(
+                            "value"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("sw8.trace_id").alias("key"),
+                        F.coalesce(r["traceId"], F.lit("")).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("sw8.parent_segment_id").alias("key"),
+                        F.coalesce(
+                            r["parentTraceSegmentId"], F.lit("")
+                        ).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("sw8.parent_span_id").alias("key"),
+                        r["parentSpanId"].cast("string").alias("value"),
+                    ),
+                )
+            ).alias("attributes"),
+        ),
+    )
+
+    return base.select(
+        *[c for c in df.columns if c not in (json_col,)],
+        F.coalesce(F.col("_seg.service"), F.lit("")).alias("service_name"),
+        F.coalesce(F.col("_seg.serviceInstance"), F.lit("")).alias(
+            "service_instance"
+        ),
+        F.coalesce(F.col("_seg.traceId"), F.lit("")).alias("sw8_trace_id"),
+        _resource_mapped_tags(F.col("_seg.spans")).alias(
+            "resource_attributes"
+        ),
+        trace_id.alias("trace_id"),
+        segment_id_to_span_id_hex(segment_id, s["spanId"]).alias("span_id"),
+        parent.alias("parent_span_id"),
+        s["operationName"].alias("name"),
+        _kind(s["spanType"], s["spanLayer"]).alias("kind"),
+        _ms_to_ns(s["startTime"]).alias("start_ts_ns"),
+        _ms_to_ns(s["endTime"]).alias("end_ts_ns"),
+        F.when(F.coalesce(s["isError"], F.lit(False)), F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("status_code"),
+        F.when(F.coalesce(s["isError"], F.lit(False)), F.lit("ERROR"))
+        .otherwise(F.lit("SUCCESS"))
+        .alias("status_message"),
+        _kv_map(F.concat(tags, sw8)).alias("attributes"),
+        events.alias("events"),
+        links.alias("links"),
+    )

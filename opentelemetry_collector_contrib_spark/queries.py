@@ -6400,3 +6400,299 @@ _QUERIES["sentry_project_route_events"] = q_sentry_project_route
 _ORACLES["sentry_project_route_events"] = _SENTRY_ROUTE_ORACLE
 _QUERIES["sentry_rate_limit_events"] = q_sentry_rate_limits
 _ORACLES["sentry_rate_limit_events"] = _SENTRY_RL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# SkyWalking segment translator (pkg/translator/skywalking/
+# skywalkingproto_to_traces.go). The Spark side builds one JSON
+# SegmentObject per event and runs the real translator (UUID/XOR id
+# algebra, parent/ref resolution, kind ladder, last-span resource
+# quirk); the oracle recomputes the id algebra arithmetically from
+# the integers the fixture embedded in the hex strings.
+# ---------------------------------------------------------------------------
+
+
+def _sw_rev32(x: str) -> str:
+    """DuckDB SQL: big-endian uint32 of the little-endian byte
+    rendering of x's low 32 bits (the uid-chunk XOR mask)."""
+    return (
+        f"((((({x}) & 255) << 24) | (((({x}) >> 8) & 255) << 16)"
+        f" | (((({x}) >> 16) & 255) << 8) | ((({x}) >> 24) & 255)))"
+    )
+
+
+def _sw_hex8(x: str) -> str:
+    return f"lpad(lower(hex({x})), 8, '0')"
+
+
+def _sw_hex32(x: str) -> str:
+    return f"lpad(lower(hex({x})), 32, '0')"
+
+
+_SW_SEGMENT_JSON_SQL = r"""
+CASE CAST(event_id % 6 AS INT)
+  WHEN 0 THEN concat(
+    '{"service":"svc-', event_type,
+    '","serviceInstance":"inst-', CAST(user_id % 4 AS STRING),
+    '","traceId":"', lpad(lower(hex(event_id + 3)), 32, '0'),
+    '.1.500000001',
+    '","traceSegmentId":"', lpad(lower(hex(event_id + 7)), 32, '0'),
+    '.2.600000002',
+    '","spans":[{"spanId":1,"parentSpanId":0,"startTime":',
+    CAST(1656581400000 + event_id AS STRING),
+    ',"endTime":', CAST(1656581400100 + event_id AS STRING),
+    ',"operationName":"op-', event_type,
+    '","spanType":"Entry","spanLayer":"Http","isError":false,',
+    '"tags":[{"key":"url","value":"http://svc/p"},',
+    '{"key":"custom","value":"c-', event_type, '"}],',
+    '"logs":[{"time":', CAST(1656581400050 + event_id AS STRING),
+    ',"data":[{"key":"k1","value":"v1"},',
+    '{"key":"k2","value":"w-', event_type, '"}]}],"refs":[]}]}')
+  WHEN 1 THEN concat(
+    '{"service":"svc-', event_type,
+    '","serviceInstance":"inst-', CAST(user_id % 4 AS STRING),
+    '","traceId":"', lpad(lower(hex(event_id + 3)), 32, '0'),
+    '.1.500000001',
+    '","traceSegmentId":"', lpad(lower(hex(event_id + 7)), 32, '0'),
+    '.2.600000002',
+    '","spans":[{"spanId":3,"parentSpanId":-1,"startTime":',
+    CAST(1656581400000 + event_id AS STRING),
+    ',"endTime":', CAST(1656581400020 + event_id AS STRING),
+    ',"operationName":"op-', event_type,
+    '","spanType":"Exit","spanLayer":"MQ","isError":true,',
+    '"tags":[{"key":"mq.broker","value":"broker-',
+    CAST(user_id % 3 AS STRING), '"}],"logs":[],',
+    '"refs":[{"traceId":"', lpad(lower(hex(event_id + 13)), 32, '0'),
+    '","parentTraceSegmentId":"',
+    lpad(lower(hex(event_id + 9)), 32, '0'),
+    '","parentSpanId":', CAST(event_id % 40 AS STRING),
+    ',"parentService":"up-', event_type,
+    '","parentServiceInstance":"upi","parentEndpoint":"/e",',
+    '"networkAddressUsedAtPeer":"10.0.0.1:80",',
+    '"refType":"CrossProcess"}]}]}')
+  WHEN 2 THEN concat(
+    '{"service":"svc-', event_type,
+    '","serviceInstance":"inst-', CAST(user_id % 4 AS STRING),
+    '","traceId":"00000000-0000-0000-0000-',
+    lpad(lower(hex(event_id)), 12, '0'),
+    '","traceSegmentId":"', lpad(lower(hex(event_id + 21)), 32, '0'),
+    '","spans":[{"spanId":5,"parentSpanId":4,"startTime":',
+    CAST(1656581400000 + event_id AS STRING),
+    ',"endTime":', CAST(1656581400010 + event_id AS STRING),
+    ',"operationName":"op-', event_type,
+    '","spanType":"Entry","spanLayer":"MQ","isError":false,',
+    '"tags":[{"key":"status_code","value":"200"},',
+    '{"key":"mq.broker","value":"b-', CAST(user_id % 2 AS STRING),
+    '"}],"logs":[],"refs":[]}]}')
+  WHEN 3 THEN concat(
+    '{"service":"svc-', event_type,
+    '","serviceInstance":"inst-', CAST(user_id % 4 AS STRING),
+    '","traceId":"not-a-uuid!","traceSegmentId":"seg",',
+    '"spans":[{"spanId":2,"parentSpanId":-1,"startTime":',
+    CAST(1656581400000 + event_id AS STRING),
+    ',"endTime":', CAST(1656581400030 + event_id AS STRING),
+    ',"operationName":"op-', event_type,
+    '","spanType":"Local","spanLayer":"Http","isError":false,',
+    '"tags":[{"key":"db.type","value":"mysql"},',
+    '{"key":"db.instance","value":"orders"}],',
+    '"logs":[{"time":', CAST(1656581400001 + event_id AS STRING),
+    ',"data":[{"key":"attempt","value":"',
+    CAST(event_id % 5 AS STRING), '"}]},',
+    '{"time":', CAST(1656581400002 + event_id AS STRING),
+    ',"data":[]}],"refs":[]}]}')
+  WHEN 4 THEN concat(
+    '{"service":"svc-', event_type,
+    '","serviceInstance":"inst-', CAST(user_id % 4 AS STRING),
+    '","traceId":"', upper(lpad(lower(hex(event_id + 2)), 32, '0')),
+    '","traceSegmentId":"deadbeefZZ0000000000000000000000",',
+    '"spans":[{"spanId":6,"parentSpanId":0,"startTime":',
+    CAST(1656581400000 + event_id AS STRING),
+    ',"endTime":', CAST(1656581400040 + event_id AS STRING),
+    ',"operationName":"op-', event_type,
+    '","spanType":"Broken","spanLayer":"Http","isError":true,',
+    '"tags":[],"logs":[],"refs":[]}]}')
+  ELSE concat(
+    '{"service":"svc-', event_type,
+    '","serviceInstance":"inst-', CAST(user_id % 4 AS STRING),
+    '","traceId":"', lpad(lower(hex(event_id + 3)), 32, '0'),
+    '.1.notanint',
+    '","traceSegmentId":"', lpad(lower(hex(event_id + 7)), 32, '0'),
+    '.2.600000002',
+    '","spans":[{"spanId":2,"parentSpanId":-1,"startTime":',
+    CAST(1656581400000 + event_id AS STRING),
+    ',"endTime":', CAST(1656581400015 + event_id AS STRING),
+    ',"operationName":"op-', event_type,
+    '","spanType":"Exit","spanLayer":"Http","isError":false,',
+    '"tags":[{"key":"custom","value":"z"}],"logs":[],',
+    '"refs":[{"traceId":"', lpad(lower(hex(event_id + 13)), 32, '0'),
+    '","parentTraceSegmentId":"',
+    lpad(lower(hex(event_id + 9)), 32, '0'),
+    '","parentSpanId":', CAST(event_id % 40 AS STRING),
+    ',"parentService":"up-', event_type,
+    '","parentServiceInstance":"upi","parentEndpoint":"/e",',
+    '"networkAddressUsedAtPeer":"10.0.0.1:80",',
+    '"refType":"CrossThread"},',
+    '{"traceId":"not-valid","parentTraceSegmentId":"abc",',
+    '"parentSpanId":7,"parentService":"up2",',
+    '"parentServiceInstance":"upi2","parentEndpoint":"/e2",',
+    '"networkAddressUsedAtPeer":"10.0.0.2:80",',
+    '"refType":"CrossProcess"}]}]}')
+END
+""".strip()
+
+# java-agent segment (m in {0,1,5}): base uid = event_id+7 in the low
+# chunk; mid=2, last=600000002 -> c1 ^= rev32(2), c2 ^= rev32(last),
+# c3 unchanged. Folded span id = (rev32(extra)^rev32(last),
+# rev32(2)^(event_id+7)).
+_SW_SEG_FOLD_HI = (
+    lambda extra: f"xor({_sw_rev32(extra)}, {_sw_rev32('600000002')})"
+)
+_SW_SEG_FOLD_LO = f"xor({_sw_rev32('2')}, event_id + 7)"
+# plain-32 ref segment (event_id+9): fold = (rev32(extra), event_id+9)
+_SW_REF_SPAN = (
+    f"{_sw_hex8(_sw_rev32('(event_id % 40)'))} || "
+    f"{_sw_hex8('event_id + 9')}"
+)
+
+_SKYWALKING_ORACLE = f"""
+WITH f AS (
+  SELECT event_id, CAST(event_id % 6 AS INT) AS m, event_type, user_id,
+         1656581400000 + event_id AS ts_ms
+  FROM events)
+SELECT event_id,
+  CASE
+    WHEN m IN (0, 1) THEN '00000000' || {_sw_hex8(_sw_rev32("1"))}
+      || {_sw_hex8(_sw_rev32("500000001"))} || {_sw_hex8("event_id + 3")}
+    WHEN m = 2 THEN '00000000000000000000'
+      || lpad(lower(hex(event_id)), 12, '0')
+    WHEN m = 4 THEN {_sw_hex32("event_id + 2")}
+    ELSE repeat('0', 32)
+  END AS trace_id,
+  CASE
+    WHEN m = 0 THEN {_sw_hex8(_SW_SEG_FOLD_HI("1"))}
+      || {_sw_hex8(_SW_SEG_FOLD_LO)}
+    WHEN m = 1 THEN {_sw_hex8(_SW_SEG_FOLD_HI("3"))}
+      || {_sw_hex8(_SW_SEG_FOLD_LO)}
+    WHEN m = 2 THEN {_sw_hex8(_sw_rev32("5"))} || {_sw_hex8("event_id + 21")}
+    WHEN m = 4 THEN 'deadbeef00000000'
+    WHEN m = 5 THEN {_sw_hex8(_SW_SEG_FOLD_HI("2"))}
+      || {_sw_hex8(_SW_SEG_FOLD_LO)}
+    ELSE repeat('0', 16)
+  END AS span_id,
+  CASE
+    WHEN m = 0 THEN {_sw_hex8(_SW_SEG_FOLD_HI("0"))}
+      || {_sw_hex8(_SW_SEG_FOLD_LO)}
+    WHEN m = 1 THEN {_SW_REF_SPAN}
+    WHEN m = 2 THEN {_sw_hex8(_sw_rev32("4"))} || {_sw_hex8("event_id + 21")}
+    WHEN m = 4 THEN 'deadbeef00000000'
+  END AS parent_span_id,
+  'op-' || event_type AS name,
+  CASE m WHEN 0 THEN 'server' WHEN 1 THEN 'producer'
+         WHEN 2 THEN 'consumer' WHEN 3 THEN 'internal'
+         WHEN 4 THEN 'unspecified' ELSE 'client' END AS kind,
+  ts_ms * 1000000 AS start_ts_ns,
+  (ts_ms + CASE m WHEN 0 THEN 100 WHEN 1 THEN 20 WHEN 2 THEN 10
+                  WHEN 3 THEN 30 WHEN 4 THEN 40 ELSE 15 END)
+    * 1000000 AS end_ts_ns,
+  CASE WHEN m IN (1, 4) THEN 2 ELSE 1 END AS status_code,
+  CASE WHEN m IN (1, 4) THEN 'ERROR' ELSE 'SUCCESS' END
+    AS status_message,
+  'svc-' || event_type AS service_name,
+  'inst-' || CAST(user_id % 4 AS STRING) AS service_instance,
+  CASE m
+    WHEN 0 THEN 'http.url=http://svc/p'
+    WHEN 1 THEN 'net.peer.name=broker-' || CAST(user_id % 3 AS STRING)
+    WHEN 2 THEN 'http.status_code=200,net.peer.name=b-'
+      || CAST(user_id % 2 AS STRING)
+    WHEN 3 THEN 'db.name=orders,db.system=mysql'
+    ELSE ''
+  END AS res_attrs,
+  CASE m
+    WHEN 0 THEN 'custom=c-' || event_type
+      || ',sw8.parent_span_id=0,sw8.segment_id='
+      || {_sw_hex32("event_id + 7")} || '.2.600000002'
+      || ',sw8.span_id=1,url=http://svc/p'
+    WHEN 1 THEN 'mq.broker=broker-' || CAST(user_id % 3 AS STRING)
+      || ',sw8.segment_id=' || {_sw_hex32("event_id + 7")}
+      || '.2.600000002,sw8.span_id=3'
+    WHEN 2 THEN 'mq.broker=b-' || CAST(user_id % 2 AS STRING)
+      || ',status_code=200,sw8.parent_span_id=4,sw8.segment_id='
+      || {_sw_hex32("event_id + 21")} || ',sw8.span_id=5'
+    WHEN 3 THEN 'db.instance=orders,db.type=mysql,'
+      || 'sw8.segment_id=seg,sw8.span_id=2'
+    WHEN 4 THEN 'sw8.parent_span_id=0,'
+      || 'sw8.segment_id=deadbeefZZ0000000000000000000000,'
+      || 'sw8.span_id=6'
+    ELSE 'custom=z,sw8.segment_id=' || {_sw_hex32("event_id + 7")}
+      || '.2.600000002,sw8.span_id=2'
+  END AS attrs_str,
+  CASE m WHEN 0 THEN 1 WHEN 3 THEN 2 ELSE 0 END AS n_events,
+  CASE m
+    WHEN 0 THEN 'k1=v1,k2=w-' || event_type
+    WHEN 3 THEN 'attempt=' || CAST(event_id % 5 AS STRING)
+  END AS first_event_attrs,
+  CASE m
+    WHEN 1 THEN {_sw_hex32("event_id + 13")} || ':' || {_SW_REF_SPAN}
+      || ':CrossProcess:' || CAST(event_id % 40 AS STRING)
+    WHEN 5 THEN {_sw_hex32("event_id + 13")} || ':' || {_SW_REF_SPAN}
+      || ':CrossThread:' || CAST(event_id % 40 AS STRING)
+      || ';' || repeat('0', 32) || ':' || repeat('0', 16)
+      || ':CrossProcess:7'
+    ELSE ''
+  END AS links_str
+FROM f ORDER BY event_id
+"""
+
+
+def q_skywalking_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skywalking import skywalking_segments_to_spans
+
+    lines = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_SW_SEGMENT_JSON_SQL).alias("json")
+    )
+    spans = skywalking_segments_to_spans(lines)
+
+    def _map_str(col: F.Column) -> F.Column:
+        return F.coalesce(
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        F.map_entries(col),
+                        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                    )
+                ),
+                ",",
+            ),
+            F.lit(""),
+        )
+
+    first_event = F.try_element_at(F.col("events"), F.lit(1))
+    return spans.select(
+        "event_id", "trace_id", "span_id", "parent_span_id", "name",
+        "kind", "start_ts_ns", "end_ts_ns", "status_code",
+        "status_message", "service_name", "service_instance",
+        _map_str(F.col("resource_attributes")).alias("res_attrs"),
+        _map_str(F.col("attributes")).alias("attrs_str"),
+        F.size("events").alias("n_events"),
+        F.when(
+            first_event.isNotNull(), _map_str(first_event["attributes"])
+        ).alias("first_event_attrs"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.col("links"),
+                    lambda l: F.concat(
+                        l["trace_id"], F.lit(":"), l["span_id"],
+                        F.lit(":"), l["attributes"]["refType"],
+                        F.lit(":"), l["attributes"]["sw8.parent_span_id"],
+                    ),
+                ),
+                ";",
+            ),
+            F.lit(""),
+        ).alias("links_str"),
+    ).orderBy("event_id")
+
+
+_QUERIES["skywalking_spans_events"] = q_skywalking_spans
+_ORACLES["skywalking_spans_events"] = _SKYWALKING_ORACLE

@@ -1,0 +1,220 @@
+"""SkyWalking translator semantics pinned against the reference.
+
+Byte vectors come from pkg/translator/skywalking/
+skywalkingproto_to_traces_test.go (Test_stringToTraceID,
+Test_segmentIdToSpanId, Test_swSpanToSpan_ParentSpanId) and the
+semantics from skywalkingproto_to_traces.go.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.skywalking import (
+    segment_id_to_span_id_hex,
+    skywalking_segments_to_spans,
+    sw_trace_id_hex,
+)
+
+
+def _hex(byte_list):
+    return bytes(byte_list).hex()
+
+
+# Test_stringToTraceID vectors
+TRACE_ID_VECTORS = [
+    ("de5980b8-fce3-4a37-aab9-b4ac3af7eedd",
+     _hex([222, 89, 128, 184, 252, 227, 74, 55,
+           170, 185, 180, 172, 58, 247, 238, 221])),
+    ("de5980b8fce34a37aab9b4ac3af7eedd",
+     _hex([222, 89, 128, 184, 252, 227, 74, 55,
+           170, 185, 180, 172, 58, 247, 238, 221])),
+    ("de59", "0" * 32),
+    ("de5980b8fce34a37aab9b4ac3af7eedd.1.16563474296430001",
+     _hex([222, 89, 128, 184, 253, 227, 74, 55,
+           27, 228, 27, 205, 94, 47, 212, 221])),
+    (".,<>?/-=+MNop", "0" * 32),
+]
+
+# Test_segmentIdToSpanId vectors
+SPAN_ID_VECTORS = [
+    ("4f2f27748b8e44ecaf18fe0347194e86.33.16560607369950066", 123,
+     _hex([233, 196, 85, 168, 37, 66, 48, 106])),
+    ("4f2f27748b8e44ecaf18fe0347194e86", 123,
+     _hex([155, 55, 217, 119, 204, 151, 10, 106])),
+    ("16560607369950066", 12, "0" * 16),
+    ("1", 2, "0" * 16),
+    (".,<>?/-=+MNop", 2, "0" * 16),
+]
+
+
+@pytest.mark.parametrize("tid,want", TRACE_ID_VECTORS,
+                         ids=[v[0] for v in TRACE_ID_VECTORS])
+def test_trace_id_vectors(spark, tid, want):
+    got = (
+        spark.range(1)
+        .select(sw_trace_id_hex(F.lit(tid)).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("seg,sid,want", SPAN_ID_VECTORS,
+                         ids=[v[0] for v in SPAN_ID_VECTORS])
+def test_span_id_vectors(spark, seg, sid, want):
+    got = (
+        spark.range(1)
+        .select(segment_id_to_span_id_hex(F.lit(seg), F.lit(sid)).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got == want
+
+
+def _translate(spark, segment: dict):
+    df = spark.createDataFrame([(json.dumps(segment),)], "json string")
+    return skywalking_segments_to_spans(df).collect()
+
+
+def _segment(**over):
+    base = {
+        "service": "demo", "serviceInstance": "inst-1",
+        "traceId": "de5980b8fce34a37aab9b4ac3af7eedd.1.16563474296430001",
+        "traceSegmentId":
+            "4f2f27748b8e44ecaf18fe0347194e86.33.16560607369950066",
+        "spans": [{
+            "spanId": 1, "parentSpanId": 0,
+            "startTime": 1656581400000, "endTime": 1656581400100,
+            "operationName": "op", "spanType": "Entry",
+            "spanLayer": "Http", "isError": False,
+            "tags": [{"key": "url", "value": "http://x/y"}],
+            "logs": [], "refs": [],
+        }],
+    }
+    base.update(over)
+    return base
+
+
+def test_parent_from_ref_vector(spark):
+    """Test_swSpanToSpan_ParentSpanId: parentSpanId=-1 + single ref."""
+    seg = _segment(traceId="de5980b8-fce3-4a37-aab9-b4ac3af7eedd",
+                   traceSegmentId="")
+    seg["spans"][0].update(
+        parentSpanId=-1,
+        refs=[{
+            "traceId": "t", "parentTraceSegmentId":
+                "4f2f27748b8e44ecaf18fe0347194e86.33.16560607369950066",
+            "parentSpanId": 123, "parentService": "p",
+            "parentServiceInstance": "p", "parentEndpoint": "p",
+            "networkAddressUsedAtPeer": "n", "refType": "CrossThread",
+        }],
+    )
+    (row,) = _translate(spark, seg)
+    assert row["parent_span_id"] == _hex([233, 196, 85, 168, 37, 66, 48, 106])
+    # segment id "" (< 32 chars) -> zero span id
+    assert row["span_id"] == "0" * 16
+    # the single ref also becomes a link
+    assert len(row["links"]) == 1
+    link = row["links"][0]
+    assert link["span_id"] == _hex([233, 196, 85, 168, 37, 66, 48, 106])
+    assert link["attributes"]["refType"] == "CrossThread"
+    assert link["attributes"]["sw8.parent_span_id"] == "123"
+    assert link["attributes"]["parent.service"] == "p"
+
+
+def test_parent_absent_when_multiple_refs(spark):
+    seg = _segment()
+    ref = {
+        "traceId": "t", "parentTraceSegmentId": "x" * 32,
+        "parentSpanId": 1, "parentService": "p",
+        "parentServiceInstance": "p", "parentEndpoint": "p",
+        "networkAddressUsedAtPeer": "n", "refType": "CrossProcess",
+    }
+    seg["spans"][0].update(parentSpanId=-1, refs=[ref, dict(ref)])
+    (row,) = _translate(spark, seg)
+    assert row["parent_span_id"] is None
+    assert len(row["links"]) == 2
+
+
+def test_kind_ladder(spark):
+    cases = [
+        ("Entry", "MQ", "consumer"),
+        ("Exit", "MQ", "producer"),
+        ("Local", "MQ", "unspecified"),  # MQ arm falls through
+        ("Exit", "Http", "client"),
+        ("Entry", "Http", "server"),
+        ("Local", "Http", "internal"),
+        ("Broken", "Http", "unspecified"),
+    ]
+    for span_type, layer, want in cases:
+        seg = _segment()
+        seg["spans"][0].update(spanType=span_type, spanLayer=layer)
+        (row,) = _translate(spark, seg)
+        assert row["kind"] == want, (span_type, layer)
+
+
+def test_status_attrs_events_resource(spark):
+    seg = _segment()
+    seg["spans"][0].update(
+        isError=True,
+        tags=[
+            {"key": "url", "value": "http://a"},
+            {"key": "custom", "value": "c1"},
+            {"key": "custom", "value": "c2"},  # PutStr: last wins
+        ],
+        logs=[
+            {"time": 1656581400001,
+             "data": [{"key": "k", "value": "v"}]},
+            {"time": 1656581400002, "data": []},
+        ],
+    )
+    (row,) = _translate(spark, seg)
+    assert (row["status_code"], row["status_message"]) == (2, "ERROR")
+    attrs = row["attributes"]
+    assert attrs["custom"] == "c2"
+    assert attrs["url"] == "http://a"
+    assert attrs["sw8.span_id"] == "1"
+    assert attrs["sw8.parent_span_id"] == "0"
+    assert attrs["sw8.segment_id"] == seg["traceSegmentId"]
+    # timestamps are UnixMilli despite the reference's "microseconds"
+    assert row["start_ts_ns"] == 1656581400000 * 1_000_000
+    ev = row["events"]
+    assert [e["name"] for e in ev] == ["logs", "logs"]
+    assert ev[0]["ts_ns"] == 1656581400001 * 1_000_000
+    assert ev[0]["attributes"]["k"] == "v"
+    assert ev[1]["attributes"] == {}
+    # resource: mapped tags of the LAST span + identity fields
+    assert row["resource_attributes"] == {"http.url": "http://a"}
+    assert row["service_name"] == "demo"
+    assert row["service_instance"] == "inst-1"
+    assert row["sw8_trace_id"] == seg["traceId"]
+
+
+def test_resource_last_span_wins(spark):
+    """swTagsToInternalResource clears per span -- only the last
+    span's mapped tags survive."""
+    seg = _segment()
+    second = dict(seg["spans"][0])
+    second.update(
+        spanId=2, parentSpanId=1, spanType="Local",
+        tags=[{"key": "db.type", "value": "mysql"},
+              {"key": "db.instance", "value": "orders"},
+              {"key": "unmapped", "value": "x"}],
+    )
+    seg["spans"].append(second)
+    rows = _translate(spark, seg)
+    assert len(rows) == 2
+    for row in rows:
+        assert row["resource_attributes"] == {
+            "db.system": "mysql", "db.name": "orders"
+        }
+
+
+def test_no_parent_when_root_without_refs(spark):
+    seg = _segment()
+    seg["spans"][0].update(parentSpanId=-1, refs=[])
+    (row,) = _translate(spark, seg)
+    assert row["parent_span_id"] is None
+    assert "sw8.parent_span_id" not in row["attributes"]
