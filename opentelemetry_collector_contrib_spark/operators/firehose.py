@@ -1,0 +1,308 @@
+"""AWS Kinesis Firehose receiver record decoders: CloudWatch metric
+streams (JSON format) and CloudWatch Logs subscription records.
+
+Reference: receiver/awsfirehosereceiver/internal/unmarshaler/
+cwmetricstream/unmarshaler.go and cwlog/unmarshaler.go.
+
+Columnar model: one input row = one Firehose record. cwmetrics
+records hold newline-delimited JSON metric datums (split + from_json
++ explode, pure Column); cwlogs records are gzip-compressed JSON (the
+gzip layer is an Arrow-batched pandas UDF -- the codec slot, like
+WARC members -- and everything after the bytes is Column code). Both
+paths are map-only at any scale.
+
+Semantics reproduced (cwmetricstream/unmarshaler.go):
+
+* newline-split datums; a datum that fails to parse is skipped
+  (scanner loop `continue`), as is one failing isValid (non-empty
+  metric_name, namespace, unit AND a present ``value`` object --
+  ``{}`` counts as set, a missing field does not).
+* resource identity (metric_stream_name, namespace, account_id,
+  region) -> cloud.provider=aws, cloud.account.id, cloud.region,
+  aws.cloudwatch.metric_stream_name; ``toServiceAttributes``: a
+  namespace whose first-``/`` prefix equals "aws" case-insensitively
+  splits into service.namespace (prefix, ORIGINAL case) +
+  service.name (rest), else service.name = whole namespace and no
+  service.namespace.
+* summary datapoint per datum: UnixMilli timestamp, dimensions as
+  attributes with InstanceId -> service.instance.id, count =
+  uint64-truncated Value.Count, sum, quantiles {0: min, 1: max} plus
+  every ``p<float>`` field of the value object at quantile
+  float(<...>)/100 (unparseable suffix -> field skipped); absent
+  min/max/sum/count default to 0. Go emits p* quantiles in random
+  map order -- this engine renders them sorted by quantile, which is
+  the same set.
+* the (name, unit) metric grouping and resource grouping of the
+  pdata tree are batching artifacts; the flattened rows carry both
+  keys, so a groupBy recovers the tree exactly.
+
+Semantics reproduced (cwlog/unmarshaler.go):
+
+* gzip decompress; failure -> record-level error
+  ("failed to decompress record").
+* JSON parse failure -> "record format invalid".
+* messageType ladder: DATA_MESSAGE requires owner / logGroup /
+  logStream (specific missing-field errors); CONTROL_MESSAGE drops
+  the record silently (zero rows, no error); anything else ->
+  'invalid message type "<t>"'.
+* one log row per event: timestamp ms -> ns, body = message,
+  resource attrs cloud.provider=aws, cloud.account.id=owner,
+  aws.log.group.names=[logGroup], aws.log.stream.names=[logStream]
+  plus the deprecated aws.cloudwatch.log_group_name /
+  log_stream_name string twins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+#: attributeAWSCloudWatchMetricStreamName (cwmetricstream/unmarshaler.go:27)
+METRIC_STREAM_NAME_ATTR = "aws.cloudwatch.metric_stream_name"
+
+_DATUM_SCHEMA = (
+    "metric_stream_name string, account_id string, region string,"
+    " namespace string, metric_name string,"
+    " dimensions map<string,string>, timestamp long,"
+    " value map<string,double>, unit string"
+)
+
+_CWLOG_SCHEMA = (
+    "messageType string, owner string, logGroup string,"
+    " logStream string, subscriptionFilters array<string>,"
+    " logEvents array<struct<id string, timestamp long,"
+    " message string>>"
+)
+
+
+def _service_split(namespace: Column) -> tuple[Column, Column]:
+    """toServiceAttributes (cwmetricstream/unmarshaler.go:203-210)."""
+    idx = F.instr(namespace, "/")
+    prefix = F.substring(namespace, 1, idx - 1)
+    aws_split = (idx > 0) & (F.lower(prefix) == "aws")
+    service_namespace = F.when(aws_split, prefix)
+    service_name = F.when(
+        aws_split, F.substr(namespace, idx + 1, F.length(namespace) - idx)
+    ).otherwise(namespace)
+    return service_namespace, service_name
+
+
+def cwmetrics_records_to_metrics(
+    df: DataFrame, record_col: str = "record"
+) -> DataFrame:
+    """UnmarshalMetrics flattened: one output row per valid metric
+    datum, resource + metric identity denormalized."""
+    lines = F.transform(
+        F.split(F.col(record_col), "\n", -1),
+        # bufio.ScanLines drops one trailing \r
+        lambda ln: F.regexp_replace(ln, "\r$", ""),
+    )
+    datums = F.filter(
+        F.transform(lines, lambda ln: F.from_json(ln, _DATUM_SCHEMA)),
+        lambda d: d.isNotNull()
+        & (F.coalesce(d["metric_name"], F.lit("")) != "")
+        & (F.coalesce(d["namespace"], F.lit("")) != "")
+        & (F.coalesce(d["unit"], F.lit("")) != "")
+        & d["value"].isNotNull(),
+    )
+    base = df.withColumn("_d", F.explode(datums))
+    d = F.col("_d")
+    v = d["value"]
+    service_namespace, service_name = _service_split(d["namespace"])
+
+    # {0: min, 1: max} + parseable p<float> fields at <float>/100;
+    # rendered sorted by quantile (Go's map order is random)
+    pcts = F.filter(
+        F.transform(
+            F.map_entries(v),
+            lambda e: F.struct(
+                F.when(
+                    e["key"].rlike("^p.+$"),
+                    F.substring(e["key"], 2, 2147483647).try_cast("double")
+                    / F.lit(100.0),
+                ).alias("quantile"),
+                e["value"].alias("value"),
+            ),
+        ),
+        lambda q: q["quantile"].isNotNull(),
+    )
+    quantiles = F.array_sort(
+        F.concat(
+            F.array(
+                F.struct(
+                    F.lit(0.0).alias("quantile"),
+                    F.coalesce(v["min"], F.lit(0.0)).alias("value"),
+                ),
+                F.struct(
+                    F.lit(1.0).alias("quantile"),
+                    F.coalesce(v["max"], F.lit(0.0)).alias("value"),
+                ),
+            ),
+            pcts,
+        )
+    )
+
+    dims = F.map_from_entries(
+        F.transform(
+            F.map_entries(F.coalesce(d["dimensions"], F.create_map())),
+            lambda e: F.struct(
+                F.when(
+                    e["key"] == "InstanceId", F.lit("service.instance.id")
+                )
+                .otherwise(e["key"])
+                .alias("key"),
+                e["value"].alias("value"),
+            ),
+        )
+    )
+
+    return base.select(
+        *[c for c in df.columns if c != record_col],
+        F.coalesce(d["metric_stream_name"], F.lit("")).alias(
+            "metric_stream_name"
+        ),
+        F.coalesce(d["account_id"], F.lit("")).alias("account_id"),
+        F.coalesce(d["region"], F.lit("")).alias("region"),
+        d["namespace"].alias("namespace"),
+        service_namespace.alias("service_namespace"),
+        service_name.alias("service_name"),
+        d["metric_name"].alias("metric_name"),
+        d["unit"].alias("unit"),
+        (F.coalesce(d["timestamp"], F.lit(0)) * F.lit(1_000_000)).alias(
+            "ts_ns"
+        ),
+        F.floor(F.coalesce(v["count"], F.lit(0.0))).cast("bigint").alias(
+            "count"
+        ),
+        F.coalesce(v["sum"], F.lit(0.0)).alias("sum"),
+        quantiles.alias("quantiles"),
+        dims.alias("attributes"),
+    )
+
+
+def gzip_compress(col: Column) -> Column:
+    """Deterministic gzip (mtime=0) of a string/binary column --
+    fixture-side helper for building Firehose cwlogs records."""
+
+    @F.pandas_udf(BinaryType())
+    def _gz(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import gzip as _gzip
+
+        for s in batches:
+            yield s.map(
+                lambda x: None
+                if x is None
+                else _gzip.compress(
+                    x if isinstance(x, bytes) else str(x).encode("utf-8"),
+                    mtime=0,
+                )
+            )
+
+    return _gz(col)
+
+
+def gzip_decompress(col: Column) -> Column:
+    """gunzip a binary column; NULL on any decompression failure."""
+
+    @F.pandas_udf(BinaryType())
+    def _gunz(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import gzip as _gzip
+
+        def one(x):
+            if x is None:
+                return None
+            try:
+                return _gzip.decompress(bytes(x))
+            except OSError:
+                return None
+            except EOFError:
+                return None
+
+        for s in batches:
+            yield s.map(one)
+
+    return _gunz(col)
+
+
+def cwlogs_records_to_logs(
+    df: DataFrame, record_col: str = "record"
+) -> DataFrame:
+    """UnmarshalLogs flattened: one output row per log event of a
+    valid DATA_MESSAGE record; invalid records yield ONE row with
+    ``error`` set and event fields NULL; CONTROL_MESSAGE records
+    yield no rows."""
+    decoded = gzip_decompress(F.col(record_col))
+    parsed = F.from_json(decoded.cast("string"), _CWLOG_SCHEMA)
+    base = (
+        df.withColumn("_raw", decoded)
+        .withColumn("_log", parsed)
+    )
+    lg = F.col("_log")
+    error = (
+        F.when(F.col("_raw").isNull(), F.lit("failed to decompress record"))
+        .when(
+            lg.isNull() | lg["messageType"].isNull(),
+            F.lit("record format invalid"),
+        )
+        .when(
+            lg["messageType"] == "DATA_MESSAGE",
+            F.when(
+                F.coalesce(lg["owner"], F.lit("")) == "",
+                F.lit("cloudwatch log record is missing owner field"),
+            )
+            .when(
+                F.coalesce(lg["logGroup"], F.lit("")) == "",
+                F.lit("cloudwatch log record is missing logGroup field"),
+            )
+            .when(
+                F.coalesce(lg["logStream"], F.lit("")) == "",
+                F.lit("cloudwatch log record is missing logStream field"),
+            ),
+        )
+        .when(lg["messageType"] == "CONTROL_MESSAGE", F.lit(None))
+        .otherwise(
+            F.concat(
+                F.lit('invalid message type "'),
+                F.coalesce(lg["messageType"], F.lit("")),
+                F.lit('"'),
+            )
+        )
+    )
+    with_err = base.withColumn("_err", error)
+    control = lg["messageType"] == "CONTROL_MESSAGE"
+
+    events = F.when(
+        F.col("_err").isNull() & ~F.coalesce(control, F.lit(False)),
+        F.coalesce(
+            lg["logEvents"],
+            F.array().cast(
+                "array<struct<id string, timestamp long, message string>>"
+            ),
+        ),
+    )
+    # valid record -> one row per event; error record -> one NULL
+    # event row (error column set); control -> zero rows
+    slot = F.when(
+        F.col("_err").isNotNull(),
+        F.array(
+            F.lit(None).cast(
+                "struct<id string, timestamp long, message string>"
+            )
+        ),
+    ).otherwise(events)
+    rows = with_err.withColumn("_ev", F.explode(slot))
+    ev = F.col("_ev")
+    valid = F.col("_err").isNull()
+    return rows.select(
+        *[c for c in df.columns if c != record_col],
+        F.col("_err").alias("error"),
+        F.when(valid, lg["owner"]).alias("account_id"),
+        F.when(valid, lg["logGroup"]).alias("log_group"),
+        F.when(valid, lg["logStream"]).alias("log_stream"),
+        F.when(valid, ev["timestamp"] * F.lit(1_000_000)).alias("ts_ns"),
+        F.when(valid, ev["message"]).alias("body"),
+    )

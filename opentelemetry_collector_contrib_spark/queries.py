@@ -6696,3 +6696,206 @@ def q_skywalking_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["skywalking_spans_events"] = q_skywalking_spans
 _ORACLES["skywalking_spans_events"] = _SKYWALKING_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# AWS Firehose record decoders (receiver/awsfirehosereceiver/internal/
+# unmarshaler/{cwmetricstream,cwlog}). cwmetrics: newline-delimited
+# datum records with the validity gate, service-attribute namespace
+# split, and the quantile ladder (0/1 + p<float>/100). cwlogs: REAL
+# gzip roundtrip (fixture compresses in-Spark, the decoder
+# decompresses) with the messageType/missing-field error ladder.
+# ---------------------------------------------------------------------------
+
+
+
+def _cwm_datum(ns: str, name: str, unit: str, value: str,
+               dims: str = "") -> str:
+    return (
+        "concat('{\"metric_stream_name\":\"st-', "
+        "CAST(user_id % 3 AS STRING), "
+        "'\",\"account_id\":\"acct\",\"region\":\"us-east-1\","
+        f"\"namespace\":\"{ns}\",\"metric_name\":\"{name}\","
+        f"\"dimensions\":{{{dims}}},\"timestamp\":', "
+        "CAST(1656581400000 + event_id AS STRING), "
+        f"',\"value\":{{{value}}},\"unit\":\"{unit}\"}}}}')"
+    )
+
+
+_CWMETRICS_RECORD_SQL = f"""
+CASE CAST(event_id % 5 AS INT)
+  WHEN 0 THEN concat(
+    {_cwm_datum("AWS/EC2", "lat", "ms",
+                '"count":3.0,"sum":20.0,"max":18.0,"min":2.0')},
+    chr(10),
+    {_cwm_datum("AWS/EC2", "lat", "ms",
+                '"count":4.0,"sum":21.0,"max":19.0,"min":1.0')}
+  )
+  WHEN 1 THEN {_cwm_datum(
+      "AWS/Lambda", "dur", "ms",
+      '"count":2.9,"sum":10.0,"max":9.0,"min":1.0,'
+      '"p50":4.0,"p99.9":8.5,"provider":7.0,"pfoo":6.0')}
+  WHEN 2 THEN concat(
+    {_cwm_datum("Custom", "nounits", "", '"count":1.0')},
+    chr(10),
+    {_cwm_datum("CustomNS", "good", "Count", '"count":5.0,"sum":6.0')}
+  )
+  WHEN 3 THEN concat(
+    'this is not json', chr(10),
+    {_cwm_datum("aws/S3", "reqs", "Count",
+                '"count":7.0,"sum":8.0',
+                dims='"InstanceId":"i-abc","Bucket":"b1"')}
+  )
+  ELSE {_cwm_datum("NoSlash", "empty", "None", "")}
+END
+""".strip()
+
+_CWMETRICS_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 5 AS INT) AS m, user_id,
+         'st-' || CAST(user_id % 3 AS STRING) AS stream,
+         (1656581400000 + event_id) * 1000000 AS ts_ns
+  FROM events),
+rows_out AS (
+  SELECT event_id, stream, 'AWS/EC2' AS namespace, 'AWS' AS service_namespace,
+         'EC2' AS service_name, 'lat' AS metric_name, 'ms' AS unit,
+         ts_ns, CAST(3 AS BIGINT) AS n, CAST(20.0 AS DOUBLE) AS sum_v,
+         '0:2.0,1000:18.0' AS quantiles, '' AS attrs, 0 AS sub
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, stream, 'AWS/EC2', 'AWS', 'EC2', 'lat', 'ms',
+         ts_ns, 4, 21.0, '0:1.0,1000:19.0', '', 1
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, stream, 'AWS/Lambda', 'AWS', 'Lambda', 'dur', 'ms',
+         ts_ns, 2, 10.0, '0:1.0,500:4.0,999:8.5,1000:9.0', '', 0
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, stream, 'CustomNS', NULL, 'CustomNS', 'good', 'Count',
+         ts_ns, 5, 6.0, '0:0.0,1000:0.0', '', 0
+  FROM f WHERE m = 2
+  UNION ALL
+  SELECT event_id, stream, 'aws/S3', 'aws', 'S3', 'reqs', 'Count',
+         ts_ns, 7, 8.0, '0:0.0,1000:0.0',
+         'Bucket=b1,service.instance.id=i-abc', 0
+  FROM f WHERE m = 3
+  UNION ALL
+  SELECT event_id, stream, 'NoSlash', NULL, 'NoSlash', 'empty', 'None',
+         ts_ns, 0, 0.0, '0:0.0,1000:0.0', '', 0
+  FROM f WHERE m = 4)
+SELECT event_id, stream AS metric_stream_name, namespace,
+       service_namespace, service_name, metric_name, unit, ts_ns,
+       n AS count, sum_v AS sum, quantiles, attrs AS attrs_str
+FROM rows_out ORDER BY event_id, sub
+"""
+
+
+def q_firehose_cwmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.firehose import cwmetrics_records_to_metrics
+
+    records = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr(_CWMETRICS_RECORD_SQL).alias("record")
+    )
+    out = cwmetrics_records_to_metrics(records)
+    return out.select(
+        "event_id", "metric_stream_name", "namespace", "service_namespace",
+        "service_name", "metric_name", "unit", "ts_ns", "count", "sum",
+        F.array_join(
+            F.transform(
+                F.col("quantiles"),
+                lambda q: F.concat(
+                    F.round(q["quantile"] * 1000).cast("bigint").cast("string"),
+                    F.lit(":"),
+                    q["value"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("quantiles"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(F.col("attributes")),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            ",",
+        ).alias("attrs_str"),
+    ).orderBy("event_id", "count")
+
+
+_CWLOGS_JSON_SQL = r"""
+CASE CAST(event_id % 5 AS INT)
+  WHEN 0 THEN concat(
+    '{"messageType":"DATA_MESSAGE","owner":"o-',
+    CAST(user_id % 4 AS STRING),
+    '","logGroup":"grp-', event_type,
+    '","logStream":"str-', CAST(event_id % 7 AS STRING),
+    '","subscriptionFilters":["f1"],"logEvents":[',
+    '{"id":"a","timestamp":', CAST(1656581400000 + event_id AS STRING),
+    ',"message":"msg-', event_type, '"},',
+    '{"id":"b","timestamp":', CAST(1656581401000 + event_id AS STRING),
+    ',"message":"second-', CAST(event_id % 9 AS STRING), '"}]}')
+  WHEN 1 THEN
+    '{"messageType":"CONTROL_MESSAGE","owner":"cw","logEvents":[{"id":"c","timestamp":1,"message":"CWL CONTROL MESSAGE"}]}'
+  WHEN 2 THEN concat(
+    '{"messageType":"DATA_MESSAGE","owner":"o-',
+    CAST(user_id % 4 AS STRING),
+    '","logGroup":"grp-', event_type, '","logEvents":[]}')
+  WHEN 3 THEN '{"messageType":"UPLOAD","owner":"x"}'
+  ELSE 'totally not json'
+END
+""".strip()
+
+_CWLOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 5 AS INT) AS m, event_type, user_id
+  FROM events),
+rows_out AS (
+  SELECT event_id, CAST(NULL AS VARCHAR) AS error,
+         'o-' || CAST(user_id % 4 AS STRING) AS account_id,
+         'grp-' || event_type AS log_group,
+         'str-' || CAST(event_id % 7 AS STRING) AS log_stream,
+         (1656581400000 + event_id) * 1000000 AS ts_ns,
+         'msg-' || event_type AS body
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, NULL, 'o-' || CAST(user_id % 4 AS STRING),
+         'grp-' || event_type, 'str-' || CAST(event_id % 7 AS STRING),
+         (1656581401000 + event_id) * 1000000,
+         'second-' || CAST(event_id % 9 AS STRING)
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, 'cloudwatch log record is missing logStream field',
+         NULL, NULL, NULL, NULL, NULL
+  FROM f WHERE m = 2
+  UNION ALL
+  SELECT event_id, 'invalid message type "UPLOAD"',
+         NULL, NULL, NULL, NULL, NULL
+  FROM f WHERE m = 3
+  UNION ALL
+  SELECT event_id, 'record format invalid',
+         NULL, NULL, NULL, NULL, NULL
+  FROM f WHERE m = 4)
+SELECT event_id, error, account_id, log_group, log_stream, ts_ns, body
+FROM rows_out ORDER BY event_id, ts_ns NULLS FIRST
+"""
+
+
+def q_firehose_cwlogs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.firehose import cwlogs_records_to_logs, gzip_compress
+
+    records = _read(spark, sf_dir, "events").select(
+        "event_id",
+        gzip_compress(F.expr(_CWLOGS_JSON_SQL)).alias("record"),
+    )
+    out = cwlogs_records_to_logs(records)
+    return out.select(
+        "event_id", "error", "account_id", "log_group", "log_stream",
+        "ts_ns", "body",
+    ).orderBy("event_id", F.col("ts_ns").asc_nulls_first())
+
+
+_QUERIES["firehose_cwmetrics_events"] = q_firehose_cwmetrics
+_ORACLES["firehose_cwmetrics_events"] = _CWMETRICS_ORACLE
+_QUERIES["firehose_cwlogs_events"] = q_firehose_cwlogs
+_ORACLES["firehose_cwlogs_events"] = _CWLOGS_ORACLE

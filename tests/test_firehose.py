@@ -1,0 +1,193 @@
+"""AWS Firehose cwmetrics/cwlogs decoder semantics pinned against the
+reference (receiver/awsfirehosereceiver/internal/unmarshaler/...).
+
+The cwmetrics golden records are the reference's own testdata files
+(read at test time from the reference checkout, never copied); the
+expected resource/metric/datapoint counts come from
+cwmetricstream/unmarshaler_test.go:42-63.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.firehose import (
+    cwlogs_records_to_logs,
+    cwmetrics_records_to_metrics,
+    gzip_compress,
+)
+
+_TESTDATA = (
+    "/root/reference/receiver/awsfirehosereceiver/internal/unmarshaler/"
+    "cwmetricstream/testdata"
+)
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(_TESTDATA), reason="reference testdata not present"
+)
+
+
+def _run_record(spark, record: str):
+    df = spark.createDataFrame([(1, record)], "rid long, record string")
+    return cwmetrics_records_to_metrics(df)
+
+
+@needs_ref
+@pytest.mark.parametrize(
+    "filename,resources,metrics,datapoints",
+    [
+        ("multiple_records", 6, 33, 127),
+        ("single_record", 1, 1, 1),
+        ("invalid_records", 0, 0, 0),
+        ("some_invalid_records", 5, 36, 88),
+    ],
+)
+def test_cwmetrics_golden_counts(
+    spark, filename, resources, metrics, datapoints
+):
+    with open(os.path.join(_TESTDATA, filename)) as f:
+        record = f.read()
+    out = _run_record(spark, record).cache()
+    try:
+        assert out.count() == datapoints
+        res_key = ["metric_stream_name", "namespace", "account_id", "region"]
+        assert out.select(*res_key).distinct().count() == resources
+        assert (
+            out.select(*res_key, "metric_name", "unit").distinct().count()
+            == metrics
+        )
+    finally:
+        out.unpersist()
+
+
+@needs_ref
+def test_cwmetrics_single_record_fields(spark):
+    with open(os.path.join(_TESTDATA, "single_record")) as f:
+        record = f.read()
+    (row,) = _run_record(spark, record).collect()
+    assert row["metric_name"] == "DiskWriteOps"
+    assert row["unit"] == "Seconds"
+    assert row["namespace"] == "AWS/EC2"
+    assert row["service_namespace"] == "AWS"
+    assert row["service_name"] == "EC2"
+    assert row["account_id"] == "1234567890"
+    assert row["region"] == "us-east-1"
+    assert row["metric_stream_name"] == "MyMetricStream"
+    assert row["ts_ns"] == 1611929698000000000
+    assert row["count"] == 3
+    assert row["sum"] == 20.0
+    assert row["attributes"] == {"service.instance.id": "i-123456789012"}
+    got_q = [(q["quantile"], q["value"]) for q in row["quantiles"]]
+    assert got_q == [(0.0, 0.0), (0.9, 16.0), (0.99, 17.0), (1.0, 18.0)]
+
+
+def test_cwmetrics_validation_and_percentile_ladder(spark):
+    datums = [
+        # missing unit -> skipped
+        {"metric_stream_name": "s", "account_id": "a", "region": "r",
+         "namespace": "AWS/EC2", "metric_name": "m1",
+         "timestamp": 1000, "value": {"count": 1.0}},
+        # value absent -> skipped
+        {"metric_stream_name": "s", "account_id": "a", "region": "r",
+         "namespace": "AWS/EC2", "metric_name": "m1",
+         "timestamp": 1000, "unit": "Count"},
+        # valid; empty value object counts as set, defaults 0
+        {"metric_stream_name": "s", "account_id": "a", "region": "r",
+         "namespace": "Custom", "metric_name": "m2",
+         "timestamp": 2000, "unit": "Count", "value": {}},
+        # percentile key ladder: p95 kept, provider/pfoo skipped
+        {"metric_stream_name": "s", "account_id": "a", "region": "r",
+         "namespace": "aws/Lambda", "metric_name": "m3",
+         "timestamp": 3000, "unit": "ms",
+         "value": {"min": 1.0, "max": 9.0, "sum": 10.0, "count": 2.9,
+                   "p95": 8.0, "provider": 7.0, "pfoo": 6.0}},
+    ]
+    record = "\n".join(json.dumps(d) for d in datums) + "\nnot-json\n"
+    rows = {r["metric_name"]: r for r in _run_record(spark, record).collect()}
+    assert set(rows) == {"m2", "m3"}
+    m2 = rows["m2"]
+    assert m2["count"] == 0 and m2["sum"] == 0.0
+    assert [(q["quantile"], q["value"]) for q in m2["quantiles"]] == [
+        (0.0, 0.0), (1.0, 0.0)
+    ]
+    assert m2["service_namespace"] is None
+    assert m2["service_name"] == "Custom"
+    m3 = rows["m3"]
+    # namespace prefix match is case-insensitive, kept in original case
+    assert m3["service_namespace"] == "aws"
+    assert m3["service_name"] == "Lambda"
+    assert m3["count"] == 2  # uint64 truncation of 2.9
+    assert [(q["quantile"], q["value"]) for q in m3["quantiles"]] == [
+        (0.0, 1.0), (0.95, 8.0), (1.0, 9.0)
+    ]
+
+
+def _logs_df(spark, payloads):
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "rid long, payload string")
+    return df.select("rid", gzip_compress(F.col("payload")).alias("record"))
+
+
+def test_cwlogs_data_control_and_errors(spark):
+    data = {
+        "messageType": "DATA_MESSAGE", "owner": "123",
+        "logGroup": "g", "logStream": "st",
+        "subscriptionFilters": ["f"],
+        "logEvents": [
+            {"id": "1", "timestamp": 1611929698000, "message": "hello"},
+            {"id": "2", "timestamp": 1611929699000, "message": "world"},
+        ],
+    }
+    control = dict(data, messageType="CONTROL_MESSAGE")
+    missing_stream = {
+        "messageType": "DATA_MESSAGE", "owner": "123", "logGroup": "g",
+        "logEvents": [],
+    }
+    bad_type = dict(data, messageType="WHAT")
+    payloads = [
+        json.dumps(data), json.dumps(control),
+        json.dumps(missing_stream), json.dumps(bad_type), "not json",
+    ]
+    out = cwlogs_records_to_logs(_logs_df(spark, payloads)).collect()
+    by_rid: dict[int, list] = {}
+    for r in out:
+        by_rid.setdefault(r["rid"], []).append(r)
+
+    assert sorted(by_rid) == [0, 2, 3, 4]  # control record: zero rows
+    ok = sorted(by_rid[0], key=lambda r: r["ts_ns"])
+    assert [r["body"] for r in ok] == ["hello", "world"]
+    assert ok[0]["ts_ns"] == 1611929698000 * 1_000_000
+    assert ok[0]["account_id"] == "123"
+    assert ok[0]["log_group"] == "g"
+    assert ok[0]["log_stream"] == "st"
+    assert ok[0]["error"] is None
+
+    (ms,) = by_rid[2]
+    assert ms["error"] == "cloudwatch log record is missing logStream field"
+    assert ms["body"] is None
+    (bt,) = by_rid[3]
+    assert bt["error"] == 'invalid message type "WHAT"'
+    (nj,) = by_rid[4]
+    assert nj["error"] == "record format invalid"
+
+
+def test_cwlogs_decompress_failure(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"not gzip at all"))], "rid long, record binary"
+    )
+    (row,) = cwlogs_records_to_logs(df).collect()
+    assert row["error"] == "failed to decompress record"
+
+
+def test_cwlogs_gzip_roundtrip_is_real(spark):
+    """The fixture-side compressor produces real gzip bytes."""
+    df = _logs_df(spark, ['{"messageType":"CONTROL_MESSAGE"}'])
+    (row,) = df.collect()
+    assert gzip.decompress(bytes(row["record"])) == (
+        b'{"messageType":"CONTROL_MESSAGE"}'
+    )
