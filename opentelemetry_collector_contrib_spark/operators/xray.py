@@ -1,0 +1,611 @@
+"""AWS X-Ray segment-document -> OTel span translation as a columnar
+battery.
+
+Reference: receiver/awsxrayreceiver/internal/translator/ (translator,
+name, http, cause, aws, sql, sdk, annotations, metadata, time,
+addtoattrs) over the segment model in internal/aws/xray/
+tracesegment.go. One input row = one segment document (the UDP/JSON
+payload); output = one OTel span row per segment or embedded
+subsegment, resource columns denormalized.
+
+Semantics reproduced:
+
+* Validate (tracesegment.go:64-88): name / id / start_time / trace_id
+  nil on the ROOT document rejects the whole document (embedded
+  subsegments legally omit trace_id -- they inherit the root's).
+  Every populateSpan error likewise rejects the WHOLE document
+  (translator.go:86-116): unexpected namespace, bad trace/span id,
+  unparseable sql.url.
+* id algebra (translator.go:219-248): trace id "1-<8hex>-<24hex>"
+  re-assembled as chars [2:10]+[11:] and hex-decoded (the '-'
+  separators' positions are NOT validated, only length >= 35 and the
+  32 reassembled chars); span ids are exactly 16 hex chars.
+* kind ladder (name.go, translator.go:163-165): addNameAndNamespace
+  may set Server (http.request.client_ip present) or Client
+  (namespace aws/remote, with aws.service attr for "aws") or
+  Internal (namespace nil/local and still unspecified); a non-{aws,
+  remote,local} namespace is an error; then a ROOT document that is
+  not an independent subsegment (parent_id set AND type ==
+  "subsegment" case-insensitively) is forced to Server.
+* timestamps (time.go): float seconds * 1e9, double arithmetic,
+  truncated -- end only when present.
+* status (http.go, cause.go, translator.go:98-114): http.response.
+  status -> StatusCodeFromHTTP ([100,399) -> unset else error);
+  a present cause forces at-least-error; the post-traversal
+  "refine from child" pass is a semantic no-op in pdata (children
+  can only be unset or error) and is documented as such.
+* cause (cause.go): string-typed cause (16-char exception id) ->
+  status message; object-typed cause -> one "exception" event per
+  exception with the aws.xray.exception.* attrs and the
+  "<type>: <message>\\n\\tat <label>(<path>: <line>)\\n" stacktrace
+  rendering (missing line -> "<unknown>").
+* attrs: in_progress, enduser.id, http.*, aws span attrs
+  (account_id/operation/region/request_id/queue_url/table_name/
+  retries), sql attrs (db.connection_string + db.name from the
+  "^(.+//.+)/([^?]+)\\??.*$" URL split, db.system, db.statement,
+  db.user), traced, annotations (values + the aws.xray.annotations
+  key-list, rendered SORTED -- Go emits random map order), metadata
+  (aws.xray.metadata.<key> = compact sorted JSON; this engine models
+  metadata values as strings).
+* resource (translator.go:190-205, aws.go, sdk.go): root name ->
+  service.name; aws -> cloud.provider ("unknown" when absent!),
+  cloud.account.id, log groups, ec2/ecs/beanstalk/eks attrs;
+  aws.xray sdk -> telemetry.sdk.version/name + language (java when
+  exceptions present, else the suffix after "for "); service
+  version; resource_arn.
+
+Embedded subsegment recursion is schema-bounded (MAX_DEPTH nested
+levels below the root; deeper JSON is ignored by from_json) -- the
+reference recurses unbounded, but X-Ray documents cap at 64 KB which
+bounds practical depth. Pure Column code; map-only at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: nested subsegment levels below the root captured by the schema
+MAX_DEPTH = 3
+
+_ENTRY = "struct<key string, value string>"
+_EVENT = f"struct<name string, attributes array<{_ENTRY}>>"
+
+_HTTP = (
+    "http struct<request struct<method string, client_ip string,"
+    " user_agent string, url string, x_forwarded_for boolean>,"
+    " response struct<status bigint, content_length string>>"
+)
+_SQL = (
+    "sql struct<connection_string string, url string,"
+    " sanitized_query string, database_type string, user string>"
+)
+_AWS = (
+    "aws struct<account_id string, operation string, region string,"
+    " request_id string, queue_url string, table_name string,"
+    " retries bigint,"
+    " cloudwatch_logs array<struct<arn string, log_group string>>,"
+    " ec2 struct<instance_id string, availability_zone string,"
+    "  instance_size string, ami_id string>,"
+    " ecs struct<container string, container_id string,"
+    "  availability_zone string>,"
+    " elastic_beanstalk struct<environment_name string,"
+    "  version_label string, deployment_id bigint>,"
+    " eks struct<cluster_name string, pod string, container_id string>,"
+    " xray struct<sdk string, sdk_version string,"
+    "  auto_instrumentation boolean>>"
+)
+# CauseData is string-or-object polymorphic (tracesegment.go:181-195);
+# from_json cannot express that, so xray_segments_to_spans first
+# rewrites every `"cause":"<id>"` into `"cause":{"exception_id":
+# "<id>"}` (this also uniformly wraps Exception.Cause, which IS a
+# string) and the schema carries the wrapper struct.
+_CAUSE_ID = "struct<exception_id string>"
+_CAUSE = (
+    "cause struct<exception_id string, working_directory string,"
+    " paths array<string>,"
+    " exceptions array<struct<id string, message string, type string,"
+    f" remote boolean, truncated bigint, skipped bigint,"
+    f" cause {_CAUSE_ID},"
+    " stack array<struct<path string, line bigint, label string>>>>>"
+)
+
+_CAUSE_STR_RE = r'("cause"\s*:\s*)"((?:[^"\\]|\\.)*)"'
+
+
+def _seg_fields(depth: int) -> str:
+    sub = (
+        f", subsegments array<{_seg_schema(depth - 1)}>" if depth > 0 else ""
+    )
+    return (
+        "name string, id string, start_time double, end_time double,"
+        " trace_id string, in_progress boolean, user string,"
+        " origin string, resource_arn string, namespace string,"
+        " parent_id string, type string, traced boolean,"
+        f" annotations map<string,string>,"
+        f" metadata map<string,map<string,string>>,"
+        f" {_HTTP}, {_SQL}, {_AWS}, {_CAUSE},"
+        " service struct<version string>" + sub
+    )
+
+
+def _seg_schema(depth: int) -> str:
+    return f"struct<{_seg_fields(depth)}>"
+
+
+XRAY_SEGMENT_SCHEMA = _seg_fields(MAX_DEPTH)
+
+def _e(key, value) -> Column:
+    key = F.lit(key) if isinstance(key, str) else key
+    return F.struct(key.alias("key"), value.alias("value"))
+
+
+def _opt(key, value: Column) -> Column:
+    """addString/addBool/addInt64: entry only when the value is
+    present; bools render true/false, ints decimal."""
+    return F.when(value.isNotNull(), F.array(_e(key, value.cast("string"))))
+
+
+def decode_xray_trace_id(tid: Column) -> tuple[Column, Column]:
+    """decodeXRayTraceID -> (hex32 or NULL, error or NULL)."""
+    tid_ok = tid.isNotNull() & (F.length(tid) >= 35)
+    joined = F.concat(F.substring(tid, 3, 8), F.substring(tid, 12, 2**30))
+    hex_ok = joined.rlike("^[0-9a-fA-F]{32}$")
+    err = (
+        F.when(~F.coalesce(tid_ok, F.lit(False)),
+               F.lit("traceID length is wrong"))
+        .when(~hex_ok, F.lit("traceID is not valid hex"))
+    )
+    return F.when(tid_ok & hex_ok, F.lower(joined)), err
+
+
+def decode_xray_span_id(sid: Column) -> tuple[Column, Column]:
+    """decodeXRaySpanID -> (hex16 or NULL, error or NULL)."""
+    ok = sid.isNotNull() & sid.rlike("^[0-9a-fA-F]{16}$")
+    return (
+        F.when(ok, F.lower(sid)),
+        F.when(~F.coalesce(ok, F.lit(False)),
+               F.lit("spanID length is wrong")),
+    )
+
+
+def _status_from_http(status: Column) -> Column:
+    """StatusCodeFromHTTP: [100, 399) -> 0 (unset), else 2 (error)."""
+    return F.when(
+        status.isNotNull(),
+        F.when((status >= 100) & (status < 399), F.lit(0)).otherwise(F.lit(2)),
+    ).otherwise(F.lit(0))
+
+
+def _sorted_json(m: Column) -> Column:
+    """json.Marshal of a string map: compact, keys sorted."""
+    return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(m))))
+
+
+def _exception_events(cause: Column) -> Column:
+    def one(x) -> Column:
+        stack = F.coalesce(x["stack"], F.array())
+        trace = F.concat(
+            F.coalesce(x["type"], F.lit("")),
+            F.lit(": "),
+            F.coalesce(x["message"], F.lit("")),
+            F.lit("\n"),
+            F.array_join(
+                F.transform(
+                    stack,
+                    lambda fr: F.concat(
+                        F.lit("\tat "),
+                        F.coalesce(fr["label"], F.lit("")),
+                        F.lit("("),
+                        F.coalesce(fr["path"], F.lit("")),
+                        F.lit(": "),
+                        F.coalesce(
+                            fr["line"].cast("string"), F.lit("<unknown>")
+                        ),
+                        F.lit(")\n"),
+                    ),
+                ),
+                "",
+            ),
+        )
+        attrs = F.concat(
+            F.array(_e("aws.xray.exception.id", x["id"])),
+            F.coalesce(_opt("exception.message", x["message"]), F.array()),
+            F.coalesce(_opt("exception.type", x["type"]), F.array()),
+            F.coalesce(_opt("aws.xray.exception.remote", x["remote"]),
+                       F.array()),
+            F.coalesce(_opt("aws.xray.exception.truncated", x["truncated"]),
+                       F.array()),
+            F.coalesce(_opt("aws.xray.exception.skipped", x["skipped"]),
+                       F.array()),
+            F.coalesce(
+                _opt("aws.xray.exception.cause", x["cause"]["exception_id"]),
+                F.array(),
+            ),
+            F.when(
+                F.size(stack) > 0,
+                F.array(_e("exception.stacktrace", trace)),
+            ).otherwise(F.array().cast(f"array<{_ENTRY}>")),
+        )
+        return F.struct(
+            F.lit("exception").alias("name"), attrs.alias("attributes")
+        )
+
+    return F.transform(
+        F.coalesce(cause["exceptions"], F.array()), one
+    ).cast(f"array<{_EVENT}>")
+
+
+# "^(.+//.+)/([^?]+)\??.*$" (sql.go:41) -- db url + db name
+_SQL_URL_RE = r"^(.+//.+)/([^\?]+)\??.*$"
+
+
+def _span_struct(
+    s: Column, root_trace_id: Column, ctx_parent: Column | None,
+    is_sub: Column,
+) -> Column:
+    """populateSpan over one (sub)segment struct; returns a uniform
+    span struct with an ``err`` field (non-null rejects the whole
+    document, like segToSpans propagating the error up)."""
+    # ids
+    tid_raw = F.coalesce(s["trace_id"], root_trace_id)
+    trace_id, tid_err = decode_xray_trace_id(tid_raw)
+    span_id, sid_err = decode_xray_span_id(s["id"])
+    parent_raw = (
+        ctx_parent
+        if ctx_parent is not None
+        else s["parent_id"]
+    )
+    parent_id, pid_err = decode_xray_span_id(parent_raw)
+    parent_err = F.when(parent_raw.isNotNull(), pid_err)
+
+    ns = s["namespace"]
+    client_ip = s["http"]["request"]["client_ip"]
+    ns_err = F.when(
+        ns.isNotNull() & ~ns.isin("local", "aws", "remote"),
+        F.concat(F.lit("unexpected namespace: "), ns),
+    )
+    kind = (
+        F.when(~is_sub, F.lit("server"))
+        .when(ns.isNotNull() & (ns != "local"), F.lit("client"))
+        .when(client_ip.isNotNull(), F.lit("server"))
+        .otherwise(F.lit("internal"))
+    )
+
+    # status: http first, then cause forces at-least-error
+    http_status = s["http"]["response"]["status"]
+    cause_obj = s["cause"]
+    has_cause = cause_obj.isNotNull()
+    cause_is_id = cause_obj["exception_id"].isNotNull()
+    code = _status_from_http(http_status)
+    code = F.when(has_cause & (code == 0), F.lit(2)).otherwise(code)
+
+    sql_url = s["sql"]["url"]
+    db_url = F.regexp_extract(sql_url, _SQL_URL_RE, 1)
+    db_name = F.regexp_extract(sql_url, _SQL_URL_RE, 2)
+    sql_err = F.when(
+        sql_url.isNotNull() & (db_url == ""),
+        F.concat(
+            F.lit('failed to parse out the database name in the "sql.url"'
+                  " field, rawUrl: "),
+            sql_url,
+        ),
+    )
+
+    name_err = F.when(s["name"].isNull(), F.lit('segment "name" cannot be nil'))
+
+    aws = s["aws"]
+    annotations = F.coalesce(s["annotations"], F.create_map())
+    anno_entries = F.when(
+        F.size(F.map_entries(annotations)) > 0,
+        F.concat(
+            F.array(
+                _e(
+                    "aws.xray.annotations",
+                    F.concat(
+                        F.lit("["),
+                        F.array_join(
+                            F.array_sort(F.map_keys(annotations)), ","
+                        ),
+                        F.lit("]"),
+                    ),
+                )
+            ),
+            F.transform(
+                F.array_sort(F.map_entries(annotations)),
+                lambda e: _e(e["key"], e["value"]),
+            ),
+        ),
+    ).otherwise(F.array().cast(f"array<{_ENTRY}>"))
+
+    meta = F.coalesce(
+        s["metadata"], F.create_map().cast("map<string,map<string,string>>")
+    )
+    meta_entries = F.transform(
+        F.array_sort(F.map_keys(meta)),
+        lambda k: _e(
+            F.concat(F.lit("aws.xray.metadata."), k),
+            _sorted_json(F.element_at(meta, k)),
+        ),
+    ).cast(f"array<{_ENTRY}>")
+
+    def opt(key, value):
+        return F.coalesce(_opt(key, value), F.array().cast(f"array<{_ENTRY}>"))
+
+    attrs = F.concat(
+        F.when(ns == "aws", F.array(_e("aws.service", s["name"])))
+        .otherwise(F.array().cast(f"array<{_ENTRY}>")),
+        opt("aws.xray.inprogress", s["in_progress"]),
+        opt("enduser.id", s["user"]),
+        opt("http.method", s["http"]["request"]["method"]),
+        opt("http.client_ip", client_ip),
+        opt("http.user_agent", s["http"]["request"]["user_agent"]),
+        opt("http.url", s["http"]["request"]["url"]),
+        opt("aws.xray.x_forwarded_for",
+            s["http"]["request"]["x_forwarded_for"]),
+        opt("http.status_code", http_status),
+        opt("http.response_content_length",
+            s["http"]["response"]["content_length"]),
+        opt("aws.account_id", aws["account_id"]),
+        opt("aws.operation", aws["operation"]),
+        opt("aws.region", aws["region"]),
+        opt("aws.request_id", aws["request_id"]),
+        opt("aws.queue_url", aws["queue_url"]),
+        opt("aws.table_name", aws["table_name"]),
+        F.when(
+            sql_url.isNotNull() & (db_url != ""),
+            F.array(
+                _e("db.connection_string", db_url), _e("db.name", db_name)
+            ),
+        ).otherwise(F.array().cast(f"array<{_ENTRY}>")),
+        opt("db.system", s["sql"]["database_type"]),
+        opt("db.statement", s["sql"]["sanitized_query"]),
+        opt("db.user", s["sql"]["user"]),
+        opt("aws.xray.retries", aws["retries"]),
+        opt("aws.xray.traced", s["traced"]),
+        anno_entries,
+        meta_entries,
+    )
+
+    # a bare-string cause (CauseTypeExceptionID) only sets the status
+    # message; exception events come from the object form
+    events = F.when(
+        has_cause & ~cause_is_id, _exception_events(cause_obj)
+    ).otherwise(F.array().cast(f"array<{_EVENT}>"))
+    status_message = F.when(cause_is_id, cause_obj["exception_id"])
+
+    err = F.coalesce(name_err, ns_err, tid_err, sid_err, parent_err, sql_err)
+    return F.struct(
+        s["name"].alias("name"),
+        trace_id.alias("trace_id"),
+        span_id.alias("span_id"),
+        parent_id.alias("parent_span_id"),
+        kind.alias("kind"),
+        (s["start_time"] * F.lit(1e9)).cast("bigint").alias("start_ts_ns"),
+        (s["end_time"] * F.lit(1e9)).cast("bigint").alias("end_ts_ns"),
+        code.alias("status_code"),
+        status_message.alias("status_message"),
+        events.alias("events"),
+        attrs.alias("attributes"),
+        err.alias("err"),
+    )
+
+
+def xray_segments_to_spans(
+    df: DataFrame, json_col: str = "json"
+) -> DataFrame:
+    """ToTraces flattened: one output row per segment/embedded
+    subsegment of each document; a document-level ``error`` column
+    (set -> the whole document was rejected and span fields are
+    NULL). Resource columns are denormalized from the root segment."""
+    normalized = F.regexp_replace(
+        F.col(json_col), _CAUSE_STR_RE, '$1{"exception_id":"$2"}'
+    )
+    seg = F.from_json(normalized, XRAY_SEGMENT_SCHEMA)
+    base = df.withColumn("_seg", seg)
+    s = F.col("_seg")
+
+    validate_err = (
+        F.when(s.isNull(), F.lit("invalid segment document"))
+        .when(s["name"].isNull(), F.lit('segment "name" cannot be nil'))
+        .when(s["id"].isNull(), F.lit('segment "id" cannot be nil'))
+        .when(
+            s["start_time"].isNull(),
+            F.lit('segment "start_time" cannot be nil'),
+        )
+        .when(
+            s["trace_id"].isNull(), F.lit('segment "trace_id" cannot be nil')
+        )
+    )
+
+    is_sub_root = (
+        s["parent_id"].isNotNull()
+        & s["type"].isNotNull()
+        & (F.lower(s["type"]) == "subsegment")
+    )
+    root_tid = s["trace_id"]
+
+    spans = F.array(
+        _span_struct(s, root_tid, None, is_sub_root)
+    )
+    lvl1 = F.coalesce(s["subsegments"], F.array())
+    spans = F.concat(
+        spans,
+        F.flatten(
+            F.transform(
+                lvl1,
+                lambda c1: F.concat(
+                    F.array(
+                        _span_struct(c1, root_tid, s["id"], F.lit(True))
+                    ),
+                    F.flatten(
+                        F.transform(
+                            F.coalesce(c1["subsegments"], F.array()),
+                            lambda c2: F.concat(
+                                F.array(
+                                    _span_struct(
+                                        c2, root_tid, c1["id"], F.lit(True)
+                                    )
+                                ),
+                                F.transform(
+                                    F.coalesce(c2["subsegments"], F.array()),
+                                    lambda c3: _span_struct(
+                                        c3, root_tid, c2["id"], F.lit(True)
+                                    ),
+                                ),
+                            ),
+                        )
+                    ),
+                ),
+            )
+        ),
+    )
+
+    doc_err = F.coalesce(
+        validate_err,
+        F.try_element_at(
+            F.filter(spans, lambda sp: sp["err"].isNotNull()), F.lit(1)
+        )["err"],
+    )
+
+    # resource (root segment only)
+    aws = s["aws"]
+    cwl = F.coalesce(aws["cloudwatch_logs"], F.array())
+    sdk = aws["xray"]["sdk"]
+    has_exc = (
+        s["cause"].isNotNull()
+        & (F.size(F.coalesce(s["cause"]["exceptions"], F.array())) > 0)
+    )
+    sdk_lang = F.when(has_exc, F.lit("java")).otherwise(
+        F.when(
+            F.instr(sdk, "for ") > 0,
+            F.substr(
+                sdk,
+                F.instr(sdk, "for ") + 4,
+                F.length(sdk),
+            ),
+        )
+    )
+
+    def opt(key, value):
+        return F.coalesce(_opt(key, value), F.array().cast(f"array<{_ENTRY}>"))
+
+    resource_entries = F.concat(
+        opt("service.name", s["name"]),
+        F.when(aws.isNull(), F.array(_e("cloud.provider", F.lit("unknown"))))
+        .otherwise(F.array(_e("cloud.provider", F.lit("aws")))),
+        opt("cloud.account.id", aws["account_id"]),
+        F.when(
+            F.size(F.filter(cwl, lambda g: g["arn"].isNotNull())) > 0,
+            F.array(
+                _e(
+                    "aws.log.group.arns",
+                    F.concat(
+                        F.lit("["),
+                        F.array_join(
+                            F.transform(
+                                F.filter(cwl, lambda g: g["arn"].isNotNull()),
+                                lambda g: g["arn"],
+                            ),
+                            ",",
+                        ),
+                        F.lit("]"),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast(f"array<{_ENTRY}>")),
+        F.when(
+            F.size(F.filter(cwl, lambda g: g["log_group"].isNotNull())) > 0,
+            F.array(
+                _e(
+                    "aws.log.group.names",
+                    F.concat(
+                        F.lit("["),
+                        F.array_join(
+                            F.transform(
+                                F.filter(
+                                    cwl, lambda g: g["log_group"].isNotNull()
+                                ),
+                                lambda g: g["log_group"],
+                            ),
+                            ",",
+                        ),
+                        F.lit("]"),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast(f"array<{_ENTRY}>")),
+        opt("cloud.availability_zone", aws["ec2"]["availability_zone"]),
+        opt("host.id", aws["ec2"]["instance_id"]),
+        opt("host.type", aws["ec2"]["instance_size"]),
+        opt("host.image.id", aws["ec2"]["ami_id"]),
+        opt("container.name", aws["ecs"]["container"]),
+        opt("cloud.availability_zone", aws["ecs"]["availability_zone"]),
+        opt("container.id", aws["ecs"]["container_id"]),
+        opt("service.namespace", aws["elastic_beanstalk"]["environment_name"]),
+        opt("service.instance.id",
+            aws["elastic_beanstalk"]["deployment_id"]),
+        opt("service.version", aws["elastic_beanstalk"]["version_label"]),
+        opt("container.id", aws["eks"]["container_id"]),
+        opt("k8s.cluster.name", aws["eks"]["cluster_name"]),
+        opt("k8s.pod.name", aws["eks"]["pod"]),
+        opt("telemetry.sdk.version", aws["xray"]["sdk_version"]),
+        opt("telemetry.sdk.name", sdk),
+        F.when(
+            sdk.isNotNull() & sdk_lang.isNotNull(),
+            F.array(_e("telemetry.sdk.language", sdk_lang)),
+        ).otherwise(F.array().cast(f"array<{_ENTRY}>")),
+        opt("service.version", s["service"]["version"]),
+        opt("aws.xray.resource_arn", s["resource_arn"]),
+    )
+
+    def _last_wins(entries: Column) -> Column:
+        return F.map_from_entries(
+            F.filter(
+                entries,
+                lambda e, i: ~F.exists(
+                    F.slice(entries, i + 2, F.size(entries)),
+                    lambda later: later["key"] == e["key"],
+                ),
+            )
+        )
+
+    exploded = base.withColumn(
+        "_span",
+        F.explode(
+            F.when(
+                doc_err.isNotNull(),
+                F.array(F.lit(None).cast(_span_schema_ddl())),
+            ).otherwise(spans.cast(f"array<{_span_schema_ddl()}>"))
+        ),
+    )
+    sp = F.col("_span")
+    valid = sp.isNotNull()
+    return exploded.select(
+        *[c for c in df.columns if c != json_col],
+        F.when(~valid, doc_err).alias("error"),
+        F.when(valid, _last_wins(resource_entries)).alias(
+            "resource_attributes"
+        ),
+        sp["name"].alias("name"),
+        sp["trace_id"].alias("trace_id"),
+        sp["span_id"].alias("span_id"),
+        sp["parent_span_id"].alias("parent_span_id"),
+        sp["kind"].alias("kind"),
+        sp["start_ts_ns"].alias("start_ts_ns"),
+        sp["end_ts_ns"].alias("end_ts_ns"),
+        sp["status_code"].alias("status_code"),
+        sp["status_message"].alias("status_message"),
+        F.when(valid, _last_wins(sp["attributes"])).alias("attributes"),
+        sp["events"].alias("events"),
+    )
+
+
+def _span_schema_ddl() -> str:
+    return (
+        "struct<name string, trace_id string, span_id string,"
+        " parent_span_id string, kind string, start_ts_ns bigint,"
+        " end_ts_ns bigint, status_code int, status_message string,"
+        f" events array<{_EVENT}>, attributes array<{_ENTRY}>,"
+        " err string>"
+    )

@@ -6899,3 +6899,214 @@ _QUERIES["firehose_cwmetrics_events"] = q_firehose_cwmetrics
 _ORACLES["firehose_cwmetrics_events"] = _CWMETRICS_ORACLE
 _QUERIES["firehose_cwlogs_events"] = q_firehose_cwlogs
 _ORACLES["firehose_cwlogs_events"] = _CWLOGS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# X-Ray segment translator (receiver/awsxrayreceiver/internal/
+# translator). Fixture builds one segment document per event (nested
+# subsegments, object + string causes, sql url, aws resource data,
+# Validate failures); the oracle recomputes the flattened span rows.
+# Timestamps: float-seconds * 1e9 double math is identical IEEE in
+# both engines; the oracle uses FLOOR because DuckDB's CAST rounds.
+# ---------------------------------------------------------------------------
+
+_XRAY_DOC_SQL = r"""
+CASE CAST(event_id % 6 AS INT)
+  WHEN 0 THEN concat(
+    '{"name":"api-', event_type, '","id":"',
+    lpad(lower(hex(event_id + 1)), 16, '0'),
+    '","start_time":', CAST(1656581400 + event_id % 100 AS STRING),
+    ',"end_time":', CAST(1656581402 + event_id % 100 AS STRING),
+    ',"trace_id":"1-5f84c7a1-', lpad(lower(hex(event_id)), 24, '0'),
+    '","user":"u-', CAST(user_id % 5 AS STRING),
+    '","in_progress":false,',
+    '"http":{"request":{"method":"GET","client_ip":"10.0.0.9",',
+    '"url":"http://svc/api"},"response":{"status":200}},',
+    '"aws":{"account_id":"123",',
+    '"ec2":{"instance_id":"i-9","availability_zone":"z1"},',
+    '"xray":{"sdk":"X-Ray for Go","sdk_version":"1.1.0"}},',
+    '"annotations":{"team":"a-', event_type, '"},',
+    '"metadata":{"m1":{"k":"v"}}}')
+  WHEN 1 THEN concat(
+    '{"name":"root-', event_type, '","id":"',
+    lpad(lower(hex(event_id + 1)), 16, '0'),
+    '","start_time":', CAST(1656581400 + event_id % 100 AS STRING),
+    ',"trace_id":"1-5f84c7a1-', lpad(lower(hex(event_id)), 24, '0'),
+    '","subsegments":[{"name":"dyn","id":"',
+    lpad(lower(hex(event_id + 2)), 16, '0'),
+    '","start_time":', CAST(1656581401 + event_id % 100 AS STRING),
+    ',"namespace":"aws","aws":{"table_name":"t-', event_type, '"},',
+    '"subsegments":[{"name":"try","id":"',
+    lpad(lower(hex(event_id + 3)), 16, '0'),
+    '","start_time":', CAST(1656581401 + event_id % 100 AS STRING),
+    '.5,"namespace":"remote"}]}]}')
+  WHEN 2 THEN concat(
+    '{"name":"err-', event_type, '","id":"',
+    lpad(lower(hex(event_id + 1)), 16, '0'),
+    '","start_time":', CAST(1656581400 + event_id % 100 AS STRING),
+    ',"trace_id":"1-5f84c7a1-', lpad(lower(hex(event_id)), 24, '0'),
+    '","http":{"response":{"status":503}},',
+    '"cause":{"working_directory":"/w","exceptions":[',
+    '{"id":"abcdef0123456789","message":"boom-', event_type,
+    '","type":"Err","stack":[',
+    '{"label":"f1","path":"/a.py","line":', CAST(event_id % 40 AS STRING),
+    '},{"label":"f2","path":"/b.py"}]}]}}')
+  WHEN 3 THEN concat(
+    '{"name":"idc-', event_type, '","id":"',
+    lpad(lower(hex(event_id + 1)), 16, '0'),
+    '","start_time":', CAST(1656581400 + event_id % 100 AS STRING),
+    ',"trace_id":"1-5f84c7a1-', lpad(lower(hex(event_id)), 24, '0'),
+    '","cause":"fedcba9876543210"}')
+  WHEN 4 THEN concat(
+    '{"name":"db-', event_type, '","id":"',
+    lpad(lower(hex(event_id + 1)), 16, '0'),
+    '","start_time":', CAST(1656581400 + event_id % 100 AS STRING),
+    ',"trace_id":"1-5f84c7a1-', lpad(lower(hex(event_id)), 24, '0'),
+    '","namespace":"remote","parent_id":"',
+    lpad(lower(hex(event_id + 9)), 16, '0'),
+    '","type":"subsegment",',
+    '"sql":{"url":"mysql://db.x.com:3306/orders-',
+    CAST(event_id % 4 AS STRING),
+    '?t=1","database_type":"MySQL","user":"svc"}}')
+  ELSE concat(
+    '{"name":"bad-', event_type, '","id":"',
+    lpad(lower(hex(event_id + 1)), 16, '0'),
+    '","start_time":', CAST(1656581400 + event_id % 100 AS STRING), '}')
+END
+""".strip()
+
+_XRAY_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 6 AS INT) AS m, event_type, user_id,
+         CAST(1656581400 + event_id % 100 AS DOUBLE) AS t0,
+         '5f84c7a1' || lpad(lower(hex(event_id)), 24, '0') AS tid,
+         lpad(lower(hex(event_id + 1)), 16, '0') AS sid
+  FROM events),
+rows_out AS (
+  SELECT event_id, CAST(NULL AS VARCHAR) AS error,
+         'api-' || event_type AS name, tid AS trace_id, sid AS span_id,
+         CAST(NULL AS VARCHAR) AS parent_span_id, 'server' AS kind,
+         CAST(FLOOR(t0 * 1e9) AS BIGINT) AS start_ts_ns,
+         CAST(FLOOR((t0 + 2) * 1e9) AS BIGINT) AS end_ts_ns,
+         0 AS status_code, CAST(NULL AS VARCHAR) AS status_message,
+         'cloud.account.id=123,cloud.availability_zone=z1,'
+           || 'cloud.provider=aws,host.id=i-9,service.name=api-'
+           || event_type
+           || ',telemetry.sdk.language=Go,telemetry.sdk.name=X-Ray for Go,'
+           || 'telemetry.sdk.version=1.1.0' AS res_attrs,
+         'aws.account_id=123,aws.xray.annotations=[team],'
+           || 'aws.xray.inprogress=false,aws.xray.metadata.m1={"k":"v"},'
+           || 'enduser.id=u-' || CAST(user_id % 5 AS STRING)
+           || ',http.client_ip=10.0.0.9,http.method=GET,'
+           || 'http.status_code=200,http.url=http://svc/api,team=a-'
+           || event_type AS attrs_str,
+         0 AS n_events, CAST(NULL AS VARCHAR) AS first_event_attrs
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, NULL, 'root-' || event_type, tid, sid, NULL, 'server',
+         CAST(FLOOR(t0 * 1e9) AS BIGINT), NULL, 0, NULL,
+         'cloud.provider=unknown,service.name=root-' || event_type,
+         '', 0, NULL
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, NULL, 'dyn', tid,
+         lpad(lower(hex(event_id + 2)), 16, '0'), sid, 'client',
+         CAST(FLOOR((t0 + 1) * 1e9) AS BIGINT), NULL, 0, NULL,
+         'cloud.provider=unknown,service.name=root-' || event_type,
+         'aws.service=dyn,aws.table_name=t-' || event_type, 0, NULL
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, NULL, 'try', tid,
+         lpad(lower(hex(event_id + 3)), 16, '0'),
+         lpad(lower(hex(event_id + 2)), 16, '0'), 'client',
+         CAST(FLOOR((t0 + 1.5) * 1e9) AS BIGINT), NULL, 0, NULL,
+         'cloud.provider=unknown,service.name=root-' || event_type,
+         '', 0, NULL
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, NULL, 'err-' || event_type, tid, sid, NULL, 'server',
+         CAST(FLOOR(t0 * 1e9) AS BIGINT), NULL, 2, NULL,
+         'cloud.provider=unknown,service.name=err-' || event_type,
+         'http.status_code=503', 1,
+         'aws.xray.exception.id=abcdef0123456789,exception.message=boom-'
+           || event_type || ',exception.stacktrace=Err: boom-'
+           || event_type || chr(10) || chr(9) || 'at f1(/a.py: '
+           || CAST(event_id % 40 AS STRING) || ')' || chr(10) || chr(9)
+           || 'at f2(/b.py: <unknown>)' || chr(10)
+           || ',exception.type=Err'
+  FROM f WHERE m = 2
+  UNION ALL
+  SELECT event_id, NULL, 'idc-' || event_type, tid, sid, NULL, 'server',
+         CAST(FLOOR(t0 * 1e9) AS BIGINT), NULL, 2, 'fedcba9876543210',
+         'cloud.provider=unknown,service.name=idc-' || event_type,
+         '', 0, NULL
+  FROM f WHERE m = 3
+  UNION ALL
+  SELECT event_id, NULL, 'db-' || event_type, tid, sid,
+         lpad(lower(hex(event_id + 9)), 16, '0'), 'client',
+         CAST(FLOOR(t0 * 1e9) AS BIGINT), NULL, 0, NULL,
+         'cloud.provider=unknown,service.name=db-' || event_type,
+         'db.connection_string=mysql://db.x.com:3306,db.name=orders-'
+           || CAST(event_id % 4 AS STRING)
+           || ',db.system=MySQL,db.user=svc', 0, NULL
+  FROM f WHERE m = 4
+  UNION ALL
+  SELECT event_id, 'segment "trace_id" cannot be nil',
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL
+  FROM f WHERE m = 5)
+SELECT event_id, error, name, trace_id, span_id, parent_span_id, kind,
+       start_ts_ns, end_ts_ns, status_code, status_message, res_attrs,
+       attrs_str, n_events, first_event_attrs
+FROM rows_out ORDER BY event_id, span_id NULLS FIRST
+"""
+
+
+def q_xray_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.xray import xray_segments_to_spans
+
+    docs = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_XRAY_DOC_SQL).alias("json")
+    )
+    spans = xray_segments_to_spans(docs)
+
+    def _map_str(col: F.Column) -> F.Column:
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(col),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            ",",
+        )
+
+    first_event = F.try_element_at(F.col("events"), F.lit(1))
+    valid = F.col("error").isNull()
+    return spans.select(
+        "event_id", "error", "name", "trace_id", "span_id",
+        "parent_span_id", "kind", "start_ts_ns", "end_ts_ns",
+        F.when(valid, F.col("status_code")).alias("status_code"),
+        "status_message",
+        F.when(valid, _map_str(F.col("resource_attributes"))).alias(
+            "res_attrs"
+        ),
+        F.when(valid, _map_str(F.col("attributes"))).alias("attrs_str"),
+        F.when(valid, F.size("events")).alias("n_events"),
+        F.when(
+            first_event.isNotNull(),
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        first_event["attributes"],
+                        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                    )
+                ),
+                ",",
+            ),
+        ).alias("first_event_attrs"),
+    ).orderBy("event_id", F.col("span_id").asc_nulls_first())
+
+
+_QUERIES["xray_spans_events"] = q_xray_spans
+_ORACLES["xray_spans_events"] = _XRAY_ORACLE

@@ -1,0 +1,294 @@
+"""X-Ray segment translator semantics pinned against the reference
+(receiver/awsxrayreceiver/internal/translator/*.go +
+internal/aws/xray/tracesegment.go)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.xray import (
+    decode_xray_span_id,
+    decode_xray_trace_id,
+    xray_segments_to_spans,
+)
+
+TRACE = "1-5f84c7a1-e7d1852db8c4fd35d88bf49a"
+TRACE_HEX = "5f84c7a1e7d1852db8c4fd35d88bf49a"
+
+
+def _translate(spark, doc: dict):
+    df = spark.createDataFrame([(json.dumps(doc),)], "json string")
+    return xray_segments_to_spans(df).collect()
+
+
+def _doc(**over):
+    base = {
+        "name": "api", "id": "defdfd9912dc5a56",
+        "start_time": 1596566305.535414,
+        "end_time": 1596566305.5928545,
+        "trace_id": TRACE,
+    }
+    base.update(over)
+    return base
+
+
+def test_id_decoding(spark):
+    rows = spark.createDataFrame(
+        [(TRACE, "defdfd9912dc5a56"), ("1-tooshort", "abc"),
+         ("1-5f84c7a1-zzzz852db8c4fd35d88bf49a", "DEFDFD9912DC5A56")],
+        "t string, s string",
+    ).select(
+        decode_xray_trace_id(F.col("t"))[0].alias("tid"),
+        decode_xray_trace_id(F.col("t"))[1].alias("terr"),
+        decode_xray_span_id(F.col("s"))[0].alias("sid"),
+        decode_xray_span_id(F.col("s"))[1].alias("serr"),
+    ).collect()
+    assert (rows[0]["tid"], rows[0]["sid"]) == (TRACE_HEX, "defdfd9912dc5a56")
+    assert rows[0]["terr"] is None and rows[0]["serr"] is None
+    assert rows[1]["terr"] == "traceID length is wrong"
+    assert rows[1]["serr"] == "spanID length is wrong"
+    assert rows[2]["terr"] == "traceID is not valid hex"
+    assert rows[2]["sid"] == "defdfd9912dc5a56"  # lowercased
+
+
+def test_validate_ladder(spark):
+    for missing, want in [
+        ("name", 'segment "name" cannot be nil'),
+        ("id", 'segment "id" cannot be nil'),
+        ("start_time", 'segment "start_time" cannot be nil'),
+        ("trace_id", 'segment "trace_id" cannot be nil'),
+    ]:
+        doc = _doc()
+        del doc[missing]
+        (row,) = _translate(spark, doc)
+        assert row["error"] == want, missing
+        assert row["span_id"] is None
+
+
+def test_root_segment_basics(spark):
+    doc = _doc(
+        user="alice",
+        in_progress=False,
+        http={
+            "request": {"method": "GET", "client_ip": "10.2.3.4",
+                        "user_agent": "curl", "url": "http://e/x",
+                        "x_forwarded_for": True},
+            "response": {"status": 200},
+        },
+        aws={"account_id": "123", "operation": "Query",
+             "request_id": "r-1",
+             "ec2": {"instance_id": "i-1", "availability_zone": "us-e-1a",
+                     "instance_size": "m5.large", "ami_id": "ami-9"},
+             "xray": {"sdk": "X-Ray for Go", "sdk_version": "1.1.0"}},
+        annotations={"k1": "v1", "num": 7},
+        metadata={"default": {"a": "b"}},
+        resource_arn="arn:aws:1",
+    )
+    (row,) = _translate(spark, doc)
+    assert row["error"] is None
+    assert row["trace_id"] == TRACE_HEX
+    assert row["span_id"] == "defdfd9912dc5a56"
+    assert row["parent_span_id"] is None
+    assert row["kind"] == "server"
+    assert row["name"] == "api"
+    assert row["start_ts_ns"] == int(1596566305.535414 * 1e9)
+    assert row["end_ts_ns"] == int(1596566305.5928545 * 1e9)
+    assert row["status_code"] == 0  # 200 -> unset
+    a = row["attributes"]
+    assert a["http.method"] == "GET"
+    assert a["http.client_ip"] == "10.2.3.4"
+    assert a["http.user_agent"] == "curl"
+    assert a["http.url"] == "http://e/x"
+    assert a["aws.xray.x_forwarded_for"] == "true"
+    assert a["http.status_code"] == "200"
+    assert a["aws.xray.inprogress"] == "false"
+    assert a["enduser.id"] == "alice"
+    assert a["aws.account_id"] == "123"
+    assert a["aws.operation"] == "Query"
+    assert a["aws.request_id"] == "r-1"
+    assert a["aws.xray.annotations"] == "[k1,num]"
+    assert a["k1"] == "v1"
+    assert a["num"] == "7"
+    assert a["aws.xray.metadata.default"] == '{"a":"b"}'
+    r = row["resource_attributes"]
+    assert r["service.name"] == "api"
+    assert r["cloud.provider"] == "aws"
+    assert r["cloud.account.id"] == "123"
+    assert r["cloud.availability_zone"] == "us-e-1a"
+    assert r["host.id"] == "i-1"
+    assert r["host.type"] == "m5.large"
+    assert r["host.image.id"] == "ami-9"
+    assert r["telemetry.sdk.name"] == "X-Ray for Go"
+    assert r["telemetry.sdk.version"] == "1.1.0"
+    assert r["telemetry.sdk.language"] == "Go"
+    assert r["aws.xray.resource_arn"] == "arn:aws:1"
+
+
+def test_no_aws_data_means_unknown_provider(spark):
+    (row,) = _translate(spark, _doc())
+    assert row["resource_attributes"]["cloud.provider"] == "unknown"
+    assert row["kind"] == "server"
+    assert row["status_code"] == 0
+
+
+def test_subsegments_flatten_with_parents(spark):
+    doc = _doc(
+        subsegments=[
+            {
+                "name": "dynamo", "id": "aaaaaaaa9912dc5a",
+                "start_time": 1.0, "end_time": 2.0, "namespace": "aws",
+                "aws": {"table_name": "t1", "retries": 2},
+                "subsegments": [
+                    {"name": "attempt", "id": "bbbbbbbb9912dc5a",
+                     "start_time": 1.1, "namespace": "remote"},
+                ],
+            },
+            {"name": "local-work", "id": "cccccccc9912dc5a",
+             "start_time": 1.5},
+        ],
+    )
+    rows = _translate(spark, doc)
+    by_name = {r["name"]: r for r in rows}
+    assert set(by_name) == {"api", "dynamo", "attempt", "local-work"}
+    assert by_name["api"]["parent_span_id"] is None
+    assert by_name["dynamo"]["parent_span_id"] == "defdfd9912dc5a56"
+    assert by_name["attempt"]["parent_span_id"] == "aaaaaaaa9912dc5a"
+    assert by_name["local-work"]["parent_span_id"] == "defdfd9912dc5a56"
+    # every span inherits the root trace id
+    assert {r["trace_id"] for r in rows} == {TRACE_HEX}
+    # kinds: root server; aws/remote namespaces client; plain local sub
+    # with no ClientIP -> internal
+    assert by_name["dynamo"]["kind"] == "client"
+    assert by_name["attempt"]["kind"] == "client"
+    assert by_name["local-work"]["kind"] == "internal"
+    # aws namespace puts aws.service = name
+    assert by_name["dynamo"]["attributes"]["aws.service"] == "dynamo"
+    assert by_name["dynamo"]["attributes"]["aws.table_name"] == "t1"
+    assert by_name["dynamo"]["attributes"]["aws.xray.retries"] == "2"
+    assert "aws.service" not in by_name["attempt"]["attributes"]
+    # resource comes from the root for every row
+    for r in rows:
+        assert r["resource_attributes"]["service.name"] == "api"
+
+
+def test_independent_subsegment_kind(spark):
+    doc = _doc(parent_id="dddddddd9912dc5a", type="Subsegment")
+    (row,) = _translate(spark, doc)
+    assert row["kind"] == "internal"  # no ns, no client ip, is_sub
+    assert row["parent_span_id"] == "dddddddd9912dc5a"
+
+
+def test_unexpected_namespace_rejects_document(spark):
+    doc = _doc(subsegments=[
+        {"name": "x", "id": "aaaaaaaa9912dc5a", "start_time": 1.0,
+         "namespace": "bogus"},
+    ])
+    (row,) = _translate(spark, doc)
+    assert row["error"] == "unexpected namespace: bogus"
+    assert row["span_id"] is None
+
+
+def test_cause_object_and_status(spark):
+    doc = _doc(
+        http={"response": {"status": 500}},
+        cause={
+            "working_directory": "/w",
+            "exceptions": [{
+                "id": "abcdef0123456789", "message": "boom",
+                "type": "ValueError", "remote": True,
+                "truncated": 1, "skipped": 2, "cause": "fedcba9876543210",
+                "stack": [
+                    {"label": "f1", "path": "/a.py", "line": 10},
+                    {"label": "f2", "path": "/b.py"},
+                ],
+            }],
+        },
+    )
+    (row,) = _translate(spark, doc)
+    assert row["status_code"] == 2
+    (ev,) = row["events"]
+    assert ev["name"] == "exception"
+    attrs = {e["key"]: e["value"] for e in ev["attributes"]}
+    assert attrs["aws.xray.exception.id"] == "abcdef0123456789"
+    assert attrs["exception.message"] == "boom"
+    assert attrs["exception.type"] == "ValueError"
+    assert attrs["aws.xray.exception.remote"] == "true"
+    assert attrs["aws.xray.exception.truncated"] == "1"
+    assert attrs["aws.xray.exception.skipped"] == "2"
+    assert attrs["aws.xray.exception.cause"] == "fedcba9876543210"
+    assert attrs["exception.stacktrace"] == (
+        "ValueError: boom\n"
+        "\tat f1(/a.py: 10)\n"
+        "\tat f2(/b.py: <unknown>)\n"
+    )
+    # sdk language forced to java when exceptions present
+    doc["aws"] = {"xray": {"sdk": "X-Ray for Go"}}
+    (row2,) = _translate(spark, doc)
+    assert row2["resource_attributes"]["telemetry.sdk.language"] == "java"
+
+
+def test_cause_exception_id_string(spark):
+    doc = _doc(cause="0123456789abcdef")
+    (row,) = _translate(spark, doc)
+    assert row["status_code"] == 2
+    assert row["status_message"] == "0123456789abcdef"
+    assert row["events"] == []
+
+
+def test_cause_forces_error_without_http(spark):
+    doc = _doc(http={"response": {"status": 200}},
+               cause={"exceptions": [{"id": "abcdef0123456789"}]})
+    (row,) = _translate(spark, doc)
+    # 200 -> unset, cause upgrades to error
+    assert row["status_code"] == 2
+
+
+def test_sql_url_split(spark):
+    doc = _doc(sql={
+        "url": "mysql://db.example.com:3306/orders?connect_timeout=60",
+        "database_type": "MySQL", "sanitized_query": "SELECT 1",
+        "user": "svc",
+    })
+    (row,) = _translate(spark, doc)
+    a = row["attributes"]
+    assert a["db.connection_string"] == "mysql://db.example.com:3306"
+    assert a["db.name"] == "orders"
+    assert a["db.system"] == "MySQL"
+    assert a["db.statement"] == "SELECT 1"
+    assert a["db.user"] == "svc"
+
+    bad = _doc(sql={"url": "no-slashes"})
+    (row,) = _translate(spark, bad)
+    assert row["error"].startswith(
+        'failed to parse out the database name in the "sql.url" field'
+    )
+
+
+def test_beanstalk_ecs_eks_cwlogs_resource(spark):
+    doc = _doc(aws={
+        "cloudwatch_logs": [
+            {"log_group": "g1", "arn": "arn:g1"},
+            {"log_group": "g2"},
+        ],
+        "ecs": {"container": "c1", "container_id": "cid1",
+                "availability_zone": "z2"},
+        "elastic_beanstalk": {"environment_name": "prod",
+                              "version_label": "v42",
+                              "deployment_id": 7},
+        "eks": {"cluster_name": "k", "pod": "p", "container_id": "cid2"},
+    })
+    (row,) = _translate(spark, doc)
+    r = row["resource_attributes"]
+    assert r["aws.log.group.names"] == "[g1,g2]"
+    assert r["aws.log.group.arns"] == "[arn:g1]"
+    assert r["container.name"] == "c1"
+    assert r["cloud.availability_zone"] == "z2"
+    assert r["service.namespace"] == "prod"
+    assert r["service.instance.id"] == "7"
+    assert r["service.version"] == "v42"
+    # eks container id overwrites the ecs one (PutStr order)
+    assert r["container.id"] == "cid2"
+    assert r["k8s.cluster.name"] == "k"
+    assert r["k8s.pod.name"] == "p"
