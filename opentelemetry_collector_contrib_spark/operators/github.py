@@ -1,0 +1,605 @@
+"""GitHub Actions webhook -> trace translation as a columnar battery.
+
+Reference: receiver/githubreceiver/trace_event_handling.go + model.go.
+One input row = one webhook event JSON (workflow_run or workflow_job);
+output = the event's span rows (run events: one root span; job
+events: job span + queue span + one span per step), resource columns
+denormalized.
+
+Semantics reproduced:
+
+* deterministic ids (trace_event_handling.go:88-126, 255-268,
+  388-400): sha256 of "%d%dt" (trace, first 16 bytes), "%d%ds"
+  (root/parent span, bytes 8..16), "%d%d%s" (job span) and
+  "%d%d%s%s%d" (step span), decimal-concatenated -- reproduced with
+  the built-in sha2, so the DuckDB oracle can recompute them
+  natively.
+* correctActionTimestamps (:128-141): end before start (incl. the
+  Go zero time for missing completed_at) collapses to a
+  zero-duration span at start.
+* status ladder: success -> OK, failure -> ERROR, else UNSET;
+  status message is ALWAYS the (possibly empty) conclusion -- and
+  step spans carry the JOB's conclusion as their message
+  (:375-376), not the step's.
+* step task status attr (:355-372): PutStr(step.status) first, then
+  the conclusion switch overwrites -- success/failure map to
+  themselves, skipped maps to "failure" (reference quirk kept),
+  cancelled -> "cancellation", anything else leaves the raw step
+  status.
+* unique step names (:294-324): duplicated names get "-<n>" with n
+  counting prior occurrences; the FIRST occurrence keeps the bare
+  name.
+* queue span (:402-436): "queue-<job>" under the job span, span id
+  = stepSpanID(runID, attempt, jobName, spanName, 1), queue
+  duration ns as a DOUBLE attribute (exposed as its own column so
+  renderings stay engine-neutral).
+* previous-attempt link (:186-198): previous_attempt_url non-empty
+  AND run_attempt > 1 -> link to newTraceID(runID, attempt-1).
+* resource attrs (model.go:104-230): service.name =
+  formatString(custom service_name || repo name) with
+  "unknown_service" + DOCUMENT ERROR when neither exists; custom
+  properties as github.repository.custom_properties.<toSnakeCase>
+  (string-typed model); vcs.* / cicd.* fields always put (empty
+  string when the payload omits them); run/job conclusion mapping
+  with skipped->"skip" and cancelled->"cancellation" (the job
+  DEFAULT case writes the RUN status key -- reference quirk kept);
+  previous_attempt_url rewritten api.github.com/repos ->
+  github.com; referenced workflows expand to
+  github.reference.workflow.<name>.{path,revision,version} where
+  <name> must split as "<dir>/<file>.<ext>@<ref>" (invalid paths
+  reject the event); job labels lowercased.
+
+Pure Column code (from_json + sha2 + array ops) -- map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ENTRY = "struct<key string, value string>"
+
+RUN_EVENT_SCHEMA = (
+    "repository struct<name string,"
+    " custom_properties map<string,string>>,"
+    " sender struct<login string>,"
+    " workflow_run struct<id bigint, run_attempt bigint, name string,"
+    " head_branch string, head_sha string, html_url string,"
+    " previous_attempt_url string, conclusion string,"
+    " run_started_at timestamp, updated_at timestamp,"
+    " head_commit struct<committer struct<name string, email string>>,"
+    " referenced_workflows array<struct<path string, sha string,"
+    " ref string>>>"
+)
+
+JOB_EVENT_SCHEMA = (
+    "repository struct<name string,"
+    " custom_properties map<string,string>>,"
+    " sender struct<login string>,"
+    " workflow_job struct<id bigint, run_id bigint, run_attempt bigint,"
+    " name string, head_branch string, head_sha string,"
+    " html_url string, conclusion string, status string,"
+    " created_at timestamp, started_at timestamp,"
+    " completed_at timestamp, runner_id bigint, runner_group_id bigint,"
+    " runner_name string, runner_group_name string, node_id string,"
+    " labels array<string>,"
+    " steps array<struct<name string, status string, conclusion string,"
+    " number bigint, started_at timestamp, completed_at timestamp>>>"
+)
+
+
+def new_trace_id(run_id: Column, run_attempt: Column) -> Column:
+    """newTraceID: sha256("%d%dt")[:16 bytes] as hex32."""
+    return F.substring(
+        F.sha2(
+            F.concat(
+                run_id.cast("string"), run_attempt.cast("string"), F.lit("t")
+            ),
+            256,
+        ),
+        1,
+        32,
+    )
+
+
+def new_parent_span_id(run_id: Column, run_attempt: Column) -> Column:
+    """newParentSpanID: sha256("%d%ds") bytes 8..16 as hex16."""
+    return F.substring(
+        F.sha2(
+            F.concat(
+                run_id.cast("string"), run_attempt.cast("string"), F.lit("s")
+            ),
+            256,
+        ),
+        17,
+        16,
+    )
+
+
+def new_job_span_id(
+    run_id: Column, run_attempt: Column, job_name: Column
+) -> Column:
+    return F.substring(
+        F.sha2(
+            F.concat(
+                run_id.cast("string"), run_attempt.cast("string"), job_name
+            ),
+            256,
+        ),
+        17,
+        16,
+    )
+
+
+def new_step_span_id(
+    run_id: Column, run_attempt: Column, job_name: Column,
+    step_name: Column, number: Column,
+) -> Column:
+    return F.substring(
+        F.sha2(
+            F.concat(
+                run_id.cast("string"), run_attempt.cast("string"), job_name,
+                step_name, number.cast("string"),
+            ),
+            256,
+        ),
+        17,
+        16,
+    )
+
+
+def to_snake_case(s: Column) -> Column:
+    """toSnakeCase (model.go:344-370)."""
+    s = F.regexp_replace(s, "[-. ]", "_")
+    s = F.regexp_replace(s, r"\$", "_dollar_")
+    s = F.regexp_replace(s, "#", "_hash_")
+    # camel/Pascal boundaries: before an uppercase whose neighbor is
+    # lower/digit
+    s = F.regexp_replace(s, "([a-z0-9])([A-Z])", r"$1_$2")
+    s = F.regexp_replace(s, "([A-Z])([A-Z][a-z])", r"$1_$2")
+    s = F.lower(s)
+    return F.regexp_replace(s, "_{2,}", "_")
+
+
+def format_string(s: Column) -> Column:
+    """formatString: lowercase, underscores -> hyphens."""
+    return F.lower(F.regexp_replace(s, "_", "-"))
+
+
+def _corrected(start: Column, end: Column) -> tuple[Column, Column]:
+    """correctActionTimestamps; a missing end (Go zero time) also
+    collapses to start."""
+    bad = end.isNull() | (end < start)
+    return start, F.when(bad, start).otherwise(end)
+
+
+def _ns(ts: Column) -> Column:
+    return F.unix_micros(ts) * F.lit(1000)
+
+
+def _status_code(conclusion: Column) -> Column:
+    low = F.lower(F.coalesce(conclusion, F.lit("")))
+    return (
+        F.when(low == "success", F.lit(1))
+        .when(low == "failure", F.lit(2))
+        .otherwise(F.lit(0))
+    )
+
+
+def _run_status_attr(conclusion: Column) -> Column:
+    low = F.lower(F.coalesce(conclusion, F.lit("")))
+    return (
+        F.when(low.isin("success", "failure"), low)
+        .when(low == "skipped", F.lit("skip"))
+        .when(low == "cancelled", F.lit("cancellation"))
+        .otherwise(low)
+    )
+
+
+def _e(key, value) -> Column:
+    key = F.lit(key) if isinstance(key, str) else key
+    return F.struct(key.alias("key"), value.alias("value"))
+
+
+def _custom_prop_entries(props: Column) -> Column:
+    props = F.coalesce(props, F.create_map().cast("map<string,string>"))
+    return F.transform(
+        F.array_sort(
+            F.filter(F.map_keys(props), lambda k: k != "service_name")
+        ),
+        lambda k: _e(
+            F.concat(
+                F.lit("github.repository.custom_properties."),
+                to_snake_case(k),
+            ),
+            F.element_at(props, k),
+        ),
+    ).cast(f"array<{_ENTRY}>")
+
+
+def _service_name(props: Column, repo_name: Column) -> tuple[Column, Column]:
+    """getServiceName: custom service_name, else repo name, else
+    unknown_service + error."""
+    custom = F.try_element_at(
+        F.coalesce(props, F.create_map().cast("map<string,string>")),
+        F.lit("service_name"),
+    )
+    svc = (
+        F.when(custom.isNotNull(), format_string(custom))
+        .when(
+            repo_name.isNotNull() & (repo_name != ""),
+            format_string(repo_name),
+        )
+        .otherwise(F.lit("unknown_service"))
+    )
+    err = F.when(
+        custom.isNull()
+        & (repo_name.isNull() | (repo_name == "")),
+        F.lit("failed to get service.name"),
+    )
+    return svc, err
+
+
+_REF_WF_NAME_RE = r"^(?:[^@]*/)?([^/.@]+)(?:\.[^/@]*)?@.+$"
+
+
+def _ref_workflow_entries(refs: Column) -> tuple[Column, Column]:
+    """Referenced-workflow template attrs + path-validation error.
+    splitRefWorkflowPath: exactly one '@'; name = last '/' part of
+    the prefix, up to the first '.', lowercased."""
+    refs = F.coalesce(
+        refs,
+        F.array().cast("array<struct<path string, sha string, ref string>>"),
+    )
+    bad = F.exists(
+        refs,
+        lambda w: F.size(F.split(w["path"], "@", -1)) != 2,
+    )
+    err = F.when(bad, F.lit("invalid reference workflow path"))
+
+    def name_of(path: Column) -> Column:
+        prefix = F.split(path, "@", -1)[0]
+        last = F.element_at(F.split(prefix, "/", -1), -1)
+        return F.lower(F.split(last, r"\.", -1)[0])
+
+    entries = F.flatten(
+        F.transform(
+            refs,
+            lambda w: F.array(
+                _e(
+                    F.concat(
+                        F.lit("github.reference.workflow."),
+                        name_of(w["path"]), F.lit(".path"),
+                    ),
+                    w["path"],
+                ),
+                _e(
+                    F.concat(
+                        F.lit("github.reference.workflow."),
+                        name_of(w["path"]), F.lit(".revision"),
+                    ),
+                    F.coalesce(w["sha"], F.lit("")),
+                ),
+                _e(
+                    F.concat(
+                        F.lit("github.reference.workflow."),
+                        name_of(w["path"]), F.lit(".version"),
+                    ),
+                    F.coalesce(w["ref"], F.lit("")),
+                ),
+            ),
+        )
+    ).cast(f"array<{_ENTRY}>")
+    return entries, err
+
+
+def _last_wins_map(entries: Column) -> Column:
+    return F.map_from_entries(
+        F.filter(
+            entries,
+            lambda e, i: ~F.exists(
+                F.slice(entries, i + 2, F.size(entries)),
+                lambda later: later["key"] == e["key"],
+            ),
+        )
+    )
+
+
+def _s(v: Column) -> Column:
+    return F.coalesce(v.cast("string"), F.lit(""))
+
+
+def github_workflow_run_to_spans(
+    df: DataFrame, json_col: str = "json"
+) -> DataFrame:
+    """handleWorkflowRun: one root span per event."""
+    ev = F.from_json(F.col(json_col), RUN_EVENT_SCHEMA)
+    base = df.withColumn("_ev", ev)
+    e = F.col("_ev")
+    run = e["workflow_run"]
+    repo = e["repository"]
+
+    svc, svc_err = _service_name(repo["custom_properties"], repo["name"])
+    ref_entries, ref_err = _ref_workflow_entries(run["referenced_workflows"])
+    error = F.coalesce(
+        F.when(e.isNull(), F.lit("invalid event payload")), svc_err, ref_err
+    )
+
+    prev_url = F.coalesce(run["previous_attempt_url"], F.lit(""))
+    resource_entries = F.concat(
+        F.array(_e("service.name", svc)),
+        _custom_prop_entries(repo["custom_properties"]),
+        F.array(
+            _e("vcs.repository.name", _s(repo["name"])),
+            _e("vcs.provider.name", F.lit("github")),
+            _e("vcs.ref.head", _s(run["head_branch"])),
+            _e("vcs.ref.type", F.lit("branch")),
+            _e("vcs.ref.head.revision", _s(run["head_sha"])),
+            _e("vcs.ref.head.revision.author.name",
+               _s(run["head_commit"]["committer"]["name"])),
+            _e("vcs.ref.head.revision.author.email",
+               _s(run["head_commit"]["committer"]["email"])),
+            _e("cicd.pipeline.name", _s(run["name"])),
+            _e("cicd.pipeline.run.sender.login", _s(e["sender"]["login"])),
+            _e("cicd.pipeline.run.url.full", _s(run["html_url"])),
+            _e("cicd.pipeline.run.id", _s(F.coalesce(run["id"], F.lit(0)))),
+            _e("cicd.pipeline.run.status",
+               _run_status_attr(run["conclusion"])),
+        ),
+        F.when(
+            prev_url != "",
+            F.array(
+                _e(
+                    "cicd.pipeline.run.previous_attempt.url.full",
+                    F.regexp_replace(
+                        prev_url, "api\\.github\\.com/repos", "github.com"
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast(f"array<{_ENTRY}>")),
+        ref_entries,
+    )
+
+    run_id = F.coalesce(run["id"], F.lit(0))
+    attempt = F.coalesce(run["run_attempt"], F.lit(0))
+    start, end = _corrected(run["run_started_at"], run["updated_at"])
+    link = F.when(
+        (prev_url != "") & (attempt > 1),
+        new_trace_id(run_id, attempt - 1),
+    )
+
+    valid = error.isNull()
+    return base.select(
+        *[c for c in df.columns if c != json_col],
+        error.alias("error"),
+        F.when(valid, _last_wins_map(resource_entries)).alias(
+            "resource_attributes"
+        ),
+        F.when(valid, _s(run["name"])).alias("name"),
+        F.when(valid, new_trace_id(run_id, attempt)).alias("trace_id"),
+        F.when(valid, new_parent_span_id(run_id, attempt)).alias("span_id"),
+        F.lit(None).cast("string").alias("parent_span_id"),
+        F.when(valid, F.lit("server")).alias("kind"),
+        F.when(valid, _ns(start)).alias("start_ts_ns"),
+        F.when(valid, _ns(end)).alias("end_ts_ns"),
+        F.when(valid, _status_code(run["conclusion"])).alias("status_code"),
+        F.when(valid, F.coalesce(run["conclusion"], F.lit(""))).alias(
+            "status_message"
+        ),
+        F.when(valid, link).alias("link_trace_id"),
+    )
+
+
+def github_workflow_job_to_spans(
+    df: DataFrame, json_col: str = "json"
+) -> DataFrame:
+    """handleWorkflowJob flattened: job span + queue span + one span
+    per step."""
+    ev = F.from_json(F.col(json_col), JOB_EVENT_SCHEMA)
+    base = df.withColumn("_ev", ev)
+    e = F.col("_ev")
+    job = e["workflow_job"]
+    repo = e["repository"]
+
+    svc, svc_err = _service_name(repo["custom_properties"], repo["name"])
+    error = F.coalesce(
+        F.when(e.isNull(), F.lit("invalid event payload")), svc_err
+    )
+
+    labels = F.coalesce(job["labels"], F.array().cast("array<string>"))
+    resource_entries = F.concat(
+        F.array(_e("service.name", svc)),
+        _custom_prop_entries(repo["custom_properties"]),
+        F.array(
+            _e("vcs.repository.name", _s(repo["name"])),
+            _e("vcs.provider.name", F.lit("github")),
+            _e("vcs.ref.head", _s(job["head_branch"])),
+            _e("vcs.ref.type", F.lit("branch")),
+            _e("vcs.ref.head.revision", _s(job["head_sha"])),
+            _e("cicd.pipeline.worker.id",
+               _s(F.coalesce(job["runner_id"], F.lit(0)))),
+            _e("cicd.pipeline.worker.group.id",
+               _s(F.coalesce(job["runner_group_id"], F.lit(0)))),
+            _e("cicd.pipeline.worker.name", _s(job["runner_name"])),
+            _e("cicd.pipeline.worker.group.name",
+               _s(job["runner_group_name"])),
+            _e("cicd.pipeline.worker.node.id", _s(job["node_id"])),
+        ),
+        F.when(
+            F.size(labels) > 0,
+            F.array(
+                _e(
+                    "cicd.pipeline.worker.labels",
+                    F.concat(
+                        F.lit("["),
+                        F.array_join(
+                            F.transform(labels, F.lower), ","
+                        ),
+                        F.lit("]"),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast(f"array<{_ENTRY}>")),
+        F.array(
+            _e("cicd.pipeline.name", _s(job["name"])),
+            _e("cicd.pipeline.task.run.sender.login",
+               _s(e["sender"]["login"])),
+            _e("cicd.pipeline.task.run.url.full", _s(job["html_url"])),
+            _e("cicd.pipeline.task.run.id",
+               _s(F.coalesce(job["id"], F.lit(0)))),
+        ),
+        # the job DEFAULT conclusion case writes the RUN status key
+        # (model.go:225 -- reference quirk kept verbatim)
+        F.when(
+            F.lower(F.coalesce(job["conclusion"], F.lit(""))).isin(
+                "success", "failure", "skipped", "cancelled"
+            ),
+            F.array(
+                _e("cicd.pipeline.run.task.status",
+                   _run_status_attr(job["conclusion"]))
+            ),
+        ).otherwise(
+            F.array(
+                _e("cicd.pipeline.run.status",
+                   _run_status_attr(job["conclusion"]))
+            )
+        ),
+    )
+
+    run_id = F.coalesce(job["run_id"], F.lit(0))
+    attempt = F.coalesce(job["run_attempt"], F.lit(0))
+    job_name = F.coalesce(job["name"], F.lit(""))
+    trace_id = new_trace_id(run_id, attempt)
+    parent_span = new_parent_span_id(run_id, attempt)
+    job_span = new_job_span_id(run_id, attempt, job_name)
+    job_code = _status_code(job["conclusion"])
+    job_msg = F.coalesce(job["conclusion"], F.lit(""))
+
+    jstart, jend = _corrected(job["created_at"], job["completed_at"])
+    qstart, qend = _corrected(job["created_at"], job["started_at"])
+    queue_name = F.concat(F.lit("queue-"), job_name)
+
+    span_t = (
+        "struct<span_type string, name string, span_id string,"
+        " parent_span_id string, start_ts_ns bigint, end_ts_ns bigint,"
+        " status_code int, status_message string,"
+        " task_name string, task_status string,"
+        " queue_duration_ns double>"
+    )
+
+    job_struct = F.struct(
+        F.lit("job").alias("span_type"),
+        job_name.alias("name"),
+        job_span.alias("span_id"),
+        parent_span.alias("parent_span_id"),
+        _ns(jstart).alias("start_ts_ns"),
+        _ns(jend).alias("end_ts_ns"),
+        job_code.alias("status_code"),
+        job_msg.alias("status_message"),
+        F.lit(None).cast("string").alias("task_name"),
+        F.lit(None).cast("string").alias("task_status"),
+        F.lit(None).cast("double").alias("queue_duration_ns"),
+    )
+    queue_struct = F.struct(
+        F.lit("queue").alias("span_type"),
+        queue_name.alias("name"),
+        new_step_span_id(
+            run_id, attempt, job_name, queue_name, F.lit(1)
+        ).alias("span_id"),
+        job_span.alias("parent_span_id"),
+        _ns(qstart).alias("start_ts_ns"),
+        _ns(qend).alias("end_ts_ns"),
+        F.lit(0).alias("status_code"),
+        F.lit("").alias("status_message"),
+        F.lit(None).cast("string").alias("task_name"),
+        F.lit(None).cast("string").alias("task_status"),
+        (_ns(qend) - _ns(qstart)).cast("double").alias("queue_duration_ns"),
+    )
+
+    steps = F.coalesce(
+        job["steps"],
+        F.array().cast(
+            "array<struct<name string, status string, conclusion string,"
+            " number bigint, started_at timestamp,"
+            " completed_at timestamp>>"
+        ),
+    )
+
+    def step_struct(st: Column, i: Column) -> Column:
+        name = F.coalesce(st["name"], F.lit(""))
+        total = F.size(F.filter(steps, lambda o: F.coalesce(o["name"], F.lit("")) == name))
+        prior = F.size(
+            F.filter(
+                F.slice(steps, 1, i),
+                lambda o: F.coalesce(o["name"], F.lit("")) == name,
+            )
+        )
+        uniq = F.when(
+            (total > 1) & (prior > 0),
+            F.concat(name, F.lit("-"), prior.cast("string")),
+        ).otherwise(name)
+        sstart, send = _corrected(st["started_at"], st["completed_at"])
+        low = F.lower(F.coalesce(st["conclusion"], F.lit("")))
+        task_status = (
+            F.when(low == "success", F.lit("success"))
+            .when(low == "failure", F.lit("failure"))
+            .when(low == "skipped", F.lit("failure"))
+            .when(low == "cancelled", F.lit("cancellation"))
+            .otherwise(F.coalesce(st["status"], F.lit("")))
+        )
+        return F.struct(
+            F.lit("step").alias("span_type"),
+            uniq.alias("name"),
+            new_step_span_id(
+                run_id, attempt, job_name,
+                name, F.coalesce(st["number"], F.lit(0)),
+            ).alias("span_id"),
+            job_span.alias("parent_span_id"),
+            _ns(sstart).alias("start_ts_ns"),
+            _ns(send).alias("end_ts_ns"),
+            F.when(low == "success", F.lit(1))
+            .when(low == "failure", F.lit(2))
+            .otherwise(F.lit(0))
+            .alias("status_code"),
+            job_msg.alias("status_message"),
+            uniq.alias("task_name"),
+            task_status.alias("task_status"),
+            F.lit(None).cast("double").alias("queue_duration_ns"),
+        )
+
+    spans = F.concat(
+        F.array(job_struct, queue_struct),
+        F.transform(steps, step_struct),
+    ).cast(f"array<{span_t}>")
+
+    valid0 = error.isNull()
+    exploded = base.withColumn(
+        "_span",
+        F.explode(
+            F.when(~valid0, F.array(F.lit(None).cast(span_t))).otherwise(
+                spans
+            )
+        ),
+    )
+    sp = F.col("_span")
+    valid = sp.isNotNull()
+    return exploded.select(
+        *[c for c in df.columns if c != json_col],
+        F.when(~valid, error).alias("error"),
+        F.when(valid, _last_wins_map(resource_entries)).alias(
+            "resource_attributes"
+        ),
+        sp["span_type"].alias("span_type"),
+        sp["name"].alias("name"),
+        F.when(valid, trace_id).alias("trace_id"),
+        sp["span_id"].alias("span_id"),
+        sp["parent_span_id"].alias("parent_span_id"),
+        F.when(valid, F.lit("internal")).alias("kind"),
+        sp["start_ts_ns"].alias("start_ts_ns"),
+        sp["end_ts_ns"].alias("end_ts_ns"),
+        sp["status_code"].alias("status_code"),
+        sp["status_message"].alias("status_message"),
+        sp["task_name"].alias("task_name"),
+        sp["task_status"].alias("task_status"),
+        sp["queue_duration_ns"].alias("queue_duration_ns"),
+    )

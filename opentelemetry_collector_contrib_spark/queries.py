@@ -7110,3 +7110,322 @@ def q_xray_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["xray_spans_events"] = q_xray_spans
 _ORACLES["xray_spans_events"] = _XRAY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# GitHub Actions webhook traces (receiver/githubreceiver). The
+# deterministic sha256 span/trace ids are recomputed natively by the
+# DuckDB oracle (sha256() both sides), so the id algebra itself is
+# under the value-equality gate.
+# ---------------------------------------------------------------------------
+
+_GH_RUN_JSON_SQL = r"""
+CASE CAST(event_id % 4 AS INT)
+  WHEN 0 THEN concat(
+    '{"repository":{"name":"Repo_', event_type, '"},',
+    '"sender":{"login":"dev-', CAST(user_id % 5 AS STRING), '"},',
+    '"workflow_run":{"id":', CAST(event_id + 5 AS STRING),
+    ',"run_attempt":', CAST(1 + event_id % 3 AS STRING),
+    ',"name":"CI","head_branch":"main","head_sha":"sha-',
+    CAST(event_id % 50 AS STRING),
+    '","html_url":"https://github.com/o/r/actions/runs/',
+    CAST(event_id + 5 AS STRING),
+    '","previous_attempt_url":"https://api.github.com/repos/o/r/actions/runs/',
+    CAST(event_id + 5 AS STRING),
+    '/attempts/1","conclusion":"success",',
+    '"run_started_at":"2022-06-30T10:00:00Z",',
+    '"updated_at":"2022-06-30T10:05:00Z",',
+    '"head_commit":{"committer":{"name":"Ann","email":"a@x.io"}}}}')
+  WHEN 1 THEN concat(
+    '{"repository":{"name":"ig","custom_properties":{',
+    '"service_name":"My_Svc","teamOwner":"ml-', event_type, '"}},',
+    '"sender":{"login":"dev-', CAST(user_id % 5 AS STRING), '"},',
+    '"workflow_run":{"id":', CAST(event_id + 5 AS STRING),
+    ',"run_attempt":1,"name":"Deploy","head_branch":"rel",',
+    '"head_sha":"s2","html_url":"u",',
+    '"conclusion":"failure",',
+    '"run_started_at":"2022-06-30T10:00:00Z",',
+    '"updated_at":"2022-06-30T09:00:00Z"}}')
+  WHEN 2 THEN concat(
+    '{"repository":{"name":"r2"},',
+    '"sender":{"login":"dev-', CAST(user_id % 5 AS STRING), '"},',
+    '"workflow_run":{"id":', CAST(event_id + 5 AS STRING),
+    ',"run_attempt":1,"name":"Nightly","head_branch":"main",',
+    '"head_sha":"s3","html_url":"u2","conclusion":"cancelled",',
+    '"run_started_at":"2022-06-30T10:00:00Z",',
+    '"updated_at":"2022-06-30T10:01:00Z",',
+    '"referenced_workflows":[',
+    '{"path":".github/workflows/Shared-CI.yml@refs/heads/main",',
+    '"sha":"ff00","ref":"refs/heads/main"}]}}')
+  ELSE concat(
+    '{"sender":{"login":"x"},',
+    '"workflow_run":{"id":', CAST(event_id + 5 AS STRING),
+    ',"run_attempt":1,"name":"NoRepo",',
+    '"run_started_at":"2022-06-30T10:00:00Z",',
+    '"updated_at":"2022-06-30T10:01:00Z"}}')
+END
+""".strip()
+
+_GH_RUN_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 4 AS INT) AS m, event_type, user_id,
+         CAST(event_id + 5 AS VARCHAR) AS rid,
+         CAST(1 + event_id % 3 AS VARCHAR) AS att
+  FROM events),
+rows_out AS (
+  SELECT event_id, CAST(NULL AS VARCHAR) AS error, 'CI' AS name,
+         substr(sha256(rid || att || 't'), 1, 32) AS trace_id,
+         substr(sha256(rid || att || 's'), 17, 16) AS span_id,
+         'server' AS kind,
+         CAST(1656583200000000000 AS BIGINT) AS start_ts_ns,
+         CAST(1656583500000000000 AS BIGINT) AS end_ts_ns,
+         1 AS status_code, 'success' AS status_message,
+         CASE WHEN event_id % 3 > 0
+              THEN substr(sha256(rid ||
+                   CAST(event_id % 3 AS VARCHAR) || 't'), 1, 32)
+         END AS link_trace_id,
+         'repo-' || lower(event_type) AS service_name,
+         'cicd.pipeline.run.previous_attempt.url.full='
+           || 'https://github.com/o/r/actions/runs/' || rid
+           || '/attempts/1,cicd.pipeline.run.status=success'
+           AS extra_attrs
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, NULL, 'Deploy',
+         substr(sha256(rid || '1t'), 1, 32),
+         substr(sha256(rid || '1s'), 17, 16),
+         'server', 1656583200000000000, 1656583200000000000,
+         2, 'failure', NULL, 'my-svc',
+         'cicd.pipeline.run.status=failure,'
+           || 'github.repository.custom_properties.team_owner=ml-'
+           || event_type
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, NULL, 'Nightly',
+         substr(sha256(rid || '1t'), 1, 32),
+         substr(sha256(rid || '1s'), 17, 16),
+         'server', 1656583200000000000, 1656583260000000000,
+         0, 'cancelled', NULL, 'r2',
+         'cicd.pipeline.run.status=cancellation,'
+           || 'github.reference.workflow.shared-ci.path='
+           || '.github/workflows/Shared-CI.yml@refs/heads/main,'
+           || 'github.reference.workflow.shared-ci.revision=ff00,'
+           || 'github.reference.workflow.shared-ci.version=refs/heads/main'
+  FROM f WHERE m = 2
+  UNION ALL
+  SELECT event_id, 'failed to get service.name', NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM f WHERE m = 3)
+SELECT event_id, error, name, trace_id, span_id, kind, start_ts_ns,
+       end_ts_ns, status_code, status_message, link_trace_id,
+       service_name, extra_attrs
+FROM rows_out ORDER BY event_id
+"""
+
+
+def q_github_run_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.github import github_workflow_run_to_spans
+
+    docs = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_GH_RUN_JSON_SQL).alias("json")
+    )
+    spans = github_workflow_run_to_spans(docs)
+    keep = (
+        "cicd.pipeline.run.previous_attempt.url.full",
+        "cicd.pipeline.run.status",
+    )
+    return spans.select(
+        "event_id", "error", "name", "trace_id", "span_id", "kind",
+        "start_ts_ns", "end_ts_ns", "status_code", "status_message",
+        "link_trace_id",
+        F.col("resource_attributes").getItem("service.name").alias(
+            "service_name"
+        ),
+        F.when(
+            F.col("error").isNull(),
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        F.filter(
+                            F.map_entries(F.col("resource_attributes")),
+                            lambda e: e["key"].isin(*keep)
+                            | e["key"].startswith("github."),
+                        ),
+                        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                    )
+                ),
+                ",",
+            ),
+        ).alias("extra_attrs"),
+    ).orderBy("event_id")
+
+
+_GH_JOB_JSON_SQL = r"""
+CASE CAST(event_id % 3 AS INT)
+  WHEN 0 THEN concat(
+    '{"repository":{"name":"repo"},"sender":{"login":"octo"},',
+    '"workflow_job":{"id":', CAST(event_id + 70 AS STRING),
+    ',"run_id":', CAST(event_id + 5 AS STRING),
+    ',"run_attempt":2,"name":"build-', event_type,
+    '","head_branch":"main","head_sha":"abc","html_url":"ju",',
+    '"conclusion":"failure","status":"completed",',
+    '"created_at":"2022-06-30T10:00:00Z",',
+    '"started_at":"2022-06-30T10:00:30Z",',
+    '"completed_at":"2022-06-30T10:02:00Z",',
+    '"runner_id":5,"runner_group_id":1,"runner_name":"r1",',
+    '"runner_group_name":"default","node_id":"N1",',
+    '"labels":["Ubuntu-Latest","self-hosted"],',
+    '"steps":[',
+    '{"name":"checkout","status":"completed","conclusion":"success",',
+    '"number":1,"started_at":"2022-06-30T10:00:30Z",',
+    '"completed_at":"2022-06-30T10:00:40Z"},',
+    '{"name":"run","status":"completed","conclusion":"failure",',
+    '"number":2,"started_at":"2022-06-30T10:00:40Z",',
+    '"completed_at":"2022-06-30T10:01:50Z"},',
+    '{"name":"run","status":"completed","conclusion":"skipped",',
+    '"number":3,"started_at":"2022-06-30T10:01:50Z",',
+    '"completed_at":"2022-06-30T10:01:50Z"}]}}')
+  WHEN 1 THEN concat(
+    '{"repository":{"name":"repo"},"sender":{"login":"octo"},',
+    '"workflow_job":{"id":', CAST(event_id + 70 AS STRING),
+    ',"run_id":', CAST(event_id + 5 AS STRING),
+    ',"run_attempt":1,"name":"lint","head_branch":"main",',
+    '"head_sha":"abc","html_url":"ju","conclusion":"neutral",',
+    '"status":"completed",',
+    '"created_at":"2022-06-30T10:00:00Z",',
+    '"started_at":"2022-06-30T10:00:10Z",',
+    '"completed_at":"2022-06-30T10:00:50Z",',
+    '"runner_id":6,"runner_group_id":1,"runner_name":"r2",',
+    '"runner_group_name":"default","node_id":"N2"}}')
+  ELSE concat(
+    '{"repository":{"name":"repo"},"sender":{"login":"octo"},',
+    '"workflow_job":{"id":', CAST(event_id + 70 AS STRING),
+    ',"run_id":', CAST(event_id + 5 AS STRING),
+    ',"run_attempt":1,"name":"test","head_branch":"main",',
+    '"head_sha":"abc","html_url":"ju","status":"in_progress",',
+    '"created_at":"2022-06-30T10:00:00Z",',
+    '"started_at":"2022-06-30T10:00:20Z",',
+    '"runner_id":7,"runner_group_id":2,"runner_name":"r3",',
+    '"runner_group_name":"gpu","node_id":"N3"}}')
+END
+""".strip()
+
+_GH_JOB_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 3 AS INT) AS m, event_type,
+         CAST(event_id + 5 AS VARCHAR) AS rid
+  FROM events),
+rows_out AS (
+  -- m=0: job + queue + 3 steps
+  SELECT event_id, 'job' AS span_type,
+         'build-' || event_type AS name,
+         substr(sha256(rid || '2t'), 1, 32) AS trace_id,
+         substr(sha256(rid || '2build-' || event_type), 17, 16)
+           AS span_id,
+         substr(sha256(rid || '2s'), 17, 16) AS parent_span_id,
+         CAST(1656583200000000000 AS BIGINT) AS start_ts_ns,
+         CAST(1656583320000000000 AS BIGINT) AS end_ts_ns,
+         2 AS status_code, 'failure' AS status_message,
+         CAST(NULL AS VARCHAR) AS task_status,
+         CAST(NULL AS DOUBLE) AS queue_ns,
+         'failure' AS job_status_attr
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, 'queue', 'queue-build-' || event_type,
+         substr(sha256(rid || '2t'), 1, 32),
+         substr(sha256(rid || '2build-' || event_type
+                || 'queue-build-' || event_type || '1'), 17, 16),
+         substr(sha256(rid || '2build-' || event_type), 17, 16),
+         1656583200000000000, 1656583230000000000, 0, '',
+         NULL, CAST(30000000000 AS DOUBLE), 'failure'
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, 'step', 'checkout',
+         substr(sha256(rid || '2t'), 1, 32),
+         substr(sha256(rid || '2build-' || event_type
+                || 'checkout1'), 17, 16),
+         substr(sha256(rid || '2build-' || event_type), 17, 16),
+         1656583230000000000, 1656583240000000000, 1, 'failure',
+         'success', NULL, 'failure'
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, 'step', 'run',
+         substr(sha256(rid || '2t'), 1, 32),
+         substr(sha256(rid || '2build-' || event_type || 'run2'),
+                17, 16),
+         substr(sha256(rid || '2build-' || event_type), 17, 16),
+         1656583240000000000, 1656583310000000000, 2, 'failure',
+         'failure', NULL, 'failure'
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, 'step', 'run-1',
+         substr(sha256(rid || '2t'), 1, 32),
+         substr(sha256(rid || '2build-' || event_type || 'run3'),
+                17, 16),
+         substr(sha256(rid || '2build-' || event_type), 17, 16),
+         1656583310000000000, 1656583310000000000, 0, 'failure',
+         'failure', NULL, 'failure'
+  FROM f WHERE m = 0
+  -- m=1: neutral conclusion, no steps
+  UNION ALL
+  SELECT event_id, 'job', 'lint',
+         substr(sha256(rid || '1t'), 1, 32),
+         substr(sha256(rid || '1lint'), 17, 16),
+         substr(sha256(rid || '1s'), 17, 16),
+         1656583200000000000, 1656583250000000000, 0, 'neutral',
+         NULL, NULL, NULL
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, 'queue', 'queue-lint',
+         substr(sha256(rid || '1t'), 1, 32),
+         substr(sha256(rid || '1lintqueue-lint1'), 17, 16),
+         substr(sha256(rid || '1lint'), 17, 16),
+         1656583200000000000, 1656583210000000000, 0, '',
+         NULL, CAST(10000000000 AS DOUBLE), NULL
+  FROM f WHERE m = 1
+  -- m=2: in progress (no completed_at)
+  UNION ALL
+  SELECT event_id, 'job', 'test',
+         substr(sha256(rid || '1t'), 1, 32),
+         substr(sha256(rid || '1test'), 17, 16),
+         substr(sha256(rid || '1s'), 17, 16),
+         1656583200000000000, 1656583200000000000, 0, '',
+         NULL, NULL, NULL
+  FROM f WHERE m = 2
+  UNION ALL
+  SELECT event_id, 'queue', 'queue-test',
+         substr(sha256(rid || '1t'), 1, 32),
+         substr(sha256(rid || '1testqueue-test1'), 17, 16),
+         substr(sha256(rid || '1test'), 17, 16),
+         1656583200000000000, 1656583220000000000, 0, '',
+         NULL, CAST(20000000000 AS DOUBLE), NULL
+  FROM f WHERE m = 2)
+SELECT event_id, span_type, name, trace_id, span_id, parent_span_id,
+       start_ts_ns, end_ts_ns, status_code, status_message,
+       task_status, queue_ns, job_status_attr
+FROM rows_out ORDER BY event_id, span_id
+"""
+
+
+def q_github_job_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.github import github_workflow_job_to_spans
+
+    docs = _read(spark, sf_dir, "events").select(
+        "event_id", F.expr(_GH_JOB_JSON_SQL).alias("json")
+    )
+    spans = github_workflow_job_to_spans(docs)
+    return spans.select(
+        "event_id", "span_type", "name", "trace_id", "span_id",
+        "parent_span_id", "start_ts_ns", "end_ts_ns", "status_code",
+        "status_message", "task_status",
+        F.col("queue_duration_ns").alias("queue_ns"),
+        F.col("resource_attributes")
+        .getItem("cicd.pipeline.run.task.status")
+        .alias("job_status_attr"),
+    ).orderBy("event_id", "span_id")
+
+
+_QUERIES["github_run_spans_events"] = q_github_run_spans
+_ORACLES["github_run_spans_events"] = _GH_RUN_ORACLE
+_QUERIES["github_job_spans_events"] = q_github_job_spans
+_ORACLES["github_job_spans_events"] = _GH_JOB_ORACLE

@@ -1,0 +1,261 @@
+"""GitHub Actions webhook trace translation pinned against the
+reference (receiver/githubreceiver/trace_event_handling.go +
+model.go). ID vectors are recomputed independently with hashlib."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.github import (
+    github_workflow_job_to_spans,
+    github_workflow_run_to_spans,
+    to_snake_case,
+)
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def trace_id(run_id: int, attempt: int) -> str:
+    return _sha(f"{run_id}{attempt}t")[:32]
+
+
+def parent_span_id(run_id: int, attempt: int) -> str:
+    return _sha(f"{run_id}{attempt}s")[16:32]
+
+
+def job_span_id(run_id: int, attempt: int, name: str) -> str:
+    return _sha(f"{run_id}{attempt}{name}")[16:32]
+
+
+def step_span_id(run_id, attempt, job, step, number) -> str:
+    return _sha(f"{run_id}{attempt}{job}{step}{number}")[16:32]
+
+
+def _run(spark, doc, fn):
+    df = spark.createDataFrame([(json.dumps(doc),)], "json string")
+    return fn(df).collect()
+
+
+RUN_EVENT = {
+    "repository": {"name": "My_Repo",
+                   "custom_properties": {"teamOwner": "ml", "tier": "T0"}},
+    "sender": {"login": "octo"},
+    "workflow_run": {
+        "id": 10, "run_attempt": 2, "name": "CI",
+        "head_branch": "main", "head_sha": "abc123",
+        "html_url": "https://github.com/o/r/actions/runs/10",
+        "previous_attempt_url":
+            "https://api.github.com/repos/o/r/actions/runs/10/attempts/1",
+        "conclusion": "success",
+        "run_started_at": "2022-06-30T10:00:00Z",
+        "updated_at": "2022-06-30T10:05:00Z",
+        "head_commit": {"committer": {"name": "Ann", "email": "a@x.io"}},
+        "referenced_workflows": [
+            {"path": ".github/workflows/Shared-CI.yml@refs/heads/main",
+             "sha": "ff00", "ref": "refs/heads/main"},
+        ],
+    },
+}
+
+
+def test_workflow_run_span(spark):
+    (row,) = _run(spark, RUN_EVENT, github_workflow_run_to_spans)
+    assert row["error"] is None
+    assert row["trace_id"] == trace_id(10, 2)
+    assert row["span_id"] == parent_span_id(10, 2)
+    assert row["name"] == "CI"
+    assert row["kind"] == "server"
+    assert row["status_code"] == 1
+    assert row["status_message"] == "success"
+    assert row["start_ts_ns"] == 1656583200 * 10**9
+    assert row["end_ts_ns"] == 1656583500 * 10**9
+    # attempt 2 + previous_attempt_url -> link to attempt 1
+    assert row["link_trace_id"] == trace_id(10, 1)
+    r = row["resource_attributes"]
+    assert r["service.name"] == "my-repo"  # formatString
+    assert r["vcs.repository.name"] == "My_Repo"
+    assert r["vcs.provider.name"] == "github"
+    assert r["vcs.ref.head"] == "main"
+    assert r["vcs.ref.head.revision"] == "abc123"
+    assert r["vcs.ref.head.revision.author.name"] == "Ann"
+    assert r["vcs.ref.head.revision.author.email"] == "a@x.io"
+    assert r["cicd.pipeline.name"] == "CI"
+    assert r["cicd.pipeline.run.sender.login"] == "octo"
+    assert r["cicd.pipeline.run.id"] == "10"
+    assert r["cicd.pipeline.run.status"] == "success"
+    assert r["cicd.pipeline.run.previous_attempt.url.full"] == (
+        "https://github.com/o/r/actions/runs/10/attempts/1"
+    )
+    # custom properties with snake_case keys
+    assert r["github.repository.custom_properties.team_owner"] == "ml"
+    assert r["github.repository.custom_properties.tier"] == "T0"
+    # referenced workflow template attrs, name lowercased sans ext
+    assert r["github.reference.workflow.shared-ci.path"] == (
+        ".github/workflows/Shared-CI.yml@refs/heads/main"
+    )
+    assert r["github.reference.workflow.shared-ci.revision"] == "ff00"
+    assert r["github.reference.workflow.shared-ci.version"] == (
+        "refs/heads/main"
+    )
+
+
+def test_run_status_mapping_and_timestamp_correction(spark):
+    for conclusion, code, attr in [
+        ("failure", 2, "failure"),
+        ("skipped", 0, "skip"),
+        ("cancelled", 0, "cancellation"),
+        ("timed_out", 0, "timed_out"),
+    ]:
+        doc = json.loads(json.dumps(RUN_EVENT))
+        doc["workflow_run"]["conclusion"] = conclusion
+        # end before start -> zero-duration at start
+        doc["workflow_run"]["updated_at"] = "2022-06-30T09:00:00Z"
+        (row,) = _run(spark, doc, github_workflow_run_to_spans)
+        assert row["status_code"] == code, conclusion
+        assert row["resource_attributes"]["cicd.pipeline.run.status"] == attr
+        assert row["start_ts_ns"] == row["end_ts_ns"] == 1656583200 * 10**9
+
+
+def test_run_service_name_fallbacks(spark):
+    doc = json.loads(json.dumps(RUN_EVENT))
+    doc["repository"]["custom_properties"] = {"service_name": "My_Svc"}
+    (row,) = _run(spark, doc, github_workflow_run_to_spans)
+    assert row["resource_attributes"]["service.name"] == "my-svc"
+    # service_name custom property is not re-emitted as a custom attr
+    assert not any(
+        k.startswith("github.repository.custom_properties")
+        for k in row["resource_attributes"]
+    )
+
+    doc = json.loads(json.dumps(RUN_EVENT))
+    del doc["repository"]
+    (row,) = _run(spark, doc, github_workflow_run_to_spans)
+    assert row["error"] == "failed to get service.name"
+
+
+def test_invalid_referenced_workflow_rejects(spark):
+    doc = json.loads(json.dumps(RUN_EVENT))
+    doc["workflow_run"]["referenced_workflows"] = [{"path": "no-at-sign"}]
+    (row,) = _run(spark, doc, github_workflow_run_to_spans)
+    assert row["error"] == "invalid reference workflow path"
+
+
+JOB_EVENT = {
+    "repository": {"name": "repo"},
+    "sender": {"login": "octo"},
+    "workflow_job": {
+        "id": 77, "run_id": 10, "run_attempt": 2, "name": "build",
+        "head_branch": "main", "head_sha": "abc",
+        "html_url": "https://github.com/o/r/actions/jobs/77",
+        "conclusion": "failure", "status": "completed",
+        "created_at": "2022-06-30T10:00:00Z",
+        "started_at": "2022-06-30T10:00:30Z",
+        "completed_at": "2022-06-30T10:02:00Z",
+        "runner_id": 5, "runner_group_id": 1, "runner_name": "r1",
+        "runner_group_name": "default", "node_id": "N1",
+        "labels": ["Ubuntu-Latest", "self-hosted"],
+        "steps": [
+            {"name": "checkout", "status": "completed",
+             "conclusion": "success", "number": 1,
+             "started_at": "2022-06-30T10:00:30Z",
+             "completed_at": "2022-06-30T10:00:40Z"},
+            {"name": "run", "status": "completed",
+             "conclusion": "failure", "number": 2,
+             "started_at": "2022-06-30T10:00:40Z",
+             "completed_at": "2022-06-30T10:01:50Z"},
+            {"name": "run", "status": "completed",
+             "conclusion": "skipped", "number": 3,
+             "started_at": "2022-06-30T10:01:50Z",
+             "completed_at": "2022-06-30T10:01:50Z"},
+        ],
+    },
+}
+
+
+def test_workflow_job_spans(spark):
+    rows = _run(spark, JOB_EVENT, github_workflow_job_to_spans)
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["span_type"], []).append(r)
+    assert {t: len(v) for t, v in by_type.items()} == {
+        "job": 1, "queue": 1, "step": 3
+    }
+    (job,) = by_type["job"]
+    assert job["trace_id"] == trace_id(10, 2)
+    assert job["span_id"] == job_span_id(10, 2, "build")
+    assert job["parent_span_id"] == parent_span_id(10, 2)
+    assert job["kind"] == "internal"
+    assert job["status_code"] == 2
+    assert job["status_message"] == "failure"
+    assert job["start_ts_ns"] == 1656583200 * 10**9
+    assert job["end_ts_ns"] == (1656583200 + 120) * 10**9
+
+    (q,) = by_type["queue"]
+    assert q["name"] == "queue-build"
+    assert q["span_id"] == step_span_id(10, 2, "build", "queue-build", 1)
+    assert q["parent_span_id"] == job_span_id(10, 2, "build")
+    assert q["queue_duration_ns"] == 30e9
+    assert q["start_ts_ns"] == 1656583200 * 10**9
+    assert q["end_ts_ns"] == (1656583200 + 30) * 10**9
+
+    steps = sorted(by_type["step"], key=lambda r: r["start_ts_ns"])
+    assert [s["name"] for s in steps] == ["checkout", "run", "run-1"]
+    # step span ids hash the ORIGINAL name, not the uniquified one
+    assert steps[1]["span_id"] == step_span_id(10, 2, "build", "run", 2)
+    assert steps[2]["span_id"] == step_span_id(10, 2, "build", "run", 3)
+    assert [s["task_status"] for s in steps] == [
+        "success", "failure", "failure"  # skipped maps to failure
+    ]
+    assert [s["status_code"] for s in steps] == [1, 2, 0]
+    # step status message is the JOB's conclusion
+    assert {s["status_message"] for s in steps} == {"failure"}
+
+    r = rows[0]["resource_attributes"]
+    assert r["service.name"] == "repo"
+    assert r["cicd.pipeline.worker.id"] == "5"
+    assert r["cicd.pipeline.worker.labels"] == "[ubuntu-latest,self-hosted]"
+    assert r["cicd.pipeline.task.run.id"] == "77"
+    assert r["cicd.pipeline.run.task.status"] == "failure"
+
+
+def test_job_default_conclusion_writes_run_status_key(spark):
+    doc = json.loads(json.dumps(JOB_EVENT))
+    doc["workflow_job"]["conclusion"] = "neutral"
+    rows = _run(spark, doc, github_workflow_job_to_spans)
+    r = rows[0]["resource_attributes"]
+    assert r["cicd.pipeline.run.status"] == "neutral"
+    assert "cicd.pipeline.run.task.status" not in r
+
+
+def test_in_progress_job_zero_duration(spark):
+    doc = json.loads(json.dumps(JOB_EVENT))
+    del doc["workflow_job"]["completed_at"]
+    rows = _run(spark, doc, github_workflow_job_to_spans)
+    (job,) = [r for r in rows if r["span_type"] == "job"]
+    assert job["start_ts_ns"] == job["end_ts_ns"] == 1656583200 * 10**9
+
+
+def test_to_snake_case(spark):
+    vectors = [
+        ("teamOwner", "team_owner"),
+        ("TeamOwner", "team_owner"),
+        ("HTTPServer", "http_server"),
+        ("my-prop name.x", "my_prop_name_x"),
+        ("cost$center#2", "cost_dollar_center_hash_2"),
+        ("already_snake", "already_snake"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(vectors)], "id long, s string"
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", to_snake_case(F.col("s")).alias("v"))
+        .collect()
+    }
+    for i, (s, want) in enumerate(vectors):
+        assert got[i] == want, s
