@@ -1,0 +1,234 @@
+"""Wavefront line-protocol metric parsing as a columnar battery.
+
+Reference: receiver/wavefrontreceiver/wavefront_parser.go (+
+internal/collectd/labels.go for the ExtractCollectdTags option, whose
+bracket extraction this module shares with the collectd receiver).
+
+Line format: ``<name> <value> [<timestamp>] source=<src> [tags...]``.
+
+Semantics reproduced:
+
+* SplitN(line, " ", 3): fewer than 3 parts -> "invalid wavefront
+  metric"; the name is surrounding-double-quote-stripped (only when
+  both quotes present and len >= 2) and must be non-empty.
+* the third token parses as int64 epoch-seconds; otherwise it must
+  contain '=' (timestamp omitted, tags start there, timestamp = the
+  receive time -- supplied as the ``now_s`` column for determinism)
+  or the line is "invalid timestamp for wavefront metric".
+* tag parsing (buildLabels): space-trimmed iterations; key = all
+  chars to the next '=' (missing '=' -> "failed to break key");
+  a value starting with '"' (when more than one char remains) scans
+  to the first NON-BACKSLASH-PRECEDED double quote ("partially
+  quoted tag value" when absent) and unescapes exactly \\" and \\n;
+  otherwise the value runs to the next space or end of line. The
+  iterative loop is re-expressed as one regular grammar: tags are
+  extracted in a single regexp pass and the anchored valid prefix
+  is stripped to locate the first malformed segment.
+* value: ParseInt -> int gauge point, else ParseFloat -> double
+  gauge point, else "invalid wavefront metric value".
+* ExtractCollectdTags: repeated LabelsFromName bracket extraction
+  (unrolled MAX_BRACKETS times, matching collectd.py) whose labels
+  overwrite same-named tags; when the ORIGINAL name had no ".."
+  the final name collapses ".." to "." (SignalFx gateway quirk,
+  wavefront_parser.go:120-142).
+
+Pure Column code -- map-only at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .colutil import let
+from .collectd import _labels_from_name
+
+#: unrolled LabelsFromName iterations (reference: unbounded loop)
+MAX_BRACKETS = 3
+
+_ENTRIES = "array<struct<k:string,v:string>>"
+
+# One tag: key = shortest run to the next '=', then either a quoted
+# value (closing quote = first '"' NOT preceded by '\', Go checks only
+# the single previous byte) or an unquoted value running to the next
+# space -- which must NOT open a multi-char quote (that is the
+# partially-quoted error path), though a lone '"' at a token boundary
+# IS a legal one-char value (buildLabels' len>1 gate).
+_QUOTED_VAL = r'"(?:[^"]|(?<=\\)")*?(?<!\\)"'
+_UNQUOTED_VAL = r'(?:"(?= |$)|[^" ][^ ]*)?'
+_TAG = rf"[^=]*?=(?:{_QUOTED_VAL}|{_UNQUOTED_VAL})"
+_TAG_PREFIX = rf"^(?: *{_TAG})* *"
+
+
+def parse_tags(tags: Column) -> Column:
+    """buildLabels over a tag string -> (entries, err) struct.
+
+    Single-pass tokenization: regexp_extract_all pulls the
+    well-formed tags; the anchored prefix of the same grammar is
+    stripped and any LEFTOVER is the first malformed segment -- a
+    leftover opening an unterminated quote reports "partially quoted
+    tag value", anything else "failed to break key" with the
+    remaining text, exactly the reference's first-failure error."""
+    tags = F.coalesce(tags, F.lit(""))
+    toks = F.regexp_extract_all(tags, F.lit(rf" *({_TAG})"), 1)
+    leftover = F.regexp_replace(tags, _TAG_PREFIX, "")
+    err = F.when(
+        leftover != "",
+        F.when(
+            leftover.rlike(r'^(?:[^=]*=)?"'),
+            F.lit("partially quoted tag value"),
+        ).otherwise(
+            F.concat(
+                F.lit("failed to break key for ["), leftover, F.lit("]")
+            )
+        ),
+    )
+
+    def entry(tok: Column) -> Column:
+        key = F.substring_index(tok, "=", 1)
+        raw = F.substr(tok, F.length(key) + 2, F.length(tok))
+        quoted = raw.rlike(rf"^{_QUOTED_VAL}$") & (F.length(raw) > 1)
+        val = F.when(
+            quoted,
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.substring(raw, 2, F.length(raw) - 2).cast("string"),
+                    r'\\"', '"',
+                ),
+                r"\\n", "\n",
+            ),
+        ).otherwise(raw)
+        return F.struct(key.alias("k"), val.alias("v"))
+
+    entries = F.when(err.isNull(), F.transform(toks, entry)).otherwise(
+        F.array().cast(_ENTRIES)
+    ).cast(_ENTRIES)
+    return F.struct(entries.alias("entries"), err.alias("err"))
+
+
+def _un_double_quote(s: Column) -> Column:
+    return F.when(
+        (F.length(s) >= 2) & s.startswith('"') & s.endswith('"'),
+        F.substring(s, 2, F.length(s) - 2),
+    ).otherwise(s)
+
+
+def _collectd_name(name: Column) -> Column:
+    """injectCollectDLabels: repeated bracket extraction + the '..'
+    collapse when the ORIGINAL name had none."""
+    had_dotdot = F.instr(name, "..") > 0
+    cur = name
+    all_labels = F.array().cast(_ENTRIES)
+    for _ in range(MAX_BRACKETS):
+        pair = let(cur, _labels_from_name)  # (name, labels) computed once
+        cur = pair["name"]
+        all_labels = F.concat(all_labels, pair["labels"])
+    final = F.when(~had_dotdot, F.regexp_replace(cur, r"\.\.", ".")).otherwise(
+        cur
+    )
+    return F.struct(final.alias("name"), all_labels.alias("labels"))
+
+
+def wavefront_parse(
+    df: DataFrame,
+    line_col: str = "line",
+    now_s: str | Column = "now_s",
+    extract_collectd_tags: bool = False,
+) -> DataFrame:
+    """Parse one Wavefront line per row into a gauge point row."""
+    line = F.col(line_col)
+    now_col = F.col(now_s) if isinstance(now_s, str) else now_s
+
+    p0 = F.substring_index(line, " ", 1)
+    rest1 = F.substr(line, F.length(p0) + 2, F.length(line))
+    p1 = F.substring_index(rest1, " ", 1)
+    rest2 = F.substr(rest1, F.length(p1) + 2, F.length(rest1))
+    three_parts = F.size(F.split(line, " ", 3)) >= 3
+
+    name = _un_double_quote(p0)
+    ts_tok = F.substring_index(rest2, " ", 1)
+    ts_int = F.when(ts_tok.rlike("^[+-]?[0-9]+$"), ts_tok.try_cast("bigint"))
+    ts_is_tags = ts_int.isNull() & (F.instr(ts_tok, "=") > 0)
+    tags_str = F.when(ts_is_tags, rest2).otherwise(
+        F.when(
+            F.instr(rest2, " ") > 0,
+            F.substr(rest2, F.length(ts_tok) + 2, F.length(rest2)),
+        ).otherwise(F.lit(""))
+    )
+    ts_s = F.when(ts_int.isNotNull(), ts_int).otherwise(
+        now_col.cast("bigint")
+    )
+
+    parsed = let(parse_tags(tags_str), lambda t: t)
+    v_int = F.when(p1.rlike("^[+-]?[0-9]+$"), p1.try_cast("bigint"))
+    v_dbl = p1.try_cast("double")
+
+    base_err = (
+        F.when(
+            ~three_parts,
+            F.concat(F.lit("invalid wavefront metric ["), line, F.lit("]")),
+        )
+        .when(
+            name == "",
+            F.concat(
+                F.lit("empty name for wavefront metric ["), line, F.lit("]")
+            ),
+        )
+        .when(
+            ts_int.isNull() & ~ts_is_tags,
+            F.concat(
+                F.lit("invalid timestamp for wavefront metric ["),
+                line,
+                F.lit("]"),
+            ),
+        )
+        .when(
+            parsed["err"].isNotNull(),
+            F.concat(
+                F.lit("invalid wavefront metric ["), line, F.lit("]: "),
+                parsed["err"],
+            ),
+        )
+        .when(
+            v_int.isNull() & v_dbl.isNull(),
+            F.concat(
+                F.lit("invalid wavefront metric value ["), line, F.lit("]")
+            ),
+        )
+    )
+
+    if extract_collectd_tags:
+        cd = let(name, _collectd_name)
+        final_name = cd["name"]
+        entries = F.concat(parsed["entries"], cd["labels"])
+    else:
+        final_name = name
+        entries = parsed["entries"]
+
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda later: later["k"] == e["k"],
+        ),
+    )
+    valid = base_err.isNull()
+    return df.select(
+        *[c for c in df.columns if c != line_col],
+        base_err.alias("error"),
+        F.when(valid, final_name).alias("name"),
+        F.when(valid, ts_s).alias("ts_s"),
+        F.when(valid, v_int).alias("value_int"),
+        F.when(valid & v_int.isNull(), v_dbl).alias("value_double"),
+        F.when(
+            valid,
+            F.map_from_entries(
+                F.transform(
+                    deduped,
+                    lambda e: F.struct(
+                        e["k"].alias("key"), e["v"].alias("value")
+                    ),
+                )
+            ),
+        ).alias("attributes"),
+    )

@@ -7429,3 +7429,95 @@ _QUERIES["github_run_spans_events"] = q_github_run_spans
 _ORACLES["github_run_spans_events"] = _GH_RUN_ORACLE
 _QUERIES["github_job_spans_events"] = q_github_job_spans
 _ORACLES["github_job_spans_events"] = _GH_JOB_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Wavefront line protocol (receiver/wavefrontreceiver): quoted
+# names/values with \"-escapes, omitted-timestamp tag detection,
+# int-vs-double gauge points, collectd bracket-tag extraction with
+# the '..' collapse, and the per-line error ladder.
+# ---------------------------------------------------------------------------
+
+_WAVEFRONT_LINE_SQL = r"""
+CASE CAST(event_id % 6 AS INT)
+  WHEN 0 THEN concat(
+    'req.count ', CAST(event_id % 1000 AS STRING), ' ',
+    CAST(1582230000 + event_id % 500 AS STRING),
+    ' source=h', CAST(user_id % 7 AS STRING), ' env=prod')
+  WHEN 1 THEN concat(
+    'lat.ms 3.5 ', CAST(1582230000 + event_id % 500 AS STRING),
+    ' msg="a b ', event_type, '" k0=v_', CAST(event_id % 9 AS STRING))
+  WHEN 2 THEN concat(
+    'cpu.load 1.5 source=tst-', event_type,
+    ' k=', CAST(event_id % 3 AS STRING))
+  WHEN 3 THEN concat(
+    'disk.[dev=sda', CAST(event_id % 4 AS STRING), '].used ',
+    CAST(event_id % 100 AS STRING), ' ',
+    CAST(1582230000 + event_id % 500 AS STRING), ' source=tst')
+  WHEN 4 THEN concat(
+    'nan.value xyz ', CAST(1582230000 + event_id % 500 AS STRING),
+    ' source=t')
+  ELSE 'x 1'
+END
+""".strip()
+
+_WAVEFRONT_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 6 AS INT) AS m, event_type, user_id,
+         1582230000 + event_id % 500 AS ts,
+         1656581400 + event_id % 50 AS now_s
+  FROM events)
+SELECT event_id,
+  CASE
+    WHEN m = 4 THEN 'invalid wavefront metric value [nan.value xyz '
+      || CAST(ts AS VARCHAR) || ' source=t]'
+    WHEN m = 5 THEN 'invalid wavefront metric [x 1]'
+  END AS error,
+  CASE m WHEN 0 THEN 'req.count' WHEN 1 THEN 'lat.ms'
+         WHEN 2 THEN 'cpu.load' WHEN 3 THEN 'disk.used' END AS name,
+  CASE WHEN m IN (0, 1, 3) THEN ts WHEN m = 2 THEN now_s END AS ts_s,
+  CASE WHEN m = 0 THEN event_id % 1000
+       WHEN m = 3 THEN event_id % 100 END AS value_int,
+  CAST(CASE WHEN m = 1 THEN 3.5 WHEN m = 2 THEN 1.5 END AS DOUBLE)
+    AS value_double,
+  CASE m
+    WHEN 0 THEN 'env=prod,source=h' || CAST(user_id % 7 AS STRING)
+    WHEN 1 THEN 'k0=v_' || CAST(event_id % 9 AS STRING)
+      || ',msg=a b ' || event_type
+    WHEN 2 THEN 'k=' || CAST(event_id % 3 AS STRING)
+      || ',source=tst-' || event_type
+    WHEN 3 THEN 'dev=sda' || CAST(event_id % 4 AS STRING)
+      || ',source=tst'
+  END AS attrs_str
+FROM f ORDER BY event_id
+"""
+
+
+def q_wavefront_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.wavefront import wavefront_parse
+
+    lines = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(_WAVEFRONT_LINE_SQL).alias("line"),
+        (F.lit(1656581400) + F.col("event_id") % 50).alias("now_s"),
+    )
+    out = wavefront_parse(lines, extract_collectd_tags=True)
+    return out.select(
+        "event_id", "error", "name", "ts_s", "value_int", "value_double",
+        F.when(
+            F.col("error").isNull(),
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        F.map_entries(F.col("attributes")),
+                        lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                    )
+                ),
+                ",",
+            ),
+        ).alias("attrs_str"),
+    ).orderBy("event_id")
+
+
+_QUERIES["wavefront_metrics_events"] = q_wavefront_metrics
+_ORACLES["wavefront_metrics_events"] = _WAVEFRONT_ORACLE

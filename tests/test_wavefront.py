@@ -1,0 +1,110 @@
+"""Wavefront line-protocol parse pinned against the reference
+(receiver/wavefrontreceiver/wavefront_parser_test.go table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.wavefront import (
+    parse_tags,
+    wavefront_parse,
+)
+
+NOW = 1582230999
+
+# (line, extract_collectd, want) with want = (name, ts, int, dbl, attrs)
+VECTORS = [
+    ("no.tags 1 1582230020", False,
+     ("no.tags", 1582230020, 1, None, {})),
+    ('"/and," 1 1582230020 source=tst', False,
+     ("/and,", 1582230020, 1, None, {"source": "tst"})),
+    ("tst.int 1 1582230020 source=tst", False,
+     ("tst.int", 1582230020, 1, None, {"source": "tst"})),
+    ("tst.dbl 3.14 source=tst k0=v0", False,
+     ("tst.dbl", NOW, None, 3.14, {"source": "tst", "k0": "v0"})),
+    ("tst.int.3tags 128 1582230020 k0=v_0 k1=v_1 k2=v_2", False,
+     ("tst.int.3tags", 1582230020, 128, None,
+      {"k0": "v_0", "k1": "v_1", "k2": "v_2"})),
+    ("tst.int.1tag 1.23 1582230020 k0=v_0", False,
+     ("tst.int.1tag", 1582230020, None, 1.23, {"k0": "v_0"})),
+    ("collectd.[cdk=cdv].tags 1 source=tst k0=v0", True,
+     ("collectd.tags", NOW, 1, None,
+      {"source": "tst", "k0": "v0", "cdk": "cdv"})),
+    ("mult.[cdk0=cdv0].collectd.[cdk1=cdv1].groups 1 1582230020 source=tst",
+     True,
+     ("mult.collectd.groups", 1582230020, 1, None,
+      {"source": "tst", "cdk0": "cdv0", "cdk1": "cdv1"})),
+    ("collectd.last[cdk0=cdv0] 1 1582230020 source=tst", True,
+     ("collectd.last", 1582230020, 1, None,
+      {"source": "tst", "cdk0": "cdv0"})),
+    # error vectors
+    ("incorrect.tags 1.23 1582230000 1582230020", False, None),
+    ("nan.value xyz 1582230000 source=tst", False, None),
+    (" 1.23 1582230000", False, None),
+    ("invalid.timestamppb.not.tag 1.23 xyz source=tst", False, None),
+    ("missing.parts 3", False, None),
+]
+
+
+@pytest.mark.parametrize("line,cd,want", VECTORS,
+                         ids=[v[0] for v in VECTORS])
+def test_reference_vectors(spark, line, cd, want):
+    df = spark.createDataFrame([(line, NOW)], "line string, now_s long")
+    (row,) = wavefront_parse(df, extract_collectd_tags=cd).collect()
+    if want is None:
+        assert row["error"] is not None, line
+        assert row["name"] is None
+        return
+    name, ts, vi, vd, attrs = want
+    assert row["error"] is None, row["error"]
+    assert row["name"] == name
+    assert row["ts_s"] == ts
+    assert row["value_int"] == vi
+    assert row["value_double"] == vd
+    assert row["attributes"] == attrs
+
+
+def test_quoted_tag_values_and_escapes(spark):
+    line = (
+        'm 1 1582230020 msg="hello world" esc="say \\"hi\\"" '
+        'nl="a\\nb" tail=x'
+    )
+    df = spark.createDataFrame([(line, NOW)], "line string, now_s long")
+    (row,) = wavefront_parse(df).collect()
+    assert row["error"] is None
+    assert row["attributes"] == {
+        "msg": "hello world",
+        "esc": 'say "hi"',
+        "nl": "a\nb",
+        "tail": "x",
+    }
+
+
+def test_partially_quoted_value_errors(spark):
+    df = spark.createDataFrame(
+        [('m 1 1582230020 k="unterminated', NOW)],
+        "line string, now_s long",
+    )
+    (row,) = wavefront_parse(df).collect()
+    assert "partially quoted tag value" in row["error"]
+
+
+def test_tag_key_to_first_equals_and_empty_key(spark):
+    got = (
+        spark.range(1)
+        .select(parse_tags(F.lit('a b=1 =v k=w')).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got["err"] is None
+    assert [(e["k"], e["v"]) for e in got["entries"]] == [
+        ("a b", "1"), ("", "v"), ("k", "w")
+    ]
+
+
+def test_duplicate_tags_last_wins(spark):
+    df = spark.createDataFrame(
+        [("m 1 1582230020 k=1 k=2", NOW)], "line string, now_s long"
+    )
+    (row,) = wavefront_parse(df).collect()
+    assert row["attributes"] == {"k": "2"}
