@@ -1,0 +1,474 @@
+"""AWS CloudWatch EMF (Embedded Metric Format) metric translation.
+
+Reference: exporter/awsemfexporter (metric_translator.go, util.go,
+metric_declaration.go, grouped_metric.go, datapoint.go). One input
+row = one number datapoint (metric name/unit/double value, datapoint
+attributes, resource attributes, scope name, metric type); output =
+one EMF log-event row per grouped metric.
+
+Semantics reproduced:
+
+* createLabels: datapoint attributes + the ``OTelLib`` label when the
+  scope name is non-empty (datapoint.go:511-523).
+* namespace (util.go:63-81): config namespace, else
+  "<service.namespace>/<service.name>", else whichever exists, else
+  "default".
+* log group "/metrics/<namespace>" unless configured; configured
+  group/stream run the {ClusterName}/{TaskId}/... pattern ladder over
+  RESOURCE attributes (pattern key first, mapped attribute second,
+  else "undefined"); when any replacement failed, groups containing
+  "undefined" are re-replaced from the METRIC labels
+  (grouped_metric.go:70-77).
+* grouping (aws.NewKey): namespace + datapoint timestamp (ms) + log
+  group/stream + metric TYPE + the full label set; duplicate metric
+  names within a group keep the FIRST datapoint (by the caller's
+  ``seq`` column -- the reference keeps arrival order).
+* measurement building (metric_translator.go:211-376): without
+  declarations one measurement whose base dimension set is the full
+  label set, plus dimensionRollup (zero set carries OTelLib; zero
+  rollup only when other labels exist; single rollup per non-OTelLib
+  label, sets sorted) with the single-label dedup quirk; with
+  declarations, label-matcher gated (concatenated label values vs
+  regex), per-metric name-selector regex matching, grouping by
+  matched-declaration set, ExtractDimensions (sets fully contained
+  in the labels), rollup append, joined-key dedup, and
+  empty-dimension measurements dropped.
+* unit translation (grouped_metric.go:188-213): descriptor override,
+  then 1/ns -> "", ms/s/us -> Milliseconds/Seconds/Microseconds,
+  By -> Bytes, bit -> Bits.
+* ``aws.emf.storage_resolution`` label -> per-metric storage
+  resolution (default 60), excluded from fields and dimensions.
+* receiver == "prometheus" (resource attr "receiver") adds the
+  ``prom_metric_type`` field (gauge/counter/histogram/summary).
+* fields = labels + metric values (+ prom type); EMF v1 nests
+  measurements under _aws, v0 stringifies the timestamp; a group
+  whose declarations matched nothing still emits a fields-only
+  document (no _aws block).
+
+Dimension-set ORDER within the base (full-label) set is rendered
+sorted -- the reference emits Go map order, which is random; the
+rolled-up sets are sorted in both. This is the one intentional
+normalization.
+
+Shape: one hash aggregate on (group key) with map-side combine --
+scale-safe; everything else is Column work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OTELLIB_KEY = "OTelLib"
+STORAGE_RESOLUTION_ATTR = "aws.emf.storage_resolution"
+
+ZERO_AND_SINGLE = "ZeroAndSingleDimensionRollup"
+SINGLE_ONLY = "SingleDimensionRollupOnly"
+
+PATTERN_KEY_TO_ATTR = {
+    "ClusterName": "aws.ecs.cluster.name",
+    "TaskId": "aws.ecs.task.id",
+    "NodeName": "k8s.node.name",
+    "PodName": "pod",
+    "ServiceName": "service.name",
+    "ContainerInstanceId": "aws.ecs.container.instance.id",
+    "TaskDefinitionFamily": "aws.ecs.task.family",
+}
+
+PROM_TYPE_FIELD = "prom_metric_type"
+PROM_TYPES = {
+    "Gauge": "gauge",
+    "Sum": "counter",
+    "Histogram": "histogram",
+    "Summary": "summary",
+}
+
+
+@dataclass
+class LabelMatcher:
+    label_names: list[str]
+    regex: str
+    separator: str = ";"
+
+
+@dataclass
+class MetricDeclaration:
+    metric_name_selectors: list[str]
+    dimensions: list[list[str]] = field(default_factory=list)
+    label_matchers: list[LabelMatcher] = field(default_factory=list)
+
+    def normalized_dimensions(self) -> list[list[str]]:
+        """init(): drop >10-element sets, dedup within (sorted), dedup
+        across by joined key."""
+        out: list[list[str]] = []
+        seen: set[str] = set()
+        for dims in self.dimensions:
+            if len(dims) > 10:
+                continue
+            ded = sorted(set(dims))
+            key = ",".join(ded)
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(ded)
+        return out
+
+
+def translate_unit(unit: Column, name: Column,
+                   descriptors: dict[str, tuple[str, bool]]) -> Column:
+    u = F.coalesce(unit, F.lit(""))
+    out = (
+        F.when(u.isin("1", "ns"), F.lit(""))
+        .when(u == "ms", F.lit("Milliseconds"))
+        .when(u == "s", F.lit("Seconds"))
+        .when(u == "us", F.lit("Microseconds"))
+        .when(u == "By", F.lit("Bytes"))
+        .when(u == "bit", F.lit("Bits"))
+        .otherwise(u)
+    )
+    for mname, (du, overwrite) in (descriptors or {}).items():
+        cond = name == mname
+        if not overwrite:
+            cond = cond & (u == "")
+        out = F.when(cond, F.lit(du)).otherwise(out)
+    return out
+
+
+def _replace_patterns(s: str, attrs: Column) -> tuple[Column, Column]:
+    """replacePatterns over a config string: returns (result, ok)."""
+    result = F.lit(s)
+    ok = F.lit(True)
+    for key, mapped in PATTERN_KEY_TO_ATTR.items():
+        pattern = "{" + key + "}"
+        if pattern not in s:
+            continue
+        value = F.coalesce(
+            F.try_element_at(attrs, F.lit(key)),
+            F.try_element_at(attrs, F.lit(mapped)),
+        )
+        hit = value.isNotNull() & (value != "")
+        result = F.replace(
+            result, F.lit(pattern), F.when(hit, value).otherwise(F.lit("undefined"))
+        )
+        ok = ok & hit
+    return result, ok
+
+
+def emf_namespace(resource: Column, config_namespace: str = "") -> Column:
+    if config_namespace:
+        return F.lit(config_namespace)
+    svc = F.try_element_at(resource, F.lit("service.name"))
+    ns = F.try_element_at(resource, F.lit("service.namespace"))
+    return (
+        F.when(svc.isNotNull() & ns.isNotNull(), F.concat(ns, F.lit("/"), svc))
+        .when(svc.isNotNull(), svc)
+        .when(ns.isNotNull(), ns)
+        .otherwise(F.lit("default"))
+    )
+
+
+def emf_metrics(
+    df: DataFrame,
+    namespace: str = "",
+    log_group: str = "",
+    log_stream: str = "",
+    rollup: str = ZERO_AND_SINGLE,
+    declarations: list[MetricDeclaration] | None = None,
+    version: str = "1",
+    descriptors: dict[str, tuple[str, bool]] | None = None,
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Datapoint rows -> one EMF document row per grouped metric.
+
+    Expected input columns: metric_name, unit, value (double), ts_ns,
+    attributes map<string,string>, resource_attributes
+    map<string,string>, scope_name, metric_type, and ``seq`` (a
+    per-row ordinal defining reference arrival order)."""
+    labels = F.map_from_entries(
+        F.concat(
+            F.array_sort(F.map_entries(F.coalesce(
+                F.col("attributes"),
+                F.create_map().cast("map<string,string>"),
+            ))),
+            F.when(
+                F.coalesce(F.col("scope_name"), F.lit("")) != "",
+                F.array(
+                    F.struct(
+                        F.lit(OTELLIB_KEY).alias("key"),
+                        F.col("scope_name").alias("value"),
+                    )
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<key string, value string>>")
+            ),
+        )
+    )
+    res = F.coalesce(
+        F.col("resource_attributes"),
+        F.create_map().cast("map<string,string>"),
+    )
+    ns = emf_namespace(res, namespace)
+
+    if log_group:
+        lg, lg_ok = _replace_patterns(log_group, res)
+    else:
+        lg, lg_ok = F.concat(F.lit("/metrics/"), ns), F.lit(True)
+    if log_stream:
+        ls, ls_ok = _replace_patterns(log_stream, res)
+    else:
+        ls, ls_ok = F.lit(""), F.lit(True)
+
+    # failed resource replacement retries from the metric labels
+    if log_group:
+        lg_retry, _ = _replace_patterns(log_group, labels)
+        lg = F.when(
+            ~(lg_ok & ls_ok) & F.contains(lg, F.lit("undefined")), lg_retry
+        ).otherwise(lg)
+    if log_stream:
+        ls_retry, _ = _replace_patterns(log_stream, labels)
+        ls = F.when(
+            ~(lg_ok & ls_ok) & F.contains(ls, F.lit("undefined")), ls_retry
+        ).otherwise(ls)
+
+    receiver = F.try_element_at(res, F.lit("receiver"))
+    prom_type = None
+    base = df.select(
+        F.col(seq_col).alias("_seq"),
+        F.col("metric_name").alias("_name"),
+        translate_unit(
+            F.col("unit"), F.col("metric_name"), descriptors or {}
+        ).alias("_unit"),
+        F.col("value").cast("double").alias("_value"),
+        (F.col("ts_ns").cast("bigint") / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("_ts_ms"),
+        F.col("metric_type").alias("_mtype"),
+        labels.alias("_labels"),
+        ns.alias("_ns"),
+        lg.alias("_lg"),
+        ls.alias("_ls"),
+        F.coalesce(receiver, F.lit("")).alias("_receiver"),
+    ).withColumn(
+        "_labels_key", F.to_json(F.col("_labels"))
+    )
+
+    grouped = (
+        base.groupBy(
+            "_ns", "_ts_ms", "_lg", "_ls", "_mtype", "_labels_key",
+            "_receiver",
+        )
+        .agg(
+            F.first("_labels").alias("_labels"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_seq").alias("seq"),
+                        F.col("_name").alias("name"),
+                        F.col("_unit").alias("unit"),
+                        F.col("_value").alias("value"),
+                    )
+                )
+            ).alias("_dps"),
+        )
+    )
+
+    dps = F.col("_dps")
+    # duplicate metric names keep the FIRST (lowest seq; _dps sorted)
+    metrics = F.filter(
+        dps,
+        lambda d, i: ~F.exists(
+            F.slice(dps, 1, i),
+            lambda prior: prior["name"] == d["name"],
+        ),
+    )
+
+    lbl = F.col("_labels")
+    storage_res = F.coalesce(
+        F.try_element_at(lbl, F.lit(STORAGE_RESOLUTION_ATTR))
+        .try_cast("int"),
+        F.lit(60),
+    )
+    # filterAWSEMFAttributes
+    flabels = F.map_from_entries(
+        F.filter(
+            F.map_entries(lbl),
+            lambda e: e["key"] != STORAGE_RESOLUTION_ATTR,
+        )
+    )
+    label_keys = F.array_sort(F.map_keys(flabels))
+    nonlib_keys = F.filter(label_keys, lambda k: k != OTELLIB_KEY)
+    has_lib = F.array_contains(label_keys, OTELLIB_KEY)
+    zero_dim = F.when(has_lib, F.array(F.lit(OTELLIB_KEY))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+    rollup_sets = F.array().cast("array<array<string>>")
+    if rollup == ZERO_AND_SINGLE:
+        rollup_sets = F.when(
+            F.size(nonlib_keys) > 0, F.array(zero_dim)
+        ).otherwise(rollup_sets)
+    if rollup in (ZERO_AND_SINGLE, SINGLE_ONLY):
+        singles = F.transform(
+            nonlib_keys,
+            lambda k: F.array_sort(F.concat(zero_dim, F.array(k))),
+        )
+        rollup_sets = F.concat(rollup_sets, singles)
+
+    def _minfo(d: Column) -> Column:
+        return F.struct(
+            d["name"].alias("name"),
+            d["unit"].alias("unit"),
+            storage_res.alias("storage_resolution"),
+        )
+
+    meas_t = (
+        "array<struct<dimensions array<array<string>>,"
+        " metrics array<struct<name string, unit string,"
+        " storage_resolution int>>>>"
+    )
+
+    if not declarations:
+        # single measurement; single-label + single-rollup dedup quirk
+        is_single = (F.size(label_keys) <= 1) | (
+            (F.size(label_keys) == 2) & has_lib
+        )
+        drop_base = (
+            F.lit(rollup in (ZERO_AND_SINGLE, SINGLE_ONLY))
+            & is_single
+            & (F.size(rollup_sets) > 0)
+        )
+        dims = F.concat(
+            F.when(~drop_base, F.array(label_keys)).otherwise(
+                F.array().cast("array<array<string>>")
+            ),
+            rollup_sets,
+        )
+        measurements = F.array(
+            F.struct(
+                dims.alias("dimensions"),
+                F.transform(metrics, _minfo).alias("metrics"),
+            )
+        ).cast(meas_t)
+    else:
+        groups = []
+        matched_decls = []
+        for decl in declarations:
+            if decl.label_matchers:
+                m = F.lit(False)
+                for lm in decl.label_matchers:
+                    concat = F.concat_ws(
+                        lm.separator,
+                        *[
+                            F.coalesce(
+                                F.try_element_at(flabels, F.lit(n)),
+                                F.lit(""),
+                            )
+                            for n in lm.label_names
+                        ],
+                    )
+                    m = m | concat.rlike(lm.regex)
+            else:
+                m = F.lit(True)
+            matched_decls.append(m)
+
+        def decl_key(d: Column) -> Column:
+            # fmt.Sprint of the matched declaration index list
+            parts = []
+            for i, decl in enumerate(declarations):
+                name_match = F.lit(False)
+                for sel in decl.metric_name_selectors:
+                    name_match = name_match | d["name"].rlike(sel)
+                parts.append(
+                    F.when(matched_decls[i] & name_match,
+                           F.lit(f"{i:03d},")).otherwise(F.lit(""))
+                )
+            return F.concat(*parts)
+
+        tagged = F.transform(
+            metrics,
+            lambda d: F.struct(
+                d.alias("dp"), decl_key(d).alias("dkey")
+            ),
+        )
+        kept = F.filter(tagged, lambda t: t["dkey"] != "")
+        dkeys = F.array_distinct(F.transform(kept, lambda t: t["dkey"]))
+
+        def dims_for(dkey: Column) -> Column:
+            sets = F.array().cast("array<array<string>>")
+            for i, decl in enumerate(declarations):
+                for dset in decl.normalized_dimensions():
+                    contained = F.lit(True)
+                    for dname in dset:
+                        contained = contained & F.array_contains(
+                            label_keys, dname
+                        )
+                    in_decl = F.contains(dkey, F.lit(f"{i:03d},"))
+                    sets = F.concat(
+                        sets,
+                        F.when(
+                            in_decl & contained,
+                            F.array(
+                                F.array(*[F.lit(x) for x in dset])
+                            ),
+                        ).otherwise(
+                            F.array().cast("array<array<string>>")
+                        ),
+                    )
+            sets = F.concat(sets, rollup_sets)
+            # dedup by joined key, keep first
+            return F.filter(
+                sets,
+                lambda s, i: ~F.exists(
+                    F.slice(sets, 1, i),
+                    lambda prior: F.array_join(prior, ",")
+                    == F.array_join(s, ","),
+                ),
+            )
+
+        measurements = F.filter(
+            F.transform(
+                dkeys,
+                lambda dk: F.struct(
+                    dims_for(dk).alias("dimensions"),
+                    F.transform(
+                        F.filter(kept, lambda t: t["dkey"] == dk),
+                        lambda t: _minfo(t["dp"]),
+                    ).alias("metrics"),
+                ),
+            ),
+            lambda m: F.size(m["dimensions"]) > 0,
+        ).cast(meas_t)
+
+    prom_type = F.when(
+        F.col("_receiver") == "prometheus",
+        F.col("_mtype"),
+    )
+    prom_field = (
+        F.when(prom_type == "Gauge", F.lit("gauge"))
+        .when(prom_type == "Sum", F.lit("counter"))
+        .when(prom_type == "Histogram", F.lit("histogram"))
+        .when(prom_type == "Summary", F.lit("summary"))
+        .when(prom_type.isNotNull(), F.lit(""))
+    )
+
+    return grouped.select(
+        F.col("_ns").alias("namespace"),
+        F.col("_ts_ms").alias("timestamp_ms"),
+        F.col("_lg").alias("log_group"),
+        F.col("_ls").alias("log_stream"),
+        F.col("_mtype").alias("metric_type"),
+        flabels.alias("labels"),
+        F.map_from_entries(
+            F.transform(
+                metrics,
+                lambda d: F.struct(
+                    d["name"].alias("key"), d["value"].alias("value")
+                ),
+            )
+        ).alias("metric_values"),
+        prom_field.alias("prom_metric_type"),
+        measurements.alias("measurements"),
+        F.lit(version).alias("version"),
+    )

@@ -7521,3 +7521,249 @@ def q_wavefront_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["wavefront_metrics_events"] = q_wavefront_metrics
 _ORACLES["wavefront_metrics_events"] = _WAVEFRONT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# AWS EMF exporter (exporter/awsemfexporter): grouped-metric
+# aggregation with first-wins duplicate handling, dimension rollup,
+# metric declarations with label matchers, pattern-replaced log
+# groups, unit translation, prometheus type fields. The oracle
+# reproduces the grouping with GROUP BY + arg_min.
+# ---------------------------------------------------------------------------
+
+
+def _emf_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    u3 = (F.col("user_id") % 3).cast("int")
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("lat_"), (F.col("event_id") % 3).cast("string"))
+        .alias("metric_name"),
+        F.lit("ms").alias("unit"),
+        ((F.col("event_id") % 100) / F.lit(2.0)).alias("value"),
+        F.lit(1656581400_000_000_000).alias("ts_ns"),
+        F.map_from_arrays(
+            F.array(F.lit("svc"), F.lit("env")),
+            F.array(
+                F.concat(F.lit("s"), u3.cast("string")),
+                F.concat(
+                    F.lit("e"), (F.col("event_id") % 2).cast("string")
+                ),
+            ),
+        ).alias("attributes"),
+        F.when(
+            u3 == 0,
+            F.map_from_arrays(
+                F.array(F.lit("service.name"), F.lit("receiver")),
+                F.array(
+                    F.concat(F.lit("api-"), F.col("event_type")),
+                    F.lit("prometheus"),
+                ),
+            ),
+        )
+        .otherwise(
+            F.map_from_arrays(
+                F.array(F.lit("service.name")),
+                F.array(F.concat(F.lit("api-"), F.col("event_type"))),
+            )
+        )
+        .alias("resource_attributes"),
+        F.lit("lib").alias("scope_name"),
+        F.lit("Gauge").alias("metric_type"),
+    )
+
+
+def _emf_render(out: DataFrame) -> DataFrame:
+    metrics_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("metric_values")),
+                lambda e: F.concat(
+                    e["key"], F.lit("="), e["value"].cast("string")
+                ),
+            )
+        ),
+        ",",
+    )
+    dims_str = F.array_join(
+        F.array_sort(F.transform(
+            F.col("measurements"),
+            lambda m: F.concat(
+                F.array_join(
+                    F.transform(
+                        m["dimensions"],
+                        lambda d: F.concat(
+                            F.lit("["), F.array_join(d, ","), F.lit("]")
+                        ),
+                    ),
+                    ";",
+                ),
+                F.lit("|"),
+                F.array_join(
+                    F.array_sort(
+                        F.transform(
+                            m["metrics"],
+                            lambda mi: F.concat(
+                                mi["name"], F.lit("("), mi["unit"],
+                                F.lit(")"),
+                            ),
+                        )
+                    ),
+                    ",",
+                ),
+            ),
+        )),
+        "&",
+    )
+    labels_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("labels")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return out.select(
+        "namespace", "log_group", "log_stream",
+        F.col("timestamp_ms"),
+        labels_str.alias("labels_str"),
+        metrics_str.alias("metrics_str"),
+        "prom_metric_type",
+        dims_str.alias("dims_str"),
+    ).orderBy("namespace", "labels_str")
+
+
+def q_emf_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.emf import emf_metrics
+
+    out = emf_metrics(_emf_fixture(spark, sf_dir))
+    return _emf_render(out)
+
+
+_EMF_ORACLE = """
+WITH f AS (
+  SELECT event_id, event_type,
+         CAST(user_id % 3 AS INT) AS u3,
+         CAST(event_id % 3 AS INT) AS k,
+         CAST(event_id % 2 AS INT) AS e2,
+         CAST(event_id % 100 AS DOUBLE) / 2.0 AS val
+  FROM events),
+dp AS (
+  SELECT event_type, u3, e2, k, arg_min(val, event_id) AS v
+  FROM f GROUP BY event_type, u3, e2, k),
+g AS (
+  SELECT event_type, u3, e2,
+         string_agg('lat_' || CAST(k AS VARCHAR) || '='
+                    || CAST(v AS VARCHAR), ',' ORDER BY k)
+           AS metrics_str,
+         string_agg('lat_' || CAST(k AS VARCHAR) || '(Milliseconds)',
+                    ',' ORDER BY k) AS m_list
+  FROM dp GROUP BY event_type, u3, e2)
+SELECT 'api-' || event_type AS namespace,
+       '/metrics/api-' || event_type AS log_group,
+       '' AS log_stream,
+       CAST(1656581400000 AS BIGINT) AS timestamp_ms,
+       'OTelLib=lib,env=e' || CAST(e2 AS VARCHAR)
+         || ',svc=s' || CAST(u3 AS VARCHAR) AS labels_str,
+       metrics_str,
+       CASE WHEN u3 = 0 THEN 'gauge' END AS prom_metric_type,
+       '[OTelLib,env,svc];[OTelLib];[OTelLib,env];[OTelLib,svc]|'
+         || m_list AS dims_str
+FROM g ORDER BY namespace, labels_str
+"""
+
+
+def q_emf_declarations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.emf import LabelMatcher, MetricDeclaration, emf_metrics
+
+    ev = _read(spark, sf_dir, "events")
+    m = (F.col("event_id") % 3).cast("int")
+    fixture = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(m == 0, F.lit("req_count"))
+        .when(m == 1, F.lit("latency"))
+        .otherwise(F.lit("other"))
+        .alias("metric_name"),
+        F.lit("1").alias("unit"),
+        (F.col("event_id") % 50).cast("double").alias("value"),
+        F.lit(1656581400_000_000_000).alias("ts_ns"),
+        F.map_from_arrays(
+            F.array(F.lit("a"), F.lit("b"), F.lit("env"), F.lit("zone")),
+            F.array(
+                F.lit("1"), F.lit("2"),
+                F.when(F.col("user_id") % 2 == 0, F.lit("prod"))
+                .otherwise(F.lit("dev")),
+                F.lit("us-east"),
+            ),
+        ).alias("attributes"),
+        F.when(
+            F.col("user_id") % 4 == 0,
+            F.map_from_arrays(
+                F.array(F.lit("aws.ecs.cluster.name")),
+                F.array(F.concat(
+                    F.lit("c"), (F.col("user_id") % 5).cast("string")
+                )),
+            ),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("resource_attributes"),
+        F.lit("").alias("scope_name"),
+        F.lit("Sum").alias("metric_type"),
+    )
+    decls = [
+        MetricDeclaration(
+            metric_name_selectors=["^req_"],
+            dimensions=[["a"], ["a", "b"], ["missing"]],
+        ),
+        MetricDeclaration(
+            metric_name_selectors=["lat"],
+            dimensions=[["b"]],
+            label_matchers=[LabelMatcher(["env", "zone"], "^prod;us-.*$")],
+        ),
+    ]
+    out = emf_metrics(
+        fixture,
+        declarations=decls,
+        rollup="NoRollup",
+        log_group="/aws/ecs/{ClusterName}",
+    )
+    return _emf_render(out)
+
+
+_EMF_DECL_ORACLE = """
+WITH f AS (
+  SELECT event_id, user_id,
+         CAST(event_id % 3 AS INT) AS m,
+         CASE WHEN user_id % 2 = 0 THEN 'prod' ELSE 'dev' END AS env,
+         CASE WHEN user_id % 4 = 0
+              THEN '/aws/ecs/c' || CAST(user_id % 5 AS VARCHAR)
+              ELSE '/aws/ecs/undefined' END AS lg,
+         CAST(event_id % 50 AS DOUBLE) AS val
+  FROM events),
+dp AS (
+  SELECT env, lg, m,
+         CASE m WHEN 0 THEN 'req_count' WHEN 1 THEN 'latency'
+                ELSE 'other' END AS name,
+         arg_min(val, event_id) AS v
+  FROM f GROUP BY env, lg, m),
+g AS (
+  SELECT env, lg,
+         string_agg(name || '=' || CAST(v AS VARCHAR),
+                    ',' ORDER BY name) AS metrics_str
+  FROM dp GROUP BY env, lg)
+SELECT 'default' AS namespace, lg AS log_group, '' AS log_stream,
+       CAST(1656581400000 AS BIGINT) AS timestamp_ms,
+       'a=1,b=2,env=' || env || ',zone=us-east' AS labels_str,
+       metrics_str,
+       CAST(NULL AS VARCHAR) AS prom_metric_type,
+       CASE WHEN env = 'prod'
+            THEN '[a];[a,b]|req_count()&[b]|latency()'
+            ELSE '[a];[a,b]|req_count()' END AS dims_str
+FROM g ORDER BY namespace, labels_str
+"""
+
+_QUERIES["emf_metrics_events"] = q_emf_metrics
+_ORACLES["emf_metrics_events"] = _EMF_ORACLE
+_QUERIES["emf_declarations_events"] = q_emf_declarations
+_ORACLES["emf_declarations_events"] = _EMF_DECL_ORACLE

@@ -1,0 +1,210 @@
+"""AWS EMF exporter translation pinned against the reference
+(exporter/awsemfexporter: metric_translator.go, util.go,
+metric_declaration.go, grouped_metric.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.emf import (
+    LabelMatcher,
+    MetricDeclaration,
+    emf_metrics,
+)
+
+TS = 1656581400_000_000_000  # ns
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "seq long, metric_name string, unit string, value double,"
+        " ts_ns long, attributes map<string,string>,"
+        " resource_attributes map<string,string>, scope_name string,"
+        " metric_type string",
+    )
+
+
+def _row(seq, name, value, attrs=None, res=None, unit="", scope="lib",
+         mtype="Gauge", ts=TS):
+    return (seq, name, unit, float(value), ts, attrs or {}, res or {},
+            scope, mtype)
+
+
+def _dims(row):
+    return [list(d) for m in row["measurements"] for d in m["dimensions"]]
+
+
+def test_grouping_fields_and_rollup(spark):
+    rows = [
+        _row(1, "m1", 1.5, {"a": "x", "b": "y"}),
+        _row(2, "m2", 2.5, {"a": "x", "b": "y"}),
+        _row(3, "m3", 3.5, {"a": "OTHER"}),
+    ]
+    out = emf_metrics(_df(spark, rows)).collect()
+    assert len(out) == 2
+    by_metrics = {tuple(sorted(r["metric_values"])): r for r in out}
+    g1 = by_metrics[("m1", "m2")]
+    assert g1["metric_values"] == {"m1": 1.5, "m2": 2.5}
+    assert g1["labels"] == {"a": "x", "b": "y", "OTelLib": "lib"}
+    assert g1["namespace"] == "default"
+    assert g1["log_group"] == "/metrics/default"
+    assert g1["timestamp_ms"] == TS // 1_000_000
+    (meas,) = g1["measurements"]
+    assert [list(d) for d in meas["dimensions"]] == [
+        ["OTelLib", "a", "b"],      # base (rendered sorted)
+        ["OTelLib"],                # zero rollup
+        ["OTelLib", "a"],           # single rollups
+        ["OTelLib", "b"],
+    ]
+    assert [(m["name"], m["storage_resolution"]) for m in meas["metrics"]] \
+        == [("m1", 60), ("m2", 60)]
+
+
+def test_single_label_rollup_dedup_quirk(spark):
+    rows = [_row(1, "m", 1.0, {"a": "x"}, scope="")]
+    (row,) = emf_metrics(_df(spark, rows)).collect()
+    # base dim set dropped; zero + single remain
+    assert _dims(row) == [[], ["a"]]
+
+    # SingleDimensionRollupOnly: no zero set
+    (row,) = emf_metrics(
+        _df(spark, rows), rollup="SingleDimensionRollupOnly"
+    ).collect()
+    assert _dims(row) == [["a"]]
+
+    # no labels at all: base [] kept (no rollup sets exist)
+    rows = [_row(1, "m", 1.0, {}, scope="")]
+    (row,) = emf_metrics(_df(spark, rows)).collect()
+    assert _dims(row) == [[]]
+
+
+def test_namespace_and_unit_translation(spark):
+    rows = [
+        _row(1, "m", 1.0, res={"service.name": "svc",
+                               "service.namespace": "ns"}, unit="ms"),
+        _row(2, "m", 1.0, res={"service.name": "svc"}, unit="By"),
+        _row(3, "m", 1.0, res={"service.namespace": "ns"}, unit="1"),
+        _row(4, "m", 1.0, res={}, unit="ns"),
+    ]
+    out = emf_metrics(_df(spark, rows)).collect()
+    by_ns = {r["namespace"]: r for r in out}
+    assert set(by_ns) == {"ns/svc", "svc", "ns", "default"}
+    units = {
+        r["namespace"]: r["measurements"][0]["metrics"][0]["unit"]
+        for r in out
+    }
+    assert units == {"ns/svc": "Milliseconds", "svc": "Bytes",
+                     "ns": "", "default": ""}
+    assert by_ns["ns/svc"]["log_group"] == "/metrics/ns/svc"
+
+
+def test_log_pattern_replacement_and_label_retry(spark):
+    rows = [
+        # resource carries the mapped attr
+        _row(1, "m", 1.0, {"ClusterName": "from-label"},
+             res={"aws.ecs.cluster.name": "c1"}),
+        # resource missing -> undefined -> retried from metric labels
+        _row(2, "m", 1.0, {"ClusterName": "c2"}, res={}),
+        # nothing anywhere -> undefined stays
+        _row(3, "m", 1.0, {}, res={}),
+    ]
+    out = emf_metrics(
+        _df(spark, rows), log_group="/aws/ecs/{ClusterName}",
+        log_stream="{TaskId}",
+    ).collect()
+    groups = sorted(r["log_group"] for r in out)
+    assert groups == ["/aws/ecs/c1", "/aws/ecs/c2", "/aws/ecs/undefined"]
+    # stream pattern had no source anywhere
+    assert {r["log_stream"] for r in out} == {"undefined"}
+
+
+def test_duplicate_metric_first_wins_and_storage_resolution(spark):
+    rows = [
+        _row(1, "m", 1.0, {"a": "x", "aws.emf.storage_resolution": "1"}),
+        _row(2, "m", 99.0, {"a": "x", "aws.emf.storage_resolution": "1"}),
+    ]
+    (row,) = emf_metrics(_df(spark, rows)).collect()
+    assert row["metric_values"] == {"m": 1.0}
+    (meas,) = row["measurements"]
+    assert meas["metrics"][0]["storage_resolution"] == 1
+    # the storage-resolution label is excluded from fields/dims
+    assert "aws.emf.storage_resolution" not in row["labels"]
+    assert all(
+        "aws.emf.storage_resolution" not in d for d in _dims(row)
+    )
+
+
+def test_prometheus_receiver_type_field(spark):
+    rows = [
+        _row(1, "m", 1.0, res={"receiver": "prometheus"}, mtype="Sum"),
+        _row(2, "m2", 1.0, res={"receiver": "prometheus"}, mtype="Gauge"),
+        _row(3, "m3", 1.0, res={}, mtype="Sum"),
+    ]
+    out = emf_metrics(_df(spark, rows)).collect()
+    got = {r["metric_type"]: r["prom_metric_type"] for r in out
+           if r["prom_metric_type"] is not None}
+    assert got == {"Sum": "counter", "Gauge": "gauge"}
+    assert any(r["prom_metric_type"] is None for r in out)
+
+
+DECLS = [
+    MetricDeclaration(
+        metric_name_selectors=["^req_"],
+        dimensions=[["a"], ["a", "b"], ["missing"]],
+    ),
+    MetricDeclaration(
+        metric_name_selectors=["lat"],
+        dimensions=[["b"]],
+        label_matchers=[LabelMatcher(["env", "zone"], "^prod;us-.*$")],
+    ),
+]
+
+
+def test_metric_declarations(spark):
+    attrs = {"a": "1", "b": "2", "env": "prod", "zone": "us-east"}
+    rows = [
+        _row(1, "req_count", 1.0, attrs, scope=""),
+        _row(2, "latency", 2.0, attrs, scope=""),
+        _row(3, "other", 3.0, attrs, scope=""),  # matches nothing
+    ]
+    out = emf_metrics(
+        _df(spark, rows), declarations=DECLS, rollup="NoDimensionRollup"
+    ).collect()
+    (row,) = out
+    # two measurement groups: req_count -> decl 0, latency -> decl 1
+    by_metric = {
+        m["metrics"][0]["name"]: [list(d) for d in m["dimensions"]]
+        for m in row["measurements"]
+    }
+    assert by_metric == {
+        "req_count": [["a"], ["a", "b"]],  # "missing" not in labels
+        "latency": [["b"]],
+    }
+    # 'other' dropped from measurements but kept in fields
+    assert set(row["metric_values"]) == {"req_count", "latency", "other"}
+
+
+def test_label_matcher_gates_declaration(spark):
+    attrs = {"b": "2", "env": "dev", "zone": "us-east"}
+    rows = [_row(1, "latency", 2.0, attrs, scope="")]
+    out = emf_metrics(
+        _df(spark, rows), declarations=[DECLS[1]],
+        rollup="NoDimensionRollup",
+    ).collect()
+    (row,) = out
+    assert row["measurements"] == []  # fields-only document
+    assert row["metric_values"] == {"latency": 2.0}
+
+
+def test_declaration_dims_dedup_and_rollup_append(spark):
+    decls = [
+        MetricDeclaration(metric_name_selectors=["m"], dimensions=[["a"]]),
+        MetricDeclaration(metric_name_selectors=["m"], dimensions=[["a"]]),
+    ]
+    rows = [_row(1, "m", 1.0, {"a": "x"}, scope="")]
+    (row,) = emf_metrics(_df(spark, rows), declarations=decls).collect()
+    # both declarations contribute ["a"], deduped; rollup appends
+    # zero/single but single ["a"] collides with the declared set
+    assert _dims(row) == [["a"], []]
