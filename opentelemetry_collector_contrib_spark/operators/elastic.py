@@ -1,0 +1,535 @@
+"""Elasticsearch exporter: ECS-mode document mapping + data-stream
+routing as columnar batteries.
+
+Reference: exporter/elasticsearchexporter (model.go,
+data_stream_router.go, attribute.go, internal/objmodel/objmodel.go).
+One input row = one log record or span; output = one flattened ES
+document row (field map + routing index).
+
+Semantics reproduced:
+
+* data-stream routing (data_stream_router.go:161-236): the
+  ``elasticsearch.index`` attribute (record > scope > resource
+  precedence) short-circuits to a plain index; else
+  data_stream.dataset / namespace from the same precedence with
+  "generic"/"default" defaults; scope-based dataset routing when
+  unset (collector self-telemetry scopes -> "collectortelemetry",
+  the scope's ``encoding.format`` attribute, and the
+  /receiver/(\\w+receiver) | /connector/(\\w+connector) scope-name
+  patterns); dataset/namespace sanitization (lowercase, disallowed
+  runes -> '_', 100-byte truncation); index =
+  "<type>-<dataset>-<namespace>".
+* ECS attribute conversion (model.go:41-82, 535-565): resource
+  attrs pass through the SemConv->ECS map -- skip entries drop,
+  host.name maps to host.hostname but is preserved AND skipped when
+  host.hostname already exists in the SOURCE attrs, everything else
+  renames or passes through.
+* log documents (model.go:192-240): converted resource + scope +
+  record attrs (record map: event.name -> event.action,
+  exception.message/stacktrace/type -> error.*,
+  exception.escaped -> event.error.exception.handled,
+  http.response.body.size -> http.response.encoded_body_size),
+  data_stream.* fields, agent.name ladder
+  ("otlp"[/language][/distro] with language defaulting to
+  "unknown" when only a distro exists), agent.version (distro
+  version else SDK version), host.os.type ladder (os.type
+  windows/linux kept, darwin -> macos, aix/hpux/solaris -> unix;
+  os.name Android/iOS overrides -> android/ios), @timestamp from
+  the record timestamp falling back to observed, trace.id /
+  span.id (zero ids omitted), event.severity (non-zero),
+  log.level (non-empty severity text), and ``message`` only for
+  string bodies.
+* span documents (model.go:241-287): converted attrs (db.system ->
+  span.db.type, db.namespace -> span.db.instance, db.query.text ->
+  span.db.statement, http.response.body.size ->
+  http.response.encoded_body_size), @timestamp from the span start,
+  trace.id/span.id/parent.id, span.name, event.outcome
+  success/failure from the status code, span.kind
+  INTERNAL/SERVER/CLIENT/PRODUCER/CONSUMER, span.links as the
+  objmodel array of {span.id, trace.id} objects.
+* objmodel Dedup (objmodel.go:237-281): a key that is a strict
+  dot-prefix of another key is renamed "<key>.value"; duplicate
+  keys keep the LAST addition.
+
+Pure Column code -- map-only at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+INDEX_ATTR = "elasticsearch.index"
+DS_DATASET = "data_stream.dataset"
+DS_NAMESPACE = "data_stream.namespace"
+DS_TYPE = "data_stream.type"
+
+DEFAULT_DATASET = "generic"
+DEFAULT_NAMESPACE = "default"
+SELF_TELEMETRY_DATASET = "collectortelemetry"
+
+SELF_TELEMETRY_SCOPES = (
+    "go.opentelemetry.io/collector/receiver/receiverhelper",
+    "go.opentelemetry.io/collector/scraper/scraperhelper",
+    "go.opentelemetry.io/collector/processor/processorhelper",
+    "go.opentelemetry.io/collector/exporter/exporterhelper",
+    "go.opentelemetry.io/collector/service",
+)
+
+_DISALLOWED_NAMESPACE = r'[\\/*?"<>| ,#:]'
+_DISALLOWED_DATASET = r'[-\\/*?"<>| ,#:]'
+MAX_DS_BYTES = 100
+
+#: resourceAttrsConversionMap (model.go:41-82); value None = skip
+RESOURCE_CONVERSION: dict[str, "str | None | tuple"] = {
+    "service.instance.id": "service.node.name",
+    "deployment.environment": "service.environment",
+    "deployment.environment.name": "service.environment",
+    "telemetry.sdk.name": None,
+    "telemetry.sdk.language": None,
+    "telemetry.sdk.version": None,
+    "telemetry.distro.name": None,
+    "telemetry.distro.version": None,
+    "cloud.platform": "cloud.service.name",
+    "container.image.tags": "container.image.tag",
+    # (to, preserveOriginal, skipIfExists)
+    "host.name": ("host.hostname", True, True),
+    "host.arch": "host.architecture",
+    "process.parent_pid": "process.parent.pid",
+    "process.executable.name": "process.title",
+    "process.executable.path": "process.executable",
+    "process.command_line": "process.args",
+    "process.runtime.name": "service.runtime.name",
+    "process.runtime.version": "service.runtime.version",
+    "os.name": "host.os.name",
+    "os.type": "host.os.platform",
+    "os.description": "host.os.full",
+    "os.version": "host.os.version",
+    "client.address": "client.ip",
+    "source.address": "source.ip",
+    "k8s.deployment.name": "kubernetes.deployment.name",
+    "k8s.namespace.name": "kubernetes.namespace",
+    "k8s.node.name": "kubernetes.node.name",
+    "k8s.pod.name": "kubernetes.pod.name",
+    "k8s.pod.uid": "kubernetes.pod.uid",
+    "k8s.job.name": "kubernetes.job.name",
+    "k8s.cronjob.name": "kubernetes.cronjob.name",
+    "k8s.statefulset.name": "kubernetes.statefulset.name",
+    "k8s.replicaset.name": "kubernetes.replicaset.name",
+    "k8s.daemonset.name": "kubernetes.daemonset.name",
+    "k8s.container.name": "kubernetes.container.name",
+    "k8s.cluster.name": "orchestrator.cluster.name",
+    "faas.instance": "faas.id",
+    "faas.trigger": "faas.trigger.type",
+}
+
+LOG_RECORD_CONVERSION = {
+    "event.name": "event.action",
+    "exception.message": "error.message",
+    "exception.stacktrace": "error.stacktrace",
+    "exception.type": "error.type",
+    "exception.escaped": "event.error.exception.handled",
+    "http.response.body.size": "http.response.encoded_body_size",
+}
+
+SPAN_CONVERSION = {
+    "db.system": "span.db.type",
+    "db.namespace": "span.db.instance",
+    "db.query.text": "span.db.statement",
+    "http.response.body.size": "http.response.encoded_body_size",
+}
+
+_ENTRY = "struct<key string, value string>"
+
+
+def _empty() -> Column:
+    return F.array().cast(f"array<{_ENTRY}>")
+
+
+def _e(key, value) -> Column:
+    key = F.lit(key) if isinstance(key, str) else key
+    return F.struct(key.alias("key"), value.alias("value"))
+
+
+def _sanitize(field: Column, disallowed: str, suffix: str = "") -> Column:
+    s = F.lower(F.regexp_replace(field, disallowed, "_"))
+    # NB: lowercasing AFTER replacement in Go happens per-rune together;
+    # order is equivalent for these ASCII rune sets
+    return F.concat(
+        F.substring(s, 1, MAX_DS_BYTES - len(suffix)), F.lit(suffix)
+    )
+
+
+def _get3(key: str, record: Column, scope: Column, resource: Column) -> Column:
+    """getFromAttributes: record > scope > resource precedence."""
+    k = F.lit(key)
+    return F.coalesce(
+        F.try_element_at(record, k),
+        F.try_element_at(scope, k),
+        F.try_element_at(resource, k),
+    )
+
+
+_RECEIVER_RE = r"/receiver/(\w+receiver)"
+_CONNECTOR_RE = r"/connector/(\w+connector)"
+
+
+def route_record(
+    record: Column, scope_attrs: Column, scope_name: Column,
+    resource: Column, default_type: str,
+) -> Column:
+    """routeRecord -> struct(index, ds_type, dataset, namespace,
+    is_data_stream). ECS/none mapping modes (no .otel suffix)."""
+    es_index = _get3(INDEX_ATTR, record, scope_attrs, resource)
+
+    dataset_attr = _get3(DS_DATASET, record, scope_attrs, resource)
+    namespace = F.coalesce(
+        _get3(DS_NAMESPACE, record, scope_attrs, resource),
+        F.lit(DEFAULT_NAMESPACE),
+    )
+    scope_ds = F.coalesce(
+        F.when(
+            scope_name.isin(*SELF_TELEMETRY_SCOPES),
+            F.lit(SELF_TELEMETRY_DATASET),
+        ),
+        F.when(
+            F.coalesce(
+                F.try_element_at(scope_attrs, F.lit("encoding.format")),
+                F.lit(""),
+            )
+            != "",
+            F.try_element_at(scope_attrs, F.lit("encoding.format")),
+        ),
+        F.when(
+            F.regexp_extract(scope_name, _RECEIVER_RE, 1) != "",
+            F.regexp_extract(scope_name, _RECEIVER_RE, 1),
+        ),
+        F.when(
+            F.regexp_extract(scope_name, _CONNECTOR_RE, 1) != "",
+            F.regexp_extract(scope_name, _CONNECTOR_RE, 1),
+        ),
+    )
+    dataset = F.coalesce(dataset_attr, scope_ds, F.lit(DEFAULT_DATASET))
+    dataset = _sanitize(dataset, _DISALLOWED_DATASET)
+    namespace = _sanitize(namespace, _DISALLOWED_NAMESPACE)
+    ds_type = F.lit(default_type)
+
+    return F.when(
+        es_index.isNotNull(),
+        F.struct(
+            es_index.alias("index"),
+            F.lit(None).cast("string").alias("ds_type"),
+            F.lit(None).cast("string").alias("dataset"),
+            F.lit(None).cast("string").alias("namespace"),
+            F.lit(False).alias("is_data_stream"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.concat(ds_type, F.lit("-"), dataset, F.lit("-"), namespace)
+            .alias("index"),
+            ds_type.alias("ds_type"),
+            dataset.alias("dataset"),
+            namespace.alias("namespace"),
+            F.lit(True).alias("is_data_stream"),
+        )
+    )
+
+
+def _convert_attrs(attrs: Column, conversion: dict) -> Column:
+    """encodeAttributesECSMode over a map -> entry array."""
+    attrs = F.coalesce(attrs, F.create_map().cast("map<string,string>"))
+    entries = F.array_sort(F.map_entries(attrs))
+    if not conversion:
+        # no conversions: every attribute passes through at top level
+        return F.transform(
+            entries, lambda e: _e(e["key"], e["value"])
+        ).cast(f"array<{_ENTRY}>")
+
+    def one(e: Column) -> Column:
+        out = None
+        for k, spec in conversion.items():
+            if spec is None:
+                branch = _empty()
+            elif isinstance(spec, tuple):
+                to, preserve, skip_if_exists = spec
+                target = F.when(
+                    F.lit(skip_if_exists)
+                    & F.try_element_at(attrs, F.lit(to)).isNotNull(),
+                    _empty(),
+                ).otherwise(F.array(_e(to, e["value"])))
+                if preserve:
+                    target = F.concat(
+                        target, F.array(_e(e["key"], e["value"]))
+                    )
+                branch = target
+            else:
+                branch = F.array(_e(spec, e["value"]))
+            cond = e["key"] == k
+            out = F.when(cond, branch) if out is None else out.when(
+                cond, branch
+            )
+        return out.otherwise(F.array(_e(e["key"], e["value"])))
+
+    return F.flatten(F.transform(entries, one)).cast(f"array<{_ENTRY}>")
+
+
+def _agent_entries(resource: Column) -> Column:
+    """encodeLogAgentNameECSMode + encodeLogAgentVersionECSMode."""
+    sdk_name = F.coalesce(
+        F.try_element_at(resource, F.lit("telemetry.sdk.name")),
+        F.lit("otlp"),
+    )
+    lang = F.try_element_at(resource, F.lit("telemetry.sdk.language"))
+    distro = F.try_element_at(resource, F.lit("telemetry.distro.name"))
+    lang_eff = F.when(
+        distro.isNotNull() & lang.isNull(), F.lit("unknown")
+    ).otherwise(lang)
+    agent_name = (
+        F.when(
+            distro.isNotNull(),
+            F.concat(sdk_name, F.lit("/"), lang_eff, F.lit("/"), distro),
+        )
+        .when(
+            lang_eff.isNotNull(), F.concat(sdk_name, F.lit("/"), lang_eff)
+        )
+        .otherwise(sdk_name)
+    )
+    version = F.coalesce(
+        F.try_element_at(resource, F.lit("telemetry.distro.version")),
+        F.try_element_at(resource, F.lit("telemetry.sdk.version")),
+    )
+    return F.concat(
+        F.when(agent_name != "", F.array(_e("agent.name", agent_name)))
+        .otherwise(_empty()),
+        F.when(
+            version.isNotNull() & (version != ""),
+            F.array(_e("agent.version", version)),
+        ).otherwise(_empty()),
+    )
+
+
+def _host_os_type_entries(resource: Column) -> Column:
+    os_type = F.try_element_at(resource, F.lit("os.type"))
+    os_name = F.try_element_at(resource, F.lit("os.name"))
+    t = (
+        F.when(os_type.isin("windows", "linux"), os_type)
+        .when(os_type == "darwin", F.lit("macos"))
+        .when(os_type.isin("aix", "hpux", "solaris"), F.lit("unix"))
+    )
+    t = (
+        F.when(os_name == "Android", F.lit("android"))
+        .when(os_name == "iOS", F.lit("ios"))
+        .otherwise(t)
+    )
+    return F.when(t.isNotNull(), F.array(_e("host.os.type", t))).otherwise(
+        _empty()
+    )
+
+
+def _ds_entries(route: Column) -> Column:
+    return F.when(
+        route["is_data_stream"],
+        F.array(
+            _e(DS_TYPE, route["ds_type"]),
+            _e(DS_DATASET, route["dataset"]),
+            _e(DS_NAMESPACE, route["namespace"]),
+        ),
+    ).otherwise(_empty())
+
+
+def _finalize(entries: Column) -> Column:
+    """objmodel Dedup: dot-prefix keys renamed <key>.value; duplicate
+    keys keep the LAST addition; empty values dropped (AddString)."""
+    entries = F.filter(entries, lambda e: e["value"].isNotNull())
+    renamed = F.transform(
+        entries,
+        lambda e: F.struct(
+            F.when(
+                F.exists(
+                    entries,
+                    lambda o: o["key"].startswith(
+                        F.concat(e["key"], F.lit("."))
+                    ),
+                ),
+                F.concat(e["key"], F.lit(".value")),
+            )
+            .otherwise(e["key"])
+            .alias("key"),
+            e["value"].alias("value"),
+        ),
+    )
+    last_wins = F.filter(
+        renamed,
+        lambda e, i: ~F.exists(
+            F.slice(renamed, i + 2, F.size(renamed)),
+            lambda later: later["key"] == e["key"],
+        ),
+    )
+    return F.map_from_entries(last_wins)
+
+
+def _ts_iso(ts_ns: Column) -> Column:
+    return F.date_format(
+        F.timestamp_micros((ts_ns / 1000).cast("bigint")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+    )
+
+
+_ZERO16 = "0" * 32
+_ZERO8 = "0" * 16
+
+
+def ecs_log_documents(df: DataFrame) -> DataFrame:
+    """ecsModeEncoder.encodeLog flattened. Expected columns:
+    resource_attributes, scope_name, scope_attributes, attributes
+    (all map<string,string>), body string (NULL = non-string body),
+    ts_ns, observed_ts_ns, trace_id, span_id (hex or NULL),
+    severity_number int, severity_text string."""
+    res = F.coalesce(
+        F.col("resource_attributes"),
+        F.create_map().cast("map<string,string>"),
+    )
+    scope_attrs = F.coalesce(
+        F.col("scope_attributes"), F.create_map().cast("map<string,string>")
+    )
+    rec = F.coalesce(
+        F.col("attributes"), F.create_map().cast("map<string,string>")
+    )
+    route = route_record(
+        rec, scope_attrs, F.coalesce(F.col("scope_name"), F.lit("")),
+        res, "logs",
+    )
+
+    ts = F.when(
+        F.coalesce(F.col("ts_ns"), F.lit(0)) != 0, F.col("ts_ns")
+    ).otherwise(F.col("observed_ts_ns"))
+    sev_n = F.coalesce(F.col("severity_number"), F.lit(0))
+
+    entries = F.concat(
+        _convert_attrs(res, RESOURCE_CONVERSION),
+        _convert_attrs(scope_attrs, {}),
+        _convert_attrs(rec, LOG_RECORD_CONVERSION),
+        _ds_entries(route),
+        _agent_entries(res),
+        _host_os_type_entries(res),
+        F.array(_e("@timestamp", _ts_iso(ts))),
+        F.when(
+            F.col("trace_id").isNotNull()
+            & (F.col("trace_id") != _ZERO16),
+            F.array(_e("trace.id", F.col("trace_id"))),
+        ).otherwise(_empty()),
+        F.when(
+            F.col("span_id").isNotNull() & (F.col("span_id") != _ZERO8),
+            F.array(_e("span.id", F.col("span_id"))),
+        ).otherwise(_empty()),
+        F.when(
+            sev_n != 0,
+            F.array(_e("event.severity", sev_n.cast("string"))),
+        ).otherwise(_empty()),
+        F.when(
+            F.coalesce(F.col("severity_text"), F.lit("")) != "",
+            F.array(_e("log.level", F.col("severity_text"))),
+        ).otherwise(_empty()),
+        F.when(
+            F.col("body").isNotNull(),
+            F.array(_e("message", F.col("body"))),
+        ).otherwise(_empty()),
+    )
+
+    return df.select(
+        *df.columns,
+        route["index"].alias("index"),
+        _finalize(entries).alias("document"),
+    )
+
+
+def ecs_span_documents(df: DataFrame) -> DataFrame:
+    """ecsModeEncoder.encodeSpan flattened. Expected columns:
+    resource_attributes, scope_name, scope_attributes, attributes,
+    name, trace_id, span_id, parent_span_id, start_ts_ns,
+    status_code int, kind string, links
+    array<struct<trace_id string, span_id string>>."""
+    res = F.coalesce(
+        F.col("resource_attributes"),
+        F.create_map().cast("map<string,string>"),
+    )
+    scope_attrs = F.coalesce(
+        F.col("scope_attributes"), F.create_map().cast("map<string,string>")
+    )
+    rec = F.coalesce(
+        F.col("attributes"), F.create_map().cast("map<string,string>")
+    )
+    route = route_record(
+        rec, scope_attrs, F.coalesce(F.col("scope_name"), F.lit("")),
+        res, "traces",
+    )
+
+    links = F.coalesce(
+        F.col("links"),
+        F.array().cast(
+            "array<struct<trace_id string, span_id string>>"
+        ),
+    )
+    links_json = F.concat(
+        F.lit("["),
+        F.array_join(
+            F.transform(
+                links,
+                lambda l: F.concat(
+                    F.lit('{"span.id":"'), l["span_id"],
+                    F.lit('","trace.id":"'), l["trace_id"], F.lit('"}'),
+                ),
+            ),
+            ",",
+        ),
+        F.lit("]"),
+    )
+
+    code = F.coalesce(F.col("status_code"), F.lit(0))
+    kind_ecs = F.when(
+        F.col("kind").isin(
+            "internal", "server", "client", "producer", "consumer"
+        ),
+        F.upper(F.col("kind")),
+    )
+
+    entries = F.concat(
+        _convert_attrs(res, RESOURCE_CONVERSION),
+        _convert_attrs(scope_attrs, {}),
+        _convert_attrs(rec, SPAN_CONVERSION),
+        _host_os_type_entries(res),
+        _ds_entries(route),
+        F.array(_e("@timestamp", _ts_iso(F.col("start_ts_ns")))),
+        F.when(
+            F.col("trace_id").isNotNull()
+            & (F.col("trace_id") != _ZERO16),
+            F.array(_e("trace.id", F.col("trace_id"))),
+        ).otherwise(_empty()),
+        F.when(
+            F.col("span_id").isNotNull() & (F.col("span_id") != _ZERO8),
+            F.array(_e("span.id", F.col("span_id"))),
+        ).otherwise(_empty()),
+        F.when(
+            F.coalesce(F.col("name"), F.lit("")) != "",
+            F.array(_e("span.name", F.col("name"))),
+        ).otherwise(_empty()),
+        F.when(
+            F.col("parent_span_id").isNotNull()
+            & (F.col("parent_span_id") != _ZERO8),
+            F.array(_e("parent.id", F.col("parent_span_id"))),
+        ).otherwise(_empty()),
+        F.when(code == 1, F.array(_e("event.outcome", F.lit("success"))))
+        .when(code == 2, F.array(_e("event.outcome", F.lit("failure"))))
+        .otherwise(_empty()),
+        F.when(F.size(links) > 0, F.array(_e("span.links", links_json)))
+        .otherwise(_empty()),
+        F.when(
+            kind_ecs.isNotNull(), F.array(_e("span.kind", kind_ecs))
+        ).otherwise(_empty()),
+    )
+
+    return df.select(
+        *df.columns,
+        route["index"].alias("index"),
+        _finalize(entries).alias("document"),
+    )

@@ -7767,3 +7767,330 @@ _QUERIES["emf_metrics_events"] = q_emf_metrics
 _ORACLES["emf_metrics_events"] = _EMF_ORACLE
 _QUERIES["emf_declarations_events"] = q_emf_declarations
 _ORACLES["emf_declarations_events"] = _EMF_DECL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Elasticsearch exporter ECS mode (exporter/elasticsearchexporter):
+# SemConv->ECS attribute conversion, agent/host.os special cases,
+# objmodel dedup, and data-stream routing with sanitization.
+# ---------------------------------------------------------------------------
+
+
+def q_elastic_ecs_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.elastic import ecs_log_documents
+
+    ev = _read(spark, sf_dir, "events")
+    m = (F.col("event_id") % 5).cast("int")
+    smap = F.map_from_arrays
+
+    resource = (
+        F.when(
+            m == 0,
+            smap(
+                F.array(
+                    F.lit("service.name"), F.lit("host.name"),
+                    F.lit("host.hostname"), F.lit("os.type"),
+                    F.lit("telemetry.sdk.name"),
+                    F.lit("telemetry.sdk.language"),
+                    F.lit("telemetry.sdk.version"),
+                    F.lit("k8s.pod.name"),
+                ),
+                F.array(
+                    F.concat(F.lit("svc-"), F.col("event_type")),
+                    F.lit("node-a"), F.lit("host-b"), F.lit("darwin"),
+                    F.lit("opentelemetry"), F.lit("perl"), F.lit("7.9.12"),
+                    F.concat(
+                        F.lit("pod-"),
+                        (F.col("user_id") % 7).cast("string"),
+                    ),
+                ),
+            ),
+        )
+        .when(
+            m == 3,
+            smap(
+                F.array(
+                    F.lit("telemetry.distro.name"),
+                    F.lit("telemetry.distro.version"),
+                    F.lit("os.name"),
+                ),
+                F.array(F.lit("elastic"), F.lit("2.0"), F.lit("Android")),
+            ),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+    )
+    attrs = (
+        F.when(
+            m == 0,
+            smap(
+                F.array(
+                    F.lit("event.name"),
+                    F.lit("http.response.body.size"),
+                ),
+                F.array(
+                    F.concat(F.lit("evt-"), F.col("event_type")),
+                    (F.col("event_id") % 900).cast("string"),
+                ),
+            ),
+        )
+        .when(
+            m == 1,
+            smap(
+                F.array(
+                    F.lit("data_stream.dataset"),
+                    F.lit("data_stream.namespace"),
+                ),
+                F.array(
+                    F.concat(F.lit("My-DS "), F.col("event_type")),
+                    F.lit("Pro:d"),
+                ),
+            ),
+        )
+        .when(
+            m == 3,
+            smap(F.array(F.lit("elasticsearch.index")),
+                 F.array(F.concat(
+                     F.lit("idx-"), (F.col("event_id") % 4).cast("string")
+                 ))),
+        )
+        .when(
+            m == 4,
+            smap(
+                F.array(F.lit("path.x"), F.lit("path.x.a")),
+                F.array((F.col("event_id") % 9).cast("string"), F.lit("t")),
+            ),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+    )
+    lines = ev.select(
+        "event_id",
+        resource.alias("resource_attributes"),
+        F.when(
+            m == 2,
+            F.lit("otelcol/receiver/filelogreceiver"),
+        ).otherwise(F.lit("")).alias("scope_name"),
+        F.create_map().cast("map<string,string>").alias("scope_attributes"),
+        attrs.alias("attributes"),
+        F.when(m == 0, F.concat(F.lit("msg-"), F.col("event_type")))
+        .alias("body"),
+        F.when(
+            m == 0,
+            (F.lit(1710273641) + F.col("event_id") % 50).cast("bigint")
+            * F.lit(1_000_000_000),
+        ).otherwise(F.lit(0)).alias("ts_ns"),
+        F.lit(1710273600_000_000_000).alias("observed_ts_ns"),
+        F.when(m == 0, F.lpad(F.lower(F.hex(F.col("event_id"))), 32, "0"))
+        .when(m == 2, F.lit("0" * 32))
+        .alias("trace_id"),
+        F.when(m == 0, F.lpad(F.lower(F.hex(F.col("event_id") + 1)), 16,
+                              "0")).alias("span_id"),
+        F.when(m == 0, F.lit(9)).otherwise(F.lit(0)).alias(
+            "severity_number"
+        ),
+        F.when(m == 0, F.lit("INFO")).otherwise(F.lit("")).alias(
+            "severity_text"
+        ),
+    )
+    out = ecs_log_documents(lines)
+    return out.select(
+        "event_id", "index",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(F.col("document")),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            "|",
+        ).alias("doc_str"),
+    ).orderBy("event_id")
+
+
+_ELASTIC_LOGS_ORACLE = r"""
+WITH f AS (
+  SELECT event_id, CAST(event_id % 5 AS INT) AS m, event_type, user_id,
+         strftime(to_timestamp(1710273641 + event_id % 50),
+                  '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_iso,
+         strftime(to_timestamp(1710273600),
+                  '%Y-%m-%dT%H:%M:%S.%fZ') AS obs_iso
+  FROM events)
+SELECT event_id,
+  CASE m
+    WHEN 1 THEN 'logs-my_ds_' || lower(event_type) || '-pro_d'
+    WHEN 2 THEN 'logs-filelogreceiver-default'
+    WHEN 3 THEN 'idx-' || CAST(event_id % 4 AS VARCHAR)
+    ELSE 'logs-generic-default'
+  END AS index,
+  CASE m
+    WHEN 0 THEN '@timestamp=' || ts_iso
+      || '|agent.name=opentelemetry/perl|agent.version=7.9.12'
+      || '|data_stream.dataset=generic|data_stream.namespace=default'
+      || '|data_stream.type=logs'
+      || '|event.action=evt-' || event_type
+      || '|event.severity=9'
+      || '|host.hostname=host-b|host.name=node-a'
+      || '|host.os.platform=darwin|host.os.type=macos'
+      || '|http.response.encoded_body_size='
+      || CAST(event_id % 900 AS VARCHAR)
+      || '|kubernetes.pod.name=pod-' || CAST(user_id % 7 AS VARCHAR)
+      || '|log.level=INFO|message=msg-' || event_type
+      || '|service.name=svc-' || event_type
+      || '|span.id=' || lpad(lower(hex(event_id + 1)), 16, '0')
+      || CASE WHEN event_id = 0 THEN ''
+              ELSE '|trace.id=' || lpad(lower(hex(event_id)), 32, '0')
+         END
+    WHEN 1 THEN '@timestamp=' || obs_iso
+      || '|agent.name=otlp'
+      || '|data_stream.dataset=my_ds_' || lower(event_type)
+      || '|data_stream.namespace=pro_d|data_stream.type=logs'
+    WHEN 2 THEN '@timestamp=' || obs_iso
+      || '|agent.name=otlp'
+      || '|data_stream.dataset=filelogreceiver'
+      || '|data_stream.namespace=default|data_stream.type=logs'
+    WHEN 3 THEN '@timestamp=' || obs_iso
+      || '|agent.name=otlp/unknown/elastic|agent.version=2.0'
+      || '|elasticsearch.index=idx-' || CAST(event_id % 4 AS VARCHAR)
+      || '|host.os.name=Android|host.os.type=android'
+    ELSE '@timestamp=' || obs_iso
+      || '|agent.name=otlp'
+      || '|data_stream.dataset=generic|data_stream.namespace=default'
+      || '|data_stream.type=logs'
+      || '|path.x.a=t|path.x.value=' || CAST(event_id % 9 AS VARCHAR)
+  END AS doc_str
+FROM f ORDER BY event_id
+"""
+
+
+def q_elastic_ecs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.elastic import ecs_span_documents
+
+    ev = _read(spark, sf_dir, "events")
+    m = (F.col("event_id") % 3).cast("int")
+    lines = ev.select(
+        "event_id",
+        F.when(
+            m == 0,
+            F.map_from_arrays(
+                F.array(F.lit("service.name"), F.lit("os.type")),
+                F.array(
+                    F.concat(F.lit("svc-"), F.col("event_type")),
+                    F.lit("linux"),
+                ),
+            ),
+        ).otherwise(F.create_map().cast("map<string,string>"))
+        .alias("resource_attributes"),
+        F.lit("").alias("scope_name"),
+        F.create_map().cast("map<string,string>").alias("scope_attributes"),
+        F.when(
+            m == 0,
+            F.map_from_arrays(
+                F.array(
+                    F.lit("db.system"), F.lit("db.namespace"),
+                    F.lit("db.query.text"), F.lit("custom"),
+                ),
+                F.array(
+                    F.lit("mysql"), F.lit("orders"),
+                    F.concat(F.lit("SELECT "),
+                             (F.col("event_id") % 5).cast("string")),
+                    F.col("event_type"),
+                ),
+            ),
+        ).otherwise(F.create_map().cast("map<string,string>"))
+        .alias("attributes"),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+        F.lpad(F.lower(F.hex(F.col("event_id"))), 32, "0").alias(
+            "trace_id"
+        ),
+        F.lpad(F.lower(F.hex(F.col("event_id") + 1)), 16, "0").alias(
+            "span_id"
+        ),
+        F.when(
+            m == 1, F.lpad(F.lower(F.hex(F.col("event_id") + 2)), 16, "0")
+        ).alias("parent_span_id"),
+        ((F.lit(1710273641) + F.col("event_id") % 50).cast("bigint")
+         * F.lit(1_000_000_000)).alias("start_ts_ns"),
+        F.when(m == 0, F.lit(2)).when(m == 1, F.lit(1)).otherwise(F.lit(0))
+        .alias("status_code"),
+        F.when(m == 0, F.lit("client")).when(m == 1, F.lit("server"))
+        .otherwise(F.lit("unspecified")).alias("kind"),
+        F.when(
+            m == 1,
+            F.array(
+                F.struct(
+                    F.lpad(F.lower(F.hex(F.col("event_id") + 7)), 32, "0")
+                    .alias("trace_id"),
+                    F.lpad(F.lower(F.hex(F.col("event_id") + 8)), 16, "0")
+                    .alias("span_id"),
+                )
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<trace_id string, span_id string>>"
+            )
+        ).alias("links"),
+    )
+    out = ecs_span_documents(lines)
+    return out.select(
+        "event_id", "index",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(F.col("document")),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            "|",
+        ).alias("doc_str"),
+    ).orderBy("event_id")
+
+
+_ELASTIC_SPANS_ORACLE = r"""
+WITH f AS (
+  SELECT event_id, CAST(event_id % 3 AS INT) AS m, event_type,
+         strftime(to_timestamp(1710273641 + event_id % 50),
+                  '%Y-%m-%dT%H:%M:%S.%fZ') AS ts_iso,
+         CASE WHEN event_id = 0 THEN ''
+              ELSE '|trace.id=' || lpad(lower(hex(event_id)), 32, '0')
+         END AS tid_part,
+         lpad(lower(hex(event_id + 1)), 16, '0') AS sid
+  FROM events)
+SELECT event_id, 'traces-generic-default' AS index,
+  CASE m
+    WHEN 0 THEN '@timestamp=' || ts_iso
+      || '|custom=' || event_type
+      || '|data_stream.dataset=generic|data_stream.namespace=default'
+      || '|data_stream.type=traces'
+      || '|event.outcome=failure'
+      || '|host.os.platform=linux|host.os.type=linux'
+      || '|service.name=svc-' || event_type
+      || '|span.db.instance=orders'
+      || '|span.db.statement=SELECT ' || CAST(event_id % 5 AS VARCHAR)
+      || '|span.db.type=mysql'
+      || '|span.id=' || sid
+      || '|span.kind=CLIENT'
+      || '|span.name=op-' || event_type || tid_part
+    WHEN 1 THEN '@timestamp=' || ts_iso
+      || '|data_stream.dataset=generic|data_stream.namespace=default'
+      || '|data_stream.type=traces'
+      || '|event.outcome=success'
+      || '|parent.id=' || lpad(lower(hex(event_id + 2)), 16, '0')
+      || '|span.id=' || sid
+      || '|span.kind=SERVER'
+      || '|span.links=[{"span.id":"'
+      || lpad(lower(hex(event_id + 8)), 16, '0')
+      || '","trace.id":"' || lpad(lower(hex(event_id + 7)), 32, '0')
+      || '"}]'
+      || '|span.name=op-' || event_type || tid_part
+    ELSE '@timestamp=' || ts_iso
+      || '|data_stream.dataset=generic|data_stream.namespace=default'
+      || '|data_stream.type=traces'
+      || '|span.id=' || sid
+      || '|span.name=op-' || event_type || tid_part
+  END AS doc_str
+FROM f ORDER BY event_id
+"""
+
+_QUERIES["elastic_ecs_logs_events"] = q_elastic_ecs_logs
+_ORACLES["elastic_ecs_logs_events"] = _ELASTIC_LOGS_ORACLE
+_QUERIES["elastic_ecs_spans_events"] = q_elastic_ecs_spans
+_ORACLES["elastic_ecs_spans_events"] = _ELASTIC_SPANS_ORACLE

@@ -1,0 +1,261 @@
+"""Elasticsearch exporter ECS mapping + data-stream routing pinned
+against the reference (exporter/elasticsearchexporter: model_test.go
+TestEncodeLogECSMode vector, data_stream_router.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.elastic import (
+    ecs_log_documents,
+    ecs_span_documents,
+    route_record,
+)
+
+LOG_SCHEMA = (
+    "resource_attributes map<string,string>, scope_name string,"
+    " scope_attributes map<string,string>, attributes map<string,string>,"
+    " body string, ts_ns long, observed_ts_ns long, trace_id string,"
+    " span_id string, severity_number int, severity_text string"
+)
+
+SPAN_SCHEMA = (
+    "resource_attributes map<string,string>, scope_name string,"
+    " scope_attributes map<string,string>, attributes map<string,string>,"
+    " name string, trace_id string, span_id string,"
+    " parent_span_id string, start_ts_ns long, status_code int,"
+    " kind string, links array<struct<trace_id string, span_id string>>"
+)
+
+# the TestEncodeLogECSMode resource (slice values flattened to strings)
+ECS_RESOURCE = {
+    "service.name": "foo.bar",
+    "deployment.environment": "BETA",
+    "service.version": "1.1.0",
+    "service.instance.id": "i-103de39e0a",
+    "telemetry.sdk.name": "opentelemetry",
+    "telemetry.sdk.version": "7.9.12",
+    "telemetry.sdk.language": "perl",
+    "cloud.platform": "gke",
+    "host.name": "i-103de39e0a.gke.us-west-1b.cloud.google.com",
+    "host.hostname": "hostname.example.com",
+    "host.arch": "x86_64",
+    "process.command_line": "/usr/bin/ssh -l user 10.0.0.16",
+    "process.executable.path": "/usr/bin/ssh",
+    "process.runtime.name": "OpenJDK Runtime Environment",
+    "process.runtime.version": "14.0.2",
+    "os.type": "darwin",
+    "os.description": "Mac OS Mojave",
+    "os.name": "Mac OS X",
+    "os.version": "10.14.1",
+    "k8s.namespace.name": "default",
+    "k8s.pod.name": "opentelemetry-pod-autoconf",
+    "k8s.cluster.name": "cluster.name",
+    "process.parent_pid": "42",
+    "process.executable.name": "node",
+    "client.address": "12.53.12.1",
+    "faas.instance": "arn:aws:lambda:fn",
+    "faas.trigger": "api-gateway",
+}
+
+
+def _log_row(**over):
+    base = dict(
+        resource_attributes={}, scope_name="", scope_attributes={},
+        attributes={}, body=None, ts_ns=0,
+        observed_ts_ns=1710273641123456789, trace_id=None, span_id=None,
+        severity_number=0, severity_text="",
+    )
+    base.update(over)
+    return base
+
+
+def _logs(spark, rows):
+    df = spark.createDataFrame(
+        [tuple(r[k] for k in [
+            "resource_attributes", "scope_name", "scope_attributes",
+            "attributes", "body", "ts_ns", "observed_ts_ns", "trace_id",
+            "span_id", "severity_number", "severity_text",
+        ]) for r in rows],
+        LOG_SCHEMA,
+    )
+    return ecs_log_documents(df).collect()
+
+
+def test_ecs_log_reference_vector(spark):
+    (row,) = _logs(spark, [_log_row(
+        resource_attributes=ECS_RESOURCE,
+        attributes={"event.name": "user-password-change",
+                    "http.response.body.size": "1024"},
+    )])
+    d = row["document"]
+    assert d["@timestamp"] == "2024-03-12T20:00:41.123456'Z'".replace(
+        "'Z'", "Z")
+    assert d["agent.name"] == "opentelemetry/perl"
+    assert d["agent.version"] == "7.9.12"
+    assert d["cloud.service.name"] == "gke"
+    # host.name preserved AND not mapped over the existing hostname
+    assert d["host.hostname"] == "hostname.example.com"
+    assert d["host.name"] == (
+        "i-103de39e0a.gke.us-west-1b.cloud.google.com"
+    )
+    assert d["host.architecture"] == "x86_64"
+    assert d["host.os.platform"] == "darwin"
+    assert d["host.os.full"] == "Mac OS Mojave"
+    assert d["host.os.name"] == "Mac OS X"
+    assert d["host.os.type"] == "macos"  # darwin -> macos
+    assert d["process.args"] == "/usr/bin/ssh -l user 10.0.0.16"
+    assert d["process.executable"] == "/usr/bin/ssh"
+    assert d["process.parent.pid"] == "42"
+    assert d["process.title"] == "node"
+    assert d["service.name"] == "foo.bar"
+    assert d["service.environment"] == "BETA"
+    assert d["service.node.name"] == "i-103de39e0a"
+    assert d["service.runtime.name"] == "OpenJDK Runtime Environment"
+    assert d["kubernetes.namespace"] == "default"
+    assert d["kubernetes.pod.name"] == "opentelemetry-pod-autoconf"
+    assert d["orchestrator.cluster.name"] == "cluster.name"
+    assert d["client.ip"] == "12.53.12.1"
+    assert d["faas.id"] == "arn:aws:lambda:fn"
+    assert d["faas.trigger.type"] == "api-gateway"
+    assert d["event.action"] == "user-password-change"
+    assert d["http.response.encoded_body_size"] == "1024"
+    # telemetry.* skipped entirely
+    assert not any(k.startswith("telemetry.") for k in d)
+    # data stream fields + default routing
+    assert row["index"] == "logs-generic-default"
+    assert d["data_stream.type"] == "logs"
+    assert d["data_stream.dataset"] == "generic"
+    assert d["data_stream.namespace"] == "default"
+
+
+def test_agent_name_ladder(spark):
+    cases = [
+        ({}, "otlp", None),
+        ({"telemetry.sdk.name": "sdk"}, "sdk", None),
+        ({"telemetry.sdk.language": "go"}, "otlp/go", None),
+        ({"telemetry.distro.name": "elastic"}, "otlp/unknown/elastic",
+         None),
+        ({"telemetry.sdk.name": "sdk", "telemetry.sdk.language": "go",
+          "telemetry.distro.name": "elastic",
+          "telemetry.distro.version": "2.0",
+          "telemetry.sdk.version": "1.0"}, "sdk/go/elastic", "2.0"),
+        ({"telemetry.sdk.version": "1.0"}, "otlp", "1.0"),
+    ]
+    rows = _logs(
+        spark, [_log_row(resource_attributes=attrs) for attrs, _, _ in cases]
+    )
+    for (attrs, want_name, want_ver), row in zip(cases, rows):
+        assert row["document"]["agent.name"] == want_name, attrs
+        assert row["document"].get("agent.version") == want_ver, attrs
+
+
+def test_log_fields_and_timestamp_fallback(spark):
+    (row,) = _logs(spark, [_log_row(
+        ts_ns=1710273641000000000,
+        trace_id="ab" * 16, span_id="cd" * 8,
+        severity_number=17, severity_text="ERROR",
+        body="boom happened",
+    )])
+    d = row["document"]
+    assert d["@timestamp"].startswith("2024-03-12T20:00:41.000000")
+    assert d["trace.id"] == "ab" * 16
+    assert d["span.id"] == "cd" * 8
+    assert d["event.severity"] == "17"
+    assert d["log.level"] == "ERROR"
+    assert d["message"] == "boom happened"
+
+    # zero ids / unspecified severity / non-string body omitted
+    (row,) = _logs(spark, [_log_row(trace_id="0" * 32, span_id="0" * 16)])
+    d = row["document"]
+    for absent in ("trace.id", "span.id", "event.severity", "log.level",
+                   "message"):
+        assert absent not in d
+
+
+def test_routing_precedence_and_scope_routing(spark):
+    rows = [
+        # explicit index attribute wins
+        _log_row(attributes={"elasticsearch.index": "my-index"}),
+        # record dataset beats resource dataset; sanitization applies
+        _log_row(attributes={"data_stream.dataset": "My-DS"},
+                 resource_attributes={"data_stream.dataset": "res"}),
+        # self-telemetry scope
+        _log_row(scope_name="go.opentelemetry.io/collector/service"),
+        # encoding.format scope attribute
+        _log_row(scope_attributes={"encoding.format": "aws.vpcflow"}),
+        # receiver pattern
+        _log_row(scope_name=(
+            "github.com/open-telemetry/opentelemetry-collector-contrib"
+            "/receiver/filelogreceiver"
+        )),
+        # namespace sanitization
+        _log_row(attributes={"data_stream.namespace": "Pro d:x"}),
+    ]
+    got = [r["index"] for r in _logs(spark, rows)]
+    assert got == [
+        "my-index",
+        "logs-my_ds-default",
+        "logs-collectortelemetry-default",
+        "logs-aws.vpcflow-default",
+        "logs-filelogreceiver-default",
+        "logs-generic-pro_d_x",
+    ]
+
+
+def test_dedup_dot_prefix_rename_and_last_wins(spark):
+    (row,) = _logs(spark, [_log_row(
+        attributes={"path.x": "1", "path.x.a": "t", "dup": "first"},
+        scope_attributes={"dup": "scope"},
+    )])
+    d = row["document"]
+    assert d["path.x.value"] == "1"
+    assert d["path.x.a"] == "t"
+    # record attrs are added after scope attrs -> record wins
+    assert d["dup"] == "first"
+
+
+def test_ecs_span_document(spark):
+    df = spark.createDataFrame(
+        [(
+            {"service.name": "svc", "os.type": "linux"}, "", {},
+            {"db.system": "mysql", "db.namespace": "orders",
+             "db.query.text": "SELECT 1", "http.response.body.size": "9",
+             "custom": "x"},
+            "GET /x", "ab" * 16, "cd" * 8, "ef" * 8,
+            1710273641123456789, 2, "client",
+            [("11" * 16, "22" * 8)],
+        )],
+        SPAN_SCHEMA,
+    )
+    (row,) = ecs_span_documents(df).collect()
+    d = row["document"]
+    assert row["index"] == "traces-generic-default"
+    assert d["span.db.type"] == "mysql"
+    assert d["span.db.instance"] == "orders"
+    assert d["span.db.statement"] == "SELECT 1"
+    assert d["http.response.encoded_body_size"] == "9"
+    assert d["custom"] == "x"
+    assert d["span.name"] == "GET /x"
+    assert d["trace.id"] == "ab" * 16
+    assert d["span.id"] == "cd" * 8
+    assert d["parent.id"] == "ef" * 8
+    assert d["event.outcome"] == "failure"
+    assert d["span.kind"] == "CLIENT"
+    assert d["host.os.type"] == "linux"
+    assert d["span.links"] == (
+        '[{"span.id":"' + "22" * 8 + '","trace.id":"' + "11" * 16 + '"}]'
+    )
+    assert d["@timestamp"].startswith("2024-03-12T20:00:41.123456")
+
+    # ok status + unspecified kind -> no outcome/kind fields
+    df2 = spark.createDataFrame(
+        [({}, "", {}, {}, "n", None, None, None,
+          1710273641123456789, 1, "unspecified", [])],
+        SPAN_SCHEMA,
+    )
+    (row2,) = ecs_span_documents(df2).collect()
+    assert row2["document"]["event.outcome"] == "success"
+    assert "span.kind" not in row2["document"]
+    assert "span.links" not in row2["document"]
