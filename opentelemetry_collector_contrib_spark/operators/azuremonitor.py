@@ -1,0 +1,639 @@
+"""Azure Monitor (Application Insights) span -> envelope translation.
+
+Reference: exporter/azuremonitorexporter (trace_to_envelope.go,
+contracts_utils.go, conventions.go, time_utils.go). One input row =
+one span (with events and links); output = one envelope row per span
+plus one per exported span event.
+
+Semantics reproduced:
+
+* span-type ladder (trace_to_envelope.go:669-701): rpc.system >
+  http.request.method > db.system.name > messaging.system >
+  faas.trigger (FaaS is unsupported -> the span errors out).
+* kind split (:88-111): Server/Consumer -> RequestData envelopes
+  ("Microsoft.ApplicationInsights.Request", operation name tag set);
+  Client/Producer/Internal -> RemoteDependencyData with Type forced
+  "InProc" for Internal AFTER the per-type fill; Unspecified counts
+  as Internal.
+* defaults: Id = span id hex, Name = span name, Duration in the
+  AppInsights "DD.HH:MM:SS.ffffff" form, ResponseCode/ResultCode =
+  decimal status code with success = code != ERROR; HTTP overrides
+  from http.response.status_code ([100,399] = success); RPC
+  result code from rpc.grpc.status_code (0 default).
+* HTTP URL reconstruction ladders (:311-476): request url from
+  scheme+server.address[:server.port]+url.path[?url.query] else a
+  parseable url.full; dependency data/target from url.full (target =
+  host) else scheme+client.address[:client.port] ladders incl. the
+  network.peer.address variant.
+* db/messaging fills: Type from db.system.name / messaging.system,
+  Data from db.query.text else db.operation.name, Target from
+  client.address else network.peer.address, with ":port".
+* properties: every span attribute (typed rendering), the raw OTel
+  status as otel.status_code/_description (STATUS_CODE_* strings), all
+  resource attributes, instrumentationlibrary.name/version, and
+  span links as the _MS.links JSON array.
+* envelope tags: ai.operation.id/parentId, ai.user.id from
+  enduser.id, ai.cloud.role = [service.namespace "."] service.name,
+  ai.cloud.roleInstance, ai.application.ver, ai.device.* (os name
+  [+version], manufacturer -> model, model.identifier -> type),
+  ai.internal.sdkVersion (a config constant here -- the reference
+  embeds build info).
+* span events (:138-188): exception events ALWAYS exported
+  (ExceptionData with exception.type/message/stacktrace extracted,
+  severity Error, HasFullStack), other events only when enabled
+  (MessageData with the event name as message); event envelopes set
+  ai.operation.parentId to the SPAN's own id.
+* envelope Time = RFC3339Nano (trailing fraction zeros trimmed).
+
+Sanitize length-trimming (contracts .Sanitize) is not reproduced --
+documents stay under AppInsights limits by construction here.
+
+Pure Column code -- map-only at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+REQUEST_ENVELOPE = "Microsoft.ApplicationInsights.Request"
+DEPENDENCY_ENVELOPE = "Microsoft.ApplicationInsights.RemoteDependency"
+EXCEPTION_ENVELOPE = "Microsoft.ApplicationInsights.Exception"
+MESSAGE_ENVELOPE = "Microsoft.ApplicationInsights.Message"
+
+_ENTRY = "struct<key string, value string>"
+
+_ENVELOPE_T = (
+    "struct<envelope_name string, time_str string, kind string,"
+    " base_type string, operation_parent_id string, name string,"
+    " data_id string, data_name string, duration string,"
+    " response_code string, success boolean, url string,"
+    " source string, data string, target string, dep_type string,"
+    " exception_type string, exception_message string,"
+    " exception_stack string, has_full_stack boolean,"
+    " message string,"
+    f" extra_props array<{_ENTRY}>>"
+)
+
+
+def _empty() -> Column:
+    return F.array().cast(f"array<{_ENTRY}>")
+
+
+def _e(key, value) -> Column:
+    key = F.lit(key) if isinstance(key, str) else key
+    return F.struct(key.alias("key"), value.alias("value"))
+
+
+def _get(attrs: Column, key: str) -> Column:
+    return F.try_element_at(attrs, F.lit(key))
+
+
+def _ges(attrs: Column, key: str) -> Column:
+    """non-empty string attribute or NULL"""
+    v = _get(attrs, key)
+    return F.when(v.isNotNull() & (v != ""), v)
+
+
+def rfc3339_nano(ts_ns: Column) -> Column:
+    """time.RFC3339Nano: fraction with trailing zeros trimmed, no
+    fraction when zero."""
+    ts_ns = ts_ns.cast("bigint")
+    base = F.date_format(
+        F.timestamp_micros(F.floor(ts_ns / 1000).cast("bigint")),
+        "yyyy-MM-dd'T'HH:mm:ss",
+    )
+    frac = F.lpad((ts_ns % 1_000_000_000).cast("string"), 9, "0")
+    frac = F.regexp_replace(frac, "0+$", "")
+    return F.concat(
+        base,
+        F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
+        F.lit("Z"),
+    )
+
+
+def format_duration(ns: Column) -> Column:
+    """formatDuration (time_utils.go): DD.HH:MM:SS.ffffff."""
+    ns = ns.cast("bigint")
+    day = F.floor(ns / 86_400_000_000_000)
+    rem = ns % 86_400_000_000_000
+    h = F.floor(rem / 3_600_000_000_000)
+    rem = rem % 3_600_000_000_000
+    m = F.floor(rem / 60_000_000_000)
+    rem = rem % 60_000_000_000
+    s = F.floor(rem / 1_000_000_000)
+    us = F.floor((rem % 1_000_000_000) / 1000)
+
+    def p2(x):
+        return F.lpad(x.cast("string"), 2, "0")
+
+    return F.concat(
+        p2(day), F.lit("."), p2(h), F.lit(":"), p2(m), F.lit(":"), p2(s),
+        F.lit("."), F.lpad(us.cast("string"), 6, "0"),
+    )
+
+
+def _prefix_if_necessary(s: Column, prefix: str) -> Column:
+    return F.when(s.startswith(prefix), s).otherwise(
+        F.concat(F.lit(prefix), s)
+    )
+
+
+def _span_type(attrs: Column) -> Column:
+    return (
+        F.when(_get(attrs, "rpc.system").isNotNull(), F.lit("rpc"))
+        .when(_get(attrs, "http.request.method").isNotNull(), F.lit("http"))
+        .when(_get(attrs, "db.system.name").isNotNull(), F.lit("database"))
+        .when(_get(attrs, "messaging.system").isNotNull(),
+              F.lit("messaging"))
+        .when(_get(attrs, "faas.trigger").isNotNull(), F.lit("faas"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def _url_host(url: Column) -> Column:
+    """host[:port] component of a URL (net/url Host)."""
+    return F.regexp_extract(url, r"^[^:/?#]+://([^/?#]*)", 1)
+
+
+def spans_to_envelopes(
+    df: DataFrame,
+    span_events_enabled: bool = False,
+    sdk_version: str = "otelc-test",
+) -> DataFrame:
+    """spanToEnvelopes flattened: expected columns trace_id, span_id,
+    parent_span_id (hex or NULL), name, kind, start_ts_ns, end_ts_ns,
+    status_code int, status_message, attributes map<string,string>,
+    resource_attributes map<string,string>, scope_name,
+    scope_version, events array<struct<name string, ts_ns bigint,
+    attributes map<string,string>>>, links array<struct<trace_id
+    string, span_id string>>."""
+    attrs = F.coalesce(
+        F.col("attributes"), F.create_map().cast("map<string,string>")
+    )
+    res = F.coalesce(
+        F.col("resource_attributes"),
+        F.create_map().cast("map<string,string>"),
+    )
+    kind = F.when(
+        F.coalesce(F.col("kind"), F.lit("unspecified")) == "unspecified",
+        F.lit("internal"),
+    ).otherwise(F.col("kind"))
+    stype = _span_type(attrs)
+    is_request = kind.isin("server", "consumer")
+
+    status_code = F.coalesce(F.col("status_code"), F.lit(0))
+    default_code = status_code.cast("string")
+    default_success = status_code != 2
+
+    http_status = _get(attrs, "http.response.status_code").try_cast("bigint")
+    http_code = F.when(
+        http_status.isNotNull() & (http_status != 0),
+        http_status.cast("string"),
+    )
+    http_success = F.when(
+        http_status.isNotNull() & (http_status != 0),
+        (http_status >= 100) & (http_status <= 399),
+    )
+
+    grpc_code = _get(attrs, "rpc.grpc.status_code").try_cast("bigint")
+    rpc_code = F.when(
+        grpc_code.isNotNull() & (grpc_code != 0), grpc_code.cast("string")
+    ).otherwise(F.lit("0"))
+
+    method = F.coalesce(_get(attrs, "http.request.method"), F.lit(""))
+    route = _ges(attrs, "http.route")
+    url_full = _ges(attrs, "url.full")
+    url_scheme = _ges(attrs, "url.scheme")
+    url_path_raw = _ges(attrs, "url.path")
+    url_path = F.when(
+        url_path_raw.isNotNull(), _prefix_if_necessary(url_path_raw, "/")
+    )
+    url_query = _ges(attrs, "url.query")
+    q_part = F.when(
+        url_query.isNotNull(), _prefix_if_necessary(url_query, "?")
+    ).otherwise(F.lit(""))
+    server_addr = _ges(attrs, "server.address")
+    server_port = _get(attrs, "server.port").try_cast("bigint")
+    server_port = F.when(
+        server_port.isNotNull() & (server_port != 0), server_port
+    )
+    client_addr = _ges(attrs, "client.address")
+    client_port = _get(attrs, "client.port").try_cast("bigint")
+    client_port = F.when(
+        client_port.isNotNull() & (client_port != 0), client_port
+    )
+    peer_addr = _ges(attrs, "network.peer.address")
+    url_full_ok = url_full.isNotNull()  # url.Parse is lenient; see note
+
+    # request (server) HTTP url ladder
+    req_url = (
+        F.when(
+            url_scheme.isNotNull() & server_addr.isNotNull()
+            & server_port.isNull() & url_path.isNotNull(),
+            F.concat(url_scheme, F.lit("://"), server_addr, url_path,
+                     q_part),
+        )
+        .when(
+            url_scheme.isNotNull() & server_addr.isNotNull()
+            & server_port.isNotNull() & url_path.isNotNull(),
+            F.concat(url_scheme, F.lit("://"), server_addr, F.lit(":"),
+                     server_port.cast("string"), url_path, q_part),
+        )
+        .when(url_full_ok, url_full)
+    )
+    req_source = F.coalesce(client_addr, peer_addr)
+    req_name_http = F.concat(
+        method, F.lit(" "),
+        F.coalesce(
+            F.when(route.isNotNull(), _prefix_if_necessary(route, "/")),
+            F.col("name"),
+        ),
+    )
+
+    # dependency (client) HTTP ladder
+    dep_data_http = (
+        F.when(url_full_ok, url_full)
+        .when(
+            url_scheme.isNotNull() & client_addr.isNotNull()
+            & client_port.isNull() & url_path.isNotNull(),
+            F.concat(url_scheme, F.lit("://"), client_addr, url_path,
+                     q_part),
+        )
+        .when(
+            url_scheme.isNotNull() & client_addr.isNotNull()
+            & client_port.isNotNull() & url_path.isNotNull(),
+            F.concat(url_scheme, F.lit("://"), client_addr, F.lit(":"),
+                     client_port.cast("string"), url_path, q_part),
+        )
+        .when(
+            url_scheme.isNotNull() & peer_addr.isNotNull()
+            & client_port.isNotNull() & url_path.isNotNull(),
+            F.concat(url_scheme, F.lit("://"), peer_addr, F.lit(":"),
+                     client_port.cast("string"), url_path, q_part),
+        )
+    )
+    dep_target_http = (
+        F.when(url_full_ok, _url_host(url_full))
+        .when(
+            url_scheme.isNotNull() & client_addr.isNotNull()
+            & client_port.isNull() & url_path.isNotNull(),
+            client_addr,
+        )
+        .when(
+            url_scheme.isNotNull() & client_addr.isNotNull()
+            & client_port.isNotNull() & url_path.isNotNull(),
+            F.concat(client_addr, F.lit(":"), client_port.cast("string")),
+        )
+        .when(
+            url_scheme.isNotNull() & peer_addr.isNotNull()
+            & client_port.isNotNull() & url_path.isNotNull(),
+            F.concat(peer_addr, F.lit(":"), client_port.cast("string")),
+        )
+    )
+    dep_name_http = F.concat(
+        method, F.when(route.isNotNull(), F.concat(F.lit(" "), route))
+        .otherwise(F.lit("")),
+    )
+
+    def addr_port(addr: Column, port: Column) -> Column:
+        base = F.coalesce(addr, peer_addr, F.lit(""))
+        return F.concat(
+            base,
+            F.when(
+                port.isNotNull(), F.concat(F.lit(":"), port.cast("string"))
+            ).otherwise(F.lit("")),
+        )
+
+    rpc_system = F.coalesce(_get(attrs, "rpc.system"), F.lit(""))
+    db_system = F.coalesce(_get(attrs, "db.system.name"), F.lit(""))
+    msg_system = F.coalesce(_get(attrs, "messaging.system"), F.lit(""))
+
+    # per-type request fields
+    req_name = (
+        F.when(stype == "http", req_name_http)
+        .when(stype == "rpc", F.concat(rpc_system, F.lit(" "),
+                                       F.col("name")))
+        .otherwise(F.col("name"))
+    )
+    req_response = (
+        F.when(stype == "http", F.coalesce(http_code, default_code))
+        .when(stype == "rpc", rpc_code)
+        .otherwise(default_code)
+    )
+    req_success = F.when(
+        stype == "http", F.coalesce(http_success, default_success)
+    ).otherwise(default_success)
+    req_url_final = (
+        F.when(stype == "http", req_url)
+        .when(stype == "rpc", F.concat(rpc_system, F.lit(" "),
+                                       F.col("name")))
+    )
+    req_source_final = (
+        F.when(stype == "http", req_source)
+        .when(stype.isin("rpc", "messaging"),
+              addr_port(server_addr, server_port))
+    )
+
+    # per-type dependency fields
+    dep_name = F.when(stype == "http", dep_name_http).otherwise(
+        F.col("name")
+    )
+    dep_result = (
+        F.when(stype == "http", F.coalesce(http_code, default_code))
+        .when(stype == "rpc", rpc_code)
+        .otherwise(default_code)
+    )
+    dep_success = F.when(
+        stype == "http", F.coalesce(http_success, default_success)
+    ).otherwise(default_success)
+    dep_data = (
+        F.when(stype == "http", dep_data_http)
+        .when(stype == "rpc", F.col("name"))
+        .when(
+            stype == "database",
+            F.coalesce(
+                _ges(attrs, "db.query.text"),
+                _ges(attrs, "db.operation.name"),
+            ),
+        )
+    )
+    dep_target = (
+        F.when(stype == "http", dep_target_http)
+        .when(stype.isin("rpc", "database", "messaging"),
+              addr_port(client_addr, client_port))
+    )
+    dep_type = F.when(
+        kind == "internal", F.lit("InProc")
+    ).otherwise(
+        F.when(stype == "http", F.lit("HTTP"))
+        .when(stype == "rpc", rpc_system)
+        .when(stype == "database", db_system)
+        .when(stype == "messaging", msg_system)
+    )
+
+    duration = format_duration(
+        F.coalesce(F.col("end_ts_ns"), F.col("start_ts_ns"))
+        - F.col("start_ts_ns")
+    )
+    links = F.coalesce(
+        F.col("links"),
+        F.array().cast("array<struct<trace_id string, span_id string>>"),
+    )
+    links_json = F.when(
+        F.size(links) > 0,
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(
+                    links,
+                    lambda l: F.concat(
+                        F.lit('{"operation_Id":"'), l["trace_id"],
+                        F.lit('","id":"'), l["span_id"], F.lit('"}'),
+                    ),
+                ),
+                ",",
+            ),
+            F.lit("]"),
+        ),
+    )
+
+    status_props = F.concat(
+        F.array(
+            _e(
+                "otel.status_code",
+                F.when(status_code == 1, F.lit("STATUS_CODE_OK"))
+                .when(status_code == 2, F.lit("STATUS_CODE_ERROR"))
+                .otherwise(F.lit("STATUS_CODE_UNSET")),
+            )
+        ),
+        F.when(
+            F.coalesce(F.col("status_message"), F.lit("")) != "",
+            F.array(_e("otel.status_description", F.col("status_message"))),
+        ).otherwise(_empty()),
+    )
+    scope_props = F.concat(
+        F.when(
+            F.coalesce(F.col("scope_name"), F.lit("")) != "",
+            F.array(_e("instrumentationlibrary.name", F.col("scope_name"))),
+        ).otherwise(_empty()),
+        F.when(
+            F.coalesce(F.col("scope_version"), F.lit("")) != "",
+            F.array(
+                _e("instrumentationlibrary.version", F.col("scope_version"))
+            ),
+        ).otherwise(_empty()),
+    )
+    # spanToRequestData has no database case -- a database-typed
+    # SERVER span never copies its attributes into properties
+    attr_props = F.when(
+        is_request & (stype == "database"), _empty()
+    ).otherwise(F.array_sort(F.map_entries(attrs))).cast(f"array<{_ENTRY}>")
+    span_props = F.concat(
+        attr_props,
+        status_props,
+        F.array_sort(F.map_entries(res)),
+        scope_props,
+        F.when(
+            links_json.isNotNull(), F.array(_e("_MS.links", links_json))
+        ).otherwise(_empty()),
+    )
+
+    main = F.struct(
+        F.when(is_request, F.lit(REQUEST_ENVELOPE))
+        .otherwise(F.lit(DEPENDENCY_ENVELOPE)).alias("envelope_name"),
+        rfc3339_nano(F.col("start_ts_ns")).alias("time_str"),
+        kind.alias("kind"),
+        F.when(is_request, F.lit("RequestData"))
+        .otherwise(F.lit("RemoteDependencyData")).alias("base_type"),
+        F.coalesce(F.col("parent_span_id"), F.lit("")).alias(
+            "operation_parent_id"
+        ),
+        F.when(is_request, req_name).otherwise(F.lit(None)).alias("name"),
+        F.col("span_id").alias("data_id"),
+        F.when(is_request, req_name).otherwise(dep_name).alias("data_name"),
+        duration.alias("duration"),
+        F.when(is_request, req_response).otherwise(dep_result).alias(
+            "response_code"
+        ),
+        F.when(is_request, req_success).otherwise(dep_success).alias(
+            "success"
+        ),
+        F.when(is_request, req_url_final).alias("url"),
+        F.when(is_request, req_source_final).alias("source"),
+        F.when(~is_request, dep_data).alias("data"),
+        F.when(~is_request, dep_target).alias("target"),
+        F.when(~is_request, dep_type).alias("dep_type"),
+        F.lit(None).cast("string").alias("exception_type"),
+        F.lit(None).cast("string").alias("exception_message"),
+        F.lit(None).cast("string").alias("exception_stack"),
+        F.lit(None).cast("boolean").alias("has_full_stack"),
+        F.lit(None).cast("string").alias("message"),
+        span_props.alias("extra_props"),
+    ).cast(_ENVELOPE_T)
+
+    events = F.coalesce(
+        F.col("events"),
+        F.array().cast(
+            "array<struct<name string, ts_ns bigint,"
+            " attributes map<string,string>>>"
+        ),
+    )
+    exported = F.filter(
+        events,
+        lambda ev: (ev["name"] == "exception")
+        | F.lit(span_events_enabled),
+    )
+
+    def event_env(ev: Column) -> Column:
+        eattrs = F.coalesce(
+            ev["attributes"], F.create_map().cast("map<string,string>")
+        )
+        is_exc = ev["name"] == "exception"
+        stack = F.coalesce(
+            F.try_element_at(eattrs, F.lit("exception.stacktrace")),
+            F.lit(""),
+        )
+        props = F.concat(
+            F.array_sort(F.map_entries(eattrs)),
+            F.array_sort(F.map_entries(res)),
+            scope_props,
+        )
+        return F.struct(
+            F.when(is_exc, F.lit(EXCEPTION_ENVELOPE))
+            .otherwise(F.lit(MESSAGE_ENVELOPE)).alias("envelope_name"),
+            rfc3339_nano(ev["ts_ns"]).alias("time_str"),
+            kind.alias("kind"),
+            F.when(is_exc, F.lit("ExceptionData"))
+            .otherwise(F.lit("MessageData")).alias("base_type"),
+            F.col("span_id").alias("operation_parent_id"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("data_id"),
+            F.lit(None).cast("string").alias("data_name"),
+            F.lit(None).cast("string").alias("duration"),
+            F.lit(None).cast("string").alias("response_code"),
+            F.lit(None).cast("boolean").alias("success"),
+            F.lit(None).cast("string").alias("url"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("string").alias("data"),
+            F.lit(None).cast("string").alias("target"),
+            F.lit(None).cast("string").alias("dep_type"),
+            F.when(
+                is_exc,
+                F.coalesce(
+                    F.try_element_at(eattrs, F.lit("exception.type")),
+                    F.lit(""),
+                ),
+            ).alias("exception_type"),
+            F.when(
+                is_exc,
+                F.coalesce(
+                    F.try_element_at(eattrs, F.lit("exception.message")),
+                    F.lit(""),
+                ),
+            ).alias("exception_message"),
+            F.when(is_exc, stack).alias("exception_stack"),
+            F.when(is_exc, stack != "").alias("has_full_stack"),
+            F.when(~is_exc, ev["name"]).alias("message"),
+            props.alias("extra_props"),
+        ).cast(_ENVELOPE_T)
+
+    all_envelopes = F.concat(
+        F.array(main), F.transform(exported, event_env)
+    )
+
+    faas_err = F.when(stype == "faas", F.lit("unsupported Span type"))
+
+    cloud_role = F.when(
+        _get(res, "service.name").isNotNull(),
+        F.concat(
+            F.when(
+                _get(res, "service.namespace").isNotNull(),
+                F.concat(_get(res, "service.namespace"), F.lit(".")),
+            ).otherwise(F.lit("")),
+            _get(res, "service.name"),
+        ),
+    )
+    device_os = F.when(
+        _get(res, "os.name").isNotNull(),
+        F.concat(
+            _get(res, "os.name"),
+            F.when(
+                _get(res, "os.version").isNotNull(),
+                F.concat(F.lit(" "), _get(res, "os.version")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+    exploded = df.withColumn("_err", faas_err).withColumn(
+        "_env",
+        F.explode(
+            F.when(
+                faas_err.isNotNull(),
+                F.array(F.lit(None).cast(_ENVELOPE_T)),
+            ).otherwise(all_envelopes)
+        ),
+    )
+    env = F.col("_env")
+    valid = env.isNotNull()
+    user_id = _get(attrs, "enduser.id")
+    is_main = env["base_type"].isin("RequestData", "RemoteDependencyData")
+
+    return exploded.select(
+        *[c for c in df.columns],
+        F.when(~valid, F.col("_err")).alias("error"),
+        env["envelope_name"].alias("envelope_name"),
+        env["time_str"].alias("time"),
+        env["base_type"].alias("base_type"),
+        F.when(valid, F.col("trace_id")).alias("operation_id"),
+        env["operation_parent_id"].alias("operation_parent_id"),
+        F.when(valid & is_main & is_request, env["name"]).alias(
+            "operation_name"
+        ),
+        F.when(valid & is_main, user_id).alias("user_id"),
+        F.when(valid, cloud_role).alias("cloud_role"),
+        F.when(valid, _get(res, "service.instance.id")).alias(
+            "cloud_role_instance"
+        ),
+        F.when(valid, _get(res, "service.version")).alias(
+            "application_version"
+        ),
+        F.when(valid, device_os).alias("device_os_version"),
+        F.when(valid, _get(res, "device.manufacturer")).alias(
+            "device_model"
+        ),
+        F.when(valid, _get(res, "device.model.identifier")).alias(
+            "device_type"
+        ),
+        F.when(valid, F.lit(sdk_version)).alias("internal_sdk_version"),
+        env["data_id"].alias("data_id"),
+        env["data_name"].alias("data_name"),
+        env["duration"].alias("duration"),
+        env["response_code"].alias("response_code"),
+        env["success"].alias("success"),
+        env["url"].alias("url"),
+        env["source"].alias("source"),
+        env["data"].alias("data"),
+        env["target"].alias("target"),
+        env["dep_type"].alias("dep_type"),
+        env["exception_type"].alias("exception_type"),
+        env["exception_message"].alias("exception_message"),
+        env["exception_stack"].alias("exception_stack"),
+        env["has_full_stack"].alias("has_full_stack"),
+        env["message"].alias("message"),
+        F.when(
+            valid,
+            F.map_from_entries(
+                F.filter(
+                    env["extra_props"],
+                    lambda e, i: ~F.exists(
+                        F.slice(
+                            env["extra_props"], i + 2,
+                            F.size(env["extra_props"]),
+                        ),
+                        lambda later: later["key"] == e["key"],
+                    ),
+                )
+            ),
+        ).alias("properties"),
+    )

@@ -8094,3 +8094,313 @@ _QUERIES["elastic_ecs_logs_events"] = q_elastic_ecs_logs
 _ORACLES["elastic_ecs_logs_events"] = _ELASTIC_LOGS_ORACLE
 _QUERIES["elastic_ecs_spans_events"] = q_elastic_ecs_spans
 _ORACLES["elastic_ecs_spans_events"] = _ELASTIC_SPANS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Azure Monitor exporter (exporter/azuremonitorexporter): span ->
+# Application Insights envelopes -- kind split, span-type ladder,
+# URL reconstruction, AppInsights duration format, exception events.
+# ---------------------------------------------------------------------------
+
+
+def q_azuremonitor_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.azuremonitor import spans_to_envelopes
+
+    ev = _read(spark, sf_dir, "events")
+    m = (F.col("event_id") % 6).cast("int")
+    smap = F.map_from_arrays
+    empty = F.create_map().cast("map<string,string>")
+
+    attrs = (
+        F.when(
+            m == 0,
+            smap(
+                F.array(
+                    F.lit("http.request.method"), F.lit("http.route"),
+                    F.lit("http.response.status_code"),
+                    F.lit("url.scheme"), F.lit("server.address"),
+                    F.lit("server.port"), F.lit("url.path"),
+                    F.lit("url.query"), F.lit("client.address"),
+                    F.lit("enduser.id"),
+                ),
+                F.array(
+                    F.lit("GET"), F.concat(F.lit("api/"),
+                                           F.col("event_type")),
+                    F.lit("200"), F.lit("https"), F.lit("api.example.com"),
+                    F.lit("8443"),
+                    F.concat(F.lit("u/"),
+                             (F.col("event_id") % 40).cast("string")),
+                    F.lit("v=2"), F.lit("10.1.2.3"),
+                    F.concat(F.lit("u"),
+                             (F.col("user_id") % 9).cast("string")),
+                ),
+            ),
+        )
+        .when(
+            m == 1,
+            smap(
+                F.array(
+                    F.lit("http.request.method"), F.lit("url.full"),
+                    F.lit("http.response.status_code"),
+                ),
+                F.array(
+                    F.lit("POST"),
+                    F.concat(
+                        F.lit("https://api.example.com:8443/users?x="),
+                        (F.col("event_id") % 7).cast("string"),
+                    ),
+                    F.lit("503"),
+                ),
+            ),
+        )
+        .when(
+            m == 3,
+            smap(
+                F.array(
+                    F.lit("rpc.system"), F.lit("rpc.grpc.status_code"),
+                    F.lit("server.address"), F.lit("server.port"),
+                ),
+                F.array(F.lit("grpc"),
+                        (F.col("event_id") % 5).cast("string"),
+                        F.lit("rpc.example.com"), F.lit("9000")),
+            ),
+        )
+        .when(
+            m == 4,
+            smap(
+                F.array(
+                    F.lit("db.system.name"), F.lit("db.query.text"),
+                    F.lit("client.address"),
+                ),
+                F.array(
+                    F.lit("mysql"),
+                    F.concat(F.lit("SELECT "),
+                             (F.col("event_id") % 9).cast("string")),
+                    F.lit("db.example.com"),
+                ),
+            ),
+        )
+        .when(m == 5, smap(F.array(F.lit("faas.trigger")),
+                           F.array(F.lit("http"))))
+        .otherwise(empty)
+    )
+    spans = ev.select(
+        "event_id",
+        F.lpad(F.lower(F.hex(F.col("event_id") + 3)), 32, "0").alias(
+            "trace_id"
+        ),
+        F.lpad(F.lower(F.hex(F.col("event_id") + 1)), 16, "0").alias(
+            "span_id"
+        ),
+        F.lpad(F.lower(F.hex(F.col("event_id") + 2)), 16, "0").alias(
+            "parent_span_id"
+        ),
+        F.concat(F.lit("op-"), F.col("event_type")).alias("name"),
+        F.when(m.isin(0, 3), F.lit("server"))
+        .when(m == 2, F.lit("internal"))
+        .otherwise(F.lit("client"))
+        .alias("kind"),
+        (F.lit(1710273641).cast("bigint") * F.lit(1_000_000_000)
+         + F.col("event_id") % 900 * F.lit(1000)).alias("start_ts_ns"),
+        (F.lit(1710273642).cast("bigint") * F.lit(1_000_000_000)
+         + (F.col("event_id") % 900) * F.lit(1000)
+         + (F.col("event_id") % 50) * F.lit(1_000_000))
+        .alias("end_ts_ns"),
+        F.when(m == 1, F.lit(2)).otherwise(F.lit(0)).alias("status_code"),
+        F.when(m == 1, F.lit("bad things")).otherwise(F.lit(""))
+        .alias("status_message"),
+        attrs.alias("attributes"),
+        F.map_from_arrays(
+            F.array(F.lit("service.name"), F.lit("service.namespace")),
+            F.array(
+                F.concat(F.lit("svc-"), F.col("event_type")), F.lit("ns")
+            ),
+        ).alias("resource_attributes"),
+        F.lit("lib").alias("scope_name"),
+        F.lit("1.0").alias("scope_version"),
+        F.when(
+            m == 1,
+            F.array(
+                F.struct(
+                    F.lit("exception").alias("name"),
+                    (F.lit(1710273641).cast("bigint")
+                     * F.lit(1_000_000_000) + F.lit(5)).alias("ts_ns"),
+                    smap(
+                        F.array(F.lit("exception.type"),
+                                F.lit("exception.message")),
+                        F.array(
+                            F.lit("Err"),
+                            F.concat(F.lit("boom-"), F.col("event_type")),
+                        ),
+                    ).alias("attributes"),
+                )
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<name string, ts_ns bigint,"
+                " attributes map<string,string>>>"
+            )
+        ).alias("events"),
+        F.array().cast(
+            "array<struct<trace_id string, span_id string>>"
+        ).alias("links"),
+    )
+    out = spans_to_envelopes(spans, sdk_version="otelc-test")
+    return out.select(
+        "event_id", "error", "envelope_name", "time", "base_type",
+        "operation_id", "operation_parent_id", "operation_name",
+        "user_id", "cloud_role", "data_id", "data_name", "duration",
+        "response_code",
+        F.col("success").cast("string").alias("success"),
+        "url", "source", "data", "target", "dep_type", "exception_type",
+        "exception_message",
+        F.when(
+            F.col("error").isNull(),
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        F.map_entries(F.col("properties")),
+                        lambda e: F.concat(e["key"], F.lit("="),
+                                           e["value"]),
+                    )
+                ),
+                "|",
+            ),
+        ).alias("props_str"),
+    ).orderBy("event_id", "envelope_name")
+
+
+_AZUREMON_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 6 AS INT) AS m, event_type, user_id,
+         lpad(lower(hex(event_id + 3)), 32, '0') AS tid,
+         lpad(lower(hex(event_id + 1)), 16, '0') AS sid,
+         lpad(lower(hex(event_id + 2)), 16, '0') AS pid,
+         strftime(to_timestamp(1710273641), '%Y-%m-%dT%H:%M:%S')
+           || CASE WHEN event_id % 900 = 0 THEN ''
+                   ELSE '.' || rtrim(lpad(CAST(event_id % 900 * 1000
+                        AS VARCHAR), 9, '0'), '0') END || 'Z' AS ts_iso,
+         '00.00:00:01.0' || lpad(CAST(event_id % 50 AS VARCHAR), 2, '0')
+           || '000' AS dur,
+         'svc-' || event_type AS svc
+  FROM events),
+rows_out AS (
+  SELECT event_id, CAST(NULL AS VARCHAR) AS error,
+         'Microsoft.ApplicationInsights.Request' AS envelope_name,
+         ts_iso AS time, 'RequestData' AS base_type, tid AS operation_id,
+         pid AS operation_parent_id,
+         'GET /api/' || event_type AS operation_name,
+         'u' || CAST(user_id % 9 AS VARCHAR) AS user_id,
+         'ns.svc-' || event_type AS cloud_role, sid AS data_id,
+         'GET /api/' || event_type AS data_name, dur AS duration,
+         '200' AS response_code, 'true' AS success,
+         'https://api.example.com:8443/u/'
+           || CAST(event_id % 40 AS VARCHAR) || '?v=2' AS url,
+         '10.1.2.3' AS source, CAST(NULL AS VARCHAR) AS data,
+         CAST(NULL AS VARCHAR) AS target, CAST(NULL AS VARCHAR) AS dep_type,
+         CAST(NULL AS VARCHAR) AS exception_type,
+         CAST(NULL AS VARCHAR) AS exception_message,
+         'client.address=10.1.2.3|enduser.id=u'
+           || CAST(user_id % 9 AS VARCHAR)
+           || '|http.request.method=GET'
+           || '|http.response.status_code=200'
+           || '|http.route=api/' || event_type
+           || '|instrumentationlibrary.name=lib'
+           || '|instrumentationlibrary.version=1.0'
+           || '|otel.status_code=STATUS_CODE_UNSET'
+           || '|server.address=api.example.com|server.port=8443'
+           || '|service.name=svc-' || event_type
+           || '|service.namespace=ns'
+           || '|url.path=u/' || CAST(event_id % 40 AS VARCHAR)
+           || '|url.query=v=2|url.scheme=https' AS props_str
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, NULL,
+         'Microsoft.ApplicationInsights.RemoteDependency',
+         ts_iso, 'RemoteDependencyData', tid, pid, NULL, NULL,
+         'ns.svc-' || event_type, sid, 'POST', dur, '503', 'false',
+         NULL, NULL,
+         'https://api.example.com:8443/users?x='
+           || CAST(event_id % 7 AS VARCHAR),
+         'api.example.com:8443', 'HTTP', NULL, NULL,
+         'http.request.method=POST|http.response.status_code=503'
+           || '|instrumentationlibrary.name=lib'
+           || '|instrumentationlibrary.version=1.0'
+           || '|otel.status_code=STATUS_CODE_ERROR'
+           || '|otel.status_description=bad things'
+           || '|service.name=svc-' || event_type
+           || '|service.namespace=ns'
+           || '|url.full=https://api.example.com:8443/users?x='
+           || CAST(event_id % 7 AS VARCHAR)
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, NULL, 'Microsoft.ApplicationInsights.Exception',
+         strftime(to_timestamp(1710273641), '%Y-%m-%dT%H:%M:%S')
+           || '.000000005Z',
+         'ExceptionData', tid, sid, NULL, NULL,
+         'ns.svc-' || event_type, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, 'Err', 'boom-' || event_type,
+         'exception.message=boom-' || event_type
+           || '|exception.type=Err'
+           || '|instrumentationlibrary.name=lib'
+           || '|instrumentationlibrary.version=1.0'
+           || '|service.name=svc-' || event_type
+           || '|service.namespace=ns'
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, NULL,
+         'Microsoft.ApplicationInsights.RemoteDependency',
+         ts_iso, 'RemoteDependencyData', tid, pid, NULL, NULL,
+         'ns.svc-' || event_type, sid, 'op-' || event_type, dur,
+         '0', 'true', NULL, NULL, NULL, NULL, 'InProc', NULL, NULL,
+         'instrumentationlibrary.name=lib'
+           || '|instrumentationlibrary.version=1.0'
+           || '|otel.status_code=STATUS_CODE_UNSET'
+           || '|service.name=svc-' || event_type
+           || '|service.namespace=ns'
+  FROM f WHERE m = 2
+  UNION ALL
+  SELECT event_id, NULL, 'Microsoft.ApplicationInsights.Request',
+         ts_iso, 'RequestData', tid, pid,
+         'grpc op-' || event_type, NULL,
+         'ns.svc-' || event_type, sid, 'grpc op-' || event_type, dur,
+         CASE WHEN event_id % 5 = 0 THEN '0'
+              ELSE CAST(event_id % 5 AS VARCHAR) END,
+         'true', 'grpc op-' || event_type, 'rpc.example.com:9000',
+         NULL, NULL, NULL, NULL, NULL,
+         'instrumentationlibrary.name=lib'
+           || '|instrumentationlibrary.version=1.0'
+           || '|otel.status_code=STATUS_CODE_UNSET'
+           || '|rpc.grpc.status_code=' || CAST(event_id % 5 AS VARCHAR)
+           || '|rpc.system=grpc'
+           || '|server.address=rpc.example.com|server.port=9000'
+           || '|service.name=svc-' || event_type
+           || '|service.namespace=ns'
+  FROM f WHERE m = 3
+  UNION ALL
+  SELECT event_id, NULL,
+         'Microsoft.ApplicationInsights.RemoteDependency',
+         ts_iso, 'RemoteDependencyData', tid, pid, NULL, NULL,
+         'ns.svc-' || event_type, sid, 'op-' || event_type, dur,
+         '0', 'true', NULL, NULL,
+         'SELECT ' || CAST(event_id % 9 AS VARCHAR),
+         'db.example.com', 'mysql', NULL, NULL,
+         'client.address=db.example.com'
+           || '|db.query.text=SELECT ' || CAST(event_id % 9 AS VARCHAR)
+           || '|db.system.name=mysql'
+           || '|instrumentationlibrary.name=lib'
+           || '|instrumentationlibrary.version=1.0'
+           || '|otel.status_code=STATUS_CODE_UNSET'
+           || '|service.name=svc-' || event_type
+           || '|service.namespace=ns'
+  FROM f WHERE m = 4
+  UNION ALL
+  SELECT event_id, 'unsupported Span type', NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, NULL, NULL, NULL, NULL, NULL
+  FROM f WHERE m = 5)
+SELECT * FROM rows_out ORDER BY event_id, envelope_name
+"""
+
+_QUERIES["azuremonitor_envelopes_events"] = q_azuremonitor_envelopes
+_ORACLES["azuremonitor_envelopes_events"] = _AZUREMON_ORACLE

@@ -1,0 +1,268 @@
+"""Azure Monitor exporter span->envelope translation pinned against
+the reference (exporter/azuremonitorexporter/trace_to_envelope.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.azuremonitor import (
+    format_duration,
+    rfc3339_nano,
+    spans_to_envelopes,
+)
+
+SCHEMA = (
+    "trace_id string, span_id string, parent_span_id string,"
+    " name string, kind string, start_ts_ns long, end_ts_ns long,"
+    " status_code int, status_message string,"
+    " attributes map<string,string>,"
+    " resource_attributes map<string,string>, scope_name string,"
+    " scope_version string,"
+    " events array<struct<name string, ts_ns bigint,"
+    " attributes map<string,string>>>,"
+    " links array<struct<trace_id string, span_id string>>"
+)
+
+T0 = 1710273641_000_000_000
+
+
+def _row(**over):
+    base = dict(
+        trace_id="ab" * 16, span_id="cd" * 8, parent_span_id="ef" * 8,
+        name="op", kind="server", start_ts_ns=T0,
+        end_ts_ns=T0 + 1_234_567_000, status_code=0, status_message="",
+        attributes={}, resource_attributes={}, scope_name="lib",
+        scope_version="1.0", events=[], links=[],
+    )
+    base.update(over)
+    return base
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(
+        [tuple(r[k] for k in [
+            "trace_id", "span_id", "parent_span_id", "name", "kind",
+            "start_ts_ns", "end_ts_ns", "status_code", "status_message",
+            "attributes", "resource_attributes", "scope_name",
+            "scope_version", "events", "links",
+        ]) for r in rows],
+        SCHEMA,
+    )
+    return spans_to_envelopes(df, **kw).collect()
+
+
+def test_http_server_request(spark):
+    (row,) = _run(spark, [_row(
+        kind="server",
+        attributes={
+            "http.request.method": "GET", "http.route": "api/users",
+            "http.response.status_code": "200", "url.scheme": "https",
+            "server.address": "api.example.com", "server.port": "8443",
+            "url.path": "users/1", "url.query": "v=2",
+            "client.address": "10.1.2.3", "enduser.id": "alice",
+        },
+        resource_attributes={"service.namespace": "ns",
+                             "service.name": "svc",
+                             "service.instance.id": "i-1"},
+        status_code=1,
+    )])
+    assert row["envelope_name"] == "Microsoft.ApplicationInsights.Request"
+    assert row["base_type"] == "RequestData"
+    assert row["time"] == "2024-03-12T20:00:41Z"
+    assert row["duration"] == "00.00:00:01.234567"
+    assert row["operation_id"] == "ab" * 16
+    assert row["operation_parent_id"] == "ef" * 8
+    assert row["data_id"] == "cd" * 8
+    # name = METHOD + route (prefixed with /); operation name tag too
+    assert row["data_name"] == "GET /api/users"
+    assert row["operation_name"] == "GET /api/users"
+    assert row["user_id"] == "alice"
+    assert row["response_code"] == "200"
+    assert row["success"] is True
+    assert row["url"] == "https://api.example.com:8443/users/1?v=2"
+    assert row["source"] == "10.1.2.3"
+    assert row["cloud_role"] == "ns.svc"
+    assert row["cloud_role_instance"] == "i-1"
+    p = row["properties"]
+    assert p["otel.status_code"] == "STATUS_CODE_OK"
+    assert p["http.route"] == "api/users"
+    assert p["instrumentationlibrary.name"] == "lib"
+    assert p["instrumentationlibrary.version"] == "1.0"
+    assert p["service.name"] == "svc"
+
+
+def test_http_client_dependency_url_full(spark):
+    (row,) = _run(spark, [_row(
+        kind="client",
+        attributes={
+            "http.request.method": "POST",
+            "url.full": "https://api.example.com:8443/users?x=1",
+            "http.response.status_code": "500",
+        },
+        status_code=2, status_message="boom",
+    )])
+    assert row["envelope_name"] == (
+        "Microsoft.ApplicationInsights.RemoteDependency"
+    )
+    assert row["base_type"] == "RemoteDependencyData"
+    assert row["data_name"] == "POST"
+    assert row["response_code"] == "500"
+    assert row["success"] is False
+    assert row["data"] == "https://api.example.com:8443/users?x=1"
+    assert row["target"] == "api.example.com:8443"
+    assert row["dep_type"] == "HTTP"
+    assert row["properties"]["otel.status_description"] == "boom"
+    assert row["properties"]["otel.status_code"] == "STATUS_CODE_ERROR"
+
+
+def test_internal_span_inproc(spark):
+    (row,) = _run(spark, [_row(kind="internal", attributes={"a": "b"})])
+    assert row["dep_type"] == "InProc"
+    assert row["data_name"] == "op"
+    assert row["response_code"] == "0"
+    assert row["success"] is True
+    # unspecified kind behaves as internal
+    (row2,) = _run(spark, [_row(kind="unspecified")])
+    assert row2["dep_type"] == "InProc"
+
+
+def test_rpc_spans(spark):
+    (req,) = _run(spark, [_row(
+        kind="server",
+        attributes={"rpc.system": "grpc", "rpc.grpc.status_code": "3",
+                    "server.address": "rpc.example.com",
+                    "server.port": "9000"},
+    )])
+    assert req["data_name"] == "grpc op"
+    assert req["response_code"] == "3"
+    assert req["url"] == "grpc op"
+    assert req["source"] == "rpc.example.com:9000"
+
+    (dep,) = _run(spark, [_row(
+        kind="client",
+        attributes={"rpc.system": "grpc",
+                    "network.peer.address": "10.9.9.9",
+                    "client.port": "555"},
+    )])
+    assert dep["dep_type"] == "grpc"
+    assert dep["data"] == "op"
+    assert dep["target"] == "10.9.9.9:555"
+    assert dep["response_code"] == "0"
+
+
+def test_database_dependency_and_server_quirk(spark):
+    (dep,) = _run(spark, [_row(
+        kind="client",
+        attributes={"db.system.name": "mysql",
+                    "db.query.text": "SELECT 1",
+                    "client.address": "db.example.com"},
+    )])
+    assert dep["dep_type"] == "mysql"
+    assert dep["data"] == "SELECT 1"
+    assert dep["target"] == "db.example.com"
+    assert dep["properties"]["db.system.name"] == "mysql"
+
+    # operation name fallback when no query text
+    (dep2,) = _run(spark, [_row(
+        kind="client",
+        attributes={"db.system.name": "mysql",
+                    "db.operation.name": "findAll"},
+    )])
+    assert dep2["data"] == "findAll"
+
+    # database-typed SERVER span: no switch case -> attrs NOT copied
+    (req,) = _run(spark, [_row(
+        kind="server", attributes={"db.system.name": "mysql"},
+    )])
+    assert "db.system.name" not in req["properties"]
+    assert req["properties"]["otel.status_code"] == "STATUS_CODE_UNSET"
+
+
+def test_messaging_and_unknown(spark):
+    (req,) = _run(spark, [_row(
+        kind="consumer",
+        attributes={"messaging.system": "kafka",
+                    "network.peer.address": "broker-1",
+                    "server.port": "9092"},
+    )])
+    assert req["base_type"] == "RequestData"
+    assert req["source"] == "broker-1:9092"
+
+    (dep,) = _run(spark, [_row(
+        kind="producer",
+        attributes={"messaging.system": "kafka",
+                    "client.address": "broker-2"},
+    )])
+    assert dep["dep_type"] == "kafka"
+    assert dep["target"] == "broker-2"
+
+    (unk,) = _run(spark, [_row(kind="client", attributes={"x": "1"})])
+    assert unk["dep_type"] is None
+    assert unk["properties"]["x"] == "1"
+
+
+def test_faas_unsupported(spark):
+    (row,) = _run(spark, [_row(attributes={"faas.trigger": "http"})])
+    assert row["error"] == "unsupported Span type"
+    assert row["envelope_name"] is None
+
+
+def test_exception_and_message_events(spark):
+    events = [
+        ("exception", T0 + 5,
+         {"exception.type": "ValueError", "exception.message": "bad",
+          "exception.stacktrace": "trace..."}),
+        ("custom-event", T0 + 7, {"k": "v"}),
+    ]
+    rows = _run(spark, [_row(events=events)])
+    assert len(rows) == 2  # message events skipped by default
+    exc = rows[1]
+    assert exc["envelope_name"] == "Microsoft.ApplicationInsights.Exception"
+    assert exc["base_type"] == "ExceptionData"
+    assert exc["exception_type"] == "ValueError"
+    assert exc["exception_message"] == "bad"
+    assert exc["exception_stack"] == "trace..."
+    assert exc["has_full_stack"] is True
+    # event envelope parent = the span's own id
+    assert exc["operation_parent_id"] == "cd" * 8
+    assert exc["properties"]["exception.type"] == "ValueError"
+
+    rows = _run(spark, [_row(events=events)], span_events_enabled=True)
+    assert len(rows) == 3
+    msg = rows[2]
+    assert msg["envelope_name"] == "Microsoft.ApplicationInsights.Message"
+    assert msg["message"] == "custom-event"
+    assert msg["properties"]["k"] == "v"
+
+
+def test_links_and_device_tags(spark):
+    (row,) = _run(spark, [_row(
+        links=[("11" * 16, "22" * 8)],
+        resource_attributes={"os.name": "Ubuntu", "os.version": "22.04",
+                             "device.manufacturer": "Acme",
+                             "device.model.identifier": "X1",
+                             "service.version": "9.9"},
+    )])
+    assert row["properties"]["_MS.links"] == (
+        '[{"operation_Id":"' + "11" * 16 + '","id":"' + "22" * 8 + '"}]'
+    )
+    assert row["device_os_version"] == "Ubuntu 22.04"
+    assert row["device_model"] == "Acme"
+    assert row["device_type"] == "X1"
+    assert row["application_version"] == "9.9"
+    assert row["internal_sdk_version"] == "otelc-test"
+
+
+def test_time_and_duration_rendering(spark):
+    got = spark.range(1).select(
+        rfc3339_nano(F.lit(T0)).alias("a"),
+        rfc3339_nano(F.lit(T0 + 123_400_000)).alias("b"),
+        rfc3339_nano(F.lit(T0 + 123_456_789)).alias("c"),
+        format_duration(F.lit(90_061_000_123_000)).alias("d"),
+    ).collect()[0]
+    assert got["a"] == "2024-03-12T20:00:41Z"
+    assert got["b"] == "2024-03-12T20:00:41.1234Z"
+    assert got["c"] == "2024-03-12T20:00:41.123456789Z"
+    # 1d 1h 1m 1s 123us => 01.01:01:01.000123
+    assert got["d"] == "01.01:01:01.000123"
