@@ -1,0 +1,348 @@
+"""Honeycomb Libhoney event -> OTel log/span translation.
+
+Reference: receiver/libhoneyreceiver (internal/libhoneyevent/
+libhoneyevent.go, internal/parser/parser.go, internal/eventtime/
+eventtime.go, factory.go defaults). One input row = one libhoney
+JSON event ({time, samplerate, data{...}}); output = one typed signal
+row (log / span / span_event / span_link).
+
+Semantics reproduced:
+
+* signal routing (libhoneyevent.go:150-175): data["meta.signal_type"]
+  "trace" -> span (meta.annotation_type span_event/link overrides),
+  "log" -> log, anything else / missing -> log.
+* event time (eventtime.go): RFC3339(Nano) first; all-digit strings
+  as epoch (10 digits = seconds, longer split as seconds.fraction);
+  float seconds; an absent/zero time falls back to the caller's
+  ``default_ts_ns`` column (the reference stamps time.Now()).
+* service = data[service.name] else the batch dataset (with a
+  no-service error); scope = service + data[library.name] (version
+  "unset" default) else the per-service "libhoney.receiver"/"1.0.0"
+  default scope.
+* ids (libhoneyevent.go:222-243, 413-443): dash-stripped hex of
+  exactly 16/8 bytes is taken verbatim; anything else hashes with
+  FNV-1a 64 rendered LITTLE-endian (trace ids continue the hash over
+  the same string for the second 8 bytes); a MISSING trace/span id
+  is random in the reference -- represented as NULL here.
+* parent id (GetParentID): dash-stripped hex >= 8 bytes -- the LAST
+  8 bytes when >= 16 (a trace id), else the FIRST 8; unparseable
+  falls back to the FNV hash of the raw string; missing -> unset.
+* spans: duration from the first configured duration field (ms,
+  float) added to the start; name/error/span.kind ladders (error
+  present -> status ERROR else UNSET, status_message passthrough);
+  SampleRate attribute from the event samplerate (default 1); every
+  unconsumed data field becomes an attribute.
+* logs: severity_code/severity_text/flags/body consumed, SampleRate
+  added, remaining fields attributes. (severity_code/flags are
+  extracted as integers, matching the reference's msgpack path; its
+  JSON path silently drops them -- the Go type switch has no float64
+  case for json-decoded numbers.)
+* span_event / span_link rows resolve their parent span id with the
+  same GetParentID logic; the reference attaches them to spans
+  in-batch -- relationally that attach is a join on
+  (parent_span_id = span row span_id), left to the caller.
+
+FNV hashing is evaluated per 8-bit char code (ASCII domain -- the
+reference hashes UTF-8 bytes).
+
+Pure Column code -- map-only at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCOPE_NAME = "libhoney.receiver"
+DEFAULT_SCOPE_VERSION = "1.0.0"
+
+_FNV_OFFSET_HI = 0xCBF29CE4
+_FNV_OFFSET_LO = 0x84222325
+_P_HI = 0x100
+_P_LO = 0x1B3
+
+_STATE = "struct<hi:bigint,lo:bigint>"
+
+EVENT_SCHEMA = (
+    "time string, samplerate bigint, data map<string,string>"
+)
+
+
+def _fnv_round(state: Column, byte: Column) -> Column:
+    """One FNV-1a 64 step: xor the byte into the low half, multiply by
+    the prime with 32-bit limb arithmetic (mod 2^64, no ANSI
+    overflow)."""
+    lo = state["lo"].bitwiseXOR(byte)
+    hi = state["hi"]
+    lo_p = lo * F.lit(_P_LO)
+    new_lo = lo_p.bitwiseAND(F.lit(0xFFFFFFFF))
+    carry = F.shiftrightunsigned(lo_p, 32)
+    new_hi = (hi * F.lit(_P_LO) + lo * F.lit(_P_HI) + carry).bitwiseAND(
+        F.lit(0xFFFFFFFF)
+    )
+    return F.struct(new_hi.alias("hi"), new_lo.alias("lo"))
+
+
+def _fnv_run(s: Column, init: Column) -> Column:
+    """Run FNV-1a 64 over the char codes of ``s`` from ``init``."""
+    bytes_arr = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.ascii(F.substr(s, i, F.lit(1))).cast("bigint"),
+    )
+    return F.aggregate(
+        F.when(F.length(s) > 0, bytes_arr).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+        init.cast(_STATE),
+        _fnv_round,
+    )
+
+
+def _le_hex(state: Column) -> Column:
+    """Little-endian hex of the 64-bit (hi, lo) state."""
+    def b(x: Column, i: int) -> Column:
+        return F.lpad(
+            F.lower(F.hex(F.shiftrightunsigned(x, 8 * i)
+                          .bitwiseAND(F.lit(255)))),
+            2, "0",
+        )
+
+    lo, hi = state["lo"], state["hi"]
+    return F.concat(
+        b(lo, 0), b(lo, 1), b(lo, 2), b(lo, 3),
+        b(hi, 0), b(hi, 1), b(hi, 2), b(hi, 3),
+    )
+
+
+def _fnv_init() -> Column:
+    return F.struct(
+        F.lit(_FNV_OFFSET_HI).cast("bigint").alias("hi"),
+        F.lit(_FNV_OFFSET_LO).cast("bigint").alias("lo"),
+    )
+
+
+def span_id_from(s: Column) -> Column:
+    """spanIDFrom: FNV-1a 64 of s, little-endian hex16."""
+    return _le_hex(_fnv_run(s, _fnv_init()))
+
+
+def trace_id_from(s: Column) -> Column:
+    """traceIDFrom: first 8 bytes from fnv(s), second 8 from the hash
+    CONTINUED over s again."""
+    h1 = _fnv_run(s, _fnv_init())
+    h2 = _fnv_run(s, h1)
+    return F.concat(_le_hex(h1), _le_hex(h2))
+
+
+def parse_event_time(t: Column, default_ts_ns: Column) -> Column:
+    """GetEventTime -> epoch nanoseconds."""
+    t = F.coalesce(t, F.lit(""))
+    iso = F.try_to_timestamp(t)  # RFC3339(Nano) incl. fraction
+    digits = t.rlike("^[0-9]+$")
+    sec10 = F.when(digits & (F.length(t) == 10), t.try_cast("bigint"))
+    frac_long = F.when(
+        digits & (F.length(t) > 10),
+        F.concat(
+            F.substring(t, 1, 10), F.lit("."), F.substring(t, 11, 18)
+        ).try_cast("double"),
+    )
+    flt = F.when(~digits, t.try_cast("double"))
+    # Spark timestamps are microsecond-precision; RFC3339Nano keeps
+    # nanoseconds -- recover the sub-microsecond digits from the text
+    sub_us = F.coalesce(
+        F.rpad(F.regexp_extract(t, r"\.(\d{1,9})", 1), 9, "0")
+        .try_cast("bigint"),
+        F.lit(0),
+    ) % F.lit(1000)
+    return F.coalesce(
+        F.when(iso.isNotNull(),
+               F.unix_micros(iso) * F.lit(1000) + sub_us),
+        sec10 * F.lit(1_000_000_000),
+        F.when(
+            frac_long.isNotNull(),
+            (F.floor(frac_long).cast("bigint") * F.lit(1_000_000_000)
+             + ((frac_long % 1) * F.lit(1e9)).cast("bigint")),
+        ),
+        F.when(
+            flt.isNotNull(),
+            (F.floor(flt).cast("bigint") * F.lit(1_000_000_000)
+             + ((flt % 1) * F.lit(1e9)).cast("bigint")),
+        ),
+        default_ts_ns.cast("bigint"),
+    )
+
+
+def _id_from_field(
+    value: Column, n_bytes: int, fnv: "Column | None" = None
+) -> Column:
+    stripped = F.regexp_replace(value, "-", "")
+    is_hex = stripped.rlike(f"^[0-9a-fA-F]{{{2 * n_bytes}}}$")
+    return F.when(is_hex, F.lower(stripped)).otherwise(fnv)
+
+
+def parent_id_from(value: Column) -> Column:
+    """GetParentID + the fnv fallback used by ToPTraceSpan."""
+    stripped = F.regexp_replace(value, "-", "")
+    even_hex = stripped.rlike("^([0-9a-fA-F]{2})+$")
+    n = F.length(stripped) / 2
+    return (
+        F.when(
+            even_hex & (n >= 16),
+            F.lower(F.substr(stripped, F.length(stripped) - 15, F.lit(16))),
+        )
+        .when(even_hex & (n >= 8), F.lower(F.substring(stripped, 1, 16)))
+        .otherwise(span_id_from(value))
+    )
+
+
+_CONSUMED_COMMON = ("service.name", "library.name", "library.version")
+_CONSUMED_TRACE = (
+    "name", "trace.trace_id", "trace.parent_id", "trace.span_id",
+    "error", "span.kind", "duration_ms",
+)
+_CONSUMED_LOG = ("severity_text", "severity_code", "flags", "body")
+_CONSUMED_ANNOTATION = _CONSUMED_TRACE + (
+    "meta.annotation_type", "meta.signal_type",
+)
+
+_KIND_MAP = ("server", "client", "producer", "consumer", "internal")
+
+
+def libhoney_events(
+    df: DataFrame,
+    json_col: str = "json",
+    dataset: str = "unknown",
+    default_ts_ns: "str | Column" = "now_ns",
+) -> DataFrame:
+    """One libhoney JSON event per row -> one typed signal row."""
+    now_col = (
+        F.col(default_ts_ns)
+        if isinstance(default_ts_ns, str)
+        else default_ts_ns
+    )
+    ev = F.from_json(F.col(json_col), EVENT_SCHEMA)
+    base = df.withColumn("_ev", ev)
+    e = F.col("_ev")
+    data = F.coalesce(
+        e["data"], F.create_map().cast("map<string,string>")
+    )
+
+    def get(key: str) -> Column:
+        return F.try_element_at(data, F.lit(key))
+
+    signal = (
+        F.when(
+            get("meta.signal_type") == "trace",
+            F.when(
+                get("meta.annotation_type") == "span_event",
+                F.lit("span_event"),
+            )
+            .when(get("meta.annotation_type") == "link", F.lit("span_link"))
+            .otherwise(F.lit("span")),
+        )
+        .otherwise(F.lit("log"))
+    )
+
+    service = F.coalesce(get("service.name"), F.lit(dataset))
+    scope_name = F.coalesce(get("library.name"),
+                            F.lit(DEFAULT_SCOPE_NAME))
+    scope_version = F.when(
+        get("library.name").isNotNull(),
+        F.coalesce(get("library.version"), F.lit("unset")),
+    ).otherwise(F.lit(DEFAULT_SCOPE_VERSION))
+
+    ts_ns = parse_event_time(e["time"], now_col)
+    samplerate = F.coalesce(e["samplerate"], F.lit(1))
+
+    tid_field = get("trace.trace_id")
+    trace_id = F.when(
+        tid_field.isNotNull(),
+        _id_from_field(tid_field, 16, trace_id_from(tid_field)),
+    )
+    sid_field = get("trace.span_id")
+    span_id = F.when(
+        sid_field.isNotNull(),
+        _id_from_field(sid_field, 8, span_id_from(sid_field)),
+    )
+    pid_field = get("trace.parent_id")
+    parent_id = F.when(pid_field.isNotNull(), parent_id_from(pid_field))
+
+    duration_ms = F.coalesce(
+        get("duration_ms").try_cast("double"), F.lit(0.0)
+    )
+    end_ts_ns = ts_ns + (duration_ms * F.lit(1e6)).cast("bigint")
+
+    kind = F.when(
+        get("span.kind").isin(*_KIND_MAP), get("span.kind")
+    ).otherwise(F.lit("unspecified"))
+    status_code = F.when(get("error").isNotNull(), F.lit(2)).otherwise(
+        F.lit(0)
+    )
+
+    is_span = signal == "span"
+    is_log = signal == "log"
+    consumed_span = _CONSUMED_COMMON + _CONSUMED_TRACE
+    consumed_log = _CONSUMED_COMMON + _CONSUMED_LOG
+
+    def attrs_for(consumed: tuple) -> Column:
+        return F.map_from_entries(
+            F.concat(
+                F.filter(
+                    F.array_sort(F.map_entries(data)),
+                    lambda en: ~en["key"].isin(*consumed),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit("SampleRate").alias("key"),
+                        samplerate.cast("string").alias("value"),
+                    )
+                ),
+            )
+        )
+
+    sev_code = get("severity_code").try_cast("int")
+
+    return base.select(
+        *[c for c in df.columns if c != json_col],
+        signal.alias("signal"),
+        service.alias("service_name"),
+        F.when(
+            get("service.name").isNull(),
+            F.lit("no service.name found in event"),
+        ).alias("service_error"),
+        scope_name.alias("scope_name"),
+        scope_version.alias("scope_version"),
+        ts_ns.alias("ts_ns"),
+        F.when(is_span, end_ts_ns).alias("end_ts_ns"),
+        trace_id.alias("trace_id"),
+        F.when(~is_log, span_id).alias("span_id"),
+        F.when(~is_log, parent_id).alias("parent_span_id"),
+        F.when(is_span | (signal == "span_event"),
+               F.coalesce(get("name"), F.lit(""))).alias("name"),
+        F.when(
+            signal == "span_link",
+            F.when(
+                get("trace.link.trace_id").rlike("^[0-9a-fA-F]{32}$"),
+                F.lower(get("trace.link.trace_id")),
+            ),
+        ).alias("link_trace_id"),
+        F.when(
+            signal == "span_link",
+            F.when(
+                get("trace.link.span_id").rlike("^[0-9a-fA-F]{16}$"),
+                F.lower(get("trace.link.span_id")),
+            ),
+        ).alias("link_span_id"),
+        F.when(is_span, kind).alias("kind"),
+        F.when(is_span, status_code).alias("status_code"),
+        F.when(is_span, get("status_message")).alias("status_message"),
+        F.when(is_log, F.coalesce(sev_code, F.lit(0))).alias(
+            "severity_number"
+        ),
+        F.when(is_log, get("severity_text")).alias("severity_text"),
+        F.when(is_log, get("body")).alias("body"),
+        F.when(is_span, attrs_for(consumed_span))
+        .when(is_log, attrs_for(consumed_log))
+        .otherwise(attrs_for(_CONSUMED_COMMON + _CONSUMED_ANNOTATION))
+        .alias("attributes"),
+    )

@@ -8404,3 +8404,150 @@ SELECT * FROM rows_out ORDER BY event_id, envelope_name
 
 _QUERIES["azuremonitor_envelopes_events"] = q_azuremonitor_envelopes
 _ORACLES["azuremonitor_envelopes_events"] = _AZUREMON_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Libhoney receiver (receiver/libhoneyreceiver): signal routing,
+# event-time ladder, FNV-1a 64 id fallbacks (little-endian), parent-id
+# hex rules, span/log field extraction. The FNV oracle vectors for the
+# non-hex fixture ids were computed with an independent implementation.
+# ---------------------------------------------------------------------------
+
+_LIBHONEY_JSON_SQL = r"""
+CASE CAST(event_id % 5 AS INT)
+  WHEN 0 THEN concat(
+    '{"time":"2022-06-30T10:00:41.123456789Z","samplerate":',
+    CAST(1 + event_id % 8 AS STRING),
+    ',"data":{"meta.signal_type":"trace",',
+    '"service.name":"svc-', event_type,
+    '","library.name":"beeline","library.version":"3.2",',
+    '"name":"op-', event_type, '",',
+    '"trace.trace_id":"', lpad(lower(hex(event_id)), 32, '0'),
+    '","trace.span_id":"', lpad(lower(hex(event_id + 1)), 16, '0'),
+    '","trace.parent_id":"', lpad(lower(hex(event_id + 2)), 16, '0'),
+    '","duration_ms":', CAST(event_id % 100 AS STRING),
+    ',"span.kind":"server","custom":"c-',
+    CAST(user_id % 6 AS STRING), '"}}')
+  WHEN 1 THEN concat(
+    '{"time":"', CAST(1656581400 + event_id % 50 AS STRING),
+    '","data":{"meta.signal_type":"trace",',
+    '"trace.trace_id":"op-chain-', CAST(event_id % 4 AS STRING),
+    '","trace.span_id":"op-chain-', CAST(event_id % 4 AS STRING),
+    '","error":"true"}}')
+  WHEN 2 THEN concat(
+    '{"time":"2022-06-30T10:00:41Z","data":{',
+    '"body":"log-', event_type, '","severity_code":"',
+    CAST(9 + event_id % 5 AS STRING),
+    '","severity_text":"INFO","k":"v-',
+    CAST(event_id % 7 AS STRING), '"}}')
+  WHEN 3 THEN concat(
+    '{"time":"2022-06-30T10:00:42Z","data":{',
+    '"meta.signal_type":"trace","meta.annotation_type":"span_event",',
+    '"name":"cache.miss","trace.parent_id":"',
+    lpad(lower(hex(event_id + 5)), 32, '0'),
+    '","hit":"false"}}')
+  ELSE concat(
+    '{"time":"2022-06-30T10:00:43Z","data":{',
+    '"meta.signal_type":"trace","meta.annotation_type":"link",',
+    '"trace.parent_id":"', lpad(lower(hex(event_id + 6)), 16, '0'),
+    '","trace.link.trace_id":"', lpad(lower(hex(event_id + 7)), 32, '0'),
+    '","trace.link.span_id":"', lpad(lower(hex(event_id + 8)), 16, '0'),
+    '"}}')
+END
+""".strip()
+
+_LIBHONEY_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 5 AS INT) AS m, event_type, user_id
+  FROM events)
+SELECT event_id,
+  CASE m WHEN 0 THEN 'span' WHEN 1 THEN 'span' WHEN 2 THEN 'log'
+         WHEN 3 THEN 'span_event' ELSE 'span_link' END AS signal,
+  CASE WHEN m = 0 THEN 'svc-' || event_type ELSE 'ds-main' END
+    AS service_name,
+  CASE WHEN m = 0 THEN 'beeline' ELSE 'libhoney.receiver' END
+    AS scope_name,
+  CASE m
+    WHEN 0 THEN CAST(1656583241123456789 AS BIGINT)
+    WHEN 1 THEN (1656581400 + event_id % 50) * CAST(1000000000 AS BIGINT)
+    WHEN 2 THEN 1656583241000000000
+    WHEN 3 THEN 1656583242000000000
+    ELSE 1656583243000000000
+  END AS ts_ns,
+  CASE WHEN m = 0 THEN CAST(1656583241123456789 AS BIGINT)
+         + event_id % 100 * 1000000
+       WHEN m = 1 THEN (1656581400 + event_id % 50)
+         * CAST(1000000000 AS BIGINT)
+  END AS end_ts_ns,
+  CASE WHEN m = 0 THEN lpad(lower(hex(event_id)), 32, '0')
+       WHEN m = 1 THEN CASE CAST(event_id % 4 AS INT)
+         WHEN 0 THEN 'e3bb519aa25e5dd6fd5194cff775ef0c'
+         WHEN 1 THEN '30ba519aa25d5dd6b9b2996b03dbb290'
+         WHEN 2 THEN '49bf519aa2605dd65db3bde1546961ae'
+         ELSE '96bd519aa25f5dd659d5cc1abe63adb6' END
+  END AS trace_id,
+  CASE WHEN m = 0 THEN lpad(lower(hex(event_id + 1)), 16, '0')
+       WHEN m = 1 THEN CASE CAST(event_id % 4 AS INT)
+         WHEN 0 THEN 'e3bb519aa25e5dd6'
+         WHEN 1 THEN '30ba519aa25d5dd6'
+         WHEN 2 THEN '49bf519aa2605dd6'
+         ELSE '96bd519aa25f5dd6' END
+  END AS span_id,
+  CASE WHEN m = 0 THEN lpad(lower(hex(event_id + 2)), 16, '0')
+       WHEN m = 3 THEN substr(lpad(lower(hex(event_id + 5)), 32, '0'),
+                              17, 16)
+       WHEN m = 4 THEN lpad(lower(hex(event_id + 6)), 16, '0')
+  END AS parent_span_id,
+  CASE WHEN m = 0 THEN 'op-' || event_type
+       WHEN m = 1 THEN '' WHEN m = 3 THEN 'cache.miss' END AS name,
+  CASE WHEN m = 0 THEN 'server' WHEN m = 1 THEN 'unspecified' END
+    AS kind,
+  CASE WHEN m = 0 THEN 0 WHEN m = 1 THEN 2 END AS status_code,
+  CASE WHEN m = 2 THEN 9 + event_id % 5 END AS severity_number,
+  CASE WHEN m = 2 THEN 'log-' || event_type END AS body,
+  CASE WHEN m = 4 THEN lpad(lower(hex(event_id + 7)), 32, '0') END
+    AS link_trace_id,
+  CASE m
+    WHEN 0 THEN 'SampleRate=' || CAST(1 + event_id % 8 AS VARCHAR)
+      || '|custom=c-' || CAST(user_id % 6 AS VARCHAR)
+      || '|meta.signal_type=trace'
+    WHEN 1 THEN 'SampleRate=1|meta.signal_type=trace'
+    WHEN 2 THEN 'SampleRate=1|k=v-' || CAST(event_id % 7 AS VARCHAR)
+    WHEN 3 THEN 'SampleRate=1|hit=false'
+    ELSE 'SampleRate=1|trace.link.span_id='
+      || lpad(lower(hex(event_id + 8)), 16, '0')
+      || '|trace.link.trace_id='
+      || lpad(lower(hex(event_id + 7)), 32, '0')
+  END AS attrs_str
+FROM f ORDER BY event_id
+"""
+
+
+def q_libhoney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.libhoney import libhoney_events
+
+    lines = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr(_LIBHONEY_JSON_SQL).alias("json"),
+        F.lit(0).cast("bigint").alias("now_ns"),
+    )
+    out = libhoney_events(lines, dataset="ds-main")
+    return out.select(
+        "event_id", "signal", "service_name", "scope_name", "ts_ns",
+        "end_ts_ns", "trace_id", "span_id", "parent_span_id", "name",
+        "kind", "status_code", "severity_number", "body",
+        "link_trace_id",
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(F.col("attributes")),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            "|",
+        ).alias("attrs_str"),
+    ).orderBy("event_id")
+
+
+_QUERIES["libhoney_events"] = q_libhoney_events
+_ORACLES["libhoney_events"] = _LIBHONEY_ORACLE

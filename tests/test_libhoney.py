@@ -1,0 +1,212 @@
+"""Libhoney receiver translation pinned against the reference
+(receiver/libhoneyreceiver). FNV id vectors are recomputed with an
+independent Python FNV-1a implementation."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.libhoney import (
+    libhoney_events,
+    parse_event_time,
+    span_id_from,
+    trace_id_from,
+)
+
+NOW_NS = 1710273600_000_000_000
+
+
+def _fnv(s: str, h: int = 0xCBF29CE484222325) -> int:
+    for b in s.encode():
+        h ^= b
+        h = (h * 0x100000001B3) % 2**64
+    return h
+
+
+def py_span_id(s: str) -> str:
+    return _fnv(s).to_bytes(8, "little").hex()
+
+
+def py_trace_id(s: str) -> str:
+    n1 = _fnv(s)
+    n2 = _fnv(s, n1)
+    return n1.to_bytes(8, "little").hex() + n2.to_bytes(8, "little").hex()
+
+
+def _run(spark, events, **kw):
+    df = spark.createDataFrame(
+        [(json.dumps(e), NOW_NS) for e in events],
+        "json string, now_ns long",
+    )
+    return libhoney_events(df, **kw).collect()
+
+
+def test_fnv_ids_match_independent_impl(spark):
+    vals = ["abc", "trace-1", "", "svc/op?q=1"]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "s string")
+        .select(
+            "s",
+            span_id_from(F.col("s")).alias("sid"),
+            trace_id_from(F.col("s")).alias("tid"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["sid"] == py_span_id(r["s"]), r["s"]
+        assert r["tid"] == py_trace_id(r["s"]), r["s"]
+
+
+def test_event_time_forms(spark):
+    cases = [
+        ("2024-03-12T20:00:41.123456789Z", 1710273641123456789),
+        ("1710273641", 1710273641_000_000_000),
+        # ms epoch goes through ParseFloat + Modf -- the reference's
+        # double math loses ulps exactly like this
+        ("1710273641123", 1710273641_122_999_906),
+        ("1710273641.5", 1710273641_500_000_000),
+        ("garbage", NOW_NS),
+        ("", NOW_NS),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, NOW_NS) for i, (t, _) in enumerate(cases)],
+        "id long, t string, now_ns long",
+    )
+    got = {
+        r["id"]: r["ns"]
+        for r in df.select(
+            "id",
+            parse_event_time(F.col("t"), F.col("now_ns")).alias("ns"),
+        ).collect()
+    }
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, t
+
+
+def test_span_translation(spark):
+    ev = {
+        "time": "2024-03-12T20:00:41Z", "samplerate": 4,
+        "data": {
+            "meta.signal_type": "trace",
+            "service.name": "shepherd", "library.name": "beeline",
+            "library.version": "3.2", "name": "persist",
+            "trace.trace_id": "11" * 16,
+            "trace.span_id": "22" * 8,
+            "trace.parent_id": "33" * 8,
+            "duration_ms": "12.5", "span.kind": "server",
+            "status_message": "ok then", "custom": "x",
+        },
+    }
+    (row,) = _run(spark, [ev])
+    assert row["signal"] == "span"
+    assert row["service_name"] == "shepherd"
+    assert row["service_error"] is None
+    assert row["scope_name"] == "beeline"
+    assert row["scope_version"] == "3.2"
+    assert row["trace_id"] == "11" * 16
+    assert row["span_id"] == "22" * 8
+    assert row["parent_span_id"] == "33" * 8
+    assert row["ts_ns"] == 1710273641_000_000_000
+    assert row["end_ts_ns"] == 1710273641_012_500_000
+    assert row["name"] == "persist"
+    assert row["kind"] == "server"
+    assert row["status_code"] == 0
+    assert row["status_message"] == "ok then"
+    assert row["attributes"] == {
+        "meta.signal_type": "trace", "status_message": "ok then",
+        "custom": "x", "SampleRate": "4",
+    }
+
+
+def test_span_fnv_fallbacks_and_error(spark):
+    ev = {
+        "time": "2024-03-12T20:00:41Z",
+        "data": {
+            "meta.signal_type": "trace",
+            "trace.trace_id": "my-trace",  # dashes stripped -> not hex
+            "trace.span_id": "spanX",
+            "trace.parent_id": "parent-str",
+            "error": "true",
+        },
+    }
+    (row,) = _run(spark, [ev], dataset="ds1")
+    # dash-stripped before hashing for trace/span ids
+    assert row["trace_id"] == py_trace_id("my-trace")
+    assert row["span_id"] == py_span_id("spanX")
+    # parent fnv fallback hashes the RAW value
+    assert row["parent_span_id"] == py_span_id("parent-str")
+    assert row["status_code"] == 2
+    assert row["service_name"] == "ds1"
+    assert row["service_error"] == "no service.name found in event"
+    assert row["scope_name"] == "libhoney.receiver"
+    assert row["scope_version"] == "1.0.0"
+
+
+def test_parent_id_hex_forms(spark):
+    full_trace = "aa" * 8 + "bb" * 8  # 16 bytes -> last 8
+    ev = {
+        "time": "1710273641",
+        "data": {"meta.signal_type": "trace",
+                 "trace.parent_id": full_trace},
+    }
+    (row,) = _run(spark, [ev])
+    assert row["parent_span_id"] == "bb" * 8
+
+    ev["data"]["trace.parent_id"] = "cc" * 10  # 10 bytes -> first 8
+    (row,) = _run(spark, [ev])
+    assert row["parent_span_id"] == "cc" * 8
+
+    ev["data"]["trace.parent_id"] = "dd" * 3  # too short -> fnv
+    (row,) = _run(spark, [ev])
+    assert row["parent_span_id"] == py_span_id("dd" * 3)
+
+
+def test_log_translation_and_defaults(spark):
+    ev = {
+        "time": "2024-03-12T20:00:41Z",
+        "data": {"body": "hello", "severity_code": "13",
+                 "severity_text": "WARN", "flags": "1", "k": "v"},
+    }
+    (row,) = _run(spark, [ev])
+    assert row["signal"] == "log"
+    assert row["body"] == "hello"
+    assert row["severity_number"] == 13
+    assert row["severity_text"] == "WARN"
+    assert row["attributes"] == {"k": "v", "SampleRate": "1"}
+    assert row["span_id"] is None and row["trace_id"] is None
+
+
+def test_span_event_and_link(spark):
+    spe = {
+        "time": "2024-03-12T20:00:42Z",
+        "data": {"meta.signal_type": "trace",
+                 "meta.annotation_type": "span_event",
+                 "name": "cache.miss", "trace.parent_id": "44" * 8,
+                 "k": "v"},
+    }
+    spl = {
+        "time": "2024-03-12T20:00:43Z",
+        "data": {"meta.signal_type": "trace",
+                 "meta.annotation_type": "link",
+                 "trace.parent_id": "55" * 8,
+                 "trace.link.trace_id": "66" * 16,
+                 "trace.link.span_id": "77" * 8},
+    }
+    rows = _run(spark, [spe, spl])
+    e, l = rows
+    assert e["signal"] == "span_event"
+    assert e["name"] == "cache.miss"
+    assert e["parent_span_id"] == "44" * 8
+    assert e["attributes"] == {"k": "v", "SampleRate": "1"}
+    assert l["signal"] == "span_link"
+    assert l["parent_span_id"] == "55" * 8
+    assert l["link_trace_id"] == "66" * 16
+    assert l["link_span_id"] == "77" * 8
+
+
+def test_unknown_signal_defaults_to_log(spark):
+    ev = {"time": "1710273641", "data": {"meta.signal_type": "bogus"}}
+    (row,) = _run(spark, [ev])
+    assert row["signal"] == "log"
