@@ -8551,3 +8551,116 @@ def q_libhoney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["libhoney_events"] = q_libhoney_events
 _ORACLES["libhoney_events"] = _LIBHONEY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Fluent Forward receiver (receiver/fluentforwardreceiver): real
+# msgpack roundtrip in-Spark (hand-written codec at the Arrow stage),
+# message/forward/packedforward(+gzip) modes, EventTime ext,
+# message/log body keys, chunk option.
+# ---------------------------------------------------------------------------
+
+_FLUENT_SPEC_SQL = r"""
+CASE CAST(event_id % 4 AS INT)
+  WHEN 0 THEN concat(
+    '{"tag":"app.', event_type, '","mode":"message",',
+    '"entries":[[', CAST(1656581400 + event_id % 50 AS STRING),
+    ',{"message":"m-', event_type,
+    '","level":"info","n":', CAST(event_id % 100 AS STRING),
+    ',"ok":true}]],"chunk":"ck-',
+    CAST(event_id % 5 AS STRING), '"}')
+  WHEN 1 THEN concat(
+    '{"tag":"fw.', event_type, '","mode":"forward","entries":[',
+    '[{"sec":', CAST(1656581401 + event_id % 50 AS STRING),
+    ',"ns":', CAST(event_id % 900 AS STRING),
+    '},{"log":"f1-', event_type, '"}],',
+    '[', CAST(1656581402 + event_id % 50 AS STRING),
+    ',{"log":"f2","k":"v-', CAST(user_id % 4 AS STRING), '"}]]}')
+  WHEN 2 THEN concat(
+    '{"tag":"pk.', event_type,
+    '","mode":"packedforward","gzip":true,"entries":[',
+    '[', CAST(1656581403 + event_id % 50 AS STRING),
+    ',{"message":"p-', CAST(event_id % 9 AS STRING), '"}]]}')
+  ELSE '{"tag":"x","mode":"message","entries":[[1,{}]]}'
+END
+""".strip()
+
+_FLUENT_ORACLE = """
+WITH f AS (
+  SELECT event_id, CAST(event_id % 4 AS INT) AS m, event_type, user_id
+  FROM events),
+rows_out AS (
+  SELECT event_id, CAST(NULL AS VARCHAR) AS error,
+         'app.' || event_type AS tag,
+         (1656581400 + event_id % 50) * CAST(1000000000 AS BIGINT)
+           AS ts_ns,
+         'm-' || event_type AS body,
+         'ck-' || CAST(event_id % 5 AS VARCHAR) AS chunk,
+         'fluent.tag=app.' || event_type
+           || '|level=info|n=' || CAST(event_id % 100 AS VARCHAR)
+           || '|ok=true' AS attrs_str
+  FROM f WHERE m = 0
+  UNION ALL
+  SELECT event_id, NULL, 'fw.' || event_type,
+         (1656581401 + event_id % 50) * CAST(1000000000 AS BIGINT)
+           + event_id % 900,
+         'f1-' || event_type, '',
+         'fluent.tag=fw.' || event_type
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, NULL, 'fw.' || event_type,
+         (1656581402 + event_id % 50) * CAST(1000000000 AS BIGINT),
+         'f2', '',
+         'fluent.tag=fw.' || event_type
+           || '|k=v-' || CAST(user_id % 4 AS VARCHAR)
+  FROM f WHERE m = 1
+  UNION ALL
+  SELECT event_id, NULL, 'pk.' || event_type,
+         (1656581403 + event_id % 50) * CAST(1000000000 AS BIGINT),
+         'p-' || CAST(event_id % 9 AS VARCHAR), '',
+         'fluent.tag=pk.' || event_type
+  FROM f WHERE m = 2
+  UNION ALL
+  SELECT event_id, 'unsupported msgpack byte 0xc1',
+         NULL, NULL, NULL, NULL, NULL
+  FROM f WHERE m = 3)
+SELECT event_id, error, tag, ts_ns, body, chunk, attrs_str
+FROM rows_out ORDER BY event_id, ts_ns NULLS FIRST
+"""
+
+
+def q_fluentforward_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.fluentforward import (
+        encode_forward_event,
+        fluentforward_logs,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    m = (F.col("event_id") % 4).cast("int")
+    events = ev.select(
+        "event_id",
+        F.when(m == 3, F.lit(b"\xc1"))
+        .otherwise(encode_forward_event(F.expr(_FLUENT_SPEC_SQL)))
+        .alias("event"),
+    )
+    out = fluentforward_logs(events)
+    return out.select(
+        "event_id", "error", "tag", "ts_ns", "body", "chunk",
+        F.when(
+            F.col("error").isNull(),
+            F.array_join(
+                F.array_sort(
+                    F.transform(
+                        F.map_entries(F.col("attributes")),
+                        lambda e: F.concat(e["key"], F.lit("="),
+                                           e["value"]),
+                    )
+                ),
+                "|",
+            ),
+        ).alias("attrs_str"),
+    ).orderBy("event_id", F.col("ts_ns").asc_nulls_first())
+
+
+_QUERIES["fluentforward_logs_events"] = q_fluentforward_logs
+_ORACLES["fluentforward_logs_events"] = _FLUENT_ORACLE

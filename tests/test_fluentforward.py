@@ -1,0 +1,167 @@
+"""Fluent Forward protocol decoding pinned against the reference
+(receiver/fluentforwardreceiver/conversion.go + the public Forward
+Protocol Specification v1). The msgpack codec is validated by
+encode->decode roundtrips plus hand-assembled byte vectors."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.fluentforward import (
+    EventTime,
+    decode_forward_event,
+    fluentforward_logs,
+    msgpack_decode,
+    msgpack_encode,
+)
+
+
+def test_msgpack_roundtrip_values():
+    vals = [
+        0, 1, 127, -1, -32, 255, 1 << 40, -(1 << 40), True, False, None,
+        1.5, "x", "a" * 40, b"\x01\x02", [1, "a", [2]], {"k": 1, "n": None},
+        EventTime(1710273641, 123456789),
+    ]
+    for v in vals:
+        got, pos = msgpack_decode(msgpack_encode(v))
+        if isinstance(v, EventTime):
+            assert (got.sec, got.ns) == (v.sec, v.ns)
+        elif isinstance(v, float):
+            assert got == v
+        else:
+            assert got == v, v
+
+
+def test_msgpack_byte_vectors():
+    # spec examples: fixstr, uint16, fixarray, fixmap
+    assert msgpack_decode(b"\xa3abc")[0] == "abc"
+    assert msgpack_decode(b"\xcd\x01\x00")[0] == 256
+    assert msgpack_decode(b"\x92\x01\x02")[0] == [1, 2]
+    assert msgpack_decode(b"\x81\xa1k\xc3")[0] == {"k": True}
+    # fluentd EventTime fixext8 type 0
+    et = msgpack_decode(
+        b"\xd7\x00" + (1710273641).to_bytes(4, "big")
+        + (42).to_bytes(4, "big")
+    )[0]
+    assert (et.sec, et.ns) == (1710273641, 42)
+
+
+def _message_event(ts, record, options=None):
+    ev = ["app.logs", ts, record]
+    if options:
+        ev.append(options)
+    return msgpack_encode(ev)
+
+
+def test_message_mode():
+    rows, chunk, _ = decode_forward_event(
+        _message_event(
+            1710273641,
+            {"message": "hello", "level": "info", "n": 7, "ok": True,
+             "ratio": 1.5, "skip": None},
+            {"chunk": "abc=="},
+        )
+    )
+    (r,) = rows
+    assert chunk == "abc=="
+    assert r["ts_ns"] == 1710273641 * 10**9
+    assert r["body"] == "hello"
+    assert r["attrs"] == {
+        "fluent.tag": "app.logs", "level": "info", "n": "7",
+        "ok": "true", "ratio": "1.5",
+    }
+
+
+def test_forward_mode_and_eventtime():
+    ev = msgpack_encode([
+        "svc",
+        [
+            [EventTime(1710273641, 500), {"log": "a"}],
+            [1710273642, {"log": "b", "k": [1, 2]}],
+        ],
+    ])
+    rows, chunk, _ = decode_forward_event(ev)
+    assert chunk == ""
+    assert [r["ts_ns"] for r in rows] == [
+        1710273641 * 10**9 + 500, 1710273642 * 10**9
+    ]
+    assert [r["body"] for r in rows] == ["a", "b"]
+    assert rows[1]["attrs"]["k"] == "[1,2]"
+
+
+def test_packed_forward_plain_and_gzip():
+    entries = [
+        [1710273641, {"message": "p1"}],
+        [1710273642, {"message": "p2"}],
+    ]
+    raw = b"".join(msgpack_encode(e) for e in entries)
+    ev = msgpack_encode(["t", raw, {"chunk": "zz"}])
+    rows, chunk, _ = decode_forward_event(ev)
+    assert [r["body"] for r in rows] == ["p1", "p2"]
+    assert chunk == "zz"
+
+    gz = gzip.compress(raw, mtime=0)
+    ev = msgpack_encode(["t", gz, {"compressed": "gzip"}])
+    rows, _, _ = decode_forward_event(ev)
+    assert [r["body"] for r in rows] == ["p1", "p2"]
+
+
+def test_error_contracts():
+    import pytest
+
+    # message mode arity
+    with pytest.raises(Exception):
+        decode_forward_event(msgpack_encode(["tag", 1]))
+    # forward entry arity
+    with pytest.raises(Exception):
+        decode_forward_event(msgpack_encode(["tag", [[1, {}, 3]]]))
+    # bad timestamp type
+    with pytest.raises(Exception):
+        decode_forward_event(msgpack_encode(["tag", "notpacked-entries"]))
+    # non-string tag
+    with pytest.raises(Exception):
+        decode_forward_event(msgpack_encode([5, 1, {}]))
+
+
+def test_spark_pipeline(spark):
+    specs = [
+        {"tag": "a", "mode": "message",
+         "entries": [[1710273641, {"message": "m1", "k": "v"}]],
+         "chunk": "c1"},
+        {"tag": "b", "mode": "forward",
+         "entries": [
+             [{"sec": 1710273642, "ns": 7}, {"log": "f1"}],
+             [1710273643, {"log": "f2"}],
+         ]},
+        {"tag": "c", "mode": "packedforward", "gzip": True,
+         "entries": [[1710273644, {"message": "p1"}]]},
+    ]
+    from opentelemetry_collector_contrib_spark.operators.fluentforward \
+        import encode_forward_event
+
+    df = spark.createDataFrame(
+        [(i, json.dumps(s)) for i, s in enumerate(specs)],
+        "event_id long, spec string",
+    ).select(
+        "event_id", encode_forward_event(F.col("spec")).alias("event")
+    )
+    rows = sorted(
+        fluentforward_logs(df).collect(),
+        key=lambda r: (r["event_id"], r["ts_ns"] or 0),
+    )
+    assert [r["tag"] for r in rows] == ["a", "b", "b", "c"]
+    assert rows[0]["body"] == "m1"
+    assert rows[0]["chunk"] == "c1"
+    assert rows[0]["attributes"]["k"] == "v"
+    assert rows[1]["ts_ns"] == 1710273642 * 10**9 + 7
+    assert rows[3]["body"] == "p1"
+
+    # malformed event -> one error row
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"\xc1\x00"))], "event_id long, event binary"
+    )
+    (err,) = fluentforward_logs(bad).collect()
+    assert err["error"] is not None and err["tag"] is None
