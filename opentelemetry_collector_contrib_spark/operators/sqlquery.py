@@ -1,0 +1,373 @@
+"""sqlquery receiver (receiver/sqlqueryreceiver, internal/sqlquery):
+run a SQL query, turn each result row into log records / metric
+datapoints, with incremental collection via a tracking column.
+
+Spark-first shape: the "database" IS Spark SQL -- the configured query
+runs through ``spark.sql`` over registered tables (any Catalyst
+source), so the receiver's row loop becomes a map-only projection per
+configured log/metric and a ``unionByName``; nothing leaves the JVM.
+
+Semantics reproduced from the reference:
+
+* row stringification (internal/sqlquery/row_scanner.go:22-48): every
+  scanned value becomes a STRING via Go ``%v`` -- ``time.Time`` as
+  RFC3339Nano (trailing fraction zeros trimmed), byte slices as raw
+  text, floats in Go shortest-``%g`` form (scientific once the decimal
+  exponent reaches 6, so ``1e+06`` -- which makes downstream
+  ``Atoi`` fail for large "integral" doubles); NULL columns are
+  DROPPED from the row map (ErrNullValueWarning), so every consumer
+  of that column reports "not found".
+* logs (receiver/sqlqueryreceiver/logs_receiver.go:332-351 rowToLog):
+  one record per (logs config, row); body = stringified
+  ``body_column`` (unset when NULL), attributes = stringified
+  ``attribute_columns`` (omitted when NULL), observed timestamp =
+  collection time.
+* tracking (logs_receiver.go:283-330): with ``tracking_column`` set
+  the query runs with the current tracking value as its parameter and
+  the stored value advances to the tracking column of the LAST row
+  (reference iterates rows in query order; the engine requires the
+  deterministic equivalent -- the query must be ordered so the last
+  row carries the maximum, which is how every published config uses
+  it, e.g. ``WHERE id > ? ORDER BY id``).
+* metrics (internal/sqlquery/metrics.go rowToMetric): one metric per
+  (metric config, row); gauge or sum with monotonic +
+  cumulative/delta temporality; ``value_type: int`` parses the
+  stringified value with Atoi semantics (plain decimal only --
+  ``4.1`` and ``1e+06`` both fail -> NULL value + parse_error),
+  ``double`` with ParseFloat; ts/start_ts columns are ParseInt
+  epoch-nanos; delta sums get start = ts - collection interval
+  (metrics.go:70-81 setTimestamp); static attributes then
+  attribute_columns.
+
+Scale: the query result is never collected -- each configured
+log/metric is a narrow projection over the same scan, and the union
+preserves whatever partitioning/pushdown the inner query plans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCOPE_NAME = (
+    "github.com/open-telemetry/opentelemetry-collector-contrib"
+    "/receiver/sqlqueryreceiver"
+)
+
+_BIG = 2147483640
+
+
+@dataclass
+class LogsCfg:
+    """internal/sqlquery/config.go:118-130 LogsCfg."""
+
+    body_column: str
+    attribute_columns: list[str] = field(default_factory=list)
+
+
+@dataclass
+class MetricCfg:
+    """internal/sqlquery/config.go:132-147 MetricCfg."""
+
+    metric_name: str
+    value_column: str
+    attribute_columns: list[str] = field(default_factory=list)
+    monotonic: bool = False
+    value_type: str = "int"          # ''|int|double
+    data_type: str = "gauge"         # ''|gauge|sum
+    aggregation: str = ""            # ''|cumulative|delta
+    unit: str = ""
+    description: str = ""
+    static_attributes: dict[str, str] = field(default_factory=dict)
+    start_ts_column: str = ""
+    ts_column: str = ""
+
+
+def go_render(col: Column, dtype: str) -> Column:
+    """row_scanner.go stringification: Go ``fmt.Sprintf("%v")`` per
+    driver value, ``time.Time`` as RFC3339Nano.  NULL stays NULL (the
+    caller treats it as "column dropped from the row")."""
+    d = dtype.lower()
+    if d.startswith("timestamp"):
+        # RFC3339Nano: trailing zeros trimmed from the fraction, no
+        # dot when the fraction is empty; session timezone is UTC.
+        base = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
+        frac = F.regexp_replace(F.date_format(col, "SSSSSS"), "0+$", "")
+        return F.when(
+            col.isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(
+                base,
+                F.when(frac == "", "").otherwise(F.concat(F.lit("."), frac)),
+                F.lit("Z"),
+            )
+        )
+    if d in ("double", "float"):
+        return _go_double_render(col.cast("double"))
+    if d == "binary":
+        return col.cast("string")
+    if d == "boolean":
+        return F.when(col, "true").otherwise("false")
+    return col.cast("string")
+
+
+def _sci(sign: Column, sig: Column, exp: Column) -> Column:
+    """Assemble Go scientific notation from a sign ('' or '-'), the
+    significant digits (no dot, trailing zeros already trimmed) and
+    the decimal exponent: ``-1.2345e+06`` (exponent zero-padded to at
+    least two digits, sign always present)."""
+    mant = F.when(
+        F.length(sig) > 1,
+        F.concat(F.substring(sig, 1, 1), F.lit("."), F.substring(sig, 2, _BIG)),
+    ).otherwise(sig)
+    expabs = F.abs(exp)
+    expstr = F.when(expabs < 10, F.concat(F.lit("0"), expabs.cast("string"))
+                    ).otherwise(expabs.cast("string"))
+    return F.concat(
+        sign, mant, F.lit("e"),
+        F.when(exp < 0, "-").otherwise("+"), expstr,
+    )
+
+
+def _go_double_render(c: Column) -> Column:
+    """Go ``%v`` (shortest ``%g``) for float64: fixed form only while
+    the decimal exponent is in [-4, 6), scientific otherwise --
+    ``1e+06`` not ``1000000``, ``0.00012`` not ``1.2e-04``.  Built
+    from exact string surgery on the long cast (integral values) or
+    Java's shortest-round-trip rendering (fractional values), so the
+    digits are always the shortest form both runtimes agree on; only
+    the fixed/scientific styling bands differ and are restyled here."""
+    a = F.abs(c)
+    sign = F.when(c < 0, F.lit("-")).otherwise(F.lit(""))
+    integral = (c == F.floor(c)) & (a < 9.2e18)
+    digits = a.cast("long").cast("string")
+    # integral, fixed band (|v| < 1e6): plain decimal, no ".0".
+    int_fixed = F.concat(sign, digits)
+    # integral, scientific band: exponent = len(digits)-1, significant
+    # digits = trailing zeros trimmed.
+    int_sig = F.regexp_replace(digits, "0+$", "")
+    int_sci = _sci(sign, int_sig, F.length(digits) - 1)
+
+    jstr = a.cast("string")  # Java shortest repr of the magnitude
+    has_e = F.instr(jstr, "E") > 0
+    jmant = F.regexp_extract(jstr, "^([^E]+)", 1)
+    jexp = F.regexp_extract(jstr, "E(.+)$", 1).cast("int")
+    jm_digits = F.regexp_replace(
+        F.regexp_replace(F.replace(jmant, F.lit("."), F.lit("")), "0+$", ""),
+        "^$", "0",
+    )
+    # fractional, Java printed fixed ("123.456"): Go agrees while
+    # |v| < 1e6; in [1e6, 1e7) Go switches to scientific -- rebuild
+    # from the concatenated digits (decimal exponent is fixed at 6).
+    jf_int = F.regexp_extract(jmant, "^([0-9]+)", 1)
+    jf_all = F.regexp_replace(F.replace(jmant, F.lit("."), F.lit("")), "0+$", "")
+    frac_fixed_go_sci = _sci(sign, jf_all, F.length(jf_int) - 1)
+    # fractional, Java printed scientific: Go agrees for exponent >= 6
+    # or < -4; in [-4, -1] Go prints fixed 0.000... form.
+    sci_to_fixed = F.concat(
+        sign, F.lit("0."), F.repeat(F.lit("0"), -jexp - 1), jm_digits,
+    )
+    frac_sci = _sci(sign, jm_digits, jexp)
+
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c == 0, F.lit("0"))
+        .when(integral & (a < 1e6), int_fixed)
+        .when(integral, int_sci)
+        .when(~has_e & (a < 1e6), F.concat(sign, jmant))
+        .when(~has_e, frac_fixed_go_sci)
+        .when((jexp >= -4) & (jexp <= -1), sci_to_fixed)
+        .otherwise(frac_sci)
+    )
+
+
+def _atoi(s: Column) -> Column:
+    """strconv.Atoi: plain optionally-signed decimal only."""
+    ok = s.rlike("^[+-]?[0-9]+$")
+    return F.when(ok, s.cast("long"))
+
+
+def _parse_float(s: Column) -> Column:
+    """strconv.ParseFloat via Spark's strict try-cast."""
+    return s.cast("double")
+
+
+def _stringified(df: DataFrame, cols: list[str]) -> dict[str, Column]:
+    dtypes = dict(df.dtypes)
+    out = {}
+    for c in cols:
+        if c not in dtypes:
+            raise KeyError(f"sqlquery: column {c!r} not in result set")
+        out[c] = go_render(F.col(c), dtypes[c])
+    return out
+
+
+def sql_query_logs(
+    result: DataFrame,
+    logs: list[LogsCfg],
+    observed_ts_ns: int,
+) -> DataFrame:
+    """rowToLog over every (logs config, row).
+
+    Output: (log_cfg_index, body, attributes map<string,string>,
+    observed_time_unix_nano, scope_name, body_missing flag -- the
+    reference's "body_column not found" error surfaced as data)."""
+    needed = sorted({c for lc in logs for c in [lc.body_column, *lc.attribute_columns]})
+    rendered = _stringified(result, needed)
+    parts = []
+    for i, lc in enumerate(logs):
+        body = rendered[lc.body_column]
+        attrs = F.map_filter(
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in lc.attribute_columns])
+                if lc.attribute_columns else F.array().cast("array<string>"),
+                F.array(*[rendered[c] for c in lc.attribute_columns])
+                if lc.attribute_columns else F.array().cast("array<string>"),
+            ),
+            lambda _, v: v.isNotNull(),
+        )
+        parts.append(
+            result.select(
+                F.lit(i).alias("log_cfg_index"),
+                body.alias("body"),
+                attrs.alias("attributes"),
+                F.lit(observed_ts_ns).alias("observed_time_unix_nano"),
+                F.lit(SCOPE_NAME).alias("scope_name"),
+                body.isNull().alias("body_missing"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def run_tracked_query(
+    spark: SparkSession,
+    sql: str,
+    tracking_column: str,
+    tracking_value: str,
+) -> tuple[DataFrame, str]:
+    """One collect() cycle of the tracking loop
+    (logs_receiver.go:283-300): run the parameterized query with the
+    current tracking value, advance the stored value to the tracking
+    column of the last (== maximum, per the ordered-query contract)
+    row; unchanged when the batch is empty."""
+    batch = spark.sql(sql, args={"tracking_value": tracking_value})
+    dtypes = dict(batch.dtypes)
+    if tracking_column not in dtypes:
+        raise KeyError(f"tracking_column {tracking_column!r} not in result set")
+    last = (
+        batch.select(
+            go_render(F.col(tracking_column), dtypes[tracking_column]).alias("tv")
+        )
+        .orderBy(F.col("tv").cast("double").desc_nulls_last(), F.col("tv").desc())
+        .limit(1)
+        .collect()
+    )
+    new_value = last[0]["tv"] if last else tracking_value
+    return batch, new_value
+
+
+def sql_query_metrics(
+    result: DataFrame,
+    metrics: list[MetricCfg],
+    scrape_ts_ns: int,
+    start_ts_ns: int,
+    collection_interval_ns: int = 10_000_000_000,
+) -> DataFrame:
+    """rowToMetric over every (metric config, row).
+
+    Output: (metric_name, description, unit, data_type, is_monotonic,
+    temporality, start_time_unix_nano, time_unix_nano, value_int,
+    value_double, attributes, parse_error)."""
+    needed = sorted(
+        {
+            c
+            for mc in metrics
+            for c in [
+                mc.value_column,
+                *mc.attribute_columns,
+                *( [mc.ts_column] if mc.ts_column else [] ),
+                *( [mc.start_ts_column] if mc.start_ts_column else [] ),
+            ]
+        }
+    )
+    rendered = _stringified(result, needed)
+    parts = []
+    for mc in metrics:
+        val_s = rendered[mc.value_column]
+        if mc.value_type in ("", "int"):
+            v_int = _atoi(val_s)
+            v_dbl = F.lit(None).cast("double")
+            bad_value = val_s.isNull() | _atoi(val_s).isNull()
+        elif mc.value_type == "double":
+            v_int = F.lit(None).cast("long")
+            v_dbl = _parse_float(val_s)
+            bad_value = val_s.isNull() | _parse_float(val_s).isNull()
+        else:
+            raise ValueError(f"unsupported value_type {mc.value_type!r}")
+
+        # metrics.go:25-45 ts ladder: column overrides the scrape
+        # time; unparseable -> error recorded, default kept.
+        ts = F.lit(scrape_ts_ns).cast("long")
+        ts_err = F.lit(False)
+        if mc.ts_column:
+            parsed = _atoi(rendered[mc.ts_column])
+            ts_err = parsed.isNull()
+            ts = F.coalesce(parsed, ts)
+        start = F.lit(start_ts_ns).cast("long")
+        start_err = F.lit(False)
+        if mc.start_ts_column:
+            parsed = _atoi(rendered[mc.start_ts_column])
+            start_err = parsed.isNull()
+            start = F.coalesce(parsed, start)
+
+        is_gauge = mc.data_type in ("", "gauge")
+        # setTimestamp: gauges carry no start; cumulative sums the
+        # cumulation start; delta sums the previous scrape endpoint.
+        if is_gauge:
+            start_out = F.lit(None).cast("long")
+            temporality = F.lit(None).cast("string")
+        elif mc.aggregation == "delta":
+            start_out = ts - F.lit(collection_interval_ns)
+            temporality = F.lit("delta")
+        else:
+            start_out = start
+            temporality = F.lit("cumulative")
+
+        static_keys = list(mc.static_attributes)
+        attrs = F.map_filter(
+            F.map_from_arrays(
+                F.array(
+                    *[F.lit(k) for k in static_keys],
+                    *[F.lit(c) for c in mc.attribute_columns],
+                )
+                if (static_keys or mc.attribute_columns)
+                else F.array().cast("array<string>"),
+                F.array(
+                    *[F.lit(mc.static_attributes[k]) for k in static_keys],
+                    *[rendered[c] for c in mc.attribute_columns],
+                )
+                if (static_keys or mc.attribute_columns)
+                else F.array().cast("array<string>"),
+            ),
+            lambda _, v: v.isNotNull(),
+        )
+        parts.append(
+            result.select(
+                F.lit(mc.metric_name).alias("metric_name"),
+                F.lit(mc.description).alias("description"),
+                F.lit(mc.unit).alias("unit"),
+                F.lit("gauge" if is_gauge else "sum").alias("data_type"),
+                F.lit(bool(mc.monotonic) and not is_gauge).alias("is_monotonic"),
+                temporality.alias("temporality"),
+                start_out.alias("start_time_unix_nano"),
+                ts.alias("time_unix_nano"),
+                v_int.alias("value_int"),
+                v_dbl.alias("value_double"),
+                attrs.alias("attributes"),
+                (bad_value | ts_err | start_err).alias("parse_error"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)

@@ -61,6 +61,8 @@ _PRIORITY_NAMES: list[str] = [
     "jaeger_spans_events",            # round 3: jaeger proto translator
     "faro_logs_events",               # round 3: faro payload translator
     "faro_exception_groups",          # round 3: drained-exception grouping
+    "sqlquery_logs_tracking_events",  # round 3: sqlquery receiver logs
+    "sqlquery_metrics_events",        # round 3: sqlquery receiver metrics
 ]
 
 
@@ -8664,3 +8666,211 @@ def q_fluentforward_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERIES["fluentforward_logs_events"] = q_fluentforward_logs
 _ORACLES["fluentforward_logs_events"] = _FLUENT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# sqlquery receiver (receiver/sqlqueryreceiver/logs_receiver.go,
+# internal/sqlquery/{metrics,row_scanner}.go): run a SQL query, one
+# log record / metric datapoint per configured mapping per row, Go %v
+# row stringification (RFC3339Nano timestamps, shortest-%g doubles),
+# Atoi/ParseFloat value parsing, tracking-column incremental reads.
+# The "database" is Spark SQL itself over the registered tables.
+# ---------------------------------------------------------------------------
+
+_SQLQUERY_LOGS_SQL = """
+SELECT event_id, ts, event_type, value,
+       CASE WHEN event_id % 3 = 0 THEN props END AS props3
+FROM sqlq_events
+WHERE event_id > CAST(:tracking_value AS BIGINT) AND event_id % 7 = 0
+ORDER BY event_id
+"""
+
+
+def q_sqlquery_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sqlquery import (
+        LogsCfg, run_tracked_query, sql_query_logs,
+    )
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("sqlq_events")
+    batch1, after1 = run_tracked_query(
+        spark, _SQLQUERY_LOGS_SQL, "event_id", "400")
+    batch2, after2 = run_tracked_query(
+        spark, _SQLQUERY_LOGS_SQL, "event_id", after1)
+    # second collect() cycle from the stored tracking value must be
+    # empty (idempotent incremental read), and must not move the value.
+    batch2_rows = batch2.count()
+    assert after2 == after1, (after1, after2)
+    logs = sql_query_logs(
+        batch1,
+        [
+            LogsCfg("props3", ["event_type", "event_id", "ts", "value"]),
+            LogsCfg("event_type"),
+        ],
+        observed_ts_ns=1_700_000_000_000_000_000,
+    )
+    return logs.select(
+        "log_cfg_index",
+        "body",
+        F.col("attributes")["event_type"].alias("attr_event_type"),
+        F.col("attributes")["event_id"].alias("attr_event_id"),
+        F.col("attributes")["ts"].alias("attr_ts"),
+        F.col("attributes")["value"].alias("attr_value"),
+        "observed_time_unix_nano",
+        F.col("body_missing").cast("string").alias("body_missing"),
+        F.lit(after1).alias("tracking_after"),
+        F.lit(batch2_rows).cast("long").alias("second_batch_rows"),
+    ).orderBy("log_cfg_index", "attr_event_id")
+
+
+_SQLQUERY_TS_RENDER = """
+strftime({col}, '%Y-%m-%dT%H:%M:%S')
+ || CASE WHEN rtrim(strftime({col}, '%f'), '0') <> ''
+         THEN '.' || rtrim(strftime({col}, '%f'), '0') ELSE '' END
+ || 'Z'
+"""
+
+_SQLQUERY_DBL_RENDER = """
+CASE WHEN {col} = floor({col})
+     THEN CAST(CAST({col} AS BIGINT) AS VARCHAR)
+     ELSE CAST({col} AS VARCHAR) END
+"""
+
+_SQLQUERY_LOGS_ORACLE = f"""
+WITH rows_ AS (
+  SELECT event_id, ts, event_type, value,
+         CASE WHEN event_id % 3 = 0 THEN props END AS props3
+  FROM events WHERE event_id > 400 AND event_id % 7 = 0),
+tracked AS (SELECT CAST(MAX(event_id) AS VARCHAR) AS tv FROM rows_),
+rendered AS (
+  SELECT event_id, props3, event_type,
+         CAST(event_id AS VARCHAR) AS eid_s,
+         {_SQLQUERY_TS_RENDER.format(col="ts")} AS ts_s,
+         {_SQLQUERY_DBL_RENDER.format(col="value")} AS val_s
+  FROM rows_),
+u AS (
+  SELECT 0 AS log_cfg_index, props3 AS body, event_type AS attr_event_type,
+         eid_s AS attr_event_id, ts_s AS attr_ts, val_s AS attr_value,
+         CAST(props3 IS NULL AS VARCHAR) AS body_missing, eid_s AS ord
+  FROM rendered
+  UNION ALL
+  SELECT 1, event_type, NULL, NULL, NULL, NULL, 'false', eid_s
+  FROM rendered)
+SELECT log_cfg_index, body, attr_event_type, attr_event_id, attr_ts,
+       attr_value, 1700000000000000000 AS observed_time_unix_nano,
+       body_missing, (SELECT tv FROM tracked) AS tracking_after,
+       CAST(0 AS BIGINT) AS second_batch_rows
+FROM u ORDER BY log_cfg_index, ord
+"""
+
+_QUERIES["sqlquery_logs_tracking_events"] = q_sqlquery_logs
+_ORACLES["sqlquery_logs_tracking_events"] = _SQLQUERY_LOGS_ORACLE
+
+
+_SQLQUERY_METRICS_SQL = """
+SELECT event_id, event_type, value,
+       unix_micros(CAST(ts AS TIMESTAMP)) * 1000 AS ts_ns,
+       CAST(FLOOR(value) AS DOUBLE) * 1000000 AS big
+FROM sqlq_events WHERE event_id % 20 = 0
+"""
+
+
+def q_sqlquery_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sqlquery import MetricCfg, sql_query_metrics
+
+    _read(spark, sf_dir, "events").createOrReplaceTempView("sqlq_events")
+    result = spark.sql(_SQLQUERY_METRICS_SQL)
+    out = sql_query_metrics(
+        result,
+        [
+            MetricCfg(
+                "events.id.gauge", "event_id",
+                attribute_columns=["event_type"], value_type="int",
+                data_type="gauge", unit="1", description="row id"),
+            MetricCfg(
+                "events.value.sum", "value", value_type="double",
+                data_type="sum", monotonic=True,
+                aggregation="cumulative"),
+            MetricCfg(
+                "events.value.atoi", "value", value_type="int",
+                data_type="gauge",
+                static_attributes={"db.system": "spark"},
+                attribute_columns=["big"]),
+            MetricCfg(
+                "events.id.delta", "event_id", value_type="int",
+                data_type="sum", aggregation="delta",
+                ts_column="ts_ns"),
+        ],
+        scrape_ts_ns=1_700_000_000_000_000_000,
+        start_ts_ns=1_690_000_000_000_000_000,
+        collection_interval_ns=10_000_000_000,
+    )
+    key = F.coalesce(F.col("value_int"), F.col("value_double").cast("long"))
+    return out.select(
+        "metric_name", "description", "unit", "data_type",
+        F.col("is_monotonic").cast("string").alias("is_monotonic"),
+        "temporality", "start_time_unix_nano", "time_unix_nano",
+        "value_int", "value_double",
+        F.col("attributes")["event_type"].alias("attr_event_type"),
+        F.col("attributes")["big"].alias("attr_big"),
+        F.col("attributes")["db.system"].alias("attr_db_system"),
+        F.col("parse_error").cast("string").alias("parse_error"),
+    ).orderBy("metric_name", "time_unix_nano", key)
+
+
+_SQLQUERY_BIG_RENDER = """
+CASE WHEN {col} = 0 THEN '0' ELSE
+ CASE WHEN length(rtrim(CAST(CAST({col} AS BIGINT) AS VARCHAR), '0')) > 1
+      THEN substr(rtrim(CAST(CAST({col} AS BIGINT) AS VARCHAR), '0'), 1, 1)
+           || '.' || substr(rtrim(CAST(CAST({col} AS BIGINT) AS VARCHAR), '0'), 2)
+      ELSE rtrim(CAST(CAST({col} AS BIGINT) AS VARCHAR), '0') END
+ || 'e+' || lpad(CAST(length(CAST(CAST({col} AS BIGINT) AS VARCHAR)) - 1
+                      AS VARCHAR), 2, '0') END
+"""
+
+_SQLQUERY_METRICS_ORACLE = f"""
+WITH rows_ AS (
+  SELECT event_id, event_type, value,
+         epoch_ns(ts) AS ts_ns,
+         CAST(FLOOR(value) AS DOUBLE) * 1000000 AS big
+  FROM events WHERE event_id % 20 = 0),
+rendered AS (
+  SELECT *,
+    {_SQLQUERY_DBL_RENDER.format(col="value")} AS val_s,
+    {_SQLQUERY_BIG_RENDER.format(col="big")} AS big_s
+  FROM rows_),
+u AS (
+  SELECT 'events.id.gauge' AS metric_name, 'row id' AS description,
+         '1' AS unit, 'gauge' AS data_type, 'false' AS is_monotonic,
+         CAST(NULL AS VARCHAR) AS temporality,
+         CAST(NULL AS BIGINT) AS start_time_unix_nano,
+         CAST(1700000000000000000 AS BIGINT) AS time_unix_nano,
+         event_id AS value_int, CAST(NULL AS DOUBLE) AS value_double,
+         event_type AS attr_event_type, CAST(NULL AS VARCHAR) AS attr_big,
+         CAST(NULL AS VARCHAR) AS attr_db_system,
+         'false' AS parse_error
+  FROM rendered
+  UNION ALL
+  SELECT 'events.value.sum', '', '', 'sum', 'true', 'cumulative',
+         1690000000000000000, 1700000000000000000,
+         NULL, value, NULL, NULL, NULL, 'false'
+  FROM rendered
+  UNION ALL
+  SELECT 'events.value.atoi', '', '', 'gauge', 'false', NULL,
+         NULL, 1700000000000000000,
+         CASE WHEN val_s ~ '^[+-]?[0-9]+$'
+              THEN CAST(val_s AS BIGINT) END,
+         NULL, NULL, big_s, 'spark',
+         CAST(NOT (val_s ~ '^[+-]?[0-9]+$') AS VARCHAR)
+  FROM rendered
+  UNION ALL
+  SELECT 'events.id.delta', '', '', 'sum', 'false', 'delta',
+         ts_ns - 10000000000, ts_ns,
+         event_id, NULL, NULL, NULL, NULL, 'false'
+  FROM rendered)
+SELECT * FROM u
+ORDER BY metric_name, time_unix_nano,
+         coalesce(value_int, CAST(value_double AS BIGINT))
+"""
+
+_QUERIES["sqlquery_metrics_events"] = q_sqlquery_metrics
+_ORACLES["sqlquery_metrics_events"] = _SQLQUERY_METRICS_ORACLE

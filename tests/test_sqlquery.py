@@ -1,0 +1,203 @@
+"""sqlquery receiver semantics (internal/sqlquery/{row_scanner,
+metrics}.go, receiver/sqlqueryreceiver/logs_receiver.go): Go %v row
+stringification, Atoi/ParseFloat value parsing, NULL-column drops,
+tracking-column incremental reads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.sqlquery import (
+    LogsCfg,
+    MetricCfg,
+    go_render,
+    run_tracked_query,
+    sql_query_logs,
+    sql_query_metrics,
+)
+
+# fmt.Sprintf("%v", float64(x)) vectors (Go strconv shortest-%g).
+GO_DOUBLE_VECTORS = {
+    0.0: "0",
+    4.1: "4.1",
+    4.0: "4",
+    100.0: "100",
+    123456.0: "123456",
+    999999.0: "999999",
+    1000000.0: "1e+06",
+    1234560.0: "1.23456e+06",
+    12345678.9: "1.23456789e+07",
+    0.00012: "0.00012",
+    0.0001: "0.0001",
+    0.000099: "9.9e-05",
+    1.5e-5: "1.5e-05",
+    -4.1: "-4.1",
+    -1e6: "-1e+06",
+    1234567.8: "1.2345678e+06",
+    2.5e21: "2.5e+21",
+    6.0221409e23: "6.0221409e+23",
+    1e-10: "1e-10",
+}
+
+
+def test_go_double_render_vectors(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in GO_DOUBLE_VECTORS], "v double"
+    )
+    got = {
+        r["v"]: r["s"]
+        for r in df.select(
+            "v", go_render(F.col("v"), "double").alias("s")
+        ).collect()
+    }
+    for v, want in GO_DOUBLE_VECTORS.items():
+        assert got[v] == want, (v, got[v], want)
+
+
+def test_go_render_timestamp_rfc3339nano(spark):
+    df = spark.sql(
+        "SELECT timestamp'2024-03-01 12:34:56.123450' a,"
+        " timestamp'2024-03-01 00:00:00' b,"
+        " timestamp'2024-03-01 01:02:03.000001' c"
+    )
+    row = df.select(
+        go_render(F.col("a"), "timestamp").alias("a"),
+        go_render(F.col("b"), "timestamp").alias("b"),
+        go_render(F.col("c"), "timestamp").alias("c"),
+    ).first()
+    # time.RFC3339Nano trims trailing fraction zeros and drops the
+    # dot entirely at second precision.
+    assert row["a"] == "2024-03-01T12:34:56.12345Z"
+    assert row["b"] == "2024-03-01T00:00:00Z"
+    assert row["c"] == "2024-03-01T01:02:03.000001Z"
+
+
+def test_go_render_other_types(spark):
+    df = spark.sql(
+        "SELECT CAST(42 AS BIGINT) i, true bt, false bf,"
+        " CAST('bytes' AS BINARY) bin, CAST(NULL AS DOUBLE) nd"
+    )
+    row = df.select(
+        go_render(F.col("i"), "bigint").alias("i"),
+        go_render(F.col("bt"), "boolean").alias("bt"),
+        go_render(F.col("bf"), "boolean").alias("bf"),
+        go_render(F.col("bin"), "binary").alias("bin"),
+        go_render(F.col("nd"), "double").alias("nd"),
+    ).first()
+    assert row["i"] == "42"
+    assert row["bt"] == "true" and row["bf"] == "false"
+    assert row["bin"] == "bytes"
+    assert row["nd"] is None  # NULL -> dropped from the row map
+
+
+def test_logs_body_and_null_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "hello", "a"), (2, None, None)],
+        "id bigint, body string, tag string",
+    )
+    out = sql_query_logs(
+        df, [LogsCfg("body", ["tag", "id"])], observed_ts_ns=5
+    ).orderBy(F.col("attributes")["id"])
+    rows = out.collect()
+    assert rows[0]["body"] == "hello"
+    assert rows[0]["attributes"] == {"tag": "a", "id": "1"}
+    assert not rows[0]["body_missing"]
+    # NULL body column => "not found": body unset, error surfaced;
+    # NULL attribute column omitted from the map.
+    assert rows[1]["body"] is None and rows[1]["body_missing"]
+    assert rows[1]["attributes"] == {"id": "2"}
+    assert all(r["observed_time_unix_nano"] == 5 for r in rows)
+
+
+def test_logs_multi_config_fanout(spark):
+    df = spark.createDataFrame([(1, "x")], "id bigint, body string")
+    out = sql_query_logs(
+        df, [LogsCfg("body"), LogsCfg("id")], observed_ts_ns=0
+    )
+    got = {(r["log_cfg_index"], r["body"]) for r in out.collect()}
+    assert got == {(0, "x"), (1, "1")}
+
+
+def test_metrics_atoi_semantics(spark):
+    # Atoi accepts only plain decimals: "4" yes (integral double
+    # renders bare), "4.1" no, and 1e6 renders "1e+06" -> no.
+    df = spark.createDataFrame(
+        [(4.0,), (4.1,), (1000000.0,)], "v double"
+    )
+    out = sql_query_metrics(
+        df,
+        [MetricCfg("m", "v", value_type="int", data_type="gauge")],
+        scrape_ts_ns=10,
+        start_ts_ns=1,
+    ).orderBy(F.col("value_int").asc_nulls_last())
+    rows = out.collect()
+    assert rows[0]["value_int"] == 4 and not rows[0]["parse_error"]
+    assert rows[1]["value_int"] is None and rows[1]["parse_error"]
+    assert rows[2]["value_int"] is None and rows[2]["parse_error"]
+    assert all(r["data_type"] == "gauge" for r in rows)
+    # gauges never carry a start timestamp (metrics.go:70-81)
+    assert all(r["start_time_unix_nano"] is None for r in rows)
+
+
+def test_metrics_sum_temporality_and_ts_column(spark):
+    df = spark.createDataFrame(
+        [(7.5, 1_000_000_000_000)], "v double, tns bigint"
+    )
+    cum, delta = (
+        MetricCfg(
+            "c", "v", value_type="double", data_type="sum",
+            monotonic=True, aggregation="cumulative",
+            ts_column="tns",
+        ),
+        MetricCfg(
+            "d", "v", value_type="double", data_type="sum",
+            aggregation="delta", ts_column="tns",
+        ),
+    )
+    rows = {
+        r["metric_name"]: r
+        for r in sql_query_metrics(
+            df, [cum, delta], scrape_ts_ns=99, start_ts_ns=42,
+            collection_interval_ns=10,
+        ).collect()
+    }
+    c, d = rows["c"], rows["d"]
+    assert c["temporality"] == "cumulative"
+    assert c["time_unix_nano"] == 1_000_000_000_000  # ts_column wins
+    assert c["start_time_unix_nano"] == 42  # scraper start
+    assert c["is_monotonic"] and c["value_double"] == 7.5
+    # delta start = ts - collection interval (setTimestamp)
+    assert d["temporality"] == "delta"
+    assert d["start_time_unix_nano"] == 1_000_000_000_000 - 10
+    assert not d["is_monotonic"]
+
+
+def test_metrics_static_and_column_attributes(spark):
+    df = spark.createDataFrame([(1, "web")], "v bigint, svc string")
+    row = sql_query_metrics(
+        df,
+        [
+            MetricCfg(
+                "m", "v", attribute_columns=["svc"],
+                static_attributes={"env": "prod"},
+            )
+        ],
+        scrape_ts_ns=0,
+        start_ts_ns=0,
+    ).first()
+    assert row["attributes"] == {"env": "prod", "svc": "web"}
+
+
+def test_tracking_advances_and_is_idempotent(spark):
+    spark.createDataFrame(
+        [(i, f"b{i}") for i in range(10)], "id bigint, body string"
+    ).createOrReplaceTempView("trk")
+    sql = (
+        "SELECT id, body FROM trk"
+        " WHERE id > CAST(:tracking_value AS BIGINT) ORDER BY id"
+    )
+    b1, after1 = run_tracked_query(spark, sql, "id", "4")
+    assert b1.count() == 5 and after1 == "9"
+    b2, after2 = run_tracked_query(spark, sql, "id", after1)
+    # empty second cycle: no rows, tracking value unchanged
+    assert b2.count() == 0 and after2 == "9"
