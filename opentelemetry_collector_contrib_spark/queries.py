@@ -63,6 +63,7 @@ _PRIORITY_NAMES: list[str] = [
     "faro_exception_groups",          # round 3: drained-exception grouping
     "sqlquery_logs_tracking_events",  # round 3: sqlquery receiver logs
     "sqlquery_metrics_events",        # round 3: sqlquery receiver metrics
+    "prom_relabel_events",            # round 3: prometheus relabel chain
 ]
 
 
@@ -8874,3 +8875,88 @@ ORDER BY metric_name, time_unix_nano,
 
 _QUERIES["sqlquery_metrics_events"] = q_sqlquery_metrics
 _ORACLES["sqlquery_metrics_events"] = _SQLQUERY_METRICS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Prometheus relabeling (prometheus/prometheus model/relabel/relabel.go
+# Process, the config surface receiver/prometheusreceiver embeds for
+# relabel_configs/metric_relabel_configs): replace with target-name
+# template expansion + empty-delete, keep/drop, dropequal, hashmod
+# (md5 low-64 mod), labelmap with set-overwrite, labeldrop, case
+# folding, end-of-chain empty-value removal.  Oracle recomputes the
+# chain's closed form natively in DuckDB (same md5 hex digits).
+# ---------------------------------------------------------------------------
+
+def q_prom_relabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relabel import RelabelConfig, apply_relabel, labels_kv
+
+    ev = _read(spark, sf_dir, "events")
+    entry = lambda k, v: F.struct(F.lit(k).alias("k"), v.alias("v"))  # noqa: E731
+    labeled = ev.select(
+        "event_id",
+        F.array(
+            entry("__name__", F.concat(F.lit("evt_"), F.col("event_type"))),
+            entry("job", F.lit("web")),
+            entry("instance", F.concat(
+                F.lit("host-"), (F.col("user_id") % 20).cast("string"),
+                F.lit(":9090"))),
+            entry("code", (100 + (F.col("event_id") % 5) * 100).cast("string")),
+        ).cast("array<struct<k:string,v:string>>").alias("labels"),
+    )
+    out = apply_relabel(
+        labeled,
+        [
+            RelabelConfig(action="replace", source_labels=["code"],
+                          regex="([45]..)", target_label="error_code",
+                          replacement="$1"),
+            RelabelConfig(action="keep", source_labels=["__name__"],
+                          regex="evt_(click|view|error)"),
+            RelabelConfig(action="hashmod", source_labels=["instance"],
+                          modulus=16, target_label="__tmp_shard"),
+            RelabelConfig(action="drop", source_labels=["__tmp_shard"],
+                          regex="1[0-5]"),
+            RelabelConfig(action="labelmap", regex="__tmp_(.+)",
+                          replacement="meta_$1"),
+            RelabelConfig(action="labeldrop", regex="__tmp_.*"),
+            RelabelConfig(action="uppercase", source_labels=["job"],
+                          target_label="job_uc"),
+            RelabelConfig(action="replace", source_labels=["code"],
+                          regex="2..", target_label="code",
+                          replacement=""),
+            RelabelConfig(action="dropequal", source_labels=["error_code"],
+                          target_label="code"),
+        ],
+    )
+    return out.select(
+        "event_id",
+        labels_kv(F.col("labels")).alias("labels_kv"),
+        F.col("relabel_keep").cast("string").alias("keep_flag"),
+    ).orderBy("event_id")
+
+
+_PROM_RELABEL_ORACLE = """
+WITH base AS (
+  SELECT event_id,
+         'evt_' || event_type AS name_v,
+         'host-' || CAST(user_id % 20 AS VARCHAR) || ':9090' AS inst,
+         CAST(100 + (event_id % 5) * 100 AS VARCHAR) AS code_v,
+         event_type
+  FROM events),
+sh AS (
+  SELECT *,
+         strpos('0123456789abcdef', substr(md5(inst), 32, 1)) - 1 AS shard
+  FROM base)
+SELECT event_id,
+  '__name__=' || name_v
+   || CASE WHEN code_v LIKE '2%' THEN '' ELSE ',code=' || code_v END
+   || CASE WHEN code_v LIKE '4%' OR code_v LIKE '5%'
+           THEN ',error_code=' || code_v ELSE '' END
+   || ',instance=' || inst || ',job=web,job_uc=WEB,meta_shard='
+   || CAST(shard AS VARCHAR) AS labels_kv,
+  CAST(event_type IN ('click','view','error') AND shard < 10
+       AND code_v IN ('100','300') AS VARCHAR) AS keep_flag
+FROM sh ORDER BY event_id
+"""
+
+_QUERIES["prom_relabel_events"] = q_prom_relabel
+_ORACLES["prom_relabel_events"] = _PROM_RELABEL_ORACLE

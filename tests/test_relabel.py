@@ -1,0 +1,246 @@
+"""Prometheus relabel actions (prometheus/prometheus
+model/relabel/relabel.go Process), as embedded by
+receiver/prometheusreceiver for (metric_)relabel_configs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.relabel import (
+    RelabelConfig,
+    apply_relabel,
+    labels_kv,
+)
+
+ENTRIES = "array<struct<k:string,v:string>>"
+
+
+def _mk(spark, *label_dicts):
+    rows = [
+        (i, [(k, v) for k, v in sorted(d.items())])
+        for i, d in enumerate(label_dicts)
+    ]
+    return spark.createDataFrame(rows, f"id bigint, labels {ENTRIES}")
+
+
+def _out(df):
+    return [
+        (r["kv"], r["relabel_keep"])
+        for r in df.select(
+            labels_kv(F.col("labels")).alias("kv"), "relabel_keep"
+        ).orderBy("id").collect()
+    ]
+
+
+def test_replace_sets_expands_and_deletes(spark):
+    df = _mk(
+        spark,
+        {"__address__": "host:9090"},   # match -> port extracted
+        {"__address__": "nohit"},       # no match -> no-op
+    )
+    out = _out(
+        apply_relabel(
+            df,
+            [
+                RelabelConfig(
+                    action="replace",
+                    source_labels=["__address__"],
+                    regex="(.+):(\\d+)",
+                    target_label="port_$2",
+                    replacement="p$2",
+                )
+            ],
+        )
+    )
+    # the TARGET name itself is template-expanded
+    assert out[0] == ("__address__=host:9090,port_9090=p9090", True)
+    assert out[1] == ("__address__=nohit", True)
+
+
+def test_replace_empty_replacement_deletes_target(spark):
+    df = _mk(spark, {"code": "204", "job": "j"})
+    out = _out(
+        apply_relabel(
+            df,
+            [
+                RelabelConfig(
+                    action="replace",
+                    source_labels=["code"],
+                    regex="2..",
+                    target_label="code",
+                    replacement="",
+                )
+            ],
+        )
+    )
+    assert out[0] == ("job=j", True)
+
+
+def test_replace_invalid_target_name_is_noop(spark):
+    df = _mk(spark, {"a": "x"})
+    out = _out(
+        apply_relabel(
+            df,
+            [
+                RelabelConfig(
+                    action="replace",
+                    source_labels=["a"],
+                    regex="(.*)",
+                    target_label="bad-name",
+                    replacement="v",
+                )
+            ],
+        )
+    )
+    assert out[0] == ("a=x", True)
+
+
+def test_keep_drop_and_equal_variants(spark):
+    df = _mk(
+        spark,
+        {"job": "web", "env": "prod", "canary": "prod"},
+        {"job": "db", "env": "prod", "canary": "stage"},
+    )
+    keep = apply_relabel(
+        df, [RelabelConfig(action="keep", source_labels=["job"],
+                           regex="web")]
+    )
+    assert [k for _, k in _out(keep)] == [True, False]
+    drop = apply_relabel(
+        df, [RelabelConfig(action="drop", source_labels=["job"],
+                           regex="web")]
+    )
+    assert [k for _, k in _out(drop)] == [False, True]
+    # keepequal: joined source value must equal the target's value
+    keq = apply_relabel(
+        df, [RelabelConfig(action="keepequal", source_labels=["env"],
+                           target_label="canary")]
+    )
+    assert [k for _, k in _out(keq)] == [True, False]
+    deq = apply_relabel(
+        df, [RelabelConfig(action="dropequal", source_labels=["env"],
+                           target_label="canary")]
+    )
+    assert [k for _, k in _out(deq)] == [False, True]
+
+
+def test_missing_source_label_joins_empty(spark):
+    df = _mk(spark, {"a": "1"})
+    out = _out(
+        apply_relabel(
+            df,
+            [
+                RelabelConfig(
+                    action="replace",
+                    source_labels=["a", "nope", "a"],
+                    separator=";",
+                    regex="1;;1",
+                    target_label="hit",
+                    replacement="yes",
+                )
+            ],
+        )
+    )
+    assert out[0] == ("a=1,hit=yes", True)
+
+
+def test_hashmod_matches_go_md5_low64(spark):
+    vals = ["host-1:9090", "host-2:9090", "", "x" * 100]
+    modulus = 1000
+    df = _mk(spark, *[{"instance": v} for v in vals])
+    out = apply_relabel(
+        df,
+        [
+            RelabelConfig(
+                action="hashmod", source_labels=["instance"],
+                modulus=modulus, target_label="shard",
+            )
+        ],
+    ).select(F.col("labels")).orderBy("id").collect()
+    for v, row in zip(vals, out):
+        # Go: binary.BigEndian.Uint64(md5.Sum(val)[8:]) % modulus
+        want = int.from_bytes(
+            hashlib.md5(v.encode()).digest()[8:], "big"
+        ) % modulus
+        got = {e["k"]: e["v"] for e in row["labels"]}.get("shard")
+        assert got == str(want), (v, got, want)
+
+
+def test_lowercase_uppercase(spark):
+    df = _mk(spark, {"m": "FooBar"})
+    out = _out(
+        apply_relabel(
+            df,
+            [
+                RelabelConfig(action="lowercase", source_labels=["m"],
+                              target_label="lc"),
+                RelabelConfig(action="uppercase", source_labels=["m"],
+                              target_label="uc"),
+            ],
+        )
+    )
+    assert out[0] == ("lc=foobar,m=FooBar,uc=FOOBAR", True)
+
+
+def test_labelmap_overwrites_existing(spark):
+    df = _mk(spark, {"__meta_dc": "us1", "dc": "old", "job": "j"})
+    out = _out(
+        apply_relabel(
+            df,
+            [
+                RelabelConfig(action="labelmap", regex="__meta_(.+)",
+                              replacement="$1")
+            ],
+        )
+    )
+    assert out[0] == ("__meta_dc=us1,dc=us1,job=j", True)
+
+
+def test_labeldrop_labelkeep(spark):
+    df = _mk(spark, {"__tmp_a": "1", "job": "j", "instance": "i"})
+    out = _out(
+        apply_relabel(
+            df,
+            [RelabelConfig(action="labeldrop", regex="__tmp_.*")],
+        )
+    )
+    assert out[0] == ("instance=i,job=j", True)
+    out = _out(
+        apply_relabel(
+            df,
+            [RelabelConfig(action="labelkeep", regex="job|instance")],
+        )
+    )
+    assert out[0] == ("instance=i,job=j", True)
+
+
+def test_empty_value_labels_removed_after_chain(spark):
+    df = _mk(spark, {"a": "x", "b": ""})
+    out = _out(apply_relabel(df, []))
+    assert out[0] == ("a=x", True)
+
+
+def test_chain_order_matters(spark):
+    # hashmod -> drop-by-shard -> labelmap copy -> labeldrop tmp
+    df = _mk(spark, {"instance": "host-7:9090", "job": "j"})
+    shard = int.from_bytes(
+        hashlib.md5(b"host-7:9090").digest()[8:], "big"
+    ) % 4
+    out = _out(
+        apply_relabel(
+            df,
+            [
+                RelabelConfig(action="hashmod",
+                              source_labels=["instance"],
+                              modulus=4, target_label="__tmp_shard"),
+                RelabelConfig(action="labelmap", regex="__tmp_(.+)",
+                              replacement="meta_$1"),
+                RelabelConfig(action="labeldrop", regex="__tmp_.*"),
+            ],
+        )
+    )
+    assert out[0] == (
+        f"instance=host-7:9090,job=j,meta_shard={shard}", True
+    )
