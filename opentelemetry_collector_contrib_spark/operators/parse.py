@@ -172,19 +172,39 @@ _STRPTIME_TO_SPARK = {
 
 def strptime_to_spark(layout: str) -> str:
     out: list[str] = []
+    run: list[str] = []  # pending literal characters
+
+    def flush() -> None:
+        # Quote a literal RUN as one unit: adjacent single-quoted
+        # letters ('y''e') read as escaped quotes in Java's pattern
+        # syntax, so per-character quoting corrupts multi-letter
+        # literals like "year=".
+        if not run:
+            return
+        s = "".join(run)
+        if any(c.isalpha() for c in s) or "'" in s:
+            out.append("'" + s.replace("'", "''") + "'")
+        else:
+            out.append(s)
+        run.clear()
+
     i = 0
     while i < len(layout):
         if layout[i] == "%" and i + 1 < len(layout):
             d = layout[i : i + 2]
+            if d == "%%":
+                run.append("%")
+                i += 2
+                continue
             if d not in _STRPTIME_TO_SPARK:
                 raise ValueError(f"unsupported strptime directive {d!r}")
+            flush()
             out.append(_STRPTIME_TO_SPARK[d])
             i += 2
         else:
-            ch = layout[i]
-            # quote literal letters for Spark's pattern syntax
-            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            run.append(layout[i])
             i += 1
+    flush()
     return "".join(out)
 
 

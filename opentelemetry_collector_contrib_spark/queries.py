@@ -64,6 +64,7 @@ _PRIORITY_NAMES: list[str] = [
     "sqlquery_logs_tracking_events",  # round 3: sqlquery receiver logs
     "sqlquery_metrics_events",        # round 3: sqlquery receiver metrics
     "prom_relabel_events",            # round 3: prometheus relabel chain
+    "s3_exporter_keys_events",        # round 3: s3 partition-key plan
 ]
 
 
@@ -8960,3 +8961,59 @@ FROM sh ORDER BY event_id
 
 _QUERIES["prom_relabel_events"] = q_prom_relabel
 _ORACLES["prom_relabel_events"] = _PROM_RELABEL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# awss3exporter partition keys (exporter/awss3exporter/internal/upload/
+# partition.go Build, exporter.go getUploadOpts): strftime time-bucket
+# directories under base/prefix with resource-attr prefix/bucket
+# overrides, file suffix ladder, and an idempotent per-bucket object
+# plan (deterministic unique key -> re-runs rewrite, never duplicate).
+# ---------------------------------------------------------------------------
+
+def q_s3_exporter_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.s3paths import S3PartitionKeyBuilder, s3_upload_plan
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(F.col("user_id") % 3 == 0,
+               F.concat(F.lit("tenant-"),
+                        (F.col("user_id") % 3).cast("string")))
+         .otherwise(F.lit("")).alias("tenant_prefix"),
+        F.when(F.col("user_id") % 5 == 0, F.lit("archive-bucket"))
+         .otherwise(F.lit("")).alias("bucket_attr"),
+    )
+    b = S3PartitionKeyBuilder(
+        base_prefix="telemetry", prefix="logs-default",
+        metadata="logs", file_format="json", compression="gzip",
+        file_prefix="part_",
+    )
+    return s3_upload_plan(
+        ev, b, ts_col="ts", override_prefix_col="tenant_prefix",
+        bucket_attr_col="bucket_attr", default_bucket="otel-data",
+    ).orderBy("s3_bucket", "s3_key")
+
+
+_S3_KEYS_ORACLE = """
+WITH src AS (
+  SELECT CASE WHEN user_id % 5 = 0 THEN 'archive-bucket'
+              ELSE 'otel-data' END AS s3_bucket,
+         'telemetry/'
+          || CASE WHEN user_id % 3 = 0 THEN 'tenant-0'
+                  ELSE 'logs-default' END
+          || '/' || strftime(ts,
+               'year=%Y/month=%m/day=%d/hour=%H/minute=%M')
+           AS dir_prefix
+  FROM events),
+g AS (
+  SELECT s3_bucket, dir_prefix, COUNT(*) AS row_count
+  FROM src GROUP BY 1, 2)
+SELECT s3_bucket,
+       dir_prefix || '/part_logs_' || substr(md5(dir_prefix), 1, 8)
+        || '.json.gz' AS s3_key,
+       row_count
+FROM g ORDER BY s3_bucket, s3_key
+"""
+
+_QUERIES["s3_exporter_keys_events"] = q_s3_exporter_keys
+_ORACLES["s3_exporter_keys_events"] = _S3_KEYS_ORACLE

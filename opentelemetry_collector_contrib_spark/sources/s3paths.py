@@ -1,0 +1,156 @@
+"""awss3exporter object-key partitioning
+(exporter/awss3exporter/internal/upload/partition.go
+``PartitionKeyBuilder``, exporter.go ``getUploadOpts``): the S3 key
+layout that rolls telemetry into time-bucketed "directories".
+
+Key shape (partition.go:60-103)::
+
+    [base_prefix/][prefix/]<strftime(partition_format, ts)>/
+        <file_prefix><metadata>_<unique>[.<file_format>][.gz|.zst]
+
+* ``prefix`` is overridden per batch by a resource attribute when
+  ``resource_attrs_to_s3.s3_prefix`` names one (exporter.go:44-60);
+  an empty attribute value keeps the configured prefix.  The bucket
+  can be overridden the same way.
+* the partition timestamp is rendered in the configured timezone
+  (s3_writer.go:94-102; default local, this engine defaults UTC).
+* Go ``path.Join`` cleans the joined key: duplicate slashes collapse
+  and a trailing slash drops.
+* the reference's ``uniqueKey`` is a random int (or uuidv7) purely to
+  avoid collisions between uploader nodes (partition.go:105-135).  A
+  distributed engine wants idempotent re-runs instead, so uniqueness
+  is an INJECTED deterministic column (e.g. a hash of the bucket dir
+  + batch id) -- same contract (distinct writers never collide), but
+  a retried batch overwrites its own object rather than duplicating
+  it, which is the exactly-once story the north rule asks for.
+
+Spark-first shape: key construction is a map-only Column; one object
+per distinct directory bucket falls out of a combinable groupBy, and a
+real write would ``partitionBy`` the same column.  At 10^12 rows the
+only shuffle is the per-bucket aggregation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.parse import strptime_to_spark
+
+DEFAULT_PARTITION_FORMAT = "year=%Y/month=%m/day=%d/hour=%H/minute=%M"
+
+_COMPRESSION_EXT = {"gzip": ".gz", "zstd": ".zst"}
+
+
+@dataclass
+class S3PartitionKeyBuilder:
+    """upload.PartitionKeyBuilder (partition.go:23-58)."""
+
+    base_prefix: str = ""
+    prefix: str = ""
+    partition_format: str = DEFAULT_PARTITION_FORMAT
+    partition_timezone: str = "UTC"
+    file_prefix: str = ""
+    file_format: str = ""
+    metadata: str = "logs"      # "metrics" | "traces" | "logs"
+    compression: str = ""
+
+
+def _clean_join(parts: list[Column]) -> Column:
+    """Go path.Join: join non-empty parts with '/', collapse duplicate
+    slashes, drop a trailing slash."""
+    joined = F.concat_ws(
+        "/", *[F.when(p != "", p) for p in parts]
+    )
+    collapsed = F.regexp_replace(joined, "/+", "/")
+    return F.regexp_replace(collapsed, "(.)/$", "$1")
+
+
+def s3_directory_prefix(
+    builder: S3PartitionKeyBuilder,
+    ts: Column,
+    override_prefix: Column | None = None,
+) -> Column:
+    """bucketKeyPrefix (partition.go:64-89): base prefix, then the
+    (possibly overridden) prefix, then the strftime time bucket."""
+    prefix: Column = F.lit(builder.prefix)
+    if override_prefix is not None:
+        prefix = F.when(
+            override_prefix.isNotNull() & (override_prefix != ""),
+            override_prefix,
+        ).otherwise(prefix)
+    local_ts = ts
+    if builder.partition_timezone not in ("", "UTC"):
+        local_ts = F.from_utc_timestamp(ts, builder.partition_timezone)
+    bucket = F.date_format(
+        local_ts, strptime_to_spark(builder.partition_format)
+    )
+    return _clean_join([F.lit(builder.base_prefix), prefix, bucket])
+
+
+def s3_object_key(
+    builder: S3PartitionKeyBuilder,
+    ts: Column,
+    unique: Column,
+    override_prefix: Column | None = None,
+) -> Column:
+    """Build (partition.go:60-62): directory prefix + fileName, where
+    fileName = file_prefix + metadata + '_' + unique + suffixes
+    (partition.go:91-103)."""
+    suffix = ""
+    if builder.file_format:
+        suffix += "." + builder.file_format
+    suffix += _COMPRESSION_EXT.get(builder.compression, "")
+    fname = F.concat(
+        F.lit(builder.file_prefix + builder.metadata + "_"),
+        unique,
+        F.lit(suffix),
+    )
+    return _clean_join(
+        [s3_directory_prefix(builder, ts, override_prefix), fname]
+    )
+
+
+def s3_upload_plan(
+    df: DataFrame,
+    builder: S3PartitionKeyBuilder,
+    ts_col: str = "ts",
+    override_prefix_col: str | None = None,
+    bucket_attr_col: str | None = None,
+    default_bucket: str = "",
+) -> DataFrame:
+    """One row per object the exporter would PUT: the directory bucket
+    collapses same-minute rows into one upload whose deterministic
+    unique key is derived from the directory itself, so a re-run of
+    the same batch rewrites the same keys (idempotent sink).
+
+    Returns (s3_bucket, s3_key, row_count)."""
+    override = (
+        F.col(override_prefix_col) if override_prefix_col else None
+    )
+    dirp = s3_directory_prefix(builder, F.col(ts_col), override)
+    bucket = F.lit(default_bucket)
+    if bucket_attr_col:
+        b = F.col(bucket_attr_col)
+        bucket = F.when(b.isNotNull() & (b != ""), b).otherwise(bucket)
+    grouped = (
+        df.select(bucket.alias("s3_bucket"), dirp.alias("dir_prefix"))
+        .groupBy("s3_bucket", "dir_prefix")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+    )
+    suffix = ""
+    if builder.file_format:
+        suffix += "." + builder.file_format
+    suffix += _COMPRESSION_EXT.get(builder.compression, "")
+    unique = F.substring(F.md5(F.col("dir_prefix")), 1, 8)
+    key = F.concat(
+        F.col("dir_prefix"),
+        F.lit("/" + builder.file_prefix + builder.metadata + "_"),
+        unique,
+        F.lit(suffix),
+    )
+    return grouped.select(
+        "s3_bucket", key.alias("s3_key"), "row_count"
+    )

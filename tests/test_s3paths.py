@@ -1,0 +1,104 @@
+"""awss3exporter partition-key semantics
+(exporter/awss3exporter/internal/upload/partition.go)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.sources.s3paths import (
+    S3PartitionKeyBuilder,
+    s3_object_key,
+    s3_upload_plan,
+)
+
+
+def _key(spark, builder, ts="2024-03-01 12:34:56", override=None,
+         unique="u1"):
+    df = spark.sql(f"select timestamp'{ts}' ts")
+    ov = F.lit(override) if override is not None else None
+    return df.select(
+        s3_object_key(builder, F.col("ts"), F.lit(unique), ov).alias("k")
+    ).first()["k"]
+
+
+def test_default_partition_format_and_suffixes(spark):
+    b = S3PartitionKeyBuilder(
+        base_prefix="telemetry", prefix="logs-default",
+        metadata="logs", file_format="json", compression="gzip",
+        file_prefix="part_",
+    )
+    assert _key(spark, b) == (
+        "telemetry/logs-default/year=2024/month=03/day=01/hour=12"
+        "/minute=34/part_logs_u1.json.gz"
+    )
+
+
+def test_empty_parts_skipped_and_slashes_cleaned(spark):
+    # path.Join semantics: empty base/prefix contribute nothing,
+    # duplicate slashes collapse.
+    b = S3PartitionKeyBuilder(
+        base_prefix="", prefix="p//x/", partition_format="%Y",
+        metadata="metrics",
+    )
+    assert _key(spark, b) == "p/x/2024/metrics_u1"
+
+
+def test_override_prefix_resource_attr(spark):
+    b = S3PartitionKeyBuilder(prefix="configured",
+                              partition_format="%Y")
+    # non-empty attribute overrides; empty keeps configured
+    assert _key(spark, b, override="tenant-a") == (
+        "tenant-a/2024/logs_u1"
+    )
+    assert _key(spark, b, override="") == "configured/2024/logs_u1"
+
+
+def test_partition_timezone(spark):
+    b = S3PartitionKeyBuilder(
+        partition_format="%Y-%m-%d/%H",
+        partition_timezone="America/New_York",
+    )
+    # 2024-03-01 03:30 UTC is 22:30 the previous day in New York
+    assert _key(spark, b, ts="2024-03-01 03:30:00") == (
+        "2024-02-29/22/logs_u1"
+    )
+
+
+def test_zstd_extension_and_no_format(spark):
+    b = S3PartitionKeyBuilder(partition_format="%Y",
+                              compression="zstd", metadata="traces")
+    assert _key(spark, b) == "2024/traces_u1.zst"
+
+
+def test_upload_plan_is_deterministic_and_bucketed(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-03-01 12:34:00", "t0"),
+            ("2024-03-01 12:34:59", "t0"),   # same minute bucket
+            ("2024-03-01 12:35:00", ""),     # next minute, no override
+        ],
+        "tstr string, tenant string",
+    ).select(F.to_timestamp("tstr").alias("ts"), "tenant")
+    b = S3PartitionKeyBuilder(
+        base_prefix="t", prefix="d", metadata="logs",
+        file_format="json",
+    )
+    plan1 = s3_upload_plan(
+        df, b, ts_col="ts", override_prefix_col="tenant",
+        default_bucket="bkt",
+    ).orderBy("s3_key").collect()
+    plan2 = s3_upload_plan(
+        df, b, ts_col="ts", override_prefix_col="tenant",
+        default_bucket="bkt",
+    ).orderBy("s3_key").collect()
+    # idempotent: a re-run produces byte-identical object keys
+    assert [r["s3_key"] for r in plan1] == [r["s3_key"] for r in plan2]
+    assert [r["row_count"] for r in plan1] == [2, 1] or [
+        r["row_count"] for r in plan1
+    ] == [1, 2]
+    assert all(r["s3_bucket"] == "bkt" for r in plan1)
+    buckets = {r["s3_key"].rsplit("/", 1)[0] for r in plan1}
+    assert buckets == {
+        "t/t0/year=2024/month=03/day=01/hour=12/minute=34",
+        "t/d/year=2024/month=03/day=01/hour=12/minute=35",
+    }
