@@ -77,16 +77,14 @@ def _severity_level(sev: Column) -> Column:
 
 
 def _merge_last_wins(*entry_arrays: Column) -> Column:
-    """LabelSet.Merge: later sources overwrite earlier keys."""
-    allc = F.concat(*entry_arrays)
-    deduped = F.filter(
-        allc,
-        lambda e, i: ~F.exists(
-            F.slice(allc, i + 2, F.size(allc)),
-            lambda later: later["key"] == e["key"],
-        ),
-    )
-    return deduped
+    """LabelSet.Merge: later sources overwrite earlier keys.
+
+    One native pass: with ``spark.sql.mapKeyDedupPolicy=LAST_WIN``
+    (session.py) ``map_from_entries`` IS last-wins dedup.  The previous
+    formulation filtered the concat against a slice of ITSELF, and
+    interpreted higher-order functions re-evaluate the referenced
+    subtree per probe -- O(entries^2 x upstream battery) per row."""
+    return F.map_entries(F.map_from_entries(F.concat(*entry_arrays)))
 
 
 def _selected_labels(source: Column, hint_val: Column) -> Column:

@@ -59,41 +59,39 @@ def prw_label_entries(dp_attrs: Column, res_attrs: Column) -> Column:
             normalize_label(e["key"]).alias("key"), e["value"].alias("value")
         ),
     )
-    # collision merge: keep first occurrence, append later DIFFERENT
-    # values with ';'
-    merged = F.filter(
-        F.transform(
-            sanitized,
-            lambda e, i: F.struct(
-                e["key"].alias("key"),
-                # Go fold: append ';'+v only when v differs from the
-                # accumulated value so far (helper.go:138-147)
-                F.aggregate(
-                    F.transform(
-                        F.filter(sanitized, lambda x: x["key"] == e["key"]),
-                        lambda x: x["value"],
-                    ),
-                    F.lit(""),
-                    lambda acc, v: (
-                        F.when(acc == "", v)
-                        .when(acc == v, acc)
-                        .otherwise(F.concat(acc, F.lit(";"), v))
-                    ),
-                ).alias("value"),
-                (
-                    F.array_position(
-                        F.transform(sanitized, lambda x: x["key"]), e["key"]
+    # collision merge as ONE map fold (Go helper.go:138-147: append
+    # ';'+v only when v differs from the accumulated value so far).
+    # The fold references only its lambda variables, so interpreted
+    # HOF evaluation stays O(n); the previous per-entry
+    # filter+aggregate over `sanitized` re-evaluated the sanitize
+    # battery per probe.  Downstream renders sort by key, so the
+    # map's entry order is immaterial.
+    merged_map = F.aggregate(
+        sanitized,
+        _empty_map(),
+        lambda acc, e: F.map_concat(
+            acc,
+            F.create_map(
+                e["key"],
+                F.when(
+                    ~F.map_contains_key(acc, e["key"]), e["value"]
+                )
+                .when(F.try_element_at(acc, e["key"]) == "", e["value"])
+                .when(
+                    F.try_element_at(acc, e["key"]) == e["value"],
+                    e["value"],
+                )
+                .otherwise(
+                    F.concat(
+                        F.try_element_at(acc, e["key"]),
+                        F.lit(";"),
+                        e["value"],
                     )
-                    == i + 1
-                ).alias("first"),
+                ),
             ),
         ),
-        lambda e: e["first"],
     )
-    entries = F.transform(
-        merged,
-        lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")),
-    )
+    entries = F.map_entries(merged_map)
 
     svc = F.element_at(res, "service.name")
     ns = F.element_at(res, "service.namespace")
@@ -111,14 +109,11 @@ def prw_label_entries(dp_attrs: Column, res_attrs: Column) -> Column:
             ),
         ).otherwise(F.array().cast("array<struct<key string, value string>>")),
     ]
-    # later entries win (job/instance overwrite attr labels)
-    allc = F.concat(entries, *overrides)
-    return F.filter(
-        allc,
-        lambda e, i: ~F.exists(
-            F.slice(allc, i + 2, F.size(allc)),
-            lambda later: later["key"] == e["key"],
-        ),
+    # later entries win (job/instance overwrite attr labels):
+    # map_from_entries under LAST_WIN dedup (session.py) is exactly
+    # that semantics, natively.
+    return F.map_entries(
+        F.map_from_entries(F.concat(entries, *overrides))
     )
 
 
@@ -136,25 +131,18 @@ def render_labels(
             allc,
             F.array(F.struct(F.lit(k).alias("key"), v.alias("value"))),
         )
-    deduped = F.filter(
-        allc,
-        lambda e, i: ~F.exists(
-            F.slice(allc, i + 2, F.size(allc)),
-            lambda later: later["key"] == e["key"],
-        ),
-    )
-    # external labels only when absent
+    # extras win last (LAST_WIN map_from_entries); external labels
+    # apply only when absent -- i.e. they LOSE to everything, so they
+    # go FIRST through the same last-wins fold.
     if external_labels:
-        ext = F.filter(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
-                    for k, v in external_labels.items()
-                ]
-            ),
-            lambda e: ~F.exists(deduped, lambda d: d["key"] == e["key"]),
+        ext = F.array(
+            *[
+                F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
+                for k, v in external_labels.items()
+            ]
         )
-        deduped = F.concat(deduped, ext)
+        allc = F.concat(ext, allc)
+    deduped = F.map_entries(F.map_from_entries(allc))
     return F.array_join(
         F.transform(
             F.array_sort(deduped),

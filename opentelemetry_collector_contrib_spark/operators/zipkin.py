@@ -150,10 +150,22 @@ def _split_encoded(val: Column, min_parts: int) -> Column:
 def zipkin_json_to_spans(
     df: DataFrame, json_col: str = "json", parse_string_tags: bool = False
 ) -> DataFrame:
-    z = F.from_json(F.col(json_col), ZIPKIN_JSON_SCHEMA)
-    tags = F.coalesce(
-        z["tags"], F.create_map().cast("map<string,string>")
+    # Stage the parsed JSON and the tag map as named columns: every
+    # downstream reference then reads a cheap attribute instead of
+    # re-inlining the parse/coalesce subtree (interpreted HOFs do not
+    # CSE across references).
+    df = df.select(
+        "*",
+        F.from_json(F.col(json_col), ZIPKIN_JSON_SCHEMA).alias("__z"),
     )
+    z = F.col("__z")
+    df = df.select(
+        "*",
+        F.coalesce(
+            z["tags"], F.create_map().cast("map<string,string>")
+        ).alias("__ztags"),
+    )
+    tags = F.col("__ztags")
 
     kind = (
         F.when(F.upper(z["kind"]) == "CLIENT", F.lit("client"))
@@ -243,6 +255,10 @@ def zipkin_json_to_spans(
         lambda a, b: link_idx(a) - link_idx(b),
     )
     link_entries = F.filter(link_entries, lambda e, i: link_idx(e) == i)
+    # Stage the consumed-link prefix: both the attribute strip and the
+    # link extraction read it.
+    df = df.select("*", link_entries.alias("__zlinks"))
+    link_entries = F.col("__zlinks")
     link_prefix_n = F.size(link_entries)
 
     # span attributes: tags minus nonSpanAttributes minus consumed keys
@@ -305,44 +321,49 @@ def zipkin_json_to_spans(
     )
     end_ns = start_ns + F.coalesce(z["duration"], F.lit(0)) * 1000
 
+    # two-stage transform: the inner pass evaluates the split battery
+    # ONCE per annotation (as a struct field of the lambda variable);
+    # the outer pass extracts fields cheaply.
     events = F.transform(
-        F.coalesce(
-            z["annotations"],
-            F.array().cast("array<struct<timestamp long, value string>>"),
+        F.transform(
+            F.coalesce(
+                z["annotations"],
+                F.array().cast(
+                    "array<struct<timestamp long, value string>>"
+                ),
+            ),
+            lambda a: F.struct(
+                (a["timestamp"] * 1000).alias("ts_ns"),
+                _split_encoded(a["value"], 3).alias("enc"),
+            ),
         ),
-        lambda a: F.struct(
-            (a["timestamp"] * 1000).alias("ts_ns"),
-            _split_encoded(a["value"], 3)["head"].alias("name"),
-            _split_encoded(a["value"], 3)["body"].alias("attrs_json"),
-            _split_encoded(a["value"], 3)["dropped"].alias("dropped"),
+        lambda s: F.struct(
+            s["ts_ns"].alias("ts_ns"),
+            s["enc"]["head"].alias("name"),
+            s["enc"]["body"].alias("attrs_json"),
+            s["enc"]["dropped"].alias("dropped"),
         ),
     )
 
     # partCnt < 5 links are consumed but skipped (to_translator.go:291-293)
-    link_entries = F.filter(
-        link_entries,
-        lambda e: F.size(F.split(e["value"], r"\|", -1)) >= 5,
-    )
+    # split ONCE per link (inner transform), extract from the parts
+    # array in the outer pass.
     links = F.transform(
-        link_entries,
-        lambda e: F.struct(
-            F.element_at(F.split(e["value"], r"\|", -1), 1)
-            .alias("trace_id"),
-            F.element_at(F.split(e["value"], r"\|", -1), 2).alias("span_id"),
-            F.element_at(F.split(e["value"], r"\|", -1), 3)
-            .alias("trace_state"),
-            F.when(
-                F.size(F.split(e["value"], r"\|", -1)) >= 5,
-                F.array_join(
-                    F.slice(
-                        F.split(e["value"], r"\|", -1), 4,
-                        F.size(F.split(e["value"], r"\|", -1)) - 4,
-                    ),
-                    "|",
-                ),
+        F.filter(
+            F.transform(
+                link_entries,
+                lambda e: F.split(e["value"], r"\|", -1),
+            ),
+            lambda p: F.size(p) >= 5,
+        ),
+        lambda p: F.struct(
+            F.element_at(p, 1).alias("trace_id"),
+            F.element_at(p, 2).alias("span_id"),
+            F.element_at(p, 3).alias("trace_state"),
+            F.array_join(
+                F.slice(p, 4, F.size(p) - 4), "|"
             ).alias("attrs_json"),
-            F.element_at(F.split(e["value"], r"\|", -1), -1)
-            .try_cast("long").alias("dropped"),
+            F.element_at(p, -1).try_cast("long").alias("dropped"),
         ),
     )
 
@@ -374,6 +395,7 @@ def zipkin_json_to_spans(
                 attrs, lambda _, v: determine_value_type(v)
             ).alias("attr_types")
         )
+    internal = {json_col, "__z", "__ztags", "__zlinks"}
     return df.select(
-        *[c for c in df.columns if c != json_col], *out
+        *[c for c in df.columns if c not in internal], *out
     )

@@ -28,6 +28,13 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # Timestamps are event-time UTC everywhere; never local-zone.
     "spark.sql.session.timeZone": "UTC",
+    # pdata Map / Prometheus LabelSet upserts are last-wins everywhere
+    # in this domain; making map builders native-dedup lets label
+    # merges run as ONE map_from_entries instead of an O(n^2)
+    # interpreted-HOF self-join (loki labels: 14s -> sub-second per
+    # 100k rows).  Code that previously would have thrown on duplicate
+    # keys now resolves the way the reference resolves it.
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     # Parquet scans: keep row groups aligned with task splits at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.aggregatePushdown": "true",
