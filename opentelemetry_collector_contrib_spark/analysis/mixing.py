@@ -1,0 +1,218 @@
+"""Language-balanced corpus mixing: UniMax budget allocation
+(Chung et al. 2023, "UniMax: Fairer and More Effective Language
+Sampling for Large-Scale Multilingual Pretraining") plus a
+sqrt-temperature mixer -- both in EXACT integer arithmetic so the
+DuckDB oracle reproduces every quota and every sampled row.
+
+UniMax allocation (the paper's Algorithm 1): visit languages in
+ASCENDING corpus-size order; each language receives
+
+    quota_l = min(epoch_cap * chars_l,  budget_left // langs_left)
+
+and the leftover rolls forward -- low-resource languages are capped
+at ``epoch_cap`` epochs, high-resource languages absorb the remaining
+budget uniformly.  Pure integer min/floor-div: no float anywhere, so
+the fold is bit-identical in any engine.
+
+Realization per document: ``full_epochs = quota // chars_l`` copies
+for every doc, plus one extra copy behind a deterministic md5 gate
+with probability ``(quota % chars_l) / chars_l`` -- the gate threshold
+``(frac << 32) // chars_l`` is computed driver-side in arbitrary
+precision and shipped as a literal, the comparison is the exact
+integer compare both engines share (analysis/hashing.py).
+
+Temperature mixing (alpha = 0.5): sampling weight isqrt(chars_l) --
+IEEE sqrt is correctly rounded, so ``floor(sqrt(bigint))`` is
+engine-portable, unlike a general ``pow(x, alpha)`` whose last-ulp
+behavior differs by libm.  quota_l = budget * w_l // sum_w.
+
+Scale shape: ONE combinable per-language aggregate (shuffle of
+|langs| rows), a driver fold over the language list (bounded collect,
+same class as k-means centroids), a broadcast join of the |langs|-row
+allocation table, and a map-only gate.  The explode to physical
+copies is linear in output size.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .hashing import md5_int32, md5_int32_sql
+
+_2_32 = 1 << 32
+
+
+@dataclass
+class LangAllocation:
+    lang: str
+    chars: int
+    quota: int
+    full_epochs: int
+    frac_num: int        # quota % chars
+    gate_threshold: int  # (frac_num << 32) // chars
+
+
+def unimax_allocations(
+    df: DataFrame,
+    budget_chars: int,
+    epoch_cap: int,
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> list[LangAllocation]:
+    """The UniMax fold. Bounded collect: one row per language."""
+    stats = (
+        df.groupBy(lang_col)
+        .agg(F.sum(chars_col).cast("long").alias("c"))
+        .collect()
+    )
+    ordered = sorted((int(r["c"]), r[lang_col]) for r in stats)
+    out: list[LangAllocation] = []
+    b_left = int(budget_chars)
+    for i, (chars, lang) in enumerate(ordered):
+        langs_left = len(ordered) - i
+        quota = min(epoch_cap * chars, b_left // langs_left)
+        b_left -= quota
+        frac = quota % chars
+        out.append(
+            LangAllocation(
+                lang=lang,
+                chars=chars,
+                quota=quota,
+                full_epochs=quota // chars,
+                frac_num=frac,
+                gate_threshold=(frac << 32) // chars,
+            )
+        )
+    return out
+
+
+def unimax_doc_copies(
+    df: DataFrame,
+    allocations: list[LangAllocation],
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-document copy counts: full epochs + the fractional-epoch
+    md5 gate. Broadcast join of the |langs|-row allocation table."""
+    spark = df.sparkSession
+    alloc = spark.createDataFrame(
+        [
+            (a.lang, a.chars, a.quota, a.full_epochs, a.gate_threshold)
+            for a in allocations
+        ],
+        f"{lang_col} string, lang_chars long, lang_quota long,"
+        " full_epochs long, gate_threshold long",
+    )
+    h = md5_int32(
+        F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))
+    )
+    joined = df.join(F.broadcast(alloc), on=lang_col, how="inner")
+    return joined.select(
+        "*",
+        (h < F.col("gate_threshold")).alias("extra_copy"),
+        (
+            F.col("full_epochs")
+            + (h < F.col("gate_threshold")).cast("long")
+        ).alias("copies"),
+    )
+
+
+def unimax_materialize(
+    copies_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode copy counts into physical epoch rows (epoch 1..n)."""
+    return copies_df.filter(F.col("copies") > 0).select(
+        "*", F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch")
+    )
+
+
+def sqrt_temperature_allocations(
+    df: DataFrame,
+    budget_chars: int,
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> list[LangAllocation]:
+    """alpha=0.5 temperature mixing: weight_l = floor(sqrt(chars_l)),
+    quota_l = budget * w_l // sum_w (quota may exceed chars_l --
+    upsampling epochs fall out of the same full/frac split)."""
+    stats = (
+        df.groupBy(lang_col)
+        .agg(F.sum(chars_col).cast("long").alias("c"))
+        .collect()
+    )
+    ordered = sorted((int(r["c"]), r[lang_col]) for r in stats)
+    weights = [math.isqrt(c) for c, _ in ordered]
+    sum_w = sum(weights)
+    out = []
+    for (chars, lang), w in zip(ordered, weights):
+        quota = (int(budget_chars) * w) // sum_w
+        frac = quota % chars
+        out.append(
+            LangAllocation(
+                lang=lang, chars=chars, quota=quota,
+                full_epochs=quota // chars, frac_num=frac,
+                gate_threshold=(frac << 32) // chars,
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (same fold as a recursive CTE, same md5 gate)
+# ---------------------------------------------------------------------------
+
+
+def unimax_oracle_sql(
+    budget_chars: int,
+    epoch_cap: int,
+    table: str = "documents",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """Per-language summary of the full UniMax pipeline, recomputed
+    natively: recursive-CTE fold for the allocation, md5 gate per doc."""
+    h = md5_int32_sql(f"'{seed}|' || CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH RECURSIVE ls AS (
+  SELECT {lang_col} AS lang, CAST(SUM({chars_col}) AS BIGINT) AS c
+  FROM {table} GROUP BY 1),
+ranked AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (ORDER BY c, lang) AS rn,
+         COUNT(*) OVER () AS n
+  FROM ls),
+fold(rn, b_left, lang, c, quota) AS (
+  SELECT 0, CAST({budget_chars} AS BIGINT), CAST(NULL AS VARCHAR),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  UNION ALL
+  SELECT r.rn,
+         f.b_left - LEAST({epoch_cap} * r.c, f.b_left // (r.n - f.rn)),
+         r.lang, r.c,
+         LEAST({epoch_cap} * r.c, f.b_left // (r.n - f.rn))
+  FROM fold f JOIN ranked r ON r.rn = f.rn + 1),
+alloc AS (
+  SELECT lang, c, quota,
+         quota // c AS full_epochs,
+         quota % c AS frac_num,
+         CAST((CAST(quota % c AS HUGEINT) * 4294967296) // c AS BIGINT)
+           AS gate_threshold
+  FROM fold WHERE lang IS NOT NULL),
+gated AS (
+  SELECT d.{lang_col} AS lang, a.quota, a.full_epochs, a.frac_num,
+         CAST(({h}) < a.gate_threshold AS INT) AS extra
+  FROM {table} d JOIN alloc a ON d.{lang_col} = a.lang)
+SELECT lang,
+       MAX(quota)                             AS lang_quota,
+       MAX(full_epochs)                       AS full_epochs,
+       MAX(frac_num)                          AS frac_num,
+       CAST(SUM(extra) AS BIGINT)             AS extra_docs,
+       CAST(SUM(full_epochs + extra) AS BIGINT) AS total_copies
+FROM gated GROUP BY lang ORDER BY lang
+"""

@@ -1,0 +1,93 @@
+"""alertmanagerexporter (exporter/alertmanagerexporter/
+alertmanager_exporter.go): span EVENTS become Alertmanager alerts.
+
+Semantics reproduced:
+
+* one alert per span event, stitched with its parent trace/span ids
+  (extractEvents, alertmanager_exporter.go:71-96).
+* severity = the configured ``severity_attribute`` event attribute
+  when present, else the configured default
+  (convertEventSliceToArray:46-68).
+* labels (createLabels:108-118): ONLY event attributes listed in the
+  ``event_labels`` config, plus ``severity`` and ``event_name``.
+* annotations (createAnnotations:98-106): ALL event attributes plus
+  ``TraceID`` / ``SpanID`` (hex strings).
+* alert payload (convertEventsToAlertPayload:121-138): labels +
+  annotations + generator_url; ``StartsAt`` is the EXPORT time
+  (time.Now in the reference) -- the engine takes it as a parameter
+  so runs are reproducible.
+
+Columnar model: input is the exploded span-event relation (one row
+per event, as produced by ``operators/spanevents.py``) with
+``attributes map<string,string>``; the whole translation is one
+map-only projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def alerts_from_span_events(
+    df: DataFrame,
+    event_labels: list[str],
+    default_severity: str = "info",
+    severity_attribute: str = "severity",
+    generator_url: str = "opentelemetry-collector",
+    attrs_col: str = "attributes",
+    name_col: str = "event_name",
+    trace_id_col: str = "trace_id",
+    span_id_col: str = "span_id",
+    starts_at_ns: int = 0,
+) -> DataFrame:
+    """One Alertmanager alert per span-event row: adds ``labels`` and
+    ``annotations`` map columns + ``generator_url``/``starts_at``."""
+    attrs = F.col(attrs_col)
+    severity = F.coalesce(
+        F.try_element_at(attrs, F.lit(severity_attribute)),
+        F.lit(default_severity),
+    )
+    # map-assignment order in the reference makes the fixed keys win
+    # over same-named attributes; drop them before the concat so
+    # Spark's duplicate-key policy never trips.
+    labels = F.map_concat(
+        F.map_filter(
+            attrs,
+            lambda k, _: k.isin(*event_labels)
+            & ~k.isin("severity", "event_name"),
+        )
+        if event_labels
+        else F.expr("map()").cast("map<string,string>"),
+        F.create_map(
+            F.lit("severity"), severity,
+            F.lit("event_name"), F.col(name_col),
+        ),
+    )
+    annotations = F.map_concat(
+        F.map_filter(attrs, lambda k, _: ~k.isin("TraceID", "SpanID")),
+        F.create_map(
+            F.lit("TraceID"), F.col(trace_id_col),
+            F.lit("SpanID"), F.col(span_id_col),
+        ),
+    )
+    return df.select(
+        "*",
+        labels.alias("labels"),
+        annotations.alias("annotations"),
+        F.lit(generator_url).alias("generator_url"),
+        F.lit(starts_at_ns).alias("starts_at"),
+    )
+
+
+def kv(col: Column) -> Column:
+    """Sorted ``k=v|...`` rendering of a map column for oracles."""
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(col),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        "|",
+    )

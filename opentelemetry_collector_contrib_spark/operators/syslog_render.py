@@ -1,0 +1,179 @@
+"""syslogexporter message formatting (exporter/syslogexporter/
+rfc5424_formatter.go, rfc3164_formatter.go, sender.go constants):
+render OTel log records into syslog wire lines.
+
+Inverse of ``operators/parse.syslog_parser`` -- together they give a
+parse -> format -> parse fixed point (asserted in tests).
+
+Semantics reproduced:
+
+* field sources are log ATTRIBUTES named priority/version/hostname/
+  appname/proc_id/msg_id/structured_data/message (sender.go:28-37),
+  each defaulting to ``-`` (empty string for message, 165 for
+  priority, 1 for version) when absent.
+* RFC 5424 (rfc5424_formatter.go:26-43):
+  ``<pri>version ts host app pid msgid SD[ msg]\\n`` -- the message
+  gains a leading space only when non-empty; timestamps render in
+  go-syslog's RFC3339MICRO (micro fraction, trailing zeros trimmed,
+  dot dropped at second precision, ``Z`` for UTC).
+* structured data (rfc5424_formatter.go:75-99): the reference renders
+  each SD element through ``fmt.Sprint([]string{id, "k=\\"v\\""...})``
+  -- literally ``[id k="v" ...]`` -- iterating pdata maps in Go's
+  RANDOM map order.  The engine keeps the exact rendering but sorts
+  element ids and param keys, a deterministic refinement of an
+  order-unstable reference output (required for value-equality
+  oracles; documented deviation).  Non-map SD attributes and non-map
+  element values fall back to ``-`` / are skipped, as in the
+  reference.
+* RFC 3164 (rfc3164_formatter.go:19-56): ``<pri>Jan 02 15:04:05 host
+  [app:][ ]msg\\n`` -- the reference formats the day ZERO-padded
+  (``Jan 02``), not the BSD space-padded form; app gains a trailing
+  colon when present, and the app/message delimiter space appears
+  only when both are non-empty.
+* octet counting (rfc5424_formatter.go:38-41): prefix the frame with
+  its byte length (including the trailing newline) and a space.
+
+Everything is a map-only Column battery; rendering 10^12 records is
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PRIORITY = 165
+VERSION_RFC5424 = 1
+
+
+def _attr(attrs: Column, name: str, default: str) -> Column:
+    return F.coalesce(
+        F.try_element_at(attrs, F.lit(name)), F.lit(default)
+    )
+
+
+def _rfc3339micro(ts: Column) -> Column:
+    """go-syslog rfc5424.RFC3339MICRO
+    ("2006-01-02T15:04:05.999999Z07:00"): micro fraction with
+    trailing zeros trimmed, no dot at second precision, Z for UTC."""
+    base = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    frac = F.regexp_replace(F.date_format(ts, "SSSSSS"), "0+$", "")
+    return F.concat(
+        base,
+        F.when(frac == "", "").otherwise(F.concat(F.lit("."), frac)),
+        F.lit("Z"),
+    )
+
+
+def _goquote(s: Column) -> Column:
+    """Go %q for ordinary strings: wrap in double quotes, escaping
+    backslash and quote (non-printable escapes not reproduced --
+    syslog SD params are printable by contract)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(s, r"\\", r"\\\\"), '"', '\\\\"'
+    )
+    return F.concat(F.lit('"'), esc, F.lit('"'))
+
+
+def _structured_data(sd: Column) -> Column:
+    """rfc5424_formatter.go formatStructuredData over a
+    map<string,map<string,string>> column: ``[id k="v" ...]`` per
+    element (fmt.Sprint of a string slice), ids/keys sorted."""
+    # sort element ids alone (a struct holding a map value is not
+    # orderable), then look each element back up
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(sd)),
+            lambda sd_id: F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.concat(
+                        F.array(sd_id),
+                        F.transform(
+                            F.array_sort(
+                                F.map_entries(F.try_element_at(sd, sd_id))
+                            ),
+                            lambda p: F.concat(
+                                p["key"], F.lit("="), _goquote(p["value"])
+                            ),
+                        ),
+                    ),
+                    " ",
+                ),
+                F.lit("]"),
+            ),
+        ),
+        "",
+    )
+    return F.when(sd.isNull(), F.lit("-")).otherwise(rendered)
+
+
+def format_rfc5424(
+    attrs: Column,
+    ts: Column,
+    structured_data: Column | None = None,
+    octet_counting: bool = False,
+) -> Column:
+    pri = _attr(attrs, "priority", str(DEFAULT_PRIORITY))
+    ver = _attr(attrs, "version", str(VERSION_RFC5424))
+    host = _attr(attrs, "hostname", "-")
+    app = _attr(attrs, "appname", "-")
+    pid = _attr(attrs, "proc_id", "-")
+    msgid = _attr(attrs, "msg_id", "-")
+    sd = (
+        _structured_data(structured_data)
+        if structured_data is not None
+        else F.lit("-")
+    )
+    msg = _attr(attrs, "message", "")
+    line = F.concat(
+        F.lit("<"), pri, F.lit(">"), ver, F.lit(" "),
+        _rfc3339micro(ts), F.lit(" "), host, F.lit(" "), app,
+        F.lit(" "), pid, F.lit(" "), msgid, F.lit(" "), sd,
+        F.when(msg == "", "").otherwise(F.concat(F.lit(" "), msg)),
+        F.lit("\n"),
+    )
+    if octet_counting:
+        line = F.concat(
+            F.length(line).cast("string"), F.lit(" "), line
+        )
+    return line
+
+
+def format_rfc3164(attrs: Column, ts: Column) -> Column:
+    pri = _attr(attrs, "priority", str(DEFAULT_PRIORITY))
+    host = _attr(attrs, "hostname", "-")
+    app_raw = _attr(attrs, "appname", "")
+    app = F.when(app_raw == "", "").otherwise(
+        F.concat(app_raw, F.lit(":"))
+    )
+    msg = _attr(attrs, "message", "")
+    delim = F.when((app != "") & (msg != ""), " ").otherwise("")
+    return F.concat(
+        F.lit("<"), pri, F.lit(">"),
+        F.date_format(ts, "MMM dd HH:mm:ss"), F.lit(" "),
+        host, F.lit(" "), app, delim, msg, F.lit("\n"),
+    )
+
+
+def render_syslog(
+    df: DataFrame,
+    protocol: str = "rfc5424",
+    attrs_col: str = "attributes",
+    ts_col: str = "event_ts",
+    sd_col: str | None = None,
+    octet_counting: bool = False,
+    out_col: str = "syslog_line",
+) -> DataFrame:
+    """createFormatter (formatter.go:10-15): rfc5424 by name,
+    anything else renders rfc3164."""
+    attrs, ts = F.col(attrs_col), F.col(ts_col)
+    if protocol == "rfc5424":
+        line = format_rfc5424(
+            attrs, ts,
+            F.col(sd_col) if sd_col else None,
+            octet_counting,
+        )
+    else:
+        line = format_rfc3164(attrs, ts)
+    return df.withColumn(out_col, line)

@@ -65,6 +65,9 @@ _PRIORITY_NAMES: list[str] = [
     "sqlquery_metrics_events",        # round 3: sqlquery receiver metrics
     "prom_relabel_events",            # round 3: prometheus relabel chain
     "s3_exporter_keys_events",        # round 3: s3 partition-key plan
+    "syslog_render_events",           # round 3: syslog exporter frames
+    "alertmanager_alerts_events",     # round 3: span events -> alerts
+    "honeycomb_markers_events",       # round 3: OTTL-gated markers
 ]
 
 
@@ -9017,3 +9020,253 @@ FROM g ORDER BY s3_bucket, s3_key
 
 _QUERIES["s3_exporter_keys_events"] = q_s3_exporter_keys
 _ORACLES["s3_exporter_keys_events"] = _S3_KEYS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# syslogexporter (exporter/syslogexporter/rfc5424_formatter.go,
+# rfc3164_formatter.go, sender.go): attribute-sourced syslog frames --
+# RFC3339MICRO trimmed-fraction timestamps, default ladder, SD
+# [id k="v"] rendering (sorted; reference iterates Go maps randomly),
+# app-colon + delimiter rules, zero-padded 3164 day, octet counting.
+# ---------------------------------------------------------------------------
+
+def q_syslog_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.syslog_render import render_syslog
+
+    ev = _read(spark, sf_dir, "events")
+    m3 = (F.col("event_id") % 3).cast("int")
+    attrs = F.map_filter(
+        F.create_map(
+            F.lit("priority"), (F.col("event_id") % 192).cast("string"),
+            F.lit("hostname"),
+            F.concat(F.lit("host-"), (F.col("user_id") % 20).cast("string")),
+            F.lit("appname"),
+            F.when(m3 > 0, F.concat(F.lit("app"), m3.cast("string"))),
+            F.lit("proc_id"), F.col("user_id").cast("string"),
+            F.lit("msg_id"),
+            F.when(F.col("event_id") % 2 == 0,
+                   F.concat(F.lit("MID"),
+                            (F.col("event_id") % 7).cast("string"))),
+            F.lit("message"),
+            F.when(F.col("event_id") % 5 > 0, F.col("event_type")),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    sd = F.when(
+        F.col("event_id") % 4 == 0,
+        F.create_map(
+            F.lit("exporter@123"),
+            F.create_map(
+                F.lit("seq"), F.col("event_id").cast("string"),
+                F.lit("site"),
+                F.concat(F.lit("s"), (F.col("user_id") % 2).cast("string")),
+            ),
+        ),
+    )
+    base = ev.select(
+        "event_id", attrs.alias("attributes"),
+        F.col("ts").cast("timestamp").alias("event_ts"),
+        sd.alias("sd"),
+    )
+    r5424 = render_syslog(base, protocol="rfc5424", sd_col="sd",
+                          octet_counting=True, out_col="line_5424")
+    both = render_syslog(r5424, protocol="rfc3164", out_col="line_3164")
+    return both.select(
+        "event_id", "line_5424", "line_3164"
+    ).orderBy("event_id")
+
+
+_SYSLOG_RENDER_ORACLE = r"""
+WITH f AS (
+  SELECT event_id,
+    CAST(event_id % 192 AS VARCHAR) AS pri,
+    'host-' || CAST(user_id % 20 AS VARCHAR) AS host,
+    CASE WHEN event_id % 3 > 0
+         THEN 'app' || CAST(event_id % 3 AS VARCHAR) END AS app,
+    CAST(user_id AS VARCHAR) AS pid,
+    CASE WHEN event_id % 2 = 0
+         THEN 'MID' || CAST(event_id % 7 AS VARCHAR) END AS msgid,
+    CASE WHEN event_id % 5 > 0 THEN event_type END AS msg,
+    CASE WHEN event_id % 4 = 0
+         THEN '[exporter@123 seq="' || CAST(event_id AS VARCHAR)
+              || '" site="s' || CAST(user_id % 2 AS VARCHAR) || '"]'
+         ELSE '-' END AS sd,
+    strftime(ts, '%Y-%m-%dT%H:%M:%S')
+     || CASE WHEN rtrim(strftime(ts, '%f'), '0') <> ''
+             THEN '.' || rtrim(strftime(ts, '%f'), '0') ELSE '' END
+     || 'Z' AS ts5424,
+    strftime(ts, '%b %d %H:%M:%S') AS ts3164
+  FROM events),
+r AS (
+  SELECT event_id,
+    '<' || pri || '>1 ' || ts5424 || ' ' || host || ' '
+      || coalesce(app, '-') || ' ' || pid || ' '
+      || coalesce(msgid, '-') || ' ' || sd
+      || CASE WHEN msg IS NULL THEN '' ELSE ' ' || msg END
+      || chr(10) AS body5424,
+    '<' || pri || '>' || ts3164 || ' ' || host || ' '
+      || CASE WHEN app IS NULL THEN '' ELSE app || ':' END
+      || CASE WHEN app IS NOT NULL AND msg IS NOT NULL
+              THEN ' ' ELSE '' END
+      || coalesce(msg, '') || chr(10) AS line_3164
+  FROM f)
+SELECT event_id,
+       CAST(length(body5424) AS VARCHAR) || ' ' || body5424
+         AS line_5424,
+       line_3164
+FROM r ORDER BY event_id
+"""
+
+_QUERIES["syslog_render_events"] = q_syslog_render
+_ORACLES["syslog_render_events"] = _SYSLOG_RENDER_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# alertmanagerexporter (exporter/alertmanagerexporter/
+# alertmanager_exporter.go): one alert per span event -- labels =
+# configured event_labels + severity (attribute-or-default) +
+# event_name; annotations = all event attributes + TraceID/SpanID;
+# fixed keys win over colliding attribute names.
+# ---------------------------------------------------------------------------
+
+def q_alertmanager_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.alertmanager import alerts_from_span_events, kv
+
+    ev = _read(spark, sf_dir, "events")
+    attrs = F.map_filter(
+        F.create_map(
+            F.lit("region"),
+            F.element_at(
+                F.array(F.lit("eu"), F.lit("us"), F.lit("ap")),
+                (F.col("user_id") % 3).cast("int") + 1,
+            ),
+            F.lit("zone"), F.concat(F.lit("z"),
+                                    (F.col("event_id") % 4).cast("string")),
+            F.lit("severity"),
+            F.when(F.col("event_id") % 3 == 0,
+                   F.element_at(
+                       F.array(F.lit("critical"), F.lit("page")),
+                       (F.col("event_id") % 2).cast("int") + 1,
+                   )),
+        ),
+        lambda _, v: v.isNotNull(),
+    )
+    events = ev.select(
+        "event_id",
+        F.concat(F.lit("evt."), F.col("event_type")).alias("event_name"),
+        attrs.alias("attributes"),
+        F.md5(F.col("event_id").cast("string")).alias("trace_id"),
+        F.substring(
+            F.md5(F.concat(F.lit("s"), F.col("event_id").cast("string"))),
+            1, 16,
+        ).alias("span_id"),
+    )
+    out = alerts_from_span_events(
+        events, event_labels=["region"], default_severity="info",
+        generator_url="otelcol", starts_at_ns=1_700_000_000_000_000_000,
+    )
+    return out.select(
+        "event_id",
+        kv(F.col("labels")).alias("labels_kv"),
+        kv(F.col("annotations")).alias("annotations_kv"),
+        "generator_url", "starts_at",
+    ).orderBy("event_id")
+
+
+_ALERTMANAGER_ORACLE = """
+WITH f AS (
+  SELECT event_id,
+    'evt.' || event_type AS ename,
+    (['eu','us','ap'])[CAST(user_id % 3 AS INT) + 1] AS region,
+    'z' || CAST(event_id % 4 AS VARCHAR) AS zone,
+    CASE WHEN event_id % 3 = 0
+         THEN (['critical','page'])[CAST(event_id % 2 AS INT) + 1]
+         END AS sev,
+    md5(CAST(event_id AS VARCHAR)) AS tid,
+    substr(md5('s' || CAST(event_id AS VARCHAR)), 1, 16) AS sid
+  FROM events)
+SELECT event_id,
+  'event_name=' || ename || '|region=' || region || '|severity='
+    || coalesce(sev, 'info') AS labels_kv,
+  'SpanID=' || sid || '|TraceID=' || tid || '|region=' || region
+    || CASE WHEN sev IS NULL THEN '' ELSE '|severity=' || sev END
+    || '|zone=' || zone AS annotations_kv,
+  'otelcol' AS generator_url,
+  CAST(1700000000000000000 AS BIGINT) AS starts_at
+FROM f ORDER BY event_id
+"""
+
+_QUERIES["alertmanager_alerts_events"] = q_alertmanager_alerts
+_ORACLES["alertmanager_alerts_events"] = _ALERTMANAGER_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# honeycombmarkerexporter (exporter/honeycombmarkerexporter/
+# logs_exporter.go): per-marker OTTL log conditions (any-match) gate
+# marker creation; payload carries type + optional message/url
+# attributes; dataset slug defaults to __all__ and routes the
+# endpoint path.  Conditions compile through the engine's own OTTL.
+# ---------------------------------------------------------------------------
+
+def q_honeycomb_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.honeycomb_marker import (
+        HoneycombMarker, markers_from_logs,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    logs = ev.select(
+        "event_id",
+        F.col("props").alias("body"),
+        (1 + F.col("event_id") % 24).cast("int").alias("severity_number"),
+        F.create_map(
+            F.lit("app.event"), F.col("event_type"),
+            F.lit("target.url"),
+            F.concat(F.lit("https://host-"),
+                     (F.col("user_id") % 20).cast("string"), F.lit("/p")),
+        ).alias("attributes"),
+    )
+    out = markers_from_logs(
+        logs,
+        [
+            HoneycombMarker(
+                "deploy",
+                rules=['attributes["app.event"] == "signup"'],
+                message_key="app.event", url_key="target.url",
+                dataset_slug="prod",
+            ),
+            HoneycombMarker(
+                "error-spike",
+                rules=['severity_number >= 17',
+                       'attributes["app.event"] == "error"'],
+                message_key="missing.key",
+            ),
+        ],
+        api_url="https://api.honeycomb.io/",
+    )
+    return out.select(
+        "event_id", "marker_index", "marker_type", "message", "url",
+        "dataset_slug", "endpoint",
+    ).orderBy("event_id", "marker_index")
+
+
+_HONEYCOMB_ORACLE = """
+WITH f AS (
+  SELECT event_id, event_type,
+         1 + event_id % 24 AS sev,
+         'https://host-' || CAST(user_id % 20 AS VARCHAR) || '/p' AS url
+  FROM events),
+u AS (
+  SELECT event_id, 0 AS marker_index, 'deploy' AS marker_type,
+         event_type AS message, url,
+         'prod' AS dataset_slug,
+         'https://api.honeycomb.io/1/markers/prod' AS endpoint
+  FROM f WHERE event_type = 'signup'
+  UNION ALL
+  SELECT event_id, 1, 'error-spike', NULL, NULL, '__all__',
+         'https://api.honeycomb.io/1/markers/__all__'
+  FROM f WHERE sev >= 17 OR event_type = 'error')
+SELECT * FROM u ORDER BY event_id, marker_index
+"""
+
+_QUERIES["honeycomb_markers_events"] = q_honeycomb_markers
+_ORACLES["honeycomb_markers_events"] = _HONEYCOMB_ORACLE

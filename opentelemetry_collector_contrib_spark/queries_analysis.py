@@ -1759,3 +1759,49 @@ def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(corrupt) - F.length(fixed)).cast("long")
         .alias("chars_repaired"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-balanced mixing (Chung et al. 2023, Algorithm 1):
+# ascending-size fold min(epoch_cap*chars, budget_left // langs_left)
+# in exact integers; fractional epochs realized by the shared md5
+# gate. Oracle = the same fold as a recursive CTE + the same gate.
+# ---------------------------------------------------------------------------
+
+_UNIMAX_BUDGET = 2_000_000
+_UNIMAX_CAP = 3
+
+
+@register(
+    "unimax_mixing_documents",
+    None,  # replaced right below (needs the builder)
+)
+def q_unimax_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .analysis import mixing as MX
+
+    docs = _docs(spark, sf_dir)
+    allocs = MX.unimax_allocations(
+        docs, budget_chars=_UNIMAX_BUDGET, epoch_cap=_UNIMAX_CAP)
+    copies = MX.unimax_doc_copies(docs, allocs)
+    return (
+        copies.groupBy("lang")
+        .agg(
+            F.max("lang_quota").alias("lang_quota"),
+            F.max("full_epochs").alias("full_epochs"),
+            F.max(F.col("lang_quota") % F.col("lang_chars"))
+            .alias("frac_num"),
+            F.sum(F.col("extra_copy").cast("long")).alias("extra_docs"),
+            F.sum("copies").alias("total_copies"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _unimax_oracle() -> str:
+    from .analysis.mixing import unimax_oracle_sql
+
+    return unimax_oracle_sql(
+        budget_chars=_UNIMAX_BUDGET, epoch_cap=_UNIMAX_CAP)
+
+
+ORACLES["unimax_mixing_documents"] = _unimax_oracle()

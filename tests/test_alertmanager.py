@@ -1,0 +1,77 @@
+"""alertmanagerexporter span-event -> alert translation
+(exporter/alertmanagerexporter/alertmanager_exporter.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.alertmanager import (
+    alerts_from_span_events,
+)
+
+SCHEMA = (
+    "event_name string, attributes map<string,string>,"
+    " trace_id string, span_id string"
+)
+
+
+def _events(spark, *rows):
+    return spark.createDataFrame(list(rows), SCHEMA)
+
+
+def test_labels_filtered_annotations_full(spark):
+    df = _events(
+        spark,
+        ("ev1", {"region": "eu", "zone": "a", "severity": "critical"},
+         "aa" * 16, "bb" * 8),
+    )
+    row = alerts_from_span_events(
+        df, event_labels=["region"], default_severity="info",
+        generator_url="otelcol", starts_at_ns=7,
+    ).first()
+    # labels: only configured event_labels + severity + event_name
+    assert row["labels"] == {
+        "region": "eu", "severity": "critical", "event_name": "ev1",
+    }
+    # annotations: ALL attributes + trace/span ids
+    assert row["annotations"] == {
+        "region": "eu", "zone": "a", "severity": "critical",
+        "TraceID": "aa" * 16, "SpanID": "bb" * 8,
+    }
+    assert row["generator_url"] == "otelcol"
+    assert row["starts_at"] == 7
+
+
+def test_default_severity_when_attribute_missing(spark):
+    df = _events(spark, ("ev2", {"zone": "b"}, "00" * 16, "00" * 8))
+    row = alerts_from_span_events(
+        df, event_labels=[], default_severity="warning",
+    ).first()
+    assert row["labels"] == {
+        "severity": "warning", "event_name": "ev2",
+    }
+
+
+def test_custom_severity_attribute(spark):
+    df = _events(
+        spark, ("ev3", {"sev_override": "page"}, "00" * 16, "00" * 8)
+    )
+    row = alerts_from_span_events(
+        df, event_labels=[], severity_attribute="sev_override",
+    ).first()
+    assert row["labels"]["severity"] == "page"
+
+
+def test_fixed_keys_win_over_attribute_collisions(spark):
+    df = _events(
+        spark,
+        ("real", {"event_name": "fake", "TraceID": "fake",
+                  "severity": "low"},
+         "cc" * 16, "dd" * 8),
+    )
+    row = alerts_from_span_events(
+        df, event_labels=["event_name"], default_severity="info",
+    ).first()
+    assert row["labels"]["event_name"] == "real"
+    assert row["annotations"]["TraceID"] == "cc" * 16
+    # the colliding attribute still annotates under its own key? no:
+    # the reference's map assignment overwrites it entirely
+    assert row["labels"]["severity"] == "low"

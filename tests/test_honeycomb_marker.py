@@ -1,0 +1,87 @@
+"""honeycombmarkerexporter semantics (exporter/honeycombmarkerexporter/
+logs_exporter.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.honeycomb_marker import (
+    HoneycombMarker,
+    markers_from_logs,
+)
+
+SCHEMA = (
+    "id bigint, body string, severity_number int,"
+    " attributes map<string,string>"
+)
+
+
+def _logs(spark, *rows):
+    return spark.createDataFrame(list(rows), SCHEMA)
+
+
+def test_condition_match_and_payload(spark):
+    df = _logs(
+        spark,
+        (1, "deployed", 9, {"note": "v2 live", "link": "http://x"}),
+        (2, "other", 9, {"note": "n"}),
+    )
+    out = markers_from_logs(
+        df,
+        [
+            HoneycombMarker(
+                "deploy",
+                rules=['body == "deployed"'],
+                message_key="note",
+                url_key="link",
+                dataset_slug="prod",
+            )
+        ],
+        api_url="https://api.honeycomb.io/",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["id"] == 1 and r["marker_type"] == "deploy"
+    assert r["message"] == "v2 live" and r["url"] == "http://x"
+    assert r["dataset_slug"] == "prod"
+    # trailing slash trimmed before the /1/markers/<slug> join
+    assert r["endpoint"] == "https://api.honeycomb.io/1/markers/prod"
+
+
+def test_any_condition_matches_or_semantics(spark):
+    df = _logs(spark, (1, "x", 21, {}), (2, "boom", 3, {}),
+               (3, "quiet", 3, {}))
+    out = markers_from_logs(
+        df,
+        [
+            HoneycombMarker(
+                "alert",
+                rules=['severity_number >= 17', 'body == "boom"'],
+            )
+        ],
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_default_dataset_and_missing_keys(spark):
+    df = _logs(spark, (1, "m", 9, {}))
+    r = markers_from_logs(
+        df,
+        [HoneycombMarker("t", rules=[], message_key="absent")],
+    ).first()
+    # no rules -> every record matches; missing keys omit the fields
+    assert r["dataset_slug"] == "__all__"
+    assert r["endpoint"].endswith("/1/markers/__all__")
+    assert r["message"] is None and r["url"] is None
+
+
+def test_multiple_markers_fan_out_in_config_order(spark):
+    df = _logs(spark, (1, "both", 20, {}))
+    out = markers_from_logs(
+        df,
+        [
+            HoneycombMarker("m0", rules=['body == "both"']),
+            HoneycombMarker("m1", rules=["severity_number == 20"]),
+        ],
+    ).orderBy("marker_index").collect()
+    assert [(r["marker_index"], r["marker_type"]) for r in out] == [
+        (0, "m0"), (1, "m1"),
+    ]

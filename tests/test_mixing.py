@@ -1,0 +1,98 @@
+"""UniMax / sqrt-temperature mixing (analysis/mixing.py) invariants."""
+
+from __future__ import annotations
+
+import math
+
+from opentelemetry_collector_contrib_spark.analysis.mixing import (
+    sqrt_temperature_allocations,
+    unimax_allocations,
+    unimax_doc_copies,
+    unimax_materialize,
+)
+
+SCHEMA = "doc_id bigint, lang string, n_chars bigint"
+
+
+def _docs(spark):
+    rows = []
+    sizes = {"aa": 40, "bb": 400, "cc": 4000}
+    i = 0
+    for lang, n in sizes.items():
+        for _ in range(n // 20):
+            rows.append((i, lang, 20))
+            i += 1
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_unimax_fold_budget_and_cap(spark):
+    df = _docs(spark)
+    allocs = unimax_allocations(df, budget_chars=2000, epoch_cap=3)
+    by_lang = {a.lang: a for a in allocs}
+    # ascending order visit: aa (40 chars) first
+    assert [a.lang for a in allocs] == ["aa", "bb", "cc"]
+    # aa hits the epoch cap (120 < uniform share 2000//3)
+    assert by_lang["aa"].quota == 3 * 40
+    # bb is bound by the uniform share of the remaining budget:
+    # min(3*400, (2000-120)//2) = 940
+    assert by_lang["bb"].quota == 940
+    # cc absorbs the rest
+    assert by_lang["cc"].quota == 2000 - 120 - 940
+    # no allocation exceeds cap * chars; budget never overspent
+    for a in allocs:
+        assert a.quota <= 3 * a.chars
+    assert sum(a.quota for a in allocs) <= 2000
+    # full/frac split consistency
+    for a in allocs:
+        assert a.quota == a.full_epochs * a.chars + a.frac_num
+        assert 0 <= a.gate_threshold < (1 << 32)
+
+
+def test_unimax_budget_bigger_than_capped_corpus(spark):
+    df = _docs(spark)
+    allocs = unimax_allocations(df, budget_chars=10**9, epoch_cap=2)
+    # every language caps out; leftover budget is simply unspent
+    assert all(a.quota == 2 * a.chars for a in allocs)
+    assert all(a.frac_num == 0 for a in allocs)
+
+
+def test_doc_copies_deterministic_and_exact(spark):
+    df = _docs(spark)
+    allocs = unimax_allocations(df, budget_chars=2000, epoch_cap=3)
+    c1 = unimax_doc_copies(df, allocs).orderBy("doc_id").collect()
+    c2 = unimax_doc_copies(df, allocs).orderBy("doc_id").collect()
+    assert [r["copies"] for r in c1] == [r["copies"] for r in c2]
+    by_lang = {a.lang: a for a in allocs}
+    for r in c1:
+        a = by_lang[r["lang"]]
+        assert r["copies"] in (a.full_epochs, a.full_epochs + 1)
+
+
+def test_materialize_explodes_epochs(spark):
+    df = _docs(spark)
+    allocs = unimax_allocations(df, budget_chars=2000, epoch_cap=3)
+    copies = unimax_doc_copies(df, allocs)
+    total = sum(r["copies"] for r in copies.collect())
+    mat = unimax_materialize(copies)
+    assert mat.count() == total
+    row = mat.filter("copies >= 2").first()
+    if row is not None:
+        epochs = [
+            r["epoch"]
+            for r in mat.filter(f"doc_id = {row['doc_id']}").collect()
+        ]
+        assert sorted(epochs) == list(range(1, row["copies"] + 1))
+
+
+def test_sqrt_temperature_weights(spark):
+    df = _docs(spark)
+    allocs = sqrt_temperature_allocations(df, budget_chars=10_000)
+    by_lang = {a.lang: a for a in allocs}
+    w = {lang: math.isqrt(c) for lang, c in
+         (("aa", 40), ("bb", 400), ("cc", 4000))}
+    sw = sum(w.values())
+    for lang, a in by_lang.items():
+        assert a.quota == (10_000 * w[lang]) // sw
+    # temperature flattens: small lang gets a LARGER share than its
+    # proportional size
+    assert by_lang["aa"].quota / 40 > by_lang["cc"].quota / 4000

@@ -1,0 +1,163 @@
+"""syslogexporter formatters (exporter/syslogexporter/
+rfc5424_formatter.go, rfc3164_formatter.go) -- reference test vectors
+plus a format->parse fixed point with the stanza syslog parser."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.parse import (
+    syslog_parser,
+)
+from opentelemetry_collector_contrib_spark.operators.syslog_render import (
+    format_rfc5424,
+    render_syslog,
+)
+
+ATTRS = "map<string,string>"
+SD = "map<string,map<string,string>>"
+
+
+def _df(spark, attrs, ts, sd=None):
+    return spark.createDataFrame(
+        [(attrs, ts, sd)], f"attributes {ATTRS}, tstr string, sd {SD}"
+    ).select(
+        "attributes", F.to_timestamp("tstr").alias("event_ts"), "sd"
+    )
+
+
+def test_rfc5424_reference_vectors(spark):
+    # rfc5424_formatter_test.go:21-36
+    df = _df(
+        spark,
+        {
+            "appname": "myproc", "hostname": "192.0.2.1",
+            "message": "It's time to make the do-nuts.",
+            "priority": "165", "proc_id": "8710", "version": "1",
+        },
+        "2003-08-24 05:14:15.000003",
+    )
+    want = (
+        "<165>1 2003-08-24T05:14:15.000003Z 192.0.2.1 myproc 8710"
+        " - - It's time to make the do-nuts.\n"
+    )
+    got = render_syslog(df).first()["syslog_line"]
+    assert got == want
+    octet = render_syslog(df, octet_counting=True).first()["syslog_line"]
+    assert octet == f"{len(want)} {want}"
+
+    # rfc5424_formatter_test.go:38-52 (millisecond fraction trims)
+    df = _df(
+        spark,
+        {
+            "appname": "evntslog", "hostname": "mymachine.example.com",
+            "message": "BOMAn application event log entry...",
+            "msg_id": "ID47", "priority": "165", "proc_id": "111",
+            "version": "1",
+        },
+        "2003-10-11 22:14:15.003",
+    )
+    assert render_syslog(df).first()["syslog_line"] == (
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com"
+        " evntslog 111 ID47 - BOMAn application event log entry...\n"
+    )
+
+
+def test_rfc5424_structured_data(spark):
+    # rfc5424_formatter_test.go:56-89 -- [id k="v" ...] rendering;
+    # the engine sorts ids/params where Go iterates randomly.
+    df = _df(
+        spark,
+        {
+            "appname": "myproc", "hostname": "192.0.2.1",
+            "message": "m", "priority": "165", "proc_id": "8710",
+        },
+        "2003-08-24 12:14:15.000003",
+        sd={
+            "SecureAuth@27389": {
+                "UserID": "Tester2", "PEN": "27389",
+                "Realm": "SecureAuth0",
+            }
+        },
+    )
+    got = render_syslog(df, sd_col="sd").first()["syslog_line"]
+    assert got == (
+        "<165>1 2003-08-24T12:14:15.000003Z 192.0.2.1 myproc 8710 -"
+        ' [SecureAuth@27389 PEN="27389" Realm="SecureAuth0"'
+        ' UserID="Tester2"] m\n'
+    )
+
+
+def test_rfc5424_defaults_and_empty_message(spark):
+    df = _df(spark, {}, "2003-08-24 05:14:15")
+    # all defaults; empty message leaves no trailing space
+    assert render_syslog(df).first()["syslog_line"] == (
+        "<165>1 2003-08-24T05:14:15Z - - - - -\n"
+    )
+
+
+def test_rfc3164_reference_vectors(spark):
+    # rfc3164_formatter_test.go:17-30
+    df = _df(
+        spark,
+        {
+            "appname": "su", "hostname": "mymachine",
+            "message": "'su root' failed for lonvick on /dev/pts/8",
+            "priority": "34",
+        },
+        "2003-08-24 05:14:15.000003",
+    )
+    assert render_syslog(df, protocol="rfc3164").first()[
+        "syslog_line"
+    ] == (
+        "<34>Aug 24 05:14:15 mymachine su: 'su root' failed for"
+        " lonvick on /dev/pts/8\n"
+    )
+    # rfc3164_formatter_test.go:32-41: no app -> no colon, no delim
+    df = _df(spark, {"message": "-"}, "2003-08-24 05:14:15")
+    assert render_syslog(df, protocol="rfc3164").first()[
+        "syslog_line"
+    ] == "<165>Aug 24 05:14:15 - -\n"
+
+
+def test_rfc3164_day_zero_padded_quirk(spark):
+    # the reference uses Go layout "Jan 02" -- ZERO padded, not the
+    # BSD space-padded day
+    df = _df(spark, {"message": "x", "hostname": "h"},
+             "2003-08-04 05:14:15")
+    line = render_syslog(df, protocol="rfc3164").first()["syslog_line"]
+    assert line.startswith("<165>Aug 04 05:14:15 h")
+
+
+def test_goquote_escapes(spark):
+    df = _df(
+        spark,
+        {"priority": "1"},
+        "2003-08-24 05:14:15",
+        sd={"id": {"k": 'a"b\\c'}},
+    )
+    got = render_syslog(df, sd_col="sd").first()["syslog_line"]
+    assert '[id k="a\\"b\\\\c"]' in got
+
+
+def test_format_parse_fixed_point(spark):
+    df = _df(
+        spark,
+        {
+            "appname": "app1", "hostname": "host-9",
+            "message": "hello world", "priority": "52",
+            "proc_id": "42", "msg_id": "MID7", "version": "1",
+        },
+        "2024-03-01 01:02:03.000001",
+    )
+    rendered = render_syslog(df).select(
+        F.rtrim(F.col("syslog_line")).alias("body")
+    )
+    parsed = syslog_parser(rendered, parse_from="body").first()
+    assert parsed["priority"] == "52"
+    assert parsed["hostname"] == "host-9"
+    assert parsed["appname"] == "app1"
+    assert parsed["proc_id"] == "42"
+    assert parsed["msg_id"] == "MID7"
+    assert parsed["message"] == "hello world"
+    assert parsed["timestamp"] == "2024-03-01T01:02:03.000001Z"
