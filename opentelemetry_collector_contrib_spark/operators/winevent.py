@@ -1,0 +1,317 @@
+"""Windows Event Log input (pkg/stanza/operator/input/windows/
+xml.go, security.go): rendered event XML -> structured log records.
+
+Closes the last stanza input row: the windows subscription transport
+(EvtSubscribe) cannot exist here, but everything AFTER the render --
+the XML mapping, rendered-vs-raw fallbacks, severity ladder, the
+EventData single-key-map quirk, and the Security-channel message
+processor -- is deterministic compute, reproduced exactly.
+
+Semantics:
+
+* field mapping (xml.go:76-140 formattedBody): level/task/opcode/
+  keywords prefer RenderingInfo over System; event_id carries
+  qualifiers+id; provider name/guid/event_source; security/execution/
+  correlation only when present.
+* severity (xml.go:48-74 parseSeverity): rendered level name first
+  (Critical/Error/Warning/Information), else numeric System level
+  1..4 -> Fatal(21)/Error(17)/Warn(13)/Info(9), else Default(0).
+* timestamp (xml.go:39-45): RFC3339Nano SystemTime; unparseable ->
+  the injected fallback (the reference stamps time.Now).
+* EventData (xml.go:154-179): name/binary only when non-empty; the
+  data list becomes a list of SINGLE-KEY maps [{name: value}, ...]
+  (the reference's shape, kept verbatim).
+* Security channel messages (security.go parseSecurity): the
+  indentation-driven line machine -- first line is the subject;
+  ``key:`` opens a subsection or sublist depending on the indent of
+  what follows; ``key:\\tvalue`` pairs; bare keys with nothing
+  indented under them read ``-``; trailing free lines aggregate into
+  "Additional Context".  Lines are TrimSpace'd before classification,
+  so ``key:<tab>`` (empty value) classifies as a bare key -- that is
+  where the reference's ``-`` placeholders come from.  Ported as an
+  Arrow-batched pandas UDF: a sequential state machine is the honest
+  Python slot, one call per Security record only.
+
+Spark shape: ONE from_xml per row (staged), pure-Column fallbacks and
+ladders; the pandas UDF runs only on Security-channel rows.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+EVENT_XML_SCHEMA = (
+    "struct<"
+    "System: struct<"
+    " EventID: struct<_Qualifiers: int, _VALUE: bigint>,"
+    " Provider: struct<_Name: string, _Guid: string,"
+    "  _EventSourceName: string>,"
+    " Computer: string, Channel: string, EventRecordID: bigint,"
+    " TimeCreated: struct<_SystemTime: string>,"
+    " Level: string, Task: string, Opcode: string, Keywords: string,"
+    " Security: struct<_UserID: string>,"
+    " Execution: struct<_ProcessID: bigint, _ThreadID: bigint>,"
+    " Correlation: struct<_ActivityID: string,"
+    "  _RelatedActivityID: string>,"
+    " Version: int>,"
+    "RenderingInfo: struct<Message: string, Level: string,"
+    " Task: string, Opcode: string,"
+    " Keywords: struct<Keyword: array<string>>>,"
+    "EventData: struct<_Name: string, Binary: string,"
+    " Data: array<struct<_Name: string, _VALUE: string>>>"
+    ">"
+)
+
+SEVERITY_BY_RENDERED = {
+    "Critical": 21, "Error": 17, "Warning": 13, "Information": 9,
+}
+SEVERITY_BY_LEVEL = {"1": 21, "2": 17, "3": 13, "4": 9}
+
+
+# ---------------------------------------------------------------------------
+# Security-channel message processor (security.go) -- Python port
+# ---------------------------------------------------------------------------
+
+
+def _count_indent(line: str) -> int:
+    i = 0
+    while line.startswith("\t" * (i + 1)):
+        i += 1
+    return i
+
+
+def _parse_line(line: str):
+    """-> (type, indent, key, value); types: empty/key/value/pair."""
+    i = _count_indent(line)
+    s = line.strip()
+    if s == "":
+        return ("empty", i, "", "")
+    if ":\t" in s:
+        k, v = s.split(":\t", 1)
+        return ("pair", i, k.strip(), v.strip())
+    if s.endswith(":"):
+        return ("key", i, s[:-1], "")
+    return ("value", i, "", s)
+
+
+class _Lines:
+    def __init__(self, message: str):
+        self.lines = [
+            _parse_line(ln)
+            for ln in message.strip().split("\n")
+        ]
+        self.ptr = 0
+
+    def has_next(self) -> bool:
+        return self.ptr < len(self.lines)
+
+    def next(self):
+        ln = self.lines[self.ptr]
+        self.ptr += 1
+        return ln
+
+    def peek(self):
+        return self.lines[self.ptr]
+
+    def has_next_indented(self, min_depth: int) -> bool:
+        if not self.has_next() or self.ptr == 0:
+            return False
+        t, i, _, _ = self.peek()
+        if t == "empty":
+            return False
+        return i >= min_depth
+
+
+def _consume_subsection(mp: _Lines, depth: int) -> dict:
+    sub: dict = {}
+    while mp.has_next():
+        t, _, k, v = mp.next()
+        if t == "empty":
+            return sub
+        if t == "pair":
+            sub[k] = v
+        elif t == "key":
+            if not mp.has_next_indented(depth + 1):
+                sub[k] = "-"
+                continue
+            sub[k] = _consume_sublist(mp, depth + 1)
+        # value lines: skipped inside subsections
+    return sub
+
+
+def _consume_sublist(mp: _Lines, depth: int) -> list:
+    out: list = []
+    while mp.has_next():
+        if not mp.has_next_indented(depth):
+            return out
+        t, _, k, v = mp.next()
+        if t == "value":
+            out.append(v)
+        elif t == "key":
+            out.append(k)
+    return out
+
+
+def parse_security(message: str) -> tuple[str, dict]:
+    """security.go:10-59 parseSecurity."""
+    details: dict = {}
+    mp = _Lines(message)
+    t, _, k, v = mp.next()
+    if t == "value":
+        subject = v
+    elif t == "key":
+        subject = k
+    else:
+        return message, {}
+
+    more: list = []
+    while mp.has_next():
+        t, i, k, v = mp.next()
+        if t == "value":
+            more.append(v)
+        elif t == "key":
+            if not mp.has_next_indented(i + 1):
+                details[k] = "-"
+                continue
+            details[k] = _consume_subsection(mp, i + 1)
+        elif t == "pair":
+            if not mp.has_next_indented(i + 1):
+                details[k] = v
+                continue
+            details[k] = [v, *_consume_sublist(mp, i + 1)]
+    if more:
+        details["Additional Context"] = more
+    return subject, details
+
+
+def _security_batch(messages: pd.Series) -> pd.DataFrame:
+    subjects, details = [], []
+    for m in messages:
+        if m is None:
+            subjects.append(None)
+            details.append(None)
+            continue
+        s, d = parse_security(m)
+        subjects.append(s)
+        details.append(
+            json.dumps(d, sort_keys=True, separators=(",", ":"))
+            if d else None
+        )
+    return pd.DataFrame({"subject": subjects, "details_json": details})
+
+
+_SECURITY_UDF = None
+
+
+def _security_udf(message: Column) -> Column:
+    # built lazily: decorating with a DDL return type resolves the
+    # schema and needs an active SparkSession
+    global _SECURITY_UDF
+    if _SECURITY_UDF is None:
+        _SECURITY_UDF = pandas_udf(
+            "struct<subject: string, details_json: string>"
+        )(_security_batch)
+    return _SECURITY_UDF(message)
+
+
+# ---------------------------------------------------------------------------
+# XML mapping (xml.go formattedBody)
+# ---------------------------------------------------------------------------
+
+
+def _sev(rendered: Column, level: Column) -> Column:
+    out = F.lit(0)
+    for k, v in SEVERITY_BY_LEVEL.items():
+        out = F.when(
+            (F.coalesce(rendered, F.lit("")) == "") & (level == k),
+            F.lit(v),
+        ).otherwise(out)
+    for k, v in SEVERITY_BY_RENDERED.items():
+        out = F.when(rendered == k, F.lit(v)).otherwise(out)
+    return out
+
+
+def windows_event_records(
+    df: DataFrame,
+    xml_col: str = "xml",
+    fallback_ts: str = "1970-01-01 00:00:00",
+) -> DataFrame:
+    """One structured record per rendered-XML event row."""
+    df = df.select(
+        "*", F.from_xml(F.col(xml_col), EVENT_XML_SCHEMA).alias("__ev")
+    )
+    ev = F.col("__ev")
+    sy, ri = ev["System"], ev["RenderingInfo"]
+
+    def fallback(a: Column, b: Column) -> Column:
+        return F.when(
+            F.coalesce(a, F.lit("")) == "", b
+        ).otherwise(a)
+
+    keywords = F.coalesce(
+        ri["Keywords"]["Keyword"],
+        F.when(
+            sy["Keywords"].isNotNull(), F.array(sy["Keywords"])
+        ),
+    )
+    ed = ev["EventData"]
+    event_data_entries = F.transform(
+        F.coalesce(
+            ed["Data"],
+            F.array().cast("array<struct<_Name string, _VALUE string>>"),
+        ),
+        lambda d: F.struct(
+            d["_Name"].alias("name"), d["_VALUE"].alias("value")
+        ),
+    )
+    ts = F.coalesce(
+        sy["TimeCreated"]["_SystemTime"].cast("timestamp"),
+        F.lit(fallback_ts).cast("timestamp"),
+    )
+    is_security = sy["Channel"] == "Security"
+    message = ri["Message"]
+
+    out = df.select(
+        "*",
+        sy["EventID"]["_VALUE"].alias("event_id_id"),
+        F.coalesce(sy["EventID"]["_Qualifiers"], F.lit(0))
+        .alias("event_id_qualifiers"),
+        sy["Provider"]["_Name"].alias("provider_name"),
+        sy["Provider"]["_Guid"].alias("provider_guid"),
+        sy["Provider"]["_EventSourceName"].alias("provider_event_source"),
+        sy["Computer"].alias("computer"),
+        sy["Channel"].alias("channel"),
+        sy["EventRecordID"].alias("record_id"),
+        sy["TimeCreated"]["_SystemTime"].alias("system_time"),
+        ts.alias("event_ts"),
+        fallback(ri["Level"], sy["Level"]).alias("level"),
+        fallback(ri["Task"], sy["Task"]).alias("task"),
+        fallback(ri["Opcode"], sy["Opcode"]).alias("opcode"),
+        keywords.alias("keywords"),
+        _sev(ri["Level"], sy["Level"]).alias("severity_number"),
+        F.coalesce(sy["Version"], F.lit(0)).alias("version"),
+        ed["_Name"].alias("event_data_name"),
+        ed["Binary"].alias("event_data_binary"),
+        event_data_entries.alias("event_data"),
+        sy["Security"]["_UserID"].alias("security_user_id"),
+        sy["Execution"]["_ProcessID"].alias("execution_process_id"),
+        sy["Execution"]["_ThreadID"].alias("execution_thread_id"),
+        sy["Correlation"]["_ActivityID"].alias("correlation_activity_id"),
+        message.alias("raw_message"),
+        F.when(is_security, _security_udf(message)).alias("__sec"),
+    )
+    sec = F.col("__sec")
+    internal = {"__ev", "__sec"}
+    return out.select(
+        *[c for c in out.columns if c not in internal],
+        # parseMessage: Security channel splits subject/details,
+        # every other channel passes the message through untouched
+        F.when(is_security, sec["subject"])
+        .otherwise(message).alias("message"),
+        F.when(is_security, sec["details_json"]).alias("details_json"),
+    )

@@ -68,6 +68,7 @@ _PRIORITY_NAMES: list[str] = [
     "syslog_render_events",           # round 3: syslog exporter frames
     "alertmanager_alerts_events",     # round 3: span events -> alerts
     "honeycomb_markers_events",       # round 3: OTTL-gated markers
+    "windows_events_parse",           # round 3: windows event XML
 ]
 
 
@@ -9270,3 +9271,143 @@ SELECT * FROM u ORDER BY event_id, marker_index
 
 _QUERIES["honeycomb_markers_events"] = q_honeycomb_markers
 _ORACLES["honeycomb_markers_events"] = _HONEYCOMB_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Windows Event Log input (pkg/stanza/operator/input/windows/xml.go,
+# security.go): rendered event XML -> structured records with
+# rendered-vs-raw fallbacks, the severity ladder, the EventData
+# single-key-map quirk and the Security-channel message processor.
+# Oracle recomputes the closed form of the constructed events.
+# ---------------------------------------------------------------------------
+
+def q_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.winevent import windows_event_records
+
+    ev = _read(spark, sf_dir, "events")
+    m3 = (F.col("event_id") % 3).cast("int")
+    has_ri = F.col("event_id") % 2 == 0
+    rlevel = F.element_at(
+        F.array(F.lit("Critical"), F.lit("Error"), F.lit("Warning"),
+                F.lit("Information"), F.lit("Verbose")),
+        (F.col("event_id") % 5).cast("int") + 1,
+    )
+    channel = F.element_at(
+        F.array(F.lit("Application"), F.lit("System"), F.lit("Security")),
+        m3 + 1,
+    )
+    user = F.concat(F.lit("user"), (F.col("user_id") % 7).cast("string"))
+    sec_msg = F.concat(
+        F.lit("Logon attempt "), F.col("event_id").cast("string"),
+        F.lit(".&#10;&#10;Subject:&#10;&#9;Account Name:&#9;&#9;"),
+        user,
+        F.lit("&#10;&#9;Logon ID:&#9;&#9;0x"),
+        (F.col("event_id") % 16).cast("string"),
+        F.lit("&#10;"),
+    )
+    plain_msg = F.concat(F.lit("evt "), F.col("event_type"))
+    rendering = F.when(
+        has_ri,
+        F.concat(
+            F.lit("<RenderingInfo Culture='en-US'><Message>"),
+            F.when(channel == "Security", sec_msg).otherwise(plain_msg),
+            F.lit("</Message><Level>"), rlevel,
+            F.lit("</Level><Task>RTask</Task><Keywords>"
+                  "<Keyword>Audit Success</Keyword></Keywords>"
+                  "</RenderingInfo>"),
+        ),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit("<Event><System><Provider Name='prov-"),
+        (F.col("user_id") % 4).cast("string"),
+        F.lit("'/><EventID Qualifiers='16384'>"),
+        (4600 + F.col("event_id") % 50).cast("string"),
+        F.lit("</EventID><Level>"),
+        (1 + F.col("event_id") % 6).cast("string"),
+        F.lit("</Level><Task>12288</Task><Opcode>0</Opcode>"
+              "<Keywords>0x8020000000000000</Keywords>"
+              "<TimeCreated SystemTime='"),
+        F.date_format(F.col("ts").cast("timestamp"),
+                      "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.lit("'/><EventRecordID>"),
+        F.col("event_id").cast("string"),
+        F.lit("</EventRecordID><Channel>"), channel,
+        F.lit("</Channel><Computer>host-"),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit("</Computer></System><EventData>"
+              "<Data Name='p1'>"),
+        F.col("event_type"),
+        F.lit("</Data><Data Name='p2'>v"),
+        (F.col("event_id") % 9).cast("string"),
+        F.lit("</Data></EventData>"),
+        rendering,
+        F.lit("</Event>"),
+    )
+    src = ev.select("event_id", xml.alias("xml"))
+    out = windows_event_records(src)
+    return out.select(
+        "event_id", "channel", "provider_name", "computer",
+        "event_id_id", "event_id_qualifiers", "record_id",
+        "level", "task", "severity_number",
+        F.array_join(F.col("keywords"), "|").alias("keywords_str"),
+        F.array_join(
+            F.transform(
+                F.col("event_data"),
+                lambda e: F.concat(e["name"], F.lit("="), e["value"]),
+            ),
+            ",",
+        ).alias("event_data_str"),
+        "system_time", "message", "details_json",
+    ).orderBy("event_id")
+
+
+_WINEVENT_ORACLE = r"""
+WITH f AS (
+  SELECT event_id, event_type, user_id, ts,
+         CAST(event_id % 3 AS INT) AS m3,
+         event_id % 2 = 0 AS has_ri,
+         (['Critical','Error','Warning','Information','Verbose'])
+           [CAST(event_id % 5 AS INT) + 1] AS rlevel,
+         (['Application','System','Security'])
+           [CAST(event_id % 3 AS INT) + 1] AS channel,
+         CAST(1 + event_id % 6 AS VARCHAR) AS rawlevel,
+         'user' || CAST(user_id % 7 AS VARCHAR) AS u
+  FROM events),
+g AS (
+  SELECT event_id, channel,
+    'prov-' || CAST(user_id % 4 AS VARCHAR) AS provider_name,
+    'host-' || CAST(user_id % 20 AS VARCHAR) AS computer,
+    4600 + event_id % 50 AS event_id_id,
+    16384 AS event_id_qualifiers,
+    event_id AS record_id,
+    CASE WHEN has_ri THEN rlevel ELSE rawlevel END AS level,
+    CASE WHEN has_ri THEN 'RTask' ELSE '12288' END AS task,
+    CASE WHEN has_ri THEN
+      CASE rlevel WHEN 'Critical' THEN 21 WHEN 'Error' THEN 17
+                  WHEN 'Warning' THEN 13 WHEN 'Information' THEN 9
+                  ELSE 0 END
+    ELSE
+      CASE rawlevel WHEN '1' THEN 21 WHEN '2' THEN 17
+                    WHEN '3' THEN 13 WHEN '4' THEN 9 ELSE 0 END
+    END AS severity_number,
+    CASE WHEN has_ri THEN 'Audit Success'
+         ELSE '0x8020000000000000' END AS keywords_str,
+    'p1=' || event_type || ',p2=v' || CAST(event_id % 9 AS VARCHAR)
+      AS event_data_str,
+    strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS system_time,
+    CASE
+      WHEN NOT has_ri THEN NULL
+      WHEN channel = 'Security'
+        THEN 'Logon attempt ' || CAST(event_id AS VARCHAR) || '.'
+      ELSE 'evt ' || event_type END AS message,
+    CASE WHEN has_ri AND channel = 'Security' THEN
+      '{"Subject":{"Account Name":"' || u
+      || '","Logon ID":"0x' || CAST(event_id % 16 AS VARCHAR)
+      || '"}}'
+    END AS details_json
+  FROM f)
+SELECT * FROM g ORDER BY event_id
+"""
+
+_QUERIES["windows_events_parse"] = q_windows_events
+_ORACLES["windows_events_parse"] = _WINEVENT_ORACLE

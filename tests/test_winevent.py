@@ -1,0 +1,180 @@
+"""Windows Event Log input (pkg/stanza/operator/input/windows):
+security-message parser vectors from the reference's testdata, XML
+mapping + severity ladder + EventData quirk."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.winevent import (
+    parse_security,
+    windows_event_records,
+)
+
+# testdata/security/time_change/message.in (reference vector; the
+# \u200e marks are in the original)
+_LRM = "\u200e"
+TIME_CHANGE = (
+    "The system time was changed.\n"
+    "\n"
+    "Subject:\n"
+    "\tSecurity ID:\t\tSYSTEM\n"
+    "\tAccount Name:\t\tWIN-322E2C550UP$\n"
+    "\tAccount Domain:\t\tWORKGROUP\n"
+    "\tLogon ID:\t\t0x3E7\n"
+    "\n"
+    "Process Information:\n"
+    "\tProcess ID:\t0x474\n"
+    "\tName:\t\tC:\\Program Files\\VMware\\VMware Tools\\vmtoolsd.exe\n"
+    "\n"
+    f"Previous Time:\t\t{_LRM}2020{_LRM}-{_LRM}01{_LRM}-{_LRM}01"
+    "T23:55:29.757489600Z\n"
+    f"New Time:\t\t{_LRM}2020{_LRM}-{_LRM}01{_LRM}-{_LRM}02"
+    "T03:51:44.145000000Z\n"
+    "\n"
+    "This event is generated when the system time is changed. It is"
+    " normal for the Windows Time Service, which runs with System"
+    " privilege, to change the system time on a regular basis. Other"
+    " system time changes may be indicative of attempts to tamper with"
+    " the computer."
+)
+
+
+def test_parse_security_time_change_vector():
+    subject, details = parse_security(TIME_CHANGE)
+    assert subject == "The system time was changed."
+    assert details["Subject"] == {
+        "Security ID": "SYSTEM",
+        "Account Name": "WIN-322E2C550UP$",
+        "Account Domain": "WORKGROUP",
+        "Logon ID": "0x3E7",
+    }
+    assert details["Process Information"] == {
+        "Process ID": "0x474",
+        "Name": "C:\\Program Files\\VMware\\VMware Tools\\vmtoolsd.exe",
+    }
+    assert details["Previous Time"].endswith("T23:55:29.757489600Z")
+    assert details["Additional Context"] == [
+        "This event is generated when the system time is changed. It"
+        " is normal for the Windows Time Service, which runs with"
+        " System privilege, to change the system time on a regular"
+        " basis. Other system time changes may be indicative of"
+        " attempts to tamper with the computer."
+    ]
+
+
+def test_parse_security_no_details_vectors():
+    # testdata/security/service_started
+    msg, details = parse_security(
+        "The Windows Firewall service started successfully."
+    )
+    assert msg == "The Windows Firewall service started successfully."
+    assert details == {}
+    # testdata/security/audit_success: free lines -> Additional Context
+    msg, details = parse_security(
+        "Windows is starting up.\n\nThis event is logged when"
+        " LSASS.EXE starts and the auditing subsystem is initialized."
+    )
+    assert msg == "Windows is starting up."
+    assert details == {
+        "Additional Context": [
+            "This event is logged when LSASS.EXE starts and the"
+            " auditing subsystem is initialized."
+        ]
+    }
+
+
+def test_empty_value_pair_reads_dash():
+    # 'key:<tab>' trims to a bare key; nothing indented deeper -> '-'
+    # (the logon vector's 'Workstation Name' placeholder)
+    _, details = parse_security(
+        "subj.\n\nNetwork Information:\n"
+        "\tWorkstation Name:\t\n"
+        "\tSource Port:\t\t-\n"
+    )
+    assert details["Network Information"] == {
+        "Workstation Name": "-",
+        "Source Port": "-",
+    }
+
+
+def _xml(channel="Application", rendered_level="Error", level="2",
+         message="hello", data=('<Data Name="p1">v1</Data>'
+                                '<Data Name="p2">v2</Data>')):
+    rendering = (
+        f"<RenderingInfo Culture='en-US'><Message>{message}</Message>"
+        f"<Level>{rendered_level}</Level><Task>T</Task>"
+        "<Keywords><Keyword>Audit Success</Keyword>"
+        "<Keyword>kw2</Keyword></Keywords></RenderingInfo>"
+        if rendered_level is not None else ""
+    )
+    return (
+        "<Event xmlns='http://schemas.microsoft.com/win/2004/08/events"
+        "/event'><System>"
+        "<Provider Name='prov' Guid='{guid-1}'"
+        " EventSourceName='src'/>"
+        "<EventID Qualifiers='16384'>4624</EventID>"
+        f"<Level>{level}</Level><Task>12288</Task><Opcode>0</Opcode>"
+        "<Keywords>0x8020000000000000</Keywords>"
+        "<TimeCreated SystemTime='2024-03-01T12:00:00.123456Z'/>"
+        "<EventRecordID>99</EventRecordID>"
+        "<Correlation ActivityID='{act-1}'/>"
+        "<Execution ProcessID='4' ThreadID='88'/>"
+        f"<Channel>{channel}</Channel><Computer>host-1</Computer>"
+        "<Security UserID='S-1-5-18'/>"
+        f"</System><EventData>{data}</EventData>{rendering}</Event>"
+    )
+
+
+def test_xml_mapping_and_fallbacks(spark):
+    df = spark.createDataFrame(
+        [(1, _xml()), (2, _xml(rendered_level=None, level="4"))],
+        "id bigint, xml string",
+    )
+    rows = {r["id"]: r for r in windows_event_records(df).collect()}
+    r1 = rows[1]
+    assert r1["event_id_id"] == 4624
+    assert r1["event_id_qualifiers"] == 16384
+    assert r1["provider_name"] == "prov"
+    assert r1["computer"] == "host-1" and r1["record_id"] == 99
+    # rendered wins
+    assert r1["level"] == "Error" and r1["severity_number"] == 17
+    assert r1["task"] == "T"
+    assert r1["keywords"] == ["Audit Success", "kw2"]
+    assert r1["message"] == "hello"
+    # EventData: list of single-key entries, order preserved
+    assert [(e["name"], e["value"]) for e in r1["event_data"]] == [
+        ("p1", "v1"), ("p2", "v2"),
+    ]
+    assert r1["security_user_id"] == "S-1-5-18"
+    assert r1["execution_process_id"] == 4
+    assert str(r1["event_ts"]).startswith("2024-03-01 12:00:00.123456")
+    # raw fallbacks when RenderingInfo is absent
+    r2 = rows[2]
+    assert r2["level"] == "4" and r2["severity_number"] == 9
+    assert r2["task"] == "12288"
+    assert r2["keywords"] == ["0x8020000000000000"]
+
+
+def test_security_channel_splits_message(spark):
+    msg = ("An account was logged off.&#10;&#10;Subject:&#10;"
+           "&#9;Security ID:&#9;&#9;S-1-5-21&#10;"
+           "&#9;Logon ID:&#9;&#9;0x312&#10;")
+    df = spark.createDataFrame(
+        [(1, _xml(channel="Security", message=msg))],
+        "id bigint, xml string",
+    )
+    r = windows_event_records(df).first()
+    assert r["message"] == "An account was logged off."
+    assert json.loads(r["details_json"]) == {
+        "Subject": {"Security ID": "S-1-5-21", "Logon ID": "0x312"}
+    }
+    # non-security rows keep details_json null
+    df2 = spark.createDataFrame(
+        [(1, _xml(channel="System", message="plain"))],
+        "id bigint, xml string",
+    )
+    r2 = windows_event_records(df2).first()
+    assert r2["message"] == "plain" and r2["details_json"] is None
