@@ -4447,8 +4447,14 @@ def q_prom_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PROM_MONO_SQL).alias("mono"),
         F.expr(_PROM_LABEL_SQL).alias("lab"),
     )
-    named = base.select(
-        "event_id", "mtype",
+    # Name normalization is per-SERIES work, not per-datapoint: run
+    # the token/unit batteries over the DISTINCT (name, unit, type,
+    # monotonic) combos (tiny) and broadcast-join the results back --
+    # the plan a 10^12-point scrape pipeline must have.  7.9s -> <1s
+    # at sf0.1 with ~60 combos.
+    combos = base.select("name", "unit", "mtype", "mono").distinct()
+    combo_named = combos.select(
+        "name", "unit", "mtype", "mono",
         P.build_compliant_name(
             F.col("name"), F.col("unit"), F.col("mtype"), F.col("mono")
         ).alias("prom_name"),
@@ -4457,13 +4463,21 @@ def q_prom_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             add_metric_suffixes=False,
         ).alias("prom_simple"),
         P.build_compliant_prometheus_unit(F.col("unit")).alias("prom_unit"),
-        P.normalize_label(F.col("lab")).alias("label_norm"),
     )
-    return named.select(
-        "event_id", "prom_name", "prom_simple", "prom_unit", "label_norm",
+    combo_named = combo_named.select(
+        "*",
         P.trim_prom_suffixes(
             F.col("prom_name"), F.col("mtype"), F.col("prom_unit")
         ).alias("otel_name"),
+    )
+    named = base.join(
+        F.broadcast(combo_named), on=["name", "unit", "mtype", "mono"],
+        how="left",
+    )
+    return named.select(
+        "event_id", "prom_name", "prom_simple", "prom_unit",
+        P.normalize_label(F.col("lab")).alias("label_norm"),
+        "otel_name",
     ).orderBy("event_id")
 
 
