@@ -1,0 +1,268 @@
+"""datadogreceiver metrics: series v1/v2 payloads -> OTel number
+datapoints (receiver/datadogreceiver/internal/translator/series.go,
+tags.go, batcher.go).
+
+Semantics reproduced:
+
+* tag split (tags.go translateDatadogTagToKeyValuePair): ``k:v`` cuts
+  at the FIRST colon; an unnamed tag ``foo`` becomes
+  ``unnamed_foo=foo``.
+* tag routing (tags.go tagsToAttributes): keys found CASE-SENSITIVELY
+  in the known-resource table become semconv RESOURCE attributes
+  (``image_tag`` -> the string-slice ``container.image.tags``);
+  everything else goes through ``translateDatadogKeyToOTel``
+  (lowercase lookup + the http.{request,response}.headers.* ->
+  ...header.* rewrite) -- header keys land as RESOURCE string slices,
+  the rest as DATAPOINT attributes.  The quirk that an uppercase
+  known key (``ENV:x``) translates its NAME but still lands in
+  datapoint attributes is preserved.  Legacy single-value tag
+  semantics (the MultiTagParsing feature gate default-off path).
+* resource assembly order (series.go TranslateSeriesV2 +
+  parseSeriesProperties): host.name from the host resource/field
+  first, tag-derived entries next, the remaining v2 resources
+  (type != host), then ``source`` = source_type_name -- later upserts
+  win (pcommon PutStr), expressed as a LAST_WIN map_from_entries.
+* types (series.go:65-78,139-152): count -> delta sum (explicitly
+  non-monotonic), rate -> delta sum with value x interval, gauge ->
+  gauge, unspecified series are skipped entirely.
+* timestamps: Datadog seconds -> ns; start timestamp = the stream's
+  previously seen point timestamp (streamHasTimestamp /
+  updateLastTsForStream), which for an ordered payload is exactly
+  ``lag(ts) over the stream identity`` -- metric identity + datapoint
+  attributes (internal/exp/metrics/identity.OfStream).
+
+Columnar shape: one from_json (staged) -> explode series -> per-tag
+transform + LAST_WIN merges (all native) -> explode points -> one
+window (the stream identity) for start timestamps.  At 10^12 points
+the only shuffle is the stream-identity window, keyed by series
+identity -- the natural partitioning for metric streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SERIES_V2_SCHEMA = (
+    "struct<series: array<struct<"
+    "metric string, type string, tags array<string>,"
+    " resources array<struct<type string, name string>>,"
+    " points array<struct<timestamp bigint, value double>>,"
+    " interval bigint, source_type_name string>>>"
+)
+
+# tags.go datadogKnownResourceAttributes (semconv v1.38 names)
+KNOWN_RESOURCE_ATTRS: dict[str, str] = {
+    "env": "deployment.environment.name",
+    "service": "service.name",
+    "version": "service.version",
+    "container_id": "container.id",
+    "container_name": "container.name",
+    "image_name": "container.image.name",
+    "image_tag": "container.image.tags",
+    "runtime": "container.runtime.name",
+    "cloud_provider": "cloud.provider",
+    "region": "cloud.region",
+    "zone": "cloud.availability_zone",
+    "task_family": "aws.ecs.task.family",
+    "task_arn": "aws.ecs.task.arn",
+    "ecs_cluster_name": "aws.ecs.cluster.arn",
+    "task_version": "aws.ecs.task.revision",
+    "ecs_container_name": "aws.ecs.container.arn",
+    "kube_container_name": "k8s.container.name",
+    "kube_cluster_name": "k8s.cluster.name",
+    "kube_deployment": "k8s.deployment.name",
+    "kube_replica_set": "k8s.replicaset.name",
+    "kube_stateful_set": "k8s.statefulset.name",
+    "kube_daemon_set": "k8s.daemonset.name",
+    "kube_job": "k8s.job.name",
+    "kube_cronjob": "k8s.cronjob.name",
+    "kube_namespace": "k8s.namespace.name",
+    "pod_name": "k8s.pod.name",
+    "http.client_ip": "client.address",
+    "http.response.content_length": "http.response.body.size",
+    "http.status_code": "http.response.status_code",
+    "http.request.content_length": "http.request.body.size",
+    "http.referer": "http.request.header.referer",
+    "http.method": "http.request.method",
+    "http.route": "http.route",
+    "http.version": "network.protocol.version",
+    "http.server_name": "server.address",
+    "http.url": "url.full",
+    "http.useragent": "user_agent.original",
+    "aws.s3.bucket_name": "aws.s3.bucket",
+    "aws.response.request_id": "aws.request_id",
+    "aws.service": "rpc.service",
+    "aws.operation": "rpc.method",
+    "db.type": "db.system.name",
+    "db.operation": "db.operation.name",
+    "db.instance": "db.namespace",
+    "db.sql.table": "db.collection.name",
+    "db.pool.name": "db.client.connection.pool.name",
+    "db.statement": "db.query.text",
+    "process_id": "process.pid",
+    "error.stacktrace": "exception.stacktrace",
+    "error.msg": "exception.message",
+}
+
+_ENTRIES = "array<struct<key string, value string>>"
+
+
+def _entry(k: Column, v: Column) -> Column:
+    """Entry struct with GUARANTEED field names: aliases set inside
+    higher-order-function lambdas can degrade to col1/col2, so force
+    the names with a cast."""
+    return F.struct(k.alias("key"), v.alias("value")).cast(
+        "struct<key: string, value: string>"
+    )
+
+
+
+def _lit_map(mapping: dict[str, str]) -> Column:
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.create_map(*pairs)
+
+
+def _slice_str(v: Column) -> Column:
+    """pcommon string-slice value rendered canonically."""
+    return F.concat(F.lit('["'), v, F.lit('"]'))
+
+
+def translate_dd_key(key: Column) -> Column:
+    """tags.go translateDatadogKeyToOTel."""
+    known = F.try_element_at(_lit_map(KNOWN_RESOURCE_ATTRS), F.lower(key))
+    return F.coalesce(
+        known,
+        F.when(
+            key.startswith("http.response.headers."),
+            F.concat(F.lit("http.response.header."),
+                     F.substring(key, 23, 2147483640)),
+        ).when(
+            key.startswith("http.request.headers."),
+            F.concat(F.lit("http.request.header."),
+                     F.substring(key, 22, 2147483640)),
+        ),
+        key,
+    )
+
+
+def dd_series_points(
+    df: DataFrame, json_col: str = "json"
+) -> DataFrame:
+    """Series payload JSON -> one row per datapoint."""
+    df = df.select(
+        "*", F.from_json(F.col(json_col), SERIES_V2_SCHEMA).alias("__dd")
+    )
+    df = df.select(
+        *[c for c in df.columns if c != json_col],
+        F.explode(F.col("__dd")["series"]).alias("__s"),
+    ).drop("__dd")
+    s = F.col("__s")
+
+    # per-tag classification (one pass over the tag array)
+    tag_kv = F.transform(
+        F.coalesce(s["tags"], F.array().cast("array<string>")),
+        lambda t: _entry(
+            F.when(t.contains(":"), F.split_part(t, F.lit(":"), F.lit(1)))
+            .otherwise(F.concat(F.lit("unnamed_"), t)),
+            F.when(
+                t.contains(":"),
+                F.substring(t, F.instr(t, ":") + 1, 2147483640),
+            ).otherwise(t),
+        ),
+    )
+    df = df.select("*", tag_kv.alias("__tags"))
+    tags = F.col("__tags")
+
+    known = _lit_map(KNOWN_RESOURCE_ATTRS)
+    res_from_tags = F.transform(
+        F.filter(tags, lambda e: F.try_element_at(known, e["key"]).isNotNull()),
+        lambda e: _entry(
+            F.try_element_at(known, e["key"]),
+            F.when(
+                F.try_element_at(known, e["key"])
+                == "container.image.tags",
+                _slice_str(e["value"]),
+            ).otherwise(e["value"]),
+        ),
+    )
+    rest = F.transform(
+        F.filter(tags, lambda e: F.try_element_at(known, e["key"]).isNull()),
+        lambda e: _entry(translate_dd_key(e["key"]), e["value"]),
+    )
+    is_header = (
+        lambda e: e["key"].startswith("http.request.header.")
+        | e["key"].startswith("http.response.header.")
+    )
+    res_headers = F.transform(
+        F.filter(rest, is_header),
+        lambda e: _entry(e["key"], _slice_str(e["value"])),
+    )
+    dp_entries = F.filter(rest, lambda e: ~is_header(e))
+
+    resources = F.coalesce(
+        s["resources"],
+        F.array().cast("array<struct<type string, name string>>"),
+    )
+    host = F.try_element_at(
+        F.map_from_entries(
+            F.transform(resources, lambda r: _entry(r["type"], r["name"]))
+        ),
+        F.lit("host"),
+    )
+    host_entry = F.filter(
+        F.array(_entry(F.lit("host.name"), host)),
+        lambda e: e["value"].isNotNull() & (e["value"] != ""),
+    )
+    other_resources = F.transform(
+        F.filter(resources, lambda r: r["type"] != "host"),
+        lambda r: _entry(r["type"], r["name"]),
+    )
+    source_entry = F.array(_entry(
+        F.lit("source"), F.coalesce(s["source_type_name"], F.lit(""))
+    ))
+    resource_attrs = F.map_from_entries(
+        F.concat(host_entry, res_from_tags, res_headers,
+                 other_resources, source_entry)
+    )
+
+    typ = F.lower(F.coalesce(s["type"], F.lit("")))
+    df = df.filter(
+        F.lower(F.coalesce(F.col("__s")["type"], F.lit("")))
+        .isin("count", "gauge", "rate")
+    ).select(
+        "*",
+        s["metric"].alias("metric"),
+        F.when(typ == "gauge", "gauge").otherwise("sum").alias("data_type"),
+        F.when(typ == "gauge", F.lit(None).cast("string"))
+        .otherwise(F.lit("delta")).alias("temporality"),
+        F.lit(False).alias("is_monotonic"),
+        resource_attrs.alias("resource_attributes"),
+        F.map_from_entries(dp_entries).alias("dp_attributes"),
+        F.coalesce(s["interval"], F.lit(0)).alias("__interval"),
+        (typ == "rate").alias("__is_rate"),
+        F.explode(s["points"]).alias("__p"),
+    )
+    p = F.col("__p")
+    out = df.select(
+        *[c for c in df.columns if c not in ("__s", "__tags", "__p",
+                                             "__interval", "__is_rate")],
+        (p["timestamp"] * F.lit(1_000_000_000)).alias("time_unix_nano"),
+        F.when(
+            F.col("__is_rate") & (F.col("__interval") != 0),
+            p["value"] * F.col("__interval"),
+        ).otherwise(p["value"]).alias("value"),
+    )
+    # stream identity: metric + attrs; start = previously seen point
+    w = (
+        Window.partitionBy(
+            "metric", "data_type",
+            F.to_json(F.col("resource_attributes")),
+            F.to_json(F.col("dp_attributes")),
+        ).orderBy("time_unix_nano")
+    )
+    return out.select(
+        "*", F.lag("time_unix_nano").over(w).alias("start_time_unix_nano")
+    )

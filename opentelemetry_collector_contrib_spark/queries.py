@@ -69,6 +69,7 @@ _PRIORITY_NAMES: list[str] = [
     "alertmanager_alerts_events",     # round 3: span events -> alerts
     "honeycomb_markers_events",       # round 3: OTTL-gated markers
     "windows_events_parse",           # round 3: windows event XML
+    "dd_series_points_events",        # round 3: datadog series v2
 ]
 
 
@@ -9425,3 +9426,110 @@ SELECT * FROM g ORDER BY event_id
 
 _QUERIES["windows_events_parse"] = q_windows_events
 _ORACLES["windows_events_parse"] = _WINEVENT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# datadogreceiver series (receiver/datadogreceiver/internal/translator/
+# series.go + tags.go): tag split/routing with the case-sensitive
+# known-resource table, image_tag/header string slices, v2 resources +
+# source, count/rate -> delta sums with rate x interval, and
+# lag-per-stream start timestamps.  Oracle recomputes the closed form.
+# ---------------------------------------------------------------------------
+
+def q_dd_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.alertmanager import kv
+    from .operators.ddseries import dd_series_points
+
+    ev = _read(spark, sf_dir, "events")
+    typ = F.element_at(
+        F.array(F.lit("gauge"), F.lit("count"), F.lit("rate"),
+                F.lit("unspecified")),
+        (F.col("event_id") % 4).cast("int") + 1,
+    )
+    base_ts = 1_700_000_000 + F.col("event_id") * 2
+    v = F.round(F.col("value"), 2)
+    payload = F.concat(
+        F.lit('{"series":[{"metric":"dd.'), F.col("event_type"),
+        F.lit('","type":"'), typ,
+        F.lit('","tags":["env:prod","service:svc-'),
+        (F.col("user_id") % 3).cast("string"),
+        F.lit('","team"'),
+        F.when(F.col("event_id") % 5 == 0,
+               F.concat(F.lit(',"image_tag:v'),
+                        (F.col("event_id") % 2).cast("string"),
+                        F.lit('"'))).otherwise(F.lit("")),
+        F.lit('],"resources":[{"type":"host","name":"h'),
+        (F.col("user_id") % 20).cast("string"),
+        F.lit('"},{"type":"device","name":"eth'),
+        (F.col("event_id") % 2).cast("string"),
+        F.lit('"}],"interval":10,"source_type_name":"agent",'
+              '"points":[{"timestamp":'),
+        base_ts.cast("string"),
+        F.lit(',"value":'), v.cast("string"),
+        F.lit('},{"timestamp":'), (base_ts + 1).cast("string"),
+        F.lit(',"value":'), (v + 1).cast("string"),
+        F.lit("}]}]}"),
+    )
+    src = ev.select("event_id", payload.alias("json"))
+    out = dd_series_points(src)
+    return out.select(
+        "event_id", "metric", "data_type", "temporality",
+        F.col("is_monotonic").cast("string").alias("is_monotonic"),
+        "time_unix_nano", "start_time_unix_nano",
+        F.round(F.col("value"), 2).alias("value"),
+        kv(F.col("resource_attributes")).alias("resource_kv"),
+        kv(F.col("dp_attributes")).alias("dp_kv"),
+    ).orderBy("event_id", "time_unix_nano")
+
+
+_DD_SERIES_ORACLE = """
+WITH f AS (
+  SELECT event_id,
+    'dd.' || event_type AS metric,
+    (['gauge','count','rate','unspecified'])
+      [CAST(event_id % 4 AS INT) + 1] AS typ,
+    1700000000 + event_id * 2 AS ts1,
+    round(value, 2) AS v,
+    'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+    'svc-' || CAST(user_id % 3 AS VARCHAR) AS svc,
+    'eth' || CAST(event_id % 2 AS VARCHAR) AS dev,
+    CASE WHEN event_id % 5 = 0
+         THEN 'container.image.tags=["v'
+              || CAST(event_id % 2 AS VARCHAR) || '"]|' ELSE '' END
+      AS imgkv
+  FROM events WHERE event_id % 4 <> 3),
+g AS (
+  SELECT event_id, metric,
+    CASE WHEN typ = 'gauge' THEN 'gauge' ELSE 'sum' END AS data_type,
+    CASE WHEN typ = 'gauge' THEN NULL ELSE 'delta' END AS temporality,
+    'false' AS is_monotonic,
+    imgkv || 'deployment.environment.name=prod|device=' || dev
+      || '|host.name=' || host || '|service.name=' || svc
+      || '|source=agent' AS resource_kv,
+    'unnamed_team=team' AS dp_kv,
+    ts1, v,
+    CASE WHEN typ = 'rate' THEN 10 ELSE 1 END AS mult
+  FROM f),
+pts AS (
+  SELECT event_id, metric, data_type, temporality, is_monotonic,
+         CAST(ts1 AS BIGINT) * 1000000000 AS time_unix_nano,
+         round(v * mult, 2) AS value, resource_kv, dp_kv
+  FROM g
+  UNION ALL
+  SELECT event_id, metric, data_type, temporality, is_monotonic,
+         CAST(ts1 + 1 AS BIGINT) * 1000000000,
+         round((v + 1) * mult, 2), resource_kv, dp_kv
+  FROM g),
+lagged AS (
+  SELECT event_id, metric, data_type, temporality, is_monotonic,
+         time_unix_nano,
+         LAG(time_unix_nano) OVER (
+           PARTITION BY metric, data_type, resource_kv, dp_kv
+           ORDER BY time_unix_nano) AS start_time_unix_nano,
+         value, resource_kv, dp_kv
+  FROM pts)
+SELECT * FROM lagged ORDER BY event_id, time_unix_nano
+"""
+
+_QUERIES["dd_series_points_events"] = q_dd_series
+_ORACLES["dd_series_points_events"] = _DD_SERIES_ORACLE

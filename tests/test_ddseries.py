@@ -1,0 +1,147 @@
+"""datadogreceiver series translation
+(receiver/datadogreceiver/internal/translator/{series,tags}.go)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.ddseries import (
+    dd_series_points,
+    translate_dd_key,
+)
+
+
+def _payload(*series):
+    return json.dumps({"series": list(series)})
+
+
+def _serie(metric="m", typ="gauge", tags=None, resources=None,
+           points=None, interval=0, source="src"):
+    return {
+        "metric": metric, "type": typ, "tags": tags or [],
+        "resources": resources or [{"type": "host", "name": "h1"}],
+        "points": points or [{"timestamp": 100, "value": 1.5}],
+        "interval": interval, "source_type_name": source,
+    }
+
+
+def _run(spark, *series):
+    df = spark.createDataFrame(
+        [(1, _payload(*series))], "id bigint, json string"
+    )
+    return dd_series_points(df).collect()
+
+
+def test_tag_routing_reference_vectors(spark):
+    # tags_test.go:44-66: env/service/version -> resource semconv;
+    # unnamed tag -> unnamed_foo datapoint attribute
+    rows = _run(
+        spark,
+        _serie(tags=["env:prod", "service:my-service", "version:1.0",
+                     "foo"]),
+    )
+    r = rows[0]
+    assert r["resource_attributes"]["host.name"] == "h1"
+    assert r["resource_attributes"]["deployment.environment.name"] == "prod"
+    assert r["resource_attributes"]["service.name"] == "my-service"
+    assert r["resource_attributes"]["service.version"] == "1.0"
+    assert r["dp_attributes"] == {"unnamed_foo": "foo"}
+    assert r["resource_attributes"]["source"] == "src"
+
+
+def test_image_tag_and_header_slices(spark):
+    # tags_test.go:163-189: image_tag + header tags become string
+    # slices on the resource
+    rows = _run(
+        spark,
+        _serie(tags=["image_tag:tag1",
+                     "http.request.headers.header:value"]),
+    )
+    r = rows[0]
+    assert r["resource_attributes"]["container.image.tags"] == '["tag1"]'
+    assert (
+        r["resource_attributes"]["http.request.header.header"]
+        == '["value"]'
+    )
+
+
+def test_translate_key_rewrites(spark):
+    df = spark.createDataFrame(
+        [("http.request.headers.referer",),
+         ("http.response.headers.content-type",),
+         ("ENV",), ("plain",)],
+        "k string",
+    )
+    got = [
+        r["o"] for r in df.select(
+            translate_dd_key(F.col("k")).alias("o")).collect()
+    ]
+    assert got == [
+        "http.request.header.referer",
+        "http.response.header.content-type",
+        # lowercase lookup translates the NAME (but routing keeps it
+        # in datapoint attrs -- checked below)
+        "deployment.environment.name",
+        "plain",
+    ]
+
+
+def test_uppercase_known_key_lands_in_dp_attrs(spark):
+    rows = _run(spark, _serie(tags=["ENV:prod"]))
+    r = rows[0]
+    assert "deployment.environment.name" not in r["resource_attributes"]
+    assert r["dp_attributes"] == {"deployment.environment.name": "prod"}
+
+
+def test_types_and_rate_scaling(spark):
+    rows = _run(
+        spark,
+        _serie(metric="g", typ="gauge",
+               points=[{"timestamp": 1, "value": 2.0}]),
+        _serie(metric="c", typ="count",
+               points=[{"timestamp": 1, "value": 3.0}]),
+        _serie(metric="r", typ="rate", interval=10,
+               points=[{"timestamp": 1, "value": 4.0}]),
+        _serie(metric="u", typ="unspecified"),
+    )
+    by = {r["metric"]: r for r in rows}
+    assert set(by) == {"g", "c", "r"}  # unspecified skipped
+    assert by["g"]["data_type"] == "gauge"
+    assert by["g"]["temporality"] is None
+    assert by["c"]["data_type"] == "sum"
+    assert by["c"]["temporality"] == "delta"
+    assert not by["c"]["is_monotonic"]
+    # rate value is multiplied by the interval
+    assert by["r"]["value"] == 40.0
+    assert by["g"]["time_unix_nano"] == 1_000_000_000
+
+
+def test_stream_start_timestamp_is_previous_point(spark):
+    rows = _run(
+        spark,
+        _serie(points=[{"timestamp": 10, "value": 1.0},
+                       {"timestamp": 20, "value": 2.0},
+                       {"timestamp": 30, "value": 3.0}]),
+    )
+    got = sorted(
+        (r["time_unix_nano"], r["start_time_unix_nano"]) for r in rows
+    )
+    assert got == [
+        (10_000_000_000, None),
+        (20_000_000_000, 10_000_000_000),
+        (30_000_000_000, 20_000_000_000),
+    ]
+
+
+def test_v2_resources_and_source(spark):
+    rows = _run(
+        spark,
+        _serie(resources=[{"type": "host", "name": "h9"},
+                          {"type": "device", "name": "eth0"}]),
+    )
+    r = rows[0]
+    assert r["resource_attributes"]["host.name"] == "h9"
+    assert r["resource_attributes"]["device"] == "eth0"
+    assert r["resource_attributes"]["source"] == "src"
