@@ -285,28 +285,40 @@ def prw_histogram_series(
     series = F.filter(F.array(*rows), lambda r: ~r["drop"])
     exploded = df.select("*", F.explode(series).alias("_s"))
     s = F.col("_s")
-    labels = render_labels(
-        F.col("__prw_ents"),
-        extras=[("__name__", s["mname"])],
-        external_labels=external_labels,
+    # render from ENTRY arrays end to end: concat the staged base
+    # entries with the per-series __name__/le extras, LAST_WIN dedup,
+    # native sort, join -- no re-split of an already-rendered string.
+    name_entry = F.array(
+        F.struct(
+            F.lit("__name__").alias("key"), s["mname"].alias("value")
+        )
     )
-    # Stage the rendered label string (referenced twice below).
-    exploded = exploded.select("*", labels.alias("__prw_labels"))
-    labels = F.col("__prw_labels")
-    le_labels = F.when(
-        s["le"].isNotNull(),
-        F.concat(labels, F.lit(",le="), s["le"]),
-    ).otherwise(labels)
-    # NB: 'le' sorts after '__name__','instance','job' and most attr
-    # names used here; createLabels appends extras then sorts -- for
-    # full generality re-sort the rendered set:
-    resorted = F.array_join(
-        F.array_sort(F.split(le_labels, ",")), ","
+    le_entry = F.filter(
+        F.array(
+            F.struct(F.lit("le").alias("key"), s["le"].alias("value"))
+        ),
+        lambda e: e["value"].isNotNull(),
+    )
+    allc = F.concat(F.col("__prw_ents"), name_entry, le_entry)
+    if external_labels:
+        ext = F.array(
+            *[
+                F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
+                for k, v in external_labels.items()
+            ]
+        )
+        allc = F.concat(ext, allc)
+    labels = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.map_from_entries(allc))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ",",
     )
     return exploded.select(
         *cols,
         s["mname"].alias("metric_name"),
-        resorted.alias("labels"),
+        labels.alias("labels"),
         s["val"].alias("sample_value"),
         F.col(ts_ms).alias("sample_ts_ms"),
     )
