@@ -1,0 +1,158 @@
+"""expvarreceiver (receiver/expvarreceiver/scraper.go + generated
+metadata): a Go process's /debug/vars JSON -> the 26
+process.runtime.memstats.* metrics.
+
+Semantics reproduced:
+
+* the scrape decodes the expvar JSON and requires a non-nil
+  ``memstats`` object (scraper.go:72-75) -- rows without one carry an
+  error and no metrics.
+* one datapoint per metric per scrape with the scrape timestamp
+  (injected here for reproducibility; the reference stamps time.Now).
+* metric metadata exactly as generated from metadata.yaml
+  (documentation.md): units/types/temporality/monotonicity per
+  metric; ``lookups`` and ``total_alloc`` are the two OPTIONAL
+  metrics (emitted only when enabled).
+* ``last_pause`` reads the circular stop-the-world buffer at
+  ``PauseNs[(NumGC+255) %% 256]`` (scraper.go:105-107).
+* uint64 fields are recorded through int64 casts (the reference's
+  ``int64(memStats.X)`` twos-complement reinterpretation).
+
+Columnar: ONE from_json against a 27-field schema + a literal-driven
+explode -- map-only, one row per (scrape, enabled metric).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEMSTATS_SCHEMA = (
+    "struct<memstats: struct<"
+    "Alloc bigint, TotalAlloc bigint, Sys bigint, Lookups bigint,"
+    " Mallocs bigint, Frees bigint, HeapAlloc bigint, HeapSys bigint,"
+    " HeapIdle bigint, HeapInuse bigint, HeapReleased bigint,"
+    " HeapObjects bigint, StackInuse bigint, StackSys bigint,"
+    " MSpanInuse bigint, MSpanSys bigint, MCacheInuse bigint,"
+    " MCacheSys bigint, BuckHashSys bigint, GCSys bigint,"
+    " OtherSys bigint, NextGC bigint, PauseTotalNs bigint,"
+    " NumGC bigint, NumForcedGC bigint, GCCPUFraction double,"
+    " PauseNs array<bigint>>>"
+)
+
+# (metric suffix, memstats field, unit, data_type, monotonic, optional)
+_METRICS: list[tuple[str, str, str, str, bool, bool]] = [
+    ("total_alloc", "TotalAlloc", "By", "sum", True, True),
+    ("sys", "Sys", "By", "sum", False, False),
+    ("lookups", "Lookups", "{lookups}", "sum", False, True),
+    ("mallocs", "Mallocs", "{objects}", "sum", True, False),
+    ("frees", "Frees", "{objects}", "sum", True, False),
+    ("heap_alloc", "HeapAlloc", "By", "sum", False, False),
+    ("heap_sys", "HeapSys", "By", "sum", False, False),
+    ("heap_idle", "HeapIdle", "By", "sum", False, False),
+    ("heap_inuse", "HeapInuse", "By", "sum", False, False),
+    ("heap_released", "HeapReleased", "By", "sum", False, False),
+    ("heap_objects", "HeapObjects", "{objects}", "sum", False, False),
+    ("stack_inuse", "StackInuse", "By", "sum", False, False),
+    ("stack_sys", "StackSys", "By", "sum", False, False),
+    ("mspan_inuse", "MSpanInuse", "By", "sum", False, False),
+    ("mspan_sys", "MSpanSys", "By", "sum", False, False),
+    ("mcache_inuse", "MCacheInuse", "By", "sum", False, False),
+    ("mcache_sys", "MCacheSys", "By", "sum", False, False),
+    ("buck_hash_sys", "BuckHashSys", "By", "sum", False, False),
+    ("gc_sys", "GCSys", "By", "sum", False, False),
+    ("other_sys", "OtherSys", "By", "sum", False, False),
+    ("next_gc", "NextGC", "By", "sum", False, False),
+    ("pause_total", "PauseTotalNs", "By", "sum", True, False),
+    ("num_gc", "NumGC", "By", "sum", True, False),
+    ("num_forced_gc", "NumForcedGC", "By", "sum", True, False),
+]
+
+PREFIX = "process.runtime.memstats."
+
+
+def expvar_memstats_metrics(
+    df: DataFrame,
+    json_col: str = "json",
+    scrape_ts_ns: int = 0,
+    enable_optional: bool = True,
+) -> DataFrame:
+    """One row per (input row, enabled metric):
+    (metric_name, unit, data_type, is_monotonic, temporality,
+    time_unix_nano, value_int, value_double, error)."""
+    df = df.select(
+        "*", F.from_json(F.col(json_col), MEMSTATS_SCHEMA).alias("__ev")
+    )
+    ms = F.col("__ev")["memstats"]
+    bad = ms.isNull()
+
+    rows = []
+    for suffix, field, unit, dtype, mono, optional in _METRICS:
+        if optional and not enable_optional:
+            continue
+        rows.append(
+            F.struct(
+                F.lit(PREFIX + suffix).alias("metric_name"),
+                F.lit(unit).alias("unit"),
+                F.lit(dtype).alias("data_type"),
+                F.lit(mono).alias("is_monotonic"),
+                F.lit("cumulative").alias("temporality"),
+                ms[field].alias("value_int"),
+                F.lit(None).cast("double").alias("value_double"),
+            )
+        )
+    # gauges: gc_cpu_fraction (double) and last_pause (circular buffer
+    # at PauseNs[(NumGC+255)%256]; element_at is 1-based)
+    rows.append(
+        F.struct(
+            F.lit(PREFIX + "gc_cpu_fraction").alias("metric_name"),
+            F.lit("1").alias("unit"),
+            F.lit("gauge").alias("data_type"),
+            F.lit(False).alias("is_monotonic"),
+            F.lit(None).cast("string").alias("temporality"),
+            F.lit(None).cast("bigint").alias("value_int"),
+            ms["GCCPUFraction"].alias("value_double"),
+        )
+    )
+    rows.append(
+        F.struct(
+            F.lit(PREFIX + "last_pause").alias("metric_name"),
+            F.lit("ns").alias("unit"),
+            F.lit("gauge").alias("data_type"),
+            F.lit(False).alias("is_monotonic"),
+            F.lit(None).cast("string").alias("temporality"),
+            F.try_element_at(
+                ms["PauseNs"],
+                (F.pmod(ms["NumGC"] + 255, F.lit(256)) + 1).cast("int"),
+            ).alias("value_int"),
+            F.lit(None).cast("double").alias("value_double"),
+        )
+    )
+    out = df.select(
+        *[c for c in df.columns if c not in (json_col, "__ev")],
+        F.when(bad, "unmarshalled memstats data is nil").alias("error"),
+        # explode_outer keeps the error row (NULL metric) -- the
+        # reference emits empty metrics + an error for a nil memstats
+        F.explode_outer(
+            F.when(bad, F.array().cast(
+                "array<struct<metric_name string, unit string,"
+                " data_type string, is_monotonic boolean,"
+                " temporality string, value_int bigint,"
+                " value_double double>>"
+            )).otherwise(F.array(*rows))
+        ).alias("_m"),
+    )
+    m = F.col("_m")
+    return out.select(
+        *[c for c in out.columns if c != "_m"],
+        m["metric_name"].alias("metric_name"),
+        m["unit"].alias("unit"),
+        m["data_type"].alias("data_type"),
+        m["is_monotonic"].alias("is_monotonic"),
+        m["temporality"].alias("temporality"),
+        F.lit(scrape_ts_ns).alias("time_unix_nano"),
+        m["value_int"].alias("value_int"),
+        m["value_double"].alias("value_double"),
+    )

@@ -70,6 +70,7 @@ _PRIORITY_NAMES: list[str] = [
     "honeycomb_markers_events",       # round 3: OTTL-gated markers
     "windows_events_parse",           # round 3: windows event XML
     "dd_series_points_events",        # round 3: datadog series v2
+    "expvar_memstats_events",         # round 3: expvar memstats map
 ]
 
 
@@ -9533,3 +9534,90 @@ SELECT * FROM lagged ORDER BY event_id, time_unix_nano
 
 _QUERIES["dd_series_points_events"] = q_dd_series
 _ORACLES["dd_series_points_events"] = _DD_SERIES_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# expvarreceiver (receiver/expvarreceiver/scraper.go + generated
+# metadata): /debug/vars memstats JSON -> the 26
+# process.runtime.memstats.* metrics, incl. the PauseNs circular
+# buffer read and the nil-memstats error row.  The oracle is
+# generated from the SAME metadata table the operator uses.
+# ---------------------------------------------------------------------------
+
+def q_expvar_memstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.expvar import expvar_memstats_metrics
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    e = F.col("event_id")
+    # 256-entry pause buffer with a recognizable value at each slot
+    pause_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(255)),
+        lambda i: e * 1000 + i,
+    )
+    fields = []
+    from .operators.expvar import _METRICS
+    for idx, (suffix, field, *_rest) in enumerate(_METRICS):
+        fields.append(F.concat(
+            F.lit(f'"{field}":'), (e + idx).cast("string")))
+    payload = F.concat(
+        F.lit('{"memstats":{'),
+        F.concat_ws(",", *fields),
+        F.lit(',"GCCPUFraction":0.125,"NumGC":'),
+        (e % 300).cast("string"),
+        F.lit(',"PauseNs":['),
+        F.array_join(pause_arr.cast("array<string>"), ","),
+        F.lit("]}}"),
+    )
+    # NOTE: NumGC appears twice in the JSON (once from the metric list
+    # with value e+idx, once explicitly) -- last key wins in both
+    # engines' JSON parsers, so the explicit e % 300 is authoritative.
+    src = ev.select("event_id", payload.alias("json"))
+    out = expvar_memstats_metrics(src, scrape_ts_ns=1_700_000_000_000_000_000)
+    return out.select(
+        "event_id", "metric_name", "unit", "data_type",
+        F.col("is_monotonic").cast("string").alias("is_monotonic"),
+        "temporality", "time_unix_nano", "value_int", "value_double",
+    ).orderBy("event_id", "metric_name")
+
+
+def _expvar_oracle() -> str:
+    from .operators.expvar import _METRICS, PREFIX
+
+    parts = []
+    for idx, (suffix, field, unit, dtype, mono, _opt) in enumerate(_METRICS):
+        value = f"event_id + {idx}"
+        if field == "NumGC":
+            value = "event_id % 300"
+        parts.append(
+            f"SELECT event_id, '{PREFIX}{suffix}' AS metric_name,"
+            f" '{unit}' AS unit, '{dtype}' AS data_type,"
+            f" '{str(mono).lower()}' AS is_monotonic,"
+            f" 'cumulative' AS temporality,"
+            f" CAST({value} AS BIGINT) AS value_int,"
+            f" CAST(NULL AS DOUBLE) AS value_double FROM f"
+        )
+    parts.append(
+        f"SELECT event_id, '{PREFIX}gc_cpu_fraction', '1', 'gauge',"
+        " 'false', NULL, NULL, 0.125 FROM f"
+    )
+    # last_pause: PauseNs[(NumGC+255)%256] with PauseNs[i] = e*1000+i
+    parts.append(
+        f"SELECT event_id, '{PREFIX}last_pause', 'ns', 'gauge',"
+        " 'false', NULL,"
+        " CAST(event_id * 1000 + (event_id % 300 + 255) % 256"
+        " AS BIGINT), NULL FROM f"
+    )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH f AS (SELECT event_id FROM events WHERE event_id % 20 = 0),
+u AS ({union})
+SELECT event_id, metric_name, unit, data_type, is_monotonic,
+       temporality,
+       CAST(1700000000000000000 AS BIGINT) AS time_unix_nano,
+       value_int, value_double
+FROM u ORDER BY event_id, metric_name
+"""
+
+
+_QUERIES["expvar_memstats_events"] = q_expvar_memstats
+_ORACLES["expvar_memstats_events"] = _expvar_oracle()

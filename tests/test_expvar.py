@@ -1,0 +1,81 @@
+"""expvarreceiver memstats mapping (receiver/expvarreceiver/
+scraper.go + documentation.md metadata)."""
+
+from __future__ import annotations
+
+import json
+
+from opentelemetry_collector_contrib_spark.operators.expvar import (
+    expvar_memstats_metrics,
+)
+
+
+def _payload(num_gc=3, pauses=None, **over):
+    ms = {
+        "Alloc": 100, "TotalAlloc": 1000, "Sys": 5000, "Lookups": 7,
+        "Mallocs": 50, "Frees": 40, "HeapAlloc": 100, "HeapSys": 900,
+        "HeapIdle": 300, "HeapInuse": 600, "HeapReleased": 100,
+        "HeapObjects": 10, "StackInuse": 64, "StackSys": 128,
+        "MSpanInuse": 16, "MSpanSys": 32, "MCacheInuse": 8,
+        "MCacheSys": 16, "BuckHashSys": 4, "GCSys": 2, "OtherSys": 1,
+        "NextGC": 2000, "PauseTotalNs": 12345, "NumGC": num_gc,
+        "NumForcedGC": 1, "GCCPUFraction": 0.25,
+        "PauseNs": pauses or [0] * 256,
+    }
+    ms.update(over)
+    return json.dumps({"memstats": ms})
+
+
+def test_full_metric_set_and_metadata(spark):
+    df = spark.createDataFrame([(1, _payload())], "id bigint, json string")
+    rows = {
+        r["metric_name"]: r
+        for r in expvar_memstats_metrics(df, scrape_ts_ns=9).collect()
+    }
+    assert len(rows) == 26
+    ta = rows["process.runtime.memstats.total_alloc"]
+    assert (ta["value_int"], ta["unit"], ta["data_type"],
+            ta["is_monotonic"], ta["temporality"]) == (
+        1000, "By", "sum", True, "cumulative")
+    ha = rows["process.runtime.memstats.heap_alloc"]
+    assert ha["value_int"] == 100 and not ha["is_monotonic"]
+    gc = rows["process.runtime.memstats.gc_cpu_fraction"]
+    assert gc["value_double"] == 0.25 and gc["data_type"] == "gauge"
+    assert gc["temporality"] is None
+    assert all(r["time_unix_nano"] == 9 for r in rows.values())
+
+
+def test_last_pause_circular_buffer(spark):
+    # scraper.go: PauseNs[(NumGC+255)%256] -- most recent pause
+    pauses = [0] * 256
+    pauses[(7 + 255) % 256] = 4242   # index 6
+    df = spark.createDataFrame(
+        [(1, _payload(num_gc=7, pauses=pauses))], "id bigint, json string"
+    )
+    rows = {
+        r["metric_name"]: r
+        for r in expvar_memstats_metrics(df).collect()
+    }
+    assert rows["process.runtime.memstats.last_pause"]["value_int"] == 4242
+
+
+def test_optional_metrics_can_be_disabled(spark):
+    df = spark.createDataFrame([(1, _payload())], "id bigint, json string")
+    names = {
+        r["metric_name"]
+        for r in expvar_memstats_metrics(
+            df, enable_optional=False).collect()
+    }
+    assert "process.runtime.memstats.lookups" not in names
+    assert "process.runtime.memstats.total_alloc" not in names
+    assert len(names) == 24
+
+
+def test_nil_memstats_is_an_error_row(spark):
+    df = spark.createDataFrame(
+        [(1, '{"cmdline": ["x"]}')], "id bigint, json string"
+    )
+    rows = expvar_memstats_metrics(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["error"] == "unmarshalled memstats data is nil"
+    assert rows[0]["metric_name"] is None
