@@ -36,41 +36,8 @@ _ANALYSIS_NAMES: set[str] = set()
 # after red rows) so each round's new surface gets a driver
 # CORRECTNESS row the same round it ships.
 _PRIORITY_NAMES: list[str] = [
-    "socket_input_roundtrip_events",  # round 3: closes §2.1 tcp/udp row
-    "schema_file_translate_events",   # round 3: published schema-file depth
-    "ottl_profile_samples_events",    # round 3: profiles signal context
-    "chunk_documents_windows",        # round 3: sliding-window chunking
-    "session_window_events",          # round 3: gap-timeout sessions
-    "ottl_spanevent_events",          # round 3: spanevent OTTL context
-    "geoip_cidr_events",              # round 3: CIDR longest-prefix geoip
-    "statsd_parse_events",            # round 3: DogStatsD line parse
-    "statsd_counters_events",         # round 3: statsd counter aggregation
-    "statsd_gauges_events",           # round 3: statsd gauge set/delta
-    "statsd_timer_summary_events",    # round 3: timer summary quantiles
-    "statsd_explicit_histogram_events",  # round 3: timer explicit buckets
-    "prom_name_normalize_events",     # round 3: prometheus translator
-    "prom_exposition_roundtrip_events",  # round 3: exposition text format
-    "carbon_parse_events",            # round 3: graphite plaintext parse
-    "zipkin_spans_events",            # round 3: zipkin v2 JSON translator
-    "loki_entries_events",            # round 3: loki translator lines/labels
-    "loki_streams_events",            # round 3: loki stream grouping
-    "influx_lp_parse_events",         # round 3: influx line protocol
-    "splunk_hec_events",              # round 3: splunk HEC translator
-    "prw_number_series_events",       # round 3: remote-write samples
-    "prw_histogram_series_events",    # round 3: remote-write histogram
-    "jaeger_spans_events",            # round 3: jaeger proto translator
-    "faro_logs_events",               # round 3: faro payload translator
-    "faro_exception_groups",          # round 3: drained-exception grouping
-    "sqlquery_logs_tracking_events",  # round 3: sqlquery receiver logs
-    "sqlquery_metrics_events",        # round 3: sqlquery receiver metrics
-    "prom_relabel_events",            # round 3: prometheus relabel chain
-    "s3_exporter_keys_events",        # round 3: s3 partition-key plan
-    "syslog_render_events",           # round 3: syslog exporter frames
-    "alertmanager_alerts_events",     # round 3: span events -> alerts
-    "honeycomb_markers_events",       # round 3: OTTL-gated markers
-    "windows_events_parse",           # round 3: windows event XML
-    "dd_series_points_events",        # round 3: datadog series v2
-    "expvar_memstats_events",         # round 3: expvar memstats map
+    # round 4 names appended as they ship; a green driver row demotes
+    # an entry automatically (see _verification_order bucket 1).
 ]
 
 
@@ -130,7 +97,8 @@ def _verification_order(
     root and sorts by verification state:
 
       0. checked in a prior round but never green (a fix needs re-proof),
-      1. explicitly prioritized new queries (``_PRIORITY_NAMES``),
+      1. explicitly prioritized new queries (``_PRIORITY_NAMES``) --
+         only while never green; a green driver row demotes them,
       2. never driver-checked -- analysis/curation surface first, then
          collector-infra, preserving registration order within each,
       3. green at least once, fewest green rounds first.
@@ -146,7 +114,11 @@ def _verification_order(
         idx, name = item
         if name in seen and green.get(name, 0) == 0:
             return (0, 0, idx)
-        if name in prio:
+        # A prioritized name keeps its jump-the-queue slot only until
+        # its first green driver row; after that it demotes to bucket 3
+        # like any other green query, so the fixed 50-row budget drains
+        # the never-checked backlog instead of re-proving green rows.
+        if name in prio and green.get(name, 0) == 0:
             return (1, prio[name], idx)
         if name not in seen:
             return (2, 0 if name in _ANALYSIS_NAMES else 1, idx)

@@ -29,6 +29,17 @@ def test_red_then_priority_then_unchecked_then_green():
     assert got == ["red", "new_op", "never_b", "never_a", "g1", "g2"]
 
 
+def test_green_priority_name_demotes():
+    """A _PRIORITY_NAMES entry that earned a green driver row must NOT
+    keep its jump-the-queue slot (r03 verdict #1): it sorts with the
+    greens, after every never-checked query."""
+    names = ["never_a", "prio_green", "never_b", "prio_new"]
+    seen = {"prio_green"}
+    green = {"prio_green": 1}
+    got = _order(names, seen, green, prio=["prio_green", "prio_new"])
+    assert got == ["prio_new", "never_a", "never_b", "prio_green"]
+
+
 def test_no_history_keeps_registration_order():
     names = ["a", "b", "c"]
     assert _order(names, set(), {}) == ["a", "b", "c"]
@@ -66,9 +77,20 @@ def test_live_registry_rotation_invariants():
     seen, green = Q._verification_state()
     reds = {n for n in q if n in seen and green.get(n, 0) == 0}
     assert reds <= first50
-    assert set(Q._PRIORITY_NAMES) <= first50
+    # priority names keep their slot only while never green
+    prio_pending = {n for n in Q._PRIORITY_NAMES
+                    if n in Q._QUERIES and green.get(n, 0) == 0}
+    assert prio_pending <= first50
     twice_green = {n for n in q if green.get(n, 0) >= 2}
     assert not (twice_green & first50)
+    # no once-green name may precede a never-checked one (r03 verdict):
+    # the driver budget must drain the backlog, not re-prove greens
+    never_checked = [n for n in q if n not in seen]
+    if never_checked:
+        last_unchecked = max(q.index(n) for n in never_checked)
+        greens_before = [n for n in q[:last_unchecked]
+                         if green.get(n, 0) > 0]
+        assert not greens_before, greens_before
     # oracle_sql order must agree with queries order
     o = list(Q.oracle_sql())
     assert o == [n for n in q if n in set(o)]
