@@ -255,12 +255,19 @@ def dd_series_points(
             p["value"] * F.col("__interval"),
         ).otherwise(p["value"]).alias("value"),
     )
-    # stream identity: metric + attrs; start = previously seen point
+    # stream identity: metric + attrs; start = previously seen point.
+    # The reference's identity.OfStream hashes attribute maps
+    # order-insensitively, so partition on a canonical (sorted-entries)
+    # rendering -- raw to_json(map) is insertion-order-sensitive and
+    # would split one logical stream whose tags arrive reordered.
+    def _canon(name: str):
+        return F.to_json(F.array_sort(F.map_entries(F.col(name))))
+
     w = (
         Window.partitionBy(
             "metric", "data_type",
-            F.to_json(F.col("resource_attributes")),
-            F.to_json(F.col("dp_attributes")),
+            _canon("resource_attributes"),
+            _canon("dp_attributes"),
         ).orderBy("time_unix_nano")
     )
     return out.select(

@@ -159,6 +159,16 @@ def apply_relabel(
                     e["v"],
                 ),
             )
+            # lb.Set last-wins WITHIN mapped too: two source labels
+            # mapping to the same target (e.g. a suffix-stripping
+            # regex) must collapse to the later one, not both survive.
+            mapped = F.filter(
+                mapped,
+                lambda e, i: ~F.exists(
+                    F.slice(mapped, i + F.lit(2), F.size(mapped)),
+                    lambda later: later["k"] == e["k"],
+                ),
+            )
             # Set semantics: a mapped name overwrites an existing label.
             mapped_keys = F.transform(mapped, lambda e: e["k"])
             entries = F.concat(

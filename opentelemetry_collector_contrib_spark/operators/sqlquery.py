@@ -309,19 +309,21 @@ def sql_query_metrics(
             raise ValueError(f"unsupported value_type {mc.value_type!r}")
 
         # metrics.go:25-45 ts ladder: column overrides the scrape
-        # time; unparseable -> error recorded, default kept.
+        # time; rowToMetric assigns the ParseInt result UNCONDITIONALLY,
+        # so an unparseable value yields timestamp 0 (with the parse
+        # error recorded), not the scrape-time default.
         ts = F.lit(scrape_ts_ns).cast("long")
         ts_err = F.lit(False)
         if mc.ts_column:
             parsed = _atoi(rendered[mc.ts_column])
             ts_err = parsed.isNull()
-            ts = F.coalesce(parsed, ts)
+            ts = F.coalesce(parsed, F.lit(0).cast("long"))
         start = F.lit(start_ts_ns).cast("long")
         start_err = F.lit(False)
         if mc.start_ts_column:
             parsed = _atoi(rendered[mc.start_ts_column])
             start_err = parsed.isNull()
-            start = F.coalesce(parsed, start)
+            start = F.coalesce(parsed, F.lit(0).cast("long"))
 
         is_gauge = mc.data_type in ("", "gauge")
         # setTimestamp: gauges carry no start; cumulative sums the

@@ -134,8 +134,11 @@ def format_rfc5424(
         F.lit("\n"),
     )
     if octet_counting:
+        # RFC6587 frame prefix counts BYTES (Go len() on the rendered
+        # string, exporter/syslogexporter/sender.go) -- F.length would
+        # count characters and desync the framing on non-ASCII content.
         line = F.concat(
-            F.length(line).cast("string"), F.lit(" "), line
+            F.octet_length(line).cast("string"), F.lit(" "), line
         )
     return line
 

@@ -9100,7 +9100,7 @@ r AS (
       || coalesce(msg, '') || chr(10) AS line_3164
   FROM f)
 SELECT event_id,
-       CAST(length(body5424) AS VARCHAR) || ' ' || body5424
+       CAST(strlen(body5424) AS VARCHAR) || ' ' || body5424
          AS line_5424,
        line_3164
 FROM r ORDER BY event_id

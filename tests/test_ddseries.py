@@ -145,3 +145,26 @@ def test_v2_resources_and_source(spark):
     assert r["resource_attributes"]["host.name"] == "h9"
     assert r["resource_attributes"]["device"] == "eth0"
     assert r["resource_attributes"]["source"] == "src"
+
+
+def test_stream_identity_is_tag_order_insensitive(spark):
+    # identity.OfStream hashes attribute maps order-insensitively: the
+    # same logical stream with reordered tags across payload rows must
+    # stay ONE stream (second point keeps lag-based start timestamp).
+    df = spark.createDataFrame(
+        [
+            (1, _payload(_serie(tags=["a:1", "b:2"],
+                                points=[{"timestamp": 10, "value": 1.0}]))),
+            (2, _payload(_serie(tags=["b:2", "a:1"],
+                                points=[{"timestamp": 20, "value": 2.0}]))),
+        ],
+        "id bigint, json string",
+    )
+    rows = dd_series_points(df).collect()
+    got = sorted(
+        (r["time_unix_nano"], r["start_time_unix_nano"]) for r in rows
+    )
+    assert got == [
+        (10_000_000_000, None),
+        (20_000_000_000, 10_000_000_000),
+    ]

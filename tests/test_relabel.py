@@ -244,3 +244,21 @@ def test_chain_order_matters(spark):
     assert out[0] == (
         f"instance=host-7:9090,job=j,meta_shard={shard}", True
     )
+
+
+def test_labelmap_last_wins_within_mapped(spark):
+    # Two labels whose names map to the SAME target (suffix-stripping
+    # regex): prometheus lb.Set keeps only the last-applied one, so
+    # exactly one target label survives, carrying the later source's
+    # value.
+    df = _mk(spark, {"dc_a": "1", "dc_b": "2", "job": "j"})
+    out = _out(
+        apply_relabel(
+            df,
+            [
+                RelabelConfig(action="labelmap", regex="(dc)_.+",
+                              replacement="$1")
+            ],
+        )
+    )
+    assert out[0] == ("dc=2,dc_a=1,dc_b=2,job=j", True)

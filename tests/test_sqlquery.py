@@ -201,3 +201,17 @@ def test_tracking_advances_and_is_idempotent(spark):
     b2, after2 = run_tracked_query(spark, sql, "id", after1)
     # empty second cycle: no rows, tracking value unchanged
     assert b2.count() == 0 and after2 == "9"
+
+
+def test_metrics_unparseable_ts_column_yields_zero(spark):
+    # metrics.go rowToMetric assigns the ParseInt result
+    # unconditionally: a bad ts value -> timestamp 0 + parse error,
+    # NOT the scrape-time default.
+    df = spark.createDataFrame([(5, "junk")], "v bigint, tns string")
+    cfg = MetricCfg("m", "v", ts_column="tns")
+    row = sql_query_metrics(
+        df, [cfg], scrape_ts_ns=99, start_ts_ns=42,
+        collection_interval_ns=10,
+    ).first()
+    assert row["time_unix_nano"] == 0
+    assert row["parse_error"]

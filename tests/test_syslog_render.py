@@ -161,3 +161,21 @@ def test_format_parse_fixed_point(spark):
     assert parsed["msg_id"] == "MID7"
     assert parsed["message"] == "hello world"
     assert parsed["timestamp"] == "2024-03-01T01:02:03.000001Z"
+
+
+def test_octet_counting_counts_bytes_not_chars(spark):
+    # Go len() is byte length: a non-ASCII message must frame with the
+    # UTF-8 byte count or downstream RFC6587 parsers desync.
+    df = _df(
+        spark,
+        {
+            "appname": "app", "hostname": "höst",
+            "message": "héllo wörld", "priority": "165",
+            "proc_id": "1", "version": "1",
+        },
+        "2003-08-24 05:14:15.000003",
+    )
+    line = render_syslog(df, octet_counting=True).first()["syslog_line"]
+    prefix, _, body = line.partition(" ")
+    assert int(prefix) == len(body.encode("utf-8"))
+    assert len(body.encode("utf-8")) != len(body)  # non-degenerate
