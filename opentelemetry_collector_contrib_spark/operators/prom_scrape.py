@@ -1,0 +1,227 @@
+"""Prometheus scrape-loop semantics (receiver/prometheusreceiver).
+
+The collector embeds the Prometheus scrape manager; the analytics
+semantics live in the scrape loop's report/staleness machinery plus the
+collector's transaction that turns appended samples into pdata points
+(receiver/prometheusreceiver/internal/transaction.go). This module
+re-expresses those rules as a batch battery over a recorded scrape
+table — no live HTTP, the same state machine:
+
+* **honor_labels collision handling** — with ``honor_labels: false``
+  (the collector default) the target's identity labels win and a
+  conflicting exposed label is renamed with the ``exported_`` prefix
+  (``job`` -> ``exported_job``, ``instance`` -> ``exported_instance``;
+  metrics_receiver_labels_test.go:526-527). With ``honor_labels: true``
+  the exposed label value is kept verbatim.
+* **synthetic report series** — every scrape attempt (successful or
+  not) appends the target-health series with target labels only:
+  ``up`` (1 healthy / 0 failed — transaction.go:137-151 logs exactly
+  this contract), ``scrape_duration_seconds``,
+  ``scrape_samples_scraped``, ``scrape_samples_post_metric_relabeling``
+  and ``scrape_series_added`` (the Prometheus scrape loop's
+  ``report()``; series_added counts series never seen in any earlier
+  scrape of the target's cache lifetime).
+* **staleness markers** — a series present at scrape ``k`` but absent
+  at the target's next scrape attempt ``k+1`` (including when ``k+1``
+  failed entirely) yields one marker at scrape ``k+1``'s timestamp.
+  The transaction converts the StaleNaN sample into a datapoint with
+  the NoRecordedValue flag (transaction.go:169-170,
+  metricfamily.go:111,169-170); here that is ``value = NULL,
+  stale = true``.
+
+Scale shape: every step shuffles short series keys
+(job/instance/metric/label-string) — presence dedup, first-seen min,
+and the stale anti-join are all partial-aggregatable; no text or map
+payload crosses a shuffle. At 10^12 samples the stale join is a
+key-to-key join between consecutive scrape generations, the same
+cardinality as the series cache itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TARGET_IDENTITY_LABELS = ("job", "instance")
+
+
+def canonical_labels(labels: Column, honor_labels: bool = False) -> Column:
+    """Render a label map as the canonical sorted ``k=v,...`` string,
+    applying the honor_labels=false ``exported_`` rename first."""
+    entries = F.map_entries(labels)
+    if not honor_labels:
+        entries = F.transform(
+            entries,
+            lambda e: F.struct(
+                F.when(
+                    e["key"].isin(*TARGET_IDENTITY_LABELS),
+                    F.concat(F.lit("exported_"), e["key"]),
+                )
+                .otherwise(e["key"])
+                .alias("key"),
+                e["value"].alias("value"),
+            ),
+        )
+    return F.array_join(
+        F.array_sort(
+            F.transform(entries, lambda e: F.concat(e["key"], F.lit("="), e["value"]))
+        ),
+        ",",
+    )
+
+
+def prom_scrape_series(
+    samples: DataFrame,
+    scrapes: DataFrame,
+    honor_labels: bool = False,
+) -> DataFrame:
+    """Run the scrape-loop state machine over recorded scrapes.
+
+    ``scrapes``: one row per scrape attempt —
+    (job, instance, scrape_idx int, scrape_ts_ms long, ok boolean,
+    duration_seconds double). ``scrape_idx`` is consecutive per target.
+
+    ``samples``: exposed samples — (job, instance, scrape_idx,
+    metric string, labels map<string,string>, value double), unique per
+    (target, scrape, metric, labels) as Prometheus rejects duplicates.
+
+    Returns one row per emitted sample:
+    (job, instance, scrape_idx, ts_ms, metric, labels, value, stale,
+    synthetic) where ``labels`` is the canonical sorted ``k=v`` string
+    (empty for the report series), stale markers carry NULL value, and
+    samples of failed scrapes are never ingested.
+    """
+    key = ["job", "instance"]
+    sc = scrapes.select(
+        *key,
+        F.col("scrape_idx").cast("int").alias("scrape_idx"),
+        F.col("scrape_ts_ms").cast("long").alias("scrape_ts_ms"),
+        "ok",
+        F.col("duration_seconds").cast("double").alias("duration_seconds"),
+    )
+    ok_scrapes = sc.filter("ok").select(*key, "scrape_idx", "scrape_ts_ms")
+
+    ingested = (
+        samples.select(
+            *key,
+            F.col("scrape_idx").cast("int").alias("scrape_idx"),
+            "metric",
+            canonical_labels(F.col("labels"), honor_labels).alias("labels"),
+            F.col("value").cast("double").alias("value"),
+        )
+        # samples of a failed scrape never reach the appender
+        .join(ok_scrapes, key + ["scrape_idx"])
+    )
+
+    normal = ingested.select(
+        *key,
+        "scrape_idx",
+        F.col("scrape_ts_ms").alias("ts_ms"),
+        "metric",
+        "labels",
+        "value",
+        F.lit(False).alias("stale"),
+        F.lit(False).alias("synthetic"),
+    )
+
+    present = ingested.select(*key, "scrape_idx", "metric", "labels").distinct()
+
+    # staleness: series at scrape k, absent at attempt k+1 (ok or not)
+    nxt = sc.select(
+        *key,
+        (F.col("scrape_idx") - 1).alias("prev_idx"),
+        F.col("scrape_idx").alias("next_idx"),
+        F.col("scrape_ts_ms").alias("next_ts_ms"),
+    )
+    stale = (
+        present.join(
+            nxt,
+            (present["job"] == nxt["job"])
+            & (present["instance"] == nxt["instance"])
+            & (present["scrape_idx"] == nxt["prev_idx"]),
+        )
+        .select(
+            present["job"],
+            present["instance"],
+            F.col("next_idx").alias("scrape_idx"),
+            F.col("next_ts_ms").alias("ts_ms"),
+            "metric",
+            "labels",
+        )
+        .join(present, key + ["scrape_idx", "metric", "labels"], "left_anti")
+        .select(
+            *key,
+            "scrape_idx",
+            "ts_ms",
+            "metric",
+            "labels",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(True).alias("stale"),
+            F.lit(False).alias("synthetic"),
+        )
+    )
+
+    # report series: per scrape attempt, target labels only
+    sample_counts = ingested.groupBy(*key, "scrape_idx").agg(
+        F.count("*").alias("n_samples")
+    )
+    first_seen = present.groupBy(*key, "metric", "labels").agg(
+        F.min("scrape_idx").alias("first_idx")
+    )
+    added_counts = first_seen.groupBy(
+        *key, F.col("first_idx").alias("scrape_idx")
+    ).agg(F.count("*").alias("n_added"))
+
+    rep = (
+        sc.join(sample_counts, key + ["scrape_idx"], "left")
+        .join(added_counts, key + ["scrape_idx"], "left")
+        .select(
+            *key,
+            "scrape_idx",
+            F.col("scrape_ts_ms").alias("ts_ms"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("up").alias("metric"),
+                        F.when(F.col("ok"), 1.0).otherwise(0.0).alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("scrape_duration_seconds").alias("metric"),
+                        F.col("duration_seconds").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("scrape_samples_scraped").alias("metric"),
+                        F.coalesce(F.col("n_samples"), F.lit(0))
+                        .cast("double")
+                        .alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("scrape_samples_post_metric_relabeling").alias(
+                            "metric"
+                        ),
+                        F.coalesce(F.col("n_samples"), F.lit(0))
+                        .cast("double")
+                        .alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("scrape_series_added").alias("metric"),
+                        F.coalesce(F.col("n_added"), F.lit(0))
+                        .cast("double")
+                        .alias("value"),
+                    ),
+                )
+            ).alias("__r"),
+        )
+        .select(
+            *key,
+            "scrape_idx",
+            "ts_ms",
+            F.col("__r.metric").alias("metric"),
+            F.lit("").alias("labels"),
+            F.col("__r.value").alias("value"),
+            F.lit(False).alias("stale"),
+            F.lit(True).alias("synthetic"),
+        )
+    )
+
+    return normal.unionByName(stale).unionByName(rep)

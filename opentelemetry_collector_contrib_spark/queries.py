@@ -38,6 +38,7 @@ _ANALYSIS_NAMES: set[str] = set()
 _PRIORITY_NAMES: list[str] = [
     # round 4 names appended as they ship; a green driver row demotes
     # an entry automatically (see _verification_order bucket 1).
+    "prom_scrape_series_events",  # round 4: scrape loop staleness/report
 ]
 
 
@@ -9593,3 +9594,154 @@ FROM u ORDER BY event_id, metric_name
 
 _QUERIES["expvar_memstats_events"] = q_expvar_memstats
 _ORACLES["expvar_memstats_events"] = _expvar_oracle()
+
+
+# ---------------------------------------------------------------------------
+# prometheusreceiver scrape-loop semantics
+# (receiver/prometheusreceiver/internal/transaction.go:137-170 up-metric
+# contract + StaleNaN -> NoRecordedValue, metrics_receiver_labels_test.go
+# :526-527 honor_labels exported_ rename, and the Prometheus scrape
+# manager's report()/staleness machinery): recorded scrape attempts ->
+# ingested samples + staleness markers + up/scrape_* report series.
+# ---------------------------------------------------------------------------
+
+def q_prom_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prom_scrape import prom_scrape_series
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        F.concat(F.lit("job"),
+                 (F.col("user_id") % 2).cast("string")).alias("job"),
+        F.concat(F.lit("inst"),
+                 (F.col("user_id") % 3).cast("string")).alias("instance"),
+        (F.col("event_id") % 5).cast("int").alias("scrape_idx"),
+        (F.col("event_id") % 4).cast("int").alias("metric_n"),
+        (F.col("event_id") % 3).cast("int").alias("path_n"),
+        (F.col("event_id") % 7 == 0).alias("hasjob"),
+        "value",
+    )
+    path = F.concat(F.lit("/p"), F.col("path_n").cast("string"))
+    samples = (
+        base.groupBy("job", "instance", "scrape_idx", "metric_n",
+                     "path_n", "hasjob")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "job", "instance", "scrape_idx",
+            F.concat(F.lit("metric_"),
+                     F.col("metric_n").cast("string")).alias("metric"),
+            F.when(
+                F.col("hasjob"),
+                F.create_map(F.lit("job"), F.lit("inner"),
+                             F.lit("path"), path),
+            ).otherwise(F.create_map(F.lit("path"), path)).alias("labels"),
+            "value",
+        )
+    )
+    scrapes = (
+        base.select("job", "instance", "scrape_idx").distinct()
+        .select(
+            "job", "instance", "scrape_idx",
+            (F.lit(1700000000000) + F.col("scrape_idx") * 15000)
+            .cast("long").alias("scrape_ts_ms"),
+            (~((F.col("scrape_idx") == 3) & (F.col("job") == "job0")))
+            .alias("ok"),
+            ((F.col("scrape_idx") + 1).cast("double") / 10)
+            .alias("duration_seconds"),
+        )
+    )
+    out = prom_scrape_series(samples, scrapes)
+    return out.orderBy("job", "instance", "scrape_idx", "synthetic",
+                       "metric", "labels")
+
+
+_PROM_SCRAPE_ORACLE = """
+WITH base AS (
+  SELECT 'job' || CAST(user_id % 2 AS VARCHAR) AS job,
+         'inst' || CAST(user_id % 3 AS VARCHAR) AS instance,
+         CAST(event_id % 5 AS INTEGER) AS scrape_idx,
+         CAST(event_id % 4 AS INTEGER) AS metric_n,
+         CAST(event_id % 3 AS INTEGER) AS path_n,
+         (event_id % 7 = 0) AS hasjob,
+         value
+  FROM events),
+samples AS (
+  SELECT job, instance, scrape_idx, metric_n, path_n, hasjob,
+         MAX(value) AS value
+  FROM base GROUP BY 1, 2, 3, 4, 5, 6),
+scrapes AS (
+  SELECT DISTINCT job, instance, scrape_idx,
+         CAST(1700000000000 + scrape_idx * 15000 AS BIGINT) AS ts_ms,
+         NOT (scrape_idx = 3 AND job = 'job0') AS ok,
+         CAST(0.1 * (scrape_idx + 1) AS DOUBLE) AS dur
+  FROM base),
+lab AS (
+  SELECT job, instance, scrape_idx,
+         'metric_' || CAST(metric_n AS VARCHAR) AS metric,
+         CASE WHEN hasjob
+              THEN 'exported_job=inner,path=/p' || CAST(path_n AS VARCHAR)
+              ELSE 'path=/p' || CAST(path_n AS VARCHAR) END AS labels,
+         value
+  FROM samples),
+ing AS (
+  SELECT l.job, l.instance, l.scrape_idx, s.ts_ms, l.metric, l.labels,
+         l.value
+  FROM lab l
+  JOIN scrapes s ON s.job = l.job AND s.instance = l.instance
+                AND s.scrape_idx = l.scrape_idx
+  WHERE s.ok),
+normal AS (
+  SELECT job, instance, scrape_idx, ts_ms, metric, labels, value,
+         FALSE AS stale, FALSE AS synthetic
+  FROM ing),
+present AS (
+  SELECT DISTINCT job, instance, scrape_idx, metric, labels FROM ing),
+stale AS (
+  SELECT p.job, p.instance, s.scrape_idx, s.ts_ms, p.metric, p.labels,
+         CAST(NULL AS DOUBLE) AS value, TRUE AS stale,
+         FALSE AS synthetic
+  FROM present p
+  JOIN scrapes s ON s.job = p.job AND s.instance = p.instance
+                AND s.scrape_idx = p.scrape_idx + 1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM present q
+    WHERE q.job = p.job AND q.instance = p.instance
+      AND q.scrape_idx = s.scrape_idx
+      AND q.metric = p.metric AND q.labels = p.labels)),
+counts AS (
+  SELECT job, instance, scrape_idx, COUNT(*) AS n
+  FROM ing GROUP BY 1, 2, 3),
+firsts AS (
+  SELECT job, instance, metric, labels, MIN(scrape_idx) AS first_idx
+  FROM present GROUP BY 1, 2, 3, 4),
+added AS (
+  SELECT job, instance, first_idx AS scrape_idx, COUNT(*) AS n_added
+  FROM firsts GROUP BY 1, 2, 3),
+rep AS (
+  SELECT s.job, s.instance, s.scrape_idx, s.ts_ms, r.metric,
+         '' AS labels,
+         CASE r.metric
+           WHEN 'up' THEN CASE WHEN s.ok THEN 1.0 ELSE 0.0 END
+           WHEN 'scrape_duration_seconds' THEN s.dur
+           WHEN 'scrape_series_added'
+             THEN CAST(coalesce(a.n_added, 0) AS DOUBLE)
+           ELSE CAST(coalesce(c.n, 0) AS DOUBLE)
+         END AS value,
+         FALSE AS stale, TRUE AS synthetic
+  FROM scrapes s
+  LEFT JOIN counts c ON c.job = s.job AND c.instance = s.instance
+                    AND c.scrape_idx = s.scrape_idx
+  LEFT JOIN added a ON a.job = s.job AND a.instance = s.instance
+                   AND a.scrape_idx = s.scrape_idx
+  CROSS JOIN (VALUES ('up'), ('scrape_duration_seconds'),
+              ('scrape_samples_scraped'),
+              ('scrape_samples_post_metric_relabeling'),
+              ('scrape_series_added')) AS r(metric))
+SELECT * FROM (
+  SELECT * FROM normal
+  UNION ALL SELECT * FROM stale
+  UNION ALL SELECT * FROM rep)
+ORDER BY job, instance, scrape_idx, synthetic, metric, labels
+"""
+
+_QUERIES["prom_scrape_series_events"] = q_prom_scrape
+_ORACLES["prom_scrape_series_events"] = _PROM_SCRAPE_ORACLE

@@ -1,0 +1,131 @@
+"""Prometheus scrape-loop state machine
+(receiver/prometheusreceiver/internal/transaction.go + the scrape
+manager's report/staleness rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators.prom_scrape import (
+    prom_scrape_series,
+)
+
+SC_SCHEMA = (
+    "job string, instance string, scrape_idx int, scrape_ts_ms long,"
+    " ok boolean, duration_seconds double"
+)
+SA_SCHEMA = (
+    "job string, instance string, scrape_idx int, metric string,"
+    " labels map<string,string>, value double"
+)
+
+
+def _run(spark, samples, scrapes, **kw):
+    sa = spark.createDataFrame(samples, SA_SCHEMA)
+    sc = spark.createDataFrame(scrapes, SC_SCHEMA)
+    return prom_scrape_series(sa, sc, **kw).collect()
+
+
+def test_honor_labels_false_prefixes_exported(spark):
+    rows = _run(
+        spark,
+        [("j", "i", 0, "m", {"job": "inner", "path": "/x"}, 1.0)],
+        [("j", "i", 0, 1000, True, 0.1)],
+    )
+    normal = [r for r in rows if not r["synthetic"]]
+    assert normal[0]["labels"] == "exported_job=inner,path=/x"
+
+
+def test_honor_labels_true_keeps_exposed(spark):
+    rows = _run(
+        spark,
+        [("j", "i", 0, "m", {"job": "inner"}, 1.0)],
+        [("j", "i", 0, 1000, True, 0.1)],
+        honor_labels=True,
+    )
+    normal = [r for r in rows if not r["synthetic"]]
+    assert normal[0]["labels"] == "job=inner"
+
+
+def test_report_series_and_series_added(spark):
+    rows = _run(
+        spark,
+        [
+            ("j", "i", 0, "m", {"a": "1"}, 1.0),
+            ("j", "i", 0, "m", {"a": "2"}, 2.0),
+            ("j", "i", 1, "m", {"a": "1"}, 3.0),   # old series
+            ("j", "i", 1, "m", {"a": "3"}, 4.0),   # new series
+        ],
+        [("j", "i", 0, 1000, True, 0.5), ("j", "i", 1, 2000, True, 0.25)],
+    )
+    syn = {
+        (r["scrape_idx"], r["metric"]): r["value"]
+        for r in rows
+        if r["synthetic"]
+    }
+    assert syn[(0, "up")] == 1.0
+    assert syn[(0, "scrape_duration_seconds")] == 0.5
+    assert syn[(0, "scrape_samples_scraped")] == 2.0
+    assert syn[(0, "scrape_samples_post_metric_relabeling")] == 2.0
+    assert syn[(0, "scrape_series_added")] == 2.0
+    assert syn[(1, "scrape_samples_scraped")] == 2.0
+    assert syn[(1, "scrape_series_added")] == 1.0  # only a=3 is new
+
+
+def test_staleness_marker_on_disappearance(spark):
+    rows = _run(
+        spark,
+        [
+            ("j", "i", 0, "m", {"a": "1"}, 1.0),
+            ("j", "i", 0, "m", {"a": "2"}, 2.0),
+            ("j", "i", 1, "m", {"a": "1"}, 3.0),  # a=2 disappears
+        ],
+        [("j", "i", 0, 1000, True, 0.1), ("j", "i", 1, 2000, True, 0.1)],
+    )
+    stale = [r for r in rows if r["stale"]]
+    assert len(stale) == 1
+    s = stale[0]
+    assert (s["scrape_idx"], s["ts_ms"], s["labels"]) == (1, 2000, "a=2")
+    assert s["value"] is None
+
+
+def test_failed_scrape_stales_everything_and_reports_up_zero(spark):
+    rows = _run(
+        spark,
+        [
+            ("j", "i", 0, "m", {"a": "1"}, 1.0),
+            # exposed during the failed scrape: must NOT be ingested
+            ("j", "i", 1, "m", {"a": "1"}, 9.0),
+        ],
+        [("j", "i", 0, 1000, True, 0.1), ("j", "i", 1, 2000, False, 0.3)],
+    )
+    assert not [
+        r for r in rows if not r["synthetic"] and not r["stale"]
+        and r["scrape_idx"] == 1
+    ]
+    stale = [r for r in rows if r["stale"]]
+    assert [(s["scrape_idx"], s["labels"]) for s in stale] == [(1, "a=1")]
+    syn = {
+        (r["scrape_idx"], r["metric"]): r["value"]
+        for r in rows
+        if r["synthetic"]
+    }
+    assert syn[(1, "up")] == 0.0
+    assert syn[(1, "scrape_duration_seconds")] == 0.3
+    assert syn[(1, "scrape_samples_scraped")] == 0.0
+    assert syn[(1, "scrape_series_added")] == 0.0
+
+
+def test_no_marker_after_consecutive_failures(spark):
+    rows = _run(
+        spark,
+        [("j", "i", 0, "m", {"a": "1"}, 1.0)],
+        [
+            ("j", "i", 0, 1000, True, 0.1),
+            ("j", "i", 1, 2000, False, 0.1),
+            ("j", "i", 2, 3000, False, 0.1),
+        ],
+    )
+    stale = [r for r in rows if r["stale"]]
+    # one marker at the first failed attempt, none repeated at idx 2
+    assert [s["scrape_idx"] for s in stale] == [1]
