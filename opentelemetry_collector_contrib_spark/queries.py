@@ -39,6 +39,7 @@ _PRIORITY_NAMES: list[str] = [
     # round 4 names appended as they ship; a green driver row demotes
     # an entry automatically (see _verification_order bucket 1).
     "prom_scrape_series_events",  # round 4: scrape loop staleness/report
+    "netflow_records_events",     # round 4: v5/v9/ipfix wire decode
 ]
 
 
@@ -9745,3 +9746,183 @@ ORDER BY job, instance, scrape_idx, synthetic, metric, labels
 
 _QUERIES["prom_scrape_series_events"] = q_prom_scrape
 _ORACLES["prom_scrape_series_events"] = _PROM_SCRAPE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# netflowreceiver (receiver/netflowreceiver/receiver.go:143, parser.go):
+# NetFlow v5 + template-driven v9 wire decode. The query ENCODES flow
+# packets from events (hex battery -> to_binary), groups them into
+# multi-record payloads, runs the Column decoder, and the oracle
+# reproduces the decoded rows closed-form -- an encode->decode round
+# trip through real wire bytes.
+# ---------------------------------------------------------------------------
+
+def _nf_hx(col: Column, nbytes: int) -> Column:
+    return F.lpad(F.hex(col.cast("bigint")), nbytes * 2, "0")
+
+
+def q_netflow_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.netflow import netflow_records
+
+    ev = _read(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    f = ev.select(
+        "event_id",
+        F.concat(F.lit("exp"), (uid % 2).cast("string")).alias("sampler"),
+        F.floor(eid / 4).cast("long").alias("pid"),
+        (eid % 2).alias("vsel"),
+        (eid % 250).alias("s2"), (uid % 250).alias("s3"),
+        (eid % 100).alias("s4"),
+        (eid % 200).alias("d3"), (uid % 100).alias("d4"),
+        (1024 + eid % 5000).alias("sport"),
+        F.element_at(
+            F.array(F.lit(80), F.lit(443), F.lit(53), F.lit(123)),
+            (eid % 4 + 1).cast("int"),
+        ).alias("dport"),
+        F.element_at(
+            F.array(F.lit(6), F.lit(17), F.lit(1), F.lit(132)),
+            (eid % 4 + 1).cast("int"),
+        ).alias("proto"),
+        F.round(F.col("value") * 100).cast("long").alias("nbytes"),
+        (eid % 1000 + 1).alias("npkts"),
+        (eid % 100000).alias("first"),
+        (eid % 100000 + eid % 10000).alias("last"),
+        (eid % 256).alias("flags"),
+    )
+    ip_src = F.concat(
+        _nf_hx(F.lit(10), 1), _nf_hx(F.col("s2"), 1),
+        _nf_hx(F.col("s3"), 1), _nf_hx(F.col("s4"), 1))
+    ip_dst = F.concat(
+        _nf_hx(F.lit(172), 1), _nf_hx(F.lit(16), 1),
+        _nf_hx(F.col("d3"), 1), _nf_hx(F.col("d4"), 1))
+
+    v5_rec = F.concat(
+        ip_src, ip_dst, F.lit("00000000"), F.lit("0000"), F.lit("0000"),
+        _nf_hx(F.col("npkts"), 4), _nf_hx(F.col("nbytes"), 4),
+        _nf_hx(F.col("first"), 4), _nf_hx(F.col("last"), 4),
+        _nf_hx(F.col("sport"), 2), _nf_hx(F.col("dport"), 2),
+        F.lit("00"), _nf_hx(F.col("flags"), 1), _nf_hx(F.col("proto"), 1),
+        F.lit("00"), F.lit("0000"), F.lit("0000"),
+        F.lit("00"), F.lit("00"), F.lit("0000"),
+    )
+    v9_rec = F.concat(
+        ip_src, ip_dst, _nf_hx(F.col("sport"), 2), _nf_hx(F.col("dport"), 2),
+        _nf_hx(F.col("proto"), 1), _nf_hx(F.col("nbytes"), 4),
+        _nf_hx(F.col("npkts"), 4), _nf_hx(F.col("first"), 4),
+        _nf_hx(F.col("last"), 4), _nf_hx(F.col("flags"), 1),
+    )
+    recs = f.select(
+        "sampler", "pid", "vsel", "event_id",
+        F.when(F.col("vsel") == 0, v5_rec).otherwise(v9_rec).alias("rh"),
+    )
+    grp = recs.groupBy("sampler", "pid", "vsel").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("event_id", "rh"))),
+            F.lit(""),
+            lambda acc, r: F.concat(acc, r["rh"]),
+        ).alias("body"),
+        F.count("*").cast("long").alias("n"),
+    )
+    n, pid = F.col("n"), F.col("pid")
+    v5_hdr = F.concat(
+        F.lit("0005"), _nf_hx(n, 2), _nf_hx(F.lit(5000), 4),
+        _nf_hx(F.lit(1700000000), 4), _nf_hx(F.lit(0), 4),
+        _nf_hx(pid % 1000, 4), F.lit("00000000"),
+    )
+    v9_hdr = F.concat(
+        F.lit("0009"), _nf_hx(F.lit(1), 2), _nf_hx(F.lit(10000), 4),
+        _nf_hx(F.lit(1700000100), 4), _nf_hx(pid % 1000, 4),
+        _nf_hx(F.lit(3), 4),
+    )
+    # template 260: the 10-field layout (constant set, id 0, len 48)
+    tmpl_set = (
+        "00300104000a"
+        "00080004000c000400070002000b00020004000100010004"
+        "000200040016000400150004"
+        "00060001"
+    )
+    tmpl_set = "0000" + tmpl_set
+    data_set_hdr = F.concat(_nf_hx(F.lit(260), 2), _nf_hx(4 + n * 30, 2))
+    payload_hex = F.when(
+        F.col("vsel") == 0, F.concat(v5_hdr, F.col("body"))
+    ).otherwise(F.concat(v9_hdr, data_set_hdr, F.col("body")))
+    pkts = grp.select(
+        (pid * 10 + F.col("vsel")).alias("packet_id"),
+        F.col("sampler").alias("sampler_address"),
+        F.lit(1700000000000000000).alias("time_received_ns"),
+        F.to_binary(payload_hex, F.lit("hex")).alias("payload"),
+    )
+    tmpl_pkts = (
+        recs.select("sampler").distinct().select(
+            F.lit(-1).alias("packet_id"),
+            F.col("sampler").alias("sampler_address"),
+            F.lit(1700000000000000000).alias("time_received_ns"),
+            F.to_binary(
+                F.concat(
+                    F.lit("0009"), _nf_hx(F.lit(1), 2),
+                    _nf_hx(F.lit(10000), 4), _nf_hx(F.lit(1700000100), 4),
+                    _nf_hx(F.lit(0), 4), _nf_hx(F.lit(3), 4),
+                    F.lit(tmpl_set),
+                ),
+                F.lit("hex"),
+            ).alias("payload"),
+        )
+    )
+    out = netflow_records(pkts.unionByName(tmpl_pkts))
+    return out.orderBy("flow_type", "sampler_address", "packet_id",
+                       "record_idx")
+
+
+_NETFLOW_ORACLE = """
+WITH f AS (
+  SELECT event_id,
+    'exp' || CAST(user_id % 2 AS VARCHAR) AS sampler,
+    CAST(event_id // 4 AS BIGINT) AS pid,
+    event_id % 2 AS vsel,
+    '10.' || CAST(event_id % 250 AS VARCHAR) || '.'
+      || CAST(user_id % 250 AS VARCHAR) || '.'
+      || CAST(event_id % 100 AS VARCHAR) AS src_ip,
+    '172.16.' || CAST(event_id % 200 AS VARCHAR) || '.'
+      || CAST(user_id % 100 AS VARCHAR) AS dst_ip,
+    CAST(1024 + event_id % 5000 AS BIGINT) AS sport,
+    CAST(CASE event_id % 4 WHEN 0 THEN 80 WHEN 1 THEN 443
+         WHEN 2 THEN 53 ELSE 123 END AS BIGINT) AS dport,
+    CASE event_id % 4 WHEN 0 THEN 'tcp' WHEN 1 THEN 'udp'
+         WHEN 2 THEN 'icmp' ELSE 'sctp' END AS proto_name,
+    CAST(round(value * 100) AS BIGINT) AS nbytes,
+    CAST(event_id % 1000 + 1 AS BIGINT) AS npkts,
+    CAST(event_id % 100000 AS BIGINT) AS fst,
+    CAST(event_id % 100000 + event_id % 10000 AS BIGINT) AS lst,
+    CAST(event_id % 256 AS BIGINT) AS flags
+  FROM events),
+r AS (
+  SELECT *,
+    CAST(ROW_NUMBER() OVER (PARTITION BY sampler, pid, vsel
+                            ORDER BY event_id) - 1 AS INTEGER)
+      AS record_idx
+  FROM f)
+SELECT CAST(pid * 10 + vsel AS BIGINT) AS packet_id,
+       sampler AS sampler_address,
+       record_idx,
+       src_ip AS source_address,
+       sport AS source_port,
+       dst_ip AS destination_address,
+       dport AS destination_port,
+       proto_name AS network_transport,
+       'ipv4' AS network_type,
+       nbytes AS flow_io_bytes,
+       npkts AS flow_io_packets,
+       CASE vsel WHEN 0 THEN 'netflow_v5' ELSE 'netflow_v9' END
+         AS flow_type,
+       pid % 1000 AS flow_sequence_num,
+       CASE vsel WHEN 0 THEN 1700000000000 - 5000 + fst
+            ELSE 1700000100000 - 10000 + fst END AS flow_start_ms,
+       CASE vsel WHEN 0 THEN 1700000000000 - 5000 + lst
+            ELSE 1700000100000 - 10000 + lst END AS flow_end_ms,
+       flags AS flow_tcp_flags
+FROM r
+ORDER BY flow_type, sampler_address, packet_id, record_idx
+"""
+
+_QUERIES["netflow_records_events"] = q_netflow_records
+_ORACLES["netflow_records_events"] = _NETFLOW_ORACLE

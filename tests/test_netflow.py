@@ -1,0 +1,196 @@
+"""NetFlow v5 / v9 / IPFIX decode
+(receiver/netflowreceiver/parser.go, receiver.go:143)."""
+
+from __future__ import annotations
+
+import struct
+
+from opentelemetry_collector_contrib_spark.operators.netflow import (
+    decode_netflow_v5,
+    decode_netflow_v9_ipfix,
+    netflow_records,
+)
+
+SCHEMA = (
+    "packet_id bigint, sampler_address string, time_received_ns bigint,"
+    " payload binary"
+)
+
+
+def _v5_packet(records, uptime=5000, secs=1_700_000_000, nsecs=500_000_000,
+               seq=42):
+    hdr = struct.pack(
+        ">HHIIIIBBH", 5, len(records), uptime, secs, nsecs, seq, 0, 0, 0
+    )
+    body = b""
+    for r in records:
+        body += struct.pack(
+            ">4s4s4sHHIIIIHHBBBBHHBBH",
+            bytes(r["src"]), bytes(r["dst"]), bytes(4),
+            0, 0, r["packets"], r["bytes"], r["first"], r["last"],
+            r["sport"], r["dport"], 0, r.get("tcp_flags", 0),
+            r["proto"], 0, 0, 0, 0, 0, 0,
+        )
+    return hdr + body
+
+
+def _v9_template_set(template_id, fields):
+    body = struct.pack(">HH", template_id, len(fields))
+    for t, ln in fields:
+        body += struct.pack(">HH", t, ln)
+    return struct.pack(">HH", 0, 4 + len(body)) + body
+
+
+def _v9_data_set(set_id, payload):
+    return struct.pack(">HH", set_id, 4 + len(payload)) + payload
+
+
+def _v9_packet(sets, uptime=10_000, secs=1_700_000_100, seq=7, source_id=3):
+    body = b"".join(sets)
+    hdr = struct.pack(">HHIIII", 9, len(sets), uptime, secs, seq, source_id)
+    return hdr + body
+
+
+FIELDS = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (1, 4), (2, 4),
+          (22, 4), (21, 4), (6, 1)]
+
+
+def _v9_record(src, dst, sport, dport, proto, nbytes, npkts, first, last,
+               flags=0):
+    return (bytes(src) + bytes(dst)
+            + struct.pack(">HHBIIIIB", sport, dport, proto, nbytes, npkts,
+                          first, last, flags))
+
+
+def _df(spark, payloads):
+    rows = [
+        (i, "198.51.100.1", 1_700_000_000_000_000_000, p)
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_v5_decode(spark):
+    pkt = _v5_packet([
+        {"src": [10, 0, 0, 1], "dst": [10, 0, 0, 2], "packets": 3,
+         "bytes": 300, "first": 1000, "last": 2000, "sport": 1234,
+         "dport": 80, "proto": 6, "tcp_flags": 0x12},
+        {"src": [192, 168, 1, 9], "dst": [8, 8, 8, 8], "packets": 1,
+         "bytes": 60, "first": 1500, "last": 1500, "sport": 5353,
+         "dport": 53, "proto": 17},
+    ])
+    rows = sorted(
+        decode_netflow_v5(_df(spark, [pkt])).collect(),
+        key=lambda r: r["record_idx"],
+    )
+    assert len(rows) == 2
+    r = rows[0]
+    assert r["source_address"] == "10.0.0.1"
+    assert r["destination_address"] == "10.0.0.2"
+    assert (r["source_port"], r["destination_port"]) == (1234, 80)
+    assert r["network_transport"] == "tcp"
+    assert r["network_type"] == "ipv4"
+    assert (r["flow_io_bytes"], r["flow_io_packets"]) == (300, 3)
+    assert r["flow_type"] == "netflow_v5"
+    assert r["flow_sequence_num"] == 42
+    assert r["flow_tcp_flags"] == 0x12
+    # base_ms = secs*1000 + nsecs//1e6 - uptime; start = base + first
+    base = 1_700_000_000 * 1000 + 500 - 5000
+    assert r["flow_start_ms"] == base + 1000
+    assert r["flow_end_ms"] == base + 2000
+    assert rows[1]["network_transport"] == "udp"
+    assert rows[1]["source_address"] == "192.168.1.9"
+
+
+def test_v9_template_driven_decode(spark):
+    tmpl = _v9_template_set(260, FIELDS)
+    rec = _v9_record([10, 1, 1, 1], [10, 2, 2, 2], 400, 443, 6, 5000, 10,
+                     2000, 3000, flags=0x10)
+    data = _v9_data_set(260, rec)
+    pkt = _v9_packet([tmpl, data])
+    rows = decode_netflow_v9_ipfix(_df(spark, [pkt])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["source_address"] == "10.1.1.1"
+    assert r["destination_address"] == "10.2.2.2"
+    assert (r["source_port"], r["destination_port"]) == (400, 443)
+    assert r["network_transport"] == "tcp"
+    assert (r["flow_io_bytes"], r["flow_io_packets"]) == (5000, 10)
+    assert r["flow_type"] == "netflow_v9"
+    assert r["flow_sequence_num"] == 7
+    base = 1_700_000_100 * 1000 - 10_000
+    assert r["flow_start_ms"] == base + 2000
+    assert r["flow_end_ms"] == base + 3000
+    assert r["flow_tcp_flags"] == 0x10
+
+
+def test_v9_template_in_separate_packet_and_multi_records(spark):
+    tmpl_pkt = _v9_packet([_v9_template_set(270, FIELDS)])
+    recs = (_v9_record([1, 1, 1, 1], [2, 2, 2, 2], 1, 2, 17, 10, 1, 0, 0)
+            + _v9_record([3, 3, 3, 3], [4, 4, 4, 4], 5, 6, 132, 20, 2, 0, 0))
+    data_pkt = _v9_packet([_v9_data_set(270, recs)])
+    rows = decode_netflow_v9_ipfix(_df(spark, [tmpl_pkt, data_pkt])).collect()
+    assert len(rows) == 2
+    by_idx = {r["record_idx"]: r for r in rows}
+    assert by_idx[0]["network_transport"] == "udp"
+    assert by_idx[1]["network_transport"] == "sctp"
+    assert by_idx[1]["source_address"] == "3.3.3.3"
+
+
+def test_v9_unknown_template_drops_data_set(spark):
+    data_pkt = _v9_packet(
+        [_v9_data_set(280, _v9_record([1, 1, 1, 1], [2, 2, 2, 2],
+                                      1, 2, 6, 1, 1, 0, 0))]
+    )
+    assert decode_netflow_v9_ipfix(_df(spark, [data_pkt])).count() == 0
+
+
+def test_ipfix_absolute_millis(spark):
+    # IPFIX: 16-byte header, template set id 2, absolute ms stamps
+    fields = [(8, 4), (12, 4), (7, 2), (11, 2), (4, 1), (1, 4), (2, 4),
+              (152, 8), (153, 8)]
+    tmpl = struct.pack(">HHHH", 2, 4 + 4 + len(fields) * 4, 301,
+                       len(fields))
+    for t, ln in fields:
+        tmpl += struct.pack(">HH", t, ln)
+    rec = (bytes([10, 0, 0, 9]) + bytes([10, 0, 0, 10])
+           + struct.pack(">HHBIIQQ", 80, 8080, 6, 999, 9,
+                         1_700_000_000_123, 1_700_000_111_456))
+    data = struct.pack(">HH", 301, 4 + len(rec)) + rec
+    body = tmpl + data
+    pkt = struct.pack(">HHIII", 10, 16 + len(body), 1_700_000_000, 77, 5) + body
+    rows = decode_netflow_v9_ipfix(_df(spark, [pkt])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["flow_type"] == "ipfix"
+    assert r["flow_start_ms"] == 1_700_000_000_123
+    assert r["flow_end_ms"] == 1_700_000_111_456
+    assert r["flow_sequence_num"] == 77
+    assert r["source_address"] == "10.0.0.9"
+
+
+def test_unknown_protocol_number(spark):
+    pkt = _v5_packet([
+        {"src": [1, 2, 3, 4], "dst": [5, 6, 7, 8], "packets": 1,
+         "bytes": 1, "first": 0, "last": 0, "sport": 0, "dport": 0,
+         "proto": 200},
+    ])
+    r = decode_netflow_v5(_df(spark, [pkt])).first()
+    assert r["network_transport"] == "unknown"
+
+
+def test_mixed_union(spark):
+    v5 = _v5_packet([
+        {"src": [1, 1, 1, 1], "dst": [2, 2, 2, 2], "packets": 1,
+         "bytes": 1, "first": 0, "last": 0, "sport": 1, "dport": 2,
+         "proto": 6},
+    ])
+    v9 = _v9_packet([
+        _v9_template_set(260, FIELDS),
+        _v9_data_set(260, _v9_record([3, 3, 3, 3], [4, 4, 4, 4],
+                                     1, 2, 17, 1, 1, 0, 0)),
+    ])
+    rows = netflow_records(_df(spark, [v5, v9])).collect()
+    assert sorted(r["flow_type"] for r in rows) == [
+        "netflow_v5", "netflow_v9"
+    ]
