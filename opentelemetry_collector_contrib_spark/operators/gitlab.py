@@ -1,0 +1,314 @@
+"""GitLab pipeline webhook -> trace translation as a columnar battery.
+
+Reference: receiver/gitlabreceiver/{traces_event_handling.go,model.go,
+traces_receiver.go}. One input row = one pipeline webhook event JSON;
+output = the event's span rows (pipeline root span, one span per
+derived stage, one span per finished job), resource columns
+denormalized. The sibling of operators/github.py — same deterministic
+sha256 id construction, recomputable natively by the DuckDB oracle.
+
+Semantics reproduced:
+
+* deterministic ids (traces_event_handling.go:145-228):
+  trace id  = sha256("%dt%s" % (pipelineID, finishedAt)) hex[:32],
+  pipeline span id = sha256("%d%s" % (pipelineID, finishedAt))
+  hex[16:32], stage span id = sha256("%d%s%s" % (pipelineID, stage,
+  stageStartedAt)) hex[16:32], job span id = sha256("%d%s" % (jobID,
+  startedAt)) hex[16:32].
+* stages are DERIVED from the builds array (GitLab sends no stage
+  webhooks, :230-258): stage status is the FIRST build's status in
+  array order (set at creation, never updated), stage start/finish
+  are the earliest non-empty job start / latest non-empty job finish
+  (:259-296 setStageTime).
+* job spans only for builds with a non-empty finished_at (:103-120);
+  their parent is the derived stage's span id (hashed with the
+  AGGREGATED stage startedAt).
+* span naming: pipeline uses object_attributes.name, falling back to
+  the commit title when empty (model.go:70-77); stage uses the stage
+  name; job uses the build name. All spans are SERVER kind.
+* status ladder (:340-351): success -> OK, failed/canceled -> ERROR,
+  skipped/anything else -> UNSET (case-insensitive).
+* timestamps parse the webhook format "2006-01-02 15:04:05 UTC" with
+  an RFC3339 fallback (:316-334 parseGitlabTime); an event whose
+  pipeline created/finished stamps don't parse produces NO spans
+  (handlePipeline aborts the whole event on error), matching the
+  receiver's all-or-nothing event processing.
+* resource attributes (:353-420): service.name = project
+  path_with_namespace, cicd.pipeline.{name,result,run.id,run.url},
+  vcs provider/repository/ref head name+revision, ref type branch
+  vs tag from object_attributes.tag, project namespace — emitted as
+  flat columns on every span row.
+* job attributes (model.go:236-270): task name/run id/result/url
+  (project web_url + "/-/jobs/" + id), worker id/name,
+  queued_duration, failure_reason, allow_failure.
+
+Plan shape: from_json + sha2 + one posexplode of the row-local builds
+array; stage aggregation is a window over (event, stage) — the only
+shuffle, on short keys. Map-only otherwise; no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUILD = (
+    "struct<id bigint, stage string, name string, status string,"
+    " created_at string, started_at string, finished_at string,"
+    " queued_duration double, failure_reason string,"
+    " allow_failure boolean,"
+    " runner struct<id bigint, description string, runner_type string,"
+    " is_shared boolean>>"
+)
+PIPELINE_EVENT_SCHEMA = (
+    "struct<object_attributes struct<id bigint, name string,"
+    " status string, source string, created_at string,"
+    " finished_at string, ref string, tag boolean, sha string,"
+    " url string>,"
+    " project struct<id bigint, name string,"
+    " path_with_namespace string, web_url string, namespace string,"
+    " default_branch string, visibility string>,"
+    " commit struct<title string, message string>,"
+    f" builds array<{_BUILD}>>"
+)
+
+_GL_FMT = "yyyy-MM-dd HH:mm:ss 'UTC'"
+_RFC_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSX"
+
+
+def parse_gitlab_time(t: Column) -> Column:
+    """parseGitlabTime: webhook format first, RFC3339 test format as
+    fallback; empty/"null"/invalid -> NULL."""
+    return F.when(
+        (t != "") & (t != "null"),
+        F.coalesce(
+            F.try_to_timestamp(t, F.lit(_GL_FMT)),
+            F.try_to_timestamp(t, F.lit(_RFC_FMT)),
+        ),
+    )
+
+
+def _ns(ts: Column) -> Column:
+    return (F.unix_timestamp(ts).cast("long") * 1_000_000_000) + (
+        F.date_format(ts, "SSS").cast("long") * 1_000_000
+    )
+
+
+def new_trace_id(pipeline_id: Column, finished_at: Column) -> Column:
+    """newTraceID (:145-162): sha256("%dt%s") hex[:32]."""
+    return F.substring(
+        F.sha2(
+            F.concat(pipeline_id.cast("string"), F.lit("t"), finished_at),
+            256,
+        ),
+        1,
+        32,
+    )
+
+
+def _span_id(inp: Column) -> Column:
+    """newSpanID (:215-228): sha256 hex chars [16:32]."""
+    return F.substring(F.sha2(inp, 256), 17, 16)
+
+
+def new_pipeline_span_id(pipeline_id: Column, finished_at: Column) -> Column:
+    return _span_id(F.concat(pipeline_id.cast("string"), finished_at))
+
+
+def new_stage_span_id(
+    pipeline_id: Column, stage: Column, started_at: Column
+) -> Column:
+    return _span_id(
+        F.concat(pipeline_id.cast("string"), stage, started_at)
+    )
+
+
+def new_job_span_id(job_id: Column, started_at: Column) -> Column:
+    return _span_id(F.concat(job_id.cast("string"), started_at))
+
+
+def _status_code(status: Column) -> Column:
+    """setSpanStatus (:340-351)."""
+    low = F.lower(status)
+    return (
+        F.when(low == "success", "OK")
+        .when(low.isin("failed", "canceled"), "ERROR")
+        .otherwise("UNSET")
+    )
+
+
+def gitlab_pipeline_to_spans(
+    df: DataFrame, payload: str = "payload"
+) -> DataFrame:
+    """Translate pipeline webhook JSON rows into span rows."""
+    _NULL_S = F.lit(None).cast("string")
+    _NULL_L = F.lit(None).cast("long")
+    _NULL_D = F.lit(None).cast("double")
+    _NULL_B = F.lit(None).cast("boolean")
+    e = df.select(
+        F.from_json(F.col(payload), PIPELINE_EVENT_SCHEMA).alias("e")
+    ).select(
+        F.col("e.object_attributes").alias("oa"),
+        F.col("e.project").alias("proj"),
+        F.col("e.commit").alias("cm"),
+        F.col("e.builds").alias("builds"),
+    )
+    oa = F.col("oa")
+    created_ts = parse_gitlab_time(oa["created_at"])
+    finished_ts = parse_gitlab_time(oa["finished_at"])
+    base = e.select(
+        "*",
+        created_ts.alias("__created_ts"),
+        finished_ts.alias("__finished_ts"),
+    ).filter(
+        # handlePipeline aborts the event when the pipeline stamps
+        # don't parse (newTraceID / setSpanData errors)
+        F.col("__created_ts").isNotNull()
+        & F.col("__finished_ts").isNotNull()
+    )
+    trace_id = new_trace_id(oa["id"], oa["finished_at"])
+    pipe_span = new_pipeline_span_id(oa["id"], oa["finished_at"])
+    resource = [
+        F.col("proj")["path_with_namespace"].alias("service_name"),
+        oa["name"].alias("pipeline_name"),
+        oa["status"].alias("pipeline_result"),
+        oa["id"].alias("pipeline_run_id"),
+        oa["url"].alias("pipeline_run_url"),
+        F.col("proj")["name"].alias("repo_name"),
+        F.col("proj")["web_url"].alias("repo_url"),
+        oa["ref"].alias("ref_name"),
+        F.when(oa["tag"], "tag").otherwise("branch").alias("ref_type"),
+        oa["sha"].alias("ref_revision"),
+        F.col("proj")["namespace"].alias("project_namespace"),
+    ]
+    base = base.select(
+        "*",
+        trace_id.alias("__trace_id"),
+        pipe_span.alias("__pipe_span"),
+        *resource,
+    )
+    res_cols = [
+        "service_name", "pipeline_name", "pipeline_result",
+        "pipeline_run_id", "pipeline_run_url", "repo_name", "repo_url",
+        "ref_name", "ref_type", "ref_revision", "project_namespace",
+    ]
+
+    job_attrs_null = [
+        _NULL_L.alias("task_run_id"), _NULL_S.alias("task_run_url"),
+        _NULL_D.alias("queued_duration"), _NULL_S.alias("failure_reason"),
+        _NULL_B.alias("allow_failure"), _NULL_L.alias("worker_id"),
+        _NULL_S.alias("worker_name"),
+    ]
+
+    pipeline_spans = base.select(
+        F.lit("pipeline").alias("span_type"),
+        F.col("__trace_id").alias("trace_id"),
+        F.col("__pipe_span").alias("span_id"),
+        _NULL_S.alias("parent_span_id"),
+        F.when(oa["name"] != "", oa["name"])
+        .otherwise(F.col("cm")["title"])
+        .alias("span_name"),
+        _ns(F.col("__created_ts")).alias("start_ns"),
+        _ns(F.col("__finished_ts")).alias("end_ns"),
+        _status_code(oa["status"]).alias("status_code"),
+        *job_attrs_null,
+        *res_cols,
+    )
+
+    jb = base.select(
+        "*",
+        F.posexplode_outer(F.col("builds")).alias("__pos", "__b"),
+    )
+    b = F.col("__b")
+    w = Window.partitionBy("__trace_id", b["stage"])
+    started_key = F.when(
+        b["started_at"] != "",
+        F.struct(
+            parse_gitlab_time(b["started_at"]).alias("ts"),
+            b["started_at"].alias("s"),
+        ),
+    )
+    finished_key = F.when(
+        b["finished_at"] != "",
+        F.struct(
+            parse_gitlab_time(b["finished_at"]).alias("ts"),
+            b["finished_at"].alias("s"),
+        ),
+    )
+    jb = jb.select(
+        "*",
+        F.min(started_key).over(w)["s"].alias("__stage_started"),
+        F.max(finished_key).over(w)["s"].alias("__stage_finished"),
+        F.min_by(b["status"], F.col("__pos")).over(w).alias(
+            "__stage_status"
+        ),
+        F.row_number()
+        .over(w.orderBy(F.col("__pos")))
+        .alias("__stage_rn"),
+    )
+
+    stage_span = new_stage_span_id(
+        oa["id"], b["stage"], F.coalesce(F.col("__stage_started"), F.lit(""))
+    )
+    stage_spans = (
+        jb.filter(F.col("__stage_rn") == 1)
+        .filter(
+            # setSpanIDs/setSpanData for a stage require parseable
+            # start/finish (newStageSpanID + setSpanTimeStamps)
+            parse_gitlab_time(
+                F.coalesce(F.col("__stage_started"), F.lit(""))
+            ).isNotNull()
+            & parse_gitlab_time(
+                F.coalesce(F.col("__stage_finished"), F.lit(""))
+            ).isNotNull()
+        )
+        .select(
+            F.lit("stage").alias("span_type"),
+            F.col("__trace_id").alias("trace_id"),
+            stage_span.alias("span_id"),
+            F.col("__pipe_span").alias("parent_span_id"),
+            b["stage"].alias("span_name"),
+            _ns(parse_gitlab_time(F.col("__stage_started"))).alias(
+                "start_ns"
+            ),
+            _ns(parse_gitlab_time(F.col("__stage_finished"))).alias(
+                "end_ns"
+            ),
+            _status_code(F.col("__stage_status")).alias("status_code"),
+            *job_attrs_null,
+            *res_cols,
+        )
+    )
+
+    job_spans = (
+        jb.filter(b["finished_at"] != "")
+        .filter(
+            parse_gitlab_time(b["started_at"]).isNotNull()
+            & parse_gitlab_time(b["finished_at"]).isNotNull()
+        )
+        .select(
+            F.lit("job").alias("span_type"),
+            F.col("__trace_id").alias("trace_id"),
+            new_job_span_id(b["id"], b["started_at"]).alias("span_id"),
+            new_stage_span_id(
+                oa["id"], b["stage"],
+                F.coalesce(F.col("__stage_started"), F.lit("")),
+            ).alias("parent_span_id"),
+            b["name"].alias("span_name"),
+            _ns(parse_gitlab_time(b["started_at"])).alias("start_ns"),
+            _ns(parse_gitlab_time(b["finished_at"])).alias("end_ns"),
+            _status_code(b["status"]).alias("status_code"),
+            b["id"].alias("task_run_id"),
+            F.concat(
+                F.col("repo_url"), F.lit("/-/jobs/"), b["id"].cast("string")
+            ).alias("task_run_url"),
+            b["queued_duration"].alias("queued_duration"),
+            b["failure_reason"].alias("failure_reason"),
+            b["allow_failure"].alias("allow_failure"),
+            b["runner"]["id"].alias("worker_id"),
+            b["runner"]["description"].alias("worker_name"),
+            *res_cols,
+        )
+    )
+
+    return pipeline_spans.unionByName(stage_spans).unionByName(job_spans)

@@ -40,6 +40,7 @@ _PRIORITY_NAMES: list[str] = [
     # an entry automatically (see _verification_order bucket 1).
     "prom_scrape_series_events",  # round 4: scrape loop staleness/report
     "netflow_records_events",     # round 4: v5/v9/ipfix wire decode
+    "gitlab_pipeline_spans_events",  # round 4: webhook pipeline traces
 ]
 
 
@@ -9926,3 +9927,252 @@ ORDER BY flow_type, sampler_address, packet_id, record_idx
 
 _QUERIES["netflow_records_events"] = q_netflow_records
 _ORACLES["netflow_records_events"] = _NETFLOW_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# gitlabreceiver webhook traces (receiver/gitlabreceiver/
+# traces_event_handling.go, model.go): pipeline webhook JSON -> span
+# rows with deterministic sha256 trace/span ids, stages derived from
+# the builds array, jobs parented on the derived stage. The oracle
+# recomputes every id natively (sha256 both sides).
+# ---------------------------------------------------------------------------
+
+def q_gitlab_pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.gitlab import gitlab_pipeline_to_spans
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    eid, uid, ts = F.col("event_id"), F.col("user_id"), F.col("ts")
+
+    def gl(t: Column) -> Column:
+        return F.concat(
+            F.date_format(t, "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC")
+        )
+
+    ns_ = F.concat(F.lit("grp"), (uid % 3).cast("string"))
+    pname = F.concat(F.lit("proj"), (uid % 7).cast("string"))
+    path = F.concat(ns_, F.lit("/"), pname)
+    web = F.concat(F.lit("https://gitlab.example/"), path)
+    status = F.element_at(
+        F.array(F.lit("success"), F.lit("failed"), F.lit("canceled"),
+                F.lit("skipped")),
+        (eid % 4 + 1).cast("int"),
+    )
+
+    def build(j: int) -> Column:
+        started = F.timestamp_add("SECOND", F.lit(10 + j * 5), ts)
+        finished = F.timestamp_add("SECOND", F.lit(40 + j * 5), ts)
+        fin_str = (
+            F.when((eid % 6 == 0), F.lit("")).otherwise(gl(finished))
+            if j == 2 else gl(finished)
+        )
+        st = (
+            F.when(eid % 5 == 0, F.lit("failed")).otherwise(F.lit("success"))
+            if j == 1 else F.lit("success")
+        )
+        return F.struct(
+            (eid * 10 + j).alias("id"),
+            F.lit("build" if j == 0 else "test").alias("stage"),
+            F.lit(f"job{j}").alias("name"),
+            st.alias("status"),
+            gl(ts).alias("created_at"),
+            gl(started).alias("started_at"),
+            fin_str.alias("finished_at"),
+            ((eid % 10).cast("double") / 2).alias("queued_duration"),
+            F.lit("").alias("failure_reason"),
+            (eid % 2 == 1).alias("allow_failure"),
+            F.struct(
+                uid.alias("id"),
+                F.concat(F.lit("runner-"),
+                         (uid % 5).cast("string")).alias("description"),
+                F.lit("instance_type").alias("runner_type"),
+                F.lit(True).alias("is_shared"),
+            ).alias("runner"),
+        )
+
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                eid.alias("id"),
+                F.when(eid % 3 == 0, F.lit("")).otherwise(
+                    F.concat(F.lit("pipe-"), eid.cast("string"))
+                ).alias("name"),
+                status.alias("status"),
+                F.lit("push").alias("source"),
+                gl(ts).alias("created_at"),
+                gl(F.timestamp_add(
+                    "SECOND", (eid % 100 + 60).cast("int"), ts
+                )).alias("finished_at"),
+                F.lit("main").alias("ref"),
+                (eid % 11 == 0).alias("tag"),
+                F.substring(F.md5(eid.cast("string")), 1, 8).alias("sha"),
+                F.concat(web, F.lit("/-/pipelines/"),
+                         eid.cast("string")).alias("url"),
+            ).alias("object_attributes"),
+            F.struct(
+                (uid % 100).alias("id"),
+                pname.alias("name"),
+                path.alias("path_with_namespace"),
+                web.alias("web_url"),
+                ns_.alias("namespace"),
+                F.lit("main").alias("default_branch"),
+                F.lit("private").alias("visibility"),
+            ).alias("project"),
+            F.struct(
+                F.concat(F.lit("commit-"),
+                         eid.cast("string")).alias("title"),
+                F.lit("m").alias("message"),
+            ).alias("commit"),
+            F.array(build(0), build(1), build(2)).alias("builds"),
+        )
+    )
+    out = gitlab_pipeline_to_spans(ev.select(payload.alias("payload")))
+    # nullable boolean -> string: pandas represents a NULL BOOLEAN as
+    # None (Spark) vs NaN (DuckDB), which desyncs the sorted compare
+    out = out.withColumn(
+        "allow_failure", F.col("allow_failure").cast("string")
+    )
+    return out.orderBy("trace_id", "span_type", "span_id")
+
+
+_GITLAB_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts,
+    'grp' || CAST(user_id % 3 AS VARCHAR) || '/proj'
+      || CAST(user_id % 7 AS VARCHAR) AS path,
+    'grp' || CAST(user_id % 3 AS VARCHAR) AS nsp,
+    'proj' || CAST(user_id % 7 AS VARCHAR) AS pname,
+    CASE event_id % 4 WHEN 0 THEN 'success' WHEN 1 THEN 'failed'
+         WHEN 2 THEN 'canceled' ELSE 'skipped' END AS status,
+    strftime(ts, '%Y-%m-%d %H:%M:%S') || ' UTC' AS created_s,
+    strftime(ts + INTERVAL (event_id % 100 + 60) SECOND,
+             '%Y-%m-%d %H:%M:%S') || ' UTC' AS finished_s,
+    CASE WHEN event_id % 3 = 0 THEN 'commit-' || CAST(event_id AS VARCHAR)
+         ELSE 'pipe-' || CAST(event_id AS VARCHAR) END AS pipe_name,
+    CASE WHEN event_id % 3 = 0 THEN ''
+         ELSE 'pipe-' || CAST(event_id AS VARCHAR) END AS raw_name
+  FROM events WHERE event_id % 17 = 0),
+p AS (
+  SELECT *,
+    'https://gitlab.example/' || path AS web,
+    substr(sha256(CAST(eid AS VARCHAR) || 't' || finished_s), 1, 32)
+      AS trace_id,
+    substr(sha256(CAST(eid AS VARCHAR) || finished_s), 17, 16)
+      AS pipe_span,
+    CASE WHEN lower(status) = 'success' THEN 'OK'
+         WHEN lower(status) IN ('failed', 'canceled') THEN 'ERROR'
+         ELSE 'UNSET' END AS pipe_code,
+    CAST(FLOOR(epoch(strptime(created_s, '%Y-%m-%d %H:%M:%S UTC')))
+         AS BIGINT) * 1000000000 AS created_ns,
+    CAST(FLOOR(epoch(strptime(finished_s, '%Y-%m-%d %H:%M:%S UTC')))
+         AS BIGINT) * 1000000000 AS finished_ns
+  FROM f),
+jraw AS (
+  SELECT p.*, j.j,
+    eid * 10 + j.j AS jid,
+    CASE WHEN j.j = 0 THEN 'build' ELSE 'test' END AS stage,
+    'job' || CAST(j.j AS VARCHAR) AS jname,
+    CASE WHEN j.j = 1 AND eid % 5 = 0 THEN 'failed'
+         ELSE 'success' END AS jstatus,
+    strftime(ts + INTERVAL (10 + j.j * 5) SECOND,
+             '%Y-%m-%d %H:%M:%S') || ' UTC' AS started_s,
+    CASE WHEN j.j = 2 AND eid % 6 = 0 THEN ''
+         ELSE strftime(ts + INTERVAL (40 + j.j * 5) SECOND,
+              '%Y-%m-%d %H:%M:%S') || ' UTC' END AS jfinished_s
+  FROM p CROSS JOIN (VALUES (0), (1), (2)) AS j(j)),
+st AS (
+  SELECT trace_id, stage,
+    MIN(started_s) AS stage_started,
+    MAX(CASE WHEN jfinished_s <> '' THEN jfinished_s END)
+      AS stage_finished,
+    MIN_BY(jstatus, j) AS stage_status,
+    ANY_VALUE(eid) AS eid
+  FROM jraw GROUP BY trace_id, stage),
+res AS (
+  SELECT trace_id, path AS service_name, raw_name AS pipeline_name,
+         status AS pipeline_result, eid AS pipeline_run_id,
+         web || '/-/pipelines/' || CAST(eid AS VARCHAR)
+           AS pipeline_run_url,
+         pname AS repo_name, web AS repo_url, 'main' AS ref_name,
+         CASE WHEN eid % 11 = 0 THEN 'tag' ELSE 'branch' END
+           AS ref_type,
+         substr(md5(CAST(eid AS VARCHAR)), 1, 8) AS ref_revision,
+         nsp AS project_namespace
+  FROM p),
+pipe_spans AS (
+  SELECT 'pipeline' AS span_type, p.trace_id, pipe_span AS span_id,
+         CAST(NULL AS VARCHAR) AS parent_span_id,
+         pipe_name AS span_name, created_ns AS start_ns,
+         finished_ns AS end_ns, pipe_code AS status_code,
+         CAST(NULL AS BIGINT) AS task_run_id,
+         CAST(NULL AS VARCHAR) AS task_run_url,
+         CAST(NULL AS DOUBLE) AS queued_duration,
+         CAST(NULL AS VARCHAR) AS failure_reason,
+         CAST(NULL AS VARCHAR) AS allow_failure,
+         CAST(NULL AS BIGINT) AS worker_id,
+         CAST(NULL AS VARCHAR) AS worker_name,
+         r.* EXCLUDE (trace_id)
+  FROM p JOIN res r ON r.trace_id = p.trace_id),
+stage_spans AS (
+  SELECT 'stage' AS span_type, s.trace_id,
+         substr(sha256(CAST(s.eid AS VARCHAR) || s.stage
+                       || s.stage_started), 17, 16) AS span_id,
+         p.pipe_span AS parent_span_id,
+         s.stage AS span_name,
+         CAST(FLOOR(epoch(strptime(s.stage_started,
+              '%Y-%m-%d %H:%M:%S UTC'))) AS BIGINT) * 1000000000
+           AS start_ns,
+         CAST(FLOOR(epoch(strptime(s.stage_finished,
+              '%Y-%m-%d %H:%M:%S UTC'))) AS BIGINT) * 1000000000
+           AS end_ns,
+         CASE WHEN lower(s.stage_status) = 'success' THEN 'OK'
+              WHEN lower(s.stage_status) IN ('failed', 'canceled')
+                THEN 'ERROR' ELSE 'UNSET' END AS status_code,
+         CAST(NULL AS BIGINT) AS task_run_id,
+         CAST(NULL AS VARCHAR) AS task_run_url,
+         CAST(NULL AS DOUBLE) AS queued_duration,
+         CAST(NULL AS VARCHAR) AS failure_reason,
+         CAST(NULL AS VARCHAR) AS allow_failure,
+         CAST(NULL AS BIGINT) AS worker_id,
+         CAST(NULL AS VARCHAR) AS worker_name,
+         r.* EXCLUDE (trace_id)
+  FROM st s
+  JOIN p ON p.trace_id = s.trace_id
+  JOIN res r ON r.trace_id = s.trace_id),
+job_spans AS (
+  SELECT 'job' AS span_type, jr.trace_id,
+         substr(sha256(CAST(jr.jid AS VARCHAR) || jr.started_s), 17, 16)
+           AS span_id,
+         substr(sha256(CAST(jr.eid AS VARCHAR) || jr.stage
+                       || s.stage_started), 17, 16) AS parent_span_id,
+         jr.jname AS span_name,
+         CAST(FLOOR(epoch(strptime(jr.started_s,
+              '%Y-%m-%d %H:%M:%S UTC'))) AS BIGINT) * 1000000000
+           AS start_ns,
+         CAST(FLOOR(epoch(strptime(jr.jfinished_s,
+              '%Y-%m-%d %H:%M:%S UTC'))) AS BIGINT) * 1000000000
+           AS end_ns,
+         CASE WHEN lower(jr.jstatus) = 'success' THEN 'OK'
+              WHEN lower(jr.jstatus) IN ('failed', 'canceled')
+                THEN 'ERROR' ELSE 'UNSET' END AS status_code,
+         jr.jid AS task_run_id,
+         jr.web || '/-/jobs/' || CAST(jr.jid AS VARCHAR)
+           AS task_run_url,
+         CAST(jr.eid % 10 AS DOUBLE) / 2 AS queued_duration,
+         '' AS failure_reason,
+         CAST(jr.eid % 2 = 1 AS VARCHAR) AS allow_failure,
+         jr.uid AS worker_id,
+         'runner-' || CAST(jr.uid % 5 AS VARCHAR) AS worker_name,
+         r.* EXCLUDE (trace_id)
+  FROM jraw jr
+  JOIN st s ON s.trace_id = jr.trace_id AND s.stage = jr.stage
+  JOIN res r ON r.trace_id = jr.trace_id
+  WHERE jr.jfinished_s <> ''),
+u AS (
+  SELECT * FROM pipe_spans
+  UNION ALL SELECT * FROM stage_spans
+  UNION ALL SELECT * FROM job_spans)
+SELECT * FROM u ORDER BY trace_id, span_type, span_id
+"""
+
+_QUERIES["gitlab_pipeline_spans_events"] = q_gitlab_pipeline_spans
+_ORACLES["gitlab_pipeline_spans_events"] = _GITLAB_ORACLE

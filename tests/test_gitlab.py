@@ -1,0 +1,164 @@
+"""gitlabreceiver pipeline webhook -> spans
+(receiver/gitlabreceiver/traces_event_handling.go, model.go)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from opentelemetry_collector_contrib_spark.operators.gitlab import (
+    gitlab_pipeline_to_spans,
+)
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def _event(pid=77, name="deploy", status="success",
+           created="2025-04-01 10:00:00 UTC",
+           finished="2025-04-01 10:05:00 UTC", builds=None, tag=False,
+           commit_title="fix the build"):
+    return {
+        "object_attributes": {
+            "id": pid, "name": name, "status": status, "source": "push",
+            "created_at": created, "finished_at": finished,
+            "ref": "main", "tag": tag, "sha": "abc123",
+            "url": "https://gitlab.example/g/p/-/pipelines/77",
+        },
+        "project": {
+            "id": 5, "name": "p", "path_with_namespace": "g/p",
+            "web_url": "https://gitlab.example/g/p", "namespace": "g",
+            "default_branch": "main", "visibility": "private",
+        },
+        "commit": {"title": commit_title, "message": "m"},
+        "builds": builds or [],
+    }
+
+
+def _build(jid, stage, name, status="success",
+           started="2025-04-01 10:00:10 UTC",
+           finished="2025-04-01 10:01:00 UTC", queued=1.5,
+           failure_reason="", allow_failure=False):
+    return {
+        "id": jid, "stage": stage, "name": name, "status": status,
+        "created_at": "2025-04-01 10:00:05 UTC", "started_at": started,
+        "finished_at": finished, "queued_duration": queued,
+        "failure_reason": failure_reason, "allow_failure": allow_failure,
+        "runner": {"id": 9, "description": "runner-a",
+                   "runner_type": "instance_type", "is_shared": True},
+    }
+
+
+def _run(spark, *events):
+    df = spark.createDataFrame(
+        [(json.dumps(e),) for e in events], "payload string"
+    )
+    return gitlab_pipeline_to_spans(df).collect()
+
+
+def test_pipeline_root_span_ids_and_times(spark):
+    rows = _run(spark, _event())
+    pipe = [r for r in rows if r["span_type"] == "pipeline"]
+    assert len(pipe) == 1
+    p = pipe[0]
+    assert p["trace_id"] == _sha("77t2025-04-01 10:05:00 UTC")[:32]
+    assert p["span_id"] == _sha("772025-04-01 10:05:00 UTC")[16:32]
+    assert p["parent_span_id"] is None
+    assert p["span_name"] == "deploy"
+    assert p["status_code"] == "OK"
+    assert p["end_ns"] - p["start_ns"] == 300 * 1_000_000_000
+    assert p["service_name"] == "g/p"
+    assert p["ref_type"] == "branch"
+
+
+def test_pipeline_name_falls_back_to_commit_title(spark):
+    rows = _run(spark, _event(name=""))
+    p = [r for r in rows if r["span_type"] == "pipeline"][0]
+    assert p["span_name"] == "fix the build"
+
+
+def test_stage_derivation_and_job_parentage(spark):
+    builds = [
+        _build(1, "build", "compile",
+               started="2025-04-01 10:00:10 UTC",
+               finished="2025-04-01 10:01:00 UTC", status="failed"),
+        _build(2, "build", "lint",
+               started="2025-04-01 10:00:05 UTC",
+               finished="2025-04-01 10:02:00 UTC", status="success"),
+        _build(3, "test", "unit",
+               started="2025-04-01 10:02:10 UTC",
+               finished="2025-04-01 10:03:00 UTC"),
+    ]
+    rows = _run(spark, _event(builds=builds))
+    stages = {r["span_name"]: r for r in rows if r["span_type"] == "stage"}
+    assert set(stages) == {"build", "test"}
+    st = stages["build"]
+    # earliest start (job 2), latest finish (job 2), FIRST build's status
+    assert st["span_id"] == _sha(
+        "77build2025-04-01 10:00:05 UTC")[16:32]
+    assert st["status_code"] == "ERROR"  # first build in array failed
+    assert st["start_ns"] < stages["test"]["start_ns"]
+    jobs = {r["span_name"]: r for r in rows if r["span_type"] == "job"}
+    assert jobs["compile"]["parent_span_id"] == st["span_id"]
+    assert jobs["compile"]["span_id"] == _sha(
+        "12025-04-01 10:00:10 UTC")[16:32]
+    assert jobs["unit"]["parent_span_id"] == _sha(
+        "77test2025-04-01 10:02:10 UTC")[16:32]
+    assert jobs["lint"]["task_run_url"] == (
+        "https://gitlab.example/g/p/-/jobs/2"
+    )
+    assert jobs["lint"]["queued_duration"] == 1.5
+    assert jobs["lint"]["worker_name"] == "runner-a"
+
+
+def test_unfinished_job_produces_no_span_but_counts_for_stage(spark):
+    builds = [
+        _build(1, "build", "compile",
+               started="2025-04-01 10:00:10 UTC",
+               finished="2025-04-01 10:01:00 UTC"),
+        _build(2, "build", "slow", status="running",
+               started="2025-04-01 10:00:01 UTC", finished=""),
+    ]
+    rows = _run(spark, _event(builds=builds))
+    jobs = [r for r in rows if r["span_type"] == "job"]
+    assert [j["span_name"] for j in jobs] == ["compile"]
+    st = [r for r in rows if r["span_type"] == "stage"][0]
+    # unfinished job still contributes its earlier start to the stage
+    assert st["span_id"] == _sha("77build2025-04-01 10:00:01 UTC")[16:32]
+    assert jobs[0]["parent_span_id"] == st["span_id"]
+
+
+def test_invalid_pipeline_timestamps_drop_whole_event(spark):
+    rows = _run(
+        spark,
+        _event(finished=""),
+        _event(pid=99, finished="null"),
+    )
+    assert rows == []
+
+
+def test_status_ladder_and_tag_ref(spark):
+    rows = _run(
+        spark,
+        _event(pid=1, status="canceled", tag=True,
+               finished="2025-04-01 11:00:00 UTC"),
+        _event(pid=2, status="skipped",
+               finished="2025-04-01 12:00:00 UTC"),
+    )
+    by_pid = {r["pipeline_run_id"]: r for r in rows
+              if r["span_type"] == "pipeline"}
+    assert by_pid[1]["status_code"] == "ERROR"
+    assert by_pid[1]["ref_type"] == "tag"
+    assert by_pid[2]["status_code"] == "UNSET"
+
+
+def test_rfc3339_test_event_format(spark):
+    rows = _run(
+        spark,
+        _event(created="2025-04-01T18:31:49.624Z",
+               finished="2025-04-01T18:32:49.624Z"),
+    )
+    p = [r for r in rows if r["span_type"] == "pipeline"][0]
+    assert p["end_ns"] - p["start_ns"] == 60 * 1_000_000_000
+    assert p["trace_id"] == _sha("77t2025-04-01T18:32:49.624Z")[:32]
