@@ -1,0 +1,237 @@
+"""pprof -> pprofile translation (pkg/translator/pprof/
+pprof_to_profiles.go).
+
+The reference converts a decoded google/pprof Profile into OTel
+pprofile messages by building a per-message ProfilesDictionary with
+first-occurrence index assignment: every lookup table (string,
+function, location, stack) reserves index 0 for the zero value
+(initLookupTables, pprof_to_profiles.go:425-455) and hands out
+consecutive indices in traversal order — sample types in order, each
+sample's location chain in order (getIdxForStack :361-377,
+getIdxForLocation :381-416), functions on first use from a location's
+line, sample values taken per sample type (one pprofile.Profile per
+sample type, :127-143 — the second type's traversal hits the caches,
+so indices are fixed by the FIRST type's walk).
+
+Because the dictionary is scoped to one Profiles message (= one input
+row), the whole construction is ROW-LOCAL: this module computes every
+index with order-preserving ``array_distinct`` + ``array_position``
+over the row's own arrays — a pure map-side projection, no shuffle, no
+UDF, regardless of corpus size.
+
+Modeled subset (documented deviations):
+* locations carry a single line (function_name/file_name/line) and no
+  mapping/attribute references; the attribute table (labels,
+  drop/keep_frames, doc_url) is out of scope here — the profiles OTTL
+  context (operators/profiles.py) covers attribute semantics.
+* function system_name is taken equal to name, so the string table
+  requests per function are (name, file_name).
+* the reference appends function-name strings to the string table at
+  dump time in Go map iteration order — NONDETERMINISTIC upstream; we
+  define the deterministic order "function table index order", which
+  is one of the orders the reference can produce.
+
+String-table insertion order: "" at 0, then per sample type its
+(type, unit), then (period_type, period_unit), then per function in
+table order (name, file_name) — all first-occurrence deduped.
+
+Output: one long DataFrame with ``kind`` in {sample, stack, location,
+function, string} and nullable per-kind columns, one dictionary per
+profile_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PPROF_INPUT_COLS = (
+    "profile_id, sample_types array<struct<type,unit>>, samples"
+    " array<struct<locs array<bigint>, values array<bigint>>>,"
+    " locations array<struct<id,address,function_name,file_name,line>>,"
+    " period_type, period_unit, period, time_nanos, duration_nanos"
+)
+
+
+def pprof_to_profiles(df: DataFrame) -> DataFrame:
+    """Build the per-profile dictionary + per-sample-type sample rows."""
+    # --- location table: first-use order across samples' loc chains ---
+    loc_order = F.array_distinct(
+        F.flatten(F.transform(F.col("samples"), lambda s: s["locs"]))
+    )
+    df = df.select("*", loc_order.alias("__loc_order"))
+
+    def loc_rec(loc_id: Column) -> Column:
+        return F.try_element_at(
+            F.filter(F.col("locations"), lambda l: l["id"] == loc_id),
+            F.lit(1),
+        )
+
+    # --- function table: first-use order via the location order ---
+    fn_key = lambda l: F.struct(  # noqa: E731
+        l["function_name"].alias("name"),
+        l["file_name"].alias("file"),
+    )
+    fn_order = F.array_distinct(
+        F.transform(F.col("__loc_order"), lambda i: fn_key(loc_rec(i)))
+    )
+    df = df.select("*", fn_order.alias("__fn_order"))
+
+    # --- stack table: first occurrence of each loc-idx sequence ---
+    stack_key = lambda locs: F.array_join(  # noqa: E731
+        F.transform(
+            locs,
+            lambda i: F.array_position(F.col("__loc_order"), i).cast(
+                "string"
+            ),
+        ),
+        ";",
+    )
+    stack_order = F.array_distinct(
+        F.transform(F.col("samples"), lambda s: stack_key(s["locs"]))
+    )
+    df = df.select("*", stack_order.alias("__stack_order"))
+
+    # --- string table: "" reserved at 0, then the insertion order ---
+    str_requests = F.concat(
+        F.array(F.lit("")),
+        F.flatten(
+            F.transform(
+                F.col("sample_types"),
+                lambda st: F.array(st["type"], st["unit"]),
+            )
+        ),
+        F.array(F.col("period_type"), F.col("period_unit")),
+        F.flatten(
+            F.transform(
+                F.col("__fn_order"),
+                lambda f: F.array(f["name"], f["file"]),
+            )
+        ),
+    )
+    df = df.select(
+        "*", F.array_distinct(str_requests).alias("__strings")
+    )
+
+    def stridx(s: Column) -> Column:
+        # array_position is 1-based; "" sits at position 1 == index 0
+        return (F.array_position(F.col("__strings"), s) - 1).cast("int")
+
+    null_l = F.lit(None).cast("long")
+    null_i = F.lit(None).cast("int")
+    null_s = F.lit(None).cast("string")
+
+    common_null = [
+        null_i.alias("st_idx"), null_i.alias("stack_idx"),
+        null_l.alias("value"), null_i.alias("type_stridx"),
+        null_i.alias("unit_stridx"), null_l.alias("address"),
+        null_i.alias("function_idx"), null_l.alias("line"),
+        null_i.alias("name_stridx"), null_i.alias("filename_stridx"),
+        null_l.alias("time_nanos"), null_l.alias("duration_nanos"),
+        null_l.alias("period"),
+    ]
+
+    # --- samples: one row per (sample_type, sample) ---
+    st = df.select(
+        "profile_id", "__strings", "__loc_order", "__stack_order",
+        "samples", "time_nanos", "duration_nanos", "period",
+        F.posexplode(F.col("sample_types")).alias("st_i", "__st"),
+    )
+    samples = st.select(
+        "*",
+        F.posexplode(F.col("samples")).alias("s_i", "__s"),
+    ).select(
+        F.col("profile_id"),
+        F.lit("sample").alias("kind"),
+        F.col("s_i").cast("int").alias("idx"),
+        F.col("st_i").cast("int").alias("st_idx"),
+        F.array_position(
+            F.col("__stack_order"), stack_key(F.col("__s")["locs"])
+        ).cast("int").alias("stack_idx"),
+        F.element_at(
+            F.col("__s")["values"], F.col("st_i").cast("int") + 1
+        ).alias("value"),
+        stridx(F.col("__st")["type"]).alias("type_stridx"),
+        stridx(F.col("__st")["unit"]).alias("unit_stridx"),
+        null_l.alias("address"), null_i.alias("function_idx"),
+        null_l.alias("line"), null_i.alias("name_stridx"),
+        null_i.alias("filename_stridx"),
+        F.col("time_nanos").cast("long").alias("time_nanos"),
+        F.col("duration_nanos").cast("long").alias("duration_nanos"),
+        F.col("period").cast("long").alias("period"),
+        null_s.alias("text"),
+    )
+
+    # --- stack rows ---
+    stacks = df.select(
+        "profile_id",
+        F.posexplode(F.col("__stack_order")).alias("p", "s"),
+    ).select(
+        "profile_id", F.lit("stack").alias("kind"),
+        (F.col("p") + 1).cast("int").alias("idx"),
+        *common_null,
+        F.col("s").alias("text"),
+    )
+
+    # --- location rows ---
+    locs = df.select(
+        "profile_id", "locations", "__fn_order",
+        F.posexplode(F.col("__loc_order")).alias("p", "lid"),
+    )
+    lrec = F.try_element_at(
+        F.filter(F.col("locations"), lambda l: l["id"] == F.col("lid")),
+        F.lit(1),
+    )
+    locs = locs.select(
+        "profile_id", F.lit("location").alias("kind"),
+        (F.col("p") + 1).cast("int").alias("idx"),
+        null_i.alias("st_idx"), null_i.alias("stack_idx"),
+        null_l.alias("value"), null_i.alias("type_stridx"),
+        null_i.alias("unit_stridx"),
+        lrec["address"].cast("long").alias("address"),
+        F.array_position(F.col("__fn_order"), fn_key(lrec))
+        .cast("int").alias("function_idx"),
+        lrec["line"].cast("long").alias("line"),
+        null_i.alias("name_stridx"), null_i.alias("filename_stridx"),
+        null_l.alias("time_nanos"), null_l.alias("duration_nanos"),
+        null_l.alias("period"),
+        null_s.alias("text"),
+    )
+
+    # --- function rows ---
+    fns = df.select(
+        "profile_id", "__strings",
+        F.posexplode(F.col("__fn_order")).alias("p", "f"),
+    ).select(
+        "profile_id", F.lit("function").alias("kind"),
+        (F.col("p") + 1).cast("int").alias("idx"),
+        null_i.alias("st_idx"), null_i.alias("stack_idx"),
+        null_l.alias("value"), null_i.alias("type_stridx"),
+        null_i.alias("unit_stridx"), null_l.alias("address"),
+        null_i.alias("function_idx"), null_l.alias("line"),
+        (F.array_position(F.col("__strings"), F.col("f")["name"]) - 1)
+        .cast("int").alias("name_stridx"),
+        (F.array_position(F.col("__strings"), F.col("f")["file"]) - 1)
+        .cast("int").alias("filename_stridx"),
+        null_l.alias("time_nanos"), null_l.alias("duration_nanos"),
+        null_l.alias("period"),
+        F.col("f")["name"].alias("text"),
+    )
+
+    # --- string rows (index 0 = "") ---
+    strs = df.select(
+        "profile_id",
+        F.posexplode(F.col("__strings")).alias("p", "s"),
+    ).select(
+        "profile_id", F.lit("string").alias("kind"),
+        F.col("p").cast("int").alias("idx"),
+        *common_null,
+        F.col("s").alias("text"),
+    )
+
+    return (
+        samples.unionByName(stacks)
+        .unionByName(locs)
+        .unionByName(fns)
+        .unionByName(strs)
+    )

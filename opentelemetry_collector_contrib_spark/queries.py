@@ -41,6 +41,7 @@ _PRIORITY_NAMES: list[str] = [
     "prom_scrape_series_events",  # round 4: scrape loop staleness/report
     "netflow_records_events",     # round 4: v5/v9/ipfix wire decode
     "gitlab_pipeline_spans_events",  # round 4: webhook pipeline traces
+    "pprof_profiles_events",      # round 4: pprof dictionary translation
 ]
 
 
@@ -10176,3 +10177,208 @@ SELECT * FROM u ORDER BY trace_id, span_type, span_id
 
 _QUERIES["gitlab_pipeline_spans_events"] = q_gitlab_pipeline_spans
 _ORACLES["gitlab_pipeline_spans_events"] = _GITLAB_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# pprof translator (pkg/translator/pprof/pprof_to_profiles.go):
+# per-profile dictionary construction with first-occurrence index
+# assignment (string/function/location/stack tables, index 0
+# reserved), one profile per sample type. The Spark side runs the
+# generic row-local array machinery (operators/pprof.py); the oracle
+# reproduces every index closed-form from the synthesis structure.
+# ---------------------------------------------------------------------------
+
+def q_pprof_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pprof import pprof_to_profiles
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    eid = F.col("event_id")
+    a = (1 + eid % 2).cast("bigint")
+    b = F.lit(3).cast("bigint")
+    c = (2 - eid % 2).cast("bigint")
+
+    def loc(lid: Column) -> Column:
+        return F.struct(
+            lid.alias("id"),
+            (lid * 4096 + eid % 16).alias("address"),
+            F.concat(F.lit("fn"),
+                     (lid % 3).cast("string")).alias("function_name"),
+            F.concat(F.lit("file"),
+                     (lid % 2).cast("string")).alias("file_name"),
+            (lid * 10).alias("line"),
+        )
+
+    def sample(locs: Column, i: int) -> Column:
+        return F.struct(
+            locs.alias("locs"),
+            F.array(
+                F.round(F.col("value") * 100).cast("bigint") + i,
+                (eid % 50 + i).cast("bigint"),
+            ).alias("values"),
+        )
+
+    prof = ev.select(
+        eid.alias("profile_id"),
+        F.array(
+            F.struct(F.lit("cpu").alias("type"),
+                     F.lit("nanoseconds").alias("unit")),
+            F.struct(F.lit("samples").alias("type"),
+                     F.lit("count").alias("unit")),
+        ).alias("sample_types"),
+        F.array(
+            sample(F.array(a, b), 0),
+            sample(F.array(b, c), 1),
+            sample(F.array(a, b), 2),
+        ).alias("samples"),
+        F.array(loc(F.lit(1).cast("bigint")), loc(F.lit(2).cast("bigint")),
+                loc(F.lit(3).cast("bigint"))).alias("locations"),
+        F.lit("cpu").alias("period_type"),
+        F.lit("nanoseconds").alias("period_unit"),
+        F.lit(10000000).cast("bigint").alias("period"),
+        (F.unix_timestamp("ts").cast("long")
+         * F.lit(1000000000)).alias("time_nanos"),
+        ((eid % 10 + 1) * 1000000000).cast("bigint")
+        .alias("duration_nanos"),
+    )
+    out = pprof_to_profiles(prof)
+    return out.orderBy("profile_id", "kind", "st_idx", "idx")
+
+
+_PPROF_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, value, ts,
+         1 + event_id % 2 AS la, 3 AS lb, 2 - event_id % 2 AS lc,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS tns,
+         CAST((event_id % 10 + 1) * 1000000000 AS BIGINT) AS dns
+  FROM events WHERE event_id % 13 = 0),
+samples AS (
+  SELECT eid, st.st_idx, s.s_i,
+         CASE s.s_i WHEN 1 THEN 2 ELSE 1 END AS stack_idx,
+         CASE st.st_idx
+           WHEN 0 THEN CAST(round(value * 100) AS BIGINT) + s.s_i
+           ELSE CAST(eid % 50 + s.s_i AS BIGINT) END AS value,
+         st.tsx AS type_stridx, st.usx AS unit_stridx, tns, dns
+  FROM f
+  CROSS JOIN (VALUES (0, 1, 2), (1, 3, 4)) AS st(st_idx, tsx, usx)
+  CROSS JOIN (VALUES (0), (1), (2)) AS s(s_i)),
+sample_rows AS (
+  SELECT eid AS profile_id, 'sample' AS kind,
+         CAST(s_i AS INTEGER) AS idx, CAST(st_idx AS INTEGER) AS st_idx,
+         CAST(stack_idx AS INTEGER) AS stack_idx, value,
+         CAST(type_stridx AS INTEGER) AS type_stridx,
+         CAST(unit_stridx AS INTEGER) AS unit_stridx,
+         CAST(NULL AS BIGINT) AS address,
+         CAST(NULL AS INTEGER) AS function_idx,
+         CAST(NULL AS BIGINT) AS line,
+         CAST(NULL AS INTEGER) AS name_stridx,
+         CAST(NULL AS INTEGER) AS filename_stridx,
+         tns AS time_nanos, dns AS duration_nanos,
+         CAST(10000000 AS BIGINT) AS period,
+         CAST(NULL AS VARCHAR) AS text
+  FROM samples),
+stack_rows AS (
+  SELECT eid AS profile_id, 'stack' AS kind,
+         CAST(k.i AS INTEGER) AS idx, CAST(NULL AS INTEGER) AS st_idx,
+         CAST(NULL AS INTEGER) AS stack_idx, CAST(NULL AS BIGINT) AS value,
+         CAST(NULL AS INTEGER) AS type_stridx,
+         CAST(NULL AS INTEGER) AS unit_stridx,
+         CAST(NULL AS BIGINT) AS address,
+         CAST(NULL AS INTEGER) AS function_idx,
+         CAST(NULL AS BIGINT) AS line,
+         CAST(NULL AS INTEGER) AS name_stridx,
+         CAST(NULL AS INTEGER) AS filename_stridx,
+         CAST(NULL AS BIGINT) AS time_nanos,
+         CAST(NULL AS BIGINT) AS duration_nanos,
+         CAST(NULL AS BIGINT) AS period,
+         k.s AS text
+  FROM f CROSS JOIN (VALUES (1, '1;2'), (2, '2;3')) AS k(i, s)),
+loc_rows AS (
+  -- loc-table order is [A, B, C]; functions are always distinct so
+  -- function_idx follows the same order 1,2,3
+  SELECT eid AS profile_id, 'location' AS kind,
+         CAST(o.i AS INTEGER) AS idx, CAST(NULL AS INTEGER) AS st_idx,
+         CAST(NULL AS INTEGER) AS stack_idx, CAST(NULL AS BIGINT) AS value,
+         CAST(NULL AS INTEGER) AS type_stridx,
+         CAST(NULL AS INTEGER) AS unit_stridx,
+         CAST(CASE o.i WHEN 1 THEN la WHEN 2 THEN lb ELSE lc END * 4096
+              + eid % 16 AS BIGINT) AS address,
+         CAST(o.i AS INTEGER) AS function_idx,
+         CAST(CASE o.i WHEN 1 THEN la WHEN 2 THEN lb ELSE lc END * 10
+              AS BIGINT) AS line,
+         CAST(NULL AS INTEGER) AS name_stridx,
+         CAST(NULL AS INTEGER) AS filename_stridx,
+         CAST(NULL AS BIGINT) AS time_nanos,
+         CAST(NULL AS BIGINT) AS duration_nanos,
+         CAST(NULL AS BIGINT) AS period,
+         CAST(NULL AS VARCHAR) AS text
+  FROM f CROSS JOIN (VALUES (1), (2), (3)) AS o(i)),
+-- function table order: fn(A), fn(B)=fn0, fn(C); files file(A%2) etc.
+-- string ids: even eid -> fn1=5,file1=6,fn0=7,fn2=8,file0=9
+--             odd  eid -> fn2=5,file0=6,fn0=7,file1=8,fn1=9
+fn_rows AS (
+  SELECT eid AS profile_id, 'function' AS kind,
+         CAST(o.i AS INTEGER) AS idx, CAST(NULL AS INTEGER) AS st_idx,
+         CAST(NULL AS INTEGER) AS stack_idx, CAST(NULL AS BIGINT) AS value,
+         CAST(NULL AS INTEGER) AS type_stridx,
+         CAST(NULL AS INTEGER) AS unit_stridx,
+         CAST(NULL AS BIGINT) AS address,
+         CAST(NULL AS INTEGER) AS function_idx,
+         CAST(NULL AS BIGINT) AS line,
+         CAST(CASE
+           WHEN eid % 2 = 0 THEN CASE o.i WHEN 1 THEN 5 WHEN 2 THEN 7
+                                  ELSE 8 END
+           ELSE CASE o.i WHEN 1 THEN 5 WHEN 2 THEN 7 ELSE 9 END
+         END AS INTEGER) AS name_stridx,
+         CAST(CASE
+           WHEN eid % 2 = 0 THEN CASE o.i WHEN 1 THEN 6 WHEN 2 THEN 6
+                                  ELSE 9 END
+           ELSE CASE o.i WHEN 1 THEN 6 WHEN 2 THEN 8 ELSE 8 END
+         END AS INTEGER) AS filename_stridx,
+         CAST(NULL AS BIGINT) AS time_nanos,
+         CAST(NULL AS BIGINT) AS duration_nanos,
+         CAST(NULL AS BIGINT) AS period,
+         CASE
+           WHEN eid % 2 = 0 THEN CASE o.i WHEN 1 THEN 'fn1'
+                                  WHEN 2 THEN 'fn0' ELSE 'fn2' END
+           ELSE CASE o.i WHEN 1 THEN 'fn2' WHEN 2 THEN 'fn0'
+                ELSE 'fn1' END
+         END AS text
+  FROM f CROSS JOIN (VALUES (1), (2), (3)) AS o(i)),
+str_rows AS (
+  SELECT eid AS profile_id, 'string' AS kind,
+         CAST(k.i AS INTEGER) AS idx, CAST(NULL AS INTEGER) AS st_idx,
+         CAST(NULL AS INTEGER) AS stack_idx, CAST(NULL AS BIGINT) AS value,
+         CAST(NULL AS INTEGER) AS type_stridx,
+         CAST(NULL AS INTEGER) AS unit_stridx,
+         CAST(NULL AS BIGINT) AS address,
+         CAST(NULL AS INTEGER) AS function_idx,
+         CAST(NULL AS BIGINT) AS line,
+         CAST(NULL AS INTEGER) AS name_stridx,
+         CAST(NULL AS INTEGER) AS filename_stridx,
+         CAST(NULL AS BIGINT) AS time_nanos,
+         CAST(NULL AS BIGINT) AS duration_nanos,
+         CAST(NULL AS BIGINT) AS period,
+         CASE k.i WHEN 0 THEN '' WHEN 1 THEN 'cpu'
+              WHEN 2 THEN 'nanoseconds' WHEN 3 THEN 'samples'
+              WHEN 4 THEN 'count'
+              WHEN 5 THEN CASE WHEN eid % 2 = 0 THEN 'fn1' ELSE 'fn2' END
+              WHEN 6 THEN CASE WHEN eid % 2 = 0 THEN 'file1'
+                          ELSE 'file0' END
+              WHEN 7 THEN 'fn0'
+              WHEN 8 THEN CASE WHEN eid % 2 = 0 THEN 'fn2'
+                          ELSE 'file1' END
+              ELSE CASE WHEN eid % 2 = 0 THEN 'file0' ELSE 'fn1' END
+         END AS text
+  FROM f CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7),
+                     (8), (9)) AS k(i)),
+u AS (
+  SELECT * FROM sample_rows
+  UNION ALL SELECT * FROM stack_rows
+  UNION ALL SELECT * FROM loc_rows
+  UNION ALL SELECT * FROM fn_rows
+  UNION ALL SELECT * FROM str_rows)
+SELECT * FROM u ORDER BY profile_id, kind, st_idx, idx
+"""
+
+_QUERIES["pprof_profiles_events"] = q_pprof_profiles
+_ORACLES["pprof_profiles_events"] = _PPROF_ORACLE

@@ -1,0 +1,108 @@
+"""pprof -> pprofile dictionary construction
+(pkg/translator/pprof/pprof_to_profiles.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.pprof import (
+    pprof_to_profiles,
+)
+
+SCHEMA = (
+    "profile_id bigint,"
+    " sample_types array<struct<type string, unit string>>,"
+    " samples array<struct<locs array<bigint>, values array<bigint>>>,"
+    " locations array<struct<id bigint, address bigint,"
+    " function_name string, file_name string, line bigint>>,"
+    " period_type string, period_unit string, period bigint,"
+    " time_nanos bigint, duration_nanos bigint"
+)
+
+
+def _profile(spark):
+    rows = [(
+        1,
+        [("cpu", "nanoseconds"), ("samples", "count")],
+        [
+            ([10, 20], [100, 1]),
+            ([20, 30], [200, 2]),
+            ([10, 20], [300, 3]),   # same stack as sample 0
+        ],
+        [
+            (10, 0x1000, "main", "main.go", 5),
+            (20, 0x2000, "work", "work.go", 9),
+            (30, 0x3000, "main", "main.go", 5),  # same function as 10
+        ],
+        "cpu", "nanoseconds", 10_000_000, 1_700_000_000_000_000_000,
+        2_000_000_000,
+    )]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _by_kind(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["kind"], []).append(r)
+    return out
+
+
+def test_dictionary_first_occurrence_indices(spark):
+    rows = _by_kind(pprof_to_profiles(_profile(spark)).collect())
+
+    # locations: first-use order 10, 20, 30 -> idx 1, 2, 3
+    locs = sorted(rows["location"], key=lambda r: r["idx"])
+    assert [(l["idx"], l["address"]) for l in locs] == [
+        (1, 0x1000), (2, 0x2000), (3, 0x3000)]
+    # functions: (main,main.go) first via loc 10, (work,work.go) second;
+    # loc 30 reuses function 1
+    fns = sorted(rows["function"], key=lambda r: r["idx"])
+    assert [(f["idx"], f["text"]) for f in fns] == [(1, "main"),
+                                                   (2, "work")]
+    assert [l["function_idx"] for l in locs] == [1, 2, 1]
+
+    # stacks: [1;2] first, [2;3] second, sample 2 reuses stack 1
+    stacks = sorted(rows["stack"], key=lambda r: r["idx"])
+    assert [(s["idx"], s["text"]) for s in stacks] == [
+        (1, "1;2"), (2, "2;3")]
+
+    # strings: "" at 0, then cpu, nanoseconds, samples, count,
+    # (period cpu/nanoseconds dedup), then main, main.go, work, work.go
+    strs = {r["idx"]: r["text"] for r in rows["string"]}
+    assert strs == {0: "", 1: "cpu", 2: "nanoseconds", 3: "samples",
+                    4: "count", 5: "main", 6: "main.go", 7: "work",
+                    8: "work.go"}
+    assert [(f["name_stridx"], f["filename_stridx"]) for f in fns] == [
+        (5, 6), (7, 8)]
+
+
+def test_samples_per_sample_type(spark):
+    rows = _by_kind(pprof_to_profiles(_profile(spark)).collect())
+    samples = sorted(rows["sample"], key=lambda r: (r["st_idx"], r["idx"]))
+    # one pprofile.Profile per sample type, each re-walking the samples
+    assert [(s["st_idx"], s["idx"], s["stack_idx"], s["value"])
+            for s in samples] == [
+        (0, 0, 1, 100), (0, 1, 2, 200), (0, 2, 1, 300),
+        (1, 0, 1, 1), (1, 1, 2, 2), (1, 2, 1, 3),
+    ]
+    s0 = samples[0]
+    assert (s0["type_stridx"], s0["unit_stridx"]) == (1, 2)
+    s3 = samples[3]
+    assert (s3["type_stridx"], s3["unit_stridx"]) == (3, 4)
+    assert s0["period"] == 10_000_000
+    assert s0["time_nanos"] == 1_700_000_000_000_000_000
+    assert s0["duration_nanos"] == 2_000_000_000
+
+
+def test_period_type_string_reuse(spark):
+    # a profile whose period type is NOT among sample types gets new ids
+    rows = [(
+        2,
+        [("alloc_objects", "count")],
+        [([7], [5])],
+        [(7, 0x10, "f", "f.go", 1)],
+        "space", "bytes", 512, 0, 0,
+    )]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = _by_kind(pprof_to_profiles(df).collect())
+    strs = {r["idx"]: r["text"] for r in out["string"]}
+    assert strs == {0: "", 1: "alloc_objects", 2: "count", 3: "space",
+                    4: "bytes", 5: "f", 6: "f.go"}
