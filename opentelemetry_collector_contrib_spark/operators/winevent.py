@@ -28,12 +28,14 @@ Semantics:
   indented under them read ``-``; trailing free lines aggregate into
   "Additional Context".  Lines are TrimSpace'd before classification,
   so ``key:<tab>`` (empty value) classifies as a bare key -- that is
-  where the reference's ``-`` placeholders come from.  Ported as an
-  Arrow-batched pandas UDF: a sequential state machine is the honest
-  Python slot, one call per Security record only.
+  where the reference's ``-`` placeholders come from.  Implemented
+  TWICE: a Python port (the readable spec, kept as the pandas_udf
+  cross-check oracle) and the shipping Column-native fold
+  (security_struct below) so no row ever leaves the JVM.
 
 Spark shape: ONE from_xml per row (staged), pure-Column fallbacks and
-ladders; the pandas UDF runs only on Security-channel rows.
+ladders; the Security line machine is a single F.aggregate fold --
+no Python eval node anywhere in the plan.
 """
 
 from __future__ import annotations
@@ -199,7 +201,12 @@ def _security_batch(messages: pd.Series) -> pd.DataFrame:
         s, d = parse_security(m)
         subjects.append(s)
         details.append(
-            json.dumps(d, sort_keys=True, separators=(",", ":"))
+            # ensure_ascii=False: raw UTF-8 like Spark's to_json, so
+            # the Column-native machine and this oracle byte-match on
+            # non-ASCII content too (the rendering is our own choice;
+            # the reference emits a pdata map, not JSON)
+            json.dumps(d, sort_keys=True, separators=(",", ":"),
+                       ensure_ascii=False)
             if d else None
         )
     return pd.DataFrame({"subject": subjects, "details_json": details})
@@ -217,6 +224,387 @@ def _security_udf(message: Column) -> Column:
             "struct<subject: string, details_json: string>"
         )(_security_batch)
     return _SECURITY_UDF(message)
+
+
+# ---------------------------------------------------------------------------
+# Security-channel message processor -- Column-native line machine.
+#
+# The same grammar as parse_security above (security.go parseSecurity),
+# re-expressed as a single F.aggregate fold over the message's parsed
+# lines with an explicit state struct, so Security rows never leave the
+# JVM. The pandas_udf above is retained purely as the cross-check
+# oracle (tests/test_winevent.py asserts byte equality on generated
+# messages).
+#
+# Grammar states: TOP (0), SUBSECTION (1), LIST returning to TOP via a
+# pair head (2), LIST returning to SUBSECTION (3). A subsection runs
+# until a blank line or EOF; a list runs while the next line is
+# non-empty and indented >= its depth; list closure re-processes the
+# closing line in the parent state (one fold step can close a list,
+# close the enclosing subsection, and process the line in TOP).
+# Dict semantics are last-wins per key with json.dumps(sort_keys=True,
+# separators=(",", ":")) rendering at every level.
+# ---------------------------------------------------------------------------
+
+
+def _js(s: Column) -> Column:
+    """JSON string literal with Jackson escaping (matches json.dumps
+    for the ASCII payloads these messages carry)."""
+    j = F.to_json(F.array(s))
+    return F.substring(j, 2, F.length(j) - 2)
+
+
+def _render_list(items: Column) -> Column:
+    return F.concat(
+        F.lit("["),
+        F.array_join(F.transform(items, _js), ","),
+        F.lit("]"),
+    )
+
+
+def _dedup_sorted(entries: Column) -> Column:
+    """Last-wins per key, then key-sorted (json.dumps sort_keys)."""
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda later: later["k"] == e["k"],
+        ),
+    )
+    return F.array_sort(deduped)
+
+
+def _render_obj(entries: Column) -> Column:
+    return F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                _dedup_sorted(entries),
+                lambda e: F.concat(_js(e["k"]), F.lit(":"), e["v"]),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+
+
+_SEC_ENTRY_T = "array<struct<k:string,v:string>>"
+_SEC_STATE_FIELDS = (
+    "ok", "subject", "mode", "sub_depth", "list_depth", "cur_key",
+    "sub_key", "pair_first", "entries", "sub_entries", "list_items",
+    "more",
+)
+
+
+def _sec_state(base=None, **kw) -> Column:
+    vals = {}
+    for f in _SEC_STATE_FIELDS:
+        if f in kw:
+            vals[f] = kw[f]
+        elif base is not None:
+            vals[f] = base[f]
+        else:
+            raise KeyError(f)
+    return F.struct(*[vals[f].alias(f) for f in _SEC_STATE_FIELDS])
+
+
+def security_struct(message: Column) -> Column:
+    """Column-native parse_security: struct<subject, details_json>."""
+    empty_entries = F.array().cast(_SEC_ENTRY_T)
+    empty_strs = F.array().cast("array<string>")
+
+    def _st(c: Column) -> Column:
+        # Python str.strip(): all whitespace incl tabs (F.trim is
+        # spaces-only)
+        return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+    trimmed = _st(message)
+    raw_lines = F.split(trimmed, "\n")
+
+    # per-line parse: t 0=empty 1=key 2=value 3=pair, tab indent, k, v
+    def line_struct(ln: Column) -> Column:
+        s = _st(ln)
+        t = (
+            F.when(s == "", 0)
+            .when(s.contains(":\t"), 3)
+            .when(s.endswith(":"), 1)
+            .otherwise(2)
+        )
+        k = (
+            F.when(
+                s.contains(":\t"),
+                _st(F.substring_index(s, ":\t", 1)),
+            )
+            .when(s.endswith(":"), F.substring(s, 1, F.length(s) - 1))
+            .otherwise("")
+        )
+        v = (
+            F.when(
+                s.contains(":\t"),
+                _st(
+                    F.substring(
+                        s, F.instr(s, ":\t") + 2, F.length(s)
+                    )
+                ),
+            )
+            .when(s.endswith(":") | (s == ""), F.lit(""))
+            .otherwise(s)
+        )
+        return F.struct(
+            t.alias("t"),
+            F.length(F.regexp_extract(ln, r"^(\t*)", 1)).alias("i"),
+            k.alias("k"),
+            v.alias("v"),
+        )
+
+    parsed = F.transform(raw_lines, line_struct)
+    n = F.size(parsed)
+    infos = F.transform(
+        F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+        lambda idx: F.struct(
+            F.try_element_at(parsed, idx).alias("cur"),
+            F.try_element_at(parsed, idx + 1).alias("nxt"),
+        ),
+    )
+    # sequence(2, max(n,2)) yields one spurious element when n < 2;
+    # filter to real line indices
+    infos = F.filter(infos, lambda e: e["cur"].isNotNull())
+
+    p0 = F.element_at(parsed, 1)
+    init = _sec_state(
+        ok=p0["t"].isin(1, 2),
+        subject=F.when(p0["t"] == 2, p0["v"]).when(p0["t"] == 1, p0["k"]),
+        mode=F.lit(0),
+        sub_depth=F.lit(0),
+        list_depth=F.lit(0),
+        cur_key=F.lit(""),
+        sub_key=F.lit(""),
+        pair_first=F.lit(""),
+        entries=empty_entries,
+        sub_entries=empty_entries,
+        list_items=empty_strs,
+        more=empty_strs,
+    )
+
+    def entry(k: Column, vjson: Column) -> Column:
+        return F.struct(k.alias("k"), vjson.alias("v"))
+
+    def close_ltop(st: Column) -> Column:
+        rendered = F.concat(
+            F.lit("["),
+            F.array_join(
+                F.concat(
+                    F.array(_js(st["pair_first"])),
+                    F.transform(st["list_items"], _js),
+                ),
+                ",",
+            ),
+            F.lit("]"),
+        )
+        return _sec_state(
+            st,
+            mode=F.lit(0),
+            entries=F.concat(
+                st["entries"], F.array(entry(st["cur_key"], rendered))
+            ),
+        )
+
+    def close_lsub(st: Column) -> Column:
+        return _sec_state(
+            st,
+            mode=F.lit(1),
+            sub_entries=F.concat(
+                st["sub_entries"],
+                F.array(entry(st["sub_key"], _render_list(st["list_items"]))),
+            ),
+        )
+
+    def close_sub(st: Column) -> Column:
+        return _sec_state(
+            st,
+            mode=F.lit(0),
+            entries=F.concat(
+                st["entries"],
+                F.array(entry(st["cur_key"], _render_obj(st["sub_entries"]))),
+            ),
+        )
+
+    def _let(val: Column, fn) -> Column:
+        """Expression-level let binding: evaluate ``val`` once and pass
+        it to ``fn`` as a lambda variable. Without this, every
+        reference to an intermediate state duplicates its whole
+        expression subtree and the fold explodes combinatorially
+        (observed: JVM heap OOM during analysis)."""
+        return F.element_at(F.transform(F.array(val), fn), 1)
+
+    def step(st: Column, info: Column) -> Column:
+        cur, nxt = info["cur"], info["nxt"]
+        t, ind, k, v = cur["t"], cur["i"], cur["k"], cur["v"]
+
+        def hni(min_d: Column) -> Column:
+            return (
+                nxt.isNotNull() & (nxt["t"] != 0) & (nxt["i"] >= min_d)
+            )
+
+        list_cont = (t != 0) & (ind >= st["list_depth"])
+        # resolve list closure first (without consuming the line)
+        st1 = (
+            F.when((st["mode"] == 2) & ~list_cont, close_ltop(st))
+            .when((st["mode"] == 3) & ~list_cont, close_lsub(st))
+            .otherwise(st)
+        )
+
+        return _let(st1, lambda b1: _let(
+            # a closed LSUB may immediately close its subsection on
+            # empty lines
+            F.when((b1["mode"] == 1) & (t == 0), close_sub(b1))
+            .otherwise(b1),
+            lambda st2: _branches(st, st2, t, ind, k, v, hni),
+        ))
+
+    def _branches(st, st2, t, ind, k, v, hni):
+        in_list = st2["mode"].isin(2, 3)
+        append_item = F.when(t == 2, v).when(t == 1, k)
+        list_state = _sec_state(
+            st2,
+            list_items=F.when(
+                append_item.isNotNull(),
+                F.concat(st2["list_items"], F.array(append_item)),
+            ).otherwise(st2["list_items"]),
+        )
+
+        sub_state = (
+            F.when(
+                t == 3,
+                _sec_state(
+                    st2,
+                    sub_entries=F.concat(
+                        st2["sub_entries"], F.array(entry(k, _js(v)))
+                    ),
+                ),
+            )
+            .when(
+                (t == 1) & hni(st2["sub_depth"] + 1),
+                _sec_state(
+                    st2,
+                    mode=F.lit(3),
+                    sub_key=k,
+                    list_depth=st2["sub_depth"] + 1,
+                    list_items=empty_strs,
+                ),
+            )
+            .when(
+                t == 1,
+                _sec_state(
+                    st2,
+                    sub_entries=F.concat(
+                        st2["sub_entries"],
+                        F.array(entry(k, _js(F.lit("-")))),
+                    ),
+                ),
+            )
+            .otherwise(st2)  # value lines skipped; empty handled above
+        )
+
+        top_state = (
+            F.when(
+                t == 2,
+                _sec_state(
+                    st2, more=F.concat(st2["more"], F.array(v))
+                ),
+            )
+            .when(
+                (t == 1) & hni(ind + 1),
+                _sec_state(
+                    st2,
+                    mode=F.lit(1),
+                    cur_key=k,
+                    sub_depth=ind + 1,
+                    sub_entries=empty_entries,
+                ),
+            )
+            .when(
+                t == 1,
+                _sec_state(
+                    st2,
+                    entries=F.concat(
+                        st2["entries"],
+                        F.array(entry(k, _js(F.lit("-")))),
+                    ),
+                ),
+            )
+            .when(
+                (t == 3) & hni(ind + 1),
+                _sec_state(
+                    st2,
+                    mode=F.lit(2),
+                    cur_key=k,
+                    pair_first=v,
+                    list_depth=ind + 1,
+                    list_items=empty_strs,
+                ),
+            )
+            .when(
+                t == 3,
+                _sec_state(
+                    st2,
+                    entries=F.concat(
+                        st2["entries"], F.array(entry(k, _js(v)))
+                    ),
+                ),
+            )
+            .otherwise(st2)  # empty line: skipped in TOP
+        )
+
+        return (
+            F.when(~st["ok"], st)
+            .when(in_list, list_state)
+            .when(st2["mode"] == 1, sub_state)
+            .otherwise(top_state)
+        )
+
+    folded = F.aggregate(infos, init, step)
+
+    def _let(val: Column, fn) -> Column:
+        return F.element_at(F.transform(F.array(val), fn), 1)
+
+    # EOF finalization: close an open list, then an open subsection --
+    # let-bound so the fold expression appears exactly once in the tree
+    def _finalize(fin2: Column) -> Column:
+        entries_final = F.when(
+            F.size(fin2["more"]) > 0,
+            F.concat(
+                fin2["entries"],
+                F.array(
+                    F.struct(
+                        F.lit("Additional Context").alias("k"),
+                        _render_list(fin2["more"]).alias("v"),
+                    )
+                ),
+            ),
+        ).otherwise(fin2["entries"])
+        return _let(
+            entries_final,
+            lambda ef: F.struct(
+                F.when(fin2["ok"], fin2["subject"])
+                .otherwise(message)
+                .alias("subject"),
+                F.when(
+                    fin2["ok"] & (F.size(ef) > 0), _render_obj(ef)
+                ).alias("details_json"),
+            ),
+        )
+
+    result = _let(folded, lambda fd: _let(
+        F.when(fd["mode"] == 2, close_ltop(fd))
+        .when(fd["mode"] == 3, close_lsub(fd))
+        .otherwise(fd),
+        lambda f1: _let(
+            F.when(f1["mode"] == 1, close_sub(f1)).otherwise(f1),
+            _finalize,
+        ),
+    ))
+    return F.when(message.isNotNull(), result)
 
 
 # ---------------------------------------------------------------------------
@@ -303,7 +691,9 @@ def windows_event_records(
         sy["Execution"]["_ThreadID"].alias("execution_thread_id"),
         sy["Correlation"]["_ActivityID"].alias("correlation_activity_id"),
         message.alias("raw_message"),
-        F.when(is_security, _security_udf(message)).alias("__sec"),
+        # Column-native line machine: no Python eval for any channel;
+        # the pandas_udf port above remains as the cross-check oracle
+        F.when(is_security, security_struct(message)).alias("__sec"),
     )
     sec = F.col("__sec")
     internal = {"__ev", "__sec"}

@@ -178,3 +178,57 @@ def test_security_channel_splits_message(spark):
     )
     r2 = windows_event_records(df2).first()
     assert r2["message"] == "plain" and r2["details_json"] is None
+
+
+def test_column_machine_matches_python_port(spark):
+    """security_struct (Column fold) must byte-match the pandas_udf
+    port on every reference vector and structural edge."""
+    from opentelemetry_collector_contrib_spark.operators.winevent import (
+        security_struct,
+    )
+
+    msgs = [
+        TIME_CHANGE,
+        "A service was started.",
+        "Audit success.\nFree line one.\nFree line two.",
+        # bare key with nothing indented -> "-"
+        "Subject line\nOrphan Key:\nNext:\tv",
+        # pair followed by indented sublist
+        "S\nPrivileges:\tSeAssignPrimaryTokenPrivilege\n"
+        "\t\tSeTcbPrivilege\n\t\tSeSecurityPrivilege",
+        # subsection with nested sublist under a key
+        "S\nTop:\n\tInner:\n\t\titem a\n\t\titem b\n\tPair:\tp\n\nTail",
+        # duplicate keys: dict semantics keep the last assignment
+        "S\nK:\tfirst\nK:\tsecond",
+        # empty-value pair classifies as bare key -> "-"
+        "S\nEmpty:\t\nNext:\tx",
+        # pair line consumed but ignored inside a sublist
+        "S\nList:\tv0\n\t\tplain\n\t\tsub:\tpair\n\t\tKeyish:",
+        # first line is a pair -> whole message is the subject
+        "Oddball:\tvalue",
+        "",
+        "   \n  ",
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "m string")
+    got = df.select(security_struct(F.col("m")).alias("s")).collect()
+    for m, row in zip(msgs, got):
+        subject, details = parse_security(m)
+        want_details = (
+            json.dumps(details, sort_keys=True, separators=(",", ":"),
+                       ensure_ascii=False)
+            if details else None
+        )
+        s = row["s"]
+        assert s["subject"] == subject, m
+        assert s["details_json"] == want_details, m
+
+
+def test_no_python_eval_in_plan(spark):
+    """The Security branch must stay JVM-side: no ArrowEvalPython /
+    BatchEvalPython node in the physical plan."""
+    df = spark.createDataFrame(
+        [("<Event><System><Channel>Security</Channel></System></Event>",)],
+        "xml string",
+    )
+    plan = windows_event_records(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
