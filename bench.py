@@ -369,7 +369,35 @@ def main() -> None:
         "loki_entries_events",
         "prw_histogram_series_events",
         "prom_name_normalize_events",
+        # round-4 additions (same list-growth note)
+        "prom_scrape_series_events",
+        "netflow_records_events",
+        "gitlab_pipeline_spans_events",
+        "pprof_profiles_events",
+        "windows_events_parse",
     ]
+    # stable headline subset: the r01-era list, fixed forever so the
+    # cross-round "value_stable" sum compares without footnotes
+    stable_queries = {
+        "pipeline_e2e",
+        "pipeline_e2e_counts",
+        "pipeline_routed_rows",
+        "count_connector_events",
+        "sum_connector_events",
+        "filter_processor_events",
+        "logdedup_events",
+        "delta_to_cumulative_events",
+        "cumulative_to_delta_events",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "ann_lsh_topk",
+        "ann_cosine_topk",
+        "text_quality_scores",
+        "ottl_funcs_round2_documents",
+        "tail_sampling_policies_events",
+        "dedup_exact_substring",
+        "dsir_scores_documents",
+    }
     all_q = Q.queries()
     for name in bench_queries:
         if name not in all_q:
@@ -398,9 +426,14 @@ def main() -> None:
             timings[name] = round(min(run_once(), run_once()), 3)
 
     total = round(sum(timings.values()), 3)
+    value_stable = round(
+        sum(v for k, v in timings.items() if k in stable_queries), 3
+    )
     out = {
         "metric": "e2e_parse_enrich_route_aggregate",
         "value": total,
+        "value_stable": value_stable,
+        "stable_queries": sorted(stable_queries),
         "unit": "sec",
         "queries": timings,
         "sf": sf,

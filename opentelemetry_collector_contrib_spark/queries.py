@@ -42,6 +42,7 @@ _PRIORITY_NAMES: list[str] = [
     "netflow_records_events",     # round 4: v5/v9/ipfix wire decode
     "gitlab_pipeline_spans_events",  # round 4: webhook pipeline traces
     "pprof_profiles_events",      # round 4: pprof dictionary translation
+    "recombine_stream_replay_events",  # round 4: streaming batch-equiv
 ]
 
 
@@ -10382,3 +10383,105 @@ SELECT * FROM u ORDER BY profile_id, kind, st_idx, idx
 
 _QUERIES["pprof_profiles_events"] = q_pprof_profiles
 _ORACLES["pprof_profiles_events"] = _PPROF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Streaming recombine replay (pkg/stanza/operator/transformer/recombine
+# in continuous mode, streaming/stateful.py recombine_stream): the
+# recorded line stream replays through the REAL Structured Streaming
+# path (applyInPandasWithState, availableNow, maxFilesPerTrigger=1 so
+# entries straddle micro-batch boundaries), and the oracle computes
+# the batch closed form -- equality proves the cross-batch state
+# machine matches batch semantics, the pattern
+# socket_input_roundtrip_events established. A sentinel is_first line
+# per source closes the last open entry deterministically; the
+# sentinel's own entry stays in state (timeout far beyond the run) and
+# is filtered.
+# ---------------------------------------------------------------------------
+
+def q_recombine_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .streaming.stateful import recombine_stream
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(F.lit("src"),
+                 (F.col("user_id") % 10).cast("string")).alias("source"),
+        F.col("event_id").cast("long").alias("offset"),
+        F.concat(F.col("event_type"), F.lit(" "),
+                 F.col("event_id").cast("string")).alias("body"),
+        (F.col("event_id") % 4 == 0).alias("is_first"),
+    )
+    mx = lines.agg(F.max("offset")).first()[0] or 0
+    half = mx // 2
+    base = tempfile.mkdtemp(prefix="recombine_replay_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ck_dir = os.path.join(base, "ck")
+    lines.filter(F.col("offset") <= half).coalesce(1).write.parquet(
+        os.path.join(in_dir, "f1")
+    )
+    sentinels = lines.select("source").distinct().select(
+        "source",
+        (F.lit(mx) + 1
+         + F.substring("source", 4, 8).cast("long")).alias("offset"),
+        F.lit("~END~").alias("body"),
+        F.lit(True).alias("is_first"),
+    )
+    lines.filter(F.col("offset") > half).unionByName(
+        sentinels
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "f2"))
+
+    stream = (
+        spark.readStream.schema(
+            "source STRING, offset LONG, body STRING, is_first BOOLEAN"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    q = (
+        # timeout disabled: the sentinel closes every real entry, and
+        # ProcessingTimeTimeout would keep the micro-batch engine
+        # scheduling empty batches forever (availableNow never ends)
+        recombine_stream(stream, timeout_ms=0)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("body") != "~END~")
+        .orderBy("source", "first_offset")
+    )
+
+
+_RECOMBINE_REPLAY_ORACLE = """
+WITH lines AS (
+  SELECT 'src' || CAST(user_id % 10 AS VARCHAR) AS source,
+         CAST(event_id AS BIGINT) AS line_off,
+         event_type || ' ' || CAST(event_id AS VARCHAR) AS body,
+         (event_id % 4 = 0) AS is_first
+  FROM events),
+e AS (
+  SELECT *,
+         SUM(CASE WHEN is_first THEN 1 ELSE 0 END)
+           OVER (PARTITION BY source ORDER BY line_off
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM lines),
+g AS (
+  SELECT source, grp, MIN(line_off) AS first_offset,
+         string_agg(body, chr(10) ORDER BY line_off) AS body,
+         COUNT(*) AS line_count
+  FROM e GROUP BY source, grp)
+SELECT source, first_offset, body, line_count
+FROM g ORDER BY source, first_offset
+"""
+
+_QUERIES["recombine_stream_replay_events"] = q_recombine_stream_replay
+_ORACLES["recombine_stream_replay_events"] = _RECOMBINE_REPLAY_ORACLE

@@ -93,7 +93,8 @@ def _recombine_fn(timeout_ms: int, combine_with: str = "\n"):
         if open_entry is not None:
             state.update((int(open_entry[0]), str(open_entry[1]),
                           int(open_entry[2])))
-            state.setTimeoutDuration(timeout_ms)
+            if timeout_ms and timeout_ms > 0:
+                state.setTimeoutDuration(timeout_ms)
         yield emit(out_rows)
 
     return fn
@@ -112,7 +113,18 @@ def recombine_stream(
     reference gets from its per-reader goroutine, here as a keyed
     state partition. Entries spanning micro-batch boundaries merge
     correctly because the open entry persists in the state store.
+
+    ``timeout_ms <= 0`` disables the force_flush_period timeout
+    entirely (GroupStateTimeout.NoTimeout). That matters for bounded
+    replays: with ProcessingTimeTimeout registered, the micro-batch
+    engine schedules empty batches forever to evaluate pending
+    timeouts, so an availableNow replay never terminates.
     """
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms and timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         lines.groupBy("source")
         .applyInPandasWithState(
@@ -120,7 +132,7 @@ def recombine_stream(
             outputStructType=RECOMBINED_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
 
