@@ -1,0 +1,250 @@
+"""Prometheus metric-family assembly
+(receiver/prometheusreceiver/internal/metricfamily.go).
+
+The reference groups scraped exposition series into metric families by
+metadata type and assembles typed datapoints: ``_bucket``/``_sum``/
+``_count`` series of one label-set (minus ``le``) merge into ONE
+explicit-bucket histogram point; ``{quantile=}``/``_sum``/``_count``
+merge into one summary point; counters become monotonic sums and
+gauges pass through. This module re-derives that assembly as grouped
+Column aggregation over a parsed-series table.
+
+Semantics reproduced (file:line in metricfamily.go):
+
+* family membership via metadata: a series maps to the family whose
+  name equals its metadata entry, else its suffix-normalized name
+  (``normalizeMetricName`` strips _bucket/_count/_sum/_created;
+  newMetricFamily :61-81, includesMetric :84-95).
+* group identity = the label set MINUS the boundary label (``le`` for
+  histograms, ``quantile`` for summaries — getSeriesRef/
+  getSortedNotUsefulLabels, transaction.go:418-422, util.go).
+* histogram point (toDistributionPoint :104-190): boundaries sorted
+  ascending; a trailing ``+Inf`` bucket is dropped from the bounds;
+  bucket counts are DE-CUMULATED (each bucket minus its predecessor)
+  with the final overflow bucket = total count minus the last
+  boundary's cumulative value, each truncated uint64-style; the point
+  exists only when ``_count`` arrived (hasCount gate :105-109,
+  toSummaryPoint :355-361); the point timestamp comes from the
+  ``_count`` series (addSeries :469-474 "always use the timestamp
+  from count").
+* summary point (toSummaryPoint :355-400): quantiles sorted by
+  boundary, sum/count as-is.
+* counter family -> monotonic sum point, gauge/unknown -> gauge point
+  with the raw value (toNumberDataPoint :402-425, convToMetricType).
+* attributes drop the boundary label and EMPTY-VALUED labels
+  (populateAttributes :427-441).
+
+Out of scope here: native/NHCB histograms (no text-exposition form)
+and exemplars — documented deviation.
+
+Scale shape: one hash aggregate keyed on (target, family, group
+labels) with array collect of (boundary, value) pairs; boundary lists
+are per-series-small, so the shuffle carries short keys + tiny arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERGED_SUFFIXES = ("_bucket", "_count", "_sum", "_created")
+
+
+def normalize_metric_name(name: Column) -> Column:
+    """normalizeMetricName: strip one merged-type suffix."""
+    out = name
+    for sfx in MERGED_SUFFIXES:
+        out = F.when(
+            name.endswith(sfx),
+            F.substring(name, 1, F.length(name) - len(sfx)),
+        ).otherwise(out)
+    return out
+
+
+def _boundary(labels: Column, key: str) -> Column:
+    v = F.element_at(labels, key)
+    return (
+        F.when(v == "+Inf", F.lit(float("inf")))
+        .when(v == "-Inf", F.lit(float("-inf")))
+        .otherwise(v.cast("double"))
+    )
+
+
+def _group_labels(labels: Column, drop: str | None) -> Column:
+    entries = F.map_entries(labels)
+    if drop is not None:
+        entries = F.filter(entries, lambda e: e["key"] != drop)
+    entries = F.filter(entries, lambda e: e["value"] != "")
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                entries, lambda e: F.concat(e["key"], F.lit("="), e["value"])
+            )
+        ),
+        ",",
+    )
+
+
+def prom_family_points(
+    series: DataFrame, metadata: dict[str, str]
+) -> DataFrame:
+    """Assemble typed points from parsed exposition series.
+
+    ``series``: (job, instance, metric_name, labels map<string,string>
+    WITHOUT __name__, ts_ms long, value double). ``metadata``: family
+    name -> type in {counter, gauge, histogram, summary}.
+
+    Returns one row per datapoint: (job, instance, family, mtype,
+    group_labels, ts_ms, count, sum_v, value, bounds, bucket_counts,
+    quantiles) where bounds/bucket_counts/quantiles are canonical
+    comma-joined renderings and count carries uint64-truncation
+    semantics.
+    """
+    md_entries: list[Column] = []
+    for fam, typ in metadata.items():
+        md_entries.append(F.lit(fam))
+        md_entries.append(F.lit(typ))
+    md = F.create_map(*md_entries) if md_entries else F.create_map()
+
+    name = F.col("metric_name")
+    norm = normalize_metric_name(name)
+    family = F.when(F.element_at(md, name).isNotNull(), name).otherwise(norm)
+    mtype = F.coalesce(F.element_at(md, family), F.lit("gauge"))
+
+    s = series.select(
+        "job", "instance", "metric_name", "labels",
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+        F.col("value").cast("double").alias("value"),
+        family.alias("family"),
+        mtype.alias("mtype"),
+    )
+
+    merged = s.filter(F.col("mtype").isin("histogram", "summary"))
+    simple = s.filter(~F.col("mtype").isin("histogram", "summary"))
+
+    # ---- merged families: one aggregate per (target, family, group) ----
+    bkey = F.when(F.col("mtype") == "histogram", F.lit("le")).otherwise(
+        F.lit("quantile")
+    )
+    is_sum = F.col("metric_name").endswith("_sum")
+    is_count = F.col("metric_name").endswith("_count")
+    is_created = F.col("metric_name").endswith("_created")
+    m = merged.select(
+        "job", "instance", "family", "mtype", "ts_ms", "value",
+        F.when(F.col("mtype") == "histogram",
+               _group_labels(F.col("labels"), "le"))
+        .otherwise(_group_labels(F.col("labels"), "quantile"))
+        .alias("group_labels"),
+        is_sum.alias("is_sum"),
+        is_count.alias("is_count"),
+        is_created.alias("is_created"),
+        F.when(
+            ~is_sum & ~is_count & ~is_created,
+            F.when(
+                F.col("mtype") == "histogram",
+                _boundary(F.col("labels"), "le"),
+            ).otherwise(_boundary(F.col("labels"), "quantile")),
+        ).alias("boundary"),
+    )
+    g = m.groupBy("job", "instance", "family", "mtype", "group_labels").agg(
+        F.max(F.when(F.col("is_sum"), F.col("value"))).alias("sum_v"),
+        F.max(F.when(F.col("is_count"), F.col("value"))).alias("count_v"),
+        # "always use the timestamp from count"
+        F.max(F.when(F.col("is_count"), F.col("ts_ms"))).alias("count_ts"),
+        F.min("ts_ms").alias("first_ts"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("boundary").isNotNull(),
+                    F.struct(
+                        F.col("boundary").alias("b"),
+                        F.col("value").alias("v"),
+                    ),
+                )
+            )
+        ).alias("points"),
+    )
+    # hasCount gate: no _count series -> no point
+    g = g.filter(F.col("count_v").isNotNull())
+
+    pts = F.col("points")
+    n_pts = F.size(pts)
+    # trailing +Inf boundary is dropped from the bounds
+    has_inf = (n_pts > 0) & (
+        F.element_at(pts, -1)["b"] == F.lit(float("inf"))
+    )
+    bounded = F.when(has_inf, F.slice(pts, 1, n_pts - 1)).otherwise(pts)
+
+    # de-cumulate: bucket[i] = cum[i] - cum[i-1] (uint64-truncated),
+    # final overflow bucket = count - last bounded cumulative
+    decum = F.transform(
+        bounded,
+        lambda p, i: (
+            F.when(i == 0, p["v"])
+            .otherwise(p["v"] - F.element_at(bounded, i)["v"])
+        ).cast("bigint"),
+    )
+    overflow = (
+        F.col("count_v")
+        - F.coalesce(F.element_at(bounded, -1)["v"], F.lit(0.0))
+    ).cast("bigint")
+
+    hist = g.filter(F.col("mtype") == "histogram").select(
+        "job", "instance", "family", "mtype", "group_labels",
+        F.coalesce(F.col("count_ts"), F.col("first_ts")).alias("ts_ms"),
+        F.col("count_v").cast("bigint").alias("count"),
+        F.col("sum_v").alias("sum_v"),
+        F.lit(None).cast("double").alias("value"),
+        F.array_join(
+            F.transform(bounded, lambda p: p["b"].cast("string")), ","
+        ).alias("bounds"),
+        F.concat(
+            F.array_join(
+                F.transform(decum, lambda c: c.cast("string")), ","
+            ),
+            F.when(F.size(bounded) > 0, F.lit(",")).otherwise(F.lit("")),
+            overflow.cast("string"),
+        ).alias("bucket_counts"),
+        F.lit(None).cast("string").alias("quantiles"),
+    )
+
+    summ = g.filter(F.col("mtype") == "summary").select(
+        "job", "instance", "family", "mtype", "group_labels",
+        F.coalesce(F.col("count_ts"), F.col("first_ts")).alias("ts_ms"),
+        F.col("count_v").cast("bigint").alias("count"),
+        F.col("sum_v").alias("sum_v"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("bounds"),
+        F.lit(None).cast("string").alias("bucket_counts"),
+        F.array_join(
+            F.transform(
+                pts,
+                lambda p: F.concat(
+                    p["b"].cast("string"), F.lit(":"),
+                    p["v"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("quantiles"),
+    )
+
+    simple_pts = simple.filter(
+        # _created samples set start time, they are not value points
+        ~(F.col("metric_name").endswith("_created")
+          & (F.col("mtype") == "counter"))
+    ).select(
+        "job", "instance", "family",
+        F.when(F.col("mtype") == "counter", "sum")
+        .otherwise("gauge")
+        .alias("mtype"),
+        _group_labels(F.col("labels"), None).alias("group_labels"),
+        "ts_ms",
+        F.lit(None).cast("bigint").alias("count"),
+        F.lit(None).cast("double").alias("sum_v"),
+        F.col("value").alias("value"),
+        F.lit(None).cast("string").alias("bounds"),
+        F.lit(None).cast("string").alias("bucket_counts"),
+        F.lit(None).cast("string").alias("quantiles"),
+    )
+
+    return hist.unionByName(summ).unionByName(simple_pts)

@@ -43,6 +43,7 @@ _PRIORITY_NAMES: list[str] = [
     "gitlab_pipeline_spans_events",  # round 4: webhook pipeline traces
     "pprof_profiles_events",      # round 4: pprof dictionary translation
     "recombine_stream_replay_events",  # round 4: streaming batch-equiv
+    "prom_family_points_events",  # round 4: metricfamily assembly
 ]
 
 
@@ -10485,3 +10486,142 @@ FROM g ORDER BY source, first_offset
 
 _QUERIES["recombine_stream_replay_events"] = q_recombine_stream_replay
 _ORACLES["recombine_stream_replay_events"] = _RECOMBINE_REPLAY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# prometheusreceiver metric-family assembly (internal/metricfamily.go):
+# _bucket/_sum/_count series of one label-set merge into ONE explicit-
+# bucket histogram point (sorted bounds, +Inf dropped, de-cumulated
+# counts, overflow bucket, count-series timestamp), quantile series
+# into summary points, counters/gauges into number points.
+# ---------------------------------------------------------------------------
+
+def q_prom_family_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.prom_family import prom_family_points
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    inst = F.concat(F.lit("i"), (uid % 3).cast("string"))
+    path = F.concat(F.lit("/p"), (eid % 4).cast("string"))
+    gid = eid.cast("string")
+    c1 = (eid % 5).cast("double")
+    c2 = ((eid % 5) + (eid % 7)).cast("double")
+    c3 = ((eid % 5) + (eid % 7) + (eid % 3)).cast("double")
+    hsum = F.col("value") * 10
+
+    def srow(metric, labels: Column, ts: int, val: Column) -> Column:
+        return F.struct(
+            F.lit(metric).alias("metric_name"),
+            labels.alias("labels"),
+            F.lit(ts).cast("long").alias("ts_ms"),
+            val.alias("value"),
+        )
+
+    hlab = lambda le: F.create_map(  # noqa: E731
+        F.lit("path"), path, F.lit("gid"), gid, F.lit("le"), F.lit(le)
+    )
+    base_lab = F.create_map(F.lit("path"), path, F.lit("gid"), gid)
+    qlab = lambda q: F.create_map(  # noqa: E731
+        F.lit("gid"), gid, F.lit("quantile"), F.lit(q)
+    )
+    glab = F.create_map(F.lit("gid"), gid)
+
+    rows = [
+        srow("http_req_bucket", hlab("0.5"), 1000, c1),
+        srow("http_req_bucket", hlab("1"), 1000, c2),
+        srow("http_req_bucket", hlab("+Inf"), 1000, c3),
+        srow("http_req_sum", base_lab, 1000, hsum),
+        srow("http_req_count", base_lab, 2000, c3),
+        srow("reqs_total", glab, 1000, (eid % 100).cast("double")),
+        srow("mem", glab, 1000, F.col("value")),
+    ]
+    qrows = F.when(
+        eid % 2 == 0,
+        F.array(
+            srow("rpc_lat", qlab("0.5"), 1000, F.col("value")),
+            srow("rpc_lat", qlab("0.99"), 1000, F.col("value") * 2),
+            srow("rpc_lat_sum", glab, 1000, hsum),
+            srow("rpc_lat_count", glab, 1500, (eid % 9 + 1).cast("double")),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<metric_name:string,labels:map<string,string>,"
+        "ts_ms:bigint,value:double>>"
+    ))
+    series = ev.select(
+        F.lit("web").alias("job"), inst.alias("instance"),
+        F.explode(F.concat(F.array(*rows), qrows)).alias("s"),
+    ).select(
+        "job", "instance", F.col("s.metric_name").alias("metric_name"),
+        F.col("s.labels").alias("labels"),
+        F.col("s.ts_ms").alias("ts_ms"),
+        F.col("s.value").alias("value"),
+    )
+    out = prom_family_points(
+        series,
+        {"http_req": "histogram", "rpc_lat": "summary",
+         "reqs_total": "counter", "mem": "gauge"},
+    )
+    return out.orderBy("job", "instance", "family", "group_labels",
+                       "mtype")
+
+
+_PROM_FAMILY_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, value,
+         'i' || CAST(user_id % 3 AS VARCHAR) AS inst,
+         '/p' || CAST(event_id % 4 AS VARCHAR) AS path,
+         CAST(event_id AS VARCHAR) AS gid,
+         CAST(event_id % 5 AS DOUBLE) AS c1,
+         CAST(event_id % 5 + event_id % 7 AS DOUBLE) AS c2,
+         CAST(event_id % 5 + event_id % 7 + event_id % 3 AS DOUBLE) AS c3
+  FROM events WHERE event_id % 3 = 0),
+hist AS (
+  SELECT 'web' AS job, inst AS instance, 'http_req' AS family,
+         'histogram' AS mtype,
+         'gid=' || gid || ',path=' || path AS group_labels,
+         CAST(2000 AS BIGINT) AS ts_ms,
+         CAST(c3 AS BIGINT) AS count,
+         value * 10 AS sum_v,
+         CAST(NULL AS DOUBLE) AS value,
+         '0.5,1.0' AS bounds,
+         CAST(CAST(c1 AS BIGINT) AS VARCHAR) || ','
+           || CAST(CAST(c2 - c1 AS BIGINT) AS VARCHAR) || ','
+           || CAST(CAST(c3 - c2 AS BIGINT) AS VARCHAR) AS bucket_counts,
+         CAST(NULL AS VARCHAR) AS quantiles
+  FROM f),
+summ AS (
+  SELECT 'web' AS job, inst AS instance, 'rpc_lat' AS family,
+         'summary' AS mtype,
+         'gid=' || gid AS group_labels,
+         CAST(1500 AS BIGINT) AS ts_ms,
+         CAST(eid % 9 + 1 AS BIGINT) AS count,
+         value * 10 AS sum_v,
+         CAST(NULL AS DOUBLE) AS value,
+         CAST(NULL AS VARCHAR) AS bounds,
+         CAST(NULL AS VARCHAR) AS bucket_counts,
+         '0.5:' || CAST(value AS VARCHAR) || ',0.99:'
+           || CAST(value * 2 AS VARCHAR) AS quantiles
+  FROM f WHERE eid % 2 = 0),
+num AS (
+  SELECT 'web' AS job, inst AS instance,
+         m.family, m.mtype,
+         'gid=' || gid AS group_labels,
+         CAST(1000 AS BIGINT) AS ts_ms,
+         CAST(NULL AS BIGINT) AS count,
+         CAST(NULL AS DOUBLE) AS sum_v,
+         CASE m.family WHEN 'reqs_total'
+              THEN CAST(eid % 100 AS DOUBLE) ELSE value END AS value,
+         CAST(NULL AS VARCHAR) AS bounds,
+         CAST(NULL AS VARCHAR) AS bucket_counts,
+         CAST(NULL AS VARCHAR) AS quantiles
+  FROM f CROSS JOIN (VALUES ('reqs_total', 'sum'),
+                     ('mem', 'gauge')) AS m(family, mtype)),
+u AS (
+  SELECT * FROM hist UNION ALL SELECT * FROM summ
+  UNION ALL SELECT * FROM num)
+SELECT * FROM u
+ORDER BY job, instance, family, group_labels, mtype
+"""
+
+_QUERIES["prom_family_points_events"] = q_prom_family_points
+_ORACLES["prom_family_points_events"] = _PROM_FAMILY_ORACLE

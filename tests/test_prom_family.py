@@ -1,0 +1,103 @@
+"""Prometheus metric-family assembly
+(receiver/prometheusreceiver/internal/metricfamily.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.prom_family import (
+    prom_family_points,
+)
+
+SCHEMA = (
+    "job string, instance string, metric_name string,"
+    " labels map<string,string>, ts_ms long, value double"
+)
+
+MD = {"http_req": "histogram", "rpc_lat": "summary",
+      "reqs": "counter", "mem": "gauge"}
+
+
+def _run(spark, rows, md=MD):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return prom_family_points(df, md).collect()
+
+
+def _hist_rows(le_counts, path="/a", ts=1000):
+    rows = []
+    for le, v in le_counts.items():
+        rows.append(("j", "i", "http_req_bucket",
+                     {"path": path, "le": le}, ts, float(v)))
+    return rows
+
+
+def test_histogram_assembly_decumulation_and_inf_drop(spark):
+    rows = _hist_rows({"0.5": 3, "1": 7, "+Inf": 10})
+    rows += [
+        ("j", "i", "http_req_sum", {"path": "/a"}, 1000, 12.5),
+        ("j", "i", "http_req_count", {"path": "/a"}, 2000, 10.0),
+    ]
+    out = _run(spark, rows)
+    assert len(out) == 1
+    h = out[0]
+    assert h["mtype"] == "histogram"
+    assert h["family"] == "http_req"
+    assert h["group_labels"] == "path=/a"
+    assert h["bounds"] == "0.5,1.0"
+    # de-cumulated: 3, 7-3=4, overflow 10-7=3
+    assert h["bucket_counts"] == "3,4,3"
+    assert h["count"] == 10
+    assert h["sum_v"] == 12.5
+    # "always use the timestamp from count"
+    assert h["ts_ms"] == 2000
+
+
+def test_histogram_requires_count(spark):
+    rows = _hist_rows({"0.5": 3, "+Inf": 5})
+    rows += [("j", "i", "http_req_sum", {"path": "/a"}, 1000, 9.0)]
+    assert _run(spark, rows) == []
+
+
+def test_histogram_groups_by_labels_minus_le(spark):
+    rows = _hist_rows({"1": 2, "+Inf": 4}, path="/a")
+    rows += _hist_rows({"1": 9, "+Inf": 9}, path="/b")
+    rows += [
+        ("j", "i", "http_req_count", {"path": "/a"}, 1000, 4.0),
+        ("j", "i", "http_req_count", {"path": "/b"}, 1000, 9.0),
+    ]
+    out = {r["group_labels"]: r for r in _run(spark, rows)}
+    assert out["path=/a"]["bucket_counts"] == "2,2"
+    assert out["path=/b"]["bucket_counts"] == "9,0"
+
+
+def test_summary_quantiles_sorted(spark):
+    rows = [
+        ("j", "i", "rpc_lat", {"quantile": "0.99"}, 1000, 3.0),
+        ("j", "i", "rpc_lat", {"quantile": "0.5"}, 1000, 1.0),
+        ("j", "i", "rpc_lat_sum", {}, 1000, 40.0),
+        ("j", "i", "rpc_lat_count", {}, 1500, 20.0),
+    ]
+    out = _run(spark, rows)
+    assert len(out) == 1
+    s = out[0]
+    assert s["mtype"] == "summary"
+    assert s["quantiles"] == "0.5:1.0,0.99:3.0"
+    assert s["count"] == 20 and s["sum_v"] == 40.0
+    assert s["ts_ms"] == 1500
+
+
+def test_counter_and_gauge_points(spark):
+    rows = [
+        ("j", "i", "reqs_total", {"code": "200"}, 1000, 5.0),
+        ("j", "i", "mem", {"area": "heap", "empty": ""}, 1000, 9.5),
+    ]
+    md = dict(MD, reqs_total="counter")
+    out = {r["family"]: r for r in _run(spark, rows, md)}
+    assert out["reqs_total"]["mtype"] == "sum"
+    assert out["reqs_total"]["value"] == 5.0
+    assert out["mem"]["mtype"] == "gauge"
+    # empty-valued labels dropped from attributes
+    assert out["mem"]["group_labels"] == "area=heap"
+
+
+def test_unknown_metric_defaults_to_gauge(spark):
+    out = _run(spark, [("j", "i", "mystery", {}, 1000, 1.0)])
+    assert out[0]["mtype"] == "gauge" and out[0]["family"] == "mystery"
