@@ -1,0 +1,163 @@
+"""haproxyreceiver: `show stat` CSV -> metric datapoints
+(receiver/haproxyreceiver/scraper.go).
+
+The reference reads the stats CSV (readStats :299-320: header line
+with its leading ``# `` stripped, every row keyed BY HEADER NAME into
+a map) and emits one datapoint per non-empty field per row
+(scrape :80-290): every ``record[field] != ""`` gate is reproduced
+here, including the one combined metric —
+``haproxy.responses.errors = srv_abrt + eresp`` emitted only when BOTH
+fields are non-empty (:173-187) — and the ``hrsp_*`` fan-out onto
+``haproxy.requests.total`` with the status_code attribute (:193-223).
+Resource identity per row: (pxname, svname, endpoint)
+(:276-280).
+
+Int-typed metrics parse ParseInt-style, double-typed ParseFloat-style
+(generated MetricsBuilder); an unparseable value drops that datapoint
+(the reference records a partial-scrape error and keeps going) —
+modeled with try_cast + filter.
+
+Column shape: header-keyed map per row via map_from_arrays (the
+header mapping is DYNAMIC per payload, exactly readStats), then one
+row-local array of candidate datapoints exploded and gated. Map-only;
+no UDF; the explode fans out a bounded (<40) per-record metric list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# field -> (metric name, value_type, status_code attr)
+HAPROXY_METRICS: list[tuple[str, str, str, str | None]] = [
+    ("act", "haproxy.active", "int", None),
+    ("bck", "haproxy.backup", "int", None),
+    ("scur", "haproxy.sessions.count", "int", None),
+    ("conn_rate", "haproxy.connections.rate", "int", None),
+    ("conn_tot", "haproxy.connections.total", "int", None),
+    ("lbtot", "haproxy.server_selected.total", "int", None),
+    ("bin", "haproxy.bytes.input", "int", None),
+    ("bout", "haproxy.bytes.output", "int", None),
+    ("cli_abrt", "haproxy.clients.canceled", "int", None),
+    ("comp_byp", "haproxy.compression.bypass", "int", None),
+    ("comp_in", "haproxy.compression.input", "int", None),
+    ("comp_out", "haproxy.compression.output", "int", None),
+    ("comp_rsp", "haproxy.compression.count", "int", None),
+    ("dreq", "haproxy.requests.denied", "int", None),
+    ("dresp", "haproxy.responses.denied", "int", None),
+    ("downtime", "haproxy.downtime", "int", None),
+    ("econ", "haproxy.connections.errors", "int", None),
+    ("ereq", "haproxy.requests.errors", "int", None),
+    ("chkfail", "haproxy.failed_checks", "int", None),
+    ("wredis", "haproxy.requests.redispatched", "int", None),
+    ("hrsp_1xx", "haproxy.requests.total", "int", "1xx"),
+    ("hrsp_2xx", "haproxy.requests.total", "int", "2xx"),
+    ("hrsp_3xx", "haproxy.requests.total", "int", "3xx"),
+    ("hrsp_4xx", "haproxy.requests.total", "int", "4xx"),
+    ("hrsp_5xx", "haproxy.requests.total", "int", "5xx"),
+    ("hrsp_other", "haproxy.requests.total", "int", "other"),
+    ("wretr", "haproxy.connections.retries", "int", None),
+    ("stot", "haproxy.sessions.total", "int", None),
+    ("qcur", "haproxy.requests.queued", "int", None),
+    ("req_rate", "haproxy.requests.rate", "double", None),
+    ("ttime", "haproxy.sessions.average", "double", None),
+    ("rate", "haproxy.sessions.rate", "double", None),
+    ("weight", "haproxy.weight", "int", None),
+    ("ctime", "haproxy.connections.average_time", "double", None),
+    ("qtime", "haproxy.requests.average_time", "double", None),
+    ("rtime", "haproxy.responses.average_time", "double", None),
+    ("slim", "haproxy.sessions.limit", "int", None),
+]
+
+
+def haproxy_stats(
+    df: DataFrame, payload: str = "payload", endpoint: str = "endpoint"
+) -> DataFrame:
+    """Parse `show stat` CSV payloads into datapoint rows:
+    (endpoint, proxy_name, service_name, metric_name, status_code,
+    value_int, value_double)."""
+    p = F.col(payload)
+    lines = F.split(F.regexp_replace(p, r"^\s+|\s+$", ""), "\n")
+    header = F.split(
+        F.regexp_replace(F.element_at(lines, 1), r"^# ", ""), ","
+    )
+    df = df.select(
+        F.col(endpoint).alias("endpoint"),
+        header.alias("__hdr"),
+        F.explode(F.slice(lines, 2, F.greatest(F.size(lines) - 1,
+                                               F.lit(0)))).alias("__line"),
+    )
+    fields = F.split(F.col("__line"), ",")
+    hdr = F.col("__hdr")
+    # key every row by header name (readStats); rows may be shorter
+    # than the header (trailing empties) -> pad with ""
+    padded = F.transform(
+        F.sequence(F.lit(1), F.size(hdr)),
+        lambda i: F.coalesce(F.try_element_at(fields, i), F.lit("")),
+    )
+    df = df.select(
+        "endpoint", F.map_from_arrays(hdr, padded).alias("__rec")
+    ).filter(F.element_at(F.col("__rec"), "pxname").isNotNull())
+
+    rec = F.col("__rec")
+
+    def fld(name: str) -> Column:
+        return F.coalesce(F.element_at(rec, name), F.lit(""))
+
+    null_s = F.lit(None).cast("string")
+    cands: list[Column] = []
+    for field, metric, vtype, code in HAPROXY_METRICS:
+        v = fld(field)
+        cands.append(
+            F.when(
+                v != "",
+                F.struct(
+                    F.lit(metric).alias("metric_name"),
+                    (F.lit(code) if code else null_s).alias("status_code"),
+                    (
+                        v.try_cast("bigint")
+                        if vtype == "int"
+                        else F.lit(None).cast("bigint")
+                    ).alias("value_int"),
+                    (
+                        v.try_cast("double")
+                        if vtype == "double"
+                        else F.lit(None).cast("double")
+                    ).alias("value_double"),
+                ),
+            )
+        )
+    # responses.errors: srv_abrt + eresp, only when BOTH non-empty
+    cands.append(
+        F.when(
+            (fld("eresp") != "") & (fld("srv_abrt") != ""),
+            F.struct(
+                F.lit("haproxy.responses.errors").alias("metric_name"),
+                null_s.alias("status_code"),
+                (
+                    fld("srv_abrt").try_cast("bigint")
+                    + fld("eresp").try_cast("bigint")
+                ).alias("value_int"),
+                F.lit(None).cast("double").alias("value_double"),
+            ),
+        )
+    )
+
+    out = df.select(
+        "endpoint",
+        F.element_at(rec, "pxname").alias("proxy_name"),
+        F.element_at(rec, "svname").alias("service_name"),
+        F.explode(
+            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        ).alias("__m"),
+    )
+    m = F.col("__m")
+    return out.select(
+        "endpoint", "proxy_name", "service_name",
+        m["metric_name"].alias("metric_name"),
+        m["status_code"].alias("status_code"),
+        m["value_int"].alias("value_int"),
+        m["value_double"].alias("value_double"),
+    ).filter(
+        m["value_int"].isNotNull() | m["value_double"].isNotNull()
+    )

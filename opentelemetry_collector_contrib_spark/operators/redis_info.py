@@ -1,0 +1,347 @@
+"""redisreceiver: INFO text -> metric datapoints
+(receiver/redisreceiver/{redis_svc.go,redis_scraper.go,
+metric_functions.go,keyspace.go}).
+
+Semantics reproduced:
+
+* INFO parse (redis_svc.go:26-43): split lines, skip empties and
+  ``#`` comments, keep only lines that split on ``:`` into EXACTLY two
+  parts, last-wins into a key->value map.
+* fixed recorder map (metric_functions.go:14-65): info key -> metric,
+  int keys ParseInt / double keys ParseFloat, unparseable values skip
+  that datapoint (redis_scraper.go:119-163); ``used_cpu_*`` fan onto
+  ``redis.cpu.time`` with the state attribute; ``cluster_state``
+  carries state ok/fail from the RAW VALUE being "ok".
+* keyspace (redis_scraper.go:165-186, keyspace.go): ``db0``..``db15``
+  only; ``keys=..,expires=..,avg_ttl=..`` -> three datapoints with the
+  db attribute; any pair without ``=`` or an unparseable mapped value
+  drops the WHOLE db line; missing fields default 0.
+* role (:222-231): master -> primary else replica, value 1.
+* mode (:208-219): cluster/sentinel/standalone only, value 1.
+* per-command stats (:233-283): ``cmdstat_<cmd>`` records calls/usec
+  (element-wise: bad elements skipped); ``latency_percentiles_usec_
+  <cmd>`` records redis.cmd.latency = usec/1e6 for the known
+  percentiles p50/p99/p99.9, and ANY unparseable element drops the
+  whole latency line (parseLatencyStats returns error).
+* resource: redis.version from ``redis_version`` else "unknown"
+  (:188-195), denormalized onto every row.
+
+Column shape: map build + one explode of the entry list; every parse
+is split/try_cast. Map-only, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# info key -> (metric, value_type, attr, percentile) for fixed keys
+REDIS_RECORDERS: dict[str, tuple[str, str, str | None]] = {
+    "blocked_clients": ("redis.clients.blocked", "int", None),
+    "client_recent_max_input_buffer": (
+        "redis.clients.max_input_buffer", "int", None),
+    "client_recent_max_output_buffer": (
+        "redis.clients.max_output_buffer", "int", None),
+    "cluster_enabled": ("redis.cluster.cluster_enabled", "int", None),
+    "connected_clients": ("redis.clients.connected", "int", None),
+    "connected_slaves": ("redis.slaves.connected", "int", None),
+    "evicted_keys": ("redis.keys.evicted", "int", None),
+    "expired_keys": ("redis.keys.expired", "int", None),
+    "instantaneous_ops_per_sec": ("redis.commands", "int", None),
+    "keyspace_hits": ("redis.keyspace.hits", "int", None),
+    "keyspace_misses": ("redis.keyspace.misses", "int", None),
+    "latest_fork_usec": ("redis.latest_fork", "int", None),
+    "master_repl_offset": ("redis.replication.offset", "int", None),
+    "maxmemory": ("redis.maxmemory", "int", None),
+    "mem_fragmentation_ratio": (
+        "redis.memory.fragmentation_ratio", "double", None),
+    "rdb_changes_since_last_save": (
+        "redis.rdb.changes_since_last_save", "int", None),
+    "rejected_connections": ("redis.connections.rejected", "int", None),
+    "repl_backlog_first_byte_offset": (
+        "redis.replication.backlog_first_byte_offset", "int", None),
+    "slave_repl_offset": ("redis.replication.replica_offset", "int", None),
+    "total_commands_processed": ("redis.commands.processed", "int", None),
+    "total_connections_received": (
+        "redis.connections.received", "int", None),
+    "total_net_input_bytes": ("redis.net.input", "int", None),
+    "total_net_output_bytes": ("redis.net.output", "int", None),
+    "tracking_total_keys": ("redis.tracking_total_keys", "int", None),
+    "uptime_in_seconds": ("redis.uptime", "int", None),
+    "used_cpu_sys": ("redis.cpu.time", "double", "sys"),
+    "used_cpu_sys_children": ("redis.cpu.time", "double", "sys_children"),
+    "used_cpu_sys_main_thread": (
+        "redis.cpu.time", "double", "sys_main_thread"),
+    "used_cpu_user": ("redis.cpu.time", "double", "user"),
+    "used_cpu_user_children": ("redis.cpu.time", "double",
+                               "user_children"),
+    "used_cpu_user_main_thread": (
+        "redis.cpu.time", "double", "user_main_thread"),
+    "used_memory": ("redis.memory.used", "int", None),
+    "used_memory_lua": ("redis.memory.lua", "int", None),
+    "used_memory_overhead": (
+        "redis.memory.used_memory_overhead", "int", None),
+    "used_memory_peak": ("redis.memory.peak", "int", None),
+    "used_memory_rss": ("redis.memory.rss", "int", None),
+    "used_memory_startup": (
+        "redis.memory.used_memory_startup", "int", None),
+    "cluster_slots_assigned": (
+        "redis.cluster.slots_assigned", "int", None),
+    "cluster_slots_ok": ("redis.cluster.slots_ok", "int", None),
+    "cluster_slots_pfail": ("redis.cluster.slots_pfail", "int", None),
+    "cluster_slots_fail": ("redis.cluster.slots_fail", "int", None),
+    "cluster_known_nodes": ("redis.cluster.known_nodes", "int", None),
+    "node_count": ("redis.cluster.node.count", "int", None),
+    "cluster_uptime": ("redis.cluster.uptime", "int", None),
+    "node_uptime": ("redis.cluster.node.uptime", "int", None),
+    "cluster_stats_messages_sent": (
+        "redis.cluster.stats_messages_sent", "int", None),
+    "cluster_stats_messages_received": (
+        "redis.cluster.stats_messages_received", "int", None),
+    "links_buffer_limit_exceeded.count": (
+        "redis.cluster.links_buffer_limit_exceeded.count", "int", None),
+    "sentinel_masters": ("redis.sentinel.masters", "int", None),
+    "sentinel_tilt_since_seconds": (
+        "redis.sentinel.tilt_since_seconds", "int", None),
+    "sentinel_total_tilt": ("redis.sentinel.total_tilt", "int", None),
+    "sentinel_running_scripts": (
+        "redis.sentinel.running_scripts", "int", None),
+    "sentinel_scripts_queue_length": (
+        "redis.sentinel.scripts_queue_length", "int", None),
+    "sentinel_simulate_failure_flags": (
+        "redis.sentinel.simulate_failure_flags", "int", None),
+}
+
+KNOWN_PERCENTILES = ("p50", "p99", "p99.9")
+
+
+def redis_info_points(
+    df: DataFrame, payload: str = "payload", endpoint: str = "endpoint"
+) -> DataFrame:
+    """Parse INFO payloads into datapoint rows: (endpoint, version,
+    metric_name, attr, percentile, value_int, value_double)."""
+    p = F.col(payload)
+    pairs = F.filter(
+        F.transform(
+            F.split(p, "\n"),
+            lambda ln: F.split(ln, ":"),
+        ),
+        lambda parts: (F.size(parts) == 2)
+        & (parts[0] != "")
+        & ~parts[0].startswith("#"),
+    )
+    # last-wins map like Go's map assignment on duplicate keys
+    entries = F.transform(
+        pairs, lambda q: F.struct(q[0].alias("k"), q[1].alias("v"))
+    )
+    dedup = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda later: later["k"] == e["k"],
+        ),
+    )
+    base = df.select(
+        F.col(endpoint).alias("endpoint"),
+        F.map_from_entries(dedup).alias("__info"),
+    )
+    info = F.col("__info")
+    version = F.coalesce(
+        F.element_at(info, "redis_version"), F.lit("unknown")
+    )
+    base = base.select(
+        "endpoint", info.alias("__info"), version.alias("version")
+    )
+    ex = base.select(
+        "endpoint", "version",
+        F.explode(F.map_entries(F.col("__info"))).alias("__e"),
+    )
+    k, v = F.col("__e.key"), F.col("__e.value")
+
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+
+    def point(metric, attr, pct, vi, vd) -> Column:
+        return F.struct(
+            metric.alias("metric_name"), attr.alias("attr"),
+            pct.alias("percentile"), vi.alias("value_int"),
+            vd.alias("value_double"),
+        )
+
+    cands: list[Column] = []
+
+    # ---- fixed recorder map ----
+    spec_entries: list[Column] = []
+    for key, (metric, vtype, attr) in REDIS_RECORDERS.items():
+        spec_entries.append(F.lit(key))
+        spec_entries.append(F.lit(f"{metric}|{vtype}|{attr or ''}"))
+    spec = F.create_map(*spec_entries)
+    hit = F.element_at(spec, k)
+    cands.append(
+        F.when(
+            hit.isNotNull(),
+            point(
+                F.split_part(hit, F.lit("|"), F.lit(1)),
+                F.nullif(F.split_part(hit, F.lit("|"), F.lit(3)),
+                         F.lit("")),
+                null_s,
+                F.when(
+                    F.split_part(hit, F.lit("|"), F.lit(2)) == "int",
+                    v.try_cast("bigint"),
+                ).otherwise(null_l),
+                F.when(
+                    F.split_part(hit, F.lit("|"), F.lit(2)) == "double",
+                    v.try_cast("double"),
+                ).otherwise(null_d),
+            ),
+        )
+    )
+    # cluster_state: value "ok" -> 1 with state ok, else fail
+    cands.append(
+        F.when(
+            k == "cluster_state",
+            point(
+                F.lit("redis.cluster.state"),
+                F.when(v == "ok", "ok").otherwise("fail"),
+                null_s,
+                v.try_cast("bigint"),
+                null_d,
+            ),
+        )
+    )
+    # role
+    cands.append(
+        F.when(
+            k == "role",
+            point(
+                F.lit("redis.role"),
+                F.when(v == "master", "primary").otherwise("replica"),
+                null_s, F.lit(1).cast("bigint"), null_d,
+            ),
+        )
+    )
+    # mode
+    cands.append(
+        F.when(
+            (k == "redis_mode")
+            & v.isin("cluster", "sentinel", "standalone"),
+            point(F.lit("redis.mode"), v, null_s,
+                  F.lit(1).cast("bigint"), null_d),
+        )
+    )
+    # keyspace db0..db15
+    ks_pairs = F.split(v, ",")
+    ks_map = F.map_from_entries(
+        F.transform(
+            ks_pairs,
+            lambda q: F.struct(
+                F.split_part(q, F.lit("="), F.lit(1)).alias("key"),
+                F.split_part(q, F.lit("="), F.lit(2)).alias("value"),
+            ),
+        )
+    )
+
+    def ks_field(name: str) -> Column:
+        return F.coalesce(
+            F.element_at(ks_map, name).try_cast("bigint"), F.lit(0)
+        )
+
+    ks_bad = F.exists(
+        ks_pairs,
+        lambda q: (F.size(F.split(q, "=")) != 2)
+        | (
+            F.split_part(q, F.lit("="), F.lit(1)).isin(
+                "keys", "expires", "avg_ttl"
+            )
+            & F.split_part(q, F.lit("="), F.lit(2))
+            .try_cast("bigint")
+            .isNull()
+        ),
+    )
+    is_db = k.rlike(r"^db([0-9]|1[0-5])$")
+    db_attr = F.substring(k, 3, 2)
+    for fldname, metric in (
+        ("keys", "redis.db.keys"),
+        ("expires", "redis.db.expires"),
+        ("avg_ttl", "redis.db.avg_ttl"),
+    ):
+        cands.append(
+            F.when(
+                is_db & ~ks_bad,
+                point(F.lit(metric), db_attr, null_s,
+                      ks_field(fldname), null_d),
+            )
+        )
+    # cmdstat_<cmd>: calls/usec element-wise
+    is_cmdstat = k.startswith("cmdstat_")
+    cmd = F.substring(k, len("cmdstat_") + 1, F.length(k))
+    cs_pairs = F.split(F.trim(v), ",")
+    for fldname, metric in (("calls", "redis.cmd.calls"),
+                            ("usec", "redis.cmd.usec")):
+        val = F.try_element_at(
+            F.filter(
+                F.transform(
+                    cs_pairs,
+                    lambda q: F.struct(
+                        F.split_part(q, F.lit("="), F.lit(1)).alias("k"),
+                        F.when(
+                            F.size(F.split(q, "=")) > 1,
+                            F.split_part(q, F.lit("="), F.lit(2)),
+                        ).try_cast("bigint").alias("v"),
+                    ),
+                ),
+                lambda s: (s["k"] == fldname) & s["v"].isNotNull(),
+            ),
+            F.lit(1),
+        )["v"]
+        cands.append(
+            F.when(
+                is_cmdstat & val.isNotNull(),
+                point(F.lit(metric), cmd, null_s, val, null_d),
+            )
+        )
+    # latency_percentiles_usec_<cmd>
+    is_lat = k.startswith("latency_percentiles_usec_")
+    lcmd = F.substring(k, len("latency_percentiles_usec_") + 1,
+                       F.length(k))
+    lat_pairs = F.transform(
+        F.split(v, ","),
+        lambda q: F.struct(
+            F.split_part(q, F.lit("="), F.lit(1)).alias("p"),
+            F.when(
+                F.size(F.split(q, "=")) == 2,
+                F.split_part(q, F.lit("="), F.lit(2)),
+            ).try_cast("double").alias("usec"),
+        ),
+    )
+    lat_bad = F.exists(lat_pairs, lambda s: s["usec"].isNull())
+    for pct in KNOWN_PERCENTILES:
+        usec = F.try_element_at(
+            F.filter(lat_pairs, lambda s: s["p"] == pct), F.lit(1)
+        )["usec"]
+        cands.append(
+            F.when(
+                is_lat & ~lat_bad & usec.isNotNull(),
+                point(F.lit("redis.cmd.latency"), lcmd, F.lit(pct),
+                      null_l, usec / F.lit(1e6)),
+            )
+        )
+
+    out = ex.select(
+        "endpoint", "version",
+        F.explode(
+            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        ).alias("__m"),
+    )
+    m = F.col("__m")
+    return out.select(
+        "endpoint", "version",
+        m["metric_name"].alias("metric_name"),
+        m["attr"].alias("attr"),
+        m["percentile"].alias("percentile"),
+        m["value_int"].alias("value_int"),
+        m["value_double"].alias("value_double"),
+    ).filter(
+        m["value_int"].isNotNull() | m["value_double"].isNotNull()
+    )

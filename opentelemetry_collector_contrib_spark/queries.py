@@ -44,6 +44,8 @@ _PRIORITY_NAMES: list[str] = [
     "pprof_profiles_events",      # round 4: pprof dictionary translation
     "recombine_stream_replay_events",  # round 4: streaming batch-equiv
     "prom_family_points_events",  # round 4: metricfamily assembly
+    "haproxy_stats_events",       # round 4: show stat CSV parse
+    "redis_info_events",          # round 4: INFO text parse
 ]
 
 
@@ -10625,3 +10627,257 @@ ORDER BY job, instance, family, group_labels, mtype
 
 _QUERIES["prom_family_points_events"] = q_prom_family_points
 _ORACLES["prom_family_points_events"] = _PROM_FAMILY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# haproxyreceiver (receiver/haproxyreceiver/scraper.go): `show stat`
+# CSV -> datapoints. The query renders real CSV payloads (header with
+# `# ` prefix + trailing comma, empty-field gates) from events, groups
+# them per endpoint, runs the dynamic header-keyed parser, and the
+# oracle emits the datapoint rows closed-form.
+# ---------------------------------------------------------------------------
+
+_HAPROXY_HDR = ("# pxname,svname,qcur,scur,slim,stot,bin,bout,ereq,econ,"
+                "eresp,srv_abrt,act,bck,hrsp_2xx,hrsp_5xx,req_rate,ttime,"
+                "weight,")
+
+
+def q_haproxy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.haproxy import haproxy_stats
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    line = F.concat_ws(
+        ",",
+        F.concat(F.lit("px"), s(eid)),
+        F.element_at(F.array(F.lit("FRONTEND"), F.lit("BACKEND"),
+                             F.lit("srv1")), (eid % 3 + 1).cast("int")),
+        s(eid % 10), s(eid % 50),
+        F.when(eid % 2 == 0, "").otherwise(s(100 + eid % 100)),
+        s(eid % 1000), s(eid * 3 % 10000), s(eid * 7 % 10000),
+        s(eid % 5), s(eid % 6),
+        F.when(eid % 3 == 0, "").otherwise(s(eid % 4)),
+        F.when(eid % 5 == 0, "").otherwise(s(eid % 7)),
+        s(eid % 3), s(eid % 2), s(eid % 500), s(eid % 20),
+        s(eid % 30), s(eid % 400), s(eid % 256), F.lit(""),
+    )
+    grp = (
+        ev.select(
+            F.concat(F.lit("hap"), s(uid % 4)).alias("endpoint"),
+            eid.alias("eid"), line.alias("line"),
+        )
+        .groupBy("endpoint")
+        .agg(
+            F.concat(
+                F.lit(_HAPROXY_HDR), F.lit("\n"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("eid", "line"))
+                        ),
+                        lambda r: r["line"],
+                    ),
+                    "\n",
+                ),
+            ).alias("payload")
+        )
+    )
+    out = haproxy_stats(grp)
+    return out.orderBy("endpoint", "proxy_name", "service_name",
+                       "metric_name", "status_code")
+
+
+_HAPROXY_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid,
+         'hap' || CAST(user_id % 4 AS VARCHAR) AS endpoint,
+         'px' || CAST(event_id AS VARCHAR) AS pxname,
+         CASE event_id % 3 WHEN 0 THEN 'FRONTEND' WHEN 1 THEN 'BACKEND'
+              ELSE 'srv1' END AS svname
+  FROM events WHERE event_id % 7 = 0),
+u AS (
+  SELECT endpoint, pxname, svname, 'haproxy.requests.queued' AS metric_name,
+         CAST(NULL AS VARCHAR) AS status_code,
+         CAST(eid % 10 AS BIGINT) AS value_int,
+         CAST(NULL AS DOUBLE) AS value_double FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.sessions.count', NULL,
+         CAST(eid % 50 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.sessions.limit', NULL,
+         CAST(100 + eid % 100 AS BIGINT), NULL FROM f WHERE eid % 2 <> 0
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.sessions.total', NULL,
+         CAST(eid % 1000 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.bytes.input', NULL,
+         CAST(eid * 3 % 10000 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.bytes.output', NULL,
+         CAST(eid * 7 % 10000 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.requests.errors', NULL,
+         CAST(eid % 5 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.connections.errors', NULL,
+         CAST(eid % 6 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.responses.errors', NULL,
+         CAST(eid % 7 + eid % 4 AS BIGINT), NULL FROM f
+  WHERE eid % 3 <> 0 AND eid % 5 <> 0
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.active', NULL,
+         CAST(eid % 3 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.backup', NULL,
+         CAST(eid % 2 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.requests.total', '2xx',
+         CAST(eid % 500 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.requests.total', '5xx',
+         CAST(eid % 20 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.requests.rate', NULL,
+         CAST(NULL AS BIGINT), CAST(eid % 30 AS DOUBLE) FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.sessions.average', NULL,
+         CAST(NULL AS BIGINT), CAST(eid % 400 AS DOUBLE) FROM f
+  UNION ALL
+  SELECT endpoint, pxname, svname, 'haproxy.weight', NULL,
+         CAST(eid % 256 AS BIGINT), NULL FROM f)
+SELECT * FROM u
+ORDER BY endpoint, proxy_name, service_name, metric_name, status_code
+"""
+_HAPROXY_ORACLE = _HAPROXY_ORACLE.replace(
+    "SELECT * FROM u",
+    "SELECT endpoint, pxname AS proxy_name, svname AS service_name,"
+    " metric_name, status_code, value_int, value_double FROM u",
+)
+
+_QUERIES["haproxy_stats_events"] = q_haproxy_stats
+_ORACLES["haproxy_stats_events"] = _HAPROXY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# redisreceiver (receiver/redisreceiver): INFO text -> datapoints.
+# The query renders one INFO snapshot per event (fixed recorders,
+# keyspace lines incl. a corrupted one, per-command stats, latency
+# percentiles, role/mode), parses it back through the dynamic
+# key-spec battery, and the oracle emits the rows closed-form.
+# ---------------------------------------------------------------------------
+
+def q_redis_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.redis_info import redis_info_points
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    frag = (eid % 100).cast("double") / 4
+    cpu = (eid % 1000).cast("double") / 8
+    p50 = (eid % 16).cast("double") / 8
+    payload = F.concat_ws(
+        "\n",
+        F.lit("# Server"),
+        F.concat(F.lit("redis_version:7.2."), s(eid % 10)),
+        F.concat(F.lit("redis_mode:"), F.element_at(
+            F.array(F.lit("standalone"), F.lit("cluster"),
+                    F.lit("sentinel")), (eid % 3 + 1).cast("int"))),
+        F.concat(F.lit("uptime_in_seconds:"), s(eid % 100000)),
+        F.concat(F.lit("connected_clients:"), s(eid % 500)),
+        F.concat(F.lit("used_memory:"), s(eid * 17 % 1000000)),
+        F.concat(F.lit("mem_fragmentation_ratio:"), s(frag)),
+        F.concat(F.lit("used_cpu_sys:"), s(cpu)),
+        F.concat(F.lit("role:"),
+                 F.when(eid % 2 == 0, "master").otherwise("slave")),
+        F.concat(F.lit("master_repl_offset:"), s(eid * 3 % 100000)),
+        F.concat(
+            F.lit("db0:keys="),
+            F.when(eid % 9 == 0, F.lit("bad")).otherwise(s(eid % 1000)),
+            F.lit(",expires="), s(eid % 50),
+            F.lit(",avg_ttl="), s(eid % 10000),
+        ),
+        F.concat(F.lit("cmdstat_get:calls="), s(eid % 2000),
+                 F.lit(",usec="), s(eid % 90000),
+                 F.lit(",usec_per_call=3.58")),
+        F.concat(F.lit("latency_percentiles_usec_get:p50="), s(p50),
+                 F.lit(",p99="), s(p50 * 2), F.lit(",p99.9="),
+                 s(p50 * 4)),
+    )
+    src = ev.select(
+        F.concat(F.lit("r"), s(eid)).alias("endpoint"),
+        payload.alias("payload"),
+    )
+    out = redis_info_points(src)
+    return out.orderBy("endpoint", "metric_name", "attr", "percentile")
+
+
+_REDIS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid,
+         'r' || CAST(event_id AS VARCHAR) AS endpoint,
+         '7.2.' || CAST(event_id % 10 AS VARCHAR) AS version,
+         CAST(event_id % 100 AS DOUBLE) / 4 AS frag,
+         CAST(event_id % 1000 AS DOUBLE) / 8 AS cpu,
+         CAST(event_id % 16 AS DOUBLE) / 8 AS p50
+  FROM events WHERE event_id % 11 = 0),
+u AS (
+  SELECT endpoint, version, 'redis.uptime' AS metric_name,
+         CAST(NULL AS VARCHAR) AS attr,
+         CAST(NULL AS VARCHAR) AS percentile,
+         CAST(eid % 100000 AS BIGINT) AS value_int,
+         CAST(NULL AS DOUBLE) AS value_double FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.clients.connected', NULL, NULL,
+         CAST(eid % 500 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.memory.used', NULL, NULL,
+         CAST(eid * 17 % 1000000 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.memory.fragmentation_ratio', NULL,
+         NULL, CAST(NULL AS BIGINT), frag FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.cpu.time', 'sys', NULL,
+         CAST(NULL AS BIGINT), cpu FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.role',
+         CASE WHEN eid % 2 = 0 THEN 'primary' ELSE 'replica' END,
+         NULL, CAST(1 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.mode',
+         CASE eid % 3 WHEN 0 THEN 'standalone' WHEN 1 THEN 'cluster'
+              ELSE 'sentinel' END,
+         NULL, CAST(1 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.replication.offset', NULL, NULL,
+         CAST(eid * 3 % 100000 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.db.keys', '0', NULL,
+         CAST(eid % 1000 AS BIGINT), NULL FROM f WHERE eid % 9 <> 0
+  UNION ALL
+  SELECT endpoint, version, 'redis.db.expires', '0', NULL,
+         CAST(eid % 50 AS BIGINT), NULL FROM f WHERE eid % 9 <> 0
+  UNION ALL
+  SELECT endpoint, version, 'redis.db.avg_ttl', '0', NULL,
+         CAST(eid % 10000 AS BIGINT), NULL FROM f WHERE eid % 9 <> 0
+  UNION ALL
+  SELECT endpoint, version, 'redis.cmd.calls', 'get', NULL,
+         CAST(eid % 2000 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.cmd.usec', 'get', NULL,
+         CAST(eid % 90000 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.cmd.latency', 'get', 'p50',
+         CAST(NULL AS BIGINT), p50 / 1000000.0 FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.cmd.latency', 'get', 'p99',
+         CAST(NULL AS BIGINT), (p50 * 2) / 1000000.0 FROM f
+  UNION ALL
+  SELECT endpoint, version, 'redis.cmd.latency', 'get', 'p99.9',
+         CAST(NULL AS BIGINT), (p50 * 4) / 1000000.0 FROM f)
+SELECT * FROM u ORDER BY endpoint, metric_name, attr, percentile
+"""
+
+_QUERIES["redis_info_events"] = q_redis_info
+_ORACLES["redis_info_events"] = _REDIS_ORACLE

@@ -1,0 +1,69 @@
+"""haproxyreceiver `show stat` CSV parse
+(receiver/haproxyreceiver/scraper.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.haproxy import (
+    haproxy_stats,
+)
+
+HDR = ("# pxname,svname,qcur,scur,slim,stot,bin,bout,ereq,econ,eresp,"
+       "srv_abrt,hrsp_2xx,hrsp_5xx,req_rate,ttime,act,bck,")
+
+
+def _run(spark, payload, endpoint="/var/run/haproxy.sock"):
+    df = spark.createDataFrame(
+        [(endpoint, payload)], "endpoint string, payload string"
+    )
+    return haproxy_stats(df).collect()
+
+
+def test_basic_parse_and_resource(spark):
+    payload = HDR + "\nweb,FRONTEND,1,5,100,900,1000,2000,3,,,,,,,,,,\n"
+    rows = _run(spark, payload)
+    by_metric = {r["metric_name"]: r for r in rows}
+    assert by_metric["haproxy.sessions.count"]["value_int"] == 5
+    assert by_metric["haproxy.sessions.limit"]["value_int"] == 100
+    assert by_metric["haproxy.sessions.total"]["value_int"] == 900
+    assert by_metric["haproxy.bytes.input"]["value_int"] == 1000
+    assert by_metric["haproxy.requests.errors"]["value_int"] == 3
+    r = rows[0]
+    assert r["proxy_name"] == "web"
+    assert r["service_name"] == "FRONTEND"
+    assert r["endpoint"] == "/var/run/haproxy.sock"
+    # empty fields (econ, eresp, ...) produce no datapoints
+    assert "haproxy.connections.errors" not in by_metric
+    assert "haproxy.responses.errors" not in by_metric
+
+
+def test_responses_errors_needs_both_fields(spark):
+    p1 = HDR + "\nweb,s1,,,,,,,,,4,6,,,,,,,\n"    # eresp=4, srv_abrt=6
+    rows = {r["metric_name"]: r for r in _run(spark, p1)}
+    assert rows["haproxy.responses.errors"]["value_int"] == 10
+    p2 = HDR + "\nweb,s1,,,,,,,,,4,,,,,,,,\n"     # srv_abrt empty
+    rows2 = {r["metric_name"]: r for r in _run(spark, p2)}
+    assert "haproxy.responses.errors" not in rows2
+
+
+def test_hrsp_status_code_fanout_and_double_types(spark):
+    p = HDR + "\nweb,s1,,,,,,,,,,,50,7,12,250,,,\n"
+    rows = _run(spark, p)
+    totals = {r["status_code"]: r["value_int"] for r in rows
+              if r["metric_name"] == "haproxy.requests.total"}
+    assert totals == {"2xx": 50, "5xx": 7}
+    by_metric = {r["metric_name"]: r for r in rows}
+    assert by_metric["haproxy.requests.rate"]["value_double"] == 12.0
+    assert by_metric["haproxy.requests.rate"]["value_int"] is None
+    assert by_metric["haproxy.sessions.average"]["value_double"] == 250.0
+
+
+def test_multiple_rows_and_unparseable_dropped(spark):
+    p = (HDR + "\nweb,FRONTEND,1,,,,,,,,,,,,,,,,"
+         + "\nweb,srv1,junk,,,,,,,,,,,,,,2,0,")
+    rows = _run(spark, p)
+    svc = {(r["service_name"], r["metric_name"]): r for r in rows}
+    assert ("FRONTEND", "haproxy.requests.queued") in svc
+    # 'junk' fails ParseInt -> dropped, the rest of the row survives
+    assert ("srv1", "haproxy.requests.queued") not in svc
+    assert svc[("srv1", "haproxy.active")]["value_int"] == 2
+    assert svc[("srv1", "haproxy.backup")]["value_int"] == 0

@@ -1,0 +1,106 @@
+"""redisreceiver INFO parse
+(receiver/redisreceiver/redis_svc.go, redis_scraper.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.redis_info import (
+    redis_info_points,
+)
+
+INFO = "\n".join([
+    "# Server",
+    "redis_version:7.2.4",
+    "redis_mode:standalone",
+    "uptime_in_seconds:3600",
+    "",
+    "# Clients",
+    "connected_clients:10",
+    "blocked_clients:2",
+    "# Memory",
+    "used_memory:1048576",
+    "mem_fragmentation_ratio:1.25",
+    "used_cpu_sys:12.5",
+    "used_cpu_user:7.25",
+    "# Replication",
+    "role:master",
+    "master_repl_offset:999",
+    "# Keyspace",
+    "db0:keys=100,expires=5,avg_ttl=250",
+    "db1:keys=7,expires=0,avg_ttl=0",
+    "db2:keys=bad,expires=1,avg_ttl=2",
+    "# Commandstats",
+    "cmdstat_get:calls=1685,usec=6032,usec_per_call=3.58",
+    "cmdstat_set:calls=12,usec=99",
+    "# Latencystats",
+    "latency_percentiles_usec_get:p50=1.003,p99=2.5,p99.9=4.0",
+    "latency_percentiles_usec_set:p50=junk,p99=2.0,p99.9=3.0",
+    "not_a_metric:with:extra:colons",
+])
+
+
+def _run(spark, payload=INFO):
+    df = spark.createDataFrame(
+        [("localhost:6379", payload)], "endpoint string, payload string"
+    )
+    return redis_info_points(df).collect()
+
+
+def test_fixed_recorders_and_types(spark):
+    rows = _run(spark)
+    by = {(r["metric_name"], r["attr"], r["percentile"]): r for r in rows}
+    assert by[("redis.uptime", None, None)]["value_int"] == 3600
+    assert by[("redis.clients.connected", None, None)]["value_int"] == 10
+    assert by[("redis.clients.blocked", None, None)]["value_int"] == 2
+    assert by[("redis.memory.used", None, None)]["value_int"] == 1048576
+    frag = by[("redis.memory.fragmentation_ratio", None, None)]
+    assert frag["value_double"] == 1.25 and frag["value_int"] is None
+    assert by[("redis.cpu.time", "sys", None)]["value_double"] == 12.5
+    assert by[("redis.cpu.time", "user", None)]["value_double"] == 7.25
+    assert by[("redis.replication.offset", None, None)]["value_int"] == 999
+    # resource
+    assert rows[0]["version"] == "7.2.4"
+    # lines with >1 colon are dropped by the info parser
+    assert not any("not_a_metric" in r["metric_name"] for r in rows)
+
+
+def test_role_mode_keyspace(spark):
+    by = {(r["metric_name"], r["attr"]): r for r in _run(spark)}
+    assert by[("redis.role", "primary")]["value_int"] == 1
+    assert by[("redis.mode", "standalone")]["value_int"] == 1
+    assert by[("redis.db.keys", "0")]["value_int"] == 100
+    assert by[("redis.db.expires", "0")]["value_int"] == 5
+    assert by[("redis.db.avg_ttl", "0")]["value_int"] == 250
+    assert by[("redis.db.keys", "1")]["value_int"] == 7
+    # db2 has an unparseable keys= -> whole line dropped
+    assert ("redis.db.keys", "2") not in by
+    assert ("redis.db.expires", "2") not in by
+
+
+def test_cmdstat_and_latency(spark):
+    rows = _run(spark)
+    by = {(r["metric_name"], r["attr"], r["percentile"]): r for r in rows}
+    assert by[("redis.cmd.calls", "get", None)]["value_int"] == 1685
+    assert by[("redis.cmd.usec", "get", None)]["value_int"] == 6032
+    assert by[("redis.cmd.calls", "set", None)]["value_int"] == 12
+    lat = by[("redis.cmd.latency", "get", "p50")]
+    assert lat["value_double"] == 1.003e-6
+    assert by[("redis.cmd.latency", "get", "p99.9")]["value_double"] == 4e-6
+    # one bad element drops the whole latency line
+    assert ("redis.cmd.latency", "set", "p99") not in by
+
+
+def test_missing_version_defaults_unknown(spark):
+    rows = _run(spark, "connected_clients:1")
+    assert rows[0]["version"] == "unknown"
+
+
+def test_cluster_state_attr(spark):
+    rows = _run(spark, "cluster_state:ok\ncluster_slots_ok:16384")
+    by = {(r["metric_name"], r["attr"]): r for r in rows}
+    # cluster_state value "ok" doesn't ParseInt -> dropped like the
+    # reference's error path; slots count survives
+    assert ("redis.cluster.state", "ok") not in by
+    assert by[("redis.cluster.slots_ok", None)]["value_int"] == 16384
+    rows2 = _run(spark, "cluster_state:1")
+    by2 = {(r["metric_name"], r["attr"]): r for r in rows2}
+    assert by2[("redis.cluster.state", "fail")]["value_int"] == 1
