@@ -1,0 +1,215 @@
+"""apachereceiver + nginxreceiver: status-page text -> datapoints.
+
+* apache mod_status (receiver/apachereceiver/scraper.go): the
+  machine-readable ``?auto`` page parsed with ``strings.Cut(": ")``
+  per line (:166-177 parseStats — lines without ``": "`` skipped,
+  last-wins map), the full metric switch (:74-135) including
+  Total kBytes -> bytes via *1024 (:225-227 kbytesToBytes), the
+  CPU level/mode fan-out, and the scoreboard character histogram
+  (:181-222 parseScoreboard: the 11 known states always emitted even
+  at 0, unknown only when an unexpected character appeared).
+  Unparseable values record a partial error and skip the datapoint.
+* nginx stub_status (receiver/nginxreceiver/scraper.go:48-63 via the
+  public nginx-prometheus-exporter client.GetStubStats): the fixed
+  4-line format -> nginx.requests, connections_accepted/handled, and
+  nginx.connections_current fanned to active/reading/writing/waiting.
+
+Map-only Column code; the apache scoreboard is a per-character filter
+count over a row-local split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+APACHE_SIMPLE: dict[str, tuple[str, str, str | None, str | None]] = {
+    # key -> (metric, type, attr1 (state/level), attr2 (mode))
+    "ServerUptimeSeconds": ("apache.uptime", "int", None, None),
+    "ConnsTotal": ("apache.current_connections", "int", None, None),
+    "ConnsAsyncWriting": ("apache.connections.async", "int", "writing",
+                          None),
+    "ConnsAsyncKeepAlive": ("apache.connections.async", "int",
+                            "keepalive", None),
+    "ConnsAsyncClosing": ("apache.connections.async", "int", "closing",
+                          None),
+    "BusyWorkers": ("apache.workers", "int", "busy", None),
+    "IdleWorkers": ("apache.workers", "int", "idle", None),
+    "Total Accesses": ("apache.requests", "int", None, None),
+    "CPUChildrenSystem": ("apache.cpu.time", "double", "children",
+                          "system"),
+    "CPUChildrenUser": ("apache.cpu.time", "double", "children", "user"),
+    "CPUSystem": ("apache.cpu.time", "double", "self", "system"),
+    "CPUUser": ("apache.cpu.time", "double", "self", "user"),
+    "CPULoad": ("apache.cpu.load", "double", None, None),
+    "Load1": ("apache.load.1min", "double", None, None),
+    "Load5": ("apache.load.5min", "double", None, None),
+    "Load15": ("apache.load.15min", "double", None, None),
+    "Total Duration": ("apache.request.time", "int", None, None),
+}
+
+SCOREBOARD_STATES: list[tuple[str, str]] = [
+    ("_", "waiting"), ("S", "starting"), ("R", "reading"),
+    ("W", "sending"), ("K", "keepalive"), ("D", "dnslookup"),
+    ("C", "closing"), ("L", "logging"), ("G", "finishing"),
+    ("I", "idle_cleanup"), (".", "open"),
+]
+
+
+def apache_status_points(
+    df: DataFrame, payload: str = "payload",
+    server_name: str = "server_name", port: str = "port",
+) -> DataFrame:
+    """Parse mod_status ?auto payloads into datapoint rows."""
+    p = F.col(payload)
+    # strings.Cut(field, ": "): split at the FIRST occurrence only
+    entries = F.filter(
+        F.transform(
+            F.split(p, "\n"),
+            lambda ln: F.struct(
+                F.substring_index(ln, ": ", 1).alias("k"),
+                F.when(
+                    ln.contains(": "),
+                    F.substring(
+                        ln,
+                        F.instr(ln, ": ") + 2,
+                        F.length(ln),
+                    ),
+                ).alias("v"),
+            ),
+        ),
+        lambda e: e["v"].isNotNull(),
+    )
+    dedup = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda later: later["k"] == e["k"],
+        ),
+    )
+    base = df.select(
+        F.col(server_name).alias("server_name"),
+        F.col(port).alias("port"),
+        F.map_from_entries(dedup).alias("__st"),
+    )
+    st = F.col("__st")
+
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+    null_d = F.lit(None).cast("double")
+
+    def point(metric, a1, a2, vi, vd) -> Column:
+        return F.struct(
+            F.lit(metric).alias("metric_name"), a1.alias("attr1"),
+            a2.alias("attr2"), vi.alias("value_int"),
+            vd.alias("value_double"),
+        )
+
+    cands: list[Column] = []
+    for key, (metric, vtype, a1, a2) in APACHE_SIMPLE.items():
+        v = F.element_at(st, key)
+        vi = v.try_cast("bigint") if vtype == "int" else null_l
+        vd = v.try_cast("double") if vtype == "double" else null_d
+        cands.append(
+            F.when(
+                v.isNotNull()
+                & (vi.isNotNull() if vtype == "int" else vd.isNotNull()),
+                point(metric, F.lit(a1) if a1 else null_s,
+                      F.lit(a2) if a2 else null_s, vi, vd),
+            )
+        )
+    # Total kBytes -> bytes (kbytesToBytes)
+    kb = F.element_at(st, "Total kBytes").try_cast("bigint")
+    cands.append(
+        F.when(
+            kb.isNotNull(),
+            point("apache.traffic", null_s, null_s, kb * 1024, null_d),
+        )
+    )
+    # scoreboard histogram: 11 known states always present
+    sb = F.element_at(st, "Scoreboard")
+    chars = F.split(sb, "")
+    known_total = F.lit(0)
+    for ch, state in SCOREBOARD_STATES:
+        cnt = F.size(F.filter(chars, lambda c: c == ch))
+        known_total = known_total + cnt
+        cands.append(
+            F.when(
+                sb.isNotNull(),
+                point("apache.scoreboard", F.lit(state), null_s,
+                      cnt.cast("bigint"), null_d),
+            )
+        )
+    unknown = (F.length(sb) - known_total).cast("bigint")
+    cands.append(
+        F.when(
+            sb.isNotNull() & (unknown > 0),
+            point("apache.scoreboard", F.lit("unknown"), null_s,
+                  unknown, null_d),
+        )
+    )
+
+    out = base.select(
+        "server_name", "port",
+        F.explode(
+            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        ).alias("__m"),
+    )
+    m = F.col("__m")
+    return out.select(
+        "server_name", "port",
+        m["metric_name"].alias("metric_name"),
+        m["attr1"].alias("attr1"), m["attr2"].alias("attr2"),
+        m["value_int"].alias("value_int"),
+        m["value_double"].alias("value_double"),
+    )
+
+
+def nginx_stub_status_points(
+    df: DataFrame, payload: str = "payload", endpoint: str = "endpoint"
+) -> DataFrame:
+    """Parse stub_status payloads into datapoint rows."""
+    p = F.col(payload)
+    active = F.regexp_extract(p, r"Active connections: (\d+)", 1)
+    ahr = r"server accepts handled requests\s*\n\s*(\d+)\s+(\d+)\s+(\d+)"
+    accepts = F.regexp_extract(p, ahr, 1)
+    handled = F.regexp_extract(p, ahr, 2)
+    requests = F.regexp_extract(p, ahr, 3)
+    reading = F.regexp_extract(p, r"Reading: (\d+)", 1)
+    writing = F.regexp_extract(p, r"Writing: (\d+)", 1)
+    waiting = F.regexp_extract(p, r"Waiting: (\d+)", 1)
+
+    null_s = F.lit(None).cast("string")
+
+    def point(metric, state, v) -> Column:
+        return F.when(
+            v != "",
+            F.struct(
+                F.lit(metric).alias("metric_name"),
+                state.alias("state"),
+                v.cast("bigint").alias("value_int"),
+            ),
+        )
+
+    cands = [
+        point("nginx.requests", null_s, requests),
+        point("nginx.connections_accepted", null_s, accepts),
+        point("nginx.connections_handled", null_s, handled),
+        point("nginx.connections_current", F.lit("active"), active),
+        point("nginx.connections_current", F.lit("reading"), reading),
+        point("nginx.connections_current", F.lit("writing"), writing),
+        point("nginx.connections_current", F.lit("waiting"), waiting),
+    ]
+    out = df.select(
+        F.col(endpoint).alias("endpoint"),
+        F.explode(
+            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        ).alias("__m"),
+    )
+    m = F.col("__m")
+    return out.select(
+        "endpoint",
+        m["metric_name"].alias("metric_name"),
+        m["state"].alias("state"),
+        m["value_int"].alias("value_int"),
+    )

@@ -46,6 +46,7 @@ _PRIORITY_NAMES: list[str] = [
     "prom_family_points_events",  # round 4: metricfamily assembly
     "haproxy_stats_events",       # round 4: show stat CSV parse
     "redis_info_events",          # round 4: INFO text parse
+    "webserver_status_events",    # round 4: apache/nginx status pages
 ]
 
 
@@ -10881,3 +10882,168 @@ SELECT * FROM u ORDER BY endpoint, metric_name, attr, percentile
 
 _QUERIES["redis_info_events"] = q_redis_info
 _ORACLES["redis_info_events"] = _REDIS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# apachereceiver + nginxreceiver (receiver/{apache,nginx}receiver):
+# mod_status ?auto and stub_status pages rendered from events, parsed
+# back through the Column batteries, oracle closed-form. One unified
+# (server, metric, attr1, attr2, value) frame for both.
+# ---------------------------------------------------------------------------
+
+def q_webserver_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.webserver_status import (
+        apache_status_points,
+        nginx_stub_status_points,
+    )
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 19 == 0)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    sb = F.concat(
+        F.repeat(F.lit("_"), (eid % 4).cast("int")),
+        F.repeat(F.lit("W"), (eid % 3).cast("int")),
+        F.repeat(F.lit("."), (eid % 5).cast("int")),
+        F.when(eid % 7 == 0, "X").otherwise(""),
+    )
+    apayload = F.concat_ws(
+        "\n",
+        F.lit("localhost"),
+        F.lit("ServerVersion: Apache/2.4.56"),
+        F.concat(F.lit("ServerUptimeSeconds: "), s(eid % 100000)),
+        F.concat(F.lit("Total Accesses: "), s(eid * 7 % 1000000)),
+        F.concat(F.lit("Total kBytes: "), s(eid % 5000)),
+        F.concat(F.lit("Total Duration: "), s(eid % 9999)),
+        F.concat(F.lit("CPUUser: "), s((eid % 100).cast("double") / 8)),
+        F.concat(F.lit("CPUSystem: "), s((eid % 64).cast("double") / 16)),
+        F.concat(F.lit("CPUChildrenUser: "),
+                 s((eid % 16).cast("double") / 4)),
+        F.concat(F.lit("CPUChildrenSystem: "),
+                 s((eid % 12).cast("double") / 4)),
+        F.concat(F.lit("CPULoad: "), s((eid % 32).cast("double") / 32)),
+        F.concat(F.lit("Load1: "), s((eid % 8).cast("double") / 8)),
+        F.concat(F.lit("Load5: "), s((eid % 12).cast("double") / 8)),
+        F.concat(F.lit("Load15: "), s((eid % 6).cast("double") / 2)),
+        F.concat(F.lit("BusyWorkers: "), s(eid % 64)),
+        F.concat(F.lit("IdleWorkers: "), s(eid % 32)),
+        F.concat(F.lit("ConnsTotal: "), s(eid % 200)),
+        F.concat(F.lit("ConnsAsyncWriting: "), s(eid % 5)),
+        F.concat(F.lit("ConnsAsyncKeepAlive: "), s(eid % 11)),
+        F.concat(F.lit("ConnsAsyncClosing: "), s(eid % 3)),
+        F.concat(F.lit("Scoreboard: "), sb),
+    )
+    adf = apache_status_points(
+        ev.select(
+            F.concat(F.lit("a"), s(eid)).alias("server_name"),
+            F.lit("80").alias("port"),
+            apayload.alias("payload"),
+        )
+    ).select(
+        F.concat(F.col("server_name"), F.lit(":"), F.col("port"))
+        .alias("server"),
+        "metric_name", "attr1", "attr2", "value_int", "value_double",
+    )
+    npayload = F.concat(
+        F.lit("Active connections: "), s(eid % 300), F.lit("\n"),
+        F.lit("server accepts handled requests\n "),
+        s(eid * 5 % 1000000), F.lit(" "),
+        s((eid * 5 % 1000000) - eid % 3), F.lit(" "),
+        s(eid * 11 % 10000000), F.lit("\n"),
+        F.lit("Reading: "), s(eid % 10),
+        F.lit(" Writing: "), s(eid % 50),
+        F.lit(" Waiting: "), s(eid % 100), F.lit("\n"),
+    )
+    ndf = nginx_stub_status_points(
+        ev.select(
+            F.concat(F.lit("n"), s(eid)).alias("endpoint"),
+            npayload.alias("payload"),
+        )
+    ).select(
+        F.col("endpoint").alias("server"), "metric_name",
+        F.col("state").alias("attr1"),
+        F.lit(None).cast("string").alias("attr2"),
+        "value_int",
+        F.lit(None).cast("double").alias("value_double"),
+    )
+    return adf.unionByName(ndf).orderBy(
+        "server", "metric_name", "attr1", "attr2"
+    )
+
+
+_WEBSERVER_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid,
+         'a' || CAST(event_id AS VARCHAR) || ':80' AS aserver,
+         'n' || CAST(event_id AS VARCHAR) AS nserver
+  FROM events WHERE event_id % 19 = 0),
+u AS (
+  SELECT aserver AS server, 'apache.uptime' AS metric_name,
+         CAST(NULL AS VARCHAR) AS attr1, CAST(NULL AS VARCHAR) AS attr2,
+         CAST(eid % 100000 AS BIGINT) AS value_int,
+         CAST(NULL AS DOUBLE) AS value_double FROM f
+  UNION ALL SELECT aserver, 'apache.requests', NULL, NULL,
+         CAST(eid * 7 % 1000000 AS BIGINT), NULL FROM f
+  UNION ALL SELECT aserver, 'apache.traffic', NULL, NULL,
+         CAST((eid % 5000) * 1024 AS BIGINT), NULL FROM f
+  UNION ALL SELECT aserver, 'apache.request.time', NULL, NULL,
+         CAST(eid % 9999 AS BIGINT), NULL FROM f
+  UNION ALL SELECT aserver, 'apache.cpu.time', 'self', 'user',
+         NULL, CAST(eid % 100 AS DOUBLE) / 8 FROM f
+  UNION ALL SELECT aserver, 'apache.cpu.time', 'self', 'system',
+         NULL, CAST(eid % 64 AS DOUBLE) / 16 FROM f
+  UNION ALL SELECT aserver, 'apache.cpu.time', 'children', 'user',
+         NULL, CAST(eid % 16 AS DOUBLE) / 4 FROM f
+  UNION ALL SELECT aserver, 'apache.cpu.time', 'children', 'system',
+         NULL, CAST(eid % 12 AS DOUBLE) / 4 FROM f
+  UNION ALL SELECT aserver, 'apache.cpu.load', NULL, NULL,
+         NULL, CAST(eid % 32 AS DOUBLE) / 32 FROM f
+  UNION ALL SELECT aserver, 'apache.load.1min', NULL, NULL,
+         NULL, CAST(eid % 8 AS DOUBLE) / 8 FROM f
+  UNION ALL SELECT aserver, 'apache.load.5min', NULL, NULL,
+         NULL, CAST(eid % 12 AS DOUBLE) / 8 FROM f
+  UNION ALL SELECT aserver, 'apache.load.15min', NULL, NULL,
+         NULL, CAST(eid % 6 AS DOUBLE) / 2 FROM f
+  UNION ALL SELECT aserver, 'apache.workers', 'busy', NULL,
+         CAST(eid % 64 AS BIGINT), NULL FROM f
+  UNION ALL SELECT aserver, 'apache.workers', 'idle', NULL,
+         CAST(eid % 32 AS BIGINT), NULL FROM f
+  UNION ALL SELECT aserver, 'apache.current_connections', NULL, NULL,
+         CAST(eid % 200 AS BIGINT), NULL FROM f
+  UNION ALL SELECT aserver, 'apache.connections.async', 'writing', NULL,
+         CAST(eid % 5 AS BIGINT), NULL FROM f
+  UNION ALL SELECT aserver, 'apache.connections.async', 'keepalive',
+         NULL, CAST(eid % 11 AS BIGINT), NULL FROM f
+  UNION ALL SELECT aserver, 'apache.connections.async', 'closing', NULL,
+         CAST(eid % 3 AS BIGINT), NULL FROM f
+  UNION ALL
+  SELECT aserver, 'apache.scoreboard', sc.state, NULL,
+         CAST(CASE sc.state
+           WHEN 'waiting' THEN eid % 4
+           WHEN 'sending' THEN eid % 3
+           WHEN 'open' THEN eid % 5
+           ELSE 0 END AS BIGINT), NULL
+  FROM f CROSS JOIN (VALUES ('waiting'), ('starting'), ('reading'),
+         ('sending'), ('keepalive'), ('dnslookup'), ('closing'),
+         ('logging'), ('finishing'), ('idle_cleanup'), ('open'))
+         AS sc(state)
+  UNION ALL SELECT aserver, 'apache.scoreboard', 'unknown', NULL,
+         CAST(1 AS BIGINT), NULL FROM f WHERE eid % 7 = 0
+  UNION ALL SELECT nserver, 'nginx.requests', NULL, NULL,
+         CAST(eid * 11 % 10000000 AS BIGINT), NULL FROM f
+  UNION ALL SELECT nserver, 'nginx.connections_accepted', NULL, NULL,
+         CAST(eid * 5 % 1000000 AS BIGINT), NULL FROM f
+  UNION ALL SELECT nserver, 'nginx.connections_handled', NULL, NULL,
+         CAST(eid * 5 % 1000000 - eid % 3 AS BIGINT), NULL FROM f
+  UNION ALL SELECT nserver, 'nginx.connections_current', 'active', NULL,
+         CAST(eid % 300 AS BIGINT), NULL FROM f
+  UNION ALL SELECT nserver, 'nginx.connections_current', 'reading',
+         NULL, CAST(eid % 10 AS BIGINT), NULL FROM f
+  UNION ALL SELECT nserver, 'nginx.connections_current', 'writing',
+         NULL, CAST(eid % 50 AS BIGINT), NULL FROM f
+  UNION ALL SELECT nserver, 'nginx.connections_current', 'waiting',
+         NULL, CAST(eid % 100 AS BIGINT), NULL FROM f)
+SELECT * FROM u ORDER BY server, metric_name, attr1, attr2
+"""
+
+_QUERIES["webserver_status_events"] = q_webserver_status
+_ORACLES["webserver_status_events"] = _WEBSERVER_ORACLE

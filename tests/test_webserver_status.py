@@ -1,0 +1,107 @@
+"""apache mod_status + nginx stub_status parse
+(receiver/apachereceiver/scraper.go, receiver/nginxreceiver)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.webserver_status import (
+    apache_status_points,
+    nginx_stub_status_points,
+)
+
+APACHE = "\n".join([
+    "localhost",
+    "ServerVersion: Apache/2.4.56",
+    "ServerUptimeSeconds: 410",
+    "Total Accesses: 14169",
+    "Total kBytes: 20910",
+    "Total Duration: 1501",
+    "CPUUser: 2.4",
+    "CPUSystem: 1.1",
+    "CPUChildrenUser: .25",
+    "CPUChildrenSystem: 0.75",
+    "CPULoad: .852",
+    "Load1: 0.9",
+    "Load5: 0.4",
+    "Load15: 0.3",
+    "BusyWorkers: 13",
+    "IdleWorkers: 43",
+    "ConnsTotal: 110",
+    "ConnsAsyncWriting: 2",
+    "ConnsAsyncKeepAlive: 30",
+    "ConnsAsyncClosing: 5",
+    "Scoreboard: S_RW.KDCLGI_X",
+])
+
+NGINX = ("Active connections: 291\n"
+         "server accepts handled requests\n"
+         " 16630948 16630946 31070465\n"
+         "Reading: 6 Writing: 179 Waiting: 106\n")
+
+
+def _apache(spark, payload=APACHE):
+    df = spark.createDataFrame(
+        [("127.0.0.1", "8080", payload)],
+        "server_name string, port string, payload string",
+    )
+    return apache_status_points(df).collect()
+
+
+def test_apache_simple_metrics(spark):
+    by = {(r["metric_name"], r["attr1"], r["attr2"]): r
+          for r in _apache(spark)}
+    assert by[("apache.uptime", None, None)]["value_int"] == 410
+    assert by[("apache.requests", None, None)]["value_int"] == 14169
+    assert by[("apache.traffic", None, None)]["value_int"] == 20910 * 1024
+    assert by[("apache.request.time", None, None)]["value_int"] == 1501
+    assert by[("apache.cpu.time", "self", "user")]["value_double"] == 2.4
+    assert by[("apache.cpu.time", "children", "system")][
+        "value_double"] == 0.75
+    assert by[("apache.cpu.load", None, None)]["value_double"] == 0.852
+    assert by[("apache.load.5min", None, None)]["value_double"] == 0.4
+    assert by[("apache.workers", "busy", None)]["value_int"] == 13
+    assert by[("apache.workers", "idle", None)]["value_int"] == 43
+    assert by[("apache.current_connections", None, None)][
+        "value_int"] == 110
+    assert by[("apache.connections.async", "keepalive", None)][
+        "value_int"] == 30
+    # ServerVersion has no metric mapping
+    assert not any(r[0] == "ServerVersion" for r in by)
+
+
+def test_apache_scoreboard_counts_and_unknown(spark):
+    sb = {r["attr1"]: r["value_int"] for r in _apache(spark)
+          if r["metric_name"] == "apache.scoreboard"}
+    assert sb["waiting"] == 2      # two underscores
+    assert sb["starting"] == 1
+    assert sb["open"] == 1         # one '.'
+    assert sb["unknown"] == 1      # the 'X'
+    assert sb["finishing"] == 1 and sb["idle_cleanup"] == 1
+    # zero-count known states still emitted
+    payload = APACHE.replace("S_RW.KDCLGI_X", "__")
+    sb2 = {r["attr1"]: r["value_int"] for r in _apache(spark, payload)
+           if r["metric_name"] == "apache.scoreboard"}
+    assert sb2["waiting"] == 2 and sb2["reading"] == 0
+    assert "unknown" not in sb2
+
+
+def test_apache_unparseable_skipped(spark):
+    payload = "ServerUptimeSeconds: junk\nBusyWorkers: 3"
+    by = {r["metric_name"]: r for r in _apache(spark, payload)}
+    assert "apache.uptime" not in by
+    assert by["apache.workers"]["value_int"] == 3
+
+
+def test_nginx_stub_status(spark):
+    df = spark.createDataFrame(
+        [("http://localhost/status", NGINX)],
+        "endpoint string, payload string",
+    )
+    rows = nginx_stub_status_points(df).collect()
+    by = {(r["metric_name"], r["state"]): r["value_int"] for r in rows}
+    assert by[("nginx.requests", None)] == 31070465
+    assert by[("nginx.connections_accepted", None)] == 16630948
+    assert by[("nginx.connections_handled", None)] == 16630946
+    assert by[("nginx.connections_current", "active")] == 291
+    assert by[("nginx.connections_current", "reading")] == 6
+    assert by[("nginx.connections_current", "writing")] == 179
+    assert by[("nginx.connections_current", "waiting")] == 106
