@@ -1,0 +1,131 @@
+"""SemDeDup: semantic deduplication via embedding clusters
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication" — public paper; no reference-repo
+analog, part of the LLM-data-pipeline surface).
+
+Pipeline: (1) k-means over the embedding corpus (the repo's
+exact-integer Lloyd, analysis/kmeans.py, so every quantity is
+bit-reproducible cross-engine); (2) within each cluster, pairwise
+cosine similarity; (3) for every pair above the ``eps`` threshold keep
+ONE example — the paper keeps the member with the LOWEST similarity to
+the cluster centroid, i.e. the FARTHEST from it, so a point is removed
+iff some eps-duplicate cluster-mate has strictly higher
+centroid-distance (ties broken toward the lower vec_id surviving).
+
+Exactness: cosine(x, y) >= eps over integer micro vectors is decided
+without any float: ``dot > 0 AND den^2 * dot^2 >= num^2 * |x|^2 *
+|y|^2`` with eps = num/den, evaluated in DECIMAL(38,0) (Spark) /
+HUGEINT (DuckDB) — both exact at the ~1e29 magnitudes involved.
+
+100 TB shape: the only shuffle keys are cell ids; the per-cluster
+self-join is the SemDeDup design point (cluster sizes are bounded by
+k's choice — the paper's k ~ sqrt(N) keeps |cluster|^2 tractable), and
+vectors cross the shuffle once as quantized integer arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import kmeans as KM
+
+
+def semdedup_flags(
+    emb_df: DataFrame,
+    eps_num: int = 95,
+    eps_den: int = 100,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, cell_id, d, removed): the SemDeDup keep/remove
+    decision per vector under the trained clustering."""
+    centroids, _ = KM.fit_kmeans(emb_df, k=k, iters=iters, dim=dim)
+    e = emb_df.select(
+        F.col("vec_id"), KM.to_micro(F.col("embedding")).alias("vm")
+    )
+    m = KM._assign(e, centroids).select(
+        "vec_id", "cell_id", "d", "vm",
+        F.aggregate(
+            F.transform(F.col("vm"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("nrm"),
+    )
+    a, b = m.alias("a"), m.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.vm"), F.col("b.vm"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dup = (dot > 0) & (
+        F.lit(eps_den * eps_den).cast("decimal(38,0)") * dec(dot) * dec(dot)
+        >= F.lit(eps_num * eps_num).cast("decimal(38,0)")
+        * dec(F.col("a.nrm"))
+        * dec(F.col("b.nrm"))
+    )
+    keeps_over_a = (F.col("b.d") > F.col("a.d")) | (
+        (F.col("b.d") == F.col("a.d"))
+        & (F.col("b.vec_id") < F.col("a.vec_id"))
+    )
+    removed_ids = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .filter(dup & keeps_over_a)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .select("vec_id", F.lit(True).alias("removed"))
+    )
+    return (
+        m.join(removed_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            "d",
+            F.coalesce(F.col("removed"), F.lit(False)).alias("removed"),
+        )
+    )
+
+
+def semdedup_sql(
+    table: str = "embeddings",
+    eps_num: int = 95,
+    eps_den: int = 100,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin: the unrolled k-means CTE chain + the pairwise
+    HUGEINT cosine screen."""
+    cte = KM._kmeans_cte_sql(table, k, iters, dim, prefix="sd")
+    return f"""
+WITH {cte},
+m AS (
+  SELECT vec_id, cell_id, d, vm,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+              i -> vm[i] * vm[i])) AS BIGINT) AS nrm
+  FROM sdaF),
+rem AS (
+  SELECT DISTINCT x.vec_id
+  FROM m x JOIN m y
+    ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+  WHERE (y.d > x.d OR (y.d = x.d AND y.vec_id < x.vec_id))
+    AND CAST(list_sum(list_transform(range(1, {dim + 1}),
+             i -> x.vm[i] * y.vm[i])) AS BIGINT) > 0
+    AND CAST({eps_den * eps_den} AS HUGEINT)
+        * CAST(list_sum(list_transform(range(1, {dim + 1}),
+               i -> x.vm[i] * y.vm[i])) AS HUGEINT)
+        * CAST(list_sum(list_transform(range(1, {dim + 1}),
+               i -> x.vm[i] * y.vm[i])) AS HUGEINT)
+        >= CAST({eps_num * eps_num} AS HUGEINT)
+           * CAST(x.nrm AS HUGEINT) * CAST(y.nrm AS HUGEINT))
+SELECT m.vec_id, CAST(m.cell_id AS INTEGER) AS cell_id, m.d,
+       (rem.vec_id IS NOT NULL) AS removed
+FROM m LEFT JOIN rem ON rem.vec_id = m.vec_id
+ORDER BY m.vec_id
+"""

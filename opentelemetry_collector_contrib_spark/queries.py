@@ -47,6 +47,7 @@ _PRIORITY_NAMES: list[str] = [
     "haproxy_stats_events",       # round 4: show stat CSV parse
     "redis_info_events",          # round 4: INFO text parse
     "webserver_status_events",    # round 4: apache/nginx status pages
+    "semdedup_embeddings",        # round 4: semantic dedup (SemDeDup)
 ]
 
 

@@ -1805,3 +1805,16 @@ def _unimax_oracle() -> str:
 
 
 ORACLES["unimax_mixing_documents"] = _unimax_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup over embedding
+# clusters -- exact-integer k-means + HUGEINT/DECIMAL(38) pairwise
+# cosine screen, keep-the-farthest-from-centroid rule.
+# ---------------------------------------------------------------------------
+from .analysis import semdedup as SD  # noqa: E402
+
+
+@register("semdedup_embeddings", SD.semdedup_sql("embeddings"))
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SD.semdedup_flags(_emb(spark, sf_dir)).orderBy("vec_id")

@@ -1,0 +1,53 @@
+"""SemDeDup keep/remove semantics (analysis/semdedup.py)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.analysis.semdedup import (
+    semdedup_flags,
+)
+
+
+def _df(spark, vecs, dim):
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+
+
+def test_near_duplicates_collapse_keep_farthest(spark):
+    dim = 4
+    # two near-identical vectors (cos ~ 1) + one orthogonal
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.999, 0.01, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+    ]
+    rows = {r["vec_id"]: r for r in semdedup_flags(
+        _df(spark, vecs, dim), k=1, iters=1, dim=dim).collect()}
+    dup_pair = [rows[0], rows[1]]
+    removed = [r for r in dup_pair if r["removed"]]
+    kept = [r for r in dup_pair if not r["removed"]]
+    assert len(removed) == 1 and len(kept) == 1
+    # the survivor is the farther-from-centroid member
+    assert kept[0]["d"] >= removed[0]["d"]
+    assert not rows[2]["removed"]
+
+
+def test_below_threshold_pairs_survive(spark):
+    dim = 4
+    # cos = 0.8 < 0.95 -> both kept
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.8, 0.6, 0.0, 0.0],
+    ]
+    rows = semdedup_flags(_df(spark, vecs, dim), k=1, iters=1,
+                          dim=dim).collect()
+    assert all(not r["removed"] for r in rows)
+
+
+def test_negative_similarity_never_duplicate(spark):
+    dim = 2
+    vecs = [[1.0, 0.0], [-1.0, 0.0]]
+    rows = semdedup_flags(_df(spark, vecs, dim), k=1, iters=1,
+                          dim=dim).collect()
+    assert all(not r["removed"] for r in rows)
