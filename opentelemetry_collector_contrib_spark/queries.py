@@ -48,6 +48,7 @@ _PRIORITY_NAMES: list[str] = [
     "redis_info_events",          # round 4: INFO text parse
     "webserver_status_events",    # round 4: apache/nginx status pages
     "semdedup_embeddings",        # round 4: semantic dedup (SemDeDup)
+    "journald_entries_events",    # round 4: journalctl json entries
 ]
 
 
@@ -11048,3 +11049,74 @@ SELECT * FROM u ORDER BY server, metric_name, attr1, attr2
 
 _QUERIES["webserver_status_events"] = q_webserver_status
 _ORACLES["webserver_status_events"] = _WEBSERVER_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# journald input (pkg/stanza/operator/input/journald/input.go
+# parseJournalEntry): journalctl -o json lines -> entries, incl. the
+# MESSAGE byte-array -> UTF-8 conversion and required-field drops.
+# ---------------------------------------------------------------------------
+
+def q_journald_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.journald import journald_entries
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    us = (F.unix_timestamp("ts").cast("long") * 1000000 + eid % 1000000)
+    cursor = F.concat(
+        F.lit("s="), F.substring(F.md5(eid.cast("string")), 1, 8),
+        F.lit(";i="), eid.cast("string"),
+    )
+    msg_json = F.when(
+        eid % 6 == 0,
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("event_type"), ""),
+                    lambda ch: F.ascii(ch).cast("string"),
+                ),
+                ",",
+            ),
+            F.lit("]"),
+        ),
+    ).otherwise(F.concat(F.lit('"msg-'), F.col("event_type"), F.lit('"')))
+    line = F.concat(
+        F.lit('{"__REALTIME_TIMESTAMP":"'), us.cast("string"),
+        F.lit('"'),
+        F.when(eid % 13 == 0, "").otherwise(
+            F.concat(F.lit(',"__CURSOR":"'), cursor, F.lit('"'))
+        ),
+        F.lit(',"MESSAGE":'), msg_json,
+        F.lit(',"PRIORITY":"'), (eid % 8).cast("string"),
+        F.lit('","_SYSTEMD_UNIT":"svc'), (uid % 5).cast("string"),
+        F.lit('.service","SYSLOG_IDENTIFIER":"svc'),
+        (uid % 5).cast("string"),
+        F.lit('","_HOSTNAME":"h'), (uid % 20).cast("string"),
+        F.lit('","_PID":"'), uid.cast("string"), F.lit('"}'),
+    )
+    out = journald_entries(ev.select(line.alias("line")))
+    return out.orderBy("cursor")
+
+
+_JOURNALD_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000
+           + event_id % 1000000 AS us
+  FROM events WHERE event_id % 5 = 0 AND event_id % 13 <> 0)
+SELECT 's=' || substr(md5(CAST(eid AS VARCHAR)), 1, 8) || ';i='
+         || CAST(eid AS VARCHAR) AS cursor,
+       us * 1000 AS ts_ns,
+       CASE WHEN eid % 6 = 0 THEN event_type
+            ELSE 'msg-' || event_type END AS message,
+       CAST(eid % 8 AS VARCHAR) AS priority,
+       'svc' || CAST(uid % 5 AS VARCHAR) || '.service' AS unit,
+       'svc' || CAST(uid % 5 AS VARCHAR) AS identifier,
+       'h' || CAST(uid % 20 AS VARCHAR) AS hostname,
+       CAST(uid AS VARCHAR) AS pid
+FROM f ORDER BY cursor
+"""
+
+_QUERIES["journald_entries_events"] = q_journald_entries
+_ORACLES["journald_entries_events"] = _JOURNALD_ORACLE

@@ -1,0 +1,67 @@
+"""journald JSON entry parse
+(pkg/stanza/operator/input/journald/input.go parseJournalEntry)."""
+
+from __future__ import annotations
+
+import json
+
+from opentelemetry_collector_contrib_spark.operators.journald import (
+    journald_entries,
+)
+
+
+def _run(spark, lines, **kw):
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    return journald_entries(df, **kw).collect()
+
+
+def _entry(**kw):
+    base = {
+        "__REALTIME_TIMESTAMP": "1700000000123456",
+        "__CURSOR": "s=abc;i=1",
+        "MESSAGE": "hello world",
+        "PRIORITY": "6",
+        "_SYSTEMD_UNIT": "nginx.service",
+        "SYSLOG_IDENTIFIER": "nginx",
+        "_HOSTNAME": "host-1",
+        "_PID": "901",
+    }
+    base.update(kw)
+    return json.dumps(base)
+
+
+def test_basic_entry(spark):
+    rows = _run(spark, [_entry()])
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cursor"] == "s=abc;i=1"
+    assert r["ts_ns"] == 1700000000123456 * 1000  # us -> ns
+    assert r["message"] == "hello world"
+    assert r["priority"] == "6"
+    assert r["unit"] == "nginx.service"
+    assert r["identifier"] == "nginx"
+    assert r["hostname"] == "host-1"
+    assert r["pid"] == "901"
+
+
+def test_message_byte_array_decodes(spark):
+    payload = _entry(MESSAGE=[104, 105, 32, 226, 152, 131])  # "hi ☃"
+    rows = _run(spark, [payload])
+    assert rows[0]["message"] == "hi ☃"
+    # with conversion disabled the raw JSON text passes through
+    rows2 = _run(spark, [payload], convert_message_bytes=False)
+    assert rows2[0]["message"].startswith("[104")
+
+
+def test_invalid_lines_dropped(spark):
+    lines = [
+        "not json at all",
+        json.dumps({"__CURSOR": "c", "MESSAGE": "m"}),       # no ts
+        json.dumps({"__REALTIME_TIMESTAMP": "123",
+                    "MESSAGE": "m"}),                         # no cursor
+        json.dumps({"__REALTIME_TIMESTAMP": "junk",
+                    "__CURSOR": "c"}),                        # bad ts
+        _entry(),
+    ]
+    rows = _run(spark, lines)
+    assert len(rows) == 1
