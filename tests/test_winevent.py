@@ -223,12 +223,15 @@ def test_column_machine_matches_python_port(spark):
         assert s["details_json"] == want_details, m
 
 
-def test_no_python_eval_in_plan(spark):
-    """The Security branch must stay JVM-side: no ArrowEvalPython /
-    BatchEvalPython node in the physical plan."""
+def test_column_engine_has_no_python_eval_in_plan(spark):
+    """With security_engine="column" the plan is pure JVM: no
+    ArrowEvalPython / BatchEvalPython node anywhere."""
     df = spark.createDataFrame(
         [("<Event><System><Channel>Security</Channel></System></Event>",)],
         "xml string",
     )
-    plan = windows_event_records(df)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        windows_event_records(df, security_engine="column")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "EvalPython" not in plan
