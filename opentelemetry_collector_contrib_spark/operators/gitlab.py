@@ -200,21 +200,13 @@ def gitlab_pipeline_to_spans(
         _NULL_S.alias("worker_name"),
     ]
 
-    pipeline_spans = base.select(
-        F.lit("pipeline").alias("span_type"),
-        F.col("__trace_id").alias("trace_id"),
-        F.col("__pipe_span").alias("span_id"),
-        _NULL_S.alias("parent_span_id"),
-        F.when(oa["name"] != "", oa["name"])
-        .otherwise(F.col("cm")["title"])
-        .alias("span_name"),
-        _ns(F.col("__created_ts")).alias("start_ns"),
-        _ns(F.col("__finished_ts")).alias("end_ns"),
-        _status_code(oa["status"]).alias("status_code"),
-        *job_attrs_null,
-        *res_cols,
-    )
-
+    # ---- single-pass span assembly ----------------------------------
+    # One posexplode of the builds array; stage aggregates as window
+    # functions; then EVERY span class is built as a struct candidate
+    # per exploded row and emitted through ONE explode — the earlier
+    # three-branch union re-parsed the JSON and re-ran the windows once
+    # per span class (measured 12.6s at sf0.1; this shape runs the
+    # parse once).
     jb = base.select(
         "*",
         F.posexplode_outer(F.col("builds")).alias("__pos", "__b"),
@@ -247,68 +239,118 @@ def gitlab_pipeline_to_spans(
         .alias("__stage_rn"),
     )
 
-    stage_span = new_stage_span_id(
-        oa["id"], b["stage"], F.coalesce(F.col("__stage_started"), F.lit(""))
+    def span(span_type, span_id, parent, name, start_ts, end_ts,
+             status, task_run_id=None, task_run_url=None,
+             queued_duration=None, failure_reason=None,
+             allow_failure=None, worker_id=None, worker_name=None):
+        return F.struct(
+            F.lit(span_type).alias("span_type"),
+            span_id.alias("span_id"),
+            (parent if parent is not None else _NULL_S)
+            .alias("parent_span_id"),
+            name.alias("span_name"),
+            _ns(start_ts).alias("start_ns"),
+            _ns(end_ts).alias("end_ns"),
+            _status_code(status).alias("status_code"),
+            (task_run_id if task_run_id is not None else _NULL_L)
+            .alias("task_run_id"),
+            (task_run_url if task_run_url is not None else _NULL_S)
+            .alias("task_run_url"),
+            (queued_duration if queued_duration is not None else _NULL_D)
+            .alias("queued_duration"),
+            (failure_reason if failure_reason is not None else _NULL_S)
+            .alias("failure_reason"),
+            (allow_failure if allow_failure is not None else _NULL_B)
+            .alias("allow_failure"),
+            (worker_id if worker_id is not None else _NULL_L)
+            .alias("worker_id"),
+            (worker_name if worker_name is not None else _NULL_S)
+            .alias("worker_name"),
+        )
+
+    stage_started = F.coalesce(F.col("__stage_started"), F.lit(""))
+    stage_span_id = new_stage_span_id(oa["id"], b["stage"], stage_started)
+
+    pipeline_cand = F.when(
+        F.coalesce(F.col("__pos"), F.lit(0)) == 0,
+        span(
+            "pipeline",
+            F.col("__pipe_span"),
+            None,
+            F.when(oa["name"] != "", oa["name"])
+            .otherwise(F.col("cm")["title"]),
+            F.col("__created_ts"),
+            F.col("__finished_ts"),
+            oa["status"],
+        ),
     )
-    stage_spans = (
-        jb.filter(F.col("__stage_rn") == 1)
-        .filter(
-            # setSpanIDs/setSpanData for a stage require parseable
-            # start/finish (newStageSpanID + setSpanTimeStamps)
-            parse_gitlab_time(
-                F.coalesce(F.col("__stage_started"), F.lit(""))
-            ).isNotNull()
-            & parse_gitlab_time(
-                F.coalesce(F.col("__stage_finished"), F.lit(""))
-            ).isNotNull()
-        )
-        .select(
-            F.lit("stage").alias("span_type"),
-            F.col("__trace_id").alias("trace_id"),
-            stage_span.alias("span_id"),
-            F.col("__pipe_span").alias("parent_span_id"),
-            b["stage"].alias("span_name"),
-            _ns(parse_gitlab_time(F.col("__stage_started"))).alias(
-                "start_ns"
+    stage_cand = F.when(
+        (F.col("__stage_rn") == 1)
+        & parse_gitlab_time(stage_started).isNotNull()
+        & parse_gitlab_time(
+            F.coalesce(F.col("__stage_finished"), F.lit(""))
+        ).isNotNull(),
+        span(
+            "stage",
+            stage_span_id,
+            F.col("__pipe_span"),
+            b["stage"],
+            parse_gitlab_time(F.col("__stage_started")),
+            parse_gitlab_time(F.col("__stage_finished")),
+            F.col("__stage_status"),
+        ),
+    )
+    job_cand = F.when(
+        (b["finished_at"] != "")
+        & parse_gitlab_time(b["started_at"]).isNotNull()
+        & parse_gitlab_time(b["finished_at"]).isNotNull(),
+        span(
+            "job",
+            new_job_span_id(b["id"], b["started_at"]),
+            stage_span_id,
+            b["name"],
+            parse_gitlab_time(b["started_at"]),
+            parse_gitlab_time(b["finished_at"]),
+            b["status"],
+            task_run_id=b["id"],
+            task_run_url=F.concat(
+                F.col("repo_url"), F.lit("/-/jobs/"),
+                b["id"].cast("string"),
             ),
-            _ns(parse_gitlab_time(F.col("__stage_finished"))).alias(
-                "end_ns"
-            ),
-            _status_code(F.col("__stage_status")).alias("status_code"),
-            *job_attrs_null,
-            *res_cols,
-        )
+            queued_duration=b["queued_duration"],
+            failure_reason=b["failure_reason"],
+            allow_failure=b["allow_failure"],
+            worker_id=b["runner"]["id"],
+            worker_name=b["runner"]["description"],
+        ),
     )
 
-    job_spans = (
-        jb.filter(b["finished_at"] != "")
-        .filter(
-            parse_gitlab_time(b["started_at"]).isNotNull()
-            & parse_gitlab_time(b["finished_at"]).isNotNull()
-        )
-        .select(
-            F.lit("job").alias("span_type"),
-            F.col("__trace_id").alias("trace_id"),
-            new_job_span_id(b["id"], b["started_at"]).alias("span_id"),
-            new_stage_span_id(
-                oa["id"], b["stage"],
-                F.coalesce(F.col("__stage_started"), F.lit("")),
-            ).alias("parent_span_id"),
-            b["name"].alias("span_name"),
-            _ns(parse_gitlab_time(b["started_at"])).alias("start_ns"),
-            _ns(parse_gitlab_time(b["finished_at"])).alias("end_ns"),
-            _status_code(b["status"]).alias("status_code"),
-            b["id"].alias("task_run_id"),
-            F.concat(
-                F.col("repo_url"), F.lit("/-/jobs/"), b["id"].cast("string")
-            ).alias("task_run_url"),
-            b["queued_duration"].alias("queued_duration"),
-            b["failure_reason"].alias("failure_reason"),
-            b["allow_failure"].alias("allow_failure"),
-            b["runner"]["id"].alias("worker_id"),
-            b["runner"]["description"].alias("worker_name"),
-            *res_cols,
-        )
+    out = jb.select(
+        F.col("__trace_id").alias("trace_id"),
+        *res_cols,
+        F.explode(
+            F.filter(
+                F.array(pipeline_cand, stage_cand, job_cand),
+                lambda c: c.isNotNull(),
+            )
+        ).alias("__s"),
     )
-
-    return pipeline_spans.unionByName(stage_spans).unionByName(job_spans)
+    sp = F.col("__s")
+    return out.select(
+        sp["span_type"].alias("span_type"),
+        "trace_id",
+        sp["span_id"].alias("span_id"),
+        sp["parent_span_id"].alias("parent_span_id"),
+        sp["span_name"].alias("span_name"),
+        sp["start_ns"].alias("start_ns"),
+        sp["end_ns"].alias("end_ns"),
+        sp["status_code"].alias("status_code"),
+        sp["task_run_id"].alias("task_run_id"),
+        sp["task_run_url"].alias("task_run_url"),
+        sp["queued_duration"].alias("queued_duration"),
+        sp["failure_reason"].alias("failure_reason"),
+        sp["allow_failure"].alias("allow_failure"),
+        sp["worker_id"].alias("worker_id"),
+        sp["worker_name"].alias("worker_name"),
+        *res_cols,
+    )
