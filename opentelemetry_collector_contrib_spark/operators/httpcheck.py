@@ -1,0 +1,171 @@
+"""httpcheckreceiver: check results -> metric datapoints
+(receiver/httpcheckreceiver/scraper.go).
+
+The live probe (httptrace timings, TLS state) is transport; the
+analytics semantics — how one check result fans out into datapoints —
+are reproduced over a recorded check-result table:
+
+* httpcheck.duration always; httpcheck.response_size only for a
+  non-empty body (:371-379);
+* the five timing breakdowns always recorded (:396-401), the TCP one
+  carrying protocol "tcp";
+* validation counters (:127-180 validateResponse + :385-392):
+  ``contains`` / ``not_contains`` string matching and a dotted
+  ``json_path`` (+ optional ``equals``) check — per-type passed/failed
+  counts, only non-zero counts emitted (Go map iteration), and only
+  when the body is non-empty and validations are configured;
+* httpcheck.error with the error message when the request failed
+  (:419-426); status code counts as 0 then;
+* httpcheck.status fan-out (:430-452): ONE row per response class
+  1xx..5xx — value 1 with (status_code, method, class) on the
+  matching class, value 0 otherwise with the http.status_code
+  attribute REMOVED post-emit (removeStatusCodeForZeroValues
+  :466-492), modeled as NULL.
+
+json_path uses Spark's get_json_object over ``$.dotted.path`` — the
+documented subset of gjson paths (plain dotted field access).
+
+Pure Column code; one bounded per-row explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+RESPONSE_CLASSES = [("1xx", 1), ("2xx", 2), ("3xx", 3), ("4xx", 4),
+                    ("5xx", 5)]
+
+TIMING_METRICS = [
+    ("dns_ms", "httpcheck.dns_lookup.duration", None),
+    ("tcp_ms", "httpcheck.client.connection.duration", "tcp"),
+    ("tls_ms", "httpcheck.tls_handshake.duration", None),
+    ("request_ms", "httpcheck.client.request.duration", None),
+    ("response_ms", "httpcheck.response.duration", None),
+]
+
+
+def httpcheck_points(
+    df: DataFrame, validations: list[dict] | None = None
+) -> DataFrame:
+    """(endpoint, metric_name, method, status_class, status_code,
+    validation_type, error_message, extra, value) per datapoint."""
+    validations = validations or []
+    null_s = F.lit(None).cast("string")
+    null_i = F.lit(None).cast("bigint")
+
+    def point(metric, value, method=None, status_class=None,
+              status_code=None, validation_type=None,
+              error_message=None, extra=None) -> Column:
+        return F.struct(
+            F.lit(metric).alias("metric_name"),
+            value.cast("bigint").alias("value"),
+            (method if method is not None else null_s).alias("method"),
+            (status_class if status_class is not None else null_s)
+            .alias("status_class"),
+            (status_code if status_code is not None else null_i)
+            .alias("status_code"),
+            (validation_type if validation_type is not None else null_s)
+            .alias("validation_type"),
+            (error_message if error_message is not None else null_s)
+            .alias("error_message"),
+            (extra if extra is not None else null_s).alias("extra"),
+        )
+
+    body = F.coalesce(F.col("body"), F.lit(""))
+    has_body = F.octet_length(body) > 0
+    err = F.col("error")
+    status = F.when(err.isNotNull(), 0).otherwise(
+        F.coalesce(F.col("status_code"), F.lit(0))
+    )
+
+    cands: list[Column] = [
+        point("httpcheck.duration", F.col("duration_ms")),
+        F.when(
+            has_body,
+            point("httpcheck.response_size", F.octet_length(body)),
+        ),
+    ]
+    for field, metric, proto in TIMING_METRICS:
+        cands.append(
+            point(metric, F.coalesce(F.col(field), F.lit(0)),
+                  extra=F.lit(proto) if proto else None)
+        )
+
+    # validations: per-type pass/fail counts over the configured list
+    if validations:
+        checks: dict[str, list[Column]] = {}
+
+        def add(vtype: str, ok: Column) -> None:
+            checks.setdefault(vtype, []).append(ok)
+
+        for v in validations:
+            if v.get("contains"):
+                add("contains", body.contains(v["contains"]))
+            if v.get("not_contains"):
+                add("not_contains", ~body.contains(v["not_contains"]))
+            if v.get("json_path"):
+                got = F.get_json_object(body, "$." + v["json_path"])
+                if v.get("equals"):
+                    add("json_path",
+                        got.isNotNull() & (got == v["equals"]))
+                else:
+                    add("json_path", got.isNotNull())
+        for vtype, oks in checks.items():
+            passed = sum(
+                (F.when(ok, 1).otherwise(0) for ok in oks), F.lit(0)
+            )
+            failed = F.lit(len(oks)) - passed
+            cands.append(
+                F.when(
+                    has_body & (passed > 0),
+                    point("httpcheck.validation.passed", passed,
+                          validation_type=F.lit(vtype)),
+                )
+            )
+            cands.append(
+                F.when(
+                    has_body & (failed > 0),
+                    point("httpcheck.validation.failed", failed,
+                          validation_type=F.lit(vtype)),
+                )
+            )
+
+    cands.append(
+        F.when(
+            err.isNotNull(),
+            point("httpcheck.error", F.lit(1), error_message=err),
+        )
+    )
+    for cls, val in RESPONSE_CLASSES:
+        match = (status / 100).cast("int") == val
+        cands.append(
+            F.when(
+                match,
+                point("httpcheck.status", F.lit(1),
+                      method=F.col("method"), status_class=F.lit(cls),
+                      status_code=status.cast("bigint")),
+            ).otherwise(
+                point("httpcheck.status", F.lit(0),
+                      method=F.col("method"), status_class=F.lit(cls))
+            )
+        )
+
+    out = df.select(
+        "endpoint",
+        F.explode(
+            F.filter(F.array(*cands), lambda c: c.isNotNull())
+        ).alias("__m"),
+    )
+    m = F.col("__m")
+    return out.select(
+        "endpoint",
+        m["metric_name"].alias("metric_name"),
+        m["method"].alias("method"),
+        m["status_class"].alias("status_class"),
+        m["status_code"].alias("status_code"),
+        m["validation_type"].alias("validation_type"),
+        m["error_message"].alias("error_message"),
+        m["extra"].alias("extra"),
+        m["value"].alias("value"),
+    )

@@ -49,6 +49,7 @@ _PRIORITY_NAMES: list[str] = [
     "webserver_status_events",    # round 4: apache/nginx status pages
     "semdedup_embeddings",        # round 4: semantic dedup (SemDeDup)
     "journald_entries_events",    # round 4: journalctl json entries
+    "httpcheck_points_events",    # round 4: check-result fan-out
 ]
 
 
@@ -11120,3 +11121,117 @@ FROM f ORDER BY cursor
 
 _QUERIES["journald_entries_events"] = q_journald_entries
 _ORACLES["journald_entries_events"] = _JOURNALD_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# httpcheckreceiver (receiver/httpcheckreceiver/scraper.go): recorded
+# check results -> the datapoint fan-out (status classes with the
+# zero-value attr removal, validations, timings, error rows).
+# ---------------------------------------------------------------------------
+
+def q_httpcheck_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.httpcheck import httpcheck_points
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    checks = ev.select(
+        F.concat(F.lit("https://svc"), (uid % 6).cast("string"),
+                 F.lit("/health")).alias("endpoint"),
+        F.when(eid % 2 == 0, "GET").otherwise("POST").alias("method"),
+        F.element_at(
+            F.array(F.lit(200), F.lit(301), F.lit(404), F.lit(503),
+                    F.lit(101)),
+            (eid % 5 + 1).cast("int"),
+        ).alias("status_code"),
+        F.when(eid % 17 == 0, "dial tcp: timeout").alias("error"),
+        (eid % 5000).cast("bigint").alias("duration_ms"),
+        (eid % 30).cast("bigint").alias("dns_ms"),
+        (eid % 40).cast("bigint").alias("tcp_ms"),
+        (eid % 50).cast("bigint").alias("tls_ms"),
+        (eid % 20).cast("bigint").alias("request_ms"),
+        (eid % 60).cast("bigint").alias("response_ms"),
+        F.element_at(
+            F.array(F.lit('{"status":"ok"}'),
+                    F.lit('{"status":"degraded"}'), F.lit("")),
+            (eid % 3 + 1).cast("int"),
+        ).alias("body"),
+    )
+    out = httpcheck_points(
+        checks,
+        validations=[{"contains": "ok"},
+                     {"json_path": "status", "equals": "ok"}],
+    )
+    return out.orderBy("endpoint", "metric_name", "status_class",
+                       "validation_type", "value")
+
+
+_HTTPCHECK_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid,
+         'https://svc' || CAST(user_id % 6 AS VARCHAR) || '/health'
+           AS endpoint,
+         CASE WHEN event_id % 2 = 0 THEN 'GET' ELSE 'POST' END
+           AS method,
+         CASE event_id % 5 WHEN 0 THEN 200 WHEN 1 THEN 301
+              WHEN 2 THEN 404 WHEN 3 THEN 503 ELSE 101 END AS sc,
+         (event_id % 17 = 0) AS has_err,
+         CASE event_id % 3 WHEN 0 THEN '{"status":"ok"}'
+              WHEN 1 THEN '{"status":"degraded"}' ELSE '' END AS body
+  FROM events WHERE event_id % 23 = 0),
+g AS (
+  SELECT *, CASE WHEN has_err THEN 0 ELSE sc END AS status
+  FROM f),
+u AS (
+  SELECT endpoint, 'httpcheck.duration' AS metric_name,
+         CAST(NULL AS VARCHAR) AS method,
+         CAST(NULL AS VARCHAR) AS status_class,
+         CAST(NULL AS BIGINT) AS status_code,
+         CAST(NULL AS VARCHAR) AS validation_type,
+         CAST(NULL AS VARCHAR) AS error_message,
+         CAST(NULL AS VARCHAR) AS extra,
+         CAST(eid % 5000 AS BIGINT) AS value FROM g
+  UNION ALL SELECT endpoint, 'httpcheck.response_size', NULL, NULL,
+         NULL, NULL, NULL, NULL, CAST(strlen(body) AS BIGINT)
+  FROM g WHERE body <> ''
+  UNION ALL SELECT endpoint, 'httpcheck.dns_lookup.duration', NULL,
+         NULL, NULL, NULL, NULL, NULL, CAST(eid % 30 AS BIGINT) FROM g
+  UNION ALL SELECT endpoint, 'httpcheck.client.connection.duration',
+         NULL, NULL, NULL, NULL, NULL, 'tcp',
+         CAST(eid % 40 AS BIGINT) FROM g
+  UNION ALL SELECT endpoint, 'httpcheck.tls_handshake.duration', NULL,
+         NULL, NULL, NULL, NULL, NULL, CAST(eid % 50 AS BIGINT) FROM g
+  UNION ALL SELECT endpoint, 'httpcheck.client.request.duration',
+         NULL, NULL, NULL, NULL, NULL, NULL,
+         CAST(eid % 20 AS BIGINT) FROM g
+  UNION ALL SELECT endpoint, 'httpcheck.response.duration', NULL,
+         NULL, NULL, NULL, NULL, NULL, CAST(eid % 60 AS BIGINT) FROM g
+  UNION ALL SELECT endpoint, 'httpcheck.validation.passed', NULL,
+         NULL, NULL, 'contains', NULL, NULL, CAST(1 AS BIGINT)
+  FROM g WHERE eid % 3 = 0
+  UNION ALL SELECT endpoint, 'httpcheck.validation.failed', NULL,
+         NULL, NULL, 'contains', NULL, NULL, CAST(1 AS BIGINT)
+  FROM g WHERE eid % 3 = 1
+  UNION ALL SELECT endpoint, 'httpcheck.validation.passed', NULL,
+         NULL, NULL, 'json_path', NULL, NULL, CAST(1 AS BIGINT)
+  FROM g WHERE eid % 3 = 0
+  UNION ALL SELECT endpoint, 'httpcheck.validation.failed', NULL,
+         NULL, NULL, 'json_path', NULL, NULL, CAST(1 AS BIGINT)
+  FROM g WHERE eid % 3 = 1
+  UNION ALL SELECT endpoint, 'httpcheck.error', NULL, NULL, NULL,
+         NULL, 'dial tcp: timeout', NULL, CAST(1 AS BIGINT)
+  FROM g WHERE has_err
+  UNION ALL
+  SELECT endpoint, 'httpcheck.status', method, c.cls, 
+         CASE WHEN status // 100 = c.v THEN CAST(status AS BIGINT)
+              ELSE CAST(NULL AS BIGINT) END,
+         NULL, NULL, NULL,
+         CAST(CASE WHEN status // 100 = c.v THEN 1 ELSE 0 END
+              AS BIGINT)
+  FROM g CROSS JOIN (VALUES ('1xx', 1), ('2xx', 2), ('3xx', 3),
+        ('4xx', 4), ('5xx', 5)) AS c(cls, v))
+SELECT * FROM u
+ORDER BY endpoint, metric_name, status_class, validation_type, value
+"""
+
+_QUERIES["httpcheck_points_events"] = q_httpcheck_points
+_ORACLES["httpcheck_points_events"] = _HTTPCHECK_ORACLE

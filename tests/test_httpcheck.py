@@ -1,0 +1,86 @@
+"""httpcheckreceiver result fan-out
+(receiver/httpcheckreceiver/scraper.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.httpcheck import (
+    httpcheck_points,
+)
+
+SCHEMA = (
+    "endpoint string, method string, status_code int, error string,"
+    " duration_ms bigint, dns_ms bigint, tcp_ms bigint, tls_ms bigint,"
+    " request_ms bigint, response_ms bigint, body string"
+)
+
+
+def _run(spark, rows, validations=None):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return httpcheck_points(df, validations=validations).collect()
+
+
+def test_success_fanout(spark):
+    rows = _run(spark, [
+        ("https://a/health", "GET", 200, None, 42, 1, 2, 3, 4, 5,
+         '{"status":"ok"}'),
+    ])
+    by = {(r["metric_name"], r["status_class"], r["extra"]): r
+          for r in rows}
+    assert by[("httpcheck.duration", None, None)]["value"] == 42
+    assert by[("httpcheck.response_size", None, None)]["value"] == 15
+    assert by[("httpcheck.dns_lookup.duration", None, None)]["value"] == 1
+    assert by[(
+        "httpcheck.client.connection.duration", None, "tcp")]["value"] == 2
+    status = {r["status_class"]: r for r in rows
+              if r["metric_name"] == "httpcheck.status"}
+    assert len(status) == 5
+    assert status["2xx"]["value"] == 1
+    assert status["2xx"]["status_code"] == 200
+    assert status["2xx"]["method"] == "GET"
+    # non-matching classes: value 0, status_code attr removed (NULL)
+    assert status["4xx"]["value"] == 0
+    assert status["4xx"]["status_code"] is None
+
+
+def test_error_path(spark):
+    rows = _run(spark, [
+        ("https://b", "GET", None, "dial tcp: timeout", 1000, 0, 0, 0,
+         0, 0, ""),
+    ])
+    by = {r["metric_name"]: r for r in rows
+          if r["metric_name"] in ("httpcheck.error",
+                                  "httpcheck.response_size")}
+    assert by["httpcheck.error"]["value"] == 1
+    assert by["httpcheck.error"]["error_message"] == "dial tcp: timeout"
+    assert "httpcheck.response_size" not in by  # empty body
+    # statusCode 0 -> every class row is 0
+    assert all(r["value"] == 0 for r in rows
+               if r["metric_name"] == "httpcheck.status")
+
+
+def test_validations(spark):
+    validations = [{"contains": "ok"}, {"not_contains": "error"},
+                   {"json_path": "status", "equals": "ok"}]
+    rows = _run(spark, [
+        ("https://a", "GET", 200, None, 1, 0, 0, 0, 0, 0,
+         '{"status":"ok"}'),
+        ("https://b", "GET", 200, None, 1, 0, 0, 0, 0, 0,
+         '{"status":"error"}'),
+    ], validations=validations)
+    by = {(r["endpoint"], r["metric_name"], r["validation_type"]):
+          r["value"] for r in rows if r["validation_type"]}
+    assert by[("https://a", "httpcheck.validation.passed",
+               "contains")] == 1
+    assert by[("https://a", "httpcheck.validation.passed",
+               "not_contains")] == 1
+    assert by[("https://a", "httpcheck.validation.passed",
+               "json_path")] == 1
+    # b: contains "ok"? no; not_contains "error"? fails; json equals
+    assert ("https://b", "httpcheck.validation.passed",
+            "contains") not in by
+    assert by[("https://b", "httpcheck.validation.failed",
+               "contains")] == 1
+    assert by[("https://b", "httpcheck.validation.failed",
+               "not_contains")] == 1
+    assert by[("https://b", "httpcheck.validation.failed",
+               "json_path")] == 1
