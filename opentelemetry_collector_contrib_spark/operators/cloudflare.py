@@ -1,0 +1,132 @@
+"""cloudflarereceiver: Logpush NDJSON -> log records
+(receiver/cloudflarereceiver/logs.go).
+
+Semantics reproduced:
+
+* parsePayload (:210-226): one JSON object per non-empty line.
+* records group by ZoneName into resources carrying the
+  ``cloudflare.zone`` attribute, empty/missing zone -> no attribute
+  (:227-249).
+* timestamp from the configured field in the configured format
+  (:255-316): ``unix`` seconds / ``unixnano`` / ``rfc3339``; Go's
+  json.Unmarshal delivers every JSON number as float64, and string
+  values go through ParseInt — an unparseable value leaves the record
+  timestamp UNSET (zero).
+* severity from EdgeResponseStatus (:318-333 + :406-419): <300 Info(9),
+  <400 Info2(10), <500 Warn(13), <600 Error(17), else unset.
+* attributes (:336-392): the configured field->attribute mapping
+  (unmapped fields skipped when a mapping is configured); scalar
+  typing follows encoding/json — every number is a DOUBLE, bools and
+  strings as-is; map-valued fields flatten one level per nesting with
+  the configured separator and ``-`` -> ``_`` in flattened keys
+  (:421-435); the raw record becomes the body map (:395).
+
+This battery takes the mapping as a typed dict (field -> (attribute
+name, one of string|double|bool|map)) so extraction stays
+schema-driven Column code. Attributes are rendered as one canonical
+sorted ``name=value`` string per record (values via their Spark
+string rendering; doubles keep shortest-form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEV_LADDER = [(300, 9, "Info"), (400, 10, "Info2"), (500, 13, "Warn"),
+              (600, 17, "Error")]
+
+
+def _severity(status: Column) -> tuple[Column, Column]:
+    num = F.lit(0)
+    txt = F.lit(None).cast("string")
+    for bound, n, t in reversed(SEV_LADDER):
+        num = F.when(status < bound, n).otherwise(num)
+        txt = F.when(status < bound, t).otherwise(txt)
+    num = F.when(status.isNull(), 0).otherwise(num)
+    txt = F.when(status.isNull(), F.lit(None).cast("string")).otherwise(txt)
+    return num, txt
+
+
+def cloudflare_logs(
+    df: DataFrame,
+    fields: dict[str, tuple[str, str]],
+    line: str = "line",
+    timestamp_field: str = "EdgeStartTimestamp",
+    timestamp_format: str = "rfc3339",
+    separator: str = ".",
+) -> DataFrame:
+    p = F.col(line)
+
+    ts_raw = F.get_json_object(p, f"$.{timestamp_field}")
+    if timestamp_format == "unix":
+        ts_ns = ts_raw.try_cast("double").cast("bigint") * 1_000_000_000
+    elif timestamp_format == "unixnano":
+        ts_ns = ts_raw.try_cast("double").cast("bigint")
+    else:  # rfc3339
+        ts_ns = (
+            F.unix_timestamp(
+                F.try_to_timestamp(ts_raw, F.lit("yyyy-MM-dd'T'HH:mm:ssX"))
+            ).cast("bigint")
+            * 1_000_000_000
+        )
+    ts_ns = F.coalesce(ts_ns, F.lit(0).cast("bigint"))
+
+    status = F.get_json_object(p, "$.EdgeResponseStatus").try_cast(
+        "double"
+    ).cast("bigint")
+    sev_num, sev_txt = _severity(status)
+
+    attr_parts: list[Column] = []
+    for field, (attr, dtype) in sorted(fields.items(),
+                                       key=lambda kv: kv[1][0]):
+        raw = F.get_json_object(p, f"$.{field}")
+        if dtype == "double":
+            rendered = raw.try_cast("double").cast("string")
+        elif dtype == "bool":
+            rendered = F.when(raw.isin("true", "false"), raw)
+        elif dtype == "map":
+            entries = F.map_entries(
+                F.from_json(raw, "map<string,string>")
+            )
+            rendered = F.array_join(
+                F.array_sort(
+                    F.transform(
+                        entries,
+                        lambda e: F.concat(
+                            F.lit(attr + separator),
+                            F.regexp_replace(e["key"], "-", "_"),
+                            F.lit("="), e["value"],
+                        ),
+                    )
+                ),
+                ",",
+            )
+            attr_parts.append(F.when(raw.isNotNull(), rendered))
+            continue
+        else:
+            rendered = raw
+        attr_parts.append(
+            F.when(
+                raw.isNotNull() & rendered.isNotNull(),
+                F.concat(F.lit(attr + "="), rendered),
+            )
+        )
+
+    attrs = F.array_join(
+        F.array_sort(
+            F.filter(F.array(*attr_parts), lambda a: a.isNotNull())
+        ),
+        ",",
+    )
+
+    zone = F.get_json_object(p, "$.ZoneName")
+    out = df.filter(F.length(F.trim(p)) > 0).select(
+        zone.alias("zone"),
+        ts_ns.alias("ts_ns"),
+        sev_num.cast("int").alias("severity_number"),
+        sev_txt.alias("severity_text"),
+        attrs.alias("attributes"),
+        p.alias("body"),
+    )
+    return out

@@ -50,6 +50,7 @@ _PRIORITY_NAMES: list[str] = [
     "semdedup_embeddings",        # round 4: semantic dedup (SemDeDup)
     "journald_entries_events",    # round 4: journalctl json entries
     "httpcheck_points_events",    # round 4: check-result fan-out
+    "cloudflare_logs_events",     # round 4: logpush ndjson mapping
 ]
 
 
@@ -11235,3 +11236,106 @@ ORDER BY endpoint, metric_name, status_class, validation_type, value
 
 _QUERIES["httpcheck_points_events"] = q_httpcheck_points
 _ORACLES["httpcheck_points_events"] = _HTTPCHECK_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# cloudflarereceiver (receiver/cloudflarereceiver/logs.go): Logpush
+# NDJSON -> log records (zone resource, rfc3339/unix timestamps,
+# EdgeResponseStatus severity ladder, typed configured attributes with
+# one-level map flattening and - -> _ keys).
+# ---------------------------------------------------------------------------
+
+def q_cloudflare_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cloudflare import cloudflare_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 29 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    status = F.element_at(
+        F.array(F.lit(200), F.lit(301), F.lit(404), F.lit(503),
+                F.lit(700)),
+        (eid % 5 + 1).cast("int"),
+    )
+    cookies = F.when(
+        eid % 3 == 0,
+        F.concat(F.lit(',"Cookies":{"session-id":"s'),
+                 eid.cast("string"), F.lit('","a-b":"v"}')),
+    ).otherwise(F.lit(""))
+    line = F.concat(
+        F.lit('{"EdgeStartTimestamp":"'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z"),
+        F.lit('","ZoneName":"z'), (uid % 4).cast("string"),
+        F.lit('.example","ClientIP":"10.0.'),
+        (uid % 200).cast("string"), F.lit("."),
+        (eid % 250).cast("string"),
+        F.lit('","EdgeResponseStatus":'), status.cast("string"),
+        F.lit(',"CacheCacheStatus":"'),
+        F.when(eid % 2 == 0, "hit").otherwise("miss"),
+        F.lit('","BotScore":'), (eid % 100).cast("string"),
+        cookies,
+        F.lit(',"EdgeServerTLS":'),
+        F.when(eid % 2 == 0, "true").otherwise("false"),
+        F.lit("}"),
+    )
+    out = cloudflare_logs(
+        ev.select(line.alias("line")),
+        {
+            "ClientIP": ("http_request.client_ip", "string"),
+            "EdgeResponseStatus": ("http_response.status", "double"),
+            "CacheCacheStatus": ("cache.status", "string"),
+            "BotScore": ("bot.score", "double"),
+            "Cookies": ("cookies", "map"),
+            "EdgeServerTLS": ("tls.enabled", "bool"),
+        },
+    )
+    return out.orderBy("zone", "ts_ns", "attributes")
+
+
+_CLOUDFLARE_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts,
+         'z' || CAST(user_id % 4 AS VARCHAR) || '.example' AS zone,
+         CASE event_id % 5 WHEN 0 THEN 200 WHEN 1 THEN 301
+              WHEN 2 THEN 404 WHEN 3 THEN 503 ELSE 700 END AS status,
+         '10.0.' || CAST(user_id % 200 AS VARCHAR) || '.'
+           || CAST(event_id % 250 AS VARCHAR) AS ip,
+         CASE WHEN event_id % 2 = 0 THEN 'hit' ELSE 'miss' END AS cache,
+         CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END AS tls
+  FROM events WHERE event_id % 29 = 0),
+g AS (
+  SELECT *,
+    'bot.score=' || CAST(CAST(eid % 100 AS DOUBLE) AS VARCHAR)
+      || ',cache.status=' || cache
+      || CASE WHEN eid % 3 = 0
+              THEN ',cookies.a_b=v,cookies.session_id=s'
+                   || CAST(eid AS VARCHAR)
+              ELSE '' END
+      || ',http_request.client_ip=' || ip
+      || ',http_response.status='
+      || CAST(CAST(status AS DOUBLE) AS VARCHAR)
+      || ',tls.enabled=' || tls AS attributes,
+    CASE WHEN status < 300 THEN 9 WHEN status < 400 THEN 10
+         WHEN status < 500 THEN 13 WHEN status < 600 THEN 17
+         ELSE 0 END AS sev_num,
+    CASE WHEN status < 300 THEN 'Info' WHEN status < 400 THEN 'Info2'
+         WHEN status < 500 THEN 'Warn' WHEN status < 600 THEN 'Error'
+         ELSE NULL END AS sev_txt,
+    '{"EdgeStartTimestamp":"' || strftime(ts, '%Y-%m-%dT%H:%M:%S')
+      || 'Z","ZoneName":"' || zone || '","ClientIP":"' || ip
+      || '","EdgeResponseStatus":' || CAST(status AS VARCHAR)
+      || ',"CacheCacheStatus":"' || cache || '","BotScore":'
+      || CAST(eid % 100 AS VARCHAR)
+      || CASE WHEN eid % 3 = 0
+              THEN ',"Cookies":{"session-id":"s' || CAST(eid AS VARCHAR)
+                   || '","a-b":"v"}' ELSE '' END
+      || ',"EdgeServerTLS":' || tls || '}' AS body
+  FROM f)
+SELECT zone,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS ts_ns,
+       CAST(sev_num AS INTEGER) AS severity_number,
+       sev_txt AS severity_text,
+       attributes, body
+FROM g ORDER BY zone, ts_ns, attributes
+"""
+
+_QUERIES["cloudflare_logs_events"] = q_cloudflare_logs
+_ORACLES["cloudflare_logs_events"] = _CLOUDFLARE_ORACLE

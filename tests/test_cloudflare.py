@@ -1,0 +1,98 @@
+"""cloudflarereceiver Logpush NDJSON mapping
+(receiver/cloudflarereceiver/logs.go)."""
+
+from __future__ import annotations
+
+import json
+
+from opentelemetry_collector_contrib_spark.operators.cloudflare import (
+    cloudflare_logs,
+)
+
+FIELDS = {
+    "ClientIP": ("http_request.client_ip", "string"),
+    "EdgeResponseStatus": ("http_response.status", "double"),
+    "CacheCacheStatus": ("cache.status", "string"),
+    "BotScore": ("bot.score", "double"),
+    "Cookies": ("cookies", "map"),
+    "EdgeServerTLS": ("tls.enabled", "bool"),
+}
+
+
+def _run(spark, lines, **kw):
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    return cloudflare_logs(df, FIELDS, **kw).collect()
+
+
+def _log(**kw):
+    base = {
+        "EdgeStartTimestamp": "2023-03-03T05:29:06Z",
+        "ZoneName": "example.com",
+        "ClientIP": "1.2.3.4",
+        "EdgeResponseStatus": 200,
+        "CacheCacheStatus": "hit",
+    }
+    base.update(kw)
+    return json.dumps(base)
+
+
+def test_basic_mapping(spark):
+    rows = _run(spark, [_log()])
+    r = rows[0]
+    assert r["zone"] == "example.com"
+    assert r["ts_ns"] == 1677821346 * 10**9
+    assert r["severity_number"] == 9 and r["severity_text"] == "Info"
+    # numbers render as doubles (encoding/json gives float64)
+    assert r["attributes"] == (
+        "cache.status=hit,http_request.client_ip=1.2.3.4,"
+        "http_response.status=200.0"
+    )
+
+
+def test_severity_ladder(spark):
+    rows = _run(spark, [
+        _log(EdgeResponseStatus=301),
+        _log(EdgeResponseStatus=404),
+        _log(EdgeResponseStatus=503),
+        _log(EdgeResponseStatus=700),
+    ])
+    got = [(r["severity_number"], r["severity_text"]) for r in rows]
+    assert got == [(10, "Info2"), (13, "Warn"), (17, "Error"),
+                   (0, None)]
+
+
+def test_map_flatten_and_bool(spark):
+    rows = _run(spark, [
+        _log(Cookies={"session-id": "abc", "x": "1"},
+             EdgeServerTLS=True),
+    ])
+    attrs = rows[0]["attributes"]
+    # hyphens become underscores in flattened keys
+    assert "cookies.session_id=abc" in attrs
+    assert "cookies.x=1" in attrs
+    assert "tls.enabled=true" in attrs
+
+
+def test_timestamp_formats_and_unset(spark):
+    rows = _run(
+        spark,
+        [json.dumps({"EdgeStartTimestamp": 1700000000,
+                     "ClientIP": "9.9.9.9"})],
+        timestamp_format="unix",
+    )
+    assert rows[0]["ts_ns"] == 1700000000 * 10**9
+    rows2 = _run(
+        spark,
+        [json.dumps({"EdgeStartTimestamp": "junk"})],
+        timestamp_format="unix",
+    )
+    # unparseable -> record timestamp left unset (zero)
+    assert rows2[0]["ts_ns"] == 0
+    rows3 = _run(
+        spark,
+        [json.dumps({"EdgeStartTimestamp": 1700000000123456789})],
+        timestamp_format="unixnano",
+    )
+    assert rows3[0]["ts_ns"] == 1700000000123456768  # float64 rounding
+    # empty lines skipped
+    assert _run(spark, ["", "   "]) == []
