@@ -515,3 +515,108 @@ def loki_streams(
             F.max("ts").alias("last_ts_ns"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Receive direction: loki push request -> log records
+# (pkg/translator/loki/loki_to_otlp.go PushRequestToLogs /
+# ConvertEntryToLogRecord)
+# ---------------------------------------------------------------------------
+
+_LABEL_PAIR_RE = r'([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"((?:[^"\\]|\\.)*)"'
+
+
+def push_request_to_logs(
+    df: DataFrame,
+    keep_timestamp: bool = True,
+    observed_ns: int = 0,
+) -> DataFrame:
+    """loki_to_otlp.go:19-66: streams with empty entry lists are
+    skipped; the stream's ``{label="value", ...}`` selector string is
+    parsed PromQL-style (an unparseable selector drops the WHOLE
+    stream, counted as an error); labels starting with ``__`` are
+    internal and dropped; every entry becomes a record with
+    body = line, timestamp kept when non-zero (else the observed
+    stamp), label attributes then structured metadata (metadata wins
+    on key collision — PutStr order :78-84).
+
+    Input: (req_id, labels string, entries array<struct<ts_ns bigint,
+    line string, metadata map<string,string>>>). Output one row per
+    record: (req_id, ts_ns, body, attributes sorted k=v string,
+    labels_valid).
+    """
+    lab = F.col("labels")
+    pairs = F.regexp_extract_all(lab, F.lit(_LABEL_PAIR_RE), F.lit(0))
+    # a selector is valid iff nothing but pairs, commas and optional
+    # spaces sit between the braces
+    residue = F.regexp_replace(lab, _LABEL_PAIR_RE, "")
+    valid = residue.rlike(r"^\{\s*(,?\s*)*\}$") & (
+        F.trim(lab).startswith("{")
+    )
+
+    def unesc(v: Column) -> Column:
+        return F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(v, r"\\n", "\n"), r'\\"', '"'
+            ),
+            r"\\\\", "\\\\",
+        )
+
+    label_entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.regexp_extract(p, _LABEL_PAIR_RE, 1).alias("key"),
+            unesc(F.regexp_extract(p, _LABEL_PAIR_RE, 2)).alias("value"),
+        ),
+    ).cast("array<struct<key:string,value:string>>")
+    label_entries = F.filter(
+        label_entries, lambda e: ~e["key"].startswith("__")
+    )
+
+    base = (
+        df.filter(F.size(F.col("entries")) > 0)
+        .select(
+            "req_id",
+            valid.alias("labels_valid"),
+            label_entries.alias("__labels"),
+            F.explode(F.col("entries")).alias("__e"),
+        )
+        .filter(F.col("labels_valid"))
+    )
+    e = F.col("__e")
+    meta_entries = F.coalesce(
+        F.map_entries(e["metadata"]),
+        F.array().cast("array<struct<key:string,value:string>>"),
+    )
+    # PutStr order: labels first, metadata second -> metadata last-wins
+    combined = F.concat(F.col("__labels"), meta_entries)
+    deduped = F.filter(
+        combined,
+        lambda x, i: ~F.exists(
+            F.slice(combined, i + F.lit(2), F.size(combined)),
+            lambda later: later["key"] == x["key"],
+        ),
+    )
+    attrs = F.array_join(
+        F.array_sort(
+            F.transform(
+                deduped,
+                lambda x: F.concat(x["key"], F.lit("="), x["value"]),
+            )
+        ),
+        ",",
+    )
+    ts = (
+        F.when(e["ts_ns"] > 0, e["ts_ns"]).otherwise(
+            F.lit(observed_ns).cast("bigint")
+        )
+        if keep_timestamp
+        else F.lit(observed_ns).cast("bigint")
+    )
+    return base.select(
+        "req_id",
+        ts.alias("ts_ns"),
+        e["line"].alias("body"),
+        attrs.alias("attributes"),
+        F.col("labels_valid"),
+    )

@@ -51,6 +51,7 @@ _PRIORITY_NAMES: list[str] = [
     "journald_entries_events",    # round 4: journalctl json entries
     "httpcheck_points_events",    # round 4: check-result fan-out
     "cloudflare_logs_events",     # round 4: logpush ndjson mapping
+    "loki_push_logs_events",      # round 4: loki receive direction
 ]
 
 
@@ -11339,3 +11340,78 @@ FROM g ORDER BY zone, ts_ns, attributes
 
 _QUERIES["cloudflare_logs_events"] = q_cloudflare_logs
 _ORACLES["cloudflare_logs_events"] = _CLOUDFLARE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# loki receive direction (pkg/translator/loki/loki_to_otlp.go):
+# push-request streams -> log records (selector parse with whole-
+# stream drops, __-internal label filtering, keep-timestamp rule,
+# metadata-over-label attr precedence).
+# ---------------------------------------------------------------------------
+
+def q_loki_push_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.loki import push_request_to_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    labels = F.when(eid % 13 == 0, F.lit("{app=}")).otherwise(
+        F.concat(
+            F.lit('{app="app'), (uid % 5).cast("string"),
+            F.lit('", env="'),
+            F.when(eid % 2 == 0, "prod").otherwise("dev"),
+            F.lit('", __internal="x"}'),
+        )
+    )
+    ts_ns = (F.unix_timestamp("ts").cast("long") * 1000000000
+             + eid % 1000000)
+    streams = ev.select(
+        eid.alias("req_id"),
+        labels.alias("labels"),
+        F.array(
+            F.struct(
+                ts_ns.alias("ts_ns"),
+                F.concat(F.lit("line "),
+                         F.col("event_type")).alias("line"),
+                F.create_map(
+                    F.lit("trace"),
+                    F.substring(F.md5(eid.cast("string")), 1, 8),
+                ).alias("metadata"),
+            ),
+            F.struct(
+                F.lit(0).cast("bigint").alias("ts_ns"),
+                F.lit("zero-ts").alias("line"),
+                F.lit(None).cast("map<string,string>").alias("metadata"),
+            ),
+        ).alias("entries"),
+    )
+    out = push_request_to_logs(
+        streams, observed_ns=1700000000000000000
+    )
+    return out.orderBy("req_id", "body")
+
+
+_LOKI_PUSH_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000
+           + event_id % 1000000 AS tns,
+         'app=app' || CAST(user_id % 5 AS VARCHAR) || ',env='
+           || CASE WHEN event_id % 2 = 0 THEN 'prod' ELSE 'dev' END
+           AS base_attrs
+  FROM events WHERE event_id % 31 = 0 AND event_id % 13 <> 0),
+u AS (
+  SELECT eid AS req_id, tns AS ts_ns,
+         'line ' || event_type AS body,
+         base_attrs || ',trace='
+           || substr(md5(CAST(eid AS VARCHAR)), 1, 8) AS attributes,
+         TRUE AS labels_valid
+  FROM f
+  UNION ALL
+  SELECT eid, CAST(1700000000000000000 AS BIGINT), 'zero-ts',
+         base_attrs, TRUE
+  FROM f)
+SELECT * FROM u ORDER BY req_id, body
+"""
+
+_QUERIES["loki_push_logs_events"] = q_loki_push_logs
+_ORACLES["loki_push_logs_events"] = _LOKI_PUSH_ORACLE

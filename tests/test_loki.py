@@ -111,3 +111,38 @@ def test_streams_grouping(spark):
     }
     assert out[("", '{exporter="OTLP",job="a"}')] == (2, 10, 20)
     assert out[("", '{exporter="OTLP",job="b"}')] == (1, 30, 30)
+
+
+def test_push_request_to_logs(spark):
+    from opentelemetry_collector_contrib_spark.operators.loki import (
+        push_request_to_logs,
+    )
+
+    schema = ("req_id bigint, labels string, entries array<struct<"
+              "ts_ns bigint, line string, metadata map<string,string>>>")
+    rows = [
+        (1, '{app="web", env="prod", __internal="x"}',
+         [(1700000000000000000, "hello", {"trace_id": "abc"}),
+          (0, "late", None)]),
+        (2, '{app=}', [(1, "dropped", None)]),   # bad selector
+        (3, '{a="1"}', []),                       # no entries
+        (4, '{app="q\\"uoted", env="e"}',
+         [(5, "esc", {"app": "meta-wins"})]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = push_request_to_logs(df, observed_ns=42).collect()
+    by = {(r["req_id"], r["body"]): r for r in out}
+    r = by[(1, "hello")]
+    assert r["ts_ns"] == 1700000000000000000
+    assert r["attributes"] == "app=web,env=prod,trace_id=abc"
+    # zero entry timestamp -> observed stamp
+    assert by[(1, "late")]["ts_ns"] == 42
+    assert (2, "dropped") not in by
+    assert not any(r["req_id"] == 3 for r in out)
+    r4 = by[(4, "esc")]
+    # escaped quote unescaped; metadata overwrites the label
+    assert r4["attributes"] == 'app=meta-wins,env=e'
+    # keep_timestamp=False forces the observed stamp
+    out2 = push_request_to_logs(df, keep_timestamp=False,
+                                observed_ns=7).collect()
+    assert all(r["ts_ns"] == 7 for r in out2)
