@@ -193,16 +193,23 @@ def decode_netflow_v5(df: DataFrame, payload: str = "payload") -> DataFrame:
 
 def _walk_sets(p: Column, first_off: int, max_sets: int = 16) -> Column:
     """Offsets (1-based) of every flowset: bounded aggregate unfold —
-    each step appends ``last + set_length(last)`` while in bounds."""
+    each step appends ``last + set_length(last)`` while in bounds.
+    A malformed set length < 4 (the flowset header size) cannot make
+    progress; the walk stops there instead of duplicating offsets — a
+    collecting decoder errors out of such a packet."""
     acc0 = F.array(F.lit(first_off).cast("long"))
     return F.filter(
         F.aggregate(
             F.sequence(F.lit(1), F.lit(max_sets)),
             acc0,
             lambda acc, _: F.when(
-                (F.element_at(acc, -1) + _u(p, F.element_at(acc, -1) + 2, 2))
-                + 3
-                <= F.octet_length(p) + 1,
+                (_u(p, F.element_at(acc, -1) + 2, 2) >= 4)
+                & (
+                    (F.element_at(acc, -1)
+                     + _u(p, F.element_at(acc, -1) + 2, 2))
+                    + 3
+                    <= F.octet_length(p) + 1
+                ),
                 F.concat(
                     acc,
                     F.array(
@@ -317,11 +324,20 @@ def decode_netflow_v9_ipfix(
     rec = joined.select(
         "*",
         F.explode(
-            F.sequence(
-                F.lit(0),
-                (
-                    F.floor((F.col("__set_len") - 4) / F.col("__rl")) - 1
-                ).cast("int"),
+            # a short/malformed set (fewer bytes than one record) must
+            # yield ZERO records — sequence(0, n-1) with negative n
+            # would count DOWN and fabricate rows
+            F.when(
+                F.col("__set_len") >= F.col("__rl") + 4,
+                F.sequence(
+                    F.lit(0),
+                    (
+                        F.floor(
+                            (F.col("__set_len") - 4) / F.col("__rl")
+                        )
+                        - 1
+                    ).cast("int"),
+                ),
             )
         ).alias("record_idx"),
     ).select(

@@ -194,3 +194,12 @@ def test_mixed_union(spark):
     assert sorted(r["flow_type"] for r in rows) == [
         "netflow_v5", "netflow_v9"
     ]
+
+
+def test_zero_length_flowset_does_not_duplicate(spark):
+    # malformed set length 0: the walker must stop, not spin in place
+    bad = struct.pack(">HHIIII", 9, 1, 0, 1_700_000_000, 1, 3)
+    bad += struct.pack(">HH", 260, 0)  # flowset claiming length 0
+    tmpl = _v9_packet([_v9_template_set(260, FIELDS)])
+    rows = decode_netflow_v9_ipfix(_df(spark, [tmpl, bad])).collect()
+    assert rows == []
