@@ -17,6 +17,11 @@ Int-typed metrics parse ParseInt-style, double-typed ParseFloat-style
 (the reference records a partial-scrape error and keeps going) —
 modeled with try_cast + filter.
 
+Documented deviation: Go's csv.Reader fails the whole payload on a
+row whose field count differs from the header's; this battery pads
+short rows with "" and ignores surplus fields instead (per-row
+degradation suits a 10^12-row batch better than whole-file abort).
+
 Column shape: header-keyed map per row via map_from_arrays (the
 header mapping is DYNAMIC per payload, exactly readStats), then one
 row-local array of candidate datapoints exploded and gated. Map-only;
