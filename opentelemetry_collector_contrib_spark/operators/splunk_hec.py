@@ -141,3 +141,63 @@ def log_to_splunk_event(
         F.when(rejected, F.lit("event with no body rejected"))
         .alias("error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Receive direction: HEC event JSON -> log records
+# (receiver/splunkhecreceiver/splunk_to_logdata.go splunkHecToLogData +
+# splunkhec_to_metricdata.go convertTimestamp)
+# ---------------------------------------------------------------------------
+
+
+def hec_events_to_logs(df: DataFrame, line: str = "line") -> DataFrame:
+    """splunk_to_logdata.go:32-74: each HEC event becomes a record
+    whose resource identity is (host, source, sourcetype, index)
+    (scopeLogsMap keying; empty components contribute no resource
+    attribute — appendSplunkMetadata :105-121), body = the event
+    payload (a JSON string keeps its value; objects/arrays surface as
+    their JSON text — the reference builds the equivalent typed
+    pcommon value, sorted keys :154-168), timestamp through the
+    magnitude ladder (splunkhec_to_metricdata.go:137-152: >=1e16 ns,
+    >=1e13 µs, >=1e10 ms, else seconds), and fields become attributes
+    in SORTED key order (:57-68) — rendered here as the canonical
+    ``k=v`` string with JSON scalar texts.
+
+    Input: one row per HEC event JSON line. Events with no ``event``
+    key produce NULL bodies (the reference rejects such requests at
+    the HTTP layer before translation — kept as NULL for visibility).
+    """
+    p = F.col(line)
+    t = F.get_json_object(p, "$.time").try_cast("double")
+    ts_ns = (
+        F.when(t >= 1e16, t)
+        .when(t >= 1e13, t * 1e3)
+        .when(t >= 1e10, t * 1e6)
+        .otherwise(t * 1e9)
+        .cast("bigint")
+    )
+    event_raw = F.get_json_object(p, "$.event")
+    fields = F.from_json(
+        F.get_json_object(p, "$.fields"), "map<string,string>"
+    )
+    attrs = F.when(
+        fields.isNotNull(),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(fields),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            ",",
+        ),
+    ).otherwise("")
+    return df.select(
+        F.get_json_object(p, "$.host").alias("host"),
+        F.get_json_object(p, "$.source").alias("source"),
+        F.get_json_object(p, "$.sourcetype").alias("sourcetype"),
+        F.get_json_object(p, "$.index").alias("index"),
+        F.coalesce(ts_ns, F.lit(0).cast("bigint")).alias("ts_ns"),
+        event_raw.alias("body"),
+        attrs.alias("attributes"),
+    )

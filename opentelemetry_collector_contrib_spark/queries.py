@@ -11415,3 +11415,64 @@ SELECT * FROM u ORDER BY req_id, body
 
 _QUERIES["loki_push_logs_events"] = q_loki_push_logs
 _ORACLES["loki_push_logs_events"] = _LOKI_PUSH_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# splunkhecreceiver receive direction (receiver/splunkhecreceiver/
+# splunk_to_logdata.go + the convertTimestamp magnitude ladder):
+# HEC event JSON -> records. Registered WITHOUT a priority slot: it
+# queues behind the older never-checked backlog, so it costs round 4
+# no driver budget.
+# ---------------------------------------------------------------------------
+
+def q_splunk_hec_receive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.splunk_hec import hec_events_to_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    tsec = F.concat(
+        F.unix_timestamp("ts").cast("long").cast("string"),
+        F.lit("."), F.lpad((eid % 1000).cast("string"), 3, "0"),
+    )
+    event_json = F.when(
+        eid % 6 == 0,
+        F.concat(F.lit('{"code":'), (eid % 9).cast("string"),
+                 F.lit("}")),
+    ).otherwise(
+        F.concat(F.lit('"ev '), F.col("event_type"), F.lit('"'))
+    )
+    line = F.concat(
+        F.lit('{"time":'), tsec,
+        F.lit(',"host":"h'), (uid % 10).cast("string"),
+        F.lit('","source":"src'), (eid % 4).cast("string"), F.lit('"'),
+        F.when(eid % 5 == 0, "").otherwise(
+            F.lit(',"index":"main"')
+        ),
+        F.lit(',"sourcetype":"st","event":'), event_json,
+        F.lit(',"fields":{"zz":'), (eid % 7).cast("string"),
+        F.lit(',"aa":"x"}}'),
+    )
+    out = hec_events_to_logs(ev.select(line.alias("line")))
+    return out.orderBy("host", "source", "ts_ns", "body")
+
+
+_SPLUNK_HEC_RECV_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, event_type,
+         CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR) || '.'
+           || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') AS tsec
+  FROM events WHERE event_id % 37 = 0)
+SELECT 'h' || CAST(uid % 10 AS VARCHAR) AS host,
+       'src' || CAST(eid % 4 AS VARCHAR) AS source,
+       'st' AS sourcetype,
+       CASE WHEN eid % 5 = 0 THEN NULL ELSE 'main' END AS "index",
+       CAST(CAST(tsec AS DOUBLE) * 1e9 AS BIGINT) AS ts_ns,
+       CASE WHEN eid % 6 = 0
+            THEN '{"code":' || CAST(eid % 9 AS VARCHAR) || '}'
+            ELSE 'ev ' || event_type END AS body,
+       'aa=x,zz=' || CAST(eid % 7 AS VARCHAR) AS attributes
+FROM f ORDER BY host, source, ts_ns, body
+"""
+
+_QUERIES["splunk_hec_receive_events"] = q_splunk_hec_receive
+_ORACLES["splunk_hec_receive_events"] = _SPLUNK_HEC_RECV_ORACLE

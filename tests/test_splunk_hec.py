@@ -52,3 +52,35 @@ def test_rejects_empty_body_and_rounding(spark):
     assert rows[2].hec_host == "unknown"
     assert rows[2].hec_fields == {}
     assert rows[2].hec_time == 1656581401.0  # half rounds away from zero
+
+
+def test_hec_receive_direction(spark):
+    import json
+
+    from opentelemetry_collector_contrib_spark.operators.splunk_hec import (
+        hec_events_to_logs,
+    )
+
+    lines = [
+        json.dumps({"time": 1700000000.123, "host": "h1",
+                    "source": "app", "sourcetype": "st", "index": "main",
+                    "event": "a plain line",
+                    "fields": {"b": "2", "a": "1"}}),
+        json.dumps({"time": 1700000000123.0, "event": {"k": "v"}}),
+        json.dumps({"time": 1.7000000001234568e18, "event": "ns"}),
+        json.dumps({"event": "no time"}),
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    rows = hec_events_to_logs(df).collect()
+    r = rows[0]
+    assert (r["host"], r["source"], r["sourcetype"], r["index"]) == (
+        "h1", "app", "st", "main")
+    assert r["ts_ns"] == int(1700000000.123 * 1e9)
+    assert r["body"] == "a plain line"
+    assert r["attributes"] == "a=1,b=2"
+    # millisecond-magnitude stamp scaled by 1e6
+    assert rows[1]["ts_ns"] == int(1700000000123.0 * 1e6)
+    assert rows[1]["body"] == '{"k":"v"}'
+    # nano-magnitude passes through
+    assert rows[2]["ts_ns"] == int(1.7000000001234568e18)
+    assert rows[3]["ts_ns"] == 0
