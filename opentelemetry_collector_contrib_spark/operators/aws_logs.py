@@ -1,0 +1,863 @@
+"""awslogsencodingextension: the AWS log-format decoders real users
+ship through S3 / CloudWatch / Firehose, as pure-Column batteries.
+
+Reference (extension/encoding/awslogsencodingextension/internal/
+unmarshaler/):
+
+* VPC flow logs      vpc-flow-log/unmarshaler.go + const.go
+* CloudWatch subscription-filter envelope  subscription-filter/unmarshaler.go
+* ELB access logs    elb-access-log/elb.go + unmarshaler.go + fields.go
+* S3 access logs     s3-access-log/unmarshaler.go + fields.go
+* WAF logs           waf/unmarshaler.go
+* CloudTrail         cloudtraillog/unmarshaler.go
+
+Columnar model: one input row = one log line (VPC/ELB/S3/WAF NDJSON)
+or one file payload (CloudTrail Records array, CloudWatch envelope).
+Every battery is map-only Column code -- from_json / split /
+regexp_extract ladders, no UDF, no shuffle -- so it composes with any
+downstream partitioning at 10^12-row scale.
+
+Error model: the reference unmarshalers abort the whole file on the
+first malformed line. A distributed decoder cannot abort a 100 TB
+scan, so each battery carries the house contract instead (stanza
+``on_error=send``): an ``error`` column holds the reference's error
+condition per row and payload columns go NULL; well-formed rows decode
+byte-identically either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+UNKNOWN = "-"
+
+# IANA assigned internet protocol numbers (public registry,
+# https://www.iana.org/assignments/protocol-numbers/ -- the same
+# table vpc-flow-log/const.go embeds). Index = protocol number.
+_PROTO = {
+    0: "hopopt", 1: "icmp", 2: "igmp", 3: "ggp", 4: "ipv4", 5: "st",
+    6: "tcp", 7: "cbt", 8: "egp", 9: "igp", 10: "bbn-rcc-mon",
+    11: "nvp-ii", 12: "pup", 13: "argus", 14: "emcon", 15: "xnet",
+    16: "chaos", 17: "udp", 18: "mux", 19: "dcn-meas", 20: "hmp",
+    21: "prm", 22: "xns-idp", 23: "trunk-1", 24: "trunk-2",
+    25: "leaf-1", 26: "leaf-2", 27: "rdp", 28: "irtp", 29: "iso-tp4",
+    30: "netblt", 31: "mfe-nsp", 32: "merit-inp", 33: "dccp",
+    34: "3pc", 35: "idpr", 36: "xtp", 37: "ddp", 38: "idpr-cmtp",
+    39: "tp++", 40: "il", 41: "ipv6", 42: "sdrp", 43: "ipv6-route",
+    44: "ipv6-frag", 45: "idrp", 46: "rsvp", 47: "gre", 48: "dsr",
+    49: "bna", 50: "esp", 51: "ah", 52: "i-nlsp", 53: "swipe",
+    54: "narp", 55: "mobile", 56: "tlsp", 57: "skip", 58: "ipv6-icmp",
+    59: "ipv6-nonxt", 60: "ipv6-opts", 62: "cftp", 64: "sat-expak",
+    65: "kryptolan", 66: "rvd", 67: "ippc", 69: "sat-mon", 70: "visa",
+    71: "ipcv", 72: "cpnx", 73: "cphb", 74: "wsn", 75: "pvp",
+    76: "br-sat-mon", 77: "sun-nd", 78: "wb-mon", 79: "wb-expak",
+    80: "iso-ip", 81: "vmtp", 82: "secure-vmtp", 83: "vines",
+    84: "ttp", 85: "nsfnet-igp", 86: "dgp", 87: "tcf", 88: "eigrp",
+    89: "ospf", 90: "sprite-rpc", 91: "larp", 92: "mtp", 93: "ax.25",
+    94: "ipip", 95: "micp", 96: "scc-sp", 97: "etherip", 98: "encap",
+    100: "gmtp", 101: "ifmp", 102: "pnni", 103: "pim", 104: "aris",
+    105: "scps", 106: "qnx", 107: "a/n", 108: "ipcomp", 109: "snp",
+    110: "compaq-peer", 111: "ipx-in-ip", 112: "vrrp", 113: "pgm",
+    115: "l2tp", 116: "ddx", 117: "iatp", 118: "stp", 119: "srp",
+    120: "uti", 121: "smp", 122: "sm", 123: "ptp",
+    124: "isis over ipv4", 125: "fire", 126: "crtp", 127: "crudp",
+    128: "sscopmce", 129: "iplt", 130: "sps", 131: "pipe",
+    132: "sctp", 133: "fc", 134: "rsvp-e2e-ignore",
+    135: "mobility header", 136: "udplite", 137: "mpls-in-ip",
+    138: "manet", 139: "hip", 140: "shim6", 141: "wesp", 142: "rohc",
+    143: "ethernet", 144: "aggfrag", 145: "nsis", 146: "nsh",
+    255: "reserved",
+}
+
+VPC_FLOW_DEFAULT_FORMAT = [
+    "version", "account-id", "interface-id", "srcaddr", "dstaddr",
+    "srcport", "dstport", "protocol", "packets", "bytes", "start",
+    "end", "action", "log-status",
+]
+
+# field -> (output column, kind). kind: str | int | special handling
+# below. Mirrors handleField (vpc-flow-log/unmarshaler.go:289-449).
+_VPC_STR_FIELDS = {
+    "vpc-id": "vpc_id",                    # aws.vpc.id
+    "subnet-id": "subnet_id",              # aws.vpc.subnet.id
+    "instance-id": "host_id",              # host.id
+    "az-id": "az_id",                      # aws.az.id
+    "interface-id": "interface_name",      # network.interface.name
+    "action": "action",                    # aws.vpc.flow.action
+    "log-status": "log_status",            # aws.vpc.flow.status
+    "tcp-flags": "tcp_flags",              # network.tcp.flags
+    "sublocation-type": "sublocation_type",
+    "sublocation-id": "sublocation_id",
+    "pkt-src-aws-service": "pkt_src_service",
+    "pkt-dst-aws-service": "pkt_dst_service",
+    "traffic-path": "traffic_path",
+    "reject-reason": "reject_reason",
+}
+_VPC_INT_FIELDS = {
+    "srcport": "source_port",
+    "dstport": "destination_port",
+    "version": "version",
+    "packets": "packets",
+    "bytes": "bytes",
+}
+
+
+def _protocol_array() -> Column:
+    """256-slot literal name table; NULL slots = unassigned numbers."""
+    return F.array(*[
+        F.lit(_PROTO.get(i)).cast("string") for i in range(256)
+    ])
+
+
+def vpc_flow_records(
+    df: DataFrame,
+    fields: "list[str] | None" = None,
+    line: str = "line",
+    iso8601_start: bool = False,
+) -> DataFrame:
+    """VPC flow log lines -> records (vpc-flow-log/unmarshaler.go
+    addToLogs/handleField/handleAddresses).
+
+    ``fields`` is the record format (the file's header line or the
+    configured custom format -- unmarshaler.go:30,65-69). Output has a
+    stable superset schema; columns whose field is absent from the
+    format are NULL. ``-`` values are skipped (NULL columns,
+    :217-223); ``ecs-*`` fields are skipped with a warning in the
+    reference (:225-228) -- here they simply stay unparsed.
+    """
+    fields = list(fields or VPC_FLOW_DEFAULT_FORMAT)
+    parts = F.split(F.col(line), " ")
+    n_expected = len(fields)
+
+    def val(i: int) -> Column:
+        v = F.element_at(parts, i + 1)
+        return F.when(v == UNKNOWN, F.lit(None)).otherwise(v)
+
+    idx = {f: i for i, f in enumerate(fields)}
+    have = idx.__contains__
+
+    def raw(field: str) -> Column:
+        return val(idx[field]) if have(field) else F.lit(None).cast(
+            "string")
+
+    # --- error ladder (whole-line conditions) -------------------------
+    err = F.when(
+        F.size(parts) < n_expected,
+        F.lit("log line has less fields than the ones expected"),
+    ).when(
+        F.size(parts) > n_expected,
+        F.lit("log line has more fields than the ones expected"),
+    )
+    int_err = F.lit(None).cast("string")
+    for field in list(_VPC_INT_FIELDS) + ["protocol", "start", "end"]:
+        if not have(field):
+            continue
+        v = raw(field)
+        bad = v.isNotNull() & v.try_cast("bigint").isNull()
+        int_err = F.when(
+            bad, F.lit(f'"{field}" field in log file is not a number')
+        ).otherwise(int_err)
+    err = F.coalesce(err, int_err)
+
+    proto_num = raw("protocol").try_cast("bigint") if have("protocol") \
+        else F.lit(None).cast("bigint")
+    proto_name = F.element_at(_protocol_array(), (proto_num + 1).cast("int"))
+    err = F.coalesce(err, F.when(
+        proto_num.isNotNull()
+        & ((proto_num < 0) | (proto_num > 255) | proto_name.isNull()),
+        F.concat(F.lit("protocol number "), proto_num.cast("string"),
+                 F.lit(" does not have a protocol name")),
+    ))
+
+    direction = raw("flow-direction")
+    err = F.coalesce(err, F.when(
+        direction.isNotNull() & ~direction.isin("ingress", "egress"),
+        F.concat(F.lit("value "), direction,
+                 F.lit(" not valid for field flow-direction")),
+    ))
+
+    # --- address algebra (handleAddresses, :252-283) ------------------
+    src, pkt_src = raw("srcaddr"), raw("pkt-srcaddr")
+    dst, pkt_dst = raw("dstaddr"), raw("pkt-dstaddr")
+    source_address = F.when(
+        pkt_src.isNull() & src.isNotNull(), src
+    ).when(pkt_src.isNotNull() & src.isNotNull(), pkt_src)
+    local_from_src = F.when(
+        pkt_src.isNotNull() & src.isNotNull() & (pkt_src != src), src
+    )
+    destination_address = F.when(
+        pkt_dst.isNull() & dst.isNotNull(), dst
+    ).when(pkt_dst.isNotNull() & dst.isNotNull(), pkt_dst)
+    local_from_dst = F.when(
+        pkt_dst.isNotNull() & dst.isNotNull() & (pkt_dst != dst), dst
+    )
+    network_local_address = F.coalesce(local_from_src, local_from_dst)
+
+    start_s = raw("start").try_cast("bigint")
+    flow_start = (
+        F.date_format(
+            F.to_utc_timestamp(F.timestamp_seconds(start_s), "UTC"),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'",
+        ) if iso8601_start else start_s.cast("string")
+    )
+
+    cols = {
+        "account_id": raw("account-id"),
+        "region": raw("region"),
+        "ts_ns": raw("end").try_cast("bigint") * F.lit(1_000_000_000),
+        "flow_start": flow_start,
+        "protocol_name": F.when(proto_num.isNotNull(), proto_name),
+        "network_type": F.lower(raw("type")),
+        "flow_direction": F.when(direction == "ingress", "receive")
+                           .when(direction == "egress", "transmit"),
+        "source_address": source_address,
+        "destination_address": destination_address,
+        "network_local_address": network_local_address,
+    }
+    for field, out in _VPC_INT_FIELDS.items():
+        cols[out] = raw(field).try_cast("bigint")
+    for field, out in _VPC_STR_FIELDS.items():
+        cols[out] = raw(field)
+
+    out_cols = [
+        F.when(err.isNull(), c).alias(name) for name, c in cols.items()
+    ] + [err.alias("error")]
+    return df.select(*df.columns, *out_cols)
+
+
+def cloudwatch_envelope(df: DataFrame, line: str = "line") -> DataFrame:
+    """CloudWatch Logs subscription-filter envelope -> one row per
+    log event (subscription-filter/unmarshaler.go:30-107).
+
+    CONTROL_MESSAGE envelopes emit no rows; DATA_MESSAGE requires
+    owner/logGroup/logStream (else the envelope's events surface with
+    ``error``); unknown messageType errors. Timestamps are epoch
+    milliseconds -> ns.
+    """
+    schema = ("struct<messageType:string,owner:string,logGroup:string,"
+              "logStream:string,logEvents:array<struct<id:string,"
+              "timestamp:bigint,message:string>>>")
+    p = F.from_json(F.col(line), schema)
+    err = (
+        F.when(p.isNull(), "failed to decode cloudwatch envelope")
+        .when(p["messageType"] == "CONTROL_MESSAGE", F.lit(None))
+        .when(p["messageType"] != "DATA_MESSAGE", F.concat(
+            F.lit("cloudwatch log has invalid message type \""),
+            F.coalesce(p["messageType"], F.lit("")), F.lit("\"")))
+        .when(F.coalesce(p["owner"], F.lit("")) == "",
+              "cloudwatch log with message type 'DATA_MESSAGE' has "
+              "empty owner field")
+        .when(F.coalesce(p["logGroup"], F.lit("")) == "",
+              "cloudwatch log with message type 'DATA_MESSAGE' has "
+              "empty log group field")
+        .when(F.coalesce(p["logStream"], F.lit("")) == "",
+              "cloudwatch log with message type 'DATA_MESSAGE' has "
+              "empty log stream field")
+    )
+    keep = df.select(
+        *df.columns, p.alias("_cw"), err.alias("error")
+    ).filter(
+        F.col("_cw").isNull()
+        | (F.coalesce(F.col("_cw")["messageType"], F.lit(""))
+           != "CONTROL_MESSAGE")
+    )
+    ev = F.explode_outer(
+        F.when(F.col("error").isNull(), F.col("_cw")["logEvents"])
+    )
+    return keep.select(
+        *df.columns,
+        F.when(F.col("error").isNull(),
+               F.col("_cw")["owner"]).alias("account_id"),
+        F.when(F.col("error").isNull(),
+               F.col("_cw")["logGroup"]).alias("log_group"),
+        F.when(F.col("error").isNull(),
+               F.col("_cw")["logStream"]).alias("log_stream"),
+        ev.alias("_ev"),
+        "error",
+    ).select(
+        *df.columns, "account_id", "log_group", "log_stream",
+        (F.col("_ev")["timestamp"] * F.lit(1_000_000)).alias("ts_ns"),
+        F.col("_ev")["message"].alias("body"),
+        "error",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ELB access logs (elb-access-log/elb.go)
+# ---------------------------------------------------------------------------
+
+# split on spaces outside double quotes (scanField, elb.go:426-465;
+# quotes are not preserved)
+_QSPLIT = ' (?=(?:[^"]*"[^"]*")*[^"]*$)'
+
+_ALB_TYPES = ("http", "https", "h2", "grpcs", "ws", "wss")
+
+
+def _unquote(c: Column) -> Column:
+    return F.regexp_replace(c, '"', "")
+
+
+def _elb_ts_ns(iso: Column) -> Column:
+    """convertToUnixEpoch (elb.go:396-420): RFC3339Nano with zone,
+    else naive-with-fraction, else naive-without-fraction (all UTC)."""
+    t = F.coalesce(
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+    )
+    return F.unix_micros(t) * F.lit(1000)
+
+
+def _req_parts(req: Column) -> tuple[Column, Column, Column, Column]:
+    """parseRequestField (elb.go:488-517): '<METHOD> <URI> <PROTO>'
+    where URI may contain spaces -- proto = text after the LAST
+    space."""
+    method = F.substring_index(req, " ", 1)
+    rest = F.substr(req, F.length(method) + 2)
+    proto = F.substring_index(rest, " ", -1)
+    uri = F.when(
+        rest.contains(" "),
+        F.substr(rest, F.lit(1),
+                 F.length(rest) - F.length(proto) - 1),
+    ).otherwise(rest)
+    proto = F.when(rest.contains(" "), proto).otherwise(F.lit(UNKNOWN))
+    name = F.when(proto == UNKNOWN, proto).otherwise(
+        F.lower(F.substring_index(proto, "/", 1)))
+    version = F.when(proto == UNKNOWN, proto).otherwise(
+        F.substring_index(proto, "/", -1))
+    return method, uri, name, version
+
+
+def _host(c: Column) -> Column:
+    """net.SplitHostPort host part (last ':' splits; [v6] unwrapped)."""
+    h = F.regexp_replace(c, ":[0-9]+$", "")
+    return F.regexp_replace(h, r"^\[|\]$", "")
+
+
+def _port(c: Column) -> Column:
+    return F.regexp_extract(c, ":([0-9]+)$", 1).try_cast("bigint")
+
+
+def elb_access_logs(df: DataFrame, line: str = "line") -> DataFrame:
+    """ELB access-log lines -> records, syntax dispatched per line on
+    the first field (findLogSyntaxByField, elb.go:376-388): ALB
+    protocol tokens / 'tls' = NLB / leading timestamp = CLB.
+
+    One stable superset schema; per-syntax extras NULL elsewhere.
+    Records whose timestamp cannot parse are dropped (the reference
+    logs at Debug and skips, unmarshaler.go:152-157); 'Enable'
+    control messages emit no record.
+    """
+    parts = F.split(F.col(line), _QSPLIT)
+
+    def v(i: int) -> Column:
+        return _unquote(F.element_at(parts, i + 1))
+
+    first = v(0)
+    is_alb = first.isin(*_ALB_TYPES)
+    is_nlb = first == "tls"
+    ts0 = F.coalesce(
+        F.try_to_timestamp(first, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX")),
+        F.try_to_timestamp(first, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+    )
+    is_clb = ~is_alb & ~is_nlb & ts0.isNotNull()
+    syntax = (F.when(is_alb, "alb").when(is_nlb, "nlb")
+               .when(is_clb, "clb"))
+
+    n = F.size(parts)
+    err = (
+        F.when(first == "Enable", F.lit(None).cast("string"))
+        .when(syntax.isNull(),
+              F.concat(F.lit("invalid type: "), first))
+        .when(is_alb & (n < 29),
+              "alb access logs do not have enough fields")
+        .when(is_nlb & (n < 22),
+              "nlb access logs do not have enough fields")
+        .when(is_clb & (n < 15),
+              "clb access logs do not have enough fields")
+    )
+
+    # field index per syntax (elb.go struct mappings)
+    def pick(alb: "Column | None", nlb: "Column | None",
+             clb: "Column | None", typ: str = "string") -> Column:
+        c = F.when(is_alb, alb if alb is not None else F.lit(None))
+        c = c.when(is_nlb, nlb if nlb is not None else F.lit(None))
+        c = c.when(is_clb, clb if clb is not None else F.lit(None))
+        return c.cast(typ)
+
+    def nn(c: Column) -> Column:  # '-' => NULL
+        return F.when(c == UNKNOWN, F.lit(None)).otherwise(c)
+
+    ts_iso = pick(v(1), v(2), v(0))
+    ts_ns = _elb_ts_ns(ts_iso)
+
+    m_a, u_a, pn_a, pv_a = _req_parts(v(12))
+    m_c, u_c, pn_c, pv_c = _req_parts(v(11))
+
+    client = pick(v(3), v(5), v(2))
+    target_ipport = pick(nn(v(4)), v(6), nn(v(3)))
+
+    out = {
+        "syntax": syntax,
+        "elb": pick(v(2), v(3), v(1)),
+        "ts_ns": ts_ns,
+        # ALB: protocol.name = request type; version from request.
+        # NLB: name = 'tls', version = log-entry version field.
+        # CLB: from the request field.
+        "protocol_name": pick(first, first, F.when(pn_c == UNKNOWN,
+                                                   None).otherwise(pn_c)),
+        "protocol_version": pick(pv_a, v(1),
+                                 F.when(pv_c == UNKNOWN, None)
+                                  .otherwise(pv_c)),
+        "client_address": _host(client),
+        "client_port": _port(client),
+        "destination_address": F.when(target_ipport.isNotNull(),
+                                      _host(target_ipport)),
+        "destination_port": F.when(target_ipport.isNotNull(),
+                                   _port(target_ipport)),
+        "request_method": pick(m_a, None, m_c),
+        "url_full": pick(u_a, None, u_c),
+        "request_size": pick(v(10), v(9), v(9), "bigint"),
+        "response_size": pick(v(11), v(10), v(10), "bigint"),
+        # CLB: 0 placeholder stays hidden (attr only when != 0,
+        # unmarshaler.go:178-183); ALB always emits elb status.
+        "elb_status_code": pick(
+            v(8), None, nn(v(7)), "bigint"),
+        "backend_status_code": pick(
+            nn(v(9)), None, nn(v(8)), "bigint"),
+        "tls_protocol_version": pick(
+            F.lower(nn(v(15))), nn(v(15)), F.lower(nn(v(14)))),
+        "tls_cipher": pick(nn(v(14)), nn(v(14)), nn(v(13))),
+        "user_agent": pick(nn(v(13)), None, nn(v(12))),
+        "url_domain": pick(nn(v(18)), nn(v(17)), None),
+        # ALB extras
+        "request_processing_time": F.when(
+            is_alb, nn(v(5)).try_cast("double")),
+        "target_processing_time": F.when(
+            is_alb, nn(v(6)).try_cast("double")),
+        "response_processing_time": F.when(
+            is_alb, nn(v(7)).try_cast("double")),
+        "trace_id": F.when(is_alb, nn(v(17))),
+        "target_group_arn": F.when(is_alb, nn(v(16))),
+        "chosen_cert_arn": pick(nn(v(19)), nn(v(12)), None),
+        "actions_executed": F.when(is_alb, nn(v(22))),
+        "redirect_url": F.when(is_alb, nn(v(23))),
+        "error_reason": F.when(is_alb, nn(v(24))),
+        "classification": F.when(is_alb, nn(v(27))),
+        "classification_reason": F.when(is_alb, nn(v(28))),
+        "connection_trace_id": F.when(is_alb & (n >= 30), nn(v(29))),
+        # NLB extras
+        "listener_id": F.when(is_nlb, v(4)),
+        "connection_time_ms": F.when(is_nlb, v(7)).cast("bigint"),
+        "tls_handshake_time_ms": F.when(
+            is_nlb, F.coalesce(nn(v(8)).try_cast("bigint"), F.lit(0))),
+        "tls_connection_creation_time": F.when(is_nlb, v(21)),
+        "incoming_tls_alert": F.when(is_nlb, nn(v(11))),
+        "tls_named_group": F.when(is_nlb, nn(v(16))),
+        "alpn_fe_protocol": F.when(is_nlb, nn(v(18))),
+        "alpn_be_protocol": F.when(is_nlb, nn(v(19))),
+        "alpn_client_preference_list": F.when(is_nlb, nn(v(20))),
+    }
+    res = df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("error"),
+    )
+    # control message rows and unparseable-timestamp records vanish
+    return res.filter(
+        (F.col("error").isNotNull())
+        | (F.col("ts_ns").isNotNull() & (F.col("syntax").isNotNull()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 access logs (s3-access-log/unmarshaler.go + fields.go)
+# ---------------------------------------------------------------------------
+
+S3_FIELD_COUNT = 26  # fieldIndexACLRequired + 1
+
+
+def s3_access_logs(df: DataFrame, line: str = "line") -> DataFrame:
+    """S3 server access-log lines -> records (handleLog/addField,
+    s3-access-log/unmarshaler.go:122-258). 26 space-separated fields;
+    quoted fields keep inner spaces; the time field is bracketed and
+    contains one space before the zone."""
+    # collapse the bracketed time's inner space so indices align,
+    # then split quote-aware
+    squashed = F.regexp_replace(
+        F.col(line), r"\[([^\]\s]+) ([^\]]+)\]", "[$1$2]")
+    parts = F.split(squashed, _QSPLIT)
+
+    def v(i: int) -> Column:
+        raw = _unquote(F.element_at(parts, i + 1))
+        return F.when(raw == UNKNOWN, F.lit(None)).otherwise(raw)
+
+    n = F.size(parts)
+    err = (
+        F.when(n > S3_FIELD_COUNT,
+               "values in log line exceed the number of available fields")
+        .when(n < S3_FIELD_COUNT,
+              "values in log line are less than the number of "
+              "available fields")
+    )
+
+    # after the squash above, the time token reads
+    # "[06/Feb/2019:00:00:38+0000]"
+    ts = F.try_to_timestamp(
+        v(2), F.lit("'['dd/MMM/yyyy:HH:mm:ssZ']'"))
+    err = F.coalesce(err, F.when(
+        v(2).isNotNull() & ts.isNull(),
+        "failed to get timestamp of log"))
+
+    for i, name in ((9, "9"), (11, "11"), (12, "12"), (13, "13"),
+                    (14, "14")):
+        bad = v(i).isNotNull() & v(i).try_cast("bigint").isNull()
+        err = F.coalesce(err, F.when(
+            bad, f'value for field "{name}" in log line is not a number'))
+
+    acl = F.element_at(parts, S3_FIELD_COUNT)  # raw: '-' meaningful
+    err = F.coalesce(err, F.when(
+        ~acl.isin("Yes", UNKNOWN),
+        F.concat(F.lit("unknown value \""), acl,
+                 F.lit("\" for field acl_required"))))
+
+    # request uri: '<METHOD> <URI> <PROTO>' (addField:215-252)
+    req = v(8)
+    method = F.substring_index(req, " ", 1)
+    rest = F.substr(req, F.length(method) + 2)
+    proto = F.substring_index(rest, " ", -1)
+    uri = F.when(
+        rest.contains(" "),
+        F.substr(rest, F.lit(1), F.length(rest) - F.length(proto) - 1),
+    ).otherwise(F.lit(None).cast("string"))
+    err = F.coalesce(err, F.when(
+        req.isNotNull() & (~rest.contains(" ") | uri.contains(" ")),
+        'request uri does not have expected format'))
+    scheme = F.regexp_extract(uri, r"^([a-z][a-z0-9+.-]*)://", 1)
+    path = F.when(
+        scheme != "",
+        F.regexp_extract(uri, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+    ).otherwise(F.regexp_extract(uri, r"^([^?#]*)", 1))
+    query = F.regexp_extract(uri, r"\?([^#]*)", 1)
+    pname = F.substring_index(proto, "/", 1)
+    pname = (F.when(pname == "HTTP", "http").when(pname == "QUIC", "quic")
+              .when(pname == "SPDY", "spdy").otherwise(F.lower(pname)))
+    pver = F.substring_index(proto, "/", -1)
+
+    tls_raw = v(23)
+    tls_version = F.substr(
+        tls_raw, F.instr(tls_raw, "1"))  # index of '1' (addField:206-214)
+    err = F.coalesce(err, F.when(
+        tls_raw.isNotNull() & (F.instr(tls_raw, "1") == 0),
+        "missing TLS version"))
+
+    out = {
+        "bucket_owner": v(0),
+        "bucket": v(1),
+        "ts_ns": F.unix_timestamp(ts) * F.lit(1_000_000_000),
+        "source_address": v(3),
+        "user_id": v(4),
+        "request_id": v(5),
+        "rpc_method": v(6),
+        "s3_key": v(7),
+        "http_method": F.when(req.isNotNull(), method),
+        "url_path": F.when(req.isNotNull() & (path != ""), path),
+        "url_query": F.when(req.isNotNull() & (query != ""), query),
+        "url_scheme": F.when(req.isNotNull() & (scheme != ""), scheme),
+        "protocol_name": F.when(req.isNotNull(), pname),
+        "protocol_version": F.when(req.isNotNull(), pver),
+        "status_code": v(9).try_cast("bigint"),
+        "error_type": v(10),
+        "response_size": v(11).try_cast("bigint"),
+        "object_size": v(12).try_cast("bigint"),
+        "duration_ms": v(13).try_cast("bigint"),
+        "turn_around_ms": v(14).try_cast("bigint"),
+        "referer": v(15),
+        "user_agent": v(16),
+        "version_id": v(17),
+        "host_id": v(18),
+        "signature_version": v(19),
+        "tls_cipher": v(20),
+        "auth_type": v(21),
+        "host_header": v(22),
+        "tls_version": F.when(tls_raw.isNotNull(), tls_version),
+        "access_point_arn": v(24),
+        "acl_required": acl == "Yes",
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAF logs (waf/unmarshaler.go)
+# ---------------------------------------------------------------------------
+
+_WAF_SCHEMA = (
+    "struct<timestamp:bigint,webaclId:string,terminatingRuleId:string,"
+    "terminatingRuleType:string,action:string,httpSourceName:string,"
+    "httpSourceId:string,httpRequest:struct<clientIp:string,"
+    "country:string,headers:array<struct<name:string,value:string>>,"
+    "uri:string,args:string,httpVersion:string,httpMethod:string,"
+    "requestID:string,fragment:string,scheme:string,host:string>,"
+    "responseCodeSent:bigint,ja3Fingerprint:string,ja4Fingerprint:string>"
+)
+
+
+def waf_logs(df: DataFrame, line: str = "line") -> DataFrame:
+    """WAF NDJSON -> records (waf/unmarshaler.go:64-195). Resource =
+    region/account/web-ACL ARN parsed from webaclId; headers become
+    the sorted ``http.request.header.<name>=<value>`` rendering with
+    last-wins duplicate names (pcommon map PutStr semantics)."""
+    p = F.from_json(F.col(line), _WAF_SCHEMA)
+    acl = p["webaclId"]
+    after = F.when(acl.startswith("arn:aws:wafv2:"),
+                   F.substr(acl, F.lit(15)))
+    region = F.substring_index(after, ":", 1)
+    account = F.substring_index(
+        F.substr(after, F.length(region) + 2), ":", 1)
+    rest = F.substr(after,
+                    F.length(region) + F.length(account) + 3)
+    err = (
+        F.when(p.isNull(), "failed to unmarshal WAF log")
+        .when(F.coalesce(acl, F.lit("")) == "",
+              "invalid WAF log: empty webaclId field")
+        .when(~acl.startswith("arn:aws:wafv2:"),
+              "webaclId does not have expected prefix")
+        .when((region == "") | (account == "") | (rest == ""),
+              "webaclId does not have expected format")
+    )
+    httpv = p["httpRequest"]["httpVersion"]
+    ver = F.substring_index(httpv, "HTTP/", -1)
+    err = F.coalesce(err, F.when(
+        httpv.isNotNull() & (httpv != "")
+        & (~httpv.contains("HTTP/") | (ver == "")),
+        "httpRequest.httpVersion does not have expected format"))
+
+    # headers: last-wins per name, sorted render
+    hdrs = F.coalesce(p["httpRequest"]["headers"],
+                      F.array().cast(
+                          "array<struct<name:string,value:string>>"))
+    hmap = F.map_from_entries(
+        F.filter(
+            F.transform(
+                hdrs,
+                lambda h, i: F.struct(
+                    h["name"].alias("key"),
+                    F.struct(i.alias("pos"),
+                             h["value"].alias("v")).alias("val")),
+            ),
+            # keep only the LAST occurrence of each name
+            lambda e, i: ~F.exists(
+                F.slice(F.transform(hdrs, lambda h: h["name"]),
+                        i + 2, F.greatest(F.size(hdrs) - i - 1,
+                                          F.lit(0))),
+                lambda nm: nm == e["key"],
+            ),
+        )
+    )
+    headers_rendered = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(hmap),
+                lambda e: F.concat(F.lit("http.request.header."),
+                                   e["key"], F.lit("="),
+                                   e["value"]["v"]),
+            )
+        ),
+        ",",
+    )
+
+    def nz(c: Column) -> Column:  # reference putStr: "" -> unset
+        return F.when(F.coalesce(c, F.lit("")) != "", c)
+
+    out = {
+        "region": region,
+        "account_id": account,
+        "web_acl_arn": acl,
+        "ts_ns": p["timestamp"] * F.lit(1_000_000),
+        "protocol_name": F.when(
+            httpv.isNotNull() & (httpv != ""), F.lit("http")),
+        "protocol_version": F.when(
+            httpv.isNotNull() & (httpv != ""), ver),
+        "status_code": p["responseCodeSent"],
+        "terminating_rule_type": nz(p["terminatingRuleType"]),
+        "terminating_rule_id": nz(p["terminatingRuleId"]),
+        "waf_action": nz(p["action"]),
+        "source_id": nz(p["httpSourceId"]),
+        "source_name": nz(p["httpSourceName"]),
+        "client_address": nz(p["httpRequest"]["clientIp"]),
+        "server_address": nz(p["httpRequest"]["host"]),
+        "url_path": nz(p["httpRequest"]["uri"]),
+        "url_query": nz(p["httpRequest"]["args"]),
+        "http_method": nz(p["httpRequest"]["httpMethod"]),
+        "request_id": nz(p["httpRequest"]["requestID"]),
+        "url_fragment": nz(p["httpRequest"]["fragment"]),
+        "url_scheme": nz(p["httpRequest"]["scheme"]),
+        "country": nz(p["httpRequest"]["country"]),
+        "ja3": nz(p["ja3Fingerprint"]),
+        "ja4": nz(p["ja4Fingerprint"]),
+        "headers": headers_rendered,
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CloudTrail (cloudtraillog/unmarshaler.go)
+# ---------------------------------------------------------------------------
+
+_CT_RECORD_SCHEMA = (
+    "struct<apiVersion:string,eventVersion:string,eventTime:string,"
+    "eventSource:string,eventName:string,awsRegion:string,"
+    "sourceIPAddress:string,userAgent:string,requestID:string,"
+    "eventID:string,eventType:string,eventCategory:string,"
+    "recipientAccountId:string,"
+    "userIdentity:struct<type:string,principalId:string,arn:string,"
+    "accountId:string,accessKeyId:string,userName:string,userId:string,"
+    "identityStoreArn:string,invokedBy:string,"
+    "sessionContext:struct<attributes:struct<mfaAuthenticated:string,"
+    "creationDate:string>,sessionIssuer:struct<type:string,"
+    "principalId:string,arn:string,accountId:string,userName:string>>>,"
+    "readOnly:boolean,managementEvent:boolean,"
+    "tlsDetails:struct<tlsVersion:string,cipherSuite:string,"
+    "clientProvidedHostHeader:string>,"
+    "sessionCredentialFromConsole:string,errorCode:string,"
+    "errorMessage:string,sharedEventID:string,"
+    "resources:array<struct<accountId:string,type:string,ARN:string>>>"
+)
+
+
+def cloudtrail_records(
+    df: DataFrame, record: str = "line", uid_prefix: bool = False,
+) -> DataFrame:
+    """One CloudTrail record JSON -> one log row (setLogRecord /
+    setLogAttributes, cloudtraillog/unmarshaler.go:359-496).
+
+    ``uid_prefix`` mirrors the CloudTrailEnableUserIdentityPrefix
+    feature gate: it only changes which attribute NAMES carry the
+    user-identity fields (:540-606); the column values are identical,
+    so the flag is accepted for parity and documented, not schema-
+    changing. request/response/additional payload objects stay as
+    their raw JSON substrings (the reference round-trips them through
+    FromRaw untyped).
+    """
+    c = F.col(record)
+    p = F.from_json(c, _CT_RECORD_SCHEMA)
+    ts = F.coalesce(
+        F.try_to_timestamp(p["eventTime"],
+                           F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(p["eventTime"],
+                           F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+    )
+    err = (
+        F.when(p.isNull(), "failed to unmarshal CloudTrail record")
+        .when(ts.isNull(), "failed to parse timestamp of log")
+    )
+    ui = p["userIdentity"]
+    sc = ui["sessionContext"]
+    mfa = sc["attributes"]["mfaAuthenticated"]
+
+    def nz(col: Column) -> Column:
+        return F.when(F.coalesce(col, F.lit("")) != "", col)
+
+    resources = F.array_join(
+        F.transform(
+            F.coalesce(p["resources"], F.array().cast(
+                "array<struct<accountId:string,type:string,ARN:string>>")),
+            lambda r: F.concat_ws(
+                "|", F.coalesce(r["accountId"], F.lit("")),
+                F.coalesce(r["type"], F.lit("")),
+                F.coalesce(r["ARN"], F.lit(""))),
+        ),
+        ";",
+    )
+    out = {
+        "region": p["awsRegion"],
+        "recipient_account_id": p["recipientAccountId"],
+        "ts_ns": F.unix_micros(ts) * F.lit(1000),
+        "event_version": p["eventVersion"],
+        "event_id": p["eventID"],
+        "rpc_method": nz(p["eventName"]),
+        "rpc_system": p["eventType"],
+        "api_version": nz(p["apiVersion"]),
+        "rpc_service": nz(p["eventSource"]),
+        "request_id": nz(p["requestID"]),
+        "event_category": p["eventCategory"],
+        "read_only": p["readOnly"],
+        "management_event": p["managementEvent"],
+        "source_address": nz(p["sourceIPAddress"]),
+        "user_agent": nz(p["userAgent"]),
+        "session_console": F.when(
+            p["sessionCredentialFromConsole"] == "true", True),
+        "user_id": nz(ui["userId"]),
+        "user_name": nz(ui["userName"]),
+        "ui_account_id": nz(ui["accountId"]),
+        "access_key_id": nz(ui["accessKeyId"]),
+        "identity_store_arn": nz(ui["identityStoreArn"]),
+        "invoked_by": nz(ui["invokedBy"]),
+        "principal_id": nz(ui["principalId"]),
+        "principal_arn": nz(ui["arn"]),
+        "principal_type": nz(ui["type"]),
+        "mfa_authenticated": F.when(
+            mfa.isin("true", "false"), mfa == "true"),
+        "session_creation_date": nz(sc["attributes"]["creationDate"]),
+        "issuer_type": nz(sc["sessionIssuer"]["type"]),
+        "issuer_principal_id": nz(sc["sessionIssuer"]["principalId"]),
+        "issuer_arn": nz(sc["sessionIssuer"]["arn"]),
+        "issuer_account_id": nz(sc["sessionIssuer"]["accountId"]),
+        "issuer_user_name": nz(sc["sessionIssuer"]["userName"]),
+        # TLSv1.2 -> 1.2 (extractTLSVersion:609-614)
+        "tls_version": F.when(
+            nz(p["tlsDetails"]["tlsVersion"]).isNotNull(),
+            F.when(p["tlsDetails"]["tlsVersion"].startswith("TLSv"),
+                   F.substr(p["tlsDetails"]["tlsVersion"], F.lit(5)))
+             .otherwise(p["tlsDetails"]["tlsVersion"])),
+        "tls_cipher": nz(p["tlsDetails"]["cipherSuite"]),
+        "server_address": nz(p["tlsDetails"]["clientProvidedHostHeader"]),
+        "error_code": nz(p["errorCode"]),
+        "error_message": nz(p["errorMessage"]),
+        "shared_event_id": nz(p["sharedEventID"]),
+        "request_parameters": F.get_json_object(
+            c, "$.requestParameters"),
+        "response_elements": F.get_json_object(
+            c, "$.responseElements"),
+        "additional_event_data": F.get_json_object(
+            c, "$.additionalEventData"),
+        "resources": F.when(F.size(F.coalesce(
+            p["resources"], F.array().cast(
+                "array<struct<accountId:string,type:string,ARN:string>>"
+            ))) > 0, resources),
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), v).alias(k) for k, v in out.items()],
+        err.alias("error"),
+    )
+
+
+def cloudtrail_file_records(df: DataFrame, line: str = "line",
+                            uid_prefix: bool = False) -> DataFrame:
+    """An S3 CloudTrail file ({"Records": [...]}) -> one row per
+    record (fromS3, cloudtraillog/unmarshaler.go:240-284). Resource
+    region/account come from each record itself -- the reference takes
+    them from the FIRST record of the file; per-record values are
+    identical in well-formed files (one trail, one account)."""
+    # from_json keeps each Records[i] OBJECT as its raw JSON text when
+    # the schema says string -- the streaming-decoder equivalent of the
+    # reference's token walk (fromS3 decodes one record at a time)
+    recs = F.from_json(F.col(line), "struct<Records:array<string>>")
+    exploded = df.select(
+        *df.columns,
+        F.explode(recs["Records"]).alias("_record"),
+    )
+    return cloudtrail_records(
+        exploded, record="_record", uid_prefix=uid_prefix
+    ).drop("_record")

@@ -11476,3 +11476,650 @@ FROM f ORDER BY host, source, ts_ns, body
 
 _QUERIES["splunk_hec_receive_events"] = q_splunk_hec_receive
 _ORACLES["splunk_hec_receive_events"] = _SPLUNK_HEC_RECV_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# awslogsencodingextension batteries (extension/encoding/
+# awslogsencodingextension/internal/unmarshaler/). Registered WITHOUT
+# priority slots: round 5 drains the 49-query never-checked backlog
+# first (r04 verdict item 1); these queue behind it.
+# ---------------------------------------------------------------------------
+
+def q_aws_vpcflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPC flow logs, S3 plain-text direction: construct default-format
+    lines from events, decode with the vpc-flow-log battery
+    (vpc-flow-log/unmarshaler.go), surface the record columns."""
+    from .operators.aws_logs import vpc_flow_records
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    start = F.unix_timestamp("ts").cast("long")
+    proto = F.element_at(F.array(F.lit("6"), F.lit("17"), F.lit("1")),
+                         (uid % 3 + 1).cast("int"))
+    srcport = F.when(eid % 11 == 0, "-").otherwise(
+        (1024 + eid % 500).cast("string"))
+    line = F.concat_ws(
+        " ",
+        F.lit("2"),
+        (F.lit(100000000000) + uid).cast("string"),
+        F.concat(F.lit("eni-"), eid.cast("string")),
+        F.concat(F.lit("10.0."), (uid % 256).cast("string"),
+                 F.lit("."), (eid % 250).cast("string")),
+        F.concat(F.lit("10.1."), (uid % 256).cast("string"),
+                 F.lit("."), ((eid * 7) % 250).cast("string")),
+        srcport,
+        F.when(eid % 2 == 0, "80").otherwise("443"),
+        proto,
+        (eid % 50 + 1).cast("string"),
+        (eid * 13 % 9999).cast("string"),
+        start.cast("string"),
+        (start + eid % 300).cast("string"),
+        F.when(eid % 4 == 0, "REJECT").otherwise("ACCEPT"),
+        F.when(eid % 9 == 0, "-").otherwise("OK"),
+    )
+    # eid%13==0 rows grow one extra field -> the reference's
+    # "more fields than expected" error
+    line = F.when(eid % 13 == 0, F.concat(line, F.lit(" extra"))) \
+            .otherwise(line)
+    out = vpc_flow_records(ev.select(eid.alias("eid"),
+                                     line.alias("line")))
+    return out.select(
+        "eid", "account_id", "interface_name", "source_address",
+        "destination_address", "source_port", "destination_port",
+        "protocol_name", "packets", "bytes", "flow_start", "ts_ns",
+        "action", "log_status", "error",
+    ).orderBy("eid")
+
+
+_AWS_VPCFLOW_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 3 = 0)
+SELECT eid,
+  CASE WHEN eid % 13 = 0 THEN NULL
+       ELSE CAST(100000000000 + uid AS VARCHAR) END AS account_id,
+  CASE WHEN eid % 13 = 0 THEN NULL
+       ELSE 'eni-' || CAST(eid AS VARCHAR) END AS interface_name,
+  CASE WHEN eid % 13 = 0 THEN NULL
+       ELSE '10.0.' || CAST(uid % 256 AS VARCHAR) || '.'
+            || CAST(eid % 250 AS VARCHAR) END AS source_address,
+  CASE WHEN eid % 13 = 0 THEN NULL
+       ELSE '10.1.' || CAST(uid % 256 AS VARCHAR) || '.'
+            || CAST(eid * 7 % 250 AS VARCHAR) END AS destination_address,
+  CASE WHEN eid % 13 = 0 OR eid % 11 = 0 THEN NULL
+       ELSE 1024 + eid % 500 END AS source_port,
+  CASE WHEN eid % 13 = 0 THEN NULL
+       WHEN eid % 2 = 0 THEN 80 ELSE 443 END AS destination_port,
+  CASE WHEN eid % 13 = 0 THEN NULL
+       WHEN uid % 3 = 0 THEN 'tcp'
+       WHEN uid % 3 = 1 THEN 'udp' ELSE 'icmp' END AS protocol_name,
+  CASE WHEN eid % 13 = 0 THEN NULL ELSE eid % 50 + 1 END AS packets,
+  CASE WHEN eid % 13 = 0 THEN NULL ELSE eid * 13 % 9999 END AS bytes,
+  CASE WHEN eid % 13 = 0 THEN NULL
+       ELSE CAST(st AS VARCHAR) END AS flow_start,
+  CASE WHEN eid % 13 = 0 THEN NULL
+       ELSE (st + eid % 300) * 1000000000 END AS ts_ns,
+  CASE WHEN eid % 13 = 0 THEN NULL
+       WHEN eid % 4 = 0 THEN 'REJECT' ELSE 'ACCEPT' END AS action,
+  CASE WHEN eid % 13 = 0 OR eid % 9 = 0 THEN NULL
+       ELSE 'OK' END AS log_status,
+  CASE WHEN eid % 13 = 0
+       THEN 'log line has more fields than the ones expected'
+       END AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["aws_vpcflow_events"] = q_aws_vpcflow
+_ORACLES["aws_vpcflow_events"] = _AWS_VPCFLOW_ORACLE
+
+
+def q_aws_elb_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELB access logs, all three syntaxes mixed in one scan (ALB /
+    NLB / CLB dispatched per line on the first field --
+    elb-access-log/elb.go findLogSyntaxByField)."""
+    from .operators.aws_logs import elb_access_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    iso_us = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    iso_s = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    client = F.concat(F.lit("10.2."), (uid % 200).cast("string"),
+                      F.lit("."), (eid % 200).cast("string"),
+                      F.lit(":"), (2000 + eid % 2000).cast("string"))
+    target = F.concat(F.lit("10.3."), (uid % 200).cast("string"),
+                      F.lit(".7:80"))
+    lb = F.concat(F.lit("app/lb-"), (uid % 10).cast("string"))
+    domain = F.concat(F.lit("h"), (uid % 10).cast("string"),
+                      F.lit(".example.com"))
+    request = F.concat(F.lit('"GET https://'), domain,
+                       F.lit(":443/p"), eid.cast("string"),
+                       F.lit(' HTTP/1.1"'))
+    status = F.element_at(
+        F.array(F.lit("200"), F.lit("301"), F.lit("404"), F.lit("500")),
+        (eid % 4 + 1).cast("int"))
+    rpt = F.when(eid % 10 == 0, "-1").otherwise(
+        F.concat(F.lit("0.0"), (eid % 90 + 10).cast("string")))
+    tpt = F.concat(F.lit("0.0"), (eid % 80 + 10).cast("string"))
+    alb = F.concat_ws(
+        " ", F.lit("https"), iso_us, lb, client,
+        F.when(eid % 6 == 0, "-").otherwise(target),
+        rpt, tpt, F.lit("0.001"), status, F.lit('"200"'),
+        (eid % 5000).cast("string"), (eid % 9000).cast("string"),
+        request, F.concat(F.lit('"ua-'), (uid % 10).cast("string"),
+                          F.lit('"')),
+        F.lit("ECDHE-RSA-AES128-GCM-SHA256"), F.lit("TLSv1.2"),
+        F.lit("arn:aws:elasticloadbalancing:r:a:targetgroup/tg/1"),
+        F.concat(F.lit('"Root=1-'), eid.cast("string"), F.lit('"')),
+        F.concat(F.lit('"'), domain, F.lit('"')),
+        F.lit('"arn:aws:acm:r:a:certificate/c1"'), F.lit("1"),
+        iso_us, F.lit('"forward,waf"'), F.lit('"-"'), F.lit('"-"'),
+        F.concat(F.lit('"'), target, F.lit('"')), F.lit('"200"'),
+        F.lit('"-"'), F.lit('"-"'),
+    )
+    nlb = F.concat_ws(
+        " ", F.lit("tls"), F.lit("2.0"), iso_s,
+        F.concat(F.lit("net/nlb-"), (uid % 10).cast("string")),
+        F.concat(F.lit("lst"), (eid % 4).cast("string")),
+        client, target, (eid % 500).cast("string"),
+        F.when(eid % 5 == 0, "-").otherwise((eid % 50).cast("string")),
+        (eid % 5000).cast("string"), (eid % 9000).cast("string"),
+        F.lit("-"), F.lit("arn:aws:acm:r:a:certificate/c2"),
+        F.lit("-"), F.lit("ECDHE-RSA-AES128-SHA"), F.lit("tlsv12"),
+        F.lit("-"), domain, F.when(eid % 2 == 0, "h2").otherwise("-"),
+        F.lit("-"), F.lit("-"), iso_s,
+    )
+    clb = F.concat_ws(
+        " ", iso_us, F.concat(F.lit("clb-"), (uid % 10).cast("string")),
+        client, F.when(eid % 6 == 0, "-").otherwise(target),
+        F.lit("0.000086"), F.lit("0.001048"), F.lit("0.001337"),
+        F.when(eid % 8 == 0, "-").otherwise(status),
+        F.when(eid % 8 == 0, "-").otherwise(F.lit("200")),
+        (eid % 5000).cast("string"), (eid % 9000).cast("string"),
+        request, F.concat(F.lit('"ua-'), (uid % 10).cast("string"),
+                          F.lit('"')),
+        F.lit("DHE-RSA-AES128-SHA"), F.lit("TLSv1.2"),
+    )
+    line = (F.when(uid % 3 == 0, alb).when(uid % 3 == 1, nlb)
+             .otherwise(clb))
+    out = elb_access_logs(ev.select(eid.alias("eid"),
+                                    line.alias("line")))
+    return out.select(
+        "eid", "syntax", "elb", "ts_ns", "protocol_name",
+        "protocol_version", "client_address", "client_port",
+        "destination_address", "destination_port", "request_method",
+        "url_full", "request_size", "response_size", "elb_status_code",
+        "backend_status_code", "tls_protocol_version", "tls_cipher",
+        "user_agent", "url_domain", "request_processing_time",
+        "target_processing_time", "response_processing_time",
+        "trace_id", "actions_executed", "listener_id",
+        "connection_time_ms", "tls_handshake_time_ms", "error",
+    ).orderBy("eid")
+
+
+_AWS_ELB_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts,
+         uid % 3 AS m,
+         epoch_us(ts) * 1000 AS us_ns,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS s_ns
+  FROM events WHERE event_id % 7 = 0),
+g AS (
+  SELECT *,
+    'h' || CAST(uid % 10 AS VARCHAR) || '.example.com' AS dom,
+    CASE eid % 4 WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 404
+         ELSE 500 END AS st
+  FROM f)
+SELECT eid,
+  CASE m WHEN 0 THEN 'alb' WHEN 1 THEN 'nlb' ELSE 'clb' END AS syntax,
+  CASE m WHEN 0 THEN 'app/lb-' || CAST(uid % 10 AS VARCHAR)
+         WHEN 1 THEN 'net/nlb-' || CAST(uid % 10 AS VARCHAR)
+         ELSE 'clb-' || CAST(uid % 10 AS VARCHAR) END AS elb,
+  CASE m WHEN 1 THEN s_ns ELSE us_ns END AS ts_ns,
+  CASE m WHEN 0 THEN 'https' WHEN 1 THEN 'tls' ELSE 'http' END
+    AS protocol_name,
+  CASE m WHEN 0 THEN '1.1' WHEN 1 THEN '2.0' ELSE '1.1' END
+    AS protocol_version,
+  '10.2.' || CAST(uid % 200 AS VARCHAR) || '.'
+    || CAST(eid % 200 AS VARCHAR) AS client_address,
+  2000 + eid % 2000 AS client_port,
+  CASE WHEN m <> 1 AND eid % 6 = 0 THEN NULL
+       ELSE '10.3.' || CAST(uid % 200 AS VARCHAR) || '.7'
+       END AS destination_address,
+  CASE WHEN m <> 1 AND eid % 6 = 0 THEN NULL ELSE 80
+       END AS destination_port,
+  CASE WHEN m <> 1 THEN 'GET' END AS request_method,
+  CASE WHEN m <> 1 THEN 'https://' || dom || ':443/p'
+       || CAST(eid AS VARCHAR) END AS url_full,
+  eid % 5000 AS request_size,
+  eid % 9000 AS response_size,
+  CASE WHEN m = 0 THEN st
+       WHEN m = 2 AND eid % 8 <> 0 THEN st END AS elb_status_code,
+  CASE WHEN m = 0 THEN 200
+       WHEN m = 2 AND eid % 8 <> 0 THEN 200 END AS backend_status_code,
+  CASE m WHEN 0 THEN 'tlsv1.2' WHEN 1 THEN 'tlsv12' ELSE 'tlsv1.2'
+       END AS tls_protocol_version,
+  CASE m WHEN 0 THEN 'ECDHE-RSA-AES128-GCM-SHA256'
+       WHEN 1 THEN 'ECDHE-RSA-AES128-SHA' ELSE 'DHE-RSA-AES128-SHA'
+       END AS tls_cipher,
+  CASE WHEN m <> 1 THEN 'ua-' || CAST(uid % 10 AS VARCHAR)
+       END AS user_agent,
+  CASE WHEN m <> 2 THEN dom END AS url_domain,
+  CASE WHEN m = 0 THEN CASE WHEN eid % 10 = 0 THEN -1.0
+       ELSE CAST('0.0' || CAST(eid % 90 + 10 AS VARCHAR) AS DOUBLE)
+       END END AS request_processing_time,
+  CASE WHEN m = 0
+       THEN CAST('0.0' || CAST(eid % 80 + 10 AS VARCHAR) AS DOUBLE)
+       END AS target_processing_time,
+  CASE WHEN m = 0 THEN 0.001 END AS response_processing_time,
+  CASE WHEN m = 0 THEN 'Root=1-' || CAST(eid AS VARCHAR) END AS trace_id,
+  CASE WHEN m = 0 THEN 'forward,waf' END AS actions_executed,
+  CASE WHEN m = 1 THEN 'lst' || CAST(eid % 4 AS VARCHAR)
+       END AS listener_id,
+  CASE WHEN m = 1 THEN eid % 500 END AS connection_time_ms,
+  CASE WHEN m = 1 THEN CASE WHEN eid % 5 = 0 THEN 0 ELSE eid % 50 END
+       END AS tls_handshake_time_ms,
+  CAST(NULL AS VARCHAR) AS error
+FROM g ORDER BY eid
+"""
+
+_QUERIES["aws_elb_access_events"] = q_aws_elb_access
+_ORACLES["aws_elb_access_events"] = _AWS_ELB_ORACLE
+
+
+def q_aws_s3_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 server access logs: 26-field lines with quoted request /
+    referer / user-agent and the bracketed space-containing time
+    (s3-access-log/unmarshaler.go handleLog + addField)."""
+    from .operators.aws_logs import s3_access_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    bucket = F.concat(F.lit("bkt-"), (uid % 20).cast("string"))
+    status = F.when(eid % 10 == 0, "404").otherwise("200")
+    line = F.concat_ws(
+        " ",
+        F.substring(F.md5(uid.cast("string")), 1, 16),
+        bucket,
+        F.concat(F.lit("["),
+                 F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+                 F.lit(" +0000]")),
+        F.concat(F.lit("10.4."), (uid % 200).cast("string"),
+                 F.lit("."), (eid % 200).cast("string")),
+        F.when(eid % 10 == 0, "-").otherwise(
+            F.concat(F.lit("arn:aws:iam::1:user/u"),
+                     (uid % 10).cast("string"))),
+        F.upper(F.substring(F.md5(eid.cast("string")), 1, 16)),
+        F.when(eid % 2 == 0, "REST.GET.OBJECT")
+         .otherwise("REST.PUT.OBJECT"),
+        F.concat(F.lit("key/"), eid.cast("string"), F.lit(".dat")),
+        F.concat(F.lit('"'),
+                 F.when(eid % 2 == 0, "GET").otherwise("PUT"),
+                 F.lit(" /"), bucket, F.lit("/key/"),
+                 eid.cast("string"), F.lit(".dat?id="),
+                 (eid % 97).cast("string"), F.lit(' HTTP/1.1"')),
+        status,
+        F.when(eid % 10 == 0, "NoSuchKey").otherwise("-"),
+        F.when(eid % 10 == 0, "-").otherwise(
+            (eid * 31 % 100000).cast("string")),
+        (eid * 17 % 1000000).cast("string"),
+        (eid % 900 + 1).cast("string"),
+        F.when(eid % 3 == 0, "-").otherwise((eid % 200).cast("string")),
+        F.when(eid % 4 == 0, F.lit('"-"')).otherwise(
+            F.lit('"https://ref.example/page 1"')),
+        F.lit('"S3Console/0.4"'),
+        F.lit("-"),
+        F.concat(F.lit("host"), F.md5(F.concat(F.lit("h"),
+                 eid.cast("string"))), F.lit("=")),
+        F.when(eid % 2 == 0, "SigV4").otherwise("SigV2"),
+        F.lit("ECDHE-RSA-AES128-GCM-SHA256"),
+        F.when(eid % 2 == 0, "AuthHeader").otherwise("QueryString"),
+        F.concat(bucket, F.lit(".s3.us-west-1.amazonaws.com")),
+        F.when(eid % 2 == 0, "TLSV1.2").otherwise("TLSV1.3"),
+        F.when(eid % 6 == 0, "-").otherwise(
+            "arn:aws:s3:us-west-1:1:accesspoint/ap"),
+        F.when(eid % 2 == 0, "Yes").otherwise("-"),
+    )
+    out = s3_access_logs(ev.select(eid.alias("eid"),
+                                   line.alias("line")))
+    return out.select(
+        "eid", "bucket_owner", "bucket", "ts_ns", "source_address",
+        "user_id", "request_id", "rpc_method", "s3_key", "http_method",
+        "url_path", "url_query", "protocol_name", "protocol_version",
+        "status_code", "error_type", "response_size", "object_size",
+        "duration_ms", "turn_around_ms", "referer", "user_agent",
+        "signature_version", "tls_cipher", "auth_type", "host_header",
+        "tls_version", "access_point_arn", "acl_required", "error",
+    ).orderBy("eid")
+
+
+_AWS_S3_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts,
+         'bkt-' || CAST(user_id % 20 AS VARCHAR) AS bkt,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS tns
+  FROM events WHERE event_id % 5 = 0)
+SELECT eid,
+  substr(md5(CAST(uid AS VARCHAR)), 1, 16) AS bucket_owner,
+  bkt AS bucket,
+  tns AS ts_ns,
+  '10.4.' || CAST(uid % 200 AS VARCHAR) || '.'
+    || CAST(eid % 200 AS VARCHAR) AS source_address,
+  CASE WHEN eid % 10 = 0 THEN NULL
+       ELSE 'arn:aws:iam::1:user/u' || CAST(uid % 10 AS VARCHAR)
+       END AS user_id,
+  upper(substr(md5(CAST(eid AS VARCHAR)), 1, 16)) AS request_id,
+  CASE WHEN eid % 2 = 0 THEN 'REST.GET.OBJECT'
+       ELSE 'REST.PUT.OBJECT' END AS rpc_method,
+  'key/' || CAST(eid AS VARCHAR) || '.dat' AS s3_key,
+  CASE WHEN eid % 2 = 0 THEN 'GET' ELSE 'PUT' END AS http_method,
+  '/' || bkt || '/key/' || CAST(eid AS VARCHAR) || '.dat' AS url_path,
+  'id=' || CAST(eid % 97 AS VARCHAR) AS url_query,
+  'http' AS protocol_name,
+  '1.1' AS protocol_version,
+  CASE WHEN eid % 10 = 0 THEN 404 ELSE 200 END AS status_code,
+  CASE WHEN eid % 10 = 0 THEN 'NoSuchKey' END AS error_type,
+  CASE WHEN eid % 10 = 0 THEN NULL
+       ELSE eid * 31 % 100000 END AS response_size,
+  eid * 17 % 1000000 AS object_size,
+  eid % 900 + 1 AS duration_ms,
+  CASE WHEN eid % 3 = 0 THEN NULL ELSE eid % 200 END AS turn_around_ms,
+  CASE WHEN eid % 4 = 0 THEN NULL
+       ELSE 'https://ref.example/page 1' END AS referer,
+  'S3Console/0.4' AS user_agent,
+  CASE WHEN eid % 2 = 0 THEN 'SigV4' ELSE 'SigV2' END
+    AS signature_version,
+  'ECDHE-RSA-AES128-GCM-SHA256' AS tls_cipher,
+  CASE WHEN eid % 2 = 0 THEN 'AuthHeader' ELSE 'QueryString' END
+    AS auth_type,
+  bkt || '.s3.us-west-1.amazonaws.com' AS host_header,
+  CASE WHEN eid % 2 = 0 THEN '1.2' ELSE '1.3' END AS tls_version,
+  CASE WHEN eid % 6 = 0 THEN NULL
+       ELSE 'arn:aws:s3:us-west-1:1:accesspoint/ap'
+       END AS access_point_arn,
+  eid % 2 = 0 AS acl_required,
+  CAST(NULL AS VARCHAR) AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["aws_s3_access_events"] = q_aws_s3_access
+_ORACLES["aws_s3_access_events"] = _AWS_S3_ORACLE
+
+
+def q_aws_waf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAF Logpush NDJSON -> records (waf/unmarshaler.go): webaclId ARN
+    parse into region/account resource, header map with last-wins
+    duplicate names, ms -> ns timestamps, empty-string -> unset."""
+    from .operators.aws_logs import waf_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    tms = (F.unix_timestamp("ts").cast("long") * 1000 + eid % 1000)
+    country = F.element_at(
+        F.array(F.lit("NL"), F.lit("US"), F.lit("DE"), F.lit("JP")),
+        (uid % 4 + 1).cast("int"))
+    hdrs = F.concat(
+        F.lit('[{"name":"Host","value":"h'), (uid % 10).cast("string"),
+        F.lit('.example.com"},{"name":"user-agent","value":"ua-'),
+        (uid % 10).cast("string"), F.lit('"}'),
+        # duplicate name on every third row: last occurrence wins
+        F.when(eid % 3 == 0,
+               F.concat(F.lit(',{"name":"Host","value":"override-'),
+                        (eid % 5).cast("string"), F.lit('"}'))
+               ).otherwise(F.lit("")),
+        F.lit("]"),
+    )
+    line = F.concat(
+        F.lit('{"timestamp":'), tms.cast("string"),
+        F.lit(',"webaclId":"arn:aws:wafv2:us-east-1:'),
+        (100000000000 + uid).cast("string"),
+        F.lit(":regional/webacl/acl-"), (uid % 5).cast("string"),
+        F.lit("/"), F.substring(F.md5(uid.cast("string")), 1, 8),
+        F.lit('","terminatingRuleId":"rule-'), (eid % 7).cast("string"),
+        F.lit('","terminatingRuleType":"'),
+        F.when(eid % 2 == 0, "REGULAR").otherwise("MANAGED_RULE_GROUP"),
+        F.lit('","action":"'),
+        F.when(eid % 6 == 0, "BLOCK").otherwise("ALLOW"),
+        F.lit('","httpSourceName":"ALB","httpSourceId":"src-'),
+        (uid % 3).cast("string"),
+        F.lit('","httpRequest":{"clientIp":"10.5.'),
+        (uid % 200).cast("string"), F.lit("."),
+        (eid % 200).cast("string"),
+        F.lit('","country":"'), country,
+        F.lit('","headers":'), hdrs,
+        F.lit(',"uri":"/p'), eid.cast("string"),
+        F.lit('","args":"'),
+        F.when(eid % 4 == 0, "").otherwise(
+            F.concat(F.lit("q="), (eid % 13).cast("string"))),
+        F.lit('","httpVersion":"'),
+        F.when(eid % 12 == 0, "").otherwise(
+            F.when(eid % 2 == 0, "HTTP/2.0").otherwise("HTTP/1.1")),
+        F.lit('","httpMethod":"GET","requestID":"req-'),
+        eid.cast("string"),
+        F.lit('","fragment":"","scheme":"https","host":"h'),
+        (uid % 10).cast("string"), F.lit('.example.com"}'),
+        F.when(eid % 2 == 0,
+               F.concat(F.lit(',"responseCodeSent":'),
+                        F.when(eid % 6 == 0, "403").otherwise("200"))
+               ).otherwise(F.lit("")),
+        F.lit(',"ja3Fingerprint":"'),
+        F.md5(F.concat(F.lit("j3"), uid.cast("string"))),
+        F.lit('","ja4Fingerprint":"'),
+        F.md5(F.concat(F.lit("j4"), uid.cast("string"))),
+        F.lit('"}'),
+    )
+    out = waf_logs(ev.select(eid.alias("eid"), line.alias("line")))
+    return out.select(
+        "eid", "region", "account_id", "web_acl_arn", "ts_ns",
+        "protocol_name", "protocol_version", "status_code",
+        "terminating_rule_type", "terminating_rule_id", "waf_action",
+        "source_id", "source_name", "client_address", "server_address",
+        "url_path", "url_query", "http_method", "request_id",
+        "url_fragment", "url_scheme", "country", "ja3", "ja4",
+        "headers", "error",
+    ).orderBy("eid")
+
+
+_AWS_WAF_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 + event_id % 1000
+           AS tms
+  FROM events WHERE event_id % 9 = 0)
+SELECT eid,
+  'us-east-1' AS region,
+  CAST(100000000000 + uid AS VARCHAR) AS account_id,
+  'arn:aws:wafv2:us-east-1:' || CAST(100000000000 + uid AS VARCHAR)
+    || ':regional/webacl/acl-' || CAST(uid % 5 AS VARCHAR) || '/'
+    || substr(md5(CAST(uid AS VARCHAR)), 1, 8) AS web_acl_arn,
+  tms * 1000000 AS ts_ns,
+  CASE WHEN eid % 12 = 0 THEN NULL ELSE 'http' END AS protocol_name,
+  CASE WHEN eid % 12 = 0 THEN NULL
+       WHEN eid % 2 = 0 THEN '2.0' ELSE '1.1' END AS protocol_version,
+  CASE WHEN eid % 2 <> 0 THEN NULL
+       WHEN eid % 6 = 0 THEN 403 ELSE 200 END AS status_code,
+  CASE WHEN eid % 2 = 0 THEN 'REGULAR' ELSE 'MANAGED_RULE_GROUP' END
+    AS terminating_rule_type,
+  'rule-' || CAST(eid % 7 AS VARCHAR) AS terminating_rule_id,
+  CASE WHEN eid % 6 = 0 THEN 'BLOCK' ELSE 'ALLOW' END AS waf_action,
+  'src-' || CAST(uid % 3 AS VARCHAR) AS source_id,
+  'ALB' AS source_name,
+  '10.5.' || CAST(uid % 200 AS VARCHAR) || '.'
+    || CAST(eid % 200 AS VARCHAR) AS client_address,
+  'h' || CAST(uid % 10 AS VARCHAR) || '.example.com' AS server_address,
+  '/p' || CAST(eid AS VARCHAR) AS url_path,
+  CASE WHEN eid % 4 = 0 THEN NULL
+       ELSE 'q=' || CAST(eid % 13 AS VARCHAR) END AS url_query,
+  'GET' AS http_method,
+  'req-' || CAST(eid AS VARCHAR) AS request_id,
+  CAST(NULL AS VARCHAR) AS url_fragment,
+  'https' AS url_scheme,
+  CASE uid % 4 WHEN 0 THEN 'NL' WHEN 1 THEN 'US' WHEN 2 THEN 'DE'
+       ELSE 'JP' END AS country,
+  md5('j3' || CAST(uid AS VARCHAR)) AS ja3,
+  md5('j4' || CAST(uid AS VARCHAR)) AS ja4,
+  CASE WHEN eid % 3 = 0
+       THEN 'http.request.header.Host=override-'
+            || CAST(eid % 5 AS VARCHAR)
+            || ',http.request.header.user-agent=ua-'
+            || CAST(uid % 10 AS VARCHAR)
+       ELSE 'http.request.header.Host=h' || CAST(uid % 10 AS VARCHAR)
+            || '.example.com,http.request.header.user-agent=ua-'
+            || CAST(uid % 10 AS VARCHAR)
+       END AS headers,
+  CAST(NULL AS VARCHAR) AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["aws_waf_events"] = q_aws_waf
+_ORACLES["aws_waf_events"] = _AWS_WAF_ORACLE
+
+
+def q_aws_cloudtrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudTrail S3 files ({"Records":[...]}) -> one row per record
+    (cloudtraillog/unmarshaler.go fromS3 + setLogAttributes), through
+    the raw-subtree explode + typed projection."""
+    from .operators.aws_logs import cloudtrail_file_records
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 8 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    svc = F.element_at(
+        F.array(F.lit("ec2"), F.lit("iam"), F.lit("s3"), F.lit("sns")),
+        (uid % 4 + 1).cast("int"))
+    issuer = F.when(eid % 8 == 0, F.concat(
+        F.lit(',"sessionIssuer":{"type":"Role","principalId":"pid-'),
+        (uid % 50).cast("string"),
+        F.lit('","arn":"arn:aws:iam::1:role/r'), (uid % 5).cast("string"),
+        F.lit('","accountId":"1","userName":"role-u'),
+        (uid % 5).cast("string"), F.lit('"}'),
+    )).otherwise(F.lit(""))
+    record = F.concat(
+        F.lit('{"eventVersion":"1.0'), (eid % 2 + 8).cast("string"),
+        F.lit('","userIdentity":{"type":"IAMUser","principalId":"P'),
+        uid.cast("string"),
+        F.lit('","arn":"arn:aws:iam::1:user/u'), (uid % 40).cast("string"),
+        F.lit('","accountId":"'), (100000000000 + uid).cast("string"),
+        F.lit('","accessKeyId":"AKIA'),
+        F.upper(F.substring(F.md5(uid.cast("string")), 1, 8)),
+        F.lit('","userName":"u'), (uid % 40).cast("string"),
+        F.lit('","sessionContext":{"attributes":{"mfaAuthenticated":"'),
+        F.when(eid % 4 == 0, "true").otherwise("false"),
+        F.lit('","creationDate":"'), iso, F.lit('"}'), issuer,
+        F.lit('}},"eventTime":"'), iso,
+        F.lit('","eventSource":"'), svc, F.lit('.amazonaws.com"'),
+        F.lit(',"eventName":"'), F.initcap("event_type"),
+        F.lit('","awsRegion":"us-'),
+        F.when(uid % 2 == 0, "east").otherwise("west"),
+        F.lit('-1","sourceIPAddress":"10.6.'),
+        (uid % 200).cast("string"), F.lit("."),
+        (eid % 200).cast("string"),
+        F.lit('","userAgent":"aws-cli/2.'), (eid % 20).cast("string"),
+        F.lit('","requestParameters":{"name":"n'), eid.cast("string"),
+        F.lit('"},"requestID":"'),
+        F.substring(F.md5(eid.cast("string")), 1, 12),
+        F.lit('","eventID":"'), F.md5(F.concat(F.lit("e"),
+                                               eid.cast("string"))),
+        F.lit('","readOnly":'),
+        F.when(eid % 2 == 0, "true").otherwise("false"),
+        F.lit(',"eventType":"AwsApiCall","managementEvent":true'),
+        F.lit(',"recipientAccountId":"'),
+        (100000000000 + uid).cast("string"),
+        F.lit('","eventCategory":"Management"'),
+        F.when(eid % 6 == 0, F.concat(
+            F.lit(',"errorCode":"AccessDenied","errorMessage":"denied '),
+            eid.cast("string"), F.lit('"'))).otherwise(F.lit("")),
+        F.lit(',"tlsDetails":{"tlsVersion":"TLSv1.'),
+        (eid % 2 + 2).cast("string"),
+        F.lit('","cipherSuite":"ECDHE-RSA-AES128-GCM-SHA256",'
+              '"clientProvidedHostHeader":"'),
+        svc, F.lit('.amazonaws.com"}'),
+        F.when(eid % 4 == 0,
+               F.lit(',"sessionCredentialFromConsole":"true"')
+               ).otherwise(F.lit("")),
+        F.when(eid % 5 == 0, F.concat(
+            F.lit(',"resources":[{"accountId":"1","type":"AWS::S3::'
+                  'Bucket","ARN":"arn:aws:s3:::b'),
+            (eid % 30).cast("string"), F.lit('"}]'))).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    payload = F.concat(F.lit('{"Records":['), record, F.lit("]}"))
+    out = cloudtrail_file_records(
+        ev.select(eid.alias("eid"), payload.alias("line")))
+    return out.select(
+        "eid", "region", "recipient_account_id", "ts_ns",
+        "event_version", "event_id", "rpc_method", "rpc_system",
+        "rpc_service", "request_id", "event_category", "read_only",
+        "management_event", "source_address", "user_agent",
+        "session_console", "user_name", "ui_account_id",
+        "access_key_id", "principal_id", "principal_arn",
+        "principal_type", "mfa_authenticated", "session_creation_date",
+        "issuer_type", "issuer_principal_id", "issuer_arn",
+        "issuer_account_id", "issuer_user_name", "tls_version",
+        "tls_cipher", "server_address", "error_code", "error_message",
+        "request_parameters", "resources", "error",
+    ).orderBy("eid")
+
+
+_AWS_CLOUDTRAIL_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+         CASE user_id % 4 WHEN 0 THEN 'ec2' WHEN 1 THEN 'iam'
+              WHEN 2 THEN 's3' ELSE 'sns' END AS svc
+  FROM events WHERE event_id % 8 = 0)
+SELECT eid,
+  'us-' || CASE WHEN uid % 2 = 0 THEN 'east' ELSE 'west' END || '-1'
+    AS region,
+  CAST(100000000000 + uid AS VARCHAR) AS recipient_account_id,
+  st * 1000000000 AS ts_ns,
+  '1.0' || CAST(eid % 2 + 8 AS VARCHAR) AS event_version,
+  md5('e' || CAST(eid AS VARCHAR)) AS event_id,
+  upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2))
+    AS rpc_method,
+  'AwsApiCall' AS rpc_system,
+  svc || '.amazonaws.com' AS rpc_service,
+  substr(md5(CAST(eid AS VARCHAR)), 1, 12) AS request_id,
+  'Management' AS event_category,
+  eid % 2 = 0 AS read_only,
+  TRUE AS management_event,
+  '10.6.' || CAST(uid % 200 AS VARCHAR) || '.'
+    || CAST(eid % 200 AS VARCHAR) AS source_address,
+  'aws-cli/2.' || CAST(eid % 20 AS VARCHAR) AS user_agent,
+  CASE WHEN eid % 4 = 0 THEN TRUE END AS session_console,
+  'u' || CAST(uid % 40 AS VARCHAR) AS user_name,
+  CAST(100000000000 + uid AS VARCHAR) AS ui_account_id,
+  'AKIA' || upper(substr(md5(CAST(uid AS VARCHAR)), 1, 8))
+    AS access_key_id,
+  'P' || CAST(uid AS VARCHAR) AS principal_id,
+  'arn:aws:iam::1:user/u' || CAST(uid % 40 AS VARCHAR)
+    AS principal_arn,
+  'IAMUser' AS principal_type,
+  eid % 4 = 0 AS mfa_authenticated,
+  iso AS session_creation_date,
+  CASE WHEN eid % 8 = 0 THEN 'Role' END AS issuer_type,
+  CASE WHEN eid % 8 = 0 THEN 'pid-' || CAST(uid % 50 AS VARCHAR)
+       END AS issuer_principal_id,
+  CASE WHEN eid % 8 = 0
+       THEN 'arn:aws:iam::1:role/r' || CAST(uid % 5 AS VARCHAR)
+       END AS issuer_arn,
+  CASE WHEN eid % 8 = 0 THEN '1' END AS issuer_account_id,
+  CASE WHEN eid % 8 = 0 THEN 'role-u' || CAST(uid % 5 AS VARCHAR)
+       END AS issuer_user_name,
+  '1.' || CAST(eid % 2 + 2 AS VARCHAR) AS tls_version,
+  'ECDHE-RSA-AES128-GCM-SHA256' AS tls_cipher,
+  svc || '.amazonaws.com' AS server_address,
+  CASE WHEN eid % 6 = 0 THEN 'AccessDenied' END AS error_code,
+  CASE WHEN eid % 6 = 0 THEN 'denied ' || CAST(eid AS VARCHAR)
+       END AS error_message,
+  '{"name":"n' || CAST(eid AS VARCHAR) || '"}' AS request_parameters,
+  CASE WHEN eid % 5 = 0
+       THEN '1|AWS::S3::Bucket|arn:aws:s3:::b'
+            || CAST(eid % 30 AS VARCHAR) END AS resources,
+  CAST(NULL AS VARCHAR) AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["aws_cloudtrail_events"] = q_aws_cloudtrail
+_ORACLES["aws_cloudtrail_events"] = _AWS_CLOUDTRAIL_ORACLE
