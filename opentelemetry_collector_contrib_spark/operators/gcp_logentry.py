@@ -1,0 +1,511 @@
+"""googlecloudlogentryencodingextension: GCP LogEntry JSON -> log
+records, plus the audit-log proto-payload parser.
+
+Reference (extension/encoding/googlecloudlogentryencodingextension/):
+
+* log_entry.go        -- the LogEntry envelope: timestamps, logName ->
+  project/organization/billingAccount/folder resource ids, severity
+  ladder, trace/span promotion with hex validation, labels with
+  snake_case key normalization, httpRequest / sourceLocation /
+  operation / split / errorGroups / appHub attribute batteries,
+  text/json/proto payload -> body.
+* internal/auditlog/parser.go -- the cloudaudit.googleapis.com payload
+  (service/method validation, authentication/authorization, request
+  metadata incl. auth audiences/levels, destination attributes,
+  policy violations).
+
+Columnar model: one row = one LogEntry JSON; both batteries are ONE
+``from_json`` + Column ladders, map-only. Payload bodies are kept as
+their raw JSON subtree text (the config's HandleAsText rendering; the
+HandleAsJSON tree form is the same bytes parsed, checked in pytest).
+
+The typed payload parsers for the other recognized log suffixes (GCP
+vpc flow, app load balancer, dns, proxy/passthrough NLB) are NOT
+implemented -- those entries keep the generic body and their
+``encoding_format`` tag, and the gap is recorded in COVERAGE.md.
+
+Error model: house contract (row-level ``error`` column) instead of
+the reference's whole-buffer abort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+AUDIT_SUFFIXES = (
+    "cloudaudit.googleapis.com%2Factivity",
+    "cloudaudit.googleapis.com%2Fdata_access",
+    "cloudaudit.googleapis.com%2Fsystem_event",
+    "cloudaudit.googleapis.com%2Fpolicy",
+)
+_FORMAT_BY_SUFFIX = {
+    **{s: "gcp.auditlog" for s in AUDIT_SUFFIXES},
+    "networkmanagement.googleapis.com%2Fvpc_flows": "gcp.vpcflow",
+    "compute.googleapis.com%2Fvpc_flows": "gcp.vpcflow",
+    "requests": "gcp.load-balancer",
+    "loadbalancing.googleapis.com%2Fexternal_regional_requests":
+        "gcp.load-balancer",
+    "loadbalancing.googleapis.com%2Fconnections": "gcp.proxy-nlb",
+    "dns.googleapis.com%2Fdns_queries": "gcp.dns-query",
+    "networking.googleapis.com%2Fconnections": "gcp.passthrough-nlb",
+}
+
+_SEVERITY_NUM = {
+    "DEBUG": 5, "INFO": 9, "NOTICE": 10, "WARNING": 13, "ERROR": 17,
+    "CRITICAL": 21, "ALERT": 22, "EMERGENCY": 24,
+}
+
+_ENTRY_SCHEMA = (
+    "struct<"
+    "protoPayload:string,textPayload:string,jsonPayload:string,"
+    "receiveTimestamp:string,timestamp:string,"
+    "insertId:string,logName:string,severity:string,trace:string,"
+    "spanId:string,traceSampled:boolean,labels:map<string,string>,"
+    # NOTE: field names follow the documented LogEntry JSON spelling
+    # (requestUrl); the reference's Go struct tag says requestURL but
+    # encoding/json matches case-insensitively -- Spark's from_json
+    # does not, so the wire spelling is the one that must match.
+    "httpRequest:struct<requestMethod:string,requestUrl:string,"
+    "requestSize:string,status:bigint,responseSize:string,"
+    "userAgent:string,remoteIP:string,serverIP:string,referer:string,"
+    "latency:string,cacheLookup:boolean,cacheHit:boolean,"
+    "cacheValidatedWithOriginServer:boolean,cacheFillBytes:string,"
+    "protocol:string>,"
+    "resource:struct<type:string,labels:map<string,string>>,"
+    "operation:struct<id:string,producer:string,first:boolean,"
+    "last:boolean>,"
+    "sourceLocation:struct<file:string,line:string,function:string>,"
+    "split:struct<uid:string,index:bigint,totalSplits:bigint>,"
+    "errorGroups:array<struct<id:string>>,"
+    "apphub:struct<application:struct<container:string,location:string,"
+    "id:string>,service:struct<id:string,environmentType:string,"
+    "criticalityType:string>,workload:struct<id:string,"
+    "environmentType:string,criticalityType:string>>,"
+    "apphubDestination:struct<application:struct<container:string,"
+    "location:string,id:string>,service:struct<id:string,"
+    "environmentType:string,criticalityType:string>,"
+    "workload:struct<id:string,environmentType:string,"
+    "criticalityType:string>>"
+    ">"
+)
+
+
+def _snake(c: Column) -> Column:
+    """strcase.ToSnakeWithIgnore(key, '.'): camelCase -> snake_case,
+    '-'/' ' -> '_', '.' kept."""
+    c = F.regexp_replace(c, r"([A-Z]+)([A-Z][a-z])", r"$1_$2")
+    c = F.regexp_replace(c, r"([a-z0-9])([A-Z])", r"$1_$2")
+    c = F.regexp_replace(c, r"[-\s]", "_")
+    return F.lower(c)
+
+
+def _ts(c: Column) -> Column:
+    """RFC3339(.nanos) -> timestamp (micro precision; Spark's string
+    cast accepts any fraction length, truncating past micros)."""
+    return c.try_cast("timestamp")
+
+
+def _render_map(m: Column, key_fn=None) -> Column:
+    """sorted ``k=v`` rendering of a map column; NULL when map NULL."""
+    entries = F.map_entries(m)
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                entries,
+                lambda e: F.concat(
+                    key_fn(e["key"]) if key_fn else e["key"],
+                    F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+
+
+def gcp_log_entries(df: DataFrame, line: str = "line") -> DataFrame:
+    """LogEntry envelope battery (log_entry.go:556-638)."""
+    p = F.from_json(F.col(line), _ENTRY_SCHEMA)
+    ts = _ts(p["timestamp"])
+    obs = _ts(p["receiveTimestamp"])
+
+    # --- logName -> resource ids (handleLogNameField :459-489) --------
+    ln = p["logName"]
+    prefixes = [("projects/", "project"),
+                ("organizations/", "organization"),
+                ("billingAccounts/", "billing_account"),
+                ("folders/", "folder")]
+    rest = F.lit(None).cast("string")
+    which = F.lit(None).cast("string")
+    for pref, name in prefixes:
+        hit = ln.startswith(pref)
+        rest = F.when(hit & rest.isNull(),
+                      F.substr(ln, F.lit(len(pref) + 1))).otherwise(rest)
+        which = F.when(hit & which.isNull(), F.lit(name)).otherwise(which)
+    scope_id = F.substring_index(rest, "/logs/", 1)
+    log_type = F.when(rest.contains("/logs/"),
+                      F.substring_index(rest, "/logs/", -1))
+    name_bad = (
+        ln.isNotNull() & (ln != "") & (
+            which.isNull() | log_type.isNull() | (log_type == "")
+            | (scope_id == "")
+        )
+    )
+
+    fmt_map = F.create_map(*[
+        x for k, v in sorted(_FORMAT_BY_SUFFIX.items())
+        for x in (F.lit(k), F.lit(v))
+    ])
+    encoding_format = F.element_at(fmt_map, log_type)
+
+    # --- trace / span (getTraceID/getSpanID :346-375) -----------------
+    tr = p["trace"]
+    tr_hex = F.substring_index(tr, "/traces/", -1)
+    tr_bad = tr.isNotNull() & (tr != "") & (
+        ~tr.contains("/traces/") | ~tr_hex.rlike("^[0-9a-fA-F]{32}$"))
+    sp = p["spanId"]
+    sp_bad = sp.isNotNull() & (sp != "") & ~sp.rlike("^[0-9a-fA-F]{16}$")
+
+    # --- httpRequest (handleHTTPRequestField :192-263) ----------------
+    hr = p["httpRequest"]
+
+    def int_field(c: Column) -> tuple[Column, Column]:
+        ok = c.isNull() | (c == "") | c.rlike("^-?[0-9]+$")
+        return F.when(c.isNotNull() & (c != ""),
+                      c.try_cast("bigint")), ~ok
+
+    resp_size, resp_bad = int_field(hr["responseSize"])
+    req_size, req_bad = int_field(hr["requestSize"])
+    fill, fill_bad = int_field(hr["cacheFillBytes"])
+
+    lat = hr["latency"]
+    lat_num = F.regexp_extract(lat, r"^(.*)s$", 1)
+    lat_bad = lat.isNotNull() & (lat != "") & (
+        ~lat.endswith("s") | lat_num.try_cast("double").isNull())
+    latency_s = F.when(lat.isNotNull() & (lat != "") & ~lat_bad,
+                       lat_num.try_cast("double"))
+
+    url = hr["requestUrl"]
+    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.when(
+        scheme != "",
+        F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+    ).otherwise(F.regexp_extract(url, r"^([^?#]*)", 1))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+
+    proto = hr["protocol"]
+    proto_bad = proto.isNotNull() & (proto != "") & (
+        F.size(F.split(proto, "/", -1)) != 2)
+    proto_name = F.lower(F.substring_index(proto, "/", 1))
+    proto_ver = F.substring_index(proto, "/", -1)
+    proto_bad = proto_bad | (
+        proto.isNotNull() & (proto != "")
+        & ((proto_name == "") | (proto_ver == "")))
+
+    # --- sourceLocation ----------------------------------------------
+    sl = p["sourceLocation"]
+    sl_line, sl_bad = int_field(sl["line"])
+
+    err = (
+        F.when(p.isNull(), "failed to unmarshal log entry")
+        .when(ts.isNull(), "missing timestamp")
+        .when(name_bad, F.concat(F.lit("unrecognized or malformed log "
+                                       "name "), ln))
+        .when(tr_bad, "invalid trace id")
+        .when(sp_bad, "invalid span id")
+        .when(resp_bad | req_bad | fill_bad,
+              "failed to add http size attribute")
+        .when(lat_bad, "invalid latency format")
+        .when(proto_bad, "invalid protocol")
+        .when(sl_bad, "expected source location line to be a number")
+    )
+
+    def nz(c: Column) -> Column:
+        return F.when(F.coalesce(c, F.lit("")) != "", c)
+
+    sev = p["severity"]
+    sev_num = F.lit(0)
+    for name, num in _SEVERITY_NUM.items():
+        sev_num = F.when(sev == name, num).otherwise(sev_num)
+
+    def apphub(node: Column) -> Column:
+        parts = [
+            ("application.container", node["application"]["container"]),
+            ("application.location", node["application"]["location"]),
+            ("application.id", node["application"]["id"]),
+            ("service.environment_type",
+             node["service"]["environmentType"]),
+            ("service.criticality_type",
+             node["service"]["criticalityType"]),
+            ("service.id", node["service"]["id"]),
+            ("workload.environment_type",
+             node["workload"]["environmentType"]),
+            ("workload.criticality_type",
+             node["workload"]["criticalityType"]),
+            ("workload.id", node["workload"]["id"]),
+        ]
+        arr = F.array(*[
+            F.when(F.coalesce(c, F.lit("")) != "",
+                   F.concat(F.lit(k + "="), c))
+            for k, c in parts
+        ])
+        joined = F.array_join(
+            F.array_sort(F.filter(arr, lambda a: a.isNotNull())), ",")
+        return F.when(node.isNotNull() & (joined != ""), joined)
+
+    body = F.coalesce(
+        nz(p["protoPayload"]), nz(p["jsonPayload"]), nz(p["textPayload"]))
+
+    out = {
+        "ts_ns": F.unix_micros(ts) * F.lit(1000),
+        "observed_ts_ns": F.when(obs.isNotNull(),
+                                 F.unix_micros(obs) * F.lit(1000)),
+        "log_uid": nz(p["insertId"]),
+        "project": F.when(which == "project", scope_id),
+        "organization": F.when(which == "organization", scope_id),
+        "billing_account": F.when(which == "billing_account", scope_id),
+        "folder": F.when(which == "folder", scope_id),
+        "resource_id": log_type,
+        "encoding_format": encoding_format,
+        "resource_type": p["resource"]["type"],
+        "resource_labels": F.when(
+            p["resource"]["labels"].isNotNull(),
+            _render_map(p["resource"]["labels"],
+                        lambda k: F.concat(F.lit("gcp.label."),
+                                           _snake(k)))),
+        "severity_text": nz(sev),
+        "severity_number": F.when(nz(sev).isNotNull(), sev_num)
+                            .otherwise(F.lit(0)),
+        "trace_id": F.when(nz(tr).isNotNull(), F.lower(tr_hex)),
+        "span_id": F.when(nz(sp).isNotNull(), F.lower(sp)),
+        "flags": F.when(p["traceSampled"].isNotNull(),
+                        p["traceSampled"].cast("int")),
+        "labels": F.when(
+            p["labels"].isNotNull(),
+            _render_map(p["labels"],
+                        lambda k: F.concat(F.lit("gcp.label."),
+                                           _snake(k)))),
+        "body": body,
+        "http_method": nz(hr["requestMethod"]),
+        "url_full": nz(url),
+        "url_path": F.when(nz(url).isNotNull() & (path != ""), path),
+        "url_query": F.when(nz(url).isNotNull() & (query != ""), query),
+        "url_domain": F.when(nz(url).isNotNull() & (host != ""), host),
+        "protocol_name": F.when(nz(proto).isNotNull(), proto_name),
+        "protocol_version": F.when(nz(proto).isNotNull(), proto_ver),
+        "status_code": hr["status"],
+        "request_size": req_size,
+        "response_size": resp_size,
+        "cache_fill_bytes": fill,
+        "latency_s": latency_s,
+        "user_agent": nz(hr["userAgent"]),
+        "peer_address": nz(hr["remoteIP"]),
+        "server_address": nz(hr["serverIP"]),
+        "referer": nz(hr["referer"]),
+        "cache_lookup": hr["cacheLookup"],
+        "cache_hit": hr["cacheHit"],
+        "cache_validated": hr["cacheValidatedWithOriginServer"],
+        "code_file": nz(sl["file"]),
+        "code_line": sl_line,
+        "code_function": nz(sl["function"]),
+        "operation_id": nz(p["operation"]["id"]),
+        "operation_producer": nz(p["operation"]["producer"]),
+        "operation_first": p["operation"]["first"],
+        "operation_last": p["operation"]["last"],
+        "split_uid": nz(p["split"]["uid"]),
+        "split_index": p["split"]["index"],
+        "split_total": p["split"]["totalSplits"],
+        "error_groups": F.when(
+            F.size(F.coalesce(p["errorGroups"], F.array().cast(
+                "array<struct<id:string>>"))) > 0,
+            F.array_join(F.transform(p["errorGroups"],
+                                     lambda g: g["id"]), ",")),
+        "apphub": apphub(p["apphub"]),
+        "apphub_destination": apphub(p["apphubDestination"]),
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# audit-log proto payload (internal/auditlog/parser.go)
+# ---------------------------------------------------------------------------
+
+AUDIT_TYPE = "type.googleapis.com/google.cloud.audit.AuditLog"
+
+_AUDIT_SCHEMA = (
+    "struct<"
+    "`@type`:string,serviceName:string,methodName:string,"
+    "resourceName:string,"
+    "resourceLocation:struct<currentLocations:array<string>,"
+    "originalLocations:array<string>>,"
+    "numResponseItems:string,"
+    "status:struct<code:bigint,message:string>,"
+    "authenticationInfo:struct<principalEmail:string,"
+    "principalSubject:string,authoritySelector:string,"
+    "serviceAccountKeyName:string>,"
+    "authorizationInfo:array<struct<resource:string,permission:string,"
+    "granted:boolean>>,"
+    "policyViolationInfo:struct<orgPolicyViolationInfo:struct<"
+    "resourceType:string,resourceTags:map<string,string>,"
+    "violationInfo:array<struct<constraint:string,errorMessage:string,"
+    "checkedValue:string,policyType:string>>>>,"
+    "requestMetadata:struct<callerIp:string,"
+    "callerSuppliedUserAgent:string,callerNetwork:string,"
+    "requestAttributes:struct<id:string,method:string,"
+    "headers:map<string,string>,path:string,host:string,scheme:string,"
+    "query:string,time:string,size:string,protocol:string,"
+    "reason:string,auth:struct<principal:string,"
+    "audiences:array<string>,presenter:string,"
+    "accessLevels:array<string>>>,"
+    "destinationAttributes:struct<ip:string,port:string,"
+    "labels:map<string,string>,principal:string,regionCode:string>>"
+    ">"
+)
+
+
+def gcp_audit_payload(df: DataFrame, payload: str = "body") -> DataFrame:
+    """cloudaudit payload -> audit_* columns (auditlog/parser.go:376).
+
+    Applied to rows whose logName carries an audit suffix; validation
+    (@type / serviceName / methodName) surfaces in ``audit_error``.
+    """
+    p = F.from_json(F.col(payload), _AUDIT_SCHEMA)
+    err = (
+        F.when(p.isNull(), "failed to unmarshal audit log payload")
+        .when(F.coalesce(p["@type"], F.lit("")) != AUDIT_TYPE,
+              F.concat(F.lit('expected @type to be "' + AUDIT_TYPE
+                             + '", got "'),
+                       F.coalesce(p["@type"], F.lit("")), F.lit('"')))
+        .when(F.coalesce(p["serviceName"], F.lit("")) == "",
+              "missing service name")
+        .when(F.coalesce(p["methodName"], F.lit("")) == "",
+              "missing method name")
+    )
+    nri = p["numResponseItems"]
+    nri_bad = nri.isNotNull() & (nri != "") & ~nri.rlike("^-?[0-9]+$")
+    port = p["requestMetadata"]["destinationAttributes"]["port"]
+    port_bad = port.isNotNull() & (port != "") & ~port.rlike("^-?[0-9]+$")
+    size = p["requestMetadata"]["requestAttributes"]["size"]
+    size_bad = size.isNotNull() & (size != "") & ~size.rlike("^-?[0-9]+$")
+    err = F.coalesce(err, F.when(
+        nri_bad, "failed to add number of response items"))
+    err = F.coalesce(err, F.when(
+        size_bad, "failed to add http request size"))
+    err = F.coalesce(err, F.when(port_bad, "failed to add destination port"))
+
+    def nz(c: Column) -> Column:
+        return F.when(F.coalesce(c, F.lit("")) != "", c)
+
+    ra = p["requestMetadata"]["requestAttributes"]
+    da = p["requestMetadata"]["destinationAttributes"]
+    authz = F.when(
+        F.size(F.coalesce(p["authorizationInfo"], F.array().cast(
+            "array<struct<resource:string,permission:string,"
+            "granted:boolean>>"))) > 0,
+        F.array_join(
+            F.transform(
+                p["authorizationInfo"],
+                lambda a: F.concat_ws(
+                    "|", F.coalesce(a["resource"], F.lit("")),
+                    F.coalesce(a["permission"], F.lit("")),
+                    F.coalesce(a["granted"].cast("string"),
+                               F.lit(""))),
+            ),
+            ";",
+        ),
+    )
+    opv = p["policyViolationInfo"]["orgPolicyViolationInfo"]
+    headers = F.when(
+        ra["headers"].isNotNull(),
+        _render_map(ra["headers"],
+                    lambda k: F.concat(F.lit("http.request.header."),
+                                       F.lower(k))))
+    out = {
+        "audit_service": p["serviceName"],
+        "audit_method": p["methodName"],
+        "audit_resource_name": nz(p["resourceName"]),
+        "audit_num_response_items": F.when(
+            nri.isNotNull() & (nri != ""), nri.try_cast("bigint")),
+        "audit_locations_current": F.when(
+            F.size(F.coalesce(p["resourceLocation"]["currentLocations"],
+                              F.array().cast("array<string>"))) > 0,
+            F.array_join(p["resourceLocation"]["currentLocations"], ",")),
+        "audit_locations_original": F.when(
+            F.size(F.coalesce(
+                p["resourceLocation"]["originalLocations"],
+                F.array().cast("array<string>"))) > 0,
+            F.array_join(p["resourceLocation"]["originalLocations"],
+                         ",")),
+        "rpc_error_code": p["status"]["code"],
+        "rpc_error_message": nz(p["status"]["message"]),
+        "audit_user_id": nz(p["authenticationInfo"]["principalSubject"]),
+        "audit_user_email": nz(p["authenticationInfo"]["principalEmail"]),
+        "audit_authority_selector": nz(
+            p["authenticationInfo"]["authoritySelector"]),
+        "audit_sa_key_name": nz(
+            p["authenticationInfo"]["serviceAccountKeyName"]),
+        "audit_authorization": authz,
+        "audit_client_address": nz(p["requestMetadata"]["callerIp"]),
+        "audit_user_agent": nz(
+            p["requestMetadata"]["callerSuppliedUserAgent"]),
+        "audit_caller_network": nz(p["requestMetadata"]["callerNetwork"]),
+        "audit_http_request_size": F.when(
+            size.isNotNull() & (size != ""), size.try_cast("bigint")),
+        "audit_http_method": nz(ra["method"]),
+        "audit_url_query": nz(ra["query"]),
+        "audit_url_path": nz(ra["path"]),
+        "audit_url_scheme": nz(ra["scheme"]),
+        "audit_request_time": nz(ra["time"]),
+        "audit_host_header": nz(ra["host"]),
+        "audit_headers": headers,
+        "audit_protocol_name": F.when(nz(ra["protocol"]).isNotNull(),
+                                      F.lower(ra["protocol"])),
+        "audit_request_reason": nz(ra["reason"]),
+        "audit_request_id": nz(ra["id"]),
+        "audit_auth_principal": nz(ra["auth"]["principal"]),
+        "audit_auth_presenter": nz(ra["auth"]["presenter"]),
+        "audit_auth_access_levels": F.when(
+            F.size(F.coalesce(ra["auth"]["accessLevels"],
+                              F.array().cast("array<string>"))) > 0,
+            F.array_join(ra["auth"]["accessLevels"], ",")),
+        "audit_auth_audiences": F.when(
+            F.size(F.coalesce(ra["auth"]["audiences"],
+                              F.array().cast("array<string>"))) > 0,
+            F.array_join(ra["auth"]["audiences"], ",")),
+        "audit_server_port": F.when(
+            port.isNotNull() & (port != ""), port.try_cast("bigint")),
+        "audit_server_address": nz(da["ip"]),
+        "audit_dest_principal": nz(da["principal"]),
+        "audit_dest_region_code": nz(da["regionCode"]),
+        "audit_dest_labels": F.when(
+            da["labels"].isNotNull(),
+            _render_map(da["labels"], _snake)),
+        "audit_pv_resource_type": nz(opv["resourceType"]),
+        "audit_pv_resource_tags": F.when(
+            opv["resourceTags"].isNotNull(),
+            _render_map(opv["resourceTags"], _snake)),
+        "audit_pv_info": F.when(
+            F.size(F.coalesce(opv["violationInfo"], F.array().cast(
+                "array<struct<constraint:string,errorMessage:string,"
+                "checkedValue:string,policyType:string>>"))) > 0,
+            F.array_join(
+                F.transform(
+                    opv["violationInfo"],
+                    lambda v: F.concat_ws(
+                        "|", F.coalesce(v["constraint"], F.lit("")),
+                        F.coalesce(v["errorMessage"], F.lit("")),
+                        F.coalesce(v["policyType"], F.lit("")),
+                        F.coalesce(v["checkedValue"], F.lit(""))),
+                ),
+                ";",
+            )),
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("audit_error"),
+    )

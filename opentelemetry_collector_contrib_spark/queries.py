@@ -12123,3 +12123,278 @@ FROM f ORDER BY eid
 
 _QUERIES["aws_cloudtrail_events"] = q_aws_cloudtrail
 _ORACLES["aws_cloudtrail_events"] = _AWS_CLOUDTRAIL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# googlecloudlogentryencodingextension (log_entry.go + internal/auditlog)
+# ---------------------------------------------------------------------------
+
+def q_gcp_logentry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCP LogEntry JSON -> records: generic entries (text/json payload,
+    httpRequest/labels/trace/operation/sourceLocation batteries) mixed
+    with cloudaudit entries whose protoPayload goes through the audit
+    parser; audit columns masked NULL on non-audit rows."""
+    from .operators.gcp_logentry import gcp_audit_payload, gcp_log_entries
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    is_audit = uid % 4 == 0
+    sev = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("DEFAULT", "DEBUG", "INFO", "NOTICE", "WARNING",
+                   "ERROR", "CRITICAL", "ALERT", "EMERGENCY")]),
+        (eid % 9 + 1).cast("int"))
+    log_name = F.when(
+        is_audit,
+        F.concat(F.lit("projects/p"), (uid % 5).cast("string"),
+                 F.lit("/logs/cloudaudit.googleapis.com%2Factivity")),
+    ).otherwise(
+        F.concat(F.lit("projects/p"), (uid % 5).cast("string"),
+                 F.lit("/logs/app-log")))
+    trace = F.when(eid % 2 == 0, F.concat(
+        F.lit('"trace":"projects/p/traces/'),
+        F.md5(eid.cast("string")),
+        F.lit('","traceSampled":'),
+        F.when(eid % 8 == 0, "true").otherwise("false"), F.lit(","),
+        F.when(eid % 4 == 0, F.concat(
+            F.lit('"spanId":"'),
+            F.substring(F.md5(F.concat(F.lit("s"), eid.cast("string"))),
+                        1, 16),
+            F.lit('",'))).otherwise(F.lit("")),
+    )).otherwise(F.lit(""))
+    http = F.when((eid % 2 == 1) & ~is_audit, F.concat(
+        F.lit('"httpRequest":{"requestMethod":"'),
+        F.when(eid % 3 == 0, "POST").otherwise("GET"),
+        F.lit('","requestUrl":"https://api.example.com/v'),
+        (eid % 3).cast("string"), F.lit("/items?x="),
+        (eid % 7).cast("string"),
+        F.lit('","requestSize":"'), (eid % 4000).cast("string"),
+        F.lit('","status":'), F.when(eid % 5 == 0, "500").otherwise("200"),
+        F.lit(',"responseSize":"'), (eid % 9000).cast("string"),
+        F.lit('","userAgent":"ua/'), (uid % 10).cast("string"),
+        F.lit('","latency":"0.'),
+        F.lpad((eid % 997).cast("string"), 3, "0"),
+        F.lit('s","cacheHit":'),
+        F.when(eid % 7 == 0, "true").otherwise("false"),
+        F.lit(',"protocol":"HTTP/1.1"},'),
+    )).otherwise(F.lit(""))
+    srcloc = F.when((eid % 10 == 0) & ~is_audit, F.concat(
+        F.lit('"sourceLocation":{"file":"server.go","line":"'),
+        (eid % 1000).cast("string"),
+        F.lit('","function":"handle"},'))).otherwise(F.lit(""))
+    op = F.when(eid % 5 == 0, F.concat(
+        F.lit('"operation":{"id":"op-'), eid.cast("string"),
+        F.lit('","producer":"prod.example.com","first":'),
+        F.when(eid % 10 == 0, "true").otherwise("false"),
+        F.lit(',"last":false},'))).otherwise(F.lit(""))
+    audit_payload = F.concat(
+        F.lit('{"@type":"type.googleapis.com/google.cloud.audit.'
+              'AuditLog","serviceName":"svc'), (uid % 3).cast("string"),
+        F.lit('.googleapis.com","methodName":"google.'),
+        F.col("event_type"),
+        F.lit('","resourceName":"projects/p/res/'), eid.cast("string"),
+        F.lit('","numResponseItems":"'), (eid % 40).cast("string"),
+        F.lit('",'),
+        F.when(eid % 10 == 0, F.concat(
+            F.lit('"status":{"code":7,"message":"denied '),
+            eid.cast("string"), F.lit('"},'))).otherwise(F.lit("")),
+        F.lit('"authenticationInfo":{"principalEmail":"u'),
+        uid.cast("string"),
+        F.lit('@example.com","principalSubject":"user:u'),
+        uid.cast("string"), F.lit('"},'),
+        F.lit('"authorizationInfo":[{"resource":"res/'),
+        eid.cast("string"),
+        F.lit('","permission":"storage.get","granted":'),
+        F.when(eid % 12 == 0, "false").otherwise("true"),
+        F.lit('}],"requestMetadata":{"callerIp":"10.7.'),
+        (uid % 200).cast("string"), F.lit("."),
+        (eid % 200).cast("string"),
+        F.lit('","callerSuppliedUserAgent":"cli/'),
+        (uid % 5).cast("string"),
+        F.lit('","requestAttributes":{"method":"GET","path":"/b/'),
+        eid.cast("string"),
+        F.lit('","query":"alt=json","scheme":"https","host":"h'),
+        (uid % 9).cast("string"),
+        F.lit('.googleapis.com","time":"'), iso,
+        F.lit('","size":"'), (eid % 2222).cast("string"),
+        F.lit('","headers":{"Accept":"*/*","X-Goog-Api":"v1"},'
+              '"protocol":"HTTP/2","auth":{"principal":"pr'),
+        (uid % 7).cast("string"),
+        F.lit('","audiences":["a1","a2"]}},'
+              '"destinationAttributes":{"ip":"10.8.0.'),
+        (uid % 99).cast("string"), F.lit('","port":"'),
+        (8000 + uid % 100).cast("string"),
+        F.lit('","regionCode":"US","labels":{"destZone":"z'),
+        (uid % 4).cast("string"), F.lit('"}}}}'),
+    )
+    payload = F.when(is_audit, F.concat(
+        F.lit('"protoPayload":'), audit_payload, F.lit(","))
+    ).when(eid % 2 == 0, F.concat(
+        F.lit('"jsonPayload":{"msg":"event '), eid.cast("string"),
+        F.lit('","level":'), (eid % 5).cast("string"), F.lit("},"))
+    ).otherwise(F.concat(
+        F.lit('"textPayload":"log line '), eid.cast("string"),
+        F.lit('",')))
+    line = F.concat(
+        F.lit('{"timestamp":"'), iso,
+        F.lit('","receiveTimestamp":"'), iso,
+        F.lit('","insertId":"i'), eid.cast("string"), F.lit('",'),
+        F.lit('"logName":"'), log_name, F.lit('",'),
+        F.lit('"severity":"'), sev, F.lit('",'),
+        trace, http, srcloc, op, payload,
+        F.lit('"labels":{"podName":"pod-'), (eid % 20).cast("string"),
+        F.lit('","zone":"z'), (uid % 4).cast("string"), F.lit('"},'),
+        F.lit('"resource":{"type":"gke_cluster","labels":'
+              '{"projectId":"p'), (uid % 5).cast("string"),
+        F.lit('","clusterName":"c'), (uid % 6).cast("string"),
+        F.lit('"}}}'),
+    )
+    ent = gcp_log_entries(ev.select(eid.alias("eid"),
+                                    line.alias("line")))
+    out = gcp_audit_payload(ent, payload="body")
+    aud = F.col("encoding_format").eqNullSafe("gcp.auditlog")
+
+    def gate(name: str):
+        return F.when(aud, F.col(name)).alias(name)
+
+    return out.select(
+        "eid", "ts_ns", "observed_ts_ns", "log_uid", "project",
+        "resource_id", "encoding_format", "resource_type",
+        "resource_labels", "severity_text", "severity_number",
+        "trace_id", "span_id", "flags", "labels",
+        F.when(~aud, F.col("body")).alias("body"),
+        "http_method", "url_full", "url_path", "url_query",
+        "url_domain", "protocol_name", "protocol_version",
+        "status_code", "request_size", "response_size", "latency_s",
+        "user_agent", "code_file", "code_line", "operation_id",
+        F.col("operation_first").cast("int").alias("operation_first"),
+        gate("audit_service"), gate("audit_method"),
+        gate("audit_resource_name"), gate("audit_num_response_items"),
+        gate("rpc_error_code"), gate("rpc_error_message"),
+        gate("audit_user_email"), gate("audit_user_id"),
+        gate("audit_authorization"), gate("audit_client_address"),
+        gate("audit_user_agent"), gate("audit_http_method"),
+        gate("audit_url_path"), gate("audit_url_scheme"),
+        gate("audit_host_header"), gate("audit_headers"),
+        gate("audit_protocol_name"), gate("audit_auth_principal"),
+        gate("audit_auth_audiences"), gate("audit_server_port"),
+        gate("audit_server_address"), gate("audit_dest_region_code"),
+        gate("audit_dest_labels"),
+        "error",
+        F.when(aud, F.col("audit_error")).alias("audit_error"),
+    ).orderBy("eid")
+
+
+_GCP_LOGENTRY_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS tns,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+         user_id % 4 = 0 AS aud
+  FROM events WHERE event_id % 6 = 0),
+g AS (
+  SELECT *, eid % 2 = 1 AND NOT aud AS http
+  FROM f)
+SELECT eid,
+  tns AS ts_ns, tns AS observed_ts_ns,
+  'i' || CAST(eid AS VARCHAR) AS log_uid,
+  'p' || CAST(uid % 5 AS VARCHAR) AS project,
+  CASE WHEN aud THEN 'cloudaudit.googleapis.com%2Factivity'
+       ELSE 'app-log' END AS resource_id,
+  CASE WHEN aud THEN 'gcp.auditlog' END AS encoding_format,
+  'gke_cluster' AS resource_type,
+  'gcp.label.cluster_name=c' || CAST(uid % 6 AS VARCHAR)
+    || ',gcp.label.project_id=p' || CAST(uid % 5 AS VARCHAR)
+    AS resource_labels,
+  CASE eid % 9 WHEN 0 THEN 'DEFAULT' WHEN 1 THEN 'DEBUG'
+       WHEN 2 THEN 'INFO' WHEN 3 THEN 'NOTICE' WHEN 4 THEN 'WARNING'
+       WHEN 5 THEN 'ERROR' WHEN 6 THEN 'CRITICAL' WHEN 7 THEN 'ALERT'
+       ELSE 'EMERGENCY' END AS severity_text,
+  CASE eid % 9 WHEN 0 THEN 0 WHEN 1 THEN 5 WHEN 2 THEN 9
+       WHEN 3 THEN 10 WHEN 4 THEN 13 WHEN 5 THEN 17 WHEN 6 THEN 21
+       WHEN 7 THEN 22 ELSE 24 END AS severity_number,
+  CASE WHEN eid % 2 = 0 THEN md5(CAST(eid AS VARCHAR)) END AS trace_id,
+  CASE WHEN eid % 4 = 0
+       THEN substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16)
+       END AS span_id,
+  CASE WHEN eid % 2 = 0
+       THEN CASE WHEN eid % 8 = 0 THEN 1 ELSE 0 END END AS flags,
+  'gcp.label.pod_name=pod-' || CAST(eid % 20 AS VARCHAR)
+    || ',gcp.label.zone=z' || CAST(uid % 4 AS VARCHAR) AS labels,
+  CASE WHEN aud THEN NULL
+       WHEN eid % 2 = 0
+       THEN '{"msg":"event ' || CAST(eid AS VARCHAR) || '","level":'
+            || CAST(eid % 5 AS VARCHAR) || '}'
+       ELSE 'log line ' || CAST(eid AS VARCHAR) END AS body,
+  CASE WHEN http THEN
+       CASE WHEN eid % 3 = 0 THEN 'POST' ELSE 'GET' END
+       END AS http_method,
+  CASE WHEN http THEN 'https://api.example.com/v'
+       || CAST(eid % 3 AS VARCHAR) || '/items?x='
+       || CAST(eid % 7 AS VARCHAR) END AS url_full,
+  CASE WHEN http THEN '/v' || CAST(eid % 3 AS VARCHAR) || '/items'
+       END AS url_path,
+  CASE WHEN http THEN 'x=' || CAST(eid % 7 AS VARCHAR) END AS url_query,
+  CASE WHEN http THEN 'api.example.com' END AS url_domain,
+  CASE WHEN http THEN 'http' END AS protocol_name,
+  CASE WHEN http THEN '1.1' END AS protocol_version,
+  CASE WHEN http THEN CASE WHEN eid % 5 = 0 THEN 500 ELSE 200 END
+       END AS status_code,
+  CASE WHEN http THEN eid % 4000 END AS request_size,
+  CASE WHEN http THEN eid % 9000 END AS response_size,
+  CASE WHEN http THEN CAST('0.' || lpad(CAST(eid % 997 AS VARCHAR),
+       3, '0') AS DOUBLE) END AS latency_s,
+  CASE WHEN http THEN 'ua/' || CAST(uid % 10 AS VARCHAR)
+       END AS user_agent,
+  CASE WHEN eid % 10 = 0 AND NOT aud THEN 'server.go' END AS code_file,
+  CASE WHEN eid % 10 = 0 AND NOT aud THEN eid % 1000 END AS code_line,
+  CASE WHEN eid % 5 = 0 THEN 'op-' || CAST(eid AS VARCHAR)
+       END AS operation_id,
+  CASE WHEN eid % 5 = 0 THEN CAST(eid % 10 = 0 AS INT) END
+       AS operation_first,
+  CASE WHEN aud THEN 'svc' || CAST(uid % 3 AS VARCHAR)
+       || '.googleapis.com' END AS audit_service,
+  CASE WHEN aud THEN 'google.' || event_type END AS audit_method,
+  CASE WHEN aud THEN 'projects/p/res/' || CAST(eid AS VARCHAR)
+       END AS audit_resource_name,
+  CASE WHEN aud THEN eid % 40 END AS audit_num_response_items,
+  CASE WHEN aud AND eid % 10 = 0 THEN 7 END AS rpc_error_code,
+  CASE WHEN aud AND eid % 10 = 0
+       THEN 'denied ' || CAST(eid AS VARCHAR) END AS rpc_error_message,
+  CASE WHEN aud THEN 'u' || CAST(uid AS VARCHAR) || '@example.com'
+       END AS audit_user_email,
+  CASE WHEN aud THEN 'user:u' || CAST(uid AS VARCHAR)
+       END AS audit_user_id,
+  CASE WHEN aud THEN 'res/' || CAST(eid AS VARCHAR)
+       || '|storage.get|'
+       || CASE WHEN eid % 12 = 0 THEN 'false' ELSE 'true' END
+       END AS audit_authorization,
+  CASE WHEN aud THEN '10.7.' || CAST(uid % 200 AS VARCHAR) || '.'
+       || CAST(eid % 200 AS VARCHAR) END AS audit_client_address,
+  CASE WHEN aud THEN 'cli/' || CAST(uid % 5 AS VARCHAR)
+       END AS audit_user_agent,
+  CASE WHEN aud THEN 'GET' END AS audit_http_method,
+  CASE WHEN aud THEN '/b/' || CAST(eid AS VARCHAR) END AS audit_url_path,
+  CASE WHEN aud THEN 'https' END AS audit_url_scheme,
+  CASE WHEN aud THEN 'h' || CAST(uid % 9 AS VARCHAR)
+       || '.googleapis.com' END AS audit_host_header,
+  CASE WHEN aud THEN 'http.request.header.accept=*/*,'
+       || 'http.request.header.x-goog-api=v1' END AS audit_headers,
+  CASE WHEN aud THEN 'http/2' END AS audit_protocol_name,
+  CASE WHEN aud THEN 'pr' || CAST(uid % 7 AS VARCHAR)
+       END AS audit_auth_principal,
+  CASE WHEN aud THEN 'a1,a2' END AS audit_auth_audiences,
+  CASE WHEN aud THEN 8000 + uid % 100 END AS audit_server_port,
+  CASE WHEN aud THEN '10.8.0.' || CAST(uid % 99 AS VARCHAR)
+       END AS audit_server_address,
+  CASE WHEN aud THEN 'US' END AS audit_dest_region_code,
+  CASE WHEN aud THEN 'dest_zone=z' || CAST(uid % 4 AS VARCHAR)
+       END AS audit_dest_labels,
+  CAST(NULL AS VARCHAR) AS error,
+  CAST(NULL AS VARCHAR) AS audit_error
+FROM g ORDER BY eid
+"""
+
+_QUERIES["gcp_logentry_events"] = q_gcp_logentry
+_ORACLES["gcp_logentry_events"] = _GCP_LOGENTRY_ORACLE

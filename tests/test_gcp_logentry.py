@@ -1,0 +1,189 @@
+"""googlecloudlogentryencodingextension vs the reference's own
+testdata (log_entry.json / auditlog/*.json), values hand-checked
+against the *_expected.yaml files."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import (
+    gcp_logentry as G,
+)
+
+REF = ("/root/reference/extension/encoding/"
+       "googlecloudlogentryencodingextension/testdata")
+
+
+def one(spark, lines, fn=G.gcp_log_entries):
+    df = spark.createDataFrame([(l,) for l in lines], "line string")
+    rows = fn(df).collect()
+    assert len(rows) == len(lines)
+    return [r.asDict() for r in rows]
+
+
+def load(path):
+    return json.dumps(json.loads(open(path).read()))
+
+
+class TestLogEntry:
+    def test_reference_log_entry_expected(self, spark):
+        r = one(spark, [load(f"{REF}/log_entry.json")])[0]
+        assert r["error"] is None
+        # log_entry_expected.yaml values
+        assert r["ts_ns"] == 1714905079455706000  # nanos truncate to us
+        assert r["observed_ts_ns"] == 1714905139455706000
+        assert r["log_uid"] == "test"
+        assert r["project"] == "open-telemetry"
+        assert r["resource_id"] == "log-test"
+        assert r["encoding_format"] is None
+        assert r["severity_text"] == "DEFAULT"
+        assert r["severity_number"] == 0
+        assert r["trace_id"] == "6a4ff0a7376921a0eb18291d8618302c"
+        assert r["span_id"] == "2d84b769bfe8de6d"
+        assert r["flags"] == 0
+        assert r["labels"] == "gcp.label.project=open telemetry"
+        assert r["http_method"] == "GET"
+        assert r["url_full"] == "https://example.com/api/v1/users?limit=10"
+        assert r["url_path"] == "/api/v1/users"
+        assert r["url_query"] == "limit=10"
+        assert r["url_domain"] == "example.com"
+        assert r["status_code"] == 200
+        assert r["request_size"] == 1452
+        assert r["response_size"] == 8921
+        assert r["latency_s"] == 0.45
+        assert r["protocol_name"] == "http"
+        assert r["protocol_version"] == "1.1"
+        assert r["cache_lookup"] is True and r["cache_hit"] is False
+        assert r["code_line"] == 123
+        assert r["operation_id"] == "operation-test"
+        assert r["split_index"] == 0 and r["split_total"] == 0
+        assert r["error_groups"] == "g1,g2"
+        assert "service.id=payment-service" in r["apphub"]
+        assert ("service.id=fraud-detection-service"
+                in r["apphub_destination"])
+
+    def test_severity_ladder(self, spark):
+        mk = lambda s: json.dumps(
+            {"timestamp": "2024-01-01T00:00:00Z", "severity": s})
+        rows = one(spark, [mk(s) for s in
+                           ("DEBUG", "INFO", "NOTICE", "WARNING",
+                            "ERROR", "CRITICAL", "ALERT", "EMERGENCY",
+                            "DEFAULT")])
+        assert [r["severity_number"] for r in rows] == \
+            [5, 9, 10, 13, 17, 21, 22, 24, 0]
+
+    def test_error_ladder(self, spark):
+        cases = [
+            json.dumps({"insertId": "no-ts"}),
+            json.dumps({"timestamp": "2024-01-01T00:00:00Z",
+                        "logName": "weird/name/logs/x"}),
+            json.dumps({"timestamp": "2024-01-01T00:00:00Z",
+                        "trace": "projects/p/traces/xyz"}),
+            json.dumps({"timestamp": "2024-01-01T00:00:00Z",
+                        "spanId": "nothex"}),
+            json.dumps({"timestamp": "2024-01-01T00:00:00Z",
+                        "httpRequest": {"latency": "5m"}}),
+            json.dumps({"timestamp": "2024-01-01T00:00:00Z",
+                        "httpRequest": {"requestSize": "abc"}}),
+            json.dumps({"timestamp": "2024-01-01T00:00:00Z",
+                        "httpRequest": {"protocol": "HTTP"}}),
+            json.dumps({"timestamp": "2024-01-01T00:00:00Z",
+                        "sourceLocation": {"line": "NaNline"}}),
+        ]
+        rows = one(spark, cases)
+        assert rows[0]["error"] == "missing timestamp"
+        assert "unrecognized or malformed" in rows[1]["error"]
+        assert rows[2]["error"] == "invalid trace id"
+        assert rows[3]["error"] == "invalid span id"
+        assert rows[4]["error"] == "invalid latency format"
+        assert "http size" in rows[5]["error"]
+        assert rows[6]["error"] == "invalid protocol"
+        assert "source location line" in rows[7]["error"]
+
+    @pytest.mark.parametrize("prefix,col", [
+        ("projects/my-p", "project"),
+        ("organizations/org-1", "organization"),
+        ("billingAccounts/ba-2", "billing_account"),
+        ("folders/f-3", "folder"),
+    ])
+    def test_logname_scopes(self, spark, prefix, col):
+        r = one(spark, [json.dumps({
+            "timestamp": "2024-01-01T00:00:00Z",
+            "logName": f"{prefix}/logs/syslog"})])[0]
+        assert r[col] == prefix.split("/", 1)[1]
+        assert r["resource_id"] == "syslog"
+
+    def test_snake_case_labels(self, spark):
+        r = one(spark, [json.dumps({
+            "timestamp": "2024-01-01T00:00:00Z",
+            "labels": {"podName": "a", "HTTPServer": "b",
+                       "with space": "c"}})])[0]
+        assert r["labels"] == ("gcp.label.http_server=b,"
+                               "gcp.label.pod_name=a,"
+                               "gcp.label.with_space=c")
+
+    def test_payload_precedence_and_json_body(self, spark):
+        txt = json.dumps({"timestamp": "2024-01-01T00:00:00Z",
+                          "textPayload": "hello"})
+        js = json.dumps({"timestamp": "2024-01-01T00:00:00Z",
+                         "jsonPayload": {"a": [1, 2], "b": "x"}})
+        rows = one(spark, [txt, js])
+        assert rows[0]["body"] == "hello"
+        # HandleAsText keeps the raw subtree; HandleAsJSON is the same
+        # bytes parsed -- verify equivalence
+        assert json.loads(rows[1]["body"]) == {"a": [1, 2], "b": "x"}
+
+
+class TestAuditPayload:
+    def audit(self, spark, path):
+        df = spark.createDataFrame([(load(path),)], "line string")
+        ent = G.gcp_log_entries(df)
+        return G.gcp_audit_payload(ent, payload="body") \
+            .collect()[0].asDict()
+
+    def test_activity_expected(self, spark):
+        r = self.audit(spark, f"{REF}/auditlog/activity.json")
+        assert r["audit_error"] is None
+        assert r["encoding_format"] == "gcp.auditlog"
+        assert r["audit_service"] == "k8s.io"
+        assert r["audit_method"] == "io.k8s.coordination.v1.leases.update"
+        assert r["audit_user_email"] == "system:gcp-controller-manager"
+        assert r["audit_authorization"] == (
+            "coordination.k8s.io/v1/namespaces/kube-system/leases/"
+            "gcp-controller-manager|io.k8s.coordination.v1.leases."
+            "update|true")
+        assert r["rpc_error_code"] == 0
+        assert r["audit_client_address"] == "172.16.0.3"
+
+    def test_policy_expected(self, spark):
+        r = self.audit(spark, f"{REF}/auditlog/policy.json")
+        assert r["audit_error"] is None
+        assert r["audit_service"] == "storage.googleapis.com"
+        assert r["rpc_error_code"] == 7
+
+    def test_validation_ladder(self, spark):
+        base = {"@type": G.AUDIT_TYPE, "serviceName": "s",
+                "methodName": "m"}
+        mk = lambda **kw: json.dumps({
+            "timestamp": "2024-01-01T00:00:00Z",
+            "logName": ("projects/p/logs/"
+                        "cloudaudit.googleapis.com%2Factivity"),
+            "protoPayload": {**base, **kw}})
+        rows_df = spark.createDataFrame([
+            (mk(),), (json.dumps(json.loads(mk()) | {
+                "protoPayload": {"serviceName": "s",
+                                 "methodName": "m"}}),),
+            (mk(serviceName=""),), (mk(methodName=""),),
+            (mk(numResponseItems="x"),),
+        ], "line string")
+        ent = G.gcp_log_entries(rows_df)
+        rows = [r.asDict() for r in
+                G.gcp_audit_payload(ent, payload="body").collect()]
+        assert rows[0]["audit_error"] is None
+        assert "expected @type" in rows[1]["audit_error"]
+        assert rows[2]["audit_error"] == "missing service name"
+        assert rows[3]["audit_error"] == "missing method name"
+        assert "response items" in rows[4]["audit_error"]
