@@ -12398,3 +12398,345 @@ FROM g ORDER BY eid
 
 _QUERIES["gcp_logentry_events"] = q_gcp_logentry
 _ORACLES["gcp_logentry_events"] = _GCP_LOGENTRY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# azurelogs category-aware translator (pkg/translator/azurelogs)
+# ---------------------------------------------------------------------------
+
+def q_azure_category_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-Hub records across six categories: CDN access, FrontDoor
+    access, FrontDoor WAF, Security, Administrative (attribute path)
+    and AppServiceHTTPLogs (normalize.go raw path), with identity
+    claims on half the rows."""
+    from .operators.azure_category import azure_category_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    m = uid % 6
+    lvl = F.element_at(
+        F.array(F.lit("Informational"), F.lit("Warning"), F.lit("Error"),
+                F.lit("4")), (eid % 4 + 1).cast("int"))
+    exp = F.unix_timestamp("ts").cast("long") + 3600
+    identity = F.when(eid % 2 == 0, F.concat(
+        F.lit('"identity":{"claims":{"iss":"https://sts.windows.net/t1/"'
+              ',"appid":"app-'), (uid % 9).cast("string"),
+        F.lit('","exp":"'), exp.cast("string"),
+        F.lit('"},"authorization":{"scope":"/subscriptions/s'),
+        uid.cast("string"),
+        F.lit('","action":"Microsoft.Compute/read","evidence":'
+              '{"role":"Contributor","principalId":"pr-'),
+        uid.cast("string"), F.lit('"}}},'))).otherwise(F.lit(""))
+    uri = F.concat(F.lit("https://h"), (uid % 9).cast("string"),
+                   F.lit(".azureedge.net:443/p"), eid.cast("string"),
+                   F.lit("?q="), (eid % 7).cast("string"))
+    access_common = F.concat(
+        F.lit('"trackingReference":"ref-'), eid.cast("string"),
+        F.lit('","httpMethod":"'),
+        F.when(eid % 3 == 0, "POST").otherwise("GET"),
+        F.lit('","httpVersion":"2","requestUri":"'), uri,
+        F.lit('","sni":"'),
+        F.when(eid % 4 == 0, "N/A").otherwise(
+            F.concat(F.lit("h"), (uid % 9).cast("string"),
+                     F.lit(".azureedge.net"))),
+        F.lit('","requestBytes":"'), (eid % 5000).cast("string"),
+        F.lit('","responseBytes":"'), (eid % 9000).cast("string"),
+        F.lit('","userAgent":"ua-'), (uid % 10).cast("string"),
+        F.lit('","clientIp":"10.10.'), (uid % 200).cast("string"),
+        F.lit("."), (eid % 200).cast("string"),
+        F.lit('","clientPort":"'), (2000 + eid % 1000).cast("string"),
+        F.lit('","socketIp":"10.11.0.'), (uid % 99).cast("string"),
+        F.lit('","timeToFirstByte":"0.'),
+        F.lpad((eid % 900).cast("string"), 3, "0"),
+        F.lit('","timeTaken":"1.'),
+        F.lpad((eid % 800).cast("string"), 3, "0"),
+        F.lit('","requestProtocol":"HTTP/2","securityProtocol":'
+              '"TLS 1.3","httpStatusCode":"'),
+        F.when(eid % 10 == 0, "404").otherwise("200"),
+        F.lit('","pop":"AMS","cacheStatus":"'),
+        F.when(eid % 2 == 0, "HIT").otherwise("MISS"),
+        F.lit('","errorInfo":"'),
+        F.when(eid % 9 == 0, "OriginTimeout").otherwise("NoError"),
+        F.lit('"'))
+    props_cdn = F.concat(
+        F.lit("{"), access_common,
+        F.lit(',"endpoint":"origin'), (uid % 5).cast("string"),
+        F.lit('.example.com:8080","backendHostname":"'),
+        F.when(eid % 2 == 0, F.concat(
+            F.lit("backend"), (uid % 5).cast("string"),
+            F.lit(".example.com"))).otherwise(F.lit("")),
+        F.lit('","isReceivedFromClient":'),
+        F.when(eid % 2 == 0, "true").otherwise("false"), F.lit("}"))
+    props_fd = F.concat(
+        F.lit("{"), access_common,
+        F.lit(',"endpoint":"edge'), (uid % 5).cast("string"),
+        F.lit('.azurefd.net:443","hostName":"site'),
+        (uid % 5).cast("string"),
+        F.lit('.example.com","securityCipher":"TLS_AES_256_GCM_SHA384"'
+              ',"securityCurves":"X25519","originIp":"10.9.'),
+        (uid % 100).cast("string"), F.lit('.1:443"}'))
+    props_waf = F.concat(
+        F.lit('{"clientIP":"10.10.'), (uid % 200).cast("string"),
+        F.lit("."), (eid % 200).cast("string"),
+        F.lit('","clientPort":"'), (2000 + eid % 1000).cast("string"),
+        F.lit('","socketIP":"10.11.0.'), (uid % 99).cast("string"),
+        F.lit('","requestUri":"'), uri,
+        F.lit('","ruleName":"DefaultRuleSet-1.0-SQLI-'),
+        (eid % 4).cast("string"),
+        F.lit('","policy":"wafpol'), (uid % 3).cast("string"),
+        F.lit('","action":"'),
+        F.element_at(F.array(F.lit("Block"), F.lit("Allow"),
+                             F.lit("Log")), (eid % 3 + 1).cast("int")),
+        F.lit('","host":"site'), (uid % 5).cast("string"),
+        F.lit('.example.com","trackingReference":"ref-'),
+        eid.cast("string"),
+        F.lit('","policyMode":"prevention"}'))
+    props_sec = F.concat(
+        F.lit('{"commandLine":"cmd /c task'), eid.cast("string"),
+        F.lit('","processId":"'), (eid % 30000).cast("string"),
+        F.lit('","parentProcess id":"'), (eid % 1000).cast("string"),
+        F.lit('","processName":"svchost.exe","userName":"u'),
+        (uid % 9).cast("string"),
+        F.lit('","UserSID":"S-1-5-'), uid.cast("string"),
+        F.lit('","ActionTaken":"'),
+        F.when(eid % 2 == 0, "Blocked").otherwise("Detected"),
+        F.lit('","Severity":"'),
+        F.when(eid % 5 == 0, "High").otherwise("Low"),
+        F.lit('","domainName":"dom'), (uid % 4).cast("string"),
+        F.lit('"}'))
+    props_admin = F.concat(
+        F.lit('{"entity":"/subscriptions/s'), uid.cast("string"),
+        F.lit('/rg","message":"Microsoft.Compute/virtualMachines/'
+              'write","hierarchy":"mg1/sub'),
+        (uid % 5).cast("string"), F.lit('"}'))
+    props_http = F.concat(
+        F.lit('{"CIp":"10.10.'), (uid % 200).cast("string"),
+        F.lit("."), (eid % 200).cast("string"),
+        F.lit('","ComputerName":"wk'), (uid % 7).cast("string"),
+        F.lit('","CsHost":"app'), (uid % 5).cast("string"),
+        F.lit('.azurewebsites.net","CsMethod":"GET","CsUriStem":'
+              '"/api/x'), eid.cast("string"),
+        F.lit('","CsUriQuery":"a='), (eid % 5).cast("string"),
+        F.lit('","CsBytes":"'), (eid % 4000).cast("string"),
+        F.lit('","ScBytes":"'), (eid % 8000).cast("string"),
+        F.lit('","ScStatus":"'),
+        F.when(eid % 10 == 0, "503").otherwise("200"),
+        F.lit('","UserAgent":"ua-'), (uid % 10).cast("string"),
+        F.lit('","TimeTaken":"'), (eid % 700).cast("string"),
+        F.lit('"}'))
+    cat = F.element_at(
+        F.array(F.lit("AzureCdnAccessLog"), F.lit("FrontDoorAccessLog"),
+                F.lit("FrontDoorWebApplicationFirewallLog"),
+                F.lit("Security"), F.lit("Administrative"),
+                F.lit("AppServiceHTTPLogs")),
+        (m + 1).cast("int"))
+    props = (F.when(m == 0, props_cdn).when(m == 1, props_fd)
+              .when(m == 2, props_waf).when(m == 3, props_sec)
+              .when(m == 4, props_admin).otherwise(props_http))
+    record = F.concat(
+        F.lit('{"time":"'), iso,
+        F.lit('","resourceId":"/SUBSCRIPTIONS/S'),
+        (uid % 20).cast("string"),
+        F.lit('/RESOURCEGROUPS/RG1","category":"'), cat,
+        F.lit('","operationName":"Microsoft.Cdn/Profiles/AccessLog/'
+              'Write","correlationId":"corr-'), eid.cast("string"),
+        F.lit('","tenantId":"t'), (uid % 8).cast("string"),
+        F.lit('","resultType":"'),
+        F.when(eid % 6 == 0, "Failed").otherwise("Succeeded"),
+        F.lit('","callerIpAddress":"10.12.0.'),
+        (uid % 50).cast("string"),
+        F.lit('","location":"westeurope","durationMs":"'),
+        (eid % 500).cast("string"), F.lit('",'),
+        identity,
+        F.lit('"Level":"'), lvl, F.lit('","properties":'), props,
+        F.lit("}"))
+    payload = F.concat(F.lit('{"records":['), record, F.lit("]}"))
+    out = azure_category_logs(
+        ev.select(eid.alias("eid"), payload.alias("line")))
+    return out.select(
+        "eid", "category",
+        F.col("supported_category").cast("int")
+         .alias("supported_category"),
+        "resource_id", "ts_ns", "severity_text", "severity_number",
+        "correlation_id", "operation_name", "tenant_id", "result_type",
+        "caller_ip", "location", "duration_ms", "auth_scope",
+        "auth_action", "evidence_role", "evidence_principal_id",
+        "claim_issuer", "claim_app_id", "claim_not_after",
+        "request_size", "response_size", "client_port", "status_code",
+        "time_to_first_byte", "duration", "url_original", "url_port",
+        "url_scheme", "url_path", "url_query", "tls_protocol_name",
+        "tls_protocol_version", "exception_type", "azure_ref",
+        "http_method", "protocol_name", "user_agent", "client_address",
+        "source_address", "pop", "cache_status", "network_direction",
+        "destination_address", "destination_port", "peer_address",
+        "peer_port", "tls_cipher", "server_address", "server_port",
+        "waf_policy", "waf_rule_name", "waf_action", "host_header",
+        "admin_entity", "admin_message", "process_command_line",
+        "process_pid", "process_parent_pid", "process_owner",
+        "enduser_id", "security_action", "security_severity",
+        "url_domain", "request_body_size", "response_body_size",
+        "server_request_duration_s", "host_name", "tls_server_name",
+        "error",
+    ).orderBy("eid")
+
+
+_AZURE_CATEGORY_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, user_id % 6 AS m,
+         epoch_us(ts) * 1000 AS tns,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) + 3600 AS exp
+  FROM events WHERE event_id % 11 = 0),
+g AS (
+  SELECT *,
+    m IN (0, 1) AS acc,
+    m = 5 AS http,
+    eid % 2 = 0 AS ident,
+    CASE m WHEN 0 THEN 'AzureCdnAccessLog'
+         WHEN 1 THEN 'FrontDoorAccessLog'
+         WHEN 2 THEN 'FrontDoorWebApplicationFirewallLog'
+         WHEN 3 THEN 'Security' WHEN 4 THEN 'Administrative'
+         ELSE 'AppServiceHTTPLogs' END AS cat
+  FROM f)
+SELECT eid, cat AS category,
+  CASE WHEN m = 5 THEN 0 ELSE 1 END AS supported_category,
+  '/SUBSCRIPTIONS/S' || CAST(uid % 20 AS VARCHAR)
+    || '/RESOURCEGROUPS/RG1' AS resource_id,
+  tns AS ts_ns,
+  CASE eid % 4 WHEN 0 THEN 'Informational' WHEN 1 THEN 'Warning'
+       WHEN 2 THEN 'Error' ELSE '4' END AS severity_text,
+  CASE eid % 4 WHEN 0 THEN 9 WHEN 1 THEN 13 WHEN 2 THEN 17 ELSE 4
+       END AS severity_number,
+  CASE WHEN m <> 5 THEN 'corr-' || CAST(eid AS VARCHAR)
+       END AS correlation_id,
+  CASE WHEN m <> 5
+       THEN 'Microsoft.Cdn/Profiles/AccessLog/Write'
+       END AS operation_name,
+  CASE WHEN m <> 5 THEN 't' || CAST(uid % 8 AS VARCHAR) END AS tenant_id,
+  CASE WHEN m <> 5 THEN
+       CASE WHEN eid % 6 = 0 THEN 'Failed' ELSE 'Succeeded' END
+       END AS result_type,
+  CASE WHEN m <> 5 THEN '10.12.0.' || CAST(uid % 50 AS VARCHAR)
+       END AS caller_ip,
+  CASE WHEN m <> 5 THEN 'westeurope' END AS location,
+  CASE WHEN m <> 5 THEN eid % 500 END AS duration_ms,
+  CASE WHEN m <> 5 AND ident
+       THEN '/subscriptions/s' || CAST(uid AS VARCHAR) END AS auth_scope,
+  CASE WHEN m <> 5 AND ident THEN 'Microsoft.Compute/read'
+       END AS auth_action,
+  CASE WHEN m <> 5 AND ident THEN 'Contributor' END AS evidence_role,
+  CASE WHEN m <> 5 AND ident THEN 'pr-' || CAST(uid AS VARCHAR)
+       END AS evidence_principal_id,
+  CASE WHEN m <> 5 AND ident THEN 'https://sts.windows.net/t1/'
+       END AS claim_issuer,
+  CASE WHEN m <> 5 AND ident THEN 'app-' || CAST(uid % 9 AS VARCHAR)
+       END AS claim_app_id,
+  CASE WHEN m <> 5 AND ident
+       THEN strftime(to_timestamp(exp), '%Y-%m-%dT%H:%M:%SZ')
+       END AS claim_not_after,
+  CASE WHEN acc THEN eid % 5000 END AS request_size,
+  CASE WHEN acc THEN eid % 9000 END AS response_size,
+  CASE WHEN acc OR m = 2 THEN 2000 + eid % 1000 END AS client_port,
+  CASE WHEN acc THEN CASE WHEN eid % 10 = 0 THEN 404 ELSE 200 END
+       WHEN http THEN CASE WHEN eid % 10 = 0 THEN 503 ELSE 200 END
+       END AS status_code,
+  CASE WHEN acc THEN CAST(trunc(CAST('0.'
+       || lpad(CAST(eid % 900 AS VARCHAR), 3, '0') AS DOUBLE) * 1000)
+       AS BIGINT) END AS time_to_first_byte,
+  CASE WHEN acc THEN CAST(trunc(CAST('1.'
+       || lpad(CAST(eid % 800 AS VARCHAR), 3, '0') AS DOUBLE) * 1000)
+       AS BIGINT) END AS duration,
+  CASE WHEN acc THEN 'https://h' || CAST(uid % 9 AS VARCHAR)
+       || '.azureedge.net:443/p' || CAST(eid AS VARCHAR) || '?q='
+       || CAST(eid % 7 AS VARCHAR) END AS url_original,
+  CASE WHEN acc OR m = 2 THEN 443 END AS url_port,
+  CASE WHEN acc OR m = 2 THEN 'https' END AS url_scheme,
+  CASE WHEN acc OR m = 2 THEN '/p' || CAST(eid AS VARCHAR)
+       WHEN http THEN '/api/x' || CAST(eid AS VARCHAR) END AS url_path,
+  CASE WHEN acc OR m = 2 THEN 'q=' || CAST(eid % 7 AS VARCHAR)
+       WHEN http THEN 'a=' || CAST(eid % 5 AS VARCHAR) END AS url_query,
+  CASE WHEN acc THEN 'TLS' END AS tls_protocol_name,
+  CASE WHEN acc THEN '1.3' END AS tls_protocol_version,
+  CASE WHEN acc AND eid % 9 = 0 THEN 'OriginTimeout'
+       END AS exception_type,
+  CASE WHEN acc OR m = 2 THEN 'ref-' || CAST(eid AS VARCHAR)
+       END AS azure_ref,
+  CASE WHEN acc THEN CASE WHEN eid % 3 = 0 THEN 'POST' ELSE 'GET' END
+       WHEN http THEN 'GET' END AS http_method,
+  CASE WHEN acc THEN 'HTTP/2' END AS protocol_name,
+  CASE WHEN acc OR http THEN 'ua-' || CAST(uid % 10 AS VARCHAR)
+       END AS user_agent,
+  CASE WHEN acc OR m = 2 OR http
+       THEN '10.10.' || CAST(uid % 200 AS VARCHAR) || '.'
+            || CAST(eid % 200 AS VARCHAR) END AS client_address,
+  CASE WHEN acc OR m = 2 THEN '10.11.0.' || CAST(uid % 99 AS VARCHAR)
+       END AS source_address,
+  CASE WHEN acc THEN 'AMS' END AS pop,
+  CASE WHEN acc THEN CASE WHEN eid % 2 = 0 THEN 'HIT' ELSE 'MISS' END
+       END AS cache_status,
+  CASE WHEN m = 0 THEN
+       CASE WHEN eid % 2 = 0 THEN 'receive' ELSE 'transmit' END
+       END AS network_direction,
+  CASE WHEN m = 0 THEN
+         CASE WHEN eid % 2 = 0
+              THEN 'backend' || CAST(uid % 5 AS VARCHAR)
+                   || '.example.com'
+              ELSE 'origin' || CAST(uid % 5 AS VARCHAR)
+                   || '.example.com' END
+       WHEN m = 1 THEN 'site' || CAST(uid % 5 AS VARCHAR)
+            || '.example.com'
+       END AS destination_address,
+  CASE WHEN m = 0 AND eid % 2 <> 0 THEN 8080 END AS destination_port,
+  CASE WHEN m = 0 AND eid % 2 = 0
+       THEN 'origin' || CAST(uid % 5 AS VARCHAR) || '.example.com'
+       WHEN m = 1 THEN 'edge' || CAST(uid % 5 AS VARCHAR)
+            || '.azurefd.net'
+       END AS peer_address,
+  CASE WHEN m = 0 AND eid % 2 = 0 THEN 8080
+       WHEN m = 1 THEN 443 END AS peer_port,
+  CASE WHEN m = 1 THEN 'TLS_AES_256_GCM_SHA384' END AS tls_cipher,
+  CASE WHEN m = 1 THEN '10.9.' || CAST(uid % 100 AS VARCHAR) || '.1'
+       END AS server_address,
+  CASE WHEN m = 1 THEN 443 END AS server_port,
+  CASE WHEN m = 2 THEN 'wafpol' || CAST(uid % 3 AS VARCHAR)
+       END AS waf_policy,
+  CASE WHEN m = 2 THEN 'DefaultRuleSet-1.0-SQLI-'
+       || CAST(eid % 4 AS VARCHAR) END AS waf_rule_name,
+  CASE WHEN m = 2 THEN
+       CASE eid % 3 WHEN 0 THEN 'Block' WHEN 1 THEN 'Allow'
+            ELSE 'Log' END END AS waf_action,
+  CASE WHEN m = 2 THEN 'site' || CAST(uid % 5 AS VARCHAR)
+       || '.example.com' END AS host_header,
+  CASE WHEN m = 4 THEN '/subscriptions/s' || CAST(uid AS VARCHAR)
+       || '/rg' END AS admin_entity,
+  CASE WHEN m = 4 THEN 'Microsoft.Compute/virtualMachines/write'
+       END AS admin_message,
+  CASE WHEN m = 3 THEN 'cmd /c task' || CAST(eid AS VARCHAR)
+       END AS process_command_line,
+  CASE WHEN m = 3 THEN eid % 30000 END AS process_pid,
+  CASE WHEN m = 3 THEN eid % 1000 END AS process_parent_pid,
+  CASE WHEN m = 3 THEN 'u' || CAST(uid % 9 AS VARCHAR)
+       END AS process_owner,
+  CASE WHEN m = 3 THEN 'S-1-5-' || CAST(uid AS VARCHAR)
+       END AS enduser_id,
+  CASE WHEN m = 3 THEN
+       CASE WHEN eid % 2 = 0 THEN 'Blocked' ELSE 'Detected' END
+       END AS security_action,
+  CASE WHEN m = 3 THEN CASE WHEN eid % 5 = 0 THEN 'High' ELSE 'Low' END
+       END AS security_severity,
+  CASE WHEN http THEN 'app' || CAST(uid % 5 AS VARCHAR)
+       || '.azurewebsites.net' END AS url_domain,
+  CASE WHEN http THEN eid % 4000 END AS request_body_size,
+  CASE WHEN http THEN eid % 8000 END AS response_body_size,
+  CASE WHEN http THEN CAST(eid % 700 AS DOUBLE) / 1000
+       END AS server_request_duration_s,
+  CASE WHEN http THEN 'wk' || CAST(uid % 7 AS VARCHAR) END AS host_name,
+  CASE WHEN acc AND eid % 4 <> 0
+       THEN 'h' || CAST(uid % 9 AS VARCHAR) || '.azureedge.net'
+       END AS tls_server_name,
+  CAST(NULL AS VARCHAR) AS error
+FROM g ORDER BY eid
+"""
+
+_QUERIES["azure_category_logs_events"] = q_azure_category_logs
+_ORACLES["azure_category_logs_events"] = _AZURE_CATEGORY_ORACLE

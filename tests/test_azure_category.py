@@ -1,0 +1,173 @@
+"""azurelogs category-aware translator vs the reference's own
+testdata (pkg/translator/azurelogs/testdata), values hand-checked
+against the *_expected.yaml files."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+from opentelemetry_collector_contrib_spark.operators import (
+    azure_category as AZ,
+)
+
+REF = "/root/reference/pkg/translator/azurelogs/testdata"
+
+
+def run(spark, payloads):
+    df = spark.createDataFrame([(p,) for p in payloads], "line string")
+    return [r.asDict() for r in AZ.azure_category_logs(df).collect()]
+
+
+def load(path):
+    return json.dumps(json.load(open(path)))
+
+
+class TestReferenceVectors:
+    def test_all_valid_files_decode_without_error(self, spark):
+        files = sorted(glob.glob(f"{REF}/*/valid_*.json"))
+        rows = run(spark, [load(f) for f in files])
+        n_in = sum(len(json.load(open(f))["records"]) for f in files)
+        assert len(rows) == n_in
+        assert all(r["error"] is None for r in rows)
+
+    def test_cdn_access_expected(self, spark):
+        r = run(spark, [load(f"{REF}/cdnaccesslog/valid_1.json")])[0]
+        # cdnaccesslog/valid_1_expected.yaml
+        assert r["category"] == "AzureCdnAccessLog"
+        assert r["ts_ns"] == 1745399837000000000
+        assert r["request_size"] == 1572
+        assert r["response_size"] == 2027
+        assert r["client_port"] == 37908
+        assert r["status_code"] == 404
+        # handleTime: "0.154" * 1e3 -> 154
+        assert r["time_to_first_byte"] == 154
+        assert r["duration"] == 154
+        assert r["url_original"].startswith(
+            "https://opentelemetry-cdn-endpoint.azureedge.net:443/")
+        assert r["url_port"] == 443
+        assert r["url_scheme"] == "https"
+        assert r["url_path"] == "/favicon.ico"
+        assert r["tls_protocol_name"] == "TLS"
+        assert r["tls_protocol_version"] == "1.3"
+        assert r["http_method"] == "GET"
+        assert r["client_address"] == "13.83.128.90"
+        assert r["tls_server_name"] is None  # sni N/A -> unset
+        assert r["network_direction"] == "transmit"
+
+    def test_frontdoor_access_expected(self, spark):
+        r = run(spark,
+                [load(f"{REF}/frontdooraccesslog/valid_1.json")])[0]
+        assert r["category"] == "FrontDoorAccessLog"
+        assert r["server_address"] == "23.100.1.29"  # originIp host
+        assert r["server_port"] == 443
+        assert r["tls_cipher"] is not None
+        assert r["destination_address"] is not None  # hostName
+
+    def test_waf_expected(self, spark):
+        r = run(spark, [load(
+            f"{REF}/frontdoorwebapplicationfirewalllog/valid_1.json")])[0]
+        assert r["category"] == "FrontDoorWebApplicationFirewallLog"
+        assert r["waf_rule_name"] == "Rule1"
+        assert r["client_port"] is not None
+
+    def test_security_expected(self, spark):
+        r = run(spark, [load(f"{REF}/security/valid_1.json")])[0]
+        assert r["process_pid"] == 6988
+        assert r["enduser_id"] == "S-3-2-12"
+
+    def test_unsupported_category_keeps_raw_properties(self, spark):
+        r = run(spark, [load(
+            f"{REF}/frontdoorhealthprobelog/valid_1.json")])[0]
+        assert r["supported_category"] is False
+        assert r["properties_raw"] is not None
+        # normalize.go handleFrontDoorHealthProbeLog fields
+        assert r["http_method"] is not None  # httpVerb
+
+
+class TestSemantics:
+    BASE = {
+        "time": "2024-01-01T00:00:00Z",
+        "resourceId": "/SUB/X",
+        "category": "AzureCdnAccessLog",
+        "operationName": "op",
+    }
+
+    def mk(self, props, **kw):
+        return json.dumps({"records": [
+            {**self.BASE, **kw, "properties": props}]})
+
+    def good_props(self, **kw):
+        return {"requestBytes": "1", "responseBytes": "2",
+                "clientPort": "3", "httpStatusCode": "200",
+                "timeToFirstByte": "0.5", "timeTaken": "1.5", **kw}
+
+    def test_severity_ladder(self, spark):
+        rows = run(spark, [
+            self.mk(self.good_props(), Level=lv)
+            for lv in ("Informational", "Information", "Warning",
+                       "Error", "Critical", "4", "junk")
+        ])
+        assert [r["severity_number"] for r in rows] == \
+            [9, 9, 13, 17, 21, 4, 0]
+        assert rows[5]["severity_text"] == "4"
+
+    def test_missing_timestamp_drops_record(self, spark):
+        p = json.dumps({"records": [
+            {"resourceId": "/S", "category": "Administrative",
+             "operationName": "op", "properties": {"entity": "e"}}]})
+        assert run(spark, [p]) == []
+
+    def test_putint_error_aborts_category(self, spark):
+        r = run(spark, [self.mk(self.good_props(requestBytes="abc"))])[0]
+        assert "AzureCdnAccessLog" in r["error"]
+        assert r["status_code"] is None
+
+    def test_handle_time_go_truncation(self, spark):
+        # int64(1.023 * 1e3) == 1022 in Go (float repr) -- must match
+        r = run(spark, [self.mk(self.good_props(timeTaken="1.023"))])[0]
+        assert r["duration"] == 1022
+
+    def test_error_info_variants(self, spark):
+        both_same = self.good_props(errorInfo="X", ErrorInfo="X")
+        differ = self.good_props(errorInfo="X", ErrorInfo="Y")
+        upper_only = self.good_props(ErrorInfo="Z")
+        noerr = self.good_props(errorInfo="NoError")
+        rows = run(spark, [self.mk(p) for p in
+                           (both_same, differ, upper_only, noerr)])
+        assert rows[0]["exception_type"] == "X"
+        assert "different values" in rows[1]["error"]
+        assert rows[2]["exception_type"] == "Z"
+        assert rows[3]["exception_type"] is None
+
+    def test_destination_algebra(self, spark):
+        backend_and_endpoint = self.good_props(
+            backendHostname="b.example.com",
+            endpoint="e.example.com:8080")
+        endpoint_only = self.good_props(endpoint="e.example.com:8080")
+        rows = run(spark, [self.mk(backend_and_endpoint),
+                           self.mk(endpoint_only)])
+        assert rows[0]["destination_address"] == "b.example.com"
+        assert rows[0]["peer_address"] == "e.example.com"
+        assert rows[0]["peer_port"] == 8080
+        assert rows[1]["destination_address"] == "e.example.com"
+        assert rows[1]["destination_port"] == 8080
+        assert rows[1]["peer_address"] is None
+
+    def test_identity_claims(self, spark):
+        p = json.dumps({"records": [{
+            **self.BASE, "category": "Administrative",
+            "identity": {
+                "claims": {"iss": "https://sts/", "exp": "1700003600",
+                           "appid": "a1"},
+                "authorization": {"scope": "/s", "action": "read",
+                                  "evidence": {"role": "Owner",
+                                               "principalId": "p1"}},
+            },
+            "properties": {"entity": "e"}}]})
+        r = run(spark, [p])[0]
+        assert r["claim_issuer"] == "https://sts/"
+        assert r["claim_app_id"] == "a1"
+        assert r["claim_not_after"] == "2023-11-14T23:13:20Z"
+        assert r["auth_scope"] == "/s"
+        assert r["evidence_role"] == "Owner"
