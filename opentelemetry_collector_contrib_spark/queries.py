@@ -12740,3 +12740,239 @@ FROM g ORDER BY eid
 
 _QUERIES["azure_category_logs_events"] = q_azure_category_logs
 _ORACLES["azure_category_logs_events"] = _AZURE_CATEGORY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# mongodbatlasreceiver log decode (log_decoder.go +
+# mongodb_event_to_logdata.go + access_logs.go)
+# ---------------------------------------------------------------------------
+
+def q_mongodb_atlas_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host logs: 5.0 NDJSON and 4.2 console lines decoded through the
+    version-dispatched path, unioned (one schema)."""
+    from .operators.mongodb_atlas import mongodb_logs
+
+    ev = _read(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    sev = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("F", "E", "W", "I", "D", "D1", "D2", "D3", "D4",
+                   "D5", "X")]), (eid % 11 + 1).cast("int"))
+    comp = F.element_at(
+        F.array(F.lit("NETWORK"), F.lit("SHARDING"), F.lit("REPL"),
+                F.lit("ACCESS")), (uid % 4 + 1).cast("int"))
+    iso_json = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'+00:00'")
+    iso_con = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'+0000'")
+    json_line = F.concat(
+        F.lit('{"t":{"$date":"'), iso_json,
+        F.lit('"},"s":"'), sev, F.lit('","c":"'), comp,
+        F.lit('","id":'), (20000 + eid % 5000).cast("string"),
+        F.lit(',"ctx":"conn'), uid.cast("string"),
+        F.lit('","msg":"msg '), F.col("event_type"),
+        F.lit('","attr":{"connectionId":'), (eid % 40000).cast("string"),
+        F.lit(',"remote":"10.13.0.'), (uid % 99).cast("string"),
+        F.lit(":"), (30000 + eid % 9999).cast("string"),
+        F.lit('"}}'))
+    con_line = F.concat(
+        iso_con, F.lit(" "), sev, F.lit("  "), comp, F.lit("  [conn"),
+        uid.cast("string"), F.lit("] msg "), F.col("event_type"),
+        F.lit(" #"), eid.cast("string"))
+    a = mongodb_logs(
+        ev.filter(eid % 10 == 1).select(eid.alias("eid"),
+                                        json_line.alias("line")))
+    b = mongodb_logs(
+        ev.filter(eid % 10 == 6).select(eid.alias("eid"),
+                                        con_line.alias("line")),
+        mongo_version="4.2")
+    cols = ["eid", "ts_ns", "severity_text", "severity_number",
+            "message", "component", "context", "log_id", "attributes",
+            "error"]
+    return a.select(*cols).unionByName(b.select(*cols)).orderBy("eid")
+
+
+_MONGODB_LOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         event_id % 10 = 1 AS js,
+         epoch_ms(ts) * 1000000 AS tns,
+         CASE event_id % 11 WHEN 0 THEN 'F' WHEN 1 THEN 'E'
+              WHEN 2 THEN 'W' WHEN 3 THEN 'I' WHEN 4 THEN 'D'
+              WHEN 5 THEN 'D1' WHEN 6 THEN 'D2' WHEN 7 THEN 'D3'
+              WHEN 8 THEN 'D4' WHEN 9 THEN 'D5' ELSE 'X' END AS sev,
+         CASE user_id % 4 WHEN 0 THEN 'NETWORK' WHEN 1 THEN 'SHARDING'
+              WHEN 2 THEN 'REPL' ELSE 'ACCESS' END AS comp
+  FROM events WHERE event_id % 10 IN (1, 6))
+SELECT eid, tns AS ts_ns,
+  CASE WHEN sev = 'X' THEN NULL ELSE sev END AS severity_text,
+  CASE sev WHEN 'F' THEN 21 WHEN 'E' THEN 17 WHEN 'W' THEN 13
+       WHEN 'I' THEN 9 WHEN 'D' THEN 5 WHEN 'D1' THEN 5
+       WHEN 'D2' THEN 6 WHEN 'D3' THEN 7 WHEN 'D4' THEN 8
+       WHEN 'D5' THEN 8 END AS severity_number,
+  CASE WHEN js THEN 'msg ' || event_type
+       ELSE 'msg ' || event_type || ' #' || CAST(eid AS VARCHAR)
+       END AS message,
+  comp AS component,
+  'conn' || CAST(uid AS VARCHAR) AS context,
+  CASE WHEN js THEN 20000 + eid % 5000 END AS log_id,
+  CASE WHEN js THEN 'connectionId=' || CAST(eid % 40000 AS VARCHAR)
+       || ',remote=10.13.0.' || CAST(uid % 99 AS VARCHAR) || ':'
+       || CAST(30000 + eid % 9999 AS VARCHAR) END AS attributes,
+  CAST(NULL AS VARCHAR) AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["mongodb_atlas_logs_events"] = q_mongodb_atlas_logs
+_ORACLES["mongodb_atlas_logs_events"] = _MONGODB_LOGS_ORACLE
+
+
+def q_mongodb_atlas_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mongodb_atlas import mongodb_audit_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 12 == 2)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'+00:00'")
+    atype = F.element_at(
+        F.array(F.lit("authenticate"), F.lit("clientMetadata"),
+                F.lit("authCheck"), F.lit("logout")),
+        (eid % 4 + 1).cast("int"))
+    local = F.when(eid % 5 == 0, F.concat(
+        F.lit('"local":{"unix":"/tmp/mongodb-27017.sock",'
+              '"isSystemUser":true},'))).otherwise(F.concat(
+        F.lit('"local":{"ip":"127.0.0.1","port":27017},')))
+    uuid = F.when(eid % 2 == 0, F.concat(
+        F.lit('"uuid":{"$binary":"'),
+        F.substring(F.md5(eid.cast("string")), 1, 22),
+        F.lit('==","$type":"04"},'))).otherwise(F.lit(""))
+    users = F.when(eid % 3 == 0, F.lit("")).otherwise(F.concat(
+        F.lit('{"user":"u'), (uid % 20).cast("string"),
+        F.lit('","db":"admin"}')))
+    line = F.concat(
+        F.lit('{"atype":"'), atype,
+        F.lit('","ts":{"$date":"'), iso, F.lit('"},'), uuid, local,
+        F.lit('"remote":{"ip":"10.14.0.'), (uid % 99).cast("string"),
+        F.lit('","port":'), (40000 + eid % 9999).cast("string"),
+        F.lit('},"users":['), users,
+        F.lit('],"roles":[{"role":"readWrite","db":"db'),
+        (uid % 6).cast("string"),
+        F.lit('"}],"result":'),
+        F.when(eid % 8 == 0, "18").otherwise("0"),
+        F.lit(',"param":{"user":"u'), (uid % 20).cast("string"),
+        F.lit('","mechanism":"SCRAM-SHA-256"}}'))
+    out = mongodb_audit_logs(
+        ev.select(eid.alias("eid"), line.alias("line")))
+    return out.select(
+        "eid", "ts_ns", "severity_text", "severity_number", "atype",
+        "local_ip", "local_port",
+        F.col("local_is_system_user").cast("int")
+         .alias("local_is_system_user"),
+        "local_unix", "remote_ip", "remote_port", "uuid_binary",
+        "uuid_type", "result", "param", "users", "roles", "error",
+    ).orderBy("eid")
+
+
+_MONGODB_AUDIT_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts,
+         epoch_ms(ts) * 1000000 AS tns
+  FROM events WHERE event_id % 12 = 2)
+SELECT eid, tns AS ts_ns, 'INFO' AS severity_text, 9 AS severity_number,
+  CASE eid % 4 WHEN 0 THEN 'authenticate' WHEN 1 THEN 'clientMetadata'
+       WHEN 2 THEN 'authCheck' ELSE 'logout' END AS atype,
+  CASE WHEN eid % 5 = 0 THEN NULL ELSE '127.0.0.1' END AS local_ip,
+  CASE WHEN eid % 5 = 0 THEN NULL ELSE 27017 END AS local_port,
+  CASE WHEN eid % 5 = 0 THEN 1 END AS local_is_system_user,
+  CASE WHEN eid % 5 = 0 THEN '/tmp/mongodb-27017.sock'
+       END AS local_unix,
+  '10.14.0.' || CAST(uid % 99 AS VARCHAR) AS remote_ip,
+  40000 + eid % 9999 AS remote_port,
+  CASE WHEN eid % 2 = 0
+       THEN substr(md5(CAST(eid AS VARCHAR)), 1, 22) || '=='
+       END AS uuid_binary,
+  CASE WHEN eid % 2 = 0 THEN '04' END AS uuid_type,
+  CASE WHEN eid % 8 = 0 THEN 18 ELSE 0 END AS result,
+  '{"user":"u' || CAST(uid % 20 AS VARCHAR)
+    || '","mechanism":"SCRAM-SHA-256"}' AS param,
+  CASE WHEN eid % 3 = 0 THEN ''
+       ELSE 'u' || CAST(uid % 20 AS VARCHAR) || '|admin'
+       END AS users,
+  'readWrite|db' || CAST(uid % 6 AS VARCHAR) AS roles,
+  CAST(NULL AS VARCHAR) AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["mongodb_atlas_audit_events"] = q_mongodb_atlas_audit
+_ORACLES["mongodb_atlas_audit_events"] = _MONGODB_AUDIT_ORACLE
+
+
+def q_mongodb_atlas_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-tracking entries: inner-t > outer-RFC3339 > UnixDate
+    timestamp ladder, authResult severity override."""
+    from .operators.mongodb_atlas import mongodb_access_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 9 == 4)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    inner = F.when(eid % 2 == 0, F.concat(
+        F.lit('{"t":{"$date":"'), iso,
+        F.lit('"},"attr":{"mechanism":"SCRAM-SHA-256"}}'))
+    ).otherwise(F.lit('{"attr":{"mechanism":"SCRAM-SHA-1"}}'))
+    outer = F.when(
+        eid % 7 == 0,
+        F.date_format("ts", "EEE MMM d HH:mm:ss 'GMT' yyyy"),
+    ).otherwise(iso)
+    src = ev.select(
+        eid.alias("eid"),
+        inner.alias("log_line"),
+        outer.alias("timestamp"),
+        F.when(eid % 5 == 0, F.lit(None).cast("boolean"))
+         .otherwise(eid % 3 != 0).alias("auth_result"),
+        F.when(eid % 3 == 0, F.concat(
+            F.lit("AuthenticationFailed: reason "),
+            eid.cast("string"))).otherwise(F.lit(""))
+         .alias("failure_reason"),
+        F.lit("admin").alias("auth_source"),
+        F.concat(F.lit("user"), (uid % 25).cast("string"))
+         .alias("username"),
+        F.concat(F.lit("host"), (uid % 9).cast("string"),
+                 F.lit(".mongodb.net")).alias("hostname"),
+        F.concat(F.lit("10.15.0."), (uid % 99).cast("string"))
+         .alias("ip_address"),
+    )
+    out = mongodb_access_logs(src)
+    return out.select(
+        "eid", "ts_ns", "severity_text", "severity_number",
+        "auth_result_str", "auth_failure_reason", "source", "user",
+        "host", "remote_ip", "body",
+    ).orderBy("eid")
+
+
+_MONGODB_ACCESS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS tns
+  FROM events WHERE event_id % 9 = 4)
+SELECT eid,
+  tns AS ts_ns,
+  CASE WHEN eid % 5 <> 0 AND eid % 3 = 0 THEN 'Warn' ELSE 'Info'
+       END AS severity_text,
+  CASE WHEN eid % 5 <> 0 AND eid % 3 = 0 THEN 13 ELSE 9
+       END AS severity_number,
+  CASE WHEN eid % 5 = 0 THEN NULL
+       WHEN eid % 3 = 0 THEN 'failure' ELSE 'success'
+       END AS auth_result_str,
+  CASE WHEN eid % 3 = 0
+       THEN 'AuthenticationFailed: reason ' || CAST(eid AS VARCHAR)
+       END AS auth_failure_reason,
+  'admin' AS source,
+  'user' || CAST(uid % 25 AS VARCHAR) AS "user",
+  'host' || CAST(uid % 9 AS VARCHAR) || '.mongodb.net' AS host,
+  '10.15.0.' || CAST(uid % 99 AS VARCHAR) AS remote_ip,
+  CASE WHEN eid % 2 = 0
+       THEN '{"t":{"$date":"' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+            || '"},"attr":{"mechanism":"SCRAM-SHA-256"}}'
+       ELSE '{"attr":{"mechanism":"SCRAM-SHA-1"}}' END AS body
+FROM f ORDER BY eid
+"""
+
+_QUERIES["mongodb_atlas_access_events"] = q_mongodb_atlas_access
+_ORACLES["mongodb_atlas_access_events"] = _MONGODB_ACCESS_ORACLE

@@ -1,0 +1,142 @@
+"""mongodbatlasreceiver batteries vs the reference's own sample
+payloads (receiver/mongodbatlasreceiver/testdata/logs +
+accesslogs)."""
+
+from __future__ import annotations
+
+import json
+
+from opentelemetry_collector_contrib_spark.operators import (
+    mongodb_atlas as M,
+)
+
+REF = "/root/reference/receiver/mongodbatlasreceiver/testdata"
+
+
+def lines_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "line string")
+
+
+class TestHostLogs:
+    def test_json_50_payload(self, spark):
+        lines = [l for l in open(
+            f"{REF}/logs/sample-payloads/5.0.log").read().splitlines()
+            if l.strip()]
+        rows = M.mongodb_logs(lines_df(spark, lines)).collect()
+        assert len(rows) == len(lines)
+        assert all(r.error is None for r in rows)
+        r = rows[0].asDict()
+        # {"t":{"$date":"2022-09-11T18:53:14.675+00:00"},...}
+        assert r["ts_ns"] == 1662922394675000000
+        assert r["severity_text"] == "I"
+        assert r["severity_number"] == 9
+        assert r["message"] == "Connection ended"
+        assert r["component"] == "NETWORK"
+        assert r["context"] == "conn35107"
+        assert r["log_id"] == 22944
+        assert "connectionId=35107" in r["attributes"]
+        assert r["body"] == lines[0]
+
+    def test_console_42_payload(self, spark):
+        lines = [l for l in open(
+            f"{REF}/logs/sample-payloads/4.2.log").read().splitlines()
+            if l.strip()]
+        rows = M.mongodb_logs(lines_df(spark, lines),
+                              mongo_version="4.2").collect()
+        assert all(r.error is None for r in rows)
+        r = rows[0].asDict()
+        assert r["ts_ns"] == 1662922382541000000
+        assert r["severity_text"] == "I"
+        assert r["component"] == "NETWORK"
+        assert r["context"] == "listener"
+        assert r["message"].startswith("connection accepted")
+        assert r["log_id"] is None  # id absent on 4.2
+
+    def test_invalid_line_errors(self, spark):
+        rows = M.mongodb_logs(lines_df(spark, ["not json"])).collect()
+        assert rows[0].error == "Failed to parse log entry as JSON"
+        rows = M.mongodb_logs(lines_df(spark, ["???"]),
+                              mongo_version="4.2").collect()
+        assert rows[0].error == "Entry did not match regex"
+
+    def test_severity_ladder(self, spark):
+        mk = lambda s: json.dumps(
+            {"t": {"$date": "2022-01-01T00:00:00.000+00:00"}, "s": s,
+             "c": "X", "id": 1, "ctx": "c", "msg": "m"})
+        rows = M.mongodb_logs(lines_df(spark, [
+            mk(s) for s in ("F", "E", "W", "I", "D", "D1", "D2", "D3",
+                            "D4", "D5", "WAT")])).collect()
+        assert [r.severity_number for r in rows] == \
+            [21, 17, 13, 9, 5, 5, 6, 7, 8, 8, None]
+        assert rows[-1].severity_text is None  # unknown -> unset
+
+
+class TestAuditLogs:
+    def test_50_audit_payload(self, spark):
+        lines = [l for l in open(
+            f"{REF}/logs/sample-payloads/5.0_audit.log").read()
+            .splitlines() if l.strip()]
+        rows = M.mongodb_audit_logs(lines_df(spark, lines)).collect()
+        assert all(r.error is None for r in rows)
+        r = rows[0].asDict()
+        assert r["atype"] == "clientMetadata"
+        assert r["ts_ns"] == 1663286188043000000
+        assert r["severity_text"] == "INFO"
+        assert r["severity_number"] == 9
+        assert r["local_ip"] == "192.168.248.2"
+        assert r["local_port"] == 27017
+        assert r["uuid_binary"] == "KXMtAMh9TOOSl9aQBW1Zkg=="
+        assert r["uuid_type"] == "04"
+        assert r["result"] == 0
+
+    def test_42_audit_payload(self, spark):
+        lines = [l for l in open(
+            f"{REF}/logs/sample-payloads/4.2_audit.log").read()
+            .splitlines() if l.strip()]
+        rows = M.mongodb_audit_logs(lines_df(spark, lines)).collect()
+        assert all(r.error is None for r in rows)
+        r = rows[0].asDict()
+        assert r["atype"] == "authenticate"
+        assert r["users"] == "mms-automation|admin"
+
+
+class TestAccessLogs:
+    def test_sample_access_payload(self, spark):
+        payload = json.load(open(
+            f"{REF}/accesslogs/sample-payloads/sample-access-logs.json"))
+        entries = payload if isinstance(payload, list) else \
+            payload.get("accessLogs", payload.get("results", []))
+        rows_in = [(
+            e.get("logLine", "{}"), e.get("timestamp", ""),
+            e.get("authResult"), e.get("failureReason", "") or "",
+            e.get("authSource", ""), e.get("username", ""),
+            e.get("hostname", ""), e.get("ipAddress", ""),
+        ) for e in entries]
+        df = spark.createDataFrame(
+            rows_in,
+            "log_line string, timestamp string, auth_result boolean,"
+            "failure_reason string, auth_source string,"
+            "username string, hostname string, ip_address string")
+        rows = M.mongodb_access_logs(df).collect()
+        assert len(rows) >= 1
+        for r in rows:
+            assert r.ts_ns is not None
+            if r.auth_result_str == "failure":
+                assert r.severity_number == 13
+            else:
+                assert r.severity_number == 9
+
+    def test_timestamp_ladder(self, spark):
+        inner = ('{"t":{"$date":"2023-04-26T02:38:56Z"}}',
+                 "2000-01-01T00:00:00Z")     # inner wins
+        outer = ("{}", "2023-04-26T02:38:56Z")
+        unixd = ("{}", "Wed Apr 26 02:38:56 GMT 2023")
+        df = spark.createDataFrame(
+            [(a, b, True, "", "admin", "u", "h", "i")
+             for a, b in (inner, outer, unixd)],
+            "log_line string, timestamp string, auth_result boolean,"
+            "failure_reason string, auth_source string,"
+            "username string, hostname string, ip_address string")
+        rows = M.mongodb_access_logs(df).collect()
+        want = 1682476736 * 10**9
+        assert [r.ts_ns for r in rows] == [want, want, want]
