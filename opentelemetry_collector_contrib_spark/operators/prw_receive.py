@@ -1,0 +1,430 @@
+"""prometheusremotewritereceiver receive direction: remote-write v2
+requests -> OTel metric datapoint rows.
+
+Reference: receiver/prometheusremotewritereceiver/receiver.go
+(translateV2 + helpers). The export direction lives in operators/
+prw.py; this is the independent receive path with its own rules:
+
+* symbol-table label resolution with out-of-bounds unit/help ref
+  errors (:346-356), missing __name__ / duplicate-label errors
+  (:318-326).
+* target_info series become resource-attribute enrichment for their
+  (job, instance) resource instead of datapoints (:330-344); the
+  cross-REQUEST LRU (rmCache) is transport-level state -- this battery
+  applies per-request enrichment only (documented).
+* parseJobAndInstance: job "ns/name" split -> service.namespace/name,
+  instance -> service.instance.id (:568-580).
+* scope from otel_scope_name/version labels, datapoint attrs exclude
+  job/instance/__name__/otel_scope_* (:744-775).
+* type dispatch: GAUGE/UNSPECIFIED -> gauge (metadata "gauge"/
+  "unknown"), COUNTER -> monotonic cumulative sum, SUMMARY dropped
+  silently, anything else errors (:398-446).
+* histogram path (:449-556): classic series (samples present)
+  dropped; per histogram -- gauge reset-hint skipped, schema -53 =
+  NHCB explicit-bucket, -4..8 = exponential, else skipped; negative
+  counts drop the exponential point; delta buckets cumsum with
+  inter-span zero gaps, float buckets truncate-to-uint64; OTel
+  offset = first span offset - 1; NHCB custom bounds + stale-NaN
+  NoRecordedValue flag; description longest-wins per metric identity.
+* ms -> ns timestamps.
+
+Columnar model: input = one row per v2 TimeSeries with its request's
+symbols array (the proto's ref indirection kept); output = one row
+per accepted datapoint. Bucket re-assembly is pure Column HOF code
+(aggregate/transform over the small span arrays); target_info
+enrichment is the only exchange -- a broadcast-size join on the short
+(request, job, instance) key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TYPE_UNSPECIFIED, TYPE_COUNTER, TYPE_GAUGE = 0, 1, 2
+TYPE_HISTOGRAM, TYPE_GAUGEHISTOGRAM, TYPE_SUMMARY = 3, 4, 5
+RESET_HINT_GAUGE = 3
+
+HISTOGRAM_STRUCT = (
+    "array<struct<count_int:bigint,count_float:double,sum:double,"
+    "schema:int,zero_threshold:double,zero_count_int:bigint,"
+    "zero_count_float:double,"
+    "positive_spans:array<struct<offset:int,length:int>>,"
+    "positive_deltas:array<bigint>,positive_counts:array<double>,"
+    "negative_spans:array<struct<offset:int,length:int>>,"
+    "negative_deltas:array<bigint>,negative_counts:array<double>,"
+    "reset_hint:int,timestamp:bigint,start_timestamp:bigint,"
+    "custom_values:array<double>>>"
+)
+
+
+def _sym(symbols: Column, ref: Column) -> Column:
+    return F.element_at(symbols, (ref + 1).cast("int"))
+
+
+def _labels_map(symbols: Column, refs: Column) -> Column:
+    """pairs of symbol refs -> map<name,value> (writev2 ToLabels)."""
+    n = F.size(refs)
+    idx = F.sequence(F.lit(0), (n / 2 - 1).cast('int'))
+    return F.map_from_entries(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                _sym(symbols, F.element_at(refs, (i * 2 + 1).cast("int"))
+                     ).alias("key"),
+                _sym(symbols, F.element_at(refs, (i * 2 + 2).cast("int"))
+                     ).alias("value"),
+            ),
+        )
+    )
+
+
+def _attrs_rendered(lm: Column) -> Column:
+    """extractAttributes: everything except job/instance/__name__/
+    otel_scope_*, rendered sorted k=v."""
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                F.filter(
+                    F.map_entries(lm),
+                    lambda e: ~e["key"].isin(
+                        "job", "instance", "__name__",
+                        "otel_scope_name", "otel_scope_version"),
+                ),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+
+
+def _cumsum(arr: Column) -> Column:
+    """prefix sums of a bigint array (O(n^2) HOF; spans are tiny)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.aggregate(
+            F.slice(arr, F.lit(1), i), F.lit(0).cast("bigint"),
+            lambda a, x: a + x),
+    )
+
+
+def _span_assemble(spans: Column, values: Column) -> Column:
+    """convert{Delta,Absolute}Buckets: concat per-span value slices
+    with zero-gaps of span.offset between spans (not before the
+    first). ``values`` must already be the per-bucket bigint values
+    in order (cumsummed for deltas, truncated for floats)."""
+    init = F.struct(
+        F.array().cast("array<bigint>").alias("arr"),
+        F.lit(0).alias("used"), F.lit(0).alias("si"))
+    fin = F.aggregate(
+        spans, init,
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["arr"],
+                F.when(acc["si"] > 0,
+                       F.array_repeat(F.lit(0).cast("bigint"),
+                                      sp["offset"]))
+                 .otherwise(F.array().cast("array<bigint>")),
+                F.slice(values, acc["used"] + 1, sp["length"]),
+            ).alias("arr"),
+            (acc["used"] + sp["length"]).alias("used"),
+            (acc["si"] + 1).alias("si"),
+        ),
+    )
+    return fin["arr"]
+
+
+def _nhcb_buckets(spans: Column, values: Column, n_bounds: Column) -> Column:
+    """convertNHCBBuckets: fixed n_bounds+1 slots; EVERY span's offset
+    skips slots (including the first); values land sequentially."""
+    init = F.struct(
+        F.array().cast("array<struct<pos:int,v:bigint>>").alias("pairs"),
+        F.lit(0).alias("used"), F.lit(0).alias("pos"))
+    fin = F.aggregate(
+        spans, init,
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["pairs"],
+                F.transform(
+                    F.sequence(F.lit(1), sp["length"]),
+                    lambda i: F.struct(
+                        (acc["pos"] + sp["offset"] + i - 1).cast("int")
+                        .alias("pos"),
+                        F.element_at(values,
+                                     acc["used"] + i).alias("v")),
+                ),
+            ).alias("pairs"),
+            (acc["used"] + sp["length"]).alias("used"),
+            (acc["pos"] + sp["offset"] + sp["length"]).alias("pos"),
+        ),
+    )
+    m = F.map_from_entries(
+        F.filter(fin["pairs"],
+                 lambda p: (p["pos"] >= 0) & (p["pos"] <= n_bounds)))
+    return F.transform(
+        F.sequence(F.lit(0), n_bounds.cast("int")),
+        lambda i: F.coalesce(F.element_at(m, i.cast("int")),
+                             F.lit(0).cast("bigint")),
+    )
+
+
+def prw_receive_metrics(
+    df: DataFrame,
+    scope_name_default: str = "otelcol",
+    scope_version_default: str = "dev",
+) -> DataFrame:
+    """One v2 TimeSeries row -> accepted datapoint rows.
+
+    Expected input columns: request_id, symbols array<string>,
+    labels_refs array<int>, metric_type int, unit_ref int,
+    help_ref int, samples array<struct<value:double,timestamp:bigint,
+    start_timestamp:bigint>>, histograms (HISTOGRAM_STRUCT).
+    """
+    symbols, refs = F.col("symbols"), F.col("labels_refs")
+    lm = _labels_map(symbols, refs)
+    names = F.transform(
+        F.sequence(F.lit(0), (F.size(refs) / 2 - 1).cast('int')),
+        lambda i: _sym(symbols,
+                       F.element_at(refs, (i * 2 + 1).cast("int"))))
+    name = F.element_at(lm, "__name__")
+    mtype = F.col("metric_type")
+    oob = F.lit(None).cast("string")
+    for ref, what in (("unit_ref", "unit"), ("help_ref", "help")):
+        oob = F.coalesce(oob, F.when(
+            F.col(ref) >= F.size(symbols),
+            F.concat(F.lit(what + " ref "), F.col(ref).cast("string"),
+                     F.lit(" is out of bounds of symbolsTable"))))
+    err = (
+        F.when(F.coalesce(name, F.lit("")) == "",
+               "missing metric name in labels")
+        .when(F.size(names) != F.size(F.array_distinct(names)),
+              "duplicate label in labels")
+        .otherwise(oob)
+    )
+    is_ti = name.eqNullSafe("target_info")
+    hist_path = (mtype == TYPE_HISTOGRAM) | (
+        (mtype == TYPE_UNSPECIFIED) & (F.size(F.coalesce(
+            F.col("histograms"), F.array().cast(HISTOGRAM_STRUCT))) > 0))
+    bad_type = ~hist_path & ~mtype.isin(
+        TYPE_UNSPECIFIED, TYPE_COUNTER, TYPE_GAUGE, TYPE_SUMMARY)
+    err = F.coalesce(err, F.when(
+        bad_type & ~is_ti,
+        F.concat(F.lit("unsupported metric type "),
+                 mtype.cast("string"), F.lit(" for metric "), name)))
+
+    job = F.coalesce(F.element_at(lm, "job"), F.lit(""))
+    instance = F.coalesce(F.element_at(lm, "instance"), F.lit(""))
+    base = df.select(
+        "*", lm.alias("_lm"), name.alias("_name"), err.alias("_err"),
+        job.alias("_job"), instance.alias("_instance"),
+        is_ti.alias("_is_ti"), hist_path.alias("_hist"),
+    )
+
+    # --- target_info -> per-(request, job, instance) enrichment -------
+    ti = base.filter(F.col("_is_ti") & F.col("_err").isNull()).select(
+        F.col("request_id").alias("_ti_req"),
+        F.col("_job").alias("_ti_job"),
+        F.col("_instance").alias("_ti_instance"),
+        _attrs_rendered(F.col("_lm")).alias("resource_extra"),
+    ).groupBy("_ti_req", "_ti_job", "_ti_instance").agg(
+        F.max("resource_extra").alias("resource_extra"))
+
+    # errored target_info rows still surface their error
+    data = base.filter(~F.col("_is_ti") | F.col("_err").isNotNull())
+    data = data.join(
+        F.broadcast(ti),
+        (data["request_id"] == ti["_ti_req"])
+        & (data["_job"] == ti["_ti_job"])
+        & (data["_instance"] == ti["_ti_instance"]),
+        "left",
+    ).drop("_ti_req", "_ti_job", "_ti_instance")
+
+    lm2 = F.col("_lm")
+    unit = _sym(F.col("symbols"), F.col("unit_ref"))
+    desc = _sym(F.col("symbols"), F.col("help_ref"))
+    scope_name = F.coalesce(
+        F.when(F.element_at(lm2, "otel_scope_name") != "",
+               F.element_at(lm2, "otel_scope_name")),
+        F.lit(scope_name_default))
+    scope_version = F.coalesce(
+        F.when(F.element_at(lm2, "otel_scope_version") != "",
+               F.element_at(lm2, "otel_scope_version")),
+        F.lit(scope_version_default))
+    ns = F.when(F.col("_job").contains("/")
+                & (F.size(F.split(F.col("_job"), "/", -1)) == 2),
+                F.substring_index(F.col("_job"), "/", 1))
+    svc = F.when(ns.isNotNull(),
+                 F.substring_index(F.col("_job"), "/", -1)) \
+           .otherwise(F.when(F.col("_job") != "", F.col("_job")))
+
+    common = {
+        "service_namespace": ns,
+        "service_name": svc,
+        "service_instance_id": F.when(F.col("_instance") != "",
+                                      F.col("_instance")),
+        "resource_extra": F.col("resource_extra"),
+        "scope_name": scope_name,
+        "scope_version": scope_version,
+        "metric_name": F.col("_name"),
+        "unit": unit,
+        "description": desc,
+        "attributes": _attrs_rendered(lm2),
+    }
+
+    # --- number path --------------------------------------------------
+    num = data.filter(
+        F.col("_err").isNotNull()
+        | (~F.col("_hist") & mtype.isin(TYPE_UNSPECIFIED, TYPE_COUNTER,
+                                        TYPE_GAUGE)))
+    num = num.select(
+        "*",
+        F.explode_outer(
+            F.when(F.col("_err").isNull(), F.col("samples"))
+        ).alias("_s"),
+    ).filter(F.col("_err").isNotNull() | F.col("_s").isNotNull())
+    number_rows = num.select(
+        F.col("request_id"),
+        *[F.when(F.col("_err").isNull(), c).alias(k)
+          for k, c in common.items()],
+        F.when(F.col("_err").isNull(),
+               F.when(mtype == TYPE_COUNTER, "sum").otherwise("gauge"))
+         .alias("kind"),
+        F.when(F.col("_err").isNull(),
+               F.when(mtype == TYPE_COUNTER, "counter")
+                .when(mtype == TYPE_UNSPECIFIED, "unknown")
+                .otherwise("gauge")).alias("metadata_type"),
+        F.when(F.col("_err").isNull(),
+               mtype == TYPE_COUNTER).alias("monotonic"),
+        F.when(F.col("_err").isNull(),
+               F.col("_s")["timestamp"] * 1_000_000).alias("ts_ns"),
+        F.when(F.col("_err").isNull(),
+               F.col("_s")["start_timestamp"] * 1_000_000)
+         .alias("start_ts_ns"),
+        F.col("_s")["value"].alias("value"),
+        *[F.lit(None).cast(t).alias(n) for n, t in _HIST_NULLS],
+        F.col("_err").alias("error"),
+    )
+
+    # --- histogram path -----------------------------------------------
+    h = data.filter(F.col("_hist") & F.col("_err").isNull()
+                    & (F.size(F.coalesce(F.col("samples"), F.array().cast(
+                        "array<struct<value:double,timestamp:bigint,"
+                        "start_timestamp:bigint>>"))) == 0))
+    h = h.select("*", F.explode(F.col("histograms")).alias("_h"))
+    hg = F.col("_h")
+    is_float = hg["count_float"].isNotNull()
+    schema_v = hg["schema"]
+    is_nhcb = schema_v == -53
+    is_exp = schema_v.between(-4, 8)
+    neg = (
+        (is_float & (
+            (hg["count_float"] < 0) | (hg["zero_count_float"] < 0)
+            | F.exists(F.coalesce(hg["positive_counts"],
+                                  F.array().cast("array<double>")),
+                       lambda x: x < 0)
+            | F.exists(F.coalesce(hg["negative_counts"],
+                                  F.array().cast("array<double>")),
+                       lambda x: x < 0)))
+        | (~is_float & (
+            F.exists(_cumsum(F.coalesce(hg["positive_deltas"],
+                                        F.array().cast("array<bigint>"))),
+                     lambda x: x < 0)
+            | F.exists(_cumsum(F.coalesce(hg["negative_deltas"],
+                                          F.array().cast("array<bigint>"))),
+                       lambda x: x < 0)))
+    )
+    h = h.filter(
+        (hg["reset_hint"] != RESET_HINT_GAUGE) & (is_nhcb | is_exp)
+        & ~(is_exp & neg)
+        & ~(is_nhcb & (F.size(F.coalesce(
+            hg["custom_values"], F.array().cast("array<double>"))) == 0))
+    )
+
+    def side(spans_f: str, deltas_f: str, counts_f: str):
+        spans = F.coalesce(
+            hg[spans_f],
+            F.array().cast("array<struct<offset:int,length:int>>"))
+        vals = F.when(
+            is_float,
+            F.transform(F.coalesce(hg[counts_f],
+                                   F.array().cast("array<double>")),
+                        lambda x: x.cast("bigint")),
+        ).otherwise(_cumsum(F.coalesce(hg[deltas_f],
+                                       F.array().cast("array<bigint>"))))
+        offset = F.when(F.size(spans) > 0,
+                        F.element_at(spans, 1)["offset"] - 1)
+        buckets = F.when(F.size(spans) > 0,
+                         _span_assemble(spans, vals))
+        return offset, buckets
+
+    pos_off, pos_buckets = side("positive_spans", "positive_deltas",
+                                "positive_counts")
+    neg_off, neg_buckets = side("negative_spans", "negative_deltas",
+                                "negative_counts")
+    count = F.when(is_float, hg["count_float"].cast("bigint")) \
+             .otherwise(hg["count_int"])
+    zero_count = F.when(is_float, hg["zero_count_float"].cast("bigint")) \
+                  .otherwise(hg["zero_count_int"])
+    stale = F.isnan(hg["sum"])
+    n_bounds = F.size(hg["custom_values"])
+    nhcb_vals = F.when(
+        is_float,
+        F.transform(F.coalesce(hg["positive_counts"],
+                               F.array().cast("array<double>")),
+                    lambda x: x.cast("bigint")),
+    ).otherwise(_cumsum(F.coalesce(hg["positive_deltas"],
+                                   F.array().cast("array<bigint>"))))
+    nhcb_counts = _nhcb_buckets(
+        F.coalesce(hg["positive_spans"],
+                   F.array().cast("array<struct<offset:int,length:int>>")),
+        nhcb_vals, n_bounds)
+
+    hist_rows = h.select(
+        F.col("request_id"),
+        *[c.alias(k) for k, c in common.items()],
+        F.when(is_nhcb, "histogram").otherwise("exponential_histogram")
+         .alias("kind"),
+        F.when(mtype == TYPE_HISTOGRAM, "histogram")
+         .otherwise("unknown").alias("metadata_type"),
+        F.lit(None).cast("boolean").alias("monotonic"),
+        (hg["timestamp"] * 1_000_000).alias("ts_ns"),
+        (hg["start_timestamp"] * 1_000_000).alias("start_ts_ns"),
+        F.lit(None).cast("double").alias("value"),
+        F.when(is_exp, schema_v).alias("scale"),
+        F.when(is_exp, hg["zero_threshold"]).alias("zero_threshold"),
+        F.when(is_exp, zero_count).alias("zero_count"),
+        F.when(is_nhcb & stale, F.lit(None).cast("bigint"))
+         .otherwise(count).alias("count"),
+        F.when(is_nhcb & stale, F.lit(None).cast("double"))
+         .otherwise(hg["sum"]).alias("sum"),
+        F.when(is_exp, pos_off).alias("positive_offset"),
+        F.when(is_exp & pos_buckets.isNotNull(),
+               F.array_join(pos_buckets, ",")).alias("positive_buckets"),
+        F.when(is_exp, neg_off).alias("negative_offset"),
+        F.when(is_exp & neg_buckets.isNotNull(),
+               F.array_join(neg_buckets, ",")).alias("negative_buckets"),
+        F.when(is_nhcb,
+               F.array_join(hg["custom_values"], ","))
+         .alias("explicit_bounds"),
+        F.when(is_nhcb, F.array_join(nhcb_counts, ","))
+         .alias("bucket_counts"),
+        F.when(is_nhcb & stale, True).alias("no_recorded_value"),
+        F.lit(None).cast("string").alias("error"),
+    )
+
+    number_rows = number_rows.select(
+        *[c for c in hist_rows.columns if c in number_rows.columns],
+        *[F.lit(None).cast(dict(_HIST_EXTRA)[c]).alias(c)
+          for c in hist_rows.columns if c not in number_rows.columns],
+    ).select(*hist_rows.columns)
+    return number_rows.unionByName(hist_rows)
+
+
+_HIST_NULLS = [
+    ("scale", "int"), ("zero_threshold", "double"),
+    ("zero_count", "bigint"), ("count", "bigint"), ("sum", "double"),
+    ("positive_offset", "int"), ("positive_buckets", "string"),
+    ("negative_offset", "int"), ("negative_buckets", "string"),
+    ("explicit_bounds", "string"), ("bucket_counts", "string"),
+]
+_HIST_EXTRA = _HIST_NULLS + [("no_recorded_value", "boolean")]

@@ -12976,3 +12976,271 @@ FROM f ORDER BY eid
 
 _QUERIES["mongodb_atlas_access_events"] = q_mongodb_atlas_access
 _ORACLES["mongodb_atlas_access_events"] = _MONGODB_ACCESS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# prometheusremotewritereceiver receive direction (receiver.go translateV2)
+# ---------------------------------------------------------------------------
+
+def q_prw_receive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v2 write requests: counters/gauges with symbol-table labels,
+    target_info resource enrichment, exponential + NHCB native
+    histograms (int and float), summary drops, reset-hint/classic
+    drops, and an unsupported-type error row class."""
+    from .operators.prw_receive import prw_receive_metrics
+
+    ev = _read(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    job = F.concat(F.lit("ns/j"), s(uid % 5))
+    inst = F.concat(F.lit("i"), s(uid % 10))
+    mname = F.concat(F.lit("metric_"), s(eid % 7))
+    symbols = F.array(
+        F.lit(""), F.lit("__name__"), mname, F.lit("job"), job,
+        F.lit("instance"), inst, F.lit("code"), s(eid % 5),
+        F.concat(F.lit("unit"), s(uid % 3)),
+        F.concat(F.lit("help text "), s(eid % 9)),
+    )
+    mt = F.element_at(
+        F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(3), F.lit(5),
+                F.lit(6)), (uid % 6 + 1).cast("int"))
+    tms = F.unix_timestamp("ts").cast("long") * 1000 + eid % 1000
+    sample = lambda v, t: F.struct(
+        v.alias("value"), t.alias("timestamp"),
+        (t - 10000).alias("start_timestamp"))
+    two_samples = F.array(
+        sample((eid % 100).cast("double") + 0.5, tms),
+        sample((eid % 100).cast("double") + 1.5, tms + 5000))
+    is_hist = uid % 6 % 4 >= 2  # uid%6 in (2,3)
+    is_nhcb = uid % 6 == 3
+    is_float = uid % 4 == 0
+    d1, d3 = (eid % 5 + 2).cast("bigint"), (eid % 4).cast("bigint")
+    f1 = (eid % 7).cast("double") + 0.75
+    f2 = (eid % 6).cast("double") + 0.25
+    f3 = (eid % 5).cast("double") + 0.5
+    empty_i = F.array().cast("array<bigint>")
+    empty_f = F.lit(None).cast("array<double>")
+    spans_exp = F.array(
+        F.struct(F.lit(1).alias("offset"), F.lit(2).alias("length")),
+        F.struct(F.lit(2).alias("offset"), F.lit(1).alias("length")))
+    spans_nhcb = F.array(
+        F.struct(F.lit(0).alias("offset"), F.lit(2).alias("length")),
+        F.struct(F.lit(1).alias("offset"), F.lit(1).alias("length")))
+    hist = F.struct(
+        F.when(~is_float, (eid % 50).cast("bigint")).alias("count_int"),
+        F.when(is_float, (eid % 50).cast("double") + 0.75)
+         .alias("count_float"),
+        ((eid % 90).cast("double") + 0.25).alias("sum"),
+        F.when(is_nhcb, -53).otherwise(((uid % 13) - 4).cast("int"))
+         .alias("schema"),
+        F.lit(0.001).alias("zero_threshold"),
+        F.when(~is_float, (eid % 3).cast("bigint"))
+         .alias("zero_count_int"),
+        F.when(is_float, (eid % 3).cast("double") + 0.5)
+         .alias("zero_count_float"),
+        F.when(is_nhcb, spans_nhcb).otherwise(spans_exp)
+         .alias("positive_spans"),
+        F.when(~is_float, F.array(d1, F.lit(-1).cast("bigint"), d3))
+         .otherwise(empty_i).alias("positive_deltas"),
+        F.when(is_float, F.array(f1, f2, f3)).otherwise(empty_f)
+         .alias("positive_counts"),
+        F.array().cast("array<struct<offset:int,length:int>>")
+         .alias("negative_spans"),
+        empty_i.alias("negative_deltas"),
+        F.lit(None).cast("array<double>").alias("negative_counts"),
+        F.when(eid % 17 == 0, 3).otherwise(0).alias("reset_hint"),
+        tms.alias("timestamp"),
+        (tms - 10000).alias("start_timestamp"),
+        F.when(is_nhcb, F.array(F.lit(0.5), F.lit(1.0), F.lit(2.5)))
+         .otherwise(F.lit(None).cast("array<double>"))
+         .alias("custom_values"),
+    )
+    base = ev.filter(eid % 13 == 0).select(
+        F.lit(1).cast("bigint").alias("request_id"),
+        eid.alias("eid"),
+        symbols.alias("symbols"),
+        F.array(*[F.lit(x) for x in (1, 2, 3, 4, 5, 6, 7, 8)])
+         .alias("labels_refs"),
+        mt.alias("metric_type"),
+        F.lit(9).alias("unit_ref"), F.lit(10).alias("help_ref"),
+        F.when(is_hist & (eid % 19 == 0), two_samples)  # classic drop
+         .when(~is_hist, two_samples)
+         .otherwise(F.array().cast(
+             "array<struct<value:double,timestamp:bigint,"
+             "start_timestamp:bigint>>")).alias("samples"),
+        F.when(is_hist, F.array(hist)).otherwise(
+            F.expr("CAST(array() AS " +
+                   "array<struct<count_int:bigint,count_float:double,"
+                   "sum:double,schema:int,zero_threshold:double,"
+                   "zero_count_int:bigint,zero_count_float:double,"
+                   "positive_spans:array<struct<offset:int,length:int>>,"
+                   "positive_deltas:array<bigint>,"
+                   "positive_counts:array<double>,"
+                   "negative_spans:array<struct<offset:int,length:int>>,"
+                   "negative_deltas:array<bigint>,"
+                   "negative_counts:array<double>,reset_hint:int,"
+                   "timestamp:bigint,start_timestamp:bigint,"
+                   "custom_values:array<double>>>)")).alias("histograms"),
+    )
+    # target_info rows: one per (uid%5, uid%10) pair drawn from a
+    # sparse slice; region attr depends only on the join key
+    ti = ev.filter(eid % 101 == 0).select(
+        F.lit(1).cast("bigint").alias("request_id"),
+        eid.alias("eid"),
+        F.array(F.lit(""), F.lit("__name__"), F.lit("target_info"),
+                F.lit("job"), job, F.lit("instance"), inst,
+                F.lit("region"), F.concat(F.lit("r"), s(uid % 5)),
+                F.lit("u"), F.lit("h")).alias("symbols"),
+        F.array(*[F.lit(x) for x in (1, 2, 3, 4, 5, 6, 7, 8)])
+         .alias("labels_refs"),
+        F.lit(2).alias("metric_type"),
+        F.lit(9).alias("unit_ref"), F.lit(10).alias("help_ref"),
+        F.array().cast("array<struct<value:double,timestamp:bigint,"
+                       "start_timestamp:bigint>>").alias("samples"),
+        F.expr("CAST(array() AS array<struct<count_int:bigint,"
+               "count_float:double,sum:double,schema:int,"
+               "zero_threshold:double,zero_count_int:bigint,"
+               "zero_count_float:double,"
+               "positive_spans:array<struct<offset:int,length:int>>,"
+               "positive_deltas:array<bigint>,"
+               "positive_counts:array<double>,"
+               "negative_spans:array<struct<offset:int,length:int>>,"
+               "negative_deltas:array<bigint>,"
+               "negative_counts:array<double>,reset_hint:int,"
+               "timestamp:bigint,start_timestamp:bigint,"
+               "custom_values:array<double>>>)").alias("histograms"),
+    )
+    out = prw_receive_metrics(base.unionByName(ti))
+    return out.select(
+        "service_namespace", "service_name", "service_instance_id",
+        "resource_extra", "scope_name", "scope_version", "metric_name",
+        "unit", "description", "attributes", "kind", "metadata_type",
+        F.col("monotonic").cast("int").alias("monotonic"),
+        "ts_ns", "start_ts_ns", "value", "scale", "zero_threshold",
+        "zero_count", "count", "sum", "positive_offset",
+        "positive_buckets", "explicit_bounds", "bucket_counts",
+        "error",
+    ).orderBy("metric_name", "ts_ns", "value", "kind", "error")
+
+
+_PRW_RECEIVE_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 + event_id % 1000
+           AS tms,
+         user_id % 6 AS m
+  FROM events WHERE event_id % 13 = 0),
+g AS (
+  SELECT *,
+    m IN (2, 3) AS hist, m = 3 AS nhcb, uid % 4 = 0 AS isf,
+    eid % 5 + 2 AS d1, eid % 4 AS d3,
+    CAST(eid % 7 AS DOUBLE) + 0.75 AS f1,
+    CAST(eid % 6 AS DOUBLE) + 0.25 AS f2,
+    CAST(eid % 5 AS DOUBLE) + 0.5 AS f3,
+    EXISTS(SELECT 1 FROM events e2 WHERE e2.event_id % 101 = 0
+           AND e2.user_id % 5 = t.uid % 5
+           AND e2.user_id % 10 = t.uid % 10) AS enriched
+  FROM f t),
+common AS (
+  SELECT *,
+    'ns' AS svc_ns, 'j' || CAST(uid % 5 AS VARCHAR) AS svc,
+    'i' || CAST(uid % 10 AS VARCHAR) AS inst,
+    'metric_' || CAST(eid % 7 AS VARCHAR) AS mname,
+    'unit' || CAST(uid % 3 AS VARCHAR) AS unit,
+    'help text ' || CAST(eid % 9 AS VARCHAR) AS help,
+    'code=' || CAST(eid % 5 AS VARCHAR) AS attrs,
+    CASE WHEN enriched
+         THEN 'region=r' || CAST(uid % 5 AS VARCHAR) END AS extra
+  FROM g),
+numbers AS (
+  SELECT svc_ns AS service_namespace, svc AS service_name,
+    inst AS service_instance_id, extra AS resource_extra,
+    'otelcol' AS scope_name, 'dev' AS scope_version,
+    mname AS metric_name, unit, help AS description, attrs AS attributes,
+    CASE WHEN m = 0 THEN 'sum' ELSE 'gauge' END AS kind,
+    CASE WHEN m = 0 THEN 'counter' ELSE 'gauge' END AS metadata_type,
+    CASE WHEN m = 0 THEN 1 ELSE 0 END AS monotonic,
+    (tms + s.off) * 1000000 AS ts_ns,
+    (tms + s.off - 10000) * 1000000 AS start_ts_ns,
+    CAST(eid % 100 AS DOUBLE) + s.v AS value,
+    CAST(NULL AS INT) AS scale, CAST(NULL AS DOUBLE) AS zero_threshold,
+    CAST(NULL AS BIGINT) AS zero_count, CAST(NULL AS BIGINT) AS count,
+    CAST(NULL AS DOUBLE) AS sum, CAST(NULL AS INT) AS positive_offset,
+    CAST(NULL AS VARCHAR) AS positive_buckets,
+    CAST(NULL AS VARCHAR) AS explicit_bounds,
+    CAST(NULL AS VARCHAR) AS bucket_counts,
+    CAST(NULL AS VARCHAR) AS error
+  FROM common, (VALUES (CAST(0 AS BIGINT), 0.5),
+                       (CAST(5000 AS BIGINT), 1.5)) AS s(off, v)
+  WHERE m IN (0, 1)),
+hists AS (
+  SELECT svc_ns AS service_namespace, svc AS service_name,
+    inst AS service_instance_id, extra AS resource_extra,
+    'otelcol' AS scope_name, 'dev' AS scope_version,
+    mname AS metric_name, unit, help AS description, attrs AS attributes,
+    CASE WHEN nhcb THEN 'histogram' ELSE 'exponential_histogram' END
+      AS kind,
+    'histogram' AS metadata_type,
+    CAST(NULL AS INT) AS monotonic,
+    tms * 1000000 AS ts_ns,
+    (tms - 10000) * 1000000 AS start_ts_ns,
+    CAST(NULL AS DOUBLE) AS value,
+    CASE WHEN NOT nhcb THEN CAST(uid % 13 AS INT) - 4 END AS scale,
+    CASE WHEN NOT nhcb THEN 0.001 END AS zero_threshold,
+    CASE WHEN NOT nhcb THEN
+         CASE WHEN isf THEN eid % 3 ELSE eid % 3 END END AS zero_count,
+    CASE WHEN isf THEN eid % 50 ELSE eid % 50 END AS count,
+    CAST(eid % 90 AS DOUBLE) + 0.25 AS sum,
+    CASE WHEN NOT nhcb THEN 0 END AS positive_offset,
+    CASE WHEN NOT nhcb THEN
+      CASE WHEN isf
+        THEN CAST(CAST(trunc(f1) AS BIGINT) AS VARCHAR) || ','
+          || CAST(CAST(trunc(f2) AS BIGINT) AS VARCHAR) || ',0,0,'
+          || CAST(CAST(trunc(f3) AS BIGINT) AS VARCHAR)
+        ELSE CAST(d1 AS VARCHAR) || ',' || CAST(d1 - 1 AS VARCHAR)
+          || ',0,0,' || CAST(d1 - 1 + d3 AS VARCHAR) END
+      END AS positive_buckets,
+    CASE WHEN nhcb THEN '0.5,1.0,2.5' END AS explicit_bounds,
+    CASE WHEN nhcb THEN
+      CASE WHEN isf
+        THEN CAST(CAST(trunc(f1) AS BIGINT) AS VARCHAR) || ','
+          || CAST(CAST(trunc(f2) AS BIGINT) AS VARCHAR) || ',0,'
+          || CAST(CAST(trunc(f3) AS BIGINT) AS VARCHAR)
+        ELSE CAST(d1 AS VARCHAR) || ',' || CAST(d1 - 1 AS VARCHAR)
+          || ',0,' || CAST(d1 - 1 + d3 AS VARCHAR) END
+      END AS bucket_counts,
+    CAST(NULL AS VARCHAR) AS error
+  FROM common
+  WHERE hist AND eid % 17 <> 0 AND eid % 19 <> 0),
+errs AS (
+  SELECT CAST(NULL AS VARCHAR) AS service_namespace,
+    CAST(NULL AS VARCHAR) AS service_name,
+    CAST(NULL AS VARCHAR) AS service_instance_id,
+    CAST(NULL AS VARCHAR) AS resource_extra,
+    CAST(NULL AS VARCHAR) AS scope_name,
+    CAST(NULL AS VARCHAR) AS scope_version,
+    CAST(NULL AS VARCHAR) AS metric_name,
+    CAST(NULL AS VARCHAR) AS unit,
+    CAST(NULL AS VARCHAR) AS description,
+    CAST(NULL AS VARCHAR) AS attributes,
+    CAST(NULL AS VARCHAR) AS kind,
+    CAST(NULL AS VARCHAR) AS metadata_type,
+    CAST(NULL AS INT) AS monotonic,
+    CAST(NULL AS BIGINT) AS ts_ns, CAST(NULL AS BIGINT) AS start_ts_ns,
+    CAST(NULL AS DOUBLE) AS value,
+    CAST(NULL AS INT) AS scale, CAST(NULL AS DOUBLE) AS zero_threshold,
+    CAST(NULL AS BIGINT) AS zero_count, CAST(NULL AS BIGINT) AS count,
+    CAST(NULL AS DOUBLE) AS sum, CAST(NULL AS INT) AS positive_offset,
+    CAST(NULL AS VARCHAR) AS positive_buckets,
+    CAST(NULL AS VARCHAR) AS explicit_bounds,
+    CAST(NULL AS VARCHAR) AS bucket_counts,
+    'unsupported metric type 6 for metric ' || mname AS error
+  FROM common WHERE m = 5)
+SELECT * FROM (
+  SELECT * FROM numbers UNION ALL SELECT * FROM hists
+  UNION ALL SELECT * FROM errs)
+ORDER BY metric_name, ts_ns, value, kind, error
+"""
+
+_QUERIES["prw_receive_events"] = q_prw_receive
+_ORACLES["prw_receive_events"] = _PRW_RECEIVE_ORACLE

@@ -1,0 +1,194 @@
+"""prometheusremotewritereceiver receive direction semantics
+(receiver/prometheusremotewritereceiver/receiver.go translateV2),
+pinned against hand-computed vectors of the reference's conversion
+algorithms."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators import (
+    prw_receive as P,
+)
+
+SYMS = ["", "__name__", "http_requests_total", "job", "ns/api",
+        "instance", "host:9090", "code", "200", "requests",
+        "Total requests", "target_info", "region", "eu", "my_hist"]
+
+SCHEMA = (
+    "request_id bigint, symbols array<string>, labels_refs array<int>,"
+    "metric_type int, unit_ref int, help_ref int,"
+    "samples array<struct<value:double,timestamp:bigint,"
+    "start_timestamp:bigint>>, histograms " + P.HISTOGRAM_STRUCT)
+
+
+def H(**kw):
+    base = dict(count_int=None, count_float=None, sum=0.0, schema=0,
+                zero_threshold=0.0, zero_count_int=None,
+                zero_count_float=None, positive_spans=[],
+                positive_deltas=[], positive_counts=None,
+                negative_spans=[], negative_deltas=[],
+                negative_counts=None, reset_hint=0, timestamp=0,
+                start_timestamp=0, custom_values=None)
+    return Row(**{**base, **kw})
+
+
+def TS(refs=(1, 2, 3, 4, 5, 6, 7, 8), mtype=1, unit=9, help=10,
+       samples=(), histograms=(), syms=SYMS, req=1):
+    return Row(request_id=req, symbols=list(syms),
+               labels_refs=list(refs), metric_type=mtype,
+               unit_ref=unit, help_ref=help, samples=list(samples),
+               histograms=list(histograms))
+
+
+def run(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return [r.asDict() for r in P.prw_receive_metrics(df).collect()]
+
+
+SAMPLE = Row(value=1.5, timestamp=1700000000000,
+             start_timestamp=1699990000000)
+
+
+class TestNumbers:
+    def test_counter_and_resource_mapping(self, spark):
+        rows = run(spark, [TS(mtype=1, samples=[SAMPLE])])
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["error"] is None
+        assert r["service_namespace"] == "ns"       # job ns/api split
+        assert r["service_name"] == "api"
+        assert r["service_instance_id"] == "host:9090"
+        assert r["metric_name"] == "http_requests_total"
+        assert r["unit"] == "requests"
+        assert r["description"] == "Total requests"
+        assert r["attributes"] == "code=200"
+        assert r["kind"] == "sum" and r["monotonic"] is True
+        assert r["metadata_type"] == "counter"
+        assert r["ts_ns"] == 1700000000000 * 10**6  # ms -> ns
+        assert r["value"] == 1.5
+
+    def test_unspecified_is_unknown_gauge(self, spark):
+        r = run(spark, [TS(mtype=0, samples=[SAMPLE])])[0]
+        assert r["kind"] == "gauge"
+        assert r["metadata_type"] == "unknown"
+
+    def test_summary_dropped_silently(self, spark):
+        assert run(spark, [TS(mtype=5, samples=[SAMPLE])]) == []
+
+    def test_job_without_namespace(self, spark):
+        syms = list(SYMS)
+        syms[4] = "plainjob"
+        r = run(spark, [TS(mtype=2, samples=[SAMPLE], syms=syms)])[0]
+        assert r["service_namespace"] is None
+        assert r["service_name"] == "plainjob"
+
+    def test_error_ladder(self, spark):
+        rows = run(spark, [
+            TS(refs=(3, 4), mtype=2, samples=[SAMPLE]),     # no name
+            TS(refs=(1, 2, 7, 8, 7, 8), mtype=2,
+               samples=[SAMPLE]),                            # dup label
+            TS(mtype=2, unit=99, samples=[SAMPLE]),          # oob unit
+            TS(mtype=6, samples=[SAMPLE]),                   # bad type
+        ])
+        errs = sorted(r["error"] for r in rows)
+        assert errs[0] == "duplicate label in labels"
+        assert errs[1] == "missing metric name in labels"
+        assert "unit ref 99 is out of bounds" in errs[2]
+        assert errs[3].startswith("unsupported metric type 6")
+
+    def test_target_info_enrichment(self, spark):
+        rows = run(spark, [
+            TS(mtype=1, samples=[SAMPLE]),
+            TS(refs=(1, 11, 3, 4, 5, 6, 12, 13), mtype=2),  # target_info
+        ])
+        assert len(rows) == 1  # target_info emits no datapoint
+        assert rows[0]["resource_extra"] == "region=eu"
+
+    def test_scope_labels(self, spark):
+        syms = SYMS + ["otel_scope_name", "myscope",
+                       "otel_scope_version", "9.9"]
+        r = run(spark, [TS(refs=(1, 2, 3, 4, 5, 6, 15, 16, 17, 18),
+                           mtype=2, samples=[SAMPLE], syms=syms)])[0]
+        assert r["scope_name"] == "myscope"
+        assert r["scope_version"] == "9.9"
+        assert "otel_scope" not in r["attributes"]
+
+
+class TestHistograms:
+    def hist_row(self, h, mtype=3, samples=()):
+        return TS(refs=(1, 14, 3, 4, 5, 6), mtype=mtype,
+                  samples=samples, histograms=[h])
+
+    def test_exponential_delta_buckets(self, spark):
+        # spans [(1,2),(2,1)] deltas [2,1,-1]:
+        # cumsum 2,3,2 -> buckets 2,3 | gap 0,0 | 2; offset 1-1=0
+        h = H(count_int=7, sum=10.5, schema=2, zero_threshold=0.001,
+              zero_count_int=1,
+              positive_spans=[Row(offset=1, length=2),
+                              Row(offset=2, length=1)],
+              positive_deltas=[2, 1, -1], timestamp=1700000000000)
+        r = run(spark, [self.hist_row(h)])[0]
+        assert r["kind"] == "exponential_histogram"
+        assert r["scale"] == 2
+        assert r["zero_count"] == 1 and r["count"] == 7
+        assert r["positive_offset"] == 0
+        assert r["positive_buckets"] == "2,3,0,0,2"
+
+    def test_float_histogram_absolute_buckets(self, spark):
+        h = H(count_float=7.9, sum=1.0, schema=0, zero_count_float=2.5,
+              positive_spans=[Row(offset=0, length=2)],
+              positive_counts=[3.7, 4.2], timestamp=1)
+        r = run(spark, [self.hist_row(h)])[0]
+        assert r["count"] == 7          # uint64 truncation
+        assert r["zero_count"] == 2
+        assert r["positive_buckets"] == "3,4"
+        assert r["positive_offset"] == -1
+
+    def test_nhcb_buckets_and_bounds(self, spark):
+        # spans [(0,2),(1,1)] deltas [3,-1,1] over 3 bounds:
+        # cumsum 3,2,3 -> slots [3,2,0,3]
+        h = H(count_int=6, sum=9.0, schema=-53, zero_count_int=0,
+              positive_spans=[Row(offset=0, length=2),
+                              Row(offset=1, length=1)],
+              positive_deltas=[3, -1, 1], timestamp=1,
+              custom_values=[0.1, 0.5, 1.0])
+        r = run(spark, [self.hist_row(h)])[0]
+        assert r["kind"] == "histogram"
+        assert r["explicit_bounds"] == "0.1,0.5,1.0"
+        assert r["bucket_counts"] == "3,2,0,3"
+
+    def test_nhcb_stale_nan(self, spark):
+        h = H(count_int=6, sum=float("nan"), schema=-53,
+              zero_count_int=0,
+              positive_spans=[Row(offset=0, length=1)],
+              positive_deltas=[3], timestamp=1,
+              custom_values=[1.0])
+        r = run(spark, [self.hist_row(h)])[0]
+        assert r["no_recorded_value"] is True
+        assert r["count"] is None and r["sum"] is None
+
+    def test_drops(self, spark):
+        classic = self.hist_row(
+            H(count_int=1, schema=2,
+              positive_spans=[Row(offset=0, length=1)],
+              positive_deltas=[1]),
+            samples=[SAMPLE])                         # classic hist
+        gauge_hint = self.hist_row(
+            H(count_int=1, schema=2, reset_hint=3,
+              positive_spans=[Row(offset=0, length=1)],
+              positive_deltas=[1]))
+        bad_schema = self.hist_row(
+            H(count_int=1, schema=40,
+              positive_spans=[Row(offset=0, length=1)],
+              positive_deltas=[1]))
+        negative = self.hist_row(
+            H(count_int=1, schema=2,
+              positive_spans=[Row(offset=0, length=2)],
+              positive_deltas=[1, -5]))               # cumsum < 0
+        nhcb_nobounds = self.hist_row(
+            H(count_int=1, schema=-53,
+              positive_spans=[Row(offset=0, length=1)],
+              positive_deltas=[1], custom_values=[]))
+        assert run(spark, [classic, gauge_hint, bad_schema, negative,
+                           nhcb_nobounds]) == []
