@@ -1,0 +1,141 @@
+"""cloudfoundryreceiver envelope mapping
+(receiver/cloudfoundryreceiver/converter.go): loggregator v2
+envelopes -> metric datapoints / log records.
+
+Semantics reproduced:
+
+* metric name = tags["origin"] + "." + counter/gauge name (:48);
+  counters -> Sum datapoints with the uint64 total as double (:51-63),
+  gauges -> one Gauge datapoint per entry of the gauge metric map
+  (:64-79).
+* logs: payload -> body, OUT -> Info / ERR -> Error severity with the
+  pdata String() texts, any other type errors (:82-106).
+* the cloudfoundry.resourceAttributes.allow feature gate (Beta, on by
+  default): when on, the fixed ResourceAttributesKeys tag set +
+  source_id/instance_id become RESOURCE attributes and only the
+  remaining tags stay on the datapoint; when off, every tag +
+  source_id/instance_id lands on the datapoint (:108-144). All keys
+  carry the org.cloudfoundry. prefix.
+
+Columnar model: map-only; gauges explode their metric map. Input
+columns: source_id, instance_id, ts_ns, tags map<string,string>, and
+either (counter_name, counter_total) / gauge map<string,double> for
+metrics or (log_payload, log_type) for logs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PREFIX = "org.cloudfoundry."
+
+RESOURCE_ATTRIBUTE_KEYS = (
+    "index", "ip", "deployment", "id", "job", "product",
+    "instance_group", "instance_id", "origin", "system_domain",
+    "source_id", "source_type", "process_type", "process_id",
+    "process_instance_id",
+)
+
+LOG_OUT, LOG_ERR = "OUT", "ERR"
+
+
+def _render(entries: Column) -> Column:
+    return F.array_join(
+        F.array_sort(
+            F.filter(entries, lambda e: e.isNotNull())), ",")
+
+
+def _tag_entries(tags: Column, resource: "bool | None") -> Column:
+    """prefixed k=v entries; resource=True keeps only the fixed key
+    set, False excludes it, None keeps everything."""
+    ent = F.map_entries(F.coalesce(
+        tags, F.create_map().cast("map<string,string>")))
+    if resource is True:
+        ent = F.filter(ent,
+                       lambda e: e["key"].isin(*RESOURCE_ATTRIBUTE_KEYS))
+    elif resource is False:
+        ent = F.filter(
+            ent, lambda e: ~e["key"].isin(*RESOURCE_ATTRIBUTE_KEYS))
+    return F.transform(
+        ent, lambda e: F.concat(F.lit(PREFIX), e["key"], F.lit("="),
+                                e["value"]))
+
+
+def _id_entries(src: Column, inst: Column) -> Column:
+    return F.array(
+        F.when((src.isNotNull()) & (src != ""),
+               F.concat(F.lit(PREFIX + "source_id="), src)),
+        F.when((inst.isNotNull()) & (inst != ""),
+               F.concat(F.lit(PREFIX + "instance_id="), inst)),
+    )
+
+
+def _attr_columns(allow_resource: bool) -> tuple[Column, Column]:
+    tags = F.col("tags")
+    src, inst = F.col("source_id"), F.col("instance_id")
+    if allow_resource:
+        attrs = _render(_tag_entries(tags, resource=False))
+        res = _render(F.concat(_tag_entries(tags, resource=True),
+                               _id_entries(src, inst)))
+        return attrs, res
+    attrs = _render(F.concat(_tag_entries(tags, resource=None),
+                             _id_entries(src, inst)))
+    return attrs, F.lit(None).cast("string")
+
+
+def cf_envelopes_to_metrics(
+    df: DataFrame, start_time_ns: int = 0,
+    allow_resource_attributes: bool = True,
+) -> DataFrame:
+    prefix = F.concat(F.coalesce(
+        F.element_at(F.col("tags"), "origin"), F.lit("")), F.lit("."))
+    attrs, res = _attr_columns(allow_resource_attributes)
+    counters = df.filter(F.col("counter_name").isNotNull()).select(
+        *df.columns,
+        F.concat(prefix, F.col("counter_name")).alias("name"),
+        F.lit("sum").alias("kind"),
+        F.col("counter_total").cast("double").alias("value"),
+        F.col("ts_ns").alias("point_ts_ns"),
+        F.lit(start_time_ns).alias("start_ts_ns"),
+        attrs.alias("attributes"),
+        res.alias("resource_attributes"),
+    )
+    gauges = df.filter(F.col("gauge").isNotNull()).select(
+        *df.columns, F.explode(F.col("gauge")).alias("_gn", "_gv"))
+    gauges = gauges.select(
+        *df.columns,
+        F.concat(prefix, F.col("_gn")).alias("name"),
+        F.lit("gauge").alias("kind"),
+        F.col("_gv").alias("value"),
+        F.col("ts_ns").alias("point_ts_ns"),
+        F.lit(start_time_ns).alias("start_ts_ns"),
+        attrs.alias("attributes"),
+        res.alias("resource_attributes"),
+    )
+    return counters.unionByName(gauges)
+
+
+def cf_envelopes_to_logs(
+    df: DataFrame, start_time_ns: int = 0,
+    allow_resource_attributes: bool = True,
+) -> DataFrame:
+    attrs, res = _attr_columns(allow_resource_attributes)
+    lt = F.col("log_type")
+    err = F.when(~lt.isin(LOG_OUT, LOG_ERR), F.concat(
+        F.lit("unsupported envelope log type: "), lt))
+    out = {
+        "point_ts_ns": F.col("ts_ns"),
+        "observed_ts_ns": F.lit(start_time_ns),
+        "body": F.col("log_payload"),
+        "severity_text": F.when(lt == LOG_OUT, "Info")
+                          .otherwise("Error"),
+        "severity_number": F.when(lt == LOG_OUT, 9).otherwise(17),
+        "attributes": attrs,
+        "resource_attributes": res,
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("error"),
+    )

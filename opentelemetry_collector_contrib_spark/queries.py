@@ -13244,3 +13244,142 @@ ORDER BY metric_name, ts_ns, value, kind, error
 
 _QUERIES["prw_receive_events"] = q_prw_receive
 _ORACLES["prw_receive_events"] = _PRW_RECEIVE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# cloudfoundryreceiver envelope mapping (converter.go)
+# ---------------------------------------------------------------------------
+
+def q_cloudfoundry_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loggregator v2 envelopes: counters, per-entry gauge fan-out and
+    OUT/ERR/bad logs in one scan; resource-attribute feature gate ON
+    (the Beta default)."""
+    from .operators.cloudfoundry import (
+        cf_envelopes_to_logs,
+        cf_envelopes_to_metrics,
+    )
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 14 == 3)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    tags = F.create_map(
+        F.lit("origin"), F.concat(F.lit("rep"), s(uid % 3)),
+        F.lit("deployment"), F.concat(F.lit("cf-"), s(uid % 4)),
+        F.lit("job"), F.lit("diego_cell"),
+        F.lit("custom"), s(eid % 9),
+    )
+    base_cols = [
+        eid.alias("eid"),
+        F.concat(F.lit("app-"), s(uid % 30)).alias("source_id"),
+        F.when(eid % 6 == 0, "").otherwise(s(eid % 4))
+         .alias("instance_id"),
+        tns.alias("ts_ns"),
+        tags.alias("tags"),
+    ]
+    m = uid % 3
+    metrics_in = ev.filter(m < 2).select(
+        *base_cols,
+        F.when(m == 0, F.concat(F.lit("requests"), s(eid % 3)))
+         .alias("counter_name"),
+        F.when(m == 0, eid % 100000).alias("counter_total"),
+        F.when(m == 1, F.create_map(
+            F.lit("cpu"), (eid % 97).cast("double") / 4,
+            F.lit("memory"), (eid % 1013).cast("double"),
+        )).alias("gauge"),
+    )
+    logs_in = ev.filter(m == 2).select(
+        *base_cols,
+        F.concat(F.lit("log line "), s(eid)).alias("log_payload"),
+        F.element_at(F.array(F.lit("OUT"), F.lit("ERR"),
+                             F.lit("TRACE")),
+                     (eid % 3 + 1).cast("int")).alias("log_type"),
+    )
+    mx = cf_envelopes_to_metrics(metrics_in, start_time_ns=1_700_000_000)
+    lg = cf_envelopes_to_logs(logs_in, start_time_ns=1_700_000_000)
+    mx_rows = mx.select(
+        "eid", F.col("name"), "kind", "value",
+        F.col("point_ts_ns").alias("ts_ns_out"),
+        F.lit(None).cast("string").alias("body"),
+        F.lit(None).cast("string").alias("severity_text"),
+        F.lit(None).cast("int").alias("severity_number"),
+        "attributes", "resource_attributes",
+        F.lit(None).cast("string").alias("error"),
+    )
+    lg_rows = lg.select(
+        "eid", F.lit(None).cast("string").alias("name"),
+        F.when(F.col("error").isNull(), "log").alias("kind"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("point_ts_ns").alias("ts_ns_out"),
+        "body", "severity_text",
+        "severity_number", "attributes", "resource_attributes",
+        "error",
+    )
+    return mx_rows.unionByName(lg_rows).orderBy("eid", "name")
+
+
+_CLOUDFOUNDRY_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, user_id % 3 AS m,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS tns
+  FROM events WHERE event_id % 14 = 3),
+g AS (
+  SELECT *,
+    'rep' || CAST(uid % 3 AS VARCHAR) AS origin,
+    'org.cloudfoundry.custom=' || CAST(eid % 9 AS VARCHAR) AS attrs,
+    'org.cloudfoundry.deployment=cf-' || CAST(uid % 4 AS VARCHAR)
+      || CASE WHEN eid % 6 = 0 THEN ''
+              ELSE ',org.cloudfoundry.instance_id='
+                   || CAST(eid % 4 AS VARCHAR) END
+      || ',org.cloudfoundry.job=diego_cell,org.cloudfoundry.origin=rep'
+      || CAST(uid % 3 AS VARCHAR)
+      || ',org.cloudfoundry.source_id=app-' || CAST(uid % 30 AS VARCHAR)
+      AS res
+  FROM f),
+counters AS (
+  SELECT eid,
+    origin || '.requests' || CAST(eid % 3 AS VARCHAR) AS name,
+    'sum' AS kind, CAST(eid % 100000 AS DOUBLE) AS value,
+    tns AS ts_ns_out, CAST(NULL AS VARCHAR) AS body,
+    CAST(NULL AS VARCHAR) AS severity_text,
+    CAST(NULL AS INT) AS severity_number,
+    attrs AS attributes, res AS resource_attributes,
+    CAST(NULL AS VARCHAR) AS error
+  FROM g WHERE m = 0),
+gauges AS (
+  SELECT eid, origin || '.' || gm.n AS name, 'gauge' AS kind,
+    gm.v AS value, tns AS ts_ns_out, CAST(NULL AS VARCHAR) AS body,
+    CAST(NULL AS VARCHAR) AS severity_text,
+    CAST(NULL AS INT) AS severity_number,
+    attrs AS attributes, res AS resource_attributes,
+    CAST(NULL AS VARCHAR) AS error
+  FROM g, LATERAL (
+    SELECT 'cpu' AS n, CAST(eid % 97 AS DOUBLE) / 4 AS v
+    UNION ALL
+    SELECT 'memory', CAST(eid % 1013 AS DOUBLE)) AS gm(n, v)
+  WHERE m = 1),
+logs AS (
+  SELECT eid, CAST(NULL AS VARCHAR) AS name,
+    CASE WHEN eid % 3 = 2 THEN NULL ELSE 'log' END AS kind,
+    CAST(NULL AS DOUBLE) AS value,
+    CASE WHEN eid % 3 = 2 THEN NULL ELSE tns END AS ts_ns_out,
+    CASE WHEN eid % 3 = 2 THEN NULL
+         ELSE 'log line ' || CAST(eid AS VARCHAR) END AS body,
+    CASE WHEN eid % 3 = 2 THEN NULL
+         WHEN eid % 3 = 0 THEN 'Info' ELSE 'Error' END AS severity_text,
+    CASE WHEN eid % 3 = 2 THEN NULL
+         WHEN eid % 3 = 0 THEN 9 ELSE 17 END AS severity_number,
+    CASE WHEN eid % 3 = 2 THEN NULL ELSE attrs END AS attributes,
+    CASE WHEN eid % 3 = 2 THEN NULL ELSE res END
+      AS resource_attributes,
+    CASE WHEN eid % 3 = 2 THEN 'unsupported envelope log type: TRACE'
+         END AS error
+  FROM g WHERE m = 2)
+SELECT * FROM (
+  SELECT * FROM counters UNION ALL SELECT * FROM gauges
+  UNION ALL SELECT * FROM logs)
+ORDER BY eid, name
+"""
+
+_QUERIES["cloudfoundry_envelopes_events"] = q_cloudfoundry_envelopes
+_ORACLES["cloudfoundry_envelopes_events"] = _CLOUDFOUNDRY_ORACLE

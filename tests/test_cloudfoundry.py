@@ -1,0 +1,81 @@
+"""cloudfoundryreceiver envelope mapping semantics (converter.go)."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators import (
+    cloudfoundry as CF,
+)
+
+METRIC_SCHEMA = (
+    "source_id string, instance_id string, ts_ns bigint,"
+    "tags map<string,string>, counter_name string,"
+    "counter_total bigint, gauge map<string,double>")
+LOG_SCHEMA = (
+    "source_id string, instance_id string, ts_ns bigint,"
+    "tags map<string,string>, log_payload string, log_type string")
+
+TAGS = {"origin": "rep", "deployment": "cf", "custom": "x"}
+
+
+class TestMetrics:
+    def test_counter_origin_prefix_and_value(self, spark):
+        df = spark.createDataFrame(
+            [("s1", "0", 123, TAGS, "requests", 42, None)],
+            METRIC_SCHEMA)
+        r = CF.cf_envelopes_to_metrics(df, start_time_ns=7) \
+              .collect()[0].asDict()
+        assert r["name"] == "rep.requests"
+        assert r["kind"] == "sum"
+        assert r["value"] == 42.0           # uint64 total as double
+        assert r["point_ts_ns"] == 123
+        assert r["start_ts_ns"] == 7
+
+    def test_gauge_fan_out(self, spark):
+        df = spark.createDataFrame(
+            [("s1", "0", 1, TAGS, None, None,
+              {"cpu": 0.5, "memory": 1024.0})], METRIC_SCHEMA)
+        rows = sorted(CF.cf_envelopes_to_metrics(df).collect(),
+                      key=lambda r: r.name)
+        assert [r.name for r in rows] == ["rep.cpu", "rep.memory"]
+        assert all(r.kind == "gauge" for r in rows)
+        assert rows[0].value == 0.5 and rows[1].value == 1024.0
+
+    def test_resource_gate_on(self, spark):
+        df = spark.createDataFrame(
+            [("s1", "i2", 1, TAGS, "c", 1, None)], METRIC_SCHEMA)
+        r = CF.cf_envelopes_to_metrics(df).collect()[0]
+        # origin/deployment are resource keys; custom stays on the point
+        assert r.attributes == "org.cloudfoundry.custom=x"
+        assert "org.cloudfoundry.origin=rep" in r.resource_attributes
+        assert "org.cloudfoundry.deployment=cf" in r.resource_attributes
+        assert "org.cloudfoundry.source_id=s1" in r.resource_attributes
+        assert "org.cloudfoundry.instance_id=i2" in r.resource_attributes
+
+    def test_resource_gate_off(self, spark):
+        df = spark.createDataFrame(
+            [("s1", "", 1, TAGS, "c", 1, None)], METRIC_SCHEMA)
+        r = CF.cf_envelopes_to_metrics(
+            df, allow_resource_attributes=False).collect()[0]
+        # everything on the datapoint; empty instance_id omitted
+        assert "org.cloudfoundry.origin=rep" in r.attributes
+        assert "org.cloudfoundry.custom=x" in r.attributes
+        assert "org.cloudfoundry.source_id=s1" in r.attributes
+        assert "instance_id" not in r.attributes
+        assert r.resource_attributes is None
+
+
+class TestLogs:
+    def test_out_err_and_unsupported(self, spark):
+        df = spark.createDataFrame(
+            [("s", "0", 5, TAGS, "hello", "OUT"),
+             ("s", "0", 5, TAGS, "oops", "ERR"),
+             ("s", "0", 5, TAGS, "x", "TRACE")], LOG_SCHEMA)
+        rows = CF.cf_envelopes_to_logs(df, start_time_ns=9).collect()
+        assert rows[0].body == "hello"
+        assert rows[0].severity_text == "Info"
+        assert rows[0].severity_number == 9
+        assert rows[0].observed_ts_ns == 9
+        assert rows[1].severity_text == "Error"
+        assert rows[1].severity_number == 17
+        assert rows[2].error == "unsupported envelope log type: TRACE"
+        assert rows[2].body is None
