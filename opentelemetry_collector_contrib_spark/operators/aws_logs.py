@@ -861,3 +861,114 @@ def cloudtrail_file_records(df: DataFrame, line: str = "line",
     return cloudtrail_records(
         exploded, record="_record", uid_prefix=uid_prefix
     ).drop("_record")
+
+
+# ---------------------------------------------------------------------------
+# Network Firewall logs (network-firewall-log/unmarshaler.go)
+# ---------------------------------------------------------------------------
+
+_NFW_SCHEMA = (
+    "struct<firewall_name:string,availability_zone:string,"
+    "event_timestamp:string,"
+    "event:struct<event_type:string,flow_id:bigint,src_ip:string,"
+    "src_port:bigint,dest_ip:string,dest_port:bigint,proto:string,"
+    "sni:string,"
+    "netflow:struct<pkts:bigint,bytes:bigint,start:string,end:string,"
+    "age:bigint,max_ttl:bigint,min_ttl:bigint,tx_cnt:bigint>,"
+    "alert:struct<action:string,signature:string,signature_id:bigint,"
+    "rev:bigint,category:string,severity:bigint,gid:bigint,"
+    "metadata:struct<signature_severity:array<string>,"
+    "created_at:array<string>,updated_at:array<string>>>,"
+    "revocation_check:struct<leaf_cert_fpr:string,action:string,"
+    "status:string>,"
+    "tls_error:struct<error_message:string>,"
+    "tls:struct<subject:string,issuer:string,session_resumed:boolean>,"
+    "http:struct<hostname:string,url:string,http_user_agent:string,"
+    "http_content_type:string,cookie:string>>>"
+)
+
+
+def network_firewall_logs(df: DataFrame, line: str = "line") -> DataFrame:
+    """Network Firewall NDJSON -> records (network-firewall-log/
+    unmarshaler.go:101-356). Resource = firewall_name (+ optional AZ);
+    the reference aborts on a missing firewall_name or a name change
+    within one file -- per-row, the empty name becomes an error and
+    the name stays a per-row resource column (a batch scan has no
+    file-scoped first-name state). Go's zero-value omits are kept:
+    numeric fields equal to 0 are UNSET, strings empty are unset,
+    tls.resumed only when present; event_timestamp must be RFC3339."""
+    c = F.col(line)
+    p = F.from_json(c, _NFW_SCHEMA)
+    e = p["event"]
+    ts = p["event_timestamp"].try_cast("timestamp")
+    bad_json = F.from_json(c, "map<string,string>").isNull()
+    err = (
+        F.when(bad_json, "failed to unmarshal Network Firewall log")
+        .when(F.coalesce(p["firewall_name"], F.lit("")) == "",
+              "invalid Network Firewall log: empty firewall_name field")
+        .when(ts.isNull(), F.concat(
+            F.lit("failed to parse event_timestamp "),
+            F.coalesce(p["event_timestamp"], F.lit(""))))
+    )
+
+    def nz(col: Column) -> Column:
+        return F.when(F.coalesce(col, F.lit("")) != "", col)
+
+    def nzi(col: Column) -> Column:  # Go zero-value omit
+        return F.when(F.coalesce(col, F.lit(0)) != 0, col)
+
+    def sl(col: Column) -> Column:
+        return F.when(
+            F.size(F.coalesce(col, F.array().cast("array<string>"))) > 0,
+            F.array_join(col, ","))
+
+    out = {
+        "firewall_name": p["firewall_name"],
+        "availability_zone": nz(p["availability_zone"]),
+        "ts_ns": F.unix_micros(ts) * F.lit(1000),
+        "event_type": nz(e["event_type"]),
+        "flow_id": nzi(e["flow_id"]),
+        "source_address": nz(e["src_ip"]),
+        "source_port": nzi(e["src_port"]),
+        "destination_address": nz(e["dest_ip"]),
+        "destination_port": nzi(e["dest_port"]),
+        "transport": nz(e["proto"]),
+        "netflow_packets": nzi(e["netflow"]["pkts"]),
+        "netflow_bytes": nzi(e["netflow"]["bytes"]),
+        "netflow_start": nz(e["netflow"]["start"]),
+        "netflow_end": nz(e["netflow"]["end"]),
+        "netflow_age": nzi(e["netflow"]["age"]),
+        "netflow_max_ttl": nzi(e["netflow"]["max_ttl"]),
+        "netflow_min_ttl": nzi(e["netflow"]["min_ttl"]),
+        "netflow_tx_count": nzi(e["netflow"]["tx_cnt"]),
+        "alert_action": nz(e["alert"]["action"]),
+        "alert_signature": nz(e["alert"]["signature"]),
+        "alert_signature_id": nzi(e["alert"]["signature_id"]),
+        "alert_rev": nzi(e["alert"]["rev"]),
+        "alert_category": nz(e["alert"]["category"]),
+        "alert_severity": nzi(e["alert"]["severity"]),
+        "alert_gid": nzi(e["alert"]["gid"]),
+        "alert_signature_severity": sl(
+            e["alert"]["metadata"]["signature_severity"]),
+        "alert_created_at": sl(e["alert"]["metadata"]["created_at"]),
+        "alert_updated_at": sl(e["alert"]["metadata"]["updated_at"]),
+        "server_address": nz(e["sni"]),
+        "revocation_leaf_cert_fpr": nz(
+            e["revocation_check"]["leaf_cert_fpr"]),
+        "revocation_action": nz(e["revocation_check"]["action"]),
+        "revocation_status": nz(e["revocation_check"]["status"]),
+        "tls_error_message": nz(e["tls_error"]["error_message"]),
+        "tls_subject": nz(e["tls"]["subject"]),
+        "tls_issuer": nz(e["tls"]["issuer"]),
+        "tls_resumed": e["tls"]["session_resumed"],
+        "url_domain": nz(e["http"]["hostname"]),
+        "url_path": nz(e["http"]["url"]),
+        "user_agent": nz(e["http"]["http_user_agent"]),
+        "content_type_header": nz(e["http"]["http_content_type"]),
+        "cookie_header": nz(e["http"]["cookie"]),
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), v).alias(k) for k, v in out.items()],
+        err.alias("error"),
+    )

@@ -13383,3 +13383,183 @@ ORDER BY eid, name
 
 _QUERIES["cloudfoundry_envelopes_events"] = q_cloudfoundry_envelopes
 _ORACLES["cloudfoundry_envelopes_events"] = _CLOUDFOUNDRY_ORACLE
+
+
+def q_aws_network_firewall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network Firewall NDJSON across the four event shapes (alert
+    with metadata, netflow, tls+revocation, http) plus the
+    empty-firewall-name error class."""
+    from .operators.aws_logs import network_firewall_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 15 == 7)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    m = uid % 4
+    ev_type = F.element_at(
+        F.array(F.lit("alert"), F.lit("netflow"), F.lit("tls"),
+                F.lit("http")), (m + 1).cast("int"))
+    section = (
+        F.when(m == 0, F.concat(
+            F.lit(',"alert":{"action":"'),
+            F.when(eid % 2 == 0, "allowed").otherwise("blocked"),
+            F.lit('","signature":"ET SCAN sig '), s(eid % 40),
+            F.lit('","signature_id":'), s(2000000 + eid % 99999),
+            F.lit(',"rev":'), s(eid % 9 + 1),
+            F.lit(',"category":"Scan","severity":'), s(eid % 4 + 1),
+            F.lit(',"gid":1'),
+            F.when(eid % 3 == 0, F.concat(
+                F.lit(',"metadata":{"signature_severity":["Major"],'
+                      '"created_at":["2024-01-0'), s(eid % 9 + 1),
+                F.lit('T00:00:00Z"]}'))).otherwise(F.lit("")),
+            F.lit("}")))
+        .when(m == 1, F.concat(
+            F.lit(',"netflow":{"pkts":'), s(eid % 5000 + 1),
+            F.lit(',"bytes":'), s(eid * 37 % 900000 + 1),
+            F.lit(',"start":"'), iso, F.lit('","end":"'), iso,
+            F.lit('","age":'), s(eid % 300),
+            F.lit(',"max_ttl":64,"min_ttl":'),
+            F.when(eid % 2 == 0, "64").otherwise("0"),
+            F.lit(',"tx_cnt":'), s(eid % 50), F.lit("}")))
+        .when(m == 2, F.concat(
+            F.lit(',"sni":"h'), s(uid % 9),
+            F.lit('.example.com","tls":{"subject":"CN=h'), s(uid % 9),
+            F.lit('.example.com","issuer":"CN=TestCA"'),
+            F.when(eid % 2 == 0,
+                   F.lit(',"session_resumed":true')).otherwise(F.lit("")),
+            F.lit("}"),
+            F.when(eid % 5 == 0, F.concat(
+                F.lit(',"revocation_check":{"leaf_cert_fpr":"'),
+                F.md5(s(eid)),
+                F.lit('","action":"DROP","status":"REVOKED"}'))
+                ).otherwise(F.lit(""))))
+        .otherwise(F.concat(
+            F.lit(',"http":{"hostname":"h'), s(uid % 9),
+            F.lit('.example.com","url":"/api/x'), s(eid),
+            F.lit('","http_user_agent":"ua-'), s(uid % 10),
+            F.lit('","http_content_type":"application/json"}')))
+    )
+    line = F.concat(
+        F.lit('{"firewall_name":"'),
+        F.when(eid % 21 == 0, "").otherwise(
+            F.concat(F.lit("fw-"), s(uid % 6))),
+        F.lit('","availability_zone":"us-east-1'),
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                     (uid % 3 + 1).cast("int")),
+        F.lit('","event_timestamp":"'), iso,
+        F.lit('","event":{"event_type":"'), ev_type,
+        F.lit('","flow_id":'), s(eid),
+        F.lit(',"src_ip":"192.168.'), s(uid % 200), F.lit("."),
+        s(eid % 200),
+        F.lit('","src_port":'), s(30000 + eid % 9999),
+        F.lit(',"dest_ip":"10.0.1.'), s(uid % 99),
+        F.lit('","dest_port":'),
+        F.when(m == 3, "80").otherwise("443"),
+        F.lit(',"proto":"TCP"'), section, F.lit("}}"))
+    out = network_firewall_logs(
+        ev.select(eid.alias("eid"), line.alias("line")))
+    return out.select(
+        "eid", "firewall_name", "availability_zone", "ts_ns",
+        "event_type", "flow_id", "source_address", "source_port",
+        "destination_address", "destination_port", "transport",
+        "netflow_packets", "netflow_bytes", "netflow_start",
+        "netflow_age", "netflow_max_ttl", "netflow_min_ttl",
+        "netflow_tx_count", "alert_action", "alert_signature",
+        "alert_signature_id", "alert_rev", "alert_category",
+        "alert_severity", "alert_gid", "alert_signature_severity",
+        "alert_created_at", "server_address",
+        "revocation_leaf_cert_fpr", "revocation_action",
+        "revocation_status", "tls_subject", "tls_issuer",
+        F.col("tls_resumed").cast("int").alias("tls_resumed"),
+        "url_domain", "url_path", "user_agent", "content_type_header",
+        "error",
+    ).orderBy("eid")
+
+
+_AWS_NFW_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, user_id % 4 AS m,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS tns,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+         event_id % 21 = 0 AS bad
+  FROM events WHERE event_id % 15 = 7)
+SELECT eid,
+  CASE WHEN bad THEN NULL
+       ELSE 'fw-' || CAST(uid % 6 AS VARCHAR) END AS firewall_name,
+  CASE WHEN bad THEN NULL
+       ELSE 'us-east-1' || CASE uid % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+            ELSE 'c' END END AS availability_zone,
+  CASE WHEN bad THEN NULL ELSE tns END AS ts_ns,
+  CASE WHEN bad THEN NULL
+       ELSE CASE m WHEN 0 THEN 'alert' WHEN 1 THEN 'netflow'
+            WHEN 2 THEN 'tls' ELSE 'http' END END AS event_type,
+  CASE WHEN bad THEN NULL ELSE eid END AS flow_id,
+  CASE WHEN bad THEN NULL
+       ELSE '192.168.' || CAST(uid % 200 AS VARCHAR) || '.'
+            || CAST(eid % 200 AS VARCHAR) END AS source_address,
+  CASE WHEN bad THEN NULL ELSE 30000 + eid % 9999 END AS source_port,
+  CASE WHEN bad THEN NULL
+       ELSE '10.0.1.' || CAST(uid % 99 AS VARCHAR)
+       END AS destination_address,
+  CASE WHEN bad THEN NULL WHEN m = 3 THEN 80 ELSE 443
+       END AS destination_port,
+  CASE WHEN bad THEN NULL ELSE 'TCP' END AS transport,
+  CASE WHEN NOT bad AND m = 1 THEN eid % 5000 + 1 END AS netflow_packets,
+  CASE WHEN NOT bad AND m = 1 THEN eid * 37 % 900000 + 1
+       END AS netflow_bytes,
+  CASE WHEN NOT bad AND m = 1 THEN iso END AS netflow_start,
+  CASE WHEN NOT bad AND m = 1 AND eid % 300 <> 0 THEN eid % 300
+       END AS netflow_age,
+  CASE WHEN NOT bad AND m = 1 THEN 64 END AS netflow_max_ttl,
+  CASE WHEN NOT bad AND m = 1 AND eid % 2 = 0 THEN 64
+       END AS netflow_min_ttl,
+  CASE WHEN NOT bad AND m = 1 AND eid % 50 <> 0 THEN eid % 50
+       END AS netflow_tx_count,
+  CASE WHEN NOT bad AND m = 0 THEN
+       CASE WHEN eid % 2 = 0 THEN 'allowed' ELSE 'blocked' END
+       END AS alert_action,
+  CASE WHEN NOT bad AND m = 0
+       THEN 'ET SCAN sig ' || CAST(eid % 40 AS VARCHAR)
+       END AS alert_signature,
+  CASE WHEN NOT bad AND m = 0 THEN 2000000 + eid % 99999
+       END AS alert_signature_id,
+  CASE WHEN NOT bad AND m = 0 THEN eid % 9 + 1 END AS alert_rev,
+  CASE WHEN NOT bad AND m = 0 THEN 'Scan' END AS alert_category,
+  CASE WHEN NOT bad AND m = 0 THEN eid % 4 + 1 END AS alert_severity,
+  CASE WHEN NOT bad AND m = 0 THEN 1 END AS alert_gid,
+  CASE WHEN NOT bad AND m = 0 AND eid % 3 = 0 THEN 'Major'
+       END AS alert_signature_severity,
+  CASE WHEN NOT bad AND m = 0 AND eid % 3 = 0
+       THEN '2024-01-0' || CAST(eid % 9 + 1 AS VARCHAR) || 'T00:00:00Z'
+       END AS alert_created_at,
+  CASE WHEN NOT bad AND m = 2
+       THEN 'h' || CAST(uid % 9 AS VARCHAR) || '.example.com'
+       END AS server_address,
+  CASE WHEN NOT bad AND m = 2 AND eid % 5 = 0
+       THEN md5(CAST(eid AS VARCHAR)) END AS revocation_leaf_cert_fpr,
+  CASE WHEN NOT bad AND m = 2 AND eid % 5 = 0 THEN 'DROP'
+       END AS revocation_action,
+  CASE WHEN NOT bad AND m = 2 AND eid % 5 = 0 THEN 'REVOKED'
+       END AS revocation_status,
+  CASE WHEN NOT bad AND m = 2
+       THEN 'CN=h' || CAST(uid % 9 AS VARCHAR) || '.example.com'
+       END AS tls_subject,
+  CASE WHEN NOT bad AND m = 2 THEN 'CN=TestCA' END AS tls_issuer,
+  CASE WHEN NOT bad AND m = 2 AND eid % 2 = 0 THEN 1 END AS tls_resumed,
+  CASE WHEN NOT bad AND m = 3
+       THEN 'h' || CAST(uid % 9 AS VARCHAR) || '.example.com'
+       END AS url_domain,
+  CASE WHEN NOT bad AND m = 3 THEN '/api/x' || CAST(eid AS VARCHAR)
+       END AS url_path,
+  CASE WHEN NOT bad AND m = 3 THEN 'ua-' || CAST(uid % 10 AS VARCHAR)
+       END AS user_agent,
+  CASE WHEN NOT bad AND m = 3 THEN 'application/json'
+       END AS content_type_header,
+  CASE WHEN bad
+       THEN 'invalid Network Firewall log: empty firewall_name field'
+       END AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["aws_network_firewall_events"] = q_aws_network_firewall
+_ORACLES["aws_network_firewall_events"] = _AWS_NFW_ORACLE

@@ -438,3 +438,62 @@ class TestCloudTrail:
         rec = {"eventVersion": "1", "eventTime": "nope", "eventID": "x"}
         r = one(A.cloudtrail_records(lines_df(spark, [json.dumps(rec)])))
         assert r["error"] == "failed to parse timestamp of log"
+
+
+class TestNetworkFirewall:
+    """network-firewall-log/unmarshaler.go vs its testdata files."""
+
+    REF = ("/root/reference/extension/encoding/awslogsencodingextension/"
+           "internal/unmarshaler/network-firewall-log/testdata")
+
+    def load_all(self, spark):
+        import glob
+        files = sorted(glob.glob(f"{self.REF}/*.json"))
+        rows = [(json.dumps(json.load(open(f))), f.split("/")[-1])
+                for f in files]
+        df = spark.createDataFrame(rows, "line string, src string")
+        out = A.network_firewall_logs(df)
+        return {r.src: r.asDict() for r in out.collect()}
+
+    def test_reference_testdata(self, spark):
+        by = self.load_all(spark)
+        a = by["alert_log.json"]
+        assert a["error"] is None
+        assert a["firewall_name"] == "test-firewall"
+        assert a["availability_zone"] == "us-east-1a"
+        assert a["ts_ns"] == 1760956245123000000
+        assert a["event_type"] == "alert"
+        assert a["alert_signature_id"] == 2027758
+        assert a["alert_severity"] == 1
+        m = by["alert_with_metadata_log.json"]
+        assert m["alert_signature_severity"] == "Critical,High"
+        f = by["flow_log.json"]
+        assert f["netflow_packets"] == 150
+        assert f["netflow_bytes"] == 45000
+        assert f["netflow_max_ttl"] == 64
+        t = by["tls_with_revocation_log.json"]
+        assert t["server_address"] == "example.com"  # sni
+        assert t["revocation_status"] == "REVOKED"
+        assert t["tls_error_message"] == "Certificate verification failed"
+        assert t["tls_resumed"] is True
+        h = by["http_log.json"]
+        assert h["url_domain"] == "example.com"
+        assert h["url_path"] == "/api/v1/users"
+        assert h["cookie_header"].startswith("session_id=")
+        bad = by["missing_firewall_name.json"]
+        assert "empty firewall_name" in bad["error"]
+
+    def test_zero_values_unset(self, spark):
+        line = json.dumps({
+            "firewall_name": "fw", "event_timestamp":
+            "2025-01-01T00:00:00Z",
+            "event": {"event_type": "netflow", "flow_id": 0,
+                      "src_port": 0,
+                      "netflow": {"pkts": 0, "age": 0}}})
+        df = spark.createDataFrame([(line,)], "line string")
+        r = A.network_firewall_logs(df).collect()[0].asDict()
+        assert r["error"] is None
+        assert r["flow_id"] is None          # Go zero-value omit
+        assert r["source_port"] is None
+        assert r["netflow_packets"] is None
+        assert r["tls_resumed"] is None      # absent pointer
