@@ -19,10 +19,12 @@ Columnar model: one row = one LogEntry JSON; both batteries are ONE
 their raw JSON subtree text (the config's HandleAsText rendering; the
 HandleAsJSON tree form is the same bytes parsed, checked in pytest).
 
-The typed payload parsers for the other recognized log suffixes (GCP
-vpc flow, app load balancer, dns, proxy/passthrough NLB) are NOT
-implemented -- those entries keep the generic body and their
-``encoding_format`` tag, and the gap is recorded in COVERAGE.md.
+Typed payload parsers implemented: cloudaudit (below), VPC flow
+(internal/vpcflowlog/parser.go -> gcp_vpcflow_payload) and Cloud DNS
+(internal/dnslog/parser.go -> gcp_dns_payload). The app-load-balancer
+and proxy/passthrough-NLB parsers are NOT implemented -- those entries
+keep the generic body and their ``encoding_format`` tag, and the gap
+is recorded in COVERAGE.md.
 
 Error model: house contract (row-level ``error`` column) instead of
 the reference's whole-buffer abort.
@@ -508,4 +510,219 @@ def gcp_audit_payload(df: DataFrame, payload: str = "body") -> DataFrame:
         *df.columns,
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("audit_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# typed payload parsers: VPC flow (internal/vpcflowlog/parser.go) and
+# Cloud DNS (internal/dnslog/parser.go)
+# ---------------------------------------------------------------------------
+
+_VPCFLOW_SCHEMA = (
+    "struct<"
+    "connection:struct<protocol:bigint,src_ip:string,dest_ip:string,"
+    "src_port:bigint,dest_port:bigint>,"
+    "reporter:string,bytes_sent:string,packets_sent:string,"
+    "start_time:string,end_time:string,rtt_msec:string,"
+    "network_service:struct<dscp:bigint>,"
+    "src_instance:struct<project_id:string,region:string,"
+    "vm_name:string,zone:string,managed_instance_group:struct<"
+    "name:string,region:string,zone:string>>,"
+    "dest_instance:struct<project_id:string,region:string,"
+    "vm_name:string,zone:string,managed_instance_group:struct<"
+    "name:string,region:string,zone:string>>,"
+    "src_location:struct<asn:bigint,city:string,continent:string,"
+    "country:string,region:string>,"
+    "dest_location:struct<asn:bigint,city:string,continent:string,"
+    "country:string,region:string>,"
+    "src_vpc:struct<project_id:string,subnetwork_name:string,"
+    "subnetwork_region:string,vpc_name:string>,"
+    "dest_vpc:struct<project_id:string,subnetwork_name:string,"
+    "subnetwork_region:string,vpc_name:string>,"
+    "src_google_service:struct<type:string,service_name:string,"
+    "connectivity:string>,"
+    "dest_google_service:struct<type:string,service_name:string,"
+    "connectivity:string>,"
+    "internet_routing_details:struct<egress_as_path:array<struct<"
+    "as_details:array<struct<asn:bigint>>>>>"
+    ">"
+)
+
+
+def _rfc3339nano(ts_str: Column) -> Column:
+    """Go time.Format(RFC3339Nano): trailing fraction zeros trimmed,
+    no fraction dot when zero (micro precision here)."""
+    t = ts_str.try_cast("timestamp")
+    micros = F.unix_micros(t) % 1_000_000
+    frac = F.regexp_replace(
+        F.lpad(micros.cast("string"), 6, "0"), "0+$", "")
+    return F.when(t.isNull(), F.lit(None)).otherwise(F.concat(
+        F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.when(micros == 0, F.lit("")).otherwise(
+            F.concat(F.lit("."), frac)),
+        F.lit("Z")))
+
+
+def gcp_vpcflow_payload(df: DataFrame, payload: str = "body") -> DataFrame:
+    """GCP VPC flow jsonPayload -> gcp.vpc.flow.* columns
+    (vpcflowlog/parser.go:294-367). Protocol numbers map through the
+    shared IANA table; bytes/packets/rtt are string-ints with errors;
+    start/end re-render RFC3339Nano."""
+    from .aws_logs import _protocol_array
+
+    p = F.from_json(F.col(payload), _VPCFLOW_SCHEMA)
+    conn = p["connection"]
+    proto_name = F.element_at(
+        _protocol_array(), (conn["protocol"] + 1).cast("int"))
+
+    def nz(c: Column) -> Column:
+        return F.when(F.coalesce(c, F.lit("")) != "", c)
+
+    def str_int(c: Column) -> tuple[Column, Column]:
+        bad = c.isNotNull() & (c != "") & ~c.rlike("^-?[0-9]+$")
+        return F.when(c.isNotNull() & (c != ""),
+                      c.try_cast("bigint")), bad
+
+    bytes_sent, b_bad = str_int(p["bytes_sent"])
+    pkts, p_bad = str_int(p["packets_sent"])
+    rtt, r_bad = str_int(p["rtt_msec"])
+    err = (
+        F.when(p.isNull(), "failed to unmarshal VPC flow log payload")
+        .when(b_bad, "failed to add bytes sent")
+        .when(p_bad, "failed to add packets sent")
+        .when(r_bad, "failed to add RTT")
+    )
+
+    def sided(node_f, fields: dict) -> dict:
+        out = {}
+        for side in ("src", "dest"):
+            node = p[f"{side}_{node_f}"]
+            pref = "source" if side == "src" else "destination"
+            for col_suffix, field_path in fields.items():
+                c = node
+                for seg in field_path:
+                    c = c[seg]
+                key = f"vf_{pref}_{col_suffix}"
+                out[key] = nz(c) if not col_suffix.endswith("asn") \
+                    else c
+        return out
+
+    out = {
+        "vf_transport": F.when(conn["protocol"].isNotNull(),
+                               proto_name),
+        "vf_source_address": nz(conn["src_ip"]),
+        "vf_destination_address": nz(conn["dest_ip"]),
+        "vf_source_port": conn["src_port"],
+        "vf_destination_port": conn["dest_port"],
+        "vf_reporter": nz(p["reporter"]),
+        "vf_bytes_sent": bytes_sent,
+        "vf_packets_sent": pkts,
+        "vf_rtt_ms": rtt,
+        "vf_start_time": _rfc3339nano(p["start_time"]),
+        "vf_end_time": _rfc3339nano(p["end_time"]),
+        "vf_dscp": p["network_service"]["dscp"],
+        **sided("instance", {
+            "instance_project_id": ("project_id",),
+            "vm_region": ("region",),
+            "vm_name": ("vm_name",),
+            "vm_zone": ("zone",),
+            "mig_name": ("managed_instance_group", "name"),
+            "mig_region": ("managed_instance_group", "region"),
+            "mig_zone": ("managed_instance_group", "zone"),
+        }),
+        **sided("location", {
+            "asn": ("asn",),
+            "geo_city": ("city",),
+            "geo_continent": ("continent",),
+            "geo_country": ("country",),
+            "geo_region": ("region",),
+        }),
+        **sided("vpc", {
+            "vpc_project_id": ("project_id",),
+            "subnet_name": ("subnetwork_name",),
+            "subnet_region": ("subnetwork_region",),
+            "vpc_name": ("vpc_name",),
+        }),
+        **sided("google_service", {
+            "gsvc_type": ("type",),
+            "gsvc_name": ("service_name",),
+            "gsvc_connectivity": ("connectivity",),
+        }),
+        "vf_egress_as_paths": F.when(
+            F.size(F.coalesce(
+                p["internet_routing_details"]["egress_as_path"],
+                F.array().cast(
+                    "array<struct<as_details:array<struct<"
+                    "asn:bigint>>>>"))) > 0,
+            F.array_join(
+                F.transform(
+                    p["internet_routing_details"]["egress_as_path"],
+                    lambda path: F.array_join(
+                        F.transform(
+                            path["as_details"],
+                            lambda d: F.coalesce(
+                                d["asn"].cast("string"), F.lit(""))),
+                        ","),
+                ),
+                ";",
+            )),
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("vf_error"),
+    )
+
+
+_DNS_SCHEMA = (
+    "struct<alias_query_response_code:string,authAnswer:boolean,"
+    "destinationIP:string,dns64Translated:boolean,egressError:string,"
+    "healthyIps:string,location:string,protocol:string,"
+    "project_id:string,queryName:string,queryType:string,rdata:string,"
+    "responseCode:string,serverLatency:double,sourceIP:string,"
+    "sourceNetwork:string,source_type:string,target_name:string,"
+    "target_type:string,unhealthyIps:string,vmInstanceId:bigint,"
+    "vmInstanceName:string,vmProjectId:string,vmZoneName:string>"
+)
+
+
+def gcp_dns_payload(df: DataFrame, payload: str = "body") -> DataFrame:
+    """Cloud DNS query-log jsonPayload -> dns.* / gcp.dns.* columns
+    (dnslog/parser.go:139-158)."""
+    p = F.from_json(F.col(payload), _DNS_SCHEMA)
+    err = F.when(p.isNull(), "failed to unmarshal DNS log")
+
+    def nz(c: Column) -> Column:
+        return F.when(F.coalesce(c, F.lit("")) != "", c)
+
+    out = {
+        "dns_question_name": nz(p["queryName"]),
+        "dns_question_type": nz(p["queryType"]),
+        "dns_response_code": nz(p["responseCode"]),
+        "dns_alias_response_code": nz(p["alias_query_response_code"]),
+        "dns_auth_answer": p["authAnswer"],
+        "dns_answer_data": nz(p["rdata"]),
+        "dns_server_address": nz(p["destinationIP"]),
+        "dns_client_vpc": nz(p["sourceNetwork"]),
+        "dns_client_type": nz(p["source_type"]),
+        "dns_client_address": nz(p["sourceIP"]),
+        "dns_transport": F.when(nz(p["protocol"]).isNotNull(),
+                                F.lower(p["protocol"])),
+        "dns_region": nz(p["location"]),
+        "dns_server_name": nz(p["target_name"]),
+        "dns_server_type": nz(p["target_type"]),
+        "dns_server_latency": p["serverLatency"],
+        "dns_egress_error": nz(p["egressError"]),
+        "dns_healthy_ips": nz(p["healthyIps"]),
+        "dns_unhealthy_ips": nz(p["unhealthyIps"]),
+        "dns_dns64_translated": p["dns64Translated"],
+        "dns_host_id": p["vmInstanceId"],
+        "dns_host_name": nz(p["vmInstanceName"]),
+        "dns_project_id": nz(p["vmProjectId"]),
+        "dns_availability_zone": nz(p["vmZoneName"]),
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("dns_error"),
     )

@@ -13563,3 +13563,229 @@ FROM f ORDER BY eid
 
 _QUERIES["aws_network_firewall_events"] = q_aws_network_firewall
 _ORACLES["aws_network_firewall_events"] = _AWS_NFW_ORACLE
+
+
+def q_gcp_typed_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCP typed jsonPayload parsers: VPC flow and Cloud DNS entries
+    through the logName-dispatched batteries, masked per format."""
+    from .operators.gcp_logentry import (
+        gcp_dns_payload,
+        gcp_log_entries,
+        gcp_vpcflow_payload,
+    )
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 16 == 5)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    is_dns = uid % 2 == 0
+    vf_payload = F.concat(
+        F.lit('{"connection":{"protocol":'),
+        F.element_at(F.array(F.lit("6"), F.lit("17"), F.lit("1")),
+                     (eid % 3 + 1).cast("int")),
+        F.lit(',"src_ip":"10.20.'), s(uid % 200), F.lit("."),
+        s(eid % 200),
+        F.lit('","dest_ip":"10.21.0.'), s(uid % 99),
+        F.lit('","src_port":'), s(20000 + eid % 9999),
+        F.lit(',"dest_port":443},"reporter":"'),
+        F.when(eid % 2 == 0, "SRC").otherwise("DEST"),
+        F.lit('","bytes_sent":"'), s(eid * 13 % 100000),
+        F.lit('","packets_sent":"'), s(eid % 900),
+        F.lit('","rtt_msec":"'), s(eid % 250),
+        F.lit('","start_time":"'), iso, F.lit('","end_time":"'), iso,
+        F.lit('","network_service":{"dscp":'), s(eid % 64),
+        F.lit('},"src_instance":{"project_id":"p'), s(uid % 5),
+        F.lit('","region":"europe-west1","vm_name":"vm-'), s(uid % 40),
+        F.lit('","zone":"europe-west1-b"'),
+        F.when(eid % 4 == 0, F.concat(
+            F.lit(',"managed_instance_group":{"name":"mig-'),
+            s(uid % 6),
+            F.lit('","region":"europe-west1"}'))).otherwise(F.lit("")),
+        F.lit('},"dest_location":{"asn":'), s(15169 + uid % 100),
+        F.lit(',"city":"Dublin","continent":"Europe","country":"IRL",'
+              '"region":"Leinster"},'),
+        F.lit('"src_vpc":{"project_id":"p'), s(uid % 5),
+        F.lit('","subnetwork_name":"default","subnetwork_region":'
+              '"europe-west1","vpc_name":"net-'), s(uid % 4),
+        F.lit('"}'),
+        F.when(eid % 6 == 0, F.concat(
+            F.lit(',"internet_routing_details":{"egress_as_path":'
+                  '[{"as_details":[{"asn":15169},{"asn":'),
+            s(64500 + eid % 100), F.lit('}]}]}'))).otherwise(F.lit("")),
+        F.lit("}"))
+    dns_payload = F.concat(
+        F.lit('{"queryName":"svc'), s(eid % 30),
+        F.lit('.example.com.","queryType":"'),
+        F.when(eid % 2 == 0, "A").otherwise("AAAA"),
+        F.lit('","responseCode":"'),
+        F.when(eid % 9 == 0, "NXDOMAIN").otherwise("NOERROR"),
+        F.lit('","authAnswer":'),
+        F.when(eid % 5 == 0, "true").otherwise("false"),
+        F.lit(',"rdata":"a '), s(eid % 255),
+        F.lit('","destinationIP":"8.8.8.8","sourceNetwork":"default",'
+              '"source_type":"gce-vm","sourceIP":"10.22.0.'),
+        s(uid % 99),
+        F.lit('","protocol":"'),
+        F.when(eid % 2 == 0, "UDP").otherwise("TCP"),
+        F.lit('","location":"europe-west1","serverLatency":'),
+        s(eid % 300),
+        F.lit(',"dns64Translated":false,"vmInstanceId":'), s(eid),
+        F.lit(',"vmInstanceName":"vm-'), s(uid % 40),
+        F.lit('","vmProjectId":"p'), s(uid % 5),
+        F.lit('","vmZoneName":"europe-west1-b"}'))
+    log_name = F.when(
+        is_dns,
+        F.concat(F.lit("projects/p"), s(uid % 5),
+                 F.lit("/logs/dns.googleapis.com%2Fdns_queries")),
+    ).otherwise(
+        F.concat(F.lit("projects/p"), s(uid % 5),
+                 F.lit("/logs/compute.googleapis.com%2Fvpc_flows")))
+    line = F.concat(
+        F.lit('{"timestamp":"'), iso, F.lit('","insertId":"i'), s(eid),
+        F.lit('","logName":"'), log_name,
+        F.lit('","severity":"INFO","jsonPayload":'),
+        F.when(is_dns, dns_payload).otherwise(vf_payload),
+        F.lit("}"))
+    ent = gcp_log_entries(ev.select(eid.alias("eid"),
+                                    line.alias("line")))
+    out = gcp_dns_payload(gcp_vpcflow_payload(ent, payload="body"),
+                          payload="body")
+    fmt = F.col("encoding_format")
+    vf = fmt.eqNullSafe("gcp.vpcflow")
+    dns = fmt.eqNullSafe("gcp.dns-query")
+
+    def g(name: str, cond):
+        return F.when(cond, F.col(name)).alias(name)
+
+    vf_cols = [c for c in out.columns if c.startswith("vf_")
+               and c != "vf_error"]
+    dns_cols = [c for c in out.columns if c.startswith("dns_")
+                and c != "dns_error"]
+    return out.select(
+        "eid", "ts_ns", "project", "resource_id", "encoding_format",
+        *[g(c, vf) for c in vf_cols],
+        *[F.when(dns, F.col(c).cast("int") if c in
+                 ("dns_auth_answer", "dns_dns64_translated")
+                 else F.col(c)).alias(c) for c in dns_cols],
+        F.when(vf, F.col("vf_error")).alias("vf_error"),
+        F.when(dns, F.col("dns_error")).alias("dns_error"),
+        "error",
+    ).orderBy("eid")
+
+
+_GCP_TYPED_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, user_id % 2 = 0 AS dns,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS tns,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso
+  FROM events WHERE event_id % 16 = 5)
+SELECT eid, tns AS ts_ns,
+  'p' || CAST(uid % 5 AS VARCHAR) AS project,
+  CASE WHEN dns THEN 'dns.googleapis.com%2Fdns_queries'
+       ELSE 'compute.googleapis.com%2Fvpc_flows' END AS resource_id,
+  CASE WHEN dns THEN 'gcp.dns-query' ELSE 'gcp.vpcflow'
+       END AS encoding_format,
+  CASE WHEN NOT dns THEN CASE eid % 3 WHEN 0 THEN 'tcp'
+       WHEN 1 THEN 'udp' ELSE 'icmp' END END AS vf_transport,
+  CASE WHEN NOT dns THEN '10.20.' || CAST(uid % 200 AS VARCHAR) || '.'
+       || CAST(eid % 200 AS VARCHAR) END AS vf_source_address,
+  CASE WHEN NOT dns THEN '10.21.0.' || CAST(uid % 99 AS VARCHAR)
+       END AS vf_destination_address,
+  CASE WHEN NOT dns THEN 20000 + eid % 9999 END AS vf_source_port,
+  CASE WHEN NOT dns THEN 443 END AS vf_destination_port,
+  CASE WHEN NOT dns THEN
+       CASE WHEN eid % 2 = 0 THEN 'SRC' ELSE 'DEST' END
+       END AS vf_reporter,
+  CASE WHEN NOT dns THEN eid * 13 % 100000 END AS vf_bytes_sent,
+  CASE WHEN NOT dns THEN eid % 900 END AS vf_packets_sent,
+  CASE WHEN NOT dns THEN eid % 250 END AS vf_rtt_ms,
+  CASE WHEN NOT dns THEN iso END AS vf_start_time,
+  CASE WHEN NOT dns THEN iso END AS vf_end_time,
+  CASE WHEN NOT dns THEN eid % 64 END AS vf_dscp,
+  CASE WHEN NOT dns THEN 'p' || CAST(uid % 5 AS VARCHAR)
+       END AS vf_source_instance_project_id,
+  CASE WHEN NOT dns THEN 'europe-west1' END AS vf_source_vm_region,
+  CASE WHEN NOT dns THEN 'vm-' || CAST(uid % 40 AS VARCHAR)
+       END AS vf_source_vm_name,
+  CASE WHEN NOT dns THEN 'europe-west1-b' END AS vf_source_vm_zone,
+  CASE WHEN NOT dns AND eid % 4 = 0
+       THEN 'mig-' || CAST(uid % 6 AS VARCHAR) END AS vf_source_mig_name,
+  CASE WHEN NOT dns AND eid % 4 = 0 THEN 'europe-west1'
+       END AS vf_source_mig_region,
+  CAST(NULL AS VARCHAR) AS vf_source_mig_zone,
+  CAST(NULL AS VARCHAR) AS vf_destination_instance_project_id,
+  CAST(NULL AS VARCHAR) AS vf_destination_vm_region,
+  CAST(NULL AS VARCHAR) AS vf_destination_vm_name,
+  CAST(NULL AS VARCHAR) AS vf_destination_vm_zone,
+  CAST(NULL AS VARCHAR) AS vf_destination_mig_name,
+  CAST(NULL AS VARCHAR) AS vf_destination_mig_region,
+  CAST(NULL AS VARCHAR) AS vf_destination_mig_zone,
+  CAST(NULL AS BIGINT) AS vf_source_asn,
+  CAST(NULL AS VARCHAR) AS vf_source_geo_city,
+  CAST(NULL AS VARCHAR) AS vf_source_geo_continent,
+  CAST(NULL AS VARCHAR) AS vf_source_geo_country,
+  CAST(NULL AS VARCHAR) AS vf_source_geo_region,
+  CASE WHEN NOT dns THEN 15169 + uid % 100 END AS vf_destination_asn,
+  CASE WHEN NOT dns THEN 'Dublin' END AS vf_destination_geo_city,
+  CASE WHEN NOT dns THEN 'Europe' END AS vf_destination_geo_continent,
+  CASE WHEN NOT dns THEN 'IRL' END AS vf_destination_geo_country,
+  CASE WHEN NOT dns THEN 'Leinster' END AS vf_destination_geo_region,
+  CASE WHEN NOT dns THEN 'p' || CAST(uid % 5 AS VARCHAR)
+       END AS vf_source_vpc_project_id,
+  CASE WHEN NOT dns THEN 'default' END AS vf_source_subnet_name,
+  CASE WHEN NOT dns THEN 'europe-west1' END AS vf_source_subnet_region,
+  CASE WHEN NOT dns THEN 'net-' || CAST(uid % 4 AS VARCHAR)
+       END AS vf_source_vpc_name,
+  CAST(NULL AS VARCHAR) AS vf_destination_vpc_project_id,
+  CAST(NULL AS VARCHAR) AS vf_destination_subnet_name,
+  CAST(NULL AS VARCHAR) AS vf_destination_subnet_region,
+  CAST(NULL AS VARCHAR) AS vf_destination_vpc_name,
+  CAST(NULL AS VARCHAR) AS vf_source_gsvc_type,
+  CAST(NULL AS VARCHAR) AS vf_source_gsvc_name,
+  CAST(NULL AS VARCHAR) AS vf_source_gsvc_connectivity,
+  CAST(NULL AS VARCHAR) AS vf_destination_gsvc_type,
+  CAST(NULL AS VARCHAR) AS vf_destination_gsvc_name,
+  CAST(NULL AS VARCHAR) AS vf_destination_gsvc_connectivity,
+  CASE WHEN NOT dns AND eid % 6 = 0
+       THEN '15169,' || CAST(64500 + eid % 100 AS VARCHAR)
+       END AS vf_egress_as_paths,
+  CASE WHEN dns THEN 'svc' || CAST(eid % 30 AS VARCHAR)
+       || '.example.com.' END AS dns_question_name,
+  CASE WHEN dns THEN CASE WHEN eid % 2 = 0 THEN 'A' ELSE 'AAAA' END
+       END AS dns_question_type,
+  CASE WHEN dns THEN
+       CASE WHEN eid % 9 = 0 THEN 'NXDOMAIN' ELSE 'NOERROR' END
+       END AS dns_response_code,
+  CAST(NULL AS VARCHAR) AS dns_alias_response_code,
+  CASE WHEN dns THEN CAST(eid % 5 = 0 AS INT) END AS dns_auth_answer,
+  CASE WHEN dns THEN 'a ' || CAST(eid % 255 AS VARCHAR)
+       END AS dns_answer_data,
+  CASE WHEN dns THEN '8.8.8.8' END AS dns_server_address,
+  CASE WHEN dns THEN 'default' END AS dns_client_vpc,
+  CASE WHEN dns THEN 'gce-vm' END AS dns_client_type,
+  CASE WHEN dns THEN '10.22.0.' || CAST(uid % 99 AS VARCHAR)
+       END AS dns_client_address,
+  CASE WHEN dns THEN CASE WHEN eid % 2 = 0 THEN 'udp' ELSE 'tcp' END
+       END AS dns_transport,
+  CASE WHEN dns THEN 'europe-west1' END AS dns_region,
+  CAST(NULL AS VARCHAR) AS dns_server_name,
+  CAST(NULL AS VARCHAR) AS dns_server_type,
+  CASE WHEN dns THEN CAST(eid % 300 AS DOUBLE) END AS dns_server_latency,
+  CAST(NULL AS VARCHAR) AS dns_egress_error,
+  CAST(NULL AS VARCHAR) AS dns_healthy_ips,
+  CAST(NULL AS VARCHAR) AS dns_unhealthy_ips,
+  CASE WHEN dns THEN 0 END AS dns_dns64_translated,
+  CASE WHEN dns THEN eid END AS dns_host_id,
+  CASE WHEN dns THEN 'vm-' || CAST(uid % 40 AS VARCHAR)
+       END AS dns_host_name,
+  CASE WHEN dns THEN 'p' || CAST(uid % 5 AS VARCHAR)
+       END AS dns_project_id,
+  CASE WHEN dns THEN 'europe-west1-b' END AS dns_availability_zone,
+  CAST(NULL AS VARCHAR) AS vf_error,
+  CAST(NULL AS VARCHAR) AS dns_error,
+  CAST(NULL AS VARCHAR) AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["gcp_typed_payloads_events"] = q_gcp_typed_payloads
+_ORACLES["gcp_typed_payloads_events"] = _GCP_TYPED_ORACLE

@@ -187,3 +187,85 @@ class TestAuditPayload:
         assert rows[2]["audit_error"] == "missing service name"
         assert rows[3]["audit_error"] == "missing method name"
         assert "response items" in rows[4]["audit_error"]
+
+
+class TestTypedPayloads:
+    def test_dns_reference_vector(self, spark):
+        df = spark.createDataFrame(
+            [(load(f"{REF}/dnslog/dns_query_no_error.json"),)],
+            "line string")
+        ent = G.gcp_log_entries(df)
+        r = G.gcp_dns_payload(ent, payload="body").collect()[0].asDict()
+        assert r["dns_error"] is None
+        assert r["encoding_format"] == "gcp.dns-query"
+        assert r["dns_question_name"] == "logging.googleapis.com."
+        assert r["dns_question_type"] == "A"
+        assert r["dns_response_code"] == "NOERROR"
+        assert r["dns_transport"] == "udp"   # UDP lowered
+        assert r["dns_server_latency"] == 4.0
+        assert r["dns_auth_answer"] is False
+        assert r["dns_host_id"] == 2838092002611613700
+
+    def test_vpcflow_battery(self, spark):
+        payload = {
+            "connection": {"protocol": 6, "src_ip": "10.0.0.1",
+                           "dest_ip": "10.0.0.2", "src_port": 1234,
+                           "dest_port": 443},
+            "reporter": "SRC", "bytes_sent": "8192",
+            "packets_sent": "12", "rtt_msec": "38",
+            "start_time": "2024-01-01T00:00:00.123456Z",
+            "network_service": {"dscp": 34},
+            "src_instance": {"project_id": "p1", "vm_name": "vm-a",
+                             "zone": "z1",
+                             "managed_instance_group":
+                                 {"name": "mig-1"}},
+            "dest_location": {"asn": 15169, "country": "IRL"},
+            "internet_routing_details": {"egress_as_path": [
+                {"as_details": [{"asn": 15169}, {"asn": 64500}]},
+                {"as_details": [{"asn": 3356}]}]},
+        }
+        entry = json.dumps({
+            "timestamp": "2024-01-01T00:00:00Z",
+            "logName": ("projects/p/logs/"
+                        "compute.googleapis.com%2Fvpc_flows"),
+            "jsonPayload": payload})
+        df = spark.createDataFrame([(entry,)], "line string")
+        ent = G.gcp_log_entries(df)
+        r = G.gcp_vpcflow_payload(ent, payload="body") \
+             .collect()[0].asDict()
+        assert r["vf_error"] is None
+        assert r["encoding_format"] == "gcp.vpcflow"
+        assert r["vf_transport"] == "tcp"    # IANA number 6
+        assert r["vf_source_port"] == 1234
+        assert r["vf_bytes_sent"] == 8192
+        assert r["vf_rtt_ms"] == 38
+        # RFC3339Nano render trims trailing fraction zeros
+        assert r["vf_start_time"] == "2024-01-01T00:00:00.123456Z"
+        assert r["vf_end_time"] is None
+        assert r["vf_dscp"] == 34
+        assert r["vf_source_mig_name"] == "mig-1"
+        assert r["vf_destination_asn"] == 15169
+        assert r["vf_destination_geo_country"] == "IRL"
+        assert r["vf_egress_as_paths"] == "15169,64500;3356"
+
+    def test_vpcflow_str_int_errors(self, spark):
+        entry = json.dumps({
+            "timestamp": "2024-01-01T00:00:00Z",
+            "logName": ("projects/p/logs/"
+                        "compute.googleapis.com%2Fvpc_flows"),
+            "jsonPayload": {"bytes_sent": "notanum"}})
+        df = spark.createDataFrame([(entry,)], "line string")
+        ent = G.gcp_log_entries(df)
+        r = G.gcp_vpcflow_payload(ent, payload="body").collect()[0]
+        assert r.vf_error == "failed to add bytes sent"
+
+    def test_rfc3339nano_whole_seconds(self, spark):
+        entry = json.dumps({
+            "timestamp": "2024-01-01T00:00:00Z",
+            "logName": ("projects/p/logs/"
+                        "compute.googleapis.com%2Fvpc_flows"),
+            "jsonPayload": {"start_time": "2024-05-05T10:31:19Z"}})
+        df = spark.createDataFrame([(entry,)], "line string")
+        ent = G.gcp_log_entries(df)
+        r = G.gcp_vpcflow_payload(ent, payload="body").collect()[0]
+        assert r.vf_start_time == "2024-05-05T10:31:19Z"  # no dot
