@@ -19,12 +19,12 @@ Columnar model: one row = one LogEntry JSON; both batteries are ONE
 their raw JSON subtree text (the config's HandleAsText rendering; the
 HandleAsJSON tree form is the same bytes parsed, checked in pytest).
 
-Typed payload parsers implemented: cloudaudit (below), VPC flow
-(internal/vpcflowlog/parser.go -> gcp_vpcflow_payload) and Cloud DNS
-(internal/dnslog/parser.go -> gcp_dns_payload). The app-load-balancer
-and proxy/passthrough-NLB parsers are NOT implemented -- those entries
-keep the generic body and their ``encoding_format`` tag, and the gap
-is recorded in COVERAGE.md.
+ALL of the extension's typed payload parsers are implemented:
+cloudaudit (gcp_audit_payload), VPC flow (gcp_vpcflow_payload), Cloud
+DNS (gcp_dns_payload), app load balancer + Cloud Armor
+(gcp_app_lb_payload), passthrough NLB (gcp_passthrough_nlb_payload)
+and proxy NLB (gcp_proxy_nlb_payload), each dispatched on the
+logName-derived ``encoding_format``.
 
 Error model: house contract (row-level ``error`` column) instead of
 the reference's whole-buffer abort.
@@ -50,7 +50,7 @@ _FORMAT_BY_SUFFIX = {
         "gcp.load-balancer",
     "loadbalancing.googleapis.com%2Fconnections": "gcp.proxy-nlb",
     "dns.googleapis.com%2Fdns_queries": "gcp.dns-query",
-    "networking.googleapis.com%2Fconnections": "gcp.passthrough-nlb",
+    "loadbalancing.googleapis.com%2Fflows": "gcp.passthrough-nlb",
 }
 
 _SEVERITY_NUM = {
@@ -725,4 +725,310 @@ def gcp_dns_payload(df: DataFrame, payload: str = "body") -> DataFrame:
         *df.columns,
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("dns_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# app load balancer + Cloud Armor (internal/apploadbalancerlog/) and
+# proxy / passthrough NLB connection logs (internal/{proxy,passthrough}nlb/)
+# ---------------------------------------------------------------------------
+
+LB_TYPE = ("type.googleapis.com/google.cloud.loadbalancing.type."
+           "LoadBalancerLogEntry")
+NLB_EXTERNAL_TYPE = ("type.googleapis.com/google.cloud.loadbalancing."
+                     "type.ExternalNetworkLoadBalancerLogEntry")
+NLB_INTERNAL_TYPE = ("type.googleapis.com/google.cloud.loadbalancing."
+                     "type.InternalNetworkLoadBalancerLogEntry")
+
+_POLICY_BASE = ("name:string,priority:bigint,configuredAction:string,"
+                "outcome:string")
+_POLICY_EXT = (_POLICY_BASE + ",rateLimitAction:struct<key:string,"
+               "outcome:string>,preconfiguredExprIds:array<string>,"
+               "threatIntelligence:struct<categories:array<string>>,"
+               "addressGroup:struct<names:array<string>>")
+
+_APPLB_SCHEMA = (
+    "struct<`@type`:string,statusDetails:string,remoteIp:string,"
+    "backendTargetProjectNumber:string,proxyStatus:string,"
+    "overrideResponseCode:bigint,loadBalancingScheme:string,"
+    "errorService:string,backendNetworkName:string,cacheId:string,"
+    "cacheDecision:array<string>,"
+    "authPolicyInfo:struct<result:string,policies:array<struct<"
+    "name:string,result:string,details:string>>>,"
+    "tls:struct<earlyDataRequest:boolean,protocol:string,"
+    "cipher:string>,"
+    "mtls:struct<clientCertPresent:boolean,"
+    "clientCertChainVerified:boolean,clientCertError:string,"
+    "clientCertSha256Fingerprint:string,clientCertSerialNumber:string,"
+    "clientCertSpiffeId:string,clientCertIssuerDn:string,"
+    "clientCertSubjectDn:string>,"
+    "securityPolicyRequestData:struct<"
+    "recaptchaActionToken:struct<score:double>,"
+    "recaptchaSessionToken:struct<score:double>,"
+    "userIpInfo:struct<source:string,ipAddress:string>,"
+    "remoteIpInfo:struct<ipAddress:string,regionCode:string,"
+    "asn:bigint>,tlsJa4Fingerprint:string,tlsJa3Fingerprint:string>,"
+    f"enforcedSecurityPolicy:struct<{_POLICY_EXT},"
+    "adaptiveProtection:struct<autoDeployAlertId:string>>,"
+    f"previewSecurityPolicy:struct<{_POLICY_EXT}>,"
+    f"enforcedEdgeSecurityPolicy:struct<{_POLICY_BASE}>,"
+    f"previewEdgeSecurityPolicy:struct<{_POLICY_BASE}>"
+    ">"
+)
+
+
+def _nz2(c: Column) -> Column:
+    return F.when(F.coalesce(c, F.lit("")) != "", c)
+
+
+def _policy_render(sp: Column, extended: bool) -> Column:
+    """sorted k=v rendering of one Armor security-policy map."""
+    parts = [
+        F.when(_nz2(sp["name"]).isNotNull(),
+               F.concat(F.lit("name="), sp["name"])),
+        F.when(sp["priority"].isNotNull(),
+               F.concat(F.lit("priority="),
+                        sp["priority"].cast("string"))),
+        F.when(_nz2(sp["configuredAction"]).isNotNull(),
+               F.concat(F.lit("configured_action="),
+                        sp["configuredAction"])),
+        F.when(_nz2(sp["outcome"]).isNotNull(),
+               F.concat(F.lit("outcome="), sp["outcome"])),
+    ]
+    if extended:
+        parts += [
+            F.when(_nz2(sp["rateLimitAction"]["key"]).isNotNull(),
+                   F.concat(F.lit("rate_limit.action.key="),
+                            sp["rateLimitAction"]["key"])),
+            F.when(_nz2(sp["rateLimitAction"]["outcome"]).isNotNull(),
+                   F.concat(F.lit("rate_limit.action.outcome="),
+                            sp["rateLimitAction"]["outcome"])),
+            F.when(F.size(F.coalesce(sp["preconfiguredExprIds"],
+                                     F.array().cast("array<string>")))
+                   > 0,
+                   F.concat(F.lit("preconfigured.expr_ids="),
+                            F.array_join(sp["preconfiguredExprIds"],
+                                         "+"))),
+            F.when(F.size(F.coalesce(
+                       sp["threatIntelligence"]["categories"],
+                       F.array().cast("array<string>"))) > 0,
+                   F.concat(F.lit("threat_intelligence.categories="),
+                            F.array_join(
+                                sp["threatIntelligence"]["categories"],
+                                "+"))),
+            F.when(F.size(F.coalesce(sp["addressGroup"]["names"],
+                                     F.array().cast("array<string>")))
+                   > 0,
+                   F.concat(F.lit("address_group.names="),
+                            F.array_join(sp["addressGroup"]["names"],
+                                         "+"))),
+        ]
+    joined = F.array_join(
+        F.array_sort(F.filter(F.array(*parts),
+                              lambda a: a.isNotNull())), ",")
+    return F.when(sp.isNotNull(), joined)
+
+
+def gcp_app_lb_payload(df: DataFrame, payload: str = "body") -> DataFrame:
+    """App load balancer jsonPayload + embedded Cloud Armor fields
+    (apploadbalancerlog/parser.go + armor_parser.go). @type is
+    validated; the four mutually-exclusive Armor policy slots render
+    as sorted k=v strings; request-data fields stay flat columns."""
+    p = F.from_json(F.col(payload), _APPLB_SCHEMA)
+    err = (
+        F.when(p.isNull(), "failed to unmarshal Load Balancer log")
+        .when(F.coalesce(p["@type"], F.lit("")) != LB_TYPE,
+              F.concat(F.lit("expected @type to be " + LB_TYPE
+                             + ", got "),
+                       F.coalesce(p["@type"], F.lit(""))))
+    )
+    rd = p["securityPolicyRequestData"]
+    out = {
+        "lb_peer_address": F.coalesce(
+            _nz2(p["remoteIp"]), _nz2(rd["remoteIpInfo"]["ipAddress"])),
+        "lb_status_details": _nz2(p["statusDetails"]),
+        "lb_backend_target_project_number": _nz2(
+            p["backendTargetProjectNumber"]),
+        "lb_proxy_status": _nz2(p["proxyStatus"]),
+        "lb_override_response_code": p["overrideResponseCode"],
+        "lb_scheme": _nz2(p["loadBalancingScheme"]),
+        "lb_error_service": _nz2(p["errorService"]),
+        "lb_backend_network_name": _nz2(p["backendNetworkName"]),
+        "lb_cache_id": _nz2(p["cacheId"]),
+        "lb_cache_decision": F.when(
+            F.size(F.coalesce(p["cacheDecision"],
+                              F.array().cast("array<string>"))) > 0,
+            F.array_join(p["cacheDecision"], ",")),
+        "lb_auth_policy_result": F.when(
+            p["authPolicyInfo"].isNotNull(),
+            _nz2(p["authPolicyInfo"]["result"])),
+        "lb_auth_policies": F.when(
+            F.size(F.coalesce(
+                p["authPolicyInfo"]["policies"],
+                F.array().cast("array<struct<name:string,result:string,"
+                               "details:string>>"))) > 0,
+            F.array_join(
+                F.transform(
+                    p["authPolicyInfo"]["policies"],
+                    lambda pol: F.concat_ws(
+                        "|", F.coalesce(pol["name"], F.lit("")),
+                        F.coalesce(pol["result"], F.lit("")),
+                        F.coalesce(pol["details"], F.lit("")))),
+                ";")),
+        "lb_tls_early_data": p["tls"]["earlyDataRequest"],
+        "lb_tls_protocol": F.when(p["tls"].isNotNull(),
+                                  _nz2(p["tls"]["protocol"])),
+        "lb_tls_cipher": F.when(p["tls"].isNotNull(),
+                                _nz2(p["tls"]["cipher"])),
+        "lb_mtls_cert_present": p["mtls"]["clientCertPresent"],
+        "lb_mtls_chain_verified": p["mtls"]["clientCertChainVerified"],
+        "lb_mtls_cert_error": _nz2(p["mtls"]["clientCertError"]),
+        "lb_mtls_sha256": _nz2(p["mtls"]["clientCertSha256Fingerprint"]),
+        "lb_mtls_serial": _nz2(p["mtls"]["clientCertSerialNumber"]),
+        "lb_mtls_spiffe_id": _nz2(p["mtls"]["clientCertSpiffeId"]),
+        "lb_mtls_issuer": _nz2(p["mtls"]["clientCertIssuerDn"]),
+        "lb_mtls_subject": _nz2(p["mtls"]["clientCertSubjectDn"]),
+        "armor_enforced": _policy_render(p["enforcedSecurityPolicy"],
+                                         extended=True),
+        "armor_enforced_alert_id": F.when(
+            p["enforcedSecurityPolicy"].isNotNull(),
+            _nz2(p["enforcedSecurityPolicy"]["adaptiveProtection"]
+                 ["autoDeployAlertId"])),
+        "armor_preview": _policy_render(p["previewSecurityPolicy"],
+                                        extended=True),
+        "armor_enforced_edge": _policy_render(
+            p["enforcedEdgeSecurityPolicy"], extended=False),
+        "armor_preview_edge": _policy_render(
+            p["previewEdgeSecurityPolicy"], extended=False),
+        "armor_recaptcha_action_score":
+            rd["recaptchaActionToken"]["score"],
+        "armor_recaptcha_session_score":
+            rd["recaptchaSessionToken"]["score"],
+        "armor_user_ip_source": _nz2(rd["userIpInfo"]["source"]),
+        "armor_client_address": _nz2(rd["userIpInfo"]["ipAddress"]),
+        "armor_region_code": _nz2(rd["remoteIpInfo"]["regionCode"]),
+        "armor_asn": rd["remoteIpInfo"]["asn"],
+        "armor_ja4": _nz2(rd["tlsJa4Fingerprint"]),
+        "armor_ja3": _nz2(rd["tlsJa3Fingerprint"]),
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("lb_error"),
+    )
+
+
+_NLB_SCHEMA = (
+    "struct<`@type`:string,"
+    "connection:struct<clientIp:string,clientPort:bigint,"
+    "protocol:bigint,serverIp:string,serverPort:bigint>,"
+    "startTime:string,endTime:string,"
+    "bytesReceived:string,bytesSent:string,packetsReceived:string,"
+    "packetsSent:string,rtt:string,"
+    "serverBytesReceived:string,serverBytesSent:string>"
+)
+
+
+def _go_duration_seconds(c: Column) -> tuple[Column, Column]:
+    """Go time.ParseDuration subset (s/ms/us/m/h suffixes) -> seconds
+    double; returns (value, bad)."""
+    num = F.regexp_extract(c, r"^(-?[0-9.]+)(ns|us|ms|s|m|h)$", 1)
+    unit = F.regexp_extract(c, r"^(-?[0-9.]+)(ns|us|ms|s|m|h)$", 2)
+    factor = (F.when(unit == "ns", 1e-9).when(unit == "us", 1e-6)
+               .when(unit == "ms", 1e-3).when(unit == "s", 1.0)
+               .when(unit == "m", 60.0).when(unit == "h", 3600.0))
+    bad = c.isNotNull() & (c != "") & (
+        (num == "") | num.try_cast("double").isNull())
+    return F.when(c.isNotNull() & (c != "") & ~bad,
+                  num.try_cast("double") * factor), bad
+
+
+def _nlb_common(p: Column, ts_prefix: str) -> dict:
+    conn = p["connection"]
+    from .aws_logs import _protocol_array
+    proto = F.element_at(_protocol_array(),
+                         (conn["protocol"] + 1).cast("int"))
+    return {
+        f"{ts_prefix}_start_time": _rfc3339nano(p["startTime"]),
+        f"{ts_prefix}_end_time": _rfc3339nano(p["endTime"]),
+        f"{ts_prefix}_client_address": _nz2(conn["clientIp"]),
+        f"{ts_prefix}_client_port": conn["clientPort"],
+        f"{ts_prefix}_server_address": _nz2(conn["serverIp"]),
+        f"{ts_prefix}_server_port": conn["serverPort"],
+        f"{ts_prefix}_transport": F.when(conn["protocol"].isNotNull(),
+                                         proto),
+    }
+
+
+def gcp_passthrough_nlb_payload(df: DataFrame,
+                                payload: str = "body") -> DataFrame:
+    """Passthrough NLB connection logs (passthroughnlb/parser.go):
+    External/Internal @type gate, string-int byte/packet counters,
+    Go-duration rtt -> seconds."""
+    p = F.from_json(F.col(payload), _NLB_SCHEMA)
+
+    def str_int(c: Column) -> tuple[Column, Column]:
+        bad = c.isNotNull() & (c != "") & ~c.rlike("^-?[0-9]+$")
+        return F.when(c.isNotNull() & (c != ""),
+                      c.try_cast("bigint")), bad
+
+    br, br_bad = str_int(p["bytesReceived"])
+    bs, bs_bad = str_int(p["bytesSent"])
+    pr, pr_bad = str_int(p["packetsReceived"])
+    ps, ps_bad = str_int(p["packetsSent"])
+    rtt, rtt_bad = _go_duration_seconds(p["rtt"])
+    err = (
+        F.when(p.isNull(), "failed to unmarshal Passthrough NLB log "
+                           "payload")
+        .when(~F.coalesce(p["@type"], F.lit("")).isin(
+            NLB_EXTERNAL_TYPE, NLB_INTERNAL_TYPE), "unexpected log type")
+        .when(br_bad, "failed to add bytes received")
+        .when(bs_bad, "failed to add bytes sent")
+        .when(pr_bad, "failed to add packets received")
+        .when(ps_bad, "failed to add packets sent")
+        .when(rtt_bad, "failed to parse duration")
+    )
+    out = {
+        **_nlb_common(p, "pnlb"),
+        "pnlb_bytes_received": br,
+        "pnlb_bytes_sent": bs,
+        "pnlb_packets_received": pr,
+        "pnlb_packets_sent": ps,
+        "pnlb_rtt_s": rtt,
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("pnlb_error"),
+    )
+
+
+def gcp_proxy_nlb_payload(df: DataFrame,
+                          payload: str = "body") -> DataFrame:
+    """Proxy NLB connection logs (proxynlb/parser.go)."""
+    p = F.from_json(F.col(payload), _NLB_SCHEMA)
+
+    def str_int(c: Column) -> tuple[Column, Column]:
+        bad = c.isNotNull() & (c != "") & ~c.rlike("^-?[0-9]+$")
+        return F.when(c.isNotNull() & (c != ""),
+                      c.try_cast("bigint")), bad
+
+    br, br_bad = str_int(p["serverBytesReceived"])
+    bs, bs_bad = str_int(p["serverBytesSent"])
+    err = (
+        F.when(p.isNull(), "failed to unmarshal Proxy NLB log payload")
+        .when(F.coalesce(p["@type"], F.lit("")) != LB_TYPE,
+              "unexpected log type")
+        .when(br_bad, "failed to add server bytes received")
+        .when(bs_bad, "failed to add server bytes sent")
+    )
+    out = {
+        **_nlb_common(p, "xnlb"),
+        "xnlb_server_bytes_received": br,
+        "xnlb_server_bytes_sent": bs,
+    }
+    return df.select(
+        *df.columns,
+        *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
+        err.alias("xnlb_error"),
     )

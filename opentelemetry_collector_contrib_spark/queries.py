@@ -13789,3 +13789,193 @@ FROM f ORDER BY eid
 
 _QUERIES["gcp_typed_payloads_events"] = q_gcp_typed_payloads
 _ORACLES["gcp_typed_payloads_events"] = _GCP_TYPED_ORACLE
+
+
+def q_gcp_lb_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCP load-balancer payload parsers: app LB with Cloud Armor
+    policies, passthrough NLB and proxy NLB connection logs."""
+    from .operators.gcp_logentry import (
+        gcp_app_lb_payload,
+        gcp_log_entries,
+        gcp_passthrough_nlb_payload,
+        gcp_proxy_nlb_payload,
+    )
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 9)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    m = uid % 3
+    lb_payload = F.concat(
+        F.lit('{"@type":"type.googleapis.com/google.cloud.'
+              'loadbalancing.type.LoadBalancerLogEntry",'
+              '"statusDetails":"'),
+        F.when(eid % 4 == 0, "denied_by_security_policy")
+         .otherwise("response_sent_by_backend"),
+        F.lit('","remoteIp":"79.117.'), s(uid % 200), F.lit("."),
+        s(eid % 200),
+        F.lit('","backendTargetProjectNumber":"projects/'),
+        s(8000000000 + uid),
+        F.lit('","loadBalancingScheme":"EXTERNAL_MANAGED",'
+              '"cacheDecision":["RESPONSE_HAS_CONTENT_TYPE",'
+              '"CACHE_MODE_USE_ORIGIN_HEADERS"],'
+              '"tls":{"protocol":"TLSv1.3","cipher":'
+              '"TLS_AES_128_GCM_SHA256"}'),
+        F.when(eid % 4 == 0, F.concat(
+            F.lit(',"enforcedSecurityPolicy":{"name":"pol-'),
+            s(uid % 5),
+            F.lit('","priority":'), s(eid % 1000),
+            F.lit(',"configuredAction":"DENY","outcome":"DENY",'
+                  '"preconfiguredExprIds":["owasp-crs-v030001-id'),
+            s(942000 + eid % 999),
+            F.lit('-sqli"]},"securityPolicyRequestData":'
+                  '{"remoteIpInfo":{"regionCode":"ES","asn":'),
+            s(57000 + uid % 999),
+            F.lit('},"tlsJa4Fingerprint":"'),
+            F.md5(F.concat(F.lit("j4"), s(eid))),
+            F.lit('"}'))).otherwise(F.lit("")),
+        F.lit("}"))
+    nlb_conn = F.concat(
+        F.lit('"connection":{"clientIp":"78.153.'), s(uid % 200),
+        F.lit("."), s(eid % 200),
+        F.lit('","clientPort":'), s(30000 + eid % 9999),
+        F.lit(',"protocol":6,"serverIp":"35.207.0.'), s(uid % 99),
+        F.lit('","serverPort":'),
+        F.when(eid % 2 == 0, "80").otherwise("443"),
+        F.lit('},"startTime":"'), iso, F.lit('","endTime":"'), iso,
+        F.lit('"'))
+    pnlb_payload = F.concat(
+        F.lit('{"@type":"type.googleapis.com/google.cloud.'
+              'loadbalancing.type.'),
+        F.when(eid % 2 == 0, "External").otherwise("Internal"),
+        F.lit('NetworkLoadBalancerLogEntry",'), nlb_conn,
+        F.lit(',"bytesReceived":"'), s(eid * 7 % 100000),
+        F.lit('","bytesSent":"'), s(eid * 11 % 100000),
+        F.lit('","packetsReceived":"'), s(eid % 500),
+        F.lit('","packetsSent":"'), s(eid % 400),
+        F.lit('","rtt":"'), s(eid % 900), F.lit('ms"}'))
+    xnlb_payload = F.concat(
+        F.lit('{"@type":"type.googleapis.com/google.cloud.'
+              'loadbalancing.type.LoadBalancerLogEntry",'), nlb_conn,
+        F.lit(',"serverBytesReceived":"'), s(eid * 3 % 90000),
+        F.lit('","serverBytesSent":"'), s(eid * 5 % 90000),
+        F.lit('"}'))
+    suffix = (F.when(m == 0, F.lit("requests"))
+               .when(m == 1,
+                     F.lit("loadbalancing.googleapis.com%2Fflows"))
+               .otherwise(
+                   F.lit("loadbalancing.googleapis.com%2Fconnections")))
+    payload = (F.when(m == 0, lb_payload).when(m == 1, pnlb_payload)
+                .otherwise(xnlb_payload))
+    line = F.concat(
+        F.lit('{"timestamp":"'), iso,
+        F.lit('","logName":"projects/p'), s(uid % 5),
+        F.lit('/logs/'), suffix,
+        F.lit('","severity":"INFO","jsonPayload":'), payload,
+        F.lit("}"))
+    ent = gcp_log_entries(ev.select(eid.alias("eid"),
+                                    line.alias("line")))
+    out = gcp_proxy_nlb_payload(
+        gcp_passthrough_nlb_payload(
+            gcp_app_lb_payload(ent, payload="body"), payload="body"),
+        payload="body")
+    fmt = F.col("encoding_format")
+    lb = fmt.eqNullSafe("gcp.load-balancer")
+    pn = fmt.eqNullSafe("gcp.passthrough-nlb")
+    xn = fmt.eqNullSafe("gcp.proxy-nlb")
+    keep = {
+        "lb_peer_address": lb, "lb_status_details": lb,
+        "lb_backend_target_project_number": lb, "lb_scheme": lb,
+        "lb_cache_decision": lb, "lb_tls_protocol": lb,
+        "lb_tls_cipher": lb, "armor_enforced": lb,
+        "armor_region_code": lb, "armor_asn": lb, "armor_ja4": lb,
+        "pnlb_start_time": pn, "pnlb_client_address": pn,
+        "pnlb_client_port": pn, "pnlb_server_address": pn,
+        "pnlb_server_port": pn, "pnlb_transport": pn,
+        "pnlb_bytes_received": pn, "pnlb_bytes_sent": pn,
+        "pnlb_packets_received": pn, "pnlb_packets_sent": pn,
+        "pnlb_rtt_s": pn,
+        "xnlb_start_time": xn, "xnlb_client_address": xn,
+        "xnlb_client_port": xn, "xnlb_server_address": xn,
+        "xnlb_server_port": xn, "xnlb_transport": xn,
+        "xnlb_server_bytes_received": xn, "xnlb_server_bytes_sent": xn,
+    }
+    return out.select(
+        "eid", "ts_ns", "encoding_format",
+        *[F.when(c, F.col(k)).alias(k) for k, c in keep.items()],
+        F.when(lb, F.col("lb_error")).alias("lb_error"),
+        F.when(pn, F.col("pnlb_error")).alias("pnlb_error"),
+        F.when(xn, F.col("xnlb_error")).alias("xnlb_error"),
+        "error",
+    ).orderBy("eid")
+
+
+_GCP_LB_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, user_id % 3 AS m,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000000 AS tns,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso
+  FROM events WHERE event_id % 17 = 9)
+SELECT eid, tns AS ts_ns,
+  CASE m WHEN 0 THEN 'gcp.load-balancer'
+       WHEN 1 THEN 'gcp.passthrough-nlb' ELSE 'gcp.proxy-nlb'
+       END AS encoding_format,
+  CASE WHEN m = 0 THEN '79.117.' || CAST(uid % 200 AS VARCHAR) || '.'
+       || CAST(eid % 200 AS VARCHAR) END AS lb_peer_address,
+  CASE WHEN m = 0 THEN
+       CASE WHEN eid % 4 = 0 THEN 'denied_by_security_policy'
+            ELSE 'response_sent_by_backend' END END AS lb_status_details,
+  CASE WHEN m = 0 THEN 'projects/' || CAST(8000000000 + uid AS VARCHAR)
+       END AS lb_backend_target_project_number,
+  CASE WHEN m = 0 THEN 'EXTERNAL_MANAGED' END AS lb_scheme,
+  CASE WHEN m = 0 THEN
+       'RESPONSE_HAS_CONTENT_TYPE,CACHE_MODE_USE_ORIGIN_HEADERS'
+       END AS lb_cache_decision,
+  CASE WHEN m = 0 THEN 'TLSv1.3' END AS lb_tls_protocol,
+  CASE WHEN m = 0 THEN 'TLS_AES_128_GCM_SHA256' END AS lb_tls_cipher,
+  CASE WHEN m = 0 AND eid % 4 = 0 THEN
+       'configured_action=DENY,name=pol-' || CAST(uid % 5 AS VARCHAR)
+       || ',outcome=DENY,preconfigured.expr_ids=owasp-crs-v030001-id'
+       || CAST(942000 + eid % 999 AS VARCHAR) || '-sqli,priority='
+       || CAST(eid % 1000 AS VARCHAR)
+       END AS armor_enforced,
+  CASE WHEN m = 0 AND eid % 4 = 0 THEN 'ES' END AS armor_region_code,
+  CASE WHEN m = 0 AND eid % 4 = 0 THEN 57000 + uid % 999
+       END AS armor_asn,
+  CASE WHEN m = 0 AND eid % 4 = 0
+       THEN md5('j4' || CAST(eid AS VARCHAR)) END AS armor_ja4,
+  CASE WHEN m = 1 THEN iso END AS pnlb_start_time,
+  CASE WHEN m = 1 THEN '78.153.' || CAST(uid % 200 AS VARCHAR) || '.'
+       || CAST(eid % 200 AS VARCHAR) END AS pnlb_client_address,
+  CASE WHEN m = 1 THEN 30000 + eid % 9999 END AS pnlb_client_port,
+  CASE WHEN m = 1 THEN '35.207.0.' || CAST(uid % 99 AS VARCHAR)
+       END AS pnlb_server_address,
+  CASE WHEN m = 1 THEN CASE WHEN eid % 2 = 0 THEN 80 ELSE 443 END
+       END AS pnlb_server_port,
+  CASE WHEN m = 1 THEN 'tcp' END AS pnlb_transport,
+  CASE WHEN m = 1 THEN eid * 7 % 100000 END AS pnlb_bytes_received,
+  CASE WHEN m = 1 THEN eid * 11 % 100000 END AS pnlb_bytes_sent,
+  CASE WHEN m = 1 THEN eid % 500 END AS pnlb_packets_received,
+  CASE WHEN m = 1 THEN eid % 400 END AS pnlb_packets_sent,
+  CASE WHEN m = 1 THEN CAST(eid % 900 AS DOUBLE) * 0.001
+       END AS pnlb_rtt_s,
+  CASE WHEN m = 2 THEN iso END AS xnlb_start_time,
+  CASE WHEN m = 2 THEN '78.153.' || CAST(uid % 200 AS VARCHAR) || '.'
+       || CAST(eid % 200 AS VARCHAR) END AS xnlb_client_address,
+  CASE WHEN m = 2 THEN 30000 + eid % 9999 END AS xnlb_client_port,
+  CASE WHEN m = 2 THEN '35.207.0.' || CAST(uid % 99 AS VARCHAR)
+       END AS xnlb_server_address,
+  CASE WHEN m = 2 THEN CASE WHEN eid % 2 = 0 THEN 80 ELSE 443 END
+       END AS xnlb_server_port,
+  CASE WHEN m = 2 THEN 'tcp' END AS xnlb_transport,
+  CASE WHEN m = 2 THEN eid * 3 % 90000 END AS xnlb_server_bytes_received,
+  CASE WHEN m = 2 THEN eid * 5 % 90000 END AS xnlb_server_bytes_sent,
+  CAST(NULL AS VARCHAR) AS lb_error,
+  CAST(NULL AS VARCHAR) AS pnlb_error,
+  CAST(NULL AS VARCHAR) AS xnlb_error,
+  CAST(NULL AS VARCHAR) AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["gcp_lb_payloads_events"] = q_gcp_lb_payloads
+_ORACLES["gcp_lb_payloads_events"] = _GCP_LB_ORACLE

@@ -269,3 +269,73 @@ class TestTypedPayloads:
         ent = G.gcp_log_entries(df)
         r = G.gcp_vpcflow_payload(ent, payload="body").collect()[0]
         assert r.vf_start_time == "2024-05-05T10:31:19Z"  # no dot
+
+
+class TestLBPayloads:
+    def run_format(self, spark, dirname, fmt, fn):
+        import glob
+        files = sorted(glob.glob(f"{REF}/{dirname}/*.json"))
+        rows = [(load(f), f.split("/")[-1]) for f in files]
+        df = spark.createDataFrame(rows, "line string, src string")
+        ent = G.gcp_log_entries(df)
+        out = fn(ent.filter(F.col("encoding_format") == fmt),
+                 payload="body")
+        return {r.src: r.asDict() for r in out.collect()}
+
+    def test_app_lb_reference_vectors(self, spark):
+        by = self.run_format(spark, "apploadbalancer",
+                             "gcp.load-balancer", G.gcp_app_lb_payload)
+        g = by["global_external_application_load_balancer.json"]
+        assert g["lb_error"] is None
+        assert g["lb_peer_address"] == "79.117.34.252"
+        assert g["lb_status_details"] == "response_sent_by_backend"
+        assert g["lb_tls_protocol"] == "TLSv1.3"
+        assert "RESPONSE_HAS_ETAG" in g["lb_cache_decision"]
+
+    def test_armor_reference_vectors(self, spark):
+        by = self.run_format(spark, "armorlog", "gcp.load-balancer",
+                             G.gcp_app_lb_payload)
+        e = by["enforced_security_policy.json"]
+        assert e["armor_enforced"] == ("configured_action=DENY,"
+                                       "name=test-armor-policy,"
+                                       "outcome=DENY,priority=1")
+        assert e["armor_recaptcha_action_score"] == 0.9
+        assert e["armor_region_code"] == "ES"
+        assert e["armor_asn"] == 57269
+        two = by["two_security_policies.json"]
+        assert two["armor_enforced"] is not None
+        assert two["armor_enforced_edge"] is not None
+        edge = by["enforced_edge_security_policy.json"]
+        assert edge["armor_enforced"] is None
+        assert "name=test-edge-policy" in edge["armor_enforced_edge"]
+
+    def test_passthrough_nlb_reference_vectors(self, spark):
+        by = self.run_format(spark, "passthroughnlb",
+                             "gcp.passthrough-nlb",
+                             G.gcp_passthrough_nlb_payload)
+        r = by["passthroughnlb-external.json"]
+        assert r["pnlb_error"] is None
+        assert r["pnlb_client_address"] == "78.153.140.203"
+        assert r["pnlb_client_port"] == 35144
+        assert r["pnlb_transport"] == "tcp"
+        assert r["pnlb_start_time"] == "2025-12-01T07:57:05.734599Z"
+        assert abs(r["pnlb_rtt_s"] - 0.063198476) < 1e-12
+
+    def test_proxy_nlb_reference_vectors(self, spark):
+        by = self.run_format(spark, "proxynlb", "gcp.proxy-nlb",
+                             G.gcp_proxy_nlb_payload)
+        r = by["proxynlb-basic.json"]
+        assert r["xnlb_error"] is None
+        assert r["xnlb_server_bytes_received"] == 83
+        assert r["xnlb_server_bytes_sent"] == 853
+        assert r["xnlb_server_port"] == 80
+
+    def test_type_gates(self, spark):
+        bad = json.dumps({
+            "timestamp": "2024-01-01T00:00:00Z",
+            "logName": "projects/p/logs/requests",
+            "jsonPayload": {"@type": "wrong"}})
+        df = spark.createDataFrame([(bad,)], "line string")
+        ent = G.gcp_log_entries(df)
+        r = G.gcp_app_lb_payload(ent, payload="body").collect()[0]
+        assert "expected @type" in r.lb_error
