@@ -36,8 +36,11 @@ _ANALYSIS_NAMES: set[str] = set()
 # after red rows) so each round's new surface gets a driver
 # CORRECTNESS row the same round it ships.
 _PRIORITY_NAMES: list[str] = [
-    # round 4 names appended as they ship; a green driver row demotes
-    # an entry automatically (see _verification_order bucket 1).
+    # Round 5 policy (r04 verdict item 1): NO new names -- the 49-query
+    # never-checked backlog must fill the driver's 50-row window.  The
+    # round-4 entries below are all green and therefore auto-demoted
+    # (see _verification_order bucket 1); round-5 registrations queue
+    # in bucket 2 behind the backlog by registration order.
     "prom_scrape_series_events",  # round 4: scrape loop staleness/report
     "netflow_records_events",     # round 4: v5/v9/ipfix wire decode
     "gitlab_pipeline_spans_events",  # round 4: webhook pipeline traces
