@@ -406,6 +406,13 @@ def main() -> None:
         "gitlab_pipeline_spans_events",
         "pprof_profiles_events",
         "windows_events_parse",
+        # round-5 additions: the encoding-extension tier's heaviest
+        # representatives (same list-growth note)
+        "aws_elb_access_events",
+        "aws_cloudtrail_events",
+        "gcp_logentry_events",
+        "azure_category_logs_events",
+        "prw_receive_events",
     ]
     # stable headline subset: the r01-era list, fixed forever so the
     # cross-round "value_stable" sum compares without footnotes

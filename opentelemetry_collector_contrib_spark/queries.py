@@ -11714,7 +11714,8 @@ SELECT eid,
   CASE WHEN m = 0
        THEN CAST('0.0' || CAST(eid % 80 + 10 AS VARCHAR) AS DOUBLE)
        END AS target_processing_time,
-  CASE WHEN m = 0 THEN 0.001 END AS response_processing_time,
+  CASE WHEN m = 0 THEN CAST(0.001 AS DOUBLE) END
+       AS response_processing_time,
   CASE WHEN m = 0 THEN 'Root=1-' || CAST(eid AS VARCHAR) END AS trace_id,
   CASE WHEN m = 0 THEN 'forward,waf' END AS actions_executed,
   CASE WHEN m = 1 THEN 'lst' || CAST(eid % 4 AS VARCHAR)
