@@ -127,7 +127,9 @@ def vpc_flow_records(
     reference (:225-228) -- here they simply stay unparsed.
     """
     fields = list(fields or VPC_FLOW_DEFAULT_FORMAT)
-    parts = F.split(F.col(line), " ")
+    df = df.select(*df.columns,
+                   F.split(F.col(line), " ").alias("_parts"))
+    parts = F.col("_parts")
     n_expected = len(fields)
 
     def val(i: int) -> Column:
@@ -220,10 +222,14 @@ def vpc_flow_records(
     for field, out in _VPC_STR_FIELDS.items():
         cols[out] = raw(field)
 
+    df = df.select(*df.columns, err.alias("_err"))
+    err = F.col("_err")
     out_cols = [
         F.when(err.isNull(), c).alias(name) for name, c in cols.items()
     ] + [err.alias("error")]
-    return df.select(*df.columns, *out_cols)
+    return df.select(
+        *[c for c in df.columns if c not in ("_parts", "_err")],
+        *out_cols)
 
 
 def cloudwatch_envelope(df: DataFrame, line: str = "line") -> DataFrame:
@@ -238,7 +244,10 @@ def cloudwatch_envelope(df: DataFrame, line: str = "line") -> DataFrame:
     schema = ("struct<messageType:string,owner:string,logGroup:string,"
               "logStream:string,logEvents:array<struct<id:string,"
               "timestamp:bigint,message:string>>>")
-    p = F.from_json(F.col(line), schema)
+    orig_cols = list(df.columns)
+    df = df.select(*df.columns,
+                   F.from_json(F.col(line), schema).alias("_pe"))
+    p = F.col("_pe")
     err = (
         F.when(p.isNull(), "failed to decode cloudwatch envelope")
         .when(p["messageType"] == "CONTROL_MESSAGE", F.lit(None))
@@ -256,7 +265,7 @@ def cloudwatch_envelope(df: DataFrame, line: str = "line") -> DataFrame:
               "empty log stream field")
     )
     keep = df.select(
-        *df.columns, p.alias("_cw"), err.alias("error")
+        *orig_cols, p.alias("_cw"), err.alias("error")
     ).filter(
         F.col("_cw").isNull()
         | (F.coalesce(F.col("_cw")["messageType"], F.lit(""))
@@ -266,7 +275,7 @@ def cloudwatch_envelope(df: DataFrame, line: str = "line") -> DataFrame:
         F.when(F.col("error").isNull(), F.col("_cw")["logEvents"])
     )
     return keep.select(
-        *df.columns,
+        *orig_cols,
         F.when(F.col("error").isNull(),
                F.col("_cw")["owner"]).alias("account_id"),
         F.when(F.col("error").isNull(),
@@ -276,7 +285,7 @@ def cloudwatch_envelope(df: DataFrame, line: str = "line") -> DataFrame:
         ev.alias("_ev"),
         "error",
     ).select(
-        *df.columns, "account_id", "log_group", "log_stream",
+        *orig_cols, "account_id", "log_group", "log_stream",
         (F.col("_ev")["timestamp"] * F.lit(1_000_000)).alias("ts_ns"),
         F.col("_ev")["message"].alias("body"),
         "error",
@@ -287,26 +296,39 @@ def cloudwatch_envelope(df: DataFrame, line: str = "line") -> DataFrame:
 # ELB access logs (elb-access-log/elb.go)
 # ---------------------------------------------------------------------------
 
-# split on spaces outside double quotes (scanField, elb.go:426-465;
-# quotes are not preserved)
-_QSPLIT = ' (?=(?:[^"]*"[^"]*")*[^"]*$)'
+# tokenize into quoted-run | non-space-run tokens (scanField,
+# elb.go:426-465; quotes are not preserved). A linear alternation
+# scan -- the obvious alternative, splitting on spaces with a
+# balanced-quotes LOOKAHEAD, re-scans the line tail at every space
+# (O(n^2) per line; measured 5x slower at sf0.1).
+_QTOKEN = r'"[^"]*"|\S+'
 
 _ALB_TYPES = ("http", "https", "h2", "grpcs", "ws", "wss")
 
 
 def _unquote(c: Column) -> Column:
-    return F.regexp_replace(c, '"', "")
+    # translate, not regexp_replace: this runs once per field per row
+    # (~45x/row on ALB lines) and a single-char strip needs no regex
+    return F.translate(c, '"', "")
 
 
 def _elb_ts_ns(iso: Column) -> Column:
     """convertToUnixEpoch (elb.go:396-420): RFC3339Nano with zone,
-    else naive-with-fraction, else naive-without-fraction (all UTC)."""
-    t = F.coalesce(
+    else naive-with-fraction, else naive-without-fraction (all UTC).
+    The fraction/zone DISPATCH mirrors the reference's len>19 &&
+    [19]=='.' check -- and matters for speed: try_to_timestamp
+    failures are exception-driven, so an ungated 4-pattern coalesce
+    pays up to 3 thrown exceptions per row."""
+    has_frac = F.substring(iso, 20, 1) == "."
+    frac = F.coalesce(
         F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
         F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
-        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
     )
+    nofrac = F.coalesce(
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(iso, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    )
+    t = F.when(has_frac, frac).otherwise(nofrac)
     return F.unix_micros(t) * F.lit(1000)
 
 
@@ -349,20 +371,45 @@ def elb_access_logs(df: DataFrame, line: str = "line") -> DataFrame:
     Records whose timestamp cannot parse are dropped (the reference
     logs at Debug and skips, unmarshaler.go:152-157); 'Enable'
     control messages emit no record.
+
+    Plan shape: the quote-aware split is STAGED into one projection so
+    every downstream column reads a cheap element_at on the staged
+    array -- a single flat projection referencing the split ~45 times
+    overflows Janino's 64KB method limit, falls back to interpreted
+    eval where common subexpressions are NOT cached, and re-tokenizes
+    each line once per column (measured 174s -> ~3s at sf0.1).
+    CollapseProject keeps the stage (SPARK-36718: non-cheap exprs
+    referenced more than once are not inlined).
     """
-    parts = F.split(F.col(line), _QSPLIT)
+    df = df.select(
+        *df.columns,
+        F.regexp_extract_all(F.col(line), F.lit(_QTOKEN), 0)
+         .alias("_parts"))
+    parts = F.col("_parts")
 
     def v(i: int) -> Column:
-        return _unquote(F.element_at(parts, i + 1))
+        return _unquote(F.try_element_at(parts, F.lit(i + 1)))
 
-    first = v(0)
-    is_alb = first.isin(*_ALB_TYPES)
-    is_nlb = first == "tls"
+    # second stage: the syntax dispatch flags -- is_clb embeds a
+    # two-pattern timestamp probe, and the ~45 output columns each
+    # reference the flags; staged, they are cheap boolean attributes
+    # instead of ~45 inlined timestamp parses (the single-projection
+    # form also overflows Janino's 64KB codegen limit)
+    first0 = v(0)
+    alb0 = first0.isin(*_ALB_TYPES)
+    nlb0 = first0 == "tls"
     ts0 = F.coalesce(
-        F.try_to_timestamp(first, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX")),
-        F.try_to_timestamp(first, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+        F.try_to_timestamp(first0,
+                           F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX")),
+        F.try_to_timestamp(first0, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
     )
-    is_clb = ~is_alb & ~is_nlb & ts0.isNotNull()
+    df = df.select(
+        *df.columns, first0.alias("_first"), alb0.alias("_is_alb"),
+        nlb0.alias("_is_nlb"),
+        (~alb0 & ~nlb0 & ts0.isNotNull()).alias("_is_clb"))
+    first = F.col("_first")
+    is_alb, is_nlb, is_clb = (F.col("_is_alb"), F.col("_is_nlb"),
+                              F.col("_is_clb"))
     syntax = (F.when(is_alb, "alb").when(is_nlb, "nlb")
                .when(is_clb, "clb"))
 
@@ -460,8 +507,12 @@ def elb_access_logs(df: DataFrame, line: str = "line") -> DataFrame:
         "alpn_be_protocol": F.when(is_nlb, nn(v(19))),
         "alpn_client_preference_list": F.when(is_nlb, nn(v(20))),
     }
+    df = df.select(*df.columns, err.alias("_err"))
+    err = F.col("_err")
     res = df.select(
-        *df.columns,
+        *[c for c in df.columns
+          if c not in ("_parts", "_first", "_is_alb", "_is_nlb",
+                       "_is_clb", "_err")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("error"),
     )
@@ -485,13 +536,17 @@ def s3_access_logs(df: DataFrame, line: str = "line") -> DataFrame:
     quoted fields keep inner spaces; the time field is bracketed and
     contains one space before the zone."""
     # collapse the bracketed time's inner space so indices align,
-    # then split quote-aware
+    # then split quote-aware; STAGED once (see elb_access_logs)
     squashed = F.regexp_replace(
         F.col(line), r"\[([^\]\s]+) ([^\]]+)\]", "[$1$2]")
-    parts = F.split(squashed, _QSPLIT)
+    df = df.select(
+        *df.columns,
+        F.regexp_extract_all(squashed, F.lit(_QTOKEN), 0)
+         .alias("_parts"))
+    parts = F.col("_parts")
 
     def v(i: int) -> Column:
-        raw = _unquote(F.element_at(parts, i + 1))
+        raw = _unquote(F.try_element_at(parts, F.lit(i + 1)))
         return F.when(raw == UNKNOWN, F.lit(None)).otherwise(raw)
 
     n = F.size(parts)
@@ -586,8 +641,10 @@ def s3_access_logs(df: DataFrame, line: str = "line") -> DataFrame:
         "access_point_arn": v(24),
         "acl_required": acl == "Yes",
     }
+    df = df.select(*df.columns, err.alias("_err"))
+    err = F.col("_err")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_parts", "_err")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("error"),
     )
@@ -613,7 +670,9 @@ def waf_logs(df: DataFrame, line: str = "line") -> DataFrame:
     region/account/web-ACL ARN parsed from webaclId; headers become
     the sorted ``http.request.header.<name>=<value>`` rendering with
     last-wins duplicate names (pcommon map PutStr semantics)."""
-    p = F.from_json(F.col(line), _WAF_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(F.col(line), _WAF_SCHEMA).alias("_pw"))
+    p = F.col("_pw")
     acl = p["webaclId"]
     after = F.when(acl.startswith("arn:aws:wafv2:"),
                    F.substr(acl, F.lit(15)))
@@ -703,8 +762,10 @@ def waf_logs(df: DataFrame, line: str = "line") -> DataFrame:
         "ja4": nz(p["ja4Fingerprint"]),
         "headers": headers_rendered,
     }
+    df = df.select(*df.columns, err.alias("_err"))
+    err = F.col("_err")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pw", "_err")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("error"),
     )
@@ -750,7 +811,9 @@ def cloudtrail_records(
     FromRaw untyped).
     """
     c = F.col(record)
-    p = F.from_json(c, _CT_RECORD_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(c, _CT_RECORD_SCHEMA).alias("_pc"))
+    p = F.col("_pc")
     ts = F.coalesce(
         F.try_to_timestamp(p["eventTime"],
                            F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
@@ -836,8 +899,10 @@ def cloudtrail_records(
                 "array<struct<accountId:string,type:string,ARN:string>>"
             ))) > 0, resources),
     }
+    df = df.select(*df.columns, err.alias("_err"))
+    err = F.col("_err")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pc", "_err")],
         *[F.when(err.isNull(), v).alias(k) for k, v in out.items()],
         err.alias("error"),
     )
@@ -898,7 +963,9 @@ def network_firewall_logs(df: DataFrame, line: str = "line") -> DataFrame:
     numeric fields equal to 0 are UNSET, strings empty are unset,
     tls.resumed only when present; event_timestamp must be RFC3339."""
     c = F.col(line)
-    p = F.from_json(c, _NFW_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(c, _NFW_SCHEMA).alias("_pf"))
+    p = F.col("_pf")
     e = p["event"]
     ts = p["event_timestamp"].try_cast("timestamp")
     bad_json = F.from_json(c, "map<string,string>").isNull()
@@ -967,8 +1034,10 @@ def network_firewall_logs(df: DataFrame, line: str = "line") -> DataFrame:
         "content_type_header": nz(e["http"]["http_content_type"]),
         "cookie_header": nz(e["http"]["cookie"]),
     }
+    df = df.select(*df.columns, err.alias("_err"))
+    err = F.col("_err")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pf", "_err")],
         *[F.when(err.isNull(), v).alias(k) for k, v in out.items()],
         err.alias("error"),
     )

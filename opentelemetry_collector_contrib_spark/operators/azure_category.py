@@ -87,7 +87,12 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
     p = F.from_json(F.col(line), "struct<records:array<string>>")
     rec_raw = F.explode(p["records"])
     base = df.select(*df.columns, rec_raw.alias("_raw"))
-    r = F.from_json(F.col("_raw"), _RECORD_SCHEMA)
+    # STAGE all three parses once (see operators/aws_logs
+    # elb_access_logs plan-shape note: per-column re-parse otherwise)
+    base = base.select(
+        *base.columns,
+        F.from_json(F.col("_raw"), _RECORD_SCHEMA).alias("_r"))
+    r = F.col("_r")
 
     ts_str = F.when(F.coalesce(r["time"], F.lit("")) != "", r["time"]) \
               .otherwise(r["timeStamp"])
@@ -106,8 +111,13 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
 
     cat = r["category"]
     props = r["properties"]
-    pr = F.from_json(props, _PROPS_SCHEMA)
-    pr2 = F.from_json(props, _PROPS_SCHEMA_VARIANTS)
+    base = base.select(
+        *base.columns,
+        F.from_json(r["properties"], _PROPS_SCHEMA).alias("_pr"),
+        F.from_json(r["properties"], _PROPS_SCHEMA_VARIANTS)
+         .alias("_pr2"))
+    pr = F.col("_pr")
+    pr2 = F.col("_pr2")
 
     is_cdn = cat == "AzureCdnAccessLog"
     is_fd = cat == "FrontDoorAccessLog"
@@ -418,13 +428,15 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
         # raw-body path keeps the full properties JSON
         "properties_raw": F.when(~supported, props),
     }
+    base = base.select(*base.columns, err.alias("_err"))
+    err = F.col("_err")
     return base.select(
         *df.columns,
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("error"),
     ).filter(
         F.col("error").isNotNull() | F.col("ts_ns").isNotNull()
-    ).drop("_raw")
+    )
 
 
 # One properties schema covering every category's fields (names are

@@ -134,8 +134,10 @@ def cf_envelopes_to_logs(
         "attributes": attrs,
         "resource_attributes": res,
     }
+    df = df.select(*df.columns, err.alias("_err"))
+    err = F.col("_err")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c != "_err"],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("error"),
     )

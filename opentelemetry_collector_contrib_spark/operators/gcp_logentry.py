@@ -126,7 +126,14 @@ def _render_map(m: Column, key_fn=None) -> Column:
 
 def gcp_log_entries(df: DataFrame, line: str = "line") -> DataFrame:
     """LogEntry envelope battery (log_entry.go:556-638)."""
-    p = F.from_json(F.col(line), _ENTRY_SCHEMA)
+    # STAGE the parse: one from_json evaluated once per row; every
+    # downstream column is a cheap GetStructField on the staged
+    # attribute (a flat projection referencing the parse per column
+    # overflows codegen and re-parses per column interpreted --
+    # measured 75s -> seconds at sf0.1 for this battery)
+    df = df.select(*df.columns,
+                   F.from_json(F.col(line), _ENTRY_SCHEMA).alias("_p"))
+    p = F.col("_p")
     ts = _ts(p["timestamp"])
     obs = _ts(p["receiveTimestamp"])
 
@@ -325,8 +332,10 @@ def gcp_log_entries(df: DataFrame, line: str = "line") -> DataFrame:
         "apphub": apphub(p["apphub"]),
         "apphub_destination": apphub(p["apphubDestination"]),
     }
+    df = df.select(*df.columns, err.alias("_err"))
+    err = F.col("_err")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_p", "_err")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("error"),
     )
@@ -375,7 +384,10 @@ def gcp_audit_payload(df: DataFrame, payload: str = "body") -> DataFrame:
     Applied to rows whose logName carries an audit suffix; validation
     (@type / serviceName / methodName) surfaces in ``audit_error``.
     """
-    p = F.from_json(F.col(payload), _AUDIT_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(F.col(payload), _AUDIT_SCHEMA)
+                    .alias("_pa"))
+    p = F.col("_pa")
     err = (
         F.when(p.isNull(), "failed to unmarshal audit log payload")
         .when(F.coalesce(p["@type"], F.lit("")) != AUDIT_TYPE,
@@ -506,8 +518,10 @@ def gcp_audit_payload(df: DataFrame, payload: str = "body") -> DataFrame:
                 ";",
             )),
     }
+    df = df.select(*df.columns, err.alias("_aerr"))
+    err = F.col("_aerr")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pa", "_aerr")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("audit_error"),
     )
@@ -570,7 +584,10 @@ def gcp_vpcflow_payload(df: DataFrame, payload: str = "body") -> DataFrame:
     start/end re-render RFC3339Nano."""
     from .aws_logs import _protocol_array
 
-    p = F.from_json(F.col(payload), _VPCFLOW_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(F.col(payload), _VPCFLOW_SCHEMA)
+                    .alias("_pv"))
+    p = F.col("_pv")
     conn = p["connection"]
     proto_name = F.element_at(
         _protocol_array(), (conn["protocol"] + 1).cast("int"))
@@ -667,8 +684,10 @@ def gcp_vpcflow_payload(df: DataFrame, payload: str = "body") -> DataFrame:
                 ";",
             )),
     }
+    df = df.select(*df.columns, err.alias("_verr"))
+    err = F.col("_verr")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pv", "_verr")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("vf_error"),
     )
@@ -689,7 +708,10 @@ _DNS_SCHEMA = (
 def gcp_dns_payload(df: DataFrame, payload: str = "body") -> DataFrame:
     """Cloud DNS query-log jsonPayload -> dns.* / gcp.dns.* columns
     (dnslog/parser.go:139-158)."""
-    p = F.from_json(F.col(payload), _DNS_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(F.col(payload), _DNS_SCHEMA)
+                    .alias("_pd"))
+    p = F.col("_pd")
     err = F.when(p.isNull(), "failed to unmarshal DNS log")
 
     def nz(c: Column) -> Column:
@@ -721,8 +743,10 @@ def gcp_dns_payload(df: DataFrame, payload: str = "body") -> DataFrame:
         "dns_project_id": nz(p["vmProjectId"]),
         "dns_availability_zone": nz(p["vmZoneName"]),
     }
+    df = df.select(*df.columns, err.alias("_derr"))
+    err = F.col("_derr")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pd", "_derr")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("dns_error"),
     )
@@ -834,7 +858,10 @@ def gcp_app_lb_payload(df: DataFrame, payload: str = "body") -> DataFrame:
     (apploadbalancerlog/parser.go + armor_parser.go). @type is
     validated; the four mutually-exclusive Armor policy slots render
     as sorted k=v strings; request-data fields stay flat columns."""
-    p = F.from_json(F.col(payload), _APPLB_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(F.col(payload), _APPLB_SCHEMA)
+                    .alias("_pl"))
+    p = F.col("_pl")
     err = (
         F.when(p.isNull(), "failed to unmarshal Load Balancer log")
         .when(F.coalesce(p["@type"], F.lit("")) != LB_TYPE,
@@ -911,8 +938,10 @@ def gcp_app_lb_payload(df: DataFrame, payload: str = "body") -> DataFrame:
         "armor_ja4": _nz2(rd["tlsJa4Fingerprint"]),
         "armor_ja3": _nz2(rd["tlsJa3Fingerprint"]),
     }
+    df = df.select(*df.columns, err.alias("_lerr"))
+    err = F.col("_lerr")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pl", "_lerr")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("lb_error"),
     )
@@ -965,7 +994,10 @@ def gcp_passthrough_nlb_payload(df: DataFrame,
     """Passthrough NLB connection logs (passthroughnlb/parser.go):
     External/Internal @type gate, string-int byte/packet counters,
     Go-duration rtt -> seconds."""
-    p = F.from_json(F.col(payload), _NLB_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(F.col(payload), _NLB_SCHEMA)
+                    .alias("_pn"))
+    p = F.col("_pn")
 
     def str_int(c: Column) -> tuple[Column, Column]:
         bad = c.isNotNull() & (c != "") & ~c.rlike("^-?[0-9]+$")
@@ -996,8 +1028,10 @@ def gcp_passthrough_nlb_payload(df: DataFrame,
         "pnlb_packets_sent": ps,
         "pnlb_rtt_s": rtt,
     }
+    df = df.select(*df.columns, err.alias("_perr"))
+    err = F.col("_perr")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pn", "_perr")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("pnlb_error"),
     )
@@ -1006,7 +1040,10 @@ def gcp_passthrough_nlb_payload(df: DataFrame,
 def gcp_proxy_nlb_payload(df: DataFrame,
                           payload: str = "body") -> DataFrame:
     """Proxy NLB connection logs (proxynlb/parser.go)."""
-    p = F.from_json(F.col(payload), _NLB_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(F.col(payload), _NLB_SCHEMA)
+                    .alias("_px"))
+    p = F.col("_px")
 
     def str_int(c: Column) -> tuple[Column, Column]:
         bad = c.isNotNull() & (c != "") & ~c.rlike("^-?[0-9]+$")
@@ -1027,8 +1064,10 @@ def gcp_proxy_nlb_payload(df: DataFrame,
         "xnlb_server_bytes_received": br,
         "xnlb_server_bytes_sent": bs,
     }
+    df = df.select(*df.columns, err.alias("_xerr"))
+    err = F.col("_xerr")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_px", "_xerr")],
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("xnlb_error"),
     )

@@ -91,7 +91,9 @@ def mongodb_logs(df: DataFrame, line: str = "line",
         }
         err = F.when(bad, "Entry did not match regex")
     else:
-        p = F.from_json(c, _LOG_SCHEMA)
+        df = df.select(*df.columns,
+                       F.from_json(c, _LOG_SCHEMA).alias("_pm"))
+        p = F.col("_pm")
         sev_txt, sev_num = _sev(p["s"])
         out = {
             "ts_ns": _ts(p["t"]["$date"], console=False),
@@ -115,8 +117,10 @@ def mongodb_logs(df: DataFrame, line: str = "line",
         # records; a MapType parse returns NULL instead -- the probe
         bad_json = F.from_json(c, "map<string,string>").isNull()
         err = F.when(bad_json, "Failed to parse log entry as JSON")
+    df = df.select(*df.columns, err.alias("_err"))
+    err = F.col("_err")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pm", "_err")],
         *[F.when(err.isNull(), v).alias(k) for k, v in out.items()],
         err.alias("error"),
     )
@@ -126,7 +130,9 @@ def mongodb_audit_logs(df: DataFrame, line: str = "line") -> DataFrame:
     """Audit log lines -> records (mongodbAuditEventToLogData):
     severity pinned INFO, address/uuid/result/param/users/roles."""
     c = F.col(line)
-    p = F.from_json(c, _AUDIT_SCHEMA)
+    df = df.select(*df.columns,
+                   F.from_json(c, _AUDIT_SCHEMA).alias("_pa"))
+    p = F.col("_pa")
     bad_json = F.from_json(c, "map<string,string>").isNull()
     err = F.when(bad_json, "Failed to parse audit log entry as JSON")
 
@@ -159,8 +165,10 @@ def mongodb_audit_logs(df: DataFrame, line: str = "line") -> DataFrame:
         "users": pair_list(p["users"], "user", "db"),
         "roles": pair_list(p["roles"], "role", "db"),
     }
+    df = df.select(*df.columns, err.alias("_err2"))
+    err = F.col("_err2")
     return df.select(
-        *df.columns,
+        *[c for c in df.columns if c not in ("_pa", "_err2")],
         *[F.when(err.isNull(), v).alias(k) for k, v in out.items()],
         err.alias("error"),
     )

@@ -181,7 +181,12 @@ def prw_receive_metrics(
     start_timestamp:bigint>>, histograms (HISTOGRAM_STRUCT).
     """
     symbols, refs = F.col("symbols"), F.col("labels_refs")
-    lm = _labels_map(symbols, refs)
+    # STAGE the label-map HOF: it is referenced by half a dozen
+    # downstream expressions (name/err/job/instance/attrs); inlined it
+    # would be re-evaluated per reference in interpreted mode
+    df = df.select(*df.columns,
+                   _labels_map(symbols, refs).alias("_lm0"))
+    lm = F.col("_lm0")
     names = F.transform(
         F.sequence(F.lit(0), (F.size(refs) / 2 - 1).cast('int')),
         lambda i: _sym(symbols,
@@ -215,7 +220,8 @@ def prw_receive_metrics(
     job = F.coalesce(F.element_at(lm, "job"), F.lit(""))
     instance = F.coalesce(F.element_at(lm, "instance"), F.lit(""))
     base = df.select(
-        "*", lm.alias("_lm"), name.alias("_name"), err.alias("_err"),
+        *[c for c in df.columns if c != "_lm0"],
+        lm.alias("_lm"), name.alias("_name"), err.alias("_err"),
         job.alias("_job"), instance.alias("_instance"),
         is_ti.alias("_is_ti"), hist_path.alias("_hist"),
     )
