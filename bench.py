@@ -336,8 +336,16 @@ def main() -> None:
             pass
 
     # last uncontaminated external-load reading: scaling children have
-    # exited (and their decay was settle-waited inside run_at); no JVM
-    # of ours is alive yet
+    # exited and no JVM of ours is alive yet -- but the LAST child
+    # (local[N] weak, N cores busy for seconds) still decays through
+    # the 1-min loadavg, so settle-wait here exactly like run_at does
+    # between children; a bounded wait cannot mask persistent external
+    # load, and without it this read self-flags every capture
+    settle_t0 = time.perf_counter()
+    load_flag2 = 0.15 * (os.cpu_count() or 32)
+    while (os.getloadavg()[0] > 0.5 * load_flag2
+           and time.perf_counter() - settle_t0 < 90):
+        time.sleep(5)
     load_before_queries = os.getloadavg()[0]
 
     spark = get_spark(app_name="bench", shuffle_partitions=cpus)
