@@ -15,10 +15,12 @@ Reference:
   Recommendation, ServiceHealth, ResourceHealth.
 * normalize.go + property_names.go -- the raw-body fallback for the
   still-to-implement categories (FrontDoorHealthProbeLog,
-  AppService*); this module normalizes AppServiceHTTPLogs and
-  FrontDoorHealthProbeLog property names into the same flat columns
-  and keeps the full properties JSON in ``properties_raw`` (the
-  reference's attrsProps remainder is a strict subset of it).
+  AppService*); this module normalizes ALL of them
+  (AppServiceHTTPLogs/AppLogs/AuditLogs/AuthenticationLogs/
+  ConsoleLogs/IPSecAuditLogs/PlatformLogs + FrontDoorHealthProbeLog)
+  into the same flat columns and keeps the full properties JSON in
+  ``properties_raw`` (the reference's attrsProps remainder is a
+  strict subset of it).
 
 Columnar model: ONE from_json of the records array (raw subtrees kept
 as strings), posexplode, then per-category Column ladders gated on
@@ -79,7 +81,8 @@ def _x1e3(c: Column) -> Column:
 _PROPS_SCHEMA_VARIANTS = (
     "struct<ErrorInfo:string,clientIP:string,socketIP:string,"
     "TimeTaken:string,UserAgent:string,RuleName:string,"
-    "originIP:string>"
+    "originIP:string,Host:string,StackTrace:string,"
+    "ContainerId:string>"
 )
 
 
@@ -125,6 +128,12 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
     is_waf = cat == "FrontDoorWebApplicationFirewallLog"
     is_http = cat == "AppServiceHTTPLogs"
     is_probe = cat == "FrontDoorHealthProbeLog"
+    is_app = cat == "AppServiceAppLogs"
+    is_aud = cat == "AppServiceAuditLogs"
+    is_authn = cat == "AppServiceAuthenticationLogs"
+    is_console = cat == "AppServiceConsoleLogs"
+    is_ipsec = cat == "AppServiceIPSecAuditLogs"
+    is_platform = cat == "AppServicePlatformLogs"
     supported = cat.isin(*ATTRIBUTE_CATEGORIES)
 
     # --- access-log numeric error ladder (putInt aborts the record) ---
@@ -278,7 +287,8 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
                               pr["clientPort"].try_cast("bigint")),
         "status_code": F.coalesce(
             F.when(is_access, pr["httpStatusCode"].try_cast("bigint")),
-            F.when(is_http, pr["ScStatus"].try_cast("bigint"))),
+            F.when(is_http, pr["ScStatus"].try_cast("bigint")),
+            F.when(is_authn, pr["StatusCode"].try_cast("bigint"))),
         "time_to_first_byte": F.when(is_access,
                                      _x1e3(pr["timeToFirstByte"])),
         "duration": F.when(is_access, _x1e3(pr["timeTaken"])),
@@ -297,9 +307,11 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
         "tls_protocol_version": F.when(
             is_access & (F.size(sec_parts) == 2),
             F.element_at(sec_parts, 2)),
-        "exception_type": F.when(
-            is_access & err_info.isNotNull() & (err_info != "NoError"),
-            err_info),
+        "exception_type": F.coalesce(
+            F.when(is_access & err_info.isNotNull()
+                   & (err_info != "NoError"), err_info),
+            F.when(is_app, _nz(pr["ExceptionClass"])),
+            F.when(is_platform, _nz(pr["exception"]))),
         "azure_ref": F.when(is_access | is_waf,
                             _nz(pr["trackingReference"])),
         "http_method": F.coalesce(
@@ -307,8 +319,7 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
             F.when(is_http, _nz(pr["CsMethod"])),
             F.when(is_probe, _nz(pr["httpVerb"]))),
         "protocol_version": F.when(is_access, _nz(pr["httpVersion"])),
-        "protocol_name": F.when(is_access,
-                                _nz(pr["requestProtocol"])),
+
         "tls_server_name": F.when(is_access, _nz(pr["sni"])),
         "user_agent": F.coalesce(
             F.when(is_access, _nz(pr["userAgent"])),
@@ -316,7 +327,8 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
         "client_address": F.coalesce(
             F.when(is_access | is_waf, _nz(pr["clientIp"])),
             F.when(is_waf, _nz(pr2["clientIP"])),
-            F.when(is_http, _nz(pr["CIp"]))),
+            F.when(is_http | is_ipsec, _nz(pr["CIp"])),
+            F.when(is_aud, _nz(pr["UserAddress"]))),
         "source_address": F.coalesce(
             F.when(is_access, _nz(pr["socketIp"])),
             F.when(is_waf, _nz(pr2["socketIP"]))),
@@ -372,7 +384,9 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
             "Security", pr["parentProcess id"].try_cast("bigint")),
         "process_path": when_cat("Security", _nz(pr["processName"])),
         "process_owner": when_cat("Security", _nz(pr["userName"])),
-        "enduser_id": when_cat("Security", _nz(pr["UserSID"])),
+        "enduser_id": F.coalesce(
+            when_cat("Security", _nz(pr["UserSID"])),
+            F.when(is_aud, _nz(pr["User"]))),
         "security_domain": when_cat("Security", _nz(pr["domainName"])),
         "security_action": when_cat("Security", _nz(pr["ActionTaken"])),
         "security_severity": when_cat("Security", _nz(pr["Severity"])),
@@ -409,7 +423,7 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
         "policy_hierarchy": when_cat("Policy", _nz(pr["hierarchy"])),
         # AppServiceHTTPLogs normalized extras (raw-body path)
         "host_name": F.when(is_http, _nz(pr["ComputerName"])),
-        "url_domain": F.when(is_http, _nz(pr["CsHost"])),
+        "url_domain": F.when(is_http | is_ipsec, _nz(pr["CsHost"])),
         "request_body_size": F.when(is_http,
                                     pr["CsBytes"].try_cast("bigint")),
         "response_body_size": F.when(is_http,
@@ -425,6 +439,27 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
         "dns_lookup_duration_s": F.when(
             is_probe,
             pr["DNSLatencyMicroseconds"].try_cast("double") / 1000000),
+        # remaining AppService normalize.go handlers
+        "container_id": F.coalesce(
+            F.when(is_app | is_console, _nz(pr2["ContainerId"])),
+            F.when(is_platform, _nz(pr["containerId"]))),
+        "container_name": F.when(is_platform, _nz(pr["containerName"])),
+        "host_id": F.when(is_app | is_console, _nz(pr2["Host"])),
+        "code_function": F.when(is_app, _nz(pr["Method"])),
+        "code_filepath": F.when(is_app, _nz(pr["Source"])),
+        "exception_stacktrace": F.when(is_app, F.coalesce(
+            _nz(pr["Stacktrace"]), _nz(pr2["StackTrace"]))),
+        "protocol_name": F.coalesce(
+            F.when(is_access, _nz(pr["requestProtocol"])),
+            F.when(is_aud & _nz(pr["Protocol"]).isNotNull(),
+                   F.lower(pr["Protocol"]))),
+        "header_x_azure_fdid": F.when(is_ipsec, _nz(pr["XAzureFDID"])),
+        "header_x_fd_healthprobe": F.when(is_ipsec,
+                                          _nz(pr["XFDHealthProbe"])),
+        "header_x_forwarded_for": F.when(is_ipsec,
+                                         _nz(pr["XForwardedFor"])),
+        "header_x_forwarded_host": F.when(is_ipsec,
+                                          _nz(pr["XForwardedHost"])),
         # raw-body path keeps the full properties JSON
         "properties_raw": F.when(~supported, props),
     }
@@ -486,6 +521,13 @@ _PROPS_SCHEMA = (
     "ScBytes:string,ScStatus:string,"
     # FrontDoorHealthProbeLog
     "httpVerb:string,probeURL:string,"
-    "DNSLatencyMicroseconds:string,totalLatencyMilliseconds:string"
+    "DNSLatencyMicroseconds:string,totalLatencyMilliseconds:string,"
+    # AppService raw-path categories (normalize.go property_names.go)
+    "ExceptionClass:string,Method:string,Source:string,"
+    "Stacktrace:string,Protocol:string,User:string,"
+    "UserAddress:string,StatusCode:string,XAzureFDID:string,"
+    "XFDHealthProbe:string,XForwardedFor:string,"
+    "XForwardedHost:string,containerId:string,containerName:string,"
+    "exception:string"
     ">"
 )

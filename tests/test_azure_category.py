@@ -171,3 +171,54 @@ class TestSemantics:
         assert r["claim_not_after"] == "2023-11-14T23:13:20Z"
         assert r["auth_scope"] == "/s"
         assert r["evidence_role"] == "Owner"
+
+
+class TestAppServiceNormalize:
+    def mk(self, cat, props):
+        return json.dumps({"records": [{
+            "time": "2024-01-01T00:00:00Z", "resourceId": "/S",
+            "category": cat, "operationName": "op",
+            "properties": props}]})
+
+    def test_app_logs(self, spark):
+        r = run(spark, [self.mk("AppServiceAppLogs", {
+            "ContainerId": "c1", "ExceptionClass": "NullRef",
+            "Host": "h1", "Method": "DoWork", "Source": "a.cs",
+            "StackTrace": "at DoWork()"})])[0]
+        assert r["supported_category"] is False
+        assert r["container_id"] == "c1"
+        assert r["exception_type"] == "NullRef"
+        assert r["host_id"] == "h1"
+        assert r["code_function"] == "DoWork"
+        assert r["code_filepath"] == "a.cs"
+        assert r["exception_stacktrace"] == "at DoWork()"
+
+    def test_audit_and_authn(self, spark):
+        rows = run(spark, [
+            self.mk("AppServiceAuditLogs", {
+                "Protocol": "FTP", "User": "deployer",
+                "UserAddress": "1.2.3.4"}),
+            self.mk("AppServiceAuthenticationLogs",
+                    {"StatusCode": "401"}),
+        ])
+        assert rows[0]["protocol_name"] == "ftp"  # toLower
+        assert rows[0]["enduser_id"] == "deployer"
+        assert rows[0]["client_address"] == "1.2.3.4"
+        assert rows[1]["status_code"] == 401
+
+    def test_ipsec_and_platform(self, spark):
+        rows = run(spark, [
+            self.mk("AppServiceIPSecAuditLogs", {
+                "CIp": "5.6.7.8", "CsHost": "app.example",
+                "XAzureFDID": "fd1", "XForwardedFor": "9.9.9.9"}),
+            self.mk("AppServicePlatformLogs", {
+                "containerId": "c2", "containerName": "web",
+                "exception": "OOM"}),
+        ])
+        assert rows[0]["client_address"] == "5.6.7.8"
+        assert rows[0]["url_domain"] == "app.example"
+        assert rows[0]["header_x_azure_fdid"] == "fd1"
+        assert rows[0]["header_x_forwarded_for"] == "9.9.9.9"
+        assert rows[1]["container_id"] == "c2"
+        assert rows[1]["container_name"] == "web"
+        assert rows[1]["exception_type"] == "OOM"
