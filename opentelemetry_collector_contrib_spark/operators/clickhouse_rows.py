@@ -1,0 +1,216 @@
+"""clickhouseexporter row mapping: OTel log / span rows -> the
+exporter's ClickHouse table row shape.
+
+Reference: exporter/clickhouseexporter/exporter_logs.go:98-190 +
+exporter_traces.go:60-185 + internal/util.go + internal/sqltemplates/
+{logs,traces}_table.sql. The DDL/client layer (CreateDatabase, table
+creation, batch transport) is out of scope per the standing
+agreement; what is grafted is the SEMANTIC row mapping every insert
+performs, plus the table's physical layout contract expressed
+Spark-side:
+
+* logs row (logs_insert): Timestamp (observed fallback when zero),
+  TimestampTime = second truncation, trace/span ids as hex-or-empty,
+  TraceFlags uint8, severity text/number, ServiceName =
+  resource attr service.name-or-empty (GetServiceName), Body
+  AsString, resource/scope/log attribute maps stringified
+  (AttributesToMap -- rendered here as the house sorted k=v string),
+  scope name/version + schema urls, optional EventName column behind
+  the schema-feature flag (detectSchemaFeatures).
+* traces row: start Timestamp, ids, TraceState raw, SpanName,
+  SpanKind = pdata enum String() (Unspecified/Internal/Server/Client/
+  Producer/Consumer), Duration = end-start nanos, Status code enum
+  String() (Unset/Ok/Error) + message, Events/Links as the Nested
+  parallel arrays (times/names/attrs, ids/states/attrs).
+* physical layout (logs_table.sql): PARTITION BY
+  toDate(TimestampTime), ORDER BY (ServiceName, TimestampTime,
+  Timestamp) -- surfaced as a ``partition_date`` column plus
+  ``ch_write_layout`` which repartitions by the partition key and
+  sorts within partitions by the table's ORDER BY, i.e. the shape a
+  100 TB Spark writer hands a ClickHouse-compatible sink so parts
+  arrive pre-sorted per partition.
+
+Map-only Column code; the only exchange lives in ch_write_layout's
+explicit repartition (the sink contract, not the translation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPAN_KINDS = ("Unspecified", "Internal", "Server", "Client",
+              "Producer", "Consumer")
+STATUS_CODES = ("Unset", "Ok", "Error")
+
+ZERO_TRACE_ID = "0" * 32
+ZERO_SPAN_ID = "0" * 16
+
+
+def _render_map(m: Column) -> Column:
+    """AttributesToMap equivalent: deterministic sorted k=v string."""
+    return F.when(m.isNull(), F.lit("")).otherwise(F.array_join(
+        F.array_sort(F.transform(
+            F.map_entries(m),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+        ","))
+
+
+def _hex_or_empty(c: Column, zero: str) -> Column:
+    """traceutil.TraceIDToHexOrEmptyString: all-zero id -> ''."""
+    return F.when(c.isNull() | (c == "") | (c == zero), F.lit("")) \
+            .otherwise(F.lower(c))
+
+
+def ch_logs_rows(
+    df: DataFrame, event_name_column: bool = True,
+) -> DataFrame:
+    """One OTel log row -> one ClickHouse otel_logs row
+    (pushLogsData, exporter_logs.go:98-190). Expected input columns:
+    ts_ns, observed_ts_ns, trace_id, span_id, flags, severity_text,
+    severity_number, body, resource_schema_url,
+    resource_attributes map, scope_schema_url, scope_name,
+    scope_version, scope_attributes map, attributes map, event_name.
+    """
+    ts_ns = F.when(F.coalesce(F.col("ts_ns"), F.lit(0)) == 0,
+                   F.col("observed_ts_ns")).otherwise(F.col("ts_ns"))
+    # ns -> us MUST use integral div: `/` promotes bigint to double,
+    # whose ulp at ~1.7e18 is 256ns, truncating some values off by one
+    df = df.select(*df.columns, ts_ns.alias("_eff_ts_ns"))
+    ts = F.timestamp_micros(F.expr("_eff_ts_ns div 1000"))
+    service = F.coalesce(
+        F.element_at(F.col("resource_attributes"), "service.name"),
+        F.lit(""))
+    out = [
+        ts.alias("Timestamp"),
+        F.date_trunc("second", ts).alias("TimestampTime"),
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID).alias("TraceId"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("SpanId"),
+        (F.coalesce(F.col("flags"), F.lit(0)) % 256).cast("int")
+        .alias("TraceFlags"),
+        F.coalesce(F.col("severity_text"), F.lit(""))
+         .alias("SeverityText"),
+        F.coalesce(F.col("severity_number"), F.lit(0)).cast("int")
+         .alias("SeverityNumber"),
+        service.alias("ServiceName"),
+        F.coalesce(F.col("body"), F.lit("")).alias("Body"),
+        F.coalesce(F.col("resource_schema_url"), F.lit(""))
+         .alias("ResourceSchemaUrl"),
+        _render_map(F.col("resource_attributes"))
+        .alias("ResourceAttributes"),
+        F.coalesce(F.col("scope_schema_url"), F.lit(""))
+         .alias("ScopeSchemaUrl"),
+        F.coalesce(F.col("scope_name"), F.lit("")).alias("ScopeName"),
+        F.coalesce(F.col("scope_version"), F.lit(""))
+         .alias("ScopeVersion"),
+        _render_map(F.col("scope_attributes")).alias("ScopeAttributes"),
+        _render_map(F.col("attributes")).alias("LogAttributes"),
+    ]
+    if event_name_column:
+        out.append(F.coalesce(F.col("event_name"), F.lit(""))
+                    .alias("EventName"))
+    extra = [c for c in df.columns if c not in (
+        "ts_ns", "observed_ts_ns", "trace_id", "span_id", "flags",
+        "severity_text", "severity_number", "body",
+        "resource_schema_url", "resource_attributes",
+        "scope_schema_url", "scope_name", "scope_version",
+        "scope_attributes", "attributes", "event_name",
+        "_eff_ts_ns")]
+    return df.select(*extra, *out)
+
+
+def ch_traces_rows(df: DataFrame) -> DataFrame:
+    """One OTel span row -> one ClickHouse otel_traces row
+    (pushTraceData, exporter_traces.go:60-185). Expected input
+    columns: start_ts_ns, end_ts_ns, trace_id, span_id,
+    parent_span_id, trace_state, span_name, span_kind int,
+    resource_attributes map, scope_name, scope_version,
+    span_attributes map, status_code int, status_message,
+    events array<struct<ts_ns:bigint,name:string,
+    attributes:map<string,string>>>,
+    links array<struct<trace_id:string,span_id:string,
+    trace_state:string,attributes:map<string,string>>>."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in SPAN_KINDS]),
+        (F.coalesce(F.col("span_kind"), F.lit(0)) + 1).cast("int"))
+    status = F.element_at(
+        F.array(*[F.lit(k) for k in STATUS_CODES]),
+        (F.coalesce(F.col("status_code"), F.lit(0)) + 1).cast("int"))
+    service = F.coalesce(
+        F.element_at(F.col("resource_attributes"), "service.name"),
+        F.lit(""))
+    ts = F.timestamp_micros(F.expr("start_ts_ns div 1000"))
+    events = F.coalesce(F.col("events"), F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.coalesce(F.col("links"), F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    extra = [c for c in df.columns if c not in (
+        "start_ts_ns", "end_ts_ns", "trace_id", "span_id",
+        "parent_span_id", "trace_state", "span_name", "span_kind",
+        "resource_attributes", "scope_name", "scope_version",
+        "span_attributes", "status_code", "status_message", "events",
+        "links")]
+    return df.select(
+        *extra,
+        ts.alias("Timestamp"),
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID).alias("TraceId"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("SpanId"),
+        _hex_or_empty(F.col("parent_span_id"), ZERO_SPAN_ID)
+        .alias("ParentSpanId"),
+        F.coalesce(F.col("trace_state"), F.lit("")).alias("TraceState"),
+        F.coalesce(F.col("span_name"), F.lit("")).alias("SpanName"),
+        kind.alias("SpanKind"),
+        service.alias("ServiceName"),
+        _render_map(F.col("resource_attributes"))
+        .alias("ResourceAttributes"),
+        F.coalesce(F.col("scope_name"), F.lit("")).alias("ScopeName"),
+        F.coalesce(F.col("scope_version"), F.lit(""))
+         .alias("ScopeVersion"),
+        _render_map(F.col("span_attributes")).alias("SpanAttributes"),
+        (F.col("end_ts_ns") - F.col("start_ts_ns")).alias("Duration"),
+        status.alias("StatusCode"),
+        F.coalesce(F.col("status_message"), F.lit(""))
+         .alias("StatusMessage"),
+        F.array_join(
+            F.expr("transform(coalesce(events, array()),"
+                   " e -> CAST(e.ts_ns div 1000 AS STRING))"),
+            ",").alias("EventsTimestamp"),
+        F.array_join(F.transform(events, lambda e: e["name"]), ",")
+         .alias("EventsName"),
+        F.array_join(F.transform(
+            events, lambda e: _render_map(e["attributes"])), ";")
+         .alias("EventsAttributes"),
+        F.array_join(F.transform(
+            links, lambda l: _hex_or_empty(l["trace_id"],
+                                           ZERO_TRACE_ID)), ",")
+         .alias("LinksTraceId"),
+        F.array_join(F.transform(
+            links, lambda l: _hex_or_empty(l["span_id"],
+                                           ZERO_SPAN_ID)), ",")
+         .alias("LinksSpanId"),
+        F.array_join(F.transform(
+            links, lambda l: F.coalesce(l["trace_state"], F.lit(""))),
+            ",").alias("LinksTraceState"),
+        F.array_join(F.transform(
+            links, lambda l: _render_map(l["attributes"])), ";")
+         .alias("LinksAttributes"),
+    )
+
+
+def ch_write_layout(rows: DataFrame, num_partitions: "int | None" = None,
+                    time_col: str = "TimestampTime") -> DataFrame:
+    """The otel_logs table's physical contract as a Spark write shape:
+    PARTITION BY toDate(TimestampTime), ORDER BY (ServiceName,
+    TimestampTime, Timestamp). Repartitioning on the partition key and
+    sorting within partitions means a distributed writer emits
+    per-day, per-service sorted runs -- the part shape ClickHouse's
+    merge tree wants, with exactly ONE exchange."""
+    out = rows.withColumn("partition_date", F.to_date(F.col(time_col)))
+    parts = [F.col("partition_date")]
+    if num_partitions:
+        out = out.repartition(num_partitions, *parts)
+    else:
+        out = out.repartition(*parts)
+    return out.sortWithinPartitions("ServiceName", time_col, "Timestamp")

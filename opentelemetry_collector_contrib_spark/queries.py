@@ -13983,3 +13983,232 @@ FROM f ORDER BY eid
 
 _QUERIES["gcp_lb_payloads_events"] = q_gcp_lb_payloads
 _ORACLES["gcp_lb_payloads_events"] = _GCP_LB_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# clickhouseexporter row mapping (exporter_logs.go / exporter_traces.go)
+# ---------------------------------------------------------------------------
+
+def q_clickhouse_logs_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel log rows -> otel_logs ClickHouse row shape, incl. the
+    zero-timestamp observed fallback, hex-or-empty ids, service-name
+    resource extraction and the EventName schema feature."""
+    from .operators.clickhouse_rows import ch_logs_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 18 == 4)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    src = ev.select(
+        eid.alias("eid"),
+        F.when(eid % 7 == 0, F.lit(0).cast("bigint")).otherwise(tns)
+         .alias("ts_ns"),
+        (tns + 123_000_000).alias("observed_ts_ns"),
+        F.when(eid % 2 == 0, F.md5(s(eid)))
+         .otherwise(F.lit("0" * 32)).alias("trace_id"),
+        F.when(eid % 2 == 0,
+               F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("span_id"),
+        (eid % 256).cast("int").alias("flags"),
+        F.element_at(F.array(F.lit("INFO"), F.lit("WARN"),
+                             F.lit("ERROR")),
+                     (eid % 3 + 1).cast("int")).alias("severity_text"),
+        (9 + (eid % 3) * 4).cast("int").alias("severity_number"),
+        F.concat(F.lit("log body "), F.col("event_type"), F.lit(" "),
+                 s(eid)).alias("body"),
+        F.lit("https://opentelemetry.io/schemas/1.21.0")
+         .alias("resource_schema_url"),
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc-"), s(uid % 9)),
+            F.lit("host.name"), F.concat(F.lit("h"), s(uid % 5)),
+        ).alias("resource_attributes"),
+        F.lit("").alias("scope_schema_url"),
+        F.lit("app.logger").alias("scope_name"),
+        F.lit("1.2.0").alias("scope_version"),
+        F.create_map(F.lit("lib"), F.lit("slf4j"))
+         .alias("scope_attributes"),
+        F.create_map(F.lit("code"), s(eid % 100),
+                     F.lit("k"), s(uid % 4)).alias("attributes"),
+        F.when(eid % 5 == 0,
+               F.concat(F.lit("evt."), F.col("event_type")))
+         .otherwise(F.lit("")).alias("event_name"),
+    )
+    out = ch_logs_rows(src)
+    return out.select(
+        "eid",
+        F.unix_micros(F.col("Timestamp")).alias("timestamp_us"),
+        F.unix_micros(F.col("TimestampTime")).alias("timestamp_time_us"),
+        "TraceId", "SpanId", "TraceFlags", "SeverityText",
+        "SeverityNumber", "ServiceName", "Body", "ResourceSchemaUrl",
+        "ResourceAttributes", "ScopeName", "ScopeVersion",
+        "ScopeAttributes", "LogAttributes", "EventName",
+    ).orderBy("eid")
+
+
+_CH_LOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 18 = 4)
+SELECT eid,
+  CASE WHEN eid % 7 = 0 THEN st * 1000000 + 123000
+       ELSE st * 1000000 END AS timestamp_us,
+  CASE WHEN eid % 7 = 0 THEN st * 1000000
+       ELSE st * 1000000 END AS timestamp_time_us,
+  CASE WHEN eid % 2 = 0 THEN md5(CAST(eid AS VARCHAR)) ELSE '' END
+    AS "TraceId",
+  CASE WHEN eid % 2 = 0
+       THEN substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS "SpanId",
+  CAST(eid % 256 AS INT) AS "TraceFlags",
+  CASE eid % 3 WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN' ELSE 'ERROR' END
+    AS "SeverityText",
+  CAST(9 + (eid % 3) * 4 AS INT) AS "SeverityNumber",
+  'svc-' || CAST(uid % 9 AS VARCHAR) AS "ServiceName",
+  'log body ' || event_type || ' ' || CAST(eid AS VARCHAR) AS "Body",
+  'https://opentelemetry.io/schemas/1.21.0' AS "ResourceSchemaUrl",
+  'host.name=h' || CAST(uid % 5 AS VARCHAR) || ',service.name=svc-'
+    || CAST(uid % 9 AS VARCHAR) AS "ResourceAttributes",
+  'app.logger' AS "ScopeName",
+  '1.2.0' AS "ScopeVersion",
+  'lib=slf4j' AS "ScopeAttributes",
+  'code=' || CAST(eid % 100 AS VARCHAR) || ',k='
+    || CAST(uid % 4 AS VARCHAR) AS "LogAttributes",
+  CASE WHEN eid % 5 = 0 THEN 'evt.' || event_type ELSE '' END
+    AS "EventName"
+FROM f ORDER BY eid
+"""
+
+_QUERIES["clickhouse_logs_rows_events"] = q_clickhouse_logs_rows
+_ORACLES["clickhouse_logs_rows_events"] = _CH_LOGS_ORACLE
+
+
+def q_clickhouse_trace_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel span rows -> otel_traces row shape incl. the Nested
+    events/links parallel arrays, pdata enum renders and ns
+    duration."""
+    from .operators.clickhouse_rows import ch_traces_rows, ch_write_layout
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 19 == 6)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    am = lambda k, v: F.create_map(F.lit(k), v)
+    events = F.when(eid % 3 == 0, F.array(
+        F.struct((tns + 1_000_000).alias("ts_ns"),
+                 F.lit("exception").alias("name"),
+                 am("exception.type", F.concat(F.lit("E"), s(eid % 7)))
+                 .alias("attributes")),
+        F.struct((tns + 2_000_000).alias("ts_ns"),
+                 F.lit("retry").alias("name"),
+                 am("attempt", s(eid % 4)).alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.when(eid % 4 == 0, F.array(
+        F.struct(F.md5(F.concat(F.lit("lt"), s(eid))).alias("trace_id"),
+                 F.substring(F.md5(F.concat(F.lit("ls"), s(eid))), 1,
+                             16).alias("span_id"),
+                 F.lit("w3c=1").alias("trace_state"),
+                 am("reason", F.lit("follows"))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("start_ts_ns"),
+        (tns + (eid % 900 + 1) * 1_000_000).alias("end_ts_ns"),
+        F.md5(s(eid)).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16)
+         .alias("span_id"),
+        F.when(eid % 2 == 0,
+               F.substring(F.md5(F.concat(F.lit("p"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("parent_span_id"),
+        F.when(eid % 6 == 0, "cc=x").otherwise("").alias("trace_state"),
+        F.concat(F.lit("op."), F.col("event_type")).alias("span_name"),
+        (uid % 6).cast("int").alias("span_kind"),
+        F.create_map(F.lit("service.name"),
+                     F.concat(F.lit("svc-"), s(uid % 9)))
+         .alias("resource_attributes"),
+        F.lit("tracer").alias("scope_name"),
+        F.lit("2.0").alias("scope_version"),
+        F.create_map(F.lit("http.method"),
+                     F.when(eid % 2 == 0, "GET").otherwise("POST"))
+         .alias("span_attributes"),
+        (eid % 3).cast("int").alias("status_code"),
+        F.when(eid % 3 == 2, F.concat(F.lit("boom "), s(eid)))
+         .otherwise(F.lit("")).alias("status_message"),
+        events.alias("events"),
+        links.alias("links"),
+    )
+    rows = ch_traces_rows(src)
+    # exercise the physical-layout helper (partition key + in-part
+    # sort); the orderBy below re-sorts for the deterministic compare
+    rows = ch_write_layout(rows, num_partitions=8,
+                           time_col="Timestamp")
+    return rows.select(
+        "eid",
+        F.unix_micros(F.col("Timestamp")).alias("timestamp_us"),
+        "TraceId", "SpanId", "ParentSpanId", "TraceState", "SpanName",
+        "SpanKind", "ServiceName", "ResourceAttributes", "ScopeName",
+        "ScopeVersion", "SpanAttributes", "Duration", "StatusCode",
+        "StatusMessage", "EventsTimestamp", "EventsName",
+        "EventsAttributes", "LinksTraceId", "LinksSpanId",
+        "LinksTraceState", "LinksAttributes", "partition_date",
+    ).orderBy("eid")
+
+
+_CH_TRACES_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 19 = 6)
+SELECT eid,
+  st * 1000000 AS timestamp_us,
+  md5(CAST(eid AS VARCHAR)) AS "TraceId",
+  substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16) AS "SpanId",
+  CASE WHEN eid % 2 = 0
+       THEN substr(md5('p' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS "ParentSpanId",
+  CASE WHEN eid % 6 = 0 THEN 'cc=x' ELSE '' END AS "TraceState",
+  'op.' || event_type AS "SpanName",
+  CASE uid % 6 WHEN 0 THEN 'Unspecified' WHEN 1 THEN 'Internal'
+       WHEN 2 THEN 'Server' WHEN 3 THEN 'Client' WHEN 4 THEN 'Producer'
+       ELSE 'Consumer' END AS "SpanKind",
+  'svc-' || CAST(uid % 9 AS VARCHAR) AS "ServiceName",
+  'service.name=svc-' || CAST(uid % 9 AS VARCHAR)
+    AS "ResourceAttributes",
+  'tracer' AS "ScopeName", '2.0' AS "ScopeVersion",
+  'http.method=' || CASE WHEN eid % 2 = 0 THEN 'GET' ELSE 'POST' END
+    AS "SpanAttributes",
+  (eid % 900 + 1) * 1000000 AS "Duration",
+  CASE eid % 3 WHEN 0 THEN 'Unset' WHEN 1 THEN 'Ok' ELSE 'Error' END
+    AS "StatusCode",
+  CASE WHEN eid % 3 = 2 THEN 'boom ' || CAST(eid AS VARCHAR)
+       ELSE '' END AS "StatusMessage",
+  CASE WHEN eid % 3 = 0
+       THEN CAST(st * 1000000 + 1000 AS VARCHAR) || ','
+            || CAST(st * 1000000 + 2000 AS VARCHAR)
+       ELSE '' END AS "EventsTimestamp",
+  CASE WHEN eid % 3 = 0 THEN 'exception,retry' ELSE '' END
+    AS "EventsName",
+  CASE WHEN eid % 3 = 0
+       THEN 'exception.type=E' || CAST(eid % 7 AS VARCHAR)
+            || ';attempt=' || CAST(eid % 4 AS VARCHAR)
+       ELSE '' END AS "EventsAttributes",
+  CASE WHEN eid % 4 = 0 THEN md5('lt' || CAST(eid AS VARCHAR))
+       ELSE '' END AS "LinksTraceId",
+  CASE WHEN eid % 4 = 0
+       THEN substr(md5('ls' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS "LinksSpanId",
+  CASE WHEN eid % 4 = 0 THEN 'w3c=1' ELSE '' END AS "LinksTraceState",
+  CASE WHEN eid % 4 = 0 THEN 'reason=follows' ELSE '' END
+    AS "LinksAttributes",
+  CAST(ts AS DATE) AS partition_date
+FROM f ORDER BY eid
+"""
+
+_QUERIES["clickhouse_trace_rows_events"] = q_clickhouse_trace_rows
+_ORACLES["clickhouse_trace_rows_events"] = _CH_TRACES_ORACLE

@@ -1,0 +1,111 @@
+"""clickhouseexporter row-mapping semantics (exporter_logs.go /
+exporter_traces.go) + the table's physical write layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators import (
+    clickhouse_rows as CH,
+)
+
+LOG_SCHEMA = (
+    "ts_ns bigint, observed_ts_ns bigint, trace_id string,"
+    "span_id string, flags int, severity_text string,"
+    "severity_number int, body string, resource_schema_url string,"
+    "resource_attributes map<string,string>, scope_schema_url string,"
+    "scope_name string, scope_version string,"
+    "scope_attributes map<string,string>,"
+    "attributes map<string,string>, event_name string")
+
+
+def log_row(**kw):
+    base = dict(ts_ns=1700000000123456789, observed_ts_ns=1700000001000000000,
+                trace_id="a" * 32, span_id="b" * 16, flags=1,
+                severity_text="INFO", severity_number=9, body="hello",
+                resource_schema_url="url",
+                resource_attributes={"service.name": "svc",
+                                     "host.name": "h"},
+                scope_schema_url="", scope_name="sc",
+                scope_version="1", scope_attributes={},
+                attributes={"k": "v"}, event_name="ev")
+    return Row(**{**base, **kw})
+
+
+class TestLogsRows:
+    def test_row_shape(self, spark):
+        df = spark.createDataFrame([log_row()], LOG_SCHEMA)
+        r = CH.ch_logs_rows(df).collect()[0].asDict()
+        # ns truncate to us; TimestampTime truncates to the second
+        assert r["Timestamp"].microsecond == 123456
+        assert r["TimestampTime"].microsecond == 0
+        assert r["TraceId"] == "a" * 32
+        assert r["ServiceName"] == "svc"
+        assert r["ResourceAttributes"] == "host.name=h,service.name=svc"
+        assert r["LogAttributes"] == "k=v"
+        assert r["EventName"] == "ev"
+
+    def test_zero_timestamp_observed_fallback(self, spark):
+        import datetime as dt
+        df = spark.createDataFrame([log_row(ts_ns=0)], LOG_SCHEMA)
+        r = CH.ch_logs_rows(df).collect()[0]
+        want = dt.datetime.fromtimestamp(1700000001,
+                                         dt.timezone.utc)
+        assert r.Timestamp.replace(
+            tzinfo=dt.timezone.utc) == want  # observed fallback
+
+    def test_zero_ids_empty(self, spark):
+        df = spark.createDataFrame(
+            [log_row(trace_id="0" * 32, span_id="0" * 16)], LOG_SCHEMA)
+        r = CH.ch_logs_rows(df).collect()[0]
+        assert r.TraceId == "" and r.SpanId == ""
+
+    def test_event_name_schema_feature_off(self, spark):
+        df = spark.createDataFrame([log_row()], LOG_SCHEMA)
+        out = CH.ch_logs_rows(df, event_name_column=False)
+        assert "EventName" not in out.columns
+
+
+class TestTracesRows:
+    def test_kind_and_status_enums(self, spark):
+        rows = [Row(start_ts_ns=1700000000000000000,
+                    end_ts_ns=1700000000500000000,
+                    trace_id="c" * 32, span_id="d" * 16,
+                    parent_span_id="0" * 16, trace_state="",
+                    span_name="op", span_kind=k,
+                    resource_attributes={"service.name": "s"},
+                    scope_name="t", scope_version="1",
+                    span_attributes={}, status_code=k % 3,
+                    status_message="", events=[], links=[])
+                for k in range(6)]
+        schema = ("start_ts_ns bigint, end_ts_ns bigint,"
+                  "trace_id string, span_id string,"
+                  "parent_span_id string, trace_state string,"
+                  "span_name string, span_kind int,"
+                  "resource_attributes map<string,string>,"
+                  "scope_name string, scope_version string,"
+                  "span_attributes map<string,string>,"
+                  "status_code int, status_message string,"
+                  "events array<struct<ts_ns:bigint,name:string,"
+                  "attributes:map<string,string>>>,"
+                  "links array<struct<trace_id:string,span_id:string,"
+                  "trace_state:string,attributes:map<string,string>>>")
+        df = spark.createDataFrame(rows, schema)
+        got = sorted(CH.ch_traces_rows(df).collect(),
+                     key=lambda r: r.SpanKind)
+        kinds = sorted(CH.SPAN_KINDS)
+        assert sorted(r.SpanKind for r in got) == kinds
+        one = got[0]
+        assert one.Duration == 500000000  # ns
+        assert one.ParentSpanId == ""     # all-zero
+
+    def test_write_layout_single_exchange(self, spark):
+        df = spark.createDataFrame([log_row()], LOG_SCHEMA)
+        rows = CH.ch_logs_rows(df)
+        laid = CH.ch_write_layout(rows, num_partitions=4)
+        plan = laid._jdf.queryExecution().executedPlan().toString()
+        # exactly one exchange (the partition-key repartition) and an
+        # in-partition sort on the table's ORDER BY
+        assert plan.count("Exchange") == 1
+        assert "Sort [ServiceName" in plan
+        assert laid.select("partition_date").first()[0] is not None
