@@ -14212,3 +14212,319 @@ FROM f ORDER BY eid
 
 _QUERIES["clickhouse_trace_rows_events"] = q_clickhouse_trace_rows
 _ORACLES["clickhouse_trace_rows_events"] = _CH_TRACES_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# dorisexporter row mapping (exporter_logs.go / exporter_traces.go /
+# metrics_*.go) -- stream-load JSON-line row shapes
+# ---------------------------------------------------------------------------
+
+def q_doris_logs_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel log rows -> Doris otel_logs stream-load rows, incl. the Go
+    .999999 trailing-zero time trim, hex-or-empty ids, sorted-key JSON
+    attribute objects and service.name/instance extraction."""
+    from .operators.doris_rows import doris_logs_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 21 == 5)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    # fraction exercises the trim: 0 / .25 / .500001 / .750001 us shapes
+    frac_us = (eid % 4) * 250_000 + F.when(eid % 4 >= 2, eid % 3) \
+        .otherwise(F.lit(0))
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000) \
+        + frac_us * 1000
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        F.when(eid % 2 == 0, F.md5(s(eid)))
+         .otherwise(F.lit("0" * 32)).alias("trace_id"),
+        F.when(eid % 3 == 0,
+               F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("span_id"),
+        (9 + (eid % 3) * 4).cast("int").alias("severity_number"),
+        F.element_at(F.array(F.lit("INFO"), F.lit("WARN"),
+                             F.lit("ERROR")),
+                     (eid % 3 + 1).cast("int")).alias("severity_text"),
+        F.concat(F.lit("doris body "), F.col("event_type"), F.lit(" "),
+                 s(eid)).alias("body"),
+        F.create_map(
+            F.lit("host.name"), F.concat(F.lit("h"), s(uid % 5)),
+            F.lit("service.instance.id"),
+            F.concat(F.lit("i-"), s(uid % 11)),
+            F.lit("service.name"), F.concat(F.lit("svc-"), s(uid % 9)),
+        ).alias("resource_attributes"),
+        F.create_map(F.lit("code"), s(eid % 100),
+                     F.lit("k"), s(uid % 4)).alias("attributes"),
+        F.lit("app.logger").alias("scope_name"),
+        F.lit("1.2.0").alias("scope_version"),
+    )
+    return doris_logs_rows(src).orderBy("eid")
+
+
+_DORIS_LOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         (event_id % 4) * 250000
+           + CASE WHEN event_id % 4 >= 2 THEN event_id % 3 ELSE 0 END
+           AS frac_us
+  FROM events WHERE event_id % 21 = 5)
+SELECT eid,
+  'svc-' || CAST(uid % 9 AS VARCHAR) AS service_name,
+  strftime(to_timestamp(st), '%Y-%m-%d %H:%M:%S')
+    || CASE WHEN frac_us = 0 THEN ''
+       ELSE '.' || rtrim(lpad(CAST(frac_us AS VARCHAR), 6, '0'), '0')
+       END AS timestamp,
+  'i-' || CAST(uid % 11 AS VARCHAR) AS service_instance_id,
+  CASE WHEN eid % 2 = 0 THEN md5(CAST(eid AS VARCHAR)) ELSE '' END
+    AS trace_id,
+  CASE WHEN eid % 3 = 0
+       THEN substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS span_id,
+  CAST(9 + (eid % 3) * 4 AS INT) AS severity_number,
+  CASE eid % 3 WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN' ELSE 'ERROR' END
+    AS severity_text,
+  'doris body ' || event_type || ' ' || CAST(eid AS VARCHAR) AS body,
+  '{"host.name":"h' || CAST(uid % 5 AS VARCHAR)
+    || '","service.instance.id":"i-' || CAST(uid % 11 AS VARCHAR)
+    || '","service.name":"svc-' || CAST(uid % 9 AS VARCHAR) || '"}'
+    AS resource_attributes,
+  '{"code":"' || CAST(eid % 100 AS VARCHAR) || '","k":"'
+    || CAST(uid % 4 AS VARCHAR) || '"}' AS log_attributes,
+  'app.logger' AS scope_name,
+  '1.2.0' AS scope_version
+FROM f ORDER BY eid
+"""
+
+_QUERIES["doris_logs_rows_events"] = q_doris_logs_rows
+_ORACLES["doris_logs_rows_events"] = _DORIS_LOGS_ORACLE
+
+
+def q_doris_trace_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel span rows -> Doris otel_traces rows incl. the proto enum
+    names (SPAN_KIND_*/STATUS_CODE_*), us duration, end_time, and
+    events/links as JSON object arrays in Go struct-field order."""
+    from .operators.doris_rows import doris_traces_rows, doris_write_layout
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 22 == 7)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    am = lambda k, v: F.create_map(F.lit(k), v)
+    events = F.when(eid % 3 == 0, F.array(
+        F.struct((tns + 1_000_000).alias("ts_ns"),
+                 F.lit("exception").alias("name"),
+                 am("exception.type", F.concat(F.lit("E"), s(eid % 7)))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.when(eid % 4 == 0, F.array(
+        F.struct(F.md5(F.concat(F.lit("lt"), s(eid))).alias("trace_id"),
+                 F.substring(F.md5(F.concat(F.lit("ls"), s(eid))), 1,
+                             16).alias("span_id"),
+                 F.lit("w3c=1").alias("trace_state"),
+                 am("reason", F.lit("follows"))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("start_ts_ns"),
+        # end lands on a .5ms boundary so end_time exercises the trim
+        (tns + (eid % 900 + 1) * 500_000).alias("end_ts_ns"),
+        F.md5(s(eid)).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16)
+         .alias("span_id"),
+        F.when(eid % 2 == 0,
+               F.substring(F.md5(F.concat(F.lit("p"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("parent_span_id"),
+        F.when(eid % 6 == 0, "cc=x").otherwise("").alias("trace_state"),
+        F.concat(F.lit("op."), F.col("event_type")).alias("span_name"),
+        (uid % 6).cast("int").alias("span_kind"),
+        F.create_map(F.lit("service.name"),
+                     F.concat(F.lit("svc-"), s(uid % 9)))
+         .alias("resource_attributes"),
+        F.lit("tracer").alias("scope_name"),
+        F.lit("2.0").alias("scope_version"),
+        F.create_map(F.lit("http.method"),
+                     F.when(eid % 2 == 0, "GET").otherwise("POST"))
+         .alias("span_attributes"),
+        (eid % 3).cast("int").alias("status_code"),
+        F.when(eid % 3 == 2, F.concat(F.lit("boom "), s(eid)))
+         .otherwise(F.lit("")).alias("status_message"),
+        events.alias("events"),
+        links.alias("links"),
+    )
+    rows = doris_traces_rows(src)
+    rows = doris_write_layout(rows, num_partitions=8)
+    return rows.orderBy("eid")
+
+
+_DORIS_TRACES_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         (event_id % 900 + 1) * 500000 AS dur_ns_half
+  FROM events WHERE event_id % 22 = 7),
+g AS (
+  SELECT *, st * 1000000000 + dur_ns_half AS end_ns FROM f)
+SELECT eid,
+  'svc-' || CAST(uid % 9 AS VARCHAR) AS service_name,
+  strftime(to_timestamp(st), '%Y-%m-%d %H:%M:%S') AS timestamp,
+  '' AS service_instance_id,
+  md5(CAST(eid AS VARCHAR)) AS trace_id,
+  substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16) AS span_id,
+  CASE WHEN eid % 6 = 0 THEN 'cc=x' ELSE '' END AS trace_state,
+  CASE WHEN eid % 2 = 0
+       THEN substr(md5('p' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS parent_span_id,
+  'op.' || event_type AS span_name,
+  CASE uid % 6 WHEN 0 THEN 'SPAN_KIND_UNSPECIFIED'
+       WHEN 1 THEN 'SPAN_KIND_INTERNAL' WHEN 2 THEN 'SPAN_KIND_SERVER'
+       WHEN 3 THEN 'SPAN_KIND_CLIENT' WHEN 4 THEN 'SPAN_KIND_PRODUCER'
+       ELSE 'SPAN_KIND_CONSUMER' END AS span_kind,
+  strftime(to_timestamp(end_ns // 1000000000),
+           '%Y-%m-%d %H:%M:%S')
+    || CASE WHEN (end_ns // 1000) % 1000000 = 0 THEN ''
+       ELSE '.' || rtrim(lpad(CAST((end_ns // 1000) % 1000000
+                                   AS VARCHAR), 6, '0'), '0')
+       END AS end_time,
+  dur_ns_half // 1000 AS duration,
+  '{"http.method":"'
+    || CASE WHEN eid % 2 = 0 THEN 'GET' ELSE 'POST' END || '"}'
+    AS span_attributes,
+  CASE WHEN eid % 3 = 0
+       THEN '[{"timestamp":"'
+            || strftime(to_timestamp(st), '%Y-%m-%d %H:%M:%S')
+            || '.001","name":"exception","attributes":'
+            || '{"exception.type":"E' || CAST(eid % 7 AS VARCHAR)
+            || '"}}]'
+       ELSE '[]' END AS events,
+  CASE WHEN eid % 4 = 0
+       THEN '[{"trace_id":"' || md5('lt' || CAST(eid AS VARCHAR))
+            || '","span_id":"'
+            || substr(md5('ls' || CAST(eid AS VARCHAR)), 1, 16)
+            || '","trace_state":"w3c=1","attributes":'
+            || '{"reason":"follows"}}]'
+       ELSE '[]' END AS links,
+  CASE WHEN eid % 3 = 2 THEN 'boom ' || CAST(eid AS VARCHAR)
+       ELSE '' END AS status_message,
+  CASE eid % 3 WHEN 0 THEN 'STATUS_CODE_UNSET'
+       WHEN 1 THEN 'STATUS_CODE_OK'
+       ELSE 'STATUS_CODE_ERROR' END AS status_code,
+  '{"service.name":"svc-' || CAST(uid % 9 AS VARCHAR) || '"}'
+    AS resource_attributes,
+  'tracer' AS scope_name, '2.0' AS scope_version,
+  CAST(to_timestamp(st) AS DATE) AS partition_day
+FROM g ORDER BY eid
+"""
+
+_QUERIES["doris_trace_rows_events"] = q_doris_trace_rows
+_ORACLES["doris_trace_rows_events"] = _DORIS_TRACES_ORACLE
+
+
+def q_doris_histogram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram datapoints -> Doris otel_metrics_histogram rows
+    incl. bucket/bound JSON arrays, exemplar objects with the
+    int-or-double value ladder, and pmetric temporality names."""
+    from .operators.doris_rows import doris_histogram_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 9)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    exemplars = F.when(eid % 5 == 0, F.array(
+        F.struct(
+            F.create_map(F.lit("pod"), F.concat(F.lit("p"), s(uid % 6)))
+             .alias("filtered_attributes"),
+            (tns + 2_000_000).alias("ts_ns"),
+            F.when(eid % 2 == 0, (eid % 9).cast("bigint"))
+             .otherwise(F.lit(None).cast("bigint")).alias("int_value"),
+            F.when(eid % 2 == 0, F.lit(None).cast("double"))
+             .otherwise((eid % 7).cast("double") + 0.5)
+             .alias("double_value"),
+            F.substring(F.md5(F.concat(F.lit("xs"), s(eid))), 1, 16)
+             .alias("span_id"),
+            F.md5(F.concat(F.lit("xt"), s(eid))).alias("trace_id"),
+        ),
+    )).otherwise(F.array().cast(
+        "array<struct<filtered_attributes:map<string,string>,"
+        "ts_ns:bigint,int_value:bigint,double_value:double,"
+        "span_id:string,trace_id:string>>"))
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        (tns - 60_000_000_000).alias("start_ts_ns"),
+        F.concat(F.lit("http.server.duration."), F.col("event_type"))
+         .alias("metric_name"),
+        F.lit("request duration").alias("metric_description"),
+        F.lit("ms").alias("metric_unit"),
+        F.create_map(
+            F.lit("service.instance.id"),
+            F.concat(F.lit("i-"), s(uid % 11)),
+            F.lit("service.name"), F.concat(F.lit("svc-"), s(uid % 9)),
+        ).alias("resource_attributes"),
+        F.lit("meter").alias("scope_name"),
+        F.lit("0.9").alias("scope_version"),
+        F.create_map(F.lit("route"),
+                     F.concat(F.lit("/api/"), F.col("event_type")))
+         .alias("attributes"),
+        (eid % 1000 + 4).cast("bigint").alias("count"),
+        ((eid % 1000 + 4) * 3).cast("double").alias("sum"),
+        F.array((eid % 10).cast("bigint"), (eid % 100).cast("bigint"),
+                F.lit(4).cast("bigint")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(2.5)).alias("explicit_bounds"),
+        (eid % 3).cast("double").alias("min"),
+        (eid % 3 + 100).cast("double").alias("max"),
+        (eid % 3).cast("int").alias("temporality"),
+        exemplars.alias("exemplars"),
+    )
+    return doris_histogram_rows(src).orderBy("eid")
+
+
+_DORIS_HIST_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 23 = 9)
+SELECT eid,
+  'svc-' || CAST(uid % 9 AS VARCHAR) AS service_name,
+  'i-' || CAST(uid % 11 AS VARCHAR) AS service_instance_id,
+  'http.server.duration.' || event_type AS metric_name,
+  'request duration' AS metric_description,
+  'ms' AS metric_unit,
+  '{"service.instance.id":"i-' || CAST(uid % 11 AS VARCHAR)
+    || '","service.name":"svc-' || CAST(uid % 9 AS VARCHAR) || '"}'
+    AS resource_attributes,
+  'meter' AS scope_name, '0.9' AS scope_version,
+  strftime(to_timestamp(st), '%Y-%m-%d %H:%M:%S') AS timestamp,
+  '{"route":"/api/' || event_type || '"}' AS attributes,
+  strftime(to_timestamp(st - 60), '%Y-%m-%d %H:%M:%S') AS start_time,
+  CAST(eid % 1000 + 4 AS BIGINT) AS count,
+  CAST((eid % 1000 + 4) * 3 AS DOUBLE) AS sum,
+  '[' || CAST(eid % 10 AS VARCHAR) || ',' || CAST(eid % 100 AS VARCHAR)
+    || ',4]' AS bucket_counts,
+  '[0.5,2.5]' AS explicit_bounds,
+  CASE WHEN eid % 5 = 0
+       THEN '[{"filtered_attributes":{"pod":"p'
+            || CAST(uid % 6 AS VARCHAR) || '"},"timestamp":"'
+            || strftime(to_timestamp(st), '%Y-%m-%d %H:%M:%S')
+            || '.002","value":'
+            || CASE WHEN eid % 2 = 0 THEN CAST(eid % 9 AS VARCHAR) || '.0'
+               ELSE CAST(eid % 7 AS VARCHAR) || '.5' END
+            || ',"span_id":"'
+            || substr(md5('xs' || CAST(eid AS VARCHAR)), 1, 16)
+            || '","trace_id":"' || md5('xt' || CAST(eid AS VARCHAR))
+            || '"}]'
+       ELSE '[]' END AS exemplars,
+  CAST(eid % 3 AS DOUBLE) AS min,
+  CAST(eid % 3 + 100 AS DOUBLE) AS max,
+  CASE eid % 3 WHEN 0 THEN 'Unspecified' WHEN 1 THEN 'Delta'
+       ELSE 'Cumulative' END AS aggregation_temporality
+FROM f ORDER BY eid
+"""
+
+_QUERIES["doris_metric_histogram_rows_events"] = q_doris_histogram_rows
+_ORACLES["doris_metric_histogram_rows_events"] = _DORIS_HIST_ORACLE

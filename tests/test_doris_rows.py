@@ -1,0 +1,256 @@
+"""dorisexporter row-mapping semantics (exporter_logs.go /
+exporter_traces.go / metrics_*.go) + the Go .999999 time trim and the
+table's physical write layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import (
+    doris_rows as D,
+)
+
+LOG_SCHEMA = (
+    "ts_ns bigint, trace_id string, span_id string,"
+    "severity_number int, severity_text string, body string,"
+    "resource_attributes map<string,string>,"
+    "attributes map<string,string>, scope_name string,"
+    "scope_version string")
+
+
+def log_row(**kw):
+    base = dict(ts_ns=1700000000123456789, trace_id="a" * 32,
+                span_id="b" * 16, severity_number=9,
+                severity_text="INFO", body="hello",
+                resource_attributes={"service.name": "svc",
+                                     "service.instance.id": "i-1",
+                                     "host.name": "h"},
+                attributes={"k": "v"}, scope_name="sc",
+                scope_version="1")
+    return Row(**{**base, **kw})
+
+
+class TestGoTimeTrim:
+    """formatTime: Go '2006-01-02 15:04:05.999999' — trailing zeros
+    trimmed, point dropped on zero fraction, ns truncated to us
+    (exporter_common.go:21,44)."""
+
+    def vectors(self, spark, pairs):
+        df = spark.createDataFrame([(ns,) for ns, _ in pairs],
+                                   "ts_ns bigint")
+        got = [r[0] for r in
+               df.select(D._go_time(F.col("ts_ns"))).collect()]
+        assert got == [w for _, w in pairs]
+
+    def test_trim_vectors(self, spark):
+        self.vectors(spark, [
+            (1700000000000000000, "2023-11-14 22:13:20"),
+            (1700000000500000000, "2023-11-14 22:13:20.5"),
+            (1700000000123456789, "2023-11-14 22:13:20.123456"),
+            (1700000000123400000, "2023-11-14 22:13:20.1234"),
+            (1700000000000001000, "2023-11-14 22:13:20.000001"),
+            # sub-us ns truncate, not round (Go Format truncates)
+            (1700000000000000999, "2023-11-14 22:13:20"),
+        ])
+
+
+class TestLogsRows:
+    def test_row_shape(self, spark):
+        df = spark.createDataFrame([log_row()], LOG_SCHEMA)
+        r = D.doris_logs_rows(df).collect()[0].asDict()
+        assert r["service_name"] == "svc"
+        assert r["service_instance_id"] == "i-1"
+        assert r["timestamp"] == "2023-11-14 22:13:20.123456"
+        assert r["trace_id"] == "a" * 32
+        # encoding/json sorts map keys
+        assert r["resource_attributes"] == (
+            '{"host.name":"h","service.instance.id":"i-1",'
+            '"service.name":"svc"}')
+        assert r["log_attributes"] == '{"k":"v"}'
+
+    def test_zero_ids_and_missing_service(self, spark):
+        df = spark.createDataFrame(
+            [log_row(trace_id="0" * 32, span_id="0" * 16,
+                     resource_attributes={})], LOG_SCHEMA)
+        r = D.doris_logs_rows(df).collect()[0]
+        assert r.trace_id == "" and r.span_id == ""
+        assert r.service_name == "" and r.service_instance_id == ""
+        assert r.resource_attributes == "{}"
+
+
+TRACE_SCHEMA = (
+    "start_ts_ns bigint, end_ts_ns bigint, trace_id string,"
+    "span_id string, parent_span_id string, trace_state string,"
+    "span_name string, span_kind int,"
+    "resource_attributes map<string,string>, scope_name string,"
+    "scope_version string, span_attributes map<string,string>,"
+    "status_code int, status_message string,"
+    "events array<struct<ts_ns:bigint,name:string,"
+    "attributes:map<string,string>>>,"
+    "links array<struct<trace_id:string,span_id:string,"
+    "trace_state:string,attributes:map<string,string>>>")
+
+
+def trace_row(**kw):
+    base = dict(start_ts_ns=1700000000000000000,
+                end_ts_ns=1700000000001234999,
+                trace_id="a" * 32, span_id="b" * 16,
+                parent_span_id="0" * 16, trace_state="",
+                span_name="op", span_kind=2,
+                resource_attributes={"service.name": "svc"},
+                scope_name="tr", scope_version="2",
+                span_attributes={"m": "GET"}, status_code=2,
+                status_message="boom",
+                events=[Row(ts_ns=1700000000000500000,
+                            name="exception",
+                            attributes={"t": "E1"})],
+                links=[Row(trace_id="c" * 32, span_id="d" * 16,
+                           trace_state="w3c=1",
+                           attributes={"r": "f"})])
+    return Row(**{**base, **kw})
+
+
+class TestTracesRows:
+    def test_row_shape(self, spark):
+        df = spark.createDataFrame([trace_row()], TRACE_SCHEMA)
+        r = D.doris_traces_rows(df).collect()[0].asDict()
+        # proto enum names (traceutil.go:16-46), unlike clickhouse's
+        # pdata String() names
+        assert r["span_kind"] == "SPAN_KIND_SERVER"
+        assert r["status_code"] == "STATUS_CODE_ERROR"
+        # Go Duration.Microseconds() truncates: 1234999ns -> 1234us
+        assert r["duration"] == 1234
+        assert r["end_time"] == "2023-11-14 22:13:20.001234"
+        assert r["events"] == (
+            '[{"timestamp":"2023-11-14 22:13:20.0005",'
+            '"name":"exception","attributes":{"t":"E1"}}]')
+        assert r["links"] == (
+            '[{"trace_id":"' + "c" * 32 + '","span_id":"' + "d" * 16 +
+            '","trace_state":"w3c=1","attributes":{"r":"f"}}]')
+        assert r["parent_span_id"] == ""
+
+    def test_empty_arrays(self, spark):
+        df = spark.createDataFrame([trace_row(events=[], links=[])],
+                                   TRACE_SCHEMA)
+        r = D.doris_traces_rows(df).collect()[0]
+        assert r.events == "[]" and r.links == "[]"
+
+
+GAUGE_SCHEMA = (
+    "ts_ns bigint, start_ts_ns bigint, metric_name string,"
+    "metric_description string, metric_unit string,"
+    "resource_attributes map<string,string>, scope_name string,"
+    "scope_version string, attributes map<string,string>,"
+    "int_value bigint, double_value double,"
+    "exemplars array<struct<filtered_attributes:map<string,string>,"
+    "ts_ns:bigint,int_value:bigint,double_value:double,"
+    "span_id:string,trace_id:string>>")
+
+
+def gauge_row(**kw):
+    base = dict(ts_ns=1700000000000000000,
+                start_ts_ns=1699999940000000000, metric_name="g",
+                metric_description="d", metric_unit="1",
+                resource_attributes={"service.name": "svc"},
+                scope_name="m", scope_version="1",
+                attributes={"a": "b"}, int_value=7,
+                double_value=None,
+                exemplars=[Row(filtered_attributes={"p": "q"},
+                               ts_ns=1700000000000000000,
+                               int_value=None, double_value=1.5,
+                               span_id="e" * 16,
+                               trace_id="f" * 32)])
+    return Row(**{**base, **kw})
+
+
+class TestMetricRows:
+    def test_gauge(self, spark):
+        df = spark.createDataFrame([gauge_row()], GAUGE_SCHEMA)
+        r = D.doris_gauge_rows(df).collect()[0].asDict()
+        assert r["value"] == 7.0  # int value promoted to double
+        assert r["exemplars"] == (
+            '[{"filtered_attributes":{"p":"q"},'
+            '"timestamp":"2023-11-14 22:13:20","value":1.5,'
+            '"span_id":"' + "e" * 16 + '","trace_id":"' + "f" * 32 +
+            '"}]')
+
+    def test_gauge_empty_value_defaults_zero(self, spark):
+        # getNumberDataPointValue (exporter_metrics.go:291-303):
+        # unset value type -> 0.0
+        df = spark.createDataFrame(
+            [gauge_row(int_value=None, double_value=None,
+                       exemplars=[])], GAUGE_SCHEMA)
+        r = D.doris_gauge_rows(df).collect()[0]
+        assert r.value == 0.0 and r.exemplars == "[]"
+
+    def test_sum(self, spark):
+        df = spark.createDataFrame(
+            [Row(**{**gauge_row().asDict(), "temporality": 2,
+                    "is_monotonic": True})],
+            GAUGE_SCHEMA + ", temporality int, is_monotonic boolean")
+        r = D.doris_sum_rows(df).collect()[0]
+        assert r.aggregation_temporality == "Cumulative"
+        assert r.is_monotonic is True
+
+    def test_summary(self, spark):
+        base = gauge_row().asDict()
+        for k in ("int_value", "double_value", "exemplars"):
+            base.pop(k)
+        df = spark.createDataFrame(
+            [Row(**base, count=10, sum=12.5,
+                 quantile_values=[Row(quantile=0.5, value=3.0),
+                                  Row(quantile=0.99, value=9.5)])],
+            "ts_ns bigint, start_ts_ns bigint, metric_name string,"
+            "metric_description string, metric_unit string,"
+            "resource_attributes map<string,string>,"
+            "scope_name string, scope_version string,"
+            "attributes map<string,string>, count bigint, sum double,"
+            "quantile_values array<struct<quantile:double,"
+            "value:double>>")
+        r = D.doris_summary_rows(df).collect()[0]
+        assert r.quantile_values == (
+            '[{"quantile":0.5,"value":3.0},'
+            '{"quantile":0.99,"value":9.5}]')
+
+    def test_exponential_histogram(self, spark):
+        base = gauge_row().asDict()
+        for k in ("int_value", "double_value"):
+            base.pop(k)
+        df = spark.createDataFrame(
+            [Row(**base, count=5, sum=2.5, scale=3, zero_count=1,
+                 positive_offset=-2, positive_bucket_counts=[1, 2],
+                 negative_offset=0, negative_bucket_counts=[],
+                 min=0.5, max=9.0, zero_threshold=0.001,
+                 temporality=1)],
+            "ts_ns bigint, start_ts_ns bigint, metric_name string,"
+            "metric_description string, metric_unit string,"
+            "resource_attributes map<string,string>,"
+            "scope_name string, scope_version string,"
+            "attributes map<string,string>,"
+            "exemplars array<struct<"
+            "filtered_attributes:map<string,string>,ts_ns:bigint,"
+            "int_value:bigint,double_value:double,span_id:string,"
+            "trace_id:string>>, count bigint, sum double, scale int,"
+            "zero_count bigint, positive_offset int,"
+            "positive_bucket_counts array<bigint>,"
+            "negative_offset int,"
+            "negative_bucket_counts array<bigint>, min double,"
+            "max double, zero_threshold double, temporality int")
+        r = D.doris_exponential_histogram_rows(df).collect()[0]
+        assert r.positive_bucket_counts == "[1,2]"
+        assert r.negative_bucket_counts == "[]"
+        assert r.aggregation_temporality == "Delta"
+        assert r.positive_offset == -2
+
+
+class TestWriteLayout:
+    def test_single_exchange_and_day_partition(self, spark):
+        df = spark.createDataFrame(
+            [log_row(ts_ns=1700000000000000000 + i * 10**9)
+             for i in range(20)], LOG_SCHEMA)
+        rows = D.doris_logs_rows(df)
+        out = D.doris_write_layout(rows, num_partitions=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # ONE repartition, no more
+        assert out.select("partition_day").distinct().count() == 1
