@@ -1,0 +1,130 @@
+"""awscloudwatchmetricstreamsencodingextension: CloudWatch metric
+stream records (JSON format) -> summary-metric datapoint rows.
+
+Reference: extension/encoding/awscloudwatchmetricstreamsencodingextension/
+json_unmarshaler.go:133-270. Each record is newline-delimited JSON,
+one CloudWatch metric datum per line. Grafted semantics:
+
+* bufio.Scanner line walk: interior empty lines are scanned (and
+  fail to parse); a single trailing newline yields no extra datum.
+* validateMetric (json_unmarshaler.go:88-102): metric_name,
+  namespace and unit must be non-empty and value must be PRESENT
+  (``{}`` counts as present with zero fields — the custom
+  UnmarshalJSON sets isSet on any successful object parse).
+* ANY bad line poisons the ENTIRE record (UnmarshalMetrics joins
+  errors and returns no metrics for the record) — and the metrics
+  of earlier, valid lines are dropped with it.
+* resource identity (resourceKey): metric_stream_name + namespace +
+  account_id + region; resource attrs cloud.provider=aws,
+  cloud.account.id, cloud.region, aws.cloudwatch.metric_stream_name,
+  and toServiceAttributes (json_unmarshaler.go:251-257): namespace
+  ``AWS/EC2`` (prefix case-insensitive) -> service.namespace=AWS
+  (original case) + service.name=EC2; otherwise the whole namespace
+  is service.name with no namespace attr.
+* datapoint: timestamp = epoch ms, dimensions as attributes with
+  ``InstanceId`` renamed to service.instance.id
+  (json_unmarshaler.go:260-270), count = uint64(float) Go truncation,
+  sum, and the min/max encoded as quantiles 0 / 1 of a summary.
+
+The protobuf (OpenTelemetry 0.7) format of the same extension is a
+wire transport and stays out of scope per the standing agreement.
+
+Column-only; the single exchange is the per-record poison window
+(short record-id key), which the reference's record-level error join
+semantically requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CW_METRIC_SCHEMA = (
+    "metric_stream_name string, account_id string, region string,"
+    "namespace string, metric_name string,"
+    "dimensions map<string,string>, timestamp bigint,"
+    "value struct<max:double,min:double,sum:double,count:double>,"
+    "unit string")
+
+
+def cw_metricstream_rows(
+    df: DataFrame,
+    payload: str = "payload",
+    record_col: str = "record_id",
+) -> DataFrame:
+    """One stream record (NDJSON payload) -> one row per metric datum,
+    with whole-record drop on any bad line."""
+    p = F.col(payload)
+    arr = F.split(p, "\n")
+    # Scanner: a trailing newline yields no empty final token
+    arr = F.when(
+        (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
+        F.slice(arr, 1, F.size(arr) - 1)).otherwise(arr)
+    lines = df.select(record_col, F.posexplode(arr)
+                      .alias("datum_index", "line"))
+    parsed = F.from_json(F.col("line"), CW_METRIC_SCHEMA)
+    lines = lines.select(
+        record_col, "datum_index",
+        # MapType parse is the corrupt-record probe (struct parses
+        # yield all-null rows on corrupt input instead of NULL)
+        F.from_json(F.col("line"), "map<string,string>").isNotNull()
+         .alias("_json_ok"),
+        parsed.alias("m"),
+    )
+    m = F.col("m")
+    bad = (
+        ~F.col("_json_ok")
+        | F.coalesce(m["metric_name"], F.lit("")).eqNullSafe("")
+        | F.coalesce(m["namespace"], F.lit("")).eqNullSafe("")
+        | F.coalesce(m["unit"], F.lit("")).eqNullSafe("")
+        | m["value"].isNull()
+    )
+    lines = lines.withColumn("_bad", bad)
+    # record-level poison: one short-key exchange on the record id
+    w = Window.partitionBy(record_col)
+    lines = lines.withColumn(
+        "_record_bad", F.max(F.col("_bad").cast("int")).over(w))
+    lines = lines.filter(F.col("_record_bad") == 0)
+
+    ns = m["namespace"]
+    slash = F.instr(ns, "/")
+    prefix = F.substring(ns, 1, slash - 1)
+    is_aws = (slash > 0) & (F.lower(prefix) == "aws")
+    dims = F.coalesce(
+        m["dimensions"],
+        F.map_from_arrays(F.array().cast("array<string>"),
+                          F.array().cast("array<string>")))
+    renamed = F.map_from_entries(F.transform(
+        F.map_entries(dims),
+        lambda e: F.struct(
+            F.when(e["key"] == "InstanceId",
+                   F.lit("service.instance.id"))
+             .otherwise(e["key"]).alias("key"),
+            e["value"].alias("value"))))
+    return lines.select(
+        record_col, "datum_index",
+        F.lit("aws").alias("cloud_provider"),
+        F.coalesce(m["account_id"], F.lit(""))
+         .alias("cloud_account_id"),
+        F.coalesce(m["region"], F.lit("")).alias("cloud_region"),
+        F.when(is_aws, prefix).alias("service_namespace"),
+        F.when(is_aws, F.expr("substring(m.namespace,"
+                              " instr(m.namespace, '/') + 1)"))
+         .otherwise(ns).alias("service_name"),
+        F.coalesce(m["metric_stream_name"], F.lit(""))
+         .alias("metric_stream_name"),
+        m["metric_name"].alias("metric_name"),
+        m["unit"].alias("metric_unit"),
+        F.coalesce(m["timestamp"], F.lit(0)).alias("timestamp_ms"),
+        # house sorted k=v render of the datapoint attributes
+        F.array_join(F.array_sort(F.transform(
+            F.map_entries(renamed),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+            ",").alias("dp_attributes"),
+        # Go uint64(float64) truncates toward zero
+        F.coalesce(m["value"]["count"], F.lit(0.0)).cast("bigint")
+         .alias("count"),
+        F.coalesce(m["value"]["sum"], F.lit(0.0)).alias("sum"),
+        F.coalesce(m["value"]["min"], F.lit(0.0)).alias("quantile_0"),
+        F.coalesce(m["value"]["max"], F.lit(0.0)).alias("quantile_1"),
+    )

@@ -14528,3 +14528,100 @@ FROM f ORDER BY eid
 
 _QUERIES["doris_metric_histogram_rows_events"] = q_doris_histogram_rows
 _ORACLES["doris_metric_histogram_rows_events"] = _DORIS_HIST_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# awscloudwatchmetricstreamsencodingextension (json_unmarshaler.go)
+# ---------------------------------------------------------------------------
+
+def q_cw_metricstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudWatch metric-stream NDJSON records -> summary datapoint
+    rows, incl. whole-record poison on any bad line, the AWS/
+    namespace split and the InstanceId dimension rename."""
+    from .operators.cw_metricstream import cw_metricstream_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 24 == 11)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    ms = F.unix_timestamp("ts").cast("long") * 1000 + eid % 997
+    line1 = F.concat(
+        F.lit('{"metric_stream_name":"ms-'), s(uid % 4),
+        F.lit('","account_id":"12345678'), s(uid % 10),
+        F.lit('","region":"us-east-1","namespace":"'),
+        F.when(eid % 3 == 0, F.lit("AWS/EC2"))
+         .when(eid % 3 == 1, F.lit("aws/Lambda"))
+         .otherwise(F.lit("CustomApp")),
+        F.lit('","metric_name":"cpu_'), F.col("event_type"),
+        F.lit('","dimensions":{"InstanceId":"i-'), s(uid % 20),
+        F.lit('","az":"z'), s(eid % 3),
+        F.lit('"},"timestamp":'), s(ms),
+        F.lit(',"value":{"max":'), s(eid % 90), F.lit('.5,"min":'),
+        s(eid % 9), F.lit('.25,"sum":'), s(eid % 50), F.lit('.5,"count":'),
+        s(eid % 7), F.lit('.9},"unit":"Percent"}'))
+    # same resource, second metric; empty value object = isSet with
+    # zero fields; no dimensions key
+    line2 = F.concat(
+        F.lit('{"metric_stream_name":"ms-'), s(uid % 4),
+        F.lit('","account_id":"12345678'), s(uid % 10),
+        F.lit('","region":"us-east-1","namespace":"'),
+        F.when(eid % 3 == 0, F.lit("AWS/EC2"))
+         .when(eid % 3 == 1, F.lit("aws/Lambda"))
+         .otherwise(F.lit("CustomApp")),
+        F.lit('","metric_name":"net_'), F.col("event_type"),
+        F.lit('","timestamp":'), s(ms),
+        F.lit(',"value":{},"unit":"Count"}'))
+    # poison classes: corrupt JSON line / missing unit -- each kills
+    # the WHOLE record incl. its valid lines
+    poison = F.when(eid % 11 == 3, F.lit('\n{oops')) \
+        .when(eid % 13 == 5, F.concat(
+            F.lit('\n{"metric_stream_name":"ms-0","namespace":"N",'
+                  '"metric_name":"x","value":{"sum":1}}'))) \
+        .otherwise(F.lit(""))
+    payload = F.concat(line1, F.lit("\n"), line2, poison,
+                       F.lit("\n"))  # trailing newline: no extra datum
+    src = ev.select(eid.alias("record_id"), payload.alias("payload"))
+    return cw_metricstream_rows(src).orderBy("record_id", "datum_index")
+
+
+_CW_MS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 + event_id % 997
+           AS ms
+  FROM events
+  WHERE event_id % 24 = 11
+    AND event_id % 11 <> 3 AND event_id % 13 <> 5),
+ns AS (
+  SELECT *,
+    CASE eid % 3 WHEN 0 THEN 'AWS' WHEN 1 THEN 'aws' ELSE NULL END
+      AS svc_ns,
+    CASE eid % 3 WHEN 0 THEN 'EC2' WHEN 1 THEN 'Lambda'
+         ELSE 'CustomApp' END AS svc_name
+  FROM f)
+SELECT eid AS record_id, 0 AS datum_index,
+  'aws' AS cloud_provider,
+  '12345678' || CAST(uid % 10 AS VARCHAR) AS cloud_account_id,
+  'us-east-1' AS cloud_region,
+  svc_ns AS service_namespace, svc_name AS service_name,
+  'ms-' || CAST(uid % 4 AS VARCHAR) AS metric_stream_name,
+  'cpu_' || event_type AS metric_name,
+  'Percent' AS metric_unit,
+  ms AS timestamp_ms,
+  'az=z' || CAST(eid % 3 AS VARCHAR) || ',service.instance.id=i-'
+    || CAST(uid % 20 AS VARCHAR) AS dp_attributes,
+  CAST(eid % 7 AS BIGINT) AS count,
+  CAST(eid % 50 AS DOUBLE) + 0.5 AS sum,
+  CAST(eid % 9 AS DOUBLE) + 0.25 AS quantile_0,
+  CAST(eid % 90 AS DOUBLE) + 0.5 AS quantile_1
+FROM ns
+UNION ALL
+SELECT eid, 1, 'aws', '12345678' || CAST(uid % 10 AS VARCHAR),
+  'us-east-1', svc_ns, svc_name,
+  'ms-' || CAST(uid % 4 AS VARCHAR), 'net_' || event_type, 'Count',
+  ms, '', 0, 0.0, 0.0, 0.0
+FROM ns
+ORDER BY record_id, datum_index
+"""
+
+_QUERIES["cw_metricstream_events"] = q_cw_metricstream
+_ORACLES["cw_metricstream_events"] = _CW_MS_ORACLE

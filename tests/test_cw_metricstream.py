@@ -1,0 +1,81 @@
+"""awscloudwatchmetricstreamsencodingextension JSON-format semantics
+(json_unmarshaler.go): record-level poison, scanner line walk,
+value-presence validation, namespace split, dimension rename."""
+
+from __future__ import annotations
+
+from opentelemetry_collector_contrib_spark.operators.cw_metricstream import (
+    cw_metricstream_rows,
+)
+
+GOOD = ('{"metric_stream_name":"ms","account_id":"1","region":"r",'
+        '"namespace":"AWS/EC2","metric_name":"cpu",'
+        '"dimensions":{"InstanceId":"i-1","az":"a"},'
+        '"timestamp":1700000000123,'
+        '"value":{"max":9.5,"min":1.25,"sum":20.5,"count":3.9},'
+        '"unit":"Percent"}')
+
+
+def run(spark, payloads):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "record_id int, payload string")
+    return cw_metricstream_rows(df).collect()
+
+
+class TestRecordPoison:
+    def test_any_bad_line_drops_whole_record(self, spark):
+        # valid line + corrupt line -> zero rows for the record
+        # (UnmarshalMetrics joins errors, returns no metrics)
+        rows = run(spark, [GOOD + "\n{oops", GOOD])
+        assert [r.record_id for r in rows] == [1]
+
+    def test_missing_unit_poisons(self, spark):
+        bad = GOOD.replace(',"unit":"Percent"', "")
+        rows = run(spark, [GOOD + "\n" + bad])
+        assert rows == []
+
+    def test_missing_value_poisons(self, spark):
+        bad = ('{"metric_stream_name":"ms","namespace":"N",'
+               '"metric_name":"x","unit":"1"}')
+        rows = run(spark, [bad])
+        assert rows == []
+
+    def test_empty_value_object_is_set(self, spark):
+        # the custom UnmarshalJSON marks {} as present (isSet) with
+        # zero-valued fields
+        ok = ('{"metric_stream_name":"ms","namespace":"N",'
+              '"metric_name":"x","unit":"1","value":{}}')
+        rows = run(spark, [ok])
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["count"], r["sum"], r.quantile_0, r.quantile_1) == \
+            (0, 0.0, 0.0, 0.0)
+
+    def test_interior_empty_line_poisons_trailing_does_not(self, spark):
+        assert run(spark, [GOOD + "\n\n" + GOOD]) == []
+        assert len(run(spark, [GOOD + "\n"])) == 1
+
+
+class TestFieldSemantics:
+    def test_namespace_split_and_rename(self, spark):
+        r = run(spark, [GOOD])[0]
+        assert r.service_namespace == "AWS"
+        assert r.service_name == "EC2"
+        assert r.dp_attributes == "az=a,service.instance.id=i-1"
+        assert r.timestamp_ms == 1700000000123
+        assert r["count"] == 3  # uint64(3.9) truncates
+        assert (r.quantile_0, r.quantile_1) == (1.25, 9.5)
+
+    def test_namespace_prefix_case_insensitive(self, spark):
+        low = GOOD.replace("AWS/EC2", "aWs/S3")
+        r = run(spark, [low])[0]
+        # EqualFold match keeps the ORIGINAL prefix case
+        assert r.service_namespace == "aWs"
+        assert r.service_name == "S3"
+
+    def test_custom_namespace_no_split(self, spark):
+        custom = GOOD.replace("AWS/EC2", "MyApp")
+        r = run(spark, [custom])[0]
+        assert r.service_namespace is None
+        assert r.service_name == "MyApp"
