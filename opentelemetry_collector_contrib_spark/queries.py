@@ -14625,3 +14625,89 @@ ORDER BY record_id, datum_index
 
 _QUERIES["cw_metricstream_events"] = q_cw_metricstream
 _ORACLES["cw_metricstream_events"] = _CW_MS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# avrologencodingextension (avro.go / extension.go)
+# ---------------------------------------------------------------------------
+
+_AVRO_LOG_SCHEMA = """
+{"type":"record","name":"LogEvent","fields":[
+ {"name":"host","type":"string"},
+ {"name":"level","type":{"type":"enum","name":"Lvl",
+   "symbols":["DEBUG","INFO","WARN","ERROR"]}},
+ {"name":"count","type":"long"},
+ {"name":"ratio","type":"double"},
+ {"name":"ok","type":"boolean"},
+ {"name":"msg","type":["null","string"]},
+ {"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+ {"name":"day","type":{"type":"int","logicalType":"date"}},
+ {"name":"tags","type":{"type":"array","items":"string"}},
+ {"name":"attrs","type":{"type":"map","values":"long"}}
+]}"""
+
+
+def q_avro_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro-binary payloads (static schema) -> log body rows: full
+    construct->encode->decode roundtrip incl. zigzag longs, union
+    null, enum, blocked array/map, and the logical-type -> UnixNano
+    rewrite of timestamp-micros and date."""
+    from .operators.avro_log import avro_encode_col, avro_logs_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 12)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    ts_ns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000) \
+        + (eid % 1000) * 1_000_000
+    spec = F.to_json(F.struct(
+        F.concat(F.lit("h"), s(uid % 50)).alias("host"),
+        F.element_at(F.array(F.lit("DEBUG"), F.lit("INFO"),
+                             F.lit("WARN"), F.lit("ERROR")),
+                     (eid % 4 + 1).cast("int")).alias("level"),
+        (eid * 7 - 3000).alias("count"),  # negative longs hit zigzag
+        ((eid % 8) / F.lit(4.0)).alias("ratio"),
+        (eid % 2 == 0).alias("ok"),
+        F.when(eid % 5 != 0, F.concat(F.lit("m"), s(eid)))
+         .alias("msg"),  # null when eid%5==0 (union null branch)
+        ts_ns.alias("ts"),
+        ((eid % 1000) * F.lit(86_400_000_000_000)).alias("day"),
+        F.array(F.concat(F.lit("a"), s(eid % 3)), F.lit("b"))
+         .alias("tags"),
+        F.create_map(F.lit("x"), eid % 10, F.lit("y"), uid % 7)
+         .alias("attrs"),
+    ))
+    src = ev.select(
+        eid.alias("eid"),
+        avro_encode_col(spec, _AVRO_LOG_SCHEMA).alias("payload"))
+    out = avro_logs_rows(src, _AVRO_LOG_SCHEMA)
+    return out.select("eid", "body_json", "error").orderBy("eid")
+
+
+_AVRO_LOG_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 25 = 12)
+SELECT eid,
+  '{"attrs":{"x":' || CAST(eid % 10 AS VARCHAR) || ',"y":'
+  || CAST(uid % 7 AS VARCHAR) || '},"count":'
+  || CAST(eid * 7 - 3000 AS VARCHAR) || ',"day":'
+  || CAST((eid % 1000) * 86400000000000 AS VARCHAR) || ',"host":"h'
+  || CAST(uid % 50 AS VARCHAR) || '","level":"'
+  || CASE eid % 4 WHEN 0 THEN 'DEBUG' WHEN 1 THEN 'INFO'
+     WHEN 2 THEN 'WARN' ELSE 'ERROR' END || '","msg":'
+  || CASE WHEN eid % 5 = 0 THEN 'null'
+     ELSE '"m' || CAST(eid AS VARCHAR) || '"' END || ',"ok":'
+  || CASE WHEN eid % 2 = 0 THEN 'true' ELSE 'false' END || ',"ratio":'
+  || CASE eid % 8 WHEN 0 THEN '0.0' WHEN 1 THEN '0.25'
+     WHEN 2 THEN '0.5' WHEN 3 THEN '0.75' WHEN 4 THEN '1.0'
+     WHEN 5 THEN '1.25' WHEN 6 THEN '1.5' ELSE '1.75' END
+  || ',"tags":["a' || CAST(eid % 3 AS VARCHAR) || '","b"],"ts":'
+  || CAST(st * 1000000000 + (eid % 1000) * 1000000 AS VARCHAR)
+  || '}' AS body_json,
+  CAST(NULL AS VARCHAR) AS error
+FROM f ORDER BY eid
+"""
+
+_QUERIES["avro_log_events"] = q_avro_log
+_ORACLES["avro_log_events"] = _AVRO_LOG_ORACLE

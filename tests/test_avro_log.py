@@ -1,0 +1,109 @@
+"""avrologencodingextension semantics: hand-written Avro 1.11 binary
+codec (public spec), logical-type -> UnixNano rewrite, body render,
+and the decode error path."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.operators import avro_log as A
+
+
+def sch(s: str) -> dict:
+    return A.parse_schema(s)
+
+
+class TestSpecVectors:
+    """Byte vectors from the Avro 1.11.1 spec's own examples."""
+
+    def test_zigzag_long(self):
+        # spec: 0->00, -1->01, 1->02, -2->03, 2->04, -64->7f, 64->80 01
+        vec = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+               2: b"\x04", -64: b"\x7f", 64: b"\x80\x01"}
+        s = sch('"long"')
+        for v, b in vec.items():
+            assert A.avro_encode(v, s) == b
+            assert A.avro_decode(b, s) == v
+
+    def test_string_spec_example(self):
+        # spec: "foo" -> 06 66 6f 6f
+        s = sch('"string"')
+        assert A.avro_encode("foo", s) == b"\x06foo"
+        assert A.avro_decode(b"\x06foo", s) == "foo"
+
+    def test_array_spec_example(self):
+        # spec: array<long> [3, 27] -> 04 06 36 00
+        s = sch('{"type":"array","items":"long"}')
+        assert A.avro_encode([3, 27], s) == b"\x04\x06\x36\x00"
+        assert A.avro_decode(b"\x04\x06\x36\x00", s) == [3, 27]
+
+    def test_negative_block_count_with_byte_size(self):
+        # spec: a negative count means abs(count) items preceded by
+        # the block's byte size
+        s = sch('{"type":"array","items":"long"}')
+        buf = b"\x03\x04\x06\x36\x00"  # -2 items, 2 bytes, 3, 27, end
+        assert A.avro_decode(buf, s) == [3, 27]
+
+    def test_union_spec_example(self):
+        # spec: union ["null","string"]: null -> 00; "a" -> 02 02 61
+        s = sch('["null","string"]')
+        assert A.avro_encode(None, s) == b"\x00"
+        assert A.avro_decode(b"\x00", s) is None
+        assert A.avro_encode("a", s) == b"\x02\x02a"
+        assert A.avro_decode(b"\x02\x02a", s) == "a"
+
+
+class TestLogicalTypes:
+    def test_timestamp_micros_to_unixnano(self):
+        s = sch('{"type":"long","logicalType":"timestamp-micros"}')
+        ns = 1700000000123456000
+        assert A.avro_decode(A.avro_encode(ns, s), s) == ns
+
+    def test_timestamp_millis_to_unixnano(self):
+        s = sch('{"type":"long","logicalType":"timestamp-millis"}')
+        assert A.avro_decode(A.avro_encode(1700000000123000000, s),
+                             s) == 1700000000123000000
+
+    def test_date_to_unixnano(self):
+        s = sch('{"type":"int","logicalType":"date"}')
+        # 19676 days -> UTC midnight UnixNano
+        assert A.avro_decode(b"\xb8\xb3\x02", s) == \
+            19676 * 86_400 * 10**9
+
+    def test_unsupported_logical_refused_at_parse(self):
+        with pytest.raises(ValueError, match="decimal"):
+            sch('{"type":"bytes","logicalType":"decimal",'
+                '"precision":4,"scale":2}')
+        with pytest.raises(ValueError, match="time-millis"):
+            sch('{"type":"int","logicalType":"time-millis"}')
+
+
+class TestRoundtripAndErrors:
+    SCHEMA = ('{"type":"record","name":"R","fields":['
+              '{"name":"b","type":"bytes"},'
+              '{"name":"fx","type":{"type":"fixed","name":"F4",'
+              '"size":4}},'
+              '{"name":"fl","type":"float"},'
+              '{"name":"m","type":{"type":"map","values":"string"}}]}')
+
+    def test_bytes_fixed_render_base64(self, spark):
+        s = sch(self.SCHEMA)
+        buf = A.avro_encode(
+            {"b": b"\x01\x02", "fx": b"ABCD", "fl": 0.5,
+             "m": {"k": "v"}}, s)
+        df = spark.createDataFrame([(1, bytearray(buf))],
+                                   "eid int, payload binary")
+        r = A.avro_logs_rows(df, self.SCHEMA).collect()[0]
+        body = json.loads(r.body_json)
+        assert body == {"b": "AQI=", "fx": "QUJDRA==", "fl": 0.5,
+                        "m": {"k": "v"}}
+        assert r.error is None
+
+    def test_truncated_payload_yields_error(self, spark):
+        df = spark.createDataFrame([(1, bytearray(b"\x06fo"))],
+                                   "eid int, payload binary")
+        r = A.avro_logs_rows(df, '"string"').collect()[0]
+        assert r.body_json is None
+        assert "failed to deserialize avro log" in r.error
