@@ -1,0 +1,528 @@
+"""azuredataexplorerexporter row mapping: OTel log / span / metric
+rows -> the exporter's ADX (Kusto) ingest row shapes.
+
+Reference: exporter/azuredataexplorerexporter/logsdata_to_adx.go:17-46
++ tracesdata_to_adx.go:17-110 + metricsdata_to_adx.go:36-268 +
+adx_exporter.go:237-249 (getScopeMap). The Kusto client/ingest
+transport is out of scope per the standing agreement; grafted is the
+SEMANTIC row mapping each push performs:
+
+* RFC3339Nano timestamps (Go time.RFC3339Nano: nanosecond fraction
+  with trailing zeros trimmed, point dropped when zero, 'Z' for UTC).
+* logs (adxLog): hex-or-empty ids, body AsString, LogsAttributes =
+  log attrs overlaid by the scope map (scope WINS —
+  maps.Copy(clonedLogAttrib, getScopeMap) at logsdata_to_adx.go:33);
+  the scope map carries scope.name / scope.version only when
+  non-empty.
+* traces (adxTrace): SPAN_KIND_* / STATUS_CODE_* proto enum names,
+  TraceAttributes = span attrs overlaid by the scope map, Events /
+  Links as JSON arrays in Go struct-field order with the exporter's
+  UNTAGGED field names (EventName/Timestamp/EventAttributes,
+  TraceID/SpanID/TraceState/SpanLinkAttributes).
+* metrics (adxMetric, one unified table): per-type datapoint fan-out.
+  Gauge/Sum: one row per point, int-or-double value.  Histogram: a
+  `<name>_sum` row (description + "(Sum total of samples)"), a
+  `<name>_count` row (+ "(Count of samples)"), then CUMULATIVE
+  `<name>_bucket` rows per bound with attribute le =
+  strconv.FormatFloat(bound, 'g', -1, 64) plus a final le="+Inf" row
+  — emitted only when counts.len == bounds.len+1 (the spec guard at
+  metricsdata_to_adx.go:131).  Summary: `<name>_sum` / `<name>_count`
+  rows then one row per quantile named
+  `<name>_<FormatFloat(q,'f',-1,64)>` whose attributes carry qt (the
+  'g' render) AND the value under the row's own metric name; the
+  quantile row's description uses the COUNT suffix — the reference's
+  own quirk (metricsdata_to_adx.go:221).  MetricAttributes merge
+  priority: datapoint attrs WIN over the le/qt custom keys, which win
+  over scope attrs (maps.Copy order).  Host = resource host.name,
+  else the collector hostname (parameter here, default "").
+
+Float label rendering: Go strconv shortest ('g'/'f') is reconstructed
+COLUMN-SIDE from Spark's cast-to-string — both engines emit shortest
+round-trip digits, so only the form differs ('g' switches to e-form
+when the decimal exponent is < -4 or >= 6 with a 2-digit padded
+exponent; 'f' never does); the rare Java<=18 non-shortest digit
+cases are documented in tests. Everything is map-only Column code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPAN_KINDS = ("SPAN_KIND_UNSPECIFIED", "SPAN_KIND_INTERNAL",
+              "SPAN_KIND_SERVER", "SPAN_KIND_CLIENT",
+              "SPAN_KIND_PRODUCER", "SPAN_KIND_CONSUMER")
+STATUS_CODES = ("STATUS_CODE_UNSET", "STATUS_CODE_OK",
+                "STATUS_CODE_ERROR")
+
+ZERO_TRACE_ID = "0" * 32
+ZERO_SPAN_ID = "0" * 16
+
+SUM_DESC = "(Sum total of samples)"
+COUNT_DESC = "(Count of samples)"
+
+
+def _rfc3339nano(ts_ns: Column) -> Column:
+    """Go time.RFC3339Nano in UTC: trailing fraction zeros trimmed,
+    point dropped on zero fraction."""
+    ts_ns = ts_ns.cast("long")
+    us = (ts_ns.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    base = F.date_format(F.timestamp_micros(us - (us % 1_000_000)),
+                         "yyyy-MM-dd'T'HH:mm:ss")
+    frac = F.regexp_replace(
+        F.lpad((ts_ns % 1_000_000_000).cast("string"), 9, "0"),
+        r"0+$", "")
+    return F.concat(
+        base,
+        F.when(frac == "", F.lit("")).otherwise(F.concat(F.lit("."),
+                                                         frac)),
+        F.lit("Z"))
+
+
+def _shortest_parts(c: Column) -> Column:
+    """Decompose a double's shortest repr into (digits, exp10, neg):
+    value = 0.digits * 10^(exp10+1) with no leading/trailing zeros in
+    digits. Built from Spark's Java cast-to-string (shortest
+    round-trip digits, like Go's)."""
+    s = c.cast("string")
+    neg = s.startswith("-")
+    s = F.when(neg, F.substring(s, 2, 2_000_000)).otherwise(s)
+    has_e = s.contains("E")
+    # e-form: d.dddE±x
+    e_lead = F.regexp_extract(s, r"^(\d)\.(\d+)E(-?\d+)$", 1)
+    e_frac = F.regexp_extract(s, r"^(\d)\.(\d+)E(-?\d+)$", 2)
+    e_exp = F.regexp_extract(s, r"^(\d)\.(\d+)E(-?\d+)$", 3) \
+        .cast("int")
+    e_digits = F.concat(e_lead, F.regexp_replace(e_frac, r"0+$", ""))
+    # plain form: iii.fff
+    p_int = F.regexp_extract(s, r"^(\d+)\.(\d+)$", 1)
+    p_frac = F.regexp_replace(
+        F.regexp_extract(s, r"^(\d+)\.(\d+)$", 2), r"0+$", "")
+    # strip place-holding tail zeros too ("1000000.0" -> digits "1"):
+    # significant digits never end in 0 in this decomposition
+    p_sub = F.regexp_replace(
+        F.when(p_int == "0", F.regexp_replace(p_frac, r"^0+", ""))
+         .otherwise(F.concat(p_int, p_frac)),
+        r"0+$", "")
+    p_exp = F.when(p_int == "0",
+                   -(F.length(p_frac) - F.length(
+                       F.regexp_replace(p_frac, r"^0+", ""))) - 1) \
+        .otherwise(F.length(p_int) - 1)
+    digits = F.when(has_e, e_digits).otherwise(p_sub)
+    exp10 = F.when(has_e, e_exp).otherwise(p_exp)
+    zero = (~has_e) & (p_frac == "") & (p_int == "0")
+    return F.struct(
+        F.when(zero, F.lit("0")).otherwise(digits).alias("digits"),
+        F.when(zero, F.lit(0)).otherwise(exp10).alias("exp10"),
+        neg.alias("neg"), zero.alias("zero"))
+
+
+def _render_from_parts(p: Column, g_form: bool) -> Column:
+    d, e = p["digits"], p["exp10"]
+    nd = F.length(d)
+    f_body = (
+        F.when(p["zero"], F.lit("0"))
+         .when(e >= nd - 1, F.rpad(d, e + 1, "0"))
+         .when(e >= 0, F.concat(F.substring(d, F.lit(1), e + 1),
+                                F.lit("."),
+                                F.substring(d, e + 2, F.lit(10_000))))
+         .otherwise(F.concat(F.lit("0."),
+                             F.substring(F.repeat(F.lit("0"), 400),
+                                         F.lit(1), -e - 1),
+                             d)))
+    if g_form:
+        mant = F.when(nd == 1, d).otherwise(F.concat(
+            F.substring(d, 1, 1), F.lit("."),
+            F.substring(d, F.lit(2), F.lit(10_000))))
+        e_body = F.concat(
+            mant, F.lit("e"),
+            F.when(e < 0, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad(F.abs(e).cast("string"), 2, "0"))
+        body = F.when(p["zero"], F.lit("0")) \
+            .when((e < -4) | (e >= 6), e_body).otherwise(f_body)
+    else:
+        body = f_body
+    return F.concat(F.when(p["neg"], F.lit("-")).otherwise(F.lit("")),
+                    body)
+
+
+def go_float_f(c: Column) -> Column:
+    """strconv.FormatFloat(v, 'f', -1, 64)."""
+    return _render_from_parts(_shortest_parts(c), g_form=False)
+
+
+def go_float_g(c: Column) -> Column:
+    """strconv.FormatFloat(v, 'g', -1, 64) — shortest digits, e-form
+    when the decimal exponent is < -4 or >= 6 (Go's shortest-mode
+    eprec); ±Inf render as +Inf/-Inf (float64ToDimValue on the spec's
+    +Inf histogram bound)."""
+    inf = F.lit(float("inf"))
+    return (
+        F.when(c == inf, F.lit("+Inf"))
+         .when(c == -inf, F.lit("-Inf"))
+         .when(F.isnan(c), F.lit("NaN"))
+         .otherwise(_render_from_parts(_shortest_parts(c),
+                                       g_form=True)))
+
+
+def json_float(c: Column) -> Column:
+    """encoding/json float64 marshal: shortest 'f' for
+    1e-6 <= |v| < 1e21 (and 0), else 'e' with the exponent's leading
+    zero stripped ("1e+09" -> "1e+9")."""
+    p = _shortest_parts(c)
+    e = p["exp10"]
+    d = p["digits"]
+    nd = F.length(d)
+    mant = F.when(nd == 1, d).otherwise(F.concat(
+        F.substring(d, 1, 1), F.lit("."),
+        F.substring(d, F.lit(2), F.lit(10_000))))
+    e_body = F.concat(
+        F.when(p["neg"], F.lit("-")).otherwise(F.lit("")), mant,
+        F.lit("e"), F.when(e < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.abs(e).cast("string"))
+    return F.when(p["zero"] | ((e >= -6) & (e < 21)),
+                  _render_from_parts(p, g_form=False)) \
+        .otherwise(e_body)
+
+
+def _esc(c: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+
+
+def _json_obj(entries: Column) -> Column:
+    """Assemble a sorted-key JSON object from
+    array<struct<key:string, enc:string>> where enc is an already
+    JSON-encoded value (quoted string or bare number)."""
+    return F.concat(
+        F.lit("{"),
+        F.array_join(F.transform(
+            F.array_sort(entries),
+            lambda x: F.concat(F.lit('"'), x["key"], F.lit('":'),
+                               x["enc"])), ","),
+        F.lit("}"))
+
+
+def _hex_or_empty(c: Column, zero: str) -> Column:
+    return F.when(c.isNull() | (c == "") | (c == zero), F.lit("")) \
+            .otherwise(F.lower(c))
+
+
+def _scope_map(name: str = "scope_name",
+               version: str = "scope_version") -> Column:
+    """getScopeMap (adx_exporter.go:237-249): scope.name /
+    scope.version, each only when non-empty."""
+    entries = F.filter(
+        F.array(
+            F.struct(F.lit("scope.name").alias("key"),
+                     F.coalesce(F.col(name), F.lit(""))
+                     .alias("value")),
+            F.struct(F.lit("scope.version").alias("key"),
+                     F.coalesce(F.col(version), F.lit(""))
+                     .alias("value"))),
+        lambda x: x["value"] != "")
+    return F.map_from_entries(entries)
+
+
+def _overlay(base: Column, winner: Column) -> Column:
+    """maps.Copy(base, winner): winner's keys overwrite base's."""
+    return F.map_concat(
+        F.map_filter(base,
+                     lambda k, _: ~F.map_contains_key(winner, k)),
+        winner)
+
+
+def _json_map(m: Column) -> Column:
+    """Sorted-key JSON object (encoding/json map marshal)."""
+    return F.when(m.isNull(), F.lit("{}")).otherwise(
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(m)))))
+
+
+def adx_logs_rows(df: DataFrame) -> DataFrame:
+    """One OTel log row -> one ADX OTELLogs row (mapToAdxLog,
+    logsdata_to_adx.go:30-46). Input: ts_ns, observed_ts_ns,
+    trace_id, span_id, severity_text, severity_number, body,
+    resource_attributes map, attributes map, scope_name,
+    scope_version."""
+    attrs = _overlay(
+        F.coalesce(F.col("attributes"),
+                   F.map_from_arrays(F.array().cast("array<string>"),
+                                     F.array().cast("array<string>"))),
+        _scope_map())
+    extra = [c for c in df.columns if c not in (
+        "ts_ns", "observed_ts_ns", "trace_id", "span_id",
+        "severity_text", "severity_number", "body",
+        "resource_attributes", "attributes", "scope_name",
+        "scope_version")]
+    return df.select(
+        *extra,
+        _rfc3339nano(F.col("ts_ns")).alias("Timestamp"),
+        _rfc3339nano(F.col("observed_ts_ns"))
+        .alias("ObservedTimestamp"),
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+        .alias("TraceID"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("SpanID"),
+        F.coalesce(F.col("severity_text"), F.lit(""))
+         .alias("SeverityText"),
+        F.coalesce(F.col("severity_number"), F.lit(0)).cast("int")
+         .alias("SeverityNumber"),
+        F.coalesce(F.col("body"), F.lit("")).alias("Body"),
+        _json_map(F.col("resource_attributes"))
+        .alias("ResourceAttributes"),
+        _json_map(attrs).alias("LogsAttributes"),
+    )
+
+
+def adx_traces_rows(df: DataFrame) -> DataFrame:
+    """One OTel span row -> one ADX OTELTraces row (mapToAdxTrace,
+    tracesdata_to_adx.go:46-110). Same input contract as
+    doris_rows.doris_traces_rows."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in SPAN_KINDS]),
+        (F.coalesce(F.col("span_kind"), F.lit(0)) + 1).cast("int"))
+    status = F.element_at(
+        F.array(*[F.lit(k) for k in STATUS_CODES]),
+        (F.coalesce(F.col("status_code"), F.lit(0)) + 1).cast("int"))
+    attrs = _overlay(
+        F.coalesce(F.col("span_attributes"),
+                   F.map_from_arrays(F.array().cast("array<string>"),
+                                     F.array().cast("array<string>"))),
+        _scope_map())
+    empty_m = F.map_from_arrays(F.array().cast("array<string>"),
+                                F.array().cast("array<string>"))
+    events = F.coalesce(F.col("events"), F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.coalesce(F.col("links"), F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    # untagged Go struct fields marshal under their Go names, in
+    # declaration order (tracesdata_to_adx.go:32-43)
+    ev_objs = F.transform(events, lambda e: F.struct(
+        F.coalesce(e["name"], F.lit("")).alias("EventName"),
+        _rfc3339nano(e["ts_ns"]).alias("Timestamp"),
+        F.map_from_entries(F.array_sort(F.map_entries(
+            F.coalesce(e["attributes"], empty_m))))
+        .alias("EventAttributes")))
+    lk_objs = F.transform(links, lambda l: F.struct(
+        _hex_or_empty(l["trace_id"], ZERO_TRACE_ID).alias("TraceID"),
+        _hex_or_empty(l["span_id"], ZERO_SPAN_ID).alias("SpanID"),
+        F.coalesce(l["trace_state"], F.lit("")).alias("TraceState"),
+        F.map_from_entries(F.array_sort(F.map_entries(
+            F.coalesce(l["attributes"], empty_m))))
+        .alias("SpanLinkAttributes")))
+    extra = [c for c in df.columns if c not in (
+        "start_ts_ns", "end_ts_ns", "trace_id", "span_id",
+        "parent_span_id", "trace_state", "span_name", "span_kind",
+        "resource_attributes", "scope_name", "scope_version",
+        "span_attributes", "status_code", "status_message", "events",
+        "links")]
+    return df.select(
+        *extra,
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+        .alias("TraceID"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("SpanID"),
+        _hex_or_empty(F.col("parent_span_id"), ZERO_SPAN_ID)
+        .alias("ParentID"),
+        F.coalesce(F.col("span_name"), F.lit("")).alias("SpanName"),
+        status.alias("SpanStatus"),
+        F.coalesce(F.col("status_message"), F.lit(""))
+         .alias("SpanStatusMessage"),
+        kind.alias("SpanKind"),
+        _rfc3339nano(F.col("start_ts_ns")).alias("StartTime"),
+        _rfc3339nano(F.col("end_ts_ns")).alias("EndTime"),
+        _json_map(F.col("resource_attributes"))
+        .alias("ResourceAttributes"),
+        _json_map(attrs).alias("TraceAttributes"),
+        F.to_json(ev_objs).alias("Events"),
+        F.to_json(lk_objs).alias("Links"),
+    )
+
+
+def _host(collector_host: str) -> Column:
+    """Resource host.name, else the collector hostname
+    (metricsdata_to_adx.go:58-65)."""
+    return F.coalesce(
+        F.element_at(F.col("resource_attributes"), "host.name"),
+        F.lit(collector_host))
+
+
+def _metric_row(name: Column, mtype: str, desc: Column,
+                value: Column, attrs_json: Column,
+                collector_host: str) -> Column:
+    return F.struct(
+        name.alias("MetricName"),
+        F.lit(mtype).alias("MetricType"),
+        desc.alias("MetricDescription"),
+        value.cast("double").alias("MetricValue"),
+        attrs_json.alias("MetricAttributes"))
+
+
+def _finish(df: DataFrame, rows: Column, extra: list,
+            collector_host: str) -> DataFrame:
+    out = df.select(
+        *extra,
+        _rfc3339nano(F.col("ts_ns")).alias("Timestamp"),
+        F.coalesce(F.col("metric_unit"), F.lit(""))
+         .alias("MetricUnit"),
+        _host(collector_host).alias("Host"),
+        _json_map(F.col("resource_attributes"))
+        .alias("ResourceAttributes"),
+        F.posexplode(rows).alias("row_index", "r"))
+    return out.select(
+        *extra, "row_index", "Timestamp",
+        F.col("r.MetricName").alias("MetricName"),
+        F.col("r.MetricType").alias("MetricType"),
+        "MetricUnit",
+        F.col("r.MetricDescription").alias("MetricDescription"),
+        F.col("r.MetricValue").alias("MetricValue"),
+        F.col("r.MetricAttributes").alias("MetricAttributes"),
+        "Host", "ResourceAttributes")
+
+
+def _num_value() -> Column:
+    return F.coalesce(F.col("int_value").cast("double"),
+                      F.col("double_value"), F.lit(0.0))
+
+
+def _dp_attrs() -> Column:
+    """scope map overlaid by dp attrs (dp wins;
+    metricsdata_to_adx.go:67-68)."""
+    return _overlay(_scope_map(), F.coalesce(
+        F.col("attributes"),
+        F.map_from_arrays(F.array().cast("array<string>"),
+                          F.array().cast("array<string>"))))
+
+
+def adx_gauge_rows(df: DataFrame,
+                   collector_host: str = "") -> DataFrame:
+    """Gauge dp -> one row (metricsdata_to_adx.go:90-107)."""
+    extra = [c for c in df.columns if c in ("eid",)]
+    rows = F.array(_metric_row(
+        F.col("metric_name"), "Gauge",
+        F.coalesce(F.col("metric_description"), F.lit("")),
+        _num_value(), _json_map(_dp_attrs()), collector_host))
+    return _finish(df, rows, extra, collector_host)
+
+
+def adx_sum_rows(df: DataFrame, collector_host: str = "") -> DataFrame:
+    """Sum dp -> one row (metricsdata_to_adx.go:171-188)."""
+    extra = [c for c in df.columns if c in ("eid",)]
+    rows = F.array(_metric_row(
+        F.col("metric_name"), "Sum",
+        F.coalesce(F.col("metric_description"), F.lit("")),
+        _num_value(), _json_map(_dp_attrs()), collector_host))
+    return _finish(df, rows, extra, collector_host)
+
+
+def adx_histogram_rows(df: DataFrame,
+                       collector_host: str = "") -> DataFrame:
+    """Histogram dp -> sum + count + cumulative bucket rows
+    (metricsdata_to_adx.go:108-170). Input adds count bigint,
+    sum double, bucket_counts array<bigint>,
+    explicit_bounds array<double>."""
+    extra = [c for c in df.columns if c in ("eid",)]
+    name = F.col("metric_name")
+    desc = F.coalesce(F.col("metric_description"), F.lit(""))
+    counts = F.coalesce(F.col("bucket_counts"),
+                        F.array().cast("array<bigint>"))
+    bounds = F.coalesce(F.col("explicit_bounds"),
+                        F.array().cast("array<double>"))
+    dp_attrs = _dp_attrs()
+    base = F.array(
+        _metric_row(F.concat(name, F.lit("_sum")), "Histogram",
+                    F.concat(desc, F.lit(SUM_DESC)),
+                    F.coalesce(F.col("sum"), F.lit(0.0)),
+                    _json_map(dp_attrs), collector_host),
+        _metric_row(F.concat(name, F.lit("_count")), "Histogram",
+                    F.concat(desc, F.lit(COUNT_DESC)),
+                    F.col("count").cast("double"),
+                    _json_map(dp_attrs), collector_host))
+    # spec guard: counts must be exactly bounds+1 long
+    ok = (F.size(counts) > 0) & (F.size(counts) == F.size(bounds) + 1)
+    # cumulative count through bucket i (0-based)
+    cum = lambda i: F.aggregate(
+        F.slice(counts, F.lit(1), i + 1), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x)
+    # the bucket merge base is {le}+dp attrs overlaid on scope
+    bucket_attrs = lambda le: _json_map(_overlay(
+        _scope_map(), _overlay(
+            F.map_from_entries(F.array(F.struct(
+                F.lit("le").alias("key"), le.alias("value")))),
+            F.coalesce(F.col("attributes"), F.map_from_arrays(
+                F.array().cast("array<string>"),
+                F.array().cast("array<string>"))))))
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.size(bounds) - 1),
+        lambda i: _metric_row(
+            F.concat(name, F.lit("_bucket")), "Histogram", desc,
+            cum(i).cast("double"),
+            bucket_attrs(go_float_g(F.element_at(bounds, i + 1))),
+            collector_host))
+    inf_row = F.array(_metric_row(
+        F.concat(name, F.lit("_bucket")), "Histogram", desc,
+        (cum(F.size(bounds) - 1)
+         + F.element_at(counts, F.size(counts))).cast("double"),
+        bucket_attrs(F.lit("+Inf")), collector_host))
+    rows = F.when(ok & (F.size(bounds) > 0),
+                  F.concat(base, buckets, inf_row)) \
+        .when(ok, F.concat(base, inf_row)) \
+        .otherwise(base)
+    return _finish(df, rows, extra, collector_host)
+
+
+def adx_summary_rows(df: DataFrame,
+                     collector_host: str = "") -> DataFrame:
+    """Summary dp -> sum + count + per-quantile rows
+    (metricsdata_to_adx.go:189-225). Input adds count bigint,
+    sum double, quantile_values array<struct<quantile:double,
+    value:double>>. The quantile row's name is
+    `<name>_<'f'-render(q)>`, its attrs carry qt ('g' render) AND
+    the value under the row's own name, and its description uses the
+    COUNT suffix (the reference's quirk)."""
+    extra = [c for c in df.columns if c in ("eid",)]
+    name = F.col("metric_name")
+    desc = F.coalesce(F.col("metric_description"), F.lit(""))
+    qv = F.coalesce(F.col("quantile_values"), F.array().cast(
+        "array<struct<quantile:double,value:double>>"))
+    dp_attrs = _dp_attrs()
+    base = F.array(
+        _metric_row(F.concat(name, F.lit("_sum")), "Summary",
+                    F.concat(desc, F.lit(SUM_DESC)),
+                    F.coalesce(F.col("sum"), F.lit(0.0)),
+                    _json_map(dp_attrs), collector_host),
+        _metric_row(F.concat(name, F.lit("_count")), "Summary",
+                    F.concat(desc, F.lit(COUNT_DESC)),
+                    F.col("count").cast("double"),
+                    _json_map(dp_attrs), collector_host))
+    empty_m = F.map_from_arrays(F.array().cast("array<string>"),
+                                F.array().cast("array<string>"))
+
+    def q_row(q):
+        qname = F.concat(name, F.lit("_"), go_float_f(q["quantile"]))
+        dp = F.coalesce(F.col("attributes"), empty_m)
+        quote = lambda v: F.concat(F.lit('"'), _esc(v), F.lit('"'))
+        ent = lambda k, enc: F.struct(k.alias("key"),
+                                      enc.alias("enc"))
+        # merge priority dp attrs > {qt, qname: FLOAT value} > scope
+        # (maps.Copy order); the qname value is a bare JSON number —
+        # the one mixed-type entry in the exporter's attribute maps
+        dp_entries = F.transform(
+            F.map_entries(dp),
+            lambda x: ent(x["key"], quote(x["value"])))
+        custom = F.filter(
+            F.array(ent(F.lit("qt"), quote(go_float_g(q["quantile"]))),
+                    ent(qname, json_float(q["value"]))),
+            lambda x: ~F.map_contains_key(dp, x["key"]))
+        scope_entries = F.filter(
+            F.transform(F.map_entries(_scope_map()),
+                        lambda x: ent(x["key"], quote(x["value"]))),
+            lambda x: ~F.map_contains_key(dp, x["key"])
+            & (x["key"] != "qt") & (x["key"] != qname))
+        merged = F.concat(dp_entries, custom, scope_entries)
+        return _metric_row(
+            qname, "Summary", F.concat(desc, F.lit(COUNT_DESC)),
+            q["value"], _json_obj(merged), collector_host)
+
+    rows = F.concat(base, F.transform(qv, q_row))
+    return _finish(df, rows, extra, collector_host)

@@ -14711,3 +14711,353 @@ FROM f ORDER BY eid
 
 _QUERIES["avro_log_events"] = q_avro_log
 _ORACLES["avro_log_events"] = _AVRO_LOG_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# azuredataexplorerexporter row mapping (logsdata_to_adx.go /
+# tracesdata_to_adx.go / metricsdata_to_adx.go)
+# ---------------------------------------------------------------------------
+
+def q_adx_logs_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel log rows -> ADX OTELLogs rows incl. RFC3339Nano trim,
+    hex-or-empty ids and the scope-wins attribute overlay."""
+    from .operators.adx_rows import adx_logs_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 26 == 3)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    frac_ns = (eid % 4) * 250_000_000 + F.when(eid % 4 >= 2, eid % 3) \
+        .otherwise(F.lit(0))
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000) \
+        + frac_ns
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        (tns + 5_000_000).alias("observed_ts_ns"),
+        F.when(eid % 2 == 0, F.md5(s(eid)))
+         .otherwise(F.lit("0" * 32)).alias("trace_id"),
+        F.when(eid % 3 == 0,
+               F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("span_id"),
+        F.element_at(F.array(F.lit("INFO"), F.lit("WARN"),
+                             F.lit("ERROR")),
+                     (eid % 3 + 1).cast("int")).alias("severity_text"),
+        (9 + (eid % 3) * 4).cast("int").alias("severity_number"),
+        F.concat(F.lit("adx body "), F.col("event_type"), F.lit(" "),
+                 s(eid)).alias("body"),
+        F.create_map(
+            F.lit("host.name"), F.concat(F.lit("h"), s(uid % 5)),
+            F.lit("service.name"), F.concat(F.lit("svc-"), s(uid % 9)),
+        ).alias("resource_attributes"),
+        # the scope.name key in the log attrs is OVERWRITTEN by the
+        # scope map (scope wins) when the scope name is non-empty
+        F.create_map(F.lit("code"), s(eid % 100),
+                     F.lit("scope.name"), F.lit("shadowed"))
+         .alias("attributes"),
+        F.when(eid % 7 != 0, F.lit("app.logger")).otherwise(F.lit(""))
+         .alias("scope_name"),
+        F.lit("1.2.0").alias("scope_version"),
+    )
+    return adx_logs_rows(src).orderBy("eid")
+
+
+_ADX_LOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         (event_id % 4) * 250000000
+           + CASE WHEN event_id % 4 >= 2 THEN event_id % 3 ELSE 0 END
+           AS frac_ns
+  FROM events WHERE event_id % 26 = 3),
+g AS (
+  SELECT *, st * 1000000000 + frac_ns + 5000000 AS obs_ns FROM f)
+SELECT eid,
+  strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S')
+    || CASE WHEN frac_ns = 0 THEN ''
+       ELSE '.' || rtrim(lpad(CAST(frac_ns AS VARCHAR), 9, '0'), '0')
+       END || 'Z' AS "Timestamp",
+  strftime(to_timestamp(obs_ns // 1000000000),
+           '%Y-%m-%dT%H:%M:%S')
+    || CASE WHEN obs_ns % 1000000000 = 0 THEN ''
+       ELSE '.' || rtrim(lpad(CAST(obs_ns % 1000000000 AS VARCHAR),
+                              9, '0'), '0')
+       END || 'Z' AS "ObservedTimestamp",
+  CASE WHEN eid % 2 = 0 THEN md5(CAST(eid AS VARCHAR)) ELSE '' END
+    AS "TraceID",
+  CASE WHEN eid % 3 = 0
+       THEN substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS "SpanID",
+  CASE eid % 3 WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN' ELSE 'ERROR' END
+    AS "SeverityText",
+  CAST(9 + (eid % 3) * 4 AS INT) AS "SeverityNumber",
+  'adx body ' || event_type || ' ' || CAST(eid AS VARCHAR) AS "Body",
+  '{"host.name":"h' || CAST(uid % 5 AS VARCHAR)
+    || '","service.name":"svc-' || CAST(uid % 9 AS VARCHAR) || '"}'
+    AS "ResourceAttributes",
+  '{"code":"' || CAST(eid % 100 AS VARCHAR) || '","scope.name":"'
+    || CASE WHEN eid % 7 <> 0 THEN 'app.logger' ELSE 'shadowed' END
+    || '","scope.version":"1.2.0"}' AS "LogsAttributes"
+FROM g ORDER BY eid
+"""
+
+_QUERIES["adx_logs_rows_events"] = q_adx_logs_rows
+_ORACLES["adx_logs_rows_events"] = _ADX_LOGS_ORACLE
+
+
+def q_adx_trace_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel span rows -> ADX OTELTraces rows incl. the untagged Go
+    field names in the Events/Links JSON arrays."""
+    from .operators.adx_rows import adx_traces_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 27 == 8)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    am = lambda k, v: F.create_map(F.lit(k), v)
+    events = F.when(eid % 3 == 0, F.array(
+        F.struct((tns + 250_000_000).alias("ts_ns"),
+                 F.lit("exception").alias("name"),
+                 am("exception.type", F.concat(F.lit("E"), s(eid % 7)))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.when(eid % 4 == 0, F.array(
+        F.struct(F.md5(F.concat(F.lit("lt"), s(eid))).alias("trace_id"),
+                 F.substring(F.md5(F.concat(F.lit("ls"), s(eid))), 1,
+                             16).alias("span_id"),
+                 F.lit("w3c=1").alias("trace_state"),
+                 am("reason", F.lit("follows"))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("start_ts_ns"),
+        (tns + (eid % 900 + 1) * 500_000).alias("end_ts_ns"),
+        F.md5(s(eid)).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16)
+         .alias("span_id"),
+        F.when(eid % 2 == 0,
+               F.substring(F.md5(F.concat(F.lit("p"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("parent_span_id"),
+        F.lit("").alias("trace_state"),
+        F.concat(F.lit("op."), F.col("event_type")).alias("span_name"),
+        (uid % 6).cast("int").alias("span_kind"),
+        F.create_map(F.lit("service.name"),
+                     F.concat(F.lit("svc-"), s(uid % 9)))
+         .alias("resource_attributes"),
+        F.lit("tracer").alias("scope_name"),
+        F.lit("2.0").alias("scope_version"),
+        F.create_map(F.lit("http.method"),
+                     F.when(eid % 2 == 0, "GET").otherwise("POST"))
+         .alias("span_attributes"),
+        (eid % 3).cast("int").alias("status_code"),
+        F.when(eid % 3 == 2, F.concat(F.lit("boom "), s(eid)))
+         .otherwise(F.lit("")).alias("status_message"),
+        events.alias("events"),
+        links.alias("links"),
+    )
+    return adx_traces_rows(src).orderBy("eid")
+
+
+_ADX_TRACES_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         (event_id % 900 + 1) * 500000 AS dur_ns
+  FROM events WHERE event_id % 27 = 8),
+g AS (SELECT *, st * 1000000000 + dur_ns AS end_ns FROM f)
+SELECT eid,
+  md5(CAST(eid AS VARCHAR)) AS "TraceID",
+  substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16) AS "SpanID",
+  CASE WHEN eid % 2 = 0
+       THEN substr(md5('p' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS "ParentID",
+  'op.' || event_type AS "SpanName",
+  CASE eid % 3 WHEN 0 THEN 'STATUS_CODE_UNSET'
+       WHEN 1 THEN 'STATUS_CODE_OK' ELSE 'STATUS_CODE_ERROR' END
+    AS "SpanStatus",
+  CASE WHEN eid % 3 = 2 THEN 'boom ' || CAST(eid AS VARCHAR)
+       ELSE '' END AS "SpanStatusMessage",
+  CASE uid % 6 WHEN 0 THEN 'SPAN_KIND_UNSPECIFIED'
+       WHEN 1 THEN 'SPAN_KIND_INTERNAL' WHEN 2 THEN 'SPAN_KIND_SERVER'
+       WHEN 3 THEN 'SPAN_KIND_CLIENT' WHEN 4 THEN 'SPAN_KIND_PRODUCER'
+       ELSE 'SPAN_KIND_CONSUMER' END AS "SpanKind",
+  strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S') || 'Z'
+    AS "StartTime",
+  strftime(to_timestamp(end_ns // 1000000000),
+           '%Y-%m-%dT%H:%M:%S')
+    || CASE WHEN end_ns % 1000000000 = 0 THEN ''
+       ELSE '.' || rtrim(lpad(CAST(end_ns % 1000000000 AS VARCHAR),
+                              9, '0'), '0')
+       END || 'Z' AS "EndTime",
+  '{"service.name":"svc-' || CAST(uid % 9 AS VARCHAR) || '"}'
+    AS "ResourceAttributes",
+  '{"http.method":"'
+    || CASE WHEN eid % 2 = 0 THEN 'GET' ELSE 'POST' END
+    || '","scope.name":"tracer","scope.version":"2.0"}'
+    AS "TraceAttributes",
+  CASE WHEN eid % 3 = 0
+       THEN '[{"EventName":"exception","Timestamp":"'
+            || strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S')
+            || '.25Z","EventAttributes":{"exception.type":"E'
+            || CAST(eid % 7 AS VARCHAR) || '"}}]'
+       ELSE '[]' END AS "Events",
+  CASE WHEN eid % 4 = 0
+       THEN '[{"TraceID":"' || md5('lt' || CAST(eid AS VARCHAR))
+            || '","SpanID":"'
+            || substr(md5('ls' || CAST(eid AS VARCHAR)), 1, 16)
+            || '","TraceState":"w3c=1","SpanLinkAttributes":'
+            || '{"reason":"follows"}}]'
+       ELSE '[]' END AS "Links"
+FROM g ORDER BY eid
+"""
+
+_QUERIES["adx_trace_rows_events"] = q_adx_trace_rows
+_ORACLES["adx_trace_rows_events"] = _ADX_TRACES_ORACLE
+
+
+def q_adx_metric_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel metric datapoints -> the unified ADX OTELMetrics table:
+    gauge single rows, histogram sum/count/cumulative-bucket fan-out
+    with Go 'g'-rendered le labels (incl. the 1e+06 e-form), and
+    summary quantile rows with the self-named bare-number attribute."""
+    from .operators.adx_rows import (adx_gauge_rows,
+                                     adx_histogram_rows,
+                                     adx_summary_rows)
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 28 == 13)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    common = [
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        F.lit("req").alias("metric_description"),
+        F.lit("ms").alias("metric_unit"),
+        F.create_map(
+            F.lit("host.name"), F.concat(F.lit("n"), s(uid % 5)),
+            F.lit("service.name"), F.concat(F.lit("svc-"), s(uid % 9)),
+        ).alias("resource_attributes"),
+        F.lit("meter").alias("scope_name"),
+        F.lit("0.9").alias("scope_version"),
+        F.create_map(F.lit("route"),
+                     F.concat(F.lit("/api/"), F.col("event_type")))
+         .alias("attributes"),
+    ]
+    gauges = ev.filter(eid % 3 == 2).select(
+        *common,
+        F.concat(F.lit("g."), F.col("event_type")).alias("metric_name"),
+        F.when(eid % 2 == 0, (eid % 1000).cast("bigint"))
+         .otherwise(F.lit(None).cast("bigint")).alias("int_value"),
+        F.when(eid % 2 == 0, F.lit(None).cast("double"))
+         .otherwise((eid % 1000).cast("double") + 0.25)
+         .alias("double_value"),
+    )
+    hists = ev.filter(eid % 3 == 0).select(
+        *common,
+        F.concat(F.lit("h."), F.col("event_type")).alias("metric_name"),
+        ((eid % 50) + (eid % 70) + 4).cast("bigint").alias("count"),
+        ((eid % 1000) * 2).cast("double").alias("sum"),
+        F.array((eid % 50).cast("bigint"), (eid % 70).cast("bigint"),
+                F.lit(4).cast("bigint")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(1000000.0)).alias("explicit_bounds"),
+    )
+    sums = ev.filter(eid % 3 == 1).select(
+        *common,
+        F.concat(F.lit("s."), F.col("event_type")).alias("metric_name"),
+        ((eid % 300) + 2).cast("bigint").alias("count"),
+        ((eid % 800) * 3).cast("double").alias("sum"),
+        F.array(
+            F.struct(F.lit(0.5).alias("quantile"),
+                     ((eid % 100).cast("double") + 0.5)
+                     .alias("value")),
+            F.struct(F.lit(0.99).alias("quantile"),
+                     ((eid % 400).cast("double")).alias("value")),
+        ).alias("quantile_values"),
+    )
+    out = adx_gauge_rows(gauges).unionByName(
+        adx_histogram_rows(hists)).unionByName(
+        adx_summary_rows(sums))
+    return out.orderBy("eid", "row_index")
+
+
+_ADX_METRICS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 28 = 13),
+base AS (
+  SELECT *,
+    strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S') || 'Z' AS tstr,
+    'n' || CAST(uid % 5 AS VARCHAR) AS host,
+    '{"host.name":"n' || CAST(uid % 5 AS VARCHAR)
+      || '","service.name":"svc-' || CAST(uid % 9 AS VARCHAR) || '"}'
+      AS res,
+    '{"route":"/api/' || event_type
+      || '","scope.name":"meter","scope.version":"0.9"}' AS dpattrs,
+    '"route":"/api/' || event_type
+      || '","scope.name":"meter","scope.version":"0.9"}' AS dptail
+  FROM f)
+SELECT eid, CAST(0 AS INT) AS row_index, tstr AS "Timestamp",
+  'g.' || event_type AS "MetricName", 'Gauge' AS "MetricType",
+  'ms' AS "MetricUnit", 'req' AS "MetricDescription",
+  CASE WHEN eid % 2 = 0 THEN CAST(eid % 1000 AS DOUBLE)
+       ELSE CAST(eid % 1000 AS DOUBLE) + 0.25 END AS "MetricValue",
+  dpattrs AS "MetricAttributes", host AS "Host",
+  res AS "ResourceAttributes"
+FROM base WHERE eid % 3 = 2
+UNION ALL
+SELECT eid, u.idx, tstr,
+  'h.' || event_type ||
+    CASE u.idx WHEN 0 THEN '_sum' WHEN 1 THEN '_count'
+    ELSE '_bucket' END,
+  'Histogram', 'ms',
+  CASE u.idx WHEN 0 THEN 'req(Sum total of samples)'
+       WHEN 1 THEN 'req(Count of samples)' ELSE 'req' END,
+  CASE u.idx WHEN 0 THEN CAST((eid % 1000) * 2 AS DOUBLE)
+       WHEN 1 THEN CAST((eid % 50) + (eid % 70) + 4 AS DOUBLE)
+       WHEN 2 THEN CAST(eid % 50 AS DOUBLE)
+       WHEN 3 THEN CAST((eid % 50) + (eid % 70) AS DOUBLE)
+       ELSE CAST((eid % 50) + (eid % 70) + 4 AS DOUBLE) END,
+  CASE WHEN u.idx <= 1 THEN dpattrs
+       WHEN u.idx = 2 THEN '{"le":"0.5",' || dptail
+       WHEN u.idx = 3 THEN '{"le":"1e+06",' || dptail
+       ELSE '{"le":"+Inf",' || dptail END,
+  host, res
+FROM base, (VALUES (0),(1),(2),(3),(4)) AS u(idx)
+WHERE eid % 3 = 0
+UNION ALL
+SELECT eid, u.idx, tstr,
+  's.' || event_type ||
+    CASE u.idx WHEN 0 THEN '_sum' WHEN 1 THEN '_count'
+    WHEN 2 THEN '_0.5' ELSE '_0.99' END,
+  'Summary', 'ms',
+  CASE u.idx WHEN 0 THEN 'req(Sum total of samples)'
+       ELSE 'req(Count of samples)' END,
+  CASE u.idx WHEN 0 THEN CAST((eid % 800) * 3 AS DOUBLE)
+       WHEN 1 THEN CAST((eid % 300) + 2 AS DOUBLE)
+       WHEN 2 THEN CAST(eid % 100 AS DOUBLE) + 0.5
+       ELSE CAST(eid % 400 AS DOUBLE) END,
+  CASE WHEN u.idx <= 1 THEN dpattrs
+       WHEN u.idx = 2 THEN
+         '{"qt":"0.5",' || '"route":"/api/' || event_type
+         || '","s.' || event_type || '_0.5":'
+         || CAST(eid % 100 AS VARCHAR) || '.5'
+         || ',"scope.name":"meter","scope.version":"0.9"}'
+       ELSE
+         '{"qt":"0.99",' || '"route":"/api/' || event_type
+         || '","s.' || event_type || '_0.99":'
+         || CAST(eid % 400 AS VARCHAR)
+         || ',"scope.name":"meter","scope.version":"0.9"}'
+       END,
+  host, res
+FROM base, (VALUES (0),(1),(2),(3)) AS u(idx)
+WHERE eid % 3 = 1
+ORDER BY eid, row_index
+"""
+
+_QUERIES["adx_metric_rows_events"] = q_adx_metric_rows
+_ORACLES["adx_metric_rows_events"] = _ADX_METRICS_ORACLE

@@ -1,0 +1,179 @@
+"""azuredataexplorerexporter row-mapping semantics + the Go strconv
+shortest float reconstructions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import (
+    adx_rows as X,
+)
+
+
+class TestGoFloatRenders:
+    def vectors(self, spark, fn, pairs):
+        df = spark.createDataFrame([(v,) for v, _ in pairs],
+                                   "v double")
+        got = [r[0] for r in df.select(fn(F.col("v"))).collect()]
+        assert got == [w for _, w in pairs]
+
+    def test_g_form(self, spark):
+        # strconv.FormatFloat(v,'g',-1,64): e-form when decimal
+        # exponent < -4 or >= 6 (shortest-mode eprec), 2-digit padded
+        self.vectors(spark, X.go_float_g, [
+            (0.0, "0"), (0.5, "0.5"), (2.0, "2"),
+            (123456.0, "123456"), (999999.5, "999999.5"),
+            (1000000.0, "1e+06"), (1234567.0, "1.234567e+06"),
+            (12345678.5, "1.23456785e+07"),
+            (0.0001, "0.0001"), (1e-05, "1e-05"),
+            (2.5e-07, "2.5e-07"), (1e21, "1e+21"),
+            (-42.25, "-42.25"), (float("inf"), "+Inf"),
+            (float("-inf"), "-Inf"),
+        ])
+
+    def test_f_form(self, spark):
+        # 'f' never uses an exponent; integral values lose the .0
+        self.vectors(spark, X.go_float_f, [
+            (3.0, "3"), (0.5, "0.5"), (1000000.0, "1000000"),
+            (12345678.5, "12345678.5"), (0.00001, "0.00001"),
+            (1e21, "1000000000000000000000"),
+            (-0.25, "-0.25"), (105000.0, "105000"),
+        ])
+
+    def test_json_float(self, spark):
+        # encoding/json: 'f' inside [1e-6, 1e21), else 'e' with the
+        # exponent's leading zero stripped
+        self.vectors(spark, X.json_float, [
+            (3.0, "3"), (9.5, "9.5"), (1e-06, "0.000001"),
+            (2.5e-07, "2.5e-7"), (1e21, "1e+21"),
+            (1.5e22, "1.5e+22"),
+        ])
+
+
+GAUGE_SCHEMA = (
+    "ts_ns bigint, metric_name string, metric_description string,"
+    "metric_unit string, resource_attributes map<string,string>,"
+    "scope_name string, scope_version string,"
+    "attributes map<string,string>, int_value bigint,"
+    "double_value double")
+
+
+def gauge_row(**kw):
+    base = dict(ts_ns=1700000000000000000, metric_name="m",
+                metric_description="d", metric_unit="1",
+                resource_attributes={"host.name": "hx",
+                                     "service.name": "s"},
+                scope_name="sc", scope_version="1",
+                attributes={"a": "b"}, int_value=7, double_value=None)
+    return Row(**{**base, **kw})
+
+
+class TestMetricRows:
+    def test_gauge_host_and_attrs(self, spark):
+        df = spark.createDataFrame([gauge_row()], GAUGE_SCHEMA)
+        r = X.adx_gauge_rows(df).collect()[0]
+        assert r.Host == "hx"  # resource host.name wins
+        assert r.MetricValue == 7.0
+        assert r.MetricAttributes == (
+            '{"a":"b","scope.name":"sc","scope.version":"1"}')
+
+    def test_gauge_collector_host_fallback(self, spark):
+        df = spark.createDataFrame(
+            [gauge_row(resource_attributes={})], GAUGE_SCHEMA)
+        r = X.adx_gauge_rows(df, collector_host="coll").collect()[0]
+        assert r.Host == "coll"
+
+    def test_dp_attr_wins_over_scope(self, spark):
+        df = spark.createDataFrame(
+            [gauge_row(attributes={"scope.name": "mine"})],
+            GAUGE_SCHEMA)
+        r = X.adx_gauge_rows(df).collect()[0]
+        # createMetric: maps.Copy(clonedScope, attrs) -> dp wins
+        assert '"scope.name":"mine"' in r.MetricAttributes
+
+    HIST_SCHEMA = GAUGE_SCHEMA.replace(
+        ", int_value bigint,double_value double",
+        ", count bigint,sum double,bucket_counts array<bigint>,"
+        "explicit_bounds array<double>")
+
+    def hist_row(self, **kw):
+        base = gauge_row().asDict()
+        for k in ("int_value", "double_value"):
+            base.pop(k)
+        base.update(count=9, sum=12.5, bucket_counts=[2, 3, 4],
+                    explicit_bounds=[0.5, 1000000.0])
+        return Row(**{**base, **kw})
+
+    def test_histogram_fanout(self, spark):
+        df = spark.createDataFrame([self.hist_row()],
+                                   self.HIST_SCHEMA)
+        rows = X.adx_histogram_rows(df).collect()
+        assert [r.MetricName for r in rows] == [
+            "m_sum", "m_count", "m_bucket", "m_bucket", "m_bucket"]
+        assert rows[0].MetricDescription == "d(Sum total of samples)"
+        assert rows[1].MetricDescription == "d(Count of samples)"
+        # cumulative buckets, then +Inf adds the last count
+        assert [r.MetricValue for r in rows[2:]] == [2.0, 5.0, 9.0]
+        assert '"le":"0.5"' in rows[2].MetricAttributes
+        assert '"le":"1e+06"' in rows[3].MetricAttributes
+        assert '"le":"+Inf"' in rows[4].MetricAttributes
+
+    def test_histogram_count_mismatch_skips_buckets(self, spark):
+        # spec guard: counts must be bounds+1 long, else only
+        # sum/count rows (metricsdata_to_adx.go:131)
+        df = spark.createDataFrame(
+            [self.hist_row(bucket_counts=[2, 3])], self.HIST_SCHEMA)
+        rows = X.adx_histogram_rows(df).collect()
+        assert [r.MetricName for r in rows] == ["m_sum", "m_count"]
+
+    SUMM_SCHEMA = GAUGE_SCHEMA.replace(
+        ", int_value bigint,double_value double",
+        ", count bigint,sum double,quantile_values "
+        "array<struct<quantile:double,value:double>>")
+
+    def test_summary_quantile_rows(self, spark):
+        base = gauge_row().asDict()
+        for k in ("int_value", "double_value"):
+            base.pop(k)
+        base.update(count=5, sum=2.5,
+                    quantile_values=[Row(quantile=0.5, value=9.5)])
+        df = spark.createDataFrame([Row(**base)], self.SUMM_SCHEMA)
+        rows = X.adx_summary_rows(df).collect()
+        assert [r.MetricName for r in rows] == \
+            ["m_sum", "m_count", "m_0.5"]
+        q = rows[2]
+        # the quantile row's description uses the COUNT suffix (the
+        # reference's quirk at metricsdata_to_adx.go:221)
+        assert q.MetricDescription == "d(Count of samples)"
+        # qt is a quoted string; the self-named value is a BARE number
+        assert q.MetricAttributes == (
+            '{"a":"b","m_0.5":9.5,"qt":"0.5",'
+            '"scope.name":"sc","scope.version":"1"}')
+        assert q.MetricValue == 9.5
+
+
+LOG_SCHEMA = (
+    "ts_ns bigint, observed_ts_ns bigint, trace_id string,"
+    "span_id string, severity_text string, severity_number int,"
+    "body string, resource_attributes map<string,string>,"
+    "attributes map<string,string>, scope_name string,"
+    "scope_version string")
+
+
+class TestLogsRows:
+    def test_scope_wins_and_empty_scope_omitted(self, spark):
+        df = spark.createDataFrame([Row(
+            ts_ns=1700000000123000000,
+            observed_ts_ns=1700000000000000000, trace_id="a" * 32,
+            span_id="0" * 16, severity_text="INFO",
+            severity_number=9, body="b",
+            resource_attributes={"k": "v"},
+            attributes={"scope.name": "shadowed", "x": "1"},
+            scope_name="real", scope_version="")], LOG_SCHEMA)
+        r = X.adx_logs_rows(df).collect()[0]
+        assert r.Timestamp == "2023-11-14T22:13:20.123Z"
+        assert r.SpanID == ""
+        # scope overlays log attrs (maps.Copy), empty version omitted
+        assert r.LogsAttributes == \
+            '{"scope.name":"real","x":"1"}'
