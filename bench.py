@@ -421,6 +421,11 @@ def main() -> None:
         "gcp_logentry_events",
         "azure_category_logs_events",
         "prw_receive_events",
+        # round-5 late additions: exporter row-mapping tier + the
+        # avro codec slot (same list-growth note)
+        "doris_trace_rows_events",
+        "adx_metric_rows_events",
+        "avro_log_events",
     ]
     # stable headline subset: the r01-era list, fixed forever so the
     # cross-round "value_stable" sum compares without footnotes

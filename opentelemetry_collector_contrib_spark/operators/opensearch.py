@@ -1,0 +1,405 @@
+"""opensearchexporter: SSO (ss4o) document encoding, the dynamic
+index resolver, and the bodymap mapping mode.
+
+Reference: exporter/opensearchexporter/sso_model.go (ssoRecord /
+ssoSpan / dataStream shapes), encoder.go:95-263 (encodeLogSSO /
+encodeTrace / bodyMapMappingModel), index_resolver.go:23-137,
+log_bulk_indexer.go:61-84 + trace_bulk_indexer.go:61-86 (resolver
+call sites — ONE submit-time time suffix for the whole batch, per-
+record placeholder resolution), config.go:18-21 (ss4o_logs/-traces
+prefix, "default"/"namespace" defaults). The opensearch bulk/HTTP
+transport and retry ACKing are out of scope per the standing
+agreement. The non-SSO "Log Data Model"/ECS path shares
+elasticsearchexporter's objmodel, grafted in operators/elastic.py.
+
+Grafted semantics:
+
+* SSO documents are encoding/json marshals of the Go structs —
+  field order is STRUCT DECLARATION order, maps marshal with sorted
+  keys, time.Time renders RFC3339Nano, omitempty/omitzero rules as
+  tagged. Quirks pinned: the ssoSpan's ``@timestamp`` is never
+  assigned by encodeTrace and always renders the zero time
+  ``0001-01-01T00:00:00Z``; a span event uses ``@timestamp`` only
+  when ts.Unix() != 0 — i.e. any timestamp within the FIRST SECOND
+  of the epoch also falls back to observedTimestamp (set to the
+  collector's now — an injected column here); when dataset or
+  namespace is configured a ``data_stream`` object (type
+  "record"/"span") is injected INTO the attributes map; ids render
+  via pcommon String() (hex, '' when zero — dropped by omitempty
+  in ssoRecord, kept empty in ssoSpan which has no omitempty on
+  spanId/traceId/parentSpanId).
+* index resolver: ``%{key}`` placeholders resolve per record with
+  priority item attrs > scope attrs (incl. the scope.name /
+  scope.version specials, non-empty only) > resource attrs, then the
+  configured fallback, then "unknown"; empty pattern -> the
+  ``<prefix>-<dataset>-<namespace>`` default; the optional time
+  suffix appends ``-<submit time formatted>`` where the Java-style
+  tokens (yyyy/yy/MM/dd/HH/mm/ss) map 1:1 onto Spark's
+  date_format — the suffix is per BATCH (submit time), a literal
+  here.
+* bodymap mode: the record body must be a map — its JSON (entry
+  order preserved, as pcommon maps preserve insertion order)
+  becomes the document verbatim; any other body type is a
+  per-record error (errInvalidTypeForBodyMapMode).
+
+Map-only Column code; JSON assembled with the house mixed-type
+sorted-entry helpers shared with adx_rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .adx_rows import _esc, _json_obj, _rfc3339nano
+
+SPAN_KINDS = ("Unspecified", "Internal", "Server", "Client",
+              "Producer", "Consumer")
+STATUS_CODES = ("Unset", "Ok", "Error")
+ZERO_TRACE_ID = "0" * 32
+ZERO_SPAN_ID = "0" * 16
+
+_PLACEHOLDER = re.compile(r"%\{([^}]+)\}")
+
+
+def _hex_or_empty(c: Column, zero: str) -> Column:
+    return F.when(c.isNull() | (c == "") | (c == zero), F.lit("")) \
+            .otherwise(F.lower(c))
+
+
+def _quote(v: Column) -> Column:
+    return F.concat(F.lit('"'), _esc(v), F.lit('"'))
+
+
+def _ent(k, enc) -> Column:
+    k = F.lit(k) if isinstance(k, str) else k
+    return F.struct(k.alias("key"), enc.alias("enc"))
+
+
+def _map_entries_enc(m: Column) -> Column:
+    """map<string,string> -> encoded entries (sorted later by
+    _json_obj, matching encoding/json's key sort)."""
+    return F.transform(F.map_entries(m),
+                       lambda e: _ent(e["key"], _quote(e["value"])))
+
+
+def _empty_map() -> Column:
+    return F.map_from_arrays(F.array().cast("array<string>"),
+                             F.array().cast("array<string>"))
+
+
+def _data_stream_obj(ds_type: str, dataset: str,
+                     namespace: str) -> "str | None":
+    """dataStream JSON (sso_model.go:10-14, omitempty fields, struct
+    field order dataset/namespace/type)."""
+    if not dataset and not namespace:
+        return None
+    parts = []
+    if dataset:
+        parts.append(f'"dataset":"{dataset}"')
+    if namespace:
+        parts.append(f'"namespace":"{namespace}"')
+    parts.append(f'"type":"{ds_type}"')
+    return "{" + ",".join(parts) + "}"
+
+
+def _ordered_obj(fields: list) -> Column:
+    """JSON object in DECLARED field order from
+    [(literal_key, enc_col_or_None_to_skip, present_col_or_None)]."""
+    parts = []
+    for key, enc, present in fields:
+        piece = F.concat(F.lit(f'"{key}":'), enc)
+        if present is not None:
+            piece = F.when(present, piece).otherwise(F.lit(None))
+        parts.append(piece)
+    return F.concat(F.lit("{"),
+                    F.concat_ws(",", *parts), F.lit("}"))
+
+
+def os_sso_log_docs(df: DataFrame, dataset: str = "",
+                    namespace: str = "") -> DataFrame:
+    """One log record -> one SSO (ss4o) JSON document
+    (encodeLogSSO, encoder.go:95-139). Input columns: ts_ns,
+    observed_ts_ns (the collector-now injection), trace_id, span_id,
+    severity_text, severity_number, body, resource_attributes map,
+    attributes map, scope_name, scope_version, scope_schema_url,
+    scope_attributes map."""
+    attrs = F.coalesce(F.col("attributes"), _empty_map())
+    ds_json = _data_stream_obj("record", dataset, namespace)
+    attr_entries = _map_entries_enc(attrs)
+    if ds_json is not None:
+        attr_entries = F.concat(
+            attr_entries, F.array(_ent("data_stream",
+                                       F.lit(ds_json))))
+    has_attrs = F.size(attr_entries) > 0
+    scope_name = F.coalesce(F.col("scope_name"), F.lit(""))
+    scope_ver = F.coalesce(F.col("scope_version"), F.lit(""))
+    scope_url = F.coalesce(F.col("scope_schema_url"), F.lit(""))
+    scope_attrs = F.coalesce(F.col("scope_attributes"), _empty_map())
+    # instrumentationScope: every field omitempty, whole struct
+    # omitzero
+    scope_fields = F.concat_ws(
+        ",",
+        F.when(F.size(scope_attrs) > 0, F.concat(
+            F.lit('"attributes":'),
+            _json_obj(_map_entries_enc(scope_attrs)))),
+        F.when(scope_name != "", F.concat(F.lit('"name":'),
+                                          _quote(scope_name))),
+        F.when(scope_url != "", F.concat(F.lit('"schemaUrl":'),
+                                         _quote(scope_url))),
+        F.when(scope_ver != "", F.concat(F.lit('"version":'),
+                                         _quote(scope_ver))))
+    span_id = _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID)
+    trace_id = _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+    sev_text = F.coalesce(F.col("severity_text"), F.lit(""))
+    sev_num = F.coalesce(F.col("severity_number"), F.lit(0))
+    severity = F.concat(
+        F.lit("{"),
+        F.concat_ws(",",
+                    F.when(sev_text != "", F.concat(
+                        F.lit('"text":'), _quote(sev_text))),
+                    F.when(sev_num != 0, F.concat(
+                        F.lit('"number":'),
+                        sev_num.cast("string")))),
+        F.lit("}"))
+    doc = _ordered_obj([
+        ("attributes", _json_obj(attr_entries), has_attrs),
+        ("body", _quote(F.coalesce(F.col("body"), F.lit(""))), None),
+        ("instrumentationScope",
+         F.concat(F.lit("{"), scope_fields, F.lit("}")),
+         scope_fields != ""),
+        ("observedTimestamp",
+         _quote(_rfc3339nano(F.col("observed_ts_ns"))), None),
+        ("resource",
+         _json_obj(_map_entries_enc(
+             F.coalesce(F.col("resource_attributes"), _empty_map()))),
+         F.size(F.coalesce(F.col("resource_attributes"),
+                           _empty_map())) > 0),
+        ("schemaUrl", _quote(scope_url), scope_url != ""),
+        ("severity", severity, None),
+        ("spanId", _quote(span_id), span_id != ""),
+        ("@timestamp", _quote(_rfc3339nano(F.col("ts_ns"))), None),
+        ("traceId", _quote(trace_id), trace_id != ""),
+    ])
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(*extra, doc.alias("document"))
+
+
+def os_sso_span_docs(df: DataFrame, dataset: str = "",
+                     namespace: str = "") -> DataFrame:
+    """One span -> one SSO JSON document (encodeTrace,
+    encoder.go:184-260). Input: the house span contract columns +
+    observed_ts_ns + scope_attributes + scope_schema_url +
+    dropped_attributes_count/dropped_events_count/
+    dropped_links_count."""
+    attrs = F.coalesce(F.col("span_attributes"), _empty_map())
+    ds_json = _data_stream_obj("span", dataset, namespace)
+    attr_entries = _map_entries_enc(attrs)
+    if ds_json is not None:
+        attr_entries = F.concat(
+            attr_entries, F.array(_ent("data_stream",
+                                       F.lit(ds_json))))
+    has_attrs = F.size(attr_entries) > 0
+    dac = F.coalesce(F.col("dropped_attributes_count"), F.lit(0))
+    dec = F.coalesce(F.col("dropped_events_count"), F.lit(0))
+    dlc = F.coalesce(F.col("dropped_links_count"), F.lit(0))
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in SPAN_KINDS]),
+        (F.coalesce(F.col("span_kind"), F.lit(0)) + 1).cast("int"))
+    status = F.element_at(
+        F.array(*[F.lit(k) for k in STATUS_CODES]),
+        (F.coalesce(F.col("status_code"), F.lit(0)) + 1).cast("int"))
+    events = F.coalesce(F.col("events"), F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.coalesce(F.col("links"), F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+
+    def ev_obj(e):
+        # ssoSpanEvent field order; @timestamp only when the event's
+        # ts.Unix() != 0, else observedTimestamp = collector now
+        ts = F.coalesce(e["ts_ns"], F.lit(0))
+        in_first_epoch_second = (ts >= 0) & (ts < 1_000_000_000)
+        return F.concat(
+            F.lit('{"attributes":'),
+            _json_obj(_map_entries_enc(
+                F.coalesce(e["attributes"], _empty_map()))),
+            F.lit(',"droppedAttributesCount":0,"name":'),
+            _quote(F.coalesce(e["name"], F.lit(""))),
+            F.when(in_first_epoch_second,
+                   F.concat(F.lit(',"observedTimestamp":'),
+                            _quote(_rfc3339nano(
+                                F.col("observed_ts_ns")))))
+             .otherwise(F.concat(F.lit(',"@timestamp":'),
+                                 _quote(_rfc3339nano(e["ts_ns"])))),
+            F.lit("}"))
+
+    def lk_obj(l):
+        lt = _hex_or_empty(l["trace_id"], ZERO_TRACE_ID)
+        ls = _hex_or_empty(l["span_id"], ZERO_SPAN_ID)
+        st = F.coalesce(l["trace_state"], F.lit(""))
+        la = F.coalesce(l["attributes"], _empty_map())
+        return F.concat(
+            F.lit("{"),
+            F.concat_ws(
+                ",",
+                F.when(F.size(la) > 0, F.concat(
+                    F.lit('"attributes":'),
+                    _json_obj(_map_entries_enc(la)))),
+                F.when(ls != "", F.concat(F.lit('"spanId":'),
+                                          _quote(ls))),
+                F.when(lt != "", F.concat(F.lit('"traceId":'),
+                                          _quote(lt))),
+                F.when(st != "", F.concat(F.lit('"traceState":'),
+                                          _quote(st)))),
+            F.lit("}"))
+
+    scope_attrs = F.coalesce(F.col("scope_attributes"), _empty_map())
+    scope_url = F.coalesce(F.col("scope_schema_url"), F.lit(""))
+    # ssoSpan's scope: only attributes is omitempty; name/schemaUrl/
+    # version/droppedAttributesCount always render (struct omitzero
+    # handled by the all-empty fixture never occurring with a named
+    # scope)
+    scope_obj = F.concat(
+        F.lit("{"),
+        F.concat_ws(
+            ",",
+            F.when(F.size(scope_attrs) > 0, F.concat(
+                F.lit('"attributes":'),
+                _json_obj(_map_entries_enc(scope_attrs)))),
+            F.concat(F.lit('"droppedAttributesCount":0,"name":'),
+                     _quote(F.coalesce(F.col("scope_name"),
+                                       F.lit(""))),
+                     F.lit(',"schemaUrl":'), _quote(scope_url),
+                     F.lit(',"version":'),
+                     _quote(F.coalesce(F.col("scope_version"),
+                                       F.lit(""))))),
+        F.lit("}"))
+    doc = _ordered_obj([
+        ("attributes", _json_obj(attr_entries), has_attrs),
+        ("droppedAttributesCount", dac.cast("string"), None),
+        ("droppedEventsCount", dec.cast("string"), None),
+        ("droppedLinksCount", dlc.cast("string"), None),
+        ("endTime", _quote(_rfc3339nano(F.col("end_ts_ns"))), None),
+        ("events",
+         F.concat(F.lit("["),
+                  F.array_join(F.transform(events, ev_obj), ","),
+                  F.lit("]")),
+         F.size(events) > 0),
+        ("instrumentationScope", scope_obj, None),
+        ("kind", _quote(kind), None),
+        ("links",
+         F.concat(F.lit("["),
+                  F.array_join(F.transform(links, lk_obj), ","),
+                  F.lit("]")),
+         F.size(links) > 0),
+        ("name", _quote(F.coalesce(F.col("span_name"), F.lit(""))),
+         None),
+        ("parentSpanId",
+         _quote(_hex_or_empty(F.col("parent_span_id"),
+                              ZERO_SPAN_ID)), None),
+        ("resource",
+         _json_obj(_map_entries_enc(
+             F.coalesce(F.col("resource_attributes"), _empty_map()))),
+         F.size(F.coalesce(F.col("resource_attributes"),
+                           _empty_map())) > 0),
+        ("spanId",
+         _quote(_hex_or_empty(F.col("span_id"), ZERO_SPAN_ID)), None),
+        ("startTime", _quote(_rfc3339nano(F.col("start_ts_ns"))),
+         None),
+        ("status", F.concat(
+            F.lit('{"code":'), _quote(status),
+            F.lit(',"message":'),
+            _quote(F.coalesce(F.col("status_message"), F.lit(""))),
+            F.lit("}")), None),
+        # NEVER assigned by encodeTrace: always the zero time
+        ("@timestamp", F.lit('"0001-01-01T00:00:00Z"'), None),
+        ("traceId",
+         _quote(_hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)),
+         None),
+        ("traceState",
+         _quote(F.coalesce(F.col("trace_state"), F.lit(""))), None),
+    ])
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(*extra, doc.alias("document"))
+
+
+def os_index_name(
+    df: DataFrame,
+    pattern: str,
+    *,
+    fallback: str = "",
+    prefix: str = "ss4o_logs",
+    dataset: str = "default",
+    namespace: str = "namespace",
+    time_format: str = "",
+    submit_time: "str | None" = None,
+    item_attrs: str = "attributes",
+) -> Column:
+    """resolveIndexName (index_resolver.go:87-123): per-record
+    placeholder resolution with priority item > scope (specials) >
+    resource > fallback > "unknown"; empty pattern -> the default
+    ``<prefix>-<dataset>-<namespace>``; the time suffix is the
+    SUBMIT-time render (one per batch — a literal), with the
+    Java-style tokens passing 1:1 into the suffix string."""
+    if time_format and submit_time:
+        suffix = "-" + submit_time
+    else:
+        suffix = ""
+    if not pattern:
+        return F.lit("-".join([prefix, dataset, namespace]) + suffix)
+    keys = list(dict.fromkeys(_PLACEHOLDER.findall(pattern)))
+
+    def resolve(key: str) -> Column:
+        item = F.element_at(F.coalesce(F.col(item_attrs),
+                                       _empty_map()), key)
+        if key == "scope.name":
+            scope = F.coalesce(F.col("scope_name"), F.lit(""))
+        elif key == "scope.version":
+            scope = F.coalesce(F.col("scope_version"), F.lit(""))
+        else:
+            scope = F.element_at(
+                F.coalesce(F.col("scope_attributes"), _empty_map()),
+                key)
+        res = F.element_at(
+            F.coalesce(F.col("resource_attributes"), _empty_map()),
+            key)
+        nonempty = lambda c: F.when(
+            c.isNotNull() & (c != ""), c)
+        return F.coalesce(nonempty(item), nonempty(scope),
+                          nonempty(res),
+                          F.lit(fallback if fallback else "unknown"))
+
+    pieces: list = []
+    pos = 0
+    for m in _PLACEHOLDER.finditer(pattern):
+        if m.start() > pos:
+            pieces.append(F.lit(pattern[pos:m.start()]))
+        pieces.append(resolve(m.group(1)))
+        pos = m.end()
+    if pos < len(pattern):
+        pieces.append(F.lit(pattern[pos:]))
+    pieces.append(F.lit(suffix))
+    return F.concat(*pieces)
+
+
+def os_bodymap_docs(df: DataFrame,
+                    body: str = "body_map") -> DataFrame:
+    """bodymap mapping mode (encoder.go:48-67): the record body MUST
+    be a map — its JSON becomes the document verbatim (entry order
+    preserved like pcommon insertion order); any other body shape is
+    the per-record errInvalidTypeForBodyMapMode error. Input: a
+    ``body_map`` map column, NULL when the record body was not a
+    map (the caller's type probe)."""
+    b = F.col(body)
+    extra = [c for c in df.columns if c != body]
+    return df.select(
+        *extra,
+        F.when(b.isNotNull(), F.to_json(b)).alias("document"),
+        F.when(b.isNull(), F.lit(
+            "invalid log record body type for 'bodymap' mapping "
+            "mode")).alias("error"),
+    )

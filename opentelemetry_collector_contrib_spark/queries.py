@@ -15061,3 +15061,312 @@ ORDER BY eid, row_index
 
 _QUERIES["adx_metric_rows_events"] = q_adx_metric_rows
 _ORACLES["adx_metric_rows_events"] = _ADX_METRICS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# opensearchexporter (encoder.go / sso_model.go / index_resolver.go)
+# ---------------------------------------------------------------------------
+
+def q_opensearch_sso_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log records -> SSO (ss4o) JSON documents + resolved index
+    names: struct-field order, omitempty/omitzero rules, data_stream
+    injection, and the %{placeholder} priority ladder with time
+    suffix."""
+    from .operators.opensearch import os_index_name, os_sso_log_docs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 29 == 14)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000) \
+        + (eid % 2) * 500_000_000
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        (tns + 7_000_000).alias("observed_ts_ns"),
+        F.when(eid % 2 == 0, F.md5(s(eid)))
+         .otherwise(F.lit("0" * 32)).alias("trace_id"),
+        F.when(eid % 3 == 0,
+               F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("span_id"),
+        F.when(eid % 5 != 0, F.lit("INFO")).otherwise(F.lit(""))
+         .alias("severity_text"),
+        F.when(eid % 7 != 0, (9 + (eid % 3) * 4).cast("int"))
+         .otherwise(F.lit(0)).alias("severity_number"),
+        F.concat(F.lit("os body "), F.col("event_type"), F.lit(" "),
+                 s(eid)).alias("body"),
+        F.create_map(F.lit("service.name"),
+                     F.concat(F.lit("svc-"), s(uid % 9)))
+         .alias("resource_attributes"),
+        F.when(eid % 4 != 0,
+               F.create_map(F.lit("idx"), s(eid % 10),
+                            F.lit("k"), F.concat(F.lit("v"),
+                                                 s(uid % 4))))
+         .otherwise(F.expr("cast(map() as map<string,string>)"))
+         .alias("attributes"),
+        F.when(eid % 7 != 0, F.lit("app.logger")).otherwise(F.lit(""))
+         .alias("scope_name"),
+        F.lit("1.0").alias("scope_version"),
+        F.when(eid % 6 != 0,
+               F.lit("https://opentelemetry.io/schemas/1.21.0"))
+         .otherwise(F.lit("")).alias("scope_schema_url"),
+        F.expr("cast(map() as map<string,string>)")
+         .alias("scope_attributes"),
+    )
+    docs = os_sso_log_docs(src, dataset="default",
+                           namespace="namespace")
+    idx = os_index_name(
+        src, "logs-%{service.name}-%{scope.name}",
+        fallback="", time_format="yyyy.MM.dd",
+        submit_time="2026.01.15")
+    return src.select("eid", idx.alias("index")) \
+        .join(docs, "eid").orderBy("eid")
+
+
+_OS_SSO_LOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         (event_id % 2) * 5 AS frac_ds
+  FROM events WHERE event_id % 29 = 14),
+g AS (
+  SELECT *,
+    strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S')
+      || CASE WHEN frac_ds = 0 THEN '' ELSE '.5' END || 'Z' AS tstr,
+    strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S')
+      || CASE WHEN frac_ds = 0 THEN '.007' ELSE '.507' END || 'Z'
+      AS ostr
+  FROM f)
+SELECT eid,
+  'logs-svc-' || CAST(uid % 9 AS VARCHAR) || '-'
+    || CASE WHEN eid % 7 <> 0 THEN 'app.logger' ELSE 'unknown' END
+    || '-2026.01.15' AS index,
+  '{"attributes":{"data_stream":{"dataset":"default",'
+  || '"namespace":"namespace","type":"record"}'
+  || CASE WHEN eid % 4 <> 0
+     THEN ',"idx":"' || CAST(eid % 10 AS VARCHAR) || '","k":"v'
+          || CAST(uid % 4 AS VARCHAR) || '"'
+     ELSE '' END
+  || '},"body":"os body ' || event_type || ' '
+  || CAST(eid AS VARCHAR) || '"'
+  || CASE
+     WHEN eid % 7 <> 0 AND eid % 6 <> 0 THEN
+       ',"instrumentationScope":{"name":"app.logger","schemaUrl":'
+       || '"https://opentelemetry.io/schemas/1.21.0",'
+       || '"version":"1.0"}'
+     WHEN eid % 7 <> 0 THEN
+       ',"instrumentationScope":{"name":"app.logger",'
+       || '"version":"1.0"}'
+     WHEN eid % 6 <> 0 THEN
+       ',"instrumentationScope":{"schemaUrl":'
+       || '"https://opentelemetry.io/schemas/1.21.0",'
+       || '"version":"1.0"}'
+     ELSE ',"instrumentationScope":{"version":"1.0"}' END
+  || ',"observedTimestamp":"' || ostr || '"'
+  || ',"resource":{"service.name":"svc-' || CAST(uid % 9 AS VARCHAR)
+  || '"}'
+  || CASE WHEN eid % 6 <> 0 THEN
+     ',"schemaUrl":"https://opentelemetry.io/schemas/1.21.0"'
+     ELSE '' END
+  || ',"severity":{'
+  || CASE
+     WHEN eid % 5 <> 0 AND eid % 7 <> 0 THEN
+       '"text":"INFO","number":'
+       || CAST(9 + (eid % 3) * 4 AS VARCHAR)
+     WHEN eid % 5 <> 0 THEN '"text":"INFO"'
+     WHEN eid % 7 <> 0 THEN '"number":'
+       || CAST(9 + (eid % 3) * 4 AS VARCHAR)
+     ELSE '' END
+  || '}'
+  || CASE WHEN eid % 3 = 0 THEN
+     ',"spanId":"' || substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16)
+     || '"' ELSE '' END
+  || ',"@timestamp":"' || tstr || '"'
+  || CASE WHEN eid % 2 = 0 THEN
+     ',"traceId":"' || md5(CAST(eid AS VARCHAR)) || '"'
+     ELSE '' END
+  || '}' AS document
+FROM g ORDER BY eid
+"""
+
+_QUERIES["opensearch_sso_logs_events"] = q_opensearch_sso_logs
+_ORACLES["opensearch_sso_logs_events"] = _OS_SSO_LOGS_ORACLE
+
+
+def q_opensearch_sso_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spans -> SSO JSON documents incl. the never-assigned zero
+    @timestamp quirk, the event ts.Unix()!=0 fallback, dropped
+    counts and the data_stream span injection."""
+    from .operators.opensearch import os_sso_span_docs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 30 == 17)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    am = lambda k, v: F.create_map(F.lit(k), v)
+    # one normal-ts event; rows with eid%6==0 get an event INSIDE the
+    # first epoch second (ts.Unix()==0 -> observedTimestamp fallback)
+    events = F.when(eid % 3 == 0, F.array(
+        F.struct(
+            F.when(eid % 6 == 0, F.lit(500_000_000).cast("bigint"))
+             .otherwise(tns + 250_000_000).alias("ts_ns"),
+            F.lit("exception").alias("name"),
+            am("exception.type", F.concat(F.lit("E"), s(eid % 7)))
+            .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.when(eid % 4 == 0, F.array(
+        F.struct(F.md5(F.concat(F.lit("lt"), s(eid))).alias("trace_id"),
+                 F.substring(F.md5(F.concat(F.lit("ls"), s(eid))), 1,
+                             16).alias("span_id"),
+                 F.lit("w3c=1").alias("trace_state"),
+                 am("reason", F.lit("follows"))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("start_ts_ns"),
+        (tns + (eid % 900 + 1) * 1_000_000).alias("end_ts_ns"),
+        (tns + 99_000_000).alias("observed_ts_ns"),
+        F.md5(s(eid)).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16)
+         .alias("span_id"),
+        F.when(eid % 2 == 0,
+               F.substring(F.md5(F.concat(F.lit("p"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("parent_span_id"),
+        F.when(eid % 6 == 0, "cc=x").otherwise("").alias("trace_state"),
+        F.concat(F.lit("op."), F.col("event_type")).alias("span_name"),
+        (uid % 6).cast("int").alias("span_kind"),
+        F.create_map(F.lit("service.name"),
+                     F.concat(F.lit("svc-"), s(uid % 9)))
+         .alias("resource_attributes"),
+        F.lit("tracer").alias("scope_name"),
+        F.lit("2.0").alias("scope_version"),
+        F.lit("").alias("scope_schema_url"),
+        F.expr("cast(map() as map<string,string>)")
+         .alias("scope_attributes"),
+        am("http.method",
+           F.when(eid % 2 == 0, F.lit("GET")).otherwise(F.lit("POST")))
+        .alias("span_attributes"),
+        (eid % 3).cast("int").alias("status_code"),
+        F.when(eid % 3 == 2, F.concat(F.lit("boom "), s(eid)))
+         .otherwise(F.lit("")).alias("status_message"),
+        (eid % 4).cast("int").alias("dropped_attributes_count"),
+        (eid % 5).cast("int").alias("dropped_events_count"),
+        (eid % 6).cast("int").alias("dropped_links_count"),
+        events.alias("events"),
+        links.alias("links"),
+    )
+    return os_sso_span_docs(src, dataset="default").orderBy("eid")
+
+
+_OS_SSO_SPANS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         (event_id % 900 + 1) * 1000000 AS dur_ns
+  FROM events WHERE event_id % 30 = 17),
+g AS (
+  SELECT *,
+    strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S') || 'Z' AS sstr,
+    strftime(to_timestamp(st + (dur_ns // 1000000000)),
+             '%Y-%m-%dT%H:%M:%S')
+      || CASE WHEN dur_ns % 1000000000 = 0 THEN ''
+         ELSE '.' || rtrim(lpad(CAST(dur_ns % 1000000000 AS VARCHAR),
+                                9, '0'), '0') END || 'Z' AS estr,
+    strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S') || '.25Z'
+      AS evstr,
+    strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S') || '.099Z'
+      AS obstr
+  FROM f)
+SELECT eid,
+  '{"attributes":{"data_stream":{"dataset":"default","type":"span"},'
+  || '"http.method":"'
+  || CASE WHEN eid % 2 = 0 THEN 'GET' ELSE 'POST' END || '"}'
+  || ',"droppedAttributesCount":' || CAST(eid % 4 AS VARCHAR)
+  || ',"droppedEventsCount":' || CAST(eid % 5 AS VARCHAR)
+  || ',"droppedLinksCount":' || CAST(eid % 6 AS VARCHAR)
+  || ',"endTime":"' || estr || '"'
+  || CASE WHEN eid % 3 = 0 THEN
+     ',"events":[{"attributes":{"exception.type":"E'
+     || CAST(eid % 7 AS VARCHAR)
+     || '"},"droppedAttributesCount":0,"name":"exception",'
+     || CASE WHEN eid % 6 = 0
+        THEN '"observedTimestamp":"' || obstr || '"'
+        ELSE '"@timestamp":"' || evstr || '"' END
+     || '}]'
+     ELSE '' END
+  || ',"instrumentationScope":{"droppedAttributesCount":0,'
+  || '"name":"tracer","schemaUrl":"","version":"2.0"}'
+  || ',"kind":"'
+  || CASE uid % 6 WHEN 0 THEN 'Unspecified' WHEN 1 THEN 'Internal'
+     WHEN 2 THEN 'Server' WHEN 3 THEN 'Client' WHEN 4 THEN 'Producer'
+     ELSE 'Consumer' END || '"'
+  || CASE WHEN eid % 4 = 0 THEN
+     ',"links":[{"attributes":{"reason":"follows"},"spanId":"'
+     || substr(md5('ls' || CAST(eid AS VARCHAR)), 1, 16)
+     || '","traceId":"' || md5('lt' || CAST(eid AS VARCHAR))
+     || '","traceState":"w3c=1"}]'
+     ELSE '' END
+  || ',"name":"op.' || event_type || '"'
+  || ',"parentSpanId":"'
+  || CASE WHEN eid % 2 = 0
+     THEN substr(md5('p' || CAST(eid AS VARCHAR)), 1, 16)
+     ELSE '' END || '"'
+  || ',"resource":{"service.name":"svc-' || CAST(uid % 9 AS VARCHAR)
+  || '"}'
+  || ',"spanId":"' || substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16)
+  || '"'
+  || ',"startTime":"' || sstr || '"'
+  || ',"status":{"code":"'
+  || CASE eid % 3 WHEN 0 THEN 'Unset' WHEN 1 THEN 'Ok'
+     ELSE 'Error' END
+  || '","message":"'
+  || CASE WHEN eid % 3 = 2 THEN 'boom ' || CAST(eid AS VARCHAR)
+     ELSE '' END || '"}'
+  || ',"@timestamp":"0001-01-01T00:00:00Z"'
+  || ',"traceId":"' || md5(CAST(eid AS VARCHAR)) || '"'
+  || ',"traceState":"'
+  || CASE WHEN eid % 6 = 0 THEN 'cc=x' ELSE '' END || '"'
+  || '}' AS document
+FROM g ORDER BY eid
+"""
+
+_QUERIES["opensearch_sso_spans_events"] = q_opensearch_sso_spans
+_ORACLES["opensearch_sso_spans_events"] = _OS_SSO_SPANS_ORACLE
+
+
+def q_opensearch_bodymap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bodymap mapping mode: map bodies pass through verbatim as the
+    document; non-map bodies produce the per-record error."""
+    from .operators.opensearch import os_bodymap_docs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 21)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    src = ev.select(
+        eid.alias("eid"),
+        F.when(eid % 3 != 0,
+               F.create_map(F.lit("event"), F.col("event_type"),
+                            F.lit("user"), s(uid)))
+         .alias("body_map"),  # NULL = the record body was not a map
+    )
+    return os_bodymap_docs(src).orderBy("eid")
+
+
+_OS_BODYMAP_ORACLE = """
+SELECT event_id AS eid,
+  CASE WHEN event_id % 3 <> 0 THEN
+    '{"event":"' || event_type || '","user":"'
+    || CAST(user_id AS VARCHAR) || '"}'
+  END AS document,
+  CASE WHEN event_id % 3 = 0 THEN
+    'invalid log record body type for ''bodymap'' mapping mode'
+  END AS error
+FROM events WHERE event_id % 31 = 21 ORDER BY eid
+"""
+
+_QUERIES["opensearch_bodymap_events"] = q_opensearch_bodymap
+_ORACLES["opensearch_bodymap_events"] = _OS_BODYMAP_ORACLE

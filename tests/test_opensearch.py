@@ -1,0 +1,158 @@
+"""opensearchexporter SSO document + index-resolver semantics."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import (
+    opensearch as OS,
+)
+
+LOG_SCHEMA = (
+    "ts_ns bigint, observed_ts_ns bigint, trace_id string,"
+    "span_id string, severity_text string, severity_number int,"
+    "body string, resource_attributes map<string,string>,"
+    "attributes map<string,string>, scope_name string,"
+    "scope_version string, scope_schema_url string,"
+    "scope_attributes map<string,string>")
+
+
+def log_row(**kw):
+    base = dict(ts_ns=1700000000500000000,
+                observed_ts_ns=1700000001000000000,
+                trace_id="a" * 32, span_id="0" * 16,
+                severity_text="WARN", severity_number=13,
+                body="hello", resource_attributes={"r": "1"},
+                attributes={"k": "v"}, scope_name="sc",
+                scope_version="2", scope_schema_url="url",
+                scope_attributes={})
+    return Row(**{**base, **kw})
+
+
+class TestSSOLogDoc:
+    def doc(self, spark, row, **kw):
+        df = spark.createDataFrame([row], LOG_SCHEMA)
+        return OS.os_sso_log_docs(df, **kw).collect()[0].document
+
+    def test_field_order_and_content(self, spark):
+        d = self.doc(spark, log_row())
+        # struct-declaration field order, zero span id omitted
+        assert d == (
+            '{"attributes":{"k":"v"},"body":"hello",'
+            '"instrumentationScope":{"name":"sc","schemaUrl":"url",'
+            '"version":"2"},'
+            '"observedTimestamp":"2023-11-14T22:13:21Z",'
+            '"resource":{"r":"1"},"schemaUrl":"url",'
+            '"severity":{"text":"WARN","number":13},'
+            '"@timestamp":"2023-11-14T22:13:20.5Z",'
+            '"traceId":"' + "a" * 32 + '"}')
+        json.loads(d)  # well-formed
+
+    def test_data_stream_injection(self, spark):
+        d = self.doc(spark, log_row(attributes={}), dataset="ds1")
+        # injected into attributes; namespace omitted when empty
+        assert ('"attributes":{"data_stream":{"dataset":"ds1",'
+                '"type":"record"}}') in d
+
+    def test_empty_attrs_no_ds_omitted(self, spark):
+        d = self.doc(spark, log_row(attributes={}))
+        assert '"attributes"' not in d.split('"instrumentation')[0]
+
+    def test_empty_severity_object(self, spark):
+        d = self.doc(spark, log_row(severity_text="",
+                                    severity_number=0))
+        assert '"severity":{}' in d
+
+
+SPAN_SCHEMA = (
+    "start_ts_ns bigint, end_ts_ns bigint, observed_ts_ns bigint,"
+    "trace_id string, span_id string, parent_span_id string,"
+    "trace_state string, span_name string, span_kind int,"
+    "resource_attributes map<string,string>, scope_name string,"
+    "scope_version string, scope_schema_url string,"
+    "scope_attributes map<string,string>,"
+    "span_attributes map<string,string>, status_code int,"
+    "status_message string, dropped_attributes_count int,"
+    "dropped_events_count int, dropped_links_count int,"
+    "events array<struct<ts_ns:bigint,name:string,"
+    "attributes:map<string,string>>>,"
+    "links array<struct<trace_id:string,span_id:string,"
+    "trace_state:string,attributes:map<string,string>>>")
+
+
+def span_row(**kw):
+    base = dict(start_ts_ns=1700000000000000000,
+                end_ts_ns=1700000001000000000,
+                observed_ts_ns=1700000002000000000,
+                trace_id="a" * 32, span_id="b" * 16,
+                parent_span_id="0" * 16, trace_state="",
+                span_name="op", span_kind=2,
+                resource_attributes={"r": "1"}, scope_name="tr",
+                scope_version="1", scope_schema_url="",
+                scope_attributes={},
+                span_attributes={"m": "GET"}, status_code=1,
+                status_message="", dropped_attributes_count=0,
+                dropped_events_count=0, dropped_links_count=0,
+                events=[], links=[])
+    return Row(**{**base, **kw})
+
+
+class TestSSOSpanDoc:
+    def doc(self, spark, row, **kw):
+        df = spark.createDataFrame([row], SPAN_SCHEMA)
+        return OS.os_sso_span_docs(df, **kw).collect()[0].document
+
+    def test_zero_at_timestamp_quirk(self, spark):
+        # encodeTrace never assigns ssoSpan.Timestamp
+        d = self.doc(spark, span_row())
+        assert '"@timestamp":"0001-01-01T00:00:00Z"' in d
+        assert '"kind":"Server"' in d
+        assert '"status":{"code":"Ok","message":""}' in d
+        assert '"parentSpanId":""' in d  # no omitempty in ssoSpan
+        json.loads(d)
+
+    def test_event_first_epoch_second_fallback(self, spark):
+        # ts.Unix()==0 covers the whole first second, not just 0 ns
+        d = self.doc(spark, span_row(events=[Row(
+            ts_ns=999_999_999, name="e", attributes={})]))
+        assert ('"observedTimestamp":"2023-11-14T22:13:22Z"' in d)
+        assert '"@timestamp":"1970' not in d
+
+    def test_event_normal_timestamp(self, spark):
+        d = self.doc(spark, span_row(events=[Row(
+            ts_ns=1700000000250000000, name="e", attributes={})]))
+        assert ('"events":[{"attributes":{},'
+                '"droppedAttributesCount":0,"name":"e",'
+                '"@timestamp":"2023-11-14T22:13:20.25Z"}]') in d
+
+
+class TestIndexResolver:
+    def test_priority_and_fallback(self, spark):
+        df = spark.createDataFrame([Row(
+            attributes={"region": "item-r"},
+            scope_attributes={"region": "scope-r", "env": "dev"},
+            scope_name="sn", scope_version="",
+            resource_attributes={"region": "res-r",
+                                 "service.name": "svc"})],
+            "attributes map<string,string>,"
+            "scope_attributes map<string,string>,"
+            "scope_name string, scope_version string,"
+            "resource_attributes map<string,string>")
+        idx = df.select(
+            OS.os_index_name(
+                df, "i-%{region}-%{env}-%{service.name}-%{nope}",
+                fallback="fb").alias("i"),
+            OS.os_index_name(df, "x-%{scope.version}").alias("j"),
+            OS.os_index_name(df, "", time_format="yyyy.MM",
+                             submit_time="2026.01").alias("k"),
+        ).collect()[0]
+        # item > scope > resource > fallback
+        assert idx.i == "i-item-r-dev-svc-fb"
+        # empty scope.version special falls through to fallback-less
+        # "unknown"
+        assert idx.j == "x-unknown"
+        # empty pattern -> default name + time suffix
+        assert idx.k == "ss4o_logs-default-namespace-2026.01"
