@@ -1,0 +1,112 @@
+"""k8seventsreceiver: Kubernetes core/v1 Event objects -> log
+records.
+
+Reference: receiver/k8seventsreceiver/k8s_event_to_logdata.go:27-91 +
+receiver.go:200-213 (getEventTimestamp). The watch/informer plumbing
+(client, namespace scoping, startup grace) is polling transport; what
+is grafted is the SEMANTIC mapping of the recorded event stream — the
+natural Spark shape is a table of the API's JSON-serialized Events.
+
+* timestamp priority (receiver.go:203-210): eventTime, else
+  lastTimestamp, else firstTimestamp, else the zero time.
+* severity (k8s_event_to_logdata.go:28-33): type matched
+  case-INSENSITIVELY — normal->Info(9), warning->Warn(13),
+  error->Error(17), critical->Fatal(21); unknown types leave
+  severity unset (number 0, empty text) but the record still flows.
+* resource attrs: k8s.node.name = source.host + the six
+  k8s.object.* fields from involvedObject.
+* log attrs: k8s.event.reason/action/name/uid,
+  k8s.namespace.name = involvedObject.namespace, and
+  k8s.event.start_time = metadata.creationTimestamp rendered with Go
+  time.Time.String() — ``2006-01-02 15:04:05 +0000 UTC``, the zero
+  value rendering ``0001-01-01 00:00:00 +0000 UTC`` (the reference
+  stores the String() of the struct, not RFC3339).
+* k8s.event.count only when non-zero.
+
+Map-only Column code: ONE from_json, no exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "metadata struct<name:string,uid:string,"
+    "creationTimestamp:string>,"
+    "involvedObject struct<kind:string,name:string,uid:string,"
+    "fieldPath:string,apiVersion:string,resourceVersion:string,"
+    "namespace:string>,"
+    "reason string, message string, type string, count int,"
+    "action string, eventTime string, firstTimestamp string,"
+    "lastTimestamp string,"
+    "source struct<host:string,component:string>")
+
+# plog severity numbers (k8s_event_to_logdata.go:28-33)
+_SEVERITY = (("normal", 9, "Info"), ("warning", 13, "Warn"),
+             ("error", 17, "Error"), ("critical", 21, "Fatal"))
+
+
+def _go_time_string(rfc3339: Column) -> Column:
+    """metav1.Time's embedded time.Time String(): the Go layout
+    ``2006-01-02 15:04:05 +0000 UTC`` (whole seconds in the API's
+    serialization), zero value when absent."""
+    t = rfc3339.try_cast("timestamp")
+    return F.when(
+        t.isNull(), F.lit("0001-01-01 00:00:00 +0000 UTC")) \
+        .otherwise(F.concat(
+            F.date_format(t, "yyyy-MM-dd HH:mm:ss"),
+            F.lit(" +0000 UTC")))
+
+
+def k8s_events_logs(df: DataFrame,
+                    payload: str = "payload") -> DataFrame:
+    """One JSON-serialized corev1.Event -> one log-record row
+    (k8sEventToLogData)."""
+    ev = F.from_json(F.col(payload), EVENT_SCHEMA)
+    df = df.select(*[c for c in df.columns if c != payload],
+                   ev.alias("ev"))
+    e = F.col("ev")
+    s = lambda c: F.coalesce(c, F.lit(""))
+    ts = F.coalesce(e["eventTime"].try_cast("timestamp"),
+                    e["lastTimestamp"].try_cast("timestamp"),
+                    e["firstTimestamp"].try_cast("timestamp"))
+    ts_ns = F.coalesce(F.unix_micros(ts) * 1000, F.lit(0))
+    low = F.lower(s(e["type"]))
+    sev_num = F.lit(0)
+    sev_text = F.lit("")
+    for name, num, _ in _SEVERITY:
+        sev_num = F.when(low == name, F.lit(num)).otherwise(sev_num)
+        # SeverityText keeps the ORIGINAL casing of ev.Type
+        sev_text = F.when(low == name, s(e["type"])) \
+            .otherwise(sev_text)
+    count = e["count"]
+    extra = [c for c in df.columns if c != "ev"]
+    return df.select(
+        *extra,
+        s(e["source"]["host"]).alias("k8s_node_name"),
+        s(e["involvedObject"]["kind"]).alias("k8s_object_kind"),
+        s(e["involvedObject"]["name"]).alias("k8s_object_name"),
+        s(e["involvedObject"]["uid"]).alias("k8s_object_uid"),
+        s(e["involvedObject"]["fieldPath"])
+        .alias("k8s_object_fieldpath"),
+        s(e["involvedObject"]["apiVersion"])
+        .alias("k8s_object_api_version"),
+        s(e["involvedObject"]["resourceVersion"])
+        .alias("k8s_object_resource_version"),
+        ts_ns.alias("ts_ns"),
+        s(e["message"]).alias("body"),
+        sev_num.cast("int").alias("severity_number"),
+        sev_text.alias("severity_text"),
+        s(e["reason"]).alias("k8s_event_reason"),
+        s(e["action"]).alias("k8s_event_action"),
+        _go_time_string(e["metadata"]["creationTimestamp"])
+        .alias("k8s_event_start_time"),
+        s(e["metadata"]["name"]).alias("k8s_event_name"),
+        s(e["metadata"]["uid"]).alias("k8s_event_uid"),
+        s(e["involvedObject"]["namespace"])
+        .alias("k8s_namespace_name"),
+        # zero count means "absent" in the collected event
+        F.when(F.coalesce(count, F.lit(0)) != 0,
+               count.cast("bigint")).alias("k8s_event_count"),
+    )

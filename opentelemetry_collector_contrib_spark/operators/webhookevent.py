@@ -1,0 +1,135 @@
+"""webhookeventreceiver: HTTP webhook request bodies -> log records.
+
+Reference: receiver/webhookeventreceiver/req_to_log.go:30-137 +
+receiver.go:195-215. The HTTP server / gzip / required-header auth
+layer is push transport; what is grafted is the body->records
+semantics over a recorded request table (body, query params,
+headers):
+
+* the body is scanned as ONE token (the custom Scanner split), then
+  split per config: not at all (one record, newlines preserved), at
+  newlines (plain strings.Split — EMPTY segments become records
+  too), or at top-level JSON boundaries (sequential json.Decoder
+  RawMessage reads: each top-level JSON value becomes a record with
+  its ORIGINAL bytes; decoding stops at the first error so a valid
+  prefix DROPS the garbage tail; if no leading JSON value parses,
+  the whole body is one record).
+* non-empty query parameters become resource attributes
+  (appendMetadata, req_to_log.go:92-98).
+* headers matching the include regex become per-record attributes
+  under ``header.<Name>`` as STRING-SLICE values
+  (appendHeaders, req_to_log.go:101-112) — rendered here as JSON
+  arrays.
+
+The newline/none splits are pure Column ops. The JSON-boundary split
+is inherently sequential per body (a decoder walk), so it runs in an
+Arrow-batched codec slot via json.JSONDecoder.raw_decode — the same
+position as the reference's json.Decoder loop.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_json_objects(data: str) -> list[str]:
+    """splitJSONObjects (req_to_log.go:117-137): sequential top-level
+    JSON values, original text, stop at first error, whole-body
+    fallback when nothing parses."""
+    dec = json.JSONDecoder()
+    out: list[str] = []
+    idx = 0
+    n = len(data)
+    while True:
+        # json.Decoder skips leading whitespace between values
+        while idx < n and data[idx] in " \t\r\n":
+            idx += 1
+        if idx >= n:
+            break
+        try:
+            _, end = dec.raw_decode(data, idx)
+        except ValueError:
+            break
+        out.append(data[idx:end])
+        idx = end
+    if not out:
+        return [data]
+    return out
+
+
+def webhook_logs(
+    df: DataFrame,
+    split: str = "none",
+    include_headers_regex: "str | None" = None,
+    body: str = "body",
+    query: str = "query",
+    headers: str = "headers",
+) -> DataFrame:
+    """One recorded request -> one row per log record. Input columns:
+    ``body`` string, ``query`` map<string,string>, ``headers``
+    map<string,array<string>> (Go-canonical names)."""
+    passthrough = [c for c in df.columns
+                   if c not in (body, query, headers)]
+    if split == "newline":
+        lines = F.split(F.col(body), "\n", -1)
+        exploded = df.select(
+            *passthrough, F.col(query).alias("_q"),
+            F.col(headers).alias("_h"),
+            F.posexplode(lines).alias("record_index", "body"))
+    elif split == "json":
+        out_schema = ", ".join(
+            f"{c} {t}" for c, t in df.dtypes if c not in (body,))
+        out_schema += ", _bodies array<string>"
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                o = b[[c for c in b.columns if c != body]].copy()
+                o["_bodies"] = b[body].map(split_json_objects)
+                yield o
+
+        tmp = df.mapInPandas(run, out_schema)
+        exploded = tmp.select(
+            *passthrough, F.col(query).alias("_q"),
+            F.col(headers).alias("_h"),
+            F.posexplode(F.col("_bodies"))
+            .alias("record_index", "body"))
+    else:
+        exploded = df.select(
+            *passthrough, F.col(query).alias("_q"),
+            F.col(headers).alias("_h"),
+            F.lit(0).alias("record_index"), F.col(body).alias("body"))
+    # non-empty query params -> resource attributes (sorted k=v house
+    # render)
+    res_attrs = F.array_join(F.array_sort(F.transform(
+        F.map_entries(F.map_filter(
+            F.coalesce(F.col("_q"), F.expr(
+                "cast(map() as map<string,string>)")),
+            lambda _, v: v != "")),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"]))), ",")
+    cols = [
+        *passthrough, "record_index", "body",
+        res_attrs.alias("resource_attributes"),
+    ]
+    if include_headers_regex is not None:
+        re.compile(include_headers_regex)  # validate eagerly
+        hdr = F.map_filter(
+            F.coalesce(F.col("_h"), F.expr(
+                "cast(map() as map<string,array<string>>)")),
+            lambda k, _: k.rlike(include_headers_regex))
+        # header.<Name> -> string-slice attr, JSON-array render
+        hdr_json = F.when(F.size(hdr) > 0, F.concat(
+            F.lit("{"),
+            F.array_join(F.array_sort(F.transform(
+                F.map_entries(hdr),
+                lambda e: F.concat(F.lit('"header.'), e["key"],
+                                   F.lit('":'),
+                                   F.to_json(e["value"])))), ","),
+            F.lit("}"))).otherwise(F.lit("{}"))
+        cols.append(hdr_json.alias("header_attributes"))
+    return exploded.select(*cols)

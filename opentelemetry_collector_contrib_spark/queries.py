@@ -15370,3 +15370,164 @@ FROM events WHERE event_id % 31 = 21 ORDER BY eid
 
 _QUERIES["opensearch_bodymap_events"] = q_opensearch_bodymap
 _ORACLES["opensearch_bodymap_events"] = _OS_BODYMAP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# k8seventsreceiver (k8s_event_to_logdata.go)
+# ---------------------------------------------------------------------------
+
+def q_k8s_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corev1.Event JSON -> log records: timestamp priority ladder,
+    case-insensitive severity map, Go time.Time.String() start_time,
+    zero-count omission."""
+    from .operators.k8s_events import k8s_events_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 32 == 19)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    iso_prev = F.date_format(F.col("ts") - F.expr("INTERVAL 90 SECONDS"),
+                             "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    etype = F.element_at(
+        F.array(F.lit("Normal"), F.lit("WARNING"), F.lit("error"),
+                F.lit("Critical"), F.lit("Custom")),
+        (eid % 5 + 1).cast("int"))
+    payload = F.concat(
+        F.lit('{"metadata":{"name":"ev-'), s(eid),
+        F.lit('","uid":"'), F.md5(s(eid)),
+        F.lit('","creationTimestamp":'),
+        F.when(eid % 7 == 0, F.lit("null"))
+         .otherwise(F.concat(F.lit('"'), iso_prev, F.lit('"'))),
+        F.lit('},"involvedObject":{"kind":"Pod","name":"pod-'),
+        s(uid % 40),
+        F.lit('","uid":"'), F.md5(F.concat(F.lit("o"), s(eid))),
+        F.lit('","fieldPath":"spec.containers{app}",'
+              '"apiVersion":"v1","resourceVersion":"'), s(eid % 9999),
+        F.lit('","namespace":"ns-'), s(uid % 6),
+        F.lit('"},"reason":"'), F.col("event_type"),
+        F.lit('","message":"k8s message '), s(eid),
+        F.lit('","type":"'), etype,
+        F.lit('","count":'), s(eid % 4),
+        F.lit(',"action":"Binding"'),
+        # timestamp ladder: eventTime > lastTimestamp > firstTimestamp
+        F.when(eid % 3 == 0,
+               F.concat(F.lit(',"eventTime":"'), iso, F.lit('"')))
+         .otherwise(F.lit("")),
+        F.when(eid % 3 != 2,
+               F.concat(F.lit(',"lastTimestamp":"'), iso_prev,
+                        F.lit('"'))).otherwise(F.lit("")),
+        F.lit(',"firstTimestamp":"'), iso_prev,
+        F.lit('","source":{"host":"node-'), s(uid % 12),
+        F.lit('","component":"kubelet"}}'))
+    src = ev.select(eid.alias("eid"), payload.alias("payload"))
+    return k8s_events_logs(src).orderBy("eid")
+
+
+_K8S_EVENTS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 32 = 19)
+SELECT eid,
+  'node-' || CAST(uid % 12 AS VARCHAR) AS k8s_node_name,
+  'Pod' AS k8s_object_kind,
+  'pod-' || CAST(uid % 40 AS VARCHAR) AS k8s_object_name,
+  md5('o' || CAST(eid AS VARCHAR)) AS k8s_object_uid,
+  'spec.containers{app}' AS k8s_object_fieldpath,
+  'v1' AS k8s_object_api_version,
+  CAST(eid % 9999 AS VARCHAR) AS k8s_object_resource_version,
+  CASE WHEN eid % 3 = 0 THEN st * 1000000000
+       ELSE (st - 90) * 1000000000 END AS ts_ns,
+  'k8s message ' || CAST(eid AS VARCHAR) AS body,
+  CAST(CASE eid % 5 WHEN 0 THEN 9 WHEN 1 THEN 13 WHEN 2 THEN 17
+       WHEN 3 THEN 21 ELSE 0 END AS INT) AS severity_number,
+  CASE eid % 5 WHEN 0 THEN 'Normal' WHEN 1 THEN 'WARNING'
+       WHEN 2 THEN 'error' WHEN 3 THEN 'Critical' ELSE '' END
+    AS severity_text,
+  event_type AS k8s_event_reason,
+  'Binding' AS k8s_event_action,
+  CASE WHEN eid % 7 = 0 THEN '0001-01-01 00:00:00 +0000 UTC'
+       ELSE strftime(to_timestamp(st - 90), '%Y-%m-%d %H:%M:%S')
+            || ' +0000 UTC' END AS k8s_event_start_time,
+  'ev-' || CAST(eid AS VARCHAR) AS k8s_event_name,
+  md5(CAST(eid AS VARCHAR)) AS k8s_event_uid,
+  'ns-' || CAST(uid % 6 AS VARCHAR) AS k8s_namespace_name,
+  CASE WHEN eid % 4 <> 0 THEN CAST(eid % 4 AS BIGINT) END
+    AS k8s_event_count
+FROM f ORDER BY eid
+"""
+
+_QUERIES["k8s_events_logs"] = q_k8s_events
+_ORACLES["k8s_events_logs"] = _K8S_EVENTS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# webhookeventreceiver (req_to_log.go)
+# ---------------------------------------------------------------------------
+
+def q_webhookevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recorded webhook requests -> log records in JSON-boundary
+    split mode: sequential top-level values, garbage-tail drop,
+    whole-body fallback, query-param resource attrs and regex-matched
+    header slice attrs."""
+    from .operators.webhookevent import webhook_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 33 == 23)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    obj1 = F.concat(F.lit('{"event":"'), F.col("event_type"),
+                    F.lit('","id":'), s(eid), F.lit("}"))
+    obj2 = F.concat(F.lit('{"user":'), s(uid), F.lit("}"))
+    body = (
+        F.when(eid % 4 == 0, F.concat(obj1, F.lit("\n"), obj2))
+         .when(eid % 4 == 1, F.concat(obj1, F.lit(" "), obj2,
+                                      F.lit("garbage-tail")))
+         .when(eid % 4 == 2, F.concat(F.lit("plain text body "),
+                                      s(eid)))
+         .otherwise(obj1))
+    src = ev.select(
+        eid.alias("eid"),
+        body.alias("body"),
+        F.create_map(
+            F.lit("tenant"), F.concat(F.lit("t"), s(uid % 7)),
+            F.lit("empty"), F.lit(""),
+        ).alias("query"),
+        F.create_map(
+            F.lit("X-Req-Id"), F.array(F.md5(s(eid))),
+            F.lit("Content-Type"),
+            F.array(F.lit("application/json")),
+            F.lit("X-Env"), F.array(F.lit("prod"), F.lit("eu")),
+        ).alias("headers"),
+    )
+    out = webhook_logs(src, split="json",
+                       include_headers_regex="^X-")
+    return out.orderBy("eid", "record_index")
+
+
+_WEBHOOK_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, event_type
+  FROM events WHERE event_id % 33 = 23),
+g AS (
+  SELECT *,
+    '{"event":"' || event_type || '","id":' || CAST(eid AS VARCHAR)
+      || '}' AS obj1,
+    '{"user":' || CAST(uid AS VARCHAR) || '}' AS obj2,
+    'tenant=t' || CAST(uid % 7 AS VARCHAR) AS res,
+    '{"header.X-Env":["prod","eu"],"header.X-Req-Id":["'
+      || md5(CAST(eid AS VARCHAR)) || '"]}' AS hdrs
+  FROM f)
+SELECT eid, 0 AS record_index,
+  CASE WHEN eid % 4 = 0 THEN obj1
+       WHEN eid % 4 = 1 THEN obj1
+       WHEN eid % 4 = 2 THEN 'plain text body ' || CAST(eid AS VARCHAR)
+       ELSE obj1 END AS body,
+  res AS resource_attributes, hdrs AS header_attributes
+FROM g
+UNION ALL
+SELECT eid, 1, obj2, res, hdrs FROM g WHERE eid % 4 IN (0, 1)
+ORDER BY eid, record_index
+"""
+
+_QUERIES["webhookevent_logs"] = q_webhookevent
+_ORACLES["webhookevent_logs"] = _WEBHOOK_ORACLE

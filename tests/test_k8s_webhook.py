@@ -1,0 +1,107 @@
+"""k8seventsreceiver + webhookeventreceiver semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators.k8s_events import (
+    k8s_events_logs,
+)
+from opentelemetry_collector_contrib_spark.operators.webhookevent import (
+    split_json_objects,
+    webhook_logs,
+)
+
+
+def k8s_run(spark, payload):
+    df = spark.createDataFrame([(1, payload)],
+                               "eid int, payload string")
+    return k8s_events_logs(df).collect()[0]
+
+
+BASE = ('{"metadata":{"name":"n","uid":"u",'
+        '"creationTimestamp":"2023-11-14T22:13:20Z"},'
+        '"involvedObject":{"kind":"Pod","name":"p","uid":"ou",'
+        '"fieldPath":"fp","apiVersion":"v1","resourceVersion":"5",'
+        '"namespace":"ns"},"reason":"Started","message":"m",'
+        '"type":"Normal","count":2,"action":"a",'
+        '"eventTime":"2023-11-14T22:13:25Z",'
+        '"lastTimestamp":"2023-11-14T22:13:23Z",'
+        '"firstTimestamp":"2023-11-14T22:13:21Z",'
+        '"source":{"host":"h","component":"c"}}')
+
+
+class TestK8sEvents:
+    def test_timestamp_priority(self, spark):
+        r = k8s_run(spark, BASE)
+        assert r.ts_ns == 1700000005 * 10**9  # eventTime wins
+        no_et = BASE.replace('"eventTime":"2023-11-14T22:13:25Z",', "")
+        assert k8s_run(spark, no_et).ts_ns == 1700000003 * 10**9
+        neither = no_et.replace(
+            '"lastTimestamp":"2023-11-14T22:13:23Z",', "")
+        assert k8s_run(spark, neither).ts_ns == 1700000001 * 10**9
+
+    def test_severity_case_insensitive_original_text(self, spark):
+        r = k8s_run(spark, BASE.replace('"type":"Normal"',
+                                        '"type":"WARNING"'))
+        assert (r.severity_number, r.severity_text) == (13, "WARNING")
+        r = k8s_run(spark, BASE.replace('"type":"Normal"',
+                                        '"type":"Odd"'))
+        assert (r.severity_number, r.severity_text) == (0, "")
+
+    def test_start_time_go_string_render(self, spark):
+        r = k8s_run(spark, BASE)
+        assert r.k8s_event_start_time == \
+            "2023-11-14 22:13:20 +0000 UTC"
+        r = k8s_run(spark, BASE.replace(
+            '"creationTimestamp":"2023-11-14T22:13:20Z"',
+            '"creationTimestamp":null'))
+        assert r.k8s_event_start_time == \
+            "0001-01-01 00:00:00 +0000 UTC"
+
+    def test_zero_count_omitted(self, spark):
+        r = k8s_run(spark, BASE.replace('"count":2', '"count":0'))
+        assert r.k8s_event_count is None
+
+
+class TestSplitJSONObjects:
+    def test_sequential_values_and_garbage_tail(self):
+        assert split_json_objects('{"a":1} {"b":2}') == \
+            ['{"a":1}', '{"b":2}']
+        # valid prefix DROPS the garbage tail (decoder stops at the
+        # first error)
+        assert split_json_objects('{"a":1}oops{"b":2}') == ['{"a":1}']
+
+    def test_whole_body_fallback(self):
+        assert split_json_objects("not json") == ["not json"]
+        assert split_json_objects("") == [""]
+
+    def test_non_object_top_level_values(self):
+        # json.Decoder reads ANY top-level values, not just objects
+        assert split_json_objects('1 "two" [3]') == \
+            ["1", '"two"', "[3]"]
+
+
+class TestWebhookLogs:
+    def make(self, spark, body):
+        return spark.createDataFrame(
+            [Row(eid=1, body=body, query={"q": "1", "e": ""},
+                 headers={"X-A": ["1", "2"], "Other": ["x"]})],
+            "eid int, body string, query map<string,string>,"
+            "headers map<string,array<string>>")
+
+    def test_none_mode_preserves_newlines(self, spark):
+        rows = webhook_logs(self.make(spark, "l1\nl2")).collect()
+        assert len(rows) == 1 and rows[0].body == "l1\nl2"
+
+    def test_newline_mode_keeps_empty_segments(self, spark):
+        rows = webhook_logs(self.make(spark, "a\n\nb"),
+                            split="newline").collect()
+        assert [r.body for r in rows] == ["a", "", "b"]
+
+    def test_query_and_header_attrs(self, spark):
+        rows = webhook_logs(self.make(spark, "x"),
+                            include_headers_regex="^X-").collect()
+        r = rows[0]
+        assert r.resource_attributes == "q=1"  # empty value dropped
+        assert r.header_attributes == '{"header.X-A":["1","2"]}'
