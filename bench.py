@@ -495,12 +495,30 @@ def main() -> None:
     }
     if scaling:
         out["scaling"] = scaling
-    # top-level self-defense: true when the scaling phase flagged OR
-    # the per-operator phase started under external load (the reading
-    # predates our own query-phase JVM)
+    # Band check on the FROZEN stable subset: loadavg is only read
+    # BEFORE runs (our own JVM pollutes any during/after read), so a
+    # contender that starts mid-run escapes the load flags entirely
+    # (observed: a capture with concurrent pytest read value_stable
+    # 38s with every load read landing in quiet gaps). The stable-18
+    # subset is frozen precisely to detect this: at the standard
+    # capture point (sf0.1, default docs) its quiet range across
+    # r03-r05 is 18.3-20.2s, so >25% above the band ceiling means the
+    # measurement windows were contended no matter what the load
+    # reads said.
+    stable_band_ceiling_s = 21.0  # quiet r03-r05 max + margin
+    at_standard_point = (abs(sf - 0.1) < 1e-9
+                         and n_docs == 2_000_000)
+    out["value_stable_above_band"] = bool(
+        at_standard_point and value_stable > stable_band_ceiling_s
+        * 1.25)
+    # top-level self-defense: true when the scaling phase flagged, the
+    # per-operator phase started under external load (the reading
+    # predates our own query-phase JVM), or the frozen subset blew its
+    # quiet band
     out["contended"] = bool(
         scaling.get("contended", False)
         or load_before_queries > 0.15 * (os.cpu_count() or 32)
+        or out["value_stable_above_band"]
     )
     spark.stop()
     print(json.dumps(out))
