@@ -1,0 +1,200 @@
+"""mezmoexporter + cassandraexporter row mappings.
+
+mezmo (exporter/mezmoexporter/exporter.go:71-165 + utils.go +
+config.go:29-32): one log record -> one mezmoLogLine JSON object
+{"timestamp","line","app","level","meta"}:
+
+* timestamp = UnixMilli (zero -> the submit time, an injected
+  column's job — fixtures keep non-zero).
+* line = Body().Str() BYTE-truncated at 16 KiB (Go s[:n] slices
+  bytes; json.Marshal then replaces a split rune with U+FFFD — the
+  same observable as utf-8 decode of the byte slice here).
+* app = the ``appname`` log attribute ('' when absent, 512-byte
+  cap); level = severity text (80-byte cap, '' -> "info").
+* meta: resource host.name as ``hostname`` (when present), non-empty
+  trace/span ids as ``trace.id``/``span.id``, then the record's
+  attributes with v.Str() — a NON-string attribute contributes ''
+  (pcommon Str() on a non-string) — each value capped at 32 KiB.
+  Record attributes OVERWRITE the synthetic keys (map insert order).
+* the <=10MB batch chunking is HTTP transport, out of scope (so is
+  its drop-last-byte splice bug).
+
+cassandra (exporter/cassandraexporter/exporter_logs.go:110-140 +
+exporter_traces.go:113-145 + helper.go + constants.go): one record ->
+one INSERT row:
+
+* attributesToMap JSON-MARSHALS EVERY VALUE — a string attribute is
+  stored WITH its quotes (``"v"``), an int bare — into
+  map<text,text>.
+* log row: timestamp, hex-or-empty ids, flags, severity text/number,
+  body = json.Marshal(Body().AsRaw()) (a string body stored quoted),
+  resource/log attribute maps.
+* span row: start timestamp, hex-or-empty ids, tracestate, name,
+  SPAN_KIND_* / STATUS_CODE_* proto enum names, resource/span
+  attribute maps, duration = end-start NANOSECONDS, status message.
+  The events/links table types exist in the DDL but the INSERT never
+  populates them — mirrored here.
+* DDL/session/consistency config is client transport, out of scope.
+
+All map-only Column code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPAN_KINDS = ("SPAN_KIND_UNSPECIFIED", "SPAN_KIND_INTERNAL",
+              "SPAN_KIND_SERVER", "SPAN_KIND_CLIENT",
+              "SPAN_KIND_PRODUCER", "SPAN_KIND_CONSUMER")
+STATUS_CODES = ("STATUS_CODE_UNSET", "STATUS_CODE_OK",
+                "STATUS_CODE_ERROR")
+ZERO_TRACE_ID = "0" * 32
+ZERO_SPAN_ID = "0" * 16
+
+MAX_MESSAGE = 16 * 1024
+MAX_META = 32 * 1024
+MAX_APPNAME = 512
+MAX_LEVEL = 80
+
+
+def _hex_or_empty(c: Column, zero: str) -> Column:
+    return F.when(c.isNull() | (c == "") | (c == zero), F.lit("")) \
+            .otherwise(F.lower(c))
+
+
+def _byte_truncate(c: Column, max_len: int) -> Column:
+    """Go truncateString: byte slice cap (utils.go)."""
+    return F.decode(
+        F.substring(F.encode(c, "utf-8"), 1, max_len), "utf-8")
+
+
+def _esc(c: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\\", r"\\\\"), '"', '\\\\"')
+
+
+def _json_map(m: Column) -> Column:
+    return F.when(m.isNull(), F.lit("{}")).otherwise(
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(m)))))
+
+
+def mezmo_log_lines(df: DataFrame) -> DataFrame:
+    """One log record -> one mezmoLogLine JSON string + its parts.
+    Input: ts_ns, trace_id, span_id, severity_text, body,
+    resource_attributes map, attributes map."""
+    ts_ms = F.expr("ts_ns div 1000000")
+    line = _byte_truncate(F.coalesce(F.col("body"), F.lit("")),
+                          MAX_MESSAGE)
+    app = _byte_truncate(
+        F.coalesce(F.element_at(F.col("attributes"), "appname"),
+                   F.lit("")), MAX_APPNAME)
+    level = _byte_truncate(
+        F.coalesce(F.col("severity_text"), F.lit("")), MAX_LEVEL)
+    level = F.when(level == "", F.lit("info")).otherwise(level)
+    tid = _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+    sid = _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID)
+    synth = F.map_from_entries(F.filter(
+        F.array(
+            F.struct(F.lit("hostname").alias("key"),
+                     F.element_at(F.col("resource_attributes"),
+                                  "host.name").alias("value")),
+            F.struct(F.lit("trace.id").alias("key"),
+                     F.when(tid != "", tid).alias("value")),
+            F.struct(F.lit("span.id").alias("key"),
+                     F.when(sid != "", sid).alias("value"))),
+        lambda x: x["value"].isNotNull()))
+    attrs = F.transform_values(
+        F.coalesce(F.col("attributes"),
+                   F.expr("cast(map() as map<string,string>)")),
+        lambda _, v: _byte_truncate(v, MAX_META))
+    # record attrs overwrite the synthetic keys
+    meta = F.map_concat(
+        F.map_filter(synth,
+                     lambda k, _: ~F.map_contains_key(attrs, k)),
+        attrs)
+    doc = F.concat(
+        F.lit('{"timestamp":'), ts_ms.cast("string"),
+        F.lit(',"line":"'), _esc(line),
+        F.lit('","app":"'), _esc(app),
+        F.lit('","level":"'), _esc(level),
+        F.lit('","meta":'), _json_map(meta), F.lit("}"))
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra, ts_ms.alias("timestamp_ms"), line.alias("line"),
+        app.alias("app"), level.alias("level"),
+        _json_map(meta).alias("meta"), doc.alias("document"))
+
+
+def _cas_attr_map(m: Column) -> Column:
+    """attributesToMap (helper.go): every value json.Marshal-ed —
+    string inputs become quoted strings inside the map."""
+    return F.transform_values(
+        F.coalesce(m, F.expr("cast(map() as map<string,string>)")),
+        lambda _, v: F.concat(F.lit('"'), _esc(v), F.lit('"')))
+
+
+def cassandra_logs_rows(df: DataFrame) -> DataFrame:
+    """One log record -> one otel_logs INSERT row
+    (pushLogsData, exporter_logs.go:110-140). Input: ts_ns, trace_id,
+    span_id, flags, severity_text, severity_number, body (string),
+    resource_attributes map, attributes map."""
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra,
+        F.timestamp_micros(F.expr("ts_ns div 1000"))
+        .alias("timestamp"),
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+        .alias("traceid"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("spanid"),
+        F.coalesce(F.col("flags"), F.lit(0)).cast("int")
+         .alias("traceflags"),
+        F.coalesce(F.col("severity_text"), F.lit(""))
+         .alias("severitytext"),
+        F.coalesce(F.col("severity_number"), F.lit(0)).cast("int")
+         .alias("severitynumber"),
+        # json.Marshal(Body().AsRaw()): a string body stores QUOTED
+        F.concat(F.lit('"'),
+                 _esc(F.coalesce(F.col("body"), F.lit(""))),
+                 F.lit('"')).alias("body"),
+        _json_map(_cas_attr_map(F.col("resource_attributes")))
+        .alias("resourceattributes"),
+        _json_map(_cas_attr_map(F.col("attributes")))
+        .alias("logattributes"),
+    )
+
+
+def cassandra_spans_rows(df: DataFrame) -> DataFrame:
+    """One span -> one otel_spans INSERT row (pushTraceData,
+    exporter_traces.go:113-145). Standard house span input contract;
+    events/links never inserted (mirroring the reference)."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in SPAN_KINDS]),
+        (F.coalesce(F.col("span_kind"), F.lit(0)) + 1).cast("int"))
+    status = F.element_at(
+        F.array(*[F.lit(k) for k in STATUS_CODES]),
+        (F.coalesce(F.col("status_code"), F.lit(0)) + 1).cast("int"))
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra,
+        F.timestamp_micros(F.expr("start_ts_ns div 1000"))
+        .alias("timestamp"),
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+        .alias("traceid"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("spanid"),
+        _hex_or_empty(F.col("parent_span_id"), ZERO_SPAN_ID)
+        .alias("parentspanid"),
+        F.coalesce(F.col("trace_state"), F.lit(""))
+         .alias("tracestate"),
+        F.coalesce(F.col("span_name"), F.lit("")).alias("spanname"),
+        kind.alias("spankind"),
+        _json_map(_cas_attr_map(F.col("resource_attributes")))
+        .alias("resourceattributes"),
+        _json_map(_cas_attr_map(F.col("span_attributes")))
+        .alias("spanattributes"),
+        (F.col("end_ts_ns") - F.col("start_ts_ns")).cast("bigint")
+        .alias("duration"),
+        status.alias("statuscode"),
+        F.coalesce(F.col("status_message"), F.lit(""))
+         .alias("statusmessage"),
+    )

@@ -1,0 +1,273 @@
+"""tinybirdexporter row mapping: OTel log / span / metric datapoints
+-> the exporter's NDJSON signal rows.
+
+Reference: exporter/tinybirdexporter/internal/{logs,traces,metrics,
+utils}.go. The Tinybird Events-API HTTP transport (exporter.go) is
+out of scope per the standing agreement; grafted is the signal row
+shape each Encode receives:
+
+* convertAttributes (utils.go:19-26): pcommon AsString per value —
+  plain strings, NOT JSON-marshaled (unlike cassandra's helper).
+  getServiceName = resource service.name else ''.
+* logs (logs.go:14-30,50-55): zero timestamp falls back to the
+  OBSERVED timestamp; RFC3339Nano render; hex-or-empty ids; flags.
+* traces (traces.go:14-72): pdata String() enum names (Server/Ok —
+  not the proto names), RFC3339Nano start/end, ns duration,
+  events/links as PARALLEL ARRAYS (timestamps, names, attribute
+  maps), link flags dropped.
+* metrics (metrics.go): a shared base (resource/scope/metric fields
+  + start/timestamp + flags) per datapoint, with per-type tables:
+  sum (value, aggregation_temporality as the RAW int32 enum,
+  is_monotonic), gauge (value), histogram (count, sum,
+  bucket_counts, explicit_bounds, min/max omitted when unset,
+  temporality), exponential histogram (scale, zero_count,
+  offsets/bucket counts per sign, min/max, temporality); exemplars
+  as five parallel arrays with the int-or-double value ladder.
+
+Map-only Column code; maps render as sorted-key JSON, parallel
+arrays via to_json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .adx_rows import _rfc3339nano
+
+SPAN_KINDS = ("Unspecified", "Internal", "Server", "Client",
+              "Producer", "Consumer")
+STATUS_CODES = ("Unset", "Ok", "Error")
+ZERO_TRACE_ID = "0" * 32
+ZERO_SPAN_ID = "0" * 16
+
+
+def _hex_or_empty(c: Column, zero: str) -> Column:
+    return F.when(c.isNull() | (c == "") | (c == zero), F.lit("")) \
+            .otherwise(F.lower(c))
+
+
+def _json_map(m: Column) -> Column:
+    return F.when(m.isNull(), F.lit("{}")).otherwise(
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(m)))))
+
+
+def _service_name() -> Column:
+    return F.coalesce(
+        F.element_at(F.col("resource_attributes"), "service.name"),
+        F.lit(""))
+
+
+def _scope_cols() -> list:
+    return [
+        F.coalesce(F.col("resource_schema_url"), F.lit(""))
+         .alias("resource_schema_url"),
+        _json_map(F.col("resource_attributes"))
+        .alias("resource_attributes"),
+        _service_name().alias("service_name"),
+        F.coalesce(F.col("scope_schema_url"), F.lit(""))
+         .alias("scope_schema_url"),
+        F.coalesce(F.col("scope_name"), F.lit("")).alias("scope_name"),
+        F.coalesce(F.col("scope_version"), F.lit(""))
+         .alias("scope_version"),
+        _json_map(F.col("scope_attributes")).alias("scope_attributes"),
+    ]
+
+
+def tinybird_logs_rows(df: DataFrame) -> DataFrame:
+    """One log record -> one logSignal row (logs.go:32-82)."""
+    ts = F.when(F.coalesce(F.col("ts_ns"), F.lit(0)) == 0,
+                F.col("observed_ts_ns")).otherwise(F.col("ts_ns"))
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra, *_scope_cols(),
+        _rfc3339nano(ts).alias("timestamp"),
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+        .alias("trace_id"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("span_id"),
+        F.coalesce(F.col("flags"), F.lit(0)).cast("int").alias("flags"),
+        F.coalesce(F.col("severity_text"), F.lit(""))
+         .alias("severity_text"),
+        F.coalesce(F.col("severity_number"), F.lit(0)).cast("int")
+         .alias("severity_number"),
+        _json_map(F.col("attributes")).alias("log_attributes"),
+        F.coalesce(F.col("body"), F.lit("")).alias("body"),
+    )
+
+
+def tinybird_trace_rows(df: DataFrame) -> DataFrame:
+    """One span -> one traceSignal row (traces.go:74-130). House span
+    input contract + trace_flags + scope/schema columns."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in SPAN_KINDS]),
+        (F.coalesce(F.col("span_kind"), F.lit(0)) + 1).cast("int"))
+    status = F.element_at(
+        F.array(*[F.lit(k) for k in STATUS_CODES]),
+        (F.coalesce(F.col("status_code"), F.lit(0)) + 1).cast("int"))
+    events = F.coalesce(F.col("events"), F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.coalesce(F.col("links"), F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    sorted_map = lambda m: F.map_from_entries(
+        F.array_sort(F.map_entries(F.coalesce(
+            m, F.expr("cast(map() as map<string,string>)")))))
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra, *_scope_cols(),
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+        .alias("trace_id"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("span_id"),
+        _hex_or_empty(F.col("parent_span_id"), ZERO_SPAN_ID)
+        .alias("parent_span_id"),
+        F.coalesce(F.col("trace_state"), F.lit(""))
+         .alias("trace_state"),
+        F.coalesce(F.col("trace_flags"), F.lit(0)).cast("int")
+         .alias("trace_flags"),
+        F.coalesce(F.col("span_name"), F.lit("")).alias("span_name"),
+        kind.alias("span_kind"),
+        _json_map(F.col("span_attributes")).alias("span_attributes"),
+        _rfc3339nano(F.col("start_ts_ns")).alias("start_time"),
+        _rfc3339nano(F.col("end_ts_ns")).alias("end_time"),
+        (F.col("end_ts_ns") - F.col("start_ts_ns")).cast("bigint")
+        .alias("duration"),
+        status.alias("status_code"),
+        F.coalesce(F.col("status_message"), F.lit(""))
+         .alias("status_message"),
+        F.to_json(F.transform(events, lambda e: _rfc3339nano(
+            e["ts_ns"]))).alias("events_timestamp"),
+        F.to_json(F.transform(events, lambda e: F.coalesce(
+            e["name"], F.lit("")))).alias("events_name"),
+        F.to_json(F.transform(events, lambda e: sorted_map(
+            e["attributes"]))).alias("events_attributes"),
+        F.to_json(F.transform(links, lambda l: _hex_or_empty(
+            l["trace_id"], ZERO_TRACE_ID))).alias("links_trace_id"),
+        F.to_json(F.transform(links, lambda l: _hex_or_empty(
+            l["span_id"], ZERO_SPAN_ID))).alias("links_span_id"),
+        F.to_json(F.transform(links, lambda l: F.coalesce(
+            l["trace_state"], F.lit("")))).alias("links_trace_state"),
+        F.to_json(F.transform(links, lambda l: sorted_map(
+            l["attributes"]))).alias("links_attributes"),
+    )
+
+
+def _metric_base() -> list:
+    return [
+        F.coalesce(F.col("resource_schema_url"), F.lit(""))
+         .alias("resource_schema_url"),
+        _json_map(F.col("resource_attributes"))
+        .alias("resource_attributes"),
+        _service_name().alias("service_name"),
+        _rfc3339nano(F.col("start_ts_ns")).alias("start_timestamp"),
+        _rfc3339nano(F.col("ts_ns")).alias("timestamp"),
+        F.coalesce(F.col("flags"), F.lit(0)).cast("int").alias("flags"),
+        F.coalesce(F.col("metric_name"), F.lit(""))
+         .alias("metric_name"),
+        F.coalesce(F.col("metric_description"), F.lit(""))
+         .alias("metric_description"),
+        F.coalesce(F.col("metric_unit"), F.lit(""))
+         .alias("metric_unit"),
+        _json_map(F.col("attributes")).alias("metric_attributes"),
+        F.coalesce(F.col("scope_name"), F.lit("")).alias("scope_name"),
+        F.coalesce(F.col("scope_version"), F.lit(""))
+         .alias("scope_version"),
+        F.coalesce(F.col("scope_schema_url"), F.lit(""))
+         .alias("scope_schema_url"),
+        _json_map(F.col("scope_attributes")).alias("scope_attributes"),
+    ]
+
+
+def _exemplar_cols() -> list:
+    """convertExemplars (metrics.go:102-133): five parallel arrays."""
+    ex = F.coalesce(F.col("exemplars"), F.array().cast(
+        "array<struct<filtered_attributes:map<string,string>,"
+        "ts_ns:bigint,int_value:bigint,double_value:double,"
+        "span_id:string,trace_id:string>>"))
+    sorted_map = lambda m: F.map_from_entries(
+        F.array_sort(F.map_entries(F.coalesce(
+            m, F.expr("cast(map() as map<string,string>)")))))
+    return [
+        F.to_json(F.transform(ex, lambda e: sorted_map(
+            e["filtered_attributes"])))
+        .alias("exemplars_filtered_attributes"),
+        F.to_json(F.transform(ex, lambda e: _rfc3339nano(
+            e["ts_ns"]))).alias("exemplars_timestamp"),
+        F.to_json(F.transform(ex, lambda e: F.coalesce(
+            e["int_value"].cast("double"), e["double_value"],
+            F.lit(0.0)))).alias("exemplars_value"),
+        F.to_json(F.transform(ex, lambda e: _hex_or_empty(
+            e["span_id"], ZERO_SPAN_ID))).alias("exemplars_span_id"),
+        F.to_json(F.transform(ex, lambda e: _hex_or_empty(
+            e["trace_id"], ZERO_TRACE_ID)))
+        .alias("exemplars_trace_id"),
+    ]
+
+
+def tinybird_sum_rows(df: DataFrame) -> DataFrame:
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra, *_metric_base(), *_exemplar_cols(),
+        F.coalesce(F.col("int_value").cast("double"),
+                   F.col("double_value"), F.lit(0.0)).alias("value"),
+        F.coalesce(F.col("temporality"), F.lit(0)).cast("int")
+         .alias("aggregation_temporality"),
+        F.coalesce(F.col("is_monotonic"), F.lit(False))
+         .alias("is_monotonic"),
+    )
+
+
+def tinybird_gauge_rows(df: DataFrame) -> DataFrame:
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra, *_metric_base(), *_exemplar_cols(),
+        F.coalesce(F.col("int_value").cast("double"),
+                   F.col("double_value"), F.lit(0.0)).alias("value"),
+    )
+
+
+def tinybird_histogram_rows(df: DataFrame) -> DataFrame:
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra, *_metric_base(), *_exemplar_cols(),
+        F.coalesce(F.col("count"), F.lit(0)).cast("bigint")
+         .alias("count"),
+        F.coalesce(F.col("sum"), F.lit(0.0)).alias("sum"),
+        F.to_json(F.coalesce(F.col("bucket_counts"),
+                             F.array().cast("array<bigint>")))
+         .alias("bucket_counts"),
+        F.to_json(F.coalesce(F.col("explicit_bounds"),
+                             F.array().cast("array<double>")))
+         .alias("explicit_bounds"),
+        F.col("min").alias("min"),  # nullable: omitempty pointer
+        F.col("max").alias("max"),
+        F.coalesce(F.col("temporality"), F.lit(0)).cast("int")
+         .alias("aggregation_temporality"),
+    )
+
+
+def tinybird_exponential_histogram_rows(df: DataFrame) -> DataFrame:
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra, *_metric_base(), *_exemplar_cols(),
+        F.coalesce(F.col("count"), F.lit(0)).cast("bigint")
+         .alias("count"),
+        F.coalesce(F.col("sum"), F.lit(0.0)).alias("sum"),
+        F.coalesce(F.col("scale"), F.lit(0)).cast("int").alias("scale"),
+        F.coalesce(F.col("zero_count"), F.lit(0)).cast("bigint")
+         .alias("zero_count"),
+        F.coalesce(F.col("positive_offset"), F.lit(0)).cast("int")
+         .alias("positive_offset"),
+        F.to_json(F.coalesce(F.col("positive_bucket_counts"),
+                             F.array().cast("array<bigint>")))
+         .alias("positive_bucket_counts"),
+        F.coalesce(F.col("negative_offset"), F.lit(0)).cast("int")
+         .alias("negative_offset"),
+        F.to_json(F.coalesce(F.col("negative_bucket_counts"),
+                             F.array().cast("array<bigint>")))
+         .alias("negative_bucket_counts"),
+        F.col("min").alias("min"),
+        F.col("max").alias("max"),
+        F.coalesce(F.col("temporality"), F.lit(0)).cast("int")
+         .alias("aggregation_temporality"),
+    )

@@ -15531,3 +15531,442 @@ ORDER BY eid, record_index
 
 _QUERIES["webhookevent_logs"] = q_webhookevent
 _ORACLES["webhookevent_logs"] = _WEBHOOK_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# mezmoexporter + cassandraexporter row mappings
+# ---------------------------------------------------------------------------
+
+def q_mezmo_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log records -> mezmoLogLine JSON incl. the appname/level
+    ladders, hostname/trace.id/span.id meta synthesis and the
+    attr-overwrites-synthetic rule."""
+    from .operators.mezmo_cassandra import mezmo_log_lines
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 34 == 27)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000) \
+        + (eid % 1000) * 1_000_000
+    attrs = F.when(eid % 5 == 0, F.create_map(
+        F.lit("appname"), F.concat(F.lit("app-"), s(uid % 9)),
+        F.lit("hostname"), F.lit("shadow-host"),
+    )).otherwise(F.create_map(
+        F.lit("appname"), F.concat(F.lit("app-"), s(uid % 9)),
+        F.lit("k"), s(eid % 100),
+    ))
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        F.when(eid % 2 == 0, F.md5(s(eid)))
+         .otherwise(F.lit("0" * 32)).alias("trace_id"),
+        F.when(eid % 3 == 0,
+               F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("span_id"),
+        F.when(eid % 4 != 0, F.lit("DEBUG")).otherwise(F.lit(""))
+         .alias("severity_text"),
+        F.concat(F.lit("mezmo line "), F.col("event_type"), F.lit(" "),
+                 s(eid)).alias("body"),
+        F.when(eid % 6 != 0,
+               F.create_map(F.lit("host.name"),
+                            F.concat(F.lit("h"), s(uid % 5))))
+         .otherwise(F.expr("cast(map() as map<string,string>)"))
+         .alias("resource_attributes"),
+        attrs.alias("attributes"),
+    )
+    return mezmo_log_lines(src).orderBy("eid")
+
+
+_MEZMO_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 + (event_id % 1000)
+           AS ms
+  FROM events WHERE event_id % 34 = 27),
+g AS (
+  SELECT *,
+    'mezmo line ' || event_type || ' ' || CAST(eid AS VARCHAR)
+      AS line_v,
+    'app-' || CAST(uid % 9 AS VARCHAR) AS app_v,
+    CASE WHEN eid % 4 <> 0 THEN 'DEBUG' ELSE 'info' END AS level_v,
+    CASE
+      WHEN eid % 5 = 0 THEN
+        '{"appname":"app-' || CAST(uid % 9 AS VARCHAR)
+        || '","hostname":"shadow-host"'
+        || CASE WHEN eid % 3 = 0 THEN
+           ',"span.id":"'
+           || substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16) || '"'
+           ELSE '' END
+        || CASE WHEN eid % 2 = 0 THEN
+           ',"trace.id":"' || md5(CAST(eid AS VARCHAR)) || '"'
+           ELSE '' END
+        || '}'
+      ELSE
+        '{"appname":"app-' || CAST(uid % 9 AS VARCHAR) || '"'
+        || CASE WHEN eid % 6 <> 0 THEN
+           ',"hostname":"h' || CAST(uid % 5 AS VARCHAR) || '"'
+           ELSE '' END
+        || ',"k":"' || CAST(eid % 100 AS VARCHAR) || '"'
+        || CASE WHEN eid % 3 = 0 THEN
+           ',"span.id":"'
+           || substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16) || '"'
+           ELSE '' END
+        || CASE WHEN eid % 2 = 0 THEN
+           ',"trace.id":"' || md5(CAST(eid AS VARCHAR)) || '"'
+           ELSE '' END
+        || '}'
+    END AS meta_v
+  FROM f)
+SELECT eid, ms AS timestamp_ms, line_v AS line, app_v AS app,
+  level_v AS level, meta_v AS meta,
+  '{"timestamp":' || CAST(ms AS VARCHAR) || ',"line":"' || line_v
+  || '","app":"' || app_v || '","level":"' || level_v || '","meta":'
+  || meta_v || '}' AS document
+FROM g ORDER BY eid
+"""
+
+_QUERIES["mezmo_log_lines_events"] = q_mezmo_lines
+_ORACLES["mezmo_log_lines_events"] = _MEZMO_ORACLE
+
+
+def q_cassandra_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spans -> cassandra otel_spans INSERT rows incl. the
+    JSON-marshaled attribute values (strings stored QUOTED) and the
+    ns duration."""
+    from .operators.mezmo_cassandra import cassandra_spans_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 35 == 31)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("start_ts_ns"),
+        (tns + (eid % 900 + 1) * 1_000_000 + 500).alias("end_ts_ns"),
+        F.md5(s(eid)).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16)
+         .alias("span_id"),
+        F.when(eid % 2 == 0,
+               F.substring(F.md5(F.concat(F.lit("p"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("parent_span_id"),
+        F.when(eid % 6 == 0, "cc=x").otherwise("").alias("trace_state"),
+        F.concat(F.lit("op."), F.col("event_type")).alias("span_name"),
+        (uid % 6).cast("int").alias("span_kind"),
+        F.create_map(F.lit("service.name"),
+                     F.concat(F.lit("svc-"), s(uid % 9)))
+         .alias("resource_attributes"),
+        F.create_map(F.lit("http.method"),
+                     F.when(eid % 2 == 0, "GET").otherwise("POST"))
+         .alias("span_attributes"),
+        (eid % 3).cast("int").alias("status_code"),
+        F.when(eid % 3 == 2, F.concat(F.lit("boom "), s(eid)))
+         .otherwise(F.lit("")).alias("status_message"),
+    )
+    out = cassandra_spans_rows(src)
+    return out.select(
+        "eid", F.unix_micros(F.col("timestamp")).alias("timestamp_us"),
+        "traceid", "spanid", "parentspanid", "tracestate", "spanname",
+        "spankind", "resourceattributes", "spanattributes",
+        "duration", "statuscode", "statusmessage").orderBy("eid")
+
+
+_CASSANDRA_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         (event_id % 900 + 1) * 1000000 + 500 AS dur_ns
+  FROM events WHERE event_id % 35 = 31)
+SELECT eid,
+  st * 1000000 AS timestamp_us,
+  md5(CAST(eid AS VARCHAR)) AS traceid,
+  substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16) AS spanid,
+  CASE WHEN eid % 2 = 0
+       THEN substr(md5('p' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS parentspanid,
+  CASE WHEN eid % 6 = 0 THEN 'cc=x' ELSE '' END AS tracestate,
+  'op.' || event_type AS spanname,
+  CASE uid % 6 WHEN 0 THEN 'SPAN_KIND_UNSPECIFIED'
+       WHEN 1 THEN 'SPAN_KIND_INTERNAL' WHEN 2 THEN 'SPAN_KIND_SERVER'
+       WHEN 3 THEN 'SPAN_KIND_CLIENT' WHEN 4 THEN 'SPAN_KIND_PRODUCER'
+       ELSE 'SPAN_KIND_CONSUMER' END AS spankind,
+  '{"service.name":"\\"svc-' || CAST(uid % 9 AS VARCHAR) || '\\""}'
+    AS resourceattributes,
+  '{"http.method":"\\"'
+    || CASE WHEN eid % 2 = 0 THEN 'GET' ELSE 'POST' END || '\\""}'
+    AS spanattributes,
+  dur_ns AS duration,
+  CASE eid % 3 WHEN 0 THEN 'STATUS_CODE_UNSET'
+       WHEN 1 THEN 'STATUS_CODE_OK' ELSE 'STATUS_CODE_ERROR' END
+    AS statuscode,
+  CASE WHEN eid % 3 = 2 THEN 'boom ' || CAST(eid AS VARCHAR)
+       ELSE '' END AS statusmessage
+FROM f ORDER BY eid
+"""
+
+_QUERIES["cassandra_span_rows_events"] = q_cassandra_rows
+_ORACLES["cassandra_span_rows_events"] = _CASSANDRA_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# tinybirdexporter signal rows (internal/{logs,traces,metrics}.go)
+# ---------------------------------------------------------------------------
+
+def q_tinybird_trace_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spans -> tinybird traceSignal rows: pdata enum names,
+    RFC3339Nano times, ns duration and the events/links parallel
+    arrays."""
+    from .operators.tinybird_rows import tinybird_trace_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 36 == 29)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    am = lambda k, v: F.create_map(F.lit(k), v)
+    events = F.when(eid % 3 == 0, F.array(
+        F.struct((tns + 125_000_000).alias("ts_ns"),
+                 F.lit("retry").alias("name"),
+                 am("attempt", s(eid % 4)).alias("attributes")),
+        F.struct((tns + 250_000_000).alias("ts_ns"),
+                 F.lit("exception").alias("name"),
+                 am("exception.type", F.concat(F.lit("E"), s(eid % 7)))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.when(eid % 4 == 0, F.array(
+        F.struct(F.md5(F.concat(F.lit("lt"), s(eid))).alias("trace_id"),
+                 F.substring(F.md5(F.concat(F.lit("ls"), s(eid))), 1,
+                             16).alias("span_id"),
+                 F.lit("w3c=1").alias("trace_state"),
+                 am("reason", F.lit("follows"))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("start_ts_ns"),
+        (tns + (eid % 900 + 1) * 1_000_000).alias("end_ts_ns"),
+        F.md5(s(eid)).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16)
+         .alias("span_id"),
+        F.when(eid % 2 == 0,
+               F.substring(F.md5(F.concat(F.lit("p"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("parent_span_id"),
+        F.when(eid % 6 == 0, "cc=x").otherwise("").alias("trace_state"),
+        (eid % 2).cast("int").alias("trace_flags"),
+        F.concat(F.lit("op."), F.col("event_type")).alias("span_name"),
+        (uid % 6).cast("int").alias("span_kind"),
+        F.lit("https://opentelemetry.io/schemas/1.21.0")
+         .alias("resource_schema_url"),
+        F.create_map(F.lit("service.name"),
+                     F.concat(F.lit("svc-"), s(uid % 9)))
+         .alias("resource_attributes"),
+        F.lit("").alias("scope_schema_url"),
+        F.lit("tracer").alias("scope_name"),
+        F.lit("2.0").alias("scope_version"),
+        F.expr("cast(map() as map<string,string>)")
+         .alias("scope_attributes"),
+        F.create_map(F.lit("http.method"),
+                     F.when(eid % 2 == 0, "GET").otherwise("POST"))
+         .alias("span_attributes"),
+        (eid % 3).cast("int").alias("status_code"),
+        F.when(eid % 3 == 2, F.concat(F.lit("boom "), s(eid)))
+         .otherwise(F.lit("")).alias("status_message"),
+        events.alias("events"),
+        links.alias("links"),
+    )
+    return tinybird_trace_rows(src).orderBy("eid")
+
+
+_TINYBIRD_TRACES_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         (event_id % 900 + 1) * 1000000 AS dur_ns
+  FROM events WHERE event_id % 36 = 29),
+g AS (
+  SELECT *,
+    strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S') || 'Z' AS sstr,
+    strftime(to_timestamp(st + (dur_ns // 1000000000)),
+             '%Y-%m-%dT%H:%M:%S')
+      || CASE WHEN dur_ns % 1000000000 = 0 THEN ''
+         ELSE '.' || rtrim(lpad(CAST(dur_ns % 1000000000 AS VARCHAR),
+                                9, '0'), '0') END || 'Z' AS estr
+  FROM f)
+SELECT eid,
+  'https://opentelemetry.io/schemas/1.21.0' AS resource_schema_url,
+  '{"service.name":"svc-' || CAST(uid % 9 AS VARCHAR) || '"}'
+    AS resource_attributes,
+  'svc-' || CAST(uid % 9 AS VARCHAR) AS service_name,
+  '' AS scope_schema_url, 'tracer' AS scope_name,
+  '2.0' AS scope_version, '{}' AS scope_attributes,
+  md5(CAST(eid AS VARCHAR)) AS trace_id,
+  substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16) AS span_id,
+  CASE WHEN eid % 2 = 0
+       THEN substr(md5('p' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS parent_span_id,
+  CASE WHEN eid % 6 = 0 THEN 'cc=x' ELSE '' END AS trace_state,
+  CAST(eid % 2 AS INT) AS trace_flags,
+  'op.' || event_type AS span_name,
+  CASE uid % 6 WHEN 0 THEN 'Unspecified' WHEN 1 THEN 'Internal'
+       WHEN 2 THEN 'Server' WHEN 3 THEN 'Client' WHEN 4 THEN 'Producer'
+       ELSE 'Consumer' END AS span_kind,
+  '{"http.method":"'
+    || CASE WHEN eid % 2 = 0 THEN 'GET' ELSE 'POST' END || '"}'
+    AS span_attributes,
+  sstr AS start_time, estr AS end_time,
+  dur_ns AS duration,
+  CASE eid % 3 WHEN 0 THEN 'Unset' WHEN 1 THEN 'Ok' ELSE 'Error' END
+    AS status_code,
+  CASE WHEN eid % 3 = 2 THEN 'boom ' || CAST(eid AS VARCHAR)
+       ELSE '' END AS status_message,
+  CASE WHEN eid % 3 = 0 THEN
+    '["' || strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S')
+    || '.125Z","' || strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S')
+    || '.25Z"]'
+  ELSE '[]' END AS events_timestamp,
+  CASE WHEN eid % 3 = 0 THEN '["retry","exception"]' ELSE '[]' END
+    AS events_name,
+  CASE WHEN eid % 3 = 0 THEN
+    '[{"attempt":"' || CAST(eid % 4 AS VARCHAR)
+    || '"},{"exception.type":"E' || CAST(eid % 7 AS VARCHAR) || '"}]'
+  ELSE '[]' END AS events_attributes,
+  CASE WHEN eid % 4 = 0
+       THEN '["' || md5('lt' || CAST(eid AS VARCHAR)) || '"]'
+       ELSE '[]' END AS links_trace_id,
+  CASE WHEN eid % 4 = 0
+       THEN '["' || substr(md5('ls' || CAST(eid AS VARCHAR)), 1, 16)
+            || '"]'
+       ELSE '[]' END AS links_span_id,
+  CASE WHEN eid % 4 = 0 THEN '["w3c=1"]' ELSE '[]' END
+    AS links_trace_state,
+  CASE WHEN eid % 4 = 0 THEN '[{"reason":"follows"}]' ELSE '[]' END
+    AS links_attributes
+FROM g ORDER BY eid
+"""
+
+_QUERIES["tinybird_trace_rows_events"] = q_tinybird_trace_rows
+_ORACLES["tinybird_trace_rows_events"] = _TINYBIRD_TRACES_ORACLE
+
+
+def q_tinybird_histogram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram datapoints -> tinybird histogram signal rows incl.
+    the omitempty min/max pointers, int32 temporality and exemplar
+    parallel arrays."""
+    from .operators.tinybird_rows import tinybird_histogram_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 33)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    exemplars = F.when(eid % 5 == 0, F.array(
+        F.struct(
+            F.create_map(F.lit("pod"), F.concat(F.lit("p"), s(uid % 6)))
+             .alias("filtered_attributes"),
+            (tns + 1_000_000).alias("ts_ns"),
+            F.when(eid % 2 == 0, (eid % 9).cast("bigint"))
+             .otherwise(F.lit(None).cast("bigint")).alias("int_value"),
+            F.when(eid % 2 == 0, F.lit(None).cast("double"))
+             .otherwise((eid % 7).cast("double") + 0.5)
+             .alias("double_value"),
+            F.substring(F.md5(F.concat(F.lit("xs"), s(eid))), 1, 16)
+             .alias("span_id"),
+            F.md5(F.concat(F.lit("xt"), s(eid))).alias("trace_id"),
+        ),
+    )).otherwise(F.array().cast(
+        "array<struct<filtered_attributes:map<string,string>,"
+        "ts_ns:bigint,int_value:bigint,double_value:double,"
+        "span_id:string,trace_id:string>>"))
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        (tns - 30_000_000_000).alias("start_ts_ns"),
+        (eid % 2).cast("int").alias("flags"),
+        F.lit("https://opentelemetry.io/schemas/1.21.0")
+         .alias("resource_schema_url"),
+        F.create_map(F.lit("service.name"),
+                     F.concat(F.lit("svc-"), s(uid % 9)))
+         .alias("resource_attributes"),
+        F.concat(F.lit("tb.latency."), F.col("event_type"))
+         .alias("metric_name"),
+        F.lit("latency").alias("metric_description"),
+        F.lit("ms").alias("metric_unit"),
+        F.create_map(F.lit("route"),
+                     F.concat(F.lit("/v1/"), F.col("event_type")))
+         .alias("attributes"),
+        F.lit("meter").alias("scope_name"),
+        F.lit("0.9").alias("scope_version"),
+        F.lit("").alias("scope_schema_url"),
+        F.expr("cast(map() as map<string,string>)")
+         .alias("scope_attributes"),
+        ((eid % 40) + (eid % 60) + 4).cast("bigint").alias("count"),
+        ((eid % 500) * 2).cast("double").alias("sum"),
+        F.array((eid % 40).cast("bigint"), (eid % 60).cast("bigint"),
+                F.lit(4).cast("bigint")).alias("bucket_counts"),
+        F.array(F.lit(0.25), F.lit(50.0)).alias("explicit_bounds"),
+        # omitempty pointers: min/max only on eid%3==0 rows
+        F.when(eid % 3 == 0, (eid % 5).cast("double") + 0.25)
+         .alias("min"),
+        F.when(eid % 3 == 0, (eid % 5).cast("double") + 200.0)
+         .alias("max"),
+        (eid % 3).cast("int").alias("temporality"),
+        exemplars.alias("exemplars"),
+    )
+    return tinybird_histogram_rows(src).orderBy("eid")
+
+
+_TINYBIRD_HIST_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 37 = 33)
+SELECT eid,
+  'https://opentelemetry.io/schemas/1.21.0' AS resource_schema_url,
+  '{"service.name":"svc-' || CAST(uid % 9 AS VARCHAR) || '"}'
+    AS resource_attributes,
+  'svc-' || CAST(uid % 9 AS VARCHAR) AS service_name,
+  strftime(to_timestamp(st - 30), '%Y-%m-%dT%H:%M:%S') || 'Z'
+    AS start_timestamp,
+  strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S') || 'Z'
+    AS timestamp,
+  CAST(eid % 2 AS INT) AS flags,
+  'tb.latency.' || event_type AS metric_name,
+  'latency' AS metric_description, 'ms' AS metric_unit,
+  '{"route":"/v1/' || event_type || '"}' AS metric_attributes,
+  'meter' AS scope_name, '0.9' AS scope_version,
+  '' AS scope_schema_url, '{}' AS scope_attributes,
+  CASE WHEN eid % 5 = 0
+       THEN '[{"pod":"p' || CAST(uid % 6 AS VARCHAR) || '"}]'
+       ELSE '[]' END AS exemplars_filtered_attributes,
+  CASE WHEN eid % 5 = 0
+       THEN '["' || strftime(to_timestamp(st), '%Y-%m-%dT%H:%M:%S')
+            || '.001Z"]'
+       ELSE '[]' END AS exemplars_timestamp,
+  CASE WHEN eid % 5 = 0
+       THEN '[' || CASE WHEN eid % 2 = 0
+            THEN CAST(eid % 9 AS VARCHAR) || '.0'
+            ELSE CAST(eid % 7 AS VARCHAR) || '.5' END || ']'
+       ELSE '[]' END AS exemplars_value,
+  CASE WHEN eid % 5 = 0
+       THEN '["' || substr(md5('xs' || CAST(eid AS VARCHAR)), 1, 16)
+            || '"]'
+       ELSE '[]' END AS exemplars_span_id,
+  CASE WHEN eid % 5 = 0
+       THEN '["' || md5('xt' || CAST(eid AS VARCHAR)) || '"]'
+       ELSE '[]' END AS exemplars_trace_id,
+  CAST((eid % 40) + (eid % 60) + 4 AS BIGINT) AS count,
+  CAST((eid % 500) * 2 AS DOUBLE) AS sum,
+  '[' || CAST(eid % 40 AS VARCHAR) || ',' || CAST(eid % 60 AS VARCHAR)
+    || ',4]' AS bucket_counts,
+  '[0.25,50.0]' AS explicit_bounds,
+  CASE WHEN eid % 3 = 0 THEN CAST(eid % 5 AS DOUBLE) + 0.25 END
+    AS min,
+  CASE WHEN eid % 3 = 0 THEN CAST(eid % 5 AS DOUBLE) + 200.0 END
+    AS max,
+  CAST(eid % 3 AS INT) AS aggregation_temporality
+FROM f ORDER BY eid
+"""
+
+_QUERIES["tinybird_histogram_rows_events"] = q_tinybird_histogram_rows
+_ORACLES["tinybird_histogram_rows_events"] = _TINYBIRD_HIST_ORACLE

@@ -1,0 +1,174 @@
+"""mezmo / cassandra / tinybird exporter row-mapping semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators import (
+    mezmo_cassandra as MC,
+)
+from opentelemetry_collector_contrib_spark.operators import (
+    tinybird_rows as TB,
+)
+
+MEZMO_SCHEMA = (
+    "ts_ns bigint, trace_id string, span_id string,"
+    "severity_text string, body string,"
+    "resource_attributes map<string,string>,"
+    "attributes map<string,string>")
+
+
+def mezmo_row(**kw):
+    base = dict(ts_ns=1700000000123000000, trace_id="a" * 32,
+                span_id="b" * 16, severity_text="WARN", body="hello",
+                resource_attributes={"host.name": "h1"},
+                attributes={"appname": "myapp", "k": "v"})
+    return Row(**{**base, **kw})
+
+
+class TestMezmo:
+    def run(self, spark, row):
+        df = spark.createDataFrame([row], MEZMO_SCHEMA)
+        return MC.mezmo_log_lines(df).collect()[0]
+
+    def test_line_shape(self, spark):
+        r = self.run(spark, mezmo_row())
+        assert r.timestamp_ms == 1700000000123
+        assert r.app == "myapp"
+        assert r.level == "WARN"
+        assert r.meta == (
+            '{"appname":"myapp","hostname":"h1","k":"v",'
+            '"span.id":"' + "b" * 16 + '","trace.id":"' + "a" * 32 +
+            '"}')
+        assert r.document.startswith('{"timestamp":1700000000123,')
+
+    def test_level_default_and_zero_ids(self, spark):
+        r = self.run(spark, mezmo_row(severity_text="",
+                                      trace_id="0" * 32,
+                                      span_id="0" * 16,
+                                      resource_attributes={}))
+        assert r.level == "info"
+        assert "trace.id" not in r.meta
+        assert "hostname" not in r.meta
+
+    def test_attr_overwrites_synthetic_hostname(self, spark):
+        r = self.run(spark, mezmo_row(
+            attributes={"hostname": "mine", "appname": "a"}))
+        assert '"hostname":"mine"' in r.meta
+
+    def test_byte_truncation(self, spark):
+        r = self.run(spark, mezmo_row(body="x" * 20000))
+        assert len(r.line) == MC.MAX_MESSAGE
+
+
+class TestCassandra:
+    def test_quoted_attr_values_and_body(self, spark):
+        df = spark.createDataFrame([Row(
+            ts_ns=1700000000123456789, trace_id="a" * 32,
+            span_id="0" * 16, flags=1, severity_text="INFO",
+            severity_number=9, body="msg",
+            resource_attributes={"service.name": "svc"},
+            attributes={"k": "v"})],
+            "ts_ns bigint, trace_id string, span_id string,"
+            "flags int, severity_text string, severity_number int,"
+            "body string, resource_attributes map<string,string>,"
+            "attributes map<string,string>")
+        r = MC.cassandra_logs_rows(df).collect()[0]
+        # attributesToMap json.Marshals every value: strings stored QUOTED
+        assert r.body == '"msg"'
+        assert r.resourceattributes == \
+            '{"service.name":"\\"svc\\""}'
+        assert r.logattributes == '{"k":"\\"v\\""}'
+        assert r.spanid == ""
+        assert r.timestamp.microsecond == 123456
+
+
+class TestTinybird:
+    LOG_SCHEMA = (
+        "ts_ns bigint, observed_ts_ns bigint, trace_id string,"
+        "span_id string, flags int, severity_text string,"
+        "severity_number int, body string,"
+        "resource_schema_url string,"
+        "resource_attributes map<string,string>,"
+        "scope_schema_url string, scope_name string,"
+        "scope_version string, scope_attributes map<string,string>,"
+        "attributes map<string,string>")
+
+    def test_log_observed_fallback(self, spark):
+        df = spark.createDataFrame([Row(
+            ts_ns=0, observed_ts_ns=1700000000500000000,
+            trace_id="a" * 32, span_id="0" * 16, flags=1,
+            severity_text="INFO", severity_number=9, body="b",
+            resource_schema_url="", resource_attributes={
+                "service.name": "s"},
+            scope_schema_url="", scope_name="sc", scope_version="1",
+            scope_attributes={}, attributes={"k": "v"})],
+            self.LOG_SCHEMA)
+        r = TB.tinybird_logs_rows(df).collect()[0]
+        assert r.timestamp == "2023-11-14T22:13:20.5Z"
+        assert r.service_name == "s"
+        assert r.span_id == ""
+        assert r.log_attributes == '{"k":"v"}'
+
+    GAUGE_SCHEMA = (
+        "ts_ns bigint, start_ts_ns bigint, flags int,"
+        "resource_schema_url string,"
+        "resource_attributes map<string,string>,"
+        "metric_name string, metric_description string,"
+        "metric_unit string, attributes map<string,string>,"
+        "scope_name string, scope_version string,"
+        "scope_schema_url string,"
+        "scope_attributes map<string,string>,"
+        "int_value bigint, double_value double,"
+        "exemplars array<struct<"
+        "filtered_attributes:map<string,string>,ts_ns:bigint,"
+        "int_value:bigint,double_value:double,span_id:string,"
+        "trace_id:string>>")
+
+    def test_gauge_value_ladder_and_exemplars(self, spark):
+        df = spark.createDataFrame([Row(
+            ts_ns=1700000000000000000,
+            start_ts_ns=1699999970000000000, flags=0,
+            resource_schema_url="", resource_attributes={},
+            metric_name="g", metric_description="", metric_unit="1",
+            attributes={}, scope_name="m", scope_version="1",
+            scope_schema_url="", scope_attributes={},
+            int_value=7, double_value=None,
+            exemplars=[Row(filtered_attributes={},
+                           ts_ns=1700000000000000000,
+                           int_value=None, double_value=2.5,
+                           span_id="0" * 16, trace_id="c" * 32)])],
+            self.GAUGE_SCHEMA)
+        r = TB.tinybird_gauge_rows(df).collect()[0]
+        assert r.value == 7.0
+        assert r.exemplars_value == "[2.5]"
+        assert r.exemplars_span_id == '[""]'  # zero id -> empty
+        assert r.exemplars_trace_id == '["' + "c" * 32 + '"]'
+
+    def test_exponential_histogram_shape(self, spark):
+        schema = self.GAUGE_SCHEMA.replace(
+            "int_value bigint, double_value double,",
+            "count bigint, sum double, scale int, zero_count bigint,"
+            "positive_offset int,"
+            "positive_bucket_counts array<bigint>,"
+            "negative_offset int,"
+            "negative_bucket_counts array<bigint>, min double,"
+            "max double, temporality int,")
+        df = spark.createDataFrame([Row(
+            ts_ns=1700000000000000000,
+            start_ts_ns=1699999970000000000, flags=0,
+            resource_schema_url="", resource_attributes={},
+            metric_name="e", metric_description="", metric_unit="1",
+            attributes={}, scope_name="m", scope_version="1",
+            scope_schema_url="", scope_attributes={},
+            count=5, sum=2.5, scale=-1, zero_count=1,
+            positive_offset=3, positive_bucket_counts=[1, 2],
+            negative_offset=0, negative_bucket_counts=[],
+            min=None, max=None, temporality=2, exemplars=[])],
+            schema)
+        r = TB.tinybird_exponential_histogram_rows(df).collect()[0]
+        assert r.scale == -1
+        assert r.positive_bucket_counts == "[1,2]"
+        assert r.negative_bucket_counts == "[]"
+        assert r.min is None and r.max is None
+        assert r.aggregation_temporality == 2
