@@ -1,0 +1,308 @@
+"""alibabacloudlogserviceexporter (+ the tencentcloud CLS twin) row
+mappings: OTel signals -> LogService key/value content rows.
+
+Reference: exporter/alibabacloudlogserviceexporter/
+{logsdata,tracedata,metricsdata}_to_logservice.go + sanitize.go.
+tencentcloudlogserviceexporter/logsdata_to_logservice.go ships the
+IDENTICAL log field registry and rules (host/service ''-fallbacks,
+empty-body drop, hex flags), so ``sls_log_rows`` covers both; the
+SLS/CLS HTTP uploaders are out of scope per the standing agreement.
+
+* shared envelope (logsdata_to_logservice.go:59-113): host/service
+  from resource attrs ('' fallback), ``resource`` = JSON of the
+  REMAINING resource attrs (encoding/json sorted keys), otlp.name /
+  otlp.version from the scope.
+* log rows (:115-185): empty body DROPS the record; timeUnixNano /
+  severityNumber as decimal strings, flags as lowercase HEX
+  (FormatUint base 16), attribute JSON, hex-or-empty ids, Time =
+  ns/1e9 seconds.
+* span rows (tracedata_to_logservice.go:65-203): OpenTracing SHORT
+  kind names (lowercase; unspecified when unset), UNSET/OK/ERROR
+  status, start/end/duration as MICROsecond decimal strings, links =
+  JSON array of {attribute,spanID,traceID}, logs = events JSON array
+  of {attribute,name,time} with time as the RAW ns NUMBER, Time =
+  end seconds.
+* metric rows (metricsdata_to_logservice.go): one row per sample
+  {__name__, __labels__, __time_nano__, __value__}; labels = resource
+  + datapoint attrs with SANITIZED keys (non-alnum -> _, digit-lead
+  -> key_ prefix, _-lead -> key prefix), sorted, rendered
+  ``k#$#v|k2#$#v2``; metric name byte-sanitized to [a-zA-Z0-9_:];
+  value = strconv 'g' shortest (go_float_g); number points with an
+  EMPTY value type emit NOTHING; histograms emit _sum/_count plus
+  RAW (non-cumulative) per-bucket counts with le labels ('g' bounds,
+  "+Inf" last, capped at min(len(bounds)+1, len(counts))); summaries
+  emit _sum/_count plus per-quantile rows under the BASE name with a
+  quantile label; exponential histograms are skipped entirely; the
+  SCOPE is ignored.
+
+Map-only Column code (explode for the metric fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .adx_rows import go_float_g
+
+OT_KINDS = ("unspecified", "internal", "server", "client", "producer",
+            "consumer")
+STATUS = ("UNSET", "OK", "ERROR")
+ZERO_TRACE_ID = "0" * 32
+ZERO_SPAN_ID = "0" * 16
+
+
+def _hex_or_empty(c: Column, zero: str) -> Column:
+    return F.when(c.isNull() | (c == "") | (c == zero), F.lit("")) \
+            .otherwise(F.lower(c))
+
+
+def _json_map(m: Column) -> Column:
+    return F.when(m.isNull(), F.lit("{}")).otherwise(
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(m)))))
+
+
+def _resource_contents() -> list:
+    res = F.col("resource_attributes")
+    rest = F.map_filter(
+        F.coalesce(res, F.expr("cast(map() as map<string,string>)")),
+        lambda k, _: (k != "host.name") & (k != "service.name"))
+    return [
+        F.coalesce(F.element_at(res, "host.name"), F.lit(""))
+         .alias("host"),
+        F.coalesce(F.element_at(res, "service.name"), F.lit(""))
+         .alias("service"),
+        _json_map(rest).alias("resource"),
+        F.coalesce(F.col("scope_name"), F.lit("")).alias("otlp_name"),
+        F.coalesce(F.col("scope_version"), F.lit(""))
+         .alias("otlp_version"),
+    ]
+
+
+def sls_log_rows(df: DataFrame) -> DataFrame:
+    """One log record -> one SLS/CLS Log's contents (both exporters
+    share the registry). Empty/NULL body drops the record."""
+    df = df.filter(F.col("body").isNotNull())
+    extra = [c for c in df.columns if c in ("eid",)]
+    ts = F.coalesce(F.col("ts_ns"), F.lit(0))
+    return df.select(
+        *extra,
+        F.expr("ts_ns div 1000000000").cast("long").alias("time_sec"),
+        *_resource_contents(),
+        ts.cast("string").alias("time_unix_nano"),
+        F.coalesce(F.col("severity_number"), F.lit(0)).cast("string")
+         .alias("severity_number"),
+        F.coalesce(F.col("severity_text"), F.lit(""))
+         .alias("severity_text"),
+        _json_map(F.col("attributes")).alias("attribute"),
+        F.col("body").alias("content"),
+        F.lower(F.hex(F.coalesce(F.col("flags"), F.lit(0))))
+         .alias("flags"),
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+        .alias("trace_id"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("span_id"),
+    )
+
+
+def sls_span_rows(df: DataFrame) -> DataFrame:
+    """One span -> one SLS Log's contents (spanToLogServiceData)."""
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in OT_KINDS]),
+        (F.coalesce(F.col("span_kind"), F.lit(0)) + 1).cast("int"))
+    status = F.element_at(
+        F.array(*[F.lit(k) for k in STATUS]),
+        (F.coalesce(F.col("status_code"), F.lit(0)) + 1).cast("int"))
+    events = F.coalesce(F.col("events"), F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.coalesce(F.col("links"), F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    sorted_map = lambda m: F.map_from_entries(
+        F.array_sort(F.map_entries(F.coalesce(
+            m, F.expr("cast(map() as map<string,string>)")))))
+    # events JSON: sorted keys attribute,name,time; time is the RAW
+    # ns NUMBER (pcommon.Timestamp marshals as uint64)
+    ev_objs = F.transform(events, lambda e: F.struct(
+        sorted_map(e["attributes"]).alias("attribute"),
+        F.coalesce(e["name"], F.lit("")).alias("name"),
+        F.coalesce(e["ts_ns"], F.lit(0)).alias("time")))
+    lk_objs = F.transform(links, lambda l: F.struct(
+        sorted_map(l["attributes"]).alias("attribute"),
+        _hex_or_empty(l["span_id"], ZERO_SPAN_ID).alias("spanID"),
+        _hex_or_empty(l["trace_id"], ZERO_TRACE_ID).alias("traceID")))
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra,
+        F.expr("end_ts_ns div 1000000000").cast("long")
+        .alias("time_sec"),
+        *_resource_contents(),
+        _hex_or_empty(F.col("trace_id"), ZERO_TRACE_ID)
+        .alias("trace_id"),
+        _hex_or_empty(F.col("span_id"), ZERO_SPAN_ID).alias("span_id"),
+        _hex_or_empty(F.col("parent_span_id"), ZERO_SPAN_ID)
+        .alias("parent_span_id"),
+        kind.alias("kind"),
+        F.coalesce(F.col("span_name"), F.lit("")).alias("name"),
+        F.to_json(lk_objs).alias("links"),
+        F.to_json(ev_objs).alias("logs"),
+        F.coalesce(F.col("trace_state"), F.lit(""))
+         .alias("trace_state"),
+        F.expr("start_ts_ns div 1000").cast("string").alias("start"),
+        F.expr("end_ts_ns div 1000").cast("string").alias("end"),
+        F.expr("(end_ts_ns - start_ts_ns) div 1000").cast("string")
+        .alias("duration"),
+        _json_map(F.col("span_attributes")).alias("attribute"),
+        status.alias("status_code"),
+        F.coalesce(F.col("status_message"), F.lit(""))
+         .alias("status_message"),
+    )
+
+
+def _sanitize_key(k: Column) -> Column:
+    """sanitize.go: non-letter/digit runes -> '_', digit-lead ->
+    key_ prefix, '_'-lead -> key prefix."""
+    s = F.regexp_replace(k, r"[^\p{L}\p{N}]", "_")
+    return (
+        F.when(s == "", s)
+         .when(F.substring(s, 1, 1).rlike(r"^\d"),
+               F.concat(F.lit("key_"), s))
+         .when(F.substring(s, 1, 1) == "_", F.concat(F.lit("key"), s))
+         .otherwise(s))
+
+
+def _format_metric_name(n: Column) -> Column:
+    """formatMetricName: bytes outside [a-zA-Z0-9_:] -> '_'."""
+    return F.regexp_replace(n, r"[^a-zA-Z0-9_:]", "_")
+
+
+def _label_entries(extra_kv: "list[tuple[Column, Column]] | None" = None,
+                   ) -> Column:
+    """resource + dp attrs (+ extras), sanitized keys, sorted."""
+    res = F.coalesce(F.col("resource_attributes"),
+                     F.expr("cast(map() as map<string,string>)"))
+    dp = F.coalesce(F.col("attributes"),
+                    F.expr("cast(map() as map<string,string>)"))
+    ent = lambda m: F.transform(
+        F.map_entries(m),
+        lambda e: F.struct(_sanitize_key(e["key"]).alias("key"),
+                           e["value"].alias("value")))
+    entries = F.concat(ent(res), ent(dp))
+    if extra_kv:
+        entries = F.concat(entries, F.array(*[
+            F.struct(_sanitize_key(k).alias("key"), v.alias("value"))
+            for k, v in extra_kv]))
+    return F.array_sort(entries)
+
+
+def _labels_render(entries: Column) -> Column:
+    """keyValues.String(): ``k#$#v`` joined with '|'."""
+    return F.array_join(F.transform(
+        entries,
+        lambda e: F.concat(e["key"], F.lit("#$#"), e["value"])), "|")
+
+
+def _metric_row(name: Column, labels: Column, value: Column) -> Column:
+    return F.struct(name.alias("metric_name"), labels.alias("labels"),
+                    value.cast("double").alias("value"))
+
+
+def sls_number_metric_rows(df: DataFrame) -> DataFrame:
+    """Gauge/Sum datapoints -> metric sample rows
+    (numberMetricsToLogs). Input: ts_ns, metric_name,
+    resource_attributes, attributes, int_value, double_value; a
+    point with NEITHER value set emits nothing."""
+    df = df.filter(F.col("int_value").isNotNull()
+                   | F.col("double_value").isNotNull())
+    labels = _labels_render(_label_entries())
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra,
+        F.expr("ts_ns div 1000000000").cast("long").alias("time_sec"),
+        _format_metric_name(F.col("metric_name")).alias("metric_name"),
+        labels.alias("labels"),
+        F.col("ts_ns").cast("string").alias("time_nano"),
+        go_float_g(F.coalesce(F.col("int_value").cast("double"),
+                              F.col("double_value"))).alias("value"),
+    )
+
+
+def sls_histogram_metric_rows(df: DataFrame) -> DataFrame:
+    """Histogram datapoints -> _sum/_count + RAW per-bucket rows
+    (doubleHistogramMetricsToLogs). Input adds count, sum,
+    bucket_counts, explicit_bounds."""
+    base_labels = _labels_render(_label_entries())
+    name = _format_metric_name(F.col("metric_name"))
+    counts = F.coalesce(F.col("bucket_counts"),
+                        F.array().cast("array<bigint>"))
+    bounds = F.coalesce(F.col("explicit_bounds"),
+                        F.array().cast("array<double>"))
+    n_buckets = F.least(F.size(bounds) + 1, F.size(counts))
+    bound_str = lambda i: F.when(
+        i < F.size(bounds),
+        go_float_g(F.element_at(bounds, i + 1))) \
+        .otherwise(F.lit("+Inf"))
+    bucket_rows = F.transform(
+        F.sequence(F.lit(0), n_buckets - 1),
+        lambda i: _metric_row(
+            F.concat(name, F.lit("_bucket")),
+            _labels_render(_label_entries(
+                [(F.lit("le"), bound_str(i))])),
+            F.element_at(counts, i + 1).cast("double")))
+    bucket_rows = F.when(F.size(counts) > 0, bucket_rows) \
+        .otherwise(F.array().cast(
+            "array<struct<metric_name:string,labels:string,"
+            "value:double>>"))
+    rows = F.concat(
+        F.array(
+            _metric_row(F.concat(name, F.lit("_sum")), base_labels,
+                        F.coalesce(F.col("sum"), F.lit(0.0))),
+            _metric_row(F.concat(name, F.lit("_count")), base_labels,
+                        F.col("count").cast("double"))),
+        bucket_rows)
+    extra = [c for c in df.columns if c in ("eid",)]
+    out = df.select(
+        *extra,
+        F.expr("ts_ns div 1000000000").cast("long").alias("time_sec"),
+        F.col("ts_ns").cast("string").alias("time_nano"),
+        F.posexplode(rows).alias("row_index", "r"))
+    return out.select(
+        *extra, "row_index", "time_sec",
+        F.col("r.metric_name").alias("metric_name"),
+        F.col("r.labels").alias("labels"),
+        "time_nano",
+        go_float_g(F.col("r.value")).alias("value"))
+
+
+def sls_summary_metric_rows(df: DataFrame) -> DataFrame:
+    """Summary datapoints -> _sum/_count + per-quantile rows under
+    the BASE name (doubleSummaryMetricsToLogs). Input adds count,
+    sum, quantile_values."""
+    base_labels = _labels_render(_label_entries())
+    name = _format_metric_name(F.col("metric_name"))
+    qv = F.coalesce(F.col("quantile_values"), F.array().cast(
+        "array<struct<quantile:double,value:double>>"))
+    q_rows = F.transform(qv, lambda q: _metric_row(
+        name,
+        _labels_render(_label_entries(
+            [(F.lit("quantile"), go_float_g(q["quantile"]))])),
+        q["value"]))
+    rows = F.concat(
+        F.array(
+            _metric_row(F.concat(name, F.lit("_sum")), base_labels,
+                        F.coalesce(F.col("sum"), F.lit(0.0))),
+            _metric_row(F.concat(name, F.lit("_count")), base_labels,
+                        F.col("count").cast("double"))),
+        q_rows)
+    extra = [c for c in df.columns if c in ("eid",)]
+    out = df.select(
+        *extra,
+        F.expr("ts_ns div 1000000000").cast("long").alias("time_sec"),
+        F.col("ts_ns").cast("string").alias("time_nano"),
+        F.posexplode(rows).alias("row_index", "r"))
+    return out.select(
+        *extra, "row_index", "time_sec",
+        F.col("r.metric_name").alias("metric_name"),
+        F.col("r.labels").alias("labels"),
+        "time_nano",
+        go_float_g(F.col("r.value")).alias("value"))

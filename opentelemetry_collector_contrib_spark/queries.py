@@ -15970,3 +15970,309 @@ FROM f ORDER BY eid
 
 _QUERIES["tinybird_histogram_rows_events"] = q_tinybird_histogram_rows
 _ORACLES["tinybird_histogram_rows_events"] = _TINYBIRD_HIST_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# alibabacloud / tencentcloud LogService exporters (sls_rows.py)
+# ---------------------------------------------------------------------------
+
+def q_sls_log_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log records -> SLS/CLS Log contents: envelope fallbacks,
+    hex flags, empty-body drop, remaining-resource JSON."""
+    from .operators.sls_rows import sls_log_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 38 == 35)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000) \
+        + (eid % 1000) * 1000
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        F.when(eid % 2 == 0, F.md5(s(eid)))
+         .otherwise(F.lit("0" * 32)).alias("trace_id"),
+        F.when(eid % 3 == 0,
+               F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("span_id"),
+        (eid % 300).cast("int").alias("flags"),
+        F.lit("INFO").alias("severity_text"),
+        F.lit(9).cast("int").alias("severity_number"),
+        # NULL body = pcommon empty value -> record dropped
+        F.when(eid % 7 != 0,
+               F.concat(F.lit("sls body "), F.col("event_type"),
+                        F.lit(" "), s(eid))).alias("body"),
+        F.when(eid % 5 != 0, F.create_map(
+            F.lit("host.name"), F.concat(F.lit("h"), s(uid % 5)),
+            F.lit("service.name"), F.concat(F.lit("svc-"), s(uid % 9)),
+            F.lit("region"), F.lit("cn-1"),
+        )).otherwise(F.create_map(
+            F.lit("region"), F.lit("cn-1"),
+        )).alias("resource_attributes"),
+        F.lit("app").alias("scope_name"),
+        F.lit("1.0").alias("scope_version"),
+        F.create_map(F.lit("code"), s(eid % 100)).alias("attributes"),
+    )
+    return sls_log_rows(src).orderBy("eid")
+
+
+_SLS_LOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 38 = 35 AND event_id % 7 <> 0)
+SELECT eid,
+  st AS time_sec,
+  CASE WHEN eid % 5 <> 0 THEN 'h' || CAST(uid % 5 AS VARCHAR)
+       ELSE '' END AS host,
+  CASE WHEN eid % 5 <> 0 THEN 'svc-' || CAST(uid % 9 AS VARCHAR)
+       ELSE '' END AS service,
+  '{"region":"cn-1"}' AS resource,
+  'app' AS otlp_name, '1.0' AS otlp_version,
+  CAST(st * 1000000000 + (eid % 1000) * 1000 AS VARCHAR)
+    AS time_unix_nano,
+  '9' AS severity_number, 'INFO' AS severity_text,
+  '{"code":"' || CAST(eid % 100 AS VARCHAR) || '"}' AS attribute,
+  'sls body ' || event_type || ' ' || CAST(eid AS VARCHAR)
+    AS content,
+  format('{:x}', eid % 300) AS flags,
+  CASE WHEN eid % 2 = 0 THEN md5(CAST(eid AS VARCHAR)) ELSE '' END
+    AS trace_id,
+  CASE WHEN eid % 3 = 0
+       THEN substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS span_id
+FROM f ORDER BY eid
+"""
+
+_QUERIES["sls_log_rows_events"] = q_sls_log_rows
+_ORACLES["sls_log_rows_events"] = _SLS_LOGS_ORACLE
+
+
+def q_sls_span_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spans -> SLS Log contents: OpenTracing short kinds, us times,
+    links/logs JSON with raw-ns event times."""
+    from .operators.sls_rows import sls_span_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 39 == 4)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    am = lambda k, v: F.create_map(F.lit(k), v)
+    events = F.when(eid % 3 == 0, F.array(
+        F.struct((tns + 2_000_000).alias("ts_ns"),
+                 F.lit("exception").alias("name"),
+                 am("exception.type", F.concat(F.lit("E"), s(eid % 7)))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<ts_ns:bigint,name:string,"
+        "attributes:map<string,string>>>"))
+    links = F.when(eid % 4 == 0, F.array(
+        F.struct(F.md5(F.concat(F.lit("lt"), s(eid))).alias("trace_id"),
+                 F.substring(F.md5(F.concat(F.lit("ls"), s(eid))), 1,
+                             16).alias("span_id"),
+                 F.lit("").alias("trace_state"),
+                 am("reason", F.lit("follows"))
+                 .alias("attributes")),
+    )).otherwise(F.array().cast(
+        "array<struct<trace_id:string,span_id:string,"
+        "trace_state:string,attributes:map<string,string>>>"))
+    src = ev.select(
+        eid.alias("eid"),
+        tns.alias("start_ts_ns"),
+        (tns + (eid % 900 + 1) * 1_000_000).alias("end_ts_ns"),
+        F.md5(s(eid)).alias("trace_id"),
+        F.substring(F.md5(F.concat(F.lit("s"), s(eid))), 1, 16)
+         .alias("span_id"),
+        F.when(eid % 2 == 0,
+               F.substring(F.md5(F.concat(F.lit("p"), s(eid))), 1, 16))
+         .otherwise(F.lit("0" * 16)).alias("parent_span_id"),
+        F.when(eid % 6 == 0, "cc=x").otherwise("").alias("trace_state"),
+        F.concat(F.lit("op."), F.col("event_type")).alias("span_name"),
+        (uid % 6).cast("int").alias("span_kind"),
+        F.create_map(
+            F.lit("host.name"), F.concat(F.lit("h"), s(uid % 5)),
+            F.lit("service.name"), F.concat(F.lit("svc-"), s(uid % 9)),
+        ).alias("resource_attributes"),
+        F.lit("tracer").alias("scope_name"),
+        F.lit("2.0").alias("scope_version"),
+        F.create_map(F.lit("http.method"),
+                     F.when(eid % 2 == 0, "GET").otherwise("POST"))
+         .alias("span_attributes"),
+        (eid % 3).cast("int").alias("status_code"),
+        F.when(eid % 3 == 2, F.concat(F.lit("boom "), s(eid)))
+         .otherwise(F.lit("")).alias("status_message"),
+        events.alias("events"),
+        links.alias("links"),
+    )
+    return sls_span_rows(src).orderBy("eid")
+
+
+_SLS_SPANS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st,
+         (event_id % 900 + 1) * 1000000 AS dur_ns
+  FROM events WHERE event_id % 39 = 4)
+SELECT eid,
+  CAST((st * 1000000000 + dur_ns) // 1000000000 AS BIGINT)
+    AS time_sec,
+  'h' || CAST(uid % 5 AS VARCHAR) AS host,
+  'svc-' || CAST(uid % 9 AS VARCHAR) AS service,
+  '{}' AS resource,
+  'tracer' AS otlp_name, '2.0' AS otlp_version,
+  md5(CAST(eid AS VARCHAR)) AS trace_id,
+  substr(md5('s' || CAST(eid AS VARCHAR)), 1, 16) AS span_id,
+  CASE WHEN eid % 2 = 0
+       THEN substr(md5('p' || CAST(eid AS VARCHAR)), 1, 16)
+       ELSE '' END AS parent_span_id,
+  CASE uid % 6 WHEN 0 THEN 'unspecified' WHEN 1 THEN 'internal'
+       WHEN 2 THEN 'server' WHEN 3 THEN 'client' WHEN 4 THEN 'producer'
+       ELSE 'consumer' END AS kind,
+  'op.' || event_type AS name,
+  CASE WHEN eid % 4 = 0
+       THEN '[{"attribute":{"reason":"follows"},"spanID":"'
+            || substr(md5('ls' || CAST(eid AS VARCHAR)), 1, 16)
+            || '","traceID":"' || md5('lt' || CAST(eid AS VARCHAR))
+            || '"}]'
+       ELSE '[]' END AS links,
+  CASE WHEN eid % 3 = 0
+       THEN '[{"attribute":{"exception.type":"E'
+            || CAST(eid % 7 AS VARCHAR) || '"},"name":"exception",'
+            || '"time":'
+            || CAST(st * 1000000000 + 2000000 AS VARCHAR) || '}]'
+       ELSE '[]' END AS logs,
+  CASE WHEN eid % 6 = 0 THEN 'cc=x' ELSE '' END AS trace_state,
+  CAST(st * 1000000 AS VARCHAR) AS start,
+  CAST(st * 1000000 + dur_ns // 1000 AS VARCHAR) AS "end",
+  CAST(dur_ns // 1000 AS VARCHAR) AS duration,
+  '{"http.method":"'
+    || CASE WHEN eid % 2 = 0 THEN 'GET' ELSE 'POST' END || '"}'
+    AS attribute,
+  CASE eid % 3 WHEN 0 THEN 'UNSET' WHEN 1 THEN 'OK' ELSE 'ERROR' END
+    AS status_code,
+  CASE WHEN eid % 3 = 2 THEN 'boom ' || CAST(eid AS VARCHAR)
+       ELSE '' END AS status_message
+FROM f ORDER BY eid
+"""
+
+_QUERIES["sls_span_rows_events"] = q_sls_span_rows
+_ORACLES["sls_span_rows_events"] = _SLS_SPANS_ORACLE
+
+
+def q_sls_metric_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric datapoints -> SLS __name__/__labels__/__time_nano__/
+    __value__ sample rows: sanitized label keys in the #$#|
+    rendering, 'g' values, raw (non-cumulative) histogram buckets
+    with +Inf, and per-quantile rows under the base name."""
+    from .operators.sls_rows import (sls_histogram_metric_rows,
+                                     sls_number_metric_rows,
+                                     sls_summary_metric_rows)
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 40 == 7)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+    common = [
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        # keys exercise the sanitizer: dot -> _, digit-lead, _-lead
+        F.create_map(
+            F.lit("host.name"), F.concat(F.lit("h"), s(uid % 5)),
+            F.lit("1zone"), F.lit("z1"),
+            F.lit("_env"), F.lit("prod"),
+        ).alias("resource_attributes"),
+        F.create_map(F.lit("api.route"),
+                     F.concat(F.lit("/r/"), F.col("event_type")))
+         .alias("attributes"),
+    ]
+    numbers = ev.filter(eid % 3 == 2).select(
+        *common,
+        F.concat(F.lit("req.total-"), F.col("event_type"))
+         .alias("metric_name"),
+        F.when(eid % 2 == 0, (eid % 1000).cast("bigint"))
+         .otherwise(F.lit(None).cast("bigint")).alias("int_value"),
+        F.when(eid % 2 == 0, F.lit(None).cast("double"))
+         .otherwise((eid % 16).cast("double") / 4).alias("double_value"),
+    )
+    hists = ev.filter(eid % 3 == 0).select(
+        *common,
+        F.concat(F.lit("lat.ms-"), F.col("event_type"))
+         .alias("metric_name"),
+        ((eid % 30) + (eid % 50) + 4).cast("bigint").alias("count"),
+        ((eid % 400) * 2).cast("double").alias("sum"),
+        F.array((eid % 30).cast("bigint"), (eid % 50).cast("bigint"),
+                F.lit(4).cast("bigint")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(1000000.0)).alias("explicit_bounds"),
+    )
+    summaries = ev.filter(eid % 3 == 1).select(
+        *common,
+        F.concat(F.lit("rt.sec-"), F.col("event_type"))
+         .alias("metric_name"),
+        ((eid % 200) + 2).cast("bigint").alias("count"),
+        ((eid % 700) * 3).cast("double").alias("sum"),
+        F.array(
+            F.struct(F.lit(0.5).alias("quantile"),
+                     ((eid % 90).cast("double") + 0.5).alias("value")),
+        ).alias("quantile_values"),
+    )
+    out = sls_number_metric_rows(numbers) \
+        .withColumn("row_index", F.lit(0)) \
+        .unionByName(sls_histogram_metric_rows(hists)) \
+        .unionByName(sls_summary_metric_rows(summaries))
+    return out.orderBy("eid", "row_index")
+
+
+_SLS_METRICS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 40 = 7),
+g AS (
+  SELECT *,
+    'api_route#$#/r/' || event_type || '|host_name#$#h'
+      || CAST(uid % 5 AS VARCHAR)
+      || '|key_1zone#$#z1|key_env#$#prod' AS lbl,
+    CAST(st * 1000000000 AS VARCHAR) AS tn
+  FROM f)
+SELECT eid, 0 AS row_index, st AS time_sec,
+  'req_total_' || event_type AS metric_name, lbl AS labels,
+  tn AS time_nano,
+  CASE WHEN eid % 2 = 0 THEN CAST(eid % 1000 AS VARCHAR)
+  ELSE CASE eid % 16
+    WHEN 1 THEN '0.25' WHEN 3 THEN '0.75' WHEN 5 THEN '1.25'
+    WHEN 7 THEN '1.75' WHEN 9 THEN '2.25' WHEN 11 THEN '2.75'
+    WHEN 13 THEN '3.25' WHEN 15 THEN '3.75'
+  END END AS value
+FROM g WHERE eid % 3 = 2
+UNION ALL
+SELECT eid, u.idx, st,
+  'lat_ms_' || event_type ||
+    CASE u.idx WHEN 0 THEN '_sum' WHEN 1 THEN '_count'
+    ELSE '_bucket' END,
+  CASE WHEN u.idx <= 1 THEN lbl
+       WHEN u.idx = 2 THEN lbl || '|le#$#0.5'
+       WHEN u.idx = 3 THEN lbl || '|le#$#1e+06'
+       ELSE lbl || '|le#$#+Inf' END,
+  tn,
+  CASE u.idx WHEN 0 THEN CAST((eid % 400) * 2 AS VARCHAR)
+       WHEN 1 THEN CAST((eid % 30) + (eid % 50) + 4 AS VARCHAR)
+       WHEN 2 THEN CAST(eid % 30 AS VARCHAR)
+       WHEN 3 THEN CAST(eid % 50 AS VARCHAR)
+       ELSE '4' END
+FROM g, (VALUES (0),(1),(2),(3),(4)) AS u(idx)
+WHERE eid % 3 = 0
+UNION ALL
+SELECT eid, u.idx, st,
+  'rt_sec_' || event_type ||
+    CASE u.idx WHEN 0 THEN '_sum' WHEN 1 THEN '_count' ELSE '' END,
+  CASE WHEN u.idx <= 1 THEN lbl ELSE lbl || '|quantile#$#0.5' END,
+  tn,
+  CASE u.idx WHEN 0 THEN CAST((eid % 700) * 3 AS VARCHAR)
+       WHEN 1 THEN CAST((eid % 200) + 2 AS VARCHAR)
+       ELSE CAST(eid % 90 AS VARCHAR) || '.5' END
+FROM g, (VALUES (0),(1),(2)) AS u(idx)
+WHERE eid % 3 = 1
+ORDER BY eid, row_index
+"""
+
+_QUERIES["sls_metric_rows_events"] = q_sls_metric_rows
+_ORACLES["sls_metric_rows_events"] = _SLS_METRICS_ORACLE

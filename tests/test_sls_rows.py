@@ -1,0 +1,121 @@
+"""alibabacloud/tencentcloud LogService row-mapping semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from opentelemetry_collector_contrib_spark.operators import (
+    sls_rows as S,
+)
+
+
+class TestSanitizers:
+    def test_label_key_sanitize(self, spark):
+        df = spark.createDataFrame(
+            [("a.b-c",), ("1zone",), ("_env",), ("ok",)], "k string")
+        got = [r[0] for r in
+               df.select(S._sanitize_key(F.col("k"))).collect()]
+        assert got == ["a_b_c", "key_1zone", "key_env", "ok"]
+
+    def test_metric_name_format(self, spark):
+        df = spark.createDataFrame([("req.total-x",), ("a:b_c9",)],
+                                   "n string")
+        got = [r[0] for r in
+               df.select(S._format_metric_name(F.col("n"))).collect()]
+        assert got == ["req_total_x", "a:b_c9"]
+
+
+LOG_SCHEMA = (
+    "ts_ns bigint, trace_id string, span_id string, flags int,"
+    "severity_text string, severity_number int, body string,"
+    "resource_attributes map<string,string>, scope_name string,"
+    "scope_version string, attributes map<string,string>")
+
+
+class TestLogRows:
+    def test_row_and_hex_flags(self, spark):
+        df = spark.createDataFrame([Row(
+            ts_ns=1700000000123000000, trace_id="a" * 32,
+            span_id="0" * 16, flags=255, severity_text="W",
+            severity_number=13, body="b",
+            resource_attributes={"host.name": "h",
+                                 "service.name": "s", "r": "1"},
+            scope_name="sc", scope_version="2",
+            attributes={"k": "v"})], LOG_SCHEMA)
+        r = S.sls_log_rows(df).collect()[0]
+        assert r.time_sec == 1700000000
+        assert (r.host, r.service) == ("h", "s")
+        assert r.resource == '{"r":"1"}'  # host/service excluded
+        assert r.flags == "ff"  # FormatUint base 16
+        assert r.time_unix_nano == "1700000000123000000"
+        assert r.span_id == ""
+
+    def test_empty_body_dropped(self, spark):
+        df = spark.createDataFrame([Row(
+            ts_ns=1, trace_id="", span_id="", flags=0,
+            severity_text="", severity_number=0, body=None,
+            resource_attributes={}, scope_name="", scope_version="",
+            attributes={})], LOG_SCHEMA)
+        assert S.sls_log_rows(df).count() == 0
+
+
+class TestMetricRows:
+    HIST_SCHEMA = (
+        "ts_ns bigint, metric_name string,"
+        "resource_attributes map<string,string>,"
+        "attributes map<string,string>, count bigint, sum double,"
+        "bucket_counts array<bigint>,"
+        "explicit_bounds array<double>")
+
+    def test_histogram_raw_buckets_not_cumulative(self, spark):
+        df = spark.createDataFrame([Row(
+            ts_ns=1700000000000000000, metric_name="m",
+            resource_attributes={}, attributes={"a": "b"},
+            count=9, sum=1.5, bucket_counts=[2, 3, 4],
+            explicit_bounds=[0.5, 1000000.0])], self.HIST_SCHEMA)
+        rows = S.sls_histogram_metric_rows(df).collect()
+        assert [r.metric_name for r in rows] == \
+            ["m_sum", "m_count", "m_bucket", "m_bucket", "m_bucket"]
+        # RAW counts (the alibaba exporter does NOT accumulate)
+        assert [r.value for r in rows[2:]] == ["2", "3", "4"]
+        assert rows[2].labels == "a#$#b|le#$#0.5"
+        assert rows[3].labels == "a#$#b|le#$#1e+06"
+        assert rows[4].labels == "a#$#b|le#$#+Inf"
+
+    def test_bucket_count_capped_at_min(self, spark):
+        # min(len(bounds)+1, len(counts)) buckets
+        df = spark.createDataFrame([Row(
+            ts_ns=1, metric_name="m", resource_attributes={},
+            attributes={}, count=2, sum=0.0, bucket_counts=[2],
+            explicit_bounds=[0.5, 2.0])], self.HIST_SCHEMA)
+        rows = S.sls_histogram_metric_rows(df).collect()
+        assert [r.metric_name for r in rows] == \
+            ["m_sum", "m_count", "m_bucket"]
+        assert rows[2].labels == "le#$#0.5"
+
+    def test_number_empty_value_emits_nothing(self, spark):
+        df = spark.createDataFrame([Row(
+            ts_ns=1, metric_name="m", resource_attributes={},
+            attributes={}, int_value=None, double_value=None)],
+            "ts_ns bigint, metric_name string,"
+            "resource_attributes map<string,string>,"
+            "attributes map<string,string>, int_value bigint,"
+            "double_value double")
+        assert S.sls_number_metric_rows(df).count() == 0
+
+    def test_summary_quantile_under_base_name(self, spark):
+        df = spark.createDataFrame([Row(
+            ts_ns=1, metric_name="m", resource_attributes={},
+            attributes={}, count=5, sum=2.0,
+            quantile_values=[Row(quantile=0.99, value=7.5)])],
+            "ts_ns bigint, metric_name string,"
+            "resource_attributes map<string,string>,"
+            "attributes map<string,string>, count bigint,"
+            "sum double, quantile_values array<struct<"
+            "quantile:double,value:double>>")
+        rows = S.sls_summary_metric_rows(df).collect()
+        assert [r.metric_name for r in rows] == \
+            ["m_sum", "m_count", "m"]  # base name, no suffix
+        assert rows[2].labels == "quantile#$#0.99"
+        assert rows[2].value == "7.5"
