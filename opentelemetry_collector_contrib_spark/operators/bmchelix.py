@@ -1,0 +1,279 @@
+"""bmchelixexporter: OTel number datapoints -> BMC Helix Operations
+Management metric payloads.
+
+Reference: exporter/bmchelixexporter/internal/operationsmanagement/
+metrics_producer.go (the HTTP metrics_client is out of scope per the
+standing agreement). The producer is a per-push pipeline with
+cross-push counter state; the graft operates over a recorded table
+of pushes (``push_id`` orders them):
+
+* createSingleDatapointMetric (:221-248) + updateEntityInformation
+  (:251-305): hostname from resource host.name, else the datapoint's,
+  else the point is SKIPPED; entityTypeId/entityName come from the
+  dp attrs overlaid by RESOURCE attrs (resource wins there — while
+  the label VALUES let dp attrs win), both required else skipped;
+  instanceName defaults to the RAW entityName (before the colon
+  strip); entityName is colon-trimmed then colon-stripped; entityId =
+  source:hostname:entityTypeId:entityName; labels build up in
+  overwrite order source -> resource attrs -> unit/hostType/
+  isDeviceMappingEnabled/metricName -> hostname -> dp attrs ->
+  entity fields; sample ts = Unix()*1000 (SECOND-truncated ms);
+  monotonic sums get the ``bmchelix.requiresRateMetric`` flag.
+* enrichMetricNamesWithAttributes (:341-417): within one push, group
+  by (entityId, metricName); non-core label keys with >1 distinct
+  value are "identifying"; each affected metric renames to
+  ``<name>.<v1>.<v2>...`` (values in sorted-key order) and DROPS the
+  identifying labels. The "raw copy" the reference also emits loses
+  its entityId/entityTypeId/entityName — and ProduceHelixPayload's
+  final loop (:86-90) only appends metrics whose entityTypeId is
+  non-empty, so raw copies (and their percent/rate descendants)
+  NEVER reach the payload; they are not emitted here.
+* addPercentageVariants (:431-468): unit "1" metrics clone to a
+  percent variant (``...ratio`` -> ``...percent``, else
+  ``.percent`` appended; idempotent on ``.percent``), unit "%",
+  value*100 — the clone KEEPS the rate flag, so a monotonic unit-"1"
+  counter's percent variant gets its own rate series too.
+* addRateVariants / computeRateMetricFromCounter (:199-214,
+  484-530): per flagged metric, the previous push's sample for
+  ``entityId:metricName`` yields a ``<name>.rate`` / ``<unit>/s``
+  row with rate = (Δvalue clamped >= 0) / (Δms / 1000.0); no row on
+  the first observation or non-increasing timestamps; the flag label
+  is removed from every output.
+* appendMetricWithParentEntity (:99-139): every surviving metric
+  gains parentEntityName/parentEntityTypeId =
+  ``<entityTypeId>_container``, and per distinct parent entity id
+  (source:hostname:<type>_container:<type>_container) ONE sample-less
+  identity parent row is emitted per push.
+
+Shuffles: the enrich group detection (short (push, entity, name)
+keys), the rate lag window (same short key), and the parent dedup —
+all narrow-key exchanges; values/labels never fan out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+CORE_ATTRIBUTES = ("source", "unit", "hostType",
+                   "isDeviceMappingEnabled", "metricName", "hostname",
+                   "entityTypeId", "entityName", "instanceName",
+                   "entityId")
+RATE_FLAG = "bmchelix.requiresRateMetric"
+
+
+def _overlay(base: Column, winner: Column) -> Column:
+    return F.map_concat(
+        F.map_filter(base,
+                     lambda k, _: ~F.map_contains_key(winner, k)),
+        winner)
+
+
+def _json_map(m: Column) -> Column:
+    return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(m))))
+
+
+def _nonempty(c: Column) -> Column:
+    return F.when(c.isNotNull() & (c != ""), c)
+
+
+def _percent_name(n: Column) -> Column:
+    return (
+        F.when(n.endswith(".percent"), n)
+         .when(n.endswith("ratio"),
+               F.concat(F.expr(
+                   "substring(_mn, 1, length(_mn) - 5)"),
+                   F.lit("percent")))
+         .otherwise(F.concat(n, F.lit(".percent"))))
+
+
+def bmchelix_metric_rows(df: DataFrame,
+                         push_col: str = "push_id") -> DataFrame:
+    """Recorded number datapoints -> Helix payload rows. Input:
+    push_id, ts_ms (epoch ms, already second-truncated upstream or
+    not — truncated here), metric_name, metric_unit, is_monotonic,
+    resource_attributes map, attributes map, int_value,
+    double_value."""
+    res = F.coalesce(F.col("resource_attributes"),
+                     F.expr("cast(map() as map<string,string>)"))
+    attrs = F.coalesce(F.col("attributes"),
+                       F.expr("cast(map() as map<string,string>)"))
+    host = F.coalesce(_nonempty(F.element_at(res, "host.name")),
+                      _nonempty(F.element_at(attrs, "host.name")))
+    sm = _overlay(attrs, res)  # stringMetricAttrs: RESOURCE wins
+    etype = _nonempty(F.element_at(sm, "entityTypeId"))
+    ename_raw = _nonempty(F.element_at(sm, "entityName"))
+    iname = F.coalesce(_nonempty(F.element_at(sm, "instanceName")),
+                       ename_raw)
+    ename = F.regexp_replace(
+        F.regexp_replace(ename_raw, r"^:+|:+$", ""), ":", "")
+    entity_id = F.concat_ws(":", F.lit("OTEL"), host, etype, ename)
+    synth1 = F.map_from_arrays(
+        F.array(F.lit("unit"), F.lit("hostType"),
+                F.lit("isDeviceMappingEnabled"), F.lit("metricName")),
+        F.array(F.coalesce(F.col("metric_unit"), F.lit("")),
+                F.lit("server"), F.lit("true"),
+                F.col("metric_name")))
+    ent_map = F.map_from_arrays(
+        F.array(F.lit("hostname"), F.lit("entityTypeId"),
+                F.lit("entityName"), F.lit("instanceName"),
+                F.lit("entityId")),
+        F.array(host, etype, ename, iname, entity_id))
+    labels = _overlay(
+        _overlay(
+            _overlay(
+                _overlay(
+                    _overlay(F.create_map(F.lit("source"),
+                                          F.lit("OTEL")), res),
+                    synth1),
+                F.create_map(F.lit("hostname"), host)),
+            attrs),
+        ent_map)
+    base = df.filter(host.isNotNull() & etype.isNotNull()
+                     & ename_raw.isNotNull()) \
+        .select(
+            F.col(push_col).alias("push"),
+            entity_id.alias("entity_id"),
+            F.col("metric_name").alias("mname"),
+            F.coalesce(F.col("metric_unit"), F.lit(""))
+             .alias("unit"),
+            labels.alias("labels"),
+            attrs.alias("dp_attrs"),
+            F.coalesce(F.col("int_value").cast("double"),
+                       F.col("double_value"), F.lit(0.0))
+             .alias("value"),
+            # Unix()*1000: second truncation
+            (F.expr("ts_ms div 1000") * 1000).cast("bigint")
+            .alias("ts_ms"),
+            F.coalesce(F.col("is_monotonic"), F.lit(False))
+             .alias("rate_flag"),
+            etype.alias("etype"),
+            host.alias("hostname"),
+        )
+
+    # --- enrich: identifying keys per (push, entity, name) ----------
+    cand = base.select(
+        "push", "entity_id", "mname",
+        F.explode(F.map_filter(
+            F.col("labels"),
+            lambda k, _: ~k.isin(*CORE_ATTRIBUTES)))
+        .alias("lk", "lv"))
+    ident = cand.groupBy("push", "entity_id", "mname", "lk") \
+        .agg(F.countDistinct("lv").alias("nv")) \
+        .filter(F.col("nv") > 1) \
+        .groupBy("push", "entity_id", "mname") \
+        .agg(F.sort_array(F.collect_set("lk")).alias("ident_keys"))
+    base = base.join(ident, ["push", "entity_id", "mname"], "left")
+    ik = F.coalesce(F.col("ident_keys"),
+                    F.array().cast("array<string>"))
+    suffix_vals = F.filter(
+        F.transform(ik, lambda k: F.element_at(F.col("labels"), k)),
+        lambda v: v.isNotNull())
+    has_suffix = F.size(suffix_vals) > 0
+    new_name = F.when(
+        has_suffix,
+        F.concat(F.col("mname"), F.lit("."),
+                 F.array_join(suffix_vals, "."))).otherwise(
+        F.col("mname"))
+    stripped = F.map_filter(
+        F.col("labels"),
+        lambda k, _: ~F.array_contains(ik, k))
+    enriched = base.select(
+        "push", "entity_id", "unit", "value", "ts_ms", "rate_flag",
+        "etype", "hostname",
+        new_name.alias("mname"),
+        F.map_concat(
+            F.map_filter(stripped,
+                         lambda k, _: k != "metricName"),
+            F.map_from_arrays(F.array(F.lit("metricName")),
+                              F.array(new_name))).alias("labels"),
+    )
+
+    # --- percent variants (unit "1"), keeping the rate flag ---------
+    pct = enriched.filter(F.col("unit") == "1").withColumn(
+        "_mn", F.col("mname"))
+    pname = _percent_name(F.col("_mn"))
+    pct = pct.select(
+        "push", "entity_id",
+        F.lit("%").alias("unit"),
+        (F.col("value") * 100).alias("value"),
+        "ts_ms", "rate_flag", "etype", "hostname",
+        pname.alias("mname"),
+        F.map_concat(
+            F.map_filter(F.col("labels"),
+                         lambda k, _: (k != "metricName")
+                         & (k != "unit")),
+            F.map_from_arrays(
+                F.array(F.lit("metricName"), F.lit("unit")),
+                F.array(pname, F.lit("%")))).alias("labels"),
+    )
+    stage = enriched.unionByName(pct)
+
+    # --- rate variants from the previous push's sample --------------
+    w = Window.partitionBy("entity_id", "mname").orderBy("push")
+    flagged = stage.filter(F.col("rate_flag"))
+    flagged = flagged.select(
+        "*",
+        F.lag("value").over(w).alias("pv"),
+        F.lag("ts_ms").over(w).alias("pt"))
+    dv = F.greatest(F.col("value") - F.col("pv"), F.lit(0.0))
+    dt = (F.col("ts_ms") - F.col("pt")).cast("double") / 1000.0
+    rname = F.concat(F.col("mname"), F.lit(".rate"))
+    runit = F.concat(F.col("unit"), F.lit("/s"))
+    rates = flagged.filter(
+        F.col("pt").isNotNull() & (F.col("ts_ms") > F.col("pt"))) \
+        .select(
+            "push", "entity_id",
+            runit.alias("unit"),
+            (dv / dt).alias("value"),
+            "ts_ms",
+            F.lit(False).alias("rate_flag"),
+            "etype", "hostname",
+            rname.alias("mname"),
+            F.map_concat(
+                F.map_filter(F.col("labels"),
+                             lambda k, _: (k != "metricName")
+                             & (k != "unit")),
+                F.map_from_arrays(
+                    F.array(F.lit("metricName"), F.lit("unit")),
+                    F.array(rname, runit))).alias("labels"),
+        )
+    stage = stage.unionByName(rates)
+
+    # --- parent entities + child parent labels ----------------------
+    ptype = F.concat(F.col("etype"), F.lit("_container"))
+    pid = F.concat_ws(":", F.lit("OTEL"), F.col("hostname"), ptype,
+                      ptype)
+    children = stage.select(
+        "push", "entity_id", "mname", "value", "ts_ms",
+        F.lit("metric").alias("kind"),
+        _json_map(_overlay(
+            F.col("labels"),
+            F.map_from_arrays(
+                F.array(F.lit("parentEntityName"),
+                        F.lit("parentEntityTypeId")),
+                F.array(ptype, ptype)))).alias("labels_json"),
+    )
+    parents = stage.select(
+        "push", F.col("hostname"), ptype.alias("ptype"),
+        pid.alias("pid"),
+        F.element_at(F.col("labels"), "isDeviceMappingEnabled")
+        .alias("dme"),
+        F.element_at(F.col("labels"), "hostType").alias("ht"),
+    ).distinct().select(
+        "push", F.col("pid").alias("entity_id"),
+        F.lit("identity").alias("mname"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("bigint").alias("ts_ms"),
+        F.lit("parent").alias("kind"),
+        _json_map(F.map_from_arrays(
+            F.array(F.lit("entityId"), F.lit("entityName"),
+                    F.lit("entityTypeId"), F.lit("hostname"),
+                    F.lit("source"), F.lit("isDeviceMappingEnabled"),
+                    F.lit("hostType"), F.lit("metricName")),
+            F.array(F.col("pid"), F.col("ptype"),
+                    F.col("ptype"), F.col("hostname"),
+                    F.lit("OTEL"), F.col("dme"), F.col("ht"),
+                    F.lit("identity")))).alias("labels_json"),
+    )
+    return children.unionByName(parents)

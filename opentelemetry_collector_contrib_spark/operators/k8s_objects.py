@@ -1,0 +1,67 @@
+"""k8sobjectsreceiver: pulled/watched Kubernetes objects -> log
+records.
+
+Reference: receiver/k8sobjectsreceiver/unstructured_to_logdata.go:
+21-100. The informer/client plumbing is polling transport; the graft
+maps a recorded table of object JSON payloads:
+
+* pull mode (pullObjectsToLogData): one record per object; resource
+  attr k8s.namespace.name ONLY when the object's
+  metadata.namespace is non-empty; record attr k8s.resource.name =
+  the configured GVR resource; body = the object.
+* watch mode (watchObjectsToLogData): the body is the watch envelope
+  ``{"type": <event type>, "object": <object>}``; the namespace
+  lookup falls from the wrapper's metadata (absent) to
+  object.metadata.namespace (getNamespace, :88-99); the attr updater
+  adds event.domain=k8s + event.name=metadata.name only when the
+  name is NON-EMPTY.
+* every record carries the batch observedAt as its observed
+  timestamp (an injected column here).
+
+The body passes through as the recorded payload text (the reference
+holds the parsed map; equality on the recorded JSON is the same
+contract). Map-only Column code, no exchanges — the reference's
+per-namespace ResourceLogs grouping is a pdata envelope detail that
+the relational shape carries as the namespace column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k8s_objects_logs(
+    df: DataFrame,
+    resource: str,
+    mode: str = "pull",
+    payload: str = "payload",
+    event_type: str = "event_type_col",
+) -> DataFrame:
+    """One recorded object (JSON payload; watch mode adds the watch
+    event type column) -> one log-record row."""
+    p = F.col(payload)
+    ns = F.get_json_object(p, "$.metadata.namespace")
+    extra = [c for c in df.columns if c not in (payload, event_type)]
+    if mode == "watch":
+        name = F.get_json_object(p, "$.metadata.name")
+        body = F.concat(F.lit('{"type":"'), F.col(event_type),
+                        F.lit('","object":'), p, F.lit("}"))
+        return df.select(
+            *extra,
+            F.when(ns.isNotNull() & (ns != ""), ns)
+             .alias("k8s_namespace_name"),
+            F.lit(resource).alias("k8s_resource_name"),
+            F.when(name.isNotNull() & (name != ""), F.lit("k8s"))
+             .alias("event_domain"),
+            F.when(name.isNotNull() & (name != ""), name)
+             .alias("event_name"),
+            body.alias("body"),
+        )
+    return df.select(
+        *extra,
+        F.when(ns.isNotNull() & (ns != ""), ns)
+         .alias("k8s_namespace_name"),
+        F.lit(resource).alias("k8s_resource_name"),
+        p.alias("body"),
+    )

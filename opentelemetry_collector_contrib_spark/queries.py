@@ -16276,3 +16276,256 @@ ORDER BY eid, row_index
 
 _QUERIES["sls_metric_rows_events"] = q_sls_metric_rows
 _ORACLES["sls_metric_rows_events"] = _SLS_METRICS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# k8sobjectsreceiver (unstructured_to_logdata.go)
+# ---------------------------------------------------------------------------
+
+def q_k8s_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watched k8s objects -> log records with the watch envelope
+    body, namespace fall-through, and the non-empty-name event
+    attrs."""
+    from .operators.k8s_objects import k8s_objects_logs
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 41 == 9)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    payload = F.concat(
+        F.lit('{"apiVersion":"v1","kind":"Pod","metadata":{'),
+        # empty name on eid%6==0 -> no event.* attrs
+        F.when(eid % 6 != 0,
+               F.concat(F.lit('"name":"pod-'), s(eid), F.lit('",')))
+         .otherwise(F.lit('"name":"",')),
+        # empty namespace on eid%5==0 -> namespace attr omitted
+        F.when(eid % 5 != 0,
+               F.concat(F.lit('"namespace":"ns-'), s(uid % 6),
+                        F.lit('",'))).otherwise(F.lit("")),
+        F.lit('"uid":"'), F.md5(s(eid)),
+        F.lit('"},"status":{"phase":"'), F.col("event_type"),
+        F.lit('"}}'))
+    etype = F.element_at(
+        F.array(F.lit("ADDED"), F.lit("MODIFIED"), F.lit("DELETED")),
+        (eid % 3 + 1).cast("int"))
+    src = ev.select(eid.alias("eid"), payload.alias("payload"),
+                    etype.alias("event_type_col"))
+    return k8s_objects_logs(src, resource="pods", mode="watch") \
+        .orderBy("eid")
+
+
+_K8S_OBJECTS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, event_type
+  FROM events WHERE event_id % 41 = 9),
+g AS (
+  SELECT *,
+    '{"apiVersion":"v1","kind":"Pod","metadata":{'
+    || CASE WHEN eid % 6 <> 0
+       THEN '"name":"pod-' || CAST(eid AS VARCHAR) || '",'
+       ELSE '"name":"",' END
+    || CASE WHEN eid % 5 <> 0
+       THEN '"namespace":"ns-' || CAST(uid % 6 AS VARCHAR) || '",'
+       ELSE '' END
+    || '"uid":"' || md5(CAST(eid AS VARCHAR))
+    || '"},"status":{"phase":"' || event_type || '"}}' AS obj
+  FROM f)
+SELECT eid,
+  CASE WHEN eid % 5 <> 0 THEN 'ns-' || CAST(uid % 6 AS VARCHAR) END
+    AS k8s_namespace_name,
+  'pods' AS k8s_resource_name,
+  CASE WHEN eid % 6 <> 0 THEN 'k8s' END AS event_domain,
+  CASE WHEN eid % 6 <> 0 THEN 'pod-' || CAST(eid AS VARCHAR) END
+    AS event_name,
+  '{"type":"'
+  || CASE eid % 3 WHEN 0 THEN 'ADDED' WHEN 1 THEN 'MODIFIED'
+     ELSE 'DELETED' END
+  || '","object":' || obj || '}' AS body
+FROM g ORDER BY eid
+"""
+
+_QUERIES["k8s_objects_logs"] = q_k8s_objects
+_ORACLES["k8s_objects_logs"] = _K8S_OBJECTS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# bmchelixexporter (internal/operationsmanagement/metrics_producer.go)
+# ---------------------------------------------------------------------------
+
+def q_bmchelix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number datapoints -> BMC Helix payload rows: entity
+    validation/skip, name enrichment by identifying attrs, percent
+    variants, cross-push counter rates and parent container
+    entities."""
+    from .operators.bmchelix import bmchelix_metric_rows
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 43 == 15)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    st = F.unix_timestamp("ts").cast("long")
+    res = F.create_map(
+        F.lit("host.name"), F.concat(F.lit("h"), s(uid % 5)),
+        F.lit("entityTypeId"), F.lit("pod"),
+        F.lit("entityName"),
+        # unique per event: colliding entityId:metricName keys make
+        # the reference's previousCounters order-dependent
+        F.concat(F.lit(":n"), s(eid), F.lit(":")),
+    )
+    # class A: enrich pair (two shards of the same gauge), unit "1"
+    a = ev.filter(eid % 3 == 0).select(
+        eid.alias("eid"), st.alias("st"), res.alias("res"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("shard"))
+    a = a.select(
+        F.lit(0).alias("push_id"),
+        (F.col("st") * 1000 + 123).alias("ts_ms"),
+        F.lit("cpu.ratio").alias("metric_name"),
+        F.lit("1").alias("metric_unit"),
+        F.lit(False).alias("is_monotonic"),
+        F.col("res").alias("resource_attributes"),
+        F.create_map(F.lit("shard"), F.col("shard").cast("string"))
+         .alias("attributes"),
+        F.lit(None).cast("bigint").alias("int_value"),
+        ((F.col("eid") % 8 + F.col("shard")) / F.lit(8.0))
+        .alias("double_value"),
+        F.col("eid").alias("eid"),
+    )
+    # class B: monotonic counter over two pushes
+    b = ev.filter(eid % 3 == 1).select(
+        eid.alias("eid"), st.alias("st"), res.alias("res"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("push"))
+    b = b.select(
+        F.col("push").alias("push_id"),
+        ((F.col("st") + F.col("push") * 30) * 1000).alias("ts_ms"),
+        F.lit("req.total").alias("metric_name"),
+        F.lit("By").alias("metric_unit"),
+        F.lit(True).alias("is_monotonic"),
+        F.col("res").alias("resource_attributes"),
+        F.expr("cast(map() as map<string,string>)")
+         .alias("attributes"),
+        (F.col("eid") % 500 + F.col("push") * (F.col("eid") % 120))
+        .cast("bigint").alias("int_value"),
+        F.lit(None).cast("double").alias("double_value"),
+        F.col("eid").alias("eid"),
+    )
+    # class C: missing entityName -> skipped entirely
+    c = ev.filter(eid % 3 == 2).select(
+        F.lit(0).alias("push_id"), (st * 1000).alias("ts_ms"),
+        F.lit("gone").alias("metric_name"), F.lit("").alias("metric_unit"),
+        F.lit(False).alias("is_monotonic"),
+        F.create_map(F.lit("host.name"), F.lit("h0"),
+                     F.lit("entityTypeId"), F.lit("pod"))
+         .alias("resource_attributes"),
+        F.expr("cast(map() as map<string,string>)")
+         .alias("attributes"),
+        F.lit(1).cast("bigint").alias("int_value"),
+        F.lit(None).cast("double").alias("double_value"),
+        eid.alias("eid"),
+    )
+    src = a.unionByName(b).unionByName(c)
+    out = bmchelix_metric_rows(src)
+    return out.orderBy("push", "kind", "entity_id", "mname", "value")
+
+
+_BMCHELIX_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS st
+  FROM events WHERE event_id % 43 = 15),
+ent AS (
+  SELECT *,
+    'h' || CAST(uid % 5 AS VARCHAR) AS host,
+    'n' || CAST(eid AS VARCHAR) AS ename,
+    ':n' || CAST(eid AS VARCHAR) || ':' AS iname
+  FROM f),
+e2 AS (
+  SELECT *,
+    'OTEL:' || host || ':pod:' || ename AS entid,
+    '"entityId":"OTEL:' || host || ':pod:' || ename
+      || '","entityName":"' || ename
+      || '","entityTypeId":"pod","host.name":"' || host
+      || '","hostType":"server","hostname":"' || host
+      || '","instanceName":"' || iname
+      || '","isDeviceMappingEnabled":"true","metricName":"'
+      AS lbl_head
+  FROM ent),
+-- class A: enriched shard rows + percent variants (push 0)
+a AS (SELECT * FROM e2 WHERE eid % 3 = 0),
+a_rows AS (
+  SELECT 0 AS push, 'metric' AS kind, entid AS entity_id,
+    'cpu.ratio.' || CAST(u.shard AS VARCHAR) AS mname,
+    CAST(eid % 8 + u.shard AS DOUBLE) / 8.0 AS value,
+    st * 1000 AS ts_ms,
+    '{' || lbl_head || 'cpu.ratio.' || CAST(u.shard AS VARCHAR)
+    || '","parentEntityName":"pod_container",'
+    || '"parentEntityTypeId":"pod_container","source":"OTEL",'
+    || '"unit":"1"}' AS labels_json
+  FROM a, (VALUES (0),(1)) AS u(shard)
+  UNION ALL
+  SELECT 0, 'metric', entid,
+    'cpu.ratio.' || CAST(u.shard AS VARCHAR) || '.percent',
+    CAST(eid % 8 + u.shard AS DOUBLE) / 8.0 * 100,
+    st * 1000,
+    '{' || lbl_head || 'cpu.ratio.' || CAST(u.shard AS VARCHAR)
+    || '.percent","parentEntityName":"pod_container",'
+    || '"parentEntityTypeId":"pod_container","source":"OTEL",'
+    || '"unit":"%"}'
+  FROM a, (VALUES (0),(1)) AS u(shard)),
+-- class B: counter rows both pushes + the push-1 rate
+b AS (SELECT * FROM e2 WHERE eid % 3 = 1),
+b_rows AS (
+  SELECT u.push AS push, 'metric' AS kind, entid,
+    'req.total' AS mname,
+    CAST(eid % 500 + u.push * (eid % 120) AS DOUBLE) AS value,
+    (st + u.push * 30) * 1000 AS ts_ms,
+    '{' || lbl_head || 'req.total'
+    || '","parentEntityName":"pod_container",'
+    || '"parentEntityTypeId":"pod_container","source":"OTEL",'
+    || '"unit":"By"}' AS labels_json
+  FROM b, (VALUES (0),(1)) AS u(push)
+  UNION ALL
+  SELECT 1, 'metric', entid, 'req.total.rate',
+    CAST(eid % 120 AS DOUBLE) / (CAST(30000 AS DOUBLE) / 1000.0),
+    (st + 30) * 1000,
+    '{' || lbl_head || 'req.total.rate'
+    || '","parentEntityName":"pod_container",'
+    || '"parentEntityTypeId":"pod_container","source":"OTEL",'
+    || '"unit":"By/s"}'
+  FROM b),
+-- parents: one identity row per (push, hostname)
+hosts0 AS (
+  SELECT DISTINCT host FROM e2 WHERE eid % 3 IN (0, 1)),
+hosts1 AS (
+  SELECT DISTINCT host FROM e2 WHERE eid % 3 = 1),
+parents AS (
+  SELECT p.push, 'parent' AS kind,
+    'OTEL:' || h.host || ':pod_container:pod_container'
+      AS entity_id,
+    'identity' AS mname, CAST(NULL AS DOUBLE) AS value,
+    CAST(NULL AS BIGINT) AS ts_ms,
+    '{"entityId":"OTEL:' || h.host
+    || ':pod_container:pod_container",'
+    || '"entityName":"pod_container",'
+    || '"entityTypeId":"pod_container","hostType":"server",'
+    || '"hostname":"' || h.host
+    || '","isDeviceMappingEnabled":"true",'
+    || '"metricName":"identity","source":"OTEL"}' AS labels_json
+  FROM (SELECT 0 AS push) p, hosts0 h
+  UNION ALL
+  SELECT 1, 'parent',
+    'OTEL:' || h.host || ':pod_container:pod_container',
+    'identity', NULL, NULL,
+    '{"entityId":"OTEL:' || h.host
+    || ':pod_container:pod_container",'
+    || '"entityName":"pod_container",'
+    || '"entityTypeId":"pod_container","hostType":"server",'
+    || '"hostname":"' || h.host
+    || '","isDeviceMappingEnabled":"true",'
+    || '"metricName":"identity","source":"OTEL"}'
+  FROM hosts1 h)
+SELECT push, entity_id, mname, value, ts_ms, kind, labels_json
+FROM (SELECT * FROM a_rows UNION ALL SELECT * FROM b_rows
+      UNION ALL SELECT * FROM parents)
+ORDER BY push, kind, entity_id, mname, value
+"""
+
+_QUERIES["bmchelix_metric_rows_events"] = q_bmchelix
+_ORACLES["bmchelix_metric_rows_events"] = _BMCHELIX_ORACLE

@@ -1,0 +1,117 @@
+"""bmchelixexporter metrics-producer semantics."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators.bmchelix import (
+    bmchelix_metric_rows,
+)
+
+SCHEMA = (
+    "push_id int, ts_ms bigint, metric_name string,"
+    "metric_unit string, is_monotonic boolean,"
+    "resource_attributes map<string,string>,"
+    "attributes map<string,string>, int_value bigint,"
+    "double_value double")
+
+
+def run(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return bmchelix_metric_rows(df).orderBy(
+        "push", "kind", "mname", "value").collect()
+
+
+def dp(**kw):
+    base = dict(push_id=0, ts_ms=1700000000123,
+                metric_name="m", metric_unit="By",
+                is_monotonic=False,
+                resource_attributes={"host.name": "h1",
+                                     "entityTypeId": "pod",
+                                     "entityName": ":p:1:"},
+                attributes={}, int_value=5, double_value=None)
+    return Row(**{**base, **kw})
+
+
+class TestEntity:
+    def test_colon_strip_and_raw_instance_name(self, spark):
+        rows = [r for r in run(spark, [dp()]) if r.kind == "metric"]
+        lbl = json.loads(rows[0].labels_json)
+        # trim then remove ALL colons; instanceName keeps the RAW name
+        assert lbl["entityName"] == "p1"
+        assert lbl["instanceName"] == ":p:1:"
+        assert lbl["entityId"] == "OTEL:h1:pod:p1"
+        assert rows[0].ts_ms == 1700000000000  # Unix()*1000 truncates
+
+    def test_missing_required_fields_skip(self, spark):
+        assert run(spark, [dp(resource_attributes={
+            "host.name": "h1", "entityTypeId": "pod"})]) == []
+        assert run(spark, [dp(resource_attributes={
+            "entityTypeId": "pod", "entityName": "x"})]) == []
+
+    def test_hostname_dp_fallback(self, spark):
+        rows = run(spark, [dp(
+            resource_attributes={"entityTypeId": "pod",
+                                 "entityName": "x"},
+            attributes={"host.name": "hdp"})])
+        lbl = json.loads([r for r in rows
+                          if r.kind == "metric"][0].labels_json)
+        assert lbl["hostname"] == "hdp"
+
+
+class TestPipelineStages:
+    def test_enrich_percent_rate_parents(self, spark):
+        rows = run(spark, [
+            dp(metric_name="cpu.usage.ratio", metric_unit="1",
+               attributes={"shard": "0"}, int_value=None,
+               double_value=0.25),
+            dp(metric_name="cpu.usage.ratio", metric_unit="1",
+               attributes={"shard": "1"}, int_value=None,
+               double_value=0.5),
+            dp(metric_name="req.total", is_monotonic=True,
+               int_value=100,
+               resource_attributes={"host.name": "h1",
+                                    "entityTypeId": "pod",
+                                    "entityName": "p2"}),
+            dp(push_id=1, ts_ms=1700000060123,
+               metric_name="req.total", is_monotonic=True,
+               int_value=160,
+               resource_attributes={"host.name": "h1",
+                                    "entityTypeId": "pod",
+                                    "entityName": "p2"}),
+        ])
+        names = [(r.push, r.kind, r.mname) for r in rows]
+        assert (0, "metric", "cpu.usage.ratio.0") in names
+        assert (0, "metric", "cpu.usage.ratio.1.percent") in names
+        assert (1, "metric", "req.total.rate") in names
+        assert (0, "parent", "identity") in names
+        assert (1, "parent", "identity") in names
+        rate = [r for r in rows if r.mname == "req.total.rate"][0]
+        assert rate.value == 1.0  # 60 / ((60000)/1000)
+        lbl = json.loads(rate.labels_json)
+        assert lbl["unit"] == "By/s"
+        assert lbl["parentEntityTypeId"] == "pod_container"
+        # identifying attr removed from the enriched rows
+        enr = [r for r in rows if r.mname == "cpu.usage.ratio.0"][0]
+        assert "shard" not in json.loads(enr.labels_json)
+        pct = [r for r in rows
+               if r.mname == "cpu.usage.ratio.1.percent"][0]
+        assert pct.value == 50.0
+
+    def test_percent_name_ratio_suffix(self, spark):
+        # names ending exactly in "ratio" swap the suffix
+        rows = run(spark, [dp(metric_name="memratio",
+                              metric_unit="1", int_value=None,
+                              double_value=0.5)])
+        names = {r.mname for r in rows if r.kind == "metric"}
+        assert names == {"memratio", "mempercent"}
+
+    def test_rate_needs_increasing_timestamp(self, spark):
+        rows = run(spark, [
+            dp(metric_name="c", is_monotonic=True, int_value=10),
+            dp(push_id=1, metric_name="c", is_monotonic=True,
+               int_value=20),  # same second-truncated ts
+        ])
+        assert not any(r.mname == "c.rate" for r in rows)

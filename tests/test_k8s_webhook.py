@@ -105,3 +105,32 @@ class TestWebhookLogs:
         r = rows[0]
         assert r.resource_attributes == "q=1"  # empty value dropped
         assert r.header_attributes == '{"header.X-A":["1","2"]}'
+
+
+class TestK8sObjects:
+    def test_pull_mode(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.k8s_objects import (  # noqa: E501
+            k8s_objects_logs,
+        )
+        df = spark.createDataFrame(
+            [(1, '{"metadata":{"name":"n1","namespace":"ns1"}}'),
+             (2, '{"metadata":{"name":"n2"}}')],
+            "eid int, payload string")
+        rows = k8s_objects_logs(df, resource="pods").collect()
+        assert rows[0].k8s_namespace_name == "ns1"
+        assert rows[1].k8s_namespace_name is None
+        assert rows[0].k8s_resource_name == "pods"
+        assert rows[0].body.startswith('{"metadata"')
+
+    def test_watch_empty_name_no_event_attrs(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.k8s_objects import (  # noqa: E501
+            k8s_objects_logs,
+        )
+        df = spark.createDataFrame(
+            [(1, '{"metadata":{"name":""}}', "ADDED")],
+            "eid int, payload string, event_type_col string")
+        r = k8s_objects_logs(df, resource="events",
+                             mode="watch").collect()[0]
+        assert r.event_domain is None and r.event_name is None
+        assert r.body == \
+            '{"type":"ADDED","object":{"metadata":{"name":""}}}'
