@@ -1,0 +1,169 @@
+"""sumologicexporter Prometheus-format metric rendering.
+
+Reference: exporter/sumologicexporter/prometheus_formatter.go (the
+HTTP sender, fields header and OTLP path are transport; the
+sumologicprocessor's attribute semantics live in
+operators/sumologic.py). One datapoint renders to text lines
+``name{k="v",...} value ts_ms``:
+
+* names AND tag keys sanitize ``[^0-9a-zA-Z./_:\\-]`` -> ``_``
+  (dots, slashes, colons and dashes survive — unlike the Prometheus
+  exposition charset); tag values escape backslash, quote and
+  newline (sanitizeValue — the doc comment's ``/ -> //`` is wrong,
+  the code escapes ``\\``).
+* tag ORDER is pcommon insertion order: the resource attributes
+  (call site passes rm.Resource().Attributes()), then the
+  le/quantile additional attribute, then datapoint-ONLY keys —
+  datapoint values override resource keys IN PLACE.
+* values: ints with %d, doubles with %g (shortest — go_float_g),
+  bucket/count uints with %d; the timestamp is ns/1e6 MILLIseconds.
+* histograms emit CUMULATIVE buckets (unlike the alibaba exporter's
+  raw counts) with le = the 'g' render of the bound, the +Inf bucket
+  only when bucket counts are present, ``_sum`` only when the point
+  has a sum, then ``_count``. Summaries emit per-quantile lines
+  FIRST (quantile tag = 'g' render), then ``_sum``/``_count``.
+* empty tag sets render no braces at all.
+
+Map-only Column code (explode for the multi-line fan-outs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .adx_rows import go_float_g
+
+
+def _sanitize(c: Column) -> Column:
+    return F.regexp_replace(c, r"[^0-9a-zA-Z./_:\-]", "_")
+
+
+def _escape_value(c: Column) -> Column:
+    out = F.regexp_replace(c, r"\\", r"\\\\")
+    out = F.regexp_replace(out, '"', '\\\\"')
+    return F.regexp_replace(out, "\n", r"\\n")
+
+
+def _empty_map() -> Column:
+    return F.expr("cast(map() as map<string,string>)")
+
+
+def _tags(additional: "list[tuple[Column, Column]] | None" = None,
+          ) -> Column:
+    """tags2String: resource entries (dp values override in place),
+    then additional (le/quantile), then dp-only keys; sanitized keys,
+    escaped values; '' when empty."""
+    res = F.coalesce(F.col("resource_attributes"), _empty_map())
+    dp = F.coalesce(F.col("attributes"), _empty_map())
+    ent = lambda k, v: F.struct(k.alias("key"), v.alias("value"))
+    res_entries = F.transform(
+        F.map_entries(res),
+        lambda e: ent(e["key"],
+                      F.coalesce(F.element_at(dp, e["key"]),
+                                 e["value"])))
+    entries = res_entries
+    if additional:
+        entries = F.concat(entries, F.array(*[
+            ent(k, v) for k, v in additional]))
+    entries = F.concat(
+        entries,
+        F.filter(F.map_entries(dp),
+                 lambda e: ~F.map_contains_key(res, e["key"])))
+    rendered = F.transform(
+        entries,
+        lambda e: F.concat(_sanitize(e["key"]), F.lit('="'),
+                           _escape_value(e["value"]), F.lit('"')))
+    return F.when(F.size(rendered) == 0, F.lit("")) \
+        .otherwise(F.concat(F.lit("{"),
+                            F.array_join(rendered, ","),
+                            F.lit("}")))
+
+
+def _line(name: Column, tags: Column, value_str: Column) -> Column:
+    return F.concat(_sanitize(name), tags, F.lit(" "), value_str,
+                    F.lit(" "), F.expr("ts_ns div 1000000")
+                    .cast("string"))
+
+
+def _num_str() -> Column:
+    """numberDataPointValueLine: int %d, double %g."""
+    return F.when(F.col("int_value").isNotNull(),
+                  F.col("int_value").cast("string")) \
+        .otherwise(go_float_g(F.coalesce(F.col("double_value"),
+                                         F.lit(0.0))))
+
+
+def sumo_number_lines(df: DataFrame) -> DataFrame:
+    """Gauge/Sum datapoints -> one line each (gauge2Strings /
+    sum2Strings). Input: ts_ns, metric_name, resource_attributes,
+    attributes, int_value, double_value."""
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra,
+        _line(F.col("metric_name"), _tags(), _num_str())
+        .alias("line"))
+
+
+def sumo_histogram_lines(df: DataFrame) -> DataFrame:
+    """Histogram dp -> cumulative bucket lines + optional +Inf +
+    optional _sum + _count (histogram2Strings). Input adds count,
+    sum (nullable = HasSum), bucket_counts, explicit_bounds."""
+    counts = F.coalesce(F.col("bucket_counts"),
+                        F.array().cast("array<bigint>"))
+    bounds = F.coalesce(F.col("explicit_bounds"),
+                        F.array().cast("array<double>"))
+    name = F.col("metric_name")
+    cum = lambda i: F.aggregate(
+        F.slice(counts, F.lit(1), i + 1), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x)
+    bucket_lines = F.transform(
+        F.sequence(F.lit(0), F.size(bounds) - 1),
+        lambda i: _line(
+            F.concat(name, F.lit("_bucket")),
+            _tags([(F.lit("le"),
+                    go_float_g(F.element_at(bounds, i + 1)))]),
+            cum(i).cast("string")))
+    bucket_lines = F.when(F.size(bounds) > 0, bucket_lines) \
+        .otherwise(F.array().cast("array<string>"))
+    inf_line = F.when(
+        F.size(counts) > 0,
+        F.array(_line(
+            F.concat(name, F.lit("_bucket")),
+            _tags([(F.lit("le"), F.lit("+Inf"))]),
+            F.aggregate(counts, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x).cast("string")))) \
+        .otherwise(F.array().cast("array<string>"))
+    sum_line = F.when(
+        F.col("sum").isNotNull(),
+        F.array(_line(F.concat(name, F.lit("_sum")), _tags(),
+                      go_float_g(F.col("sum"))))) \
+        .otherwise(F.array().cast("array<string>"))
+    count_line = F.array(_line(
+        F.concat(name, F.lit("_count")), _tags(),
+        F.coalesce(F.col("count"), F.lit(0)).cast("string")))
+    lines = F.concat(bucket_lines, inf_line, sum_line, count_line)
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra, F.posexplode(lines).alias("row_index", "line"))
+
+
+def sumo_summary_lines(df: DataFrame) -> DataFrame:
+    """Summary dp -> quantile lines FIRST, then _sum/_count
+    (summary2Strings). Input adds count, sum, quantile_values."""
+    qv = F.coalesce(F.col("quantile_values"), F.array().cast(
+        "array<struct<quantile:double,value:double>>"))
+    name = F.col("metric_name")
+    q_lines = F.transform(qv, lambda q: _line(
+        name,
+        _tags([(F.lit("quantile"), go_float_g(q["quantile"]))]),
+        go_float_g(q["value"])))
+    rest = F.array(
+        _line(F.concat(name, F.lit("_sum")), _tags(),
+              go_float_g(F.coalesce(F.col("sum"), F.lit(0.0)))),
+        _line(F.concat(name, F.lit("_count")), _tags(),
+              F.coalesce(F.col("count"), F.lit(0)).cast("string")))
+    lines = F.concat(q_lines, rest)
+    extra = [c for c in df.columns if c in ("eid",)]
+    return df.select(
+        *extra, F.posexplode(lines).alias("row_index", "line"))

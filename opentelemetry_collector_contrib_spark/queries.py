@@ -16529,3 +16529,144 @@ ORDER BY push, kind, entity_id, mname, value
 
 _QUERIES["bmchelix_metric_rows_events"] = q_bmchelix
 _ORACLES["bmchelix_metric_rows_events"] = _BMCHELIX_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# sumologicexporter Prometheus format (prometheus_formatter.go)
+# ---------------------------------------------------------------------------
+
+def q_sumo_prom_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric datapoints -> sumologic Prometheus-format text lines:
+    sanitized names/keys, in-place dp overrides, le/quantile ordering,
+    cumulative buckets, %g doubles, ms timestamps."""
+    from .operators.sumologic_prom import (sumo_histogram_lines,
+                                           sumo_number_lines,
+                                           sumo_summary_lines)
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 44 == 19)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000) \
+        + (eid % 1000) * 1_000_000
+    common = [
+        eid.alias("eid"),
+        tns.alias("ts_ns"),
+        # keys exercise the sanitizer (space -> _, kept ./:-)
+        F.create_map(
+            F.lit("host name"), F.concat(F.lit("h"), s(uid % 5)),
+            F.lit("svc.ns:a/b-c"), F.lit("x"),
+            F.lit("shared"), F.lit("res-val"),
+        ).alias("resource_attributes"),
+        # dp overrides 'shared' IN PLACE and appends dp-only after le
+        F.create_map(
+            F.lit("shared"), F.concat(F.lit("dp"), s(eid % 3)),
+            F.lit("zz.only"), F.lit("1")).alias("attributes"),
+    ]
+    numbers = ev.filter(eid % 3 == 2).select(
+        *common,
+        F.concat(F.lit("req total-"), F.col("event_type"))
+         .alias("metric_name"),
+        F.when(eid % 2 == 0, (eid * 3).cast("bigint"))
+         .otherwise(F.lit(None).cast("bigint")).alias("int_value"),
+        F.when(eid % 2 == 0, F.lit(None).cast("double"))
+         .otherwise((eid % 16).cast("double") / 4)
+         .alias("double_value"),
+    )
+    hists = ev.filter(eid % 3 == 0).select(
+        *common,
+        F.concat(F.lit("lat_"), F.col("event_type"))
+         .alias("metric_name"),
+        ((eid % 30) + (eid % 50) + 4).cast("bigint").alias("count"),
+        # no _sum line when the point has no sum (eid%5==0)
+        F.when(eid % 5 != 0, ((eid % 400) * 2).cast("double"))
+         .alias("sum"),
+        F.array((eid % 30).cast("bigint"), (eid % 50).cast("bigint"),
+                F.lit(4).cast("bigint")).alias("bucket_counts"),
+        F.array(F.lit(0.5), F.lit(1000000.0)).alias("explicit_bounds"),
+    )
+    summaries = ev.filter(eid % 3 == 1).select(
+        *common,
+        F.concat(F.lit("rt_"), F.col("event_type"))
+         .alias("metric_name"),
+        ((eid % 200) + 2).cast("bigint").alias("count"),
+        ((eid % 700) * 3).cast("double").alias("sum"),
+        F.array(
+            F.struct(F.lit(0.5).alias("quantile"),
+                     ((eid % 90).cast("double") + 0.5).alias("value")),
+            F.struct(F.lit(0.99).alias("quantile"),
+                     (eid % 400).cast("double").alias("value")),
+        ).alias("quantile_values"),
+    )
+    out = sumo_number_lines(numbers) \
+        .withColumn("row_index", F.lit(0)) \
+        .unionByName(sumo_histogram_lines(hists)) \
+        .unionByName(sumo_summary_lines(summaries))
+    return out.orderBy("eid", "row_index")
+
+
+_SUMO_PROM_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid, ts, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000 + (event_id % 1000)
+           AS ms
+  FROM events WHERE event_id % 44 = 19),
+g AS (
+  SELECT *,
+    '{host_name="h' || CAST(uid % 5 AS VARCHAR)
+      || '",svc.ns:a/b-c="x",shared="dp'
+      || CAST(eid % 3 AS VARCHAR) || '"' AS tags_head,
+    ',zz.only="1"}' AS tags_tail
+  FROM f)
+SELECT eid, 0 AS row_index,
+  'req_total-' || event_type || tags_head || tags_tail || ' '
+  || CASE WHEN eid % 2 = 0 THEN CAST(eid * 3 AS VARCHAR)
+     ELSE CASE eid % 16
+       WHEN 1 THEN '0.25' WHEN 3 THEN '0.75' WHEN 5 THEN '1.25'
+       WHEN 7 THEN '1.75' WHEN 9 THEN '2.25' WHEN 11 THEN '2.75'
+       WHEN 13 THEN '3.25' WHEN 15 THEN '3.75' END END
+  || ' ' || CAST(ms AS VARCHAR) AS line
+FROM g WHERE eid % 3 = 2
+UNION ALL
+SELECT eid,
+  CASE WHEN u.idx = 4 AND eid % 5 = 0 THEN 3 ELSE u.idx END,
+  CASE
+    WHEN u.idx = 0 THEN 'lat_' || event_type || '_bucket'
+      || tags_head || ',le="0.5"' || tags_tail || ' '
+      || CAST(eid % 30 AS VARCHAR)
+    WHEN u.idx = 1 THEN 'lat_' || event_type || '_bucket'
+      || tags_head || ',le="1e+06"' || tags_tail || ' '
+      || CAST((eid % 30) + (eid % 50) AS VARCHAR)
+    WHEN u.idx = 2 THEN 'lat_' || event_type || '_bucket'
+      || tags_head || ',le="+Inf"' || tags_tail || ' '
+      || CAST((eid % 30) + (eid % 50) + 4 AS VARCHAR)
+    WHEN u.idx = 3 THEN 'lat_' || event_type || '_sum'
+      || tags_head || tags_tail || ' '
+      || CAST((eid % 400) * 2 AS VARCHAR)
+    ELSE 'lat_' || event_type || '_count' || tags_head || tags_tail
+      || ' ' || CAST((eid % 30) + (eid % 50) + 4 AS VARCHAR)
+  END
+  || ' ' || CAST(ms AS VARCHAR)
+FROM g, (VALUES (0),(1),(2),(3),(4)) AS u(idx)
+WHERE eid % 3 = 0 AND NOT (u.idx = 3 AND eid % 5 = 0)
+UNION ALL
+SELECT eid, u.idx,
+  CASE
+    WHEN u.idx = 0 THEN 'rt_' || event_type || tags_head
+      || ',quantile="0.5"' || tags_tail || ' '
+      || CAST(eid % 90 AS VARCHAR) || '.5'
+    WHEN u.idx = 1 THEN 'rt_' || event_type || tags_head
+      || ',quantile="0.99"' || tags_tail || ' '
+      || CAST(eid % 400 AS VARCHAR)
+    WHEN u.idx = 2 THEN 'rt_' || event_type || '_sum' || tags_head
+      || tags_tail || ' ' || CAST((eid % 700) * 3 AS VARCHAR)
+    ELSE 'rt_' || event_type || '_count' || tags_head || tags_tail
+      || ' ' || CAST((eid % 200) + 2 AS VARCHAR)
+  END
+  || ' ' || CAST(ms AS VARCHAR)
+FROM g, (VALUES (0),(1),(2),(3)) AS u(idx)
+WHERE eid % 3 = 1
+ORDER BY eid, row_index
+"""
+
+_QUERIES["sumologic_prom_lines_events"] = q_sumo_prom_lines
+_ORACLES["sumologic_prom_lines_events"] = _SUMO_PROM_ORACLE

@@ -1,0 +1,99 @@
+"""sumologicexporter Prometheus-format rendering semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators import (
+    sumologic_prom as SP,
+)
+
+NUM_SCHEMA = (
+    "ts_ns bigint, metric_name string,"
+    "resource_attributes map<string,string>,"
+    "attributes map<string,string>, int_value bigint,"
+    "double_value double")
+
+
+class TestLines:
+    def test_sanitize_order_and_ms(self, spark):
+        from pyspark.sql import functions as F
+        # create_map pins entry order (python dicts do not survive
+        # createDataFrame ordered; pcommon maps are insertion-ordered)
+        df = spark.range(1).select(
+            F.lit(1700000000123000000).alias("ts_ns"),
+            F.lit("a b/c:d-e.f").alias("metric_name"),
+            F.create_map(F.lit("k 1"), F.lit("v"),
+                         F.lit("shared"), F.lit("res"))
+             .alias("resource_attributes"),
+            F.create_map(F.lit("shared"), F.lit("dp"),
+                         F.lit("zz"), F.lit("2")).alias("attributes"),
+            F.lit(7).cast("bigint").alias("int_value"),
+            F.lit(None).cast("double").alias("double_value"))
+        r = SP.sumo_number_lines(df).collect()[0]
+        # name keeps ./:-, space -> _; dp overrides shared IN PLACE;
+        # dp-only keys go last; ts is milliseconds
+        assert r.line == ('a_b/c:d-e.f{k_1="v",shared="dp",zz="2"} '
+                          "7 1700000000123")
+
+    def test_value_escape_and_no_braces(self, spark):
+        df = spark.createDataFrame([
+            Row(ts_ns=10**9, metric_name="m",
+                resource_attributes={"q": 'a"b\\c'},
+                attributes={}, int_value=None, double_value=2.5),
+            Row(ts_ns=10**9, metric_name="m",
+                resource_attributes={}, attributes={},
+                int_value=None, double_value=1000000.0)],
+            NUM_SCHEMA)
+        rows = SP.sumo_number_lines(df).collect()
+        assert rows[0].line == 'm{q="a\\"b\\\\c"} 2.5 1000'
+        # empty tags: no braces; %g e-form
+        assert rows[1].line == "m 1e+06 1000"
+
+    def test_histogram_cumulative_and_optional_sum(self, spark):
+        schema = NUM_SCHEMA.replace(
+            " int_value bigint,\n    "
+            "double_value double",
+            " count bigint, sum double,"
+            "bucket_counts array<bigint>,"
+            "explicit_bounds array<double>")
+        schema = (
+            "ts_ns bigint, metric_name string,"
+            "resource_attributes map<string,string>,"
+            "attributes map<string,string>, count bigint,"
+            "sum double, bucket_counts array<bigint>,"
+            "explicit_bounds array<double>")
+        df = spark.createDataFrame([Row(
+            ts_ns=10**9, metric_name="h", resource_attributes={},
+            attributes={}, count=9, sum=None,
+            bucket_counts=[2, 3, 4], explicit_bounds=[0.5, 2.0])],
+            schema)
+        lines = [r.line for r in
+                 SP.sumo_histogram_lines(df).collect()]
+        # CUMULATIVE buckets (the sumologic formatter accumulates,
+        # unlike alibaba's raw counts); no _sum when HasSum is false
+        assert lines == [
+            'h_bucket{le="0.5"} 2 1000',
+            'h_bucket{le="2"} 5 1000',
+            'h_bucket{le="+Inf"} 9 1000',
+            "h_count 9 1000",
+        ]
+
+    def test_summary_quantiles_first(self, spark):
+        schema = (
+            "ts_ns bigint, metric_name string,"
+            "resource_attributes map<string,string>,"
+            "attributes map<string,string>, count bigint,"
+            "sum double, quantile_values array<struct<"
+            "quantile:double,value:double>>")
+        df = spark.createDataFrame([Row(
+            ts_ns=10**9, metric_name="s", resource_attributes={},
+            attributes={}, count=4, sum=6.5,
+            quantile_values=[Row(quantile=0.5, value=1.25)])],
+            schema)
+        lines = [r.line for r in SP.sumo_summary_lines(df).collect()]
+        assert lines == [
+            's{quantile="0.5"} 1.25 1000',
+            "s_sum 6.5 1000",
+            "s_count 4 1000",
+        ]
