@@ -394,25 +394,49 @@ def _dp_attrs() -> Column:
                           F.array().cast("array<string>"))))
 
 
+def _stage_common(df: DataFrame) -> DataFrame:
+    """Stage the expensive per-dp renders as named columns BEFORE the
+    row fan-out: the struct-field simplification otherwise duplicates
+    the big render trees per reference, the projection blows past the
+    huge-method codegen limit, and the whole plan drops to
+    INTERPRETED eval with no common-subexpression cache (the round's
+    measured trap — BASELINE.md)."""
+    return df.select(
+        "*",
+        _json_map(_dp_attrs()).alias("_dpj"),
+        F.coalesce(F.col("metric_description"), F.lit(""))
+         .alias("_desc"),
+    )
+
+
+def _entries_quoted(m: Column) -> Column:
+    return F.transform(
+        F.map_entries(m),
+        lambda x: F.struct(
+            x["key"].alias("key"),
+            F.concat(F.lit('"'), _esc(x["value"]), F.lit('"'))
+            .alias("enc")))
+
+
 def adx_gauge_rows(df: DataFrame,
                    collector_host: str = "") -> DataFrame:
     """Gauge dp -> one row (metricsdata_to_adx.go:90-107)."""
     extra = [c for c in df.columns if c in ("eid",)]
+    staged = _stage_common(df)
     rows = F.array(_metric_row(
-        F.col("metric_name"), "Gauge",
-        F.coalesce(F.col("metric_description"), F.lit("")),
-        _num_value(), _json_map(_dp_attrs()), collector_host))
-    return _finish(df, rows, extra, collector_host)
+        F.col("metric_name"), "Gauge", F.col("_desc"),
+        _num_value(), F.col("_dpj"), collector_host))
+    return _finish(staged, rows, extra, collector_host)
 
 
 def adx_sum_rows(df: DataFrame, collector_host: str = "") -> DataFrame:
     """Sum dp -> one row (metricsdata_to_adx.go:171-188)."""
     extra = [c for c in df.columns if c in ("eid",)]
+    staged = _stage_common(df)
     rows = F.array(_metric_row(
-        F.col("metric_name"), "Sum",
-        F.coalesce(F.col("metric_description"), F.lit("")),
-        _num_value(), _json_map(_dp_attrs()), collector_host))
-    return _finish(df, rows, extra, collector_host)
+        F.col("metric_name"), "Sum", F.col("_desc"),
+        _num_value(), F.col("_dpj"), collector_host))
+    return _finish(staged, rows, extra, collector_host)
 
 
 def adx_histogram_rows(df: DataFrame,
@@ -422,53 +446,80 @@ def adx_histogram_rows(df: DataFrame,
     sum double, bucket_counts array<bigint>,
     explicit_bounds array<double>."""
     extra = [c for c in df.columns if c in ("eid",)]
+    empty_m = F.expr("cast(map() as map<string,string>)")
+    attrs = F.coalesce(F.col("attributes"), empty_m)
+    # stage 1: attr renders + defaults (each alias referenced more
+    # than once downstream, so CollapseProject keeps the stage)
+    staged = _stage_common(df).select(
+        "*",
+        F.coalesce(F.col("bucket_counts"),
+                   F.array().cast("array<bigint>")).alias("_counts"),
+        F.coalesce(F.col("explicit_bounds"),
+                   F.array().cast("array<double>")).alias("_bounds"),
+        # merged scope<-dp entries WITHOUT le, pre-quoted; a dp "le"
+        # attr wins over the synthetic one (maps.Copy order)
+        F.array_sort(_entries_quoted(_overlay(_scope_map(), attrs)))
+        .alias("_entq"),
+        F.map_contains_key(attrs, "le").alias("_has_le"),
+    )
+    # stage 2: per-bound le renders + cumulative counts
+    staged = staged.select(
+        "*",
+        F.transform(F.col("_bounds"),
+                    lambda b: go_float_g(b)).alias("_les"),
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size(F.col("_bounds")) - 1,
+                                  F.lit(0))),
+            lambda i: F.aggregate(
+                F.slice(F.col("_counts"), F.lit(1), i + 1),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x)).alias("_cums"),
+    )
     name = F.col("metric_name")
-    desc = F.coalesce(F.col("metric_description"), F.lit(""))
-    counts = F.coalesce(F.col("bucket_counts"),
-                        F.array().cast("array<bigint>"))
-    bounds = F.coalesce(F.col("explicit_bounds"),
-                        F.array().cast("array<double>"))
-    dp_attrs = _dp_attrs()
+    desc = F.col("_desc")
+    counts, bounds = F.col("_counts"), F.col("_bounds")
+
+    def bucket_attrs(le_enc: Column) -> Column:
+        # insert the le entry unless the dp attrs carry their own
+        return _json_obj(F.when(
+            F.col("_has_le"), F.col("_entq")).otherwise(
+            F.concat(F.col("_entq"), F.array(F.struct(
+                F.lit("le").alias("key"), le_enc.alias("enc"))))))
+
     base = F.array(
         _metric_row(F.concat(name, F.lit("_sum")), "Histogram",
                     F.concat(desc, F.lit(SUM_DESC)),
                     F.coalesce(F.col("sum"), F.lit(0.0)),
-                    _json_map(dp_attrs), collector_host),
+                    F.col("_dpj"), collector_host),
         _metric_row(F.concat(name, F.lit("_count")), "Histogram",
                     F.concat(desc, F.lit(COUNT_DESC)),
                     F.col("count").cast("double"),
-                    _json_map(dp_attrs), collector_host))
-    # spec guard: counts must be exactly bounds+1 long
+                    F.col("_dpj"), collector_host))
     ok = (F.size(counts) > 0) & (F.size(counts) == F.size(bounds) + 1)
-    # cumulative count through bucket i (0-based)
-    cum = lambda i: F.aggregate(
-        F.slice(counts, F.lit(1), i + 1), F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x)
-    # the bucket merge base is {le}+dp attrs overlaid on scope
-    bucket_attrs = lambda le: _json_map(_overlay(
-        _scope_map(), _overlay(
-            F.map_from_entries(F.array(F.struct(
-                F.lit("le").alias("key"), le.alias("value")))),
-            F.coalesce(F.col("attributes"), F.map_from_arrays(
-                F.array().cast("array<string>"),
-                F.array().cast("array<string>"))))))
     buckets = F.transform(
         F.sequence(F.lit(0), F.size(bounds) - 1),
         lambda i: _metric_row(
             F.concat(name, F.lit("_bucket")), "Histogram", desc,
-            cum(i).cast("double"),
-            bucket_attrs(go_float_g(F.element_at(bounds, i + 1))),
+            F.element_at(F.col("_cums"), i + 1).cast("double"),
+            bucket_attrs(F.concat(F.lit('"'),
+                                  F.element_at(F.col("_les"), i + 1),
+                                  F.lit('"'))),
             collector_host))
     inf_row = F.array(_metric_row(
         F.concat(name, F.lit("_bucket")), "Histogram", desc,
-        (cum(F.size(bounds) - 1)
+        (F.element_at(F.col("_cums"), F.size(bounds))
          + F.element_at(counts, F.size(counts))).cast("double"),
-        bucket_attrs(F.lit("+Inf")), collector_host))
+        bucket_attrs(F.lit('"+Inf"')), collector_host))
+    inf_only = F.array(_metric_row(
+        F.concat(name, F.lit("_bucket")), "Histogram", desc,
+        F.element_at(counts, F.size(counts)).cast("double"),
+        bucket_attrs(F.lit('"+Inf"')), collector_host))
     rows = F.when(ok & (F.size(bounds) > 0),
                   F.concat(base, buckets, inf_row)) \
-        .when(ok, F.concat(base, inf_row)) \
+        .when(ok, F.concat(base, inf_only)) \
         .otherwise(base)
-    return _finish(df, rows, extra, collector_host)
+    return _finish(staged, rows, extra, collector_host)
 
 
 def adx_summary_rows(df: DataFrame,
@@ -481,48 +532,63 @@ def adx_summary_rows(df: DataFrame,
     the value under the row's own name, and its description uses the
     COUNT suffix (the reference's quirk)."""
     extra = [c for c in df.columns if c in ("eid",)]
-    name = F.col("metric_name")
-    desc = F.coalesce(F.col("metric_description"), F.lit(""))
+    empty_m = F.expr("cast(map() as map<string,string>)")
+    attrs = F.coalesce(F.col("attributes"), empty_m)
     qv = F.coalesce(F.col("quantile_values"), F.array().cast(
         "array<struct<quantile:double,value:double>>"))
-    dp_attrs = _dp_attrs()
+    # stage the per-quantile renders ONCE per element
+    staged = _stage_common(df).select(
+        "*",
+        F.transform(qv, lambda q: F.struct(
+            go_float_f(q["quantile"]).alias("qf"),
+            go_float_g(q["quantile"]).alias("qg"),
+            json_float(q["value"]).alias("vj"),
+            q["value"].alias("v"))).alias("_qs"),
+        F.transform(F.map_entries(attrs), lambda x: F.struct(
+            x["key"].alias("key"),
+            F.concat(F.lit('"'), _esc(x["value"]), F.lit('"'))
+            .alias("enc"))).alias("_dpq"),
+        attrs.alias("_dp"),
+    )
+    staged = staged.select(
+        "*",
+        F.transform(F.map_entries(_scope_map()), lambda x: F.struct(
+            x["key"].alias("key"),
+            F.concat(F.lit('"'), _esc(x["value"]), F.lit('"'))
+            .alias("enc"))).alias("_scq"),
+    )
+    name = F.col("metric_name")
+    desc = F.col("_desc")
     base = F.array(
         _metric_row(F.concat(name, F.lit("_sum")), "Summary",
                     F.concat(desc, F.lit(SUM_DESC)),
                     F.coalesce(F.col("sum"), F.lit(0.0)),
-                    _json_map(dp_attrs), collector_host),
+                    F.col("_dpj"), collector_host),
         _metric_row(F.concat(name, F.lit("_count")), "Summary",
                     F.concat(desc, F.lit(COUNT_DESC)),
                     F.col("count").cast("double"),
-                    _json_map(dp_attrs), collector_host))
-    empty_m = F.map_from_arrays(F.array().cast("array<string>"),
-                                F.array().cast("array<string>"))
+                    F.col("_dpj"), collector_host))
 
     def q_row(q):
-        qname = F.concat(name, F.lit("_"), go_float_f(q["quantile"]))
-        dp = F.coalesce(F.col("attributes"), empty_m)
-        quote = lambda v: F.concat(F.lit('"'), _esc(v), F.lit('"'))
+        qname = F.concat(name, F.lit("_"), q["qf"])
         ent = lambda k, enc: F.struct(k.alias("key"),
                                       enc.alias("enc"))
         # merge priority dp attrs > {qt, qname: FLOAT value} > scope
         # (maps.Copy order); the qname value is a bare JSON number —
         # the one mixed-type entry in the exporter's attribute maps
-        dp_entries = F.transform(
-            F.map_entries(dp),
-            lambda x: ent(x["key"], quote(x["value"])))
         custom = F.filter(
-            F.array(ent(F.lit("qt"), quote(go_float_g(q["quantile"]))),
-                    ent(qname, json_float(q["value"]))),
-            lambda x: ~F.map_contains_key(dp, x["key"]))
+            F.array(ent(F.lit("qt"),
+                        F.concat(F.lit('"'), q["qg"], F.lit('"'))),
+                    ent(qname, q["vj"])),
+            lambda x: ~F.map_contains_key(F.col("_dp"), x["key"]))
         scope_entries = F.filter(
-            F.transform(F.map_entries(_scope_map()),
-                        lambda x: ent(x["key"], quote(x["value"]))),
-            lambda x: ~F.map_contains_key(dp, x["key"])
+            F.col("_scq"),
+            lambda x: ~F.map_contains_key(F.col("_dp"), x["key"])
             & (x["key"] != "qt") & (x["key"] != qname))
-        merged = F.concat(dp_entries, custom, scope_entries)
+        merged = F.concat(F.col("_dpq"), custom, scope_entries)
         return _metric_row(
             qname, "Summary", F.concat(desc, F.lit(COUNT_DESC)),
-            q["value"], _json_obj(merged), collector_host)
+            q["v"], _json_obj(merged), collector_host)
 
-    rows = F.concat(base, F.transform(qv, q_row))
-    return _finish(df, rows, extra, collector_host)
+    rows = F.concat(base, F.transform(F.col("_qs"), q_row))
+    return _finish(staged, rows, extra, collector_host)
