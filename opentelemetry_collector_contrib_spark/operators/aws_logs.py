@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .colutil import keep_rows
+
 UNKNOWN = "-"
 
 # IANA assigned internet protocol numbers (public registry,
@@ -264,12 +266,11 @@ def cloudwatch_envelope(df: DataFrame, line: str = "line") -> DataFrame:
               "cloudwatch log with message type 'DATA_MESSAGE' has "
               "empty log stream field")
     )
-    keep = df.select(
-        *orig_cols, p.alias("_cw"), err.alias("error")
-    ).filter(
+    keep = keep_rows(
+        df.select(*orig_cols, p.alias("_cw"), err.alias("error")),
         F.col("_cw").isNull()
         | (F.coalesce(F.col("_cw")["messageType"], F.lit(""))
-           != "CONTROL_MESSAGE")
+           != "CONTROL_MESSAGE"),
     )
     ev = F.explode_outer(
         F.when(F.col("error").isNull(), F.col("_cw")["logEvents"])
@@ -372,23 +373,45 @@ def elb_access_logs(df: DataFrame, line: str = "line") -> DataFrame:
     logs at Debug and skips, unmarshaler.go:152-157); 'Enable'
     control messages emit no record.
 
-    Plan shape: the quote-aware split is STAGED into one projection so
-    every downstream column reads a cheap element_at on the staged
-    array -- a single flat projection referencing the split ~45 times
-    overflows Janino's 64KB method limit, falls back to interpreted
-    eval where common subexpressions are NOT cached, and re-tokenizes
-    each line once per column (measured 174s -> ~3s at sf0.1).
+    Plan shape: the quote-aware split AND the per-token unquote are
+    STAGED into one projection (transform over the token array) so
+    every downstream column reads a cheap try_element_at on the
+    staged array -- a single flat projection that inlines
+    tokenize+unquote per column overflows Janino's 64KB method limit,
+    falls back to interpreted eval where common subexpressions are
+    NOT cached, and re-tokenizes each line once per column (measured
+    174s -> ~3s at sf0.1). The HOF transform is additionally a
+    codegen BARRIER: higher-order functions are CodegenFallback, so
+    Catalyst emits the staging projection as a plain (non-codegen)
+    Project, and the wide downstream projection compiles as its OWN
+    whole-stage unit of bare element_ats -- without the barrier the
+    wide projection's single consume method still exceeded 64KB
+    (whole-stage codegen cannot split expression code when inputs
+    are local variables) and the whole stage ran interpreted.
     CollapseProject keeps the stage (SPARK-36718: non-cheap exprs
     referenced more than once are not inlined).
     """
+    # The isNotNull guard is LOAD-BEARING, not defensive style: it
+    # makes the staging expression reference `line` twice, so when the
+    # caller's line column is itself a non-trivial expression (e.g. a
+    # synthetic log generator), CollapseProject keeps that expression
+    # in its own compiled projection below this stage instead of
+    # chain-inlining it into this interpreted HOF project (a
+    # once-referenced alias is inlined regardless of cost; measured
+    # 13s -> 2s at sf0.1 with a generated line column).
     df = df.select(
         *df.columns,
-        F.regexp_extract_all(F.col(line), F.lit(_QTOKEN), 0)
-         .alias("_parts"))
+        F.when(
+            F.col(line).isNotNull(),
+            F.transform(
+                F.regexp_extract_all(F.col(line), F.lit(_QTOKEN), 0),
+                _unquote,
+            ),
+        ).alias("_parts"))
     parts = F.col("_parts")
 
     def v(i: int) -> Column:
-        return _unquote(F.try_element_at(parts, F.lit(i + 1)))
+        return F.try_element_at(parts, F.lit(i + 1))
 
     # second stage: the syntax dispatch flags -- is_clb embeds a
     # two-pattern timestamp probe, and the ~45 output columns each
@@ -516,10 +539,14 @@ def elb_access_logs(df: DataFrame, line: str = "line") -> DataFrame:
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("error"),
     )
-    # control message rows and unparseable-timestamp records vanish
-    return res.filter(
+    # control message rows and unparseable-timestamp records vanish;
+    # keep_rows (not filter) so the drop is NOT pushed below the
+    # staged projections -- pushdown would re-inline the tokenizer and
+    # timestamp parse into a scan-level predicate (colutil.keep_rows)
+    return keep_rows(
+        res,
         (F.col("error").isNotNull())
-        | (F.col("ts_ns").isNotNull() & (F.col("syntax").isNotNull()))
+        | (F.col("ts_ns").isNotNull() & (F.col("syntax").isNotNull())),
     )
 
 

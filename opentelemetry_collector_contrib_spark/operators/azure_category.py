@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .colutil import keep_rows
+
 NA = "N/A"
 
 _RECORD_SCHEMA = (
@@ -465,13 +467,15 @@ def azure_category_logs(df: DataFrame, line: str = "line") -> DataFrame:
     }
     base = base.select(*base.columns, err.alias("_err"))
     err = F.col("_err")
-    return base.select(
+    res = base.select(
         *df.columns,
         *[F.when(err.isNull(), c).alias(k) for k, c in out.items()],
         err.alias("error"),
-    ).filter(
-        F.col("error").isNotNull() | F.col("ts_ns").isNotNull()
     )
+    # keep_rows, not filter: pushdown would re-inline the staged
+    # from_json parses into a scan predicate (colutil.keep_rows)
+    return keep_rows(
+        res, F.col("error").isNotNull() | F.col("ts_ns").isNotNull())
 
 
 # One properties schema covering every category's fields (names are

@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .colutil import keep_rows
+
 TYPE_UNSPECIFIED, TYPE_COUNTER, TYPE_GAUGE = 0, 1, 2
 TYPE_HISTOGRAM, TYPE_GAUGEHISTOGRAM, TYPE_SUMMARY = 3, 4, 5
 RESET_HINT_GAUGE = 3
@@ -227,7 +229,11 @@ def prw_receive_metrics(
     )
 
     # --- target_info -> per-(request, job, instance) enrichment -------
-    ti = base.filter(F.col("_is_ti") & F.col("_err").isNull()).select(
+    # keep_rows, not filter, on every branch split below: the branch
+    # conditions read staged columns derived from the _labels_map HOF,
+    # and predicate pushdown would substitute that interpreted subtree
+    # into a scan-level predicate once per branch (colutil.keep_rows)
+    ti = keep_rows(base, F.col("_is_ti") & F.col("_err").isNull()).select(
         F.col("request_id").alias("_ti_req"),
         F.col("_job").alias("_ti_job"),
         F.col("_instance").alias("_ti_instance"),
@@ -236,7 +242,7 @@ def prw_receive_metrics(
         F.max("resource_extra").alias("resource_extra"))
 
     # errored target_info rows still surface their error
-    data = base.filter(~F.col("_is_ti") | F.col("_err").isNotNull())
+    data = keep_rows(base, ~F.col("_is_ti") | F.col("_err").isNotNull())
     data = data.join(
         F.broadcast(ti),
         (data["request_id"] == ti["_ti_req"])
@@ -278,7 +284,8 @@ def prw_receive_metrics(
     }
 
     # --- number path --------------------------------------------------
-    num = data.filter(
+    num = keep_rows(
+        data,
         F.col("_err").isNotNull()
         | (~F.col("_hist") & mtype.isin(TYPE_UNSPECIFIED, TYPE_COUNTER,
                                         TYPE_GAUGE)))
@@ -312,10 +319,12 @@ def prw_receive_metrics(
     )
 
     # --- histogram path -----------------------------------------------
-    h = data.filter(F.col("_hist") & F.col("_err").isNull()
-                    & (F.size(F.coalesce(F.col("samples"), F.array().cast(
-                        "array<struct<value:double,timestamp:bigint,"
-                        "start_timestamp:bigint>>"))) == 0))
+    h = keep_rows(
+        data,
+        F.col("_hist") & F.col("_err").isNull()
+        & (F.size(F.coalesce(F.col("samples"), F.array().cast(
+            "array<struct<value:double,timestamp:bigint,"
+            "start_timestamp:bigint>>"))) == 0))
     h = h.select("*", F.explode(F.col("histograms")).alias("_h"))
     hg = F.col("_h")
     is_float = hg["count_float"].isNotNull()
