@@ -439,6 +439,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # explicit keyed repartition: the candidate set is tiny in BYTES
+    # (two longs per pair) but the verify stage below is CPU-heavy
+    # per row (set-intersection over shingle arrays), so AQE's
+    # size-based coalescing would serialize it onto one task. A
+    # user-specified partition count is exempt from AQE coalescing,
+    # and hash-partitioning on id_a is exactly the first verify
+    # join's key, so the exchange is reused, not added.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a")
     sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
     sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
     jac = jaccard(F.col("sa"), F.col("sb"))

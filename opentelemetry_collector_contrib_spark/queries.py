@@ -169,6 +169,25 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _read_split(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """_read + hash-repartition to the core count.
+
+    The driver's test parquet is ONE row group per table, so a scan
+    cannot split below one task no matter what maxPartitionBytes says
+    -- and the expensive parse batteries (per-row cost dominated by
+    regex/JSON/HOF work, not I/O) then run single-threaded. At real
+    scale the source arrives as thousands of splits and this exchange
+    would not exist; locally it models that multi-split source by
+    shuffling only the NARROW pre-generator columns (ids + timestamp,
+    a few MB) before the heavy per-row work fans out. Used only by
+    builders whose per-row parse cost dwarfs one tiny exchange --
+    the cheap aggregation queries keep the plain single-split scan.
+    """
+    df = _read(spark, sf_dir, table)
+    return df.repartition(spark.sparkContext.defaultParallelism,
+                          "event_id" if table == "events" else df.columns[0])
+
+
 # ---------------------------------------------------------------------------
 # Shared oracle CTEs for the web_pages pipeline
 # ---------------------------------------------------------------------------
@@ -2902,7 +2921,7 @@ def q_ottl_profile_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profiles import resolve_sample_attributes
     from .ottl import OTTLCompiler
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_split(spark, sf_dir, "events")
     samples = ev.select(
         F.col("event_id").alias("sample_uid"),
         F.format_string("%032x", F.col("user_id")).alias("profile_id"),
@@ -4427,7 +4446,7 @@ _ORACLES["prom_name_normalize_events"] = _prom_name_oracle()
 def q_prom_name_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import prometheus as P
 
-    base = _read(spark, sf_dir, "events").select(
+    base = _read_split(spark, sf_dir, "events").select(
         "event_id",
         F.expr(_PROM_NAME_SQL).alias("name"),
         F.element_at(
@@ -4731,7 +4750,7 @@ FROM f ORDER BY event_id
 def q_zipkin_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.zipkin import zipkin_json_to_spans
 
-    lines = _read(spark, sf_dir, "events").select(
+    lines = _read_split(spark, sf_dir, "events").select(
         "event_id", F.expr(_ZIPKIN_JSON_SQL).alias("json")
     )
     spans = zipkin_json_to_spans(lines)
@@ -4784,7 +4803,7 @@ _LOKI_LEVELS = [
 
 
 def _loki_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_split(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.concat(F.lit("msg "), F.col("event_type"), F.lit(" #"),
@@ -4917,7 +4936,7 @@ FROM g GROUP BY tenant, stream ORDER BY tenant, stream
 # ---------------------------------------------------------------------------
 
 def _influx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_split(spark, sf_dir, "events")
     v = F.floor(F.col("value") * 100).cast("long").cast("string")
     h = (F.col("user_id") % 5).cast("string")
     e = (F.col("event_id") % 3).cast("string")
@@ -5185,7 +5204,7 @@ _ORACLES["prw_number_series_events"] = _PRW_NUM_ORACLE
 def q_prw_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.prw import prw_histogram_series
 
-    ev = _read(spark, sf_dir, "events").select(
+    ev = _read_split(spark, sf_dir, "events").select(
         "event_id",
         F.concat(F.lit("otel."), "event_type", F.lit(".duration"))
         .alias("name"),
@@ -9289,7 +9308,7 @@ _ORACLES["honeycomb_markers_events"] = _HONEYCOMB_ORACLE
 def q_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.winevent import windows_event_records
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_split(spark, sf_dir, "events")
     m3 = (F.col("event_id") % 3).cast("int")
     has_ri = F.col("event_id") % 2 == 0
     rlevel = F.element_at(
@@ -9954,7 +9973,7 @@ _ORACLES["netflow_records_events"] = _NETFLOW_ORACLE
 def q_gitlab_pipeline_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.gitlab import gitlab_pipeline_to_spans
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    ev = _read_split(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
     eid, uid, ts = F.col("event_id"), F.col("user_id"), F.col("ts")
 
     def gl(t: Column) -> Column:
@@ -10204,7 +10223,7 @@ _ORACLES["gitlab_pipeline_spans_events"] = _GITLAB_ORACLE
 def q_pprof_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pprof import pprof_to_profiles
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    ev = _read_split(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
     eid = F.col("event_id")
     a = (1 + eid % 2).cast("bigint")
     b = F.lit(3).cast("bigint")
@@ -11985,7 +12004,7 @@ def q_aws_cloudtrail(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw-subtree explode + typed projection."""
     from .operators.aws_logs import cloudtrail_file_records
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 8 == 0)
+    ev = _read_split(spark, sf_dir, "events").filter(F.col("event_id") % 8 == 0)
     eid, uid = F.col("event_id"), F.col("user_id")
     iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
     svc = F.element_at(
@@ -12140,7 +12159,7 @@ def q_gcp_logentry(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser; audit columns masked NULL on non-audit rows."""
     from .operators.gcp_logentry import gcp_audit_payload, gcp_log_entries
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 0)
+    ev = _read_split(spark, sf_dir, "events").filter(F.col("event_id") % 6 == 0)
     eid, uid = F.col("event_id"), F.col("user_id")
     iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
     is_audit = uid % 4 == 0
@@ -12415,7 +12434,7 @@ def q_azure_category_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     claims on half the rows."""
     from .operators.azure_category import azure_category_logs
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    ev = _read_split(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
     eid, uid = F.col("event_id"), F.col("user_id")
     iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
     m = uid % 6
@@ -12993,7 +13012,7 @@ def q_prw_receive(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops, and an unsupported-type error row class."""
     from .operators.prw_receive import prw_receive_metrics
 
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_split(spark, sf_dir, "events")
     eid, uid = F.col("event_id"), F.col("user_id")
     s = lambda c: c.cast("string")
     job = F.concat(F.lit("ns/j"), s(uid % 5))
@@ -14306,7 +14325,7 @@ def q_doris_trace_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events/links as JSON object arrays in Go struct-field order."""
     from .operators.doris_rows import doris_traces_rows, doris_write_layout
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 22 == 7)
+    ev = _read_split(spark, sf_dir, "events").filter(F.col("event_id") % 22 == 7)
     eid, uid = F.col("event_id"), F.col("user_id")
     s = lambda c: c.cast("string")
     tns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
@@ -14654,7 +14673,7 @@ def q_avro_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite of timestamp-micros and date."""
     from .operators.avro_log import avro_encode_col, avro_logs_rows
 
-    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 12)
+    ev = _read_split(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 12)
     eid, uid = F.col("event_id"), F.col("user_id")
     s = lambda c: c.cast("string")
     ts_ns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000) \
