@@ -1,0 +1,633 @@
+"""solacereceiver broker trace messages -> consumer/producer spans.
+
+Reference (receiver/solacereceiver/):
+
+* unmarshaller.go -- topic multiplex (_telemetry/broker/trace/
+  {receive,egress,move}/... v1 suffix gate), shared span attr keys,
+  setResourceSpanAttributes (router -> service.name, solos version ->
+  service.version, vpn -> service.instance.id), rgmidToString
+  (17-byte version-1 rgmid -> "rmid1:aaaaa-bbbbbbbbbbb-cccccccc-
+  dddddddd" hex slicing, anything else -> plain hex, :188-204).
+* unmarshaller_receive.go -- one consumer span per message: name
+  "<topic> receive" / "(unknown) receive", delivery-mode enum
+  (PERSISTENT=0/NON_PERSISTENT=1/DIRECT=2, unknown ->
+  "Unknown Delivery Mode (N)"), body/envelope sizes, host/peer IPs
+  (4- or 16-byte via Go net.IP.String(), else omitted, :179-195),
+  W3C baggage -> baggage./baggage_metadata. attrs (whole string
+  dropped on any invalid member, :355-383), user properties with the
+  full 17-type switch incl. uint64 -> int64 reinterpret (:389-437),
+  enqueue events "<dest> enqueue" (oneof topic-endpoint/queue;
+  unknown dest drops the EVENT), transaction events (type/initiator
+  enums with Go String() fallbacks, local-id vs 8-hex-xid oneof).
+* unmarshaller_egress.go -- one producer/internal span per element
+  of the EgressSpans array; spans with no type data are DROPPED
+  (:73-101); send spans "(anonymous)" when the queue starts with
+  #P2P/QTMP or the topic endpoint is a 32-char lowercase-hex string
+  (:423-440); outcome enum 0..7; delete spans with per-reason oneof
+  and admin-action session info (cli local/remote vs semp).
+* unmarshaller_move.go -- one internal span per message, source/
+  destination endpoint oneofs, 3-reason oneof.
+
+Columnar model: input = one row per broker trace message with the
+proto fields as typed columns (the repo's prw_receive convention for
+protobuf payloads: the wire codec is transport, the mapping is the
+semantics). Everything below is pure Column work -- enum CASE
+ladders, hex slicing for rgmid/XIDs, an exact Go net.IP.String()
+(RFC 5952 leftmost-longest zero-run compression) as fixed-size HOFs
+over the 8 groups, and one posexplode for the egress span array.
+Events render into a deterministic ``events`` string column (fixed
+attr order mirroring the reference's insertion order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SYSTEM_ATTR = "SolacePubSub+"
+
+_DELIVERY_MODES = {0: "persistent", 1: "non_persistent", 2: "direct"}
+_TXN_TYPES = {0: "commit", 1: "rollback", 2: "end", 3: "prepare",
+              4: "session_timeout", 5: "rollback_only"}
+_TXN_INITIATORS = {0: "client", 1: "administrator", 2: "broker"}
+_SEND_OUTCOMES = {
+    0: "accepted", 1: "rejected", 2: "released", 3: "delivery failed",
+    4: "flow unbound", 5: "transaction commit",
+    6: "transaction commit failed", 7: "transaction rollback",
+}
+# delete/move reason: input carries the proto ONEOF TAG; the attr
+# value is the reference's constant (unknown tags -> no attr, the
+# default-warn path)
+_DELETE_REASONS = {
+    "ttl_expired": "ttl_expired",
+    "rejected_outcome": "rejected_nack",
+    "max_redeliveries": "max_redeliveries_exceeded",
+    "hop_count_exceeded": "hop_count_exceeded",
+    "ingress_selector": "ingress_selector",
+    "admin_action": "admin_action",
+}
+_MOVE_REASONS = {
+    "ttl_expired": "ttl_expired",
+    "rejected_outcome": "rejected_nack",
+    "max_redeliveries": "max_redeliveries_exceeded",
+}
+
+
+def _reason_attr(tag: Column, table: dict[str, str]) -> Column:
+    out = F.lit(None).cast("string")
+    for k, v in table.items():
+        out = F.when(tag == k, v).otherwise(out)
+    return out
+
+TRANSACTION_EVENT_STRUCT = (
+    "struct<type:int,initiator:int,time_unix_nano:bigint,"
+    "error_description:string,"
+    "local_id:struct<transaction_id:bigint,session_name:string,"
+    "session_id:bigint>,"
+    "xid:struct<format_id:int,branch_qualifier:binary,"
+    "global_id:binary>>"
+)
+
+ENQUEUE_EVENT_STRUCT = (
+    "array<struct<topic_endpoint_name:string,queue_name:string,"
+    "time_unix_nano:bigint,error_description:string,"
+    "rejects_all_enqueues:boolean,partition_number:int,ttl:bigint>>"
+)
+
+
+def _hexs(c: Column) -> Column:
+    return F.lower(F.hex(c))
+
+
+def rgmid_string(b: Column) -> Column:
+    """rgmidToString (unmarshaller.go:188-204): 17 bytes with
+    version byte 1 -> rmid1:AAAAA-BBBBBBBBBBB-CCCCCCCC-DDDDDDDD over
+    the hex of bytes 2..17; otherwise the plain hex (empty for
+    NULL/empty input -> caller omits the attribute)."""
+    hx = _hexs(b)
+    body = F.substring(hx, 3, 32)  # hex of rgmid[1:]
+    formatted = F.concat(
+        F.lit("rmid1:"), F.substring(body, 1, 5), F.lit("-"),
+        F.substring(body, 6, 11), F.lit("-"),
+        F.substring(body, 17, 8), F.lit("-"),
+        F.substring(body, 25, 8))
+    return F.when(
+        b.isNull(), F.lit(None).cast("string")
+    ).when(
+        (F.length(b) == 17) & (F.substring(hx, 1, 2) == "01"), formatted
+    ).otherwise(hx)
+
+
+def ipv4_dotted(hx8: Column) -> Column:
+    """8 hex chars -> dotted quad."""
+    return F.concat_ws(
+        ".", *[F.conv(F.substring(hx8, 1 + 2 * i, 2), 16, 10)
+               for i in range(4)])
+
+
+def ip_string(b: Column) -> Column:
+    """Go net.IP.String() for a 4- or 16-byte address column.
+
+    4 bytes (or 16-byte v4-mapped ::ffff:a.b.c.d, net.IP.To4) render
+    dotted-quad; other 16-byte addresses render RFC 5952: lowercase
+    hex groups without leading zeros, the LEFTMOST LONGEST run of >=2
+    zero groups collapsed to '::'. Any other length yields NULL (the
+    reference omits the attribute, unmarshaller_receive.go:179-195).
+    """
+    hx = _hexs(b)
+    v4 = ipv4_dotted(hx)
+    v4_mapped = ipv4_dotted(F.substring(hx, 25, 8))
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.conv(F.substring(hx, i * 4 + 1, 4), 16, 10)
+                   .cast("int"))
+    # leftmost-longest run of zero groups (len >= 2), one fold:
+    # state = (idx, cur_start, cur_len, best_start, best_len)
+    init = F.struct(
+        F.lit(0).alias("i"), F.lit(-1).alias("cs"),
+        F.lit(0).alias("cl"), F.lit(-1).alias("bs"),
+        F.lit(0).alias("bl"))
+    run = F.aggregate(
+        groups, init,
+        lambda acc, g: F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(g == 0,
+                   F.when(acc["cl"] == 0, acc["i"]).otherwise(acc["cs"]))
+             .otherwise(F.lit(-1)).alias("cs"),
+            F.when(g == 0, acc["cl"] + 1).otherwise(F.lit(0)).alias("cl"),
+            F.when((g == 0) & (acc["cl"] + 1 > acc["bl"]),
+                   F.when(acc["cl"] == 0, acc["i"]).otherwise(acc["cs"]))
+             .otherwise(acc["bs"]).alias("bs"),
+            F.when((g == 0) & (acc["cl"] + 1 > acc["bl"]),
+                   acc["cl"] + 1).otherwise(acc["bl"]).alias("bl"),
+        ),
+    )
+    bs, bl = run["bs"], run["bl"]
+    hexed = F.transform(groups, lambda g: F.lower(F.hex(g)))
+    joined = F.array_join(hexed, ":")
+    compressed = F.concat(
+        F.array_join(F.slice(hexed, F.lit(1), bs), ":"),
+        F.lit("::"),
+        F.array_join(
+            F.slice(hexed, bs + bl + 1, F.lit(8) - (bs + bl)), ":"),
+    )
+    v6 = F.when(bl >= 2, compressed).otherwise(joined)
+    return (
+        F.when(F.length(b) == 4, v4)
+        .when(F.length(b) == 16,
+              F.when(F.substring(hx, 1, 24)
+                     == "0000000000000000" + "0000" + "ffff", v4_mapped)
+               .otherwise(v6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# baggage (W3C; unmarshalBaggage, unmarshaller_receive.go:355-383)
+# ---------------------------------------------------------------------------
+
+_BAGGAGE_KEY_RE = r"^[A-Za-z0-9!#$%&'*+.^_`|~-]+$"
+# percent-encoded baggage-octet string (RFC: %x21 / %x23-2B /
+# %x2D-3A / %x3C-5B / %x5D-7E), percent triplets allowed
+_BAGGAGE_VALUE_RE = (
+    r"^(%[0-9A-Fa-f]{2}|[\x21\x23-\x25\x26-\x2b\x2d-\x3a\x3c-\x5b"
+    r"\x5d-\x7e])*$"
+)
+
+
+def _baggage_members(s: Column) -> Column:
+    """baggage string -> array<struct<key,value,meta,ok>>; the caller
+    drops ALL members when any single one is invalid (the reference
+    returns an error and adds nothing)."""
+    members = F.transform(F.split(s, ","), lambda m: F.btrim(m, F.lit(" \t")))
+
+    def parse(m: Column) -> Column:
+        parts = F.split(m, ";")
+        kv = F.element_at(parts, 1)
+        key = F.btrim(F.substring_index(kv, "=", 1), F.lit(" \t"))
+        raw_val = F.when(kv.contains("="),
+                         F.btrim(F.substr(
+                             kv, F.instr(kv, "=") + 1), F.lit(" \t")))
+        props = F.transform(
+            F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+            lambda p: F.btrim(p, F.lit(" \t")))
+        ok = (key.rlike(_BAGGAGE_KEY_RE)
+              & raw_val.isNotNull()
+              & raw_val.rlike(_BAGGAGE_VALUE_RE)
+              & ~F.exists(props, lambda p: p == ""))
+        # percent-decode: url_decode is form-decoding ('+' -> space),
+        # which baggage does not do -- shield '+' first
+        val = F.url_decode(F.replace(raw_val, F.lit("+"), F.lit("%2B")))
+        return F.struct(
+            key.alias("key"), val.alias("value"),
+            F.when(F.size(props) > 0,
+                   F.array_join(props, ";")).alias("meta"),
+            ok.alias("ok"))
+
+    return F.transform(members, parse)
+
+
+def baggage_rendered(s: Column) -> Column:
+    """baggage attrs rendered "key=value" (+ "key!meta" rows for
+    properties), sorted, comma-joined -- NULL when the string is
+    invalid (reference adds nothing and counts an error)."""
+    mem = _baggage_members(s)
+    valid = F.forall(mem, lambda m: m["ok"])
+    flat = F.flatten(F.transform(mem, lambda m: F.array(
+        F.concat(F.lit("messaging.solace.message.baggage."),
+                 m["key"], F.lit("="), m["value"]),
+        F.when(m["meta"].isNotNull(), F.concat(
+            F.lit("messaging.solace.message.baggage_metadata."),
+            m["key"], F.lit("="), m["meta"])),
+    )))
+    rendered = F.array_join(
+        F.array_sort(F.filter(flat, lambda x: x.isNotNull())), ",")
+    return F.when(s.isNotNull() & valid, rendered)
+
+
+# ---------------------------------------------------------------------------
+# user properties (insertUserProperty, unmarshaller_receive.go:389-437)
+# ---------------------------------------------------------------------------
+
+USER_PROPERTY_STRUCT = (
+    "map<string,struct<type:string,str:string,num:bigint,dbl:double,"
+    "bool:boolean,bytes:binary>>"
+)
+
+
+def user_properties_rendered(m: Column) -> Column:
+    """map of typed user-property values -> sorted "k=v" rendering.
+
+    Types mirror the proto oneof wrappers: null/bool/double/float/
+    int8..64/uint8..64 (uint64 reinterpreted as signed int64, the
+    documented misrepresentation), string/destination, character
+    (rendered as the rune), byte_array (hex). Unknown type tags are
+    dropped (reference warns and skips)."""
+    def render(e: Column) -> Column:
+        v = e["value"]
+        t = v["type"]
+        val = (
+            F.when(t == "null", F.lit(""))
+            .when(t == "bool",
+                  F.when(v["bool"], "true").otherwise("false"))
+            .when(t.isin("double", "float"), v["dbl"].cast("string"))
+            .when(t.isin("int8", "int16", "int32", "int64", "uint8",
+                         "uint16", "uint32", "uint64"),
+                  v["num"].cast("string"))
+            .when(t.isin("string", "destination"), v["str"])
+            .when(t == "character", F.char(v["num"]))
+            .when(t == "byte_array", _hexs(v["bytes"]))
+        )
+        return F.when(val.isNotNull(), F.concat(
+            F.lit("messaging.solace.user_properties."), e["key"],
+            F.lit("="), val))
+
+    ent = F.transform(F.map_entries(m), render)
+    return F.when(m.isNotNull(), F.array_join(
+        F.array_sort(F.filter(ent, lambda x: x.isNotNull())), ","))
+
+
+# ---------------------------------------------------------------------------
+# events
+# ---------------------------------------------------------------------------
+
+
+def _txn_event_rendered(ev: Column) -> Column:
+    """SpanData_TransactionEvent -> "name@ts[k=v,...]" with the
+    reference's insertion order (initiator, error, id fields)."""
+    name = F.lit(None).cast("string")
+    for code, nm in _TXN_TYPES.items():
+        name = F.when(ev["type"] == code, nm).otherwise(name)
+    name = F.coalesce(name, F.concat(
+        F.lit("Unknown Transaction Event ("),
+        ev["type"].cast("string"), F.lit(")")))
+    initiator = F.lit(None).cast("string")
+    for code, nm in _TXN_INITIATORS.items():
+        initiator = F.when(ev["initiator"] == code, nm) \
+                     .otherwise(initiator)
+    initiator = F.coalesce(initiator, F.concat(
+        F.lit("Unknown Transaction Initiator ("),
+        ev["initiator"].cast("string"), F.lit(")")))
+    lid, xid = ev["local_id"], ev["xid"]
+    fid = xid["format_id"].cast("bigint")
+    # Go fmt %08x on a SIGNED int renders sign + zero-padded
+    # magnitude (width counts the sign), not two's-complement
+    fid_hex = F.when(
+        fid >= 0, F.lpad(F.lower(F.hex(fid)), 8, "0")
+    ).otherwise(F.concat(F.lit("-"),
+                         F.lpad(F.lower(F.hex(-fid)), 7, "0")))
+    xid_str = F.concat(
+        fid_hex,
+        F.lit("-"), _hexs(xid["branch_qualifier"]), F.lit("-"),
+        _hexs(xid["global_id"]))
+    attrs = F.concat_ws(
+        ",",
+        F.concat(F.lit("messaging.solace.transaction_initiator="),
+                 initiator),
+        F.when(ev["error_description"].isNotNull(), F.concat(
+            F.lit("messaging.solace.transaction_error_message="),
+            ev["error_description"])),
+        F.when(lid.isNotNull(), F.concat(
+            F.lit("messaging.solace.transaction_id="),
+            lid["transaction_id"].cast("string"),
+            F.lit(",messaging.solace.transacted_session_name="),
+            lid["session_name"],
+            F.lit(",messaging.solace.transacted_session_id="),
+            lid["session_id"].cast("string"))),
+        F.when(lid.isNull() & xid.isNotNull(), F.concat(
+            F.lit("messaging.solace.transaction_xid="), xid_str)),
+    )
+    return F.concat(name, F.lit("@"),
+                    ev["time_unix_nano"].cast("string"),
+                    F.lit("["), attrs, F.lit("]"))
+
+
+def _enqueue_events_rendered(evs: Column) -> Column:
+    """SpanData_EnqueueEvent array -> rendered event strings in array
+    order; events whose dest oneof is unset are dropped (the
+    reference returns before creating the event)."""
+    def one(e: Column) -> Column:
+        has_te = e["topic_endpoint_name"].isNotNull()
+        has_q = e["queue_name"].isNotNull()
+        dest = F.coalesce(e["topic_endpoint_name"], e["queue_name"])
+        kind = F.when(has_te, "topic-endpoint").otherwise("queue")
+        attrs = F.concat_ws(
+            ",",
+            F.concat(F.lit("messaging.solace.destination.type="), kind),
+            F.concat(F.lit("messaging.solace.rejects_all_enqueues="),
+                     F.when(e["rejects_all_enqueues"], "true")
+                      .otherwise("false")),
+            F.when(e["error_description"].isNotNull(), F.concat(
+                F.lit("messaging.solace.enqueue_error_message="),
+                e["error_description"])),
+            F.when(e["partition_number"].isNotNull(), F.concat(
+                F.lit("messaging.solace.partition_number="),
+                e["partition_number"].cast("string"))),
+            F.when(e["ttl"].isNotNull(), F.concat(
+                F.lit("messaging.solace.ttl_override="),
+                e["ttl"].cast("string"))),
+        )
+        return F.when(has_te | has_q, F.concat(
+            dest, F.lit(" enqueue@"),
+            e["time_unix_nano"].cast("string"),
+            F.lit("["), attrs, F.lit("]")))
+
+    return F.filter(F.transform(evs, one), lambda x: x.isNotNull())
+
+
+def _common_resource(df_cols: list[str]) -> dict[str, Column]:
+    return {
+        "service_name": F.col("router_name"),
+        "service_version": F.col("solos_version"),
+        "service_instance_id": F.col("message_vpn_name"),
+    }
+
+
+def _ids() -> dict[str, Column]:
+    return {
+        "trace_id": _hexs(F.col("trace_id")),
+        "span_id": _hexs(F.col("span_id")),
+        "parent_span_id": F.when(
+            F.length(F.col("parent_span_id")) == 8,
+            _hexs(F.col("parent_span_id"))),
+    }
+
+
+def solace_receive_spans(df: DataFrame) -> DataFrame:
+    """Receive-v1 broker trace message rows -> one consumer span row
+    each (brokerTraceReceiveUnmarshallerV1.populateTraces)."""
+    topic = F.col("topic")
+    dm = F.col("delivery_mode")
+    delivery = F.lit(None).cast("string")
+    for code, nm in _DELIVERY_MODES.items():
+        delivery = F.when(dm == code, nm).otherwise(delivery)
+    delivery = F.coalesce(delivery, F.concat(
+        F.lit("Unknown Delivery Mode ("), dm.cast("string"), F.lit(")")))
+    rgmid = rgmid_string(F.col("rgmid"))
+    host_ok = F.length(F.col("host_ip")).isin(4, 16)
+    peer_ok = F.length(F.col("peer_ip")).isin(4, 16)
+    enq_txt = F.array_join(
+        _enqueue_events_rendered(F.col("enqueue_events")), "|")
+    events = F.concat_ws(
+        "|",
+        F.when(enq_txt != "", enq_txt),
+        F.when(F.col("transaction_event").isNotNull(),
+               _txn_event_rendered(F.col("transaction_event"))),
+    )
+    return df.select(
+        "event_id",
+        *[c.alias(k) for k, c in _common_resource(df.columns).items()],
+        *[c.alias(k) for k, c in _ids().items()],
+        F.when(topic != "", F.concat(topic, F.lit(" receive")))
+         .otherwise("(unknown) receive").alias("name"),
+        F.lit("consumer").alias("kind"),
+        F.col("start_time_unix_nano").alias("start_ts_ns"),
+        F.col("end_time_unix_nano").alias("end_ts_ns"),
+        F.when(F.coalesce(F.col("error_description"), F.lit("")) != "",
+               F.lit("error")).alias("status_code"),
+        F.when(F.coalesce(F.col("error_description"), F.lit("")) != "",
+               F.col("error_description")).alias("status_message"),
+        F.col("trace_state"),
+        F.lit(SYSTEM_ATTR).alias("system"),
+        F.lit("receive").alias("operation_name"),
+        F.lit("receive").alias("operation_type"),
+        F.col("protocol").alias("protocol_name"),
+        F.col("protocol_version"),
+        F.col("application_message_id").alias("message_id"),
+        F.col("correlation_id").alias("conversation_id"),
+        (F.col("binary_attachment_size") + F.col("xml_attachment_size"))
+            .cast("bigint").alias("body_size"),
+        (F.col("binary_attachment_size") + F.col("xml_attachment_size")
+         + F.col("metadata_size")).cast("bigint").alias("envelope_size"),
+        F.col("client_username"),
+        F.col("client_name"),
+        F.col("broker_receive_time_unix_nano").alias("receive_time_ns"),
+        topic.alias("destination_name"),
+        delivery.alias("delivery_mode"),
+        F.when(F.coalesce(rgmid, F.lit("")) != "", rgmid).alias("rgmid"),
+        F.col("priority").cast("bigint").alias("priority"),
+        F.col("ttl").cast("bigint").alias("ttl"),
+        F.col("reply_to_topic").alias("reply_to"),
+        F.col("dmq_eligible"),
+        F.col("dropped_enqueue_events_success").cast("bigint")
+         .alias("dropped_enqueue_success"),
+        F.col("dropped_enqueue_events_failed").cast("bigint")
+         .alias("dropped_enqueue_failed"),
+        F.when(host_ok, ip_string(F.col("host_ip")))
+         .alias("server_address"),
+        F.when(host_ok, F.col("host_port").cast("bigint"))
+         .alias("server_port"),
+        F.when(peer_ok, ip_string(F.col("peer_ip")))
+         .alias("network_peer_address"),
+        F.when(peer_ok, F.col("peer_port").cast("bigint"))
+         .alias("network_peer_port"),
+        baggage_rendered(F.col("baggage")).alias("baggage_attrs"),
+        F.col("dropped_application_message_properties")
+         .alias("dropped_user_properties"),
+        user_properties_rendered(F.col("user_properties"))
+         .alias("user_property_attrs"),
+        F.when(events != "", events).alias("events"),
+    )
+
+
+def _anonymous(name: Column, is_queue: bool) -> Column:
+    """isAnonymousQueue / isAnonymousTopicEndpoint
+    (unmarshaller_egress.go:423-440)."""
+    if is_queue:
+        return name.startswith("#P2P/QTMP")
+    return (F.length(name) == 32) & name.rlike(r"^[0-9a-f]{32}$")
+
+
+def solace_egress_spans(df: DataFrame) -> DataFrame:
+    """Egress-v1 broker trace message rows -> one span row per
+    element of the EgressSpans array. Expects an ``egress_spans``
+    array column whose elements carry the common fields plus EITHER
+    send_span OR delete_span structs (rows with neither are dropped,
+    the reference's no-type-data path)."""
+    base = df.select(
+        "event_id",
+        *[c.alias(k) for k, c in _common_resource(df.columns).items()],
+        F.posexplode("egress_spans").alias("span_index", "es"),
+    )
+    es = F.col("es")
+    send, dele = es["send_span"], es["delete_span"]
+    has_type = send.isNotNull() | dele.isNotNull()
+    base = base.filter(has_type)
+
+    # ---- send span --------------------------------------------------
+    s_is_te = send["topic_endpoint_name"].isNotNull()
+    s_src = F.coalesce(send["topic_endpoint_name"], send["queue_name"])
+    s_anon = F.when(s_is_te, _anonymous(s_src, False)) \
+              .otherwise(_anonymous(s_src, True))
+    s_name = F.concat(
+        F.when(s_anon, F.lit("(anonymous)")).otherwise(s_src),
+        F.lit(" send"))
+    outcome = F.lit(None).cast("string")
+    for code, nm in _SEND_OUTCOMES.items():
+        outcome = F.when(send["outcome"] == code, nm).otherwise(outcome)
+
+    # ---- delete span ------------------------------------------------
+    d_is_te = dele["topic_endpoint_name"].isNotNull()
+    d_dest = F.coalesce(dele["topic_endpoint_name"], dele["queue_name"])
+    d_anon = F.when(d_is_te, _anonymous(d_dest, False)) \
+              .otherwise(_anonymous(d_dest, True))
+    d_name = F.concat(
+        F.when(d_anon, F.lit("(anonymous)")).otherwise(d_dest),
+        F.lit(" delete"))
+    ainfo = dele["admin_action_info"]
+    cli, semp = ainfo["cli_session_info"], ainfo["semp_session_info"]
+    cli_peer_ok = F.length(cli["remote_peer_ip"]).isin(4, 16)
+    semp_peer_ok = F.length(semp["peer_ip"]).isin(4, 16)
+
+    is_send = send.isNotNull()
+    events = F.when(es["transaction_event"].isNotNull(),
+                    _txn_event_rendered(es["transaction_event"]))
+    return base.select(
+        "event_id", "service_name", "service_version",
+        "service_instance_id", "span_index",
+        _hexs(es["trace_id"]).alias("trace_id"),
+        _hexs(es["span_id"]).alias("span_id"),
+        F.when(F.length(es["parent_span_id"]) == 8,
+               _hexs(es["parent_span_id"])).alias("parent_span_id"),
+        F.when(is_send, s_name).otherwise(d_name).alias("name"),
+        F.when(is_send, "producer").otherwise("internal").alias("kind"),
+        es["start_time_unix_nano"].alias("start_ts_ns"),
+        es["end_time_unix_nano"].alias("end_ts_ns"),
+        # egress checks POINTER non-nil: an empty-string description
+        # still sets error status (unmarshaller_egress.go:120-123)
+        F.when(es["error_description"].isNotNull(), F.lit("error"))
+         .alias("status_code"),
+        es["error_description"].alias("status_message"),
+        F.lit(SYSTEM_ATTR).alias("system"),
+        F.when(is_send, "send").otherwise("delete")
+         .alias("operation_name"),
+        F.when(is_send, "publish").otherwise("delete")
+         .alias("operation_type"),
+        F.when(is_send, send["protocol"]).alias("protocol_name"),
+        F.when(is_send, send["protocol_version"])
+         .alias("protocol_version"),
+        F.when(is_send, s_src).alias("source_name"),
+        F.when(is_send,
+               F.when(s_is_te, "topic-endpoint").otherwise("queue"))
+         .alias("source_kind"),
+        F.when(is_send, send["consumer_client_username"])
+         .alias("client_username"),
+        F.when(is_send, send["consumer_client_name"])
+         .alias("client_name"),
+        F.when(is_send, send["replayed_msg"]).alias("message_replayed"),
+        F.when(is_send, send["partition_number"].cast("bigint"))
+         .otherwise(dele["partition_number"].cast("bigint"))
+         .alias("partition_number"),
+        F.when(is_send, outcome).alias("send_outcome"),
+        F.when(~is_send, d_dest).alias("destination_name"),
+        F.when(~is_send,
+               F.when(d_is_te, "topic-endpoint").otherwise("queue"))
+         .alias("destination_type"),
+        F.when(~is_send, _reason_attr(dele["reason"], _DELETE_REASONS))
+         .alias("operation_reason"),
+        F.when(~is_send & (dele["reason"] == "admin_action"),
+               ainfo["username"]).alias("enduser_id"),
+        F.when(
+            ~is_send & cli.isNotNull(),
+            F.when(cli["local_terminal_name"].isNotNull(),
+                   "cli_terminal")
+             .when(cli["remote_peer_ip"].isNotNull(), "cli_ssh"))
+         .when(~is_send & semp.isNotNull(), "semp")
+         .alias("admin_interface"),
+        F.when(~is_send & cli.isNotNull(), cli["local_terminal_name"])
+         .alias("admin_cli_terminal_name"),
+        F.when(~is_send & cli.isNotNull(),
+               cli["session_number"].cast("bigint"))
+         .alias("admin_cli_session_number"),
+        F.when(~is_send & semp.isNotNull(),
+               semp["semp_version"].cast("bigint"))
+         .alias("admin_semp_version"),
+        F.when(~is_send & cli.isNotNull() & cli_peer_ok,
+               ip_string(cli["remote_peer_ip"]))
+         .when(~is_send & semp.isNotNull() & semp_peer_ok,
+               ip_string(semp["peer_ip"]))
+         .alias("client_address"),
+        events.alias("events"),
+    )
+
+
+def solace_move_spans(df: DataFrame) -> DataFrame:
+    """Move-v1 broker trace message rows -> one internal span row
+    each (brokerTraceMoveUnmarshallerV1)."""
+    src_te = F.col("source_topic_endpoint_name")
+    src_q = F.col("source_queue_name")
+    src = F.coalesce(src_te, src_q)
+    src_anon = F.when(src_te.isNotNull(), _anonymous(src, False)) \
+                .otherwise(_anonymous(src, True))
+    dst_te = F.col("destination_topic_endpoint_name")
+    dst_q = F.col("destination_queue_name")
+    rgmid = rgmid_string(F.col("rgmid"))
+    return df.select(
+        "event_id",
+        *[c.alias(k) for k, c in _common_resource(df.columns).items()],
+        *[c.alias(k) for k, c in _ids().items()],
+        F.concat(
+            F.when(src.isNull(), F.lit("(unknown)"))
+             .when(src_anon, F.lit("(anonymous)")).otherwise(src),
+            F.lit(" move")).alias("name"),
+        F.lit("internal").alias("kind"),
+        F.col("start_time_unix_nano").alias("start_ts_ns"),
+        F.col("end_time_unix_nano").alias("end_ts_ns"),
+        F.lit(SYSTEM_ATTR).alias("system"),
+        F.lit("move").alias("operation_name"),
+        F.lit("move").alias("operation_type"),
+        F.when(F.coalesce(rgmid, F.lit("")) != "", rgmid).alias("rgmid"),
+        F.col("source_partition_number").cast("bigint")
+         .alias("source_partition_number"),
+        F.col("destination_partition_number").cast("bigint")
+         .alias("destination_partition_number"),
+        src.alias("source_name"),
+        F.when(src.isNotNull(),
+               F.when(src_te.isNotNull(), "topic-endpoint")
+                .otherwise("queue")).alias("source_kind"),
+        F.coalesce(dst_te, dst_q).alias("destination_name"),
+        F.when(F.coalesce(dst_te, dst_q).isNotNull(),
+               F.when(dst_te.isNotNull(), "topic-endpoint")
+                .otherwise("queue")).alias("destination_type"),
+        _reason_attr(F.col("reason"), _MOVE_REASONS)
+            .alias("operation_reason"),
+    )

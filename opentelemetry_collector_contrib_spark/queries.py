@@ -16689,3 +16689,701 @@ ORDER BY eid, row_index
 
 _QUERIES["sumologic_prom_lines_events"] = q_sumo_prom_lines
 _ORACLES["sumologic_prom_lines_events"] = _SUMO_PROM_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Solace broker trace messages (receiver/solacereceiver/): receive /
+# egress / move unmarshallers -> span rows.
+# ---------------------------------------------------------------------------
+
+
+def _solace_hex16(c) -> Column:
+    return F.lower(F.lpad(F.hex(c), 16, "0"))
+
+
+def q_solace_receive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receive-v1 spans: delivery-mode enum (incl. the unknown-N
+    render), rgmid valid/invalid/empty, v4 + RFC5952-v6 + v4-mapped +
+    invalid-length IPs, baggage valid/invalid, typed user properties,
+    enqueue + transaction events."""
+    from .operators.solace import solace_receive_spans
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 7 == 3)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    v6_a = bytes([35, 69, 4, 37, 44, 161, 0, 0, 0, 0, 5, 103, 86,
+                  115, 35, 181])
+    v4_mapped = bytes([0] * 10 + [0xFF, 0xFF, 192, 168, 7, 1])
+    host_ip = (
+        F.when(eid % 5 == 1, F.to_binary(F.concat(
+            F.lit("0a00"), F.lpad(F.lower(F.hex(uid % 200)), 2, "0"),
+            F.lpad(F.lower(F.hex(eid % 250)), 2, "0")), F.lit("hex")))
+        .when(eid % 5 == 2, F.lit(v6_a))
+        .when(eid % 5 == 3, F.lit(v4_mapped))
+        .when(eid % 5 == 4, F.lit(b"\x01\x02\x03"))
+    )
+    rgmid = (
+        F.when(eid % 6 == 0, F.to_binary(F.concat(
+            F.lit("01"), _solace_hex16(eid), _solace_hex16(uid)),
+            F.lit("hex")))
+        .when(eid % 6 == 1, F.lit(b"\x01\x02"))
+        .when(eid % 6 == 2, F.lit(b""))
+    )
+    up_entry = lambda t, **kw: F.struct(
+        F.lit(t).alias("type"),
+        kw.get("str", F.lit(None).cast("string")).alias("str"),
+        kw.get("num", F.lit(None).cast("bigint")).alias("num"),
+        kw.get("dbl", F.lit(None).cast("double")).alias("dbl"),
+        kw.get("bool", F.lit(None).cast("boolean")).alias("bool"),
+        kw.get("bytes", F.lit(None).cast("binary")).alias("bytes"))
+    user_props = (
+        F.when(eid % 4 == 0, F.create_map(
+            F.lit("p_str"), up_entry("string",
+                                      str=F.concat(F.lit("v"), s(eid % 3))),
+            F.lit("p_int"), up_entry("int64", num=(eid % 19).cast("bigint")),
+        ))
+        .when(eid % 4 == 1, F.create_map(
+            F.lit("flag"), up_entry("bool", bool=eid % 2 == 0)))
+        .when(eid % 4 == 2, F.create_map(
+            F.lit("p_bytes"), up_entry("byte_array",
+                                       bytes=F.lit(b"\x0a\x1b"))))
+    ).cast(
+        "map<string,struct<type:string,str:string,num:bigint,"
+        "dbl:double,bool:boolean,bytes:binary>>")
+    enq_ev = lambda te, q, t, err, rej, part, ttl: F.struct(
+        te.alias("topic_endpoint_name"), q.alias("queue_name"),
+        t.alias("time_unix_nano"), err.alias("error_description"),
+        rej.alias("rejects_all_enqueues"),
+        part.alias("partition_number"), ttl.alias("ttl"))
+    nstr = F.lit(None).cast("string")
+    nint = F.lit(None).cast("int")
+    nlong = F.lit(None).cast("bigint")
+    enqueue = F.when(eid % 3 == 0, F.array(
+        enq_ev(nstr, F.concat(F.lit("q"), s(eid % 4)), tns + 10,
+               nstr, F.lit(False), (eid % 4).cast("int"), nlong),
+        enq_ev(F.concat(F.lit("te"), s(eid % 3)), nstr, tns + 20,
+               F.lit("enq err"), F.lit(True), nint,
+               F.lit(99).cast("bigint")),
+    )).when(eid % 3 == 1, F.array().cast(
+        "array<struct<topic_endpoint_name:string,queue_name:string,"
+        "time_unix_nano:bigint,error_description:string,"
+        "rejects_all_enqueues:boolean,partition_number:int,"
+        "ttl:bigint>>"))
+    txn = (
+        F.when(eid % 5 == 0, F.struct(
+            (F.floor(eid / 7) % 7).cast("int").alias("type"),
+            (eid % 4).cast("int").alias("initiator"),
+            (tns + 30).alias("time_unix_nano"),
+            F.when(eid % 2 == 0, "txn err").alias("error_description"),
+            F.struct(
+                (eid % 100).cast("bigint").alias("transaction_id"),
+                F.concat(F.lit("ts"), s(eid % 3)).alias("session_name"),
+                (eid % 50).cast("bigint").alias("session_id"),
+            ).alias("local_id"),
+            F.lit(None).cast(
+                "struct<format_id:int,branch_qualifier:binary,"
+                "global_id:binary>").alias("xid")))
+        .when(eid % 5 == 1, F.struct(
+            (eid % 6).cast("int").alias("type"),
+            (eid % 3).cast("int").alias("initiator"),
+            (tns + 40).alias("time_unix_nano"),
+            nstr.alias("error_description"),
+            F.lit(None).cast(
+                "struct<transaction_id:bigint,session_name:string,"
+                "session_id:bigint>").alias("local_id"),
+            F.struct(
+                F.when(eid % 10 == 1, -2).otherwise(
+                    (eid % 1000).cast("int")).alias("format_id"),
+                F.lit(b"\xab").alias("branch_qualifier"),
+                F.to_binary(F.lpad(F.lower(F.hex(eid % 256)), 2, "0"),
+                            F.lit("hex")).alias("global_id"),
+            ).alias("xid")))
+    )
+    base = ev.select(
+        "event_id",
+        F.concat(F.lit("router"), s(uid % 3)).alias("router_name"),
+        F.concat(F.lit("10."), s(eid % 4)).alias("solos_version"),
+        F.when(eid % 5 != 0,
+               F.concat(F.lit("vpn"), s(uid % 2)))
+         .alias("message_vpn_name"),
+        F.to_binary(F.concat(_solace_hex16(eid), _solace_hex16(uid)),
+                    F.lit("hex")).alias("trace_id"),
+        F.to_binary(_solace_hex16(eid * 31 + 7), F.lit("hex"))
+         .alias("span_id"),
+        F.when(eid % 3 == 0,
+               F.to_binary(_solace_hex16(eid + 1), F.lit("hex")))
+         .when(eid % 3 == 1, F.lit(b"")).alias("parent_span_id"),
+        tns.alias("start_time_unix_nano"),
+        (tns + 5000000).alias("end_time_unix_nano"),
+        F.when(eid % 13 == 0, F.concat(F.lit("err "), s(eid)))
+         .when(eid % 13 == 1, F.lit("")).alias("error_description"),
+        F.when(eid % 4 == 0, F.concat(F.lit("key=val"), s(eid % 10)))
+         .alias("trace_state"),
+        F.when(eid % 11 == 0, F.lit(""))
+         .otherwise(F.concat(F.lit("topic/"), s(eid % 20)))
+         .alias("topic"),
+        F.when(uid % 2 == 0, "MQTT").otherwise("AMQP").alias("protocol"),
+        F.when(eid % 3 != 0, F.concat(F.lit("5."), s(eid % 2)))
+         .alias("protocol_version"),
+        F.when(eid % 2 == 0, F.concat(F.lit("m"), s(eid)))
+         .alias("application_message_id"),
+        F.when(eid % 3 == 1, F.concat(F.lit("c"), s(eid)))
+         .alias("correlation_id"),
+        (eid % 1000).alias("binary_attachment_size"),
+        (eid % 100).alias("xml_attachment_size"),
+        (eid % 50).alias("metadata_size"),
+        F.concat(F.lit("user"), s(uid % 5)).alias("client_username"),
+        F.concat(F.lit("client"), s(uid % 7)).alias("client_name"),
+        (tns - 1000).alias("broker_receive_time_unix_nano"),
+        (eid % 4).cast("int").alias("delivery_mode"),
+        rgmid.alias("rgmid"),
+        F.when(eid % 2 == 0, (eid % 8).cast("int")).alias("priority"),
+        F.when(eid % 3 != 2, eid % 100000).alias("ttl"),
+        F.when(eid % 4 == 1, F.concat(F.lit("reply/"), s(eid % 5)))
+         .alias("reply_to_topic"),
+        (eid % 2 == 0).alias("dmq_eligible"),
+        (eid % 50).alias("dropped_enqueue_events_success"),
+        (eid % 30).alias("dropped_enqueue_events_failed"),
+        host_ip.alias("host_ip"),
+        F.lit(55555).alias("host_port"),
+        F.to_binary(F.concat(
+            F.lit("ac10"), F.lpad(F.lower(F.hex(uid % 100)), 2, "0"),
+            F.lpad(F.lower(F.hex(eid % 100)), 2, "0")), F.lit("hex"))
+         .alias("peer_ip"),
+        (12345 + eid % 100).cast("int").alias("peer_port"),
+        F.when(eid % 10 == 0, "k1=v1;p1,k2=v2")
+         .when(eid % 10 == 1, 'bad"=x').alias("baggage"),
+        (eid % 3 == 0).alias("dropped_application_message_properties"),
+        user_props.alias("user_properties"),
+        enqueue.alias("enqueue_events"),
+        txn.alias("transaction_event"),
+    )
+    return solace_receive_spans(base).orderBy("event_id")
+
+
+_SOLACE_RECEIVE_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 7 = 3),
+g AS (
+  SELECT *,
+    printf('%016x', eid) || printf('%016x', uid) AS h32,
+    CASE (eid // 7) % 7 WHEN 0 THEN 'commit' WHEN 1 THEN 'rollback'
+      WHEN 2 THEN 'end' WHEN 3 THEN 'prepare'
+      WHEN 4 THEN 'session_timeout' WHEN 5 THEN 'rollback_only'
+      ELSE 'Unknown Transaction Event (6)' END AS txn_name_l,
+    CASE eid % 4 WHEN 0 THEN 'client' WHEN 1 THEN 'administrator'
+      WHEN 2 THEN 'broker'
+      ELSE 'Unknown Transaction Initiator (3)' END AS txn_ini_l,
+    CASE eid % 6 WHEN 0 THEN 'commit' WHEN 1 THEN 'rollback'
+      WHEN 2 THEN 'end' WHEN 3 THEN 'prepare'
+      WHEN 4 THEN 'session_timeout' ELSE 'rollback_only'
+      END AS txn_name_x,
+    CASE eid % 3 WHEN 0 THEN 'client' WHEN 1 THEN 'administrator'
+      ELSE 'broker' END AS txn_ini_x
+  FROM f),
+ev AS (
+  SELECT *,
+    CASE WHEN eid % 3 = 0 THEN
+      'q' || CAST(eid % 4 AS VARCHAR) || ' enqueue@'
+      || CAST(tns + 10 AS VARCHAR)
+      || '[messaging.solace.destination.type=queue,'
+      || 'messaging.solace.rejects_all_enqueues=false,'
+      || 'messaging.solace.partition_number='
+      || CAST(eid % 4 AS VARCHAR) || ']'
+      || '|te' || CAST(eid % 3 AS VARCHAR) || ' enqueue@'
+      || CAST(tns + 20 AS VARCHAR)
+      || '[messaging.solace.destination.type=topic-endpoint,'
+      || 'messaging.solace.rejects_all_enqueues=true,'
+      || 'messaging.solace.enqueue_error_message=enq err,'
+      || 'messaging.solace.ttl_override=99]'
+    END AS enq_txt,
+    CASE
+      WHEN eid % 5 = 0 THEN
+        txn_name_l || '@' || CAST(tns + 30 AS VARCHAR)
+        || '[messaging.solace.transaction_initiator=' || txn_ini_l
+        || CASE WHEN eid % 2 = 0
+           THEN ',messaging.solace.transaction_error_message=txn err'
+           ELSE '' END
+        || ',messaging.solace.transaction_id='
+        || CAST(eid % 100 AS VARCHAR)
+        || ',messaging.solace.transacted_session_name=ts'
+        || CAST(eid % 3 AS VARCHAR)
+        || ',messaging.solace.transacted_session_id='
+        || CAST(eid % 50 AS VARCHAR) || ']'
+      WHEN eid % 5 = 1 THEN
+        txn_name_x || '@' || CAST(tns + 40 AS VARCHAR)
+        || '[messaging.solace.transaction_initiator=' || txn_ini_x
+        || ',messaging.solace.transaction_xid='
+        || CASE WHEN eid % 10 = 1 THEN '-0000002'
+           ELSE printf('%08x', eid % 1000) END
+        || '-ab-' || printf('%02x', eid % 256) || ']'
+    END AS txn_txt
+  FROM g)
+SELECT eid AS event_id,
+  'router' || CAST(uid % 3 AS VARCHAR) AS service_name,
+  '10.' || CAST(eid % 4 AS VARCHAR) AS service_version,
+  CASE WHEN eid % 5 <> 0 THEN 'vpn' || CAST(uid % 2 AS VARCHAR)
+       END AS service_instance_id,
+  h32 AS trace_id,
+  printf('%016x', eid * 31 + 7) AS span_id,
+  CASE WHEN eid % 3 = 0 THEN printf('%016x', eid + 1)
+       END AS parent_span_id,
+  CASE WHEN eid % 11 = 0 THEN '(unknown) receive'
+       ELSE 'topic/' || CAST(eid % 20 AS VARCHAR) || ' receive'
+       END AS name,
+  'consumer' AS kind,
+  tns AS start_ts_ns,
+  tns + 5000000 AS end_ts_ns,
+  CASE WHEN eid % 13 = 0 THEN 'error' END AS status_code,
+  CASE WHEN eid % 13 = 0 THEN 'err ' || CAST(eid AS VARCHAR)
+       END AS status_message,
+  CASE WHEN eid % 4 = 0 THEN 'key=val' || CAST(eid % 10 AS VARCHAR)
+       END AS trace_state,
+  'SolacePubSub+' AS system,
+  'receive' AS operation_name,
+  'receive' AS operation_type,
+  CASE WHEN uid % 2 = 0 THEN 'MQTT' ELSE 'AMQP' END AS protocol_name,
+  CASE WHEN eid % 3 <> 0 THEN '5.' || CAST(eid % 2 AS VARCHAR)
+       END AS protocol_version,
+  CASE WHEN eid % 2 = 0 THEN 'm' || CAST(eid AS VARCHAR)
+       END AS message_id,
+  CASE WHEN eid % 3 = 1 THEN 'c' || CAST(eid AS VARCHAR)
+       END AS conversation_id,
+  eid % 1000 + eid % 100 AS body_size,
+  eid % 1000 + eid % 100 + eid % 50 AS envelope_size,
+  'user' || CAST(uid % 5 AS VARCHAR) AS client_username,
+  'client' || CAST(uid % 7 AS VARCHAR) AS client_name,
+  tns - 1000 AS receive_time_ns,
+  CASE WHEN eid % 11 = 0 THEN ''
+       ELSE 'topic/' || CAST(eid % 20 AS VARCHAR)
+       END AS destination_name,
+  CASE eid % 4 WHEN 0 THEN 'persistent' WHEN 1 THEN 'non_persistent'
+       WHEN 2 THEN 'direct' ELSE 'Unknown Delivery Mode (3)'
+       END AS delivery_mode,
+  CASE WHEN eid % 6 = 0 THEN
+         'rmid1:' || substr(h32, 1, 5) || '-' || substr(h32, 6, 11)
+         || '-' || substr(h32, 17, 8) || '-' || substr(h32, 25, 8)
+       WHEN eid % 6 = 1 THEN '0102'
+       END AS rgmid,
+  CASE WHEN eid % 2 = 0 THEN eid % 8 END AS priority,
+  CASE WHEN eid % 3 <> 2 THEN eid % 100000 END AS ttl,
+  CASE WHEN eid % 4 = 1 THEN 'reply/' || CAST(eid % 5 AS VARCHAR)
+       END AS reply_to,
+  eid % 2 = 0 AS dmq_eligible,
+  eid % 50 AS dropped_enqueue_success,
+  eid % 30 AS dropped_enqueue_failed,
+  CASE WHEN eid % 5 = 1 THEN
+         '10.0.' || CAST(uid % 200 AS VARCHAR) || '.'
+         || CAST(eid % 250 AS VARCHAR)
+       WHEN eid % 5 = 2 THEN '2345:425:2ca1::567:5673:23b5'
+       WHEN eid % 5 = 3 THEN '192.168.7.1'
+       END AS server_address,
+  CASE WHEN eid % 5 IN (1, 2, 3) THEN 55555 END AS server_port,
+  '172.16.' || CAST(uid % 100 AS VARCHAR) || '.'
+    || CAST(eid % 100 AS VARCHAR) AS network_peer_address,
+  12345 + eid % 100 AS network_peer_port,
+  CASE WHEN eid % 10 = 0 THEN
+    'messaging.solace.message.baggage.k1=v1,'
+    || 'messaging.solace.message.baggage.k2=v2,'
+    || 'messaging.solace.message.baggage_metadata.k1=p1'
+    END AS baggage_attrs,
+  eid % 3 = 0 AS dropped_user_properties,
+  CASE WHEN eid % 4 = 0 THEN
+         'messaging.solace.user_properties.p_int='
+         || CAST(eid % 19 AS VARCHAR)
+         || ',messaging.solace.user_properties.p_str=v'
+         || CAST(eid % 3 AS VARCHAR)
+       WHEN eid % 4 = 1 THEN
+         'messaging.solace.user_properties.flag='
+         || CASE WHEN eid % 2 = 0 THEN 'true' ELSE 'false' END
+       WHEN eid % 4 = 2 THEN
+         'messaging.solace.user_properties.p_bytes=0a1b'
+       END AS user_property_attrs,
+  CASE
+    WHEN enq_txt IS NOT NULL AND txn_txt IS NOT NULL
+      THEN enq_txt || '|' || txn_txt
+    WHEN enq_txt IS NOT NULL THEN enq_txt
+    ELSE txn_txt
+  END AS events
+FROM ev ORDER BY event_id
+"""
+
+_QUERIES["solace_receive_spans_events"] = q_solace_receive
+_ORACLES["solace_receive_spans_events"] = _SOLACE_RECEIVE_ORACLE
+
+
+def q_solace_egress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Egress-v1 spans: one send + one delete + one type-less
+    (dropped) entry per message -- anonymous queue/topic-endpoint
+    names, the 8-outcome enum, empty-string pointer status, delete
+    reason oneof incl. admin-action cli-local/cli-remote/semp
+    session info, and per-span transaction events."""
+    from .operators.solace import solace_egress_spans
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 7 == 5)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    nstr = F.lit(None).cast("string")
+    nint = F.lit(None).cast("int")
+    nbin = F.lit(None).cast("binary")
+    ntxn = F.lit(None).cast(
+        "struct<type:int,initiator:int,time_unix_nano:bigint,"
+        "error_description:string,"
+        "local_id:struct<transaction_id:bigint,session_name:string,"
+        "session_id:bigint>,"
+        "xid:struct<format_id:int,branch_qualifier:binary,"
+        "global_id:binary>>")
+    nsend = F.lit(None).cast(
+        "struct<topic_endpoint_name:string,queue_name:string,"
+        "protocol:string,protocol_version:string,"
+        "consumer_client_username:string,consumer_client_name:string,"
+        "replayed_msg:boolean,partition_number:int,outcome:int>")
+    ndele = F.lit(None).cast(
+        "struct<topic_endpoint_name:string,queue_name:string,"
+        "partition_number:int,reason:string,"
+        "admin_action_info:struct<username:string,"
+        "cli_session_info:struct<local_terminal_name:string,"
+        "remote_peer_ip:binary,session_number:bigint>,"
+        "semp_session_info:struct<semp_version:bigint,"
+        "peer_ip:binary>>>")
+    send = F.struct(
+        F.when(eid % 2 == 1,
+               F.when(eid % 4 == 1,
+                      F.lit("0123456789abcdef0123456789abcdef"))
+                .otherwise(F.concat(F.lit("ste"), s(eid % 3))))
+         .alias("topic_endpoint_name"),
+        F.when(eid % 2 == 0,
+               F.when(eid % 10 == 0, F.lit("#P2P/QTMP/v:77"))
+                .otherwise(F.concat(F.lit("eq"), s(eid % 5))))
+         .alias("queue_name"),
+        F.lit("smf").alias("protocol"),
+        F.when(eid % 3 == 1, "3.0").alias("protocol_version"),
+        F.concat(F.lit("cu"), s(uid % 4))
+         .alias("consumer_client_username"),
+        F.concat(F.lit("cn"), s(uid % 5)).alias("consumer_client_name"),
+        (eid % 2 == 0).alias("replayed_msg"),
+        F.when(eid % 3 == 0, (eid % 16).cast("int"))
+         .alias("partition_number"),
+        (eid % 8).cast("int").alias("outcome"))
+    txn = F.when(eid % 5 == 0, F.struct(
+        (eid % 6).cast("int").alias("type"),
+        (eid % 3).cast("int").alias("initiator"),
+        (tns + 300).alias("time_unix_nano"),
+        F.when(eid % 4 == 0, "etxn err").alias("error_description"),
+        F.struct(
+            (eid % 40).cast("bigint").alias("transaction_id"),
+            F.concat(F.lit("es"), s(eid % 2)).alias("session_name"),
+            (eid % 20).cast("bigint").alias("session_id"),
+        ).alias("local_id"),
+        F.lit(None).cast(
+            "struct<format_id:int,branch_qualifier:binary,"
+            "global_id:binary>").alias("xid"),
+    )).otherwise(ntxn)
+    reason = F.element_at(F.array(
+        F.lit("ttl_expired"), F.lit("rejected_outcome"),
+        F.lit("max_redeliveries"), F.lit("hop_count_exceeded"),
+        F.lit("ingress_selector"), F.lit("admin_action")),
+        (eid % 6 + 1).cast("int"))
+    cli = F.when(eid % 12 == 5, F.struct(
+        F.when(eid % 24 == 5, "term1").alias("local_terminal_name"),
+        F.when(eid % 24 == 17, F.to_binary(F.concat(
+            F.lit("050607"), F.lpad(F.lower(F.hex(eid % 9)), 2, "0")),
+            F.lit("hex"))).alias("remote_peer_ip"),
+        F.lit(11).cast("bigint").alias("session_number"),
+    )).otherwise(F.lit(None).cast(
+        "struct<local_terminal_name:string,remote_peer_ip:binary,"
+        "session_number:bigint>"))
+    semp = F.when(eid % 12 == 11, F.struct(
+        F.lit(3).cast("bigint").alias("semp_version"),
+        F.to_binary(F.concat(
+            F.lit("090909"), F.lpad(F.lower(F.hex(eid % 8)), 2, "0")),
+            F.lit("hex")).alias("peer_ip"),
+    )).otherwise(F.lit(None).cast(
+        "struct<semp_version:bigint,peer_ip:binary>"))
+    dele = F.struct(
+        F.when(eid % 2 == 1, F.concat(F.lit("dte"), s(eid % 4)))
+         .alias("topic_endpoint_name"),
+        F.when(eid % 2 == 0,
+               F.when(eid % 10 == 2, F.lit("#P2P/QTMP/w:9"))
+                .otherwise(F.concat(F.lit("dq"), s(eid % 3))))
+         .alias("queue_name"),
+        F.when(eid % 2 == 0, (eid % 11).cast("int"))
+         .alias("partition_number"),
+        reason.alias("reason"),
+        F.when(eid % 6 == 5, F.struct(
+            F.concat(F.lit("adm"), s(eid % 3)).alias("username"),
+            cli.alias("cli_session_info"),
+            semp.alias("semp_session_info"),
+        )).otherwise(F.lit(None).cast(
+            "struct<username:string,"
+            "cli_session_info:struct<local_terminal_name:string,"
+            "remote_peer_ip:binary,session_number:bigint>,"
+            "semp_session_info:struct<semp_version:bigint,"
+            "peer_ip:binary>>")).alias("admin_action_info"))
+    entry = lambda span_id_seed, start_off, err, send_c, dele_c, txn_c: \
+        F.struct(
+            F.to_binary(F.concat(_solace_hex16(eid),
+                                 _solace_hex16(uid)), F.lit("hex"))
+             .alias("trace_id"),
+            F.to_binary(_solace_hex16(span_id_seed), F.lit("hex"))
+             .alias("span_id"),
+            F.when(eid % 3 == 0,
+                   F.to_binary(_solace_hex16(eid + 2), F.lit("hex")))
+             .otherwise(nbin).alias("parent_span_id"),
+            (tns + start_off).alias("start_time_unix_nano"),
+            (tns + start_off + 100).alias("end_time_unix_nano"),
+            err.alias("error_description"),
+            send_c.alias("send_span"),
+            dele_c.alias("delete_span"),
+            txn_c.alias("transaction_event"))
+    err0 = (F.when(eid % 6 == 0, F.lit(""))
+             .when(eid % 6 == 1, F.lit("egress err")).otherwise(nstr))
+    spans = F.array(
+        entry(eid * 13 + 1, 100, err0, send, ndele, txn),
+        entry(eid * 13 + 2, 150, nstr, nsend, dele, ntxn),
+        entry(eid * 13 + 3, 175, nstr, nsend, ndele, ntxn),  # dropped
+    )
+    base = ev.select(
+        "event_id",
+        F.concat(F.lit("router"), s(uid % 3)).alias("router_name"),
+        F.concat(F.lit("10."), s(eid % 4)).alias("solos_version"),
+        F.when(eid % 5 != 0,
+               F.concat(F.lit("vpn"), s(uid % 2)))
+         .alias("message_vpn_name"),
+        spans.alias("egress_spans"),
+    )
+    # NULL booleans round-trip as float NaN through DuckDB's pandas
+    # bridge (house rule, see mongodb battery) -- ship as string
+    return solace_egress_spans(base).withColumn(
+        "message_replayed",
+        F.col("message_replayed").cast("string"),
+    ).orderBy("event_id", "span_index")
+
+
+def q_solace_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Move-v1 spans: source/destination endpoint oneofs (incl. the
+    anonymous-queue prefix), the 3-reason oneof, rgmid, and the two
+    partition-number attributes."""
+    from .operators.solace import solace_move_spans
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 7 == 6)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    rgmid = F.when(eid % 4 == 0, F.to_binary(F.concat(
+        F.lit("01"), _solace_hex16(eid), _solace_hex16(uid)),
+        F.lit("hex")))
+    base = ev.select(
+        "event_id",
+        F.concat(F.lit("router"), s(uid % 3)).alias("router_name"),
+        F.concat(F.lit("10."), s(eid % 4)).alias("solos_version"),
+        F.when(eid % 5 != 0,
+               F.concat(F.lit("vpn"), s(uid % 2)))
+         .alias("message_vpn_name"),
+        F.to_binary(F.concat(_solace_hex16(eid), _solace_hex16(uid)),
+                    F.lit("hex")).alias("trace_id"),
+        F.to_binary(_solace_hex16(eid * 17 + 3), F.lit("hex"))
+         .alias("span_id"),
+        F.when(eid % 3 == 0,
+               F.to_binary(_solace_hex16(eid + 4), F.lit("hex")))
+         .alias("parent_span_id"),
+        tns.alias("start_time_unix_nano"),
+        (tns + 7000).alias("end_time_unix_nano"),
+        rgmid.alias("rgmid"),
+        F.when(eid % 2 == 0, (eid % 5).cast("int"))
+         .alias("source_partition_number"),
+        F.when(eid % 3 == 1, (eid % 6).cast("int"))
+         .alias("destination_partition_number"),
+        F.when(eid % 2 == 0, F.concat(F.lit("mte"), s(eid % 3)))
+         .alias("source_topic_endpoint_name"),
+        F.when(eid % 2 == 1,
+               F.when(eid % 10 == 1, F.lit("#P2P/QTMP/z:5"))
+                .otherwise(F.concat(F.lit("mq"), s(eid % 4))))
+         .alias("source_queue_name"),
+        F.when(eid % 3 == 0, F.concat(F.lit("dte"), s(eid % 2)))
+         .alias("destination_topic_endpoint_name"),
+        F.when(eid % 3 != 0, F.concat(F.lit("dq"), s(eid % 5)))
+         .alias("destination_queue_name"),
+        F.element_at(F.array(
+            F.lit("ttl_expired"), F.lit("rejected_outcome"),
+            F.lit("max_redeliveries")), (eid % 3 + 1).cast("int"))
+         .alias("reason"),
+    )
+    return solace_move_spans(base).orderBy("event_id")
+
+
+_SOLACE_EGRESS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 7 = 5),
+g AS (
+  SELECT *,
+    printf('%016x', eid) || printf('%016x', uid) AS h32,
+    'router' || CAST(uid % 3 AS VARCHAR) AS svc,
+    '10.' || CAST(eid % 4 AS VARCHAR) AS ver,
+    CASE WHEN eid % 5 <> 0 THEN 'vpn' || CAST(uid % 2 AS VARCHAR)
+         END AS vpn,
+    CASE WHEN eid % 3 = 0 THEN printf('%016x', eid + 2)
+         END AS parent,
+    CASE WHEN eid % 2 = 1 THEN
+           CASE WHEN eid % 4 = 1
+                THEN '0123456789abcdef0123456789abcdef'
+                ELSE 'ste' || CAST(eid % 3 AS VARCHAR) END
+         ELSE CASE WHEN eid % 10 = 0 THEN '#P2P/QTMP/v:77'
+                ELSE 'eq' || CAST(eid % 5 AS VARCHAR) END
+         END AS sname,
+    CASE WHEN eid % 2 = 1 AND eid % 4 = 1 THEN '(anonymous)'
+         WHEN eid % 2 = 0 AND eid % 10 = 0 THEN '(anonymous)'
+         WHEN eid % 2 = 1 THEN 'ste' || CAST(eid % 3 AS VARCHAR)
+         ELSE 'eq' || CAST(eid % 5 AS VARCHAR) END AS sdisp,
+    CASE WHEN eid % 2 = 1 THEN 'dte' || CAST(eid % 4 AS VARCHAR)
+         ELSE CASE WHEN eid % 10 = 2 THEN '#P2P/QTMP/w:9'
+                ELSE 'dq' || CAST(eid % 3 AS VARCHAR) END
+         END AS dname,
+    CASE WHEN eid % 2 = 0 AND eid % 10 = 2 THEN '(anonymous)'
+         WHEN eid % 2 = 1 THEN 'dte' || CAST(eid % 4 AS VARCHAR)
+         ELSE 'dq' || CAST(eid % 3 AS VARCHAR) END AS ddisp
+  FROM f)
+SELECT eid AS event_id, svc AS service_name, ver AS service_version,
+  vpn AS service_instance_id, 0 AS span_index,
+  h32 AS trace_id, printf('%016x', eid * 13 + 1) AS span_id,
+  parent AS parent_span_id,
+  sdisp || ' send' AS name, 'producer' AS kind,
+  tns + 100 AS start_ts_ns, tns + 200 AS end_ts_ns,
+  CASE WHEN eid % 6 IN (0, 1) THEN 'error' END AS status_code,
+  CASE WHEN eid % 6 = 0 THEN ''
+       WHEN eid % 6 = 1 THEN 'egress err' END AS status_message,
+  'SolacePubSub+' AS system, 'send' AS operation_name,
+  'publish' AS operation_type, 'smf' AS protocol_name,
+  CASE WHEN eid % 3 = 1 THEN '3.0' END AS protocol_version,
+  sname AS source_name,
+  CASE WHEN eid % 2 = 1 THEN 'topic-endpoint' ELSE 'queue'
+       END AS source_kind,
+  'cu' || CAST(uid % 4 AS VARCHAR) AS client_username,
+  'cn' || CAST(uid % 5 AS VARCHAR) AS client_name,
+  CAST(eid % 2 = 0 AS VARCHAR) AS message_replayed,
+  CASE WHEN eid % 3 = 0 THEN eid % 16 END AS partition_number,
+  CASE eid % 8 WHEN 0 THEN 'accepted' WHEN 1 THEN 'rejected'
+       WHEN 2 THEN 'released' WHEN 3 THEN 'delivery failed'
+       WHEN 4 THEN 'flow unbound' WHEN 5 THEN 'transaction commit'
+       WHEN 6 THEN 'transaction commit failed'
+       ELSE 'transaction rollback' END AS send_outcome,
+  CAST(NULL AS VARCHAR) AS destination_name,
+  CAST(NULL AS VARCHAR) AS destination_type,
+  CAST(NULL AS VARCHAR) AS operation_reason,
+  CAST(NULL AS VARCHAR) AS enduser_id,
+  CAST(NULL AS VARCHAR) AS admin_interface,
+  CAST(NULL AS VARCHAR) AS admin_cli_terminal_name,
+  CAST(NULL AS BIGINT) AS admin_cli_session_number,
+  CAST(NULL AS BIGINT) AS admin_semp_version,
+  CAST(NULL AS VARCHAR) AS client_address,
+  CASE WHEN eid % 5 = 0 THEN
+    CASE eid % 6 WHEN 0 THEN 'commit' WHEN 1 THEN 'rollback'
+      WHEN 2 THEN 'end' WHEN 3 THEN 'prepare'
+      WHEN 4 THEN 'session_timeout' ELSE 'rollback_only' END
+    || '@' || CAST(tns + 300 AS VARCHAR)
+    || '[messaging.solace.transaction_initiator='
+    || CASE eid % 3 WHEN 0 THEN 'client' WHEN 1 THEN 'administrator'
+         ELSE 'broker' END
+    || CASE WHEN eid % 4 = 0
+       THEN ',messaging.solace.transaction_error_message=etxn err'
+       ELSE '' END
+    || ',messaging.solace.transaction_id='
+    || CAST(eid % 40 AS VARCHAR)
+    || ',messaging.solace.transacted_session_name=es'
+    || CAST(eid % 2 AS VARCHAR)
+    || ',messaging.solace.transacted_session_id='
+    || CAST(eid % 20 AS VARCHAR) || ']'
+    END AS events
+FROM g
+UNION ALL
+SELECT eid, svc, ver, vpn, 1,
+  h32, printf('%016x', eid * 13 + 2), parent,
+  ddisp || ' delete', 'internal',
+  tns + 150, tns + 250,
+  NULL, NULL,
+  'SolacePubSub+', 'delete', 'delete', NULL, NULL,
+  NULL, NULL, NULL, NULL, CAST(NULL AS VARCHAR), 
+  CASE WHEN eid % 2 = 0 THEN eid % 11 END,
+  NULL,
+  dname,
+  CASE WHEN eid % 2 = 1 THEN 'topic-endpoint' ELSE 'queue' END,
+  CASE eid % 6 WHEN 0 THEN 'ttl_expired' WHEN 1 THEN 'rejected_nack'
+       WHEN 2 THEN 'max_redeliveries_exceeded'
+       WHEN 3 THEN 'hop_count_exceeded'
+       WHEN 4 THEN 'ingress_selector' ELSE 'admin_action' END,
+  CASE WHEN eid % 6 = 5 THEN 'adm' || CAST(eid % 3 AS VARCHAR) END,
+  CASE WHEN eid % 24 = 5 THEN 'cli_terminal'
+       WHEN eid % 24 = 17 THEN 'cli_ssh'
+       WHEN eid % 12 = 11 THEN 'semp' END,
+  CASE WHEN eid % 24 = 5 THEN 'term1' END,
+  CASE WHEN eid % 12 = 5 THEN 11 END,
+  CASE WHEN eid % 12 = 11 THEN 3 END,
+  CASE WHEN eid % 24 = 17 THEN '5.6.7.' || CAST(eid % 9 AS VARCHAR)
+       WHEN eid % 12 = 11 THEN '9.9.9.' || CAST(eid % 8 AS VARCHAR)
+       END,
+  NULL
+FROM g
+ORDER BY event_id, span_index
+"""
+
+_SOLACE_MOVE_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 7 = 6),
+g AS (
+  SELECT *,
+    printf('%016x', eid) || printf('%016x', uid) AS h32
+  FROM f)
+SELECT eid AS event_id,
+  'router' || CAST(uid % 3 AS VARCHAR) AS service_name,
+  '10.' || CAST(eid % 4 AS VARCHAR) AS service_version,
+  CASE WHEN eid % 5 <> 0 THEN 'vpn' || CAST(uid % 2 AS VARCHAR)
+       END AS service_instance_id,
+  h32 AS trace_id,
+  printf('%016x', eid * 17 + 3) AS span_id,
+  CASE WHEN eid % 3 = 0 THEN printf('%016x', eid + 4)
+       END AS parent_span_id,
+  CASE WHEN eid % 2 = 0 THEN 'mte' || CAST(eid % 3 AS VARCHAR)
+       WHEN eid % 10 = 1 THEN '(anonymous)'
+       ELSE 'mq' || CAST(eid % 4 AS VARCHAR) END || ' move' AS name,
+  'internal' AS kind,
+  tns AS start_ts_ns,
+  tns + 7000 AS end_ts_ns,
+  'SolacePubSub+' AS system,
+  'move' AS operation_name,
+  'move' AS operation_type,
+  CASE WHEN eid % 4 = 0 THEN
+    'rmid1:' || substr(h32, 1, 5) || '-' || substr(h32, 6, 11)
+    || '-' || substr(h32, 17, 8) || '-' || substr(h32, 25, 8)
+    END AS rgmid,
+  CASE WHEN eid % 2 = 0 THEN eid % 5 END AS source_partition_number,
+  CASE WHEN eid % 3 = 1 THEN eid % 6
+       END AS destination_partition_number,
+  CASE WHEN eid % 2 = 0 THEN 'mte' || CAST(eid % 3 AS VARCHAR)
+       WHEN eid % 10 = 1 THEN '#P2P/QTMP/z:5'
+       ELSE 'mq' || CAST(eid % 4 AS VARCHAR) END AS source_name,
+  CASE WHEN eid % 2 = 0 THEN 'topic-endpoint' ELSE 'queue'
+       END AS source_kind,
+  CASE WHEN eid % 3 = 0 THEN 'dte' || CAST(eid % 2 AS VARCHAR)
+       ELSE 'dq' || CAST(eid % 5 AS VARCHAR) END AS destination_name,
+  CASE WHEN eid % 3 = 0 THEN 'topic-endpoint' ELSE 'queue'
+       END AS destination_type,
+  CASE eid % 3 WHEN 0 THEN 'ttl_expired' WHEN 1 THEN 'rejected_nack'
+       ELSE 'max_redeliveries_exceeded' END AS operation_reason
+FROM g ORDER BY event_id
+"""
+
+_QUERIES["solace_egress_spans_events"] = q_solace_egress
+_ORACLES["solace_egress_spans_events"] = _SOLACE_EGRESS_ORACLE
+_QUERIES["solace_move_spans_events"] = q_solace_move
+_ORACLES["solace_move_spans_events"] = _SOLACE_MOVE_ORACLE

@@ -1,0 +1,378 @@
+"""solacereceiver battery: reference-vector pins.
+
+Vectors from receiver/solacereceiver/unmarshaller_receive_test.go
+(rgmid, IPv6 RFC 5952, baggage, unknown delivery mode) and
+unmarshaller_egress_test.go (anonymous endpoints, outcomes).
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from opentelemetry_collector_contrib_spark.operators.solace import (
+    ENQUEUE_EVENT_STRUCT,
+    TRANSACTION_EVENT_STRUCT,
+    USER_PROPERTY_STRUCT,
+    baggage_rendered,
+    ip_string,
+    rgmid_string,
+    solace_egress_spans,
+    solace_move_spans,
+    solace_receive_spans,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).head()["v"]
+
+
+def test_rgmid_reference_vector(spark):
+    b = bytes([0x01, 0x00, 0x01, 0x04, 0x09, 0x10, 0x19, 0x24, 0x31,
+               0x40, 0x51, 0x64, 0x79, 0x90, 0xA9, 0xC4, 0xE1])
+    got = _one(spark, rgmid_string(F.lit(b)))
+    assert got == "rmid1:00010-40910192431-40516479-90a9c4e1"
+
+
+def test_rgmid_invalid_falls_back_to_hex(spark):
+    # wrong version byte -> plain hex (unmarshaller.go:190-196)
+    b = bytes([0x02] + [0xAB] * 16)
+    assert _one(spark, rgmid_string(F.lit(b))) == "02" + "ab" * 16
+    # wrong length -> plain hex
+    assert _one(spark, rgmid_string(F.lit(b"\x01\x02"))) == "0102"
+
+
+def test_ip_string_v4_and_v6(spark):
+    assert _one(spark, ip_string(F.lit(bytes([1, 2, 3, 4])))) == "1.2.3.4"
+    # the reference test's peer IP
+    v6 = bytes([35, 69, 4, 37, 44, 161, 0, 0, 0, 0, 5, 103, 86, 115,
+                35, 181])
+    assert _one(spark, ip_string(F.lit(v6))) == "2345:425:2ca1::567:5673:23b5"
+    # v4-mapped 16-byte renders dotted quad (net.IP.To4)
+    mapped = bytes([0] * 10 + [0xFF, 0xFF, 10, 0, 0, 1])
+    assert _one(spark, ip_string(F.lit(mapped))) == "10.0.0.1"
+    # all zeros -> ::
+    assert _one(spark, ip_string(F.lit(bytes(16)))) == "::"
+    # leftmost-longest run wins: 1:0:0:2:0:0:0:3
+    tricky = bytes([0, 1, 0, 0, 0, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 3])
+    assert _one(spark, ip_string(F.lit(tricky))) == "1:0:0:2::3"
+    # single zero group is NOT compressed
+    single = bytes([0, 1, 0, 0, 0, 2, 0, 3, 0, 4, 0, 5, 0, 6, 0, 7])
+    assert _one(spark, ip_string(F.lit(single))) == "1:0:2:3:4:5:6:7"
+    # invalid length -> NULL (attribute omitted)
+    assert _one(spark, ip_string(F.lit(b"\x01\x02\x03"))) is None
+
+
+def test_baggage_reference_vectors(spark):
+    got = _one(spark, baggage_rendered(F.lit(
+        "someKey=someVal;someProp=someOtherThing,"
+        "someOtherKey=someOtherVal;someProp=NewProp123;"
+        "someOtherProp=AnotherProp192")))
+    assert got == (
+        "messaging.solace.message.baggage.someKey=someVal,"
+        "messaging.solace.message.baggage.someOtherKey=someOtherVal,"
+        "messaging.solace.message.baggage_metadata.someKey="
+        "someProp=someOtherThing,"
+        "messaging.solace.message.baggage_metadata.someOtherKey="
+        "someProp=NewProp123;someOtherProp=AnotherProp192"
+    )
+    # invalid key -> whole string dropped
+    assert _one(spark, baggage_rendered(
+        F.lit('someKey"=someVal;someProp=someOtherThing'))) is None
+    assert _one(spark, baggage_rendered(
+        F.lit(None).cast("string"))) is None
+
+
+def _receive_row(**over):
+    base = dict(
+        event_id=1, router_name="r1", solos_version="10.4",
+        message_vpn_name="vpn", trace_id=bytes(range(16)),
+        span_id=bytes(range(8)), parent_span_id=None,
+        start_time_unix_nano=100, end_time_unix_nano=200,
+        error_description=None, trace_state=None, topic="someTopic",
+        protocol="MQTT", protocol_version="5.0",
+        application_message_id="someMessageID",
+        correlation_id="someConversationID",
+        binary_attachment_size=1000, xml_attachment_size=200,
+        metadata_size=34, client_username="someClientUsername",
+        client_name="someClient1234",
+        broker_receive_time_unix_nano=1357924680, delivery_mode=0,
+        rgmid=None, priority=1, ttl=86000,
+        reply_to_topic="someReplyToTopic", dmq_eligible=True,
+        dropped_enqueue_events_success=42,
+        dropped_enqueue_events_failed=24,
+        host_ip=bytes([1, 2, 3, 4]), host_port=55555,
+        peer_ip=bytes([35, 69, 4, 37, 44, 161, 0, 0, 0, 0, 5, 103,
+                       86, 115, 35, 181]),
+        peer_port=12345, baggage=None,
+        dropped_application_message_properties=False,
+        user_properties=None, enqueue_events=None,
+        transaction_event=None,
+    )
+    base.update(over)
+    return base
+
+
+_RECEIVE_SCHEMA = (
+    "event_id bigint, router_name string, solos_version string, "
+    "message_vpn_name string, trace_id binary, span_id binary, "
+    "parent_span_id binary, start_time_unix_nano bigint, "
+    "end_time_unix_nano bigint, error_description string, "
+    "trace_state string, topic string, protocol string, "
+    "protocol_version string, application_message_id string, "
+    "correlation_id string, binary_attachment_size bigint, "
+    "xml_attachment_size bigint, metadata_size bigint, "
+    "client_username string, client_name string, "
+    "broker_receive_time_unix_nano bigint, delivery_mode int, "
+    "rgmid binary, priority int, ttl bigint, reply_to_topic string, "
+    "dmq_eligible boolean, dropped_enqueue_events_success bigint, "
+    "dropped_enqueue_events_failed bigint, host_ip binary, "
+    "host_port int, peer_ip binary, peer_port int, baggage string, "
+    "dropped_application_message_properties boolean, "
+    f"user_properties {USER_PROPERTY_STRUCT}, "
+    f"enqueue_events {ENQUEUE_EVENT_STRUCT}, "
+    f"transaction_event {TRANSACTION_EVENT_STRUCT}"
+)
+
+
+def _receive(spark, rows):
+    df = spark.createDataFrame([Row(**r) for r in rows], _RECEIVE_SCHEMA)
+    return solace_receive_spans(df)
+
+
+def test_receive_span_reference_vector(spark):
+    out = _receive(spark, [_receive_row()]).head()
+    assert out["name"] == "someTopic receive"
+    assert out["kind"] == "consumer"
+    assert out["system"] == "SolacePubSub+"
+    assert out["body_size"] == 1200
+    assert out["envelope_size"] == 1234
+    assert out["delivery_mode"] == "persistent"
+    assert out["server_address"] == "1.2.3.4"
+    assert out["server_port"] == 55555
+    assert out["network_peer_address"] == "2345:425:2ca1::567:5673:23b5"
+    assert out["trace_id"] == "000102030405060708090a0b0c0d0e0f"
+    assert out["parent_span_id"] is None
+    assert out["status_code"] is None
+
+
+def test_receive_unknown_delivery_mode_and_missing_ips(spark):
+    out = _receive(spark, [_receive_row(
+        delivery_mode=1000, host_ip=None, peer_ip=None,
+        baggage='someKey"=bad')]).head()
+    assert out["delivery_mode"] == "Unknown Delivery Mode (1000)"
+    assert out["server_address"] is None
+    assert out["server_port"] is None
+    assert out["baggage_attrs"] is None
+
+
+def test_receive_empty_topic_and_error_status(spark):
+    out = _receive(spark, [_receive_row(
+        topic="", error_description="some error")]).head()
+    assert out["name"] == "(unknown) receive"
+    assert out["status_code"] == "error"
+    assert out["status_message"] == "some error"
+
+
+def test_receive_user_properties_and_events(spark):
+    up = {
+        "b": Row(type="bool", str=None, num=None, dbl=None,
+                 bool=True, bytes=None),
+        "s": Row(type="string", str="hello", num=None, dbl=None,
+                 bool=None, bytes=None),
+        "u64": Row(type="uint64", str=None, num=-1, dbl=None,
+                   bool=None, bytes=None),
+        "c": Row(type="character", str=None, num=65, dbl=None,
+                 bool=None, bytes=None),
+        "drop_me": Row(type="bogus", str=None, num=None, dbl=None,
+                       bool=None, bytes=None),
+    }
+    enq = [
+        Row(topic_endpoint_name=None, queue_name="q1",
+            time_unix_nano=111, error_description=None,
+            rejects_all_enqueues=False, partition_number=3, ttl=None),
+        # unset dest oneof -> event dropped
+        Row(topic_endpoint_name=None, queue_name=None,
+            time_unix_nano=112, error_description=None,
+            rejects_all_enqueues=True, partition_number=None, ttl=None),
+    ]
+    txn = Row(type=0, initiator=0, time_unix_nano=222,
+              error_description=None,
+              local_id=Row(transaction_id=5, session_name="sess",
+                           session_id=7),
+              xid=None)
+    out = _receive(spark, [_receive_row(
+        user_properties=up, enqueue_events=enq,
+        transaction_event=txn)]).head()
+    assert out["user_property_attrs"] == (
+        "messaging.solace.user_properties.b=true,"
+        "messaging.solace.user_properties.c=A,"
+        "messaging.solace.user_properties.s=hello,"
+        "messaging.solace.user_properties.u64=-1"
+    )
+    assert out["events"] == (
+        "q1 enqueue@111[messaging.solace.destination.type=queue,"
+        "messaging.solace.rejects_all_enqueues=false,"
+        "messaging.solace.partition_number=3]"
+        "|commit@222[messaging.solace.transaction_initiator=client,"
+        "messaging.solace.transaction_id=5,"
+        "messaging.solace.transacted_session_name=sess,"
+        "messaging.solace.transacted_session_id=7]"
+    )
+
+
+_EGRESS_SCHEMA = (
+    "event_id bigint, router_name string, solos_version string, "
+    "message_vpn_name string, egress_spans array<struct<"
+    "trace_id:binary,span_id:binary,parent_span_id:binary,"
+    "start_time_unix_nano:bigint,end_time_unix_nano:bigint,"
+    "error_description:string,"
+    "send_span:struct<topic_endpoint_name:string,queue_name:string,"
+    "protocol:string,protocol_version:string,"
+    "consumer_client_username:string,consumer_client_name:string,"
+    "replayed_msg:boolean,partition_number:int,outcome:int>,"
+    "delete_span:struct<topic_endpoint_name:string,queue_name:string,"
+    "partition_number:int,reason:string,"
+    "admin_action_info:struct<username:string,"
+    "cli_session_info:struct<local_terminal_name:string,"
+    "remote_peer_ip:binary,session_number:bigint>,"
+    "semp_session_info:struct<semp_version:bigint,peer_ip:binary>>>,"
+    f"transaction_event:{TRANSACTION_EVENT_STRUCT}>>"
+)
+
+
+def _egress_span(**over):
+    base = dict(
+        trace_id=bytes(range(16)), span_id=bytes(range(8)),
+        parent_span_id=None, start_time_unix_nano=10,
+        end_time_unix_nano=20, error_description=None,
+        send_span=None, delete_span=None, transaction_event=None)
+    base.update(over)
+    return Row(**base)
+
+
+def _send(**over):
+    base = dict(topic_endpoint_name=None, queue_name="q1",
+                protocol="smf", protocol_version=None,
+                consumer_client_username="u", consumer_client_name="c",
+                replayed_msg=False, partition_number=None, outcome=0)
+    base.update(over)
+    return Row(**base)
+
+
+def test_egress_send_anonymous_and_drop(spark):
+    rows = [Row(event_id=1, router_name="r", solos_version="v",
+                message_vpn_name=None, egress_spans=[
+                    _egress_span(send_span=_send()),
+                    _egress_span(send_span=_send(
+                        queue_name="#P2P/QTMP/v:1234", outcome=3)),
+                    _egress_span(send_span=_send(
+                        queue_name=None,
+                        topic_endpoint_name="0123456789abcdef0123456789abcdef")),
+                    _egress_span(),  # no type data -> dropped
+                ])]
+    df = spark.createDataFrame(rows, _EGRESS_SCHEMA)
+    out = solace_egress_spans(df).orderBy("span_index").collect()
+    assert len(out) == 3
+    assert out[0]["name"] == "q1 send"
+    assert out[0]["kind"] == "producer"
+    assert out[0]["send_outcome"] == "accepted"
+    assert out[0]["operation_type"] == "publish"
+    assert out[1]["name"] == "(anonymous) send"
+    assert out[1]["send_outcome"] == "delivery failed"
+    assert out[1]["source_name"] == "#P2P/QTMP/v:1234"
+    assert out[2]["name"] == "(anonymous) send"
+    assert out[2]["source_kind"] == "topic-endpoint"
+
+
+def test_egress_delete_admin_action(spark):
+    dele = Row(topic_endpoint_name=None, queue_name="dq",
+               partition_number=4, reason="admin_action",
+               admin_action_info=Row(
+                   username="admin1",
+                   cli_session_info=Row(local_terminal_name=None,
+                                        remote_peer_ip=bytes([5, 6, 7, 8]),
+                                        session_number=9),
+                   semp_session_info=None))
+    rows = [Row(event_id=1, router_name="r", solos_version="v",
+                message_vpn_name=None,
+                egress_spans=[_egress_span(
+                    delete_span=dele, error_description="")])]
+    df = spark.createDataFrame(rows, _EGRESS_SCHEMA)
+    out = solace_egress_spans(df).head()
+    assert out["name"] == "dq delete"
+    assert out["kind"] == "internal"
+    assert out["operation_reason"] == "admin_action"
+    assert out["enduser_id"] == "admin1"
+    assert out["admin_interface"] == "cli_ssh"
+    assert out["admin_cli_session_number"] == 9
+    assert out["client_address"] == "5.6.7.8"
+    # egress: POINTER semantics -- empty error string still errors
+    assert out["status_code"] == "error"
+    assert out["status_message"] == ""
+
+
+_MOVE_SCHEMA = (
+    "event_id bigint, router_name string, solos_version string, "
+    "message_vpn_name string, trace_id binary, span_id binary, "
+    "parent_span_id binary, start_time_unix_nano bigint, "
+    "end_time_unix_nano bigint, rgmid binary, "
+    "source_partition_number int, destination_partition_number int, "
+    "source_topic_endpoint_name string, source_queue_name string, "
+    "destination_topic_endpoint_name string, "
+    "destination_queue_name string, reason string"
+)
+
+
+def test_move_span(spark):
+    rows = [Row(event_id=1, router_name="r", solos_version="v",
+                message_vpn_name="vpn", trace_id=bytes(range(16)),
+                span_id=bytes(range(8)), parent_span_id=bytes(range(8)),
+                start_time_unix_nano=1, end_time_unix_nano=2,
+                rgmid=None, source_partition_number=1,
+                destination_partition_number=2,
+                source_topic_endpoint_name=None, source_queue_name="sq",
+                destination_topic_endpoint_name="dte",
+                destination_queue_name=None,
+                reason="rejected_outcome")]
+    df = spark.createDataFrame(rows, _MOVE_SCHEMA)
+    out = solace_move_spans(df).head()
+    assert out["name"] == "sq move"
+    assert out["kind"] == "internal"
+    assert out["operation_reason"] == "rejected_nack"
+    assert out["source_kind"] == "queue"
+    assert out["destination_type"] == "topic-endpoint"
+    assert out["parent_span_id"] == "0001020304050607"
+
+
+def test_move_anonymous_source(spark):
+    rows = [Row(event_id=1, router_name="r", solos_version="v",
+                message_vpn_name=None, trace_id=bytes(16),
+                span_id=bytes(8), parent_span_id=None,
+                start_time_unix_nano=1, end_time_unix_nano=2,
+                rgmid=None, source_partition_number=None,
+                destination_partition_number=None,
+                source_topic_endpoint_name=None,
+                source_queue_name="#P2P/QTMP/abc",
+                destination_topic_endpoint_name=None,
+                destination_queue_name="dq", reason="ttl_expired")]
+    df = spark.createDataFrame(rows, _MOVE_SCHEMA)
+    out = solace_move_spans(df).head()
+    assert out["name"] == "(anonymous) move"
+    assert out["source_name"] == "#P2P/QTMP/abc"
+    assert out["operation_reason"] == "ttl_expired"
+
+
+def test_receive_xid_transaction_event(spark):
+    txn = Row(type=3, initiator=1, time_unix_nano=333,
+              error_description="failed",
+              local_id=None,
+              xid=Row(format_id=-1, branch_qualifier=bytes([0xAB]),
+                      global_id=bytes([0xCD, 0xEF])))
+    out = _receive(spark, [_receive_row(transaction_event=txn)]).head()
+    # Go fmt %08x on int32(-1): sign + 7-wide zero-padded magnitude
+    assert out["events"] == (
+        "prepare@333[messaging.solace.transaction_initiator="
+        "administrator,"
+        "messaging.solace.transaction_error_message=failed,"
+        "messaging.solace.transaction_xid=-0000001-ab-cdef]"
+    )
