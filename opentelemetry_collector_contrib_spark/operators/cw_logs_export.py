@@ -1,0 +1,181 @@
+"""awscloudwatchlogsexporter row mapping: log records -> CloudWatch
+InputLogEvent rows (group, stream, ms timestamp, JSON message).
+
+Reference (exporter/awscloudwatchlogsexporter/):
+
+* exporter.go logToCWLog (:175-244): non-raw mode marshals a
+  cwLogBody struct -- field order IS the struct declaration order
+  (body, severity_number, severity_text, dropped_attributes_count,
+  flags, trace_id, span_id, attributes, scope, resource), each
+  omitempty; map-typed members marshal with Go's SORTED keys; scope
+  present only when scope.name != "" (:221-229); trace/span ids as
+  lowercase hex only when non-empty. Raw mode ships the body string
+  verbatim and lets EMF metadata override the destination: v1
+  `_aws.log_group_name` wins over v0 top-level `log_group_name`,
+  stream only overridden when the matching member is non-empty
+  (:184-199). Timestamp is ns -> MILLIseconds (:233).
+* util.go getLogInfo/replacePatterns (:46-98): config group/stream
+  templates with `{PatternKey}` placeholders; each of the 10 known
+  keys resolves from resource attributes by the RAW key first, then
+  the semconv-mapped key (patternKeyToAttributeMap:15-26); missing
+  or empty values substitute the literal "undefined".
+
+Columnar model: map-only -- one projection building the message via
+the adx JSON assembly helpers (same Go encoding/json contract), one
+from_json probe for the EMF override in raw mode. Nothing shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Same Go encoding/json string-escape + sorted-key object contract
+# the ADX battery already pins; reuse rather than re-derive.
+from .adx_rows import _esc, _json_obj
+
+PATTERN_KEY_TO_ATTRIBUTE = {
+    "ClusterName": "aws.ecs.cluster.name",
+    "TaskId": "aws.ecs.task.id",
+    "NodeName": "k8s.node.name",
+    "PodName": "pod",
+    "ServiceName": "service.name",
+    "ContainerInstanceId": "aws.ecs.container.instance.id",
+    "TaskDefinitionFamily": "aws.ecs.task.family",
+    "InstanceId": "service.instance.id",
+    "FaasName": "faas.name",
+    "FaasVersion": "faas.version",
+}
+
+_EMF_SCHEMA = (
+    "struct<`_aws`:struct<log_group_name:string,"
+    "log_stream_name:string>,"
+    "log_group_name:string,log_stream_name:string>"
+)
+
+
+def _qstr(c: Column) -> Column:
+    return F.concat(F.lit('"'), _esc(c), F.lit('"'))
+
+
+def _map_json(m: Column) -> Column:
+    """map<string,string> -> sorted-key JSON object with quoted
+    values (attrsValue + encoding/json map marshal); NULL when the
+    map is NULL or empty (attrsValue returns nil -> omitempty)."""
+    obj = _json_obj(F.transform(
+        F.map_entries(m),
+        lambda e: F.struct(e["key"].alias("key"),
+                           _qstr(e["value"]).alias("enc"))))
+    return F.when(m.isNotNull() & (F.size(F.map_entries(m)) > 0), obj)
+
+
+def _replace_patterns(template: str, attrs: Column) -> Column:
+    """replacePatterns: every known {Key} substituted from the RAW
+    key first, then the semconv-mapped key; missing/empty ->
+    "undefined". Unknown braces pass through untouched."""
+    out = F.lit(template)
+    for key, mapped in PATTERN_KEY_TO_ATTRIBUTE.items():
+        if "{" + key + "}" not in template:
+            continue
+        val = F.coalesce(
+            F.when(F.element_at(attrs, key) != "",
+                   F.element_at(attrs, key)),
+            F.when(F.element_at(attrs, mapped) != "",
+                   F.element_at(attrs, mapped)),
+            F.lit("undefined"))
+        out = F.replace(out, F.lit("{" + key + "}"), val)
+    return out
+
+
+def cloudwatch_log_events(
+    df: DataFrame,
+    log_group_name: str = "",
+    log_stream_name: str = "",
+    raw_log: bool = False,
+) -> DataFrame:
+    """One log-record row -> one CloudWatch log-event row.
+
+    Expected columns: event_id, ts_ns, body (string), severity_number
+    int, severity_text, dropped_attributes_count bigint, flags
+    bigint, trace_id (hex string or NULL), span_id, attributes
+    map<string,string>, scope_name, scope_version, scope_attributes
+    map<string,string>, resource map<string,string>.
+    """
+    attrs = F.coalesce(
+        F.col("resource"), F.create_map().cast("map<string,string>"))
+    group = (_replace_patterns(log_group_name, attrs)
+             if log_group_name else F.lit(""))
+    stream = (_replace_patterns(log_stream_name, attrs)
+              if log_stream_name else F.lit(""))
+
+    if raw_log:
+        emf = F.from_json(F.col("body"), _EMF_SCHEMA)
+        v1g = emf["_aws"]["log_group_name"]
+        v1s = emf["_aws"]["log_stream_name"]
+        v0g = emf["log_group_name"]
+        v0s = emf["log_stream_name"]
+        use_v1 = F.coalesce(v1g, F.lit("")) != ""
+        use_v0 = ~use_v1 & (F.coalesce(v0g, F.lit("")) != "")
+        group = (F.when(use_v1, v1g).when(use_v0, v0g).otherwise(group))
+        stream = (
+            F.when(use_v1 & (F.coalesce(v1s, F.lit("")) != ""), v1s)
+            .when(use_v0 & (F.coalesce(v0s, F.lit("")) != ""), v0s)
+            .otherwise(stream))
+        message = F.col("body")
+    else:
+        sev_n = F.coalesce(F.col("severity_number"), F.lit(0))
+        dropped = F.coalesce(F.col("dropped_attributes_count"),
+                             F.lit(0).cast("bigint"))
+        flags = F.coalesce(F.col("flags"), F.lit(0).cast("bigint"))
+        scope_obj = F.concat(
+            F.lit('{"name":'), _qstr(F.col("scope_name")),
+            F.when(F.coalesce(F.col("scope_version"), F.lit("")) != "",
+                   F.concat(F.lit(',"version":'),
+                            _qstr(F.col("scope_version"))))
+             .otherwise(F.lit("")),
+            F.coalesce(
+                F.concat(F.lit(',"attributes":'),
+                         _map_json(F.col("scope_attributes"))),
+                F.lit("")),
+            F.lit("}"))
+        parts = F.concat_ws(
+            ",",
+            F.when(F.col("body").isNotNull(),
+                   F.concat(F.lit('"body":'), _qstr(F.col("body")))),
+            F.when(sev_n != 0,
+                   F.concat(F.lit('"severity_number":'),
+                            sev_n.cast("string"))),
+            F.when(F.coalesce(F.col("severity_text"), F.lit("")) != "",
+                   F.concat(F.lit('"severity_text":'),
+                            _qstr(F.col("severity_text")))),
+            F.when(dropped != 0,
+                   F.concat(F.lit('"dropped_attributes_count":'),
+                            dropped.cast("string"))),
+            F.when(flags != 0,
+                   F.concat(F.lit('"flags":'), flags.cast("string"))),
+            F.when(F.coalesce(F.col("trace_id"), F.lit("")) != "",
+                   F.concat(F.lit('"trace_id":'),
+                            _qstr(F.lower(F.col("trace_id"))))),
+            F.when(F.coalesce(F.col("span_id"), F.lit("")) != "",
+                   F.concat(F.lit('"span_id":'),
+                            _qstr(F.lower(F.col("span_id"))))),
+            F.when(_map_json(F.col("attributes")).isNotNull(),
+                   F.concat(F.lit('"attributes":'),
+                            _map_json(F.col("attributes")))),
+            F.when(F.coalesce(F.col("scope_name"), F.lit("")) != "",
+                   F.concat(F.lit('"scope":'), scope_obj)),
+            F.when(_map_json(F.col("resource")).isNotNull(),
+                   F.concat(F.lit('"resource":'),
+                            _map_json(F.col("resource")))),
+        )
+        message = F.concat(F.lit("{"), parts, F.lit("}"))
+
+    return df.select(
+        "event_id",
+        group.alias("log_group"),
+        stream.alias("log_stream"),
+        # integer div: ns values exceed double's 2^53 integer range,
+        # so float division would corrupt the millisecond
+        F.expr("ts_ns div 1000000").alias("timestamp_ms"),
+        message.alias("message"),
+    )

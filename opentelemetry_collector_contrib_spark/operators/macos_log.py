@@ -1,0 +1,80 @@
+"""macosunifiedloggingreceiver: `log show/stream` output lines ->
+log records.
+
+Reference (receiver/macosunifiedloggingreceiver/receiver_darwin.go):
+
+* processLogLine (:264-296): the WHOLE line is the body string; in
+  json/ndjson format a best-effort JSON probe promotes `timestamp`
+  (layout "2006-01-02 15:04:05.000000-0700") into the record
+  timestamp and `messageType` into severity text + number. A failed
+  JSON parse (or the default "compact" format) keeps the raw body
+  with no timestamp/severity -- never an error.
+* mapMessageTypeToSeverity (:299-314): Error->ERROR(17),
+  Fault->FATAL(21), Default/Info->INFO(9), Debug->DEBUG(5),
+  anything else -> UNSPECIFIED (number unset here; text still the
+  raw messageType).
+* isCompletionLine (:316-346): `log` status lines emit no record --
+  trimmed "**" prefix, a JSON object containing both "count" and
+  "finished", or "Processed" with "entries"/"done".
+
+Columnar model: map-only -- one from_json probe per line plus a
+completion-line keep_rows gate (the drop is as expensive as the
+probe, so it must not be pushed into the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .colutil import keep_rows
+
+SEVERITIES = {"Error": 17, "Fault": 21, "Default": 9, "Info": 9,
+              "Debug": 5}
+
+_PROBE_SCHEMA = "struct<timestamp:string,messageType:string>"
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSSZ"
+
+
+def is_completion_line(line: Column) -> Column:
+    t = F.btrim(line)
+    json_done = (t.startswith("{") & t.endswith("}")
+                 & t.contains('"count"') & t.contains('"finished"'))
+    processed = t.contains("Processed") & (t.contains("entries")
+                                           | t.contains("done"))
+    return (F.length(t) > 0) & (t.startswith("**") | json_done
+                                | processed)
+
+
+def macos_log_records(df: DataFrame, line: str = "line",
+                      fmt: str = "ndjson") -> DataFrame:
+    """One `log` output line -> one record row (completion lines
+    emit none). ``fmt`` mirrors config.Format: the JSON probe only
+    runs for "json"/"ndjson"."""
+    c = F.col(line)
+    out = keep_rows(df, ~is_completion_line(c))
+    if fmt in ("json", "ndjson"):
+        probe = F.from_json(c, _PROBE_SCHEMA)
+        # PERMISSIVE mode yields a struct of NULLs on corrupt JSON --
+        # exactly the reference's ignored-error probe
+        mt = probe["messageType"]
+        sev_num = F.lit(None).cast("int")
+        for k, v in SEVERITIES.items():
+            sev_num = F.when(mt == k, v).otherwise(sev_num)
+        ts_ns = F.unix_micros(
+            F.try_to_timestamp(probe["timestamp"], F.lit(_TS_FMT))
+        ) * 1000
+        extra = [
+            ts_ns.alias("ts_ns"),
+            mt.alias("severity_text"),
+            sev_num.alias("severity_number"),
+        ]
+    else:
+        extra = [
+            F.lit(None).cast("bigint").alias("ts_ns"),
+            F.lit(None).cast("string").alias("severity_text"),
+            F.lit(None).cast("int").alias("severity_number"),
+        ]
+    return out.select(
+        *[x for x in out.columns if x != line],
+        c.alias("body"), *extra)

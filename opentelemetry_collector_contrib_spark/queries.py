@@ -17387,3 +17387,278 @@ _QUERIES["solace_egress_spans_events"] = q_solace_egress
 _ORACLES["solace_egress_spans_events"] = _SOLACE_EGRESS_ORACLE
 _QUERIES["solace_move_spans_events"] = q_solace_move
 _ORACLES["solace_move_spans_events"] = _SOLACE_MOVE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# awscloudwatchlogsexporter (exporter/awscloudwatchlogsexporter/):
+# log records -> CloudWatch InputLogEvent rows.
+# ---------------------------------------------------------------------------
+
+
+def q_cw_logs_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured mode: the cwLogBody JSON contract (struct field
+    order, omitempty, sorted map keys, Go string escapes) plus the
+    {PatternKey} group/stream templates with raw-key-over-mapped-key
+    resolution and the "undefined" fallback."""
+    from .operators.cw_logs_export import cloudwatch_log_events
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 7 == 2)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    emap = F.create_map().cast("map<string,string>")
+    resource = F.map_concat(
+        F.create_map(
+            F.lit("host"), F.concat(F.lit("h"), s(uid % 10)),
+            F.lit("region"), F.concat(F.lit("r"), s(uid % 5))),
+        F.when(eid % 3 == 0, F.create_map(
+            F.lit("ServiceName"),
+            F.concat(F.lit("svcraw"), s(eid % 2)))).otherwise(emap),
+        F.when(uid % 2 == 0, F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), s(uid % 3)))).otherwise(emap),
+        F.when(eid % 2 == 0, F.create_map(
+            F.lit("aws.ecs.task.id"),
+            F.concat(F.lit("t"), s(eid % 5)))).otherwise(emap),
+    )
+    base = ev.select(
+        "event_id", tns.alias("ts_ns"),
+        F.when(eid % 6 == 0, F.lit('he said "hi"'))
+         .otherwise(F.concat(F.lit("log line "), s(eid % 50)))
+         .alias("body"),
+        (eid % 25).cast("int").alias("severity_number"),
+        F.when(eid % 3 != 0, F.concat(F.lit("sev"), s(eid % 25)))
+         .otherwise(F.lit("")).alias("severity_text"),
+        (eid % 5).alias("dropped_attributes_count"),
+        (eid % 4).alias("flags"),
+        F.when(eid % 2 == 0,
+               F.concat(_solace_hex16(eid), _solace_hex16(uid)))
+         .alias("trace_id"),
+        F.when(eid % 3 == 0, _solace_hex16(eid * 3 + 1))
+         .alias("span_id"),
+        F.when(eid % 4 != 3, F.create_map(
+            F.lit("a"), F.concat(F.lit("v"), s(eid % 9)),
+            F.lit("b"), s(eid % 11))).alias("attributes"),
+        F.when(eid % 5 != 1, F.concat(F.lit("scope"), s(eid % 3)))
+         .otherwise(F.lit("")).alias("scope_name"),
+        F.when(eid % 2 == 0, F.concat(F.lit("1."), s(eid % 3)))
+         .otherwise(F.lit("")).alias("scope_version"),
+        F.when(eid % 6 == 2, F.create_map(
+            F.lit("sa"), F.concat(F.lit("x"), s(eid % 4))))
+         .alias("scope_attributes"),
+        resource.alias("resource"),
+    )
+    return cloudwatch_log_events(
+        base,
+        log_group_name="/g/{ServiceName}/x",
+        log_stream_name="{TaskId}-s",
+    ).orderBy("event_id")
+
+
+_CW_LOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 7 = 2),
+g AS (
+  SELECT *,
+    CASE WHEN eid % 6 = 0 THEN 'he said \\"hi\\"'
+         ELSE 'log line ' || CAST(eid % 50 AS VARCHAR)
+         END AS body_esc
+  FROM f)
+SELECT eid AS event_id,
+  '/g/' || CASE WHEN eid % 3 = 0
+                THEN 'svcraw' || CAST(eid % 2 AS VARCHAR)
+                WHEN uid % 2 = 0 THEN 'svc' || CAST(uid % 3 AS VARCHAR)
+                ELSE 'undefined' END || '/x' AS log_group,
+  CASE WHEN eid % 2 = 0 THEN 't' || CAST(eid % 5 AS VARCHAR)
+       ELSE 'undefined' END || '-s' AS log_stream,
+  tns // 1000000 AS timestamp_ms,
+  '{"body":"' || body_esc || '"'
+  || CASE WHEN eid % 25 <> 0
+       THEN ',"severity_number":' || CAST(eid % 25 AS VARCHAR)
+       ELSE '' END
+  || CASE WHEN eid % 3 <> 0
+       THEN ',"severity_text":"sev' || CAST(eid % 25 AS VARCHAR) || '"'
+       ELSE '' END
+  || CASE WHEN eid % 5 <> 0
+       THEN ',"dropped_attributes_count":' || CAST(eid % 5 AS VARCHAR)
+       ELSE '' END
+  || CASE WHEN eid % 4 <> 0
+       THEN ',"flags":' || CAST(eid % 4 AS VARCHAR) ELSE '' END
+  || CASE WHEN eid % 2 = 0
+       THEN ',"trace_id":"' || printf('%016x', eid)
+            || printf('%016x', uid) || '"'
+       ELSE '' END
+  || CASE WHEN eid % 3 = 0
+       THEN ',"span_id":"' || printf('%016x', eid * 3 + 1) || '"'
+       ELSE '' END
+  || CASE WHEN eid % 4 <> 3
+       THEN ',"attributes":{"a":"v' || CAST(eid % 9 AS VARCHAR)
+            || '","b":"' || CAST(eid % 11 AS VARCHAR) || '"}'
+       ELSE '' END
+  || CASE WHEN eid % 5 <> 1
+       THEN ',"scope":{"name":"scope' || CAST(eid % 3 AS VARCHAR)
+            || '"'
+            || CASE WHEN eid % 2 = 0
+                 THEN ',"version":"1.' || CAST(eid % 3 AS VARCHAR)
+                      || '"' ELSE '' END
+            || CASE WHEN eid % 6 = 2
+                 THEN ',"attributes":{"sa":"x'
+                      || CAST(eid % 4 AS VARCHAR) || '"}'
+                 ELSE '' END
+            || '}'
+       ELSE '' END
+  || ',"resource":{'
+  || CASE WHEN eid % 3 = 0
+       THEN '"ServiceName":"svcraw' || CAST(eid % 2 AS VARCHAR)
+            || '",' ELSE '' END
+  || CASE WHEN eid % 2 = 0
+       THEN '"aws.ecs.task.id":"t' || CAST(eid % 5 AS VARCHAR)
+            || '",' ELSE '' END
+  || '"host":"h' || CAST(uid % 10 AS VARCHAR) || '","region":"r'
+  || CAST(uid % 5 AS VARCHAR) || '"'
+  || CASE WHEN uid % 2 = 0
+       THEN ',"service.name":"svc' || CAST(uid % 3 AS VARCHAR) || '"'
+       ELSE '' END
+  || '}}' AS message
+FROM g ORDER BY event_id
+"""
+
+
+def q_cw_logs_export_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw mode: body ships verbatim; EMF v1 `_aws` metadata beats
+    the v0 top-level members beats the configured destination, and a
+    missing stream member keeps the configured stream."""
+    from .operators.cw_logs_export import cloudwatch_log_events
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 7 == 4)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    body = (
+        F.when(eid % 3 == 0,
+               F.concat(
+                   F.lit('{"_aws":{"log_group_name":"g'), s(eid % 5),
+                   F.when(eid % 2 == 0,
+                          F.concat(F.lit('","log_stream_name":"s'),
+                                   s(eid % 4), F.lit('"}}')))
+                   .otherwise(F.lit('"}}'))))
+        .when(eid % 3 == 1,
+              F.concat(F.lit('{"log_group_name":"g0'), s(eid % 5),
+                       F.lit('"}')))
+        .otherwise(F.concat(F.lit("plain "), s(eid)))
+    )
+    nmap = F.lit(None).cast("map<string,string>")
+    base = ev.select(
+        "event_id", tns.alias("ts_ns"), body.alias("body"),
+        F.lit(0).cast("int").alias("severity_number"),
+        F.lit("").alias("severity_text"),
+        F.lit(0).cast("bigint").alias("dropped_attributes_count"),
+        F.lit(0).cast("bigint").alias("flags"),
+        F.lit(None).cast("string").alias("trace_id"),
+        F.lit(None).cast("string").alias("span_id"),
+        nmap.alias("attributes"),
+        F.lit("").alias("scope_name"),
+        F.lit("").alias("scope_version"),
+        nmap.alias("scope_attributes"),
+        nmap.alias("resource"),
+    )
+    return cloudwatch_log_events(
+        base, log_group_name="cfg-g", log_stream_name="cfg-s",
+        raw_log=True,
+    ).orderBy("event_id")
+
+
+_CW_LOGS_RAW_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 7 = 4)
+SELECT eid AS event_id,
+  CASE WHEN eid % 3 = 0 THEN 'g' || CAST(eid % 5 AS VARCHAR)
+       WHEN eid % 3 = 1 THEN 'g0' || CAST(eid % 5 AS VARCHAR)
+       ELSE 'cfg-g' END AS log_group,
+  CASE WHEN eid % 3 = 0 AND eid % 2 = 0
+       THEN 's' || CAST(eid % 4 AS VARCHAR)
+       ELSE 'cfg-s' END AS log_stream,
+  tns // 1000000 AS timestamp_ms,
+  CASE WHEN eid % 3 = 0 THEN
+         '{"_aws":{"log_group_name":"g' || CAST(eid % 5 AS VARCHAR)
+         || CASE WHEN eid % 2 = 0
+              THEN '","log_stream_name":"s' || CAST(eid % 4 AS VARCHAR)
+                   || '"}}'
+              ELSE '"}}' END
+       WHEN eid % 3 = 1 THEN
+         '{"log_group_name":"g0' || CAST(eid % 5 AS VARCHAR) || '"}'
+       ELSE 'plain ' || CAST(eid AS VARCHAR) END AS message
+FROM f ORDER BY event_id
+"""
+
+_QUERIES["cw_logs_export_events"] = q_cw_logs_export
+_ORACLES["cw_logs_export_events"] = _CW_LOGS_ORACLE
+_QUERIES["cw_logs_export_raw_events"] = q_cw_logs_export_raw
+_ORACLES["cw_logs_export_raw_events"] = _CW_LOGS_RAW_ORACLE
+
+
+def q_macos_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """macOS unified-logging lines: ndjson probe (timestamp +
+    messageType severity incl. the unknown-type unset), invalid-JSON
+    passthrough, and all three completion-line drop classes."""
+    from .operators.macos_log import macos_log_records
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 7 == 1)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")
+    mt = F.element_at(F.array(
+        F.lit("Error"), F.lit("Fault"), F.lit("Default"),
+        F.lit("Info"), F.lit("Debug"), F.lit("Notice")),
+        (eid % 6 + 1).cast("int"))
+    ts_str = F.date_format(F.col("ts").cast("timestamp"),
+                           "yyyy-MM-dd HH:mm:ss.SSSSSSZ")
+    line = (
+        F.when(eid % 5 == 0, F.concat(
+            F.lit('{"timestamp":"'), ts_str,
+            F.lit('","messageType":"'), mt,
+            F.lit('","eventMessage":"m'), s(eid), F.lit('"}')))
+        .when(eid % 5 == 1, F.concat(F.lit("not json "), s(eid)))
+        .when(eid % 5 == 2, F.concat(F.lit("**done "), s(eid)))
+        .when(eid % 5 == 3, F.concat(
+            F.lit('{"count":'), s(eid), F.lit(',"finished":1}')))
+        .otherwise(F.concat(F.lit("Processed "), s(eid),
+                            F.lit(" entries")))
+    )
+    base = ev.select("event_id", line.alias("line"))
+    return macos_log_records(base).orderBy("event_id")
+
+
+_MACOS_LOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, ts, epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 7 = 1 AND event_id % 5 IN (0, 1)),
+g AS (
+  SELECT *,
+    CASE eid % 6 WHEN 0 THEN 'Error' WHEN 1 THEN 'Fault'
+      WHEN 2 THEN 'Default' WHEN 3 THEN 'Info' WHEN 4 THEN 'Debug'
+      ELSE 'Notice' END AS mt
+  FROM f)
+SELECT eid AS event_id,
+  CASE WHEN eid % 5 = 0 THEN
+    '{"timestamp":"' || strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+    || '+0000","messageType":"' || mt || '","eventMessage":"m'
+    || CAST(eid AS VARCHAR) || '"}'
+  ELSE 'not json ' || CAST(eid AS VARCHAR) END AS body,
+  CASE WHEN eid % 5 = 0 THEN tns END AS ts_ns,
+  CASE WHEN eid % 5 = 0 THEN mt END AS severity_text,
+  CASE WHEN eid % 5 = 0 THEN
+    CASE eid % 6 WHEN 0 THEN 17 WHEN 1 THEN 21 WHEN 2 THEN 9
+      WHEN 3 THEN 9 WHEN 4 THEN 5 END
+  END AS severity_number
+FROM g ORDER BY event_id
+"""
+
+_QUERIES["macos_logs_events"] = q_macos_logs
+_ORACLES["macos_logs_events"] = _MACOS_LOGS_ORACLE

@@ -1,0 +1,126 @@
+"""awscloudwatchlogsexporter battery: reference-behavior pins.
+
+Vectors match exporter/awscloudwatchlogsexporter/exporter_test.go
+(TestLogToCWLog) and util_test.go (pattern replacement)."""
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators.cw_logs_export import (
+    cloudwatch_log_events,
+)
+
+_SCHEMA = (
+    "event_id bigint, ts_ns bigint, body string, severity_number int, "
+    "severity_text string, dropped_attributes_count bigint, "
+    "flags bigint, trace_id string, span_id string, "
+    "attributes map<string,string>, scope_name string, "
+    "scope_version string, scope_attributes map<string,string>, "
+    "resource map<string,string>"
+)
+
+
+def _row(**over):
+    base = dict(
+        event_id=1, ts_ns=1609719139000000128, body="hello world",
+        severity_number=5, severity_text="debug",
+        dropped_attributes_count=4, flags=255,
+        trace_id="0102030405060708090a0b0c0d0e0f10",
+        span_id="0102030405060708",
+        attributes={"key1": "1", "key2": "attr2"},
+        scope_name="test-scope", scope_version="1.0.0",
+        scope_attributes={"scope-attr": "value"},
+        resource={"host": "abc123", "node": "200"})
+    base.update(over)
+    return base
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame([Row(**r) for r in rows], _SCHEMA)
+    return cloudwatch_log_events(df, **kw)
+
+
+def test_full_body_field_order_and_sorted_maps(spark):
+    out = _run(spark, [_row()]).head()
+    msg = out["message"]
+    # struct declaration order, maps sorted -- byte-exact contract
+    assert msg == (
+        '{"body":"hello world","severity_number":5,'
+        '"severity_text":"debug","dropped_attributes_count":4,'
+        '"flags":255,'
+        '"trace_id":"0102030405060708090a0b0c0d0e0f10",'
+        '"span_id":"0102030405060708",'
+        '"attributes":{"key1":"1","key2":"attr2"},'
+        '"scope":{"name":"test-scope","version":"1.0.0",'
+        '"attributes":{"scope-attr":"value"}},'
+        '"resource":{"host":"abc123","node":"200"}}'
+    )
+    assert json.loads(msg)  # well-formed
+    # ns -> ms truncation, exact at full int64 precision
+    assert out["timestamp_ms"] == 1609719139000
+
+
+def test_omitempty_everything(spark):
+    out = _run(spark, [_row(
+        severity_number=0, severity_text="",
+        dropped_attributes_count=0, flags=0, trace_id=None,
+        span_id=None, attributes=None, scope_name="",
+        scope_version=None, scope_attributes=None,
+        resource=None)]).head()
+    assert out["message"] == '{"body":"hello world"}'
+
+
+def test_scope_without_version_or_attrs(spark):
+    out = _run(spark, [_row(
+        severity_number=0, severity_text="",
+        dropped_attributes_count=0, flags=0, trace_id=None,
+        span_id=None, attributes=None, scope_version="",
+        scope_attributes=None, resource=None)]).head()
+    assert out["message"] == (
+        '{"body":"hello world","scope":{"name":"test-scope"}}')
+
+
+def test_string_escaping(spark):
+    out = _run(spark, [_row(
+        body='say "hi"\\now', severity_number=0, severity_text="",
+        dropped_attributes_count=0, flags=0, trace_id=None,
+        span_id=None, attributes=None, scope_name="",
+        resource=None)]).head()
+    assert out["message"] == '{"body":"say \\"hi\\"\\\\now"}'
+
+
+def test_pattern_replacement(spark):
+    out = _run(
+        spark,
+        [_row(resource={"ClusterName": "raw-wins",
+                        "aws.ecs.cluster.name": "mapped",
+                        "k8s.node.name": "node-7"})],
+        log_group_name="/aws/ecs/{ClusterName}/{NodeName}",
+        log_stream_name="{TaskId}",
+    ).head()
+    # raw key beats mapped key; mapped key used when raw absent;
+    # missing pattern -> literal "undefined"
+    assert out["log_group"] == "/aws/ecs/raw-wins/node-7"
+    assert out["log_stream"] == "undefined"
+
+
+def test_raw_mode_emf_override(spark):
+    v1 = json.dumps({"_aws": {"log_group_name": "g1",
+                              "log_stream_name": "s1"}, "x": 1})
+    v0 = json.dumps({"log_group_name": "g0"})
+    plain = "not json at all"
+    rows = [_row(event_id=1, body=v1), _row(event_id=2, body=v0),
+            _row(event_id=3, body=plain)]
+    out = {r["event_id"]: r for r in _run(
+        spark, rows, log_group_name="cfg-group",
+        log_stream_name="cfg-stream", raw_log=True).collect()}
+    assert (out[1]["log_group"], out[1]["log_stream"]) == ("g1", "s1")
+    # v0 group override without stream member keeps config stream
+    assert (out[2]["log_group"], out[2]["log_stream"]) == (
+        "g0", "cfg-stream")
+    assert (out[3]["log_group"], out[3]["log_stream"]) == (
+        "cfg-group", "cfg-stream")
+    # raw mode ships the body verbatim
+    assert out[3]["message"] == plain

@@ -1,0 +1,60 @@
+"""macosunifiedloggingreceiver battery: reference-behavior pins
+(receiver_darwin.go processLogLine / mapMessageTypeToSeverity /
+isCompletionLine)."""
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators.macos_log import (
+    macos_log_records,
+)
+
+
+def _run(spark, lines, fmt="ndjson"):
+    df = spark.createDataFrame(
+        [Row(event_id=i, line=x) for i, x in enumerate(lines)],
+        "event_id bigint, line string")
+    return macos_log_records(df, fmt=fmt).orderBy("event_id").collect()
+
+
+def test_ndjson_probe_and_severity_map(spark):
+    out = _run(spark, [
+        '{"timestamp":"2024-01-02 03:04:05.123456+0000",'
+        '"messageType":"Error","eventMessage":"x"}',
+        '{"messageType":"Fault"}',
+        '{"messageType":"Default"}',
+        '{"messageType":"Info"}',
+        '{"messageType":"Debug"}',
+        '{"messageType":"Signpost"}',  # unknown -> text, no number
+    ])
+    assert out[0]["ts_ns"] == 1704164645123456000
+    assert [r["severity_number"] for r in out] == [17, 21, 9, 9, 5, None]
+    assert out[5]["severity_text"] == "Signpost"
+    # body is always the whole raw line
+    assert out[1]["body"] == '{"messageType":"Fault"}'
+
+
+def test_invalid_json_keeps_body(spark):
+    out = _run(spark, ["plainly not json"])
+    assert out[0]["body"] == "plainly not json"
+    assert out[0]["ts_ns"] is None
+    assert out[0]["severity_number"] is None
+
+
+def test_completion_lines_dropped(spark):
+    out = _run(spark, [
+        "** log archive complete",
+        '  {"count":540659,"finished":1}  ',
+        "Processed 540659 entries",
+        "Processed batch, done",
+        "a real line",
+        "Processed without keyword",  # no entries/done -> kept
+    ])
+    assert [r["body"] for r in out] == ["a real line",
+                                       "Processed without keyword"]
+
+
+def test_compact_format_skips_probe(spark):
+    out = _run(spark, ['{"messageType":"Error"}'], fmt="compact")
+    assert out[0]["severity_number"] is None
+    assert out[0]["body"] == '{"messageType":"Error"}'
