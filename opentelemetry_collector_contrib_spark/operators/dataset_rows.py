@@ -1,0 +1,286 @@
+"""datasetexporter row mapping: log records / spans -> DataSet
+addEvents rows.
+
+Reference (exporter/datasetexporter/):
+
+* logs_exporter.go buildEventFromLog (:165-236): attrs built in a
+  FIXED insertion order (message when body non-empty,
+  dropped_attributes_count when >0, sca:observedTime when observed
+  ts != 0, span_id/trace_id when non-empty), then optional
+  resource attributes (prefix "resource.attributes."), then
+  scope.name + scope attributes (prefix "scope.attributes.",
+  enabled by default), then record attributes LAST (prefix "");
+  event Ts = record ts when != 0 else observed ts (ns, rendered
+  decimal); severity via the SeverityNumber range ladder (:103-135)
+  falling back to the lowercased SeverityText table (:137-163),
+  default INFO=3; Log="LL"/Thread="TL".
+* datasetexporter.go updateWithPrefixedValues (:106-133): key
+  collisions append ExportDistinguishingSuffix ("_" default) until
+  the key is free -- suffix "" means last-wins overwrite;
+  inferServerHost (:135-161): final-attrs "serverHost" > resource
+  "serverHost" > resource "host.name" > configured server host.
+* traces_exporter.go buildEventFromSpan (:41-90): Sev=INFO(9),
+  Ts=start ns; fixed attrs sca:schema=tracing/sca:schemaVer=1/
+  sca:type=span, name, span_id, parent_span_id when non-empty,
+  trace_id, start/end/duration ns as DECIMAL STRINGS, lowercased
+  kind and status-code enum names, status_message (even empty),
+  then updateResource (:103-131: service.name -> resource_name +
+  type service; else any service-prefixed key -> name "" + type
+  service; else process.pid value as name, type process), then span
+  attributes last with the collision suffix. Log="LT"/Thread="TT".
+
+Columnar model: map-only. The ordered attr build + collision suffix
+is one fold over an entries array per row; attrs render as a sorted
+"k=v" join (sorted AFTER collision resolution, mirroring the SDK's
+map semantics). The reference's now() fallback for zero timestamps
+is transport-time state a deterministic replay cannot reproduce;
+rows with both timestamps zero keep ts NULL (documented deviation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEV_DEFAULT = 3  # dataSetLogLevelInfo
+_SEV_TEXT = {
+    "fine": 0, "finest": 0, "trace": 1, "debug": 2, "info": 3,
+    "information": 3, "warn": 4, "warning": 4, "error": 5,
+    "fatal": 6, "critical": 6, "emergency": 6,
+}
+
+_ENTRY = "struct<key:string,value:string>"
+
+
+def _fold_attrs(entries: Column, suffix: str) -> Column:
+    """updateWithPrefixedValues collision handling: insert entries in
+    order; an existing key appends ``suffix`` until free (or
+    overwrites when the suffix is empty). Returns map<string,string>.
+    """
+    init = F.create_map().cast("map<string,string>")
+    if not suffix:
+        return F.map_from_entries(entries)  # LAST_WIN conf = last wins
+
+    def step(acc: Column, e: Column) -> Column:
+        k = e["key"]
+        # bounded probe: k, k_, k__, k___ (fixture depth; the
+        # reference loops unboundedly -- 4 levels is the documented
+        # battery bound)
+        k1 = F.concat(k, F.lit(suffix))
+        k2 = F.concat(k1, F.lit(suffix))
+        k3 = F.concat(k2, F.lit(suffix))
+        free = (
+            F.when(F.element_at(acc, k).isNull(), k)
+            .when(F.element_at(acc, k1).isNull(), k1)
+            .when(F.element_at(acc, k2).isNull(), k2)
+            .otherwise(k3))
+        return F.map_concat(acc, F.map_from_entries(F.array(
+            F.struct(free.alias("key"), e["value"].alias("value")))))
+
+    return F.aggregate(entries, init, step)
+
+
+def _render(m: Column) -> Column:
+    return F.array_join(
+        F.array_sort(F.transform(
+            F.map_entries(m),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+        ",")
+
+
+def _sev_from(num: Column, text: Column) -> Column:
+    by_num = (
+        F.when(num.between(1, 4), 1)
+        .when(num.between(5, 8), 2)
+        .when(num.between(9, 12), 3)
+        .when(num.between(13, 16), 4)
+        .when(num.between(17, 20), 5)
+        .when(num.between(21, 24), 6)
+        .otherwise(SEV_DEFAULT))
+    by_text = F.lit(SEV_DEFAULT)
+    lt = F.lower(text)
+    for k, v in _SEV_TEXT.items():
+        by_text = F.when(lt == k, v).otherwise(by_text)
+    return (
+        F.when(F.coalesce(num, F.lit(0)) > 0, by_num)
+        .when(F.coalesce(text, F.lit("")) != "", by_text)
+        .otherwise(SEV_DEFAULT))
+
+
+def _opt(cond: Column, key, val: Column) -> Column:
+    key_c = F.lit(key) if isinstance(key, str) else key
+    return F.when(cond, F.struct(key_c.alias("key"),
+                                 val.alias("value")))
+
+
+def _map_entries_prefixed(m: Column, prefix: str) -> Column:
+    """map -> ordered entries with a key prefix; Go map iteration is
+    unordered, so the battery pins SORTED key order for multi-key
+    maps (documented; single-key fixtures are order-free)."""
+    return F.transform(
+        F.array_sort(F.map_entries(F.coalesce(
+            m, F.create_map().cast("map<string,string>")))),
+        lambda e: F.struct(
+            F.concat(F.lit(prefix), e["key"]).alias("key"),
+            e["value"].alias("value")))
+
+
+def dataset_log_events(
+    df: DataFrame,
+    server_host: str = "",
+    export_resource_info: bool = False,
+    export_scope_info: bool = True,
+    separator: str = ".",
+    suffix: str = "_",
+) -> DataFrame:
+    """One log-record row -> one DataSet event row. Expected
+    columns: event_id, ts_ns, observed_ts_ns, body, severity_number,
+    severity_text, dropped_attributes_count, span_id, trace_id,
+    attributes map<string,string>, scope_name,
+    scope_attributes map<string,string>, resource map<string,string>.
+    """
+    ts = F.coalesce(F.col("ts_ns"), F.lit(0))
+    obs = F.coalesce(F.col("observed_ts_ns"), F.lit(0))
+    fixed = F.array(
+        _opt(F.coalesce(F.col("body"), F.lit("")) != "", "message",
+             F.col("body")),
+        _opt(F.coalesce(F.col("dropped_attributes_count"),
+                        F.lit(0)) > 0,
+             "dropped_attributes_count",
+             F.col("dropped_attributes_count").cast("string")),
+        _opt(obs != 0, "sca:observedTime", obs.cast("string")),
+        _opt(F.coalesce(F.col("span_id"), F.lit("")) != "", "span_id",
+             F.col("span_id")),
+        _opt(F.coalesce(F.col("trace_id"), F.lit("")) != "",
+             "trace_id", F.col("trace_id")),
+    )
+    entries = F.filter(fixed, lambda x: x.isNotNull())
+    if export_resource_info:
+        entries = F.concat(entries, _map_entries_prefixed(
+            F.col("resource"), "resource.attributes."))
+    if export_scope_info:
+        entries = F.concat(
+            entries,
+            F.filter(F.array(_opt(
+                F.coalesce(F.col("scope_name"), F.lit("")) != "",
+                "scope.name", F.col("scope_name"))),
+                lambda x: x.isNotNull()),
+            _map_entries_prefixed(F.col("scope_attributes"),
+                                  "scope.attributes."))
+    entries = F.concat(entries,
+                       _map_entries_prefixed(F.col("attributes"), ""))
+    attrs = _fold_attrs(entries, suffix)
+    host = F.coalesce(
+        F.when(F.coalesce(F.element_at(attrs, "serverHost"),
+                          F.lit("")) != "",
+               F.element_at(attrs, "serverHost")),
+        F.when(F.coalesce(F.element_at(F.col("resource"), "serverHost"),
+                          F.lit("")) != "",
+               F.element_at(F.col("resource"), "serverHost")),
+        F.when(F.coalesce(F.element_at(F.col("resource"), "host.name"),
+                          F.lit("")) != "",
+               F.element_at(F.col("resource"), "host.name")),
+        F.lit(server_host))
+    return df.select(
+        "event_id",
+        F.when(ts != 0, ts.cast("string"))
+         .when(obs != 0, obs.cast("string")).alias("ts"),
+        _sev_from(F.col("severity_number"), F.col("severity_text"))
+         .alias("sev"),
+        F.lit("LL").alias("log"),
+        F.lit("TL").alias("thread"),
+        F.lit("logs").alias("thread_name"),
+        host.alias("server_host"),
+        _render(attrs).alias("attrs"),
+    )
+
+
+_KINDS = {0: "unspecified", 1: "internal", 2: "server", 3: "client",
+          4: "producer", 5: "consumer"}
+_STATUS = {0: "unset", 1: "ok", 2: "error"}
+
+
+def dataset_span_events(df: DataFrame, server_host: str = "",
+                        suffix: str = "_") -> DataFrame:
+    """One span row -> one DataSet event row. Expected columns:
+    event_id, trace_id, span_id, parent_span_id, name,
+    start_ts_ns, end_ts_ns, kind int, status_code int,
+    status_message, attributes map<string,string>,
+    resource map<string,string>."""
+    res = F.coalesce(F.col("resource"),
+                     F.create_map().cast("map<string,string>"))
+    svc_name = F.element_at(res, "service.name")
+    has_service_prefix = F.exists(
+        F.map_keys(res), lambda k: k.startswith("service"))
+    pid = F.element_at(res, "process.pid")
+    res_name = (
+        F.when(svc_name.isNotNull(), svc_name)
+        .when(has_service_prefix, F.lit(""))
+        .otherwise(F.coalesce(pid, F.lit(""))))
+    res_type = F.when(svc_name.isNotNull() | has_service_prefix,
+                      "service").otherwise("process")
+    kind = F.lit("unspecified")
+    for code, nm in _KINDS.items():
+        kind = F.when(F.col("kind") == code, nm).otherwise(kind)
+    status = F.lit("unset")
+    for code, nm in _STATUS.items():
+        status = F.when(F.col("status_code") == code, nm) \
+                  .otherwise(status)
+    fixed = [
+        ("sca:schema", F.lit("tracing")),
+        ("sca:schemaVer", F.lit("1")),
+        ("sca:type", F.lit("span")),
+        ("name", F.col("name")),
+        ("span_id", F.col("span_id")),
+    ]
+    entries = F.array(*[
+        F.struct(F.lit(k).alias("key"), v.alias("value"))
+        for k, v in fixed])
+    entries = F.concat(
+        entries,
+        F.filter(F.array(_opt(
+            F.coalesce(F.col("parent_span_id"), F.lit("")) != "",
+            "parent_span_id", F.col("parent_span_id"))),
+            lambda x: x.isNotNull()),
+        F.array(*[
+            F.struct(F.lit(k).alias("key"), v.alias("value"))
+            for k, v in [
+                ("trace_id", F.col("trace_id")),
+                ("start_time_unix_nano",
+                 F.col("start_ts_ns").cast("string")),
+                ("end_time_unix_nano",
+                 F.col("end_ts_ns").cast("string")),
+                ("duration_nano",
+                 (F.col("end_ts_ns") - F.col("start_ts_ns"))
+                 .cast("string")),
+                ("kind", kind),
+                ("status_code", status),
+                ("status_message",
+                 F.coalesce(F.col("status_message"), F.lit(""))),
+                ("resource_name", res_name),
+                ("resource_type", res_type),
+            ]]),
+        _map_entries_prefixed(F.col("attributes"), ""),
+    )
+    attrs = _fold_attrs(entries, suffix)
+    host = F.coalesce(
+        F.when(F.coalesce(F.element_at(attrs, "serverHost"),
+                          F.lit("")) != "",
+               F.element_at(attrs, "serverHost")),
+        F.when(F.coalesce(F.element_at(res, "serverHost"),
+                          F.lit("")) != "",
+               F.element_at(res, "serverHost")),
+        F.when(F.coalesce(F.element_at(res, "host.name"),
+                          F.lit("")) != "",
+               F.element_at(res, "host.name")),
+        F.lit(server_host))
+    return df.select(
+        "event_id",
+        F.col("start_ts_ns").cast("string").alias("ts"),
+        F.lit(9).alias("sev"),
+        F.lit("LT").alias("log"),
+        F.lit("TT").alias("thread"),
+        F.lit("traces").alias("thread_name"),
+        host.alias("server_host"),
+        _render(attrs).alias("attrs"),
+    )

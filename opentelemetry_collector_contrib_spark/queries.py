@@ -17662,3 +17662,214 @@ FROM g ORDER BY event_id
 
 _QUERIES["macos_logs_events"] = q_macos_logs
 _ORACLES["macos_logs_events"] = _MACOS_LOGS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# datasetexporter (exporter/datasetexporter/): log/span -> addEvents
+# event rows.
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log events: both severity ladders, ts-over-observed priority,
+    ordered attr build with the collision suffix, scope export, and
+    the serverHost inference chain."""
+    from .operators.dataset_rows import dataset_log_events
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 7 == 0)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    sev_texts = F.array(*[F.lit(x) for x in (
+        "fine", "Trace", "DEBUG", "information", "warning", "Error",
+        "critical", "bogus", "")])
+    emap = F.create_map().cast("map<string,string>")
+    base = ev.select(
+        "event_id",
+        F.when(eid % 4 != 1, tns).otherwise(F.lit(0)).alias("ts_ns"),
+        (tns - 500).alias("observed_ts_ns"),
+        F.when(eid % 5 != 2, F.concat(F.lit("msg "), s(eid % 30)))
+         .otherwise(F.lit("")).alias("body"),
+        (eid % 26).cast("int").alias("severity_number"),
+        F.when(eid % 26 == 0,
+               F.element_at(sev_texts, (eid % 9 + 1).cast("int")))
+         .otherwise(F.lit("")).alias("severity_text"),
+        (eid % 3).alias("dropped_attributes_count"),
+        F.when(eid % 2 == 0, F.concat(F.lit("sp"), s(eid % 10)))
+         .alias("span_id"),
+        F.when(eid % 3 == 0, F.concat(F.lit("tr"), s(eid % 10)))
+         .alias("trace_id"),
+        F.when(eid % 4 == 0, F.create_map(
+            F.lit("k"), F.concat(F.lit("v"), s(eid % 6))))
+         .when(eid % 4 == 2, F.create_map(
+            F.lit("message"), F.concat(F.lit("am"), s(eid % 5))))
+         .alias("attributes"),
+        F.when(eid % 2 == 1, F.concat(F.lit("sc"), s(eid % 3)))
+         .otherwise(F.lit("")).alias("scope_name"),
+        F.when(eid % 6 == 1, F.create_map(
+            F.lit("sa"), F.concat(F.lit("z"), s(eid % 4))))
+         .alias("scope_attributes"),
+        F.when(eid % 5 == 0, F.create_map(
+            F.lit("host.name"), F.concat(F.lit("hn"), s(uid % 5))))
+         .when(eid % 5 == 1, F.create_map(
+            F.lit("serverHost"), F.concat(F.lit("rs"), s(uid % 3))))
+         .otherwise(emap).alias("resource"),
+    )
+    return dataset_log_events(base, server_host="cfg") \
+        .orderBy("event_id")
+
+
+_DATASET_LOGS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 7 = 0),
+g AS (
+  SELECT *,
+    CASE WHEN eid % 5 <> 2 THEN 'msg ' || CAST(eid % 30 AS VARCHAR)
+         ELSE '' END AS body,
+    list_value(
+      CASE WHEN eid % 5 <> 2
+        THEN 'message=msg ' || CAST(eid % 30 AS VARCHAR) END,
+      CASE WHEN eid % 3 <> 0
+        THEN 'dropped_attributes_count=' || CAST(eid % 3 AS VARCHAR)
+        END,
+      'sca:observedTime=' || CAST(tns - 500 AS VARCHAR),
+      CASE WHEN eid % 2 = 0
+        THEN 'span_id=sp' || CAST(eid % 10 AS VARCHAR) END,
+      CASE WHEN eid % 3 = 0
+        THEN 'trace_id=tr' || CAST(eid % 10 AS VARCHAR) END,
+      CASE WHEN eid % 2 = 1
+        THEN 'scope.name=sc' || CAST(eid % 3 AS VARCHAR) END,
+      CASE WHEN eid % 6 = 1
+        THEN 'scope.attributes.sa=z' || CAST(eid % 4 AS VARCHAR) END,
+      CASE WHEN eid % 4 = 0
+        THEN 'k=v' || CAST(eid % 6 AS VARCHAR) END,
+      CASE WHEN eid % 4 = 2 THEN
+        CASE WHEN eid % 5 <> 2 THEN 'message_=am' ELSE 'message=am'
+        END || CAST(eid % 5 AS VARCHAR) END
+    ) AS entries
+  FROM f)
+SELECT eid AS event_id,
+  CASE WHEN eid % 4 <> 1 THEN CAST(tns AS VARCHAR)
+       ELSE CAST(tns - 500 AS VARCHAR) END AS ts,
+  CASE
+    WHEN eid % 26 = 0 THEN
+      CASE eid % 9 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+        WHEN 3 THEN 3 WHEN 4 THEN 4 WHEN 5 THEN 5 WHEN 6 THEN 6
+        ELSE 3 END
+    WHEN eid % 26 BETWEEN 1 AND 4 THEN 1
+    WHEN eid % 26 BETWEEN 5 AND 8 THEN 2
+    WHEN eid % 26 BETWEEN 9 AND 12 THEN 3
+    WHEN eid % 26 BETWEEN 13 AND 16 THEN 4
+    WHEN eid % 26 BETWEEN 17 AND 20 THEN 5
+    WHEN eid % 26 BETWEEN 21 AND 24 THEN 6
+    ELSE 3 END AS sev,
+  'LL' AS log, 'TL' AS thread, 'logs' AS thread_name,
+  CASE WHEN eid % 5 = 1 THEN 'rs' || CAST(uid % 3 AS VARCHAR)
+       WHEN eid % 5 = 0 THEN 'hn' || CAST(uid % 5 AS VARCHAR)
+       ELSE 'cfg' END AS server_host,
+  array_to_string(
+    list_sort(list_filter(entries, x -> x IS NOT NULL)), ',')
+    AS attrs
+FROM g ORDER BY event_id
+"""
+
+
+def q_dataset_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span events: fixed tracing attrs, lowercased kind/status enum
+    names, updateResource service/process classification, span-attr
+    collision suffix."""
+    from .operators.dataset_rows import dataset_span_events
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 11 == 5)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    emap = F.create_map().cast("map<string,string>")
+    base = ev.select(
+        "event_id",
+        F.concat(F.lit("tr"), s(eid)).alias("trace_id"),
+        F.concat(F.lit("sp"), s(eid)).alias("span_id"),
+        F.when(eid % 2 == 0, F.concat(F.lit("pp"), s(eid)))
+         .alias("parent_span_id"),
+        F.concat(F.lit("op"), s(eid % 5)).alias("name"),
+        tns.alias("start_ts_ns"),
+        (tns + eid % 1000).alias("end_ts_ns"),
+        (eid % 7).cast("int").alias("kind"),
+        (eid % 3).cast("int").alias("status_code"),
+        F.when(eid % 2 == 1, F.concat(F.lit("sm"), s(eid % 4)))
+         .otherwise(F.lit("")).alias("status_message"),
+        F.when(eid % 3 == 0, F.create_map(
+            F.lit("name"), F.concat(F.lit("an"), s(eid % 2))))
+         .when(eid % 3 == 1, F.create_map(
+            F.lit("a1"), F.concat(F.lit("v"), s(eid % 4))))
+         .alias("attributes"),
+        F.when(eid % 5 == 0, F.create_map(
+            F.lit("service.name"), F.concat(F.lit("svc"), s(uid % 3))))
+         .when(eid % 5 == 1, F.create_map(
+            F.lit("service.version"), F.lit("1.2")))
+         .when(eid % 5 == 2, F.create_map(
+            F.lit("process.pid"), s(eid % 999)))
+         .when(eid % 5 == 3, F.create_map(
+            F.lit("host.name"), F.concat(F.lit("hh"), s(uid % 4))))
+         .otherwise(emap).alias("resource"),
+    )
+    return dataset_span_events(base, server_host="cfg") \
+        .orderBy("event_id")
+
+
+_DATASET_SPANS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 11 = 5),
+g AS (
+  SELECT *,
+    list_value(
+      'sca:schema=tracing', 'sca:schemaVer=1', 'sca:type=span',
+      'name=op' || CAST(eid % 5 AS VARCHAR),
+      'span_id=sp' || CAST(eid AS VARCHAR),
+      CASE WHEN eid % 2 = 0
+        THEN 'parent_span_id=pp' || CAST(eid AS VARCHAR) END,
+      'trace_id=tr' || CAST(eid AS VARCHAR),
+      'start_time_unix_nano=' || CAST(tns AS VARCHAR),
+      'end_time_unix_nano=' || CAST(tns + eid % 1000 AS VARCHAR),
+      'duration_nano=' || CAST(eid % 1000 AS VARCHAR),
+      'kind=' || CASE eid % 7 WHEN 0 THEN 'unspecified'
+        WHEN 1 THEN 'internal' WHEN 2 THEN 'server'
+        WHEN 3 THEN 'client' WHEN 4 THEN 'producer'
+        WHEN 5 THEN 'consumer' ELSE 'unspecified' END,
+      'status_code=' || CASE eid % 3 WHEN 0 THEN 'unset'
+        WHEN 1 THEN 'ok' ELSE 'error' END,
+      'status_message=' || CASE WHEN eid % 2 = 1
+        THEN 'sm' || CAST(eid % 4 AS VARCHAR) ELSE '' END,
+      'resource_name=' || CASE WHEN eid % 5 = 0
+        THEN 'svc' || CAST(uid % 3 AS VARCHAR)
+        WHEN eid % 5 = 2 THEN CAST(eid % 999 AS VARCHAR)
+        ELSE '' END,
+      'resource_type=' || CASE WHEN eid % 5 IN (0, 1) THEN 'service'
+        ELSE 'process' END,
+      CASE WHEN eid % 3 = 0
+        THEN 'name_=an' || CAST(eid % 2 AS VARCHAR) END,
+      CASE WHEN eid % 3 = 1
+        THEN 'a1=v' || CAST(eid % 4 AS VARCHAR) END
+    ) AS entries
+  FROM f)
+SELECT eid AS event_id,
+  CAST(tns AS VARCHAR) AS ts,
+  9 AS sev, 'LT' AS log, 'TT' AS thread, 'traces' AS thread_name,
+  CASE WHEN eid % 5 = 3 THEN 'hh' || CAST(uid % 4 AS VARCHAR)
+       ELSE 'cfg' END AS server_host,
+  array_to_string(
+    list_sort(list_filter(entries, x -> x IS NOT NULL)), ',')
+    AS attrs
+FROM g ORDER BY event_id
+"""
+
+_QUERIES["dataset_log_rows_events"] = q_dataset_logs
+_ORACLES["dataset_log_rows_events"] = _DATASET_LOGS_ORACLE
+_QUERIES["dataset_span_rows_events"] = q_dataset_spans
+_ORACLES["dataset_span_rows_events"] = _DATASET_SPANS_ORACLE

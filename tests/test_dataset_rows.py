@@ -1,0 +1,153 @@
+"""datasetexporter battery: reference-behavior pins
+(logs_exporter.go severity ladders + buildEventFromLog order,
+datasetexporter.go collision suffix + inferServerHost,
+traces_exporter.go updateResource)."""
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators.dataset_rows import (
+    dataset_log_events,
+    dataset_span_events,
+)
+
+_LOG_SCHEMA = (
+    "event_id bigint, ts_ns bigint, observed_ts_ns bigint, "
+    "body string, severity_number int, severity_text string, "
+    "dropped_attributes_count bigint, span_id string, "
+    "trace_id string, attributes map<string,string>, "
+    "scope_name string, scope_attributes map<string,string>, "
+    "resource map<string,string>"
+)
+
+
+def _log_row(**over):
+    base = dict(event_id=1, ts_ns=100, observed_ts_ns=50,
+                body="hello", severity_number=9, severity_text="",
+                dropped_attributes_count=0, span_id=None,
+                trace_id=None, attributes=None, scope_name="",
+                scope_attributes=None, resource=None)
+    base.update(over)
+    return base
+
+
+def _logs(spark, rows, **kw):
+    df = spark.createDataFrame([Row(**r) for r in rows], _LOG_SCHEMA)
+    return dataset_log_events(df, **kw).collect()
+
+
+def test_log_basic_and_ts_priority(spark):
+    out = _logs(spark, [_log_row()])[0]
+    assert out["ts"] == "100"
+    assert out["sev"] == 3
+    assert (out["log"], out["thread"], out["thread_name"]) == (
+        "LL", "TL", "logs")
+    assert out["attrs"] == "message=hello,sca:observedTime=50"
+    # record ts zero -> observed wins
+    out = _logs(spark, [_log_row(ts_ns=0)])[0]
+    assert out["ts"] == "50"
+
+
+def test_severity_ladders(spark):
+    nums = {1: 1, 4: 1, 5: 2, 8: 2, 9: 3, 12: 3, 13: 4, 16: 4,
+            17: 5, 20: 5, 21: 6, 24: 6, 25: 3}
+    for n, want in nums.items():
+        assert _logs(spark, [_log_row(severity_number=n)])[0]["sev"] \
+            == want, n
+    texts = {"FINEST": 0, "Trace": 1, "debug": 2, "Information": 3,
+             "WARNING": 4, "error": 5, "Emergency": 6, "bogus": 3}
+    for t, want in texts.items():
+        assert _logs(spark, [_log_row(
+            severity_number=0, severity_text=t)])[0]["sev"] == want, t
+
+
+def test_collision_suffix_and_scope(spark):
+    out = _logs(spark, [_log_row(
+        attributes={"message": "attr-msg"},
+        scope_name="sc", scope_attributes={"sa": "1"})])[0]
+    # record attr "message" collides with the body message -> message_
+    assert out["attrs"] == (
+        "message=hello,message_=attr-msg,sca:observedTime=50,"
+        "scope.attributes.sa=1,scope.name=sc")
+
+
+def test_server_host_priority(spark):
+    # final-attrs serverHost (from a record attribute) wins
+    out = _logs(spark, [_log_row(
+        attributes={"serverHost": "from-attr"},
+        resource={"serverHost": "from-res", "host.name": "hn"})],
+        server_host="cfg")[0]
+    assert out["server_host"] == "from-attr"
+    out = _logs(spark, [_log_row(
+        resource={"serverHost": "from-res", "host.name": "hn"})],
+        server_host="cfg")[0]
+    assert out["server_host"] == "from-res"
+    out = _logs(spark, [_log_row(resource={"host.name": "hn"})],
+                server_host="cfg")[0]
+    assert out["server_host"] == "hn"
+    out = _logs(spark, [_log_row()], server_host="cfg")[0]
+    assert out["server_host"] == "cfg"
+
+
+_SPAN_SCHEMA = (
+    "event_id bigint, trace_id string, span_id string, "
+    "parent_span_id string, name string, start_ts_ns bigint, "
+    "end_ts_ns bigint, kind int, status_code int, "
+    "status_message string, attributes map<string,string>, "
+    "resource map<string,string>"
+)
+
+
+def _span_row(**over):
+    base = dict(event_id=1, trace_id="aa" * 16, span_id="bb" * 8,
+                parent_span_id=None, name="op", start_ts_ns=1000,
+                end_ts_ns=3500, kind=2, status_code=2,
+                status_message="boom", attributes=None,
+                resource=None)
+    base.update(over)
+    return base
+
+
+def _spans(spark, rows, **kw):
+    df = spark.createDataFrame([Row(**r) for r in rows], _SPAN_SCHEMA)
+    return dataset_span_events(df, **kw).collect()
+
+
+def test_span_event(spark):
+    out = _spans(spark, [_span_row(
+        resource={"service.name": "svc1"})])[0]
+    assert out["ts"] == "1000"
+    assert out["sev"] == 9
+    assert (out["log"], out["thread"], out["thread_name"]) == (
+        "LT", "TT", "traces")
+    assert out["attrs"] == (
+        "duration_nano=2500,end_time_unix_nano=3500,kind=server,"
+        "name=op,resource_name=svc1,resource_type=service,"
+        "sca:schema=tracing,sca:schemaVer=1,sca:type=span,"
+        "span_id=" + "bb" * 8 + ",start_time_unix_nano=1000,"
+        "status_code=error,status_message=boom,"
+        "trace_id=" + "aa" * 16)
+
+
+def test_span_resource_classification(spark):
+    # service-prefixed key without service.name -> service, name ""
+    out = _spans(spark, [_span_row(
+        resource={"service.version": "2"})])[0]
+    assert "resource_name=," in out["attrs"]
+    assert "resource_type=service" in out["attrs"]
+    # process.pid without any service key -> process with pid name
+    out = _spans(spark, [_span_row(resource={"process.pid": "42"})])[0]
+    assert "resource_name=42" in out["attrs"]
+    assert "resource_type=process" in out["attrs"]
+    # empty resource -> process, empty name
+    out = _spans(spark, [_span_row()])[0]
+    assert "resource_name=," in out["attrs"]
+    assert "resource_type=process" in out["attrs"]
+
+
+def test_span_attr_overwrite_suffix(spark):
+    out = _spans(spark, [_span_row(
+        attributes={"name": "attr-name"}, parent_span_id="cc" * 8)])[0]
+    assert "name=op" in out["attrs"]
+    assert "name_=attr-name" in out["attrs"]
+    assert ("parent_span_id=" + "cc" * 8) in out["attrs"]
