@@ -1,0 +1,123 @@
+"""sematextexporter: metric points -> InfluxDB line-protocol lines
+with Sematext's tag policy.
+
+Reference (exporter/sematextexporter/writer.go):
+
+* EnqueuePoint (:128-162): one line per point --
+  measurement,sorted-tags fields timestamp(ns).
+* optimizeTags (:213-264): a fixed ALLOWLIST of tag keys
+  (service.name, service.instance.id, process.pid, os.type,
+  os.host, http.response.status_code, network.protocol.version,
+  jvm.memory.type, http.request.method, jvm.gc.name, token); the
+  writer's token and hostname are ALWAYS injected as token/os.host
+  (overriding same-named incoming tags); empty keys/values and
+  non-allowed keys are dropped; output sorted by key.
+* convertFields (:266-278): empty field keys dropped; values via
+  lineprotocol.NewValue -- int64 renders "<n>i", uint64 "<n>u",
+  float64 via strconv 'g' shortest, bool true/false, strings
+  double-quoted. Go iterates the field map in RANDOM order; this
+  battery pins SORTED field order (documented determinism choice).
+
+Line-protocol escaping (the public v2 spec the encoder implements):
+measurement escapes ',' and ' '; tag keys/values and field keys
+escape ',', '=' and ' '; string field values are double-quoted with
+backslash-escaped '\\' and '"'. All pure Column string work; the
+float render reuses the adx battery's Go strconv 'g' formatter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .adx_rows import go_float_g
+
+ALLOWED_TAGS = (
+    "service.name", "service.instance.id", "process.pid", "os.type",
+    "os.host", "http.response.status_code",
+    "network.protocol.version", "jvm.memory.type",
+    "http.request.method", "jvm.gc.name", "token",
+)
+
+FIELD_VALUE_STRUCT = (
+    "map<string,struct<s:string,i:bigint,u:bigint,d:double,"
+    "b:boolean>>"
+)
+
+
+def _esc_name(c: Column) -> Column:
+    # measurement: ',' and ' '
+    return F.replace(F.replace(c, F.lit(","), F.lit(r"\,")),
+                     F.lit(" "), F.lit(r"\ "))
+
+
+def _esc_tag(c: Column) -> Column:
+    # tag keys/values + field keys: ',', '=', ' '
+    out = F.replace(c, F.lit(","), F.lit(r"\,"))
+    out = F.replace(out, F.lit("="), F.lit(r"\="))
+    return F.replace(out, F.lit(" "), F.lit(r"\ "))
+
+
+def _esc_str_field(c: Column) -> Column:
+    return F.concat(
+        F.lit('"'),
+        F.replace(F.replace(c, F.lit("\\"), F.lit("\\\\")),
+                  F.lit('"'), F.lit('\\"')),
+        F.lit('"'))
+
+
+def sematext_metric_lines(
+    df: DataFrame,
+    token: str,
+    hostname: str,
+) -> DataFrame:
+    """One point row -> one line-protocol line. Expected columns:
+    event_id, measurement, tags map<string,string>, fields
+    (FIELD_VALUE_STRUCT: exactly one member non-null per value),
+    ts_ns."""
+    tags = F.coalesce(F.col("tags"),
+                      F.create_map().cast("map<string,string>"))
+    kept = F.filter(
+        F.map_entries(tags),
+        lambda e: (e["key"] != "") & (e["value"] != "")
+        & e["key"].isin(*ALLOWED_TAGS)
+        & ~e["key"].isin("token", "os.host"),
+    )
+    injected = F.concat(kept, F.array(
+        F.struct(F.lit("token").alias("key"),
+                 F.lit(token).alias("value")),
+        F.struct(F.lit("os.host").alias("key"),
+                 F.lit(hostname).alias("value"))))
+    tag_str = F.array_join(
+        F.array_sort(F.transform(
+            injected,
+            lambda e: F.concat(_esc_tag(e["key"]), F.lit("="),
+                               _esc_tag(e["value"])))),
+        ",")
+
+    def fval(v: Column) -> Column:
+        return (
+            F.when(v["s"].isNotNull(), _esc_str_field(v["s"]))
+            .when(v["i"].isNotNull(),
+                  F.concat(v["i"].cast("string"), F.lit("i")))
+            .when(v["u"].isNotNull(),
+                  F.concat(v["u"].cast("string"), F.lit("u")))
+            .when(v["d"].isNotNull(), go_float_g(v["d"]))
+            .when(v["b"].isNotNull(),
+                  F.when(v["b"], "true").otherwise("false")))
+
+    field_str = F.array_join(
+        F.array_sort(F.transform(
+            F.filter(F.map_entries(F.col("fields")),
+                     lambda e: e["key"] != ""),
+            lambda e: F.concat(_esc_tag(e["key"]), F.lit("="),
+                               fval(e["value"])))),
+        ",")
+    return df.select(
+        "event_id",
+        F.concat(
+            _esc_name(F.col("measurement")), F.lit(","), tag_str,
+            F.lit(" "), field_str, F.lit(" "),
+            F.col("ts_ns").cast("string"),
+        ).alias("line"),
+    )

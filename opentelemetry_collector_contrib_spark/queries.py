@@ -17873,3 +17873,78 @@ _QUERIES["dataset_log_rows_events"] = q_dataset_logs
 _ORACLES["dataset_log_rows_events"] = _DATASET_LOGS_ORACLE
 _QUERIES["dataset_span_rows_events"] = q_dataset_spans
 _ORACLES["dataset_span_rows_events"] = _DATASET_SPANS_ORACLE
+
+
+def q_sematext_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sematext line-protocol render: tag allowlist + token/os.host
+    injection + sorted tags, the five field value renders, and the
+    measurement/tag/string escape classes."""
+    from .operators.sematext import sematext_metric_lines
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 11 == 3)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    meas = F.element_at(F.array(
+        F.lit("cpu"), F.lit("disk usage"), F.lit("mem,total"),
+        F.lit("net")), (eid % 4 + 1).cast("int"))
+    fv = lambda **kw: F.struct(
+        kw.get("s", F.lit(None).cast("string")).alias("s"),
+        kw.get("i", F.lit(None).cast("bigint")).alias("i"),
+        kw.get("u", F.lit(None).cast("bigint")).alias("u"),
+        kw.get("d", F.lit(None).cast("double")).alias("d"),
+        kw.get("b", F.lit(None).cast("boolean")).alias("b"))
+    fields = (
+        F.when(eid % 3 == 0, F.create_map(
+            F.lit("f1"), fv(d=(eid % 100).cast("double") + 0.5),
+            F.lit("s1"), fv(s=F.concat(F.lit('q "'), s(eid % 5),
+                                       F.lit('"')))))
+        .when(eid % 3 == 1, F.create_map(
+            F.lit("f2"), fv(i=(eid % 50).cast("bigint")),
+            F.lit("b1"), fv(b=eid % 2 == 0)))
+        .otherwise(F.create_map(
+            F.lit("u1"), fv(u=(eid % 70).cast("bigint")))))
+    tags = F.map_concat(
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc "), s(uid % 3)),
+            F.lit("bogus.tag"), F.lit("x"),
+            F.lit("http.request.method"), F.lit("GET")),
+        F.when(eid % 2 == 0, F.create_map(
+            F.lit("os.type"), F.lit("linux")))
+         .otherwise(F.create_map(F.lit("os.type"), F.lit(""))))
+    base = ev.select("event_id", meas.alias("measurement"),
+                     tags.alias("tags"), fields.alias("fields"),
+                     tns.alias("ts_ns"))
+    return sematext_metric_lines(base, token="tok1",
+                                 hostname="host-1") \
+        .orderBy("event_id")
+
+
+_SEMATEXT_ORACLE = r"""
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 11 = 3)
+SELECT eid AS event_id,
+  CASE eid % 4 WHEN 0 THEN 'cpu' WHEN 1 THEN 'disk\ usage'
+    WHEN 2 THEN 'mem\,total' ELSE 'net' END
+  || ',http.request.method=GET,os.host=host-1'
+  || CASE WHEN eid % 2 = 0 THEN ',os.type=linux' ELSE '' END
+  || ',service.name=svc\ ' || CAST(uid % 3 AS VARCHAR)
+  || ',token=tok1 '
+  || CASE
+     WHEN eid % 3 = 0 THEN
+       'f1=' || CAST(eid % 100 AS VARCHAR) || '.5'
+       || ',s1="q \"' || CAST(eid % 5 AS VARCHAR) || '\""'
+     WHEN eid % 3 = 1 THEN
+       'b1=' || CASE WHEN eid % 2 = 0 THEN 'true' ELSE 'false' END
+       || ',f2=' || CAST(eid % 50 AS VARCHAR) || 'i'
+     ELSE 'u1=' || CAST(eid % 70 AS VARCHAR) || 'u' END
+  || ' ' || CAST(tns AS VARCHAR) AS line
+FROM f ORDER BY event_id
+"""
+
+_QUERIES["sematext_metric_lines_events"] = q_sematext_lines
+_ORACLES["sematext_metric_lines_events"] = _SEMATEXT_ORACLE

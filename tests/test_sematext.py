@@ -1,0 +1,78 @@
+"""sematextexporter battery: writer.go behavior pins + a roundtrip
+through the repo's existing influx line-protocol PARSER (the two
+directions must agree)."""
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from opentelemetry_collector_contrib_spark.operators.sematext import (
+    FIELD_VALUE_STRUCT,
+    sematext_metric_lines,
+)
+
+_SCHEMA = (
+    "event_id bigint, measurement string, tags map<string,string>, "
+    f"fields {FIELD_VALUE_STRUCT}, ts_ns bigint"
+)
+
+
+def _fv(s=None, i=None, u=None, d=None, b=None):
+    return Row(s=s, i=i, u=u, d=d, b=b)
+
+
+def _run(spark, rows, token="tok1", hostname="host-1"):
+    df = spark.createDataFrame([Row(**r) for r in rows], _SCHEMA)
+    return sematext_metric_lines(df, token, hostname).collect()
+
+
+def test_tag_allowlist_injection_and_sorting(spark):
+    out = _run(spark, [dict(
+        event_id=1, measurement="cpu",
+        tags={"service.name": "svc", "bogus": "dropme",
+              "os.type": "linux", "empty": "", "token": "incoming",
+              "os.host": "incoming-host"},
+        fields={"usage": _fv(d=42.5)}, ts_ns=1700000000000000000)])
+    # token/os.host always from the writer; bogus + empty dropped;
+    # sorted tag keys
+    assert out[0]["line"] == (
+        "cpu,os.host=host-1,os.type=linux,service.name=svc,"
+        "token=tok1 usage=42.5 1700000000000000000")
+
+
+def test_escaping_and_field_types(spark):
+    out = _run(spark, [dict(
+        event_id=1, measurement="disk usage,total",
+        tags={"service.name": "my svc"},
+        fields={"n int": _fv(i=7), "u": _fv(u=8), "b": _fv(b=True),
+                "s": _fv(s='say "hi"\\')},
+        ts_ns=5)])
+    assert out[0]["line"] == (
+        r"disk\ usage\,total,os.host=host-1,service.name=my\ svc,"
+        'token=tok1 b=true,n\\ int=7i,s="say \\"hi\\"\\\\",u=8u 5')
+
+
+def test_roundtrip_through_influx_parser(spark):
+    from opentelemetry_collector_contrib_spark.operators.influx import (
+        influx_lp_parse,
+    )
+    rows = [dict(
+        event_id=i, measurement=f"m{i % 3}",
+        tags={"service.name": f"svc{i % 2}", "os.type": "linux"},
+        fields={"f1": _fv(d=i + 0.25), "f2": _fv(i=i * 3),
+                "s1": _fv(s=f"text {i}")},
+        ts_ns=1700000000000000000 + i) for i in range(20)]
+    lines = sematext_metric_lines(
+        spark.createDataFrame([Row(**r) for r in rows], _SCHEMA),
+        "tok", "h0")
+    parsed = influx_lp_parse(
+        lines.withColumnRenamed("line", "line"), precision="ns")
+    got = {(r["event_id"], r["field_key"]): r
+           for r in parsed.collect()}
+    assert len(got) == 60  # 3 fields x 20 lines, no parse errors
+    for i in range(20):
+        assert got[(i, "f1")]["value_double"] == i + 0.25
+        assert got[(i, "f2")]["value_int"] == i * 3
+        assert got[(i, "s1")]["value_str"] == f"text {i}"
+        assert got[(i, "f1")]["measurement"] == f"m{i % 3}"
+        assert got[(i, "f1")]["ts_ns"] == 1700000000000000000 + i
+        assert got[(i, "f1")]["error"] is None
