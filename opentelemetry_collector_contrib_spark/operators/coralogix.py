@@ -1,0 +1,73 @@
+"""coralogixexporter resource metadata: application / subsystem
+resolution stamped onto every resource.
+
+Reference (exporter/coralogixexporter/):
+
+* config.go getMetadataFromResource (:269-308): appName = first
+  NON-EMPTY value among the configured application-name attribute
+  keys (e.g. service.namespace, k8s.namespace.name), else the
+  configured AppName, else the cx.application.name resource attr;
+  subsystem likewise over its own key list (e.g. service.name),
+  SubSystem config, cx.subsystem.name.
+* logs/metrics/traces/profiles clients (:53-64 each): the resolved
+  pair is PutStr-ed onto the resource as cx.application.name /
+  cx.subsystem.name before export -- overwriting any prior values
+  (an empty resolution stamps the empty string).
+
+Columnar model: map-only CASE/coalesce chain over the resource map.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+APP_NAME_ATTR = "cx.application.name"
+SUBSYSTEM_ATTR = "cx.subsystem.name"
+
+
+def _resolve(res: Column, attr_keys: Sequence[str],
+             configured: str, cx_attr: str) -> Column:
+    out = F.lit(None).cast("string")
+    for key in attr_keys:
+        v = F.element_at(res, key)
+        out = F.coalesce(out, F.when(v != "", v))
+    if configured:
+        out = F.coalesce(out, F.lit(configured))
+    cx = F.element_at(res, cx_attr)
+    out = F.coalesce(out, F.when(cx != "", cx))
+    return F.coalesce(out, F.lit(""))
+
+
+def coralogix_resource_metadata(
+    df: DataFrame,
+    app_name_attributes: Sequence[str] = (),
+    subsystem_attributes: Sequence[str] = (),
+    app_name: str = "",
+    subsystem: str = "",
+    resource: str = "resource",
+) -> DataFrame:
+    """Adds application/subsystem columns and the stamped resource
+    map (cx.* keys overwritten, matching the per-client PutStr)."""
+    res = F.coalesce(F.col(resource),
+                     F.create_map().cast("map<string,string>"))
+    app = _resolve(res, app_name_attributes, app_name, APP_NAME_ATTR)
+    sub = _resolve(res, subsystem_attributes, subsystem,
+                   SUBSYSTEM_ATTR)
+    stamped = F.map_concat(
+        F.map_filter(res, lambda k, _: ~k.isin(APP_NAME_ATTR,
+                                               SUBSYSTEM_ATTR)),
+        F.create_map(F.lit(APP_NAME_ATTR), app,
+                     F.lit(SUBSYSTEM_ATTR), sub))
+    return df.select(
+        *df.columns,
+        app.alias("application_name"),
+        sub.alias("subsystem_name"),
+        F.array_join(
+            F.array_sort(F.transform(
+                F.map_entries(stamped),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+            ",").alias("stamped_resource"),
+    )

@@ -17948,3 +17948,84 @@ FROM f ORDER BY event_id
 
 _QUERIES["sematext_metric_lines_events"] = q_sematext_lines
 _ORACLES["sematext_metric_lines_events"] = _SEMATEXT_ORACLE
+
+
+def q_coralogix_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coralogix app/subsystem resolution: attribute-list first-non-
+    empty, config fallback, cx.* fallback, empty-string stamp."""
+    from .operators.coralogix import coralogix_resource_metadata
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 11 == 7)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    emap = F.create_map().cast("map<string,string>")
+    resource = F.map_concat(
+        F.when(eid % 3 == 0, F.create_map(
+            F.lit("service.namespace"),
+            F.concat(F.lit("ns"), s(uid % 4)))).otherwise(emap),
+        F.when(eid % 4 == 1, F.create_map(
+            F.lit("k8s.namespace.name"),
+            F.concat(F.lit("kns"), s(uid % 3)))).otherwise(emap),
+        F.when(eid % 2 == 0, F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), s(uid % 5)))).otherwise(emap),
+        F.when(eid % 5 == 2, F.create_map(
+            F.lit("cx.application.name"),
+            F.concat(F.lit("cxapp"), s(eid % 3)),
+            F.lit("cx.subsystem.name"),
+            F.concat(F.lit("cxsub"), s(eid % 4)))).otherwise(emap),
+        # an EMPTY value in a listed attr must be skipped, not taken
+        F.when(eid % 6 == 1, F.create_map(
+            F.lit("service.namespace"), F.lit(""))).otherwise(emap),
+    )
+    base = ev.select("event_id", resource.alias("resource"))
+    return coralogix_resource_metadata(
+        base,
+        app_name_attributes=("service.namespace", "k8s.namespace.name"),
+        subsystem_attributes=("service.name",),
+        app_name="", subsystem="default-sub",
+    ).drop("resource").orderBy("event_id")
+
+
+_CORALOGIX_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid
+  FROM events WHERE event_id % 11 = 7),
+g AS (
+  SELECT *,
+    CASE WHEN eid % 3 = 0 AND NOT (eid % 6 = 1)
+         THEN 'ns' || CAST(uid % 4 AS VARCHAR)
+         WHEN eid % 4 = 1 THEN 'kns' || CAST(uid % 3 AS VARCHAR)
+         WHEN eid % 5 = 2 THEN 'cxapp' || CAST(eid % 3 AS VARCHAR)
+         ELSE '' END AS app,
+    CASE WHEN eid % 2 = 0 THEN 'svc' || CAST(uid % 5 AS VARCHAR)
+         ELSE 'default-sub' END AS sub
+  FROM f),
+h AS (
+  SELECT *,
+    list_value(
+      CASE WHEN eid % 3 = 0 AND eid % 6 = 1
+             THEN 'service.namespace='
+           WHEN eid % 3 = 0
+             THEN 'service.namespace=ns' || CAST(uid % 4 AS VARCHAR)
+           WHEN eid % 6 = 1 THEN 'service.namespace=' END,
+      CASE WHEN eid % 4 = 1
+        THEN 'k8s.namespace.name=kns' || CAST(uid % 3 AS VARCHAR)
+        END,
+      CASE WHEN eid % 2 = 0
+        THEN 'service.name=svc' || CAST(uid % 5 AS VARCHAR) END,
+      'cx.application.name=' || app,
+      'cx.subsystem.name=' || sub
+    ) AS entries
+  FROM g)
+SELECT eid AS event_id,
+  app AS application_name, sub AS subsystem_name,
+  array_to_string(
+    list_sort(list_filter(entries, x -> x IS NOT NULL)), ',')
+    AS stamped_resource
+FROM h ORDER BY event_id
+"""
+
+_QUERIES["coralogix_metadata_events"] = q_coralogix_metadata
+_ORACLES["coralogix_metadata_events"] = _CORALOGIX_ORACLE
