@@ -1,0 +1,130 @@
+"""jsonlogencodingextension + textencodingextension codecs.
+
+Reference:
+
+* extension/encoding/jsonlogencodingextension/extension.go --
+  MarshalLogs (:30-95): plain mode requires a Map body (anything
+  else is the "marshal: expected 'Map' found '<T>'" error; the
+  reference fails the whole batch -- surfaced per-row here, house
+  convention) and marshals it with Go's sorted map keys; the
+  body-with-inline-attributes mode builds {body?,
+  resourceAttributes?, logAttributes?} entries (each member only
+  when non-nil/non-empty; key order is Go's sorted marshal).
+  ArrayMode joins entries as a JSON array, else ndjson lines.
+  UnmarshalLogs (:98-127): array or ndjson of objects -> one
+  Map-bodied record each.
+* extension/encoding/textencodingextension/text.go -- MarshalLogs
+  (:65-84): bodies joined by the marshaling separator;
+  UnmarshalLogs (:25-62): bufio.Scanner with a regex separator
+  split -- token = bytes before each match, the unterminated tail
+  is the last token, and a separator-terminated buffer yields NO
+  trailing empty token (interior empty tokens survive).
+
+Columnar model: map-only JSON assembly via the adx helpers; the
+text split is one split + posexplode with the trailing-empty-token
+drop. The reference's observed-now timestamps are transport state
+(not reproduced; house convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .adx_rows import _esc, _json_obj
+
+
+def _map_obj(m: Column) -> Column:
+    return _json_obj(F.transform(
+        F.map_entries(m),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.concat(F.lit('"'), _esc(e["value"]), F.lit('"'))
+             .alias("enc"))))
+
+
+def jsonlog_marshal(df: DataFrame, inline_attributes: bool = False
+                    ) -> DataFrame:
+    """One record row -> one JSON entry row (the ndjson line; array
+    mode is the same entries comma-joined by the caller). Expected
+    columns: event_id, body_map map<string,string> (plain mode),
+    body_str string + attributes/resource maps (inline mode)."""
+    if inline_attributes:
+        res_obj = _map_obj(F.col("resource"))
+        attr_obj = _map_obj(F.col("attributes"))
+        entry = F.concat(
+            F.lit("{"),
+            F.concat_ws(
+                ",",
+                F.when(F.col("body_str").isNotNull(),
+                       F.concat(F.lit('"body":"'),
+                                _esc(F.col("body_str")), F.lit('"'))),
+                F.when(
+                    F.col("attributes").isNotNull()
+                    & (F.size(F.map_entries(F.col("attributes"))) > 0),
+                    F.concat(F.lit('"logAttributes":'), attr_obj)),
+                F.when(
+                    F.col("resource").isNotNull()
+                    & (F.size(F.map_entries(F.col("resource"))) > 0),
+                    F.concat(F.lit('"resourceAttributes":'), res_obj)),
+            ),
+            F.lit("}"))
+        return df.select("event_id", entry.alias("entry"),
+                         F.lit(None).cast("string").alias("error"))
+    body = F.col("body_map")
+    return df.select(
+        "event_id",
+        F.when(body.isNotNull(), _map_obj(body)).alias("entry"),
+        F.when(body.isNull(),
+               F.lit("marshal: expected 'Map' found 'Str'"))
+         .alias("error"))
+
+
+def jsonlog_unmarshal(df: DataFrame, buf: str = "buf") -> DataFrame:
+    """ndjson buffer -> one Map-bodied record row per line."""
+    lines = F.split(F.col(buf), "\n")
+    out = df.select(
+        *df.columns,
+        F.posexplode(lines).alias("record_index", "_line"))
+    parsed = F.from_json(F.col("_line"), "map<string,string>")
+    return out.select(
+        *[c for c in df.columns if c != buf],
+        "record_index",
+        F.array_join(
+            F.array_sort(F.transform(
+                F.map_entries(parsed),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]))),
+            ",").alias("body"),
+    )
+
+
+def text_marshal(df: DataFrame, separator: str,
+                 group: str = "batch_id", order: str = "record_index",
+                 body: str = "body") -> DataFrame:
+    """Records -> one joined buffer row per batch."""
+    return (
+        df.groupBy(group)
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col(order).alias("i"),
+                             F.col(body).alias("b")))),
+                lambda x: x["b"]),
+            separator).alias("buf")))
+
+
+def text_unmarshal(df: DataFrame, separator_re: str,
+                   buf: str = "buf") -> DataFrame:
+    """Buffer -> one record row per token (Scanner split semantics:
+    the separator-terminated tail yields no empty token; interior
+    empties survive)."""
+    toks = F.split(F.col(buf), separator_re)
+    n = F.size(toks)
+    toks = F.when(F.col(buf) == "", F.array().cast("array<string>")) \
+        .when((n > 1) & (F.element_at(toks, -1) == ""),
+              F.slice(toks, 1, n - 1)) \
+        .otherwise(toks)
+    out = df.select(
+        *[c for c in df.columns if c != buf],
+        F.posexplode(toks).alias("record_index", "body"))
+    return out

@@ -18029,3 +18029,98 @@ FROM h ORDER BY event_id
 
 _QUERIES["coralogix_metadata_events"] = q_coralogix_metadata
 _ORACLES["coralogix_metadata_events"] = _CORALOGIX_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# jsonlog + text encoding extensions.
+# ---------------------------------------------------------------------------
+
+
+def q_jsonlog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonlog plain mode: sorted-key map-body marshal + the
+    non-Map-body error class."""
+    from .operators.simple_encodings import jsonlog_marshal
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 11 == 9)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    base = ev.select(
+        "event_id",
+        F.when(eid % 4 != 2, F.create_map(
+            F.lit("level"), F.concat(F.lit("l"), s(eid % 5)),
+            F.lit("app"), F.concat(F.lit("a"), s(uid % 3)),
+            F.lit("msg"), F.concat(F.lit('say "'), s(eid % 7),
+                                   F.lit('"'))))
+         .alias("body_map"),
+    )
+    return jsonlog_marshal(base).orderBy("event_id")
+
+
+_JSONLOG_LINES_ORACLE = r"""
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid
+  FROM events WHERE event_id % 11 = 9)
+SELECT eid AS event_id,
+  CASE WHEN eid % 4 <> 2 THEN
+    '{"app":"a' || CAST(uid % 3 AS VARCHAR)
+    || '","level":"l' || CAST(eid % 5 AS VARCHAR)
+    || '","msg":"say \"' || CAST(eid % 7 AS VARCHAR) || '\""}'
+  END AS entry,
+  CASE WHEN eid % 4 = 2
+       THEN 'marshal: expected ''Map'' found ''Str''' END AS error
+FROM f ORDER BY event_id
+"""
+
+
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text codec roundtrip: bodies joined with the separator, then
+    Scanner-split back -- the separator-terminated trailing empty
+    body is LOST (exactly the reference's semantics), interior
+    empties survive."""
+    from .operators.simple_encodings import text_marshal, text_unmarshal
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 11 == 10)
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")
+    base = ev.select(
+        F.floor(eid / 55).alias("batch_id"),
+        (eid % 55).cast("int").alias("record_index"),
+        F.when(eid % 9 == 4, F.lit(""))
+         .otherwise(F.concat(F.lit("line "), s(eid % 40)))
+         .alias("body"),
+    )
+    joined = text_marshal(base, "\n")
+    return text_unmarshal(joined, "\n") \
+        .orderBy("batch_id", "record_index")
+
+
+_TEXT_ROUNDTRIP_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, event_id // 55 AS batch_id,
+    CASE WHEN event_id % 9 = 4 THEN ''
+         ELSE 'line ' || CAST(event_id % 40 AS VARCHAR) END AS body
+  FROM events WHERE event_id % 11 = 10),
+b AS (
+  SELECT batch_id,
+    array_to_string(list(body ORDER BY eid), chr(10)) AS buf
+  FROM f GROUP BY batch_id),
+t AS (
+  SELECT batch_id,
+    CASE WHEN buf = '' THEN []
+         WHEN len(string_split(buf, chr(10))) > 1
+              AND string_split(buf, chr(10))[-1] = ''
+         THEN string_split(buf, chr(10))[:-2]
+         ELSE string_split(buf, chr(10)) END AS toks
+  FROM b)
+SELECT batch_id,
+  UNNEST(range(len(toks))) AS record_index,
+  UNNEST(toks) AS body
+FROM t ORDER BY batch_id, record_index
+"""
+
+_QUERIES["jsonlog_lines_events"] = q_jsonlog_lines
+_ORACLES["jsonlog_lines_events"] = _JSONLOG_LINES_ORACLE
+_QUERIES["text_roundtrip_events"] = q_text_roundtrip
+_ORACLES["text_roundtrip_events"] = _TEXT_ROUNDTRIP_ORACLE

@@ -1,0 +1,80 @@
+"""jsonlog + text encoding extension pins."""
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators.simple_encodings import (
+    jsonlog_marshal,
+    jsonlog_unmarshal,
+    text_marshal,
+    text_unmarshal,
+)
+
+
+def test_jsonlog_plain_mode(spark):
+    df = spark.createDataFrame(
+        [Row(event_id=1, body_map={"b": "2", "a": "x \"q\""}),
+         Row(event_id=2, body_map=None)],
+        "event_id bigint, body_map map<string,string>")
+    out = {r["event_id"]: r for r in jsonlog_marshal(df).collect()}
+    # sorted keys + Go string escapes
+    assert out[1]["entry"] == '{"a":"x \\"q\\"","b":"2"}'
+    assert out[1]["error"] is None
+    # non-map body -> the reference's marshal error
+    assert out[2]["entry"] is None
+    assert "expected 'Map'" in out[2]["error"]
+
+
+def test_jsonlog_inline_mode(spark):
+    df = spark.createDataFrame(
+        [Row(event_id=1, body_str="hello", attributes={"k": "v"},
+             resource={"r": "1"}),
+         Row(event_id=2, body_str=None, attributes=None,
+             resource={})],
+        "event_id bigint, body_str string, "
+        "attributes map<string,string>, resource map<string,string>")
+    out = {r["event_id"]: r for r in
+           jsonlog_marshal(df, inline_attributes=True).collect()}
+    assert out[1]["entry"] == (
+        '{"body":"hello","logAttributes":{"k":"v"},'
+        '"resourceAttributes":{"r":"1"}}')
+    # nil body + empty maps -> all members omitted
+    assert out[2]["entry"] == "{}"
+
+
+def test_jsonlog_unmarshal_roundtrip(spark):
+    df = spark.createDataFrame(
+        [Row(batch=1, buf='{"a":"1","b":"2"}\n{"c":"3"}')],
+        "batch bigint, buf string")
+    out = jsonlog_unmarshal(df).orderBy("record_index").collect()
+    assert [(r["record_index"], r["body"]) for r in out] == [
+        (0, "a=1,b=2"), (1, "c=3")]
+
+
+def test_text_roundtrip_and_scanner_semantics(spark):
+    df = spark.createDataFrame(
+        [Row(batch_id=1, record_index=i, body=f"l{i}")
+         for i in range(3)],
+        "batch_id bigint, record_index int, body string")
+    joined = text_marshal(df, "\n")
+    assert joined.head()["buf"] == "l0\nl1\nl2"
+    back = text_unmarshal(joined, "\n").orderBy("record_index")
+    assert [r["body"] for r in back.collect()] == ["l0", "l1", "l2"]
+
+
+def test_text_unmarshal_edges(spark):
+    def toks(buf):
+        df = spark.createDataFrame([Row(batch=1, buf=buf)],
+                                   "batch bigint, buf string")
+        return [r["body"] for r in
+                text_unmarshal(df, "\n").orderBy("record_index")
+                .collect()]
+
+    # separator-terminated: no trailing empty token
+    assert toks("a\nb\n") == ["a", "b"]
+    # interior empty token survives
+    assert toks("a\n\nb") == ["a", "", "b"]
+    # bare separator: one empty token
+    assert toks("\n") == [""]
+    # empty buffer: no tokens
+    assert toks("") == []
