@@ -1,0 +1,336 @@
+"""awsecscontainermetricsreceiver: ECS task-metadata-endpoint stats
+-> per-container + per-task metric rows.
+
+Reference (receiver/awsecscontainermetricsreceiver/internal/
+awsecscontainermetrics/):
+
+* metrics_helper.go getContainerMetrics (:12-80): memory usage/max/
+  limit, MemoryUtilized = (usage - stats["cache"]) / MiB in UINT
+  arithmetic (floor); CPU = counters plus cpuUsageInVCpu =
+  (total - previousTotal) / (read - previousRead ns) as double,
+  cpuUtilized = that * 100, core count = len(PerCPUUsage);
+  network = the 8 counters SUMMED over all interfaces (:85-100);
+  storage = Read/Write ops only from io_service_bytes_recursive
+  (:104-123, "Async"/"Total"/... ignored).
+* accumulator.go convertContainerMetrics (:61-76): container
+  memory/cpu reservations from container limits; CPUUtilized /=
+  CPUReserved when reserved > 0. aggregateTaskMetrics (:125-156):
+  straight field-wise sums. overrideWithTaskLevelLimit (:78-96):
+  task memory limit overrides; task CPU limit * 1024 (cpusInVCpu)
+  overrides the summed reservation; task CPUUtilized =
+  CPUUsageInVCPU * 1024 when reserved > 0. Containers with empty
+  stats but both start+finish times emit ONE duration gauge
+  (RFC3339Nano difference in seconds, :40-47,98-110).
+* resource.go: container resource = parsed image repo/tag (docker
+  ParseImageName, tag default "latest") + docker/ECS attrs + ALL
+  task attrs copied in; task resource = ARN-derived region/account/
+  task-id (arn:aws:ecs prefix gate, last '/' segment), cluster name
+  from its ARN tail, launchtype lowercased to aws.ecs.launchtype
+  only for ec2/fargate.
+* translator.go convertToOTLPMetrics: the 27-metric fan-out per
+  entity with the exact name/unit/type table (gauges vs cumulative
+  sums), prefixes "container." / "ecs.task.".
+
+Columnar model: one posexplode of the containers array; the task
+row is ONE combinable groupBy-sum over container metrics; the
+metric fan-out is an explode of a row-local 27-element array.
+Timestamps are caller-provided (the reference stamps time.Now() --
+polling-transport state, house convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MIB = 1024 * 1024
+CPUS_IN_VCPU = 1024
+
+# (suffix, unit, type, field, int?)
+METRIC_TABLE = [
+    ("memory.usage", "Bytes", "gauge", "memory_usage", True),
+    ("memory.usage.max", "Bytes", "gauge", "memory_max_usage", True),
+    ("memory.usage.limit", "Bytes", "gauge", "memory_limit", True),
+    ("memory.utilized", "Megabytes", "gauge", "memory_utilized", True),
+    ("memory.reserved", "Megabytes", "gauge", "memory_reserved", True),
+    ("cpu.usage.total", "Nanoseconds", "sum", "cpu_total", True),
+    ("cpu.usage.kernelmode", "Nanoseconds", "sum", "cpu_kernel", True),
+    ("cpu.usage.usermode", "Nanoseconds", "sum", "cpu_user", True),
+    ("cpu.cores", "Count", "gauge", "cpu_cores", True),
+    ("cpu.onlines", "Count", "gauge", "cpu_onlines", True),
+    ("cpu.usage.system", "Nanoseconds", "sum", "cpu_system", True),
+    ("cpu.utilized", "None", "gauge", "cpu_utilized", False),
+    ("cpu.reserved", "None", "gauge", "cpu_reserved", False),
+    ("cpu.usage.vcpu", "vCPU", "gauge", "cpu_vcpu", False),
+    ("network.rate.rx", "Bytes/Second", "gauge", "net_rate_rx", False),
+    ("network.rate.tx", "Bytes/Second", "gauge", "net_rate_tx", False),
+    ("network.io.usage.rx_bytes", "Bytes", "sum", "rx_bytes", True),
+    ("network.io.usage.rx_packets", "Count", "sum", "rx_packets", True),
+    ("network.io.usage.rx_errors", "Count", "sum", "rx_errors", True),
+    ("network.io.usage.rx_dropped", "Count", "sum", "rx_dropped", True),
+    ("network.io.usage.tx_bytes", "Bytes", "sum", "tx_bytes", True),
+    ("network.io.usage.tx_packets", "Count", "sum", "tx_packets", True),
+    ("network.io.usage.tx_errors", "Count", "sum", "tx_errors", True),
+    ("network.io.usage.tx_dropped", "Count", "sum", "tx_dropped", True),
+    ("storage.read_bytes", "Bytes", "sum", "storage_read", True),
+    ("storage.write_bytes", "Bytes", "sum", "storage_write", True),
+]
+
+_FIELDS = [f for _, _, _, f, _ in METRIC_TABLE]
+
+CONTAINERS_STRUCT = (
+    "array<struct<"
+    "docker_id:string,docker_name:string,container_name:string,"
+    "image:string,image_id:string,created_at:string,"
+    "started_at:string,finished_at:string,known_status:string,"
+    "exit_code:bigint,limit_memory:bigint,limit_cpu:double,"
+    "stats:struct<"
+    "memory_usage:bigint,memory_max:bigint,memory_limit:bigint,"
+    "memory_cache:bigint,"
+    "cpu_total:bigint,cpu_kernel:bigint,cpu_user:bigint,"
+    "percpu_len:int,cpu_online:bigint,cpu_system:bigint,"
+    "prev_cpu_total:bigint,read_ns:bigint,prev_read_ns:bigint,"
+    "net_rate_rx:double,net_rate_tx:double,"
+    "network:array<struct<rx_bytes:bigint,rx_packets:bigint,"
+    "rx_errors:bigint,rx_dropped:bigint,tx_bytes:bigint,"
+    "tx_packets:bigint,tx_errors:bigint,tx_dropped:bigint>>,"
+    "disk:array<struct<op:string,value:bigint>>>>>"
+)
+
+
+def _parse_image(img: Column) -> tuple[Column, Column]:
+    """docker ParseImageName repo/tag (tag defaults to latest).
+    Digest forms are out of the battery's fixture scope."""
+    has_tag = img.contains(":")
+    repo = F.when(has_tag, F.substring_index(img, ":", 1)) \
+            .otherwise(img)
+    tag = F.when(has_tag, F.substring_index(img, ":", -1)) \
+           .otherwise(F.lit("latest"))
+    return repo, tag
+
+
+def _arn_parts(arn: Column) -> tuple[Column, Column, Column]:
+    ok = arn.startswith("arn:aws:ecs")
+    parts = F.split(arn, "/")
+    task_id = F.when(ok, F.element_at(parts, -1)).otherwise(F.lit(""))
+    head = F.split(F.element_at(parts, 1), ":")
+    region = F.when(ok, F.element_at(head, 4)).otherwise(F.lit(""))
+    account = F.when(ok, F.element_at(head, 5)).otherwise(F.lit(""))
+    return region, account, task_id
+
+
+def _cluster_name(cluster: Column) -> Column:
+    return F.when(
+        (cluster == "") | ~cluster.startswith("arn:aws"), cluster
+    ).otherwise(F.element_at(F.split(cluster, "/"), -1))
+
+
+def _net_sum(net: Column, field: str) -> Column:
+    return F.aggregate(
+        F.coalesce(net, F.array().cast(
+            "array<struct<rx_bytes:bigint,rx_packets:bigint,"
+            "rx_errors:bigint,rx_dropped:bigint,tx_bytes:bigint,"
+            "tx_packets:bigint,tx_errors:bigint,tx_dropped:bigint>>")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + F.coalesce(x[field], F.lit(0)))
+
+
+def _disk_sum(disk: Column, op: str) -> Column:
+    return F.aggregate(
+        F.coalesce(disk, F.array().cast(
+            "array<struct<op:string,value:bigint>>")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + F.when(x["op"] == op,
+                                F.coalesce(x["value"], F.lit(0)))
+                         .otherwise(F.lit(0)))
+
+
+def ecs_container_metrics(df: DataFrame, ts_ns_col: str = "ts_ns"
+                          ) -> DataFrame:
+    """One task row (task metadata + containers array) -> one row per
+    (entity, metric): running containers fan out the 27-metric table
+    under "container.", the task row sums them under "ecs.task.",
+    stopped containers emit a single duration gauge."""
+    region, account, task_id = _arn_parts(F.col("task_arn"))
+    launch_lc = F.lower(F.col("launch_type"))
+    task_res = F.array_join(F.array_sort(F.filter(F.array(
+        F.concat(F.lit("aws.ecs.cluster.name="),
+                 _cluster_name(F.col("cluster"))),
+        F.concat(F.lit("aws.ecs.task.arn="), F.col("task_arn")),
+        F.concat(F.lit("aws.ecs.task.id="), task_id),
+        F.concat(F.lit("aws.ecs.task.family="), F.col("family")),
+        F.concat(F.lit("aws.ecs.task.version="), F.col("revision")),
+        F.concat(F.lit("aws.ecs.task.revision="), F.col("revision")),
+        F.concat(F.lit("aws.ecs.service.name="),
+                 F.col("service_name")),
+        F.concat(F.lit("cloud.availability_zone="), F.col("az")),
+        F.concat(F.lit("aws.ecs.task.pull_started_at="),
+                 F.col("pull_started_at")),
+        F.concat(F.lit("aws.ecs.task.pull_stopped_at="),
+                 F.col("pull_stopped_at")),
+        F.concat(F.lit("aws.ecs.task.known_status="),
+                 F.col("known_status")),
+        F.concat(F.lit("aws.ecs.task.launch_type="),
+                 F.col("launch_type")),
+        F.when(launch_lc.isin("ec2", "fargate"),
+               F.concat(F.lit("aws.ecs.launchtype="), launch_lc)),
+        F.concat(F.lit("cloud.region="), region),
+        F.concat(F.lit("cloud.account.id="), account),
+    ), lambda x: x.isNotNull())), ",")
+
+    base = df.select(
+        "task_arn", "limit_memory_task", "limit_cpu_task",
+        F.col(ts_ns_col).alias("_ts"),
+        task_res.alias("_task_res"),
+        F.posexplode(F.col("containers")).alias("_ci", "c"),
+    )
+    c = F.col("c")
+    st = c["stats"]
+    repo, tag = _parse_image(c["image"])
+    con_res = F.array_join(F.array_sort(F.filter(F.concat(
+        F.split(F.col("_task_res"), ","),
+        F.array(
+            F.concat(F.lit("container.name="), c["container_name"]),
+            F.concat(F.lit("container.id="), c["docker_id"]),
+            F.concat(F.lit("aws.ecs.docker.name="), c["docker_name"]),
+            F.concat(F.lit("container.image.name="), repo),
+            F.concat(F.lit("aws.ecs.container.image.id="),
+                     c["image_id"]),
+            F.concat(F.lit("container.image.tag="), tag),
+            F.concat(F.lit("aws.ecs.container.created_at="),
+                     c["created_at"]),
+            F.concat(F.lit("aws.ecs.container.started_at="),
+                     c["started_at"]),
+            F.when(c["finished_at"] != "",
+                   F.concat(F.lit("aws.ecs.container.finished_at="),
+                            c["finished_at"])),
+            F.concat(F.lit("aws.ecs.container.know_status="),
+                     c["known_status"]),
+            F.when(c["exit_code"].isNotNull(),
+                   F.concat(F.lit("aws.ecs.container.exit_code="),
+                            c["exit_code"].cast("string"))),
+        )), lambda x: x.isNotNull())), ",")
+
+    # isEmptyStats: nil stats or empty stats.ID -- modeled as a NULL
+    # stats struct in the columnar input
+    has_stats = st.isNotNull()
+    time_diff = (st["read_ns"] - st["prev_read_ns"]).cast("double")
+    vcpu = F.when(
+        time_diff > 0,
+        (st["cpu_total"] - st["prev_cpu_total"]).cast("double")
+        / time_diff).otherwise(F.lit(0.0))
+    reserved = F.coalesce(c["limit_cpu"], F.lit(0.0))
+    utilized = F.when(reserved > 0, vcpu * 100 / reserved) \
+                .otherwise(vcpu * 100)
+    m = {
+        "memory_usage": st["memory_usage"],
+        "memory_max_usage": st["memory_max"],
+        "memory_limit": st["memory_limit"],
+        "memory_utilized": F.floor(
+            (st["memory_usage"] - st["memory_cache"]) / MIB)
+            .cast("bigint"),
+        "memory_reserved": F.coalesce(c["limit_memory"], F.lit(0)),
+        "cpu_total": st["cpu_total"],
+        "cpu_kernel": st["cpu_kernel"],
+        "cpu_user": st["cpu_user"],
+        "cpu_cores": st["percpu_len"].cast("bigint"),
+        "cpu_onlines": st["cpu_online"],
+        "cpu_system": st["cpu_system"],
+        "cpu_utilized": utilized,
+        "cpu_reserved": reserved,
+        "cpu_vcpu": vcpu,
+        "net_rate_rx": st["net_rate_rx"],
+        "net_rate_tx": st["net_rate_tx"],
+        "rx_bytes": _net_sum(st["network"], "rx_bytes"),
+        "rx_packets": _net_sum(st["network"], "rx_packets"),
+        "rx_errors": _net_sum(st["network"], "rx_errors"),
+        "rx_dropped": _net_sum(st["network"], "rx_dropped"),
+        "tx_bytes": _net_sum(st["network"], "tx_bytes"),
+        "tx_packets": _net_sum(st["network"], "tx_packets"),
+        "tx_errors": _net_sum(st["network"], "tx_errors"),
+        "tx_dropped": _net_sum(st["network"], "tx_dropped"),
+        "storage_read": _disk_sum(st["disk"], "Read"),
+        "storage_write": _disk_sum(st["disk"], "Write"),
+    }
+    per_con = base.select(
+        "task_arn", "limit_memory_task", "limit_cpu_task", "_ts",
+        "_task_res",
+        has_stats.alias("_has_stats"),
+        c["started_at"].alias("_started"),
+        c["finished_at"].alias("_finished"),
+        con_res.alias("_con_res"),
+        *[v.alias(k) for k, v in m.items()],
+    )
+
+    def fan_out(src: DataFrame, prefix: str, res_col: str,
+                entity: str) -> DataFrame:
+        rows = F.array(*[
+            F.struct(
+                F.lit(prefix + name).alias("metric_name"),
+                F.lit(unit).alias("unit"),
+                F.lit(mtype).alias("mtype"),
+                (F.col(field).cast("bigint") if is_int
+                 else F.lit(None).cast("bigint")).alias("int_value"),
+                (F.col(field).cast("double") if not is_int
+                 else F.lit(None).cast("double")).alias("double_value"),
+            )
+            for name, unit, mtype, field, is_int in METRIC_TABLE])
+        out = src.select(
+            "task_arn", F.col(res_col).alias("resource"), "_ts",
+            F.explode(rows).alias("r"))
+        return out.select(
+            "task_arn", F.lit(entity).alias("entity"),
+            F.col("r")["metric_name"].alias("metric_name"),
+            F.col("r")["unit"].alias("unit"),
+            F.col("r")["mtype"].alias("mtype"),
+            F.col("r")["int_value"].alias("int_value"),
+            F.col("r")["double_value"].alias("double_value"),
+            F.col("_ts").alias("ts_ns"), "resource")
+
+    running = per_con.filter(F.col("_has_stats"))
+    con_rows = fan_out(running, "container.", "_con_res", "container")
+
+    # stopped containers: one duration gauge when both times present
+    stopped = per_con.filter(
+        ~F.col("_has_stats") & (F.col("_started") != "")
+        & (F.col("_finished") != ""))
+    dur_s = (
+        F.unix_micros(F.to_timestamp(
+            F.col("_finished"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSX"))
+        - F.unix_micros(F.to_timestamp(
+            F.col("_started"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSX"))
+    ).cast("double") / 1_000_000
+    stop_rows = stopped.select(
+        "task_arn", F.lit("container").alias("entity"),
+        F.lit("container.duration").alias("metric_name"),
+        F.lit("Seconds").alias("unit"), F.lit("gauge").alias("mtype"),
+        F.lit(None).cast("bigint").alias("int_value"),
+        dur_s.alias("double_value"),
+        F.col("_ts").alias("ts_ns"),
+        F.col("_con_res").alias("resource"))
+
+    # task row: field-wise sums over running containers + overrides
+    sums = running.groupBy(
+        "task_arn", "limit_memory_task", "limit_cpu_task", "_ts",
+        "_task_res",
+    ).agg(*[F.sum(f).alias(f) for f in _FIELDS])
+    t_mem_res = F.when(F.col("limit_memory_task").isNotNull(),
+                       F.col("limit_memory_task")) \
+                 .otherwise(F.col("memory_reserved"))
+    t_cpu_res = F.when(F.col("limit_cpu_task").isNotNull(),
+                       F.col("limit_cpu_task") * CPUS_IN_VCPU) \
+                 .otherwise(F.col("cpu_reserved"))
+    t_utilized = F.when(t_cpu_res > 0,
+                        F.col("cpu_vcpu") * CPUS_IN_VCPU) \
+                  .otherwise(F.col("cpu_utilized"))
+    task = sums.select(
+        "task_arn", "_ts", F.col("_task_res").alias("_res"),
+        *[F.col(f).alias(f) for f in _FIELDS
+          if f not in ("memory_reserved", "cpu_reserved",
+                       "cpu_utilized")],
+        t_mem_res.alias("memory_reserved"),
+        t_cpu_res.alias("cpu_reserved"),
+        t_utilized.alias("cpu_utilized"),
+    )
+    task_rows = fan_out(task, "ecs.task.", "_res", "task")
+    return con_rows.unionByName(stop_rows).unionByName(task_rows)

@@ -18124,3 +18124,386 @@ _QUERIES["jsonlog_lines_events"] = q_jsonlog_lines
 _ORACLES["jsonlog_lines_events"] = _JSONLOG_LINES_ORACLE
 _QUERIES["text_roundtrip_events"] = q_text_roundtrip
 _ORACLES["text_roundtrip_events"] = _TEXT_ROUNDTRIP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# awsecscontainermetricsreceiver (task-metadata endpoint stats ->
+# container + task metric rows).
+# ---------------------------------------------------------------------------
+
+
+def q_ecs_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECS stats decode: per-container 27-metric fan-out, task
+    field-wise sums with the task-level limit overrides, stopped-
+    container duration gauges, ARN/cluster parsing, launchtype
+    normalization."""
+    from .operators.ecs_metrics import ecs_container_metrics
+
+    ev = _read_split(spark, sf_dir, "events") \
+        .filter(F.col("event_id") % 11 == 8)
+    eid, uid = F.col("event_id"), F.col("user_id")
+    s = lambda c: c.cast("string")
+    tns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    MIB = 1024 * 1024
+    net = lambda a, b: F.struct(
+        (a % 100).cast("bigint").alias("rx_bytes"),
+        (a % 50).cast("bigint").alias("rx_packets"),
+        (a % 5).cast("bigint").alias("rx_errors"),
+        (a % 3).cast("bigint").alias("rx_dropped"),
+        (b % 200).cast("bigint").alias("tx_bytes"),
+        (b % 60).cast("bigint").alias("tx_packets"),
+        (b % 4).cast("bigint").alias("tx_errors"),
+        (b % 2).cast("bigint").alias("tx_dropped"))
+    stats = lambda base: F.struct(
+        ((200 + base % 50) * MIB).alias("memory_usage"),
+        ((300 + base % 50) * MIB).alias("memory_max"),
+        F.lit(512 * MIB).cast("bigint").alias("memory_limit"),
+        ((50 + base % 20) * MIB).alias("memory_cache"),
+        (1_000_000_000 + (base % 10 + 1) * 100_000_000)
+            .alias("cpu_total"),
+        (base % 1000).alias("cpu_kernel"),
+        (base % 2000).alias("cpu_user"),
+        (base % 4 + 1).cast("int").alias("percpu_len"),
+        (base % 8).alias("cpu_online"),
+        (base % 5000).alias("cpu_system"),
+        F.lit(1_000_000_000).cast("bigint").alias("prev_cpu_total"),
+        F.lit(20_000_000_000).cast("bigint").alias("read_ns"),
+        F.lit(10_000_000_000).cast("bigint").alias("prev_read_ns"),
+        ((base % 50).cast("double") + 0.25).alias("net_rate_rx"),
+        ((base % 60).cast("double") + 0.5).alias("net_rate_tx"),
+        F.array(net(base, base + 7), net(base + 3, base + 11))
+            .alias("network"),
+        F.array(
+            F.struct(F.lit("Read").alias("op"),
+                     (base % 700).cast("bigint").alias("value")),
+            F.struct(F.lit("Write").alias("op"),
+                     (base % 300).cast("bigint").alias("value")),
+            F.struct(F.lit("Total").alias("op"),
+                     F.lit(999).cast("bigint").alias("value")),
+        ).alias("disk"))
+    nstats = F.lit(None).cast(
+        "struct<memory_usage:bigint,memory_max:bigint,"
+        "memory_limit:bigint,memory_cache:bigint,cpu_total:bigint,"
+        "cpu_kernel:bigint,cpu_user:bigint,percpu_len:int,"
+        "cpu_online:bigint,cpu_system:bigint,prev_cpu_total:bigint,"
+        "read_ns:bigint,prev_read_ns:bigint,net_rate_rx:double,"
+        "net_rate_tx:double,network:array<struct<rx_bytes:bigint,"
+        "rx_packets:bigint,rx_errors:bigint,rx_dropped:bigint,"
+        "tx_bytes:bigint,tx_packets:bigint,tx_errors:bigint,"
+        "tx_dropped:bigint>>,disk:array<struct<op:string,"
+        "value:bigint>>>")
+    con = lambda name, st, lm, lc, **kw: F.struct(
+        F.concat(F.lit("id-"), name).alias("docker_id"),
+        F.concat(F.lit("dn-"), name).alias("docker_name"),
+        name.alias("container_name"),
+        kw.get("image", F.lit("repo/app:v2")).alias("image"),
+        F.concat(F.lit("img-"), name).alias("image_id"),
+        F.lit("2024-01-01T00:00:00Z").alias("created_at"),
+        kw.get("started", F.lit("2024-01-01T00:00:01Z"))
+            .alias("started_at"),
+        kw.get("finished", F.lit("")).alias("finished_at"),
+        kw.get("status", F.lit("RUNNING")).alias("known_status"),
+        kw.get("exit_code", F.lit(None).cast("bigint"))
+            .alias("exit_code"),
+        lm.alias("limit_memory"), lc.alias("limit_cpu"),
+        st.alias("stats"))
+    c1 = con(F.concat(F.lit("c1-"), s(eid)), stats(eid),
+             F.lit(256).cast("bigint"),
+             F.when(eid % 2 == 0, 0.5).otherwise(
+                 F.lit(None).cast("double")),
+             image=F.when(eid % 3 == 0, F.lit("plainimg"))
+                    .otherwise(F.lit("repo/app:v2")))
+    c2 = con(F.concat(F.lit("c2-"), s(eid)), stats(uid + 13),
+             F.lit(128).cast("bigint"), F.lit(0.25))
+    c3 = con(F.concat(F.lit("c3-"), s(eid)), nstats,
+             F.lit(None).cast("bigint"), F.lit(None).cast("double"),
+             started=F.lit("2024-01-01T00:00:01.000000000Z"),
+             finished=F.concat(F.lit("2024-01-01T00:00:0"),
+                               s(3 + eid % 5),
+                               F.lit(".500000000Z")),
+             status=F.lit("STOPPED"),
+             exit_code=(eid % 3).cast("bigint"))
+    containers = F.when(
+        eid % 3 == 1,
+        F.when(eid % 4 == 2, F.array(c1, c3)).otherwise(F.array(c1)),
+    ).otherwise(
+        F.when(eid % 4 == 2, F.array(c1, c2, c3))
+         .otherwise(F.array(c1, c2)))
+    base = ev.select(
+        F.concat(F.lit("arn:aws:ecs:us-west-2:acct"), s(uid % 10),
+                 F.lit(":task/clu"), s(uid % 5), F.lit("/t-"), s(eid))
+         .alias("task_arn"),
+        F.concat(F.lit("arn:aws:ecs:us-west-2:acct"), s(uid % 10),
+                 F.lit(":cluster/clu"), s(uid % 5)).alias("cluster"),
+        F.concat(F.lit("fam"), s(uid % 4)).alias("family"),
+        s(eid % 9).alias("revision"),
+        F.concat(F.lit("svc"), s(uid % 6)).alias("service_name"),
+        F.lit("us-west-2a").alias("az"),
+        F.lit("ps").alias("pull_started_at"),
+        F.lit("pp").alias("pull_stopped_at"),
+        F.lit("RUNNING").alias("known_status"),
+        F.element_at(F.array(F.lit("EC2"), F.lit("FARGATE"),
+                             F.lit("EXTERNAL")),
+                     (eid % 3 + 1).cast("int")).alias("launch_type"),
+        F.when(eid % 5 == 0, F.lit(2048).cast("bigint"))
+         .alias("limit_memory_task"),
+        F.when(eid % 6 == 3, F.lit(2.0)).alias("limit_cpu_task"),
+        tns.alias("ts_ns"),
+        containers.alias("containers"),
+    )
+    return ecs_container_metrics(base).orderBy(
+        "task_arn", "entity", "metric_name", "resource")
+
+
+_ECS_METRICS_ORACLE = """
+WITH f AS (
+  SELECT event_id AS eid, user_id AS uid,
+         epoch_us(ts) * 1000 AS tns
+  FROM events WHERE event_id % 11 = 8),
+g AS (
+  SELECT *,
+    'arn:aws:ecs:us-west-2:acct' || CAST(uid % 10 AS VARCHAR)
+      || ':task/clu' || CAST(uid % 5 AS VARCHAR) || '/t-'
+      || CAST(eid AS VARCHAR) AS task_arn,
+    list_sort(list_filter(list_value(
+      'aws.ecs.cluster.name=clu' || CAST(uid % 5 AS VARCHAR),
+      'aws.ecs.task.arn=arn:aws:ecs:us-west-2:acct'
+        || CAST(uid % 10 AS VARCHAR) || ':task/clu'
+        || CAST(uid % 5 AS VARCHAR) || '/t-' || CAST(eid AS VARCHAR),
+      'aws.ecs.task.id=t-' || CAST(eid AS VARCHAR),
+      'aws.ecs.task.family=fam' || CAST(uid % 4 AS VARCHAR),
+      'aws.ecs.task.version=' || CAST(eid % 9 AS VARCHAR),
+      'aws.ecs.task.revision=' || CAST(eid % 9 AS VARCHAR),
+      'aws.ecs.service.name=svc' || CAST(uid % 6 AS VARCHAR),
+      'cloud.availability_zone=us-west-2a',
+      'aws.ecs.task.pull_started_at=ps',
+      'aws.ecs.task.pull_stopped_at=pp',
+      'aws.ecs.task.known_status=RUNNING',
+      'aws.ecs.task.launch_type=' || CASE eid % 3 WHEN 0 THEN 'EC2'
+        WHEN 1 THEN 'FARGATE' ELSE 'EXTERNAL' END,
+      CASE WHEN eid % 3 = 0 THEN 'aws.ecs.launchtype=ec2'
+           WHEN eid % 3 = 1 THEN 'aws.ecs.launchtype=fargate' END,
+      'cloud.region=us-west-2',
+      'cloud.account.id=acct' || CAST(uid % 10 AS VARCHAR)
+    ), x -> x IS NOT NULL)) AS task_attrs
+  FROM f),
+con_metrics AS (
+  SELECT g.*, cn.n AS con_n, cn.base AS base,
+    CASE cn.n WHEN 1 THEN 256 ELSE 128 END AS lim_mem,
+    CASE cn.n WHEN 1 THEN
+      CASE WHEN eid % 2 = 0 THEN 0.5 END ELSE 0.25 END AS lim_cpu
+  FROM g, (SELECT 1 AS n, 0 AS off UNION ALL SELECT 2, 0) AS cn0,
+  LATERAL (SELECT cn0.n AS n,
+           CASE cn0.n WHEN 1 THEN eid ELSE uid + 13 END AS base) cn
+  WHERE cn.n = 1 OR eid % 3 <> 1),
+cm AS (
+  SELECT *,
+    (200 + base % 50) * 1048576 AS memory_usage,
+    (300 + base % 50) * 1048576 AS memory_max,
+    CAST(512 * 1048576 AS BIGINT) AS memory_limit,
+    150 + base % 50 - base % 20 AS memory_utilized,
+    lim_mem AS memory_reserved,
+    1000000000 + (base % 10 + 1) * 100000000 AS cpu_total,
+    base % 1000 AS cpu_kernel, base % 2000 AS cpu_user,
+    base % 4 + 1 AS cpu_cores, base % 8 AS cpu_onlines,
+    base % 5000 AS cpu_system,
+    CAST((base % 10 + 1) * 100000000 AS DOUBLE) / 10000000000
+      AS cpu_vcpu,
+    COALESCE(lim_cpu, 0) AS cpu_reserved,
+    CAST(base % 50 AS DOUBLE) + 0.25 AS net_rate_rx,
+    CAST(base % 60 AS DOUBLE) + 0.5 AS net_rate_tx,
+    base % 100 + (base + 3) % 100 AS rx_bytes,
+    base % 50 + (base + 3) % 50 AS rx_packets,
+    base % 5 + (base + 3) % 5 AS rx_errors,
+    base % 3 + (base + 3) % 3 AS rx_dropped,
+    (base + 7) % 200 + (base + 11) % 200 AS tx_bytes,
+    (base + 7) % 60 + (base + 11) % 60 AS tx_packets,
+    (base + 7) % 4 + (base + 11) % 4 AS tx_errors,
+    (base + 7) % 2 + (base + 11) % 2 AS tx_dropped,
+    base % 700 AS storage_read, base % 300 AS storage_write
+  FROM con_metrics),
+cm2 AS (
+  SELECT *,
+    CASE WHEN COALESCE(lim_cpu, 0) > 0
+         THEN cpu_vcpu * 100 / lim_cpu
+         ELSE cpu_vcpu * 100 END AS cpu_utilized,
+    array_to_string(list_sort(list_filter(list_concat(task_attrs,
+      list_value(
+        'container.name=c' || CAST(con_n AS VARCHAR) || '-'
+          || CAST(eid AS VARCHAR),
+        'container.id=id-c' || CAST(con_n AS VARCHAR) || '-'
+          || CAST(eid AS VARCHAR),
+        'aws.ecs.docker.name=dn-c' || CAST(con_n AS VARCHAR) || '-'
+          || CAST(eid AS VARCHAR),
+        'container.image.name=' || CASE WHEN con_n = 1 AND eid % 3 = 0
+          THEN 'plainimg' ELSE 'repo/app' END,
+        'aws.ecs.container.image.id=img-c' || CAST(con_n AS VARCHAR)
+          || '-' || CAST(eid AS VARCHAR),
+        'container.image.tag=' || CASE WHEN con_n = 1 AND eid % 3 = 0
+          THEN 'latest' ELSE 'v2' END,
+        'aws.ecs.container.created_at=2024-01-01T00:00:00Z',
+        'aws.ecs.container.started_at=2024-01-01T00:00:01Z',
+        'aws.ecs.container.know_status=RUNNING'
+      )), x -> x IS NOT NULL)), ',') AS resource
+  FROM cm),
+task AS (
+  SELECT task_arn, tns, eid, uid,
+    array_to_string(task_attrs, ',') AS resource,
+    SUM(memory_usage) AS memory_usage,
+    SUM(memory_max) AS memory_max,
+    SUM(memory_limit) AS memory_limit,
+    SUM(memory_utilized) AS memory_utilized,
+    SUM(cpu_total) AS cpu_total, SUM(cpu_kernel) AS cpu_kernel,
+    SUM(cpu_user) AS cpu_user, SUM(cpu_cores) AS cpu_cores,
+    SUM(cpu_onlines) AS cpu_onlines, SUM(cpu_system) AS cpu_system,
+    SUM(cpu_vcpu) AS cpu_vcpu,
+    SUM(net_rate_rx) AS net_rate_rx,
+    SUM(net_rate_tx) AS net_rate_tx,
+    SUM(rx_bytes) AS rx_bytes, SUM(rx_packets) AS rx_packets,
+    SUM(rx_errors) AS rx_errors, SUM(rx_dropped) AS rx_dropped,
+    SUM(tx_bytes) AS tx_bytes, SUM(tx_packets) AS tx_packets,
+    SUM(tx_errors) AS tx_errors, SUM(tx_dropped) AS tx_dropped,
+    SUM(storage_read) AS storage_read,
+    SUM(storage_write) AS storage_write,
+    CASE WHEN MAX(eid % 5) = 0 THEN 2048
+         ELSE SUM(memory_reserved) END AS memory_reserved,
+    CASE WHEN MAX(eid % 6) = 3 THEN 2.0 * 1024
+         ELSE SUM(cpu_reserved) END AS cpu_reserved,
+    CASE WHEN (CASE WHEN MAX(eid % 6) = 3 THEN 2.0 * 1024
+               ELSE SUM(cpu_reserved) END) > 0
+         THEN SUM(cpu_vcpu) * 1024
+         ELSE SUM(cpu_utilized) END AS cpu_utilized
+  FROM cm2
+  GROUP BY task_arn, tns, eid, uid, array_to_string(task_attrs, ',')),
+m AS (
+  SELECT task_arn, 'container' AS entity, resource, tns,
+    memory_usage, memory_max, memory_limit, memory_utilized,
+    CAST(memory_reserved AS BIGINT) AS memory_reserved,
+    cpu_total, cpu_kernel, cpu_user, cpu_cores, cpu_onlines,
+    cpu_system, cpu_utilized, cpu_reserved, cpu_vcpu, net_rate_rx,
+    net_rate_tx, rx_bytes, rx_packets, rx_errors, rx_dropped,
+    tx_bytes, tx_packets, tx_errors, tx_dropped, storage_read,
+    storage_write
+  FROM cm2
+  UNION ALL
+  SELECT task_arn, 'task', resource, tns,
+    memory_usage, memory_max, memory_limit, memory_utilized,
+    CAST(memory_reserved AS BIGINT),
+    cpu_total, cpu_kernel, cpu_user, cpu_cores, cpu_onlines,
+    cpu_system, cpu_utilized, cpu_reserved, cpu_vcpu, net_rate_rx,
+    net_rate_tx, rx_bytes, rx_packets, rx_errors, rx_dropped,
+    tx_bytes, tx_packets, tx_errors, tx_dropped, storage_read,
+    storage_write
+  FROM task),
+rows_out AS (
+  SELECT task_arn, entity, resource, tns,
+    UNNEST(list_value(
+      struct_pack(n := 'memory.usage', u := 'Bytes', t := 'gauge',
+                  iv := memory_usage, dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'memory.usage.max', u := 'Bytes', t := 'gauge',
+                  iv := memory_max, dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'memory.usage.limit', u := 'Bytes',
+                  t := 'gauge', iv := memory_limit,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'memory.utilized', u := 'Megabytes',
+                  t := 'gauge', iv := memory_utilized,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'memory.reserved', u := 'Megabytes',
+                  t := 'gauge', iv := memory_reserved,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'cpu.usage.total', u := 'Nanoseconds',
+                  t := 'sum', iv := cpu_total,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'cpu.usage.kernelmode', u := 'Nanoseconds',
+                  t := 'sum', iv := cpu_kernel,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'cpu.usage.usermode', u := 'Nanoseconds',
+                  t := 'sum', iv := cpu_user,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'cpu.cores', u := 'Count', t := 'gauge',
+                  iv := cpu_cores, dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'cpu.onlines', u := 'Count', t := 'gauge',
+                  iv := cpu_onlines, dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'cpu.usage.system', u := 'Nanoseconds',
+                  t := 'sum', iv := cpu_system,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'cpu.utilized', u := 'None', t := 'gauge',
+                  iv := CAST(NULL AS BIGINT), dv := cpu_utilized),
+      struct_pack(n := 'cpu.reserved', u := 'None', t := 'gauge',
+                  iv := CAST(NULL AS BIGINT), dv := cpu_reserved),
+      struct_pack(n := 'cpu.usage.vcpu', u := 'vCPU', t := 'gauge',
+                  iv := CAST(NULL AS BIGINT), dv := cpu_vcpu),
+      struct_pack(n := 'network.rate.rx', u := 'Bytes/Second',
+                  t := 'gauge', iv := CAST(NULL AS BIGINT),
+                  dv := net_rate_rx),
+      struct_pack(n := 'network.rate.tx', u := 'Bytes/Second',
+                  t := 'gauge', iv := CAST(NULL AS BIGINT),
+                  dv := net_rate_tx),
+      struct_pack(n := 'network.io.usage.rx_bytes', u := 'Bytes',
+                  t := 'sum', iv := rx_bytes,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'network.io.usage.rx_packets', u := 'Count',
+                  t := 'sum', iv := rx_packets,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'network.io.usage.rx_errors', u := 'Count',
+                  t := 'sum', iv := rx_errors,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'network.io.usage.rx_dropped', u := 'Count',
+                  t := 'sum', iv := rx_dropped,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'network.io.usage.tx_bytes', u := 'Bytes',
+                  t := 'sum', iv := tx_bytes,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'network.io.usage.tx_packets', u := 'Count',
+                  t := 'sum', iv := tx_packets,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'network.io.usage.tx_errors', u := 'Count',
+                  t := 'sum', iv := tx_errors,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'network.io.usage.tx_dropped', u := 'Count',
+                  t := 'sum', iv := tx_dropped,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'storage.read_bytes', u := 'Bytes',
+                  t := 'sum', iv := storage_read,
+                  dv := CAST(NULL AS DOUBLE)),
+      struct_pack(n := 'storage.write_bytes', u := 'Bytes',
+                  t := 'sum', iv := storage_write,
+                  dv := CAST(NULL AS DOUBLE))
+    )) AS r
+  FROM m),
+durations AS (
+  SELECT task_arn, 'container' AS entity,
+    'container.duration' AS metric_name, 'Seconds' AS unit,
+    'gauge' AS mtype, CAST(NULL AS BIGINT) AS int_value,
+    2.5 + eid % 5 AS double_value, tns AS ts_ns,
+    array_to_string(list_sort(list_filter(list_concat(task_attrs,
+      list_value(
+        'container.name=c3-' || CAST(eid AS VARCHAR),
+        'container.id=id-c3-' || CAST(eid AS VARCHAR),
+        'aws.ecs.docker.name=dn-c3-' || CAST(eid AS VARCHAR),
+        'container.image.name=repo/app',
+        'aws.ecs.container.image.id=img-c3-' || CAST(eid AS VARCHAR),
+        'container.image.tag=v2',
+        'aws.ecs.container.created_at=2024-01-01T00:00:00Z',
+        'aws.ecs.container.started_at=2024-01-01T00:00:01.000000000Z',
+        'aws.ecs.container.finished_at=2024-01-01T00:00:0'
+          || CAST(3 + eid % 5 AS VARCHAR) || '.500000000Z',
+        'aws.ecs.container.know_status=STOPPED',
+        'aws.ecs.container.exit_code=' || CAST(eid % 3 AS VARCHAR)
+      )), x -> x IS NOT NULL)), ',') AS resource
+  FROM g WHERE eid % 4 = 2)
+SELECT task_arn, entity,
+  CASE entity WHEN 'container' THEN 'container.' ELSE 'ecs.task.'
+    END || r.n AS metric_name,
+  r.u AS unit, r.t AS mtype, r.iv AS int_value, r.dv AS double_value,
+  tns AS ts_ns, resource
+FROM rows_out
+UNION ALL
+SELECT task_arn, entity, metric_name, unit, mtype, int_value,
+  double_value, ts_ns, resource
+FROM durations
+ORDER BY task_arn, entity, metric_name, resource
+"""
+
+_QUERIES["ecs_container_metrics_events"] = q_ecs_metrics
+_ORACLES["ecs_container_metrics_events"] = _ECS_METRICS_ORACLE

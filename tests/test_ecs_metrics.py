@@ -1,0 +1,152 @@
+"""awsecscontainermetricsreceiver battery: reference-behavior pins
+(metrics_helper/accumulator/resource/translator semantics)."""
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from opentelemetry_collector_contrib_spark.operators.ecs_metrics import (
+    CONTAINERS_STRUCT,
+    METRIC_TABLE,
+    ecs_container_metrics,
+)
+
+_SCHEMA = (
+    "task_arn string, cluster string, family string, revision string, "
+    "service_name string, az string, pull_started_at string, "
+    "pull_stopped_at string, known_status string, launch_type string, "
+    "limit_memory_task bigint, limit_cpu_task double, ts_ns bigint, "
+    f"containers {CONTAINERS_STRUCT}"
+)
+
+
+def _stats(**over):
+    base = dict(
+        memory_usage=300 * 1024 * 1024, memory_max=400 * 1024 * 1024,
+        memory_limit=512 * 1024 * 1024, memory_cache=100 * 1024 * 1024,
+        cpu_total=2_000_000_000, cpu_kernel=500, cpu_user=1500,
+        percpu_len=4, cpu_online=4, cpu_system=90_000_000_000,
+        prev_cpu_total=1_000_000_000, read_ns=20_000_000_000,
+        prev_read_ns=10_000_000_000,
+        net_rate_rx=10.5, net_rate_tx=20.25,
+        network=[Row(rx_bytes=100, rx_packets=10, rx_errors=1,
+                     rx_dropped=2, tx_bytes=200, tx_packets=20,
+                     tx_errors=3, tx_dropped=4),
+                 Row(rx_bytes=50, rx_packets=5, rx_errors=0,
+                     rx_dropped=1, tx_bytes=60, tx_packets=6,
+                     tx_errors=0, tx_dropped=0)],
+        disk=[Row(op="Read", value=700), Row(op="Write", value=300),
+              Row(op="Total", value=1000), Row(op="Async", value=11)],
+    )
+    base.update(over)
+    return Row(**base)
+
+
+def _container(name, stats, **over):
+    base = dict(
+        docker_id=f"id-{name}", docker_name=f"dn-{name}",
+        container_name=name, image="repo/app:v2",
+        image_id=f"img-{name}", created_at="2024-01-01T00:00:00Z",
+        started_at="2024-01-01T00:00:01Z", finished_at="",
+        known_status="RUNNING", exit_code=None,
+        limit_memory=256, limit_cpu=0.5, stats=stats)
+    base.update(over)
+    return Row(**base)
+
+
+def _task(spark, containers, **over):
+    base = dict(
+        task_arn="arn:aws:ecs:us-west-2:0123456:task/mycluster/t-42",
+        cluster="arn:aws:ecs:us-west-2:0123456:cluster/mycluster",
+        family="fam", revision="3", service_name="svc", az="us-west-2a",
+        pull_started_at="ps", pull_stopped_at="pp",
+        known_status="RUNNING", launch_type="FARGATE",
+        limit_memory_task=None, limit_cpu_task=None,
+        ts_ns=1700000000000000000, containers=containers)
+    base.update(over)
+    df = spark.createDataFrame([Row(**base)], _SCHEMA)
+    return ecs_container_metrics(df)
+
+
+def _by_metric(rows, entity):
+    return {r["metric_name"]: r for r in rows if r["entity"] == entity}
+
+
+def test_container_metric_values(spark):
+    out = _task(spark, [_container("c1", _stats())]).collect()
+    con = _by_metric(out, "container")
+    assert len(con) == len(METRIC_TABLE)
+    assert con["container.memory.usage"]["int_value"] == 300 * 1024 * 1024
+    # (usage - cache) / MiB floor
+    assert con["container.memory.utilized"]["int_value"] == 200
+    assert con["container.memory.reserved"]["int_value"] == 256
+    # vcpu = 1e9 delta / 1e10 ns = 0.1; utilized = 0.1*100/0.5 = 20
+    assert con["container.cpu.usage.vcpu"]["double_value"] == 0.1
+    assert con["container.cpu.utilized"]["double_value"] == 20.0
+    assert con["container.cpu.cores"]["int_value"] == 4
+    # network summed across interfaces
+    assert con["container.network.io.usage.rx_bytes"]["int_value"] == 150
+    assert con["container.network.io.usage.tx_dropped"]["int_value"] == 4
+    # storage: Read/Write only, Total/Async ignored
+    assert con["container.storage.read_bytes"]["int_value"] == 700
+    assert con["container.storage.write_bytes"]["int_value"] == 300
+    # types/units from the table
+    assert con["container.cpu.usage.total"]["mtype"] == "sum"
+    assert con["container.memory.usage"]["mtype"] == "gauge"
+    assert con["container.cpu.usage.vcpu"]["unit"] == "vCPU"
+
+
+def test_resource_attrs_and_arn_parse(spark):
+    out = _task(spark, [_container("c1", _stats())]).collect()
+    con = _by_metric(out, "container")["container.memory.usage"]
+    res = con["resource"]
+    assert "aws.ecs.cluster.name=mycluster" in res
+    assert "aws.ecs.task.id=t-42" in res
+    assert "cloud.region=us-west-2" in res
+    assert "cloud.account.id=0123456" in res
+    assert "aws.ecs.launchtype=fargate" in res
+    assert "container.image.name=repo/app" in res
+    assert "container.image.tag=v2" in res
+    # finished_at empty -> omitted; exit_code null -> omitted
+    assert "finished_at" not in res
+    assert "exit_code" not in res
+    task = _by_metric(out, "task")["ecs.task.memory.usage"]
+    assert "container.name" not in task["resource"]
+
+
+def test_task_sums_and_overrides(spark):
+    out = _task(
+        spark,
+        [_container("c1", _stats()), _container("c2", _stats())],
+        limit_memory_task=1024, limit_cpu_task=2.0).collect()
+    task = _by_metric(out, "task")
+    assert task["ecs.task.memory.usage"]["int_value"] == 600 * 1024 * 1024
+    # task-level overrides: memory limit verbatim, cpu limit * 1024
+    assert task["ecs.task.memory.reserved"]["int_value"] == 1024
+    assert task["ecs.task.cpu.reserved"]["double_value"] == 2048.0
+    # utilized recomputed: vcpu_sum(0.2) * 1024
+    assert abs(task["ecs.task.cpu.utilized"]["double_value"]
+               - 204.8) < 1e-9
+    # without task limits: summed container reservations
+    out2 = _task(spark, [_container("c1", _stats()),
+                         _container("c2", _stats())]).collect()
+    t2 = _by_metric(out2, "task")
+    assert t2["ecs.task.memory.reserved"]["int_value"] == 512
+    assert t2["ecs.task.cpu.reserved"]["double_value"] == 1.0
+
+
+def test_stopped_container_duration(spark):
+    stopped = _container(
+        "c9", None, started_at="2024-01-01T00:00:01.500000000Z",
+        finished_at="2024-01-01T00:00:04.250000000Z", exit_code=1,
+        known_status="STOPPED")
+    never_started = _container("c0", None, started_at="")
+    out = _task(spark, [_container("c1", _stats()), stopped,
+                        never_started]).collect()
+    durs = [r for r in out if r["metric_name"] == "container.duration"]
+    assert len(durs) == 1
+    assert durs[0]["double_value"] == 2.75
+    assert durs[0]["unit"] == "Seconds"
+    assert "aws.ecs.container.exit_code=1" in durs[0]["resource"]
+    # stopped containers do NOT contribute to task sums
+    task = _by_metric(out, "task")
+    assert task["ecs.task.memory.usage"]["int_value"] == 300 * 1024 * 1024
