@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .colutil import keep_rows
+
 _BUILD = (
     "struct<id bigint, stage string, name string, status string,"
     " created_at string, started_at string, finished_at string,"
@@ -156,15 +158,19 @@ def gitlab_pipeline_to_spans(
     oa = F.col("oa")
     created_ts = parse_gitlab_time(oa["created_at"])
     finished_ts = parse_gitlab_time(oa["finished_at"])
-    base = e.select(
-        "*",
-        created_ts.alias("__created_ts"),
-        finished_ts.alias("__finished_ts"),
-    ).filter(
-        # handlePipeline aborts the event when the pipeline stamps
-        # don't parse (newTraceID / setSpanData errors)
+    # handlePipeline aborts the event when the pipeline stamps don't
+    # parse (newTraceID / setSpanData errors). keep_rows, not filter:
+    # pushdown would re-inline from_json + the timestamp parses into a
+    # scan predicate (colutil.keep_rows; measured 5.0s -> 1.4s at
+    # sf0.1 with a generated payload column)
+    base = keep_rows(
+        e.select(
+            "*",
+            created_ts.alias("__created_ts"),
+            finished_ts.alias("__finished_ts"),
+        ),
         F.col("__created_ts").isNotNull()
-        & F.col("__finished_ts").isNotNull()
+        & F.col("__finished_ts").isNotNull(),
     )
     trace_id = new_trace_id(oa["id"], oa["finished_at"])
     pipe_span = new_pipeline_span_id(oa["id"], oa["finished_at"])
