@@ -14673,7 +14673,7 @@ def q_avro_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite of timestamp-micros and date."""
     from .operators.avro_log import avro_encode_col, avro_logs_rows
 
-    ev = _read_split(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 12)
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 12)
     eid, uid = F.col("event_id"), F.col("user_id")
     s = lambda c: c.cast("string")
     ts_ns = F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000) \
