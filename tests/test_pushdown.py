@@ -113,3 +113,31 @@ def test_known_scan_shapes(spark, name, table, want_cols, want_pushed):
     assert any(cols == want_cols for cols in matching), (name, shapes)
     if want_pushed is not None:
         assert want_pushed in plan, (name, want_pushed)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # keep_rows batteries: the record-drop must NOT be pushed into
+        # the scan as a predicate over the re-inlined parse pipeline
+        # (colutil.keep_rows). A Generate node marks the pinned drop;
+        # the scan's pushed filters must stay trivial (null checks /
+        # the builder's modulo gate, never regexp/json machinery).
+        "aws_elb_access_events",
+        "prw_receive_events",
+        "azure_category_logs_events",
+        "gitlab_pipeline_spans_events",
+        "macos_logs_events",
+    ],
+)
+def test_keep_rows_not_pushed(spark, name):
+    plan = (
+        Q.queries()[name](spark, SF_UNIT)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Generate explode" in plan, name
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        pushed = m.group(1)
+        for marker in ("regexp", "from_json", "transform(",
+                       "element_at", "to_timestamp"):
+            assert marker not in pushed, (name, pushed)
