@@ -1529,7 +1529,7 @@ FROM r ORDER BY event_id
 """,
 )
 def q_redaction_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
+    ev = _read_split(spark, sf_dir, "events")
     attrs = ev.select(
         "event_id",
         F.col("user_id").cast("string").alias("id"),
